@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Session tuning applied at every engine entry point (idempotent, runtime
+  * confs only — works on any externally-created session, e.g. the driver's
+  * Verify/Bench runners).
+  *
+  *  - `ansi.enabled=false`: the engine's pandas-parity contract is
+  *    coerce-to-null (casts, div-by-zero), matching both the reference's
+  *    `errors="coerce"` semantics and DuckDB's null results.
+  *  - `nanosAsLong`: lets the parquet reader accept TIMESTAMP(NANOS)
+  *    columns (see [[graft.sources.Tables.events]]).
+  *  - AQE on: runtime coalescing / skew-join handling is the 100 TB story;
+  *    harmless at test scale.
+  */
+object GraftSession {
+  def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark
+  }
+}

@@ -1,13 +1,780 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+import graft.functions.Cols
+import graft.operators.{CalendarOps, Collapse, Features, MonteCarlo}
+import graft.sim.Similarity
+import graft.text.{Dedup, TextAnalysis}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Query naming: `q<nn>_<survey-id>_<desc>` where `<survey-id>` is the
+  * SURVEY.md §2 operator id the query exercises (a1 = §2.5 A1, w8 = §2.6 W8,
+  * j4 = §2.4 J4, u9 = §2.11 U9, …; x* = builder-brief extension operators).
+  * Every query has a DuckDB oracle in [[oracleSql]] unless inherently
+  * non-SQL (noted inline). All queries ORDER BY a deterministic key and
+  * alias every computed column identically on both sides.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship (driver smoke-checks rows>0 on sf0.001): the CES career
+    * collapse re-expressed over the TPC-H-shaped tables — scan → broadcast
+    * dim join → routing predicate → long-format stack → weighted monthly
+    * collapse (SURVEY M0-M2 end-to-end). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    cesCollapse(GraftSession.tune(spark), "/root/testdata/sf0.001")
+
+  // ---------------------------------------------------------------- helpers
+
+  private def tuned(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => f(GraftSession.tune(s), d)
+
+  /** Monthly orders series used by the window/time-series queries
+    * (the engine's analog of the reference's per-career monthly table). */
+  private def monthlyOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+      .agg(sum(col("o_totalprice")).as("tot"), count(lit(1)).as("n"))
+
+  private val MonthlySql =
+    "SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month, " +
+      "sum(o_totalprice) AS tot, count(*) AS n FROM orders GROUP BY 1"
+
+  private def wMonth = Features.keyWindow(Nil, "month")
+
+  /** Flagship pipeline: lineitem facts joined to the part dimension,
+    * routed into "careers" by the F5 prefix predicate, collapsed monthly to
+    * (Σ quantity, quantity-weighted mean price) via [[Collapse.collapse]]. */
+  private def cesCollapse(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(s, dir)
+    val part = Tables.part(s, dir)
+    val career = when(Cols.codeMatches(col("p_type"), Nil, Seq("STA")), lit("standard"))
+      .when(Cols.codeMatches(col("p_type"), Nil, Seq("PRO")), lit("promo"))
+      .otherwise(lit("other"))
+    val f = li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(career.as("career"), Cols.monthStart(col("l_shipdate")).as("month"),
+        col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+    val long = f.selectExpr("career", "month", "l_partkey AS wkey",
+      "stack(2, 'qty', l_quantity, 'price', l_extendedprice) AS (measure, value)")
+    Collapse.collapse(long,
+        dateCol = "month", measureCol = "measure", valueCol = "value",
+        weightMeasure = "qty", valueMeasure = "price", weightKey = "wkey",
+        extraKeys = Seq("career"), sumAs = "employment", wmeanAs = "avg_price")
+      .select(col("career"), col("month"),
+        round(col("employment"), 2).as("employment"),
+        round(col("avg_price"), 4).as("avg_price"))
+      .orderBy("career", "month")
+  }
+
+  private val CesCollapseSql =
+    """WITH f AS (
+      |  SELECT CASE WHEN p_type LIKE 'STA%' THEN 'standard'
+      |              WHEN p_type LIKE 'PRO%' THEN 'promo'
+      |              ELSE 'other' END AS career,
+      |         CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+      |         l_partkey, l_quantity, l_extendedprice
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+      |emp AS (SELECT career, month, sum(l_quantity) AS employment FROM f GROUP BY 1, 2),
+      |w AS (SELECT career, month, l_partkey, sum(l_quantity) AS wgt FROM f GROUP BY 1, 2, 3),
+      |earn AS (
+      |  SELECT f.career, f.month,
+      |         sum(CASE WHEN f.l_extendedprice IS NOT NULL AND w.wgt IS NOT NULL
+      |                  THEN f.l_extendedprice * w.wgt END)
+      |           / nullif(sum(CASE WHEN f.l_extendedprice IS NOT NULL THEN w.wgt END), 0) AS avg_price
+      |  FROM f LEFT JOIN w ON f.career = w.career AND f.month = w.month AND f.l_partkey = w.l_partkey
+      |  GROUP BY 1, 2)
+      |SELECT e.career, e.month, round(e.employment, 2) AS employment,
+      |       round(earn.avg_price, 4) AS avg_price
+      |FROM emp e LEFT JOIN earn ON e.career = earn.career AND e.month = earn.month
+      |ORDER BY e.career, e.month""".stripMargin
+
+  // ---------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q00_m2_ces_collapse" -> tuned(cesCollapse),
+
+    // ---- aggregations (SURVEY §2.5)
+    "q01_a1_groupsum" -> tuned((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q02_a2_weighted_mean" -> tuned((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(Collapse.weightedMean(col("l_extendedprice"), col("l_quantity")), 4)
+          .as("wavg_price"))
+        .orderBy("l_returnflag")),
+
+    "q03_a3_distinct" -> tuned((s, d) =>
+      Tables.customer(s, d)
+        .select("c_mktsegment", "c_nationkey").distinct()
+        .orderBy("c_mktsegment", "c_nationkey")),
+
+    "q04_a4_value_counts" -> tuned((s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("o_orderpriority")).limit(10)),
+
+    "q05_a5_dedupe_mean" -> tuned((s, d) =>
+      CalendarOps.dedupeByMonth(
+          Tables.events(s, d).withColumn("month", Cols.monthStart(col("ts"))),
+          Seq("user_id"), "month", Seq("value"), CalendarOps.MeanPolicy)
+        .select(col("user_id"), col("month"), round(col("value"), 4).as("avg_value"))
+        .orderBy("user_id", "month")),
+
+    "q06_a6_summary" -> tuned((s, d) =>
+      Tables.orders(s, d).agg(
+        min(col("o_orderdate")).cast("date").as("min_date"),
+        max(col("o_orderdate")).cast("date").as("max_date"),
+        count(lit(1)).as("n"),
+        round(min(col("o_totalprice")), 2).as("min_price"),
+        round(max(col("o_totalprice")), 2).as("max_price"))),
+
+    "q07_a7_histogram" -> tuned((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(floor(col("l_quantity") / 5.0).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("bucket")),
+
+    "q08_a8_quantiles" -> tuned((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(round(percentile(col("value"), lit(0.05)), 4).as("p05"),
+          round(percentile(col("value"), lit(0.5)), 4).as("p50"),
+          round(percentile(col("value"), lit(0.95)), 4).as("p95"))
+        .orderBy("event_type")),
+
+    "q09_a9_drift_fit" -> tuned((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderdate").cast("date").as("day"))
+        .agg(sum(col("o_totalprice")).as("tot"))
+      MonteCarlo.fitDrift(daily, Nil, "day", "tot", 60)
+        .select(round(col("mu"), 2).as("mu"), round(col("sigma"), 2).as("sigma"))
+    }),
+
+    // ---- filters (SURVEY §2.3)
+    "q10_f1_regex_filter" -> tuned((s, d) =>
+      Tables.events(s, d)
+        .filter(col("event_type").rlike("^(purchase|refund)$"))
+        .select("event_id", "event_type", "value")
+        .orderBy("event_id")),
+
+    "q11_f2_isin_filter" -> tuned((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag").isin("A", "R"))
+        .select("l_orderkey", "l_linenumber", "l_returnflag")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q12_f4_contains_ci" -> tuned((s, d) =>
+      Tables.documents(s, d)
+        .filter(Cols.containsCI(col("text"), "SPARK"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")),
+
+    "q13_f5_code_predicate" -> tuned((s, d) =>
+      Tables.part(s, d)
+        .filter(Cols.codeMatches(col("p_type"), Seq("ECONOMY"), Seq("STA", "PRO")))
+        .select("p_partkey", "p_brand", "p_type")
+        .orderBy("p_partkey")),
+
+    // ---- joins (SURVEY §2.4)
+    "q14_j123_star_join" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "left")
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"), "left")
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"), "left")
+        .groupBy("r_name")
+        .agg(round(sum(col("o_totalprice")), 2).as("revenue"),
+          count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("r_name")
+    }),
+
+    "q15_j4_composite_key_join" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val wts = li.groupBy("l_partkey", "l_suppkey")
+        .agg(sum(col("l_quantity")).as("w"))
+      li.join(wts, Seq("l_partkey", "l_suppkey"), "left")
+        .groupBy("l_returnflag")
+        .agg(round(Collapse.weightedMean(col("l_extendedprice"), col("w")), 4)
+          .as("wavg_price"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q16_j6_month_align_join" -> tuned((s, d) => {
+      val shipM = Tables.lineitem(s, d)
+        .groupBy(Cols.monthStart(col("l_shipdate")).as("month"))
+        .agg(count(lit(1)).as("n_ship"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      val ordM = Tables.orders(s, d)
+        .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n_orders"), round(avg(col("o_totalprice")), 4).as("avg_price"))
+      shipM.join(ordM, Seq("month"), "left").orderBy("month")
+    }),
+
+    // ---- window / time-series (SURVEY §2.6)
+    "q17_w1_pct_change" -> tuned((s, d) =>
+      monthlyOrders(s, d)
+        .select(col("month"), round(col("tot"), 2).as("tot"),
+          round(Features.pctChange(col("tot"), 1, wMonth), 4).as("mom_pct"),
+          round(Features.pctChange(col("tot"), 12, wMonth), 4).as("yoy_pct"))
+        .orderBy("month")),
+
+    "q18_w23_rolling_mean_std" -> tuned((s, d) =>
+      monthlyOrders(s, d)
+        .select(col("month"),
+          round(Features.rollingMean(col("tot"), 6, wMonth), 2).as("roll_mean6"),
+          round(Features.rollingStd(col("tot"), 6, wMonth), 2).as("roll_std6"))
+        .orderBy("month")),
+
+    "q19_w4_rolling_corr" -> tuned((s, d) =>
+      monthlyOrders(s, d)
+        .select(col("month"),
+          round(Features.rollingCorr(col("tot"), col("n"), 12, wMonth), 4).as("roll_corr12"))
+        .orderBy("month")),
+
+    "q20_w5_rolling_median" -> tuned((s, d) =>
+      monthlyOrders(s, d)
+        .select(col("month"),
+          round(Features.rollingMedian(col("tot"), 13, 6, wMonth), 2).as("roll_med13"))
+        .orderBy("month")),
+
+    "q21_w6_base100_index" -> tuned((s, d) =>
+      monthlyOrders(s, d)
+        .select(col("month"),
+          round(Features.base100(col("tot"), wMonth), 4).as("tot_index"))
+        .orderBy("month")),
+
+    "q22_w7_diffs" -> tuned((s, d) =>
+      monthlyOrders(s, d)
+        .select(col("month"),
+          round(Features.diff(col("tot"), 1, wMonth), 2).as("d1"),
+          round(Features.diff(col("tot"), 12, wMonth), 2).as("d12"))
+        .orderBy("month")),
+
+    "q23_w8_month_grid" -> tuned((s, d) =>
+      CalendarOps.monthGrid(monthlyOrders(s, d), Nil, "month")
+        .select(col("month"), col("n"), round(col("tot"), 2).as("tot"))
+        .orderBy("month")),
+
+    "q24_w9_cumsum" -> tuned((s, d) =>
+      monthlyOrders(s, d)
+        .select(col("month"),
+          round(Features.cumSum(col("tot"), wMonth), 2).as("cum_tot"))
+        .orderBy("month")),
+
+    "q25_w10_last_obs" -> tuned((s, d) =>
+      Features.tailRows(Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"), 1)
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          round(col("value"), 2).as("last_value"))
+        .orderBy("user_id")),
+
+    "q26_w11_tail_rows" -> tuned((s, d) =>
+      Features.tailRows(Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"), 5)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_recent"), round(avg(col("value")), 4).as("avg_recent"))
+        .orderBy("user_id")),
+
+    // ---- sort / limit (SURVEY §2.7)
+    "q27_o12_topk" -> tuned((s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
+          col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(20)),
+
+    // ---- set ops (SURVEY §2.8)
+    "q28_set_union" -> tuned((s, d) => {
+      val sup = Tables.supplier(s, d).select(col("s_name").as("name"), lit("supplier").as("kind"))
+      val cus = Tables.customer(s, d).select(col("c_name").as("name"), lit("customer").as("kind"))
+      sup.unionByName(cus).orderBy("kind", "name")
+    }),
+
+    // ---- scalar functions (SURVEY §2.9)
+    "q29_fs_string_fns" -> tuned((s, d) =>
+      Tables.part(s, d).select(
+          col("p_partkey"),
+          lower(trim(col("p_name"))).as("name_lc"),
+          regexp_replace(col("p_type"), " ", "_").as("type_u"),
+          lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+          concat_ws(":", col("p_brand"), col("p_type")).as("brand_type"),
+          substring(col("p_type"), 1, 4).as("type4"))
+        .orderBy("p_partkey")),
+
+    "q30_fd_date_fns" -> tuned((s, d) =>
+      Tables.orders(s, d).select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).cast("long").as("y"),
+          month(col("o_orderdate")).cast("long").as("m"),
+          Cols.monthStart(col("o_orderdate")).as("month_start"),
+          Cols.monthEnd(col("o_orderdate")).as("month_end"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("md"))
+        .orderBy("o_orderkey")),
+
+    "q31_fm_math_null_fns" -> tuned((s, d) =>
+      Tables.events(s, d).select(
+          col("event_id"),
+          round(Cols.safeLog(col("value")), 4).as("log_value"),
+          round(Cols.clipMin(col("value") - 100, 0.0), 2).as("over100"),
+          coalesce(nullif(col("event_type"), lit("error")), lit("unknown")).as("etype_filled"),
+          round(abs(col("value") - 50), 2).as("dist50"))
+        .orderBy("event_id")),
+
+    // ---- Monte-Carlo simulation + fan (SURVEY §2.11 U9 / §2.6 W9 / §2.5 A8)
+    "q32_u9_montecarlo_fan" -> tuned((s, d) =>
+      MonteCarlo.fan(
+          MonteCarlo.simulatePaths(s, sims = 200, horizon = 36,
+            start = 100.0, mu = 0.5, sigma = 2.0, seed = 42L, clipMin = Some(0.0)))
+        .select(col("step") +:
+          Seq("p05", "p10", "p50", "p90", "p95", "mean", "std", "min", "max")
+            .map(c => round(col(c), 4).as(c)): _*)
+        .orderBy("step")),
+
+    // ---- extension: text analysis (builder brief)
+    "q41_x_tokens_fingerprint" -> tuned((s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+          TextAnalysis.fingerprint(col("text")).as("fingerprint"))
+        .orderBy("doc_id")),
+
+    "q42_x_quality_score" -> tuned((s, d) => {
+      val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          feats("n_tokens").cast("long").as("n_tokens"),
+          round(feats("avg_token_len"), 4).as("avg_token_len"),
+          round(feats("punct_ratio"), 4).as("punct_ratio"),
+          round(feats("stopword_ratio"), 4).as("stopword_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    "q43_x_langid" -> tuned((s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // ---- extension: dedup (builder brief)
+    "q44_x_dedup_exact" -> tuned((s, d) =>
+      Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("text_hash")),
+
+    "q45_x_minhash_sig" -> tuned((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id") +: Dedup.minhashSigCols(col("text"), MinhashK): _*)
+        .orderBy("doc_id")),
+
+    "q46_x_minhash_lsh_pairs" -> tuned((s, d) =>
+      Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          k = MinhashK, bands = MinhashBands)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    "q47_x_simhash" -> tuned((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("simhash"))
+        .orderBy("doc_id")),
+
+    "q48_x_ngram_jaccard" -> tuned((s, d) =>
+      Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+          maxIdGap = 50, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- extension: similarity search (builder brief)
+    "q49_x_cosine_topk" -> tuned((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(e.filter(col("vec_id") < 32), e, "vec_id", "embedding", k = 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    }),
+
+    // ---- extension: JSON props (SURVEY §2.9 note)
+    "q50_x_json_extract" -> tuned((s, d) =>
+      Tables.events(s, d).select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+
+    // ---- extension: structured streaming (SURVEY §2.10)
+    "q51_x_stream_weekly" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.weeklyEventStats(s, d)),
+
+    // ---- extension: LSH-bucketed ANN (no oracle: bucket recall is
+    // approximate by design; driver records rows-only)
+    "q52_x_lsh_ann" -> tuned((s, d) =>
+      Similarity.lshTopK(
+          Tables.embeddings(s, d).filter(col("vec_id") < 200),
+          "vec_id", "embedding", dim = 64, k = 3)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank"))
+  )
+
+  private val MinhashK = 8
+  private val MinhashBands = 4
+  private val SimhashBits = 16
+
+  // ------------------------------------------------------------ oracle SQL
+
+  /** Portable 32-bit hash in DuckDB SQL (mirrors [[Cols.hash32]]). */
+  private def dkHash32(x: String): String =
+    s"CAST('0x' || substring(md5($x), 1, 8) AS BIGINT)"
+
+  private def minhashAB(i: Int): (Long, Long) = {
+    val a = 2L * (104729L * (i + 1) % 524287L) + 1L
+    val b = 94906249L * (i + 1) % 4294967311L
+    (a, b)
+  }
+
+  /** Shared doc→signature CTE prefix for the minhash oracles. */
+  private val MinhashCte: String = {
+    val sigExprs = (0 until MinhashK).map { i =>
+      val (a, b) = minhashAB(i)
+      s"coalesce(list_min(list_transform(hs, h -> (h * $a + $b) % 4294967311)), fb) AS mh$i"
+    }.mkString(",\n    ")
+    s"""WITH t AS (
+       |  SELECT doc_id, trim(text) AS tt,
+       |         regexp_split_to_array(trim(text), '\\s+') AS toks
+       |  FROM documents),
+       |sh AS (
+       |  SELECT doc_id, tt,
+       |         CASE WHEN len(toks) >= 3
+       |              THEN list_transform(generate_series(1, len(toks) - 2),
+       |                     i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+       |              ELSE CAST([] AS VARCHAR[]) END AS sh
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id,
+       |         list_transform(sh, x -> ${dkHash32("x")}) AS hs,
+       |         ${dkHash32("tt")} AS fb
+       |  FROM sh),
+       |sig AS (
+       |  SELECT doc_id,
+       |    $sigExprs
+       |  FROM h)""".stripMargin
+  }
+
+  private val CosSimSql: String = {
+    def dot(l: String, r: String) =
+      s"list_sum(list_transform(generate_series(1, 64), i -> CAST($l.embedding[i] AS DOUBLE) * CAST($r.embedding[i] AS DOUBLE)))"
+    s"round(${dot("q", "c")} / nullif(sqrt(${dot("q", "q")}) * sqrt(${dot("c", "c")}), 0), 4)"
+  }
+
+  private val SimhashSql: String = {
+    val bits = (0 until SimhashBits).map { i =>
+      s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |         list_transform(regexp_split_to_array(trim(text), '\\s+'),
+       |                        x -> ${dkHash32("x")}) AS hs
+       |  FROM documents)
+       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
+  }
+
+  private val MonteCarloSql: String = {
+    val p = "4294967311"
+    val counter = dkHash32("concat_ws('_', 42, sim_id, step)")
+    s"""WITH grid AS (
+       |  SELECT s.sim_id, st.step
+       |  FROM (SELECT unnest(generate_series(0, 199)) AS sim_id) s,
+       |       (SELECT unnest(generate_series(1, 36)) AS step) st),
+       |z AS (
+       |  SELECT sim_id, step,
+       |    sqrt(-2.0 * ln(((c * 683077 + 104729) % $p + 1.0) / 4294967312.0))
+       |      * cos(2 * pi() * (((c * 999331 + 15487469) % $p) / 4294967311.0)) AS z
+       |  FROM (SELECT sim_id, step, $counter AS c FROM grid)),
+       |paths AS (
+       |  SELECT sim_id, step,
+       |    greatest(100.0 + sum(0.5 + 2.0 * z) OVER (PARTITION BY sim_id ORDER BY step
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS value
+       |  FROM z)
+       |SELECT step,
+       |  round(quantile_cont(value, 0.05), 4) AS p05,
+       |  round(quantile_cont(value, 0.10), 4) AS p10,
+       |  round(quantile_cont(value, 0.50), 4) AS p50,
+       |  round(quantile_cont(value, 0.90), 4) AS p90,
+       |  round(quantile_cont(value, 0.95), 4) AS p95,
+       |  round(avg(value), 4) AS mean,
+       |  round(stddev_samp(value), 4) AS std,
+       |  round(min(value), 4) AS min,
+       |  round(max(value), 4) AS max
+       |FROM paths GROUP BY step ORDER BY step""".stripMargin
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "q00_m2_ces_collapse" -> CesCollapseSql,
+
+    "q01_a1_groupsum" ->
+      ("SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, " +
+        "round(sum(l_extendedprice), 2) AS sum_price, count(*) AS n " +
+        "FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q02_a2_weighted_mean" ->
+      ("SELECT l_returnflag, round(sum(CASE WHEN l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL " +
+        "THEN l_extendedprice * l_quantity END) / nullif(sum(CASE WHEN l_extendedprice IS NOT NULL " +
+        "THEN l_quantity END), 0), 4) AS wavg_price FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q03_a3_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer ORDER BY 1, 2",
+
+    "q04_a4_value_counts" ->
+      ("SELECT o_orderpriority, count(*) AS n FROM orders GROUP BY 1 " +
+        "ORDER BY n DESC, o_orderpriority LIMIT 10"),
+
+    "q05_a5_dedupe_mean" ->
+      ("SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month, " +
+        "round(avg(value), 4) AS avg_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+
+    "q06_a6_summary" ->
+      ("SELECT CAST(min(o_orderdate) AS DATE) AS min_date, CAST(max(o_orderdate) AS DATE) AS max_date, " +
+        "count(*) AS n, round(min(o_totalprice), 2) AS min_price, " +
+        "round(max(o_totalprice), 2) AS max_price FROM orders"),
+
+    "q07_a7_histogram" ->
+      ("SELECT CAST(floor(l_quantity / 5.0) AS BIGINT) AS bucket, count(*) AS n " +
+        "FROM lineitem GROUP BY 1 ORDER BY 1"),
+
+    "q08_a8_quantiles" ->
+      ("SELECT event_type, round(quantile_cont(value, 0.05), 4) AS p05, " +
+        "round(quantile_cont(value, 0.5), 4) AS p50, " +
+        "round(quantile_cont(value, 0.95), 4) AS p95 FROM events GROUP BY 1 ORDER BY 1"),
+
+    "q09_a9_drift_fit" ->
+      ("""WITH d AS (SELECT CAST(o_orderdate AS DATE) AS day, sum(o_totalprice) AS tot FROM orders GROUP BY 1),
+        |t AS (SELECT day, tot FROM (SELECT day, tot, row_number() OVER (ORDER BY day DESC) AS rn FROM d) WHERE rn <= 60),
+        |x AS (SELECT tot - lag(tot) OVER (ORDER BY day) AS dx FROM t)
+        |SELECT round(avg(dx), 2) AS mu, round(stddev_samp(dx), 2) AS sigma FROM x""".stripMargin),
+
+    "q10_f1_regex_filter" ->
+      ("SELECT event_id, event_type, value FROM events " +
+        "WHERE regexp_matches(event_type, '^(purchase|refund)$') ORDER BY event_id"),
+
+    "q11_f2_isin_filter" ->
+      ("SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem " +
+        "WHERE l_returnflag IN ('A', 'R') ORDER BY 1, 2"),
+
+    "q12_f4_contains_ci" ->
+      ("SELECT doc_id, lang, n_chars FROM documents " +
+        "WHERE contains(lower(text), 'spark') ORDER BY doc_id"),
+
+    "q13_f5_code_predicate" ->
+      ("SELECT p_partkey, p_brand, p_type FROM part " +
+        "WHERE p_type IN ('ECONOMY') OR p_type LIKE 'STA%' OR p_type LIKE 'PRO%' ORDER BY 1"),
+
+    "q14_j123_star_join" ->
+      ("SELECT r_name, round(sum(o_totalprice), 2) AS revenue, count(*) AS n_orders, " +
+        "count(DISTINCT o_custkey) AS n_customers FROM orders " +
+        "LEFT JOIN customer ON o_custkey = c_custkey " +
+        "LEFT JOIN nation ON c_nationkey = n_nationkey " +
+        "LEFT JOIN region ON n_regionkey = r_regionkey GROUP BY 1 ORDER BY 1"),
+
+    "q15_j4_composite_key_join" ->
+      ("""WITH w AS (SELECT l_partkey, l_suppkey, sum(l_quantity) AS w FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, round(sum(CASE WHEN l_extendedprice IS NOT NULL AND w.w IS NOT NULL
+        |  THEN l_extendedprice * w.w END) / nullif(sum(CASE WHEN l_extendedprice IS NOT NULL THEN w.w END), 0), 4) AS wavg_price
+        |FROM lineitem LEFT JOIN w ON lineitem.l_partkey = w.l_partkey AND lineitem.l_suppkey = w.l_suppkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q16_j6_month_align_join" ->
+      ("""WITH s AS (SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
+        |  count(*) AS n_ship, round(sum(l_quantity), 2) AS sum_qty FROM lineitem GROUP BY 1),
+        |o AS (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders, round(avg(o_totalprice), 4) AS avg_price FROM orders GROUP BY 1)
+        |SELECT s.month, s.n_ship, s.sum_qty, o.n_orders, o.avg_price
+        |FROM s LEFT JOIN o ON s.month = o.month ORDER BY s.month""".stripMargin),
+
+    "q17_w1_pct_change" ->
+      (s"""WITH m AS ($MonthlySql)
+        |SELECT month, round(tot, 2) AS tot,
+        |  round((tot / lag(tot, 1) OVER (ORDER BY month) - 1) * 100, 4) AS mom_pct,
+        |  round((tot / lag(tot, 12) OVER (ORDER BY month) - 1) * 100, 4) AS yoy_pct
+        |FROM m ORDER BY month""".stripMargin),
+
+    "q18_w23_rolling_mean_std" ->
+      (s"""WITH m AS ($MonthlySql)
+        |SELECT month,
+        |  round(CASE WHEN count(tot) OVER w6 >= 6 THEN avg(tot) OVER w6 END, 2) AS roll_mean6,
+        |  round(CASE WHEN count(tot) OVER w6 >= 6 THEN stddev_samp(tot) OVER w6 END, 2) AS roll_std6
+        |FROM m WINDOW w6 AS (ORDER BY month ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
+        |ORDER BY month""".stripMargin),
+
+    "q19_w4_rolling_corr" ->
+      (s"""WITH m AS ($MonthlySql)
+        |SELECT month,
+        |  round(CASE WHEN count(tot) OVER w12 >= 12 THEN corr(tot, n) OVER w12 END, 4) AS roll_corr12
+        |FROM m WINDOW w12 AS (ORDER BY month ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)
+        |ORDER BY month""".stripMargin),
+
+    "q20_w5_rolling_median" ->
+      (s"""WITH m AS ($MonthlySql)
+        |SELECT month,
+        |  round(CASE WHEN count(tot) OVER w13 >= 6 THEN median(tot) OVER w13 END, 2) AS roll_med13
+        |FROM m WINDOW w13 AS (ORDER BY month ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)
+        |ORDER BY month""".stripMargin),
+
+    "q21_w6_base100_index" ->
+      (s"""WITH m AS ($MonthlySql)
+        |SELECT month, round(tot / first_value(tot) OVER (ORDER BY month
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 100, 4) AS tot_index
+        |FROM m ORDER BY month""".stripMargin),
+
+    "q22_w7_diffs" ->
+      (s"""WITH m AS ($MonthlySql)
+        |SELECT month, round(tot - lag(tot, 1) OVER (ORDER BY month), 2) AS d1,
+        |  round(tot - lag(tot, 12) OVER (ORDER BY month), 2) AS d12
+        |FROM m ORDER BY month""".stripMargin),
+
+    "q23_w8_month_grid" ->
+      (s"""WITH m AS ($MonthlySql),
+        |b AS (SELECT min(month) AS lo, max(month) AS hi FROM m),
+        |g AS (SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 MONTH)) AS DATE) AS month FROM b)
+        |SELECT g.month, m.n, round(m.tot, 2) AS tot
+        |FROM g LEFT JOIN m ON g.month = m.month ORDER BY g.month""".stripMargin),
+
+    "q24_w9_cumsum" ->
+      (s"""WITH m AS ($MonthlySql)
+        |SELECT month, round(sum(tot) OVER (ORDER BY month
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_tot
+        |FROM m ORDER BY month""".stripMargin),
+
+    "q25_w10_last_obs" ->
+      ("""SELECT user_id, event_id AS last_event_id, round(value, 2) AS last_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin),
+
+    "q26_w11_tail_rows" ->
+      ("""SELECT user_id, count(*) AS n_recent, round(avg(value), 4) AS avg_recent
+        |FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |      FROM events) WHERE rn <= 5 GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q27_o12_topk" ->
+      ("SELECT o_orderkey, round(o_totalprice, 2) AS o_totalprice, o_orderpriority " +
+        "FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20"),
+
+    "q28_set_union" ->
+      ("SELECT * FROM (SELECT s_name AS name, 'supplier' AS kind FROM supplier " +
+        "UNION ALL SELECT c_name AS name, 'customer' AS kind FROM customer) " +
+        "ORDER BY kind, name"),
+
+    "q29_fs_string_fns" ->
+      ("SELECT p_partkey, lower(trim(p_name)) AS name_lc, " +
+        "regexp_replace(p_type, ' ', '_', 'g') AS type_u, " +
+        "lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad, " +
+        "concat_ws(':', p_brand, p_type) AS brand_type, " +
+        "substring(p_type, 1, 4) AS type4 FROM part ORDER BY p_partkey"),
+
+    "q30_fd_date_fns" ->
+      ("SELECT o_orderkey, CAST(year(o_orderdate) AS BIGINT) AS y, " +
+        "CAST(month(o_orderdate) AS BIGINT) AS m, " +
+        "CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start, " +
+        "last_day(o_orderdate) AS month_end, " +
+        "make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1) AS md " +
+        "FROM orders ORDER BY o_orderkey"),
+
+    "q31_fm_math_null_fns" ->
+      ("SELECT event_id, round(CASE WHEN value > 0 THEN ln(value) END, 4) AS log_value, " +
+        "round(greatest(value - 100, 0), 2) AS over100, " +
+        "coalesce(nullif(event_type, 'error'), 'unknown') AS etype_filled, " +
+        "round(abs(value - 50), 2) AS dist50 FROM events ORDER BY event_id"),
+
+    "q32_u9_montecarlo_fan" -> MonteCarloSql,
+
+    "q41_x_tokens_fingerprint" ->
+      (s"""$MinhashCte
+        |SELECT t.doc_id,
+        |  CAST(CASE WHEN length(t.tt) = 0 THEN 0 ELSE len(t.toks) END AS BIGINT) AS n_tokens,
+        |  coalesce(list_min(list_transform(sh.sh, x -> ${dkHash32("x")})), h.fb) AS fingerprint
+        |FROM t JOIN sh ON t.doc_id = sh.doc_id JOIN h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin),
+
+    "q42_x_quality_score" -> {
+      val stop = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / nullif(len(toks), 0), 4) AS avg_token_len,
+        |  round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+        |    / nullif(length(text), 0), 4) AS punct_ratio,
+        |  round(CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / nullif(len(toks), 0), 4) AS stopword_ratio
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q43_x_langid" -> {
+      val stop = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, lang, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE) / nullif(len(toks), 0) >= 0.05
+        |       THEN 'en' ELSE 'und' END AS lang_pred
+        |FROM t ORDER BY doc_id""".stripMargin
+    },
+
+    "q44_x_dedup_exact" ->
+      ("SELECT md5(trim(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+
+    "q45_x_minhash_sig" ->
+      (s"""$MinhashCte
+        |SELECT doc_id, ${(0 until MinhashK).map(i => s"mh$i").mkString(", ")}
+        |FROM sig ORDER BY doc_id""".stripMargin),
+
+    "q46_x_minhash_lsh_pairs" -> {
+      val rows = MinhashK / MinhashBands
+      val bandConds = (0 until MinhashBands).map { b =>
+        (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val eqSum = (0 until MinhashK)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$MinhashCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST($eqSum AS DOUBLE) / $MinhashK, 4) AS est_jaccard
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q47_x_simhash" -> SimhashSql,
+
+    "q48_x_ngram_jaccard" ->
+      ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id AND b.doc_id - a.doc_id <= 50
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, round(CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter), 4) AS jaccard
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    "q49_x_cosine_topk" ->
+      (s"""WITH scored AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, $CosSimSql AS cos_sim
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id < 32 AND c.vec_id <> q.vec_id),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM scored)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 3
+        |ORDER BY query_id, rank""".stripMargin),
+
+    "q50_x_json_extract" ->
+      ("SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id"),
+
+    "q51_x_stream_weekly" ->
+      ("""WITH e AS (
+        |  SELECT CAST(CAST(to_timestamp(CAST(floor(epoch(ts) / 604800) * 604800 AS BIGINT)) AS TIMESTAMP) AS DATE) AS week,
+        |         event_type, value
+        |  FROM events)
+        |SELECT week, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+  )
 }

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Time-series feature engineering (SURVEY §2.6 W1-W7, W9-W11).
+  *
+  * The reference computes these per-career on a whole in-memory series
+  * (notebook cell 5 `add_features`). Here every career/key flows through ONE
+  * plan: `Window.partitionBy(keys).orderBy(date)`. All window columns that
+  * share the (partition, order) spec collapse into a single `WindowExec`
+  * (one shuffle + one sort total) — the scale-out shape for 100 TB: each
+  * key's series is processed independently on its executor, no driver loop.
+  *
+  * pandas-parity: positional ops (`pct_change`, `shift`, `rolling`) equal
+  * calendar-lag ops only on a gap-free grid — enforce
+  * [[CalendarOps.monthGrid]] first (SURVEY W8, "hard parts" #2).
+  */
+object Features {
+
+  def keyWindow(partCols: Seq[String], orderCol: String): WindowSpec = {
+    val w = if (partCols.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partCols.map(col): _*)
+    w.orderBy(col(orderCol))
+  }
+
+  /** W1: `pct_change(k)·100` — (v / lag(v, k) − 1)·100. */
+  def pctChange(c: Column, k: Int, w: WindowSpec): Column =
+    (c / lag(c, k).over(w) - 1) * 100
+
+  /** W7: difference vs k rows back (first diff k=1, seasonal diff k=s). */
+  def diff(c: Column, k: Int, w: WindowSpec): Column = c - lag(c, k).over(w)
+
+  private def frame(w: WindowSpec, n: Int): WindowSpec = w.rowsBetween(-(n - 1), 0)
+
+  /** pandas `rolling(n)` default `min_periods = n`: emit null until the
+    * window holds n non-null observations (SURVEY W2/W3 guard). */
+  private def guarded(aggC: Column, c: Column, n: Int, minPeriods: Int, w: WindowSpec): Column =
+    when(count(c).over(frame(w, n)) >= minPeriods, aggC)
+
+  /** W2: rolling mean over n rows. */
+  def rollingMean(c: Column, n: Int, w: WindowSpec, minPeriods: Int = -1): Column =
+    guarded(avg(c).over(frame(w, n)), c, n, if (minPeriods < 0) n else minPeriods, w)
+
+  /** W3: rolling sample std-dev over n rows. */
+  def rollingStd(c: Column, n: Int, w: WindowSpec, minPeriods: Int = -1): Column =
+    guarded(stddev_samp(c).over(frame(w, n)), c, n, if (minPeriods < 0) n else minPeriods, w)
+
+  /** W5: rolling median with explicit min_periods (reference nb cell 28
+    * outlier repair: window 13, min_periods 6). `median` itself refuses a
+    * window frame in Spark 4 ([INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC]);
+    * `percentile(c, 0.5)` is the same exact-interpolated statistic and is
+    * frame-able. */
+  def rollingMedian(c: Column, n: Int, minPeriods: Int, w: WindowSpec): Column =
+    guarded(percentile(c, lit(0.5)).over(frame(w, n)), c, n, minPeriods, w)
+
+  /** W4: rolling Pearson correlation of two series. NaN (zero variance)
+    * normalized to null for cross-engine parity. */
+  def rollingCorr(x: Column, y: Column, n: Int, w: WindowSpec): Column = {
+    val c = corr(x, y).over(frame(w, n))
+    when(count(when(x.isNotNull && y.isNotNull, 1)).over(frame(w, n)) >= n && !isnan(c), c)
+  }
+
+  /** W6: base-100 index vs first non-null observation of the series. */
+  def base100(c: Column, w: WindowSpec): Column =
+    c / first(c, ignoreNulls = true)
+      .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) * 100
+
+  /** W9: running (cumulative) sum. */
+  def cumSum(c: Column, w: WindowSpec): Column =
+    sum(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+
+  /** W11: keep only the trailing `n` rows of each key's series (reference
+    * `s.iloc[-window:]` before drift fitting). `orderCols` should end in a
+    * unique tiebreaker for determinism. */
+  def tailRows(df: DataFrame, partCols: Seq[String], orderCols: Seq[String], n: Int): DataFrame = {
+    val w =
+      (if (partCols.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(partCols.map(col): _*))
+        .orderBy(orderCols.map(col(_).desc): _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

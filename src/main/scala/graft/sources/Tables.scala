@@ -1,0 +1,41 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Canonical loaders for the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Each loader is a plain parquet scan so Catalyst keeps full pushdown
+  * freedom: filters and column pruning written by downstream operators reach
+  * the scan (`PushedFilters` / `ReadSchema` in `.explain("formatted")`).
+  * At the 100 TB design point these map to partitioned parquet/ORC
+  * directories; nothing here assumes a single file.
+  */
+object Tables {
+  private def p(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, dir: String): DataFrame   = p(s, dir, "region")
+  def nation(s: SparkSession, dir: String): DataFrame   = p(s, dir, "nation")
+  def customer(s: SparkSession, dir: String): DataFrame = p(s, dir, "customer")
+  def supplier(s: SparkSession, dir: String): DataFrame = p(s, dir, "supplier")
+  def part(s: SparkSession, dir: String): DataFrame     = p(s, dir, "part")
+  def orders(s: SparkSession, dir: String): DataFrame   = p(s, dir, "orders")
+  def lineitem(s: SparkSession, dir: String): DataFrame = p(s, dir, "lineitem")
+  def documents(s: SparkSession, dir: String): DataFrame = p(s, dir, "documents")
+  def embeddings(s: SparkSession, dir: String): DataFrame = p(s, dir, "embeddings")
+
+  /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark's parquet reader
+    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the raw nanos via the
+    * legacy conf and surface:
+    *   - `ts`    TimestampType at µs precision (truncating division — exactly
+    *             DuckDB's nanos→µs semantics, so oracle comparisons agree),
+    *   - `ts_ns` the raw epoch-nanos long, for exact ordering/tiebreaks.
+    */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    p(s, dir, "events")
+      .withColumn("ts_ns", col("ts"))
+      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+  }
+}

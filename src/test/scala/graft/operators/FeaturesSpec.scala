@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def series(vals: Double*) = {
+    vals.zipWithIndex.map { case (v, i) => (f"2020-${i + 1}%02d-01", v) }
+      .toDF("month", "v").withColumn("month", to_date(col("month")))
+  }
+  private val w = Features.keyWindow(Nil, "month")
+
+  test("pctChange(1): pandas pct_change parity on a gap-free grid") {
+    val out = series(100.0, 110.0, 99.0)
+      .select(Features.pctChange(col("v"), 1, w)).orderBy("month")
+    val got = out.collect().toSeq.map(_.get(0))
+    assert(got.head == null)
+    assert(approx(got(1).asInstanceOf[Double], 10.0, 1e-9))
+    assert(approx(got(2).asInstanceOf[Double], -10.0, 1e-9))
+  }
+
+  test("diff(k): first and seasonal differences") {
+    val df = series(1.0, 4.0, 9.0)
+    val got = df.select(Features.diff(col("v"), 1, w)).orderBy("month")
+      .collect().toSeq.map(_.get(0))
+    assert(got === Seq(null, 3.0, 5.0))
+  }
+
+  test("rollingMean: null until min_periods=n non-null obs (pandas rolling default)") {
+    val got = series(1.0, 2.0, 3.0, 4.0)
+      .select(Features.rollingMean(col("v"), 3, w)).orderBy("month")
+      .collect().toSeq.map(_.get(0))
+    assert(got(0) == null && got(1) == null)
+    assert(approx(got(2).asInstanceOf[Double], 2.0))
+    assert(approx(got(3).asInstanceOf[Double], 3.0))
+  }
+
+  test("rollingStd: ddof=1 sample std like pandas") {
+    val got = series(1.0, 2.0, 3.0)
+      .select(Features.rollingStd(col("v"), 3, w)).orderBy("month")
+      .collect().toSeq.map(_.get(0))
+    assert(approx(got(2).asInstanceOf[Double], 1.0)) // std([1,2,3], ddof=1) = 1
+  }
+
+  test("rollingMedian with explicit min_periods") {
+    val got = series(5.0, 1.0, 3.0, 100.0)
+      .select(Features.rollingMedian(col("v"), 3, 2, w)).orderBy("month")
+      .collect().toSeq.map(_.get(0))
+    assert(got(0) == null) // only 1 obs < min_periods 2
+    assert(approx(got(1).asInstanceOf[Double], 3.0)) // median(5,1)
+    assert(approx(got(2).asInstanceOf[Double], 3.0)) // median(5,1,3)
+    assert(approx(got(3).asInstanceOf[Double], 3.0)) // median(1,3,100)
+  }
+
+  test("base100: index vs first observation") {
+    val got = series(50.0, 75.0, 100.0)
+      .select(Features.base100(col("v"), w)).orderBy("month")
+      .collect().toSeq.map(_.getDouble(0))
+    assert(got.map(x => math.round(x).toDouble) === Seq(100.0, 150.0, 200.0))
+  }
+
+  test("cumSum running total") {
+    val got = series(1.0, 2.0, 3.0)
+      .select(Features.cumSum(col("v"), w)).orderBy("month")
+      .collect().toSeq.map(_.getDouble(0))
+    assert(got === Seq(1.0, 3.0, 6.0))
+  }
+
+  test("rollingCorr: perfect positive correlation = 1, guarded below n obs") {
+    val df = (1 to 5).map(i => (f"2020-$i%02d-01", i.toDouble, 2.0 * i))
+      .toDF("month", "x", "y").withColumn("month", to_date(col("month")))
+    val got = df.select(Features.rollingCorr(col("x"), col("y"), 3, w)).orderBy("month")
+      .collect().toSeq.map(_.get(0))
+    assert(got(0) == null && got(1) == null)
+    assert(approx(got(2).asInstanceOf[Double], 1.0, 1e-9))
+  }
+
+  test("tailRows: trailing n rows per key, deterministic via tiebreak") {
+    val df = Seq(("a", 1, 10.0), ("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0))
+      .toDF("k", "t", "v")
+    val out = Features.tailRows(df, Seq("k"), Seq("t"), 2)
+      .orderBy("k", "t").as[(String, Int, Double)].collect().toSeq
+    assert(out === Seq(("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)))
+  }
+}

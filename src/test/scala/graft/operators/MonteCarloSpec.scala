@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MonteCarloSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("simulatePaths: deterministic across runs and repartitioning (counter-based RNG)") {
+    def run(parts: Int) =
+      MonteCarlo.simulatePaths(spark, sims = 10, horizon = 5, start = 100.0,
+        mu = 0.0, sigma = 1.0, seed = 7L)
+        .repartition(parts)
+        .orderBy("sim_id", "step")
+        .as[(Long, Int, Double)].collect().toSeq
+    assert(run(1) === run(8)) // partition-independent, unlike randn(seed)
+  }
+
+  test("simulatePaths: clipMin floors values") {
+    val vals = MonteCarlo.simulatePaths(spark, 50, 10, start = 0.0,
+      mu = -10.0, sigma = 1.0, seed = 1L, clipMin = Some(0.0))
+      .select("value").as[Double].collect().toSeq
+    assert(vals.forall(_ >= 0.0))
+  }
+
+  test("simulatePaths: draws are approximately standard normal") {
+    val z = MonteCarlo.simulatePaths(spark, 2000, 1, start = 0.0,
+      mu = 0.0, sigma = 1.0, seed = 42L)
+      .select("value").as[Double].collect()
+    val mean = z.sum / z.length
+    val sd = math.sqrt(z.map(x => (x - mean) * (x - mean)).sum / (z.length - 1))
+    assert(math.abs(mean) < 0.1, s"mean=$mean")
+    assert(math.abs(sd - 1.0) < 0.1, s"sd=$sd")
+  }
+
+  test("fan: quantile ordering p05<=p50<=p95, min<=mean<=max per step") {
+    val fan = MonteCarlo.fan(
+      MonteCarlo.simulatePaths(spark, 200, 4, 100.0, 0.5, 2.0, seed = 42L))
+      .collect().toSeq
+    assert(fan.size === 4)
+    fan.foreach { r =>
+      val (p05, p50, p95) = (r.getAs[Double]("p05"), r.getAs[Double]("p50"), r.getAs[Double]("p95"))
+      assert(p05 <= p50 && p50 <= p95)
+      assert(r.getAs[Double]("min") <= r.getAs[Double]("mean"))
+      assert(r.getAs[Double]("mean") <= r.getAs[Double]("max"))
+    }
+  }
+
+  test("fitDrift: mean/std of first differences over trailing window (A9)") {
+    // series 0, 1, 3, 6 -> diffs 1, 2, 3 -> mu=2, sigma=1
+    val df = Seq(("2020-01-01", 0.0), ("2020-02-01", 1.0), ("2020-03-01", 3.0), ("2020-04-01", 6.0))
+      .toDF("month", "v").withColumn("month", to_date(col("month")))
+    val r = MonteCarlo.fitDrift(df, Nil, "month", "v", window = 10).collect().head
+    assert(approx(r.getAs[Double]("mu"), 2.0))
+    assert(approx(r.getAs[Double]("sigma"), 1.0))
+  }
+}

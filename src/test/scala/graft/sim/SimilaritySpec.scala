@@ -1,0 +1,51 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f)), // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f)), // orthogonal to 0
+    (3L, Array(-1.0f, 0.0f, 0.0f)) // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("bruteForceTopK: exact cosine ranking with deterministic tiebreaks") {
+    val out = Similarity.bruteForceTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)
+      .orderBy("rank").collect().toSeq
+    assert(out.map(_.getAs[Long]("neighbor_id")) === Seq(1L, 2L, 3L))
+    assert(approx(out(1).getAs[Double]("cos_sim"), 0.0))
+    assert(approx(out(2).getAs[Double]("cos_sim"), -1.0))
+  }
+
+  test("bruteForceTopK: self-pairs excluded, k bounds output per query") {
+    val out = Similarity.bruteForceTopK(vecs, vecs, "vec_id", "embedding", k = 2)
+      .collect().toSeq
+    assert(!out.exists(r => r.getAs[Long]("query_id") == r.getAs[Long]("neighbor_id")))
+    assert(out.groupBy(_.getAs[Long]("query_id")).values.forall(_.size <= 2))
+  }
+
+  test("srpKey: deterministic bucket keys; identical vectors share buckets") {
+    val two = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
+      .toDF("vec_id", "embedding")
+    val keys = two.select(Similarity.srpKey(col("embedding"), 3, 8)).as[Long].collect().toSeq
+    assert(keys(0) === keys(1))
+  }
+
+  test("lshTopK: finds the exact duplicate as top neighbor") {
+    val dupes = Seq(
+      (0L, Array.tabulate(8)(i => i.toFloat)),
+      (1L, Array.tabulate(8)(i => i.toFloat)),
+      (2L, Array.tabulate(8)(i => (7 - i).toFloat))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(dupes, "vec_id", "embedding", dim = 8, k = 2)
+      .filter(col("query_id") === 0 && col("rank") === 1).collect()
+    assert(out.nonEmpty)
+    assert(out.head.getAs[Long]("neighbor_id") === 1L)
+    assert(approx(out.head.getAs[Double]("cos_sim"), 1.0))
+  }
+}

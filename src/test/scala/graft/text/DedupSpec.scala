@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat"), // near dup
+    (4L, "completely different text about spark engines here")
+  ).toDF("doc_id", "text")
+
+  test("exact: identical normalized text groups together, keeps min id") {
+    val out = Dedup.exact(docs, "doc_id", "text")
+      .orderBy("keep_id").collect().toSeq
+    assert(out.size === 3)
+    val dup = out.find(_.getAs[Long]("n_copies") == 2L).get
+    assert(dup.getAs[Long]("keep_id") === 1L)
+  }
+
+  test("minhash signatures: deterministic; exact dups share full signature") {
+    val sigs = docs.select(col("doc_id") +: Dedup.minhashSigCols(col("text"), k = 8): _*)
+      .orderBy("doc_id").collect().toSeq
+    val s1 = (0 until 8).map(i => sigs(0).getAs[Long](s"mh$i"))
+    val s2 = (0 until 8).map(i => sigs(1).getAs[Long](s"mh$i"))
+    val s4 = (0 until 8).map(i => sigs(3).getAs[Long](s"mh$i"))
+    assert(s1 === s2)
+    assert(s1 !== s4)
+  }
+
+  test("minhashCandidates: exact dups surface with est_jaccard 1.0; distinct docs don't pair") {
+    val pairs = Dedup.minhashCandidates(docs, "doc_id", "text", k = 8, bands = 4)
+      .collect().toSeq
+    val p12 = pairs.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 2L)
+    assert(p12.isDefined && approx(p12.get.getAs[Double]("est_jaccard"), 1.0))
+    assert(!pairs.exists(r => r.getAs[Long]("id_b") == 4L || r.getAs[Long]("id_a") == 4L))
+  }
+
+  test("simhash: equal text -> equal signature; near-dup closer in Hamming than far doc") {
+    val out = docs.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("sh"))
+      .orderBy("doc_id").as[(Long, Long)].collect().toSeq.map(_._2)
+    assert(out(0) === out(1))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(out(0), out(2)) < ham(out(0), out(3)))
+  }
+
+  test("ngramJaccard: near-dup pair above threshold, distinct docs excluded") {
+    val out = Dedup.ngramJaccard(docs, "doc_id", "text", maxIdGap = 10, threshold = 0.5)
+      .collect().toSeq
+    val p13 = out.find(r => r.getAs[Long]("id_a") == 1L && r.getAs[Long]("id_b") == 3L)
+    assert(p13.isDefined)
+    // tokens: 8 distinct each ("the" repeats), 7 shared -> 7/9
+    assert(approx(p13.get.getAs[Double]("jaccard"), 7.0 / 9.0, 1e-9))
+    assert(!out.exists(r => r.getAs[Long]("id_b") == 4L))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokenCount: whitespace tokens; empty and blank -> 0") {
+    val out = Seq("one two  three", "", "   ", "single").toDF("t")
+      .select(TextAnalysis.tokenCount(col("t"))).collect().toSeq.map(_.getInt(0))
+    assert(out === Seq(3, 0, 0, 1))
+  }
+
+  test("qualityFeatures: ratios on a known sentence") {
+    val feats = TextAnalysis.qualityFeatures(col("t")).toMap
+    val r = Seq("the cat, the hat!").toDF("t")
+      .select(feats("n_tokens").as("n"), feats("stopword_ratio").as("sw"),
+        feats("punct_ratio").as("p"), feats("avg_token_len").as("atl"))
+      .collect().head
+    assert(r.getAs[Int]("n") === 4)
+    assert(approx(r.getAs[Double]("sw"), 0.5)) // "the" twice of 4 tokens
+    assert(approx(r.getAs[Double]("p"), 2.0 / 17.0)) // ',' and '!' of 17 chars
+    // tokens: "the","cat,","the","hat!" -> 14 chars / 4
+    assert(approx(r.getAs[Double]("atl"), 14.0 / 4.0))
+  }
+
+  test("languageId: stopword-rich english detected; gibberish -> und") {
+    val out = Seq("the cat is on the mat and it is happy",
+      "zzz qqq www kkk xxx").toDF("t")
+      .select(TextAnalysis.languageId(col("t"))).as[String].collect().toSeq
+    assert(out === Seq("en", "und"))
+  }
+
+  test("fingerprint: identical docs equal; short doc falls back to whole-text hash") {
+    val out = Seq("a b c d e", "a b c d e", "hi").toDF("t")
+      .select(TextAnalysis.fingerprint(col("t"))).as[Long].collect().toSeq
+    assert(out(0) === out(1))
+    assert(out(2) >= 0) // fallback path produced a hash, not null
+  }
+
+  test("subwordCount: splits on class boundaries") {
+    val out = Seq("hello world42!").toDF("t")
+      .select(TextAnalysis.subwordCount(col("t"))).collect().head.getInt(0)
+    // "hello", "world", "42", "!"
+    assert(out === 4)
+  }
+}
