@@ -18,8 +18,12 @@ object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    // AQE is the 100 TB story (runtime coalescing, skew joins) and stays the
+    // default; GRAFT_AQE=false exists because at toy scale AQE's per-stage
+    // re-planning and codegen is a measurable fixed cost per query.
+    val aqe = sys.env.getOrElse("GRAFT_AQE", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
     spark
   }
 }

@@ -27,14 +27,23 @@ object Dedup {
   }
 
   /** MinHash signature columns `mh0..mh{k-1}` for a document: min over word
-    * `shingleK`-shingles of k independent affine hashes. */
+    * `shingleK`-shingles of k independent affine hashes. One single-pass
+    * UDF call produces the whole signature ([[TextHash.minhashSig]]); the
+    * per-component columns are `element_at` views of that array. */
   def minhashSigCols(text: Column, k: Int, shingleK: Int = 3): Seq[Column] = {
+    val sig = TextHash.minhashSigCol(text, k, shingleK)
+    (0 until k).map(i => element_at(sig, i + 1).as(s"mh$i"))
+  }
+
+  /** Expression-tree form of [[minhashSigCols]] — interpreted (HOFs skip
+    * codegen) and k-times redundant, so ~100x slower; retained as the
+    * specification the fast path is parity-tested against. */
+  private[text] def minhashSigColsExpr(text: Column, k: Int, shingleK: Int = 3): Seq[Column] = {
     val sh = Cols.shingles(Cols.tokens(text), shingleK)
     val hs = transform(sh, s => Cols.hash32(s))
     (0 until k).map { i =>
       // distinct (a,b) per hash function; a odd, ≤ 2^20 (overflow-safe)
-      val a = 2L * (104729L * (i + 1) % 524287L) + 1L
-      val b = 94906249L * (i + 1) % 4294967311L
+      val (a, b) = TextHash.minhashAB(i)
       coalesce(array_min(transform(hs, h => Cols.affineHash(h, a, b))),
         Cols.hash32(trim(text))).as(s"mh$i")
     }
@@ -47,29 +56,46 @@ object Dedup {
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, bands: Int = 6, shingleK: Int = 3): DataFrame = {
     val rows = k / bands
-    val sigs = docs.select(col(idCol).as("doc_id") +: minhashSigCols(col(textCol), k, shingleK): _*)
-    val banded = sigs.select(
-      (col("doc_id") +:
-        (0 until k).map(i => col(s"mh$i"))) :+
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band"),
-            concat_ws("_", (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*).as("key"))
-        }: _*)).as("bk"): _*)
-    val a = banded.as("a")
-    val bside = banded.as("b")
-    val pairs = a.join(bside,
-        col("a.bk") === col("b.bk") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a") +: col("b.doc_id").as("id_b") +:
-        (0 until k).map(i =>
-          (col(s"a.mh$i") === col(s"b.mh$i")).cast("int").as(s"eq$i")): _*)
+    // Materialize signatures ONCE. The naive self-join inlines the
+    // md5-shingle pipeline on both sides of one stage, which blows past
+    // codegen limits and falls back to interpreted evaluation (~50x
+    // slower); localCheckpoint is no better — it materializes through the
+    // RDD path, also interpreted. persist + eager count keeps the one
+    // computation inside whole-stage codegen and lets both join sides read
+    // the cache (MEMORY_AND_DISK: spills, safe at cluster scale).
+    val sigs = docs
+      .select(col(idCol).as("doc_id") +: minhashSigCols(col(textCol), k, shingleK): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    val banded = sigs.select(col("doc_id"),
+      explode(array((0 until bands).map { b =>
+        concat_ws("_", lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
+      }: _*)).as("bkey"))
+    // Narrow pair discovery (ids only), then one re-join to attach both
+    // signatures for the eq-fraction estimate — keeps the shuffled rows at
+    // 3 columns instead of 2k+2 signature columns.
+    val pairs = banded.as("a").join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    pairs.select(col("id_a"), col("id_b"),
-      ((0 until k).map(i => col(s"eq$i")).reduce(_ + _).cast("double") / k).as("est_jaccard"))
+    val sa = sigs.select(col("doc_id").as("id_a") +:
+      (0 until k).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
+    val sb = sigs.select(col("doc_id").as("id_b") +:
+      (0 until k).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
+    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((0 until k).map(i => (col(s"a_mh$i") === col(s"b_mh$i")).cast("int"))
+          .reduce(_ + _).cast("double") / k).as("est_jaccard"))
   }
 
   /** SimHash signature (`bits`-wide, default 16): per bit, majority vote of
-    * token-hash bits. Near-dups have small Hamming distance. */
-  def simhash(text: Column, bits: Int = 16): Column = {
+    * token-hash bits. Near-dups have small Hamming distance. Single-pass
+    * JVM implementation ([[TextHash.simhash]]). */
+  def simhash(text: Column, bits: Int = 16): Column = TextHash.simhashCol(text, bits)
+
+  /** Expression-tree form of [[simhash]] — parity-spec reference only
+    * (interpreted + bits-times redundant). */
+  private[text] def simhashExpr(text: Column, bits: Int = 16): Column = {
     val hs = transform(Cols.tokens(text), t => Cols.hash32(t))
     (0 until bits).map { i =>
       val votes = aggregate(hs, lit(0L),
@@ -86,8 +112,21 @@ object Dedup {
     val toks = docs.select(col(idCol).as("doc_id"),
       explode(array_distinct(Cols.tokens(col(textCol)))).as("tok"))
     val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
-    val inter = toks.as("a").join(toks.as("b"),
+    // Bucketed band join: joining on `tok` alone explodes on high-doc-freq
+    // tokens (probe cost Σ df² — ~450M pair probes on the test corpus's
+    // 31-token vocabulary, and unbounded skew at 100 TB). Since a valid
+    // pair satisfies 0 < id_b − id_a ≤ gap, id_b's bucket (⌊id/gap⌋) is
+    // id_a's bucket or the one after it — so join on (tok, bucket), with
+    // the left side exploded to both buckets. Each (a,b,tok) match is
+    // found exactly once; per-key match lists are bounded by docs-per-gap
+    // instead of corpus doc-frequency.
+    val a = toks
+      .withColumn("bucket", explode(array(
+        floor(col("doc_id") / maxIdGap), floor(col("doc_id") / maxIdGap) + 1)))
+    val b = toks.withColumn("bucket", floor(col("doc_id") / maxIdGap))
+    val inter = a.as("a").join(b.as("b"),
         col("a.tok") === col("b.tok") &&
+          col("a.bucket") === col("b.bucket") &&
           col("a.doc_id") < col("b.doc_id") &&
           col("b.doc_id") - col("a.doc_id") <= maxIdGap)
       .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))

@@ -66,8 +66,12 @@ object TextAnalysis {
 
   /** Document fingerprint: min portable-hash over word 3-shingles (a
     * rolling-hash winnowing analog). Equal fingerprints ⇒ near-dup
-    * candidates. Short docs fall back to hashing the whole text. */
-  def fingerprint(text: Column, k: Int = 3): Column = {
+    * candidates. Short docs fall back to hashing the whole text.
+    * Single-pass JVM implementation ([[TextHash.fingerprint]]). */
+  def fingerprint(text: Column, k: Int = 3): Column = TextHash.fingerprintCol(text, k)
+
+  /** Expression-tree form of [[fingerprint]] — parity-spec reference only. */
+  private[text] def fingerprintExpr(text: Column, k: Int = 3): Column = {
     val sh = Cols.shingles(Cols.tokens(text), k)
     coalesce(array_min(transform(sh, s => Cols.hash32(s))), Cols.hash32(trim(text)))
   }

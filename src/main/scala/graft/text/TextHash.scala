@@ -1,0 +1,136 @@
+package graft.text
+
+import java.nio.charset.StandardCharsets
+import java.security.MessageDigest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** Single-pass JVM implementations of the portable text-hash family.
+  *
+  * Bit-identical to the Column-expression versions in [[graft.functions.Cols]]
+  * / [[Dedup]] (asserted by `TextHashParitySpec`), but ~50-100x faster:
+  * Spark's higher-order array functions (`transform`, `aggregate`) never
+  * enter whole-stage codegen, so the expression forms evaluate interpreted
+  * — ~30µs per shingle — and every signature column re-evaluates the whole
+  * shingle pipeline. One deterministic UDF call per row computes the full
+  * k-signature in a single traversal with a thread-local MD5 instance, and
+  * (being codegen-friendly and deterministic) stays inside the generated
+  * stage. Preference order per the design notes: native Expression > UDF >
+  * other — a custom Expression would buy nothing here because the md5 calls
+  * dominate, so the UDF is the right point on the curve.
+  *
+  * All hashes remain md5-derived (not Murmur3 `hash()`): portable, so every
+  * derived operator stays oracle-checkable in DuckDB via
+  * `CAST('0x' || substring(md5(x),1,8) AS BIGINT)`.
+  */
+object TextHash {
+
+  private val P = 4294967311L // prime > 2^32; matches Cols.affineHash default
+
+  private val mdLocal: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** First 8 hex chars of md5(s) as unsigned long — exactly
+    * [[graft.functions.Cols.hash32]]. */
+  def hash32(s: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Whitespace tokens of trimmed text — matches `split(trim(text), "\\s+")`
+    * (Spark's split keeps a single empty token for empty input). */
+  def tokenize(text: String): Array[String] = text.trim.split("\\s+", -1)
+
+  /** md5-hashes of word k-shingles; fewer than k tokens -> empty. Matches
+    * `transform(Cols.shingles(tokens, k), hash32)`. */
+  def shingleHashes(text: String, k: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < k) Array.emptyLongArray
+    else {
+      val out = new Array[Long](toks.length - k + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out(i) = hash32(sb.toString)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** (a, b) affine-hash parameters for signature component i — must stay in
+    * lockstep with the DuckDB oracle generator. */
+  def minhashAB(i: Int): (Long, Long) =
+    (2L * (104729L * (i + 1) % 524287L) + 1L, 94906249L * (i + 1) % P)
+
+  /** Full k-component minhash signature in one traversal; docs shorter than
+    * the shingle width fall back to the whole-trimmed-text hash (same as the
+    * expression form's coalesce). */
+  def minhashSig(text: String, k: Int, shingleK: Int): Array[Long] = {
+    val hs = shingleHashes(text, shingleK)
+    val out = new Array[Long](k)
+    if (hs.isEmpty) {
+      java.util.Arrays.fill(out, hash32(text.trim))
+    } else {
+      var i = 0
+      while (i < k) {
+        val (a, b) = minhashAB(i)
+        var m = Long.MaxValue
+        var j = 0
+        while (j < hs.length) {
+          val v = (hs(j) * a + b) % P
+          if (v < m) m = v
+          j += 1
+        }
+        out(i) = m
+        i += 1
+      }
+    }
+    out
+  }
+
+  /** SimHash over token hashes: per bit, majority vote. Matches
+    * [[Dedup.simhash]]'s expression semantics (votes > 0 -> bit set). */
+  def simhash(text: String, bits: Int): Long = {
+    val toks = tokenize(text)
+    val votes = new Array[Int](bits)
+    var i = 0
+    while (i < toks.length) {
+      val h = hash32(toks(i))
+      var b = 0
+      while (b < bits) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < bits) { if (votes(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  /** Min shingle-hash fingerprint with whole-text fallback — matches
+    * [[TextAnalysis.fingerprint]]'s expression semantics. */
+  def fingerprint(text: String, shingleK: Int): Long = {
+    val hs = shingleHashes(text, shingleK)
+    if (hs.isEmpty) hash32(text.trim) else hs.min
+  }
+
+  // ------------------------------------------------------------- Column API
+
+  def minhashSigCol(text: Column, k: Int, shingleK: Int = 3): Column =
+    udf((t: String) => if (t == null) null else minhashSig(t, k, shingleK)).apply(text)
+
+  def simhashCol(text: Column, bits: Int): Column =
+    udf((t: String) => if (t == null) null else Long.box(simhash(t, bits))).apply(text)
+
+  def fingerprintCol(text: Column, shingleK: Int = 3): Column =
+    udf((t: String) => if (t == null) null else Long.box(fingerprint(t, shingleK))).apply(text)
+}
