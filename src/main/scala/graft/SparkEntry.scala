@@ -330,6 +330,44 @@ object SparkEntry {
           round(abs(col("value") - 50), 2).as("dist50"))
         .orderBy("event_id")),
 
+    // ---- calendar scaffolding (SURVEY §2.9 F-D4)
+    "q33_fd4_future_months" -> tuned((s, d) =>
+      graft.operators.CalendarOps.futureMonths(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(count(lit(1)).as("n")),
+          Seq("o_orderpriority"), "month", horizon = 6)
+        .orderBy("o_orderpriority", "month")),
+
+    // ---- diagnostics layer (SURVEY §2.11 U4-U6; no SQL oracle —
+    // statsmodels-shaped statistics, validated in ScalaTest instead)
+    "q34_u56_stationarity" -> tuned((s, d) =>
+      graft.stats.Diagnostics.stationarity(
+          monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
+          Nil, "month", "tot")
+        .select(col("key"), col("n_obs"), round(col("adf_stat"), 4).as("adf_stat"),
+          col("adf_stationary_5pct"), round(col("kpss_stat"), 4).as("kpss_stat"),
+          col("kpss_stationary_5pct"), round(col("yj_lambda"), 4).as("yj_lambda"),
+          col("seasonal_period"))
+        .orderBy("key")),
+
+    "q35_u8_ar_forecast" -> tuned((s, d) =>
+      graft.stats.Diagnostics.arForecast(
+          monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
+          Nil, "month", "tot", horizon = 12)
+        .select(col("key"), col("order"), col("step"),
+          round(col("forecast"), 2).as("forecast"))
+        .orderBy("key", "step")),
+
+    // ---- Yeo-Johnson closed-form transform (SURVEY §2.11 U4)
+    "q36_u4_yeojohnson" -> tuned((s, d) =>
+      Tables.events(s, d).select(
+          col("event_id"),
+          round(Cols.yeoJohnson(col("value") - 50, 0.5), 5).as("yj_half"),
+          round(Cols.yeoJohnson(col("value") - 50, 0.0), 5).as("yj_log"),
+          round(Cols.yeoJohnson(col("value") - 50, 2.0), 5).as("yj_two"))
+        .orderBy("event_id")),
+
     // ---- Monte-Carlo simulation + fan (SURVEY §2.11 U9 / §2.6 W9 / §2.5 A8)
     "q32_u9_montecarlo_fan" -> tuned((s, d) =>
       MonteCarlo.fan(
@@ -406,6 +444,46 @@ object SparkEntry {
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
+
+    // ---- extension: multimodal binary columns (builder brief). Payloads
+    // synthesized from document text (no media files in the testdata);
+    // the plumbing — binary column, typed metadata struct, metadata math —
+    // is the real, oracle-checked surface.
+    "q53_x_multimodal_meta" -> tuned((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, d).select(
+        col("doc_id"),
+        col("text").cast("binary").as("content"),
+        struct(lit("image").as("media_type"), lit("png").as("format"),
+          (lit(640) + col("doc_id") % 1280).cast("int").as("width"),
+          (lit(360) + col("doc_id") % 720).cast("int").as("height"),
+          lit(null).cast("int").as("sample_rate"),
+          (col("n_chars") % 7 * 50).cast("int").as("n_frames")).as("meta"))
+      Multimodal.withPayloadStats(media, "content")
+        .select(col("doc_id"), col("payload_bytes"), col("payload_digest"),
+          Multimodal.resizePlan(col("meta"), 960).getField("out_width").as("out_width"),
+          Multimodal.resizePlan(col("meta"), 960).getField("out_height").as("out_height"),
+          size(Multimodal.frameSampleIndices(col("meta"), 4)).cast("long").as("n_sampled"),
+          element_at(Multimodal.frameSampleIndices(col("meta"), 4), -1).as("last_frame"))
+        .orderBy("doc_id")
+    }),
+
+    // stub decode features: FNV-1a fake decoder, not SQL-expressible ->
+    // rows-only check; the mapPartitions batch shape is the point.
+    "q54_x_media_features" -> tuned((s, d) => {
+      import graft.multimodal.Multimodal
+      val media = Tables.documents(s, d).select(
+        col("doc_id"), col("lang"),
+        col("text").cast("binary").as("content"))
+      Multimodal.corpusStats(
+          Multimodal.extractFeatures(
+            Multimodal.withPayloadStats(media, "content"), "doc_id", "content", dim = 8)
+            .withColumnRenamed("lang", "grp"),
+          "grp")
+        .select(col("grp"), col("n"), round(col("avg_bytes"), 2).as("avg_bytes"),
+          round(col("avg_feature_mean"), 4).as("avg_feature_mean"))
+        .orderBy("grp")
+    }),
 
     // ---- extension: structured streaming (SURVEY §2.10)
     "q51_x_stream_weekly" -> tuned((s, d) =>
@@ -691,6 +769,24 @@ object SparkEntry {
 
     "q32_u9_montecarlo_fan" -> MonteCarloSql,
 
+    "q33_fd4_future_months" ->
+      ("""WITH m AS (SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n FROM orders GROUP BY 1, 2),
+        |last AS (SELECT o_orderpriority, max(month) AS lastm FROM m GROUP BY 1)
+        |SELECT o_orderpriority,
+        |  CAST(unnest(generate_series(lastm + INTERVAL 1 MONTH, lastm + INTERVAL 6 MONTH, INTERVAL 1 MONTH)) AS DATE) AS month
+        |FROM last ORDER BY 1, 2""".stripMargin),
+
+    "q36_u4_yeojohnson" ->
+      ("""SELECT event_id,
+        |  round(CASE WHEN value - 50 >= 0 THEN (sqrt(value - 50 + 1) - 1) / 0.5
+        |             ELSE -((1 - (value - 50)) * sqrt(1 - (value - 50)) - 1) / 1.5 END, 5) AS yj_half,
+        |  round(CASE WHEN value - 50 >= 0 THEN ln(1 + (value - 50))
+        |             ELSE -((1 - (value - 50)) * (1 - (value - 50)) - 1) / 2.0 END, 5) AS yj_log,
+        |  round(CASE WHEN value - 50 >= 0 THEN ((value - 50 + 1) * (value - 50 + 1) - 1) / 2.0
+        |             ELSE -ln(1 - (value - 50)) END, 5) AS yj_two
+        |FROM events ORDER BY event_id""".stripMargin),
+
     "q41_x_tokens_fingerprint" ->
       (s"""$MinhashCte
         |SELECT t.doc_id,
@@ -768,6 +864,23 @@ object SparkEntry {
 
     "q50_x_json_extract" ->
       ("SELECT event_id, CAST(props->>'$.k' AS BIGINT) AS k FROM events ORDER BY event_id"),
+
+    "q53_x_multimodal_meta" ->
+      ("""WITH m AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS payload_bytes, md5(text) AS payload_digest,
+        |         CAST(640 + doc_id % 1280 AS INT) AS w, CAST(360 + doc_id % 720 AS INT) AS h,
+        |         CAST(n_chars % 7 * 50 AS INT) AS n_frames
+        |  FROM documents),
+        |r AS (
+        |  SELECT *, least(1.0, 960.0 / greatest(w, h)) AS scale FROM m)
+        |SELECT doc_id, payload_bytes, payload_digest,
+        |  CAST(round(w * scale) AS INT) AS out_width,
+        |  CAST(round(h * scale) AS INT) AS out_height,
+        |  CAST(least(n_frames, 4) AS BIGINT) AS n_sampled,
+        |  CASE WHEN n_frames <= 0 THEN NULL
+        |       WHEN n_frames <= 4 THEN n_frames - 1
+        |       ELSE CAST(floor(3 * n_frames / 4) AS INT) END AS last_frame
+        |FROM r ORDER BY doc_id""".stripMargin),
 
     "q51_x_stream_weekly" ->
       ("""WITH e AS (

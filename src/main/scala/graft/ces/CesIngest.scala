@@ -1,0 +1,68 @@
+package graft.ces
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+
+/** Ingest + schema-normalization layer for BLS-CES-shaped flat files
+  * (SURVEY §2.1 S3/S4, §2.2 P2-P5; reference `load_CES_pandas.py:59-73`,
+  * `prep_CES_pandas.py:44-49,105-129`).
+  *
+  * Philosophy ported from the reference: load EVERYTHING as string, trim
+  * whitespace-damaged headers and key columns, discover key columns by
+  * candidate-name search, rename to canonical names, cast late with
+  * coerce-to-null semantics. The schema layer is driver-side metadata work
+  * (pure column-name surgery); all data movement stays in the lazy plan.
+  */
+object CesIngest {
+
+  /** S3: tab-separated scan, header row, every column string (the BLS files
+    * ship numeric-looking columns with footnote junk — cast later). The
+    * header names are trimmed + lowercased like the reference's
+    * `[c.strip().lower() for c in df.columns]`. */
+  def readTsv(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
+    // no inferSchema -> every column arrives as StringType, like
+    // pandas read_csv(dtype="string")
+    val raw = spark.read
+      .option("sep", sep)
+      .option("header", "true")
+      .csv(path)
+    normalizeHeaders(raw)
+  }
+
+  /** Header hygiene: trim + lowercase column names (P2 prelude). */
+  def normalizeHeaders(df: DataFrame): DataFrame =
+    df.toDF(df.columns.map(_.trim.toLowerCase): _*)
+
+  /** P3: first-match-wins candidate-name discovery (reference `find_col`,
+    * `load_CES_pandas.py:96-110`); fails loudly when nothing matches. */
+  def findCol(df: DataFrame, candidates: Seq[String]): String =
+    candidates.find(df.columns.contains).getOrElse(
+      throw new IllegalArgumentException(
+        s"none of ${candidates.mkString("[", ", ", "]")} found in ${df.columns.mkString("[", ", ", "]")}"))
+
+  /** P2+P3: rename discovered candidate columns to canonical names.
+    * `renames` maps canonical name -> candidate list. Canonical names whose
+    * candidates are all absent are skipped unless `required`. */
+  def canonicalize(df: DataFrame, renames: Map[String, Seq[String]],
+                   required: Boolean = true): DataFrame =
+    renames.foldLeft(df) { case (d, (canonical, candidates)) =>
+      candidates.find(d.columns.contains) match {
+        case Some(c) => d.withColumnRenamed(c, canonical)
+        case None if required => throw new IllegalArgumentException(
+          s"required column $canonical (any of $candidates) missing from ${d.columns.toSeq}")
+        case None => d
+      }
+    }
+
+  /** P4: string-cast + trim of key columns (reference
+    * `prep_CES_pandas.py:117-125`). */
+  def trimKeys(df: DataFrame, cols: Seq[String]): DataFrame =
+    df.withColumns(cols.filter(df.columns.contains)
+      .map(c => c -> trim(col(c).cast(StringType))).toMap)
+
+  /** P1: keep-list projection that tolerates missing columns (reference
+    * `load_CES_pandas.py:190-198`). */
+  def keepExisting(df: DataFrame, keep: Seq[String]): DataFrame =
+    df.select(keep.filter(df.columns.contains).map(col): _*)
+}

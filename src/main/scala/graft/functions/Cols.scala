@@ -62,6 +62,31 @@ object Cols {
   /** `np.maximum(x, lo)` clip (SURVEY F-M3). */
   def clipMin(c: Column, lo: Double): Column = greatest(c, lit(lo))
 
+  /** Yeo-Johnson power transform for a FIXED λ (SURVEY U4's closed-form
+    * half; the λ-MLE fit lives in [[graft.stats.TimeSeriesStats]]). Branch
+    * structure resolved at plan-build time since λ is a parameter. */
+  def yeoJohnson(c: Column, lambda: Double): Column = {
+    // Half-integer exponents decompose to sqrt/multiply chains: those are
+    // IEEE correctly-rounded in every engine, while pow(x, 1.5) and log1p
+    // are implementation-defined in the last ulp — enough to flip a
+    // round(·, 4) digit and break bit-parity with the DuckDB oracle.
+    def powx(base: Column, p: Double): Column = p match {
+      case 0.5 => sqrt(base)
+      case 1.0 => base
+      case 1.5 => base * sqrt(base)
+      case 2.0 => base * base
+      case 3.0 => base * base * base
+      case _   => pow(base, lit(p))
+    }
+    val pos =
+      if (math.abs(lambda) < 1e-12) log(lit(1) + c)
+      else (powx(c + 1, lambda) - 1) / lit(lambda)
+    val neg =
+      if (math.abs(lambda - 2) < 1e-12) -log(lit(1) - c)
+      else -(powx(lit(1) - c, 2 - lambda) - 1) / lit(2 - lambda)
+    when(c >= 0, pos).otherwise(neg)
+  }
+
   /** Null-safe ratio: denominator 0 or null → null (avoids ANSI div-by-zero
     * and pandas inf). */
   def safeDiv(num: Column, den: Column): Column = num / nullif(den, lit(0))
