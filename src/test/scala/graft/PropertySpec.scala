@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.{forAll, propBoolean}
+
+import graft.functions.Cols
+import graft.operators.{Collapse, Features}
+import graft.text.TextHash
+
+/** Pandas-parity laws (SURVEY §5 item 3) checked over generated inputs
+  * (raw ScalaCheck `Properties` — picked up by sbt's test interface). */
+object PropertySpec extends Properties("graft.laws") {
+
+  private lazy val spark = SparkSpec.session
+  import spark.implicits._
+
+  private val vals = Gen.listOfN(12, Gen.choose(-1e6, 1e6))
+  private val weights = Gen.listOfN(12, Gen.choose(0.1, 100.0))
+
+  property("weighted mean lies within [min,max] of contributing values") =
+    forAll(vals, weights) { (vs, ws) =>
+      val wm = vs.zip(ws).toDF("v", "w")
+        .agg(Collapse.weightedMean(col("v"), col("w"))).collect().head.getDouble(0)
+      wm >= vs.min - 1e-6 && wm <= vs.max + 1e-6
+    }
+
+  property("pctChange(1) on a gap-free grid equals the positional formula") =
+    forAll(vals) { vs0 =>
+      val vs = vs0.map(v => if (math.abs(v) < 1e-3) 1.0 else v)
+      val df = vs.zipWithIndex.map { case (v, i) => (i, v) }.toDF("t", "v")
+      val got = df.select(Features.pctChange(col("v"), 1, Features.keyWindow(Nil, "t")))
+        .orderBy("t").collect().drop(1).map(_.getDouble(0))
+      val want = vs.sliding(2).map { case Seq(a, b) => (b / a - 1) * 100 }.toSeq
+      got.zip(want).forall { case (g, w) =>
+        math.abs(g - w) <= 1e-6 * math.max(1.0, math.abs(w))
+      }
+    }
+
+  property("monthStart is idempotent and lands on day 1") =
+    forAll(Gen.choose(0, 20000)) { days =>
+      val r = Seq(days).toDF("d")
+        .select(date_add(lit("1970-01-01").cast("date"), col("d")).as("d"))
+        .select(Cols.monthStart(col("d")).as("m"))
+        .select(col("m"), Cols.monthStart(col("m")).as("mm"), dayofmonth(col("m")).as("dom"))
+        .collect().head
+      r.getAs[java.sql.Date]("m") == r.getAs[java.sql.Date]("mm") && r.getAs[Int]("dom") == 1
+    }
+
+  property("minhash signatures deterministic, bounded, dup-invariant") =
+    forAll(Gen.listOfN(8, Gen.alphaLowerStr.suchThat(_.nonEmpty))) { words =>
+      val text = words.mkString(" ")
+      val s1 = TextHash.minhashSig(text, 8, 3)
+      val s2 = TextHash.minhashSig(text, 8, 3)
+      s1.toSeq == s2.toSeq && s1.forall(h => h >= 0 && h < 4294967311L)
+    }
+
+  property("yeoJohnson(x, lambda) is monotone in x") =
+    forAll(Gen.choose(-50.0, 50.0), Gen.choose(-50.0, 50.0), Gen.choose(-2.0, 4.0)) {
+      (a, b, lam) =>
+        val (lo, hi) = if (a <= b) (a, b) else (b, a)
+        val (ylo, yhi) = (graft.stats.TimeSeriesStats.yeoJohnson(lo, lam),
+          graft.stats.TimeSeriesStats.yeoJohnson(hi, lam))
+        (hi - lo < 1e-12) || ylo <= yhi + 1e-9
+    }
+
+  property("codeMatches never returns null and NA maps to false") = Prop {
+    val out = Seq(Some("8111"), Some("81"), Some("x"), None).toDF("c")
+      .select(Cols.codeMatches(col("c"), Seq("x"), Seq("81")).as("m")).collect()
+    out.map(_.getBoolean(0)).toSeq == Seq(true, true, true, false) &&
+      out.forall(!_.isNullAt(0))
+  }
+}
