@@ -24,6 +24,12 @@ object GraftSession {
     val aqe = sys.env.getOrElse("GRAFT_AQE", "true")
     spark.conf.set("spark.sql.adaptive.enabled", aqe)
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", aqe)
+    // Spark 4.1's async checkpoint-file checksum writer deadlocks stateful
+    // streaming tasks in local mode (all task threads park in
+    // ChecksumCancellableFSDataOutputStream.close awaiting a pool that
+    // never runs). Integrity checksums on checkpoint files are an
+    // operational nicety, not a correctness feature — off.
+    spark.conf.set("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
     spark
   }
 }

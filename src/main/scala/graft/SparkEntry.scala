@@ -359,6 +359,23 @@ object SparkEntry {
           round(col("forecast"), 2).as("forecast"))
         .orderBy("key", "step")),
 
+    // ---- correlogram diagnostics (SURVEY §2.11 U7; ACF is plain SQL —
+    // oracle-checked; PACF (Durbin-Levinson) is validated in ScalaTest)
+    "q37_u7_acf" -> tuned((s, d) =>
+      graft.stats.Diagnostics.correlogram(
+          monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
+          Nil, "month", "tot", nlags = 6)
+        .select(col("lag"), round(col("acf"), 4).as("acf"))
+        .orderBy("lag")),
+
+    // ---- equality filter (SURVEY §2.3 F3 — the reference's seasonal=='S')
+    "q38_f3_equality_filter" -> tuned((s, d) =>
+      Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("tot"))
+        .orderBy("o_orderpriority")),
+
     // ---- Yeo-Johnson closed-form transform (SURVEY §2.11 U4)
     "q36_u4_yeojohnson" -> tuned((s, d) =>
       Tables.events(s, d).select(
@@ -776,6 +793,22 @@ object SparkEntry {
         |SELECT o_orderpriority,
         |  CAST(unnest(generate_series(lastm + INTERVAL 1 MONTH, lastm + INTERVAL 6 MONTH, INTERVAL 1 MONTH)) AS DATE) AS month
         |FROM last ORDER BY 1, 2""".stripMargin),
+
+    "q37_u7_acf" ->
+      (s"""WITH m AS ($MonthlySql),
+        |s AS (SELECT row_number() OVER (ORDER BY month) AS t, round(tot, 2) AS v FROM m),
+        |st AS (SELECT avg(v) AS mu, count(*) AS n FROM s),
+        |c0 AS (SELECT sum((v - mu) * (v - mu)) / max(n) AS c0 FROM s, st),
+        |g AS (
+        |  SELECT l.lag, sum((a.v - st.mu) * (b.v - st.mu)) / max(st.n) AS cov
+        |  FROM (SELECT unnest(generate_series(1, 6)) AS lag) l
+        |  JOIN s a ON true JOIN s b ON a.t = b.t + l.lag, st
+        |  GROUP BY l.lag)
+        |SELECT lag, round(cov / c0.c0, 4) AS acf FROM g, c0 ORDER BY lag""".stripMargin),
+
+    "q38_f3_equality_filter" ->
+      ("SELECT o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS tot " +
+        "FROM orders WHERE o_orderstatus = 'F' GROUP BY 1 ORDER BY 1"),
 
     "q36_u4_yeojohnson" ->
       ("""SELECT event_id,

@@ -57,6 +57,38 @@ object Diagnostics {
     grouped.toDF()
   }
 
+  private val acfSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("lag", IntegerType),
+    StructField("acf", DoubleType),
+    StructField("pacf", DoubleType)))
+
+  /** ACF + PACF per key at lags 1..nlags (U7 diagnostics; reference uses
+    * nlags 48-60). One row per (key, lag). */
+  def correlogram(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, nlags: Int): DataFrame = {
+    val spark = df.sparkSession
+    val keyExpr = if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
+    val slim = df
+      .filter(col(valueCol).isNotNull)
+      .select(keyExpr.as("key"), col(orderCol).cast("string").as("ord"),
+        col(valueCol).cast("double").as("v"))
+    import spark.implicits._
+    slim.as[(String, String, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val series = it.toArray.sortBy(_._2).map(_._3)
+        val k = math.min(nlags, series.length - 2)
+        if (k < 1) Iterator.empty
+        else {
+          val a = TimeSeriesStats.acf(series, k)
+          val p = TimeSeriesStats.pacf(series, k)
+          (1 to k).iterator.map(l => Row(key, l, a(l - 1), p(l - 1)))
+        }
+      }(Encoders.row(acfSchema))
+      .toDF()
+  }
+
   private val arSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("order", IntegerType),

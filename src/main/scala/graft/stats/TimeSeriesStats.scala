@@ -250,6 +250,49 @@ object TimeSeriesStats {
     bestP
   }
 
+  // ------------------------------------------------------------ ACF/PACF
+
+  /** Sample autocorrelation function at lags 1..nlags (U7; the reference's
+    * `plot_acf` diagnostics, biased denominator like statsmodels). */
+  def acf(y: Array[Double], nlags: Int): Array[Double] = {
+    val n = y.length
+    require(n > nlags, s"need n > nlags (n=$n, nlags=$nlags)")
+    val mean = y.sum / n
+    val e = y.map(_ - mean)
+    val c0 = e.map(v => v * v).sum / n
+    Array.tabulate(nlags) { li =>
+      val l = li + 1
+      var g = 0.0
+      var i = l
+      while (i < n) { g += e(i) * e(i - l); i += 1 }
+      (g / n) / c0
+    }
+  }
+
+  /** Partial autocorrelations at lags 1..nlags via Durbin-Levinson over the
+    * sample ACF (statsmodels `pacf(method="ld")` shape). */
+  def pacf(y: Array[Double], nlags: Int): Array[Double] = {
+    val rho = acf(y, nlags)
+    val phi = Array.ofDim[Double](nlags + 1, nlags + 1)
+    val out = new Array[Double](nlags)
+    var k = 1
+    while (k <= nlags) {
+      if (k == 1) phi(1)(1) = rho(0)
+      else {
+        var num = rho(k - 1)
+        var den = 1.0
+        var j = 1
+        while (j < k) { num -= phi(k - 1)(j) * rho(k - 1 - j); den -= phi(k - 1)(j) * rho(j - 1); j += 1 }
+        phi(k)(k) = if (math.abs(den) < 1e-12) 0.0 else num / den
+        j = 1
+        while (j < k) { phi(k)(j) = phi(k - 1)(j) - phi(k)(k) * phi(k - 1)(k - j); j += 1 }
+      }
+      out(k - 1) = phi(k)(k)
+      k += 1
+    }
+    out
+  }
+
   // ------------------------------------------------------------ AR model
 
   final case class ArFit(order: Int, intercept: Double, coefs: Array[Double],

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming variant of the monthly/windowed collapse
@@ -36,6 +37,63 @@ object StreamingCollapse {
     val link = d.resolve("events.parquet")
     if (!Files.exists(link)) Files.createSymbolicLink(link, src)
     d.toString
+  }
+
+  // ------------------------------------------------------------ sessions
+
+  final case class SessionEvent(userId: Long, tsMicros: Long, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class UserSession(user_id: Long, session_start: Long,
+                               session_end: Long, n_events: Int, sum_value: Double)
+
+  /** Custom-state streaming operator (SURVEY §2.10 extension; the
+    * `KeyValueGroupedDataset.flatMapGroupsWithState` path the built-in
+    * windowed aggregates can't express): gap-based sessionization. Events
+    * for a user belong to one session until a `gapMinutes` silence; a
+    * processing-time timeout flushes idle sessions. State per key is one
+    * constant-size [[SessionState]] — bounded by active users, the
+    * canonical 100 TB-safe state shape.
+    *
+    * `withTimeout = false` disables the idle-flush (sessions then close
+    * only when a later event arrives past the gap) — used in tests, where
+    * processing-time timeouts re-trigger empty micro-batches forever and
+    * `processAllAvailable` never sees the stream idle. */
+  def sessionize(events: Dataset[SessionEvent], gapMinutes: Int,
+                 withTimeout: Boolean = true): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    val gapMicros = gapMinutes * 60L * 1000000L
+    val timeoutConf =
+      if (withTimeout) GroupStateTimeout.ProcessingTimeTimeout else GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf)(
+        (userId: Long, it: Iterator[SessionEvent], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(UserSession(userId, s.start, s.last, s.n, s.sum))
+          } else {
+            val sorted = it.toSeq.sortBy(_.tsMicros)
+            var closed = List.empty[UserSession]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              cur match {
+                case Some(s) if e.tsMicros - s.last <= gapMicros =>
+                  cur = Some(SessionState(s.start, e.tsMicros, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= UserSession(userId, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(e.tsMicros, e.tsMicros, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              if (withTimeout) state.setTimeoutDuration(s"$gapMinutes minutes")
+            }
+            closed.reverseIterator
+          }
+        })
   }
 
   /** Tumbling weekly (7-day, epoch-aligned) per-event-type stats, run to

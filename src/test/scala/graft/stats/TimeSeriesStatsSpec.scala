@@ -58,6 +58,20 @@ class TimeSeriesStatsSpec extends AnyFunSuite {
     assert(seasonalPeriod(y) === 12)
   }
 
+  test("acf/pacf: AR(1) signature — geometric acf, pacf cut-off after lag 1") {
+    val rng = new Random(13)
+    val phi = 0.7
+    val y = new Array[Double](5000)
+    var i = 1
+    while (i < 5000) { y(i) = phi * y(i - 1) + rng.nextGaussian(); i += 1 }
+    val a = acf(y, 5)
+    val p = pacf(y, 5)
+    assert(math.abs(a(0) - phi) < 0.05, s"acf1=${a(0)}")
+    assert(math.abs(a(1) - phi * phi) < 0.05, s"acf2=${a(1)}")
+    assert(math.abs(p(0) - phi) < 0.05, s"pacf1=${p(0)}")
+    assert(p.drop(1).forall(v => math.abs(v) < 0.08), s"pacf tail=${p.drop(1).toSeq}")
+  }
+
   test("fitArByAic: recovers AR(1) coefficient; forecast converges to mean") {
     val rng = new Random(11)
     val phi = 0.7

@@ -1,0 +1,46 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+  import StreamingCollapse._
+
+  test("weeklyEventStats: streaming result equals the batch aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = weeklyEventStats(spark, dir).collect()
+    val batch = graft.sources.Tables.events(spark, dir)
+      .groupBy(to_date(window(col("ts"), "7 days").getField("start")).as("week"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("week", "event_type").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+  }
+
+  test("sessionize: gap-separated event bursts become separate sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[SessionEvent]
+    val min = 60L * 1000000L
+    // user 1: two bursts separated by 90min (> 30min gap); user 2: one burst
+    mem.addData(
+      SessionEvent(1L, 0 * min, 1.0), SessionEvent(1L, 10 * min, 2.0),
+      SessionEvent(1L, 100 * min, 5.0), SessionEvent(1L, 105 * min, 6.0),
+      SessionEvent(2L, 0 * min, 9.0))
+    val q = sessionize(mem.toDS(), gapMinutes = 30, withTimeout = false)
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val out = spark.table("sessions_test")
+      .orderBy("user_id", "session_start").collect()
+    // only CLOSED sessions are emitted: user 1's first burst
+    assert(out.length === 1)
+    assert(out(0).getAs[Long]("user_id") === 1L)
+    assert(out(0).getAs[Int]("n_events") === 2)
+    assert(approx(out(0).getAs[Double]("sum_value"), 3.0))
+    assert(out(0).getAs[Long]("session_end") === 10 * min)
+  }
+}
