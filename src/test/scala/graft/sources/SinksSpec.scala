@@ -1,0 +1,44 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+class SinksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String) =
+    Files.createTempDirectory(name).resolve("out").toString
+
+  test("csvSingleFile: one part file, header, sorted rows") {
+    val dir = tmp("csv_sink")
+    Sinks.csvSingleFile(Seq((2, "b"), (1, "a"), (3, "c")).toDF("id", "v"), dir, Seq("id"))
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".csv"))
+    assert(parts.length === 1)
+    val lines = scala.io.Source.fromFile(parts.head).getLines().toSeq
+    assert(lines.head === "id,v")
+    assert(lines.tail === Seq("1,a", "2,b", "3,c"))
+  }
+
+  test("parquetPartitioned: per-key directories readable with pruning") {
+    val dir = tmp("pq_sink")
+    Sinks.parquetPartitioned(
+      Seq(("mech", 1.0), ("swe", 2.0), ("mech", 3.0)).toDF("career", "v"),
+      dir, Seq("career"))
+    val sub = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("career=")).sorted
+    assert(sub.toSeq === Seq("career=mech", "career=swe"))
+    val back = spark.read.parquet(dir).filter(col("career") === "mech")
+    assert(back.count() === 2)
+  }
+
+  test("writeUnlessEmpty: guards the write and reports") {
+    var wrote = false
+    var warned: Option[String] = None
+    val ok = Sinks.writeUnlessEmpty(Seq(1).toDF("x"), _ => wrote = true)
+    assert(ok && wrote)
+    val empty = Seq.empty[Int].toDF("x")
+    val ok2 = Sinks.writeUnlessEmpty(empty, _ => fail("must not write"),
+      msg => warned = Some(msg))
+    assert(!ok2 && warned.isDefined)
+  }
+}
