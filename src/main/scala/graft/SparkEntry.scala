@@ -455,6 +455,13 @@ object SparkEntry {
         .orderBy("query_id", "rank")
     }),
 
+    // ---- extension: embedding-cosine near-dup dedup (builder brief) —
+    // exact form, oracle-checked; the LSH-bucketed scale path is q52
+    "q55_x_embed_neardup" -> tuned((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          threshold = 0.8)
+        .orderBy("id_a", "id_b")),
+
     // ---- extension: JSON props (SURVEY §2.9 note)
     "q50_x_json_extract" -> tuned((s, d) =>
       Tables.events(s, d).select(
@@ -884,6 +891,15 @@ object SparkEntry {
         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_tok + sb.n_tok - n_inter) >= 0.5
         |ORDER BY id_a, id_b""".stripMargin),
+
+    "q55_x_embed_neardup" -> {
+      def dot(l: String, r: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> CAST($l.embedding[i] AS DOUBLE) * CAST($r.embedding[i] AS DOUBLE)))"
+      val cos = s"round(${dot("a", "b")} / nullif(sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}), 0), 4)"
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos_sim
+         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |WHERE $cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
+    },
 
     "q49_x_cosine_topk" ->
       (s"""WITH scored AS (

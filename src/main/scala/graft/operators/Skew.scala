@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew mitigation for shuffle joins (100 TB toolbox; complements AQE's
+  * runtime skew-join splitting, which only triggers on sort-merge joins
+  * past size thresholds).
+  *
+  * Classic salting: the skewed (large) side gets a random salt in
+  * [0, buckets); the small side is replicated `buckets` times; the join key
+  * becomes (key, salt). One hot key's rows spread over `buckets` tasks at
+  * the cost of replicating the other side — use when one side is small
+  * enough to replicate but too big (or too skew-correlated) to broadcast.
+  */
+object Skew {
+
+  /** Salted inner/left equi-join of `skewed` with `small` on `keys`.
+    * Deterministic salt (hash of the whole skewed row, not rand()) so
+    * retried tasks produce identical output — rand() would break
+    * speculative execution and recomputed lineage. */
+  def saltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
+                 buckets: Int, joinType: String = "inner"): DataFrame = {
+    require(buckets > 0)
+    val salted = skewed.withColumn("__salt",
+      pmod(hash(skewed.columns.map(col): _*), lit(buckets)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0), lit(buckets - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+
+  /** Top-k heavy-hitter keys with their frequencies — the driver-side
+    * planning aid for choosing what to salt/broadcast-isolate. */
+  def heavyHitters(df: DataFrame, keys: Seq[String], k: Int): DataFrame =
+    df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc)
+      .limit(k)
+}

@@ -24,7 +24,9 @@ object Similarity {
   /** Exact cosine top-k of `corpus` for every row of `queries`.
     * Output: (query_id, neighbor_id, cos_sim, rank). Cosine is rounded to
     * `roundTo` decimals BEFORE ranking so ranking is stable across
-    * float-summation orders; ties break on neighbor id. */
+    * float-summation orders; ties break on neighbor id. The kernel is the
+    * JVM fast path ([[VectorOps.cosineCol]]) — all-pairs scoring through
+    * interpreted higher-order functions is ~100x slower. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      roundTo: Int = 4): DataFrame = {
@@ -33,29 +35,43 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(Cols.cosine(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
+        round(VectorOps.cosineCol(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Sign bit of ⟨v, h_b⟩ for pseudo-random hyperplane b (components are
-    * deterministic ±1 patterns from the portable hash). */
-  private def srpBit(vec: Column, dim: Int, bit: Int, table: Int): Column = {
-    val proj = aggregate(
-      zip_with(vec, sequence(lit(0), lit(dim - 1)), (x, i) => {
-        val h = Cols.affineHash(
-          Cols.hash32(concat_ws("_", lit(table), lit(bit), i)), 327673, 12289)
-        when(h % 2 === 0, x.cast("double")).otherwise(-x.cast("double"))
-      }),
-      lit(0.0), (acc, v) => acc + v)
-    when(proj >= 0, lit(1L << bit)).otherwise(lit(0L))
+  /** Deterministic ±1 hyperplane component for (table, bit, i) — the
+    * portable-hash sign pattern, computed once per (table, nBits, dim) on
+    * the driver and closed over by the bucket UDF. */
+  private def srpSign(table: Int, bit: Int, i: Int): Double = {
+    val h = graft.text.TextHash.hash32(s"${table}_${bit}_$i")
+    if ((h * 327673L + 12289L) % 4294967311L % 2 == 0) 1.0 else -1.0
   }
 
   /** LSH bucket key for one hash table: packed sign pattern of `nBits`
-    * random hyperplanes. */
-  def srpKey(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column =
-    (0 until nBits).map(b => srpBit(vec, dim, b, table)).reduce(_ + _)
+    * random hyperplanes. One UDF pass computes all bits (the expression
+    * form re-walked the vector per bit, interpreted — nBits×dim× slower). */
+  def srpKey(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
+    val signs = Array.tabulate(nBits, dim)((b, i) => srpSign(table, b, i))
+    udf((v: Array[Float]) => {
+      if (v == null) null
+      else {
+        var key = 0L
+        var b = 0
+        while (b < nBits) {
+          val s = signs(b)
+          var proj = 0.0
+          val n = math.min(dim, v.length)
+          var i = 0
+          while (i < n) { proj += s(i) * v(i); i += 1 }
+          if (proj >= 0) key |= (1L << b)
+          b += 1
+        }
+        Long.box(key)
+      }
+    }).apply(vec)
+  }
 
   /** Bucketed ANN top-k: candidates share an SRP bucket in at least one of
     * `nTables` tables; exact cosine re-rank within candidates. */
@@ -71,9 +87,24 @@ object Similarity {
         col("a.__v").as("__qv"), col("b.__v").as("__cv"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.select(col("query_id"), col("neighbor_id"),
-      round(Cols.cosine(col("__qv"), col("__cv")), 4).as("cos_sim"))
+      round(VectorOps.cosineCol(col("__qv"), col("__cv")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (builder-brief dedup mode):
+    * every unordered pair with cosine ≥ `threshold`. Exact all-pairs via
+    * broadcast — the correctness baseline and the oracle-checkable form;
+    * at corpus scale the same scoring runs over [[srpKey]] bucket
+    * candidates instead of the cross product. */
+  def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                   threshold: Double, roundTo: Int = 4): DataFrame = {
+    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("__av"))
+    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("__bv"))
+    a.join(broadcast(b), col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosineCol(col("__av"), col("__bv")), roundTo).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
   }
 }

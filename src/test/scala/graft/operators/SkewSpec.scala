@@ -1,0 +1,39 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val skewed = // one hot key with 100 rows, two cold keys
+    ((1 to 100).map(i => ("hot", i)) ++ Seq(("a", 1), ("b", 2))).toDF("k", "v")
+  private lazy val dim = Seq(("hot", "H"), ("a", "A"), ("c", "C")).toDF("k", "name")
+
+  test("saltedJoin: inner results equal the plain join, every row preserved") {
+    val plain = skewed.join(dim, Seq("k")).orderBy("k", "v")
+      .collect().map(_.toSeq).toSeq
+    val salted = Skew.saltedJoin(skewed, dim, Seq("k"), buckets = 8)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(salted === plain)
+    assert(salted.size === 101) // 100 hot + 1 a
+  }
+
+  test("saltedJoin: left join keeps unmatched skewed rows exactly once") {
+    val out = Skew.saltedJoin(skewed, dim, Seq("k"), buckets = 4, joinType = "left")
+      .filter(col("k") === "b").collect()
+    assert(out.length === 1)
+    assert(out.head.get(out.head.fieldIndex("name")) == null)
+  }
+
+  test("saltedJoin: deterministic across reruns (hash salt, not rand)") {
+    def run() = Skew.saltedJoin(skewed.repartition(7), dim, Seq("k"), 8)
+      .orderBy("k", "v").collect().map(_.toSeq).toSeq
+    assert(run() === run())
+  }
+
+  test("heavyHitters: surfaces the hot key first") {
+    val hh = Skew.heavyHitters(skewed, Seq("k"), 2).collect()
+    assert(hh.head.getString(0) === "hot" && hh.head.getLong(1) === 100L)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.sim
+
+import graft.SparkSpec
+import graft.functions.Cols
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+/** The JVM vector kernels must agree bit-for-bit with the expression forms
+  * (same cast-to-double, same left-to-right accumulation). */
+class VectorOpsParitySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = {
+    val rng = new Random(17)
+    Seq.tabulate(20)(i =>
+      (i.toLong, Array.fill(16)(rng.nextFloat() * 2 - 1),
+        Array.fill(16)(rng.nextFloat() * 2 - 1)))
+      .toDF("id", "a", "b")
+  }
+
+  test("dot: UDF == expression, bitwise") {
+    val fast = vecs.select(VectorOps.dotCol(col("a"), col("b"))).as[Double].collect().toSeq
+    val spec = vecs.select(Cols.dot(col("a"), col("b"))).as[Double].collect().toSeq
+    fast.zip(spec).foreach { case (f, s) => assert(f === s) }
+  }
+
+  test("cosine: UDF == expression, bitwise; zero-norm -> null in both") {
+    val fast = vecs.select(VectorOps.cosineCol(col("a"), col("b"))).collect().map(_.get(0))
+    val spec = vecs.select(Cols.cosine(col("a"), col("b"))).collect().map(_.get(0))
+    fast.zip(spec).foreach { case (f, s) => assert(f === s) }
+    val z = Seq((Array(0.0f, 0.0f), Array(1.0f, 1.0f))).toDF("a", "b")
+    assert(z.select(VectorOps.cosineCol(col("a"), col("b"))).collect().head.get(0) == null)
+  }
+
+  test("nearDupPairs: finds exactly the above-threshold pairs") {
+    val df = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.999f, 0.01f)),
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairs(df, "vec_id", "embedding", 0.95)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out === Set((0L, 1L)))
+  }
+}
