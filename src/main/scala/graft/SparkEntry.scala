@@ -70,6 +70,8 @@ object SparkEntry {
       .orderBy("career", "month")
   }
 
+  // Mirrors Collapse.collapse's two-level aggregation algebra (see its
+  // Scaladoc): partials per part, no weights join.
   private val CesCollapseSql =
     """WITH f AS (
       |  SELECT CASE WHEN p_type LIKE 'STA%' THEN 'standard'
@@ -78,19 +80,15 @@ object SparkEntry {
       |         CAST(date_trunc('month', l_shipdate) AS DATE) AS month,
       |         l_partkey, l_quantity, l_extendedprice
       |  FROM lineitem JOIN part ON l_partkey = p_partkey),
-      |emp AS (SELECT career, month, sum(l_quantity) AS employment FROM f GROUP BY 1, 2),
-      |w AS (SELECT career, month, l_partkey, sum(l_quantity) AS wgt FROM f GROUP BY 1, 2, 3),
-      |earn AS (
-      |  SELECT f.career, f.month,
-      |         sum(CASE WHEN f.l_extendedprice IS NOT NULL AND w.wgt IS NOT NULL
-      |                  THEN f.l_extendedprice * w.wgt END)
-      |           / nullif(sum(CASE WHEN f.l_extendedprice IS NOT NULL THEN w.wgt END), 0) AS avg_price
-      |  FROM f LEFT JOIN w ON f.career = w.career AND f.month = w.month AND f.l_partkey = w.l_partkey
-      |  GROUP BY 1, 2)
-      |SELECT e.career, e.month, round(e.employment, 2) AS employment,
-      |       round(earn.avg_price, 4) AS avg_price
-      |FROM emp e LEFT JOIN earn ON e.career = earn.career AND e.month = earn.month
-      |ORDER BY e.career, e.month""".stripMargin
+      |p AS (
+      |  SELECT career, month, l_partkey,
+      |         sum(l_quantity) AS w,
+      |         sum(l_extendedprice) AS s,
+      |         count(CASE WHEN l_extendedprice IS NOT NULL THEN 1 END) AS n
+      |  FROM f GROUP BY 1, 2, 3)
+      |SELECT career, month, round(sum(w), 2) AS employment,
+      |       round(sum(w * s) / nullif(sum(w * n), 0), 4) AS avg_price
+      |FROM p GROUP BY 1, 2 ORDER BY career, month""".stripMargin
 
   // ---------------------------------------------------------------- queries
 

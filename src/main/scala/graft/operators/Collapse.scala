@@ -31,11 +31,24 @@ object Collapse {
     * produce per (extraKeys, dateCol):
     *   - sum of the `weightMeasure` rows (employment),
     *   - `weightMeasure`-weighted mean of the `valueMeasure` rows (earnings),
-    * weights joined on (dateCol, weightKey) like the reference's J4.
+    * each value row weighted by its `weightKey` group's total weight — the
+    * reference's J4 weights-join semantics.
     *
-    * Shape: two filters of one scan (Catalyst reuses the exchange), one
-    * broadcast-or-shuffle join on the composite key, two hash aggregates,
-    * one final equi-join on the date grain.
+    * Physical shape: the reference (and the naive port) computes weights
+    * per (keys, weightKey), JOINS them back onto every value row, then
+    * re-aggregates — at 100 TB that's a full-data shuffle join on the fact
+    * table. Algebraic identity removes the join: with per-(keys, wk)
+    * partials W = Σ weight-rows, S = Σ non-null value-rows, n = count of
+    * non-null value-rows,
+    *
+    *   Σ_rows (value·W)        = Σ_wk W·S
+    *   Σ_rows≠null-value (W)   = Σ_wk W·n
+    *
+    * so ONE aggregation at (keys, weightKey) grain + ONE tiny reaggregation
+    * at (keys) grain produce both outputs — two shuffles, the second over
+    * group-count rows, no join. Null parity with [[weightedMean]] over the
+    * joined form: a wk-group with no weight rows has W null and drops out
+    * of both sums; value rows with null value contribute to neither S nor n.
     */
   def collapse(extracted: DataFrame,
                dateCol: String, measureCol: String, valueCol: String,
@@ -44,19 +57,19 @@ object Collapse {
                sumAs: String = "employment_thousands",
                wmeanAs: String = "avg_hourly_earnings"): DataFrame = {
     val gks = extraKeys :+ dateCol
-    val emp  = extracted.filter(col(measureCol) === weightMeasure)
-    val earn = extracted.filter(col(measureCol) === valueMeasure)
-
-    val empM = emp.groupBy(gks.map(col): _*).agg(sum(col(valueCol)).as(sumAs))
-
-    val weights = emp
+    val v = col(valueCol)
+    val partial = extracted
       .groupBy((gks :+ weightKey).map(col): _*)
-      .agg(sum(col(valueCol)).as("__w"))
-    val earnW = earn.join(weights, gks :+ weightKey, "left")
-    val earnM = earnW
+      .agg(
+        sum(when(col(measureCol) === weightMeasure, v)).as("__W"),
+        sum(when(col(measureCol) === valueMeasure, v)).as("__S"),
+        count(when(col(measureCol) === valueMeasure && v.isNotNull, lit(1))).as("__n"))
+    partial
       .groupBy(gks.map(col): _*)
-      .agg(weightedMean(col(valueCol), col("__w")).as(wmeanAs))
-
-    empM.join(earnM, gks, "left").orderBy(gks.map(col): _*)
+      .agg(
+        sum(col("__W")).as(sumAs),
+        (sum(col("__W") * col("__S")) /
+          nullif(sum(col("__W") * col("__n")), lit(0))).as(wmeanAs))
+      .orderBy(gks.map(col): _*)
   }
 }
