@@ -511,6 +511,11 @@ object SparkEntry {
     "q51_x_stream_weekly" -> tuned((s, d) =>
       graft.streaming.StreamingCollapse.weeklyEventStats(s, d)),
 
+    // ---- extension: stateful streaming sessionization (gap 3 days);
+    // single-batch file stream -> deterministic, islands-SQL oracle
+    "q56_x_stream_sessions" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.eventSessions(s, d, gapMinutes = 3 * 24 * 60)),
+
     // ---- extension: LSH-bucketed ANN (no oracle: bucket recall is
     // approximate by design; driver records rows-only)
     "q52_x_lsh_ann" -> tuned((s, d) =>
@@ -928,6 +933,29 @@ object SparkEntry {
         |       WHEN n_frames <= 4 THEN n_frames - 1
         |       ELSE CAST(floor(3 * n_frames / 4) AS INT) END AS last_frame
         |FROM r ORDER BY doc_id""".stripMargin),
+
+    "q56_x_stream_sessions" -> {
+      val gapMicros = 3L * 24 * 60 * 60 * 1000000
+      // epoch_us is exact int64; epoch_ns/1000 would round-trip through a
+      // double and lose the low digits. DuckDB truncates parquet NANOS to
+      // micros on read, matching the Spark side's `ts div 1000`.
+      s"""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+        |m AS (
+        |  SELECT *, CASE WHEN tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) > $gapMicros
+        |                 THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY tsu
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess FROM m),
+        |agg AS (
+        |  SELECT user_id, sess, min(tsu) AS session_start, max(tsu) AS session_end,
+        |         CAST(count(*) AS INT) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM s GROUP BY 1, 2),
+        |last AS (SELECT user_id, max(sess) AS mx FROM agg GROUP BY 1)
+        |SELECT a.user_id, a.session_start, a.session_end, a.n_events, a.sum_value
+        |FROM agg a JOIN last l ON a.user_id = l.user_id AND a.sess < l.mx
+        |ORDER BY a.user_id, a.session_start""".stripMargin
+    },
 
     "q51_x_stream_weekly" ->
       ("""WITH e AS (

@@ -96,6 +96,31 @@ object StreamingCollapse {
         })
   }
 
+  /** Run [[sessionize]] over the events table as a file stream
+    * (single micro-batch → deterministic, oracle-checkable with
+    * gaps-and-islands SQL: only CLOSED sessions are emitted, so each
+    * user's final island stays in state and out of the output). */
+  def eventSessions(spark: SparkSession, dir: String, gapMinutes: Int): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_sessions"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    import spark.implicits._
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir(dir))
+      .select(col("user_id"), expr("ts div 1000").as("tsMicros"), col("value"))
+      .as[(Long, Long, Double)]
+      .map { case (u, t, v) => SessionEvent(u, t, v) }
+    val q = sessionize(events, gapMinutes, withTimeout = false)
+      .writeStream.outputMode("append").format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("user_id"), col("session_start"), col("session_end"),
+        col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
   /** Tumbling weekly (7-day, epoch-aligned) per-event-type stats, run to
     * completion over the batch test file via the memory sink. Returns the
     * finished aggregate as a DataFrame — deterministic, oracle-checkable. */
