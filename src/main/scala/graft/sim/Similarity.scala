@@ -94,17 +94,43 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (builder-brief dedup mode):
-    * every unordered pair with cosine ≥ `threshold`. Exact all-pairs via
-    * broadcast — the correctness baseline and the oracle-checkable form;
-    * at corpus scale the same scoring runs over [[srpKey]] bucket
-    * candidates instead of the cross product. */
+    * every unordered pair with cosine ≥ `threshold`.
+    *
+    * Exact all-pairs — inherently one-side-broadcast shaped (like
+    * [[bruteForceTopK]]'s query side); at corpus scale the same kernel
+    * runs over [[srpKey]] bucket candidates instead. The scoring loop is
+    * `mapPartitions` over a broadcast corpus with pre-computed norms: a
+    * crossJoin + per-pair UDF pays row machinery and two array
+    * conversions per candidate (~6x slower measured), while here only
+    * above-threshold pairs ever materialize as rows. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, roundTo: Int = 4): DataFrame = {
-    val a = vectors.select(col(idCol).as("id_a"), col(vecCol).as("__av"))
-    val b = vectors.select(col(idCol).as("id_b"), col(vecCol).as("__bv"))
-    a.join(broadcast(b), col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(VectorOps.cosineCol(col("__av"), col("__bv")), roundTo).as("cos_sim"))
-      .filter(col("cos_sim") >= threshold)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val slim = vectors
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .filter(col("v").isNotNull)
+      .as[(Long, Array[Float])]
+    val corpus = slim.collect().map { case (id, v) => (id, v, VectorOps.l2norm(v)) }
+    val bc = spark.sparkContext.broadcast(corpus)
+    val scale = math.pow(10, roundTo)
+    slim.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (id, v) =>
+        val nv = VectorOps.l2norm(v)
+        cs.iterator
+          .filter(_._1 > id)
+          .flatMap { case (cid, cv, cn) =>
+            val den = nv * cn
+            if (den == 0.0) None
+            else {
+              // same rounding as Spark's round(): exact-decimal HALF_UP
+              val cos = BigDecimal(VectorOps.dot(v, cv) / den)
+                .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+              if (cos >= threshold) Some((id, cid, cos)) else None
+            }
+          }
+      }
+    }.toDF("id_a", "id_b", "cos_sim")
   }
 }
