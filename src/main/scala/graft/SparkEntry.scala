@@ -418,6 +418,12 @@ object SparkEntry {
           TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    "q57_x_subword_count" -> tuned((s, d) =>
+      Tables.documents(s, d).select(
+          col("doc_id"),
+          TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
+        .orderBy("doc_id")),
+
     // ---- extension: dedup (builder brief)
     "q44_x_dedup_exact" -> tuned((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
@@ -857,6 +863,11 @@ object SparkEntry {
         |       THEN 'en' ELSE 'und' END AS lang_pred
         |FROM t ORDER BY doc_id""".stripMargin
     },
+
+    "q57_x_subword_count" ->
+      ("""SELECT doc_id,
+        |  CAST(len(regexp_extract_all(trim(text), '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+')) AS BIGINT) AS n_subwords
+        |FROM documents ORDER BY doc_id""".stripMargin),
 
     "q44_x_dedup_exact" ->
       ("SELECT md5(trim(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +

@@ -20,14 +20,12 @@ object TextAnalysis {
   def tokenCount(text: Column): Column =
     when(length(trim(text)) === 0, lit(0)).otherwise(size(Cols.tokens(text)))
 
-  /** A BPE-ish sub-word unit count: splits on whitespace AND on
-    * letter/digit/punctuation class boundaries — a cheap deterministic proxy
-    * for tokenizer load estimation. */
+  /** A BPE-ish sub-word unit count: maximal runs of letters, digits, or
+    * punctuation (whitespace separates) — a cheap deterministic proxy for
+    * tokenizer load estimation. Same regex runs verbatim in the DuckDB
+    * oracle (`regexp_extract_all`). */
   def subwordCount(text: Column): Column =
-    size(filter(
-      split(regexp_replace(trim(text),
-        "([a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+)", "$1"), "|\\s+"),
-      t => length(t) > 0))
+    size(regexp_extract_all(trim(text), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0)))
 
   /** Quality-score feature bundle: (n_tokens, avg token length, punctuation
     * ratio, stopword ratio, uppercase ratio). Ratios null-guarded. */
