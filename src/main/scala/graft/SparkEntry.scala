@@ -386,7 +386,7 @@ object SparkEntry {
     // ---- Monte-Carlo simulation + fan (SURVEY §2.11 U9 / §2.6 W9 / §2.5 A8)
     "q32_u9_montecarlo_fan" -> tuned((s, d) =>
       MonteCarlo.fan(
-          MonteCarlo.simulatePaths(s, sims = 200, horizon = 36,
+          MonteCarlo.simulatePaths(s, sims = 1000, horizon = 36,
             start = 100.0, mu = 0.5, sigma = 2.0, seed = 42L, clipMin = Some(0.0)))
         .select(col("step") +:
           Seq("p05", "p10", "p50", "p90", "p95", "mean", "std", "min", "max")
@@ -599,7 +599,7 @@ object SparkEntry {
     val counter = dkHash32("concat_ws('_', 42, sim_id, step)")
     s"""WITH grid AS (
        |  SELECT s.sim_id, st.step
-       |  FROM (SELECT unnest(generate_series(0, 199)) AS sim_id) s,
+       |  FROM (SELECT unnest(generate_series(0, 999)) AS sim_id) s,
        |       (SELECT unnest(generate_series(1, 36)) AS step) st),
        |z AS (
        |  SELECT sim_id, step,
