@@ -16,6 +16,10 @@ import org.apache.spark.sql.SparkSession
   */
 object GraftSession {
   def tune(spark: SparkSession): SparkSession = {
+    // parity-critical: the DuckDB/pandas oracles are timezone-naive; a
+    // session in local time would shift month/week boundaries of
+    // timestamp-derived groupings on non-UTC hosts
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.ansi.enabled", "false")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // AQE is the 100 TB story (runtime coalescing, skew joins) and stays the

@@ -341,8 +341,10 @@ object SparkEntry {
     // statsmodels-shaped statistics, validated in ScalaTest instead)
     "q34_u56_stationarity" -> tuned((s, d) =>
       graft.stats.Diagnostics.stationarity(
-          monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
-          Nil, "month", "tot")
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(col("o_totalprice")), 2).as("tot")),
+          Seq("o_orderpriority"), "month", "tot")
         .select(col("key"), col("n_obs"), round(col("adf_stat"), 4).as("adf_stat"),
           col("adf_stationary_5pct"), round(col("kpss_stat"), 4).as("kpss_stat"),
           col("kpss_stationary_5pct"), round(col("yj_lambda"), 4).as("yj_lambda"),
@@ -542,11 +544,9 @@ object SparkEntry {
   private def dkHash32(x: String): String =
     s"CAST('0x' || substring(md5($x), 1, 8) AS BIGINT)"
 
-  private def minhashAB(i: Int): (Long, Long) = {
-    val a = 2L * (104729L * (i + 1) % 524287L) + 1L
-    val b = 94906249L * (i + 1) % 4294967311L
-    (a, b)
-  }
+  // the single source of the (a, b) affine family — a private copy here
+  // could silently desynchronize the oracle from the engine
+  private def minhashAB(i: Int): (Long, Long) = graft.text.TextHash.minhashAB(i)
 
   /** Shared doc→signature CTE prefix for the minhash oracles. */
   private val MinhashCte: String = {
@@ -846,7 +846,10 @@ object SparkEntry {
 
     "q42_x_quality_score" -> {
       val stop = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
-      s"""WITH t AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents)
+      s"""WITH t0 AS (SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks FROM documents),
+        |t AS (SELECT doc_id, text,
+        |        CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[]) ELSE toks END AS toks
+        |      FROM t0)
         |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
         |  round(CAST(length(array_to_string(toks, '')) AS DOUBLE) / nullif(len(toks), 0), 4) AS avg_token_len,
         |  round(CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)

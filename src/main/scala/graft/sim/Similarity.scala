@@ -102,7 +102,13 @@ object Similarity {
     * `mapPartitions` over a broadcast corpus with pre-computed norms: a
     * crossJoin + per-pair UDF pays row machinery and two array
     * conversions per candidate (~6x slower measured), while here only
-    * above-threshold pairs ever materialize as rows. */
+    * above-threshold pairs ever materialize as rows.
+    *
+    * NOTE: the corpus side is collected EAGERLY at call time (it must fit
+    * on the driver, like any broadcast build side); the broadcast is
+    * released by Spark's ContextCleaner when the returned frame becomes
+    * unreachable. For corpora past broadcast size, generate candidates
+    * with [[srpKey]] buckets and score those instead. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, roundTo: Int = 4): DataFrame = {
     val spark = vectors.sparkSession

@@ -1,6 +1,6 @@
 package graft.stats
 
-import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,6 +14,34 @@ import org.apache.spark.sql.types._
   * data — centuries fit in KBs).
   */
 object Diagnostics {
+
+  /** Project to (key, sortable-order, value) rows. Numeric/date/timestamp
+    * order columns sort by their numeric value — casting everything to
+    * string would order "10" before "2" and silently permute the series
+    * before the statistics run. Other types sort by their string form. */
+  private def slim(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String) = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyExpr = if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
+    val ordNum: Column = df.schema(orderCol).dataType match {
+      case _: NumericType => col(orderCol).cast("double")
+      case DateType | TimestampType => col(orderCol).cast("timestamp").cast("double")
+      case _ => lit(null).cast("double")
+    }
+    df.filter(col(valueCol).isNotNull)
+      .select(keyExpr.as("key"), col(orderCol).cast("string").as("ord"),
+        ordNum.as("ordn"), col(valueCol).cast("double").as("v"))
+      .as[(String, String, Option[Double], Double)]
+  }
+
+  /** Sort a group's rows chronologically and return the value series. */
+  private def series(it: Iterator[(String, String, Option[Double], Double)]): Array[Double] = {
+    val rows = it.toArray
+    val sorted =
+      if (rows.forall(_._3.isDefined)) rows.sortBy(_._3.get) else rows.sortBy(_._2)
+    sorted.map(_._4)
+  }
 
   private val statsSchema = StructType(Seq(
     StructField("key", StringType),
@@ -32,17 +60,10 @@ object Diagnostics {
     * null in that column. */
   def stationarity(df: DataFrame, keyCols: Seq[String], orderCol: String,
                    valueCol: String): DataFrame = {
-    val spark = df.sparkSession
-    val keyExpr = if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
-    val slim = df
-      .filter(col(valueCol).isNotNull)
-      .select(keyExpr.as("key"), col(orderCol).cast("string").as("ord"),
-        col(valueCol).cast("double").as("v"))
-    import spark.implicits._
-    val grouped = slim.as[(String, String, Double)]
-      .groupByKey(_._1)
+    val grouped = slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
       .mapGroups { (key, it) =>
-        val series = it.toArray.sortBy(_._2).map(_._3)
+        val series = Diagnostics.series(it)
         val n = series.length
         val adfR = if (n >= 12) Some(TimeSeriesStats.adf(series)) else None
         val kpssR = if (n >= 8) Some(TimeSeriesStats.kpss(series)) else None
@@ -67,17 +88,10 @@ object Diagnostics {
     * nlags 48-60). One row per (key, lag). */
   def correlogram(df: DataFrame, keyCols: Seq[String], orderCol: String,
                   valueCol: String, nlags: Int): DataFrame = {
-    val spark = df.sparkSession
-    val keyExpr = if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
-    val slim = df
-      .filter(col(valueCol).isNotNull)
-      .select(keyExpr.as("key"), col(orderCol).cast("string").as("ord"),
-        col(valueCol).cast("double").as("v"))
-    import spark.implicits._
-    slim.as[(String, String, Double)]
-      .groupByKey(_._1)
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroups { (key, it) =>
-        val series = it.toArray.sortBy(_._2).map(_._3)
+        val series = Diagnostics.series(it)
         val k = math.min(nlags, series.length - 2)
         if (k < 1) Iterator.empty
         else {
@@ -104,22 +118,21 @@ object Diagnostics {
   def arForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
                  valueCol: String, horizon: Int,
                  orders: Seq[Int] = Seq(1, 2, 3)): DataFrame = {
-    val spark = df.sparkSession
-    val keyExpr = if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
-    val slim = df
-      .filter(col(valueCol).isNotNull)
-      .select(keyExpr.as("key"), col(orderCol).cast("string").as("ord"),
-        col(valueCol).cast("double").as("v"))
-    import spark.implicits._
-    slim.as[(String, String, Double)]
-      .groupByKey(_._1)
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
       .flatMapGroups { (key, it) =>
-        val series = it.toArray.sortBy(_._2).map(_._3)
-        val fit = TimeSeriesStats.fitArByAic(series, orders)
-        TimeSeriesStats.forecastAr(fit, series, horizon).zipWithIndex.iterator
-          .map { case (f, i) =>
-            Row(key, fit.order, fit.intercept, fit.sigma2, fit.aic, i + 1, f)
-          }
+        val series = Diagnostics.series(it)
+        // a key no candidate order can fit (too short, or degenerate-
+        // singular designs) yields no forecast rows instead of failing
+        // the whole job (mirrors stationarity's nulls)
+        TimeSeriesStats.fitArByAicOption(series, orders) match {
+          case None => Iterator.empty
+          case Some(fit) =>
+            TimeSeriesStats.forecastAr(fit, series, horizon).zipWithIndex.iterator
+              .map { case (f, i) =>
+                Row(key, fit.order, fit.intercept, fit.sigma2, fit.aic, i + 1, f)
+              }
+        }
       }(Encoders.row(arSchema))
       .toDF()
   }

@@ -303,8 +303,18 @@ object TimeSeriesStats {
     * (U8): same grid-search shape (candidate orders -> AIC argmin), linear
     * state only. Seasonal/differencing structure is applied upstream via
     * [[graft.operators.Features.diff]]. */
-  def fitArByAic(y: Array[Double], orders: Seq[Int] = Seq(1, 2, 3)): ArFit = {
-    val fits = orders.filter(p => y.length > 3 * p + 2).map { p =>
+  def fitArByAic(y: Array[Double], orders: Seq[Int] = Seq(1, 2, 3)): ArFit =
+    fitArByAicOption(y, orders)
+      .getOrElse(throw new IllegalArgumentException(
+        "no candidate order is identifiable for this series"))
+
+  /** Like [[fitArByAic]] but None when no candidate order fits — a
+    * too-short series, or singular designs at every order (deterministic
+    * series make higher-order designs exactly collinear). Distributed
+    * callers use this so one degenerate key skips instead of failing the
+    * whole job. */
+  def fitArByAicOption(y: Array[Double], orders: Seq[Int] = Seq(1, 2, 3)): Option[ArFit] = {
+    val fits = orders.filter(p => y.length > 3 * p + 2).flatMap { p =>
       val rows = y.length - p
       val x = Array.ofDim[Double](rows, p + 1)
       val yy = new Array[Double](rows)
@@ -316,13 +326,14 @@ object TimeSeriesStats {
         yy(i) = y(i + p)
         i += 1
       }
-      val (beta, s2, _) = ols(x, yy)
-      val rss = s2 * (rows - (p + 1))
-      val ll = -0.5 * rows * (math.log(2 * math.Pi * rss / rows) + 1)
-      ArFit(p, beta(0), beta.drop(1), s2, -2 * ll + 2 * (p + 1))
+      scala.util.Try {
+        val (beta, s2, _) = ols(x, yy)
+        val rss = s2 * (rows - (p + 1))
+        val ll = -0.5 * rows * (math.log(2 * math.Pi * math.max(rss, 1e-300) / rows) + 1)
+        ArFit(p, beta(0), beta.drop(1), s2, -2 * ll + 2 * (p + 1))
+      }.toOption
     }
-    require(fits.nonEmpty, "series too short for any candidate order")
-    fits.minBy(_.aic)
+    fits.minByOption(_.aic)
   }
 
   /** Deterministic h-step-ahead mean forecast from an AR fit. */

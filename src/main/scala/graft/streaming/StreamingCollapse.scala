@@ -31,11 +31,17 @@ object StreamingCollapse {
   private def streamDir(dir: String): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/events.parquet")
-    val d = Paths.get(sys.props("java.io.tmpdir"),
-      "graft_stream_" + Integer.toHexString(dir.hashCode))
+    // md5 of the full path (not String.hashCode): collision-proof keying —
+    // two colliding source dirs sharing a staging dir would silently
+    // stream the wrong dataset
+    val key = graft.text.TextHash.hash32(dir).toHexString
+    val d = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$key")
     Files.createDirectories(d)
     val link = d.resolve("events.parquet")
-    if (!Files.exists(link)) Files.createSymbolicLink(link, src)
+    // deleteIfExists handles stale/dangling links (exists() follows the
+    // target, so a broken link would otherwise wedge staging forever)
+    Files.deleteIfExists(link)
+    Files.createSymbolicLink(link, src)
     d.toString
   }
 

@@ -62,7 +62,8 @@ object Dedup {
     // slower); localCheckpoint is no better — it materializes through the
     // RDD path, also interpreted. persist + eager count keeps the one
     // computation inside whole-stage codegen and lets both join sides read
-    // the cache (MEMORY_AND_DISK: spills, safe at cluster scale).
+    // the cache (MEMORY_AND_DISK: spills, safe at cluster scale; blocks
+    // are freed by the ContextCleaner once the result is unreachable).
     val sigs = docs
       .select(col(idCol).as("doc_id") +: minhashSigCols(col(textCol), k, shingleK): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -31,10 +31,13 @@ object TextAnalysis {
     * ratio, stopword ratio, uppercase ratio). Ratios null-guarded. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
     val toks = Cols.tokens(text)
-    val n = size(toks).cast("double")
+    // tokenCount, not raw size(toks): split("") yields [""], so raw size
+    // reports 1 token for empty text while q41's tokenCount reports 0 —
+    // the two features must agree for any consumer joining them
+    val n = tokenCount(text).cast("double")
     val stopHits = size(filter(toks, t => t.isin(EnglishStopwords: _*))).cast("double")
     Seq(
-      "n_tokens" -> size(toks),
+      "n_tokens" -> tokenCount(text),
       "avg_token_len" -> Cols.safeDiv(length(concat_ws("", toks)).cast("double"), n),
       "punct_ratio" -> Cols.safeDiv(
         (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9\\s]", ""))).cast("double"),

@@ -34,6 +34,25 @@ class DiagnosticsSpec extends SparkSpec {
     assert(r.get(r.fieldIndex("adf_stat")) == null)
   }
 
+  test("numeric order columns sort numerically, not lexicographically") {
+    // values increase with t; a lexicographic sort (1, 10, 100, 101, ... 2)
+    // would scramble the series and inflate the diffs
+    val df = (1 to 150).map(i => ("k", i, i.toDouble)).toDF("g", "t", "v")
+    val out = Diagnostics.arForecast(df, Seq("g"), "t", "v", horizon = 3).collect()
+    // a clean linear trend forecast keeps climbing past the last value
+    assert(out.forall(_.getAs[Double]("forecast") > 140.0),
+      out.map(_.getAs[Double]("forecast")).toSeq.toString)
+  }
+
+  test("arForecast: a too-short key yields no rows instead of failing the job") {
+    val df = (Seq(("short", "t1", 1.0), ("short", "t2", 2.0)) ++
+      (1 to 100).map(i => ("long", f"t$i%04d", math.sin(i / 5.0))))
+      .toDF("k", "t", "v")
+    val out = Diagnostics.arForecast(df, Seq("k"), "t", "v", horizon = 4).collect()
+    assert(out.forall(_.getString(0) == "long"))
+    assert(out.length === 4)
+  }
+
   test("arForecast: one row per (key, step) with chosen order") {
     val out = Diagnostics.arForecast(series, Seq("k"), "t", "v", horizon = 6)
       .orderBy("key", "step").collect()
