@@ -531,7 +531,16 @@ object SparkEntry {
           Tables.embeddings(s, d).filter(col("vec_id") < 200),
           "vec_id", "embedding", dim = 64, k = 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // ---- extension: IVF ANN (approximate; rows-only like q52)
+    "q58_x_ivf_ann" -> tuned((s, d) => {
+      val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 3)
+      graft.sim.Ivf.topK(vecs, "vec_id", "embedding", model, k = 3, nProbe = 2)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    })
   )
 
   private val MinhashK = 8

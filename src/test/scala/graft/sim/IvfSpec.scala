@@ -1,0 +1,46 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class IvfSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Three well-separated clusters in 8 dims. */
+  private lazy val clustered = {
+    val rng = new Random(23)
+    val centers = Seq(
+      Array.fill(8)(5.0f) , Array.fill(8)(-5.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f))
+    (0 until 90).map { i =>
+      val c = centers(i % 3)
+      (i.toLong, c.map(x => x + rng.nextFloat() * 0.5f - 0.25f))
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("train: deterministic centroids that converge near the true centers") {
+    val m1 = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 5)
+    val m2 = Ivf.train(clustered.repartition(7), "vec_id", "embedding", k = 3, iters = 5)
+    m1.centroids.zip(m2.centroids).foreach { case (a, b) => assert(a.toSeq === b.toSeq) }
+    // every true center should be ~cosine-1 to some centroid
+    val centers = Seq(Array.fill(8)(5.0f), Array.fill(8)(-5.0f),
+      Array.tabulate(8)(i => if (i % 2 == 0) 5.0f else -5.0f))
+    centers.foreach { c =>
+      val best = m1.centroids.map(ct => VectorOps.cosine(ct, c).toDouble).max
+      assert(best > 0.99, s"no centroid matches a true center (best=$best)")
+    }
+  }
+
+  test("topK: within-cluster neighbors rank first; high recall vs brute force") {
+    val model = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 5)
+    val ivf = Ivf.topK(clustered, "vec_id", "embedding", model, k = 3, nProbe = 1)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val brute = Similarity.bruteForceTopK(clustered, clustered, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val recall = (ivf & brute).size.toDouble / brute.size
+    assert(recall > 0.9, s"recall=$recall")
+    // all returned neighbors share the query's cluster (mod 3)
+    assert(ivf.forall { case (q, n) => q % 3 == n % 3 })
+  }
+}
