@@ -19,6 +19,33 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
 
+  test("watermark: events later than the watermark bound are dropped (late-data policy)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Double)]
+    def ts(h: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:00:00")
+    val agg = mem.toDF().toDF("ets", "value")
+      .withWatermark("ets", "2 hours")
+      .groupBy(window(col("ets"), "1 hour"))
+      .agg(sum(col("value")).as("s"))
+      .select(col("window.start").cast("string").as("w"), col("s"))
+    val q = agg.writeStream.format("memory").queryName("late_test")
+      .outputMode("append").start()
+    try {
+      mem.addData((ts(1), 1.0)); q.processAllAvailable()
+      // advance event time far past hour 1 -> watermark = 10:00 - 2h = 08:00
+      mem.addData((ts(10), 5.0)); q.processAllAvailable()
+      // late arrival for hour 1: older than the watermark -> DROPPED
+      mem.addData((ts(1), 100.0)); q.processAllAvailable()
+      // advance again so hour 10's window can also close if needed
+      mem.addData((ts(20), 7.0)); q.processAllAvailable()
+      val rows = spark.table("late_test").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toMap
+      // hour-1 window closed with ONLY the on-time value; the 100.0 is gone
+      assert(rows("2024-01-01 01:00:00") === 1.0)
+    } finally q.stop()
+  }
+
   test("sessionize: gap-separated event bursts become separate sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
