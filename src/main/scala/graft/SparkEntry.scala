@@ -359,6 +359,34 @@ object SparkEntry {
           round(col("forecast"), 2).as("forecast"))
         .orderBy("key", "step")),
 
+    // ---- full U8: seasonal+exog SARIMAX over the reference's 5-candidate
+    // grid (notebook cells 27/30/32). Kalman-MLE statistics — no SQL
+    // oracle; the estimator is validated against closed-form likelihoods
+    // and planted-process recovery in SarimaxSpec, and this query's
+    // output is golden-pinned in ForecastPipelineSpec.
+    "q39_u8_sarimax_grid" -> tuned((s, d) =>
+      graft.stats.Diagnostics.sarimaxForecast(
+          monthlyOrders(s, d).withColumn("tot", round(col("tot") / 1e6, 6)),
+          Nil, "month", "tot", Some("n"), horizon = 12)
+        .select(col("key"), col("order"), col("seasonal"),
+          round(col("aic"), 2).as("aic"), col("step"),
+          round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step")),
+
+    // ---- composed U9∘U8: the reference's monte_carlo_forecast pipeline
+    // (cell 27) — fit, simulate exog RW paths, forecast every path, fan
+    // quantiles over FORECASTS. The white-noise candidate makes the fit
+    // closed-form OLS, so the whole pipeline is exactly SQL-expressible.
+    "q40_u9u8_mc_forecast_fan" -> tuned((s, d) =>
+      graft.operators.ForecastPipeline.sarimaxMonteCarloFan(
+          monthlyOrders(s, d).withColumn("tot", round(col("tot") / 1e6, 6)),
+          Nil, "month", "tot", Some("n"), horizon = 24, sims = 500, seed = 42L,
+          candidates = Seq(graft.stats.Sarimax.SarimaxSpec(0, 1, 0, 0, 0, 0, 12)))
+        .select(col("key") +: col("step") +:
+          Seq("p05", "p10", "p50", "p90", "p95", "mean", "std", "min", "max")
+            .map(c => round(col(c), 4).as(c)): _*)
+        .orderBy("step")),
+
     // ---- correlogram diagnostics (SURVEY §2.11 U7; ACF is plain SQL —
     // oracle-checked; PACF (Durbin-Levinson) is validated in ScalaTest)
     "q37_u7_acf" -> tuned((s, d) =>
@@ -633,6 +661,63 @@ object SparkEntry {
        |FROM paths GROUP BY step ORDER BY step""".stripMargin
   }
 
+  /** q40: the composed monte_carlo_forecast pipeline in pure SQL. The
+    * white-noise SARIMAX candidate (0,1,0)(0,0,0) has a CLOSED-FORM MLE —
+    * OLS of Δy on [1, Δx] — so fit, drift estimation, path simulation
+    * (same counter-based RNG as [[MonteCarloSql]], key='all' mixed in) and
+    * per-path forecast y_j = lastY + j·c + β·(x_j − lastX) are all exactly
+    * expressible; quantile_cont matches Spark's exact percentile. */
+  private val McForecastSql: String = {
+    val p = "4294967311"
+    val counter = dkHash32("concat_ws('_', 42, 'all', sim_id, step)")
+    s"""WITH m AS (
+       |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+       |         round(sum(o_totalprice)/1000000.0, 6) AS tot,
+       |         CAST(count(*) AS DOUBLE) AS x
+       |  FROM orders GROUP BY 1),
+       |o AS (SELECT tot, x, row_number() OVER (ORDER BY month) AS rn FROM m),
+       |nn AS (SELECT max(rn) AS nr FROM o),
+       |dd AS (SELECT tot - lag(tot) OVER (ORDER BY rn) AS dy,
+       |              x - lag(x) OVER (ORDER BY rn) AS dx FROM o),
+       |ols AS (SELECT regr_intercept(dy, dx) AS c, regr_slope(dy, dx) AS beta
+       |        FROM dd WHERE dy IS NOT NULL),
+       |lastv AS (SELECT o.tot AS lastY, o.x AS lastX FROM o, nn WHERE o.rn = nn.nr),
+       |tdx AS (SELECT x - lag(x) OVER (ORDER BY rn) AS dxx
+       |        FROM (SELECT x, rn FROM o, nn WHERE rn > nr - 60)),
+       |drift AS (SELECT avg(dxx) AS mu, stddev_samp(dxx) AS sigma
+       |          FROM tdx WHERE dxx IS NOT NULL),
+       |grid AS (
+       |  SELECT s.sim_id, st.step
+       |  FROM (SELECT unnest(generate_series(0, 499)) AS sim_id) s,
+       |       (SELECT unnest(generate_series(1, 24)) AS step) st),
+       |z AS (
+       |  SELECT sim_id, step,
+       |    sqrt(-2.0 * ln(((c * 683077 + 104729) % $p + 1.0) / 4294967312.0))
+       |      * cos(2 * pi() * (((c * 999331 + 15487469) % $p) / 4294967311.0)) AS z
+       |  FROM (SELECT sim_id, step, $counter AS c FROM grid)),
+       |xp AS (
+       |  SELECT sim_id, step,
+       |    greatest(lastv.lastX + sum(drift.mu + drift.sigma * z) OVER (
+       |      PARTITION BY sim_id ORDER BY step
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0) AS xs
+       |  FROM z, lastv, drift),
+       |fc AS (
+       |  SELECT sim_id, step,
+       |    lastv.lastY + step * ols.c + ols.beta * (xp.xs - lastv.lastX) AS value
+       |  FROM xp, lastv, ols)
+       |SELECT 'all' AS key, step,
+       |  round(quantile_cont(value, 0.05), 4) AS p05,
+       |  round(quantile_cont(value, 0.10), 4) AS p10,
+       |  round(quantile_cont(value, 0.50), 4) AS p50,
+       |  round(quantile_cont(value, 0.90), 4) AS p90,
+       |  round(quantile_cont(value, 0.95), 4) AS p95,
+       |  round(avg(value), 4) AS mean,
+       |  round(stddev_samp(value), 4) AS std,
+       |  round(min(value), 4) AS min,
+       |  round(max(value), 4) AS max
+       |FROM fc GROUP BY step ORDER BY step""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
     "q00_m2_ces_collapse" -> CesCollapseSql,
 
@@ -810,6 +895,8 @@ object SparkEntry {
         "round(abs(value - 50), 2) AS dist50 FROM events ORDER BY event_id"),
 
     "q32_u9_montecarlo_fan" -> MonteCarloSql,
+
+    "q40_u9u8_mc_forecast_fan" -> McForecastSql,
 
     "q33_fd4_future_months" ->
       ("""WITH m AS (SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -22,12 +22,30 @@ object MonteCarlo {
   /** Deterministic standard-normal draw for integer columns (seed, sim, step).
     * u1 ∈ (0,1], u2 ∈ [0,1) from two independent affine hashes of the
     * counter; z = sqrt(-2 ln u1)·cos(2π u2). */
-  def counterRandn(seed: Long, sim: Column, step: Column): Column = {
+  def counterRandn(seed: Long, sim: Column, step: Column): Column =
+    boxMuller(Cols.hash32(concat_ws("_", lit(seed), sim, step)))
+
+  /** [[counterRandn]] with a series key mixed into the counter — the
+    * per-key variant used by the composed SARIMAX Monte-Carlo fan. */
+  def counterRandnKeyed(seed: Long, key: Column, sim: Column, step: Column): Column =
+    boxMuller(Cols.hash32(concat_ws("_", lit(seed), key, sim, step)))
+
+  private def boxMuller(counter: Column): Column = {
     val p = 4294967311L
-    val counter = Cols.hash32(concat_ws("_", lit(seed), sim, step))
     val u1 = (Cols.affineHash(counter, 683077, 104729, p) + lit(1.0)) / lit(p.toDouble + 1.0)
     val u2 = Cols.affineHash(counter, 999331, 15487469, p) / lit(p.toDouble)
     sqrt(lit(-2.0) * log(u1)) * cos(lit(2.0 * math.Pi) * u2)
+  }
+
+  /** JVM twin of [[counterRandnKeyed]] — bit-identical (parity-asserted in
+    * ForecastPipelineSpec), for kernels that draw inside a UDF instead of
+    * through the expression tree. */
+  def gaussianJvm(seed: Long, key: String, sim: Long, step: Int): Double = {
+    val p = 4294967311L
+    val c = graft.text.TextHash.hash32(s"${seed}_${key}_${sim}_${step}")
+    val u1 = ((c * 683077L + 104729L) % p + 1.0) / (p + 1.0)
+    val u2 = ((c * 999331L + 15487469L) % p).toDouble / p.toDouble
+    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
   }
 
   /** RW-with-drift paths: value_t = start + Σ_{i≤t} (mu + sigma·z_i),
@@ -47,16 +65,22 @@ object MonteCarlo {
 
   /** A8: per-step fan table — exact percentiles (NumPy-matching linear
     * interpolation) + mean/std/min/max across the simulation axis. */
-  def fan(paths: DataFrame, qs: Seq[Double] = Seq(0.05, 0.10, 0.50, 0.90, 0.95)): DataFrame = {
+  def fan(paths: DataFrame, qs: Seq[Double] = Seq(0.05, 0.10, 0.50, 0.90, 0.95)): DataFrame =
+    fanKeyed(paths, Nil, qs)
+
+  /** [[fan]] grouped by extra key columns (one fan table per series). */
+  def fanKeyed(paths: DataFrame, keys: Seq[String],
+               qs: Seq[Double] = Seq(0.05, 0.10, 0.50, 0.90, 0.95)): DataFrame = {
     val qcols = qs.map(q => percentile(col("value"), lit(q)).as(f"p${(q * 100).round}%02d"))
-    paths.groupBy("step").agg(
+    val gcols = keys :+ "step"
+    paths.groupBy(gcols.map(col): _*).agg(
       qcols.head,
       (qcols.tail ++ Seq(
         avg(col("value")).as("mean"),
         stddev_samp(col("value")).as("std"),
         min(col("value")).as("min"),
         max(col("value")).as("max"))): _*
-    ).orderBy("step")
+    ).orderBy(gcols.map(col): _*)
   }
 
   /** A9: RW drift parameters from the trailing `window` rows of a series

@@ -112,8 +112,10 @@ object Diagnostics {
     StructField("step", IntegerType),
     StructField("forecast", DoubleType)))
 
-  /** AR-by-AIC fit + h-step mean forecast per key — the grid-search shape
-    * of the reference's SARIMAX candidate loop (U8), linear state only.
+  /** AR-by-AIC fit + h-step mean forecast per key — the LINEAR stand-in
+    * kept for the simple no-seasonal path; the full U8 (seasonal +
+    * exogenous SARIMAX grid, reference `fit_best_sarimax`) is
+    * [[sarimaxForecast]] / [[Sarimax.fitBest]].
     * Output: one row per (key, step). */
   def arForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
                  valueCol: String, horizon: Int,
@@ -135,5 +137,101 @@ object Diagnostics {
         }
       }(Encoders.row(arSchema))
       .toDF()
+  }
+
+  // ------------------------------------------------------------- U8: SARIMAX
+
+  /** One fitted SARIMAX model per series, flattened for Spark transport.
+    * `armaBase`/`yTail`/`xTail` are the [[Sarimax.ForecastKernel]] pieces:
+    * the forecast mean is LINEAR in the future exog path, so downstream
+    * consumers (the Monte-Carlo fan) turn each simulated path into a
+    * forecast with one O(h) pass — the model is never re-fit per path.
+    * `mu`/`sigma`/`lastX` are the exog random-walk drift parameters
+    * (reference `fit_rw_drift_params`: mean and ddof-1 std of the last
+    * `fitWindow` first differences, degenerate series → (0, 0)). */
+  final case class SarimaxModelRow(
+      key: String, order: String, seasonal: String, aic: Double,
+      intercept: Double, beta: Double, sigma2: Double,
+      p: Int, d: Int, q: Int, sp: Int, sd: Int, sq: Int, s: Int,
+      armaBase: Array[Double], yTail: Array[Double], xTail: Array[Double],
+      lastX: Double, mu: Double, sigma: Double)
+
+  /** Rebuild the forecast kernel from a transported model row. */
+  def kernelOf(m: SarimaxModelRow): Sarimax.ForecastKernel =
+    Sarimax.ForecastKernel(
+      Sarimax.SarimaxSpec(m.p, m.d, m.q, m.sp, m.sd, m.sq, m.s),
+      m.intercept, m.beta, m.armaBase, m.yTail, m.xTail)
+
+  /** Fit the AIC-best SARIMAX candidate per key (reference notebook cells
+    * 27/30/32 `fit_best_sarimax` over `CANDIDATE_ORDERS`) — each series
+    * fits INSIDE its executor; keys where every candidate fails yield no
+    * row. Exog nulls are filled with 0 (reference `fillna(0)`); rows with
+    * null target are dropped (reference aligns on `y.notna()`). */
+  def sarimaxModels(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                    valueCol: String, exogCol: Option[String], horizon: Int,
+                    candidates: Seq[Sarimax.SarimaxSpec] = Sarimax.ReferenceCandidates,
+                    fitWindow: Int = 60): org.apache.spark.sql.Dataset[SarimaxModelRow] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyExpr = if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
+    val ordNum: Column = df.schema(orderCol).dataType match {
+      case _: NumericType => col(orderCol).cast("double")
+      case DateType | TimestampType => col(orderCol).cast("timestamp").cast("double")
+      case _ => lit(null).cast("double")
+    }
+    val xExpr = exogCol.map(c => coalesce(col(c).cast("double"), lit(0.0))).getOrElse(lit(0.0))
+    df.filter(col(valueCol).isNotNull)
+      .select(keyExpr.as("key"), col(orderCol).cast("string").as("ord"),
+        ordNum.as("ordn"), col(valueCol).cast("double").as("v"), xExpr.as("x"))
+      .as[(String, String, Option[Double], Double, Double)]
+      .groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val rows = it.toArray
+        val sorted =
+          if (rows.forall(_._3.isDefined)) rows.sortBy(_._3.get) else rows.sortBy(_._2)
+        val y = sorted.map(_._4)
+        val x = sorted.map(_._5)
+        val xOpt = exogCol.map(_ => x)
+        Sarimax.fitBest(y, xOpt, candidates).iterator.map { fit =>
+          val kern = Sarimax.forecastKernel(fit, y, xOpt, horizon)
+          // exog RW drift from the trailing window (ddof=1), reference shape
+          val tail = x.takeRight(math.min(fitWindow, x.length))
+          val dx = Array.tabulate(math.max(tail.length - 1, 0))(i => tail(i + 1) - tail(i))
+          val (mu, sigma) =
+            if (dx.length < 5) (0.0, 0.0)
+            else {
+              val m = dx.sum / dx.length
+              val v = dx.map(d0 => (d0 - m) * (d0 - m)).sum / (dx.length - 1)
+              (m, if (v.isNaN) 0.0 else math.sqrt(v))
+            }
+          SarimaxModelRow(key,
+            s"(${fit.spec.p},${fit.spec.d},${fit.spec.q})",
+            s"(${fit.spec.P},${fit.spec.D},${fit.spec.Q},${fit.spec.s})",
+            fit.aic, fit.intercept, fit.beta, fit.sigma2,
+            fit.spec.p, fit.spec.d, fit.spec.q, fit.spec.P, fit.spec.D, fit.spec.Q, fit.spec.s,
+            kern.armaBase, kern.yTail, kern.xTail,
+            if (x.isEmpty) 0.0 else x.last, mu, sigma)
+        }
+      }
+  }
+
+  /** U8 end-to-end: grid fit + deterministic h-step forecast per key. The
+    * future exog follows the drift CENTER path x_j = max(lastX + j·mu, 0)
+    * — the p50 of the reference's simulated exog distribution. Output: one
+    * row per (key, step) with the winning candidate's orders and AIC. */
+  def sarimaxForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                      valueCol: String, exogCol: Option[String], horizon: Int,
+                      candidates: Seq[Sarimax.SarimaxSpec] = Sarimax.ReferenceCandidates,
+                      fitWindow: Int = 60): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    sarimaxModels(df, keyCols, orderCol, valueCol, exogCol, horizon, candidates, fitWindow)
+      .flatMap { m =>
+        val xFut = Array.tabulate(m.armaBase.length)(j => math.max(m.lastX + (j + 1) * m.mu, 0.0))
+        kernelOf(m).forecast(xFut).zipWithIndex.map { case (f, i) =>
+          (m.key, m.order, m.seasonal, m.aic, i + 1, f)
+        }
+      }
+      .toDF("key", "order", "seasonal", "aic", "step", "forecast")
   }
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.stats.{Diagnostics, Sarimax, TimeSeriesStats}
+
+/** The composed U9∘U8 pipeline: RNG parity between the UDF kernel and the
+  * expression tree, exact per-path reproduction of the closed-form
+  * white-noise forecast, and per-key SARIMAX grid behavior. */
+class ForecastPipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 96 months of drifting series with a planted exog influence. */
+  private def fixture(nMonths: Int = 96, beta: Double = 3.0) = {
+    val rng = new scala.util.Random(7)
+    val rows = (0 until nMonths).map { t =>
+      val x = 50.0 + 0.3 * t + rng.nextGaussian()
+      val y = 200.0 + 2.0 * t + 10 * math.sin(2 * math.Pi * (t % 12) / 12.0) +
+        beta * x + rng.nextGaussian() * 2.0
+      (f"2015-${t % 12 + 1}%02d-01".replace("2015", (2015 + t / 12).toString), y, x)
+    }
+    rows.toDF("month_s", "y", "x")
+      .select(to_date(col("month_s")).as("month"), col("y"), col("x"))
+  }
+
+  test("gaussianJvm matches the counterRandnKeyed expression to 1e-12") {
+    // not bit-for-bit: HotSpot's Math.cos/log intrinsics are allowed 1-ulp
+    // variance between call sites, so codegen'd expression vs UDF can differ
+    // in the last ulp. Downstream outputs round to 4 decimals (q32/q40), so
+    // ulp noise is immaterial — same contract as the DuckDB oracle parity.
+    val df = spark.range(50).toDF("sim")
+      .select(col("sim"), explode(sequence(lit(1), lit(10))).as("step"))
+      .withColumn("z_expr", MonteCarlo.counterRandnKeyed(42L, lit("k1"), col("sim"), col("step")))
+    val got = df.collect()
+    got.foreach { r =>
+      val expect = MonteCarlo.gaussianJvm(42L, "k1", r.getAs[Long]("sim"), r.getAs[Int]("step"))
+      assert(approx(r.getAs[Double]("z_expr"), expect, 1e-12),
+        s"sim=${r.get(0)} step=${r.get(1)}: ${r.getAs[Double]("z_expr")} != $expect")
+    }
+  }
+
+  test("white-noise candidate: each simulated path reproduces the closed-form OLS forecast") {
+    val df = fixture()
+    val wn = Seq(Sarimax.SarimaxSpec(0, 1, 0, 0, 0, 0, 12))
+    val paths = ForecastPipeline.forecastPaths(df, Nil, "month", "y", Some("x"),
+      horizon = 6, sims = 4, seed = 99L, candidates = wn)
+      .orderBy("sim_id", "step").collect()
+
+    // independent replication: OLS of dy on [1, dx], drift on exog tail
+    val data = df.orderBy("month").select("y", "x").as[(Double, Double)].collect()
+    val y = data.map(_._1); val x = data.map(_._2)
+    val dy = y.sliding(2).map(a => a(1) - a(0)).toArray
+    val dx = x.sliding(2).map(a => a(1) - a(0)).toArray
+    val (beta, _, _) = TimeSeriesStats.ols(dx.map(v => Array(1.0, v)), dy)
+    val tail = x.takeRight(60)
+    val tdx = tail.sliding(2).map(a => a(1) - a(0)).toArray
+    val mu = tdx.sum / tdx.length
+    val sg = math.sqrt(tdx.map(v => (v - mu) * (v - mu)).sum / (tdx.length - 1))
+    (0 until 4).foreach { sim =>
+      var cum = 0.0
+      (1 to 6).foreach { j =>
+        cum += mu + sg * MonteCarlo.gaussianJvm(99L, "all", sim, j)
+        val xj = math.max(x.last + cum, 0.0)
+        val expected = y.last + j * beta(0) + beta(1) * (xj - x.last)
+        val got = paths(sim * 6 + j - 1).getAs[Double]("value")
+        assert(approx(got, expected, 1e-8), s"sim=$sim step=$j: $got vs $expected")
+      }
+    }
+  }
+
+  test("sarimaxMonteCarloFan: fan quantiles are ordered and deterministic") {
+    val df = fixture()
+    val fan1 = ForecastPipeline.sarimaxMonteCarloFan(df, Nil, "month", "y", Some("x"),
+      horizon = 8, sims = 64, seed = 5L).collect()
+    assert(fan1.length == 8)
+    fan1.foreach { r =>
+      val Seq(p05, p10, p50, p90, p95) =
+        Seq("p05", "p10", "p50", "p90", "p95").map(r.getAs[Double])
+      assert(p05 <= p10 && p10 <= p50 && p50 <= p90 && p90 <= p95)
+      assert(r.getAs[Double]("min") <= p05 && p95 <= r.getAs[Double]("max"))
+    }
+    val fan2 = ForecastPipeline.sarimaxMonteCarloFan(df, Nil, "month", "y", Some("x"),
+      horizon = 8, sims = 64, seed = 5L).collect()
+    assert(fan1.map(_.toString).mkString == fan2.map(_.toString).mkString, "non-deterministic fan")
+  }
+
+  test("sarimaxForecast: fits per key and tracks each key's own trend") {
+    val df1 = fixture().withColumn("k", lit("a"))
+    // second key: steeper trend, no exog influence
+    val df2 = fixture(beta = 0.0).withColumn("y", col("y") * 3).withColumn("k", lit("b"))
+    val df = df1.unionByName(df2)
+    val out = Diagnostics.sarimaxForecast(df, Seq("k"), "month", "y", Some("x"), horizon = 6)
+      .orderBy("key", "step").collect()
+    assert(out.length == 12, s"expected 2 keys x 6 steps, got ${out.length}")
+    val byKey = out.groupBy(_.getAs[String]("key"))
+    assert(byKey.keySet == Set("a", "b"))
+    // forecasts continue each series' scale: key b (3x level, steeper
+    // trend: 600+6t vs ~350+2.9t) sits well above key a
+    val lastA = byKey("a").last.getAs[Double]("forecast")
+    val lastB = byKey("b").last.getAs[Double]("forecast")
+    assert(lastB > lastA * 1.5, s"a=$lastA b=$lastB")
+    // winning candidate is one of the reference grid
+    val orders = out.map(r => (r.getAs[String]("order"), r.getAs[String]("seasonal"))).toSet
+    orders.foreach { case (o, so) =>
+      assert(o.matches("""\(\d,1,\d\)""") && so.matches("""\(\d,1,\d,12\)"""), s"$o $so")
+    }
+  }
+
+  test("sarimaxForecast: forecast continues a deterministic pattern (golden behavior)") {
+    // pure trend+seasonal, no noise: ΔΔ12 is exactly 0 -> any candidate
+    // forecasts the exact continuation
+    val rows = (0 until 84).map { t =>
+      val m = f"${2015 + t / 12}-${t % 12 + 1}%02d-01"
+      (m, 100.0 + 5.0 * t + 20 * math.cos(2 * math.Pi * (t % 12) / 12.0))
+    }
+    val df = rows.toDF("m", "y").select(to_date(col("m")).as("month"), col("y"))
+    val out = Diagnostics.sarimaxForecast(df, Nil, "month", "y", None, horizon = 12)
+      .orderBy("step").collect()
+    assert(out.length == 12)
+    out.zipWithIndex.foreach { case (r, i) =>
+      val t = 84 + i
+      val expected = 100.0 + 5.0 * t + 20 * math.cos(2 * math.Pi * (t % 12) / 12.0)
+      assert(approx(r.getAs[Double]("forecast"), expected, 1e-5),
+        s"step ${i + 1}: ${r.getAs[Double]("forecast")} vs $expected")
+    }
+  }
+}
