@@ -475,6 +475,11 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("simhash"))
         .orderBy("doc_id")),
 
+    "q59_x_simhash_pairs" -> tuned((s, d) =>
+      Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          bits = SimhashBits, bands = 4, maxHamming = 1)
+        .orderBy("id_a", "id_b")),
+
     "q48_x_ngram_jaccard" -> tuned((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
           maxIdGap = 50, threshold = 0.5)
@@ -491,9 +496,20 @@ object SparkEntry {
 
     // ---- extension: embedding-cosine near-dup dedup (builder brief) —
     // exact form, oracle-checked; the LSH-bucketed scale path is q52
+    // threshold 0.4: the synthetic embeddings' cosine distribution tops out
+    // ~0.51 (sf0.01) / ~0.60 (sf0.1), so 0.8 would pass vacuously on empty
+    // output; 0.4 exercises the scoring kernel on real pairs (59 @ sf0.01)
     "q55_x_embed_neardup" -> tuned((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
-          threshold = 0.8)
+          threshold = 0.4)
+        .orderBy("id_a", "id_b")),
+
+    // the SCALE path: SRP-bucketed candidates, no all-pairs, no driver
+    // collect. The oracle inlines the same hyperplane signs and replicates
+    // the bucketing exactly, so this checks the algorithm, not just recall.
+    "q60_x_embed_neardup_bucketed" -> tuned((s, d) =>
+      Similarity.nearDupPairsBucketed(Tables.embeddings(s, d), "vec_id", "embedding",
+          dim = 64, threshold = 0.4, nBits = 6, nTables = 3)
         .orderBy("id_a", "id_b")),
 
     // ---- extension: JSON props (SURVEY §2.9 note)
@@ -619,7 +635,8 @@ object SparkEntry {
     s"round(${dot("q", "c")} / nullif(sqrt(${dot("q", "q")}) * sqrt(${dot("c", "c")}), 0), 4)"
   }
 
-  private val SimhashSql: String = {
+  /** Shared doc→simhash-signature CTE (`s(doc_id, sig)`). */
+  private val SimhashSigCte: String = {
     val bits = (0 until SimhashBits).map { i =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
@@ -627,8 +644,56 @@ object SparkEntry {
        |  SELECT doc_id,
        |         list_transform(regexp_split_to_array(trim(text), '\\s+'),
        |                        x -> ${dkHash32("x")}) AS hs
-       |  FROM documents)
-       |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM t ORDER BY doc_id""".stripMargin
+       |  FROM documents),
+       |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM t)""".stripMargin
+  }
+
+  private val SimhashSql: String =
+    s"$SimhashSigCte\nSELECT doc_id, sig AS simhash FROM s ORDER BY doc_id"
+
+  /** q59: banded simhash candidates. maxHamming (1) ≤ bands-1 (3), so the
+    * banded join has FULL recall and the all-pairs Hamming filter is an
+    * exact oracle of the algorithm's output. */
+  private val SimhashPairsSql: String =
+    s"""$SimhashSigCte
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+       |FROM s a JOIN s b ON a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.sig, b.sig)) <= 1
+       |ORDER BY id_a, id_b""".stripMargin
+
+  /** q60: SRP-bucketed embedding near-dup pairs. The hyperplane sign
+    * matrices are generated from the SAME [[Similarity.srpSigns]] the
+    * engine uses and inlined as list literals, so DuckDB replicates the
+    * bucketing bit-exactly (±1·float products summed in identical order)
+    * — the oracle checks the bucketed algorithm itself, not a recall
+    * approximation of it. */
+  private def nearDupBucketedSql(nBits: Int, nTables: Int, dim: Int,
+                                 threshold: Double): String = {
+    def keyExpr(t: Int): String = {
+      val signs = graft.sim.Similarity.srpSigns(t, nBits, dim)
+      (0 until nBits).map { b =>
+        val lst = signs(b).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+        s"(CASE WHEN list_sum(list_transform(generate_series(1,$dim), i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+    }
+    val tables = (0 until nTables)
+      .map(t => s"SELECT vec_id AS id, embedding, $t AS t, ${keyExpr(t)} AS key FROM embeddings")
+      .mkString("\n  UNION ALL\n  ")
+    def dot(l: String, r: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
+    val cos = s"round(${dot("e_a", "e_b")} / nullif(sqrt(${dot("e_a", "e_a")}) * sqrt(${dot("e_b", "e_b")}), 0), 4)"
+    s"""WITH k AS (
+       |  $tables),
+       |c AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM k a JOIN k b ON a.t = b.t AND a.key = b.key AND a.id < b.id),
+       |j AS (
+       |  SELECT c.id_a, c.id_b, ea.embedding AS e_a, eb.embedding AS e_b
+       |  FROM c JOIN embeddings ea ON ea.vec_id = c.id_a
+       |         JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, $cos AS cos_sim FROM j
+       |WHERE $cos >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
 
   private val MonteCarloSql: String = {
@@ -993,6 +1058,11 @@ object SparkEntry {
 
     "q47_x_simhash" -> SimhashSql,
 
+    "q59_x_simhash_pairs" -> SimhashPairsSql,
+
+    "q60_x_embed_neardup_bucketed" ->
+      nearDupBucketedSql(nBits = 6, nTables = 3, dim = 64, threshold = 0.4),
+
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
@@ -1011,7 +1081,7 @@ object SparkEntry {
       val cos = s"round(${dot("a", "b")} / nullif(sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}), 0), 4)"
       s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos_sim
          |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-         |WHERE $cos >= 0.8 ORDER BY id_a, id_b""".stripMargin
+         |WHERE $cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     },
 
     "q49_x_cosine_topk" ->

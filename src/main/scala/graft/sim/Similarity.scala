@@ -49,11 +49,16 @@ object Similarity {
     if ((h * 327673L + 12289L) % 4294967311L % 2 == 0) 1.0 else -1.0
   }
 
+  /** The full sign matrix for one table — exposed so the DuckDB oracle can
+    * inline the same hyperplanes and replicate the bucketing exactly. */
+  def srpSigns(table: Int, nBits: Int, dim: Int): Array[Array[Double]] =
+    Array.tabulate(nBits, dim)((b, i) => srpSign(table, b, i))
+
   /** LSH bucket key for one hash table: packed sign pattern of `nBits`
     * random hyperplanes. One UDF pass computes all bits (the expression
     * form re-walked the vector per bit, interpreted — nBits×dim× slower). */
   def srpKey(vec: Column, dim: Int, nBits: Int, table: Int = 0): Column = {
-    val signs = Array.tabulate(nBits, dim)((b, i) => srpSign(table, b, i))
+    val signs = srpSigns(table, nBits, dim)
     udf((v: Array[Float]) => {
       if (v == null) null
       else {
@@ -93,22 +98,58 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (builder-brief dedup mode):
+  /** Embedding-cosine near-duplicate pairs, SCALE PATH (builder-brief
+    * dedup mode): candidates share an SRP bucket in ≥1 of `nTables`
+    * tables, exact cosine on candidates only, keep pairs ≥ `threshold`.
+    * No all-pairs stage and no driver-side collect — bucket sizes are
+    * data-bounded, so this is the default at corpus scale; recall is
+    * tuned by `nBits`/`nTables` (fewer bits or more tables → higher
+    * recall, more candidates). [[nearDupPairs]] is the exact all-pairs
+    * variant for broadcast-sized corpora. */
+  def nearDupPairsBucketed(vectors: DataFrame, idCol: String, vecCol: String,
+                           dim: Int, threshold: Double, nBits: Int = 8,
+                           nTables: Int = 2, roundTo: Int = 4): DataFrame = {
+    // persist + eager count: the self-join would otherwise run the srpKey
+    // UDF pipeline on both sides (same discipline as minhashCandidates)
+    // persist + eager count: the self-join would otherwise run the srpKey
+    // UDF pipeline on both sides (same discipline as minhashCandidates).
+    // Candidate discovery shuffles (id, bucket) ONLY — the 64-float
+    // vectors re-attach after the distinct, so the wide rows never pass
+    // through the pair-explosion shuffle (narrow-pair trick).
+    val keyed = vectors.select(
+        col(idCol).cast("long").as("id"),
+        explode(array((0 until nTables).map(t =>
+          struct(lit(t).as("t"), srpKey(col(vecCol), dim, nBits, t).as("key"))): _*)).as("bk"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    keyed.count()
+    val pairs = keyed.as("a").join(keyed.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val slim = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
+    pairs
+      .join(slim.select(col("id").as("id_a"), col("__v").as("__qv")), Seq("id_a"))
+      .join(slim.select(col("id").as("id_b"), col("__v").as("__cv")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(VectorOps.cosineCol(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Embedding-cosine near-duplicate pairs, exact all-pairs variant:
     * every unordered pair with cosine ≥ `threshold`.
     *
-    * Exact all-pairs — inherently one-side-broadcast shaped (like
-    * [[bruteForceTopK]]'s query side); at corpus scale the same kernel
-    * runs over [[srpKey]] bucket candidates instead. The scoring loop is
-    * `mapPartitions` over a broadcast corpus with pre-computed norms: a
-    * crossJoin + per-pair UDF pays row machinery and two array
-    * conversions per candidate (~6x slower measured), while here only
-    * above-threshold pairs ever materialize as rows.
+    * Inherently one-side-broadcast shaped (like [[bruteForceTopK]]'s query
+    * side) — correct for broadcast-sized corpora and as the recall oracle
+    * for [[nearDupPairsBucketed]], which is the default at scale. The
+    * scoring loop is `mapPartitions` over a broadcast corpus with
+    * pre-computed norms: a crossJoin + per-pair UDF pays row machinery and
+    * two array conversions per candidate (~6x slower measured), while here
+    * only above-threshold pairs ever materialize as rows.
     *
     * NOTE: the corpus side is collected EAGERLY at call time (it must fit
     * on the driver, like any broadcast build side); the broadcast is
     * released by Spark's ContextCleaner when the returned frame becomes
-    * unreachable. For corpora past broadcast size, generate candidates
-    * with [[srpKey]] buckets and score those instead. */
+    * unreachable. */
   def nearDupPairs(vectors: DataFrame, idCol: String, vecCol: String,
                    threshold: Double, roundTo: Int = 4): DataFrame = {
     val spark = vectors.sparkSession

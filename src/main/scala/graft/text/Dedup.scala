@@ -94,6 +94,42 @@ object Dedup {
     * JVM implementation ([[TextHash.simhash]]). */
   def simhash(text: Column, bits: Int = 16): Column = TextHash.simhashCol(text, bits)
 
+  /** SimHash near-dup candidate pairs via the pivoted-band trick: split
+    * the `bits`-wide signature into `bands` equal chunks and self-join on
+    * band equality — by pigeonhole, every pair with Hamming distance
+    * ≤ bands-1 shares at least one intact band, so candidates with
+    * `maxHamming` ≤ bands-1 are captured at FULL recall without an
+    * all-pairs stage. Exact Hamming (bit_count of xor) filters candidates.
+    * Output: (id_a, id_b, hamming). At corpus scale, widen the signature
+    * (64-bit) and keep band width ≥ 8 bits so band buckets stay sparse. */
+  def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
+                        bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+    require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(maxHamming <= bands - 1,
+      s"full recall needs maxHamming ($maxHamming) <= bands-1 (${bands - 1})")
+    val bw = bits / bands
+    // persist + eager count: same self-join double-compute discipline as
+    // minhashCandidates
+    val sigs = docs
+      .select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sigs.count()
+    // numeric band key (band-index offset + band value): longs shuffle and
+    // compare cheaper than concatenated strings
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until bands).map(b =>
+        lit(b.toLong * (1L << bits)) +
+          shiftright(col("sig"), b * bw) % lit(1L << bw)): _*)).as("bkey"))
+    banded.as("a").join(banded.as("b"),
+        col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Expression-tree form of [[simhash]] — parity-spec reference only
     * (interpreted + bits-times redundant). */
   private[text] def simhashExpr(text: Column, bits: Int = 16): Column = {

@@ -6,9 +6,14 @@ import graft.functions.Cols
 
 /** Text-analysis operators for the training-data-pipeline surface
   * (builder brief: language-ID, quality scoring, token counting, document
-  * fingerprinting). All pure expression trees over the `documents` table —
-  * codegen'd, shuffle-free per-row transforms, so they stream through a
-  * 100 TB corpus at scan speed.
+  * fingerprinting). Shuffle-free per-row transforms over the `documents`
+  * table: simple counts stay pure expression trees (codegen'd); the
+  * token-loop features (quality bundle, language-ID) run as single-pass
+  * JVM kernels behind deterministic UDFs — their expression forms use
+  * higher-order array functions, which never enter codegen and evaluate
+  * ~ms per doc interpreted. Each kernel keeps its expression form as a
+  * parity-tested specification (TextAnalysisKernelSpec), the same
+  * discipline as [[TextHash]].
   */
 object TextAnalysis {
 
@@ -16,9 +21,13 @@ object TextAnalysis {
     "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
     "for", "on", "with", "as", "by", "at", "this", "that")
 
-  /** Token count: whitespace tokenization (empty text → 0). */
+  /** Token count: whitespace tokenization (empty text → 0, null → null —
+    * the explicit guard matters because non-ANSI `size(null)` is -1, so an
+    * unguarded `otherwise(size(...))` would leak -1 for null text). */
   def tokenCount(text: Column): Column =
-    when(length(trim(text)) === 0, lit(0)).otherwise(size(Cols.tokens(text)))
+    when(text.isNull, lit(null).cast("int"))
+      .when(length(trim(text)) === 0, lit(0))
+      .otherwise(size(Cols.tokens(text)))
 
   /** A BPE-ish sub-word unit count: maximal runs of letters, digits, or
     * punctuation (whitespace separates) — a cheap deterministic proxy for
@@ -27,9 +36,76 @@ object TextAnalysis {
   def subwordCount(text: Column): Column =
     size(regexp_extract_all(trim(text), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\\s]+"), lit(0)))
 
+  /** Struct returned by the single-pass quality kernel. `None` ratios mirror
+    * the expression form's null-guarded divisions. */
+  private[text] final case class QualityFeats(
+      n_tokens: Int, avg_token_len: Option[Double], punct_ratio: Option[Double],
+      stopword_ratio: Option[Double], upper_ratio: Option[Double])
+
+  /** Single-pass JVM quality kernel — parity-tested against
+    * [[qualityFeaturesExpr]] (TextAnalysisKernelSpec). The expression form
+    * walks the token array through `filter`/`concat_ws` higher-order
+    * functions, which never enter codegen (~ms per doc interpreted); one
+    * traversal of the raw string + one of the token array computes the
+    * whole bundle. Counts are CODE POINTS to match Spark's `length`. */
+  private[text] def qualityKernel(text: String, stopwords: Set[String]): QualityFeats = {
+    val trimmed = TextHash.sparkTrim(text)
+    val toks: Array[String] =
+      if (trimmed.isEmpty) Array.empty else trimmed.split("\\s+", -1)
+    val n = toks.length
+    var tokChars = 0L
+    var stopHits = 0
+    var ti = 0
+    while (ti < n) {
+      val t = toks(ti)
+      tokChars += t.codePointCount(0, t.length)
+      if (stopwords.contains(t)) stopHits += 1
+      ti += 1
+    }
+    var punct = 0
+    var upper = 0
+    var len = 0
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      // regex-\s is the ASCII class [ \t\n\x0B\f\r]; anything else
+      // non-alphanumeric (incl. non-ASCII) counts as punctuation — the
+      // exact complement [^a-zA-Z0-9\s] of the expression form
+      val isWs = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      val isAl = (cp >= 'a' && cp <= 'z') || (cp >= 'A' && cp <= 'Z') || (cp >= '0' && cp <= '9')
+      if (!isWs && !isAl) punct += 1
+      if (cp >= 'A' && cp <= 'Z') upper += 1
+      len += 1
+      i += Character.charCount(cp)
+    }
+    QualityFeats(n,
+      if (n == 0) None else Some(tokChars.toDouble / n),
+      if (len == 0) None else Some(punct.toDouble / len),
+      if (n == 0) None else Some(stopHits.toDouble / n),
+      if (len == 0) None else Some(upper.toDouble / len))
+  }
+
+  /** One struct column (n_tokens, avg_token_len, punct_ratio,
+    * stopword_ratio, upper_ratio) from the single-pass kernel. */
+  def qualityFeaturesCol(text: Column,
+                         stopwords: Seq[String] = EnglishStopwords): Column = {
+    val stopSet = stopwords.toSet
+    udf((t: String) => if (t == null) null else qualityKernel(t, stopSet)).apply(text)
+  }
+
   /** Quality-score feature bundle: (n_tokens, avg token length, punctuation
-    * ratio, stopword ratio, uppercase ratio). Ratios null-guarded. */
+    * ratio, stopword ratio, uppercase ratio). Ratios null-guarded. The
+    * five columns are field views of ONE deterministic UDF call —
+    * subexpression elimination keeps it a single kernel pass per row. */
   def qualityFeatures(text: Column): Seq[(String, Column)] = {
+    val f = qualityFeaturesCol(text)
+    Seq("n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio", "upper_ratio")
+      .map(name => name -> f.getField(name))
+  }
+
+  /** Expression-tree form of [[qualityFeatures]] — interpreted HOFs, kept
+    * as the specification the kernel is parity-tested against. */
+  private[text] def qualityFeaturesExpr(text: Column): Seq[(String, Column)] = {
     val toks = Cols.tokens(text)
     // tokenCount, not raw size(toks): split("") yields [""], so raw size
     // reports 1 token for empty text while q41's tokenCount reports 0 —
@@ -50,19 +126,52 @@ object TextAnalysis {
   }
 
   /** Heuristic language-ID: stopword hit-rate against per-language stopword
-    * lists; argmax language, `und` when no list scores above `minScore`.
-    * (n-gram-free variant suited to whitespace languages; deterministic.) */
+    * lists; argmax language (ties break to the lexicographically larger
+    * code, matching SQL `greatest` struct order), `und` when no list scores
+    * above `minScore`. Single-pass JVM kernel, parity-tested against
+    * [[languageIdExpr]]. */
   def languageId(text: Column,
                  stoplists: Map[String, Seq[String]] = Map("en" -> EnglishStopwords),
                  minScore: Double = 0.05): Column = {
+    val lists = stoplists.toSeq.sortBy(_._1).map { case (l, ws) => (l, ws.toSet) }
+    udf { (t: String) =>
+      if (t == null) null
+      else {
+        val toks = TextHash.sparkTrim(t.toLowerCase(java.util.Locale.ROOT)).split("\\s+", -1)
+        val n = toks.length.toDouble // raw size: [""] for empty, never 0
+        var bestScore = Double.NegativeInfinity
+        var bestLang = ""
+        lists.foreach { case (lang, words) =>
+          var hits = 0
+          var i = 0
+          while (i < toks.length) { if (words.contains(toks(i))) hits += 1; i += 1 }
+          val score = hits / n
+          if (score > bestScore || (score == bestScore && lang > bestLang)) {
+            bestScore = score; bestLang = lang
+          }
+        }
+        if (bestScore >= minScore) bestLang else "und"
+      }
+    }.apply(text)
+  }
+
+  /** Expression-tree form of [[languageId]] — parity-spec reference only.
+    * Null-guarded: non-ANSI `size(null)` is -1, which would otherwise make
+    * score = -1/-1 = 1.0 and misclassify null text as the first language. */
+  private[text] def languageIdExpr(text: Column,
+                 stoplists: Map[String, Seq[String]] = Map("en" -> EnglishStopwords),
+                 minScore: Double = 0.05): Column = {
     val toks = Cols.tokens(lower(text))
-    val n = nullif(size(toks).cast("double"), lit(0.0))
+    val n = when(text.isNull, lit(null).cast("double"))
+      .otherwise(nullif(size(toks).cast("double"), lit(0.0)))
     val scored = stoplists.toSeq.sortBy(_._1).map { case (lang, words) =>
       struct((size(filter(toks, t => t.isin(words: _*))).cast("double") / n).as("score"),
         lit(lang).as("lang"))
     }
     val best = if (scored.size == 1) scored.head else greatest(scored: _*)
-    when(best.getField("score") >= minScore, best.getField("lang")).otherwise(lit("und"))
+    when(text.isNull, lit(null).cast("string"))
+      .when(best.getField("score") >= minScore, best.getField("lang"))
+      .otherwise(lit("und"))
   }
 
   /** Document fingerprint: min portable-hash over word 3-shingles (a

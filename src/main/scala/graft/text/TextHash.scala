@@ -40,9 +40,20 @@ object TextHash {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** Spark's `trim()` strips ASCII SPACE only — Java's `String.trim` strips
+    * every control char ≤ 0x20, so a doc with a leading tab would tokenize
+    * differently (the tab run becomes a leading empty token in Spark). */
+  def sparkTrim(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && s.charAt(a) == ' ') a += 1
+    while (b > a && s.charAt(b - 1) == ' ') b -= 1
+    if (a == 0 && b == s.length) s else s.substring(a, b)
+  }
+
   /** Whitespace tokens of trimmed text — matches `split(trim(text), "\\s+")`
     * (Spark's split keeps a single empty token for empty input). */
-  def tokenize(text: String): Array[String] = text.trim.split("\\s+", -1)
+  def tokenize(text: String): Array[String] = sparkTrim(text).split("\\s+", -1)
 
   /** md5-hashes of word k-shingles; fewer than k tokens -> empty. Matches
     * `transform(Cols.shingles(tokens, k), hash32)`. */
@@ -76,7 +87,7 @@ object TextHash {
     val hs = shingleHashes(text, shingleK)
     val out = new Array[Long](k)
     if (hs.isEmpty) {
-      java.util.Arrays.fill(out, hash32(text.trim))
+      java.util.Arrays.fill(out, hash32(sparkTrim(text)))
     } else {
       var i = 0
       while (i < k) {
@@ -120,7 +131,7 @@ object TextHash {
     * [[TextAnalysis.fingerprint]]'s expression semantics. */
   def fingerprint(text: String, shingleK: Int): Long = {
     val hs = shingleHashes(text, shingleK)
-    if (hs.isEmpty) hash32(text.trim) else hs.min
+    if (hs.isEmpty) hash32(sparkTrim(text)) else hs.min
   }
 
   // ------------------------------------------------------------- Column API

@@ -48,4 +48,19 @@ class SimilaritySpec extends SparkSpec {
     assert(out.head.getAs[Long]("neighbor_id") === 1L)
     assert(approx(out.head.getAs[Double]("cos_sim"), 1.0))
   }
+
+  test("nearDupPairsBucketed: subset of exact pairs, identical vectors always found") {
+    val rng = new scala.util.Random(11)
+    val vecs = (0L until 30L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    // planted exact duplicate: identical vectors share every SRP bucket
+    val df = (vecs :+ (100L, vecs.head._2)).toDF("vec_id", "embedding")
+    val bucketed = Similarity.nearDupPairsBucketed(df, "vec_id", "embedding",
+        dim = 16, threshold = 0.3, nBits = 4, nTables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.nearDupPairs(df, "vec_id", "embedding", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed.subsetOf(exact), s"bucketed pairs not in exact set: ${bucketed -- exact}")
+    assert(bucketed.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 1.0),
+      "identical pair missed by bucketing")
+  }
 }

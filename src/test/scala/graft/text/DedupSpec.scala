@@ -56,4 +56,26 @@ class DedupSpec extends SparkSpec {
     assert(approx(p13.get.getAs[Double]("jaccard"), 7.0 / 9.0, 1e-9))
     assert(!out.exists(r => r.getAs[Long]("id_b") == 4L))
   }
+
+  test("simhashCandidates: full recall at maxHamming <= bands-1 (matches all-pairs filter)") {
+    val rng = new scala.util.Random(3)
+    val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val base = (1 to 40).map(i =>
+      (i.toLong, (1 to 12).map(_ => words(rng.nextInt(words.length))).mkString(" ")))
+    // plant exact dups (hamming 0) and a one-word variant
+    val corpus = (base :+ (100L, base.head._2) :+ (101L, base.head._2 + " omega"))
+      .toDF("doc_id", "text")
+    val got = Dedup.simhashCandidates(corpus, "doc_id", "text",
+        bits = 16, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute-force oracle over signatures
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash(col("text"), 16).as("s"))
+      .as[(Long, Long)].collect()
+    val expect = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (ia, ib, h)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.contains((1L, 100L, 0)), "planted exact dup not found")
+  }
 }
