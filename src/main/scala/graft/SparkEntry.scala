@@ -387,6 +387,58 @@ object SparkEntry {
             .map(c => round(col(c), 4).as(c)): _*)
         .orderBy("step")),
 
+    // ---- J6 with prefix renames + selective zero-fill (SURVEY S5/P7/F-N1;
+    // reference exog merge with gdelt_* renames and fillna(0) on the model
+    // exog only). The exog side is restricted to 1995+ so both the filled
+    // (x_rev -> 0.0) and unfilled (x_disc -> null) paths get exercised.
+    "q61_j6_align_prefix_fill" -> tuned((s, d) => {
+      val df = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(count(lit(1)).as("n"))
+      val exog = Tables.lineitem(s, d)
+        .filter(year(col("l_shipdate")) >= 1995)
+        .groupBy(Cols.monthStart(col("l_shipdate")).as("emonth"))
+        .agg(round(sum(col("l_extendedprice")), 2).as("rev"),
+          round(avg(col("l_discount")), 6).as("disc"))
+      graft.operators.ExogJoin.alignMonthly(df, exog, "month", "emonth",
+          prefix = "x_", fillZero = Seq("rev"))
+        .select(col("prio"), col("month"), col("n"), col("x_rev"), col("x_disc"))
+        .orderBy("prio", "month")
+    }),
+
+    // ---- S7 long export: stack measures into (date, measure, value)
+    "q62_s7_export_long" -> tuned((s, d) =>
+      graft.operators.ExogJoin.exportLong(
+          monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2))
+            .withColumn("n", col("n").cast("double")),
+          Nil, "month", Seq("tot", "n"))
+        .orderBy("month", "measure")),
+
+    // ---- S7 wide export: pivot a measure into per-key columns
+    "q63_s7_export_wide" -> tuned((s, d) => {
+      val long = graft.operators.ExogJoin.exportLong(
+        Tables.orders(s, d)
+          .groupBy(col("o_orderpriority").as("prio"),
+            Cols.monthStart(col("o_orderdate")).as("month"))
+          .agg(round(sum(col("o_totalprice")), 2).as("tot")),
+        Seq("prio"), "month", Seq("tot"))
+      graft.operators.ExogJoin.exportWide(long, "prio", "month",
+        "measure", "value", "tot")
+    }),
+
+    // ---- W5∘W10 composite: last-point outlier repair (reference cell 28)
+    "q64_w5w10_outlier_repair" -> tuned((s, d) =>
+      graft.operators.Features.repairLastOutlier(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority").as("prio"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(col("o_totalprice")), 2).as("tot")),
+          Seq("prio"), "month", "tot", n = 13, minPeriods = 6)
+        .select(col("prio"), col("month"), col("tot"),
+          round(col("repaired"), 2).as("repaired"))
+        .orderBy("prio", "month")),
+
     // ---- correlogram diagnostics (SURVEY §2.11 U7; ACF is plain SQL —
     // oracle-checked; PACF (Durbin-Levinson) is validated in ScalaTest)
     "q37_u7_acf" -> tuned((s, d) =>
@@ -962,6 +1014,65 @@ object SparkEntry {
     "q32_u9_montecarlo_fan" -> MonteCarloSql,
 
     "q40_u9u8_mc_forecast_fan" -> McForecastSql,
+
+    "q61_j6_align_prefix_fill" ->
+      ("""WITH df AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |e AS (
+        |  SELECT CAST(date_trunc('month', l_shipdate) AS DATE) AS emonth,
+        |         round(sum(l_extendedprice), 2) AS rev,
+        |         round(avg(l_discount), 6) AS disc
+        |  FROM lineitem WHERE year(l_shipdate) >= 1995 GROUP BY 1)
+        |SELECT prio, month, n, coalesce(e.rev, 0.0) AS x_rev, e.disc AS x_disc
+        |FROM df LEFT JOIN e ON month = emonth
+        |ORDER BY prio, month""".stripMargin),
+
+    "q62_s7_export_long" ->
+      (s"""WITH m AS ($MonthlySql)
+        |SELECT month, 'tot' AS measure, round(tot, 2) AS value FROM m
+        |UNION ALL
+        |SELECT month, 'n' AS measure, CAST(n AS DOUBLE) AS value FROM m
+        |ORDER BY month, measure""".stripMargin),
+
+    "q63_s7_export_wide" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(o_totalprice), 2) AS tot
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT month,
+        |  max(CASE WHEN prio = '1-URGENT' THEN tot END) AS "1-URGENT",
+        |  max(CASE WHEN prio = '2-HIGH' THEN tot END) AS "2-HIGH",
+        |  max(CASE WHEN prio = '3-MEDIUM' THEN tot END) AS "3-MEDIUM",
+        |  max(CASE WHEN prio = '4-NOT SPECIFIED' THEN tot END) AS "4-NOT SPECIFIED",
+        |  max(CASE WHEN prio = '5-LOW' THEN tot END) AS "5-LOW"
+        |FROM m GROUP BY month ORDER BY month""".stripMargin),
+
+    "q64_w5w10_outlier_repair" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(o_totalprice), 2) AS tot
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (
+        |  SELECT prio, month, tot,
+        |    CASE WHEN count(tot) OVER win >= 6 THEN median(tot) OVER win END AS med
+        |  FROM m
+        |  WINDOW win AS (PARTITION BY prio ORDER BY month
+        |                 ROWS BETWEEN 12 PRECEDING AND CURRENT ROW)),
+        |l AS (
+        |  SELECT prio, month, tot,
+        |    lag(med) OVER (PARTITION BY prio ORDER BY month) AS med_prev,
+        |    lag(tot) OVER (PARTITION BY prio ORDER BY month) AS tot_prev,
+        |    month = max(month) OVER (PARTITION BY prio) AS is_last
+        |  FROM w)
+        |SELECT prio, month, tot,
+        |  round(CASE WHEN is_last AND coalesce(med_prev, tot_prev) IS NOT NULL
+        |             THEN coalesce(med_prev, tot_prev) ELSE tot END, 2) AS repaired
+        |FROM l ORDER BY prio, month""".stripMargin),
 
     "q33_fd4_future_months" ->
       ("""WITH m AS (SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,

@@ -70,6 +70,32 @@ object Features {
   def cumSum(c: Column, w: WindowSpec): Column =
     sum(c).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
 
+  /** W5∘W10 composite (reference nb cell 28
+    * `fix_last_outlier_with_rolling_median`): replace each key's LAST
+    * observation with the rolling median (window `n`, `minPeriods`)
+    * evaluated at the SECOND-TO-LAST row; when that median is null
+    * (min_periods unmet) fall back to the second-to-last raw value.
+    * Series with fewer than 2 rows are left untouched. Appends `outCol`;
+    * the original column is preserved for before/after comparison.
+    *
+    * Plan shape: the ordered window computes the rolling median and both
+    * lags in ONE WindowExec; the is-last test uses an UNORDERED max window
+    * over the same partition keys (no extra sort). */
+  def repairLastOutlier(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                        valueCol: String, n: Int = 13, minPeriods: Int = 6,
+                        outCol: String = "repaired"): DataFrame = {
+    val w = keyWindow(keyCols, orderCol)
+    val wAll =
+      if (keyCols.isEmpty) Window.partitionBy(lit(1))
+      else Window.partitionBy(keyCols.map(col): _*)
+    val withMed = df.withColumn("__roll_med", rollingMedian(col(valueCol), n, minPeriods, w))
+    val repl = coalesce(lag(col("__roll_med"), 1).over(w), lag(col(valueCol), 1).over(w))
+    val isLast = col(orderCol) === max(col(orderCol)).over(wAll)
+    withMed
+      .withColumn(outCol, when(isLast && repl.isNotNull, repl).otherwise(col(valueCol)))
+      .drop("__roll_med")
+  }
+
   /** W11: keep only the trailing `n` rows of each key's series (reference
     * `s.iloc[-window:]` before drift fitting). `orderCols` should end in a
     * unique tiebreaker for determinism. */

@@ -84,4 +84,31 @@ class FeaturesSpec extends SparkSpec {
       .orderBy("k", "t").as[(String, Int, Double)].collect().toSeq
     assert(out === Seq(("a", 2, 20.0), ("a", 3, 30.0), ("b", 1, 5.0)))
   }
+
+  test("repairLastOutlier: last point replaced by prior rolling median, pandas-parity") {
+    // reference cell 28: window 13, min_periods max(6, 13//2)=6; replacement
+    // is roll_med.iloc[-2]; short series fall back to y.iloc[-2]
+    val months = (1 to 20).map(i => f"${2020 + (i - 1) / 12}-${(i - 1) % 12 + 1}%02d-01")
+    val vals = (1 to 19).map(_.toDouble) :+ 500.0 // last point is the outlier
+    val df = months.zip(vals).toDF("m", "v").select(to_date(col("m")).as("m"), col("v"))
+    val out = Features.repairLastOutlier(df, Nil, "m", "v", n = 13, minPeriods = 6)
+      .orderBy("m").collect()
+    // pandas: roll_med over rows 7..19 (window 13 ending at idx 18) = median(7..19)=13
+    assert(out.last.getAs[Double]("repaired") == 13.0,
+      s"got ${out.last.getAs[Double]("repaired")}")
+    // all non-last rows untouched
+    out.init.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getAs[Double]("repaired") == vals(i)) }
+    // short series (n=3 < min_periods): falls back to second-to-last value
+    val short = Seq(("2020-01-01", 10.0), ("2020-02-01", 20.0), ("2020-03-01", 99.0))
+      .toDF("m", "v").select(to_date(col("m")).as("m"), col("v"))
+    val out2 = Features.repairLastOutlier(short, Nil, "m", "v", n = 13, minPeriods = 6)
+      .orderBy("m").collect()
+    assert(out2.last.getAs[Double]("repaired") == 20.0)
+    // single row: untouched
+    val one = Seq(("2020-01-01", 7.0)).toDF("m", "v")
+      .select(to_date(col("m")).as("m"), col("v"))
+    val out3 = Features.repairLastOutlier(one, Nil, "m", "v").collect()
+    assert(out3.head.getAs[Double]("repaired") == 7.0)
+  }
 }
