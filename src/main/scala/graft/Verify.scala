@@ -14,6 +14,9 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    if (graft.functions.Cols.HashMode != "md5")
+      System.err.println("[verify] WARNING: GRAFT_HASH=" + graft.functions.Cols.HashMode +
+        " — oracle SQL is md5-shaped; correctness runs must use the md5 default")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -94,15 +94,34 @@ object Cols {
   // ------------------------------------------------------------------
   // Portable hashing (dedup / LSH layer).
   //
-  // Deliberately built from md5 rather than Spark's Murmur3 `hash()`:
-  // md5 is bit-identical across engines, so every hash-derived operator
-  // (minhash signatures, simhash, fingerprints) is oracle-checkable in
-  // DuckDB via CAST('0x' || substring(md5(x),1,8) AS BIGINT).
+  // Two modes, selected once per JVM by the GRAFT_HASH env var:
+  //   - "md5" (default): bit-identical across engines, so every
+  //     hash-derived operator (minhash signatures, simhash, fingerprints)
+  //     is oracle-checkable in DuckDB via
+  //     CAST('0x' || substring(md5(x),1,8) AS BIGINT). This is the
+  //     VERIFY default — correctness runs must keep it.
+  //   - "murmur3": Spark's codegen'd Murmur3 `hash()` (seed 42), several
+  //     times cheaper per call — the 100 TB production dial, where md5
+  //     throughput on shingles dominates the dedup family and nothing
+  //     needs to match an external engine. Same [0, 2^32) range, so the
+  //     affine-hash family composes identically.
+  // Every operator derives from this one function (and its JVM twin
+  // [[graft.text.TextHash.hash32]], parity-tested per mode), so the dial
+  // switches the whole family consistently — mixed-mode signatures can't
+  // happen.
   // ------------------------------------------------------------------
 
+  /** Hash mode for the dedup/LSH family (`GRAFT_HASH`: "md5" | "murmur3"). */
+  val HashMode: String = sys.env.getOrElse("GRAFT_HASH", "md5").toLowerCase
+
   /** Portable 32-bit hash of a string column → long in [0, 2^32). */
-  def hash32(c: Column): Column =
-    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  def hash32(c: Column): Column = hash32InMode(c, HashMode)
+
+  /** Mode-explicit form (tests exercise both without env games). */
+  def hash32InMode(c: Column, mode: String): Column = mode match {
+    case "murmur3" => hash(c).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    case _         => conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+  }
 
   /** Universal-hash family member over a hash32 value: (a·h + b) mod p with
     * prime p > 2^32. `a` is kept ≤ 2^20 so a·h < 2^52 — no long overflow

@@ -31,13 +31,27 @@ object TextHash {
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** First 8 hex chars of md5(s) as unsigned long — exactly
-    * [[graft.functions.Cols.hash32]]. */
-  def hash32(s: String): Long = {
+  /** JVM twin of [[graft.functions.Cols.hash32]] — honors the same
+    * GRAFT_HASH mode dial so UDF kernels and expression trees always hash
+    * identically (parity-asserted per mode in TextHashParitySpec). */
+  def hash32(s: String): Long =
+    if (graft.functions.Cols.HashMode == "murmur3") hash32Murmur(s) else hash32Md5(s)
+
+  /** First 8 hex chars of md5(s) as unsigned long (the verify default). */
+  def hash32Md5(s: String): Long = {
     val md = mdLocal.get()
     md.reset()
     val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Spark `hash()` (Murmur3_x86_32, seed 42) over the UTF-8 bytes,
+    * masked to [0, 2^32) — the production-scale mode. */
+  def hash32Murmur(s: String): Long = {
+    val b = s.getBytes(StandardCharsets.UTF_8)
+    org.apache.spark.unsafe.hash.Murmur3_x86_32
+      .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, b.length, 42)
+      .toLong & 0xFFFFFFFFL
   }
 
   /** Spark's `trim()` strips ASCII SPACE only — Java's `String.trim` strips
