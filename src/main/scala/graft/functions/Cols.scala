@@ -92,32 +92,35 @@ object Cols {
   def safeDiv(num: Column, den: Column): Column = num / nullif(den, lit(0))
 
   // ------------------------------------------------------------------
-  // Portable hashing (dedup / LSH layer).
+  // Portable hashing.
   //
-  // Two modes, selected once per JVM by the GRAFT_HASH env var:
-  //   - "md5" (default): bit-identical across engines, so every
-  //     hash-derived operator (minhash signatures, simhash, fingerprints)
-  //     is oracle-checkable in DuckDB via
-  //     CAST('0x' || substring(md5(x),1,8) AS BIGINT). This is the
-  //     VERIFY default — correctness runs must keep it.
-  //   - "murmur3": Spark's codegen'd Murmur3 `hash()` (seed 42), several
-  //     times cheaper per call — the 100 TB production dial, where md5
-  //     throughput on shingles dominates the dedup family and nothing
-  //     needs to match an external engine. Same [0, 2^32) range, so the
-  //     affine-hash family composes identically.
-  // Every operator derives from this one function (and its JVM twin
-  // [[graft.text.TextHash.hash32]], parity-tested per mode), so the dial
-  // switches the whole family consistently — mixed-mode signatures can't
-  // happen.
+  // [[hash32]] is ALWAYS md5: bit-identical across engines (so every
+  // hash-derived operator is oracle-checkable in DuckDB via
+  // CAST('0x' || substring(md5(x),1,8) AS BIGINT)), and mode-independent
+  // so the RNG ([[graft.operators.MonteCarlo]]) and SRP hyperplanes
+  // ([[graft.sim.Similarity]]) never change under the production dial.
+  //
+  // The GRAFT_HASH=murmur3 dial applies ONLY to the text-dedup family
+  // (shingle/minhash/simhash/fingerprint kernels in
+  // [[graft.text.TextHash]] and the exact-dedup digest), where md5
+  // throughput on shingles dominates at corpus scale. The mode is
+  // resolved ONCE on the driver ([[HashMode]]) and captured into UDF
+  // closures at plan-build time — executors never read the env var, so a
+  // driver-only setting cannot produce mixed-mode signatures on a
+  // cluster. Correctness (Verify) runs must keep the md5 default: the
+  // oracle SQL is md5-shaped.
   // ------------------------------------------------------------------
 
-  /** Hash mode for the dedup/LSH family (`GRAFT_HASH`: "md5" | "murmur3"). */
+  /** Hash mode for the text-dedup family (`GRAFT_HASH`: "md5" | "murmur3"),
+    * resolved once in the driver JVM. */
   val HashMode: String = sys.env.getOrElse("GRAFT_HASH", "md5").toLowerCase
 
-  /** Portable 32-bit hash of a string column → long in [0, 2^32). */
-  def hash32(c: Column): Column = hash32InMode(c, HashMode)
+  /** Portable 32-bit md5 hash of a string column → long in [0, 2^32). */
+  def hash32(c: Column): Column = hash32InMode(c, "md5")
 
-  /** Mode-explicit form (tests exercise both without env games). */
+  /** Mode-explicit form; "murmur3" is Spark's codegen'd `hash()` (seed 42)
+    * masked to the same [0, 2^32) range, so the affine-hash family
+    * composes identically. */
   def hash32InMode(c: Column, mode: String): Column = mode match {
     case "murmur3" => hash(c).cast("long").bitwiseAND(lit(0xFFFFFFFFL))
     case _         => conv(substring(md5(c), 1, 8), 16, 10).cast("long")

@@ -78,6 +78,12 @@ object Features {
     * Series with fewer than 2 rows are left untouched. Appends `outCol`;
     * the original column is preserved for before/after comparison.
     *
+    * PRECONDITION: one row per (key, orderCol) — i.e. a deduped monthly
+    * grid ([[CalendarOps.dedupeByMonth]] / `monthGrid` upstream), matching
+    * the reference's unique DatetimeIndex. Rows TIED for the max order
+    * value would all be treated as "last" and repaired from a
+    * nondeterministic lag.
+    *
     * Plan shape: the ordered window computes the rolling median and both
     * lags in ONE WindowExec; the is-last test uses an UNORDERED max window
     * over the same partition keys (no extra sort). */

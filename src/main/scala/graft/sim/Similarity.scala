@@ -110,8 +110,6 @@ object Similarity {
                            dim: Int, threshold: Double, nBits: Int = 8,
                            nTables: Int = 2, roundTo: Int = 4): DataFrame = {
     // persist + eager count: the self-join would otherwise run the srpKey
-    // UDF pipeline on both sides (same discipline as minhashCandidates)
-    // persist + eager count: the self-join would otherwise run the srpKey
     // UDF pipeline on both sides (same discipline as minhashCandidates).
     // Candidate discovery shuffles (id, bucket) ONLY — the 64-float
     // vectors re-attach after the distinct, so the wide rows never pass

@@ -15,12 +15,16 @@ import org.apache.spark.sql.types._
   */
 object Diagnostics {
 
-  /** Project to (key, sortable-order, value) rows. Numeric/date/timestamp
-    * order columns sort by their numeric value — casting everything to
-    * string would order "10" before "2" and silently permute the series
-    * before the statistics run. Other types sort by their string form. */
+  /** Project to (key, sortable-order, value, exog) rows. Numeric/date/
+    * timestamp order columns sort by their numeric value — casting
+    * everything to string would order "10" before "2" and silently permute
+    * the series before the statistics run. Other types sort by their
+    * string form. Rows with a null order value are DROPPED (the
+    * reference's `out[~out.index.isna()]`) — a null would otherwise NPE
+    * the string sort fallback. Exog nulls fill with 0 (reference
+    * `fillna(0)`); no exog column → constant 0. */
   private def slim(df: DataFrame, keyCols: Seq[String], orderCol: String,
-                   valueCol: String) = {
+                   valueCol: String, exogCol: Option[String] = None) = {
     val spark = df.sparkSession
     import spark.implicits._
     val keyExpr = if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
@@ -29,19 +33,25 @@ object Diagnostics {
       case DateType | TimestampType => col(orderCol).cast("timestamp").cast("double")
       case _ => lit(null).cast("double")
     }
-    df.filter(col(valueCol).isNotNull)
+    val xExpr = exogCol.map(c => coalesce(col(c).cast("double"), lit(0.0))).getOrElse(lit(0.0))
+    df.filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
       .select(keyExpr.as("key"), col(orderCol).cast("string").as("ord"),
-        ordNum.as("ordn"), col(valueCol).cast("double").as("v"))
-      .as[(String, String, Option[Double], Double)]
+        ordNum.as("ordn"), col(valueCol).cast("double").as("v"), xExpr.as("x"))
+      .as[(String, String, Option[Double], Double, Double)]
   }
 
-  /** Sort a group's rows chronologically and return the value series. */
-  private def series(it: Iterator[(String, String, Option[Double], Double)]): Array[Double] = {
+  /** Sort a group's rows chronologically; (value series, exog series). */
+  private def seriesX(it: Iterator[(String, String, Option[Double], Double, Double)])
+      : (Array[Double], Array[Double]) = {
     val rows = it.toArray
     val sorted =
       if (rows.forall(_._3.isDefined)) rows.sortBy(_._3.get) else rows.sortBy(_._2)
-    sorted.map(_._4)
+    (sorted.map(_._4), sorted.map(_._5))
   }
+
+  /** Sort a group's rows chronologically and return the value series. */
+  private def series(it: Iterator[(String, String, Option[Double], Double, Double)]): Array[Double] =
+    seriesX(it)._1
 
   private val statsSchema = StructType(Seq(
     StructField("key", StringType),
@@ -173,24 +183,10 @@ object Diagnostics {
                     fitWindow: Int = 60): org.apache.spark.sql.Dataset[SarimaxModelRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val keyExpr = if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
-    val ordNum: Column = df.schema(orderCol).dataType match {
-      case _: NumericType => col(orderCol).cast("double")
-      case DateType | TimestampType => col(orderCol).cast("timestamp").cast("double")
-      case _ => lit(null).cast("double")
-    }
-    val xExpr = exogCol.map(c => coalesce(col(c).cast("double"), lit(0.0))).getOrElse(lit(0.0))
-    df.filter(col(valueCol).isNotNull)
-      .select(keyExpr.as("key"), col(orderCol).cast("string").as("ord"),
-        ordNum.as("ordn"), col(valueCol).cast("double").as("v"), xExpr.as("x"))
-      .as[(String, String, Option[Double], Double, Double)]
+    slim(df, keyCols, orderCol, valueCol, exogCol)
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
-        val rows = it.toArray
-        val sorted =
-          if (rows.forall(_._3.isDefined)) rows.sortBy(_._3.get) else rows.sortBy(_._2)
-        val y = sorted.map(_._4)
-        val x = sorted.map(_._5)
+        val (y, x) = seriesX(it)
         val xOpt = exogCol.map(_ => x)
         Sarimax.fitBest(y, xOpt, candidates).iterator.map { fit =>
           val kern = Sarimax.forecastKernel(fit, y, xOpt, horizon)

@@ -298,7 +298,11 @@ object Sarimax {
     val w = x.map(difference(_, d, D, s))
     val n = z.length
     val nFree = (if (trendC) 1 else 0) + (if (w.isDefined) 1 else 0) + spec.nArma
-    if (n < nFree + s + 5) return None
+    // the extra s-observation margin only applies when the model itself has
+    // seasonal structure — a non-seasonal candidate on a short series is
+    // perfectly fittable
+    val seasonalMargin = if (P + Q > 0 || D > 0) s else 0
+    if (n < nFree + seasonalMargin + 5) return None
 
     val nReg = (if (trendC) 1 else 0) + (if (w.isDefined) 1 else 0)
     def unpack(v: Array[Double]): (Double, Double, Array[Double], Array[Double], Array[Double], Array[Double]) = {
@@ -313,15 +317,22 @@ object Sarimax {
     }
 
     def loglikOf(v: Array[Double]): (Double, Double) = {
+      // bound only the ARMA coefficients: they can destabilize the filter,
+      // while (c, β) are linear and legitimately take any magnitude (an
+      // absolute cutoff there would silently reject unscaled-level series)
+      if (v.exists(_.isNaN) ||
+          v.drop(nReg).exists(math.abs(_) > 1e3)) return (Double.NegativeInfinity, Double.NaN)
       val (c0, b0, phi, th, sp, st) = unpack(v)
-      if (v.exists(x => x.isNaN || math.abs(x) > 1e3)) return (Double.NegativeInfinity, Double.NaN)
       val u = Array.tabulate(n)(t => z(t) - c0 - b0 * w.map(_(t)).getOrElse(0.0))
       val arC = expandPoly(phi, sp, s, signAr = true)
       val maC = expandPoly(th, st, s, signAr = false)
       armaLoglik(u, arC, maC)
     }
 
-    // start (c, β) at their OLS values; ARMA coefficients at a small kick
+    // start (c, β) at their OLS values; ARMA coefficients at a small kick.
+    // A singular design (e.g. exog identically 0 after differencing) falls
+    // back to the intercept-only MLE c = mean(z) — never a silent all-zero
+    // start, which for an nArma==0 candidate would BE the returned fit.
     val start = new Array[Double](nFree)
     if (nReg > 0) {
       val xm = Array.tabulate(n) { t =>
@@ -334,7 +345,9 @@ object Sarimax {
       try {
         val (betaHat, _, _) = TimeSeriesStats.ols(xm, z)
         Array.copy(betaHat, 0, start, 0, nReg)
-      } catch { case _: Exception => () }
+      } catch {
+        case _: Exception => if (trendC) start(0) = z.sum / n
+      }
     }
     var i = nReg
     while (i < nFree) { start(i) = 0.05; i += 1 }

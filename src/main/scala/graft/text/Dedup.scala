@@ -17,11 +17,19 @@ import graft.functions.Cols
 object Dedup {
 
   /** Exact dedup: group identical normalized text, keep the smallest id.
-    * One hash-shuffle on a 32-byte digest instead of the full document —
-    * the at-scale trick is to shuffle md5(text), never text itself. */
+    * One hash-shuffle on a fixed-width digest instead of the full document
+    * — the at-scale trick is to shuffle hash(text), never text itself.
+    * Digest follows the GRAFT_HASH dial: md5 (default, oracle-portable) or
+    * xxhash64 (codegen'd, several times cheaper; 64-bit, NOT 32-bit
+    * murmur — exact dedup needs a collision margin far past the ~77k-doc
+    * 32-bit birthday bound). */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = trim(col(textCol))
+    val digest =
+      if (graft.functions.Cols.HashMode == "murmur3") xxhash64(norm).cast("string")
+      else md5(norm)
     docs
-      .select(col(idCol), md5(trim(col(textCol))).as("text_hash"))
+      .select(col(idCol), digest.as("text_hash"))
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }

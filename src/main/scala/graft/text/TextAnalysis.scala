@@ -137,7 +137,11 @@ object TextAnalysis {
     udf { (t: String) =>
       if (t == null) null
       else {
-        val toks = TextHash.sparkTrim(t.toLowerCase(java.util.Locale.ROOT)).split("\\s+", -1)
+        // default-locale toLowerCase ON PURPOSE: Spark's lower() (the
+        // parity spec / oracle path) takes UTF8String's non-ASCII slow
+        // path through String.toLowerCase() with the default locale —
+        // Locale.ROOT here would diverge on e.g. Turkish-locale JVMs
+        val toks = TextHash.sparkTrim(t.toLowerCase).split("\\s+", -1)
         val n = toks.length.toDouble // raw size: [""] for empty, never 0
         var bestScore = Double.NegativeInfinity
         var bestLang = ""

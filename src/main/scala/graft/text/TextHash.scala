@@ -31,11 +31,16 @@ object TextHash {
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** JVM twin of [[graft.functions.Cols.hash32]] — honors the same
-    * GRAFT_HASH mode dial so UDF kernels and expression trees always hash
-    * identically (parity-asserted per mode in TextHashParitySpec). */
-  def hash32(s: String): Long =
-    if (graft.functions.Cols.HashMode == "murmur3") hash32Murmur(s) else hash32Md5(s)
+  /** Mode dispatch for the text-dedup kernels. The mode string is
+    * CAPTURED ON THE DRIVER at plan-build time (see the Column APIs below)
+    * and shipped in the UDF closure — executors never consult the env var,
+    * so driver/executor modes cannot diverge on a cluster. */
+  def hash32(s: String, mode: String): Long =
+    if (mode == "murmur3") hash32Murmur(s) else hash32Md5(s)
+
+  /** md5 hash32 — the mode-independent form for callers outside the dedup
+    * family (SRP hyperplanes, RNG counters, checkpoint keys). */
+  def hash32(s: String): Long = hash32Md5(s)
 
   /** First 8 hex chars of md5(s) as unsigned long (the verify default). */
   def hash32Md5(s: String): Long = {
@@ -69,9 +74,9 @@ object TextHash {
     * (Spark's split keeps a single empty token for empty input). */
   def tokenize(text: String): Array[String] = sparkTrim(text).split("\\s+", -1)
 
-  /** md5-hashes of word k-shingles; fewer than k tokens -> empty. Matches
-    * `transform(Cols.shingles(tokens, k), hash32)`. */
-  def shingleHashes(text: String, k: Int): Array[Long] = {
+  /** Hashes of word k-shingles; fewer than k tokens -> empty. Matches
+    * `transform(Cols.shingles(tokens, k), hash32)` in md5 mode. */
+  def shingleHashes(text: String, k: Int, mode: String = "md5"): Array[Long] = {
     val toks = tokenize(text)
     if (toks.length < k) Array.emptyLongArray
     else {
@@ -82,7 +87,7 @@ object TextHash {
         sb.setLength(0)
         var j = 0
         while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
-        out(i) = hash32(sb.toString)
+        out(i) = hash32(sb.toString, mode)
         i += 1
       }
       out
@@ -97,11 +102,11 @@ object TextHash {
   /** Full k-component minhash signature in one traversal; docs shorter than
     * the shingle width fall back to the whole-trimmed-text hash (same as the
     * expression form's coalesce). */
-  def minhashSig(text: String, k: Int, shingleK: Int): Array[Long] = {
-    val hs = shingleHashes(text, shingleK)
+  def minhashSig(text: String, k: Int, shingleK: Int, mode: String = "md5"): Array[Long] = {
+    val hs = shingleHashes(text, shingleK, mode)
     val out = new Array[Long](k)
     if (hs.isEmpty) {
-      java.util.Arrays.fill(out, hash32(sparkTrim(text)))
+      java.util.Arrays.fill(out, hash32(sparkTrim(text), mode))
     } else {
       var i = 0
       while (i < k) {
@@ -122,12 +127,12 @@ object TextHash {
 
   /** SimHash over token hashes: per bit, majority vote. Matches
     * [[Dedup.simhash]]'s expression semantics (votes > 0 -> bit set). */
-  def simhash(text: String, bits: Int): Long = {
+  def simhash(text: String, bits: Int, mode: String = "md5"): Long = {
     val toks = tokenize(text)
     val votes = new Array[Int](bits)
     var i = 0
     while (i < toks.length) {
-      val h = hash32(toks(i))
+      val h = hash32(toks(i), mode)
       var b = 0
       while (b < bits) {
         if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
@@ -143,19 +148,28 @@ object TextHash {
 
   /** Min shingle-hash fingerprint with whole-text fallback — matches
     * [[TextAnalysis.fingerprint]]'s expression semantics. */
-  def fingerprint(text: String, shingleK: Int): Long = {
-    val hs = shingleHashes(text, shingleK)
-    if (hs.isEmpty) hash32(sparkTrim(text)) else hs.min
+  def fingerprint(text: String, shingleK: Int, mode: String = "md5"): Long = {
+    val hs = shingleHashes(text, shingleK, mode)
+    if (hs.isEmpty) hash32(sparkTrim(text), mode) else hs.min
   }
 
   // ------------------------------------------------------------- Column API
+  //
+  // Each builder reads Cols.HashMode ONCE, here on the driver, and the
+  // resulting `mode` string rides in the UDF closure to the executors.
 
-  def minhashSigCol(text: Column, k: Int, shingleK: Int = 3): Column =
-    udf((t: String) => if (t == null) null else minhashSig(t, k, shingleK)).apply(text)
+  def minhashSigCol(text: Column, k: Int, shingleK: Int = 3): Column = {
+    val mode = graft.functions.Cols.HashMode
+    udf((t: String) => if (t == null) null else minhashSig(t, k, shingleK, mode)).apply(text)
+  }
 
-  def simhashCol(text: Column, bits: Int): Column =
-    udf((t: String) => if (t == null) null else Long.box(simhash(t, bits))).apply(text)
+  def simhashCol(text: Column, bits: Int): Column = {
+    val mode = graft.functions.Cols.HashMode
+    udf((t: String) => if (t == null) null else Long.box(simhash(t, bits, mode))).apply(text)
+  }
 
-  def fingerprintCol(text: Column, shingleK: Int = 3): Column =
-    udf((t: String) => if (t == null) null else Long.box(fingerprint(t, shingleK))).apply(text)
+  def fingerprintCol(text: Column, shingleK: Int = 3): Column = {
+    val mode = graft.functions.Cols.HashMode
+    udf((t: String) => if (t == null) null else Long.box(fingerprint(t, shingleK, mode))).apply(text)
+  }
 }

@@ -194,6 +194,30 @@ class SarimaxSpec extends AnyFunSuite {
     assert(fAr.aic < fWn.aic - 100, s"AR aic=${fAr.aic} vs WN aic=${fWn.aic}")
   }
 
+  test("fit: degenerate exog (all-zero after differencing) falls back to intercept-only MLE") {
+    val rng = new Random(21)
+    val y = Array.tabulate(60)(t => 5.0 + 0.5 * t + rng.nextGaussian() * 0.1)
+    val x = Array.fill(60)(3.0) // constant exog -> w ≡ 0 -> singular OLS design
+    val f = fit(y, Some(x), SarimaxSpec(0, 1, 0, 0, 0, 0, 12)).get
+    approx(f.intercept, 0.5, 0.1) // drift recovered, not silently zeroed
+    assert(f.beta == 0.0)
+  }
+
+  test("fit: unscaled large-level series is not rejected by any parameter bound") {
+    val rng = new Random(9)
+    // levels ~3e9, drift ~5e6 per step: both far past any absolute cutoff
+    val y = Array.tabulate(80)(t => 3e9 + 5e6 * t + rng.nextGaussian() * 1e5)
+    val f = fit(y, None, SarimaxSpec(0, 1, 0, 0, 0, 0, 12)).get
+    approx(f.intercept, 5e6, 1e5)
+  }
+
+  test("fit: short series fits non-seasonal candidates; seasonal guard still applies") {
+    val rng = new Random(2)
+    val y = Array.tabulate(15)(t => 1.0 * t + rng.nextGaussian() * 0.01)
+    assert(fit(y, None, SarimaxSpec(0, 1, 0, 0, 0, 0, 12)).isDefined)
+    assert(fit(y, None, SarimaxSpec(1, 1, 0, 0, 1, 1, 12)).isEmpty)
+  }
+
   // ------------------------------------------------------------- forecasting
 
   test("forecast: AR(1)-with-intercept decays to the mean (analytic recursion)") {
