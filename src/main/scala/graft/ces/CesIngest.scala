@@ -34,6 +34,45 @@ object CesIngest {
   def normalizeHeaders(df: DataFrame): DataFrame =
     df.toDF(df.columns.map(_.trim.toLowerCase): _*)
 
+  /** U11/nb-cell-25 `infer_date_col`: pick the DataFrame's date column.
+    *
+    *   1. a date/timestamp-TYPED column wins immediately (the analog of
+    *      the reference's "index is already datetime-like");
+    *   2. else the first column with a common date name
+    *      (date, month, period, time — reference's name scan);
+    *   3. else the STRING column with the best `to_date` parse success
+    *      rate over a driver-bounded sample, required > 0.5 (reference's
+    *      `pd.to_datetime(errors="coerce").notna().mean()` scan —
+    *      restricted to strings here: pandas would also "parse" integer
+    *      columns as epoch offsets, which is never the intended column).
+    *
+    * The rate scan is ONE aggregate job over `limit(sampleRows)` — all
+    * candidate columns measured in a single pass, no per-column jobs.
+    * None when nothing qualifies (reference raises; callers route to an
+    * explicit date_col parameter). */
+  def inferDateCol(df: DataFrame, sampleRows: Int = 1000): Option[String] = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val typed = df.schema.fields.find(f =>
+      f.dataType == DateType || f.dataType == TimestampType).map(_.name)
+    lazy val named = df.columns.find(c =>
+      Seq("date", "month", "period", "time").contains(c.toLowerCase))
+    lazy val bestByRate = {
+      val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
+      if (strCols.isEmpty) None
+      else {
+        val aggs = count(lit(1)).as("n") +:
+          strCols.map(c => avg(to_date(col(c)).isNotNull.cast("double")).as(c))
+        val rates = df.limit(sampleRows).agg(aggs.head, aggs.tail: _*).collect()(0)
+        if (rates.getAs[Long]("n") == 0L) None
+        else strCols
+          .map(c => c -> Option(rates.getAs[Double](c)).getOrElse(0.0))
+          .maxByOption(_._2)
+          .collect { case (c, r) if r > 0.5 => c }
+      }
+    }
+    typed.orElse(named).orElse(bestByRate)
+  }
+
   /** P3: first-match-wins candidate-name discovery (reference `find_col`,
     * `load_CES_pandas.py:96-110`); fails loudly when nothing matches. */
   def findCol(df: DataFrame, candidates: Seq[String]): String =

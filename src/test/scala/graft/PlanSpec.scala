@@ -66,4 +66,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Range ("))
     assert(!p.contains("FileScan"), "simulation should not read any table")
   }
+
+  test("MC forecast fan (q40) broadcasts the model table onto the sim grid") {
+    val p = plan("q40_u9u8_mc_forecast_fan")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"model x sim grid should be a broadcast nested-loop:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "grid fell back to a shuffled join")
+  }
+
+  test("bucketed near-dup (q60) shuffles only ids+buckets for pair discovery") {
+    val df = SparkEntry.queries("q60_x_embed_neardup_bucketed")(spark, dir)
+    val exchangeLines = df.queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    // the pair-explosion shuffle (bucket key bk) must not carry embeddings;
+    // vectors re-attach afterward via the id joins
+    assert(exchangeLines.filter(_.contains("bk#")).forall(!_.contains("embedding")),
+      s"embeddings crossed the candidate shuffle: $exchangeLines")
+  }
+
+  test("outlier repair (q64): all three window stages share ONE sort and ONE shuffle") {
+    // three Window nodes are inherent (lag-of-rolling-median nests, and
+    // the is-last max is unordered) — what must NOT happen is a re-sort
+    // or re-shuffle between them
+    val p = SparkEntry.queries("q64_w5w10_outlier_repair")(spark, dir)
+      .queryExecution.executedPlan.toString
+    val windowSorts = p.linesIterator.count(l =>
+      l.contains("Sort [prio") && l.contains("month"))
+    val windowShuffles = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(prio"))
+    assert(windowSorts <= 2, s"window stages re-sorted: $windowSorts sorts\n$p")
+    assert(windowShuffles == 1, s"window stages re-shuffled: $windowShuffles\n$p")
+  }
+
+  test("sarimax grid (q39) reads only the order columns it needs") {
+    val p = plan("q39_u8_sarimax_grid")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderdate") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_comment"), s"unused column read: $readSchema")
+  }
 }

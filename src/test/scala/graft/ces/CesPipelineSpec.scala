@@ -118,4 +118,27 @@ class CesPipelineSpec extends SparkSpec {
       .select("career").distinct().collect().map(_.getString(0)).toSet
     assert(careersOfI2 === Set("mechanic", "narrow"))
   }
+
+  test("inferDateCol: typed column wins, then common names, then parse-rate scan") {
+    import graft.ces.CesIngest.inferDateCol
+    import spark.implicits._
+    // 1. typed date column wins even when a name-candidate exists
+    val typed = Seq(("2020-01-01", "x"))
+      .toDF("period", "junk")
+      .withColumn("observed", to_date(col("period")))
+    assert(inferDateCol(typed) == Some("observed"))
+    // 2. common name wins over a better-parsing string column
+    val named = Seq(("not a date", "2020-01-01")).toDF("month", "other")
+    assert(inferDateCol(named) == Some("month"))
+    // 3. parse-rate fallback picks the string column that parses
+    val scan = Seq(("abc", "2020-01-01"), ("def", "2020-02-01"), ("ghi", "junk"))
+      .toDF("label", "observed_at")
+    assert(inferDateCol(scan) == Some("observed_at"))
+    // 4. nothing qualifies -> None
+    val none = Seq(("a", 1)).toDF("label", "n")
+    assert(inferDateCol(none).isEmpty)
+    // rate must clear 0.5: a column parsing 1 of 3 rows does not qualify
+    val weak = Seq(("2020-01-01", "x"), ("junk", "y"), ("junk2", "z")).toDF("s", "t")
+    assert(inferDateCol(weak).isEmpty)
+  }
 }
