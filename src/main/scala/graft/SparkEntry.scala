@@ -527,10 +527,24 @@ object SparkEntry {
         .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("simhash"))
         .orderBy("doc_id")),
 
+    // 32-bit signature (vs q47's 16): 8-bit bands keep buckets sparse —
+    // the documented at-scale sizing; 16-bit bands of 4 bits collide ~16x
+    // more and explode the candidate join
     "q59_x_simhash_pairs" -> tuned((s, d) =>
       Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
-          bits = SimhashBits, bands = 4, maxHamming = 1)
+          bits = 32, bands = 4, maxHamming = 1)
         .orderBy("id_a", "id_b")),
+
+    // ---- extension: skew toolbox correctness (salting is semantically the
+    // identity on the join result — the oracle is the PLAIN join)
+    "q65_x_salted_join" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ords = Tables.orders(s, d).select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Skew.saltedJoin(li, ords, Seq("okey"), buckets = 8)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("o_orderpriority")
+    }),
 
     "q48_x_ngram_jaccard" -> tuned((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
@@ -622,6 +636,11 @@ object SparkEntry {
 
     // ---- extension: LSH-bucketed ANN (no oracle: bucket recall is
     // approximate by design; driver records rows-only)
+    // ---- extension: streaming exact dedup (order-independent aggregate ->
+    // the finished stream state equals the batch result; shares q44's oracle)
+    "q66_x_stream_dedup" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingExactDedup(s, d)),
+
     "q52_x_lsh_ann" -> tuned((s, d) =>
       Similarity.lshTopK(
           Tables.embeddings(s, d).filter(col("vec_id") < 200),
@@ -687,9 +706,9 @@ object SparkEntry {
     s"round(${dot("q", "c")} / nullif(sqrt(${dot("q", "q")}) * sqrt(${dot("c", "c")}), 0), 4)"
   }
 
-  /** Shared doc→simhash-signature CTE (`s(doc_id, sig)`). */
-  private val SimhashSigCte: String = {
-    val bits = (0 until SimhashBits).map { i =>
+  /** Shared doc→simhash-signature CTE (`s(doc_id, sig)`), width-param. */
+  private def simhashSigCte(nBits: Int): String = {
+    val bits = (0 until nBits).map { i =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH t AS (
@@ -701,13 +720,14 @@ object SparkEntry {
   }
 
   private val SimhashSql: String =
-    s"$SimhashSigCte\nSELECT doc_id, sig AS simhash FROM s ORDER BY doc_id"
+    s"${simhashSigCte(SimhashBits)}\nSELECT doc_id, sig AS simhash FROM s ORDER BY doc_id"
 
-  /** q59: banded simhash candidates. maxHamming (1) ≤ bands-1 (3), so the
-    * banded join has FULL recall and the all-pairs Hamming filter is an
-    * exact oracle of the algorithm's output. */
+  /** q59: banded simhash candidates at the at-scale signature width
+    * (32-bit, 8-bit bands → sparse buckets). maxHamming (1) ≤ bands-1
+    * (3), so the banded join has FULL recall and the all-pairs Hamming
+    * filter is an exact oracle of the algorithm's output. */
   private val SimhashPairsSql: String =
-    s"""$SimhashSigCte
+    s"""${simhashSigCte(32)}
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id
@@ -1147,6 +1167,15 @@ object SparkEntry {
     "q44_x_dedup_exact" ->
       ("SELECT md5(trim(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
         "FROM documents GROUP BY 1 ORDER BY 1"),
+
+    "q66_x_stream_dedup" ->
+      ("SELECT md5(trim(text)) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies " +
+        "FROM documents GROUP BY 1 ORDER BY 1"),
+
+    "q65_x_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
 
     "q45_x_minhash_sig" ->
       (s"""$MinhashCte

@@ -24,20 +24,20 @@ object StreamingCollapse {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** FileStreamSource requires a *directory* basePath; the testdata ships a
-    * single `events.parquet` file. Stage a symlink to it inside a temp
-    * directory (per source dir, idempotent) — at scale the source is
-    * already a directory of landing files and this staging disappears. */
-  private def streamDir(dir: String): String = {
+  /** FileStreamSource requires a *directory* basePath; the testdata ships
+    * single `<table>.parquet` files. Stage a symlink to one inside a temp
+    * directory (per source dir + table, idempotent) — at scale the source
+    * is already a directory of landing files and this staging disappears. */
+  private def streamDir(dir: String, table: String = "events"): String = {
     import java.nio.file.{Files, Paths}
-    val src = Paths.get(s"$dir/events.parquet")
+    val src = Paths.get(s"$dir/$table.parquet")
     // md5 of the full path (not String.hashCode): collision-proof keying —
     // two colliding source dirs sharing a staging dir would silently
     // stream the wrong dataset
-    val key = graft.text.TextHash.hash32(dir).toHexString
+    val key = graft.text.TextHash.hash32(s"$dir/$table").toHexString
     val d = Paths.get(sys.props("java.io.tmpdir"), s"graft_stream_$key")
     Files.createDirectories(d)
-    val link = d.resolve("events.parquet")
+    val link = d.resolve(s"$table.parquet")
     // deleteIfExists handles stale/dangling links (exists() follows the
     // target, so a broken link would otherwise wedge staging forever)
     Files.deleteIfExists(link)
@@ -151,5 +151,44 @@ object StreamingCollapse {
     try q.processAllAvailable()
     finally q.stop()
     spark.table(name).orderBy("week", "event_type")
+  }
+
+  // ------------------------------------------------------------ dedup
+
+  private val documentsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup over a landing directory of document files:
+    * running `groupBy(text_hash)` keeping the smallest id and a copy
+    * count — the standing-pipeline form of [[graft.text.Dedup.exact]].
+    * min/count are ORDER-INDEPENDENT aggregates, so the finished state is
+    * identical to the batch result no matter how micro-batches slice the
+    * input — which is exactly what makes it oracle-checkable (q66 shares
+    * q44's DuckDB oracle). Complete output mode: the digest-keyed state is
+    * the dedup index and is meant to be standing; at corpus scale swap the
+    * memory sink for a compacted key-value sink and the same plan runs
+    * incrementally. */
+  def streamingExactDedup(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_dedup"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val agg = spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir(dir, "documents"))
+      .select(col("doc_id"), md5(trim(col("text"))).as("text_hash"))
+      .groupBy("text_hash")
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("text_hash")
   }
 }
