@@ -24,9 +24,10 @@ object Similarity {
   /** Exact cosine top-k of `corpus` for every row of `queries`.
     * Output: (query_id, neighbor_id, cos_sim, rank). Cosine is rounded to
     * `roundTo` decimals BEFORE ranking so ranking is stable across
-    * float-summation orders; ties break on neighbor id. The kernel is the
-    * JVM fast path ([[VectorOps.cosineCol]]) — all-pairs scoring through
-    * interpreted higher-order functions is ~100x slower. */
+    * float-summation orders; ties break on neighbor id. Scoring is the
+    * native codegen'd [[org.apache.spark.sql.graft.CosineSim]] expression
+    * — ~2x the UDF kernel (no per-row Array[Float] conversion), ~100x the
+    * interpreted higher-order-function form. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame,
                      idCol: String, vecCol: String, k: Int,
                      roundTo: Int = 4): DataFrame = {
@@ -35,7 +36,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(VectorOps.cosineCol(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
+        round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -92,7 +93,7 @@ object Similarity {
         col("a.__v").as("__qv"), col("b.__v").as("__cv"))
       .dropDuplicates("query_id", "neighbor_id")
     val scored = cands.select(col("query_id"), col("neighbor_id"),
-      round(VectorOps.cosineCol(col("__qv"), col("__cv")), 4).as("cos_sim"))
+      round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), 4).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -129,7 +130,7 @@ object Similarity {
       .join(slim.select(col("id").as("id_a"), col("__v").as("__qv")), Seq("id_a"))
       .join(slim.select(col("id").as("id_b"), col("__v").as("__cv")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(VectorOps.cosineCol(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
+        round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 

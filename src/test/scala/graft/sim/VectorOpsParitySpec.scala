@@ -40,4 +40,26 @@ class VectorOpsParitySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(out === Set((0L, 1L)))
   }
+
+  test("CosineSim expression: bitwise parity with the UDF, codegen and interpreted") {
+    import org.apache.spark.sql.graft.CosineSim
+    val fast = vecs.select(VectorOps.cosineCol(col("a"), col("b"))).collect().map(_.get(0))
+    val expr = vecs.select(CosineSim(col("a"), col("b"))).collect().map(_.get(0))
+    fast.zip(expr).foreach { case (f, e) => assert(f === e) }
+    // zero-norm -> null; null input -> null; length mismatch matches UDF
+    val edge = Seq(
+      (Array(0.0f, 0.0f), Array(1.0f, 1.0f)),
+      (null.asInstanceOf[Array[Float]], Array(1.0f)),
+      (Array(1.0f, 2.0f, 3.0f), Array(1.0f, 2.0f))).toDF("a", "b")
+    val eExpr = edge.select(CosineSim(col("a"), col("b"))).collect().map(_.get(0))
+    val eUdf = edge.select(VectorOps.cosineCol(col("a"), col("b"))).collect().map(_.get(0))
+    eExpr.zip(eUdf).foreach { case (e, u) => assert(e === u) }
+    // interpreted path (eval without codegen) agrees too
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val lit1 = Literal.create(Array(1.0f, 2.0f), ArrayType(FloatType))
+    val lit2 = Literal.create(Array(2.0f, 4.0f), ArrayType(FloatType))
+    val interp = org.apache.spark.sql.graft.CosineSim(lit1, lit2).eval(null)
+    assert(approx(interp.asInstanceOf[Double], 1.0, 1e-12))
+  }
 }
