@@ -81,7 +81,7 @@ object Ivf {
     val scored = queries.join(corpus, Seq("cluster"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(VectorOps.cosineCol(col("__qv"), col("__cv")), 4).as("cos_sim"))
+        round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), 4).as("cos_sim"))
       .dropDuplicates("query_id", "neighbor_id")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
