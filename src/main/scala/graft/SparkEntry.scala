@@ -634,13 +634,13 @@ object SparkEntry {
     "q56_x_stream_sessions" -> tuned((s, d) =>
       graft.streaming.StreamingCollapse.eventSessions(s, d, gapMinutes = 3 * 24 * 60)),
 
-    // ---- extension: LSH-bucketed ANN (no oracle: bucket recall is
-    // approximate by design; driver records rows-only)
     // ---- extension: streaming exact dedup (order-independent aggregate ->
     // the finished stream state equals the batch result; shares q44's oracle)
     "q66_x_stream_dedup" -> tuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingExactDedup(s, d)),
 
+    // ---- extension: LSH-bucketed ANN (no oracle: bucket recall is
+    // approximate by design; driver records rows-only)
     "q52_x_lsh_ann" -> tuned((s, d) =>
       Similarity.lshTopK(
           Tables.embeddings(s, d).filter(col("vec_id") < 200),

@@ -60,12 +60,14 @@ object CesIngest {
       val strCols = df.schema.fields.filter(_.dataType == StringType).map(_.name).toSeq
       if (strCols.isEmpty) None
       else {
-        val aggs = count(lit(1)).as("n") +:
-          strCols.map(c => avg(to_date(col(c)).isNotNull.cast("double")).as(c))
+        // "__"-prefixed aliases: a data column literally named "n" (or any
+        // candidate name) must not collide with the count/rate fields
+        val aggs = count(lit(1)).as("__n") +:
+          strCols.map(c => avg(to_date(col(c)).isNotNull.cast("double")).as(s"__rate_$c"))
         val rates = df.limit(sampleRows).agg(aggs.head, aggs.tail: _*).collect()(0)
-        if (rates.getAs[Long]("n") == 0L) None
+        if (rates.getAs[Long]("__n") == 0L) None
         else strCols
-          .map(c => c -> Option(rates.getAs[Double](c)).getOrElse(0.0))
+          .map(c => c -> Option(rates.getAs[Double](s"__rate_$c")).getOrElse(0.0))
           .maxByOption(_._2)
           .collect { case (c, r) if r > 0.5 => c }
       }

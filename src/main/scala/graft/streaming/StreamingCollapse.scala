@@ -179,7 +179,7 @@ object StreamingCollapse {
     val agg = spark.readStream
       .schema(documentsSchema)
       .parquet(streamDir(dir, "documents"))
-      .select(col("doc_id"), md5(trim(col("text"))).as("text_hash"))
+      .select(col("doc_id"), graft.text.Dedup.exactDigest(col("text")).as("text_hash"))
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
     val q = agg.writeStream

@@ -23,13 +23,17 @@ object Dedup {
     * xxhash64 (codegen'd, several times cheaper; 64-bit, NOT 32-bit
     * murmur — exact dedup needs a collision margin far past the ~77k-doc
     * 32-bit birthday bound). */
+  /** The dial-aware dedup digest — shared by [[exact]] and the streaming
+    * form so the two dedup indexes key identically under either mode. */
+  def exactDigest(textCol: Column): Column = {
+    val norm = trim(textCol)
+    if (graft.functions.Cols.HashMode == "murmur3") xxhash64(norm).cast("string")
+    else md5(norm)
+  }
+
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val norm = trim(col(textCol))
-    val digest =
-      if (graft.functions.Cols.HashMode == "murmur3") xxhash64(norm).cast("string")
-      else md5(norm)
     docs
-      .select(col(idCol), digest.as("text_hash"))
+      .select(col(idCol), exactDigest(col(textCol)).as("text_hash"))
       .groupBy("text_hash")
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
   }

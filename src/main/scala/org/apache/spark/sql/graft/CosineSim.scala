@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
   * The interpreted `nullSafeEval` path and the generated code share the
   * accumulation order (index-ascending, double accumulation), so results
   * are bit-identical whichever path the planner takes.
+  *
+  * A NULL ELEMENT anywhere in either array yields a null result — the one
+  * deliberate divergence from the UDF, which fails the whole task when
+  * deserializing such a row to `Array[Float]`. A corrupt embedding should
+  * drop its own row, not the job.
   */
 case class CosineSim(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -47,6 +52,7 @@ case class CosineSim(left: Expression, right: Expression)
     var sy = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xi = x.getFloat(i).toDouble
       val yi = y.getFloat(i).toDouble
       dot += xi * yi
@@ -55,9 +61,15 @@ case class CosineSim(left: Expression, right: Expression)
       i += 1
     }
     // norms run over each FULL array (VectorOps.l2norm contract)
-    while (i < nx) { val xi = x.getFloat(i).toDouble; sx += xi * xi; i += 1 }
+    while (i < nx) {
+      if (x.isNullAt(i)) return null
+      val xi = x.getFloat(i).toDouble; sx += xi * xi; i += 1
+    }
     i = n
-    while (i < ny) { val yi = y.getFloat(i).toDouble; sy += yi * yi; i += 1 }
+    while (i < ny) {
+      if (y.isNullAt(i)) return null
+      val yi = y.getFloat(i).toDouble; sy += yi * yi; i += 1
+    }
     val den = math.sqrt(sx) * math.sqrt(sy)
     if (den == 0.0) null else java.lang.Double.valueOf(dot / den)
   }
@@ -73,21 +85,34 @@ case class CosineSim(left: Expression, right: Expression)
       val sy = ctx.freshName("sy")
       val v = ctx.freshName("v")
       val den = ctx.freshName("den")
+      val bad = ctx.freshName("badElem")
       s"""
          |final int $nx = $a.numElements();
          |final int $ny = $b.numElements();
          |final int $n = Math.min($nx, $ny);
          |double $dot = 0.0, $sx = 0.0, $sy = 0.0;
+         |boolean $bad = false;
          |int $i = 0;
          |for (; $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  final double xv = (double) $a.getFloat($i);
          |  final double yv = (double) $b.getFloat($i);
          |  $dot += xv * yv; $sx += xv * xv; $sy += yv * yv;
          |}
-         |for (; $i < $nx; $i++) { final double $v = (double) $a.getFloat($i); $sx += $v * $v; }
-         |for ($i = $n; $i < $ny; $i++) { final double $v = (double) $b.getFloat($i); $sy += $v * $v; }
+         |if (!$bad) {
+         |  for (; $i < $nx; $i++) {
+         |    if ($a.isNullAt($i)) { $bad = true; break; }
+         |    final double $v = (double) $a.getFloat($i); $sx += $v * $v;
+         |  }
+         |}
+         |if (!$bad) {
+         |  for ($i = $n; $i < $ny; $i++) {
+         |    if ($b.isNullAt($i)) { $bad = true; break; }
+         |    final double $v = (double) $b.getFloat($i); $sy += $v * $v;
+         |  }
+         |}
          |final double $den = Math.sqrt($sx) * Math.sqrt($sy);
-         |if ($den == 0.0) {
+         |if ($bad || $den == 0.0) {
          |  ${ev.isNull} = true;
          |} else {
          |  ${ev.value} = $dot / $den;

@@ -80,10 +80,13 @@ class PlanSpec extends SparkSpec {
     val exchangeLines = df.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchangeLines.nonEmpty)
-    // the pair-explosion shuffle (bucket key bk) must not carry embeddings;
-    // vectors re-attach afterward via the id joins
-    assert(exchangeLines.filter(_.contains("bk#")).forall(!_.contains("embedding")),
-      s"embeddings crossed the candidate shuffle: $exchangeLines")
+    // no shuffle anywhere in the plan may carry embedding payloads: pair
+    // discovery shuffles (id, bucket) and the distinct shuffles id pairs;
+    // vectors re-attach only via broadcast-able id joins. (At sf0.001 the
+    // bucket join itself broadcasts, so asserting on the bk exchange alone
+    // would be vacuous — this form holds at every size.)
+    assert(exchangeLines.forall(l => !l.contains("embedding") && !l.contains("__v")),
+      s"embeddings crossed a shuffle: $exchangeLines")
   }
 
   test("outlier repair (q64): all three window stages share ONE sort and ONE shuffle") {

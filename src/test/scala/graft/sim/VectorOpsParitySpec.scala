@@ -61,5 +61,10 @@ class VectorOpsParitySpec extends SparkSpec {
     val lit2 = Literal.create(Array(2.0f, 4.0f), ArrayType(FloatType))
     val interp = org.apache.spark.sql.graft.CosineSim(lit1, lit2).eval(null)
     assert(approx(interp.asInstanceOf[Double], 1.0, 1e-12))
+    // a null ELEMENT -> null result (documented divergence: the UDF path
+    // fails the task on such rows; the expression drops the row instead)
+    val dirty = Seq((Seq[java.lang.Float](1.0f, null, 3.0f), Seq[java.lang.Float](1.0f, 2.0f, 3.0f)))
+      .toDF("a", "b")
+    assert(dirty.select(CosineSim(col("a"), col("b"))).collect().head.get(0) == null)
   }
 }
