@@ -349,12 +349,22 @@ object Sarimax {
         case _: Exception => if (trendC) start(0) = z.sum / n
       }
     }
-    var i = nReg
-    while (i < nFree) { start(i) = 0.05; i += 1 }
-
     val best =
       if (spec.nArma == 0) start // closed form: MLE = OLS, no search needed
-      else nelderMead(v => { val (ll, _) = loglikOf(v); if (ll.isNegInfinity) 1e12 else -ll }, start)
+      else {
+        // multi-start: MA-bearing likelihood surfaces have local optima
+        // (near-cancelling AR/MA roots); three ARMA kicks cost ~3x a fit
+        // that is already trivial per series, and the best loglik wins
+        def obj(v: Array[Double]): Double = {
+          val (ll, _) = loglikOf(v); if (ll.isNegInfinity) 1e12 else -ll
+        }
+        Seq(0.05, 0.4, -0.4).map { kick =>
+          val s0 = start.clone()
+          var i = nReg
+          while (i < nFree) { s0(i) = kick; i += 1 }
+          nelderMead(obj, s0)
+        }.minBy(obj)
+      }
     val (ll, sigma2) = loglikOf(best)
     if (ll.isNegInfinity || ll.isNaN) return None
     val (c0, b0, phi, th, sp, st) = unpack(best)

@@ -67,4 +67,19 @@ class VectorOpsParitySpec extends SparkSpec {
       .toDF("a", "b")
     assert(dirty.select(CosineSim(col("a"), col("b"))).collect().head.get(0) == null)
   }
+
+  test("GraftExtensions: cosine_sim is callable from SQL and plans the native expression") {
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+    vecs.createOrReplaceTempView("__vecs")
+    val viaSql = spark.sql("SELECT cosine_sim(a, b) AS c FROM __vecs")
+    // the ANALYZED plan names the expression; the executed plan constant-
+    // folds a local relation of literals into a LocalTableScan
+    assert(viaSql.queryExecution.analyzed.toString.contains("cosine_sim"),
+      "SQL call did not resolve to the native expression")
+    val viaApi = vecs.select(org.apache.spark.sql.graft.CosineSim(col("a"), col("b")).as("c"))
+    viaSql.collect().map(_.get(0)).zip(viaApi.collect().map(_.get(0)))
+      .foreach { case (s0, a0) => assert(s0 === a0) }
+    // registration is idempotent
+    org.apache.spark.sql.graft.GraftExtensions.register(spark)
+  }
 }
