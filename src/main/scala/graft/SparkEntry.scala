@@ -546,6 +546,24 @@ object SparkEntry {
         .orderBy("o_orderpriority")
     }),
 
+    // partial salting: only heavy-hitter keys pay replication; oracle is
+    // again the plain join
+    "q67_x_hotkey_salted_join" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"), col("l_quantity"))
+      val ords = Tables.orders(s, d).select(col("o_orderkey").as("okey"), col("o_orderpriority"))
+      graft.operators.Skew.hotKeySaltedJoin(li, ords, Seq("okey"), buckets = 8, hotKeys = 16)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("qty"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // composed corpus-cleaning pass: langid + quality thresholds + exact
+    // dedup in one plan (the LLM-pipeline workflow end-to-end)
+    "q68_x_corpus_clean" -> tuned((s, d) =>
+      TextAnalysis.cleanCorpus(Tables.documents(s, d), "doc_id", "text",
+          lang = "en", minTokens = 5, maxPunctRatio = 0.2)
+        .orderBy("doc_id")),
+
     "q48_x_ngram_jaccard" -> tuned((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
           maxIdGap = 50, threshold = 0.5)
@@ -1176,6 +1194,36 @@ object SparkEntry {
       ("SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty " +
         "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
         "GROUP BY 1 ORDER BY 1"),
+
+    "q67_x_hotkey_salted_join" ->
+      ("SELECT o_orderpriority, count(*) AS n, round(sum(l_quantity), 2) AS qty " +
+        "FROM lineitem JOIN orders ON l_orderkey = o_orderkey " +
+        "GROUP BY 1 ORDER BY 1"),
+
+    "q68_x_corpus_clean" -> {
+      val stop = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH b AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS punct_ratio,
+        |    CASE WHEN CAST(len(list_filter(ltoks, x -> x IN ($stop))) AS DOUBLE)
+        |              / nullif(len(ltoks), 0) >= 0.05
+        |         THEN 'en' ELSE 'und' END AS lang_pred
+        |  FROM b),
+        |f AS (
+        |  SELECT * FROM q
+        |  WHERE lang_pred = 'en' AND n_tokens >= 5
+        |    AND coalesce(punct_ratio, 0.0) <= 0.2),
+        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(trim(text)))
+        |SELECT f.doc_id, n_tokens, round(punct_ratio, 4) AS punct_ratio
+        |FROM f JOIN k USING (doc_id) ORDER BY doc_id""".stripMargin
+    },
 
     "q45_x_minhash_sig" ->
       (s"""$MinhashCte

@@ -83,6 +83,29 @@ object MonteCarlo {
     ).orderBy(gcols.map(col): _*)
   }
 
+  /** At-scale variant of [[fanKeyed]]: `percentile_approx` (a mergeable
+    * quantile sketch with map-side partial aggregation) replaces exact
+    * `percentile`, which must hold every group's full value set in one
+    * aggregation buffer. Same dial philosophy as GRAFT_HASH: exact stays
+    * the VERIFY default (oracle-comparable), the sketch is the production
+    * path when a fan spans billions of simulations. Rank error is bounded
+    * by ~1/`accuracy`; FanApproxSpec pins the observed gap. */
+  def fanApproxKeyed(paths: DataFrame, keys: Seq[String] = Nil,
+                     qs: Seq[Double] = Seq(0.05, 0.10, 0.50, 0.90, 0.95),
+                     accuracy: Int = 10000): DataFrame = {
+    val qcols = qs.map(q =>
+      percentile_approx(col("value"), lit(q), lit(accuracy)).as(f"p${(q * 100).round}%02d"))
+    val gcols = keys :+ "step"
+    paths.groupBy(gcols.map(col): _*).agg(
+      qcols.head,
+      (qcols.tail ++ Seq(
+        avg(col("value")).as("mean"),
+        stddev_samp(col("value")).as("std"),
+        min(col("value")).as("min"),
+        max(col("value")).as("max"))): _*
+    ).orderBy(gcols.map(col): _*)
+  }
+
   /** A9: RW drift parameters from the trailing `window` rows of a series
     * (reference `fit_rw_drift_params`): mean and ddof=1 std of first
     * differences. Returns one row per key. */

@@ -35,4 +35,24 @@ object Skew {
     df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc)
       .limit(k)
+
+  /** PARTIAL salting — the production skew pattern: only the top
+    * `hotKeys` heavy-hitter keys route through the salted path (hot rows
+    * spread over `buckets` tasks, hot small-side rows replicated); the
+    * cold majority takes the plain equi-join and pays no replication at
+    * all. Semantically the identity on the join result (q67's oracle is
+    * the plain join). The heavy-hitter probe collects `hotKeys` key rows
+    * to the driver — planning metadata, same class as IVF's centroids. */
+  def hotKeySaltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
+                       buckets: Int, hotKeys: Int = 16,
+                       joinType: String = "inner"): DataFrame = {
+    val hot = heavyHitters(skewed, keys, hotKeys).select(keys.map(col): _*).collect()
+    val hotPred = hot.toSeq
+      .map(r => keys.map(k => col(k) <=> lit(r.getAs[Any](k))).reduce(_ && _))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    val hotJoin = saltedJoin(skewed.filter(hotPred), small.filter(hotPred),
+      keys, buckets, joinType)
+    val coldJoin = skewed.filter(!hotPred).join(small, keys, joinType)
+    hotJoin.unionByName(coldJoin)
+  }
 }

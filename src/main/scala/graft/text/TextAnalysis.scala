@@ -178,6 +178,31 @@ object TextAnalysis {
       .otherwise(lit("und"))
   }
 
+  /** Composed corpus-cleaning pass — the LLM training-data workflow the
+    * extension operators exist for, in ONE plan: language filter
+    * ([[languageId]]) + quality thresholds ([[qualityFeaturesCol]]) +
+    * exact dedup ([[Dedup.exact]] over the SURVIVORS, keeping each
+    * duplicate group's smallest id via a left-semi join that shuffles ids
+    * only). Null punct_ratio (empty text) is treated as 0 for the
+    * threshold, but such docs are already dropped by `minTokens`.
+    * Output: (id, n_tokens, punct_ratio) of the kept documents. */
+  def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
+                  lang: String = "en", minTokens: Int = 5,
+                  maxPunctRatio: Double = 0.2): DataFrame = {
+    val f = qualityFeaturesCol(col(textCol))
+    val filtered = docs.select(col(idCol), col(textCol),
+        f.getField("n_tokens").as("n_tokens"),
+        f.getField("punct_ratio").as("punct_ratio"),
+        languageId(col(textCol)).as("lang_pred"))
+      .filter(col("lang_pred") === lang &&
+        col("n_tokens") >= minTokens &&
+        coalesce(col("punct_ratio"), lit(0.0)) <= maxPunctRatio)
+    val keep = Dedup.exact(filtered, idCol, textCol).select(col("keep_id").as(idCol))
+    filtered.join(keep, Seq(idCol), "left_semi")
+      .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
+        round(col("punct_ratio"), 4).as("punct_ratio"))
+  }
+
   /** Document fingerprint: min portable-hash over word 3-shingles (a
     * rolling-hash winnowing analog). Equal fingerprints ⇒ near-dup
     * candidates. Short docs fall back to hashing the whole text.

@@ -54,4 +54,23 @@ class MonteCarloSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("mu"), 2.0))
     assert(approx(r.getAs[Double]("sigma"), 1.0))
   }
+
+  test("fanApproxKeyed: sketch quantiles track the exact fan within rank-error bounds") {
+    val paths = MonteCarlo.simulatePaths(spark, sims = 500, horizon = 10,
+      start = 100.0, mu = 0.5, sigma = 2.0, seed = 7L)
+    val exact = MonteCarlo.fan(paths).collect().map(r => r.getAs[Int]("step") -> r).toMap
+    val approx = MonteCarlo.fanApproxKeyed(paths).collect()
+    approx.foreach { r =>
+      val e = exact(r.getAs[Int]("step"))
+      Seq("p05", "p10", "p50", "p90", "p95").foreach { c =>
+        val d = math.abs(r.getAs[Double](c) - e.getAs[Double](c))
+        // 500 values at accuracy 10000 -> the sketch is near-exact; allow
+        // a generous absolute slack relative to the path spread (~sigma*10)
+        assert(d <= 1.0, s"step ${r.get(0)} $c off by $d")
+      }
+      // non-sketched moments are exactly the same aggregates
+      assert(r.getAs[Double]("mean") == e.getAs[Double]("mean"))
+      assert(r.getAs[Double]("max") == e.getAs[Double]("max"))
+    }
+  }
 }

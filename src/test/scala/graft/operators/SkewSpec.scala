@@ -36,4 +36,19 @@ class SkewSpec extends SparkSpec {
     val hh = Skew.heavyHitters(skewed, Seq("k"), 2).collect()
     assert(hh.head.getString(0) === "hot" && hh.head.getLong(1) === 100L)
   }
+
+  test("hotKeySaltedJoin: identical result to the plain join, hot and cold paths both exercised") {
+    val rng = new scala.util.Random(4)
+    // key 7 is hot (100 rows); keys 0-9 cold
+    val big = ((1 to 100).map(_ => (7L, rng.nextInt(100))) ++
+      (0L until 10L).flatMap(k => (1 to 3).map(_ => (k, rng.nextInt(100)))))
+      .toDF("k", "v")
+    val small = (0L until 10L).map(k => (k, s"name_$k")).toDF("k", "name")
+    val got = Skew.hotKeySaltedJoin(big, small, Seq("k"), buckets = 4, hotKeys = 2)
+      .groupBy("k", "name").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val expect = big.join(small, Seq("k")).groupBy("k", "name").count().collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
 }

@@ -45,4 +45,20 @@ class TextAnalysisSpec extends SparkSpec {
     // "hello", "world", "42", "!"
     assert(out === 4)
   }
+
+  test("cleanCorpus: composed filter + dedup keeps english, long-enough, unique docs") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),       // keep
+      (2L, "the quick brown fox jumps over the lazy dog"),       // dup of 1 -> drop
+      (3L, "short of it"),                                       // < minTokens -> drop
+      (4L, "zx qw er ty ui op df gh"),                           // no stopwords -> und -> drop
+      (5L, "!!! ??? the ;;; of ### and $$$ %%% ^^^"),            // punct-heavy -> drop
+      (6L, "it is a fine day for the brown fox and the dog")     // keep
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.cleanCorpus(docs, "doc_id", "text",
+        lang = "en", minTokens = 5, maxPunctRatio = 0.2)
+      .orderBy("doc_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 6L), out.mkString(","))
+    assert(out.head.getAs[Long]("n_tokens") == 9L)
+  }
 }
