@@ -70,8 +70,13 @@ object MonteCarlo {
 
   /** [[fan]] grouped by extra key columns (one fan table per series). */
   def fanKeyed(paths: DataFrame, keys: Seq[String],
-               qs: Seq[Double] = Seq(0.05, 0.10, 0.50, 0.90, 0.95)): DataFrame = {
-    val qcols = qs.map(q => percentile(col("value"), lit(q)).as(f"p${(q * 100).round}%02d"))
+               qs: Seq[Double] = Seq(0.05, 0.10, 0.50, 0.90, 0.95)): DataFrame =
+    fanAgg(paths, keys,
+      qs.map(q => percentile(col("value"), lit(q)).as(f"p${(q * 100).round}%02d")))
+
+  /** Shared fan body: one schema for the exact and approximate quantile
+    * variants, so the two can never silently diverge. */
+  private def fanAgg(paths: DataFrame, keys: Seq[String], qcols: Seq[Column]): DataFrame = {
     val gcols = keys :+ "step"
     paths.groupBy(gcols.map(col): _*).agg(
       qcols.head,
@@ -89,22 +94,13 @@ object MonteCarlo {
     * aggregation buffer. Same dial philosophy as GRAFT_HASH: exact stays
     * the VERIFY default (oracle-comparable), the sketch is the production
     * path when a fan spans billions of simulations. Rank error is bounded
-    * by ~1/`accuracy`; FanApproxSpec pins the observed gap. */
+    * by ~1/`accuracy`; MonteCarloSpec pins the observed gap vs the exact
+    * fan. */
   def fanApproxKeyed(paths: DataFrame, keys: Seq[String] = Nil,
                      qs: Seq[Double] = Seq(0.05, 0.10, 0.50, 0.90, 0.95),
-                     accuracy: Int = 10000): DataFrame = {
-    val qcols = qs.map(q =>
-      percentile_approx(col("value"), lit(q), lit(accuracy)).as(f"p${(q * 100).round}%02d"))
-    val gcols = keys :+ "step"
-    paths.groupBy(gcols.map(col): _*).agg(
-      qcols.head,
-      (qcols.tail ++ Seq(
-        avg(col("value")).as("mean"),
-        stddev_samp(col("value")).as("std"),
-        min(col("value")).as("min"),
-        max(col("value")).as("max"))): _*
-    ).orderBy(gcols.map(col): _*)
-  }
+                     accuracy: Int = 10000): DataFrame =
+    fanAgg(paths, keys, qs.map(q =>
+      percentile_approx(col("value"), lit(q), lit(accuracy)).as(f"p${(q * 100).round}%02d")))
 
   /** A9: RW drift parameters from the trailing `window` rows of a series
     * (reference `fit_rw_drift_params`): mean and ddof=1 std of first

@@ -46,6 +46,13 @@ object Skew {
   def hotKeySaltedJoin(skewed: DataFrame, small: DataFrame, keys: Seq[String],
                        buckets: Int, hotKeys: Int = 16,
                        joinType: String = "inner"): DataFrame = {
+    // the hot/cold split preserves semantics only when unmatched rows can
+    // come from the SKEWED side alone: a right/full join would re-emit
+    // hot small-side rows null-extended from the cold branch (their
+    // matches were routed to the hot branch) and `buckets`-times from the
+    // replicated side
+    require(Set("inner", "left", "left_outer", "leftouter").contains(joinType.toLowerCase),
+      s"hotKeySaltedJoin supports inner/left joins only, got '$joinType'")
     val hot = heavyHitters(skewed, keys, hotKeys).select(keys.map(col): _*).collect()
     val hotPred = hot.toSeq
       .map(r => keys.map(k => col(k) <=> lit(r.getAs[Any](k))).reduce(_ && _))

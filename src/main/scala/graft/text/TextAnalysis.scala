@@ -181,9 +181,12 @@ object TextAnalysis {
   /** Composed corpus-cleaning pass — the LLM training-data workflow the
     * extension operators exist for, in ONE plan: language filter
     * ([[languageId]]) + quality thresholds ([[qualityFeaturesCol]]) +
-    * exact dedup ([[Dedup.exact]] over the SURVIVORS, keeping each
-    * duplicate group's smallest id via a left-semi join that shuffles ids
-    * only). Null punct_ratio (empty text) is treated as 0 for the
+    * exact dedup over the SURVIVORS (keep each duplicate group's smallest
+    * id). Dedup is a min-over-digest-partition window on a PROJECTED
+    * frame (id, digest, features) — the text column is dropped before the
+    * shuffle and the quality/langid kernels run exactly once per doc (a
+    * self-join against [[Dedup.exact]] would re-execute them on both
+    * branches). Null punct_ratio (empty text) is treated as 0 for the
     * threshold, but such docs are already dropped by `minTokens`.
     * Output: (id, n_tokens, punct_ratio) of the kept documents. */
   def cleanCorpus(docs: DataFrame, idCol: String, textCol: String,
@@ -197,8 +200,12 @@ object TextAnalysis {
       .filter(col("lang_pred") === lang &&
         col("n_tokens") >= minTokens &&
         coalesce(col("punct_ratio"), lit(0.0)) <= maxPunctRatio)
-    val keep = Dedup.exact(filtered, idCol, textCol).select(col("keep_id").as(idCol))
-    filtered.join(keep, Seq(idCol), "left_semi")
+    val slim = filtered.select(col(idCol),
+      Dedup.exactDigest(col(textCol)).as("__digest"),
+      col("n_tokens"), col("punct_ratio"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("__digest")
+    slim.withColumn("__keep", min(col(idCol)).over(w))
+      .filter(col(idCol) === col("__keep"))
       .select(col(idCol), col("n_tokens").cast("long").as("n_tokens"),
         round(col("punct_ratio"), 4).as("punct_ratio"))
   }

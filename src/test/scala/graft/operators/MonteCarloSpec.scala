@@ -59,8 +59,8 @@ class MonteCarloSpec extends SparkSpec {
     val paths = MonteCarlo.simulatePaths(spark, sims = 500, horizon = 10,
       start = 100.0, mu = 0.5, sigma = 2.0, seed = 7L)
     val exact = MonteCarlo.fan(paths).collect().map(r => r.getAs[Int]("step") -> r).toMap
-    val approx = MonteCarlo.fanApproxKeyed(paths).collect()
-    approx.foreach { r =>
+    val sketch = MonteCarlo.fanApproxKeyed(paths).collect()
+    sketch.foreach { r =>
       val e = exact(r.getAs[Int]("step"))
       Seq("p05", "p10", "p50", "p90", "p95").foreach { c =>
         val d = math.abs(r.getAs[Double](c) - e.getAs[Double](c))
@@ -68,9 +68,10 @@ class MonteCarloSpec extends SparkSpec {
         // a generous absolute slack relative to the path spread (~sigma*10)
         assert(d <= 1.0, s"step ${r.get(0)} $c off by $d")
       }
-      // non-sketched moments are exactly the same aggregates
-      assert(r.getAs[Double]("mean") == e.getAs[Double]("mean"))
-      assert(r.getAs[Double]("max") == e.getAs[Double]("max"))
+      // non-sketched moments: same aggregates, but partial-merge order is
+      // nondeterministic across the two jobs -> ulp tolerance for the sum
+      assert(approx(r.getAs[Double]("mean"), e.getAs[Double]("mean"), 1e-9))
+      assert(r.getAs[Double]("max") == e.getAs[Double]("max")) // order-independent
     }
   }
 }
