@@ -373,6 +373,22 @@ object SparkEntry {
           round(col("forecast"), 4).as("forecast"))
         .orderBy("key", "step")),
 
+    // multi-key variant: one grid fit per priority, all fitting INSIDE
+    // their executors concurrently — the scale-out shape for a million
+    // series. Rows-only like q39 (Kalman-MLE statistics).
+    "q69_u8_sarimax_multikey" -> tuned((s, d) =>
+      graft.stats.Diagnostics.sarimaxForecast(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority").as("prio"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(col("o_totalprice")) / 1e6, 6).as("tot"),
+              count(lit(1)).as("n")),
+          Seq("prio"), "month", "tot", Some("n"), horizon = 6)
+        .select(col("key"), col("order"), col("seasonal"),
+          round(col("aic"), 2).as("aic"), col("step"),
+          round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step")),
+
     // ---- composed U9∘U8: the reference's monte_carlo_forecast pipeline
     // (cell 27) — fit, simulate exog RW paths, forecast every path, fan
     // quantiles over FORECASTS. The white-noise candidate makes the fit
