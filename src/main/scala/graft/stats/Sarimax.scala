@@ -240,9 +240,12 @@ object Sarimax {
     * choice; statsmodels' own default for SARIMAX is gradient-based lbfgs,
     * but the concentrated likelihood surface for these small grids is
     * smooth enough that both land on the same optimum. */
+  // tol 1e-9 (relative): loglik to ~1e-6 — orders below any AIC decision
+  // margin or the 4-decimal forecast rounding, and it halves the iteration
+  // count vs a 1e-10 tol that mostly ran to maxIter
   private def nelderMead(f: Array[Double] => Double, x0: Array[Double],
-                         step: Double = 0.1, maxIter: Int = 2000,
-                         tol: Double = 1e-10): Array[Double] = {
+                         step: Double = 0.1, maxIter: Int = 1000,
+                         tol: Double = 1e-9): Array[Double] = {
     val n = x0.length
     if (n == 0) return x0
     var simplex = Array.tabulate(n + 1) { i =>
@@ -354,11 +357,13 @@ object Sarimax {
       else {
         // multi-start: MA-bearing likelihood surfaces have local optima
         // (near-cancelling AR/MA roots); three ARMA kicks cost ~3x a fit
-        // that is already trivial per series, and the best loglik wins
+        // and the best loglik wins. Pure-AR surfaces lack the cancellation
+        // mechanism — one start suffices there.
         def obj(v: Array[Double]): Double = {
           val (ll, _) = loglikOf(v); if (ll.isNegInfinity) 1e12 else -ll
         }
-        Seq(0.05, 0.4, -0.4).map { kick =>
+        val kicks = if (q + Q == 0) Seq(0.05) else Seq(0.05, 0.4, -0.4)
+        kicks.map { kick =>
           val s0 = start.clone()
           var i = nReg
           while (i < nFree) { s0(i) = kick; i += 1 }
