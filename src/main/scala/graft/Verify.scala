@@ -14,9 +14,14 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    if (graft.functions.Cols.HashMode != "md5")
-      System.err.println("[verify] WARNING: GRAFT_HASH=" + graft.functions.Cols.HashMode +
+    // Fail fast, not warn: every hash-derived oracle comparison is
+    // md5-shaped, so a leaked GRAFT_HASH would burn a full correctness run
+    // on known-bogus diffs.
+    if (graft.functions.Cols.HashMode != "md5") {
+      System.err.println("[verify] FATAL: GRAFT_HASH=" + graft.functions.Cols.HashMode +
         " — oracle SQL is md5-shaped; correctness runs must use the md5 default")
+      sys.exit(2)
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

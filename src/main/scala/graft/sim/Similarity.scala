@@ -126,12 +126,20 @@ object Similarity {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val slim = vectors.select(col(idCol).cast("long").as("id"), col(vecCol).as("__v"))
-    pairs
+    val out = pairs
       .join(slim.select(col("id").as("id_a"), col("__v").as("__qv")), Seq("id_a"))
       .join(slim.select(col("id").as("id_b"), col("__v").as("__cv")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small, above-threshold pairs) result so the
+    // bucket-key cache over the whole corpus can be dropped NOW; a
+    // long-lived session would otherwise accumulate one corpus-sized cache
+    // per dedup pass until the ContextCleaner got to them.
+    out.count()
+    keyed.unpersist()
+    out
   }
 
   /** Embedding-cosine near-duplicate pairs, exact all-pairs variant:

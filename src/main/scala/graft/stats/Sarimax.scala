@@ -115,7 +115,17 @@ object Sarimax {
     val r = Array.tabulate(m)(i => if (i == 0) 1.0 else if (i - 1 < ma.length) ma(i - 1) else 0.0)
 
     // P0: solve P = T P Tᵀ + R Rᵀ by doubling: Q ← Q + A Q Aᵀ, A ← A².
-    val p0 = stationaryCov(phi, r, m)
+    // The non-stationary diffuse fallback's κ must dominate the data scale:
+    // a fixed 1e7 stops being "diffuse" once var(u) approaches it (levels
+    // ~1e9 are in-contract), misweighting the first observations relative
+    // to stationary candidates in the same grid — so κ scales with the
+    // mean square of u (floor 1e7 keeps small-scale series bit-identical).
+    var msU = 0.0
+    var ui = 0
+    while (ui < n) { msU += u(ui) * u(ui); ui += 1 }
+    msU = if (n > 0) msU / n else 1.0
+    val kappa = math.max(1e7, 1e6 * msU)
+    val p0 = stationaryCov(phi, r, m, kappa)
 
     val a = new Array[Double](m)
     val p = p0.map(_.clone())
@@ -174,7 +184,8 @@ object Sarimax {
 
   /** Stationary state covariance by the doubling iteration; large-κ diffuse
     * fallback when the AR polynomial is not stationary. */
-  private def stationaryCov(phi: Array[Double], r: Array[Double], m: Int): Array[Array[Double]] = {
+  private def stationaryCov(phi: Array[Double], r: Array[Double], m: Int,
+                            kappa: Double = 1e7): Array[Array[Double]] = {
     var aMat = Array.tabulate(m, m)((i, j) =>
       (if (j == 0) phi(i) else 0.0) + (if (j == i + 1) 1.0 else 0.0))
     var q = Array.tabulate(m, m)((i, j) => r(i) * r(j))
@@ -191,11 +202,11 @@ object Sarimax {
       var i = 0
       while (i < m) { var j = 0; while (j < m) { norm = math.max(norm, math.abs(aMat(i)(j))); j += 1 }; i += 1 }
       if (norm > 1e6 || norm.isNaN) { // explosive AR: diffuse fallback
-        return Array.tabulate(m, m)((i, j) => if (i == j) 1e7 else 0.0)
+        return Array.tabulate(m, m)((i, j) => if (i == j) kappa else 0.0)
       }
       it += 1
     }
-    if (norm > 1e-8) Array.tabulate(m, m)((i, j) => if (i == j) 1e7 else 0.0) else q
+    if (norm > 1e-8) Array.tabulate(m, m)((i, j) => if (i == j) kappa else 0.0) else q
   }
 
   private def mul(a: Array[Array[Double]], b: Array[Array[Double]]): Array[Array[Double]] = {
@@ -381,9 +392,17 @@ object Sarimax {
     * candidates that fail to fit are skipped, None if all do. */
   def fitBest(y: Array[Double], x: Option[Array[Double]],
               candidates: Seq[SarimaxSpec] = ReferenceCandidates,
-              trendC: Boolean = true): Option[SarimaxFit] =
+              trendC: Boolean = true): Option[SarimaxFit] = {
+    // AIC is only comparable across candidates fitted on the SAME sample:
+    // with simple differencing, a different (d, D, s) changes the effective
+    // sample size and likelihood scale, so a mixed grid would silently
+    // produce an invalid ranking. Enforce, don't assume.
+    require(candidates.map(c => (c.d, c.D, c.s)).distinct.size <= 1,
+      "fitBest candidates must share (d, D, s): AIC across different " +
+        "differencing orders compares likelihoods over different samples")
     candidates.flatMap(c => scala.util.Try(fit(y, x, c, trendC)).toOption.flatten)
       .minByOption(_.aic)
+  }
 
   // ---------------------------------------------------------------- forecast
 

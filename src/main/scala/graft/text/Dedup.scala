@@ -95,10 +95,18 @@ object Dedup {
       (0 until k).map(i => col(s"mh$i").as(s"a_mh$i")): _*)
     val sb = sigs.select(col("doc_id").as("id_b") +:
       (0 until k).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
-    pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
+    val out = pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         ((0 until k).map(i => (col(s"a_mh$i") === col(s"b_mh$i")).cast("int"))
           .reduce(_ + _).cast("double") / k).as("est_jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small, pairs-only) result so the corpus-sized
+    // signature cache can be dropped NOW instead of lingering until the
+    // ContextCleaner runs; the result's own cache is cleaner-released when
+    // the returned frame becomes unreachable.
+    out.count()
+    sigs.unpersist()
+    out
   }
 
   /** SimHash signature (`bits`-wide, default 16): per bit, majority vote of
@@ -117,6 +125,7 @@ object Dedup {
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
+    require(bits <= 64, s"bits ($bits) must fit one long")
     require(maxHamming <= bands - 1,
       s"full recall needs maxHamming ($maxHamming) <= bands-1 (${bands - 1})")
     val bw = bits / bands
@@ -126,13 +135,15 @@ object Dedup {
       .select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("sig"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    // numeric band key (band-index offset + band value): longs shuffle and
-    // compare cheaper than concatenated strings
+    // (band, value) struct key: an arithmetic band-index offset would
+    // overflow at bits=64 (1L<<64 == 1), and arithmetic shiftright of a
+    // negative full-width sig yields sign-extended band values — so extract
+    // with UNSIGNED shift + mask and keep the band index as its own field.
+    val mask = if (bw == 64) lit(-1L) else lit((1L << bw) - 1)
     val banded = sigs.select(col("doc_id"), col("sig"),
-      explode(array((0 until bands).map(b =>
-        lit(b.toLong * (1L << bits)) +
-          shiftright(col("sig"), b * bw) % lit(1L << bw)): _*)).as("bkey"))
-    banded.as("a").join(banded.as("b"),
+      explode(array((0 until bands).map(b => struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * bw).bitwiseAND(mask).as("value"))): _*)).as("bkey"))
+    val pairs = banded.as("a").join(banded.as("b"),
         col("a.bkey") === col("b.bkey") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
@@ -140,6 +151,15 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small, id-only) pair set so the signature cache can
+    // be dropped NOW — a long-lived session running many dedup passes would
+    // otherwise accumulate corpus-sized cached blocks until ContextCleaner
+    // happens to collect them. The pair cache itself is released by the
+    // cleaner when the returned frame becomes unreachable.
+    pairs.count()
+    sigs.unpersist()
+    pairs
   }
 
   /** Expression-tree form of [[simhash]] — parity-spec reference only
