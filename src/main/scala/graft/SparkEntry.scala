@@ -8,7 +8,7 @@ import graft.sources.Tables
 import graft.functions.Cols
 import graft.operators.{CalendarOps, Collapse, Features, MonteCarlo}
 import graft.sim.Similarity
-import graft.text.{Dedup, TextAnalysis}
+import graft.text.{Corpus, Dedup, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -689,7 +689,45 @@ object SparkEntry {
       graft.sim.Ivf.topK(vecs, "vec_id", "embedding", model, k = 3, nProbe = 2)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
-    })
+    }),
+
+    // ---- extension: corpus construction (builder brief) — relevance
+    // scoring, decontamination, deterministic splits, per-stratum
+    // selection, sequence packing, vocabulary stats (graft.text.Corpus)
+    "q70_x_bm25" -> tuned((s, d) =>
+      Corpus.bm25(Tables.documents(s, d), "doc_id", "text",
+          query = Seq("join", "scan", "window"))
+        .orderBy("doc_id")),
+
+    "q71_x_contamination" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.contamination(
+          docs.filter(col("source") =!= "src0"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
+    "q72_x_hash_sample" -> tuned((s, d) =>
+      Corpus.hashSample(Tables.documents(s, d), "doc_id", buckets = 10, keep = 3)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    "q73_x_topk_stratum" -> tuned((s, d) =>
+      Corpus.topKPerStratum(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          strata = Seq("source"),
+          order = Seq(col("n_chars").desc, col("doc_id").asc), k = 5)
+        .orderBy("source", "rank")),
+
+    "q74_x_pack_sequences" -> tuned((s, d) =>
+      Corpus.packSequences(Tables.documents(s, d), "doc_id", "text",
+          budget = 64, strata = Seq("source"))
+        .orderBy("source", "doc_id")),
+
+    // ordered internally (count desc, ngram) — deterministic at the k cut
+    "q75_x_top_ngrams" -> tuned((s, d) =>
+      Corpus.topNgrams(Tables.documents(s, d), "text", n = 2, k = 25))
   )
 
   private val MinhashK = 8
@@ -1347,6 +1385,88 @@ object SparkEntry {
         |         event_type, value
         |  FROM events)
         |SELECT week, event_type, count(*) AS n, round(sum(value), 2) AS sum_value
-        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // mirrors Corpus.bm25's exact operation order (left-assoc products,
+    // Lucene-floor idf); dl sums are integer-valued doubles, so avgdl is
+    // bit-identical across engines
+    "q70_x_bm25" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM t),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        |  WHERE term IN ('join', 'scan', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS bm25
+        |FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q71_x_contamination" ->
+      ("""WITH t AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(CASE WHEN len(toks) >= 3
+        |           THEN list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |           ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |  FROM t),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE source = 'src0')
+        |SELECT doc_id, count(*) AS n_hits, count(DISTINCT gram) AS n_grams_hit
+        |FROM g JOIN tg USING (gram) WHERE source != 'src0'
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q72_x_hash_sample" ->
+      (s"""SELECT doc_id, source, n_chars FROM documents
+        |WHERE ${dkHash32("CAST(doc_id AS VARCHAR)")} % 10 < 3
+        |ORDER BY doc_id""".stripMargin),
+
+    "q73_x_topk_stratum" ->
+      ("""WITH r AS (
+        |  SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin),
+
+    // floor() not CAST for bin: DuckDB CAST(double AS BIGINT) rounds,
+    // Spark's cast truncates; starts are non-negative so floor == truncate
+    "q74_x_pack_sequences" ->
+      ("""WITH t AS (
+        |  SELECT source, doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |w AS (
+        |  SELECT *, sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS strt
+        |  FROM t)
+        |SELECT source, doc_id, n_tokens,
+        |  CAST(floor(strt / 64.0) AS BIGINT) AS bin,
+        |  strt % 64 AS pos_in_bin
+        |FROM w ORDER BY source, doc_id""".stripMargin),
+
+    "q75_x_top_ngrams" ->
+      ("""WITH t AS (
+        |  SELECT CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT unnest(CASE WHEN len(toks) >= 2
+        |         THEN list_transform(generate_series(1, len(toks) - 1),
+        |                i -> concat_ws(' ', toks[i], toks[i+1]))
+        |         ELSE CAST([] AS VARCHAR[]) END) AS ngram
+        |  FROM t)
+        |SELECT ngram, count(*) AS n FROM g GROUP BY 1
+        |ORDER BY n DESC, ngram LIMIT 25""".stripMargin)
   )
 }

@@ -1,0 +1,145 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+
+/** Corpus-construction operators for the training-data pipeline surface
+  * (builder brief): relevance scoring, test-set decontamination,
+  * deterministic sampling/splitting, per-stratum selection, and
+  * concat-and-chunk sequence packing.
+  *
+  * Scale shape: everything is expression-tree filters, hash-keyed
+  * groupBys, and broadcast joins of metadata-sized sides — full document
+  * text never crosses a shuffle, and the only windows are per-stratum
+  * (so packing/selection parallelize across strata at 100 TB).
+  */
+object Corpus {
+
+  /** Okapi BM25 score of every document against a bag of query terms.
+    * Output: (doc_id, bm25) for documents matching ≥1 term — rounded so
+    * the cross-engine float sum is comparison-stable.
+    *
+    * idf uses the Lucene-style floor `ln(1 + (N − df + ½)/(df + ½))`
+    * (always positive, no negative-idf cliff for terms in >half the
+    * corpus).
+    *
+    * Scale shape: tokens are filtered to the query vocabulary BEFORE the
+    * (doc, term) aggregate, so the only full-corpus pass is the codegen'd
+    * scan + explode; everything shuffled afterwards is bounded by
+    * |matches|. Document-frequency and corpus stats are tiny aggregates
+    * broadcast back — the per-document side never re-shuffles. */
+  def bm25(docs: DataFrame, idCol: String, textCol: String,
+           query: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+           roundTo: Int = 4): DataFrame = {
+    require(query.nonEmpty, "bm25 needs a non-empty query")
+    val base = docs.select(col(idCol).as("doc_id"),
+      TextAnalysis.tokenCount(col(textCol)).cast("double").as("dl"),
+      Cols.tokens(col(textCol)).as("__toks"))
+    // corpus stats: one row (N, avgdl) — broadcast, never a join key
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base
+      .select(col("doc_id"), col("dl"), explode(col("__toks")).as("term"))
+      .filter(col("term").isin(query: _*)) // prune before any shuffle
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"), max(col("dl")).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val contrib = idf * col("tf") * (lit(k1) + 1.0) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), contrib.as("__c"))
+      .groupBy("doc_id")
+      .agg(round(sum(col("__c")), roundTo).as("bm25"))
+  }
+
+  /** Test-set decontamination report: for every corpus document sharing at
+    * least one word `n`-gram with the held-out set, the number of matching
+    * n-gram occurrences and distinct matching n-grams.
+    * Output: (doc_id, n_hits, n_grams_hit). Clean documents are absent —
+    * anti-joining this result against the corpus yields the
+    * decontaminated training set.
+    *
+    * Scale shape: the held-out set is benchmark-sized by contract, so its
+    * distinct n-grams broadcast; the corpus side is scan → explode →
+    * broadcast-hash-join → per-doc aggregate. Full text never shuffles,
+    * and unmatched n-grams (the overwhelming majority) die at the join.
+    * If the test side ever outgrows broadcast, drop the hint — the same
+    * plan shuffle-joins on the n-gram key. */
+  def contamination(corpus: DataFrame, testSet: DataFrame,
+                    idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    def grams(df: DataFrame): Column =
+      explode(Cols.shingles(Cols.tokens(col(textCol)), n))
+    val testGrams = testSet.select(grams(testSet).as("gram")).distinct()
+    corpus.select(col(idCol).as("doc_id"), grams(corpus).as("gram"))
+      .join(broadcast(testGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"), countDistinct(col("gram")).as("n_grams_hit"))
+  }
+
+  /** Deterministic hash bucket in [0, buckets) for a key — the portable
+    * md5 [[Cols.hash32]], so the assignment is reproducible across runs,
+    * engines, and cluster layouts (unlike `rand()`-based sampling, which
+    * changes under retries and task re-execution). */
+  def hashBucket(key: Column, buckets: Int): Column =
+    Cols.hash32(key.cast("string")) % buckets
+
+  /** Deterministic sample: keep rows whose key hashes into the first
+    * `keep` of `buckets` buckets (≈ keep/buckets of the data). Same key ⇒
+    * same verdict everywhere — the property train/val/test splits and
+    * reproducible subsampling need at 100 TB, where rand()-sampling
+    * breaks under task retries. A pure filter: pipelines into the scan. */
+  def hashSample(df: DataFrame, keyCol: String, buckets: Int, keep: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol), buckets) < keep)
+
+  /** Top-`k` rows per stratum by an explicit ordering (e.g. best-quality
+    * documents per source domain). One window, partitioned by the strata —
+    * parallel across strata, no global sort. Ordering must be total
+    * (include a unique tiebreak column) for deterministic output. */
+  def topKPerStratum(df: DataFrame, strata: Seq[String],
+                     order: Seq[Column], k: Int): DataFrame = {
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(order: _*)
+    df.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Concat-and-chunk sequence packing (GPT-style pretraining batches):
+    * documents are concatenated in `idCol` order within each stratum and
+    * cut every `budget` tokens; each document reports the chunk its first
+    * token lands in and its token offset within that chunk. Documents may
+    * straddle chunk boundaries — that is the concat-and-chunk contract
+    * (no padding waste), as opposed to first-fit bin packing, which is
+    * inherently sequential and does not distribute.
+    * Output: strata ++ (doc_id, n_tokens, bin, pos_in_bin).
+    *
+    * Scale shape: one prefix-sum window per stratum. Pack within natural
+    * shards (source, date, ...) at 100 TB so no global sort exists; the
+    * empty-strata form is for corpora that fit one partition's sort. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+                    budget: Int, strata: Seq[String] = Nil): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val w0 = if (strata.isEmpty) Window.orderBy(col(idCol))
+             else Window.partitionBy(strata.map(col): _*).orderBy(col(idCol))
+    val w = w0.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(strata.map(col) :+ col(idCol) :+
+        TextAnalysis.tokenCount(col(textCol)).cast("long").as("n_tokens"): _*)
+      .withColumn("__start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(strata.map(col) :+ col(idCol) :+ col("n_tokens") :+
+        (col("__start") / budget).cast("long").as("bin") :+
+        (col("__start") % budget).as("pos_in_bin"): _*)
+  }
+
+  /** Corpus vocabulary statistics: the `k` most frequent word `n`-grams
+    * with counts; ties break lexicographically. Partial (map-side)
+    * aggregation absorbs hot n-grams before the shuffle, and top-k is a
+    * TakeOrderedAndProject — no global sort materializes. */
+  def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
+    docs.select(explode(Cols.shingles(Cols.tokens(col(textCol)), n)).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("ngram"))
+      .limit(k)
+}

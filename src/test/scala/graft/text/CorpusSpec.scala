@@ -1,0 +1,100 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Corpus-construction operators: BM25 relevance, decontamination,
+  * deterministic hash splits, per-stratum top-k, sequence packing,
+  * vocabulary stats. Fixtures are hand-computable. */
+class CorpusSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bm25 matches the hand-computed Okapi score on a 3-doc corpus") {
+    val docs = Seq(
+      (1L, "spark spark rocks"),   // tf(spark)=2, dl=3
+      (2L, "spark is neat"),       // tf(spark)=1, dl=3
+      (3L, "ducks fly home away")  // no match, dl=4
+    ).toDF("doc_id", "text")
+    val out = Corpus.bm25(docs, "doc_id", "text", query = Seq("spark"), roundTo = 6)
+      .orderBy("doc_id").collect()
+    // N=3, avgdl=10/3, df(spark)=2, idf=ln(1+(3-2+0.5)/(2+0.5))=ln(1.6)
+    val idf = math.log(1.0 + (3.0 - 2.0 + 0.5) / (2.0 + 0.5))
+    def score(tf: Double, dl: Double): Double = {
+      val avgdl = 10.0 / 3.0
+      BigDecimal(idf * tf * 2.2 / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 2L)) // doc 3 absent
+    assert(approx(out(0).getDouble(1), score(2, 3), 1e-9))
+    assert(approx(out(1).getDouble(1), score(1, 3), 1e-9))
+  }
+
+  test("contamination counts matching n-gram occurrences and distinct grams") {
+    val corpus = Seq(
+      (1L, "a b c d e"),     // shares "a b c" and "b c d" with the test set
+      (2L, "x y z w"),       // clean
+      (3L, "a b c a b c q")  // "a b c" twice, "b c a"/"c a b" unseen
+    ).toDF("doc_id", "text")
+    val testSet = Seq((100L, "a b c d q r")).toDF("doc_id", "text")
+    val out = Corpus.contamination(corpus, testSet, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L, 2L), (3L, 2L, 1L))) // doc 2 absent (clean)
+  }
+
+  test("hashSample is deterministic, partition-independent, and partitions the corpus") {
+    val df = spark.range(0, 1000).toDF("id").withColumn("id", col("id"))
+    val kept = Corpus.hashSample(df, "id", buckets = 10, keep = 3)
+    val keptIds = kept.collect().map(_.getLong(0)).toSet
+    // same verdict under a different physical layout
+    val keptRepart = Corpus.hashSample(df.repartition(7), "id", buckets = 10, keep = 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == keptRepart)
+    // complement bucket filter yields exactly the rest
+    val rest = df.filter(Corpus.hashBucket(col("id"), 10) >= 3)
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds.intersect(rest).isEmpty)
+    assert(keptIds.size + rest.size == 1000)
+    // ≈ 30% within generous bounds (md5 is uniform)
+    assert(keptIds.size > 200 && keptIds.size < 400, s"got ${keptIds.size}")
+  }
+
+  test("topKPerStratum keeps k rows per stratum by the given order") {
+    val df = Seq(
+      ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 20),
+      ("b", 4L, 5), ("b", 5L, 5)
+    ).toDF("src", "id", "score")
+    val out = Corpus.topKPerStratum(df, Seq("src"),
+        Seq(col("score").desc, col("id").asc), k = 2)
+      .orderBy("src", "rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(3)))
+    assert(out.toSeq == Seq(("a", 2L, 1), ("a", 3L, 2), ("b", 4L, 1), ("b", 5L, 2)))
+  }
+
+  test("packSequences assigns chunk and offset by the running token count") {
+    val docs = Seq(
+      ("s", 1L, "t1 t2 t3"),          // start 0  -> bin 0, pos 0
+      ("s", 2L, "t1 t2 t3 t4"),       // start 3  -> bin 0, pos 3
+      ("s", 3L, "t1 t2"),             // start 7  -> bin 0, pos 7 (straddles)
+      ("s", 4L, "t1"),                // start 9  -> bin 1, pos 1
+      ("t", 5L, "t1 t2 t3 t4 t5")     // start 0  -> bin 0, pos 0 (own stratum)
+    ).toDF("src", "doc_id", "text")
+    val out = Corpus.packSequences(docs, "doc_id", "text", budget = 8, strata = Seq("src"))
+      .orderBy("src", "doc_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(out.toSeq == Seq(
+      (1L, 3L, 0L, 0L), (2L, 4L, 0L, 3L), (3L, 2L, 0L, 7L),
+      (4L, 1L, 1L, 1L), (5L, 5L, 0L, 0L)))
+  }
+
+  test("topNgrams counts bigrams with lexicographic tie-break") {
+    val docs = Seq(
+      (1L, "a b a b"),   // "a b" x2, "b a" x1
+      (2L, "a b c"),     // "a b", "b c"
+      (3L, "z")          // too short: no bigrams
+    ).toDF("doc_id", "text")
+    val out = Corpus.topNgrams(docs, "text", n = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+}
