@@ -727,7 +727,31 @@ object SparkEntry {
 
     // ordered internally (count desc, ngram) — deterministic at the k cut
     "q75_x_top_ngrams" -> tuned((s, d) =>
-      Corpus.topNgrams(Tables.documents(s, d), "text", n = 2, k = 25))
+      Corpus.topNgrams(Tables.documents(s, d), "text", n = 2, k = 25)),
+
+    // ---- extension: bounded-state top-k aggregate (same output contract
+    // as the q73 window form; shuffles ≤ k rows per stratum, not all rows)
+    "q76_x_topk_agg" -> tuned((s, d) =>
+      operators.TopK.perKeyAgg(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          strata = Seq("source"), scoreCol = "n_chars", idCol = "doc_id", k = 5)
+        .orderBy("source", "rank")),
+
+    // ---- extension: backward as-of join (pandas merge_asof / DuckDB
+    // ASOF JOIN) — union + forward-fill rewrite, one shuffle + sort
+    "q77_x_asof_join" -> tuned((s, d) => {
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("tot"), count(lit(1)).as("n"))
+        .filter(col("n") >= 45) // sparse series: as-of must reach back
+        .select("o_orderpriority", "month", "tot")
+      val left = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      operators.AsofJoin.asofJoin(left, right, keys = Seq("o_orderpriority"),
+          leftTime = "o_orderdate", rightTime = "month", payload = Seq("tot"))
+        .orderBy("o_orderkey")
+    })
   )
 
   private val MinhashK = 8
@@ -1467,6 +1491,29 @@ object SparkEntry {
         |         ELSE CAST([] AS VARCHAR[]) END) AS ngram
         |  FROM t)
         |SELECT ngram, count(*) AS n FROM g GROUP BY 1
-        |ORDER BY n DESC, ngram LIMIT 25""".stripMargin)
+        |ORDER BY n DESC, ngram LIMIT 25""".stripMargin),
+
+    // the aggregate path rides the score as double — cast to match
+    "q76_x_topk_agg" ->
+      ("""WITH r AS (
+        |  SELECT doc_id, source, CAST(n_chars AS DOUBLE) AS n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars, rank FROM r WHERE rank <= 5
+        |ORDER BY source, rank""".stripMargin),
+
+    "q77_x_asof_join" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(o_totalprice), 2) AS tot, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, month, tot FROM m WHERE n >= 45),
+        |l AS (SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        |      WHERE o_orderkey % 97 = 0)
+        |SELECT l.o_orderkey, l.o_orderpriority, l.o_orderdate, r.tot,
+        |       r.month AS asof_month
+        |FROM l ASOF JOIN r
+        |  ON l.o_orderpriority = r.o_orderpriority AND l.o_orderdate >= r.month
+        |ORDER BY o_orderkey""".stripMargin)
   )
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Per-key top-k as a partial-aggregable bounded buffer, the scale
+  * alternative to the `row_number() over (partition by ...) <= k` window:
+  * WindowExec must shuffle EVERY row to its key's partition and sort it,
+  * while an aggregate keeps at most k entries per key on the map side, so
+  * the exchange carries ≤ k·|keys| rows no matter how large the input.
+  * At 100 TB with k=5 and a few thousand strata that is the difference
+  * between shuffling terabytes and shuffling kilobytes.
+  *
+  * The trade: the buffer is an ObjectHashAggregate (no whole-stage
+  * codegen) and the payload rides through the aggregate as a struct.
+  * For small k and wide-but-few strata this wins decisively; when k is a
+  * large fraction of the group size, the window form
+  * ([[graft.text.Corpus.topKPerStratum]]) is the right plan. Both are
+  * offered; q73/q76 pin them to identical output.
+  */
+object TopK {
+
+  /** (score, id) entry; ordering is score DESC then id ASC — ties are
+    * deterministic, matching `ORDER BY score DESC, id` in the window
+    * form. */
+  private[operators] final case class Entry(score: Double, id: Long)
+
+  private[operators] val desc: Ordering[Entry] =
+    Ordering.by((e: Entry) => (-e.score, e.id))
+
+  /** Sorted-insert into a buffer already sorted by [[desc]], capped at k.
+    * Buffers are ≤ k elements, so linear insertion beats heap constant
+    * factors. */
+  private[operators] def insert(buf: List[Entry], e: Entry, k: Int): List[Entry] = {
+    if (buf.lengthCompare(k) >= 0 && desc.gteq(e, buf.last)) buf
+    else {
+      val (lt, ge) = buf.span(b => desc.lt(b, e))
+      (lt ::: e :: ge).take(k)
+    }
+  }
+
+  private[operators] def merge(a: List[Entry], b: List[Entry], k: Int): List[Entry] =
+    b.foldLeft(a)((acc, e) => insert(acc, e, k))
+
+  /** Encoder-friendly wrapper: a bare List is not a Product, so the
+    * buffer/output ride inside a single-field case class. */
+  private[operators] final case class Buf(es: List[Entry])
+
+  private final class TopKAgg(k: Int)
+      extends Aggregator[(Double, Long), Buf, Buf] {
+    override def zero: Buf = Buf(Nil)
+    override def reduce(b: Buf, in: (Double, Long)): Buf =
+      Buf(insert(b.es, Entry(in._1, in._2), k))
+    override def merge(a: Buf, b: Buf): Buf = Buf(TopK.merge(a.es, b.es, k))
+    override def finish(r: Buf): Buf = r
+    override def bufferEncoder: Encoder[Buf] = Encoders.product
+    override def outputEncoder: Encoder[Buf] = Encoders.product
+  }
+
+  /** Top-k rows per stratum by `scoreCol` (desc, `idCol` asc tiebreak).
+    * Output: strata ++ (idCol, scoreCol, rank), rank 1-based — the same
+    * shape as the window form, produced with a bounded-state aggregate.
+    * The score rides as double and the id as long (the id round-trips
+    * exactly; the score column is re-read by joining nothing — it IS the
+    * double). */
+  def perKeyAgg(df: DataFrame, strata: Seq[String], scoreCol: String,
+                idCol: String, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val topk = udaf(new TopKAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
+    df.groupBy(strata.map(col): _*)
+      .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("__topk"))
+      .select(strata.map(col) :+ posexplode(col("__topk.es")).as(Seq("__pos", "__e")): _*)
+      .select(strata.map(col) :+
+        col("__e.id").as(idCol) :+
+        col("__e.score").as(scoreCol) :+
+        (col("__pos") + 1).cast("int").as("rank"): _*)
+  }
+}
