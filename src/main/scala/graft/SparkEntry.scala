@@ -673,6 +673,20 @@ object SparkEntry {
     "q66_x_stream_dedup" -> tuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingExactDedup(s, d)),
 
+    // ---- extension: streaming minhash-LSH near-dup (standing band-bucket
+    // index via flatMapGroupsWithState; equals the batch candidate set ->
+    // shares q46's oracle)
+    "q78_x_stream_neardup" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingNearDupPairs(s, d,
+        k = MinhashK, bands = MinhashBands)),
+
+    // ---- extension: duplicate-cluster resolution (pairs -> components ->
+    // keep-one-per-cluster decision; min-label propagation, no driver graph)
+    "q79_x_dup_clusters" -> tuned((s, d) =>
+      Dedup.duplicateClusters(Tables.documents(s, d), "doc_id", "text",
+          k = MinhashK, bands = MinhashBands, minEst = 0.5)
+        .orderBy("doc_id")),
+
     // ---- extension: LSH-bucketed ANN (no oracle: bucket recall is
     // approximate by design; driver records rows-only)
     "q52_x_lsh_ann" -> tuned((s, d) =>
@@ -1320,6 +1334,47 @@ object SparkEntry {
         |  round(CAST($eqSum AS DOUBLE) / $MinhashK, 4) AS est_jaccard
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)
         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    "q78_x_stream_neardup" -> {
+      val rows = MinhashK / MinhashBands
+      val bandConds = (0 until MinhashBands).map { b =>
+        (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val eqSum = (0 until MinhashK)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$MinhashCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST($eqSum AS DOUBLE) / $MinhashK, 4) AS est_jaccard
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)
+        |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // transitive closure over the qualifying pairs (est >= 0.5 <=> eq
+    // components >= k/2, an exact integer compare); cluster id = min id
+    // reachable. Recursive CTE is test-scale only — the engine side is the
+    // scalable label-propagation loop.
+    "q79_x_dup_clusters" -> {
+      val rows = MinhashK / MinhashBands
+      val bandConds = (0 until MinhashBands).map { b =>
+        (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val eqSum = (0 until MinhashK)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      val cte = "WITH RECURSIVE" + MinhashCte.stripPrefix("WITH")
+      s"""$cte,
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)
+        |  WHERE $eqSum >= ${MinhashK / 2}),
+        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+        |          UNION SELECT id_b, id_a FROM p),
+        |reach(src, dst) AS (
+        |  SELECT src, dst FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
     },
 
     "q47_x_simhash" -> SimhashSql,

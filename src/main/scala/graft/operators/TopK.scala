@@ -4,18 +4,24 @@ import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 
-/** Per-key top-k as a partial-aggregable bounded buffer, the scale
-  * alternative to the `row_number() over (partition by ...) <= k` window:
-  * WindowExec must shuffle EVERY row to its key's partition and sort it,
-  * while an aggregate keeps at most k entries per key on the map side, so
-  * the exchange carries ≤ k·|keys| rows no matter how large the input.
-  * At 100 TB with k=5 and a few thousand strata that is the difference
-  * between shuffling terabytes and shuffling kilobytes.
+/** Per-key top-k as a partial-aggregable bounded buffer — the
+  * sort-free alternative to the `row_number() over (...) <= k` window.
   *
-  * The trade: the buffer is an ObjectHashAggregate (no whole-stage
-  * codegen) and the payload rides through the aggregate as a struct.
-  * For small k and wide-but-few strata this wins decisively; when k is a
-  * large fraction of the group size, the window form
+  * Honest comparison against Spark 4's window path: Catalyst's
+  * `InferWindowGroupLimit` already bounds the exchange for rank-limit
+  * filters (a partial `WindowGroupLimitExec` keeps ≤ k rows per key per
+  * map partition before the shuffle), so shuffle VOLUME is comparable.
+  * What the window path still pays at 100 TB is sorting: a full local
+  * sort of every input partition feeds the partial group-limit, and a
+  * full sort of the shuffled partition feeds WindowExec. This aggregate
+  * never sorts the data — each map task folds rows into a ≤ k-entry
+  * sorted buffer (O(n·k) worst case, O(n) when most rows miss the
+  * cutoff, vs O(n log n) sort), and the reduce side merges k-entry
+  * buffers.
+  *
+  * The trade: ObjectHashAggregate (no whole-stage codegen) and a
+  * struct-typed buffer. For small k it wins; when k is a large fraction
+  * of the group size, the window form
   * ([[graft.text.Corpus.topKPerStratum]]) is the right plan. Both are
   * offered; q73/q76 pin them to identical output.
   */

@@ -191,4 +191,81 @@ object StreamingCollapse {
     finally q.stop()
     spark.table(name).orderBy("text_hash")
   }
+
+  final case class BucketDoc(bkey: String, docId: Long, sig: Seq[Long])
+  final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
+
+  /** Streaming MinHash+LSH near-dup detection: a standing per-band-bucket
+    * membership index (`flatMapGroupsWithState`), emitting a candidate
+    * pair the moment a new document lands in a bucket that already holds
+    * one. The streaming form of [[graft.text.Dedup.minhashCandidates]] —
+    * continuous-ingestion dedup against all history, without re-running
+    * the batch self-join per arrival.
+    *
+    * State per key is one bucket's member list — the same data-bounded
+    * cardinality as the batch band join's bucket sizes; at corpus scale
+    * the list would be TTL'd by an event-time watermark. Emission is
+    * per-band, so one pair sharing b bands appears b times in the raw
+    * stream; the estimate is computed from the FULL signatures carried in
+    * state, so duplicates are identical rows and one downstream
+    * `dropDuplicates` (batch, over the appended sink) restores exactly the
+    * batch operator's output — which is what makes it oracle-checkable
+    * (q78 shares q46's DuckDB oracle). */
+  def streamingNearDupPairs(spark: SparkSession, dir: String,
+                            k: Int = 8, bands: Int = 4,
+                            shingleK: Int = 3): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_neardup"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    import spark.implicits._
+    val rows = k / bands
+    val banded = spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir(dir, "documents"))
+      .select(col("doc_id"),
+        graft.text.TextHash.minhashSigCol(col("text"), k, shingleK).as("sig"))
+      .select(col("doc_id"), col("sig"),
+        explode(array((0 until bands).map { b =>
+          concat_ws("_", lit(b) +: (b * rows until (b + 1) * rows)
+            .map(i => element_at(col("sig"), i + 1)): _*)
+        }: _*)).as("bkey"))
+      .as[(Long, Seq[Long], String)]
+      .map { case (id, sig, bkey) => BucketDoc(bkey, id, sig) }
+
+    def estimate(a: Seq[Long], b: Seq[Long]): Double = {
+      var eq = 0
+      var i = 0
+      while (i < k) { if (a(i) == b(i)) eq += 1; i += 1 }
+      eq.toDouble / k
+    }
+    val pairs = banded
+      .groupByKey(_.bkey)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: String, docs: Iterator[BucketDoc], state: GroupState[List[BucketDoc]]) =>
+          var members = state.getOption.getOrElse(Nil)
+          val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+          docs.foreach { d =>
+            members.foreach { m =>
+              if (m.docId != d.docId) {
+                val (lo, hi) = if (m.docId < d.docId) (m.docId, d.docId)
+                               else (d.docId, m.docId)
+                out += NearDupPair(lo, hi, estimate(m.sig, d.sig))
+              }
+            }
+            members ::= d
+          }
+          state.update(members)
+          out.iterator
+      }
+    val q = pairs.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("id_a", "id_b")
+  }
 }

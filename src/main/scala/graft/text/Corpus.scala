@@ -71,8 +71,10 @@ object Corpus {
     * plan shuffle-joins on the n-gram key. */
   def contamination(corpus: DataFrame, testSet: DataFrame,
                     idCol: String, textCol: String, n: Int = 8): DataFrame = {
+    // JVM shingle kernel, not the transform/element_at expression form —
+    // the HOFs evaluate interpreted and dominate the corpus-side scan
     def grams(df: DataFrame): Column =
-      explode(Cols.shingles(Cols.tokens(col(textCol)), n))
+      explode(TextHash.shinglesCol(col(textCol), n))
     val testGrams = testSet.select(grams(testSet).as("gram")).distinct()
     corpus.select(col(idCol).as("doc_id"), grams(corpus).as("gram"))
       .join(broadcast(testGrams), Seq("gram"))
@@ -137,7 +139,7 @@ object Corpus {
     * aggregation absorbs hot n-grams before the shuffle, and top-k is a
     * TakeOrderedAndProject — no global sort materializes. */
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
-    docs.select(explode(Cols.shingles(Cols.tokens(col(textCol)), n)).as("ngram"))
+    docs.select(explode(TextHash.shinglesCol(col(textCol), n)).as("ngram"))
       .groupBy("ngram")
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))

@@ -208,4 +208,67 @@ object Dedup {
           (col("n_a") + col("n_b") - col("n_inter"))).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
+
+  /** Connected components over an undirected edge list by min-label
+    * propagation: every node starts labeled with its own id; each round,
+    * a node adopts the minimum label among itself and its neighbors;
+    * fixpoint in O(component diameter) rounds. Each round is one shuffle
+    * join + one aggregate — no driver-side graph, no per-node loops —
+    * so the iteration count, not the data volume, is the only scale
+    * bound (near-dup clusters are shallow: diameter rarely exceeds a
+    * handful of hops).
+    *
+    * Each round persists its label frame and unpersists the previous one
+    * (iterative lineage would otherwise recompute every prior round per
+    * action). Output: (id, component) for every node that appears in an
+    * edge; `component` = the minimum node id in the component. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+                          maxIters: Int = 25): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst"))
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().persist(lvl)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id")).persist(lvl)
+    labels.count()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("component"))
+      val next = labels.select("id", "component").unionByName(viaNeighbor)
+        .groupBy("id").agg(min(col("component")).as("component"))
+        .persist(lvl)
+      next.count()
+      val changed = labels.as("o")
+        .join(next.as("n"), Seq("id"))
+        .filter(col("o.component") =!= col("n.component"))
+        .limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+
+  /** End-to-end duplicate-cluster resolution — the operator that turns
+    * candidate PAIRS into a dedup DECISION: MinHash+LSH candidates
+    * ([[minhashCandidates]]) filtered to `minEst`, clustered with
+    * [[connectedComponents]] (near-dup similarity is not transitive at
+    * the pair level; the component is the dedup unit), keyed by the
+    * minimum doc id. Output: (doc_id, cluster_id) for every document in
+    * at least one qualifying pair — documents absent from the output are
+    * unique; anti-join + keep `doc_id == cluster_id` representatives
+    * yields the deduplicated corpus. */
+  def duplicateClusters(docs: DataFrame, idCol: String, textCol: String,
+                        k: Int = 12, bands: Int = 6, shingleK: Int = 3,
+                        minEst: Double = 0.5): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, k, bands, shingleK)
+      .filter(col("est_jaccard") >= minEst)
+    connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+  }
 }

@@ -74,6 +74,29 @@ object TextHash {
     * (Spark's split keeps a single empty token for empty input). */
   def tokenize(text: String): Array[String] = sparkTrim(text).split("\\s+", -1)
 
+  /** Word k-shingles as strings; fewer than k tokens -> empty. Matches
+    * `Cols.shingles(Cols.tokens(text), k)` — the expression form walks the
+    * token array through `transform`/`element_at` higher-order functions,
+    * which never enter codegen (~30µs per shingle interpreted); this is
+    * one linear pass (CorpusSpec pins parity). */
+  def shingles(text: String, k: Int): Array[String] = {
+    val toks = tokenize(text)
+    if (toks.length < k) Array.empty
+    else {
+      val out = new Array[String](toks.length - k + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out(i) = sb.toString
+        i += 1
+      }
+      out
+    }
+  }
+
   /** Hashes of word k-shingles; fewer than k tokens -> empty. Matches
     * `transform(Cols.shingles(tokens, k), hash32)` in md5 mode. */
   def shingleHashes(text: String, k: Int, mode: String = "md5"): Array[Long] = {
@@ -172,4 +195,9 @@ object TextHash {
     val mode = graft.functions.Cols.HashMode
     udf((t: String) => if (t == null) null else Long.box(fingerprint(t, shingleK, mode))).apply(text)
   }
+
+  /** String shingles (no hashing) — corpus decontamination / vocabulary
+    * statistics paths. */
+  def shinglesCol(text: Column, k: Int): Column =
+    udf((t: String) => if (t == null) null else shingles(t, k)).apply(text)
 }

@@ -19,6 +19,20 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
 
+  test("streamingNearDupPairs: streaming LSH index equals the batch candidates") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = streamingNearDupPairs(spark, dir, k = 8, bands = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.text.Dedup.minhashCandidates(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text",
+        k = 8, bands = 4)
+      .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+      .orderBy("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("watermark: events later than the watermark bound are dropped (late-data policy)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -87,6 +87,20 @@ class CorpusSpec extends SparkSpec {
       (4L, 1L, 1L, 1L), (5L, 5L, 0L, 0L)))
   }
 
+  test("JVM shingle kernel matches the expression form (incl. tab/empty edges)") {
+    import graft.functions.Cols
+    val texts = Seq("a b c d", "a b", "", "  x  y  z ", "\tlead tab toks here",
+      "one", "a  b   c", "p q r s t u v w")
+    val df = texts.toDF("text")
+    for (k <- Seq(2, 3, 5)) {
+      val got = df.select(TextHash.shinglesCol(col("text"), k).as("s")).collect()
+        .map(_.getSeq[String](0).toList)
+      val want = df.select(Cols.shingles(Cols.tokens(col("text")), k).as("s")).collect()
+        .map(_.getSeq[String](0).toList)
+      assert(got.toSeq == want.toSeq, s"k=$k")
+    }
+  }
+
   test("topNgrams counts bigrams with lexicographic tie-break") {
     val docs = Seq(
       (1L, "a b a b"),   // "a b" x2, "b a" x1

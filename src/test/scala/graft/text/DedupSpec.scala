@@ -78,4 +78,30 @@ class DedupSpec extends SparkSpec {
     assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
     assert(got.contains((1L, 100L, 0)), "planted exact dup not found")
   }
+
+  test("connectedComponents: chain needs multiple propagation rounds; components split") {
+    // chain 1-2-3-4-5 (diameter 4 > one round) and separate pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("duplicateClusters: transitive near-dups share one cluster, uniques absent") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), (7L, base),            // exact dups -> cluster 1
+      (3L, "totally different words entirely here today now ok fine yes"),
+      (4L, base + " tailword")                       // near-dup of 1 via shingles
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicateClusters(docs, "doc_id", "text",
+        k = 8, bands = 4, minEst = 0.5)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val m = out.toMap
+    assert(m(1L) == 1L && m(2L) == 1L && m(7L) == 1L)
+    assert(m.get(4L).forall(_ == 1L)) // near-dup may or may not pass 0.5; if present, same cluster
+    assert(!m.contains(3L), "unique doc must be absent")
+  }
 }
