@@ -69,12 +69,18 @@ object TopK {
     * shape as the window form, produced with a bounded-state aggregate.
     * The score rides as double and the id as long (the id round-trips
     * exactly; the score column is re-read by joining nothing — it IS the
-    * double). */
+    * double).
+    *
+    * Null scores/ids are EXCLUDED up front (the primitive-tuple encoder
+    * would otherwise decode them as 0.0/0 and rank garbage); the window
+    * form ranks null scores last instead, so the two paths only diverge
+    * on groups smaller than k that contain nulls. */
   def perKeyAgg(df: DataFrame, strata: Seq[String], scoreCol: String,
                 idCol: String, k: Int): DataFrame = {
     require(k > 0, "k must be positive")
     val topk = udaf(new TopKAgg(k), Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong))
-    df.groupBy(strata.map(col): _*)
+    df.filter(col(scoreCol).isNotNull && col(idCol).isNotNull)
+      .groupBy(strata.map(col): _*)
       .agg(topk(col(scoreCol).cast("double"), col(idCol).cast("long")).as("__topk"))
       .select(strata.map(col) :+ posexplode(col("__topk.es")).as(Seq("__pos", "__e")): _*)
       .select(strata.map(col) :+

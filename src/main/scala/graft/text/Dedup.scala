@@ -221,7 +221,10 @@ object Dedup {
     * Each round persists its label frame and unpersists the previous one
     * (iterative lineage would otherwise recompute every prior round per
     * action). Output: (id, component) for every node that appears in an
-    * edge; `component` = the minimum node id in the component. */
+    * edge; `component` = the minimum node id in the component. The
+    * returned frame stays persisted (it IS the final round's state — a
+    * small id-only table); the ContextCleaner releases it when the frame
+    * becomes unreachable. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
                           maxIters: Int = 25): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
@@ -231,7 +234,15 @@ object Dedup {
       .distinct().persist(lvl)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).persist(lvl)
-    labels.count()
+    // Convergence signal: min-propagation is monotone (labels only ever
+    // decrease), so Σ component strictly decreases until the fixpoint —
+    // one scalar aggregate per round replaces a separate
+    // changed-rows join, and the same action materializes the round's
+    // persist. Sums of ids fit a long far beyond any realistic pair set,
+    // but sum as decimal to be overflow-proof.
+    def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var it = 0
     var converged = false
     while (!converged && it < maxIters) {
@@ -240,14 +251,11 @@ object Dedup {
       val next = labels.select("id", "component").unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("component")).as("component"))
         .persist(lvl)
-      next.count()
-      val changed = labels.as("o")
-        .join(next.as("n"), Seq("id"))
-        .filter(col("o.component") =!= col("n.component"))
-        .limit(1).count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       it += 1
     }
     sym.unpersist()
