@@ -8,8 +8,15 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // The state-store maintenance thread fires on a 60s default interval;
+      // after spark.stop() its next wake-up logs a ~1.3 KB "SparkEnv not
+      // active" stack trace. The harness captures only a bounded tail of
+      // stdout, and in BENCH_r03 that trace (printed AFTER the JSON line)
+      // pushed the head of the JSON out of the capture window ->
+      // "parsed": null. A huge interval means it never fires at all.
+      .config("spark.sql.streaming.stateStore.maintenanceInterval", "24h")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // Untimed warm-up at the smallest SF: compiles the same generated
     // classes (Janino cache keys on source, which doesn't embed paths), so
     // the timed pass measures query execution, not JVM/codegen cold-start.
@@ -45,7 +52,13 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val sfLabel = new java.io.File(sfDir).getName
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
+    // Stop Spark FIRST and let shutdown noise flush, so the JSON line is the
+    // last thing on stdout before sbt's one-line [success] banner — the
+    // harness tail-captures stdout and anything bulky after this line can
+    // evict its head from the window.
     spark.stop()
+    Thread.sleep(1000)
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
+    System.out.flush()
   }
 }

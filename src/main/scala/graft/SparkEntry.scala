@@ -1531,7 +1531,7 @@ object SparkEntry {
         |  FROM t)
         |SELECT source, doc_id, n_tokens,
         |  CAST(floor(strt / 64.0) AS BIGINT) AS bin,
-        |  strt % 64 AS pos_in_bin
+        |  CAST(strt % 64 AS BIGINT) AS pos_in_bin
         |FROM w ORDER BY source, doc_id""".stripMargin),
 
     "q75_x_top_ngrams" ->

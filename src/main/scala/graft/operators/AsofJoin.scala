@@ -42,8 +42,15 @@ object AsofJoin {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+    // Reserved struct field for the match time: a payload column literally
+    // named like it would produce duplicate struct fields, and getField
+    // would silently return the match time instead of the payload.
+    require(!payload.contains("__asof_t"),
+      "payload column name __asof_t is reserved for the match-time field")
+    require(!leftCols.contains(s"asof_$rightTime"),
+      s"left column asof_$rightTime collides with the output match-time column")
 
-    val rv = struct(col(rightTime).as("t") +: payload.map(col): _*)
+    val rv = struct(col(rightTime).as("__asof_t") +: payload.map(col): _*)
     val r = right.select(
       keys.map(col) :+ col(rightTime).as("__t") :+ rv.as("__rv") :+
         lit(0).as("__side") :+ lit(null).cast(structType(left)).as("__lrow"): _*)
@@ -65,7 +72,7 @@ object AsofJoin {
     matched.select(
       leftCols.map(c => col("__lrow").getField(c).as(c)) ++
         payload.map(c => col("__m").getField(c).as(c)) :+
-        col("__m").getField("t").as(s"asof_$rightTime"): _*)
+        col("__m").getField("__asof_t").as(s"asof_$rightTime"): _*)
   }
 
   private def structType(df: DataFrame) =

@@ -203,8 +203,14 @@ object StreamingCollapse {
     * the batch self-join per arrival.
     *
     * State per key is one bucket's member list — the same data-bounded
-    * cardinality as the batch band join's bucket sizes; at corpus scale
-    * the list would be TTL'd by an event-time watermark. Emission is
+    * cardinality as the batch band join's bucket sizes. For a standing
+    * pipeline pass `stateTtlMinutes=Some(m)`: buckets idle for m minutes
+    * are dropped via a processing-time timeout (the sessionize pattern),
+    * so the index holds only the recent-ingest working set instead of
+    * growing without bound. Off by default because processing-time
+    * timeouts re-trigger empty micro-batches forever and
+    * `processAllAvailable` never sees the stream idle (the test/oracle
+    * path runs one batch to completion). Emission is
     * per-band, so one pair sharing b bands appears b times in the raw
     * stream; the estimate is computed from the FULL signatures carried in
     * state, so duplicates are identical rows and one downstream
@@ -213,7 +219,8 @@ object StreamingCollapse {
     * (q78 shares q46's DuckDB oracle). */
   def streamingNearDupPairs(spark: SparkSession, dir: String,
                             k: Int = 8, bands: Int = 4,
-                            shingleK: Int = 3): DataFrame = {
+                            shingleK: Int = 3,
+                            stateTtlMinutes: Option[Int] = None): DataFrame = {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_neardup"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
@@ -238,24 +245,37 @@ object StreamingCollapse {
       while (i < k) { if (a(i) == b(i)) eq += 1; i += 1 }
       eq.toDouble / k
     }
+    val timeoutConf = stateTtlMinutes match {
+      case Some(_) => GroupStateTimeout.ProcessingTimeTimeout
+      case None    => GroupStateTimeout.NoTimeout
+    }
     val pairs = banded
       .groupByKey(_.bkey)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState(OutputMode.Append, timeoutConf) {
         (_: String, docs: Iterator[BucketDoc], state: GroupState[List[BucketDoc]]) =>
-          var members = state.getOption.getOrElse(Nil)
-          val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
-          docs.foreach { d =>
-            members.foreach { m =>
-              if (m.docId != d.docId) {
-                val (lo, hi) = if (m.docId < d.docId) (m.docId, d.docId)
-                               else (d.docId, m.docId)
-                out += NearDupPair(lo, hi, estimate(m.sig, d.sig))
+          if (state.hasTimedOut) {
+            // Bucket went cold: drop its member index. Docs arriving later
+            // simply re-seed the bucket — near-dups separated by more than
+            // the TTL are intentionally not paired (the recency contract).
+            state.remove()
+            Iterator.empty
+          } else {
+            var members = state.getOption.getOrElse(Nil)
+            val out = scala.collection.mutable.ListBuffer.empty[NearDupPair]
+            docs.foreach { d =>
+              members.foreach { m =>
+                if (m.docId != d.docId) {
+                  val (lo, hi) = if (m.docId < d.docId) (m.docId, d.docId)
+                                 else (d.docId, m.docId)
+                  out += NearDupPair(lo, hi, estimate(m.sig, d.sig))
+                }
               }
+              members ::= d
             }
-            members ::= d
+            state.update(members)
+            stateTtlMinutes.foreach(m => state.setTimeoutDuration(s"$m minutes"))
+            out.iterator
           }
-          state.update(members)
-          out.iterator
       }
     val q = pairs.writeStream
       .outputMode("append")

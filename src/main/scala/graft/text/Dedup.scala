@@ -240,8 +240,12 @@ object Dedup {
     // changed-rows join, and the same action materializes the round's
     // persist. Sums of ids fit a long far beyond any realistic pair set,
     // but sum as decimal to be overflow-proof.
+    // Option-guard: sum over an EMPTY frame is SQL NULL (getDecimal returns
+    // null) — an empty edge set (clean corpus) is a valid input and must
+    // converge on the first round, not NPE in compareTo.
     def labelSum(df: org.apache.spark.sql.DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+      Option(df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
@@ -274,9 +278,14 @@ object Dedup {
   def duplicateClusters(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, bands: Int = 6, shingleK: Int = 3,
                         minEst: Double = 0.5): DataFrame = {
-    val pairs = minhashCandidates(docs, idCol, textCol, k, bands, shingleK)
-      .filter(col("est_jaccard") >= minEst)
-    connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as("doc_id"), col("component").as("cluster_id"))
+    val cand = minhashCandidates(docs, idCol, textCol, k, bands, shingleK)
+    val labels = connectedComponents(
+      cand.filter(col("est_jaccard") >= minEst), "id_a", "id_b")
+    // connectedComponents materialized its final label frame (the in-loop
+    // labelSum action), so the candidate-pair cache can be dropped NOW
+    // instead of waiting on ContextCleaner reachability — a long-lived
+    // session running many dedup passes would otherwise accumulate them.
+    cand.unpersist()
+    labels.select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 }
