@@ -765,8 +765,79 @@ object SparkEntry {
       operators.AsofJoin.asofJoin(left, right, keys = Seq("o_orderpriority"),
           leftTime = "o_orderdate", rightTime = "month", payload = Seq("tot"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: Gopher repetition stats (single-pass JVM kernel).
+    // The testdata docs are single-line, so the line axis runs over the
+    // deterministic 2-token-chunk derivation (linedText) — 181/500 docs
+    // then carry real within-doc duplicate lines; the n-gram axes run on
+    // the raw token stream either way (newlines are \s to the tokenizer)
+    "q80_x_repetition" -> tuned((s, d) => {
+      val f = graft.text.Repetition.statsCol(linedText(col("text")))
+      Tables.documents(s, d).select(col("doc_id"),
+          f.getField("n_lines").cast("long").as("n_lines"),
+          round(f.getField("dup_line_frac"), 4).as("dup_line_frac"),
+          round(f.getField("dup_line_char_frac"), 4).as("dup_line_char_frac"),
+          round(f.getField("top_2gram_char_frac"), 4).as("top_2gram_char_frac"),
+          round(f.getField("dup_5gram_char_frac"), 4).as("dup_5gram_char_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: corpus-wide line-level dedup (CCNet/RefinedWeb
+    // paragraph dedup) — same lined derivation; boilerplate lines survive
+    // only at their globally-first (doc_id, pos) occurrence
+    "q81_x_line_dedup" -> tuned((s, d) =>
+      Dedup.lineDedup(
+          Tables.documents(s, d).select(col("doc_id"), linedText(col("text")).as("text")),
+          "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- extension: PII redaction audit — planted deterministic PII
+    // (email on doc_id%3, IPv4 on %2, phone on %5: counts vary 0/1) over
+    // RE2-safe regexes the oracle runs verbatim; codegen'd, no UDF
+    "q82_x_pii_redact" -> tuned((s, d) => {
+      val pii = concat(col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact u"), col("doc_id"), lit("@example.com"))).otherwise(""),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" from 10."), col("doc_id") % 256, lit(".0."), col("doc_id") % 100))
+          .otherwise(""),
+        when(col("doc_id") % 5 === 0,
+          concat(lit(" tel 555-"), lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+            lit("-0199"))).otherwise(""))
+      val cols = col("doc_id") +:
+        graft.text.Redact.piiCounts(pii).map { case (n, c) => c.as(n) } :+
+        graft.text.Redact.redact(pii).as("text_redacted")
+      Tables.documents(s, d).select(cols: _*).orderBy("doc_id")
+    }),
+
+    // ---- extension: SemDeDup semantic near-dup (IVF-cluster-bounded
+    // pairwise cosine — no oracle: centroids come from Lloyd's float
+    // iteration; rows-only like q58, recall pinned by SimilaritySpec)
+    "q83_x_semantic_dedup" -> tuned((s, d) => {
+      val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 3)
+      graft.sim.Ivf.semanticDedupPairs(vecs, "vec_id", "embedding", model, threshold = 0.35)
+        .orderBy("id_a", "id_b")
     })
   )
+
+  /** Deterministic 2-token-per-line derivation shared by q80/q81 and
+    * their oracles: the testdata documents are single-line word streams,
+    * so line-grain operators need a reproducible multi-line view. Chunk
+    * the whitespace tokens two per line ('\n'-joined); the DuckDB oracle
+    * builds the identical string with list_transform/range. Tokens are
+    * ASCII (no spaces), so chunk text and char counts agree bit-for-bit
+    * across engines. */
+  private def linedText(text: Column): Column = {
+    val toks = Cols.tokens(text)
+    val nChunks = ceil(size(toks) / lit(2.0)).cast("int")
+    when(length(trim(text)) === 0, lit(""))
+      .otherwise(array_join(
+        transform(sequence(lit(0), nChunks - 1),
+          i => concat_ws(" ", slice(toks, i * 2 + 1, lit(2)))),
+        "\n"))
+  }
 
   private val MinhashK = 8
   private val MinhashBands = 4
@@ -1569,6 +1640,121 @@ object SparkEntry {
         |       r.month AS asof_month
         |FROM l ASOF JOIN r
         |  ON l.o_orderpriority = r.o_orderpriority AND l.o_orderdate >= r.month
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q80_x_repetition" ->
+      (s"""$LinedCte,
+        |lg AS (
+        |  SELECT doc_id, line, count(*) AS c, length(line) AS ll
+        |  FROM (SELECT doc_id, unnest(la) AS line FROM lined)
+        |  WHERE length(line) > 0 GROUP BY doc_id, line),
+        |ls AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+        |    CAST(sum(c) - count(*) AS DOUBLE) / sum(c) AS dlf,
+        |    CAST(sum(CASE WHEN c > 1 THEN (c-1)*ll ELSE 0 END) AS DOUBLE)
+        |      / nullif(sum(c*ll), 0) AS dlcf
+        |  FROM lg GROUP BY doc_id),
+        |tc AS (
+        |  SELECT doc_id, sum(length(x)) AS tot
+        |  FROM (SELECT doc_id, unnest(toks) AS x FROM lined) GROUP BY doc_id),
+        |g2 AS (
+        |  SELECT doc_id, gram, count(*) AS c, length(gram) - 1 AS gl
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |          i -> toks[i] || ' ' || toks[i+1])) AS gram FROM lined)
+        |  GROUP BY doc_id, gram),
+        |t2 AS (
+        |  SELECT doc_id, c * gl AS cov FROM (
+        |    SELECT doc_id, c, gl,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, gram DESC) AS rn
+        |    FROM g2) WHERE rn = 1),
+        |g5 AS (
+        |  SELECT doc_id, gram, count(*) AS c, length(gram) - 4 AS gl
+        |  FROM (SELECT doc_id, unnest(list_transform(range(1, len(toks) - 3),
+        |          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' ||
+        |               toks[i+3] || ' ' || toks[i+4])) AS gram FROM lined)
+        |  GROUP BY doc_id, gram),
+        |d5 AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c * gl ELSE 0 END) AS DOUBLE) AS cov
+        |  FROM g5 GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(ls.n_lines, 0) AS n_lines,
+        |  round(ls.dlf, 4) AS dup_line_frac,
+        |  round(ls.dlcf, 4) AS dup_line_char_frac,
+        |  round(CAST(t2.cov AS DOUBLE) / tc.tot, 4) AS top_2gram_char_frac,
+        |  round(d5.cov / tc.tot, 4) AS dup_5gram_char_frac
+        |FROM documents d
+        |LEFT JOIN ls USING (doc_id) LEFT JOIN tc USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q81_x_line_dedup" ->
+      (s"""$LinedCte,
+        |l AS (
+        |  SELECT doc_id, line, i FROM (
+        |    SELECT doc_id, unnest(la) AS line,
+        |           unnest(range(1, len(la) + 1)) AS i
+        |    FROM lined)
+        |  WHERE length(line) > 0),
+        |k AS (
+        |  SELECT doc_id, i, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, i) AS rn
+        |  FROM l),
+        |cnt AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_lines,
+        |    CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+        |  FROM k GROUP BY doc_id),
+        |agg AS (
+        |  SELECT doc_id, string_agg(line, chr(10) ORDER BY i) AS txt
+        |  FROM k WHERE rn = 1 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  coalesce(cnt.n_lines, 0) AS n_lines,
+        |  coalesce(cnt.n_kept, 0) AS n_kept,
+        |  coalesce(agg.txt, '') AS text_dedup
+        |FROM documents d
+        |LEFT JOIN cnt USING (doc_id) LEFT JOIN agg USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q82_x_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val phone = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+      s"""WITH p AS (
+        |  SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' contact u' || CAST(doc_id AS VARCHAR) || '@example.com'
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.' ||
+        |              CAST(doc_id % 100 AS VARCHAR)
+        |         ELSE '' END ||
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN ' tel 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') ||
+        |              '-0199'
+        |         ELSE '' END AS pii
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(pii, '$email')) AS INT) AS n_emails,
+        |  CAST(len(regexp_extract_all(pii, '$ip')) AS INT) AS n_ips,
+        |  CAST(len(regexp_extract_all(pii, '$phone')) AS INT) AS n_phones,
+        |  regexp_replace(regexp_replace(regexp_replace(pii,
+        |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
+        |    '$phone', '<PHONE>', 'g') AS text_redacted
+        |FROM p ORDER BY doc_id""".stripMargin
+    }
   )
+
+  /** Shared 2-token-per-line derivation for the q80/q81 oracles — the SQL
+    * twin of [[linedText]]: `la` is the line array, `toks` the raw token
+    * array (DuckDB range() is end-exclusive; list slices are 1-based
+    * inclusive, matching Spark's 1-based `slice`). */
+  private val LinedCte: String =
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |lined AS (
+      |  SELECT doc_id, toks,
+      |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS BIGINT)),
+      |      i -> array_to_string(toks[i*2+1:i*2+2], ' ')) AS la
+      |  FROM t)""".stripMargin
 }

@@ -87,4 +87,52 @@ object Ivf {
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
+
+  /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
+    * "SemDeDup: Data-efficient learning at web-scale through semantic
+    * deduplication"): coarse-cluster every embedding with the trained IVF
+    * model, then score pairwise cosine ONLY within a cluster and emit
+    * pairs at or above `threshold`. The cluster equi-join replaces the
+    * corpus-wide all-pairs stage — cost is Σ|cluster|², bounded by
+    * training k = O(√N) centroids, the same budget SemDeDup runs at
+    * web scale. Single-probe assignment is unique per id, so no
+    * dropDuplicates pass is needed. Scoring is the codegen'd
+    * [[org.apache.spark.sql.graft.CosineSim]] expression.
+    *
+    * Caveat shared with SemDeDup itself: near-dups straddling a cluster
+    * boundary are missed — recall, not correctness; raise k's probe-side
+    * analog by unioning a second-probe assignment if the miss rate
+    * matters. */
+  def semanticDedupPairs(vectors: DataFrame, idCol: String, vecCol: String,
+                         model: Model, threshold: Double): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    val slim = vectors.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+    val assigned = slim
+      .map { case (id, v) => (bc.value.nearest(v, 1)(0), id, v) }
+      .toDF("cluster", "id", "__v")
+    val a = assigned.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"))
+    val b = assigned.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"))
+    a.join(b, Seq("cluster"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(org.apache.spark.sql.graft.CosineSim(col("__va"), col("__vb")), 4).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
+
+  /** Semantic duplicate groups: [[semanticDedupPairs]] resolved into
+    * connected components (pairwise similarity is not transitive; the
+    * component is the dedup unit, exactly as in
+    * [[graft.text.Dedup.duplicateClusters]]). Output: (vec_id,
+    * cluster_id = min member id); ids absent from the output are
+    * semantically unique. */
+  def semanticDedupClusters(vectors: DataFrame, idCol: String, vecCol: String,
+                            model: Model, threshold: Double): DataFrame = {
+    val pairs = semanticDedupPairs(vectors, idCol, vecCol, model, threshold)
+    graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
+      .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+  }
 }

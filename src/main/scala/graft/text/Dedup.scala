@@ -288,4 +288,46 @@ object Dedup {
     cand.unpersist()
     labels.select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
+
+  /** Corpus-wide line-level dedup (the CCNet/RefinedWeb paragraph-dedup
+    * shape): boilerplate lines repeated across documents (nav bars,
+    * licence headers, quoted chunks) are kept only at their globally first
+    * occurrence — ordered by (docId, line position) — and dropped
+    * everywhere else; empty lines are dropped outright. Output per input
+    * document: (id, n_lines, n_kept, text_dedup) with the surviving lines
+    * re-joined by '\n' in original order (empty string when nothing
+    * survives — the row is kept so the corpus keeps its doc count).
+    *
+    * Shape at scale: posexplode → one window shuffle keyed by the LINE
+    * CONTENT (not a digest: a digest collision would silently merge two
+    * distinct lines; the line must cross the shuffle anyway to be
+    * re-emitted) → one groupBy(id) to reassemble. First-occurrence choice
+    * is min(struct(id, pos)) — algebraic, so the window's partial
+    * aggregation bounds hot keys' map-side cost; a truly degenerate
+    * boilerplate line (billions of copies) should be pre-filtered with
+    * [[graft.operators.Skew.heavyHitters]] and handled as a stop-line
+    * list. */
+  def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs
+      .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+    val w = Window.partitionBy("line")
+    val kept = lines
+      .withColumn("__first", min(struct(col(idCol), col("pos"))).over(w))
+      .withColumn("__keep", struct(col(idCol), col("pos")) === col("__first"))
+    val stats = kept.groupBy(idCol).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+      concat_ws("\n",
+        transform(
+          array_sort(collect_list(when(col("__keep"), struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("text_dedup"))
+    // left join back: documents whose every line was dropped (or whose
+    // text had no non-empty lines) must still appear
+    docs.select(col(idCol)).join(stats, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"))
+  }
 }

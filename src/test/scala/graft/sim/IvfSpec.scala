@@ -43,4 +43,34 @@ class IvfSpec extends SparkSpec {
     // all returned neighbors share the query's cluster (mod 3)
     assert(ivf.forall { case (q, n) => q % 3 == n % 3 })
   }
+
+  test("semanticDedupPairs: planted near-identical vectors pair up within clusters") {
+    // clustered + two exact copies of vectors 0 and 1 under new ids
+    val base = clustered.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = (base :+ (900L, base.find(_._1 == 0L).get._2.clone())
+                        :+ (901L, base.find(_._1 == 1L).get._2.clone()))
+      .toSeq.toDF("vec_id", "embedding")
+    val model = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 5)
+    val pairs = Ivf.semanticDedupPairs(planted, "vec_id", "embedding", model, threshold = 0.9999)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(pairs.contains((0L, 900L)), s"missing planted pair in $pairs")
+    assert(pairs.contains((1L, 901L)), s"missing planted pair in $pairs")
+    // id_a < id_b contract, no self-pairs
+    assert(pairs.forall { case (a, b) => a < b })
+  }
+
+  test("semanticDedupClusters: components labelled by min member id") {
+    val base = clustered.collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val planted = (base :+ (900L, base.find(_._1 == 0L).get._2.clone())
+                        :+ (901L, base.find(_._1 == 0L).get._2.clone()))
+      .toSeq.toDF("vec_id", "embedding")
+    val model = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 5)
+    val labels = Ivf.semanticDedupClusters(planted, "vec_id", "embedding", model,
+        threshold = 0.9999)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("cluster_id"))).toMap
+    // 0, 900, 901 are one component labelled 0
+    assert(labels.get(900L).contains(0L))
+    assert(labels.get(901L).contains(0L))
+    assert(labels.get(0L).contains(0L))
+  }
 }

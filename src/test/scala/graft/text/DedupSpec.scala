@@ -6,6 +6,35 @@ import org.apache.spark.sql.functions._
 class DedupSpec extends SparkSpec {
   import spark.implicits._
 
+  test("lineDedup: boilerplate lines survive only at first (id, pos) occurrence") {
+    val lined = Seq(
+      (1L, "header\nalpha beta\nfooter"),
+      (2L, "header\ngamma delta\nfooter"), // header+footer dup'd away
+      (3L, "header\nheader\nunique line"), // within-doc repeat too
+      (4L, ""),                            // no non-empty lines
+      (5L, "header\nfooter")               // everything duplicated
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(lined, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(out.map(_.getAs[String]("text_dedup")) === Seq(
+      "header\nalpha beta\nfooter", "gamma delta", "unique line", "", ""))
+    assert(out.map(_.getAs[Long]("n_lines")) === Seq(3L, 3L, 3L, 0L, 2L))
+    assert(out.map(_.getAs[Long]("n_kept")) === Seq(3L, 1L, 1L, 0L, 0L))
+  }
+
+  test("lineDedup: keeps doc count and original line order") {
+    val lined = Seq(
+      (10L, "z last\na first\nm middle"),
+      (11L, "m middle\nz last\nnew one")
+    ).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(lined, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(out.size === 2)
+    // doc 10 keeps all three in ORIGINAL order (not sorted content order)
+    assert(out.head.getAs[String]("text_dedup") === "z last\na first\nm middle")
+    assert(out(1).getAs[String]("text_dedup") === "new one")
+  }
+
   private val docs = Seq(
     (1L, "the quick brown fox jumps over the lazy dog"),
     (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
