@@ -819,6 +819,33 @@ object SparkEntry {
       val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 3)
       graft.sim.Ivf.semanticDedupPairs(vecs, "vec_id", "embedding", model, threshold = 0.35)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- extension: composed Gopher repetition filter (q80's kernel as a
+    // cleaning DECISION; thresholds keep 348/500 at sf0.01 — non-vacuous)
+    "q84_x_gopher_filter" -> tuned((s, d) =>
+      graft.text.TextAnalysis.repetitionFilter(
+          Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"),
+            linedText(col("text")).as("text")),
+          "text", maxDupLineFrac = 0.12, maxTop2GramFrac = 0.09, maxDup5GramFrac = 0.05)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
+    // ---- extension: JSONL sink + source round-trip (the training-corpus
+    // interchange format) — write per-partition part files, read back with
+    // an explicit schema, aggregate; oracle is the same aggregate straight
+    // off the parquet table, so the round-trip must be lossless
+    "q85_x_jsonl_roundtrip" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val key = graft.text.TextHash.hash32(d).toHexString
+      val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$key"
+      graft.sources.Sinks.jsonl(docs, path)
+      graft.sources.Sinks.readJsonl(s, path, docs.schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("source")
     })
   )
 
@@ -1643,6 +1670,39 @@ object SparkEntry {
         |ORDER BY o_orderkey""".stripMargin),
 
     "q80_x_repetition" ->
+      (s"""$RepCtes
+        |SELECT d.doc_id, coalesce(ls.n_lines, 0) AS n_lines,
+        |  round(ls.dlf, 4) AS dup_line_frac,
+        |  round(ls.dlcf, 4) AS dup_line_char_frac,
+        |  round(CAST(t2.cov AS DOUBLE) / tc.tot, 4) AS top_2gram_char_frac,
+        |  round(d5.cov / tc.tot, 4) AS dup_5gram_char_frac
+        |FROM documents d
+        |LEFT JOIN ls USING (doc_id) LEFT JOIN tc USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q84_x_gopher_filter" ->
+      (s"""$RepCtes
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d
+        |LEFT JOIN ls USING (doc_id) LEFT JOIN tc USING (doc_id)
+        |LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
+        |WHERE coalesce(ls.dlf, 0.0) <= 0.12
+        |  AND coalesce(CAST(t2.cov AS DOUBLE) / tc.tot, 0.0) <= 0.09
+        |  AND coalesce(d5.cov / tc.tot, 0.0) <= 0.05
+        |ORDER BY doc_id""".stripMargin),
+
+    "q85_x_jsonl_roundtrip" ->
+      ("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+  ) ++ LinedOracles
+
+  /** Shared repetition-stat CTE block (q80/q84): per-doc line groups,
+    * line-axis stats, token char totals, 2-gram top coverage, duplicated
+    * 5-gram coverage — all over the [[LinedCte]] derivation. */
+  private lazy val RepCtes: String =
       (s"""$LinedCte,
         |lg AS (
         |  SELECT doc_id, line, count(*) AS c, length(line) AS ll
@@ -1675,17 +1735,11 @@ object SparkEntry {
         |  GROUP BY doc_id, gram),
         |d5 AS (
         |  SELECT doc_id, CAST(sum(CASE WHEN c > 1 THEN c * gl ELSE 0 END) AS DOUBLE) AS cov
-        |  FROM g5 GROUP BY doc_id)
-        |SELECT d.doc_id, coalesce(ls.n_lines, 0) AS n_lines,
-        |  round(ls.dlf, 4) AS dup_line_frac,
-        |  round(ls.dlcf, 4) AS dup_line_char_frac,
-        |  round(CAST(t2.cov AS DOUBLE) / tc.tot, 4) AS top_2gram_char_frac,
-        |  round(d5.cov / tc.tot, 4) AS dup_5gram_char_frac
-        |FROM documents d
-        |LEFT JOIN ls USING (doc_id) LEFT JOIN tc USING (doc_id)
-        |LEFT JOIN t2 USING (doc_id) LEFT JOIN d5 USING (doc_id)
-        |ORDER BY doc_id""".stripMargin),
+        |  FROM g5 GROUP BY doc_id)""".stripMargin)
 
+  /** q81/q82 oracles, split out next to the [[LinedCte]]/[[RepCtes]]
+    * blocks they share (merged into [[oracleSql]]). */
+  private val LinedOracles: Map[String, String] = Map(
     "q81_x_line_dedup" ->
       (s"""$LinedCte,
         |l AS (
@@ -1746,7 +1800,7 @@ object SparkEntry {
     * twin of [[linedText]]: `la` is the line array, `toks` the raw token
     * array (DuckDB range() is end-exclusive; list slices are 1-based
     * inclusive, matching Spark's 1-based `slice`). */
-  private val LinedCte: String =
+  private lazy val LinedCte: String =
     """WITH t AS (
       |  SELECT doc_id,
       |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])

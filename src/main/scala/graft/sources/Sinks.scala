@@ -28,6 +28,25 @@ object Sinks {
   def parquetPartitioned(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
     df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
 
+  /** JSONL sink — the interchange format of LLM training corpora (one
+    * JSON object per line). Plain `df.write.json`: each task writes its
+    * partition as an independent .json part file, so the sink scales
+    * linearly with no single-task funnel; gzip keeps the 100 TB shape
+    * splittable-enough in practice because parallelism comes from file
+    * COUNT (one per partition), not intra-file splits. */
+  def jsonl(df: DataFrame, path: String, compress: Boolean = false): Unit = {
+    val w = df.write.mode("overwrite")
+    (if (compress) w.option("compression", "gzip") else w).json(path)
+  }
+
+  /** JSONL source with an EXPLICIT schema — at corpus scale schema
+    * inference is a full extra pass over the data; production readers
+    * must pass the schema (permissive mode: malformed lines null out
+    * instead of failing the job). */
+  def readJsonl(spark: org.apache.spark.sql.SparkSession, path: String,
+                schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
+
   /** F7: empty-result guard (reference warns and skips the write —
     * load_CES_pandas.py:261-267). Returns true when written. */
   def writeUnlessEmpty(df: DataFrame, write: DataFrame => Unit,

@@ -210,6 +210,29 @@ object TextAnalysis {
         round(col("punct_ratio"), 4).as("punct_ratio"))
   }
 
+  /** Gopher-style repetition filter (Rae et al. 2021 table A1, the
+    * repetition axis of the quality rules): drop documents whose
+    * duplicate-line fraction, top-2-gram coverage, or duplicated-5-gram
+    * coverage exceeds its threshold. One [[Repetition.statsCol]] kernel
+    * pass per row, no shuffle — composes with [[cleanCorpus]] upstream of
+    * its dedup window. Null fractions (too few tokens/lines to measure)
+    * PASS the filter: absence of evidence of repetition is not
+    * repetition, and short docs are `minTokens`-gated elsewhere.
+    * Output: the surviving rows of `docs`, unchanged. */
+  def repetitionFilter(docs: DataFrame, textCol: String,
+                       maxDupLineFrac: Double = 0.3,
+                       maxTop2GramFrac: Double = 0.2,
+                       maxDup5GramFrac: Double = 0.15): DataFrame = {
+    val f = Repetition.statsCol(col(textCol))
+    docs
+      .withColumn("__rep", f)
+      .filter(
+        coalesce(col("__rep").getField("dup_line_frac"), lit(0.0)) <= maxDupLineFrac &&
+        coalesce(col("__rep").getField("top_2gram_char_frac"), lit(0.0)) <= maxTop2GramFrac &&
+        coalesce(col("__rep").getField("dup_5gram_char_frac"), lit(0.0)) <= maxDup5GramFrac)
+      .drop("__rep")
+  }
+
   /** Document fingerprint: min portable-hash over word 3-shingles (a
     * rolling-hash winnowing analog). Equal fingerprints ⇒ near-dup
     * candidates. Short docs fall back to hashing the whole text.

@@ -109,4 +109,34 @@ class PlanSpec extends SparkSpec {
     assert(readSchema.contains("o_orderdate") && readSchema.contains("o_totalprice"))
     assert(!readSchema.contains("o_comment"), s"unused column read: $readSchema")
   }
+
+  test("repetition stats (q80) and gopher filter (q84) are shuffle-free scans") {
+    Seq("q80_x_repetition", "q84_x_gopher_filter").foreach { q =>
+      val p = plan(q)
+      val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles === 0, s"$q: per-row kernel must not shuffle\n$p")
+    }
+  }
+
+  test("PII redaction (q82) stays inside whole-stage codegen — no UDF, no shuffle") {
+    val df = SparkEntry.queries("q82_x_pii_redact")(spark, dir)
+    df.collect() // finalize AQE so codegen spans render in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0, p)
+    // the "*(n)" span markers are the WholeStageCodegen regions in the
+    // executed-plan tree string; the Project must carry one
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Project")),
+      "regex pipeline fell out of codegen")
+  }
+
+  test("line dedup (q81) shuffles twice: line-keyed window + doc reassembly") {
+    val p = plan("q81_x_line_dedup")
+    val shuffles = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // one Exchange for the line-content window, one for the groupBy(doc_id)
+    // reassembly; the final doc join broadcasts or reuses — anything more
+    // means a lost partitioning reuse
+    assert(shuffles <= 3, s"line dedup re-shuffled: $shuffles exchanges\n$p")
+    assert(p.contains("Window ["), "first-occurrence must be a window, not a self-join")
+  }
 }

@@ -31,6 +31,18 @@ class SinksSpec extends SparkSpec {
     assert(back.count() === 2)
   }
 
+  test("jsonl: write + explicit-schema read round-trips losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_jsonl_spec").toString + "/out"
+    val df = Seq(
+      (1L, "plain text", 10L),
+      (2L, "quotes \" and \\ backslash\nnewline", 31L),
+      (3L, null: String, 0L)
+    ).toDF("id", "text", "n")
+    Sinks.jsonl(df, dir)
+    val back = Sinks.readJsonl(spark, dir, df.schema)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
   test("writeUnlessEmpty: guards the write and reports") {
     var wrote = false
     var warned: Option[String] = None

@@ -61,4 +61,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out.map(_.getLong(0)).toSeq == Seq(1L, 6L), out.mkString(","))
     assert(out.head.getAs[Long]("n_tokens") == 9L)
   }
+
+  test("repetitionFilter: drops repetitive docs, keeps clean and unmeasurable ones") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),  // clean -> keep
+      (2L, "spam spam spam spam spam spam spam spam"),        // top-2gram ~1.0 -> drop
+      (3L, "copy line\ncopy line\ncopy line\nother"),         // dup lines -> drop
+      (4L, "ok"),                                             // too short to measure -> keep
+      (5L, "a b c d e f a b c d e f a b c d e f")             // dup 5-grams -> drop
+    ).toDF("doc_id", "text")
+    val kept = TextAnalysis.repetitionFilter(docs, "text",
+        maxDupLineFrac = 0.3, maxTop2GramFrac = 0.5, maxDup5GramFrac = 0.3)
+      .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(kept === Seq(1L, 4L))
+  }
 }
