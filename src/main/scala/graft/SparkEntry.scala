@@ -846,7 +846,27 @@ object SparkEntry {
           sum(col("n_chars")).as("sum_chars"),
           sum(length(col("text"))).as("sum_text_len"))
         .orderBy("source")
-    })
+    }),
+
+    // ---- extension: corpus-LM perplexity scoring (CCNet-style quality
+    // signal) — add-k unigram LM with minCount vocab pruning; avg_nll is
+    // the log-space score (ppl = exp of it), rounded for cross-engine
+    // stability
+    "q86_x_perplexity" -> tuned((s, d) =>
+      graft.text.LanguageModel.unigramNll(
+          Tables.documents(s, d), "doc_id", "text", minCount = 2L, k = 0.5)
+        .orderBy("doc_id")),
+
+    // ---- extension: domain-mix sampling (the pretraining data recipe) —
+    // integer-weight targets 5:3:1:1 over four sources, deterministic
+    // hash-bucket membership; the binding domain keeps everything
+    "q87_x_domain_mix" -> tuned((s, d) =>
+      Corpus.domainMixSample(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          "source", "doc_id",
+          weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L))
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -1696,7 +1716,44 @@ object SparkEntry {
       ("""SELECT source, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
         |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin)
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    "q86_x_perplexity" ->
+      ("""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+        |vocab AS (SELECT term, c FROM cnt WHERE c >= 2),
+        |st AS (
+        |  SELECT sum(c) AS n_total,
+        |    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS v_size,
+        |    coalesce(sum(CASE WHEN c < 2 THEN c END), 0) AS oov_c
+        |  FROM cnt)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * -ln((coalesce(v.c, st.oov_c) + 0.5)
+        |        / (st.n_total + 0.5 * (st.v_size + 1)))) / sum(tf), 4) AS avg_nll
+        |FROM tf LEFT JOIN vocab v USING (term) CROSS JOIN st
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    // integer-exact mixture math (DuckDB // is BIGINT floor division,
+    // mirroring Spark's DIV) — no float floor() to flip across engines
+    "q87_x_domain_mix" ->
+      (s"""WITH w(source, wt) AS (
+        |  VALUES ('src0', 5), ('src1', 3), ('src2', 1), ('src3', 1)),
+        |cnt AS (
+        |  SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        |j AS (SELECT source, c, wt FROM cnt JOIN w USING (source)),
+        |t AS (SELECT min(c * 10 // wt) AS t FROM j),
+        |r AS (
+        |  SELECT source, (t.t * wt * 10000) // (10 * c) AS keep
+        |  FROM j CROSS JOIN t)
+        |SELECT d.doc_id, d.source, d.n_chars
+        |FROM documents d JOIN r USING (source)
+        |WHERE ${dkHash32("CAST(doc_id AS VARCHAR)")} % 10000 < r.keep
+        |ORDER BY doc_id""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared repetition-stat CTE block (q80/q84): per-doc line groups,

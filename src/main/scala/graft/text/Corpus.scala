@@ -134,6 +134,50 @@ object Corpus {
         (col("__start") % budget).as("pos_in_bin"): _*)
   }
 
+  /** Domain-mix sampling: downsample each domain so the surviving corpus
+    * matches a target mixture (the pretraining "data recipe" — e.g. 50%
+    * web, 30% wiki, 20% books) while keeping as much data as possible:
+    * the binding domain (the one that runs out first at the target
+    * shares) is kept whole and every other domain is hash-downsampled to
+    * proportion.
+    *
+    * `weights` are integer mixture weights (5:3:2, not 0.5:0.3:0.2) so
+    * every keep-threshold is EXACT integer arithmetic — no float
+    * division whose last-ulp could flip a floor() across engines or
+    * cluster layouts. Domains absent from `weights` are dropped.
+    *
+    * With `W = Σw`, domain counts `c_d`, the achievable total is
+    * `T = min_d ⌊c_d·W/w_d⌋` and each domain keeps rows whose key hashes
+    * below `⌊T·w_d·buckets / (W·c_d)⌋` of `buckets` — the deterministic
+    * [[hashBucket]] filter, so membership is reproducible under retries
+    * and across runs (`rand()` sampling is not).
+    *
+    * Scale shape: one small per-domain count aggregate; the per-domain
+    * keep-thresholds broadcast back; the sample itself is a pure filter
+    * that pipelines into the scan — no shuffle of the data being
+    * sampled. */
+  def domainMixSample(df: DataFrame, domainCol: String, keyCol: String,
+                      weights: Map[String, Long],
+                      buckets: Long = 10000L): DataFrame = {
+    require(weights.nonEmpty, "domainMixSample needs target weights")
+    require(weights.values.forall(_ > 0), "weights must be positive")
+    val w = weights.values.sum
+    val spark = df.sparkSession
+    val wdf = spark.createDataFrame(weights.toSeq.map(t => (t._1, t._2)))
+      .toDF(domainCol, "__w")
+    val cnt = df.groupBy(domainCol).agg(count(lit(1)).as("__c"))
+      .join(broadcast(wdf), Seq(domainCol))
+    // T = min over domains of floor(c*W/w): largest total that the
+    // scarcest domain can still cover at its target share
+    val t = cnt.select(min(expr(s"__c * ${w}L DIV __w")).as("__t"))
+    val keep = cnt.crossJoin(broadcast(t))
+      .select(col(domainCol),
+        expr(s"__t * __w * ${buckets}L DIV (${w}L * __c)").as("__keep"))
+    df.join(broadcast(keep), Seq(domainCol))
+      .filter(hashBucket(col(keyCol), buckets.toInt) < col("__keep"))
+      .drop("__keep")
+  }
+
   /** Corpus vocabulary statistics: the `k` most frequent word `n`-grams
     * with counts; ties break lexicographically. Partial (map-side)
     * aggregation absorbs hot n-grams before the shuffle, and top-k is a

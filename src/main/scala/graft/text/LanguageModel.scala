@@ -1,0 +1,83 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Cols
+
+/** Corpus-level statistical language-model scoring — the CCNet/Gopher
+  * "perplexity filter" signal: documents whose tokens are improbable
+  * under a model fit on the corpus itself (boilerplate, gibberish,
+  * wrong-language) score high and get filtered.
+  *
+  * The model is an add-k-smoothed unigram LM with a frequency-pruned
+  * vocabulary: tokens seen fewer than `minCount` times collapse into a
+  * single OOV type (the standard UNK mapping), so
+  * `P(t) = (C(t') + k) / (N + k·(V+1))` with `t' = t` for vocabulary
+  * tokens and `t' = OOV` otherwise. A document's score is its mean
+  * negative log-likelihood per token (`avg_nll`); perplexity is the
+  * monotone transform `exp(avg_nll)`, left to the caller so the
+  * cross-engine comparison stays in log space where rounding is safe.
+  *
+  * Scale shape: one corpus pass builds (doc, term) frequencies with full
+  * map-side combine; the global term counts derive from that aggregate
+  * (never a second scan). The vocabulary after `minCount` pruning is
+  * Zipf-truncated — small enough to broadcast at any corpus size where a
+  * unigram LM is meaningful (drop the hint and the same plan
+  * shuffle-joins on the term key if it is not). Scoring shuffles only
+  * distinct (doc, term) pairs — never text. Everything downstream of the
+  * tokenizer is expression-tree arithmetic, so the hot path stays in
+  * whole-stage codegen.
+  */
+object LanguageModel {
+
+  /** Per-document mean negative log-likelihood under the corpus unigram
+    * LM. Output: (doc_id, n_tokens, avg_nll), one row per document with
+    * at least one token. `avg_nll` is rounded to `roundTo` decimals so
+    * the float sum is comparison-stable across engines.
+    */
+  def unigramNll(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 2L, k: Double = 0.5,
+                 roundTo: Int = 4): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k > 0, "add-k smoothing needs k > 0")
+    val tf = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(Cols.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    // global term counts from the (doc, term) aggregate — no second scan
+    val counts = tf.groupBy("term").agg(sum(col("tf")).as("c"))
+    val vocab = counts.filter(col("c") >= minCount)
+    // one row: corpus mass, vocabulary size, OOV mass — broadcast scalars
+    val stats = counts.agg(
+      sum(col("c")).as("n_total"),
+      sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("v_size"),
+      coalesce(sum(when(col("c") < minCount, col("c"))), lit(0.0)).as("oov_c"))
+    val p = (coalesce(col("c"), col("oov_c")) + lit(k)) /
+      (col("n_total") + lit(k) * (col("v_size") + lit(1)))
+    tf.join(broadcast(vocab), Seq("term"), "left")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(sum(col("tf") * -log(p)) / sum(col("tf")), roundTo).as("avg_nll"))
+  }
+
+  /** Perplexity view of [[unigramNll]]: `exp(avg_nll)`. */
+  def perplexity(docs: DataFrame, idCol: String, textCol: String,
+                 minCount: Long = 2L, k: Double = 0.5): DataFrame =
+    unigramNll(docs, idCol, textCol, minCount, k, roundTo = 12)
+      .select(col("doc_id"), col("n_tokens"), exp(col("avg_nll")).as("ppl"))
+
+  /** Perplexity-band filter (CCNet keeps the middle band: very low =
+    * boilerplate, very high = gibberish). Keeps the document rows whose
+    * corpus-LM `avg_nll` lies in [lo, hi]. */
+  def perplexityBandFilter(docs: DataFrame, idCol: String, textCol: String,
+                           lo: Double, hi: Double, minCount: Long = 2L,
+                           k: Double = 0.5): DataFrame = {
+    val scored = unigramNll(docs, idCol, textCol, minCount, k)
+      .filter(col("avg_nll").between(lo, hi))
+      .select(col("doc_id"))
+    docs.join(scored, docs(idCol) === scored("doc_id"), "leftsemi")
+  }
+}

@@ -111,4 +111,33 @@ class CorpusSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1)))
     assert(out.toSeq == Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
   }
+
+  test("domainMixSample keeps the exact hash-threshold membership per domain") {
+    // a:100 rows, b:100 rows, weights 3:1 (W=4)
+    // T = min(100*4 DIV 3, 100*4 DIV 1) = 133
+    // keep_a = 133*3*10000 DIV (4*100) = 9975; keep_b = 133*1*10000 DIV 400 = 3325
+    val df = ((0L until 100L).map(i => (i, "a")) ++
+      (100L until 200L).map(i => (i, "b")) ++
+      Seq((900L, "junk"))).toDF("id", "dom")
+    val kept = Corpus.domainMixSample(df, "dom", "id",
+        weights = Map("a" -> 3L, "b" -> 1L))
+      .select("id", "dom").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    // independent md5 (non-circular: java MessageDigest, not Cols.hash32)
+    def h(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16)
+    }
+    val expected =
+      ((0L until 100L).filter(h(_) % 10000 < 9975).map((_, "a")) ++
+       (100L until 200L).filter(h(_) % 10000 < 3325).map((_, "b"))).toSet
+    assert(kept == expected)
+    assert(!kept.exists(_._2 == "junk")) // unweighted domains drop
+    // partition independence (retry-safe membership)
+    val again = Corpus.domainMixSample(df.repartition(7), "dom", "id",
+        weights = Map("a" -> 3L, "b" -> 1L))
+      .select("id", "dom").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(again == kept)
+  }
 }

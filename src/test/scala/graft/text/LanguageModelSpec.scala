@@ -1,0 +1,63 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Corpus-LM perplexity scoring: hand-computed add-k unigram NLL on a
+  * 3-doc corpus, the perplexity transform, the CCNet band filter, and
+  * partition independence. */
+class LanguageModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  // counts: a=3 b=2 c=1 d=1; minCount=2 -> vocab {a,b}, V=2, N=7, oov=2
+  // k=0.5 -> denom = 7 + 0.5*(2+1) = 8.5; P(a)=3.5/8.5, P(b)=P(oov)=2.5/8.5
+  private val docs = Seq(
+    (1L, "a a b"),
+    (2L, "a b c"),
+    (3L, "d")
+  ).toDF("doc_id", "text")
+
+  private val pA = 3.5 / 8.5
+  private val pOov = 2.5 / 8.5
+  private def r6(x: Double): Double =
+    BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  test("unigramNll matches the hand-computed add-k unigram model") {
+    val out = LanguageModel.unigramNll(docs, "doc_id", "text", minCount = 2L,
+        k = 0.5, roundTo = 6)
+      .orderBy("doc_id").collect()
+    val expected = Seq(
+      (1L, 3L, r6(-(2 * math.log(pA) + math.log(pOov)) / 3)),
+      (2L, 3L, r6(-(math.log(pA) + 2 * math.log(pOov)) / 3)),
+      (3L, 1L, r6(-math.log(pOov))))
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == expected)
+  }
+
+  test("perplexity is exp(avg_nll); all-OOV doc scores highest") {
+    val out = LanguageModel.perplexity(docs, "doc_id", "text")
+      .orderBy("doc_id").collect()
+    assert(approx(out(2).getDouble(2), 1.0 / pOov, 1e-6)) // doc 3: pure OOV
+    assert(out(2).getDouble(2) > out(0).getDouble(2))     // rarer -> higher ppl
+  }
+
+  test("perplexityBandFilter keeps only the middle band") {
+    val nll = LanguageModel.unigramNll(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    val lo = nll.min + 1e-9 // exclude the most-probable doc (1)
+    val hi = nll.max - 1e-9 // exclude the most-improbable doc (3)
+    val kept = LanguageModel.perplexityBandFilter(docs, "doc_id", "text", lo, hi)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L))
+  }
+
+  test("scores are partition-independent and ignore empty/null text") {
+    val withJunk = docs.union(Seq((4L, ""), (5L, "   ")).toDF("doc_id", "text"))
+      .union(Seq((6L, Option.empty[String])).toDF("doc_id", "text"))
+    val a = LanguageModel.unigramNll(withJunk, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val b = LanguageModel.unigramNll(withJunk.repartition(7), "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    assert(a == b)
+    assert(a.map(_.getLong(0)) == Seq(1L, 2L, 3L)) // 4/5/6 produce no row
+  }
+}
