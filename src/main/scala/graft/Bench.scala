@@ -20,9 +20,16 @@ object Bench {
     // Untimed warm-up at the smallest SF: compiles the same generated
     // classes (Janino cache keys on source, which doesn't embed paths), so
     // the timed pass measures query execution, not JVM/codegen cold-start.
+    // SPARK_GRAFT_ONLY=q79,q46 benches a comma-separated subset (prefix
+    // match) — the iterate-on-one-query loop; unset = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    val queries = only match {
+      case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
+      case None => SparkEntry.queries
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      SparkEntry.queries.foreach { case (_, fn) =>
+      queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -31,7 +38,7 @@ object Bench {
     // the time of a row count), which silently exempts exactly the
     // expression work a real consumer pays for.
     def timedPass(): Map[String, Double] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -56,8 +63,9 @@ object Bench {
     // last thing on stdout before sbt's one-line [success] banner — the
     // harness tail-captures stdout and anything bulky after this line can
     // evict its head from the window.
-    spark.stop()
-    Thread.sleep(1000)
+    // stop() must not be able to eat the result: the numbers are already
+    // computed, so a teardown failure only costs the clean shutdown
+    try { spark.stop(); Thread.sleep(1000) } catch { case _: Throwable => () }
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}""")
     System.out.flush()
   }

@@ -33,6 +33,24 @@ object SparkEntry {
   private def tuned(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => f(GraftSession.tune(s), d)
 
+  /** Register a temp directory for recursive deletion at JVM exit (once
+    * per path): scratch sinks like q85's JSONL staging copy must not
+    * accumulate across runs. Deletion happens at exit, not eagerly — the
+    * returned DataFrame reads the path lazily after the query builder
+    * returns. */
+  private val cleanupRegistered = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+  private def cleanupOnExit(path: String): Unit =
+    if (cleanupRegistered.add(path)) {
+      sys.addShutdownHook {
+        val root = java.nio.file.Paths.get(path)
+        if (java.nio.file.Files.exists(root)) {
+          java.nio.file.Files.walk(root)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        }
+      }
+    }
+
   /** Monthly orders series used by the window/time-series queries
     * (the engine's analog of the reference's per-career monthly table). */
   private def monthlyOrders(s: SparkSession, dir: String): DataFrame =
@@ -839,6 +857,7 @@ object SparkEntry {
       val docs = Tables.documents(s, d)
       val key = graft.text.TextHash.hash32(d).toHexString
       val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$key"
+      cleanupOnExit(path) // the staging copy must not outlive the JVM
       graft.sources.Sinks.jsonl(docs, path)
       graft.sources.Sinks.readJsonl(s, path, docs.schema)
         .groupBy("source")
@@ -866,7 +885,29 @@ object SparkEntry {
           "source", "doc_id",
           weights = Map("src0" -> 5L, "src1" -> 3L, "src2" -> 1L, "src3" -> 1L))
         .select("doc_id", "source", "n_chars")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- extension: DSIR importance scoring — target domain = the
+    // German documents; log-ratio of target-LM to corpus-LM likelihood
+    // ranks how target-like each corpus document is
+    "q88_x_importance_score" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.LanguageModel.importanceScore(
+          docs, docs.filter(col("lang") === "de"), "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: curriculum binning — 4 equal-population difficulty
+    // bins per source over corpus-LM avg_nll (cleanest text first)
+    "q89_x_curriculum_bins" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val scored = graft.text.LanguageModel.unigramNll(docs, "doc_id", "text")
+        .join(docs.select("doc_id", "source"), Seq("doc_id"))
+      Corpus.curriculumBins(scored, Seq("source"),
+          Seq(col("avg_nll").asc, col("doc_id").asc), nBins = 4)
+        .select("doc_id", "source", "avg_nll", "bin")
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -876,10 +917,39 @@ object SparkEntry {
     * builds the identical string with list_transform/range. Tokens are
     * ASCII (no spaces), so chunk text and char counts agree bit-for-bit
     * across engines. */
-  private def linedText(text: Column): Column = {
+  private[graft] def linedText(text: Column): Column = udf(linedKernel).apply(text)
+
+  /** Single-pass JVM form of [[linedTextExpr]] (parity: LinedTextSpec).
+    * The expression form runs `transform`+`slice` interpreted per row —
+    * the documented HOF trap — and dominated q80/q81/q84's per-doc cost. */
+  private[graft] val linedKernel: String => String = { t =>
+    if (t == null) null
+    else {
+      val trimmed = graft.text.TextHash.sparkTrim(t)
+      if (trimmed.isEmpty) ""
+      else {
+        val toks = trimmed.split("\\s+", -1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        while (i < toks.length) {
+          if (i > 0) sb.append(if (i % 2 == 0) '\n' else ' ')
+          sb.append(toks(i))
+          i += 1
+        }
+        sb.toString
+      }
+    }
+  }
+
+  /** Expression-tree form of [[linedText]] — parity-spec reference only.
+    * The isNull guard is load-bearing: without it, non-ANSI size(null) =
+    * -1 walks into sequence(0, -1) — a DESCENDING sequence — and null
+    * text yields "\n" instead of null. */
+  private[graft] def linedTextExpr(text: Column): Column = {
     val toks = Cols.tokens(text)
     val nChunks = ceil(size(toks) / lit(2.0)).cast("int")
-    when(length(trim(text)) === 0, lit(""))
+    when(text.isNull, lit(null).cast("string"))
+      .when(length(trim(text)) === 0, lit(""))
       .otherwise(array_join(
         transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(toks, i * 2 + 1, lit(2)))),
@@ -1753,6 +1823,64 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, d.n_chars
         |FROM documents d JOIN r USING (source)
         |WHERE ${dkHash32("CAST(doc_id AS VARCHAR)")} % 10000 < r.keep
+        |ORDER BY doc_id""".stripMargin),
+
+    "q88_x_importance_score" ->
+      ("""WITH tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |ttf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM tok WHERE lang = 'de' GROUP BY 1, 2),
+        |cc AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+        |tc AS (SELECT term, sum(tf) AS c FROM ttf GROUP BY 1),
+        |cv AS (SELECT term, c AS c_c FROM cc WHERE c >= 2),
+        |tv AS (SELECT term, c AS c_t FROM tc WHERE c >= 2),
+        |cs AS (
+        |  SELECT sum(c) AS n_c,
+        |    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS v_c,
+        |    coalesce(sum(CASE WHEN c < 2 THEN c END), 0) AS oov_c FROM cc),
+        |ts AS (
+        |  SELECT sum(c) AS n_t,
+        |    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS v_t,
+        |    coalesce(sum(CASE WHEN c < 2 THEN c END), 0) AS oov_t FROM tc)
+        |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(sum(tf * (
+        |    ln((coalesce(tv.c_t, ts.oov_t) + 0.5) / (ts.n_t + 0.5 * (ts.v_t + 1))) -
+        |    ln((coalesce(cv.c_c, cs.oov_c) + 0.5) / (cs.n_c + 0.5 * (cs.v_c + 1))))), 4)
+        |    AS log_ratio
+        |FROM tf LEFT JOIN cv USING (term) LEFT JOIN tv USING (term)
+        |CROSS JOIN cs CROSS JOIN ts
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+
+    "q89_x_curriculum_bins" ->
+      ("""WITH tok AS (
+        |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf
+        |  FROM tok GROUP BY 1, 2),
+        |cnt AS (SELECT term, sum(tf) AS c FROM tf GROUP BY 1),
+        |vocab AS (SELECT term, c FROM cnt WHERE c >= 2),
+        |st AS (
+        |  SELECT sum(c) AS n_total,
+        |    sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS v_size,
+        |    coalesce(sum(CASE WHEN c < 2 THEN c END), 0) AS oov_c
+        |  FROM cnt),
+        |nll AS (
+        |  SELECT doc_id,
+        |    round(sum(tf * -ln((coalesce(v.c, st.oov_c) + 0.5)
+        |          / (st.n_total + 0.5 * (st.v_size + 1)))) / sum(tf), 4) AS avg_nll
+        |  FROM tf LEFT JOIN vocab v USING (term) CROSS JOIN st
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id, d.source, nll.avg_nll,
+        |  CAST(ntile(4) OVER (PARTITION BY d.source
+        |    ORDER BY nll.avg_nll ASC, d.doc_id ASC) AS INT) AS bin
+        |FROM documents d JOIN nll USING (doc_id)
         |ORDER BY doc_id""".stripMargin)
   ) ++ LinedOracles
 

@@ -111,9 +111,15 @@ object Ivf {
     val slim = vectors.select(col(idCol).cast("long"), col(vecCol))
       .filter(col(vecCol).isNotNull)
       .as[(Long, Array[Float])]
+    // persist + eager count before the self-join: both join sides would
+    // otherwise re-run the O(k·d) nearest-centroid assignment over every
+    // vector (alias-divergent projections defeat ReuseExchange) — the
+    // same discipline as Dedup.minhashCandidates
     val assigned = slim
       .map { case (id, v) => (bc.value.nearest(v, 1)(0), id, v) }
       .toDF("cluster", "id", "__v")
+      .persist()
+    assigned.count()
     val a = assigned.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"))
     a.join(b, Seq("cluster"))

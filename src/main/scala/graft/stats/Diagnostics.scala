@@ -183,32 +183,55 @@ object Diagnostics {
                     fitWindow: Int = 60): org.apache.spark.sql.Dataset[SarimaxModelRow] = {
     val spark = df.sparkSession
     import spark.implicits._
-    slim(df, keyCols, orderCol, valueCol, exogCol)
+    // the same (d, D, s) guard fitBest enforces — the per-candidate fan
+    // below replaces fitBest, so the invalid-ranking check moves here
+    require(candidates.map(c => (c.d, c.D, c.s)).distinct.size <= 1,
+      "sarimaxModels candidates must share (d, D, s): AIC across different " +
+        "differencing orders compares likelihoods over different samples")
+    // The NM grid is the whole cost and each candidate fit is independent,
+    // so parallelize over (key × candidate), not key: with few keys the
+    // per-key shape leaves the cluster idle while each task runs the grid
+    // serially. Three shuffles of array-sized rows (assemble, fan, argmin)
+    // buy #keys × #candidates concurrent fits.
+    val fanned = slim(df, keyCols, orderCol, valueCol, exogCol)
       .groupByKey(_._1)
       .flatMapGroups { (key, it) =>
         val (y, x) = seriesX(it)
-        val xOpt = exogCol.map(_ => x)
-        Sarimax.fitBest(y, xOpt, candidates).iterator.map { fit =>
-          val kern = Sarimax.forecastKernel(fit, y, xOpt, horizon)
-          // exog RW drift from the trailing window (ddof=1), reference shape
-          val tail = x.takeRight(math.min(fitWindow, x.length))
-          val dx = Array.tabulate(math.max(tail.length - 1, 0))(i => tail(i + 1) - tail(i))
-          val (mu, sigma) =
-            if (dx.length < 5) (0.0, 0.0)
-            else {
-              val m = dx.sum / dx.length
-              val v = dx.map(d0 => (d0 - m) * (d0 - m)).sum / (dx.length - 1)
-              (m, if (v.isNaN) 0.0 else math.sqrt(v))
-            }
-          SarimaxModelRow(key,
-            s"(${fit.spec.p},${fit.spec.d},${fit.spec.q})",
-            s"(${fit.spec.P},${fit.spec.D},${fit.spec.Q},${fit.spec.s})",
-            fit.aic, fit.intercept, fit.beta, fit.sigma2,
-            fit.spec.p, fit.spec.d, fit.spec.q, fit.spec.P, fit.spec.D, fit.spec.Q, fit.spec.s,
-            kern.armaBase, kern.yTail, kern.xTail,
-            if (x.isEmpty) 0.0 else x.last, mu, sigma)
-        }
+        candidates.indices.map(ci => (key, ci, y, x))
       }
+    val fits = fanned
+      .groupByKey(t => (t._1, t._2))
+      .flatMapGroups { (_, it) =>
+        val (key, ci, y, x) = it.next()
+        val xOpt = exogCol.map(_ => x)
+        scala.util.Try(Sarimax.fit(y, xOpt, candidates(ci))).toOption.flatten
+          .iterator.map { fit =>
+            val kern = Sarimax.forecastKernel(fit, y, xOpt, horizon)
+            // exog RW drift from the trailing window (ddof=1), reference shape
+            val tail = x.takeRight(math.min(fitWindow, x.length))
+            val dx = Array.tabulate(math.max(tail.length - 1, 0))(i => tail(i + 1) - tail(i))
+            val (mu, sigma) =
+              if (dx.length < 5) (0.0, 0.0)
+              else {
+                val m = dx.sum / dx.length
+                val v = dx.map(d0 => (d0 - m) * (d0 - m)).sum / (dx.length - 1)
+                (m, if (v.isNaN) 0.0 else math.sqrt(v))
+              }
+            (ci, SarimaxModelRow(key,
+              s"(${fit.spec.p},${fit.spec.d},${fit.spec.q})",
+              s"(${fit.spec.P},${fit.spec.D},${fit.spec.Q},${fit.spec.s})",
+              fit.aic, fit.intercept, fit.beta, fit.sigma2,
+              fit.spec.p, fit.spec.d, fit.spec.q, fit.spec.P, fit.spec.D, fit.spec.Q, fit.spec.s,
+              kern.armaBase, kern.yTail, kern.xTail,
+              if (x.isEmpty) 0.0 else x.last, mu, sigma))
+          }
+      }
+    // AIC argmin per key; ties break to the LOWEST candidate index,
+    // replicating fitBest's first-minimum (candidate-order) semantics
+    fits.groupByKey(_._2.key)
+      .reduceGroups((a, b) =>
+        if (b._2.aic < a._2.aic || (b._2.aic == a._2.aic && b._1 < a._1)) b else a)
+      .map(_._2._2)
   }
 
   /** U8 end-to-end: grid fit + deterministic h-step forecast per key. The

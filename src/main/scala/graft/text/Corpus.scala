@@ -165,8 +165,18 @@ object Corpus {
     val spark = df.sparkSession
     val wdf = spark.createDataFrame(weights.toSeq.map(t => (t._1, t._2)))
       .toDF(domainCol, "__w")
-    val cnt = df.groupBy(domainCol).agg(count(lit(1)).as("__c"))
-      .join(broadcast(wdf), Seq(domainCol))
+    // weights are the base side of the join: a weighted domain ABSENT
+    // from the data must fail loudly (the recipe is unachievable), not
+    // silently renormalize the mixture over the domains that do exist
+    // (no broadcast hint: Spark cannot broadcast the preserved side of an
+    // outer join, and both sides here are domain-cardinality tiny)
+    val cnt = wdf
+      .join(df.groupBy(domainCol).agg(count(lit(1)).as("__c")), Seq(domainCol), "left")
+      .select(col(domainCol), col("__w"),
+        when(col("__c").isNull, raise_error(concat(
+          lit("domainMixSample: weighted domain absent from data: "),
+          col(domainCol))).cast("long"))
+          .otherwise(col("__c")).as("__c"))
     // T = min over domains of floor(c*W/w): largest total that the
     // scarcest domain can still cover at its target share
     val t = cnt.select(min(expr(s"__c * ${w}L DIV __w")).as("__t"))
@@ -176,6 +186,22 @@ object Corpus {
     df.join(broadcast(keep), Seq(domainCol))
       .filter(hashBucket(col(keyCol), buckets.toInt) < col("__keep"))
       .drop("__keep")
+  }
+
+  /** Curriculum binning: `nBins` equal-population difficulty bins per
+    * stratum over an explicit ordering (e.g. corpus-LM `avg_nll`
+    * ascending = cleanest text first). Partitioned by the strata so the
+    * window parallelizes — a corpus-GLOBAL curriculum would serialize
+    * the sort into one task; per-domain bins are the scale shape (and
+    * what a mixture-balanced curriculum wants anyway). The ordering must
+    * be total (include a unique tiebreak) for deterministic bins. */
+  def curriculumBins(df: DataFrame, strata: Seq[String],
+                     order: Seq[Column], nBins: Int): DataFrame = {
+    require(nBins >= 1, "curriculumBins needs nBins >= 1")
+    require(strata.nonEmpty,
+      "curriculumBins needs >= 1 stratum column: a global ntile sorts the corpus in one task")
+    val w = Window.partitionBy(strata.map(col): _*).orderBy(order: _*)
+    df.withColumn("bin", ntile(nBins).over(w))
   }
 
   /** Corpus vocabulary statistics: the `k` most frequent word `n`-grams

@@ -210,13 +210,13 @@ object Dedup {
   }
 
   /** Connected components over an undirected edge list by min-label
-    * propagation: every node starts labeled with its own id; each round,
-    * a node adopts the minimum label among itself and its neighbors;
-    * fixpoint in O(component diameter) rounds. Each round is one shuffle
-    * join + one aggregate — no driver-side graph, no per-node loops —
-    * so the iteration count, not the data volume, is the only scale
-    * bound (near-dup clusters are shallow: diameter rarely exceeds a
-    * handful of hops).
+    * propagation with pointer jumping: every node starts labeled with its
+    * own id; each round a node adopts the minimum label among itself and
+    * its neighbors, then follows its label's label one hop — fixpoint in
+    * O(log diameter) rounds. Each round is two shuffle joins + one
+    * aggregate — no driver-side graph, no per-node loops — so the
+    * iteration count, not the data volume, is the only scale bound (and
+    * near-dup clusters are shallow to begin with).
     *
     * Each round persists its label frame and unpersists the previous one
     * (iterative lineage would otherwise recompute every prior round per
@@ -249,13 +249,34 @@ object Dedup {
     var prevSum = labelSum(labels)
     var it = 0
     var converged = false
+    val spark = edges.sparkSession
     while (!converged && it < maxIters) {
       val viaNeighbor = sym.join(labels, sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("component"))
-      val next = labels.select("id", "component").unionByName(viaNeighbor)
+      val stepped = labels.select("id", "component").unionByName(viaNeighbor)
         .groupBy("id").agg(min(col("component")).as("component"))
         .persist(lvl)
+      // pointer jumping: follow the label's own label (comp(comp(v)) ≤
+      // comp(v) since comp(u) ≤ u is a loop invariant) — chains collapse
+      // in O(log diameter) rounds instead of O(diameter). `stepped` is
+      // persisted because the self-join reads it twice.
+      val hop = stepped.select(col("id").as("__lid"), col("component").as("__lcomp"))
+      val nextPlan = stepped.join(hop, stepped("component") === hop("__lid"), "left")
+        .select(stepped("id"),
+          coalesce(col("__lcomp"), stepped("component")).as("component"))
+      // RDD barrier (the Pregel-on-DataFrames discipline): re-root each
+      // round on an opaque RDD scan so the next round's plan cannot reach
+      // back through the self-join lineage — self-join attribute
+      // deduplication defeats cache plan-matching, and a cache miss here
+      // recomputes every prior round with ~3x branching (measured
+      // 1.2s → 4.8s → 90s per round before the barrier). The frames are
+      // id-pair sized, so the non-codegen RDD hop costs nothing.
+      val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema).persist(lvl)
+      val t0 = System.nanoTime()
       val nextSum = labelSum(next)
+      if (sys.env.contains("GRAFT_CC_DEBUG"))
+        System.err.println(f"[cc] round $it sum=$nextSum took ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      stepped.unpersist()
       labels.unpersist()
       labels = next
       converged = nextSum.compareTo(prevSum) == 0
@@ -302,11 +323,13 @@ object Dedup {
     * CONTENT (not a digest: a digest collision would silently merge two
     * distinct lines; the line must cross the shuffle anyway to be
     * re-emitted) → one groupBy(id) to reassemble. First-occurrence choice
-    * is min(struct(id, pos)) — algebraic, so the window's partial
-    * aggregation bounds hot keys' map-side cost; a truly degenerate
-    * boilerplate line (billions of copies) should be pre-filtered with
-    * [[graft.operators.Skew.heavyHitters]] and handled as a stop-line
-    * list. */
+    * is min(struct(id, pos)) over a window. NOTE: WindowExec does NO
+    * map-side partial aggregation — every occurrence of a line lands in
+    * one task's sort buffer, so a truly degenerate boilerplate line
+    * (billions of copies) is a single-task hot key. Pre-filter such lines
+    * with [[graft.operators.Skew.heavyHitters]] into a stop-line list (a
+    * groupBy(line).agg(min(...)) + join-back would get partial
+    * aggregation, at the cost of shuffling the line text twice). */
   def lineDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val lines = docs
       .select(col(idCol), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))

@@ -63,6 +63,69 @@ object LanguageModel {
         round(sum(col("tf") * -log(p)) / sum(col("tf")), roundTo).as("avg_nll"))
   }
 
+  /** DSIR-style importance score (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): per-document
+    * log-likelihood ratio of a TARGET-domain unigram LM to the corpus
+    * unigram LM, `Σ_tokens [ln p_target(t) − ln p_corpus(t)]`. Documents
+    * that look like the target domain score high; selecting the top mass
+    * by score importance-resamples the corpus toward the target.
+    * Output: (doc_id, n_tokens, log_ratio), rounded for cross-engine
+    * stability. Both models share `minCount`/`k` smoothing and each maps
+    * sub-`minCount` tokens to its own OOV type.
+    *
+    * Scale shape: two [[unigramNll]]-shaped passes (corpus + target —
+    * the target sample is benchmark-sized, its pass is trivial) joined on
+    * the pruned-vocab term key; scoring shuffles only distinct
+    * (doc, term) pairs. */
+  def importanceScore(corpus: DataFrame, target: DataFrame, idCol: String,
+                      textCol: String, minCount: Long = 2L, k: Double = 0.5,
+                      roundTo: Int = 4): DataFrame = {
+    def tf(df: DataFrame) = df
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        explode(Cols.tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    def lm(t: DataFrame, suffix: String) = {
+      val counts = t.groupBy("term").agg(sum(col("tf")).as("c"))
+      val vocab = counts.filter(col("c") >= minCount)
+        .withColumnRenamed("c", s"c_$suffix")
+      val stats = counts.agg(
+        sum(col("c")).as(s"n_$suffix"),
+        sum(when(col("c") >= minCount, 1L).otherwise(0L)).as(s"v_$suffix"),
+        coalesce(sum(when(col("c") < minCount, col("c"))), lit(0.0)).as(s"oov_$suffix"))
+      (vocab, stats)
+    }
+    val corpusTf = tf(corpus)
+    val (cv, cs) = lm(corpusTf, "c")
+    val (tv, ts) = lm(tf(target), "t")
+    def logp(cCol: Column, oovCol: Column, nCol: Column, vCol: Column) =
+      log((coalesce(cCol, oovCol) + lit(k)) / (nCol + lit(k) * (vCol + lit(1))))
+    corpusTf
+      .join(broadcast(cv), Seq("term"), "left")
+      .join(broadcast(tv), Seq("term"), "left")
+      .crossJoin(broadcast(cs)).crossJoin(broadcast(ts))
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).cast("long").as("n_tokens"),
+        round(sum(col("tf") *
+          (logp(col("c_t"), col("oov_t"), col("n_t"), col("v_t")) -
+           logp(col("c_c"), col("oov_c"), col("n_c"), col("v_c")))), roundTo)
+          .as("log_ratio"))
+  }
+
+  /** Importance-resample the corpus toward the target domain: the `n`
+    * highest-[[importanceScore]] documents (score-desc, id-asc total
+    * order — deterministic), returned as the surviving corpus rows. */
+  def importanceResample(corpus: DataFrame, target: DataFrame, idCol: String,
+                         textCol: String, n: Int, minCount: Long = 2L,
+                         k: Double = 0.5): DataFrame = {
+    val top = importanceScore(corpus, target, idCol, textCol, minCount, k)
+      .orderBy(col("log_ratio").desc, col("doc_id").asc)
+      .limit(n)
+      .select(col("doc_id"))
+    corpus.join(top, corpus(idCol) === top("doc_id"), "leftsemi")
+  }
+
   /** Perplexity view of [[unigramNll]]: `exp(avg_nll)`. */
   def perplexity(docs: DataFrame, idCol: String, textCol: String,
                  minCount: Long = 2L, k: Double = 0.5): DataFrame =

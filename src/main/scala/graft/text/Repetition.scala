@@ -39,6 +39,25 @@ object Repetition {
 
   private def cp(s: String): Long = s.codePointCount(0, s.length).toLong
 
+  /** Code-point lexicographic compare — identical to UTF-8 byte order
+    * (UTF-8 preserves code-point order), which is what the DuckDB
+    * oracle's binary-collation `ORDER BY gram DESC` compares. Java
+    * `String.compareTo` compares UTF-16 units instead, which ranks BMP
+    * chars in [U+E000, U+FFFF] ABOVE supplementary chars — a divergent
+    * tie winner on non-ASCII corpora. */
+  private[text] def cpCompare(a: String, b: String): Int = {
+    var i = 0
+    var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
   /** n-gram repetition mass: (chars covered by the top gram's occurrences,
     * chars covered by duplicated grams' occurrences, total grams). One
     * HashMap pass; gram char length excludes the joining spaces. */
@@ -68,7 +87,7 @@ object Repetition {
       val g = e.getKey
       val c = e.getValue
       val occChars = cp(g) - (n - 1) // tokens carry no spaces
-      if (c > topCount || (c == topCount && g.compareTo(topGram) > 0)) {
+      if (c > topCount || (c == topCount && cpCompare(g, topGram) > 0)) {
         topCount = c; topGram = g; topCov = c * occChars
       }
       if (c > 1) dupCov += c.toLong * occChars
@@ -125,4 +144,22 @@ object Repetition {
     * one call to a single kernel pass per row. */
   def statsCol(text: Column): Column =
     udf((t: String) => if (t == null) null else kernel(t)).apply(text)
+
+  /** Boolean keep-decision for the Gopher repetition filter as ONE UDF
+    * call: a Filter predicate referencing several fields of [[statsCol]]
+    * would re-run the kernel per field after predicate pushdown inlines
+    * the alias (FilterExec does not share subexpressions the way the
+    * Project path does). Null text and null fractions (too-short docs)
+    * pass, mirroring the coalesce(…, 0.0) ≤ threshold semantics. */
+  def keepCol(text: Column, maxDupLineFrac: Double, maxTop2GramFrac: Double,
+              maxDup5GramFrac: Double): Column =
+    udf { (t: String) =>
+      if (t == null) true
+      else {
+        val s = kernel(t)
+        s.dup_line_frac.getOrElse(0.0) <= maxDupLineFrac &&
+        s.top_2gram_char_frac.getOrElse(0.0) <= maxTop2GramFrac &&
+        s.dup_5gram_char_frac.getOrElse(0.0) <= maxDup5GramFrac
+      }
+    }.apply(text)
 }

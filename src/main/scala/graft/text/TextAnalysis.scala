@@ -213,7 +213,7 @@ object TextAnalysis {
   /** Gopher-style repetition filter (Rae et al. 2021 table A1, the
     * repetition axis of the quality rules): drop documents whose
     * duplicate-line fraction, top-2-gram coverage, or duplicated-5-gram
-    * coverage exceeds its threshold. One [[Repetition.statsCol]] kernel
+    * coverage exceeds its threshold. One [[Repetition.keepCol]] kernel
     * pass per row, no shuffle — composes with [[cleanCorpus]] upstream of
     * its dedup window. Null fractions (too few tokens/lines to measure)
     * PASS the filter: absence of evidence of repetition is not
@@ -223,14 +223,8 @@ object TextAnalysis {
                        maxDupLineFrac: Double = 0.3,
                        maxTop2GramFrac: Double = 0.2,
                        maxDup5GramFrac: Double = 0.15): DataFrame = {
-    val f = Repetition.statsCol(col(textCol))
-    docs
-      .withColumn("__rep", f)
-      .filter(
-        coalesce(col("__rep").getField("dup_line_frac"), lit(0.0)) <= maxDupLineFrac &&
-        coalesce(col("__rep").getField("top_2gram_char_frac"), lit(0.0)) <= maxTop2GramFrac &&
-        coalesce(col("__rep").getField("dup_5gram_char_frac"), lit(0.0)) <= maxDup5GramFrac)
-      .drop("__rep")
+    docs.filter(Repetition.keepCol(col(textCol),
+      maxDupLineFrac, maxTop2GramFrac, maxDup5GramFrac))
   }
 
   /** Document fingerprint: min portable-hash over word 3-shingles (a

@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Parity: the JVM [[SparkEntry.linedKernel]] vs the expression form of
+  * the 2-token-per-line derivation shared by q80/q81/q84 and their
+  * oracles. */
+class LinedTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("linedText kernel matches the expression form on edge fixtures") {
+    val texts = Seq("a b c d", "a b c", "a", "", "   ", "\t", "  x  y  z ",
+      "tab\there now", "one two three four five", null)
+    val df = texts.toDF("text")
+    val got = df.select(SparkEntry.linedText(col("text"))).collect().map(_.get(0))
+    val want = df.select(SparkEntry.linedTextExpr(col("text"))).collect().map(_.get(0))
+    got.zip(want).zip(texts).foreach { case ((g, w), t) =>
+      assert(g == w, s"for input '$t'")
+    }
+    // shape sanity: pairs joined by \n
+    assert(got(0) == "a b\nc d")
+    assert(got(1) == "a b\nc")
+  }
+}

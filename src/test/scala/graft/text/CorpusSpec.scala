@@ -140,4 +140,30 @@ class CorpusSpec extends SparkSpec {
       .select("id", "dom").collect().map(r => (r.getLong(0), r.getString(1))).toSet
     assert(again == kept)
   }
+
+  test("curriculumBins assigns equal-population bins per stratum") {
+    val df = Seq(
+      ("s1", 1L, 0.1), ("s1", 2L, 0.4), ("s1", 3L, 0.2), ("s1", 4L, 0.9),
+      ("s2", 5L, 0.5), ("s2", 6L, 0.3)
+    ).toDF("src", "id", "score")
+    val out = Corpus.curriculumBins(df, Seq("src"),
+        Seq(col("score").asc, col("id").asc), nBins = 2)
+      .select("id", "bin").collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    // s1 ordered by score: 1(.1) 3(.2) 2(.4) 4(.9) -> bins 1,1,2,2
+    assert(out == Map(1L -> 1, 3L -> 1, 2L -> 2, 4L -> 2, 6L -> 1, 5L -> 2))
+    intercept[IllegalArgumentException] {
+      Corpus.curriculumBins(df, Nil, Seq(col("score")), 2)
+    }
+  }
+
+  test("domainMixSample fails loudly when a weighted domain is absent") {
+    val df = (0L until 10L).map(i => (i, "a")).toDF("id", "dom")
+    val ex = intercept[Exception] {
+      Corpus.domainMixSample(df, "dom", "id",
+        weights = Map("a" -> 1L, "ghost" -> 1L)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("ghost")))
+  }
 }

@@ -50,6 +50,33 @@ class LanguageModelSpec extends SparkSpec {
     assert(kept == Set(2L))
   }
 
+  test("importanceScore matches the hand-computed DSIR log-ratio") {
+    // target = doc 1 only: counts a=2 b=1 -> vocab_t {a}, n_t=3, v_t=1, oov_t=1
+    // p_t(a) = 2.5/4; p_t(b) = p_t(OOV) = 1.5/4
+    val target = docs.filter($"doc_id" === 1L)
+    val out = LanguageModel.importanceScore(docs, target, "doc_id", "text",
+        minCount = 2L, k = 0.5, roundTo = 6)
+      .orderBy("doc_id").collect()
+    val ptA = 2.5 / 4.0
+    val ptO = 1.5 / 4.0
+    def lr(terms: Seq[(Double, Double)]): Double =
+      r6(terms.map { case (pt, pc) => math.log(pt) - math.log(pc) }.sum)
+    val expected = Seq(
+      (1L, 3L, lr(Seq((ptA, pA), (ptA, pA), (ptO, pOov)))),          // a a b
+      (2L, 3L, lr(Seq((ptA, pA), (ptO, pOov), (ptO, pOov)))),        // a b c
+      (3L, 1L, lr(Seq((ptO, pOov)))))                                 // d
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq == expected)
+    // the target document itself must rank most target-like
+    assert(out.maxBy(_.getDouble(2)).getLong(0) == 1L)
+  }
+
+  test("importanceResample keeps the top-n by (score desc, id asc)") {
+    val target = docs.filter($"doc_id" === 1L)
+    val kept = LanguageModel.importanceResample(docs, target, "doc_id", "text", n = 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && kept.size == 2)
+  }
+
   test("scores are partition-independent and ignore empty/null text") {
     val withJunk = docs.union(Seq((4L, ""), (5L, "   ")).toDF("doc_id", "text"))
       .union(Seq((6L, Option.empty[String])).toDF("doc_id", "text"))

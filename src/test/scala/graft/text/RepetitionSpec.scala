@@ -26,9 +26,12 @@ class RepetitionSpec extends SparkSpec {
       if (gs.isEmpty || tokChars == 0) None
       else {
         val groups = gs.groupBy(identity).view.mapValues(_.size).toMap
+        // ties break by CODE-POINT order (UTF-8/DuckDB byte order), same
+        // as the kernel — String's natural Ordering is UTF-16 and differs
+        val cpOrd: Ordering[String] = (a, b) => Repetition.cpCompare(a, b)
         val cov =
           if (top) {
-            val (g, c) = groups.maxBy { case (g, c) => (c, g) }
+            val (g, c) = groups.maxBy { case (g, c) => (c, g) }(Ordering.Tuple2(Ordering.Int, cpOrd))
             c * (cp(g) - (n - 1))
           } else groups.collect { case (g, c) if c > 1 => c * (cp(g) - (n - 1)) }.sum
         Some(cov.toDouble / tokChars)
@@ -111,5 +114,22 @@ class RepetitionSpec extends SparkSpec {
       .orderBy("id").collect().toSeq
     assert(df(0).getStruct(1).getAs[Double]("top_2gram_char_frac") === 1.0)
     assert(df(1).isNullAt(1))
+  }
+
+  test("top-gram tie-break compares code points (UTF-8 byte order), not UTF-16") {
+    // U+E000 (private use, one UTF-16 unit) vs U+1F600 emoji (surrogate
+    // pair): Java compareTo ranks U+E000 ABOVE the emoji; UTF-8 byte
+    // order (= code-point order = DuckDB's binary ORDER BY) ranks the
+    // emoji higher
+    val pu = "\uE000"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(Repetition.cpCompare(emoji, pu) > 0)
+    assert(emoji.compareTo(pu) < 0) // the UTF-16 trap being avoided
+    // 2-grams "<pu> z" x2 and "<emoji> zzzz" x2 tie at the top with
+    // different coverage, so the comparator choice is observable:
+    // code-point winner "<emoji> zzzz" covers 2*5 of the 15 token cp;
+    // the UTF-16 winner "<pu> z" would cover only 2*2
+    val k = Repetition.kernel(s"$pu z $pu z s $emoji zzzz $emoji zzzz")
+    assert(k.top_2gram_char_frac.exists(approx(_, 10.0 / 15)))
   }
 }
