@@ -907,6 +907,55 @@ object SparkEntry {
           Seq(col("avg_nll").asc, col("doc_id").asc), nBins = 4)
         .select("doc_id", "source", "avg_nll", "bin")
         .orderBy("doc_id")
+    }),
+
+    // ---- extension: range (point-in-interval) join — sampled orders
+    // against per-priority month validity windows via the binned
+    // equi-join rewrite (the naive non-equi predicate would plan a
+    // BroadcastNestedLoopJoin; PlanSpec pins the rewrite's plan shape)
+    "q90_x_range_join" -> tuned((s, d) => {
+      val orders = Tables.orders(s, d)
+      val windows = orders
+        .groupBy(col("o_orderpriority"),
+          Cols.monthStart(col("o_orderdate")).as("w_start"))
+        .agg(round(sum(col("o_totalprice")), 2).as("tot"))
+        .withColumn("w_end", last_day(col("w_start")))
+      val sampled = orders.filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      graft.operators.RangeJoin.rangeJoinDays(
+          sampled, windows, Seq("o_orderpriority"),
+          "o_orderdate", "w_start", "w_end", payload = Seq("tot"), binDays = 16)
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: hive-partitioned sink + partition-pruned readback —
+    // write documents partitioned by source, read ONE partition back; the
+    // scan must touch only that directory (PartitionedSinkSpec pins the
+    // PartitionFilters plan contract); oracle = the same aggregate
+    // straight off the unpartitioned table, so the layout must be lossless
+    "q91_x_partitioned_sink" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val key = graft.text.TextHash.hash32(d).toHexString
+      val path = s"${sys.props("java.io.tmpdir")}/graft_part_$key"
+      cleanupOnExit(path)
+      graft.sources.Sinks.writePartitioned(docs, path, Seq("source"))
+      s.read.parquet(path)
+        .filter(col("source") === "src3")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
+    // ---- extension: BPE tokenizer-vocabulary induction (Sennrich 2016)
+    // — iterative argmax over distributed pair counts is not
+    // SQL-expressible, so no oracle (rows-only); the merge sequence is
+    // pinned by BpeSpec's hand-computed fixture
+    "q92_x_bpe_merges" -> tuned((s, d) => {
+      import s.implicits._
+      graft.text.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 10)
+        .map(m => (m.rank, m.left, m.right, m.pairCount))
+        .toDF("rank", "left", "right", "pair_count")
+        .orderBy("rank")
     })
   )
 
@@ -1881,7 +1930,28 @@ object SparkEntry {
         |  CAST(ntile(4) OVER (PARTITION BY d.source
         |    ORDER BY nll.avg_nll ASC, d.doc_id ASC) AS INT) AS bin
         |FROM documents d JOIN nll USING (doc_id)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    "q90_x_range_join" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS w_start,
+        |    last_day(CAST(date_trunc('month', o_orderdate) AS DATE)) AS w_end,
+        |    round(sum(o_totalprice), 2) AS tot
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (
+        |  SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        |  WHERE o_orderkey % 97 = 0)
+        |SELECT l.o_orderkey, l.o_orderpriority, l.o_orderdate, m.tot
+        |FROM l JOIN m ON l.o_orderpriority = m.o_orderpriority
+        |  AND l.o_orderdate BETWEEN m.w_start AND m.w_end
+        |ORDER BY o_orderkey""".stripMargin),
+
+    "q91_x_partitioned_sink" ->
+      ("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents WHERE source = 'src3'
+        |GROUP BY lang ORDER BY lang""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared repetition-stat CTE block (q80/q84): per-doc line groups,

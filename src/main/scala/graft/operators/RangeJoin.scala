@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Point-in-interval range join: each left row (a point `leftT`) matches
+  * every right row whose `[rightStart, rightEnd]` interval contains it,
+  * optionally under equality keys — the validity-window join (prices in
+  * effect, maintenance windows, session boundaries) Spark has no native
+  * operator for.
+  *
+  * A naive `l.t >= r.start && l.t <= r.end` join has no equality
+  * conjunct, so Spark plans BroadcastNestedLoopJoin (or a cartesian
+  * product): O(|L|·|R|) comparisons per key group — the plan that dies
+  * first at scale. This operator uses the standard BINNING rewrite: pick
+  * a bin width `w` on the order of the typical interval length, explode
+  * each interval to the bins it touches (`⌊s/w⌋ … ⌊e/w⌋`), map each
+  * point to its bin, EQUI-join on (keys, bin), and post-filter the exact
+  * containment predicate. Cost: one hash shuffle of each side keyed by
+  * (keys, bin) + interval replication of `len/w + 1` rows — both linear,
+  * both AQE-skew-handled, fully codegen'd.
+  */
+object RangeJoin {
+
+  /** @param keys       equality key columns present on both sides (may be
+    *                   empty: pure range join — the bin becomes the only
+    *                   shuffle key)
+    * @param leftT      left point column (numeric, date, or timestamp)
+    * @param rightStart inclusive interval start (same comparable type)
+    * @param rightEnd   inclusive interval end
+    * @param payload    right columns carried onto matches; names must not
+    *                   collide with left columns
+    * @param binWidth   bin width in the column's native scale (numeric
+    *                   units, or SECONDS for date/timestamp) — choose ≈
+    *                   the median interval length; an interval costs
+    *                   `len/binWidth + 1` replicated rows
+    * @param maxBinsPerInterval guard against a degenerate interval
+    *                   exploding the build side (fails the job with a
+    *                   clear message instead of silently materializing
+    *                   millions of rows)
+    * Output: every left column, then `payload`. 1:N — a point inside k
+    * overlapping intervals yields k rows. */
+  def rangeJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                leftT: String, rightStart: String, rightEnd: String,
+                payload: Seq[String], binWidth: Double,
+                maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(payload.nonEmpty, "rangeJoin needs >= 1 payload column")
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+
+    def toNum(c: Column): Column = c.cast("timestamp").cast("double")
+    def binOf(c: Column): Column = floor(toNum(c) / binWidth).cast("long")
+
+    val nBins = binOf(col(rightEnd)) - binOf(col(rightStart)) + 1
+    val binsGuarded = when(nBins > maxBinsPerInterval,
+      raise_error(concat(lit(s"rangeJoin: interval spans more than " +
+        s"$maxBinsPerInterval bins of width $binWidth at "), col(rightStart).cast("string"))))
+      .otherwise(nBins)
+    val r = right
+      .select(keys.map(col) ++ payload.map(col) :+
+        col(rightStart).as("__s") :+ col(rightEnd).as("__e") :+
+        explode(sequence(binOf(col(rightStart)),
+          binOf(col(rightStart)) + binsGuarded.cast("long") - 1)).as("__bin"): _*)
+    val l = left.withColumn("__bin", binOf(col(leftT)))
+    l.join(r, keys :+ "__bin")
+      .filter(col(leftT) >= col("__s") && col(leftT) <= col("__e"))
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  /** Date/numeric convenience: binWidth given in DAYS for date columns. */
+  def rangeJoinDays(left: DataFrame, right: DataFrame, keys: Seq[String],
+                    leftT: String, rightStart: String, rightEnd: String,
+                    payload: Seq[String], binDays: Int): DataFrame =
+    rangeJoin(left, right, keys, leftT, rightStart, rightEnd, payload,
+      binDays.toDouble * 86400.0)
+}

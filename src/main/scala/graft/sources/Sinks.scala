@@ -47,6 +47,19 @@ object Sinks {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
+  /** Hive-style partitioned parquet sink — the layout that makes
+    * partition PRUNING possible at read time: a reader filtering on the
+    * partition columns touches only the matching directories, never the
+    * rest of the corpus (the difference between scanning 100 TB and
+    * scanning one domain's slice). Partition columns should be
+    * low-cardinality (source, date, lang) — a high-cardinality partition
+    * key degenerates into millions of small files. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit = {
+    require(partitionCols.nonEmpty, "writePartitioned needs >= 1 partition column")
+    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+  }
+
   /** F7: empty-result guard (reference warns and skips the write —
     * load_CES_pandas.py:261-267). Returns true when written. */
   def writeUnlessEmpty(df: DataFrame, write: DataFrame => Unit,

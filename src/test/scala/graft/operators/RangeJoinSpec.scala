@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Binned point-in-interval join: containment semantics (inclusive
+  * boundaries, 1:N overlap), key scoping, the degenerate-interval guard,
+  * and the plan contract that motivates the operator (equi-join, not
+  * BroadcastNestedLoopJoin). */
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val points = Seq(
+    (1L, "k1", 5.0), (2L, "k1", 10.0), (3L, "k1", 25.0),
+    (4L, "k2", 5.0), (5L, "k1", 100.0)
+  ).toDF("id", "key", "t")
+  private val intervals = Seq(
+    ("k1", 0.0, 10.0, "a"),   // ids 1, 2 (end inclusive)
+    ("k1", 8.0, 30.0, "b"),   // ids 2 (overlap), 3
+    ("k2", 0.0, 10.0, "c"),   // id 4 (key-scoped)
+    ("k1", 40.0, 50.0, "d")   // nobody
+  ).toDF("key", "s", "e", "tag")
+
+  test("containment with inclusive bounds, overlap fan-out, key scoping") {
+    val out = RangeJoin.rangeJoin(points, intervals, Seq("key"),
+        "t", "s", "e", payload = Seq("tag"), binWidth = 7.0)
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "a"), (2L, "b"), (3L, "b"), (4L, "c")))
+  }
+
+  test("empty keys = pure range join") {
+    val out = RangeJoin.rangeJoin(points, intervals.filter($"tag" === "b"),
+        Nil, "t", "s", "e", payload = Seq("tag"), binWidth = 5.0)
+      .select("id").as[Long].collect().toSet
+    assert(out == Set(2L, 3L)) // id 4 (k2, t=5) is NOT in [8,30]
+  }
+
+  test("plan is an equi-join on the bin, not a nested-loop join") {
+    val binned = RangeJoin.rangeJoin(points, intervals, Seq("key"),
+      "t", "s", "e", payload = Seq("tag"), binWidth = 7.0)
+    val plan = binned.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"binned rewrite must not nested-loop:\n$plan")
+    // the naive PURE range predicate (no equality conjunct) DOES
+    // nested-loop — the rationale, pinned. (With keys Spark hash-joins on
+    // the keys and evaluates the range on every within-key pair — the
+    // same quadratic blowup, just per key group, but invisible in the
+    // operator name.)
+    val naive = points.join(intervals,
+      points("t") >= intervals("s") && points("t") <= intervals("e"))
+    val naivePlan = naive.queryExecution.executedPlan.toString
+    assert(naivePlan.contains("BroadcastNestedLoopJoin") ||
+      naivePlan.contains("CartesianProduct"))
+  }
+
+  test("degenerate interval fails loudly instead of exploding") {
+    val bad = Seq(("k1", 0.0, 1e9, "x")).toDF("key", "s", "e", "tag")
+    val ex = intercept[Exception] {
+      RangeJoin.rangeJoin(points, bad, Seq("key"), "t", "s", "e",
+        payload = Seq("tag"), binWidth = 1.0, maxBinsPerInterval = 100).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("rangeJoin")))
+  }
+
+  test("date columns: binDays convenience round-trips calendar boundaries") {
+    val pts = Seq((1L, java.sql.Date.valueOf("2024-02-29")),
+      (2L, java.sql.Date.valueOf("2024-03-01"))).toDF("id", "d")
+    val win = Seq((java.sql.Date.valueOf("2024-02-01"),
+      java.sql.Date.valueOf("2024-02-29"), "feb")).toDF("ws", "we", "tag")
+    val out = RangeJoin.rangeJoinDays(pts, win, Nil, "d", "ws", "we",
+        payload = Seq("tag"), binDays = 16)
+      .select("id").as[Long].collect().toSeq
+    assert(out == Seq(1L)) // leap-day inclusive, March 1 outside
+  }
+}
