@@ -22,10 +22,18 @@ object Bench {
     // the timed pass measures query execution, not JVM/codegen cold-start.
     // SPARK_GRAFT_ONLY=q79,q46 benches a comma-separated subset (prefix
     // match) — the iterate-on-one-query loop; unset = the full suite.
-    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    // Trimmed, blanks dropped; a filter that matches NOTHING is a typo and
+    // must fail loudly, not print a plausible-looking total of 0.000.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .filter(_.nonEmpty)
     val queries = only match {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
+    }
+    if (only.isDefined && queries.isEmpty) {
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")} matches no query")
+      sys.exit(2)
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)

@@ -50,20 +50,36 @@ object RangeJoin {
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
 
-    def toNum(c: Column): Column = c.cast("timestamp").cast("double")
-    def binOf(c: Column): Column = floor(toNum(c) / binWidth).cast("long")
+    // date/timestamp bin via epoch seconds; plain numerics bin directly —
+    // routing numerics through a timestamp cast would truncate to µs and
+    // SATURATE at Long.MaxValue µs (~9.2e12), collapsing larger domains
+    // (e.g. epoch-nanos) into one bin = the quadratic join this operator
+    // exists to avoid
+    def toNum(df: DataFrame, name: String): Column = df.schema(name).dataType match {
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        col(name).cast("timestamp").cast("double")
+      case _ => col(name).cast("double")
+    }
+    def binOf(df: DataFrame, name: String): Column =
+      floor(toNum(df, name) / binWidth).cast("long")
 
-    val nBins = binOf(col(rightEnd)) - binOf(col(rightStart)) + 1
+    val nBins = binOf(right, rightEnd) - binOf(right, rightStart) + 1
     val binsGuarded = when(nBins > maxBinsPerInterval,
       raise_error(concat(lit(s"rangeJoin: interval spans more than " +
         s"$maxBinsPerInterval bins of width $binWidth at "), col(rightStart).cast("string"))))
       .otherwise(nBins)
     val r = right
+      // inverted intervals (end < start) match nothing under BETWEEN
+      // semantics — drop them BEFORE the explode: a negative span would
+      // both bypass the bin guard and make sequence() count DOWN
+      .filter(col(rightEnd) >= col(rightStart))
       .select(keys.map(col) ++ payload.map(col) :+
         col(rightStart).as("__s") :+ col(rightEnd).as("__e") :+
-        explode(sequence(binOf(col(rightStart)),
-          binOf(col(rightStart)) + binsGuarded.cast("long") - 1)).as("__bin"): _*)
-    val l = left.withColumn("__bin", binOf(col(leftT)))
+        explode(sequence(binOf(right, rightStart),
+          binOf(right, rightStart) + binsGuarded.cast("long") - 1)).as("__bin"): _*)
+    val l = left.withColumn("__bin", binOf(left, leftT))
     l.join(r, keys :+ "__bin")
       .filter(col(leftT) >= col("__s") && col(leftT) <= col("__e"))
       .select(leftCols.map(col) ++ payload.map(col): _*)

@@ -122,11 +122,20 @@ object Ivf {
     assigned.count()
     val a = assigned.select(col("cluster"), col("id").as("id_a"), col("__v").as("__va"))
     val b = assigned.select(col("cluster"), col("id").as("id_b"), col("__v").as("__vb"))
-    a.join(b, Seq("cluster"))
+    val pairs = a.join(b, Seq("cluster"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         round(org.apache.spark.sql.graft.CosineSim(col("__va"), col("__vb")), 4).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the (small, pairs-only) result so the vector-sized
+    // assignment cache can be dropped NOW — the method-internal frame is
+    // otherwise unreleasable by any caller; the pairs cache itself is
+    // cleaner-released when the returned frame becomes unreachable
+    // (semanticDedupClusters unpersists it explicitly).
+    pairs.count()
+    assigned.unpersist()
+    pairs
   }
 
   /** Semantic duplicate groups: [[semanticDedupPairs]] resolved into
@@ -138,7 +147,10 @@ object Ivf {
   def semanticDedupClusters(vectors: DataFrame, idCol: String, vecCol: String,
                             model: Model, threshold: Double): DataFrame = {
     val pairs = semanticDedupPairs(vectors, idCol, vecCol, model, threshold)
-    graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
-      .select(col("id").as("vec_id"), col("component").as("cluster_id"))
+    val labels = graft.text.Dedup.connectedComponents(pairs, "id_a", "id_b")
+    // components are materialized (the in-loop labelSum action), so the
+    // pair cache can be released now — same shape as duplicateClusters
+    pairs.unpersist()
+    labels.select(col("id").as("vec_id"), col("component").as("cluster_id"))
   }
 }

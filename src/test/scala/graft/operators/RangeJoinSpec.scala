@@ -64,6 +64,26 @@ class RangeJoinSpec extends SparkSpec {
     assert(msgs(ex).exists(_.contains("rangeJoin")))
   }
 
+  test("inverted intervals match nothing (BETWEEN semantics), no bin explosion") {
+    val withBad = intervals.union(Seq(("k1", 1e9, 0.0, "swap")).toDF("key", "s", "e", "tag"))
+    val out = RangeJoin.rangeJoin(points, withBad, Seq("key"),
+        "t", "s", "e", payload = Seq("tag"), binWidth = 1.0,
+        maxBinsPerInterval = 1000)
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(!out.exists(_._2 == "swap")) // dropped, and the guard not tripped
+  }
+
+  test("plain numeric domains beyond the timestamp-cast range bin correctly") {
+    // epoch-nano-scale numbers saturate a cast to timestamp (~9.2e12 µs);
+    // direct double binning must keep them in distinct bins
+    val pts = Seq((1L, 1.0e18), (2L, 2.0e18)).toDF("id", "t")
+    val win = Seq((0.9e18, 1.1e18, "a"), (1.9e18, 2.1e18, "b")).toDF("s", "e", "tag")
+    val out = RangeJoin.rangeJoin(pts, win, Nil, "t", "s", "e",
+        payload = Seq("tag"), binWidth = 1e17)
+      .select("id", "tag").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(out == Set((1L, "a"), (2L, "b")))
+  }
+
   test("date columns: binDays convenience round-trips calendar boundaries") {
     val pts = Seq((1L, java.sql.Date.valueOf("2024-02-29")),
       (2L, java.sql.Date.valueOf("2024-03-01"))).toDF("id", "d")
