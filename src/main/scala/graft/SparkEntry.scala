@@ -956,6 +956,25 @@ object SparkEntry {
         .map(m => (m.rank, m.left, m.right, m.pairCount))
         .toDF("rank", "left", "right", "pair_count")
         .orderBy("rank")
+    }),
+
+    // ---- extension: GPT-3-style quality classifier — logistic
+    // regression on hashed bag-of-words, trained on a text-derived
+    // reference label (docs mentioning "vector": the testdata's lang and
+    // source columns are random w.r.t. tokens, i.e. unlearnable) and
+    // scoring the whole corpus. Iterative GD is not SQL-expressible
+    // (rows-only); separation pinned by QualityClassifierSpec. Scores
+    // rounded: cross-partition float summation order can differ in the
+    // last ulp.
+    "q93_x_quality_classifier" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val labeled = docs.withColumn("label",
+        array_contains(Cols.tokens(col("text")), "vector").cast("int"))
+      val model = graft.text.QualityClassifier.train(
+        labeled, "text", "label", dim = 512, iters = 25, lr = 5.0)
+      labeled.select(col("doc_id"), col("label"),
+          round(graft.text.QualityClassifier.scoreCol(col("text"), model), 3).as("score"))
+        .orderBy("doc_id")
     })
   )
 

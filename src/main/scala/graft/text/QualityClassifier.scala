@@ -1,0 +1,116 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Linear quality classifier over hashed bag-of-words features — the
+  * GPT-3/LLaMA-style data-selection filter: train logistic regression to
+  * distinguish a positive reference set (curated text) from the raw
+  * corpus, then keep documents the model scores as reference-like.
+  *
+  * Features are hashed token counts (feature-hashing trick, fixed `dim`),
+  * L2-normalized per document so the decision is length-invariant.
+  * Training is full-batch gradient descent: each iteration is ONE
+  * distributed gradient aggregate (`treeAggregate`, map-side combined);
+  * the driver holds only the `dim`-sized weight vector — a model fit,
+  * same discipline as IVF's centroids. Deterministic: zero-initialized
+  * weights, fixed iteration count, and the md5-derived token hash
+  * ([[TextHash.hash32]]) — no RNG anywhere. (Float summation order across
+  * partitions can differ in the last ulp; scores are rounded before any
+  * cross-run comparison.)
+  */
+object QualityClassifier {
+
+  final case class Model(weights: Array[Double], bias: Double, dim: Int)
+
+  /** Hashed, L2-normalized token-count features. One JVM pass per doc. */
+  private[text] def features(text: String, dim: Int): Array[(Int, Double)] = {
+    val trimmed = TextHash.sparkTrim(text)
+    if (trimmed.isEmpty) return Array.empty
+    val counts = new java.util.HashMap[Integer, Double]()
+    trimmed.split("\\s+", -1).foreach { t =>
+      val idx = (TextHash.hash32(t) % dim).toInt
+      counts.merge(idx, 1.0, (a, b) => a + b)
+    }
+    var norm = 0.0
+    counts.values.forEach(v => norm += v * v)
+    val s = 1.0 / math.sqrt(norm)
+    val out = new Array[(Int, Double)](counts.size)
+    var i = 0
+    val it = counts.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = (e.getKey.intValue(), e.getValue * s)
+      i += 1
+    }
+    java.util.Arrays.sort(out, Ordering.by((p: (Int, Double)) => p._1))
+    out
+  }
+
+  private def sigmoid(z: Double): Double = 1.0 / (1.0 + math.exp(-z))
+
+  /** Train on `docs` with a 0/1 `labelCol` (1 = reference-like). Batch
+    * GD on the logistic loss with L2 regularization. */
+  def train(docs: DataFrame, textCol: String, labelCol: String,
+            dim: Int = 1024, iters: Int = 30, lr: Double = 1.0,
+            l2: Double = 1e-4): Model = {
+    require(dim >= 2 && iters >= 1, "dim >= 2, iters >= 1")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val data = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(labelCol).cast("double").as("y"), col(textCol).as("t"))
+      .as[(Double, String)]
+      .map { case (y, t) => (y, features(t, dim)) }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val n = data.count().toDouble
+    require(n > 0, "no non-empty training documents")
+
+    val w = new Array[Double](dim)
+    var b = 0.0
+    var iter = 0
+    while (iter < iters) {
+      val bcW = spark.sparkContext.broadcast(w.clone())
+      val bcB = b
+      // gradient(dim) ++ bias gradient at index dim
+      val grad = data.rdd.treeAggregate(new Array[Double](dim + 1))(
+        seqOp = (g, row) => {
+          val (y, xs) = row
+          var z = bcB
+          xs.foreach { case (i, v) => z += bcW.value(i) * v }
+          val err = sigmoid(z) - y
+          xs.foreach { case (i, v) => g(i) += err * v }
+          g(dim) += err
+          g
+        },
+        combOp = (a, c) => { var i = 0; while (i < a.length) { a(i) += c(i); i += 1 }; a })
+      var i = 0
+      while (i < dim) {
+        w(i) -= lr * (grad(i) / n + l2 * w(i))
+        i += 1
+      }
+      b -= lr * grad(dim) / n
+      bcW.destroy()
+      iter += 1
+    }
+    data.unpersist()
+    Model(w, b, dim)
+  }
+
+  /** Reference-likeness score in (0, 1): `sigmoid(w·x + b)`. Null text →
+    * null; empty text → sigmoid(b). */
+  def scoreCol(text: Column, model: Model): Column =
+    udf { (t: String) =>
+      if (t == null) null.asInstanceOf[java.lang.Double]
+      else {
+        var z = model.bias
+        features(t, model.dim).foreach { case (i, v) => z += model.weights(i) * v }
+        java.lang.Double.valueOf(sigmoid(z))
+      }
+    }.apply(text)
+
+  /** Keep documents scoring at least `threshold` under the model. */
+  def filterByQuality(docs: DataFrame, textCol: String, model: Model,
+                      threshold: Double): DataFrame =
+    docs.filter(scoreCol(col(textCol), model) >= threshold)
+}

@@ -1,0 +1,44 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Hashed-feature logistic quality classifier: feature kernel math,
+  * separable-corpus recovery, and the filter contract. */
+class QualityClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("features: hashed L2-normalized counts, deterministic layout") {
+    val f = QualityClassifier.features("a b a", dim = 64)
+    assert(approx(f.map(_._2).map(v => v * v).sum, 1.0, 1e-12)) // unit norm
+    assert(f.length <= 2 && f.length >= 1)                   // a,b may collide
+    assert(f.toList == QualityClassifier.features("a b a", dim = 64).toList)
+    assert(QualityClassifier.features("", 64).isEmpty)
+    assert(QualityClassifier.features("   ", 64).isEmpty)
+  }
+
+  test("train separates a linearly separable corpus and filter keeps positives") {
+    val pos = Seq.tabulate(20)(i => (s"clean informative prose article number $i", 1))
+    val neg = Seq.tabulate(20)(i => (s"buy now spam click winner prize $i", 0))
+    val df = (pos ++ neg).toDF("text", "label")
+    val model = QualityClassifier.train(df, "text", "label", dim = 256, iters = 40)
+    val scored = df.select(col("label"),
+      QualityClassifier.scoreCol(col("text"), model).as("s")).collect()
+    val posScores = scored.filter(_.getInt(0) == 1).map(_.getDouble(1))
+    val negScores = scored.filter(_.getInt(0) == 0).map(_.getDouble(1))
+    assert(posScores.min > negScores.max,
+      s"separable corpus must separate: pos min ${posScores.min} vs neg max ${negScores.max}")
+    val mid = (posScores.min + negScores.max) / 2
+    val kept = QualityClassifier.filterByQuality(df, "text", model, mid)
+    assert(kept.select(min(col("label"))).head.getInt(0) == 1) // only positives survive
+    assert(kept.count() == 20)
+  }
+
+  test("null text scores null; empty text scores sigmoid(bias)") {
+    val model = QualityClassifier.Model(new Array[Double](8), 0.0, 8)
+    val out = Seq(Option("x y"), None).toDF("t")
+      .select(QualityClassifier.scoreCol(col("t"), model)).collect()
+    assert(approx(out(0).getDouble(0), 0.5, 1e-12)) // zero weights
+    assert(out(1).isNullAt(0))
+  }
+}
