@@ -24,15 +24,17 @@ object Bench {
     // match) — the iterate-on-one-query loop; unset = the full suite.
     // Trimmed, blanks dropped; a filter that matches NOTHING is a typo and
     // must fail loudly, not print a plausible-looking total of 0.000.
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-      .filter(_.nonEmpty)
+    val onlyRaw = sys.env.get("SPARK_GRAFT_ONLY")
+    val only = onlyRaw.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     val queries = only match {
       case Some(ps) => SparkEntry.queries.filter { case (n, _) => ps.exists(n.startsWith) }
       case None => SparkEntry.queries
     }
-    if (only.isDefined && queries.isEmpty) {
-      System.err.println(s"[bench] SPARK_GRAFT_ONLY=${sys.env("SPARK_GRAFT_ONLY")} matches no query")
+    // an all-blank filter (", ") is the same typo as a no-match filter —
+    // running the FULL suite for it is exactly the silent-plausible-output
+    // failure the guard exists to kill
+    if (onlyRaw.isDefined && (only.exists(_.isEmpty) || queries.isEmpty)) {
+      System.err.println(s"[bench] SPARK_GRAFT_ONLY=${onlyRaw.get} matches no query")
       sys.exit(2)
     }
     val warmDir = "/root/testdata/sf0.001"

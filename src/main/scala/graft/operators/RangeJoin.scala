@@ -49,6 +49,16 @@ object RangeJoin {
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+    require(!payload.exists(keys.contains),
+      s"payload columns ${payload.filter(keys.contains)} duplicate join keys " +
+        "(keys are already carried on the output)")
+    // reserved internals: a left "__bin" would be silently OVERWRITTEN by
+    // withColumn below (wrong data, no error); "__s"/"__e" would make the
+    // post-join containment filter ambiguous
+    val reserved = Seq("__bin", "__s", "__e")
+    require(!reserved.exists(leftCols.contains),
+      s"left columns ${leftCols.filter(reserved.contains)} collide with " +
+        s"rangeJoin's reserved internal names ${reserved.mkString("/")}")
 
     // date/timestamp bin via epoch seconds; plain numerics bin directly —
     // routing numerics through a timestamp cast would truncate to µs and

@@ -110,9 +110,9 @@ object Bpe {
     udf { (t: String) =>
       if (t == null) null
       else {
-        val trimmed = TextHash.sparkTrim(t)
-        if (trimmed.isEmpty) Array.empty[String]
-        else trimmed.split("\\s+", -1).flatMap { w =>
+        val toks = TextHash.tokenize(t)
+        if (toks.length == 1 && toks(0).isEmpty) Array.empty[String]
+        else toks.flatMap { w =>
           var syms = charSyms(w)
           var changed = true
           while (changed && syms.length > 1) {

@@ -25,10 +25,10 @@ object QualityClassifier {
 
   /** Hashed, L2-normalized token-count features. One JVM pass per doc. */
   private[text] def features(text: String, dim: Int): Array[(Int, Double)] = {
-    val trimmed = TextHash.sparkTrim(text)
-    if (trimmed.isEmpty) return Array.empty
+    val toks = TextHash.tokenize(text)
+    if (toks.length == 1 && toks(0).isEmpty) return Array.empty // empty/blank text
     val counts = new java.util.HashMap[Integer, Double]()
-    trimmed.split("\\s+", -1).foreach { t =>
+    toks.foreach { t =>
       val idx = (TextHash.hash32(t) % dim).toInt
       counts.merge(idx, 1.0, (a, b) => a + b)
     }
@@ -58,13 +58,17 @@ object QualityClassifier {
     val spark = docs.sparkSession
     import spark.implicits._
     val data = docs
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      // an unlabeled row would NPE inside the primitive-Double tuple
+      // decoder mid-job — drop it here with the null texts
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0 &&
+        col(labelCol).isNotNull)
       .select(col(labelCol).cast("double").as("y"), col(textCol).as("t"))
       .as[(Double, String)]
       .map { case (y, t) => (y, features(t, dim)) }
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = data.count().toDouble
     require(n > 0, "no non-empty training documents")
+    val rdd = data.rdd // one Dataset->RDD plan, reused every iteration
 
     val w = new Array[Double](dim)
     var b = 0.0
@@ -73,7 +77,7 @@ object QualityClassifier {
       val bcW = spark.sparkContext.broadcast(w.clone())
       val bcB = b
       // gradient(dim) ++ bias gradient at index dim
-      val grad = data.rdd.treeAggregate(new Array[Double](dim + 1))(
+      val grad = rdd.treeAggregate(new Array[Double](dim + 1))(
         seqOp = (g, row) => {
           val (y, xs) = row
           var z = bcB

@@ -94,4 +94,18 @@ class RangeJoinSpec extends SparkSpec {
       .select("id").as[Long].collect().toSeq
     assert(out == Seq(1L)) // leap-day inclusive, March 1 outside
   }
+
+  test("reserved internal names and key-duplicating payload are rejected") {
+    val clash = points.withColumnRenamed("id", "__bin")
+    val e1 = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(clash, intervals, Seq("key"), "t", "s", "e",
+        payload = Seq("tag"), binWidth = 7.0)
+    }
+    assert(e1.getMessage.contains("reserved"))
+    val e2 = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(points.drop("key"), intervals, Seq("key"), "t", "s", "e",
+        payload = Seq("key", "tag"), binWidth = 7.0)
+    }
+    assert(e2.getMessage.contains("duplicate join keys"))
+  }
 }

@@ -41,4 +41,11 @@ class QualityClassifierSpec extends SparkSpec {
     assert(approx(out(0).getDouble(0), 0.5, 1e-12)) // zero weights
     assert(out(1).isNullAt(0))
   }
+
+  test("null-label rows are dropped from training, not decoder NPEs") {
+    val df = Seq(("clean prose", Some(1)), ("spam spam", Some(0)),
+      ("unlabeled text", None)).toDF("text", "label")
+    val model = QualityClassifier.train(df, "text", "label", dim = 64, iters = 5)
+    assert(model.weights.exists(_ != 0.0)) // trained on the labeled pair
+  }
 }
