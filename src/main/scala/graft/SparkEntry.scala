@@ -975,6 +975,22 @@ object SparkEntry {
       labeled.select(col("doc_id"), col("label"),
           round(graft.text.QualityClassifier.scoreCol(col("text"), model), 3).as("score"))
         .orderBy("doc_id")
+    }),
+
+    // ---- extension: BPE encode under a corpus-learned merge table — the
+    // token-count a training pipeline budgets by. Merge learning is the
+    // model fit (q92); encode is one codegen-boundary UDF pass per doc.
+    // Greedy rank-ordered merging is not SQL-expressible (rows-only);
+    // encode semantics pinned by BpeSpec.
+    "q94_x_bpe_encode" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 6)
+      // non-ANSI size(null) = -1: null texts must surface as null counts
+      def sz(c: Column) = when(col("text").isNull, lit(null).cast("int")).otherwise(size(c))
+      docs.select(col("doc_id"),
+          sz(graft.text.Bpe.encodeCol(col("text"), merges)).as("n_subwords"),
+          sz(Cols.tokens(col("text"))).as("n_words"))
+        .orderBy("doc_id")
     })
   )
 
