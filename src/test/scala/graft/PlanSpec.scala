@@ -139,4 +139,17 @@ class PlanSpec extends SparkSpec {
     assert(shuffles <= 3, s"line dedup re-shuffled: $shuffles exchanges\n$p")
     assert(p.contains("Window ["), "first-occurrence must be a window, not a self-join")
   }
+
+  test("perplexity scoring (q86) broadcasts the pruned vocab — no sort-merge join") {
+    val p = plan("q86_x_perplexity")
+    assert(p.contains("BroadcastHashJoin"), "vocab log-prob join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      s"Zipf-truncated vocab fell back to a corpus-sized shuffle join:\n$p")
+  }
+
+  test("DSIR scoring (q88) broadcasts both LM sides — no sort-merge join") {
+    val p = plan("q88_x_importance_score")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
