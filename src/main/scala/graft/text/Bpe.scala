@@ -66,9 +66,21 @@ object Bpe {
       .select(explode(Cols.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
+    // The merge loop iterates over the VOCAB frame, which is Zipf-bounded
+    // (~1e5-1e7 words at any corpus size) — at the session's
+    // shuffle-partition count every round pays jobs of mostly-empty
+    // tasks. Bound the loop's parallelism to the vocab's actual size
+    // (~50k words/partition), not the corpus's. One cached count sizes it
+    // (the same action that materializes the corpus pass).
+    val wordsCached = words.persist(lvl)
+    val vocabParts = math.max(1, math.min(
+      words.sparkSession.sparkContext.defaultParallelism,
+      (wordsCached.count() / 50000L).toInt))
     var vocab: Dataset[(Array[String], Long)] =
-      words.map { case (w, c) => (charSyms(w), c) }.persist(lvl)
+      wordsCached.repartition(vocabParts)
+        .map { case (w, c) => (charSyms(w), c) }.persist(lvl)
     vocab.count()
+    wordsCached.unpersist()
 
     val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
     var rank = 0
