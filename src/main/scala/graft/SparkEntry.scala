@@ -793,7 +793,8 @@ object SparkEntry {
     "q80_x_repetition" -> tuned((s, d) => {
       val f = graft.text.Repetition.statsCol(linedText(col("text")))
       Tables.documents(s, d).select(col("doc_id"),
-          f.getField("n_lines").cast("long").as("n_lines"),
+          // null text -> null struct; the oracle coalesces n_lines to 0
+          coalesce(f.getField("n_lines").cast("long"), lit(0L)).as("n_lines"),
           round(f.getField("dup_line_frac"), 4).as("dup_line_frac"),
           round(f.getField("dup_line_char_frac"), 4).as("dup_line_char_frac"),
           round(f.getField("top_2gram_char_frac"), 4).as("top_2gram_char_frac"),

@@ -28,9 +28,17 @@ object Verify {
       sys.exit(2)
     }
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }
-      .foreach { case (name, fn) =>
+    // prefix-match + fail-loudly, same contract as Bench's
+    // SPARK_GRAFT_ONLY: an exact-only or typo'd filter that matches
+    // nothing would exit 0 with an empty outDir — and a STALE previous
+    // outDir could then be compared as if fresh
+    val selected = SparkEntry.queries
+      .filter { case (name, _) => only.forall(_.exists(name.startsWith)) }
+    if (only.isDefined && selected.isEmpty) {
+      System.err.println(s"[verify] filter ${only.get.mkString(",")} matches no query")
+      sys.exit(2)
+    }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

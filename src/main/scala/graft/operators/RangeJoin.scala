@@ -53,12 +53,14 @@ object RangeJoin {
       s"payload columns ${payload.filter(keys.contains)} duplicate join keys " +
         "(keys are already carried on the output)")
     // reserved internals: a left "__bin" would be silently OVERWRITTEN by
-    // withColumn below (wrong data, no error); "__s"/"__e" would make the
+    // withColumn below (wrong data, no error); "__s"/"__e" in ANY role
+    // (left, payload, or key) would make the interval aliases or the
     // post-join containment filter ambiguous
     val reserved = Seq("__bin", "__s", "__e")
-    require(!reserved.exists(leftCols.contains),
-      s"left columns ${leftCols.filter(reserved.contains)} collide with " +
-        s"rangeJoin's reserved internal names ${reserved.mkString("/")}")
+    val reservedHits = (leftCols ++ payload ++ keys).filter(reserved.contains).distinct
+    require(reservedHits.isEmpty,
+      s"columns $reservedHits collide with rangeJoin's reserved internal " +
+        s"names ${reserved.mkString("/")}")
 
     // date/timestamp bin via epoch seconds; plain numerics bin directly —
     // routing numerics through a timestamp cast would truncate to µs and

@@ -57,7 +57,7 @@ object Sinks {
   def writePartitioned(df: DataFrame, path: String,
                        partitionCols: Seq[String]): Unit = {
     require(partitionCols.nonEmpty, "writePartitioned needs >= 1 partition column")
-    df.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+    parquetPartitioned(df, path, partitionCols)
   }
 
   /** F7: empty-result guard (reference warns and skips the write —

@@ -101,6 +101,13 @@ object LanguageModel {
     val (tv, ts) = lm(tf(target), "t")
     def logp(cCol: Column, oovCol: Column, nCol: Column, vCol: Column) =
       log((coalesce(cCol, oovCol) + lit(k)) / (nCol + lit(k) * (vCol + lit(1))))
+    // An empty target set makes the stats aggregate emit NULL n_t/v_t
+    // (sum over zero rows), which would propagate to an all-null
+    // log_ratio — plausible-looking, silently meaningless. Fail loudly
+    // (same contract as domainMixSample's empty-stratum guard). An empty
+    // CORPUS needs no guard: corpusTf is empty, so the output is empty.
+    val nT = when(col("n_t").isNull, raise_error(lit(
+      "importanceScore: target set has no non-blank documents"))).otherwise(col("n_t"))
     corpusTf
       .join(broadcast(cv), Seq("term"), "left")
       .join(broadcast(tv), Seq("term"), "left")
@@ -108,7 +115,7 @@ object LanguageModel {
       .groupBy("doc_id")
       .agg(sum(col("tf")).cast("long").as("n_tokens"),
         round(sum(col("tf") *
-          (logp(col("c_t"), col("oov_t"), col("n_t"), col("v_t")) -
+          (logp(col("c_t"), col("oov_t"), nT, col("v_t")) -
            logp(col("c_c"), col("oov_c"), col("n_c"), col("v_c")))), roundTo)
           .as("log_ratio"))
   }

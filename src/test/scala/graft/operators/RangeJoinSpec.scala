@@ -107,5 +107,10 @@ class RangeJoinSpec extends SparkSpec {
         payload = Seq("key", "tag"), binWidth = 7.0)
     }
     assert(e2.getMessage.contains("duplicate join keys"))
+    val e3 = intercept[IllegalArgumentException] {
+      RangeJoin.rangeJoin(points, intervals.withColumnRenamed("tag", "__s"),
+        Seq("key"), "t", "s", "e", payload = Seq("__s"), binWidth = 7.0)
+    }
+    assert(e3.getMessage.contains("reserved"))
   }
 }

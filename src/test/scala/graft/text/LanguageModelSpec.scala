@@ -87,4 +87,13 @@ class LanguageModelSpec extends SparkSpec {
     assert(a == b)
     assert(a.map(_.getLong(0)) == Seq(1L, 2L, 3L)) // 4/5/6 produce no row
   }
+
+  test("importanceScore fails loudly on an empty target set, not all-null scores") {
+    val empty = docs.filter($"doc_id" < 0L)
+    val e = intercept[Exception] {
+      LanguageModel.importanceScore(docs, empty, "doc_id", "text").collect()
+    }
+    assert(e.getMessage.contains("no non-blank documents"),
+      s"expected the empty-target raise_error, got: ${e.getMessage}")
+  }
 }
