@@ -992,7 +992,15 @@ object SparkEntry {
           sz(graft.text.Bpe.encodeCol(col("text"), merges)).as("n_subwords"),
           sz(Cols.tokens(col("text"))).as("n_words"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- extension: sliding-window chunking with overlap (context-window
+    // split for RAG/long-doc training) — 32-token windows, stride 24
+    // (8-token overlap); explode+slice, no shuffle
+    "q95_x_chunk_docs" -> tuned((s, d) =>
+      Corpus.chunkDocs(Tables.documents(s, d), "doc_id", "text",
+          chunkSize = 32, stride = 24)
+        .orderBy("doc_id", "chunk_id"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -1987,7 +1995,22 @@ object SparkEntry {
       ("""SELECT lang, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents WHERE source = 'src3'
-        |GROUP BY lang ORDER BY lang""".stripMargin)
+        |GROUP BY lang ORDER BY lang""".stripMargin),
+
+    // DuckDB list slices are 1-based inclusive (toks[a:b] = tokens a..b,
+    // clamped), matching Spark's 1-based length-clamped slice()
+    "q95_x_chunk_docs" ->
+      ("""WITH t AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |c AS (
+        |  SELECT doc_id, toks,
+        |    unnest(range(0, (len(toks) - 1) // 24 + 1)) AS k
+        |  FROM t)
+        |SELECT doc_id, CAST(k AS INT) AS chunk_id,
+        |  CAST(least(32, len(toks) - k * 24) AS INT) AS n_tokens,
+        |  array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk_text
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared repetition-stat CTE block (q80/q84): per-doc line groups,

@@ -214,4 +214,38 @@ object Corpus {
       .agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
+
+  /** Sliding-window document chunking with overlap — the
+    * fixed-context-window split (RAG indexing, long-doc training
+    * examples): window `k` covers tokens `[k·stride, k·stride +
+    * chunkSize)`, for every start strictly inside the document. With
+    * `stride < chunkSize` consecutive windows overlap by `chunkSize −
+    * stride` tokens (the boundary-context overlap); a trailing window
+    * shorter than `chunkSize` is kept (its tokens would otherwise lose
+    * their only full-context appearance). Documents with no tokens
+    * produce no chunks.
+    *
+    * Output: (idCol, chunk_id, n_tokens, chunk_text), one row per window.
+    * Scale shape: explode + slice on the per-doc token array — one
+    * narrow projection pass, no shuffle, no UDF; output rows ≈ input
+    * tokens / stride regardless of document skew. */
+  def chunkDocs(docs: DataFrame, idCol: String, textCol: String,
+                chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, "chunkSize must be >= 1")
+    require(stride >= 1 && stride <= chunkSize,
+      "stride must be in [1, chunkSize] (stride > chunkSize drops tokens)")
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol), Cols.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+      .select(col(idCol), col("__toks"), col("__n"),
+        explode(sequence(lit(0), ((col("__n") - 1) / stride).cast("int")))
+          .as("chunk_id"))
+      .select(col(idCol), col("chunk_id"),
+        least(lit(chunkSize), col("__n") - col("chunk_id") * stride)
+          .cast("int").as("n_tokens"),
+        concat_ws(" ",
+          slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
+          .as("chunk_text"))
+  }
 }

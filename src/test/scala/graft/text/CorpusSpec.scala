@@ -166,4 +166,26 @@ class CorpusSpec extends SparkSpec {
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
     assert(msgs(ex).exists(_.contains("ghost")))
   }
+
+  test("chunkDocs: overlap windows, clamped tail, no chunks for blank docs") {
+    val docs = Seq(
+      (1L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), // 10 tokens
+      (2L, "a b"),                           // shorter than one chunk
+      (3L, "   "),                           // blank -> no rows
+      (4L, "x")
+    ).toDF("id", "text")
+    val out = Corpus.chunkDocs(docs, "id", "text", chunkSize = 4, stride = 3)
+      .orderBy("id", "chunk_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    assert(out.toSeq == Seq(
+      // doc 1: starts 0,3,6,9 — 1-token overlap (chunkSize-stride), 1-token tail kept
+      (1L, 0, 4, "t0 t1 t2 t3"), (1L, 1, 4, "t3 t4 t5 t6"),
+      (1L, 2, 4, "t6 t7 t8 t9"), (1L, 3, 1, "t9"),
+      (2L, 0, 2, "a b"),
+      (4L, 0, 1, "x")))
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.chunkDocs(docs, "id", "text", chunkSize = 4, stride = 5)
+    }
+    assert(ex.getMessage.contains("stride"))
+  }
 }
