@@ -70,4 +70,41 @@ object PropertySpec extends Properties("graft.laws") {
     out.map(_.getBoolean(0)).toSeq == Seq(true, true, true, false) &&
       out.forall(!_.isNullAt(0))
   }
+
+  private val wordGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val docGen = Gen.choose(1, 40)
+    .flatMap(n => Gen.listOfN(n, wordGen)).map(_.mkString(" "))
+
+  property("chunkDocs covers every token: stride-aligned prefixes reassemble the doc") =
+    forAll(docGen, Gen.choose(1, 8), Gen.choose(0, 7)) { (doc, stride, extra) =>
+      val size = stride + extra
+      val toks = doc.split("\\s+").toSeq
+      val chunks = graft.text.Corpus
+        .chunkDocs(Seq((1L, doc)).toDF("id", "text"), "id", "text", size, stride)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getInt(1), r.getInt(2), r.getString(3)))
+      val nChunks = (toks.length - 1) / stride + 1
+      // taking the first `stride` tokens of each window (all of the last)
+      // reconstructs the document exactly — no token lost or duplicated
+      val rebuilt = chunks.flatMap { case (k, _, text) =>
+        val ts = text.split(" ").toSeq
+        if (k == nChunks - 1) ts else ts.take(stride)
+      }.toSeq
+      chunks.length == nChunks &&
+        chunks.forall { case (_, n, text) => text.split(" ").length == n && n <= size } &&
+        rebuilt == toks
+    }
+
+  // fixed fixtures, not forAll: learnMerges is a multi-job Spark loop per
+  // sample — 100 ScalaCheck samples would dominate the suite's runtime
+  property("BPE encode preserves content: symbols rejoin to the original words") = Prop {
+    Seq("low lower lowest newest", "aaa aa a aaaa", "xyz", "ab ab ab ba b")
+      .forall { doc =>
+        val merges = graft.text.Bpe.learnMerges(
+          Seq(doc).toDF("text"), "text", numMerges = 5, minPairCount = 1L)
+        val enc = Seq(doc).toDF("t")
+          .select(graft.text.Bpe.encodeCol(col("t"), merges)).head.getSeq[String](0)
+        enc.mkString("") == doc.split(" ").mkString("")
+      }
+  }
 }
