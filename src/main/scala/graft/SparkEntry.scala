@@ -1000,7 +1000,54 @@ object SparkEntry {
     "q95_x_chunk_docs" -> tuned((s, d) =>
       Corpus.chunkDocs(Tables.documents(s, d), "doc_id", "text",
           chunkSize = 32, stride = 24)
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // ---- extension: ORC round-trip (the second columnar interchange
+    // format) — write documents as ORC, explicit-schema read back,
+    // aggregate; oracle = the same aggregate off the parquet table, so
+    // the ORC path must be lossless (same contract as q85's JSONL)
+    "q96_x_orc_roundtrip" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val key = graft.text.TextHash.hash32(d).toHexString
+      val path = s"${sys.props("java.io.tmpdir")}/graft_orc_$key"
+      cleanupOnExit(path)
+      graft.sources.Sinks.orc(docs, path)
+      graft.sources.Sinks.readOrc(s, path, docs.schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("source")
+    }),
+
+    // ---- extension: int8 embedding quantization round-trip metrics —
+    // the 4x-compression knob of a 100 TB vector store. Per-row kernel,
+    // shuffle-free; the oracle replays the exact formula (explicit
+    // floor(x/s + 0.5) rounding, double dequant) in DuckDB list ops
+    "q97_x_embed_quantize" -> tuned((s, d) => {
+      val m = graft.sim.VectorOps.int8MetricsCol(col("embedding"))
+      Tables.embeddings(s, d).select(col("vec_id"),
+          round(m.getField("scale"), 6).as("scale"),
+          round(m.getField("max_abs_err"), 6).as("max_abs_err"),
+          round(m.getField("cos_fidelity"), 4).as("cos_fidelity"))
+        .orderBy("vec_id")
+    }),
+
+    // ---- extension: cross-corpus duplicated n-gram coverage (the
+    // detection half of Lee et al. exact-substring dedup) — 5-grams
+    // occurring >= 2 times corpus-wide, per-doc covered-token fraction
+    // via analytic interval union (no covered-position explode)
+    "q98_x_dup_ngram_coverage" -> tuned((s, d) =>
+      Dedup.dupNgramCoverage(Tables.documents(s, d), "doc_id", "text",
+          n = 5, minCount = 2L)
+        .withColumn("dup_frac", round(col("dup_frac"), 4))
+        .orderBy("doc_id")),
+
+    // ---- extension: watermarked stream-stream inner join (clicks x
+    // same-user purchases within 60 min) — finite file stream + inner
+    // join + append mode == the batch join, so the oracle is plain SQL
+    "q99_x_stream_join" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.clickPurchaseJoin(s, d, windowMinutes = 60))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2010,7 +2057,78 @@ object SparkEntry {
         |SELECT doc_id, CAST(k AS INT) AS chunk_id,
         |  CAST(least(32, len(toks) - k * 24) AS INT) AS n_tokens,
         |  array_to_string(toks[k*24+1 : k*24+32], ' ') AS chunk_text
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin)
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin),
+
+    // identical to q85's oracle: the round-trip contract is that the ORC
+    // staging copy aggregates exactly like the parquet original
+    "q96_x_orc_roundtrip" ->
+      ("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // exact formula replay: scale = maxAbs/127, codes = clamped
+    // floor(x/scale + 0.5), dequant stays double — both engines do the
+    // same double arithmetic, rounding only smooths summation order
+    "q97_x_embed_quantize" -> {
+      def lsum(body: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> $body))"
+      (s"""WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT vec_id, embedding, scale,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) / scale + 0.5))) END
+        |      * scale) AS deq
+        |  FROM s)
+        |SELECT vec_id, round(scale, 6) AS scale,
+        |  round(list_max(list_transform(generate_series(1, 64),
+        |    i -> abs(CAST(embedding[i] AS DOUBLE) - deq[i]))), 6) AS max_abs_err,
+        |  round(${lsum("CAST(embedding[i] AS DOUBLE) * deq[i]")}
+        |    / nullif(sqrt(${lsum("CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)")})
+        |        * sqrt(${lsum("deq[i] * deq[i]")}), 0), 4) AS cos_fidelity
+        |FROM q ORDER BY vec_id""".stripMargin)
+    },
+
+    // groups by the gram STRING where the engine groups by its 60-bit md5
+    // hash — identical up to a ~4e-7 collision probability at 1M grams;
+    // covered_tokens via count(DISTINCT covered position) == the engine's
+    // analytic interval union
+    "q98_x_dup_ngram_coverage" ->
+      ("""WITH t AS (
+        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+        |g AS (
+        |  SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
+        |  FROM b WHERE len(toks) >= 5),
+        |gg AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 4], ' ') AS gram FROM g),
+        |dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+        |dp AS (SELECT doc_id, pos FROM gg JOIN dup USING (gram)),
+        |cov AS (
+        |  SELECT doc_id, count(DISTINCT pos) AS dup_grams,
+        |    count(DISTINCT p) AS covered_tokens
+        |  FROM (SELECT doc_id, pos, unnest(generate_series(pos, pos + 4)) AS p FROM dp)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n_tokens AS INT) AS n_tokens,
+        |  CAST(coalesce(cov.dup_grams, 0) AS BIGINT) AS dup_grams,
+        |  CAST(coalesce(cov.covered_tokens, 0) AS BIGINT) AS covered_tokens,
+        |  round(CASE WHEN b.n_tokens = 0 THEN 0.0
+        |    ELSE coalesce(cov.covered_tokens, 0) / CAST(b.n_tokens AS DOUBLE) END, 4) AS dup_frac
+        |FROM b LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin),
+
+    "q99_x_stream_join" ->
+      ("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  round(p.value, 2) AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND p.user_id = c.user_id AND p.ts >= c.ts
+        | AND p.ts <= c.ts + INTERVAL 60 MINUTE
+        |ORDER BY click_id, purchase_id""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared repetition-stat CTE block (q80/q84): per-doc line groups,

@@ -47,6 +47,20 @@ object Sinks {
                 schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).option("mode", "PERMISSIVE").json(path)
 
+  /** ORC sink — the second columnar interchange format alongside parquet
+    * (some lakehouse estates are ORC-native). Same scaling shape as the
+    * parquet sink: one part file per partition, snappy by default,
+    * predicate pushdown and column pruning on readback. */
+  def orc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  /** ORC source with an explicit schema (same rationale as [[readJsonl]]:
+    * no inference pass at corpus scale — though ORC carries its schema in
+    * the footer, pinning it rejects drifted files loudly). */
+  def readOrc(spark: org.apache.spark.sql.SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).orc(path)
+
   /** Hive-style partitioned parquet sink — the layout that makes
     * partition PRUNING possible at read time: a reader filtering on the
     * partition columns touches only the matching directories, never the

@@ -192,6 +192,48 @@ object StreamingCollapse {
     spark.table(name).orderBy("text_hash")
   }
 
+  // ------------------------------------------------------ stream-stream join
+
+  /** Watermarked stream-stream inner join: clicks matched to the same
+    * user's purchases inside [click_ts, click_ts + windowMinutes]. Both
+    * sides carry event-time watermarks plus the time-bound join condition
+    * — the pair Spark needs to EVICT buffered state (each side's buffer
+    * holds only rows inside watermark + window, the standing-pipeline
+    * shape at scale; an unbounded stream-stream join would buffer both
+    * streams forever). Inner join + append mode over a finite file stream
+    * emits exactly the batch join result, so the oracle is the plain
+    * time-bounded self-join SQL. */
+  def clickPurchaseJoin(spark: SparkSession, dir: String,
+                        windowMinutes: Int): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_join"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    def side(evType: String, pfx: String) = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir(dir))
+      .filter(col("event_type") === evType)
+      .select(col("user_id").as(s"${pfx}_user"),
+        expr("timestamp_micros(ts div 1000)").as(s"${pfx}_ts"),
+        col("event_id").as(s"${pfx}_id"),
+        col("value").as(s"${pfx}_value"))
+      .withWatermark(s"${pfx}_ts", "1 hour")
+    val joined = side("click", "click").join(side("purchase", "purchase"),
+      col("click_user") === col("purchase_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr(s"interval $windowMinutes minutes"))
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
+        round(col("purchase_value"), 2).as("purchase_value"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   final case class BucketDoc(bkey: String, docId: Long, sig: Seq[Long])
   final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
 

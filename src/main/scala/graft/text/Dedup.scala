@@ -209,6 +209,55 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Cross-corpus duplicated n-gram coverage — the detection half of
+    * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better": substrings repeated verbatim anywhere
+    * in the corpus are memorization fuel). For every document: how many of
+    * its token positions are covered by an `n`-gram that occurs at least
+    * `minCount` times corpus-wide (including within the same document).
+    *
+    * Shape at scale: one UDF pass emits 60-bit gram hashes with positions
+    * (never gram text — the shuffle is (hash, pos) pairs), one map-side-
+    * combinable count over hashes, one equi-join back, and one per-doc
+    * window that unions overlapping [pos, pos+n) intervals analytically
+    * (`min(n, pos - lag(pos))`) instead of exploding the n covered
+    * positions per gram. No O(n²) stage; the heaviest key is the most
+    * frequent gram, which the count aggregate absorbs map-side.
+    *
+    * Output: (id, n_tokens, dup_grams, covered_tokens, dup_frac) — feed
+    * `dup_frac >= cut` to a filter for the dedup decision, or the interval
+    * bounds to a span-cutter for surgical removal. */
+  def dupNgramCoverage(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val base = docs.select(col(idCol).as("doc_id"),
+      // tokenize-empty convention: blank/null text -> 0 tokens (split("")
+      // yields one empty token; too-short docs have 0 grams either way)
+      when(length(trim(col(textCol))) === 0 || col(textCol).isNull, lit(0))
+        .otherwise(size(Cols.tokens(col(textCol)))).as("n_tokens"))
+    val grams = docs.select(col(idCol).as("doc_id"),
+        posexplode(TextHash.shingleHash60sCol(col(textCol), n)).as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("gc"))
+      .filter(col("gc") >= minCount)
+      .select("gh")
+    val dupPos = grams.join(dupGrams, Seq("gh")).select("doc_id", "pos")
+    // interval union per doc: consecutive duplicated starts s_{i-1} < s_i
+    // overlap when s_i - s_{i-1} < n; each start adds min(n, gap) tokens
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val perDoc = dupPos
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("add", when(col("gap").isNull, lit(n)).otherwise(least(lit(n), col("gap"))))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("dup_grams"), sum("add").as("covered_tokens"))
+    base.join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_grams"), lit(0L)).as("dup_grams"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("n_tokens") === 0, lit(0.0))
+          .otherwise(coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
+          .as("dup_frac"))
+  }
+
   /** Connected components over an undirected edge list by min-label
     * propagation with pointer jumping: every node starts labeled with its
     * own id; each round a node adopts the minimum label among itself and

@@ -50,6 +50,24 @@ object TextHash {
     ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
   }
 
+  /** First 15 hex chars of md5(s) as a non-negative long (60 bits).
+    * Used where 32 bits would hit the birthday bound — e.g. corpus-wide
+    * n-gram keys: ~1M distinct grams has a ~12% chance of a 32-bit
+    * collision but ~4e-7 at 60 bits. Oracle-portable as
+    * `CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`. At 100 TB swap
+    * for Spark's codegen'd `xxhash64` (same width, no md5 cost) — the
+    * same dial as [[graft.text.Dedup.exactDigest]]. */
+  def hash60Md5(s: String): Long = {
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(s.getBytes(StandardCharsets.UTF_8))
+    var acc = 0L
+    var i = 0
+    while (i < 7) { acc = (acc << 8) | (d(i) & 0xffL); i += 1 }
+    // 7 bytes = 56 bits, plus the high nibble of byte 7 -> 60 bits
+    (acc << 4) | ((d(7) & 0xf0L) >> 4)
+  }
+
   /** Spark `hash()` (Murmur3_x86_32, seed 42) over the UTF-8 bytes,
     * masked to [0, 2^32) — the production-scale mode. */
   def hash32Murmur(s: String): Long = {
@@ -111,6 +129,29 @@ object TextHash {
         var j = 0
         while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
         out(i) = hash32(sb.toString, mode)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** 60-bit hashes of word k-shingles; fewer than k tokens -> empty.
+    * Single pass, same shingle construction as [[shingleHashes]] but the
+    * wide-hash family — corpus-wide duplicated-n-gram detection keys on
+    * these, where a 32-bit collision would silently mark a unique gram
+    * duplicated. */
+  def shingleHash60s(text: String, k: Int): Array[Long] = {
+    val toks = tokenize(text)
+    if (toks.length < k) Array.emptyLongArray
+    else {
+      val out = new Array[Long](toks.length - k + 1)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < out.length) {
+        sb.setLength(0)
+        var j = 0
+        while (j < k) { if (j > 0) sb.append(' '); sb.append(toks(i + j)); j += 1 }
+        out(i) = hash60Md5(sb.toString)
         i += 1
       }
       out
@@ -200,4 +241,10 @@ object TextHash {
     * statistics paths. */
   def shinglesCol(text: Column, k: Int): Column =
     udf((t: String) => if (t == null) null else shingles(t, k)).apply(text)
+
+  /** 60-bit shingle hashes (see [[shingleHash60s]]); null text -> empty
+    * (a null doc contributes no grams, same as a too-short doc). */
+  def shingleHash60sCol(text: Column, k: Int): Column =
+    udf((t: String) =>
+      if (t == null) Array.emptyLongArray else shingleHash60s(t, k)).apply(text)
 }

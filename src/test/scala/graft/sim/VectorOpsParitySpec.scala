@@ -68,6 +68,48 @@ class VectorOpsParitySpec extends SparkSpec {
     assert(dirty.select(CosineSim(col("a"), col("b"))).collect().head.get(0) == null)
   }
 
+  test("int8 quantization: error bounded by scale/2, high cosine fidelity, exact edges") {
+    val rng = new Random(29)
+    (0 until 50).foreach { _ =>
+      val v = Array.fill(64)(rng.nextFloat() * 2 - 1)
+      val m = VectorOps.int8Metrics(v)
+      assert(m.scale > 0.0)
+      // rounding half-interval: |x - code*scale| <= scale/2
+      assert(m.max_abs_err <= m.scale / 2 + 1e-12)
+      assert(m.cos_fidelity.exists(_ > 0.999))
+    }
+    // all-zero vector: zero scale, exact codes, undefined fidelity
+    val z = VectorOps.int8Metrics(Array.fill(8)(0.0f))
+    assert(z.scale === 0.0 && z.max_abs_err === 0.0 && z.cos_fidelity.isEmpty)
+    // the max-magnitude element maps to ±127 exactly; 0.5 at scale 1/127
+    // rounds up (floor(63.5 + 0.5) = 64)
+    val v = Array(1.0f, -1.0f, 0.5f)
+    val s = VectorOps.int8Scale(v)
+    val codes = VectorOps.quantizeInt8(v, s)
+    assert(codes.toSeq === Seq[Byte](127, -127, 64))
+    val dq = VectorOps.dequantizeInt8(codes, s)
+    assert(math.abs(dq(0) - 1.0f) < 1e-6f && math.abs(dq(1) + 1.0f) < 1e-6f)
+  }
+
+  test("int8MetricsCol: struct column matches the kernel; null vector -> null") {
+    val df = vecs.select(col("id"), col("a"))
+    val viaCol = df.select(col("id"), VectorOps.int8MetricsCol(col("a")).as("m"))
+      .select(col("id"), col("m.scale"), col("m.max_abs_err"), col("m.cos_fidelity"))
+      .orderBy("id").collect()
+    val direct = df.orderBy("id").collect().map { r =>
+      val m = VectorOps.int8Metrics(r.getAs[scala.collection.Seq[Float]]("a").toArray)
+      (r.getLong(0), m.scale, m.max_abs_err, m.cos_fidelity)
+    }
+    viaCol.zip(direct).foreach { case (c, (id, sc, err, cf)) =>
+      assert(c.getLong(0) === id)
+      assert(c.getDouble(1) === sc)
+      assert(c.getDouble(2) === err)
+      assert(Option(c.get(3)).map(_.asInstanceOf[Double]) === cf)
+    }
+    val nulls = Seq((1L, null: Array[Float])).toDF("id", "a")
+    assert(nulls.select(VectorOps.int8MetricsCol(col("a"))).collect().head.get(0) == null)
+  }
+
   test("GraftExtensions: cosine_sim is callable from SQL and plans the native expression") {
     org.apache.spark.sql.graft.GraftExtensions.register(spark)
     vecs.createOrReplaceTempView("__vecs")

@@ -43,6 +43,18 @@ class SinksSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
+  test("orc: write + explicit-schema read round-trips losslessly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc_spec").toString + "/out"
+    val df = Seq(
+      (1L, "plain text", 10L),
+      (2L, "unicode üé and spaces  ", 31L),
+      (3L, null: String, 0L)
+    ).toDF("id", "text", "n")
+    Sinks.orc(df, dir)
+    val back = Sinks.readOrc(spark, dir, df.schema)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
   test("writeUnlessEmpty: guards the write and reports") {
     var wrote = false
     var warned: Option[String] = None

@@ -33,6 +33,25 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("clickPurchaseJoin: stream-stream join equals the batch time-bounded join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = clickPurchaseJoin(spark, dir, windowMinutes = 60).collect()
+    val ev = graft.sources.Tables.events(spark, dir)
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("cts"), col("event_id").as("click_id"))
+    val p = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pu"), col("ts").as("pts"),
+        col("event_id").as("purchase_id"), col("value"))
+    val batch = c.join(p,
+        col("user_id") === col("pu") && col("pts") >= col("cts") &&
+          col("pts") <= col("cts") + expr("interval 60 minutes"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        round(col("value"), 2).as("purchase_value"))
+      .orderBy("click_id", "purchase_id").collect()
+    assert(streamed.nonEmpty, "join must be non-vacuous on the test file")
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("watermark: events later than the watermark bound are dropped (late-data policy)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -133,4 +133,38 @@ class DedupSpec extends SparkSpec {
     assert(m.get(4L).forall(_ == 1L)) // near-dup may or may not pass 0.5; if present, same cluster
     assert(!m.contains(3L), "unique doc must be absent")
   }
+
+  test("dupNgramCoverage: interval union over corpus-duplicated grams") {
+    val corpus = Seq(
+      (1L, "a b c d e"),  // "a b c" shared with doc 2
+      (2L, "a b c x y"),
+      (3L, "z z z z"),    // "z z z" twice WITHIN the doc; overlap unions to 4
+      (4L, "short"),      // 1 token, no 3-grams
+      (5L, ""),           // 0 tokens
+      (6L, null: String)  // null text -> 0 tokens
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(corpus, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(out.toSeq === Seq(
+      (1L, 5, 1L, 3L, 0.6),
+      (2L, 5, 1L, 3L, 0.6),
+      (3L, 4, 2L, 4L, 1.0),
+      (4L, 1, 0L, 0L, 0.0),
+      (5L, 0, 0L, 0L, 0.0),
+      (6L, 0, 0L, 0L, 0.0)))
+  }
+
+  test("dupNgramCoverage: non-overlapping duplicated spans add independently") {
+    // doc 20 repeats doc 21's gram at positions 0 and 4 (gap 4 > n=2):
+    // covered = 2 + 2; the middle grams are unique
+    val corpus = Seq(
+      (20L, "p q m n p q"),
+      (21L, "p q")
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupNgramCoverage(corpus, "doc_id", "text", n = 2)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq === Seq((20L, 6, 2L, 4L), (21L, 2, 1L, 2L)))
+  }
 }
