@@ -1047,7 +1047,23 @@ object SparkEntry {
     // same-user purchases within 60 min) — finite file stream + inner
     // join + append mode == the batch join, so the oracle is plain SQL
     "q99_x_stream_join" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.clickPurchaseJoin(s, d, windowMinutes = 60))
+      graft.streaming.StreamingCollapse.clickPurchaseJoin(s, d, windowMinutes = 60)),
+
+    // ---- extension: the removal half of exact-substring dedup — cut
+    // q98's duplicated spans out of the text, keep the unique remainder
+    "q100_x_remove_dup_spans" -> tuned((s, d) =>
+      Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text",
+          n = 5, minCount = 2L)
+        .orderBy("doc_id")),
+
+    // ---- extension: per-domain token-budget sampling (the "~B tokens
+    // per domain" pretraining recipe) — deterministic md5-rank prefix
+    // until the running token total fits the budget
+    "q101_x_token_budget" -> tuned((s, d) =>
+      Corpus.tokenBudgetSample(Tables.documents(s, d), "source", "doc_id",
+          "text", budget = 2000L)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2097,18 +2113,7 @@ object SparkEntry {
     // covered_tokens via count(DISTINCT covered position) == the engine's
     // analytic interval union
     "q98_x_dup_ngram_coverage" ->
-      ("""WITH t AS (
-        |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0
-        |         THEN CAST([] AS VARCHAR[])
-        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
-        |  FROM documents),
-        |b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
-        |g AS (
-        |  SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
-        |  FROM b WHERE len(toks) >= 5),
-        |gg AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 4], ' ') AS gram FROM g),
-        |dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
-        |dp AS (SELECT doc_id, pos FROM gg JOIN dup USING (gram)),
+      (s"""$DupGramCtes,
         |cov AS (
         |  SELECT doc_id, count(DISTINCT pos) AS dup_grams,
         |    count(DISTINCT p) AS covered_tokens
@@ -2121,6 +2126,42 @@ object SparkEntry {
         |    ELSE coalesce(cov.covered_tokens, 0) / CAST(b.n_tokens AS DOUBLE) END, 4) AS dup_frac
         |FROM b LEFT JOIN cov USING (doc_id) ORDER BY doc_id""".stripMargin),
 
+    // kept tokens = positions outside the covered set; string_agg ORDER BY
+    // pos rebuilds with the same single-space normalization as the engine
+    "q100_x_remove_dup_spans" ->
+      (s"""$DupGramCtes,
+        |cover AS (SELECT DISTINCT doc_id, p FROM
+        |  (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM dp)),
+        |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM
+        |  (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM b)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |  LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.p
+        |  WHERE c.p IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM cover GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.text_clean, '') END AS text_clean
+        |FROM documents d
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |LEFT JOIN rem ON d.doc_id = rem.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    "q101_x_token_budget" ->
+      (s"""WITH t AS (
+        |  SELECT doc_id, source,
+        |    CAST(CASE WHEN text IS NULL OR length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS INT) AS n_tokens,
+        |    ${dkHash32("CAST(doc_id AS VARCHAR)")} AS rk
+        |  FROM documents),
+        |c AS (
+        |  SELECT *, sum(CAST(n_tokens AS BIGINT)) OVER (PARTITION BY source
+        |    ORDER BY rk, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, source, n_tokens FROM c WHERE cum <= 2000
+        |ORDER BY doc_id""".stripMargin),
+
     "q99_x_stream_join" ->
       ("""SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
         |  round(p.value, 2) AS purchase_value
@@ -2130,6 +2171,23 @@ object SparkEntry {
         | AND p.ts <= c.ts + INTERVAL 60 MINUTE
         |ORDER BY click_id, purchase_id""".stripMargin)
   ) ++ LinedOracles
+
+  /** Shared duplicated-5-gram detection CTEs (q98/q100): per-doc token
+    * arrays, 1-based gram starts, corpus-duplicated grams, and the
+    * duplicated start positions `dp(doc_id, pos)` (0-based). */
+  private lazy val DupGramCtes: String =
+    """WITH t AS (
+      |  SELECT doc_id, CASE WHEN text IS NULL OR length(trim(text)) = 0
+      |         THEN CAST([] AS VARCHAR[])
+      |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+      |  FROM documents),
+      |b AS (SELECT doc_id, len(toks) AS n_tokens, toks FROM t),
+      |g AS (
+      |  SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
+      |  FROM b WHERE len(toks) >= 5),
+      |gg AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 4], ' ') AS gram FROM g),
+      |dup AS (SELECT gram FROM gg GROUP BY gram HAVING count(*) >= 2),
+      |dp AS (SELECT doc_id, pos FROM gg JOIN dup USING (gram))""".stripMargin
 
   /** Shared repetition-stat CTE block (q80/q84): per-doc line groups,
     * line-axis stats, token char totals, 2-gram top coverage, duplicated

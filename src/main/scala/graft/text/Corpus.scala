@@ -97,6 +97,32 @@ object Corpus {
   def hashSample(df: DataFrame, keyCol: String, buckets: Int, keep: Int): DataFrame =
     df.filter(hashBucket(col(keyCol), buckets) < keep)
 
+  /** Token-budget sampling: per domain, admit documents in deterministic
+    * md5-rank order while the running token total stays within `budget` —
+    * the "take ~B tokens per domain" pretraining recipe, reproducible
+    * under retries (the rank is a pure key hash, so the admitted set is a
+    * stable prefix per domain, not a rand() draw).
+    *
+    * Cumulative token counts are monotone, so `cum <= budget` keeps
+    * exactly the rank-prefix that fits. One window shuffle partitioned by
+    * domain; a single mega-domain serializes its own partition — shard
+    * the recipe (domain, hash-bucket) when one domain dominates the
+    * corpus. Output adds `n_tokens` (whitespace count). */
+  def tokenBudgetSample(df: DataFrame, domainCol: String, keyCol: String,
+                        textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"token budget must be positive, got $budget")
+    require(!df.columns.contains("n_tokens"),
+      "tokenBudgetSample writes n_tokens — rename the existing column")
+    val nTok = when(length(trim(col(textCol))) === 0 || col(textCol).isNull, lit(0))
+      .otherwise(size(Cols.tokens(col(textCol))))
+    val w = Window.partitionBy(domainCol)
+      .orderBy(Cols.hash32(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("n_tokens", nTok)
+      .withColumn("__cum", sum(col("n_tokens").cast("long")).over(w))
+      .filter(col("__cum") <= budget)
+      .drop("__cum")
+  }
+
   /** Top-`k` rows per stratum by an explicit ordering (e.g. best-quality
     * documents per source domain). One window, partitioned by the strata —
     * parallel across strata, no global sort. Ordering must be total

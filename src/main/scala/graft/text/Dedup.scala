@@ -235,16 +235,10 @@ object Dedup {
       // yields one empty token; too-short docs have 0 grams either way)
       when(length(trim(col(textCol))) === 0 || col(textCol).isNull, lit(0))
         .otherwise(size(Cols.tokens(col(textCol)))).as("n_tokens"))
-    val grams = docs.select(col(idCol).as("doc_id"),
-        posexplode(TextHash.shingleHash60sCol(col(textCol), n)).as(Seq("pos", "gh")))
-    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("gc"))
-      .filter(col("gc") >= minCount)
-      .select("gh")
-    val dupPos = grams.join(dupGrams, Seq("gh")).select("doc_id", "pos")
     // interval union per doc: consecutive duplicated starts s_{i-1} < s_i
     // overlap when s_i - s_{i-1} < n; each start adds min(n, gap) tokens
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    val perDoc = dupPos
+    val perDoc = dupStarts(docs, idCol, textCol, n, minCount)
       .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
       .withColumn("add", when(col("gap").isNull, lit(n)).otherwise(least(lit(n), col("gap"))))
       .groupBy("doc_id")
@@ -256,6 +250,79 @@ object Dedup {
         when(col("n_tokens") === 0, lit(0.0))
           .otherwise(coalesce(col("covered_tokens"), lit(0L)).cast("double") / col("n_tokens"))
           .as("dup_frac"))
+  }
+
+  /** Start positions of corpus-duplicated n-grams: (doc_id, pos). Shared
+    * detection stage of [[dupNgramCoverage]] and [[removeDupSpans]]. */
+  private def dupStarts(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int, minCount: Long): DataFrame = {
+    val grams = docs.select(col(idCol).as("doc_id"),
+      posexplode(TextHash.shingleHash60sCol(col(textCol), n)).as(Seq("pos", "gh")))
+    val dupGrams = grams.groupBy("gh").agg(count(lit(1)).as("gc"))
+      .filter(col("gc") >= minCount)
+      .select("gh")
+    grams.join(dupGrams, Seq("gh")).select("doc_id", "pos")
+  }
+
+  /** The removal half of exact-substring dedup: cut every token covered by
+    * a corpus-duplicated `n`-gram out of the document (Lee et al. 2022
+    * excise the repeated span itself, not the whole document — exact-dup
+    * boilerplate disappears while the unique remainder survives).
+    *
+    * Duplicated starts are merged into disjoint [s, e] token intervals
+    * with one per-doc window + aggregate (interval count is bounded by
+    * n_tokens/1 but in practice tiny), collected per doc, and a single
+    * rebuild UDF walks tokens once against the sorted interval list. The
+    * heavy corpus never shuffles: detection moves (hash, pos) pairs, and
+    * the rebuild joins interval lists (small) onto the doc scan.
+    * Rebuilt text is single-space joined — the tokenizer's whitespace
+    * normalization, same convention as [[lineDedup]]'s '\n' rebuild.
+    *
+    * Output: (doc_id, n_removed, text_clean); null text stays null. */
+  def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
+                     n: Int, minCount: Long = 2L): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    // merge overlapping spans: a start further than n-1 past its
+    // predecessor opens a new interval; running flag-sum numbers them
+    val spans = dupStarts(docs, idCol, textCol, n, minCount)
+      .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
+      .withColumn("new_ivl", when(col("gap").isNull || col("gap") >= n, 1).otherwise(0))
+      .withColumn("ivl", sum("new_ivl").over(w))
+      .groupBy("doc_id", "ivl")
+      .agg(min("pos").as("s"), (max("pos") + n - 1).as("e"))
+      .groupBy("doc_id")
+      // disjoint intervals sorted by start also sort by end, so the two
+      // independently-sorted arrays stay aligned
+      .agg(sort_array(collect_list(col("s"))).as("ss"),
+        sort_array(collect_list(col("e"))).as("es"),
+        sum(col("e") - col("s") + 1).as("n_removed"))
+    val rebuild = udf((text: String, ss: Seq[Long], es: Seq[Long]) => {
+      if (text == null) null
+      else {
+        val starts = if (ss == null) Seq.empty else ss
+        val ends = if (es == null) Seq.empty else es
+        val toks = TextHash.tokenize(text)
+        val sb = new java.lang.StringBuilder
+        var k = 0
+        var i = 0
+        while (i < toks.length) {
+          while (k < starts.length && i > ends(k)) k += 1
+          val drop = k < starts.length && i >= starts(k) && i <= ends(k)
+          if (!drop) {
+            if (sb.length > 0) sb.append(' ')
+            sb.append(toks(i))
+          }
+          i += 1
+        }
+        sb.toString
+      }
+    })
+    docs.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .join(spans, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        rebuild(col("__text"), col("ss"), col("es")).as("text_clean"))
   }
 
   /** Connected components over an undirected edge list by min-label

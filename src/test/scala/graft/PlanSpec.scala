@@ -152,4 +152,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("int8 quantization (q97) is a shuffle-free pruned scan") {
+    val p = plan("q97_x_embed_quantize")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"per-row kernel must not shuffle:\n$p")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("embedding"))
+    assert(!readSchema.contains("label"), s"unused column read: $readSchema")
+  }
+
+  test("dup n-gram coverage (q98) shuffles gram hashes and positions, never text") {
+    val df = SparkEntry.queries("q98_x_dup_ngram_coverage")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    val exchangeLines = p.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchangeLines.nonEmpty)
+    assert(exchangeLines.forall(!_.contains("text#")),
+      s"document text crossed a shuffle: $exchangeLines")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"coverage join degenerated:\n$p")
+    // interval union must be the analytic window, not a positions explode:
+    // exactly one Generate (the gram posexplode), none for covered spans
+    assert(p.linesIterator.count(_.contains("Generate")) <= 2, p)
+  }
 }

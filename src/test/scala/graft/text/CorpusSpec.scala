@@ -188,4 +188,39 @@ class CorpusSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("stride"))
   }
+
+  test("tokenBudgetSample keeps the maximal md5-rank prefix within budget per domain") {
+    import graft.functions.Cols
+    val docs = Seq.tabulate(20) { i =>
+      (i.toLong, if (i % 2 == 0) "d0" else "d1", Seq.fill(i % 5 + 1)("w").mkString(" "))
+    }.toDF("doc_id", "domain", "text")
+    val kept = Corpus.tokenBudgetSample(docs, "domain", "doc_id", "text", budget = 9L)
+    // within budget per domain
+    val tot = kept.groupBy("domain").agg(sum("n_tokens").as("t")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tot.values.forall(_ <= 9L) && tot.nonEmpty)
+    // prefix property: every kept row ranks strictly before every dropped
+    // row of the same domain (rank = the same md5 hash the engine uses)
+    val ranked = docs
+      .withColumn("rk", Cols.hash32(col("doc_id").cast("string")))
+      .join(kept.select(col("doc_id"), lit(1).as("k")), Seq("doc_id"), "left")
+      .collect().map(r => (r.getAs[String]("domain"), r.getAs[Long]("rk"),
+        r.getAs[Any]("k") != null))
+    ranked.groupBy(_._1).foreach { case (_, rows) =>
+      val keptMax = rows.filter(_._3).map(_._2)
+      val dropMin = rows.filterNot(_._3).map(_._2)
+      if (keptMax.nonEmpty && dropMin.nonEmpty)
+        assert(keptMax.max < dropMin.min, "kept set is not a rank prefix")
+    }
+    // deterministic under re-evaluation
+    val again = Corpus.tokenBudgetSample(docs, "domain", "doc_id", "text", budget = 9L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again === kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // output-name collision guard fails loudly
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.tokenBudgetSample(docs.withColumnRenamed("text", "n_tokens"),
+        "domain", "doc_id", "n_tokens", budget = 9L)
+    }
+    assert(ex.getMessage.contains("n_tokens"))
+  }
 }

@@ -155,6 +155,39 @@ class DedupSpec extends SparkSpec {
       (6L, 0, 0L, 0L, 0.0)))
   }
 
+  test("removeDupSpans: cuts covered tokens, keeps the unique remainder in order") {
+    val corpus = Seq(
+      (1L, "a b c d e"),   // "a b c" dup'd with doc 2 -> keep "d e"
+      (2L, "x a b c y"),   // interior span -> keep "x y"
+      (3L, "z z z z"),     // fully duplicated within itself -> ""
+      (4L, "unique words only"),
+      (5L, ""),
+      (6L, null: String)
+    ).toDF("doc_id", "text")
+    val out = Dedup.removeDupSpans(corpus, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("text_clean")))
+    assert(out.toSeq === Seq(
+      (1L, 3L, "d e"),
+      (2L, 3L, "x y"),
+      (3L, 4L, ""),
+      (4L, 0L, "unique words only"),
+      (5L, 0L, ""),
+      (6L, 0L, null)))
+  }
+
+  test("removeDupSpans + dupNgramCoverage agree: n_removed == covered_tokens") {
+    val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
+    val cov = Dedup.dupNgramCoverage(docs, "doc_id", "text", n = 5)
+      .select("doc_id", "covered_tokens")
+    val rem = Dedup.removeDupSpans(docs, "doc_id", "text", n = 5)
+      .select("doc_id", "n_removed")
+    val joined = cov.join(rem, "doc_id")
+    assert(joined.filter(col("covered_tokens") =!= col("n_removed")).isEmpty)
+    // non-vacuous: the testdata plants duplicate documents
+    assert(rem.filter(col("n_removed") > 0).count() > 0)
+  }
+
   test("dupNgramCoverage: non-overlapping duplicated spans add independently") {
     // doc 20 repeats doc 21's gram at positions 0 and 4 (gap 4 > n=2):
     // covered = 2 + 2; the middle grams are unique
