@@ -111,12 +111,16 @@ object Corpus {
   def tokenBudgetSample(df: DataFrame, domainCol: String, keyCol: String,
                         textCol: String, budget: Long): DataFrame = {
     require(budget > 0, s"token budget must be positive, got $budget")
-    require(!df.columns.contains("n_tokens"),
-      "tokenBudgetSample writes n_tokens — rename the existing column")
-    val nTok = when(length(trim(col(textCol))) === 0 || col(textCol).isNull, lit(0))
-      .otherwise(size(Cols.tokens(col(textCol))))
+    Seq("n_tokens", "__cum").foreach(c => require(!df.columns.contains(c),
+      s"tokenBudgetSample writes $c — rename the existing column"))
+    val nTok = coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0))
+    // explicit ROWS frame: the default RANGE frame makes rows that tie on
+    // (hash, key) peers sharing one combined sum — duplicate keys near the
+    // budget edge would then BOTH drop, breaking the prefix contract (and
+    // the oracle's ROWS-frame cumsum)
     val w = Window.partitionBy(domainCol)
       .orderBy(Cols.hash32(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     df.withColumn("n_tokens", nTok)
       .withColumn("__cum", sum(col("n_tokens").cast("long")).over(w))
       .filter(col("__cum") <= budget)

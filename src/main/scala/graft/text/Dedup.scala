@@ -216,9 +216,10 @@ object Dedup {
     * its token positions are covered by an `n`-gram that occurs at least
     * `minCount` times corpus-wide (including within the same document).
     *
-    * Shape at scale: one UDF pass emits 60-bit gram hashes with positions
-    * (never gram text — the shuffle is (hash, pos) pairs), one map-side-
-    * combinable count over hashes, one equi-join back, and one per-doc
+    * Shape at scale: the gram kernel emits 60-bit gram hashes with
+    * positions (never gram text — the shuffle is (hash, pos) pairs; the
+    * kernel runs once per side of the count join, see [[dupStarts]]), one
+    * map-side-combinable count over hashes, one equi-join back, and one per-doc
     * window that unions overlapping [pos, pos+n) intervals analytically
     * (`min(n, pos - lag(pos))`) instead of exploding the n covered
     * positions per gram. No O(n²) stage; the heaviest key is the most
@@ -231,10 +232,9 @@ object Dedup {
                        n: Int, minCount: Long = 2L): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
     val base = docs.select(col(idCol).as("doc_id"),
-      // tokenize-empty convention: blank/null text -> 0 tokens (split("")
-      // yields one empty token; too-short docs have 0 grams either way)
-      when(length(trim(col(textCol))) === 0 || col(textCol).isNull, lit(0))
-        .otherwise(size(Cols.tokens(col(textCol)))).as("n_tokens"))
+      // tokenize-empty convention: blank AND null text -> 0 tokens
+      // (too-short docs have 0 grams either way)
+      coalesce(TextAnalysis.tokenCount(col(textCol)), lit(0)).as("n_tokens"))
     // interval union per doc: consecutive duplicated starts s_{i-1} < s_i
     // overlap when s_i - s_{i-1} < n; each start adds min(n, gap) tokens
     val w = Window.partitionBy("doc_id").orderBy("pos")
@@ -253,7 +253,16 @@ object Dedup {
   }
 
   /** Start positions of corpus-duplicated n-grams: (doc_id, pos). Shared
-    * detection stage of [[dupNgramCoverage]] and [[removeDupSpans]]. */
+    * detection stage of [[dupNgramCoverage]] and [[removeDupSpans]].
+    *
+    * The shingle-hash kernel runs TWICE — once per side of the
+    * count-then-join-back (the aggregate branch and the probe branch are
+    * independent evaluations of `grams`). Deliberate: recomputing md5
+    * grams is cheaper than persisting or shuffling the exploded gram
+    * stream at corpus scale — the aggregate side map-combines to distinct
+    * hashes before its (narrow) shuffle, and the probe side typically
+    * joins against a broadcast of the (small) duplicated-hash set, so the
+    * full-width (doc_id, pos, gh) stream never crosses the wire at all. */
   private def dupStarts(docs: DataFrame, idCol: String, textCol: String,
                         n: Int, minCount: Long): DataFrame = {
     val grams = docs.select(col(idCol).as("doc_id"),
@@ -306,12 +315,19 @@ object Dedup {
         val sb = new java.lang.StringBuilder
         var k = 0
         var i = 0
+        // separator on every kept token after the FIRST (not on non-empty
+        // sb): a leading-tab doc tokenizes to a leading EMPTY token, and
+        // string_agg-style joining must still put a space after it —
+        // `sb.length > 0` would silently swallow that space and diverge
+        // from the q100 oracle
+        var first = true
         while (i < toks.length) {
           while (k < starts.length && i > ends(k)) k += 1
           val drop = k < starts.length && i >= starts(k) && i <= ends(k)
           if (!drop) {
-            if (sb.length > 0) sb.append(' ')
+            if (!first) sb.append(' ')
             sb.append(toks(i))
+            first = false
           }
           i += 1
         }

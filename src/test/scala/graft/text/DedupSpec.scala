@@ -162,7 +162,9 @@ class DedupSpec extends SparkSpec {
       (3L, "z z z z"),     // fully duplicated within itself -> ""
       (4L, "unique words only"),
       (5L, ""),
-      (6L, null: String)
+      (6L, null: String),
+      (7L, "\tp q")        // leading tab -> leading EMPTY token: the
+                           // string_agg-style rebuild keeps its separator
     ).toDF("doc_id", "text")
     val out = Dedup.removeDupSpans(corpus, "doc_id", "text", n = 3)
       .orderBy("doc_id").collect()
@@ -173,7 +175,8 @@ class DedupSpec extends SparkSpec {
       (3L, 4L, ""),
       (4L, 0L, "unique words only"),
       (5L, 0L, ""),
-      (6L, 0L, null)))
+      (6L, 0L, null),
+      (7L, 0L, " p q")))
   }
 
   test("removeDupSpans + dupNgramCoverage agree: n_removed == covered_tokens") {
