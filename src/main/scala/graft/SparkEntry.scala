@@ -1063,7 +1063,13 @@ object SparkEntry {
       Corpus.tokenBudgetSample(Tables.documents(s, d), "source", "doc_id",
           "text", budget = 2000L)
         .select("doc_id", "source", "n_tokens")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- extension: stream-static enrichment join — arriving events pick
+    // up a broadcast per-user profile (no streaming state); complete-mode
+    // aggregate over the finite stream == the batch SQL
+    "q102_x_stream_static_join" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.enrichedEventStats(s, d))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2169,7 +2175,14 @@ object SparkEntry {
         |  ON c.event_type = 'click' AND p.event_type = 'purchase'
         | AND p.user_id = c.user_id AND p.ts >= c.ts
         | AND p.ts <= c.ts + INTERVAL 60 MINUTE
-        |ORDER BY click_id, purchase_id""".stripMargin)
+        |ORDER BY click_id, purchase_id""".stripMargin),
+
+    "q102_x_stream_static_join" ->
+      ("""WITH ua AS (SELECT user_id, avg(value) AS user_avg FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(abs(e.value - ua.user_avg)), 2) AS sum_absdev
+        |FROM events e JOIN ua USING (user_id)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared duplicated-5-gram detection CTEs (q98/q100): per-doc token

@@ -234,6 +234,41 @@ object StreamingCollapse {
       .orderBy("click_id", "purchase_id")
   }
 
+  // ------------------------------------------------------ stream-static join
+
+  /** Stream-static enrichment join — the canonical "attach a dimension to
+    * a stream" pattern: each arriving event joins a STATIC per-user
+    * profile (computed batch-side, broadcast onto every micro-batch — no
+    * streaming state at all, unlike the stream-stream form above), then a
+    * running per-type aggregate. Absolute deviation keeps the aggregate
+    * cancellation-free (a signed deviation sum telescopes to ~0 and its
+    * sign would be float-noise). Complete mode + memory sink over the
+    * finite file stream == the batch equivalent, so the oracle is plain
+    * SQL. */
+  def enrichedEventStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_enrich"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val userAvg = graft.sources.Tables.events(spark, dir)
+      .groupBy("user_id").agg(avg(col("value")).as("user_avg"))
+    val agg = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir(dir))
+      .select(col("user_id"), col("event_type"), col("value"))
+      .join(broadcast(userAvg), Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(abs(col("value") - col("user_avg"))), 2).as("sum_absdev"))
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name).orderBy("event_type")
+  }
+
   final case class BucketDoc(bkey: String, docId: Long, sig: Seq[Long])
   final case class NearDupPair(id_a: Long, id_b: Long, est_jaccard: Double)
 

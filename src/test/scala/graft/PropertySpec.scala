@@ -95,6 +95,37 @@ object PropertySpec extends Properties("graft.laws") {
         rebuilt == toks
     }
 
+  // fixed fixtures, not forAll: each sample is a full Spark job (window +
+  // joins) — same runtime trade as the BPE law below
+  property("removeDupSpans equals the brute-force reference on fixed corpora") = Prop {
+    val n = 2
+    val corpora = Seq(
+      Seq("a b a b a", "b a b"),            // overlapping repeats within + across
+      Seq("x y z x y", "z x y w", "w w w w"), // chained overlap; self-repeat run
+      Seq("p q", "p q", "p q r"),           // whole-doc dups
+      Seq("lone words only here")           // nothing duplicated
+    )
+    corpora.forall { docs =>
+      val df = docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val out = graft.text.Dedup.removeDupSpans(df, "doc_id", "text", n = n)
+        .orderBy("doc_id").collect()
+      val toks = docs.map(_.split("\\s+").toSeq)
+      val counts = toks
+        .flatMap(ts => ts.sliding(n).filter(_.size == n).map(_.mkString(" ")))
+        .groupBy(identity).map { case (g, o) => g -> o.size }
+      docs.indices.forall { i =>
+        val ts = toks(i)
+        val covered = (0 to ts.length - n)
+          .filter(s => counts(ts.slice(s, s + n).mkString(" ")) >= 2)
+          .flatMap(s => s until s + n).toSet
+        val kept = ts.indices.filterNot(covered).map(ts)
+        out(i).getLong(1) == covered.size.toLong &&
+          out(i).getString(2) == kept.mkString(" ")
+      }
+    }
+  }
+
   // fixed fixtures, not forAll: learnMerges is a multi-job Spark loop per
   // sample — 100 ScalaCheck samples would dominate the suite's runtime
   property("BPE encode preserves content: symbols rejoin to the original words") = Prop {

@@ -52,6 +52,20 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq === batch.toSeq)
   }
 
+  test("enrichedEventStats: stream-static join equals the batch enrichment aggregate") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = enrichedEventStats(spark, dir).collect()
+    val ev = graft.sources.Tables.events(spark, dir)
+    val ua = ev.groupBy("user_id").agg(avg(col("value")).as("user_avg"))
+    val batch = ev.join(ua, Seq("user_id"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        round(sum(abs(col("value") - col("user_avg"))), 2).as("sum_absdev"))
+      .orderBy("event_type").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq === batch.toSeq)
+  }
+
   test("watermark: events later than the watermark bound are dropped (late-data policy)") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
