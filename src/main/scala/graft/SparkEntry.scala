@@ -139,11 +139,20 @@ object SparkEntry {
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("o_orderpriority")).limit(10)),
 
+    // money rides as exact integer CENTS through the mean (integer sums
+    // are exact in any order), and the final 4-dp rounding is the
+    // explicit floor(x + 0.5) form: a float avg of 2-decimal values lands
+    // on knife-edge .xxxx5 rationals (56.20875 at sf0.1) where Spark's
+    // BigDecimal HALF_UP and DuckDB's scaled-multiply round() legitimately
+    // disagree — floor of the identical IEEE product cannot
     "q05_a5_dedupe_mean" -> tuned((s, d) =>
       CalendarOps.dedupeByMonth(
-          Tables.events(s, d).withColumn("month", Cols.monthStart(col("ts"))),
+          Tables.events(s, d)
+            .withColumn("month", Cols.monthStart(col("ts")))
+            .withColumn("value", round(col("value") * 100)),
           Seq("user_id"), "month", Seq("value"), CalendarOps.MeanPolicy)
-        .select(col("user_id"), col("month"), round(col("value"), 4).as("avg_value"))
+        .select(col("user_id"), col("month"),
+          (floor(col("value") * 100 + 0.5) / 10000.0).as("avg_value"))
         .orderBy("user_id", "month")),
 
     "q06_a6_summary" -> tuned((s, d) =>
@@ -246,11 +255,19 @@ object SparkEntry {
           round(Features.pctChange(col("tot"), 12, wMonth), 4).as("yoy_pct"))
         .orderBy("month")),
 
+    // monthly totals ride as exact integer cents (q05's rationale: the
+    // float-summed rolling mean lands on a .xx5 rounding boundary at
+    // sf0.1; integer sums are exact in any order)
     "q18_w23_rolling_mean_std" -> tuned((s, d) =>
-      monthlyOrders(s, d)
+      Tables.orders(s, d)
+        .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(sum(round(col("o_totalprice") * 100)).as("tot_c"))
         .select(col("month"),
-          round(Features.rollingMean(col("tot"), 6, wMonth), 2).as("roll_mean6"),
-          round(Features.rollingStd(col("tot"), 6, wMonth), 2).as("roll_std6"))
+          // floor form for the mean: cents_sum/6 hits exact .5 rationals
+          // (q05's rationale); the std is irrational — plain round is safe
+          (floor(Features.rollingMean(col("tot_c"), 6, wMonth) + 0.5) / 100.0)
+            .as("roll_mean6"),
+          round(Features.rollingStd(col("tot_c"), 6, wMonth) / 100.0, 2).as("roll_std6"))
         .orderBy("month")),
 
     "q19_w4_rolling_corr" -> tuned((s, d) =>
@@ -1337,7 +1354,8 @@ object SparkEntry {
 
     "q05_a5_dedupe_mean" ->
       ("SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month, " +
-        "round(avg(value), 4) AS avg_value FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
+        "floor(avg(round(value * 100)) * 100 + 0.5) / 10000.0 AS avg_value " +
+        "FROM events GROUP BY 1, 2 ORDER BY 1, 2"),
 
     "q06_a6_summary" ->
       ("SELECT CAST(min(o_orderdate) AS DATE) AS min_date, CAST(max(o_orderdate) AS DATE) AS max_date, " +
@@ -1405,10 +1423,13 @@ object SparkEntry {
         |FROM m ORDER BY month""".stripMargin),
 
     "q18_w23_rolling_mean_std" ->
-      (s"""WITH m AS ($MonthlySql)
+      ("""WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    sum(round(o_totalprice * 100)) AS tot_c
+        |  FROM orders GROUP BY 1)
         |SELECT month,
-        |  round(CASE WHEN count(tot) OVER w6 >= 6 THEN avg(tot) OVER w6 END, 2) AS roll_mean6,
-        |  round(CASE WHEN count(tot) OVER w6 >= 6 THEN stddev_samp(tot) OVER w6 END, 2) AS roll_std6
+        |  floor(CASE WHEN count(tot_c) OVER w6 >= 6 THEN avg(tot_c) OVER w6 END + 0.5) / 100.0 AS roll_mean6,
+        |  round(CASE WHEN count(tot_c) OVER w6 >= 6 THEN stddev_samp(tot_c) OVER w6 END / 100.0, 2) AS roll_std6
         |FROM m WINDOW w6 AS (ORDER BY month ROWS BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY month""".stripMargin),
 

@@ -244,7 +244,12 @@ object StreamingCollapse {
     * cancellation-free (a signed deviation sum telescopes to ~0 and its
     * sign would be float-noise). Complete mode + memory sink over the
     * finite file stream == the batch equivalent, so the oracle is plain
-    * SQL. */
+    * SQL.
+    *
+    * The explicit `broadcast()` asserts a dimension-sized profile table
+    * (the usual enrichment shape). For a profile too big to broadcast,
+    * drop the hint: Spark re-plans the static side per micro-batch and
+    * falls back to a shuffled join. */
   def enrichedEventStats(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_enrich"
