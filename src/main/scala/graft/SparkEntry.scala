@@ -1086,7 +1086,91 @@ object SparkEntry {
     // up a broadcast per-user profile (no streaming state); complete-mode
     // aggregate over the finite stream == the batch SQL
     "q102_x_stream_static_join" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.enrichedEventStats(s, d))
+      graft.streaming.StreamingCollapse.enrichedEventStats(s, d)),
+
+    // ---- extension: C4-style line-level cleaning (Raffel et al. 2020
+    // §2.2) over the lined derivation with deterministic terminal-punct
+    // planting ((doc_id + line) % 3 → '.'/none/'!'), so every rule fires
+    // non-vacuously on punctuation-free testdata: the punct rule drops
+    // ~1/3 of lines, min-words drops the odd 1-token tail line, the
+    // blocklist drops lines containing "spark", min-lines drops short docs
+    "q103_x_c4_line_clean" -> tuned((s, d) =>
+      graft.text.TextAnalysis.c4Clean(
+          Tables.documents(s, d).select(col("doc_id"),
+            linedPunctText(col("text"), col("doc_id")).as("text")),
+          "doc_id", "text",
+          minWordsPerLine = 2, terminal = ".!?\"",
+          lineBlocklist = Seq("spark"), minLinesKept = 5,
+          docBlocklist = Seq("lorem ipsum"))
+        .orderBy("doc_id")),
+
+    // ---- extension: Unicode canonicalization (accent fold + control
+    // strip + casefold + whitespace collapse) — the canonical form fed to
+    // dedup hashing; planted accented tokens (doc_id % 4) exercise the
+    // fold on the all-ASCII corpus, oracle = DuckDB's native
+    // strip_accents/nfc_normalize composition
+    "q104_x_normalize_text" -> tuned((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.text.TextAnalysis.normalizeText(
+            concat(col("text"), lit(" "),
+              element_at(
+                array(lit("Café"), lit("naïve"), lit("Ünïcôde"), lit("résumé")),
+                (col("doc_id") % 4 + 1).cast("int")))).as("norm_text"))
+        .withColumn("n_chars_norm", length(col("norm_text")).cast("long"))
+        .orderBy("doc_id")),
+
+    // ---- extension: XML round-trip (Spark 4 built-in XML source — the
+    // format of arXiv/PubMed/Wikipedia feeds) — write documents as XML,
+    // explicit-schema read back, aggregate; oracle = the same aggregate
+    // off the parquet table (lossless contract, same as q85/q96)
+    "q105_x_xml_roundtrip" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val key = graft.text.TextHash.hash32(d).toHexString
+      val path = s"${sys.props("java.io.tmpdir")}/graft_xml_$key"
+      cleanupOnExit(path)
+      graft.sources.Sinks.xml(docs, path)
+      graft.sources.Sinks.readXml(s, path, docs.schema)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"))
+        .orderBy("source")
+    }),
+
+    // ---- extension: dedup finisher — duplicate clusters resolved to one
+    // BEST-QUALITY representative each (longest doc wins, ties to min id);
+    // singletons pass through as their own cluster
+    "q106_x_dedup_best" -> tuned((s, d) =>
+      graft.text.Dedup.dedupByQuality(
+          Tables.documents(s, d).withColumn("n_tokens",
+            graft.text.TextAnalysis.tokenCount(col("text")).cast("long")),
+          "doc_id", "text", "n_tokens",
+          k = MinhashK, bands = MinhashBands, minEst = 0.5)
+        .orderBy("doc_id")),
+
+    // ---- extension: group-wise embedding centroid via the typed
+    // QuantCentroid Aggregator (map-side partial aggregation; quantized
+    // integer sums make float aggregation order-proof across engines)
+    "q107_x_vector_centroid" -> tuned((s, d) =>
+      Tables.embeddings(s, d)
+        .groupBy(col("label").as("grp"))
+        .agg(graft.sim.VectorAgg.centroid(col("embedding"), dim = 64).as("c"))
+        .select(col("grp"), col("c").getField("n").as("n"),
+          posexplode(col("c").getField("sums")).as(Seq("pos", "sum_q")))
+        .select(col("grp"), (col("pos") + 1).as("dim"), col("sum_q"), col("n"),
+          (col("sum_q").cast("double") / col("n")).as("mean_q"))
+        .orderBy("grp", "dim")),
+
+    // ---- extension: weighted sampling without replacement (Efraimidis–
+    // Spirakis over deterministic md5 uniforms) — longer documents
+    // (weight = n_chars) are proportionally likelier; selection is a pure
+    // expression + top-n, reproducible under retries
+    "q108_x_weighted_sample" -> tuned((s, d) =>
+      Corpus.weightedSample(
+          Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+          "doc_id", "n_chars", n = 120)
+        .orderBy("doc_id"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -1132,6 +1216,60 @@ object SparkEntry {
       .otherwise(array_join(
         transform(sequence(lit(0), nChunks - 1),
           i => concat_ws(" ", slice(toks, i * 2 + 1, lit(2)))),
+        "\n"))
+  }
+
+  /** [[linedText]] plus deterministic terminal-punctuation planting for
+    * q103: line i of doc d ends with '.' when (d+i)%3==0, '!' when
+    * (d+i)%3==2, and nothing otherwise. The DuckDB oracle replays the
+    * same CASE over the same chunk derivation. Single-pass kernel
+    * (parity: LinedTextSpec vs [[linedPunctTextExpr]]). */
+  private[graft] def linedPunctText(text: Column, id: Column): Column =
+    udf(linedPunctKernel).apply(text, id)
+
+  private[graft] val linedPunctKernel: (String, java.lang.Long) => String = { (t, id) =>
+    if (t == null || id == null) null
+    else {
+      val trimmed = graft.text.TextHash.sparkTrim(t)
+      if (trimmed.isEmpty) ""
+      else {
+        val toks = trimmed.split("\\s+", -1)
+        val sb = new java.lang.StringBuilder
+        var i = 0
+        var line = 0L
+        while (i < toks.length) {
+          if (i > 0 && i % 2 == 0) {
+            appendPunct(sb, id + line); line += 1; sb.append('\n')
+          } else if (i > 0) sb.append(' ')
+          sb.append(toks(i))
+          i += 1
+        }
+        appendPunct(sb, id + line)
+        sb.toString
+      }
+    }
+  }
+
+  private def appendPunct(sb: java.lang.StringBuilder, k: Long): Unit =
+    (k % 3) match {
+      case 0 => sb.append('.')
+      case 2 => sb.append('!')
+      case _ => ()
+    }
+
+  /** Expression-tree form of [[linedPunctText]] — parity-spec reference
+    * only (same null/empty guards as [[linedTextExpr]]). */
+  private[graft] def linedPunctTextExpr(text: Column, id: Column): Column = {
+    val toks = Cols.tokens(text)
+    val nChunks = ceil(size(toks) / lit(2.0)).cast("int")
+    when(text.isNull || id.isNull, lit(null).cast("string"))
+      .when(length(trim(text)) === 0, lit(""))
+      .otherwise(array_join(
+        transform(sequence(lit(0), nChunks - 1), i =>
+          concat(concat_ws(" ", slice(toks, i * 2 + 1, lit(2))),
+            when((id + i) % 3 === 0, lit("."))
+              .when((id + i) % 3 === 2, lit("!"))
+              .otherwise(lit("")))),
         "\n"))
   }
 
@@ -1725,28 +1863,10 @@ object SparkEntry {
     // components >= k/2, an exact integer compare); cluster id = min id
     // reachable. Recursive CTE is test-scale only — the engine side is the
     // scalable label-propagation loop.
-    "q79_x_dup_clusters" -> {
-      val rows = MinhashK / MinhashBands
-      val bandConds = (0 until MinhashBands).map { b =>
-        (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
-      }.mkString(" OR ")
-      val eqSum = (0 until MinhashK)
-        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
-      val cte = "WITH RECURSIVE" + MinhashCte.stripPrefix("WITH")
-      s"""$cte,
-        |p AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)
-        |  WHERE $eqSum >= ${MinhashK / 2}),
-        |edges AS (SELECT id_a AS src, id_b AS dst FROM p
-        |          UNION SELECT id_b, id_a FROM p),
-        |reach(src, dst) AS (
-        |  SELECT src, dst FROM edges
-        |  UNION
-        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+    "q79_x_dup_clusters" ->
+      s"""$DupReachCte
         |SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
-        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin
-    },
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
 
     "q47_x_simhash" -> SimhashSql,
 
@@ -2203,7 +2323,118 @@ object SparkEntry {
         |SELECT e.event_type, CAST(count(*) AS BIGINT) AS n,
         |  round(sum(abs(e.value - ua.user_avg)), 2) AS sum_absdev
         |FROM events e JOIN ua USING (user_id)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin),
+
+    // the lined derivation with the q103 punct CASE, then the C4 rules
+    // replayed with list_filter: terminal punct, >= 2 words, no "spark",
+    // >= 5 surviving lines
+    "q103_x_c4_line_clean" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |pl AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(toks) / 2.0) AS BIGINT)),
+        |      i -> array_to_string(toks[i*2+1:i*2+2], ' ') ||
+        |           CASE WHEN (doc_id + i) % 3 = 0 THEN '.'
+        |                WHEN (doc_id + i) % 3 = 2 THEN '!'
+        |                ELSE '' END) AS la
+        |  FROM t),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_filter(la, x -> regexp_matches(x, '[.!?"]$')
+        |      AND len(regexp_split_to_array(trim(x), '\s+')) >= 2
+        |      AND NOT contains(lower(x), 'spark')) AS kept,
+        |    len(la) AS n_lines
+        |  FROM pl)
+        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |  CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM f
+        |WHERE len(kept) >= 5
+        |ORDER BY doc_id""".stripMargin),
+
+    // DuckDB's native strip_accents/nfc_normalize compose to the same
+    // canonical form as the JVM kernel (NFD → drop marks → NFC → lower →
+    // collapse \s+ → trim); planted tokens are the only non-ASCII content
+    "q104_x_normalize_text" ->
+      ("""WITH p AS (
+        |  SELECT doc_id,
+        |    text || ' ' ||
+        |      (['Café', 'naïve', 'Ünïcôde', 'résumé'])[CAST(doc_id % 4 AS INT) + 1] AS praw
+        |  FROM documents),
+        |n AS (
+        |  SELECT doc_id,
+        |    trim(regexp_replace(lower(strip_accents(nfc_normalize(praw))),
+        |      '\s+', ' ', 'g')) AS norm_text
+        |  FROM p)
+        |SELECT doc_id, norm_text, CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+        |FROM n ORDER BY doc_id""".stripMargin),
+
+    // identical to q96's oracle: the XML staging copy must aggregate
+    // exactly like the parquet original
+    "q105_x_xml_roundtrip" ->
+      ("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_text_len
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin),
+
+    // q79's component labels + left join (singletons = own cluster) +
+    // argmax-by-(n_tokens, min id) window — the same representative rule
+    // as Dedup.dedupByQuality
+    "q106_x_dedup_best" ->
+      s"""$DupReachCte,
+        |labels AS (
+        |  SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |  FROM reach GROUP BY src),
+        |sc AS (
+        |  SELECT doc_id,
+        |    CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |j AS (
+        |  SELECT s.doc_id, coalesce(l.cluster_id, s.doc_id) AS cluster_id, s.n_tokens
+        |  FROM sc s LEFT JOIN labels l USING (doc_id)),
+        |r AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY n_tokens DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cnt
+        |  FROM j)
+        |SELECT doc_id, cluster_id, CAST(cnt AS BIGINT) AS n_members, n_tokens
+        |FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    // per-dimension quantized integer sums (floor(x*1e6 + 0.5), exact in
+    // any order) + one double division of two exact integers — the mean
+    // is bit-identical across engines with no rounding knife-edge
+    "q107_x_vector_centroid" ->
+      ("""WITH x AS (
+        |  SELECT label AS grp, unnest(embedding) AS e,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings),
+        |q AS (
+        |  SELECT grp, dim,
+        |    CAST(floor(CAST(e AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS eq
+        |  FROM x)
+        |SELECT grp, CAST(dim AS INT) AS dim, CAST(sum(eq) AS BIGINT) AS sum_q,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(eq) AS DOUBLE) / count(*) AS mean_q
+        |FROM q GROUP BY grp, dim ORDER BY grp, dim""".stripMargin),
+
+    // the same ES key ln(u)/w over the same md5 uniform; the score column
+    // itself is NOT output (ln's last-ulp can differ between libm and the
+    // JVM), only the selected set — score GAPS between ranked docs are
+    // orders of magnitude above one ulp, so the set is engine-stable
+    "q108_x_weighted_sample" ->
+      (s"""WITH s AS (
+        |  SELECT doc_id, source, n_chars,
+        |    ln((CAST(${dkHash32("CAST(doc_id AS VARCHAR)")} AS DOUBLE) + 0.5)
+        |       / 4294967296.0) / n_chars AS es
+        |  FROM documents)
+        |SELECT doc_id, source, n_chars FROM (
+        |  SELECT * FROM s ORDER BY es DESC, doc_id LIMIT 120)
+        |ORDER BY doc_id""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared duplicated-5-gram detection CTEs (q98/q100): per-doc token
@@ -2324,6 +2555,31 @@ object SparkEntry {
     * twin of [[linedText]]: `la` is the line array, `toks` the raw token
     * array (DuckDB range() is end-exclusive; list slices are 1-based
     * inclusive, matching Spark's 1-based `slice`). */
+  /** Recursive transitive-closure CTE over the MinHash candidate pairs —
+    * the connected-components oracle shared by q79 (cluster labels) and
+    * q106 (quality-based representative selection). Ends at `reach`;
+    * consumers add the final SELECT. */
+  private lazy val DupReachCte: String = {
+    val rows = MinhashK / MinhashBands
+    val bandConds = (0 until MinhashBands).map { b =>
+      (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
+    }.mkString(" OR ")
+    val eqSum = (0 until MinhashK)
+      .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+    val cte = "WITH RECURSIVE" + MinhashCte.stripPrefix("WITH")
+    s"""$cte,
+      |p AS (
+      |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)
+      |  WHERE $eqSum >= ${MinhashK / 2}),
+      |edges AS (SELECT id_a AS src, id_b AS dst FROM p
+      |          UNION SELECT id_b, id_a FROM p),
+      |reach(src, dst) AS (
+      |  SELECT src, dst FROM edges
+      |  UNION
+      |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
+  }
+
   private lazy val LinedCte: String =
     """WITH t AS (
       |  SELECT doc_id,

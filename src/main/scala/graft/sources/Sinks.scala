@@ -61,6 +61,22 @@ object Sinks {
               schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).orc(path)
 
+  /** XML sink (Spark 4 built-in XML data source) — the interchange format
+    * of document feeds (arXiv, PubMed, Wikipedia dumps are XML-native).
+    * Same scaling shape as the other sinks: one part file per partition.
+    * `rowTag` names the per-row element. */
+  def xml(df: DataFrame, path: String, rowTag: String = "row"): Unit =
+    df.write.mode("overwrite").format("xml").option("rowTag", rowTag).save(path)
+
+  /** XML source with an explicit schema (same rationale as [[readJsonl]]:
+    * schema inference over XML is a full extra parse pass at corpus
+    * scale; PERMISSIVE mode nulls malformed records instead of failing). */
+  def readXml(spark: org.apache.spark.sql.SparkSession, path: String,
+              schema: org.apache.spark.sql.types.StructType,
+              rowTag: String = "row"): DataFrame =
+    spark.read.schema(schema).option("rowTag", rowTag)
+      .option("mode", "PERMISSIVE").format("xml").load(path)
+
   /** Hive-style partitioned parquet sink — the layout that makes
     * partition PRUNING possible at read time: a reader filtering on the
     * partition columns touches only the matching directories, never the

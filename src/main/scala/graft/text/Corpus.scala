@@ -127,6 +127,36 @@ object Corpus {
       .drop("__cum")
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-Res):
+    * the n rows with the largest key `u^(1/w)` are a weight-proportional
+    * sample; ranking by the monotone transform `ln(u)/w` avoids pow's
+    * underflow for tiny u and large w. `u` is a deterministic md5 uniform
+    * of the key ((hash32 + 0.5) / 2^32 ∈ (0,1)), so — like [[hashSample]]
+    * — the selection is reproducible across runs, engines, and task
+    * retries, where `rand()` sampling is not. Weights must be positive
+    * (fails loudly per the [[domainMixSample]] convention).
+    *
+    * Scale shape: the score is a pure per-row expression over the scan;
+    * the global top-n is TakeOrderedAndProject (per-partition heaps + one
+    * n-row merge at the driver), no full sort. For n too large for one
+    * heap, pre-filter with a score threshold from a sample, then top-n. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n > 0, s"sample size must be positive, got $n")
+    require(!df.columns.contains("__es"),
+      "weightedSample writes __es — rename the existing column")
+    val u = (Cols.hash32(col(keyCol).cast("string")).cast("double") + lit(0.5)) /
+      lit(4294967296.0)
+    val es = when(col(weightCol) <= 0, raise_error(concat(
+        lit(s"weightedSample: non-positive weight in $weightCol for key "),
+        col(keyCol).cast("string"))).cast("double"))
+      .otherwise(log(u) / col(weightCol).cast("double"))
+    df.withColumn("__es", es)
+      .orderBy(col("__es").desc, col(keyCol))
+      .limit(n)
+      .drop("__es")
+  }
+
   /** Top-`k` rows per stratum by an explicit ordering (e.g. best-quality
     * documents per source domain). One window, partitioned by the strata —
     * parallel across strata, no global sort. Ordering must be total

@@ -442,6 +442,39 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Dedup FINISHER: duplicate clusters resolved to one representative
+    * each, chosen by QUALITY rather than [[duplicateClusters]]'s min-id
+    * convention — the industry-standard "keep the best copy" rule (e.g.
+    * longest document wins, ties to the smallest id). `scoreCol` names a
+    * numeric column the caller has already computed (token count, quality
+    * score, …) so the scorer stays decoupled from the cluster machinery.
+    *
+    * Shape at scale: the label frame from [[duplicateClusters]] holds only
+    * documents in ≥1 qualifying pair (normally a small fraction of the
+    * corpus) and joins back on the id; unlabelled documents are their own
+    * singleton cluster (`coalesce(cluster_id, id)`). One window shuffle
+    * keyed by cluster_id picks the argmax — cluster sizes are data-bounded
+    * by the LSH band structure, so no hot key.
+    * Output: (id, cluster_id, n_members, score) of the representatives —
+    * exactly one row per cluster, singletons included. */
+  def dedupByQuality(docs: DataFrame, idCol: String, textCol: String,
+                     scoreCol: String,
+                     k: Int = 12, bands: Int = 6, shingleK: Int = 3,
+                     minEst: Double = 0.5): DataFrame = {
+    val labels = duplicateClusters(docs, idCol, textCol, k, bands, shingleK, minEst)
+      .withColumnRenamed("doc_id", idCol)
+    val lab = docs.select(col(idCol), col(scoreCol))
+      .join(labels, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col(idCol)))
+    val byCluster = Window.partitionBy("cluster_id")
+    val best = Window.partitionBy("cluster_id")
+      .orderBy(col(scoreCol).desc, col(idCol))
+    lab.withColumn("__rn", row_number().over(best))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .filter(col("__rn") === 1)
+      .select(col(idCol), col("cluster_id"), col("n_members"), col(scoreCol))
+  }
+
   /** Corpus-wide line-level dedup (the CCNet/RefinedWeb paragraph-dedup
     * shape): boilerplate lines repeated across documents (nav bars,
     * licence headers, quoted chunks) are kept only at their globally first

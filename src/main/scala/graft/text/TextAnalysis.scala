@@ -227,6 +227,161 @@ object TextAnalysis {
       maxDupLineFrac, maxTop2GramFrac, maxDup5GramFrac))
   }
 
+  // ------------------------------------------------- C4-style line filter
+
+  /** Struct returned by the single-pass C4 line-filter kernel. */
+  private[text] final case class C4Feats(
+      keep: Boolean, n_lines_kept: Int, n_lines_dropped: Int, clean_text: String)
+
+  /** Single-pass C4-style line-filter kernel (Raffel et al. 2020 §2.2's
+    * line-level heuristics, parameterized): a LINE survives iff its
+    * trimmed form ends in a terminal-punctuation character, has at least
+    * `minWordsPerLine` whitespace words, and contains (case-insensitively)
+    * no blocklisted phrase; the DOCUMENT survives iff at least
+    * `minLinesKept` lines survive and its lowercased full text contains no
+    * document-level blocklisted phrase. Kept lines are re-joined verbatim
+    * (untrimmed) with `\n` — the filter drops lines, it does not rewrite
+    * them. Parity-tested against [[c4FeatsExpr]] (TextAnalysisKernelSpec). */
+  private[text] def c4Kernel(text: String, minWordsPerLine: Int,
+                             terminal: String, lineBlock: Seq[String],
+                             minLinesKept: Int, docBlock: Seq[String]): C4Feats = {
+    val lines = text.split("\n", -1)
+    val sb = new java.lang.StringBuilder
+    var kept = 0
+    var i = 0
+    while (i < lines.length) {
+      val raw = lines(i)
+      val t = TextHash.sparkTrim(raw)
+      val lower = raw.toLowerCase
+      val ok = t.nonEmpty &&
+        terminal.indexOf(t.charAt(t.length - 1)) >= 0 &&
+        t.split("\\s+", -1).length >= minWordsPerLine &&
+        !lineBlock.exists(lower.contains)
+      if (ok) {
+        if (kept > 0) sb.append('\n')
+        sb.append(raw)
+        kept += 1
+      }
+      i += 1
+    }
+    val docOk = kept >= minLinesKept && {
+      val lt = text.toLowerCase
+      !docBlock.exists(lt.contains)
+    }
+    C4Feats(docOk, kept, lines.length - kept, sb.toString)
+  }
+
+  /** One struct column (keep, n_lines_kept, n_lines_dropped, clean_text)
+    * from the single-pass C4 kernel. Null text → null struct. */
+  def c4FeatsCol(text: Column, minWordsPerLine: Int = 3,
+                 terminal: String = ".!?\"", lineBlocklist: Seq[String] = Seq("javascript"),
+                 minLinesKept: Int = 3,
+                 docBlocklist: Seq[String] = Seq("lorem ipsum", "{")): Column = {
+    val lb = lineBlocklist.map(_.toLowerCase)
+    val db = docBlocklist.map(_.toLowerCase)
+    udf((t: String) => if (t == null) null
+      else c4Kernel(t, minWordsPerLine, terminal, lb, minLinesKept, db)).apply(text)
+  }
+
+  /** C4-style corpus cleaning pass: applies the line filter and keeps the
+    * surviving documents. Shuffle-free — one kernel pass per row; the
+    * document either survives with its kept lines re-joined or is dropped.
+    * Output: (id, n_lines_kept, n_lines_dropped, clean_text). */
+  def c4Clean(docs: DataFrame, idCol: String, textCol: String,
+              minWordsPerLine: Int = 3, terminal: String = ".!?\"",
+              lineBlocklist: Seq[String] = Seq("javascript"),
+              minLinesKept: Int = 3,
+              docBlocklist: Seq[String] = Seq("lorem ipsum", "{")): DataFrame = {
+    val f = c4FeatsCol(col(textCol), minWordsPerLine, terminal,
+      lineBlocklist, minLinesKept, docBlocklist)
+    docs.select(col(idCol), f.as("__c4"))
+      .filter(col("__c4").getField("keep"))
+      .select(col(idCol),
+        col("__c4").getField("n_lines_kept").cast("long").as("n_lines_kept"),
+        col("__c4").getField("n_lines_dropped").cast("long").as("n_lines_dropped"),
+        col("__c4").getField("clean_text").as("clean_text"))
+  }
+
+  /** Expression-tree form of the C4 line filter — parity-spec reference
+    * only (interpreted HOFs: the documented trap). */
+  private[text] def c4FeatsExpr(text: Column, minWordsPerLine: Int = 3,
+                 terminal: String = ".!?\"", lineBlocklist: Seq[String] = Seq("javascript"),
+                 minLinesKept: Int = 3,
+                 docBlocklist: Seq[String] = Seq("lorem ipsum", "{")): Column = {
+    val lines = split(text, "\n", -1)
+    val termClass = "[" + java.util.regex.Pattern.quote(terminal) + "]$"
+    def lineOk(x: Column): Column = {
+      val t = trim(x)
+      val words = when(length(t) === 0, lit(0)).otherwise(size(split(t, "\\s+", -1)))
+      length(t) > 0 && t.rlike(termClass) && words >= minWordsPerLine &&
+        !lineBlocklist.map(b => lower(x).contains(b.toLowerCase))
+          .foldLeft(lit(false))(_ || _)
+    }
+    val kept = filter(lines, lineOk _)
+    val docOk = size(kept) >= minLinesKept &&
+      !docBlocklist.map(b => lower(text).contains(b.toLowerCase))
+        .foldLeft(lit(false))(_ || _)
+    when(text.isNull, lit(null))
+      .otherwise(struct(docOk.as("keep"),
+        size(kept).as("n_lines_kept"),
+        (size(lines) - size(kept)).as("n_lines_dropped"),
+        array_join(kept, "\n").as("clean_text")))
+  }
+
+  // ------------------------------------------------ Unicode normalization
+
+  /** Single-pass Unicode normalization kernel: NFD-decompose, drop
+    * combining marks (accent folding), drop NON-WHITESPACE ISO control
+    * characters (whitespace controls — tab/LF/CR/FF/VT — survive to the
+    * collapse step, so `a\tb` becomes `a b`, not `ab`), NFC-recompose,
+    * lowercase (default JVM locale — the same slow path Spark's `lower()`
+    * takes, see [[languageId]]), collapse whitespace runs to single
+    * spaces, trim. The step ORDER is the contract: accents fold before
+    * lowercasing, whitespace collapses last — and matches the DuckDB
+    * oracle formulation
+    * `trim(regexp_replace(lower(strip_accents(nfc_normalize(x))), '\s+', ' ', 'g'))`
+    * on control-free input. Parity-tested against [[normalizeTextExpr]]. */
+  private[text] def normalizeKernel(text: String): String = {
+    import java.text.Normalizer
+    val nfd = Normalizer.normalize(text, Normalizer.Form.NFD)
+    val sb = new java.lang.StringBuilder(nfd.length)
+    var i = 0
+    while (i < nfd.length) {
+      val cp = nfd.codePointAt(i)
+      val tpe = Character.getType(cp)
+      val isMark = tpe == Character.NON_SPACING_MARK ||
+        tpe == Character.COMBINING_SPACING_MARK || tpe == Character.ENCLOSING_MARK
+      // regex-\s members pass through (collapsed later); every other
+      // control is stripped — the enumeration matches Java regex \s
+      // exactly (Character.isWhitespace would also spare \x1C-\x1F,
+      // which \s+ then could NOT collapse)
+      val isWsControl = cp == '\t' || cp == '\n' || cp == 0x0B || cp == '\f' || cp == '\r'
+      val isBadControl = Character.isISOControl(cp) && !isWsControl
+      if (!isMark && !isBadControl) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
+    }
+    val recomposed = Normalizer.normalize(sb.toString, Normalizer.Form.NFC)
+    TextHash.sparkTrim(recomposed.toLowerCase.replaceAll("\\s+", " "))
+  }
+
+  /** Normalized-text column: accent-folded, control-stripped, lowercased,
+    * whitespace-collapsed — the canonical form fed to dedup hashing so
+    * `Café  x` and `cafe x` collide. Null → null. */
+  def normalizeText(text: Column): Column =
+    udf((t: String) => if (t == null) null else normalizeKernel(t)).apply(text)
+
+  /** Expression-tree form of [[normalizeText]] for ASCII + precomposed
+    * Latin-1 input — parity-spec reference only (Spark has no built-in
+    * accent folding; the expr form enumerates the planted accent set). */
+  private[text] def normalizeTextExpr(text: Column): Column = {
+    val folded = translate(text,
+      "áàâäãåéèêëíìîïóòôöõúùûüýÿçñÁÀÂÄÃÅÉÈÊËÍÌÎÏÓÒÔÖÕÚÙÛÜÝÇÑ",
+      "aaaaaaeeeeiiiiooooouuuuyycnAAAAAAEEEEIIIIOOOOOUUUUYCN")
+    // strip class = controls MINUS the regex-\s members \x09-\x0D, which
+    // survive to the \s+ collapse (kernel contract)
+    trim(regexp_replace(lower(regexp_replace(folded, "[\\x00-\\x08\\x0E-\\x1F\\x7F]", "")), "\\s+", " "))
+  }
+
   /** Document fingerprint: min portable-hash over word 3-shingles (a
     * rolling-hash winnowing analog). Equal fingerprints ⇒ near-dup
     * candidates. Short docs fall back to hashing the whole text.

@@ -21,4 +21,19 @@ class LinedTextSpec extends SparkSpec {
     assert(got(0) == "a b\nc d")
     assert(got(1) == "a b\nc")
   }
+
+  test("linedPunctText kernel matches the expression form across id offsets") {
+    val texts = Seq("a b c d e f", "a b c", "a", "", "   ", "x y", null)
+    val rows = for (t <- texts; id <- Seq(0L, 1L, 2L, 7L)) yield (t, id)
+    val df = rows.toDF("text", "id")
+    val got = df.select(SparkEntry.linedPunctText(col("text"), col("id"))).collect().map(_.get(0))
+    val want = df.select(SparkEntry.linedPunctTextExpr(col("text"), col("id"))).collect().map(_.get(0))
+    got.zip(want).zip(rows).foreach { case ((g, w), r) =>
+      assert(g == w, s"for input $r: kernel=$g expr=$w")
+    }
+    // shape sanity: doc id 0 → lines 0,1,2 get '.', nothing, '!'
+    val d0 = df.filter(col("text") === "a b c d e f" && col("id") === 0)
+      .select(SparkEntry.linedPunctText(col("text"), col("id"))).head.getString(0)
+    assert(d0 == "a b.\nc d\ne f!")
+  }
 }

@@ -176,4 +176,30 @@ class PlanSpec extends SparkSpec {
     // exactly one Generate (the gram posexplode), none for covered spans
     assert(p.linesIterator.count(_.contains("Generate")) <= 2, p)
   }
+
+  test("C4 clean (q103) and normalize (q104) are shuffle-free per-row kernels") {
+    Seq("q103_x_c4_line_clean", "q104_x_normalize_text").foreach { q =>
+      val p = plan(q)
+      assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+        s"$q: per-row kernel must not shuffle\n$p")
+      assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"), p)
+    }
+  }
+
+  test("vector centroid (q107) aggregates map-side (partial before the shuffle)") {
+    val p = plan("q107_x_vector_centroid")
+    // the typed Aggregator plans as ObjectHashAggregate/SortAggregate with
+    // a partial mode before the single group-key exchange — the property
+    // that keeps the shuffle at one buffer per (map task, group)
+    assert(p.toLowerCase.contains("partial_quantcentroid") ||
+      p.linesIterator.exists(l => l.contains("Aggregate") && l.contains("partial")),
+      s"no partial aggregation before the shuffle:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1, p)
+  }
+
+  test("weighted sample (q108) is a TakeOrdered top-n, not a global sort") {
+    val p = plan("q108_x_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), s"top-n lost:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0, p)
+  }
 }

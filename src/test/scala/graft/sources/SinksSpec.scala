@@ -55,6 +55,18 @@ class SinksSpec extends SparkSpec {
     assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
   }
 
+  test("xml: write + explicit-schema read round-trips (XML-escaped content)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml_spec").toString + "/out"
+    val df = Seq(
+      (1L, "plain text", 10L),
+      (2L, "angle <brackets> & ampersand 'quotes' \"here\"", 44L),
+      (3L, "unicode üé café", 15L)
+    ).toDF("id", "text", "n")
+    Sinks.xml(df, dir)
+    val back = Sinks.readXml(spark, dir, df.schema)
+    assert(back.orderBy("id").collect().toSeq === df.orderBy("id").collect().toSeq)
+  }
+
   test("writeUnlessEmpty: guards the write and reports") {
     var wrote = false
     var warned: Option[String] = None

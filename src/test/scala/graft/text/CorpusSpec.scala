@@ -59,6 +59,37 @@ class CorpusSpec extends SparkSpec {
     assert(keptIds.size > 200 && keptIds.size < 400, s"got ${keptIds.size}")
   }
 
+  test("weightedSample matches the local Efraimidis-Spirakis replay and is retry-stable") {
+    val rows = (1L to 300L).map(i => (i, 10L + (i % 47) * 3L))
+    val df = rows.toDF("id", "w")
+    def localTop(n: Int): Set[Long] = rows
+      .map { case (id, w) =>
+        val u = (TextHash.hash32(id.toString) + 0.5) / 4294967296.0
+        (id, math.log(u) / w)
+      }
+      .sortBy { case (id, es) => (-es, id) }.take(n).map(_._1).toSet
+    val got = Corpus.weightedSample(df, "id", "w", n = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got == localTop(40))
+    // partition-layout-proof: same set under a different layout
+    val got2 = Corpus.weightedSample(df.repartition(11), "id", "w", n = 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got2 == got)
+    // weights matter: heavy keys are over-represented vs the uniform rate
+    val heavy = rows.filter(_._2 >= 100L).map(_._1).toSet
+    val heavyShare = got.count(heavy).toDouble / 40
+    val popShare = heavy.size.toDouble / 300
+    assert(heavyShare > popShare, s"heavy=$heavyShare pop=$popShare")
+  }
+
+  test("weightedSample rejects non-positive weights loudly") {
+    val df = Seq((1L, 5L), (2L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Corpus.weightedSample(df, "id", "w", n = 1).collect()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("topKPerStratum keeps k rows per stratum by the given order") {
     val df = Seq(
       ("a", 1L, 10), ("a", 2L, 30), ("a", 3L, 20),

@@ -134,6 +134,29 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains(3L), "unique doc must be absent")
   }
 
+  test("dedupByQuality: best-scoring member represents the cluster; singletons pass through") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, base), (2L, base), (7L, base + " longer tail here"), // cluster of 3; 7 is longest
+      (3L, "totally different words entirely here today now ok fine yes")
+    ).toDF("doc_id", "text")
+      .withColumn("n_tokens", TextAnalysis.tokenCount(org.apache.spark.sql.functions.col("text")).cast("long"))
+    val out = Dedup.dedupByQuality(docs, "doc_id", "text", "n_tokens",
+        k = 8, bands = 4, minEst = 0.5)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // exactly one representative per cluster
+    assert(out.map(_._2).distinct.length == out.length)
+    // doc 3 is a singleton: its own cluster, 1 member
+    assert(out.exists { case (id, cid, n, _) => id == 3L && cid == 3L && n == 1L })
+    // the base cluster's representative is its longest member if 7 joined it
+    val cluster1 = out.filter(_._2 == 1L)
+    if (cluster1.exists(_._3 >= 3L)) // 7's near-dup membership depends on minEst
+      assert(cluster1.head._1 == 7L, s"longest doc must represent: $cluster1")
+    // every input doc is accounted for exactly once across clusters
+    assert(out.map(_._3).sum == 4L)
+  }
+
   test("dupNgramCoverage: interval union over corpus-duplicated grams") {
     val corpus = Seq(
       (1L, "a b c d e"),  // "a b c" shared with doc 2

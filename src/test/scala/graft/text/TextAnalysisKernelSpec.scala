@@ -59,6 +59,80 @@ class TextAnalysisKernelSpec extends SparkSpec {
     }
   }
 
+  test("c4 kernel matches the expression form on every row") {
+    // multi-line corpus: join edge strings into documents with planted
+    // terminal punct, short lines, blocklist hits, and a doc blocklist hit
+    val docs = Seq(
+      "Good long line here.\nshort.\nno terminal punct\nAnother solid line!\njavascript heavy line.",
+      "One fine sentence stands alone.",
+      "",
+      "   \n  \n",
+      "lorem ipsum dolor sit amet.\nA perfectly good line.\nAnd another good one.\nAnd a third one too.",
+      "Ends with quote \"\nends with question?\nends with bang!\nends with period.",
+      "  leading spaces count fine.  \n\ttab lead line!\nword",
+      "a.\nb!\nc?",
+      null.asInstanceOf[String])
+    val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+    val k = TextAnalysis.c4FeatsCol(col("text"), minWordsPerLine = 3,
+      minLinesKept = 2)
+    val e = TextAnalysis.c4FeatsExpr(col("text"), minWordsPerLine = 3,
+      minLinesKept = 2)
+    df.select(col("id"), col("text"), k.as("k"), e.as("e")).collect().foreach { r =>
+      assert(r.getAs[Any]("k") == r.getAs[Any]("e"),
+        s"'${r.get(1)}': kernel=${r.get(2)} expr=${r.get(3)}")
+    }
+  }
+
+  test("c4 kernel rules fire individually") {
+    val f = TextAnalysis.c4Kernel(
+      "Good long line here.\nshort.\nno terminal punct here\nsolid javascript line.",
+      3, ".!?\"", Seq("javascript"), 1, Seq("lorem ipsum"))
+    // line 1 kept; line 2 fails min-words; line 3 fails punct; line 4 blocklist
+    assert(f.keep && f.n_lines_kept == 1 && f.n_lines_dropped == 3)
+    assert(f.clean_text == "Good long line here.")
+    // doc blocklist kills an otherwise-surviving doc
+    val g = TextAnalysis.c4Kernel("Lorem IPSUM is planted here today.",
+      3, ".!?\"", Seq(), 1, Seq("lorem ipsum"))
+    assert(!g.keep && g.n_lines_kept == 1)
+    // min-lines threshold
+    val h = TextAnalysis.c4Kernel("Only one good line here.",
+      3, ".!?\"", Seq(), 2, Seq())
+    assert(!h.keep)
+  }
+
+  test("normalize kernel matches the expression form on ASCII + precomposed Latin-1") {
+    val docs = Seq(
+      "", "   ", "plain ascii text",
+      "Café au lait", "naïve RÉSUMÉ", "Ünïcôde Ça vâ",
+      "MiXeD  CaSe   runs\tof\nwhitespace",
+      "àèìòù ÁÉÍÓÚ ãõñ ç ÿ",
+      "ends  with  spaces   ",
+      null.asInstanceOf[String])
+    val df = docs.zipWithIndex.map(_.swap).toDF("id", "text")
+    df.select(col("text"),
+        TextAnalysis.normalizeText(col("text")).as("k"),
+        TextAnalysis.normalizeTextExpr(col("text")).as("e"))
+      .collect().foreach { r =>
+        assert(r.getAs[String]("k") == r.getAs[String]("e"),
+          s"'${r.get(0)}': kernel=${r.get(1)} expr=${r.get(2)}")
+      }
+  }
+
+  test("normalize kernel: decomposed input, control chars, idempotence") {
+    // NFD input ('e' + combining acute) folds identically to precomposed
+    assert(TextAnalysis.normalizeKernel("Cafe\u0301") == "cafe")
+    assert(TextAnalysis.normalizeKernel("Caf\u00e9") == "cafe")
+    // non-whitespace ISO controls are stripped outright (no space left)
+    assert(TextAnalysis.normalizeKernel("a\u0007bc") == "abc")
+    assert(TextAnalysis.normalizeKernel("a\u001cb") == "ab")
+    // whitespace controls survive the strip and collapse to one space
+    assert(TextAnalysis.normalizeKernel("a\tb") == "a b")
+    assert(TextAnalysis.normalizeKernel("a \n b") == "a b")
+    // idempotent: normalizing a normal form is the identity
+    val once = TextAnalysis.normalizeKernel("\u00dcn\u00efc\u00f4de  \u00c7a v\u00e2 ")
+    assert(TextAnalysis.normalizeKernel(once) == once)
+  }
+
   test("languageId kernel matches the expression form, single and multi list") {
     val lists = Map(
       "en" -> TextAnalysis.EnglishStopwords,
