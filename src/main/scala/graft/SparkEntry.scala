@@ -1156,10 +1156,14 @@ object SparkEntry {
       Tables.embeddings(s, d)
         .groupBy(col("label").as("grp"))
         .agg(graft.sim.VectorAgg.centroid(col("embedding"), dim = 64).as("c"))
-        .select(col("grp"), col("c").getField("n").as("n"),
+        .select(col("grp"), col("c").getField("ns").as("ns"),
           posexplode(col("c").getField("sums")).as(Seq("pos", "sum_q")))
-        .select(col("grp"), (col("pos") + 1).as("dim"), col("sum_q"), col("n"),
-          (col("sum_q").cast("double") / col("n")).as("mean_q"))
+        // per-dimension count (= the oracle's count(*) per (grp, dim));
+        // equal to the vector count here because embeddings are fixed-dim
+        .select(col("grp"), (col("pos") + 1).as("dim"), col("sum_q"),
+          element_at(col("ns"), col("pos") + 1).as("n"),
+          (col("sum_q").cast("double") /
+            element_at(col("ns"), col("pos") + 1)).as("mean_q"))
         .orderBy("grp", "dim")),
 
     // ---- extension: weighted sampling without replacement (Efraimidis–
@@ -2349,12 +2353,13 @@ object SparkEntry {
         |      AND NOT contains(lower(x), 'spark')) AS kept,
         |    len(la) AS n_lines
         |  FROM pl)
-        |SELECT doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
+        |SELECT f.doc_id, CAST(len(kept) AS BIGINT) AS n_lines_kept,
         |  CAST(n_lines - len(kept) AS BIGINT) AS n_lines_dropped,
         |  array_to_string(kept, chr(10)) AS clean_text
-        |FROM f
+        |FROM f JOIN pl ON f.doc_id = pl.doc_id
         |WHERE len(kept) >= 5
-        |ORDER BY doc_id""".stripMargin),
+        |  AND NOT contains(lower(array_to_string(pl.la, chr(10))), 'lorem ipsum')
+        |ORDER BY f.doc_id""".stripMargin),
 
     // DuckDB's native strip_accents/nfc_normalize compose to the same
     // canonical form as the JVM kernel (NFD → drop marks → NFC → lower →
@@ -2551,10 +2556,6 @@ object SparkEntry {
     }
   )
 
-  /** Shared 2-token-per-line derivation for the q80/q81 oracles — the SQL
-    * twin of [[linedText]]: `la` is the line array, `toks` the raw token
-    * array (DuckDB range() is end-exclusive; list slices are 1-based
-    * inclusive, matching Spark's 1-based `slice`). */
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —
     * the connected-components oracle shared by q79 (cluster labels) and
     * q106 (quality-based representative selection). Ends at `reach`;
@@ -2580,6 +2581,10 @@ object SparkEntry {
       |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)""".stripMargin
   }
 
+  /** Shared 2-token-per-line derivation for the q80/q81 oracles — the SQL
+    * twin of [[linedText]]: `la` is the line array, `toks` the raw token
+    * array (DuckDB range() is end-exclusive; list slices are 1-based
+    * inclusive, matching Spark's 1-based `slice`). */
   private lazy val LinedCte: String =
     """WITH t AS (
       |  SELECT doc_id,

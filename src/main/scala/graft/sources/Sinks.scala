@@ -70,11 +70,19 @@ object Sinks {
 
   /** XML source with an explicit schema (same rationale as [[readJsonl]]:
     * schema inference over XML is a full extra parse pass at corpus
-    * scale; PERMISSIVE mode nulls malformed records instead of failing). */
+    * scale; PERMISSIVE mode nulls malformed records instead of failing).
+    *
+    * `ignoreSurroundingSpaces=false` overrides the reader's
+    * trim-by-default so whitespace-edged strings round-trip. KNOWN
+    * LIMIT: an empty string writes as an empty element and reads back
+    * NULL — XML cannot distinguish `""` from absent; feed such columns
+    * through `coalesce(c, '')` after readback if the distinction
+    * matters. */
   def readXml(spark: org.apache.spark.sql.SparkSession, path: String,
               schema: org.apache.spark.sql.types.StructType,
               rowTag: String = "row"): DataFrame =
     spark.read.schema(schema).option("rowTag", rowTag)
+      .option("ignoreSurroundingSpaces", "false")
       .option("mode", "PERMISSIVE").format("xml").load(path)
 
   /** Hive-style partitioned parquet sink — the layout that makes

@@ -245,7 +245,10 @@ object TextAnalysis {
   private[text] def c4Kernel(text: String, minWordsPerLine: Int,
                              terminal: String, lineBlock: Seq[String],
                              minLinesKept: Int, docBlock: Seq[String]): C4Feats = {
-    val lines = text.split("\n", -1)
+    // empty text is ZERO lines, not one empty line ("".split yields [""])
+    // — matches the q103 oracle's lined derivation and keeps
+    // n_lines_dropped honest when minLinesKept = 0
+    val lines = if (text.isEmpty) Array.empty[String] else text.split("\n", -1)
     val sb = new java.lang.StringBuilder
     var kept = 0
     var i = 0
@@ -322,6 +325,10 @@ object TextAnalysis {
       !docBlocklist.map(b => lower(text).contains(b.toLowerCase))
         .foldLeft(lit(false))(_ || _)
     when(text.isNull, lit(null))
+      // kernel contract: empty text is zero lines (split would say one)
+      .when(length(text) === 0,
+        struct(lit(0 >= minLinesKept).as("keep"), lit(0).as("n_lines_kept"),
+          lit(0).as("n_lines_dropped"), lit("").as("clean_text")))
       .otherwise(struct(docOk.as("keep"),
         size(kept).as("n_lines_kept"),
         (size(lines) - size(kept)).as("n_lines_dropped"),

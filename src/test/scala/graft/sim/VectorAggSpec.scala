@@ -22,14 +22,18 @@ class VectorAggSpec extends SparkSpec {
   test("centroid: exact quantized sums, null skipped, pad/truncate") {
     val out = vecs.groupBy("grp")
       .agg(VectorAgg.centroid(col("v"), dim, scale = 100.0).as("c"))
-      .select(col("grp"), col("c.n").as("n"), col("c.sums").as("sums"))
+      .select(col("grp"), col("c.n").as("n"), col("c.sums").as("sums"),
+        col("c.ns").as("ns"))
       .orderBy("grp").collect()
     val g0 = out(0)
     assert(g0.getAs[Long]("n") == 2L)
     assert(g0.getAs[scala.collection.Seq[Long]]("sums").toSeq == Seq(150L, 150L, 325L, 400L))
+    assert(g0.getAs[scala.collection.Seq[Long]]("ns").toSeq == Seq(2L, 2L, 2L, 2L))
     val g1 = out(1)
     assert(g1.getAs[Long]("n") == 2L)
     assert(g1.getAs[scala.collection.Seq[Long]]("sums").toSeq == Seq(900L, 2100L, -100L, 100L))
+    // per-dim presence: the short vector counts only where it has dims
+    assert(g1.getAs[scala.collection.Seq[Long]]("ns").toSeq == Seq(2L, 2L, 1L, 1L))
   }
 
   test("centroid: repartition-proof (integer sums are order-exact)") {
@@ -38,29 +42,35 @@ class VectorAggSpec extends SparkSpec {
     }.toDF("grp", "v")
     def run(df: org.apache.spark.sql.DataFrame) = df.groupBy("grp")
       .agg(VectorAgg.centroid(col("v"), 3).as("c"))
-      .select(col("grp"), col("c.sums").as("sums"), col("c.n").as("n"))
+      .select(col("grp"), col("c.sums").as("sums"), col("c.ns").as("ns"), col("c.n").as("n"))
       .orderBy("grp").collect()
-      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Long]]("sums").toSeq, r.getLong(2))).toSeq
+      .map(r => (r.getInt(0), r.getAs[scala.collection.Seq[Long]]("sums").toSeq,
+        r.getAs[scala.collection.Seq[Long]]("ns").toSeq, r.getLong(3))).toSeq
     assert(run(big) == run(big.repartition(13)))
   }
 
   test("centroid agrees with the posexplode reference plan") {
     val df = (1 to 100).map(i => (i % 4, Array(i * 0.1f, i * -0.3f))).toDF("grp", "v")
     val agg = df.groupBy("grp").agg(VectorAgg.centroid(col("v"), 2).as("c"))
-      .select(col("grp"), posexplode(col("c.sums")).as(Seq("pos", "s")))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      .select(col("grp"), col("c.ns").as("ns"),
+        posexplode(col("c.sums")).as(Seq("pos", "s")))
+      .select(col("grp"), col("pos"), col("s"),
+        element_at(col("ns"), col("pos") + 1).as("cnt"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
     val ref = df.select(col("grp"), posexplode(col("v")).as(Seq("pos", "e")))
       .select(col("grp"), col("pos"),
         floor(col("e").cast("double") * 1e6 + 0.5).cast("long").as("q"))
-      .groupBy("grp", "pos").agg(sum("q").as("s"))
-      .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      .groupBy("grp", "pos").agg(sum("q").as("s"), count(lit(1)).as("cnt"))
+      .collect().map(r => ((r.getInt(0), r.getInt(1)), (r.getLong(2), r.getLong(3)))).toMap
     assert(agg == ref)
   }
 
   test("centroid: all-null group yields zero sums and n = 0") {
     val df = Seq((9, null.asInstanceOf[Array[Float]])).toDF("grp", "v")
     val r = df.groupBy("grp").agg(VectorAgg.centroid(col("v"), 3).as("c"))
-      .select(col("c.sums"), col("c.n")).head
-    assert(r.getAs[scala.collection.Seq[Long]](0).toSeq == Seq(0L, 0L, 0L) && r.getLong(1) == 0L)
+      .select(col("c.sums"), col("c.ns"), col("c.n")).head
+    assert(r.getAs[scala.collection.Seq[Long]](0).toSeq == Seq(0L, 0L, 0L))
+    assert(r.getAs[scala.collection.Seq[Long]](1).toSeq == Seq(0L, 0L, 0L))
+    assert(r.getLong(2) == 0L)
   }
 }

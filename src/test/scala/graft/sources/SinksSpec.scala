@@ -60,7 +60,8 @@ class SinksSpec extends SparkSpec {
     val df = Seq(
       (1L, "plain text", 10L),
       (2L, "angle <brackets> & ampersand 'quotes' \"here\"", 44L),
-      (3L, "unicode üé café", 15L)
+      (3L, "unicode üé café", 15L),
+      (4L, "  whitespace-edged  ", 20L)
     ).toDF("id", "text", "n")
     Sinks.xml(df, dir)
     val back = Sinks.readXml(spark, dir, df.schema)

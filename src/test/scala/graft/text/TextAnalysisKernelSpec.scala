@@ -98,6 +98,10 @@ class TextAnalysisKernelSpec extends SparkSpec {
     val h = TextAnalysis.c4Kernel("Only one good line here.",
       3, ".!?\"", Seq(), 2, Seq())
     assert(!h.keep)
+    // empty text is ZERO lines (not one empty line), so with
+    // minLinesKept = 0 nothing is spuriously counted as dropped
+    val e = TextAnalysis.c4Kernel("", 3, ".!?\"", Seq(), 0, Seq())
+    assert(e.keep && e.n_lines_kept == 0 && e.n_lines_dropped == 0 && e.clean_text == "")
   }
 
   test("normalize kernel matches the expression form on ASCII + precomposed Latin-1") {
