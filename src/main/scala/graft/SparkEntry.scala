@@ -1174,7 +1174,22 @@ object SparkEntry {
       Corpus.weightedSample(
           Tables.documents(s, d).select("doc_id", "source", "n_chars"),
           "doc_id", "n_chars", n = 120)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- extension: bloom-prefiltered decontamination — q71's exact
+    // semantics (the bloom has no false negatives; the verify join kills
+    // its false positives) behind a per-row broadcast-bloom filter, so
+    // the clean majority never explodes into n-grams
+    "q109_x_bloom_decontaminate" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      Corpus.bloomDecontaminate(
+          docs.filter(col("source") =!= "src0")
+            .select("doc_id", "source", "n_chars", "text"),
+          docs.filter(col("source") === "src0"),
+          "doc_id", "text", n = 3)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2439,6 +2454,28 @@ object SparkEntry {
         |  FROM documents)
         |SELECT doc_id, source, n_chars FROM (
         |  SELECT * FROM s ORDER BY es DESC, doc_id LIMIT 120)
+        |ORDER BY doc_id""".stripMargin),
+
+    // q71's gram derivation, inverted: the CLEAN corpus (no shared gram
+    // with the held-out side) — the bloom prefilter is invisible to the
+    // result by the no-false-negative contract
+    "q109_x_bloom_decontaminate" ->
+      ("""WITH t AS (
+        |  SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, source,
+        |    unnest(CASE WHEN len(toks) >= 3
+        |           THEN list_transform(generate_series(1, len(toks) - 2),
+        |                  i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))
+        |           ELSE CAST([] AS VARCHAR[]) END) AS gram
+        |  FROM t),
+        |tg AS (SELECT DISTINCT gram FROM g WHERE source = 'src0'),
+        |dirty AS (
+        |  SELECT DISTINCT g.doc_id FROM g JOIN tg USING (gram)
+        |  WHERE g.source != 'src0')
+        |SELECT doc_id, source, n_chars FROM documents
+        |WHERE source != 'src0' AND doc_id NOT IN (SELECT doc_id FROM dirty)
         |ORDER BY doc_id""".stripMargin)
   ) ++ LinedOracles
 

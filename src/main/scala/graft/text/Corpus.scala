@@ -82,6 +82,47 @@ object Corpus {
       .agg(count(lit(1)).as("n_hits"), countDistinct(col("gram")).as("n_grams_hit"))
   }
 
+  /** Decontamination at corpus scale: a BLOOM-FILTER prefilter in front
+    * of [[contamination]]'s exact join. The held-out set's distinct
+    * n-grams build one driver-side bloom (≈1.2 MB per million grams at
+    * 1% fpp), broadcast once; the corpus side is then a pure per-row
+    * "any gram might be contaminated?" filter — no explode, no shuffle —
+    * and only the surviving candidates (true hits + ~fpp false
+    * positives) pay the exact verify join. Blooms have NO false
+    * negatives, so the final output is EXACT: identical to running the
+    * full join, at a fraction of the shuffle.
+    *
+    * This is the shape that matters at 100 TB: the plain
+    * [[contamination]] join explodes every corpus document into n-grams
+    * before the broadcast join can drop them; here the overwhelmingly
+    * clean majority dies in a codegen'd scan-side filter instead.
+    * Output: the CLEAN corpus rows (contaminated documents anti-joined
+    * away). */
+  def bloomDecontaminate(corpus: DataFrame, testSet: DataFrame,
+                         idCol: String, textCol: String, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    val spark = corpus.sparkSession
+    val testGrams = testSet
+      .select(explode(TextHash.shinglesCol(col(textCol), n)).as("gram"))
+      .distinct()
+    // benchmark-sized by contract (contamination's rationale) — the
+    // count and the bloom build are two tiny jobs on the test side
+    val nGrams = math.max(1L, testGrams.count())
+    val bf = testGrams.stat.bloomFilter("gram", nGrams, fpp)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val anyHit = udf { (grams: scala.collection.Seq[String]) =>
+      grams != null && grams.exists(bfB.value.mightContainString)
+    }
+    val candidates = corpus
+      .select(col(idCol), TextHash.shinglesCol(col(textCol), n).as("__grams"))
+      .filter(anyHit(col("__grams")))
+    val dirty = candidates
+      .select(col(idCol), explode(col("__grams")).as("gram"))
+      .join(broadcast(testGrams), Seq("gram"))
+      .select(col(idCol)).distinct()
+    corpus.join(dirty, Seq(idCol), "left_anti")
+  }
+
   /** Deterministic hash bucket in [0, buckets) for a key — the portable
     * md5 [[Cols.hash32]], so the assignment is reproducible across runs,
     * engines, and cluster layouts (unlike `rand()`-based sampling, which

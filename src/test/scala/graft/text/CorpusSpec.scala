@@ -59,6 +59,27 @@ class CorpusSpec extends SparkSpec {
     assert(keptIds.size > 200 && keptIds.size < 400, s"got ${keptIds.size}")
   }
 
+  test("bloomDecontaminate equals the exact anti-join (no false negatives survive)") {
+    val corpus = Seq(
+      (1L, "a b c d e f g h"),       // shares "c d e" with test
+      (2L, "p q r s t u v w"),       // clean
+      (3L, "x y z c d e q q"),       // shares "c d e"
+      (4L, "mm nn oo pp qq rr"),     // clean
+      (5L, "")                       // no grams -> clean
+    ).toDF("doc_id", "text")
+    val test = Seq((100L, "c d e zz ww")).toDF("doc_id", "text")
+    val got = Corpus.bloomDecontaminate(corpus, test, "doc_id", "text", n = 3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // exact semantics: contaminated docs 1 and 3 gone, everything else kept
+    val exact = corpus.join(
+        Corpus.contamination(corpus, test, "doc_id", "text", n = 3)
+          .withColumnRenamed("doc_id", "doc_id"),
+        Seq("doc_id"), "left_anti")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == exact)
+    assert(got == Set(2L, 4L, 5L))
+  }
+
   test("weightedSample matches the local Efraimidis-Spirakis replay and is retry-stable") {
     val rows = (1L to 300L).map(i => (i, 10L + (i % 47) * 3L))
     val df = rows.toDF("id", "w")
