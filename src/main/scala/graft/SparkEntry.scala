@@ -1189,7 +1189,16 @@ object SparkEntry {
           "doc_id", "text", n = 3)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")
-    })
+    }),
+
+    // ---- extension: batch gap sessionization (the offline twin of q56's
+    // streaming sessions) — lag-mark + running-sum over ONE shared window
+    // sort; 12h gap ≈ 22 sessions/user on the testdata
+    "q110_x_batch_sessions" -> tuned((s, d) =>
+      graft.operators.Sessionize.sessionStats(
+          Tables.events(s, d).select("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", gapMinutes = 720)
+        .orderBy("user_id", "session_idx"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2476,7 +2485,27 @@ object SparkEntry {
         |  WHERE g.source != 'src0')
         |SELECT doc_id, source, n_chars FROM documents
         |WHERE source != 'src0' AND doc_id NOT IN (SELECT doc_id FROM dirty)
-        |ORDER BY doc_id""".stripMargin)
+        |ORDER BY doc_id""".stripMargin),
+
+    // the same lag-mark + ROWS-frame running sum in DuckDB window SQL;
+    // gaps compare in exact integer microseconds on both sides
+    "q110_x_batch_sessions" ->
+      ("""WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+        |m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |x AS (
+        |  SELECT user_id, us,
+        |    sum(new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared duplicated-5-gram detection CTEs (q98/q100): per-doc token

@@ -202,4 +202,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), s"top-n lost:\n$p")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0, p)
   }
+
+  test("batch sessions (q110): one shuffle end-to-end, windows stacked on one sort") {
+    val p = plan("q110_x_batch_sessions")
+    // lag (frame [-1,-1]) and running sum (unbounded..current) need two
+    // WindowExecs, but they STACK on one (key, ts, tie) sort — and the
+    // (key, session) aggregate reuses the key partitioning, so the whole
+    // operator costs exactly one hash exchange
+    assert(p.linesIterator.count(_.contains("Window")) === 2, p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"sessionization must be a single-shuffle operator:\n$p")
+    // two sorts total: the shared window sort + the final orderBy
+    assert(p.linesIterator.count(_.contains("Sort [")) <= 2, p)
+  }
 }

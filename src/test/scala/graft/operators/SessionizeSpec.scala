@@ -1,0 +1,58 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Batch gap sessionization: session boundaries, tie determinism, and
+  * the per-session stats. */
+class SessionizeSpec extends SparkSpec {
+  import spark.implicits._
+
+  // minutes → micros offset from a fixed origin
+  private def ts(min: Long) =
+    new java.sql.Timestamp(1700000000000L + min * 60000L)
+
+  test("byGap: sessions split exactly when the gap EXCEEDS the threshold") {
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(30)),   // same session (30 <= 30)
+      (1L, 3L, ts(61)),                    // 31-min gap -> new session
+      (1L, 4L, ts(200)),                   // new session
+      (2L, 5L, ts(0))                      // other key, own session
+    ).toDF("uid", "eid", "t")
+    val out = Sessionize.byGap(df, "uid", "t", "eid", gapMinutes = 30)
+      .select("uid", "eid", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out((1L, 1L)) == 1L && out((1L, 2L)) == 1L)
+    assert(out((1L, 3L)) == 2L)
+    assert(out((1L, 4L)) == 3L)
+    assert(out((2L, 5L)) == 1L)
+  }
+
+  test("byGap: equal timestamps order by the tiebreak, deterministically") {
+    val df = Seq(
+      (1L, 20L, ts(0)), (1L, 10L, ts(0)),  // tie: eid 10 sorts first
+      (1L, 30L, ts(45))
+    ).toDF("uid", "eid", "t")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Sessionize.byGap(d, "uid", "t", "eid", gapMinutes = 30)
+        .select("eid", "session_idx").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val a = run(df)
+    assert(a(10L) == 1L && a(20L) == 1L && a(30L) == 2L)
+    assert(run(df.repartition(7)) == a)
+  }
+
+  test("sessionStats: counts, bounds, and exact micro durations") {
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(10)), (1L, 3L, ts(100))
+    ).toDF("uid", "eid", "t")
+    val out = Sessionize.sessionStats(df, "uid", "t", "eid", gapMinutes = 30)
+      .orderBy("session_idx").collect()
+    assert(out.length == 2)
+    val s1 = out(0)
+    assert(s1.getAs[Long]("n_events") == 2L)
+    assert(s1.getAs[Long]("duration_us") == 10L * 60 * 1000000)
+    val s2 = out(1)
+    assert(s2.getAs[Long]("n_events") == 1L && s2.getAs[Long]("duration_us") == 0L)
+  }
+}
