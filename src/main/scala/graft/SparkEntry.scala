@@ -1198,7 +1198,19 @@ object SparkEntry {
       graft.operators.Sessionize.sessionStats(
           Tables.events(s, d).select("user_id", "event_id", "ts"),
           "user_id", "ts", "event_id", gapMinutes = 720)
-        .orderBy("user_id", "session_idx"))
+        .orderBy("user_id", "session_idx")),
+
+    // ---- extension: two-stage quantized ANN — int8 coarse pool (4x
+    // smaller corpus representation) + exact cosine re-rank; every stage
+    // deterministic, so unlike LSH/IVF this approximate path is
+    // oracle-checked end-to-end
+    "q111_x_quantized_ann" -> tuned((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.quantizedTopK(e.filter(col("vec_id") < 32), e,
+          "vec_id", "embedding", k = 3, refine = 4)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
+        .orderBy("query_id", "rank")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2505,7 +2517,47 @@ object SparkEntry {
         |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
         |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
-        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // q97's quantize/dequantize replay feeds the coarse cosine; pool of
+    // refine*k = 12 by (rounded coarse desc, id), then q49's exact cosine
+    // re-ranks the pool — deterministic at every stage
+    "q111_x_quantized_ann" -> {
+      def lsum(body: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> $body))"
+      (s"""WITH s AS (
+        |  SELECT vec_id, embedding,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS scale
+        |  FROM embeddings),
+        |d AS (
+        |  SELECT vec_id, embedding,
+        |    list_transform(embedding, x -> CASE WHEN scale = 0 THEN CAST(0 AS DOUBLE)
+        |      ELSE greatest(-127.0, least(127.0, floor(CAST(x AS DOUBLE) / scale + 0.5))) END
+        |      * scale) AS deq
+        |  FROM s),
+        |qs AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 32),
+        |coarse AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(${lsum("CAST(q.embedding[i] AS DOUBLE) * c.deq[i]")}
+        |      / nullif(sqrt(${lsum("CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)")})
+        |          * sqrt(${lsum("c.deq[i] * c.deq[i]")}), 0), 4) AS cs
+        |  FROM qs q JOIN d c ON c.vec_id <> q.vec_id),
+        |pool AS (
+        |  SELECT query_id, neighbor_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS r
+        |  FROM coarse),
+        |ex AS (
+        |  SELECT p.query_id, p.neighbor_id, $CosSimSql AS cos_sim
+        |  FROM pool p
+        |  JOIN embeddings q ON q.vec_id = p.query_id
+        |  JOIN embeddings c ON c.vec_id = p.neighbor_id
+        |  WHERE p.r <= 12),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM ex)
+        |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
+        |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
+    }
   ) ++ LinedOracles
 
   /** Shared duplicated-5-gram detection CTEs (q98/q100): per-doc token

@@ -42,6 +42,70 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Two-stage quantized top-k: an int8-quantized COARSE pass ranks a
+    * `refine`·k candidate pool per query, then the exact codegen'd cosine
+    * re-ranks only the pool — the standard re-rank ANN shape (IVF-PQ's
+    * ancestor). The corpus streams as codes+scale (4x smaller than
+    * float32: at 100 TB of embeddings that is the difference between
+    * spilling and not); the refine factor buys back the quantization
+    * error, and every stage is deterministic (portable floor rounding,
+    * round-before-rank, id tiebreaks), so the result is engine-replayable
+    * — unlike LSH/IVF this approximate path still hash-matches an oracle.
+    * Output: (query_id, neighbor_id, cos_sim, rank), exact scores. */
+  def quantizedTopK(queries: DataFrame, corpus: DataFrame,
+                    idCol: String, vecCol: String, k: Int,
+                    refine: Int = 4, roundTo: Int = 4): DataFrame = {
+    require(refine >= 1, s"refine must be >= 1, got $refine")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val quant = udf((v: Array[Float]) =>
+      if (v == null) null
+      else { val s = VectorOps.int8Scale(v); (VectorOps.quantizeInt8(v, s), s) })
+    val c = corpus
+      .select(col(idCol).as("neighbor_id"), quant(col(vecCol)).as("__q"))
+      .select(col("neighbor_id"),
+        col("__q").getField("_1").as("__codes"),
+        col("__q").getField("_2").as("__scale"))
+    // coarse cosine(q_float, dequantized c) — index-ascending double
+    // accumulation, the same order the DuckDB replay sums in
+    val coarse = udf((qv: Array[Float], codes: Array[Byte], scale: Double) => {
+      if (qv == null || codes == null) null
+      else {
+        var dot = 0.0; var nq = 0.0; var nc = 0.0
+        val n = math.min(qv.length, codes.length)
+        var i = 0
+        while (i < n) {
+          val cd = codes(i) * scale
+          dot += qv(i).toDouble * cd
+          nc += cd * cd
+          i += 1
+        }
+        while (i < codes.length) { val cd = codes(i) * scale; nc += cd * cd; i += 1 }
+        var j = 0
+        while (j < qv.length) { nq += qv(j).toDouble * qv(j); j += 1 }
+        val den = math.sqrt(nq) * math.sqrt(nc)
+        if (den == 0.0) null else java.lang.Double.valueOf(dot / den)
+      }
+    })
+    val pool = c.crossJoin(broadcast(q))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(coarse(col("__qv"), col("__codes"), col("__scale")), roundTo).as("__coarse"))
+    val wp = Window.partitionBy("query_id")
+      .orderBy(col("__coarse").desc, col("neighbor_id"))
+    val cand = pool.withColumn("__r", row_number().over(wp))
+      .filter(col("__r") <= k * refine)
+      .select("query_id", "neighbor_id")
+    // exact re-rank joins float vectors back onto the SMALL pool only
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val exact = cand.join(cv, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), roundTo)
+          .as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** Deterministic ±1 hyperplane component for (table, bit, i) — the
     * portable-hash sign pattern, computed once per (table, nBits, dim) on
     * the driver and closed over by the bucket UDF. */

@@ -29,6 +29,32 @@ class SimilaritySpec extends SparkSpec {
     assert(out.groupBy(_.getAs[Long]("query_id")).values.forall(_.size <= 2))
   }
 
+  test("quantizedTopK: exact scores, high recall vs brute force on a random corpus") {
+    val rng = new scala.util.Random(7)
+    val corpus = (0L until 200L).map(i =>
+      (i, Array.fill(16)(rng.nextFloat() * 2 - 1))).toDF("vec_id", "embedding")
+    val queries = corpus.filter(col("vec_id") < 10)
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id")) ->
+        r.getAs[Double]("cos_sim")).toMap
+    val exact = asMap(Similarity.bruteForceTopK(queries, corpus, "vec_id", "embedding", k = 5))
+    val quant = asMap(Similarity.quantizedTopK(queries, corpus, "vec_id", "embedding",
+      k = 5, refine = 4))
+    // returned scores are EXACT cosines (re-rank stage), never quantized
+    quant.foreach { case (pair, cs) =>
+      exact.get(pair).foreach(e => assert(e == cs, s"$pair: $cs vs $e")) }
+    // int8 + refine=4 recovers nearly all true neighbors at dim 16
+    val recall = quant.keySet.count(exact.keySet).toDouble / exact.size
+    assert(recall >= 0.9, s"recall $recall")
+  }
+
+  test("quantizedTopK: refine >= corpus size reproduces brute force exactly") {
+    val out = Similarity.quantizedTopK(
+      vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3, refine = 10)
+      .orderBy("rank").collect().toSeq
+    assert(out.map(_.getAs[Long]("neighbor_id")) === Seq(1L, 2L, 3L))
+  }
+
   test("srpKey: deterministic bucket keys; identical vectors share buckets") {
     val two = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
