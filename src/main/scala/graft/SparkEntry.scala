@@ -1210,6 +1210,29 @@ object SparkEntry {
           "vec_id", "embedding", k = 3, refine = 4)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")
+    }),
+
+    // ---- extension: the NATIVE as-of join (custom LogicalPlan +
+    // Strategy + AsofJoinExec, q77's derivation in OUTER mode) — one
+    // streaming merge per partition with O(1) state, vs q77's
+    // union+window rewrite; oracle = DuckDB ASOF LEFT JOIN
+    "q112_x_native_asof_join" -> tuned((s, d) => {
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("tot"), count(lit(1)).as("n"))
+        .filter(col("n") >= 45)
+        // o_orderdate is a TIMESTAMP: the native join compares raw
+        // internal values, so the month boundary rides as midnight
+        // timestamp (DuckDB's date-vs-timestamp promotion does the same)
+        .select(col("o_orderpriority"),
+          col("month").cast("timestamp_ntz").as("month"), col("tot"))
+      val left = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      org.apache.spark.sql.graft.AsofJoinNative.join(left, right,
+          keys = Seq("o_orderpriority"), leftTime = "o_orderdate",
+          rightTime = "month", payload = Seq("tot"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2557,7 +2580,22 @@ object SparkEntry {
         |  FROM ex)
         |SELECT query_id, neighbor_id, cos_sim, rank FROM ranked
         |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin)
-    }
+    },
+
+    // q77's derivation through DuckDB's native ASOF LEFT JOIN — the
+    // outer-mode twin checking AsofJoinExec's streaming merge
+    "q112_x_native_asof_join" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(o_totalprice), 2) AS tot, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, month, tot FROM m WHERE n >= 45),
+        |l AS (SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        |      WHERE o_orderkey % 97 = 0)
+        |SELECT l.o_orderkey, l.o_orderpriority, l.o_orderdate, r.tot
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.o_orderpriority = r.o_orderpriority AND l.o_orderdate >= r.month
+        |ORDER BY o_orderkey""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared duplicated-5-gram detection CTEs (q98/q100): per-doc token

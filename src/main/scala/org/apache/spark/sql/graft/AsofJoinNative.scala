@@ -1,0 +1,202 @@
+// Lives inside org.apache.spark.sql (same rationale as CosineSim.scala):
+// the custom-plan surface (Dataset.ofRows, BindReferences, BinaryExecNode)
+// is private[sql] — this is the standard third-party custom-operator
+// pattern.
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native backward as-of join — the (c) tier of the custom-operator
+  * preference order: a custom `LogicalPlan` + `SparkStrategy` +
+  * `SparkPlan`, registered via `SparkSessionExtensions`
+  * ([[GraftExtensions]]) or `spark.experimental.extraStrategies`.
+  *
+  * Semantics match [[graft.operators.AsofJoin.asofJoin]]'s OUTER mode
+  * (parity-asserted in AsofJoinNativeSpec): for every left row, the
+  * latest right row of the same key with `rightTime <= leftTime`; null
+  * payload when none exists. Both children are hash-clustered on the
+  * keys and sorted by (keys, time) — the EnsureRequirements contract —
+  * and each partition then runs ONE streaming merge with O(1) state (the
+  * current right row + the last match), never materializing a per-key
+  * buffer. Same shuffle envelope as the union+window rewrite, but no
+  * window sort buffer on the unioned row stream, no struct packing, and
+  * ~half the sorted volume (each side sorts its own columns only).
+  *
+  * Null contract: a null key or null left time matches nothing (emits
+  * null payload); right rows with null time are skipped. Nulls sort
+  * FIRST per the natural ascending ordering, so the merge stays aligned
+  * with the children's sort.
+  */
+case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression,
+                        payload: Seq[Attribute]) extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(newLeft: LogicalPlan,
+                                                 newRight: LogicalPlan): AsofJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsofJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
+                        leftKeys: Seq[Expression], rightKeys: Seq[Expression],
+                        leftTime: Expression, rightTime: Expression,
+                        payload: Seq[Attribute]) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
+
+  // left rows pass through in order, exactly once
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
+      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  override protected def withNewChildrenInternal(newLeft: SparkPlan,
+                                                 newRight: SparkPlan): AsofJoinExec =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    // capture locals: the closure must not drag the SparkPlan along
+    val lOut = left.output
+    val rOut = right.output
+    val lKeys = leftKeys
+    val rKeys = rightKeys
+    val lTime = leftTime
+    val rTime = rightTime
+    val pay = payload
+    val allOut = output
+    left.execute().zipPartitions(right.execute()) { (li, ri) =>
+      val lKeyProj = UnsafeProjection.create(lKeys, lOut)
+      val rKeyProj = UnsafeProjection.create(rKeys, rOut)
+      val payProj = UnsafeProjection.create(pay, rOut)
+      val lTimeEval = BindReferences.bindReference(lTime, lOut)
+      val rTimeEval = BindReferences.bindReference(rTime, rOut)
+      val keyOrd = RowOrdering.createNaturalAscendingOrdering(lKeys.map(_.dataType))
+      val timeOrd = TypeUtils.getInterpretedOrdering(lTime.dataType)
+        .asInstanceOf[Ordering[Any]]
+      val nullPay = new GenericInternalRow(pay.length)
+      val joined = new JoinedRow
+      val outProj = UnsafeProjection.create(allOut, allOut)
+
+      new Iterator[InternalRow] {
+        // O(1) merge state: current right row (key/time/row) + last match
+        private var rRow: InternalRow = _
+        private var rKey: UnsafeRow = _
+        private var rT: Any = _
+        private var matchKey: UnsafeRow = _
+        private var matchPay: UnsafeRow = _
+        advanceRight()
+
+        private def advanceRight(): Unit = {
+          rRow = null
+          while (rRow == null && ri.hasNext) {
+            val row = ri.next()
+            val t = rTimeEval.eval(row)
+            if (t != null) { // null right time never matches — skip
+              rRow = row
+              rKey = rKeyProj(row).copy()
+              rT = t
+            }
+          }
+        }
+
+        override def hasNext: Boolean = li.hasNext
+
+        override def next(): InternalRow = {
+          val l = li.next()
+          val lk = lKeyProj(l)
+          val lt = lTimeEval.eval(l)
+          if (lt != null) {
+            // consume right rows up to (key, time): the pointer only
+            // moves forward because the left side is sorted the same way
+            var advancing = true
+            while (advancing && rRow != null) {
+              val c = keyOrd.compare(rKey, lk)
+              if (c < 0) advanceRight()
+              else if (c == 0 && timeOrd.compare(rT, lt) <= 0) {
+                matchKey = rKey
+                matchPay = payProj(rRow).copy()
+                advanceRight()
+              } else advancing = false
+            }
+          }
+          val hit = lt != null && matchKey != null && keyOrd.compare(matchKey, lk) == 0
+          outProj(joined(l, if (hit) matchPay else nullPay))
+        }
+      }
+    }
+  }
+}
+
+/** DataFrame-level API for [[AsofJoinExec]]. */
+object AsofJoinNative {
+
+  /** Backward as-of join `left` ⟕ `right` on equality `keys` with
+    * `rightTime <= leftTime` (outer: unmatched left rows keep null
+    * payload). Output: every left column, then `payload` columns from
+    * the matched right row. */
+  def join(left: DataFrame, right: DataFrame, keys: Seq[String],
+           leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "asof join needs at least one equality key")
+    val spark = left.sparkSession
+    ensureStrategy(spark)
+    val lp = left.queryExecution.analyzed
+    // fresh exprIds on the right side: a self-join would otherwise carry
+    // duplicate attribute ids into the custom plan (the analyzer's
+    // DeduplicateRelations does not descend into unknown nodes)
+    val rp0 = right.queryExecution.analyzed
+    val rp = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rp0.output.map(a => Alias(a, a.name)()), rp0)
+    def attr(out: Seq[Attribute], n: String, side: String): Attribute =
+      out.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(s"$side column $n not found in ${out.map(_.name)}"))
+    val rOut = rp.output.map(_.toAttribute)
+    val lt = attr(lp.output, leftTime, "left")
+    val rt = attr(rOut, rightTime, "right")
+    // the merge compares raw internal values — a date (int days) against
+    // a timestamp (long micros) would be garbage, so mismatched types
+    // fail HERE, not as a task-level ClassCastException
+    require(lt.dataType == rt.dataType,
+      s"as-of time columns must share one type: $leftTime is ${lt.dataType}, " +
+        s"$rightTime is ${rt.dataType} — cast one side first")
+    val lk = keys.map(attr(lp.output, _, "left"))
+    val rk = keys.map(attr(rOut, _, "right"))
+    lk.zip(rk).foreach { case (a, b) =>
+      require(a.dataType == b.dataType,
+        s"as-of key ${a.name} type mismatch: ${a.dataType} vs ${b.dataType}") }
+    val plan = AsofJoinPlan(lp, rp, lk, rk, lt, rt, payload.map(attr(rOut, _, "right")))
+    classicDataset(spark, plan)
+  }
+
+  /** Idempotently install [[AsofJoinStrategy]] on a live session (the
+    * config path is `spark.sql.extensions=...GraftExtensions`). */
+  def ensureStrategy(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsofJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+  }
+
+  private def classicDataset(spark: SparkSession, plan: LogicalPlan): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+}

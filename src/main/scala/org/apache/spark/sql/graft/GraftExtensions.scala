@@ -16,8 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *     already-built session (tests, notebooks).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
+    // the custom-plan tier: AsofJoinPlan plans to AsofJoinExec
+    ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -34,8 +37,10 @@ object GraftExtensions {
       }))
 
   /** Register the function surface on a live session (idempotent). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     functions.foreach { case (ident, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(ident, info, builder)
     }
+    AsofJoinNative.ensureStrategy(spark)
+  }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.AsofJoinNative
+
+/** The native AsofJoinExec (custom LogicalPlan + Strategy + SparkPlan)
+  * against the union+window rewrite it replaces: same rows, plus the
+  * plan-shape and merge-state contracts. */
+class AsofJoinNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quotes = Seq(
+    ("A", 1L, 10.0), ("A", 3L, 11.0), ("A", 3L, 11.5), ("A", 7L, 12.0),
+    ("B", 2L, 20.0), ("B", 9L, 21.0),
+    ("C", 5L, 30.0)
+  ).toDF("sym", "t", "px")
+
+  test("native as-of matches the union+window rewrite in outer mode") {
+    val t = Seq(("A", 0L, 1L), ("A", 3L, 2L), ("A", 5L, 3L), ("A", 99L, 4L),
+      ("B", 1L, 5L), ("B", 9L, 6L), ("D", 4L, 7L)).toDF("sym", "t", "qty")
+    val native = AsofJoinNative.join(t, quotes, Seq("sym"), "t", "t", Seq("px"))
+      .orderBy("sym", "t")
+      .select("sym", "t", "qty", "px").collect().toSeq
+    val rewrite = AsofJoin.asofJoin(
+        t, quotes.withColumnRenamed("t", "qt"), Seq("sym"), "t", "qt", Seq("px"),
+        inner = false)
+      .orderBy("sym", "t")
+      .select("sym", "t", "qty", "px").collect().toSeq
+    assert(native == rewrite)
+    // spot semantics: equal time matches; later dup (11.5) wins at t=3
+    val m = native.map(r => (r.getString(0), r.getLong(1)) -> r.get(3)).toMap
+    assert(m(("A", 0L)) == null)          // before first quote
+    assert(m(("A", 3L)) == 11.5)          // tie matches, latest dup wins
+    assert(m(("A", 99L)) == 12.0)         // far future: last quote
+    assert(m(("D", 4L)) == null)          // key with no quotes
+  }
+
+  test("native as-of plans the custom exec with clustered+sorted children") {
+    val t = Seq(("A", 5L, 1L)).toDF("sym", "t", "qty")
+    val df = AsofJoinNative.join(t, quotes, Seq("sym"), "t", "t", Seq("px"))
+    val p = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix: the node prints "AsofJoin"
+    assert(p.contains("AsofJoin "), s"custom exec missing:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // EnsureRequirements must have inserted one exchange + sort per side
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 2, p)
+    assert(p.linesIterator.count(_.contains("Sort [")) === 2, p)
+  }
+
+  test("native as-of survives a self-join (fresh right-side exprIds)") {
+    val e = Seq(("A", 1L), ("A", 4L), ("A", 6L)).toDF("sym", "t")
+    val out = AsofJoinNative.join(
+        e, e.withColumn("prev_t", col("t")), Seq("sym"), "t", "t", Seq("prev_t"))
+      .orderBy("t").select("t", "prev_t").collect()
+      .map(r => r.getLong(0) -> r.get(1)).toMap
+    // each row's latest match is itself (rightTime <= leftTime includes ties)
+    assert(out == Map(1L -> 1L, 4L -> 4L, 6L -> 6L))
+  }
+
+  test("native as-of: null left time and null-time right rows never match") {
+    val l = Seq((java.lang.Long.valueOf(1L), "A"), (null.asInstanceOf[java.lang.Long], "A"))
+      .toDF("t", "sym")
+    val r = Seq((java.lang.Long.valueOf(0L), "A", 1.0),
+      (null.asInstanceOf[java.lang.Long], "A", 99.0)).toDF("t", "sym", "px")
+    val out = AsofJoinNative.join(l, r, Seq("sym"), "t", "t", Seq("px"))
+      .collect().map(row => Option(row.get(0)) -> row.get(2)).toMap
+    assert(out(Some(1L)) == 1.0)   // matches the t=0 quote, not the null-time one
+    assert(out(None) == null)      // null left time -> no match
+  }
+}
