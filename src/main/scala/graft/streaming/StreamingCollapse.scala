@@ -289,23 +289,23 @@ object StreamingCollapse {
     * pipeline pass `stateTtlMinutes=Some(m)`: buckets idle for m minutes
     * are dropped via a processing-time timeout (the sessionize pattern),
     * so the index holds only the recent-ingest working set instead of
-    * growing without bound. Off by default because processing-time
-    * timeouts re-trigger empty micro-batches forever and
-    * `processAllAvailable` never sees the stream idle (the test/oracle
-    * path runs one batch to completion). Emission is
+    * growing without bound. The TTL belongs ONLY on a standing query: a
+    * registered processing-time timeout re-triggers micro-batches
+    * indefinitely to service future deadlines (verified: a bounded drain
+    * spins thousands of empty batches even under Trigger.AvailableNow),
+    * so the run-to-completion runner [[streamingNearDupPairs]] omits the
+    * dial entirely rather than hanging. Emission is
     * per-band, so one pair sharing b bands appears b times in the raw
     * stream; the estimate is computed from the FULL signatures carried in
     * state, so duplicates are identical rows and one downstream
     * `dropDuplicates` (batch, over the appended sink) restores exactly the
     * batch operator's output — which is what makes it oracle-checkable
     * (q78 shares q46's DuckDB oracle). */
-  def streamingNearDupPairs(spark: SparkSession, dir: String,
-                            k: Int = 8, bands: Int = 4,
-                            shingleK: Int = 3,
-                            stateTtlMinutes: Option[Int] = None): DataFrame = {
+  def nearDupPairsStream(spark: SparkSession, dir: String,
+                         k: Int = 8, bands: Int = 4,
+                         shingleK: Int = 3,
+                         stateTtlMinutes: Option[Int] = None): Dataset[NearDupPair] = {
     graft.GraftSession.tune(spark)
-    val name = "graft_stream_neardup"
-    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     import spark.implicits._
     val rows = k / bands
     val banded = spark.readStream
@@ -359,6 +359,18 @@ object StreamingCollapse {
             out.iterator
           }
       }
+    pairs
+  }
+
+  /** Bounded memory-sink drain of [[nearDupPairsStream]] (the q78 verify
+    * path). NoTimeout only — see [[nearDupPairsStream]] for why a TTL
+    * cannot drain to completion. */
+  def streamingNearDupPairs(spark: SparkSession, dir: String,
+                            k: Int = 8, bands: Int = 4,
+                            shingleK: Int = 3): DataFrame = {
+    val name = "graft_stream_neardup"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val pairs = nearDupPairsStream(spark, dir, k, bands, shingleK, stateTtlMinutes = None)
     val q = pairs.writeStream
       .outputMode("append")
       .format("memory")

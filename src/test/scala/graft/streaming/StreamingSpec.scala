@@ -33,6 +33,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("nearDupPairsStream: TTL dial builds a standing streaming dataset (never drained here)") {
+    // the dial is standing-pipeline-only: a processing-time timeout
+    // re-triggers micro-batches forever, so no bounded drain exists to
+    // test — this pins that the TTL plan at least CONSTRUCTS, and that
+    // the bounded runner deliberately has no TTL parameter
+    val ds = nearDupPairsStream(spark, "/root/testdata/sf0.001",
+      k = 8, bands = 4, stateTtlMinutes = Some(60))
+    assert(ds.isStreaming)
+    assert(ds.schema.fieldNames.toSeq == Seq("id_a", "id_b", "est_jaccard"))
+  }
+
   test("clickPurchaseJoin: stream-stream join equals the batch time-bounded join") {
     val dir = "/root/testdata/sf0.001"
     val streamed = clickPurchaseJoin(spark, dir, windowMinutes = 60).collect()
