@@ -33,10 +33,20 @@ object Similarity {
                      roundTo: Int = 4): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val scored = c.crossJoin(broadcast(q))
+    val pairs = c.crossJoin(broadcast(q))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
+    rankExact(pairs, k, roundTo)
+  }
+
+  /** The one place the exact-ranking contract lives (shared by
+    * [[bruteForceTopK]] and [[quantizedTopK]]'s re-rank, and replayed by
+    * their DuckDB oracles): codegen'd cosine over (__qv, __cv), rounded
+    * BEFORE ranking so float-summation order cannot flip ranks, ties to
+    * the smaller neighbor id. */
+  private def rankExact(pairs: DataFrame, k: Int, roundTo: Int): DataFrame = {
+    val scored = pairs.select(col("query_id"), col("neighbor_id"),
+      round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), roundTo)
+        .as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
@@ -97,13 +107,7 @@ object Similarity {
       .select("query_id", "neighbor_id")
     // exact re-rank joins float vectors back onto the SMALL pool only
     val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
-    val exact = cand.join(cv, Seq("neighbor_id")).join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), roundTo)
-          .as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    exact.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankExact(cand.join(cv, Seq("neighbor_id")).join(broadcast(q), Seq("query_id")), k, roundTo)
   }
 
   /** Deterministic ±1 hyperplane component for (table, bit, i) — the

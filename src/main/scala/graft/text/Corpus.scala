@@ -102,11 +102,14 @@ object Corpus {
                          idCol: String, textCol: String, n: Int = 8,
                          fpp: Double = 0.01): DataFrame = {
     val spark = corpus.sparkSession
+    // cached once: the gram lineage otherwise re-executes for the count,
+    // the bloom build, AND the verify join (three jobs over one explode)
     val testGrams = testSet
       .select(explode(TextHash.shinglesCol(col(textCol), n)).as("gram"))
       .distinct()
+      .persist()
     // benchmark-sized by contract (contamination's rationale) — the
-    // count and the bloom build are two tiny jobs on the test side
+    // count and the bloom build are two tiny jobs on the cached side
     val nGrams = math.max(1L, testGrams.count())
     val bf = testGrams.stat.bloomFilter("gram", nGrams, fpp)
     val bfB = spark.sparkContext.broadcast(bf)
@@ -116,10 +119,18 @@ object Corpus {
     val candidates = corpus
       .select(col(idCol), TextHash.shinglesCol(col(textCol), n).as("__grams"))
       .filter(anyHit(col("__grams")))
+    // dirty ids are tiny (contaminated docs only): materialize them
+    // eagerly so the test-gram cache can be RELEASED here instead of
+    // leaking until ContextCleaner reachability (the round-3 cache-
+    // lifetime discipline); the bloom broadcast stays referenced by the
+    // candidate filter's lineage and is reclaimed with the result
     val dirty = candidates
       .select(col(idCol), explode(col("__grams")).as("gram"))
       .join(broadcast(testGrams), Seq("gram"))
       .select(col(idCol)).distinct()
+      .persist()
+    dirty.count()
+    testGrams.unpersist()
     corpus.join(dirty, Seq(idCol), "left_anti")
   }
 

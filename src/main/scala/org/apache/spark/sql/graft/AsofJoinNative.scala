@@ -112,10 +112,16 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           while (rRow == null && ri.hasNext) {
             val row = ri.next()
             val t = rTimeEval.eval(row)
-            if (t != null) { // null right time never matches — skip
-              rRow = row
-              rKey = rKeyProj(row).copy()
-              rT = t
+            // null right time never matches; neither does a null key
+            // (SQL equality, like DuckDB ASOF) — both are skipped, which
+            // is safe because nulls sort FIRST in the children's order
+            if (t != null) {
+              val k = rKeyProj(row)
+              if (!k.anyNull) {
+                rRow = row
+                rKey = k.copy()
+                rT = t
+              }
             }
           }
         }
@@ -126,7 +132,9 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           val l = li.next()
           val lk = lKeyProj(l)
           val lt = lTimeEval.eval(l)
-          if (lt != null) {
+          // a null left key matches nothing (and must not advance the
+          // pointer: null keys sort before every real key)
+          if (lt != null && !lk.anyNull) {
             // consume right rows up to (key, time): the pointer only
             // moves forward because the left side is sorted the same way
             var advancing = true
@@ -140,7 +148,8 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               } else advancing = false
             }
           }
-          val hit = lt != null && matchKey != null && keyOrd.compare(matchKey, lk) == 0
+          val hit = lt != null && !lk.anyNull && matchKey != null &&
+            keyOrd.compare(matchKey, lk) == 0
           outProj(joined(l, if (hit) matchPay else nullPay))
         }
       }
@@ -158,6 +167,12 @@ object AsofJoinNative {
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
     require(keys.nonEmpty, "asof join needs at least one equality key")
+    // same guard as AsofJoin.asofJoin: a payload name colliding with a
+    // left column would emit two same-named columns (different exprIds)
+    // and push an AMBIGUOUS_REFERENCE onto the first downstream select
+    val collisions = payload.filter(left.columns.contains)
+    require(collisions.isEmpty,
+      s"payload columns $collisions collide with left columns")
     val spark = left.sparkSession
     ensureStrategy(spark)
     val lp = left.queryExecution.analyzed

@@ -58,6 +58,21 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 4L -> 4L, 6L -> 6L))
   }
 
+  test("native as-of: null keys never match, even against each other") {
+    val l = Seq((Option("A"), 5L), (None: Option[String], 5L)).toDF("sym", "t")
+    val r = Seq((Option("A"), 1L, 1.0), (None: Option[String], 1L, 99.0))
+      .toDF("sym", "t", "px")
+    val out = AsofJoinNative.join(l, r, Seq("sym"), "t", "t", Seq("px"))
+      .collect().map(row => Option(row.getString(0)) -> row.get(2)).toMap
+    assert(out(Some("A")) == 1.0)
+    assert(out(None) == null, "null = null must not match (SQL equality)")
+    // payload/left collision fails loudly, same guard as the rewrite
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinNative.join(l.withColumn("px", lit(0.0)), r, Seq("sym"), "t", "t", Seq("px"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("native as-of: null left time and null-time right rows never match") {
     val l = Seq((java.lang.Long.valueOf(1L), "A"), (null.asInstanceOf[java.lang.Long], "A"))
       .toDF("t", "sym")

@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
 class SessionizeSpec extends SparkSpec {
   import spark.implicits._
 
-  // minutes → micros offset from a fixed origin
+  // minutes → MILLISECOND offset from a fixed origin (Timestamp(long)
+  // takes epoch millis)
   private def ts(min: Long) =
     new java.sql.Timestamp(1700000000000L + min * 60000L)
 
