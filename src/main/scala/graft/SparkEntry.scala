@@ -1233,6 +1233,26 @@ object SparkEntry {
           keys = Seq("o_orderpriority"), leftTime = "o_orderdate",
           rightTime = "month", payload = Seq("tot"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: FORWARD as-of (next-observation join) through the
+    // same native exec — DuckDB can only express it by negating both
+    // time axes into a backward ASOF, which is exactly what the oracle
+    // does (right (key, month) is unique, so the tie caveat is moot)
+    "q113_x_forward_asof_join" -> tuned((s, d) => {
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("tot"), count(lit(1)).as("n"))
+        .filter(col("n") >= 45)
+        .select(col("o_orderpriority"),
+          col("month").cast("timestamp_ntz").as("month"), col("tot"))
+      val left = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      org.apache.spark.sql.graft.AsofJoinNative.join(left, right,
+          keys = Seq("o_orderpriority"), leftTime = "o_orderdate",
+          rightTime = "month", payload = Seq("tot"), direction = "forward")
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2595,6 +2615,23 @@ object SparkEntry {
         |SELECT l.o_orderkey, l.o_orderpriority, l.o_orderdate, r.tot
         |FROM l ASOF LEFT JOIN r
         |  ON l.o_orderpriority = r.o_orderpriority AND l.o_orderdate >= r.month
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // forward as-of via the negation law: backward ASOF over -epoch_us
+    // picks the largest -rt <= -lt, i.e. the SMALLEST rt >= lt
+    "q113_x_forward_asof_join" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(o_totalprice), 2) AS tot, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, -epoch_us(CAST(month AS TIMESTAMP)) AS nt, tot
+        |      FROM m WHERE n >= 45),
+        |l AS (SELECT o_orderkey, o_orderpriority, o_orderdate,
+        |             -epoch_us(o_orderdate) AS nt
+        |      FROM orders WHERE o_orderkey % 97 = 0)
+        |SELECT l.o_orderkey, l.o_orderpriority, l.o_orderdate, r.tot
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.o_orderpriority = r.o_orderpriority AND l.nt >= r.nt
         |ORDER BY o_orderkey""".stripMargin)
   ) ++ LinedOracles
 

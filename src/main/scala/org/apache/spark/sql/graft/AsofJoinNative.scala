@@ -13,7 +13,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Dist
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 
-/** Native backward as-of join — the (c) tier of the custom-operator
+/** Native as-of join (backward and forward) — the (c) tier of the custom-operator
   * preference order: a custom `LogicalPlan` + `SparkStrategy` +
   * `SparkPlan`, registered via `SparkSessionExtensions`
   * ([[GraftExtensions]]) or `spark.experimental.extraStrategies`.
@@ -33,11 +33,19 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * null payload); right rows with null time are skipped. Nulls sort
   * FIRST per the natural ascending ordering, so the merge stays aligned
   * with the children's sort.
+  *
+  * FORWARD mode flips the time rule to "earliest right with
+  * `rightTime >= leftTime`" (pandas merge_asof direction='forward').
+  * Duplicate right timestamps: backward takes the LAST duplicate in sort
+  * order (it consumes the run), forward the FIRST — with equal (key,
+  * time) rows the within-tie order is not defined, so keep (key, time)
+  * unique on the right for deterministic payloads in forward mode.
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
-                        payload: Seq[Attribute]) extends BinaryNode {
+                        payload: Seq[Attribute],
+                        forward: Boolean = false) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
                                                  newRight: LogicalPlan): AsofJoinPlan =
@@ -46,8 +54,8 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload) :: Nil
+    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload, fwd) =>
+      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload, fwd) :: Nil
     case _ => Nil
   }
 }
@@ -55,7 +63,8 @@ object AsofJoinStrategy extends SparkStrategy {
 case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
-                        payload: Seq[Attribute]) extends BinaryExecNode {
+                        payload: Seq[Attribute],
+                        forward: Boolean = false) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
@@ -84,6 +93,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val lTime = leftTime
     val rTime = rightTime
     val pay = payload
+    val fwd = forward
     val allOut = output
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
@@ -136,21 +146,32 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
           // pointer: null keys sort before every real key)
           if (lt != null && !lk.anyNull) {
             // consume right rows up to (key, time): the pointer only
-            // moves forward because the left side is sorted the same way
+            // moves forward because the left side is sorted the same way.
+            // BACKWARD keeps the latest right row with rT <= lt as the
+            // match; FORWARD stops at the first right row with rT >= lt
+            // (rows skipped had rT < lt, and later left times only grow)
             var advancing = true
             while (advancing && rRow != null) {
               val c = keyOrd.compare(rKey, lk)
               if (c < 0) advanceRight()
-              else if (c == 0 && timeOrd.compare(rT, lt) <= 0) {
+              else if (!fwd && c == 0 && timeOrd.compare(rT, lt) <= 0) {
                 matchKey = rKey
                 matchPay = payProj(rRow).copy()
+                advanceRight()
+              } else if (fwd && c == 0 && timeOrd.compare(rT, lt) < 0) {
                 advanceRight()
               } else advancing = false
             }
           }
-          val hit = lt != null && !lk.anyNull && matchKey != null &&
-            keyOrd.compare(matchKey, lk) == 0
-          outProj(joined(l, if (hit) matchPay else nullPay))
+          val hit =
+            if (fwd)
+              lt != null && !lk.anyNull && rRow != null &&
+                keyOrd.compare(rKey, lk) == 0
+            else
+              lt != null && !lk.anyNull && matchKey != null &&
+                keyOrd.compare(matchKey, lk) == 0
+          val payRow = if (!hit) nullPay else if (fwd) payProj(rRow) else matchPay
+          outProj(joined(l, payRow))
         }
       }
     }
@@ -164,8 +185,15 @@ object AsofJoinNative {
     * `rightTime <= leftTime` (outer: unmatched left rows keep null
     * payload). Output: every left column, then `payload` columns from
     * the matched right row. */
+  /** `direction = "backward"` (default): latest right with
+    * `rightTime <= leftTime`. `"forward"`: earliest right with
+    * `rightTime >= leftTime` (the next-observation join; DuckDB can
+    * only express it by negating both time axes). */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
-           leftTime: String, rightTime: String, payload: Seq[String]): DataFrame = {
+           leftTime: String, rightTime: String, payload: Seq[String],
+           direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
     require(keys.nonEmpty, "asof join needs at least one equality key")
     // same guard as AsofJoin.asofJoin: a payload name colliding with a
     // left column would emit two same-named columns (different exprIds)
@@ -199,7 +227,8 @@ object AsofJoinNative {
     lk.zip(rk).foreach { case (a, b) =>
       require(a.dataType == b.dataType,
         s"as-of key ${a.name} type mismatch: ${a.dataType} vs ${b.dataType}") }
-    val plan = AsofJoinPlan(lp, rp, lk, rk, lt, rt, payload.map(attr(rOut, _, "right")))
+    val plan = AsofJoinPlan(lp, rp, lk, rk, lt, rt,
+      payload.map(attr(rOut, _, "right")), forward = direction == "forward")
     classicDataset(spark, plan)
   }
 

@@ -58,6 +58,29 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 4L -> 4L, 6L -> 6L))
   }
 
+  test("native forward as-of: earliest right at-or-after, and the negation law") {
+    val t = Seq(("A", 0L, 1L), ("A", 3L, 2L), ("A", 8L, 3L), ("B", 10L, 4L))
+      .toDF("sym", "t", "qty")
+    val fwd = AsofJoinNative.join(t, quotes, Seq("sym"), "t", "t", Seq("px"),
+        direction = "forward")
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.get(3)).toMap
+    assert(fwd(("A", 0L)) == 10.0)   // next quote at t=1
+    // tie matches; WHICH t=3 duplicate is first is sort-tie-dependent
+    assert(Set[Any](11.0, 11.5).contains(fwd(("A", 3L))))
+    assert(fwd(("A", 8L)) == null)   // nothing at-or-after t=8 for A
+    assert(fwd(("B", 10L)) == null)
+    // negation law: forward == backward on negated times
+    def neg(df: org.apache.spark.sql.DataFrame) =
+      df.withColumn("nt", org.apache.spark.sql.functions.negate(col("t")))
+    val back = AsofJoinNative.join(neg(t), neg(quotes), Seq("sym"), "nt", "nt", Seq("px"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.get(4)).toMap
+    // backward-on-negated takes the LAST duplicate of a time tie, forward
+    // the FIRST — compare only keys with unique right timestamps
+    assert(back(("A", 0L)) == fwd(("A", 0L)))
+    assert(back(("A", 8L)) == fwd(("A", 8L)))
+    assert(back(("B", 10L)) == fwd(("B", 10L)))
+  }
+
   test("native as-of: null keys never match, even against each other") {
     val l = Seq((Option("A"), 5L), (None: Option[String], 5L)).toDF("sym", "t")
     val r = Seq((Option("A"), 1L, 1.0), (None: Option[String], 1L, 99.0))
