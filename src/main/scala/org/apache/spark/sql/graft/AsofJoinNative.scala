@@ -238,6 +238,8 @@ object AsofJoinNative {
     val exp = spark.experimental
     if (!exp.extraStrategies.contains(AsofJoinStrategy))
       exp.extraStrategies = exp.extraStrategies :+ AsofJoinStrategy
+    if (!exp.extraOptimizations.contains(PushFilterThroughAsofJoin))
+      exp.extraOptimizations = exp.extraOptimizations :+ PushFilterThroughAsofJoin
   }
 
   private def classicDataset(spark: SparkSession, plan: LogicalPlan): DataFrame =

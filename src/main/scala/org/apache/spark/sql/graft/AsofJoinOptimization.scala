@@ -1,0 +1,31 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.catalyst.expressions.{And, PredicateHelper}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Optimizer rule completing the custom-operator surface: Catalyst's
+  * PushDownPredicates cannot see through an unknown node, so without
+  * this rule a `df.filter(...)` above an [[AsofJoinPlan]] stops there
+  * and the parquet scan below reads everything. The as-of join emits
+  * EXACTLY one output row per left row, derived from that left row
+  * alone (plus its match), so any deterministic predicate over left
+  * columns commutes with the join and can sink to the left child —
+  * from where the built-in rules carry it all the way into the scan's
+  * PushedFilters.
+  *
+  * Predicates referencing payload columns (or both sides) stay above
+  * the join: a match-dependent filter does NOT commute (it would have
+  * to drop left rows before their match is computed). */
+object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper {
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, aj: AsofJoinPlan) =>
+      val (pushable, kept) = splitConjunctivePredicates(cond)
+        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      if (pushable.isEmpty) f
+      else {
+        val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))
+        kept.reduceOption(And).map(Filter(_, pushed)).getOrElse(pushed)
+      }
+  }
+}

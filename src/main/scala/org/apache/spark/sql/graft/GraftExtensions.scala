@@ -18,8 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach(ext.injectFunction)
-    // the custom-plan tier: AsofJoinPlan plans to AsofJoinExec
+    // the custom-plan tier: AsofJoinPlan plans to AsofJoinExec, and the
+    // companion optimizer rule sinks left-only filters through the join
     ext.injectPlannerStrategy(_ => AsofJoinStrategy)
+    ext.injectOptimizerRule(_ => PushFilterThroughAsofJoin)
   }
 }
 

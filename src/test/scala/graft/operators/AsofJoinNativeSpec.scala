@@ -81,6 +81,37 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(back(("B", 10L)) == fwd(("B", 10L)))
   }
 
+  test("PushFilterThroughAsofJoin: left-only filters sink through the custom node") {
+    // parquet-backed left so the pushed predicate is visible in the
+    // scan's PushedFilters — the end-to-end point of the rule
+    val dir = "/root/testdata/sf0.001"
+    val orders = graft.sources.Tables.orders(spark, dir)
+    val right = orders.groupBy(col("o_orderpriority"))
+      .agg(max(col("o_orderdate")).as("mt"), avg(col("o_totalprice")).as("avg_px"))
+      .select(col("o_orderpriority"), col("mt"), col("avg_px"))
+    val left = orders.select("o_orderkey", "o_orderpriority", "o_orderdate")
+    val joined = AsofJoinNative.join(left, right, Seq("o_orderpriority"),
+      "o_orderdate", "mt", Seq("avg_px"))
+    // left-only predicate: must sink below the join into the scan
+    val filtered = joined.filter(col("o_orderkey") < 100L)
+    val opt = filtered.queryExecution.optimizedPlan.toString
+    assert(!opt.trim.startsWith("Filter"),
+      s"left-only filter stayed above the as-of join:\n$opt")
+    val phys = filtered.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters: [IsNotNull(o_orderkey), LessThan(o_orderkey,100)]") ||
+      phys.contains("LessThan(o_orderkey,100)"),
+      s"predicate never reached the parquet scan:\n$phys")
+    // payload-referencing predicate must NOT sink (it depends on the match)
+    val keep = joined.filter(col("avg_px") > 0.0)
+    val opt2 = keep.queryExecution.optimizedPlan.toString
+    assert(opt2.trim.startsWith("Filter"),
+      s"match-dependent filter was illegally pushed:\n$opt2")
+    // and the results agree with filtering after collect
+    val a = filtered.select("o_orderkey").collect().map(_.getLong(0)).toSet
+    val b = joined.collect().map(_.getLong(0)).filter(_ < 100L).toSet
+    assert(a == b)
+  }
+
   test("native as-of: null keys never match, even against each other") {
     val l = Seq((Option("A"), 5L), (None: Option[String], 5L)).toDF("sym", "t")
     val r = Seq((Option("A"), 1L, 1.0), (None: Option[String], 1L, 99.0))
