@@ -181,14 +181,13 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
 /** DataFrame-level API for [[AsofJoinExec]]. */
 object AsofJoinNative {
 
-  /** Backward as-of join `left` ⟕ `right` on equality `keys` with
-    * `rightTime <= leftTime` (outer: unmatched left rows keep null
-    * payload). Output: every left column, then `payload` columns from
-    * the matched right row. */
-  /** `direction = "backward"` (default): latest right with
-    * `rightTime <= leftTime`. `"forward"`: earliest right with
-    * `rightTime >= leftTime` (the next-observation join; DuckDB can
-    * only express it by negating both time axes). */
+  /** As-of join `left` ⟕ `right` on equality `keys` (outer: unmatched
+    * left rows keep null payload). `direction = "backward"` (default):
+    * latest right with `rightTime <= leftTime`; `"forward"`: earliest
+    * right with `rightTime >= leftTime` (the next-observation join;
+    * DuckDB can only express it by negating both time axes). Output:
+    * every left column, then `payload` columns from the matched right
+    * row. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, payload: Seq[String],
            direction: String = "backward"): DataFrame = {
@@ -232,7 +231,8 @@ object AsofJoinNative {
     classicDataset(spark, plan)
   }
 
-  /** Idempotently install [[AsofJoinStrategy]] on a live session (the
+  /** Idempotently install [[AsofJoinStrategy]] AND the companion
+    * [[PushFilterThroughAsofJoin]] optimizer rule on a live session (the
     * config path is `spark.sql.extensions=...GraftExtensions`). */
   def ensureStrategy(spark: SparkSession): Unit = {
     val exp = spark.experimental

@@ -20,8 +20,14 @@ import org.apache.spark.sql.catalyst.rules.Rule
 object PushFilterThroughAsofJoin extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, aj: AsofJoinPlan) =>
-      val (pushable, kept) = splitConjunctivePredicates(cond)
-        .partition(p => p.deterministic && p.references.subsetOf(aj.left.outputSet))
+      // only the DETERMINISTIC PREFIX may move (Catalyst's
+      // PushPredicateThroughNonJoin convention): a deterministic conjunct
+      // AFTER a non-deterministic one must stay put, because reordering
+      // evaluation changes which rows a seeded rand() sequence selects
+      val (detPrefix, rest) = splitConjunctivePredicates(cond).span(_.deterministic)
+      val (pushable, keptPrefix) =
+        detPrefix.partition(_.references.subsetOf(aj.left.outputSet))
+      val kept = keptPrefix ++ rest
       if (pushable.isEmpty) f
       else {
         val pushed = aj.copy(left = Filter(pushable.reduce(And), aj.left))

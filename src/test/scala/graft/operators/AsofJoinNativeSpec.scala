@@ -110,6 +110,16 @@ class AsofJoinNativeSpec extends SparkSpec {
     val a = filtered.select("o_orderkey").collect().map(_.getLong(0)).toSet
     val b = joined.collect().map(_.getLong(0)).filter(_ < 100L).toSet
     assert(a == b)
+    // a deterministic conjunct AFTER a non-deterministic one must stay
+    // above the join (reordering would change what a seeded rand selects)
+    // — threshold 0.5, because Spark 4 simplifies the always-true
+    // rand() < 2.0 away entirely, which would legalize the push
+    val nd = joined.filter(rand(42) < lit(0.5) && col("o_orderkey") < 100L)
+    val optNd = nd.queryExecution.optimizedPlan.toString
+    assert(optNd.trim.startsWith("Filter"),
+      s"conjunct after rand() was illegally reordered below the join:\n$optNd")
+    assert(optNd.linesIterator.take(1).mkString.contains("o_orderkey"),
+      s"the deterministic tail must remain in the kept filter:\n$optNd")
   }
 
   test("native as-of: null keys never match, even against each other") {
