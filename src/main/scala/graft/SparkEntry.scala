@@ -1253,6 +1253,19 @@ object SparkEntry {
           keys = Seq("o_orderpriority"), leftTime = "o_orderdate",
           rightTime = "month", payload = Seq("tot"), direction = "forward")
         .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: the SQL surface itself — cosine_sim registered via
+    // GraftExtensions runs from plain spark.sql with no Scala import;
+    // adjacent-vector pairs keep the plan a broadcast-free self-join
+    "q114_x_sql_cosine" -> tuned((s, d) => {
+      org.apache.spark.sql.graft.GraftExtensions.register(s)
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings")
+      s.sql("""SELECT a.vec_id,
+                      round(cosine_sim(a.embedding, b.embedding), 4) AS cos_next
+               FROM graft_embeddings a
+               JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1
+               ORDER BY a.vec_id""")
     })
   )
 
@@ -2632,7 +2645,14 @@ object SparkEntry {
         |SELECT l.o_orderkey, l.o_orderpriority, l.o_orderdate, r.tot
         |FROM l ASOF LEFT JOIN r
         |  ON l.o_orderpriority = r.o_orderpriority AND l.nt >= r.nt
-        |ORDER BY o_orderkey""".stripMargin)
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // q49's cosine formula over adjacent-id pairs — checks the codegen'd
+    // expression through the registered SQL function surface
+    "q114_x_sql_cosine" ->
+      (s"""SELECT q.vec_id, $CosSimSql AS cos_next
+        |FROM embeddings q JOIN embeddings c ON c.vec_id = q.vec_id + 1
+        |ORDER BY q.vec_id""".stripMargin)
   ) ++ LinedOracles
 
   /** Shared duplicated-5-gram detection CTEs (q98/q100): per-doc token
