@@ -1266,6 +1266,20 @@ object SparkEntry {
                FROM graft_embeddings a
                JOIN graft_embeddings b ON b.vec_id = a.vec_id + 1
                ORDER BY a.vec_id""")
+    }),
+
+    // ---- extension: FUZZY decontamination — cross-corpus near-dup
+    // candidates (held-out side = doc_id % 5 == 0, 15 straddling pairs
+    // at sf0.01): the MinHash analog of q71's exact n-gram check,
+    // catching paraphrased benchmark leakage exact grams miss
+    "q115_x_cross_neardup" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.minhashCandidatesCross(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", k = MinhashK, bands = MinhashBands)
+        .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2652,7 +2666,24 @@ object SparkEntry {
     "q114_x_sql_cosine" ->
       (s"""SELECT q.vec_id, $CosSimSql AS cos_next
         |FROM embeddings q JOIN embeddings c ON c.vec_id = q.vec_id + 1
-        |ORDER BY q.vec_id""".stripMargin)
+        |ORDER BY q.vec_id""".stripMargin),
+
+    // q46's band-collision predicate with the cross-corpus constraint
+    // (a = training side, b = held-out side) instead of a < b
+    "q115_x_cross_neardup" -> {
+      val rows = MinhashK / MinhashBands
+      val bandConds = (0 until MinhashBands).map { b =>
+        (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val eqSum = (0 until MinhashK)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""$MinhashCte
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST($eqSum AS DOUBLE) / $MinhashK, 4) AS est_jaccard
+        |FROM sig a JOIN sig b
+        |  ON a.doc_id % 5 != 0 AND b.doc_id % 5 = 0 AND ($bandConds)
+        |ORDER BY id_a, id_b""".stripMargin
+    }
   ) ++ LinedOracles
 
   /** Shared duplicated-5-gram detection CTEs (q98/q100): per-doc token

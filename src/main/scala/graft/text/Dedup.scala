@@ -109,6 +109,53 @@ object Dedup {
     out
   }
 
+  /** CROSS-corpus MinHash+LSH candidates — fuzzy decontamination: the
+    * near-dup analog of [[Corpus.contamination]]'s exact n-gram check,
+    * flagging training documents that are near-duplicates of held-out
+    * documents (paraphrased/partially-edited benchmark leakage that
+    * exact n-grams miss). Output: (id_a from `corpus`, id_b from
+    * `heldout`, est_jaccard), one row per colliding pair.
+    *
+    * Scale shape: the held-out side is benchmark-sized by contract, so
+    * its banded keys AND full signatures broadcast; the corpus side is
+    * one codegen'd signature pass (persisted once, read by the band
+    * probe and the signature attach) — no corpus self-join, no
+    * corpus-side pair blowup: candidates are bounded by |held-out|
+    * bucket hits. */
+  def minhashCandidatesCross(corpus: DataFrame, heldout: DataFrame,
+                             idCol: String, textCol: String,
+                             k: Int = 12, bands: Int = 6,
+                             shingleK: Int = 3): DataFrame = {
+    val rows = k / bands
+    def bandKeys(prefix: String) =
+      explode(array((0 until bands).map { b =>
+        concat_ws("_", lit(b) +: (b * rows until (b + 1) * rows)
+          .map(i => col(s"${prefix}mh$i")): _*)
+      }: _*)).as("bkey")
+    val corpSigs = corpus
+      .select(col(idCol).as("id_a") +: minhashSigCols(col(textCol), k, shingleK): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    corpSigs.count() // materialize inside codegen (minhashCandidates' rationale)
+    val heldSigs = heldout
+      .select(col(idCol).as("id_b") +:
+        minhashSigCols(col(textCol), k, shingleK).map(c => c): _*)
+      .toDF("id_b" +: (0 until k).map(i => s"h_mh$i"): _*)
+    val corpBanded = corpSigs.select(col("id_a"), bandKeys(""))
+    val heldBanded = heldSigs.select(col("id_b"), bandKeys("h_"))
+    val pairs = corpBanded.join(broadcast(heldBanded), Seq("bkey"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val out = pairs
+      .join(corpSigs, Seq("id_a"))
+      .join(broadcast(heldSigs), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        ((0 until k).map(i => (col(s"mh$i") === col(s"h_mh$i")).cast("int"))
+          .reduce(_ + _).cast("double") / k).as("est_jaccard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // small (pairs only): lets the corpus signature cache go now
+    corpSigs.unpersist()
+    out
+  }
+
   /** SimHash signature (`bits`-wide, default 16): per bit, majority vote of
     * token-hash bits. Near-dups have small Hamming distance. Single-pass
     * JVM implementation ([[TextHash.simhash]]). */

@@ -134,6 +134,27 @@ class DedupSpec extends SparkSpec {
     assert(!m.contains(3L), "unique doc must be absent")
   }
 
+  test("minhashCandidatesCross: flags corpus docs near-duplicating held-out docs, nothing else") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base),                          // near-dup of held-out 100
+      (2L, base + " tail"),                // likely near-dup too
+      (3L, "totally different words entirely here today now ok fine yes")
+    ).toDF("doc_id", "text")
+    val held = Seq(
+      (100L, base),
+      (101L, "unrelated held out benchmark text nothing shared at all")
+    ).toDF("doc_id", "text")
+    val out = Dedup.minhashCandidatesCross(corpus, held, "doc_id", "text",
+        k = 8, bands = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.contains((1L, 100L)) && out((1L, 100L)) == 1.0)
+    // ids come from the declared sides, never corpus-corpus or held-held
+    assert(out.keySet.forall { case (a, b) => Set(1L, 2L, 3L)(a) && Set(100L, 101L)(b) })
+    assert(!out.keySet.exists(_._2 == 101L), "unrelated held-out doc must not pair")
+    assert(!out.keySet.exists(_._1 == 3L), "unrelated corpus doc must not pair")
+  }
+
   test("dedupByQuality: best-scoring member represents the cluster; singletons pass through") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
