@@ -1280,6 +1280,19 @@ object SparkEntry {
           "doc_id", "text", k = MinhashK, bands = MinhashBands)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- extension: SEMANTIC contamination — the embedding tier of the
+    // decontamination trilogy (exact n-grams q71/q109, MinHash fuzzy
+    // q115): corpus embeddings against a broadcast held-out side through
+    // the codegen'd cosine, threshold 0.4 (25 pairs at sf0.01)
+    "q116_x_semantic_contamination" -> tuned((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.crossNearDup(
+          e.filter(col("vec_id") % 5 =!= 0),
+          e.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", threshold = 0.4)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2683,6 +2696,17 @@ object SparkEntry {
         |FROM sig a JOIN sig b
         |  ON a.doc_id % 5 != 0 AND b.doc_id % 5 = 0 AND ($bandConds)
         |ORDER BY id_a, id_b""".stripMargin
+    },
+
+    // q55's exact cosine formula with the cross-side constraint
+    "q116_x_semantic_contamination" -> {
+      def dot(l: String, r: String) =
+        s"list_sum(list_transform(generate_series(1, 64), i -> CAST($l.embedding[i] AS DOUBLE) * CAST($r.embedding[i] AS DOUBLE)))"
+      val cos = s"round(${dot("a", "b")} / nullif(sqrt(${dot("a", "a")}) * sqrt(${dot("b", "b")}), 0), 4)"
+      s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b, $cos AS cos_sim
+         |FROM embeddings a JOIN embeddings b
+         |  ON a.vec_id % 5 != 0 AND b.vec_id % 5 = 0
+         |WHERE $cos >= 0.4 ORDER BY id_a, id_b""".stripMargin
     }
   ) ++ LinedOracles
 

@@ -255,4 +255,26 @@ object Similarity {
       }
     }.toDF("id_a", "id_b", "cos_sim")
   }
+
+  /** CROSS-corpus semantic contamination: (corpus, held-out) pairs whose
+    * embedding cosine reaches `threshold` — the embedding tier of the
+    * decontamination trilogy (exact n-grams → MinHash fuzzy →
+    * semantic). The held-out side broadcasts (benchmark-sized by
+    * contract) and the corpus side streams through a codegen'd
+    * [[org.apache.spark.sql.graft.CosineSim]] filter — no corpus
+    * shuffle, no driver collect of the big side, only above-threshold
+    * pairs materialize. Output: (id_a from `corpus`, id_b from
+    * `heldout`, cos_sim rounded BEFORE the threshold, q55's
+    * oracle-stability convention). */
+  def crossNearDup(corpus: DataFrame, heldout: DataFrame, idCol: String,
+                   vecCol: String, threshold: Double,
+                   roundTo: Int = 4): DataFrame = {
+    val c = corpus.select(col(idCol).as("id_a"), col(vecCol).as("__cv"))
+    val h = heldout.select(col(idCol).as("id_b"), col(vecCol).as("__hv"))
+    c.crossJoin(broadcast(h))
+      .select(col("id_a"), col("id_b"),
+        round(org.apache.spark.sql.graft.CosineSim(col("__cv"), col("__hv")), roundTo)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
 }

@@ -55,6 +55,25 @@ class SimilaritySpec extends SparkSpec {
     assert(out.map(_.getAs[Long]("neighbor_id")) === Seq(1L, 2L, 3L))
   }
 
+  test("crossNearDup: corpus-vs-held pairs only, threshold inclusive on rounded cosine") {
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // identical to held 100
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal to both held
+      (3L, Array(0.9f, 0.1f, 0.0f))    // close to held 100
+    ).toDF("vec_id", "embedding")
+    val held = Seq(
+      (100L, Array(1.0f, 0.0f, 0.0f)),
+      (101L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.crossNearDup(corpus, held, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 100L)) == 1.0)
+    assert(out.contains((3L, 100L)) && out((3L, 100L)) >= 0.9)
+    assert(out.size == 2, s"only the two above-threshold cross pairs: $out")
+    // never corpus-corpus or held-held
+    assert(out.keySet.forall { case (a, b) => a < 100L && b >= 100L })
+  }
+
   test("srpKey: deterministic bucket keys; identical vectors share buckets") {
     val two = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
