@@ -61,13 +61,33 @@ object Dedup {
     }
   }
 
+  /** Exploded LSH band keys over signature columns named `<prefix>0..`:
+    * one `bkey` row per band, "b_mh..mh" concatenated. ONE definition —
+    * [[minhashCandidates]], [[minhashCandidatesCross]], and their
+    * SparkEntry oracles must all agree on this layout. */
+  private def bandKeyExplode(k: Int, bands: Int, prefix: String): Column = {
+    val rows = k / bands
+    explode(array((0 until bands).map { b =>
+      concat_ws("_", lit(b) +: (b * rows until (b + 1) * rows)
+        .map(i => col(s"$prefix$i")): _*)
+    }: _*)).as("bkey")
+  }
+
+  /** Estimated Jaccard = fraction of equal signature components between
+    * columns `<aPrefix>i` and `<bPrefix>i`. */
+  private def estJaccardExpr(k: Int, aPrefix: String, bPrefix: String): Column =
+    ((0 until k).map(i => (col(s"$aPrefix$i") === col(s"$bPrefix$i")).cast("int"))
+      .reduce(_ + _).cast("double") / k).as("est_jaccard")
+
   /** MinHash + LSH near-dup candidate pairs: signatures → band keys
     * (`bands` bands of `k/bands` rows) → self-join per band bucket →
     * distinct candidate pairs with estimated Jaccard = fraction of equal
-    * signature components. */
+    * signature components. NULL-text docs are dropped before banding: a
+    * null signature would otherwise produce the BARE band-index keys
+    * ("0".."b-1") and band-collide with every other null-text doc, while
+    * the SQL oracles' `a.mh = b.mh` is never true for NULL. */
   def minhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         k: Int = 12, bands: Int = 6, shingleK: Int = 3): DataFrame = {
-    val rows = k / bands
     // Materialize signatures ONCE. The naive self-join inlines the
     // md5-shingle pipeline on both sides of one stage, which blows past
     // codegen limits and falls back to interpreted evaluation (~50x
@@ -78,12 +98,10 @@ object Dedup {
     // are freed by the ContextCleaner once the result is unreachable).
     val sigs = docs
       .select(col(idCol).as("doc_id") +: minhashSigCols(col(textCol), k, shingleK): _*)
+      .filter(col("mh0").isNotNull) // null text -> whole-null signature
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map { b =>
-        concat_ws("_", lit(b) +: (b * rows until (b + 1) * rows).map(i => col(s"mh$i")): _*)
-      }: _*)).as("bkey"))
+    val banded = sigs.select(col("doc_id"), bandKeyExplode(k, bands, "mh"))
     // Narrow pair discovery (ids only), then one re-join to attach both
     // signatures for the eq-fraction estimate — keeps the shuffled rows at
     // 3 columns instead of 2k+2 signature columns.
@@ -96,9 +114,7 @@ object Dedup {
     val sb = sigs.select(col("doc_id").as("id_b") +:
       (0 until k).map(i => col(s"mh$i").as(s"b_mh$i")): _*)
     val out = pairs.join(sa, Seq("id_a")).join(sb, Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        ((0 until k).map(i => (col(s"a_mh$i") === col(s"b_mh$i")).cast("int"))
-          .reduce(_ + _).cast("double") / k).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), estJaccardExpr(k, "a_mh", "b_mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // materialize the (small, pairs-only) result so the corpus-sized
     // signature cache can be dropped NOW instead of lingering until the
@@ -126,33 +142,31 @@ object Dedup {
                              idCol: String, textCol: String,
                              k: Int = 12, bands: Int = 6,
                              shingleK: Int = 3): DataFrame = {
-    val rows = k / bands
-    def bandKeys(prefix: String) =
-      explode(array((0 until bands).map { b =>
-        concat_ws("_", lit(b) +: (b * rows until (b + 1) * rows)
-          .map(i => col(s"${prefix}mh$i")): _*)
-      }: _*)).as("bkey")
     val corpSigs = corpus
       .select(col(idCol).as("id_a") +: minhashSigCols(col(textCol), k, shingleK): _*)
+      .filter(col("mh0").isNotNull) // null text: see minhashCandidates
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     corpSigs.count() // materialize inside codegen (minhashCandidates' rationale)
+    // the held side is read twice too (band probe + signature attach) —
+    // cached so the shingle/md5 pass runs once
     val heldSigs = heldout
-      .select(col(idCol).as("id_b") +:
-        minhashSigCols(col(textCol), k, shingleK).map(c => c): _*)
+      .select(col(idCol).as("id_b") +: minhashSigCols(col(textCol), k, shingleK): _*)
       .toDF("id_b" +: (0 until k).map(i => s"h_mh$i"): _*)
-    val corpBanded = corpSigs.select(col("id_a"), bandKeys(""))
-    val heldBanded = heldSigs.select(col("id_b"), bandKeys("h_"))
+      .filter(col("h_mh0").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    heldSigs.count()
+    val corpBanded = corpSigs.select(col("id_a"), bandKeyExplode(k, bands, "mh"))
+    val heldBanded = heldSigs.select(col("id_b"), bandKeyExplode(k, bands, "h_mh"))
     val pairs = corpBanded.join(broadcast(heldBanded), Seq("bkey"))
       .select(col("id_a"), col("id_b")).distinct()
     val out = pairs
       .join(corpSigs, Seq("id_a"))
       .join(broadcast(heldSigs), Seq("id_b"))
-      .select(col("id_a"), col("id_b"),
-        ((0 until k).map(i => (col(s"mh$i") === col(s"h_mh$i")).cast("int"))
-          .reduce(_ + _).cast("double") / k).as("est_jaccard"))
+      .select(col("id_a"), col("id_b"), estJaccardExpr(k, "mh", "h_mh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    out.count() // small (pairs only): lets the corpus signature cache go now
+    out.count() // small (pairs only): lets the signature caches go now
     corpSigs.unpersist()
+    heldSigs.unpersist()
     out
   }
 

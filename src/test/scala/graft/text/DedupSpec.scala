@@ -155,6 +155,19 @@ class DedupSpec extends SparkSpec {
     assert(!out.keySet.exists(_._1 == 3L), "unrelated corpus doc must not pair")
   }
 
+  test("minhash candidates: null-text docs never band-collide (no phantom pairs)") {
+    // a null signature would otherwise reduce every band key to the bare
+    // band index and pair all null-text docs with each other
+    val docs = Seq(
+      (1L, null.asInstanceOf[String]), (2L, null.asInstanceOf[String]),
+      (3L, "real words here today fine ok sure yes")
+    ).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidates(docs, "doc_id", "text", k = 8, bands = 4).count() == 0)
+    val held = Seq((100L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    assert(Dedup.minhashCandidatesCross(docs, held, "doc_id", "text",
+      k = 8, bands = 4).count() == 0)
+  }
+
   test("dedupByQuality: best-scoring member represents the cluster; singletons pass through") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val docs = Seq(
