@@ -677,21 +677,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // stub decode features: FNV-1a fake decoder, not SQL-expressible ->
-    // rows-only check; the mapPartitions batch shape is the point.
+    // REAL image decode (javax.imageio): plant a deterministic PNG per doc
+    // (pixel channels are modular functions of doc_id), decode it back on
+    // executors, and emit exact integer pixel sums + a floor-quantized
+    // mean luminance. PNG is lossless, so the oracle recomputes the
+    // decoded pixels in closed form — the decode stage is hash-checked
+    // end-to-end, not just its plumbing.
     "q54_x_media_features" -> tuned((s, d) => {
       import graft.multimodal.Multimodal
-      val media = Tables.documents(s, d).select(
-        col("doc_id"), col("lang"),
-        col("text").cast("binary").as("content"))
-      Multimodal.corpusStats(
-          Multimodal.extractFeatures(
-            Multimodal.withPayloadStats(media, "content"), "doc_id", "content", dim = 8)
-            .withColumnRenamed("lang", "grp"),
-          "grp")
-        .select(col("grp"), col("n"), round(col("avg_bytes"), 2).as("avg_bytes"),
-          round(col("avg_feature_mean"), 4).as("avg_feature_mean"))
-        .orderBy("grp")
+      val media = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("content", Multimodal.plantedPngCol(col("doc_id")))
+      Multimodal.withImageStats(media, "content")
+        .select(col("doc_id"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          floor((col("sum_r") + col("sum_g") + col("sum_b")) * lit(10000.0)
+              / (lit(3.0) * col("width") * col("height")) + lit(0.5))
+            .cast("long").as("mean_lum_x10k"))
+        .orderBy("doc_id")
     }),
 
     // ---- extension: structured streaming (SURVEY §2.10)
@@ -2049,6 +2051,29 @@ object SparkEntry {
         |       ELSE CAST(floor(3 * n_frames / 4) AS INT) END AS last_frame
         |FROM r ORDER BY doc_id""".stripMargin),
 
+    // replays the planted-PNG pixel formulas in closed form (PNG is
+    // lossless, so decoded pixels == planted pixels exactly); the grid is
+    // the constant 16x12 max image size filtered per-doc because DuckDB's
+    // generate_series takes no lateral column bounds. Integer sums ride
+    // exact; the one double (mean luminance) is floor(x+0.5)-quantized.
+    "q54_x_media_features" ->
+      ("""WITH d AS (
+        |  SELECT doc_id, CAST(8 + doc_id % 9 AS BIGINT) AS width,
+        |         CAST(6 + doc_id % 7 AS BIGINT) AS height FROM documents),
+        |g AS (SELECT x.i AS x, y.i AS y
+        |      FROM generate_series(0, 15) x(i), generate_series(0, 11) y(i)),
+        |s AS (
+        |  SELECT d.doc_id, d.width, d.height,
+        |    CAST(sum((31*d.doc_id + 7*g.x + 13*g.y) % 256) AS BIGINT) AS sum_r,
+        |    CAST(sum((17*d.doc_id + 11*g.x + 5*g.y) % 256) AS BIGINT) AS sum_g,
+        |    CAST(sum((23*d.doc_id + 3*g.x + 19*g.y) % 256) AS BIGINT) AS sum_b
+        |  FROM d JOIN g ON g.x < d.width AND g.y < d.height
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, width, height, sum_r, sum_g, sum_b,
+        |  CAST(floor((sum_r + sum_g + sum_b) * 10000.0
+        |    / (3.0 * width * height) + 0.5) AS BIGINT) AS mean_lum_x10k
+        |FROM s ORDER BY doc_id""".stripMargin),
+
     "q56_x_stream_sessions" -> {
       val gapMicros = 3L * 24 * 60 * 60 * 1000000
       // epoch_us is exact int64; epoch_ns/1000 would round-trip through a
@@ -2591,11 +2616,11 @@ object SparkEntry {
         |  SELECT user_id, event_id, us,
         |    CASE WHEN lag(us) OVER w IS NULL
         |           OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
         |x AS (
         |  SELECT user_id, us,
-        |    sum(new) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |    CAST(sum(new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
         |  FROM m)
         |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,

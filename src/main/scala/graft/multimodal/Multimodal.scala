@@ -8,12 +8,12 @@ import org.apache.spark.sql.types._
   * payloads as opaque `binary` columns carried next to typed metadata
   * structs, with decode / feature-extract / resize / frame-sample stages.
   *
-  * The image/audio codecs are NOT available in this container, so the
-  * byte-level decode is a clearly-marked deterministic STUB
-  * ([[stubDecodeBytes]]) — but everything Spark-side is real and tested:
-  * the schema contract, the per-partition batch shape (`mapPartitions`
-  * over an iterator, the JVM analog of `mapInPandas` batches), the
-  * partition sizing guidance, and the columnar metadata math.
+  * The IMAGE decode is real: `javax.imageio` ships with the JDK and reads
+  * the lossless formats (PNG/BMP/GIF) deterministically, so
+  * [[decodeImageStats]] / [[extractFeatures]] run an actual byte→pixel
+  * decode on executors. Audio/video codecs are NOT in the JDK — those
+  * payloads ride the same binary-column plumbing (payload stats, frame
+  * sampling, batch shape) but decode to null until a codec is wired in.
   *
   * Scale shape: payload bytes never shuffle. Every operator here is a
   * narrow per-row/per-partition transform that runs at scan speed; anything
@@ -39,31 +39,50 @@ object Multimodal {
     df.withColumn("payload_bytes", length(col(binCol)).cast("long"))
       .withColumn("payload_digest", md5(col(binCol)))
 
-  /** ??? in spirit — STUB decode. A real deployment swaps this body for an
-    * actual codec (javax.imageio / ffmpeg bindings); the signature and the
-    * deterministic output shape are the contract the pipeline is built on.
-    * Produces `dim` pseudo-feature floats derived from the payload bytes,
-    * so downstream stages (normalize, embed, ANN) are exercised end-to-end
-    * with stable values. */
-  def stubDecodeBytes(bytes: Array[Byte], dim: Int): Array[Float] = {
-    if (bytes == null) return null
-    val out = new Array[Float](dim)
-    var i = 0
-    var acc = 1469598103934665603L // FNV-1a rolling over the payload
-    while (i < bytes.length) {
-      acc = (acc ^ (bytes(i) & 0xffL)) * 1099511628211L
-      out(i % dim) += ((acc >>> 16) % 1000L) / 1000.0f
-      i += 1
+  /** Exact per-image decode stats: (width, height, per-channel pixel SUMS).
+    * Sums stay exact integers so an oracle can recompute them bit-for-bit;
+    * means are one division at the query layer. Returns null for null or
+    * undecodable payloads (a real corpus always has corrupt rows — decode
+    * failure is data, not an exception). */
+  def decodeImageStats(bytes: Array[Byte]): Array[Long] = {
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        sr += (p >> 16) & 0xff
+        sg += (p >> 8) & 0xff
+        sb += p & 0xff
+        x += 1
+      }
+      y += 1
     }
-    out
+    Array(w.toLong, h.toLong, sr, sg, sb)
+  }
+
+  /** Real JDK image decode (PNG/BMP/GIF lossless; JPEG decodes too but is
+    * codec-version-dependent — don't oracle-check JPEG pixels). Null-safe:
+    * null/undecodable bytes → null, not an exception. */
+  def decodeImage(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    if (bytes == null) return null
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    catch { case _: java.io.IOException => null }
   }
 
   /** Decode + feature-extract stage: per partition, iterate payload rows in
     * batches and emit fixed-width feature vectors (the `mapInPandas` batch
     * shape on the JVM). Output schema: input columns minus the payload,
-    * plus `features array<float>`. */
+    * plus `features array<float>` = mean luminance per cell of a
+    * `grid`×`grid` tiling (row-major, dim = grid²) — a real, deterministic
+    * pixel feature; null where the payload doesn't decode. */
   def extractFeatures(df: DataFrame, idCol: String, binCol: String,
-                      dim: Int = 16): DataFrame = {
+                      grid: Int = 3): DataFrame = {
+    require(grid > 0, s"grid must be positive, got $grid")
     val outSchema = StructType(
       df.schema.fields.filterNot(_.name == binCol) :+
         StructField("features", ArrayType(FloatType)))
@@ -72,10 +91,97 @@ object Multimodal {
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     df.mapPartitions { rows =>
       rows.map { r =>
-        val feats = stubDecodeBytes(r.getAs[Array[Byte]](binIdx), dim)
+        val feats = gridLuminance(r.getAs[Array[Byte]](binIdx), grid)
         Row.fromSeq(keepIdx.map(r.get) :+ (if (feats == null) null else feats.toSeq))
       }
     }(enc)
+  }
+
+  /** Mean luminance ((r+g+b)/3) per cell of a `grid`×`grid` tiling of the
+    * decoded image; cells partition the image with integer bounds
+    * (cell c covers [c·d/grid, (c+1)·d/grid)). Images smaller than the
+    * grid leave trailing empty cells at 0. */
+  def gridLuminance(bytes: Array[Byte], grid: Int): Array[Float] = {
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Double](grid * grid)
+    val counts = new Array[Long](grid * grid)
+    var y = 0
+    while (y < h) {
+      val cy = y * grid / h
+      var x = 0
+      while (x < w) {
+        val cx = x * grid / w
+        val p = img.getRGB(x, y)
+        val lum = (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)) / 3.0
+        sums(cy * grid + cx) += lum
+        counts(cy * grid + cx) += 1
+        x += 1
+      }
+      y += 1
+    }
+    Array.tabulate(grid * grid)(i =>
+      if (counts(i) == 0) 0.0f else (sums(i) / counts(i)).toFloat)
+  }
+
+  /** Per-row decode stats as columns: width, height, and exact per-channel
+    * pixel sums (`sum_r/g/b`), null where the payload doesn't decode. Same
+    * per-partition batch shape as [[extractFeatures]]; payload column is
+    * retained (project it away at the call site if not needed). */
+  def withImageStats(df: DataFrame, binCol: String): DataFrame = {
+    val outSchema = StructType(df.schema.fields ++ Seq(
+      StructField("width", LongType), StructField("height", LongType),
+      StructField("sum_r", LongType), StructField("sum_g", LongType),
+      StructField("sum_b", LongType)))
+    val binIdx = df.schema.fieldIndex(binCol)
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val st = decodeImageStats(r.getAs[Array[Byte]](binIdx))
+        val extra: Seq[Any] =
+          if (st == null) Seq(null, null, null, null, null) else st.toSeq
+        Row.fromSeq(r.toSeq ++ extra)
+      }
+    }(enc)
+  }
+
+  /** Deterministic synthetic PNG fixture: a w×h RGB image whose pixel
+    * (x, y) channels are modular functions of `seed` — stands in for real
+    * camera payloads in tests/demos, and being closed-form lets a SQL
+    * oracle recompute the decoded pixel sums exactly (PNG is lossless, so
+    * decode returns precisely the planted values).
+    * w = 8 + seed % 9, h = 6 + seed % 7;
+    * r = (31·seed + 7x + 13y) % 256, g = (17·seed + 11x + 5y) % 256,
+    * b = (23·seed + 3x + 19y) % 256. Negative seeds are not supported. */
+  def plantedPng(seed: Long): Array[Byte] = {
+    require(seed >= 0, s"plantedPng seed must be non-negative, got $seed")
+    val w = (8 + seed % 9).toInt
+    val h = (6 + seed % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((31 * seed + 7L * x + 13L * y) % 256).toInt
+        val g = ((17 * seed + 11L * x + 5L * y) % 256).toInt
+        val b = ((23 * seed + 3L * x + 19L * y) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Column form of [[plantedPng]] for distributed fixture generation. */
+  def plantedPngCol(seed: Column): Column = {
+    val f = udf((s: Long) => plantedPng(s))
+    f(seed)
   }
 
   /** Resize stage (images): pure metadata math — output dims preserving

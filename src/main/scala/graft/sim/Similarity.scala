@@ -177,7 +177,8 @@ object Similarity {
     * variant for broadcast-sized corpora. */
   def nearDupPairsBucketed(vectors: DataFrame, idCol: String, vecCol: String,
                            dim: Int, threshold: Double, nBits: Int = 8,
-                           nTables: Int = 2, roundTo: Int = 4): DataFrame = {
+                           nTables: Int = 2, roundTo: Int = 4,
+                           release: Boolean = false): DataFrame = {
     // persist + eager count: the self-join would otherwise run the srpKey
     // UDF pipeline on both sides (same discipline as minhashCandidates).
     // Candidate discovery shuffles (id, bucket) ONLY — the 64-float
@@ -200,14 +201,19 @@ object Similarity {
       .select(col("id_a"), col("id_b"),
         round(org.apache.spark.sql.graft.CosineSim(col("__qv"), col("__cv")), roundTo).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // materialize the (small, above-threshold pairs) result so the
-    // bucket-key cache over the whole corpus can be dropped NOW; a
-    // long-lived session would otherwise accumulate one corpus-sized cache
-    // per dedup pass until the ContextCleaner got to them.
-    out.count()
-    keyed.unpersist()
-    out
+    if (release) {
+      // standing-session discipline: materialize the (small,
+      // above-threshold pairs) result so the bucket-key cache over the
+      // whole corpus can be dropped NOW instead of accumulating one
+      // corpus-sized cache per dedup pass until the ContextCleaner runs.
+      // One-shot callers (bench, verify, pipelines that consume `out`
+      // exactly once) leave this off — the extra eager count() costs a
+      // full second pass over the pair join for no benefit there.
+      val outP = out.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      outP.count()
+      keyed.unpersist()
+      outP
+    } else out
   }
 
   /** Embedding-cosine near-duplicate pairs, exact all-pairs variant:

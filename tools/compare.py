@@ -45,6 +45,14 @@ def compare(name, spark_df, oracle_df):
     issues = []
     for c in a.columns:
         av, bv = a[c], b[c]
+        # The driver HASHES stringified values, so an int64 column on one
+        # side vs float64 on the other ("3" vs "3.0") hash-mismatches even
+        # when values are numerically equal (e.g. DuckDB windowed sum(int)
+        # -> HUGEINT -> pandas float64). Flag the drift loudly.
+        int_a, int_b = pd.api.types.is_integer_dtype(av), pd.api.types.is_integer_dtype(bv)
+        if int_a != int_b and (pd.api.types.is_numeric_dtype(av) and pd.api.types.is_numeric_dtype(bv)):
+            issues.append(f"col {c}: DTYPE-DRIFT spark={av.dtype} oracle={bv.dtype} "
+                          f"(driver hash would mismatch — cast the oracle column)")
         if pd.api.types.is_float_dtype(av) or pd.api.types.is_float_dtype(bv):
             avf = pd.to_numeric(av, errors="coerce").to_numpy(dtype=float)
             bvf = pd.to_numeric(bv, errors="coerce").to_numpy(dtype=float)
