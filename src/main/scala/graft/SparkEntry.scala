@@ -394,6 +394,23 @@ object SparkEntry {
           round(col("forecast"), 2).as("forecast"))
         .orderBy("key", "step")),
 
+    // the ORACLE-CHECKED projection of the SARIMAX path: restrict the AIC
+    // grid to the pure AR(1) candidate, whose conditional-least-squares
+    // fit is closed-form simple regression and whose h-step forecast is
+    // the plain recursion f(h) = c + a·f(h-1) — both SQL-expressible, so
+    // the whole fit→forecast pipeline hash-checks against DuckDB. The
+    // series rides as exact integer cents (q18's discipline) before the
+    // one scale division, keeping the aggregate order-independent.
+    "q117_u8_ar1_forecast" -> tuned((s, d) =>
+      graft.stats.Diagnostics.arForecast(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+          Nil, "month", "tot", horizon = 12, orders = Seq(1))
+        .select(col("key"), col("order"), col("step"),
+          round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step")),
+
     // ---- full U8: seasonal+exog SARIMAX over the reference's 5-candidate
     // grid (notebook cells 27/30/32). Kalman-MLE statistics — no SQL
     // oracle; the estimator is validated against closed-form likelihoods
@@ -724,8 +741,9 @@ object SparkEntry {
           k = MinhashK, bands = MinhashBands, minEst = 0.5)
         .orderBy("doc_id")),
 
-    // ---- extension: LSH-bucketed ANN (no oracle: bucket recall is
-    // approximate by design; driver records rows-only)
+    // ---- extension: LSH-bucketed ANN. Approximate-but-DETERMINISTIC:
+    // the srpSigns hyperplanes are inlined into the DuckDB oracle, which
+    // replays bucketing + re-rank exactly (same trick as q60)
     "q52_x_lsh_ann" -> tuned((s, d) =>
       Similarity.lshTopK(
           Tables.embeddings(s, d).filter(col("vec_id") < 200),
@@ -970,9 +988,12 @@ object SparkEntry {
     // — iterative argmax over distributed pair counts is not
     // SQL-expressible, so no oracle (rows-only); the merge sequence is
     // pinned by BpeSpec's hand-computed fixture
+    // 1000 merges: the in-memory learner makes vocab-scale merge counts
+    // free (one corpus pass + driver-side rounds); the old distributed
+    // loop paid ~3 Spark jobs PER MERGE and capped out at ~10.
     "q92_x_bpe_merges" -> tuned((s, d) => {
       import s.implicits._
-      graft.text.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 10)
+      graft.text.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 1000)
         .map(m => (m.rank, m.left, m.right, m.pairCount))
         .toDF("rank", "left", "right", "pair_count")
         .orderBy("rank")
@@ -1480,17 +1501,22 @@ object SparkEntry {
     * bucketing bit-exactly (±1·float products summed in identical order)
     * — the oracle checks the bucketed algorithm itself, not a recall
     * approximation of it. */
+  /** SRP bucket key as DuckDB SQL: the engine's own hyperplane sign
+    * matrix ([[graft.sim.Similarity.srpSigns]]) inlined as list literals,
+    * ±1·float products summed in identical index order — bit-exact replay
+    * of `Similarity.srpKey`. Shared by the q60 and q52 oracles. */
+  private def srpKeySqlExpr(t: Int, nBits: Int, dim: Int): String = {
+    val signs = graft.sim.Similarity.srpSigns(t, nBits, dim)
+    (0 until nBits).map { b =>
+      val lst = signs(b).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_sum(list_transform(generate_series(1,$dim), i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
+    }.mkString(" + ")
+  }
+
   private def nearDupBucketedSql(nBits: Int, nTables: Int, dim: Int,
                                  threshold: Double): String = {
-    def keyExpr(t: Int): String = {
-      val signs = graft.sim.Similarity.srpSigns(t, nBits, dim)
-      (0 until nBits).map { b =>
-        val lst = signs(b).map(v => if (v > 0) "1.0" else "-1.0").mkString("[", ",", "]")
-        s"(CASE WHEN list_sum(list_transform(generate_series(1,$dim), i -> CAST(embedding[i] AS DOUBLE) * ($lst)[i])) >= 0 THEN ${1L << b} ELSE 0 END)"
-      }.mkString(" + ")
-    }
     val tables = (0 until nTables)
-      .map(t => s"SELECT vec_id AS id, embedding, $t AS t, ${keyExpr(t)} AS key FROM embeddings")
+      .map(t => s"SELECT vec_id AS id, embedding, $t AS t, ${srpKeySqlExpr(t, nBits, dim)} AS key FROM embeddings")
       .mkString("\n  UNION ALL\n  ")
     def dot(l: String, r: String) =
       s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
@@ -1506,6 +1532,38 @@ object SparkEntry {
        |         JOIN embeddings eb ON eb.vec_id = c.id_b)
        |SELECT id_a, id_b, $cos AS cos_sim FROM j
        |WHERE $cos >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q52: SRP-LSH ANN top-k. Same hyperplane replay as [[nearDupBucketedSql]]
+    * but with lshTopK's semantics: DIRECTED candidate pairs (every id is a
+    * query), union of `nTables` bucket tables, exact-cosine re-rank to k.
+    * The approximate path is fully deterministic, so it oracle-checks
+    * end-to-end — the bucketing IS the algorithm, not noise around it. */
+  private def lshTopKSql(nBits: Int, nTables: Int, dim: Int, k: Int,
+                         maxId: Long): String = {
+    val tables = (0 until nTables)
+      .map(t => s"SELECT id, embedding, $t AS t, ${srpKeySqlExpr(t, nBits, dim)} AS key FROM v")
+      .mkString("\n  UNION ALL\n  ")
+    def dot(l: String, r: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
+    val cos = s"round(${dot("e_a", "e_b")} / nullif(sqrt(${dot("e_a", "e_a")}) * sqrt(${dot("e_b", "e_b")}), 0), 4)"
+    s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id < $maxId),
+       |k AS (
+       |  $tables),
+       |c AS (
+       |  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+       |  FROM k a JOIN k b ON a.t = b.t AND a.key = b.key AND a.id <> b.id),
+       |j AS (
+       |  SELECT c.query_id, c.neighbor_id, ea.embedding AS e_a, eb.embedding AS e_b
+       |  FROM c JOIN v ea ON ea.id = c.query_id
+       |         JOIN v eb ON eb.id = c.neighbor_id),
+       |s AS (SELECT query_id, neighbor_id, $cos AS cos_sim FROM j),
+       |r AS (
+       |  SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM s)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
   private val MonteCarloSql: String = {
@@ -1999,6 +2057,33 @@ object SparkEntry {
 
     "q60_x_embed_neardup_bucketed" ->
       nearDupBucketedSql(nBits = 6, nTables = 3, dim = 64, threshold = 0.4),
+
+    "q52_x_lsh_ann" ->
+      lshTopKSql(nBits = 8, nTables = 2, dim = 64, k = 3, maxId = 200L),
+
+    // AR(1) CLS fit mirrored with Spark's exact normal-equation formulas
+    // (beta = inv(X'X)X'y expanded for the 2x2 case) and the forecast
+    // recursion f(h) = c + a·f(h-1) as a recursive CTE — same op order as
+    // TimeSeriesStats.forecastAr, so 4-decimal rounding is stable.
+    "q117_u8_ar1_forecast" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y FROM m),
+        |p AS (SELECT a.y AS yt, b.y AS yl FROM o a JOIN o b ON b.t = a.t - 1),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS cnt, sum(yt) AS sy, sum(yl) AS sx,
+        |             sum(yt*yl) AS sxy, sum(yl*yl) AS sxx FROM p),
+        |c AS (SELECT (sxx*sy - sx*sxy) / (cnt*sxx - sx*sx) AS c0,
+        |             (cnt*sxy - sx*sy) / (cnt*sxx - sx*sx) AS a1 FROM f),
+        |l AS (SELECT y AS ylast FROM o ORDER BY t DESC LIMIT 1),
+        |rec AS (
+        |  SELECT 0 AS step, ylast AS fv FROM l
+        |  UNION ALL
+        |  SELECT rec.step + 1, c.c0 + c.a1 * rec.fv FROM rec, c WHERE rec.step < 12)
+        |SELECT 'all' AS key, 1 AS "order", CAST(step AS INT) AS step,
+        |       round(fv, 4) AS forecast
+        |FROM rec WHERE step >= 1 ORDER BY step""".stripMargin),
 
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.functions.Cols
 
@@ -8,15 +8,19 @@ import graft.functions.Cols
   * vocabulary induction over the corpus, the step upstream of every
   * token-count estimate a training pipeline makes.
   *
-  * The corpus is read ONCE into a word-frequency table; the merge loop
-  * then iterates over that vocab-sized frame (Zipf-truncated: orders of
-  * magnitude smaller than the corpus and nearly size-independent), so
-  * `numMerges` costs `numMerges` vocab-sized shuffles, not corpus
-  * passes. Each round collects exactly one row to the driver (the
-  * argmax pair — the model fit, same discipline as IVF's centroids);
-  * the evolving symbol table stays distributed, re-rooted on an RDD
-  * barrier per round (iterative-lineage discipline, see
-  * [[Dedup.connectedComponents]]).
+  * Work split: Spark does the one thing that is corpus-sized — the single
+  * pass that aggregates word frequencies — and the merge learning runs
+  * in-memory on the driver over that collected vocab. The vocab is
+  * Zipf-bounded (~1e5–1e7 distinct words at ANY corpus size, a few
+  * hundred MB worst case), so it fits one JVM the same way a broadcast
+  * join's build side does; distributed merge rounds would pay a
+  * driver-synchronized job per merge (~100k+ jobs for a 32k–50k-merge
+  * production vocab) to iterate state that fits in memory. The learner
+  * keeps incremental pair statistics (an inverted pair→words index +
+  * an ordered argmax set), so each merge costs the total length of the
+  * words it touches, not a full vocab recount — 50k merges run in
+  * seconds. Encoding ([[encodeCol]]) stays distributed: that side IS
+  * corpus-sized.
   *
   * Convention: within-word character symbols, no end-of-word marker;
   * count ties break to the lexicographically smallest (left, right)
@@ -53,64 +57,89 @@ object Bpe {
   }
 
   /** Learn `numMerges` merges from the corpus. Stops early when no pair
-    * reaches `minPairCount`. */
+    * reaches `minPairCount`. One distributed corpus pass (word counts),
+    * then in-memory learning over the collected Zipf-bounded vocab. */
   def learnMerges(docs: DataFrame, textCol: String, numMerges: Int,
                   minPairCount: Long = 2L): Seq[Merge] = {
     require(numMerges >= 1, "numMerges must be >= 1")
     val spark = docs.sparkSession
     import spark.implicits._
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    // the single corpus pass: word frequencies
+    // the single corpus pass: word frequencies, COLLECTED — the vocab is
+    // the model state here, and like a broadcast build side it must fit
+    // one JVM (see the object doc for why this beats distributed rounds)
     val words = docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(explode(Cols.tokens(col(textCol))).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
       .as[(String, Long)]
-    // The merge loop iterates over the VOCAB frame, which is Zipf-bounded
-    // (~1e5-1e7 words at any corpus size) — at the session's
-    // shuffle-partition count every round pays jobs of mostly-empty
-    // tasks. Bound the loop's parallelism to the vocab's actual size
-    // (~50k words/partition), not the corpus's. One cached count sizes it
-    // (the same action that materializes the corpus pass).
-    val wordsCached = words.persist(lvl)
-    val vocabParts = math.max(1, math.min(
-      words.sparkSession.sparkContext.defaultParallelism,
-      (wordsCached.count() / 50000L).toInt))
-    var vocab: Dataset[(Array[String], Long)] =
-      wordsCached.repartition(vocabParts)
-        .map { case (w, c) => (charSyms(w), c) }.persist(lvl)
-    vocab.count()
-    wordsCached.unpersist()
+      .collect()
+    learnMergesLocal(words, numMerges, minPairCount)
+  }
 
-    val merges = scala.collection.mutable.ArrayBuffer.empty[Merge]
+  /** In-memory BPE merge learning over a (word, count) vocab.
+    *
+    * Incremental statistics, the standard learner shape: a pair→count
+    * map mirrored into an ordered set for O(log n) argmax, plus a
+    * pair→word-indexes inverted index so a merge re-counts only the
+    * words that actually contain the merged pair. Chosen counts are
+    * non-increasing (a merge can only create pairs at its own
+    * occurrence sites), so nothing ever needs re-sorting wholesale. */
+  private[text] def learnMergesLocal(words: Array[(String, Long)], numMerges: Int,
+                                     minPairCount: Long): Seq[Merge] = {
+    import scala.collection.mutable
+    val syms = words.map { case (w, _) => charSyms(w) }
+    val cnts = words.map(_._2)
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.BitSet]
+    // argmax order: count DESC, then lexicographically smallest (l, r)
+    val order = mutable.TreeSet.empty[(Long, String, String)](
+      Ordering.by { case (n, l, r) => (-n, l, r) })
+
+    def pairsOf(s: Array[String]): Iterator[(String, String)] =
+      (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+
+    def bump(p: (String, String), delta: Long): Unit = {
+      val old = pairCount.getOrElse(p, 0L)
+      if (old != 0L) order.remove((old, p._1, p._2))
+      val now = old + delta
+      if (now > 0L) { pairCount(p) = now; order.add((now, p._1, p._2)) }
+      else pairCount.remove(p)
+    }
+
+    var wi = 0
+    while (wi < syms.length) {
+      pairsOf(syms(wi)).foreach { p =>
+        bump(p, cnts(wi))
+        pairWords.getOrElseUpdate(p, mutable.BitSet.empty) += wi
+      }
+      wi += 1
+    }
+
+    val merges = mutable.ArrayBuffer.empty[Merge]
     var rank = 0
     var done = false
     while (rank < numMerges && !done) {
-      val best = vocab
-        .flatMap { case (syms, c) =>
-          (0 until syms.length - 1).iterator.map(i => (syms(i), syms(i + 1), c))
-        }
-        .toDF("l", "r", "c")
-        .groupBy("l", "r").agg(sum(col("c")).as("n"))
-        .orderBy(col("n").desc, col("l").asc, col("r").asc)
-        .limit(1).collect()
-      if (best.isEmpty || best(0).getLong(2) < minPairCount) done = true
+      if (order.isEmpty || order.head._1 < minPairCount) done = true
       else {
-        val (l, r, n) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val (n, l, r) = order.head
         merges += Merge(rank, l, r, n)
-        val nextPlan = vocab.map { case (syms, c) => (applyMerge(syms, l, r), c) }
-          .toDF("syms", "cnt")
-        // RDD barrier: without it round k's plan re-derives every prior
-        // round's map from the base table (iterative-lineage trap)
-        val next = spark.createDataFrame(nextPlan.rdd, nextPlan.schema)
-          .as[(Array[String], Long)].persist(lvl)
-        next.count()
-        vocab.unpersist()
-        vocab = next
+        val affected = pairWords.getOrElse((l, r), mutable.BitSet.empty).toArray
+        affected.foreach { i =>
+          val old = syms(i)
+          pairsOf(old).foreach { q =>
+            bump(q, -cnts(i))
+            pairWords.get(q).foreach(_ -= i)
+          }
+          val next = applyMerge(old, l, r)
+          syms(i) = next
+          pairsOf(next).foreach { q =>
+            bump(q, cnts(i))
+            pairWords.getOrElseUpdate(q, mutable.BitSet.empty) += i
+          }
+        }
         rank += 1
       }
     }
-    vocab.unpersist()
     merges.toSeq
   }
 

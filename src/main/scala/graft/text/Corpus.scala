@@ -199,8 +199,12 @@ object Corpus {
       "weightedSample writes __es — rename the existing column")
     val u = (Cols.hash32(col(keyCol).cast("string")).cast("double") + lit(0.5)) /
       lit(4294967296.0)
-    val es = when(col(weightCol) <= 0, raise_error(concat(
-        lit(s"weightedSample: non-positive weight in $weightCol for key "),
+    // NULL must be in the guard explicitly: `null <= 0` is null, which
+    // `when` treats as false — a null weight would otherwise slip into the
+    // otherwise-branch as a null score and silently enter the sample
+    // whenever positive-weight rows run short.
+    val es = when(col(weightCol).isNull || col(weightCol) <= 0, raise_error(concat(
+        lit(s"weightedSample: null or non-positive weight in $weightCol for key "),
         col(keyCol).cast("string"))).cast("double"))
       .otherwise(log(u) / col(weightCol).cast("double"))
     df.withColumn("__es", es)

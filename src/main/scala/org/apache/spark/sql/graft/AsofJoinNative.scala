@@ -37,9 +37,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * FORWARD mode flips the time rule to "earliest right with
   * `rightTime >= leftTime`" (pandas merge_asof direction='forward').
   * Duplicate right timestamps: backward takes the LAST duplicate in sort
-  * order (it consumes the run), forward the FIRST — with equal (key,
-  * time) rows the within-tie order is not defined, so keep (key, time)
-  * unique on the right for deterministic payloads in forward mode.
+  * order (it consumes the run), forward the FIRST. The required right
+  * ordering includes the orderable payload columns, so within a (key,
+  * time) tie the endpoints are DETERMINISTIC: backward yields the
+  * payload-largest duplicate, forward the payload-smallest. Only
+  * unorderable payload types (maps) fall back to the undefined-tie
+  * contract — keep (key, time) unique on the right for those.
   */
 case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
@@ -75,8 +78,16 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
 
   override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    // Right side additionally sorts by the (orderable) payload columns:
+    // with duplicate (key, time) right rows the merge takes a tie-run
+    // endpoint (forward the first, backward the last), and without a
+    // total order that endpoint is whichever duplicate the unstable sort
+    // emitted — silently flaky output. The extra keys only cost
+    // comparisons inside equal (key, time) runs.
     Seq(leftKeys.map(SortOrder(_, Ascending)) :+ SortOrder(leftTime, Ascending),
-      rightKeys.map(SortOrder(_, Ascending)) :+ SortOrder(rightTime, Ascending))
+      rightKeys.map(SortOrder(_, Ascending)) ++ (SortOrder(rightTime, Ascending) +:
+        payload.filter(a => RowOrdering.isOrderable(a.dataType))
+          .map(SortOrder(_, Ascending))))
 
   override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
 

@@ -14,6 +14,18 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * from where the built-in rules carry it all the way into the scan's
   * PushedFilters.
   *
+  * Batch-ordering caveat: installed via `ensureStrategy` the rule lands
+  * in `experimental.extraOptimizations`, the FINAL optimizer batch —
+  * AFTER PushDownPredicates has run. The sunk filter still reaches
+  * PushedFilters when the left child is a scan-adjacent Project/Filter
+  * chain, because FileSourceStrategy re-collects filters at PHYSICAL
+  * planning; but if the left child contains a join or aggregate, the
+  * predicate stops at `aj.left` instead of descending further. The
+  * `spark.sql.extensions` path ([[GraftExtensions]] uses
+  * `injectOptimizerRule`) runs inside the main batch cycle where
+  * PushDownPredicates picks the sunk filter up on the next fixpoint
+  * iteration — prefer it for standing sessions.
+  *
   * Predicates referencing payload columns (or both sides) stay above
   * the join: a match-dependent filter does NOT commute (it would have
   * to drop left rows before their match is computed). */

@@ -65,8 +65,9 @@ class AsofJoinNativeSpec extends SparkSpec {
         direction = "forward")
       .collect().map(r => (r.getString(0), r.getLong(1)) -> r.get(3)).toMap
     assert(fwd(("A", 0L)) == 10.0)   // next quote at t=1
-    // tie matches; WHICH t=3 duplicate is first is sort-tie-dependent
-    assert(Set[Any](11.0, 11.5).contains(fwd(("A", 3L))))
+    // tie matches; the payload-extended right ordering makes the FIRST
+    // duplicate deterministic: forward takes the payload-smallest (11.0)
+    assert(fwd(("A", 3L)) == 11.0)
     assert(fwd(("A", 8L)) == null)   // nothing at-or-after t=8 for A
     assert(fwd(("B", 10L)) == null)
     // negation law: forward == backward on negated times

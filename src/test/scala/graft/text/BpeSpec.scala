@@ -41,4 +41,62 @@ class BpeSpec extends SparkSpec {
     assert(Bpe.applyMerge(Array("a", "a", "a"), "a", "a").toList == List("aa", "a"))
     assert(Bpe.charSyms("a😀b").toList == List("a", "😀", "b"))
   }
+
+  /** Slow reference learner: full recount + argmax scan each round — the
+    * definitionally-correct implementation the incremental one must match. */
+  private def bruteForce(words: Array[(String, Long)], numMerges: Int,
+                         minPairCount: Long): Seq[(String, String, Long)] = {
+    var vocab = words.map { case (w, c) => (Bpe.charSyms(w), c) }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, String, Long)]
+    var done = false
+    while (out.size < numMerges && !done) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      vocab.foreach { case (s, c) =>
+        (0 until s.length - 1).foreach(i => counts((s(i), s(i + 1))) =
+          counts.getOrElse((s(i), s(i + 1)), 0L) + c)
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val (p, n) = counts.toSeq.minBy { case ((l, r), n) => (-n, l, r) }
+        if (n < minPairCount) done = true
+        else {
+          out += ((p._1, p._2, n))
+          vocab = vocab.map { case (s, c) => (Bpe.applyMerge(s, p._1, p._2), c) }
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("incremental learner matches brute-force recount on a randomized vocab") {
+    val rng = new scala.util.Random(42)
+    val sylls = Array("ab", "cd", "ef", "gh", "xy", "lo", "we", "st", "er", "an")
+    val words = Array.tabulate(300) { _ =>
+      val w = (0 until 1 + rng.nextInt(4)).map(_ => sylls(rng.nextInt(sylls.length))).mkString
+      (w, 1L + rng.nextInt(20).toLong)
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+    val fast = Bpe.learnMergesLocal(words, 40, 2L).map(m => (m.left, m.right, m.pairCount))
+    assert(fast == bruteForce(words, 40, 2L))
+  }
+
+  test("1k-merge round-trip: vocab-scale learning terminates fast, counts non-increasing") {
+    val rng = new scala.util.Random(7)
+    val alpha = "abcdefghijklmnop"
+    val words = Array.tabulate(5000) { _ =>
+      val w = (0 until 3 + rng.nextInt(8)).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      (w, 1L + rng.nextInt(50).toLong)
+    }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+    val t0 = System.nanoTime()
+    val merges = Bpe.learnMergesLocal(words, 1000, 2L)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1000, s"expected 1000 merges, got ${merges.size}")
+    assert(secs < 30.0, s"1k merges took $secs s — the in-memory learner regressed")
+    // chosen counts are non-increasing: a merge only creates pairs at its
+    // own occurrence sites, so no later pair can out-count an earlier best
+    val counts = merges.map(_.pairCount)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    // ranks are dense 0..n-1 and every merge's pair really disappears from
+    // a re-encode of itself (left+right concatenation is the new symbol)
+    assert(merges.map(_.rank) == (0 until 1000))
+  }
 }
