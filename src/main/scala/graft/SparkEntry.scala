@@ -984,6 +984,31 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // ---- extension: bucketed co-located join — bucketBy pre-hash-
+    // partitions BOTH tables on disk, so the fact⋈dim equi-join reads
+    // co-located splits and plans NO Exchange (BucketingSpec asserts the
+    // plan); the write-once shuffle amortizes over every later run.
+    // Revenue rides as exact integer cents (q18's discipline).
+    "q118_x_bucketed_join" -> tuned((s, d) => {
+      import graft.sources.Bucketing
+      val key = graft.text.TextHash.hash32(d).toHexString
+      val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_$key"
+      cleanupOnExit(base)
+      Bucketing.writeBucketedTable(Tables.customer(s, d)
+          .select("c_custkey", "c_nationkey"),
+        s"graft_b_customer_$key", s"$base/customer", Seq("c_custkey"), 8, Seq("c_custkey"))
+      Bucketing.writeBucketedTable(Tables.orders(s, d)
+          .select("o_custkey", "o_totalprice"),
+        s"graft_b_orders_$key", s"$base/orders", Seq("o_custkey"), 8, Seq("o_custkey"))
+      Bucketing.table(s, s"graft_b_orders_$key")
+        .join(Bucketing.table(s, s"graft_b_customer_$key"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(round(col("o_totalprice") * 100)) / 100.0, 2).as("revenue"))
+        .orderBy("c_nationkey")
+    }),
+
     // ---- extension: BPE tokenizer-vocabulary induction (Sennrich 2016)
     // — iterative argmax over distributed pair counts is not
     // SQL-expressible, so no oracle (rows-only); the merge sequence is
@@ -2060,6 +2085,14 @@ object SparkEntry {
 
     "q52_x_lsh_ann" ->
       lshTopKSql(nBits = 8, nTables = 2, dim = 64, k = 3, maxId = 200L),
+
+    // bucketing changes the PLAN, not the answer: the oracle is the plain
+    // join + aggregate (integer-cents sum; one division at the end)
+    "q118_x_bucketed_join" ->
+      ("""SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+        |  round(sum(round(o_totalprice * 100)) / 100.0, 2) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // AR(1) CLS fit mirrored with Spark's exact normal-equation formulas
     // (beta = inv(X'X)X'y expanded for the 2x2 case) and the forecast
