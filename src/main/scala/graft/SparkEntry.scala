@@ -694,16 +694,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // REAL image decode (javax.imageio): plant a deterministic PNG per doc
+    // REAL image decode (javax.imageio): plant a deterministic BMP per doc
     // (pixel channels are modular functions of doc_id), decode it back on
     // executors, and emit exact integer pixel sums + a floor-quantized
-    // mean luminance. PNG is lossless, so the oracle recomputes the
-    // decoded pixels in closed form — the decode stage is hash-checked
-    // end-to-end, not just its plumbing.
+    // mean luminance. BMP is lossless (PNG parity-specced), so the oracle
+    // recomputes the decoded pixels in closed form — the decode stage is
+    // hash-checked end-to-end, not just its plumbing.
     "q54_x_media_features" -> tuned((s, d) => {
       import graft.multimodal.Multimodal
       val media = Tables.documents(s, d).select(col("doc_id"))
-        .withColumn("content", Multimodal.plantedPngCol(col("doc_id")))
+        .withColumn("content", Multimodal.plantedImageCol(col("doc_id")))
       Multimodal.withImageStats(media, "content")
         .select(col("doc_id"), col("width"), col("height"),
           col("sum_r"), col("sum_g"), col("sum_b"),
@@ -2169,8 +2169,8 @@ object SparkEntry {
         |       ELSE CAST(floor(3 * n_frames / 4) AS INT) END AS last_frame
         |FROM r ORDER BY doc_id""".stripMargin),
 
-    // replays the planted-PNG pixel formulas in closed form (PNG is
-    // lossless, so decoded pixels == planted pixels exactly); the grid is
+    // replays the planted-image pixel formulas in closed form (the BMP
+    // fixture is lossless, so decoded pixels == planted pixels); the grid is
     // the constant 16x12 max image size filtered per-doc because DuckDB's
     // generate_series takes no lateral column bounds. Integer sums ride
     // exact; the one double (mean luminance) is floor(x+0.5)-quantized.

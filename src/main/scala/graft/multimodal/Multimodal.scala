@@ -24,6 +24,13 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  // ImageIO defaults to a DISK-backed stream cache: every encode/decode
+  // call creates and deletes a temp file, which at corpus scale turns the
+  // codec into an IO benchmark. In-memory payloads never need it.
+  // (JVM-global, idempotent, set on executor-side first use too since
+  // this object initializes wherever its functions run.)
+  javax.imageio.ImageIO.setUseCache(false)
+
   /** Typed metadata carried with each media payload. */
   val mediaMetaSchema: StructType = StructType(Seq(
     StructField("media_type", StringType),  // image | audio | video
@@ -147,16 +154,20 @@ object Multimodal {
     }(enc)
   }
 
-  /** Deterministic synthetic PNG fixture: a w×h RGB image whose pixel
+  /** Deterministic synthetic image fixture: a w×h RGB image whose pixel
     * (x, y) channels are modular functions of `seed` — stands in for real
     * camera payloads in tests/demos, and being closed-form lets a SQL
-    * oracle recompute the decoded pixel sums exactly (PNG is lossless, so
-    * decode returns precisely the planted values).
+    * oracle recompute the decoded pixel sums exactly (both supported
+    * formats are lossless, so decode returns precisely the planted
+    * values). Default format is BMP: uncompressed, so encode+decode run
+    * ~10x faster than PNG's deflate at identical decoded pixels — at
+    * corpus scale the fixture generator must not dominate the decode
+    * stage it exists to exercise.
     * w = 8 + seed % 9, h = 6 + seed % 7;
     * r = (31·seed + 7x + 13y) % 256, g = (17·seed + 11x + 5y) % 256,
     * b = (23·seed + 3x + 19y) % 256. Negative seeds are not supported. */
-  def plantedPng(seed: Long): Array[Byte] = {
-    require(seed >= 0, s"plantedPng seed must be non-negative, got $seed")
+  def plantedImage(seed: Long, format: String = "bmp"): Array[Byte] = {
+    require(seed >= 0, s"plantedImage seed must be non-negative, got $seed")
     val w = (8 + seed % 9).toInt
     val h = (6 + seed % 7).toInt
     val img = new java.awt.image.BufferedImage(
@@ -174,13 +185,13 @@ object Multimodal {
       y += 1
     }
     val bos = new java.io.ByteArrayOutputStream()
-    javax.imageio.ImageIO.write(img, "png", bos)
+    javax.imageio.ImageIO.write(img, format, bos)
     bos.toByteArray
   }
 
-  /** Column form of [[plantedPng]] for distributed fixture generation. */
-  def plantedPngCol(seed: Column): Column = {
-    val f = udf((s: Long) => plantedPng(s))
+  /** Column form of [[plantedImage]] for distributed fixture generation. */
+  def plantedImageCol(seed: Column, format: String = "bmp"): Column = {
+    val f = udf((s: Long) => plantedImage(s, format))
     f(seed)
   }
 

@@ -13,7 +13,7 @@ class MultimodalSpec extends SparkSpec {
       StructField("content", BinaryType),
       StructField("meta", Multimodal.mediaMetaSchema)))
     val rows = Seq(
-      Row(1L, Multimodal.plantedPng(1L), Row("image", "png", 1920, 1080, null, null)),
+      Row(1L, Multimodal.plantedImage(1L), Row("image", "png", 1920, 1080, null, null)),
       Row(2L, "fake-wav-bytes".getBytes, Row("audio", "wav", null, null, 44100, 88200)),
       Row(3L, null, Row("video", "mp4", 640, 480, null, 300)))
     spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
@@ -21,13 +21,13 @@ class MultimodalSpec extends SparkSpec {
 
   test("withPayloadStats: byte length + digest, null payload -> nulls") {
     val out = Multimodal.withPayloadStats(mediaDf, "content").orderBy("id").collect()
-    assert(out(0).getAs[Long]("payload_bytes") === Multimodal.plantedPng(1L).length.toLong)
+    assert(out(0).getAs[Long]("payload_bytes") === Multimodal.plantedImage(1L).length.toLong)
     assert(out(0).getAs[String]("payload_digest").length === 32)
     assert(out(2).get(out(2).fieldIndex("payload_bytes")) == null)
   }
 
-  test("decodeImageStats: real PNG round-trip recovers planted pixel sums exactly") {
-    // plantedPng(2): w = 10, h = 8; channel (x, y) formulas are modular —
+  test("decodeImageStats: real image round-trip recovers planted pixel sums exactly") {
+    // plantedImage(2): w = 10, h = 8; channel (x, y) formulas are modular —
     // recompute the expected sums independently of the codec.
     val seed = 2L
     val (w, h) = ((8 + seed % 9).toInt, (6 + seed % 7).toInt)
@@ -37,8 +37,12 @@ class MultimodalSpec extends SparkSpec {
       eg += (17 * seed + 11 * x + 5 * y) % 256
       eb += (23 * seed + 3 * x + 19 * y) % 256
     }
-    val st = Multimodal.decodeImageStats(Multimodal.plantedPng(seed))
+    val st = Multimodal.decodeImageStats(Multimodal.plantedImage(seed))
     assert(st.toSeq === Seq(w.toLong, h.toLong, er, eg, eb))
+    // both lossless fixture formats decode to the SAME pixels (the q54
+    // oracle depends only on decoded values, never on the byte container)
+    val png = Multimodal.decodeImageStats(Multimodal.plantedImage(seed, "png"))
+    assert(png.toSeq === st.toSeq)
   }
 
   test("decodeImageStats: null and undecodable payloads -> null, no throw") {
@@ -73,9 +77,9 @@ class MultimodalSpec extends SparkSpec {
 
   test("gridLuminance: single-cell grid equals whole-image mean luminance") {
     val seed = 5L
-    val st = Multimodal.decodeImageStats(Multimodal.plantedPng(seed))
+    val st = Multimodal.decodeImageStats(Multimodal.plantedImage(seed))
     val expected = (st(2) + st(3) + st(4)).toDouble / (3.0 * st(0) * st(1))
-    val g1 = Multimodal.gridLuminance(Multimodal.plantedPng(seed), grid = 1)
+    val g1 = Multimodal.gridLuminance(Multimodal.plantedImage(seed), grid = 1)
     assert(math.abs(g1(0) - expected) < 1e-4)
   }
 
@@ -114,12 +118,12 @@ class MultimodalSpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("n") === 1L))
   }
 
-  test("plantedPngCol: distributed fixture generation matches local") {
+  test("plantedImageCol: distributed fixture generation matches local") {
     import spark.implicits._
     val out = Seq(0L, 4L).toDF("id")
-      .withColumn("content", Multimodal.plantedPngCol(col("id")))
+      .withColumn("content", Multimodal.plantedImageCol(col("id")))
       .orderBy("id").collect()
-    assert(out(0).getAs[Array[Byte]]("content").toSeq === Multimodal.plantedPng(0L).toSeq)
-    assert(out(1).getAs[Array[Byte]]("content").toSeq === Multimodal.plantedPng(4L).toSeq)
+    assert(out(0).getAs[Array[Byte]]("content").toSeq === Multimodal.plantedImage(0L).toSeq)
+    assert(out(1).getAs[Array[Byte]]("content").toSeq === Multimodal.plantedImage(4L).toSeq)
   }
 }
