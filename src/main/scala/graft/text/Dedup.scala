@@ -402,29 +402,73 @@ object Dedup {
         rebuild(col("__text"), col("ss"), col("es")).as("text_clean"))
   }
 
-  /** Connected components over an undirected edge list by min-label
-    * propagation with pointer jumping: every node starts labeled with its
-    * own id; each round a node adopts the minimum label among itself and
-    * its neighbors, then follows its label's label one hop — fixpoint in
-    * O(log diameter) rounds. Each round is two shuffle joins + one
-    * aggregate — no driver-side graph, no per-node loops — so the
-    * iteration count, not the data volume, is the only scale bound (and
-    * near-dup clusters are shallow to begin with).
+  /** Driver-side union-find with path compression; union-by-MIN-root, so
+    * each set's root is its minimum id and `find` returns the same
+    * `component` the distributed min-label loop produces. */
+  private[text] def unionFind(edges: Array[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val ra = find(a)
+      val rb = find(b)
+      if (ra != rb) { if (ra < rb) parent(rb) = ra else parent(ra) = rb }
+    }
+    parent.keysIterator.map(k => k -> find(k)).toMap
+  }
+
+  /** Connected components over an undirected edge list.
     *
-    * Each round persists its label frame and unpersists the previous one
-    * (iterative lineage would otherwise recompute every prior round per
-    * action). Output: (id, component) for every node that appears in an
-    * edge; `component` = the minimum node id in the component. The
-    * returned frame stays persisted (it IS the final round's state — a
-    * small id-only table); the ContextCleaner releases it when the frame
-    * becomes unreachable. */
+    * Two regimes, same output contract (the BPE work-split discipline —
+    * distribute the corpus-sized pass, not state that fits one JVM):
+    *
+    *  - Edge sets up to `driverMaxEdges` (the overwhelmingly common case:
+    *    dedup candidate pairs are ≪ corpus) collect to the driver and run
+    *    union-find with path compression — microseconds of CPU, ZERO
+    *    shuffle rounds, where the distributed loop pays several multi-stage
+    *    jobs of mostly-empty tasks just to confirm convergence.
+    *  - Larger edge sets run min-label propagation with pointer jumping:
+    *    every node starts labeled with its own id; each round a node
+    *    adopts the minimum label among itself and its neighbors, then
+    *    follows its label's label one hop — fixpoint in O(log diameter)
+    *    rounds. Each round is two shuffle joins + one aggregate — no
+    *    driver-side graph — so the iteration count, not the data volume,
+    *    is the only scale bound (and near-dup clusters are shallow).
+    *    Each round persists its label frame and unpersists the previous
+    *    one (iterative lineage would otherwise recompute every prior
+    *    round per action).
+    *
+    * Output: (id, component) for every node that appears in an edge;
+    * `component` = the minimum node id in the component. `GRAFT_CC_DRIVER_MAX`
+    * overrides the regime threshold (0 forces the distributed path). */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
-                          maxIters: Int = 25): DataFrame = {
+                          maxIters: Int = 25,
+                          driverMaxEdges: Long = 2000000L): DataFrame = {
     val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).cast("long").as("src"),
       col(dstCol).cast("long").as("dst"))
-    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+    val threshold = sys.env.get("GRAFT_CC_DRIVER_MAX").map(_.toLong)
+      .getOrElse(driverMaxEdges)
+    val eDistinct = e.distinct().persist(lvl)
+    val nEdges = eDistinct.count()
+    if (nEdges <= threshold) {
+      val spark = edges.sparkSession
+      val out = unionFind(eDistinct.collect().map(r => (r.getLong(0), r.getLong(1))))
+      eDistinct.unpersist()
+      import spark.implicits._
+      return out.toSeq.sortBy(_._1).toDF("id", "component")
+    }
+    val sym = eDistinct
+      .union(eDistinct.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().persist(lvl)
+    eDistinct.unpersist()
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id")).persist(lvl)
     // Convergence signal: min-propagation is monotone (labels only ever

@@ -116,6 +116,23 @@ class DedupSpec extends SparkSpec {
       .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
       10L -> 10L, 11L -> 10L))
+    // the DISTRIBUTED min-label loop (forced via driverMaxEdges = 0) must
+    // produce the identical labeling
+    val dist = Dedup.connectedComponents(edges, "id_a", "id_b", driverMaxEdges = 0L)
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(dist.toSeq == out.toSeq)
+  }
+
+  test("connectedComponents: driver union-find matches distributed loop on a random graph") {
+    val rng = new scala.util.Random(23)
+    val edges = (0 until 300).map(_ => (rng.nextInt(120).toLong, rng.nextInt(120).toLong))
+      .filter { case (a, b) => a != b }
+      .toDF("id_a", "id_b")
+    val fast = Dedup.connectedComponents(edges, "id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val dist = Dedup.connectedComponents(edges, "id_a", "id_b", driverMaxEdges = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(fast == dist)
   }
 
   test("duplicateClusters: transitive near-dups share one cluster, uniques absent") {
