@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 /** Structured Streaming variant of the monthly/windowed collapse
@@ -15,6 +15,28 @@ import org.apache.spark.sql.types._
   * the batch collapse run per micro-batch.
   */
 object StreamingCollapse {
+
+  /** Start `writer`, drain it to completion, stop — with
+    * `spark.sql.shuffle.partitions` temporarily lowered for the query's
+    * lifetime (GRAFT_STREAM_PARTITIONS, default 4). A stateful query
+    * creates one state store PER shuffle partition PER stateful operator
+    * at START; these bounded verify/bench drains hold a few thousand
+    * keys, so a 32-partition session buys nothing but state-store setup
+    * and maintenance cost (a stream-stream join at 32 partitions opens
+    * 128 stores for a 33-row result). Standing production streams size
+    * their partitions to throughput at their own start and never pass
+    * through here. Partition count only shapes the state layout — the
+    * drained result is partition-count-independent. */
+  private def drain(spark: SparkSession, writer: DataStreamWriter[_]): Unit = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "4"))
+    try {
+      val q = writer.start()
+      try q.processAllAvailable()
+      finally q.stop()
+    } finally spark.conf.set(key, prev)
+  }
 
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
@@ -117,10 +139,8 @@ object StreamingCollapse {
       .select(col("user_id"), expr("ts div 1000").as("tsMicros"), col("value"))
       .as[(Long, Long, Double)]
       .map { case (u, t, v) => SessionEvent(u, t, v) }
-    val q = sessionize(events, gapMinutes, withTimeout = false)
-      .writeStream.outputMode("append").format("memory").queryName(name).start()
-    try q.processAllAvailable()
-    finally q.stop()
+    drain(spark, sessionize(events, gapMinutes, withTimeout = false)
+      .writeStream.outputMode("append").format("memory").queryName(name))
     spark.table(name)
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
@@ -143,13 +163,10 @@ object StreamingCollapse {
       .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
       .select(to_date(col("window.start")).as("week"),
         col("event_type"), col("n"), col("sum_value"))
-    val q = agg.writeStream
+    drain(spark, agg.writeStream
       .outputMode("complete")
       .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      .queryName(name))
     spark.table(name).orderBy("week", "event_type")
   }
 
@@ -182,13 +199,10 @@ object StreamingCollapse {
       .select(col("doc_id"), graft.text.Dedup.exactDigest(col("text")).as("text_hash"))
       .groupBy("text_hash")
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
-    val q = agg.writeStream
+    drain(spark, agg.writeStream
       .outputMode("complete")
       .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      .queryName(name))
     spark.table(name).orderBy("text_hash")
   }
 
@@ -221,13 +235,10 @@ object StreamingCollapse {
       col("click_user") === col("purchase_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"interval $windowMinutes minutes"))
-    val q = joined.writeStream
+    drain(spark, joined.writeStream
       .outputMode("append")
       .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      .queryName(name))
     spark.table(name)
       .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
         round(col("purchase_value"), 2).as("purchase_value"))
@@ -264,13 +275,10 @@ object StreamingCollapse {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"),
         round(sum(abs(col("value") - col("user_avg"))), 2).as("sum_absdev"))
-    val q = agg.writeStream
+    drain(spark, agg.writeStream
       .outputMode("complete")
       .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      .queryName(name))
     spark.table(name).orderBy("event_type")
   }
 
@@ -371,13 +379,10 @@ object StreamingCollapse {
     val name = "graft_stream_neardup"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val pairs = nearDupPairsStream(spark, dir, k, bands, shingleK, stateTtlMinutes = None)
-    val q = pairs.writeStream
+    drain(spark, pairs.writeStream
       .outputMode("append")
       .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
+      .queryName(name))
     spark.table(name).dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
