@@ -1341,6 +1341,21 @@ object SparkEntry {
           e.filter(col("vec_id") % 5 === 0),
           "vec_id", "embedding", threshold = 0.4)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- extension: q116's SCALE PATH — when the held-out side grows
+    // with the corpus (q55→q60 relationship, cross-corpus): SRP-bucketed
+    // candidates instead of the exact cross product, |c_bucket|·|h_bucket|
+    // per bucket; nBits scales by Similarity.suggestedNBits at real size.
+    // Deterministic, so the oracle replays bucketing exactly (q60's trick)
+    "q119_x_semantic_decon_bucketed" -> tuned((s, d) => {
+      val e = Tables.embeddings(s, d)
+      Similarity.crossNearDupBucketed(
+          e.filter(col("vec_id") % 5 =!= 0),
+          e.filter(col("vec_id") % 5 === 0),
+          "vec_id", "embedding", dim = 64, threshold = 0.4,
+          nBits = 6, nTables = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -1555,6 +1570,33 @@ object SparkEntry {
        |  SELECT c.id_a, c.id_b, ea.embedding AS e_a, eb.embedding AS e_b
        |  FROM c JOIN embeddings ea ON ea.vec_id = c.id_a
        |         JOIN embeddings eb ON eb.vec_id = c.id_b)
+       |SELECT id_a, id_b, $cos AS cos_sim FROM j
+       |WHERE $cos >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q119: SRP-bucketed CROSS-corpus near-dup — the same hyperplane
+    * replay, with the corpus/held-out split (vec_id % 5) applied before
+    * bucketing on both sides. */
+  private def crossNearDupBucketedSql(nBits: Int, nTables: Int, dim: Int,
+                                      threshold: Double): String = {
+    def keys(src: String) = (0 until nTables)
+      .map(t => s"SELECT id, embedding, $t AS t, ${srpKeySqlExpr(t, nBits, dim)} AS key FROM $src")
+      .mkString("\n  UNION ALL\n  ")
+    def dot(l: String, r: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
+    val cos = s"round(${dot("e_a", "e_b")} / nullif(sqrt(${dot("e_a", "e_a")}) * sqrt(${dot("e_b", "e_b")}), 0), 4)"
+    s"""WITH c AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id % 5 != 0),
+       |h AS (SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+       |kc AS (
+       |  ${keys("c")}),
+       |kh AS (
+       |  ${keys("h")}),
+       |p AS (
+       |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+       |  FROM kc a JOIN kh b ON a.t = b.t AND a.key = b.key),
+       |j AS (
+       |  SELECT p.id_a, p.id_b, ca.embedding AS e_a, hb.embedding AS e_b
+       |  FROM p JOIN c ca ON ca.id = p.id_a JOIN h hb ON hb.id = p.id_b)
        |SELECT id_a, id_b, $cos AS cos_sim FROM j
        |WHERE $cos >= $threshold ORDER BY id_a, id_b""".stripMargin
   }
@@ -2085,6 +2127,9 @@ object SparkEntry {
 
     "q52_x_lsh_ann" ->
       lshTopKSql(nBits = 8, nTables = 2, dim = 64, k = 3, maxId = 200L),
+
+    "q119_x_semantic_decon_bucketed" ->
+      crossNearDupBucketedSql(nBits = 6, nTables = 3, dim = 64, threshold = 0.4),
 
     // bucketing changes the PLAN, not the answer: the oracle is the plain
     // join + aggregate (integer-cents sum; one division at the end)

@@ -301,4 +301,34 @@ object Similarity {
           .as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
+
+  /** [[crossNearDup]]'s SCALE PATH for held-out sides too large to
+    * broadcast-cross (the q55→q60 relationship, cross-corpus): both sides
+    * bucket by the same SRP hyperplanes, candidates are bucket collisions
+    * in ≥1 of `nTables` tables, exact cosine re-scores candidates only.
+    * Cost per bucket is |corpus bucket|·|heldout bucket| instead of the
+    * full product — with `nBits` scaled to the TOTAL row count
+    * ([[suggestedNBits]]) the work stays ~linear as both sides grow,
+    * where the exact cross is quadratic. Narrow-pair trick throughout:
+    * only (id, bucket) shuffles; vectors re-attach after the distinct. */
+  def crossNearDupBucketed(corpus: DataFrame, heldout: DataFrame,
+                           idCol: String, vecCol: String, dim: Int,
+                           threshold: Double, nBits: Int = 8,
+                           nTables: Int = 2, roundTo: Int = 4): DataFrame = {
+    def keyed(df: DataFrame, idName: String) = df.select(
+      col(idCol).cast("long").as(idName),
+      explode(array((0 until nTables).map(t =>
+        struct(lit(t).as("t"), srpKey(col(vecCol), dim, nBits, t).as("key"))): _*)).as("bk"))
+    val pairs = keyed(corpus, "id_a").as("a")
+      .join(keyed(heldout, "id_b").as("b"), col("a.bk") === col("b.bk"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val cv = corpus.select(col(idCol).cast("long").as("id_a"), col(vecCol).as("__cv"))
+    val hv = heldout.select(col(idCol).cast("long").as("id_b"), col(vecCol).as("__hv"))
+    pairs.join(cv, Seq("id_a")).join(hv, Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(org.apache.spark.sql.graft.CosineSim(col("__cv"), col("__hv")), roundTo)
+          .as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+  }
 }

@@ -74,6 +74,23 @@ class SimilaritySpec extends SparkSpec {
     assert(out.keySet.forall { case (a, b) => a < 100L && b >= 100L })
   }
 
+  test("crossNearDupBucketed: subset of exact cross pairs, identical vectors always found") {
+    val rng = new scala.util.Random(31)
+    val corpus = (0L until 40L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+    val held = ((100L until 110L).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat)))
+      :+ (199L, corpus.head._2)) // planted exact contamination
+    val cDf = corpus.toDF("vec_id", "embedding")
+    val hDf = held.toDF("vec_id", "embedding")
+    val bucketed = Similarity.crossNearDupBucketed(cDf, hDf, "vec_id", "embedding",
+        dim = 16, threshold = 0.3, nBits = 4, nTables = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val exact = Similarity.crossNearDup(cDf, hDf, "vec_id", "embedding", threshold = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(bucketed.subsetOf(exact), s"bucketed pairs not in exact set: ${bucketed -- exact}")
+    assert(bucketed.exists(p => p._1 == 0L && p._2 == 199L && p._3 == 1.0),
+      "planted exact contamination missed: identical vectors share every bucket")
+  }
+
   test("srpKey: deterministic bucket keys; identical vectors share buckets") {
     val two = Seq((0L, Array(1.0f, 2.0f, 3.0f)), (1L, Array(1.0f, 2.0f, 3.0f)))
       .toDF("vec_id", "embedding")
