@@ -1356,6 +1356,29 @@ object SparkEntry {
           "vec_id", "embedding", dim = 64, threshold = 0.4,
           nBits = 6, nTables = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- extension: TOLERANCE-bounded as-of join (pandas merge_asof
+    // tolerance) through the same native exec — q112's derivation with a
+    // 15-day bound: a nearest-prior match farther back than the bound is
+    // demoted to null payload. The merge is unchanged (tolerance is an
+    // O(1) accept test on the unique candidate); the oracle applies the
+    // identical test as a CASE over DuckDB's ASOF join epoch gap
+    "q120_x_tolerance_asof_join" -> tuned((s, d) => {
+      val right = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(round(sum(col("o_totalprice")), 2).as("tot"), count(lit(1)).as("n"))
+        .filter(col("n") >= 45)
+        .select(col("o_orderpriority"),
+          col("month").cast("timestamp_ntz").as("month"), col("tot"))
+      val left = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 97 === 0)
+        .select("o_orderkey", "o_orderpriority", "o_orderdate")
+      org.apache.spark.sql.graft.AsofJoinNative.join(left, right,
+          keys = Seq("o_orderpriority"), leftTime = "o_orderdate",
+          rightTime = "month", payload = Seq("tot"),
+          tolerance = Some(15L * 86400L * 1000000L)) // 15 days in micros
+        .orderBy("o_orderkey")
     })
   )
 
@@ -2130,6 +2153,25 @@ object SparkEntry {
 
     "q119_x_semantic_decon_bucketed" ->
       crossNearDupBucketedSql(nBits = 6, nTables = 3, dim = 64, threshold = 0.4),
+
+    // q112's ASOF oracle with the 15-day tolerance as a CASE over the
+    // epoch gap — DuckDB has no ASOF tolerance clause, but the nearest
+    // prior match is already unique, so the post-join test is identical
+    // to the merge-side accept test (15 d = 1_296_000_000_000 us)
+    "q120_x_tolerance_asof_join" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority, CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(o_totalprice), 2) AS tot, count(*) AS n
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT o_orderpriority, month, tot FROM m WHERE n >= 45),
+        |l AS (SELECT o_orderkey, o_orderpriority, o_orderdate FROM orders
+        |      WHERE o_orderkey % 97 = 0)
+        |SELECT l.o_orderkey, l.o_orderpriority, l.o_orderdate,
+        |       CASE WHEN epoch_us(l.o_orderdate) - epoch_us(CAST(r.month AS TIMESTAMP))
+        |                 <= 1296000000000 THEN r.tot END AS tot
+        |FROM l ASOF LEFT JOIN r
+        |  ON l.o_orderpriority = r.o_orderpriority AND l.o_orderdate >= r.month
+        |ORDER BY o_orderkey""".stripMargin),
 
     // bucketing changes the PLAN, not the answer: the oracle is the plain
     // join + aggregate (integer-cents sum; one division at the end)

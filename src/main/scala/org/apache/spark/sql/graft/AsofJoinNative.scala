@@ -36,6 +36,14 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   *
   * FORWARD mode flips the time rule to "earliest right with
   * `rightTime >= leftTime`" (pandas merge_asof direction='forward').
+  *
+  * TOLERANCE (pandas merge_asof `tolerance`): when set, a match whose
+  * time gap exceeds the bound is demoted to null payload — the merge
+  * itself is unchanged (the nearest-in-direction row is still the only
+  * candidate; tolerance is a per-row accept test on it, O(1)). The
+  * bound is expressed in the time column's RAW internal unit (days for
+  * DATE, microseconds for TIMESTAMP/TIMESTAMP_NTZ, the value itself
+  * for integral columns), matching how the merge compares times.
   * Duplicate right timestamps: backward takes the LAST duplicate in sort
   * order (it consumes the run), forward the FIRST. The required right
   * ordering includes the orderable payload columns, so within a (key,
@@ -48,7 +56,8 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
                         payload: Seq[Attribute],
-                        forward: Boolean = false) extends BinaryNode {
+                        forward: Boolean = false,
+                        tolerance: Option[Long] = None) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
   override protected def withNewChildrenInternal(newLeft: LogicalPlan,
                                                  newRight: LogicalPlan): AsofJoinPlan =
@@ -57,8 +66,9 @@ case class AsofJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsofJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsofJoinPlan(l, r, lk, rk, lt, rt, payload, fwd) =>
-      AsofJoinExec(planLater(l), planLater(r), lk, rk, lt, rt, payload, fwd) :: Nil
+    case aj: AsofJoinPlan =>
+      AsofJoinExec(planLater(aj.left), planLater(aj.right), aj.leftKeys, aj.rightKeys,
+        aj.leftTime, aj.rightTime, aj.payload, aj.forward, aj.tolerance) :: Nil
     case _ => Nil
   }
 }
@@ -67,7 +77,8 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
                         leftKeys: Seq[Expression], rightKeys: Seq[Expression],
                         leftTime: Expression, rightTime: Expression,
                         payload: Seq[Attribute],
-                        forward: Boolean = false) extends BinaryExecNode {
+                        forward: Boolean = false,
+                        tolerance: Option[Long] = None) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ payload.map(_.withNullability(true))
 
@@ -105,7 +116,18 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
     val rTime = rightTime
     val pay = payload
     val fwd = forward
+    val tol = tolerance
     val allOut = output
+    // tolerance compares raw internal time values as Long (the API layer
+    // guards that the type is integral-backed: date=int days,
+    // timestamp=long micros)
+    val timeToLong: Any => Long = lTime.dataType match {
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.IntegerType => v => v.asInstanceOf[Int].toLong
+      case org.apache.spark.sql.types.ShortType => v => v.asInstanceOf[Short].toLong
+      case org.apache.spark.sql.types.ByteType => v => v.asInstanceOf[Byte].toLong
+      case _ => v => v.asInstanceOf[Long]
+    }
     left.execute().zipPartitions(right.execute()) { (li, ri) =>
       val lKeyProj = UnsafeProjection.create(lKeys, lOut)
       val rKeyProj = UnsafeProjection.create(rKeys, rOut)
@@ -126,6 +148,7 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
         private var rT: Any = _
         private var matchKey: UnsafeRow = _
         private var matchPay: UnsafeRow = _
+        private var matchT: Any = _
         advanceRight()
 
         private def advanceRight(): Unit = {
@@ -168,19 +191,30 @@ case class AsofJoinExec(left: SparkPlan, right: SparkPlan,
               else if (!fwd && c == 0 && timeOrd.compare(rT, lt) <= 0) {
                 matchKey = rKey
                 matchPay = payProj(rRow).copy()
+                matchT = rT
                 advanceRight()
               } else if (fwd && c == 0 && timeOrd.compare(rT, lt) < 0) {
                 advanceRight()
               } else advancing = false
             }
           }
-          val hit =
+          val hit0 =
             if (fwd)
               lt != null && !lk.anyNull && rRow != null &&
                 keyOrd.compare(rKey, lk) == 0
             else
               lt != null && !lk.anyNull && matchKey != null &&
                 keyOrd.compare(matchKey, lk) == 0
+          // tolerance accept test on the (unique) candidate: the gap is
+          // non-negative by construction (backward consumed rT <= lt,
+          // forward stopped at rT >= lt)
+          val hit = hit0 && (tol match {
+            case None => true
+            case Some(t) =>
+              val gap = if (fwd) timeToLong(rT) - timeToLong(lt)
+                        else timeToLong(lt) - timeToLong(matchT)
+              gap <= t
+          })
           val payRow = if (!hit) nullPay else if (fwd) payProj(rRow) else matchPay
           outProj(joined(l, payRow))
         }
@@ -198,13 +232,17 @@ object AsofJoinNative {
     * right with `rightTime >= leftTime` (the next-observation join;
     * DuckDB can only express it by negating both time axes). Output:
     * every left column, then `payload` columns from the matched right
-    * row. */
+    * row. `tolerance` (pandas merge_asof): max allowed |gap| in the
+    * time column's raw unit (days for DATE, micros for TIMESTAMP) —
+    * a nearest-in-direction match farther away yields null payload. */
   def join(left: DataFrame, right: DataFrame, keys: Seq[String],
            leftTime: String, rightTime: String, payload: Seq[String],
-           direction: String = "backward"): DataFrame = {
+           direction: String = "backward",
+           tolerance: Option[Long] = None): DataFrame = {
     require(direction == "backward" || direction == "forward",
       s"direction must be backward|forward, got $direction")
     require(keys.nonEmpty, "asof join needs at least one equality key")
+    require(tolerance.forall(_ >= 0), s"tolerance must be >= 0, got $tolerance")
     // same guard as AsofJoin.asofJoin: a payload name colliding with a
     // left column would emit two same-named columns (different exprIds)
     // and push an AMBIGUOUS_REFERENCE onto the first downstream select
@@ -232,13 +270,25 @@ object AsofJoinNative {
     require(lt.dataType == rt.dataType,
       s"as-of time columns must share one type: $leftTime is ${lt.dataType}, " +
         s"$rightTime is ${rt.dataType} — cast one side first")
+    if (tolerance.isDefined) {
+      // the gap test subtracts raw internal values as Long — only
+      // integral-backed time types qualify (same loud-guard philosophy
+      // as the type-equality check above)
+      import org.apache.spark.sql.types._
+      val ok = Set[DataType](DateType, TimestampType, TimestampNTZType,
+        IntegerType, LongType, ShortType, ByteType)
+      require(ok.contains(lt.dataType),
+        s"tolerance needs an integral-backed time type (date/timestamp/int), " +
+          s"got ${lt.dataType}")
+    }
     val lk = keys.map(attr(lp.output, _, "left"))
     val rk = keys.map(attr(rOut, _, "right"))
     lk.zip(rk).foreach { case (a, b) =>
       require(a.dataType == b.dataType,
         s"as-of key ${a.name} type mismatch: ${a.dataType} vs ${b.dataType}") }
     val plan = AsofJoinPlan(lp, rp, lk, rk, lt, rt,
-      payload.map(attr(rOut, _, "right")), forward = direction == "forward")
+      payload.map(attr(rOut, _, "right")), forward = direction == "forward",
+      tolerance = tolerance)
     classicDataset(spark, plan)
   }
 

@@ -138,6 +138,47 @@ class AsofJoinNativeSpec extends SparkSpec {
     assert(e.getMessage.contains("collide"))
   }
 
+  test("tolerance: out-of-bound matches demote to null payload, both directions") {
+    val t = Seq(("A", 0L, 1L), ("A", 3L, 2L), ("A", 6L, 3L), ("A", 99L, 4L),
+      ("B", 2L, 5L), ("B", 9L, 6L)).toDF("sym", "t", "qty")
+    // backward, tolerance 2: match iff leftTime - matchTime <= 2
+    val back = AsofJoinNative.join(t, quotes, Seq("sym"), "t", "t", Seq("px"),
+        tolerance = Some(2L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.get(3)).toMap
+    assert(back(("A", 0L)) == null)   // no quote at-or-before 0
+    assert(back(("A", 3L)) == 11.5)   // exact tie, gap 0
+    assert(back(("A", 6L)) == null)   // nearest prior at 3, gap 3 > 2
+    assert(back(("A", 99L)) == null)  // gap 92
+    assert(back(("B", 2L)) == 20.0)   // gap 0
+    assert(back(("B", 9L)) == 21.0)   // gap 0
+    // tolerance-free run on the same input differs exactly on the
+    // demoted rows (the merge itself is unchanged)
+    val free = AsofJoinNative.join(t, quotes, Seq("sym"), "t", "t", Seq("px"))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.get(3)).toMap
+    assert(free(("A", 6L)) == 11.5 && free(("A", 99L)) == 12.0)
+    // forward, tolerance 1: match iff matchTime - leftTime <= 1
+    val fwd = AsofJoinNative.join(t, quotes, Seq("sym"), "t", "t", Seq("px"),
+        direction = "forward", tolerance = Some(1L))
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.get(3)).toMap
+    assert(fwd(("A", 0L)) == 10.0)    // next at 1, gap 1
+    assert(fwd(("A", 3L)) == 11.0)    // tie, payload-smallest dup
+    assert(fwd(("A", 6L)) == 12.0)    // next at 7, gap 1
+    assert(fwd(("B", 2L)) == 20.0)    // gap 0
+    assert(fwd(("B", 9L)) == 21.0)    // gap 0
+    assert(fwd(("A", 99L)) == null)   // nothing after
+    // guards: negative tolerance and non-integral time types fail loudly
+    intercept[IllegalArgumentException] {
+      AsofJoinNative.join(t, quotes, Seq("sym"), "t", "t", Seq("px"),
+        tolerance = Some(-1L))
+    }
+    val dbl = quotes.withColumn("td", col("t").cast("double"))
+    val e = intercept[IllegalArgumentException] {
+      AsofJoinNative.join(t.withColumn("td", col("t").cast("double")), dbl,
+        Seq("sym"), "td", "td", Seq("px"), tolerance = Some(1L))
+    }
+    assert(e.getMessage.contains("integral-backed"))
+  }
+
   test("native as-of: null left time and null-time right rows never match") {
     val l = Seq((java.lang.Long.valueOf(1L), "A"), (null.asInstanceOf[java.lang.Long], "A"))
       .toDF("t", "sym")

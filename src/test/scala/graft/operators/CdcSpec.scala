@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // (key, version, op, payload)
+  private def changelog = Seq(
+    ("k1", 1L, "I", 10.0), ("k1", 3L, "U", 12.0), ("k1", 2L, "U", 11.0),
+    ("k2", 1L, "I", 20.0), ("k2", 2L, "D", 0.0),
+    ("k3", 5L, "I", 30.0),
+    ("k4", 1L, "I", 40.0), ("k4", 2L, "D", 0.0), ("k4", 3L, "I", 41.0)
+  ).toDF("k", "v", "op", "price")
+
+  test("applyChanges keeps the latest surviving version and tombstones deletes") {
+    val snap = Cdc.applyChanges(changelog, Seq("k"), "v", "op")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(snap.toSeq == Seq(
+      ("k1", 3L, 12.0),   // latest of 3 versions, arrival order scrambled
+      ("k3", 5L, 30.0),   // single insert passes through
+      ("k4", 3L, 41.0)))  // delete then re-insert: alive again
+    // k2's latest event is the delete -> absent entirely
+  }
+
+  test("agg form and window form agree, including on a multi-column key") {
+    val df = changelog.withColumn("k2", col("k").substr(2, 1))
+    val a = Cdc.applyChanges(df, Seq("k", "k2"), "v", "op")
+      .orderBy("k").collect().toSeq
+    val b = Cdc.applyChangesSorted(df, Seq("k", "k2"), "v", "op")
+      .orderBy("k").collect().toSeq
+    // same rows; column order may differ (agg form appends non-key cols)
+    assert(a.map(_.getValuesMap[Any](Seq("k", "k2", "v", "price"))) ==
+      b.map(_.getValuesMap[Any](Seq("k", "k2", "v", "price"))))
+  }
+
+  test("version ties resolve deterministically through the tiebreak column") {
+    // two updates share version 2; lsn completes the order
+    val dup = Seq(
+      ("k1", 2L, 7L, "U", 1.0), ("k1", 2L, 9L, "U", 2.0), ("k1", 1L, 1L, "I", 0.0)
+    ).toDF("k", "v", "lsn", "op", "price")
+    val out = Cdc.applyChanges(dup, Seq("k"), "v", "op", tieBreak = Seq("lsn"))
+      .collect().map(r => r.getAs[Double]("price"))
+    assert(out.toSeq == Seq(2.0)) // lsn 9 wins the v=2 tie
+    val outW = Cdc.applyChangesSorted(dup, Seq("k"), "v", "op", tieBreak = Seq("lsn"))
+      .collect().map(r => r.getAs[Double]("price"))
+    assert(outW.toSeq == Seq(2.0))
+  }
+
+  test("agg form plans partial+final aggregation with no window sort") {
+    val p = Cdc.applyChanges(changelog, Seq("k"), "v", "op")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"agg form must not plan a window:\n$p")
+    // map-side combine: a partial and a final aggregate bracket the
+    // exchange — the reason this form wins at changelog scale
+    assert(p.linesIterator.count(l =>
+        l.contains("Aggregate") && !l.contains("Exchange")) >= 2,
+      s"expected partial+final aggregate pair:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("delete op marker is configurable") {
+    val dl = Seq(("k1", 1L, "upsert", 1.0), ("k1", 2L, "del", 0.0))
+      .toDF("k", "v", "op", "price")
+    assert(Cdc.applyChanges(dl, Seq("k"), "v", "op", deleteOp = "del").count() == 0L)
+    assert(Cdc.applyChanges(dl, Seq("k"), "v", "op").count() == 1L) // "D" never fires
+  }
+}
