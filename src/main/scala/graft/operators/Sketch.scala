@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+import graft.text.TextHash
+
+/** KMV (k-minimum-values) distinct-count sketch — the mergeable
+  * cardinality sketch tier (Bar-Yossef et al. 2002; the idea behind
+  * Theta/HLL-family sketches). Unlike `approx_count_distinct`'s HLL++,
+  * KMV over a FIXED hash is exactly replayable in plain SQL: the k
+  * smallest distinct 60-bit md5 hashes of a group are a deterministic,
+  * ORDER-INDEPENDENT set, so even the approximate estimate
+  * hash-matches a DuckDB oracle (the q111 property, for cardinality).
+  *
+  * Estimator: with `hk` = k-th smallest of the distinct hash values in
+  * `[0, 2^60)`, `n̂ = (k-1) · 2^60 / hk` (the classic unbiased KMV
+  * form); a group with fewer than k distinct values reports its EXACT
+  * distinct count. Standard error ≈ 1/√(k−2) — k=128 gives ~9%.
+  *
+  * Scale shape: one typed Aggregator with a ≤k-long sorted buffer per
+  * (task, group) — map-side partial aggregation collapses each
+  * executor's rows to one k-bounded array per group before the
+  * shuffle, the same bounded-state contract as [[TopK.perKeyAgg]].
+  * `count(DISTINCT x)` by comparison shuffles every distinct value;
+  * at 100 TB the sketch is the only affordable per-group cardinality,
+  * and merged buffers compose across corpora (union = merge, no rescan).
+  *
+  * The hash is [[TextHash.hash60Md5]] over the value's string form —
+  * portable (`CAST('0x' || substring(md5(x), 1, 15) AS BIGINT)`), and
+  * 60 bits keeps birthday collisions (which would undercount) harmless
+  * at any per-group cardinality that fits a cluster. */
+object Sketch {
+
+  /** `n_est`: estimated distinct count (exact when fewer than k
+    * distinct); `kth_hash`: largest retained hash (the k-th smallest
+    * overall, 0 for an empty group); `n_kept`: retained hash count
+    * (= min(k, true distinct count)). */
+  final case class Kmv(n_est: Double, kth_hash: Long, n_kept: Int)
+
+  /** Bounded-buffer KMV aggregator over pre-hashed values. The buffer
+    * is a sorted, duplicate-free, ≤k array of hash values; reduce is a
+    * binary-search insert, merge a linear sorted-union — both drop
+    * everything past the k-th minimum. */
+  final class KmvAgg(k: Int) extends Aggregator[Long, Array[Long], Kmv] {
+    require(k >= 3, s"KMV needs k >= 3 (estimator divides by k-2 variance), got $k")
+
+    override def zero: Array[Long] = Array.emptyLongArray
+
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      val i = java.util.Arrays.binarySearch(buf, h)
+      if (i >= 0) buf                             // duplicate hash: a sketch of a SET
+      else {
+        val ins = -i - 1
+        if (ins >= k) buf                         // larger than the k-th minimum
+        else {
+          val n = math.min(buf.length + 1, k)
+          val out = new Array[Long](n)
+          System.arraycopy(buf, 0, out, 0, ins)
+          out(ins) = h
+          System.arraycopy(buf, ins, out, ins + 1, n - ins - 1)
+          out
+        }
+      }
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      if (a.isEmpty) b
+      else if (b.isEmpty) a
+      else {
+        val out = new Array[Long](math.min(a.length + b.length, k))
+        var i = 0; var j = 0; var o = 0
+        while (o < out.length && (i < a.length || j < b.length)) {
+          val takeA = j >= b.length || (i < a.length && a(i) <= b(j))
+          val v = if (takeA) a(i) else b(j)
+          if (takeA) i += 1 else j += 1
+          if (o == 0 || out(o - 1) != v) { out(o) = v; o += 1 }
+          else () // cross-partition duplicate collapses
+        }
+        if (o == out.length) out else java.util.Arrays.copyOf(out, o)
+      }
+    }
+
+    override def finish(buf: Array[Long]): Kmv =
+      if (buf.isEmpty) Kmv(0.0, 0L, 0)
+      else if (buf.length < k) Kmv(buf.length.toDouble, buf.last, buf.length)
+      else {
+        // (k-1)·2^60 is exact in a double (small mantissa · power of 2);
+        // the division is ONE IEEE op — bit-identical cross-engine
+        val est = (k - 1).toDouble * 1152921504606846976.0 / buf(k - 1).toDouble
+        Kmv(math.floor(est * 100.0 + 0.5) / 100.0, buf(k - 1), k)
+      }
+
+    override def bufferEncoder: Encoder[Array[Long]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    override def outputEncoder: Encoder[Kmv] = Encoders.product[Kmv]
+  }
+
+  private val hash60 = udf((s: String) => if (s == null) None else Some(TextHash.hash60Md5(s)))
+
+  /** Per-group distinct-count estimate of `valueCol` (hashed via its
+    * string form; nulls are ignored, matching `count(DISTINCT …)`).
+    * Output: `groupCols…, n_est, kth_hash, n_kept`. */
+  def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Int = 128): DataFrame = {
+    require(groupCols.nonEmpty, "kmvDistinct needs at least one group column")
+    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
+    df.filter(col(valueCol).isNotNull)
+      .withColumn("__h", hash60(col(valueCol).cast("string")))
+      .groupBy(groupCols.map(col): _*)
+      .agg(agg(col("__h")).as("__s"))
+      .select(groupCols.map(col) :+ col("__s.n_est").as("n_est") :+
+        col("__s.kth_hash").as("kth_hash") :+ col("__s.n_kept").as("n_kept"): _*)
+  }
+}

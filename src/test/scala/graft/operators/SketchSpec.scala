@@ -1,0 +1,64 @@
+package graft.operators
+
+import graft.SparkSpec
+import graft.text.TextHash
+import org.apache.spark.sql.functions._
+
+class SketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("below k distinct values the sketch reports the exact count") {
+    val df = Seq(("a", "x"), ("a", "y"), ("a", "x"), ("b", "z"))
+      .toDF("g", "v")
+    val out = Sketch.kmvDistinct(df, Seq("g"), "v", k = 8)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getInt(3)))
+    assert(out.toSeq == Seq(("a", 2.0, 2), ("b", 1.0, 1)))
+  }
+
+  test("estimate tracks the true cardinality within KMV error bounds") {
+    val n = 20000
+    val df = (1 to n).map(i => ("g", s"val_$i")).toDF("g", "v")
+    val Array(row) = Sketch.kmvDistinct(df, Seq("g"), "v", k = 256).collect()
+    val est = row.getAs[Double]("n_est")
+    // SE = 1/sqrt(k-2) ~ 6.3%; allow 4 SE (~25%)
+    assert(math.abs(est - n) / n < 0.25, s"estimate $est too far from $n")
+    assert(row.getAs[Int]("n_kept") == 256)
+  }
+
+  test("the sketch is order- and partitioning-independent") {
+    val vals = (1 to 5000).map(i => ("g", s"v$i"))
+    val a = Sketch.kmvDistinct(vals.toDF("g", "v").repartition(1), Seq("g"), "v", k = 64)
+      .collect()(0).toSeq
+    val b = Sketch.kmvDistinct(
+        scala.util.Random.shuffle(vals).toDF("g", "v").repartition(17), Seq("g"), "v", k = 64)
+      .collect()(0).toSeq
+    assert(a == b, "same multiset must sketch identically regardless of layout")
+  }
+
+  test("kth_hash is the k-th smallest distinct 60-bit md5 hash (oracle contract)") {
+    val vals = (1 to 300).map(i => ("g", i.toString))
+    val row = Sketch.kmvDistinct(vals.toDF("g", "v"), Seq("g"), "v", k = 16).collect()(0)
+    val expected = vals.map(v => TextHash.hash60Md5(v._2)).distinct.sorted.apply(15)
+    assert(row.getAs[Long]("kth_hash") == expected)
+    val est = (16 - 1).toDouble * 1152921504606846976.0 / expected.toDouble
+    assert(row.getAs[Double]("n_est") == math.floor(est * 100.0 + 0.5) / 100.0)
+  }
+
+  test("nulls are ignored, matching count(DISTINCT) semantics") {
+    val df = Seq(("a", Option("x")), ("a", None), ("a", Option("y")))
+      .toDF("g", "v")
+    val out = Sketch.kmvDistinct(df, Seq("g"), "v", k = 8).collect()(0)
+    assert(out.getAs[Double]("n_est") == 2.0)
+  }
+
+  test("aggregation plans with a partial merge (map-side combine), no distinct expand") {
+    val df = Seq(("a", "x")).toDF("g", "v")
+    val p = Sketch.kmvDistinct(df, Seq("g"), "v", k = 8)
+      .queryExecution.executedPlan.toString
+    // typed imperative aggregate -> ObjectHashAggregate partial+final pair
+    assert(p.linesIterator.count(_.contains("ObjectHashAggregate")) == 2,
+      s"expected partial+final ObjectHashAggregate:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+}
