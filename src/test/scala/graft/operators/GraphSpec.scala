@@ -1,0 +1,66 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** In-memory replay of the exact integer iteration — the parity
+    * reference for the distributed operator. */
+  private def model(edges: Seq[(String, String)], iters: Int,
+                    scale: Long = 1000000000000L): Map[String, Long] = {
+    val e = edges.distinct
+    val nodes = (e.map(_._1) ++ e.map(_._2)).distinct
+    val n = nodes.size.toLong
+    val deg = e.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    var r = nodes.map(_ -> scale / n).toMap
+    for (_ <- 1 to iters) {
+      val dang = nodes.filterNot(deg.contains).map(r).sum
+      val base = 3L * scale / (20L * n) + 17L * dang / (20L * n)
+      val in = e.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => 17L * r(u) / (20L * deg(u)) }.sum }
+      r = nodes.map(v => v -> (base + in.getOrElse(v, 0L))).toMap
+    }
+    r
+  }
+
+  private val diamond = Seq(
+    ("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "a"))
+
+  test("pageRank matches the integer-exact in-memory model") {
+    val out = Graph.pageRank(diamond.toDF("s", "t"), "s", "t", iterations = 4)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == model(diamond, 4))
+  }
+
+  test("dangling mass is redistributed (sink graph keeps total mass ~ scale)") {
+    // star into a sink: b,c,d all point at z, z has no out-edges
+    val sink = Seq(("b", "z"), ("c", "z"), ("d", "z"))
+    val out = Graph.pageRank(sink.toDF("s", "t"), "s", "t", iterations = 6)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == model(sink, 6))
+    // without redistribution the sink graph would bleed ~85% of its mass
+    // per round; with it the total stays within the integer-floor leak
+    val total = out.values.sum
+    val scale = 1000000000000L
+    assert(total > scale - 6L * 4L * 20L && total <= scale,
+      s"mass leaked beyond the floor bound: $total of $scale")
+    // the sink must outrank its feeders
+    assert(out("z") > out("b"))
+  }
+
+  test("parallel edges collapse and the result is partitioning-independent") {
+    val dup = diamond ++ diamond ++ diamond
+    val a = Graph.pageRank(dup.toDF("s", "t").repartition(13), "s", "t", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = Graph.pageRank(diamond.toDF("s", "t").repartition(1), "s", "t", 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("pagerank column is the scaled value through one exact division") {
+    val row = Graph.pageRank(diamond.toDF("s", "t"), "s", "t", 2)
+      .filter($"node" === "a").collect()(0)
+    assert(row.getDouble(2) == row.getLong(1).toDouble / 1.0e12)
+  }
+}
