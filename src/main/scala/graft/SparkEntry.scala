@@ -4,9 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.sources.Tables
+import graft.sources.{Tables, ZOrder}
 import graft.functions.Cols
-import graft.operators.{CalendarOps, Collapse, Features, MonteCarlo}
+import graft.operators.{CalendarOps, Cdc, Collapse, Features, Graph, MonteCarlo, Sketch}
 import graft.sim.Similarity
 import graft.text.{Corpus, Dedup, TextAnalysis}
 
@@ -1379,6 +1379,77 @@ object SparkEntry {
           rightTime = "month", payload = Seq("tot"),
           tolerance = Some(15L * 86400L * 1000000L)) // 15 days in micros
         .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: CDC changelog compaction (merge-on-read upsert):
+    // orders replayed as a per-customer changelog (version = o_orderkey,
+    // every 10th event a tombstone) folded to the current snapshot via
+    // ONE max_by aggregation — map-side combine, no window sort; the
+    // oracle replays the fold as a DuckDB window (same answer, the
+    // contract is the RESULT not the plan)
+    "q121_x_cdc_snapshot" -> tuned((s, d) => {
+      val changes = Tables.orders(s, d)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("v"),
+          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("o_totalprice").as("price"))
+      Cdc.applyChanges(changes, Seq("k"), "v", "op")
+        .orderBy("k")
+    }),
+
+    // ---- extension: KMV distinct-count sketch — the mergeable
+    // cardinality tier: k smallest distinct md5-60 hashes per group as a
+    // bounded typed-Aggregator buffer (map-side combine; count DISTINCT
+    // at 100 TB shuffles every value, the sketch ships k longs). Unlike
+    // HLL++ the k-minimum set is exactly SQL-replayable, so even the
+    // approximate estimate hash-matches (q111's property, for cardinality)
+    "q122_x_kmv_distinct" -> tuned((s, d) => {
+      Sketch.kmvDistinct(Tables.orders(s, d),
+          Seq("o_orderpriority"), "o_custkey", k = 128)
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- extension: PageRank over the supplier→part supply graph —
+    // the link-based quality prior of web-corpus curation, in exact
+    // fixed-point arithmetic (d = 17/20, integer division on a 1e12
+    // grid): long sums are order-exact, so the iterative result
+    // hash-matches an unrolled DuckDB replay — no "approximately equal"
+    // escape hatch. Parts have no out-edges, exercising the
+    // dangling-mass redistribution every round
+    "q123_x_pagerank" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val edges = li.select(
+        concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
+        concat(lit("p"), col("l_partkey").cast("string")).as("dst"))
+      Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy("node")
+    }),
+
+    // ---- extension: Z-order (Morton) clustering — the multi-dimension
+    // data-skipping layout (Delta/Iceberg OPTIMIZE ZORDER): bit-spread
+    // interleave as five mask rounds of built-in bitwise ops (pure
+    // codegen; the write path range-partitions+sorts on the z value so
+    // file min/max stats prune BOTH dimensions — layout asserted in
+    // ZOrderSpec, the integer curve itself oracle-checked here)
+    "q124_x_zorder_morton" -> tuned((s, d) => {
+      Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
+        .select(col("o_orderkey"),
+          ZOrder.mortonCol(col("o_custkey") % 2048, col("o_orderkey") % 2048)
+            .as("zval"))
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: CROSS-corpus span excision — the decontamination
+    // trilogy's removal half (q71/q109 drop whole contaminated docs;
+    // this cuts only the contaminated span, q100's machinery pointed at
+    // a held-out side): corpus = doc_id % 5 != 0, held-out = the rest,
+    // 5-gram hits excised, rebuilt text hash-checked
+    "q125_x_cross_span_excision" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      Dedup.removeContaminatedSpans(
+          docs.filter(col("doc_id") % 5 =!= 0),
+          docs.filter(col("doc_id") % 5 === 0),
+          "doc_id", "text", n = 5)
+        .orderBy("doc_id")
     })
   )
 
@@ -1595,6 +1666,41 @@ object SparkEntry {
        |         JOIN embeddings eb ON eb.vec_id = c.id_b)
        |SELECT id_a, id_b, $cos AS cos_sim FROM j
        |WHERE $cos >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
+  /** q123: the integer-exact PageRank iteration UNROLLED (standard SQL
+    * recursive CTEs disallow aggregates over the recursive reference, so
+    * a fixed iteration count expands to chained CTEs — identical
+    * arithmetic to [[graft.operators.Graph.pageRank]]: d = 17/20 and the
+    * 1e12 grid through `//` floor division, long sums order-exact). */
+  private def pageRankSql(iters: Int): String = {
+    val S = "1000000000000"
+    val head = s"""WITH e AS (
+      |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+      |                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+      |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+      |nn AS (SELECT count(*) AS n FROM nodes),
+      |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
+      |r0 AS (SELECT node, CAST($S AS BIGINT) // n AS r FROM nodes, nn)""".stripMargin
+    val its = (1 to iters).map { i =>
+      val p = s"r${i - 1}"
+      // CAST the sums: DuckDB sum(BIGINT) widens to HUGEINT, which
+      // pandas reads as float64 — the q110 dtype-drift lesson
+      s"""d$i AS (SELECT CAST(COALESCE(sum(r), 0) AS BIGINT) AS dm
+        |       FROM $p LEFT JOIN deg ON $p.node = deg.src WHERE deg.src IS NULL),
+        |c$i AS (SELECT e.dst AS node, CAST(sum((17 * r) // (20 * deg)) AS BIGINT) AS m
+        |        FROM e JOIN deg ON e.src = deg.src JOIN $p ON e.src = $p.node
+        |        GROUP BY 1),
+        |r$i AS (SELECT nodes.node,
+        |          CAST((3 * $S) // (20 * nn.n) + (17 * d$i.dm) // (20 * nn.n)
+        |            + COALESCE(c$i.m, 0) AS BIGINT) AS r
+        |        FROM nodes CROSS JOIN nn CROSS JOIN d$i
+        |        LEFT JOIN c$i ON nodes.node = c$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""$head,
+      |$its
+      |SELECT node, r AS rank_scaled, CAST(r AS DOUBLE) / $S.0 AS pagerank
+      |FROM r$iters ORDER BY node""".stripMargin
   }
 
   /** q119: SRP-bucketed CROSS-corpus near-dup — the same hyperplane
@@ -2172,6 +2278,100 @@ object SparkEntry {
         |FROM l ASOF LEFT JOIN r
         |  ON l.o_orderpriority = r.o_orderpriority AND l.o_orderdate >= r.month
         |ORDER BY o_orderkey""".stripMargin),
+
+    // the fold replayed as a window: latest version per key, delete
+    // tombstoned — (k, v) is unique (o_orderkey), so both forms agree;
+    // price passes through untouched (no cross-engine arithmetic)
+    "q121_x_cdc_snapshot" ->
+      ("""WITH ch AS (
+        |  SELECT o_custkey AS k, o_orderkey AS v,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS price
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |      FROM ch)
+        |SELECT k, v, price FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin),
+
+    // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
+    // (the sketch's kept set is deterministic and order-independent);
+    // below-k groups report the exact count. (k-1)·2^60 is mantissa-exact
+    // and the division one IEEE op, so even n_est hash-matches
+    "q122_x_kmv_distinct" ->
+      ("""WITH h AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT o_orderpriority, hk,
+        |        row_number() OVER (PARTITION BY o_orderpriority ORDER BY hk) AS rn,
+        |        count(*) OVER (PARTITION BY o_orderpriority) AS nd
+        |      FROM h)
+        |SELECT o_orderpriority,
+        |  CASE WHEN nd >= 128
+        |       THEN floor((127.0 * 1152921504606846976.0 / hk) * 100.0 + 0.5) / 100.0
+        |       ELSE CAST(nd AS DOUBLE) END AS n_est,
+        |  hk AS kth_hash,
+        |  CAST(LEAST(nd, 128) AS INT) AS n_kept
+        |FROM r WHERE rn = LEAST(nd, 128)
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    "q123_x_pagerank" -> pageRankSql(iters = 3),
+
+    // the same five spread rounds (standard Morton bit-spreading masks)
+    // as a CTE chain — integer-exact in any engine with & | <<
+    "q124_x_zorder_morton" ->
+      ("""WITH pts AS (SELECT o_orderkey, o_custkey % 2048 AS x, o_orderkey % 2048 AS y
+        |             FROM orders WHERE o_orderkey % 7 = 0),
+        |s0 AS (SELECT o_orderkey, x & 4294967295 AS vx, y & 4294967295 AS vy FROM pts),
+        |s1 AS (SELECT o_orderkey, (vx | (vx << 16)) & 281470681808895 AS vx,
+        |               (vy | (vy << 16)) & 281470681808895 AS vy FROM s0),
+        |s2 AS (SELECT o_orderkey, (vx | (vx << 8)) & 71777214294589695 AS vx,
+        |               (vy | (vy << 8)) & 71777214294589695 AS vy FROM s1),
+        |s3 AS (SELECT o_orderkey, (vx | (vx << 4)) & 1085102592571150095 AS vx,
+        |               (vy | (vy << 4)) & 1085102592571150095 AS vy FROM s2),
+        |s4 AS (SELECT o_orderkey, (vx | (vx << 2)) & 3689348814741910323 AS vx,
+        |               (vy | (vy << 2)) & 3689348814741910323 AS vy FROM s3),
+        |s5 AS (SELECT o_orderkey, (vx | (vx << 1)) & 6148914691236517205 AS vx,
+        |               (vy | (vy << 1)) & 6148914691236517205 AS vy FROM s4)
+        |SELECT o_orderkey, vx | (vy << 1) AS zval FROM s5
+        |ORDER BY o_orderkey""".stripMargin),
+
+    // q100's rebuild with the dup set replaced by the HELD-OUT gram set
+    // (doc_id % 5 split, q115's convention); grams compare as strings
+    // where the engine compares 60-bit hashes — the q98 collision caveat
+    "q125_x_cross_span_excision" ->
+      ("""WITH t AS (
+        |  SELECT doc_id, text, CASE WHEN text IS NULL OR length(trim(text)) = 0
+        |         THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |b AS (SELECT doc_id, toks FROM t WHERE doc_id % 5 <> 0),
+        |hb AS (SELECT doc_id, toks FROM t WHERE doc_id % 5 = 0),
+        |g AS (SELECT doc_id, unnest(range(1, len(toks) - 3)) AS i, toks
+        |      FROM b WHERE len(toks) >= 5),
+        |gg AS (SELECT doc_id, i - 1 AS pos, array_to_string(toks[i : i + 4], ' ') AS gram FROM g),
+        |hg AS (SELECT unnest(range(1, len(toks) - 3)) AS i, toks
+        |       FROM hb WHERE len(toks) >= 5),
+        |hgg AS (SELECT DISTINCT array_to_string(toks[i : i + 4], ' ') AS gram FROM hg),
+        |dp AS (SELECT doc_id, pos FROM gg JOIN hgg USING (gram)),
+        |cover AS (SELECT DISTINCT doc_id, p FROM
+        |  (SELECT doc_id, unnest(generate_series(pos, pos + 4)) AS p FROM dp)),
+        |tp AS (SELECT doc_id, i - 1 AS pos, toks[i] AS tok FROM
+        |  (SELECT doc_id, unnest(generate_series(1, len(toks))) AS i, toks FROM b)),
+        |kept AS (
+        |  SELECT tp.doc_id, tp.pos, tp.tok FROM tp
+        |  LEFT JOIN cover c ON tp.doc_id = c.doc_id AND tp.pos = c.p
+        |  WHERE c.p IS NULL),
+        |agg AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY doc_id),
+        |rem AS (SELECT doc_id, count(*) AS n_removed FROM cover GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(rem.n_removed, 0) AS BIGINT) AS n_removed,
+        |  CASE WHEN d.text IS NULL THEN NULL ELSE coalesce(agg.text_clean, '') END AS text_clean
+        |FROM documents d
+        |LEFT JOIN agg ON d.doc_id = agg.doc_id
+        |LEFT JOIN rem ON d.doc_id = rem.doc_id
+        |WHERE d.doc_id % 5 <> 0
+        |ORDER BY d.doc_id""".stripMargin),
 
     // bucketing changes the PLAN, not the answer: the oracle is the plain
     // join + aggregate (integer-cents sum; one division at the end)

@@ -352,10 +352,43 @@ object Dedup {
   def removeDupSpans(docs: DataFrame, idCol: String, textCol: String,
                      n: Int, minCount: Long = 2L): DataFrame = {
     require(n >= 1, s"n-gram width must be >= 1, got $n")
+    exciseByStarts(docs, idCol, textCol, dupStarts(docs, idCol, textCol, n, minCount), n)
+  }
+
+  /** Cross-corpus span excision — the decontamination EXCISION tier
+    * completing the trilogy's removal half: where [[removeDupSpans]]
+    * cuts spans duplicated WITHIN the corpus, this cuts spans whose
+    * `n`-grams appear anywhere in a held-out set (benchmark test sets,
+    * eval suites) — the Lee et al. machinery pointed across corpora,
+    * so a contaminated paragraph disappears while the rest of the
+    * document survives (doc-level decontamination q71/q109 would drop
+    * the whole document).
+    *
+    * Scale shape: the held-out side reduces to DISTINCT gram hashes
+    * (benchmark-sized — broadcasts), the corpus side streams its grams
+    * past that set once; only (doc_id, pos) hits shuffle into the
+    * per-doc interval merge. Corpus text never crosses the wire. */
+  def removeContaminatedSpans(corpus: DataFrame, heldOut: DataFrame,
+                              idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram width must be >= 1, got $n")
+    val cGrams = corpus.select(col(idCol).as("doc_id"),
+      posexplode(TextHash.shingleHash60sCol(col(textCol), n)).as(Seq("pos", "gh")))
+    val hGrams = heldOut
+      .select(explode(TextHash.shingleHash60sCol(col(textCol), n)).as("gh"))
+      .distinct()
+    val starts = cGrams.join(hGrams, Seq("gh")).select("doc_id", "pos")
+    exciseByStarts(corpus, idCol, textCol, starts, n)
+  }
+
+  /** Shared excision stage of [[removeDupSpans]] and
+    * [[removeContaminatedSpans]]: merge start positions into disjoint
+    * token intervals and rebuild each document without them. */
+  private def exciseByStarts(docs: DataFrame, idCol: String, textCol: String,
+                             starts: DataFrame, n: Int): DataFrame = {
     val w = Window.partitionBy("doc_id").orderBy("pos")
     // merge overlapping spans: a start further than n-1 past its
     // predecessor opens a new interval; running flag-sum numbers them
-    val spans = dupStarts(docs, idCol, textCol, n, minCount)
+    val spans = starts
       .withColumn("gap", col("pos") - lag(col("pos"), 1).over(w))
       .withColumn("new_ivl", when(col("gap").isNull || col("gap") >= n, 1).otherwise(0))
       .withColumn("ivl", sum("new_ivl").over(w))

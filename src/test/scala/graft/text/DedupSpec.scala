@@ -253,6 +253,29 @@ class DedupSpec extends SparkSpec {
       (7L, 0L, " p q")))
   }
 
+  test("removeContaminatedSpans: cuts held-out grams only, corpus-internal dups survive") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps high"), // "the quick brown" leaks -> cut 3
+      (2L, "alpha beta gamma delta"),         // clean -> untouched
+      (3L, "the quick brown the quick brown") // two hits, overlapping cover
+    ).toDF("doc_id", "text")
+    val held = Seq((100L, "the quick brown dog")).toDF("doc_id", "text")
+    val out = Dedup.removeContaminatedSpans(corpus, held, "doc_id", "text", n = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[String]("text_clean")))
+    assert(out.toSeq === Seq(
+      (1L, 3L, "fox jumps high"),
+      (2L, 0L, "alpha beta gamma delta"),
+      (3L, 6L, "")))
+    // held-out docs never appear in the output
+    assert(!out.map(_._1).contains(100L))
+    // direction matters: nothing in the corpus contaminates the corpus
+    val selfClean = Dedup.removeContaminatedSpans(
+        corpus.filter($"doc_id" === 2L), held, "doc_id", "text", n = 3)
+      .collect()(0)
+    assert(selfClean.getLong(1) == 0L)
+  }
+
   test("removeDupSpans + dupNgramCoverage agree: n_removed == covered_tokens") {
     val docs = graft.sources.Tables.documents(spark, "/root/testdata/sf0.001")
     val cov = Dedup.dupNgramCoverage(docs, "doc_id", "text", n = 5)
