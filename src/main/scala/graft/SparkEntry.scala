@@ -1450,6 +1450,21 @@ object SparkEntry {
           docs.filter(col("doc_id") % 5 === 0),
           "doc_id", "text", n = 5)
         .orderBy("doc_id")
+    }),
+
+    // ---- extension: triangle counting — the clustering-coefficient /
+    // community-density primitive of link-graph curation, as the
+    // degree-ordered wedge closure (out-degree under the orientation is
+    // O(√m), so the wedge self-join stays bounded on power-law graphs —
+    // the property that makes this feasible on a web graph where a raw
+    // neighbor self-join explodes at hub nodes). Edges are a
+    // deterministic 1013-node graph derived from orders; counts exact
+    // longs, so the oracle replays the identical orientation
+    "q126_x_triangle_count" -> tuned((s, d) => {
+      val edges = Tables.orders(s, d).select(
+        (col("o_orderkey") % 1013).cast("string").as("src"),
+        ((col("o_orderkey") * 7 + col("o_custkey")) % 1013).cast("string").as("dst"))
+      Graph.triangleCounts(edges, "src", "dst").orderBy("node")
     })
   )
 
@@ -2316,6 +2331,40 @@ object SparkEntry {
         |ORDER BY o_orderpriority""".stripMargin),
 
     "q123_x_pagerank" -> pageRankSql(iters = 3),
+
+    // the identical degree-ordered orientation: every triangle is one
+    // strict (degree, node) chain a<b<c, counted once as a wedge at a
+    // closed by the oriented edge b->c; row-value comparisons replay
+    // Spark's struct ordering
+    "q126_x_triangle_count" ->
+      ("""WITH raw AS (
+        |  SELECT CAST(o_orderkey % 1013 AS VARCHAR) AS s,
+        |         CAST((o_orderkey * 7 + o_custkey) % 1013 AS VARCHAR) AS t
+        |  FROM orders),
+        |und AS (
+        |  SELECT DISTINCT least(s, t) AS a, greatest(s, t) AS b
+        |  FROM raw WHERE s <> t AND s IS NOT NULL AND t IS NOT NULL),
+        |deg AS (
+        |  SELECT node, count(*) AS d FROM (
+        |    SELECT a AS node FROM und UNION ALL SELECT b AS node FROM und)
+        |  GROUP BY node),
+        |oriented AS (
+        |  SELECT CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.a ELSE u.b END AS lo,
+        |         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN u.b ELSE u.a END AS hi,
+        |         CASE WHEN (da.d, u.a) < (db.d, u.b) THEN db.d ELSE da.d END AS dhi
+        |  FROM und u JOIN deg da ON u.a = da.node JOIN deg db ON u.b = db.node),
+        |wedges AS (
+        |  SELECT e1.lo AS u, e1.hi AS v, e2.hi AS w
+        |  FROM oriented e1 JOIN oriented e2 ON e1.lo = e2.lo
+        |  WHERE (e1.dhi, e1.hi) < (e2.dhi, e2.hi)),
+        |tris AS (
+        |  SELECT u, v, w FROM wedges
+        |  JOIN oriented e3 ON wedges.v = e3.lo AND wedges.w = e3.hi)
+        |SELECT node, count(*) AS n_tri FROM (
+        |  SELECT u AS node FROM tris
+        |  UNION ALL SELECT v AS node FROM tris
+        |  UNION ALL SELECT w AS node FROM tris)
+        |GROUP BY node ORDER BY node""".stripMargin),
 
     // the same five spread rounds (standard Morton bit-spreading masks)
     // as a CTE chain — integer-exact in any engine with & | <<

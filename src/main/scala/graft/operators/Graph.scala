@@ -93,4 +93,69 @@ object Graph {
     ed.unpersist(); nodes.unpersist(); dangling.unpersist()
     out
   }
+
+  /** Per-node triangle participation counts over an UNDIRECTED graph
+    * (edge direction and multiplicity are ignored; self-loops dropped).
+    * Output: `node`, `n_tri` — one row per node that closes at least
+    * one triangle.
+    *
+    * The algorithm is the degree-ordered wedge closure (Schank &
+    * Wagner 2005; the MapReduce form is Suri & Vassilvitskii 2011):
+    * orient every undirected edge from its lower-(degree, node)
+    * endpoint to the higher, enumerate wedges as the self-join of the
+    * oriented list on the low endpoint, and close each wedge against
+    * the oriented edge between its two high endpoints. The orientation
+    * is WHY this scales: out-degree under degree ordering is O(√m), so
+    * the wedge count is Σ outdeg² ≤ m^1.5 instead of Σ deg² — on a
+    * power-law web graph that is the difference between a feasible
+    * join and a hub node exploding into 10¹⁰ wedges. Every triangle is
+    * enumerated exactly once (its three nodes form a strict
+    * (degree, node) chain a<b<c → oriented edges a→b, a→c, b→c: one
+    * wedge at a, one closure at b→c).
+    *
+    * Three shuffles total — orientation join (edges ⋈ node degrees),
+    * wedge self-join on the low endpoint, closure join on the
+    * (high₁, high₂) pair — all integer/string equality joins with no
+    * per-round iteration; counts are exact longs, so the result
+    * hash-matches an oracle replaying the same derivation. */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    // canonical undirected edge set: unordered pair, deduped
+    val und = edges.select(col(srcCol).cast("string").as("s"),
+        col(dstCol).cast("string").as("t"))
+      .filter(col("s").isNotNull && col("t").isNotNull && col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+    // undirected degree, then orient by (degree, node) — a total order
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("node", "a").withColumnRenamed("d", "da"), "a")
+      .join(deg.withColumnRenamed("node", "b").withColumnRenamed("d", "db"), "b")
+    val oriented = withDeg.select(
+        when(struct(col("da"), col("a")) < struct(col("db"), col("b")),
+          struct(col("a").as("lo"), col("b").as("hi"), col("da").as("dlo"), col("db").as("dhi")))
+          .otherwise(
+            struct(col("b").as("lo"), col("a").as("hi"), col("db").as("dlo"), col("da").as("dhi")))
+          .as("e"))
+      .select(col("e.lo").as("lo"), col("e.hi").as("hi"),
+        col("e.dlo").as("dlo"), col("e.dhi").as("dhi"))
+      .persist(lvl)
+    // wedges at the low endpoint; the (degree, node) order on the two
+    // high ends dedupes the pair and names the closing edge's direction
+    val w1 = oriented.select(col("lo").as("u"), col("hi").as("v"), col("dhi").as("dv"))
+    val w2 = oriented.select(col("lo").as("u"), col("hi").as("w"), col("dhi").as("dw"))
+    val wedges = w1.join(w2, "u")
+      .filter(struct(col("dv"), col("v")) < struct(col("dw"), col("w")))
+    val tris = wedges.join(oriented.select(col("lo").as("v"), col("hi").as("w")),
+        Seq("v", "w"))
+      .select(col("u"), col("v"), col("w"))
+    val out = tris.select(explode(array(col("u"), col("v"), col("w"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+    val materialized = out.persist(lvl)
+    materialized.count() // realize before releasing the oriented cache
+    oriented.unpersist()
+    materialized
+  }
 }

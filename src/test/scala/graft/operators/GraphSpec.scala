@@ -63,4 +63,49 @@ class GraphSpec extends SparkSpec {
       .filter($"node" === "a").collect()(0)
     assert(row.getDouble(2) == row.getLong(1).toDouble / 1.0e12)
   }
+
+  /** Brute-force triangle reference: all node triples, each checked
+    * against the undirected edge set. */
+  private def triModel(edges: Seq[(String, String)]): Map[String, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => if (e._1 < e._2) e else e.swap).distinct.toSet
+    val nodes = und.toSeq.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val has = (a: String, b: String) => und(if (a < b) (a, b) else (b, a))
+    val counts = collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+      if has(nodes(i), nodes(j)) && has(nodes(j), nodes(k)) && has(nodes(i), nodes(k))
+    } { counts(nodes(i)) += 1; counts(nodes(j)) += 1; counts(nodes(k)) += 1 }
+    counts.toMap
+  }
+
+  test("triangleCounts matches brute force on a known graph") {
+    // two triangles sharing edge b-c, plus a pendant and a self-loop
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("b", "d"), ("c", "d"),
+      ("d", "e"), ("e", "e"))
+    val out = Graph.triangleCounts(g.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 1L, "b" -> 2L, "c" -> 2L, "d" -> 1L))
+    assert(out == triModel(g))
+  }
+
+  test("triangleCounts ignores direction, multiplicity, and order") {
+    // same graph with edges reversed, duplicated, and shuffled
+    val g = Seq(("b", "a"), ("c", "b"), ("a", "c"), ("a", "b"), ("d", "b"),
+      ("d", "c"), ("c", "d"))
+    val out = Graph.triangleCounts(g.toDF("s", "t").repartition(7), "s", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == triModel(g))
+  }
+
+  test("triangleCounts on a pseudo-random graph matches brute force") {
+    // deterministic 20-node graph, dense enough for many triangles
+    val g = (1 to 300).map { i =>
+      (s"n${i * i % 401 % 20}", s"n${i * i * i % 401 % 20}") }
+    val out = Graph.triangleCounts(g.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exp = triModel(g)
+    assert(exp.values.sum > 0, "degenerate fixture: no triangles")
+    assert(out == exp)
+  }
 }
