@@ -1465,6 +1465,20 @@ object SparkEntry {
         (col("o_orderkey") % 1013).cast("string").as("src"),
         ((col("o_orderkey") * 7 + col("o_custkey")) % 1013).cast("string").as("dst"))
       Graph.triangleCounts(edges, "src", "dst").orderBy("node")
+    }),
+
+    // ---- extension: SCD Type 2 — the full-history complement of
+    // q121's snapshot fold over the SAME changelog: every surviving
+    // change becomes a dimension row with [valid_from, valid_to)
+    // closed by the key's next event (deletes close but emit nothing).
+    // One window shuffle — the minimum interval construction needs
+    "q127_x_scd2_history" -> tuned((s, d) => {
+      val changes = Tables.orders(s, d)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("v"),
+          when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          col("o_totalprice").as("price"))
+      Cdc.scd2(changes, Seq("k"), "v", "op")
+        .orderBy("k", "valid_from")
     })
   )
 
@@ -2307,6 +2321,22 @@ object SparkEntry {
         |      FROM ch)
         |SELECT k, v, price FROM r WHERE rn = 1 AND op <> 'D'
         |ORDER BY k""".stripMargin),
+
+    // the interval build is one lead() over the same changelog; the
+    // delete's own row is filtered AFTER the window so it still closes
+    // its predecessor — (k, v) is unique, so the order is total
+    "q127_x_scd2_history" ->
+      ("""WITH ch AS (
+        |  SELECT o_custkey AS k, o_orderkey AS v,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS price
+        |  FROM orders),
+        |w AS (SELECT k, v, op, price,
+        |        lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to
+        |      FROM ch)
+        |SELECT k, v AS valid_from, valid_to, valid_to IS NULL AS is_current, price
+        |FROM w WHERE op <> 'D'
+        |ORDER BY k, valid_from""".stripMargin),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

@@ -77,4 +77,45 @@ object Cdc {
       .filter(col("__rn") === 1 && col(opCol) =!= lit(deleteOp))
       .drop("__rn", opCol)
   }
+
+  /** Slowly-changing-dimension Type 2 history build — the full-history
+    * complement of [[applyChanges]]'s current-snapshot fold: every
+    * non-delete change event becomes a versioned dimension row with a
+    * validity interval `[valid_from, valid_to)`, closed by the NEXT
+    * event on the same key (any op — an update supersedes, a delete
+    * tombstones) and open (`valid_to` null, `is_current` true) for a
+    * key whose last event survives. A delete emits no row of its own;
+    * it only closes its predecessor's interval — so a key whose
+    * history ends in a delete has NO current row, matching the
+    * snapshot fold's tombstone semantics exactly (SCD2 of a changelog
+    * restricted to `is_current` = [[applyChanges]] of that changelog).
+    *
+    * Scale shape: one window — partition by key, sort by
+    * `(version, tieBreak…)`, a single `lead` — i.e. exactly one
+    * shuffle of the changelog, the minimum any interval construction
+    * needs (closing an interval requires seeing the key's next event).
+    * Unlike the snapshot fold there is no aggregate shortcut: every
+    * event row IS an output row, so map-side combine has nothing to
+    * collapse. Same determinism contract as the siblings:
+    * `(version, tieBreak…)` must totally order each key's events. */
+  def scd2(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+           opCol: String, deleteOp: String = "D",
+           tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "scd2 needs at least one key column")
+    val reserved = Seq("valid_from", "valid_to", "is_current")
+    reserved.foreach { c =>
+      require(!changes.columns.contains(c),
+        s"scd2 emits a `$c` column — rename the existing one") }
+    val ord = (versionCol +: tieBreak).map(col)
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(ord: _*)
+    val payload = changes.columns.filterNot(c =>
+      keyCols.contains(c) || c == opCol || c == versionCol)
+    changes
+      .withColumn("valid_to", lead(col(versionCol), 1).over(w))
+      .filter(col(opCol) =!= lit(deleteOp))
+      .select(keyCols.map(col) ++
+        Seq(col(versionCol).as("valid_from"), col("valid_to"),
+          col("valid_to").isNull.as("is_current")) ++
+        payload.map(col): _*)
+  }
 }

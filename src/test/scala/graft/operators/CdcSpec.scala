@@ -66,4 +66,53 @@ class CdcSpec extends SparkSpec {
     assert(Cdc.applyChanges(dl, Seq("k"), "v", "op", deleteOp = "del").count() == 0L)
     assert(Cdc.applyChanges(dl, Seq("k"), "v", "op").count() == 1L) // "D" never fires
   }
+
+  test("scd2 builds validity intervals closed by the next event") {
+    val hist = Cdc.scd2(changelog, Seq("k"), "v", "op")
+      .orderBy("k", "valid_from").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Long]), r.getBoolean(3),
+        r.getDouble(4)))
+    assert(hist.toSeq == Seq(
+      // k1: three versions chain 1->2->3, last one open
+      ("k1", 1L, Some(2L), false, 10.0),
+      ("k1", 2L, Some(3L), false, 11.0),
+      ("k1", 3L, None, true, 12.0),
+      // k2: insert closed by the delete, no current row
+      ("k2", 1L, Some(2L), false, 20.0),
+      // k3: single insert, open
+      ("k3", 5L, None, true, 30.0),
+      // k4: insert closed by delete, re-insert open
+      ("k4", 1L, Some(2L), false, 40.0),
+      ("k4", 3L, None, true, 41.0)))
+  }
+
+  test("scd2 restricted to is_current equals the snapshot fold") {
+    val cur = Cdc.scd2(changelog, Seq("k"), "v", "op")
+      .filter(col("is_current"))
+      .select(col("k"), col("valid_from").as("v"), col("price"))
+      .orderBy("k").collect().toSeq
+    val snap = Cdc.applyChanges(changelog, Seq("k"), "v", "op")
+      .select("k", "v", "price").orderBy("k").collect().toSeq
+    assert(cur == snap)
+  }
+
+  test("scd2 version ties resolve through the tiebreak column") {
+    val dup = Seq(
+      ("k1", 2L, 7L, "U", 1.0), ("k1", 2L, 9L, "U", 2.0), ("k1", 1L, 1L, "I", 0.0)
+    ).toDF("k", "v", "lsn", "op", "price")
+    val hist = Cdc.scd2(dup, Seq("k"), "v", "op", tieBreak = Seq("lsn"))
+      .orderBy("valid_from", "lsn").collect()
+      .map(r => (r.getAs[Long]("valid_from"), r.getAs[Double]("price"),
+        r.getAs[Boolean]("is_current")))
+    // v=2/lsn=7 is superseded by v=2/lsn=9 (valid_to = same version 2)
+    assert(hist.toSeq == Seq((1L, 0.0, false), (2L, 1.0, false), (2L, 2.0, true)))
+  }
+
+  test("scd2 refuses colliding output column names") {
+    val bad = changelog.withColumn("is_current", lit(true))
+    val e = intercept[IllegalArgumentException] {
+      Cdc.scd2(bad, Seq("k"), "v", "op") }
+    assert(e.getMessage.contains("is_current"))
+  }
 }
