@@ -1479,6 +1479,29 @@ object SparkEntry {
           col("o_totalprice").as("price"))
       Cdc.scd2(changes, Seq("k"), "v", "op")
         .orderBy("k", "valid_from")
+    }),
+
+    // ---- extension: count-min sketch — the mergeable FREQUENCY
+    // sketch beside q122's cardinality KMV: 4×1024 long counters,
+    // map-side combine ships 32 KB per task where an exact
+    // groupBy(value).count() shuffles every distinct value. Fixed-prime
+    // affine row hashes over the md5-60 pre-hash make even the
+    // approximate estimates SQL-replayable; probes cover the 7 planted
+    // hot keys plus two cold ones (est >= true always, equal here —
+    // the sketch is far wider than the distinct count)
+    "q128_x_cms_heavy_hitters" -> tuned((s, d) => {
+      import s.implicits._
+      val vals = Tables.lineitem(s, d).select(
+        when(col("l_orderkey") % 3 === 0,
+          concat(lit("hot"), (col("l_partkey") % 7).cast("string")))
+          .otherwise(concat(lit("cold"), col("l_partkey").cast("string")))
+          .as("val"))
+      val probes = ((0 to 6).map(i => s"hot$i") ++ Seq("cold1", "cold7")).toDF("k")
+      val nTrue = vals.groupBy(col("val").as("k")).agg(count(lit(1)).as("n_true"))
+      Sketch.cmsEstimates(vals, "val", probes, "k")
+        .join(nTrue, Seq("k"), "left")
+        .select(col("k"), col("n_est"), coalesce(col("n_true"), lit(0L)).as("n_true"))
+        .orderBy("k")
     })
   )
 
@@ -2337,6 +2360,38 @@ object SparkEntry {
         |SELECT k, v AS valid_from, valid_to, valid_to IS NULL AS is_current, price
         |FROM w WHERE op <> 'D'
         |ORDER BY k, valid_from""".stripMargin),
+
+    // the counter grid replayed as a GROUP BY over (row, bucket) with
+    // the same fixed-prime affine hashes; a probe's estimate is the min
+    // over its 4 cells (absent cell = 0). All-positive BIGINT modular
+    // arithmetic — no overflow, no negative-mod drift
+    "q128_x_cms_heavy_hitters" ->
+      ("""WITH v AS (
+        |  SELECT CASE WHEN l_orderkey % 3 = 0
+        |              THEN 'hot' || CAST(l_partkey % 7 AS VARCHAR)
+        |              ELSE 'cold' || CAST(l_partkey AS VARCHAR) END AS val
+        |  FROM lineitem),
+        |par AS (SELECT * FROM (VALUES (0, 1299709, 104729), (1, 15485863, 1299721),
+        |          (2, 32452843, 7919), (3, 49979687, 17389)) t(i, a, b)),
+        |h AS (SELECT CAST('0x' || substring(md5(val), 1, 15) AS BIGINT) % 2147483647 AS hm
+        |      FROM v),
+        |cells AS (
+        |  SELECT p.i, ((p.a * h.hm + p.b) % 2147483647) % 1024 AS bucket,
+        |         count(*) AS c
+        |  FROM h CROSS JOIN par p GROUP BY 1, 2),
+        |probes(k) AS (VALUES ('hot0'),('hot1'),('hot2'),('hot3'),('hot4'),('hot5'),
+        |  ('hot6'),('cold1'),('cold7')),
+        |ph AS (SELECT k, CAST('0x' || substring(md5(k), 1, 15) AS BIGINT) % 2147483647 AS hm
+        |       FROM probes),
+        |pb AS (SELECT ph.k, p.i, ((p.a * ph.hm + p.b) % 2147483647) % 1024 AS bucket
+        |       FROM ph CROSS JOIN par p),
+        |est AS (SELECT pb.k, min(coalesce(cells.c, 0)) AS n_est
+        |        FROM pb LEFT JOIN cells ON pb.i = cells.i AND pb.bucket = cells.bucket
+        |        GROUP BY pb.k),
+        |tc AS (SELECT val AS k, count(*) AS n_true FROM v GROUP BY val)
+        |SELECT est.k, n_est, coalesce(tc.n_true, 0) AS n_true
+        |FROM est LEFT JOIN tc ON est.k = tc.k
+        |ORDER BY est.k""".stripMargin),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

@@ -99,6 +99,95 @@ object Sketch {
 
   private val hash60 = udf((s: String) => if (s == null) None else Some(TextHash.hash60Md5(s)))
 
+  // ---------------------------------------------------------------- CMS
+
+  /** Count-min row-hash constants (Cormen-style `(a·x + b) mod p mod w`
+    * with p = 2³¹−1): fixed primes so the sketch — like KMV above — is
+    * exactly replayable in portable SQL. `x < p` and `a < p` keep every
+    * product under 2⁶², so the arithmetic is overflow-free in any
+    * 64-bit engine. */
+  private[graft] val CmsP = 2147483647L
+  private[graft] val CmsA = Array(1299709L, 15485863L, 32452843L, 49979687L)
+  private[graft] val CmsB = Array(104729L, 1299721L, 7919L, 17389L)
+
+  /** Count-min sketch (Cormode & Muthukrishnan 2005) — the mergeable
+    * FREQUENCY sketch completing the cardinality tier above: `depth`
+    * rows of `width` counters; an item increments one counter per row,
+    * a point estimate is the MIN over its row counters — always an
+    * overestimate, within `e·N/width` of truth with probability
+    * `1 − exp(−depth)`.
+    *
+    * Scale shape: the buffer is a fixed `depth·width` long array
+    * (default 4·1024 = 32 KB) regardless of input size — map-side
+    * partial aggregation collapses each task to ONE buffer, merge is
+    * elementwise add, and sketches from disjoint corpora compose
+    * (union = add, no rescan). An exact `groupBy(value).count()` on a
+    * heavy-tailed 100 TB corpus shuffles every distinct value; the CMS
+    * ships 32 KB per task and answers the heavy-hitter question the
+    * pipeline actually asks.
+    *
+    * Determinism: counter sums are exact longs and the row hashes are
+    * the fixed-prime affine family above, so estimates hash-match a
+    * DuckDB oracle replaying the identical arithmetic (the q122
+    * property, for frequencies). Depth is fixed at [[CmsA]].length = 4. */
+  final class CmsAgg(width: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    require(width >= 2, s"CMS width must be >= 2, got $width")
+    private val d = CmsA.length
+
+    override def zero: Array[Long] = new Array[Long](d * width)
+
+    override def reduce(buf: Array[Long], hm: Long): Array[Long] = {
+      var i = 0
+      while (i < d) {
+        buf(i * width + (((CmsA(i) * hm + CmsB(i)) % CmsP) % width).toInt) += 1L
+        i += 1
+      }
+      buf
+    }
+
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+
+    override def finish(buf: Array[Long]): Array[Long] = buf
+
+    override def bufferEncoder: Encoder[Array[Long]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    override def outputEncoder: Encoder[Array[Long]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+  }
+
+  /** The pre-hash every CMS path shares: 60-bit md5 reduced mod p. */
+  private def cmsPreHash(c: Column): Column = hash60(c.cast("string")) % lit(CmsP)
+
+  /** Build one CMS over `valueCol` (nulls ignored) and point-estimate
+    * the frequency of every probe row. Output: `probes`' columns plus
+    * `n_est` — the min-over-rows counter read, via built-in
+    * `element_at`/`least` (codegen'd; the 32 KB sketch rides a
+    * broadcast nested-loop join of exactly one row).
+    *
+    * The probe side is contractually SMALL (a heavy-hitter shortlist,
+    * a watch list); the corpus side is one aggregate pass. */
+  def cmsEstimates(df: DataFrame, valueCol: String, probes: DataFrame,
+                   probeCol: String, width: Int = 1024): DataFrame = {
+    require(probes.columns.contains(probeCol), s"probe column $probeCol not found")
+    val agg = udaf(new CmsAgg(width), Encoders.scalaLong)
+    val sketch = df.filter(col(valueCol).isNotNull)
+      .select(cmsPreHash(col(valueCol)).as("__hm"))
+      .agg(agg(col("__hm")).as("__cms"))
+    val reads = CmsA.indices.map { i =>
+      element_at(col("__cms"),
+        (lit(i * width) + ((lit(CmsA(i)) * col("__phm") + lit(CmsB(i))) % lit(CmsP)) % lit(width))
+          .cast("int") + lit(1))
+    }
+    probes.withColumn("__phm", cmsPreHash(col(probeCol)))
+      .crossJoin(broadcast(sketch))
+      .withColumn("n_est", least(reads: _*))
+      .drop("__phm", "__cms")
+  }
+
   /** Per-group distinct-count estimate of `valueCol` (hashed via its
     * string form; nulls are ignored, matching `count(DISTINCT …)`).
     * Output: `groupCols…, n_est, kth_hash, n_kept`. */

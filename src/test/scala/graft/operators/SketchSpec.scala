@@ -61,4 +61,56 @@ class SketchSpec extends SparkSpec {
       s"expected partial+final ObjectHashAggregate:\n$p")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
+
+  // ------------------------------------------------------------- CMS
+
+  test("CMS estimates equal true counts when the sketch is wide enough") {
+    // 20 distinct values in a 4x1024 grid: collisions essentially
+    // impossible for this fixed hash family (verified by equality)
+    val df = (1 to 1000).map(i => s"v${i % 20}").toDF("val")
+    val probes = (0 until 20).map(i => s"v$i").toDF("k")
+    val out = Sketch.cmsEstimates(df, "val", probes, "k")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == (0 until 20).map(i => s"v$i" -> 50L).toMap)
+  }
+
+  test("CMS never underestimates, and absent keys with an empty cell read zero") {
+    // width 2: massive forced collisions
+    val df = (1 to 90).map(i => s"x${i % 3}").toDF("val")
+    val probes = Seq("x0", "x1", "x2").toDF("k")
+    val out = Sketch.cmsEstimates(df, "val", probes, "k", width = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.values.forall(_ >= 30L), s"CMS underestimated: $out")
+    assert(out.values.forall(_ <= 90L), s"estimate above total mass: $out")
+  }
+
+  test("CMS is partitioning-independent (merge = elementwise add)") {
+    val vals = (1 to 3000).map(i => s"k${i % 50}")
+    val probes = Seq("k7", "k11", "k49").toDF("k")
+    val a = Sketch.cmsEstimates(vals.toDF("val").repartition(1), "val", probes, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    val b = Sketch.cmsEstimates(
+        scala.util.Random.shuffle(vals).toDF("val").repartition(23), "val", probes, "k")
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(a == b)
+  }
+
+  test("CMS probe read matches a JVM replay of the affine hashes") {
+    val df = (1 to 500).map(i => s"w${i % 10}").toDF("val")
+    val probes = Seq("w3").toDF("k")
+    val est = Sketch.cmsEstimates(df, "val", probes, "k")
+      .collect()(0).getLong(1)
+    // replay: every value's 4 cells, then w3's min cell
+    val counters = collection.mutable.Map.empty[(Int, Int), Long].withDefaultValue(0L)
+    for (i <- 1 to 500; row <- Sketch.CmsA.indices) {
+      val hm = TextHash.hash60Md5(s"w${i % 10}") % Sketch.CmsP
+      val b = (((Sketch.CmsA(row) * hm + Sketch.CmsB(row)) % Sketch.CmsP) % 1024).toInt
+      counters((row, b)) += 1L
+    }
+    val hm3 = TextHash.hash60Md5("w3") % Sketch.CmsP
+    val expect = Sketch.CmsA.indices.map { row =>
+      counters((row, (((Sketch.CmsA(row) * hm3 + Sketch.CmsB(row)) % Sketch.CmsP) % 1024).toInt))
+    }.min
+    assert(est == expect)
+  }
 }
