@@ -1502,6 +1502,37 @@ object SparkEntry {
         .join(nTrue, Seq("k"), "left")
         .select(col("k"), col("n_est"), coalesce(col("n_true"), lit(0L)).as("n_true"))
         .orderBy("k")
+    }),
+
+    // ---- extension: CUBE multi-level subtotals — the reporting-tier
+    // aggregation pandas reaches with concat'd groupbys; here ONE
+    // Expand+Aggregate pair (each input row fans to its 4 grouping
+    // sets before the shuffle, so partial aggregation still combines
+    // map-side — no N-pass rescan). Quantities ride as exact longs;
+    // grouping_id disambiguates real nulls from subtotal rows
+    "q129_x_cube_subtotals" -> tuned((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("int").as("gid"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
+        .orderBy("gid", "l_returnflag", "l_linestatus")
+    }),
+
+    // ---- extension: binned-quantile sketch — the DETERMINISTIC
+    // approximate-percentile tier beside exact q08 and
+    // approx_percentile q32: (group, bin) counts are mergeable and the
+    // shuffle carries bins, not rows; unlike GK/t-digest the estimate
+    // is arrival-order-independent, so it hash-matches. Prices ride as
+    // exact cents; ranks are per-mille integer arithmetic end to end
+    "q130_x_binned_quantiles" -> tuned((s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      Sketch.binnedQuantiles(cents, Seq("l_returnflag"), "cents",
+          binWidth = 500000L, qPermille = Seq(500, 950, 990))
+        .orderBy("l_returnflag", "q_permille")
     })
   )
 
@@ -2392,6 +2423,38 @@ object SparkEntry {
         |SELECT est.k, n_est, coalesce(tc.n_true, 0) AS n_true
         |FROM est LEFT JOIN tc ON est.k = tc.k
         |ORDER BY est.k""".stripMargin),
+
+    // GROUPING() carries the same bit order as Spark's grouping_id
+    // (first listed column = MSB); DuckDB sums of BIGINT widen to
+    // HUGEINT, so both aggregates are cast back explicitly
+    "q129_x_cube_subtotals" ->
+      ("""SELECT l_returnflag, l_linestatus,
+        |  CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+
+    // the same histogram: cents // binWidth counts, cumulative window,
+    // first bin reaching the integer per-mille rank. // floors and div
+    // truncates — equal on the operator's non-negative domain
+    "q130_x_binned_quantiles" ->
+      ("""WITH v AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 500000 AS bin
+        |  FROM lineitem),
+        |c AS (SELECT l_returnflag, bin, count(*) AS cnt FROM v GROUP BY 1, 2),
+        |cc AS (SELECT l_returnflag, bin, cnt,
+        |         sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin) AS cum,
+        |         sum(cnt) OVER (PARTITION BY l_returnflag) AS n
+        |       FROM c),
+        |q(q_permille) AS (VALUES (500), (950), (990))
+        |SELECT l_returnflag, q_permille,
+        |  CAST(min(bin) * 500000 AS BIGINT) AS est, CAST(max(n) AS BIGINT) AS n
+        |FROM cc CROSS JOIN q
+        |WHERE cum >= (q_permille * n + 999) // 1000
+        |GROUP BY l_returnflag, q_permille
+        |ORDER BY l_returnflag, q_permille""".stripMargin),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 import graft.text.TextHash
@@ -186,6 +186,56 @@ object Sketch {
       .crossJoin(broadcast(sketch))
       .withColumn("n_est", least(reads: _*))
       .drop("__phm", "__cms")
+  }
+
+  // ------------------------------------------------------- quantiles
+
+  /** Fixed-width-bin quantile sketch — the deterministic member of the
+    * approximate-quantile family (exact fan: q08; `approx_percentile`
+    * dial: q32). The sketch is the (group, bin) count histogram:
+    * mergeable (bin counts add), bounded (|range| ÷ `binWidth` cells
+    * per group — the analyst picks the resolution), and — unlike
+    * GK/KLL/t-digest, whose buffers depend on arrival order — exactly
+    * reproducible, so the estimates hash-match a SQL replay.
+    *
+    * Estimate: the q-quantile is the lower edge of the first bin whose
+    * cumulative count reaches `ceil(q·n)` — a one-sided bound within
+    * `binWidth` of the exact quantile. Quantiles are passed in
+    * PER-MILLE (950 = p95): the rank threshold `⌈q‰·n / 1000⌉` stays
+    * in integer arithmetic end to end — `ceil(0.95 · n)` in doubles
+    * flips at binary-representation knife edges, the documented
+    * cross-engine trap.
+    *
+    * Scale shape: one map-side-combining aggregate over (group, bin) —
+    * the shuffle carries bin COUNTS, not rows — then a window over the
+    * per-group bin list (bounded by the bin count, not the data) and a
+    * tiny cross join against the quantile list. `valueCol` must be
+    * integral (cast upstream; for money, quantize to cents first) and
+    * non-negative bins assume non-negative values (integer `div`
+    * truncates toward zero, SQL `//` floors — they agree on
+    * non-negatives, the operator's documented domain). */
+  def binnedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                      binWidth: Long, qPermille: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "binnedQuantiles needs at least one group column")
+    require(binWidth > 0, s"binWidth must be positive, got $binWidth")
+    require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
+      s"quantiles must be per-mille in [1, 1000], got $qPermille")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val g = groupCols.map(col)
+    val counts = df.filter(col(valueCol).isNotNull)
+      .withColumn("__bin", expr(s"`$valueCol` div $binWidth"))
+      .groupBy(g :+ col("__bin"): _*).agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(g: _*).orderBy(col("__bin"))
+    val wAll = Window.partitionBy(g: _*)
+    val cum = counts
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("n", sum(col("__c")).over(wAll))
+    val qs = qPermille.toDF("q_permille")
+    cum.crossJoin(broadcast(qs))
+      .filter(col("__cum") >= expr("(q_permille * n + 999) div 1000"))
+      .groupBy(g :+ col("q_permille"): _*)
+      .agg((min(col("__bin")) * binWidth).as("est"), max(col("n")).as("n"))
   }
 
   /** Per-group distinct-count estimate of `valueCol` (hashed via its

@@ -113,4 +113,51 @@ class SketchSpec extends SparkSpec {
     }.min
     assert(est == expect)
   }
+
+  // -------------------------------------------- binned quantiles
+
+  test("binned quantile is the first bin edge reaching the rank") {
+    // values 0..99 in one group, binWidth 10: p50 rank=50 -> cum hits 50
+    // in bin 4 (values 40..49 make cum 50); p95 rank=95 -> bin 9
+    val df = (0 until 100).map(v => ("g", v.toLong)).toDF("g", "v")
+    val out = Sketch.binnedQuantiles(df, Seq("g"), "v", 10L, Seq(500, 950))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(out.toSeq == Seq((500, 40L, 100L), (950, 90L, 100L)))
+  }
+
+  test("binned quantile estimate is within one binWidth of the exact quantile") {
+    val vals = (1 to 5000).map(i => (i * i * 7L) % 100000L)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val out = Sketch.binnedQuantiles(df, Seq("g"), "v", 1000L, Seq(500, 990))
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val sorted = vals.sorted
+    for ((qp, est) <- out) {
+      val exact = sorted((qp * vals.size + 999) / 1000 - 1)
+      assert(est <= exact && exact < est + 1000L,
+        s"p$qp: est bin [$est, ${est + 1000}) misses exact $exact")
+    }
+  }
+
+  test("binned quantiles are partitioning-independent and per-group") {
+    val rows = (1 to 2000).map(i => (s"g${i % 3}", (i * 13L) % 997L))
+    val a = Sketch.binnedQuantiles(rows.toDF("g", "v").repartition(1),
+        Seq("g"), "v", 50L, Seq(250, 750))
+      .orderBy("g", "q_permille").collect().map(_.toSeq).toSeq
+    val b = Sketch.binnedQuantiles(
+        scala.util.Random.shuffle(rows).toDF("g", "v").repartition(19),
+        Seq("g"), "v", 50L, Seq(250, 750))
+      .orderBy("g", "q_permille").collect().map(_.toSeq).toSeq
+    assert(a == b)
+    assert(a.size == 6) // 3 groups x 2 quantiles
+  }
+
+  test("the quantile shuffle carries bin counts, not rows") {
+    val df = (0 until 100).map(v => ("g", v.toLong)).toDF("g", "v")
+    val p = Sketch.binnedQuantiles(df, Seq("g"), "v", 10L, Seq(500))
+      .queryExecution.executedPlan.toString
+    // the (group, bin) aggregate must partially combine before its exchange
+    val firstExchange = p.linesIterator.indexWhere(_.contains("Exchange hashpartitioning"))
+    val aggsBelow = p.linesIterator.drop(firstExchange).count(_.contains("HashAggregate"))
+    assert(aggsBelow >= 1, s"expected a partial aggregate below the exchange:\n$p")
+  }
 }
