@@ -1533,6 +1533,25 @@ object SparkEntry {
       Sketch.binnedQuantiles(cents, Seq("l_returnflag"), "cents",
           binWidth = 500000L, qPermille = Seq(500, 950, 990))
         .orderBy("l_returnflag", "q_permille")
+    }),
+
+    // ---- extension: perceptual image dedup — dHash (56-bit luminance
+    // difference grid over the REAL javax.imageio decode) + the banded
+    // Hamming join shared with SimHash text dedup. The fixture plants
+    // 5-image clusters (same base, small red-channel brightness shift):
+    // md5 sees 5 distinct payloads, dHash clusters them — the property
+    // perceptual hashing buys. Banded join = full recall at hamming<=3,
+    // so the oracle replays the decode in closed form and brute-forces
+    // the same filter
+    "q131_x_image_phash_neardup" -> tuned((s, d) => {
+      import graft.multimodal.Multimodal
+      val sigs = Tables.documents(s, d).select(col("doc_id"))
+        .withColumn("content", Multimodal.texturedImageCol(col("doc_id")))
+        .withColumn("sig", Multimodal.dHashCol(col("content")))
+        .select("doc_id", "sig")
+      Dedup.hammingCandidates(sigs, "doc_id", "sig",
+          bits = 56, bands = 4, maxHamming = 3)
+        .orderBy("id_a", "id_b")
     })
   )
 
@@ -2455,6 +2474,49 @@ object SparkEntry {
         |WHERE cum >= (q_permille * n + 999) // 1000
         |GROUP BY l_returnflag, q_permille
         |ORDER BY l_returnflag, q_permille""".stripMargin),
+
+    // the decode replayed in closed form (q54's trick, textured
+    // fixture): integer cell sums on the constant 16x12 grid, bits by
+    // cross-multiplied means (empty cells = mean 0), then a brute-force
+    // Hamming filter — equal to the banded join's output because
+    // maxHamming <= bands-1 keeps full recall
+    "q131_x_image_phash_neardup" ->
+      ("""WITH dim AS (
+        |  SELECT doc_id, doc_id // 5 AS base, doc_id % 5 AS v FROM documents),
+        |dd AS (SELECT doc_id, base, v, 8 + base % 9 AS w, 6 + base % 7 AS h,
+        |              base % 11 + 3 AS t FROM dim),
+        |g AS (SELECT x.i AS x, y.i AS y
+        |      FROM generate_series(0, 15) x(i), generate_series(0, 11) y(i)),
+        |px AS (
+        |  SELECT doc_id, (x * 9) // w AS cx, (y * 7) // h AS cy,
+        |    (31*base + 7*x + 13*y + x*y*t + 3*v) % 256
+        |    + (17*base + 11*x + 5*y + x*y*(t+2)) % 256
+        |    + (23*base + 3*x + 19*y + x*y*(t+5)) % 256 AS lum
+        |  FROM dd JOIN g ON g.x < dd.w AND g.y < dd.h),
+        |cells AS (SELECT doc_id, cy, cx, CAST(sum(lum) AS BIGINT) AS s,
+        |                 CAST(count(*) AS BIGINT) AS c
+        |          FROM px GROUP BY 1, 2, 3),
+        |grid AS (SELECT d.doc_id, cy.i AS cy, cx.i AS cx
+        |         FROM (SELECT DISTINCT doc_id FROM documents) d,
+        |              generate_series(0, 6) cy(i), generate_series(0, 8) cx(i)),
+        |fc AS (SELECT grid.doc_id, grid.cy, grid.cx,
+        |              coalesce(cells.s, 0) AS s, coalesce(cells.c, 0) AS c
+        |       FROM grid LEFT JOIN cells
+        |         ON grid.doc_id = cells.doc_id AND grid.cy = cells.cy
+        |            AND grid.cx = cells.cx),
+        |bits AS (
+        |  SELECT a.doc_id, a.cy, a.cx,
+        |         CASE WHEN a.s * b.c > b.s * a.c THEN 1 ELSE 0 END AS bit
+        |  FROM fc a JOIN fc b ON a.doc_id = b.doc_id AND a.cy = b.cy
+        |                      AND b.cx = a.cx + 1),
+        |sig AS (SELECT doc_id,
+        |          CAST(sum(CAST(bit AS BIGINT) << (cy * 8 + cx)) AS BIGINT) AS sig
+        |        FROM bits GROUP BY doc_id)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+        |ORDER BY id_a, id_b""".stripMargin),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

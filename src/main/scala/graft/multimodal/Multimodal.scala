@@ -195,6 +195,117 @@ object Multimodal {
     f(seed)
   }
 
+  /** Textured near-dup fixture for perceptual hashing: seeds in the same
+    * `seed div 5` block render the SAME image up to a small red-channel
+    * brightness shift (`3·(seed mod 5)`, mod-256 wraparound) — the
+    * transformation a content hash (md5) treats as a brand-new payload
+    * but a difference hash mostly ignores, which is the property
+    * [[dHash]] exists to exploit. The `x·y` interaction term varies per
+    * base so DIFFERENT bases decorrelate (a pure gradient like
+    * [[plantedImage]] gives near-identical dHashes across seeds — the
+    * smooth-image degenerate case, measured and rejected for this
+    * fixture). Closed-form per-pixel, so a SQL oracle replays the
+    * decoded pixels exactly.
+    * base = seed div 5, v = seed mod 5; w = 8 + base % 9,
+    * h = 6 + base % 7, t = base % 11 + 3;
+    * r = (31·base + 7x + 13y + x·y·t + 3v) % 256,
+    * g = (17·base + 11x + 5y + x·y·(t+2)) % 256,
+    * b = (23·base + 3x + 19y + x·y·(t+5)) % 256. */
+  def texturedImage(seed: Long, format: String = "bmp"): Array[Byte] = {
+    require(seed >= 0, s"texturedImage seed must be non-negative, got $seed")
+    val base = seed / 5
+    val v = seed % 5
+    val w = (8 + base % 9).toInt
+    val h = (6 + base % 7).toInt
+    val t = base % 11 + 3
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val xy = x.toLong * y
+        val r = ((31 * base + 7L * x + 13L * y + xy * t + 3 * v) % 256).toInt
+        val g = ((17 * base + 11L * x + 5L * y + xy * (t + 2)) % 256).toInt
+        val b = ((23 * base + 3L * x + 19L * y + xy * (t + 5)) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, format, bos)
+    bos.toByteArray
+  }
+
+  /** Column form of [[texturedImage]]. */
+  def texturedImageCol(seed: Column, format: String = "bmp"): Column = {
+    val f = udf((s: Long) => texturedImage(s, format))
+    f(seed)
+  }
+
+  /** Difference hash (dHash) — the standard perceptual image signature
+    * (Krawetz 2013 form): tile the image into a `gw`×`gh` luminance
+    * grid and emit one bit per horizontally-adjacent cell pair,
+    * set when the left cell is brighter. Near-duplicate images (crops,
+    * brightness shifts, re-encodes) agree on most bits, so corpus-scale
+    * image dedup is a banded Hamming join over these signatures —
+    * [[graft.text.Dedup.hammingCandidates]], the same machinery as
+    * SimHash text dedup.
+    *
+    * Determinism (the oracle-grade details): cells tile with integer
+    * bounds (cell of x = x·gw div w — no resampling kernel, which is
+    * library-specific); luminance is the exact integer r+g+b sum; the
+    * brightness comparison cross-multiplies sums and counts
+    * (`sₗ·cᵣ > sᵣ·cₗ`) so no division ever happens. Images narrower
+    * than the grid leave empty trailing cells, which compare as mean 0.
+    * Default 9×7 grid → 8 comparisons × 7 rows = 56 bits, fitting a
+    * positive long (a 9×8 grid's bit 63 is the sign bit — the classic
+    * 64-bit dHash needs an unsigned type SQL doesn't have).
+    * Null/undecodable payloads → null. */
+  def dHash(bytes: Array[Byte], gw: Int = 9, gh: Int = 7): java.lang.Long = {
+    require(gw >= 2 && gh >= 1 && (gw - 1) * gh <= 63,
+      s"dHash grid ${gw}x$gh must fit 63 bits")
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    val sums = new Array[Long](gw * gh)
+    val cnts = new Array[Long](gw * gh)
+    var y = 0
+    while (y < h) {
+      val cy = y * gh / h
+      var x = 0
+      while (x < w) {
+        val cx = x * gw / w
+        val p = img.getRGB(x, y)
+        sums(cy * gw + cx) += (((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)).toLong
+        cnts(cy * gw + cx) += 1L
+        x += 1
+      }
+      y += 1
+    }
+    var sig = 0L
+    var cy = 0
+    while (cy < gh) {
+      var cx = 0
+      while (cx < gw - 1) {
+        val i = cy * gw + cx
+        if (sums(i) * cnts(i + 1) > sums(i + 1) * cnts(i))
+          sig |= 1L << (cy * (gw - 1) + cx)
+        cx += 1
+      }
+      cy += 1
+    }
+    sig
+  }
+
+  /** Column form of [[dHash]]. */
+  def dHashCol(bin: Column, gw: Int = 9, gh: Int = 7): Column = {
+    val f = udf((b: Array[Byte]) => Option(dHash(b, gw, gh)).map(_.longValue))
+    f(bin)
+  }
+
   /** Resize stage (images): pure metadata math — output dims preserving
     * aspect ratio under a max edge; the pixel resample itself lives behind
     * the decode stub. Null-safe. */

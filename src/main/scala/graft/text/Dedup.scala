@@ -184,7 +184,22 @@ object Dedup {
     * Output: (id_a, id_b, hamming). At corpus scale, widen the signature
     * (64-bit) and keep band width ≥ 8 bits so band buckets stay sparse. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
-                        bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
+                        bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame =
+    hammingCandidates(
+      docs.select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("sig")),
+      "doc_id", "sig", bits, bands, maxHamming)
+
+  /** Banded Hamming self-join over PRECOMPUTED long signatures — the
+    * engine under [[simhashCandidates]], public because any 64-bit
+    * locality-preserving signature dedups the same way (SimHash text
+    * signatures, dHash image signatures, SRP embedding signs). Split
+    * each signature into `bands` equal chunks, self-join on band
+    * equality — by pigeonhole, every pair within Hamming distance
+    * bands−1 shares an intact band, so `maxHamming` ≤ bands−1 keeps
+    * FULL recall with no all-pairs stage — then filter candidates by
+    * exact `bit_count(xor)`. Output: (id_a, id_b, hamming). */
+  def hammingCandidates(sigDf: DataFrame, idCol: String, sigCol: String,
+                        bits: Int, bands: Int = 4, maxHamming: Int = 3): DataFrame = {
     require(bits % bands == 0, s"bands ($bands) must divide bits ($bits)")
     require(bits <= 64, s"bits ($bits) must fit one long")
     require(maxHamming <= bands - 1,
@@ -192,8 +207,9 @@ object Dedup {
     val bw = bits / bands
     // persist + eager count: same self-join double-compute discipline as
     // minhashCandidates
-    val sigs = docs
-      .select(col(idCol).as("doc_id"), simhash(col(textCol), bits).as("sig"))
+    val sigs = sigDf
+      .select(col(idCol).as("doc_id"), col(sigCol).as("sig"))
+      .filter(col("sig").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sigs.count()
     // (band, value) struct key: an arithmetic band-index offset would

@@ -126,4 +126,59 @@ class MultimodalSpec extends SparkSpec {
     assert(out(0).getAs[Array[Byte]]("content").toSeq === Multimodal.plantedImage(0L).toSeq)
     assert(out(1).getAs[Array[Byte]]("content").toSeq === Multimodal.plantedImage(4L).toSeq)
   }
+
+  /** Closed-form dHash replay straight from the textured-fixture pixel
+    * formulas — no decode. Decode-path parity against this IS the test
+    * that the BMP round-trip is lossless and the cell math agrees. */
+  private def dhashModel(seed: Long, gw: Int = 9, gh: Int = 7): Long = {
+    val base = seed / 5; val v = seed % 5
+    val w = (8 + base % 9).toInt; val h = (6 + base % 7).toInt
+    val t = base % 11 + 3
+    val sums = Array.ofDim[Long](gh, gw); val cnts = Array.ofDim[Long](gh, gw)
+    for (y <- 0 until h; x <- 0 until w) {
+      val xy = x.toLong * y
+      val lum = (31 * base + 7L * x + 13L * y + xy * t + 3 * v) % 256 +
+        (17 * base + 11L * x + 5L * y + xy * (t + 2)) % 256 +
+        (23 * base + 3L * x + 19L * y + xy * (t + 5)) % 256
+      sums(y * gh / h)(x * gw / w) += lum
+      cnts(y * gh / h)(x * gw / w) += 1
+    }
+    var sig = 0L
+    for (cy <- 0 until gh; cx <- 0 until gw - 1)
+      if (sums(cy)(cx) * cnts(cy)(cx + 1) > sums(cy)(cx + 1) * cnts(cy)(cx))
+        sig |= 1L << (cy * (gw - 1) + cx)
+    sig
+  }
+
+  test("dHash of the decoded textured fixture matches the closed-form model") {
+    for (seed <- Seq(0L, 7L, 38L, 123L, 4999L))
+      assert(Multimodal.dHash(Multimodal.texturedImage(seed)) == dhashModel(seed),
+        s"decode-path dHash diverged from pixel-formula model at seed $seed")
+  }
+
+  test("dHash is brightness-tolerant where md5 is not") {
+    // brightness variants (same base) must sit far closer in Hamming
+    // space than distinct bases — per-pair distances vary with where
+    // the mod-256 wraparound lands, so assert the separation over 20
+    // clusters, not one cherry-picked pair
+    val sigs = (0L until 100L).map(s => s -> Multimodal.dHash(Multimodal.texturedImage(s)))
+    val (within, cross) = (for {
+      (sa, ha) <- sigs; (sb, hb) <- sigs if sa < sb
+    } yield (sa / 5 == sb / 5, java.lang.Long.bitCount(ha ^ hb)))
+      .partition(_._1)
+    val wAvg = within.map(_._2).sum.toDouble / within.size
+    val cAvg = cross.map(_._2).sum.toDouble / cross.size
+    assert(wAvg * 4 < cAvg, s"no separation: within avg $wAvg, cross avg $cAvg")
+    assert(within.count(_._2 <= 3) * 2 > within.size,
+      "fewer than half the brightness variants landed within hamming 3")
+    // and the payloads themselves all differ (md5 would dedup nothing)
+    val payloads = (40L to 44L).map(s => Multimodal.texturedImage(s).toSeq)
+    assert(payloads.distinct.size == 5)
+  }
+
+  test("dHash null-safety and grid bounds") {
+    assert(Multimodal.dHash(null) == null)
+    assert(Multimodal.dHash(Array[Byte](1, 2, 3)) == null) // undecodable
+    intercept[IllegalArgumentException] { Multimodal.dHash(Multimodal.texturedImage(1L), 9, 8) }
+  }
 }

@@ -108,6 +108,19 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 100L, 0)), "planted exact dup not found")
   }
 
+  test("hammingCandidates: generic over precomputed signatures, null sigs dropped") {
+    // 56-bit sigs: 1-2 differ by 2 bits, 3 is 1 flipped in 5 bits (> max),
+    // 4 duplicates 1 exactly, 5 has a null signature
+    val s1 = 0x00FF00FF00FFL
+    val sigs = Seq(
+      (1L, Option(s1)), (2L, Option(s1 ^ 0x3L)), (3L, Option(s1 ^ 0x1F0000L)),
+      (4L, Option(s1)), (5L, Option.empty[Long])
+    ).toDF("id", "s")
+    val got = Dedup.hammingCandidates(sigs, "id", "s", bits = 56, bands = 4, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got == Set((1L, 2L, 2), (1L, 4L, 0), (2L, 4L, 2)))
+  }
+
   test("connectedComponents: chain needs multiple propagation rounds; components split") {
     // chain 1-2-3-4-5 (diameter 4 > one round) and separate pair 10-11
     val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
