@@ -1552,6 +1552,22 @@ object SparkEntry {
       Dedup.hammingCandidates(sigs, "doc_id", "sig",
           bits = 56, bands = 4, maxHamming = 3)
         .orderBy("id_a", "id_b")
+    }),
+
+    // ---- extension: balanced data-loader sharding — size-descending
+    // serpentine deal over 8 shards via the scale-safe global rank
+    // (range-partitioned sort + zipWithIndex offsets; an unpartitioned
+    // row_number() window would drag the corpus through ONE task). The
+    // per-shard totals prove the balance and hash-check the whole
+    // assignment; the oracle's window replay is fine AT ORACLE SCALE —
+    // that plan is exactly what the operator exists to avoid
+    "q132_x_balanced_shards" -> tuned((s, d) => {
+      Corpus.assignShards(Tables.documents(s, d).select("doc_id", "n_chars"),
+          "doc_id", "n_chars", nShards = 8)
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          min("doc_id").as("first_doc"))
+        .orderBy("shard")
     })
   )
 
@@ -2517,6 +2533,21 @@ object SparkEntry {
         |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.sig, b.sig)) <= 3
         |ORDER BY id_a, id_b""".stripMargin),
+
+    // the serpentine deal replayed as a window (acceptable at oracle
+    // scale): 0-based size-desc rank, even pass deals 0..7, odd 7..0
+    "q132_x_balanced_shards" ->
+      ("""WITH r AS (
+        |  SELECT doc_id, n_chars,
+        |         row_number() OVER (ORDER BY n_chars DESC, doc_id) - 1 AS rk
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_chars,
+        |        CASE WHEN (rk // 8) % 2 = 0 THEN rk % 8 ELSE 7 - rk % 8 END AS shard
+        |      FROM r)
+        |SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+        |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       min(doc_id) AS first_doc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

@@ -364,4 +364,56 @@ object Corpus {
           slice(col("__toks"), col("chunk_id") * stride + 1, lit(chunkSize)))
           .as("chunk_text"))
   }
+
+  /** Scale-safe GLOBAL row rank (0-based) in `order` — what
+    * `row_number().over(Window.orderBy(...))` means, without its plan:
+    * an un-partitioned window moves EVERY row to one task (Spark even
+    * warns `WindowExec: No Partition Defined`), which at corpus scale
+    * is the single-executor bottleneck. Here: range-repartition on the
+    * order key (the same sampled range split `orderBy` itself uses),
+    * sort within partitions, then one tiny count-per-partition job
+    * whose cumulative offsets convert local indices to global ranks —
+    * `zipWithIndex`'s two-pass trick, kept as the documented
+    * per-partition-imperative exception to the no-RDD rule.
+    *
+    * `order` must totally order the rows (add a unique tiebreak
+    * column), else ties land nondeterministically per run. Output: the
+    * input columns plus `rankCol` (long, 0-based, dense in [0, n)). */
+  def globalRank(df: DataFrame, order: Seq[Column], rankCol: String = "rank"): DataFrame = {
+    require(order.nonEmpty, "globalRank needs at least one order column")
+    require(!df.columns.contains(rankCol),
+      s"globalRank emits `$rankCol` — rename the existing column")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order: _*).sortWithinPartitions(order: _*)
+    val indexed = sorted.rdd.zipWithIndex.map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i) }
+    spark.createDataFrame(indexed,
+      org.apache.spark.sql.types.StructType(
+        sorted.schema.fields :+
+          org.apache.spark.sql.types.StructField(rankCol,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+  }
+
+  /** Balanced shard assignment for training-data loaders: rank docs by
+    * `sizeCol` DESCENDING (ties broken by `keyCol`) and deal them
+    * serpentine over `nShards` — pass 0 deals shards 0→n−1, pass 1
+    * n−1→0, … — the boustrophedon round-robin that keeps every shard's
+    * total within one pass-width of its neighbors (plain round-robin
+    * systematically favors low shard ids within each pass; greedy
+    * first-fit-decreasing balances marginally better but is inherently
+    * sequential). The rank comes from [[globalRank]], so the whole
+    * assignment is one range-partitioned sort — no single-task window,
+    * no driver loop — and fully deterministic, hence SQL-replayable.
+    *
+    * Output: input columns plus `shard` (int in [0, nShards)). */
+  def assignShards(df: DataFrame, keyCol: String, sizeCol: String,
+                   nShards: Int): DataFrame = {
+    require(nShards >= 1, s"nShards must be >= 1, got $nShards")
+    globalRank(df, Seq(col(sizeCol).desc, col(keyCol)), "__r")
+      .withColumn("shard",
+        when(expr(s"(__r div $nShards) % 2") === 0, col("__r") % nShards)
+          .otherwise(lit(nShards - 1) - col("__r") % nShards)
+        .cast("int"))
+      .drop("__r")
+  }
 }

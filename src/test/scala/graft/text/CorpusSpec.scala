@@ -275,4 +275,46 @@ class CorpusSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("n_tokens"))
   }
+
+  test("globalRank equals an unpartitioned row_number, without its plan") {
+    val df = (1 to 500).map(i => (i.toLong, (i * 37) % 101)).toDF("id", "v")
+      .repartition(13)
+    val got = Corpus.globalRank(df, Seq(col("v"), col("id")), "rk")
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val expect = (1 to 500).map(i => (i.toLong, (i * 37) % 101))
+      .sortBy { case (id, v) => (v, id) }.zipWithIndex
+      .map { case ((id, _), i) => id -> i.toLong }.toMap
+    assert(got == expect)
+  }
+
+  test("globalRank output is dense and collision-guarded") {
+    val df = Seq((1L, 5), (2L, 3), (3L, 9)).toDF("id", "v")
+    val ranks = Corpus.globalRank(df, Seq(col("v")), "rk")
+      .collect().map(_.getLong(2)).sorted
+    assert(ranks.toSeq == Seq(0L, 1L, 2L))
+    val ex = intercept[IllegalArgumentException] {
+      Corpus.globalRank(df.withColumnRenamed("v", "rank"), Seq(col("id"))) }
+    assert(ex.getMessage.contains("rank"))
+  }
+
+  test("assignShards: serpentine deal matches the model and balances totals") {
+    // sizes with heavy skew; 4 shards
+    val docs = (1 to 40).map(i => (i.toLong, ((i * i * 13) % 997 + 1).toLong))
+      .toDF("id", "sz").repartition(7)
+    val got = Corpus.assignShards(docs, "id", "sz", nShards = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // model: sort desc by (sz, id asc), serpentine
+    val order = (1 to 40).map(i => (i.toLong, ((i * i * 13) % 997 + 1).toLong))
+      .sortBy { case (id, sz) => (-sz, id) }
+    val model = order.zipWithIndex.map { case ((id, sz), r) =>
+      val s = if ((r / 4) % 2 == 0) r % 4 else 3 - r % 4
+      (id, sz, s) }.toSet
+    assert(got.toSet == model)
+    // balance: serpentine keeps shard totals within the largest item
+    val totals = got.groupBy(_._3).view.mapValues(_.map(_._2).sum).values.toSeq
+    val spread = totals.max - totals.min
+    val maxItem = order.head._2
+    assert(spread <= maxItem, s"spread $spread exceeds max item $maxItem")
+    assert(totals.size == 4)
+  }
 }
