@@ -1568,7 +1568,17 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
           min("doc_id").as("first_doc"))
         .orderBy("shard")
-    })
+    }),
+
+    // ---- extension: STREAMING count-min heavy hitters — q128's sketch
+    // as complete-mode streaming state: elementwise-add merge makes
+    // micro-batch slicing invisible, so the drained sketch equals the
+    // batch sketch and the probe reads hash-match the same SQL replay.
+    // Fixed 32 KB state regardless of key cardinality — the standing
+    // frequency monitor a per-key streaming count can't afford at scale
+    "q133_x_stream_cms" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingCmsHeavyHitters(s, d,
+        probes = Seq("click:7", "view:23", "error:0", "purchase:39", "signup:999")))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2548,6 +2558,33 @@ object SparkEntry {
         |       CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       min(doc_id) AS first_doc
         |FROM s GROUP BY shard ORDER BY shard""".stripMargin),
+
+    // q128's counter replay over the event-stream key derivation; the
+    // streaming sketch drains to the identical grid because CMS merge
+    // is order-independent
+    "q133_x_stream_cms" ->
+      ("""WITH v AS (
+        |  SELECT event_type || ':' || CAST(user_id % 40 AS VARCHAR) AS val
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL),
+        |par AS (SELECT * FROM (VALUES (0, 1299709, 104729), (1, 15485863, 1299721),
+        |          (2, 32452843, 7919), (3, 49979687, 17389)) t(i, a, b)),
+        |h AS (SELECT CAST('0x' || substring(md5(val), 1, 15) AS BIGINT) % 2147483647 AS hm
+        |      FROM v),
+        |cells AS (
+        |  SELECT p.i, ((p.a * h.hm + p.b) % 2147483647) % 1024 AS bucket,
+        |         count(*) AS c
+        |  FROM h CROSS JOIN par p GROUP BY 1, 2),
+        |probes(k) AS (VALUES ('click:7'),('view:23'),('error:0'),('purchase:39'),
+        |  ('signup:999')),
+        |ph AS (SELECT k, CAST('0x' || substring(md5(k), 1, 15) AS BIGINT) % 2147483647 AS hm
+        |       FROM probes),
+        |pb AS (SELECT ph.k, p.i, ((p.a * ph.hm + p.b) % 2147483647) % 1024 AS bucket
+        |       FROM ph CROSS JOIN par p)
+        |SELECT pb.k, min(coalesce(cells.c, 0)) AS n_est
+        |FROM pb LEFT JOIN cells ON pb.i = cells.i AND pb.bucket = cells.bucket
+        |GROUP BY pb.k
+        |ORDER BY pb.k""".stripMargin),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

@@ -137,6 +137,7 @@ object Sketch {
     override def zero: Array[Long] = new Array[Long](d * width)
 
     override def reduce(buf: Array[Long], hm: Long): Array[Long] = {
+      if (hm < 0) return buf // null-value sentinel: ignored, not counted
       var i = 0
       while (i < d) {
         buf(i * width + (((CmsA(i) * hm + CmsB(i)) % CmsP) % width).toInt) += 1L
@@ -162,30 +163,46 @@ object Sketch {
   /** The pre-hash every CMS path shares: 60-bit md5 reduced mod p. */
   private def cmsPreHash(c: Column): Column = hash60(c.cast("string")) % lit(CmsP)
 
-  /** Build one CMS over `valueCol` (nulls ignored) and point-estimate
-    * the frequency of every probe row. Output: `probes`' columns plus
-    * `n_est` — the min-over-rows counter read, via built-in
-    * `element_at`/`least` (codegen'd; the 32 KB sketch rides a
-    * broadcast nested-loop join of exactly one row).
-    *
-    * The probe side is contractually SMALL (a heavy-hitter shortlist,
-    * a watch list); the corpus side is one aggregate pass. */
-  def cmsEstimates(df: DataFrame, valueCol: String, probes: DataFrame,
-                   probeCol: String, width: Int = 1024): DataFrame = {
+  /** The CMS update as an aggregate COLUMN (null values ignored by the
+    * pre-hash) — usable in any aggregation context, including a
+    * Structured Streaming complete-mode aggregate, where the buffer
+    * becomes the standing per-key state (merge = elementwise add makes
+    * micro-batch slicing invisible, the q66 order-independence
+    * property for sketches). */
+  def cmsAggCol(value: Column, width: Int = 1024): Column =
+    udaf(new CmsAgg(width), Encoders.scalaLong)
+      .apply(coalesce(cmsPreHash(value), lit(-1L)))
+
+  /** Point-estimate probe frequencies against an ALREADY-BUILT one-row
+    * sketch frame (from [[cmsAggCol]], batch or a drained streaming
+    * table). Output: `probes`' columns plus `n_est` — the min-over-rows
+    * counter read via built-in `element_at`/`least` (codegen'd; the
+    * 32 KB sketch rides a broadcast nested-loop join of exactly one
+    * row). The probe side is contractually SMALL (a heavy-hitter
+    * shortlist, a watch list). */
+  def cmsEstimatesFromSketch(sketch: DataFrame, sketchCol: String,
+                             probes: DataFrame, probeCol: String,
+                             width: Int = 1024): DataFrame = {
     require(probes.columns.contains(probeCol), s"probe column $probeCol not found")
-    val agg = udaf(new CmsAgg(width), Encoders.scalaLong)
-    val sketch = df.filter(col(valueCol).isNotNull)
-      .select(cmsPreHash(col(valueCol)).as("__hm"))
-      .agg(agg(col("__hm")).as("__cms"))
     val reads = CmsA.indices.map { i =>
       element_at(col("__cms"),
         (lit(i * width) + ((lit(CmsA(i)) * col("__phm") + lit(CmsB(i))) % lit(CmsP)) % lit(width))
           .cast("int") + lit(1))
     }
     probes.withColumn("__phm", cmsPreHash(col(probeCol)))
-      .crossJoin(broadcast(sketch))
+      .crossJoin(broadcast(sketch.select(col(sketchCol).as("__cms"))))
       .withColumn("n_est", least(reads: _*))
       .drop("__phm", "__cms")
+  }
+
+  /** Build one CMS over `valueCol` (nulls ignored) and point-estimate
+    * the frequency of every probe row: [[cmsAggCol]] ∘
+    * [[cmsEstimatesFromSketch]] in one call for the batch path. */
+  def cmsEstimates(df: DataFrame, valueCol: String, probes: DataFrame,
+                   probeCol: String, width: Int = 1024): DataFrame = {
+    val sketch = df.filter(col(valueCol).isNotNull)
+      .agg(cmsAggCol(col(valueCol), width).as("__sk"))
+    cmsEstimatesFromSketch(sketch, "__sk", probes, probeCol, width)
   }
 
   // ------------------------------------------------------- quantiles

@@ -170,6 +170,41 @@ object StreamingCollapse {
     spark.table(name).orderBy("week", "event_type")
   }
 
+  /** Streaming count-min heavy hitters: maintain ONE CMS
+    * ([[graft.operators.Sketch.cmsAggCol]]) as complete-mode streaming
+    * state over the event stream, then point-estimate a probe
+    * shortlist against the drained sketch. The sketch's merge is
+    * elementwise add — order- and slicing-independent — so the
+    * finished state equals the batch sketch exactly (q66's
+    * determinism property, for sketches) and the estimates share
+    * q128's SQL-replay oracle form.
+    *
+    * This is THE standing-pipeline shape for stream frequency
+    * monitoring at scale: per-key exact streaming counts
+    * (`groupBy(key).count`) grow state with the key cardinality,
+    * while the CMS state is 32 KB forever; the probe read is a
+    * batch query over the standing state, not part of the stream. */
+  def streamingCmsHeavyHitters(spark: SparkSession, dir: String,
+                               probes: Seq[String],
+                               width: Int = 1024): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_cms"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val sketch = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir(dir))
+      .select(concat(col("event_type"), lit(":"), col("user_id") % 40).as("k"))
+      .agg(graft.operators.Sketch.cmsAggCol(col("k"), width).as("cms"))
+    drain(spark, sketch.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    import spark.implicits._
+    graft.operators.Sketch.cmsEstimatesFromSketch(
+        spark.table(name), "cms", probes.toDF("k"), "k", width)
+      .orderBy("k")
+  }
+
   // ------------------------------------------------------------ dedup
 
   private val documentsSchema: StructType = StructType(Seq(

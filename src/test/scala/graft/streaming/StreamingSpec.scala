@@ -128,4 +128,19 @@ class StreamingSpec extends SparkSpec {
     assert(approx(out(0).getAs[Double]("sum_value"), 3.0))
     assert(out(0).getAs[Long]("session_end") === 10 * min)
   }
+
+  test("streamingCmsHeavyHitters: drained sketch estimates equal the batch CMS") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val probes = Seq("click:7", "view:23", "signup:999")
+    val streamed = streamingCmsHeavyHitters(spark, dir, probes).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val batchVals = graft.sources.Tables.events(spark, dir)
+      .select(concat(col("event_type"), lit(":"), col("user_id") % 40).as("k"))
+    val batch = graft.operators.Sketch.cmsEstimates(batchVals, "k", probes.toDF("k"), "k")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "micro-batch slicing changed the sketch — merge must be order-independent")
+  }
 }
