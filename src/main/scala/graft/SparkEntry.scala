@@ -1578,7 +1578,29 @@ object SparkEntry {
     // frequency monitor a per-key streaming count can't afford at scale
     "q133_x_stream_cms" -> tuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingCmsHeavyHitters(s, d,
-        probes = Seq("click:7", "view:23", "error:0", "purchase:39", "signup:999")))
+        probes = Seq("click:7", "view:23", "error:0", "purchase:39", "signup:999"))),
+
+    // ---- extension: size-targeted compaction (Delta OPTIMIZE-style
+    // small-files maintenance) — scatter lineitem into 64 tiny files,
+    // compact by Catalyst's size stats, read back and aggregate: the
+    // oracle off the ORIGINAL table proves the rewrite lossless (q96's
+    // round-trip contract, for the maintenance op). File-count targeting
+    // itself is asserted in SinksSpec
+    "q134_x_compacted_sink" -> tuned((s, d) => {
+      val key = graft.text.TextHash.hash32(d).toHexString
+      val frag = s"${sys.props("java.io.tmpdir")}/graft_frag_$key"
+      val comp = s"${sys.props("java.io.tmpdir")}/graft_comp_$key"
+      cleanupOnExit(frag); cleanupOnExit(comp)
+      Tables.lineitem(s, d).select("l_orderkey", "l_returnflag", "l_quantity")
+        .repartition(64).write.mode("overwrite").parquet(frag)
+      graft.sources.Sinks.writeCompacted(
+        s.read.parquet(frag), comp, targetFileBytes = 1L * 1024 * 1024)
+      s.read.parquet(comp)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2585,6 +2607,14 @@ object SparkEntry {
         |FROM pb LEFT JOIN cells ON pb.i = cells.i AND pb.bucket = cells.bucket
         |GROUP BY pb.k
         |ORDER BY pb.k""".stripMargin),
+
+    // compaction must be a pure rewrite: the aggregate off the original
+    // table is the oracle for the compacted copy
+    "q134_x_compacted_sink" ->
+      ("""SELECT l_returnflag, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

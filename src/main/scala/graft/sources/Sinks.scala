@@ -104,4 +104,28 @@ object Sinks {
                        onEmpty: String => Unit = msg => System.err.println(msg)): Boolean =
     if (df.isEmpty) { onEmpty("empty result — nothing written"); false }
     else { write(df); true }
+
+  /** Size-targeted compaction — the lakehouse small-files maintenance
+    * op (Delta OPTIMIZE / Iceberg rewrite_data_files, format-free): a
+    * streaming ingest or a fine-partitioned shuffle leaves thousands of
+    * KB-sized files, and at 100 TB every one of them costs a scan task,
+    * a name-node entry, and an open/seek — compaction trades ONE extra
+    * pass for right-sized files forever after.
+    *
+    * File count = ⌈plan-estimated bytes ÷ `targetFileBytes`⌉, from
+    * Catalyst's statistics (for a parquet scan: the sum of file sizes —
+    * the honest on-disk number, no sampling pass). The repartition is
+    * round-robin, which rebalances skewed input files; callers that
+    * need co-located keys or range order should sort/bucket downstream
+    * of compaction, not fight it here.
+    *
+    * Returns the file count written. */
+  def writeCompacted(df: DataFrame, path: String,
+                     targetFileBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val bytes = df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nFiles = ((bytes + targetFileBytes - 1) / targetFileBytes).max(BigInt(1)).toInt
+    df.repartition(nFiles).write.mode("overwrite").parquet(path)
+    nFiles
+  }
 }

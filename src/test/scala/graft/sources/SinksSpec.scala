@@ -78,4 +78,24 @@ class SinksSpec extends SparkSpec {
       msg => warned = Some(msg))
     assert(!ok2 && warned.isDefined)
   }
+
+  test("writeCompacted: collapses a fragmented directory to the size target") {
+    val frag = tmp("compact_src")
+    val out = tmp("compact_out")
+    // scatter ~40k rows over 64 files (each a few KB — the small-files shape)
+    val df = (1 to 40000).map(i => (i.toLong, s"row_$i", (i * 37) % 1000))
+      .toDF("id", "payload", "v")
+    df.repartition(64).write.mode("overwrite").parquet(frag)
+    def partFiles(p: String) =
+      new java.io.File(p).listFiles.count(f => f.getName.startsWith("part-"))
+    assert(partFiles(frag) == 64)
+    val src = spark.read.parquet(frag)
+    val declared = Sinks.writeCompacted(src, out, targetFileBytes = 512L * 1024)
+    val written = partFiles(out)
+    assert(written == declared, s"declared $declared files, wrote $written")
+    assert(written < 16, s"compaction left $written files for a ~1MB dataset")
+    // pure rewrite: same rows
+    assert(spark.read.parquet(out).orderBy("id").collect().toSeq ===
+      df.orderBy("id").collect().toSeq)
+  }
 }
