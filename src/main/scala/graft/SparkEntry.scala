@@ -6,7 +6,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.sources.{Tables, ZOrder}
 import graft.functions.Cols
-import graft.operators.{CalendarOps, Cdc, Collapse, Features, Graph, MonteCarlo, Sketch}
+import graft.operators.{CalendarOps, Cdc, Collapse, Features, Graph, MonteCarlo, RangeJoin, Sketch}
 import graft.sim.Similarity
 import graft.text.{Corpus, Dedup, TextAnalysis}
 
@@ -1600,7 +1600,74 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           sum(col("l_quantity").cast("long")).as("sum_qty"))
         .orderBy("l_returnflag")
-    })
+    }),
+
+    // ---- extension: interval-OVERLAP join (session intersection /
+    // validity-window overlap) — q90's binning rewrite generalized to
+    // intervals on BOTH sides, with the first-shared-bin predicate
+    // replacing a corpus-wide DISTINCT: two order-validity windows
+    // under the same priority, 10-day bins; naive Spark plans a
+    // nested-loop product here
+    "q135_x_interval_overlap_join" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+      def win(modK: Int, spanMod: Int, pfx: String) = o
+        .filter(col("o_orderkey") % modK === 0)
+        .select(col("o_orderkey").as(s"${pfx}_key"),
+          col("o_orderpriority").as("prio"),
+          to_date(col("o_orderdate")).as(s"${pfx}_s"),
+          date_add(to_date(col("o_orderdate")),
+            (col("o_orderkey") % spanMod).cast("int")).as(s"${pfx}_e"))
+      val l = win(13, 20, "l")
+      val r = win(17, 15, "r")
+      RangeJoin.intervalOverlapJoin(l, r, Seq("prio"),
+          "l_s", "l_e", "r_s", "r_e", payload = Seq("r_key"),
+          binWidth = 10.0 * 86400)
+        .select(col("l_key"), col("r_key"), col("prio"))
+        .orderBy("l_key", "r_key")
+    }),
+
+    // ---- extension: winsorization at exact order statistics — clip
+    // prices into [p05, p95] of their group; bounds are exact rank
+    // ELEMENTS (q130's histogram at binWidth=1 — no interpolation, no
+    // floats), so the clipped sum and tail counts ride exact integers
+    "q136_x_winsorize" -> tuned((s, d) => {
+      val cents = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
+      Sketch.winsorize(cents, Seq("l_returnflag"), "cents", 50, 950)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents_w")).as("sum_clipped"),
+          sum(col("is_low").cast("long")).as("n_low"),
+          sum(col("is_high").cast("long")).as("n_high"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- extension: INTERSECT / EXCEPT — the §2.8 set-op inventory
+    // beyond q28's union: customers ordering on the even-key stream vs
+    // the mod-3 stream; Spark plans both as left-semi/anti over the
+    // deduped sides
+    "q137_x_set_ops" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+      val a = o.filter(col("o_orderkey") % 2 === 0).select("o_custkey").distinct()
+      val b = o.filter(col("o_orderkey") % 3 === 0).select("o_custkey").distinct()
+      a.intersect(b).withColumn("op", lit("intersect"))
+        .union(a.except(b).withColumn("op", lit("except")))
+        .groupBy("op")
+        .agg(count(lit(1)).as("n"),
+          min("o_custkey").as("min_key"), max("o_custkey").as("max_key"))
+        .orderBy("op")
+    }),
+
+    // ---- extension: column profiling — per-column null/distinct/range
+    // reconnaissance as ONE column-pruned scan (all aggregates in a
+    // single agg; stack pivots the wide row). Exact distincts by
+    // design — a profile runs once; monitoring uses the sketches
+    "q138_x_profile" -> tuned((s, d) =>
+      graft.operators.Profile.profile(Tables.orders(s, d),
+          Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderpriority"))
+        .orderBy("col_name"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2615,6 +2682,71 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag
         |ORDER BY l_returnflag""".stripMargin),
+
+    // binning + first-shared-bin + exact filter == the plain overlap
+    // join; the oracle brute-forces it (fine at oracle scale)
+    "q135_x_interval_overlap_join" ->
+      ("""WITH l AS (
+        |  SELECT o_orderkey AS l_key, o_orderpriority AS prio,
+        |         CAST(o_orderdate AS DATE) AS l_s,
+        |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 20 AS INT) AS l_e
+        |  FROM orders WHERE o_orderkey % 13 = 0),
+        |r AS (
+        |  SELECT o_orderkey AS r_key, o_orderpriority AS prio,
+        |         CAST(o_orderdate AS DATE) AS r_s,
+        |         CAST(o_orderdate AS DATE) + CAST(o_orderkey % 15 AS INT) AS r_e
+        |  FROM orders WHERE o_orderkey % 17 = 0)
+        |SELECT l_key, r_key, prio
+        |FROM l JOIN r USING (prio)
+        |WHERE l_s <= r_e AND r_s <= l_e
+        |ORDER BY l_key, r_key""".stripMargin),
+
+    // exact rank elements via row_number (same element the histogram's
+    // first-cum-cross picks — ties collapse to the same value); the
+    // clip and tail counts are pure integer arithmetic
+    "q136_x_winsorize" ->
+      ("""WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS c
+        |  FROM lineitem),
+        |n AS (SELECT g, count(*) AS n FROM v GROUP BY g),
+        |r AS (SELECT v.g, c, row_number() OVER (PARTITION BY v.g ORDER BY c) AS rn, n.n
+        |      FROM v JOIN n USING (g)),
+        |b AS (SELECT g,
+        |        min(CASE WHEN rn = (50 * n + 999) // 1000 THEN c END) AS lo,
+        |        min(CASE WHEN rn = (950 * n + 999) // 1000 THEN c END) AS hi
+        |      FROM r GROUP BY g)
+        |SELECT v.g AS l_returnflag, count(*) AS n,
+        |  CAST(sum(least(greatest(c, lo), hi)) AS BIGINT) AS sum_clipped,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |FROM v JOIN b USING (g)
+        |GROUP BY v.g
+        |ORDER BY v.g""".stripMargin),
+
+    "q137_x_set_ops" ->
+      ("""WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 2 = 0),
+        |b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderkey % 3 = 0),
+        |u AS (
+        |  SELECT 'intersect' AS op, o_custkey
+        |  FROM (SELECT * FROM a INTERSECT SELECT * FROM b)
+        |  UNION ALL
+        |  SELECT 'except' AS op, o_custkey
+        |  FROM (SELECT * FROM a EXCEPT SELECT * FROM b))
+        |SELECT op, count(*) AS n, min(o_custkey) AS min_key,
+        |       max(o_custkey) AS max_key
+        |FROM u GROUP BY op ORDER BY op""".stripMargin),
+
+    // string-cast min/max: bytewise order agrees across engines, and a
+    // profile's range is for eyeballing, not arithmetic
+    "q138_x_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderpriority").map(c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+          |  count(*) - count($c) AS n_null,
+          |  count(DISTINCT $c) AS n_distinct,
+          |  min(CAST($c AS VARCHAR)) AS min_value,
+          |  max(CAST($c AS VARCHAR)) AS max_value FROM orders""".stripMargin)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

@@ -1,0 +1,46 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Column profiling — the data-quality reconnaissance pass every
+  * pipeline runs before trusting a new 100 TB drop: per-column row,
+  * null, and distinct counts plus value range, as ONE scan.
+  *
+  * Scale shape: all per-column aggregates land in a single `agg()` —
+  * one column-pruned pass over exactly the profiled columns, not one
+  * job per column. The exact `countDistinct` set is the deliberate
+  * choice here (Spark plans the multi-distinct via Expand: the scan
+  * replicates per distinct-agg, still one shuffle): the profile is
+  * run ONCE per dataset and exactness is the point of a profile —
+  * for always-on monitoring swap in [[Sketch.kmvDistinct]] per group
+  * or `approx_count_distinct`. Ranges are min/max over the STRING
+  * cast — ordered consistently across engines (bytewise), typed
+  * consistently across heterogeneous columns, and honest about what a
+  * profile is for (eyeballing, not arithmetic).
+  *
+  * Output: one row per profiled column —
+  * `(col_name, n_rows, n_null, n_distinct, min_value, max_value)`. */
+object Profile {
+
+  def profile(df: DataFrame, columns: Seq[String]): DataFrame = {
+    require(columns.nonEmpty, "profile needs at least one column")
+    val missing = columns.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"columns not found: ${missing.mkString(", ")}")
+    val aggs = count(lit(1)).as("__n") +: columns.flatMap(c => Seq(
+      count(col(c)).as(s"__nn_$c"),
+      countDistinct(col(c)).as(s"__nd_$c"),
+      min(col(c).cast("string")).as(s"__mn_$c"),
+      max(col(c).cast("string")).as(s"__mx_$c")))
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    // stack pivots the single wide row to one row per column; backticks
+    // keep dotted/odd source column names intact inside the expression
+    val stackArgs = columns.map(c =>
+      s"'$c', `__nn_$c`, `__nd_$c`, `__mn_$c`, `__mx_$c`").mkString(", ")
+    one.selectExpr("__n",
+        s"stack(${columns.size}, $stackArgs) AS (col_name, __nn, n_distinct, min_value, max_value)")
+      .select(col("col_name"), col("__n").as("n_rows"),
+        (col("__n") - col("__nn")).as("n_null"),
+        col("n_distinct"), col("min_value"), col("max_value"))
+  }
+}

@@ -103,4 +103,71 @@ object RangeJoin {
                     payload: Seq[String], binDays: Int): DataFrame =
     rangeJoin(left, right, keys, leftT, rightStart, rightEnd, payload,
       binDays.toDouble * 86400.0)
+
+  /** INTERVAL-overlap join: each left interval `[leftStart, leftEnd]`
+    * matches every right interval `[rightStart, rightEnd]` it intersects
+    * (inclusive ends), optionally under equality keys — the
+    * session-overlap / validity-window-intersection generalization of
+    * [[rangeJoin]]'s point probe (and, like it, a shape Spark would
+    * otherwise plan as a nested-loop product).
+    *
+    * Both sides explode to the bins they touch and equi-join on
+    * (keys, bin); a pair sharing k bins would surface k times, so the
+    * join keeps each pair ONLY in the FIRST bin both touch
+    * (`bin == max(⌊ls/w⌋, ⌊rs/w⌋)`) — the standard dedup-free trick: a
+    * predicate per row instead of a corpus-wide DISTINCT shuffle. The
+    * exact overlap test (`ls ≤ re ∧ rs ≤ le`) post-filters bin-level
+    * false positives. Cost: linear replication `len/w + 1` on BOTH
+    * sides (the point side of rangeJoin never replicates — prefer it
+    * when one side is points).
+    *
+    * Output: every left column, then `payload` from the right. 1:N. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                          leftStart: String, leftEnd: String,
+                          rightStart: String, rightEnd: String,
+                          payload: Seq[String], binWidth: Double,
+                          maxBinsPerInterval: Int = 10000): DataFrame = {
+    require(binWidth > 0, "binWidth must be positive")
+    require(payload.nonEmpty, "intervalOverlapJoin needs >= 1 payload column")
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+    require(!payload.exists(keys.contains),
+      s"payload columns ${payload.filter(keys.contains)} duplicate join keys")
+    val reserved = Seq("__bin", "__s", "__e", "__lb", "__rb")
+    val reservedHits = (leftCols ++ payload ++ keys).filter(reserved.contains).distinct
+    require(reservedHits.isEmpty,
+      s"columns $reservedHits collide with reserved internal names")
+
+    def toNum(df: DataFrame, name: String): Column = df.schema(name).dataType match {
+      case org.apache.spark.sql.types.DateType |
+           org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType =>
+        col(name).cast("timestamp").cast("double")
+      case _ => col(name).cast("double")
+    }
+    def binOf(df: DataFrame, name: String): Column =
+      floor(toNum(df, name) / binWidth).cast("long")
+
+    def explodeSide(df: DataFrame, start: String, end: String,
+                    keep: Seq[Column], startBinAs: String): DataFrame = {
+      val nBins = binOf(df, end) - binOf(df, start) + 1
+      val guarded = when(nBins > maxBinsPerInterval,
+        raise_error(concat(lit(s"intervalOverlapJoin: interval spans more than " +
+          s"$maxBinsPerInterval bins of width $binWidth at "), col(start).cast("string"))))
+        .otherwise(nBins)
+      df.filter(col(end) >= col(start))
+        .select(keep :+ binOf(df, start).as(startBinAs) :+
+          explode(sequence(binOf(df, start),
+            binOf(df, start) + guarded.cast("long") - 1)).as("__bin"): _*)
+    }
+    val l = explodeSide(left, leftStart, leftEnd, leftCols.map(col), "__lb")
+    val r = explodeSide(right, rightStart, rightEnd,
+      keys.map(col) ++ payload.map(col) :+
+        col(rightStart).as("__s") :+ col(rightEnd).as("__e"), "__rb")
+    l.join(r, keys :+ "__bin")
+      .filter(col("__bin") === greatest(col("__lb"), col("__rb")) &&
+        col(leftStart) <= col("__e") && col("__s") <= col(leftEnd))
+      .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
 }

@@ -255,6 +255,42 @@ object Sketch {
       .agg((min(col("__bin")) * binWidth).as("est"), max(col("n")).as("n"))
   }
 
+  /** Per-group winsorization at EXACT order statistics: clip `valueCol`
+    * into `[element(⌈pLow·n⌉), element(⌈pHigh·n⌉)]` of its group's
+    * sorted values — the robust-stats clamp that keeps a fat-tailed
+    * metric aggregatable without letting one outlier own the sum.
+    *
+    * The bounds come from [[binnedQuantiles]] at `binWidth = 1`, where
+    * the histogram degenerates to exact value counts and "first bin
+    * reaching the rank" becomes "smallest value whose cumulative count
+    * reaches the rank" — the exact rank element, no interpolation (the
+    * interpolated form averages two values in floating point, the
+    * cross-engine trap; the rank element is a value that EXISTS in the
+    * data, integer end to end). The shuffle still carries (group,
+    * value) COUNTS, not rows — for quantized metrics (cents, token
+    * counts) that is the distinct-value count per group, which is how
+    * this stays cheap where a sort-based exact percentile shuffles
+    * everything.
+    *
+    * Output: input columns plus `<valueCol>_w` (clipped), `is_low`,
+    * `is_high` flags. The bounds frame is group-sized — broadcast back. */
+  def winsorize(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                pLowPermille: Int, pHighPermille: Int): DataFrame = {
+    require(pLowPermille < pHighPermille,
+      s"pLow ($pLowPermille) must be < pHigh ($pHighPermille)")
+    val bounds = binnedQuantiles(df, groupCols, valueCol, 1L,
+        Seq(pLowPermille, pHighPermille))
+      .groupBy(groupCols.map(col): _*)
+      .agg(min(when(col("q_permille") === pLowPermille, col("est"))).as("__lo"),
+        min(when(col("q_permille") === pHighPermille, col("est"))).as("__hi"))
+    df.join(broadcast(bounds), groupCols)
+      .withColumn(s"${valueCol}_w",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn("is_low", col(valueCol) < col("__lo"))
+      .withColumn("is_high", col(valueCol) > col("__hi"))
+      .drop("__lo", "__hi")
+  }
+
   /** Per-group distinct-count estimate of `valueCol` (hashed via its
     * string form; nulls are ignored, matching `count(DISTINCT …)`).
     * Output: `groupCols…, n_est, kth_hash, n_kept`. */

@@ -113,4 +113,43 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(e3.getMessage.contains("reserved"))
   }
+
+  test("intervalOverlapJoin matches brute force, each pair exactly once") {
+    // deterministic intervals spanning multiple bins; keys split the space
+    val li = (1 to 80).map(i =>
+      (i.toLong, s"k${i % 2}", (i * 13 % 97).toDouble, (i * 13 % 97 + i % 25).toDouble))
+      .toDF("l_id", "key", "ls", "le")
+    val ri = (1 to 60).map(j =>
+      (j.toLong, s"k${j % 2}", (j * 29 % 101).toDouble, (j * 29 % 101 + j % 18).toDouble))
+      .toDF("r_id", "key", "rs", "re")
+    val got = RangeJoin.intervalOverlapJoin(li, ri.withColumnRenamed("key", "key"),
+        Seq("key"), "ls", "le", "rs", "re", payload = Seq("r_id"), binWidth = 10.0)
+      .select("l_id", "r_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    // each overlapping pair appears exactly once despite shared bins
+    assert(got.length == got.distinct.length, "pair emitted in more than one bin")
+    val lrows = li.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val rrows = ri.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    val expect = (for {
+      (lid, lk, ls, le) <- lrows; (rid, rk, rs, re) <- rrows
+      if lk == rk && ls <= re && rs <= le
+    } yield (lid, rid)).toSet
+    assert(got.toSet == expect,
+      s"missing=${expect -- got.toSet} extra=${got.toSet -- expect}")
+    assert(expect.nonEmpty)
+  }
+
+  test("intervalOverlapJoin: inverted intervals drop; degenerate span guard fires") {
+    val li = Seq((1L, 5.0, 3.0)).toDF("l_id", "ls", "le") // inverted
+    val ri = Seq((9L, 0.0, 100.0)).toDF("r_id", "rs", "re")
+    val out = RangeJoin.intervalOverlapJoin(li, ri, Nil, "ls", "le", "rs", "re",
+      payload = Seq("r_id"), binWidth = 10.0)
+    assert(out.count() == 0)
+    val wide = Seq((9L, 0.0, 1e9)).toDF("r_id", "rs", "re")
+    val ok = Seq((1L, 1.0, 2.0)).toDF("l_id", "ls", "le")
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlapJoin(ok, wide, Nil, "ls", "le", "rs", "re",
+        payload = Seq("r_id"), binWidth = 1.0, maxBinsPerInterval = 100).count()
+    }
+    assert(e.getMessage.contains("spans more than"))
+  }
 }

@@ -151,6 +151,27 @@ class SketchSpec extends SparkSpec {
     assert(a.size == 6) // 3 groups x 2 quantiles
   }
 
+  test("winsorize clips at exact order statistics and flags the tails") {
+    // group g: values 1..100; p10 element = 10, p90 element = 90
+    val df = (1 to 100).map(v => ("g", v.toLong)).toDF("g", "v")
+    val out = Sketch.winsorize(df, Seq("g"), "v", 100, 900)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("v_w"),
+        r.getAs[Boolean]("is_low"), r.getAs[Boolean]("is_high")))
+    assert(out.length == 100)
+    assert(out.forall { case (v, w, lo, hi) =>
+      w == math.min(math.max(v, 10L), 90L) && lo == (v < 10) && hi == (v > 90) })
+    assert(out.count(_._3) == 9 && out.count(_._4) == 10)
+  }
+
+  test("winsorize bounds are exact rank elements even with duplicates") {
+    val df = (Seq.fill(30)(5L) ++ Seq.fill(60)(7L) ++ Seq.fill(10)(1000L))
+      .map(("g", _)).toDF("g", "v")
+    // p50 rank=50 -> value 7 (cum: 5->30, 7->90); p95 rank=95 -> 1000
+    val out = Sketch.winsorize(df, Seq("g"), "v", 500, 950)
+      .agg(min("v_w"), max("v_w")).collect()(0)
+    assert(out.getLong(0) == 7L && out.getLong(1) == 1000L)
+  }
+
   test("the quantile shuffle carries bin counts, not rows") {
     val df = (0 until 100).map(v => ("g", v.toLong)).toDF("g", "v")
     val p = Sketch.binnedQuantiles(df, Seq("g"), "v", 10L, Seq(500))
