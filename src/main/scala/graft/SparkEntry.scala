@@ -1667,7 +1667,26 @@ object SparkEntry {
       graft.operators.Profile.profile(Tables.orders(s, d),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"))
-        .orderBy("col_name"))
+        .orderBy("col_name")),
+
+    // ---- extension: fuzzy key join (record linkage) — prefix-blocked
+    // levenshtein match instead of the O(|L|·|R|) DP cross product: a
+    // corrupted part-name stream (one char deleted past position 3, so
+    // the 3-char block key survives — the documented recall contract)
+    // re-linked to the catalog at edit distance <= 2
+    "q139_x_fuzzy_join" -> tuned((s, d) => {
+      val corrupted = Tables.part(s, d).filter(col("p_partkey") % 4 === 0)
+        .withColumn("pos",
+          (lit(3) + col("p_partkey") % (length(col("p_name")) - 3)).cast("int"))
+        .select(col("p_partkey").as("c_key"),
+          expr("concat(substring(p_name, 1, pos), substring(p_name, pos + 2, 1000))")
+            .as("c_name"))
+      graft.operators.FuzzyJoin.byEditDistance(
+          corrupted, Tables.part(s, d), "c_name", "p_name",
+          payload = Seq("p_partkey"), maxDist = 2, prefixLen = 3)
+        .select(col("c_key"), col("p_partkey"), col("edit_dist").cast("int").as("edit_dist"))
+        .orderBy("c_key", "p_partkey")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2747,6 +2766,27 @@ object SparkEntry {
           |  min(CAST($c AS VARCHAR)) AS min_value,
           |  max(CAST($c AS VARCHAR)) AS max_value FROM orders""".stripMargin)
       .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+
+    // the same blocked join: 3-char-prefix equality + length band +
+    // exact levenshtein — the blocking IS the operator contract (q60's
+    // convention: the oracle replays the algorithm, not a different one)
+    "q139_x_fuzzy_join" ->
+      ("""WITH c AS (
+        |  SELECT p_partkey AS c_key,
+        |         3 + p_partkey % (length(p_name) - 3) AS pos, p_name
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |cc AS (SELECT c_key,
+        |         substring(p_name, 1, pos) || substring(p_name, pos + 2) AS c_name
+        |       FROM c),
+        |cand AS (
+        |  SELECT cc.c_key, p.p_partkey,
+        |         levenshtein(cc.c_name, p.p_name) AS edit_dist
+        |  FROM cc JOIN part p
+        |    ON substring(cc.c_name, 1, 3) = substring(p.p_name, 1, 3)
+        |  WHERE abs(length(cc.c_name) - length(p.p_name)) <= 2)
+        |SELECT c_key, p_partkey, CAST(edit_dist AS INT) AS edit_dist
+        |FROM cand WHERE edit_dist <= 2
+        |ORDER BY c_key, p_partkey""".stripMargin),
 
     // KMV replayed exactly: k-th smallest distinct 60-bit hash per group
     // (the sketch's kept set is deterministic and order-independent);

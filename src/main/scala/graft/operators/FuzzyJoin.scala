@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Fuzzy key join (record linkage): match rows whose string keys agree
+  * up to `maxDist` edits — the dedup/linkage primitive for keys that
+  * went through humans (typos, OCR, transliteration) rather than
+  * machines.
+  *
+  * A naive edit-distance join is a cross product with a DP kernel per
+  * pair — O(|L|·|R|·len²), the first plan to die at corpus scale. This
+  * operator uses BLOCKING, the standard record-linkage rewrite: a cheap
+  * equality key (here the `prefixLen`-char prefix) partitions both
+  * sides, an equi-join pairs only within blocks, and the exact
+  * `levenshtein ≤ maxDist` predicate filters candidates. One hash
+  * shuffle per side; the DP kernel runs on candidates only.
+  *
+  * RECALL CONTRACT (the documented blocking tradeoff): a pair whose
+  * edits touch the first `prefixLen` characters lands in different
+  * blocks and is MISSED. Sized right (3-4 chars) that is the classic
+  * >95%-recall/1000x-cost point of record linkage; for higher recall,
+  * union several blocking keys (prefix + phonetic + length band) — the
+  * candidate union stays linear while the cross product never is. A
+  * length pre-filter (`|len(a) − len(b)| ≤ maxDist`, a levenshtein
+  * lower bound) prunes candidates before the DP kernel runs. */
+object FuzzyJoin {
+
+  /** Output: left columns + right `payload` + `edit_dist` (int).
+    * Both key columns must be non-null to match (SQL semantics). */
+  def byEditDistance(left: DataFrame, right: DataFrame,
+                     leftCol: String, rightCol: String,
+                     payload: Seq[String], maxDist: Int = 2,
+                     prefixLen: Int = 3): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be >= 0, got $maxDist")
+    require(prefixLen >= 1, s"prefixLen must be >= 1, got $prefixLen")
+    require(payload.nonEmpty, "byEditDistance needs >= 1 payload column")
+    val leftCols = left.columns.toSeq
+    require(!payload.exists(leftCols.contains),
+      s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
+    val reserved = Seq("__blk", "__rk", "edit_dist")
+    val hits = (leftCols ++ payload).filter(reserved.contains)
+    require(hits.isEmpty, s"columns $hits collide with reserved names")
+    val l = left.filter(col(leftCol).isNotNull)
+      .withColumn("__blk", substring(col(leftCol), 1, prefixLen))
+    val r = right.filter(col(rightCol).isNotNull)
+      .select(payload.map(col) :+ col(rightCol).as("__rk"): _*)
+      .withColumn("__blk", substring(col("__rk"), 1, prefixLen))
+    l.join(r, Seq("__blk"))
+      // levenshtein lower bound: prune before the DP kernel runs
+      .filter(abs(length(col(leftCol)) - length(col("__rk"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col(leftCol), col("__rk")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(leftCols.map(col) ++ payload.map(col) :+ col("edit_dist"): _*)
+  }
+}
