@@ -1686,7 +1686,105 @@ object SparkEntry {
           payload = Seq("p_partkey"), maxDist = 2, prefixLen = 3)
         .select(col("c_key"), col("p_partkey"), col("edit_dist").cast("int").as("edit_dist"))
         .orderBy("c_key", "p_partkey")
-    })
+    }),
+
+    // ---- extension: batch MERGE (upsert) — the copy-on-write lakehouse
+    // write beside q121's merge-on-read fold and q127's SCD2 history:
+    // one mutation batch (updates + deletes + inserts on negated keys)
+    // applied as target-LEFT-ANTI-source ∪ surviving-source — the
+    // broadcast anti join never shuffles the snapshot side
+    "q140_x_merge_upsert" -> tuned((s, d) => {
+      val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
+      val target = Tables.orders(s, d).select(col("o_orderkey").as("k"),
+        cents.as("price_cents"), col("o_orderstatus").as("status"))
+      val o = Tables.orders(s, d)
+      val source = o.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey").as("k"),
+          when(col("o_orderkey") % 20 === 0, lit("D")).otherwise(lit("U")).as("op"),
+          (cents + 12345).as("price_cents"), lit("M").as("status"))
+        .unionByName(o.filter(col("o_orderkey") % 7 === 0)
+          .select((-col("o_orderkey")).as("k"), lit("U").as("op"),
+            cents.as("price_cents"), lit("N").as("status")))
+      Cdc.merge(target, source, Seq("k"), "op")
+        .filter(abs(col("k")) % 3 === 0)
+        .orderBy("k")
+    }),
+
+    // ---- extension: Holt linear-trend exponential smoothing — the
+    // smoothing tier between q117's fitted AR(1) and a moving average;
+    // exact-binary-fraction constants (α=1/2, β=1/4) make the per-series
+    // recursion bit-replayable by a recursive CTE (the q117 property for
+    // smoothers), so even the floating-point state hash-checks
+    "q141_x_holt_forecast" -> tuned((s, d) =>
+      graft.stats.Diagnostics.holtForecast(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+          Nil, "month", "tot", alpha = 0.5, beta = 0.25, horizon = 12)
+        .select(col("key"), col("n_obs"), round(col("level"), 4).as("level"),
+          round(col("trend"), 4).as("trend"), col("step"),
+          round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step")),
+
+    // ---- extension: grouped OLS trend — one least-squares line per key
+    // as ONE map-side-combining aggregate over the five sufficient sums
+    // (no per-series kernel, no window): exact long sums, one IEEE
+    // division — the declarative scale-out form of "fit a trend to a
+    // billion series". y rides whole dollars (cents div 100) to keep
+    // n·Σxy far under 2⁶³ at any bench scale
+    "q142_x_grouped_ols" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("x"))
+        .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div 100")
+          .as("y"))
+      graft.operators.Regression.groupedOls(m, Seq("prio"), "x", "y")
+        .orderBy("prio")
+    }),
+
+    // ---- extension: PMI collocation mining — association strength over
+    // adjacent token pairs with the threshold as an INTEGER
+    // cross-multiplication (c₁₂·N ≥ 20·c₁·c₂ and c₁₂ ≥ 5): no log ever
+    // executes, so no libm ulp to drift on; the reported score is the
+    // exact integer (c₁₂·N·10⁶) div (c₁·c₂)
+    "q143_x_pmi_collocations" -> tuned((s, d) =>
+      graft.text.Corpus.pmiCollocations(
+          Tables.documents(s, d), "text", minCount = 5, minRatio = 20)
+        .withColumn("ratio_e6",
+          expr("c12 * n_pairs * 1000000L div (c1 * c2)"))
+        .drop("ratio")
+        .orderBy("w1", "w2")),
+
+    // ---- extension: linear gap interpolation (pandas
+    // interpolate(method='linear')) — interior nulls of a keyed series
+    // filled by the straight line between nearest non-null neighbors,
+    // positioned by the numeric x (distance-weighted, not row-weighted);
+    // the interpolant is per-row fixed-order IEEE arithmetic, so the
+    // filled values hash-match without quantization
+    "q144_x_interpolate" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("x"))
+        .agg((floor(sum(round(col("o_totalprice") * 100)) / 1e8 * 1e6 + 0.5) / 1e6)
+          .as("y0"))
+        .select(col("prio"), col("x"),
+          when(col("x") % 4 =!= 1, col("y0")).as("y"))
+      graft.operators.Features.interpolateLinear(m, Seq("prio"), "x", "y",
+          outCol = "interp")
+        .select(col("prio"), col("x"), col("y"),
+          (floor(col("interp") * 1e6 + 0.5) / 1e6).as("interp"))
+        .orderBy("prio", "x")
+    }),
+
+    // ---- extension: STREAMING KMV distinct cardinality — one k-minimum
+    // sketch per event_type as complete-mode streaming state; the buffer
+    // merge is a sorted set union (micro-batch-slicing-independent), so
+    // the drained state equals the batch q122 sketch and the estimate
+    // replays in SQL
+    "q145_x_stream_kmv" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingKmvDistinct(s, d))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -3780,7 +3878,153 @@ object SparkEntry {
         |    '$email', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'),
         |    '$phone', '<PHONE>', 'g') AS text_redacted
         |FROM p ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // the MERGE rewrite replayed literally: target rows whose key is
+    // absent from the source batch, plus the source's non-delete rows
+    "q140_x_merge_upsert" ->
+      ("""WITH t AS (
+        |  SELECT o_orderkey AS k,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |         o_orderstatus AS status
+        |  FROM orders),
+        |src AS (
+        |  SELECT o_orderkey AS k,
+        |         CASE WHEN o_orderkey % 20 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) + 12345 AS price_cents,
+        |         'M' AS status
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT -o_orderkey, 'U',
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT), 'N'
+        |  FROM orders WHERE o_orderkey % 7 = 0),
+        |m AS (
+        |  SELECT t.* FROM t ANTI JOIN src ON t.k = src.k
+        |  UNION ALL
+        |  SELECT k, price_cents, status FROM src WHERE op <> 'D')
+        |SELECT k, price_cents, status FROM m WHERE abs(k) % 3 = 0
+        |ORDER BY k""".stripMargin),
+
+    // the Holt recursion replayed with the identical op order — the new
+    // level is recomputed inline for the trend update (same expression,
+    // same bits); α=1/2, β=1/4 are exact binary fractions so 1−α, 1−β
+    // are too
+    "q141_x_holt_forecast" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y FROM m),
+        |rec AS (
+        |  SELECT 1 AS t,
+        |         (SELECT y FROM o WHERE t = 1) AS l,
+        |         (SELECT y FROM o WHERE t = 2) - (SELECT y FROM o WHERE t = 1) AS b
+        |  UNION ALL
+        |  SELECT rec.t + 1,
+        |         0.5 * o.y + 0.5 * (rec.l + rec.b),
+        |         0.25 * ((0.5 * o.y + 0.5 * (rec.l + rec.b)) - rec.l) + 0.75 * rec.b
+        |  FROM rec JOIN o ON o.t = rec.t + 1),
+        |fin AS (SELECT l, b FROM rec ORDER BY t DESC LIMIT 1),
+        |n AS (SELECT CAST(count(*) AS INT) AS n_obs FROM o)
+        |SELECT 'all' AS key, n.n_obs, round(fin.l, 4) AS level,
+        |       round(fin.b, 4) AS trend, CAST(h AS INT) AS step,
+        |       round(fin.l + h * fin.b, 4) AS forecast
+        |FROM fin, n, generate_series(1, 12) AS g(h)
+        |ORDER BY step""".stripMargin),
+
+    // the five sufficient sums as exact BIGINTs, slope = one division of
+    // two exact longs, intercept = the same fixed op sequence as the
+    // Spark expression; y in whole dollars (cents // 100) for 2^63
+    // headroom
+    "q142_x_grouped_ols" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) // 100 AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT prio, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x * y) AS sxy, sum(x * x) AS sxx
+        |      FROM m GROUP BY 1),
+        |c AS (SELECT prio, n, sx, sy,
+        |        CASE WHEN n * sxx - sx * sx <> 0
+        |             THEN CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)
+        |        END AS b
+        |      FROM s)
+        |SELECT prio, n, floor(b * 1000000.0 + 0.5) / 1000000.0 AS slope,
+        |  floor(((CAST(sy AS DOUBLE) - b * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+        |        * 1000000.0 + 0.5) / 1000000.0 AS intercept
+        |FROM c ORDER BY prio""".stripMargin),
+
+    // adjacent pairs via positional unnest over the same whitespace
+    // tokenization; the threshold and score are pure integer arithmetic
+    // (no log, no division until the final exact // )
+    "q143_x_pmi_collocations" ->
+      ("""WITH t AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |ix AS (SELECT unnest(generate_series(1, len(l) - 1)) AS i, l FROM t),
+        |p AS (SELECT l[i] AS w1, l[i + 1] AS w2 FROM ix),
+        |cp AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |m1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+        |m2 AS (SELECT w2, count(*) AS c2 FROM p GROUP BY 1),
+        |n AS (SELECT count(*) AS n_pairs FROM p)
+        |SELECT cp.w1, cp.w2, cp.c12, m1.c1, m2.c2, n.n_pairs,
+        |       (cp.c12 * n.n_pairs * 1000000) // (m1.c1 * m2.c2) AS ratio_e6
+        |FROM cp JOIN m1 ON cp.w1 = m1.w1 JOIN m2 ON cp.w2 = m2.w2 CROSS JOIN n
+        |WHERE cp.c12 >= 5 AND cp.c12 * n.n_pairs >= 20 * m1.c1 * m2.c2
+        |ORDER BY cp.w1, cp.w2""".stripMargin),
+
+    // neighbor discovery via IGNORE NULLS windows over the same sort,
+    // then the identical fixed-order interpolant expression
+    "q144_x_interpolate" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |         floor(sum(round(o_totalprice * 100)) / 1e8 * 1e6 + 0.5) / 1e6 AS y0
+        |  FROM orders GROUP BY 1, 2),
+        |g AS (SELECT prio, x, CASE WHEN x % 4 <> 1 THEN y0 END AS y FROM m),
+        |w AS (SELECT prio, x, y,
+        |        last_value(y IGNORE NULLS) OVER
+        |          (PARTITION BY prio ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |        last_value(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS) OVER
+        |          (PARTITION BY prio ORDER BY x
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS px,
+        |        first_value(y IGNORE NULLS) OVER
+        |          (PARTITION BY prio ORDER BY x
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        first_value(CASE WHEN y IS NOT NULL THEN x END IGNORE NULLS) OVER
+        |          (PARTITION BY prio ORDER BY x
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nx
+        |      FROM g)
+        |SELECT prio, x, y,
+        |  floor((CASE WHEN y IS NOT NULL THEN y
+        |              WHEN pv IS NOT NULL AND nv IS NOT NULL
+        |              THEN pv + (nv - pv) * (x - px) / (nx - px) END)
+        |        * 1e6 + 0.5) / 1e6 AS interp
+        |FROM w ORDER BY prio, x""".stripMargin),
+
+    // q122's KMV replay pointed at the event stream: the drained
+    // complete-mode state is slicing-independent, so the streaming
+    // sketch equals this batch SQL exactly
+    "q145_x_stream_kmv" ->
+      ("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |r AS (SELECT event_type, hk,
+        |        row_number() OVER (PARTITION BY event_type ORDER BY hk) AS rn,
+        |        count(*) OVER (PARTITION BY event_type) AS nd
+        |      FROM h)
+        |SELECT event_type,
+        |  CASE WHEN nd >= 128
+        |       THEN floor((127.0 * 1152921504606846976.0 / hk) * 100.0 + 0.5) / 100.0
+        |       ELSE CAST(nd AS DOUBLE) END AS n_est,
+        |  hk AS kth_hash,
+        |  CAST(LEAST(nd, 128) AS INT) AS n_kept
+        |FROM r WHERE rn = LEAST(nd, 128)
+        |ORDER BY event_type""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

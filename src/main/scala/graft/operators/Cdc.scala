@@ -78,6 +78,48 @@ object Cdc {
       .drop("__rn", opCol)
   }
 
+  /** Batch MERGE (upsert) — the copy-on-write half of the lakehouse
+    * upsert family, beside [[applyChanges]]' merge-on-read changelog fold
+    * and [[scd2]]'s history build: apply ONE batch of keyed mutations to
+    * a current snapshot. A source row with `opCol == deleteOp` deletes
+    * its key; any other source row REPLACES its key's row (matched →
+    * update, unmatched → insert — the `WHEN MATCHED UPDATE / WHEN NOT
+    * MATCHED INSERT / WHEN MATCHED AND op='D' DELETE` triad of SQL
+    * `MERGE INTO`, restricted to whole-row updates).
+    *
+    * Scale shape: NOT a full-outer join. The mutation batch is small
+    * relative to the snapshot by contract (a day's changes vs years of
+    * state), so the rewrite is `target LEFT ANTI source-keys` (untouched
+    * rows pass through; with `broadcastSource` the anti join is a
+    * broadcast — the 100 TB target never shuffles) `UNION ALL` the
+    * source's surviving rows. A full-outer join would shuffle BOTH
+    * sides on key to decide row fates the anti join decides for free.
+    *
+    * Determinism contract: the source must have at most one row per key
+    * (the SQL MERGE cardinality rule — engines raise
+    * "multiple source rows matched" at runtime; here duplicate source
+    * rows would BOTH survive, so the contract is documented loud, and
+    * [[applyChanges]] is the right tool to collapse a multi-event batch
+    * to one mutation per key first).
+    *
+    * Output: target's columns; source must carry the same columns plus
+    * `opCol`. */
+  def merge(target: DataFrame, source: DataFrame, keyCols: Seq[String],
+            opCol: String, deleteOp: String = "D",
+            broadcastSource: Boolean = true): DataFrame = {
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    require(source.columns.contains(opCol), s"op column $opCol not found in source")
+    val missing = target.columns.filterNot(source.columns.contains)
+    require(missing.isEmpty,
+      s"source is missing target columns: ${missing.mkString(", ")}")
+    val keys = source.select(keyCols.map(col): _*).distinct()
+    val keysMaybeB = if (broadcastSource) broadcast(keys) else keys
+    val untouched = target.join(keysMaybeB, keyCols, "left_anti")
+    val applied = source.filter(col(opCol) =!= lit(deleteOp))
+      .select(target.columns.map(col).toSeq: _*)
+    untouched.unionByName(applied)
+  }
+
   /** Slowly-changing-dimension Type 2 history build — the full-history
     * complement of [[applyChanges]]'s current-snapshot fold: every
     * non-delete change event becomes a versioned dimension row with a

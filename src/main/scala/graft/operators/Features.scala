@@ -102,6 +102,47 @@ object Features {
       .drop("__roll_med")
   }
 
+  /** Linear gap interpolation — `pandas.Series.interpolate(method=
+    * 'linear')` for the interior of a series: every null `valueCol` row
+    * with a non-null observation on BOTH sides gets the straight-line
+    * value between its nearest non-null neighbors, positioned by the
+    * NUMERIC `xCol` (so an irregular grid interpolates by distance, not
+    * by row count — pandas' `method='values'` semantics, which coincide
+    * with 'linear' on a regular grid). Leading/trailing nulls stay null:
+    * extrapolation is a model, not a fill.
+    *
+    * Exactness: the interpolant `prev + (next − prev) · (x − xp) /
+    * (xn − xp)` is per-row arithmetic in one fixed op order over already-
+    * materialized neighbor values — bit-identical in any engine replaying
+    * the expression (the documented per-row-math determinism property),
+    * so the filled series hash-matches a SQL oracle without quantization.
+    *
+    * Plan shape: two window passes over ONE sort order (forward
+    * last-non-null, backward first-non-null — Spark plans both in a
+    * single WindowExec pair sharing the shuffle+sort on
+    * (keyCols, xCol)); no self-join, no per-gap explode. Appends
+    * `outCol`; original column preserved. */
+  def interpolateLinear(df: DataFrame, keyCols: Seq[String], xCol: String,
+                        valueCol: String,
+                        outCol: String = "interpolated"): DataFrame = {
+    val base =
+      if (keyCols.isEmpty) Window.partitionBy(lit(1)) else Window.partitionBy(keyCols.map(col): _*)
+    val fwd = base.orderBy(col(xCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bwd = base.orderBy(col(xCol))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val v = col(valueCol)
+    val obsX = when(v.isNotNull, col(xCol))
+    val pv = last(v, ignoreNulls = true).over(fwd)
+    val px = last(obsX, ignoreNulls = true).over(fwd)
+    val nv = first(v, ignoreNulls = true).over(bwd)
+    val nx = first(obsX, ignoreNulls = true).over(bwd)
+    val filled = pv + (nv - pv) * (col(xCol) - px) / (nx - px)
+    df.withColumn(outCol,
+      when(v.isNotNull, v)
+        .when(pv.isNotNull && nv.isNotNull, filled))
+  }
+
   /** W11: keep only the trailing `n` rows of each key's series (reference
     * `s.iloc[-window:]` before drift fitting). `orderCols` should end in a
     * unique tiebreaker for determinism. */

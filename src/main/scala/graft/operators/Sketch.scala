@@ -49,6 +49,7 @@ object Sketch {
     override def zero: Array[Long] = Array.emptyLongArray
 
     override def reduce(buf: Array[Long], h: Long): Array[Long] = {
+      if (h < 0) return buf // null-value sentinel (hashes live in [0, 2^60))
       val i = java.util.Arrays.binarySearch(buf, h)
       if (i >= 0) buf                             // duplicate hash: a sketch of a SET
       else {
@@ -291,17 +292,25 @@ object Sketch {
       .drop("__lo", "__hi")
   }
 
+  /** The KMV update as an aggregate COLUMN (nulls ignored via the same
+    * sentinel convention as [[cmsAggCol]]) — usable in any aggregation
+    * context, including a complete-mode streaming aggregate where the
+    * k-minimum buffer becomes the standing per-key state: merge is a
+    * sorted union (order- and micro-batch-slicing-independent), so the
+    * drained state equals the batch sketch exactly. Output is the
+    * `(n_est, kth_hash, n_kept)` struct of [[Kmv]]. */
+  def kmvAggCol(value: Column, k: Int = 128): Column =
+    udaf(new KmvAgg(k), Encoders.scalaLong)
+      .apply(coalesce(hash60(value.cast("string")), lit(-1L)))
+
   /** Per-group distinct-count estimate of `valueCol` (hashed via its
     * string form; nulls are ignored, matching `count(DISTINCT …)`).
     * Output: `groupCols…, n_est, kth_hash, n_kept`. */
   def kmvDistinct(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Int = 128): DataFrame = {
     require(groupCols.nonEmpty, "kmvDistinct needs at least one group column")
-    val agg = udaf(new KmvAgg(k), Encoders.scalaLong)
-    df.filter(col(valueCol).isNotNull)
-      .withColumn("__h", hash60(col(valueCol).cast("string")))
-      .groupBy(groupCols.map(col): _*)
-      .agg(agg(col("__h")).as("__s"))
+    df.groupBy(groupCols.map(col): _*)
+      .agg(kmvAggCol(col(valueCol), k).as("__s"))
       .select(groupCols.map(col) :+ col("__s.n_est").as("n_est") :+
         col("__s.kth_hash").as("kth_hash") :+ col("__s.n_kept").as("n_kept"): _*)
   }

@@ -149,6 +149,62 @@ object Diagnostics {
       .toDF()
   }
 
+  private val holtSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("level", DoubleType),
+    StructField("trend", DoubleType),
+    StructField("step", IntegerType),
+    StructField("forecast", DoubleType)))
+
+  /** Holt two-parameter (linear-trend) exponential smoothing per key —
+    * the classical recursion `lₜ = α·yₜ + (1−α)·(lₜ₋₁ + bₜ₋₁)`,
+    * `bₜ = β·(lₜ − lₜ₋₁) + (1−β)·bₜ₋₁`, initialized `l₁ = y₁`,
+    * `b₁ = y₂ − y₁`, with the h-step forecast `l_n + h·b_n` — the
+    * smoothing tier between [[arForecast]]'s fitted AR and a plain
+    * moving average (`statsmodels Holt`, fixed smoothing constants).
+    *
+    * Determinism (the q117 property): the recursion is a FIXED sequence
+    * of IEEE ops per series — no optimizer, no reassociation — so with
+    * exact-binary-fraction constants (α = 0.5, β = 0.25) a SQL
+    * recursive CTE replaying the identical expression order reproduces
+    * every double bit-for-bit, and the forecasts hash-match an oracle
+    * even though the state is floating point end to end.
+    *
+    * Scale shape: [[arForecast]]'s — each key's series sorts and smooths
+    * INSIDE its executor via `groupByKey.flatMapGroups`; a million
+    * series is a million independent O(n) kernels, no driver round-trip.
+    * Output: one row per (key, step 1..horizon) plus the fitted
+    * `level`/`trend` on every row; series shorter than 2 observations
+    * yield no rows (no trend to initialize). */
+  def holtForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String, alpha: Double, beta: Double,
+                   horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < 2) Iterator.empty
+        else {
+          var l = y(0)
+          var b = y(1) - y(0)
+          var t = 1
+          while (t < n) {
+            val lp = l
+            l = alpha * y(t) + (1 - alpha) * (lp + b)
+            b = beta * (l - lp) + (1 - beta) * b
+            t += 1
+          }
+          (1 to horizon).iterator.map(h => Row(key, n, l, b, h, l + h * b))
+        }
+      }(Encoders.row(holtSchema))
+      .toDF()
+  }
+
   // ------------------------------------------------------------- U8: SARIMAX
 
   /** One fitted SARIMAX model per series, flattened for Spark transport.

@@ -205,6 +205,40 @@ object StreamingCollapse {
       .orderBy("k")
   }
 
+  /** Streaming KMV distinct cardinality: maintain one k-minimum-values
+    * sketch PER KEY ([[graft.operators.Sketch.kmvAggCol]]) as
+    * complete-mode streaming state over the event stream — the
+    * cardinality complement of [[streamingCmsHeavyHitters]]'s frequency
+    * sketch. The buffer merge is a sorted set union — order- and
+    * micro-batch-slicing-independent — so the drained state equals the
+    * batch [[graft.operators.Sketch.kmvDistinct]] of the same data
+    * exactly, and the estimate shares q122's SQL-replay oracle.
+    *
+    * At scale this is the standing "distinct users per segment" monitor:
+    * exact streaming `approx_count_distinct` state is opaque HLL (no
+    * replay, no exact-match check), while per-key exact distinct
+    * (`groupBy(key, value)`) grows state with value cardinality — the
+    * KMV state is k longs per key forever. */
+  def streamingKmvDistinct(spark: SparkSession, dir: String,
+                           k: Int = 128): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_kmv"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val sketch = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir(dir))
+      .groupBy(col("event_type"))
+      .agg(graft.operators.Sketch.kmvAggCol(col("user_id"), k).as("__s"))
+    drain(spark, sketch.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    spark.table(name)
+      .select(col("event_type"), col("__s.n_est").as("n_est"),
+        col("__s.kth_hash").as("kth_hash"), col("__s.n_kept").as("n_kept"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------ dedup
 
   private val documentsSchema: StructType = StructType(Seq(

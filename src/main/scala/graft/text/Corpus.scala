@@ -331,6 +331,56 @@ object Corpus {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
 
+  /** PMI collocation mining — the association-strength complement of
+    * [[topNgrams]]'s raw frequency: adjacent token pairs whose joint
+    * count beats independence by a factor ≥ `minRatio`, i.e.
+    * `PMI(w1,w2) = log(c₁₂·N / (c₁·c₂)) ≥ log(minRatio)`, with `c₁` =
+    * occurrences of `w1` as a LEFT pair element, `c₂` = `w2` as a RIGHT
+    * element, and `N` = total adjacent pairs (the standard bigram
+    * positional-count convention — left/right marginals sum to N, so
+    * the ratio is a calibrated probability ratio).
+    *
+    * Exactness (the q122/q128 discipline): the threshold is evaluated as
+    * the INTEGER cross-multiplication `c₁₂·N ≥ minRatio·c₁·c₂` — no
+    * logarithm ever executes, so there is no cross-engine libm ulp to
+    * drift on — and the reported `ratio` is the single IEEE division
+    * `(c₁₂·N) / (c₁·c₂)` of exact longs, bit-identical under replay.
+    * Domain: `c₁₂·N < 2⁶³` bounds the corpus at ~3e9 adjacent pairs per
+    * build (shard-and-merge counts beyond that).
+    *
+    * Scale shape: one explode over the positions array (codegen'd
+    * builtins, no UDF), then three map-side-combining aggregates — the
+    * pair count shuffle is bounded by the DISTINCT pair vocabulary
+    * (Zipf-bounded), the marginals by the token vocabulary, and both
+    * marginal frames broadcast back onto the pair frame. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Long,
+                      minRatio: Long): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(minRatio >= 1, "minRatio must be >= 1 (below 1 selects anti-collocations)")
+    val pairs = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(Cols.tokens(col(textCol)).as("__toks"))
+      .select(col("__toks"),
+        explode(when(size(col("__toks")) >= 2,
+            sequence(lit(1), size(col("__toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+    val cPair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cLeft = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val cRight = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val total = pairs.agg(count(lit(1)).as("n_pairs"))
+    cPair.filter(col("c12") >= minCount)
+      .join(broadcast(cLeft), Seq("w1"))
+      .join(broadcast(cRight), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .filter(col("c12") * col("n_pairs") >= lit(minRatio) * col("c1") * col("c2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("n_pairs"),
+        ((col("c12") * col("n_pairs")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("ratio"))
+  }
+
   /** Sliding-window document chunking with overlap — the
     * fixed-context-window split (RAG indexing, long-doc training
     * examples): window `k` covers tokens `[k·stride, k·stride +

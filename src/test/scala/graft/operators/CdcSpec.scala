@@ -115,4 +115,43 @@ class CdcSpec extends SparkSpec {
       Cdc.scd2(bad, Seq("k"), "v", "op") }
     assert(e.getMessage.contains("is_current"))
   }
+
+  // ------------------------------------------------------------- merge
+
+  private def snapshot = Seq(
+    ("k1", 10.0), ("k2", 20.0), ("k3", 30.0)
+  ).toDF("k", "price")
+
+  test("merge updates matched keys, inserts unmatched, deletes, passes the rest") {
+    val batch = Seq(
+      ("k1", "U", 11.0),  // matched -> update (whole-row replace)
+      ("k2", "D", 0.0),   // matched -> delete
+      ("k9", "U", 90.0),  // unmatched -> insert
+      ("k8", "D", 0.0)    // unmatched delete -> no-op
+    ).toDF("k", "op", "price")
+    val out = Cdc.merge(snapshot, batch, Seq("k"), "op")
+      .orderBy("k").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(out.toSeq == Seq(("k1", 11.0), ("k3", 30.0), ("k9", 90.0)))
+  }
+
+  test("merge output schema is exactly the target's") {
+    val batch = Seq(("k1", "U", 11.0)).toDF("k", "op", "price")
+    val out = Cdc.merge(snapshot, batch, Seq("k"), "op")
+    assert(out.columns.toSeq == snapshot.columns.toSeq)
+  }
+
+  test("merge refuses a source missing target columns") {
+    val batch = Seq(("k1", "U")).toDF("k", "op")
+    val e = intercept[IllegalArgumentException] {
+      Cdc.merge(snapshot, batch, Seq("k"), "op") }
+    assert(e.getMessage.contains("price"))
+  }
+
+  test("merge plans a broadcast anti join — the snapshot side never shuffles") {
+    val batch = Seq(("k1", "U", 11.0)).toDF("k", "op", "price")
+    val p = Cdc.merge(snapshot, batch, Seq("k"), "op")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
+      s"expected broadcast left-anti join:\n$p")
+  }
 }

@@ -111,4 +111,33 @@ class FeaturesSpec extends SparkSpec {
     val out3 = Features.repairLastOutlier(one, Nil, "m", "v").collect()
     assert(out3.head.getAs[Double]("repaired") == 7.0)
   }
+
+  test("interpolateLinear fills interior gaps by x-distance, not row count") {
+    // x = 0, 1, 3 (irregular): the gap at x=1 sits 1/3 of the way to x=3
+    val df = Seq((0L, Some(10.0)), (1L, None), (3L, Some(40.0)))
+      .toDF("x", "v")
+    val out = Features.interpolateLinear(df, Nil, "x", "v", "f")
+      .orderBy("x").collect().map(_.getAs[Double]("f"))
+    assert(out.toSeq == Seq(10.0, 20.0, 40.0)) // 10 + 30·(1−0)/(3−0)
+  }
+
+  test("interpolateLinear: consecutive gaps share one segment; edges stay null") {
+    val df = Seq((1L, None), (2L, Some(10.0)), (3L, None), (4L, None),
+        (5L, Some(40.0)), (6L, None))
+      .toDF("x", "v")
+    val out = Features.interpolateLinear(df, Nil, "x", "v", "f")
+      .orderBy("x").collect().map(r => Option(r.get(r.fieldIndex("f"))))
+    assert(out.toSeq == Seq(None, Some(10.0), Some(20.0), Some(30.0),
+      Some(40.0), None)) // leading/trailing nulls: no extrapolation
+  }
+
+  test("interpolateLinear is keyed: neighbors never cross series") {
+    val df = Seq(("a", 1L, Some(0.0)), ("a", 2L, None), ("a", 3L, Some(2.0)),
+        ("b", 1L, Some(100.0)), ("b", 2L, None))
+      .toDF("k", "x", "v")
+    val out = Features.interpolateLinear(df, Seq("k"), "x", "v", "f")
+      .orderBy("k", "x").collect().map(r => Option(r.get(r.fieldIndex("f"))))
+    assert(out.toSeq == Seq(Some(0.0), Some(1.0), Some(2.0),
+      Some(100.0), None)) // b's trailing gap must not borrow a's points
+  }
 }

@@ -1,0 +1,50 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class RegressionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("groupedOls recovers an exact line and a known noisy fit per key") {
+    // key a: y = 3 + 2x exactly; key b: hand-checkable 3-point fit
+    val a = Seq(0L, 1L, 2L, 3L, 4L).map(x => ("a", x, 3 + 2 * x))
+    // b: (0,0), (1,1), (2,4) -> slope 2, intercept -1/3
+    val b = Seq(("b", 0L, 0L), ("b", 1L, 1L), ("b", 2L, 4L))
+    val out = Regression.groupedOls((a ++ b).toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .orderBy("k").collect()
+    val ra = out(0)
+    assert(ra.getAs[Long]("n") == 5)
+    assert(ra.getAs[Double]("slope") == 2.0)
+    assert(ra.getAs[Double]("intercept") == 3.0)
+    val rb = out(1)
+    assert(rb.getAs[Double]("slope") == 2.0)
+    assert(rb.getAs[Double]("intercept") == -0.333333) // floor(−1/3·1e6+0.5)/1e6
+  }
+
+  test("groupedOls: a singular design (single x) reports nulls, not failure") {
+    val df = Seq(("k", 5L, 1L), ("k", 5L, 9L)).toDF("k", "x", "y")
+    val r = Regression.groupedOls(df, Seq("k"), "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 2)
+    assert(r.get(r.fieldIndex("slope")) == null)
+    assert(r.get(r.fieldIndex("intercept")) == null)
+  }
+
+  test("groupedOls ignores null coordinates (pandas dropna parity)") {
+    val df = Seq(
+      ("k", Some(0L), Some(1L)), ("k", Some(1L), Some(3L)),
+      ("k", None, Some(99L)), ("k", Some(7L), None)
+    ).toDF("k", "x", "y")
+    val r = Regression.groupedOls(df, Seq("k"), "x", "y").collect().head
+    assert(r.getAs[Long]("n") == 2)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(r.getAs[Double]("intercept") == 1.0)
+  }
+
+  test("groupedOls plans one partial+final aggregate pair, no window") {
+    val df = Seq(("k", 0L, 1L), ("k", 1L, 3L)).toDF("k", "x", "y")
+    val p = Regression.groupedOls(df, Seq("k"), "x", "y")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+}

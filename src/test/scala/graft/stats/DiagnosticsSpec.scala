@@ -62,4 +62,34 @@ class DiagnosticsSpec extends SparkSpec {
     val stF = out.filter(_.getString(0) == "stationary").map(_.getAs[Double]("forecast"))
     assert(stF.forall(f => f > 5 && f < 15))
   }
+
+  test("holtForecast: hand-computed recursion and linear forecast fan") {
+    // y = 10, 20, 34; α = 1/2, β = 1/4 (exact binary fractions)
+    // init l=10, b=10; t2: l = .5·20 + .5·20 = 20, b = .25·10 + .75·10 = 10
+    // t3: l = .5·34 + .5·30 = 32, b = .25·12 + .75·10 = 10.5
+    val df = Seq(("s", 1, 10.0), ("s", 2, 20.0), ("s", 3, 34.0)).toDF("k", "t", "v")
+    val out = Diagnostics.holtForecast(df, Seq("k"), "t", "v", 0.5, 0.25, 3)
+      .orderBy("step").collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Double]("level") == 32.0)
+    assert(out.head.getAs[Double]("trend") == 10.5)
+    assert(out.map(_.getAs[Double]("forecast")).toSeq == Seq(42.5, 53.0, 63.5))
+    assert(out.head.getAs[Int]("n_obs") == 3)
+  }
+
+  test("holtForecast: an exact linear series is tracked exactly") {
+    // on y = 5t the recursion's state converges to (level = 5n, trend = 5)
+    // immediately (init is already exact), so every forecast lies on the line
+    val df = (1 to 50).map(t => ("lin", t, 5.0 * t)).toDF("k", "t", "v")
+    val out = Diagnostics.holtForecast(df, Seq("k"), "t", "v", 0.5, 0.25, 4)
+      .orderBy("step").collect()
+    assert(out.map(_.getAs[Double]("forecast")).toSeq ==
+      Seq(255.0, 260.0, 265.0, 270.0))
+  }
+
+  test("holtForecast: series shorter than 2 observations yields no rows") {
+    val df = Seq(("one", 1, 10.0)).toDF("k", "t", "v")
+    assert(Diagnostics.holtForecast(df, Seq("k"), "t", "v", 0.5, 0.25, 3)
+      .collect().isEmpty)
+  }
 }

@@ -143,4 +143,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq,
       "micro-batch slicing changed the sketch — merge must be order-independent")
   }
+
+  test("streamingKmvDistinct: drained per-key sketch equals the batch KMV") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = streamingKmvDistinct(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Double]("n_est"),
+        r.getAs[Long]("kth_hash"), r.getAs[Int]("n_kept")))
+    val batch = graft.operators.Sketch.kmvDistinct(
+        graft.sources.Tables.events(spark, dir), Seq("event_type"), "user_id")
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getAs[Double]("n_est"),
+        r.getAs[Long]("kth_hash"), r.getAs[Int]("n_kept")))
+    assert(streamed.nonEmpty)
+    assert(streamed.toSeq == batch.toSeq,
+      "micro-batch slicing changed the k-minimum set — merge must be a set union")
+  }
 }

@@ -317,4 +317,37 @@ class CorpusSpec extends SparkSpec {
     assert(spread <= maxItem, s"spread $spread exceeds max item $maxItem")
     assert(totals.size == 4)
   }
+
+  test("pmiCollocations: hand-computed counts, integer threshold, no log") {
+    // 8 pairs total: "new york" ×3 (c1(new)=3, c2(york)=3),
+    // "the the" ×2 plus "the" in other pairs diluting its marginals
+    val docs = Seq(
+      (1L, "new york new york"),      // pairs: (new,york) (york,new) (new,york)
+      (2L, "the the the"),            // pairs: (the,the) ×2
+      (3L, "new york is big")         // pairs: (new,york) (york,is) (is,big)
+    ).toDF("doc_id", "text")
+    val out = Corpus.pmiCollocations(docs, "text", minCount = 3, minRatio = 2)
+      .collect().map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+        r.getAs[Long]("n_pairs")))
+    // (new,york): c12=3, c1(new as left)=3, c2(york as right)=3, N=8
+    // ratio = 3·8/(3·3) = 2.67 ≥ 2 -> selected
+    // (the,the): c12=2 < minCount -> out; (york,new): c12=1 -> out
+    assert(out.toSeq == Seq(("new", "york", 3L, 3L, 3L, 8L)))
+  }
+
+  test("pmiCollocations: the ratio is the exact division of the integer counts") {
+    val docs = Seq((1L, "a b a b a b")).toDF("doc_id", "text")
+    // pairs: (a,b)(b,a)(a,b)(b,a)(a,b) -> N=5, c12(a,b)=3, c1(a)=3, c2(b)=3
+    val r = Corpus.pmiCollocations(docs, "text", minCount = 3, minRatio = 1)
+      .filter(col("w1") === "a").collect().head
+    assert(r.getAs[Double]("ratio") == 15.0 / 9.0)
+  }
+
+  test("pmiCollocations: one-token and empty docs contribute no pairs") {
+    val docs = Seq((1L, "solo"), (2L, ""), (3L, "  "), (4L, "a b a b a b"))
+      .toDF("doc_id", "text")
+    val r = Corpus.pmiCollocations(docs, "text", minCount = 1, minRatio = 1)
+    assert(r.agg(max(col("n_pairs"))).collect().head.getLong(0) == 5L)
+  }
 }
