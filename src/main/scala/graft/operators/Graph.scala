@@ -42,16 +42,41 @@ object Graph {
     * `rank_scaled` (exact integer on the `scale` grid) and `pagerank`
     * (= rank_scaled/scale, one IEEE division). Nodes are every distinct
     * endpoint; `iterations` fixed rounds from the uniform start
-    * `scale ÷ N`. */
+    * `scale ÷ N`.
+    *
+    * Two regimes, the [[graft.text.Dedup.connectedComponents]] split:
+    * a distinct edge set at or under `driverMaxEdges` (dial:
+    * `GRAFT_PR_DRIVER_MAX`; 0 forces distributed) collects once and
+    * iterates IN the driver — integer sums are order-independent, so
+    * the kernel is bit-identical to the distributed loop (parity-
+    * specced) at none of its per-round broadcast/stage floors. Beyond
+    * the threshold the distributed loop below runs unchanged; the
+    * driver path is an optimization of the small-graph case, not the
+    * scale path. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, scale: Long = 1000000000000L,
-               broadcastMaxNodes: Long = 5000000L): DataFrame = {
+               broadcastMaxNodes: Long = 5000000L,
+               driverMaxEdges: Long = 2000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val lvl = StorageLevel.MEMORY_AND_DISK
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
       .distinct()
+      // setup hygiene: nodes, deg, ed, and dangling all derive from the
+      // distinct'd edge frame — cache it so the scan+distinct runs once,
+      // not once per derivation
+      .persist(lvl)
+    val nEdges = e.count()
+    val threshold = sys.env.get("GRAFT_PR_DRIVER_MAX").map(_.toLong)
+      .getOrElse(driverMaxEdges)
+    if (nEdges <= threshold) {
+      val out = pageRankDriver(edges.sparkSession,
+        e.collect().map(r => (r.getString(0), r.getString(1))),
+        iterations, scale)
+      e.unpersist()
+      return out
+    }
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct().persist(lvl)
     val n = nodes.count()
@@ -69,19 +94,28 @@ object Graph {
 
     var ranks = nodes.withColumn("r", lit(scale / n)).persist(lvl)
     var prev: DataFrame = null
+    val teleport = (3L * scale) / (20L * n)
     for (_ <- 1 to iterations) {
       // damped spread along edges: (17·r) ÷ (20·deg), exact longs
       val contrib = ed.join(rside(ranks), ed("src") === col("node"))
         .select(col("dst").as("node"), expr("(17 * r) div (20 * deg)").as("c"))
         .groupBy("node").agg(sum(col("c")).as("in_mass"))
-      val dangMass = dangling.join(ranks, "node")
-        .agg(coalesce(sum(col("r")), lit(0L))).head.getLong(0)
-      val teleport = (3L * scale) / (20L * n)
-      val dangShare = (17L * dangMass) / (20L * n)
+      // dangling mass rides as a broadcast ONE-ROW frame folded into the
+      // rank job — collecting it to the driver would cost a second
+      // driver-synchronized action every round (2× the job count at any
+      // iteration depth, pure scheduler overhead at cluster scale)
+      val dangMass = dangling.join(rside(ranks), "node")
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
       prev = ranks
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      // contrib is node-sized too — broadcast it into the left join
+      // while that holds (every shuffle stage a round avoids is a
+      // scheduler-floor win at bench scale and a barrier fewer at
+      // cluster scale)
+      ranks = nodes.join(rside(contrib), Seq("node"), "left")
+        .crossJoin(broadcast(dangMass))
         .select(col("node"),
-          (lit(teleport + dangShare) + coalesce(col("in_mass"), lit(0L))).as("r"))
+          (lit(teleport) + expr(s"(17 * dm) div (${20L * n})") +
+            coalesce(col("in_mass"), lit(0L))).as("r"))
         .persist(lvl)
       ranks.count() // materialize before dropping the previous round
       prev.unpersist()
@@ -90,8 +124,47 @@ object Graph {
     // and the oracle column names must match byte-for-byte
     val out = ranks.select(col("node"), col("r").as("rank_scaled"),
       (col("r").cast("double") / scale.toDouble).as("pagerank"))
-    ed.unpersist(); nodes.unpersist(); dangling.unpersist()
+    e.unpersist(); ed.unpersist(); nodes.unpersist(); dangling.unpersist()
     out
+  }
+
+  /** Driver kernel for the small-graph regime: the IDENTICAL integer
+    * recursion over a collected distinct edge array. Long sums are
+    * order-exact, so this is bit-for-bit the distributed result (the
+    * union-find/driver-BPE precedent: distributed rounds buy nothing
+    * once the state fits one JVM). */
+  private def pageRankDriver(spark: org.apache.spark.sql.SparkSession,
+                             e: Array[(String, String)], iterations: Int,
+                             scale: Long): DataFrame = {
+    import spark.implicits._
+    import scala.collection.mutable
+    val deg = mutable.HashMap.empty[String, Long]
+    val nodeSet = mutable.LinkedHashSet.empty[String]
+    e.foreach { case (s, d) =>
+      deg(s) = deg.getOrElse(s, 0L) + 1L
+      nodeSet += s; nodeSet += d
+    }
+    val nodes = nodeSet.toArray
+    val n = nodes.length.toLong
+    if (n == 0)
+      return Seq.empty[(String, Long, Double)].toDF("node", "rank_scaled", "pagerank")
+    val dangling = nodes.filterNot(deg.contains)
+    val teleport = (3L * scale) / (20L * n)
+    var ranks = mutable.HashMap(nodes.map(_ -> scale / n): _*)
+    for (_ <- 1 to iterations) {
+      val inMass = mutable.HashMap.empty[String, Long]
+      e.foreach { case (s, d) =>
+        inMass(d) = inMass.getOrElse(d, 0L) + (17L * ranks(s)) / (20L * deg(s))
+      }
+      var dm = 0L
+      dangling.foreach(dm += ranks(_))
+      val dangShare = (17L * dm) / (20L * n)
+      val next = mutable.HashMap.empty[String, Long]
+      nodes.foreach(nd => next(nd) = teleport + dangShare + inMass.getOrElse(nd, 0L))
+      ranks = next
+    }
+    nodes.map(nd => (nd, ranks(nd), ranks(nd).toDouble / scale.toDouble)).toSeq
+      .toDF("node", "rank_scaled", "pagerank")
   }
 
   /** Per-node triangle participation counts over an UNDIRECTED graph

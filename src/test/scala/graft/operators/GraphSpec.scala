@@ -64,6 +64,19 @@ class GraphSpec extends SparkSpec {
     assert(row.getDouble(2) == row.getLong(1).toDouble / 1.0e12)
   }
 
+  test("driver fast path and forced-distributed loop are bit-identical") {
+    // deterministic 30-node multigraph with dangling sinks
+    val g = (1 to 400).map(i => (s"n${i * 7 % 31}", s"n${i * i % 37 % 31}"))
+    def run(thr: Long) = Graph.pageRank(g.toDF("s", "t"), "s", "t",
+        iterations = 3, driverMaxEdges = thr)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val driver = run(Long.MaxValue)
+    val dist = run(0L) // forces the distributed loop
+    assert(driver == dist,
+      "driver kernel must replay the distributed integer recursion exactly")
+    assert(driver.map(t => t._1 -> t._2).toMap == model(g, 3))
+  }
+
   /** Brute-force triangle reference: all node triples, each checked
     * against the undirected edge set. */
   private def triModel(edges: Seq[(String, String)]): Map[String, Long] = {
