@@ -1784,7 +1784,57 @@ object SparkEntry {
     // the drained state equals the batch q122 sketch and the estimate
     // replays in SQL
     "q145_x_stream_kmv" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingKmvDistinct(s, d))
+      graft.streaming.StreamingCollapse.streamingKmvDistinct(s, d)),
+
+    // ---- extension: median/MAD robust outlier detection — the
+    // fat-tail-safe z-score: both bounds are EXACT rank elements
+    // (q130's binWidth=1 discipline), so the verdicts ride exact
+    // integers; k=1 keeps the flag count nontrivial on a thin-tailed
+    // uniform metric (k is the caller's tail dial)
+    "q146_x_mad_outliers" -> tuned((s, d) => {
+      val v = Tables.lineitem(s, d).select(col("l_returnflag"),
+        expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 100")
+          .as("dollars"))
+      Sketch.madOutliers(v, Seq("l_returnflag"), "dollars", k = 1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+          sum(col("is_outlier").cast("long")).as("n_out"))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- extension: ordered-stage funnel (view → click → purchase) —
+    // per-user stage chain as ONE shuffle of chained unordered windows;
+    // micros on both sides (DuckDB truncates parquet NANOS to micros,
+    // the q56 convention), so strict-after verdicts agree exactly
+    "q147_x_funnel" -> tuned((s, d) =>
+      graft.operators.Funnel.conversionCounts(
+          Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
+          Seq("user_id"), "tsu", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
+    // ---- extension: bigram next-token table — the greedy order-2 LM
+    // readout: argmax continuation per context with a lexicographic
+    // tie-break INSIDE one min_by aggregate (no rank window), and the
+    // continuation probability as the exact integer (c12·10⁶) div c1
+    "q148_x_next_token" -> tuned((s, d) =>
+      graft.text.Corpus.nextTokenTable(Tables.documents(s, d), "text",
+          minCount = 5)
+        .orderBy("w1")),
+
+    // ---- extension: mergeable-sketch composition — per-shard KMV
+    // buffers merged back per priority equal q122's direct build
+    // EXACTLY (k-min of a union is a function of each side's k-mins),
+    // so the merged estimates replay against the identical oracle:
+    // the incremental-pipeline law (daily sketches → monthly
+    // cardinality, no rescan) as a checked contract
+    "q149_x_kmv_merge" -> tuned((s, d) => {
+      val sh = Sketch.kmvSketch(
+        Tables.orders(s, d).withColumn("shard", col("o_custkey") % 4),
+        Seq("o_orderpriority", "shard"), "o_custkey")
+      Sketch.kmvMergeSketches(sh, Seq("o_orderpriority"), "sketch")
+        .orderBy("o_orderpriority")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -4024,7 +4074,98 @@ object SparkEntry {
         |  hk AS kth_hash,
         |  CAST(LEAST(nd, 128) AS INT) AS n_kept
         |FROM r WHERE rn = LEAST(nd, 128)
-        |ORDER BY event_type""".stripMargin)
+        |ORDER BY event_type""".stripMargin),
+
+    // exact rank elements replayed as first-value-reaching-the-rank
+    // over (group, value) counts — med and MAD each one pass; windowed
+    // cums compare only (never output), so HUGEINT drift cannot bite;
+    // n_out is CAST to BIGINT (the q110 lesson)
+    "q146_x_mad_outliers" ->
+      ("""WITH v AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100 AS x
+        |  FROM lineitem),
+        |c AS (SELECT g, x, count(*) AS c FROM v GROUP BY 1, 2),
+        |w AS (SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+        |             sum(c) OVER (PARTITION BY g) AS n FROM c),
+        |med AS (SELECT g, min(x) AS med FROM w
+        |        WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1),
+        |d AS (SELECT v.g, v.x, abs(v.x - med.med) AS dev, med.med
+        |      FROM v JOIN med ON v.g = med.g),
+        |dc AS (SELECT g, dev, count(*) AS c FROM d GROUP BY 1, 2),
+        |dw AS (SELECT g, dev, sum(c) OVER (PARTITION BY g ORDER BY dev) AS cum,
+        |              sum(c) OVER (PARTITION BY g) AS n FROM dc),
+        |mad AS (SELECT g, min(dev) AS mad FROM dw
+        |        WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1)
+        |SELECT d.g AS l_returnflag, count(*) AS n, max(d.med) AS med,
+        |       max(mad.mad) AS mad,
+        |       CAST(sum(CASE WHEN d.dev > 1 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM d JOIN mad ON d.g = mad.g GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the identical chained-window derivation: each stage's min is
+    // conditional on the previous stage's windowed min; micros via
+    // epoch_us (exact int64 — epoch_ns/1000 would round-trip a double)
+    "q147_x_funnel" ->
+      ("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type AS s FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |u AS (SELECT DISTINCT user_id,
+        |        CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS completed
+        |      FROM w2),
+        |st AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'), (2, 'purchase'))
+        |       v(stage, stage_name))
+        |SELECT st.stage, st.stage_name, count(*) AS n_reached
+        |FROM u CROSS JOIN st WHERE u.completed > st.stage
+        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin),
+
+    // argmax continuation as the rank-1 row of (c12 DESC, w2) per
+    // context — same answer as the min_by((w2,c12), (−c12,w2)) fold;
+    // c1 and p_e6 CAST/​integer-div to BIGINT
+    "q148_x_next_token" ->
+      ("""WITH t AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |ix AS (SELECT unnest(generate_series(1, len(l) - 1)) AS i, l FROM t),
+        |p AS (SELECT l[i] AS w1, l[i + 1] AS w2 FROM ix),
+        |cp AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |tot AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM cp GROUP BY 1),
+        |r AS (SELECT cp.*, row_number() OVER
+        |        (PARTITION BY cp.w1 ORDER BY cp.c12 DESC, cp.w2) AS rn FROM cp)
+        |SELECT r.w1, r.w2, r.c12, tot.c1,
+        |       CAST((r.c12 * 1000000) // tot.c1 AS BIGINT) AS p_e6
+        |FROM r JOIN tot ON r.w1 = tot.w1
+        |WHERE rn = 1 AND tot.c1 >= 5
+        |ORDER BY r.w1""".stripMargin),
+
+    // merging per-shard k-min sets reproduces the unsharded sketch
+    // exactly, so the oracle IS q122's replay pointed at the same
+    // grouping
+    "q149_x_kmv_merge" ->
+      ("""WITH h AS (
+        |  SELECT DISTINCT o_orderpriority,
+        |    CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |r AS (SELECT o_orderpriority, hk,
+        |        row_number() OVER (PARTITION BY o_orderpriority ORDER BY hk) AS rn,
+        |        count(*) OVER (PARTITION BY o_orderpriority) AS nd
+        |      FROM h)
+        |SELECT o_orderpriority,
+        |  CASE WHEN nd >= 128
+        |       THEN floor((127.0 * 1152921504606846976.0 / hk) * 100.0 + 0.5) / 100.0
+        |       ELSE CAST(nd AS DOUBLE) END AS n_est,
+        |  hk AS kth_hash,
+        |  CAST(LEAST(nd, 128) AS INT) AS n_kept
+        |FROM r WHERE rn = LEAST(nd, 128)
+        |ORDER BY o_orderpriority""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

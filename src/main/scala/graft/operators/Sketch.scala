@@ -292,6 +292,70 @@ object Sketch {
       .drop("__lo", "__hi")
   }
 
+  /** [[KmvAgg]] with the raw buffer as output — the SKETCH-VALUED form
+    * for pipelines that store per-shard sketches and merge them later
+    * (daily partition sketches → monthly cardinality, no rescan). */
+  final class KmvBufAgg(k: Int) extends Aggregator[Long, Array[Long], Array[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], h: Long): Array[Long] = inner.reduce(buf, h)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    override def outputEncoder: Encoder[Array[Long]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+  }
+
+  /** Merge ALREADY-BUILT KMV buffers (the k-minimum set union — the
+    * mergeable-sketch composition law: merge(sketch(A), sketch(B)) =
+    * sketch(A ∪ B), exactly, because the k smallest of a union is a
+    * function of each side's k smallest). */
+  final class KmvMergeAgg(k: Int) extends Aggregator[Array[Long], Array[Long], Array[Long]] {
+    private val inner = new KmvAgg(k)
+    override def zero: Array[Long] = inner.zero
+    override def reduce(buf: Array[Long], s: Array[Long]): Array[Long] =
+      inner.merge(buf, if (s == null) inner.zero else s)
+    override def merge(a: Array[Long], b: Array[Long]): Array[Long] = inner.merge(a, b)
+    override def finish(buf: Array[Long]): Array[Long] = buf
+    override def bufferEncoder: Encoder[Array[Long]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    override def outputEncoder: Encoder[Array[Long]] = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+  }
+
+  /** Per-group KMV BUFFER (the ≤k sorted minimum hashes) as `sketch` —
+    * the storable/mergeable form of [[kmvDistinct]]. */
+  def kmvSketch(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                k: Int = 128): DataFrame = {
+    require(groupCols.nonEmpty, "kmvSketch needs at least one group column")
+    val agg = udaf(new KmvBufAgg(k), Encoders.scalaLong)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(agg(coalesce(hash60(col(valueCol).cast("string")), lit(-1L))).as("sketch"))
+  }
+
+  /** Union per-shard sketch buffers back to coarser groups and read the
+    * estimate — output matches [[kmvDistinct]] of the unsharded data
+    * exactly (`groupCols…, n_est, kth_hash, n_kept`). The estimate read
+    * is pure built-in column arithmetic over the merged buffer: the same
+    * `(k−1)·2⁶⁰ / kth` one-division form as [[KmvAgg.finish]]. */
+  def kmvMergeSketches(sketches: DataFrame, groupCols: Seq[String],
+                       sketchCol: String, k: Int = 128): DataFrame = {
+    require(groupCols.nonEmpty, "kmvMergeSketches needs at least one group column")
+    val enc = implicitly(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]())
+    val agg = udaf(new KmvMergeAgg(k), enc)
+    val merged = sketches.groupBy(groupCols.map(col): _*)
+      .agg(agg(col(sketchCol)).as("__s"))
+    val nKept = size(col("__s"))
+    val kth = coalesce(element_at(col("__s"), nKept), lit(0L))
+    val est = when(nKept < k, nKept.cast("double"))
+      .otherwise(floor((lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+        kth.cast("double")) * 100.0 + 0.5) / 100.0)
+    merged.select(groupCols.map(col) :+ est.as("n_est") :+
+      kth.as("kth_hash") :+ nKept.as("n_kept"): _*)
+  }
+
   /** The KMV update as an aggregate COLUMN (nulls ignored via the same
     * sentinel convention as [[cmsAggCol]]) — usable in any aggregation
     * context, including a complete-mode streaming aggregate where the
@@ -302,6 +366,39 @@ object Sketch {
   def kmvAggCol(value: Column, k: Int = 128): Column =
     udaf(new KmvAgg(k), Encoders.scalaLong)
       .apply(coalesce(hash60(value.cast("string")), lit(-1L)))
+
+  /** Per-group robust outlier detection via the median/MAD rule — the
+    * fat-tail-safe sibling of the z-score (mean and stddev are
+    * themselves dragged by the outliers they're meant to find; the
+    * median and the median absolute deviation have 50% breakdown).
+    * Flags `|x − median| > k·MAD`.
+    *
+    * Exactness (the [[winsorize]] discipline): both the median and the
+    * MAD are EXACT RANK ELEMENTS — [[binnedQuantiles]] at `binWidth=1`,
+    * the lower median — so for integral `valueCol` every bound and the
+    * flag comparison ride exact integers end to end; no interpolated
+    * float ever materializes, and the verdicts hash-match a SQL replay.
+    *
+    * Scale shape: two (group, value)-count aggregates (the shuffle
+    * carries distinct-value counts, not rows) with the group-sized
+    * bound frames broadcast back — the row side is scanned, never
+    * shuffled. Output: input columns + `med`, `mad`, `is_outlier`. */
+  def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                  k: Long = 3L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val reserved = Seq("med", "mad", "is_outlier", "__dev")
+    reserved.foreach(c => require(!df.columns.contains(c),
+      s"madOutliers emits `$c` — rename the existing column"))
+    val med = binnedQuantiles(df, groupCols, valueCol, 1L, Seq(500))
+      .select(groupCols.map(col) :+ col("est").as("med"): _*)
+    val withMed = df.join(broadcast(med), groupCols)
+    val dev = withMed.withColumn("__dev", abs(col(valueCol) - col("med")))
+    val mad = binnedQuantiles(dev, groupCols, "__dev", 1L, Seq(500))
+      .select(groupCols.map(col) :+ col("est").as("mad"): _*)
+    dev.join(broadcast(mad), groupCols)
+      .withColumn("is_outlier", col("__dev") > lit(k) * col("mad"))
+      .drop("__dev")
+  }
 
   /** Per-group distinct-count estimate of `valueCol` (hashed via its
     * string form; nulls are ignored, matching `count(DISTINCT …)`).

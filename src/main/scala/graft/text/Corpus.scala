@@ -331,6 +331,52 @@ object Corpus {
       .orderBy(col("n").desc, col("ngram"))
       .limit(k)
 
+  /** Adjacent token pairs `(w1, w2)` — one row per bigram occurrence,
+    * positions via an exploded index sequence over the token array
+    * (codegen'd built-ins; the `size >= 2` guard keeps Spark's
+    * descending `sequence(1, 0)` from fabricating pairs on one-token
+    * docs, the DuckDB-parity trap [[graft.functions.Cols.shingles]]
+    * documents). */
+  private def adjacentPairs(docs: DataFrame, textCol: String): DataFrame =
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(Cols.tokens(col(textCol)).as("__toks"))
+      .select(col("__toks"),
+        explode(when(size(col("__toks")) >= 2,
+            sequence(lit(1), size(col("__toks")) - 1))
+          .otherwise(array().cast("array<int>"))).as("__i"))
+      .select(element_at(col("__toks"), col("__i")).as("w1"),
+        element_at(col("__toks"), col("__i") + 1).as("w2"))
+
+  /** Bigram next-token table — the argmax continuation per context
+    * token: for every `w1` with at least `minCount` outgoing pairs, the
+    * `w2` maximizing the adjacent-pair count (ties break to the
+    * LEXICOGRAPHICALLY SMALLEST `w2`, making the table deterministic),
+    * with the continuation probability as the exact integer
+    * `(c₁₂·10⁶) div c₁`. The greedy half of an n-gram language model
+    * ([[LanguageModel.unigramNll]]'s sequel at order 2) and the
+    * classic "suggest the next word" corpus artifact.
+    *
+    * Scale shape: one pair-count aggregate (shuffle bounded by the
+    * distinct-bigram vocabulary) and one `min_by` fold per context —
+    * both map-side-combining; no window, no sort. The tie-break rides
+    * inside the `min_by` ordering struct `(−c₁₂, w2)`, so the argmax
+    * is a single aggregate, not a rank-1 window filter. */
+  def nextTokenTable(docs: DataFrame, textCol: String,
+                     minCount: Long = 1L): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    val cPair = adjacentPairs(docs, textCol)
+      .groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    cPair.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"),
+        min_by(struct(col("w2"), col("c12")),
+          struct((-col("c12")).as("nc"), col("w2"))).as("__best"))
+      .filter(col("c1") >= minCount)
+      .select(col("w1"), col("__best.w2").as("w2"),
+        col("__best.c12").as("c12"), col("c1"),
+        expr("__best.c12 * 1000000L div c1").as("p_e6"))
+  }
+
   /** PMI collocation mining — the association-strength complement of
     * [[topNgrams]]'s raw frequency: adjacent token pairs whose joint
     * count beats independence by a factor ≥ `minRatio`, i.e.
@@ -357,15 +403,7 @@ object Corpus {
                       minRatio: Long): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     require(minRatio >= 1, "minRatio must be >= 1 (below 1 selects anti-collocations)")
-    val pairs = docs
-      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
-      .select(Cols.tokens(col(textCol)).as("__toks"))
-      .select(col("__toks"),
-        explode(when(size(col("__toks")) >= 2,
-            sequence(lit(1), size(col("__toks")) - 1))
-          .otherwise(array().cast("array<int>"))).as("__i"))
-      .select(element_at(col("__toks"), col("__i")).as("w1"),
-        element_at(col("__toks"), col("__i") + 1).as("w2"))
+    val pairs = adjacentPairs(docs, textCol)
     val cPair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
     val cLeft = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
     val cRight = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))

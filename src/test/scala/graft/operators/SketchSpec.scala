@@ -172,6 +172,53 @@ class SketchSpec extends SparkSpec {
     assert(out.getLong(0) == 7L && out.getLong(1) == 1000L)
   }
 
+  test("madOutliers: hand-computed median/MAD and exact verdicts") {
+    // g: values 1..9 plus an outlier 100 -> n=10, lower median = 5
+    // devs: |1..9 - 5| ∪ |100-5| = {4,3,2,1,0,1,2,3,4,95}; sorted
+    // 0,1,1,2,2,3,3,4,4,95 -> lower median (rank 5) = 2
+    val df = ((1L to 9L) :+ 100L).map(("g", _)).toDF("g", "v")
+    val out = Sketch.madOutliers(df, Seq("g"), "v", k = 2)
+      .collect().map(r => (r.getAs[Long]("v"), r.getAs[Long]("med"),
+        r.getAs[Long]("mad"), r.getAs[Boolean]("is_outlier")))
+    assert(out.forall(t => t._2 == 5L && t._3 == 2L))
+    // |v-5| > 2*2=4 -> only 100 (dev 95); 1 and 9 sit exactly AT 4
+    assert(out.filter(_._4).map(_._1).toSeq == Seq(100L))
+  }
+
+  test("madOutliers is per-group and refuses colliding columns") {
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 30L), ("b", 50L))
+      .toDF("g", "v")
+    val meds = Sketch.madOutliers(df, Seq("g"), "v")
+      .select("g", "med").distinct().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(meds == Map("a" -> 2L, "b" -> 30L))
+    val e = intercept[IllegalArgumentException] {
+      Sketch.madOutliers(df.withColumn("mad", col("v")), Seq("g"), "v") }
+    assert(e.getMessage.contains("mad"))
+  }
+
+  test("merging per-shard KMV sketches equals the direct unsharded build") {
+    val df = (1 to 3000).map(i => ("g" + i % 2, "v" + i % 997, i % 7)).toDF("g", "v", "shard")
+    val direct = Sketch.kmvDistinct(df, Seq("g"), "v", k = 64)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getInt(3)))
+    val sharded = Sketch.kmvSketch(df, Seq("g", "shard"), "v", k = 64)
+    val merged = Sketch.kmvMergeSketches(sharded, Seq("g"), "sketch", k = 64)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getDouble(1),
+        r.getLong(2), r.getInt(3)))
+    assert(merged.toSeq == direct.toSeq,
+      "sketch(A ∪ B) must equal merge(sketch(A), sketch(B)) exactly")
+  }
+
+  test("kmvMergeSketches reads below-k groups as exact counts") {
+    val df = Seq(("g", "a", 0), ("g", "b", 1), ("g", "a", 1)).toDF("g", "v", "shard")
+    val merged = Sketch.kmvMergeSketches(
+      Sketch.kmvSketch(df, Seq("g", "shard"), "v", k = 8), Seq("g"), "sketch", k = 8)
+      .collect().head
+    assert(merged.getAs[Double]("n_est") == 2.0) // {a, b}, deduped across shards
+    assert(merged.getAs[Int]("n_kept") == 2)
+  }
+
   test("the quantile shuffle carries bin counts, not rows") {
     val df = (0 until 100).map(v => ("g", v.toLong)).toDF("g", "v")
     val p = Sketch.binnedQuantiles(df, Seq("g"), "v", 10L, Seq(500))

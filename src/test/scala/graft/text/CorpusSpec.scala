@@ -344,6 +344,38 @@ class CorpusSpec extends SparkSpec {
     assert(r.getAs[Double]("ratio") == 15.0 / 9.0)
   }
 
+  test("nextTokenTable: argmax continuation with lexicographic tie-break") {
+    val docs = Seq(
+      (1L, "the cat sat"), (2L, "the cat ran"), (3L, "the dog sat"),
+      (4L, "the cat sat")
+    ).toDF("doc_id", "text")
+    val out = Corpus.nextTokenTable(docs, "text")
+      .orderBy("w1").collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("p_e6")))
+    // "the"->"cat" 3 of 4; "cat"->"sat" 2 of 3; "sat"/"ran" never left
+    assert(out.toSeq == Seq(
+      ("cat", "sat", 2L, 3L, 666666L),
+      ("dog", "sat", 1L, 1L, 1000000L),
+      ("the", "cat", 3L, 4L, 750000L)))
+  }
+
+  test("nextTokenTable: count ties break to the smaller continuation") {
+    val docs = Seq((1L, "a z a b a b a z")).toDF("doc_id", "text")
+    // pairs from a: (a,z)(a,b)(a,b)(a,z) -> tie 2-2 -> 'b' wins
+    val r = Corpus.nextTokenTable(docs, "text")
+      .filter(col("w1") === "a").collect().head
+    assert(r.getAs[String]("w2") == "b")
+    assert(r.getAs[Long]("c12") == 2L)
+  }
+
+  test("nextTokenTable minCount prunes rare contexts") {
+    val docs = Seq((1L, "x y x y q r")).toDF("doc_id", "text")
+    val keys = Corpus.nextTokenTable(docs, "text", minCount = 2)
+      .collect().map(_.getString(0)).toSet
+    assert(keys == Set("x", "y")) // q and r have c1 = 1
+  }
+
   test("pmiCollocations: one-token and empty docs contribute no pairs") {
     val docs = Seq((1L, "solo"), (2L, ""), (3L, "  "), (4L, "a b a b a b"))
       .toDF("doc_id", "text")
