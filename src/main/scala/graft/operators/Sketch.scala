@@ -367,6 +367,23 @@ object Sketch {
     udaf(new KmvAgg(k), Encoders.scalaLong)
       .apply(coalesce(hash60(value.cast("string")), lit(-1L)))
 
+  /** The "smallest value whose cumulative count reaches `⌈q‰·n⌉`" walk
+    * of [[binnedQuantiles]] over a PRE-COUNTED `(group, value, count)`
+    * frame — for operators that already hold a histogram and need a
+    * single exact rank element from it without re-aggregating rows. */
+  private def lowerRankElement(counts: DataFrame, groupCols: Seq[String],
+                               vCol: String, cCol: String, permille: Int,
+                               outCol: String): DataFrame = {
+    val g = groupCols.map(col)
+    val wCum = Window.partitionBy(g: _*).orderBy(col(vCol))
+    val wAll = Window.partitionBy(g: _*)
+    counts
+      .withColumn("__cum", sum(col(cCol)).over(wCum))
+      .withColumn("__n", sum(col(cCol)).over(wAll))
+      .filter(col("__cum") >= expr(s"($permille * __n + 999) div 1000"))
+      .groupBy(g: _*).agg(min(col(vCol)).as(outCol))
+  }
+
   /** Per-group robust outlier detection via the median/MAD rule — the
     * fat-tail-safe sibling of the z-score (mean and stddev are
     * themselves dragged by the outliers they're meant to find; the
@@ -374,30 +391,39 @@ object Sketch {
     * Flags `|x − median| > k·MAD`.
     *
     * Exactness (the [[winsorize]] discipline): both the median and the
-    * MAD are EXACT RANK ELEMENTS — [[binnedQuantiles]] at `binWidth=1`,
-    * the lower median — so for integral `valueCol` every bound and the
-    * flag comparison ride exact integers end to end; no interpolated
-    * float ever materializes, and the verdicts hash-match a SQL replay.
+    * MAD are EXACT RANK ELEMENTS (lower median), so for integral
+    * `valueCol` every bound and the flag comparison ride exact
+    * integers end to end; no interpolated float ever materializes, and
+    * the verdicts hash-match a SQL replay.
     *
-    * Scale shape: two (group, value)-count aggregates (the shuffle
-    * carries distinct-value counts, not rows) with the group-sized
-    * bound frames broadcast back — the row side is scanned, never
-    * shuffled. Output: input columns + `med`, `mad`, `is_outlier`. */
+    * Scale shape: ONE (group, value)-count aggregate over the rows —
+    * the deviation histogram is a FUNCTION of the value histogram once
+    * the median is known (`count(dev) = Σ count(v) over |v − med| =
+    * dev`), so the MAD walk re-bins the histogram, not the data. Both
+    * rank walks and the re-bin run over distinct-value counts; the two
+    * histogram branches share one identical aggregate subtree, which
+    * Spark's ReuseExchange collapses to a single shuffle. The
+    * group-sized bound frame broadcasts back onto the rows — the row
+    * side is scanned once for the histogram and once for the flags,
+    * never shuffled. Output: input columns + `med`, `mad`,
+    * `is_outlier`. */
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Long = 3L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val reserved = Seq("med", "mad", "is_outlier", "__dev")
+    val reserved = Seq("med", "mad", "is_outlier")
     reserved.foreach(c => require(!df.columns.contains(c),
       s"madOutliers emits `$c` — rename the existing column"))
-    val med = binnedQuantiles(df, groupCols, valueCol, 1L, Seq(500))
-      .select(groupCols.map(col) :+ col("est").as("med"): _*)
-    val withMed = df.join(broadcast(med), groupCols)
-    val dev = withMed.withColumn("__dev", abs(col(valueCol) - col("med")))
-    val mad = binnedQuantiles(dev, groupCols, "__dev", 1L, Seq(500))
-      .select(groupCols.map(col) :+ col("est").as("mad"): _*)
-    dev.join(broadcast(mad), groupCols)
-      .withColumn("is_outlier", col("__dev") > lit(k) * col("mad"))
-      .drop("__dev")
+    val g = groupCols.map(col)
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).as("__v"): _*).agg(count(lit(1)).as("__c"))
+    val med = lowerRankElement(hist, groupCols, "__v", "__c", 500, "med")
+    val devHist = hist.join(broadcast(med), groupCols)
+      .groupBy(g :+ abs(col("__v") - col("med")).as("__dev"): _*)
+      .agg(sum(col("__c")).as("__c"))
+    val mad = lowerRankElement(devHist, groupCols, "__dev", "__c", 500, "mad")
+    df.join(broadcast(med.join(mad, groupCols)), groupCols)
+      .withColumn("is_outlier",
+        abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
 
   /** Per-group distinct-count estimate of `valueCol` (hashed via its
