@@ -1834,6 +1834,117 @@ object SparkEntry {
         Seq("o_orderpriority", "shard"), "o_custkey")
       Sketch.kmvMergeSketches(sh, Seq("o_orderpriority"), "sketch")
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- extension: cohort retention matrix — first-active-week
+    // cohorts over integral epoch-weeks; the whole matrix rides exact
+    // integers (counts and a permille integer division)
+    "q150_x_cohort_retention" -> tuned((s, d) =>
+      graft.operators.Funnel.cohortRetention(
+          Tables.events(s, d)
+            .withColumn("week", expr("ts_ns div 86400000000000 div 7")),
+          "user_id", "week")
+        .orderBy("cohort", "offset")),
+
+    // ---- extension: HLL register table built per shard then MERGED —
+    // max-over-rows is the HLL composition law, so the oracle is the
+    // direct unsharded register build (same discipline as q149)
+    "q151_x_hll_registers" -> tuned((s, d) => {
+      val sh = Sketch.hllRegisters(
+        Tables.orders(s, d).withColumn("shard", col("o_custkey") % 4),
+        Seq("o_orderpriority", "shard"), "o_custkey", p = 6)
+      Sketch.hllMergeRegisters(sh, Seq("o_orderpriority"))
+        .orderBy("o_orderpriority", "bucket")
+    }),
+
+    // ---- extension: incremental aggregate maintenance — a pre-cutoff
+    // snapshot of mergeable (n, Σ, Σ², min, max) partials absorbs the
+    // post-cutoff delta without rescanning history; the oracle is the
+    // single-pass recompute the monoid law guarantees it equals
+    "q152_x_incremental_agg" -> tuned((s, d) => {
+      import graft.operators.Incremental
+      val li = Tables.lineitem(s, d)
+      val cut = "1995-01-01"
+      val snap = Incremental.partialAgg(
+        li.filter(col("l_shipdate") < lit(cut)), Seq("l_suppkey"), "l_quantity")
+      val delta = li.filter(col("l_shipdate") >= lit(cut) ||
+        col("l_shipdate").isNull)
+      val merged = Incremental.mergePartials(
+        Seq(snap, Incremental.partialAgg(delta, Seq("l_suppkey"), "l_quantity")),
+        Seq("l_suppkey"))
+      Incremental.withDerived(merged).orderBy("l_suppkey")
+    }),
+
+    // ---- extension: per-source KL divergence from the corpus token
+    // distribution — integer-count ratios per row, nanonat quantization,
+    // exact integer sum (the q32 float-determinism discipline)
+    "q153_x_kl_domains" -> tuned((s, d) =>
+      graft.text.TextAnalysis.domainDivergence(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    // ---- extension: first/last-touch conversion attribution — both
+    // conditional scans share one (user, time, id)-sorted window
+    "q154_x_attribution" -> tuned((s, d) =>
+      graft.operators.Funnel.touchAttribution(
+          Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
+          Seq("user_id"), "tsu", "event_id", "event_type",
+          Seq("view", "click"), "purchase")
+        .orderBy("first_touch", "last_touch")),
+
+    // ---- extension: rolling 4-week active users — exact windowed
+    // count(DISTINCT) via membership explosion AFTER per-user dedup
+    "q155_x_rolling_active" -> tuned((s, d) =>
+      graft.operators.Funnel.rollingActiveUsers(
+          Tables.events(s, d)
+            .withColumn("week", expr("ts_ns div 86400000000000 div 7")),
+          "user_id", "week", windowPeriods = 4)
+        .orderBy("period")),
+
+    // ---- extension: deterministic stratified train/val/test split —
+    // hash fences keep slices disjoint under retries; readout is the
+    // per-(source, split) census with integer permille shares
+    "q156_x_hash_split" -> tuned((s, d) => {
+      val split = Corpus.hashSplit(Tables.documents(s, d), "doc_id")
+      val counts = split.groupBy(col("source"), col("split"))
+        .agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("__tot", sum(col("n"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy(col("source"))))
+        .withColumn("share_permille", expr("n * 1000 div __tot"))
+        .drop("__tot")
+        .orderBy("source", "split")
+    }),
+
+    // ---- extension: streaming SLIDING-window stats — 28d window / 7d
+    // slide as one stateful aggregate; drained complete-mode state
+    // equals the batch 4-offset explosion the oracle replays
+    "q157_x_stream_sliding" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.slidingEventStats(s, d)),
+
+    // ---- extension: KMV sketch set algebra — pairwise audience overlap
+    // (union/Jaccard/intersection estimates) read from stored sketches;
+    // raw events are scanned once, every pair answered from buffers
+    "q158_x_kmv_overlap" -> tuned((s, d) => {
+      val sk = Sketch.kmvSketch(Tables.events(s, d), Seq("event_type"), "user_id")
+      Sketch.kmvPairOverlaps(sk, "event_type", "sketch")
+        .orderBy("g1", "g2")
+    }),
+
+    // ---- extension: snapshot reconciliation — symmetric diff of two
+    // table states by key; unchanged keys die inside the join stage
+    "q159_x_table_diff" -> tuned((s, d) => {
+      val o = Tables.orders(s, d).select("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderpriority")
+      val before = o.filter(col("o_orderkey") % 97 =!= 0)
+      val after = o.filter(col("o_orderkey") % 89 =!= 0)
+        .withColumn("o_orderstatus",
+          when(col("o_orderkey") % 13 === 0, lit("X"))
+            .otherwise(col("o_orderstatus")))
+      graft.operators.Cdc.tableDiff(before, after, Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("op"), col("n_diff_cols"),
+          array_join(col("diff_cols"), ",").as("diff_str"))
+        .orderBy("o_orderkey")
     })
   )
 
@@ -4165,7 +4276,187 @@ object SparkEntry {
         |  hk AS kth_hash,
         |  CAST(LEAST(nd, 128) AS INT) AS n_kept
         |FROM r WHERE rn = LEAST(nd, 128)
-        |ORDER BY o_orderpriority""".stripMargin)
+        |ORDER BY o_orderpriority""".stripMargin),
+
+    // (a div b) div 7 == a div 7b for positive ints — mirrored literally
+    "q150_x_cohort_retention" ->
+      ("""WITH a AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 // 7 AS w
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |c AS (SELECT user_id, w,
+        |        min(w) OVER (PARTITION BY user_id) AS cohort FROM a),
+        |g AS (SELECT cohort, w - cohort AS "offset", count(*) AS n_users
+        |      FROM c GROUP BY 1, 2)
+        |SELECT cohort, "offset", n_users,
+        |  n_users * 1000 // max(CASE WHEN "offset" = 0 THEN n_users END)
+        |    OVER (PARTITION BY cohort) AS retained_permille
+        |FROM g ORDER BY cohort, "offset"""".stripMargin),
+
+    // direct unsharded register build: bucket = low 6 hash bits, rho =
+    // 1 + leading zeros of the remaining 54 (bit length via bin())
+    "q151_x_hll_registers" ->
+      ("""WITH h AS (
+        |  SELECT o_orderpriority,
+        |    CAST('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM orders WHERE o_custkey IS NOT NULL),
+        |b AS (SELECT o_orderpriority, hk % 64 AS bucket, hk // 64 AS rest FROM h)
+        |SELECT o_orderpriority, bucket,
+        |  CAST(max(CASE WHEN rest = 0 THEN 55
+        |                ELSE 55 - length(bin(rest)) END) AS INT) AS rho
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // the monoid law: merged partials == single-pass recompute
+    "q152_x_incremental_agg" ->
+      ("""WITH r AS (
+        |  SELECT l_suppkey, CAST(l_quantity AS BIGINT) AS q FROM lineitem
+        |  WHERE l_quantity IS NOT NULL),
+        |a AS (
+        |  SELECT l_suppkey, count(*) AS n, CAST(sum(q) AS BIGINT) AS sum_v,
+        |    CAST(sum(q * q) AS BIGINT) AS sumsq_v,
+        |    min(q) AS min_v, max(q) AS max_v
+        |  FROM r GROUP BY 1)
+        |SELECT l_suppkey, n, sum_v, sumsq_v, min_v, max_v,
+        |  sum_v * 1000000 // n AS mean_e6,
+        |  (n * sumsq_v - sum_v * sum_v) * 1000000 // (n * n) AS var_e6
+        |FROM a ORDER BY l_suppkey""".stripMargin),
+
+    "q153_x_kl_domains" ->
+      ("""WITH tok AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE source IS NOT NULL AND length(trim(text)) > 0),
+        |cdt AS (SELECT source, t, count(*) AS cdt FROM tok GROUP BY 1, 2),
+        |pd AS (SELECT source, CAST(sum(cdt) AS BIGINT) AS nd,
+        |         count(*) AS ndist FROM cdt GROUP BY 1),
+        |ct AS (SELECT t, CAST(sum(cdt) AS BIGINT) AS ct FROM cdt GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cdt) AS BIGINT) AS n FROM cdt)
+        |SELECT source, max(nd) AS n_tokens, max(ndist) AS n_distinct,
+        |  CAST(sum(CAST(floor((CAST(cdt AS DOUBLE) / nd) *
+        |    ln(CAST(cdt * n AS DOUBLE) / CAST(nd * ct AS DOUBLE)) * 1e9 + 0.5)
+        |    AS BIGINT)) AS BIGINT) AS kl_e9
+        |FROM cdt JOIN ct USING (t) JOIN pd USING (source) CROSS JOIN tot
+        |GROUP BY source ORDER BY source""".stripMargin),
+
+    "q154_x_attribution" ->
+      ("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_id, event_type AS s
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w AS (SELECT *,
+        |    first_value(CASE WHEN s IN ('view', 'click') THEN s END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS f,
+        |    last_value(CASE WHEN s IN ('view', 'click') THEN s END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS l
+        |  FROM e)
+        |SELECT coalesce(f, '(none)') AS first_touch,
+        |  coalesce(l, '(none)') AS last_touch, count(*) AS n_conversions
+        |FROM w WHERE s = 'purchase' GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // each distinct (user, week) pair feeds the 4 windows ending at
+    // week..week+3; trim to observed weeks
+    "q155_x_rolling_active" ->
+      ("""WITH p AS (
+        |  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 // 7 AS w
+        |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |x AS (SELECT user_id, unnest(generate_series(w, w + 3)) AS period FROM p)
+        |SELECT period, count(DISTINCT user_id) AS active_users
+        |FROM x WHERE period <= (SELECT max(w) FROM p)
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    "q156_x_hash_split" ->
+      (s"""WITH s AS (
+        |  SELECT source,
+        |    CASE WHEN b < 800 THEN 'train' WHEN b < 900 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT source,
+        |          ${dkHash32("CAST(doc_id AS VARCHAR)")} % 1000 AS b
+        |        FROM documents)),
+        |c AS (SELECT source, split, count(*) AS n FROM s GROUP BY 1, 2)
+        |SELECT source, split, n,
+        |  CAST(n * 1000 // sum(n) OVER (PARTITION BY source) AS BIGINT)
+        |    AS share_permille
+        |FROM c ORDER BY source, split""".stripMargin),
+
+    // the 4-offset window explosion: epoch-aligned 7d starts, 28d span
+    "q157_x_stream_sliding" ->
+      ("""WITH e AS (
+        |  SELECT epoch_us(ts) // 86400000000 // 7 AS wk, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events),
+        |x AS (
+        |  SELECT DATE '1970-01-01' + INTERVAL ((wk - k.k) * 7) DAY AS window_start,
+        |    event_type, cents
+        |  FROM e CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS k) k)
+        |SELECT CAST(window_start AS DATE) AS window_start, event_type,
+        |  count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // replay of the k-minimum union walk: the k_eff smallest distinct
+    // hashes of each pair, coincidence-counted against both sides
+    "q158_x_kmv_overlap" ->
+      ("""WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hk
+        |  FROM events WHERE user_id IS NOT NULL),
+        |t AS (SELECT DISTINCT event_type FROM h),
+        |p AS (SELECT a.event_type AS g1, b.event_type AS g2
+        |      FROM t a JOIN t b ON a.event_type < b.event_type),
+        |u AS (SELECT p.g1, p.g2, h.hk,
+        |        max(CASE WHEN h.event_type = p.g1 THEN 1 ELSE 0 END) AS in1,
+        |        max(CASE WHEN h.event_type = p.g2 THEN 1 ELSE 0 END) AS in2
+        |      FROM p JOIN h ON h.event_type IN (p.g1, p.g2)
+        |      GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY g1, g2 ORDER BY hk) AS rn,
+        |        count(*) OVER (PARTITION BY g1, g2) AS nd
+        |      FROM u),
+        |f AS (SELECT g1, g2, LEAST(nd, 128) AS k_eff, max(nd) AS nd2,
+        |        max(CASE WHEN rn = LEAST(nd, 128) THEN hk END) AS kth,
+        |        sum(CASE WHEN rn <= LEAST(nd, 128) AND in1 = 1 AND in2 = 1
+        |            THEN 1 ELSE 0 END) AS nc
+        |      FROM r GROUP BY 1, 2, 3)
+        |SELECT g1, g2, CAST(k_eff AS INT) AS k_eff, CAST(nc AS INT) AS n_common,
+        |  CASE WHEN nd2 >= 128
+        |       THEN floor((127.0 * 1152921504606846976.0 / kth) * 100.0 + 0.5) / 100.0
+        |       ELSE CAST(nd2 AS DOUBLE) END AS union_est,
+        |  CAST(CAST(nc AS BIGINT) * 1000000 // k_eff AS BIGINT) AS jaccard_e6,
+        |  floor(union_est * n_common / k_eff * 100.0 + 0.5) / 100.0 AS inter_est
+        |FROM f ORDER BY g1, g2""".stripMargin),
+
+    "q159_x_table_diff" ->
+      ("""WITH o AS (SELECT o_orderkey, o_custkey, o_orderstatus,
+        |             o_totalprice, o_orderpriority FROM orders),
+        |b AS (SELECT * FROM o WHERE o_orderkey % 97 <> 0),
+        |a AS (SELECT o_orderkey, o_custkey,
+        |        CASE WHEN o_orderkey % 13 = 0 THEN 'X'
+        |             ELSE o_orderstatus END AS o_orderstatus,
+        |        o_totalprice, o_orderpriority
+        |      FROM o WHERE o_orderkey % 89 <> 0),
+        |j AS (SELECT coalesce(b.o_orderkey, a.o_orderkey) AS o_orderkey,
+        |        b.o_orderkey IS NOT NULL AS in_b,
+        |        a.o_orderkey IS NOT NULL AS in_a,
+        |        CASE WHEN NOT (b.o_custkey IS NOT DISTINCT FROM a.o_custkey)
+        |             THEN 'o_custkey' END AS d1,
+        |        CASE WHEN NOT (b.o_orderpriority IS NOT DISTINCT FROM a.o_orderpriority)
+        |             THEN 'o_orderpriority' END AS d2,
+        |        CASE WHEN NOT (b.o_orderstatus IS NOT DISTINCT FROM a.o_orderstatus)
+        |             THEN 'o_orderstatus' END AS d3,
+        |        CASE WHEN NOT (b.o_totalprice IS NOT DISTINCT FROM a.o_totalprice)
+        |             THEN 'o_totalprice' END AS d4
+        |      FROM b FULL OUTER JOIN a ON b.o_orderkey = a.o_orderkey),
+        |s AS (SELECT *,
+        |        CASE WHEN NOT in_b THEN 'added' WHEN NOT in_a THEN 'removed'
+        |             WHEN d1 IS NOT NULL OR d2 IS NOT NULL OR d3 IS NOT NULL
+        |               OR d4 IS NOT NULL THEN 'changed' END AS op
+        |      FROM j)
+        |SELECT o_orderkey, op,
+        |  CASE WHEN op = 'changed' THEN
+        |    CAST((d1 IS NOT NULL)::INT + (d2 IS NOT NULL)::INT +
+        |         (d3 IS NOT NULL)::INT + (d4 IS NOT NULL)::INT AS INT)
+        |  END AS n_diff_cols,
+        |  CASE WHEN op = 'changed' THEN concat_ws(',', d1, d2, d3, d4)
+        |  END AS diff_str
+        |FROM s WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -160,4 +160,48 @@ object Cdc {
           col("valid_to").isNull.as("is_current")) ++
         payload.map(col): _*)
   }
+
+  /** Snapshot reconciliation — the symmetric diff of two same-schema
+    * tables by key: which keys were `added`, `removed`, or `changed`
+    * (any payload column differs, null-safely), with unchanged keys —
+    * the overwhelming majority in real reconciliation — dropped inside
+    * the join stage before anything else materializes. The anti-entropy
+    * primitive for validating a migration, a replica, or an incremental
+    * pipeline (e.g. [[merge]]'s output) against a full rebuild.
+    *
+    * Comparison is per-column null-safe equality (`<=>`), not a row
+    * hash: type-exact (no float-formatting or hash-collision caveats)
+    * and it lets the operator report WHICH columns drifted
+    * (`n_diff_cols`, plus `diff_cols` as a sorted name array).
+    *
+    * Scale shape: one co-partitioned full-outer sort-merge join on the
+    * key — the minimum for a symmetric diff; both sides shuffle once,
+    * nothing is broadcast (snapshots are both big by assumption).
+    * Output: `keyCols…, op, n_diff_cols, diff_cols`. */
+  def tableDiff(before: DataFrame, after: DataFrame,
+                keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "tableDiff needs at least one key column")
+    require(before.columns.sorted.sameElements(after.columns.sorted),
+      "tableDiff requires identical schemas; project first")
+    val payload = before.columns.filterNot(keyCols.contains).sorted.toSeq
+    // presence sentinels survive the key-coalescing full-outer join
+    val b = before.select(keyCols.map(col) ++
+      payload.map(c => col(c).as(s"__b_$c")) :+ lit(true).as("__in_b"): _*)
+    val a = after.select(keyCols.map(col) ++
+      payload.map(c => col(c).as(s"__a_$c")) :+ lit(true).as("__in_a"): _*)
+    val diffArr = array_compact(array(payload.map(c =>
+      when(!(col(s"__b_$c") <=> col(s"__a_$c")), lit(c))): _*))
+    b.join(a, keyCols, "full_outer")
+      .withColumn("op",
+        when(col("__in_b").isNull, lit("added"))
+          .when(col("__in_a").isNull, lit("removed"))
+          .when(size(diffArr) > 0, lit("changed")))
+      .filter(col("op").isNotNull) // unchanged rows die inside the join stage
+      .withColumn("diff_cols",
+        when(col("op") === "changed", array_sort(diffArr)))
+      .withColumn("n_diff_cols",
+        when(col("op") === "changed", size(col("diff_cols"))))
+      .select(keyCols.map(col) :+ col("op") :+ col("n_diff_cols") :+
+        col("diff_cols"): _*)
+  }
 }

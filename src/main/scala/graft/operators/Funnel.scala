@@ -72,4 +72,109 @@ object Funnel {
       .groupBy("stage", "stage_name")
       .agg(count(lit(1)).as("n_reached"))
   }
+
+  /** Cohort retention matrix — users bucketed by their FIRST active
+    * period (`cohort`), then counted in every later period they return
+    * (`offset` = periods since the cohort period). The classic
+    * product-analytics readout the reference engine has no analog for.
+    *
+    * `bucketCol` is any integral period index the caller derives
+    * (epoch-week, epoch-month…) — keeping the calendar OUT of the
+    * operator makes every comparison pure integer arithmetic, so the
+    * matrix hash-matches a SQL replay exactly. `retained_permille` is
+    * the exact integer `n_users·1000 div cohort_size` (offset 0 is
+    * 1000 by construction).
+    *
+    * Scale shape: TWO shuffles, both with map-side partial
+    * aggregation. `collect_set` per user dedups (user, period) pairs
+    * while grouping — the per-user state is the user's distinct period
+    * set (bounded by the calendar, ~100s), so no separate `distinct`
+    * shuffle and no per-user window are needed; the cohort is
+    * `array_min` of the set, computed map-side before the tiny
+    * (cohort, offset) aggregate. */
+  def cohortRetention(events: DataFrame, userCol: String,
+                      bucketCol: String): DataFrame = {
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(bucketCol).isNotNull)
+      .select(col(userCol).as("__u"), col(bucketCol).cast("long").as("__b"))
+      .groupBy(col("__u")).agg(collect_set(col("__b")).as("__bs"))
+    val counts = perUser
+      .select(array_min(col("__bs")).as("cohort"), explode(col("__bs")).as("__b"))
+      .groupBy(col("cohort"), (col("__b") - col("cohort")).as("offset"))
+      .agg(count(lit(1)).as("n_users"))
+    val wCohort = Window.partitionBy(col("cohort"))
+    counts
+      .withColumn("__c0",
+        max(when(col("offset") === 0, col("n_users"))).over(wCohort))
+      .withColumn("retained_permille",
+        expr("n_users * 1000 div __c0"))
+      .drop("__c0")
+  }
+
+  /** Rolling active users — for every period `w`, the count of DISTINCT
+    * users with any activity in the trailing window
+    * `[w − windowPeriods + 1, w]` (windowPeriods = 4 over epoch-weeks is
+    * the rolling-4-week-actives staple). Exact, not sketched: windowed
+    * `count(DISTINCT)` has no shuffle-free form, so the operator rewrites
+    * it as membership explosion — each distinct (user, period) pair
+    * feeds the `windowPeriods` windows that can see it, and the window
+    * count dedups users who were active in several covered periods.
+    *
+    * Scale shape: the explosion happens AFTER per-user dedup (one
+    * `collect_set` aggregate shrinks raw events to distinct pairs), so
+    * the distinct-count shuffle carries ≤ windowPeriods × |distinct
+    * pairs| rows, never raw events. Output is trimmed to observed
+    * periods: `period, active_users`. */
+  def rollingActiveUsers(events: DataFrame, userCol: String,
+                         bucketCol: String, windowPeriods: Int): DataFrame = {
+    require(windowPeriods >= 1, s"windowPeriods must be >= 1, got $windowPeriods")
+    val pairs = events
+      .filter(col(userCol).isNotNull && col(bucketCol).isNotNull)
+      .select(col(userCol).as("__u"), col(bucketCol).cast("long").as("__b"))
+      .groupBy(col("__u")).agg(collect_set(col("__b")).as("__bs"))
+      .select(col("__u"), explode(col("__bs")).as("__b"))
+    val bounds = pairs.agg(min(col("__b")).as("__lo"), max(col("__b")).as("__hi"))
+    pairs
+      .select(col("__u"),
+        explode(sequence(col("__b"), col("__b") + lit(windowPeriods - 1)))
+          .as("period"))
+      .crossJoin(broadcast(bounds))
+      .filter(col("period") <= col("__hi"))
+      .groupBy(col("period"))
+      .agg(countDistinct(col("__u")).as("active_users"))
+  }
+
+  /** First/last-touch attribution — each conversion event credited to
+    * the earliest and the latest touch event STRICTLY BEFORE it in the
+    * key's stream, with conversions that no touch preceded credited to
+    * `(none)`. Output: one row per (first_touch, last_touch) channel
+    * pair with the conversion count.
+    *
+    * Ordering is the (time, tiebreakCol) lexicographic row order, so
+    * same-timestamp events resolve deterministically and the counts
+    * hash-match a SQL replay of the identical window. Scale shape: ONE
+    * shuffle — both conditional window scans (`first`/`last` with
+    * ignoreNulls over the preceding-rows frame) share the per-key
+    * sort-partitioning, then the channel-pair aggregate collapses a
+    * frame already pruned to conversion rows. */
+  def touchAttribution(events: DataFrame, keyCols: Seq[String],
+                       timeCol: String, tiebreakCol: String,
+                       channelCol: String, touchChannels: Seq[String],
+                       conversionChannel: String): DataFrame = {
+    require(touchChannels.nonEmpty, "touchAttribution needs touch channels")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(timeCol), col(tiebreakCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val touch = when(col(channelCol).isin(touchChannels: _*), col(channelCol))
+    val pruned = events
+      .filter(col(channelCol).isin(touchChannels :+ conversionChannel: _*) &&
+        col(timeCol).isNotNull)
+    pruned
+      .withColumn("__first", first(touch, ignoreNulls = true).over(w))
+      .withColumn("__last", last(touch, ignoreNulls = true).over(w))
+      .filter(col(channelCol) === conversionChannel)
+      .groupBy(coalesce(col("__first"), lit("(none)")).as("first_touch"),
+        coalesce(col("__last"), lit("(none)")).as("last_touch"))
+      .agg(count(lit(1)).as("n_conversions"))
+  }
 }

@@ -437,4 +437,119 @@ object Sketch {
       .select(groupCols.map(col) :+ col("__s.n_est").as("n_est") :+
         col("__s.kth_hash").as("kth_hash") :+ col("__s.n_kept").as("n_kept"): _*)
   }
+
+  /** Per-group HyperLogLog REGISTER TABLE — the sub-stream-max form of
+    * the Flajolet HLL sketch over the same 60-bit hash as [[kmvDistinct]]:
+    * `bucket` = low `p` hash bits, `rho` = 1 + leading zeros of the
+    * remaining `60−p` bits (so `rho ∈ [1, 61−p]`, with the all-zero
+    * remainder pinned to `61−p`). One row per (group, OCCUPIED bucket);
+    * absent buckets are register 0 by convention.
+    *
+    * Kept in exploded relational form — `max` over rows IS the HLL merge
+    * law, so register tables from disjoint shards union+re-aggregate to
+    * exactly the whole-data table (the same composition law as
+    * [[kmvMergeSketches]], here for free from the algebra), partial
+    * aggregation is map-side, and every value is a small exact integer
+    * the driver can hash against a SQL replay (`length(bin(x))` is the
+    * bit length in Spark and DuckDB alike). At 100 TB the sketch is the
+    * point: 2^p rows per group regardless of input rows.
+    *
+    * Output: `groupCols…, bucket, rho`. */
+  def hllRegisters(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                   p: Int = 6): DataFrame = {
+    require(groupCols.nonEmpty, "hllRegisters needs at least one group column")
+    require(p >= 4 && p <= 16, s"p must be in [4,16], got $p")
+    val m = 1L << p
+    val rhoMax = 60 - p + 1
+    df.filter(col(valueCol).isNotNull)
+      .select(groupCols.map(col) :+
+        hash60(col(valueCol).cast("string")).as("__hk"): _*)
+      .withColumn("bucket", col("__hk") % m)
+      .withColumn("__rest", expr(s"__hk div $m"))
+      .withColumn("__rho",
+        when(col("__rest") === 0, lit(rhoMax))
+          .otherwise(lit(rhoMax) - length(expr("bin(__rest)"))))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rho")).as("rho"))
+  }
+
+  /** Pairwise set-algebra readout over per-group KMV sketches — the
+    * distinct-overlap questions ("how many users do segments A and B
+    * share?") answered from k-sized sketches instead of a raw
+    * self-join, for every unordered group pair.
+    *
+    * The k-minimum set of `A ∪ B` is computable FROM the two buffers
+    * (merge law), and membership of its elements in each side's buffer
+    * is EXACT: `x ∈ kmin(A∪B) ∧ x ∈ A ⟹ x ≤ kth(A∪B) ≤ kth(A) ⟹ x ∈
+    * buffer(A)`. So `n_common` (union-sample elements present in both
+    * sides) is a true size-`k_eff` coincidence count, `jaccard ≈
+    * n_common/k_eff`, and `|A∩B| ≈ jaccard · est(A∪B)` — the classic
+    * KMV intersection estimator, here as pure deterministic array
+    * arithmetic over stored buffers, so the whole readout hash-matches
+    * a SQL replay of the same k-minimum walk. Below-k unions are exact.
+    *
+    * Scale shape: the sketch table is group-cardinality-sized; the pair
+    * frame is its broadcast self-join (G² tiny rows), and raw data is
+    * never rescanned — the same sketches answer every pair. Output:
+    * `g1, g2, k_eff, n_common, union_est, jaccard_e6, inter_est`. */
+  def kmvPairOverlaps(sketches: DataFrame, groupCol: String,
+                      sketchCol: String, k: Int = 128): DataFrame = {
+    val a = sketches.select(col(groupCol).as("g1"), col(sketchCol).as("__a"))
+    val b = sketches.select(col(groupCol).as("g2"), col(sketchCol).as("__b"))
+    val merged0 = array_sort(array_union(col("__a"), col("__b")))
+    a.join(broadcast(b), col("g1") < col("g2"))
+      .withColumn("__u", merged0)
+      .withColumn("k_eff", least(size(col("__u")), lit(k)))
+      .withColumn("__m", slice(col("__u"), lit(1), col("k_eff")))
+      .withColumn("__kth", element_at(col("__m"), col("k_eff")))
+      .withColumn("union_est",
+        when(size(col("__u")) < k, size(col("__u")).cast("double"))
+          .otherwise(floor((lit((k - 1).toDouble) * lit(1152921504606846976.0) /
+            col("__kth").cast("double")) * 100.0 + 0.5) / 100.0))
+      .withColumn("n_common", size(filter(col("__m"),
+        x => array_contains(col("__a"), x) && array_contains(col("__b"), x))))
+      .withColumn("jaccard_e6",
+        expr("cast(n_common as bigint) * 1000000 div k_eff"))
+      .withColumn("inter_est",
+        floor(col("union_est") * col("n_common") / col("k_eff") * 100.0 + 0.5)
+          / 100.0)
+      .select("g1", "g2", "k_eff", "n_common", "union_est", "jaccard_e6",
+        "inter_est")
+  }
+
+  /** Union per-shard register tables back to coarser groups — `max`
+    * over rows is the HLL merge law, so the result equals
+    * [[hllRegisters]] of the unsharded data exactly. */
+  def hllMergeRegisters(registers: DataFrame,
+                        groupCols: Seq[String]): DataFrame = {
+    require(groupCols.nonEmpty, "hllMergeRegisters needs a group column")
+    registers.groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("rho")).as("rho"))
+  }
+
+  /** The estimate readout of [[hllRegisters]]: per group, the
+    * bias-corrected harmonic mean `α_m·m²/Σ2^{−rho}` (absent buckets
+    * contribute 2⁰ each), with the standard linear-counting fallback
+    * `m·ln(m/V)` when the raw estimate is below `2.5m` and empty
+    * buckets remain. Output: `groupCols…, n_est`. */
+  def hllEstimate(registers: DataFrame, groupCols: Seq[String],
+                  p: Int = 6): DataFrame = {
+    val m = (1L << p).toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    registers.groupBy(groupCols.map(col): _*)
+      .agg(sum(pow(lit(2.0), -col("rho"))).as("__z"),
+        count(lit(1)).as("__v"))
+      .withColumn("__zfull", col("__z") + (lit(m) - col("__v")))
+      .withColumn("__raw", lit(alpha) * lit(m) * lit(m) / col("__zfull"))
+      .withColumn("n_est",
+        when(col("__raw") <= lit(2.5 * m) && col("__v") < lit(m),
+          lit(m) * log(lit(m) / (lit(m) - col("__v"))))
+          .otherwise(col("__raw")))
+      .select(groupCols.map(col) :+ col("n_est"): _*)
+  }
 }

@@ -170,6 +170,39 @@ object StreamingCollapse {
     spark.table(name).orderBy("week", "event_type")
   }
 
+  /** SLIDING-window per-event-type stats — the overlapping-window
+    * sibling of [[weeklyEventStats]]: a 28-day window sliding every
+    * 7 days (epoch-aligned), so every event lands in exactly 4 windows
+    * and each window reads the trailing-4-week activity as of its end.
+    * Spark's `window(slide)` plans ONE stateful aggregate whose key
+    * carries the exploded window starts — the streaming analog of the
+    * membership explosion in
+    * [[graft.operators.Funnel.rollingActiveUsers]] — so counts stay
+    * incremental per micro-batch and the drained complete-mode result
+    * equals the batch replay (the oracle explodes the same 4 offsets).
+    * Emits the integral-cents sum, not a float sum: complete-mode
+    * re-emission must be bit-stable across micro-batch slicings. */
+  def slidingEventStats(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_sliding"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val agg = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir(dir))
+      .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
+      .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .withWatermark("ets", "60 days")
+      .groupBy(window(col("ets"), "28 days", "7 days"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .select(to_date(col("window.start")).as("window_start"),
+        col("event_type"), col("n"), col("sum_cents"))
+    drain(spark, agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
   /** Streaming count-min heavy hitters: maintain ONE CMS
     * ([[graft.operators.Sketch.cmsAggCol]]) as complete-mode streaming
     * state over the event stream, then point-estimate a probe

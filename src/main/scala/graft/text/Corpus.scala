@@ -149,6 +149,29 @@ object Corpus {
   def hashSample(df: DataFrame, keyCol: String, buckets: Int, keep: Int): DataFrame =
     df.filter(hashBucket(col(keyCol), buckets) < keep)
 
+  /** Deterministic train/val/test split (any number of named slices):
+    * `cuts` are cumulative permille fences over the key's hash bucket in
+    * [0, 1000) — `("train",800),("val",900),("test",1000)` gives
+    * 80/10/10. Same key ⇒ same slice across runs, engines, and cluster
+    * layouts, and DISJOINT slices by construction — the property that
+    * actually matters for contamination: a doc can never drift between
+    * train and test under re-execution the way `randomSplit` allows.
+    * Pure projection (no shuffle); the assignment expression pipelines
+    * into the scan. Output adds `split`. */
+  def hashSplit(df: DataFrame, keyCol: String,
+                cuts: Seq[(String, Int)] = Seq(("train", 800), ("val", 900),
+                  ("test", 1000))): DataFrame = {
+    require(cuts.nonEmpty && cuts.last._2 == 1000,
+      "cuts must be cumulative permille fences ending at 1000")
+    require(cuts.map(_._2) == cuts.map(_._2).sorted && cuts.map(_._2).distinct
+      .size == cuts.size, "cuts must be strictly increasing")
+    val b = hashBucket(col(keyCol), 1000)
+    val chained = cuts.tail.foldLeft(when(b < cuts.head._2, lit(cuts.head._1))) {
+      case (w, (name, cut)) => w.when(b < cut, lit(name))
+    }
+    df.withColumn("split", chained)
+  }
+
   /** Token-budget sampling: per domain, admit documents in deterministic
     * md5-rank order while the running token total stays within `budget` —
     * the "take ~B tokens per domain" pretraining recipe, reproducible

@@ -400,4 +400,50 @@ object TextAnalysis {
     val sh = Cols.shingles(Cols.tokens(text), k)
     coalesce(array_min(transform(sh, s => Cols.hash32(s))), Cols.hash32(trim(text)))
   }
+
+  /** Per-domain KL divergence of the token unigram distribution against
+    * the whole corpus — the domain-mix diagnostic (which sources skew the
+    * training distribution, and by how many nats): `KL(p_d ‖ p) =
+    * Σ_t (c_dt/n_d)·ln(c_dt·n / (n_d·c_t))`. Every term is well-defined
+    * without smoothing because the corpus distribution dominates each
+    * domain (`c_t ≥ c_dt > 0` for every token the domain contains).
+    *
+    * Determinism discipline: each term is computed per (domain, token)
+    * row from EXACT integer counts (integer products < 2⁵³ are exact in
+    * doubles; ÷ and ln then round identically per row), quantized to
+    * integer nanonats via `floor(x·10⁹ + 0.5)`, and summed exactly —
+    * no cross-row float accumulation, so `kl_e9` hash-matches a SQL
+    * replay (the [[graft.operators.MonteCarlo]] quantization rule).
+    *
+    * Scale shape: one token-explode aggregate to (domain, token) counts
+    * (map-side combine carries distinct tokens, not token instances),
+    * one token-keyed re-aggregate for corpus counts joined back on the
+    * same token key, and broadcast-sized domain/corpus totals — raw
+    * rows are scanned once and never reshuffled.
+    *
+    * Output: `domainCol, n_tokens, n_distinct, kl_e9` (ascending KL ⇒
+    * closest-to-corpus first). */
+  def domainDivergence(docs: DataFrame, domainCol: String,
+                       textCol: String): DataFrame = {
+    val tok = docs
+      .filter(col(domainCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(domainCol), explode(Cols.tokens(col(textCol))).as("__t"))
+    val cdt = tok.groupBy(col(domainCol), col("__t"))
+      .agg(count(lit(1)).as("__cdt"))
+    val perDomain = cdt.groupBy(col(domainCol))
+      .agg(sum(col("__cdt")).as("__nd"), count(lit(1)).as("n_distinct"))
+    val ct = cdt.groupBy(col("__t")).agg(sum(col("__cdt")).as("__ct"))
+    val total = cdt.agg(sum(col("__cdt")).as("__n"))
+    val term = (col("__cdt").cast("double") / col("__nd")) *
+      log((col("__cdt") * col("__n")).cast("double") /
+        (col("__nd") * col("__ct")).cast("double"))
+    cdt.join(ct, "__t")
+      .join(broadcast(perDomain), domainCol)
+      .crossJoin(broadcast(total))
+      .withColumn("__term_e9", floor(term * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col(domainCol))
+      .agg(max(col("__nd")).as("n_tokens"),
+        max(col("n_distinct")).as("n_distinct"),
+        sum(col("__term_e9")).as("kl_e9"))
+  }
 }

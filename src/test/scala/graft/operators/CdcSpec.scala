@@ -154,4 +154,36 @@ class CdcSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"),
       s"expected broadcast left-anti join:\n$p")
   }
+
+  test("tableDiff: added/removed/changed with per-column drift names") {
+    val before = Seq(("k1", 1.0, "a"), ("k2", 2.0, "b"), ("k3", 3.0, "c"),
+      ("k4", 4.0, null.asInstanceOf[String]))
+      .toDF("k", "price", "tag")
+    val after = Seq(("k2", 2.0, "b"),        // unchanged -> dropped
+      ("k3", 3.5, "z"),                       // both payload cols drift
+      ("k4", 4.0, null.asInstanceOf[String]), // null == null (null-safe)
+      ("k5", 5.0, "new")                      // added
+    ).toDF("k", "price", "tag")
+    val out = Cdc.tableDiff(before, after, Seq("k"))
+      .orderBy("k").collect()
+      .map(r => (r.getAs[String]("k"), r.getAs[String]("op"),
+        Option(r.getAs[Any]("n_diff_cols")),
+        Option(r.getAs[scala.collection.Seq[String]]("diff_cols"))
+          .map(_.toSeq)))
+    assert(out.toSeq == Seq(
+      ("k1", "removed", None, None),
+      ("k3", "changed", Some(2), Some(Seq("price", "tag"))),
+      ("k5", "added", None, None)))
+  }
+
+  test("tableDiff treats null-vs-value as drift and refuses schema mismatch") {
+    val before = Seq(("k", Some(1.0))).toDF("k", "price")
+    val after = Seq(("k", None: Option[Double])).toDF("k", "price")
+    val out = Cdc.tableDiff(before, after, Seq("k")).collect().head
+    assert(out.getAs[String]("op") == "changed" &&
+      out.getAs[Int]("n_diff_cols") == 1)
+    intercept[IllegalArgumentException] {
+      Cdc.tableDiff(before, after.withColumnRenamed("price", "cost"), Seq("k"))
+    }
+  }
 }

@@ -58,4 +58,73 @@ class FunnelSpec extends SparkSpec {
       s"expected the chained windows to share one hash partitioning:\n$p")
     assert(p.contains("Window"), p)
   }
+
+  test("cohortRetention: cohorts by first period, exact counts and permille") {
+    // u1: weeks 10,11,13  u2: weeks 10,10(dup),11  u3: week 11 only
+    val ev = Seq(("u1", 10L), ("u1", 11L), ("u1", 13L),
+      ("u2", 10L), ("u2", 10L), ("u2", 11L), ("u3", 11L))
+      .toDF("u", "w")
+    val out = Funnel.cohortRetention(ev, "u", "w")
+      .orderBy("cohort", "offset").collect()
+      .map(r => (r.getAs[Long]("cohort"), r.getAs[Long]("offset"),
+        r.getAs[Long]("n_users"), r.getAs[Long]("retained_permille")))
+    assert(out.toSeq == Seq(
+      (10L, 0L, 2L, 1000L), // u1, u2
+      (10L, 1L, 2L, 1000L), // both return in week 11
+      (10L, 3L, 1L, 500L),  // only u1 reaches week 13
+      (11L, 0L, 1L, 1000L)  // u3's own cohort
+    ))
+  }
+
+  test("cohortRetention ignores null users/periods and dedups within period") {
+    val ev = Seq((Some("u"), Some(5L)), (Some("u"), Some(5L)),
+      (None, Some(5L)), (Some("v"), None)).toDF("u", "w")
+    val out = Funnel.cohortRetention(ev, "u", "w").collect()
+    assert(out.length == 1 && out.head.getAs[Long]("n_users") == 1L)
+  }
+
+  test("touchAttribution: first/last preceding touch, (none) fallback, tie order") {
+    val ev = Seq(
+      // classic path: view then click then purchase
+      ("a", 1L, 1L, "view"), ("a", 2L, 2L, "click"), ("a", 3L, 3L, "purchase"),
+      // no touch before the purchase; a later view must NOT count
+      ("b", 1L, 4L, "purchase"), ("b", 2L, 5L, "view"),
+      // tie at t=1 broken by the id column: view(id 6) precedes purchase(id 7)
+      ("c", 1L, 6L, "view"), ("c", 1L, 7L, "purchase"),
+      // non-channel events are pruned before the window
+      ("d", 1L, 8L, "error"), ("d", 2L, 9L, "purchase")
+    ).toDF("u", "t", "id", "s")
+    val out = Funnel.touchAttribution(ev, Seq("u"), "t", "id", "s",
+        Seq("view", "click"), "purchase")
+      .orderBy("first_touch", "last_touch").collect()
+      .map(r => (r.getAs[String]("first_touch"), r.getAs[String]("last_touch"),
+        r.getAs[Long]("n_conversions")))
+    assert(out.toSeq == Seq(
+      ("(none)", "(none)", 2L), // b and d
+      ("view", "click", 1L),    // a: first view, last click
+      ("view", "view", 1L)))    // c: the tied-but-earlier-id view
+  }
+
+  test("rollingActiveUsers: trailing-window distinct membership, trimmed to observed periods") {
+    // u1 active weeks 10, 12; u2 week 10 only; u3 week 14
+    val ev = Seq(("u1", 10L), ("u1", 12L), ("u1", 12L),
+      ("u2", 10L), ("u3", 14L)).toDF("u", "w")
+    val out = Funnel.rollingActiveUsers(ev, "u", "w", windowPeriods = 4)
+      .orderBy("period").collect()
+      .map(r => (r.getAs[Long]("period"), r.getAs[Long]("active_users")))
+    assert(out.toSeq == Seq(
+      (10L, 2L), // u1, u2 (window 7..10)
+      (11L, 2L), (12L, 2L), (13L, 2L), // both via week 10 (u1 also via 12)
+      (14L, 2L)  // u1 (week 12 in 11..14) + u3; u2's week 10 aged out
+    )) // periods past 14 are trimmed
+  }
+
+  test("touchAttribution runs both window scans over one shuffle") {
+    val ev = Seq(("a", 1L, 1L, "view"), ("a", 2L, 2L, "purchase"))
+      .toDF("u", "t", "id", "s")
+    val p = Funnel.touchAttribution(ev, Seq("u"), "t", "id", "s",
+      Seq("view", "click"), "purchase").queryExecution.executedPlan.toString
+    // one per-key Exchange for the window + the final small group agg
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2, p)
+  }
 }

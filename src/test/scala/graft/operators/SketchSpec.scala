@@ -228,4 +228,77 @@ class SketchSpec extends SparkSpec {
     val aggsBelow = p.linesIterator.drop(firstExchange).count(_.contains("HashAggregate"))
     assert(aggsBelow >= 1, s"expected a partial aggregate below the exchange:\n$p")
   }
+
+  test("kmvPairOverlaps: below-k pairs read exact set algebra") {
+    // A = {1..10}, B = {6..15}: |A∪B| = 15, |A∩B| = 5, J = 1/3
+    val df = ((1 to 10).map(("A", _)) ++ (6 to 15).map(("B", _)))
+      .toDF("g", "v")
+    val out = Sketch.kmvPairOverlaps(
+      Sketch.kmvSketch(df, Seq("g"), "v", k = 64), "g", "sketch", k = 64)
+      .collect().head
+    assert(out.getAs[String]("g1") == "A" && out.getAs[String]("g2") == "B")
+    assert(out.getAs[Int]("k_eff") == 15, "union below k is kept whole")
+    assert(out.getAs[Double]("union_est") == 15.0, "below-k union is exact")
+    assert(out.getAs[Int]("n_common") == 5, "membership in buffers is exact")
+    assert(out.getAs[Long]("jaccard_e6") == 5L * 1000000 / 15)
+    assert(out.getAs[Double]("inter_est") == 5.0, "J·|A∪B| = 5 exactly here")
+  }
+
+  test("kmvPairOverlaps estimates above-k overlaps within sketch error") {
+    // two overlapping 5000-element sets, |A∩B| = 2000, k = 128
+    val df = ((0 until 5000).map(i => ("A", s"x$i")) ++
+      (3000 until 8000).map(i => ("B", s"x$i"))).toDF("g", "v")
+    val out = Sketch.kmvPairOverlaps(
+      Sketch.kmvSketch(df, Seq("g"), "v"), "g", "sketch")
+      .collect().head
+    assert(out.getAs[Int]("k_eff") == 128)
+    assert(math.abs(out.getAs[Double]("union_est") - 8000) / 8000 < 0.3)
+    assert(math.abs(out.getAs[Double]("inter_est") - 2000) / 2000 < 0.5,
+      s"inter_est=${out.getAs[Double]("inter_est")}")
+  }
+
+  test("hllRegisters: rho is 1 + leading zeros of the top hash bits") {
+    val df = (0 until 500).map(i => ("g", s"v$i")).toDF("g", "v")
+    val regs = Sketch.hllRegisters(df, Seq("g"), "v", p = 6).collect()
+    assert(regs.nonEmpty && regs.length <= 64, "at most 2^p register rows")
+    regs.foreach { r =>
+      val b = r.getAs[Long]("bucket"); val rho = r.getAs[Int]("rho")
+      assert(b >= 0 && b < 64 && rho >= 1 && rho <= 55, s"bucket=$b rho=$rho")
+    }
+    // re-derive one register by hand from the hash definition
+    val hk = graft.text.TextHash.hash60Md5("v0")
+    val rest = hk / 64
+    val expectRho = if (rest == 0) 55 else 55 - (64 - java.lang.Long.numberOfLeadingZeros(rest))
+    val got = regs.find(_.getAs[Long]("bucket") == hk % 64).get.getAs[Int]("rho")
+    assert(got >= expectRho, "the register is the max over its bucket's sub-stream")
+  }
+
+  test("merging per-shard HLL registers equals the direct unsharded build") {
+    val df = (0 until 1000).map(i => ("g", s"v${i % 300}", i % 7)).toDF("g", "v", "shard")
+    val direct = Sketch.hllRegisters(df, Seq("g"), "v", p = 6)
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2)))
+    val merged = Sketch.hllMergeRegisters(
+        Sketch.hllRegisters(df, Seq("g", "shard"), "v", p = 6), Seq("g"))
+      .orderBy("bucket").collect().map(r => (r.getLong(1), r.getInt(2)))
+    assert(merged.toSeq == direct.toSeq,
+      "max over rows is the HLL composition law — shard-merge must be exact")
+  }
+
+  test("hllEstimate lands within the standard error of the true cardinality") {
+    // p=8 -> 256 registers, 1.04/sqrt(m) = 6.5% standard error
+    val n = 20000
+    val df = (0 until n).map(i => ("g", s"value-$i")).toDF("g", "v")
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, Seq("g"), "v", p = 8), Seq("g"), p = 8)
+      .collect().head.getAs[Double]("n_est")
+    assert(math.abs(est - n) / n < 0.2, s"estimate $est vs true $n")
+  }
+
+  test("hllEstimate uses linear counting in the sparse regime") {
+    val df = (0 until 10).map(i => ("g", s"v$i")).toDF("g", "v")
+    val est = Sketch.hllEstimate(
+      Sketch.hllRegisters(df, Seq("g"), "v", p = 8), Seq("g"), p = 8)
+      .collect().head.getAs[Double]("n_est")
+    assert(est > 5 && est < 15, s"linear-counting estimate $est for 10 distinct")
+  }
 }

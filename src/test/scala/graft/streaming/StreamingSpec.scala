@@ -19,6 +19,24 @@ class StreamingSpec extends SparkSpec {
     streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
   }
 
+  test("slidingEventStats: overlapping-window streaming equals the batch explosion") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = slidingEventStats(spark, dir).collect()
+    val batch = graft.sources.Tables.events(spark, dir)
+      .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      .groupBy(to_date(window(col("ts"), "28 days", "7 days").getField("start"))
+        .as("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("cents")).as("sum_cents"))
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.length === batch.length)
+    streamed.zip(batch).foreach { case (s, b) => assert(s === b) }
+    // every window sees ~4 tumbling periods' worth: the sliding total is
+    // 4x the event count (each event feeds exactly 4 windows)
+    val totalN = streamed.map(_.getAs[Long]("n")).sum
+    val nEvents = graft.sources.Tables.events(spark, dir).count()
+    assert(totalN === 4 * nEvents)
+  }
+
   test("streamingNearDupPairs: streaming LSH index equals the batch candidates") {
     val dir = "/root/testdata/sf0.001"
     val streamed = streamingNearDupPairs(spark, dir, k = 8, bands = 4).collect()

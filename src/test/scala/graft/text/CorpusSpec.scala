@@ -59,6 +59,41 @@ class CorpusSpec extends SparkSpec {
     assert(keptIds.size > 200 && keptIds.size < 400, s"got ${keptIds.size}")
   }
 
+  test("hashSplit: exhaustive, disjoint, retry-stable slices near the fences") {
+    val df = spark.range(0, 2000).toDF("id")
+    val out = Corpus.hashSplit(df, "id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(out.size == 2000, "every row gets exactly one slice")
+    val bySlice = out.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(bySlice.keySet == Set("train", "val", "test"))
+    // ~80/10/10 within generous uniform-hash bounds
+    assert(bySlice("train") > 1400 && bySlice("train") < 1800, bySlice.toString)
+    assert(bySlice("val") > 100 && bySlice("val") < 320, bySlice.toString)
+    // physical layout must not change any verdict (the retry property)
+    val repart = Corpus.hashSplit(df.repartition(7), "id").collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[String]("split")).toMap
+    assert(repart == out)
+    // the slice is the documented function of the hash bucket
+    val buckets = df.select(col("id"),
+      Corpus.hashBucket(col("id").cast("string"), 1000).as("b")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { case (id, s) =>
+      val b = buckets(id)
+      val expect = if (b < 800) "train" else if (b < 900) "val" else "test"
+      assert(s == expect, s"id=$id bucket=$b")
+    }
+  }
+
+  test("hashSplit rejects malformed fences") {
+    val df = spark.range(0, 1).toDF("id")
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(df, "id", Seq(("a", 500), ("b", 900)))
+    }
+    intercept[IllegalArgumentException] {
+      Corpus.hashSplit(df, "id", Seq(("a", 900), ("b", 500), ("c", 1000)))
+    }
+  }
+
   test("bloomDecontaminate equals the exact anti-join (no false negatives survive)") {
     val corpus = Seq(
       (1L, "a b c d e f g h"),       // shares "c d e" with test

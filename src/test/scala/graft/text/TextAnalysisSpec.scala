@@ -75,4 +75,36 @@ class TextAnalysisSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
     assert(kept === Seq(1L, 4L))
   }
+
+  test("domainDivergence: zero for corpus-identical domains") {
+    val docs = Seq(("a", "x y"), ("b", "x y")).toDF("source", "text")
+    val out = TextAnalysis.domainDivergence(docs, "source", "text")
+      .orderBy("source").collect()
+    assert(out.map(_.getAs[Long]("kl_e9")).forall(_ == 0L),
+      "every ratio is 1 -> every ln term is exactly 0")
+    assert(out.map(r => (r.getAs[Long]("n_tokens"),
+      r.getAs[Long]("n_distinct"))).toSeq == Seq((2L, 2L), (2L, 2L)))
+  }
+
+  test("domainDivergence: hand-computed KL for a 2-token skew") {
+    // A: x x x y   B: y y y x  -> corpus is uniform {x: 4, y: 4}
+    // KL(A ‖ corpus) = 0.75·ln(1.5) + 0.25·ln(0.5) ≈ 0.13081204 nats
+    val docs = Seq(("a", "x x x y"), ("b", "y y y x")).toDF("source", "text")
+    val out = TextAnalysis.domainDivergence(docs, "source", "text")
+      .orderBy("source").collect()
+    val expected = 0.75 * math.log(1.5) + 0.25 * math.log(0.5)
+    out.foreach { r => // symmetric by construction
+      assert(approx(r.getAs[Long]("kl_e9") / 1e9, expected, 2e-9),
+        s"${r.getAs[Long]("kl_e9")} vs $expected")
+    }
+  }
+
+  test("domainDivergence is non-negative and skips null/empty docs") {
+    val docs = Seq(("a", "p p p p q"), ("b", "q r s t u"), ("a", "  "),
+      (null, "p q")).toDF("source", "text")
+    val out = TextAnalysis.domainDivergence(docs, "source", "text").collect()
+    assert(out.length == 2)
+    out.foreach(r => assert(r.getAs[Long]("kl_e9") >= 0L,
+      "KL against a dominating corpus distribution is Gibbs-nonnegative"))
+  }
 }
