@@ -25,17 +25,26 @@ object Tables {
   def documents(s: SparkSession, dir: String): DataFrame = p(s, dir, "documents")
   def embeddings(s: SparkSession, dir: String): DataFrame = p(s, dir, "embeddings")
 
-  /** `events.ts` is parquet `TIMESTAMP(NANOS)`, which Spark's parquet reader
-    * rejects outright ([PARQUET_TYPE_ILLEGAL]). Read the raw nanos via the
-    * legacy conf and surface:
-    *   - `ts`    TimestampType at µs precision (truncating division — exactly
-    *             DuckDB's nanos→µs semantics, so oracle comparisons agree),
-    *   - `ts_ns` the raw epoch-nanos long, for exact ordering/tiebreaks.
+  /** `events.ts` has shipped in two physical shapes across testdata
+    * generations: parquet `TIMESTAMP(NANOS)` (which Spark's parquet reader
+    * rejects outright — [PARQUET_TYPE_ILLEGAL] — so it is read as a raw
+    * long via the legacy conf) and plain `TIMESTAMP(MICROS)`. Branch on
+    * the loaded type and surface the same two columns either way:
+    *   - `ts`    TimestampType at µs precision (nanos truncate by division —
+    *             exactly DuckDB's nanos→µs semantics, so oracles agree),
+    *   - `ts_ns` epoch-nanos long, for exact ordering/tiebreaks and the
+    *             integral window arithmetic the queries build on.
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    p(s, dir, "events")
-      .withColumn("ts_ns", col("ts"))
-      .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+    val raw = p(s, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts_ns", col("ts"))
+          .withColumn("ts", expr("timestamp_micros(ts_ns div 1000)"))
+      case _ => // µs-precision timestamp (NTZ or LTZ; session tz is UTC)
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+          .withColumn("ts_ns", expr("unix_micros(ts) * 1000"))
+    }
   }
 }

@@ -46,6 +46,19 @@ object StreamingCollapse {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Streaming scan of the events table with `ts` normalized to epoch-nanos
+    * long — the streaming twin of [[graft.sources.Tables.events]]'s physical-
+    * schema branch (the testdata has shipped both TIMESTAMP(NANOS)-as-long
+    * and TIMESTAMP(MICROS)). `readStream` needs an explicit schema, so the
+    * actual file schema comes from one batch footer read; every downstream
+    * `ts div 1000` µs derivation then works unchanged on either encoding. */
+  private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    val phys = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(phys).parquet(streamDir(dir))
+    if (phys("ts").dataType == LongType) raw
+    else raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
+  }
+
   /** FileStreamSource requires a *directory* basePath; the testdata ships
     * single `<table>.parquet` files. Stage a symlink to one inside a temp
     * directory (per source dir + table, idempotent) — at scale the source
@@ -133,9 +146,7 @@ object StreamingCollapse {
     val name = "graft_stream_sessions"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     import spark.implicits._
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir(dir))
+    val events = eventsStream(spark, dir)
       .select(col("user_id"), expr("ts div 1000").as("tsMicros"), col("value"))
       .as[(Long, Long, Double)]
       .map { case (u, t, v) => SessionEvent(u, t, v) }
@@ -154,9 +165,7 @@ object StreamingCollapse {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_weekly"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val agg = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir(dir))
+    val agg = eventsStream(spark, dir)
       .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       .withWatermark("ets", "30 days")
       .groupBy(window(col("ets"), "7 days"), col("event_type"))
@@ -186,9 +195,7 @@ object StreamingCollapse {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_sliding"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val agg = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir(dir))
+    val agg = eventsStream(spark, dir)
       .withColumn("ets", expr("timestamp_micros(ts div 1000)"))
       .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
       .withWatermark("ets", "60 days")
@@ -223,9 +230,7 @@ object StreamingCollapse {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_cms"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val sketch = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir(dir))
+    val sketch = eventsStream(spark, dir)
       .select(concat(col("event_type"), lit(":"), col("user_id") % 40).as("k"))
       .agg(graft.operators.Sketch.cmsAggCol(col("k"), width).as("cms"))
     drain(spark, sketch.writeStream
@@ -257,9 +262,7 @@ object StreamingCollapse {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_kmv"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val sketch = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir(dir))
+    val sketch = eventsStream(spark, dir)
       .groupBy(col("event_type"))
       .agg(graft.operators.Sketch.kmvAggCol(col("user_id"), k).as("__s"))
     drain(spark, sketch.writeStream
@@ -324,9 +327,7 @@ object StreamingCollapse {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_join"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    def side(evType: String, pfx: String) = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir(dir))
+    def side(evType: String, pfx: String) = eventsStream(spark, dir)
       .filter(col("event_type") === evType)
       .select(col("user_id").as(s"${pfx}_user"),
         expr("timestamp_micros(ts div 1000)").as(s"${pfx}_ts"),
@@ -369,9 +370,7 @@ object StreamingCollapse {
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val userAvg = graft.sources.Tables.events(spark, dir)
       .groupBy("user_id").agg(avg(col("value")).as("user_avg"))
-    val agg = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir(dir))
+    val agg = eventsStream(spark, dir)
       .select(col("user_id"), col("event_type"), col("value"))
       .join(broadcast(userAvg), Seq("user_id"))
       .groupBy("event_type")
