@@ -1945,6 +1945,139 @@ object SparkEntry {
         .select(col("o_orderkey"), col("op"), col("n_diff_cols"),
           array_join(col("diff_cols"), ",").as("diff_str"))
         .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: data-quality expectation suite — every row-level
+    // check + the unique-key check fold into ONE aggregate over ONE scan;
+    // the FK check is a key-projected anti-join
+    "q160_x_expectations" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d)
+      graft.operators.Expectations.validate(li,
+        rowChecks = Seq(
+          "orderkey_not_null" -> col("l_orderkey").isNotNull,
+          "quantity_range" -> (col("l_quantity") >= 1 && col("l_quantity") <= 50),
+          "returnflag_domain" -> col("l_returnflag").isin("A", "N", "R"),
+          "price_positive" -> (col("l_extendedprice") > 0)),
+        uniqueKey = Some(("pk_unique", Seq("l_orderkey", "l_linenumber"))),
+        refChecks = Seq(graft.operators.Expectations.RefCheck(
+          "fk_orders", Seq("l_orderkey"), Tables.orders(s, d), Seq("o_orderkey"))))
+    }),
+
+    // ---- extension: 2-D Pareto frontier — best (price, date) trade-offs
+    // among urgent orders; local frontier prune then exact global pass
+    "q161_x_skyline" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .withColumn("price_cents", expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .withColumn("day_no", datediff(to_date(col("o_orderdate")), lit("1970-01-01")))
+      graft.operators.Skyline.pareto2d(o, "price_cents", "day_no")
+        .select("o_orderkey", "price_cents", "day_no")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: time-weighted average — the step-function integral
+    // per user (bursts don't over-weight); one window + one aggregate on
+    // the same partitioning, exact micros x cents
+    "q162_x_twap" -> tuned((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("ts_ns div 1000"))
+        .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      graft.operators.Features.timeWeightedAvg(e, Seq("user_id"), "tsu", "cents",
+          tieCols = Seq("event_id"))
+        .orderBy("user_id")
+    }),
+
+    // ---- extension: two-feature grouped OLS — price ~ quantity +
+    // discount per return flag; nine exact sufficient sums, Cramer solve
+    // as a fixed double expression tree the oracle replays bit-for-bit
+    "q163_x_ols2" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("cents", expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .withColumn("qty", col("l_quantity").cast("long"))
+        .withColumn("disc_pm", expr("cast(floor(l_discount * 1000 + 0.5) as bigint)"))
+      graft.operators.Regression.groupedOls2(li, Seq("l_returnflag"),
+          "qty", "disc_pm", "cents")
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- extension: boilerplate line strip — lines in >10% of a
+    // source's docs (and >=2 docs) are template, removed from EVERY doc;
+    // the df-threshold complement of q81's keep-first-occurrence
+    "q164_x_boilerplate" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), linedText(col("text")).as("lt"))
+      Dedup.stripBoilerplate(docs, "doc_id", "lt", "source", maxPermille = 100)
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: last-writer-wins per-FIELD consolidation — partial
+    // updates merge instead of wiping older fields (vs q121's whole-row
+    // latest); one max_by-per-column aggregate
+    "q165_x_lww_consolidate" -> tuned((s, d) => {
+      val base = Tables.orders(s, d)
+        .filter(col("o_orderkey") % 7 < 3)
+        .select(col("o_orderkey"), lit(1).as("ver"),
+          col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val u2 = base.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey"), lit(2).as("ver"),
+          lit("U2").as("status"), lit(null).cast("double").as("price"))
+      val u3 = base.filter(col("o_orderkey") % 5 === 0)
+        .select(col("o_orderkey"), lit(3).as("ver"),
+          lit(null).cast("string").as("status"),
+          (col("price") + 1000).as("price"))
+      graft.operators.Cdc.lwwConsolidate(
+          base.unionByName(u2).unionByName(u3), Seq("o_orderkey"), "ver")
+        .orderBy("o_orderkey")
+    }),
+
+    // ---- extension: market-basket pair affinity — parts co-purchased
+    // within an order, integer-exact lift/confidence; the self-join fans
+    // out per basket (bounded), never globally
+    "q166_x_copurchase" -> tuned((s, d) =>
+      graft.operators.Affinity.coOccurrence(
+          Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2)
+        .orderBy("item1", "item2")),
+
+    // ---- extension: CUSUM level-shift screen — drift of the cumulative
+    // deviation above its running minimum, exact n-scaled longs, over
+    // monthly order revenue per priority
+    "q167_x_cusum" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("cents"))
+      graft.operators.Features.cusumDrift(m, Seq("prio"), "month", "cents")
+        .select(col("prio"), col("month"), col("n"), col("dev_scaled"),
+          col("drift_scaled"))
+        .orderBy("prio", "month")
+    }),
+
+    // ---- extension: interval-union coverage — net covered time per user
+    // from overlapping event intervals (derived deterministic durations);
+    // islands merged on one window sort, exact micros
+    "q168_x_interval_union" -> tuned((s, d) => {
+      val e = Tables.events(s, d).select(col("user_id"),
+        expr("ts_ns div 1000").as("s"),
+        expr("ts_ns div 1000 + (event_id % 997 + 1) * 1000000").as("e"))
+      graft.operators.RangeJoin.intervalUnionLength(e, Seq("user_id"), "s", "e")
+        .orderBy("user_id")
+    }),
+
+    // ---- extension: mutual information between categorical column
+    // pairs — association profiling with nanonat-quantized exact sums
+    // (the q153 discipline applied to I(X;Y))
+    "q169_x_mutual_info" -> tuned((s, d) => {
+      def mi(df: DataFrame, x: String, y: String, label: String) =
+        graft.operators.Profile.mutualInfo(df, x, y)
+          .select(lit(label).as("pair"), col("n_rows"), col("nx_distinct"),
+            col("ny_distinct"), col("mi_e9"))
+      mi(Tables.orders(s, d), "o_orderpriority", "o_orderstatus", "prio_status")
+        .unionByName(mi(Tables.lineitem(s, d), "l_returnflag", "l_linestatus",
+          "flag_status"))
+        .unionByName(mi(Tables.events(s, d)
+            .withColumn("ub", col("user_id") % 10),
+          "event_type", "ub", "type_userbucket"))
+        .orderBy("pair")
     })
   )
 
@@ -4456,7 +4589,235 @@ object SparkEntry {
         |  END AS n_diff_cols,
         |  CASE WHEN op = 'changed' THEN concat_ws(',', d1, d2, d3, d4)
         |  END AS diff_str
-        |FROM s WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin)
+        |FROM s WHERE op IS NOT NULL ORDER BY o_orderkey""".stripMargin),
+
+    // row checks: CASE WHEN pred THEN 0 ELSE 1 mirrors Spark's
+    // when(pred, 0).otherwise(1) — NULL predicates fall to the violation
+    // branch in both engines
+    "q160_x_expectations" ->
+      ("""WITH rc AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_orderkey IS NOT NULL THEN 0 ELSE 1 END) AS v_nn,
+        |    sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50 THEN 0 ELSE 1 END) AS v_q,
+        |    sum(CASE WHEN l_returnflag IN ('A','N','R') THEN 0 ELSE 1 END) AS v_rf,
+        |    sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_p,
+        |    count(*) - count(DISTINCT (l_orderkey, l_linenumber)) AS v_u
+        |  FROM lineitem),
+        |fk AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey)
+        |SELECT * FROM (
+        |  SELECT 'orderkey_not_null' AS "constraint", n AS n_rows,
+        |    CAST(v_nn AS BIGINT) AS n_violations, v_nn = 0 AS passed FROM rc
+        |  UNION ALL SELECT 'quantity_range', n, CAST(v_q AS BIGINT), v_q = 0 FROM rc
+        |  UNION ALL SELECT 'returnflag_domain', n, CAST(v_rf AS BIGINT), v_rf = 0 FROM rc
+        |  UNION ALL SELECT 'price_positive', n, CAST(v_p AS BIGINT), v_p = 0 FROM rc
+        |  UNION ALL SELECT 'pk_unique', n, CAST(v_u AS BIGINT), v_u = 0 FROM rc
+        |  UNION ALL SELECT 'fk_orders', n, CAST(v AS BIGINT), v = 0 FROM fk)
+        |ORDER BY "constraint"""".stripMargin),
+
+    "q161_x_skyline" ->
+      ("""WITH o AS (SELECT o_orderkey,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_cents,
+        |    date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day_no
+        |  FROM orders WHERE o_orderpriority = '1-URGENT')
+        |SELECT b.o_orderkey, b.price_cents, CAST(b.day_no AS INT) AS day_no
+        |FROM o b
+        |WHERE NOT EXISTS (SELECT 1 FROM o a
+        |  WHERE a.price_cents >= b.price_cents AND a.day_no <= b.day_no
+        |    AND (a.price_cents > b.price_cents OR a.day_no < b.day_no))
+        |ORDER BY b.o_orderkey""".stripMargin),
+
+    // gap attribution among equal timestamps follows the (tsu, event_id)
+    // tie order on both sides; twap is one IEEE division of exact longs
+    "q162_x_twap" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |g AS (SELECT user_id, cents,
+        |    lead(tsu) OVER (PARTITION BY user_id ORDER BY tsu, event_id) - tsu AS gap
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_obs, CAST(sum(gap) AS BIGINT) AS span,
+        |  CASE WHEN sum(gap) > 0 THEN
+        |    floor(CAST(sum(gap * cents) AS DOUBLE) / CAST(sum(gap) AS DOUBLE) * 100 + 0.5) / 100
+        |  END AS twap
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // Cramer expansion spelled in the IDENTICAL order as the Spark
+    // expression tree — IEEE doubles then agree bit-for-bit
+    "q163_x_ols2" ->
+      ("""WITH b AS (SELECT l_returnflag,
+        |    CAST(l_quantity AS BIGINT) AS qty,
+        |    CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS disc_pm,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |s AS (SELECT l_returnflag, count(*) AS n,
+        |    sum(qty) AS s1, sum(disc_pm) AS s2, sum(cents) AS sy,
+        |    sum(qty * qty) AS s11, sum(qty * disc_pm) AS s12,
+        |    sum(disc_pm * disc_pm) AS s22,
+        |    sum(qty * cents) AS s1y, sum(disc_pm * cents) AS s2y
+        |  FROM b GROUP BY l_returnflag),
+        |d AS (SELECT l_returnflag, n,
+        |    CAST(n AS DOUBLE) AS dn, CAST(s1 AS DOUBLE) AS d1,
+        |    CAST(s2 AS DOUBLE) AS d2, CAST(sy AS DOUBLE) AS dy,
+        |    CAST(s11 AS DOUBLE) AS d11, CAST(s12 AS DOUBLE) AS d12,
+        |    CAST(s22 AS DOUBLE) AS d22,
+        |    CAST(s1y AS DOUBLE) AS d1y, CAST(s2y AS DOUBLE) AS d2y
+        |  FROM s),
+        |c AS (SELECT l_returnflag, n,
+        |    dn * (d11 * d22 - d12 * d12) - d1 * (d1 * d22 - d12 * d2)
+        |      + d2 * (d1 * d12 - d11 * d2) AS det,
+        |    dy * (d11 * d22 - d12 * d12) - d1 * (d1y * d22 - d12 * d2y)
+        |      + d2 * (d1y * d12 - d11 * d2y) AS det_a,
+        |    dn * (d1y * d22 - d12 * d2y) - dy * (d1 * d22 - d12 * d2)
+        |      + d2 * (d1 * d2y - d1y * d2) AS det_b1,
+        |    dn * (d11 * d2y - d1y * d12) - d1 * (d1 * d2y - d1y * d2)
+        |      + dy * (d1 * d12 - d11 * d2) AS det_b2
+        |  FROM d)
+        |SELECT l_returnflag, n,
+        |  CASE WHEN det <> 0 THEN floor(det_a / det * 1000000 + 0.5) / 1000000 END AS intercept,
+        |  CASE WHEN det <> 0 THEN floor(det_b1 / det * 1000000 + 0.5) / 1000000 END AS b1,
+        |  CASE WHEN det <> 0 THEN floor(det_b2 / det * 1000000 + 0.5) / 1000000 END AS b2
+        |FROM c ORDER BY l_returnflag""".stripMargin),
+
+    "q164_x_boilerplate" ->
+      (s"""$LinedCte,
+        |l0 AS (SELECT doc_id, unnest(la) AS line,
+        |         unnest(range(1, len(la) + 1)) AS i
+        |       FROM lined),
+        |l AS (SELECT l0.doc_id, d.source, l0.line, l0.i
+        |      FROM l0 JOIN documents d USING (doc_id)
+        |      WHERE length(l0.line) > 0),
+        |gs AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        |df AS (SELECT source, line, count(DISTINCT doc_id) AS df
+        |       FROM l GROUP BY source, line),
+        |boiler AS (SELECT df.source, df.line FROM df JOIN gs USING (source)
+        |           WHERE df.df >= 2 AND df.df * 1000 > 100 * gs.n_docs),
+        |k AS (SELECT l.doc_id, l.source, l.line, l.i,
+        |        b.line IS NOT NULL AS is_b
+        |      FROM l LEFT JOIN boiler b
+        |        ON l.source = b.source AND l.line = b.line),
+        |cnt AS (SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_lines,
+        |        CAST(sum(CASE WHEN NOT is_b THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |        string_agg(CASE WHEN NOT is_b THEN line END, chr(10) ORDER BY i) AS txt
+        |        FROM k GROUP BY doc_id, source)
+        |SELECT d.doc_id, d.source,
+        |  coalesce(cnt.n_lines, 0) AS n_lines,
+        |  coalesce(cnt.n_kept, 0) AS n_kept,
+        |  coalesce(cnt.txt, '') AS text_clean
+        |FROM documents d LEFT JOIN cnt ON d.doc_id = cnt.doc_id
+        |ORDER BY d.doc_id""".stripMargin),
+
+    // arg_max skips rows whose ORDER argument is NULL — exactly the
+    // per-field non-null filter Spark's max_by(when(...)) applies
+    "q165_x_lww_consolidate" ->
+      ("""WITH base AS (SELECT o_orderkey, 1 AS ver,
+        |    o_orderstatus AS status, o_totalprice AS price
+        |  FROM orders WHERE o_orderkey % 7 < 3),
+        |u2 AS (SELECT o_orderkey, 2 AS ver, 'U2' AS status,
+        |    CAST(NULL AS DOUBLE) AS price
+        |  FROM base WHERE o_orderkey % 3 = 0),
+        |u3 AS (SELECT o_orderkey, 3 AS ver, CAST(NULL AS VARCHAR) AS status,
+        |    price + 1000 AS price
+        |  FROM base WHERE o_orderkey % 5 = 0),
+        |c AS (SELECT * FROM base UNION ALL SELECT * FROM u2
+        |      UNION ALL SELECT * FROM u3)
+        |SELECT o_orderkey,
+        |  arg_max(status, CASE WHEN status IS NOT NULL THEN ver END) AS status,
+        |  arg_max(price, CASE WHEN price IS NOT NULL THEN ver END) AS price,
+        |  max(ver) AS last_version, count(*) AS n_updates
+        |FROM c GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin),
+
+    "q166_x_copurchase" ->
+      ("""WITH it AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL),
+        |nb AS (SELECT count(DISTINCT b) AS n FROM it),
+        |ic AS (SELECT i, count(*) AS c FROM it GROUP BY i),
+        |p AS (SELECT a.i AS item1, b.i AS item2, count(*) AS c12
+        |      FROM it a JOIN it b ON a.b = b.b AND a.i < b.i
+        |      GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT p.item1, p.item2, p.c12,
+        |  c1.c AS c1, c2.c AS c2,
+        |  p.c12 * nb.n * 1000000 // (c1.c * c2.c) AS lift_e6,
+        |  p.c12 * 1000000 // c1.c AS conf_e6
+        |FROM p
+        |JOIN ic c1 ON c1.i = p.item1
+        |JOIN ic c2 ON c2.i = p.item2
+        |CROSS JOIN nb
+        |ORDER BY p.item1, p.item2""".stripMargin),
+
+    "q167_x_cusum" ->
+      ("""WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT prio, month,
+        |    count(*) OVER (PARTITION BY prio) AS n,
+        |    cents * count(*) OVER (PARTITION BY prio)
+        |      - sum(cents) OVER (PARTITION BY prio) AS dev_scaled
+        |  FROM m),
+        |c AS (SELECT prio, month, n, dev_scaled,
+        |    sum(dev_scaled) OVER (PARTITION BY prio ORDER BY month
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM w)
+        |SELECT prio, month, n, CAST(dev_scaled AS BIGINT) AS dev_scaled,
+        |  CAST(cum - min(cum) OVER (PARTITION BY prio ORDER BY month
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS drift_scaled
+        |FROM c ORDER BY prio, month""".stripMargin),
+
+    "q168_x_interval_union" ->
+      ("""WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + (event_id % 997 + 1) * 1000000 AS e
+        |  FROM events),
+        |mk AS (SELECT user_id, s, e,
+        |    CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |      OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      THEN 1 ELSE 0 END AS new_isl
+        |  FROM iv WHERE s IS NOT NULL AND e IS NOT NULL AND e >= s),
+        |isl AS (SELECT user_id, s, e,
+        |    sum(new_isl) OVER (PARTITION BY user_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl_id
+        |  FROM mk),
+        |g AS (SELECT user_id, isl_id, count(*) AS n, min(s) AS ms, max(e) AS me
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n) AS BIGINT) AS n_intervals,
+        |  count(*) AS n_islands,
+        |  CAST(sum(me - ms) AS BIGINT) AS covered,
+        |  CAST(max(me) - min(ms) AS BIGINT) AS span
+        |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // per-cell terms from exact integer counts, one fixed float tree per
+    // cell, nanonat-quantized then summed exactly (the q153 discipline)
+    "q169_x_mutual_info" -> {
+      def miSql(src: String, label: String) =
+        s"""SELECT '$label' AS pair, t.n_rows, t.nx_distinct, t.ny_distinct, t.mi_e9
+           |FROM (
+           |  WITH cells AS (SELECT x, y, count(*) AS c FROM ($src) GROUP BY x, y),
+           |  cx AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM cells GROUP BY x),
+           |  cy AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM cells GROUP BY y),
+           |  tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+           |  SELECT max(tot.n) AS n_rows,
+           |    count(DISTINCT cells.x) AS nx_distinct,
+           |    count(DISTINCT cells.y) AS ny_distinct,
+           |    CAST(sum(CAST(floor(
+           |      (CAST(cells.c AS DOUBLE) / tot.n) *
+           |      ln(CAST(cells.c * tot.n AS DOUBLE) / CAST(cx.cx * cy.cy AS DOUBLE))
+           |      * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_e9
+           |  FROM cells JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot
+           |) t""".stripMargin
+      Seq(
+        miSql("SELECT o_orderpriority AS x, o_orderstatus AS y FROM orders " +
+          "WHERE o_orderpriority IS NOT NULL AND o_orderstatus IS NOT NULL",
+          "prio_status"),
+        miSql("SELECT l_returnflag AS x, l_linestatus AS y FROM lineitem " +
+          "WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL",
+          "flag_status"),
+        miSql("SELECT event_type AS x, user_id % 10 AS y FROM events " +
+          "WHERE event_type IS NOT NULL AND user_id IS NOT NULL",
+          "type_userbucket"))
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY pair")
+    }
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -58,6 +58,35 @@ object Cdc {
       .drop(opCol)
   }
 
+  /** Last-writer-wins PER-FIELD consolidation (the LWW-register-map CRDT
+    * shape, and pandas' `groupby(...).last()` with per-column NaN skip):
+    * where [[applyChanges]] keeps the latest ROW wholesale — a partial
+    * update carrying nulls would wipe older fields — this merges partial
+    * updates by letting EVERY column independently keep its latest
+    * NON-NULL value. The classic use is profile/record consolidation
+    * from sparse event streams.
+    *
+    * ONE aggregate: each column is a `max_by(value, order-if-non-null)`
+    * beside its siblings (null order keys are skipped by the aggregate,
+    * which is exactly the non-null filter), map-side combined, one row
+    * per (task, key) across the shuffle. `versionCol ++ tieBreak` must
+    * totally order each key's events — a tie would make "latest"
+    * engine-dependent. Output: keys, latest non-null payload fields,
+    * `last_version`, `n_updates`. */
+  def lwwConsolidate(changes: DataFrame, keyCols: Seq[String], versionCol: String,
+                     tieBreak: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "lwwConsolidate needs at least one key column")
+    val meta = keyCols.toSet + versionCol ++ tieBreak
+    val payload = changes.columns.filterNot(meta.contains)
+    require(payload.nonEmpty, "lwwConsolidate needs at least one payload column")
+    val ordKey = struct((versionCol +: tieBreak).map(col): _*)
+    val aggs = payload.map(c =>
+      max_by(col(c), when(col(c).isNotNull, ordKey)).as(c)) ++ Seq(
+      max(col(versionCol)).as("last_version"),
+      count(lit(1)).as("n_updates"))
+    changes.groupBy(keyCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Window-sort form of [[applyChanges]] for payloads the struct
     * ordering cannot carry through an aggregate (MapType is unorderable;
     * `max_by` also rejects it inside the candidate struct on some

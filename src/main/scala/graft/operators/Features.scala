@@ -143,6 +143,85 @@ object Features {
         .when(pv.isNotNull && nv.isNotNull, filled))
   }
 
+  /** Time-weighted average per key (the TWAP/VWAP family): each
+    * observation holds its value until the next one, so the average is
+    * `Σ gapᵢ·vᵢ / Σ gapᵢ` over consecutive-observation gaps — the
+    * step-function integral, not the row mean (which over-weights bursts
+    * of closely-spaced updates; at 100 TB of irregular telemetry the two
+    * disagree badly).
+    *
+    * Plan shape: one `lead` window and one aggregate over the SAME
+    * (keys) hash partitioning — the aggregate reuses the window's
+    * shuffle, so the whole operator moves data once.
+    *
+    * Exactness contract (q142 discipline): `tsCol` must be integral
+    * (epoch micros) and `valueCol` integral (quantize money to cents
+    * upstream); gaps and gap-weighted sums are then exact longs, and the
+    * average is ONE IEEE division of two exact longs — bit-identical in
+    * any engine. Caller keeps `span·maxValue` under 2⁶³ (true for years
+    * of µs-timestamped cents by orders of magnitude). Keys with a single
+    * observation have an empty integral and report null. */
+  def timeWeightedAvg(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                      valueCol: String, roundTo: Int = 2,
+                      tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "timeWeightedAvg needs at least one key column")
+    // tieCols make gap attribution among EQUAL timestamps deterministic
+    // (the tied-away row gets gap 0); without them, which duplicate
+    // carries the forward gap depends on sort instability
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(tsCol) +: tieCols.map(col)): _*)
+    val t = col(tsCol).cast("long")
+    val v = col(valueCol).cast("long")
+    val q = math.pow(10, roundTo)
+    df.filter(t.isNotNull && v.isNotNull)
+      .withColumn("__gap", lead(t, 1).over(w) - t)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        sum(col("__gap")).as("span"),
+        sum(col("__gap") * v).as("__wv"))
+      .withColumn("twap",
+        when(col("span") > 0,
+          floor(col("__wv").cast("double") / col("span").cast("double") * q + 0.5) / q))
+      .drop("__wv")
+  }
+
+  /** CUSUM level-shift detection per key — the classic change-point
+    * screen: cumulative deviation from the series mean, measured as its
+    * rise above its own running minimum (`drift = cum − min(cum so
+    * far)`), which is exactly the one-sided CUSUM statistic for an
+    * upward shift without the per-step clamp recursion (the clamped and
+    * min-referenced forms coincide: both measure the best suffix sum).
+    * A sustained post-change upward shift grows `drift` linearly; noise
+    * does not.
+    *
+    * Exactness: with integral `valueCol` (cents), deviations are scaled
+    * by n — `dev_i = n·x_i − Σx` — so `cum`, its running min, and
+    * `drift_scaled = drift` are EXACT LONGS (no mean division anywhere);
+    * the caller thresholds `drift_scaled` against `n·h`. Overflow bound:
+    * `n²·max|x|` under 2⁶³ — a million-point series of cents clears it.
+    *
+    * Plan shape: three window frames (full-partition Σ/n, running sum,
+    * running min) over ONE (keys, ord) sort — a single WindowExec pair,
+    * one shuffle. Output: input rows plus `dev_scaled`, `drift_scaled`,
+    * and `n` (for threshold scaling). */
+  def cusumDrift(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                 valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cusumDrift needs at least one key column")
+    Seq("dev_scaled", "drift_scaled", "n", "__cum").foreach(c =>
+      require(!df.columns.contains(c), s"cusumDrift writes $c — rename the existing column"))
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val full = part.orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val run = part.orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val x = col(valueCol).cast("long")
+    df.withColumn("n", count(lit(1)).over(full))
+      .withColumn("dev_scaled", x * col("n") - sum(x).over(full))
+      .withColumn("__cum", sum(col("dev_scaled")).over(run))
+      .withColumn("drift_scaled", col("__cum") - min(col("__cum")).over(run))
+      .drop("__cum")
+  }
+
   /** W11: keep only the trailing `n` rows of each key's series (reference
     * `s.iloc[-window:]` before drift fitting). `orderCols` should end in a
     * unique tiebreaker for determinism. */

@@ -43,4 +43,45 @@ object Profile {
         (col("__n") - col("__nn")).as("n_null"),
         col("n_distinct"), col("min_value"), col("max_value"))
   }
+
+  /** Mutual information between two categorical columns — the
+    * association readout profiling leads into ("is this column worth
+    * keeping beside that one", "does the label leak through this
+    * feature"): `I(X;Y) = Σ_{x,y} p(x,y)·ln(p(x,y)/(p(x)p(y)))`, in
+    * nats. 0 ⇔ independent; upper-bounded by min(H(X), H(Y)).
+    *
+    * Exactness (the domainDivergence discipline): every term derives
+    * from EXACT integer counts per (x, y) cell — the single float step
+    * per cell (÷, ln) is a fixed expression tree, quantized to integer
+    * nanonats `floor(t·10⁹+0.5)` and summed EXACTLY, so no cross-row
+    * float accumulation order can perturb the result and `mi_e9`
+    * hash-matches a SQL replay.
+    *
+    * Scale shape: one (x, y) aggregate over one scan (map-side combine
+    * carries cells, not rows), marginals re-aggregated FROM the cell
+    * table (never a second scan), broadcast back onto cells. Nulls are
+    * excluded from both axes — null-as-category is a modeling choice the
+    * caller can make explicit with an upstream fillna. Output: one row —
+    * `(n_rows, nx_distinct, ny_distinct, mi_e9)`. */
+  def mutualInfo(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__cxy"))
+    val cx = cells.groupBy(col("__x")).agg(sum(col("__cxy")).as("__cx"),
+      count(lit(1)).as("__kx"))
+    val cy = cells.groupBy(col("__y")).agg(sum(col("__cxy")).as("__cy"),
+      count(lit(1)).as("__ky"))
+    val term = (col("__cxy").cast("double") / col("__n")) *
+      log((col("__cxy") * col("__n")).cast("double") /
+        (col("__cx") * col("__cy")).cast("double"))
+    cells
+      .join(broadcast(cx), "__x")
+      .join(broadcast(cy), "__y")
+      .crossJoin(broadcast(cells.agg(sum(col("__cxy")).as("__n"))))
+      .withColumn("__term_e9", floor(term * lit(1e9) + lit(0.5)).cast("long"))
+      .agg(max(col("__n")).as("n_rows"),
+        countDistinct(col("__x")).as("nx_distinct"),
+        countDistinct(col("__y")).as("ny_distinct"),
+        sum(col("__term_e9")).as("mi_e9"))
+  }
 }

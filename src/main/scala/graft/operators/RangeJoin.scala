@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Point-in-interval range join: each left row (a point `leftT`) matches
@@ -169,5 +170,47 @@ object RangeJoin {
       .filter(col("__bin") === greatest(col("__lb"), col("__rb")) &&
         col(leftStart) <= col("__e") && col("__s") <= col(leftEnd))
       .select(leftCols.map(col) ++ payload.map(col): _*)
+  }
+
+  /** Per-key interval-union coverage — total length and island count of
+    * the UNION of (possibly overlapping) intervals: "how long was each
+    * service actually up", "net user active time from overlapping
+    * sessions". Summing raw lengths double-counts overlap; this merges
+    * first, with the gaps-and-islands trick the dup-span excision stage
+    * already uses: ordered by start, an interval opens a NEW island iff
+    * its start exceeds the running max of prior ends; the island id is
+    * the running count of such openings, and each island contributes
+    * `max(end) − min(start)`.
+    *
+    * Plan shape: two window passes stacked on ONE (keys, start, end)
+    * sort + the island aggregate reusing the same hash partitioning —
+    * one shuffle end to end (the q110 sessionize shape). Touching
+    * intervals (`next.start == prev.end`) merge; change the strictness
+    * to `>=` if touching should split. Intervals must be integral
+    * (epoch micros/days — cast upstream) and well-formed (`end ≥
+    * start`); malformed rows are dropped, not repaired.
+    *
+    * Output per key: `n_intervals`, `n_islands`, `covered` (Σ island
+    * lengths, exact long), `span` (max end − min start). */
+  def intervalUnionLength(df: DataFrame, keyCols: Seq[String],
+                          startCol: String, endCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "intervalUnionLength needs at least one key column")
+    val s = col(startCol).cast("long")
+    val e = col(endCol).cast("long")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ord = part.orderBy(s, e)
+    val prev = ord.rowsBetween(Window.unboundedPreceding, -1)
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.filter(s.isNotNull && e.isNotNull && e >= s)
+      .withColumn("__new", when(max(e).over(prev).isNull || s > max(e).over(prev), 1L)
+        .otherwise(0L))
+      .withColumn("__isl", sum(col("__new")).over(run))
+      .groupBy(keyCols.map(col) :+ col("__isl"): _*)
+      .agg(count(lit(1)).as("__n"), min(s).as("__s"), max(e).as("__e"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__n")).as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("__e") - col("__s")).as("covered"),
+        (max(col("__e")) - min(col("__s"))).as("span"))
   }
 }

@@ -55,4 +55,59 @@ object Regression {
         rnd(col("__b")).as("slope") :+
         rnd(when(den =!= 0, icept)).as("intercept"): _*)
   }
+
+  /** Two-feature grouped OLS — `y = a + b1·x1 + b2·x2` per key, solved by
+    * Cramer's rule on the 3×3 normal equations whose entries are the nine
+    * classical sufficient sums. Same scale shape as [[groupedOls]]: ONE
+    * map-side-combining aggregation for a billion keys, no solver loop.
+    *
+    * Exactness: the sums are exact longs (integral inputs, caller
+    * quantizes). The determinants multiply three sums, which CAN exceed
+    * 2⁶³ for long series — so the Cramer arithmetic runs in DOUBLE, as a
+    * FIXED expression tree (each 3×3 determinant expanded in one written
+    * order). IEEE doubles make every engine replaying the same tree
+    * produce the same bits, so the result still hash-matches a SQL
+    * oracle spelling out the identical expansion (the q142 contract,
+    * extended from one division to a fixed product-sum tree).
+    *
+    * A singular design (collinear features, constant columns, n < 3)
+    * reports null coefficients rather than failing the job. */
+  def groupedOls2(df: DataFrame, keyCols: Seq[String], x1Col: String,
+                  x2Col: String, yCol: String, roundTo: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "groupedOls2 needs at least one key column")
+    val x1 = col(x1Col).cast("long")
+    val x2 = col(x2Col).cast("long")
+    val y = col(yCol).cast("long")
+    val sums = df
+      .filter(col(x1Col).isNotNull && col(x2Col).isNotNull && col(yCol).isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x1).as("s1"), sum(x2).as("s2"), sum(y).as("sy"),
+        sum(x1 * x1).as("s11"), sum(x1 * x2).as("s12"), sum(x2 * x2).as("s22"),
+        sum(x1 * y).as("s1y"), sum(x2 * y).as("s2y"))
+    // M = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], rhs = [sy,s1y,s2y];
+    // det(M) and the three column-replaced determinants, each expanded in
+    // one fixed order (cofactors along the first row)
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val (nn, s1, s2, sy) = (d(col("n")), d(col("s1")), d(col("s2")), d(col("sy")))
+    val (s11, s12, s22) = (d(col("s11")), d(col("s12")), d(col("s22")))
+    val (s1y, s2y) = (d(col("s1y")), d(col("s2y")))
+    def det3(a11: org.apache.spark.sql.Column, a12: org.apache.spark.sql.Column,
+             a13: org.apache.spark.sql.Column, a21: org.apache.spark.sql.Column,
+             a22: org.apache.spark.sql.Column, a23: org.apache.spark.sql.Column,
+             a31: org.apache.spark.sql.Column, a32: org.apache.spark.sql.Column,
+             a33: org.apache.spark.sql.Column) =
+      a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val det = det3(nn, s1, s2, s1, s11, s12, s2, s12, s22)
+    val detA = det3(sy, s1, s2, s1y, s11, s12, s2y, s12, s22)
+    val detB1 = det3(nn, sy, s2, s1, s1y, s12, s2, s2y, s22)
+    val detB2 = det3(nn, s1, sy, s1, s11, s1y, s2, s12, s2y)
+    val q = math.pow(10, roundTo)
+    def rnd(c: org.apache.spark.sql.Column) = floor(c * q + 0.5) / q
+    sums.select(keyCols.map(col) :+ col("n") :+
+      rnd(when(det =!= 0.0, detA / det)).as("intercept") :+
+      rnd(when(det =!= 0.0, detB1 / det)).as("b1") :+
+      rnd(when(det =!= 0.0, detB2 / det)).as("b2"): _*)
+  }
 }

@@ -672,4 +672,64 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"))
   }
+
+  /** Boilerplate line STRIP by document frequency — the other half of the
+    * CCNet line policy: where [[lineDedup]] keeps a repeated line's first
+    * occurrence, this removes a line from EVERY document once it appears
+    * in more than `maxPermille`‰ of a group's documents (nav bars, cookie
+    * banners, licence footers — content that frequent is template, not
+    * text; its "first occurrence" is no more meaningful than the rest).
+    * Frequency is per `groupCol` (site/domain/source): a line can be
+    * boilerplate on one site and legitimate quotation elsewhere.
+    *
+    * The threshold is an integer permille compared by cross-multiplication
+    * (`n_docs_with_line · 1000 > maxPermille · n_docs_in_group`) — no
+    * float ratio, so engine-exact. A line repeated WITHIN one document
+    * counts that document once (DISTINCT doc before the count), and a
+    * line must appear in at least `minDocs` documents to qualify at all:
+    * without that floor, every line of a small group clears any ratio
+    * (a 1-doc group is 100% df for ALL its lines) and the group strips
+    * to nothing.
+    *
+    * Shape at scale: one explode → per-(group, line) distinct-doc count
+    * (the distinct rides the aggregate's Expand, map-side combined) →
+    * the boilerplate set is template-sized, so the strip join broadcasts;
+    * document text shuffles only for its own reassembly, same as
+    * [[lineDedup]]. Output: (id, group, n_lines, n_kept, text_clean),
+    * every input doc present. */
+  def stripBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, maxPermille: Int,
+                       minDocs: Int = 2): DataFrame = {
+    require(maxPermille >= 0 && maxPermille <= 1000,
+      s"maxPermille must be in [0, 1000], got $maxPermille")
+    require(minDocs >= 1, s"minDocs must be >= 1, got $minDocs")
+    val lines = docs
+      .select(col(idCol), col(groupCol),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(length(col("line")) > 0)
+    val groupSizes = docs.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__n_docs"))
+    val boiler = lines
+      .groupBy(col(groupCol), col("line"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .join(groupSizes, Seq(groupCol))
+      .filter(col("__df") >= minDocs &&
+        col("__df") * 1000 > lit(maxPermille) * col("__n_docs"))
+      .select(col(groupCol), col("line"))
+    val kept = lines.join(broadcast(boiler.withColumn("__boiler", lit(true))),
+        Seq(groupCol, "line"), "left")
+    val stats = kept.groupBy(col(idCol), col(groupCol)).agg(
+      count(lit(1)).as("n_lines"),
+      sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
+      concat_ws("\n",
+        transform(
+          array_sort(collect_list(when(col("__boiler").isNull,
+            struct(col("pos"), col("line"))))),
+          s => s.getField("line"))).as("text_clean"))
+    docs.select(col(idCol), col(groupCol)).join(stats, Seq(idCol, groupCol), "left")
+      .select(col(idCol), col(groupCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 }

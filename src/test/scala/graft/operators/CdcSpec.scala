@@ -186,4 +186,34 @@ class CdcSpec extends SparkSpec {
       Cdc.tableDiff(before, after.withColumnRenamed("price", "cost"), Seq("k"))
     }
   }
+
+  test("lwwConsolidate: each field keeps its latest NON-NULL value independently") {
+    val changes = Seq(
+      ("k", 1L, Some("alice"), Some("a@x.com")),
+      ("k", 2L, None: Option[String], Some("a@y.com")), // partial: name absent
+      ("k", 3L, Some("alicia"), None: Option[String])   // partial: email absent
+    ).toDF("k", "ver", "name", "email")
+    val r = Cdc.lwwConsolidate(changes, Seq("k"), "ver").collect().head
+    assert(r.getAs[String]("name") == "alicia")    // ver 3
+    assert(r.getAs[String]("email") == "a@y.com")  // ver 2, not wiped by ver 3
+    assert(r.getAs[Long]("last_version") == 3L)
+    assert(r.getAs[Long]("n_updates") == 3L)
+  }
+
+  test("lwwConsolidate: an all-null field stays null; applyChanges would differ") {
+    val changes = Seq(
+      ("k", 1L, Some("v1"), None: Option[String]),
+      ("k", 2L, Some("v2"), None: Option[String])).toDF("k", "ver", "a", "b")
+    val r = Cdc.lwwConsolidate(changes, Seq("k"), "ver").collect().head
+    assert(r.getAs[String]("a") == "v2")
+    assert(r.get(r.fieldIndex("b")) == null)
+  }
+
+  test("lwwConsolidate is ONE map-side-combining aggregate (no window)") {
+    val changes = Seq(("k", 1L, Some("x"))).toDF("k", "ver", "a")
+    val p = Cdc.lwwConsolidate(changes, Seq("k"), "ver")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
 }

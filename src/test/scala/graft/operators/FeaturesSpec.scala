@@ -140,4 +140,59 @@ class FeaturesSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(0.0), Some(1.0), Some(2.0),
       Some(100.0), None)) // b's trailing gap must not borrow a's points
   }
+
+  test("timeWeightedAvg integrates the step function, not the row mean") {
+    // value 100 held for 9 units, then 200 for 1 unit: twap = (9*100+1*200)/10
+    val df = Seq(("k", 0L, 100L), ("k", 9L, 200L), ("k", 10L, 999L))
+      .toDF("k", "t", "v")
+    val r = Features.timeWeightedAvg(df, Seq("k"), "t", "v").collect().head
+    assert(r.getAs[Long]("n_obs") == 3)
+    assert(r.getAs[Long]("span") == 10)
+    assert(r.getAs[Double]("twap") == 110.0) // row mean would be 433
+  }
+
+  test("timeWeightedAvg: single observation has no integral -> null") {
+    val df = Seq(("k", 5L, 42L)).toDF("k", "t", "v")
+    val r = Features.timeWeightedAvg(df, Seq("k"), "t", "v").collect().head
+    assert(r.getAs[Long]("n_obs") == 1)
+    assert(r.get(r.fieldIndex("twap")) == null)
+  }
+
+  test("timeWeightedAvg shares one shuffle between window and aggregate") {
+    val df = Seq(("k", 0L, 1L), ("k", 1L, 2L)).toDF("k", "t", "v")
+    val p = Features.timeWeightedAvg(df, Seq("k"), "t", "v")
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
+  test("cusumDrift: a level shift grows drift linearly; pre-shift drift stays small") {
+    // 5 points at 10, then 5 at 20: mean 15, dev_scaled = ±50 (n=10)
+    val vals = Seq.fill(5)(10L) ++ Seq.fill(5)(20L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "i", "v")
+    val out = Features.cusumDrift(df, Seq("k"), "i", "v").orderBy("i").collect()
+    assert(out.forall(_.getAs[Long]("n") == 10))
+    assert(out.map(_.getAs[Long]("dev_scaled")).toSeq ==
+      (Seq.fill(5)(-50L) ++ Seq.fill(5)(50L)))
+    // cum: -50,-100,...,-250, then -200,...,0; running min -250 from i=4
+    val drift = out.map(_.getAs[Long]("drift_scaled")).toSeq
+    assert(drift.take(5) == Seq(0L, 0L, 0L, 0L, 0L)) // descending cum: drift 0
+    assert(drift.drop(5) == Seq(50L, 100L, 150L, 200L, 250L))
+  }
+
+  test("cusumDrift: pure noise around the mean keeps drift bounded") {
+    val vals = Seq(10L, 20L, 10L, 20L, 10L, 20L)
+    val df = vals.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+      .toDF("k", "i", "v")
+    val out = Features.cusumDrift(df, Seq("k"), "i", "v").orderBy("i").collect()
+    // dev_scaled alternates -30/+30 (mean 15, n=6); drift never exceeds one step
+    assert(out.map(_.getAs[Long]("drift_scaled")).max == 30L)
+  }
+
+  test("cusumDrift plans one shuffle (all frames share the sort)") {
+    val df = Seq(("k", 0L, 1L), ("k", 1L, 2L)).toDF("k", "i", "v")
+    val p = Features.cusumDrift(df, Seq("k"), "i", "v")
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
 }

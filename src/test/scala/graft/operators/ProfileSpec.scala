@@ -32,4 +32,28 @@ class ProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"))
     intercept[IllegalArgumentException] { Profile.profile(df, Nil) }
   }
+
+  test("mutualInfo: independent columns score ~0; identical columns score H(X)") {
+    import spark.implicits._
+    // independent: every (x, y) cell equally likely
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val mi0 = Profile.mutualInfo(ind, "x", "y").collect().head.getAs[Long]("mi_e9")
+    assert(mi0 == 0L)
+    // identical: I(X;X) = H(X) = ln 2 for a fair binary column
+    val same = Seq.fill(10)("a").map(v => (v, v))
+      .++(Seq.fill(10)("b").map(v => (v, v))).toDF("x", "y")
+    val mi1 = Profile.mutualInfo(same, "x", "y").collect().head.getAs[Long]("mi_e9")
+    assert(math.abs(mi1 - math.round(math.log(2) * 1e9)) <= 2,
+      s"expected ~ln2 nanonats, got $mi1")
+  }
+
+  test("mutualInfo excludes nulls from both axes") {
+    import spark.implicits._
+    val df = Seq[(String, String)](("a", "p"), ("a", null), (null, "q"), ("b", "q"))
+      .toDF("x", "y")
+    val r = Profile.mutualInfo(df, "x", "y").collect().head
+    assert(r.getAs[Long]("n_rows") == 2)
+    assert(r.getAs[Long]("nx_distinct") == 2 && r.getAs[Long]("ny_distinct") == 2)
+  }
 }

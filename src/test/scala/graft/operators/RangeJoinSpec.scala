@@ -152,4 +152,31 @@ class RangeJoinSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("spans more than"))
   }
+
+  test("intervalUnionLength merges overlapping and touching intervals") {
+    // k: [0,10] [5,15] touch+overlap -> island [0,15]; [20,30] separate
+    val df = Seq(("k", 0L, 10L), ("k", 5L, 15L), ("k", 15L, 18L), ("k", 20L, 30L))
+      .toDF("u", "s", "e")
+    val r = RangeJoin.intervalUnionLength(df, Seq("u"), "s", "e").collect().head
+    assert(r.getAs[Long]("n_intervals") == 4)
+    assert(r.getAs[Long]("n_islands") == 2)   // [0,18] and [20,30]
+    assert(r.getAs[Long]("covered") == 28)    // 18 + 10
+    assert(r.getAs[Long]("span") == 30)
+  }
+
+  test("intervalUnionLength: contained intervals add nothing; malformed drop") {
+    val df = Seq(("k", 0L, 100L), ("k", 10L, 20L), ("k", 50L, 40L))
+      .toDF("u", "s", "e")
+    val r = RangeJoin.intervalUnionLength(df, Seq("u"), "s", "e").collect().head
+    assert(r.getAs[Long]("n_intervals") == 2) // inverted row dropped
+    assert(r.getAs[Long]("n_islands") == 1)
+    assert(r.getAs[Long]("covered") == 100)
+  }
+
+  test("intervalUnionLength plans one shuffle end to end") {
+    val df = Seq(("k", 0L, 1L), ("k", 2L, 3L)).toDF("u", "s", "e")
+    val p = RangeJoin.intervalUnionLength(df, Seq("u"), "s", "e")
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
 }

@@ -40,6 +40,36 @@ class RegressionSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") == 1.0)
   }
 
+  test("groupedOls2 recovers an exact plane per key") {
+    // y = 5 + 2*x1 - 3*x2 exactly, over a non-degenerate grid
+    val rows = for (x1 <- 0L to 4L; x2 <- 0L to 3L)
+      yield ("k", x1, x2, 5 + 2 * x1 - 3 * x2)
+    val r = Regression.groupedOls2(rows.toDF("k", "x1", "x2", "y"),
+      Seq("k"), "x1", "x2", "y").collect().head
+    assert(r.getAs[Long]("n") == 20)
+    assert(r.getAs[Double]("intercept") == 5.0)
+    assert(r.getAs[Double]("b1") == 2.0)
+    assert(r.getAs[Double]("b2") == -3.0)
+  }
+
+  test("groupedOls2: collinear features report nulls, not failure") {
+    // x2 = 2*x1 -> singular normal equations
+    val df = Seq(("k", 1L, 2L, 10L), ("k", 2L, 4L, 20L), ("k", 3L, 6L, 30L))
+      .toDF("k", "x1", "x2", "y")
+    val r = Regression.groupedOls2(df, Seq("k"), "x1", "x2", "y").collect().head
+    assert(r.get(r.fieldIndex("b1")) == null)
+    assert(r.get(r.fieldIndex("b2")) == null)
+  }
+
+  test("groupedOls2 plans one partial+final aggregate pair, no window") {
+    val df = Seq(("k", 0L, 1L, 1L), ("k", 1L, 0L, 3L), ("k", 2L, 2L, 4L))
+      .toDF("k", "x1", "x2", "y")
+    val p = Regression.groupedOls2(df, Seq("k"), "x1", "x2", "y")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"no window expected:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
+
   test("groupedOls plans one partial+final aggregate pair, no window") {
     val df = Seq(("k", 0L, 1L), ("k", 1L, 3L)).toDF("k", "x", "y")
     val p = Regression.groupedOls(df, Seq("k"), "x", "y")

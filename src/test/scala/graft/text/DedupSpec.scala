@@ -313,4 +313,41 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
     assert(out.toSeq === Seq((20L, 6, 2L, 4L), (21L, 2, 1L, 2L)))
   }
+
+  test("stripBoilerplate removes high-df lines per group, keeps rare ones") {
+    // 4 docs on site s1: "FOOTER" in 3/4 (750 permille) -> boilerplate at
+    // threshold 500; "unique N" lines survive. s2 has its own counts.
+    val docs = Seq(
+      (1L, "s1", "unique 1\nFOOTER"),
+      (2L, "s1", "unique 2\nFOOTER"),
+      (3L, "s1", "FOOTER\nunique 3"),
+      (4L, "s1", "unique 4"),
+      (5L, "s2", "FOOTER\nother")).toDF("doc_id", "src", "text")
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", "src", 500)
+      .orderBy("doc_id").collect()
+    // s2's FOOTER is 100% df but in only ONE doc: the minDocs floor keeps
+    // it (single-doc groups must not strip to nothing)
+    assert(out.map(_.getAs[String]("text_clean")).toSeq == Seq(
+      "unique 1", "unique 2", "unique 3", "unique 4", "FOOTER\nother"))
+    assert(out.map(_.getAs[Long]("n_kept")).toSeq == Seq(1L, 1L, 1L, 1L, 2L))
+  }
+
+  test("stripBoilerplate: within-doc repeats count the doc once; empty docs survive") {
+    val docs = Seq(
+      (1L, "s", "ad\nad\nbody"), // 'ad' repeats in doc 1 but df = 2 docs
+      (2L, "s", "ad\nmore"),
+      (3L, "s", "clean"),
+      (4L, "s", "")).toDF("doc_id", "src", "text")
+    // df(ad) = 2 of 4 docs = 500 permille; threshold 400 -> stripped
+    val out = Dedup.stripBoilerplate(docs, "doc_id", "text", "src", 400)
+      .orderBy("doc_id").collect()
+    assert(out.length == 4)
+    assert(out(0).getAs[String]("text_clean") == "body")
+    assert(out(0).getAs[Long]("n_lines") == 3 && out(0).getAs[Long]("n_kept") == 1)
+    assert(out(3).getAs[String]("text_clean") == "")
+    // threshold 600: df 500 permille is NOT boilerplate, everything stays
+    val keep = Dedup.stripBoilerplate(docs, "doc_id", "text", "src", 600)
+      .orderBy("doc_id").collect()
+    assert(keep(0).getAs[String]("text_clean") == "ad\nad\nbody")
+  }
 }
