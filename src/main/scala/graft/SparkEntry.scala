@@ -2078,7 +2078,59 @@ object SparkEntry {
             .withColumn("ub", col("user_id") % 10),
           "event_type", "ub", "type_userbucket"))
         .orderBy("pair")
-    })
+    }),
+
+    // ---- extension: EXACT weighted percentiles — quantity-weighted
+    // price quantiles per return flag; integer cross-multiplied rank
+    // crossing, k percentiles from one window+aggregate pass
+    "q170_x_weighted_percentiles" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("cents", expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+        .withColumn("qty", col("l_quantity").cast("long"))
+      Sketch.weightedPercentiles(li, Seq("l_returnflag"), "cents", "qty",
+          Seq(250, 500, 750, 900))
+        .orderBy("l_returnflag")
+    }),
+
+    // ---- extension: first-order transition matrix — what users do next,
+    // with integer-permille conditional probabilities; one lead window +
+    // matrix-sized re-aggregate
+    "q171_x_event_transitions" -> tuned((s, d) =>
+      graft.operators.Funnel.transitionMatrix(
+          Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
+          Seq("user_id"), "tsu", "event_type", tieCols = Seq("event_id"))
+        .orderBy("from_state", "to_state")),
+
+    // ---- extension: ROLLUP hierarchy subtotals — region > nation >
+    // grand total in ONE Expand+Aggregate pair (q129's cube, restricted
+    // to the hierarchy's prefixes); gid disambiguates subtotal rows
+    "q172_x_rollup" -> tuned((s, d) => {
+      val c = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      c.rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+          sum(expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)")).as("bal_cents"),
+          grouping_id().cast("int").as("gid"))
+        .orderBy("gid", "r_name", "n_name")
+    }),
+
+    // ---- extension: per-group feature scaling — z-score + min-max from
+    // one broadcast stats pass; event rows never shuffle
+    "q173_x_standardize" -> tuned((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+        .select("event_id", "event_type", "cents")
+      graft.operators.Features.standardize(e, Seq("event_type"), "cents")
+        .orderBy("event_id")
+    }),
+
+    // ---- extension: TF-IDF top terms per document — each doc's
+    // strongest keywords (q70's BM25 scores docs for a query; this emits
+    // doc-side vectors); nanonat-quantized scores, integer-ranked top-k
+    "q174_x_tfidf" -> tuned((s, d) =>
+      Corpus.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -4817,7 +4869,90 @@ object SparkEntry {
           "WHERE event_type IS NOT NULL AND user_id IS NOT NULL",
           "type_userbucket"))
         .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) u ORDER BY pair")
-    }
+    },
+
+    "q170_x_weighted_percentiles" ->
+      ("""WITH b AS (SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |w AS (SELECT l_returnflag, cents, qty,
+        |    sum(qty) OVER (PARTITION BY l_returnflag ORDER BY cents, qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(qty) OVER (PARTITION BY l_returnflag) AS totw
+        |  FROM b)
+        |SELECT l_returnflag, CAST(sum(qty) AS BIGINT) AS total_weight,
+        |  min(CASE WHEN cumw * 1000 >= 250 * totw THEN cents END) AS p250,
+        |  min(CASE WHEN cumw * 1000 >= 500 * totw THEN cents END) AS p500,
+        |  min(CASE WHEN cumw * 1000 >= 750 * totw THEN cents END) AS p750,
+        |  min(CASE WHEN cumw * 1000 >= 900 * totw THEN cents END) AS p900
+        |FROM w GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+
+    "q171_x_event_transitions" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |t AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |      AS to_state
+        |  FROM e),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM t
+        |      WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS ot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n, c.n * 1000 // o.ot AS p_permille
+        |FROM c JOIN o USING (from_state)
+        |ORDER BY c.from_state, c.to_state""".stripMargin),
+
+    "q172_x_rollup" ->
+      ("""SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_cust,
+        |  CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |    AS bal_cents,
+        |  CAST(GROUPING(r_name, n_name) AS INT) AS gid
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY gid, r_name, n_name""".stripMargin),
+
+    // variance determinant in DOUBLE (identical tree to the Spark
+    // expression); numerator stays exact long
+    "q173_x_standardize" ->
+      ("""WITH e AS (SELECT event_id, event_type,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents FROM events),
+        |s AS (SELECT event_type, count(*) AS n,
+        |    CAST(sum(cents) AS BIGINT) AS sx,
+        |    CAST(sum(cents * cents) AS BIGINT) AS sxx,
+        |    min(cents) AS mn, max(cents) AS mx
+        |  FROM e WHERE cents IS NOT NULL GROUP BY 1),
+        |d AS (SELECT *,
+        |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den2
+        |  FROM s)
+        |SELECT e.event_id, e.event_type, e.cents,
+        |  CASE WHEN den2 > 0 THEN CAST(floor(
+        |    CAST(n * e.cents - sx AS DOUBLE) / sqrt(den2) * 1000000 + 0.5)
+        |    AS BIGINT) END AS z_e6,
+        |  CASE WHEN mx > mn THEN (e.cents - mn) * 1000000 // (mx - mn)
+        |  END AS minmax_e6
+        |FROM e JOIN d USING (event_type) ORDER BY e.event_id""".stripMargin),
+
+    "q174_x_tfidf" ->
+      ("""WITH t AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents WHERE length(trim(text)) > 0),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n
+        |       FROM documents WHERE length(trim(text)) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+        |    CAST(floor(CAST(tf.tf AS DOUBLE) *
+        |      ln(CAST(nd.n AS DOUBLE) / CAST(df.doc_freq AS DOUBLE))
+        |      * 1000000000 + 0.5) AS BIGINT) AS score_e9
+        |  FROM tf JOIN df USING (term) CROSS JOIN nd),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+        |        ORDER BY score_e9 DESC, term) AS rank
+        |      FROM sc WHERE score_e9 > 0)
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, doc_freq, score_e9
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -185,6 +185,49 @@ object Features {
       .drop("__wv")
   }
 
+  /** Per-group feature scaling — the train-prep staple (z-score and
+    * min-max in one pass) as a broadcast-stats pattern, NOT a window:
+    * one map-side-combining aggregate computes each group's exact-long
+    * `(n, Σx, Σx², min, max)` (the [[Incremental]] monoid), the
+    * group-count-sized stats table broadcasts back, and every row scales
+    * with zero shuffle of the data itself — at 100 TB the rows never
+    * move, only the stats do.
+    *
+    * Determinism: sums are exact longs (integral input, cast upstream);
+    * z-score is the fixed double tree `(n·x − Σx) / sqrt(n·Σx² − Σx·Σx)`
+    * — the population-σ form cleared of divisions until the final one —
+    * rounded to `z_e6`; min-max is pure integer `(x−min)·10⁶ div
+    * (max−min)`. The numerator `n·x − Σx` stays an exact long (bounded
+    * by n·|x|, fine for billions of cents-valued rows); the VARIANCE
+    * determinant multiplies three sums and would overflow 2⁶³ long
+    * before the numerator does, so it runs in DOUBLE as a fixed tree
+    * (the [[Regression.groupedOls2]] Cramer convention — engine-exact
+    * without the long-range ceiling). Degenerate groups (σ = 0 or
+    * min = max) scale to null, not NaN. */
+  def standardize(df: DataFrame, keyCols: Seq[String],
+                  valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "standardize needs at least one key column")
+    Seq("z_e6", "minmax_e6").foreach(c => require(!df.columns.contains(c),
+      s"standardize writes $c — rename the existing column"))
+    val x = col(valueCol).cast("long")
+    val stats = df.filter(x.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"), sum(x).as("__sx"),
+        sum(x * x).as("__sxx"), min(x).as("__mn"), max(x).as("__mx"))
+    val den2 = col("__n").cast("double") * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    // z = (x−μ)/σ_pop with σ_pop = sqrt(n·Σx²−(Σx)²)/n, so the n's cancel
+    // into one clean ratio: exact-long numerator over the double sqrt
+    val z = (col("__n") * x - col("__sx")).cast("double") / sqrt(den2)
+    df.join(broadcast(stats), keyCols)
+      .withColumn("z_e6",
+        when(den2 > 0, floor(z * 1e6 + 0.5).cast("long")))
+      .withColumn("minmax_e6",
+        when(col("__mx") > col("__mn"),
+          expr(s"(cast($valueCol as bigint) - __mn) * 1000000L div (__mx - __mn)")))
+      .drop("__n", "__sx", "__sxx", "__mn", "__mx")
+  }
+
   /** CUSUM level-shift detection per key — the classic change-point
     * screen: cumulative deviation from the series mean, measured as its
     * rise above its own running minimum (`drift = cum − min(cum so

@@ -177,4 +177,36 @@ object Funnel {
         coalesce(col("__last"), lit("(none)")).as("last_touch"))
       .agg(count(lit(1)).as("n_conversions"))
   }
+
+  /** First-order state-transition matrix over each key's event sequence —
+    * the product-analytics "what happens after X" readout (and the
+    * empirical Markov chain [[graft.text.Corpus.nextTokenTable]] reads
+    * only the argmax of): every consecutive `(state_i, state_{i+1})`
+    * pair, counted, with the conditional probability as integer permille
+    * of the from-state's outgoing total. Rows where `lead` runs off the
+    * key's sequence end contribute nothing (no self-loop padding).
+    *
+    * Plan shape: ONE (keys)-partitioned lead window sorted by
+    * `(timeCol, tieCols)` — tie columns pin the successor at equal
+    * timestamps, same contract as [[Features.timeWeightedAvg]] — then a
+    * (from, to) aggregate; the outgoing totals re-aggregate FROM the
+    * transition table (transition-matrix-sized, broadcast back), so raw
+    * events shuffle exactly once. */
+  def transitionMatrix(events: DataFrame, keyCols: Seq[String], timeCol: String,
+                       stateCol: String, tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "transitionMatrix needs at least one key column")
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy((col(timeCol) +: tieCols.map(col)): _*)
+    val trans = events
+      .filter(col(timeCol).isNotNull && col(stateCol).isNotNull)
+      .withColumn("__to", lead(col(stateCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(col(stateCol).as("from_state"), col("__to").as("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val outTotals = trans.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("__out"))
+    trans.join(broadcast(outTotals), Seq("from_state"))
+      .select(col("from_state"), col("to_state"), col("n"),
+        expr("n * 1000 div __out").as("p_permille"))
+  }
 }

@@ -552,4 +552,42 @@ object Sketch {
           .otherwise(col("__raw")))
       .select(groupCols.map(col) :+ col("n_est"): _*)
   }
+
+  /** EXACT weighted percentiles per group — the survey-statistics /
+    * importance-sampling readout ([[binnedQuantiles]] is unweighted and
+    * approximate; weighted quantiles have no Spark built-in at all):
+    * the weighted q-quantile is the smallest value whose cumulative
+    * weight reaches q of the total, i.e. `min(value | cumw·1000 ≥
+    * q‰·totw)` — an integer cross-multiplication, no weight
+    * normalization ever happens in floats.
+    *
+    * Plan shape: ONE (keys)-partitioned window sorted by (value, weight)
+    * builds the running weight; every requested percentile is then a
+    * conditional `min` in the SAME aggregate, which reuses the window's
+    * hash partitioning — one shuffle, one sort, k percentiles for free.
+    *
+    * `valueCol` integral (cents upstream), `weightCol` integral positive
+    * (fails loudly on ≤ 0 / null — silent zero weights would shift every
+    * quantile after them). Caller keeps `totw·1000` under 2⁶³. */
+  def weightedPercentiles(df: DataFrame, groupCols: Seq[String],
+                          valueCol: String, weightCol: String,
+                          permilles: Seq[Int]): DataFrame = {
+    require(groupCols.nonEmpty, "weightedPercentiles needs at least one group column")
+    require(permilles.nonEmpty && permilles.forall(p => p >= 1 && p <= 1000),
+      s"permilles must be in [1, 1000], got $permilles")
+    val v = col(valueCol).cast("long")
+    val wgt = col(weightCol).cast("long")
+    val guarded = when(wgt.isNull || wgt <= 0, raise_error(concat(
+        lit(s"weightedPercentiles: null or non-positive weight in $weightCol"),
+        lit(" at value "), v.cast("string")))).otherwise(wgt)
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val run = part.orderBy(v, wgt).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = df
+      .withColumn("__w", guarded)
+      .withColumn("__cumw", sum(col("__w")).over(run))
+      .withColumn("__totw", sum(col("__w")).over(part)) // full-partition frame
+    val aggs = sum(col("__w")).as("total_weight") +: permilles.map(p =>
+      min(when(col("__cumw") * 1000 >= lit(p) * col("__totw"), v)).as(s"p$p"))
+    cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

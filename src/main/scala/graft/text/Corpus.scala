@@ -527,4 +527,44 @@ object Corpus {
         .cast("int"))
       .drop("__r")
   }
+
+  /** Top-k TF-IDF terms per document — the classic keyword/vector
+    * readout beside [[bm25]] (which scores DOCUMENTS for one query; this
+    * emits each document's own strongest TERMS): `tfidf(t, d) =
+    * tf_{t,d} · ln(N / df_t)`, both factors from exact integer counts.
+    *
+    * Determinism (the q153/q169 discipline): one float step per
+    * (doc, term) row — `tf · ln(N/df)` as a fixed tree — quantized to
+    * `score_e9` nanonats; ranking and the top-k cut happen on the
+    * INTEGER score with the term string as total tiebreak, so the kept
+    * set and order are engine-exact.
+    *
+    * Plan shape: one token explode → (doc, term) counts (map-side
+    * combined); document frequencies re-aggregate FROM that table —
+    * never a second scan — and broadcast back; the per-doc top-k is one
+    * (doc)-partitioned rank window over doc-vocabulary-sized rows.
+    * Stop-terms (df ≥ every doc) carry ln(1) = 0 and drop naturally. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val nDocs = docs.filter(length(trim(col(textCol))) > 0).count()
+    val tf = docs
+      .filter(length(trim(col(textCol))) > 0)
+      .select(col(idCol), explode(Cols.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("__df"))
+    val score = col("tf").cast("double") *
+      log(lit(nDocs).cast("double") / col("__df").cast("double"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score_e9").desc, col("term"))
+    tf.join(broadcast(dfreq), Seq("term"))
+      .withColumn("score_e9", floor(score * lit(1e9) + lit(0.5)).cast("long"))
+      .filter(col("score_e9") > 0) // stop-terms and ubiquitous tokens
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .select(col(idCol), col("__rn").as("rank"), col("term"), col("tf"),
+        col("__df").as("doc_freq"), col("score_e9"))
+  }
 }

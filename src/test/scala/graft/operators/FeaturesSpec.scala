@@ -195,4 +195,31 @@ class FeaturesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
+
+  test("standardize: z-score and min-max from exact group stats") {
+    // group g: 2, 4, 6 -> mean 4, sigma_pop = sqrt(8/3)
+    val df = Seq(("g", 2L), ("g", 4L), ("g", 6L)).toDF("g", "v")
+    val out = Features.standardize(df, Seq("g"), "v").orderBy("v").collect()
+    val z = out.map(_.getAs[Long]("z_e6"))
+    val sigma = math.sqrt(8.0 / 3.0)
+    assert(z(0) == math.floor(-2 / sigma * 1e6 + 0.5).toLong)
+    assert(z(1) == 0L)
+    assert(z(2) == math.floor(2 / sigma * 1e6 + 0.5).toLong)
+    assert(out.map(_.getAs[Long]("minmax_e6")).toSeq == Seq(0L, 500000L, 1000000L))
+  }
+
+  test("standardize: constant group scales to null, not NaN") {
+    val df = Seq(("k", 5L), ("k", 5L)).toDF("g", "v")
+    val out = Features.standardize(df.withColumnRenamed("g", "g2"), Seq("g2"), "v")
+      .collect()
+    assert(out.forall(r => r.get(r.fieldIndex("z_e6")) == null))
+    assert(out.forall(r => r.get(r.fieldIndex("minmax_e6")) == null))
+  }
+
+  test("standardize broadcasts stats — no shuffle of the data rows") {
+    val df = Seq(("g", 1L), ("g", 2L)).toDF("g", "v")
+    val p = Features.standardize(df, Seq("g"), "v")
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
+  }
 }

@@ -127,4 +127,28 @@ class FunnelSpec extends SparkSpec {
     // one per-key Exchange for the window + the final small group agg
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2, p)
   }
+
+  test("transitionMatrix counts consecutive pairs per key with permille probabilities") {
+    val ev = Seq(
+      ("u1", 1L, "view"), ("u1", 2L, "click"), ("u1", 3L, "view"),
+      ("u1", 4L, "click"), ("u2", 1L, "view"), ("u2", 2L, "buy"))
+      .toDF("u", "t", "s")
+    val out = Funnel.transitionMatrix(ev, Seq("u"), "t", "s")
+      .orderBy("from_state", "to_state").collect()
+    val m = out.map(r => (r.getAs[String]("from_state"), r.getAs[String]("to_state")) ->
+      (r.getAs[Long]("n"), r.getAs[Long]("p_permille"))).toMap
+    assert(m(("view", "click")) == ((2L, 666L))) // view -> {click x2, buy x1}
+    assert(m(("view", "buy")) == ((1L, 333L)))
+    assert(m(("click", "view")) == ((1L, 1000L)))
+    // u1's trailing click and u2's trailing buy emit nothing
+    assert(!m.contains(("buy", "view")))
+  }
+
+  test("transitionMatrix: sequences never cross keys; ties resolved by tieCols") {
+    val ev = Seq(("a", 1L, 1L, "x"), ("a", 2L, 2L, "y"),
+      ("b", 1L, 3L, "z")).toDF("u", "t", "id", "s")
+    val out = Funnel.transitionMatrix(ev, Seq("u"), "t", "s", tieCols = Seq("id"))
+      .collect()
+    assert(out.length == 1) // only x->y; z is alone in its key
+  }
 }

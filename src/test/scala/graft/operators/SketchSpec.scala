@@ -301,4 +301,35 @@ class SketchSpec extends SparkSpec {
       .collect().head.getAs[Double]("n_est")
     assert(est > 5 && est < 15, s"linear-counting estimate $est for 10 distinct")
   }
+
+  test("weightedPercentiles: weighted median lands where cumulative weight crosses") {
+    // values 1..4 with weights 1,1,1,7 -> total 10; p500 needs cumw>=5 -> value 4
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 3L, 1L), ("g", 4L, 7L))
+      .toDF("g", "v", "w")
+    val r = Sketch.weightedPercentiles(df, Seq("g"), "v", "w", Seq(100, 500, 1000))
+      .collect().head
+    assert(r.getAs[Long]("total_weight") == 10)
+    assert(r.getAs[Long]("p100") == 1)  // cumw 1 >= 1
+    assert(r.getAs[Long]("p500") == 4)  // unweighted median would be 2
+    assert(r.getAs[Long]("p1000") == 4)
+  }
+
+  test("weightedPercentiles: uniform weights reduce to exact unweighted quantiles") {
+    val df = (1L to 100L).map(v => ("g", v, 1L)).toDF("g", "v", "w")
+    val r = Sketch.weightedPercentiles(df, Seq("g"), "v", "w", Seq(250, 500, 750))
+      .collect().head
+    assert(r.getAs[Long]("p250") == 25 && r.getAs[Long]("p500") == 50 &&
+      r.getAs[Long]("p750") == 75)
+  }
+
+  test("weightedPercentiles fails loudly on non-positive weights; one shuffle") {
+    val bad = Seq(("g", 1L, 0L)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Sketch.weightedPercentiles(bad, Seq("g"), "v", "w", Seq(500)).collect() }
+    assert(e.getMessage.contains("non-positive weight"))
+    val ok = Seq(("g", 1L, 1L), ("g", 2L, 1L)).toDF("g", "v", "w")
+    val p = Sketch.weightedPercentiles(ok, Seq("g"), "v", "w", Seq(500))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+  }
 }

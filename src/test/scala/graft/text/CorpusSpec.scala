@@ -417,4 +417,35 @@ class CorpusSpec extends SparkSpec {
     val r = Corpus.pmiCollocations(docs, "text", minCount = 1, minRatio = 1)
     assert(r.agg(max(col("n_pairs"))).collect().head.getLong(0) == 5L)
   }
+
+  test("tfidfTopTerms: rare terms outrank common ones; stop-terms drop") {
+    val docs = Seq(
+      (1L, "apple apple banana common"),
+      (2L, "banana cherry common"),
+      (3L, "cherry cherry cherry common")).toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rank").collect()
+    // 'common' is in all 3 docs: ln(3/3)=0 -> dropped everywhere
+    assert(!out.exists(_.getAs[String]("term") == "common"))
+    // doc 1 top term: apple (tf 2, df 1) over banana (tf 1, df 2)
+    val d1 = out.filter(_.getAs[Long]("doc_id") == 1L)
+    assert(d1.head.getAs[String]("term") == "apple")
+    assert(d1.head.getAs[Long]("tf") == 2 && d1.head.getAs[Long]("doc_freq") == 1)
+    assert(d1.map(_.getAs[String]("term")).toSeq == Seq("apple", "banana"))
+    // score check: apple = 2·ln(3) nanonats
+    assert(d1.head.getAs[Long]("score_e9") ==
+      math.floor(2 * math.log(3.0) * 1e9 + 0.5).toLong)
+  }
+
+  test("tfidfTopTerms: k bounds output per doc; empty docs contribute nothing") {
+    val docs = Seq((1L, "a b c d e"), (2L, "x y"), (3L, "   "))
+      .toDF("doc_id", "text")
+    val out = Corpus.tfidfTopTerms(docs, "doc_id", "text", k = 3)
+    assert(out.filter(col("doc_id") === 1L).count() == 3) // 5 candidates cut to k
+    assert(out.filter(col("doc_id") === 2L).count() == 2)
+    assert(out.filter(col("doc_id") === 3L).count() == 0) // blank doc: no terms, and
+    // it must not inflate N either (scores stay ln(2)-based, not ln(3))
+    assert(out.filter(col("doc_id") === 2L).collect().head.getAs[Long]("score_e9") ==
+      math.floor(math.log(2.0) * 1e9 + 0.5).toLong)
+  }
 }
