@@ -2130,7 +2130,65 @@ object SparkEntry {
     // doc-side vectors); nanonat-quantized scores, integer-ranked top-k
     "q174_x_tfidf" -> tuned((s, d) =>
       Corpus.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
-        .orderBy("doc_id", "rank"))
+        .orderBy("doc_id", "rank")),
+
+    // ---- extension: top navigation paths — session-truncated state
+    // sequences counted corpus-wide; the path rebuild rides q110's
+    // sessionize partitioning, the count is path-matrix-sized
+    "q175_x_top_paths" -> tuned((s, d) =>
+      graft.operators.Sessionize.topPaths(
+          Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
+          gapMinutes = 30, maxLen = 3, k = 25)),
+
+    // ---- extension: ABC / Pareto classification — items ranked by
+    // revenue, integer cumulative-share class boundaries; window over
+    // item-aggregate-sized rows
+    "q176_x_abc_classes" -> tuned((s, d) => {
+      val items = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_partkey"))
+        .agg(sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+          .as("rev_cents"))
+      Sketch.abcClassify(items, Seq("l_returnflag"), "l_partkey", "rev_cents")
+        .filter(col("rank") <= 100)
+        .orderBy("l_returnflag", "rank")
+    }),
+
+    // ---- extension: seasonal decomposition — centered 2x12 MA trend,
+    // phase-mean seasonal, residual; exact-long cores, _e6 readouts
+    "q177_x_seasonal_decompose" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("cents"))
+      graft.operators.Features.seasonalDecompose(m, Seq("prio"), "month", "cents")
+        .select(col("prio"), col("month"), col("cents"), col("trend_e6"),
+          col("seasonal_e6"), col("resid_e6"))
+        .orderBy("prio", "month")
+    }),
+
+    // ---- extension: Gini concentration — how unequal is revenue over
+    // customers per segment; exact-long numerator, one window+aggregate
+    "q178_x_gini" -> tuned((s, d) => {
+      val custRev = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"), col("o_custkey"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("rev_cents"))
+      Sketch.gini(custRev, Seq("c_mktsegment"), "rev_cents")
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- extension: exponential time-decay score — recency-weighted
+    // engagement per user via whole-half-life bit shifts; the double
+    // readout divides an exact long by 2^20, so it is itself exact
+    "q179_x_decay_score" -> tuned((s, d) => {
+      val e = Tables.events(s, d)
+        .withColumn("tsu", expr("ts_ns div 1000"))
+        .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+      graft.operators.Features.decayScore(e, Seq("user_id"), "tsu", "cents",
+          halfLifeMicros = 7L * 86400L * 1000000L) // one week
+        .orderBy("user_id")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -4952,7 +5010,113 @@ object SparkEntry {
         |        ORDER BY score_e9 DESC, term) AS rank
         |      FROM sc WHERE score_e9 > 0)
         |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, doc_freq, score_e9
-        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin)
+        |FROM r WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin),
+
+    "q175_x_top_paths" ->
+      ("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, event_id, event_type
+        |  FROM events),
+        |m AS (SELECT *, CASE WHEN us - lag(us) OVER w IS NULL
+        |        OR us - lag(us) OVER w > 30 * 60 * 1000000 THEN 1 ELSE 0 END AS nw
+        |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT *, sum(nw) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |      FROM m),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id, sid
+        |        ORDER BY us, event_id) AS rn
+        |      FROM s),
+        |p AS (SELECT user_id, sid,
+        |        string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY user_id, sid)
+        |SELECT path, count(*) AS n_sessions FROM p GROUP BY path
+        |ORDER BY n_sessions DESC, path LIMIT 25""".stripMargin),
+
+    "q176_x_abc_classes" ->
+      ("""WITH items AS (SELECT l_returnflag, l_partkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS rev_cents
+        |  FROM lineitem GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY rev_cents DESC, l_partkey) AS rank,
+        |    sum(rev_cents) OVER (PARTITION BY l_returnflag
+        |      ORDER BY rev_cents DESC, l_partkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(rev_cents) OVER (PARTITION BY l_returnflag) AS tot
+        |  FROM items)
+        |SELECT l_returnflag, l_partkey, rev_cents, CAST(rank AS INT) AS rank,
+        |  CAST(cum * 1000 // tot AS BIGINT) AS cum_permille,
+        |  CASE WHEN cum * 1000 <= 800 * tot THEN 'A'
+        |       WHEN cum * 1000 <= 950 * tot THEN 'B' ELSE 'C' END AS abc_class
+        |FROM w WHERE rank <= 100
+        |ORDER BY l_returnflag, rank""".stripMargin),
+
+    // trend/seasonal/residual readouts replay the identical double trees
+    // off the exact-long rolling sums
+    "q177_x_seasonal_decompose" ->
+      ("""WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    ((row_number() OVER o) - 1) % 12 AS ph,
+        |    CASE WHEN count(cents) OVER a = 12
+        |      THEN sum(cents) OVER a END AS sa,
+        |    CASE WHEN count(cents) OVER b = 12
+        |      THEN sum(cents) OVER b END AS sb
+        |  FROM m
+        |  WINDOW o AS (PARTITION BY prio ORDER BY month),
+        |    a AS (PARTITION BY prio ORDER BY month
+        |          ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+        |    b AS (PARTITION BY prio ORDER BY month
+        |          ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+        |t AS (SELECT *, CAST(sa + sb AS BIGINT) AS t2p,
+        |        CAST(24 * cents - (sa + sb) AS BIGINT) AS det
+        |      FROM w),
+        |se AS (SELECT prio, ph, CAST(sum(det) AS BIGINT) AS sn,
+        |         count(*) AS sc
+        |       FROM t WHERE det IS NOT NULL GROUP BY 1, 2)
+        |SELECT t.prio, t.month, t.cents,
+        |  CAST(floor(CAST(t.t2p AS DOUBLE) / 24 * 1000000 + 0.5) AS BIGINT)
+        |    AS trend_e6,
+        |  CAST(floor(CAST(se.sn AS DOUBLE) / (CAST(se.sc AS DOUBLE) * 24)
+        |    * 1000000 + 0.5) AS BIGINT) AS seasonal_e6,
+        |  CAST(floor((CAST(t.cents AS DOUBLE) - CAST(t.t2p AS DOUBLE) / 24
+        |    - CAST(se.sn AS DOUBLE) / (CAST(se.sc AS DOUBLE) * 24))
+        |    * 1000000 + 0.5) AS BIGINT) AS resid_e6
+        |FROM t LEFT JOIN se ON t.prio = se.prio AND t.ph = se.ph
+        |ORDER BY t.prio, t.month""".stripMargin),
+
+    "q178_x_gini" ->
+      ("""WITH cr AS (SELECT c_mktsegment, o_custkey,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS rev
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT c_mktsegment, rev,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY rev) AS i
+        |  FROM cr)
+        |SELECT c_mktsegment, count(*) AS n, CAST(sum(rev) AS BIGINT) AS total,
+        |  CASE WHEN sum(rev) > 0 THEN CAST(floor(
+        |    CAST(2 * sum(i * rev) - (count(*) + 1) * sum(rev) AS DOUBLE) /
+        |    CAST(count(*) * sum(rev) AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |  END AS gini_e6
+        |FROM r GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+
+    // weights are whole-half-life bit shifts; the final division by 2^20
+    // is exact even in DOUBLE
+    "q179_x_decay_score" ->
+      ("""WITH e AS (SELECT user_id, epoch_us(ts) AS tsu,
+        |    CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM events WHERE ts IS NOT NULL AND value IS NOT NULL),
+        |k AS (SELECT user_id, tsu, cents,
+        |    (max(tsu) OVER (PARTITION BY user_id) - tsu) // 604800000000 AS hl,
+        |    max(tsu) OVER (PARTITION BY user_id) AS last_us
+        |  FROM e)
+        |SELECT user_id, count(*) AS n_events, max(last_us) AS last_us,
+        |  CAST(sum(CASE WHEN hl <= 20 THEN cents << CAST(20 - hl AS INT)
+        |    ELSE 0 END) AS BIGINT) / 1048576.0 AS decay_score
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

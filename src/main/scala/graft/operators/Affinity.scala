@@ -29,9 +29,15 @@ object Affinity {
 
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    minSupport: Long = 1L): DataFrame = {
+    // persist the deduped basket-item table: FOUR consumers read it (both
+    // self-join sides, the item counts, the basket count) — unpersisted,
+    // the scan+distinct would run four times (the minhashCandidates
+    // lesson); the nBaskets count doubles as the cache materializer, and
+    // the ContextCleaner frees the blocks once the result is unreachable
     val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
       .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nBaskets = items.select("__b").distinct().count()
     val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
     val pairs = items.select(col("__b"), col("__i").as("item1"))

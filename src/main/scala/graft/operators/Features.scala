@@ -228,6 +228,111 @@ object Features {
       .drop("__n", "__sx", "__sxx", "__mn", "__mx")
   }
 
+  /** Exponential time-decay score per key — recency-weighted engagement
+    * (`Σ vᵢ·2^(−ageᵢ/halfLife)`), the ranking signal feeds/search use,
+    * computed EXACTLY: age quantizes to whole half-lives (integer
+    * division of exact micros against the key's newest event), each term
+    * becomes the integer `v · 2^(maxHalfLives − k)` via a bit shift,
+    * terms older than `maxHalfLives` contribute exactly 0 BY DEFINITION
+    * (at 20 half-lives the weight is below 10⁻⁶ — the truncation is the
+    * operator's contract, which is what makes it replayable), and the
+    * final descale divides the exact long sum by 2^maxHalfLives — a
+    * power of two, so even the resulting DOUBLE is exact while the sum
+    * stays under 2⁵³ (caller domain: Σv·2²⁰ < 2⁵³, i.e. Σv < 8·10⁹ per
+    * key — millions of cents-valued events).
+    *
+    * ONE full-frame window (per-key max time) + one aggregate on the
+    * same partitioning. Output per key: `n_events`, `last_us`,
+    * `decay_score` (in value units). */
+  def decayScore(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                 valueCol: String, halfLifeMicros: Long,
+                 maxHalfLives: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "decayScore needs at least one key column")
+    require(halfLifeMicros > 0, s"halfLifeMicros must be positive, got $halfLifeMicros")
+    require(maxHalfLives >= 1 && maxHalfLives <= 40,
+      s"maxHalfLives must be in [1, 40], got $maxHalfLives")
+    val t = col(tsCol).cast("long")
+    val v = col(valueCol).cast("long")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val scale = math.pow(2.0, maxHalfLives)
+    df.filter(t.isNotNull && v.isNotNull)
+      .withColumn("__last", max(t).over(part))
+      // SQL `div` (exact long) — operator `/` would detour through double
+      .withColumn("__k",
+        expr(s"(__last - cast(`$tsCol` as bigint)) div ${halfLifeMicros}L"))
+      .withColumn("__term",
+        when(col("__k") <= maxHalfLives,
+          expr(s"shiftleft(cast(`$valueCol` as bigint), " +
+            s"cast($maxHalfLives - __k as int))"))
+          .otherwise(lit(0L)))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_events"), max(t).as("last_us"),
+        (sum(col("__term")) / lit(scale)).as("decay_score"))
+  }
+
+  /** Classical seasonal decomposition (the moving-average half of STL;
+    * statsmodels `seasonal_decompose(model='additive')`): per key,
+    *   - trend: centered 2×`period` moving average — for even periods
+    *     the standard half-weighted-endpoint form, computed as the SUM
+    *     of the two adjacent `period`-windows (an exact long, ×2·period
+    *     the trend) so no float enters until the final readout;
+    *   - seasonal: mean detrended value per phase (position mod period),
+    *     from exact long numerators;
+    *   - residual: value − trend − seasonal.
+    * Input must be a gap-free per-key grid ([[CalendarOps.monthGrid]]
+    * upstream — positional windows equal calendar windows only without
+    * holes) with integral values.
+    *
+    * Determinism: the only float steps are three fixed expression trees
+    * (trend, seasonal, residual readouts off exact-long sums), each
+    * quantized to `_e6`; edge rows without a full 2×period neighborhood
+    * emit null trend/residual, and their detrended values are simply
+    * absent from the seasonal means — both engines agree because
+    * null-ness is structural (row position), not value-dependent.
+    *
+    * Plan shape: rolling sums + phase means ride TWO hash partitionings
+    * — (keys) for the windows, (keys, phase) for the seasonal aggregate
+    * joined back broadcast — raw rows shuffle once, the join side is
+    * period-sized. */
+  def seasonalDecompose(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                        valueCol: String, period: Int = 12): DataFrame = {
+    require(keyCols.nonEmpty, "seasonalDecompose needs at least one key column")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val x = col(valueCol).cast("long")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ord = part.orderBy(col(ordCol))
+    val half = period / 2
+    // two adjacent period-windows: [-half, half-1] and [-half+1, half];
+    // their sum is the 2x-period-weighted centered MA numerator
+    val wA = ord.rowsBetween(-half, half - 1)
+    val wB = ord.rowsBetween(-half + 1, half)
+    val den = 2.0 * period
+    val q6 = 1e6
+    val phase = ((row_number().over(ord) - 1) % period).as("__phase")
+    val base = df
+      .withColumn("__phase", phase)
+      .withColumn("__sumA", when(count(x).over(wA) === period, sum(x).over(wA)))
+      .withColumn("__sumB", when(count(x).over(wB) === period, sum(x).over(wB)))
+      .withColumn("__t2p", col("__sumA") + col("__sumB")) // null at edges
+    // detrended ×2p stays an exact long: 2p·x − t2p
+    val det2p = lit(2 * period) * x - col("__t2p")
+    val withDet = base.withColumn("__det2p", det2p)
+    val seas = withDet.filter(col("__det2p").isNotNull)
+      .groupBy((keyCols.map(col) :+ col("__phase")): _*)
+      .agg(sum(col("__det2p")).as("__sn"), count(lit(1)).as("__sc"))
+    withDet.join(broadcast(seas), keyCols :+ "__phase", "left")
+      .withColumn("trend_e6",
+        floor(col("__t2p").cast("double") / den * q6 + 0.5).cast("long"))
+      .withColumn("seasonal_e6",
+        floor(col("__sn").cast("double") / (col("__sc").cast("double") * den) * q6 + 0.5)
+          .cast("long"))
+      .withColumn("resid_e6",
+        floor((x.cast("double") - col("__t2p").cast("double") / den -
+          col("__sn").cast("double") / (col("__sc").cast("double") * den)) * q6 + 0.5)
+          .cast("long"))
+      .drop("__sumA", "__sumB", "__t2p", "__det2p", "__sn", "__sc", "__phase")
+  }
+
   /** CUSUM level-shift detection per key — the classic change-point
     * screen: cumulative deviation from the series mean, measured as its
     * rise above its own running minimum (`drift = cum − min(cum so

@@ -48,4 +48,39 @@ object Sessionize {
         max(us).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
+
+  /** Top navigation paths — the "how do users actually move" readout
+    * stacked on [[byGap]]: each session's first `maxLen` states joined
+    * `"a>b>c"`, counted corpus-wide, top `k` by frequency. The truncation
+    * cap is load-bearing at scale: an unbounded path column is a
+    * session-length string (a crawler session would build a megabyte
+    * key); `maxLen` bounds both the rebuild buffer and the shuffle key.
+    *
+    * Plan shape: the path rebuild reuses byGap's (key) partitioning —
+    * rank-within-session rides the SAME sort, the per-session
+    * `collect_list` aggregate re-shuffles on (key, session) once, and
+    * the path count is matrix-sized. Determinism: states sort by
+    * (time, tiebreak) inside the struct list (array_sort on the full
+    * struct — time first), and the final top-k orders by
+    * (count desc, path). */
+  def topPaths(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+               stateCol: String, gapMinutes: Int, maxLen: Int,
+               k: Int): DataFrame = {
+    require(maxLen >= 1, s"maxLen must be >= 1, got $maxLen")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val w = Window.partitionBy(col(keyCol), col("session_idx"))
+      .orderBy(col(tsCol), col(tieCol))
+    byGap(df, keyCol, tsCol, tieCol, gapMinutes)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= maxLen)
+      .groupBy(col(keyCol), col("session_idx"))
+      .agg(concat_ws(">",
+        transform(
+          array_sort(collect_list(struct(col("__rn"), col(stateCol).as("s")))),
+          e => e.getField("s"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 }

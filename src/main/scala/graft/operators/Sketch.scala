@@ -590,4 +590,67 @@ object Sketch {
       min(when(col("__cumw") * 1000 >= lit(p) * col("__totw"), v)).as(s"p$p"))
     cum.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** ABC / Pareto classification per group — the inventory-analysis
+    * staple: items ranked by consumption, class A while the cumulative
+    * share is within `aPermille`‰, B within `bPermille`‰, C after.
+    * The share test is integer cross-multiplication (`cum·1000 ≤
+    * limit·total`), cumulative share INCLUSIVE of the current item (the
+    * standard convention), ranked by `(value desc, item)` so ties are a
+    * total order.
+    *
+    * Plan shape: ONE (group)-partitioned window over item-aggregate-
+    * sized rows (the caller usually aggregates raw rows to items first).
+    * Output adds `rank`, `cum_permille`, `abc_class`. */
+  def abcClassify(df: DataFrame, groupCols: Seq[String], itemCol: String,
+                  valueCol: String, aPermille: Int = 800,
+                  bPermille: Int = 950): DataFrame = {
+    require(groupCols.nonEmpty, "abcClassify needs at least one group column")
+    require(aPermille >= 1 && bPermille > aPermille && bPermille <= 1000,
+      s"need 1 <= aPermille < bPermille <= 1000, got $aPermille/$bPermille")
+    val v = col(valueCol).cast("long")
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    val ord = part.orderBy(v.desc, col(itemCol))
+    val run = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("rank", row_number().over(ord))
+      .withColumn("__cum", sum(v).over(run))
+      .withColumn("__tot", sum(v).over(part))
+      .withColumn("cum_permille", expr("__cum * 1000 div __tot"))
+      .withColumn("abc_class",
+        when(col("__cum") * 1000 <= lit(aPermille) * col("__tot"), "A")
+          .when(col("__cum") * 1000 <= lit(bPermille) * col("__tot"), "B")
+          .otherwise("C"))
+      .drop("__cum", "__tot")
+  }
+
+  /** Gini concentration coefficient per group — "how unequal is this
+    * distribution" (revenue over customers, tokens over domains): for
+    * values sorted ascending, `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`.
+    * Numerator and denominator are EXACT LONGS (Σ i·xᵢ is bounded by
+    * n²·max(x) — fine into hundreds of millions of cents-valued rows per
+    * group); the single IEEE division lands in `gini_e6`. Equal values
+    * commute in Σ i·xᵢ, so any stable sort gives the same sum —
+    * deterministic without a tiebreak. Requires non-negative values
+    * (fails loudly: a negative would make G meaningless silently).
+    *
+    * ONE window + aggregate on the same partitioning. */
+  def gini(df: DataFrame, groupCols: Seq[String], valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "gini needs at least one group column")
+    val v0 = col(valueCol).cast("long")
+    val v = when(v0 < 0, raise_error(concat(
+        lit(s"gini: negative value in $valueCol: "), v0.cast("string"))))
+      .otherwise(v0)
+    val ord = Window.partitionBy(groupCols.map(col): _*).orderBy(v0)
+    df.filter(v0.isNotNull)
+      .withColumn("__i", row_number().over(ord))
+      .withColumn("__ix", col("__i") * v)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(v0).as("total"),
+        sum(col("__ix")).as("__six"))
+      .withColumn("gini_e6",
+        when(col("total") > 0, floor(
+          (lit(2) * col("__six") - (col("n") + 1) * col("total")).cast("double") /
+            (col("n") * col("total")).cast("double") * 1e6 + 0.5).cast("long")))
+      .drop("__six")
+  }
 }

@@ -222,4 +222,42 @@ class FeaturesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"), p)
   }
+
+  test("decayScore: whole-half-life weights, exact truncation past the horizon") {
+    // newest at t=100h; values at 0, 1, 2 half-lives (h = 10 units) and
+    // one past the horizon
+    val h = 10L
+    val df = Seq(
+      ("k", 100L, 8L),   // age 0 -> 8
+      ("k", 90L, 8L),    // age 1h -> 4
+      ("k", 85L, 8L),    // age 1.5h -> floor 1 half-life -> 4
+      ("k", 80L, 8L),    // age 2h -> 2
+      ("k", -1000L, 8L)  // far past maxHalfLives -> exactly 0
+    ).toDF("k", "t", "v")
+    val r = Features.decayScore(df, Seq("k"), "t", "v", halfLifeMicros = h,
+      maxHalfLives = 20).collect().head
+    assert(r.getAs[Long]("n_events") == 5)
+    assert(r.getAs[Long]("last_us") == 100L)
+    assert(r.getAs[Double]("decay_score") == 8.0 + 4.0 + 4.0 + 2.0)
+  }
+
+  test("seasonalDecompose: planted season + linear trend recovered") {
+    // x = 1000*t + season(phase), period 4, seasonal pattern sums to zero
+    val season = Seq(400L, -100L, -200L, -100L)
+    val df = (0 until 16).map { t =>
+      ("k", t.toLong, 1000L * t + season(t % 4)) }.toDF("k", "t", "v")
+    val out = Features.seasonalDecompose(df, Seq("k"), "t", "v", period = 4)
+      .orderBy("t").collect()
+    // trend defined for t in [2, 13]: centered MA of a linear series = itself
+    val mid = out.filter(r => r.getAs[Long]("t") >= 2 && r.getAs[Long]("t") <= 13)
+    mid.foreach { r =>
+      assert(r.getAs[Long]("trend_e6") == 1000L * r.getAs[Long]("t") * 1000000L,
+        s"t=${r.getAs[Long]("t")}")
+      assert(r.getAs[Long]("seasonal_e6") == season((r.getAs[Long]("t") % 4).toInt) * 1000000L)
+      assert(r.getAs[Long]("resid_e6") == 0L)
+    }
+    // edges: no full window -> null trend and residual
+    assert(out.take(2).forall(r => r.get(r.fieldIndex("trend_e6")) == null))
+    assert(out.takeRight(2).forall(r => r.get(r.fieldIndex("resid_e6")) == null))
+  }
 }

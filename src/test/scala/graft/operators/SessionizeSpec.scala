@@ -56,4 +56,21 @@ class SessionizeSpec extends SparkSpec {
     val s2 = out(1)
     assert(s2.getAs[Long]("n_events") == 1L && s2.getAs[Long]("duration_us") == 0L)
   }
+
+  test("topPaths: sessions become ordered truncated paths, counted and ranked") {
+    import java.sql.Timestamp
+    def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val ev = Seq(
+      ("u1", ts(0), 1L, "view"), ("u1", ts(1), 2L, "click"), ("u1", ts(2), 3L, "buy"),
+      // u1 second session (gap > 30min)
+      ("u1", ts(50), 4L, "view"), ("u1", ts(51), 5L, "click"),
+      ("u2", ts(0), 6L, "view"), ("u2", ts(1), 7L, "click"),
+      ("u3", ts(0), 8L, "view"), ("u3", ts(1), 9L, "click"), ("u3", ts(2), 10L, "buy"),
+      ("u3", ts(3), 11L, "refund") // truncated away at maxLen 3
+    ).toDF("u", "ts", "id", "s")
+    val out = Sessionize.topPaths(ev, "u", "ts", "id", "s",
+      gapMinutes = 30, maxLen = 3, k = 2).collect()
+    assert(out.map(r => (r.getAs[String]("path"), r.getAs[Long]("n_sessions")))
+      .toSeq == Seq(("view>click", 2L), ("view>click>buy", 2L)))
+  }
 }

@@ -332,4 +332,27 @@ class SketchSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
+
+  test("abcClassify: cumulative-share classes with integer boundaries") {
+    // revenues 60, 25, 10, 5 (total 100): cum 60% -> A, 85% -> B(?), ...
+    // with a=800, b=950: 600<=800 A, 850<=800? no -> <=950 B, 950<=950 B, 1000 C
+    val df = Seq(("g", "i1", 60L), ("g", "i2", 25L), ("g", "i3", 10L), ("g", "i4", 5L))
+      .toDF("g", "item", "rev")
+    val out = Sketch.abcClassify(df, Seq("g"), "item", "rev")
+      .orderBy("rank").collect()
+    assert(out.map(_.getAs[String]("abc_class")).toSeq == Seq("A", "B", "B", "C"))
+    assert(out.map(_.getAs[Long]("cum_permille")).toSeq == Seq(600L, 850L, 950L, 1000L))
+    assert(out.map(_.getAs[Int]("rank")).toSeq == Seq(1, 2, 3, 4))
+  }
+
+  test("gini: 0 for equality, (n-1)/n-scaled max for one-holder; negative fails") {
+    val eq = Seq(("g", 5L), ("g", 5L), ("g", 5L), ("g", 5L)).toDF("g", "v")
+    assert(Sketch.gini(eq, Seq("g"), "v").collect().head.getAs[Long]("gini_e6") == 0L)
+    // one holder of everything among 4: G = (n-1)/n = 0.75
+    val one = Seq(("g", 0L), ("g", 0L), ("g", 0L), ("g", 100L)).toDF("g", "v")
+    assert(Sketch.gini(one, Seq("g"), "v").collect().head.getAs[Long]("gini_e6") == 750000L)
+    val neg = Seq(("g", -1L)).toDF("g", "v")
+    val e = intercept[Exception] { Sketch.gini(neg, Seq("g"), "v").collect() }
+    assert(e.getMessage.contains("negative value"))
+  }
 }
