@@ -2188,7 +2188,28 @@ object SparkEntry {
       graft.operators.Features.decayScore(e, Seq("user_id"), "tsu", "cents",
           halfLifeMicros = 7L * 86400L * 1000000L) // one week
         .orderBy("user_id")
-    })
+    }),
+
+    // ---- extension: bigram LM scoring — order-2 upgrade of q86's
+    // unigram perplexity: OOV-closed vocabulary, lead-window successors,
+    // shuffle-joined bigram stats (NOT assumed broadcastable)
+    "q180_x_bigram_nll" -> tuned((s, d) =>
+      graft.text.LanguageModel.bigramNll(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- extension: streaming expectation counters — the q160 row-check
+    // tier as standing complete-mode sums; drained state == batch verdict
+    "q181_x_stream_expectations" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingExpectations(s, d, Seq(
+        "value_nonneg" -> "value >= 0",
+        "type_known" -> "event_type in ('view','click','purchase','signup')",
+        "user_not_null" -> "user_id is not null"))),
+
+    // ---- extension: streaming transition matrix — constant-size
+    // last-event state per user, boundary + in-batch pairs; emitted
+    // multiset == q171's batch lead-window pairs
+    "q182_x_stream_transitions" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingTransitions(s, d))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5116,7 +5137,64 @@ object SparkEntry {
         |SELECT user_id, count(*) AS n_events, max(last_us) AS last_us,
         |  CAST(sum(CASE WHEN hl <= 20 THEN cents << CAST(20 - hl AS INT)
         |    ELSE 0 END) AS BIGINT) / 1048576.0 AS decay_score
-        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin)
+        |FROM k GROUP BY user_id ORDER BY user_id""".stripMargin),
+
+    // identical smoothing tree; chr(1)||'OOV' replays the OOV
+    // sentinel; round(x, 4) agrees half-up in both engines (q86 contract)
+    "q180_x_bigram_nll" ->
+      ("""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |tok AS (SELECT doc_id, unnest(toks) AS term,
+        |          unnest(range(1, len(toks) + 1)) AS pos
+        |        FROM t),
+        |c AS (SELECT term, count(*) AS c FROM tok GROUP BY 1),
+        |mp AS (SELECT tok.doc_id, tok.pos,
+        |         CASE WHEN c.c >= 2 THEN tok.term
+        |              ELSE chr(1) || 'OOV' END AS m
+        |       FROM tok JOIN c USING (term)),
+        |bg AS (SELECT doc_id, m AS w1,
+        |         lead(m) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |       FROM mp),
+        |db AS (SELECT doc_id, w1, w2, count(*) AS nb FROM bg
+        |       WHERE w2 IS NOT NULL GROUP BY 1, 2, 3),
+        |c12 AS (SELECT w1, w2, CAST(sum(nb) AS BIGINT) AS c12 FROM db GROUP BY 1, 2),
+        |c1 AS (SELECT m AS w1, count(*) AS c1 FROM mp GROUP BY 1),
+        |v AS (SELECT count(DISTINCT m) AS v FROM mp)
+        |SELECT db.doc_id, CAST(sum(db.nb) AS BIGINT) AS n_bigrams,
+        |  round(sum(db.nb * -ln((c12.c12 + 0.5) / (c1.c1 + 0.5 * (v.v + 1))))
+        |    / sum(db.nb), 4) AS avg_nll
+        |FROM db JOIN c12 USING (w1, w2) JOIN c1 USING (w1) CROSS JOIN v
+        |GROUP BY db.doc_id ORDER BY db.doc_id""".stripMargin),
+
+    "q181_x_stream_expectations" ->
+      ("""WITH rc AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN value >= 0 THEN 0 ELSE 1 END) AS v1,
+        |    sum(CASE WHEN event_type IN ('view','click','purchase','signup')
+        |        THEN 0 ELSE 1 END) AS v2,
+        |    sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END) AS v3
+        |  FROM events)
+        |SELECT * FROM (
+        |  SELECT 'type_known' AS "constraint", n AS n_rows,
+        |    CAST(v2 AS BIGINT) AS n_violations, v2 = 0 AS passed FROM rc
+        |  UNION ALL SELECT 'user_not_null', n, CAST(v3 AS BIGINT), v3 = 0 FROM rc
+        |  UNION ALL SELECT 'value_nonneg', n, CAST(v1 AS BIGINT), v1 = 0 FROM rc)
+        |ORDER BY "constraint"""".stripMargin),
+
+    // the streaming emission is pair-for-pair the batch lead window, so
+    // the oracle IS q171's
+    "q182_x_stream_transitions" ->
+      ("""WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS tsu, event_type
+        |  FROM events WHERE ts IS NOT NULL AND event_type IS NOT NULL),
+        |t AS (SELECT event_type AS from_state,
+        |    lead(event_type) OVER (PARTITION BY user_id ORDER BY tsu, event_id)
+        |      AS to_state
+        |  FROM e),
+        |c AS (SELECT from_state, to_state, count(*) AS n FROM t
+        |      WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |o AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS ot FROM c GROUP BY 1)
+        |SELECT c.from_state, c.to_state, c.n, c.n * 1000 // o.ot AS p_permille
+        |FROM c JOIN o USING (from_state)
+        |ORDER BY c.from_state, c.to_state""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

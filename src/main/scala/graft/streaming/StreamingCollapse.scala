@@ -488,4 +488,94 @@ object StreamingCollapse {
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
   }
+
+  // ------------------------------------------- streaming data quality
+
+  /** Streaming expectation counters — the [[graft.operators.Expectations]]
+    * row-check tier as a STANDING monitor: every check is a violation
+    * SUM beside its siblings in one complete-mode aggregate (sums merge
+    * across micro-batches trivially, so the drained state equals the
+    * batch validate of the same rows — the q133/q145 merge-law
+    * discipline applied to data quality). Unique-key and referential
+    * checks stay batch-side: both need distincts/joins that streaming
+    * aggregates exclude, and both are reconciliation passes, not
+    * per-event monitors. Post-drain, the one wide row pivots to the
+    * batch operator's verdict shape. */
+  def streamingExpectations(spark: SparkSession, dir: String,
+                            checks: Seq[(String, String)]): DataFrame = {
+    require(checks.nonEmpty, "streamingExpectations needs at least one check")
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_expect"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val aggs = checks.map { case (n, pred) =>
+      sum(when(expr(pred), 0L).otherwise(1L)).as(s"__v_$n")
+    } :+ count(lit(1)).as("__n")
+    val agg = eventsStream(spark, dir).agg(aggs.head, aggs.tail: _*)
+    drain(spark, agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    spark.table(name)
+      .select(explode(array(checks.map { case (n, _) =>
+        struct(lit(n).as("constraint"), col("__n").as("n_rows"),
+          col(s"__v_$n").as("n_violations"))
+      }: _*)).as("c")).select(col("c.*"))
+      .withColumn("passed", col("n_violations") === 0L)
+      .orderBy("constraint")
+  }
+
+  // ------------------------------------------- streaming transitions
+
+  // public like SessionEvent: Janino-generated encoder code lives outside
+  // this object and cannot touch private members
+  final case class TransEvent(userId: Long, tsu: Long, eventId: Long, state: String)
+  final case class TransState(tsu: Long, eventId: Long, state: String)
+  final case class Transition(from_state: String, to_state: String)
+
+  /** Streaming first-order transitions — the custom-state twin of
+    * [[graft.operators.Funnel.transitionMatrix]]: per user, state holds
+    * only the LAST seen event (constant size — the 100 TB-safe shape);
+    * each micro-batch sorts its own slice by (tsu, event_id), emits the
+    * boundary transition from the carried state plus the within-batch
+    * pairs, and carries the new last event forward. With the standing
+    * assumption event time is non-decreasing ACROSS batches per user
+    * (file landing order; within-batch order is handled by the sort),
+    * the emitted multiset equals the batch lead-window pairs exactly —
+    * the aggregate readout shares q171's oracle. */
+  def streamingTransitions(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_trans"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isNotNull)
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .map { case (u, t, id, s) => TransEvent(u, t, id, s) }
+    val pairs = events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: Long, it: Iterator[TransEvent], state: GroupState[TransState]) => {
+          val sorted = it.toSeq.sortBy(e => (e.tsu, e.eventId))
+          var last = state.getOption
+          val out = Seq.newBuilder[Transition]
+          sorted.foreach { e =>
+            last.foreach(l => out += Transition(l.state, e.state))
+            last = Some(TransState(e.tsu, e.eventId, e.state))
+          }
+          last.foreach(state.update)
+          out.result().iterator
+        })
+    drain(spark, pairs.writeStream
+      .outputMode("append").format("memory").queryName(name))
+    // totals via a window over the matrix-sized counts (a join back onto
+    // the same memory-sink lineage trips conflicting-reference resolution)
+    spark.table(name)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .selectExpr("from_state", "to_state", "n",
+        "n * 1000 div sum(n) over (partition by from_state) as p_permille")
+      .orderBy("from_state", "to_state")
+  }
 }

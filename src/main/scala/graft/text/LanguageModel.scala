@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.Cols
 
@@ -149,5 +150,58 @@ object LanguageModel {
       .filter(col("avg_nll").between(lo, hi))
       .select(col("doc_id"))
     docs.join(scored, docs(idCol) === scored("doc_id"), "leftsemi")
+  }
+
+  /** Per-document mean NLL under an add-k-smoothed BIGRAM LM — the
+    * order-2 upgrade of [[unigramNll]] (a repetition of frequent tokens
+    * in an unseen ORDER is exactly what a unigram model cannot see):
+    * tokens below `minCount` map to one OOV type FIRST (so bigram
+    * statistics are over the closed vocabulary — the standard UNK
+    * pipeline), then `P(w₂|w₁) = (C(w₁w₂)+k) / (C(w₁)+k·(V+1))` with V
+    * the mapped-type count. Documents shorter than 2 tokens have no
+    * bigrams and are absent from the output.
+    *
+    * Scale shape: one tokenize pass (doc, pos, term); vocabulary mapping
+    * is a broadcast join; the successor comes from ONE (doc)-partitioned
+    * lead window (positions, not a self-join); bigram counts and left
+    * counts re-aggregate from mapped rows. The bigram-type table is NOT
+    * assumed broadcastable (unlike the pruned unigram vocab) — the
+    * probability attach is a shuffle join on (w₁, w₂) over distinct
+    * per-doc bigram rows. Scoring mirrors [[unigramNll]]'s rounding
+    * contract: the per-doc float sum rounds to `roundTo` before
+    * comparison. */
+  def bigramNll(docs: DataFrame, idCol: String, textCol: String,
+                minCount: Long = 2L, k: Double = 0.5,
+                roundTo: Int = 4): DataFrame = {
+    require(minCount >= 1, "minCount must be >= 1")
+    require(k > 0, "add-k smoothing needs k > 0")
+    val oov = "OOV" // cannot collide with whitespace-split tokens? see map
+    val toks = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"),
+        posexplode(Cols.tokens(col(textCol))).as(Seq("pos", "term")))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val vocab = counts.filter(col("c") >= minCount).select("term")
+    val mapped = toks
+      .join(broadcast(vocab.withColumn("__inv", lit(true))), Seq("term"), "left")
+      .select(col("doc_id"), col("pos"),
+        when(col("__inv").isNotNull, col("term")).otherwise(lit(oov)).as("m"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val big = mapped
+      .withColumn("m2", lead(col("m"), 1).over(w))
+      .filter(col("m2").isNotNull)
+    val docBig = big.groupBy(col("doc_id"), col("m").as("w1"), col("m2").as("w2"))
+      .agg(count(lit(1)).as("nb"))
+    val c12 = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("nb")).as("c12"))
+    val c1 = mapped.groupBy(col("m").as("w1")).agg(count(lit(1)).as("c1"))
+    val vSize = mapped.agg(count_distinct(col("m")).as("v"))
+    val p = (col("c12") + lit(k)) / (col("c1") + lit(k) * (col("v") + lit(1)))
+    docBig
+      .join(c12, Seq("w1", "w2"))
+      .join(broadcast(c1), Seq("w1"))
+      .crossJoin(broadcast(vSize))
+      .groupBy("doc_id")
+      .agg(sum(col("nb")).as("n_bigrams"),
+        round(sum(col("nb") * -log(p)) / sum(col("nb")), roundTo).as("avg_nll"))
   }
 }

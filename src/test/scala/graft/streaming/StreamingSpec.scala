@@ -176,4 +176,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.toSeq == batch.toSeq,
       "micro-batch slicing changed the k-minimum set — merge must be a set union")
   }
+
+  test("streamingExpectations equals the batch row-check validate") {
+    val dir = "/root/testdata/sf0.001"
+    val checks = Seq(
+      "value_nonneg" -> "value >= 0",
+      "type_known" -> "event_type in ('view','click','purchase','scroll','hover')",
+      "user_not_null" -> "user_id is not null")
+    val streamed = StreamingCollapse.streamingExpectations(spark, dir, checks)
+      .collect()
+    val batch = graft.operators.Expectations.validate(
+      graft.sources.Tables.events(spark, dir),
+      checks.map { case (n, p) => n -> expr(p) })
+      .collect()
+    assert(streamed.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toSeq == batch.map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getBoolean(3))).toSeq)
+  }
+
+  test("streamingTransitions equals the batch transition matrix") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingCollapse.streamingTransitions(spark, dir).collect()
+    val batch = graft.operators.Funnel.transitionMatrix(
+        graft.sources.Tables.events(spark, dir)
+          .withColumn("tsu", expr("ts_ns div 1000")),
+        Seq("user_id"), "tsu", "event_type", tieCols = Seq("event_id"))
+      .orderBy("from_state", "to_state").collect()
+    assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
+  }
 }

@@ -96,4 +96,45 @@ class LanguageModelSpec extends SparkSpec {
     assert(e.getMessage.contains("no non-blank documents"),
       s"expected the empty-target raise_error, got: ${e.getMessage}")
   }
+
+  test("bigramNll: unseen-order bigrams score worse than corpus-frequent ones") {
+    // 'a b' appears 3x, 'b a' never; all tokens frequent (no OOV mapping)
+    val docs = Seq(
+      (1L, "a b c a b c a b c"),
+      (2L, "b a c")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramNll(docs, "doc_id", "text", minCount = 1L)
+      .orderBy("doc_id").collect()
+    assert(out.length == 2)
+    val nll1 = out(0).getAs[Double]("avg_nll")
+    val nll2 = out(1).getAs[Double]("avg_nll")
+    assert(out(0).getAs[Long]("n_bigrams") == 8)
+    assert(out(1).getAs[Long]("n_bigrams") == 2)
+    assert(nll2 > nll1, s"unseen order should score worse: $nll2 <= $nll1")
+  }
+
+  test("bigramNll: closed-form check on a two-token corpus") {
+    // corpus: single doc "x y". V = 2 types, bigram (x,y): c12=1, c1(x)=1
+    // P(y|x) = (1+0.5)/(1+0.5*3) = 0.6 -> nll = -ln(0.6)
+    val docs = Seq((1L, "x y")).toDF("doc_id", "text")
+    val r = LanguageModel.bigramNll(docs, "doc_id", "text", minCount = 1L)
+      .collect().head
+    assert(r.getAs[Long]("n_bigrams") == 1)
+    assert(math.abs(r.getAs[Double]("avg_nll") - (-math.log(0.6))) < 1e-4)
+  }
+
+  test("bigramNll: rare tokens collapse to OOV before bigram stats") {
+    // 'zzz' occurs once -> OOV with minCount=2; both docs then share the
+    // mapped bigram (a, OOV) so doc 2 benefits from doc 1's statistics
+    val docs = Seq(
+      (1L, "a zzz a zzz"), // note: zzz occurs twice -> kept at minCount=2
+      (2L, "a qqq")).toDF("doc_id", "text")
+    val out = LanguageModel.bigramNll(docs, "doc_id", "text", minCount = 2L)
+      .orderBy("doc_id").collect()
+    // doc2's (a, qqq) maps to (a, OOV); it must still be scored (present)
+    assert(out.length == 2)
+    assert(out(1).getAs[Long]("n_bigrams") == 1)
+    // single-token or empty docs are absent
+    val single = Seq((1L, "only")).toDF("doc_id", "text")
+    assert(LanguageModel.bigramNll(single, "doc_id", "text").count() == 0)
+  }
 }
