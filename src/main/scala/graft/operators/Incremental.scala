@@ -64,4 +64,31 @@ object Incremental {
     .withColumn("mean_e6", expr("sum_v * 1000000L div n"))
     .withColumn("var_e6",
       expr("(n * sumsq_v - sum_v * sum_v) * 1000000L div (n * n)"))
+
+  /** Incremental JOIN maintenance for insert-only tables — the
+    * delta-join identity `Δ(A ⋈ B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB`: given the
+    * stored pre-delta sides and the two insert batches, this returns
+    * exactly the NEW join rows, so `J₀ ∪ joinDelta(...) = (A₀∪ΔA) ⋈
+    * (B₀∪ΔB)` row-for-row (multiset semantics — duplicates multiply
+    * through the identity like through the join itself; the spec
+    * asserts the equality on duplicate-carrying inputs).
+    *
+    * The 100 TB point: the maintained join never recomputes `A₀⋈B₀`.
+    * Daily deltas are small, so BOTH delta-sided terms broadcast the
+    * delta and stream the stored side past it; the ΔA⋈ΔB corner is
+    * delta×delta-sized. Cost is `|Δ|`-proportional where the recompute
+    * is `|A|+|B|`-proportional. Insert-only is a CONTRACT (the CDC
+    * operators handle updates/deletes by key-state folding —
+    * [[Cdc.applyChanges]]; mixing the two disciplines silently
+    * double-counts). */
+  def joinDelta(oldLeft: DataFrame, deltaLeft: DataFrame,
+                oldRight: DataFrame, deltaRight: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    require(keys.nonEmpty, "joinDelta needs at least one join key")
+    // the DELTA side broadcasts in every term — the stored sides stream
+    // past it; inner joins are symmetric and unionByName aligns columns
+    oldRight.join(broadcast(deltaLeft), keys)
+      .unionByName(oldLeft.join(broadcast(deltaRight), keys))
+      .unionByName(deltaLeft.join(broadcast(deltaRight), keys))
+  }
 }

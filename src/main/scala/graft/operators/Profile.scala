@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality reconnaissance pass every
@@ -83,5 +84,38 @@ object Profile {
         countDistinct(col("__x")).as("nx_distinct"),
         countDistinct(col("__y")).as("ny_distinct"),
         sum(col("__term_e9")).as("mi_e9"))
+  }
+
+  /** Benford first-digit screen — the classic naturally-occurring-data /
+    * fabrication test: the leading digit of organically-scaled positive
+    * values follows `P(d) = log₁₀(1 + 1/d)`; per (group, digit) this
+    * emits the observed integer-permille-style share beside the Benford
+    * expectation and the absolute deviation, all `_e6`-quantized.
+    *
+    * Exactness: the digit is the first character of the LONG value's
+    * decimal rendering (no float log in the extraction path — `log10`
+    * flips at powers of ten exactly where doubles wobble); shares are
+    * exact integer `c·10⁶ div n`; the Benford column is one fixed
+    * `log10` tree per digit, deviation an integer subtraction of the two
+    * quantized columns. One aggregate over one scan; nine rows per
+    * group. Zero/negative/null values are excluded (Benford is defined
+    * on positive magnitudes). */
+  def benfordDigits(df: DataFrame, groupCols: Seq[String],
+                    valueCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "benfordDigits needs at least one group column")
+    val v = col(valueCol).cast("long")
+    val digits = df.filter(v.isNotNull && v > 0)
+      .withColumn("digit", substring(v.cast("string"), 1, 1).cast("int"))
+      .groupBy((groupCols.map(col) :+ col("digit")): _*)
+      .agg(count(lit(1)).as("n_d"))
+    val part = Window.partitionBy(groupCols.map(col): _*)
+    digits
+      .withColumn("n", sum(col("n_d")).over(part))
+      .withColumn("share_e6", expr("n_d * 1000000 div n"))
+      .withColumn("benford_e6",
+        floor(log(10.0, lit(1.0) + lit(1.0) / col("digit").cast("double"))
+          * 1e6 + 0.5).cast("long"))
+      .withColumn("abs_dev_e6",
+        abs(col("share_e6") - col("benford_e6")))
   }
 }

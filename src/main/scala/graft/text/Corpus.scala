@@ -360,6 +360,55 @@ object Corpus {
     * descending `sequence(1, 0)` from fabricating pairs on one-token
     * docs, the DuckDB-parity trap [[graft.functions.Cols.shingles]]
     * documents). */
+  /** Skip-gram pairs within `window` positions — the word2vec-style
+    * context generalization of [[adjacentPairs]] (offset 1 only): one
+    * pair per (position, offset ≤ window) with the LEFT token first.
+    * Same explode-over-index shape, one narrow shuffle-free pass: the
+    * offset fan-out happens inside a flattened array expression, so the
+    * scan is still read once (window scans would be the naive form).
+    *
+    * @see [[skipgramPmi]] for the association readout over these pairs */
+  private def windowPairs(docs: DataFrame, textCol: String,
+                          window: Int): DataFrame = {
+    val pairArrays = (1 to window).map { k =>
+      zip_with(
+        slice(col("__toks"), 1, greatest(size(col("__toks")) - k, lit(0))),
+        slice(col("__toks"), k + 1, greatest(size(col("__toks")) - k, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))
+    }
+    docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(Cols.tokens(col(textCol)).as("__toks"))
+      .select(explode(flatten(array(pairArrays: _*))).as("__p"))
+      .select(col("__p.w1").as("w1"), col("__p.w2").as("w2"))
+  }
+
+  /** PMI collocations over a ±`window` skip-gram context — finds
+    * associated-but-not-adjacent pairs ("new … york" with an adjective
+    * between) that [[pmiCollocations]]'s strict adjacency misses. Same
+    * integer-exact decision path: threshold by cross-multiplication
+    * `c12·N ≥ r·c1·c2`, ratio emitted as one fixed double division. */
+  def skipgramPmi(docs: DataFrame, textCol: String, window: Int,
+                  minCount: Long, minRatio: Long): DataFrame = {
+    require(window >= 1, "window must be >= 1")
+    require(minCount >= 1, "minCount must be >= 1")
+    require(minRatio >= 1, "minRatio must be >= 1 (below 1 selects anti-collocations)")
+    val pairs = windowPairs(docs, textCol, window)
+    val cPair = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val cLeft = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+    val cRight = pairs.groupBy("w2").agg(count(lit(1)).as("c2"))
+    val total = pairs.agg(count(lit(1)).as("n_pairs"))
+    cPair.filter(col("c12") >= minCount)
+      .join(broadcast(cLeft), Seq("w1"))
+      .join(broadcast(cRight), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .filter(col("c12") * col("n_pairs") >= lit(minRatio) * col("c1") * col("c2"))
+      .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
+        col("n_pairs"),
+        ((col("c12") * col("n_pairs")).cast("double") /
+          (col("c1") * col("c2")).cast("double")).as("ratio"))
+  }
+
   private def adjacentPairs(docs: DataFrame, textCol: String): DataFrame =
     docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
