@@ -372,8 +372,8 @@ object Corpus {
                           window: Int): DataFrame = {
     val pairArrays = (1 to window).map { k =>
       zip_with(
-        slice(col("__toks"), 1, greatest(size(col("__toks")) - k, lit(0))),
-        slice(col("__toks"), k + 1, greatest(size(col("__toks")) - k, lit(0))),
+        slice(col("__toks"), lit(1), greatest(size(col("__toks")) - k, lit(0))),
+        slice(col("__toks"), lit(k + 1), greatest(size(col("__toks")) - k, lit(0))),
         (a, b) => struct(a.as("w1"), b.as("w2")))
     }
     docs
