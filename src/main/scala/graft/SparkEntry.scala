@@ -2209,7 +2209,55 @@ object SparkEntry {
     // last-event state per user, boundary + in-batch pairs; emitted
     // multiset == q171's batch lead-window pairs
     "q182_x_stream_transitions" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingTransitions(s, d))
+      graft.streaming.StreamingCollapse.streamingTransitions(s, d)),
+
+    // ---- extension: skip-gram PMI collocations — q143's association
+    // mining widened to a ±2 context window (word2vec-style pairs), same
+    // integer cross-multiplication threshold, no log in the decision path
+    "q183_x_skipgram_pmi" -> tuned((s, d) =>
+      graft.text.Corpus.skipgramPmi(
+          Tables.documents(s, d), "text", window = 2, minCount = 5,
+          minRatio = 15)
+        .withColumn("ratio_e6",
+          expr("c12 * n_pairs * 1000000L div (c1 * c2)"))
+        .drop("ratio")
+        .orderBy("w1", "w2")),
+
+    // ---- extension: incremental join maintenance — the delta-join
+    // identity Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB on insert-only orders ⋈
+    // customer; the readout aggregates J₀ ∪ delta and the oracle is the
+    // FULL recompute, so the hash match IS the identity proof
+    "q184_x_join_delta" -> tuned((s, d) => {
+      import graft.operators.Incremental
+      val cut = "1996-01-01"
+      val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
+        col("o_orderdate"), col("o_totalprice"))
+      val c = Tables.customer(s, d).select(col("c_custkey").as("custkey"),
+        col("c_mktsegment"))
+      val oldL = o.filter(col("o_orderdate") < lit(cut))
+      val dL = o.filter(col("o_orderdate") >= lit(cut) ||
+        col("o_orderdate").isNull)
+      val oldR = c.filter(col("custkey") % 3 =!= 0)
+      val dR = c.filter(col("custkey") % 3 === 0)
+      val maintained = oldL.join(oldR, Seq("custkey"))
+        .unionByName(Incremental.joinDelta(oldL, dL, oldR, dR, Seq("custkey")))
+      maintained.groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"),
+          expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))")
+            .as("cents"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- extension: Benford first-digit screen — fabrication test over
+    // order totals (cents); digit from the LONG's decimal rendering,
+    // shares exact integer permille-of-a-million, Benford expectation one
+    // fixed log10 tree per digit
+    "q185_x_benford" -> tuned((s, d) =>
+      graft.operators.Profile.benfordDigits(
+          Tables.orders(s, d).withColumn("cents",
+            expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")),
+          Seq("o_orderpriority"), "cents")
+        .orderBy("o_orderpriority", "digit"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5194,7 +5242,63 @@ object SparkEntry {
         |o AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS ot FROM c GROUP BY 1)
         |SELECT c.from_state, c.to_state, c.n, c.n * 1000 // o.ot AS p_permille
         |FROM c JOIN o USING (from_state)
-        |ORDER BY c.from_state, c.to_state""".stripMargin)
+        |ORDER BY c.from_state, c.to_state""".stripMargin),
+
+    // q143's pair derivation with an extra offset dimension k ∈ {1, 2};
+    // generate_series(1, len-k) is empty when len <= k, matching the
+    // slice-length guard on the Spark side
+    "q183_x_skipgram_pmi" ->
+      ("""WITH t AS (
+        |  SELECT regexp_split_to_array(trim(text), '\s+') AS l
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |ks AS (SELECT unnest(generate_series(1, 2)) AS k),
+        |ix AS (SELECT unnest(generate_series(1, len(l) - k)) AS i, l, k
+        |       FROM t CROSS JOIN ks),
+        |p AS (SELECT l[i] AS w1, l[i + k] AS w2 FROM ix),
+        |cp AS (SELECT w1, w2, count(*) AS c12 FROM p GROUP BY 1, 2),
+        |m1 AS (SELECT w1, count(*) AS c1 FROM p GROUP BY 1),
+        |m2 AS (SELECT w2, count(*) AS c2 FROM p GROUP BY 1),
+        |n AS (SELECT count(*) AS n_pairs FROM p)
+        |SELECT cp.w1, cp.w2, cp.c12, m1.c1, m2.c2, n.n_pairs,
+        |       (cp.c12 * n.n_pairs * 1000000) // (m1.c1 * m2.c2) AS ratio_e6
+        |FROM cp JOIN m1 ON cp.w1 = m1.w1 JOIN m2 ON cp.w2 = m2.w2 CROSS JOIN n
+        |WHERE cp.c12 >= 5 AND cp.c12 * n.n_pairs >= 15 * m1.c1 * m2.c2
+        |ORDER BY cp.w1, cp.w2""".stripMargin),
+
+    // the oracle is the FULL join recomputed from scratch — hash equality
+    // against the maintained J₀ ∪ joinDelta readout proves the identity
+    "q184_x_join_delta" ->
+      ("""SELECT c_mktsegment,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS cents
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // same digit extraction from the decimal rendering; the Benford
+    // constants land >= 9e-3 away from a floor boundary, so libm log10
+    // vs ln-ratio ulps cannot flip them
+    "q185_x_benford" ->
+      ("""WITH v AS (SELECT o_orderpriority,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) > 0),
+        |d AS (SELECT o_orderpriority,
+        |    CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n_d
+        |  FROM v GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n_d) OVER (PARTITION BY o_orderpriority)
+        |        AS BIGINT) AS n FROM d),
+        |b AS (SELECT *,
+        |    n_d * 1000000 // n AS share_e6,
+        |    CAST(floor(log10(1 + 1.0 / digit) * 1e6 + 0.5) AS BIGINT)
+        |      AS benford_e6
+        |  FROM t)
+        |SELECT o_orderpriority, digit, n_d, n, share_e6, benford_e6,
+        |  abs(share_e6 - benford_e6) AS abs_dev_e6
+        |FROM b ORDER BY o_orderpriority, digit""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

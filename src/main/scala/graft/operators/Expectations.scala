@@ -67,13 +67,18 @@ object Expectations {
 
     refChecks.foreach { rc =>
       // key-projected anti-join: only the (distinct-free) child keys and
-      // the parent keys move; a missing parent key is one violation per
-      // child row carrying it (count BEFORE dedup, so the verdict row
-      // reports affected rows, not affected keys)
+      // the DEDUPED parent keys move; a missing parent key is one
+      // violation per child row carrying it (count BEFORE dedup, so the
+      // verdict row reports affected rows, not affected keys).
+      // CONTRACT: plain SQL equality, not null-safe <=> — a NULL child
+      // key can never reference a parent row, so it IS a violation
+      // (matching the standard LEFT JOIN ... IS NULL orphan count);
+      // parent keys are deduped so the semantics don't depend on parent
+      // multiplicity either.
       val childN = df.count() // cheap: parquet count-from-metadata / cached plan
       val missing = df.select(rc.childKeys.map(col): _*)
-        .join(rc.parent.select(rc.parentKeys.map(col): _*),
-          rc.childKeys.zip(rc.parentKeys).map { case (c, p) => col(c) <=> col(p) }
+        .join(rc.parent.select(rc.parentKeys.map(col): _*).distinct(),
+          rc.childKeys.zip(rc.parentKeys).map { case (c, p) => col(c) === col(p) }
             .reduce(_ && _),
           "left_anti")
         .count()

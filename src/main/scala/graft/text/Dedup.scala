@@ -718,7 +718,10 @@ object Dedup {
       .select(col(groupCol), col("line"))
     val kept = lines.join(broadcast(boiler.withColumn("__boiler", lit(true))),
         Seq(groupCol, "line"), "left")
-    val stats = kept.groupBy(col(idCol), col(groupCol)).agg(
+    // stats re-join is on idCol ALONE: a NULL groupCol never matches a
+    // null-safe-less join key, which would silently zero out a real
+    // document's stats — the group is carried by the docs side instead
+    val stats = kept.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_lines"),
       sum(when(col("__boiler").isNull, 1L).otherwise(0L)).as("n_kept"),
       concat_ws("\n",
@@ -726,7 +729,7 @@ object Dedup {
           array_sort(collect_list(when(col("__boiler").isNull,
             struct(col("pos"), col("line"))))),
           s => s.getField("line"))).as("text_clean"))
-    docs.select(col(idCol), col(groupCol)).join(stats, Seq(idCol, groupCol), "left")
+    docs.select(col(idCol), col(groupCol)).join(stats, Seq(idCol), "left")
       .select(col(idCol), col(groupCol),
         coalesce(col("n_lines"), lit(0L)).as("n_lines"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),

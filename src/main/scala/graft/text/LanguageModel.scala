@@ -175,7 +175,11 @@ object LanguageModel {
                 roundTo: Int = 4): DataFrame = {
     require(minCount >= 1, "minCount must be >= 1")
     require(k > 0, "add-k smoothing needs k > 0")
-    val oov = "OOV" // cannot collide with whitespace-split tokens? see map
+    // \u0001 prefix keeps the sentinel outside the (ASCII, whitespace-
+    // split) token alphabet: a corpus containing the literal word "OOV"
+    // never merges into the OOV class. Spelling matches the q180 oracle's
+    // chr(1)||'OOV' exactly so the two engines bin identically.
+    val oov = "OOV"
     val toks = docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),

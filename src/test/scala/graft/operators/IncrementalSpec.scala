@@ -56,6 +56,34 @@ class IncrementalSpec extends SparkSpec {
     assert(out.getAs[Long]("n") == 2L && out.getAs[Long]("sum_v") == 3L)
   }
 
+  test("joinDelta: old join + delta == full recompute, multiset, with dup keys") {
+    // duplicate keys on BOTH sides so the multiset fan-out is exercised:
+    // key "a" appears twice in old-left and twice in delta-right
+    val oldL = Seq(("a", 1), ("a", 2), ("b", 3)).toDF("k", "lv")
+    val dL = Seq(("a", 4), ("c", 5)).toDF("k", "lv")
+    val oldR = Seq(("a", 10), ("b", 20), ("b", 21)).toDF("k", "rv")
+    val dR = Seq(("a", 30), ("a", 31), ("c", 40)).toDF("k", "rv")
+    val full = oldL.unionByName(dL).join(oldR.unionByName(dR), Seq("k"))
+    val maintained = oldL.join(oldR, Seq("k"))
+      .unionByName(Incremental.joinDelta(oldL, dL, oldR, dR, Seq("k")))
+    def bag(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getInt(1), r.getInt(2)))
+        .toSeq.sorted
+    assert(bag(maintained) == bag(full),
+      "delta-join identity must hold as a multiset with duplicate keys")
+    assert(bag(full).size == 12, "dup keys must fan out (2+1)*(1+2)=9 for a alone")
+  }
+
+  test("joinDelta broadcasts the delta side in every term") {
+    val oldL = Seq(("a", 1)).toDF("k", "lv")
+    val dL = Seq(("a", 2)).toDF("k", "lv")
+    val oldR = Seq(("a", 3)).toDF("k", "rv")
+    val dR = Seq(("a", 4)).toDF("k", "rv")
+    val p = Incremental.joinDelta(oldL, dL, oldR, dR, Seq("k"))
+      .queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("the merge shuffles group-sized partials with map-side combine") {
     val parts = Seq(raw.filter($"v" <= 2), raw.filter($"v" > 2))
       .map(Incremental.partialAgg(_, Seq("g"), "v"))

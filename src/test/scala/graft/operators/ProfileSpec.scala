@@ -48,6 +48,26 @@ class ProfileSpec extends SparkSpec {
       s"expected ~ln2 nanonats, got $mi1")
   }
 
+  test("benfordDigits: exact shares, Benford constants, and positivity filter") {
+    import spark.implicits._
+    // group g: digits 1,1,1,2 over 4 values; zero/negative/null excluded
+    val df = Seq[(String, Option[Long])](
+      ("g", Some(100L)), ("g", Some(19L)), ("g", Some(1L)), ("g", Some(25L)),
+      ("g", Some(0L)), ("g", Some(-7L)), ("g", None),
+      ("h", Some(9L))
+    ).toDF("grp", "v")
+    val out = Profile.benfordDigits(df, Seq("grp"), "v")
+      .orderBy("grp", "digit").collect()
+      .map(r => (r.getAs[String]("grp"), r.getAs[Int]("digit"),
+        r.getAs[Long]("n_d"), r.getAs[Long]("n"),
+        r.getAs[Long]("share_e6"), r.getAs[Long]("benford_e6")))
+    // benford_e6(1) = round(log10(2)*1e6) = 301030; (2) = 176091; (9) = 45757
+    assert(out.toSeq == Seq(
+      ("g", 1, 3L, 4L, 750000L, 301030L),
+      ("g", 2, 1L, 4L, 250000L, 176091L),
+      ("h", 9, 1L, 1L, 1000000L, 45757L)))
+  }
+
   test("mutualInfo excludes nulls from both axes") {
     import spark.implicits._
     val df = Seq[(String, String)](("a", "p"), ("a", null), (null, "q"), ("b", "q"))

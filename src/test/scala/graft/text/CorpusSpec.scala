@@ -418,6 +418,63 @@ class CorpusSpec extends SparkSpec {
     assert(r.agg(max(col("n_pairs"))).collect().head.getLong(0) == 5L)
   }
 
+  test("skipgramPmi: window=1 reduces to pmiCollocations exactly") {
+    val docs = Seq(
+      (1L, "new york new york"),
+      (2L, "the the the"),
+      (3L, "new york is big")).toDF("doc_id", "text")
+    def bag(df: org.apache.spark.sql.DataFrame) = df
+      .select("w1", "w2", "c12", "c1", "c2", "n_pairs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(bag(Corpus.skipgramPmi(docs, "text", window = 1,
+        minCount = 1, minRatio = 1)) ==
+      bag(Corpus.pmiCollocations(docs, "text", minCount = 1, minRatio = 1)))
+  }
+
+  test("skipgramPmi: window=2 hand-computed counts over 'a b c'") {
+    val docs = Seq((1L, "a b c"), (2L, "x")).toDF("doc_id", "text")
+    // k=1 pairs: (a,b) (b,c); k=2 pairs: (a,c); N=3 — one-token doc adds
+    // none. (a,c) itself fails the ratio cross-mult (1·3 < 2·2) but its
+    // contribution shows in N=3 and in the marginals c1(a)=2, c2(c)=2.
+    val out = Corpus.skipgramPmi(docs, "text", window = 2,
+        minCount = 1, minRatio = 1)
+      .orderBy("w1", "w2").collect()
+      .map(r => (r.getAs[String]("w1"), r.getAs[String]("w2"),
+        r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("c2"),
+        r.getAs[Long]("n_pairs")))
+    assert(out.toSeq == Seq(
+      ("a", "b", 1L, 2L, 1L, 3L),
+      ("b", "c", 1L, 1L, 2L, 3L)))
+  }
+
+  test("skipgramPmi: matches a brute-force window scan on random-ish text") {
+    val words = Seq("red", "blue", "green", "red", "red", "blue")
+    val docs = (1L to 6L).map { i =>
+      (i, (0 until 7).map(j => words(((i * 3 + j * 5) % 6).toInt)).mkString(" "))
+    }.toDF("doc_id", "text")
+    val window = 3
+    val rows = docs.collect().map(_.getString(1))
+    val pairs = rows.flatMap { t =>
+      val w = t.split("\\s+")
+      for (i <- w.indices; k <- 1 to window if i + k < w.length)
+        yield (w(i), w(i + k))
+    }
+    val n = pairs.length.toLong
+    val cp = pairs.groupBy(identity).map { case (p, xs) => p -> xs.length.toLong }
+    val c1 = pairs.groupBy(_._1).map { case (k, xs) => k -> xs.length.toLong }
+    val c2 = pairs.groupBy(_._2).map { case (k, xs) => k -> xs.length.toLong }
+    val expected = cp.collect {
+      case ((w1, w2), c12) if c12 >= 2 && c12 * n >= 1 * c1(w1) * c2(w2) =>
+        (w1, w2, c12, c1(w1), c2(w2), n)
+    }.toSeq.sorted
+    val got = Corpus.skipgramPmi(docs, "text", window, minCount = 2, minRatio = 1)
+      .select("w1", "w2", "c12", "c1", "c2", "n_pairs")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq.sorted
+    assert(got == expected)
+  }
+
   test("tfidfTopTerms: rare terms outrank common ones; stop-terms drop") {
     val docs = Seq(
       (1L, "apple apple banana common"),
