@@ -751,7 +751,9 @@ object SparkEntry {
         .select("query_id", "neighbor_id", "cos_sim", "rank")
         .orderBy("query_id", "rank")),
 
-    // ---- extension: IVF ANN (approximate; rows-only like q52)
+    // ---- extension: IVF ANN — approximate but fully deterministic, so
+    // the whole train/probe/re-rank pipeline is SQL-replayed in the
+    // oracle (ivfTopKSql), same discipline as q52's hyperplane replay
     "q58_x_ivf_ann" -> tuned((s, d) => {
       val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 3)
@@ -2569,6 +2571,66 @@ object SparkEntry {
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q58: the FULL IVF pipeline — seed-free Lloyd training + probe +
+    * re-rank — replayed in SQL, so the oracle is SF-independent (no
+    * baked-in centroid literals). Training is deterministic on both
+    * sides: initial centroids are the k lowest-id vectors (index = id
+    * rank), assignment argmin breaks ties to the lower centroid index,
+    * and each update rounds the per-dim double mean to FLOAT — the cast
+    * absorbs the ~1e-15 summation-order drift between engines (float
+    * grid spacing ~6e-8), which is what makes the iterated averages
+    * cross-engine exact in practice. Empty clusters keep their previous
+    * centroid via the COALESCE carry-over, mirroring Ivf.train. */
+  private def ivfTopKSql(kClusters: Int, iters: Int, dim: Int, topK: Int,
+                         nProbe: Int, maxId: Long): String = {
+    def dot(l: String, r: String) =
+      s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
+    def cos(l: String, r: String) =
+      s"(${dot(l, r)} / nullif(sqrt(${dot(l, l)}) * sqrt(${dot(r, r)}), 0))"
+    val assignCos = cos("v.embedding", "c.cv")
+    def assign(prev: String, rnPred: String) =
+      s"""(SELECT id, embedding, cid FROM (
+         |  SELECT v.id, v.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY v.id
+         |      ORDER BY $assignCos DESC, c.cid) AS rn
+         |  FROM v CROSS JOIN $prev c) t WHERE $rnPred)""".stripMargin
+    val head =
+      s"""WITH v AS (SELECT CAST(vec_id AS BIGINT) AS id, embedding
+         |  FROM embeddings WHERE vec_id < $maxId AND embedding IS NOT NULL),
+         |dims AS (SELECT unnest(generate_series(1, $dim)) AS dim),
+         |c0 AS (SELECT cid, cv FROM (
+         |  SELECT row_number() OVER (ORDER BY id) - 1 AS cid, embedding AS cv
+         |  FROM v) t WHERE cid < $kClusters)""".stripMargin
+    val its = (1 to iters).map { i =>
+      val p = s"c${i - 1}"
+      s"""a$i AS ${assign(p, "rn = 1")},
+         |s$i AS (SELECT cid, dim,
+         |    sum(CAST(embedding[dim] AS DOUBLE)) AS s, count(*) AS n
+         |  FROM a$i CROSS JOIN dims GROUP BY 1, 2),
+         |u$i AS (SELECT cid, list(CAST(s / n AS FLOAT) ORDER BY dim) AS cv
+         |        FROM s$i GROUP BY cid),
+         |c$i AS (SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+         |        FROM $p p LEFT JOIN u$i u ON p.cid = u.cid)""".stripMargin
+    }.mkString(",\n")
+    val fin = s"c$iters"
+    val rerank = s"round(${cos("ea.embedding", "eb.embedding")}, 4)"
+    s"""$head,
+       |$its,
+       |corp AS ${assign(fin, "rn = 1")},
+       |qry AS ${assign(fin, s"rn <= $nProbe")},
+       |cand AS (SELECT DISTINCT q.id AS query_id, corp.id AS neighbor_id
+       |  FROM qry q JOIN corp ON q.cid = corp.cid
+       |  WHERE q.id <> corp.id),
+       |sc AS (SELECT cand.query_id, cand.neighbor_id, $rerank AS cos_sim
+       |  FROM cand JOIN v ea ON ea.id = cand.query_id
+       |            JOIN v eb ON eb.id = cand.neighbor_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM sc)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   private val MonteCarloSql: String = {
     val p = "4294967311"
     val counter = dkHash32("concat_ws('_', 42, sim_id, step)")
@@ -3063,6 +3125,13 @@ object SparkEntry {
 
     "q52_x_lsh_ann" ->
       lshTopKSql(nBits = 8, nTables = 2, dim = 64, k = 3, maxId = 200L),
+
+    // full Lloyd-training replay — graduates q58 from rows-only to
+    // hash-checked (the training, probe, and re-rank are ALL
+    // deterministic; see ivfTopKSql)
+    "q58_x_ivf_ann" ->
+      ivfTopKSql(kClusters = 8, iters = 3, dim = 64, topK = 3,
+        nProbe = 2, maxId = 200L),
 
     "q119_x_semantic_decon_bucketed" ->
       crossNearDupBucketedSql(nBits = 6, nTables = 3, dim = 64, threshold = 0.4),
