@@ -33,12 +33,26 @@ object AsofJoin {
     * @param inner     true drops unmatched left rows (DuckDB ASOF JOIN);
     *                  false keeps them with null payload (pandas
     *                  merge_asof)
+    * @param direction "backward" (latest right with rt <= lt, default) or
+    *                  "forward" (earliest right with rt >= lt) — the same
+    *                  contract as the native twin
+    *                  [[org.apache.spark.sql.graft.AsofJoinNative]]
+    * @param tolerance max accepted |rt − lt| in the time column's RAW
+    *                  internal unit (days for DATE, microseconds for
+    *                  TIMESTAMP, the value itself for integral columns);
+    *                  a match beyond it demotes to null payload (then
+    *                  drops in inner mode) — pandas merge_asof tolerance
     * Output: every left column, then `payload`, then `asof_<rightTime>`
     * (the matched right time — null on unmatched rows in outer mode). */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                leftTime: String, rightTime: String, payload: Seq[String],
-               inner: Boolean = true): DataFrame = {
+               inner: Boolean = true, direction: String = "backward",
+               tolerance: Option[Long] = None): DataFrame = {
     require(keys.nonEmpty, "asofJoin needs at least one equality key")
+    require(direction == "backward" || direction == "forward",
+      s"direction must be backward|forward, got $direction")
+    require(tolerance.forall(_ >= 0), s"tolerance must be >= 0, got $tolerance")
+    val forward = direction == "forward"
     val leftCols = left.columns.toSeq
     require(!payload.exists(leftCols.contains),
       s"payload columns ${payload.filter(leftCols.contains)} collide with left columns")
@@ -61,18 +75,56 @@ object AsofJoin {
 
     // side 0 < side 1 ⇒ an equal-time right row is visible to the left
     // row; __rv as the final key makes duplicate right timestamps
-    // deterministic (latest payload in struct order wins)
+    // deterministic. Backward scans time ASCENDING with __rv ascending,
+    // so the last-seen duplicate is the payload-LARGEST; forward scans
+    // time DESCENDING with __rv descending, so the last-seen duplicate is
+    // the payload-SMALLEST — both matching the native merge's documented
+    // tie endpoints (AsofJoinNative requiredChildOrdering).
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__t"), col("__side"), col("__rv"))
+      .orderBy(
+        (if (forward) Seq(col("__t").desc, col("__side").asc, col("__rv").desc)
+         else Seq(col("__t").asc, col("__side").asc, col("__rv").asc)): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = r.unionByName(l)
       .withColumn("__m", last(col("__rv"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-    val matched = if (inner) filled.filter(col("__m").isNotNull) else filled
+    // tolerance is a per-row accept test on the already-unique candidate,
+    // exactly as in the native merge: gap in the RAW internal unit
+    val tolApplied = tolerance match {
+      case None => filled
+      case Some(t) =>
+        val mt = col("__m").getField("__asof_t")
+        val gap = if (forward) rawGap(mt, col("__t"), left, leftTime)
+                  else rawGap(col("__t"), mt, left, leftTime)
+        filled.withColumn("__m", when(gap <= t, col("__m")))
+    }
+    val matched = if (inner) tolApplied.filter(col("__m").isNotNull) else tolApplied
     matched.select(
       leftCols.map(c => col("__lrow").getField(c).as(c)) ++
         payload.map(c => col("__m").getField(c).as(c)) :+
         col("__m").getField("__asof_t").as(s"asof_$rightTime"): _*)
+  }
+
+  /** Non-negative time gap `a − b` in the RAW internal unit of the time
+    * column — days for DATE, microseconds for TIMESTAMP, the value itself
+    * for integral columns (the same units the native merge subtracts).
+    * Loud guard on anything else, mirroring AsofJoinNative. */
+  private def rawGap(a: Column, b: Column, left: DataFrame,
+                     leftTime: String): Column = {
+    import org.apache.spark.sql.types._
+    left.schema(leftTime).dataType match {
+      case DateType => datediff(a, b).cast("long")
+      case TimestampType => unix_micros(a) - unix_micros(b)
+      case TimestampNTZType =>
+        // NTZ has no unix_micros; the cast through TimestampType is the
+        // identity under the pinned UTC session timezone and the gap is
+        // shift-invariant regardless
+        unix_micros(a.cast(TimestampType)) - unix_micros(b.cast(TimestampType))
+      case ByteType | ShortType | IntegerType | LongType =>
+        a.cast("long") - b.cast("long")
+      case t => throw new IllegalArgumentException(
+        s"tolerance needs an integral-backed time type (date/timestamp/int), got $t")
+    }
   }
 
   private def structType(df: DataFrame) =
