@@ -2259,7 +2259,46 @@ object SparkEntry {
           Tables.orders(s, d).withColumn("cents",
             expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")),
           Seq("o_orderpriority"), "cents")
-        .orderBy("o_orderpriority", "digit"))
+        .orderBy("o_orderpriority", "digit")),
+
+    // ---- extension: composed data-quality suite (the Deequ shape end to
+    // end) — expectations + profile + Benford over ONE planted-drift
+    // table: a deterministic slice of lineitem re-enters with a negated
+    // (orphaned) order key, an out-of-range quantity, and a nulled
+    // return flag; each tier must flag exactly the planted corruption.
+    // Unified long-format readout (tier, name, metric_a, metric_b).
+    "q186_x_quality_suite" -> tuned((s, d) => {
+      import graft.operators.{Expectations, Profile}
+      val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
+        "l_returnflag", "l_linestatus", "l_extendedprice")
+      val planted = li.unionByName(
+        li.filter(col("l_orderkey") % 50 === 0)
+          .withColumn("l_orderkey", -col("l_orderkey"))
+          .withColumn("l_quantity",
+            lit(-1).cast(li.schema("l_quantity").dataType))
+          .withColumn("l_returnflag", lit(null).cast("string")))
+      val expect = Expectations.validate(planted,
+          rowChecks = Seq(
+            "quantity_range" -> (col("l_quantity") >= 1 &&
+              col("l_quantity") <= 50),
+            "returnflag_not_null" -> col("l_returnflag").isNotNull),
+          refChecks = Seq(Expectations.RefCheck("fk_orders",
+            Seq("l_orderkey"), Tables.orders(s, d), Seq("o_orderkey"))))
+        .select(lit("expect").as("tier"), col("constraint").as("name"),
+          col("n_rows").as("metric_a"), col("n_violations").as("metric_b"))
+      val prof = Profile.profile(planted, Seq("l_quantity", "l_returnflag"))
+        .select(lit("profile").as("tier"), col("col_name").as("name"),
+          col("n_null").as("metric_a"), col("n_distinct").as("metric_b"))
+      val ben = Profile.benfordDigits(
+          planted.withColumn("cents",
+            expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")),
+          Seq("l_linestatus"), "cents")
+        .select(lit("benford").as("tier"),
+          concat(col("l_linestatus"), lit(":"),
+            col("digit").cast("string")).as("name"),
+          col("share_e6").as("metric_a"), col("abs_dev_e6").as("metric_b"))
+      expect.unionByName(prof).unionByName(ben).orderBy("tier", "name")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5367,7 +5406,62 @@ object SparkEntry {
         |  FROM t)
         |SELECT o_orderpriority, digit, n_d, n, share_e6, benford_e6,
         |  abs(share_e6 - benford_e6) AS abs_dev_e6
-        |FROM b ORDER BY o_orderpriority, digit""".stripMargin)
+        |FROM b ORDER BY o_orderpriority, digit""".stripMargin),
+
+    // the same planted corruption replayed, then each tier's readout in
+    // the unified (tier, name, metric_a, metric_b) long format
+    "q186_x_quality_suite" ->
+      ("""WITH base AS (SELECT l_orderkey, l_quantity, l_returnflag,
+        |    l_linestatus, l_extendedprice FROM lineitem),
+        |p AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT -l_orderkey, -1, CAST(NULL AS VARCHAR), l_linestatus,
+        |         l_extendedprice
+        |  FROM base WHERE l_orderkey % 50 = 0),
+        |rc AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+        |        THEN 0 ELSE 1 END) AS v_q,
+        |    sum(CASE WHEN l_returnflag IS NOT NULL THEN 0 ELSE 1 END) AS v_rf
+        |  FROM p),
+        |fk AS (SELECT count(*) AS n,
+        |    sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS v
+        |  FROM p LEFT JOIN orders o ON p.l_orderkey = o.o_orderkey),
+        |expect AS (
+        |  SELECT 'expect' AS tier, 'quantity_range' AS name,
+        |    n AS metric_a, CAST(v_q AS BIGINT) AS metric_b FROM rc
+        |  UNION ALL SELECT 'expect', 'returnflag_not_null', n,
+        |    CAST(v_rf AS BIGINT) FROM rc
+        |  UNION ALL SELECT 'expect', 'fk_orders', n, CAST(v AS BIGINT) FROM fk),
+        |prof AS (
+        |  SELECT 'profile' AS tier, 'l_quantity' AS name,
+        |    count(*) - count(l_quantity) AS metric_a,
+        |    count(DISTINCT l_quantity) AS metric_b FROM p
+        |  UNION ALL
+        |  SELECT 'profile', 'l_returnflag', count(*) - count(l_returnflag),
+        |    count(DISTINCT l_returnflag) FROM p),
+        |c AS (SELECT l_linestatus,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v FROM p
+        |  WHERE l_extendedprice IS NOT NULL
+        |    AND CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) > 0),
+        |dd AS (SELECT l_linestatus,
+        |    CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INT) AS digit,
+        |    count(*) AS n_d
+        |  FROM c GROUP BY 1, 2),
+        |t AS (SELECT *, CAST(sum(n_d) OVER (PARTITION BY l_linestatus)
+        |        AS BIGINT) AS n FROM dd),
+        |ben AS (SELECT 'benford' AS tier,
+        |    l_linestatus || ':' || CAST(digit AS VARCHAR) AS name,
+        |    n_d * 1000000 // n AS metric_a,
+        |    abs(n_d * 1000000 // n -
+        |      CAST(floor(log10(1 + 1.0 / digit) * 1e6 + 0.5) AS BIGINT))
+        |      AS metric_b
+        |  FROM t)
+        |SELECT tier, name, CAST(metric_a AS BIGINT) AS metric_a,
+        |       CAST(metric_b AS BIGINT) AS metric_b
+        |FROM (SELECT * FROM expect UNION ALL SELECT * FROM prof
+        |      UNION ALL SELECT * FROM ben)
+        |ORDER BY tier, name""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —
