@@ -2298,7 +2298,14 @@ object SparkEntry {
             col("digit").cast("string")).as("name"),
           col("share_e6").as("metric_a"), col("abs_dev_e6").as("metric_b"))
       expect.unionByName(prof).unionByName(ben).orderBy("tier", "name")
-    })
+    }),
+
+    // ---- extension: streaming incremental join maintenance — the
+    // delta-join identity as a standing operator; every click×purchase
+    // pair per user is emitted exactly once (when its later element
+    // arrives), so the drained multiset IS the batch inner join
+    "q187_x_stream_join_delta" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingJoinDelta(s, d))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5461,7 +5468,16 @@ object SparkEntry {
         |       CAST(metric_b AS BIGINT) AS metric_b
         |FROM (SELECT * FROM expect UNION ALL SELECT * FROM prof
         |      UNION ALL SELECT * FROM ben)
-        |ORDER BY tier, name""".stripMargin)
+        |ORDER BY tier, name""".stripMargin),
+
+    // the maintained emission == the batch join, so the oracle IS the
+    // batch join
+    "q187_x_stream_join_delta" ->
+      ("""SELECT c.user_id, c.event_id AS left_id, p.event_id AS right_id
+        |FROM events c JOIN events p ON c.user_id = p.user_id
+        |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        |  AND c.event_id IS NOT NULL AND p.event_id IS NOT NULL
+        |ORDER BY c.user_id, left_id, right_id""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -578,4 +578,68 @@ object StreamingCollapse {
         "n * 1000 div sum(n) over (partition by from_state) as p_permille")
       .orderBy("from_state", "to_state")
   }
+
+  // ------------------------------------------- streaming join delta
+
+  final case class SideRow(key: Long, side: Int, id: Long)
+  final case class DeltaPair(user_id: Long, left_id: Long, right_id: Long)
+
+  /** Streaming incremental JOIN maintenance — the streaming twin of
+    * [[graft.operators.Incremental.joinDelta]]: two insert-only sides
+    * (here: click and purchase events keyed by user) maintained as one
+    * per-key state pair of id lists; each arriving left row emits its
+    * joins against every stored right row and vice versa — exactly the
+    * per-row form of the delta-join identity Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪
+    * ΔA⋈ΔB (the within-batch ΔA⋈ΔB corner falls out of processing the
+    * batch's rows sequentially against the growing lists). Every join
+    * pair is emitted EXACTLY ONCE — when its later element arrives — so
+    * the drained append-mode emission equals the batch inner join as a
+    * multiset, which is what makes it oracle-checkable.
+    *
+    * State is O(rows per key) — the honest cost of maintaining an
+    * UNBOUNDED-history join (same asymptotics as the state Spark's own
+    * stream-stream join would keep WITHOUT a watermark range condition).
+    * The production dial for bounded state is the time-windowed form
+    * ([[clickPurchaseJoin]]); this operator is the IVM contract itself:
+    * key-cardinality-bounded sides (dimensions, profiles), not raw
+    * event firehoses. */
+  def streamingJoinDelta(spark: SparkSession, dir: String,
+                         leftType: String = "click",
+                         rightType: String = "purchase"): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_joindelta"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    import spark.implicits._
+    val tagged = eventsStream(spark, dir)
+      .filter(col("event_type").isin(leftType, rightType) &&
+        col("user_id").isNotNull && col("event_id").isNotNull)
+      .select(col("user_id"),
+        when(col("event_type") === leftType, 0).otherwise(1).as("side"),
+        col("event_id"))
+      .as[(Long, Int, Long)]
+      .map { case (k, s, id) => SideRow(k, s, id) }
+    val pairs = tagged
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: Long, it: Iterator[SideRow],
+         state: GroupState[(List[Long], List[Long])]) => {
+          var (ls, rs) = state.getOption.getOrElse(
+            (List.empty[Long], List.empty[Long]))
+          val out = Seq.newBuilder[DeltaPair]
+          it.foreach { e =>
+            if (e.side == 0) {
+              rs.foreach(r => out += DeltaPair(key, e.id, r))
+              ls ::= e.id
+            } else {
+              ls.foreach(l => out += DeltaPair(key, l, e.id))
+              rs ::= e.id
+            }
+          }
+          state.update((ls, rs))
+          out.result().iterator
+        })
+    drain(spark, pairs.writeStream
+      .outputMode("append").format("memory").queryName(name))
+    spark.table(name).orderBy("user_id", "left_id", "right_id")
+  }
 }

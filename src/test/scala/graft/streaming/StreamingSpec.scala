@@ -203,4 +203,20 @@ class StreamingSpec extends SparkSpec {
       .orderBy("from_state", "to_state").collect()
     assert(streamed.map(_.toSeq).toSeq == batch.map(_.toSeq).toSeq)
   }
+
+  test("streamingJoinDelta: drained state equals the batch inner join") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingCollapse.streamingJoinDelta(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val ev = graft.sources.Tables.events(spark, dir)
+      .filter(col("user_id").isNotNull && col("event_id").isNotNull)
+    val batch = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("left_id"))
+      .join(ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("right_id")), Seq("user_id"))
+      .orderBy("user_id", "left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch,
+      "every pair must be emitted exactly once, when its later element arrives")
+  }
 }
