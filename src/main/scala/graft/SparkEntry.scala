@@ -2305,7 +2305,39 @@ object SparkEntry {
     // pair per user is emitted exactly once (when its later element
     // arrives), so the drained multiset IS the batch inner join
     "q187_x_stream_join_delta" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingJoinDelta(s, d))
+      graft.streaming.StreamingCollapse.streamingJoinDelta(s, d)),
+
+    // ---- extension: sliced classifier evaluation — per-source ROC AUC
+    // of the length signal against the is-English label, integer-exact
+    // via the Mann-Whitney rank identity (midrank ties, one division)
+    "q188_x_grouped_auc" -> tuned((s, d) =>
+      graft.operators.Metrics.groupedAuc(
+          Tables.documents(s, d).withColumn("is_en", col("lang") === "en"),
+          Seq("source"), "n_chars", "is_en")
+        .orderBy("source")),
+
+    // ---- extension: subset-duplicate detection — directional token-set
+    // containment at 1.0 (every token of the smaller doc appears in the
+    // larger: the quote-swallowed-by-boilerplate shape Jaccard misses)
+    "q189_x_containment" -> tuned((s, d) =>
+      Dedup.tokenContainment(Tables.documents(s, d), "doc_id", "text",
+          maxIdGap = 50, thresholdE6 = 1000000)
+        .orderBy("id_a", "id_b")),
+
+    // ---- extension: per-document token Shannon entropy — the
+    // information-density quality feature (repetition ⇒ low entropy at
+    // length); e9-quantized per-term, exact integer sum
+    "q190_x_token_entropy" -> tuned((s, d) =>
+      graft.text.TextAnalysis.tokenEntropy(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // ---- extension: Zipf slope corpus profile — OLS of ln(freq) on
+    // ln(rank) over each source's top-50 vocabulary, all-integer OLS
+    // sums over e3-quantized logs, one closed-form division
+    "q191_x_zipf_slope" -> tuned((s, d) =>
+      Corpus.zipfSlope(Tables.documents(s, d), "source", "text", topV = 50)
+        .orderBy("domain"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5477,7 +5509,89 @@ object SparkEntry {
         |FROM events c JOIN events p ON c.user_id = p.user_id
         |WHERE c.event_type = 'click' AND p.event_type = 'purchase'
         |  AND c.event_id IS NOT NULL AND p.event_id IS NOT NULL
-        |ORDER BY c.user_id, left_id, right_id""".stripMargin)
+        |ORDER BY c.user_id, left_id, right_id""".stripMargin),
+
+    // the same midrank construction: 2·avg_rank = 2·rank() + ties − 1,
+    // exact integer U, one integer division
+    "q188_x_grouped_auc" ->
+      ("""WITH d AS (SELECT source, n_chars AS s, (lang = 'en') AS pos
+        |  FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT source, pos,
+        |    2 * rank() OVER (PARTITION BY source ORDER BY s)
+        |      + count(*) OVER (PARTITION BY source, s) - 1 AS r2
+        |  FROM d),
+        |a AS (SELECT source,
+        |    CAST(sum(CASE WHEN pos THEN r2 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |    CAST(sum(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT) AS n_neg
+        |  FROM r GROUP BY 1)
+        |SELECT source, n_pos, n_neg,
+        |  (s2 - n_pos * (n_pos + 1)) * 1000000
+        |    // nullif(2 * n_pos * n_neg, 0) AS auc_e6
+        |FROM a ORDER BY source""".stripMargin),
+
+    // q48's candidate generation with the containment readout: exact
+    // distinct-token intersection, integer cross-mult threshold on the
+    // smaller side, both directions as exact integer divisions
+    "q189_x_containment" ->
+      ("""WITH toks AS (SELECT doc_id,
+        |    unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok
+        |  FROM documents),
+        |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+        |  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |    AND b.doc_id - a.doc_id <= 50
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b, n_inter, sa.n_tok AS n_a, sb.n_tok AS n_b,
+        |  n_inter * 1000000 // sa.n_tok AS cont_a_e6,
+        |  n_inter * 1000000 // sb.n_tok AS cont_b_e6
+        |FROM inter JOIN sizes sa ON sa.doc_id = id_a
+        |           JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE n_inter * 1000000 >= 1000000 * least(sa.n_tok, sb.n_tok)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // per-term e9 quantization then exact integer sum; c=1 terms are 0
+    // exactly on both engines (ln 1 = 0)
+    "q190_x_token_entropy" ->
+      ("""WITH tok AS (SELECT doc_id,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |c AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    count(*) AS n_distinct,
+        |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS clnc
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |    - clnc // n_tokens AS entropy_e9
+        |FROM a ORDER BY doc_id""".stripMargin),
+
+    // deterministic (count desc, term asc) rank, e3-quantized logs,
+    // integer OLS sums, negated-slope orientation (Spark div truncates,
+    // DuckDB // floors — only the positive direction is portable)
+    "q191_x_zipf_slope" ->
+      ("""WITH tok AS (SELECT source AS domain,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |    AND length(trim(text)) > 0),
+        |c AS (SELECT domain, t, count(*) AS c FROM tok GROUP BY 1, 2),
+        |r AS (SELECT domain, c,
+        |    row_number() OVER (PARTITION BY domain ORDER BY c DESC, t ASC) AS rk
+        |  FROM c),
+        |q AS (SELECT domain, c,
+        |    CAST(floor(ln(CAST(rk AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS x,
+        |    CAST(floor(ln(CAST(c AS DOUBLE)) * 1e3 + 0.5) AS BIGINT) AS y
+        |  FROM r WHERE rk <= 50),
+        |a AS (SELECT domain, count(*) AS v, CAST(sum(c) AS BIGINT) AS n_top_tokens,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+        |  FROM q GROUP BY 1)
+        |SELECT domain, v, n_top_tokens,
+        |  (sx * sy - v * sxy) * 1000000
+        |    // nullif(v * sxx - sx * sx, 0) AS zipf_slope_neg_e6
+        |FROM a ORDER BY domain""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

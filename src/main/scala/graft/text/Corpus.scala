@@ -347,6 +347,50 @@ object Corpus {
     * with counts; ties break lexicographically. Partial (map-side)
     * aggregation absorbs hot n-grams before the shuffle, and top-k is a
     * TakeOrderedAndProject — no global sort materializes. */
+  /** Zipf slope of the per-domain frequency/rank curve — the canonical
+    * corpus-health profile: natural language sits near slope −1
+    * (Zipf 1949); template/generated text flattens (repetition inflates
+    * the head) and gibberish steepens. Fit is OLS of ln(freq) on
+    * ln(rank) over the top `topV` vocabulary per domain.
+    *
+    * Exactness: ranks and counts are exact integers with a DETERMINISTIC
+    * rank order (count desc, term asc); each row contributes
+    * e3-quantized `x = ⌊ln(rank)·10³+0.5⌋`, `y = ⌊ln(count)·10³+0.5⌋`
+    * (e3 keeps all four OLS sums and the final cross-multiplication
+    * inside BIGINT — e9 would overflow Σxy·10⁶), the OLS sums are exact
+    * integer aggregates, and the closed-form slope is ONE integer
+    * division. The emitted `zipf_slope_neg_e6` is the NEGATED slope
+    * (positive for Zipfian data): Spark's `div` truncates toward zero
+    * while DuckDB's `//` floors, so only the positive orientation is
+    * engine-portable. Single-token domains (degenerate fit) emit null.
+    *
+    * Output: `(domain, v, n_top_tokens, zipf_slope_neg_e6)`. */
+  def zipfSlope(docs: DataFrame, domainCol: String, textCol: String,
+                topV: Int = 100): DataFrame = {
+    require(topV >= 2, s"topV must be >= 2, got $topV")
+    val cnt = docs
+      .filter(col(domainCol).isNotNull && col(textCol).isNotNull &&
+        length(trim(col(textCol))) > 0)
+      .select(col(domainCol).as("domain"), explode(Cols.tokens(col(textCol))).as("__t"))
+      .groupBy(col("domain"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    val w = Window.partitionBy(col("domain"))
+      .orderBy(col("__c").desc, col("__t").asc)
+    def q(c: Column): Column =
+      floor(log(c.cast("double")) * lit(1e3) + lit(0.5)).cast("long")
+    cnt.withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= topV)
+      .select(col("domain"), col("__c"), q(col("__r")).as("__x"), q(col("__c")).as("__y"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("v"), sum(col("__c")).as("n_top_tokens"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("domain"), col("v"), col("n_top_tokens"),
+        expr("(__sx * __sy - v * __sxy) * 1000000 div nullif(v * __sxx - __sx * __sx, 0)")
+          .as("zipf_slope_neg_e6"))
+  }
+
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     docs.select(explode(TextHash.shinglesCol(col(textCol), n)).as("ngram"))
       .groupBy("ngram")

@@ -250,6 +250,51 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** Directional token-set CONTAINMENT (Broder 1997's other resemblance
+    * measure): `cont(a→b) = |Sₐ ∩ S_b| / |Sₐ|` — the fraction of a's
+    * distinct tokens that also appear in b. Jaccard misses SUBSET
+    * duplicates by construction (a quote embedded in a 100× longer doc
+    * has Jaccard ≈ |a|/|b| ≈ 0.01 but containment(a→b) = 1); this is the
+    * detector for "document swallowed by another", the common shape of
+    * boilerplate-wrapped or concatenated training text.
+    *
+    * Same banded candidate generation as [[ngramJaccard]] (id-gap
+    * buckets bound the per-token match lists; at scale the candidates
+    * come from [[minhashCandidates]]), same exact distinct-token
+    * intersection count. The threshold test is an integer
+    * cross-multiplication on the LARGER direction (`n_inter·10⁶ ≥
+    * thresholdE6·min(n_a,n_b)` — the max of the two containments has the
+    * smaller denominator), and both directions are emitted as exact
+    * integer `⌊n_inter·10⁶ / n⌋` — no float in the decision path.
+    *
+    * Output: `(id_a, id_b, n_inter, n_a, n_b, cont_a_e6, cont_b_e6)`. */
+  def tokenContainment(docs: DataFrame, idCol: String, textCol: String,
+                       maxIdGap: Long, thresholdE6: Long): DataFrame = {
+    require(thresholdE6 >= 0 && thresholdE6 <= 1000000,
+      s"thresholdE6 must be in [0, 1e6], got $thresholdE6")
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Cols.tokens(col(textCol)))).as("tok"))
+    val sizes = toks.groupBy("doc_id").agg(count(lit(1)).as("n_tok"))
+    val a = toks
+      .withColumn("bucket", explode(array(
+        floor(col("doc_id") / maxIdGap), floor(col("doc_id") / maxIdGap) + 1)))
+    val b = toks.withColumn("bucket", floor(col("doc_id") / maxIdGap))
+    val inter = a.as("a").join(b.as("b"),
+        col("a.tok") === col("b.tok") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("b.doc_id") - col("a.doc_id") <= maxIdGap)
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id_a", "n_tok" -> "n_a")), Seq("id_a"))
+      .join(sizes.withColumnsRenamed(Map("doc_id" -> "id_b", "n_tok" -> "n_b")), Seq("id_b"))
+      .filter(col("n_inter") * 1000000L >= lit(thresholdE6) * least(col("n_a"), col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_inter"), col("n_a"), col("n_b"),
+        expr("n_inter * 1000000 div n_a").as("cont_a_e6"),
+        expr("n_inter * 1000000 div n_b").as("cont_b_e6"))
+  }
+
   /** Exact token-set Jaccard for candidate pairs within `band`-bounded id
     * distance (banded candidate generation keeps the join linear; at scale
     * the candidates come from [[minhashCandidates]] instead). */

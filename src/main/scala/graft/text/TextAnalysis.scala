@@ -446,4 +446,37 @@ object TextAnalysis {
         max(col("n_distinct")).as("n_distinct"),
         sum(col("__term_e9")).as("kl_e9"))
   }
+
+  /** Per-document token Shannon entropy — the information-density quality
+    * feature: `H = ln n − (1/n)·Σᵢ cᵢ·ln cᵢ` over the document's token
+    * counts (nats). Low entropy at non-trivial length = repetition
+    * (keyword stuffing, boilerplate loops) the Gopher fraction statistics
+    * see only at fixed gram sizes; max entropy (`ln n`, all tokens
+    * distinct) at short length = the hash-gibberish shape.
+    *
+    * Exactness (the q153/domainDivergence discipline): counts are exact
+    * integers; each distinct token contributes ONE fixed-tree float term
+    * `(cᵢ/n)·ln cᵢ`, e9-quantized per term and summed exactly, and the
+    * `ln n` lead term is e9-quantized once — so `entropy_e9` is
+    * reproducible bit-for-bit across engines. Tokens with cᵢ = 1
+    * contribute 0 exactly (ln 1 = 0), on both sides of the oracle.
+    *
+    * Scale shape: one explode → one (doc, token) aggregate → one per-doc
+    * aggregate, all sharing the doc_id shuffle; no window, no join.
+    * Output: `(doc_id, n_tokens, n_distinct, entropy_e9)`. */
+  def tokenEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val cnt = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), explode(Cols.tokens(col(textCol))).as("__t"))
+      .groupBy(col("doc_id"), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    cnt
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_tokens"), count(lit(1)).as("n_distinct"),
+        sum(floor((col("__c").cast("double") * log(col("__c").cast("double")))
+          * lit(1e9) + lit(0.5)).cast("long")).as("__clnc_e9"))
+      .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+        (floor(log(col("n_tokens").cast("double")) * lit(1e9) + lit(0.5)).cast("long") -
+          expr("__clnc_e9 div n_tokens")).as("entropy_e9"))
+  }
 }

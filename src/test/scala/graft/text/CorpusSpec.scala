@@ -418,6 +418,31 @@ class CorpusSpec extends SparkSpec {
     assert(r.agg(max(col("n_pairs"))).collect().head.getLong(0) == 5L)
   }
 
+  test("zipfSlope: integer OLS over e3-quantized logs, deterministic rank") {
+    // one domain, counts 4/2/1 -> ranks 1/2/3 by (count desc, term asc)
+    val docs = Seq((1L, "a a a a b b c", "d1")).toDF("doc_id", "text", "src")
+    val r = Corpus.zipfSlope(docs, "src", "text", topV = 50).collect().head
+    def q(x: Double): Long = math.floor(x * 1e3 + 0.5).toLong
+    val pts = Seq((q(math.log(1)), q(math.log(4))),
+      (q(math.log(2)), q(math.log(2))), (q(math.log(3)), q(math.log(1))))
+    val v = pts.size.toLong
+    val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val expected = (sx * sy - v * sxy) * 1000000L / (v * sxx - sx * sx)
+    assert(r.getAs[Long]("v") == 3L)
+    assert(r.getAs[Long]("n_top_tokens") == 7L)
+    assert(r.getAs[Long]("zipf_slope_neg_e6") == expected)
+    // natural-ish Zipf data slopes near -1: sanity band on the sign/scale
+    assert(expected > 900000L && expected < 1600000L)
+  }
+
+  test("zipfSlope: a single-token domain has a degenerate fit -> null") {
+    val docs = Seq((1L, "solo solo solo", "d1")).toDF("doc_id", "text", "src")
+    val r = Corpus.zipfSlope(docs, "src", "text").collect().head
+    assert(r.isNullAt(r.fieldIndex("zipf_slope_neg_e6")))
+  }
+
   test("skipgramPmi: window=1 reduces to pmiCollocations exactly") {
     val docs = Seq(
       (1L, "new york new york"),

@@ -86,6 +86,30 @@ class DedupSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("id_b") == 4L))
   }
 
+  test("tokenContainment: subset doc detected at 1.0 that Jaccard misses") {
+    val d = Seq(
+      (1L, "x y z w"),   // superset
+      (2L, "x y"),       // fully contained in 1 -> cont(2->1) = 1.0
+      (3L, "x q")        // only half contained anywhere
+    ).toDF("doc_id", "text")
+    val out = Dedup.tokenContainment(d, "doc_id", "text",
+        maxIdGap = 10, thresholdE6 = 1000000)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("cont_a_e6"),
+        r.getAs[Long]("cont_b_e6")))
+    assert(out.toSeq == Seq((1L, 2L, 2L, 500000L, 1000000L)))
+    // the same pair's Jaccard is 2/4 = 0.5 — below a 0.9 near-dup bar
+    val jac = Dedup.ngramJaccard(d, "doc_id", "text", 10, 0.9).collect()
+    assert(jac.isEmpty)
+  }
+
+  test("tokenContainment: id-gap bucketing bounds the candidate set") {
+    val d = Seq((1L, "x y"), (100L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.tokenContainment(d, "doc_id", "text",
+      maxIdGap = 10, thresholdE6 = 0)
+    assert(out.collect().isEmpty, "pairs beyond the id gap are out of scope")
+  }
+
   test("simhashCandidates: full recall at maxHamming <= bands-1 (matches all-pairs filter)") {
     val rng = new scala.util.Random(3)
     val words = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")

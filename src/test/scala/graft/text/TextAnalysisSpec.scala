@@ -25,6 +25,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("atl"), 14.0 / 4.0))
   }
 
+  test("tokenEntropy: hand-quantized H = ln n - (1/n)*sum(c ln c)") {
+    val df = Seq((1L, "a a b"), (2L, "x x x x"), (3L, "p q r"), (4L, "  "))
+      .toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(df, "doc_id", "text")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_distinct"), r.getAs[Long]("entropy_e9")))
+    def q(x: Double): Long = math.floor(x * 1e9 + 0.5).toLong
+    // doc 1: ln3 - (2 ln2)/3 via the quantized path
+    val e1 = q(math.log(3)) - q(2 * math.log(2)) / 3
+    assert(out.toSeq == Seq(
+      (1L, 3L, 2L, e1),
+      (2L, 4L, 1L, q(math.log(4)) - q(4 * math.log(4)) / 4),
+      (3L, 3L, 3L, q(math.log(3)) - 0L))) // all-distinct: max entropy ln n
+    // blank doc 4 absent; doc 2 (pure repetition) has entropy ~0
+    assert(out(1)._4.abs <= 1)
+  }
+
   test("languageId: stopword-rich english detected; gibberish -> und") {
     val out = Seq("the cat is on the mat and it is happy",
       "zzz qqq www kkk xxx").toDF("t")
