@@ -2337,7 +2337,28 @@ object SparkEntry {
     // sums over e3-quantized logs, one closed-form division
     "q191_x_zipf_slope" -> tuned((s, d) =>
       Corpus.zipfSlope(Tables.documents(s, d), "source", "text", topV = 50)
-        .orderBy("domain"))
+        .orderBy("domain")),
+
+    // ---- extension: reciprocal-rank fusion — BM25 relevance fused with
+    // the entropy quality prior in rank space (no score calibration);
+    // contributions are exact integers 1e9 div (60 + rank)
+    "q192_x_rrf_fuse" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val bm = Corpus.bm25(docs, "doc_id", "text",
+          query = Seq("join", "scan", "window"))
+        .select(col("doc_id"), col("bm25").as("score"))
+      val ent = graft.text.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+        .select(col("doc_id"), col("entropy_e9").as("score"))
+      Corpus.rrfFuse(Seq(bm, ent), "doc_id", "score", kRrf = 60)
+        .orderBy(col("rrf_e9").desc, col("doc_id"))
+    }),
+
+    // ---- extension: deterministic hash-offset negative sampling — the
+    // contrastive-pair builder; md5-hash draws onto the dense id index,
+    // anchor-collision shifts one slot, O(N*k), no cross join
+    "q193_x_negative_sample" -> tuned((s, d) =>
+      Corpus.negativeSample(Tables.documents(s, d), "doc_id", k = 4)
+        .orderBy("anchor_id", "j"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5591,7 +5612,60 @@ object SparkEntry {
         |SELECT domain, v, n_top_tokens,
         |  (sx * sy - v * sxy) * 1000000
         |    // nullif(v * sxx - sx * sx, 0) AS zipf_slope_neg_e6
-        |FROM a ORDER BY domain""".stripMargin)
+        |FROM a ORDER BY domain""".stripMargin),
+
+    // q70's BM25 and q190's entropy re-ranked by (score desc, id) and
+    // fused with the exact integer 1e9 // (60 + rank) contributions
+    "q192_x_rrf_fuse" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\s+') END AS toks
+        |  FROM documents),
+        |base AS (SELECT doc_id, CAST(len(toks) AS DOUBLE) AS dl, toks FROM t),
+        |stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, term, CAST(count(*) AS DOUBLE) AS tf, max(dl) AS dl
+        |  FROM (SELECT doc_id, dl, unnest(toks) AS term FROM base)
+        |  WHERE term IN ('join', 'scan', 'window') GROUP BY 1, 2),
+        |dfreq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY 1),
+        |bm AS (SELECT doc_id,
+        |  round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) * tf * (1.2 + 1.0)
+        |        / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))), 4) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN stats GROUP BY doc_id),
+        |etok AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tk
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |ec AS (SELECT doc_id, tk, count(*) AS c FROM etok GROUP BY 1, 2),
+        |ea AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(sum(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+        |      * 1e9 + 0.5) AS BIGINT)) AS BIGINT) AS clnc
+        |  FROM ec GROUP BY 1),
+        |ent AS (SELECT doc_id,
+        |    CAST(floor(ln(CAST(n_tokens AS DOUBLE)) * 1e9 + 0.5) AS BIGINT)
+        |      - clnc // n_tokens AS score
+        |  FROM ea),
+        |ra AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM bm),
+        |rb AS (SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS r FROM ent),
+        |u AS (SELECT doc_id, r FROM ra UNION ALL SELECT doc_id, r FROM rb)
+        |SELECT doc_id, count(*) AS n_lists,
+        |  CAST(sum(1000000000 // (60 + r)) AS BIGINT) AS rrf_e9
+        |FROM u GROUP BY 1 ORDER BY rrf_e9 DESC, doc_id""".stripMargin),
+
+    // same md5 draw onto the dense row_number index, same +1 shift on
+    // anchor collision
+    "q193_x_negative_sample" ->
+      ("""WITH ids AS (SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS idx
+        |  FROM documents WHERE doc_id IS NOT NULL),
+        |nn AS (SELECT count(*) AS n FROM ids),
+        |a AS (SELECT doc_id, idx, j,
+        |    CAST('0x' || substring(md5(doc_id || '_' || j), 1, 8) AS BIGINT) AS h
+        |  FROM ids CROSS JOIN (SELECT unnest(generate_series(1, 4)) AS j) js),
+        |t AS (SELECT doc_id AS anchor_id, j,
+        |    CASE WHEN h % n = idx THEN (h % n + 1) % n ELSE h % n END AS tidx
+        |  FROM a CROSS JOIN nn)
+        |SELECT t.anchor_id, CAST(t.j AS INT) AS j, ids.doc_id AS neg_id
+        |FROM t JOIN ids ON ids.idx = t.tidx
+        |ORDER BY t.anchor_id, j""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -391,6 +391,71 @@ object Corpus {
           .as("zipf_slope_neg_e6"))
   }
 
+  /** Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) — merge
+    * any number of scored rankings of the same id space into one:
+    * `RRF(d) = Σ_lists 1/(k + rank_list(d))`. The standard way to
+    * combine lexical (BM25) and semantic (embedding) retrieval, or a
+    * relevance signal with a quality prior — rank-space fusion needs no
+    * score calibration between lists.
+    *
+    * Exactness: ranks are [[globalRank]] positions over the
+    * DETERMINISTIC (score desc, id asc) order — no single-task window —
+    * and each contribution is the EXACT integer `10⁹ div (k + rank)`,
+    * summed exactly: the entire readout is integer arithmetic, no float
+    * anywhere. Lists may cover different id subsets; `n_lists` reports
+    * how many lists each id appeared in.
+    *
+    * Output: `(idCol, n_lists, rrf_e9)` — sort order left to the
+    * caller ((rrf_e9 desc, id) is the retrieval convention). */
+  def rrfFuse(rankings: Seq[DataFrame], idCol: String, scoreCol: String,
+              kRrf: Int = 60): DataFrame = {
+    require(rankings.nonEmpty, "rrfFuse needs at least one ranking")
+    require(kRrf >= 1, s"kRrf must be >= 1, got $kRrf")
+    val ranked = rankings.map { df =>
+      globalRank(df.select(col(idCol), col(scoreCol)),
+          Seq(col(scoreCol).desc, col(idCol).asc), "__r0")
+        .select(col(idCol), (col("__r0") + 1).as("__r"))
+    }
+    ranked.reduce(_ unionByName _)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lists"),
+        sum(expr(s"1000000000 div ($kRrf + __r)")).as("rrf_e9"))
+  }
+
+  /** Deterministic hash-offset negative sampling — the contrastive-pair
+    * builder: for every anchor, `k` pseudo-random negatives drawn
+    * uniformly from the id space by hashing (anchor, j) onto the dense
+    * 0-based id index ([[globalRank]] over id — scale-safe, no
+    * single-task window). A draw landing on the anchor itself shifts to
+    * the next index (mod N), so a negative is never the anchor.
+    * Deterministic under retries and across engines (the md5-derived
+    * [[Cols.hash32]]); sampling WITH replacement across j — the
+    * standard contrastive setup (k ≪ N makes collisions rare and
+    * harmless).
+    *
+    * Scale shape: one range-partitioned sort for the index, one
+    * id-sized equi-join to resolve indices back to ids — no cross
+    * join, cost O(N·k). Output: `(anchor_id, j, neg_id)`. */
+  def negativeSample(items: DataFrame, idCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val ids = globalRank(items.select(col(idCol)).filter(col(idCol).isNotNull),
+      Seq(col(idCol).asc), "idx")
+    val n = ids.count()
+    require(n >= 2, s"negativeSample needs at least 2 items, got $n")
+    val anchors = ids
+      .withColumn("j", explode(sequence(lit(1), lit(k))))
+      .withColumn("__h", Cols.hash32(
+        concat(col(idCol).cast("string"), lit("_"), col("j").cast("string"))))
+      .withColumn("__t0", col("__h") % n)
+      .withColumn("__tidx",
+        when(col("__t0") === col("idx"), (col("__t0") + 1) % n)
+          .otherwise(col("__t0")))
+    anchors
+      .join(ids.select(col(idCol).as("neg_id"), col("idx").as("__tidx")),
+        Seq("__tidx"))
+      .select(col(idCol).as("anchor_id"), col("j"), col("neg_id"))
+  }
+
   def topNgrams(docs: DataFrame, textCol: String, n: Int, k: Int): DataFrame =
     docs.select(explode(TextHash.shinglesCol(col(textCol), n)).as("ngram"))
       .groupBy("ngram")

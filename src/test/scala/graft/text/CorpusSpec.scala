@@ -418,6 +418,44 @@ class CorpusSpec extends SparkSpec {
     assert(r.agg(max(col("n_pairs"))).collect().head.getLong(0) == 5L)
   }
 
+  test("rrfFuse: hand-computed integer contributions across two lists") {
+    val a = Seq((1L, 9.0), (2L, 5.0), (3L, 1.0)).toDF("id", "score")
+    val b = Seq((2L, 100L), (3L, 50L)).toDF("id", "score") // id 1 absent
+    val out = Corpus.rrfFuse(Seq(a, b), "id", "score", kRrf = 60)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_lists"), r.getAs[Long]("rrf_e9")))
+    def c(rank: Int): Long = 1000000000L / (60 + rank)
+    assert(out.toSeq == Seq(
+      (1L, 1L, c(1)),          // list a rank 1 only
+      (2L, 2L, c(2) + c(1)),   // a rank 2, b rank 1
+      (3L, 2L, c(3) + c(2))))
+  }
+
+  test("rrfFuse: score ties break by id ascending, deterministically") {
+    val a = Seq((5L, 1.0), (3L, 1.0), (4L, 1.0)).toDF("id", "score")
+    val out = Corpus.rrfFuse(Seq(a), "id", "score")
+      .orderBy(col("rrf_e9").desc, col("id")).collect().map(_.getLong(0))
+    assert(out.toSeq == Seq(3L, 4L, 5L))
+  }
+
+  test("negativeSample: deterministic, never the anchor, k per anchor") {
+    val items = (1L to 20L).map(i => Tuple1(i * 10)).toDF("doc_id")
+    val out = Corpus.negativeSample(items, "doc_id", k = 3)
+    val rows = out.collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Int]("j"),
+        r.getAs[Long]("neg_id")))
+    assert(rows.length == 60, "k rows per anchor")
+    assert(rows.forall { case (a, _, n) => a != n }, "never self-paired")
+    // re-run is bit-identical (hash-offset draws, no RNG state)
+    val again = Corpus.negativeSample(items, "doc_id", k = 3).collect()
+      .map(r => (r.getAs[Long]("anchor_id"), r.getAs[Int]("j"),
+        r.getAs[Long]("neg_id")))
+    assert(rows.sorted.toSeq == again.sorted.toSeq)
+    // negatives must come from the id universe
+    val universe = (1L to 20L).map(_ * 10).toSet
+    assert(rows.forall { case (_, _, n) => universe.contains(n) })
+  }
+
   test("zipfSlope: integer OLS over e3-quantized logs, deterministic rank") {
     // one domain, counts 4/2/1 -> ranks 1/2/3 by (count desc, term asc)
     val docs = Seq((1L, "a a a a b b c", "d1")).toDF("doc_id", "text", "src")
