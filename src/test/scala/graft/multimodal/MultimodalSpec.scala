@@ -181,4 +181,38 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.dHash(Array[Byte](1, 2, 3)) == null) // undecodable
     intercept[IllegalArgumentException] { Multimodal.dHash(Multimodal.texturedImage(1L), 9, 8) }
   }
+
+  test("plantedWav round-trips through a REAL WAV decode bit-exactly") {
+    val seed = 7L
+    val bytes = Multimodal.plantedWav(seed)
+    // RIFF/WAVE container magic: a real file, not raw PCM
+    assert(new String(bytes.take(4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val decoded = Multimodal.decodeWavSamples(bytes)
+    val n = (4000 + (seed % 5) * 800).toInt
+    assert(decoded.length == n)
+    val expected = (0 until n).map(i =>
+      (((seed * 2654435761L + i.toLong * 40503L) % 65536L) - 32768L).toInt)
+    assert(decoded.toSeq == expected)
+  }
+
+  test("audioWindowStats: exact integer energy and zero crossings per window") {
+    import spark.implicits._
+    val df = Seq(1L, 9L).toDF("doc_id")
+      .withColumn("content", Multimodal.plantedWavCol(col("doc_id")))
+    val out = Multimodal.audioWindowStats(df, "doc_id", "content", windowSize = 1000)
+      .collect().map(r => ((r.getLong(0), r.getInt(1)),
+        (r.getAs[Long]("n_samples"), r.getAs[Long]("sumsq"),
+         r.getAs[Long]("zero_crossings")))).toMap
+    for (seed <- Seq(1L, 9L)) {
+      val s = Multimodal.decodeWavSamples(Multimodal.plantedWav(seed))
+      val nw = (s.length + 999) / 1000
+      assert((0 until nw).forall { w =>
+        val lo = w * 1000; val hi = math.min(lo + 1000, s.length)
+        val sumsq = (lo until hi).map(i => s(i).toLong * s(i)).sum
+        val zc = (lo + 1 until hi).count(i => (s(i) >= 0) != (s(i - 1) >= 0)).toLong
+        out((seed, w)) == ((hi - lo).toLong, sumsq, zc)
+      }, s"window stats mismatch for seed $seed")
+    }
+  }
 }
