@@ -2372,7 +2372,15 @@ object SparkEntry {
         .withColumn("content", Multimodal.plantedWavCol(col("doc_id")))
       Multimodal.audioWindowStats(wavs, "doc_id", "content", windowSize = 1000)
         .orderBy("doc_id", "win")
-    })
+    }),
+
+    // ---- extension: per-domain KS drift screen — each source's length
+    // distribution vs the rest of the corpus, argmax chosen by
+    // cross-multiplied cumulative counts (no float), one exact division
+    "q195_x_ks_drift" -> tuned((s, d) =>
+      graft.operators.Metrics.ksDrift(
+          Tables.documents(s, d), "source", "n_chars")
+        .orderBy("source"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5698,7 +5706,32 @@ object SparkEntry {
         |  CAST(sum(v * v) AS BIGINT) AS sumsq,
         |  CAST(sum(CASE WHEN pv IS NOT NULL AND ((v >= 0) <> (pv >= 0))
         |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
-        |FROM w GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin)
+        |FROM w GROUP BY 1, 2 ORDER BY doc_id, win""".stripMargin),
+
+    // the same distinct-value grid, per-group cumulative counts, and
+    // cross-multiplied ECDF comparison
+    "q195_x_ks_drift" ->
+      ("""WITH b AS (SELECT source AS g, n_chars AS v FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |cs AS (SELECT g, v, count(*) AS c FROM b GROUP BY 1, 2),
+        |cg AS (SELECT v, CAST(sum(c) AS BIGINT) AS cg FROM cs GROUP BY 1),
+        |sz AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cs),
+        |grid AS (SELECT sz.g, cg.v, cg.cg FROM cg CROSS JOIN sz),
+        |cum AS (SELECT grid.g, grid.v,
+        |    CAST(sum(COALESCE(cs.c, 0)) OVER
+        |      (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum_s,
+        |    CAST(sum(grid.cg) OVER
+        |      (PARTITION BY grid.g ORDER BY grid.v) AS BIGINT) AS cum_g
+        |  FROM grid LEFT JOIN cs ON cs.g = grid.g AND cs.v = grid.v),
+        |num AS (SELECT cum.g, sz.n, tot.total,
+        |    max(abs(cum_s * (tot.total - sz.n) - (cum_g - cum_s) * sz.n))
+        |      AS ks_num
+        |  FROM cum JOIN sz ON sz.g = cum.g CROSS JOIN tot
+        |  GROUP BY 1, 2, 3)
+        |SELECT g AS source, n, total - n AS n_rest,
+        |  ks_num * 1000000 // nullif(n * (total - n), 0) AS ks_e6
+        |FROM num ORDER BY source""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

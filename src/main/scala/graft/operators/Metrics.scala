@@ -36,6 +36,47 @@ object Metrics {
     * silent 0 or 1 would read as a (perfectly bad/good) ranking.
     *
     * Output: `(groupCols…, n_pos, n_neg, auc_e6)`. */
+  /** Per-group two-sample Kolmogorov–Smirnov drift statistic — each
+    * group's `valueCol` distribution against the REST of the table:
+    * `D_g = max_x |F_g(x) − F_rest(x)|`, the standard "did this domain
+    * drift from the corpus" screen (distribution-free, sensitive to
+    * location AND shape, unlike a mean/variance check).
+    *
+    * Integer-exact: ECDF differences are compared by cross-multiplied
+    * CUMULATIVE COUNTS — `|cum_g·n_rest − cum_rest·n_g|` — so D's argmax
+    * is chosen with no float; the one division is the exact integer
+    * `⌊D_num·10⁶ / (n_g·n_rest)⌋`. BIGINT bound: `cum·n ≤ N²` — fine to
+    * ~3·10⁹ rows; above that move the cross-products to DECIMAL(38,0).
+    *
+    * Scale shape: per-(group, value) counts map-side combine; the ECDF
+    * runs over the DISTINCT-VALUE grid (V·G rows, not N·G — drift
+    * screens run over binned/bounded-cardinality values at 100 TB; bin
+    * first if `valueCol` is continuous). One window per group on the
+    * grid, one final aggregate.
+    *
+    * Output: `(groupCol, n, n_rest, ks_e6)`. */
+  def ksDrift(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).as("__v"))
+    val cs = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
+    val cg = cs.groupBy(col("__v")).agg(sum(col("__c")).as("__cg"))
+    val sizes = cs.groupBy(col("__g")).agg(sum(col("__c")).as("n"))
+    val total = base.count()
+    val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    cg.crossJoin(sizes.select(col("__g")))
+      .join(cs, Seq("__g", "__v"), "left")
+      .withColumn("__cum_s", sum(coalesce(col("__c"), lit(0L))).over(w))
+      .withColumn("__cum_g", sum(col("__cg")).over(w))
+      .join(sizes, Seq("__g"))
+      .withColumn("__num", abs(col("__cum_s") * (lit(total) - col("n")) -
+        (col("__cum_g") - col("__cum_s")) * col("n")))
+      .groupBy(col("__g"), col("n"))
+      .agg(max(col("__num")).as("__ks_num"))
+      .select(col("__g").as(groupCol), col("n"),
+        (lit(total) - col("n")).as("n_rest"),
+        expr(s"__ks_num * 1000000 div nullif(n * ($total - n), 0)").as("ks_e6"))
+  }
+
   def groupedAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                  labelCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupedAuc needs at least one group column")

@@ -36,6 +36,34 @@ class MetricsSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("auc_e6"))))
   }
 
+  test("ksDrift: hand-computed two-sample D against the complement") {
+    // group a: {1, 2}; group b: {3, 4} -> D(a vs b) = 1.0 at x = 2
+    val df = Seq(("a", 1L), ("a", 2L), ("b", 3L), ("b", 4L))
+      .toDF("g", "v")
+    val out = Metrics.ksDrift(df, "g", "v").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("n_rest"),
+        r.getAs[Long]("ks_e6")))
+    assert(out.toSeq == Seq(("a", 2L, 2L, 1000000L), ("b", 2L, 2L, 1000000L)))
+  }
+
+  test("ksDrift: identical distributions score 0") {
+    val df = (Seq("a", "b").flatMap(g => Seq(1L, 2L, 3L).map(v => (g, v))))
+      .toDF("g", "v")
+    val out = Metrics.ksDrift(df, "g", "v").collect()
+      .map(_.getAs[Long]("ks_e6"))
+    assert(out.forall(_ == 0L))
+  }
+
+  test("ksDrift: partial shift lands at the exact rational D") {
+    // a: {1, 2, 3}; rest: {2, 3, 4}. At x=1: |1*3 - 0*3| = 3;
+    // x=2: |2*3-1*3|=3; x=3: |3*3-2*3|=3 -> D = 3/9 = 1/3
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 2L), ("b", 3L), ("b", 4L)).toDF("g", "v")
+    val a = Metrics.ksDrift(df, "g", "v").filter(col("g") === "a")
+      .collect().head
+    assert(a.getAs[Long]("ks_e6") == 333333L)
+  }
+
   test("groupedAuc: null scores and labels are excluded") {
     val df = Seq[(String, Option[Long], Option[Boolean])](
       ("g", Some(3L), Some(true)), ("g", None, Some(false)),
