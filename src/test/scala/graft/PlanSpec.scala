@@ -203,6 +203,30 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0, p)
   }
 
+  test("grouped AUC (q188): both windows and the aggregate share ONE group shuffle") {
+    val p = plan("q188_x_grouped_auc")
+    // rank() over (grp, score) and the tie count over (grp, score) stack
+    // on the same grp-hash exchange; the final per-grp aggregate reuses it
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"grouped AUC must be a single-shuffle operator:\n$p")
+  }
+
+  test("KS drift (q195): ECDF runs over the distinct-value grid, not raw rows") {
+    val p = plan("q195_x_ks_drift")
+    // the (group, value) count aggregates map-side before any exchange —
+    // raw rows never reach the window stage
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_count")), s"no map-side combine before the grid:\n$p")
+  }
+
+  test("audio features (q194): decode is a shuffle-free per-row kernel") {
+    val p = plan("q194_x_audio_features")
+    // one generate (explode) over the decode UDF; the only exchange is the
+    // final presentation orderBy's range partitioning
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"audio decode must not hash-shuffle:\n$p")
+  }
+
   test("batch sessions (q110): one shuffle end-to-end, windows stacked on one sort") {
     val p = plan("q110_x_batch_sessions")
     // lag (frame [-1,-1]) and running sum (unbounded..current) need two
