@@ -2381,6 +2381,38 @@ object SparkEntry {
       graft.operators.Metrics.ksDrift(
           Tables.documents(s, d), "source", "n_chars")
         .orderBy("source"))
+,
+    // ---- extension: end-to-end corpus-cleaning funnel — the composed
+    // pipeline a training-data run actually executes (quality filter →
+    // exact dedup), read out as per-source survival counts at each
+    // stage; every stage is the same operator the standalone queries
+    // contract-check (q41/q42/q44/q68)
+    "q196_x_corpus_funnel" -> tuned((s, d) => {
+      import graft.text.{Dedup, TextAnalysis}
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val feats = TextAnalysis.qualityFeatures(col("text")).toMap
+      val quality = docs.select(col("doc_id"), col("source"), col("text"),
+          feats("n_tokens").as("n_tokens"),
+          feats("punct_ratio").as("punct_ratio"),
+          TextAnalysis.languageId(col("text")).as("lang_pred"))
+        .filter(col("lang_pred") === "en" && col("n_tokens") >= 5 &&
+          coalesce(col("punct_ratio"), lit(0.0)) <= 0.2)
+      val kept = quality
+        .select(col("doc_id"), col("source"),
+          Dedup.exactDigest(col("text")).as("__dg"))
+        .withColumn("__keep", min(col("doc_id")).over(Window.partitionBy("__dg")))
+        .filter(col("doc_id") === col("__keep"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .join(quality.groupBy("source").agg(count(lit(1)).as("__nq")),
+          Seq("source"), "left")
+        .join(kept.groupBy("source").agg(count(lit(1)).as("__nk")),
+          Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("__nq"), lit(0L)).as("n_quality"),
+          coalesce(col("__nk"), lit(0L)).as("n_kept"))
+        .orderBy("source")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5731,7 +5763,40 @@ object SparkEntry {
         |  GROUP BY 1, 2, 3)
         |SELECT g AS source, n, total - n AS n_rest,
         |  ks_num * 1000000 // nullif(n * (total - n), 0) AS ks_e6
-        |FROM num ORDER BY source""".stripMargin)
+        |FROM num ORDER BY source""".stripMargin),
+
+    // q68's quality + dedup replay, read out as per-source stage counts
+    "q196_x_corpus_funnel" -> {
+      val stop = TextAnalysis.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH b AS (
+        |  SELECT doc_id, source, text,
+        |    CASE WHEN length(trim(text)) = 0 THEN CAST([] AS VARCHAR[])
+        |         ELSE regexp_split_to_array(trim(text), '\\s+') END AS toks,
+        |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ltoks
+        |  FROM documents),
+        |q AS (
+        |  SELECT doc_id, source, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE)
+        |      / nullif(length(text), 0) AS punct_ratio,
+        |    CASE WHEN CAST(len(list_filter(ltoks, x -> x IN ($stop))) AS DOUBLE)
+        |              / nullif(len(ltoks), 0) >= 0.05
+        |         THEN 'en' ELSE 'und' END AS lang_pred
+        |  FROM b),
+        |f AS (
+        |  SELECT * FROM q
+        |  WHERE lang_pred = 'en' AND n_tokens >= 5
+        |    AND coalesce(punct_ratio, 0.0) <= 0.2),
+        |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY md5(trim(text))),
+        |base AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+        |qc AS (SELECT source, count(*) AS n_quality FROM f GROUP BY 1),
+        |kc AS (SELECT f.source, count(*) AS n_kept
+        |       FROM f JOIN k USING (doc_id) GROUP BY 1)
+        |SELECT base.source, base.n_docs,
+        |  CAST(COALESCE(qc.n_quality, 0) AS BIGINT) AS n_quality,
+        |  CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept
+        |FROM base LEFT JOIN qc USING (source) LEFT JOIN kc USING (source)
+        |ORDER BY base.source""".stripMargin
+    }
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —
