@@ -2412,6 +2412,19 @@ object SparkEntry {
           coalesce(col("__nq"), lit(0L)).as("n_quality"),
           coalesce(col("__nk"), lit(0L)).as("n_kept"))
         .orderBy("source")
+    }),
+
+    // ---- extension: snapshot drift report — profile two date-split
+    // versions of orders and diff per column: integer-permille null
+    // rates, distinct counts, string-range change flag
+    "q197_x_profile_diff" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+      val cut = "1996-01-01"
+      graft.operators.Profile.profileDiff(
+          o.filter(col("o_orderdate") < lit(cut)),
+          o.filter(col("o_orderdate") >= lit(cut)),
+          Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
+        .orderBy("col_name")
     })
   )
 
@@ -5796,6 +5809,28 @@ object SparkEntry {
         |  CAST(COALESCE(kc.n_kept, 0) AS BIGINT) AS n_kept
         |FROM base LEFT JOIN qc USING (source) LEFT JOIN kc USING (source)
         |ORDER BY base.source""".stripMargin
+    },
+
+    // q138's per-column profile on both date halves, joined and diffed;
+    // null rates as integer permille, range change on the string casts
+    "q197_x_profile_diff" -> {
+      def side(pred: String, sfx: String) =
+        Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate").map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n_$sfx,
+            |  (count(*) - count($c)) * 1000 // nullif(count(*), 0) AS null_pm_$sfx,
+            |  count(DISTINCT $c) AS distinct_$sfx,
+            |  min(CAST($c AS VARCHAR)) AS mn_$sfx,
+            |  max(CAST($c AS VARCHAR)) AS mx_$sfx
+            |FROM orders WHERE $pred""".stripMargin)
+          .mkString("\nUNION ALL\n")
+      s"""WITH a AS (${side("o_orderdate < DATE '1996-01-01'", "before")}),
+        |b AS (${side("o_orderdate >= DATE '1996-01-01'", "after")})
+        |SELECT a.col_name, n_before, n_after, null_pm_before, null_pm_after,
+        |  distinct_before, distinct_after,
+        |  (mn_before IS DISTINCT FROM mn_after
+        |    OR mx_before IS DISTINCT FROM mx_after) AS range_changed
+        |FROM a JOIN b ON a.col_name = b.col_name
+        |ORDER BY a.col_name""".stripMargin
     }
   )
 

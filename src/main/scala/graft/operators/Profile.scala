@@ -45,6 +45,41 @@ object Profile {
         col("n_distinct"), col("min_value"), col("max_value"))
   }
 
+  /** Snapshot drift report — [[profile]] run on two versions of the same
+    * table and diffed per column: the schema-stability check a daily
+    * 100 TB drop gets before anything downstream trusts it (null-rate
+    * spike = a producer started emitting empties; distinct collapse = a
+    * join key got constant-folded upstream; range change = unit drift).
+    *
+    * Exactness: null rates compare as integer PERMILLE (`n·1000 div N` —
+    * no float ratio), distincts and ranges compare directly; every
+    * output column is an integer, string, or boolean, so the report
+    * hash-matches a SQL replay. Cost: one [[profile]] scan per side
+    * (2 scans total regardless of column count), one column-name join
+    * of two column-count-sized frames.
+    *
+    * Output: `(col_name, n_before, n_after, null_pm_before,
+    * null_pm_after, distinct_before, distinct_after, range_changed)`. */
+  def profileDiff(before: DataFrame, after: DataFrame,
+                  columns: Seq[String]): DataFrame = {
+    val a = profile(before, columns).select(col("col_name"),
+      col("n_rows").as("n_before"),
+      expr("n_null * 1000 div nullif(n_rows, 0)").as("null_pm_before"),
+      col("n_distinct").as("distinct_before"),
+      col("min_value").as("__mna"), col("max_value").as("__mxa"))
+    val b = profile(after, columns).select(col("col_name"),
+      col("n_rows").as("n_after"),
+      expr("n_null * 1000 div nullif(n_rows, 0)").as("null_pm_after"),
+      col("n_distinct").as("distinct_after"),
+      col("min_value").as("__mnb"), col("max_value").as("__mxb"))
+    a.join(b, Seq("col_name"))
+      .select(col("col_name"), col("n_before"), col("n_after"),
+        col("null_pm_before"), col("null_pm_after"),
+        col("distinct_before"), col("distinct_after"),
+        (!(col("__mna") <=> col("__mnb")) ||
+          !(col("__mxa") <=> col("__mxb"))).as("range_changed"))
+  }
+
   /** Mutual information between two categorical columns — the
     * association readout profiling leads into ("is this column worth
     * keeping beside that one", "does the label leak through this

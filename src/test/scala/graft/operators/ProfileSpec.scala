@@ -48,6 +48,25 @@ class ProfileSpec extends SparkSpec {
       s"expected ~ln2 nanonats, got $mi1")
   }
 
+  test("profileDiff: planted null spike, distinct collapse, and range change") {
+    import spark.implicits._
+    val before = Seq((Option(1L), "a"), (Option(2L), "b"), (Option(3L), "c"),
+      (Option(4L), "d")).toDF("k", "s")
+    val after = Seq((Option(1L), "a"), (None, "a"), (None, "a"),
+      (Option(9L), "a")).toDF("k", "s")
+    val out = Profile.profileDiff(before, after, Seq("k", "s"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_after"), r.getAs[Long]("null_pm_before"),
+        r.getAs[Long]("null_pm_after"), r.getAs[Long]("distinct_before"),
+        r.getAs[Long]("distinct_after"), r.getAs[Boolean]("range_changed")))
+    assert(out.toSeq == Seq(
+      // k: 2 of 4 nulls after (500 permille), max 4 -> 9
+      ("k", 4L, 4L, 0L, 500L, 4L, 2L, true),
+      // s: distinct collapse 4 -> 1, range "a".."d" -> "a".."a"
+      ("s", 4L, 4L, 0L, 0L, 4L, 1L, true)))
+  }
+
   test("benfordDigits: exact shares, Benford constants, and positivity filter") {
     import spark.implicits._
     // group g: digits 1,1,1,2 over 4 values; zero/negative/null excluded
