@@ -2425,7 +2425,22 @@ object SparkEntry {
           o.filter(col("o_orderdate") >= lit(cut)),
           Seq("o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate"))
         .orderBy("col_name")
-    })
+    }),
+
+    // ---- extension: per-domain PSI drift — the binned companion of
+    // q195's KS (mass movement integrated over the range, not the worst
+    // point); Laplace-smoothed from exact counts, e9-quantized terms
+    "q198_x_psi_drift" -> tuned((s, d) =>
+      graft.operators.Metrics.psiDrift(
+          Tables.documents(s, d), "source", "n_chars",
+          binWidth = 60L, nBins = 10)
+        .orderBy("source")),
+
+    // ---- extension: STREAMING PSI drift monitor — state is only the
+    // per-(type, bin) count grid (complete mode, O(groups·bins));
+    // drained counts == batch counts, so psi_e9 matches bit-for-bit
+    "q199_x_stream_psi_drift" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingPsiDrift(s, d))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2735,6 +2750,42 @@ object SparkEntry {
        |  FROM s)
        |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q198/q199: PSI drift replay — the same fixed-bin grid, Laplace
+    * smoothing from exact integer counts, and per-bin e9 term
+    * quantization as [[graft.operators.Metrics.psiFromCounts]]; the
+    * float tree is structured identically on both engines so the
+    * quantized terms agree bit-for-bit. */
+  private def psiDriftSql(src: String, groupCol: String, valueCol: String,
+                          where: String, binWidth: Long, nBins: Int,
+                          outName: String): String = {
+    val B = nBins
+    s"""WITH b AS (SELECT $groupCol AS g,
+      |    greatest(0, least(CAST(floor($valueCol) AS BIGINT) // $binWidth,
+      |      ${B - 1})) AS bin
+      |  FROM $src WHERE $where),
+      |cs AS (SELECT g, bin, count(*) AS c FROM b GROUP BY 1, 2),
+      |cb AS (SELECT bin, CAST(sum(c) AS BIGINT) AS cbin FROM cs GROUP BY 1),
+      |sz AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cs GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM cs),
+      |bins AS (SELECT unnest(generate_series(0, ${B - 1})) AS bin),
+      |grid AS (SELECT sz.g, sz.n, bins.bin, COALESCE(cb.cbin, 0) AS cbin
+      |         FROM bins LEFT JOIN cb USING (bin) CROSS JOIN sz),
+      |t AS (SELECT grid.g, grid.n, tot.total,
+      |    CAST(floor((
+      |        (COALESCE(cs.c, 0) + 1) / CAST(grid.n + $B AS DOUBLE)
+      |      - (grid.cbin - COALESCE(cs.c, 0) + 1)
+      |        / CAST(tot.total - grid.n + $B AS DOUBLE))
+      |      * ln(((COALESCE(cs.c, 0) + 1) / CAST(grid.n + $B AS DOUBLE))
+      |         / ((grid.cbin - COALESCE(cs.c, 0) + 1)
+      |            / CAST(tot.total - grid.n + $B AS DOUBLE)))
+      |      * 1e9 + 0.5) AS BIGINT) AS term
+      |  FROM grid LEFT JOIN cs ON cs.g = grid.g AND cs.bin = grid.bin
+      |  CROSS JOIN tot)
+      |SELECT g AS $outName, n, total - n AS n_rest,
+      |  CAST(sum(term) AS BIGINT) AS psi_e9
+      |FROM t GROUP BY g, n, total ORDER BY $outName""".stripMargin
   }
 
   /** q58: the FULL IVF pipeline — seed-free Lloyd training + probe +
@@ -5810,6 +5861,16 @@ object SparkEntry {
         |FROM base LEFT JOIN qc USING (source) LEFT JOIN kc USING (source)
         |ORDER BY base.source""".stripMargin
     },
+
+    // same fixed-bin grid, Laplace smoothing, and e9 term quantization;
+    // the streaming variant drains the identical count grid first
+    "q198_x_psi_drift" ->
+      psiDriftSql("documents", "source", "n_chars",
+        "source IS NOT NULL AND n_chars IS NOT NULL", 60L, 10, "source"),
+
+    "q199_x_stream_psi_drift" ->
+      psiDriftSql("events", "event_type", "value",
+        "event_type IS NOT NULL AND value IS NOT NULL", 50L, 10, "event_type"),
 
     // q138's per-column profile on both date halves, joined and diffed;
     // null rates as integer permille, range change on the string casts

@@ -77,6 +77,72 @@ object Metrics {
         expr(s"__ks_num * 1000000 div nullif(n * ($total - n), 0)").as("ks_e6"))
   }
 
+  /** Per-group Population Stability Index — the industry-standard model-
+    * monitoring drift score, each group vs the REST over a FIXED bin
+    * grid: `PSI = Σ_bins (p_g − p_rest)·ln(p_g/p_rest)`. Conventional
+    * reading: < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted. The
+    * binned complement of [[ksDrift]]: KS finds the worst single point,
+    * PSI integrates mass movement over the whole range — and its bin
+    * counts are streaming-mergeable (see
+    * [[graft.streaming.StreamingCollapse]]'s twin), which KS's argmax
+    * is not.
+    *
+    * Determinism: bins are fixed integer arithmetic
+    * (`clamp(v div binWidth, 0, nBins−1)`); probabilities are
+    * Laplace-smoothed `(c+1)/(n+nBins)` from EXACT integer counts (zero
+    * bins would blow up the log); each bin's term is ONE fixed float
+    * tree e9-quantized, summed exactly — `psi_e9` hash-matches a SQL
+    * replay. Per-term sign: `(p_g−p_rest)` and `ln(p_g/p_rest)` always
+    * agree, so terms are non-negative and quantization never cancels.
+    *
+    * Scale shape: per-(group, bin) counts map-side combine; the readout
+    * runs over the G·nBins grid. Output: `(groupCol, n, n_rest,
+    * psi_e9)`. */
+  def psiDrift(df: DataFrame, groupCol: String, valueCol: String,
+               binWidth: Long, nBins: Int): DataFrame = {
+    require(binWidth >= 1, s"binWidth must be >= 1, got $binWidth")
+    val base = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        greatest(lit(0L),
+          least(expr(s"cast(floor(`$valueCol`) as bigint) div $binWidth"),
+            lit(nBins - 1L))).as("__bin"))
+    psiFromCounts(
+      base.groupBy(col("__g"), col("__bin")).agg(count(lit(1)).as("__c")),
+      nBins, groupCol)
+  }
+
+  /** PSI readout from a per-(group, bin) count table — `(__g, __bin,
+    * __c)` columns. Split out so a STREAMING count state (complete-mode
+    * aggregate, mergeable across micro-batches) can share the exact
+    * readout with the batch operator: drained counts == batch counts ⇒
+    * identical psi_e9. The grid, marginals, and total all derive FROM
+    * the counts (no second scan of the raw data). */
+  def psiFromCounts(counts: DataFrame, nBins: Int,
+                    groupColName: String): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val spark = counts.sparkSession
+    val cs = counts.select(col("__g"), col("__bin"), col("__c"))
+    val cb = cs.groupBy(col("__bin")).agg(sum(col("__c")).as("__cbin"))
+    val sizes = cs.groupBy(col("__g")).agg(sum(col("__c")).as("n"))
+    val totalDf = cs.agg(sum(col("__c")).as("__total"))
+    val bins = spark.range(nBins).select(col("id").as("__bin"))
+    val ca = coalesce(col("__c"), lit(0L))
+    val pa = (ca + 1).cast("double") / (col("n") + nBins).cast("double")
+    val pb = (col("__cbin") - ca + 1).cast("double") /
+      (col("__total") - col("n") + nBins).cast("double")
+    bins.join(broadcast(cb), Seq("__bin"), "left")
+      .withColumn("__cbin", coalesce(col("__cbin"), lit(0L)))
+      .crossJoin(broadcast(sizes))
+      .crossJoin(broadcast(totalDf))
+      .join(cs, Seq("__g", "__bin"), "left")
+      .withColumn("__term_e9",
+        floor((pa - pb) * log(pa / pb) * lit(1e9) + lit(0.5)).cast("long"))
+      .groupBy(col("__g"), col("n"), col("__total"))
+      .agg(sum(col("__term_e9")).as("psi_e9"))
+      .select(col("__g").as(groupColName), col("n"),
+        (col("__total") - col("n")).as("n_rest"), col("psi_e9"))
+  }
+
   def groupedAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                  labelCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupedAuc needs at least one group column")

@@ -642,4 +642,39 @@ object StreamingCollapse {
       .outputMode("append").format("memory").queryName(name))
     spark.table(name).orderBy("user_id", "left_id", "right_id")
   }
+
+  // ------------------------------------------- streaming drift monitor
+
+  /** Streaming PSI drift monitor — the standing form of
+    * [[graft.operators.Metrics.psiDrift]]: the ONLY state is the
+    * per-(group, bin) count grid (one complete-mode aggregate — counts
+    * merge across micro-batches trivially, state is O(groups·bins),
+    * the 100 TB-safe shape), and the PSI readout runs batch-side over
+    * the drained grid via [[graft.operators.Metrics.psiFromCounts]].
+    * Drained counts == batch counts, so the emitted psi_e9 equals the
+    * batch operator bit-for-bit — which is what makes a STREAMING
+    * drift monitor oracle-checkable. */
+  def streamingPsiDrift(spark: SparkSession, dir: String,
+                        binWidth: Long = 50L, nBins: Int = 10): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_psi"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val counts = eventsStream(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull)
+      .select(col("event_type").as("__g"),
+        greatest(lit(0L),
+          least(expr(s"cast(floor(value) as bigint) div $binWidth"),
+            lit(nBins - 1L))).as("__bin"))
+      .groupBy(col("__g"), col("__bin"))
+      .agg(count(lit(1)).as("__c"))
+    drain(spark, counts.writeStream
+      .outputMode("complete").format("memory").queryName(name))
+    // psiFromCounts self-joins its input; on the memory-sink view every
+    // branch carries the SAME attribute ids and resolution fails
+    // (the streamingTransitions join hazard). The grid is O(groups·bins)
+    // rows, so an eager localCheckpoint is a cheap lineage break.
+    val grid = spark.table(name).localCheckpoint(true)
+    graft.operators.Metrics.psiFromCounts(grid, nBins, "event_type")
+      .orderBy("event_type")
+  }
 }

@@ -64,6 +64,29 @@ class MetricsSpec extends SparkSpec {
     assert(a.getAs[Long]("ks_e6") == 333333L)
   }
 
+  test("psiDrift: hand-computed smoothed terms, clamped bins") {
+    // 2 bins (width 10): a = {5, 5} -> bin 0 x2; b = {15, 25} -> bin 1 x2
+    // (25 clamps into bin 1). pa0=(2+1)/4, pb0=(0+1)/4; pa1=1/4, pb1=3/4
+    val df = Seq(("a", 5L), ("a", 5L), ("b", 15L), ("b", 25L)).toDF("g", "v")
+    val out = Metrics.psiDrift(df, "g", "v", binWidth = 10L, nBins = 2)
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("n_rest"),
+        r.getAs[Long]("psi_e9")))
+    def term(pa: Double, pb: Double): Long =
+      math.floor((pa - pb) * math.log(pa / pb) * 1e9 + 0.5).toLong
+    val expected = term(3.0 / 4, 1.0 / 4) + term(1.0 / 4, 3.0 / 4)
+    assert(out.toSeq == Seq(("a", 2L, 2L, expected), ("b", 2L, 2L, expected)))
+    assert(expected > 0L, "opposite shifts must accumulate, not cancel")
+  }
+
+  test("psiDrift: identical distributions score 0 exactly") {
+    val df = Seq("a", "b").flatMap(g => Seq(1L, 15L, 22L).map(v => (g, v)))
+      .toDF("g", "v")
+    val out = Metrics.psiDrift(df, "g", "v", binWidth = 10L, nBins = 3)
+      .collect().map(_.getAs[Long]("psi_e9"))
+    assert(out.forall(_ == 0L))
+  }
+
   test("groupedAuc: null scores and labels are excluded") {
     val df = Seq[(String, Option[Long], Option[Boolean])](
       ("g", Some(3L), Some(true)), ("g", None, Some(false)),

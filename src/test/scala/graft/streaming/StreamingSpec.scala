@@ -219,4 +219,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch,
       "every pair must be emitted exactly once, when its later element arrives")
   }
+
+  test("streamingPsiDrift: drained count grid gives the batch PSI exactly") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingCollapse.streamingPsiDrift(spark, dir).collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("n_rest"),
+        r.getAs[Long]("psi_e9"))).toSeq
+    val batch = graft.operators.Metrics.psiDrift(
+        graft.sources.Tables.events(spark, dir), "event_type", "value",
+        binWidth = 50L, nBins = 10)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("n_rest"),
+        r.getAs[Long]("psi_e9"))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
