@@ -2440,7 +2440,32 @@ object SparkEntry {
     // per-(type, bin) count grid (complete mode, O(groups·bins));
     // drained counts == batch counts, so psi_e9 matches bit-for-bit
     "q199_x_stream_psi_drift" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingPsiDrift(s, d))
+      graft.streaming.StreamingCollapse.streamingPsiDrift(s, d)),
+
+    // ---- extension: point-in-time join — "which version was valid when
+    // this event happened": q127's SCD2 history probed through the
+    // native as-of join (latest valid_from <= t), with the valid_to
+    // bound demoting probes that land in a DELETED interval to null —
+    // the lakehouse time-travel read, composed from contract-checked
+    // parts
+    "q200_x_point_in_time_join" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+      val changes = o.select(col("o_custkey").as("k"),
+        col("o_orderkey").as("v"),
+        when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("price"))
+      val hist = Cdc.scd2(changes, Seq("k"), "v", "op")
+      val probes = o.filter(col("o_orderkey") % 13 === 0)
+        .select(col("o_custkey").as("k"), col("o_orderkey").as("t"))
+      org.apache.spark.sql.graft.AsofJoinNative.join(
+          probes,
+          hist.select(col("k"), col("valid_from"), col("valid_to"), col("price")),
+          Seq("k"), "t", "valid_from", Seq("valid_to", "price"))
+        .select(col("k"), col("t"),
+          when(col("valid_to").isNull || col("t") < col("valid_to"),
+            col("price")).as("price_asof"))
+        .orderBy("k", "t")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5871,6 +5896,24 @@ object SparkEntry {
     "q199_x_stream_psi_drift" ->
       psiDriftSql("events", "event_type", "value",
         "event_type IS NOT NULL AND value IS NOT NULL", 50L, 10, "event_type"),
+
+    // q127's history rebuilt inline, probed with DuckDB's native ASOF
+    // LEFT JOIN; the valid_to CASE is the deleted-interval demotion
+    "q200_x_point_in_time_join" ->
+      ("""WITH ch AS (SELECT o_custkey AS k, o_orderkey AS v,
+        |    CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |    o_totalprice AS price FROM orders),
+        |w AS (SELECT k, v, op, price,
+        |    lead(v) OVER (PARTITION BY k ORDER BY v) AS valid_to FROM ch),
+        |h AS (SELECT k, v AS valid_from, valid_to, price
+        |      FROM w WHERE op <> 'D'),
+        |p AS (SELECT o_custkey AS k, o_orderkey AS t FROM orders
+        |      WHERE o_orderkey % 13 = 0)
+        |SELECT p.k, p.t,
+        |  CASE WHEN h.valid_to IS NULL OR p.t < h.valid_to
+        |       THEN h.price END AS price_asof
+        |FROM p ASOF LEFT JOIN h ON p.k = h.k AND p.t >= h.valid_from
+        |ORDER BY p.k, p.t""".stripMargin),
 
     // q138's per-column profile on both date halves, joined and diffed;
     // null rates as integer permille, range change on the string casts
