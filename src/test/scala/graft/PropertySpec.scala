@@ -126,6 +126,39 @@ object PropertySpec extends Properties("graft.laws") {
     }
   }
 
+  // fixed fixtures, not forAll: each sample runs several Spark jobs —
+  // 100 ScalaCheck samples would dominate the suite's runtime
+  property("drift/eval metrics respect their analytic bounds") = Prop {
+    import graft.operators.Metrics
+    val dists = Seq(
+      Seq(("a", 1L), ("a", 2L), ("b", 8L), ("b", 9L)),      // separated
+      Seq(("a", 1L), ("a", 5L), ("b", 1L), ("b", 5L)),      // identical
+      Seq(("a", 1L), ("b", 1L), ("b", 2L), ("b", 3L)))      // size-skewed
+    dists.forall { rows =>
+      val df = rows.toDF("g", "v")
+      val ks = Metrics.ksDrift(df, "g", "v").collect()
+        .map(_.getAs[Long]("ks_e6"))
+      val psi = Metrics.psiDrift(df, "g", "v", binWidth = 2L, nBins = 5)
+        .collect().map(_.getAs[Long]("psi_e9"))
+      // KS ∈ [0, 1e6]; PSI ≥ 0 (terms are sign-aligned, so no cancellation)
+      ks.forall(k => k >= 0L && k <= 1000000L) && psi.forall(_ >= 0L)
+    }
+  }
+
+  property("tokenEntropy is bounded by [0, ln n] and maxed by all-distinct docs") = Prop {
+    val docs = Seq((1L, "a a a a"), (2L, "a b c d"), (3L, "a a b b c"),
+      (4L, "x")).toDF("doc_id", "text")
+    graft.text.TextAnalysis.tokenEntropy(docs, "doc_id", "text")
+      .collect().forall { r =>
+        val n = r.getAs[Long]("n_tokens")
+        val h = r.getAs[Long]("entropy_e9")
+        val hMax = math.floor(math.log(n.toDouble) * 1e9 + 0.5).toLong
+        // ±1 slack: the two e9 quantizations can differ by one ulp-step
+        h >= -1L && h <= hMax + 1L &&
+          (r.getAs[Long]("n_distinct") != n || (h - hMax).abs <= 1L)
+      }
+  }
+
   // fixed fixtures, not forAll: learnMerges is a multi-job Spark loop per
   // sample — 100 ScalaCheck samples would dominate the suite's runtime
   property("BPE encode preserves content: symbols rejoin to the original words") = Prop {
