@@ -2465,7 +2465,32 @@ object SparkEntry {
           when(col("valid_to").isNull || col("t") < col("valid_to"),
             col("price")).as("price_asof"))
         .orderBy("k", "t")
-    })
+    }),
+
+    // ---- extension: trailing-k integer EWMA — exponentially-weighted
+    // smoothing with NO float anywhere (integer weight recurrence, exact
+    // long products, one integer division); all k lags stack on one
+    // window sort
+    "q201_x_ewma" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("x"))
+        .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))")
+          .as("cents"))
+      graft.operators.Features.ewmaTrailing(m, Seq("prio"), "x", "cents",
+          alphaE6 = 800000L, k = 8)
+        .orderBy("prio", "x")
+    }),
+
+    // ---- extension: cross-domain quantile normalization — each
+    // (source, n_chars) mapped to the global order statistic at its
+    // within-source permille; integer ranks, actual global samples,
+    // no interpolation
+    "q202_x_quantile_normalize" -> tuned((s, d) =>
+      graft.operators.Features.quantileNormalize(
+          Tables.documents(s, d), "source", "n_chars")
+        .orderBy("source", "n_chars"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5914,6 +5939,49 @@ object SparkEntry {
         |       THEN h.price END AS price_asof
         |FROM p ASOF LEFT JOIN h ON p.k = h.k AND p.t >= h.valid_from
         |ORDER BY p.k, p.t""".stripMargin),
+
+    // the identical integer weight recurrence (shared via
+    // Features.ewmaWeights — single source, the minhashAB discipline),
+    // lag terms as exact long products, one integer division
+    "q201_x_ewma" -> {
+      val ws = graft.operators.Features.ewmaWeights(800000L, 8)
+      def lagY(j: Int) = if (j == 0) "cents" else s"lag(cents, $j) OVER win"
+      val num = ws.zipWithIndex
+        .map { case (w, j) => s"COALESCE(${lagY(j)} * $w, 0)" }.mkString(" + ")
+      val den = ws.zipWithIndex
+        .map { case (w, j) =>
+          s"CASE WHEN ${lagY(j)} IS NOT NULL THEN $w ELSE 0 END" }
+        .mkString(" + ")
+      s"""WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |t AS (SELECT prio, x, cents, ($num) AS num, ($den) AS den
+        |  FROM m WINDOW win AS (PARTITION BY prio ORDER BY x))
+        |SELECT prio, x, cents, CAST(num // den AS BIGINT) AS ewma
+        |FROM t ORDER BY prio, x""".stripMargin
+    },
+
+    // within-group min-rank permille, global row_number order statistic,
+    // equi-join on the computed index
+    "q202_x_quantile_normalize" ->
+      ("""WITH b AS (SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |r AS (SELECT g, v, rank() OVER (PARTITION BY g ORDER BY v) AS rk,
+        |    count(*) OVER (PARTITION BY g) AS n FROM b),
+        |p AS (SELECT DISTINCT g, v,
+        |    CASE WHEN n = 1 THEN 0
+        |         ELSE CAST((rk - 1) * 1000 // (n - 1) AS BIGINT) END AS permille
+        |  FROM r),
+        |gidx AS (SELECT v AS gv, row_number() OVER (ORDER BY v) - 1 AS gi
+        |         FROM b),
+        |nn AS (SELECT count(*) AS ng FROM b)
+        |SELECT p.g AS source, p.v AS n_chars, p.permille,
+        |  gidx.gv AS norm_value
+        |FROM p CROSS JOIN nn
+        |JOIN gidx ON gidx.gi = p.permille * (nn.ng - 1) // 1000
+        |ORDER BY source, n_chars""".stripMargin),
 
     // q138's per-column profile on both date halves, joined and diffed;
     // null rates as integer permille, range change on the string casts

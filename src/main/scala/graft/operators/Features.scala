@@ -370,6 +370,94 @@ object Features {
       .drop("__cum")
   }
 
+  /** Integer weights of the truncated EWMA kernel: `w₀ = 10⁶`,
+    * `wⱼ = w_{j−1}·alphaE6 div 10⁶` — a PURE INTEGER recurrence, so the
+    * weight table is identical in any engine that replays it (no
+    * float pow to drift). Single source for the operator AND the
+    * oracle builder. */
+  def ewmaWeights(alphaE6: Long, k: Int): Seq[Long] = {
+    require(alphaE6 > 0 && alphaE6 <= 1000000L,
+      s"alphaE6 must be in (0, 1e6], got $alphaE6")
+    require(k >= 1, s"k must be >= 1, got $k")
+    Iterator.iterate(1000000L)(w => w * alphaE6 / 1000000L).take(k).toSeq
+  }
+
+  /** Trailing-k exponentially-weighted moving average over an INTEGER
+    * series — `ewma_t = Σⱼ wⱼ·x_{t−j} / Σⱼ wⱼ` over the last `k`
+    * observations (pandas `ewm(adjust=True)` truncated to a bounded
+    * window; the tail beyond k carries `α^k ≤` ~17% of the head weight
+    * at the 0.8/8 defaults and is the price of a bounded, restartable
+    * operator). ENTIRELY integer arithmetic: the weights come from
+    * [[ewmaWeights]]'s integer recurrence, each term is an exact
+    * `long·long` product, and the readout is one integer division —
+    * no float exists anywhere, so the result is engine-exact by
+    * construction. Missing leading observations (series shorter than
+    * k) drop both the term and its weight, exactly as pandas' adjust
+    * normalization does.
+    *
+    * Scale shape: all k lags stack on ONE (keys, order) window sort —
+    * one shuffle, one sort, k frame reads. BIGINT bound:
+    * `Σ|x|·10⁶·k` must fit — fine to |x| ~ 10¹² at k = 8.
+    *
+    * Output: input columns + `ewma` (floored integer, `valueCol`'s
+    * scale). */
+  def ewmaTrailing(df: DataFrame, keys: Seq[String], orderCol: String,
+                   valueCol: String, alphaE6: Long = 800000L,
+                   k: Int = 8): DataFrame = {
+    val ws = ewmaWeights(alphaE6, k)
+    val w =
+      (if (keys.isEmpty) Window.partitionBy(lit(1))
+       else Window.partitionBy(keys.map(col): _*)).orderBy(col(orderCol))
+    val x = col(valueCol).cast("long")
+    val num = ws.zipWithIndex.map { case (wj, j) =>
+      coalesce(lag(x, j).over(w) * lit(wj), lit(0L)) }.reduce(_ + _)
+    val den = ws.zipWithIndex.map { case (wj, j) =>
+      when(lag(x, j).over(w).isNotNull, lit(wj)).otherwise(lit(0L)) }.reduce(_ + _)
+    df.withColumn("__num", num).withColumn("__den", den)
+      .withColumn("ewma", expr("__num div __den"))
+      .drop("__num", "__den")
+  }
+
+  /** Cross-domain quantile normalization — map each (group, value) to
+    * the GLOBAL order statistic at the value's within-group permille
+    * rank: scores from differently-calibrated domains (one quality
+    * model per source, different scales) become comparable by
+    * construction, the genomics quantile-normalization idea applied to
+    * corpus scoring. Integer-exact end to end: within-group position is
+    * `(rank−1)·1000 div (n−1)` with min-rank ties (identical values ⇒
+    * identical permille), the global target index is
+    * `permille·(N−1) div 1000`, and the normalized value is the actual
+    * global sample at that index — never an interpolated float.
+    *
+    * Scale shape: one group-partitioned window pair; the global order
+    * statistic comes from [[graft.text.Corpus.globalRank]] (range-
+    * partitioned sort + zipWithIndex — no single-task window) and
+    * attaches by ONE equi-join on the computed index. Output is the
+    * distinct (group, value) readout: `(groupCol, valueCol, permille,
+    * norm_value)`. Single-value groups normalize at permille 0 by
+    * convention. */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String): DataFrame = {
+    val b = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__v"))
+    val wg = Window.partitionBy(col("__g")).orderBy(col("__v"))
+    val wn = Window.partitionBy(col("__g"))
+    val p = b
+      .withColumn("__rk", rank().over(wg))
+      .withColumn("__n", count(lit(1)).over(wn))
+      .select(col("__g"), col("__v"),
+        when(col("__n") === 1, lit(0L))
+          .otherwise(expr("(__rk - 1) * 1000 div (__n - 1)")).as("permille"))
+      .distinct()
+    val gidx = graft.text.Corpus.globalRank(b.select(col("__v").as("__gv")),
+      Seq(col("__gv").asc), "__gi")
+    val n = b.count()
+    p.withColumn("__gi", expr(s"permille * (${n} - 1) div 1000"))
+      .join(gidx, Seq("__gi"))
+      .select(col("__g").as(groupCol), col("__v").as(valueCol),
+        col("permille"), col("__gv").as("norm_value"))
+  }
+
   /** W11: keep only the trailing `n` rows of each key's series (reference
     * `s.iloc[-window:]` before drift fitting). `orderCols` should end in a
     * unique tiebreaker for determinism. */

@@ -260,4 +260,53 @@ class FeaturesSpec extends SparkSpec {
     assert(out.take(2).forall(r => r.get(r.fieldIndex("trend_e6")) == null))
     assert(out.takeRight(2).forall(r => r.get(r.fieldIndex("resid_e6")) == null))
   }
+
+  test("ewmaWeights: pure integer recurrence, decreasing, engine-free") {
+    val w = Features.ewmaWeights(800000L, 4)
+    assert(w == Seq(1000000L, 800000L, 640000L, 512000L))
+    assert(Features.ewmaWeights(1000000L, 3) == Seq(1000000L, 1000000L, 1000000L))
+  }
+
+  test("ewmaTrailing: hand-computed integer smoothing with short-series head") {
+    val df = Seq(("a", 1L, 100L), ("a", 2L, 200L), ("a", 3L, 50L))
+      .toDF("k", "t", "v")
+    val out = Features.ewmaTrailing(df, Seq("k"), "t", "v",
+        alphaE6 = 500000L, k = 3)
+      .orderBy("t").collect().map(_.getAs[Long]("ewma"))
+    // weights 1e6, 5e5, 25e4
+    // t=1: 100*1e6 / 1e6 = 100
+    // t=2: (200*1e6 + 100*5e5) / 1.5e6 = 250e6/1.5e6 = 166 (floor)
+    // t=3: (50*1e6 + 200*5e5 + 100*25e4) / 1.75e6 = 175e6/1.75e6 = 100
+    assert(out.toSeq == Seq(100L, 166L, 100L))
+  }
+
+  test("ewmaTrailing: alpha=1 reduces to the trailing-k mean (floored)") {
+    val df = (1L to 5L).map(i => ("a", i, i * 10)).toDF("k", "t", "v")
+    val out = Features.ewmaTrailing(df, Seq("k"), "t", "v",
+        alphaE6 = 1000000L, k = 3)
+      .orderBy("t").collect().map(_.getAs[Long]("ewma"))
+    assert(out.toSeq == Seq(10L, 15L, 20L, 30L, 40L))
+  }
+
+  test("quantileNormalize: permilles map to exact global order statistics") {
+    // groups on different scales; global sorted = [1,2,3,100,200,300]
+    val df = Seq(("a", 1L), ("a", 2L), ("a", 3L),
+      ("b", 100L), ("b", 200L), ("b", 300L)).toDF("g", "v")
+    val out = Features.quantileNormalize(df, "g", "v")
+      .orderBy("g", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getAs[Long]("permille"),
+        r.getAs[Long]("norm_value")))
+    // permilles 0/500/1000 -> global indices 0/2/5 -> values 1/3/300
+    assert(out.toSeq == Seq(
+      ("a", 1L, 0L, 1L), ("a", 2L, 500L, 3L), ("a", 3L, 1000L, 300L),
+      ("b", 100L, 0L, 1L), ("b", 200L, 500L, 3L), ("b", 300L, 1000L, 300L)))
+  }
+
+  test("quantileNormalize: tied values share one permille and one output row") {
+    val df = Seq(("a", 5L), ("a", 5L), ("a", 9L)).toDF("g", "v")
+    val out = Features.quantileNormalize(df, "g", "v")
+      .orderBy("v").collect()
+    assert(out.length == 2, "distinct (group, value) readout")
+    assert(out.head.getAs[Long]("permille") == 0L) // min-rank ties
+  }
 }
