@@ -2490,7 +2490,22 @@ object SparkEntry {
     "q202_x_quantile_normalize" -> tuned((s, d) =>
       graft.operators.Features.quantileNormalize(
           Tables.documents(s, d), "source", "n_chars")
-        .orderBy("source", "n_chars"))
+        .orderBy("source", "n_chars")),
+
+    // ---- extension: seasonal-naive MASE — "does last year beat last
+    // month": the scale-free forecastability screen before anything
+    // SARIMAX-shaped runs; integer errors, exact sums, one division
+    "q203_x_mase" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("x"))
+        .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))")
+          .as("cents"))
+      graft.operators.Metrics.lagForecastMase(m, Seq("prio"), "x", "cents",
+          forecastLag = 12, baselineLag = 1)
+        .orderBy("prio")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5982,6 +5997,25 @@ object SparkEntry {
         |FROM p CROSS JOIN nn
         |JOIN gidx ON gidx.gi = p.permille * (nn.ng - 1) // 1000
         |ORDER BY source, n_chars""".stripMargin),
+
+    // both lags over one named window, common evaluation support,
+    // exact integer errors and one division
+    "q203_x_mase" ->
+      ("""WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |      AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT prio, x, cents,
+        |    lag(cents, 12) OVER win AS lf, lag(cents, 1) OVER win AS lb
+        |  FROM m WINDOW win AS (PARTITION BY prio ORDER BY x)),
+        |a AS (SELECT prio, count(*) AS n_eval,
+        |    CAST(sum(abs(cents - lf)) AS BIGINT) AS err_forecast,
+        |    CAST(sum(abs(cents - lb)) AS BIGINT) AS err_baseline
+        |  FROM l WHERE lf IS NOT NULL AND lb IS NOT NULL GROUP BY 1)
+        |SELECT prio, n_eval, err_forecast, err_baseline,
+        |  err_forecast * 1000000 // nullif(err_baseline, 0) AS mase_e6
+        |FROM a ORDER BY prio""".stripMargin),
 
     // q138's per-column profile on both date halves, joined and diffed;
     // null rates as integer permille, range change on the string casts

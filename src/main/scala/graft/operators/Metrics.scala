@@ -143,6 +143,44 @@ object Metrics {
         (col("__total") - col("n")).as("n_rest"), col("psi_e9"))
   }
 
+  /** Per-key MASE of a lag forecast (Hyndman & Koehler 2006) — the
+    * scale-free forecast-accuracy readout: the `forecastLag`-naive
+    * forecast's absolute error, scaled by the `baselineLag`-naive
+    * error over the SAME evaluation support (rows where both lags
+    * exist — unequal supports would bias the ratio). mase < 1e6 ⇒ the
+    * forecast beats the baseline. Over an integer series everything is
+    * exact: errors are integer absolute differences, sums are exact,
+    * the ratio is one integer division.
+    *
+    * The canonical instantiation is seasonal-naive vs naive
+    * (`forecastLag = season`, `baselineLag = 1`): "is there enough
+    * seasonality that last year beats last month" — the model-selection
+    * screen before anything SARIMAX-shaped runs ([[graft.stats.Sarimax]]).
+    * Both lags stack on ONE (keys, order) window sort.
+    *
+    * Output: `(keys…, n_eval, err_forecast, err_baseline, mase_e6)`;
+    * a zero baseline error (constant series) emits null. */
+  def lagForecastMase(df: DataFrame, keys: Seq[String], orderCol: String,
+                      valueCol: String, forecastLag: Int,
+                      baselineLag: Int = 1): DataFrame = {
+    require(forecastLag >= 1, s"forecastLag must be >= 1, got $forecastLag")
+    require(baselineLag >= 1, s"baselineLag must be >= 1, got $baselineLag")
+    val w =
+      (if (keys.isEmpty) Window.partitionBy(lit(1))
+       else Window.partitionBy(keys.map(col): _*)).orderBy(col(orderCol))
+    val x = col(valueCol).cast("long")
+    val lf = lag(x, forecastLag).over(w)
+    val lb = lag(x, baselineLag).over(w)
+    df.withColumn("__lf", lf).withColumn("__lb", lb)
+      .filter(col("__lf").isNotNull && col("__lb").isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(x - col("__lf"))).as("err_forecast"),
+        sum(abs(x - col("__lb"))).as("err_baseline"))
+      .withColumn("mase_e6",
+        expr("err_forecast * 1000000 div nullif(err_baseline, 0)"))
+  }
+
   def groupedAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                  labelCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupedAuc needs at least one group column")

@@ -64,6 +64,34 @@ class MetricsSpec extends SparkSpec {
     assert(a.getAs[Long]("ks_e6") == 333333L)
   }
 
+  test("lagForecastMase: hand-computed errors over the common support") {
+    // series 10, 20, 10, 20, 10, 20 with season 2: seasonal-naive is
+    // PERFECT (err 0); naive err = 10 per step
+    val df = (1L to 6L).map(t => ("a", t, if (t % 2 == 1) 10L else 20L))
+      .toDF("k", "t", "v")
+    val r = Metrics.lagForecastMase(df, Seq("k"), "t", "v",
+      forecastLag = 2, baselineLag = 1).collect().head
+    assert(r.getAs[Long]("n_eval") == 4L)
+    assert(r.getAs[Long]("err_forecast") == 0L)
+    assert(r.getAs[Long]("err_baseline") == 40L)
+    assert(r.getAs[Long]("mase_e6") == 0L)
+  }
+
+  test("lagForecastMase: constant series has zero baseline -> null mase") {
+    val df = (1L to 5L).map(t => ("a", t, 7L)).toDF("k", "t", "v")
+    val r = Metrics.lagForecastMase(df, Seq("k"), "t", "v", forecastLag = 2)
+      .collect().head
+    assert(r.isNullAt(r.fieldIndex("mase_e6")))
+  }
+
+  test("lagForecastMase: trend favors the naive baseline (mase > 1e6)") {
+    val df = (1L to 10L).map(t => ("a", t, t * 100)).toDF("k", "t", "v")
+    val r = Metrics.lagForecastMase(df, Seq("k"), "t", "v", forecastLag = 4)
+      .collect().head
+    // errors: forecast 400/step, baseline 100/step -> mase = 4e6
+    assert(r.getAs[Long]("mase_e6") == 4000000L)
+  }
+
   test("psiDrift: hand-computed smoothed terms, clamped bins") {
     // 2 bins (width 10): a = {5, 5} -> bin 0 x2; b = {15, 25} -> bin 1 x2
     // (25 clamps into bin 1). pa0=(2+1)/4, pb0=(0+1)/4; pa1=1/4, pb1=3/4
