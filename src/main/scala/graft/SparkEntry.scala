@@ -2505,6 +2505,26 @@ object SparkEntry {
       graft.operators.Metrics.lagForecastMase(m, Seq("prio"), "x", "cents",
           forecastLag = 12, baselineLag = 1)
         .orderBy("prio")
+    }),
+
+    // ---- extension: n-gram diversity profile — the distinct-n metric
+    // (Li et al. 2016): per source, unique-gram permille at n = 1/2/3;
+    // template or generated text collapses the ratio long before a
+    // human reads it. Exact integer counts and one integer division.
+    "q204_x_ngram_diversity" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+        .filter(col("source").isNotNull && col("text").isNotNull &&
+          length(trim(col("text"))) > 0)
+      val grams = (1 to 3).map { n =>
+        docs.select(col("source"), lit(n).as("n"),
+          explode(graft.text.TextHash.shinglesCol(col("text"), n)).as("gram"))
+      }.reduce(_ unionByName _)
+      grams.groupBy("source", "n")
+        .agg(count(lit(1)).as("total_grams"),
+          count_distinct(col("gram")).as("distinct_grams"))
+        .withColumn("distinct_pm",
+          expr("distinct_grams * 1000 div total_grams"))
+        .orderBy("source", "n")
     })
   )
 
@@ -6016,6 +6036,27 @@ object SparkEntry {
         |SELECT prio, n_eval, err_forecast, err_baseline,
         |  err_forecast * 1000000 // nullif(err_baseline, 0) AS mase_e6
         |FROM a ORDER BY prio""".stripMargin),
+
+    // the same space-joined k-grams (range is end-exclusive: L-k+1 grams)
+    "q204_x_ngram_diversity" ->
+      ("""WITH t AS (SELECT source, regexp_split_to_array(trim(text), '\s+') AS toks
+        |  FROM documents WHERE source IS NOT NULL AND text IS NOT NULL
+        |    AND length(trim(text)) > 0),
+        |g1 AS (SELECT source, 1 AS n, unnest(toks) AS gram FROM t),
+        |g2 AS (SELECT source, 2 AS n,
+        |    unnest(list_transform(range(1, len(toks)),
+        |      i -> toks[i] || ' ' || toks[i+1])) AS gram
+        |  FROM t WHERE len(toks) >= 2),
+        |g3 AS (SELECT source, 3 AS n,
+        |    unnest(list_transform(range(1, len(toks) - 1),
+        |      i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS gram
+        |  FROM t WHERE len(toks) >= 3),
+        |u AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2
+        |      UNION ALL SELECT * FROM g3)
+        |SELECT source, n, count(*) AS total_grams,
+        |  count(DISTINCT gram) AS distinct_grams,
+        |  count(DISTINCT gram) * 1000 // count(*) AS distinct_pm
+        |FROM u GROUP BY 1, 2 ORDER BY source, n""".stripMargin),
 
     // q138's per-column profile on both date halves, joined and diffed;
     // null rates as integer permille, range change on the string casts
