@@ -2525,7 +2525,20 @@ object SparkEntry {
         .withColumn("distinct_pm",
           expr("distinct_grams * 1000 div total_grams"))
         .orderBy("source", "n")
-    })
+    }),
+
+    // ---- extension: chi-square independence + Cramér's V — lang ×
+    // source association in one cell-aggregate pass; per-cell terms
+    // e6-quantized over exact longs, V from the already-quantized χ²
+    "q205_x_chi_square" -> tuned((s, d) =>
+      graft.operators.Profile.chiSquare(
+        Tables.documents(s, d), "lang", "source")),
+
+    // ---- extension: BUILT-IN session_window streaming sessionization —
+    // the engine-managed twin of q110/q56's custom-state forms; drained
+    // complete-mode windows reshape to the batch sessionStats verdict
+    "q206_x_stream_session_window" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingSessionWindows(s, d))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6057,6 +6070,54 @@ object SparkEntry {
         |  count(DISTINCT gram) AS distinct_grams,
         |  count(DISTINCT gram) * 1000 // count(*) AS distinct_pm
         |FROM u GROUP BY 1, 2 ORDER BY source, n""".stripMargin),
+
+    // identical float tree per cell over the exact long products
+    // (observed-cells identity chi2 = sum o^2*n/(r*c) - n); V derives
+    // from the quantized chi2 so both engines sqrt the same int
+    "q205_x_chi_square" ->
+      ("""WITH cells AS (SELECT lang AS x, source AS y, count(*) AS o
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+        |  GROUP BY 1, 2),
+        |cx AS (SELECT x, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY 1),
+        |cy AS (SELECT y, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM cells),
+        |t AS (SELECT
+        |    CAST(floor(CAST(o * o AS DOUBLE) * CAST(n AS DOUBLE)
+        |      / CAST(r * c AS DOUBLE) * 1e6 + 0.5) AS BIGINT) AS t_e6,
+        |    n, cells.x, cells.y
+        |  FROM cells JOIN cx USING (x) JOIN cy USING (y) CROSS JOIN tot),
+        |a AS (SELECT max(n) AS n_rows,
+        |    count(DISTINCT x) AS nx_levels, count(DISTINCT y) AS ny_levels,
+        |    CAST(sum(t_e6) - max(n) * 1000000 AS BIGINT) AS chi2_e6
+        |  FROM t)
+        |SELECT n_rows, nx_levels, ny_levels, chi2_e6,
+        |  CAST(floor(sqrt(CAST(chi2_e6 AS DOUBLE) / 1e6 /
+        |    CAST(n_rows * least(nx_levels - 1, ny_levels - 1) AS DOUBLE))
+        |    * 1e6 + 0.5) AS BIGINT) AS cramers_v_e6
+        |FROM a""".stripMargin),
+
+    // q110's session derivation with the streaming twin's null filters;
+    // the strict-gap boundary difference cannot bite (no micros-exact
+    // gap tie exists, asserted by the session-window spec)
+    "q206_x_stream_session_window" ->
+      ("""WITH e AS (
+        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |m AS (
+        |  SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |           OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |x AS (
+        |  SELECT user_id, us,
+        |    CAST(sum(new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS session_idx
+        |  FROM m)
+        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     // q138's per-column profile on both date halves, joined and diffed;
     // null rates as integer permille, range change on the string casts

@@ -121,6 +121,49 @@ object Profile {
         sum(col("__term_e9")).as("mi_e9"))
   }
 
+  /** Pearson chi-square independence test + Cramér's V between two
+    * categorical columns — the significance-flavored companion to
+    * [[mutualInfo]] (MI measures shared information; V normalizes
+    * association to [0, 1] regardless of table size, the profiling
+    * readout "are these columns related at all").
+    *
+    * Exactness (the mutualInfo discipline): cell/marginal counts are
+    * exact integers; χ² uses the observed-cells-only identity
+    * `χ² = Σ_cells o²·n/(r·c) − n` (the zero cells' `(0−e)²/e = e`
+    * terms fold into the −n), so the aggregate never has to fabricate
+    * empty cells; each term is ONE fixed float tree over the exact
+    * longs `o²` and `r·c`, e6-quantized per cell and summed exactly;
+    * V is one sqrt over the ALREADY-QUANTIZED χ² (so both engines see
+    * the same integer input). BIGINT bound: `o² ≤ n²` — fine to
+    * ~3·10⁹ rows.
+    *
+    * Scale shape: one (x, y) cell aggregate, marginals re-aggregated
+    * from cells, broadcast back — raw rows shuffle once. Output: one
+    * row `(n_rows, nx_levels, ny_levels, chi2_e6, cramers_v_e6)`. */
+  def chiSquare(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val cells = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).as("__x"), col(yCol).as("__y"))
+      .agg(count(lit(1)).as("__o"))
+    val cx = cells.groupBy(col("__x")).agg(sum(col("__o")).as("__r"))
+    val cy = cells.groupBy(col("__y")).agg(sum(col("__o")).as("__c"))
+    val tot = cells.agg(sum(col("__o")).as("__n"))
+    val term = (col("__o") * col("__o")).cast("double") *
+      col("__n").cast("double") / (col("__r") * col("__c")).cast("double")
+    cells
+      .join(broadcast(cx), "__x")
+      .join(broadcast(cy), "__y")
+      .crossJoin(broadcast(tot))
+      .withColumn("__t_e6", floor(term * lit(1e6) + lit(0.5)).cast("long"))
+      .agg(max(col("__n")).as("n_rows"),
+        countDistinct(col("__x")).as("nx_levels"),
+        countDistinct(col("__y")).as("ny_levels"),
+        (sum(col("__t_e6")) - max(col("__n")) * 1000000L).as("chi2_e6"))
+      .withColumn("cramers_v_e6",
+        floor(sqrt(col("chi2_e6").cast("double") / 1e6 /
+            (col("n_rows") * least(col("nx_levels") - 1, col("ny_levels") - 1))
+              .cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
+  }
+
   /** Benford first-digit screen — the classic naturally-occurring-data /
     * fabrication test: the leading digit of organically-scaled positive
     * values follows `P(d) = log₁₀(1 + 1/d)`; per (group, digit) this

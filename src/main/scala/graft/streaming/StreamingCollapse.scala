@@ -677,4 +677,49 @@ object StreamingCollapse {
     graft.operators.Metrics.psiFromCounts(grid, nBins, "event_type")
       .orderBy("event_type")
   }
+
+  // --------------------------------------- built-in session windows
+
+  /** Gap sessionization on Spark's BUILT-IN `session_window` — the
+    * (a)-tier composition next to [[sessionize]]'s custom
+    * `flatMapGroupsWithState` form: the engine merges overlapping
+    * per-event windows `[ts, ts+gap)` itself, so there is no
+    * hand-rolled state machine to maintain. Complete mode over the
+    * bounded drain (the same contract as the other aggregate twins);
+    * a standing deployment adds a watermark and append mode.
+    *
+    * The readout reshapes `session_window` to the batch
+    * [[graft.operators.Sessionize.sessionStats]] verdict: `start_us` =
+    * window.start, `end_us` = window.end − gap (the engine's window end
+    * is last-event + gap), `session_idx` by start order per user.
+    * BOUNDARY: `session_window` merges on STRICT overlap (a gap of
+    * exactly `gapMinutes` starts a NEW session) where the batch
+    * operator's `> gap` test keeps it — identical everywhere except a
+    * micros-exact tie on the gap itself. */
+  def streamingSessionWindows(spark: SparkSession, dir: String,
+                              gapMinutes: Int = 720): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_sesswin"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val gapUs = gapMinutes * 60L * 1000000L
+    val agg = eventsStream(spark, dir)
+      .filter(col("user_id").isNotNull && col("ts").isNotNull)
+      .withColumn("tsu", expr("timestamp_micros(ts div 1000)"))
+      .groupBy(col("user_id"),
+        session_window(col("tsu"), s"$gapMinutes minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"))
+    drain(spark, agg.writeStream
+      .outputMode("complete").format("memory").queryName(name))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("start_us"))
+    spark.table(name).localCheckpoint(true)
+      .select(col("user_id"), col("n_events"),
+        expr("unix_micros(sw.start)").as("start_us"),
+        expr(s"unix_micros(sw.end) - $gapUs").as("end_us"))
+      .withColumn("session_idx", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_idx"), col("n_events"),
+        col("start_us"), col("end_us"),
+        (col("end_us") - col("start_us")).as("duration_us"))
+      .orderBy("user_id", "session_idx")
+  }
 }

@@ -67,6 +67,19 @@ class ProfileSpec extends SparkSpec {
       ("s", 4L, 4L, 0L, 0L, 4L, 1L, true)))
   }
 
+  test("chiSquare: independence scores 0; identical columns max Cramér's V") {
+    import spark.implicits._
+    val ind = (for (x <- Seq("a", "b"); y <- Seq("p", "q"); _ <- 1 to 5)
+      yield (x, y)).toDF("x", "y")
+    val r0 = Profile.chiSquare(ind, "x", "y").collect().head
+    assert(r0.getAs[Long]("chi2_e6") == 0L && r0.getAs[Long]("cramers_v_e6") == 0L)
+    val same = (Seq.fill(6)("a") ++ Seq.fill(4)("b")).map(v => (v, v)).toDF("x", "y")
+    val r1 = Profile.chiSquare(same, "x", "y").collect().head
+    // identical columns: chi2 = n*min(r-1,c-1) -> V = 1 exactly
+    assert(r1.getAs[Long]("n_rows") == 10L)
+    assert((r1.getAs[Long]("cramers_v_e6") - 1000000L).abs <= 1L)
+  }
+
   test("benfordDigits: exact shares, Benford constants, and positivity filter") {
     import spark.implicits._
     // group g: digits 1,1,1,2 over 4 values; zero/negative/null excluded

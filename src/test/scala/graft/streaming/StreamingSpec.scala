@@ -220,6 +220,34 @@ class StreamingSpec extends SparkSpec {
       "every pair must be emitted exactly once, when its later element arrives")
   }
 
+  test("streamingSessionWindows: built-in session_window equals batch sessionStats") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingCollapse.streamingSessionWindows(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"))).toSeq
+    val batch = graft.operators.Sessionize.sessionStats(
+        graft.sources.Tables.events(spark, dir)
+          .filter(col("user_id").isNotNull && col("ts").isNotNull)
+          .select("user_id", "event_id", "ts"),
+        "user_id", "ts", "event_id", gapMinutes = 720)
+      .orderBy("user_id", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("session_idx"),
+        r.getAs[Long]("n_events"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+    // the strict-gap boundary the two forms disagree on must not exist
+    // in the fixture (micros-exact tie on the 720-minute gap)
+    val gaps = graft.sources.Tables.events(spark, dir)
+      .filter(col("ts").isNotNull)
+      .selectExpr("user_id", "ts_ns div 1000 as us")
+      .withColumn("g", col("us") - lag(col("us"), 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us")))
+      .filter(col("g") === 43200000000L).count()
+    assert(gaps == 0L)
+  }
+
   test("streamingPsiDrift: drained count grid gives the batch PSI exactly") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingCollapse.streamingPsiDrift(spark, dir).collect()
