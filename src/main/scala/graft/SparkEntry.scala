@@ -2538,7 +2538,20 @@ object SparkEntry {
     // the engine-managed twin of q110/q56's custom-state forms; drained
     // complete-mode windows reshape to the batch sessionStats verdict
     "q206_x_stream_session_window" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingSessionWindows(s, d))
+      graft.streaming.StreamingCollapse.streamingSessionWindows(s, d)),
+
+    // ---- extension: REAL image resize — integer box-average thumbnails
+    // over the real javax.imageio decode (partitioning boxes, div-floor
+    // means: deterministic where library resamplers are not); the oracle
+    // replays the planted pixel formula and the same box sums
+    "q207_x_image_resize" -> tuned((s, d) => {
+      import graft.multimodal.Multimodal
+      val imgs = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 200)
+        .withColumn("content", Multimodal.plantedImageCol(col("doc_id")))
+      Multimodal.resizedPixels(imgs, "doc_id", "content", outW = 4, outH = 3)
+        .orderBy("doc_id", "oy", "ox")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6139,7 +6152,36 @@ object SparkEntry {
         |    OR mx_before IS DISTINCT FROM mx_after) AS range_changed
         |FROM a JOIN b ON a.col_name = b.col_name
         |ORDER BY a.col_name""".stripMargin
-    }
+    },
+
+    // the q53/q54 planted-pixel replay with the same partitioning box
+    // bounds and div-floor channel means
+    "q207_x_image_resize" ->
+      ("""WITH d AS (SELECT doc_id AS s FROM documents WHERE doc_id < 200),
+        |dims AS (SELECT s, CAST(8 + s % 9 AS BIGINT) AS w,
+        |    CAST(6 + s % 7 AS BIGINT) AS h FROM d),
+        |op AS (SELECT s, w, h, gx.ox, gy.oy
+        |  FROM dims
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS ox) gx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS oy) gy),
+        |box AS (SELECT s, ox, oy,
+        |    ox * w // 4 AS x0, (ox + 1) * w // 4 AS x1,
+        |    oy * h // 3 AS y0, (oy + 1) * h // 3 AS y1 FROM op),
+        |px AS (SELECT s, ox, oy, gx.x, gy.y
+        |  FROM box
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) gx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS y) gy
+        |  WHERE gx.x >= x0 AND gx.x < x1 AND gy.y >= y0 AND gy.y < y1),
+        |c AS (SELECT s, ox, oy,
+        |    CAST(sum((31 * s + 7 * x + 13 * y) % 256) AS BIGINT) AS rs,
+        |    CAST(sum((17 * s + 11 * x + 5 * y) % 256) AS BIGINT) AS gs,
+        |    CAST(sum((23 * s + 3 * x + 19 * y) % 256) AS BIGINT) AS bs,
+        |    count(*) AS np
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT s AS doc_id, CAST(ox AS INT) AS ox, CAST(oy AS INT) AS oy,
+        |  CAST(rs // np AS INT) AS r, CAST(gs // np AS INT) AS g,
+        |  CAST(bs // np AS INT) AS b
+        |FROM c ORDER BY doc_id, oy, ox""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -342,6 +342,66 @@ object Multimodal {
         avg(col("payload_bytes")).as("avg_bytes"),
         avg(col("__fmean")).as("avg_feature_mean"))
 
+  /** REAL image resize by exact integer box averaging: output pixel
+    * (ox, oy) averages the source box `[ox·w div W, (ox+1)·w div W) ×
+    * [oy·h div H, (oy+1)·h div H)` — the boxes PARTITION the source, so
+    * every input pixel contributes exactly once and the result is
+    * integer-deterministic (library resamplers pick platform-varying
+    * kernels; a div-floor box average is the same everywhere, including
+    * in SQL). This is the thumbnail/normalize stage of an image
+    * pipeline, running on the REAL decode ([[decodeImage]]). Per-channel
+    * means floor. Upscaling is rejected (an empty box would divide by
+    * zero — resize-to-larger is a different operator). */
+  def resizeBoxAverage(bytes: Array[Byte], outW: Int, outH: Int): Array[(Int, Int, Int, Int, Int)] = {
+    require(outW >= 1 && outH >= 1, s"output dims must be positive: $outW x $outH")
+    val img = decodeImage(bytes)
+    if (img == null) return null
+    val w = img.getWidth
+    val h = img.getHeight
+    require(w >= outW && h >= outH,
+      s"resizeBoxAverage downscales only: $w x $h -> $outW x $outH")
+    val out = new Array[(Int, Int, Int, Int, Int)](outW * outH)
+    var oy = 0
+    while (oy < outH) {
+      val y0 = oy * h / outH
+      val y1 = (oy + 1) * h / outH
+      var ox = 0
+      while (ox < outW) {
+        val x0 = ox * w / outW
+        val x1 = (ox + 1) * w / outW
+        var rs = 0L; var gs = 0L; var bs = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = img.getRGB(x, y)
+            rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        val np = (x1 - x0).toLong * (y1 - y0)
+        out(oy * outW + ox) =
+          (ox, oy, (rs / np).toInt, (gs / np).toInt, (bs / np).toInt)
+        ox += 1
+      }
+      oy += 1
+    }
+    out
+  }
+
+  /** Distributed form of [[resizeBoxAverage]]: one decode+resize per
+    * row, exploded to `(idCol, ox, oy, r, g, b)` — shuffle-free until
+    * the caller aggregates. */
+  def resizedPixels(df: DataFrame, idCol: String, binCol: String,
+                    outW: Int, outH: Int): DataFrame = {
+    val kernel = udf((bytes: Array[Byte]) =>
+      if (bytes == null) null else resizeBoxAverage(bytes, outW, outH))
+    df.select(col(idCol), explode(kernel(col(binCol))).as("__p"))
+      .select(col(idCol), col("__p._1").as("ox"), col("__p._2").as("oy"),
+        col("__p._3").as("r"), col("__p._4").as("g"), col("__p._5").as("b"))
+  }
+
   // --------------------------------------------------------------- audio
 
   /** Planted 16-bit mono PCM WAV fixture — the audio analog of

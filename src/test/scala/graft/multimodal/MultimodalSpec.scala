@@ -182,6 +182,35 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Multimodal.dHash(Multimodal.texturedImage(1L), 9, 8) }
   }
 
+  test("resizeBoxAverage: boxes partition the source, means are div-floor exact") {
+    val seed = 3L // w = 8 + 3 = 11, h = 6 + 3 = 9
+    val out = Multimodal.resizeBoxAverage(Multimodal.plantedImage(seed), 4, 3)
+    assert(out.length == 12)
+    val w = (8 + seed % 9).toInt; val h = (6 + seed % 7).toInt
+    def ch(f: (Long, Long) => Long)(ox: Int, oy: Int): Int = {
+      val (x0, x1) = (ox * w / 4, (ox + 1) * w / 4)
+      val (y0, y1) = (oy * h / 3, (oy + 1) * h / 3)
+      val px = for (x <- x0 until x1; y <- y0 until y1) yield f(x, y)
+      (px.sum / px.size).toInt
+    }
+    out.foreach { case (ox, oy, r, g, b) =>
+      assert(r == ch((x, y) => (31 * seed + 7 * x + 13 * y) % 256)(ox, oy))
+      assert(g == ch((x, y) => (17 * seed + 11 * x + 5 * y) % 256)(ox, oy))
+      assert(b == ch((x, y) => (23 * seed + 3 * x + 19 * y) % 256)(ox, oy))
+    }
+    // partition property: box pixel counts sum to the full image
+    val total = (0 until 3).flatMap(oy => (0 until 4).map { ox =>
+      ((ox + 1) * w / 4 - ox * w / 4) * ((oy + 1) * h / 3 - oy * h / 3)
+    }).sum
+    assert(total == w * h)
+  }
+
+  test("resizeBoxAverage rejects upscaling") {
+    intercept[IllegalArgumentException] {
+      Multimodal.resizeBoxAverage(Multimodal.plantedImage(0L), 100, 3)
+    }
+  }
+
   test("plantedWav round-trips through a REAL WAV decode bit-exactly") {
     val seed = 7L
     val bytes = Multimodal.plantedWav(seed)
