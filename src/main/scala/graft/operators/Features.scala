@@ -413,7 +413,9 @@ object Features {
       coalesce(lag(x, j).over(w) * lit(wj), lit(0L)) }.reduce(_ + _)
     val den = ws.zipWithIndex.map { case (wj, j) =>
       when(lag(x, j).over(w).isNotNull, lit(wj)).otherwise(lit(0L)) }.reduce(_ + _)
-    df.withColumn("__num", num).withColumn("__den", den)
+    // one projection for BOTH window sums: separate withColumns would
+    // plan two WindowExecs (still one sort, but twice the frame walks)
+    df.select(col("*"), num.as("__num"), den.as("__den"))
       .withColumn("ewma", expr("__num div __den"))
       .drop("__num", "__den")
   }

@@ -171,7 +171,8 @@ object Metrics {
     val x = col(valueCol).cast("long")
     val lf = lag(x, forecastLag).over(w)
     val lb = lag(x, baselineLag).over(w)
-    df.withColumn("__lf", lf).withColumn("__lb", lb)
+    // one projection for both lags: a single WindowExec over one sort
+    df.select(col("*"), lf.as("__lf"), lb.as("__lb"))
       .filter(col("__lf").isNotNull && col("__lb").isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n_eval"),

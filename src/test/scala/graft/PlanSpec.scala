@@ -227,6 +227,23 @@ class PlanSpec extends SparkSpec {
       s"audio decode must not hash-shuffle:\n$p")
   }
 
+  test("integer EWMA (q201): all k lags stack on ONE window sort") {
+    val p = plan("q201_x_ewma")
+    // 8 lag frames must share a single WindowExec over a single sort on
+    // (prio, x) — a per-lag sort would multiply the dominant cost 8x
+    assert(p.linesIterator.count(_.contains("Window")) === 1, p)
+  }
+
+  test("MASE (q203): both lags share the window sort; one group shuffle after") {
+    val p = plan("q203_x_mase")
+    assert(p.linesIterator.count(_.contains("Window")) === 1, p)
+  }
+
+  test("n-gram diversity (q204): distinct rides the aggregate, text never joins") {
+    val p = plan("q204_x_ngram_diversity")
+    assert(!p.contains("Join"), s"diversity must be pure aggregation:\n$p")
+  }
+
   test("batch sessions (q110): one shuffle end-to-end, windows stacked on one sort") {
     val p = plan("q110_x_batch_sessions")
     // lag (frame [-1,-1]) and running sum (unbounded..current) need two
