@@ -2551,7 +2551,14 @@ object SparkEntry {
         .withColumn("content", Multimodal.plantedImageCol(col("doc_id")))
       Multimodal.resizedPixels(imgs, "doc_id", "content", outW = 4, outH = 3)
         .orderBy("doc_id", "oy", "ox")
-    })
+    }),
+
+    // ---- extension: STREAMING CDC snapshot — the standing twin of
+    // q121's batch fold: one complete-mode max_by per key (O(keys)
+    // state), tombstones dropped at readout; drained == batch, so the
+    // oracle IS q121's
+    "q208_x_stream_cdc_snapshot" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingCdcSnapshot(s, d))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6181,7 +6188,20 @@ object SparkEntry {
         |SELECT s AS doc_id, CAST(ox AS INT) AS ox, CAST(oy AS INT) AS oy,
         |  CAST(rs // np AS INT) AS r, CAST(gs // np AS INT) AS g,
         |  CAST(bs // np AS INT) AS b
-        |FROM c ORDER BY doc_id, oy, ox""".stripMargin)
+        |FROM c ORDER BY doc_id, oy, ox""".stripMargin),
+
+    // the drained max_by snapshot == the batch fold, so the oracle is
+    // q121's latest-version-per-key replay
+    "q208_x_stream_cdc_snapshot" ->
+      ("""WITH ch AS (
+        |  SELECT o_custkey AS k, o_orderkey AS v,
+        |         CASE WHEN o_orderkey % 10 = 0 THEN 'D' ELSE 'U' END AS op,
+        |         o_totalprice AS price
+        |  FROM orders),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
+        |      FROM ch)
+        |SELECT k, v, price FROM r WHERE rn = 1 AND op <> 'D'
+        |ORDER BY k""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -678,6 +678,36 @@ object StreamingCollapse {
       .orderBy("event_type")
   }
 
+  // ----------------------------------------------- streaming CDC apply
+
+  /** Streaming CDC snapshot maintenance — the standing twin of
+    * [[graft.operators.Cdc.applyChanges]]: a changelog stream folded to
+    * the latest-version-per-key snapshot by ONE complete-mode `max_by`
+    * aggregate. State is one (version, op, payload) struct per key —
+    * O(keys), the mergeable-fold shape — and `max_by` over the version
+    * is exactly the batch operator's fold, so the drained snapshot
+    * equals it row-for-row (q121's oracle replays both). Delete
+    * tombstones keep their state slot (a later re-insert must win by
+    * version) and drop at READOUT, matching the batch contract. */
+  def streamingCdcSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_cdc"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/orders.parquet").schema
+    val agg = spark.readStream.schema(phys).parquet(streamDir(dir, "orders"))
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("v"),
+        when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("price"))
+      .groupBy(col("k"))
+      .agg(max_by(struct(col("v"), col("op"), col("price")), col("v")).as("last"))
+    drain(spark, agg.writeStream
+      .outputMode("complete").format("memory").queryName(name))
+    spark.table(name)
+      .filter(col("last.op") =!= "D")
+      .select(col("k"), col("last.v").as("v"), col("last.price").as("price"))
+      .orderBy("k")
+  }
+
   // --------------------------------------- built-in session windows
 
   /** Gap sessionization on Spark's BUILT-IN `session_window` — the

@@ -248,6 +248,20 @@ class StreamingSpec extends SparkSpec {
     assert(gaps == 0L)
   }
 
+  test("streamingCdcSnapshot: drained max_by state equals the batch fold") {
+    val dir = "/root/testdata/sf0.001"
+    val streamed = StreamingCollapse.streamingCdcSnapshot(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val changes = graft.sources.Tables.orders(spark, dir)
+      .select(col("o_custkey").as("k"), col("o_orderkey").as("v"),
+        when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
+        col("o_totalprice").as("price"))
+    val batch = graft.operators.Cdc.applyChanges(changes, Seq("k"), "v", "op")
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingPsiDrift: drained count grid gives the batch PSI exactly") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingCollapse.streamingPsiDrift(spark, dir).collect()
