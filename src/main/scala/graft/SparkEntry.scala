@@ -2558,7 +2558,19 @@ object SparkEntry {
     // state), tombstones dropped at readout; drained == batch, so the
     // oracle IS q121's
     "q208_x_stream_cdc_snapshot" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingCdcSnapshot(s, d))
+      graft.streaming.StreamingCollapse.streamingCdcSnapshot(s, d)),
+
+    // ---- extension: IVF cluster quality — per-cluster member count +
+    // exact sum of e6-quantized member-to-centroid cosines over the
+    // q58-trained model; the coarse-quantizer fitness diagnostic, and
+    // the oracle replays the training chain (ivfTrainCtes) end to end
+    "q209_x_cluster_quality" -> tuned((s, d) => {
+      val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding",
+        k = 8, iters = 3)
+      graft.sim.Ivf.clusterQuality(vecs, "vec_id", "embedding", model)
+        .orderBy("cluster")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -2916,13 +2928,20 @@ object SparkEntry {
     * grid spacing ~6e-8), which is what makes the iterated averages
     * cross-engine exact in practice. Empty clusters keep their previous
     * centroid via the COALESCE carry-over, mirroring Ivf.train. */
-  private def ivfTopKSql(kClusters: Int, iters: Int, dim: Int, topK: Int,
-                         nProbe: Int, maxId: Long): String = {
-    def dot(l: String, r: String) =
-      s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
-    def cos(l: String, r: String) =
-      s"(${dot(l, r)} / nullif(sqrt(${dot(l, l)}) * sqrt(${dot(r, r)}), 0))"
-    val assignCos = cos("v.embedding", "c.cv")
+  private def ivfDot(dim: Int)(l: String, r: String) =
+    s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
+
+  private def ivfCos(dim: Int)(l: String, r: String) = {
+    val dot = ivfDot(dim) _
+    s"(${dot(l, r)} / nullif(sqrt(${dot(l, l)}) * sqrt(${dot(r, r)}), 0))"
+  }
+
+  /** The Lloyd-training CTE chain shared by q58 and q209: `v` (the
+    * vector set), `c0…c<iters>` (centroid tables), plus an assign
+    * snippet builder. Returns (cteText, finalCentroidCte, assignFn). */
+  private def ivfTrainCtes(kClusters: Int, iters: Int, dim: Int,
+                           maxId: Long): (String, String, (String, String) => String) = {
+    val assignCos = ivfCos(dim)("v.embedding", "c.cv")
     def assign(prev: String, rnPred: String) =
       s"""(SELECT id, embedding, cid FROM (
          |  SELECT v.id, v.embedding, c.cid,
@@ -2947,10 +2966,15 @@ object SparkEntry {
          |c$i AS (SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
          |        FROM $p p LEFT JOIN u$i u ON p.cid = u.cid)""".stripMargin
     }.mkString(",\n")
-    val fin = s"c$iters"
+    (s"$head,\n$its", s"c$iters", assign)
+  }
+
+  private def ivfTopKSql(kClusters: Int, iters: Int, dim: Int, topK: Int,
+                         nProbe: Int, maxId: Long): String = {
+    def cos(l: String, r: String) = ivfCos(dim)(l, r)
+    val (ctes, fin, assign) = ivfTrainCtes(kClusters, iters, dim, maxId)
     val rerank = s"round(${cos("ea.embedding", "eb.embedding")}, 4)"
-    s"""$head,
-       |$its,
+    s"""$ctes,
        |corp AS ${assign(fin, "rn = 1")},
        |qry AS ${assign(fin, s"rn <= $nProbe")},
        |cand AS (SELECT DISTINCT q.id AS query_id, corp.id AS neighbor_id
@@ -2964,6 +2988,23 @@ object SparkEntry {
        |  FROM sc)
        |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
+  /** q209: cluster-quality readout over the same trained centroids —
+    * per-cluster member count and the EXACT sum of e6-quantized
+    * member-to-centroid cosines (no mean emitted: a negative sum would
+    * hit the div-truncate vs //-floor sign trap). */
+  private def ivfClusterQualitySql(kClusters: Int, iters: Int, dim: Int,
+                                   maxId: Long): String = {
+    val (ctes, fin, assign) = ivfTrainCtes(kClusters, iters, dim, maxId)
+    val cs = ivfCos(dim)("a.embedding", "c.cv")
+    s"""$ctes,
+       |asg AS ${assign(fin, "rn = 1")},
+       |j AS (SELECT a.cid, CAST(floor($cs * 1e6 + 0.5) AS BIGINT) AS cs_e6
+       |  FROM asg a JOIN $fin c ON a.cid = c.cid)
+       |SELECT CAST(cid AS INT) AS cluster, count(*) AS n,
+       |  CAST(sum(cs_e6) AS BIGINT) AS sum_cos_e6
+       |FROM j GROUP BY 1 ORDER BY cluster""".stripMargin
   }
 
   private val MonteCarloSql: String = {
@@ -6201,7 +6242,10 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY v DESC) AS rn
         |      FROM ch)
         |SELECT k, v, price FROM r WHERE rn = 1 AND op <> 'D'
-        |ORDER BY k""".stripMargin)
+        |ORDER BY k""".stripMargin),
+
+    "q209_x_cluster_quality" ->
+      ivfClusterQualitySql(kClusters = 8, iters = 3, dim = 64, maxId = 200L)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -88,6 +88,33 @@ object Ivf {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** Per-cluster quality readout over a trained model: member count and
+    * the EXACT sum of e6-quantized member-to-centroid cosines — the
+    * "are these clusters tight" diagnostic run after [[train]] (a low
+    * per-member cosine sum against O(√N) centroids means the coarse
+    * quantizer is under-fit and probe recall will suffer). Quantizing
+    * per row and summing exactly keeps the readout engine-portable; no
+    * mean is emitted (a negative sum would hit the div-truncate vs
+    * floor-divide sign trap — derive it downstream if needed).
+    * Output: `(cluster, n, sum_cos_e6)`. */
+  def clusterQuality(vectors: DataFrame, idCol: String, vecCol: String,
+                     model: Model): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(model)
+    vectors.select(col(idCol).cast("long"), col(vecCol))
+      .filter(col(vecCol).isNotNull)
+      .as[(Long, Array[Float])]
+      .map { case (_, v) =>
+        val c = bc.value.nearest(v, 1)(0)
+        val cs = VectorOps.cosine(bc.value.centroids(c), v)
+        (c, math.floor((if (cs == null) 0.0 else cs.toDouble) * 1e6 + 0.5).toLong)
+      }
+      .toDF("cluster", "cs_e6")
+      .groupBy("cluster")
+      .agg(count(lit(1)).as("n"), sum(col("cs_e6")).as("sum_cos_e6"))
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): coarse-cluster every embedding with the trained IVF

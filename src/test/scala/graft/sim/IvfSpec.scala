@@ -32,6 +32,20 @@ class IvfSpec extends SparkSpec {
     }
   }
 
+  test("clusterQuality: tight planted clusters score near cosine 1 per member") {
+    val m = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 5)
+    val out = Ivf.clusterQuality(clustered, "vec_id", "embedding", m)
+      .orderBy("cluster").collect()
+      .map(r => (r.getAs[Int]("cluster"), r.getAs[Long]("n"),
+        r.getAs[Long]("sum_cos_e6")))
+    assert(out.map(_._2).sum == 90L, "every vector lands in exactly one cluster")
+    out.foreach { case (c, n, s) =>
+      // tight planted clusters: mean member-to-centroid cosine > 0.99
+      assert(s > n * 990000L && s <= n * 1000000L,
+        s"cluster $c sum $s outside (0.99, 1] * n=$n")
+    }
+  }
+
   test("topK: within-cluster neighbors rank first; high recall vs brute force") {
     val model = Ivf.train(clustered, "vec_id", "embedding", k = 3, iters = 5)
     val ivf = Ivf.topK(clustered, "vec_id", "embedding", model, k = 3, nProbe = 1)
