@@ -76,14 +76,18 @@ object Bench {
     // stop() must not be able to eat the result: the numbers are already
     // computed, so a teardown failure only costs the clean shutdown
     try { spark.stop(); Thread.sleep(1000) } catch { case _: Throwable => () }
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
-    // Belt-and-braces: the stdout tail the harness captures has evicted
-    // this line twice (r03: a late stack trace; r04: sheer length). A file
-    // copy survives any amount of log noise.
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel"}"""
+    // The full per-query map goes to the FILE only: at 210 queries the map is
+    // ~5 KB and the harness's bounded stdout tail truncated it from the FRONT
+    // in r06 ("parsed": null). The file copy survives any amount of log noise.
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
-      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
-    println(line)
+    // stdout gets a COMPACT summary (~120 bytes) as the LAST line — total,
+    // query count, sf, and a pointer to the per-query file — so the driver's
+    // tail capture always holds the complete JSON object.
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","per_query":"target/bench.json"}"""
+    println(compact)
     System.out.flush()
   }
 }

@@ -870,8 +870,9 @@ object SparkEntry {
     }),
 
     // ---- extension: SemDeDup semantic near-dup (IVF-cluster-bounded
-    // pairwise cosine — no oracle: centroids come from Lloyd's float
-    // iteration; rows-only like q58, recall pinned by SimilaritySpec)
+    // pairwise cosine); the oracle replays the full deterministic Lloyd
+    // train → assign → within-cluster pair → round-then-threshold chain
+    // (ivfSemanticDedupSql), graduating this from rows-only to hash-checked
     "q83_x_semantic_dedup" -> tuned((s, d) => {
       val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 3)
@@ -1753,8 +1754,10 @@ object SparkEntry {
     "q143_x_pmi_collocations" -> tuned((s, d) =>
       graft.text.Corpus.pmiCollocations(
           Tables.documents(s, d), "text", minCount = 5, minRatio = 20)
+        // DECIMAL(38,0): c12·N·1e6 wraps BIGINT on a large corpus (q183's
+        // ADVICE finding applies here identically); result fits BIGINT
         .withColumn("ratio_e6",
-          expr("c12 * n_pairs * 1000000L div (c1 * c2)"))
+          expr("cast(c12 as decimal(38,0)) * n_pairs * 1000000 div (c1 * c2)"))
         .drop("ratio")
         .orderBy("w1", "w2")),
 
@@ -2220,8 +2223,12 @@ object SparkEntry {
       graft.text.Corpus.skipgramPmi(
           Tables.documents(s, d), "text", window = 2, minCount = 5,
           minRatio = 15)
+        // DECIMAL(38,0) widening: c12·n_pairs·1e6 wraps silently in BIGINT
+        // once the corpus is large enough (c12·N·1e6 > 2^63); the oracle
+        // widens to HUGEINT the same way, and the ratio itself fits BIGINT
+        // (ratio ≤ N·1e6 / minCount)
         .withColumn("ratio_e6",
-          expr("c12 * n_pairs * 1000000L div (c1 * c2)"))
+          expr("cast(c12 as decimal(38,0)) * n_pairs * 1000000 div (c1 * c2)"))
         .drop("ratio")
         .orderBy("w1", "w2")),
 
@@ -3007,6 +3014,23 @@ object SparkEntry {
        |FROM j GROUP BY 1 ORDER BY cluster""".stripMargin
   }
 
+  /** q83: SemDeDup pairs over the same trained centroids — within-cluster
+    * pairwise cosine, rounded to 4 decimals, thresholded AFTER rounding
+    * exactly as [[graft.sim.Ivf.semanticDedupPairs]] does. The training
+    * chain is the deterministic Lloyd replay ([[ivfTrainCtes]]), so the
+    * whole seed→assign→pair→score pipeline hash-checks like q58/q209. */
+  private def ivfSemanticDedupSql(kClusters: Int, iters: Int, dim: Int,
+                                  threshold: Double, maxId: Long): String = {
+    val (ctes, fin, assign) = ivfTrainCtes(kClusters, iters, dim, maxId)
+    val cs = s"round(${ivfCos(dim)("a.embedding", "b.embedding")}, 4)"
+    s"""$ctes,
+       |asg AS ${assign(fin, "rn = 1")},
+       |sc AS (SELECT a.id AS id_a, b.id AS id_b, $cs AS cos_sim
+       |  FROM asg a JOIN asg b ON a.cid = b.cid AND a.id < b.id)
+       |SELECT id_a, id_b, cos_sim FROM sc
+       |WHERE cos_sim >= $threshold ORDER BY id_a, id_b""".stripMargin
+  }
+
   private val MonteCarloSql: String = {
     val p = "4294967311"
     val counter = dkHash32("concat_ws('_', 42, sim_id, step)")
@@ -3508,6 +3532,12 @@ object SparkEntry {
     "q58_x_ivf_ann" ->
       ivfTopKSql(kClusters = 8, iters = 3, dim = 64, topK = 3,
         nProbe = 2, maxId = 200L),
+
+    // same trained model as q58; within-cluster pairs + rounded-then-
+    // thresholded cosine — graduates q83 from rows-only to hash-checked
+    "q83_x_semantic_dedup" ->
+      ivfSemanticDedupSql(kClusters = 8, iters = 3, dim = 64,
+        threshold = 0.35, maxId = 200L),
 
     "q119_x_semantic_decon_bucketed" ->
       crossNearDupBucketedSql(nBits = 6, nTables = 3, dim = 64, threshold = 0.4),
@@ -4888,9 +4918,12 @@ object SparkEntry {
         |m2 AS (SELECT w2, count(*) AS c2 FROM p GROUP BY 1),
         |n AS (SELECT count(*) AS n_pairs FROM p)
         |SELECT cp.w1, cp.w2, cp.c12, m1.c1, m2.c2, n.n_pairs,
-        |       (cp.c12 * n.n_pairs * 1000000) // (m1.c1 * m2.c2) AS ratio_e6
+        |       CAST((CAST(cp.c12 AS HUGEINT) * n.n_pairs * 1000000)
+        |         // (m1.c1 * m2.c2) AS BIGINT) AS ratio_e6
         |FROM cp JOIN m1 ON cp.w1 = m1.w1 JOIN m2 ON cp.w2 = m2.w2 CROSS JOIN n
-        |WHERE cp.c12 >= 5 AND cp.c12 * n.n_pairs >= 20 * m1.c1 * m2.c2
+        |WHERE cp.c12 >= 5
+        |  AND CAST(cp.c12 AS HUGEINT) * n.n_pairs
+        |    >= 20 * CAST(m1.c1 AS HUGEINT) * m2.c2
         |ORDER BY cp.w1, cp.w2""".stripMargin),
 
     // neighbor discovery via IGNORE NULLS windows over the same sort,
@@ -5706,9 +5739,12 @@ object SparkEntry {
         |m2 AS (SELECT w2, count(*) AS c2 FROM p GROUP BY 1),
         |n AS (SELECT count(*) AS n_pairs FROM p)
         |SELECT cp.w1, cp.w2, cp.c12, m1.c1, m2.c2, n.n_pairs,
-        |       (cp.c12 * n.n_pairs * 1000000) // (m1.c1 * m2.c2) AS ratio_e6
+        |       CAST((CAST(cp.c12 AS HUGEINT) * n.n_pairs * 1000000)
+        |         // (m1.c1 * m2.c2) AS BIGINT) AS ratio_e6
         |FROM cp JOIN m1 ON cp.w1 = m1.w1 JOIN m2 ON cp.w2 = m2.w2 CROSS JOIN n
-        |WHERE cp.c12 >= 5 AND cp.c12 * n.n_pairs >= 15 * m1.c1 * m2.c2
+        |WHERE cp.c12 >= 5
+        |  AND CAST(cp.c12 AS HUGEINT) * n.n_pairs
+        |    >= 15 * CAST(m1.c1 AS HUGEINT) * m2.c2
         |ORDER BY cp.w1, cp.w2""".stripMargin),
 
     // the oracle is the FULL join recomputed from scratch — hash equality
@@ -6153,7 +6189,8 @@ object SparkEntry {
         |  FROM t)
         |SELECT n_rows, nx_levels, ny_levels, chi2_e6,
         |  CAST(floor(sqrt(CAST(chi2_e6 AS DOUBLE) / 1e6 /
-        |    CAST(n_rows * least(nx_levels - 1, ny_levels - 1) AS DOUBLE))
+        |    CAST(nullif(n_rows * least(nx_levels - 1, ny_levels - 1), 0)
+        |      AS DOUBLE))
         |    * 1e6 + 0.5) AS BIGINT) AS cramers_v_e6
         |FROM a""".stripMargin),
 

@@ -410,9 +410,15 @@ object Multimodal {
     * `sᵢ = ((seed·2654435761 + i·40503) mod 65536) − 32768`, so a SQL
     * oracle replays the DECODED samples exactly — WAV PCM is lossless
     * framing around the raw ints. n = 4000 + (seed mod 5)·800 samples
-    * at 8 kHz mono. Negative seeds are not supported. */
+    * at 8 kHz mono. Seeds are bounded to the range where
+    * `seed·2654435761 + i·40503` stays inside a non-negative Long
+    * (seed ≤ ~3.4e9): past it the product wraps, `% 65536` turns
+    * negative, and the decoded samples diverge from the closed form
+    * the SQL oracle replays. */
   def plantedWav(seed: Long, sampleRate: Int = 8000): Array[Byte] = {
-    require(seed >= 0, s"plantedWav seed must be non-negative, got $seed")
+    require(seed >= 0 && seed <= 3400000000L,
+      s"plantedWav seed must be in [0, 3400000000] (Long-overflow-free " +
+        s"range of the sample recurrence), got $seed")
     val n = (4000 + (seed % 5) * 800).toInt
     val data = new Array[Byte](n * 2)
     var i = 0

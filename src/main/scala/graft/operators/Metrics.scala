@@ -20,22 +20,6 @@ import org.apache.spark.sql.functions._
   * row boundary. */
 object Metrics {
 
-  /** Per-group ROC AUC of `scoreCol` against boolean `labelCol` (true =
-    * positive class), higher score ⇒ predicted positive.
-    *
-    * Midrank construction without a second scan: ascending `rank()` is
-    * the MINIMUM row number of a tie run and the tie-run size `t` comes
-    * from a count over the (group, score) partition, so twice the
-    * midrank is `2·rank + t − 1` — an exact integer per row. Summed
-    * over positives: `2U = Σ(2·rank + t − 1) − 2·n₊(n₊+1)/2`.
-    *
-    * Scale shape: one shuffle on the group columns; both windows and
-    * the final aggregate share that partitioning (no second exchange).
-    * Null scores/labels are excluded. Single-class groups (n₊ = 0 or
-    * n₋ = 0) emit a null `auc_e6` — AUC is undefined there, and a
-    * silent 0 or 1 would read as a (perfectly bad/good) ranking.
-    *
-    * Output: `(groupCols…, n_pos, n_neg, auc_e6)`. */
   /** Per-group two-sample Kolmogorov–Smirnov drift statistic — each
     * group's `valueCol` distribution against the REST of the table:
     * `D_g = max_x |F_g(x) − F_rest(x)|`, the standard "did this domain
@@ -61,20 +45,24 @@ object Metrics {
     val cs = base.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__c"))
     val cg = cs.groupBy(col("__v")).agg(sum(col("__c")).as("__cg"))
     val sizes = cs.groupBy(col("__g")).agg(sum(col("__c")).as("n"))
-    val total = base.count()
+    // total derives FROM the counts (one-row aggregate broadcast onto the
+    // grid, psiFromCounts's shape) — NOT a driver-side count() over the raw
+    // input, which would be a second full scan of the table per report
+    val totalDf = cs.agg(sum(col("__c")).as("__total"))
     val w = Window.partitionBy(col("__g")).orderBy(col("__v"))
     cg.crossJoin(sizes.select(col("__g")))
       .join(cs, Seq("__g", "__v"), "left")
       .withColumn("__cum_s", sum(coalesce(col("__c"), lit(0L))).over(w))
       .withColumn("__cum_g", sum(col("__cg")).over(w))
       .join(sizes, Seq("__g"))
-      .withColumn("__num", abs(col("__cum_s") * (lit(total) - col("n")) -
+      .crossJoin(broadcast(totalDf))
+      .withColumn("__num", abs(col("__cum_s") * (col("__total") - col("n")) -
         (col("__cum_g") - col("__cum_s")) * col("n")))
-      .groupBy(col("__g"), col("n"))
+      .groupBy(col("__g"), col("n"), col("__total"))
       .agg(max(col("__num")).as("__ks_num"))
       .select(col("__g").as(groupCol), col("n"),
-        (lit(total) - col("n")).as("n_rest"),
-        expr(s"__ks_num * 1000000 div nullif(n * ($total - n), 0)").as("ks_e6"))
+        (col("__total") - col("n")).as("n_rest"),
+        expr("__ks_num * 1000000 div nullif(n * (__total - n), 0)").as("ks_e6"))
   }
 
   /** Per-group Population Stability Index — the industry-standard model-
@@ -182,6 +170,22 @@ object Metrics {
         expr("err_forecast * 1000000 div nullif(err_baseline, 0)"))
   }
 
+  /** Per-group ROC AUC of `scoreCol` against boolean `labelCol` (true =
+    * positive class), higher score ⇒ predicted positive.
+    *
+    * Midrank construction without a second scan: ascending `rank()` is
+    * the MINIMUM row number of a tie run and the tie-run size `t` comes
+    * from a count over the (group, score) partition, so twice the
+    * midrank is `2·rank + t − 1` — an exact integer per row. Summed
+    * over positives: `2U = Σ(2·rank + t − 1) − 2·n₊(n₊+1)/2`.
+    *
+    * Scale shape: one shuffle on the group columns; both windows and
+    * the final aggregate share that partitioning (no second exchange).
+    * Null scores/labels are excluded. Single-class groups (n₊ = 0 or
+    * n₋ = 0) emit a null `auc_e6` — AUC is undefined there, and a
+    * silent 0 or 1 would read as a (perfectly bad/good) ranking.
+    *
+    * Output: `(groupCols…, n_pos, n_neg, auc_e6)`. */
   def groupedAuc(df: DataFrame, groupCols: Seq[String], scoreCol: String,
                  labelCol: String): DataFrame = {
     require(groupCols.nonEmpty, "groupedAuc needs at least one group column")

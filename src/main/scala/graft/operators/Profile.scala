@@ -159,8 +159,10 @@ object Profile {
         countDistinct(col("__y")).as("ny_levels"),
         (sum(col("__t_e6")) - max(col("__n")) * 1000000L).as("chi2_e6"))
       .withColumn("cramers_v_e6",
+        // nullif: a single-level column makes the V denominator 0; both
+        // engines must emit null V, not a cross-engine Infinity-cast split
         floor(sqrt(col("chi2_e6").cast("double") / 1e6 /
-            (col("n_rows") * least(col("nx_levels") - 1, col("ny_levels") - 1))
+            expr("nullif(n_rows * least(nx_levels - 1, ny_levels - 1), 0)")
               .cast("double")) * lit(1e6) + lit(0.5)).cast("long"))
   }
 

@@ -511,7 +511,12 @@ object Corpus {
       .join(broadcast(cLeft), Seq("w1"))
       .join(broadcast(cRight), Seq("w2"))
       .crossJoin(broadcast(total))
-      .filter(col("c12") * col("n_pairs") >= lit(minRatio) * col("c1") * col("c2"))
+      // DECIMAL(38,0) widening on both cross-products: c12·N and r·c1·c2
+      // wrap silently in BIGINT arithmetic on a large corpus (2^63 is only
+      // ~9.2e18); a wrapped product flips the verdict, and Spark wraps where
+      // DuckDB raises — a scale-latent cross-engine divergence
+      .filter(col("c12").cast("decimal(38,0)") * col("n_pairs") >=
+        lit(minRatio) * col("c1").cast("decimal(38,0)") * col("c2"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         col("n_pairs"),
         ((col("c12") * col("n_pairs")).cast("double") /
@@ -593,7 +598,12 @@ object Corpus {
       .join(broadcast(cLeft), Seq("w1"))
       .join(broadcast(cRight), Seq("w2"))
       .crossJoin(broadcast(total))
-      .filter(col("c12") * col("n_pairs") >= lit(minRatio) * col("c1") * col("c2"))
+      // DECIMAL(38,0) widening on both cross-products: c12·N and r·c1·c2
+      // wrap silently in BIGINT arithmetic on a large corpus (2^63 is only
+      // ~9.2e18); a wrapped product flips the verdict, and Spark wraps where
+      // DuckDB raises — a scale-latent cross-engine divergence
+      .filter(col("c12").cast("decimal(38,0)") * col("n_pairs") >=
+        lit(minRatio) * col("c1").cast("decimal(38,0)") * col("c2"))
       .select(col("w1"), col("w2"), col("c12"), col("c1"), col("c2"),
         col("n_pairs"),
         ((col("c12") * col("n_pairs")).cast("double") /

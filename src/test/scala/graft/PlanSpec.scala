@@ -16,6 +16,30 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Number of Spark jobs launched while `f` runs (listener-bus drain:
+    * polls until the count is stable for ~0.5 s). */
+  private def jobsDuring(f: => Unit): Int = {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val n = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(jobStart: SparkListenerJobStart): Unit =
+        n.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      f
+      var last = -1
+      var stable = 0
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (stable < 10 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val c = n.get()
+        if (c == last) stable += 1 else { stable = 0; last = c }
+      }
+      n.get()
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("star join (q14) broadcasts every dimension — no sort-merge join") {
     val p = plan("q14_j123_star_join")
     assert(p.contains("BroadcastHashJoin"))
@@ -217,6 +241,19 @@ class PlanSpec extends SparkSpec {
     // raw rows never reach the window stage
     assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
       l.contains("partial_count")), s"no map-side combine before the grid:\n$p")
+  }
+
+  test("KS drift (q195): building the plan launches NO job — the total derives " +
+    "from the counts aggregate, not a driver-side count() over the raw input") {
+    // Differential job count: spark.read.parquet's footer/schema-inference
+    // jobs are construction-inherent, so the contract is "building the full
+    // q195 plan launches exactly the jobs the bare table read launches" —
+    // the r06 defect was ksDrift's extra driver-side count() over the raw
+    // input, which would show up as a surplus job here.
+    val baseline = jobsDuring { graft.sources.Tables.documents(spark, dir) }
+    val q195 = jobsDuring { SparkEntry.queries("q195_x_ks_drift")(spark, dir) }
+    assert(q195 === baseline,
+      s"q195 construction ran ${q195 - baseline} eager job(s) beyond the table read")
   }
 
   test("audio features (q194): decode is a shuffle-free per-row kernel") {
