@@ -2577,7 +2577,37 @@ object SparkEntry {
         k = 8, iters = 3)
       graft.sim.Ivf.clusterQuality(vecs, "vec_id", "embedding", model)
         .orderBy("cluster")
-    })
+    }),
+
+    // ---- extension: REAL video decode — multi-frame animated-GIF
+    // container, header probe → frameSampleIndices → decode ONLY the k
+    // sampled frames (cost scales with k, not n_frames). Closes the
+    // decode matrix: image (q54/q131/q207), audio (q194), video here.
+    // Planted frames are closed-form, so the oracle replays the decoded
+    // per-frame luminance sums bit-for-bit.
+    "q210_x_video_frames" -> tuned((s, d) => {
+      import graft.multimodal.Multimodal
+      val vids = Tables.documents(s, d).select(col("doc_id"))
+        .filter(col("doc_id") < 300)
+        .withColumn("content", Multimodal.plantedVideoCol(col("doc_id")))
+      Multimodal.videoFrameFeatures(vids, "doc_id", "content", k = 3)
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // ---- extension: seasonal-AR(1) CLS fit + 24-step forecast — the
+    // second hash-checked slice of the SARIMAX fit→forecast pipeline
+    // after q117's AR(1): steps 1..12 forecast off OBSERVED lag-12
+    // values, steps 13..24 recurse on the earlier forecasts (the oracle
+    // composes the two stages explicitly)
+    "q211_u8_sar1_forecast" -> tuned((s, d) =>
+      graft.stats.Diagnostics.seasonalArForecast(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+          Nil, "month", "tot", season = 12, horizon = 24)
+        .select(col("key"), col("season"), col("step"),
+          round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6282,7 +6312,54 @@ object SparkEntry {
         |ORDER BY k""".stripMargin),
 
     "q209_x_cluster_quality" ->
-      ivfClusterQualitySql(kClusters = 8, iters = 3, dim = 64, maxId = 200L)
+      ivfClusterQualitySql(kClusters = 8, iters = 3, dim = 64, maxId = 200L),
+
+    // the planted-frame closed form v = (29s + 31f + 7x + 13y) mod 256
+    // replayed over the SAME k=3 evenly-spaced frame sampling
+    // (fidx = i·n div 3) the frameSampleIndices plan picks
+    "q210_x_video_frames" ->
+      ("""WITH d AS (SELECT doc_id AS s, 4 + doc_id % 4 AS n
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (SELECT s, n, CAST(i * n // 3 AS INT) AS fidx
+        |  FROM d CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS i) g),
+        |px AS (SELECT s, n, fidx, gx.x, gy.y
+        |  FROM f
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 15)) AS x) gx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS y) gy),
+        |c AS (SELECT s, n, fidx,
+        |    CAST(sum((29 * s + 31 * fidx + 7 * x + 13 * y) % 256) AS BIGINT)
+        |      AS sum_gray
+        |  FROM px GROUP BY 1, 2, 3)
+        |SELECT s AS doc_id, CAST(n AS INT) AS n_frames, fidx AS frame_idx,
+        |  CAST(16 AS INT) AS width, CAST(12 AS INT) AS height, sum_gray
+        |FROM c ORDER BY doc_id, frame_idx""".stripMargin),
+
+    // q117's OLS shape at lag 12; the h>12 recursion composes to
+    // c0 + phi*(c0 + phi*y) — the IDENTICAL IEEE op order the JVM
+    // kernel executes, so the rounded forecasts hash-match
+    "q211_u8_sar1_forecast" ->
+      ("""WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y FROM m),
+        |p AS (SELECT a.y AS yt, b.y AS yl FROM o a JOIN o b ON b.t = a.t - 12),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS cnt, sum(yt) AS sy,
+        |             sum(yl) AS sx, sum(yt*yl) AS sxy, sum(yl*yl) AS sxx
+        |      FROM p),
+        |c AS (SELECT (sxx*sy - sx*sxy) / (cnt*sxx - sx*sx) AS c0,
+        |             (cnt*sxy - sx*sy) / (cnt*sxx - sx*sx) AS phi FROM f),
+        |nn AS (SELECT CAST(max(t) AS BIGINT) AS n FROM o),
+        |s1 AS (SELECT CAST(h.h AS INT) AS step, c.c0 + c.phi * o.y AS fv
+        |  FROM (SELECT unnest(generate_series(1, 12)) AS h) h
+        |  CROSS JOIN c CROSS JOIN nn
+        |  JOIN o ON o.t = nn.n + h.h - 12),
+        |s2 AS (SELECT CAST(step + 12 AS INT) AS step, c.c0 + c.phi * fv AS fv
+        |  FROM s1 CROSS JOIN c)
+        |SELECT 'all' AS key, CAST(12 AS INT) AS season, step,
+        |       round(fv, 4) AS forecast
+        |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
+        |ORDER BY step""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -501,4 +501,154 @@ object Multimodal {
       .select(col(idCol), col("__w._1").as("win"), col("__w._2").as("n_samples"),
         col("__w._3").as("sumsq"), col("__w._4").as("zero_crossings"))
   }
+
+  // --------------------------------------------------------------- video
+
+  /** Planted multi-frame video fixture — a REAL animated-GIF container
+    * (the one multi-frame format `javax.imageio` both writes and reads),
+    * closing the decode matrix: image ([[plantedImage]]), audio
+    * ([[plantedWav]]), video here. Frames are 16×12 indexed-grayscale —
+    * the 256-level gray palette is written explicitly, so GIF's
+    * palette encoding is LOSSLESS for these pixels and the decode
+    * returns the closed form exactly:
+    * `v(f, x, y) = (29·seed + 31·f + 7·x + 13·y) mod 256`, r = g = b = v.
+    * n_frames = 4 + (seed mod 4). A SQL oracle replays the decoded
+    * luminance sums bit-for-bit, the q54/q194 planted-fixture trick. */
+  def plantedVideo(seed: Long): Array[Byte] = {
+    require(seed >= 0 && seed <= 1000000000L,
+      s"plantedVideo seed must be in [0, 1e9], got $seed")
+    val nFrames = (4 + seed % 4).toInt
+    val w = 16
+    val h = 12
+    val grays = Array.tabulate(256)(_.toByte)
+    val icm = new java.awt.image.IndexColorModel(8, 256, grays, grays, grays)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              ((29 * seed + 31L * f + 7L * x + 13L * y) % 256).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Column form of [[plantedVideo]]. */
+  def plantedVideoCol(seed: Column): Column = {
+    val f = udf((s: Long) => plantedVideo(s))
+    f(seed)
+  }
+
+  final case class VideoMeta(media_type: String, format: String,
+                             width: Int, height: Int, n_frames: Int)
+
+  /** REAL container probe: format name, first-frame dims, and the frame
+    * count from the GIF image sequence — the header pass that feeds
+    * [[frameSampleIndices]] without decoding pixel data for every frame.
+    * Null/unreadable payloads → null (decode failure is data). */
+  def videoMeta(bytes: Array[Byte]): VideoMeta = {
+    if (bytes == null) return null
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        VideoMeta("video", reader.getFormatName.toLowerCase,
+          reader.getWidth(0), reader.getHeight(0), reader.getNumImages(true))
+      } finally reader.dispose()
+    } catch { case _: java.io.IOException => null }
+    finally iis.close()
+  }
+
+  /** Column form of [[videoMeta]] — a struct with the [[mediaMetaSchema]]
+    * field names, so [[frameSampleIndices]] consumes it directly. */
+  def videoMetaCol(bin: Column): Column = {
+    val f = udf((b: Array[Byte]) => videoMeta(b))
+    f(bin)
+  }
+
+  /** REAL multi-frame decode of the SAMPLED frames only: one container
+    * parse per row, random-access `reader.read(i)` per requested index
+    * (GIF frames here are full-frame, no inter-frame compositing), and
+    * per frame the exact integer luminance sum over the gray pixels.
+    * Out-of-range indices are dropped, not errors. */
+  def decodeVideoFrameStats(bytes: Array[Byte],
+                            idxs: Seq[Int]): Seq[(Int, Int, Int, Long)] = {
+    if (bytes == null) return null
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        idxs.filter(i => i >= 0 && i < n).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s += img.getRGB(x, y) & 0xff // gray palette: r = g = b
+              x += 1
+            }
+            y += 1
+          }
+          (i, w, h, s)
+        }
+      } finally reader.dispose()
+    } catch { case _: java.io.IOException => null }
+    finally iis.close()
+  }
+
+  /** Frame-sampled video features: the [[videoMeta]] header probe feeds
+    * [[frameSampleIndices]] (k evenly-spaced frames), and the decode
+    * kernel reads ONLY those frames — the plan a 100 TB video corpus
+    * needs (decode cost scales with k, not n_frames). Shuffle-free:
+    * payload bytes never leave their scan partition; only the exploded
+    * per-frame feature rows (a few ints each) flow on.
+    *
+    * Output: `(idCol, n_frames, frame_idx, width, height, sum_gray)`. */
+  def videoFrameFeatures(df: DataFrame, idCol: String, binCol: String,
+                         k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val kernel = udf((b: Array[Byte], idxs: Seq[Int]) =>
+      decodeVideoFrameStats(b, idxs))
+    df.withColumn("__meta", videoMetaCol(col(binCol)))
+      .withColumn("__fs",
+        kernel(col(binCol), frameSampleIndices(col("__meta"), k)))
+      .select(col(idCol), col("__meta.n_frames").as("n_frames"),
+        explode(col("__fs")).as("__f"))
+      .select(col(idCol), col("n_frames"),
+        col("__f._1").as("frame_idx"), col("__f._2").as("width"),
+        col("__f._3").as("height"), col("__f._4").as("sum_gray"))
+  }
 }

@@ -205,6 +205,66 @@ object Diagnostics {
       .toDF()
   }
 
+  private val sarSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("season", IntegerType),
+    StructField("step", IntegerType),
+    StructField("forecast", DoubleType)))
+
+  /** Seasonal-AR(1) CLS fit + h-step forecast per key — the second
+    * closed-form-checkable slice of [[Sarimax.fitBest]] after q117's
+    * AR(1): `yₜ = c + Φ·yₜ₋ₛ + ε` fit by OLS over the (yₜ₋ₛ, yₜ)
+    * pairs, forecast by the seasonal recursion `f(h) = c + Φ·val(T+h−s)`
+    * where `val` is OBSERVED for h ≤ s and the EARLIER FORECAST for
+    * h > s. With horizon ≤ 2s the recursion composes to a fixed-depth
+    * expression (`c + Φ·(c + Φ·y)`), which is what keeps every double
+    * bit-replayable by a SQL oracle (the q117/holtForecast property:
+    * fixed IEEE op order, no optimizer).
+    *
+    * Scale shape: [[arForecast]]'s — each key's series fits INSIDE its
+    * executor via `groupByKey.flatMapGroups`; a million series is a
+    * million independent O(n) kernels. Series shorter than s+2 pairs or
+    * with a singular design yield no rows.
+    * Output: one row per (key, season, step 1..horizon). */
+  def seasonalArForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                         valueCol: String, season: Int,
+                         horizon: Int): DataFrame = {
+    require(season >= 1, s"season must be >= 1, got $season")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < season + 2) Iterator.empty
+        else {
+          var cnt = 0.0; var sy = 0.0; var sx = 0.0
+          var sxy = 0.0; var sxx = 0.0
+          var t = season
+          while (t < n) {
+            val yt = y(t); val yl = y(t - season)
+            cnt += 1; sy += yt; sx += yl; sxy += yt * yl; sxx += yl * yl
+            t += 1
+          }
+          val den = cnt * sxx - sx * sx
+          if (den == 0.0) Iterator.empty
+          else {
+            val c0 = (sxx * sy - sx * sxy) / den
+            val phi = (cnt * sxy - sx * sy) / den
+            val ext = new Array[Double](n + horizon)
+            System.arraycopy(y, 0, ext, 0, n)
+            val rows = (1 to horizon).map { h =>
+              val f = c0 + phi * ext(n + h - 1 - season)
+              ext(n + h - 1) = f
+              Row(key, season, h, f)
+            }
+            rows.iterator
+          }
+        }
+      }(Encoders.row(sarSchema))
+      .toDF()
+  }
+
   // ------------------------------------------------------------- U8: SARIMAX
 
   /** One fitted SARIMAX model per series, flattened for Spark transport.

@@ -602,10 +602,15 @@ object StreamingCollapse {
     * The production dial for bounded state is the time-windowed form
     * ([[clickPurchaseJoin]]); this operator is the IVM contract itself:
     * key-cardinality-bounded sides (dimensions, profiles), not raw
-    * event firehoses. */
+    * event firehoses — and `maxIdsPerKey` ENFORCES that contract
+    * mechanically: a key whose stored history exceeds the cap fails the
+    * query LOUDLY (naming the watermarked dial) instead of growing state
+    * silently until an executor OOMs hours later. */
   def streamingJoinDelta(spark: SparkSession, dir: String,
                          leftType: String = "click",
-                         rightType: String = "purchase"): DataFrame = {
+                         rightType: String = "purchase",
+                         maxIdsPerKey: Int = 100000): DataFrame = {
+    require(maxIdsPerKey >= 1, s"maxIdsPerKey must be >= 1, got $maxIdsPerKey")
     graft.GraftSession.tune(spark)
     val name = "graft_stream_joindelta"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
@@ -625,6 +630,9 @@ object StreamingCollapse {
          state: GroupState[(List[Long], List[Long])]) => {
           var (ls, rs) = state.getOption.getOrElse(
             (List.empty[Long], List.empty[Long]))
+          // carry sizes incrementally: List.size is O(n) and the cap check
+          // must not add a per-batch full-list walk
+          var n = ls.size + rs.size
           val out = Seq.newBuilder[DeltaPair]
           it.foreach { e =>
             if (e.side == 0) {
@@ -634,6 +642,12 @@ object StreamingCollapse {
               ls.foreach(l => out += DeltaPair(key, l, e.id))
               rs ::= e.id
             }
+            n += 1
+            if (n > maxIdsPerKey) throw new IllegalStateException(
+              s"streamingJoinDelta: key $key exceeded maxIdsPerKey=$maxIdsPerKey " +
+                "stored rows — this operator maintains UNBOUNDED join history and " +
+                "is contracted to key-cardinality-bounded sides; for event " +
+                "firehoses use the watermarked clickPurchaseJoin instead")
           }
           state.update((ls, rs))
           out.result().iterator

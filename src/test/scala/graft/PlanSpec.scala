@@ -256,6 +256,14 @@ class PlanSpec extends SparkSpec {
       s"q195 construction ran ${q195 - baseline} eager job(s) beyond the table read")
   }
 
+  test("video frames (q210): decode is a shuffle-free per-row kernel") {
+    val p = plan("q210_x_video_frames")
+    // header probe + sampled-frame decode are narrow per-row transforms;
+    // the only exchange is the presentation orderBy's range partitioning
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"video decode must not hash-shuffle:\n$p")
+  }
+
   test("audio features (q194): decode is a shuffle-free per-row kernel") {
     val p = plan("q194_x_audio_features")
     // one generate (explode) over the decode UDF; the only exchange is the

@@ -159,6 +159,53 @@ object PropertySpec extends Properties("graft.laws") {
       }
   }
 
+  property("groupedAuc is invariant under strictly monotone score transforms") = Prop {
+    import graft.operators.Metrics
+    // ranks (and ties) are all AUC sees, so any strictly increasing map of
+    // the scores must leave every group's auc_e6 bit-identical
+    val df = Seq(
+      ("g1", 0.1, false), ("g1", 0.4, true), ("g1", 0.4, false),
+      ("g1", 0.9, true), ("g2", 0.2, true), ("g2", 0.3, false),
+      ("g2", 0.7, true), ("g2", 0.8, false), ("g2", 0.8, true))
+      .toDF("g", "score", "label")
+    def auc(d: org.apache.spark.sql.DataFrame) =
+      Metrics.groupedAuc(d, Seq("g"), "score", "label").orderBy("g").collect()
+        .map(r => (r.getString(0), r.getAs[Long]("auc_e6"))).toSeq
+    val base = auc(df)
+    base.nonEmpty && Seq(
+      col("score") * 3 + 1, exp(col("score")), pow(col("score"), 3))
+      .forall(t => auc(df.withColumn("score", t)) == base)
+  }
+
+  property("ksDrift is exactly 0 when every group has the same distribution") = Prop {
+    import graft.operators.Metrics
+    val rows = for (g <- Seq("a", "b", "c"); v <- Seq(1L, 2L, 3L, 5L, 8L);
+                    _ <- 1 to 2) yield (g, v)
+    val ks = Metrics.ksDrift(rows.toDF("g", "v"), "g", "v").collect()
+    ks.length == 3 && ks.forall(_.getAs[Long]("ks_e6") == 0L)
+  }
+
+  property("chiSquare is exactly 0 on an independence-planted table") = Prop {
+    import graft.operators.Profile
+    // n(x,y) = f(x)·g(y) ⇒ every cell's o²·n/(r·c) collapses to o, so
+    // χ² = Σo − n = 0 EXACTLY (integer-valued term, no quantization slack)
+    val rows = for {
+      (x, fx) <- Seq(("x1", 1), ("x2", 2), ("x3", 3))
+      (y, gy) <- Seq(("y1", 1), ("y2", 4))
+      _ <- 1 to fx * gy
+    } yield (x, y)
+    val out = Profile.chiSquare(rows.toDF("x", "y"), "x", "y").collect().head
+    out.getAs[Long]("chi2_e6") == 0L && out.getAs[Long]("cramers_v_e6") == 0L
+  }
+
+  property("chiSquare emits null V (not Infinity) when a column has one level") = Prop {
+    import graft.operators.Profile
+    val out = Profile.chiSquare(
+      Seq(("only", "y1"), ("only", "y2"), ("only", "y1")).toDF("x", "y"),
+      "x", "y").collect().head
+    out.isNullAt(out.fieldIndex("cramers_v_e6"))
+  }
+
   // fixed fixtures, not forAll: learnMerges is a multi-job Spark loop per
   // sample — 100 ScalaCheck samples would dominate the suite's runtime
   property("BPE encode preserves content: symbols rejoin to the original words") = Prop {

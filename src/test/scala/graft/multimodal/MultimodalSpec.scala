@@ -244,4 +244,46 @@ class MultimodalSpec extends SparkSpec {
       }, s"window stats mismatch for seed $seed")
     }
   }
+
+  test("plantedVideo round-trips every frame through the REAL GIF decode") {
+    for (seed <- Seq(0L, 3L, 7L, 42L)) {
+      val bytes = Multimodal.plantedVideo(seed)
+      // a real animated-GIF container, not a stub
+      assert(new String(bytes.take(3), "US-ASCII") == "GIF")
+      val n = (4 + seed % 4).toInt
+      val meta = Multimodal.videoMeta(bytes)
+      assert(meta.format == "gif" && meta.width == 16 && meta.height == 12 &&
+        meta.n_frames == n, s"meta mismatch for seed $seed: $meta")
+      // decode EVERY frame and check the closed form pixel-exactly
+      val all = Multimodal.decodeVideoFrameStats(bytes, 0 until n)
+      assert(all.map(_._1) == (0 until n))
+      all.foreach { case (f, w, h, sum) =>
+        assert(w == 16 && h == 12)
+        val expected = (for (y <- 0 until 12; x <- 0 until 16)
+          yield (29 * seed + 31L * f + 7L * x + 13L * y) % 256).sum
+        assert(sum == expected, s"seed $seed frame $f: $sum != $expected")
+      }
+    }
+  }
+
+  test("videoFrameFeatures: header-probe sampling decodes only k frames") {
+    import spark.implicits._
+    val df = Seq(1L, 6L).toDF("doc_id")
+      .withColumn("content", Multimodal.plantedVideoCol(col("doc_id")))
+    val out = Multimodal.videoFrameFeatures(df, "doc_id", "content", k = 3)
+      .collect()
+      .groupBy(_.getLong(0))
+      .view.mapValues(_.map(r => (r.getAs[Int]("n_frames"),
+        r.getAs[Int]("frame_idx"), r.getAs[Long]("sum_gray"))).toSeq.sorted)
+      .toMap
+    for (seed <- Seq(1L, 6L)) {
+      val n = (4 + seed % 4).toInt
+      val fidx = (0 until 3).map(i => i * n / 3)
+      val expected = fidx.map { f =>
+        (n, f, (for (y <- 0 until 12; x <- 0 until 16)
+          yield (29 * seed + 31L * f + 7L * x + 13L * y) % 256).sum)
+      }.sorted
+      assert(out(seed) == expected, s"sampled frames mismatch for seed $seed")
+    }
+  }
 }

@@ -92,4 +92,31 @@ class DiagnosticsSpec extends SparkSpec {
     assert(Diagnostics.holtForecast(df, Seq("k"), "t", "v", 0.5, 0.25, 3)
       .collect().isEmpty)
   }
+
+  test("seasonalArForecast: an exact seasonal process is recovered exactly") {
+    // y_t = 2 + 0.5·y_{t-4} exactly (all exact binary fractions), seeded by
+    // 4 distinct start values — OLS on a noiseless design recovers (c, Φ)
+    // to float exactness and the forecasts continue the recursion
+    val start = Seq(8.0, 16.0, 32.0, 64.0)
+    val vals = Iterator.iterate(start)(p => p.map(v => 2.0 + 0.5 * v))
+      .take(6).flatten.toSeq // 24 observations, season 4
+    val df = vals.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("k", "t", "v")
+    val out = Diagnostics.seasonalArForecast(df, Seq("k"), "t", "v",
+      season = 4, horizon = 8).orderBy("step").collect()
+    assert(out.length == 8)
+    assert(out.map(_.getAs[Int]("season")).forall(_ == 4))
+    val last4 = vals.takeRight(4)
+    // steps 1..4 forecast off the OBSERVED last season; 5..8 recurse
+    val f14 = last4.map(v => 2.0 + 0.5 * v)
+    val f58 = f14.map(v => 2.0 + 0.5 * v)
+    val got = out.map(_.getAs[Double]("forecast")).toSeq
+    (f14 ++ f58).zip(got).foreach { case (e, g) =>
+      assert(math.abs(e - g) < 1e-9, s"expected $e got $g") }
+  }
+
+  test("seasonalArForecast: series shorter than season+2 yields no rows") {
+    val df = (0 until 5).map(t => ("s", t, t * 1.0)).toDF("k", "t", "v")
+    assert(Diagnostics.seasonalArForecast(df, Seq("k"), "t", "v",
+      season = 4, horizon = 3).collect().isEmpty)
+  }
 }

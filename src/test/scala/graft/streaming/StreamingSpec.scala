@@ -220,6 +220,20 @@ class StreamingSpec extends SparkSpec {
       "every pair must be emitted exactly once, when its later element arrives")
   }
 
+  test("streamingJoinDelta: a key past maxIdsPerKey fails LOUDLY, not silently") {
+    val dir = "/root/testdata/sf0.001"
+    // sf0.001 has keys with more than 2 click/purchase rows, so a cap of 2
+    // must trip; the contract is enforcement, not best-effort truncation
+    val e = intercept[Exception] {
+      StreamingCollapse.streamingJoinDelta(spark, dir, maxIdsPerKey = 2).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("exceeded maxIdsPerKey"))),
+      s"expected the maxIdsPerKey contract failure, got: $e")
+  }
+
   test("streamingSessionWindows: built-in session_window equals batch sessionStats") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingCollapse.streamingSessionWindows(spark, dir).collect()
