@@ -54,7 +54,17 @@ object StreamingCollapse {
     * `ts div 1000` µs derivation then works unchanged on either encoding. */
   private def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     val phys = spark.read.parquet(s"$dir/events.parquet").schema
-    val raw = spark.readStream.schema(phys).parquet(streamDir(dir))
+    // Bounded ingestion rate — the production dial for stateful queries
+    // over a large landing backlog: draining a month of time-ordered files
+    // in ONE micro-batch means the watermark never advances mid-batch, so
+    // stream-stream joins hold the ENTIRE history per key and a Zipf-hot
+    // key pays O(n_k²) probe work (measured in the round-7 skew sweep,
+    // SURVEY §8). With per-batch file caps over time-ordered landing
+    // files, eviction keeps per-key state at the watermark horizon.
+    val reader = spark.readStream.schema(phys)
+    sys.env.get("GRAFT_STREAM_MAX_FILES")
+      .foreach(n => reader.option("maxFilesPerTrigger", n))
+    val raw = reader.parquet(streamDir(dir))
     if (phys("ts").dataType == LongType) raw
     else raw.withColumn("ts", expr("unix_micros(cast(ts as timestamp)) * 1000"))
   }
@@ -66,6 +76,12 @@ object StreamingCollapse {
   private def streamDir(dir: String, table: String = "events"): String = {
     import java.nio.file.{Files, Paths}
     val src = Paths.get(s"$dir/$table.parquet")
+    // a directory-shaped table (Spark-written part files — the production
+    // landing shape) is already a valid FileStreamSource basePath; routing
+    // it through the symlink staging would nest it one level down, where
+    // the source's non-recursive listing finds ZERO files and the stream
+    // silently drains empty (found by the round-7 skew sweep)
+    if (Files.isDirectory(src)) return src.toString
     // md5 of the full path (not String.hashCode): collision-proof keying —
     // two colliding source dirs sharing a staging dir would silently
     // stream the wrong dataset

@@ -234,6 +234,33 @@ class StreamingSpec extends SparkSpec {
       s"expected the maxIdsPerKey contract failure, got: $e")
   }
 
+  test("eventsStream reads a DIRECTORY-shaped events table (production landing shape)") {
+    // Spark-written tables are directories of part files; the symlink
+    // staging used for the testdata's single-file shape would nest a
+    // directory one level down where FileStreamSource's non-recursive
+    // listing finds nothing and the stream SILENTLY drains empty — the
+    // round-7 skew-sweep footgun. Directory sources must stream directly.
+    val dir = java.nio.file.Files.createTempDirectory("graft_dirstream").toString
+    spark.range(200)
+      .withColumn("event_id", col("id") + 1)
+      .withColumn("ts", expr("timestamp_micros(1704067200000000L + id * 1000000L)"))
+      .withColumn("user_id", lit(1L))
+      .withColumn("event_type", expr("if(pmod(id, 2) = 0, 'click', 'purchase')"))
+      .withColumn("value", lit(1.0d))
+      .withColumn("props", lit("{}"))
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // the cap must see the 200-id key and trip — proof the rows arrived
+    val e = intercept[Exception] {
+      StreamingCollapse.streamingJoinDelta(spark, dir, maxIdsPerKey = 50).collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(e).exists(c => Option(c.getMessage)
+        .exists(_.contains("exceeded maxIdsPerKey"))),
+      s"expected rows to reach the operator and trip the cap, got: $e")
+  }
+
   test("streamingSessionWindows: built-in session_window equals batch sessionStats") {
     val dir = "/root/testdata/sf0.001"
     val streamed = StreamingCollapse.streamingSessionWindows(spark, dir).collect()
