@@ -2607,7 +2607,73 @@ object SparkEntry {
           Nil, "month", "tot", season = 12, horizon = 24)
         .select(col("key"), col("season"), col("step"),
           round(col("forecast"), 4).as("forecast"))
-        .orderBy("key", "step"))
+        .orderBy("key", "step")),
+
+    // ---- extension: fixed-lag ADF unit-root t-stat — the closed-form
+    // slice of the q34 stationarity family: integer cents in, exact
+    // DECIMAL sufficient sums, one fixed Cramer+cofactor double tree for
+    // coefficient AND standard error (the first hash-checked member of
+    // the ADF/KPSS tier)
+    "q212_u56_adf_fixed" -> tuned((s, d) =>
+      graft.stats.Diagnostics.adfFixedLag(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("cents")),
+          Nil, "month", "cents")),
+
+    // ---- extension: MA(1) CLS grid fit + forecast — the moving-average
+    // slice of the SARIMAX grid made hash-checkable: the innovations
+    // recursion is replayed per θ candidate by a recursive CTE, argmin
+    // over the fixed grid, one-step memory in the forecast
+    "q213_u8_ma1_forecast" -> tuned((s, d) =>
+      graft.stats.Diagnostics.ma1Forecast(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+          Nil, "month", "tot", horizon = 6)
+        .select(col("key"), round(col("theta"), 1).as("theta"),
+          round(col("mu"), 6).as("mu"), col("step"),
+          round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step")),
+
+    // ---- extension: URL canonicalization + registrable domain — the
+    // web-corpus dedup-key step (planted URLs: mixed-case scheme/host,
+    // default and non-default ports, tracking params in every position,
+    // fragments; ids 60 apart collapse to the SAME canonical, so the
+    // n_dups readout proves the key actually merges)
+    "q214_x_url_canonical" -> tuned((s, d) => {
+      import graft.text.UrlOps
+      val hosts = array(lit("Example.COM"), lit("news.example.co.uk"),
+        lit("CDN.Media.org"), lit("shop.example.com.au"), lit("blog.sample.net"))
+      val id = col("doc_id")
+      val planted = Tables.documents(s, d).select(id)
+        .withColumn("url", concat(
+          when(pmod(id, lit(2)) === 0, lit("HTTP")).otherwise(lit("https")),
+          lit("://"),
+          element_at(hosts, (pmod(id, lit(5)) + 1).cast("int")),
+          when(pmod(id, lit(3)) === 0, lit(":80"))
+            .when(pmod(id, lit(3)) === 1, lit(":443")).otherwise(lit("")),
+          lit("/p/"), pmod(id, lit(30)).cast("string"),
+          when(pmod(id, lit(4)) === 0,
+              concat(lit("?id="), pmod(id, lit(30)).cast("string"), lit("&utm_source=feed")))
+            .when(pmod(id, lit(4)) === 1, lit("?utm_campaign=x&ref=y"))
+            .when(pmod(id, lit(4)) === 2, lit(""))
+            .otherwise(lit("?a=1&fbclid=zzz")),
+          when(pmod(id, lit(7)) === 0, lit("#sec")).otherwise(lit(""))))
+      planted.select(id, col("url"),
+          UrlOps.canonicalUrl(col("url")).as("canonical"),
+          UrlOps.registeredDomain(col("url")).as("domain"))
+        .withColumn("n_dups", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canonical"))))
+        .orderBy("doc_id")
+    }),
+
+    // ---- extension: STREAMING ordered funnel — q147's standing twin;
+    // per-user state is the chained-min time vector (O(#stages)), each
+    // chain extension emits one advance row, drained counts == batch
+    "q215_x_stream_funnel" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingFunnel(s, d,
+        Seq("view", "click", "purchase")))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6359,7 +6425,149 @@ object SparkEntry {
         |SELECT 'all' AS key, CAST(12 AS INT) AS season, step,
         |       round(fv, 4) AS forecast
         |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2)
-        |ORDER BY step""".stripMargin)
+        |ORDER BY step""".stripMargin),
+
+    // HUGEINT sufficient sums (exact — Σy² of a cents series overflows
+    // BIGINT), then the IDENTICAL first-row-cofactor double tree the
+    // Spark operator emits; t rounded to 4 before the crit5 comparison
+    "q212_u56_adf_fixed" ->
+      ("""WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT month, cents, lag(cents) OVER (ORDER BY month) AS ylag FROM m),
+        |g AS (SELECT CAST(o.ylag AS HUGEINT) AS x,
+        |             CAST(lag(o.cents - o.ylag) OVER (ORDER BY o.month) AS HUGEINT) AS z,
+        |             CAST(o.cents - o.ylag AS HUGEINT) AS yv
+        |      FROM o),
+        |h AS (SELECT x, z, yv FROM g WHERE z IS NOT NULL),
+        |s AS (SELECT count(*) AS n, CAST(count(*) AS DOUBLE) AS nn,
+        |  CAST(sum(x) AS DOUBLE) AS sx, CAST(sum(z) AS DOUBLE) AS sz,
+        |  CAST(sum(yv) AS DOUBLE) AS sy,
+        |  CAST(sum(x*x) AS DOUBLE) AS sxx, CAST(sum(z*z) AS DOUBLE) AS szz,
+        |  CAST(sum(x*z) AS DOUBLE) AS sxz, CAST(sum(x*yv) AS DOUBLE) AS sxy,
+        |  CAST(sum(z*yv) AS DOUBLE) AS szy, CAST(sum(yv*yv) AS DOUBLE) AS syy
+        |  FROM h),
+        |c AS (SELECT n, nn, sxy,
+        |  nn*(sxx*szz - sxz*sxz) - sx*(sx*szz - sxz*sz) + sz*(sx*sxz - sxx*sz) AS det,
+        |  sy*(sxx*szz - sxz*sxz) - sx*(sxy*szz - sxz*szy) + sz*(sxy*sxz - sxx*szy) AS detb0,
+        |  nn*(sxy*szz - sxz*szy) - sy*(sx*szz - sxz*sz) + sz*(sx*szy - sxy*sz) AS detb1,
+        |  nn*(sxx*szy - sxy*sxz) - sx*(sx*szy - sxy*sz) + sy*(sx*sxz - sxx*sz) AS detb2,
+        |  sy, szy, syy, sz, szz
+        |  FROM s),
+        |r AS (SELECT n, det, detb1,
+        |  (syy - (detb0*sy + detb1*sxy + detb2*szy) / det) / (nn - 3.0)
+        |    * (nn*szz - sz*sz) / det AS varb1
+        |  FROM c),
+        |t AS (SELECT n,
+        |  CASE WHEN det <> 0 THEN floor((detb1/det) * 10000 + 0.5) / 10000 END AS coef,
+        |  CASE WHEN det <> 0 AND n > 3
+        |       THEN floor(((detb1/det) / sqrt(varb1)) * 10000 + 0.5) / 10000 END AS adf_t
+        |  FROM r)
+        |SELECT 'all' AS key, n AS n_obs, coef, adf_t, -2.86 AS crit5,
+        |       adf_t < -2.86 AS stationary5
+        |FROM t""".stripMargin),
+
+    // the innovations recursion e_t = (y_t - mu) - th*e_{t-1} replayed
+    // per grid candidate by ONE recursive CTE (th rides along as a
+    // recursion column); argmin by (sse, th) matches the kernel's
+    // ascending-theta first-minimum
+    "q213_u8_ma1_forecast" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y FROM m),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, sum(y) / count(*) AS mu FROM o),
+        |cand AS (SELECT CAST(k AS DOUBLE) / 10.0 AS th
+        |         FROM (SELECT unnest(generate_series(-9, 9)) AS k)),
+        |rec(th, t, e) AS (
+        |  SELECT c.th, CAST(1 AS BIGINT) AS t, o.y - st.mu AS e
+        |  FROM cand c CROSS JOIN st JOIN o ON o.t = 1
+        |  UNION ALL
+        |  SELECT r.th, r.t + 1, o.y - st.mu - r.th * r.e
+        |  FROM rec r JOIN o ON o.t = r.t + 1 CROSS JOIN st),
+        |sse AS (SELECT th, sum(e * e) AS sse FROM rec GROUP BY th),
+        |le AS (SELECT r.th, r.e AS elast FROM rec r CROSS JOIN st WHERE r.t = st.n),
+        |best AS (SELECT s.th, l.elast FROM sse s JOIN le l ON s.th = l.th
+        |         ORDER BY s.sse, s.th LIMIT 1)
+        |SELECT 'all' AS key, round(b.th, 1) AS theta, round(st.mu, 6) AS mu,
+        |       CAST(h.step AS INT) AS step,
+        |       round(CASE WHEN h.step = 1 THEN st.mu + b.th * b.elast
+        |                  ELSE st.mu END, 4) AS forecast
+        |FROM best b CROSS JOIN st
+        |CROSS JOIN (SELECT unnest(generate_series(1, 6)) AS step) h
+        |ORDER BY step""".stripMargin),
+
+    // same planting, same regex decomposition, list_filter for the
+    // parameter-exact tracking strip (DuckDB's filter-HOF twin)
+    "q214_x_url_canonical" ->
+      ("""WITH p AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) || '://' ||
+        |    (['Example.COM','news.example.co.uk','CDN.Media.org',
+        |      'shop.example.com.au','blog.sample.net'])[CAST(doc_id % 5 AS INT) + 1] ||
+        |    (CASE doc_id % 3 WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE '' END) ||
+        |    '/p/' || CAST(doc_id % 30 AS VARCHAR) ||
+        |    (CASE doc_id % 4
+        |       WHEN 0 THEN '?id=' || CAST(doc_id % 30 AS VARCHAR) || '&utm_source=feed'
+        |       WHEN 1 THEN '?utm_campaign=x&ref=y'
+        |       WHEN 2 THEN ''
+        |       ELSE '?a=1&fbclid=zzz' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#sec' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |  lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |  lower(regexp_replace(regexp_extract(url,
+        |    '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1), ':[0-9]+$', '')) AS host,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1) AS port,
+        |  regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS path,
+        |  regexp_extract(url, '\?([^#]*)', 1) AS q
+        |  FROM p),
+        |k AS (SELECT *, list_filter(string_split(q, '&'),
+        |    x -> NOT regexp_matches(x, '^(utm_[a-z_]+|fbclid|gclid)=') AND x <> '') AS kept
+        |  FROM c),
+        |u AS (SELECT doc_id, url,
+        |  scheme || '://' ||
+        |  (CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+        |          OR (scheme = 'https' AND port = '443')
+        |        THEN host ELSE host || ':' || port END) ||
+        |  (CASE WHEN path = '' THEN '/' ELSE path END) ||
+        |  (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+        |    AS canonical,
+        |  (CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+        |        WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1])
+        |          IN ('co.uk','org.uk','ac.uk','gov.uk','co.jp','com.au','co.nz','com.br','co.in')
+        |        THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+        |          || '.' || string_split(host, '.')[-1]
+        |        ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END)
+        |    AS domain
+        |  FROM k)
+        |SELECT doc_id, url, canonical, domain,
+        |       count(*) OVER (PARTITION BY canonical) AS n_dups
+        |FROM u ORDER BY doc_id""".stripMargin),
+
+    // drained streaming funnel == the batch funnel — q147's oracle
+    "q215_x_stream_funnel" ->
+      ("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS t, event_type AS s FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |u AS (SELECT DISTINCT user_id,
+        |        CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS completed
+        |      FROM w2),
+        |st AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'), (2, 'purchase'))
+        |       v(stage, stage_name))
+        |SELECT st.stage, st.stage_name, count(*) AS n_reached
+        |FROM u CROSS JOIN st WHERE u.completed > st.stage
+        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -205,6 +205,130 @@ object Diagnostics {
       .toDF()
   }
 
+  /** Fixed-lag-1 Augmented Dickey-Fuller unit-root t-statistic per key —
+    * the closed-form-checkable slice of [[TimeSeriesStats.adf]] (which
+    * adds AIC lag selection on top of exactly this regression): regress
+    * `Δyₜ` on `[1, yₜ₋₁, Δyₜ₋₁]` and report the t-stat of the `yₜ₋₁`
+    * coefficient against the MacKinnon constant-only 5% critical value.
+    *
+    * Fully distributed, no per-series kernel: two stacked `lag`s on ONE
+    * window (a single sort per key), then a 10-term sufficient-sums
+    * aggregate and a fixed Cramer/cofactor double expression — the
+    * [[graft.operators.Regression.groupedOls2]] discipline extended with
+    * the standard error: `Var(b₁) = s²·(A⁻¹)₁₁ = s²·(n·Szz − Sz²)/det`.
+    *
+    * Exactness: `valueCol` must be integer-quantized by the caller
+    * (cents, not dollars). Sums accumulate as DECIMAL(38,0) — `Σy²` of a
+    * cents series overflows BIGINT at ~3·10⁹-cent values, the q183
+    * lesson — so every sufficient sum is exact in any accumulation order
+    * and the final double tree is bit-replayable by a SQL oracle.
+    *
+    * Scale shape: one shuffle on the keys shared by the window and the
+    * aggregate; state per key is the 10 sums, O(1). */
+  def adfFixedLag(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (if (keyCols.isEmpty) Window.partitionBy(lit(1))
+             else Window.partitionBy(keyCols.map(col): _*))
+      .orderBy(col("__ord"))
+    val y = col(valueCol).cast("long")
+    val lagged = df
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+ y.as("__y")): _*)
+      .withColumn("__ylag", lag(col("__y"), 1).over(w))
+      .withColumn("__dy", col("__y") - col("__ylag"))
+      .withColumn("__dylag", lag(col("__dy"), 1).over(w))
+      .filter(col("__dylag").isNotNull)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val (xr, zr, yr) = (dec(col("__ylag")), dec(col("__dylag")), dec(col("__dy")))
+    val sums = lagged
+      .groupBy((if (keyCols.isEmpty) Seq(lit("all").as("key")) else keyCols.map(col)): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(xr).as("sx"), sum(zr).as("sz"), sum(yr).as("sy"),
+        sum(xr * xr).as("sxx"), sum(zr * zr).as("szz"), sum(xr * zr).as("sxz"),
+        sum(xr * yr).as("sxy"), sum(zr * yr).as("szy"), sum(yr * yr).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val (nn, sx, sz, sy) = (d(col("n")), d(col("sx")), d(col("sz")), d(col("sy")))
+    val (sxx, szz, sxz) = (d(col("sxx")), d(col("szz")), d(col("sxz")))
+    val (sxy, szy, syy) = (d(col("sxy")), d(col("szy")), d(col("syy")))
+    def det3(a11: Column, a12: Column, a13: Column, a21: Column, a22: Column,
+             a23: Column, a31: Column, a32: Column, a33: Column) =
+      a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    // A = [[n,Sx,Sz],[Sx,Sxx,Sxz],[Sz,Sxz,Szz]]; rhs = [Sy,Sxy,Szy]
+    val det = det3(nn, sx, sz, sx, sxx, sxz, sz, sxz, szz)
+    val detB0 = det3(sy, sx, sz, sxy, sxx, sxz, szy, sxz, szz)
+    val detB1 = det3(nn, sy, sz, sx, sxy, sxz, sz, szy, szz)
+    val detB2 = det3(nn, sx, sy, sx, sxx, sxy, sz, sxz, szy)
+    val rss = syy - (detB0 * sy + detB1 * sxy + detB2 * szy) / det
+    val s2 = rss / (nn - lit(3.0))
+    val varB1 = s2 * (nn * szz - sz * sz) / det
+    val q = math.pow(10, roundTo)
+    def rnd(c: Column) = floor(c * q + 0.5) / q
+    val tstat = rnd(when(det =!= 0.0 && col("n") > 3, (detB1 / det) / sqrt(varB1)))
+    val keyOut: Seq[Column] = if (keyCols.isEmpty) Seq(col("key")) else keyCols.map(col)
+    sums.select(keyOut :+ col("n").as("n_obs") :+
+      rnd(when(det =!= 0.0, detB1 / det)).as("coef") :+
+      tstat.as("adf_t") :+ lit(-2.86).as("crit5") :+
+      // decided on the ROUNDED stat so both engines flip identically
+      (tstat < lit(-2.86)).as("stationary5"): _*)
+  }
+
+  private val ma1Schema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("theta", DoubleType),
+    StructField("mu", DoubleType),
+    StructField("step", IntegerType),
+    StructField("forecast", DoubleType)))
+
+  /** MA(1) conditional-least-squares fit + h-step forecast per key — the
+    * third closed-form-checkable slice of [[Sarimax.fitBest]] (after
+    * q117's AR(1) and q211's seasonal-AR(1)), covering the MOVING-AVERAGE
+    * side of the grid: `yₜ = μ + εₜ + θ·εₜ₋₁` with the innovations
+    * recursion `eₜ = yₜ − μ − θ·eₜ₋₁` (e₀ = y₀ − μ, the CLS convention),
+    * θ chosen from the fixed grid −0.9..0.9 step 0.1 by minimum SSE
+    * (ascending-θ tie-break). Forecast: `μ + θ·e_T` at step 1, `μ`
+    * beyond — MA(1) memory is one innovation deep.
+    *
+    * The fixed grid is what keeps the fit SQL-replayable: every candidate
+    * runs the SAME left-associated IEEE recursion a recursive CTE
+    * replays, and argmin-over-19-candidates is order-robust where a
+    * Gauss-Newton iterate would not be.
+    *
+    * Scale shape: [[seasonalArForecast]]'s — per-key series fit inside
+    * its executor, 19·O(n) per series, state O(1). */
+  def ma1Forecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < 3) Iterator.empty
+        else {
+          var s = 0.0; var i = 0
+          while (i < n) { s += y(i); i += 1 }
+          val mu = s / n
+          var bestTh = 0.0; var bestSse = Double.MaxValue; var bestE = 0.0
+          var k = -9
+          while (k <= 9) {
+            val th = k / 10.0
+            var e = y(0) - mu
+            var sse = e * e
+            var t = 1
+            while (t < n) { e = y(t) - mu - th * e; sse += e * e; t += 1 }
+            if (sse < bestSse) { bestSse = sse; bestTh = th; bestE = e }
+            k += 1
+          }
+          (1 to horizon).iterator.map { h =>
+            Row(key, bestTh, mu, h, if (h == 1) mu + bestTh * bestE else mu)
+          }
+        }
+      }(Encoders.row(ma1Schema))
+      .toDF()
+  }
+
   private val sarSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("season", IntegerType),

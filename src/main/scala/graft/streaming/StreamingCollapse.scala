@@ -595,6 +595,71 @@ object StreamingCollapse {
       .orderBy("from_state", "to_state")
   }
 
+  // ------------------------------------------- streaming funnel
+
+  final case class FunnelEvent(userId: Long, tsu: Long, eventId: Long, stage: Int)
+  final case class FunnelAdv(user_id: Long, stage: Int)
+
+  /** Streaming ordered-funnel maintenance — the standing twin of
+    * [[graft.operators.Funnel.conversionCounts]]: per-user state is the
+    * chained-min time vector `(t₀ < t₁ < … )` as a List[Long] whose
+    * LENGTH is the stages-completed count — O(#stages) per user, the
+    * bounded state shape. Each micro-batch sorts its per-user slice by
+    * (event time, event id) and extends the chain; every extension emits
+    * ONE `(user, stage)` advance row, so the drained readout is a plain
+    * count per stage.
+    *
+    * In-order contract: the chained-min funnel is NOT incrementally
+    * foldable under arbitrarily late events with O(1) state (a late
+    * stage-0 event can lower t₀ and retroactively qualify an already-seen
+    * stage-1 event this operator no longer holds). Per-batch sorting
+    * handles intra-batch disorder; across batches the time-ordered
+    * landing convention (the `GRAFT_STREAM_MAX_FILES` discipline,
+    * SURVEY §8 skew sweep) is assumed — the same contract every
+    * watermark-evicted operator already rides on. */
+  def streamingFunnel(spark: SparkSession, dir: String,
+                      stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "streamingFunnel needs at least one stage")
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_funnel"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.toMap
+    val events = eventsStream(spark, dir)
+      .filter(col("ts").isNotNull && col("event_type").isin(stages: _*))
+      .select(col("user_id"), expr("ts div 1000").as("tsu"),
+        col("event_id"), col("event_type"))
+      .as[(Long, Long, Long, String)]
+      .map { case (u, t, id, s) => FunnelEvent(u, t, id, stageIdx(s)) }
+    val advances = events
+      .groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[List[Long]]) => {
+          // chain times NEWEST-FIRST (List prepend); length = completed
+          var chain = state.getOption.getOrElse(Nil)
+          val out = Seq.newBuilder[FunnelAdv]
+          it.toSeq.sortBy(e => (e.tsu, e.eventId)).foreach { e =>
+            val need = chain.length
+            if (need < stages.length && e.stage == need &&
+                (chain.isEmpty || e.tsu > chain.head)) {
+              out += FunnelAdv(user, need)
+              chain ::= e.tsu
+            }
+          }
+          state.update(chain)
+          out.result().iterator
+        })
+    drain(spark, advances.writeStream
+      .outputMode("append").format("memory").queryName(name))
+    val stageNames = stages.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("stage", "stage_name")
+    spark.table(name)
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_reached"))
+      .join(broadcast(stageNames), Seq("stage"))
+      .select(col("stage"), col("stage_name"), col("n_reached"))
+      .orderBy("stage")
+  }
+
   // ------------------------------------------- streaming join delta
 
   final case class SideRow(key: Long, side: Int, id: Long)

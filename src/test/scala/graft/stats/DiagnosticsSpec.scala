@@ -119,4 +119,59 @@ class DiagnosticsSpec extends SparkSpec {
     assert(Diagnostics.seasonalArForecast(df, Seq("k"), "t", "v",
       season = 4, horizon = 3).collect().isEmpty)
   }
+
+  test("ma1Forecast: recovers a planted grid theta and forecasts mu past step 1") {
+    // y_t = mu + e_t + 0.6*e_{t-1} with a deterministic bounded innovation
+    // stream; CLS over the grid must land on th=0.6 (adjacent candidates
+    // pay a visibly larger SSE), and MA(1) memory dies after one step
+    val th0 = 0.6; val mu0 = 50.0
+    val innov = Iterator.iterate(88172645463325252L)(x =>
+        x * 6364136223846793005L + 1442695040888963407L)
+      .take(800).map(x => ((x >>> 40) % 21 - 10) / 5.0).toSeq
+    val y = innov.indices.map(i =>
+      mu0 + innov(i) + (if (i > 0) th0 * innov(i - 1) else 0.0))
+    val df = y.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("k", "t", "v")
+    val out = Diagnostics.ma1Forecast(df, Seq("k"), "t", "v", horizon = 3)
+      .orderBy("step").collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Double]("theta") == 0.6,
+      s"theta=${out.head.getAs[Double]("theta")}")
+    val mu = out.head.getAs[Double]("mu")
+    assert(math.abs(mu - mu0) < 1.0)
+    // steps 2 and 3 are exactly mu — one-innovation memory
+    assert(out(1).getAs[Double]("forecast") == mu)
+    assert(out(2).getAs[Double]("forecast") == mu)
+  }
+
+  test("adfFixedLag: t-stat matches the in-JVM OLS on the same regression") {
+    // deterministic integer pseudo-random walk (unit-root-ish) — the same
+    // Δy_t ~ [1, y_{t-1}, Δy_{t-1}] regression computed two ways: the
+    // distributed DECIMAL-sums Cramer tree vs TimeSeriesStats.ols
+    val y = Iterator.iterate(10000L)(v =>
+      v + (((v * 2654435761L) >>> 33) % 201L) - 100L).take(60).toArray
+    val df = y.toSeq.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("k", "t", "v")
+    val row = Diagnostics.adfFixedLag(df, Seq("k"), "t", "v").collect().head
+    // reference: build the design matrix directly
+    val dy = Array.tabulate(y.length - 1)(i => (y(i + 1) - y(i)).toDouble)
+    val rows = (2 until y.length).map { t =>
+      (Array(1.0, y(t - 1).toDouble, dy(t - 2)), dy(t - 1))
+    }
+    val (beta, _, se) = TimeSeriesStats.ols(rows.map(_._1).toArray, rows.map(_._2).toArray)
+    val tExpected = beta(1) / se(1)
+    assert(row.getAs[Long]("n_obs") == y.length - 2)
+    assert(math.abs(row.getAs[Double]("adf_t") - tExpected) < 1e-3,
+      s"adf_t=${row.getAs[Double]("adf_t")} expected ~$tExpected")
+    assert(row.getAs[Double]("crit5") == -2.86)
+  }
+
+  test("adfFixedLag: a strongly mean-reverting series is flagged stationary") {
+    // y alternates around 0 with large pullback — Δy_t ≈ -1.8·y_{t-1},
+    // the textbook reject-the-unit-root shape
+    val y = Iterator.iterate(1000.0)(v => -0.8 * v + 10.0).take(50)
+      .map(v => math.round(v)).toArray
+    val df = y.toSeq.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("k", "t", "v")
+    val row = Diagnostics.adfFixedLag(df, Seq("k"), "t", "v").collect().head
+    assert(row.getAs[Boolean]("stationary5"),
+      s"expected stationary, t=${row.getAs[Double]("adf_t")}")
+  }
 }

@@ -234,6 +234,20 @@ class StreamingSpec extends SparkSpec {
       s"expected the maxIdsPerKey contract failure, got: $e")
   }
 
+  test("streamingFunnel: drained advance counts equal the batch funnel") {
+    val dir = "/root/testdata/sf0.001"
+    val stages = Seq("view", "click", "purchase")
+    val streamed = StreamingCollapse.streamingFunnel(spark, dir, stages).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    val batch = graft.operators.Funnel.conversionCounts(
+        graft.sources.Tables.events(spark, dir)
+          .withColumn("tsu", expr("ts_ns div 1000")),
+        Seq("user_id"), "tsu", "event_type", stages)
+      .orderBy("stage").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("eventsStream reads a DIRECTORY-shaped events table (production landing shape)") {
     // Spark-written tables are directories of part files; the symlink
     // staging used for the testdata's single-file shape would nest a
