@@ -2673,7 +2673,27 @@ object SparkEntry {
     // chain extension emits one advance row, drained counts == batch
     "q215_x_stream_funnel" -> tuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingFunnel(s, d,
-        Seq("view", "click", "purchase")))
+        Seq("view", "click", "purchase"))),
+
+    // ---- extension: Mann-Kendall trend test per priority — exact
+    // integer S and tie-corrected 18·Var, one fixed double z expression;
+    // the nonparametric drift screen beside q09's parametric fit
+    "q216_x_mann_kendall" -> tuned((s, d) =>
+      graft.stats.Diagnostics.mannKendall(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("cents")),
+          Seq("o_orderpriority"), "month", "cents")
+        .orderBy("key")),
+
+    // ---- extension: order-independent table checksum per source — the
+    // cross-region replication-drift digest (commutative modular sums of
+    // 60-bit md5 row fingerprints; ONE map-side-combined aggregate)
+    "q217_x_table_checksum" -> tuned((s, d) =>
+      graft.operators.Integrity.tableChecksum(Tables.documents(s, d),
+          Seq("source"), Seq("doc_id", "text", "lang", "n_chars"))
+        .orderBy("source"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6567,7 +6587,56 @@ object SparkEntry {
         |       v(stage, stage_name))
         |SELECT st.stage, st.stage_name, count(*) AS n_reached
         |FROM u CROSS JOIN st WHERE u.completed > st.stage
-        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin),
+
+    // pairwise self-join replay of the kernel's O(n²) pair walk — S and
+    // 18·Var exact integers, z the same fixed double expression
+    "q216_x_mann_kendall" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |o AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY month) AS t, y
+        |      FROM m),
+        |p AS (SELECT a.k,
+        |        CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+        |      FROM o a JOIN o b ON a.k = b.k AND b.t > a.t),
+        |s AS (SELECT k, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s FROM p GROUP BY k),
+        |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM o GROUP BY k),
+        |tg AS (SELECT k, y, CAST(count(*) AS BIGINT) AS c FROM o
+        |       GROUP BY k, y HAVING count(*) > 1),
+        |tt AS (SELECT k, CAST(coalesce(sum(c*(c-1)*(2*c+5)), 0) AS BIGINT) AS tsum
+        |       FROM tg GROUP BY k),
+        |v AS (SELECT n.k, n.n, s.s,
+        |        n.n*(n.n-1)*(2*n.n+5) - coalesce(tt.tsum, 0) AS var18
+        |      FROM n JOIN s ON n.k = s.k LEFT JOIN tt ON n.k = tt.k),
+        |z AS (SELECT *,
+        |        CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var18 / 18.0)
+        |             WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var18 / 18.0)
+        |             ELSE 0.0 END AS zz
+        |      FROM v),
+        |r AS (SELECT k, n, s, var18, floor(zz * 10000 + 0.5) / 10000 AS z FROM z)
+        |SELECT k AS key, CAST(n AS INT) AS n_obs, s AS s_stat, var18, z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM r ORDER BY key""".stripMargin),
+
+    // identical fingerprint construction: md5 over chr(1)-joined fields,
+    // 15 hex chars -> BIGINT, commutative modular sums
+    "q217_x_table_checksum" ->
+      ("""WITH f AS (
+        |  SELECT source,
+        |    CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR) || chr(1) || text
+        |      || chr(1) || lang || chr(1) || CAST(n_chars AS VARCHAR)), 1, 15)
+        |      AS BIGINT) AS fp
+        |  FROM documents)
+        |SELECT source, count(*) AS n_rows,
+        |  CAST(sum(fp % 1000000007) AS BIGINT) AS digest_a,
+        |  CAST(sum(fp % 998244353) AS BIGINT) AS digest_b,
+        |  min(fp) AS fp_min, max(fp) AS fp_max
+        |FROM f GROUP BY source ORDER BY source""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -274,6 +274,70 @@ object Diagnostics {
       (tstat < lit(-2.86)).as("stationary5"): _*)
   }
 
+  private val mkSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("s_stat", LongType),
+    StructField("var18", LongType),
+    StructField("z", DoubleType),
+    StructField("trend", StringType)))
+
+  /** Mann-Kendall trend test per key — the nonparametric "is this series
+    * monotonically drifting" screen (the distribution-free complement to
+    * q09's parametric drift fit): `S = Σ_{i<j} sign(y_j − y_i)`, variance
+    * with the tie correction `Var·18 = n(n−1)(2n+5) − Σ_t t(t−1)(2t+5)`,
+    * and the continuity-corrected normal statistic `z = (S∓1)/√Var`.
+    * `trend` thresholds |z| at 1.96 (5% two-sided).
+    *
+    * Exactness: S and 18·Var are EXACT INTEGERS (sign comparisons and tie
+    * counts — no float crosses a row boundary), so z is one fixed double
+    * expression both engines replay bit-for-bit; the trend label flips on
+    * the ROUNDED z. The kernel's pair loop is O(n²) per series — monthly
+    * series are ~10²; an inversion-count (BIT) drops it to O(n log n) if
+    * per-series lengths ever warrant it.
+    *
+    * Scale shape: [[seasonalArForecast]]'s — per-key series inside its
+    * executor, a million keys = a million independent kernels. */
+  def mannKendall(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, roundTo: Int = 4): DataFrame = {
+    val q = math.pow(10, roundTo)
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < 3) Iterator.empty
+        else {
+          var s = 0L
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              if (y(j) > y(i)) s += 1 else if (y(j) < y(i)) s -= 1
+              j += 1
+            }
+            i += 1
+          }
+          val tieSum = y.groupBy(identity).valuesIterator
+            .map(_.length.toLong).filter(_ > 1)
+            .map(t => t * (t - 1) * (2 * t + 5)).sum
+          val nL = n.toLong
+          val var18 = nL * (nL - 1) * (2 * nL + 5) - tieSum
+          val zRaw =
+            if (s > 0) (s.toDouble - 1.0) / math.sqrt(var18 / 18.0)
+            else if (s < 0) (s.toDouble + 1.0) / math.sqrt(var18 / 18.0)
+            else 0.0
+          val z = math.floor(zRaw * q + 0.5) / q
+          val trend =
+            if (z > 1.96) "increasing"
+            else if (z < -1.96) "decreasing"
+            else "no_trend"
+          Iterator.single(Row(key, n, s, var18, z, trend))
+        }
+      }(Encoders.row(mkSchema))
+      .toDF()
+  }
+
   private val ma1Schema = StructType(Seq(
     StructField("key", StringType),
     StructField("theta", DoubleType),

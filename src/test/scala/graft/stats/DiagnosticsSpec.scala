@@ -143,6 +143,25 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out(2).getAs[Double]("forecast") == mu)
   }
 
+  test("mannKendall: monotone, constant, and alternating series") {
+    val inc = (0 until 20).map(i => ("inc", i, i * 3.0 + 1))
+    val const = (0 until 20).map(i => ("const", i, 7.0))
+    val alt = (0 until 20).map(i => ("alt", i, if (i % 2 == 0) 1.0 else 2.0))
+    val out = Diagnostics.mannKendall((inc ++ const ++ alt).toDF("k", "t", "v"),
+      Seq("k"), "t", "v").collect().map(r => r.getString(0) -> r).toMap
+    // strictly increasing: S = n(n-1)/2 = 190, var18 = 20*19*45, trend up
+    assert(out("inc").getAs[Long]("s_stat") == 190L)
+    assert(out("inc").getAs[Long]("var18") == 20L * 19 * 45)
+    assert(out("inc").getAs[String]("trend") == "increasing")
+    // constant: all tied -> S = 0, var18 = 0, z = 0, no trend
+    assert(out("const").getAs[Long]("s_stat") == 0L)
+    assert(out("const").getAs[Long]("var18") == 0L)
+    assert(out("const").getAs[Double]("z") == 0.0)
+    assert(out("const").getAs[String]("trend") == "no_trend")
+    // alternating has no monotone drift
+    assert(out("alt").getAs[String]("trend") == "no_trend")
+  }
+
   test("adfFixedLag: t-stat matches the in-JVM OLS on the same regression") {
     // deterministic integer pseudo-random walk (unit-root-ish) — the same
     // Δy_t ~ [1, y_{t-1}, Δy_{t-1}] regression computed two ways: the
