@@ -629,26 +629,70 @@ object Multimodal {
     finally iis.close()
   }
 
-  /** Frame-sampled video features: the [[videoMeta]] header probe feeds
-    * [[frameSampleIndices]] (k evenly-spaced frames), and the decode
-    * kernel reads ONLY those frames — the plan a 100 TB video corpus
-    * needs (decode cost scales with k, not n_frames). Shuffle-free:
-    * payload bytes never leave their scan partition; only the exploded
-    * per-frame feature rows (a few ints each) flow on.
+  /** Frame-sampled video features in ONE container parse per row: the
+    * frame-count probe, the sampling plan (the JVM twin of
+    * [[frameSampleIndices]]'s `i·n/k` formula — [[sampleIndices]],
+    * parity-specced), and the random-access frame decodes all share a
+    * single reader. Decode cost scales with k, not n_frames — the plan a
+    * 100 TB video corpus needs. Shuffle-free: payload bytes never leave
+    * their scan partition; only the exploded per-frame feature rows (a
+    * few ints each) flow on.
+    *
+    * A split meta-probe + decode pair (the previous shape) parses the
+    * container twice AND re-evaluates any upstream planted/generated
+    * bytes expression once per reference — ~2x q210's wall time.
     *
     * Output: `(idCol, n_frames, frame_idx, width, height, sum_gray)`. */
   def videoFrameFeatures(df: DataFrame, idCol: String, binCol: String,
                          k: Int): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val kernel = udf((b: Array[Byte], idxs: Seq[Int]) =>
-      decodeVideoFrameStats(b, idxs))
-    df.withColumn("__meta", videoMetaCol(col(binCol)))
-      .withColumn("__fs",
-        kernel(col(binCol), frameSampleIndices(col("__meta"), k)))
-      .select(col(idCol), col("__meta.n_frames").as("n_frames"),
-        explode(col("__fs")).as("__f"))
+    val kernel = udf((b: Array[Byte]) => videoStats(b, k))
+    df.withColumn("__vs", kernel(col(binCol)))
+      .select(col(idCol), col("__vs._1").as("n_frames"),
+        explode(col("__vs._2")).as("__f"))
       .select(col(idCol), col("n_frames"),
         col("__f._1").as("frame_idx"), col("__f._2").as("width"),
         col("__f._3").as("height"), col("__f._4").as("sum_gray"))
   }
+
+  /** Single-parse kernel behind [[videoFrameFeatures]]: (n_frames,
+    * per-sampled-frame (idx, w, h, luminance sum)). Null/unreadable → null. */
+  def videoStats(bytes: Array[Byte], k: Int): (Int, Seq[(Int, Int, Int, Long)]) = {
+    if (bytes == null) return null
+    val iis = javax.imageio.ImageIO.createImageInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) return null
+      val reader = readers.next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        (n, sampleIndices(n, k).map { i =>
+          val img = reader.read(i)
+          val w = img.getWidth
+          val h = img.getHeight
+          var s = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              s += img.getRGB(x, y) & 0xff // gray palette: r = g = b
+              x += 1
+            }
+            y += 1
+          }
+          (i, w, h, s)
+        })
+      } finally reader.dispose()
+    } catch { case _: java.io.IOException => null }
+    finally iis.close()
+  }
+
+  /** JVM twin of [[frameSampleIndices]] — MUST stay formula-identical
+    * (MultimodalSpec asserts parity over an n sweep). */
+  def sampleIndices(n: Int, k: Int): Seq[Int] =
+    if (n <= 0) Seq.empty
+    else if (n <= k) 0 until n
+    else (0 until k).map(i => (i.toLong * n / k).toInt)
 }

@@ -100,6 +100,23 @@ class MultimodalSpec extends SparkSpec {
     assert(out(2).getSeq[Int](1) === Seq(0, 75, 150, 225)) // 300 frames, k=4
   }
 
+  test("sampleIndices (JVM) is formula-identical to frameSampleIndices (Column)") {
+    // the single-parse video kernel derives indices in the JVM; a drift
+    // from the Column planning form would silently desync q210's oracle
+    val ks = Seq(1, 3, 4, 8)
+    val ns = 0 to 40
+    val schema = StructType(Seq(StructField("meta", Multimodal.mediaMetaSchema)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        ns.map(n => Row(Row("video", "gif", null, null, null, n)))), schema)
+    ks.foreach { k =>
+      val expr = df.select(Multimodal.frameSampleIndices(col("meta"), k))
+        .collect().map(_.getSeq[Int](0).toSeq).toSeq
+      val jvm = ns.map(n => Multimodal.sampleIndices(n, k))
+      assert(expr == jvm, s"k=$k")
+    }
+  }
+
   test("frameSampleIndices: n_frames <= k returns all frames") {
     val schema = StructType(Seq(StructField("meta", Multimodal.mediaMetaSchema)))
     val df = spark.createDataFrame(
