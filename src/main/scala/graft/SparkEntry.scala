@@ -2693,7 +2693,22 @@ object SparkEntry {
     "q217_x_table_checksum" -> tuned((s, d) =>
       graft.operators.Integrity.tableChecksum(Tables.documents(s, d),
           Seq("source"), Seq("doc_id", "text", "lang", "n_chars"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- extension: JOINT ARMA(1,1) CLS grid fit — q117 fit the AR
+    // side, q213 the MA side; this fits both together with the
+    // closed-form intercept (e linear in c), 361 candidates replayed by
+    // ONE recursive CTE carrying (phi, theta, a, b)
+    "q218_u8_arma11_forecast" -> tuned((s, d) =>
+      graft.stats.Diagnostics.arma11Forecast(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+          Nil, "month", "tot", horizon = 6)
+        .select(col("key"), round(col("phi"), 1).as("phi"),
+          round(col("theta"), 1).as("theta"), round(col("c"), 6).as("c"),
+          col("step"), round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6636,7 +6651,51 @@ object SparkEntry {
         |  CAST(sum(fp % 1000000007) AS BIGINT) AS digest_a,
         |  CAST(sum(fp % 998244353) AS BIGINT) AS digest_b,
         |  min(fp) AS fp_min, max(fp) AS fp_max
-        |FROM f GROUP BY source ORDER BY source""".stripMargin)
+        |FROM f GROUP BY source ORDER BY source""".stripMargin),
+
+    // the (a, b) linear-in-c innovations recursion per (phi, theta)
+    // candidate in ONE recursive CTE; c* = sab/sbb and SSE_min =
+    // saa - sab^2/sbb closed-form; forecast by a second recursion
+    "q218_u8_arma11_forecast" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y FROM m),
+        |nn AS (SELECT CAST(max(t) AS BIGINT) AS n FROM o),
+        |cand AS (SELECT p.ph, q.th
+        |  FROM (SELECT CAST(k AS DOUBLE) / 10.0 AS ph
+        |        FROM (SELECT unnest(generate_series(-9, 9)) AS k)) p
+        |  CROSS JOIN (SELECT CAST(k AS DOUBLE) / 10.0 AS th
+        |        FROM (SELECT unnest(generate_series(-9, 9)) AS k)) q),
+        |rec(ph, th, t, a, b) AS (
+        |  SELECT c.ph, c.th, CAST(2 AS BIGINT),
+        |         o2.y - c.ph * o1.y - c.th * 0.0, 1.0 - c.th * 0.0
+        |  FROM cand c, o o1, o o2 WHERE o1.t = 1 AND o2.t = 2
+        |  UNION ALL
+        |  SELECT r.ph, r.th, r.t + 1,
+        |         o2.y - r.ph * o1.y - r.th * r.a,
+        |         1.0 - r.th * r.b
+        |  FROM rec r JOIN o o1 ON o1.t = r.t JOIN o o2 ON o2.t = r.t + 1),
+        |s AS (SELECT r.ph, r.th,
+        |        sum(r.a * r.a) AS saa, sum(r.a * r.b) AS sab, sum(r.b * r.b) AS sbb,
+        |        max(CASE WHEN r.t = nn.n THEN r.a END) AS alast,
+        |        max(CASE WHEN r.t = nn.n THEN r.b END) AS blast
+        |      FROM rec r CROSS JOIN nn GROUP BY r.ph, r.th),
+        |best AS (SELECT ph, th, sab / sbb AS c0,
+        |                alast - (sab / sbb) * blast AS elast
+        |         FROM s ORDER BY saa - sab * sab / sbb, ph, th LIMIT 1),
+        |ly AS (SELECT o.y FROM o CROSS JOIN nn WHERE o.t = nn.n),
+        |fc(step, f) AS (
+        |  SELECT 1, b.c0 + b.ph * ly.y + b.th * b.elast
+        |  FROM best b CROSS JOIN ly
+        |  UNION ALL
+        |  SELECT fc.step + 1, b.c0 + b.ph * fc.f
+        |  FROM fc CROSS JOIN best b WHERE fc.step < 6)
+        |SELECT 'all' AS key, round(b.ph, 1) AS phi, round(b.th, 1) AS theta,
+        |       round(b.c0, 6) AS c, CAST(fc.step AS INT) AS step,
+        |       round(fc.f, 4) AS forecast
+        |FROM fc CROSS JOIN best b ORDER BY step""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -338,6 +338,79 @@ object Diagnostics {
       .toDF()
   }
 
+  private val arma11Schema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("phi", DoubleType),
+    StructField("theta", DoubleType),
+    StructField("c", DoubleType),
+    StructField("step", IntegerType),
+    StructField("forecast", DoubleType)))
+
+  /** ARMA(1,1) conditional-least-squares fit + h-step forecast per key —
+    * the JOINT (φ, θ) slice of [[Sarimax.fitBest]] (q117 fit the AR
+    * side, q213 the MA side; this fits both together): `yₜ = c + φ·yₜ₋₁
+    * + εₜ + θ·εₜ₋₁` over the 19×19 grid, with the intercept solved in
+    * closed form per candidate. The innovations are LINEAR in c —
+    * `eₜ = aₜ − c·bₜ` where `aₜ = yₜ − φ·yₜ₋₁ − θ·aₜ₋₁` and
+    * `bₜ = 1 − θ·bₜ₋₁` (e₁ = 0 conditioning) — so `c* = Σab/Σb²` and
+    * `SSE_min = Σa² − (Σab)²/Σb²` need no inner optimization. Argmin by
+    * (SSE, φ, θ); forecast: `f₁ = c + φ·y_T + θ·e_T`, `f_h = c + φ·f_{h−1}`.
+    *
+    * Every recursion and the final expressions are fixed-IEEE-order, so
+    * a recursive CTE carrying (φ, θ, a, b) replays the whole fit —
+    * the grid is what buys SQL-checkability over Gauss-Newton.
+    *
+    * Scale shape: per-key kernel, 361·O(n) per series, state O(1). */
+  def arma11Forecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                     valueCol: String, horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < 4) Iterator.empty
+        else {
+          var bestSse = Double.MaxValue
+          var bestPhi = 0.0; var bestTh = 0.0
+          var bestC = 0.0; var bestE = 0.0
+          var k1 = -9
+          while (k1 <= 9) {
+            val phi = k1 / 10.0
+            var k2 = -9
+            while (k2 <= 9) {
+              val th = k2 / 10.0
+              var aPrev = 0.0; var bPrev = 0.0
+              var saa = 0.0; var sab = 0.0; var sbb = 0.0
+              var t = 1
+              while (t < n) {
+                val a = y(t) - phi * y(t - 1) - th * aPrev
+                val b = 1.0 - th * bPrev
+                saa += a * a; sab += a * b; sbb += b * b
+                aPrev = a; bPrev = b
+                t += 1
+              }
+              val sse = saa - sab * sab / sbb
+              if (sse < bestSse) {
+                bestSse = sse; bestPhi = phi; bestTh = th
+                val c = sab / sbb
+                bestC = c; bestE = aPrev - c * bPrev
+              }
+              k2 += 1
+            }
+            k1 += 1
+          }
+          val f1 = bestC + bestPhi * y(n - 1) + bestTh * bestE
+          val fs = Iterator.iterate(f1)(p => bestC + bestPhi * p)
+            .take(horizon).toVector
+          fs.iterator.zipWithIndex.map { case (f, i) =>
+            Row(key, bestPhi, bestTh, bestC, i + 1, f)
+          }
+        }
+      }(Encoders.row(arma11Schema))
+      .toDF()
+  }
+
   private val ma1Schema = StructType(Seq(
     StructField("key", StringType),
     StructField("theta", DoubleType),

@@ -301,4 +301,27 @@ class PlanSpec extends SparkSpec {
     // two sorts total: the shared window sort + the final orderBy
     assert(p.linesIterator.count(_.contains("Sort [")) <= 2, p)
   }
+
+  test("table checksum (q217): ONE map-side-combined aggregate, one hash shuffle") {
+    val p = plan("q217_x_table_checksum")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_sum")), s"no map-side combine:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"checksum must cost exactly one hash shuffle:\n$p")
+  }
+
+  test("URL canonicalization (q214): scan prunes documents to doc_id only") {
+    val p = plan("q214_x_url_canonical")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("ReadSchema: struct<doc_id:bigint>"),
+      s"planted-URL query must read ONLY doc_id:\n$scan")
+  }
+
+  test("ADF fixed-lag (q212): scan prunes orders to the date and price columns") {
+    val p = plan("q212_u56_adf_fixed")
+    val scan = p.linesIterator.find(_.contains("FileScan")).getOrElse("")
+    assert(scan.contains("o_orderdate") && scan.contains("o_totalprice") &&
+      !scan.contains("o_custkey") && !scan.contains("o_orderpriority"),
+      s"ADF must read only the two used columns:\n$scan")
+  }
 }

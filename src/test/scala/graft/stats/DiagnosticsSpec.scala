@@ -162,6 +162,29 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out("alt").getAs[String]("trend") == "no_trend")
   }
 
+  test("arma11Forecast: recovers planted grid (phi, theta) jointly") {
+    // y_t = c + 0.5*y_{t-1} + e_t + 0.3*e_{t-1}; the joint CLS grid must
+    // land on (0.5, 0.3) and the forecast fan must follow f_h = c + phi*f_{h-1}
+    val (phi0, th0, c0) = (0.5, 0.3, 10.0)
+    val innov = Iterator.iterate(424242424242L)(x =>
+        x * 6364136223846793005L + 1442695040888963407L)
+      .take(1001).map(x => ((x >>> 40) % 21 - 10) / 5.0).toSeq
+    val y = innov.tail.indices.foldLeft(Vector(20.0)) { (acc, i) =>
+      acc :+ (c0 + phi0 * acc.last + innov(i + 1) + th0 * innov(i))
+    }
+    val df = y.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("k", "t", "v")
+    val out = Diagnostics.arma11Forecast(df, Seq("k"), "t", "v", horizon = 4)
+      .orderBy("step").collect()
+    assert(out.length == 4)
+    assert(out.head.getAs[Double]("phi") == phi0,
+      s"phi=${out.head.getAs[Double]("phi")}")
+    assert(out.head.getAs[Double]("theta") == th0,
+      s"theta=${out.head.getAs[Double]("theta")}")
+    val c = out.head.getAs[Double]("c")
+    val fs = out.map(_.getAs[Double]("forecast"))
+    (1 until 4).foreach(h => assert(fs(h) == c + phi0 * fs(h - 1)))
+  }
+
   test("adfFixedLag: t-stat matches the in-JVM OLS on the same regression") {
     // deterministic integer pseudo-random walk (unit-root-ish) — the same
     // Δy_t ~ [1, y_{t-1}, Δy_{t-1}] regression computed two ways: the
