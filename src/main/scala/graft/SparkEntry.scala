@@ -2708,7 +2708,18 @@ object SparkEntry {
         .select(col("key"), round(col("phi"), 1).as("phi"),
           round(col("theta"), 1).as("theta"), round(col("c"), 6).as("c"),
           col("step"), round(col("forecast"), 4).as("forecast"))
-        .orderBy("key", "step"))
+        .orderBy("key", "step")),
+
+    // ---- extension: closed-form Naive Bayes quality scorer — q93's
+    // hash-checkable sibling: same hashed-BoW features and label, but
+    // counts + one ln per bucket instead of gradient descent, nanonat
+    // integer sums end-to-end
+    "q219_x_naive_bayes" -> tuned((s, d) =>
+      graft.text.QualityClassifier.naiveBayes(
+          Tables.documents(s, d).withColumn("label",
+            array_contains(Cols.tokens(col("text")), "vector").cast("int")),
+          "doc_id", "text", "label", dim = 512)
+        .orderBy("doc_id"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6695,7 +6706,40 @@ object SparkEntry {
         |SELECT 'all' AS key, round(b.ph, 1) AS phi, round(b.th, 1) AS theta,
         |       round(b.c0, 6) AS c, CAST(fc.step AS INT) AS step,
         |       round(fc.f, 4) AS forecast
-        |FROM fc CROSS JOIN best b ORDER BY step""".stripMargin)
+        |FROM fc CROSS JOIN best b ORDER BY step""".stripMargin),
+
+    // same md5-bucket hashing, one ln per bucket over exact integer
+    // products, nanonat-quantized then integer-summed per doc
+    "q219_x_naive_bayes" ->
+      (s"""WITH d AS (
+        |  SELECT doc_id, text,
+        |    CASE WHEN list_contains(regexp_split_to_array(trim(text), '\\s+'), 'vector')
+        |         THEN 1 ELSE 0 END AS y
+        |  FROM documents
+        |  WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |t AS (SELECT doc_id, y, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+        |      FROM d),
+        |b AS (SELECT doc_id, y, ${dkHash32("tok")} % 512 AS bk FROM t),
+        |cnt AS (SELECT bk, CAST(sum(y) AS BIGINT) AS np,
+        |               CAST(sum(1 - y) AS BIGINT) AS nn
+        |        FROM b GROUP BY bk),
+        |tot AS (SELECT CAST(sum(np) AS BIGINT) AS tp, CAST(sum(nn) AS BIGINT) AS tn
+        |        FROM cnt),
+        |w AS (SELECT bk,
+        |        CAST(floor(ln(CAST((np + 1) * (tn + 512) AS DOUBLE) /
+        |                      CAST((nn + 1) * (tp + 512) AS DOUBLE)) * 1e9 + 0.5)
+        |          AS BIGINT) AS w
+        |      FROM cnt CROSS JOIN tot),
+        |pr AS (SELECT CASE WHEN sum(y) > 0 AND sum(1 - y) > 0
+        |         THEN CAST(floor(ln(CAST(sum(y) AS DOUBLE) / sum(1 - y)) * 1e9 + 0.5)
+        |                AS BIGINT) END AS pw
+        |       FROM d)
+        |SELECT b.doc_id, b.y AS label,
+        |       CAST(pr.pw + sum(w.w) AS BIGINT) AS score_nn,
+        |       pr.pw + sum(w.w) > 0 AS pred
+        |FROM b JOIN w ON b.bk = w.bk CROSS JOIN pr
+        |GROUP BY b.doc_id, b.y, pr.pw
+        |ORDER BY b.doc_id""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -117,4 +117,57 @@ object QualityClassifier {
   def filterByQuality(docs: DataFrame, textCol: String, model: Model,
                       threshold: Double): DataFrame =
     docs.filter(scoreCol(col(textCol), model) >= threshold)
+
+  /** Multinomial Naive Bayes over the SAME hashed bag-of-words features —
+    * the closed-form sibling of [[train]]: no gradient iterations means
+    * every number is one fixed expression over exact counts, so unlike
+    * the logistic fit this classifier is END-TO-END hash-checkable by a
+    * SQL oracle (q219 vs q93's rows-only).
+    *
+    * Per-bucket log-likelihood-ratio with Laplace smoothing, ONE `ln`
+    * per bucket over a ratio of exact integer products —
+    * `w_b = ln( (n⁺_b+1)(N⁻+dim) / ((n⁻_b+1)(N⁺+dim)) )` — quantized to
+    * nanonat longs so per-doc sums are integer-exact in any order (the
+    * q153/q169 float discipline). Doc score = class-prior nanonats +
+    * Σ_token w_bucket; predicted positive when > 0.
+    *
+    * Scale shape: one token-explode aggregate (map-side combined) for
+    * the dim-bounded bucket table, broadcast back onto the exploded
+    * tokens, one per-doc sum — text crosses the wire once as tokens,
+    * the model is O(dim). Degenerate single-class corpora emit null
+    * scores (a ±∞ prior would otherwise overflow silently).
+    *
+    * Output: `(idCol, label, score_nn, pred)`. */
+  def naiveBayes(docs: DataFrame, idCol: String, textCol: String,
+                 labelCol: String, dim: Int = 512): DataFrame = {
+    require(dim >= 2, s"dim must be >= 2, got $dim")
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0 &&
+        col(labelCol).isNotNull)
+      .select(col(idCol), col(labelCol).cast("int").as("__y"), col(textCol))
+    val toks = base
+      .select(col(idCol), col("__y"),
+        explode(graft.functions.Cols.tokens(col(textCol))).as("__t"))
+      .withColumn("__b", graft.functions.Cols.hash32(col("__t")) % dim)
+    val bucket = toks.groupBy("__b").agg(
+      sum(col("__y")).cast("long").as("np"),
+      sum(lit(1) - col("__y")).cast("long").as("nn"))
+    val tot = bucket.agg(sum(col("np")).as("tp"), sum(col("nn")).as("tn"))
+    val nanonat = (c: Column) => floor(log(c) * lit(1e9) + lit(0.5)).cast("long")
+    val w = bucket.crossJoin(broadcast(tot))
+      .select(col("__b"), nanonat(
+        ((col("np") + 1) * (col("tn") + dim)).cast("double") /
+          ((col("nn") + 1) * (col("tp") + dim)).cast("double")).as("__w"))
+    val prior = base.agg(sum(col("__y")).cast("long").as("dp"),
+        sum(lit(1) - col("__y")).cast("long").as("dn"))
+      .select(when(col("dp") > 0 && col("dn") > 0,
+        nanonat(col("dp").cast("double") / col("dn"))).as("__pw"))
+    toks.join(broadcast(w), Seq("__b"))
+      .groupBy(col(idCol), col("__y").as("label"))
+      .agg(sum(col("__w")).as("__s"))
+      .crossJoin(broadcast(prior))
+      .select(col(idCol), col("label"),
+        (col("__pw") + col("__s")).as("score_nn"),
+        (col("__pw") + col("__s") > 0).as("pred"))
+  }
 }

@@ -48,4 +48,28 @@ class QualityClassifierSpec extends SparkSpec {
     val model = QualityClassifier.train(df, "text", "label", dim = 64, iters = 5)
     assert(model.weights.exists(_ != 0.0)) // trained on the labeled pair
   }
+
+  test("naiveBayes separates a vocabulary-disjoint planted corpus") {
+    // positive docs speak one vocabulary, negative another — every
+    // training doc must score on its own side of 0
+    val pos = (0 until 20).map(i => (i.toLong, s"good clean prose article $i", 1))
+    val neg = (0 until 20).map(i => ((i + 100).toLong, s"spam junk noise garbage $i", 0))
+    val df = (pos ++ neg).toDF("doc_id", "text", "label")
+    val out = QualityClassifier.naiveBayes(df, "doc_id", "text", "label", dim = 128)
+      .collect()
+    assert(out.length == 40)
+    out.foreach { r =>
+      assert(r.getAs[Boolean]("pred") == (r.getAs[Int]("label") == 1),
+        s"doc ${r.getLong(0)} label=${r.getAs[Int]("label")} " +
+          s"score=${r.getAs[Long]("score_nn")}")
+    }
+  }
+
+  test("naiveBayes: a single-class corpus emits null scores, not overflow") {
+    val df = (0 until 5).map(i => (i.toLong, s"only one class here $i", 1))
+      .toDF("doc_id", "text", "label")
+    val out = QualityClassifier.naiveBayes(df, "doc_id", "text", "label", dim = 64)
+      .collect()
+    assert(out.nonEmpty && out.forall(_.isNullAt(2)))
+  }
 }
