@@ -2719,7 +2719,57 @@ object SparkEntry {
           Tables.documents(s, d).withColumn("label",
             array_contains(Cols.tokens(col("text")), "vector").cast("int")),
           "doc_id", "text", "label", dim = 512)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- extension: per-source Average Precision — the PR-curve
+    // readout beside q188's ROC AUC; score = n_chars (heavy ties, so
+    // the doc_id tie-break contract is exercised), label = contains
+    // 'data'. Exact integer precision@k terms end-to-end
+    "q220_x_avg_precision" -> tuned((s, d) =>
+      graft.operators.Metrics.averagePrecision(
+          Tables.documents(s, d)
+            .withColumn("label", instr(col("text"), "data") > 0),
+          Seq("source"), "n_chars", "label", "doc_id")
+        .orderBy("source")),
+
+    // ---- extension: reliability diagram + ECE numerators — planted
+    // PERFECTLY-CALIBRATED score (label ⇔ an independent hash draw
+    // below the score), so the gap columns read near-zero by
+    // construction and any systematic bias would be visible
+    "q221_x_calibration" -> tuned((s, d) =>
+      graft.operators.Metrics.calibrationBins(
+          Tables.documents(s, d)
+            .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
+            .withColumn("label",
+              pmod(col("doc_id") * 2654435761L, lit(1000000L)) < col("score_e6")),
+          "score_e6", "label", nBins = 10)
+        .orderBy("bin")),
+
+    // ---- extension: Welch two-sample t-test per order status — the
+    // A/B location readout (URGENT vs LOW totals); whole-dollar values
+    // keep Σx² < 2⁶³ to sf10 (cents overflow at sf0.1 — measured)
+    "q222_x_welch_ttest" -> tuned((s, d) =>
+      graft.operators.Metrics.welchTTest(
+          Tables.orders(s, d)
+            .withColumn("dollars", round(col("o_totalprice")).cast("long")),
+          Seq("o_orderstatus"), "o_orderpriority", "dollars",
+          "1-URGENT", "5-LOW")
+        .orderBy("o_orderstatus")),
+
+    // ---- extension: Cohen's kappa per lang — two 3-level length
+    // raters, B a hash-noised version of A, so κ lands strictly inside
+    // (0, 1) and the chance correction actually bites
+    "q223_x_cohen_kappa" -> tuned((s, d) => {
+      val noisy = col("n_chars") + pmod(col("doc_id") * 1103515245L, lit(211L)) - 105L
+      def tier(c: org.apache.spark.sql.Column) =
+        when(c >= 350, "hi").when(c >= 250, "mid").otherwise("lo")
+      graft.operators.Metrics.cohenKappa(
+          Tables.documents(s, d).filter(col("lang").isNotNull)
+            .withColumn("rater_a", tier(col("n_chars")))
+            .withColumn("rater_b", tier(noisy)),
+          Seq("lang"), "rater_a", "rater_b")
+        .orderBy("lang")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6739,7 +6789,115 @@ object SparkEntry {
         |       pr.pw + sum(w.w) > 0 AS pred
         |FROM b JOIN w ON b.bk = w.bk CROSS JOIN pr
         |GROUP BY b.doc_id, b.y, pr.pw
-        |ORDER BY b.doc_id""".stripMargin)
+        |ORDER BY b.doc_id""".stripMargin),
+
+    // same ranking (score DESC, doc_id tie-break), exact integer
+    // precision@k numerators, two integer divisions
+    "q220_x_avg_precision" ->
+      ("""WITH d AS (
+        |  SELECT source, doc_id, n_chars AS s,
+        |         strpos(text, 'data') > 0 AS y
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL),
+        |r AS (SELECT source, y,
+        |    row_number() OVER (PARTITION BY source ORDER BY s DESC, doc_id) AS k,
+        |    sum(CASE WHEN y THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY source ORDER BY s DESC, doc_id) AS cum
+        |  FROM d)
+        |SELECT source, count(*) AS n,
+        |  CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CASE WHEN y THEN cum * 1000000000 // k ELSE 0 END)
+        |    // nullif(sum(CASE WHEN y THEN 1 ELSE 0 END), 0) AS BIGINT) AS ap_e9
+        |FROM r GROUP BY source ORDER BY source""".stripMargin),
+
+    // identical planted score/label hashes (doc_id positive, so % == pmod)
+    // and the same all-integer per-bin readout
+    "q221_x_calibration" ->
+      ("""WITH d AS (
+        |  SELECT (doc_id * 48271) % 1000001 AS s,
+        |         (doc_id * 2654435761) % 1000000 < (doc_id * 48271) % 1000001 AS y
+        |  FROM documents),
+        |g AS (SELECT least(s * 10 // 1000000, 9) AS bin, count(*) AS n,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |        CAST(sum(s) AS BIGINT) AS ssum
+        |      FROM d GROUP BY 1)
+        |SELECT bin, n, n_pos,
+        |  ssum // n AS mean_score_e6,
+        |  n_pos * 1000000 // n AS obs_rate_e6,
+        |  abs(ssum // n - n_pos * 1000000 // n) AS gap_e6,
+        |  abs(ssum // n - n_pos * 1000000 // n) * n AS ece_num_e6
+        |FROM g ORDER BY bin""".stripMargin),
+
+    // six exact integer sums per status, then the SAME fixed double
+    // tree (IEEE order mirrored character-for-character) for t and df
+    "q222_x_welch_ttest" ->
+      ("""WITH o AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |         CAST(round(o_totalprice) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+        |a AS (SELECT st,
+        |    CAST(sum(CASE WHEN pr = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |    CAST(sum(CASE WHEN pr = '1-URGENT' THEN x ELSE 0 END) AS BIGINT) AS sa,
+        |    CAST(sum(CASE WHEN pr = '1-URGENT' THEN x * x ELSE 0 END) AS BIGINT) AS qa,
+        |    CAST(sum(CASE WHEN pr = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+        |    CAST(sum(CASE WHEN pr = '5-LOW' THEN x ELSE 0 END) AS BIGINT) AS sb,
+        |    CAST(sum(CASE WHEN pr = '5-LOW' THEN x * x ELSE 0 END) AS BIGINT) AS qb
+        |  FROM o GROUP BY st)
+        |SELECT st AS o_orderstatus, n_a, n_b,
+        |  sa * 100 // nullif(n_a, 0) AS mean_a_e2,
+        |  sb * 100 // nullif(n_b, 0) AS mean_b_e2,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |    (((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)) / n_a
+        |     + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)) / n_b) > 0
+        |  THEN CAST(floor((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+        |    / sqrt((((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)) / n_a
+        |      + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)) / n_b))
+        |    * 10000 + 0.5) AS BIGINT) END AS t_e4,
+        |  CASE WHEN n_a >= 2 AND n_b >= 2 AND
+        |    (((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)) / n_a
+        |     + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)) / n_b) > 0
+        |  THEN CAST(floor(
+        |    (((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)) / n_a
+        |     + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)) / n_b)
+        |    * (((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)) / n_a
+        |     + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)) / n_b)
+        |    / (((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)) / n_a
+        |       * (((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1)) / n_a)
+        |       / (n_a - 1)
+        |     + ((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)) / n_b
+        |       * (((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1)) / n_b)
+        |       / (n_b - 1))
+        |    * 10000 + 0.5) AS BIGINT) END AS df_e4
+        |FROM a ORDER BY st""".stripMargin),
+
+    // cell grid -> marginals -> Σrow·col, all exact integers; κ through
+    // the one signed double division (the q216 convention)
+    "q223_x_cohen_kappa" ->
+      ("""WITH d AS (
+        |  SELECT lang,
+        |    CASE WHEN n_chars >= 350 THEN 'hi'
+        |         WHEN n_chars >= 250 THEN 'mid' ELSE 'lo' END AS a,
+        |    CASE WHEN n_chars + (doc_id * 1103515245) % 211 - 105 >= 350 THEN 'hi'
+        |         WHEN n_chars + (doc_id * 1103515245) % 211 - 105 >= 250 THEN 'mid'
+        |         ELSE 'lo' END AS b
+        |  FROM documents WHERE lang IS NOT NULL),
+        |c AS (SELECT lang, a, b, CAST(count(*) AS BIGINT) AS c FROM d GROUP BY 1, 2, 3),
+        |rm AS (SELECT lang, a AS cls, CAST(sum(c) AS BIGINT) AS r FROM c GROUP BY 1, 2),
+        |cm AS (SELECT lang, b AS cls, CAST(sum(c) AS BIGINT) AS cc FROM c GROUP BY 1, 2),
+        |rc AS (SELECT rm.lang, CAST(sum(r * cc) AS BIGINT) AS rc
+        |       FROM rm JOIN cm ON rm.lang = cm.lang AND rm.cls = cm.cls GROUP BY 1),
+        |bs AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+        |       FROM c GROUP BY 1)
+        |SELECT bs.lang, n,
+        |  diag * 1000000 // n AS po_e6,
+        |  rc * 1000000 // (n * n) AS pe_e6,
+        |  CASE WHEN n * n - rc <> 0 THEN
+        |    CAST(floor(CAST(n * diag - rc AS DOUBLE) / (n * n - rc)
+        |               * 1000000 + 0.5) AS BIGINT) END AS kappa_e6
+        |FROM bs JOIN rc ON bs.lang = rc.lang ORDER BY bs.lang""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -204,4 +204,194 @@ object Metrics {
         expr("(__s2 - n_pos * (n_pos + 1)) * 1000000 div nullif(2 * n_pos * n_neg, 0)"))
       .drop("__s2")
   }
+
+  /** Per-group Average Precision (the area under the precision–recall
+    * curve by the step-function convention) — the rare-positive
+    * complement of [[groupedAuc]]: AUC is tie-invariant under class
+    * imbalance, AP collapses when the positives are buried, which is
+    * exactly the regime of quality-classifier screens over web corpora
+    * (a few good docs in a sea of boilerplate).
+    *
+    * `AP = (1/n₊) Σ_{k: label_k=+} precision@k` over the ranking by
+    * `scoreCol` DESC. Score ties are broken by `tieCol` ASC — AP (unlike
+    * rank-AUC) depends on the concrete permutation, so the tie-break is
+    * part of the operator's contract, not a hash-stability hack; pass
+    * the stable document id.
+    *
+    * Integer-exact: `precision@k = cum₊(k)/k` is emitted per positive
+    * row as the exact integer `⌊cum₊·10⁹ / k⌋`, summed exactly, then one
+    * `div n₊` — both quantizations replay bit-for-bit in SQL. BIGINT
+    * bound: `cum₊·10⁹ ≤ n₊·10⁹` — safe to ~9·10⁹ positives per group.
+    *
+    * Scale shape: one shuffle on the group columns; the ranking window
+    * and the final aggregate share that partitioning. Groups with no
+    * positives emit null `ap_e9`.
+    *
+    * Output: `(groupCols…, n, n_pos, ap_e9)`. */
+  def averagePrecision(df: DataFrame, groupCols: Seq[String],
+                       scoreCol: String, labelCol: String,
+                       tieCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "averagePrecision needs at least one group column")
+    val score = col(scoreCol)
+    val label = col(labelCol)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(score.desc, col(tieCol).asc)
+    df.filter(score.isNotNull && label.isNotNull)
+      .withColumn("__k", row_number().over(w).cast("long"))
+      .withColumn("__cum", sum(when(label, 1L).otherwise(0L)).over(w))
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(when(label, expr("__cum * 1000000000 div __k")).otherwise(0L))
+          .as("__ap_num"))
+      .withColumn("ap_e9", expr("__ap_num div nullif(n_pos, 0)"))
+      .drop("__ap_num")
+  }
+
+  /** Reliability (calibration) bins of an e6-scaled score against a
+    * boolean label — "when the model says 0.9, does 0.9 of the slice
+    * convert?": per equal-width score bin, the mean predicted
+    * probability vs the observed positive rate, plus each bin's
+    * |gap|·n contribution so `Σ ece_num_e6 div n_total` is the Expected
+    * Calibration Error (Naeini et al. 2015) — the readout a score
+    * must pass before its thresholds mean anything.
+    *
+    * `scoreE6Col` is an integer score in [0, 10⁶] (the e6 convention
+    * every classifier in this engine emits — [[graft.text.QualityClassifier]],
+    * [[groupedAuc]]'s inputs); `bin = min(score·nBins div 10⁶, nBins−1)`
+    * is exact integer arithmetic, as are both rates:
+    * `mean_score_e6 = Σscore div n`, `obs_rate_e6 = n₊·10⁶ div n`.
+    * No float anywhere.
+    *
+    * Scale shape: ONE aggregate over (group-free) bins — per-(bin)
+    * counts map-side combine; the grid is nBins rows. Empty bins are
+    * absent (a LEFT join against a literal grid is the caller's
+    * densification if needed). Output: `(bin, n, n_pos, mean_score_e6,
+    * obs_rate_e6, gap_e6, ece_num_e6)`. */
+  def calibrationBins(df: DataFrame, scoreE6Col: String, labelCol: String,
+                      nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val score = col(scoreE6Col)
+    val label = col(labelCol)
+    df.filter(score.isNotNull && label.isNotNull)
+      .withColumn("__bin",
+        least(expr(s"`$scoreE6Col` * $nBins div 1000000"), lit(nBins - 1L)))
+      .groupBy(col("__bin").as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(score.cast("long")).as("__ssum"))
+      .withColumn("mean_score_e6", expr("__ssum div n"))
+      .withColumn("obs_rate_e6", expr("n_pos * 1000000 div n"))
+      .withColumn("gap_e6", abs(col("mean_score_e6") - col("obs_rate_e6")))
+      .withColumn("ece_num_e6", col("gap_e6") * col("n"))
+      .drop("__ssum")
+  }
+
+  /** Per-key Welch two-sample t-test between groups `groupA` and
+    * `groupB` of `groupCol` over an INTEGER `valueCol` (cents — the
+    * engine's money convention): the unequal-variance location test
+    * that backs every A/B readout, with the Welch–Satterthwaite
+    * degrees of freedom. The parametric companion of the rank tests
+    * ([[groupedAuc]] IS Mann–Whitney; this is the t side).
+    *
+    * Exactness discipline (the q216 shape): the DATA-dependent part is
+    * one conditional aggregate of exact integers — n, Σx, Σx² per side,
+    * map-side combined, no float crossing a row boundary. The t
+    * statistic and df are then ONE fixed-IEEE-order double expression
+    * over those six integers, e4-quantized (`⌊x·10⁴ + 0.5⌋`) so a SQL
+    * replay of the same expression tree hash-matches. BIGINT bound:
+    * Σx² ≤ 2⁶³ ⇒ |x| ≤ ~3·10⁶ cents at 10⁹ rows/side — document-scale
+    * metrics fit; re-scale upstream for larger magnitudes.
+    *
+    * Keys where either side has n < 2 or both variances are 0 emit
+    * null `t_e4`/`df_e4` (the test is undefined, and ±∞ would read as
+    * an infinitely significant result). Output: `(keys…, n_a, n_b,
+    * mean_a_e2, mean_b_e2, t_e4, df_e4)` — means as exact integer
+    * `Σx·100 div n` (hundredths of a cent). */
+  def welchTTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                 valueCol: String, groupA: String, groupB: String): DataFrame = {
+    val g = col(groupCol)
+    val x = col(valueCol).cast("long")
+    val inA = g === groupA
+    val inB = g === groupB
+    val agg = df.filter((inA || inB) && g.isNotNull && x.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, x).otherwise(0L)).as("__sa"),
+        sum(when(inA, x * x).otherwise(0L)).as("__qa"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(inB, x).otherwise(0L)).as("__sb"),
+        sum(when(inB, x * x).otherwise(0L)).as("__qb"))
+    // fixed double tree over the six exact integers; mirrored literally
+    // in the SQL oracle so the IEEE evaluation order is identical
+    val va = "((cast(__qa as double) - cast(__sa as double) * __sa / n_a) / (n_a - 1))"
+    val vb = "((cast(__qb as double) - cast(__sb as double) * __sb / n_b) / (n_b - 1))"
+    val se2 = s"($va / n_a + $vb / n_b)"
+    agg
+      .withColumn("mean_a_e2", expr("__sa * 100 div nullif(n_a, 0)"))
+      .withColumn("mean_b_e2", expr("__sb * 100 div nullif(n_b, 0)"))
+      .withColumn("t_e4", expr(
+        s"""case when n_a >= 2 and n_b >= 2 and $se2 > 0 then
+           |  cast(floor((cast(__sa as double) / n_a - cast(__sb as double) / n_b)
+           |             / sqrt($se2) * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("df_e4", expr(
+        s"""case when n_a >= 2 and n_b >= 2 and $se2 > 0 then
+           |  cast(floor($se2 * $se2 /
+           |    ($va / n_a * ($va / n_a) / (n_a - 1) +
+           |     $vb / n_b * ($vb / n_b) / (n_b - 1)) * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .drop("__sa", "__qa", "__sb", "__qb")
+  }
+
+  /** Per-key Cohen's kappa between two categorical raters — chance-
+    * corrected agreement, THE cross-annotator / model-vs-model
+    * consistency readout (two quality classifiers, a heuristic vs an
+    * LLM labeler): `κ = (p_o − p_e)/(1 − p_e)` where `p_o` is observed
+    * agreement and `p_e = Σ_c row_c·col_c / n²` the chance rate from
+    * the marginals.
+    *
+    * Exactness: everything flows from ONE per-(key, a, b) cell-count
+    * aggregate — the marginals are RE-AGGREGATIONS OF THE CELL GRID
+    * (cells·classes rows), never a second row scan. With integers
+    * `n`, `diag = Σ_c cell_cc`, `rc = Σ_c row_c·col_c`:
+    * `po_e6 = diag·10⁶ div n`, `pe_e6 = rc·10⁶ div n²`, and
+    * `κ = (n·diag − rc)/(n² − rc)` is an exact BIGINT rational — κ is
+    * signed, so it is emitted through the one fixed double division
+    * e6-quantized (the q216 signed-ratio convention; integer `div`
+    * truncation differs cross-engine on negatives). BIGINT bound:
+    * n² < 2⁶³ ⇒ n ≤ 3·10⁹ rows per key.
+    *
+    * Perfect-chance keys (`pe = 1`: both raters constant) emit null κ.
+    * Output: `(keys…, n, po_e6, pe_e6, kappa_e6)`. */
+  def cohenKappa(df: DataFrame, keyCols: Seq[String], raterACol: String,
+                 raterBCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cohenKappa needs at least one key column")
+    val k = keyCols.map(col)
+    val cells = df.filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
+      .groupBy(k :+ col(raterACol).as("__a") :+ col(raterBCol).as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = cells.groupBy(k :+ col("__a").as("__cls"): _*)
+      .agg(sum(col("__c")).as("__row"))
+    val cols_ = cells.groupBy(k :+ col("__b").as("__cls"): _*)
+      .agg(sum(col("__c")).as("__col"))
+    val rc = rows.join(cols_, keyCols :+ "__cls")
+      .groupBy(k: _*).agg(sum(col("__row") * col("__col")).as("__rc"))
+    val base = cells.groupBy(k: _*)
+      .agg(sum(col("__c")).as("n"),
+        sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("__diag"))
+    base.join(rc, keyCols)
+      .withColumn("po_e6", expr("__diag * 1000000 div n"))
+      .withColumn("pe_e6", expr("__rc * 1000000 div (n * n)"))
+      .withColumn("kappa_e6", expr(
+        """case when n * n - __rc <> 0 then
+          |  cast(floor(cast(n * __diag - __rc as double) / (n * n - __rc)
+          |             * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .drop("__diag", "__rc")
+  }
 }

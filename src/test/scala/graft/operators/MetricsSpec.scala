@@ -124,4 +124,83 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_pos") == 1L && r.getAs[Long]("n_neg") == 1L)
     assert(r.getAs[Long]("auc_e6") == 1000000L)
   }
+
+  test("averagePrecision: hand-computed ranking with tie-break") {
+    // ranking by score desc, id asc: (id2,s=5,+), (id1,s=3,+), (id3,s=3,-), (id4,s=1,+)
+    // AP = (1/3)(1/1 + 2/2 + 3/4) = 11/12
+    val df = Seq(
+      ("g", 1L, 3L, true), ("g", 2L, 5L, true), ("g", 3L, 3L, false), ("g", 4L, 1L, true)
+    ).toDF("grp", "id", "score", "label")
+    val r = Metrics.averagePrecision(df, Seq("grp"), "score", "label", "id")
+      .collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 3L)
+    // (1e9 + 1e9 + 750000000) / 3 = 916666666
+    assert(r.getAs[Long]("ap_e9") == 916666666L)
+  }
+
+  test("averagePrecision: all-positive group is exactly 1, no-positive group null") {
+    val df = Seq(("a", 1L, 2L, true), ("a", 2L, 1L, true), ("b", 3L, 9L, false))
+      .toDF("grp", "id", "score", "label")
+    val m = Metrics.averagePrecision(df, Seq("grp"), "score", "label", "id")
+      .collect().map(r => r.getString(0) -> Option(r.getAs[Long]("ap_e9"))).toMap
+    assert(m("a").contains(1000000000L))
+    val bRow = Metrics.averagePrecision(df, Seq("grp"), "score", "label", "id")
+      .filter(col("grp") === "b").collect().head
+    assert(bRow.isNullAt(bRow.fieldIndex("ap_e9")))
+  }
+
+  test("calibrationBins: exact integer bin readouts") {
+    // scores 50000 (bin 0), 950000 & 1000000 (bin 9)
+    val df = Seq((50000L, false), (950000L, true), (1000000L, true))
+      .toDF("score_e6", "label")
+    val m = Metrics.calibrationBins(df, "score_e6", "label", nBins = 10)
+      .collect().map(r => r.getAs[Long]("bin") -> r).toMap
+    assert(m(0L).getAs[Long]("n") == 1L && m(0L).getAs[Long]("obs_rate_e6") == 0L)
+    val b9 = m(9L)
+    assert(b9.getAs[Long]("n") == 2L && b9.getAs[Long]("n_pos") == 2L)
+    assert(b9.getAs[Long]("mean_score_e6") == 975000L)
+    assert(b9.getAs[Long]("obs_rate_e6") == 1000000L)
+    assert(b9.getAs[Long]("gap_e6") == 25000L)
+    assert(b9.getAs[Long]("ece_num_e6") == 50000L)
+  }
+
+  test("welchTTest: equal-variance symmetric case matches the closed form") {
+    // A = {10, 20}, B = {10, 20} -> t = 0, df = 2 (Welch reduces to 2(n-1))
+    val df = Seq(("k", "A", 10L), ("k", "A", 20L), ("k", "B", 10L), ("k", "B", 20L))
+      .toDF("key", "grp", "v")
+    val r = Metrics.welchTTest(df, Seq("key"), "grp", "v", "A", "B").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("mean_a_e2") == 1500L)
+    assert(r.getAs[Long]("t_e4") == 0L)
+    assert(r.getAs[Long]("df_e4") == 20000L)
+  }
+
+  test("welchTTest: degenerate sides emit null t") {
+    val df = Seq(("k", "A", 5L), ("k", "B", 1L), ("k", "B", 2L))
+      .toDF("key", "grp", "v") // n_a = 1
+    val r = Metrics.welchTTest(df, Seq("key"), "grp", "v", "A", "B").collect().head
+    assert(r.isNullAt(r.fieldIndex("t_e4")) && r.isNullAt(r.fieldIndex("df_e4")))
+    val cdf = Seq(("k", "A", 5L), ("k", "A", 5L), ("k", "B", 5L), ("k", "B", 5L))
+      .toDF("key", "grp", "v") // both variances 0 -> se2 = 0
+    val cr = Metrics.welchTTest(cdf, Seq("key"), "grp", "v", "A", "B").collect().head
+    assert(cr.isNullAt(cr.fieldIndex("t_e4")))
+  }
+
+  test("cohenKappa: perfect agreement is 1e6, independence-planted is 0") {
+    val perfect = Seq(("k", "x", "x"), ("k", "y", "y"), ("k", "x", "x"))
+      .toDF("key", "a", "b")
+    val pr = Metrics.cohenKappa(perfect, Seq("key"), "a", "b").collect().head
+    assert(pr.getAs[Long]("po_e6") == 1000000L && pr.getAs[Long]("kappa_e6") == 1000000L)
+    // 2x2 exact independence: every (a, b) cell equally filled
+    val indep = Seq(("k", "x", "x"), ("k", "x", "y"), ("k", "y", "x"), ("k", "y", "y"))
+      .toDF("key", "a", "b")
+    val ir = Metrics.cohenKappa(indep, Seq("key"), "a", "b").collect().head
+    assert(ir.getAs[Long]("pe_e6") == 500000L && ir.getAs[Long]("kappa_e6") == 0L)
+  }
+
+  test("cohenKappa: constant raters (pe = 1) emit null kappa") {
+    val df = Seq(("k", "x", "x"), ("k", "x", "x")).toDF("key", "a", "b")
+    val r = Metrics.cohenKappa(df, Seq("key"), "a", "b").collect().head
+    assert(r.isNullAt(r.fieldIndex("kappa_e6")))
+  }
 }
