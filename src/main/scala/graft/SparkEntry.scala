@@ -2769,7 +2769,55 @@ object SparkEntry {
             .withColumn("rater_b", tier(noisy)),
           Seq("lang"), "rater_a", "rater_b")
         .orderBy("lang")
-    })
+    }),
+
+    // ---- extension: Theil-Sen robust trend slope — q216's Mann-Kendall
+    // decides IF a priority drifts; this sizes BY HOW MUCH per month,
+    // with 29% outlier breakdown (same monthly cents input, so the pair
+    // reads side-by-side in one report)
+    "q224_x_theil_sen" -> tuned((s, d) =>
+      graft.stats.Diagnostics.theilSen(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("cents")),
+          Seq("o_orderpriority"), "month", "cents")
+        .orderBy("key")),
+
+    // ---- extension: Kaplan-Meier retention curves — per-cohort user
+    // lifetimes in days (first event -> last event), CENSORED when the
+    // user is still active in the final 14 days of the window; the
+    // observation edge derives FROM the per-user aggregate (no second
+    // scan of the events table)
+    "q225_x_kaplan_meier" -> tuned((s, d) => {
+      val per = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          max(expr("ts_ns div 1000")).as("last_us"))
+      val gmax = per.agg(max(col("last_us")).as("gmax"))
+      val subjects = per.crossJoin(broadcast(gmax))
+        .select(
+          concat(lit("c"), pmod(col("user_id"), lit(3L)).cast("string")).as("cohort"),
+          expr("(last_us - first_us) div 86400000000").as("dur_days"),
+          (col("last_us") < col("gmax") - lit(1209600000000L)).as("churned"))
+      graft.operators.Survival.kaplanMeier(
+          subjects, Seq("cohort"), "dur_days", "churned")
+        .orderBy("key", "duration")
+    }),
+
+    // ---- extension: numeric correlation panel — every lineitem metric
+    // pair's Pearson r from ONE scan's exact integer moments (whole
+    // dollars/percent quantization keeps Σx² < 2⁶³ through sf10)
+    "q226_x_corr_pairs" -> tuned((s, d) =>
+      graft.operators.Profile.corrPairs(
+          Tables.lineitem(s, d).select(
+            round(col("l_quantity")).cast("long").as("qty"),
+            round(col("l_extendedprice")).cast("long").as("price_d"),
+            round(col("l_discount") * 100).cast("long").as("disc_pct"),
+            round(col("l_tax") * 100).cast("long").as("tax_pct")),
+          Seq("qty", "price_d", "disc_pct", "tax_pct"))
+        .orderBy("col_x", "col_y"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -6897,7 +6945,125 @@ object SparkEntry {
         |  CASE WHEN n * n - rc <> 0 THEN
         |    CAST(floor(CAST(n * diag - rc AS DOUBLE) / (n * n - rc)
         |               * 1000000 + 0.5) AS BIGINT) END AS kappa_e6
-        |FROM bs JOIN rc ON bs.lang = rc.lang ORDER BY bs.lang""".stripMargin)
+        |FROM bs JOIN rc ON bs.lang = rc.lang ORDER BY bs.lang""".stripMargin),
+
+    // q216's monthly input, the same pairwise self-join, each slope the
+    // same one fixed double op; LOWER median by row_number = (m+1)//2
+    "q224_x_theil_sen" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |o AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY month) AS t, y
+        |      FROM m),
+        |p AS (SELECT a.k,
+        |        CAST(floor(CAST(b.y - a.y AS DOUBLE) * 1000000 / (b.t - a.t) + 0.5)
+        |          AS BIGINT) AS sl
+        |      FROM o a JOIN o b ON a.k = b.k AND b.t > a.t),
+        |r AS (SELECT k, sl, row_number() OVER (PARTITION BY k ORDER BY sl) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS m FROM p),
+        |n AS (SELECT k, CAST(count(*) AS INT) AS n_obs FROM o GROUP BY k)
+        |SELECT r.k AS key, n.n_obs, r.m AS n_pairs, r.sl AS slope_e6
+        |FROM r JOIN n ON r.k = n.k
+        |WHERE r.rn = (r.m + 1) // 2
+        |ORDER BY key""".stripMargin),
+
+    // lifetable from the same per-user aggregate; the e9 survival
+    // recurrence replayed by a recursive CTE (positive operands, so //
+    // and the kernel's truncating Long division agree)
+    "q225_x_kaplan_meier" ->
+      ("""WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |per AS (SELECT user_id, min(us) AS f, max(us) AS l FROM e GROUP BY 1),
+        |g AS (SELECT max(l) AS gm FROM per),
+        |s AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS key,
+        |        (l - f) // 86400000000 AS dur,
+        |        l < gm - 1209600000000 AS ev
+        |      FROM per CROSS JOIN g),
+        |lt AS (SELECT key, dur,
+        |         CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |       FROM s GROUP BY 1, 2),
+        |o AS (SELECT key, dur, d, c,
+        |        row_number() OVER (PARTITION BY key ORDER BY dur) AS rn,
+        |        CAST(sum(d + c) OVER (PARTITION BY key) AS BIGINT) AS tot,
+        |        CAST(coalesce(sum(d + c) OVER (PARTITION BY key ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS cumprev
+        |      FROM lt),
+        |rec(key, rn, sv) AS (
+        |  SELECT key, rn,
+        |    CASE WHEN d > 0 THEN 1000000000 * (tot - cumprev - d) // (tot - cumprev)
+        |         ELSE CAST(1000000000 AS BIGINT) END
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.key, o.rn,
+        |    CASE WHEN o.d > 0
+        |         THEN rec.sv * (o.tot - o.cumprev - o.d) // (o.tot - o.cumprev)
+        |         ELSE rec.sv END
+        |  FROM rec JOIN o ON o.key = rec.key AND o.rn = rec.rn + 1)
+        |SELECT o.key, o.dur AS duration, (o.tot - o.cumprev) AS n_risk,
+        |  o.d AS d_events, o.c AS c_censored, rec.sv AS s_e9
+        |FROM o JOIN rec ON o.key = rec.key AND o.rn = rec.rn
+        |ORDER BY o.key, duration""".stripMargin),
+
+    // one moment aggregate, the pair grid from a VALUES table, the same
+    // fixed double r tree per pair
+    "q226_x_corr_pairs" ->
+      ("""WITH b AS (
+        |  SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS price_d,
+        |         CAST(round(l_discount * 100) AS BIGINT) AS disc_pct,
+        |         CAST(round(l_tax * 100) AS BIGINT) AS tax_pct
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL AND l_tax IS NOT NULL),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(qty) AS BIGINT) AS s_qty,
+        |    CAST(sum(qty * qty) AS BIGINT) AS q_qty,
+        |    CAST(sum(price_d) AS BIGINT) AS s_price,
+        |    CAST(sum(price_d * price_d) AS BIGINT) AS q_price,
+        |    CAST(sum(disc_pct) AS BIGINT) AS s_disc,
+        |    CAST(sum(disc_pct * disc_pct) AS BIGINT) AS q_disc,
+        |    CAST(sum(tax_pct) AS BIGINT) AS s_tax,
+        |    CAST(sum(tax_pct * tax_pct) AS BIGINT) AS q_tax,
+        |    CAST(sum(qty * price_d) AS BIGINT) AS p_qty_price,
+        |    CAST(sum(qty * disc_pct) AS BIGINT) AS p_qty_disc,
+        |    CAST(sum(qty * tax_pct) AS BIGINT) AS p_qty_tax,
+        |    CAST(sum(price_d * disc_pct) AS BIGINT) AS p_price_disc,
+        |    CAST(sum(price_d * tax_pct) AS BIGINT) AS p_price_tax,
+        |    CAST(sum(disc_pct * tax_pct) AS BIGINT) AS p_disc_tax
+        |  FROM b),
+        |p AS (SELECT * FROM (VALUES
+        |    ('qty', 'price_d'), ('qty', 'disc_pct'), ('qty', 'tax_pct'),
+        |    ('price_d', 'disc_pct'), ('price_d', 'tax_pct'),
+        |    ('disc_pct', 'tax_pct')) v(col_x, col_y)),
+        |e AS (SELECT p.col_x, p.col_y, a.n,
+        |    CASE p.col_x WHEN 'qty' THEN s_qty WHEN 'price_d' THEN s_price
+        |      WHEN 'disc_pct' THEN s_disc ELSE s_tax END AS sx,
+        |    CASE p.col_x WHEN 'qty' THEN q_qty WHEN 'price_d' THEN q_price
+        |      WHEN 'disc_pct' THEN q_disc ELSE q_tax END AS qx,
+        |    CASE p.col_y WHEN 'qty' THEN s_qty WHEN 'price_d' THEN s_price
+        |      WHEN 'disc_pct' THEN s_disc ELSE s_tax END AS sy,
+        |    CASE p.col_y WHEN 'qty' THEN q_qty WHEN 'price_d' THEN q_price
+        |      WHEN 'disc_pct' THEN q_disc ELSE q_tax END AS qy,
+        |    CASE WHEN p.col_x = 'qty' AND p.col_y = 'price_d' THEN p_qty_price
+        |         WHEN p.col_x = 'qty' AND p.col_y = 'disc_pct' THEN p_qty_disc
+        |         WHEN p.col_x = 'qty' AND p.col_y = 'tax_pct' THEN p_qty_tax
+        |         WHEN p.col_x = 'price_d' AND p.col_y = 'disc_pct' THEN p_price_disc
+        |         WHEN p.col_x = 'price_d' AND p.col_y = 'tax_pct' THEN p_price_tax
+        |         ELSE p_disc_tax END AS sxy
+        |  FROM p CROSS JOIN a)
+        |SELECT col_x, col_y, n,
+        |  CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy) > 0 THEN
+        |    CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+        |             * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
+        |      * 1000000 + 0.5) AS BIGINT) END AS r_e6
+        |FROM e ORDER BY col_x, col_y""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

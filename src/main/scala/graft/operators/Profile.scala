@@ -198,4 +198,58 @@ object Profile {
       .withColumn("abs_dev_e6",
         abs(col("share_e6") - col("benford_e6")))
   }
+
+  /** Pairwise Pearson correlation of INTEGER-VALUED numeric columns
+    * (caller quantizes — the cents/permille discipline), melted to one
+    * row per column pair — the numeric-association panel beside
+    * [[mutualInfo]]/[[chiSquare]]'s categorical ones, and the profiling
+    * readout that catches a leaked near-duplicate feature (r ≈ ±1)
+    * before it poisons a training mix.
+    *
+    * Scale shape: ONE map-side-combined aggregate over ONE scan
+    * computes every moment — n (listwise-complete rows), Σxᵢ, Σxᵢ² and
+    * the k(k−1)/2 cross-sums Σxᵢxⱼ — then the pair grid is EXPLODED
+    * FROM THE ONE-ROW RESULT (k² literals, zero additional scans or
+    * shuffles). k is the profiled column count (~10¹); the aggregate
+    * row is ~k²/2 longs.
+    *
+    * Exactness: all sums are exact BIGINTs (caller keeps Σx² < 2⁶³ —
+    * rescale upstream otherwise); `r` is then ONE fixed double tree
+    * `(n·Σxy − Σx·Σy)/√((n·Σx² − (Σx)²)(n·Σy² − (Σy)²))` e6-quantized,
+    * replayed character-for-character in SQL. Degenerate pairs (either
+    * variance 0, or n < 2) emit null `r_e6`. */
+  def corrPairs(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, s"corrPairs needs >= 2 columns, got ${cols.size}")
+    val pairs = for { i <- cols.indices; j <- i + 1 until cols.size }
+      yield (cols(i), cols(j))
+    val base = df.filter(cols.map(col(_).isNotNull).reduce(_ && _))
+    val moments =
+      cols.flatMap { c =>
+        Seq(sum(col(c).cast("long")).as(s"__s_$c"),
+          sum(col(c).cast("long") * col(c).cast("long")).as(s"__q_$c"))
+      } ++
+      pairs.map { case (a, b) =>
+        sum(col(a).cast("long") * col(b).cast("long")).as(s"__p_${a}_${b}")
+      }
+    val one = base.agg(count(lit(1)).as("n"), moments: _*)
+    val pairStructs = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_x"), lit(b).as("col_y"),
+        col(s"__s_$a").as("sx"), col(s"__q_$a").as("qx"),
+        col(s"__s_$b").as("sy"), col(s"__q_$b").as("qy"),
+        col(s"__p_${a}_${b}").as("sxy"))
+    }
+    one.select(col("n"), explode(array(pairStructs: _*)).as("__p"))
+      .select(col("__p.col_x").as("col_x"), col("__p.col_y").as("col_y"),
+        col("n"), col("__p.sx").as("__sx"), col("__p.qx").as("__qx"),
+        col("__p.sy").as("__sy"), col("__p.qy").as("__qy"),
+        col("__p.sxy").as("__sxy"))
+      .withColumn("r_e6", expr(
+        """case when n >= 2 and (cast(n as double) * __qx - cast(__sx as double) * __sx)
+          |    * (cast(n as double) * __qy - cast(__sy as double) * __sy) > 0 then
+          |  cast(floor((cast(n as double) * __sxy - cast(__sx as double) * __sy)
+          |    / sqrt((cast(n as double) * __qx - cast(__sx as double) * __sx)
+          |           * (cast(n as double) * __qy - cast(__sy as double) * __sy))
+          |    * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .drop("__sx", "__qx", "__sy", "__qy", "__sxy")
+  }
 }

@@ -108,4 +108,36 @@ class ProfileSpec extends SparkSpec {
     assert(r.getAs[Long]("n_rows") == 2)
     assert(r.getAs[Long]("nx_distinct") == 2 && r.getAs[Long]("ny_distinct") == 2)
   }
+
+  test("corrPairs: perfect, anti, and independent pairs") {
+    import spark.implicits._
+    // b = 2a (r = 1), c = -a (r = -1), d independent of a by construction
+    val df = Seq((1L, 2L, -1L, 1L), (2L, 4L, -2L, -1L),
+      (3L, 6L, -3L, -1L), (4L, 8L, -4L, 1L))
+      .toDF("a", "b", "c", "d")
+    val m = Profile.corrPairs(df, Seq("a", "b", "c", "d")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(m(("a", "b")).getAs[Long]("r_e6") == 1000000L)
+    assert(m(("a", "c")).getAs[Long]("r_e6") == -1000000L)
+    assert(m(("b", "c")).getAs[Long]("r_e6") == -1000000L)
+    // a = (1,2,3,4) vs d = (1,-1,-1,1): cov = 0 exactly
+    assert(m(("a", "d")).getAs[Long]("r_e6") == 0L)
+    assert(m.size == 6 && m(("a", "b")).getAs[Long]("n") == 4L)
+  }
+
+  test("corrPairs: constant column emits null r; null rows drop listwise") {
+    import spark.implicits._
+    val df = Seq[(Option[Long], Option[Long], Option[Long])](
+      (Some(1L), Some(5L), Some(1L)), (Some(2L), Some(5L), Some(4L)),
+      (Some(3L), Some(5L), None), (None, Some(5L), Some(9L)))
+      .toDF("x", "k", "y")
+    val m = Profile.corrPairs(df, Seq("x", "k", "y")).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // only 2 complete rows survive listwise deletion
+    assert(m(("x", "y")).getAs[Long]("n") == 2L)
+    val xk = m(("x", "k"))
+    assert(xk.isNullAt(xk.fieldIndex("r_e6")))
+    // 2 points on a line: r = 1
+    assert(m(("x", "y")).getAs[Long]("r_e6") == 1000000L)
+  }
 }

@@ -1,0 +1,57 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class SurvivalSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("kaplanMeier: textbook lifetable with censoring") {
+    // durations: events at 2 (x2), 5; censored at 3, 8
+    // t=2: n=5, d=2 -> S = 1e9 * 3/5 = 600000000
+    // t=3: n=3, c=1 -> S unchanged
+    // t=5: n=2, d=1 -> S = 6e8 * 1/2 = 300000000
+    // t=8: n=1, c=1 -> S unchanged
+    val df = Seq(
+      ("k", 2L, true), ("k", 2L, true), ("k", 3L, false),
+      ("k", 5L, true), ("k", 8L, false)
+    ).toDF("key", "dur", "ev")
+    val out = Survival.kaplanMeier(df, Seq("key"), "dur", "ev")
+      .orderBy("duration").collect()
+    assert(out.map(_.getAs[Long]("duration")).toSeq == Seq(2L, 3L, 5L, 8L))
+    assert(out.map(_.getAs[Long]("n_risk")).toSeq == Seq(5L, 3L, 2L, 1L))
+    assert(out.map(_.getAs[Long]("d_events")).toSeq == Seq(2L, 0L, 1L, 0L))
+    assert(out.map(_.getAs[Long]("c_censored")).toSeq == Seq(0L, 1L, 0L, 1L))
+    assert(out.map(_.getAs[Long]("s_e9")).toSeq ==
+      Seq(600000000L, 600000000L, 300000000L, 300000000L))
+  }
+
+  test("kaplanMeier: no censoring matches the empirical survival function") {
+    // 4 subjects, all events, distinct times: S drops by quarters
+    val df = (1 to 4).map(t => ("k", t.toLong, true)).toDF("key", "dur", "ev")
+    val s = Survival.kaplanMeier(df, Seq("key"), "dur", "ev")
+      .orderBy("duration").collect().map(_.getAs[Long]("s_e9")).toSeq
+    assert(s == Seq(750000000L, 500000000L, 250000000L, 0L))
+  }
+
+  test("kaplanMeier: survival is monotone nonincreasing and keys are independent") {
+    val df = Seq(
+      ("a", 1L, true), ("a", 2L, false), ("a", 4L, true), ("a", 4L, true),
+      ("b", 1L, false), ("b", 1L, false)
+    ).toDF("key", "dur", "ev")
+    val out = Survival.kaplanMeier(df, Seq("key"), "dur", "ev").collect()
+    val byKey = out.groupBy(_.getString(0))
+    byKey.foreach { case (_, rows) =>
+      val s = rows.sortBy(_.getAs[Long]("duration")).map(_.getAs[Long]("s_e9"))
+      assert(s.zip(s.tail).forall { case (x, y) => y <= x })
+    }
+    // all-censored key b never drops
+    assert(byKey("b").forall(_.getAs[Long]("s_e9") == 1000000000L))
+    // null duration / event rows are excluded
+    val withNulls = Seq[(String, Option[Long], Option[Boolean])](
+      ("k", Some(1L), Some(true)), ("k", None, Some(true)), ("k", Some(2L), None)
+    ).toDF("key", "dur", "ev")
+    val n = Survival.kaplanMeier(withNulls, Seq("key"), "dur", "ev")
+      .agg(org.apache.spark.sql.functions.sum("n_risk")).collect().head.getLong(0)
+    assert(n == 1L)
+  }
+}

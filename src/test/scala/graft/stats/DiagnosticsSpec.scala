@@ -216,4 +216,28 @@ class DiagnosticsSpec extends SparkSpec {
     assert(row.getAs[Boolean]("stationary5"),
       s"expected stationary, t=${row.getAs[Double]("adf_t")}")
   }
+
+  test("theilSen: exact line, outlier robustness, lower-median convention") {
+    // pure line y = 5t + 3: every pairwise slope is exactly 5e6
+    val line = (0 until 12).map(i => ("line", i, i * 5.0 + 3))
+    // same line with one wild outlier: the MEDIAN slope must stay 5e6
+    val outl = (0 until 12).map(i =>
+      ("outl", i, if (i == 6) 100000.0 else i * 5.0 + 3))
+    // two points, slopes {1e6 for (0,1)}: n_pairs = 1
+    val two = Seq(("two", 0, 0.0), ("two", 1, 1.0))
+    val out = Diagnostics.theilSen((line ++ outl ++ two).toDF("k", "t", "v"),
+      Seq("k"), "t", "v").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("line").getAs[Long]("slope_e6") == 5000000L)
+    assert(out("line").getAs[Long]("n_pairs") == 66L)
+    assert(out("outl").getAs[Long]("slope_e6") == 5000000L)
+    assert(out("two").getAs[Long]("n_pairs") == 1L)
+    assert(out("two").getAs[Long]("slope_e6") == 1000000L)
+    // lower median on an even pair count: slopes of {0,0,2,2} pairs
+    // y = (0, 0, 2, 2): pairs (1,2):0 (1,3):1 (1,4):2/3 (2,3):2 (2,4):1 (3,4):0
+    // sorted e6: {0, 0, 666667, 1000000, 1000000, 2000000} -> lower median 666667
+    val ev = Seq(("e", 0, 0.0), ("e", 1, 0.0), ("e", 2, 2.0), ("e", 3, 2.0))
+    val er = Diagnostics.theilSen(ev.toDF("k", "t", "v"), Seq("k"), "t", "v")
+      .collect().head
+    assert(er.getAs[Long]("slope_e6") == 666667L)
+  }
 }
