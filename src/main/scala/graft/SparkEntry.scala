@@ -2817,7 +2817,51 @@ object SparkEntry {
             round(col("l_discount") * 100).cast("long").as("disc_pct"),
             round(col("l_tax") * 100).cast("long").as("tax_pct")),
           Seq("qty", "price_d", "disc_pct", "tax_pct"))
-        .orderBy("col_x", "col_y"))
+        .orderBy("col_x", "col_y")),
+
+    // ---- extension: Brier score + Murphy decomposition — q221's
+    // planted calibrated score read as one row: reliability ~0 by
+    // construction, resolution ~ uncertainty (a calibrated informative
+    // score), every term on the e6 integer grid
+    "q227_x_brier_decomp" -> tuned((s, d) =>
+      graft.operators.Metrics.brierDecomposition(
+          Tables.documents(s, d)
+            .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
+            .withColumn("label",
+              pmod(col("doc_id") * 2654435761L, lit(1000000L)) < col("score_e6")),
+          "score_e6", "label", nBins = 10)),
+
+    // ---- extension: single-changepoint localization — q167's CUSUM
+    // flags THAT a shift exists, this names WHERE (two-segment SSE
+    // argmin over monthly kilodollars; the kd rescale keeps the Σy²
+    // prefix sums exact BIGINTs through sf100)
+    "q228_x_changepoint" -> tuned((s, d) =>
+      graft.operators.Features.singleChangepoint(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(expr("cast(sum(round(o_totalprice * 100)) as bigint) div 100000")
+              .as("kd")),
+          Seq("o_orderpriority"), "month", "kd")
+        .orderBy("o_orderpriority")),
+
+    // ---- extension: supplier-concentration profile — HHI + top share
+    // per return class, the domain-dominance screen a mean can't see
+    "q229_x_concentration" -> tuned((s, d) =>
+      graft.operators.Profile.concentration(
+          Tables.lineitem(s, d), Seq("l_returnflag"), "l_suppkey")
+        .orderBy("l_returnflag")),
+
+    // ---- extension: Spearman rank correlation per return class —
+    // monotone association over midranks (qty is 1..50, so the tie
+    // machinery carries real weight beside q226's linear r)
+    "q230_x_spearman" -> tuned((s, d) =>
+      graft.operators.Profile.spearman(
+          Tables.lineitem(s, d)
+            .withColumn("qty", round(col("l_quantity")).cast("long"))
+            .withColumn("price_d", round(col("l_extendedprice")).cast("long")),
+          Seq("l_returnflag"), "qty", "price_d")
+        .orderBy("l_returnflag"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7063,7 +7107,110 @@ object SparkEntry {
         |      / sqrt((CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
         |             * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
         |      * 1000000 + 0.5) AS BIGINT) END AS r_e6
-        |FROM e ORDER BY col_x, col_y""".stripMargin)
+        |FROM e ORDER BY col_x, col_y""".stripMargin),
+
+    // q221's planted hashes; per-row floored Brier terms, bin means and
+    // rates as integer divisions, rel/res re-scaled per bin — every
+    // floor replayed
+    "q227_x_brier_decomp" ->
+      ("""WITH d AS (
+        |  SELECT (doc_id * 48271) % 1000001 AS s,
+        |         (doc_id * 2654435761) % 1000000 < (doc_id * 48271) % 1000001 AS y
+        |  FROM documents),
+        |b AS (SELECT least(s * 10 // 1000000, 9) AS bin,
+        |        CAST(count(*) AS BIGINT) AS n_b,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p_b,
+        |        CAST(sum(s) AS BIGINT) AS s_b,
+        |        CAST(sum((s - CASE WHEN y THEN 1000000 ELSE 0 END)
+        |             * (s - CASE WHEN y THEN 1000000 ELSE 0 END) // 1000000)
+        |          AS BIGINT) AS q_b
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_b) AS BIGINT) AS n,
+        |        CAST(sum(p_b) AS BIGINT) AS n_pos,
+        |        CAST(sum(q_b) AS BIGINT) AS qq FROM b),
+        |e AS (SELECT n_b, s_b // n_b AS mean_b, p_b * 1000000 // n_b AS obs_b,
+        |        t.n, t.n_pos, t.qq, n_pos * 1000000 // n AS obar
+        |      FROM b CROSS JOIN t)
+        |SELECT n, n_pos, qq // n AS brier_e6,
+        |  CAST(sum(n_b * ((mean_b - obs_b) * (mean_b - obs_b) // 1000000))
+        |    AS BIGINT) // n AS reliability_e6,
+        |  CAST(sum(n_b * ((obs_b - obar) * (obs_b - obar) // 1000000))
+        |    AS BIGINT) // n AS resolution_e6,
+        |  obar * (1000000 - obar) // 1000000 AS uncertainty_e6
+        |FROM e GROUP BY n, n_pos, qq, obar""".stripMargin),
+
+    // the same exact-integer prefix sums on one ROWS window, the same
+    // fixed double cost tree, argmin on the ROUNDED cost with split-
+    // index tie-break
+    "q228_x_changepoint" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) // 100000 AS y
+        |  FROM orders GROUP BY 1, 2),
+        |o AS (SELECT k, month, y,
+        |        CAST(row_number() OVER (PARTITION BY k ORDER BY month) AS BIGINT) AS t,
+        |        CAST(sum(y) OVER (PARTITION BY k ORDER BY month
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c1,
+        |        CAST(sum(y * y) OVER (PARTITION BY k ORDER BY month
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS c2,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |        CAST(sum(y) OVER (PARTITION BY k) AS BIGINT) AS t1,
+        |        CAST(sum(y * y) OVER (PARTITION BY k) AS BIGINT) AS t2
+        |      FROM m),
+        |c AS (SELECT *,
+        |        CAST(floor((CAST(t * c2 - c1 * c1 AS DOUBLE) / t
+        |          + CAST((n - t) * (t2 - c2) - (t1 - c1) * (t1 - c1) AS DOUBLE)
+        |            / (n - t)) * 10000 + 0.5) AS BIGINT) AS cost_e4,
+        |        CAST(floor(CAST(n * t2 - t1 * t1 AS DOUBLE) / n * 10000 + 0.5)
+        |          AS BIGINT) AS total_e4
+        |      FROM o WHERE n >= 4 AND t >= 1 AND t < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY cost_e4, t) AS rk
+        |      FROM c)
+        |SELECT k AS o_orderpriority, n AS n_obs, t AS split_t, month AS split_ord,
+        |  cost_e4, total_e4 AS total_cost_e4, total_e4 - cost_e4 AS gain_e4
+        |FROM r WHERE rk = 1 ORDER BY k""".stripMargin),
+
+    // count grid -> Σc², max c, all integer divisions
+    "q229_x_concentration" ->
+      ("""WITH g AS (
+        |  SELECT l_returnflag, l_suppkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_suppkey IS NOT NULL GROUP BY 1, 2)
+        |SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
+        |  CAST(count(*) AS BIGINT) AS n_items,
+        |  CAST(max(c) AS BIGINT) * 1000000 // CAST(sum(c) AS BIGINT) AS top_share_e6,
+        |  CAST(sum(c * c) AS BIGINT) * 1000000
+        |    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS hhi_e6
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // the same doubled-midrank identity per axis, then q226's fixed
+    // double r tree over the exact rank moments
+    "q230_x_spearman" ->
+      ("""WITH d AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(round(l_quantity) AS BIGINT) AS x,
+        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+        |r AS (SELECT g,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY x)
+        |      + count(*) OVER (PARTITION BY g, x) - 1 AS rx,
+        |    2 * rank() OVER (PARTITION BY g ORDER BY y)
+        |      + count(*) OVER (PARTITION BY g, y) - 1 AS ry
+        |  FROM d),
+        |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(rx) AS BIGINT) AS sx, CAST(sum(rx * rx) AS BIGINT) AS qx,
+        |    CAST(sum(ry) AS BIGINT) AS sy, CAST(sum(ry * ry) AS BIGINT) AS qy,
+        |    CAST(sum(rx * ry) AS BIGINT) AS sxy
+        |  FROM r GROUP BY 1)
+        |SELECT g AS l_returnflag, n,
+        |  CASE WHEN n >= 2 AND (CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+        |      * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy) > 0 THEN
+        |    CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / sqrt((CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+        |             * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
+        |      * 1000000 + 0.5) AS BIGINT) END AS rho_e6
+        |FROM a ORDER BY g""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -370,6 +370,64 @@ object Features {
       .drop("__cum")
   }
 
+  /** Single-changepoint localization per key — the binary-segmentation
+    * base step (Scott & Knott; the AMOC "at most one change" form):
+    * the split `t* = argmin_t [SSE(y₁..y_t) + SSE(y_{t+1}..y_n)]` over
+    * an INTEGER series, i.e. the two-segment least-squares mean fit.
+    * [[cusumDrift]] raises the flag that a shift exists; this names
+    * WHERE, and `gain_e4` (total SSE minus best split SSE) sizes it.
+    * Recursing on the halves gives full binary segmentation; the base
+    * step is the 95% use case ("when did this metric break").
+    *
+    * Determinism: prefix sums Σy, Σy² are EXACT BIGINTs on one ordered
+    * window (caller keeps Σy² < 2⁶³ — rescale upstream). Each split's
+    * cost is then ONE fixed double tree over four exact integers —
+    * `(t·Σ₂ᴸ − Σ₁ᴸ²)/t + ((n−t)·Σ₂ᴿ − Σ₁ᴿ²)/(n−t)`, e4-quantized —
+    * and the argmin orders by the ROUNDED cost with the split index as
+    * tie-break (the adfFixedLag convention: decide on what both
+    * engines can replay).
+    *
+    * Scale shape: ONE (keys, ord) window sort carries both prefix sums
+    * and the total; the argmin is a second window over the same
+    * partitioning (no extra shuffle). Entirely declarative — no
+    * kernel, a million keys ride two WindowExecs. Output: one row per
+    * key with n ≥ 4 — `(keys…, n_obs, split_t, split_ord, cost_e4,
+    * total_cost_e4, gain_e4)`; `split_t` is the last index of the left
+    * segment (1-based), `split_ord` its order value. */
+  def singleChangepoint(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                        valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "singleChangepoint needs at least one key column")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val run = part.orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = part.orderBy(col(ordCol))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val x = col(valueCol).cast("long")
+    val splits = df
+      .filter(col(ordCol).isNotNull && x.isNotNull)
+      .withColumn("__t", row_number().over(part.orderBy(col(ordCol))).cast("long"))
+      .withColumn("__c1", sum(x).over(run))
+      .withColumn("__c2", sum(x * x).over(run))
+      .withColumn("__n", count(lit(1)).over(full))
+      .withColumn("__t1", sum(x).over(full))
+      .withColumn("__t2", sum(x * x).over(full))
+      .filter(col("__n") >= 4 && col("__t") >= 1 && col("__t") < col("__n"))
+      .withColumn("__cost_e4", expr(
+        """cast(floor((cast(__t * __c2 - __c1 * __c1 as double) / __t
+          |  + cast((__n - __t) * (__t2 - __c2) - (__t1 - __c1) * (__t1 - __c1)
+          |         as double) / (__n - __t)) * 10000 + 0.5) as bigint)""".stripMargin))
+      .withColumn("__total_e4", expr(
+        "cast(floor(cast(__n * __t2 - __t1 * __t1 as double) / __n * 10000 + 0.5) as bigint)"))
+    splits
+      .withColumn("__rk",
+        row_number().over(part.orderBy(col("__cost_e4"), col("__t"))))
+      .filter(col("__rk") === 1)
+      .select(keyCols.map(col) :+ col("__n").as("n_obs") :+
+        col("__t").as("split_t") :+ col(ordCol).as("split_ord") :+
+        col("__cost_e4").as("cost_e4") :+ col("__total_e4").as("total_cost_e4") :+
+        (col("__total_e4") - col("__cost_e4")).as("gain_e4"): _*)
+  }
+
   /** Integer weights of the truncated EWMA kernel: `w₀ = 10⁶`,
     * `wⱼ = w_{j−1}·alphaE6 div 10⁶` — a PURE INTEGER recurrence, so the
     * weight table is identical in any engine that replays it (no

@@ -347,6 +347,64 @@ object Metrics {
       .drop("__sa", "__qa", "__sb", "__qb")
   }
 
+  /** Brier score with the Murphy (1973) three-way decomposition —
+    * `Brier = Reliability − Resolution + Uncertainty` over `nBins`
+    * equal-width score bins: reliability is calibration error proper
+    * (bin mean vs bin rate — [[calibrationBins]]'s gap, squared and
+    * weighted), resolution is how much the bins separate the base
+    * rate (a score can be perfectly calibrated and useless), and
+    * uncertainty `ō(1−ō)` is the irreducible floor. The one-row
+    * companion readout to [[calibrationBins]]' grid.
+    *
+    * Exactness: every term rides exact integers on the e6 grid. The
+    * per-row Brier contribution `(s − y·10⁶)²` (≤ 10¹², exact) is
+    * floor-scaled BY 10⁶ PER ROW before summing — the documented
+    * overflow dial (Σd² itself would cap n at 9·10⁶ rows; the scaled
+    * sum holds to 9·10¹²), and identical floors replay in SQL. Bin
+    * means/rates are integer divisions; rel/res terms square those
+    * quantized columns (re-scaled by 10⁶), so the whole decomposition
+    * hash-matches.
+    *
+    * Scale shape: ONE map-side-combined aggregate over one scan onto
+    * the nBins grid; totals derive FROM the grid (the psiFromCounts
+    * shape — no second scan), and the readout is grid-sized. Output:
+    * one row `(n, n_pos, brier_e6, reliability_e6, resolution_e6,
+    * uncertainty_e6)`. */
+  def brierDecomposition(df: DataFrame, scoreE6Col: String, labelCol: String,
+                         nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val s = col(scoreE6Col)
+    val y = col(labelCol)
+    val bins = df.filter(s.isNotNull && y.isNotNull)
+      .withColumn("__bin",
+        least(expr(s"`$scoreE6Col` * $nBins div 1000000"), lit(nBins - 1L)))
+      .withColumn("__d",
+        s.cast("long") - when(y, 1000000L).otherwise(0L))
+      .groupBy(col("__bin"))
+      .agg(
+        count(lit(1)).as("__n_b"),
+        sum(when(y, 1L).otherwise(0L)).as("__p_b"),
+        sum(s.cast("long")).as("__s_b"),
+        sum(expr("__d * __d div 1000000")).as("__q_b"))
+    val tot = bins.agg(sum(col("__n_b")).as("n"), sum(col("__p_b")).as("n_pos"),
+      sum(col("__q_b")).as("__qq"))
+    bins.crossJoin(broadcast(tot))
+      .withColumn("__mean_b", expr("__s_b div __n_b"))
+      .withColumn("__obs_b", expr("__p_b * 1000000 div __n_b"))
+      .withColumn("__obar", expr("n_pos * 1000000 div n"))
+      .groupBy(col("n"), col("n_pos"), col("__qq"), col("__obar"))
+      .agg(
+        sum(expr("__n_b * ((__mean_b - __obs_b) * (__mean_b - __obs_b) div 1000000)"))
+          .as("__rel"),
+        sum(expr("__n_b * ((__obs_b - __obar) * (__obs_b - __obar) div 1000000)"))
+          .as("__res"))
+      .select(col("n"), col("n_pos"),
+        expr("__qq div n").as("brier_e6"),
+        expr("__rel div n").as("reliability_e6"),
+        expr("__res div n").as("resolution_e6"),
+        expr("__obar * (1000000 - __obar) div 1000000").as("uncertainty_e6"))
+  }
+
   /** Per-key Cohen's kappa between two categorical raters — chance-
     * corrected agreement, THE cross-annotator / model-vs-model
     * consistency readout (two quality classifiers, a heuristic vs an

@@ -252,4 +252,84 @@ object Profile {
           |    * 1000000 + 0.5) as bigint) end""".stripMargin))
       .drop("__sx", "__qx", "__sy", "__qy", "__sxy")
   }
+
+  /** Per-group concentration profile of a categorical column — the
+    * Herfindahl–Hirschman index `Σᵢ(cᵢ/n)²` plus the top-item share
+    * and distinct-item count: the "is this corpus/segment dominated by
+    * one source" readout (a domain mix where one crawl owns 80% of the
+    * tokens is a training-data risk the mean can't see; HHI names it
+    * in one number — 10⁶·(1/k) for k equal items, 10⁶ for a monopoly).
+    *
+    * Exactness: everything from ONE per-(group, item) count aggregate;
+    * `hhi_e6 = Σcᵢ²·10⁶ div n²` and `top_share_e6 = max(c)·10⁶ div n`
+    * are exact BIGINT arithmetic over the count grid (Σc² ≤ n² keeps
+    * every product under 2⁶³ to n ≈ 3·10⁹ per group).
+    *
+    * Scale shape: counts map-side combine; the HHI re-aggregation runs
+    * over the (group, item) grid, never the rows. Output: `(groupCols…,
+    * n, n_items, top_share_e6, hhi_e6)`. */
+  def concentration(df: DataFrame, groupCols: Seq[String],
+                    itemCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "concentration needs at least one group column")
+    val g = groupCols.map(col)
+    df.filter(col(itemCol).isNotNull)
+      .groupBy(g :+ col(itemCol).as("__i"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(g: _*)
+      .agg(
+        sum(col("__c")).as("n"),
+        count(lit(1)).as("n_items"),
+        max(col("__c")).as("__top"),
+        sum(col("__c") * col("__c")).as("__sq"))
+      .withColumn("top_share_e6", expr("__top * 1000000 div n"))
+      .withColumn("hhi_e6", expr("__sq * 1000000 div (n * n)"))
+      .drop("__top", "__sq")
+  }
+
+  /** Per-group Spearman rank correlation — Pearson over MIDRANKS, the
+    * monotone-association complement of [[corrPairs]]'s linear r (a
+    * perfect exponential relation scores ρ = 1 here, r < 1 there), and
+    * the robust choice when either axis is fat-tailed.
+    *
+    * Midranks without a second scan: DOUBLED midranks are the exact
+    * integers `2·rank + ties − 1` (the [[graft.operators.Metrics]] AUC
+    * identity), one ranking window per axis on the SAME group
+    * partitioning. The Pearson moments over `(2rx, 2ry)` are exact
+    * BIGINT sums, and ρ is the same one fixed double tree as
+    * [[corrPairs]], e6-quantized. BIGINT bound: Σ(2r)² ≤ 4n³ ⇒
+    * n ≤ ~1.3·10⁶ rows per group (rank moments grow cubically — sample
+    * or bin beyond that).
+    *
+    * Constant axes (all ties: variance 0) emit null `rho_e6`. Output:
+    * `(groupCols…, n, rho_e6)`. */
+  def spearman(df: DataFrame, groupCols: Seq[String], xCol: String,
+               yCol: String): DataFrame = {
+    require(groupCols.nonEmpty, "spearman needs at least one group column")
+    val g = groupCols.map(col)
+    val x = col(xCol)
+    val y = col(yCol)
+    val wx = Window.partitionBy(g: _*).orderBy(x)
+    val wxt = Window.partitionBy(g :+ x: _*)
+    val wy = Window.partitionBy(g: _*).orderBy(y)
+    val wyt = Window.partitionBy(g :+ y: _*)
+    df.filter(x.isNotNull && y.isNotNull)
+      .withColumn("__rx", lit(2L) * rank().over(wx) + count(lit(1)).over(wxt) - 1L)
+      .withColumn("__ry", lit(2L) * rank().over(wy) + count(lit(1)).over(wyt) - 1L)
+      .groupBy(g: _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx")).as("__sx"),
+        sum(col("__rx") * col("__rx")).as("__qx"),
+        sum(col("__ry")).as("__sy"),
+        sum(col("__ry") * col("__ry")).as("__qy"),
+        sum(col("__rx") * col("__ry")).as("__sxy"))
+      .withColumn("rho_e6", expr(
+        """case when n >= 2 and (cast(n as double) * __qx - cast(__sx as double) * __sx)
+          |    * (cast(n as double) * __qy - cast(__sy as double) * __sy) > 0 then
+          |  cast(floor((cast(n as double) * __sxy - cast(__sx as double) * __sy)
+          |    / sqrt((cast(n as double) * __qx - cast(__sx as double) * __sx)
+          |           * (cast(n as double) * __qy - cast(__sy as double) * __sy))
+          |    * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .drop("__sx", "__qx", "__sy", "__qy", "__sxy")
+  }
 }

@@ -309,4 +309,28 @@ class FeaturesSpec extends SparkSpec {
     assert(out.length == 2, "distinct (group, value) readout")
     assert(out.head.getAs[Long]("permille") == 0L) // min-rank ties
   }
+
+  test("singleChangepoint: planted level shift is localized exactly") {
+    import spark.implicits._
+    // 10 at t=1..6, 50 at t=7..12: best split after t=6 with zero residual
+    val df = (1 to 12).map(i => ("k", i, if (i <= 6) 10L else 50L))
+      .toDF("k", "i", "v")
+    val r = Features.singleChangepoint(df, Seq("k"), "i", "v").collect().head
+    assert(r.getAs[Long]("split_t") == 6L)
+    assert(r.getAs[Int]("split_ord") == 6)
+    assert(r.getAs[Long]("cost_e4") == 0L)
+    // total SSE = 12 * var = sum((y-30)^2) = 12*400 = 4800 -> gain = 4800e4
+    assert(r.getAs[Long]("total_cost_e4") == 48000000L)
+    assert(r.getAs[Long]("gain_e4") == 48000000L)
+  }
+
+  test("singleChangepoint: constant series ties break to the earliest split") {
+    import spark.implicits._
+    val df = (1 to 8).map(i => ("k", i, 7L)).toDF("k", "i", "v")
+    val r = Features.singleChangepoint(df, Seq("k"), "i", "v").collect().head
+    assert(r.getAs[Long]("split_t") == 1L && r.getAs[Long]("gain_e4") == 0L)
+    // short series (< 4 points) emit nothing
+    val short = (1 to 3).map(i => ("s", i, i.toLong)).toDF("k", "i", "v")
+    assert(Features.singleChangepoint(short, Seq("k"), "i", "v").count() == 0L)
+  }
 }

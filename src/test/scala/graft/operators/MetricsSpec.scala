@@ -198,6 +198,31 @@ class MetricsSpec extends SparkSpec {
     assert(ir.getAs[Long]("pe_e6") == 500000L && ir.getAs[Long]("kappa_e6") == 0L)
   }
 
+  test("brierDecomposition: hand-computed two-bin case") {
+    // bin 0: scores 0 with labels (F, F); bin 9: scores 1e6 with labels (T, T)
+    // perfect hard classifier: brier = 0, reliability = 0,
+    // obar = 500000 -> uncertainty = 250000, resolution = 250000
+    val df = Seq((0L, false), (0L, false), (1000000L, true), (1000000L, true))
+      .toDF("score_e6", "label")
+    val r = Metrics.brierDecomposition(df, "score_e6", "label").collect().head
+    assert(r.getAs[Long]("n") == 4L && r.getAs[Long]("n_pos") == 2L)
+    assert(r.getAs[Long]("brier_e6") == 0L)
+    assert(r.getAs[Long]("reliability_e6") == 0L)
+    assert(r.getAs[Long]("resolution_e6") == 250000L)
+    assert(r.getAs[Long]("uncertainty_e6") == 250000L)
+  }
+
+  test("brierDecomposition: constant half-score is pure reliability + uncertainty") {
+    // all scores 500000, labels all false: brier = 0.25, obar = 0
+    // reliability = (500000-0)^2/1e6 = 250000, resolution = 0, uncertainty = 0
+    val df = Seq((500000L, false), (500000L, false)).toDF("score_e6", "label")
+    val r = Metrics.brierDecomposition(df, "score_e6", "label").collect().head
+    assert(r.getAs[Long]("brier_e6") == 250000L)
+    assert(r.getAs[Long]("reliability_e6") == 250000L)
+    assert(r.getAs[Long]("resolution_e6") == 0L)
+    assert(r.getAs[Long]("uncertainty_e6") == 0L)
+  }
+
   test("cohenKappa: constant raters (pe = 1) emit null kappa") {
     val df = Seq(("k", "x", "x"), ("k", "x", "x")).toDF("key", "a", "b")
     val r = Metrics.cohenKappa(df, Seq("key"), "a", "b").collect().head

@@ -140,4 +140,38 @@ class ProfileSpec extends SparkSpec {
     // 2 points on a line: r = 1
     assert(m(("x", "y")).getAs[Long]("r_e6") == 1000000L)
   }
+
+  test("concentration: monopoly, uniform, and mixed groups") {
+    import spark.implicits._
+    val df = Seq(("mono", "a"), ("mono", "a"), ("mono", "a"),
+      ("uni", "a"), ("uni", "b"), ("uni", "c"), ("uni", "d"),
+      ("mix", "a"), ("mix", "a"), ("mix", "a"), ("mix", "b"))
+      .toDF("grp", "item")
+    val m = Profile.concentration(df, Seq("grp"), "item").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("mono").getAs[Long]("hhi_e6") == 1000000L)
+    assert(m("mono").getAs[Long]("top_share_e6") == 1000000L)
+    // 4 equal items: HHI = 1/4
+    assert(m("uni").getAs[Long]("hhi_e6") == 250000L)
+    assert(m("uni").getAs[Long]("n_items") == 4L)
+    // shares 3/4 and 1/4: HHI = (9 + 1)/16 = 625000
+    assert(m("mix").getAs[Long]("hhi_e6") == 625000L)
+    assert(m("mix").getAs[Long]("top_share_e6") == 750000L)
+  }
+
+  test("spearman: monotone nonlinear is exactly 1e6, reversed is -1e6, ties handled") {
+    import spark.implicits._
+    // y = x^3: nonlinear but strictly monotone -> rho = 1
+    val mono = (1L to 8L).map(x => ("m", x, x * x * x))
+    val rev = (1L to 8L).map(x => ("r", x, -x))
+    val df = (mono ++ rev).toDF("grp", "x", "y")
+    val m = Profile.spearman(df, Seq("grp"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(m("m").getAs[Long]("rho_e6") == 1000000L)
+    assert(m("r").getAs[Long]("rho_e6") == -1000000L)
+    // constant y: zero variance -> null
+    val const = Seq(("c", 1L, 5L), ("c", 2L, 5L)).toDF("grp", "x", "y")
+    val cr = Profile.spearman(const, Seq("grp"), "x", "y").collect().head
+    assert(cr.isNullAt(cr.fieldIndex("rho_e6")))
+  }
 }
