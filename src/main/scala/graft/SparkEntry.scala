@@ -2854,13 +2854,17 @@ object SparkEntry {
 
     // ---- extension: Spearman rank correlation per return class —
     // monotone association over midranks (qty is 1..50, so the tie
-    // machinery carries real weight beside q226's linear r)
+    // machinery carries real weight beside q226's linear r). The
+    // continuous price axis is BINNED to hundreds — the operator's
+    // documented dial: the joint grid (50 × ~5k cells) is what keeps
+    // the histogram-shaped plan grid-sized instead of row-sized
     "q230_x_spearman" -> tuned((s, d) =>
       graft.operators.Profile.spearman(
           Tables.lineitem(s, d)
             .withColumn("qty", round(col("l_quantity")).cast("long"))
-            .withColumn("price_d", round(col("l_extendedprice")).cast("long")),
-          Seq("l_returnflag"), "qty", "price_d")
+            .withColumn("price_h",
+              expr("cast(round(l_extendedprice) as bigint) div 100")),
+          Seq("l_returnflag"), "qty", "price_h")
         .orderBy("l_returnflag"))
   )
 
@@ -7189,7 +7193,7 @@ object SparkEntry {
       ("""WITH d AS (
         |  SELECT l_returnflag AS g,
         |         CAST(round(l_quantity) AS BIGINT) AS x,
-        |         CAST(round(l_extendedprice) AS BIGINT) AS y
+        |         CAST(round(l_extendedprice) AS BIGINT) // 100 AS y
         |  FROM lineitem
         |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
         |r AS (SELECT g,

@@ -291,14 +291,22 @@ object Profile {
     * perfect exponential relation scores ρ = 1 here, r < 1 there), and
     * the robust choice when either axis is fat-tailed.
     *
-    * Midranks without a second scan: DOUBLED midranks are the exact
-    * integers `2·rank + ties − 1` (the [[graft.operators.Metrics]] AUC
-    * identity), one ranking window per axis on the SAME group
-    * partitioning. The Pearson moments over `(2rx, 2ry)` are exact
-    * BIGINT sums, and ρ is the same one fixed double tree as
-    * [[corrPairs]], e6-quantized. BIGINT bound: Σ(2r)² ≤ 4n³ ⇒
-    * n ≤ ~1.3·10⁶ rows per group (rank moments grow cubically — sample
-    * or bin beyond that).
+    * HISTOGRAM-SHAPED (the ksDrift discipline — no per-row ranking
+    * window, whose partition-by-group sort serializes on low-G inputs
+    * and rescans rows at 100 TB): ONE (group, x, y) joint-count
+    * aggregate is the only row scan; both marginal histograms derive
+    * FROM the joint grid, the doubled midrank of a value is the exact
+    * integer `2·cum − c + 1` over each value grid, and every Pearson
+    * moment is `Σ c_xy·r_x·r_y` over the joint grid. Identical
+    * midranks to a per-row `2·rank + ties − 1` ranking — bit-equal
+    * output, grid-sized work. Bin continuous axes upstream (exact
+    * ranks over unbinned 100 TB axes are a grid as big as the data —
+    * same dial as [[graft.operators.Metrics.ksDrift]]).
+    *
+    * Exactness: all moments exact BIGINT sums; ρ is the same one fixed
+    * double tree as [[corrPairs]], e6-quantized. BIGINT bound:
+    * Σc·(2r)² ≤ 4n³ ⇒ n ≤ ~1.3·10⁶ rows per group (rank moments grow
+    * cubically — sample beyond that).
     *
     * Constant axes (all ties: variance 0) emit null `rho_e6`. Output:
     * `(groupCols…, n, rho_e6)`. */
@@ -308,21 +316,32 @@ object Profile {
     val g = groupCols.map(col)
     val x = col(xCol)
     val y = col(yCol)
-    val wx = Window.partitionBy(g: _*).orderBy(x)
-    val wxt = Window.partitionBy(g :+ x: _*)
-    val wy = Window.partitionBy(g: _*).orderBy(y)
-    val wyt = Window.partitionBy(g :+ y: _*)
-    df.filter(x.isNotNull && y.isNotNull)
-      .withColumn("__rx", lit(2L) * rank().over(wx) + count(lit(1)).over(wxt) - 1L)
-      .withColumn("__ry", lit(2L) * rank().over(wy) + count(lit(1)).over(wyt) - 1L)
+    // persist: THREE consumers read the joint grid (both rank grids and
+    // the moment aggregate) — unpersisted, the row scan + (g, x, y)
+    // shuffle would run three times (the Affinity.coOccurrence lesson);
+    // the ContextCleaner frees the blocks once the result is unreachable
+    val joint = df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(g :+ x.as("__x") :+ y.as("__y"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def rankGrid(vCol: String, out: String): DataFrame = {
+      val wCum = Window.partitionBy(g: _*).orderBy(col(vCol))
+      joint.groupBy(g :+ col(vCol): _*).agg(sum(col("__c")).as("__cv"))
+        .withColumn("__cum", sum(col("__cv")).over(wCum))
+        .withColumn(out, lit(2L) * col("__cum") - col("__cv") + 1L)
+        .drop("__cv", "__cum")
+    }
+    joint
+      .join(rankGrid("__x", "__rx"), groupCols :+ "__x")
+      .join(rankGrid("__y", "__ry"), groupCols :+ "__y")
       .groupBy(g: _*)
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("__rx")).as("__sx"),
-        sum(col("__rx") * col("__rx")).as("__qx"),
-        sum(col("__ry")).as("__sy"),
-        sum(col("__ry") * col("__ry")).as("__qy"),
-        sum(col("__rx") * col("__ry")).as("__sxy"))
+        sum(col("__c")).as("n"),
+        sum(col("__c") * col("__rx")).as("__sx"),
+        sum(col("__c") * col("__rx") * col("__rx")).as("__qx"),
+        sum(col("__c") * col("__ry")).as("__sy"),
+        sum(col("__c") * col("__ry") * col("__ry")).as("__qy"),
+        sum(col("__c") * col("__rx") * col("__ry")).as("__sxy"))
       .withColumn("rho_e6", expr(
         """case when n >= 2 and (cast(n as double) * __qx - cast(__sx as double) * __sx)
           |    * (cast(n as double) * __qy - cast(__sy as double) * __sy) > 0 then
