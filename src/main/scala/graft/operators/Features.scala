@@ -403,14 +403,19 @@ object Features {
     val full = part.orderBy(col(ordCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val x = col(valueCol).cast("long")
+    // ONE select for all six window columns: chained withColumn inserts
+    // projections between the Window nodes and defeats CollapseWindow —
+    // same (partition, order) spec in one select plans as a single
+    // WindowExec pass over the one sort
     val splits = df
       .filter(col(ordCol).isNotNull && x.isNotNull)
-      .withColumn("__t", row_number().over(part.orderBy(col(ordCol))).cast("long"))
-      .withColumn("__c1", sum(x).over(run))
-      .withColumn("__c2", sum(x * x).over(run))
-      .withColumn("__n", count(lit(1)).over(full))
-      .withColumn("__t1", sum(x).over(full))
-      .withColumn("__t2", sum(x * x).over(full))
+      .select(col("*"),
+        row_number().over(part.orderBy(col(ordCol))).cast("long").as("__t"),
+        sum(x).over(run).as("__c1"),
+        sum(x * x).over(run).as("__c2"),
+        count(lit(1)).over(full).as("__n"),
+        sum(x).over(full).as("__t1"),
+        sum(x * x).over(full).as("__t2"))
       .filter(col("__n") >= 4 && col("__t") >= 1 && col("__t") < col("__n"))
       .withColumn("__cost_e4", expr(
         """cast(floor((cast(__t * __c2 - __c1 * __c1 as double) / __t

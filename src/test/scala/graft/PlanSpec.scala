@@ -324,4 +324,59 @@ class PlanSpec extends SparkSpec {
       !scan.contains("o_custkey") && !scan.contains("o_orderpriority"),
       s"ADF must read only the two used columns:\n$scan")
   }
+
+  test("average precision (q220): ranking window and aggregate share ONE group shuffle") {
+    val p = plan("q220_x_avg_precision")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 1,
+      s"AP must be a single-shuffle operator (the q188 contract):\n$p")
+  }
+
+  test("correlation panel (q226): ONE scan, ONE map-side-combined aggregate, no shuffle by key") {
+    val p = plan("q226_x_corr_pairs")
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1,
+      s"all moments must come from one scan:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_")), s"no map-side combine:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) === 0,
+      s"global moment aggregate needs no hash shuffle (single-partition exchange only):\n$p")
+  }
+
+  test("Brier decomposition (q227): one row scan; totals derive from the bin grid") {
+    val p = plan("q227_x_brier_decomp")
+    assert(p.linesIterator.count(_.contains("FileScan")) <= 2, // bins + totals reuse
+      s"brier must not rescan rows per readout term:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row totals must broadcast onto the grid:\n$p")
+  }
+
+  test("changepoint (q228): both prefix windows stack on one sort, argmin reuses the partitioning") {
+    val p = plan("q228_x_changepoint")
+    // window over (key, ord) for prefix sums + window over key for the
+    // argmin rank: one group-hash exchange each at most
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"changepoint must not exceed the two documented shuffles:\n$p")
+    assert(p.linesIterator.count(_.contains("Window")) <= 3, p)
+  }
+
+  test("concentration (q229): counts map-side combine; HHI re-aggregates the grid") {
+    val p = plan("q229_x_concentration")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_count")), s"no map-side combine before the grid:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan")) === 1, p)
+  }
+
+  test("spearman (q230): the row scan runs ONCE (persisted joint grid feeds all three consumers)") {
+    val df = SparkEntry.queries("q230_x_spearman")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      // all three consumers (two rank grids + the moment aggregate) read
+      // the cached joint grid — the FileScan lines in the rendering are
+      // the InMemoryRelation's recipe repeated per consumer, materialized
+      // exactly once at runtime
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) === 3,
+        s"joint grid must feed all three consumers from cache:\n$p")
+      assert(p.linesIterator.count(l =>
+          l.contains("FileScan") && !l.contains("InMemoryRelation")) <= 3, p)
+    } finally spark.sharedState.cacheManager.clearCache()
+  }
 }
