@@ -2865,7 +2865,32 @@ object SparkEntry {
             .withColumn("price_h",
               expr("cast(round(l_extendedprice) as bigint) div 100")),
           Seq("l_returnflag"), "qty", "price_h")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // ---- extension: rolling-origin AR(1) backtest — q117 fits once on
+    // everything; this refits at EVERY origin on the past only and
+    // scores one-step-ahead, the protocol that separates in-sample fit
+    // from forecast skill. Closed-form refits from prefix sums: one
+    // window pass, no recursion
+    "q231_x_ar1_backtest" -> tuned((s, d) =>
+      graft.stats.Diagnostics.ar1Backtest(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(expr("cast(sum(round(o_totalprice * 100)) as bigint) div 100000")
+              .as("kd")),
+          Seq("o_orderpriority"), "month", "kd", minTrain = 12)
+        .orderBy("o_orderpriority")),
+
+    // ---- extension: k-anonymity / l-diversity audit — the privacy gate
+    // over (nation, segment) quasi-identifiers with the account-balance
+    // band as the sensitive attribute (+1000 shift keeps the banding on
+    // non-negative integers, where both engines' integer division agree)
+    "q232_x_k_anonymity" -> tuned((s, d) =>
+      graft.operators.Profile.kAnonymity(
+          Tables.customer(s, d).withColumn("balband",
+            expr("(cast(round(c_acctbal) as bigint) + 1000) div 1000")),
+          Seq("c_nationkey", "c_mktsegment"), "balband", k = 5))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7214,7 +7239,67 @@ object SparkEntry {
         |      / sqrt((CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
         |             * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
         |      * 1000000 + 0.5) AS BIGINT) END AS rho_e6
-        |FROM a ORDER BY g""".stripMargin)
+        |FROM a ORDER BY g""".stripMargin),
+
+    // the same prefix-sum closed forms per origin (two window layers:
+    // lag/lead/rank, then the running sums), the same phi/forecast
+    // double tree, e4 errors, one integer division
+    "q231_x_ar1_backtest" ->
+      ("""WITH m0 AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) // 100000 AS y
+        |  FROM orders GROUP BY 1, 2),
+        |o1 AS (SELECT k, month, y,
+        |        CAST(row_number() OVER w AS BIGINT) AS t,
+        |        lag(y) OVER w AS lg, lead(y) OVER w AS nxt,
+        |        first_value(y) OVER (PARTITION BY k ORDER BY month
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS y1
+        |      FROM m0 WINDOW w AS (PARTITION BY k ORDER BY month)),
+        |o2 AS (SELECT *,
+        |        CAST(sum(y) OVER wr AS BIGINT) AS cum1,
+        |        CAST(sum(y * y) OVER wr AS BIGINT) AS cum2,
+        |        CAST(sum(y * coalesce(lg, 0)) OVER wr AS BIGINT) AS cumL
+        |      FROM o1 WINDOW wr AS (PARTITION BY k ORDER BY month
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |s AS (SELECT k, y, nxt, t - 1 AS m, cum1 - y AS sx, cum1 - y1 AS sy,
+        |        cumL AS sxy, cum2 - y * y AS sxx
+        |      FROM o2 WHERE t >= 12 AND nxt IS NOT NULL),
+        |f AS (SELECT * FROM s WHERE m * sxx - sx * sx <> 0),
+        |e AS (SELECT k,
+        |    CAST(floor(abs(CAST(nxt AS DOUBLE) -
+        |      ((CAST(sy AS DOUBLE)
+        |        - (CAST(m * sxy - sx * sy AS DOUBLE) / (m * sxx - sx * sx)) * sx) / m
+        |       + (CAST(m * sxy - sx * sy AS DOUBLE) / (m * sxx - sx * sx)) * y))
+        |      * 10000 + 0.5) AS BIGINT) AS em,
+        |    abs(nxt - y) * 10000 AS en
+        |  FROM f)
+        |SELECT k AS o_orderpriority, CAST(count(*) AS BIGINT) AS n_origins,
+        |  CAST(sum(em) AS BIGINT) AS err_model_e4,
+        |  CAST(sum(en) AS BIGINT) AS err_naive_e4,
+        |  CAST(sum(em) AS BIGINT) * 1000000
+        |    // nullif(CAST(sum(en) AS BIGINT), 0) AS mase_e6
+        |FROM e GROUP BY k ORDER BY k""".stripMargin),
+
+    // equivalence-class grid with exact per-class distinct, one-row
+    // re-aggregation, one integer division
+    "q232_x_k_anonymity" ->
+      ("""WITH c AS (
+        |  SELECT c_nationkey, c_mktsegment,
+        |         (CAST(round(c_acctbal) AS BIGINT) + 1000) // 1000 AS balband
+        |  FROM customer),
+        |g AS (SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(count(DISTINCT balband) AS BIGINT) AS l
+        |      FROM c GROUP BY 1, 2)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(n) AS BIGINT) AS min_class_size,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_below_k,
+        |  CAST(min(l) AS BIGINT) AS min_l_diversity,
+        |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l1,
+        |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) * 1000000
+        |    // nullif(CAST(sum(n) AS BIGINT), 0) AS share_below_k_e6
+        |FROM g""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

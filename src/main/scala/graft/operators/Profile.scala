@@ -286,6 +286,45 @@ object Profile {
       .drop("__top", "__sq")
   }
 
+  /** k-anonymity / l-diversity audit of a quasi-identifier combination —
+    * the privacy-side data-quality gate a training corpus carrying user
+    * attributes must pass before release (Sweeney 2002; Machanavajjhala
+    * 2007): every row whose quasi-identifier equivalence class has fewer
+    * than `k` members is re-identifiable by linkage, and a class whose
+    * sensitive attribute shows < l distinct values leaks it outright
+    * even at k.
+    *
+    * One row out: `(n_rows, n_classes, min_class_size, rows_below_k,
+    * share_below_k_e6, min_l_diversity, classes_l1)` — `min_class_size ≥
+    * k` is the k-anonymity verdict, `min_l_diversity` the worst class's
+    * sensitive diversity, `classes_l1` how many classes are fully
+    * homogeneous (l = 1, the worst case).
+    *
+    * Scale shape: ONE aggregate to the equivalence-class grid (map-side
+    * combined; the exact per-class distinct is one Expand — the
+    * [[profile]] run-once convention, with
+    * [[graft.operators.Sketch.kmvDistinct]] named for always-on use),
+    * then a one-row re-aggregation of the grid. All counts exact
+    * BIGINTs; the share is one integer division. */
+  def kAnonymity(df: DataFrame, quasiCols: Seq[String], sensitiveCol: String,
+                 k: Long): DataFrame = {
+    require(quasiCols.nonEmpty, "kAnonymity needs at least one quasi-identifier")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val classes = df
+      .groupBy(quasiCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"),
+        countDistinct(col(sensitiveCol)).as("__l"))
+    classes.agg(
+        sum(col("__n")).as("n_rows"),
+        count(lit(1)).as("n_classes"),
+        min(col("__n")).as("min_class_size"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L)).as("rows_below_k"),
+        min(col("__l")).as("min_l_diversity"),
+        sum(when(col("__l") === 1, 1L).otherwise(0L)).as("classes_l1"))
+      .withColumn("share_below_k_e6",
+        expr("rows_below_k * 1000000 div nullif(n_rows, 0)"))
+  }
+
   /** Per-group Spearman rank correlation — Pearson over MIDRANKS, the
     * monotone-association complement of [[corrPairs]]'s linear r (a
     * perfect exponential relation scores ρ = 1 here, r < 1 there), and

@@ -393,6 +393,78 @@ object Diagnostics {
       .toDF()
   }
 
+  /** Rolling-origin AR(1) backtest per key — the honest forecast-accuracy
+    * protocol (Tashman 2000): at every origin `t ≥ minTrain`, refit the
+    * AR(1)+intercept by conditional least squares on `y₁..y_t` ONLY and
+    * score the one-step-ahead prediction against `y_{t+1}`; the readout
+    * is the backtest MASE (Σ|model error| / Σ|naive error| over the same
+    * origins). [[graft.operators.Metrics.lagForecastMase]] scores a FIXED
+    * lag rule; this scores the actual refit-as-you-go pipeline — the
+    * difference between "the model fits the past" and "the model would
+    * have forecast the future".
+    *
+    * No recursion and no kernel: the CLS normal equations at EVERY origin
+    * are closed forms of four prefix sums (`Σyᵢ, Σyᵢ², Σyᵢyᵢ₋₁` and the
+    * first value), so the whole expanding-window refit is ONE window pass
+    * — each origin's `(m, Sx, Sy, Sxy, Sxx)` are exact BIGINTs, φ and the
+    * forecast are one fixed double tree, per-origin errors e4-quantize,
+    * and the final ratio is one integer division. Degenerate origins
+    * (zero CLS denominator — constant prefix) are skipped by an exact
+    * integer predicate both engines share.
+    *
+    * Scale shape: one (keys, order) sort carries the lag/lead and all
+    * prefix sums; the per-key series-length cost is linear (60 origins =
+    * 60 closed-form evaluations, not 60 refits). Caller keeps values in
+    * small integer units: Σy² < 2⁶³ and m·Sxx < 2⁶³.
+    *
+    * Output: `(keys…, n_origins, err_model_e4, err_naive_e4, mase_e6)` —
+    * `mase_e6 < 10⁶` ⇔ the refit AR(1) would have beaten the naive
+    * carry-forward out of sample. */
+  def ar1Backtest(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, minTrain: Int = 8): DataFrame = {
+    require(keyCols.nonEmpty, "ar1Backtest needs at least one key column")
+    require(minTrain >= 3, s"minTrain must be >= 3, got $minTrain")
+    val part = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+    val ord = part.orderBy(col(orderCol))
+    val run = ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding,
+      org.apache.spark.sql.expressions.Window.currentRow)
+    val x = col(valueCol).cast("long")
+    val lagged = df.filter(col(orderCol).isNotNull && x.isNotNull)
+      .select(col("*"), lag(x, 1).over(ord).as("__lag"),
+        lead(x, 1).over(ord).as("__next"),
+        row_number().over(ord).cast("long").as("__t"),
+        first(x).over(run).as("__y1"))
+    val sums = lagged.select(col("*"),
+        sum(x).over(run).as("__cum1"),
+        sum(x * x).over(run).as("__cum2"),
+        sum(x * coalesce(col("__lag"), lit(0L))).over(run).as("__cumL"))
+      .filter(col("__t") >= minTrain && col("__next").isNotNull)
+      .withColumn("__m", col("__t") - 1L)
+      .withColumn("__sx", col("__cum1") - x)
+      .withColumn("__sy", col("__cum1") - col("__y1"))
+      .withColumn("__sxy", col("__cumL"))
+      .withColumn("__sxx", col("__cum2") - x * x)
+      .withColumn("__den", col("__m") * col("__sxx") - col("__sx") * col("__sx"))
+      .filter(col("__den") =!= 0L)
+    // the fixed double tree (mirrored in the SQL oracle): phi from the
+    // CLS normal equations, c folded in, one |error| per origin
+    val phi = "(cast(__m * __sxy - __sx * __sy as double) / (__m * __sxx - __sx * __sx))"
+    val err = s"""cast(floor(abs(cast(__next as double) -
+      ((cast(__sy as double) - $phi * __sx) / __m + $phi * cast(`$valueCol` as long)))
+      * 10000 + 0.5) as bigint)"""
+    sums
+      .withColumn("__err_m", expr(err))
+      .withColumn("__err_n", abs(col("__next") - x) * 10000L)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_origins"),
+        sum(col("__err_m")).as("err_model_e4"),
+        sum(col("__err_n")).as("err_naive_e4"))
+      .withColumn("mase_e6",
+        expr("err_model_e4 * 1000000 div nullif(err_naive_e4, 0)"))
+  }
+
   private val arma11Schema = StructType(Seq(
     StructField("key", StringType),
     StructField("phi", DoubleType),

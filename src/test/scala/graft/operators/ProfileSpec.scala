@@ -159,6 +159,23 @@ class ProfileSpec extends SparkSpec {
     assert(m("mix").getAs[Long]("top_share_e6") == 750000L)
   }
 
+  test("kAnonymity: hand-built classes with a singleton and a homogeneous class") {
+    import spark.implicits._
+    // classes: (a) 1 row; (b) 2 rows same sensitive; (c) 5 rows, 3 values
+    val df = Seq(
+      ("a", "x", 1L),
+      ("b", "x", 9L), ("b", "x", 9L),
+      ("c", "y", 1L), ("c", "y", 2L), ("c", "y", 3L), ("c", "y", 1L), ("c", "y", 2L)
+    ).toDF("q1", "q2", "sens")
+    val r = Profile.kAnonymity(df, Seq("q1", "q2"), "sens", k = 3).collect().head
+    assert(r.getAs[Long]("n_rows") == 8L && r.getAs[Long]("n_classes") == 3L)
+    assert(r.getAs[Long]("min_class_size") == 1L)
+    assert(r.getAs[Long]("rows_below_k") == 3L) // the 1-row and 2-row classes
+    assert(r.getAs[Long]("share_below_k_e6") == 375000L)
+    assert(r.getAs[Long]("min_l_diversity") == 1L)
+    assert(r.getAs[Long]("classes_l1") == 2L) // a and b are homogeneous
+  }
+
   test("spearman: monotone nonlinear is exactly 1e6, reversed is -1e6, ties handled") {
     import spark.implicits._
     // y = x^3: nonlinear but strictly monotone -> rho = 1

@@ -240,4 +240,31 @@ class DiagnosticsSpec extends SparkSpec {
       .collect().head
     assert(er.getAs[Long]("slope_e6") == 666667L)
   }
+
+  test("ar1Backtest: a deterministic ramp backtests to zero model error") {
+    // y = t: every expanding-window CLS fit recovers phi = 1, c = 1
+    // exactly, so each one-step forecast is exact; naive carry-forward
+    // errs by 1 per origin
+    val ramp = (1 to 20).map(i => ("r", i, i.toLong)).toDF("k", "t", "v")
+    val r = Diagnostics.ar1Backtest(ramp, Seq("k"), "t", "v", minTrain = 5)
+      .collect().head
+    // origins t = 5..19 -> 15 of them
+    assert(r.getAs[Long]("n_origins") == 15L)
+    assert(r.getAs[Long]("err_model_e4") == 0L)
+    assert(r.getAs[Long]("err_naive_e4") == 15L * 10000L)
+    assert(r.getAs[Long]("mase_e6") == 0L)
+  }
+
+  test("ar1Backtest: constant prefixes (zero CLS denominator) are skipped") {
+    val const = (1 to 10).map(i => ("c", i, 7L)).toDF("k", "t", "v")
+    assert(Diagnostics.ar1Backtest(const, Seq("k"), "t", "v").count() == 0L)
+    // alternating series: AR(1) nails it, naive is maximally wrong
+    val alt = (1 to 20).map(i => ("a", i, if (i % 2 == 0) 10L else 0L))
+      .toDF("k", "t", "v")
+    val ar = Diagnostics.ar1Backtest(alt, Seq("k"), "t", "v", minTrain = 6)
+      .collect().head
+    assert(ar.getAs[Long]("err_naive_e4") == ar.getAs[Long]("n_origins") * 100000L)
+    assert(ar.getAs[Long]("mase_e6") < 100000L,
+      s"AR(1) must dominate naive on an alternating series: ${ar.mkString(",")}")
+  }
 }
