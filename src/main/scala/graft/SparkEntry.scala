@@ -261,7 +261,7 @@ object SparkEntry {
     "q18_w23_rolling_mean_std" -> tuned((s, d) =>
       Tables.orders(s, d)
         .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
-        .agg(sum(round(col("o_totalprice") * 100)).as("tot_c"))
+        .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).as("tot_c"))
         .select(col("month"),
           // floor form for the mean: cents_sum/6 hits exact .5 rationals
           // (q05's rationale); the std is irrational — plain round is safe
@@ -405,7 +405,7 @@ object SparkEntry {
       graft.stats.Diagnostics.arForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6).as("tot")),
           Nil, "month", "tot", horizon = 12, orders = Seq(1))
         .select(col("key"), col("order"), col("step"),
           round(col("forecast"), 4).as("forecast"))
@@ -1008,7 +1008,7 @@ object SparkEntry {
           col("o_custkey") === col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(count(lit(1)).as("n_orders"),
-          round(sum(round(col("o_totalprice") * 100)) / 100.0, 2).as("revenue"))
+          round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 100.0, 2).as("revenue"))
         .orderBy("c_nationkey")
     }),
 
@@ -1722,7 +1722,7 @@ object SparkEntry {
       graft.stats.Diagnostics.holtForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6).as("tot")),
           Nil, "month", "tot", alpha = 0.5, beta = 0.25, horizon = 12)
         .select(col("key"), col("n_obs"), round(col("level"), 4).as("level"),
           round(col("trend"), 4).as("trend"), col("step"),
@@ -1772,7 +1772,7 @@ object SparkEntry {
         .groupBy(col("o_orderpriority").as("prio"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
             .cast("long").as("x"))
-        .agg((floor(sum(round(col("o_totalprice") * 100)) / 1e8 * 1e6 + 0.5) / 1e6)
+        .agg((floor(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8 * 1e6 + 0.5) / 1e6)
           .as("y0"))
         .select(col("prio"), col("x"),
           when(col("x") % 4 =!= 1, col("y0")).as("y"))
@@ -2603,7 +2603,7 @@ object SparkEntry {
       graft.stats.Diagnostics.seasonalArForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6).as("tot")),
           Nil, "month", "tot", season = 12, horizon = 24)
         .select(col("key"), col("season"), col("step"),
           round(col("forecast"), 4).as("forecast"))
@@ -2618,7 +2618,7 @@ object SparkEntry {
       graft.stats.Diagnostics.adfFixedLag(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("cents")),
+            .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents")),
           Nil, "month", "cents")),
 
     // ---- extension: MA(1) CLS grid fit + forecast — the moving-average
@@ -2629,7 +2629,7 @@ object SparkEntry {
       graft.stats.Diagnostics.ma1Forecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6).as("tot")),
           Nil, "month", "tot", horizon = 6)
         .select(col("key"), round(col("theta"), 1).as("theta"),
           round(col("mu"), 6).as("mu"), col("step"),
@@ -2683,7 +2683,7 @@ object SparkEntry {
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
               Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("cents")),
+            .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents")),
           Seq("o_orderpriority"), "month", "cents")
         .orderBy("key")),
 
@@ -2703,7 +2703,7 @@ object SparkEntry {
       graft.stats.Diagnostics.arma11Forecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(round(sum(round(col("o_totalprice") * 100)) / 1e8, 6).as("tot")),
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6).as("tot")),
           Nil, "month", "tot", horizon = 6)
         .select(col("key"), round(col("phi"), 1).as("phi"),
           round(col("theta"), 1).as("theta"), round(col("c"), 6).as("c"),
@@ -2751,7 +2751,7 @@ object SparkEntry {
     "q222_x_welch_ttest" -> tuned((s, d) =>
       graft.operators.Metrics.welchTTest(
           Tables.orders(s, d)
-            .withColumn("dollars", round(col("o_totalprice")).cast("long")),
+            .withColumn("dollars", floor(col("o_totalprice") + 0.5)),
           Seq("o_orderstatus"), "o_orderpriority", "dollars",
           "1-URGENT", "5-LOW")
         .orderBy("o_orderstatus")),
@@ -2780,7 +2780,7 @@ object SparkEntry {
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
               Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(sum(round(col("o_totalprice") * 100)).cast("long").as("cents")),
+            .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents")),
           Seq("o_orderpriority"), "month", "cents")
         .orderBy("key")),
 
@@ -2812,10 +2812,10 @@ object SparkEntry {
     "q226_x_corr_pairs" -> tuned((s, d) =>
       graft.operators.Profile.corrPairs(
           Tables.lineitem(s, d).select(
-            round(col("l_quantity")).cast("long").as("qty"),
-            round(col("l_extendedprice")).cast("long").as("price_d"),
-            round(col("l_discount") * 100).cast("long").as("disc_pct"),
-            round(col("l_tax") * 100).cast("long").as("tax_pct")),
+            floor(col("l_quantity") + 0.5).as("qty"),
+            floor(col("l_extendedprice") + 0.5).as("price_d"),
+            floor(col("l_discount") * 100 + 0.5).as("disc_pct"),
+            floor(col("l_tax") * 100 + 0.5).as("tax_pct")),
           Seq("qty", "price_d", "disc_pct", "tax_pct"))
         .orderBy("col_x", "col_y")),
 
@@ -2840,7 +2840,7 @@ object SparkEntry {
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
               Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(expr("cast(sum(round(o_totalprice * 100)) as bigint) div 100000")
+            .agg(expr("sum(floor(o_totalprice * 100 + 0.5)) div 100000")
               .as("kd")),
           Seq("o_orderpriority"), "month", "kd")
         .orderBy("o_orderpriority")),
@@ -2861,9 +2861,9 @@ object SparkEntry {
     "q230_x_spearman" -> tuned((s, d) =>
       graft.operators.Profile.spearman(
           Tables.lineitem(s, d)
-            .withColumn("qty", round(col("l_quantity")).cast("long"))
+            .withColumn("qty", floor(col("l_quantity") + 0.5))
             .withColumn("price_h",
-              expr("cast(round(l_extendedprice) as bigint) div 100")),
+              expr("floor(l_extendedprice + 0.5) div 100")),
           Seq("l_returnflag"), "qty", "price_h")
         .orderBy("l_returnflag")),
 
@@ -2877,7 +2877,7 @@ object SparkEntry {
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
               Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(expr("cast(sum(round(o_totalprice * 100)) as bigint) div 100000")
+            .agg(expr("sum(floor(o_totalprice * 100 + 0.5)) div 100000")
               .as("kd")),
           Seq("o_orderpriority"), "month", "kd", minTrain = 12)
         .orderBy("o_orderpriority")),
