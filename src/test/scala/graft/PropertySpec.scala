@@ -206,6 +206,90 @@ object PropertySpec extends Properties("graft.laws") {
     out.isNullAt(out.fieldIndex("cramers_v_e6"))
   }
 
+  property("spearman is invariant under strictly monotone transforms of either axis") = Prop {
+    import graft.operators.Profile
+    // rho sees only midranks, so cubing / affine-scaling an axis is a no-op
+    val df = Seq(("g", 1L, 9L), ("g", 2L, 4L), ("g", 2L, 7L), ("g", 5L, 1L),
+      ("g", 8L, 3L), ("g", 9L, 3L)).toDF("g", "x", "y")
+    def rho(d: org.apache.spark.sql.DataFrame) =
+      Profile.spearman(d, Seq("g"), "x", "y").collect().head.getAs[Long]("rho_e6")
+    val base = rho(df)
+    rho(df.withColumn("x", col("x") * col("x") * col("x"))) == base &&
+      rho(df.withColumn("y", col("y") * 7 + 100)) == base
+  }
+
+  property("cohenKappa is symmetric in its raters") = Prop {
+    import graft.operators.Metrics
+    val df = Seq(("k", "a", "b"), ("k", "a", "a"), ("k", "b", "b"),
+      ("k", "c", "a"), ("k", "c", "c"), ("k", "b", "a")).toDF("key", "r1", "r2")
+    val k12 = Metrics.cohenKappa(df, Seq("key"), "r1", "r2").collect().head
+    val k21 = Metrics.cohenKappa(df, Seq("key"), "r2", "r1").collect().head
+    k12.getAs[Long]("kappa_e6") == k21.getAs[Long]("kappa_e6") &&
+      k12.getAs[Long]("pe_e6") == k21.getAs[Long]("pe_e6")
+  }
+
+  property("theilSen shifts exactly with an added integer linear trend") = Prop {
+    import graft.stats.Diagnostics
+    // every pairwise slope gains exactly a·1e6 when y += a·t (integer a),
+    // so the lower-median slope shifts by a·1e6 bit-exactly
+    val ys = Seq(5L, 9L, 2L, 14L, 7L, 11L, 3L)
+    def slope(add: Long) = Diagnostics.theilSen(
+      ys.zipWithIndex.map { case (y, t) => ("k", t, (y + add * t).toDouble) }
+        .toDF("k", "t", "v"), Seq("k"), "t", "v")
+      .collect().head.getAs[Long]("slope_e6")
+    val base = slope(0)
+    slope(3) == base + 3000000L && slope(-2) == base - 2000000L
+  }
+
+  property("kaplanMeier survival is invariant under monotone duration relabeling") = Prop {
+    import graft.operators.Survival
+    // S depends on the ORDER of event times and the risk sets, not the
+    // labels: squaring the (positive) durations preserves the s_e9 walk
+    val df = Seq(("k", 2L, true), ("k", 3L, false), ("k", 5L, true),
+      ("k", 5L, true), ("k", 8L, false)).toDF("key", "dur", "ev")
+    def walk(d: org.apache.spark.sql.DataFrame) =
+      Survival.kaplanMeier(d, Seq("key"), "dur", "ev").orderBy("duration")
+        .collect().map(r => (r.getAs[Long]("n_risk"), r.getAs[Long]("s_e9"))).toSeq
+    walk(df) == walk(df.withColumn("dur", col("dur") * col("dur")))
+  }
+
+  property("welchTTest is antisymmetric and zero on identical sides") = Prop {
+    import graft.operators.Metrics
+    val df = Seq(("k", "A", 10L), ("k", "A", 14L), ("k", "A", 9L),
+      ("k", "B", 21L), ("k", "B", 17L), ("k", "B", 30L)).toDF("key", "g", "v")
+    val ab = Metrics.welchTTest(df, Seq("key"), "g", "v", "A", "B").collect().head
+    val ba = Metrics.welchTTest(df, Seq("key"), "g", "v", "B", "A").collect().head
+    // floor quantization makes the negation exact only off the .5 grid;
+    // allow the documented 1-ulp slack
+    val anti = math.abs(ab.getAs[Long]("t_e4") + ba.getAs[Long]("t_e4")) <= 1
+    val same = Seq(("k", "A", 5L), ("k", "A", 9L), ("k", "B", 5L), ("k", "B", 9L))
+      .toDF("key", "g", "v")
+    val z = Metrics.welchTTest(same, Seq("key"), "g", "v", "A", "B").collect().head
+    anti && z.getAs[Long]("t_e4") == 0L &&
+      ab.getAs[Long]("df_e4") == ba.getAs[Long]("df_e4")
+  }
+
+  property("averagePrecision is bounded and hits 1e9 exactly when positives lead") = Prop {
+    import graft.operators.Metrics
+    val df = Seq(("g", 1L, 9L, true), ("g", 2L, 8L, true), ("g", 3L, 7L, false),
+      ("g", 4L, 6L, false), ("g", 5L, 5L, true)).toDF("g", "id", "s", "y")
+    val r = Metrics.averagePrecision(df, Seq("g"), "s", "y", "id").collect().head
+    val ap = r.getAs[Long]("ap_e9")
+    val ordered = Metrics.averagePrecision(
+      df.withColumn("s", when(col("y"), 100L).otherwise(1L)),
+      Seq("g"), "s", "y", "id").collect().head.getAs[Long]("ap_e9")
+    ap >= 0L && ap <= 1000000000L && ordered == 1000000000L
+  }
+
+  property("singleChangepoint gain is 0 on constant series and total-cost-bounded") = Prop {
+    import graft.operators.Features
+    val rows = (1 to 10).map(i => ("k", i, (i % 4 + 2).toLong))
+    val r = Features.singleChangepoint(rows.toDF("k", "t", "v"),
+      Seq("k"), "t", "v").collect().head
+    val g = r.getAs[Long]("gain_e4")
+    g >= 0L && g <= r.getAs[Long]("total_cost_e4")
+  }
+
   // fixed fixtures, not forAll: learnMerges is a multi-job Spark loop per
   // sample — 100 ScalaCheck samples would dominate the suite's runtime
   property("BPE encode preserves content: symbols rejoin to the original words") = Prop {
