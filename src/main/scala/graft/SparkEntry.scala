@@ -2890,7 +2890,28 @@ object SparkEntry {
       graft.operators.Profile.kAnonymity(
           Tables.customer(s, d).withColumn("balband",
             expr("(cast(round(c_acctbal) as bigint) + 1000) div 1000")),
-          Seq("c_nationkey", "c_mktsegment"), "balband", k = 5))
+          Seq("c_nationkey", "c_mktsegment"), "balband", k = 5)),
+
+    // ---- extension: decile lift/gains table — the budget-decision
+    // readout over q221's planted calibrated score: histogram deciles
+    // (no global row sort; ties share a tile), two-step integer lift
+    "q233_x_lift_table" -> tuned((s, d) =>
+      graft.operators.Metrics.liftTable(
+          Tables.documents(s, d)
+            .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
+            .withColumn("label",
+              pmod(col("doc_id") * 2654435761L, lit(1000000L)) < col("score_e6")),
+          "score_e6", "label", nTiles = 10)
+        .orderBy("tile")),
+
+    // ---- extension: funnel time-to-convert — q147 says how many reach
+    // each stage, this says how FAST (per-transition lag min / lower
+    // median / max in seconds, exact rank-element median)
+    "q234_x_conversion_lag" -> tuned((s, d) =>
+      graft.operators.Funnel.conversionLag(
+          Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
+          Seq("user_id"), "sec", "event_type", Seq("view", "click", "purchase"))
+        .orderBy("stage"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7299,7 +7320,70 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN l = 1 THEN 1 ELSE 0 END) AS BIGINT) AS classes_l1,
         |  CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) * 1000000
         |    // nullif(CAST(sum(n) AS BIGINT), 0) AS share_below_k_e6
-        |FROM g""".stripMargin)
+        |FROM g""".stripMargin),
+
+    // the same histogram-decile assignment ((cum-c)*10 // n on the value
+    // grid, DESC) and the documented two-step lift quantization
+    "q233_x_lift_table" ->
+      ("""WITH d AS (
+        |  SELECT (doc_id * 48271) % 1000001 AS s,
+        |         (doc_id * 2654435761) % 1000000 < (doc_id * 48271) % 1000001 AS y
+        |  FROM documents),
+        |h AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT *,
+        |        CAST(sum(c) OVER (ORDER BY v DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER () AS BIGINT) AS n0,
+        |        CAST(sum(p) OVER () AS BIGINT) AS tp
+        |      FROM h),
+        |g AS (SELECT (cum - c) * 10 // n0 AS tile, n0, tp,
+        |        CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos
+        |      FROM t GROUP BY 1, 2, 3),
+        |r AS (SELECT *,
+        |        CAST(sum(n) OVER (ORDER BY tile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |        CAST(sum(n_pos) OVER (ORDER BY tile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+        |      FROM g)
+        |SELECT tile, n, n_pos, n_pos * 1000000 // n AS resp_rate_e6, cum_n, cum_pos,
+        |  (cum_pos * 1000000 // cum_n) * 1000000
+        |    // nullif(tp * 1000000 // n0, 0) AS cum_lift_e6
+        |FROM r ORDER BY tile""".stripMargin),
+
+    // q215's chained-min construction on seconds, per-transition lags,
+    // exact lower-median rank walk over the lag grid
+    "q234_x_conversion_lag" ->
+      ("""WITH e AS (
+        |  SELECT user_id, event_type AS s, epoch_us(ts) // 1000000 AS t
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |u AS (SELECT DISTINCT user_id, t0, t1, t2 FROM w2),
+        |lg AS (SELECT 1 AS stage, t1 - t0 AS lag FROM u WHERE t1 IS NOT NULL
+        |       UNION ALL
+        |       SELECT 2, t2 - t1 FROM u WHERE t2 IS NOT NULL),
+        |c AS (SELECT stage, lag, CAST(count(*) AS BIGINT) AS c FROM lg GROUP BY 1, 2),
+        |m AS (SELECT stage, min(lag) AS median_lag FROM (
+        |        SELECT *, CAST(sum(c) OVER (PARTITION BY stage ORDER BY lag
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |          CAST(sum(c) OVER (PARTITION BY stage) AS BIGINT) AS n
+        |        FROM c) x
+        |      WHERE cum >= (n + 1) // 2 GROUP BY stage),
+        |a AS (SELECT stage, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        min(lag) AS min_lag, max(lag) AS max_lag
+        |      FROM lg GROUP BY 1),
+        |sn AS (SELECT * FROM (VALUES (1, 'view->click'), (2, 'click->purchase'))
+        |       v(stage, stage_name))
+        |SELECT a.stage, sn.stage_name, a.n_pairs, a.min_lag, m.median_lag, a.max_lag
+        |FROM a JOIN m ON a.stage = m.stage JOIN sn ON a.stage = sn.stage
+        |ORDER BY a.stage""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

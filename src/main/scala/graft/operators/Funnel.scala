@@ -209,4 +209,59 @@ object Funnel {
       .select(col("from_state"), col("to_state"), col("n"),
         expr("n * 1000 div __out").as("p_permille"))
   }
+
+  /** Per-transition time-to-convert profile — for each consecutive
+    * funnel stage pair, how long converters took: count, min, LOWER
+    * median, max of `t_i − t_{i−1}` over [[funnelByKey]]'s chained-min
+    * times. The latency half of the funnel ([[conversionCounts]] says
+    * how many; this says how fast) — the readout that separates "users
+    * drop at checkout" from "users stall at checkout".
+    *
+    * Exactness: lags are integer differences in `timeCol`'s units
+    * (caller coarsens — seconds for product funnels); the median is the
+    * exact LOWER rank element walked over the per-(transition, lag)
+    * count grid (the [[graft.operators.Sketch]] convention, no
+    * interpolation), so every column hash-matches a SQL replay.
+    *
+    * Scale shape: the chained mins ride funnelByKey's ONE unordered
+    * key-window; transitions explode from the per-key row (≤ #stages−1
+    * rows each); the median walk runs over (transition, lag) counts —
+    * map-side combined, grid-sized for coarsened lags. Output:
+    * `(stage, stage_name, n_pairs, min_lag, median_lag, max_lag)` —
+    * `stage` i is the transition stages(i−1) → stages(i). */
+  def conversionLag(events: DataFrame, keyCols: Seq[String], timeCol: String,
+                    stageCol: String, stages: Seq[String]): DataFrame = {
+    val byKey = funnelByKey(events, keyCols, timeCol, stageCol, stages)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val lags = byKey.select(explode(array((1 until stages.size).map { i =>
+      struct(lit(i).as("stage"),
+        (col(s"t_$i") - col(s"t_${i - 1}")).as("lag"))
+    }: _*)).as("__tr"))
+      .select(col("__tr.stage").as("stage"), col("__tr.lag").as("lag"))
+      .filter(col("lag").isNotNull)
+      // persist: two consumers (the median's count grid and the min/max
+      // aggregate) would otherwise re-run funnelByKey's window + distinct
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counts = lags.groupBy(col("stage"), col("lag"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(col("stage")).orderBy(col("lag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(col("stage"))
+    val med = counts
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") >= expr("(__n + 1) div 2"))
+      .groupBy(col("stage")).agg(min(col("lag")).as("median_lag"))
+    val stageNames = stages.sliding(2).zipWithIndex
+      .map { case (Seq(a, b), i) => (i + 1, s"$a->$b") }.toSeq
+      .toDF("stage", "stage_name")
+    lags.groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_pairs"), min(col("lag")).as("min_lag"),
+        max(col("lag")).as("max_lag"))
+      .join(med, Seq("stage"))
+      .join(broadcast(stageNames), Seq("stage"))
+      .select(col("stage"), col("stage_name"), col("n_pairs"),
+        col("min_lag"), col("median_lag"), col("max_lag"))
+  }
 }

@@ -405,6 +405,59 @@ object Metrics {
         expr("__obar * (1000000 - __obar) div 1000000").as("uncertainty_e6"))
   }
 
+  /** Decile lift/gains table of an integer score against a boolean
+    * label — the campaign-targeting readout ("mailing the top 2 deciles
+    * captures X% of responders at Y× the base rate") that turns a
+    * classifier score into a budget decision; the ranking-economics
+    * complement of [[groupedAuc]] (discrimination) and
+    * [[calibrationBins]] (calibration).
+    *
+    * HISTOGRAM DECILES (the scalable form): rows never globally sort —
+    * the score VALUE GRID is counted once (map-side combined), tiles
+    * are assigned by the exact integer prefix rank
+    * `tile = (cum_desc − c_v)·nTiles div n`, and ties share a tile (the
+    * honest convention when scores are quantized; bin continuous
+    * scores upstream). The single-partition windows run over the grid
+    * and the nTiles readout, never the rows.
+    *
+    * Exactness: counts exact; rates `·10⁶ div`; cumulative lift is the
+    * TWO-STEP integer quantization
+    * `(cum₊·10⁶ div cum_n)·10⁶ div (tot₊·10⁶ div tot_n)` — documented
+    * so the SQL replay floors identically (a single cross-multiplied
+    * division would overflow BIGINT at ~3·10⁶ rows).
+    *
+    * Output: `(tile, n, n_pos, resp_rate_e6, cum_n, cum_pos,
+    * cum_lift_e6)`, tile 0 = best-scored. */
+  def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
+                nTiles: Int = 10): DataFrame = {
+    require(nTiles >= 2, s"nTiles must be >= 2, got $nTiles")
+    val score = col(scoreCol)
+    val label = col(labelCol)
+    val hist = df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(score.as("__v"))
+      .agg(count(lit(1)).as("__c"), sum(when(label, 1L).otherwise(0L)).as("__p"))
+    val wDesc = Window.orderBy(col("__v").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(lit(1))
+    val tiles = hist
+      .withColumn("__cum", sum(col("__c")).over(wDesc))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__tp", sum(col("__p")).over(wAll))
+      .withColumn("tile", expr(s"(__cum - __c) * $nTiles div __n"))
+      .groupBy(col("tile"), col("__n"), col("__tp"))
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"))
+    val wTile = Window.orderBy(col("tile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tiles
+      .withColumn("resp_rate_e6", expr("n_pos * 1000000 div n"))
+      .withColumn("cum_n", sum(col("n")).over(wTile))
+      .withColumn("cum_pos", sum(col("n_pos")).over(wTile))
+      .withColumn("cum_lift_e6", expr(
+        """(cum_pos * 1000000 div cum_n) * 1000000
+          |  div nullif(__tp * 1000000 div __n, 0)""".stripMargin))
+      .drop("__n", "__tp")
+  }
+
   /** Per-key Cohen's kappa between two categorical raters — chance-
     * corrected agreement, THE cross-annotator / model-vs-model
     * consistency readout (two quality classifiers, a heuristic vs an

@@ -151,4 +151,28 @@ class FunnelSpec extends SparkSpec {
       .collect()
     assert(out.length == 1) // only x->y; z is alone in its key
   }
+
+  test("conversionLag: per-transition count, min, lower median, max") {
+    import spark.implicits._
+    // u1 converts view@0 -> click@10 -> purchase@100; u2 view@5 -> click@9;
+    // u3 clicks without a view (no chain, contributes nothing)
+    val ev = Seq(
+      ("u1", 0L, "view"), ("u1", 10L, "click"), ("u1", 100L, "purchase"),
+      ("u2", 5L, "view"), ("u2", 9L, "click"),
+      ("u3", 7L, "click")
+    ).toDF("u", "t", "s")
+    val out = Funnel.conversionLag(ev, Seq("u"), "t", "s",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+    assert(out.length == 2)
+    val s1 = out(0)
+    assert(s1.getAs[String]("stage_name") == "view->click")
+    assert(s1.getAs[Long]("n_pairs") == 2L)
+    assert(s1.getAs[Long]("min_lag") == 4L)
+    assert(s1.getAs[Long]("median_lag") == 4L) // lower median of {4, 10}
+    assert(s1.getAs[Long]("max_lag") == 10L)
+    val s2 = out(1)
+    assert(s2.getAs[String]("stage_name") == "click->purchase")
+    assert(s2.getAs[Long]("n_pairs") == 1L && s2.getAs[Long]("median_lag") == 90L)
+  }
 }

@@ -228,4 +228,29 @@ class MetricsSpec extends SparkSpec {
     val r = Metrics.cohenKappa(df, Seq("key"), "a", "b").collect().head
     assert(r.isNullAt(r.fieldIndex("kappa_e6")))
   }
+
+  test("liftTable: hand-computed two-tile table") {
+    // scores 4,3 positive; 2,1 negative; 2 tiles -> top tile captures all
+    val df = Seq((4L, true), (3L, true), (2L, false), (1L, false))
+      .toDF("s", "y")
+    val out = Metrics.liftTable(df, "s", "y", nTiles = 2).orderBy("tile").collect()
+    assert(out.map(_.getAs[Long]("tile")).toSeq == Seq(0L, 1L))
+    val t0 = out(0)
+    assert(t0.getAs[Long]("n") == 2L && t0.getAs[Long]("n_pos") == 2L)
+    assert(t0.getAs[Long]("resp_rate_e6") == 1000000L)
+    // base rate 1/2 -> top-tile cumulative lift = 2.0
+    assert(t0.getAs[Long]("cum_lift_e6") == 2000000L)
+    val t1 = out(1)
+    assert(t1.getAs[Long]("cum_n") == 4L && t1.getAs[Long]("cum_pos") == 2L)
+    assert(t1.getAs[Long]("cum_lift_e6") == 1000000L)
+  }
+
+  test("liftTable: ties share a tile (histogram deciles, no row split)") {
+    // all four rows share one score -> single tile 0 holding everything
+    val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
+    val out = Metrics.liftTable(df, "s", "y", nTiles = 4).collect()
+    assert(out.length == 1 && out.head.getAs[Long]("tile") == 0L)
+    assert(out.head.getAs[Long]("n") == 4L)
+    assert(out.head.getAs[Long]("cum_lift_e6") == 1000000L)
+  }
 }
