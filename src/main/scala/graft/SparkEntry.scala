@@ -2911,7 +2911,19 @@ object SparkEntry {
       graft.operators.Funnel.conversionLag(
           Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
           Seq("user_id"), "sec", "event_type", Seq("view", "click", "purchase"))
-        .orderBy("stage"))
+        .orderBy("stage")),
+
+    // ---- extension: isotonic calibration via the PAV minimax closed
+    // form — the pooling LOOP becomes a B³ grid expression, so the
+    // "iterative" fit hash-checks; output monotone by construction
+    "q235_x_isotonic" -> tuned((s, d) =>
+      graft.operators.Metrics.isotonicCalibration(
+          Tables.documents(s, d)
+            .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
+            .withColumn("label",
+              pmod(col("doc_id") * 2654435761L, lit(1000000L)) < col("score_e6")),
+          "score_e6", "label", nBins = 10)
+        .orderBy("bin"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7383,7 +7395,36 @@ object SparkEntry {
         |       v(stage, stage_name))
         |SELECT a.stage, sn.stage_name, a.n_pairs, a.min_lag, m.median_lag, a.max_lag
         |FROM a JOIN m ON a.stage = m.stage JOIN sn ON a.stage = sn.stage
-        |ORDER BY a.stage""".stripMargin)
+        |ORDER BY a.stage""".stripMargin),
+
+    // the same minimax grid: range means from prefix-sum differences,
+    // e9-quantized BEFORE the min/max so every comparison is integer
+    "q235_x_isotonic" ->
+      ("""WITH d AS (
+        |  SELECT (doc_id * 48271) % 1000001 AS s,
+        |         (doc_id * 2654435761) % 1000000 < (doc_id * 48271) % 1000001 AS y
+        |  FROM documents),
+        |b AS (SELECT least(s * 10 // 1000000, 9) AS bin,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |      FROM d GROUP BY 1),
+        |c AS (SELECT *,
+        |        CAST(sum(p) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cp,
+        |        CAST(sum(n) OVER (ORDER BY bin
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cn
+        |      FROM b),
+        |r AS (SELECT j.bin AS bj, k.bin AS bk,
+        |        (k.cp - j.cp + j.p) * 1000000000 // (k.cn - j.cn + j.n) AS avg_e9
+        |      FROM c j JOIN c k ON j.bin <= k.bin),
+        |mi AS (SELECT i.bin AS bi, r.bj, min(r.avg_e9) AS minr
+        |       FROM c i JOIN r ON r.bj <= i.bin AND i.bin <= r.bk
+        |       GROUP BY 1, 2),
+        |iso AS (SELECT bi AS bin, CAST(max(minr) AS BIGINT) AS iso_e9
+        |        FROM mi GROUP BY 1)
+        |SELECT b.bin, b.n, b.p AS n_pos, b.p * 1000000 // b.n AS raw_rate_e6,
+        |  iso.iso_e9
+        |FROM b JOIN iso ON b.bin = iso.bin ORDER BY b.bin""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -458,6 +458,60 @@ object Metrics {
       .drop("__n", "__tp")
   }
 
+  /** Isotonic calibration of a binned score — PAV's solution via the
+    * MINIMAX CLOSED FORM `iso(i) = max_{j≤i} min_{k≥i} avg(y_j..y_k)`
+    * (Barlow et al. 1972: the pool-adjacent-violators fit equals the
+    * prefix-suffix minimax of weighted range means), which turns the
+    * data-dependent pooling LOOP into a pure GRID expression — the
+    * trick that makes an "iterative" fit hash-checkable in SQL. The
+    * monotone score→probability map [[calibrationBins]] diagnoses the
+    * need for; Platt's logistic alternative imposes a shape, isotonic
+    * only imposes order.
+    *
+    * Exactness: range means come from exact integer prefix sums over
+    * the bin grid, e9-quantized per range (`p·10⁹ div n` — the
+    * quantization IS the spec; min/max then compare exact integers).
+    * Output is monotone nondecreasing in `bin` by construction.
+    *
+    * Scale shape: ONE row scan to the nBins grid (map-side combined);
+    * the minimax runs over the B³ range grid (10³ rows at the default —
+    * nothing), via two broadcast-joined windows. Output: `(bin, n,
+    * n_pos, raw_rate_e6, iso_e9)`. */
+  def isotonicCalibration(df: DataFrame, scoreE6Col: String, labelCol: String,
+                          nBins: Int = 10): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val s = col(scoreE6Col)
+    val y = col(labelCol)
+    val wOrd = Window.orderBy(col("bin"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bins = df.filter(s.isNotNull && y.isNotNull)
+      .withColumn("bin",
+        least(expr(s"`$scoreE6Col` * $nBins div 1000000"), lit(nBins - 1L)))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(when(y, 1L).otherwise(0L)).as("n_pos"))
+      .withColumn("__cp", sum(col("n_pos")).over(wOrd))
+      .withColumn("__cn", sum(col("n")).over(wOrd))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // range means over (j, k): prefix-sum differences on the tiny grid
+    val j = bins.select(col("bin").as("__j"), col("__cp").as("__cpj"),
+      col("__cn").as("__cnj"), col("n_pos").as("__pj"), col("n").as("__nj"))
+    val k = bins.select(col("bin").as("__k"), col("__cp").as("__cpk"),
+      col("__cn").as("__cnk"))
+    val ranges = j.crossJoin(k).filter(col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        expr("(__cpk - __cpj + __pj) * 1000000000 div (__cnk - __cnj + __nj)")
+          .as("__avg_e9"))
+    val iso = bins.select(col("bin").as("__i"))
+      .join(broadcast(ranges),
+        col("__j") <= col("__i") && col("__i") <= col("__k"))
+      .groupBy(col("__i"), col("__j")).agg(min(col("__avg_e9")).as("__minr"))
+      .groupBy(col("__i")).agg(max(col("__minr")).as("iso_e9"))
+    bins.join(broadcast(iso), col("bin") === col("__i"))
+      .withColumn("raw_rate_e6", expr("n_pos * 1000000 div n"))
+      .select(col("bin"), col("n"), col("n_pos"), col("raw_rate_e6"),
+        col("iso_e9"))
+  }
+
   /** Per-key Cohen's kappa between two categorical raters — chance-
     * corrected agreement, THE cross-annotator / model-vs-model
     * consistency readout (two quality classifiers, a heuristic vs an

@@ -245,6 +245,34 @@ class MetricsSpec extends SparkSpec {
     assert(t1.getAs[Long]("cum_lift_e6") == 1000000L)
   }
 
+  test("isotonicCalibration: pools the violating bin pair to their weighted mean") {
+    // bins: 0 -> rate 0/2; 4 -> rate 2/2 (=1); 9 -> rate 1/2
+    // violation between bin 4 (1.0) and bin 9 (0.5): PAV pools them to
+    // (2+1)/(2+2) = 0.75; bin 0 stays at 0
+    val df = Seq(
+      (50000L, false), (50000L, false),
+      (450000L, true), (450000L, true),
+      (950000L, true), (950000L, false)).toDF("score_e6", "label")
+    val out = Metrics.isotonicCalibration(df, "score_e6", "label")
+      .orderBy("bin").collect()
+    assert(out.map(_.getAs[Long]("bin")).toSeq == Seq(0L, 4L, 9L))
+    assert(out.map(_.getAs[Long]("iso_e9")).toSeq ==
+      Seq(0L, 750000000L, 750000000L))
+    // monotone nondecreasing by construction
+    val iso = out.map(_.getAs[Long]("iso_e9"))
+    assert(iso.zip(iso.tail).forall { case (a, b) => b >= a })
+  }
+
+  test("isotonicCalibration: already-monotone rates are reproduced exactly") {
+    val df = Seq((50000L, false), (450000L, true), (450000L, false),
+      (950000L, true)).toDF("score_e6", "label")
+    val out = Metrics.isotonicCalibration(df, "score_e6", "label")
+      .orderBy("bin").collect()
+    // rates 0, 1/2, 1 are already isotonic -> iso = raw (e9 scale)
+    assert(out.map(_.getAs[Long]("iso_e9")).toSeq ==
+      Seq(0L, 500000000L, 1000000000L))
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
