@@ -2923,7 +2923,25 @@ object SparkEntry {
             .withColumn("label",
               pmod(col("doc_id") * 2654435761L, lit(1000000L)) < col("score_e6")),
           "score_e6", "label", nBins = 10)
-        .orderBy("bin"))
+        .orderBy("bin")),
+
+    // ---- extension: STREAMING Kaplan-Meier — q225's standing twin:
+    // state is ONE complete-mode per-user (min, max) pair; the curve is
+    // a batch read of the drained snapshot, so drained == batch and the
+    // oracle IS q225's
+    "q236_x_stream_kaplan_meier" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingKaplanMeier(s, d)),
+
+    // ---- extension: IVF centroid separation — the BETWEEN-cluster
+    // half of q209's quality readout (merge-candidate detection); the
+    // oracle replays the pairs off the identical Lloyd chain
+    "q237_x_cluster_separation" -> tuned((s, d) => {
+      val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding",
+        k = 8, iters = 3)
+      graft.sim.Ivf.clusterSeparation(s, model)
+        .orderBy("cluster_a", "cluster_b")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -3343,6 +3361,47 @@ object SparkEntry {
        |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
 
+  /** q225/q236 shared oracle: per-user (min, max) lifetimes, censoring
+    * at the observation edge, lifetable, and the recursive-CTE e9
+    * survival walk — the streaming twin maintains the identical
+    * per-user state, so both queries replay one SQL. */
+  private lazy val KaplanMeierSql: String =
+    """WITH RECURSIVE e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |per AS (SELECT user_id, min(us) AS f, max(us) AS l FROM e GROUP BY 1),
+        |g AS (SELECT max(l) AS gm FROM per),
+        |s AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS key,
+        |        (l - f) // 86400000000 AS dur,
+        |        l < gm - 1209600000000 AS ev
+        |      FROM per CROSS JOIN g),
+        |lt AS (SELECT key, dur,
+        |         CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |         CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |       FROM s GROUP BY 1, 2),
+        |o AS (SELECT key, dur, d, c,
+        |        row_number() OVER (PARTITION BY key ORDER BY dur) AS rn,
+        |        CAST(sum(d + c) OVER (PARTITION BY key) AS BIGINT) AS tot,
+        |        CAST(coalesce(sum(d + c) OVER (PARTITION BY key ORDER BY dur
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS cumprev
+        |      FROM lt),
+        |rec(key, rn, sv) AS (
+        |  SELECT key, rn,
+        |    CASE WHEN d > 0 THEN 1000000000 * (tot - cumprev - d) // (tot - cumprev)
+        |         ELSE CAST(1000000000 AS BIGINT) END
+        |  FROM o WHERE rn = 1
+        |  UNION ALL
+        |  SELECT o.key, o.rn,
+        |    CASE WHEN o.d > 0
+        |         THEN rec.sv * (o.tot - o.cumprev - o.d) // (o.tot - o.cumprev)
+        |         ELSE rec.sv END
+        |  FROM rec JOIN o ON o.key = rec.key AND o.rn = rec.rn + 1)
+        |SELECT o.key, o.dur AS duration, (o.tot - o.cumprev) AS n_risk,
+        |  o.d AS d_events, o.c AS c_censored, rec.sv AS s_e9
+        |FROM o JOIN rec ON o.key = rec.key AND o.rn = rec.rn
+        |ORDER BY o.key, duration""".stripMargin
+
   /** q209: cluster-quality readout over the same trained centroids —
     * per-cluster member count and the EXACT sum of e6-quantized
     * member-to-centroid cosines (no mean emitted: a negative sum would
@@ -3358,6 +3417,21 @@ object SparkEntry {
        |SELECT CAST(cid AS INT) AS cluster, count(*) AS n,
        |  CAST(sum(cs_e6) AS BIGINT) AS sum_cos_e6
        |FROM j GROUP BY 1 ORDER BY cluster""".stripMargin
+  }
+
+  /** q237: centroid-pair separation over the same trained centroids —
+    * the between-cluster half of [[ivfClusterQualitySql]]'s readout;
+    * floor(x·1e6 + 0.5) handles negative cosines identically to the
+    * JVM kernel (floor is floor on both engines). */
+  private def ivfClusterSeparationSql(kClusters: Int, iters: Int, dim: Int,
+                                      maxId: Long): String = {
+    val (ctes, fin, _) = ivfTrainCtes(kClusters, iters, dim, maxId)
+    val cs = ivfCos(dim)("c1.cv", "c2.cv")
+    s"""$ctes
+       |SELECT CAST(c1.cid AS INT) AS cluster_a, CAST(c2.cid AS INT) AS cluster_b,
+       |  CAST(floor($cs * 1e6 + 0.5) AS BIGINT) AS cos_e6
+       |FROM $fin c1 JOIN $fin c2 ON c1.cid < c2.cid
+       |ORDER BY cluster_a, cluster_b""".stripMargin
   }
 
   /** q83: SemDeDup pairs over the same trained centroids — within-cluster
@@ -7078,42 +7152,15 @@ object SparkEntry {
     // lifetable from the same per-user aggregate; the e9 survival
     // recurrence replayed by a recursive CTE (positive operands, so //
     // and the kernel's truncating Long division agree)
-    "q225_x_kaplan_meier" ->
-      ("""WITH RECURSIVE e AS (
-        |  SELECT user_id, epoch_us(ts) AS us FROM events
-        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
-        |per AS (SELECT user_id, min(us) AS f, max(us) AS l FROM e GROUP BY 1),
-        |g AS (SELECT max(l) AS gm FROM per),
-        |s AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS key,
-        |        (l - f) // 86400000000 AS dur,
-        |        l < gm - 1209600000000 AS ev
-        |      FROM per CROSS JOIN g),
-        |lt AS (SELECT key, dur,
-        |         CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS d,
-        |         CAST(sum(CASE WHEN ev THEN 0 ELSE 1 END) AS BIGINT) AS c
-        |       FROM s GROUP BY 1, 2),
-        |o AS (SELECT key, dur, d, c,
-        |        row_number() OVER (PARTITION BY key ORDER BY dur) AS rn,
-        |        CAST(sum(d + c) OVER (PARTITION BY key) AS BIGINT) AS tot,
-        |        CAST(coalesce(sum(d + c) OVER (PARTITION BY key ORDER BY dur
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
-        |          AS cumprev
-        |      FROM lt),
-        |rec(key, rn, sv) AS (
-        |  SELECT key, rn,
-        |    CASE WHEN d > 0 THEN 1000000000 * (tot - cumprev - d) // (tot - cumprev)
-        |         ELSE CAST(1000000000 AS BIGINT) END
-        |  FROM o WHERE rn = 1
-        |  UNION ALL
-        |  SELECT o.key, o.rn,
-        |    CASE WHEN o.d > 0
-        |         THEN rec.sv * (o.tot - o.cumprev - o.d) // (o.tot - o.cumprev)
-        |         ELSE rec.sv END
-        |  FROM rec JOIN o ON o.key = rec.key AND o.rn = rec.rn + 1)
-        |SELECT o.key, o.dur AS duration, (o.tot - o.cumprev) AS n_risk,
-        |  o.d AS d_events, o.c AS c_censored, rec.sv AS s_e9
-        |FROM o JOIN rec ON o.key = rec.key AND o.rn = rec.rn
-        |ORDER BY o.key, duration""".stripMargin),
+    "q225_x_kaplan_meier" -> KaplanMeierSql,
+
+    // the streaming twin maintains the SAME per-user (min, max) state
+    // and reads the curve off the drained snapshot — drained == batch,
+    // so the oracle is identical
+    "q236_x_stream_kaplan_meier" -> KaplanMeierSql,
+
+    "q237_x_cluster_separation" ->
+      ivfClusterSeparationSql(kClusters = 8, iters = 3, dim = 64, maxId = 200L),
 
     // one moment aggregate, the pair grid from a VALUES table, the same
     // fixed double r tree per pair

@@ -115,6 +115,34 @@ object Ivf {
       .agg(count(lit(1)).as("n"), sum(col("cs_e6")).as("sum_cos_e6"))
   }
 
+  /** Pairwise centroid separation of a trained model — the BETWEEN-
+    * cluster half of the coarse-quantizer diagnostic ([[clusterQuality]]
+    * reads within-cluster cohesion): the e6-quantized cosine of every
+    * centroid pair plus each cluster's nearest-neighbor margin. Two
+    * centroids with cosine → 1 mean the quantizer wasted a cell (and
+    * SemDeDup will miss near-dups straddling them); the readout names
+    * the merge candidates.
+    *
+    * Driver-sized by design: k = O(√N) centroids ⇒ k² pairs is small at
+    * any corpus scale (the same argument that makes the probe-side
+    * broadcast legitimate). Cosines use the same [[VectorOps.cosine]] +
+    * `⌊x·10⁶ + 0.5⌋` quantization as [[clusterQuality]], so the SQL
+    * oracle replays the pairs off the identical Lloyd chain. Output:
+    * `(cluster_a, cluster_b, cos_e6)` for a < b, ordered. */
+  def clusterSeparation(spark: org.apache.spark.sql.SparkSession,
+                        model: Model): DataFrame = {
+    import spark.implicits._
+    val cs = model.centroids
+    val rows = for {
+      a <- cs.indices
+      b <- a + 1 until cs.length
+    } yield {
+      val c = VectorOps.cosine(cs(a), cs(b))
+      (a, b, math.floor((if (c == null) 0.0 else c.toDouble) * 1e6 + 0.5).toLong)
+    }
+    rows.toDF("cluster_a", "cluster_b", "cos_e6")
+  }
+
   /** SemDeDup-style semantic near-dup pairs (Abbas et al. 2023,
     * "SemDeDup: Data-efficient learning at web-scale through semantic
     * deduplication"): coarse-cluster every embedding with the trained IVF

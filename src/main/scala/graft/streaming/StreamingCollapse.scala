@@ -291,6 +291,45 @@ object StreamingCollapse {
       .orderBy("event_type")
   }
 
+  /** Streaming Kaplan–Meier maintenance — the standing twin of the
+    * batch survival curve (q225): the ONLY streaming state is the
+    * per-user `(first, last)` timestamp pair (one complete-mode
+    * min/max aggregate, O(users) state, mergeable across any
+    * micro-batch slicing), and the survival readout — censoring at the
+    * drained observation edge, lifetable, e9 product walk — is a BATCH
+    * query over the drained snapshot via
+    * [[graft.operators.Survival.kaplanMeier]]. Drained min/max equals
+    * batch min/max exactly, so the curve matches the batch operator
+    * bit-for-bit and shares its oracle.
+    *
+    * The q208 pattern (streaming state = the minimal mergeable
+    * aggregate; analytics = batch over the standing snapshot) — the
+    * production shape for "live retention curve" dashboards. */
+  def streamingKaplanMeier(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_km"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val per = eventsStream(spark, dir)
+      .filter(col("ts").isNotNull && col("user_id").isNotNull)
+      .groupBy(col("user_id"))
+      .agg(min(expr("ts div 1000")).as("first_us"),
+        max(expr("ts div 1000")).as("last_us"))
+    drain(spark, per.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    val snap = spark.table(name)
+    val gmax = snap.agg(max(col("last_us")).as("gmax"))
+    val subjects = snap.crossJoin(broadcast(gmax))
+      .select(
+        concat(lit("c"), pmod(col("user_id"), lit(3L)).cast("string")).as("cohort"),
+        expr("(last_us - first_us) div 86400000000").as("dur_days"),
+        (col("last_us") < col("gmax") - lit(1209600000000L)).as("churned"))
+    graft.operators.Survival.kaplanMeier(
+        subjects, Seq("cohort"), "dur_days", "churned")
+      .orderBy("key", "duration")
+  }
+
   // ------------------------------------------------------------ dedup
 
   private val documentsSchema: StructType = StructType(Seq(

@@ -330,4 +330,15 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Long]("psi_e9"))).toSeq
     assert(streamed.nonEmpty && streamed == batch)
   }
+
+  test("streamingKaplanMeier: drained (min, max) state gives the batch curve exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Long]("duration"), r.getAs[Long]("n_risk"),
+        r.getAs[Long]("d_events"), r.getAs[Long]("c_censored"),
+        r.getAs[Long]("s_e9"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingKaplanMeier(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q225_x_kaplan_meier")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
 }
