@@ -2941,7 +2941,20 @@ object SparkEntry {
         k = 8, iters = 3)
       graft.sim.Ivf.clusterSeparation(s, model)
         .orderBy("cluster_a", "cluster_b")
-    })
+    }),
+
+    // ---- extension: labeler-agreement audit — q43's heuristic langid
+    // judged against the labeled lang by Cohen's kappa per source (the
+    // eval tier composed over the text tier: "does the cheap classifier
+    // agree with the ground truth beyond chance, and on which slices")
+    "q238_x_langid_agreement" -> tuned((s, d) =>
+      graft.operators.Metrics.cohenKappa(
+          Tables.documents(s, d).filter(col("source").isNotNull)
+            .withColumn("pred", TextAnalysis.languageId(col("text")))
+            .withColumn("truth",
+              when(col("lang") === "en", "en").otherwise("und")),
+          Seq("source"), "pred", "truth")
+        .orderBy("source"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7161,6 +7174,42 @@ object SparkEntry {
 
     "q237_x_cluster_separation" ->
       ivfClusterSeparationSql(kClusters = 8, iters = 3, dim = 64, maxId = 200L),
+
+    // q43's langid CTE composed into q223's kappa chain
+    "q238_x_langid_agreement" -> {
+      val stop = graft.text.TextAnalysis.EnglishStopwords
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (
+        |  SELECT source, lang,
+        |         regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+        |  FROM documents WHERE source IS NOT NULL),
+        |d AS (SELECT source,
+        |    CASE WHEN CAST(len(list_filter(toks, x -> x IN ($stop))) AS DOUBLE)
+        |           / nullif(len(toks), 0) >= 0.05
+        |         THEN 'en' ELSE 'und' END AS a,
+        |    CASE WHEN lang = 'en' THEN 'en' ELSE 'und' END AS b
+        |  FROM t),
+        |d2 AS (SELECT * FROM d WHERE a IS NOT NULL AND b IS NOT NULL),
+        |c AS (SELECT source, a, b, CAST(count(*) AS BIGINT) AS c
+        |      FROM d2 GROUP BY 1, 2, 3),
+        |rm AS (SELECT source, a AS cls, CAST(sum(c) AS BIGINT) AS r
+        |       FROM c GROUP BY 1, 2),
+        |cm AS (SELECT source, b AS cls, CAST(sum(c) AS BIGINT) AS cc
+        |       FROM c GROUP BY 1, 2),
+        |rc AS (SELECT rm.source, CAST(sum(r * cc) AS BIGINT) AS rc
+        |       FROM rm JOIN cm ON rm.source = cm.source AND rm.cls = cm.cls
+        |       GROUP BY 1),
+        |bs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
+        |       FROM c GROUP BY 1)
+        |SELECT bs.source, n,
+        |  diag * 1000000 // n AS po_e6,
+        |  rc * 1000000 // (n * n) AS pe_e6,
+        |  CASE WHEN n * n - rc <> 0 THEN
+        |    CAST(floor(CAST(n * diag - rc AS DOUBLE) / (n * n - rc)
+        |               * 1000000 + 0.5) AS BIGINT) END AS kappa_e6
+        |FROM bs JOIN rc ON bs.source = rc.source ORDER BY bs.source""".stripMargin
+    },
 
     // one moment aggregate, the pair grid from a VALUES table, the same
     // fixed double r tree per pair
