@@ -2795,14 +2795,9 @@ object SparkEntry {
         .groupBy(col("user_id"))
         .agg(min(expr("ts_ns div 1000")).as("first_us"),
           max(expr("ts_ns div 1000")).as("last_us"))
-      val gmax = per.agg(max(col("last_us")).as("gmax"))
-      val subjects = per.crossJoin(broadcast(gmax))
-        .select(
-          concat(lit("c"), pmod(col("user_id"), lit(3L)).cast("string")).as("cohort"),
-          expr("(last_us - first_us) div 86400000000").as("dur_days"),
-          (col("last_us") < col("gmax") - lit(1209600000000L)).as("churned"))
       graft.operators.Survival.kaplanMeier(
-          subjects, Seq("cohort"), "dur_days", "churned")
+          graft.operators.Survival.lifetimeSubjects(per),
+          Seq("cohort"), "dur_days", "churned")
         .orderBy("key", "duration")
     }),
 
@@ -3440,9 +3435,11 @@ object SparkEntry {
                                       maxId: Long): String = {
     val (ctes, fin, _) = ivfTrainCtes(kClusters, iters, dim, maxId)
     val cs = ivfCos(dim)("c1.cv", "c2.cv")
+    // coalesce mirrors the JVM kernel's null→0 on a zero-norm centroid
+    // (ivfCos emits NULL there via its nullif guard)
     s"""$ctes
        |SELECT CAST(c1.cid AS INT) AS cluster_a, CAST(c2.cid AS INT) AS cluster_b,
-       |  CAST(floor($cs * 1e6 + 0.5) AS BIGINT) AS cos_e6
+       |  CAST(floor(coalesce($cs, 0) * 1e6 + 0.5) AS BIGINT) AS cos_e6
        |FROM $fin c1 JOIN $fin c2 ON c1.cid < c2.cid
        |ORDER BY cluster_a, cluster_b""".stripMargin
   }
@@ -7131,14 +7128,16 @@ object SparkEntry {
         |       FROM rm JOIN cm ON rm.lang = cm.lang AND rm.cls = cm.cls GROUP BY 1),
         |bs AS (SELECT lang, CAST(sum(c) AS BIGINT) AS n,
         |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
-        |       FROM c GROUP BY 1)
-        |SELECT bs.lang, n,
+        |       FROM c GROUP BY 1),
+        |rj AS (SELECT bs.lang, bs.n, bs.diag, coalesce(rc.rc, 0) AS rc
+        |       FROM bs LEFT JOIN rc ON bs.lang = rc.lang)
+        |SELECT lang, n,
         |  diag * 1000000 // n AS po_e6,
-        |  rc * 1000000 // (n * n) AS pe_e6,
+        |  CAST(CAST(rc AS HUGEINT) * 1000000 // (n * n) AS BIGINT) AS pe_e6,
         |  CASE WHEN n * n - rc <> 0 THEN
         |    CAST(floor(CAST(n * diag - rc AS DOUBLE) / (n * n - rc)
         |               * 1000000 + 0.5) AS BIGINT) END AS kappa_e6
-        |FROM bs JOIN rc ON bs.lang = rc.lang ORDER BY bs.lang""".stripMargin),
+        |FROM rj ORDER BY lang""".stripMargin),
 
     // q216's monthly input, the same pairwise self-join, each slope the
     // same one fixed double op; LOWER median by row_number = (m+1)//2
@@ -7201,14 +7200,16 @@ object SparkEntry {
         |       GROUP BY 1),
         |bs AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
         |         CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS diag
-        |       FROM c GROUP BY 1)
-        |SELECT bs.source, n,
+        |       FROM c GROUP BY 1),
+        |rj AS (SELECT bs.source, bs.n, bs.diag, coalesce(rc.rc, 0) AS rc
+        |       FROM bs LEFT JOIN rc ON bs.source = rc.source)
+        |SELECT source, n,
         |  diag * 1000000 // n AS po_e6,
-        |  rc * 1000000 // (n * n) AS pe_e6,
+        |  CAST(CAST(rc AS HUGEINT) * 1000000 // (n * n) AS BIGINT) AS pe_e6,
         |  CASE WHEN n * n - rc <> 0 THEN
         |    CAST(floor(CAST(n * diag - rc AS DOUBLE) / (n * n - rc)
         |               * 1000000 + 0.5) AS BIGINT) END AS kappa_e6
-        |FROM bs JOIN rc ON bs.source = rc.source ORDER BY bs.source""".stripMargin
+        |FROM rj ORDER BY source""".stripMargin
     },
 
     // one moment aggregate, the pair grid from a VALUES table, the same
@@ -7317,11 +7318,12 @@ object SparkEntry {
         |        CAST(sum(y * y) OVER (PARTITION BY k) AS BIGINT) AS t2
         |      FROM m),
         |c AS (SELECT *,
-        |        CAST(floor((CAST(t * c2 - c1 * c1 AS DOUBLE) / t
-        |          + CAST((n - t) * (t2 - c2) - (t1 - c1) * (t1 - c1) AS DOUBLE)
-        |            / (n - t)) * 10000 + 0.5) AS BIGINT) AS cost_e4,
-        |        CAST(floor(CAST(n * t2 - t1 * t1 AS DOUBLE) / n * 10000 + 0.5)
-        |          AS BIGINT) AS total_e4
+        |        CAST(floor(((CAST(t AS DOUBLE) * c2 - CAST(c1 AS DOUBLE) * c1) / t
+        |          + (CAST(n - t AS DOUBLE) * (t2 - c2)
+        |             - CAST(t1 - c1 AS DOUBLE) * (t1 - c1)) / (n - t))
+        |          * 10000 + 0.5) AS BIGINT) AS cost_e4,
+        |        CAST(floor((CAST(n AS DOUBLE) * t2 - CAST(t1 AS DOUBLE) * t1)
+        |          / n * 10000 + 0.5) AS BIGINT) AS total_e4
         |      FROM o WHERE n >= 4 AND t >= 1 AND t < n),
         |r AS (SELECT *, row_number() OVER (PARTITION BY k ORDER BY cost_e4, t) AS rk
         |      FROM c)
@@ -7337,8 +7339,8 @@ object SparkEntry {
         |SELECT l_returnflag, CAST(sum(c) AS BIGINT) AS n,
         |  CAST(count(*) AS BIGINT) AS n_items,
         |  CAST(max(c) AS BIGINT) * 1000000 // CAST(sum(c) AS BIGINT) AS top_share_e6,
-        |  CAST(sum(c * c) AS BIGINT) * 1000000
-        |    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS hhi_e6
+        |  CAST(CAST(sum(c * c) AS HUGEINT) * 1000000
+        |    // (CAST(sum(c) AS BIGINT) * CAST(sum(c) AS BIGINT)) AS BIGINT) AS hhi_e6
         |FROM g GROUP BY 1 ORDER BY 1""".stripMargin),
 
     // the same doubled-midrank identity per axis, then q226's fixed

@@ -417,12 +417,18 @@ object Features {
         sum(x).over(full).as("__t1"),
         sum(x * x).over(full).as("__t2"))
       .filter(col("__n") >= 4 && col("__t") >= 1 && col("__t") < col("__n"))
+      // cast each factor to double BEFORE multiplying: the BIGINT products
+      // t·Σy² and Σy·Σy wrap at n·Σy² ≳ 2⁶³ — well inside the documented
+      // Σy² < 2⁶³ prefix-sum contract — while the double products round
+      // identically in both engines
       .withColumn("__cost_e4", expr(
-        """cast(floor((cast(__t * __c2 - __c1 * __c1 as double) / __t
-          |  + cast((__n - __t) * (__t2 - __c2) - (__t1 - __c1) * (__t1 - __c1)
-          |         as double) / (__n - __t)) * 10000 + 0.5) as bigint)""".stripMargin))
+        """cast(floor(((cast(__t as double) * __c2 - cast(__c1 as double) * __c1) / __t
+          |  + (cast(__n - __t as double) * (__t2 - __c2)
+          |     - cast(__t1 - __c1 as double) * (__t1 - __c1)) / (__n - __t))
+          |  * 10000 + 0.5) as bigint)""".stripMargin))
       .withColumn("__total_e4", expr(
-        "cast(floor(cast(__n * __t2 - __t1 * __t1 as double) / __n * 10000 + 0.5) as bigint)"))
+        """cast(floor((cast(__n as double) * __t2 - cast(__t1 as double) * __t1)
+          |  / __n * 10000 + 0.5) as bigint)""".stripMargin))
     splits
       .withColumn("__rk",
         row_number().over(part.orderBy(col("__cost_e4"), col("__t"))))

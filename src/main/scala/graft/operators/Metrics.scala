@@ -386,6 +386,9 @@ object Metrics {
         sum(when(y, 1L).otherwise(0L)).as("__p_b"),
         sum(s.cast("long")).as("__s_b"),
         sum(expr("__d * __d div 1000000")).as("__q_b"))
+      // persist: the grid feeds BOTH the one-row totals and the readout
+      // crossJoin — unpersisted, the row scan + bin aggregate run twice
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = bins.agg(sum(col("__n_b")).as("n"), sum(col("__p_b")).as("n_pos"),
       sum(col("__q_b")).as("__qq"))
     bins.crossJoin(broadcast(tot))
@@ -549,9 +552,18 @@ object Metrics {
     val base = cells.groupBy(k: _*)
       .agg(sum(col("__c")).as("n"),
         sum(when(col("__a") === col("__b"), col("__c")).otherwise(0L)).as("__diag"))
-    base.join(rc, keyCols)
+    // LEFT join + 0: raters with DISJOINT label sets produce an EMPTY
+    // marginal join (no shared class), which an inner join would silently
+    // drop — but that key is total disagreement, the most important row
+    // of an agreement audit: rc = 0 gives the well-defined κ = 0
+    base.join(rc, keyCols, "left")
+      .withColumn("__rc", coalesce(col("__rc"), lit(0L)))
       .withColumn("po_e6", expr("__diag * 1000000 div n"))
-      .withColumn("pe_e6", expr("__rc * 1000000 div (n * n)"))
+      // DECIMAL widening: rc·10⁶ wraps BIGINT at rc ≈ n² ≳ 9·10¹² (n over
+      // ~3·10⁶ concentrated rows) — the decimal detour restores the
+      // documented n ≤ 3·10⁹ bound
+      .withColumn("pe_e6", expr(
+        "cast(cast(__rc as decimal(38,0)) * 1000000 div (n * n) as bigint)"))
       .withColumn("kappa_e6", expr(
         """case when n * n - __rc <> 0 then
           |  cast(floor(cast(n * __diag - __rc as double) / (n * n - __rc)

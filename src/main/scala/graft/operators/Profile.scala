@@ -282,7 +282,11 @@ object Profile {
         max(col("__c")).as("__top"),
         sum(col("__c") * col("__c")).as("__sq"))
       .withColumn("top_share_e6", expr("__top * 1000000 div n"))
-      .withColumn("hhi_e6", expr("__sq * 1000000 div (n * n)"))
+      // DECIMAL widening: Σc²·10⁶ wraps BIGINT at Σc² ≳ 9·10¹² — a
+      // 4M-row near-monopoly group, exactly the regime HHI exists to
+      // flag; the decimal detour restores the n ≤ 3·10⁹ bound
+      .withColumn("hhi_e6", expr(
+        "cast(cast(__sq as decimal(38,0)) * 1000000 div (n * n) as bigint)"))
       .drop("__top", "__sq")
   }
 

@@ -38,6 +38,23 @@ object Survival {
     StructField("c_censored", LongType),
     StructField("s_e9", LongType)))
 
+  /** The q225/q236 shared subject derivation over a per-user
+    * `(user_id, first_us, last_us)` frame: cohort = `user_id mod 3`,
+    * duration in days, churned ⇔ inactive in the final 14 days of the
+    * window (the edge derives FROM the frame — no second scan). ONE
+    * definition on purpose: the batch query, the streaming twin, and
+    * the shared SQL oracle all depend on these exact constants, and a
+    * hand-synced copy drifting in one of them would silently break the
+    * drained == batch bit-parity the q236 design rests on. */
+  def lifetimeSubjects(perUser: DataFrame): DataFrame = {
+    val gmax = perUser.agg(max(col("last_us")).as("gmax"))
+    perUser.crossJoin(broadcast(gmax))
+      .select(
+        concat(lit("c"), pmod(col("user_id"), lit(3L)).cast("string")).as("cohort"),
+        expr("(last_us - first_us) div 86400000000").as("dur_days"),
+        (col("last_us") < col("gmax") - lit(1209600000000L)).as("churned"))
+  }
+
   /** One row per subject in `df`: an integer `durationCol` (time grain
     * chosen by the caller) and a boolean `eventCol` (true = the event
     * was observed; false = right-censored at that duration). Output:

@@ -318,15 +318,9 @@ object StreamingCollapse {
       .outputMode("complete")
       .format("memory")
       .queryName(name))
-    val snap = spark.table(name)
-    val gmax = snap.agg(max(col("last_us")).as("gmax"))
-    val subjects = snap.crossJoin(broadcast(gmax))
-      .select(
-        concat(lit("c"), pmod(col("user_id"), lit(3L)).cast("string")).as("cohort"),
-        expr("(last_us - first_us) div 86400000000").as("dur_days"),
-        (col("last_us") < col("gmax") - lit(1209600000000L)).as("churned"))
     graft.operators.Survival.kaplanMeier(
-        subjects, Seq("cohort"), "dur_days", "churned")
+        graft.operators.Survival.lifetimeSubjects(spark.table(name)),
+        Seq("cohort"), "dur_days", "churned")
       .orderBy("key", "duration")
   }
 

@@ -341,12 +341,17 @@ class PlanSpec extends SparkSpec {
       s"global moment aggregate needs no hash shuffle (single-partition exchange only):\n$p")
   }
 
-  test("Brier decomposition (q227): one row scan; totals derive from the bin grid") {
-    val p = plan("q227_x_brier_decomp")
-    assert(p.linesIterator.count(_.contains("FileScan")) <= 2, // bins + totals reuse
-      s"brier must not rescan rows per readout term:\n$p")
-    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-      s"one-row totals must broadcast onto the grid:\n$p")
+  test("Brier decomposition (q227): the row scan runs ONCE (persisted bin grid)") {
+    val df = SparkEntry.queries("q227_x_brier_decomp")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    try {
+      // the bin grid materializes once and feeds both the one-row totals
+      // and the readout crossJoin from cache
+      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) === 2,
+        s"bin grid must feed both consumers from cache:\n$p")
+      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+        s"one-row totals must broadcast onto the grid:\n$p")
+    } finally spark.sharedState.cacheManager.clearCache()
   }
 
   test("changepoint (q228): both prefix windows stack on one sort, argmin reuses the partitioning") {

@@ -36,6 +36,12 @@ object Synth10x {
       println(s"SYNTH $name rows=${spark.read.parquet(s"$out/$name.parquet").count()}")
     }
 
+    def copy1(name: String): Unit = {
+      spark.read.parquet(s"$src/$name.parquet")
+        .coalesce(4).write.mode("overwrite").parquet(s"$out/$name.parquet")
+      println(s"SYNTH $name copied 1x (dimension)")
+    }
+
     rep10("documents", Map("doc_id" -> 10000000L))
     rep10("orders", Map("o_orderkey" -> 1000000000L))
     rep10("lineitem", Map("l_orderkey" -> 1000000000L))
@@ -43,6 +49,10 @@ object Synth10x {
     // events.ts is INT64 nanos under nanosAsLong; copied verbatim it stays
     // nanos, and Tables.events re-derives the timestamp on read
     rep10("events", Map("event_id" -> 10000000000L, "user_id" -> 100000000L))
+    rep10("embeddings", Map("vec_id" -> 10000000L))
+    // dimensions ride at 1x (the realistic shape: facts grow, dims don't);
+    // fact FKs keep pointing at the original key ranges
+    Seq("region", "nation", "supplier", "part").foreach(copy1)
     spark.stop()
   }
 }

@@ -229,6 +229,18 @@ class MetricsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("kappa_e6")))
   }
 
+  test("cohenKappa: disjoint rater label sets emit kappa 0, not a dropped key") {
+    // total disagreement: rater a says only 'x', rater b only 'y' — the
+    // marginal join is empty (no shared class), rc = 0, kappa = 0
+    val df = Seq(("k", "x", "y"), ("k", "x", "y"), ("k", "x", "y"))
+      .toDF("key", "a", "b")
+    val out = Metrics.cohenKappa(df, Seq("key"), "a", "b").collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getAs[Long]("po_e6") == 0L && r.getAs[Long]("pe_e6") == 0L)
+    assert(r.getAs[Long]("kappa_e6") == 0L)
+  }
+
   test("liftTable: hand-computed two-tile table") {
     // scores 4,3 positive; 2,1 negative; 2 tiles -> top tile captures all
     val df = Seq((4L, true), (3L, true), (2L, false), (1L, false))
