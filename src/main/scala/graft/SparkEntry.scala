@@ -2949,7 +2949,48 @@ object SparkEntry {
             .withColumn("truth",
               when(col("lang") === "en", "en").otherwise("und")),
           Seq("source"), "pred", "truth")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- extension: STREAMING lift table — q233's standing twin:
+    // state is the per-score-value (count, positives) histogram;
+    // drained counts == batch counts, so the oracle IS q233's
+    "q239_x_stream_lift_table" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingLiftTable(s, d)),
+
+    // ---- extension: two-variant funnel A/B — pooled two-proportion z
+    // per stage transition between hash-split variants; the experiment
+    // readout asked on the funnel itself
+    "q240_x_funnel_ab" -> tuned((s, d) =>
+      graft.operators.Funnel.funnelVariantZ(
+          Tables.events(s, d)
+            .withColumn("sec", expr("ts_ns div 1000000000"))
+            .withColumn("variant",
+              when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B")),
+          Seq("user_id"), "variant", "sec", "event_type",
+          Seq("view", "click", "purchase"), "A", "B")
+        .orderBy("stage")),
+
+    // ---- extension: CUPED variance reduction per segment — theta and
+    // rho-squared from one integer-moment aggregate over per-customer
+    // (1996, 1997) dekadollar totals (div 10 keeps Sigma-x-squared
+    // exact through sf100)
+    "q241_x_cuped" -> tuned((s, d) => {
+      val per = Tables.orders(s, d)
+        .filter(col("o_orderdate").isNotNull &&
+          year(col("o_orderdate")).isin(1996, 1997))
+        .groupBy(col("o_custkey"))
+        .agg(
+          sum(when(year(col("o_orderdate")) === 1996,
+            expr("floor(o_totalprice + 0.5) div 10")).otherwise(0L)).as("x"),
+          sum(when(year(col("o_orderdate")) === 1997,
+            expr("floor(o_totalprice + 0.5) div 10")).otherwise(0L)).as("y"))
+      val seg = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Metrics.cuped(
+          per.join(broadcast(seg), per("o_custkey") === seg("c_custkey")),
+          Seq("c_mktsegment"), "x", "y")
+        .orderBy("c_mktsegment")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -3368,6 +3409,38 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
+
+  /** q233/q239 shared oracle: histogram deciles on the score value
+    * grid (DESC), the two-step integer lift quantization — the
+    * streaming twin maintains the identical per-value counts, so both
+    * queries replay one SQL. */
+  private lazy val LiftTableSql: String =
+    """WITH d AS (
+        |  SELECT (doc_id * 48271) % 1000001 AS s,
+        |         (doc_id * 2654435761) % 1000000 < (doc_id * 48271) % 1000001 AS y
+        |  FROM documents),
+        |h AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |      FROM d GROUP BY 1),
+        |t AS (SELECT *,
+        |        CAST(sum(c) OVER (ORDER BY v DESC
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER () AS BIGINT) AS n0,
+        |        CAST(sum(p) OVER () AS BIGINT) AS tp
+        |      FROM h),
+        |g AS (SELECT (cum - c) * 10 // n0 AS tile, n0, tp,
+        |        CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos
+        |      FROM t GROUP BY 1, 2, 3),
+        |r AS (SELECT *,
+        |        CAST(sum(n) OVER (ORDER BY tile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+        |        CAST(sum(n_pos) OVER (ORDER BY tile
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
+        |      FROM g)
+        |SELECT tile, n, n_pos, n_pos * 1000000 // n AS resp_rate_e6, cum_n, cum_pos,
+        |  (cum_pos * 1000000 // cum_n) * 1000000
+        |    // nullif(tp * 1000000 // n0, 0) AS cum_lift_e6
+        |FROM r ORDER BY tile""".stripMargin
 
   /** q225/q236 shared oracle: per-user (min, max) lifetimes, censoring
     * at the observation edge, lifetable, and the recursive-CTE e9
@@ -7434,33 +7507,10 @@ object SparkEntry {
 
     // the same histogram-decile assignment ((cum-c)*10 // n on the value
     // grid, DESC) and the documented two-step lift quantization
-    "q233_x_lift_table" ->
-      ("""WITH d AS (
-        |  SELECT (doc_id * 48271) % 1000001 AS s,
-        |         (doc_id * 2654435761) % 1000000 < (doc_id * 48271) % 1000001 AS y
-        |  FROM documents),
-        |h AS (SELECT s AS v, CAST(count(*) AS BIGINT) AS c,
-        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
-        |      FROM d GROUP BY 1),
-        |t AS (SELECT *,
-        |        CAST(sum(c) OVER (ORDER BY v DESC
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
-        |        CAST(sum(c) OVER () AS BIGINT) AS n0,
-        |        CAST(sum(p) OVER () AS BIGINT) AS tp
-        |      FROM h),
-        |g AS (SELECT (cum - c) * 10 // n0 AS tile, n0, tp,
-        |        CAST(sum(c) AS BIGINT) AS n, CAST(sum(p) AS BIGINT) AS n_pos
-        |      FROM t GROUP BY 1, 2, 3),
-        |r AS (SELECT *,
-        |        CAST(sum(n) OVER (ORDER BY tile
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
-        |        CAST(sum(n_pos) OVER (ORDER BY tile
-        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos
-        |      FROM g)
-        |SELECT tile, n, n_pos, n_pos * 1000000 // n AS resp_rate_e6, cum_n, cum_pos,
-        |  (cum_pos * 1000000 // cum_n) * 1000000
-        |    // nullif(tp * 1000000 // n0, 0) AS cum_lift_e6
-        |FROM r ORDER BY tile""".stripMargin),
+    "q233_x_lift_table" -> LiftTableSql,
+
+    // drained per-value counts == batch counts, identical readout
+    "q239_x_stream_lift_table" -> LiftTableSql,
 
     // q215's chained-min construction on seconds, per-transition lags,
     // exact lower-median rank walk over the lag grid
@@ -7522,7 +7572,88 @@ object SparkEntry {
         |        FROM mi GROUP BY 1)
         |SELECT b.bin, b.n, b.p AS n_pos, b.p * 1000000 // b.n AS raw_rate_e6,
         |  iso.iso_e9
-        |FROM b JOIN iso ON b.bin = iso.bin ORDER BY b.bin""".stripMargin)
+        |FROM b JOIN iso ON b.bin = iso.bin ORDER BY b.bin""".stripMargin),
+
+    // q215's chained funnel per variant, lagged reach per transition,
+    // the same pooled two-proportion z tree e4-quantized
+    "q240_x_funnel_ab" ->
+      ("""WITH e AS (
+        |  SELECT user_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS var,
+        |         event_type AS s, epoch_us(ts) // 1000000 AS t
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |u AS (SELECT DISTINCT user_id, var,
+        |        CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS completed
+        |      FROM w2),
+        |st AS (SELECT * FROM (VALUES (0), (1), (2)) v(stage)),
+        |r AS (SELECT var, st.stage, CAST(count(*) AS BIGINT) AS rch
+        |      FROM u CROSS JOIN st WHERE u.completed > st.stage GROUP BY 1, 2),
+        |tr AS (SELECT var, stage,
+        |         lag(rch) OVER (PARTITION BY var ORDER BY stage) AS n, rch AS x
+        |       FROM r),
+        |t2 AS (SELECT * FROM tr WHERE stage >= 1 AND n IS NOT NULL),
+        |a AS (SELECT stage, n AS n_a, x AS x_a FROM t2 WHERE var = 'A'),
+        |b AS (SELECT stage, n AS n_b, x AS x_b FROM t2 WHERE var = 'B'),
+        |sn AS (SELECT * FROM (VALUES (1, 'view->click'), (2, 'click->purchase'))
+        |       v(stage, stage_name))
+        |SELECT a.stage, sn.stage_name, n_a, x_a, n_b, x_b,
+        |  x_a * 1000000 // nullif(n_a, 0) AS rate_a_e6,
+        |  x_b * 1000000 // nullif(n_b, 0) AS rate_b_e6,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |         AND (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b) THEN
+        |    CAST(floor((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |      / sqrt(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)
+        |             * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |             * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+        |      * 10000 + 0.5) AS BIGINT) END AS z_e4
+        |FROM a JOIN b ON a.stage = b.stage JOIN sn ON a.stage = sn.stage
+        |ORDER BY a.stage""".stripMargin),
+
+    // one integer-moment aggregate over per-customer year totals, the
+    // same cast-before-multiply theta / rho-squared trees
+    "q241_x_cuped" ->
+      ("""WITH p AS (
+        |  SELECT o_custkey,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1996
+        |      THEN CAST(floor(o_totalprice + 0.5) AS BIGINT) // 10 ELSE 0 END)
+        |      AS BIGINT) AS x,
+        |    CAST(sum(CASE WHEN year(o_orderdate) = 1997
+        |      THEN CAST(floor(o_totalprice + 0.5) AS BIGINT) // 10 ELSE 0 END)
+        |      AS BIGINT) AS y
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND year(o_orderdate) IN (1996, 1997)
+        |  GROUP BY 1),
+        |j AS (SELECT c.c_mktsegment, p.x, p.y
+        |      FROM p JOIN customer c ON p.o_custkey = c.c_custkey),
+        |a AS (SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS qx,
+        |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(y * y) AS BIGINT) AS qy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy
+        |  FROM j GROUP BY 1)
+        |SELECT c_mktsegment, n,
+        |  CASE WHEN n >= 2
+        |         AND (CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx) > 0 THEN
+        |    CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / (CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+        |      * 1000000 + 0.5) AS BIGINT) END AS theta_e6,
+        |  CASE WHEN n >= 2
+        |         AND (CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx) > 0
+        |         AND (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy) > 0 THEN
+        |    CAST(floor((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        |      / ((CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
+        |         * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
+        |      * 1000000 + 0.5) AS BIGINT) END AS var_reduction_e6
+        |FROM a ORDER BY c_mktsegment""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

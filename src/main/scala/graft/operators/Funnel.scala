@@ -210,6 +210,65 @@ object Funnel {
         expr("n * 1000 div __out").as("p_permille"))
   }
 
+  /** Two-variant funnel A/B readout — for each consecutive stage
+    * transition, the pooled two-proportion z between the variants'
+    * conversion rates: THE experiment question ("did the new checkout
+    * change click→purchase") asked where it lives, on the funnel
+    * transitions. [[conversionCounts]] describes one funnel;
+    * this compares two.
+    *
+    * Exactness (the q222 discipline): reach counts are exact integers
+    * off [[funnelByKey]]'s chained mins (variant rides as an extra key
+    * column — a user's variant is constant, so the chain is unchanged);
+    * z is ONE fixed double tree over four integers, e4-quantized, with
+    * the pooled-variance guard (`se > 0`) decided on exact integers.
+    * Transitions where either variant has zero prior-stage reach emit
+    * null z.
+    *
+    * Output: one row per transition —
+    * `(stage, stage_name, n_a, x_a, n_b, x_b, rate_a_e6, rate_b_e6,
+    * z_e4)`; `n` = reach of the prior stage, `x` = reach of this one. */
+  def funnelVariantZ(events: DataFrame, keyCols: Seq[String],
+                     variantCol: String, timeCol: String, stageCol: String,
+                     stages: Seq[String], variantA: String,
+                     variantB: String): DataFrame = {
+    val byKey = funnelByKey(events, keyCols :+ variantCol, timeCol,
+      stageCol, stages)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("stage", "stage_name")
+    val reach = byKey.crossJoin(broadcast(stageIdx.select(col("stage"))))
+      .filter(col("stages_completed") > col("stage"))
+      .groupBy(col(variantCol).as("__var"), col("stage"))
+      .agg(count(lit(1)).as("__r"))
+    val w = Window.partitionBy(col("__var")).orderBy(col("stage"))
+    val trans = reach
+      .withColumn("__n", lag(col("__r"), 1).over(w))
+      .filter(col("stage") >= 1 && col("__n").isNotNull)
+      .select(col("__var"), col("stage"), col("__n"), col("__r").as("__x"))
+    val a = trans.filter(col("__var") === variantA)
+      .select(col("stage"), col("__n").as("n_a"), col("__x").as("x_a"))
+    val b = trans.filter(col("__var") === variantB)
+      .select(col("stage"), col("__n").as("n_b"), col("__x").as("x_b"))
+    val names = stages.sliding(2).zipWithIndex
+      .map { case (Seq(p, q), i) => (i + 1, s"$p->$q") }.toSeq
+      .toDF("stage", "stage_name")
+    a.join(b, Seq("stage")).join(broadcast(names), Seq("stage"))
+      .withColumn("rate_a_e6", expr("x_a * 1000000 div nullif(n_a, 0)"))
+      .withColumn("rate_b_e6", expr("x_b * 1000000 div nullif(n_b, 0)"))
+      .withColumn("z_e4", expr(
+        """case when n_a > 0 and n_b > 0
+          |       and (x_a + x_b) > 0 and (x_a + x_b) < (n_a + n_b) then
+          |  cast(floor((cast(x_a as double) / n_a - cast(x_b as double) / n_b)
+          |    / sqrt(cast(x_a + x_b as double) / (n_a + n_b)
+          |           * (1 - cast(x_a + x_b as double) / (n_a + n_b))
+          |           * (cast(1 as double) / n_a + cast(1 as double) / n_b))
+          |    * 10000 + 0.5) as bigint) end""".stripMargin))
+      .select(col("stage"), col("stage_name"), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"), col("rate_a_e6"), col("rate_b_e6"), col("z_e4"))
+  }
+
   /** Per-transition time-to-convert profile — for each consecutive
     * funnel stage pair, how long converters took: count, min, LOWER
     * median, max of `t_i − t_{i−1}` over [[funnelByKey]]'s chained-min

@@ -433,12 +433,23 @@ object Metrics {
     * cum_lift_e6)`, tile 0 = best-scored. */
   def liftTable(df: DataFrame, scoreCol: String, labelCol: String,
                 nTiles: Int = 10): DataFrame = {
-    require(nTiles >= 2, s"nTiles must be >= 2, got $nTiles")
     val score = col(scoreCol)
     val label = col(labelCol)
-    val hist = df.filter(score.isNotNull && label.isNotNull)
-      .groupBy(score.as("__v"))
-      .agg(count(lit(1)).as("__c"), sum(when(label, 1L).otherwise(0L)).as("__p"))
+    liftFromCounts(
+      df.filter(score.isNotNull && label.isNotNull)
+        .groupBy(score.as("__v"))
+        .agg(count(lit(1)).as("__c"),
+          sum(when(label, 1L).otherwise(0L)).as("__p")),
+      nTiles)
+  }
+
+  /** Lift readout from a pre-counted `(__v, __c, __p)` score histogram —
+    * split out so a STREAMING count state (complete-mode per-value
+    * aggregate, mergeable across micro-batches) shares the exact
+    * readout with [[liftTable]]: drained counts == batch counts ⇒
+    * identical table (the psiFromCounts pattern). */
+  def liftFromCounts(hist: DataFrame, nTiles: Int): DataFrame = {
+    require(nTiles >= 2, s"nTiles must be >= 2, got $nTiles")
     val wDesc = Window.orderBy(col("__v").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(lit(1))
@@ -459,6 +470,45 @@ object Metrics {
         """(cum_pos * 1000000 div cum_n) * 1000000
           |  div nullif(__tp * 1000000 div __n, 0)""".stripMargin))
       .drop("__n", "__tp")
+  }
+
+  /** CUPED pre-experiment variance reduction (Deng et al. 2013) per
+    * key — how much experiment sensitivity a pre-period covariate buys:
+    * `θ = cov(x, y)/var(x)` (the adjustment coefficient for
+    * `y_adj = y − θ(x − x̄)`) and the variance-reduction factor
+    * `ρ² = corr(x, y)²` (adjusted variance = (1 − ρ²)·raw). The
+    * power-planning readout every A/B platform computes before choosing
+    * covariates — at ρ² = 0.5, half the experiment duration.
+    *
+    * Exactness: one map-side-combined aggregate of exact integer
+    * moments (caller quantizes to dollars/cents and keeps Σx² < 2⁶³);
+    * θ and ρ² are fixed double trees with each factor cast to double
+    * BEFORE multiplying (the q228 overflow lesson), e6-quantized.
+    * Degenerate keys (var(x) = 0 or var(y) = 0) emit nulls.
+    *
+    * Output: `(keys…, n, theta_e6, var_reduction_e6)`. */
+  def cuped(df: DataFrame, keyCols: Seq[String], xCol: String,
+            yCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cuped needs at least one key column")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val vx = "(cast(n as double) * __qx - cast(__sx as double) * __sx)"
+    val vy = "(cast(n as double) * __qy - cast(__sy as double) * __sy)"
+    val cv = "(cast(n as double) * __sxy - cast(__sx as double) * __sy)"
+    df.filter(x.isNotNull && y.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(x * x).as("__qx"),
+        sum(y).as("__sy"), sum(y * y).as("__qy"),
+        sum(x * y).as("__sxy"))
+      .withColumn("theta_e6", expr(
+        s"""case when n >= 2 and $vx > 0 then
+           |  cast(floor($cv / $vx * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("var_reduction_e6", expr(
+        s"""case when n >= 2 and $vx > 0 and $vy > 0 then
+           |  cast(floor($cv * $cv / ($vx * $vy) * 1000000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .drop("__sx", "__qx", "__sy", "__qy", "__sxy")
   }
 
   /** Isotonic calibration of a binned score — PAV's solution via the

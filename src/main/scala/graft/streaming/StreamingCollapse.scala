@@ -333,6 +333,38 @@ object StreamingCollapse {
     StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** Streaming lift/gains maintenance — the standing twin of the batch
+    * decile lift table (q233): the ONLY streaming state is the
+    * per-score-value `(count, positives)` histogram (one complete-mode
+    * aggregate — mergeable across any micro-batch slicing), and the
+    * tile assignment + cumulative lift readout is
+    * [[graft.operators.Metrics.liftFromCounts]] over the drained
+    * counts. Drained counts == batch counts ⇒ the table matches the
+    * batch operator bit-for-bit and shares its oracle (the
+    * psiFromCounts pattern, for ranking economics: a model's live lift
+    * dashboard without re-scanning history). */
+  def streamingLiftTable(spark: SparkSession, dir: String,
+                         nTiles: Int = 10): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_lift"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val hist = spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir(dir, "documents"))
+      .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
+      .withColumn("label",
+        pmod(col("doc_id") * 2654435761L, lit(1000000L)) < col("score_e6"))
+      .groupBy(col("score_e6").as("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("label"), 1L).otherwise(0L)).as("__p"))
+    drain(spark, hist.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.liftFromCounts(spark.table(name), nTiles)
+      .orderBy("tile")
+  }
+
   /** Streaming exact dedup over a landing directory of document files:
     * running `groupBy(text_hash)` keeping the smallest id and a copy
     * count — the standing-pipeline form of [[graft.text.Dedup.exact]].

@@ -175,4 +175,24 @@ class FunnelSpec extends SparkSpec {
     assert(s2.getAs[String]("stage_name") == "click->purchase")
     assert(s2.getAs[Long]("n_pairs") == 1L && s2.getAs[Long]("median_lag") == 90L)
   }
+
+  test("funnelVariantZ: symmetric variants give z = 0; one-sided drop is negative-signed") {
+    import spark.implicits._
+    // A: 2 users view, 1 clicks; B: identical -> z = 0 at the transition
+    def users(v: String, off: Long) = Seq(
+      (off + 1, v, 0L, "view"), (off + 1, v, 5L, "click"),
+      (off + 2, v, 1L, "view"))
+    val ev = (users("A", 0) ++ users("B", 10)).toDF("u", "variant", "t", "s")
+    val out = Funnel.funnelVariantZ(ev, Seq("u"), "variant", "t", "s",
+      Seq("view", "click", "purchase"), "A", "B").orderBy("stage").collect()
+    val s1 = out.head
+    assert(s1.getAs[Long]("n_a") == 2L && s1.getAs[Long]("x_a") == 1L)
+    assert(s1.getAs[Long]("z_e4") == 0L)
+    // degenerate: nobody converts anywhere -> pooled p = 0 -> null z
+    val none = Seq((1L, "A", 0L, "view"), (2L, "B", 0L, "view"))
+      .toDF("u", "variant", "t", "s")
+    val nz = Funnel.funnelVariantZ(none, Seq("u"), "variant", "t", "s",
+      Seq("view", "click", "purchase"), "A", "B").collect()
+    assert(nz.forall(r => r.isNullAt(r.fieldIndex("z_e4"))))
+  }
 }

@@ -241,6 +241,19 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("kappa_e6") == 0L)
   }
 
+  test("cuped: perfect covariate gives theta = slope and full variance reduction") {
+    // y = 3x exactly: theta = 3, rho^2 = 1
+    val df = Seq(("k", 1L, 3L), ("k", 2L, 6L), ("k", 4L, 12L), ("k", 7L, 21L))
+      .toDF("key", "x", "y")
+    val r = Metrics.cuped(df, Seq("key"), "x", "y").collect().head
+    assert(r.getAs[Long]("theta_e6") == 3000000L)
+    assert(r.getAs[Long]("var_reduction_e6") == 1000000L)
+    // constant covariate: var(x) = 0 -> nulls
+    val const = Seq(("k", 5L, 1L), ("k", 5L, 9L)).toDF("key", "x", "y")
+    val cr = Metrics.cuped(const, Seq("key"), "x", "y").collect().head
+    assert(cr.isNullAt(cr.fieldIndex("theta_e6")))
+  }
+
   test("liftTable: hand-computed two-tile table") {
     // scores 4,3 positive; 2,1 negative; 2 tiles -> top tile captures all
     val df = Seq((4L, true), (3L, true), (2L, false), (1L, false))

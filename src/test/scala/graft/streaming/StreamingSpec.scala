@@ -331,6 +331,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingLiftTable: drained score histogram gives the batch table exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("tile"), r.getAs[Long]("n"), r.getAs[Long]("n_pos"),
+        r.getAs[Long]("cum_lift_e6"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingLiftTable(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q233_x_lift_table")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingKaplanMeier: drained (min, max) state gives the batch curve exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
