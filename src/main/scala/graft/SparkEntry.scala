@@ -2990,6 +2990,36 @@ object SparkEntry {
           per.join(broadcast(seg), per("o_custkey") === seg("c_custkey")),
           Seq("c_mktsegment"), "x", "y")
         .orderBy("c_mktsegment")
+    }),
+
+    // ---- extension: dedup-subsystem evaluation — the MinHash-LSH
+    // candidate pairs (q46's configuration) scored against exact-
+    // duplicate ground truth as precision/recall/F1: the engine
+    // evaluating its own approximate operator (recall is 1.0 BY
+    // CONSTRUCTION for exact dups — identical text means identical
+    // signature, every band collides — so the readout isolates
+    // precision, the near-dup-but-not-exact overshoot)
+    "q242_x_dedup_eval" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pred = Dedup.minhashCandidates(docs, "doc_id", "text",
+          k = MinhashK, bands = MinhashBands)
+        .select(col("id_a"), col("id_b"), lit(1L).as("__p"))
+      val dg = docs.filter(col("text").isNotNull)
+        .select(col("doc_id"), Dedup.exactDigest(col("text")).as("__h"))
+      val truth = dg.as("x").join(dg.as("y"),
+          col("x.__h") === col("y.__h") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+          lit(1L).as("__t"))
+      truth.join(pred, Seq("id_a", "id_b"), "full")
+        .agg(
+          sum(coalesce(col("__t"), lit(0L))).as("n_truth"),
+          sum(coalesce(col("__p"), lit(0L))).as("n_pred"),
+          sum(when(col("__t").isNotNull && col("__p").isNotNull, 1L)
+            .otherwise(0L)).as("tp"))
+        .withColumn("precision_e6", expr("tp * 1000000 div nullif(n_pred, 0)"))
+        .withColumn("recall_e6", expr("tp * 1000000 div nullif(n_truth, 0)"))
+        // F1 = 2tp/(|T| + |P|): ONE exact integer division, no p*r float
+        .withColumn("f1_e6", expr("2 * tp * 1000000 div nullif(n_truth + n_pred, 0)"))
     })
   )
 
@@ -7653,7 +7683,44 @@ object SparkEntry {
         |      / ((CAST(n AS DOUBLE) * qx - CAST(sx AS DOUBLE) * sx)
         |         * (CAST(n AS DOUBLE) * qy - CAST(sy AS DOUBLE) * sy))
         |      * 1000000 + 0.5) AS BIGINT) END AS var_reduction_e6
-        |FROM a ORDER BY c_mktsegment""".stripMargin)
+        |FROM a ORDER BY c_mktsegment""".stripMargin),
+
+    // q46's band-collision pairs FULL-joined against trim-equal text
+    // pairs; counts and three exact integer divisions
+    "q242_x_dedup_eval" -> {
+      val rows = MinhashK / MinhashBands
+      val bandConds = (0 until MinhashBands).map { b =>
+        (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i").mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      s"""$MinhashCte,
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |      FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ($bandConds)),
+        |tr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |       FROM documents a JOIN documents b
+        |         ON a.doc_id < b.doc_id AND trim(a.text) = trim(b.text)
+        |       WHERE a.text IS NOT NULL AND b.text IS NOT NULL),
+        |m AS (SELECT tr.id_a AS ta, p.id_a AS pa
+        |      FROM tr FULL JOIN p ON tr.id_a = p.id_a AND tr.id_b = p.id_b)
+        |SELECT
+        |  CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_truth,
+        |  CAST(sum(CASE WHEN pa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+        |  CAST(sum(CASE WHEN ta IS NOT NULL AND pa IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN ta IS NOT NULL AND pa IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // nullif(CAST(sum(CASE WHEN pa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |    AS precision_e6,
+        |  CAST(sum(CASE WHEN ta IS NOT NULL AND pa IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // nullif(CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |    AS recall_e6,
+        |  2 * CAST(sum(CASE WHEN ta IS NOT NULL AND pa IS NOT NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) * 1000000
+        |    // nullif(CAST(sum(CASE WHEN ta IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |       + CAST(sum(CASE WHEN pa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
+        |    AS f1_e6
+        |FROM m""".stripMargin
+    }
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —
