@@ -3020,7 +3020,15 @@ object SparkEntry {
         .withColumn("recall_e6", expr("tp * 1000000 div nullif(n_truth, 0)"))
         // F1 = 2tp/(|T| + |P|): ONE exact integer division, no p*r float
         .withColumn("f1_e6", expr("2 * tp * 1000000 div nullif(n_truth + n_pred, 0)"))
-    })
+    }),
+
+    // ---- extension: Neyman-allocated stratified sample — the
+    // variance-optimal labeling-budget split (n_h proportional to
+    // N_h*S_h), integer largest-remainder seats, md5-rank prefix draw
+    "q243_x_neyman_sample" -> tuned((s, d) =>
+      graft.text.Corpus.neymanSample(
+          Tables.documents(s, d), "source", "doc_id", "n_chars", nTotal = 100)
+        .orderBy("source", "doc_id"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7720,7 +7728,40 @@ object SparkEntry {
         |       + CAST(sum(CASE WHEN pa IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT), 0)
         |    AS f1_e6
         |FROM m""".stripMargin
-    }
+    },
+
+    // the same e6-quantized N*S weights, exact integer seats with
+    // largest-remainder, the same md5-rank prefix per stratum
+    "q243_x_neyman_sample" ->
+      ("""WITH g AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(n_chars) AS BIGINT) AS s1,
+        |    CAST(sum(n_chars * n_chars) AS BIGINT) AS s2
+        |  FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |  GROUP BY 1),
+        |w AS (SELECT *,
+        |    CASE WHEN n >= 2
+        |           AND (CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1) > 0
+        |      THEN CAST(floor(CAST(n AS DOUBLE)
+        |        * sqrt((CAST(n AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+        |               / (CAST(n AS DOUBLE) * (n - 1))) * 1000000 + 0.5) AS BIGINT)
+        |      ELSE CAST(0 AS BIGINT) END AS w
+        |  FROM g),
+        |t AS (SELECT *, CAST(sum(w) OVER () AS BIGINT) AS tot FROM w),
+        |b AS (SELECT *, w * 100 // nullif(tot, 0) AS base,
+        |        w * 100 - (w * 100 // nullif(tot, 0)) * tot AS rem FROM t),
+        |l AS (SELECT *, 100 - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+        |        row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b),
+        |al AS (SELECT source, n AS n_stratum,
+        |        least(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END, n) AS alloc
+        |       FROM l),
+        |r AS (SELECT source, doc_id,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL)
+        |SELECT r.source, r.doc_id, al.alloc, al.n_stratum
+        |FROM r JOIN al ON r.source = al.source WHERE r.rn <= al.alloc
+        |ORDER BY r.source, r.doc_id""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -735,4 +735,65 @@ object Corpus {
       .select(col(idCol), col("__rn").as("rank"), col("term"), col("tf"),
         col("__df").as("doc_freq"), col("score_e9"))
   }
+
+  /** Neyman-allocated stratified sample (Neyman 1934) — the
+    * variance-optimal answer to "given a labeling/eval budget of
+    * `nTotal` rows, how many from each stratum": `n_h ∝ N_h·S_h`, so
+    * big AND volatile strata get the budget, and a uniform or
+    * proportional split is strictly worse for estimating the mean of
+    * `valueCol`. The principled version of [[domainMixSample]]'s
+    * hand-set weights.
+    *
+    * Determinism end-to-end: the only float is each stratum's
+    * `N_h·S_h` weight, e6-QUANTIZED IMMEDIATELY — allocation then runs
+    * on exact integers (`base = w·nTotal div Σw`, leftover seats by
+    * LARGEST REMAINDER `w·nTotal − base·Σw` with stratum-name
+    * tie-break), and the sample itself is the md5-rank prefix per
+    * stratum (the [[tokenBudgetSample]] convention). Allocations are
+    * clamped to the stratum size (a tiny volatile stratum can't give
+    * seats it doesn't have; the clamped total may fall short of
+    * `nTotal` — documented, not silently redistributed). BIGINT bound:
+    * `w_e6·nTotal < 2⁶³` — rescale `valueCol` upstream for
+    * billion-row strata.
+    *
+    * Scale shape: ONE moment aggregate to the stratum grid; all
+    * allocation windows run on the grid; the sample is one md5-rank
+    * window over the rows. Output: sampled rows
+    * `(stratumCol, keyCol, alloc, n_stratum)`. */
+  def neymanSample(df: DataFrame, stratumCol: String, keyCol: String,
+                   valueCol: String, nTotal: Long): DataFrame = {
+    require(nTotal >= 1, s"nTotal must be >= 1, got $nTotal")
+    val x = col(valueCol).cast("long")
+    val grid = df.filter(col(stratumCol).isNotNull && x.isNotNull)
+      .groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s1"), sum(x * x).as("__s2"))
+      .withColumn("__w", expr(
+        """case when __n >= 2
+          |       and (cast(__n as double) * __s2 - cast(__s1 as double) * __s1) > 0
+          |  then cast(floor(cast(__n as double)
+          |    * sqrt((cast(__n as double) * __s2 - cast(__s1 as double) * __s1)
+          |           / (cast(__n as double) * (__n - 1))) * 1000000 + 0.5) as bigint)
+          |  else cast(0 as bigint) end""".stripMargin))
+    val wAll = Window.partitionBy(lit(1))
+    val wRem = Window.partitionBy(lit(1))
+      .orderBy(col("__rem").desc, col(stratumCol))
+    val alloc = grid
+      .withColumn("__tot", sum(col("__w")).over(wAll))
+      .withColumn("__base", expr(s"__w * $nTotal div nullif(__tot, 0)"))
+      .withColumn("__rem", expr(s"__w * $nTotal - __base * __tot"))
+      .withColumn("__left", lit(nTotal) - sum(col("__base")).over(wAll))
+      .withColumn("__rk", row_number().over(wRem))
+      .withColumn("alloc",
+        least(col("__base") + when(col("__rk") <= col("__left"), 1L).otherwise(0L),
+          col("__n")))
+      .select(col(stratumCol), col("__n").as("n_stratum"), col("alloc"))
+    val wRank = Window.partitionBy(col(stratumCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.filter(col(stratumCol).isNotNull && x.isNotNull)
+      .select(col(stratumCol), col(keyCol))
+      .withColumn("__rn", row_number().over(wRank))
+      .join(broadcast(alloc), Seq(stratumCol))
+      .filter(col("__rn") <= col("alloc"))
+      .select(col(stratumCol), col(keyCol), col("alloc"), col("n_stratum"))
+  }
 }

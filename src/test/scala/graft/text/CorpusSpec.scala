@@ -568,4 +568,30 @@ class CorpusSpec extends SparkSpec {
     assert(out.filter(col("doc_id") === 2L).collect().head.getAs[Long]("score_e9") ==
       math.floor(math.log(2.0) * 1e9 + 0.5).toLong)
   }
+
+  test("neymanSample: volatile strata win seats, allocations clamp and sum") {
+    import spark.implicits._
+    // stratum a: 10 rows, constant (S=0 -> weight 0, zero seats)
+    // stratum b: 10 rows, high spread; c: 10 rows, low spread
+    val rows =
+      (1L to 10L).map(i => ("a", i, 100L)) ++
+      (11L to 20L).map(i => ("b", i, if (i % 2 == 0) 0L else 1000L)) ++
+      (21L to 30L).map(i => ("c", i, 100L + (i % 2)))
+    val df = rows.toDF("src", "id", "v")
+    val out = Corpus.neymanSample(df, "src", "id", "v", nTotal = 12)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(!bySrc.contains("a"), "zero-variance stratum must get no seats")
+    // b's weight dominates c's by ~1000x -> b clamps at its size 10
+    assert(bySrc("b") == 10L)
+    assert(bySrc.values.sum <= 12L)
+    // per-row alloc column matches the realized sample size
+    val alloc = out.filter(col("src") === "b").select("alloc").distinct()
+      .collect().head.getLong(0)
+    assert(alloc == 10L)
+    // determinism: same input -> identical sampled ids
+    val again = Corpus.neymanSample(df, "src", "id", "v", nTotal = 12)
+      .select("id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+  }
 }
