@@ -247,14 +247,21 @@ object Funnel {
       .withColumn("__n", lag(col("__r"), 1).over(w))
       .filter(col("stage") >= 1 && col("__n").isNotNull)
       .select(col("__var"), col("stage"), col("__n"), col("__r").as("__x"))
-    val a = trans.filter(col("__var") === variantA)
-      .select(col("stage"), col("__n").as("n_a"), col("__x").as("x_a"))
-    val b = trans.filter(col("__var") === variantB)
-      .select(col("stage"), col("__n").as("n_b"), col("__x").as("x_b"))
+    // ONE conditional pivot, not an A-side/B-side self-join: filtered
+    // branches would each recompute the whole funnel lineage (the plan
+    // showed the chained-min window running twice)
     val names = stages.sliding(2).zipWithIndex
       .map { case (Seq(p, q), i) => (i + 1, s"$p->$q") }.toSeq
       .toDF("stage", "stage_name")
-    a.join(b, Seq("stage")).join(broadcast(names), Seq("stage"))
+    trans.groupBy(col("stage"))
+      .agg(
+        max(when(col("__var") === variantA, col("__n"))).as("n_a"),
+        max(when(col("__var") === variantA, col("__x"))).as("x_a"),
+        max(when(col("__var") === variantB, col("__n"))).as("n_b"),
+        max(when(col("__var") === variantB, col("__x"))).as("x_b"))
+      .filter(col("n_a").isNotNull && col("x_a").isNotNull &&
+        col("n_b").isNotNull && col("x_b").isNotNull)
+      .join(broadcast(names), Seq("stage"))
       .withColumn("rate_a_e6", expr("x_a * 1000000 div nullif(n_a, 0)"))
       .withColumn("rate_b_e6", expr("x_b * 1000000 div nullif(n_b, 0)"))
       .withColumn("z_e4", expr(

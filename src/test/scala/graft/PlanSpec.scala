@@ -370,6 +370,46 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.count(_.contains("FileScan")) === 1, p)
   }
 
+  test("AR(1) backtest (q231): closed-form refits ride the window sort — no per-origin job") {
+    val p = plan("q231_x_ar1_backtest")
+    // monthly agg (1 exchange) + the key window (1 exchange); the final
+    // per-key aggregate reuses the window partitioning
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2,
+      s"backtest must not shuffle per origin:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("lift table (q233): histogram deciles — rows aggregate once, no global row sort") {
+    val p = plan("q233_x_lift_table")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_count")), s"score histogram must map-side combine:\n$p")
+    // the only row-grain exchange is the value-histogram aggregation;
+    // tiles + cumulative windows run on the grid (single partition)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 2, p)
+  }
+
+  test("funnel A/B (q240): chained mins on ONE key window; variant split adds no shuffle") {
+    val p = plan("q240_x_funnel_ab")
+    // funnelByKey's unordered window + the distinct + reach aggregate;
+    // the A/B split is a filter, not a repartition
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 5, p)
+  }
+
+  test("CUPED (q241): one moment aggregate, dimension broadcast") {
+    val p = plan("q241_x_cuped")
+    assert(p.contains("BroadcastHashJoin"), s"segment dim must broadcast:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("HashAggregate") &&
+      l.contains("partial_")), p)
+  }
+
+  test("Neyman sample (q243): allocation runs on the stratum grid; one rank window over rows") {
+    val p = plan("q243_x_neyman_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the allocation grid must broadcast back onto the rows:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("spearman (q230): the row scan runs ONCE (persisted joint grid feeds all three consumers)") {
     val df = SparkEntry.queries("q230_x_spearman")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
