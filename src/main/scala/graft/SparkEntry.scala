@@ -3028,7 +3028,20 @@ object SparkEntry {
     "q243_x_neyman_sample" -> tuned((s, d) =>
       graft.text.Corpus.neymanSample(
           Tables.documents(s, d), "source", "doc_id", "n_chars", nTotal = 100)
-        .orderBy("source", "doc_id"))
+        .orderBy("source", "doc_id")),
+
+    // ---- extension: Gumbel block-maxima tail fit — "the daily order
+    // peak exceeded once a year" per priority: method-of-moments over
+    // per-day maxima (dollars), 365-block return level; the extreme-
+    // value readout beside the mean-shaped profile tier
+    "q244_x_gumbel_return" -> tuned((s, d) =>
+      graft.stats.Diagnostics.gumbelReturnLevel(
+          Tables.orders(s, d)
+            .withColumn("day", col("o_orderdate").cast("date"))
+            .withColumn("dollars", floor(col("o_totalprice") + 0.5)),
+          Seq("o_orderpriority"), "day", "dollars",
+          returnT = 365, minBlocks = 30)
+        .orderBy("o_orderpriority"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7761,7 +7774,42 @@ object SparkEntry {
         |      FROM documents WHERE source IS NOT NULL AND n_chars IS NOT NULL)
         |SELECT r.source, r.doc_id, al.alloc, al.n_stratum
         |FROM r JOIN al ON r.source = al.source WHERE r.rn <= al.alloc
-        |ORDER BY r.source, r.doc_id""".stripMargin)
+        |ORDER BY r.source, r.doc_id""".stripMargin),
+
+    // daily-max grid, the same MOM double tree with identical pi/gamma
+    // literals, e4 floors
+    "q244_x_gumbel_return" ->
+      ("""WITH mx AS (
+        |  SELECT o_orderpriority AS k, CAST(o_orderdate AS DATE) AS day,
+        |         CAST(max(CAST(floor(o_totalprice + 0.5) AS BIGINT)) AS BIGINT) AS m
+        |  FROM orders
+        |  WHERE o_orderdate IS NOT NULL AND o_totalprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mo AS (SELECT k, CAST(count(*) AS BIGINT) AS n_blocks,
+        |         CAST(sum(m) AS BIGINT) AS s1, CAST(sum(m * m) AS BIGINT) AS s2
+        |       FROM mx GROUP BY 1),
+        |f AS (SELECT * FROM mo WHERE n_blocks >= 30
+        |       AND CAST(n_blocks AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1 > 0)
+        |SELECT k AS o_orderpriority, n_blocks,
+        |  CAST(floor((CAST(s1 AS DOUBLE) / n_blocks - 0.5772156649015329
+        |    * (sqrt((CAST(n_blocks AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+        |         / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)))
+        |       * sqrt(CAST(6 AS DOUBLE)) / 3.141592653589793))
+        |    * 10000 + 0.5) AS BIGINT) AS mu_e4,
+        |  CAST(floor((sqrt((CAST(n_blocks AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+        |         / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)))
+        |       * sqrt(CAST(6 AS DOUBLE)) / 3.141592653589793)
+        |    * 10000 + 0.5) AS BIGINT) AS beta_e4,
+        |  CAST(floor(((CAST(s1 AS DOUBLE) / n_blocks - 0.5772156649015329
+        |    * (sqrt((CAST(n_blocks AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+        |         / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)))
+        |       * sqrt(CAST(6 AS DOUBLE)) / 3.141592653589793))
+        |    - (sqrt((CAST(n_blocks AS DOUBLE) * s2 - CAST(s1 AS DOUBLE) * s1)
+        |         / (CAST(n_blocks AS DOUBLE) * (n_blocks - 1)))
+        |       * sqrt(CAST(6 AS DOUBLE)) / 3.141592653589793)
+        |      * ln(-ln(1 - CAST(1 AS DOUBLE) / 365)))
+        |    * 10000 + 0.5) AS BIGINT) AS rl_e4
+        |FROM f ORDER BY k""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -465,6 +465,54 @@ object Diagnostics {
         expr("err_model_e4 * 1000000 div nullif(err_naive_e4, 0)"))
   }
 
+  /** Gumbel block-maxima fit + return level per key (the
+    * Fisher–Tippett type-I extreme-value analysis): method-of-moments
+    * over the BLOCK MAXIMA — `β = s·√6/π`, `μ = x̄ − γ·β` (γ the
+    * Euler–Mascheroni constant) — and the T-block return level
+    * `μ − β·ln(−ln(1 − 1/T))`, i.e. "the monthly peak exceeded once
+    * every T months". The tail-risk readout the mean/variance profile
+    * can't give: capacity planning asks about the worst month, not the
+    * average one.
+    *
+    * Exactness: the maxima come off an exact integer grid aggregate;
+    * the fit is ONE fixed double tree over (n, Σm, Σm²) with every
+    * factor cast to double before multiplying and the π/γ literals
+    * spelled identically in the SQL replay, e4-quantized. Keys with
+    * fewer than `minBlocks` maxima or zero variance emit nothing.
+    *
+    * Scale shape: rows → (key, block) max aggregate (map-side
+    * combined) → per-key moment aggregate; both grid-sized. Output:
+    * `(keys…, n_blocks, mu_e4, beta_e4, rl_e4)`. */
+  def gumbelReturnLevel(df: DataFrame, keyCols: Seq[String], blockCol: String,
+                        valueCol: String, returnT: Int = 12,
+                        minBlocks: Int = 12): DataFrame = {
+    require(keyCols.nonEmpty, "gumbelReturnLevel needs at least one key column")
+    require(returnT >= 2, s"returnT must be >= 2, got $returnT")
+    val x = col(valueCol).cast("long")
+    val maxima = df.filter(col(blockCol).isNotNull && x.isNotNull)
+      .groupBy(keyCols.map(col) :+ col(blockCol): _*)
+      .agg(max(x).as("__m"))
+    val mom = maxima.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("__m")).as("__s1"), sum(col("__m") * col("__m")).as("__s2"))
+      .filter(col("n_blocks") >= minBlocks &&
+        expr("cast(n_blocks as double) * __s2 - cast(__s1 as double) * __s1") > 0)
+    // shared sub-trees, spelled once here and once in the oracle
+    val sd = """sqrt((cast(n_blocks as double) * __s2 - cast(__s1 as double) * __s1)
+      / (cast(n_blocks as double) * (n_blocks - 1)))"""
+    val beta = s"($sd * sqrt(cast(6 as double)) / 3.141592653589793)"
+    val mu = s"(cast(__s1 as double) / n_blocks - 0.5772156649015329 * $beta)"
+    mom
+      .withColumn("mu_e4",
+        expr(s"cast(floor($mu * 10000 + 0.5) as bigint)"))
+      .withColumn("beta_e4",
+        expr(s"cast(floor($beta * 10000 + 0.5) as bigint)"))
+      .withColumn("rl_e4", expr(
+        s"""cast(floor(($mu - $beta * ln(-ln(1 - cast(1 as double) / $returnT)))
+           | * 10000 + 0.5) as bigint)""".stripMargin))
+      .drop("__s1", "__s2")
+  }
+
   private val arma11Schema = StructType(Seq(
     StructField("key", StringType),
     StructField("phi", DoubleType),

@@ -255,6 +255,28 @@ class DiagnosticsSpec extends SparkSpec {
     assert(r.getAs[Long]("mase_e6") == 0L)
   }
 
+  test("gumbelReturnLevel: matches the closed form on a two-block key") {
+    // two blocks with maxima 10 and 20 (rows 5/10 and 7/20 per block)
+    val df = Seq(("k", 1, 5L), ("k", 1, 10L), ("k", 2, 7L), ("k", 2, 20L))
+      .toDF("key", "blk", "v")
+    val r = Diagnostics.gumbelReturnLevel(df, Seq("key"), "blk", "v",
+      returnT = 12, minBlocks = 2).collect().head
+    assert(r.getAs[Long]("n_blocks") == 2L)
+    val sd = math.sqrt((2.0 * 500 - 30.0 * 30) / (2.0 * 1))
+    val beta = sd * math.sqrt(6.0) / 3.141592653589793
+    val mu = 30.0 / 2 - 0.5772156649015329 * beta
+    val rl = mu - beta * math.log(-math.log(1 - 1.0 / 12))
+    assert(r.getAs[Long]("beta_e4") == math.floor(beta * 10000 + 0.5).toLong)
+    assert(r.getAs[Long]("mu_e4") == math.floor(mu * 10000 + 0.5).toLong)
+    assert(r.getAs[Long]("rl_e4") == math.floor(rl * 10000 + 0.5).toLong)
+    // return level sits above the location parameter for T >= 2
+    assert(r.getAs[Long]("rl_e4") > r.getAs[Long]("mu_e4"))
+    // degenerate: constant maxima (zero variance) emit nothing
+    val const = Seq(("c", 1, 5L), ("c", 2, 5L)).toDF("key", "blk", "v")
+    assert(Diagnostics.gumbelReturnLevel(const, Seq("key"), "blk", "v",
+      returnT = 12, minBlocks = 2).count() == 0L)
+  }
+
   test("ar1Backtest: constant prefixes (zero CLS denominator) are skipped") {
     val const = (1 to 10).map(i => ("c", i, 7L)).toDF("k", "t", "v")
     assert(Diagnostics.ar1Backtest(const, Seq("k"), "t", "v").count() == 0L)
