@@ -7648,10 +7648,14 @@ object SparkEntry {
         |st AS (SELECT * FROM (VALUES (0), (1), (2)) v(stage)),
         |r AS (SELECT var, st.stage, CAST(count(*) AS BIGINT) AS rch
         |      FROM u CROSS JOIN st WHERE u.completed > st.stage GROUP BY 1, 2),
+        |g AS (SELECT v.var, st.stage
+        |      FROM (VALUES ('A'), ('B')) v(var) CROSS JOIN st),
+        |dn AS (SELECT g.var, g.stage, coalesce(r.rch, 0) AS rch
+        |       FROM g LEFT JOIN r ON g.var = r.var AND g.stage = r.stage),
         |tr AS (SELECT var, stage,
         |         lag(rch) OVER (PARTITION BY var ORDER BY stage) AS n, rch AS x
-        |       FROM r),
-        |t2 AS (SELECT * FROM tr WHERE stage >= 1 AND n IS NOT NULL),
+        |       FROM dn),
+        |t2 AS (SELECT * FROM tr WHERE stage >= 1),
         |a AS (SELECT stage, n AS n_a, x AS x_a FROM t2 WHERE var = 'A'),
         |b AS (SELECT stage, n AS n_b, x AS x_b FROM t2 WHERE var = 'B'),
         |sn AS (SELECT * FROM (VALUES (1, 'view->click'), (2, 'click->purchase'))

@@ -242,10 +242,19 @@ object Funnel {
       .filter(col("stages_completed") > col("stage"))
       .groupBy(col(variantCol).as("__var"), col("stage"))
       .agg(count(lit(1)).as("__r"))
+    // DENSIFY over the full (variant x stage) grid before the lag: a
+    // groupBy emits only non-zero counts, so a variant with ZERO reach
+    // at a stage — the strongest possible effect, exactly what an A/B
+    // readout exists to surface — would otherwise make the transition
+    // row vanish instead of scoring x = 0
+    val grid = Seq(variantA, variantB).toDF("__var")
+      .crossJoin(broadcast(stageIdx.select(col("stage"))))
+    val dense = grid.join(reach, Seq("__var", "stage"), "left")
+      .withColumn("__r", coalesce(col("__r"), lit(0L)))
     val w = Window.partitionBy(col("__var")).orderBy(col("stage"))
-    val trans = reach
+    val trans = dense
       .withColumn("__n", lag(col("__r"), 1).over(w))
-      .filter(col("stage") >= 1 && col("__n").isNotNull)
+      .filter(col("stage") >= 1)
       .select(col("__var"), col("stage"), col("__n"), col("__r").as("__x"))
     // ONE conditional pivot, not an A-side/B-side self-join: filtered
     // branches would each recompute the whole funnel lineage (the plan
@@ -259,8 +268,6 @@ object Funnel {
         max(when(col("__var") === variantA, col("__x"))).as("x_a"),
         max(when(col("__var") === variantB, col("__n"))).as("n_b"),
         max(when(col("__var") === variantB, col("__x"))).as("x_b"))
-      .filter(col("n_a").isNotNull && col("x_a").isNotNull &&
-        col("n_b").isNotNull && col("x_b").isNotNull)
       .join(broadcast(names), Seq("stage"))
       .withColumn("rate_a_e6", expr("x_a * 1000000 div nullif(n_a, 0)"))
       .withColumn("rate_b_e6", expr("x_b * 1000000 div nullif(n_b, 0)"))
@@ -307,7 +314,10 @@ object Funnel {
       .select(col("__tr.stage").as("stage"), col("__tr.lag").as("lag"))
       .filter(col("lag").isNotNull)
       // persist: two consumers (the median's count grid and the min/max
-      // aggregate) would otherwise re-run funnelByKey's window + distinct
+      // aggregate) would otherwise re-run funnelByKey's window + distinct.
+      // The CacheManager entry lives until the session drops it (persist
+      // registers the plan; GC alone does not evict) — lag-grid-sized
+      // per call; long-lived services clearCache between reports
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val counts = lags.groupBy(col("stage"), col("lag"))
       .agg(count(lit(1)).as("__c"))

@@ -387,7 +387,11 @@ object Metrics {
         sum(s.cast("long")).as("__s_b"),
         sum(expr("__d * __d div 1000000")).as("__q_b"))
       // persist: the grid feeds BOTH the one-row totals and the readout
-      // crossJoin — unpersisted, the row scan + bin aggregate run twice
+      // crossJoin — unpersisted, the row scan + bin aggregate run twice.
+      // The CacheManager entry lives until the session drops it (persist
+      // registers the plan; GC alone does not evict) — one nBins-row grid
+      // per call, so a long-lived service should clearCache between
+      // reports or reuse the returned frame
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = bins.agg(sum(col("__n_b")).as("n"), sum(col("__p_b")).as("n_pos"),
       sum(col("__q_b")).as("__qq"))

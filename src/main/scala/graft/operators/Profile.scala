@@ -361,8 +361,10 @@ object Profile {
     val y = col(yCol)
     // persist: THREE consumers read the joint grid (both rank grids and
     // the moment aggregate) — unpersisted, the row scan + (g, x, y)
-    // shuffle would run three times (the Affinity.coOccurrence lesson);
-    // the ContextCleaner frees the blocks once the result is unreachable
+    // shuffle would run three times (the Affinity.coOccurrence lesson).
+    // The CacheManager entry lives until the session drops it (persist
+    // registers the plan; GC alone does not evict) — grid-sized per
+    // call; long-lived services clearCache between reports
     val joint = df.filter(x.isNotNull && y.isNotNull)
       .groupBy(g :+ x.as("__x") :+ y.as("__y"): _*)
       .agg(count(lit(1)).as("__c"))

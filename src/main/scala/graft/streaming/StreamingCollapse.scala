@@ -354,6 +354,10 @@ object StreamingCollapse {
       .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
       .withColumn("label",
         pmod(col("doc_id") * 2654435761L, lit(1000000L)) < col("score_e6"))
+      // the SAME null exclusion batch liftTable applies — a null doc_id
+      // would otherwise seed a null score group and shift every
+      // cumulative column off the shared oracle
+      .filter(col("score_e6").isNotNull && col("label").isNotNull)
       .groupBy(col("score_e6").as("__v"))
       .agg(count(lit(1)).as("__c"),
         sum(when(col("label"), 1L).otherwise(0L)).as("__p"))

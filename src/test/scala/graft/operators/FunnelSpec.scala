@@ -188,11 +188,29 @@ class FunnelSpec extends SparkSpec {
     val s1 = out.head
     assert(s1.getAs[Long]("n_a") == 2L && s1.getAs[Long]("x_a") == 1L)
     assert(s1.getAs[Long]("z_e4") == 0L)
-    // degenerate: nobody converts anywhere -> pooled p = 0 -> null z
+    // degenerate: nobody converts anywhere -> both transitions PRESENT
+    // (densified grid) with pooled p = 0 -> null z
     val none = Seq((1L, "A", 0L, "view"), (2L, "B", 0L, "view"))
       .toDF("u", "variant", "t", "s")
     val nz = Funnel.funnelVariantZ(none, Seq("u"), "variant", "t", "s",
       Seq("view", "click", "purchase"), "A", "B").collect()
+    assert(nz.length == 2)
     assert(nz.forall(r => r.isNullAt(r.fieldIndex("z_e4"))))
+  }
+
+  test("funnelVariantZ: a variant with ZERO conversions still scores (densified grid)") {
+    // A: 2 view, 1 clicks; B: 2 view, 0 click — the strongest effect;
+    // the stage-1 row must exist with x_b = 0 and a computable z
+    val ev = Seq(
+      (1L, "A", 0L, "view"), (1L, "A", 5L, "click"), (2L, "A", 1L, "view"),
+      (11L, "B", 0L, "view"), (12L, "B", 1L, "view"))
+      .toDF("u", "variant", "t", "s")
+    val out = Funnel.funnelVariantZ(ev, Seq("u"), "variant", "t", "s",
+      Seq("view", "click", "purchase"), "A", "B").orderBy("stage").collect()
+    val s1 = out.head
+    assert(s1.getAs[Long]("n_b") == 2L && s1.getAs[Long]("x_b") == 0L)
+    assert(s1.getAs[Long]("rate_b_e6") == 0L)
+    // p1 = .5, p2 = 0, pooled = .25 -> z = .5 / sqrt(.25*.75*1) = 1.1547
+    assert(s1.getAs[Long]("z_e4") == 11547L)
   }
 }
