@@ -3041,7 +3041,16 @@ object SparkEntry {
             .withColumn("dollars", floor(col("o_totalprice") + 0.5)),
           Seq("o_orderpriority"), "day", "dollars",
           returnT = 365, minBlocks = 30)
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // ---- extension: STREAMING funnel A/B — q240's standing twin off
+    // q215's advance stream (variant derives at readout, no extra
+    // state; the shared variantZFromReach readout). Chains at the
+    // stream's microsecond grain, so the oracle is q240's shape at
+    // epoch_us, not the batch query's seconds
+    "q245_x_stream_funnel_ab" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingFunnelAb(s, d,
+        Seq("view", "click", "purchase")))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7624,6 +7633,54 @@ object SparkEntry {
         |SELECT b.bin, b.n, b.p AS n_pos, b.p * 1000000 // b.n AS raw_rate_e6,
         |  iso.iso_e9
         |FROM b JOIN iso ON b.bin = iso.bin ORDER BY b.bin""".stripMargin),
+
+    // the same chained funnel / densify / z pipeline at the stream's
+    // MICROSECOND grain (q215's epoch_us convention)
+    "q245_x_stream_funnel_ab" ->
+      ("""WITH e AS (
+        |  SELECT user_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS var,
+        |         event_type AS s, epoch_us(ts) AS t
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |u AS (SELECT DISTINCT user_id, var,
+        |        CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS completed
+        |      FROM w2),
+        |st AS (SELECT * FROM (VALUES (0), (1), (2)) v(stage)),
+        |r AS (SELECT var, st.stage, CAST(count(*) AS BIGINT) AS rch
+        |      FROM u CROSS JOIN st WHERE u.completed > st.stage GROUP BY 1, 2),
+        |g AS (SELECT v.var, st.stage
+        |      FROM (VALUES ('A'), ('B')) v(var) CROSS JOIN st),
+        |dn AS (SELECT g.var, g.stage, coalesce(r.rch, 0) AS rch
+        |       FROM g LEFT JOIN r ON g.var = r.var AND g.stage = r.stage),
+        |tr AS (SELECT var, stage,
+        |         lag(rch) OVER (PARTITION BY var ORDER BY stage) AS n, rch AS x
+        |       FROM dn),
+        |t2 AS (SELECT * FROM tr WHERE stage >= 1),
+        |a AS (SELECT stage, n AS n_a, x AS x_a FROM t2 WHERE var = 'A'),
+        |b AS (SELECT stage, n AS n_b, x AS x_b FROM t2 WHERE var = 'B'),
+        |sn AS (SELECT * FROM (VALUES (1, 'view->click'), (2, 'click->purchase'))
+        |       v(stage, stage_name))
+        |SELECT a.stage, sn.stage_name, n_a, x_a, n_b, x_b,
+        |  x_a * 1000000 // nullif(n_a, 0) AS rate_a_e6,
+        |  x_b * 1000000 // nullif(n_b, 0) AS rate_b_e6,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |         AND (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b) THEN
+        |    CAST(floor((CAST(x_a AS DOUBLE) / n_a - CAST(x_b AS DOUBLE) / n_b)
+        |      / sqrt(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)
+        |             * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |             * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+        |      * 10000 + 0.5) AS BIGINT) END AS z_e4
+        |FROM a JOIN b ON a.stage = b.stage JOIN sn ON a.stage = sn.stage
+        |ORDER BY a.stage""".stripMargin),
 
     // q215's chained funnel per variant, lagged reach per transition,
     // the same pooled two-proportion z tree e4-quantized

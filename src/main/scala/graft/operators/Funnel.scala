@@ -242,6 +242,21 @@ object Funnel {
       .filter(col("stages_completed") > col("stage"))
       .groupBy(col(variantCol).as("__var"), col("stage"))
       .agg(count(lit(1)).as("__r"))
+    variantZFromReach(reach, stages, variantA, variantB)
+  }
+
+  /** The A/B readout over a `(__var, stage, __r)` per-variant reach
+    * table — split out so the STREAMING funnel's drained advance counts
+    * (which equal the batch reach exactly) share the identical
+    * densify/pivot/z pipeline and oracle
+    * ([[graft.streaming.StreamingCollapse]]'s twin). */
+  private[graft] def variantZFromReach(reach: DataFrame, stages: Seq[String],
+                                       variantA: String,
+                                       variantB: String): DataFrame = {
+    val spark = reach.sparkSession
+    import spark.implicits._
+    val stageIdx = stages.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("stage", "stage_name")
     // DENSIFY over the full (variant x stage) grid before the lag: a
     // groupBy emits only non-zero counts, so a variant with ZERO reach
     // at a stage — the strongest possible effect, exactly what an A/B

@@ -688,6 +688,41 @@ object StreamingCollapse {
     * watermark-evicted operator already rides on. */
   def streamingFunnel(spark: SparkSession, dir: String,
                       stages: Seq[String]): DataFrame = {
+    val advances = funnelAdvances(spark, dir, stages)
+    import spark.implicits._
+    val stageNames = stages.zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("stage", "stage_name")
+    advances
+      .groupBy(col("stage")).agg(count(lit(1)).as("n_reached"))
+      .join(broadcast(stageNames), Seq("stage"))
+      .select(col("stage"), col("stage_name"), col("n_reached"))
+      .orderBy("stage")
+  }
+
+  /** Streaming funnel A/B — [[streamingFunnel]]'s advances carry the
+    * user id, so the variant (a user-hash split) derives at READOUT
+    * with no extra state; per-(variant, stage) advance counts equal the
+    * batch reach exactly, and the densify/pivot/z readout is the
+    * SHARED [[graft.operators.Funnel.variantZFromReach]] — drained ==
+    * batch, one oracle (q240's). The live experiment dashboard: the
+    * chained-min state answers the funnel question and the A/B
+    * question from the same stream. */
+  def streamingFunnelAb(spark: SparkSession, dir: String,
+                        stages: Seq[String]): DataFrame = {
+    val advances = funnelAdvances(spark, dir, stages)
+    val reach = advances
+      .withColumn("__var",
+        when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+      .groupBy(col("__var"), col("stage"))
+      .agg(count(lit(1)).as("__r"))
+    graft.operators.Funnel.variantZFromReach(reach, stages, "A", "B")
+      .orderBy("stage")
+  }
+
+  /** The drained per-user stage-advance table shared by the funnel
+    * readouts: one `(user_id, stage)` row per chain extension. */
+  private def funnelAdvances(spark: SparkSession, dir: String,
+                             stages: Seq[String]): DataFrame = {
     require(stages.nonEmpty, "streamingFunnel needs at least one stage")
     graft.GraftSession.tune(spark)
     val name = "graft_stream_funnel"
@@ -720,13 +755,7 @@ object StreamingCollapse {
         })
     drain(spark, advances.writeStream
       .outputMode("append").format("memory").queryName(name))
-    val stageNames = stages.zipWithIndex.map { case (s, i) => (i, s) }
-      .toDF("stage", "stage_name")
     spark.table(name)
-      .groupBy(col("stage")).agg(count(lit(1)).as("n_reached"))
-      .join(broadcast(stageNames), Seq("stage"))
-      .select(col("stage"), col("stage_name"), col("n_reached"))
-      .orderBy("stage")
   }
 
   // ------------------------------------------- streaming join delta
