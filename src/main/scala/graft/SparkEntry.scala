@@ -3050,7 +3050,18 @@ object SparkEntry {
     // epoch_us, not the batch query's seconds
     "q245_x_stream_funnel_ab" -> tuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingFunnelAb(s, d,
-        Seq("view", "click", "purchase")))
+        Seq("view", "click", "purchase"))),
+
+    // ---- extension: exact trimmed mean per return class — tie-aware
+    // rank trim on the value grid (the Olympic-scoring location
+    // estimate beside q136's winsorize); whole dollars keep Σv·1e6
+    // exact through sf100
+    "q246_x_trimmed_mean" -> tuned((s, d) =>
+      graft.operators.Sketch.trimmedMean(
+          Tables.lineitem(s, d).withColumn("price_d",
+            floor(col("l_extendedprice") + 0.5)),
+          Seq("l_returnflag"), "price_d", trimPermille = 50)
+        .orderBy("l_returnflag"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7870,7 +7881,42 @@ object SparkEntry {
         |       * sqrt(CAST(6 AS DOUBLE)) / 3.141592653589793)
         |      * ln(-ln(1 - CAST(1 AS DOUBLE) / 365)))
         |    * 10000 + 0.5) AS BIGINT) AS rl_e4
-        |FROM f ORDER BY k""".stripMargin)
+        |FROM f ORDER BY k""".stripMargin),
+
+    // the same tie-aware rank trim on the value grid: full rows below
+    // the boundary plus the boundary's partial multiplicity, all exact
+    "q246_x_trimmed_mean" ->
+      ("""WITH h AS (
+        |  SELECT l_returnflag AS g,
+        |         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS v,
+        |         CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER wa AS BIGINT) AS cumA,
+        |    CAST(sum(c) OVER wd AS BIGINT) AS cumD,
+        |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
+        |    CAST(sum(v * c) OVER (PARTITION BY g) AS BIGINT) AS s
+        |  FROM h
+        |  WINDOW wa AS (PARTITION BY g ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |    wd AS (PARTITION BY g ORDER BY v DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |k AS (SELECT *, n * 50 // 1000 AS kk FROM w),
+        |a AS (SELECT g, max(n) AS n, max(s) AS s, max(kk) AS kk,
+        |    CAST(sum(CASE WHEN cumA <= kk THEN v * c ELSE 0 END) AS BIGINT)
+        |      AS botFull,
+        |    max(CASE WHEN cumA <= kk THEN cumA END) AS botCnt,
+        |    min(CASE WHEN cumA > kk THEN v END) AS lo,
+        |    CAST(sum(CASE WHEN cumD <= kk THEN v * c ELSE 0 END) AS BIGINT)
+        |      AS topFull,
+        |    max(CASE WHEN cumD <= kk THEN cumD END) AS topCnt,
+        |    max(CASE WHEN cumD > kk THEN v END) AS hi
+        |  FROM k GROUP BY g)
+        |SELECT g AS l_returnflag, n, kk AS n_trimmed_each,
+        |  (s - (botFull + (kk - coalesce(botCnt, 0)) * lo)
+        |     - (topFull + (kk - coalesce(topCnt, 0)) * hi)) * 1000000
+        |    // nullif(n - 2 * kk, 0) AS trimmed_mean_e6
+        |FROM a ORDER BY g""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -355,4 +355,27 @@ class SketchSpec extends SparkSpec {
     val e = intercept[Exception] { Sketch.gini(neg, Seq("g"), "v").collect() }
     assert(e.getMessage.contains("negative value"))
   }
+
+  test("trimmedMean: tie-aware partial trim matches the hand calculation") {
+    // values 1,2,2,2,100 with 20% trim each side: k = 1
+    // bottom trims the single 1; top trims the single 100
+    // mean of {2,2,2} = 2 exactly
+    val df = Seq(("g", 1L), ("g", 2L), ("g", 2L), ("g", 2L), ("g", 100L))
+      .toDF("g", "v")
+    val r = Sketch.trimmedMean(df, Seq("g"), "v", trimPermille = 200)
+      .collect().head
+    assert(r.getAs[Long]("n") == 5L && r.getAs[Long]("n_trimmed_each") == 1L)
+    assert(r.getAs[Long]("trimmed_mean_e6") == 2000000L)
+    // partial tie: values 5,5,5,9 with k = 1 -> trim ONE 5 and the 9:
+    // mean of {5,5} = 5
+    val tie = Seq(("t", 5L), ("t", 5L), ("t", 5L), ("t", 9L)).toDF("g", "v")
+    val tr = Sketch.trimmedMean(tie, Seq("g"), "v", trimPermille = 250)
+      .collect().head
+    assert(tr.getAs[Long]("n_trimmed_each") == 1L)
+    assert(tr.getAs[Long]("trimmed_mean_e6") == 5000000L)
+    // zero trim reduces to the exact mean
+    val z = Sketch.trimmedMean(df, Seq("g"), "v", trimPermille = 0)
+      .collect().head
+    assert(z.getAs[Long]("trimmed_mean_e6") == (107L * 1000000L) / 5L)
+  }
 }
