@@ -3061,7 +3061,16 @@ object SparkEntry {
           Tables.lineitem(s, d).withColumn("price_d",
             floor(col("l_extendedprice") + 0.5)),
           Seq("l_returnflag"), "price_d", trimPermille = 50)
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // ---- extension: Ljung-Box portmanteau white-noise test — q37's
+    // rounded ACF fed into the Q statistic on the decided-on-rounded
+    // convention; the residual diagnostic that closes the SARIMAX loop
+    "q247_x_ljung_box" -> tuned((s, d) =>
+      graft.stats.Diagnostics.ljungBox(
+          monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
+          Nil, "month", "tot", nlags = 6, crit5E4 = 125916L)
+        .orderBy("key"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7916,7 +7925,31 @@ object SparkEntry {
         |  (s - (botFull + (kk - coalesce(botCnt, 0)) * lo)
         |     - (topFull + (kk - coalesce(topCnt, 0)) * hi)) * 1000000
         |    // nullif(n - 2 * kk, 0) AS trimmed_mean_e6
-        |FROM a ORDER BY g""".stripMargin)
+        |FROM a ORDER BY g""".stripMargin),
+
+    // q37's rounded-ACF CTE feeding the Q statistic: per-term e9
+    // quantization, exact integer sum, one integer division
+    "q247_x_ljung_box" ->
+      (s"""WITH m AS ($MonthlySql),
+        |s AS (SELECT row_number() OVER (ORDER BY month) AS t, round(tot, 2) AS v
+        |      FROM m),
+        |st AS (SELECT avg(v) AS mu, count(*) AS n FROM s),
+        |c0 AS (SELECT sum((v - mu) * (v - mu)) / max(n) AS c0 FROM s, st),
+        |g AS (
+        |  SELECT l.lag, sum((a.v - st.mu) * (b.v - st.mu)) / max(st.n) AS cov
+        |  FROM (SELECT unnest(generate_series(1, 6)) AS lag) l
+        |  JOIN s a ON true JOIN s b ON a.t = b.t + l.lag, st
+        |  GROUP BY l.lag),
+        |r AS (SELECT lag, round(cov / c0.c0, 4) AS acf FROM g, c0),
+        |q AS (SELECT CAST(sum(CAST(floor(acf * acf / (st.n - lag) * 1e9 + 0.5)
+        |          AS BIGINT)) AS BIGINT) AS sum_e9,
+        |        CAST(max(st.n) AS BIGINT) AS n
+        |      FROM r, st)
+        |SELECT 'all' AS key, CAST(n AS INT) AS n_obs, CAST(6 AS INT) AS h_lags,
+        |  n * (n + 2) * sum_e9 // 100000 AS q_e4,
+        |  CAST(125916 AS BIGINT) AS crit5_e4,
+        |  n * (n + 2) * sum_e9 // 100000 > 125916 AS autocorrelated
+        |FROM q""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

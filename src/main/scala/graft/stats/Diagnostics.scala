@@ -465,6 +465,60 @@ object Diagnostics {
         expr("err_model_e4 * 1000000 div nullif(err_naive_e4, 0)"))
   }
 
+  private val lbSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("h_lags", IntegerType),
+    StructField("q_e4", LongType),
+    StructField("crit5_e4", LongType),
+    StructField("autocorrelated", BooleanType)))
+
+  /** Ljung–Box portmanteau test per key — "is there ANY autocorrelation
+    * left": `Q = n(n+2)·Σ_{k≤h} ρ̂_k²/(n−k)` over the sample ACF,
+    * compared against the χ²_h 5% critical value. THE residual
+    * diagnostic that closes the model-fit loop ([[graft.stats.Sarimax]]
+    * fits, [[adfFixedLag]] screens stationarity, this says whether the
+    * fit LEFT structure on the table); on a raw series it is the
+    * white-noise test.
+    *
+    * Determinism (the decided-on-rounded convention): each ρ̂_k is
+    * HALF_UP-rounded to 4 dp first — exactly the q37 ACF contract both
+    * engines already hash-match — then every Q term quantizes to an
+    * integer `⌊ρ²/(n−k)·10⁹ + 0.5⌋` before the EXACT integer sum and
+    * the one integer division, so no cross-term float accumulation
+    * order exists. The verdict compares the quantized Q against the
+    * quantized critical literal.
+    *
+    * Scale shape: [[mannKendall]]'s — per-key series inside its
+    * executor. Output: `(key, n_obs, h_lags, q_e4, crit5_e4,
+    * autocorrelated)`. */
+  def ljungBox(df: DataFrame, keyCols: Seq[String], orderCol: String,
+               valueCol: String, nlags: Int = 12,
+               crit5E4: Long = 210261L): DataFrame = {
+    require(nlags >= 1, s"nlags must be >= 1, got $nlags")
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n <= nlags + 1) Iterator.empty
+        else {
+          val rho = TimeSeriesStats.acf(y, nlags).map(r =>
+            BigDecimal(r).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          var sumE9 = 0L
+          var k = 1
+          while (k <= nlags) {
+            val r = rho(k - 1)
+            sumE9 += math.floor(r * r / (n - k) * 1e9 + 0.5).toLong
+            k += 1
+          }
+          val qE4 = n.toLong * (n + 2) * sumE9 / 100000L
+          Iterator.single(Row(key, n, nlags, qE4, crit5E4, qE4 > crit5E4))
+        }
+      }(Encoders.row(lbSchema))
+      .toDF()
+  }
+
   /** Gumbel block-maxima fit + return level per key (the
     * Fisher–Tippett type-I extreme-value analysis): method-of-moments
     * over the BLOCK MAXIMA — `β = s·√6/π`, `μ = x̄ − γ·β` (γ the

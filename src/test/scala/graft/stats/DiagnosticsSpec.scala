@@ -255,6 +255,24 @@ class DiagnosticsSpec extends SparkSpec {
     assert(r.getAs[Long]("mase_e6") == 0L)
   }
 
+  test("ljungBox: a ramp screams autocorrelation, alternating noise much less") {
+    val ramp = (1 to 40).map(i => ("r", i, i * 10.0)).toDF("k", "t", "v")
+    val rr = Diagnostics.ljungBox(ramp, Seq("k"), "t", "v", nlags = 6,
+      crit5E4 = 125916L).collect().head
+    assert(rr.getAs[Boolean]("autocorrelated"))
+    assert(rr.getAs[Long]("q_e4") > rr.getAs[Long]("crit5_e4"))
+    // lag-1 alternation has NEGATIVE rho1 but Q uses rho^2 — still
+    // structure; a hash-scrambled series is the no-structure case
+    val noise = (1 to 40).map(i =>
+      ("n", i, ((i * 2654435761L) % 1000).toDouble)).toDF("k", "t", "v")
+    val nr = Diagnostics.ljungBox(noise, Seq("k"), "t", "v", nlags = 6,
+      crit5E4 = 125916L).collect().head
+    assert(nr.getAs[Long]("q_e4") < rr.getAs[Long]("q_e4"))
+    // short series (n <= nlags + 1) emit nothing
+    val short = (1 to 7).map(i => ("s", i, i.toDouble)).toDF("k", "t", "v")
+    assert(Diagnostics.ljungBox(short, Seq("k"), "t", "v", nlags = 6).count() == 0L)
+  }
+
   test("gumbelReturnLevel: matches the closed form on a two-block key") {
     // two blocks with maxima 10 and 20 (rows 5/10 and 7/20 per block)
     val df = Seq(("k", 1, 5L), ("k", 1, 10L), ("k", 2, 7L), ("k", 2, 20L))
