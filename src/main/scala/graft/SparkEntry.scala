@@ -3070,7 +3070,17 @@ object SparkEntry {
       graft.stats.Diagnostics.ljungBox(
           monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
           Nil, "month", "tot", nlags = 6, crit5E4 = 125916L)
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // ---- extension: gap-capped funnel — q147's chain with each
+    // transition bounded to 24h ("purchase within a day of the
+    // click"); the conservative chained-min semantics, replayed exactly
+    "q248_x_windowed_funnel" -> tuned((s, d) =>
+      graft.operators.Funnel.conversionCounts(
+          Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
+          Seq("user_id"), "sec", "event_type",
+          Seq("view", "click", "purchase"), maxGap = Some(86400L))
+        .orderBy("stage"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7949,7 +7959,33 @@ object SparkEntry {
         |  n * (n + 2) * sum_e9 // 100000 AS q_e4,
         |  CAST(125916 AS BIGINT) AS crit5_e4,
         |  n * (n + 2) * sum_e9 // 100000 > 125916 AS autocorrelated
-        |FROM q""".stripMargin)
+        |FROM q""".stripMargin),
+
+    // the q215 chained mins with each step additionally bounded to the
+    // 24h gap (seconds grain)
+    "q248_x_windowed_funnel" ->
+      ("""WITH e AS (
+        |  SELECT user_id, event_type AS s, epoch_us(ts) // 1000000 AS t
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0
+        |           AND t <= t0 + 86400 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1
+        |           AND t <= t1 + 86400 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |u AS (SELECT DISTINCT user_id,
+        |        CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS completed
+        |      FROM w2),
+        |st AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'), (2, 'purchase'))
+        |       v(stage, stage_name))
+        |SELECT st.stage, st.stage_name, count(*) AS n_reached
+        |FROM u CROSS JOIN st WHERE u.completed > st.stage
+        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -30,12 +30,24 @@ import org.apache.spark.sql.functions._
 object Funnel {
 
   /** Per-key funnel: `keyCols…, t_0 … t_{n-1}` (first qualifying time
-    * per stage, null once the chain breaks) and `stages_completed`. */
+    * per stage, null once the chain breaks) and `stages_completed`.
+    *
+    * `maxGap` (optional, `timeCol` units) bounds each transition: stage
+    * i qualifies only within `maxGap` of the CHAINED stage i−1 time —
+    * the "checkout within 30 minutes of the click" contract. The
+    * semantics stay the deterministic CHAINED-MIN chain (each stage
+    * anchors on the earliest qualifying prior time); a later stage-0
+    * occurrence is never re-anchored, so a gap-capped chain is the
+    * CONSERVATIVE funnel — it can undercount versus a re-scanning
+    * window-funnel, never overcount, and both engines replay it
+    * bit-for-bit (a greedy re-scan is not SQL-expressible). */
   def funnelByKey(events: DataFrame, keyCols: Seq[String], timeCol: String,
-                  stageCol: String, stages: Seq[String]): DataFrame = {
+                  stageCol: String, stages: Seq[String],
+                  maxGap: Option[Long] = None): DataFrame = {
     require(keyCols.nonEmpty, "funnelByKey needs at least one key column")
     require(stages.size >= 2, "a funnel needs at least 2 stages")
     require(stages.distinct.size == stages.size, "stages must be distinct")
+    maxGap.foreach(g => require(g > 0, s"maxGap must be positive, got $g"))
     val w = Window.partitionBy(keyCols.map(col): _*)
     val t = col(timeCol)
     val pruned = events
@@ -47,7 +59,11 @@ object Funnel {
     val chained = stages.zipWithIndex.foldLeft(pruned) { case (df, (s, i)) =>
       val cond =
         if (i == 0) col("__s") === s
-        else col("__s") === s && col("__t") > col(s"t_${i - 1}")
+        else {
+          val base = col("__s") === s && col("__t") > col(s"t_${i - 1}")
+          maxGap.fold(base)(g =>
+            base && col("__t") <= col(s"t_${i - 1}") + g)
+        }
       df.withColumn(s"t_$i", min(when(cond, col("__t"))).over(w))
     }
     val tCols = stages.indices.map(i => col(s"t_$i"))
@@ -61,8 +77,9 @@ object Funnel {
   /** The funnel readout: one row per stage with the count of keys whose
     * chain reached it (`n_reached` is non-increasing in `stage`). */
   def conversionCounts(events: DataFrame, keyCols: Seq[String], timeCol: String,
-                       stageCol: String, stages: Seq[String]): DataFrame = {
-    val byKey = funnelByKey(events, keyCols, timeCol, stageCol, stages)
+                       stageCol: String, stages: Seq[String],
+                       maxGap: Option[Long] = None): DataFrame = {
+    val byKey = funnelByKey(events, keyCols, timeCol, stageCol, stages, maxGap)
     val spark = events.sparkSession
     import spark.implicits._
     val stageIdx = stages.zipWithIndex.map { case (s, i) => (i, s) }

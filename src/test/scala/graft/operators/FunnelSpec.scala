@@ -198,6 +198,26 @@ class FunnelSpec extends SparkSpec {
     assert(nz.forall(r => r.isNullAt(r.fieldIndex("z_e4"))))
   }
 
+  test("funnelByKey: maxGap caps each transition against the chained prior time") {
+    import spark.implicits._
+    // u1: click 5 after view (within gap 10); u2: click 20 after view (outside)
+    // u3: click at 8 chains, purchase at 30 is > 8+10 -> chain stops at click
+    val ev = Seq(
+      ("u1", 0L, "view"), ("u1", 5L, "click"),
+      ("u2", 0L, "view"), ("u2", 20L, "click"),
+      ("u3", 0L, "view"), ("u3", 8L, "click"), ("u3", 30L, "purchase")
+    ).toDF("u", "t", "s")
+    val out = Funnel.conversionCounts(ev, Seq("u"), "t", "s",
+        Seq("view", "click", "purchase"), maxGap = Some(10L))
+      .orderBy("stage").collect()
+    assert(out.map(_.getAs[Long]("n_reached")).toSeq == Seq(3L, 2L, 0L))
+    // without the cap u2 converts and u3 purchases
+    val open = Funnel.conversionCounts(ev, Seq("u"), "t", "s",
+        Seq("view", "click", "purchase"))
+      .orderBy("stage").collect()
+    assert(open.map(_.getAs[Long]("n_reached")).toSeq == Seq(3L, 3L, 1L))
+  }
+
   test("funnelVariantZ: a variant with ZERO conversions still scores (densified grid)") {
     // A: 2 view, 1 clicks; B: 2 view, 0 click — the strongest effect;
     // the stage-1 row must exist with x_b = 0 and a computable z
