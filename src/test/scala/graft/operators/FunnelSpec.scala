@@ -207,10 +207,12 @@ class FunnelSpec extends SparkSpec {
       ("u2", 0L, "view"), ("u2", 20L, "click"),
       ("u3", 0L, "view"), ("u3", 8L, "click"), ("u3", 30L, "purchase")
     ).toDF("u", "t", "s")
+    // purchase stage absent: conversionCounts emits reached stages only
+    // (the q147 contract — its oracle's WHERE completed > stage)
     val out = Funnel.conversionCounts(ev, Seq("u"), "t", "s",
         Seq("view", "click", "purchase"), maxGap = Some(10L))
       .orderBy("stage").collect()
-    assert(out.map(_.getAs[Long]("n_reached")).toSeq == Seq(3L, 2L, 0L))
+    assert(out.map(_.getAs[Long]("n_reached")).toSeq == Seq(3L, 2L))
     // without the cap u2 converts and u3 purchases
     val open = Funnel.conversionCounts(ev, Seq("u"), "t", "s",
         Seq("view", "click", "purchase"))
