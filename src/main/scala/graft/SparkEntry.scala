@@ -3080,7 +3080,20 @@ object SparkEntry {
           Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
           Seq("user_id"), "sec", "event_type",
           Seq("view", "click", "purchase"), maxGap = Some(86400L))
-        .orderBy("stage"))
+        .orderBy("stage")),
+
+    // ---- extension: seasonal Mann-Kendall — q216 restricted to
+    // within-phase pairs (Jan vs Jan), the trend test that does not
+    // read the seasonal cycle itself as noise
+    "q249_x_seasonal_mk" -> tuned((s, d) =>
+      graft.stats.Diagnostics.seasonalMannKendall(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long")
+              .as("cents")),
+          Seq("o_orderpriority"), "month", "cents", period = 12)
+        .orderBy("key"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -7985,7 +7998,49 @@ object SparkEntry {
         |       v(stage, stage_name))
         |SELECT st.stage, st.stage_name, count(*) AS n_reached
         |FROM u CROSS JOIN st WHERE u.completed > st.stage
-        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin),
+
+    // q216's pairwise replay restricted to (b.t - a.t) % 12 = 0, with
+    // the per-phase base/tie variance terms
+    "q249_x_seasonal_mk" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |o AS (SELECT k, row_number() OVER (PARTITION BY k ORDER BY month) AS t, y
+        |      FROM m),
+        |p AS (SELECT a.k,
+        |        CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END AS sg
+        |      FROM o a JOIN o b ON a.k = b.k AND b.t > a.t
+        |        AND (b.t - a.t) % 12 = 0),
+        |s AS (SELECT k, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s FROM p GROUP BY k),
+        |np AS (SELECT k, (t - 1) % 12 AS ph, CAST(count(*) AS BIGINT) AS n
+        |       FROM o GROUP BY 1, 2),
+        |v1 AS (SELECT k, CAST(sum(n * (n - 1) * (2 * n + 5)) AS BIGINT) AS base
+        |       FROM np GROUP BY 1),
+        |tg AS (SELECT k, (t - 1) % 12 AS ph, y, CAST(count(*) AS BIGINT) AS c
+        |       FROM o GROUP BY 1, 2, 3 HAVING count(*) > 1),
+        |tt AS (SELECT k, CAST(coalesce(sum(c * (c - 1) * (2 * c + 5)), 0) AS BIGINT)
+        |         AS tsum FROM tg GROUP BY 1),
+        |nn AS (SELECT k, CAST(count(*) AS INT) AS n FROM o GROUP BY k),
+        |v AS (SELECT nn.k, nn.n, s.s,
+        |        v1.base - coalesce(tt.tsum, 0) AS var18
+        |      FROM nn JOIN s ON nn.k = s.k JOIN v1 ON nn.k = v1.k
+        |        LEFT JOIN tt ON nn.k = tt.k
+        |      WHERE nn.n >= 14),
+        |z AS (SELECT *,
+        |        CASE WHEN s > 0 THEN (CAST(s AS DOUBLE) - 1.0) / sqrt(var18 / 18.0)
+        |             WHEN s < 0 THEN (CAST(s AS DOUBLE) + 1.0) / sqrt(var18 / 18.0)
+        |             ELSE 0.0 END AS zz
+        |      FROM v),
+        |r AS (SELECT k, n, s, var18, floor(zz * 10000 + 0.5) / 10000 AS z FROM z)
+        |SELECT k AS key, n AS n_obs, s AS s_stat, var18, z,
+        |  CASE WHEN z > 1.96 THEN 'increasing'
+        |       WHEN z < -1.96 THEN 'decreasing'
+        |       ELSE 'no_trend' END AS trend
+        |FROM r ORDER BY key""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

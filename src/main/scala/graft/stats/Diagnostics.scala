@@ -338,6 +338,69 @@ object Diagnostics {
       .toDF()
   }
 
+  /** Seasonal Mann–Kendall (Hirsch & Slack 1984) — [[mannKendall]]
+    * restricted to WITHIN-PHASE pairs (January vs January, never
+    * January vs July): the trend test for series with a seasonal cycle,
+    * where the plain test reads the seasonality itself as trend noise.
+    * `S = Σ_p S_p`, `Var·18 = Σ_p [nₚ(nₚ−1)(2nₚ+5) − ties_p]`, the same
+    * continuity-corrected z and the same decided-on-rounded trend
+    * verdict.
+    *
+    * Exactness and scale shape identical to [[mannKendall]] (exact
+    * integer S/var per phase, one fixed double z; per-key kernels
+    * inside their executors; the pair loop is O(Σnₚ²) ≈ O(n²/period)).
+    * Phases index by POSITION in the ordered series (`i mod period`) —
+    * the complete-grid convention ([[graft.operators.CalendarOps]]
+    * fills gaps first when months can be missing). */
+  def seasonalMannKendall(df: DataFrame, keyCols: Seq[String],
+                          orderCol: String, valueCol: String,
+                          period: Int = 12, roundTo: Int = 4): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    val q = math.pow(10, roundTo)
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < period + 2) Iterator.empty
+        else {
+          var s = 0L
+          var var18 = 0L
+          var p = 0
+          while (p < period) {
+            val idx = p.until(n, period)
+            var i = 0
+            while (i < idx.length) {
+              var j = i + 1
+              while (j < idx.length) {
+                if (y(idx(j)) > y(idx(i))) s += 1
+                else if (y(idx(j)) < y(idx(i))) s -= 1
+                j += 1
+              }
+              i += 1
+            }
+            val np = idx.length.toLong
+            val tieSum = idx.map(y).groupBy(identity).valuesIterator
+              .map(_.length.toLong).filter(_ > 1)
+              .map(t => t * (t - 1) * (2 * t + 5)).sum
+            var18 += np * (np - 1) * (2 * np + 5) - tieSum
+            p += 1
+          }
+          val zRaw =
+            if (s > 0) (s.toDouble - 1.0) / math.sqrt(var18 / 18.0)
+            else if (s < 0) (s.toDouble + 1.0) / math.sqrt(var18 / 18.0)
+            else 0.0
+          val z = math.floor(zRaw * q + 0.5) / q
+          val trend =
+            if (z > 1.96) "increasing"
+            else if (z < -1.96) "decreasing"
+            else "no_trend"
+          Iterator.single(Row(key, n, s, var18, z, trend))
+        }
+      }(Encoders.row(mkSchema))
+      .toDF()
+  }
+
   private val tsSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

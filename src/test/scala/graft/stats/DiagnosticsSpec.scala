@@ -255,6 +255,26 @@ class DiagnosticsSpec extends SparkSpec {
     assert(r.getAs[Long]("mase_e6") == 0L)
   }
 
+  test("seasonalMannKendall: within-phase trend found where plain MK is diluted") {
+    // 3 years of period-4 data: strong per-phase increase with a big
+    // seasonal swing that plain MK pairs across phases
+    val period = 4
+    val rows = for (yr <- 0 until 6; ph <- 0 until period)
+      yield ("k", yr * period + ph, (ph * 1000 + yr * 10).toDouble)
+    val df = rows.toDF("k", "t", "v")
+    val r = Diagnostics.seasonalMannKendall(df, Seq("k"), "t", "v",
+      period = period).collect().head
+    // every within-phase pair increases: S = 4 * C(6,2) = 60
+    assert(r.getAs[Long]("s_stat") == 60L)
+    // var18 = 4 * 6*5*17 = 2040
+    assert(r.getAs[Long]("var18") == 2040L)
+    assert(r.getAs[String]("trend") == "increasing")
+    // short series (< period + 2) emit nothing
+    val short = (0 until 5).map(i => ("s", i, i.toDouble)).toDF("k", "t", "v")
+    assert(Diagnostics.seasonalMannKendall(short, Seq("k"), "t", "v",
+      period = 4).count() == 0L)
+  }
+
   test("ljungBox: a ramp screams autocorrelation, alternating noise much less") {
     val ramp = (1 to 40).map(i => ("r", i, i * 10.0)).toDF("k", "t", "v")
     val rr = Diagnostics.ljungBox(ramp, Seq("k"), "t", "v", nlags = 6,
