@@ -290,6 +290,66 @@ object PropertySpec extends Properties("graft.laws") {
     g >= 0L && g <= r.getAs[Long]("total_cost_e4")
   }
 
+  property("isotonicCalibration is monotone and bounded by the rate range") = Prop {
+    import graft.operators.Metrics
+    val df = Seq((50000L, true), (150000L, false), (250000L, true),
+      (350000L, false), (450000L, false), (650000L, true), (750000L, true),
+      (850000L, false), (950000L, true), (950001L, true))
+      .toDF("score_e6", "label")
+    val out = Metrics.isotonicCalibration(df, "score_e6", "label")
+      .orderBy("bin").collect()
+    val iso = out.map(_.getAs[Long]("iso_e9"))
+    iso.zip(iso.tail).forall { case (a, b) => b >= a } &&
+      iso.forall(v => v >= 0L && v <= 1000000000L)
+  }
+
+  property("trimmedMean lies within [min, max] and equals the mean at zero trim") = Prop {
+    import graft.operators.Sketch
+    val vals = Seq(3L, 9L, 1L, 14L, 7L, 7L, 2L, 40L)
+    val df = vals.map(("g", _)).toDF("g", "v")
+    val t = Sketch.trimmedMean(df, Seq("g"), "v", trimPermille = 125)
+      .collect().head.getAs[Long]("trimmed_mean_e6")
+    val z = Sketch.trimmedMean(df, Seq("g"), "v", trimPermille = 0)
+      .collect().head.getAs[Long]("trimmed_mean_e6")
+    t >= vals.min * 1000000L && t <= vals.max * 1000000L &&
+      z == vals.sum * 1000000L / vals.length
+  }
+
+  property("seasonalMannKendall is exactly 0 with no trend inside any phase") = Prop {
+    import graft.stats.Diagnostics
+    // pure seasonal cycle, constant within phase: S = 0, no_trend
+    val rows = for (yr <- 0 until 5; ph <- 0 until 4)
+      yield ("k", yr * 4 + ph, (ph * 100).toDouble)
+    val r = Diagnostics.seasonalMannKendall(rows.toDF("k", "t", "v"),
+      Seq("k"), "t", "v", period = 4).collect().head
+    r.getAs[Long]("s_stat") == 0L && r.getAs[String]("trend") == "no_trend"
+  }
+
+  property("neymanSample never over-allocates the budget or a stratum") = Prop {
+    import graft.text.Corpus
+    val rows = (1L to 60L).map(i =>
+      (s"s${i % 4}", i, (i * 37 % 200 + (i % 4) * 50).toDouble))
+    val out = Corpus.neymanSample(rows.toDF("src", "id", "v"),
+      "src", "id", "v", nTotal = 17)
+    val bySrc = out.groupBy("src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.values.sum <= 17L && bySrc.values.forall(_ <= 15L)
+  }
+
+  property("brierDecomposition respects the Murphy identity within quantization slack") = Prop {
+    import graft.operators.Metrics
+    val df = (1L to 200L).map(i =>
+      ((i * 48271L) % 1000001L, (i * 2654435761L) % 1000000L < (i * 48271L) % 1000001L))
+      .toDF("score_e6", "label")
+    val r = Metrics.brierDecomposition(df, "score_e6", "label").collect().head
+    val lhs = r.getAs[Long]("brier_e6")
+    val rhs = r.getAs[Long]("reliability_e6") - r.getAs[Long]("resolution_e6") +
+      r.getAs[Long]("uncertainty_e6")
+    // per-bin/per-row floors each shave < 1e-6; 10 bins + 3 readout
+    // divisions bound the drift far under 1% of the e6 scale
+    math.abs(lhs - rhs) < 10000L
+  }
+
   // fixed fixtures, not forAll: learnMerges is a multi-job Spark loop per
   // sample — 100 ScalaCheck samples would dominate the suite's runtime
   property("BPE encode preserves content: symbols rejoin to the original words") = Prop {
