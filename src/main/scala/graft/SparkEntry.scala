@@ -3093,7 +3093,18 @@ object SparkEntry {
             .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long")
               .as("cents")),
           Seq("o_orderpriority"), "month", "cents", period = 12)
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // ---- extension: embedding-space drift — per-label cosine between
+    // the two parity cohorts' sum vectors (the "has the distribution
+    // moved" monitor an index refresh watches); exact integer component
+    // sums, DECIMAL cross-products, ONE final double tree
+    "q250_x_centroid_drift" -> tuned((s, d) =>
+      graft.sim.VectorOps.centroidDrift(
+          Tables.embeddings(s, d)
+            .withColumn("side", pmod(col("vec_id"), lit(2L)).cast("int")),
+          Seq("label"), "side", "embedding")
+        .orderBy("label"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8040,7 +8051,33 @@ object SparkEntry {
         |  CASE WHEN z > 1.96 THEN 'increasing'
         |       WHEN z < -1.96 THEN 'decreasing'
         |       ELSE 'no_trend' END AS trend
-        |FROM r ORDER BY key""".stripMargin)
+        |FROM r ORDER BY key""".stripMargin),
+
+    // the same per-row e6 component quantization, exact integer sums per
+    // (label, side, component), HUGEINT cross-products, one double tree
+    "q250_x_centroid_drift" ->
+      ("""WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |c AS (SELECT label, CAST(vec_id % 2 AS INT) AS side, g.i,
+        |        CAST(floor(embedding[g.i] * 1e6 + 0.5) AS BIGINT) AS q
+        |      FROM embeddings CROSS JOIN g WHERE embedding IS NOT NULL),
+        |s AS (SELECT label, side, i, CAST(sum(q) AS BIGINT) AS sv,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM c GROUP BY 1, 2, 3),
+        |j AS (SELECT a.label, a.i, a.sv AS sa, a.c AS ca, b.sv AS sb, b.c AS cb
+        |      FROM s a JOIN s b ON a.label = b.label AND a.i = b.i
+        |        AND a.side = 0 AND b.side = 1),
+        |f AS (SELECT label, max(ca) AS n_a, max(cb) AS n_b,
+        |        sum(CAST(sa AS HUGEINT) * sb) AS ab,
+        |        sum(CAST(sa AS HUGEINT) * sa) AS aa,
+        |        sum(CAST(sb AS HUGEINT) * sb) AS bb
+        |      FROM j GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  CASE WHEN aa > 0 AND bb > 0 THEN
+        |    CAST(floor(CAST(ab AS DOUBLE)
+        |      / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT)
+        |  END AS drift_cos_e6
+        |FROM f ORDER BY label""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -108,4 +108,58 @@ object VectorOps {
     * per-row, shuffle-free, embarrassingly parallel. */
   def int8MetricsCol(v: Column): Column =
     udf((x: Array[Float]) => if (x == null) null else int8Metrics(x)).apply(v)
+
+  /** Embedding-space drift between two cohorts of a vector column —
+    * per group, the cosine between the UNNORMALIZED SUM VECTORS of the
+    * two sides (proportional to the centroid cosine — the scalar "has
+    * the embedding distribution moved" monitor an index/model-refresh
+    * pipeline watches; cos → 1 means the new data lives where the old
+    * did, and a falling value flags retrain-the-quantizer before
+    * recall silently decays).
+    *
+    * Exactness: each component e6-quantizes PER ROW (`⌊v·10⁶ + 0.5⌋` —
+    * exact float-to-int, replayable), the per-(group, side, component)
+    * sums are exact BIGINTs, and the cosine is ONE fixed double tree
+    * over the two integer vectors, e6-quantized. The dimension
+    * explodes once (rows·dim), aggregates map-side to the
+    * group·2·dim grid, and the tree runs on the grid. BIGINT bound:
+    * `n·10⁶·max|v| < 2⁶³` per component — ~9·10⁹ unit-scale rows.
+    *
+    * Output: `(groupCols…, n_a, n_b, drift_cos_e6)`; groups missing a
+    * side (or with a zero-norm sum) emit null. */
+  def centroidDrift(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
+                    sideCol: String, vecCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(groupCols.nonEmpty, "centroidDrift needs at least one group column")
+    val g = groupCols.map(col)
+    val comps = df
+      .filter(col(sideCol).isNotNull && col(vecCol).isNotNull)
+      .select(g :+ col(sideCol).as("__side") :+
+        posexplode(col(vecCol)).as(Seq("__i", "__v")): _*)
+      .groupBy(g :+ col("__side") :+ col("__i"): _*)
+      .agg(sum(floor(col("__v") * 1e6 + 0.5).cast("long")).as("__s"),
+        count(lit(1)).as("__c"))
+    val a = comps.filter(col("__side") === 0)
+      .select(g :+ col("__i") :+ col("__s").as("__sa") :+ col("__c").as("__ca"): _*)
+    val b = comps.filter(col("__side") === 1)
+      .select(g :+ col("__i") :+ col("__s").as("__sb") :+ col("__c").as("__cb"): _*)
+    // DECIMAL products, not double: a per-component double product
+    // summed across 64 components would accumulate in engine-dependent
+    // order — the exact wide-integer sums keep the ONLY float step the
+    // final fixed tree
+    a.join(b, groupCols :+ "__i")
+      .groupBy(g: _*)
+      .agg(
+        max(col("__ca")).as("n_a"), max(col("__cb")).as("n_b"),
+        sum(expr("cast(__sa as decimal(38,0)) * __sb")).as("__ab"),
+        sum(expr("cast(__sa as decimal(38,0)) * __sa")).as("__aa"),
+        sum(expr("cast(__sb as decimal(38,0)) * __sb")).as("__bb"))
+      .withColumn("drift_cos_e6", expr(
+        """case when __aa > 0 and __bb > 0 then
+          |  cast(floor(cast(__ab as double)
+          |    / sqrt(cast(__aa as double) * cast(__bb as double))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .drop("__ab", "__aa", "__bb")
+  }
 }

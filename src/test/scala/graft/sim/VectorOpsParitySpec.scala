@@ -124,4 +124,27 @@ class VectorOpsParitySpec extends SparkSpec {
     // registration is idempotent
     org.apache.spark.sql.graft.GraftExtensions.register(spark)
   }
+
+  test("centroidDrift: identical cohorts read 1e6; orthogonal cohorts read 0") {
+    import spark.implicits._
+    // sides 0 and 1 each hold the same vector -> sum vectors parallel
+    val same = Seq((0L, 0, Array(1f, 2f, 3f)), (1L, 1, Array(1f, 2f, 3f)),
+      (2L, 0, Array(1f, 2f, 3f)), (3L, 1, Array(1f, 2f, 3f)))
+      .toDF("id", "side", "vec").withColumn("g", org.apache.spark.sql.functions.lit("k"))
+    val r = graft.sim.VectorOps.centroidDrift(same, Seq("g"), "side", "vec")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("drift_cos_e6") == 1000000L)
+    // orthogonal sum vectors -> cosine exactly 0
+    val orth = Seq((0L, 0, Array(1f, 0f)), (1L, 1, Array(0f, 1f)))
+      .toDF("id", "side", "vec").withColumn("g", org.apache.spark.sql.functions.lit("k"))
+    val o = graft.sim.VectorOps.centroidDrift(orth, Seq("g"), "side", "vec")
+      .collect().head
+    assert(o.getAs[Long]("drift_cos_e6") == 0L)
+    // a group missing one side disappears (no null-row fabrication)
+    val lone = Seq((0L, 0, Array(1f, 1f))).toDF("id", "side", "vec")
+      .withColumn("g", org.apache.spark.sql.functions.lit("k"))
+    assert(graft.sim.VectorOps.centroidDrift(lone, Seq("g"), "side", "vec")
+      .count() == 0L)
+  }
 }
