@@ -3104,7 +3104,13 @@ object SparkEntry {
           Tables.embeddings(s, d)
             .withColumn("side", pmod(col("vec_id"), lit(2L)).cast("int")),
           Seq("label"), "side", "embedding")
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // ---- extension: STREAMING centroid drift — q250's standing twin:
+    // the complete-mode state IS the component-sum grid; drained ==
+    // batch, one shared readout (driftFromComponentSums) and one oracle
+    "q251_x_stream_centroid_drift" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingCentroidDrift(s, d))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -3523,6 +3529,34 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cos_sim, CAST(rank AS INT) AS rank
        |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
   }
+
+  /** q250/q251 shared oracle: per-row e6 component quantization, exact
+    * integer sums per (label, side, component), HUGEINT cross-products,
+    * one double tree — the streaming twin maintains the identical grid,
+    * so both queries replay one SQL. */
+  private lazy val CentroidDriftSql: String =
+    """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
+        |c AS (SELECT label, CAST(vec_id % 2 AS INT) AS side, g.i,
+        |        CAST(floor(embedding[g.i] * 1e6 + 0.5) AS BIGINT) AS q
+        |      FROM embeddings CROSS JOIN g WHERE embedding IS NOT NULL),
+        |s AS (SELECT label, side, i, CAST(sum(q) AS BIGINT) AS sv,
+        |        CAST(count(*) AS BIGINT) AS c
+        |      FROM c GROUP BY 1, 2, 3),
+        |j AS (SELECT a.label, a.i, a.sv AS sa, a.c AS ca, b.sv AS sb, b.c AS cb
+        |      FROM s a JOIN s b ON a.label = b.label AND a.i = b.i
+        |        AND a.side = 0 AND b.side = 1),
+        |f AS (SELECT label, max(ca) AS n_a, max(cb) AS n_b,
+        |        sum(CAST(sa AS HUGEINT) * sb) AS ab,
+        |        sum(CAST(sa AS HUGEINT) * sa) AS aa,
+        |        sum(CAST(sb AS HUGEINT) * sb) AS bb
+        |      FROM j GROUP BY 1)
+        |SELECT label, n_a, n_b,
+        |  CASE WHEN aa > 0 AND bb > 0 THEN
+        |    CAST(floor(CAST(ab AS DOUBLE)
+        |      / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT)
+        |  END AS drift_cos_e6
+        |FROM f ORDER BY label""".stripMargin
 
   /** q233/q239 shared oracle: histogram deciles on the score value
     * grid (DESC), the two-step integer lift quantization — the
@@ -8055,29 +8089,10 @@ object SparkEntry {
 
     // the same per-row e6 component quantization, exact integer sums per
     // (label, side, component), HUGEINT cross-products, one double tree
-    "q250_x_centroid_drift" ->
-      ("""WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
-        |c AS (SELECT label, CAST(vec_id % 2 AS INT) AS side, g.i,
-        |        CAST(floor(embedding[g.i] * 1e6 + 0.5) AS BIGINT) AS q
-        |      FROM embeddings CROSS JOIN g WHERE embedding IS NOT NULL),
-        |s AS (SELECT label, side, i, CAST(sum(q) AS BIGINT) AS sv,
-        |        CAST(count(*) AS BIGINT) AS c
-        |      FROM c GROUP BY 1, 2, 3),
-        |j AS (SELECT a.label, a.i, a.sv AS sa, a.c AS ca, b.sv AS sb, b.c AS cb
-        |      FROM s a JOIN s b ON a.label = b.label AND a.i = b.i
-        |        AND a.side = 0 AND b.side = 1),
-        |f AS (SELECT label, max(ca) AS n_a, max(cb) AS n_b,
-        |        sum(CAST(sa AS HUGEINT) * sb) AS ab,
-        |        sum(CAST(sa AS HUGEINT) * sa) AS aa,
-        |        sum(CAST(sb AS HUGEINT) * sb) AS bb
-        |      FROM j GROUP BY 1)
-        |SELECT label, n_a, n_b,
-        |  CASE WHEN aa > 0 AND bb > 0 THEN
-        |    CAST(floor(CAST(ab AS DOUBLE)
-        |      / sqrt(CAST(aa AS DOUBLE) * CAST(bb AS DOUBLE))
-        |      * 1000000 + 0.5) AS BIGINT)
-        |  END AS drift_cos_e6
-        |FROM f ORDER BY label""".stripMargin)
+    "q250_x_centroid_drift" -> CentroidDriftSql,
+
+    // drained component sums == batch sums, identical readout
+    "q251_x_stream_centroid_drift" -> CentroidDriftSql,
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

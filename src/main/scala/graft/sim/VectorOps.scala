@@ -139,14 +139,25 @@ object VectorOps {
       .groupBy(g :+ col("__side") :+ col("__i"): _*)
       .agg(sum(floor(col("__v") * 1e6 + 0.5).cast("long")).as("__s"),
         count(lit(1)).as("__c"))
+    driftFromComponentSums(comps, groupCols)
+  }
+
+  /** The drift readout over a per-(group, __side, __i) component-sum
+    * grid (`__s` exact integer sums, `__c` counts) — ONE definition
+    * shared by the batch operator and the streaming twin (whose
+    * complete-mode state IS this grid), so the shared-oracle bit-parity
+    * cannot drift between hand-synced copies. DECIMAL cross-products,
+    * not double: a per-component double product summed across the
+    * dimension would accumulate in engine-dependent order — the exact
+    * wide-integer sums keep the ONLY float step the final fixed tree. */
+  def driftFromComponentSums(comps: org.apache.spark.sql.DataFrame,
+                             groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val g = groupCols.map(col)
     val a = comps.filter(col("__side") === 0)
       .select(g :+ col("__i") :+ col("__s").as("__sa") :+ col("__c").as("__ca"): _*)
     val b = comps.filter(col("__side") === 1)
       .select(g :+ col("__i") :+ col("__s").as("__sb") :+ col("__c").as("__cb"): _*)
-    // DECIMAL products, not double: a per-component double product
-    // summed across 64 components would accumulate in engine-dependent
-    // order — the exact wide-integer sums keep the ONLY float step the
-    // final fixed tree
     a.join(b, groupCols :+ "__i")
       .groupBy(g: _*)
       .agg(

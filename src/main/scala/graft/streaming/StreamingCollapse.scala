@@ -369,6 +369,48 @@ object StreamingCollapse {
       .orderBy("tile")
   }
 
+  private val embeddingsSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Streaming embedding-drift maintenance — the standing twin of the
+    * batch centroid-drift monitor (q250): the ONLY streaming state is
+    * the per-(label, side, component) integer sum grid (one
+    * complete-mode aggregate over the exploded components — exact sums
+    * are mergeable across any micro-batch slicing), and the cosine
+    * readout is [[graft.sim.VectorOps]]' fixed tree over the drained
+    * grid. Drained sums == batch sums ⇒ identical drift_cos_e6, one
+    * shared oracle — the live "has the embedding distribution moved"
+    * dashboard beside the KS/PSI/profile drift twins. */
+  def streamingCentroidDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_cdrift"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val comps = spark.readStream
+      .schema(embeddingsSchema)
+      .parquet(streamDir(dir, "embeddings"))
+      .filter(col("embedding").isNotNull)
+      .withColumn("__side", pmod(col("vec_id"), lit(2L)).cast("int"))
+      .select(col("label"), col("__side"),
+        posexplode(col("embedding")).as(Seq("__i", "__v")))
+      .groupBy(col("label"), col("__side"), col("__i"))
+      .agg(sum(floor(col("__v") * 1e6 + 0.5).cast("long")).as("__s"),
+        count(lit(1)).as("__c"))
+    drain(spark, comps.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    // localCheckpoint: the readout SELF-JOINS the drained grid, and a
+    // join back onto the same memory-sink lineage trips conflicting-
+    // reference resolution (the streamingTransitions footgun); the
+    // checkpoint materializes the tiny labels·2·dim grid and severs
+    // the shared lineage
+    graft.sim.VectorOps.driftFromComponentSums(
+        spark.table(name).localCheckpoint(true), Seq("label"))
+      .orderBy("label")
+  }
+
   /** Streaming exact dedup over a landing directory of document files:
     * running `groupBy(text_hash)` keeping the smallest id and a copy
     * count — the standing-pipeline form of [[graft.text.Dedup.exact]].

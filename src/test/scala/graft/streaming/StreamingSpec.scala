@@ -341,6 +341,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingCentroidDrift: drained component sums give the batch cosine exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("drift_cos_e6"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingCentroidDrift(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q250_x_centroid_drift")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingKaplanMeier: drained (min, max) state gives the batch curve exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
