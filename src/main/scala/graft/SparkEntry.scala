@@ -3110,7 +3110,32 @@ object SparkEntry {
     // the complete-mode state IS the component-sum grid; drained ==
     // batch, one shared readout (driftFromComponentSums) and one oracle
     "q251_x_stream_centroid_drift" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingCentroidDrift(s, d))
+      graft.streaming.StreamingCollapse.streamingCentroidDrift(s, d)),
+
+    // ---- extension: funnel experiment MDE — the PLANNING readout
+    // beside q240's verdict: the smallest absolute rate difference the
+    // current sample sizes can detect at 80% power / two-sided 5%
+    // ((z_{0.975} + z_{0.8})·SE with the pooled-rate SE, literals
+    // spelled identically in the oracle)
+    "q252_x_funnel_mde" -> tuned((s, d) =>
+      graft.operators.Funnel.funnelVariantZ(
+          Tables.events(s, d)
+            .withColumn("sec", expr("ts_ns div 1000000000"))
+            .withColumn("variant",
+              when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B")),
+          Seq("user_id"), "variant", "sec", "event_type",
+          Seq("view", "click", "purchase"), "A", "B")
+        .withColumn("mde_e6", expr(
+          """case when n_a > 0 and n_b > 0
+            |       and (x_a + x_b) > 0 and (x_a + x_b) < (n_a + n_b) then
+            |  cast(floor((1.959963984540054 + 0.8416212335729143)
+            |    * sqrt(cast(x_a + x_b as double) / (n_a + n_b)
+            |           * (1 - cast(x_a + x_b as double) / (n_a + n_b))
+            |           * (cast(1 as double) / n_a + cast(1 as double) / n_b))
+            |    * 1000000 + 0.5) as bigint) end""".stripMargin))
+        .select(col("stage"), col("stage_name"), col("n_a"), col("n_b"),
+          col("mde_e6"))
+        .orderBy("stage"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8093,6 +8118,52 @@ object SparkEntry {
 
     // drained component sums == batch sums, identical readout
     "q251_x_stream_centroid_drift" -> CentroidDriftSql,
+
+    // q240's chained funnel / densified reach with the MDE tree (the
+    // same power/alpha literals) instead of the z verdict
+    "q252_x_funnel_mde" ->
+      ("""WITH e AS (
+        |  SELECT user_id,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS var,
+        |         event_type AS s, epoch_us(ts) // 1000000 AS t
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
+        |         OVER (PARTITION BY user_id) AS t0 FROM e),
+        |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+        |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1 THEN t END)
+        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+        |u AS (SELECT DISTINCT user_id, var,
+        |        CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+        |        CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS completed
+        |      FROM w2),
+        |st AS (SELECT * FROM (VALUES (0), (1), (2)) v(stage)),
+        |r AS (SELECT var, st.stage, CAST(count(*) AS BIGINT) AS rch
+        |      FROM u CROSS JOIN st WHERE u.completed > st.stage GROUP BY 1, 2),
+        |g AS (SELECT v.var, st.stage
+        |      FROM (VALUES ('A'), ('B')) v(var) CROSS JOIN st),
+        |dn AS (SELECT g.var, g.stage, coalesce(r.rch, 0) AS rch
+        |       FROM g LEFT JOIN r ON g.var = r.var AND g.stage = r.stage),
+        |tr AS (SELECT var, stage,
+        |         lag(rch) OVER (PARTITION BY var ORDER BY stage) AS n, rch AS x
+        |       FROM dn),
+        |t2 AS (SELECT * FROM tr WHERE stage >= 1),
+        |a AS (SELECT stage, n AS n_a, x AS x_a FROM t2 WHERE var = 'A'),
+        |b AS (SELECT stage, n AS n_b, x AS x_b FROM t2 WHERE var = 'B'),
+        |sn AS (SELECT * FROM (VALUES (1, 'view->click'), (2, 'click->purchase'))
+        |       v(stage, stage_name))
+        |SELECT a.stage, sn.stage_name, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0
+        |         AND (x_a + x_b) > 0 AND (x_a + x_b) < (n_a + n_b) THEN
+        |    CAST(floor((1.959963984540054 + 0.8416212335729143)
+        |      * sqrt(CAST(x_a + x_b AS DOUBLE) / (n_a + n_b)
+        |             * (1 - CAST(x_a + x_b AS DOUBLE) / (n_a + n_b))
+        |             * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
+        |      * 1000000 + 0.5) AS BIGINT) END AS mde_e6
+        |FROM a JOIN b ON a.stage = b.stage JOIN sn ON a.stage = sn.stage
+        |ORDER BY a.stage""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —
