@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout straight through UNPREFIXED: the default
+// LoggedOutput strategy wraps every line as "[info] ...", which is exactly
+// what kept the driver's bench parser from reading Bench's final JSON
+// summary line (BENCH_r01-r07 "parsed": null — the line survived the tail
+// but arrived as `[info] {...}`). StdoutOutput inherits sbt's raw stdout,
+// so the bare JSON object is what lands in the capture.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
