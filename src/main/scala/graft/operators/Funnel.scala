@@ -345,12 +345,12 @@ object Funnel {
     }: _*)).as("__tr"))
       .select(col("__tr.stage").as("stage"), col("__tr.lag").as("lag"))
       .filter(col("lag").isNotNull)
-      // persist: two consumers (the median's count grid and the min/max
-      // aggregate) would otherwise re-run funnelByKey's window + distinct.
-      // The CacheManager entry lives until the session drops it (persist
-      // registers the plan; GC alone does not evict) — lag-grid-sized
-      // per call; long-lived services clearCache between reports
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint: two consumers (the median's count grid and
+      // the min/max aggregate) would otherwise re-run funnelByKey's
+      // window + distinct. Checkpoint blocks share the computation like
+      // persist but without a CacheManager entry that outlives the call —
+      // the ContextCleaner frees them once the result is unreachable.
+      .localCheckpoint(false)
     val counts = lags.groupBy(col("stage"), col("lag"))
       .agg(count(lit(1)).as("__c"))
     val wCum = Window.partitionBy(col("stage")).orderBy(col("lag"))

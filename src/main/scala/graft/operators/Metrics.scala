@@ -386,13 +386,16 @@ object Metrics {
         sum(when(y, 1L).otherwise(0L)).as("__p_b"),
         sum(s.cast("long")).as("__s_b"),
         sum(expr("__d * __d div 1000000")).as("__q_b"))
-      // persist: the grid feeds BOTH the one-row totals and the readout
-      // crossJoin — unpersisted, the row scan + bin aggregate run twice.
-      // The CacheManager entry lives until the session drops it (persist
-      // registers the plan; GC alone does not evict) — one nBins-row grid
-      // per call, so a long-lived service should clearCache between
-      // reports or reuse the returned frame
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint, not persist: the grid feeds BOTH the one-row
+      // totals and the readout crossJoin, and checkpoint blocks give the
+      // same compute-once/read-many sharing — but they are NOT registered
+      // in the CacheManager (persist is, and lives until the session drops
+      // it), so the ContextCleaner frees them once the result is
+      // unreachable and repeated calls in a long-lived session cannot
+      // accumulate cache entries. The non-fault-tolerant localCheckpoint
+      // contract (executor loss fails the query) is moot on an
+      // nBins-row grid.
+      .localCheckpoint(false)
     val tot = bins.agg(sum(col("__n_b")).as("n"), sum(col("__p_b")).as("n_pos"),
       sum(col("__q_b")).as("__qq"))
     bins.crossJoin(broadcast(tot))
@@ -537,6 +540,11 @@ object Metrics {
   def isotonicCalibration(df: DataFrame, scoreE6Col: String, labelCol: String,
                           nBins: Int = 10): DataFrame = {
     require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    // hard cap: the minimax readout builds a broadcast B(B+1)/2-row range
+    // grid and a B³-shaped range join — mechanical at the default B=10,
+    // a quarter-million-row accident at B=10,000. 64 bins ≈ 2,080 ranges
+    // keeps the grid broadcast-trivial; recalibrate coarser, not wider.
+    require(nBins <= 64, s"isotonicCalibration caps nBins at 64 (B^3 range grid), got $nBins")
     val s = col(scoreE6Col)
     val y = col(labelCol)
     val wOrd = Window.orderBy(col("bin"))
@@ -548,7 +556,10 @@ object Metrics {
       .agg(count(lit(1)).as("n"), sum(when(y, 1L).otherwise(0L)).as("n_pos"))
       .withColumn("__cp", sum(col("n_pos")).over(wOrd))
       .withColumn("__cn", sum(col("n")).over(wOrd))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint (see brierDecomposition): compute-once sharing
+      // across the three grid consumers without a CacheManager entry that
+      // outlives the call
+      .localCheckpoint(false)
     // range means over (j, k): prefix-sum differences on the tiny grid
     val j = bins.select(col("bin").as("__j"), col("__cp").as("__cpj"),
       col("__cn").as("__cnj"), col("n_pos").as("__pj"), col("n").as("__nj"))
@@ -596,7 +607,10 @@ object Metrics {
     val cells = df.filter(col(raterACol).isNotNull && col(raterBCol).isNotNull)
       .groupBy(k :+ col(raterACol).as("__a") :+ col(raterBCol).as("__b"): _*)
       .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // lazy localCheckpoint (see brierDecomposition): the cell grid feeds
+      // three re-aggregations; checkpoint blocks share it without a
+      // CacheManager entry that outlives the call
+      .localCheckpoint(false)
     val rows = cells.groupBy(k :+ col("__a").as("__cls"): _*)
       .agg(sum(col("__c")).as("__row"))
     val cols_ = cells.groupBy(k :+ col("__b").as("__cls"): _*)

@@ -228,15 +228,18 @@ object Profile {
         Seq(sum(col(c).cast("long")).as(s"__s_$c"),
           sum(col(c).cast("long") * col(c).cast("long")).as(s"__q_$c"))
       } ++
-      pairs.map { case (a, b) =>
-        sum(col(a).cast("long") * col(b).cast("long")).as(s"__p_${a}_${b}")
+      pairs.zipWithIndex.map { case ((a, b), i) =>
+        // alias by pair INDEX, not name concatenation: underscore-bearing
+        // column names can collide under concatenation (cols a, a_b, b, b_b
+        // make pairs (a,b_b) and (a_b,b) both "__p_a_b_b")
+        sum(col(a).cast("long") * col(b).cast("long")).as(s"__p_$i")
       }
     val one = base.agg(count(lit(1)).as("n"), moments: _*)
-    val pairStructs = pairs.map { case (a, b) =>
+    val pairStructs = pairs.zipWithIndex.map { case ((a, b), i) =>
       struct(lit(a).as("col_x"), lit(b).as("col_y"),
         col(s"__s_$a").as("sx"), col(s"__q_$a").as("qx"),
         col(s"__s_$b").as("sy"), col(s"__q_$b").as("qy"),
-        col(s"__p_${a}_${b}").as("sxy"))
+        col(s"__p_$i").as("sxy"))
     }
     one.select(col("n"), explode(array(pairStructs: _*)).as("__p"))
       .select(col("__p.col_x").as("col_x"), col("__p.col_y").as("col_y"),
@@ -359,16 +362,17 @@ object Profile {
     val g = groupCols.map(col)
     val x = col(xCol)
     val y = col(yCol)
-    // persist: THREE consumers read the joint grid (both rank grids and
-    // the moment aggregate) — unpersisted, the row scan + (g, x, y)
+    // lazy localCheckpoint: THREE consumers read the joint grid (both rank
+    // grids and the moment aggregate) — unshared, the row scan + (g, x, y)
     // shuffle would run three times (the Affinity.coOccurrence lesson).
-    // The CacheManager entry lives until the session drops it (persist
-    // registers the plan; GC alone does not evict) — grid-sized per
-    // call; long-lived services clearCache between reports
+    // Checkpoint blocks give the same compute-once sharing as persist but
+    // are NOT registered in the CacheManager, so the ContextCleaner frees
+    // them once the result is unreachable — repeated calls in a long-lived
+    // session cannot accumulate cache entries.
     val joint = df.filter(x.isNotNull && y.isNotNull)
       .groupBy(g :+ x.as("__x") :+ y.as("__y"): _*)
       .agg(count(lit(1)).as("__c"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(false)
     def rankGrid(vCol: String, out: String): DataFrame = {
       val wCum = Window.partitionBy(g: _*).orderBy(col(vCol))
       joint.groupBy(g :+ col(vCol): _*).agg(sum(col("__c")).as("__cv"))

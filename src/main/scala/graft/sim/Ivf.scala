@@ -118,7 +118,8 @@ object Ivf {
   /** Pairwise centroid separation of a trained model — the BETWEEN-
     * cluster half of the coarse-quantizer diagnostic ([[clusterQuality]]
     * reads within-cluster cohesion): the e6-quantized cosine of every
-    * centroid pair plus each cluster's nearest-neighbor margin. Two
+    * centroid pair — a cluster's nearest-neighbor margin is read off the
+    * pair list as its max cosine. Two
     * centroids with cosine → 1 mean the quantizer wasted a cell (and
     * SemDeDup will miss near-dups straddling them); the readout names
     * the merge candidates.

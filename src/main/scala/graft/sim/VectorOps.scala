@@ -125,8 +125,12 @@ object VectorOps {
     * group·2·dim grid, and the tree runs on the grid. BIGINT bound:
     * `n·10⁶·max|v| < 2⁶³` per component — ~9·10⁹ unit-scale rows.
     *
-    * Output: `(groupCols…, n_a, n_b, drift_cos_e6)`; groups missing a
-    * side (or with a zero-norm sum) emit null. */
+    * Output: `(groupCols…, n_a, n_b, drift_cos_e6)`. Groups missing
+    * either side are DROPPED (the side join is inner — a one-sided
+    * group has no drift to report); a group present on both sides with
+    * a zero-norm sum emits null `drift_cos_e6`. `sideCol` must carry
+    * 0 (baseline) / 1 (candidate); rows with any other side value are
+    * ignored. */
   def centroidDrift(df: org.apache.spark.sql.DataFrame, groupCols: Seq[String],
                     sideCol: String, vecCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._

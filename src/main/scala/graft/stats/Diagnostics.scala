@@ -575,7 +575,12 @@ object Diagnostics {
             sumE9 += math.floor(r * r / (n - k) * 1e9 + 0.5).toLong
             k += 1
           }
-          val qE4 = n.toLong * (n + 2) * sumE9 / 100000L
+          // BigInt product: n·(n+2)·sumE9 can pass 2⁶³ for long series
+          // (sumE9 approaches nlags·1e9/2 near the n≈nlags floor), and a
+          // silent Long wrap would corrupt q_e4 AND the verdict. DuckDB
+          // promotes the same product to HUGEINT, so BigInt here is
+          // bit-identical to the oracle in every regime.
+          val qE4 = (BigInt(n) * (n + 2) * sumE9 / 100000L).toLong
           Iterator.single(Row(key, n, nlags, qE4, crit5E4, qE4 > crit5E4))
         }
       }(Encoders.row(lbSchema))
