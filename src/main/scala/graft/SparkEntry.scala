@@ -3135,7 +3135,19 @@ object SparkEntry {
             |    * 1000000 + 0.5) as bigint) end""".stripMargin))
         .select(col("stage"), col("stage_name"), col("n_a"), col("n_b"),
           col("mde_e6"))
-        .orderBy("stage"))
+        .orderBy("stage")),
+
+    // ---- extension: fixed-lag-0 KPSS level-stationarity — the second
+    // hash-checked member of the q34 stationarity tier and ADF's polarity
+    // mirror (q212 rejects a unit root; this ACCEPTS level-stationarity):
+    // exact-integer scaled partial sums N_t = n·P_t − t·Σy over the same
+    // monthly-cents series, one double division, e4-quantized
+    "q253_u56_kpss_fixed" -> tuned((s, d) =>
+      graft.stats.Diagnostics.kpssFixedLag(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents")),
+          Nil, "month", "cents"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8163,7 +8175,40 @@ object SparkEntry {
         |             * (CAST(1 AS DOUBLE) / n_a + CAST(1 AS DOUBLE) / n_b))
         |      * 1000000 + 0.5) AS BIGINT) END AS mde_e6
         |FROM a JOIN b ON a.stage = b.stage JOIN sn ON a.stage = sn.stage
-        |ORDER BY a.stage""".stripMargin)
+        |ORDER BY a.stage""".stripMargin),
+
+    // HUGEINT scaled partial sums N_t = n*P_t - t*Sy (exact — no demeaned
+    // float crosses a row boundary), then the IDENTICAL single double
+    // division the Spark operator emits; eta rounded to 4 before the
+    // crit5 comparison
+    "q253_u56_kpss_fixed" ->
+      ("""WITH m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT cents,
+        |             row_number() OVER (ORDER BY month) AS t,
+        |             sum(cents) OVER (ORDER BY month ROWS UNBOUNDED PRECEDING) AS p,
+        |             count(*) OVER () AS n,
+        |             sum(cents) OVER () AS sy,
+        |             sum(CAST(cents AS HUGEINT) * cents) OVER () AS syy
+        |      FROM m),
+        |nt AS (SELECT n, sy, syy,
+        |              CAST(n AS HUGEINT) * p - CAST(t AS HUGEINT) * sy AS nt
+        |       FROM o),
+        |s AS (SELECT max(n) AS n,
+        |             max(CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) AS varn,
+        |             sum(nt * nt) AS snn
+        |      FROM nt),
+        |t AS (SELECT n,
+        |  CASE WHEN varn > 0 AND n > 1 THEN
+        |    floor(CAST(snn AS DOUBLE)
+        |      / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(varn AS DOUBLE))
+        |      * 10000 + 0.5) / 10000 END AS eta
+        |  FROM s)
+        |SELECT 'all' AS key, n AS n_obs, eta AS kpss_eta, 0.463 AS crit5,
+        |       eta < 0.463 AS stationary5
+        |FROM t""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

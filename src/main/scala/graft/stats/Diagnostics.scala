@@ -274,6 +274,70 @@ object Diagnostics {
       (tstat < lit(-2.86)).as("stationary5"): _*)
   }
 
+  /** Fixed-lag-0 KPSS level-stationarity statistic per key — the
+    * closed-form-checkable slice of [[TimeSeriesStats.kpss]] (which adds
+    * the Bartlett-window long-run variance on top of exactly this
+    * statistic): with demeaned partial sums `S_t = Σ_{i≤t}(y_i − ȳ)`,
+    * `η = Σ S_t² / (n²·σ̂²)` where the l = 0 Bartlett window makes
+    * `σ̂² = Σ(y_t − ȳ)²/n`. Tested against the Kwiatkowski et al. (1992)
+    * level-case 5% critical value 0.463 — η BELOW the critical value
+    * accepts the stationarity null (the KPSS polarity is ADF's mirror).
+    *
+    * Exactness: `valueCol` must be integer-quantized by the caller
+    * (cents). The scaled partial sum `N_t = n·P_t − t·Σy` (P_t the
+    * prefix sum) is an EXACT integer per row, so
+    * `η = Σ N_t² / (n²·(n·Σy² − (Σy)²))` is a ratio of exact DECIMAL(38,0)
+    * integers — no demeaned float ever crosses a row boundary and no
+    * catastrophic cancellation (the expanded-moments form n²ΣP² − … would
+    * lose ~16 digits to cancellation; the per-row N_t form loses none).
+    * The ONLY float step is the final division, e4-quantized and replayed
+    * character-identically in SQL. Bound: Σ N_t² ≤ n³·(Σy)² < 10³⁸ —
+    * a century of monthly cents totals up to ~10¹⁶ clears it.
+    *
+    * Scale shape: ONE sort per key shared by the row_number and prefix-sum
+    * windows (the unbounded-frame totals ride the same partitioning), then
+    * a 3-term sufficient-sum aggregate; state per key is O(1).
+    * Output: `(keys…, n_obs, kpss_eta, crit5, stationary5)`; keys with
+    * zero variance or n < 2 emit null η and null verdict. */
+  def kpssFixedLag(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String, roundTo: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val part = if (keyCols.isEmpty) Window.partitionBy(lit(1))
+               else Window.partitionBy(keyCols.map(col): _*)
+    val wOrd = part.orderBy(col("__ord"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val y = col(valueCol).cast("long")
+    val rows = df.filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+ y.as("__y")): _*)
+      .withColumn("__t", row_number().over(wOrd))
+      .withColumn("__p", sum(col("__y")).over(wCum))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sy", sum(col("__y")).over(wAll))
+      .withColumn("__syy", sum(dec(col("__y")) * dec(col("__y"))).over(wAll))
+      .withColumn("__nt",
+        dec(col("__n")) * dec(col("__p")) - dec(col("__t")) * dec(col("__sy")))
+    val sums = rows
+      .groupBy((if (keyCols.isEmpty) Seq(lit("all").as("key")) else keyCols.map(col)): _*)
+      .agg(max(col("__n")).as("n"),
+        // n·Σy² − (Σy)² is constant across the key's rows — max() just
+        // carries the exact DECIMAL value through the aggregate
+        max(dec(col("__n")) * col("__syy") - dec(col("__sy")) * dec(col("__sy")))
+          .as("__varn"),
+        sum(col("__nt") * col("__nt")).as("__snn"))
+    val q = math.pow(10, roundTo)
+    def rnd(c: Column) = floor(c * q + 0.5) / q
+    val eta = rnd(when(col("__varn") > 0 && col("n") > 1,
+      d(col("__snn")) / (d(col("n")) * d(col("n")) * d(col("__varn")))))
+    val keyOut: Seq[Column] = if (keyCols.isEmpty) Seq(col("key")) else keyCols.map(col)
+    sums.select(keyOut :+ col("n").as("n_obs") :+
+      eta.as("kpss_eta") :+ lit(0.463).as("crit5") :+
+      // decided on the ROUNDED stat so both engines flip identically
+      (eta < lit(0.463)).as("stationary5"): _*)
+  }
+
   private val mkSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

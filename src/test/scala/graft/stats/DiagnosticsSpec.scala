@@ -217,6 +217,38 @@ class DiagnosticsSpec extends SparkSpec {
       s"expected stationary, t=${row.getAs[Double]("adf_t")}")
   }
 
+  test("kpssFixedLag: eta matches the l=0 KPSS definition computed in-JVM") {
+    val y = Iterator.iterate(10000L)(v =>
+      v + (((v * 2654435761L) >>> 33) % 201L) - 100L).take(60).toArray
+    val df = y.toSeq.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("k", "t", "v")
+    val row = Diagnostics.kpssFixedLag(df, Seq("k"), "t", "v").collect().head
+    // reference: demeaned partial sums over doubles, Bartlett l=0 lrv
+    val n = y.length
+    val mean = y.map(_.toDouble).sum / n
+    val e = y.map(_.toDouble - mean)
+    val s = e.scanLeft(0.0)(_ + _).drop(1)
+    val etaExpected = s.map(v => v * v).sum / (n.toDouble * n) / (e.map(v => v * v).sum / n)
+    assert(row.getAs[Long]("n_obs") == n)
+    assert(math.abs(row.getAs[Double]("kpss_eta") - etaExpected) < 1e-3,
+      s"kpss_eta=${row.getAs[Double]("kpss_eta")} expected ~$etaExpected")
+    assert(row.getAs[Double]("crit5") == 0.463)
+  }
+
+  test("kpssFixedLag: polarity — level noise accepts, a trending walk rejects") {
+    // oscillation around a level: partial sums stay bounded -> tiny eta
+    val flat = (0 until 50).map(i => ("flat", i, 100L + (if (i % 2 == 0) 3L else -3L)))
+    // strong deterministic trend: partial sums of demeaned y grow ~n^2
+    val trend = (0 until 50).map(i => ("trend", i, i * 100L))
+    // degenerate: constant series has zero variance -> null eta, null verdict
+    val const = (0 until 10).map(i => ("const", i, 7L))
+    val out = Diagnostics.kpssFixedLag((flat ++ trend ++ const).toDF("k", "t", "v"),
+      Seq("k"), "t", "v").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("flat").getAs[Boolean]("stationary5"))
+    assert(!out("trend").getAs[Boolean]("stationary5"))
+    assert(out("const").get(out("const").fieldIndex("kpss_eta")) == null)
+    assert(out("const").get(out("const").fieldIndex("stationary5")) == null)
+  }
+
   test("theilSen: exact line, outlier robustness, lower-median convention") {
     // pure line y = 5t + 3: every pairwise slope is exactly 5e6
     val line = (0 until 12).map(i => ("line", i, i * 5.0 + 3))
