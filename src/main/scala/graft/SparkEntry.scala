@@ -386,12 +386,22 @@ object SparkEntry {
           col("seasonal_period"))
         .orderBy("key")),
 
+    // the FULL AIC grid (p = 1, 2, 3), hash-checked: each candidate's
+    // conditional-least-squares fit is closed-form in the lag sufficient
+    // sums (2x2/3x3/4x4 Cramer in the oracle), the AIC argmin replays over
+    // the same three candidates, and the winner's forecast recursion runs
+    // with the unused higher-lag coefficients pinned to exact 0.0 (x + 0.0
+    // is bit-exact). Series rides as q117's scaled cents (round(/1e8, 6))
+    // so the 4-decimal quantization grain sits ~10^4 above kernel-vs-
+    // Cramer last-bit noise.
     "q35_u8_ar_forecast" -> tuned((s, d) =>
       graft.stats.Diagnostics.arForecast(
-          monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6).as("tot")),
           Nil, "month", "tot", horizon = 12)
         .select(col("key"), col("order"), col("step"),
-          round(col("forecast"), 2).as("forecast"))
+          round(col("forecast"), 4).as("forecast"))
         .orderBy("key", "step")),
 
     // the ORACLE-CHECKED projection of the SARIMAX path: restrict the AIC
@@ -8208,7 +8218,109 @@ object SparkEntry {
         |  FROM s)
         |SELECT 'all' AS key, n AS n_obs, eta AS kpss_eta, 0.463 AS crit5,
         |       eta < 0.463 AS stationary5
-        |FROM t""".stripMargin)
+        |FROM t""".stripMargin),
+
+    // the FULL AR AIC grid replayed: per candidate p the CLS fit is a
+    // Cramer solve over lag sufficient sums (dets GENERATED, not
+    // hand-spelled), aic = rows*(ln(2*pi*max(rss,1e-300)/rows) + 1)
+    // + 2*(p+1) exactly as the kernel computes it, argmin by (aic, p)
+    // matching minByOption's first-minimum, then the q117 forecast
+    // recursion generalized to 3 carried lags with exact-0.0 unused
+    // coefficients. Kernel (Gauss-Jordan) vs oracle (Cramer) differ in
+    // last bits only — the 4-decimal grain on the ~27-unit scaled series
+    // sits orders of magnitude above it (the q117 precedent).
+    "q35_u8_ar_forecast" -> {
+      def det3(m: Seq[Seq[String]]): String = {
+        val Seq(Seq(a, b, c), Seq(d, e, f), Seq(g, h, i)) = m: @unchecked
+        s"($a*($e*$i - $f*$h) - $b*($d*$i - $f*$g) + $c*($d*$h - $e*$g))"
+      }
+      def det4(m: Seq[Seq[String]]): String = {
+        def minor(cut: Int) = m.drop(1).map(r =>
+          r.zipWithIndex.collect { case (v, j) if j != cut => v })
+        val terms = m.head.zipWithIndex.map { case (v, j) =>
+          val sign = if (j % 2 == 0) "+" else "-"
+          s"$sign $v*${det3(minor(j))}"
+        }
+        s"(${terms.mkString(" ")})"
+      }
+      def swapCol(m: Seq[Seq[String]], c: Int, rhs: Seq[String]) =
+        m.zip(rhs).map { case (row, r) => row.updated(c, r) }
+      val a2 = Seq(Seq("cnt", "s1", "s2"), Seq("s1", "s11", "s12"),
+        Seq("s2", "s12", "s22"))
+      val r2 = Seq("sy", "s1y", "s2y")
+      val a3 = Seq(Seq("cnt", "s1", "s2", "s3"), Seq("s1", "s11", "s12", "s13"),
+        Seq("s2", "s12", "s22", "s23"), Seq("s3", "s13", "s23", "s33"))
+      val r3 = Seq("sy", "s1y", "s2y", "s3y")
+      s"""WITH RECURSIVE m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y,
+        |             lag(y, 1) OVER (ORDER BY month) AS l1,
+        |             lag(y, 2) OVER (ORDER BY month) AS l2,
+        |             lag(y, 3) OVER (ORDER BY month) AS l3
+        |      FROM m),
+        |f1 AS (SELECT CAST(count(*) AS DOUBLE) AS cnt, sum(y) AS sy,
+        |              sum(y*y) AS syy, sum(l1) AS s1, sum(l1*l1) AS s11,
+        |              sum(l1*y) AS s1y
+        |       FROM o WHERE l1 IS NOT NULL),
+        |g1 AS (SELECT cnt, syy, sy, s1y,
+        |              (sy*s11 - s1*s1y) / (cnt*s11 - s1*s1) AS b0,
+        |              (cnt*s1y - s1*sy) / (cnt*s11 - s1*s1) AS b1
+        |       FROM f1 WHERE (cnt*s11 - s1*s1) <> 0 AND cnt > 4),
+        |c1 AS (SELECT 1 AS p, cnt, b0, b1, CAST(0 AS DOUBLE) AS b2,
+        |              CAST(0 AS DOUBLE) AS b3,
+        |              syy - (b0*sy + b1*s1y) AS rss FROM g1),
+        |f2 AS (SELECT CAST(count(*) AS DOUBLE) AS cnt, sum(y) AS sy,
+        |              sum(y*y) AS syy, sum(l1) AS s1, sum(l2) AS s2,
+        |              sum(l1*l1) AS s11, sum(l1*l2) AS s12, sum(l2*l2) AS s22,
+        |              sum(l1*y) AS s1y, sum(l2*y) AS s2y
+        |       FROM o WHERE l2 IS NOT NULL),
+        |g2 AS (SELECT cnt, syy, sy, s1y, s2y,
+        |              ${det3(swapCol(a2, 0, r2))} / ${det3(a2)} AS b0,
+        |              ${det3(swapCol(a2, 1, r2))} / ${det3(a2)} AS b1,
+        |              ${det3(swapCol(a2, 2, r2))} / ${det3(a2)} AS b2
+        |       FROM f2 WHERE ${det3(a2)} <> 0 AND cnt > 6),
+        |c2 AS (SELECT 2 AS p, cnt, b0, b1, b2, CAST(0 AS DOUBLE) AS b3,
+        |              syy - (b0*sy + b1*s1y + b2*s2y) AS rss FROM g2),
+        |f3 AS (SELECT CAST(count(*) AS DOUBLE) AS cnt, sum(y) AS sy,
+        |              sum(y*y) AS syy, sum(l1) AS s1, sum(l2) AS s2,
+        |              sum(l3) AS s3, sum(l1*l1) AS s11, sum(l1*l2) AS s12,
+        |              sum(l1*l3) AS s13, sum(l2*l2) AS s22, sum(l2*l3) AS s23,
+        |              sum(l3*l3) AS s33, sum(l1*y) AS s1y, sum(l2*y) AS s2y,
+        |              sum(l3*y) AS s3y
+        |       FROM o WHERE l3 IS NOT NULL),
+        |g3 AS (SELECT cnt, syy, sy, s1y, s2y, s3y,
+        |              ${det4(swapCol(a3, 0, r3))} / ${det4(a3)} AS b0,
+        |              ${det4(swapCol(a3, 1, r3))} / ${det4(a3)} AS b1,
+        |              ${det4(swapCol(a3, 2, r3))} / ${det4(a3)} AS b2,
+        |              ${det4(swapCol(a3, 3, r3))} / ${det4(a3)} AS b3
+        |       FROM f3 WHERE ${det4(a3)} <> 0 AND cnt > 8),
+        |c3 AS (SELECT 3 AS p, cnt, b0, b1, b2, b3,
+        |              syy - (b0*sy + b1*s1y + b2*s2y + b3*s3y) AS rss FROM g3),
+        |cands AS (SELECT * FROM c1 UNION ALL SELECT * FROM c2
+        |          UNION ALL SELECT * FROM c3),
+        |aics AS (SELECT p, b0, b1, b2, b3,
+        |                cnt*(ln(2*pi()*greatest(rss, 1e-300)/cnt) + 1)
+        |                  + 2*(p + 1) AS aic
+        |         FROM cands),
+        |w AS (SELECT * FROM aics ORDER BY aic, p LIMIT 1),
+        |seeds AS (SELECT max(CASE WHEN rn = 1 THEN y END) AS s1v,
+        |                 max(CASE WHEN rn = 2 THEN y END) AS s2v,
+        |                 max(CASE WHEN rn = 3 THEN y END) AS s3v
+        |          FROM (SELECT y, row_number() OVER (ORDER BY t DESC) AS rn
+        |                FROM o) WHERE rn <= 3),
+        |rec(step, f1v, f2v, f3v) AS (
+        |  SELECT 0, s1v, s2v, s3v FROM seeds
+        |  UNION ALL
+        |  SELECT rec.step + 1,
+        |         w.b0 + w.b1*rec.f1v + w.b2*rec.f2v + w.b3*rec.f3v,
+        |         rec.f1v, rec.f2v
+        |  FROM rec, w WHERE rec.step < 12)
+        |SELECT 'all' AS key, CAST(w.p AS INT) AS "order",
+        |       CAST(step AS INT) AS step, round(f1v, 4) AS forecast
+        |FROM rec, w WHERE step >= 1 ORDER BY step""".stripMargin
+    }
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —
