@@ -3157,7 +3157,19 @@ object SparkEntry {
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
             .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents")),
-          Nil, "month", "cents"))
+          Nil, "month", "cents")),
+
+    // ---- extension: EXACT re-scanning windowed funnel — q248's
+    // documented undercount repaired: stage i qualifies within 24h of
+    // ANY qualifying stage-(i-1) event (a RANGE-frame existence window),
+    // not just the chained earliest; reach here >= q248's per stage
+    // (the PropertySpec ordering law)
+    "q254_x_rescan_funnel" -> tuned((s, d) =>
+      graft.operators.Funnel.rescanConversionCounts(
+          Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
+          Seq("user_id"), "sec", "event_type",
+          Seq("view", "click", "purchase"), maxGap = Some(86400L))
+        .orderBy("stage"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8320,7 +8332,38 @@ object SparkEntry {
         |SELECT 'all' AS key, CAST(w.p AS INT) AS "order",
         |       CAST(step AS INT) AS step, round(f1v, 4) AS forecast
         |FROM rec, w WHERE step >= 1 ORDER BY step""".stripMargin
-    }
+    },
+
+    // per-event existence flags over the same RANGE frame — a stage-i
+    // event qualifies iff any qualifying stage-(i-1) event sits in
+    // [t - 86400, t - 1]; completed is the per-user count of reached
+    // stages (prefix-shaped: q_i nonempty requires q_{i-1} nonempty)
+    "q254_x_rescan_funnel" ->
+      ("""WITH e AS (
+        |  SELECT user_id, event_type AS s, epoch_us(ts) // 1000000 AS t
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+        |w0 AS (SELECT *, s = 'view' AS q0 FROM e),
+        |w1 AS (SELECT *, s = 'click' AND coalesce(
+        |         max(CASE WHEN q0 THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY t
+        |           RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING), 0) = 1 AS q1
+        |       FROM w0),
+        |w2 AS (SELECT *, s = 'purchase' AND coalesce(
+        |         max(CASE WHEN q1 THEN 1 ELSE 0 END) OVER (
+        |           PARTITION BY user_id ORDER BY t
+        |           RANGE BETWEEN 86400 PRECEDING AND 1 PRECEDING), 0) = 1 AS q2
+        |       FROM w1),
+        |u AS (SELECT user_id,
+        |        max(CASE WHEN q0 THEN 1 ELSE 0 END) +
+        |        max(CASE WHEN q1 THEN 1 ELSE 0 END) +
+        |        max(CASE WHEN q2 THEN 1 ELSE 0 END) AS completed
+        |      FROM w2 GROUP BY user_id),
+        |st AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'), (2, 'purchase'))
+        |       v(stage, stage_name))
+        |SELECT st.stage, st.stage_name, count(*) AS n_reached
+        |FROM u CROSS JOIN st WHERE u.completed > st.stage
+        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -38,9 +38,10 @@ object Funnel {
     * semantics stay the deterministic CHAINED-MIN chain (each stage
     * anchors on the earliest qualifying prior time); a later stage-0
     * occurrence is never re-anchored, so a gap-capped chain is the
-    * CONSERVATIVE funnel — it can undercount versus a re-scanning
-    * window-funnel, never overcount, and both engines replay it
-    * bit-for-bit (a greedy re-scan is not SQL-expressible). */
+    * CONSERVATIVE funnel — it can undercount versus the re-scanning
+    * [[rescanFunnelByKey]] (which admits ANY qualifying prior event,
+    * one RANGE-frame window pass more), never overcount; both variants
+    * replay bit-for-bit in SQL. */
   def funnelByKey(events: DataFrame, keyCols: Seq[String], timeCol: String,
                   stageCol: String, stages: Seq[String],
                   maxGap: Option[Long] = None): DataFrame = {
@@ -78,9 +79,86 @@ object Funnel {
     * chain reached it (`n_reached` is non-increasing in `stage`). */
   def conversionCounts(events: DataFrame, keyCols: Seq[String], timeCol: String,
                        stageCol: String, stages: Seq[String],
-                       maxGap: Option[Long] = None): DataFrame = {
-    val byKey = funnelByKey(events, keyCols, timeCol, stageCol, stages, maxGap)
-    val spark = events.sparkSession
+                       maxGap: Option[Long] = None): DataFrame =
+    reachReadout(funnelByKey(events, keyCols, timeCol, stageCol, stages, maxGap),
+      stages)
+
+  /** EXACT re-scanning windowed funnel per key — the completion
+    * semantics [[funnelByKey]]'s chained-min deliberately trades away:
+    * there, stage i anchors on the single EARLIEST qualifying stage-(i−1)
+    * time, so a user who misses the gap once but re-enters the funnel
+    * later never converts. Here an event qualifies for stage i iff ANY
+    * qualifying stage-(i−1) event sits strictly before it within
+    * `maxGap` — the per-event flag `qᵢ(t) = (stage = sᵢ) ∧
+    * ∃ qᵢ₋₁-event in [t − maxGap, t − 1]` — so re-scan reach DOMINATES
+    * chained reach stage-for-stage (every chained anchor is itself a
+    * qualifying event in the window; the ordering law is property-
+    * tested in PropertySpec). `timeCol` must be integral (the q248
+    * seconds grain):
+    * the existence test is a value-RANGE window frame, exact integer
+    * comparisons end-to-end, so the result hash-matches a SQL replay.
+    *
+    * Scale shape: still ONE shuffle — the per-stage existence flags are
+    * chained RANGE-frame aggregates over one (key, time) sort, and the
+    * final per-key collapse groups on the same partitioning. The frame
+    * state per row is one running max, O(1); no self-join, no re-scan
+    * blow-up at any gap width.
+    *
+    * Output: `(keyCols…, t_0 … t_{n-1}, stages_completed)` — `t_i` the
+    * EARLIEST qualifying stage-i time (≥ chained's only in reach, not
+    * value: chained may anchor later stages on earlier times; reach is
+    * the comparable contract). */
+  def rescanFunnelByKey(events: DataFrame, keyCols: Seq[String], timeCol: String,
+                        stageCol: String, stages: Seq[String],
+                        maxGap: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "rescanFunnelByKey needs at least one key column")
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    maxGap.foreach(g => require(g > 0, s"maxGap must be positive, got $g"))
+    val t = col(timeCol)
+    val pruned = events
+      .filter(col(stageCol).isin(stages: _*) && t.isNotNull)
+      .select(keyCols.map(col) :+ t.as("__t") :+ col(stageCol).as("__s"): _*)
+    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__t"))
+    val flagged = stages.zipWithIndex.foldLeft(pruned) { case (df, (s, i)) =>
+      val q =
+        if (i == 0) col("__s") === s
+        else {
+          // strictly-before within the gap: value range [t − g, t − 1] —
+          // ties at t prove nothing (funnelByKey's strict-> convention)
+          val frame = maxGap.fold(
+            wOrd.rangeBetween(Window.unboundedPreceding, -1L))(g =>
+            wOrd.rangeBetween(-g, -1L))
+          col("__s") === s &&
+            coalesce(max(when(col(s"__q_${i - 1}"), 1).otherwise(0))
+              .over(frame), lit(0)) === 1
+        }
+      df.withColumn(s"__q_$i", q)
+    }
+    val aggs = stages.indices.map(i =>
+      min(when(col(s"__q_$i"), col("__t"))).as(s"t_$i"))
+    val tCols = stages.indices.map(i => col(s"t_$i"))
+    val completed = tCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    flagged.groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("stages_completed", completed)
+  }
+
+  /** [[conversionCounts]]'s readout over the re-scanning semantics:
+    * `n_reached` here ≥ the chained-min count at every stage. */
+  def rescanConversionCounts(events: DataFrame, keyCols: Seq[String],
+                             timeCol: String, stageCol: String,
+                             stages: Seq[String],
+                             maxGap: Option[Long] = None): DataFrame =
+    reachReadout(
+      rescanFunnelByKey(events, keyCols, timeCol, stageCol, stages, maxGap),
+      stages)
+
+  /** Shared stage-reach readout over a per-key funnel frame (any variant
+    * emitting `stages_completed`). */
+  private def reachReadout(byKey: DataFrame, stages: Seq[String]): DataFrame = {
+    val spark = byKey.sparkSession
     import spark.implicits._
     val stageIdx = stages.zipWithIndex.map { case (s, i) => (i, s) }
       .toDF("stage", "stage_name")

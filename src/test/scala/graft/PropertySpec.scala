@@ -126,6 +126,40 @@ object PropertySpec extends Properties("graft.laws") {
     }
   }
 
+  // fixed fixtures, not forAll: each sample is two full funnel jobs.
+  // The ordering law: re-scan reach DOMINATES chained-min reach at every
+  // stage (every chained anchor is itself a qualifying in-window event),
+  // and the two semantics coincide when the gap is unbounded.
+  property("rescan funnel reach >= chained reach per stage; equal unbounded") = Prop {
+    import graft.operators.Funnel
+    val stages = Seq("s0", "s1", "s2")
+    // deterministic LCG event streams: 3 seeds x 2 gaps
+    def stream(seed: Long): Seq[(String, Long, String)] = {
+      var x = seed
+      def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+      (0 until 120).map { _ =>
+        val u = "u" + math.floorMod(next(), 8)
+        val t = math.floorMod(next(), 40L)
+        val s = "s" + math.floorMod(next(), 3)
+        (u, t, s)
+      }
+    }
+    Seq(1L, 7L, 42L).forall { seed =>
+      val df = stream(seed).toDF("u", "t", "s")
+      def reach(counts: org.apache.spark.sql.DataFrame): Map[Int, Long] =
+        counts.collect().map(r => r.getAs[Int]("stage") -> r.getAs[Long]("n_reached")).toMap
+      Seq(Some(5L), Some(15L)).forall { gap =>
+        val ch = reach(Funnel.conversionCounts(df, Seq("u"), "t", "s", stages, gap))
+        val rs = reach(Funnel.rescanConversionCounts(df, Seq("u"), "t", "s", stages, gap))
+        stages.indices.forall(i => rs.getOrElse(i, 0L) >= ch.getOrElse(i, 0L))
+      } && {
+        val chOpen = reach(Funnel.conversionCounts(df, Seq("u"), "t", "s", stages))
+        val rsOpen = reach(Funnel.rescanConversionCounts(df, Seq("u"), "t", "s", stages))
+        chOpen == rsOpen
+      }
+    }
+  }
+
   // fixed fixtures, not forAll: each sample runs several Spark jobs —
   // 100 ScalaCheck samples would dominate the suite's runtime
   property("drift/eval metrics respect their analytic bounds") = Prop {

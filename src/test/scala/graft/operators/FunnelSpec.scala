@@ -220,6 +220,51 @@ class FunnelSpec extends SparkSpec {
     assert(open.map(_.getAs[Long]("n_reached")).toSeq == Seq(3L, 3L, 1L))
   }
 
+  test("rescanFunnelByKey: a re-entry the chained funnel misses converts here") {
+    // u1: view 0 -> click 20 misses gap 10 from view 0, BUT view 15 ->
+    //     click 20 is in-gap: chained stops at view, rescan reaches click
+    // u2: chain completes identically under both (sanity)
+    // u3: click 5 in-gap, purchase 30 out of EVERY click's gap: both stop
+    // tied: click at the view's exact time proves nothing in either
+    val ev = Seq(
+      ("u1", 0L, "view"), ("u1", 15L, "view"), ("u1", 20L, "click"),
+      ("u2", 0L, "view"), ("u2", 5L, "click"), ("u2", 9L, "purchase"),
+      ("u3", 0L, "view"), ("u3", 5L, "click"), ("u3", 30L, "purchase"),
+      ("tied", 0L, "view"), ("tied", 0L, "click")
+    ).toDF("u", "t", "s")
+    val out = Funnel.rescanFunnelByKey(ev, Seq("u"), "t", "s",
+        Seq("view", "click", "purchase"), maxGap = Some(10L))
+      .collect().map(r => r.getAs[String]("u") ->
+        r.getAs[Int]("stages_completed")).toMap
+    assert(out == Map("u1" -> 2, "u2" -> 3, "u3" -> 2, "tied" -> 1))
+    val chained = Funnel.funnelByKey(ev, Seq("u"), "t", "s",
+        Seq("view", "click", "purchase"), maxGap = Some(10L))
+      .collect().map(r => r.getAs[String]("u") ->
+        r.getAs[Int]("stages_completed")).toMap
+    assert(chained("u1") == 1) // the undercount rescan repairs
+    // t_1 is the EARLIEST qualifying click
+    val u1 = Funnel.rescanFunnelByKey(ev, Seq("u"), "t", "s",
+        Seq("view", "click", "purchase"), maxGap = Some(10L))
+      .filter($"u" === "u1").collect().head
+    assert(u1.getAs[Long]("t_1") == 20L)
+  }
+
+  test("rescanConversionCounts: unbounded gap equals the open chained funnel's reach") {
+    // with no gap both semantics admit any later event: reach must agree
+    val out = Funnel.rescanConversionCounts(events, Seq("u"), "t", "s", stages)
+      .orderBy("stage").collect()
+      .map(r => (r.getAs[Int]("stage"), r.getAs[Long]("n_reached")))
+    assert(out.toSeq == Seq((0, 5L), (1, 3L), (2, 1L)))
+  }
+
+  test("rescan's flag windows still share one shuffle") {
+    val p = Funnel.rescanFunnelByKey(events, Seq("u"), "t", "s", stages,
+        maxGap = Some(10L))
+      .queryExecution.executedPlan.toString
+    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) <= 1,
+      s"expected the RANGE-frame windows + groupBy to share one hash partitioning:\n$p")
+  }
+
   test("funnelVariantZ: a variant with ZERO conversions still scores (densified grid)") {
     // A: 2 view, 1 clicks; B: 2 view, 0 click — the strongest effect;
     // the stage-1 row must exist with x_b = 0 and a computable z
