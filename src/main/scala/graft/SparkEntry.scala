@@ -8027,16 +8027,14 @@ object SparkEntry {
         |         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS v,
         |         CAST(count(*) AS BIGINT) AS c
         |  FROM lineitem WHERE l_extendedprice IS NOT NULL GROUP BY 1, 2),
-        |w AS (SELECT *,
+        |w0 AS (SELECT *,
         |    CAST(sum(c) OVER wa AS BIGINT) AS cumA,
-        |    CAST(sum(c) OVER wd AS BIGINT) AS cumD,
         |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n,
         |    CAST(sum(v * c) OVER (PARTITION BY g) AS BIGINT) AS s
         |  FROM h
         |  WINDOW wa AS (PARTITION BY g ORDER BY v
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        |    wd AS (PARTITION BY g ORDER BY v DESC
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |w AS (SELECT *, n - cumA + c AS cumD FROM w0),
         |k AS (SELECT *, n * 50 // 1000 AS kk FROM w),
         |a AS (SELECT g, max(n) AS n, max(s) AS s, max(kk) AS kk,
         |    CAST(sum(CASE WHEN cumA <= kk THEN v * c ELSE 0 END) AS BIGINT)

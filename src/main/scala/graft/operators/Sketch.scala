@@ -684,13 +684,13 @@ object Sketch {
       .groupBy(g :+ x.as("__v"): _*).agg(count(lit(1)).as("__c"))
     val wAsc = Window.partitionBy(g: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wDesc = Window.partitionBy(g: _*).orderBy(col("__v").desc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(g: _*)
     hist
       .withColumn("__cumA", sum(col("__c")).over(wAsc))
-      .withColumn("__cumD", sum(col("__c")).over(wDesc))
       .withColumn("__n", sum(col("__c")).over(wAll))
+      // the descending cumulative is pure arithmetic on the ascending one
+      // (n − cumA + c) — deriving it drops the second per-group sort pass
+      .withColumn("__cumD", col("__n") - col("__cumA") + col("__c"))
       .withColumn("__s", sum(col("__v") * col("__c")).over(wAll))
       .withColumn("__k", expr(s"__n * $trimPermille div 1000"))
       .groupBy(g: _*)

@@ -122,8 +122,11 @@ object VectorOps {
     * sums are exact BIGINTs, and the cosine is ONE fixed double tree
     * over the two integer vectors, e6-quantized. The dimension
     * explodes once (rows·dim), aggregates map-side to the
-    * group·2·dim grid, and the tree runs on the grid. BIGINT bound:
-    * `n·10⁶·max|v| < 2⁶³` per component — ~9·10⁹ unit-scale rows.
+    * group·2·dim grid, and the tree runs on the grid. Bounds: per
+    * component `n·10⁶·max|v| < 2⁶³`, and (tighter) the readout's
+    * cross-product sum `Σ_dim sa·sb < 10³⁸` — see
+    * [[driftFromComponentSums]]; both clear ~10⁹ unit-scale rows with
+    * orders of magnitude to spare.
     *
     * Output: `(groupCols…, n_a, n_b, drift_cos_e6)`. Groups missing
     * either side are DROPPED (the side join is inner — a one-sided
@@ -153,16 +156,31 @@ object VectorOps {
     * cannot drift between hand-synced copies. DECIMAL cross-products,
     * not double: a per-component double product summed across the
     * dimension would accumulate in engine-dependent order — the exact
-    * wide-integer sums keep the ONLY float step the final fixed tree. */
+    * wide-integer sums keep the ONLY float step the final fixed tree.
+    * DECIMAL bound: the CROSS-PRODUCT sum `Σ_dim sa·sb` must stay below
+    * 10³⁸ (tighter than the per-component 2⁶³ bound — per-component sums
+    * past ~1.2·10¹⁸ would overflow the dim-64 product sum), i.e.
+    * unit-scale component sums are safe to ~10¹⁸ rows per side.
+    *
+    * ONE conditional pivot, not an A-side/B-side self-join: filtered
+    * branches would each replan the grid's whole upstream lineage (for
+    * the batch caller that is two posexplode scans of the embeddings
+    * table; for the streaming twin it was a memory-sink self-join that
+    * needed a lineage-severing checkpoint). The sides land as columns in
+    * a single pass; a component row missing either side drops, which IS
+    * the inner-join contract (one-sided groups emit nothing). */
   def driftFromComponentSums(comps: org.apache.spark.sql.DataFrame,
                              groupCols: Seq[String]): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
     val g = groupCols.map(col)
-    val a = comps.filter(col("__side") === 0)
-      .select(g :+ col("__i") :+ col("__s").as("__sa") :+ col("__c").as("__ca"): _*)
-    val b = comps.filter(col("__side") === 1)
-      .select(g :+ col("__i") :+ col("__s").as("__sb") :+ col("__c").as("__cb"): _*)
-    a.join(b, groupCols :+ "__i")
+    comps
+      .groupBy(g :+ col("__i"): _*)
+      .agg(
+        max(when(col("__side") === 0, col("__s"))).as("__sa"),
+        max(when(col("__side") === 0, col("__c"))).as("__ca"),
+        max(when(col("__side") === 1, col("__s"))).as("__sb"),
+        max(when(col("__side") === 1, col("__c"))).as("__cb"))
+      .filter(col("__sa").isNotNull && col("__sb").isNotNull)
       .groupBy(g: _*)
       .agg(
         max(col("__ca")).as("n_a"), max(col("__cb")).as("n_b"),

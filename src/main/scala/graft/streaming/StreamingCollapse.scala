@@ -401,13 +401,11 @@ object StreamingCollapse {
       .outputMode("complete")
       .format("memory")
       .queryName(name))
-    // localCheckpoint: the readout SELF-JOINS the drained grid, and a
-    // join back onto the same memory-sink lineage trips conflicting-
-    // reference resolution (the streamingTransitions footgun); the
-    // checkpoint materializes the tiny labels·2·dim grid and severs
-    // the shared lineage
-    graft.sim.VectorOps.driftFromComponentSums(
-        spark.table(name).localCheckpoint(true), Seq("label"))
+    // no checkpoint needed: the readout is a single conditional-pivot
+    // pass over the drained grid (driftFromComponentSums), so the
+    // memory-sink lineage is consumed exactly once — the self-join that
+    // used to trip conflicting-reference resolution is gone
+    graft.sim.VectorOps.driftFromComponentSums(spark.table(name), Seq("label"))
       .orderBy("label")
   }
 

@@ -123,6 +123,45 @@ object SkewSweep {
       println(f"DIAL  clickPurchaseJoin(30 min, maxFilesPerTrigger=${sys.env.getOrElse("GRAFT_STREAM_MAX_FILES", "?")}) zipf=$t%6.2f s")
       spark.stop(); return
     }
+    // `hot100` mode: one decade past the Zipf sweep — a SINGLE user owns
+    // ~10M of 11M events (~91%, vs the Zipf corpus's 10.9%-hot key). The
+    // per-user window family (sessions q110, funnel q147) cannot split a
+    // partition: the hot key is ONE task no matter the cluster width, so
+    // this names the crossover where the per-task budget is blown and a
+    // salted/time-sliced session dial must engage. AQE on/off is probed
+    // to document that skew-join splitting does NOT apply to windows.
+    if (args.headOption.contains("hot100")) {
+      val hotDir = s"$base/hot100"; val uni11Dir = s"$base/uni11"
+      if (!new java.io.File(s"$hotDir/events.parquet").isDirectory) {
+        println("[synth] building 11M-row hot100 + uniform corpora under " + base)
+        // 10M rows pinned to user 1 + 1M uniform over 15k users
+        val types = "array('view','click','purchase','signup','error')"
+        spark.range(11000000L)
+          .withColumn("event_id", col("id") + 1)
+          .withColumn("user_id",
+            expr(s"case when id < 10000000L then 1L else pmod(xxhash64(id, 7), 15000) + 1 end"))
+          .withColumn("ts", expr(
+            "timestamp_micros(1704067200000000L + pmod(xxhash64(id, 11), 2592000000000L))"))
+          .withColumn("event_type", expr(s"element_at($types, cast(pmod(xxhash64(id, 13), 5) + 1 as int))"))
+          .withColumn("value", expr("cast(pmod(xxhash64(id, 17), 10000) as double) / 100.0d"))
+          .withColumn("props", lit("{}"))
+          .select("event_id", "ts", "user_id", "event_type", "value", "props")
+          .coalesce(16)
+          .write.mode("overwrite").parquet(s"$hotDir/events.parquet")
+        synthEvents(spark, uni11Dir, 11000000L, 15000L, zipf = false)
+      }
+      val family = Seq("q110_x_batch_sessions", "q147_x_funnel")
+      for (aqe <- Seq(true, false)) {
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        val uni = bench(spark, uni11Dir, family)
+        val hot = bench(spark, hotDir, family)
+        family.foreach { n =>
+          println(f"HOT100 aqe=$aqe%-5s $n%-24s uniform=${uni(n)}%7.2f s  hot=${hot(n)}%7.2f s  ratio=${hot(n) / uni(n)}%5.2fx")
+        }
+      }
+      spark.conf.set("spark.sql.adaptive.enabled", true)
+      spark.stop(); return
+    }
     if (!new java.io.File(s"$zipfDir/lineitem.parquet").isDirectory) {
       println("[synth] building 10x uniform + zipf corpora under " + base)
       synthEvents(spark, uniDir, 1000000L, 15000L, zipf = false)
