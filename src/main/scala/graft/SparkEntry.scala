@@ -3169,7 +3169,20 @@ object SparkEntry {
           Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
           Seq("user_id"), "sec", "event_type",
           Seq("view", "click", "purchase"), maxGap = Some(86400L))
-        .orderBy("stage"))
+        .orderBy("stage")),
+
+    // ---- extension: BM25 top-k retrieval — the lexical ranking leg of
+    // the training-data toolbox (quality-seed scoring, eval-suite
+    // contamination candidates, hybrid retrieval): vocabulary-pruned tf
+    // grid, Lucene IDF, per-term e9 quantization so the multi-term score
+    // is an order-independent integer sum
+    "q255_x_bm25_topk" -> tuned((s, d) =>
+      graft.text.Retrieval.bm25TopK(
+          Tables.documents(s, d), "doc_id", "text",
+          Seq(0L -> "hash join table",
+              1L -> "stream window batch",
+              2L -> "fast scan filter slow"), topK = 10)
+        .orderBy("query_id", "rank"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8361,7 +8374,44 @@ object SparkEntry {
         |       v(stage, stage_name))
         |SELECT st.stage, st.stage_name, count(*) AS n_reached
         |FROM u CROSS JOIN st WHERE u.completed > st.stage
-        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin),
+
+    // the identical tf/df/dl sufficient stats and the IDENTICAL per-term
+    // double tree e9-quantized BEFORE the per-document sum (integer sum =
+    // order-independent); rank ties break on doc_id in both engines
+    "q255_x_bm25_topk" ->
+      ("""WITH q(query_id, tok) AS (VALUES
+        |    (CAST(0 AS BIGINT), 'hash'), (0, 'join'), (0, 'table'),
+        |    (1, 'stream'), (1, 'window'), (1, 'batch'),
+        |    (2, 'fast'), (2, 'scan'), (2, 'filter'), (2, 'slow')),
+        |d AS (SELECT doc_id, text FROM documents WHERE text IS NOT NULL),
+        |dl AS (SELECT doc_id, CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+        |         ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT) AS dl
+        |       FROM d),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS s
+        |       FROM dl),
+        |tk AS (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |       FROM d),
+        |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf FROM tk
+        |       WHERE tok <> '' AND tok IN (SELECT DISTINCT tok FROM q)
+        |       GROUP BY 1, 2),
+        |dfc AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+        |t AS (SELECT q.query_id, tf.doc_id,
+        |        CAST(floor(
+        |          ln((CAST(st.n - dfc.df AS DOUBLE) + 0.5) / (CAST(dfc.df AS DOUBLE) + 0.5) + 1.0)
+        |          * (CAST(tf.tf AS DOUBLE) * (1.2 + 1.0))
+        |          / (CAST(tf.tf AS DOUBLE)
+        |             + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl.dl AS DOUBLE) * CAST(st.n AS DOUBLE) / CAST(st.s AS DOUBLE)))
+        |          * 1000000000 + 0.5) AS BIGINT) AS term_e9
+        |      FROM tf JOIN q ON tf.tok = q.tok JOIN dfc ON tf.tok = dfc.tok
+        |      JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+        |sc AS (SELECT query_id, doc_id, CAST(sum(term_e9) AS BIGINT) AS score_e9
+        |       FROM t GROUP BY 1, 2),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS INT) AS rank
+        |      FROM sc)
+        |SELECT query_id, doc_id, score_e9, rank FROM r WHERE rank <= 10
+        |ORDER BY query_id, rank""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -1,0 +1,91 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Cols
+
+/** Lexical retrieval over a document corpus — the ranking half of the
+  * training-data toolbox: BM25 is what scores crawl documents against a
+  * quality-seed query set, retrieves contamination candidates for an
+  * eval suite, and backs the lexical leg of any hybrid (BM25 + ANN)
+  * retrieval stack. Stays Spark-first: the index is not materialized —
+  * term frequencies, document frequencies, and lengths are computed as
+  * one vocabulary-pruned aggregate chain per query batch.
+  */
+object Retrieval {
+
+  /** BM25 top-k retrieval (Robertson–Spärck Jones with Lucene's
+    * non-negative IDF `ln((N − df + 0.5)/(df + 0.5) + 1)`) of a literal
+    * query batch against the corpus. Query terms are deduped per query
+    * (bag-of-query-terms with qtf = 1, the common retrieval form);
+    * documents are whitespace-tokenized by the corpus convention
+    * ([[graft.functions.Cols.tokens]]).
+    *
+    * Exactness: `tf`, `df`, `dl`, `N`, `Σdl` are exact integers;
+    * `avgdl` never materializes (the length ratio rides as
+    * `dl·N / Σdl` inside the tree). Each (query, term, doc)
+    * contribution is ONE fixed double tree e9-quantized to a BIGINT,
+    * so the per-document score is an ORDER-INDEPENDENT integer sum —
+    * the only way a multi-term double sum hash-matches across engines
+    * (the ljungBox discipline). Ranks tie-break by `doc_id`.
+    *
+    * Scale shape: doc lengths come off the un-exploded text (a map-only
+    * pass); exploded tokens are pruned to the BROADCAST query
+    * vocabulary BEFORE the tf shuffle, so the heavy (doc, token) grid
+    * only ever contains query terms; df re-aggregates that grid and
+    * broadcasts back (vocabulary-sized); the doc-length join shuffles
+    * on `doc_id`, co-partitioned with the score aggregate. The final
+    * window partitions by query — per-query candidate lists are
+    * corpus-bounded, so a huge corpus wants the `topK` pushed into a
+    * bounded per-partition heap ([[graft.operators.TopK]]) before the
+    * window; at the query-batch sizes this serves it is grid work.
+    *
+    * Output: `(query_id, doc_id, score_e9, rank)` for `rank ≤ topK`,
+    * matched documents only. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+               queries: Seq[(Long, String)], topK: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queries.nonEmpty, "bm25TopK needs at least one query")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query ids must be distinct")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val base = docs.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"), col(textCol).as("__text"))
+    val dls = base.select(col("doc_id"),
+      TextAnalysis.tokenCount(col("__text")).cast("long").as("__dl"))
+    val stats = dls.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__s"))
+    val qterms = queries.flatMap { case (qid, qtext) =>
+      qtext.trim.split("\\s+").filter(_.nonEmpty).distinct.map(t => (qid, t))
+    }.toDF("query_id", "__tok")
+    val vocab = qterms.select("__tok").distinct()
+    val tfs = base
+      .select(col("doc_id"), explode(Cols.tokens(col("__text"))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .join(broadcast(vocab), Seq("__tok"))
+      .groupBy(col("doc_id"), col("__tok"))
+      .agg(count(lit(1)).as("__tf"))
+    val dfs = tfs.groupBy(col("__tok")).agg(count(lit(1)).as("__df"))
+    val terms = tfs
+      .join(broadcast(qterms), Seq("__tok"))
+      .join(broadcast(dfs), Seq("__tok"))
+      .join(dls, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("__term_e9", expr(
+        s"""cast(floor(
+           |  ln((cast(__n - __df as double) + 0.5) / (cast(__df as double) + 0.5) + 1.0)
+           |  * (cast(__tf as double) * ($k1 + 1.0))
+           |  / (cast(__tf as double)
+           |     + $k1 * (1.0 - $b + $b * cast(__dl as double) * cast(__n as double) / cast(__s as double)))
+           |  * 1000000000 + 0.5) as bigint)""".stripMargin))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score_e9").desc, col("doc_id"))
+    terms.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__term_e9")).as("score_e9"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+  }
+}

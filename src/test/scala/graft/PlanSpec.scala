@@ -344,14 +344,15 @@ class PlanSpec extends SparkSpec {
   test("Brier decomposition (q227): the row scan runs ONCE (persisted bin grid)") {
     val df = SparkEntry.queries("q227_x_brier_decomp")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    try {
-      // the bin grid materializes once and feeds both the one-row totals
-      // and the readout crossJoin from cache
-      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) === 2,
-        s"bin grid must feed both consumers from cache:\n$p")
-      assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
-        s"one-row totals must broadcast onto the grid:\n$p")
-    } finally spark.sharedState.cacheManager.clearCache()
+    // the bin grid checkpoints once (Scan ExistingRDD — the lazy
+    // localCheckpoint severs lineage, so NO FileScan survives in the
+    // readout plan) and feeds both the one-row totals and the crossJoin
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) === 2,
+      s"bin grid must feed both consumers from the checkpoint:\n$p")
+    assert(!p.contains("FileScan"),
+      s"the raw row scan must not reappear downstream of the grid:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"one-row totals must broadcast onto the grid:\n$p")
   }
 
   test("changepoint (q228): both prefix windows stack on one sort, argmin reuses the partitioning") {
@@ -410,18 +411,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
-  test("spearman (q230): the row scan runs ONCE (persisted joint grid feeds all three consumers)") {
+  test("spearman (q230): the row scan runs ONCE (checkpointed joint grid feeds all three consumers)") {
     val df = SparkEntry.queries("q230_x_spearman")(spark, dir)
     val p = df.queryExecution.executedPlan.toString
-    try {
-      // all three consumers (two rank grids + the moment aggregate) read
-      // the cached joint grid — the FileScan lines in the rendering are
-      // the InMemoryRelation's recipe repeated per consumer, materialized
-      // exactly once at runtime
-      assert(p.linesIterator.count(_.contains("InMemoryTableScan")) === 3,
-        s"joint grid must feed all three consumers from cache:\n$p")
-      assert(p.linesIterator.count(l =>
-          l.contains("FileScan") && !l.contains("InMemoryRelation")) <= 3, p)
-    } finally spark.sharedState.cacheManager.clearCache()
+    // all three consumers (two rank grids + the moment aggregate) read
+    // the lazily-checkpointed joint grid (Scan ExistingRDD); the lineage
+    // is severed, so the raw FileScan cannot reappear downstream
+    assert(p.linesIterator.count(_.contains("Scan ExistingRDD")) === 3,
+      s"joint grid must feed all three consumers from the checkpoint:\n$p")
+    assert(!p.contains("FileScan"),
+      s"the raw row scan must not reappear downstream of the grid:\n$p")
   }
 }

@@ -1,0 +1,59 @@
+package graft.text
+
+import graft.SparkSpec
+
+class RetrievalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def refTerm(tf: Long, df: Long, dl: Long, n: Long, s: Long,
+                      k1: Double = 1.2, b: Double = 0.75): Long = {
+    val idf = math.log(((n - df).toDouble + 0.5) / (df.toDouble + 0.5) + 1.0)
+    val v = idf * (tf.toDouble * (k1 + 1.0)) /
+      (tf.toDouble + k1 * (1.0 - b + b * dl.toDouble * n.toDouble / s.toDouble))
+    math.floor(v * 1e9 + 0.5).toLong
+  }
+
+  test("bm25TopK matches the hand-computed scores and tie-breaks by doc_id") {
+    val docs = Seq((0L, "a b a"), (1L, "b c"), (2L, "a")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text", Seq(0L -> "a b"))
+      .orderBy("rank").collect()
+    // N=3, S=6; df(a)=2, df(b)=2; dl = 3, 2, 1
+    val exp = Map(
+      0L -> (refTerm(2, 2, 3, 3, 6) + refTerm(1, 2, 3, 3, 6)), // a twice + b once
+      1L -> refTerm(1, 2, 2, 3, 6),
+      2L -> refTerm(1, 2, 1, 3, 6))
+    assert(out.length == 3)
+    out.foreach { r =>
+      assert(r.getAs[Long]("score_e9") == exp(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")}")
+    }
+    // ranks follow score desc
+    val ranked = out.map(r => (r.getAs[Int]("rank"), r.getAs[Long]("score_e9")))
+    assert(ranked.sortBy(_._1).map(_._2).sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("bm25TopK: repeated query terms dedup; unmatched docs absent; topK caps") {
+    val docs = Seq((0L, "x x x"), (1L, "y"), (2L, "x y"), (3L, "z")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(7L -> "x x y"), topK = 2).collect()
+    // doc 3 matches nothing -> absent; topK=2 keeps the best two of three
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("query_id") == 7L))
+    assert(!out.map(_.getAs[Long]("doc_id")).contains(3L))
+    // dedup: "x x y" scores like "x y" (qtf never multiplies)
+    val dedup = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(7L -> "x y"), topK = 2).collect()
+    assert(out.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e9"))).toSet ==
+      dedup.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e9"))).toSet)
+  }
+
+  test("bm25TopK: a rarer term outranks a common one at equal tf and length") {
+    // 'rare' appears in 1 of 4 docs, 'common' in 3 of 4
+    val docs = Seq((0L, "rare pad"), (1L, "common pad"), (2L, "common x"),
+      (3L, "common y")).toDF("doc_id", "text")
+    val out = Retrieval.bm25TopK(docs, "doc_id", "text",
+      Seq(0L -> "rare common")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("rank")).toMap
+    assert(out(0L) == 1, s"rare-term doc should rank first: $out")
+  }
+}
