@@ -3182,7 +3182,17 @@ object SparkEntry {
           Seq(0L -> "hash join table",
               1L -> "stream window batch",
               2L -> "fast scan filter slow"), topK = 10)
-        .orderBy("query_id", "rank"))
+        .orderBy("query_id", "rank")),
+
+    // ---- extension: normalized mutual information — the label-
+    // vocabulary-free agreement score beside q223's kappa (cluster ids
+    // vs ground truth never share names); per-term e9 quantization
+    // keeps the MI/entropy sums order-independent
+    "q256_x_nmi" -> tuned((s, d) =>
+      graft.operators.Metrics.normalizedMutualInfo(
+          Tables.documents(s, d).withColumn("half", pmod(col("doc_id"), lit(2L))),
+          Seq("half"), "lang", "source")
+        .orderBy("half"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8411,7 +8421,46 @@ object SparkEntry {
         |        PARTITION BY query_id ORDER BY score_e9 DESC, doc_id) AS INT) AS rank
         |      FROM sc)
         |SELECT query_id, doc_id, score_e9, rank FROM r WHERE rank <= 10
-        |ORDER BY query_id, rank""".stripMargin)
+        |ORDER BY query_id, rank""".stripMargin),
+
+    // one cell grid, marginals re-aggregated from it, every MI/entropy
+    // term e9-quantized BEFORE summing (order-independence), the same
+    // single-division NMI readout
+    "q256_x_nmi" ->
+      ("""WITH d AS (
+        |  SELECT CAST(doc_id % 2 AS BIGINT) AS half, lang, source
+        |  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL),
+        |c AS (SELECT half, lang, source, CAST(count(*) AS BIGINT) AS c
+        |      FROM d GROUP BY 1, 2, 3),
+        |ra AS (SELECT half, lang, CAST(sum(c) AS BIGINT) AS na FROM c GROUP BY 1, 2),
+        |cb AS (SELECT half, source, CAST(sum(c) AS BIGINT) AS nb FROM c GROUP BY 1, 2),
+        |t AS (SELECT half, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+        |mi AS (SELECT c.half, CAST(sum(CAST(floor(
+        |         (CAST(c.c AS DOUBLE) / CAST(t.n AS DOUBLE))
+        |         * ln(CAST(t.n AS DOUBLE) * CAST(c.c AS DOUBLE)
+        |              / (CAST(ra.na AS DOUBLE) * CAST(cb.nb AS DOUBLE)))
+        |         * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS mi_e9
+        |       FROM c JOIN ra ON c.half = ra.half AND c.lang = ra.lang
+        |       JOIN cb ON c.half = cb.half AND c.source = cb.source
+        |       JOIN t ON c.half = t.half GROUP BY 1),
+        |ha AS (SELECT ra.half, CAST(sum(CAST(floor(
+        |         -(CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(na AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS h_a_e9
+        |       FROM ra JOIN t ON ra.half = t.half GROUP BY 1),
+        |hb AS (SELECT cb.half, CAST(sum(CAST(floor(
+        |         -(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * ln(CAST(nb AS DOUBLE) / CAST(n AS DOUBLE))
+        |         * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS h_b_e9
+        |       FROM cb JOIN t ON cb.half = t.half GROUP BY 1)
+        |SELECT t.half, t.n, mi.mi_e9, ha.h_a_e9, hb.h_b_e9,
+        |  CASE WHEN ha.h_a_e9 + hb.h_b_e9 > 0 THEN
+        |    CAST(floor(CAST(mi.mi_e9 AS DOUBLE)
+        |      / (0.5 * (CAST(ha.h_a_e9 AS DOUBLE) + CAST(hb.h_b_e9 AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) END AS nmi_e6
+        |FROM t JOIN mi ON t.half = mi.half JOIN ha ON t.half = ha.half
+        |JOIN hb ON t.half = hb.half
+        |ORDER BY t.half""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

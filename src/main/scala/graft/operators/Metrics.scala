@@ -639,4 +639,71 @@ object Metrics {
           |end""".stripMargin))
       .drop("__diag", "__rc")
   }
+
+  /** Per-key normalized mutual information between two categorical
+    * columns — the information-theoretic agreement readout beside
+    * [[cohenKappa]]'s chance-corrected one: κ needs the two columns to
+    * share a label vocabulary (diagonal agreement); NMI does not, which
+    * is what makes it THE external cluster-validation score (cluster ids
+    * vs ground-truth labels never share names). `MI = Σ_cells
+    * (n_ab/N)·ln(N·n_ab/(n_a·n_b))`, arithmetic-mean normalization
+    * `NMI = MI / ((H_a + H_b)/2)` (the scikit-learn default).
+    *
+    * Exactness: ONE per-(key, a, b) cell aggregate; marginals and totals
+    * are re-aggregations of the grid, never a second row scan. Every MI
+    * and entropy TERM is one fixed double tree over exact integers,
+    * e9-quantized to BIGINT before summing — the sums are order-
+    * independent (the ljungBox/BM25 discipline; `floor(x + 0.5)` rounds
+    * identically for the negative MI terms where integer `div` would
+    * not). The final NMI is one double division of the integer sums,
+    * e6-quantized. Degenerate keys (both columns constant ⇒ both
+    * entropies 0) emit null `nmi_e6`.
+    *
+    * Scale shape: grid-shaped end-to-end after the map-side-combined
+    * cell aggregate; the marginal joins key on (key, class) — cells ×
+    * classes rows. Output: `(keys…, n, mi_e9, h_a_e9, h_b_e9,
+    * nmi_e6)`. */
+  def normalizedMutualInfo(df: DataFrame, keyCols: Seq[String], aCol: String,
+                           bCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "normalizedMutualInfo needs at least one key column")
+    val k = keyCols.map(col)
+    val cells = df.filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(k :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+      // lazy localCheckpoint (see brierDecomposition): the cell grid
+      // feeds three re-aggregations and the term join
+      .localCheckpoint(false)
+    val rowsM = cells.groupBy(k :+ col("__a"): _*).agg(sum(col("__c")).as("__na"))
+    val colsM = cells.groupBy(k :+ col("__b"): _*).agg(sum(col("__c")).as("__nb"))
+    val tot = cells.groupBy(k: _*).agg(sum(col("__c")).as("n"))
+    def entE9(marg: DataFrame, cnt: String, out: String) =
+      marg.join(tot, keyCols)
+        .withColumn("__h", expr(
+          s"""cast(floor(-(cast($cnt as double) / cast(n as double))
+             |  * ln(cast($cnt as double) / cast(n as double))
+             |  * 1000000000 + 0.5) as bigint)""".stripMargin))
+        .groupBy(k: _*).agg(sum(col("__h")).as(out))
+    val mi = cells
+      .join(rowsM, keyCols :+ "__a")
+      .join(colsM, keyCols :+ "__b")
+      .join(tot, keyCols)
+      .withColumn("__t", expr(
+        """cast(floor((cast(__c as double) / cast(n as double))
+          |  * ln(cast(n as double) * cast(__c as double)
+          |       / (cast(__na as double) * cast(__nb as double)))
+          |  * 1000000000 + 0.5) as bigint)""".stripMargin))
+      .groupBy(k: _*).agg(sum(col("__t")).as("mi_e9"))
+    tot
+      .join(mi, keyCols)
+      .join(entE9(rowsM, "__na", "h_a_e9"), keyCols)
+      .join(entE9(colsM, "__nb", "h_b_e9"), keyCols)
+      .withColumn("nmi_e6", expr(
+        """case when h_a_e9 + h_b_e9 > 0 then
+          |  cast(floor(cast(mi_e9 as double)
+          |    / (0.5 * (cast(h_a_e9 as double) + cast(h_b_e9 as double)))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .select(k :+ col("n") :+ col("mi_e9") :+ col("h_a_e9") :+
+        col("h_b_e9") :+ col("nmi_e6"): _*)
+  }
 }

@@ -298,6 +298,38 @@ class MetricsSpec extends SparkSpec {
       Seq(0L, 500000000L, 1000000000L))
   }
 
+  test("normalizedMutualInfo: 1 on a bijection, 0 under independence, null degenerate") {
+    // bijective: a determines b exactly -> MI = H_a = H_b -> NMI = 1
+    val bij = Seq(("k1", "x", 1), ("k1", "y", 2), ("k1", "x", 1), ("k1", "y", 2))
+    // independent: all four combos equally likely -> every MI term ln(1)
+    val ind = Seq(("k2", "x", 1), ("k2", "x", 2), ("k2", "y", 1), ("k2", "y", 2))
+    // degenerate: both columns constant -> H_a = H_b = 0 -> null NMI
+    val deg = Seq(("k3", "x", 1), ("k3", "x", 1))
+    val out = Metrics.normalizedMutualInfo(
+        (bij ++ ind ++ deg).toDF("k", "a", "b"), Seq("k"), "a", "b")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("k1").getAs[Long]("nmi_e6") == 1000000L)
+    assert(out("k2").getAs[Long]("mi_e9") == 0L)
+    assert(out("k2").getAs[Long]("nmi_e6") == 0L)
+    assert(out("k3").get(out("k3").fieldIndex("nmi_e6")) == null)
+    assert(out("k1").getAs[Long]("n") == 4L)
+  }
+
+  test("normalizedMutualInfo is invariant to relabeling and needs no shared vocabulary") {
+    // same partition structure, disjoint label alphabets (kappa's blind spot)
+    val a = Seq(("k", "x", 101), ("k", "x", 101), ("k", "y", 202), ("k", "z", 202))
+    val out = Metrics.normalizedMutualInfo(a.toDF("k", "a", "b"), Seq("k"), "a", "b")
+      .collect().head
+    // relabel b arbitrarily: identical NMI
+    val b = Seq(("k", "x", 9), ("k", "x", 9), ("k", "y", 7), ("k", "z", 7))
+    val out2 = Metrics.normalizedMutualInfo(b.toDF("k", "a", "b"), Seq("k"), "a", "b")
+      .collect().head
+    assert(out.getAs[Long]("nmi_e6") == out2.getAs[Long]("nmi_e6"))
+    // bounded: 0 <= NMI <= 1 (e6)
+    val v = out.getAs[Long]("nmi_e6")
+    assert(v >= 0L && v <= 1000000L, s"nmi=$v")
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
