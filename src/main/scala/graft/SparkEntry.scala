@@ -3192,7 +3192,22 @@ object SparkEntry {
       graft.operators.Metrics.normalizedMutualInfo(
           Tables.documents(s, d).withColumn("half", pmod(col("doc_id"), lit(2L))),
           Seq("half"), "lang", "source")
-        .orderBy("half"))
+        .orderBy("half")),
+
+    // ---- extension: ROUGE-N — clipped bigram overlap between
+    // candidate/reference pairs (even doc vs its successor), the
+    // summarization-eval readout; exact integer overlap/totals, three
+    // e6-quantized divisions
+    "q257_x_rouge_n" -> tuned((s, d) => {
+      val docs = Tables.documents(s, d)
+      graft.text.Retrieval.rougeN(
+          docs, "doc_id", "text",
+          docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+            .select(col("doc_id").as("cand_id"),
+              (col("doc_id") + 1).as("ref_id")),
+          n = 2)
+        .orderBy("cand_id")
+    })
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8460,7 +8475,41 @@ object SparkEntry {
         |      * 1000000 + 0.5) AS BIGINT) END AS nmi_e6
         |FROM t JOIN mi ON t.half = mi.half JOIN ha ON t.half = ha.half
         |JOIN hb ON t.half = hb.half
-        |ORDER BY t.half""".stripMargin)
+        |ORDER BY t.half""".stripMargin),
+
+    // the same per-(doc, gram) count grid and clipped-min overlap; pairs
+    // with zero shared grams survive the LEFT join with 0
+    "q257_x_rouge_n" ->
+      ("""WITH tk AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |b AS (SELECT doc_id, t FROM tk WHERE len(t) >= 2),
+        |g AS (SELECT doc_id, t[i] || ' ' || t[i + 1] AS gram
+        |      FROM (SELECT doc_id, t, unnest(generate_series(1, len(t) - 1)) AS i
+        |            FROM b)),
+        |gc AS (SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS c
+        |       FROM g GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, CAST(len(t) - 1 AS BIGINT) AS ng FROM b),
+        |p AS (SELECT doc_id AS cand_id, doc_id + 1 AS ref_id
+        |      FROM documents WHERE doc_id % 2 = 0),
+        |ov AS (SELECT p.cand_id, p.ref_id,
+        |         CAST(sum(least(ca.c, cb.c)) AS BIGINT) AS n_overlap
+        |       FROM p JOIN gc ca ON ca.doc_id = p.cand_id
+        |       JOIN gc cb ON cb.doc_id = p.ref_id AND cb.gram = ca.gram
+        |       GROUP BY 1, 2)
+        |SELECT p.cand_id, p.ref_id,
+        |  coalesce(ov.n_overlap, 0) AS n_overlap, tc.ng AS n_cand, tr.ng AS n_ref,
+        |  CAST(floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+        |    / CAST(tc.ng AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS p_e6,
+        |  CAST(floor(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+        |    / CAST(tr.ng AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS r_e6,
+        |  CAST(floor(2.0 * CAST(coalesce(ov.n_overlap, 0) AS DOUBLE)
+        |    / (CAST(tc.ng AS DOUBLE) + CAST(tr.ng AS DOUBLE)) * 1000000 + 0.5)
+        |    AS BIGINT) AS f_e6
+        |FROM p JOIN tot tc ON tc.doc_id = p.cand_id
+        |JOIN tot tr ON tr.doc_id = p.ref_id
+        |LEFT JOIN ov ON ov.cand_id = p.cand_id AND ov.ref_id = p.ref_id
+        |ORDER BY p.cand_id""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -88,4 +88,61 @@ object Retrieval {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= topK)
   }
+
+  /** ROUGE-N between candidate/reference document pairs — the clipped
+    * n-gram overlap behind summarization/generation eval: `overlap =
+    * Σ_g min(count_cand(g), count_ref(g))`, `P = overlap/|cand grams|`,
+    * `R = overlap/|ref grams|`, and the F1 collapse `2·overlap/(|cand| +
+    * |ref|)` (algebraically `2PR/(P+R)` — the integer form needs no
+    * guard). `pairs` carries `(cand_id, ref_id)`; both sides must have
+    * at least `n` tokens (shorter docs have no n-grams — their pairs
+    * drop, the inner-join contract).
+    *
+    * Exactness: overlap/totals are exact integers off ONE per-(doc,
+    * gram) count grid; the three readouts are single double divisions
+    * e6-quantized — nothing float crosses a row boundary.
+    *
+    * Scale shape: the gram grid shuffles (doc, gram) once with map-side
+    * combine; the overlap join keys on (pair, gram) so only grams the
+    * candidate actually has ever meet the reference side; totals ride
+    * the un-exploded token count. Output: `(cand_id, ref_id, n_overlap,
+    * n_cand, n_ref, p_e6, r_e6, f_e6)`. */
+  def rougeN(docs: DataFrame, idCol: String, textCol: String,
+             pairs: DataFrame, n: Int = 2): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val base = docs
+      .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(idCol).cast("long").as("doc_id"),
+        Cols.tokens(col(textCol)).as("__tk"))
+      .filter(size(col("__tk")) >= n)
+    val grams = base
+      .select(col("doc_id"), explode(Cols.shingles(col("__tk"), n)).as("__g"))
+      .groupBy(col("doc_id"), col("__g")).agg(count(lit(1)).as("__c"))
+    val tots = base.select(col("doc_id"),
+      (size(col("__tk")) - lit(n - 1)).cast("long").as("__ng"))
+    val ov = pairs
+      .join(grams.select(col("doc_id").as("cand_id"), col("__g"),
+        col("__c").as("__cc")), Seq("cand_id"))
+      .join(grams.select(col("doc_id").as("ref_id"), col("__g"),
+        col("__c").as("__cr")), Seq("ref_id", "__g"))
+      .groupBy(col("cand_id"), col("ref_id"))
+      .agg(sum(least(col("__cc"), col("__cr"))).as("n_overlap"))
+    pairs
+      .join(tots.select(col("doc_id").as("cand_id"), col("__ng").as("n_cand")),
+        Seq("cand_id"))
+      .join(tots.select(col("doc_id").as("ref_id"), col("__ng").as("n_ref")),
+        Seq("ref_id"))
+      // LEFT + 0: a pair sharing NO gram is the most informative row of a
+      // generation audit — zero overlap must score 0, not vanish
+      .join(ov, Seq("cand_id", "ref_id"), "left")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .withColumn("p_e6", expr(
+        "cast(floor(cast(n_overlap as double) / cast(n_cand as double) * 1000000 + 0.5) as bigint)"))
+      .withColumn("r_e6", expr(
+        "cast(floor(cast(n_overlap as double) / cast(n_ref as double) * 1000000 + 0.5) as bigint)"))
+      .withColumn("f_e6", expr(
+        "cast(floor(2.0 * cast(n_overlap as double) / (cast(n_cand as double) + cast(n_ref as double)) * 1000000 + 0.5) as bigint)"))
+      .select("cand_id", "ref_id", "n_overlap", "n_cand", "n_ref",
+        "p_e6", "r_e6", "f_e6")
+  }
 }

@@ -47,6 +47,35 @@ class RetrievalSpec extends SparkSpec {
       dedup.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e9"))).toSet)
   }
 
+  test("rougeN: clipped bigram overlap, zero-overlap pairs kept, short docs drop") {
+    val docs = Seq(
+      (0L, "a b c"),    // bigrams {a b, b c}
+      (1L, "b c d"),    // bigrams {b c, c d}
+      (2L, "a b a b"),  // bigrams {a b x2, b a}
+      (3L, "a b"),      // bigram {a b}
+      (4L, "x y"), (5L, "p q"), // disjoint pair
+      (6L, "solo"), (7L, "t u") // 6 has no bigram -> pair drops
+    ).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (2L, 3L), (4L, 5L), (6L, 7L))
+      .toDF("cand_id", "ref_id")
+    val out = Retrieval.rougeN(docs, "doc_id", "text", pairs, n = 2)
+      .collect().map(r => r.getAs[Long]("cand_id") -> r).toMap
+    assert(out.keySet == Set(0L, 2L, 4L))
+    // (0,1): overlap {b c} = 1 of 2 vs 2 -> P = R = 1/2, F = 2*1/4
+    assert(out(0L).getAs[Long]("n_overlap") == 1L)
+    assert(out(0L).getAs[Long]("p_e6") == 500000L)
+    assert(out(0L).getAs[Long]("r_e6") == 500000L)
+    assert(out(0L).getAs[Long]("f_e6") == 500000L)
+    // (2,3): clipped min(2,1) for "a b" -> ov 1; P = 1/3, R = 1
+    assert(out(2L).getAs[Long]("n_overlap") == 1L)
+    assert(out(2L).getAs[Long]("p_e6") == 333333L)
+    assert(out(2L).getAs[Long]("r_e6") == 1000000L)
+    assert(out(2L).getAs[Long]("f_e6") == 500000L)
+    // disjoint: kept with zeros
+    assert(out(4L).getAs[Long]("n_overlap") == 0L)
+    assert(out(4L).getAs[Long]("f_e6") == 0L)
+  }
+
   test("bm25TopK: a rarer term outranks a common one at equal tf and length") {
     // 'rare' appears in 1 of 4 docs, 'common' in 3 of 4
     val docs = Seq((0L, "rare pad"), (1L, "common pad"), (2L, "common x"),
