@@ -3207,7 +3207,17 @@ object SparkEntry {
               (col("doc_id") + 1).as("ref_id")),
           n = 2)
         .orderBy("cand_id")
-    })
+    }),
+
+    // ---- extension: Jensen-Shannon vocabulary divergence — the
+    // bounded symmetric drift monitor beside q153's KL (English vs
+    // non-English token distributions); mixture ratio rides as the
+    // exact integer form 2*ca*nb/(ca*nb + cb*na), per-token e9 terms
+    "q258_x_vocab_jsd" -> tuned((s, d) =>
+      graft.text.TextAnalysis.vocabJsd(
+          Tables.documents(s, d)
+            .withColumn("side", when(col("lang") === "en", 0).otherwise(1)),
+          "side", "text"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8509,7 +8519,41 @@ object SparkEntry {
         |FROM p JOIN tot tc ON tc.doc_id = p.cand_id
         |JOIN tot tr ON tr.doc_id = p.ref_id
         |LEFT JOIN ov ON ov.cand_id = p.cand_id AND ov.ref_id = p.ref_id
-        |ORDER BY p.cand_id""".stripMargin)
+        |ORDER BY p.cand_id""".stripMargin),
+
+    // one conditional-pivot token grid, the IDENTICAL per-side double
+    // trees e9-quantized per token, exact integer sum
+    "q258_x_vocab_jsd" ->
+      ("""WITH d AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS side, text
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |tk AS (SELECT side, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |       FROM d),
+        |g AS (SELECT t,
+        |        CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |        CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |      FROM tk GROUP BY t),
+        |tt AS (SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb
+        |       FROM g),
+        |terms AS (SELECT na, nb,
+        |    CASE WHEN ca > 0 AND na > 0 AND nb > 0 THEN
+        |      CAST(floor(0.5 * (CAST(ca AS DOUBLE) / CAST(na AS DOUBLE))
+        |        * ln(2.0 * CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+        |             / (CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)
+        |                + CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)))
+        |        * 1000000000 + 0.5) AS BIGINT) ELSE 0 END AS ta,
+        |    CASE WHEN cb > 0 AND na > 0 AND nb > 0 THEN
+        |      CAST(floor(0.5 * (CAST(cb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |        * ln(2.0 * CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)
+        |             / (CAST(cb AS DOUBLE) * CAST(na AS DOUBLE)
+        |                + CAST(ca AS DOUBLE) * CAST(nb AS DOUBLE)))
+        |        * 1000000000 + 0.5) AS BIGINT) ELSE 0 END AS tb
+        |  FROM g CROSS JOIN tt)
+        |SELECT max(na) AS n_a, max(nb) AS n_b,
+        |  CAST(count(*) AS BIGINT) AS n_vocab,
+        |  CASE WHEN max(na) > 0 AND max(nb) > 0
+        |       THEN CAST(sum(ta + tb) AS BIGINT) END AS jsd_e9
+        |FROM terms""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

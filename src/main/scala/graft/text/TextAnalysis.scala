@@ -447,6 +447,59 @@ object TextAnalysis {
         sum(col("__term_e9")).as("kl_e9"))
   }
 
+  /** Jensen–Shannon divergence between the token unigram distributions
+    * of two corpus sides (0 = baseline, 1 = candidate) — the bounded,
+    * symmetric vocabulary-drift monitor beside [[domainDivergence]]'s
+    * one-vs-corpus KL: `JSD = ½Σ p·ln(2p/(p+q)) + ½Σ q·ln(2q/(p+q))`,
+    * always finite (a token absent from one side contributes `½p·ln 2`)
+    * and capped at `ln 2` nats — the "how different is this refresh's
+    * vocabulary" dial that KL blows up on.
+    *
+    * Determinism (the q153 discipline): the mixture ratio rides as the
+    * integer form `2·c_a·n_b / (c_a·n_b + c_b·n_a)` — exact integer
+    * counts per (token, side) off ONE conditional-pivot aggregate, each
+    * side's term one fixed double tree e9-quantized per token, exact
+    * integer sums. Bound: per-term products `c·n` must stay below 2⁵³
+    * for double exactness (domainDivergence's published bound).
+    *
+    * Scale shape: one token explode → one token-keyed aggregate with
+    * map-side combine (both sides pivot in the same pass — no
+    * side-vs-side join), broadcast totals, one token-grid sum.
+    * Output: one row `(n_a, n_b, n_vocab, jsd_e9)`; an empty side
+    * yields `jsd_e9` null. */
+  def vocabJsd(docs: DataFrame, sideCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .filter((col(sideCol) === 0 || col(sideCol) === 1) &&
+        col(textCol).isNotNull && length(trim(col(textCol))) > 0)
+      .select(col(sideCol).as("__side"), explode(Cols.tokens(col(textCol))).as("__t"))
+    val grid = tok.groupBy(col("__t"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    val tots = grid.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
+    grid.crossJoin(broadcast(tots))
+      .withColumn("__ta", expr(
+        """case when __ca > 0 and __na > 0 and __nb > 0 then
+          |  cast(floor(0.5 * (cast(__ca as double) / cast(__na as double))
+          |    * ln(2.0 * cast(__ca as double) * cast(__nb as double)
+          |         / (cast(__ca as double) * cast(__nb as double)
+          |            + cast(__cb as double) * cast(__na as double)))
+          |    * 1000000000 + 0.5) as bigint)
+          |else cast(0 as bigint) end""".stripMargin))
+      .withColumn("__tb", expr(
+        """case when __cb > 0 and __na > 0 and __nb > 0 then
+          |  cast(floor(0.5 * (cast(__cb as double) / cast(__nb as double))
+          |    * ln(2.0 * cast(__cb as double) * cast(__na as double)
+          |         / (cast(__cb as double) * cast(__na as double)
+          |            + cast(__ca as double) * cast(__nb as double)))
+          |    * 1000000000 + 0.5) as bigint)
+          |else cast(0 as bigint) end""".stripMargin))
+      .groupBy()
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        count(lit(1)).as("n_vocab"),
+        when(max(col("__na")) > 0 && max(col("__nb")) > 0,
+          sum(col("__ta") + col("__tb"))).as("jsd_e9"))
+  }
+
   /** Per-document token Shannon entropy — the information-density quality
     * feature: `H = ln n − (1/n)·Σᵢ cᵢ·ln cᵢ` over the document's token
     * counts (nats). Low entropy at non-trivial length = repetition

@@ -125,4 +125,35 @@ class TextAnalysisSpec extends SparkSpec {
     out.foreach(r => assert(r.getAs[Long]("kl_e9") >= 0L,
       "KL against a dominating corpus distribution is Gibbs-nonnegative"))
   }
+
+  test("vocabJsd: 0 on identical sides, ln 2 on disjoint vocabularies") {
+    val same = Seq((0, "a b c"), (1, "a b c")).toDF("side", "text")
+    assert(TextAnalysis.vocabJsd(same, "side", "text")
+      .collect().head.getAs[Long]("jsd_e9") == 0L)
+    val disj = Seq((0, "a"), (1, "b")).toDF("side", "text")
+    val r = TextAnalysis.vocabJsd(disj, "side", "text").collect().head
+    // each one-sided token contributes floor(0.5*ln2*1e9 + 0.5) exactly
+    val half = math.floor(0.5 * math.log(2.0) * 1e9 + 0.5).toLong
+    assert(r.getAs[Long]("jsd_e9") == 2 * half)
+    assert(r.getAs[Long]("n_vocab") == 2L)
+  }
+
+  test("vocabJsd: hand-computed asymmetric mix; empty side yields null") {
+    // A = "a a b" (p_a=2/3, p_b=1/3), B = "a b b" (q_a=1/3, q_b=2/3)
+    val df = Seq((0, "a a b"), (1, "a b b")).toDF("side", "text")
+    val r = TextAnalysis.vocabJsd(df, "side", "text").collect().head
+    def term(c: Long, n: Long, co: Long, no: Long): Long =
+      if (c == 0) 0L
+      else math.floor(0.5 * (c.toDouble / n.toDouble) *
+        math.log(2.0 * c.toDouble * no.toDouble /
+          (c.toDouble * no.toDouble + co.toDouble * n.toDouble)) * 1e9 + 0.5).toLong
+    val exp = term(2, 3, 1, 3) + term(1, 3, 2, 3) + // token a: both sides
+      term(1, 3, 2, 3) + term(2, 3, 1, 3)           // token b symmetric
+    assert(r.getAs[Long]("jsd_e9") == exp, s"jsd=${r.getAs[Long]("jsd_e9")} exp=$exp")
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 3L)
+    // one empty side -> null jsd
+    val one = Seq((0, "a b")).toDF("side", "text")
+    val r1 = TextAnalysis.vocabJsd(one, "side", "text").collect().head
+    assert(r1.get(r1.fieldIndex("jsd_e9")) == null)
+  }
 }
