@@ -19,7 +19,9 @@ object Corpus {
 
   /** Okapi BM25 score of every document against a bag of query terms.
     * Output: (doc_id, bm25) for documents matching ≥1 term — rounded so
-    * the cross-engine float sum is comparison-stable.
+    * the cross-engine float sum is comparison-stable. For a query BATCH
+    * with top-k ranks (and exact integer score sums), see
+    * [[graft.text.Retrieval.bm25TopK]].
     *
     * idf uses the Lucene-style floor `ln(1 + (N − df + ½)/(df + ½))`
     * (always positive, no negative-idf cliff for terms in >half the

@@ -18,9 +18,15 @@ object Retrieval {
 
   /** BM25 top-k retrieval (Robertson–Spärck Jones with Lucene's
     * non-negative IDF `ln((N − df + 0.5)/(df + 0.5) + 1)`) of a literal
-    * query batch against the corpus. Query terms are deduped per query
-    * (bag-of-query-terms with qtf = 1, the common retrieval form);
-    * documents are whitespace-tokenized by the corpus convention
+    * query batch against the corpus. The RANKING form of
+    * [[graft.text.Corpus.bm25]] (which scores one query and returns
+    * every match): a query BATCH fans out over one shared tf/df pass,
+    * and the readout is per-query top-k ranks rather than raw scores —
+    * with the per-term e9-integer-sum discipline in place of
+    * Corpus.bm25's rounded double sum, so scores stay exact at any
+    * term count. Query terms are deduped per query (bag-of-query-terms
+    * with qtf = 1, the common retrieval form); documents are
+    * whitespace-tokenized by the corpus convention
     * ([[graft.functions.Cols.tokens]]).
     *
     * Exactness: `tf`, `df`, `dl`, `N`, `Σdl` are exact integers;
