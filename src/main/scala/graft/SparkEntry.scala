@@ -3217,21 +3217,7 @@ object SparkEntry {
       graft.text.TextAnalysis.vocabJsd(
           Tables.documents(s, d)
             .withColumn("side", when(col("lang") === "en", 0).otherwise(1)),
-          "side", "text")),
-
-    // ---- extension: classical seasonal decomposition — centered-MA
-    // trend (exact integer numerator), zero-recentered phase means,
-    // residual as integer arithmetic on the quantized pieces; the
-    // "seasonal dip or real dip" readout of the reference's CES domain
-    "q259_x_seasonal_decompose" -> tuned((s, d) =>
-      graft.stats.Diagnostics.seasonalDecompose(
-          Tables.orders(s, d)
-            .groupBy(col("o_orderpriority"),
-              Cols.monthStart(col("o_orderdate")).as("month"))
-            .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long")
-              .as("cents")),
-          Seq("o_orderpriority"), "month", "cents", period = 12)
-        .orderBy("o_orderpriority", "month"))
+          "side", "text"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -8567,48 +8553,7 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_vocab,
         |  CASE WHEN max(na) > 0 AND max(nb) > 0
         |       THEN CAST(sum(ta + tb) AS BIGINT) END AS jsd_e9
-        |FROM terms""".stripMargin),
-
-    // the same edge-1/inner-2 centered-MA numerator off two stacked ROWS
-    // frames, phase means recentered, residual on the quantized pieces
-    "q259_x_seasonal_decompose" ->
-      ("""WITH m AS (
-        |  SELECT o_orderpriority AS k,
-        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
-        |  FROM orders GROUP BY 1, 2),
-        |o AS (SELECT k, month, y,
-        |        row_number() OVER (PARTITION BY k ORDER BY month) AS idx,
-        |        CASE WHEN count(*) OVER (PARTITION BY k ORDER BY month
-        |               ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING) = 13
-        |             THEN CAST(sum(y) OVER (PARTITION BY k ORDER BY month
-        |                    ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)
-        |                + sum(y) OVER (PARTITION BY k ORDER BY month
-        |                    ROWS BETWEEN 5 PRECEDING AND 5 FOLLOWING) AS BIGINT)
-        |        END AS num
-        |      FROM m),
-        |r AS (SELECT *, 24 * y - num AS d, (idx - 1) % 12 AS phase FROM o),
-        |pg AS (SELECT k, phase, CAST(sum(d) AS BIGINT) AS sd,
-        |              CAST(count(d) AS BIGINT) AS cd
-        |       FROM r GROUP BY 1, 2),
-        |ov AS (SELECT k, CAST(sum(sd) AS BIGINT) AS so,
-        |              CAST(sum(cd) AS BIGINT) AS co FROM pg GROUP BY 1),
-        |se AS (SELECT pg.k, pg.phase,
-        |         CASE WHEN cd > 0 AND co > 0 THEN
-        |           CAST(floor((CAST(sd AS DOUBLE) / CAST(cd AS DOUBLE)
-        |             - CAST(so AS DOUBLE) / CAST(co AS DOUBLE))
-        |             / 24.0 * 1000000 + 0.5) AS BIGINT)
-        |         END AS seasonal_e6
-        |       FROM pg JOIN ov ON pg.k = ov.k)
-        |SELECT r.k AS o_orderpriority, r.month, r.y AS y,
-        |  CAST(floor(CAST(num AS DOUBLE) / 24.0 * 1000000 + 0.5) AS BIGINT)
-        |    AS trend_e6,
-        |  se.seasonal_e6,
-        |  y * 1000000
-        |    - CAST(floor(CAST(num AS DOUBLE) / 24.0 * 1000000 + 0.5) AS BIGINT)
-        |    - se.seasonal_e6 AS resid_e6
-        |FROM r JOIN se ON r.k = se.k AND r.phase = se.phase
-        |ORDER BY o_orderpriority, month""".stripMargin)
+        |FROM terms""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -338,71 +338,6 @@ object Diagnostics {
       (eta < lit(0.463)).as("stationary5"): _*)
   }
 
-  /** Classical additive seasonal decomposition per key (`statsmodels
-    * seasonal_decompose`, moving-average flavor): centered MA trend for
-    * an even period — `trend_t = (y_{t−p/2} + 2Σ_{|i|<p/2} y_{t+i} +
-    * y_{t+p/2}) / 2p` — phase means of the detrended series recentered
-    * to zero as the seasonal component, residual as the remainder. The
-    * decomposition behind "is this month's dip seasonal or real".
-    *
-    * Exactness: `valueCol` integer-quantized by the caller (cents). The
-    * trend NUMERATOR (edge-weight-1/inner-weight-2 sum = outer-window
-    * sum + inner-window sum) and the ×2p-scaled detrended values are
-    * EXACT integers; trend and seasonal emit through fixed double trees
-    * e6-quantized, and `resid_e6 = y·10⁶ − trend_e6 − seasonal_e6` is
-    * integer arithmetic ON THE QUANTIZED pieces (the residual of the
-    * published decomposition, not a third float path). Trend (and so
-    * residual) is null where the centered window is incomplete — the
-    * first and last p/2 points, the classical NaN edges.
-    *
-    * Scale shape: ONE sort per key shared by the row_number and both
-    * MA frames; the phase grid is a (key, period) aggregate joined back
-    * broadcast-shaped. Output: `(keys…, orderCol, y, trend_e6,
-    * seasonal_e6, resid_e6)`. */
-  def seasonalDecompose(df: DataFrame, keyCols: Seq[String], orderCol: String,
-                        valueCol: String, period: Int = 12): DataFrame = {
-    require(period >= 2 && period % 2 == 0,
-      s"period must be even and >= 2 (centered-MA form), got $period")
-    import org.apache.spark.sql.expressions.Window
-    val h = period / 2
-    val part = if (keyCols.isEmpty) Window.partitionBy(lit(1))
-               else Window.partitionBy(keyCols.map(col): _*)
-    val wOrd = part.orderBy(col("__ord"))
-    val wOut = wOrd.rowsBetween(-h, h)
-    val wIn = wOrd.rowsBetween(-(h - 1), h - 1)
-    val keyOut = if (keyCols.isEmpty) Seq(lit("all").as("key")) else keyCols.map(col)
-    val keyNames = if (keyCols.isEmpty) Seq("key") else keyCols
-    val y = col(valueCol).cast("long")
-    val rows = df.filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
-      .select((keyOut :+ col(orderCol).as("__ord") :+ y.as("__y")): _*)
-      .withColumn("__idx", row_number().over(wOrd))
-      .withColumn("__num",
-        when(count(lit(1)).over(wOut) === 2 * h + 1,
-          sum(col("__y")).over(wOut) + sum(col("__y")).over(wIn)))
-      .withColumn("__d", lit(2L * period) * col("__y") - col("__num"))
-      .withColumn("__phase", pmod(col("__idx") - 1, lit(period)))
-    val phase = rows.groupBy(keyNames.map(col) :+ col("__phase"): _*)
-      .agg(sum(col("__d")).as("__sd"), count(col("__d")).as("__cd"))
-    val overall = phase.groupBy(keyNames.map(col): _*)
-      .agg(sum(col("__sd")).as("__so"), sum(col("__cd")).as("__co"))
-    val seas = phase.join(overall, keyNames)
-      .withColumn("seasonal_e6", expr(
-        s"""case when __cd > 0 and __co > 0 then
-           |  cast(floor((cast(__sd as double) / cast(__cd as double)
-           |    - cast(__so as double) / cast(__co as double))
-           |    / ${2 * period}.0 * 1000000 + 0.5) as bigint)
-           |end""".stripMargin))
-      .select(keyNames.map(col) :+ col("__phase") :+ col("seasonal_e6"): _*)
-    rows.join(seas, keyNames :+ "__phase")
-      .withColumn("trend_e6", expr(
-        s"cast(floor(cast(__num as double) / ${2 * period}.0 * 1000000 + 0.5) as bigint)"))
-      .withColumn("resid_e6",
-        col("__y") * 1000000L - col("trend_e6") - col("seasonal_e6"))
-      .select(keyNames.map(col) :+ col("__ord").as(orderCol) :+
-        col("__y").as("y") :+ col("trend_e6") :+ col("seasonal_e6") :+
-        col("resid_e6"): _*)
-  }
-
   private val mkSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

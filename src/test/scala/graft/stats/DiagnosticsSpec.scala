@@ -249,44 +249,6 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out("const").get(out("const").fieldIndex("stationary5")) == null)
   }
 
-  test("seasonalDecompose: exact recovery of a linear trend plus pure seasonal") {
-    // y = 100t + s[phase], s = (10, -5, -3, -2) sums to zero over the
-    // period -> the centered MA reproduces the line exactly, phase means
-    // recover s exactly, residual is exactly zero where trend exists
-    val s = Array(10L, -5L, -3L, -2L)
-    val ys = (1 to 24).map(t => ("k", t, 100L * t + s((t - 1) % 4)))
-    val out = Diagnostics.seasonalDecompose(ys.toDF("k", "t", "v"),
-      Seq("k"), "t", "v", period = 4).orderBy("t").collect()
-    assert(out.length == 24)
-    // edges: first/last h = 2 rows have null trend and residual
-    Seq(0, 1, 22, 23).foreach { i =>
-      assert(out(i).get(out(i).fieldIndex("trend_e6")) == null, s"row $i")
-      assert(out(i).get(out(i).fieldIndex("resid_e6")) == null, s"row $i")
-    }
-    (2 until 22).foreach { i =>
-      val t = out(i).getAs[Int]("t")
-      assert(out(i).getAs[Long]("trend_e6") == 100L * t * 1000000L, s"t=$t")
-      assert(out(i).getAs[Long]("resid_e6") == 0L, s"t=$t")
-    }
-    out.foreach { r =>
-      val ph = (r.getAs[Int]("t") - 1) % 4
-      assert(r.getAs[Long]("seasonal_e6") == s(ph) * 1000000L)
-    }
-  }
-
-  test("seasonalDecompose: seasonal component recenters to ~zero mean") {
-    // a noisy-ish deterministic series: phase means must recenter
-    val ys = (1 to 36).map(t => ("k", t,
-      1000L + (t % 7) * 13L + (if (t % 12 < 6) 50L else -40L)))
-    val out = Diagnostics.seasonalDecompose(ys.toDF("k", "t", "v"),
-      Seq("k"), "t", "v", period = 12).collect()
-    val byPhase = out.map(r => ((r.getAs[Int]("t") - 1) % 12,
-      r.getAs[Long]("seasonal_e6"))).distinct
-    assert(byPhase.length == 12)
-    // recentered: phase values sum to ~0 (quantization leaves < 1e-6/phase)
-    assert(math.abs(byPhase.map(_._2).sum) <= 12L)
-  }
-
   test("theilSen: exact line, outlier robustness, lower-median convention") {
     // pure line y = 5t + 3: every pairwise slope is exactly 5e6
     val line = (0 until 12).map(i => ("line", i, i * 5.0 + 3))
