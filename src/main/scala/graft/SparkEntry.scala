@@ -3217,7 +3217,29 @@ object SparkEntry {
       graft.text.TextAnalysis.vocabJsd(
           Tables.documents(s, d)
             .withColumn("side", when(col("lang") === "en", 0).otherwise(1)),
-          "side", "text"))
+          "side", "text")),
+
+    // ---- extension: time-sliced sessionization — q110's semantics with
+    // the hot-key dial engaged (the round-8 probe's mitigation, shipped):
+    // per-(key, day-slice) local sessionization, micro-session re-merge,
+    // global index joined back on the composite key; shares q110's oracle
+    // because the rows are contractually identical
+    "q260_x_sessions_timesliced" -> tuned((s, d) =>
+      graft.operators.Sessionize.sessionStatsTimeSliced(
+          Tables.events(s, d).select("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", gapMinutes = 720, sliceMinutes = 1440)
+        .orderBy("user_id", "session_idx")),
+
+    // ---- extension: aggregate-path funnel — q147's chained-min reach
+    // computed as map-side-combinable conditional minima instead of a
+    // per-key window (the funnel half of the round-8 hot-key dial);
+    // shares q147's oracle, rows contractually identical
+    "q261_x_funnel_agg" -> tuned((s, d) =>
+      graft.operators.Funnel.conversionCountsAgg(
+          Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
+          Seq("user_id"), "tsu", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -3641,6 +3663,52 @@ object SparkEntry {
     * integer sums per (label, side, component), HUGEINT cross-products,
     * one double tree — the streaming twin maintains the identical grid,
     * so both queries replay one SQL. */
+  /** The chained-min funnel-reach oracle — ONE definition shared by q147
+    * (window path) and q261 (the aggregate hot-key dial), because the two
+    * plans are contractually the same rows. */
+  private lazy val FunnelReachSql: String =
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS t, event_type AS s FROM events
+      |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
+      |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
+      |         OVER (PARTITION BY user_id) AS t0 FROM e),
+      |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0 THEN t END)
+      |         OVER (PARTITION BY user_id) AS t1 FROM w0),
+      |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1 THEN t END)
+      |         OVER (PARTITION BY user_id) AS t2 FROM w1),
+      |u AS (SELECT DISTINCT user_id,
+      |        CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
+      |        CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
+      |        CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS completed
+      |      FROM w2),
+      |st AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'), (2, 'purchase'))
+      |       v(stage, stage_name))
+      |SELECT st.stage, st.stage_name, count(*) AS n_reached
+      |FROM u CROSS JOIN st WHERE u.completed > st.stage
+      |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin
+
+  /** The batch-sessions oracle (lag-mark + ROWS-frame running sum, exact
+    * integer microseconds) — ONE definition shared by q110 (plain per-key
+    * window) and q260 (the time-sliced hot-key dial), because the two
+    * plans are contractually the same rows. */
+  private lazy val BatchSessionsSql: String =
+    """WITH e AS (
+      |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
+      |m AS (
+      |  SELECT user_id, event_id, us,
+      |    CASE WHEN lag(us) OVER w IS NULL
+      |           OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new
+      |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |x AS (
+      |  SELECT user_id, us,
+      |    CAST(sum(new) OVER (PARTITION BY user_id ORDER BY us, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |  FROM m)
+      |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
+      |  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
+      |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
+      |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   private lazy val CentroidDriftSql: String =
     """WITH g AS (SELECT unnest(generate_series(1, 64)) AS i),
         |c AS (SELECT label, CAST(vec_id % 2 AS INT) AS side, g.i,
@@ -5347,23 +5415,12 @@ object SparkEntry {
 
     // the same lag-mark + ROWS-frame running sum in DuckDB window SQL;
     // gaps compare in exact integer microseconds on both sides
-    "q110_x_batch_sessions" ->
-      ("""WITH e AS (
-        |  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events),
-        |m AS (
-        |  SELECT user_id, event_id, us,
-        |    CASE WHEN lag(us) OVER w IS NULL
-        |           OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS new
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
-        |x AS (
-        |  SELECT user_id, us,
-        |    CAST(sum(new) OVER (PARTITION BY user_id ORDER BY us, event_id
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
-        |  FROM m)
-        |SELECT user_id, session_idx, CAST(count(*) AS BIGINT) AS n_events,
-        |  CAST(min(us) AS BIGINT) AS start_us, CAST(max(us) AS BIGINT) AS end_us,
-        |  CAST(max(us) - min(us) AS BIGINT) AS duration_us
-        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+    "q110_x_batch_sessions" -> BatchSessionsSql,
+
+    // IDENTICAL oracle: the time-sliced path is the hot-key dial on the
+    // same semantics — micro-session re-merge reproduces byGap exactly
+    // (the SessionizeSpec slice-invariance law), so one SQL serves both
+    "q260_x_sessions_timesliced" -> BatchSessionsSql,
 
     // q97's quantize/dequantize replay feeds the coarse cosine; pool of
     // refine*k = 12 by (rounded coarse desc, id), then q49's exact cosine
@@ -5764,26 +5821,11 @@ object SparkEntry {
     // the identical chained-window derivation: each stage's min is
     // conditional on the previous stage's windowed min; micros via
     // epoch_us (exact int64 — epoch_ns/1000 would round-trip a double)
-    "q147_x_funnel" ->
-      ("""WITH e AS (
-        |  SELECT user_id, epoch_us(ts) AS t, event_type AS s FROM events
-        |  WHERE event_type IN ('view', 'click', 'purchase') AND ts IS NOT NULL),
-        |w0 AS (SELECT *, min(CASE WHEN s = 'view' THEN t END)
-        |         OVER (PARTITION BY user_id) AS t0 FROM e),
-        |w1 AS (SELECT *, min(CASE WHEN s = 'click' AND t > t0 THEN t END)
-        |         OVER (PARTITION BY user_id) AS t1 FROM w0),
-        |w2 AS (SELECT *, min(CASE WHEN s = 'purchase' AND t > t1 THEN t END)
-        |         OVER (PARTITION BY user_id) AS t2 FROM w1),
-        |u AS (SELECT DISTINCT user_id,
-        |        CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END +
-        |        CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END +
-        |        CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END AS completed
-        |      FROM w2),
-        |st AS (SELECT * FROM (VALUES (0, 'view'), (1, 'click'), (2, 'purchase'))
-        |       v(stage, stage_name))
-        |SELECT st.stage, st.stage_name, count(*) AS n_reached
-        |FROM u CROSS JOIN st WHERE u.completed > st.stage
-        |GROUP BY 1, 2 ORDER BY st.stage""".stripMargin),
+    "q147_x_funnel" -> FunnelReachSql,
+
+    // IDENTICAL oracle: the aggregate path is the hot-key dial on the
+    // same chained-min semantics (the FunnelSpec equality law)
+    "q261_x_funnel_agg" -> FunnelReachSql,
 
     // argmax continuation as the rank-1 row of (c12 DESC, w2) per
     // context — same answer as the min_by((w2,c12), (−c12,w2)) fold;

@@ -155,6 +155,58 @@ object Funnel {
       rescanFunnelByKey(events, keyCols, timeCol, stageCol, stages, maxGap),
       stages)
 
+  /** [[funnelByKey]] computed WITHOUT a per-key window — the hot-key
+    * dial for funnel shapes (the round-8 probe: a window must hold a
+    * key's whole event set in one task; a 91%-hot key pays ~4× with no
+    * AQE recourse). Identical rows by construction: each stage is a
+    * map-side-combinable conditional-min AGGREGATE — partial minima
+    * collapse the hot key inside every input task before the shuffle —
+    * with the chained prior time joined back onto the pruned events
+    * (a join, where AQE skew-splitting DOES apply).
+    *
+    * The trade is explicit: `stages.size` passes over the pruned events
+    * instead of one sorted window pass — wrong below the per-task
+    * budget, right past it. Same `maxGap` chained-min semantics, same
+    * output shape, equality-law-specced against [[funnelByKey]]. */
+  def funnelByKeyAgg(events: DataFrame, keyCols: Seq[String], timeCol: String,
+                     stageCol: String, stages: Seq[String],
+                     maxGap: Option[Long] = None): DataFrame = {
+    require(keyCols.nonEmpty, "funnelByKeyAgg needs at least one key column")
+    require(stages.size >= 2, "a funnel needs at least 2 stages")
+    require(stages.distinct.size == stages.size, "stages must be distinct")
+    maxGap.foreach(g => require(g > 0, s"maxGap must be positive, got $g"))
+    val t = col(timeCol)
+    val pruned = events
+      .filter(col(stageCol).isin(stages: _*) && t.isNotNull)
+      .select(keyCols.map(col) :+ t.as("__t") :+ col(stageCol).as("__s"): _*)
+    var acc = pruned.groupBy(keyCols.map(col): _*)
+      .agg(min(when(col("__s") === stages.head, col("__t"))).as("t_0"))
+    for (i <- 1 until stages.size) {
+      val prev = col(s"t_${i - 1}")
+      val base = col("__s") === stages(i) && col("__t") > prev
+      val cond = maxGap.fold(base)(g => base && col("__t") <= prev + g)
+      val ti = pruned
+        .join(acc.select(keyCols.map(col) :+ prev: _*), keyCols)
+        .groupBy(keyCols.map(col): _*)
+        .agg(min(when(cond, col("__t"))).as(s"t_$i"))
+      acc = acc.join(ti, keyCols)
+    }
+    val tCols = stages.indices.map(i => col(s"t_$i"))
+    val completed = tCols.map(c => when(c.isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("stages_completed", completed)
+  }
+
+  /** [[conversionCounts]] over the aggregate path — same rows, hot-key
+    * immune. */
+  def conversionCountsAgg(events: DataFrame, keyCols: Seq[String],
+                          timeCol: String, stageCol: String,
+                          stages: Seq[String],
+                          maxGap: Option[Long] = None): DataFrame =
+    reachReadout(
+      funnelByKeyAgg(events, keyCols, timeCol, stageCol, stages, maxGap),
+      stages)
+
   /** Shared stage-reach readout over a per-key funnel frame (any variant
     * emitting `stages_completed`). */
   private def reachReadout(byKey: DataFrame, stages: Seq[String]): DataFrame = {

@@ -39,15 +39,87 @@ object Sessionize {
     * micros), and duration. One groupBy after [[byGap]]'s window — the
     * aggregate re-uses the window's hash partitioning on the key. */
   def sessionStats(df: DataFrame, keyCol: String, tsCol: String,
-                   tieCol: String, gapMinutes: Int): DataFrame = {
+                   tieCol: String, gapMinutes: Int): DataFrame =
+    statsOf(byGap(df, keyCol, tsCol, tieCol, gapMinutes), keyCol, tsCol)
+
+  private def statsOf(sessions: DataFrame, keyCol: String,
+                      tsCol: String): DataFrame = {
     val us = unix_micros(col(tsCol))
-    byGap(df, keyCol, tsCol, tieCol, gapMinutes)
+    sessions
       .groupBy(col(keyCol), col("session_idx"))
       .agg(count(lit(1)).as("n_events"),
         min(us).as("start_us"),
         max(us).as("end_us"))
       .withColumn("duration_us", col("end_us") - col("start_us"))
   }
+
+  /** [[byGap]] with the HOT-KEY DIAL engaged: identical output (the
+    * SkewSpec equality law), but the per-key sort parallelizes across
+    * time slices — the mitigation the round-8 hot-key probe showed a
+    * plain per-key window cannot have (one user owning 10M rows
+    * serializes a 10M-row sort into ONE task; AQE skew splitting applies
+    * to joins, not windows).
+    *
+    * Three passes, all slice- or micro-session-bounded:
+    * 1. events sessionize INSIDE each (key, `sliceMinutes`) time slice —
+    *    the hot key becomes #slices parallel tasks;
+    * 2. per-slice micro-sessions (min/max micros) collapse to a per-key
+    *    list ORDERS OF MAGNITUDE smaller than the events (bounded by
+    *    #sessions + #slices), where one tiny ordered window re-merges
+    *    boundary pairs closer than the gap — micro-intervals are
+    *    time-disjoint and ordered, so `lag(max_us)` IS the previous
+    *    event, and the merge reproduces the event-level rule exactly;
+    * 3. the global index joins back on (key, slice, local idx) — a
+    *    composite key the hot key cannot congest.
+    *
+    * Equal timestamps always share a slice (`us div slice`), so the
+    * (ts, tie) sort — and therefore every session assignment and index —
+    * is bit-identical to [[byGap]]'s. Timestamps must be >= epoch (the
+    * slice floor-div contract). `sliceMinutes` trades parallelism
+    * against micro-session count; a day is right when gaps are hours. */
+  def byGapTimeSliced(df: DataFrame, keyCol: String, tsCol: String,
+                      tieCol: String, gapMinutes: Int,
+                      sliceMinutes: Int = 1440): DataFrame = {
+    require(gapMinutes > 0, s"gapMinutes must be positive, got $gapMinutes")
+    require(sliceMinutes > 0, s"sliceMinutes must be positive, got $sliceMinutes")
+    require(!df.columns.contains("session_idx"),
+      "byGapTimeSliced writes session_idx — rename the existing column")
+    val gapUs = gapMinutes * 60L * 1000000L
+    val sliceUs = sliceMinutes * 60L * 1000000L
+    val withSlice = df
+      .withColumn("__us", unix_micros(col(tsCol)))
+      .withColumn("__slice", expr(s"__us div $sliceUs"))
+    val wLoc = Window.partitionBy(col(keyCol), col("__slice"))
+      .orderBy(col(tsCol), col(tieCol))
+    val prevLoc = lag(col("__us"), 1).over(wLoc)
+    val isNewLoc = when(prevLoc.isNull || col("__us") - prevLoc > gapUs, 1L)
+      .otherwise(0L)
+    val ev = withSlice.withColumn("__lidx",
+      sum(isNewLoc).over(wLoc.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    val micro = ev.groupBy(col(keyCol), col("__slice"), col("__lidx"))
+      .agg(min(col("__us")).as("__mn"), max(col("__us")).as("__mx"))
+    val wM = Window.partitionBy(col(keyCol))
+      .orderBy(col("__slice"), col("__lidx"))
+    val prevMx = lag(col("__mx"), 1).over(wM)
+    val isNewG = when(prevMx.isNull || col("__mn") - prevMx > gapUs, 1L)
+      .otherwise(0L)
+    val gidx = micro
+      .withColumn("session_idx",
+        sum(isNewG).over(wM.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .select(col(keyCol), col("__slice"), col("__lidx"), col("session_idx"))
+    ev.join(gidx, Seq(keyCol, "__slice", "__lidx"))
+      .drop("__us", "__slice", "__lidx")
+  }
+
+  /** [[sessionStats]] over the time-sliced path — same rows, hot-key
+    * parallel. */
+  def sessionStatsTimeSliced(df: DataFrame, keyCol: String, tsCol: String,
+                             tieCol: String, gapMinutes: Int,
+                             sliceMinutes: Int = 1440): DataFrame =
+    statsOf(byGapTimeSliced(df, keyCol, tsCol, tieCol, gapMinutes, sliceMinutes),
+      keyCol, tsCol)
 
   /** Top navigation paths — the "how do users actually move" readout
     * stacked on [[byGap]]: each session's first `maxLen` states joined

@@ -160,6 +160,10 @@ object SkewSweep {
         }
       }
       spark.conf.set("spark.sql.adaptive.enabled", true)
+      // the DIAL: time-sliced sessionization on the same hot corpus —
+      // identical rows (oracle-shared with q110), per-(key, slice) sort
+      val sliced = bench(spark, hotDir, Seq("q260_x_sessions_timesliced"))
+      println(f"DIAL  q260 time-sliced sessions  hot=${sliced.values.head}%7.2f s")
       spark.stop(); return
     }
     if (!new java.io.File(s"$zipfDir/lineitem.parquet").isDirectory) {

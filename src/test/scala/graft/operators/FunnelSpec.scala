@@ -265,6 +265,36 @@ class FunnelSpec extends SparkSpec {
       s"expected the RANGE-frame windows + groupBy to share one hash partitioning:\n$p")
   }
 
+  test("funnelByKeyAgg equals funnelByKey on the scenario fixture and LCG streams") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    // the scenario fixture (ties, out-of-order, re-entry, absent keys)
+    assert(rows(Funnel.funnelByKeyAgg(events, Seq("u"), "t", "s", stages)) ==
+      rows(Funnel.funnelByKey(events, Seq("u"), "t", "s", stages)))
+    // LCG streams with and without the gap cap
+    var x = 9L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val ev = (1 to 300).map { _ =>
+      ("u" + math.floorMod(next(), 7L), math.floorMod(next(), 50L),
+        "s" + math.floorMod(next(), 3L))
+    }.toDF("u", "t", "s")
+    val st = Seq("s0", "s1", "s2")
+    Seq(None, Some(8L), Some(20L)).foreach { gap =>
+      assert(rows(Funnel.funnelByKeyAgg(ev, Seq("u"), "t", "s", st, gap)) ==
+        rows(Funnel.funnelByKey(ev, Seq("u"), "t", "s", st, gap)),
+        s"gap=$gap diverged")
+    }
+  }
+
+  test("funnelByKeyAgg plans map-side partial minima (no Window node)") {
+    val p = Funnel.funnelByKeyAgg(events, Seq("u"), "t", "s", stages)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), s"the aggregate path must not plan a window:\n$p")
+    assert(p.contains("partial_min") || p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      s"expected map-side partial aggregation:\n$p")
+  }
+
   test("funnelVariantZ: a variant with ZERO conversions still scores (densified grid)") {
     // A: 2 view, 1 clicks; B: 2 view, 0 click — the strongest effect;
     // the stage-1 row must exist with x_b = 0 and a computable z

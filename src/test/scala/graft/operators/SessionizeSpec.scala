@@ -57,6 +57,40 @@ class SessionizeSpec extends SparkSpec {
     assert(s2.getAs[Long]("n_events") == 1L && s2.getAs[Long]("duration_us") == 0L)
   }
 
+  test("byGapTimeSliced equals byGap — sessions spanning slice boundaries re-merge") {
+    // gap 30 min, slice 60 min: events at 50 and 70 straddle a slice edge
+    // 20 min apart (same session); 61->200 crosses edges with a break
+    val df = Seq(
+      (1L, 1L, ts(0)), (1L, 2L, ts(50)), (1L, 3L, ts(70)),  // one session across slices
+      (1L, 4L, ts(200)), (1L, 5L, ts(210)),                 // second session
+      (2L, 6L, ts(59)), (2L, 7L, ts(60))                    // boundary-adjacent pair merges
+    ).toDF("uid", "eid", "t")
+    def rows(d: org.apache.spark.sql.DataFrame) = d
+      .select("uid", "eid", "session_idx").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = rows(Sessionize.byGap(df, "uid", "t", "eid", 30))
+    val sliced = rows(Sessionize.byGapTimeSliced(df, "uid", "t", "eid", 30,
+      sliceMinutes = 60))
+    assert(sliced == plain)
+    assert(plain.count(_._1 == 1L) == 5)
+  }
+
+  test("byGapTimeSliced: slice-width invariance on LCG streams (the equality law)") {
+    var x = 42L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    val ev = (1 to 400).map { i =>
+      (math.floorMod(next(), 5L), i.toLong, ts(math.floorMod(next(), 3000L)))
+    }.toDF("uid", "eid", "t")
+    val plain = Sessionize.sessionStats(ev, "uid", "t", "eid", 45)
+      .collect().map(_.toSeq).toSet
+    // slices much smaller than, equal to, and larger than the gap
+    Seq(10, 45, 300, 10000).foreach { slice =>
+      val sliced = Sessionize.sessionStatsTimeSliced(ev, "uid", "t", "eid", 45,
+        sliceMinutes = slice).collect().map(_.toSeq).toSet
+      assert(sliced == plain, s"sliceMinutes=$slice diverged")
+    }
+  }
+
   test("topPaths: sessions become ordered truncated paths, counted and ranked") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
