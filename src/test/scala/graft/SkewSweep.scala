@@ -160,10 +160,13 @@ object SkewSweep {
         }
       }
       spark.conf.set("spark.sql.adaptive.enabled", true)
-      // the DIAL: time-sliced sessionization on the same hot corpus —
-      // identical rows (oracle-shared with q110), per-(key, slice) sort
-      val sliced = bench(spark, hotDir, Seq("q260_x_sessions_timesliced"))
-      println(f"DIAL  q260 time-sliced sessions  hot=${sliced.values.head}%7.2f s")
+      // the DIALS: identical rows (oracle-shared with q110/q147), but the
+      // hot key parallelizes — per-(key, slice) sort / map-side minima
+      val dials = bench(spark, hotDir,
+        Seq("q260_x_sessions_timesliced", "q261_x_funnel_agg"))
+      dials.toSeq.sortBy(_._1).foreach { case (n, t) =>
+        println(f"DIAL  $n%-28s hot=$t%7.2f s")
+      }
       spark.stop(); return
     }
     if (!new java.io.File(s"$zipfDir/lineitem.parquet").isDirectory) {
