@@ -3239,7 +3239,18 @@ object SparkEntry {
           Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
           Seq("user_id"), "tsu", "event_type",
           Seq("view", "click", "purchase"))
-        .orderBy("stage"))
+        .orderBy("stage")),
+
+    // ---- extension: Fleiss' kappa — q223's chance-corrected agreement
+    // generalized to many ratings per item (items = users, ratings =
+    // their events, categories = event types: "are a user's events
+    // type-consistent beyond chance"), variable-n form
+    "q262_x_fleiss_kappa" -> tuned((s, d) =>
+      graft.operators.Metrics.fleissKappa(
+          Tables.events(s, d)
+            .withColumn("cohort", pmod(col("user_id"), lit(2L))),
+          Seq("cohort"), "user_id", "event_type")
+        .orderBy("cohort"))
   )
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
@@ -5826,6 +5837,50 @@ object SparkEntry {
     // IDENTICAL oracle: the aggregate path is the hot-key dial on the
     // same chained-min semantics (the FunnelSpec equality law)
     "q261_x_funnel_agg" -> FunnelReachSql,
+
+    // the same cell grid, per-item e9 agreement terms, HUGEINT pooled
+    // category squares, one signed fixed tree; single-rating items and
+    // their ratings are out of BOTH the mean and the chance rate
+    "q262_x_fleiss_kappa" ->
+      ("""WITH r AS (
+        |  SELECT CAST(user_id % 2 AS BIGINT) AS cohort, user_id AS it,
+        |         event_type AS c
+        |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+        |cells AS (SELECT cohort, it, c, CAST(count(*) AS BIGINT) AS n
+        |          FROM r GROUP BY 1, 2, 3),
+        |itot AS (SELECT cohort, it, CAST(sum(n) AS BIGINT) AS ni,
+        |                CAST(sum(n * (n - 1)) AS BIGINT) AS agree
+        |         FROM cells GROUP BY 1, 2 HAVING sum(n) >= 2),
+        |items AS (SELECT cohort, CAST(count(*) AS BIGINT) AS n_items,
+        |                 CAST(sum(ni) AS BIGINT) AS n_ratings,
+        |                 CAST(sum(CAST(floor(CAST(agree AS DOUBLE)
+        |                   / CAST(ni * (ni - 1) AS DOUBLE)
+        |                   * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS sp
+        |          FROM itot GROUP BY 1),
+        |cats AS (SELECT cohort, CAST(sum(nc) AS BIGINT) AS nt,
+        |                sum(CAST(nc AS HUGEINT) * nc) AS snc2
+        |         FROM (SELECT cells.cohort, cells.c,
+        |                      CAST(sum(cells.n) AS BIGINT) AS nc
+        |               FROM cells JOIN itot ON cells.cohort = itot.cohort
+        |                 AND cells.it = itot.it
+        |               GROUP BY 1, 2) GROUP BY 1)
+        |SELECT i.cohort, n_items, n_ratings,
+        |  CAST(floor(CAST(sp AS DOUBLE) / 1000000000.0 / CAST(n_items AS DOUBLE)
+        |    * 1000000 + 0.5) AS BIGINT) AS pbar_e6,
+        |  CAST(floor(CAST(snc2 AS DOUBLE)
+        |    / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) AS pe_e6,
+        |  CASE WHEN CAST(snc2 AS DOUBLE)
+        |         / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)) < 1.0 THEN
+        |    CAST(floor((CAST(sp AS DOUBLE) / 1000000000.0
+        |        / CAST(n_items AS DOUBLE)
+        |      - CAST(snc2 AS DOUBLE)
+        |        / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)))
+        |      / (1.0 - CAST(snc2 AS DOUBLE)
+        |        / (CAST(nt AS DOUBLE) * CAST(nt AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) END AS kappa_e6
+        |FROM items i JOIN cats ON i.cohort = cats.cohort
+        |ORDER BY i.cohort""".stripMargin),
 
     // argmax continuation as the rank-1 row of (c12 DESC, w2) per
     // context — same answer as the min_by((w2,c12), (−c12,w2)) fold;

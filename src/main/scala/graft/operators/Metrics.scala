@@ -640,6 +640,81 @@ object Metrics {
       .drop("__diag", "__rc")
   }
 
+  /** Per-key Fleiss' kappa — chance-corrected agreement generalized to
+    * MANY ratings per item ([[cohenKappa]] is exactly two named raters;
+    * Fleiss asks "do an item's n_i ratings agree beyond chance", the
+    * multi-annotator / within-entity-consistency readout). Variable-n
+    * form: per-item agreement `P_i = Σ_c n_ic(n_ic−1) / (n_i(n_i−1))`,
+    * `P̄` its mean over items, chance rate `P̄e = Σ_c p_c²` from the
+    * pooled category shares, `κ = (P̄ − P̄e)/(1 − P̄e)` — reduces to the
+    * classic equal-n Fleiss (1971) when every item has the same count.
+    *
+    * Exactness: ONE (key, item, category) cell aggregate; `P_i` is one
+    * fixed double tree over exact integers e9-quantized PER ITEM and
+    * integer-summed (order-independent); `Σ n_c²` accumulates as
+    * DECIMAL(38,0); κ is one fixed tree over the integer pieces,
+    * e6-quantized, signed (floor(x+0.5) rounds identically on
+    * negatives). Items with fewer than 2 ratings carry no agreement
+    * evidence and drop; keys where one category takes every rating
+    * (`P̄e = 1`) emit null κ.
+    *
+    * Scale shape: grid-shaped after the map-side-combined cell
+    * aggregate, like [[cohenKappa]]. Output: `(keys…, n_items,
+    * n_ratings, pbar_e6, pe_e6, kappa_e6)`. */
+  def fleissKappa(df: DataFrame, keyCols: Seq[String], itemCol: String,
+                  categoryCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "fleissKappa needs at least one key column")
+    val k = keyCols.map(col)
+    val cells = df.filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(k :+ col(itemCol).as("__it") :+ col(categoryCol).as("__c"): _*)
+      .agg(count(lit(1)).as("__n"))
+      // lazy localCheckpoint (the brierDecomposition pattern): the cell
+      // grid feeds the per-item and per-category re-aggregations
+      .localCheckpoint(false)
+    val itemTot = cells.groupBy(k :+ col("__it"): _*)
+      .agg(sum(col("__n")).as("__ni"),
+        sum(col("__n") * (col("__n") - 1L)).as("__agree"))
+      .filter(col("__ni") >= 2)
+    val items = itemTot
+      .withColumn("__pi_e9", expr(
+        """cast(floor(cast(__agree as double) / cast(__ni * (__ni - 1) as double)
+          |  * 1000000000 + 0.5) as bigint)""".stripMargin))
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n_items"), sum(col("__ni")).as("n_ratings"),
+        sum(col("__pi_e9")).as("__sp"))
+    // pooled category shares over the SAME population P-bar averages:
+    // single-rating items are out of the agreement mean, so they must be
+    // out of the chance rate too (at uniform n this is the classic form)
+    val cats = cells
+      .join(itemTot.select(k :+ col("__it"): _*), keyCols :+ "__it")
+      .groupBy(k :+ col("__c"): _*)
+      .agg(sum(col("__n")).as("__nc"))
+      .groupBy(k: _*)
+      .agg(sum(col("__nc")).as("__nt"),
+        sum(expr("cast(__nc as decimal(38,0)) * __nc")).as("__snc2"))
+    items.join(cats, keyCols)
+      .withColumn("pbar_e6", expr(
+        """cast(floor(cast(__sp as double) / 1000000000.0 / cast(n_items as double)
+          |  * 1000000 + 0.5) as bigint)""".stripMargin))
+      .withColumn("pe_e6", expr(
+        """cast(floor(cast(__snc2 as double)
+          |  / (cast(__nt as double) * cast(__nt as double))
+          |  * 1000000 + 0.5) as bigint)""".stripMargin))
+      .withColumn("kappa_e6", expr(
+        """case when cast(__snc2 as double)
+          |       / (cast(__nt as double) * cast(__nt as double)) < 1.0 then
+          |  cast(floor(
+          |    (cast(__sp as double) / 1000000000.0 / cast(n_items as double)
+          |     - cast(__snc2 as double)
+          |       / (cast(__nt as double) * cast(__nt as double)))
+          |    / (1.0 - cast(__snc2 as double)
+          |       / (cast(__nt as double) * cast(__nt as double)))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .select(k :+ col("n_items") :+ col("n_ratings") :+ col("pbar_e6") :+
+        col("pe_e6") :+ col("kappa_e6"): _*)
+  }
+
   /** Per-key normalized mutual information between two categorical
     * columns — the information-theoretic agreement readout beside
     * [[cohenKappa]]'s chance-corrected one: κ needs the two columns to

@@ -298,6 +298,40 @@ class MetricsSpec extends SparkSpec {
       Seq(0L, 500000000L, 1000000000L))
   }
 
+  test("fleissKappa: perfect agreement scores 1; hand-computed mixed case; degenerate null") {
+    // perfect: each item unanimous, two categories across items
+    val perfect = Seq.tabulate(4, 3)((i, _) => ("p", s"i$i", if (i < 2) "a" else "b"))
+      .flatten
+    val out = Metrics.fleissKappa(perfect.toDF("k", "item", "cat"),
+      Seq("k"), "item", "cat").collect().head
+    assert(out.getAs[Long]("kappa_e6") == 1000000L)
+    assert(out.getAs[Long]("n_items") == 4L && out.getAs[Long]("n_ratings") == 12L)
+    // mixed, variable n: i0 = (a,a,b), i1 = (a,b), i2 = (b,b,b,b); i3 = (a) drops
+    val mixed = Seq(
+      ("m", "i0", "a"), ("m", "i0", "a"), ("m", "i0", "b"),
+      ("m", "i1", "a"), ("m", "i1", "b"),
+      ("m", "i2", "b"), ("m", "i2", "b"), ("m", "i2", "b"), ("m", "i2", "b"),
+      ("m", "i3", "a"))
+    val r = Metrics.fleissKappa(mixed.toDF("k", "item", "cat"),
+      Seq("k"), "item", "cat").collect().head
+    // reference computation with the same quantization
+    val pis = Seq((2L * 1 + 0L, 3L * 2), (0L, 2L * 1), (4L * 3, 4L * 3)).map {
+      case (agree, den) => math.floor(agree.toDouble / den * 1e9 + 0.5).toLong
+    }
+    val pbar = pis.sum.toDouble / 1e9 / 3
+    // qualifying ratings: a = 2+1 = 3, b = 1+1+4 = 6, total 9
+    val pe = (3.0 * 3 + 6.0 * 6) / (9.0 * 9)
+    val kExp = math.floor((pbar - pe) / (1.0 - pe) * 1e6 + 0.5).toLong
+    assert(r.getAs[Long]("n_items") == 3L && r.getAs[Long]("n_ratings") == 9L)
+    assert(r.getAs[Long]("kappa_e6") == kExp,
+      s"kappa=${r.getAs[Long]("kappa_e6")} exp=$kExp")
+    // one category only -> pe = 1 -> null kappa
+    val mono = Seq(("d", "i0", "x"), ("d", "i0", "x"), ("d", "i1", "x"), ("d", "i1", "x"))
+    val rd = Metrics.fleissKappa(mono.toDF("k", "item", "cat"),
+      Seq("k"), "item", "cat").collect().head
+    assert(rd.get(rd.fieldIndex("kappa_e6")) == null)
+  }
+
   test("normalizedMutualInfo: 1 on a bijection, 0 under independence, null degenerate") {
     // bijective: a determines b exactly -> MI = H_a = H_b -> NMI = 1
     val bij = Seq(("k1", "x", 1), ("k1", "y", 2), ("k1", "x", 1), ("k1", "y", 2))
