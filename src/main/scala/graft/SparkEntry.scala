@@ -3250,8 +3250,40 @@ object SparkEntry {
           Tables.events(s, d)
             .withColumn("cohort", pmod(col("user_id"), lit(2L))),
           Seq("cohort"), "user_id", "event_type")
-        .orderBy("cohort"))
+        .orderBy("cohort")),
+
+    // ---- extension: exact sign test — distribution-free "up more often
+    // than chance" per (segment, priority) revenue series; the binomial
+    // tails are exact BigInt sums, quantized with pure integer
+    // arithmetic, so the recursive-CTE oracle is bit-identical
+    "q263_x_sign_test" -> tuned((s, d) =>
+      graft.stats.Diagnostics.signTest(
+          monthlySegPrio(s, d),
+          Seq("c_mktsegment", "o_orderpriority"), "month", "cents")
+        .orderBy("c_mktsegment", "o_orderpriority")),
+
+    // ---- extension: Benjamini-Hochberg step-up FDR over the q263
+    // family — 25 hypotheses, integer threshold test, deterministic
+    // tie-break; the guard every per-key test needs before anyone acts
+    // on the smallest of 25 p-values
+    "q264_x_bh_fdr" -> tuned((s, d) =>
+      graft.operators.Metrics.bhCorrect(
+          graft.stats.Diagnostics.signTest(
+            monthlySegPrio(s, d),
+            Seq("c_mktsegment", "o_orderpriority"), "month", "cents"),
+          "p_e9", qPermille = 50,
+          tieCols = Seq("c_mktsegment", "o_orderpriority"))
+        .orderBy("rank"))
   )
+
+  /** Monthly revenue cents per (market segment, order priority) — the
+    * 25-series hypothesis family shared by q263/q264. */
+  private def monthlySegPrio(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"), col("o_orderpriority"),
+        Cols.monthStart(col("o_orderdate")).as("month"))
+      .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long").as("cents"))
 
   /** Deterministic 2-token-per-line derivation shared by q80/q81 and
     * their oracles: the testdata documents are single-line word streams,
@@ -3674,6 +3706,42 @@ object SparkEntry {
     * integer sums per (label, side, component), HUGEINT cross-products,
     * one double tree — the streaming twin maintains the identical grid,
     * so both queries replay one SQL. */
+  /** The exact-binomial sign-test oracle CTEs over the (segment,
+    * priority) monthly-revenue family — shared by q263 (the p-values)
+    * and q264 (the BH step-up over them). Binomial coefficients build
+    * through a recursive HUGEINT CTE via the always-divisible
+    * `C(n,i+1) = C(n,i)·(n−i)/(i+1)`; the e9 quantization is the pure
+    * integer `(num·2·10⁹ + tot) // (2·tot)` the Spark kernel computes
+    * with BigInt — bit-identical by construction. */
+  private lazy val SignTestCtes: String =
+    """rev AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2, 3),
+      |d AS (SELECT seg, prio,
+      |             y - lag(y) OVER (PARTITION BY seg, prio ORDER BY month) AS df
+      |      FROM rev),
+      |g AS (SELECT seg, prio, CAST(count(*) AS BIGINT) AS n,
+      |             CAST(sum(CASE WHEN df > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+      |      FROM d WHERE df IS NOT NULL AND df <> 0 GROUP BY 1, 2),
+      |rec(seg, prio, n, k, i, c) AS (
+      |  SELECT seg, prio, n, k, CAST(0 AS BIGINT), CAST(1 AS HUGEINT) FROM g
+      |  UNION ALL
+      |  SELECT seg, prio, n, k, i + 1, c * (n - i) // (i + 1)
+      |  FROM rec WHERE i < n),
+      |t AS (SELECT seg, prio, max(n) AS n, max(k) AS k,
+      |             sum(CASE WHEN i <= k THEN c END) AS lo,
+      |             sum(CASE WHEN i >= k THEN c END) AS hi,
+      |             sum(c) AS tot
+      |      FROM rec GROUP BY 1, 2),
+      |p AS (SELECT seg, prio, n, k,
+      |        CAST(least(CAST(1000000000 AS HUGEINT),
+      |          (2 * least(lo, hi) * 2000000000 + tot) // (2 * tot))
+      |          AS BIGINT) AS p_e9
+      |      FROM t)""".stripMargin
+
   /** The chained-min funnel-reach oracle — ONE definition shared by q147
     * (window path) and q261 (the aggregate hot-key dial), because the two
     * plans are contractually the same rows. */
@@ -5881,6 +5949,29 @@ object SparkEntry {
         |      * 1000000 + 0.5) AS BIGINT) END AS kappa_e6
         |FROM items i JOIN cats ON i.cohort = cats.cohort
         |ORDER BY i.cohort""".stripMargin),
+
+    "q263_x_sign_test" ->
+      (s"""WITH RECURSIVE $SignTestCtes
+        |SELECT seg AS c_mktsegment, prio AS o_orderpriority,
+        |       n AS n_eff, k AS k_pos, p_e9
+        |FROM p ORDER BY 1, 2""".stripMargin),
+
+    // rank by (p, tie cols), integer step-up boundary, max passing rank
+    // rescues everything below it
+    "q264_x_bh_fdr" ->
+      (s"""WITH RECURSIVE $SignTestCtes,
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_e9, seg, prio)
+        |               AS INT) AS rank,
+        |             CAST(count(*) OVER () AS BIGINT) AS m
+        |      FROM p),
+        |f AS (SELECT *, max(CASE WHEN p_e9 * 1000 * m
+        |               <= rank * 50 * CAST(1000000000 AS BIGINT) THEN rank END)
+        |               OVER () AS kmax
+        |      FROM r)
+        |SELECT seg AS c_mktsegment, prio AS o_orderpriority,
+        |       n AS n_eff, k AS k_pos, p_e9, rank,
+        |       coalesce(rank <= kmax, false) AS rejected
+        |FROM f ORDER BY rank""".stripMargin),
 
     // argmax continuation as the rank-1 row of (c12 DESC, w2) per
     // context — same answer as the min_by((w2,c12), (−c12,w2)) fold;

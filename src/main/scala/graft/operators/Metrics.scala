@@ -715,6 +715,42 @@ object Metrics {
         col("pe_e6") :+ col("kappa_e6"): _*)
   }
 
+  /** Benjamini–Hochberg step-up FDR correction over a FAMILY of
+    * hypotheses — the multiple-testing guard every per-key test in this
+    * engine (sign test, Welch, Mann-Kendall…) needs before anyone reads
+    * 125 p-values and acts on the smallest: rank the p's ascending,
+    * find the largest k with `p_(k) ≤ k·q/m`, reject ranks 1..k.
+    *
+    * Exactness: with `p` carried as an e9 integer the threshold test is
+    * PURE integer arithmetic — `p_e9·1000·m ≤ rank·q‰·10⁹` — so the
+    * step-up boundary cannot drift between engines (a float threshold
+    * would flip verdicts at exact-tie ranks). Ties on `p_e9` order by
+    * `tieCols` so the ranking is total and deterministic.
+    *
+    * Scale shape: the family is grid-sized BY DEFINITION (one row per
+    * hypothesis, not per observation), so the unpartitioned ranking
+    * window is a documented single-partition contract (the
+    * packSequences convention). Output: input columns plus
+    * `(rank, rejected)`. */
+  def bhCorrect(df: DataFrame, pE9Col: String, qPermille: Int,
+                tieCols: Seq[String]): DataFrame = {
+    require(qPermille >= 1 && qPermille <= 999,
+      s"qPermille must be in [1, 999], got $qPermille")
+    require(tieCols.nonEmpty, "bhCorrect needs tie-break columns")
+    val wRank = Window.orderBy(col(pE9Col) +: tieCols.map(col): _*)
+    val wAll = Window.partitionBy(lit(1))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    df.filter(col(pE9Col).isNotNull)
+      .withColumn("rank", row_number().over(wRank))
+      .withColumn("__m", count(lit(1)).over(wAll))
+      .withColumn("__flag",
+        col(pE9Col) * 1000L * col("__m") <= col("rank") * qPermille * 1000000000L)
+      .withColumn("__kmax", max(when(col("__flag"), col("rank"))).over(wAll))
+      .withColumn("rejected",
+        coalesce(col("rank") <= col("__kmax"), lit(false)))
+      .drop("__m", "__flag", "__kmax")
+  }
+
   /** Per-key normalized mutual information between two categorical
     * columns — the information-theoretic agreement readout beside
     * [[cohenKappa]]'s chance-corrected one: κ needs the two columns to

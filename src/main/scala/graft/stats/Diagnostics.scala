@@ -338,6 +338,57 @@ object Diagnostics {
       (eta < lit(0.463)).as("stationary5"): _*)
   }
 
+  /** Exact two-sided sign test per key — "did this series go up more
+    * often than chance" with NO distributional assumption and an EXACT
+    * binomial p-value (the nonparametric screen under [[mannKendall]]'s
+    * trend test; MK weighs magnitude ranks, the sign test only
+    * directions): over the nonzero month-over-month differences,
+    * `p = min(1, 2·min(P(X ≤ k), P(X ≥ k)))` for `X ~ Bin(n, ½)`.
+    *
+    * Exactness: the binomial tails are exact BigInt sums of `C(n, i)`
+    * via the integer recurrence `C(n,i+1) = C(n,i)·(n−i)/(i+1)` (always
+    * divides evenly), and the e9 quantization is the pure-integer
+    * `⌊x + ½⌋ = (num·2·10⁹ + tot) div (2·tot)` — no float anywhere, so
+    * the oracle replays it with a recursive HUGEINT CTE bit-for-bit.
+    * `n` caps at 95: past that `2ⁿ·2·10⁹` exceeds HUGEINT/the exact
+    * window — the operator fails loud rather than rounding.
+    *
+    * Scale shape: one lag window per key (shared sort), one count
+    * aggregate, and the binomial kernel runs on the (key, n, k) GRID —
+    * a udf, but a grid-sized one (the documented exception: no built-in
+    * exact big-integer binomial exists). Output: `(keys…, n_eff, k_pos,
+    * p_e9)`; keys with no nonzero difference emit nothing. */
+  def signTest(df: DataFrame, keyCols: Seq[String], orderCol: String,
+               valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "signTest needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ord"))
+    val y = col(valueCol).cast("long")
+    val diffs = df.filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select(keyCols.map(col) :+ col(orderCol).as("__ord") :+ y.as("__y"): _*)
+      .withColumn("__d", col("__y") - lag(col("__y"), 1).over(w))
+      .filter(col("__d").isNotNull && col("__d") =!= 0)
+    val pE9 = udf((n: Long, k: Long) => {
+      require(n <= 95,
+        s"signTest exact binomial caps n at 95 (HUGEINT replay bound), got $n")
+      var c = BigInt(1); var lo = BigInt(0); var hi = BigInt(0); var tot = BigInt(0)
+      var i = 0L
+      while (i <= n) {
+        if (i <= k) lo += c
+        if (i >= k) hi += c
+        tot += c
+        c = c * (n - i) / (i + 1)
+        i += 1
+      }
+      val num = (lo min hi) * 2
+      math.min(1000000000L, ((num * 2000000000L + tot) / (tot * 2)).toLong)
+    })
+    diffs.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_eff"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("k_pos"))
+      .withColumn("p_e9", pE9(col("n_eff"), col("k_pos")))
+  }
+
   private val mkSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

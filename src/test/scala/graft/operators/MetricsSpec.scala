@@ -298,6 +298,27 @@ class MetricsSpec extends SparkSpec {
       Seq(0L, 500000000L, 1000000000L))
   }
 
+  test("bhCorrect: textbook step-up — a failing middle rank is rescued by a later pass") {
+    // p = .001, .040, .050 at q = .05, m = 3: thresholds .0167/.0333/.05 —
+    // rank 2 fails ITS threshold but rank 3 passes, so step-up rejects ALL
+    val df = Seq(("h1", 1000000L), ("h2", 40000000L), ("h3", 50000000L))
+      .toDF("h", "p_e9")
+    val out = Metrics.bhCorrect(df, "p_e9", qPermille = 50, tieCols = Seq("h"))
+      .collect().map(r => r.getAs[String]("h") ->
+        (r.getAs[Int]("rank"), r.getAs[Boolean]("rejected"))).toMap
+    assert(out == Map("h1" -> (1, true), "h2" -> (2, true), "h3" -> (3, true)))
+    // and with an un-rescuable tail: only the passing prefix rejects
+    val df2 = Seq(("a", 10000000L), ("b", 20000000L), ("c", 30000000L),
+      ("d", 500000000L)).toDF("h", "p_e9")
+    val out2 = Metrics.bhCorrect(df2, "p_e9", 50, Seq("h"))
+      .collect().map(r => r.getAs[String]("h") -> r.getAs[Boolean]("rejected")).toMap
+    assert(out2 == Map("a" -> true, "b" -> true, "c" -> true, "d" -> false))
+    // nothing passes -> nothing rejected (kmax null path)
+    val none = Metrics.bhCorrect(Seq(("z", 900000000L)).toDF("h", "p_e9"),
+      "p_e9", 50, Seq("h")).collect().head
+    assert(!none.getAs[Boolean]("rejected"))
+  }
+
   test("fleissKappa: perfect agreement scores 1; hand-computed mixed case; degenerate null") {
     // perfect: each item unanimous, two categories across items
     val perfect = Seq.tabulate(4, 3)((i, _) => ("p", s"i$i", if (i < 2) "a" else "b"))

@@ -249,6 +249,28 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out("const").get(out("const").fieldIndex("stationary5")) == null)
   }
 
+  test("signTest: exact binomial tails, cap at 1, zero diffs dropped") {
+    // strictly increasing: 9 diffs all positive -> p = 2*C(9,9)/2^9 = 1/256
+    val up = (0 until 10).map(i => ("up", i, i * 10L))
+    // 8 of 10 positive: p = 2*(C(10,8)+C(10,9)+C(10,10))/2^10 = 112/1024
+    val mixDiffs = Seq(1L, 1, 1, 1, -1, 1, 1, -1, 1, 1)
+    val mix = ("mix", 0, 100L) +: mixDiffs.zipWithIndex.map { case (d, i) =>
+      ("mix", i + 1, 100L + mixDiffs.take(i + 1).sum)
+    }
+    // alternating with a tie step (0 diff dropped): balanced -> p caps at 1
+    val bal = (0 until 11).map(i => ("bal", i,
+      if (i == 5) 50L else if (i % 2 == 0) 40L else 60L))
+    val out = Diagnostics.signTest((up ++ mix ++ bal).toDF("k", "t", "v"),
+      Seq("k"), "t", "v").collect().map(r => r.getString(0) -> r).toMap
+    assert(out("up").getAs[Long]("n_eff") == 9L)
+    assert(out("up").getAs[Long]("k_pos") == 9L)
+    assert(out("up").getAs[Long]("p_e9") == 3906250L) // 1/256 e9, exact
+    assert(out("mix").getAs[Long]("n_eff") == 10L)
+    assert(out("mix").getAs[Long]("k_pos") == 8L)
+    assert(out("mix").getAs[Long]("p_e9") == 109375000L) // 112/1024 e9
+    assert(out("bal").getAs[Long]("p_e9") == 1000000000L)
+  }
+
   test("theilSen: exact line, outlier robustness, lower-median convention") {
     // pure line y = 5t + 3: every pairwise slope is exactly 5e6
     val line = (0 until 12).map(i => ("line", i, i * 5.0 + 3))
