@@ -3273,7 +3273,24 @@ object SparkEntry {
             Seq("c_mktsegment", "o_orderpriority"), "month", "cents"),
           "p_e9", qPermille = 50,
           tieCols = Seq("c_mktsegment", "o_orderpriority"))
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // ---- extension: Holt-Winters additive triple smoothing — the
+    // seasonal tier above q141's Holt: integer-cents init sums are
+    // order-free, the recursion is a fixed IEEE sequence with exact
+    // binary constants, and the oracle's recursive CTE carries the 12
+    // seasonals as an ordered list — bit-for-bit replay
+    "q265_x_holt_winters" -> tuned((s, d) =>
+      graft.stats.Diagnostics.holtWintersForecast(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).cast("long")
+              .as("cents")),
+          Nil, "month", "cents", period = 12, alpha = 0.5, beta = 0.25,
+          gamma = 0.25, horizon = 12)
+        .select(col("key"), col("n_obs"), round(col("level"), 4).as("level"),
+          round(col("trend"), 4).as("trend"), col("step"), col("forecast"))
+        .orderBy("step"))
   )
 
   /** Monthly revenue cents per (market segment, order priority) — the
@@ -5972,6 +5989,49 @@ object SparkEntry {
         |       n AS n_eff, k AS k_pos, p_e9, rank,
         |       coalesce(rank <= kmax, false) AS rejected
         |FROM f ORDER BY rank""".stripMargin),
+
+    // the identical recursion with the 12 seasonals as an ordered LIST
+    // recursion column: s[1] is s_{t-m}, the update appends the new
+    // seasonal; l_t's expression repeats verbatim inside b and s (same
+    // double); integer-cents init sums are order-free
+    "q265_x_holt_winters" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y FROM m),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM o),
+        |i1 AS (SELECT CAST(sum(y) AS BIGINT) AS s1 FROM o WHERE t <= 12),
+        |i2 AS (SELECT CAST(sum(y) AS BIGINT) AS s2 FROM o
+        |       WHERE t > 12 AND t <= 24),
+        |s0 AS (SELECT list(CAST(y AS DOUBLE) - CAST(i1.s1 AS DOUBLE) / 12.0
+        |                   ORDER BY t) AS s
+        |       FROM o, i1 WHERE t <= 12),
+        |init AS (SELECT CAST(12 AS BIGINT) AS t,
+        |                CAST(i1.s1 AS DOUBLE) / 12.0 AS l,
+        |                (CAST(i2.s2 AS DOUBLE) / 12.0
+        |                 - CAST(i1.s1 AS DOUBLE) / 12.0) / 12.0 AS b,
+        |                s0.s AS s
+        |         FROM i1, i2, s0),
+        |rec(t, l, b, s) AS (
+        |  SELECT t, l, b, s FROM init
+        |  UNION ALL
+        |  SELECT r.t + 1,
+        |    0.5 * (CAST(o.y AS DOUBLE) - r.s[1]) + 0.5 * (r.l + r.b),
+        |    0.25 * ((0.5 * (CAST(o.y AS DOUBLE) - r.s[1])
+        |             + 0.5 * (r.l + r.b)) - r.l) + 0.75 * r.b,
+        |    r.s[2:] || [0.25 * (CAST(o.y AS DOUBLE)
+        |      - (0.5 * (CAST(o.y AS DOUBLE) - r.s[1]) + 0.5 * (r.l + r.b)))
+        |      + 0.75 * r.s[1]]
+        |  FROM rec r JOIN o ON o.t = r.t + 1),
+        |fin AS (SELECT r.l, r.b, r.s FROM rec r, nn WHERE r.t = nn.n)
+        |SELECT 'all' AS key, CAST(nn.n AS INT) AS n_obs,
+        |  round(fin.l, 4) AS level, round(fin.b, 4) AS trend,
+        |  CAST(h.h AS INT) AS step,
+        |  floor((fin.l + h.h * fin.b + fin.s[((h.h - 1) % 12) + 1])
+        |    * 10000 + 0.5) / 10000 AS forecast
+        |FROM fin, nn, (SELECT unnest(generate_series(1, 12)) AS h) h
+        |ORDER BY step""".stripMargin),
 
     // argmax continuation as the rank-1 row of (c12 DESC, w2) per
     // context — same answer as the min_by((w2,c12), (−c12,w2)) fold;

@@ -205,6 +205,78 @@ object Diagnostics {
       .toDF()
   }
 
+  private val hwSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("level", DoubleType),
+    StructField("trend", DoubleType),
+    StructField("step", IntegerType),
+    StructField("forecast", DoubleType)))
+
+  /** Holt–Winters ADDITIVE triple exponential smoothing per key — the
+    * seasonal tier above [[holtForecast]] (level + trend + a `period`-
+    * slot seasonal state): `lₜ = α(yₜ − sₜ₋ₘ) + (1−α)(lₜ₋₁ + bₜ₋₁)`,
+    * `bₜ = β(lₜ − lₜ₋₁) + (1−β)bₜ₋₁`, `sₜ = γ(yₜ − lₜ) + (1−γ)sₜ₋ₘ`,
+    * forecast `l_n + h·b_n + s_{n+h−m⌈h/m⌉}`. Fixed smoothing constants
+    * (pass exact binary fractions), classical two-cycle init:
+    * `l₀ = mean(y₁..yₘ)`, `b₀ = (mean(yₘ₊₁..y₂ₘ) − mean(y₁..yₘ))/m`,
+    * `sᵢ = yᵢ − l₀`; the recursion starts at t = m+1. Series shorter
+    * than 2m yield no rows.
+    *
+    * Determinism (the q117/holt property): `valueCol` must be INTEGER-
+    * quantized (cents) — the init means divide exact integer sums, so
+    * they are order-free — and with exact-binary-fraction constants the
+    * recursion is a fixed IEEE sequence a recursive SQL CTE (carrying
+    * the m seasonals as an ordered LIST column) replays bit-for-bit;
+    * forecasts are e4-quantized only as a hash-stability belt.
+    *
+    * Scale shape: [[holtForecast]]'s — each key's series smooths inside
+    * its executor; a million keys = a million independent O(n) kernels.
+    * Output: one row per (key, step 1..horizon) with the final
+    * `level`/`trend`. */
+  def holtWintersForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                          valueCol: String, period: Int, alpha: Double,
+                          beta: Double, gamma: Double, horizon: Int,
+                          roundTo: Int = 4): DataFrame = {
+    require(period >= 2, s"period must be >= 2, got $period")
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(beta >= 0 && beta <= 1, s"beta must be in [0, 1], got $beta")
+    require(gamma >= 0 && gamma <= 1, s"gamma must be in [0, 1], got $gamma")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val q = math.pow(10, roundTo)
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        val m = period
+        if (n < 2 * m) Iterator.empty
+        else {
+          var s1 = 0.0; var s2 = 0.0
+          var i = 0
+          while (i < m) { s1 += y(i); i += 1 }
+          while (i < 2 * m) { s2 += y(i); i += 1 }
+          var l = s1 / m
+          var b = (s2 / m - s1 / m) / m
+          val s = Array.tabulate(m)(j => y(j) - s1 / m)
+          var t = m
+          while (t < n) {
+            val sOld = s(t % m)
+            val lNew = alpha * (y(t) - sOld) + (1 - alpha) * (l + b)
+            b = beta * (lNew - l) + (1 - beta) * b
+            s(t % m) = gamma * (y(t) - lNew) + (1 - gamma) * sOld
+            l = lNew
+            t += 1
+          }
+          (1 to horizon).iterator.map { h =>
+            val f = l + h * b + s((n + h - 1) % m)
+            Row(key, n, l, b, h, math.floor(f * q + 0.5) / q)
+          }
+        }
+      }(Encoders.row(hwSchema))
+      .toDF()
+  }
+
   /** Fixed-lag-1 Augmented Dickey-Fuller unit-root t-statistic per key —
     * the closed-form-checkable slice of [[TimeSeriesStats.adf]] (which
     * adds AIC lag selection on top of exactly this regression): regress

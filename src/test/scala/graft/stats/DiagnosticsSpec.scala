@@ -249,6 +249,29 @@ class DiagnosticsSpec extends SparkSpec {
     assert(out("const").get(out("const").fieldIndex("stationary5")) == null)
   }
 
+  test("holtWintersForecast: hand-computed m=2 recursion and seasonal forecast fan") {
+    // y = 10,20,30,40; a=b=g=1/2. init: l=15, b=10, s=[-5,5].
+    // t3: l=30, b=12.5, s0=-2.5; t4: l=38.75, b=10.625, s1=3.125
+    // f(h) = l + h*b + s[(4+h-1) % 2]
+    val df = Seq(("k", 1, 10L), ("k", 2, 20L), ("k", 3, 30L), ("k", 4, 40L))
+      .toDF("g", "t", "v")
+    val out = Diagnostics.holtWintersForecast(df, Seq("g"), "t", "v",
+      period = 2, alpha = 0.5, beta = 0.5, gamma = 0.5, horizon = 3)
+      .orderBy("step").collect()
+    assert(out.length == 3)
+    assert(out.head.getAs[Double]("level") == 38.75)
+    assert(out.head.getAs[Double]("trend") == 10.625)
+    assert(out.map(_.getAs[Double]("forecast")).toSeq ==
+      Seq(46.875, 63.125, 68.125))
+  }
+
+  test("holtWintersForecast: series shorter than two periods yields no rows") {
+    val df = (1 to 7).map(t => ("k", t, t * 10L)).toDF("g", "t", "v")
+    assert(Diagnostics.holtWintersForecast(df, Seq("g"), "t", "v",
+      period = 4, alpha = 0.5, beta = 0.25, gamma = 0.25, horizon = 2)
+      .collect().isEmpty)
+  }
+
   test("signTest: exact binomial tails, cap at 1, zero diffs dropped") {
     // strictly increasing: 9 diffs all positive -> p = 2*C(9,9)/2^9 = 1/256
     val up = (0 until 10).map(i => ("up", i, i * 10L))
