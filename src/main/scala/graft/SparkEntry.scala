@@ -3290,7 +3290,17 @@ object SparkEntry {
           gamma = 0.25, horizon = 12)
         .select(col("key"), col("n_obs"), round(col("level"), 4).as("level"),
           round(col("trend"), 4).as("trend"), col("step"), col("forecast"))
-        .orderBy("step"))
+        .orderBy("step")),
+
+    // ---- extension: streaming NMI twin — the complete-mode state IS
+    // q256's cell grid; drained == batch, one shared readout and oracle
+    "q266_x_stream_nmi" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingNmi(s, d)),
+
+    // ---- extension: streaming vocabulary-JSD twin — state is the
+    // per-token side-count grid (vocabulary-sized); shares q258's oracle
+    "q267_x_stream_vocab_jsd" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingVocabJsd(s, d))
   )
 
   /** Monthly revenue cents per (market segment, order priority) — the
@@ -4040,7 +4050,16 @@ object SparkEntry {
        |FROM fc GROUP BY step ORDER BY step""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = oracleSqlBase
+    // streaming twins whose drained complete-mode state equals the batch
+    // aggregate share the batch oracle VERBATIM — one definition, one gate
+    m ++ Map(
+      "q266_x_stream_nmi" -> m("q256_x_nmi"),
+      "q267_x_stream_vocab_jsd" -> m("q258_x_vocab_jsd"))
+  }
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q00_m2_ces_collapse" -> CesCollapseSql,
 
     "q01_a1_groupsum" ->

@@ -784,6 +784,16 @@ object Metrics {
       // lazy localCheckpoint (see brierDecomposition): the cell grid
       // feeds three re-aggregations and the term join
       .localCheckpoint(false)
+    nmiFromCells(cells, keyCols)
+  }
+
+  /** The NMI readout over a per-(key, __a, __b) cell-count grid (`__c`)
+    * — ONE definition shared by the batch operator and the streaming
+    * twin (whose complete-mode state IS this grid), the
+    * driftFromComponentSums convention: shared-oracle bit-parity cannot
+    * drift between hand-synced copies. */
+  def nmiFromCells(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
     val rowsM = cells.groupBy(k :+ col("__a"): _*).agg(sum(col("__c")).as("__na"))
     val colsM = cells.groupBy(k :+ col("__b"): _*).agg(sum(col("__c")).as("__nb"))
     val tot = cells.groupBy(k: _*).agg(sum(col("__c")).as("n"))

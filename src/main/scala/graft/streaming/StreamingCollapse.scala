@@ -409,6 +409,66 @@ object StreamingCollapse {
       .orderBy("label")
   }
 
+  /** Streaming NMI maintenance — the standing twin of the batch
+    * normalized-mutual-information readout (q256): the complete-mode
+    * state IS the (half, lang, source) CELL GRID (count is order-
+    * independent, so drained state == the batch aggregate no matter how
+    * micro-batches slice the corpus), and the readout is the SHARED
+    * `Metrics.nmiFromCells` — one definition, one oracle. State is
+    * label-cross-sized (languages × sources per cohort), bounded by the
+    * category vocabularies, not the corpus. The drained table
+    * checkpoints eagerly because the readout re-aggregates the grid four
+    * ways (the memory-sink conflicting-reference footgun). */
+  def streamingNmi(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_nmi"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val cells = spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir(dir, "documents"))
+      .filter(col("lang").isNotNull && col("source").isNotNull)
+      .withColumn("half", pmod(col("doc_id"), lit(2L)))
+      .groupBy(col("half"), col("lang").as("__a"), col("source").as("__b"))
+      .agg(count(lit(1)).as("__c"))
+    drain(spark, cells.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.nmiFromCells(
+        spark.table(name).localCheckpoint(true), Seq("half"))
+      .orderBy("half")
+  }
+
+  /** Streaming Jensen-Shannon vocabulary-drift maintenance — the
+    * standing twin of the batch readout (q258): the complete-mode state
+    * IS the per-token side-count grid (vocabulary-sized, NOT
+    * corpus-sized — the token pivot counts are order-independent sums),
+    * and the readout is the SHARED `TextAnalysis.jsdFromTokenGrid`.
+    * The standing form of "alert when this ingest's vocabulary drifts
+    * off the baseline". Eager checkpoint: the readout crosses the grid
+    * with its own totals. */
+  def streamingVocabJsd(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_vjsd"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val grid = spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir(dir, "documents"))
+      .filter(col("text").isNotNull && length(trim(col("text"))) > 0)
+      .withColumn("__side", when(col("lang") === "en", 0).otherwise(1))
+      .select(col("__side"),
+        explode(graft.functions.Cols.tokens(col("text"))).as("__t"))
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.text.TextAnalysis.jsdFromTokenGrid(
+      spark.table(name).localCheckpoint(true))
+  }
+
   /** Streaming exact dedup over a landing directory of document files:
     * running `groupBy(text_hash)` keeping the smallest id and a copy
     * count — the standing-pipeline form of [[graft.text.Dedup.exact]].

@@ -475,6 +475,14 @@ object TextAnalysis {
     val grid = tok.groupBy(col("__t"))
       .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("__ca"),
         sum(when(col("__side") === 1, 1L).otherwise(0L)).as("__cb"))
+    jsdFromTokenGrid(grid)
+  }
+
+  /** The JSD readout over a per-token side-count grid (`__t, __ca,
+    * __cb`) — ONE definition shared by the batch operator and the
+    * streaming twin (whose complete-mode state IS this grid), the
+    * driftFromComponentSums convention. */
+  def jsdFromTokenGrid(grid: DataFrame): DataFrame = {
     val tots = grid.agg(sum(col("__ca")).as("__na"), sum(col("__cb")).as("__nb"))
     grid.crossJoin(broadcast(tots))
       .withColumn("__ta", expr(
