@@ -3300,7 +3300,20 @@ object SparkEntry {
     // ---- extension: streaming vocabulary-JSD twin — state is the
     // per-token side-count grid (vocabulary-sized); shares q258's oracle
     "q267_x_stream_vocab_jsd" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingVocabJsd(s, d))
+      graft.streaming.StreamingCollapse.streamingVocabJsd(s, d)),
+
+    // ---- extension: Mann-Whitney U z-test — the nonparametric
+    // two-sample location verdict completing q222 (Welch, parametric)
+    // and q195 (KS, distributional); exact integer midranks, DECIMAL
+    // tie term, one fixed z tree
+    "q268_x_mann_whitney" -> tuned((s, d) =>
+      graft.operators.Metrics.mannWhitney(
+          Tables.events(s, d)
+            .withColumn("variant",
+              when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+            .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+          Seq("event_type"), "variant", "cents", "A", "B")
+        .orderBy("event_type"))
   )
 
   /** Monthly revenue cents per (market segment, order priority) — the
@@ -8820,7 +8833,46 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_vocab,
         |  CASE WHEN max(na) > 0 AND max(nb) > 0
         |       THEN CAST(sum(ta + tb) AS BIGINT) END AS jsd_e9
-        |FROM terms""".stripMargin)
+        |FROM terms""".stripMargin),
+
+    // the same value-count grid midranks (2*mr = 2*cum_before + c + 1),
+    // HUGEINT tie term, the IDENTICAL z tree; verdict on the ROUNDED z
+    "q268_x_mann_whitney" -> {
+      val vd = """(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+                 | * (CAST(n_a + n_b + 1 AS DOUBLE)
+                 |    - CAST(t3 AS DOUBLE)
+                 |      / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b - 1 AS DOUBLE))))"""
+        .stripMargin.replaceAll("\n", " ")
+      s"""WITH e AS (
+        |  SELECT event_type AS k,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |           CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |           CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |         FROM e GROUP BY 1, 2),
+        |r AS (SELECT *, ca + cb AS c,
+        |        2 * coalesce(sum(ca + cb) OVER (PARTITION BY k ORDER BY v
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          + ca + cb + 1 AS mr2
+        |      FROM grid),
+        |a AS (SELECT k, CAST(sum(ca) AS BIGINT) AS n_a,
+        |             CAST(sum(cb) AS BIGINT) AS n_b,
+        |             CAST(sum(ca * mr2) AS BIGINT) AS r2a,
+        |             sum(CAST(c AS HUGEINT) * c * c - c) AS t3
+        |      FROM r GROUP BY 1),
+        |f AS (SELECT k, n_a, n_b, r2a - n_a * (n_a + 1) AS u_x2, t3 FROM a),
+        |z AS (SELECT k, n_a, n_b, u_x2,
+        |        CASE WHEN n_a > 0 AND n_b > 0 AND n_a + n_b > 1 AND $vd > 0 THEN
+        |          CAST(floor(CAST(u_x2 - n_a * n_b AS DOUBLE) / (2.0 * sqrt($vd))
+        |                     * 10000 + 0.5) AS BIGINT)
+        |        END AS z_e4
+        |      FROM f)
+        |SELECT k AS event_type, n_a, n_b, u_x2, z_e4,
+        |  CASE WHEN z_e4 IS NOT NULL THEN abs(z_e4) > 19600 END AS significant
+        |FROM z ORDER BY event_type""".stripMargin
+    }
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -347,6 +347,69 @@ object Metrics {
       .drop("__sa", "__qa", "__sb", "__qb")
   }
 
+  /** Per-key Mann–Whitney U z-test between two groups — the
+    * NONPARAMETRIC location test completing the two-sample family
+    * ([[welchTTest]] is the parametric side; [[ksDrift]] tests the whole
+    * distribution). The STATISTIC is [[groupedAuc]]'s under a different
+    * normalization (AUC = U/(n_a·n_b) — deliberately cross-referenced,
+    * not hidden); what this adds is the HYPOTHESIS-TEST readout: the
+    * tie-corrected null variance
+    * `Var(U) = n_a·n_b/12 · ((n+1) − Σ(t³−t)/(n(n−1)))` and the normal
+    * z with a significance verdict.
+    *
+    * Exactness: midranks ride as EXACT integers on the value-count grid
+    * (`2·midrank = 2·cum_before + c + 1`), so `2U_a = Σc_a·2mr −
+    * n_a(n_a+1)` is exact BIGINT; the tie term `Σ(t³−t)` accumulates as
+    * DECIMAL(38,0) (a fully-tied 10⁷-row key would wrap BIGINT); z is
+    * ONE fixed double tree e4-quantized and the verdict flips on the
+    * ROUNDED z. No continuity correction (documented — both engines
+    * replay the same convention). Keys with an empty side or zero
+    * variance (all values tied) emit null z and null verdict.
+    *
+    * Scale shape: one map-side-combined value-count aggregate, one
+    * ordered window over the DISTINCT-VALUE grid (bin continuous values
+    * upstream — the ksDrift dial), one per-key fold. Output: `(keys…,
+    * n_a, n_b, u_x2, z_e4, significant)` — `u_x2 = 2·U_a` stays exact
+    * where U itself may be half-integral under ties. */
+  def mannWhitney(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                  valueCol: String, groupA: String, groupB: String): DataFrame = {
+    require(keyCols.nonEmpty, "mannWhitney needs at least one key column")
+    val k = keyCols.map(col)
+    val g = col(groupCol)
+    val x = col(valueCol).cast("long")
+    val inA = g === groupA
+    val inB = g === groupB
+    val grid = df.filter((inA || inB) && g.isNotNull && x.isNotNull)
+      .groupBy(k :+ x.as("__v"): _*)
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inB, 1L).otherwise(0L)).as("__cb"))
+    val w = Window.partitionBy(k: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withRank = grid
+      .withColumn("__c", col("__ca") + col("__cb"))
+      .withColumn("__mr2",
+        lit(2L) * coalesce(sum(col("__c")).over(w), lit(0L)) + col("__c") + 1L)
+    val agg = withRank.groupBy(k: _*)
+      .agg(sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"),
+        sum(col("__ca") * col("__mr2")).as("__r2a"),
+        sum(expr("cast(__c as decimal(38,0)) * __c * __c - __c")).as("__t3"))
+    val vd = """(cast(n_a as double) * cast(n_b as double) / 12.0
+               | * (cast(n_a + n_b + 1 as double)
+               |    - cast(__t3 as double)
+               |      / (cast(n_a + n_b as double) * cast(n_a + n_b - 1 as double))))"""
+      .stripMargin.replaceAll("\n", " ")
+    agg
+      .withColumn("u_x2", expr("__r2a - n_a * (n_a + 1)"))
+      .withColumn("z_e4", expr(
+        s"""case when n_a > 0 and n_b > 0 and n_a + n_b > 1 and $vd > 0 then
+           |  cast(floor(cast(u_x2 - n_a * n_b as double) / (2.0 * sqrt($vd))
+           |             * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("significant",
+        when(col("z_e4").isNotNull, abs(col("z_e4")) > 19600L))
+      .drop("__r2a", "__t3")
+  }
+
   /** Brier score with the Murphy (1973) three-way decomposition —
     * `Brier = Reliability − Resolution + Uncertainty` over `nBins`
     * equal-width score bins: reliability is calibration error proper

@@ -298,6 +298,31 @@ class MetricsSpec extends SparkSpec {
       Seq(0L, 500000000L, 1000000000L))
   }
 
+  test("mannWhitney: hand-computed midranks and tie-corrected z; degenerate nulls") {
+    // A = {1, 3}, B = {2, 3}: midranks 1, 2, 3.5/3.5 -> 2U_a = 3,
+    // T = 6, var = 1.5, z = -1/(2*sqrt(1.5)) ~ -0.4082
+    val df = Seq(("k", "A", 1L), ("k", "A", 3L), ("k", "B", 2L), ("k", "B", 3L))
+      .toDF("k", "g", "v")
+    val r = Metrics.mannWhitney(df, Seq("k"), "g", "v", "A", "B").collect().head
+    assert(r.getAs[Long]("u_x2") == 3L)
+    assert(r.getAs[Long]("z_e4") == -4082L)
+    assert(!r.getAs[Boolean]("significant"))
+    // swapping the sides negates 2U - n_a*n_b symmetrically
+    val rSwap = Metrics.mannWhitney(df, Seq("k"), "g", "v", "B", "A").collect().head
+    assert(rSwap.getAs[Long]("z_e4") == 4082L)
+    // all values tied -> zero variance -> null z and verdict
+    val tied = Seq(("t", "A", 5L), ("t", "A", 5L), ("t", "B", 5L)).toDF("k", "g", "v")
+    val rt = Metrics.mannWhitney(tied, Seq("k"), "g", "v", "A", "B").collect().head
+    assert(rt.get(rt.fieldIndex("z_e4")) == null)
+    assert(rt.get(rt.fieldIndex("significant")) == null)
+    // a clean separation at modest n is significant
+    val sep = ((1 to 12).map(i => ("s", "A", i.toLong)) ++
+      (13 to 24).map(i => ("s", "B", i.toLong))).toDF("k", "g", "v")
+    val rs = Metrics.mannWhitney(sep, Seq("k"), "g", "v", "A", "B").collect().head
+    assert(rs.getAs[Long]("u_x2") == 0L) // A entirely below B
+    assert(rs.getAs[Boolean]("significant"))
+  }
+
   test("bhCorrect: textbook step-up — a failing middle rank is rescued by a later pass") {
     // p = .001, .040, .050 at q = .05, m = 3: thresholds .0167/.0333/.05 —
     // rank 2 fails ITS threshold but rank 3 passes, so step-up rejects ALL
