@@ -3313,7 +3313,19 @@ object SparkEntry {
               when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
             .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
           Seq("event_type"), "variant", "cents", "A", "B")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- extension: one-way ANOVA F + eta-squared — does order
+    // priority explain order value per market segment; exact integer
+    // group sums, floor-quantized sum-of-squares convention, one fixed
+    // F tree
+    "q269_x_anova" -> tuned((s, d) =>
+      graft.operators.Metrics.anovaOneWay(
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+          Seq("c_mktsegment"), "o_orderpriority", "cents")
+        .orderBy("c_mktsegment"))
   )
 
   /** Monthly revenue cents per (market segment, order priority) — the
@@ -8872,7 +8884,42 @@ object SparkEntry {
         |SELECT k AS event_type, n_a, n_b, u_x2, z_e4,
         |  CASE WHEN z_e4 IS NOT NULL THEN abs(z_e4) > 19600 END AS significant
         |FROM z ORDER BY event_type""".stripMargin
-    }
+    },
+
+    // the same floor-quantized sum-of-squares convention (HUGEINT //),
+    // the identical F tree, HUGEINT-widened eta2
+    "q269_x_anova" ->
+      ("""WITH e AS (
+        |  SELECT c_mktsegment AS k, o_orderpriority AS g,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |pg AS (SELECT k, g, CAST(count(*) AS BIGINT) AS ng,
+        |              CAST(sum(x) AS BIGINT) AS sg,
+        |              sum(CAST(x AS HUGEINT) * x) AS qg
+        |       FROM e GROUP BY 1, 2),
+        |pt AS (SELECT *, CAST(CAST(sg AS HUGEINT) * sg // ng AS BIGINT) AS tg
+        |       FROM pg),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS k_groups,
+        |             CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+        |             sum(qg) AS q, CAST(sum(tg) AS BIGINT) AS st
+        |      FROM pt GROUP BY 1),
+        |b AS (SELECT k, k_groups, n,
+        |             greatest(0, st - CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+        |               AS ssb,
+        |             CAST(q - st AS BIGINT) AS ssw
+        |      FROM a)
+        |SELECT k AS c_mktsegment, k_groups, n, ssb, ssw,
+        |  CASE WHEN k_groups >= 2 AND n > k_groups AND ssw > 0 THEN
+        |    CAST(floor((CAST(ssb AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE))
+        |      / (CAST(ssw AS DOUBLE) / CAST(n - k_groups AS DOUBLE))
+        |      * 10000 + 0.5) AS BIGINT)
+        |  END AS f_e4,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    CAST(CAST(ssb AS HUGEINT) * 1000000 // (CAST(ssb AS HUGEINT) + ssw)
+        |         AS BIGINT)
+        |  END AS eta2_e6
+        |FROM b ORDER BY c_mktsegment""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -410,6 +410,61 @@ object Metrics {
       .drop("__r2a", "__t3")
   }
 
+  /** Per-key one-way ANOVA F over an integer value column — the
+    * k-GROUP extension of [[welchTTest]] (equal-variance, classic
+    * Fisher form): `F = (SSB/(k−1)) / (SSW/(n−k))` with
+    * `SSB = Σ_g S_g²/n_g − S²/n`, `SSW = Q − Σ_g S_g²/n_g`, plus the
+    * effect size `η² = SSB/(SSB + SSW)` — "does the group label explain
+    * the metric at all", the screen before per-pair tests.
+    *
+    * Exactness: per-group `(n_g, S_g, Q_g)` are exact integers; each
+    * `S_g²/n_g` is FLOOR-QUANTIZED to an exact integer via BigInt
+    * division (a grid-sized udf — groups per key, not rows; DuckDB
+    * replays it as HUGEINT `//`), so `Σ_g ⌊S_g²/n_g⌋` is an
+    * order-independent integer sum and SSB/SSW are exact integers under
+    * a DOCUMENTED floor convention (each ⌊·⌋ loses < 1 against ~10²⁰+
+    * magnitudes — far below the e4 grain of F). F is one fixed double
+    * tree e4-quantized; η² is an integer permille-style `div`.
+    *
+    * Keys with k < 2 groups or zero within variance emit null F.
+    * Output: `(keys…, k_groups, n, ssb, ssw, f_e4, eta2_e6)`. */
+  def anovaOneWay(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                  valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "anovaOneWay needs at least one key column")
+    val k = keyCols.map(col)
+    val x = col(valueCol).cast("long")
+    val floorDiv = udf((s: Long, n: Long) => ((BigInt(s) * s) / n).toLong)
+    val perGroup = df.filter(col(groupCol).isNotNull && x.isNotNull)
+      .select(k :+ col(groupCol).as("__g") :+ x.as("__x"): _*)
+      .groupBy(k :+ col("__g"): _*)
+      .agg(count(lit(1)).as("__ng"), sum(col("__x")).as("__sg"),
+        sum(expr("cast(__x as decimal(38,0)) * __x")).as("__qg"))
+      .withColumn("__tg", floorDiv(col("__sg"), col("__ng")))
+    perGroup.groupBy(k: _*)
+      .agg(count(lit(1)).as("k_groups"), sum(col("__ng")).as("n"),
+        sum(col("__sg")).as("__s"), sum(col("__qg")).as("__q"),
+        sum(col("__tg")).as("__st"))
+      // clamp at 0: the floors can push an exactly-zero SSB a few units
+      // negative, and negative integer div diverges cross-engine
+      .withColumn("ssb",
+        greatest(lit(0L), col("__st") - floorDiv(col("__s"), col("n"))))
+      .withColumn("ssw", expr("cast(__q - __st as decimal(38,0))").cast("long"))
+      .withColumn("f_e4", expr(
+        """case when k_groups >= 2 and n > k_groups and ssw > 0 then
+          |  cast(floor((cast(ssb as double) / cast(k_groups - 1 as double))
+          |    / (cast(ssw as double) / cast(n - k_groups as double))
+          |    * 10000 + 0.5) as bigint)
+          |end""".stripMargin))
+      // DECIMAL widening (the cohenKappa pe discipline): ssb·10⁶ wraps
+      // BIGINT past ssb ≈ 9·10¹² — cents-scale squared sums get there
+      .withColumn("eta2_e6", expr(
+        """case when ssb + ssw > 0 then
+          |  cast(cast(ssb as decimal(38,0)) * 1000000
+          |       div (cast(ssb as decimal(38,0)) + ssw) as bigint)
+          |end""".stripMargin))
+      .drop("__s", "__q", "__st")
+  }
+
   /** Brier score with the Murphy (1973) three-way decomposition —
     * `Brier = Reliability − Resolution + Uncertainty` over `nBins`
     * equal-width score bins: reliability is calibration error proper

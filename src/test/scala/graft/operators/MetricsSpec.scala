@@ -298,6 +298,28 @@ class MetricsSpec extends SparkSpec {
       Seq(0L, 500000000L, 1000000000L))
   }
 
+  test("anovaOneWay: hand-computed F under the documented floor convention") {
+    // A = {1,2,3}, B = {4,5,6}: st = 12 + 75 = 87, floor(21^2/6) = 73
+    // -> ssb = 14 (analytic 13.5 under the floor convention), ssw = 4,
+    // F = (14/1)/(4/4) = 14
+    val df = Seq(("k", "A", 1L), ("k", "A", 2L), ("k", "A", 3L),
+      ("k", "B", 4L), ("k", "B", 5L), ("k", "B", 6L)).toDF("k", "g", "v")
+    val r = Metrics.anovaOneWay(df, Seq("k"), "g", "v").collect().head
+    assert(r.getAs[Long]("k_groups") == 2L && r.getAs[Long]("n") == 6L)
+    assert(r.getAs[Long]("ssb") == 14L && r.getAs[Long]("ssw") == 4L)
+    assert(r.getAs[Long]("f_e4") == 140000L)
+    assert(r.getAs[Long]("eta2_e6") == 14L * 1000000L / 18L)
+    // identical groups -> ssb clamps to 0 -> F = 0
+    val same = Seq(("s", "A", 1L), ("s", "A", 2L), ("s", "A", 3L),
+      ("s", "B", 1L), ("s", "B", 2L), ("s", "B", 3L)).toDF("k", "g", "v")
+    val rs = Metrics.anovaOneWay(same, Seq("k"), "g", "v").collect().head
+    assert(rs.getAs[Long]("ssb") == 0L && rs.getAs[Long]("f_e4") == 0L)
+    // one group only -> F null
+    val one = Seq(("o", "A", 1L), ("o", "A", 5L)).toDF("k", "g", "v")
+    val ro = Metrics.anovaOneWay(one, Seq("k"), "g", "v").collect().head
+    assert(ro.get(ro.fieldIndex("f_e4")) == null)
+  }
+
   test("mannWhitney: hand-computed midranks and tie-corrected z; degenerate nulls") {
     // A = {1, 3}, B = {2, 3}: midranks 1, 2, 3.5/3.5 -> 2U_a = 3,
     // T = 6, var = 1.5, z = -1/(2*sqrt(1.5)) ~ -0.4082
