@@ -3325,6 +3325,17 @@ object SparkEntry {
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
             .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
           Seq("c_mktsegment"), "o_orderpriority", "cents")
+        .orderBy("c_mktsegment")),
+
+    // ---- extension: Kruskal-Wallis H — q269's question answered by
+    // ranks (no normality assumption); midranks on the value-count
+    // grid, tie-corrected, chi2(4) 5% critical
+    "q270_x_kruskal_wallis" -> tuned((s, d) =>
+      graft.operators.Metrics.kruskalWallis(
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+          Seq("c_mktsegment"), "o_orderpriority", "cents")
         .orderBy("c_mktsegment"))
   )
 
@@ -8919,7 +8930,53 @@ object SparkEntry {
         |    CAST(CAST(ssb AS HUGEINT) * 1000000 // (CAST(ssb AS HUGEINT) + ssw)
         |         AS BIGINT)
         |  END AS eta2_e6
-        |FROM b ORDER BY c_mktsegment""".stripMargin)
+        |FROM b ORDER BY c_mktsegment""".stripMargin),
+
+    // the same midrank grid, HUGEINT floor squares and tie cubes, the
+    // identical H and correction trees; verdict on the ROUNDED Hc
+    "q270_x_kruskal_wallis" -> {
+      val h = """(12.0 / (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE))
+                | * (CAST(sr AS DOUBLE) / 4.0) - 3.0 * CAST(n + 1 AS DOUBLE))"""
+        .stripMargin.replaceAll("\n", " ")
+      val tie = """(1.0 - CAST(t3 AS DOUBLE)
+                  | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                  |    - CAST(n AS DOUBLE)))""".stripMargin.replaceAll("\n", " ")
+      s"""WITH e AS (
+        |  SELECT c_mktsegment AS k, o_orderpriority AS g,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |cells AS (SELECT k, g, x AS v, CAST(count(*) AS BIGINT) AS cgv
+        |          FROM e GROUP BY 1, 2, 3),
+        |vals AS (SELECT k, v, CAST(sum(cgv) AS BIGINT) AS cv
+        |         FROM cells GROUP BY 1, 2),
+        |vr AS (SELECT *, 2 * coalesce(sum(cv) OVER (PARTITION BY k ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |          + cv + 1 AS mr2
+        |       FROM vals),
+        |pg AS (SELECT c.k, c.g, CAST(sum(c.cgv) AS BIGINT) AS ng,
+        |              CAST(sum(c.cgv * vr.mr2) AS BIGINT) AS r2g
+        |       FROM cells c JOIN vr ON c.k = vr.k AND c.v = vr.v
+        |       GROUP BY 1, 2),
+        |pt AS (SELECT k, CAST(CAST(r2g AS HUGEINT) * r2g // ng AS BIGINT) AS tg
+        |       FROM pg),
+        |top AS (SELECT k, CAST(count(*) AS BIGINT) AS k_groups,
+        |               CAST(sum(tg) AS BIGINT) AS sr
+        |        FROM pt GROUP BY 1),
+        |ties AS (SELECT k, CAST(sum(cv) AS BIGINT) AS n,
+        |                sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS t3
+        |         FROM vals GROUP BY 1),
+        |h0 AS (SELECT top.k AS k, k_groups, n,
+        |        CASE WHEN k_groups >= 2 AND n >= 2 THEN
+        |          CAST(floor($h * 10000 + 0.5) AS BIGINT) END AS h_e4,
+        |        CASE WHEN k_groups >= 2 AND n >= 2 AND $tie > 0 THEN
+        |          CAST(floor($h / $tie * 10000 + 0.5) AS BIGINT) END AS hc_e4
+        |       FROM top JOIN ties ON top.k = ties.k)
+        |SELECT k AS c_mktsegment, k_groups, n, h_e4, hc_e4,
+        |  CAST(94877 AS BIGINT) AS crit5_e4,
+        |  CASE WHEN hc_e4 IS NOT NULL THEN hc_e4 > 94877 END AS significant
+        |FROM h0 ORDER BY c_mktsegment""".stripMargin
+    }
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -465,6 +465,79 @@ object Metrics {
       .drop("__s", "__q", "__st")
   }
 
+  /** Per-key Kruskal–Wallis H — the k-GROUP rank test closing the
+    * triangle ([[anovaOneWay]] parametric k-group, [[mannWhitney]]
+    * nonparametric pair): `H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1)`
+    * over midranks, tie-corrected `H_c = H / (1 − Σ(t³−t)/(n³−n))`,
+    * verdict against a caller-supplied χ²(k−1) 5% critical value.
+    *
+    * Exactness: midranks ride the shared value-count-grid form
+    * (`2·mr = 2·cum_before + c + 1` — [[mannWhitney]]'s machinery), so
+    * `2R_g` is exact; each `(2R_g)²/n_g` floor-quantizes via BigInt
+    * (the [[anovaOneWay]] convention, REQUIRE-guarded: past ~10⁵ rows
+    * per key the square exceeds 2⁶³ — bin values upstream, fail loud
+    * otherwise); tie cubes accumulate as DECIMAL(38,0). H and H_c are
+    * one fixed double tree each, e4-quantized, verdict on the ROUNDED
+    * H_c. Keys that are a single tie group (T = n³−n) emit null.
+    *
+    * Scale shape: cell grid → value grid (re-aggregation) → one ordered
+    * window over the DISTINCT-VALUE grid → grid joins; raw rows shuffle
+    * once. Output: `(keys…, k_groups, n, h_e4, hc_e4, crit5_e4,
+    * significant)`. */
+  def kruskalWallis(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                    valueCol: String, crit5E4: Long = 94877L): DataFrame = {
+    require(keyCols.nonEmpty, "kruskalWallis needs at least one key column")
+    val k = keyCols.map(col)
+    val x = col(valueCol).cast("long")
+    val cells = df.filter(col(groupCol).isNotNull && x.isNotNull)
+      .groupBy(k :+ col(groupCol).as("__g") :+ x.as("__v"): _*)
+      .agg(count(lit(1)).as("__cgv"))
+      // lazy localCheckpoint: the cell grid feeds the value grid AND the
+      // rank join
+      .localCheckpoint(false)
+    val wBefore = Window.partitionBy(k: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val vals = cells.groupBy(k :+ col("__v"): _*)
+      .agg(sum(col("__cgv")).as("__cv"))
+      .withColumn("__mr2",
+        lit(2L) * coalesce(sum(col("__cv")).over(wBefore), lit(0L)) +
+          col("__cv") + 1L)
+    val sqDiv = udf((r2: Long, ng: Long) => {
+      val v = (BigInt(r2) * r2) / ng
+      require(v.isValidLong,
+        "kruskalWallis rank square exceeds 2^63 — bin values upstream")
+      v.toLong
+    })
+    val perGroup = cells
+      .join(vals.select(k :+ col("__v") :+ col("__mr2"): _*), keyCols :+ "__v")
+      .groupBy(k :+ col("__g"): _*)
+      .agg(sum(col("__cgv")).as("__ng"),
+        sum(col("__cgv") * col("__mr2")).as("__r2g"))
+      .withColumn("__tg", sqDiv(col("__r2g"), col("__ng")))
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("k_groups"), sum(col("__tg")).as("__sr"))
+    val ties = vals.groupBy(k: _*)
+      .agg(sum(col("__cv")).as("n"),
+        sum(expr("cast(__cv as decimal(38,0)) * __cv * __cv - __cv")).as("__t3"))
+    val h = """(12.0 / (cast(n as double) * cast(n + 1 as double))
+              | * (cast(__sr as double) / 4.0) - 3.0 * cast(n + 1 as double))"""
+      .stripMargin.replaceAll("\n", " ")
+    val tie = """(1.0 - cast(__t3 as double)
+                | / (cast(n as double) * cast(n as double) * cast(n as double)
+                |    - cast(n as double)))""".stripMargin.replaceAll("\n", " ")
+    perGroup.join(ties, keyCols)
+      .withColumn("h_e4", expr(
+        s"""case when k_groups >= 2 and n >= 2 then
+           |  cast(floor($h * 10000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("hc_e4", expr(
+        s"""case when k_groups >= 2 and n >= 2 and $tie > 0 then
+           |  cast(floor($h / $tie * 10000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("crit5_e4", lit(crit5E4))
+      .withColumn("significant",
+        when(col("hc_e4").isNotNull, col("hc_e4") > crit5E4))
+      .drop("__sr", "__t3")
+  }
+
   /** Brier score with the Murphy (1973) three-way decomposition —
     * `Brier = Reliability − Resolution + Uncertainty` over `nBins`
     * equal-width score bins: reliability is calibration error proper

@@ -320,6 +320,29 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("kruskalWallis: hand-computed H, tie-degenerate null, separation significant") {
+    // A = {1,2}, B = {3,4}: ranks 1..4, R_A = 3, R_B = 7
+    // H = 12/20 * (9/2 + 49/2) - 15 = 2.4 (exact under the floor too)
+    val df = Seq(("k", "A", 1L), ("k", "A", 2L), ("k", "B", 3L), ("k", "B", 4L))
+      .toDF("k", "g", "v")
+    val r = Metrics.kruskalWallis(df, Seq("k"), "g", "v").collect().head
+    assert(r.getAs[Long]("h_e4") == 24000L)
+    assert(r.getAs[Long]("hc_e4") == 24000L) // no ties: correction = 1
+    assert(!r.getAs[Boolean]("significant"))
+    // all values tied -> T = n^3 - n -> null corrected H
+    val tied = Seq(("t", "A", 5L), ("t", "B", 5L), ("t", "C", 5L)).toDF("k", "g", "v")
+    val rt = Metrics.kruskalWallis(tied, Seq("k"), "g", "v").collect().head
+    assert(rt.get(rt.fieldIndex("hc_e4")) == null)
+    // three cleanly separated groups at n = 30 blow past the df=2 critical
+    val sep = ((1 to 10).map(i => ("s", "A", i.toLong)) ++
+      (11 to 20).map(i => ("s", "B", i.toLong)) ++
+      (21 to 30).map(i => ("s", "C", i.toLong))).toDF("k", "g", "v")
+    val rs = Metrics.kruskalWallis(sep, Seq("k"), "g", "v", crit5E4 = 59915L)
+      .collect().head
+    assert(rs.getAs[Boolean]("significant"),
+      s"hc=${rs.getAs[Long]("hc_e4")}")
+  }
+
   test("mannWhitney: hand-computed midranks and tie-corrected z; degenerate nulls") {
     // A = {1, 3}, B = {2, 3}: midranks 1, 2, 3.5/3.5 -> 2U_a = 3,
     // T = 6, var = 1.5, z = -1/(2*sqrt(1.5)) ~ -0.4082
