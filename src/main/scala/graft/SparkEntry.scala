@@ -3336,6 +3336,17 @@ object SparkEntry {
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
             .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
           Seq("c_mktsegment"), "o_orderpriority", "cents")
+        .orderBy("c_mktsegment")),
+
+    // ---- extension: Brown-Forsythe — do the priorities even share a
+    // variance (the assumption q269 quietly makes); ANOVA on exact
+    // absolute deviations from each group's lower median
+    "q271_x_brown_forsythe" -> tuned((s, d) =>
+      graft.operators.Metrics.brownForsythe(
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+          Seq("c_mktsegment"), "o_orderpriority", "cents")
         .orderBy("c_mktsegment"))
   )
 
@@ -8976,7 +8987,53 @@ object SparkEntry {
         |  CAST(94877 AS BIGINT) AS crit5_e4,
         |  CASE WHEN hc_e4 IS NOT NULL THEN hc_e4 > 94877 END AS significant
         |FROM h0 ORDER BY c_mktsegment""".stripMargin
-    }
+    },
+
+    // lower medians off the value grid, exact |x - med| deviations,
+    // then q269's floor-quantized ANOVA verbatim
+    "q271_x_brown_forsythe" ->
+      ("""WITH e0 AS (
+        |  SELECT c_mktsegment AS k, o_orderpriority AS g,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |mg AS (SELECT k, g, x AS v, CAST(count(*) AS BIGINT) AS c
+        |       FROM e0 GROUP BY 1, 2, 3),
+        |mc AS (SELECT *, CAST(sum(c) OVER (PARTITION BY k, g ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cum,
+        |          CAST(sum(c) OVER (PARTITION BY k, g) AS BIGINT) AS nt
+        |       FROM mg),
+        |md AS (SELECT k, g, min(v) AS med FROM mc
+        |       WHERE cum >= (nt + 1) // 2 GROUP BY 1, 2),
+        |e AS (SELECT e0.k, e0.g, abs(e0.x - md.med) AS x
+        |      FROM e0 JOIN md ON e0.k = md.k AND e0.g = md.g),
+        |pg AS (SELECT k, g, CAST(count(*) AS BIGINT) AS ng,
+        |              CAST(sum(x) AS BIGINT) AS sg,
+        |              sum(CAST(x AS HUGEINT) * x) AS qg
+        |       FROM e GROUP BY 1, 2),
+        |pt AS (SELECT *, CAST(CAST(sg AS HUGEINT) * sg // ng AS BIGINT) AS tg
+        |       FROM pg),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS k_groups,
+        |             CAST(sum(ng) AS BIGINT) AS n, CAST(sum(sg) AS BIGINT) AS s,
+        |             sum(qg) AS q, CAST(sum(tg) AS BIGINT) AS st
+        |      FROM pt GROUP BY 1),
+        |b AS (SELECT k, k_groups, n,
+        |             greatest(0, st - CAST(CAST(s AS HUGEINT) * s // n AS BIGINT))
+        |               AS ssb,
+        |             CAST(q - st AS BIGINT) AS ssw
+        |      FROM a)
+        |SELECT k AS c_mktsegment, k_groups, n, ssb, ssw,
+        |  CASE WHEN k_groups >= 2 AND n > k_groups AND ssw > 0 THEN
+        |    CAST(floor((CAST(ssb AS DOUBLE) / CAST(k_groups - 1 AS DOUBLE))
+        |      / (CAST(ssw AS DOUBLE) / CAST(n - k_groups AS DOUBLE))
+        |      * 10000 + 0.5) AS BIGINT)
+        |  END AS bf_e4,
+        |  CASE WHEN ssb + ssw > 0 THEN
+        |    CAST(CAST(ssb AS HUGEINT) * 1000000 // (CAST(ssb AS HUGEINT) + ssw)
+        |         AS BIGINT)
+        |  END AS eta2_e6
+        |FROM b ORDER BY c_mktsegment""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -465,6 +465,48 @@ object Metrics {
       .drop("__s", "__q", "__st")
   }
 
+  /** Per-key Brown–Forsythe variance-equality test — the robust Levene
+    * variant: [[anovaOneWay]]'s F computed over ABSOLUTE DEVIATIONS
+    * FROM EACH GROUP'S MEDIAN, answering "do the groups even share a
+    * variance" — the prerequisite every pooled-variance test quietly
+    * assumes ([[welchTTest]] exists precisely because they often
+    * don't; this is the test that tells you).
+    *
+    * Exactness: the group median is the EXACT LOWER MEDIAN off the
+    * value-count grid (the trimmedMean rank convention — smallest value
+    * whose cumulative count reaches ⌈n_g/2⌉), so the deviations
+    * `|x − med_g|` are exact integers and the whole readout inherits
+    * anovaOneWay's floor-quantized integer discipline verbatim.
+    *
+    * Scale shape: one grid aggregate + one ordered window over the
+    * DISTINCT-VALUE grid for the medians, one broadcast-shaped join
+    * back onto the rows, then anovaOneWay's single aggregate. Output:
+    * anovaOneWay's with `f_e4` renamed `bf_e4`. */
+  def brownForsythe(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                    valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "brownForsythe needs at least one key column")
+    val k = keyCols.map(col)
+    val x = col(valueCol).cast("long")
+    val base = df.filter(col(groupCol).isNotNull && x.isNotNull)
+      .select(k :+ col(groupCol).as("__g") :+ x.as("__x"): _*)
+    val wCum = Window.partitionBy(k :+ col("__g"): _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k :+ col("__g"): _*)
+    val med = base.groupBy(k :+ col("__g") :+ col("__x").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__nt", sum(col("__c")).over(wAll))
+      // lower median: smallest value whose cumulative count reaches the
+      // (nt+1) div 2 position (integer div — `/` on longs is a double)
+      .filter(expr("__cum >= (__nt + 1) div 2"))
+      .groupBy(k :+ col("__g"): _*)
+      .agg(min(col("__v")).as("__med"))
+    val dev = base.join(med, keyCols :+ "__g")
+      .withColumn("__z", abs(col("__x") - col("__med")))
+    anovaOneWay(dev, keyCols, "__g", "__z")
+      .withColumnRenamed("f_e4", "bf_e4")
+  }
+
   /** Per-key Kruskal–Wallis H — the k-GROUP rank test closing the
     * triangle ([[anovaOneWay]] parametric k-group, [[mannWhitney]]
     * nonparametric pair): `H = 12/(n(n+1)) · Σ_g R_g²/n_g − 3(n+1)`

@@ -320,6 +320,30 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("brownForsythe: equal spreads score ~0; a wide group is flagged; lower median") {
+    // A and B same spread around different centers: deviations identical
+    // -> BF = 0 exactly (ssb clamps at 0 after the floor)
+    val same = Seq(("k", "A", 10L), ("k", "A", 12L), ("k", "A", 14L),
+      ("k", "B", 100L), ("k", "B", 102L), ("k", "B", 104L)).toDF("k", "g", "v")
+    val r = Metrics.brownForsythe(same, Seq("k"), "g", "v").collect().head
+    assert(r.getAs[Long]("bf_e4") == 0L)
+    // B spreads 10x wider: deviations {0,2,2} vs {0,20,20} -> large BF
+    val wide = Seq(("w", "A", 10L), ("w", "A", 12L), ("w", "A", 14L),
+      ("w", "B", 100L), ("w", "B", 120L), ("w", "B", 140L)).toDF("k", "g", "v")
+    val rw = Metrics.brownForsythe(wide, Seq("k"), "g", "v").collect().head
+    assert(rw.getAs[Long]("bf_e4") > rw.getAs[Long]("ssw"), // strong signal
+      s"bf=${rw.getAs[Long]("bf_e4")}")
+    // even-count group uses the LOWER median: {1, 3} -> median 1
+    val even = Seq(("e", "A", 1L), ("e", "A", 3L), ("e", "B", 1L), ("e", "B", 1L))
+      .toDF("k", "g", "v")
+    val re = Metrics.brownForsythe(even, Seq("k"), "g", "v").collect().head
+    // A deviations from lower median 1: {0, 2}; B: {0, 0}
+    // -> st = floor(4/2) = 2, floor(S^2/n) = floor(4/4) = 1:
+    // ssb = 1, ssw = 2 (matches the analytic decomposition exactly here)
+    assert(re.getAs[Long]("n") == 4L)
+    assert(re.getAs[Long]("ssb") == 1L && re.getAs[Long]("ssw") == 2L)
+  }
+
   test("kruskalWallis: hand-computed H, tie-degenerate null, separation significant") {
     // A = {1,2}, B = {3,4}: ranks 1..4, R_A = 3, R_B = 7
     // H = 12/20 * (9/2 + 49/2) - 15 = 2.4 (exact under the floor too)
