@@ -3347,7 +3347,15 @@ object SparkEntry {
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
             .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
           Seq("c_mktsegment"), "o_orderpriority", "cents")
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // ---- extension: Flesch readability — the classic reading-ease
+    // quality signal with a deterministic vowel-group syllable proxy;
+    // pure codegen regexps, one fixed score tree
+    "q272_x_readability" -> tuned((s, d) =>
+      graft.text.TextAnalysis.readability(
+          Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
 
   /** Monthly revenue cents per (market segment, order priority) — the
@@ -9033,7 +9041,32 @@ object SparkEntry {
         |    CAST(CAST(ssb AS HUGEINT) * 1000000 // (CAST(ssb AS HUGEINT) + ssw)
         |         AS BIGINT)
         |  END AS eta2_e6
-        |FROM b ORDER BY c_mktsegment""".stripMargin)
+        |FROM b ORDER BY c_mktsegment""".stripMargin),
+
+    // the same regexp counts (vowel-group runs + a floor credit per
+    // vowel-less word via list_filter) and the identical score tree
+    "q272_x_readability" ->
+      ("""WITH r AS (
+        |  SELECT doc_id,
+        |    text IS NOT NULL AND length(trim(text)) > 0 AS ok,
+        |    CASE WHEN length(trim(text)) = 0 THEN 0
+        |      ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS w,
+        |    greatest(1, len(regexp_extract_all(text, '[.!?]+'))) AS snt,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      + len(list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+        |          t -> NOT regexp_matches(t, '[aeiouy]') AND length(t) > 0)) AS syl
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN ok THEN CAST(w AS BIGINT) END AS n_words,
+        |  CASE WHEN ok THEN CAST(snt AS BIGINT) END AS n_sentences,
+        |  CASE WHEN ok THEN CAST(syl AS BIGINT) END AS n_syllables,
+        |  CASE WHEN ok AND w > 0 THEN
+        |    CAST(floor((206.835
+        |      - 1.015 * (CAST(w AS DOUBLE) / CAST(snt AS DOUBLE))
+        |      - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
+        |      * 10000 + 0.5) AS BIGINT)
+        |  END AS flesch_e4
+        |FROM r ORDER BY doc_id""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -508,6 +508,48 @@ object TextAnalysis {
           sum(col("__ta") + col("__tb"))).as("jsd_e9"))
   }
 
+  /** Per-document Flesch reading-ease score — the classic readability
+    * quality signal (Flesch 1948) beside the Gopher/C4 structural
+    * filters: `206.835 − 1.015·(words/sentences) −
+    * 84.6·(syllables/words)` with a deterministic syllable PROXY
+    * (vowel-group runs `[aeiouy]+` per lowercased word, floor one per
+    * word — the standard heuristic; a dictionary syllabifier is out of
+    * scope and would break the SQL replay). Sentences count terminal-
+    * punctuation runs `[.!?]+`, floored at one so an unpunctuated
+    * document reads as a single run-on sentence rather than dividing
+    * by zero.
+    *
+    * Exactness: all three counts are exact integers from codegen'd
+    * regexps (no UDF — `regexp_extract_all` + a `filter` HOF for the
+    * vowel-less floor, both with DuckDB twins); the score is ONE fixed
+    * double tree e4-quantized. Null/empty text emits null score.
+    *
+    * Scale shape: shuffle-free per-row kernel. Output: `(idCol,
+    * n_words, n_sentences, n_syllables, flesch_e4)`. */
+  def readability(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val words = TextAnalysis.tokenCount(t).cast("long")
+    val sentences = greatest(lit(1L),
+      size(regexp_extract_all(t, lit("[.!?]+"), lit(0))).cast("long"))
+    // vowel-group runs across the doc + one floor-credit per vowel-less word
+    val vgroups = size(regexp_extract_all(lower(t), lit("[aeiouy]+"), lit(0)))
+      .cast("long")
+    val novowel = size(filter(Cols.tokens(lower(t)),
+      w => w.rlike("^[^aeiouy]*$") && length(w) > 0)).cast("long")
+    val syll = vgroups + novowel
+    docs.select(col(idCol),
+      when(t.isNotNull && length(trim(t)) > 0, words).as("n_words"),
+      when(t.isNotNull && length(trim(t)) > 0, sentences).as("n_sentences"),
+      when(t.isNotNull && length(trim(t)) > 0, syll).as("n_syllables"))
+      .withColumn("flesch_e4", expr(
+        """case when n_words > 0 then
+          |  cast(floor((206.835
+          |    - 1.015 * (cast(n_words as double) / cast(n_sentences as double))
+          |    - 84.6 * (cast(n_syllables as double) / cast(n_words as double)))
+          |    * 10000 + 0.5) as bigint)
+          |end""".stripMargin))
+  }
+
   /** Per-document token Shannon entropy — the information-density quality
     * feature: `H = ln n − (1/n)·Σᵢ cᵢ·ln cᵢ` over the document's token
     * counts (nats). Low entropy at non-trivial length = repetition

@@ -126,6 +126,29 @@ class TextAnalysisSpec extends SparkSpec {
       "KL against a dominating corpus distribution is Gibbs-nonnegative"))
   }
 
+  test("readability: hand-computed Flesch over the vowel-group proxy") {
+    // "the cat sat. it ran!" -> words 5, sentences 2, syllables 5
+    // flesch = 206.835 - 1.015*2.5 - 84.6*1 = 119.6975
+    val df = Seq((0L, "the cat sat. it ran!"),
+      (1L, "xyz qrs"),      // no vowels: floor 1 syllable per word
+      (2L, "unpunctuated stream of words"), // 1 run-on sentence
+      (3L, null.asInstanceOf[String]), (4L, "   ")).toDF("doc_id", "text")
+    val out = collectReadability(df)
+    assert(out(0L).getAs[Long]("n_words") == 5L)
+    assert(out(0L).getAs[Long]("n_sentences") == 2L)
+    assert(out(0L).getAs[Long]("n_syllables") == 5L)
+    assert(out(0L).getAs[Long]("flesch_e4") ==
+      math.floor((206.835 - 1.015 * 2.5 - 84.6 * 1.0) * 1e4 + 0.5).toLong)
+    assert(out(1L).getAs[Long]("n_syllables") == 2L) // one floor credit each
+    assert(out(2L).getAs[Long]("n_sentences") == 1L)
+    assert(out(3L).get(out(3L).fieldIndex("flesch_e4")) == null)
+    assert(out(4L).get(out(4L).fieldIndex("flesch_e4")) == null)
+  }
+
+  private def collectReadability(df: org.apache.spark.sql.DataFrame) =
+    TextAnalysis.readability(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+
   test("vocabJsd: 0 on identical sides, ln 2 on disjoint vocabularies") {
     val same = Seq((0, "a b c"), (1, "a b c")).toDF("side", "text")
     assert(TextAnalysis.vocabJsd(same, "side", "text")
