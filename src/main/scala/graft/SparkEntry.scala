@@ -3355,7 +3355,34 @@ object SparkEntry {
     "q272_x_readability" -> tuned((s, d) =>
       graft.text.TextAnalysis.readability(
           Tables.documents(s, d), "doc_id", "text")
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- extension: McNemar paired test — do the char-length and
+    // token-length quality filters disagree SYMMETRICALLY per source
+    // (kappa says how often they agree; this says whether the
+    // disagreements lean one way)
+    "q273_x_mcnemar" -> tuned((s, d) =>
+      graft.operators.Metrics.mcnemar(
+          Tables.documents(s, d)
+            .withColumn("a", col("n_chars") > 500)
+            .withColumn("b", graft.text.TextAnalysis.tokenCount(col("text")) > 90),
+          Seq("source"), "a", "b")
+        .orderBy("source")),
+
+    // ---- extension: Cochran-Armitage trend — does per-user purchase
+    // conversion rise monotonically across ordered user tiers; exact
+    // sufficient sums, one z tree
+    "q274_x_cochran_armitage" -> tuned((s, d) =>
+      graft.operators.Metrics.cochranArmitage(
+          Tables.events(s, d)
+            .filter(col("user_id").isNotNull)
+            .groupBy(col("user_id"))
+            .agg((max(when(col("event_type") === "purchase", 1).otherwise(0)) === 1)
+              .as("converted"))
+            .withColumn("dose", pmod(col("user_id"), lit(4L)))
+            .withColumn("panel", pmod(expr("user_id div 4"), lit(2L))),
+          Seq("panel"), "dose", "converted")
+        .orderBy("panel"))
   )
 
   /** Monthly revenue cents per (market segment, order priority) — the
@@ -9066,7 +9093,63 @@ object SparkEntry {
         |      - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
         |      * 10000 + 0.5) AS BIGINT)
         |  END AS flesch_e4
-        |FROM r ORDER BY doc_id""".stripMargin)
+        |FROM r ORDER BY doc_id""".stripMargin),
+
+    // discordant counts off one aggregate, DECIMAL-widened square, the
+    // identical chi-square division; verdict on the ROUNDED value
+    "q273_x_mcnemar" ->
+      ("""WITH d AS (
+        |  SELECT source,
+        |    n_chars > 500 AS a,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 90 AS b
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL AND text IS NOT NULL),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS b_count,
+        |        CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS c_count
+        |      FROM d GROUP BY 1),
+        |h AS (SELECT *, CASE WHEN b_count + c_count > 0 THEN
+        |        CAST(floor(CAST(CAST(b_count - c_count AS HUGEINT)
+        |                        * (b_count - c_count) AS DOUBLE)
+        |          / CAST(b_count + c_count AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |      END AS chi2_e4 FROM g)
+        |SELECT source, n, b_count, c_count, chi2_e4,
+        |  CASE WHEN chi2_e4 IS NOT NULL THEN chi2_e4 > 38415 END AS significant
+        |FROM h ORDER BY source""".stripMargin),
+
+    // per-user conversion fold, the five exact sufficient sums, the
+    // identical z tree; verdict on the ROUNDED |z|
+    "q274_x_cochran_armitage" -> {
+      val vd = """(CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                 | * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                 | * (CAST(sw2n AS DOUBLE)
+                 |    - CAST(swn AS DOUBLE) * CAST(swn AS DOUBLE) / CAST(n AS DOUBLE)))"""
+        .stripMargin.replaceAll("\n", " ")
+      s"""WITH u AS (
+        |  SELECT user_id, CAST(user_id % 4 AS BIGINT) AS w,
+        |         CAST((user_id // 4) % 2 AS BIGINT) AS panel,
+        |         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) = 1 AS s
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+        |a AS (SELECT panel, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS x,
+        |        CAST(sum(w) AS HUGEINT) AS swn,
+        |        CAST(sum(CASE WHEN s THEN w ELSE 0 END) AS HUGEINT) AS swx,
+        |        sum(CAST(w AS HUGEINT) * w) AS sw2n
+        |      FROM u GROUP BY 1),
+        |z AS (SELECT panel, n, x,
+        |        CASE WHEN n > 0 AND x > 0 AND x < n AND $vd > 0 THEN
+        |          CAST(floor((CAST(swx AS DOUBLE)
+        |              - CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * CAST(swn AS DOUBLE))
+        |            / sqrt($vd) * 10000 + 0.5) AS BIGINT)
+        |        END AS z_e4
+        |      FROM a)
+        |SELECT panel, n, x, z_e4,
+        |  CASE WHEN z_e4 IS NOT NULL THEN abs(z_e4) > 19600 END AS significant
+        |FROM z ORDER BY panel""".stripMargin
+    }
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -465,6 +465,82 @@ object Metrics {
       .drop("__s", "__q", "__st")
   }
 
+  /** Per-key McNemar test over two PAIRED boolean columns — "do the two
+    * classifiers/filters disagree SYMMETRICALLY" (the paired complement
+    * of [[cohenKappa]]'s agreement rate: kappa says how often they
+    * agree, McNemar says whether the disagreements lean one way):
+    * `χ² = (b − c)²/(b + c)` over the discordant counts `b = |A ∧ ¬B|`,
+    * `c = |¬A ∧ B|`. Uncorrected form (documented — both engines replay
+    * the same convention); df = 1, 5% critical 3.8415.
+    *
+    * Exactness: b and c are exact integers from one map-side-combined
+    * aggregate; `(b−c)²` widens through DECIMAL(38,0) (b, c can be
+    * ~10⁹+ rows); χ² is a single double division e4-quantized with the
+    * verdict on the ROUNDED value. Keys with no discordant pair emit
+    * null (the test is undefined — agreement says nothing here).
+    * Output: `(keys…, n, b_count, c_count, chi2_e4, significant)`. */
+  def mcnemar(df: DataFrame, keyCols: Seq[String], aCol: String,
+              bCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "mcnemar needs at least one key column")
+    val a = col(aCol)
+    val b = col(bCol)
+    df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("b_count"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("c_count"))
+      .withColumn("chi2_e4", expr(
+        """case when b_count + c_count > 0 then
+          |  cast(floor(cast(cast(b_count - c_count as decimal(38,0))
+          |                  * (b_count - c_count) as double)
+          |    / cast(b_count + c_count as double) * 10000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .withColumn("significant",
+        when(col("chi2_e4").isNotNull, col("chi2_e4") > 38415L))
+  }
+
+  /** Per-key Cochran–Armitage trend test — "does the conversion RATE
+    * rise monotonically with the dose" over an ordered integer score
+    * column (exposure tier, price band, A/B/n arm index): the
+    * proportions analogue of [[graft.stats.Diagnostics.mannKendall]]'s
+    * trend-in-a-series, and what a per-pair z matrix cannot answer
+    * without multiplicity loss. `Z = (Σwᵢxᵢ − p̄·Σwᵢnᵢ) /
+    * √(p̄(1−p̄)(Σwᵢ²nᵢ − (Σwᵢnᵢ)²/N))`.
+    *
+    * Exactness: the five sufficient statistics are exact integers (the
+    * score products accumulate as DECIMAL(38,0) — w²·rows wraps BIGINT
+    * past w ≈ 10⁶ at 10⁹ rows); Z is ONE fixed double tree
+    * e4-quantized, verdict on the ROUNDED |z| > 1.96. Keys with zero
+    * variance (constant dose, or p̄ ∈ {0, 1}) emit null.
+    * Output: `(keys…, n, x, z_e4, significant)`. */
+  def cochranArmitage(df: DataFrame, keyCols: Seq[String], scoreCol: String,
+                      successCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "cochranArmitage needs at least one key column")
+    val w = col(scoreCol).cast("long")
+    val s = col(successCol)
+    val vd = """(cast(x as double) / cast(n as double)
+               | * (1.0 - cast(x as double) / cast(n as double))
+               | * (cast(sw2n as double)
+               |    - cast(swn as double) * cast(swn as double) / cast(n as double)))"""
+      .stripMargin.replaceAll("\n", " ")
+    df.filter(w.isNotNull && s.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(s, 1L).otherwise(0L)).as("x"),
+        sum(w.cast("decimal(38,0)")).as("swn"),
+        sum(when(s, w).otherwise(0L).cast("decimal(38,0)")).as("swx"),
+        sum((w.cast("decimal(38,0)") * w)).as("sw2n"))
+      .withColumn("z_e4", expr(
+        s"""case when n > 0 and x > 0 and x < n and $vd > 0 then
+           |  cast(floor((cast(swx as double)
+           |      - cast(x as double) / cast(n as double) * cast(swn as double))
+           |    / sqrt($vd) * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("significant",
+        when(col("z_e4").isNotNull, abs(col("z_e4")) > 19600L))
+      .drop("swn", "swx", "sw2n")
+  }
+
   /** Per-key Brown–Forsythe variance-equality test — the robust Levene
     * variant: [[anovaOneWay]]'s F computed over ABSOLUTE DEVIATIONS
     * FROM EACH GROUP'S MEDIAN, answering "do the groups even share a

@@ -320,6 +320,48 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("mcnemar: symmetric disagreement ~0; one-sided disagreement flags; concordant-only null") {
+    // b = c = 3 -> chi2 = 0
+    val sym = (1 to 3).flatMap(_ => Seq(("s", true, false), ("s", false, true))) :+
+      (("s", true, true))
+    val rs = Metrics.mcnemar(sym.toDF("k", "a", "b"), Seq("k"), "a", "b")
+      .collect().head
+    assert(rs.getAs[Long]("chi2_e4") == 0L && !rs.getAs[Boolean]("significant"))
+    // b = 10, c = 0 -> chi2 = 100/10 = 10 > 3.8415
+    val one = (1 to 10).map(_ => ("o", true, false)) :+ (("o", true, true))
+    val ro = Metrics.mcnemar(one.toDF("k", "a", "b"), Seq("k"), "a", "b")
+      .collect().head
+    assert(ro.getAs[Long]("chi2_e4") == 100000L && ro.getAs[Boolean]("significant"))
+    // perfectly concordant -> undefined -> null
+    val conc = Seq(("c", true, true), ("c", false, false))
+    val rc = Metrics.mcnemar(conc.toDF("k", "a", "b"), Seq("k"), "a", "b")
+      .collect().head
+    assert(rc.get(rc.fieldIndex("chi2_e4")) == null)
+  }
+
+  test("cochranArmitage: a clean dose-response is positive-significant; flat is ~0") {
+    // doses 0,1,2 with rates 0/10, 5/10, 10/10 -> strong upward trend
+    val rising = (1 to 10).flatMap(i => Seq(
+      ("r", 0L, false),
+      ("r", 1L, i <= 5),
+      ("r", 2L, true)))
+    val rr = Metrics.cochranArmitage(rising.toDF("k", "w", "s"),
+      Seq("k"), "w", "s").collect().head
+    assert(rr.getAs[Boolean]("significant") && rr.getAs[Long]("z_e4") > 0,
+      s"z=${rr.getAs[Long]("z_e4")}")
+    // identical rate at every dose -> z = 0 exactly
+    val flat = (1 to 10).flatMap(i => Seq(
+      ("f", 0L, i <= 5), ("f", 1L, i <= 5), ("f", 2L, i <= 5)))
+    val rf = Metrics.cochranArmitage(flat.toDF("k", "w", "s"),
+      Seq("k"), "w", "s").collect().head
+    assert(rf.getAs[Long]("z_e4") == 0L)
+    // constant dose -> zero variance -> null
+    val const = Seq(("c", 1L, true), ("c", 1L, false))
+    val rc = Metrics.cochranArmitage(const.toDF("k", "w", "s"),
+      Seq("k"), "w", "s").collect().head
+    assert(rc.get(rc.fieldIndex("z_e4")) == null)
+  }
+
   test("brownForsythe: equal spreads score ~0; a wide group is flagged; lower median") {
     // A and B same spread around different centers: deviations identical
     // -> BF = 0 exactly (ssb clamps at 0 after the floor)
