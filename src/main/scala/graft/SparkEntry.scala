@@ -3382,7 +3382,20 @@ object SparkEntry {
             .withColumn("dose", pmod(col("user_id"), lit(4L)))
             .withColumn("panel", pmod(expr("user_id div 4"), lit(2L))),
           Seq("panel"), "dose", "converted")
-        .orderBy("panel"))
+        .orderBy("panel")),
+
+    // ---- extension: Poisson-bootstrap CI — distribution-free interval
+    // for the mean order value per segment; counter-based integer
+    // multiplicities, exact replicate means, exact-rank percentile
+    // bounds — the whole resampling replays bit-for-bit
+    "q275_x_bootstrap_ci" -> tuned((s, d) =>
+      graft.operators.MonteCarlo.poissonBootstrapCi(
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+          Seq("c_mktsegment"), "o_orderkey", "cents",
+          replicates = 200, alphaPermille = 50)
+        .orderBy("c_mktsegment"))
   )
 
   /** Monthly revenue cents per (market segment, order priority) — the
@@ -9149,6 +9162,50 @@ object SparkEntry {
         |SELECT panel, n, x, z_e4,
         |  CASE WHEN z_e4 IS NOT NULL THEN abs(z_e4) > 19600 END AS significant
         |FROM z ORDER BY panel""".stripMargin
+    },
+
+    // the IDENTICAL counter-based resampling: same affine hash, the
+    // Poisson thresholds interpolated from the operator's single source
+    // (MonteCarlo.PoissonThresholdsE31), exact integer means and ranks
+    "q275_x_bootstrap_ci" -> {
+      val ts = graft.operators.MonteCarlo.PoissonThresholdsE31
+      val wCase = ts.zipWithIndex.map { case (t, i) => s"WHEN h <= $t THEN $i" }
+        .mkString("CASE ", " ", " ELSE 7 END")
+      s"""WITH base AS (
+        |  SELECT c_mktsegment AS k, o_orderkey AS id,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE o_orderkey IS NOT NULL AND o_totalprice IS NOT NULL),
+        |reps AS (SELECT k, x, b.b AS b,
+        |           ((id % 1000003) * 1103515245 + b.b * 2654435761 + 54321)
+        |             % 2147483647 AS h
+        |         FROM base
+        |         CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b) b),
+        |wts AS (SELECT k, b, x, $wCase AS w FROM reps),
+        |rm AS (SELECT k, b, sum(CAST(w AS HUGEINT) * x) AS swx,
+        |              CAST(sum(w) AS BIGINT) AS sw
+        |       FROM wts GROUP BY 1, 2 HAVING sum(w) > 0),
+        |mm AS (SELECT k, b,
+        |              CAST(CAST(swx AS HUGEINT) * 1000000 // sw AS BIGINT) AS m
+        |       FROM rm),
+        |rk AS (SELECT k, b, m,
+        |         CAST(row_number() OVER (PARTITION BY k ORDER BY m, b) AS BIGINT)
+        |           AS rn,
+        |         CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS nr
+        |       FROM mm),
+        |bounds AS (SELECT k, max(nr) AS n_reps,
+        |             max(CASE WHEN rn = (nr * 50 + 1999) // 2000 THEN m END)
+        |               AS lo_e6,
+        |             max(CASE WHEN rn = (nr * 1950 + 1999) // 2000 THEN m END)
+        |               AS hi_e6
+        |           FROM rk GROUP BY 1),
+        |f AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(CAST(sum(x) AS HUGEINT) * 1000000 // count(*) AS BIGINT)
+        |               AS mean_e6
+        |      FROM base GROUP BY 1)
+        |SELECT f.k AS c_mktsegment, n, mean_e6, n_reps, lo_e6, hi_e6
+        |FROM f JOIN bounds ON f.k = bounds.k
+        |ORDER BY c_mktsegment""".stripMargin
     }
   )
 

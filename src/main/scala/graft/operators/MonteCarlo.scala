@@ -114,4 +114,85 @@ object MonteCarlo {
     val out = gb.agg(avg(col("__dx")).as("mu"), stddev_samp(col("__dx")).as("sigma"))
     if (keyCols.isEmpty) out.drop("__g") else out
   }
+
+  /** Poisson(1) CDF thresholds scaled to the 2³¹−1 hash modulus — the
+    * SINGLE source for the bootstrap weight lookup, interpolated into
+    * both the Spark expression and the SQL oracle so the two cannot
+    * drift. `w = #{k : h > t_k}`, capping at 7 (P(X ≥ 8) < 10⁻⁵). */
+  lazy val PoissonThresholdsE31: Seq[Long] = {
+    val e = math.exp(-1.0)
+    val pmf = Iterator.iterate((e, 0)) { case (p, k) => (p / (k + 1), k + 1) }
+      .map(_._1).take(8).toSeq
+    pmf.scanLeft(0.0)(_ + _).tail.take(7)
+      .map(c => math.floor(c * 2147483647.0).toLong)
+  }
+
+  /** Per-key Poisson-bootstrap confidence interval for the mean of an
+    * integer column — distribution-free inference the closed-form tests
+    * can't give (skewed money metrics, clipped counts): each of
+    * `replicates` resamples draws every row with a Poisson(1)
+    * multiplicity (the streaming-friendly bootstrap — no global n
+    * needed), and the CI is the exact-rank percentile span of the
+    * replicate means.
+    *
+    * Determinism: the multiplicity is a COUNTER-BASED draw (the q32
+    * convention — `randn(seed)` is partition-dependent): an affine hash
+    * of (id, replicate) mod 2³¹−1 compared against
+    * [[PoissonThresholdsE31]], all integer comparisons. Replicate means
+    * are exact integer `div`s (DECIMAL-widened), the CI bounds are exact
+    * order statistics (`⌈B·α/2⌉`-th and `⌈B·(1−α/2)⌉`-th, ties broken by
+    * replicate id) — NOTHING floats, so the oracle replays the whole
+    * resampling bit-for-bit.
+    *
+    * Scale shape: the B-fold explode is the bootstrap's intrinsic cost;
+    * the per-(key, replicate) sums map-side combine, so the shuffle
+    * carries keys·B rows, not rows·B. Output: `(keys…, n, mean_e6,
+    * n_reps, lo_e6, hi_e6)`. */
+  def poissonBootstrapCi(df: DataFrame, keyCols: Seq[String], idCol: String,
+                         valueCol: String, replicates: Int = 200,
+                         alphaPermille: Int = 50): DataFrame = {
+    require(keyCols.nonEmpty, "poissonBootstrapCi needs at least one key column")
+    require(replicates >= 10 && replicates <= 10000,
+      s"replicates must be in [10, 10000], got $replicates")
+    require(alphaPermille >= 1 && alphaPermille <= 499,
+      s"alphaPermille must be in [1, 499], got $alphaPermille")
+    val k = keyCols.map(col)
+    val base = df
+      .filter(col(idCol).isNotNull && col(valueCol).isNotNull)
+      .select(k :+ col(idCol).cast("long").as("__id") :+
+        col(valueCol).cast("long").as("__x"): _*)
+    val ts = PoissonThresholdsE31
+    val wCase = ts.zipWithIndex
+      .map { case (t, i) => s"when __h <= ${t}L then $i" }
+      .mkString("case ", " ", " else 7 end")
+    val reps = base
+      .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
+      .withColumn("__h", expr(
+        "pmod(pmod(__id, 1000003) * 1103515245 + __b * 2654435761 + 54321, 2147483647)"))
+      .withColumn("__w", expr(wCase))
+    val repMeans = reps.groupBy(k :+ col("__b"): _*)
+      .agg(sum(col("__w") * col("__x")).as("__swx"), sum(col("__w")).as("__sw"))
+      .filter(col("__sw") > 0)
+      .withColumn("__m_e6", expr(
+        "cast(cast(__swx as decimal(38,0)) * 1000000 div __sw as bigint)"))
+    val wRank = Window.partitionBy(k: _*).orderBy(col("__m_e6"), col("__b"))
+    val wAll = Window.partitionBy(k: _*)
+    val ranked = repMeans
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__nr", count(lit(1)).over(wAll))
+      .withColumn("__lo_idx", expr(s"(__nr * $alphaPermille + 1999) div 2000"))
+      .withColumn("__hi_idx", expr(s"(__nr * ${2000 - alphaPermille} + 1999) div 2000"))
+    val bounds = ranked.groupBy(k: _*)
+      .agg(max(col("__nr")).as("n_reps"),
+        max(when(col("__rn") === col("__lo_idx"), col("__m_e6"))).as("lo_e6"),
+        max(when(col("__rn") === col("__hi_idx"), col("__m_e6"))).as("hi_e6"))
+    val full = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__s"))
+      .withColumn("mean_e6", expr(
+        "cast(cast(__s as decimal(38,0)) * 1000000 div n as bigint)"))
+      .drop("__s")
+    full.join(bounds, keyCols)
+      .select(k :+ col("n") :+ col("mean_e6") :+ col("n_reps") :+
+        col("lo_e6") :+ col("hi_e6"): _*)
+  }
 }

@@ -74,4 +74,31 @@ class MonteCarloSpec extends SparkSpec {
       assert(r.getAs[Double]("max") == e.getAs[Double]("max")) // order-independent
     }
   }
+
+  test("poissonBootstrapCi: brackets the mean, deterministic, full replicate set") {
+    import spark.implicits._
+    val df = (1 to 500).map(i => ("k", i.toLong, i.toLong)).toDF("k", "id", "v")
+    val out = MonteCarlo.poissonBootstrapCi(df, Seq("k"), "id", "v",
+      replicates = 100).collect().head
+    val (mean, lo, hi) = (out.getAs[Long]("mean_e6"),
+      out.getAs[Long]("lo_e6"), out.getAs[Long]("hi_e6"))
+    assert(out.getAs[Long]("n") == 500L)
+    assert(mean == 250500000L) // 250.5 exactly
+    assert(lo <= mean && mean <= hi, s"($lo, $mean, $hi)")
+    assert(lo < hi && (hi - lo) < mean / 2, s"interval implausibly wide: $lo..$hi")
+    assert(out.getAs[Long]("n_reps") == 100L)
+    // counter-based weights: a second run is bit-identical
+    val again = MonteCarlo.poissonBootstrapCi(df, Seq("k"), "id", "v",
+      replicates = 100).collect().head
+    assert(again.getAs[Long]("lo_e6") == lo && again.getAs[Long]("hi_e6") == hi)
+  }
+
+  test("poissonBootstrapCi: thresholds follow the Poisson(1) CDF shape") {
+    val ts = MonteCarlo.PoissonThresholdsE31
+    assert(ts.length == 7)
+    assert(ts == ts.sorted)
+    // P(X=0) = e^-1: the first threshold sits at ~36.8% of the modulus
+    assert(math.abs(ts.head / 2147483647.0 - math.exp(-1.0)) < 1e-9)
+    assert(ts.last / 2147483647.0 > 0.9999)
+  }
 }
