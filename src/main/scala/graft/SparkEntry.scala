@@ -8963,7 +8963,8 @@ object SparkEntry {
         |  SELECT c_mktsegment AS k, o_orderpriority AS g,
         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
         |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL),
         |pg AS (SELECT k, g, CAST(count(*) AS BIGINT) AS ng,
         |              CAST(sum(x) AS BIGINT) AS sg,
         |              sum(CAST(x AS HUGEINT) * x) AS qg
@@ -9004,7 +9005,8 @@ object SparkEntry {
         |  SELECT c_mktsegment AS k, o_orderpriority AS g,
         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
         |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL),
         |cells AS (SELECT k, g, x AS v, CAST(count(*) AS BIGINT) AS cgv
         |          FROM e GROUP BY 1, 2, 3),
         |vals AS (SELECT k, v, CAST(sum(cgv) AS BIGINT) AS cv
@@ -9044,7 +9046,8 @@ object SparkEntry {
         |  SELECT c_mktsegment AS k, o_orderpriority AS g,
         |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
         |  FROM orders JOIN customer ON o_custkey = c_custkey
-        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+        |    AND c_mktsegment IS NOT NULL),
         |mg AS (SELECT k, g, x AS v, CAST(count(*) AS BIGINT) AS c
         |       FROM e0 GROUP BY 1, 2, 3),
         |mc AS (SELECT *, CAST(sum(c) OVER (PARTITION BY k, g ORDER BY v

@@ -20,6 +20,14 @@ import org.apache.spark.sql.functions._
   * row boundary. */
 object Metrics {
 
+  /** Shared null-key convention for the per-key hypothesis tests: a
+    * null key is not a key — rows whose key is null are dropped BEFORE
+    * grouping, matching the `key IS NOT NULL` predicate every paired
+    * DuckDB oracle carries. One definition so the convention cannot
+    * drift operator-by-operator. */
+  private def dropNullKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+
   /** Per-group two-sample Kolmogorov–Smirnov drift statistic — each
     * group's `valueCol` distribution against the REST of the table:
     * `D_g = max_x |F_g(x) − F_rest(x)|`, the standard "did this domain
@@ -316,7 +324,8 @@ object Metrics {
     val x = col(valueCol).cast("long")
     val inA = g === groupA
     val inB = g === groupB
-    val agg = df.filter((inA || inB) && g.isNotNull && x.isNotNull)
+    val agg = dropNullKeys(df, keyCols)
+      .filter((inA || inB) && g.isNotNull && x.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(when(inA, 1L).otherwise(0L)).as("n_a"),
@@ -379,7 +388,8 @@ object Metrics {
     val x = col(valueCol).cast("long")
     val inA = g === groupA
     val inB = g === groupB
-    val grid = df.filter((inA || inB) && g.isNotNull && x.isNotNull)
+    val grid = dropNullKeys(df, keyCols)
+      .filter((inA || inB) && g.isNotNull && x.isNotNull)
       .groupBy(k :+ x.as("__v"): _*)
       .agg(sum(when(inA, 1L).otherwise(0L)).as("__ca"),
         sum(when(inB, 1L).otherwise(0L)).as("__cb"))
@@ -422,9 +432,15 @@ object Metrics {
     * division (a grid-sized udf — groups per key, not rows; DuckDB
     * replays it as HUGEINT `//`), so `Σ_g ⌊S_g²/n_g⌋` is an
     * order-independent integer sum and SSB/SSW are exact integers under
-    * a DOCUMENTED floor convention (each ⌊·⌋ loses < 1 against ~10²⁰+
-    * magnitudes — far below the e4 grain of F). F is one fixed double
-    * tree e4-quantized; η² is an integer permille-style `div`.
+    * a DOCUMENTED floor convention (each ⌊·⌋ loses < 1 — far below the
+    * e4 grain of F). BIGINT bound, FAIL-LOUD (the kruskalWallis
+    * convention): each `⌊S_g²/n_g⌋` and SSW = Q − Σ⌊S_g²/n_g⌋ must fit
+    * 2⁶³ ≈ 9.2·10¹⁸ — at cents-scale values (~1.5·10⁷ e2) that is
+    * ~4·10⁴ rows per group for the square and far more for SSW; past it
+    * the operator RAISES (never silently truncates — BigInt.toLong
+    * would wrap, a non-ANSI DECIMAL→BIGINT cast would null). Bin or
+    * re-scale values upstream. F is one fixed double tree e4-quantized;
+    * η² is an integer permille-style `div`.
     *
     * Keys with k < 2 groups or zero within variance emit null F.
     * Output: `(keys…, k_groups, n, ssb, ssw, f_e4, eta2_e6)`. */
@@ -433,8 +449,14 @@ object Metrics {
     require(keyCols.nonEmpty, "anovaOneWay needs at least one key column")
     val k = keyCols.map(col)
     val x = col(valueCol).cast("long")
-    val floorDiv = udf((s: Long, n: Long) => ((BigInt(s) * s) / n).toLong)
-    val perGroup = df.filter(col(groupCol).isNotNull && x.isNotNull)
+    val floorDiv = udf((s: Long, n: Long) => {
+      val v = (BigInt(s) * s) / n
+      require(v.isValidLong,
+        "anovaOneWay group square exceeds 2^63 — bin/rescale values upstream")
+      v.toLong
+    })
+    val perGroup = dropNullKeys(df, keyCols)
+      .filter(col(groupCol).isNotNull && x.isNotNull)
       .select(k :+ col(groupCol).as("__g") :+ x.as("__x"): _*)
       .groupBy(k :+ col("__g"): _*)
       .agg(count(lit(1)).as("__ng"), sum(col("__x")).as("__sg"),
@@ -448,7 +470,14 @@ object Metrics {
       // negative, and negative integer div diverges cross-engine
       .withColumn("ssb",
         greatest(lit(0L), col("__st") - floorDiv(col("__s"), col("n"))))
-      .withColumn("ssw", expr("cast(__q - __st as decimal(38,0))").cast("long"))
+      // fail loud past 2^63 — a bare DECIMAL→BIGINT cast would silently
+      // null under non-ANSI Spark (the floorDiv require's SQL-side twin)
+      .withColumn("ssw", expr(
+        """cast(if(cast(__q - __st as decimal(38,0)) <= 9223372036854775807,
+          |       cast(__q - __st as decimal(38,0)),
+          |       cast(raise_error(
+          |         'anovaOneWay SSW exceeds 2^63 — bin/rescale values upstream')
+          |            as decimal(38,0))) as bigint)""".stripMargin))
       .withColumn("f_e4", expr(
         """case when k_groups >= 2 and n > k_groups and ssw > 0 then
           |  cast(floor((cast(ssb as double) / cast(k_groups - 1 as double))
@@ -484,7 +513,8 @@ object Metrics {
     require(keyCols.nonEmpty, "mcnemar needs at least one key column")
     val a = col(aCol)
     val b = col(bCol)
-    df.filter(a.isNotNull && b.isNotNull)
+    dropNullKeys(df, keyCols)
+      .filter(a.isNotNull && b.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(when(a && !b, 1L).otherwise(0L)).as("b_count"),
@@ -523,7 +553,8 @@ object Metrics {
                | * (cast(sw2n as double)
                |    - cast(swn as double) * cast(swn as double) / cast(n as double)))"""
       .stripMargin.replaceAll("\n", " ")
-    df.filter(w.isNotNull && s.isNotNull)
+    dropNullKeys(df, keyCols)
+      .filter(w.isNotNull && s.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n"),
         sum(when(s, 1L).otherwise(0L)).as("x"),
@@ -563,7 +594,8 @@ object Metrics {
     require(keyCols.nonEmpty, "brownForsythe needs at least one key column")
     val k = keyCols.map(col)
     val x = col(valueCol).cast("long")
-    val base = df.filter(col(groupCol).isNotNull && x.isNotNull)
+    val base = dropNullKeys(df, keyCols)
+      .filter(col(groupCol).isNotNull && x.isNotNull)
       .select(k :+ col(groupCol).as("__g") :+ x.as("__x"): _*)
     val wCum = Window.partitionBy(k :+ col("__g"): _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -607,7 +639,8 @@ object Metrics {
     require(keyCols.nonEmpty, "kruskalWallis needs at least one key column")
     val k = keyCols.map(col)
     val x = col(valueCol).cast("long")
-    val cells = df.filter(col(groupCol).isNotNull && x.isNotNull)
+    val cells = dropNullKeys(df, keyCols)
+      .filter(col(groupCol).isNotNull && x.isNotNull)
       .groupBy(k :+ col(groupCol).as("__g") :+ x.as("__v"): _*)
       .agg(count(lit(1)).as("__cgv"))
       // lazy localCheckpoint: the cell grid feeds the value grid AND the
@@ -1033,8 +1066,12 @@ object Metrics {
     * Exactness: with `p` carried as an e9 integer the threshold test is
     * PURE integer arithmetic — `p_e9·1000·m ≤ rank·q‰·10⁹` — so the
     * step-up boundary cannot drift between engines (a float threshold
-    * would flip verdicts at exact-tie ranks). Ties on `p_e9` order by
-    * `tieCols` so the ranking is total and deterministic.
+    * would flip verdicts at exact-tie ranks). Both sides widen through
+    * DECIMAL(38,0) (p_e9·1000·m wraps BIGINT once m ≈ 9.2·10⁶
+    * hypotheses, and rank·q‰ would promote from 32-bit int too late),
+    * so an oversized family stays exact instead of silently flipping
+    * rejections. Ties on `p_e9` order by `tieCols` so the ranking is
+    * total and deterministic.
     *
     * Scale shape: the family is grid-sized BY DEFINITION (one row per
     * hypothesis, not per observation), so the unpartitioned ranking
@@ -1052,8 +1089,10 @@ object Metrics {
     df.filter(col(pE9Col).isNotNull)
       .withColumn("rank", row_number().over(wRank))
       .withColumn("__m", count(lit(1)).over(wAll))
-      .withColumn("__flag",
-        col(pE9Col) * 1000L * col("__m") <= col("rank") * qPermille * 1000000000L)
+      .withColumn("__flag", expr(
+        s"""cast($pE9Col as decimal(38,0)) * 1000 * __m
+           |  <= cast(rank as decimal(38,0)) * $qPermille * 1000000000"""
+          .stripMargin.replaceAll("\n", " ")))
       .withColumn("__kmax", max(when(col("__flag"), col("rank"))).over(wAll))
       .withColumn("rejected",
         coalesce(col("rank") <= col("__kmax"), lit(false)))
