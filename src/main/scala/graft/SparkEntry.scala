@@ -3219,6 +3219,23 @@ object SparkEntry {
             .withColumn("side", when(col("lang") === "en", 0).otherwise(1)),
           "side", "text")),
 
+    // ---- extension: MULTIPLICATIVE seasonal decomposition — the
+    // ratio-to-moving-average classical method (q177 is the additive
+    // twin; this one is right when seasonal amplitude scales with the
+    // level): per-segment monthly revenue, mean-one seasonal indices,
+    // x/(T·S) residual; e9-quantized ratios, exact integer phase means
+    "q259_x_seasonal_decompose_mul" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment").as("seg"),
+          Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("cents"))
+      graft.operators.Features.seasonalDecomposeMul(m, Seq("seg"), "month", "cents")
+        .select(col("seg"), col("month"), col("cents"), col("trend_e6"),
+          col("seasonal_e6"), col("resid_e6"))
+        .orderBy("seg", "month")
+    }),
+
     // ---- extension: time-sliced sessionization — q110's semantics with
     // the hot-key dial engaged (the round-8 probe's mitigation, shipped):
     // per-(key, day-slice) local sessionization, micro-session re-merge,
@@ -8916,6 +8933,55 @@ object SparkEntry {
         |  CASE WHEN max(na) > 0 AND max(nb) > 0
         |       THEN CAST(sum(ta + tb) AS BIGINT) END AS jsd_e9
         |FROM terms""".stripMargin),
+
+    // q177's window replay with the multiplicative readouts: e9-quantized
+    // ratio per interior row, exact integer phase-mean rounding
+    // (2*sn+sc)//(2*sc), mean-one normalizer, the IDENTICAL double trees
+    "q259_x_seasonal_decompose_mul" ->
+      ("""WITH m AS (SELECT c_mktsegment AS seg,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    ((row_number() OVER o) - 1) % 12 AS ph,
+        |    CASE WHEN count(cents) OVER a = 12
+        |      THEN sum(cents) OVER a END AS sa,
+        |    CASE WHEN count(cents) OVER b = 12
+        |      THEN sum(cents) OVER b END AS sb
+        |  FROM m
+        |  WINDOW o AS (PARTITION BY seg ORDER BY month),
+        |    a AS (PARTITION BY seg ORDER BY month
+        |          ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+        |    b AS (PARTITION BY seg ORDER BY month
+        |          ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+        |t AS (SELECT *, CAST(sa + sb AS BIGINT) AS t2p,
+        |    CASE WHEN sa + sb > 0 THEN
+        |      CAST(floor(CAST(cents AS DOUBLE) * 24 / CAST(sa + sb AS DOUBLE)
+        |        * 1000000000 + 0.5) AS BIGINT) END AS r9
+        |  FROM w),
+        |se AS (SELECT seg, ph, CAST(sum(r9) AS BIGINT) AS sn,
+        |         CAST(count(*) AS BIGINT) AS sc
+        |       FROM t WHERE r9 IS NOT NULL GROUP BY 1, 2),
+        |se2 AS (SELECT *, CAST((2 * sn + sc) // (2 * sc) AS BIGINT) AS a9
+        |        FROM se),
+        |nm AS (SELECT seg, CAST(sum(a9) AS BIGINT) AS m9,
+        |         CAST(count(*) AS BIGINT) AS np
+        |       FROM se2 GROUP BY 1)
+        |SELECT t.seg, t.month, t.cents,
+        |  CAST(floor(CAST(t.t2p AS DOUBLE) / 24 * 1000000 + 0.5) AS BIGINT)
+        |    AS trend_e6,
+        |  CASE WHEN nm.m9 > 0 THEN
+        |    CAST(floor((CAST(se2.a9 AS DOUBLE) * nm.np / CAST(nm.m9 AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) END AS seasonal_e6,
+        |  CASE WHEN t.t2p > 0 AND nm.m9 > 0 THEN
+        |    CAST(floor(CAST(t.cents AS DOUBLE) * 24 / CAST(t.t2p AS DOUBLE)
+        |      / (CAST(se2.a9 AS DOUBLE) * nm.np / CAST(nm.m9 AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) END AS resid_e6
+        |FROM t LEFT JOIN se2 ON t.seg = se2.seg AND t.ph = se2.ph
+        |LEFT JOIN nm ON t.seg = nm.seg
+        |ORDER BY t.seg, t.month""".stripMargin),
 
     // the same value-count grid midranks (2*mr = 2*cum_before + c + 1),
     // HUGEINT tie term, the IDENTICAL z tree; verdict on the ROUNDED z

@@ -333,6 +333,86 @@ object Features {
       .drop("__sumA", "__sumB", "__t2p", "__det2p", "__sn", "__sc", "__phase")
   }
 
+  /** MULTIPLICATIVE classical seasonal decomposition — the
+    * ratio-to-moving-average method (statsmodels
+    * `seasonal_decompose(model='multiplicative')`), the other classical
+    * member beside [[seasonalDecompose]]'s additive form and the right
+    * one when seasonal amplitude SCALES with level (revenue series,
+    * traffic counts): `x = T · S · R` with
+    *   - trend: the identical even-period centered 2×period MA (the
+    *     exact-long `t2p` machinery is shared by construction);
+    *   - seasonal: per-phase MEAN OF RATIOS `x/trend`, normalized so the
+    *     indices average 1 over the period (the statsmodels
+    *     `period_averages /= period_averages.mean()` convention);
+    *   - residual: `x / (T · S)`.
+    *
+    * Exactness: each ratio is e9-quantized to an integer BEFORE any
+    * cross-row sum (`⌊2p·x/t2p · 10⁹ + 0.5⌋` — one fixed double tree),
+    * so phase sums are order-independent BIGINTs; the per-phase average
+    * re-quantizes by EXACT INTEGER rounding `(2·sn + sc) div (2·sc)`
+    * (positive operands — Spark `div` and DuckDB `//` agree), the
+    * period-mean normalizer is then an exact BIGINT sum of those
+    * per-phase integers, and seasonal/residual are one fixed double
+    * tree each off exact integers, e6-quantized. BIGINT bound: phase
+    * ratio sums wrap past ~9·10⁹ in-phase rows (ratios ≈ 1 at e9).
+    * Requires strictly positive values (ratios and logs of a
+    * multiplicative model are undefined at ≤ 0): rows whose full-window
+    * trend is null (edges) or ≤ 0 contribute no ratio and emit null
+    * seasonal-dependent readouts, matching the classical NaN edges.
+    *
+    * Plan shape: identical to the additive form — one (keys) shuffle
+    * for the windows, a period-sized phase grid broadcast back.
+    * Output: input + `(trend_e6, seasonal_e6, resid_e6)` with seasonal
+    * as the mean-one index ×10⁶. */
+  def seasonalDecomposeMul(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                           valueCol: String, period: Int = 12): DataFrame = {
+    require(keyCols.nonEmpty, "seasonalDecomposeMul needs at least one key column")
+    require(period >= 2, s"period must be >= 2, got $period")
+    val x = col(valueCol).cast("long")
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val ord = part.orderBy(col(ordCol))
+    val half = period / 2
+    val wA = ord.rowsBetween(-half, half - 1)
+    val wB = ord.rowsBetween(-half + 1, half)
+    val den = 2.0 * period
+    val q6 = 1e6
+    val phase = ((row_number().over(ord) - 1) % period).as("__phase")
+    val base = df
+      .withColumn("__phase", phase)
+      .withColumn("__sumA", when(count(x).over(wA) === period, sum(x).over(wA)))
+      .withColumn("__sumB", when(count(x).over(wB) === period, sum(x).over(wB)))
+      .withColumn("__t2p", col("__sumA") + col("__sumB"))
+      // e9-quantized ratio x/trend = 2p·x/t2p; null at edges / non-pos trend
+      .withColumn("__r9", expr(
+        s"""case when __t2p > 0 then
+           |  cast(floor(cast(`$valueCol` as double) * ${2 * period}
+           |    / cast(__t2p as double) * 1000000000 + 0.5) as bigint)
+           |end""".stripMargin))
+    val seas = base.filter(col("__r9").isNotNull)
+      .groupBy((keyCols.map(col) :+ col("__phase")): _*)
+      .agg(sum(col("__r9")).as("__sn"), count(lit(1)).as("__sc"))
+      // exact integer round-half-up of the phase mean (operands positive)
+      .withColumn("__a9", expr("(2 * __sn + __sc) div (2 * __sc)"))
+    val norm = seas.groupBy(keyCols.map(col): _*)
+      .agg(sum(col("__a9")).as("__m9"), count(lit(1)).as("__np"))
+    val sTree = s"(cast(__a9 as double) * __np / cast(__m9 as double))"
+    base
+      .join(broadcast(seas), keyCols :+ "__phase", "left")
+      .join(broadcast(norm), keyCols.toSeq, "left")
+      .withColumn("trend_e6",
+        floor(col("__t2p").cast("double") / den * q6 + 0.5).cast("long"))
+      .withColumn("seasonal_e6", expr(
+        s"""case when __m9 > 0 then
+           |  cast(floor($sTree * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("resid_e6", expr(
+        s"""case when __t2p > 0 and __m9 > 0 then
+           |  cast(floor(cast(`$valueCol` as double) * ${2 * period}
+           |    / cast(__t2p as double) / $sTree * 1000000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .drop("__sumA", "__sumB", "__t2p", "__r9", "__sn", "__sc", "__a9",
+        "__m9", "__np", "__phase")
+  }
+
   /** CUSUM level-shift detection per key — the classic change-point
     * screen: cumulative deviation from the series mean, measured as its
     * rise above its own running minimum (`drift = cum − min(cum so

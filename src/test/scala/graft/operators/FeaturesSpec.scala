@@ -261,6 +261,53 @@ class FeaturesSpec extends SparkSpec {
     assert(out.takeRight(2).forall(r => r.get(r.fieldIndex("resid_e6")) == null))
   }
 
+  test("seasonalDecomposeMul: constant level times mean-one season recovered") {
+    // x = 1000 * S(phase), S = (0.8, 1.2, 1.0, 1.0): every full 4-window
+    // sums to one cycle -> trend exactly 1000, ratios exactly S, indices
+    // already mean-one -> seasonal = S*1e6, residual = 1e6
+    val s4 = Seq(800L, 1200L, 1000L, 1000L)
+    val df = (0 until 12).map { t => ("k", t.toLong, s4(t % 4)) }
+      .toDF("k", "t", "v")
+    val out = Features.seasonalDecomposeMul(df, Seq("k"), "t", "v", period = 4)
+      .orderBy("t").collect()
+    val mid = out.filter(r => r.getAs[Long]("t") >= 2 && r.getAs[Long]("t") <= 9)
+    mid.foreach { r =>
+      assert(r.getAs[Long]("trend_e6") == 1000L * 1000000L, s"t=${r.getAs[Long]("t")}")
+      assert(r.getAs[Long]("seasonal_e6") ==
+        s4((r.getAs[Long]("t") % 4).toInt) * 1000L,
+        s"t=${r.getAs[Long]("t")}")
+      assert(r.getAs[Long]("resid_e6") == 1000000L)
+    }
+    // edges: no full window -> null trend and residual; seasonal still
+    // joins by phase (the classical convention)
+    assert(out.take(2).forall(r => r.get(r.fieldIndex("trend_e6")) == null))
+    assert(out.takeRight(2).forall(r => r.get(r.fieldIndex("resid_e6")) == null))
+    assert(out.take(2).forall(r => r.get(r.fieldIndex("seasonal_e6")) != null))
+  }
+
+  test("seasonalDecomposeMul: indices normalize to mean one") {
+    // x = (2000, 1000, 1000, 1000) repeating: one-cycle mean 1250, so
+    // ratios are (1.6, .8, .8, .8) — mean one by the MA construction;
+    // the normalizer path (m9 = 4e9, np = 4) is exercised as identity
+    val s4 = Seq(2000L, 1000L, 1000L, 1000L)
+    val df = (0 until 12).map { t => ("k", t.toLong, s4(t % 4)) }
+      .toDF("k", "t", "v")
+    val out = Features.seasonalDecomposeMul(df, Seq("k"), "t", "v", period = 4)
+      .orderBy("t").collect()
+    // trend = one-cycle mean = 1250 everywhere interior
+    val mid = out.filter(r => r.getAs[Long]("t") >= 2 && r.getAs[Long]("t") <= 9)
+    val byPhase = mid.groupBy(r => (r.getAs[Long]("t") % 4).toInt)
+    assert(byPhase(0).forall(_.getAs[Long]("seasonal_e6") == 1600000L))
+    assert(byPhase(1).forall(_.getAs[Long]("seasonal_e6") == 800000L))
+    // x/(T*S): phase0 2000/(1250*1.6) = 1.0 -> resid 1e6
+    mid.foreach(r => assert(r.getAs[Long]("resid_e6") == 1000000L))
+    // short key: fewer rows than a full window -> all-null trend
+    val shortDf = (0 until 3).map { t => ("s", t.toLong, 100L) }.toDF("k", "t", "v")
+    val so = Features.seasonalDecomposeMul(shortDf, Seq("k"), "t", "v", period = 4)
+      .collect()
+    assert(so.forall(r => r.get(r.fieldIndex("trend_e6")) == null))
+  }
+
   test("ewmaWeights: pure integer recurrence, decreasing, engine-free") {
     val w = Features.ewmaWeights(800000L, 4)
     assert(w == Seq(1000000L, 800000L, 640000L, 512000L))
