@@ -3181,7 +3181,11 @@ object SparkEntry {
           Tables.documents(s, d), "doc_id", "text",
           Seq(0L -> "hash join table",
               1L -> "stream window batch",
-              2L -> "fast scan filter slow"), topK = 10)
+              2L -> "fast scan filter slow"), topK = 10,
+          // the corpus-scale bounded-heap ranking (<= topK rows per query
+          // cross the shuffle, no sort); spec-pinned row-identical to the
+          // window path, so the oracle checks the 100 TB plan
+          heap = true)
         .orderBy("query_id", "rank")),
 
     // ---- extension: normalized mutual information — the label-

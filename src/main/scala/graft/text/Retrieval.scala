@@ -42,17 +42,30 @@ object Retrieval {
     * vocabulary BEFORE the tf shuffle, so the heavy (doc, token) grid
     * only ever contains query terms; df re-aggregates that grid and
     * broadcasts back (vocabulary-sized); the doc-length join shuffles
-    * on `doc_id`, co-partitioned with the score aggregate. The final
-    * window partitions by query — per-query candidate lists are
-    * corpus-bounded, so a huge corpus wants the `topK` pushed into a
-    * bounded per-partition heap ([[graft.operators.TopK]]) before the
-    * window; at the query-batch sizes this serves it is grid work.
+    * on `doc_id`, co-partitioned with the score aggregate.
+    *
+    * The final ranking has TWO plans, selected by `heap`:
+    *   - `heap = false` (default): a per-query `row_number` window.
+    *     Right at grid-sized candidate lists, but the window holds
+    *     CORPUS-BOUNDED per-query lists through a sort — the exact
+    *     shape the round-8 hot100 probe showed AQE cannot fix.
+    *   - `heap = true`: [[graft.operators.TopK.perKeyAgg]]'s bounded
+    *     buffer — each map task folds candidates into a ≤ topK entry
+    *     list, only topK rows per query ever cross the shuffle, no
+    *     sort. ENGAGE when matched candidates per query exceed the
+    *     per-task row budget (the q260/q261 threshold: hot-key rows >
+    *     rows/slots) — i.e. any broad query over a large corpus. The
+    *     integer score rides the aggregator as double — exact below
+    *     2⁵³ ≈ 9·10¹⁵ e9-units, a ~9·10⁶-term-hit document; the output
+    *     casts back to BIGINT. Both paths emit identical rows
+    *     (spec-pinned), tie-broken by `doc_id`.
     *
     * Output: `(query_id, doc_id, score_e9, rank)` for `rank ≤ topK`,
     * matched documents only. */
   def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
                queries: Seq[(Long, String)], topK: Int = 10,
-               k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+               k1: Double = 1.2, b: Double = 0.75,
+               heap: Boolean = false): DataFrame = {
     require(queries.nonEmpty, "bm25TopK needs at least one query")
     require(queries.map(_._1).distinct.size == queries.size,
       "query ids must be distinct")
@@ -87,12 +100,20 @@ object Retrieval {
            |  / (cast(__tf as double)
            |     + $k1 * (1.0 - $b + $b * cast(__dl as double) * cast(__n as double) / cast(__s as double)))
            |  * 1000000000 + 0.5) as bigint)""".stripMargin))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score_e9").desc, col("doc_id"))
-    terms.groupBy(col("query_id"), col("doc_id"))
+    val scores = terms.groupBy(col("query_id"), col("doc_id"))
       .agg(sum(col("__term_e9")).as("score_e9"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= topK)
+    if (heap) {
+      graft.operators.TopK.perKeyAgg(scores, Seq("query_id"), "score_e9",
+          "doc_id", topK)
+        .select(col("query_id"), col("doc_id"),
+          col("score_e9").cast("long").as("score_e9"), col("rank"))
+    } else {
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("score_e9").desc, col("doc_id"))
+      scores
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= topK)
+    }
   }
 
   /** ROUGE-N between candidate/reference document pairs — the clipped

@@ -47,6 +47,29 @@ class RetrievalSpec extends SparkSpec {
       dedup.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_e9"))).toSet)
   }
 
+  test("bm25TopK: heap path emits rows identical to the window path") {
+    // enough docs that ties, the topK cutoff, and multi-query fan-out all
+    // exercise the bounded buffer's merge; equality is the q260/q261
+    // same-rows/skew-immune-plan law
+    val docs = (0L until 40L).map { i =>
+      val words = Seq.fill((i % 5 + 1).toInt)(s"w${i % 7}") ++
+        Seq.fill(2)(s"w${(i + 1) % 7}") :+ "common"
+      (i, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val qs = Seq(1L -> "w0 common", 2L -> "w3 w4", 3L -> "absentterm")
+    for (k <- Seq(1, 3, 10)) {
+      val win = Retrieval.bm25TopK(docs, "doc_id", "text", qs, topK = k)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("score_e9"), r.getAs[Int]("rank"))).toSet
+      val heap = Retrieval.bm25TopK(docs, "doc_id", "text", qs, topK = k,
+          heap = true)
+        .collect().map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("doc_id"),
+          r.getAs[Long]("score_e9"), r.getAs[Int]("rank"))).toSet
+      assert(win == heap, s"k=$k")
+      assert(win.nonEmpty)
+    }
+  }
+
   test("rougeN: clipped bigram overlap, zero-overlap pairs kept, short docs drop") {
     val docs = Seq(
       (0L, "a b c"),    // bigrams {a b, b c}
