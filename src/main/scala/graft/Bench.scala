@@ -1,5 +1,17 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every `SparkEntry.queries` entry against
+  * `SPARK_GRAFT_SF_DIR`, one JSON summary line on stdout.
+  *
+  * Timing protocol (the record-of-trust contract): one untimed warm-up
+  * pass at sf0.001 (codegen/JIT), then TWO timed passes with the
+  * per-query MIN recorded, then a THIRD pass for every query whose
+  * min-of-2 still exceeds 2.0 s — that threshold is the pass3 selection
+  * rule. Per-pass timings are all persisted in the JSON (`pass1`/
+  * `pass2`/`pass3` maps beside the min-of-N `queries` map) so a future
+  * reader can distinguish single-pass JVM noise from a real regression
+  * without re-running. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
