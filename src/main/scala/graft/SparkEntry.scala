@@ -3416,8 +3416,26 @@ object SparkEntry {
             .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
           Seq("c_mktsegment"), "o_orderkey", "cents",
           replicates = 200, alphaPermille = 50)
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // ---- extension: fixed-64-point periodogram — the hash-checked
+    // graduation of q34's U6 seasonal-period half: the e15-quantized
+    // cos/sin table is generated ONCE driver-side and inlined into both
+    // engines, so no trig executes at query time anywhere; exact DECIMAL
+    // DFT sums, share-of-peak readout, dominant-period flag
+    "q276_u6_periodogram_fixed" -> tuned((s, d) =>
+      graft.stats.Diagnostics.periodogramFixed(
+          monthlyPriority(s, d), Seq("prio"), "month", "cents", n = 64)
+        .orderBy("prio", "k"))
   )
+
+  /** Monthly revenue cents per order priority — the 5-series grid shared
+    * by q177 (additive decomposition) and q276 (fixed periodogram). */
+  private def monthlyPriority(s: SparkSession, d: String): DataFrame =
+    Tables.orders(s, d)
+      .groupBy(col("o_orderpriority").as("prio"),
+        Cols.monthStart(col("o_orderdate")).as("month"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).as("cents"))
 
   /** Monthly revenue cents per (market segment, order priority) — the
     * 25-series hypothesis family shared by q263/q264. */
@@ -9279,6 +9297,42 @@ object SparkEntry {
         |SELECT f.k AS c_mktsegment, n, mean_e6, n_reps, lo_e6, hi_e6
         |FROM f JOIN bounds ON f.k = bounds.k
         |ORDER BY c_mktsegment""".stripMargin
+    },
+
+    // the IDENTICAL inlined e15 cos/sin table (dftTableSql — one
+    // definition, two engines, zero trig at query time), HUGEINT DFT
+    // sums, the same (sc/1e15)^2 + (ss/1e15)^2 power tree
+    "q276_u6_periodogram_fixed" -> {
+      s"""WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |r AS (SELECT prio, cents,
+        |    row_number() OVER (PARTITION BY prio ORDER BY month DESC) AS rnd
+        |  FROM m),
+        |tl AS (SELECT prio, cents, 64 - rnd AS t,
+        |         count(*) OVER (PARTITION BY prio) AS cnt
+        |       FROM r WHERE rnd <= 64),
+        |tf AS (SELECT * FROM tl WHERE cnt = 64),
+        |coef(k, t, c, s) AS (VALUES ${graft.stats.Diagnostics.dftTableSql(64)}),
+        |su AS (SELECT prio, k,
+        |         sum(CAST(cents AS HUGEINT) * c) AS sc,
+        |         sum(CAST(cents AS HUGEINT) * s) AS ss
+        |       FROM tf JOIN coef ON tf.t = coef.t GROUP BY 1, 2),
+        |ik AS (SELECT *,
+        |         ((CAST(sc AS DOUBLE) / 1e15) * (CAST(sc AS DOUBLE) / 1e15)
+        |          + (CAST(ss AS DOUBLE) / 1e15) * (CAST(ss AS DOUBLE) / 1e15))
+        |           AS p
+        |       FROM su),
+        |mx AS (SELECT *, max(p) OVER (PARTITION BY prio) AS mp FROM ik)
+        |SELECT prio, k,
+        |  CAST(floor(CAST(64 AS DOUBLE) / CAST(k AS DOUBLE) * 1000 + 0.5)
+        |    AS BIGINT) AS period_e3,
+        |  CASE WHEN mp > 0 THEN CAST(floor(p / mp * 1000000 + 0.5) AS BIGINT)
+        |    END AS share_e6,
+        |  CASE WHEN mp > 0 THEN p = mp END AS is_peak
+        |FROM mx ORDER BY prio, k""".stripMargin
     }
   )
 

@@ -1095,6 +1095,96 @@ object Diagnostics {
       .map(_._2._2)
   }
 
+  /** The e15-quantized cos/sin coefficient grid for [[periodogramFixed]]'s
+    * n-point DFT: one row per (k, t) with `c = ⌊cos(2πkt/n)·10¹⁵ + 0.5⌋`
+    * (reduced mod n first so the argument never leaves [0, 2π)). SHARED
+    * by the Spark operator and the oracle-SQL renderer — the srpSigns
+    * convention: inlining the identical integer table into both engines
+    * removes trigonometry from the cross-engine surface entirely (libm
+    * cos and JVM Math.cos differ in last-ulp places; two integer tables
+    * generated from one definition cannot). */
+  def dftTableE15(n: Int): Seq[(Int, Int, Long, Long)] =
+    for (k <- 1 to n / 2; t <- 0 until n) yield {
+      val m = (k.toLong * t % n).toInt
+      val a = 2.0 * math.Pi * m / n
+      (k, t, math.floor(math.cos(a) * 1e15 + 0.5).toLong,
+        math.floor(math.sin(a) * 1e15 + 0.5).toLong)
+    }
+
+  /** Fixed-n periodogram per key — the hash-checkable graduation of the
+    * U6 seasonal-period estimate (q34's `seasonalPeriod` stays as the
+    * auto-length FFT path): an n-point DFT over the LAST n observations
+    * of each series, `I(k) = (S_c² + S_s²)` in squared value units with
+    * `S_c = Σ_t x_t·cos(2πkt/n)`, read out as each frequency's SHARE of
+    * the peak power plus the peak flag — `period ≈ n/k_peak` is the
+    * dominant cycle length.
+    *
+    * No demeaning needed: over EXACTLY n points the constant component
+    * is orthogonal to every k ≥ 1 bin (Σ_t e^(−2πikt/n) = 0), so the
+    * mean leaks only into the k = 0 bin, which is not emitted. Keys
+    * with fewer than n observations drop (the orthogonality argument
+    * needs exactly n — documented contract).
+    *
+    * Exactness: the cos/sin table is [[dftTableE15]]'s integer grid, so
+    * `S_c`/`S_s` are EXACT DECIMAL(38,0) sums of x·c products
+    * (order-independent); `I(k)` is one fixed double tree off the two
+    * decimal casts ((sc/10¹⁵)² + (ss/10¹⁵)² — round-to-nearest decimal→
+    * double agrees across engines, the cohenKappa precedent), the peak
+    * is an order-independent `max`, and the share is one division
+    * e6-quantized. The only non-replayable piece of U6 — engine trig —
+    * never executes at query time in either engine.
+    *
+    * Scale shape: one (keys) window ranks the tail-n rows; the 2048-row
+    * (n = 64) coefficient grid broadcast-joins on t; per-(key, k) sums
+    * map-side combine; grid-sized windows after. Output: `(keys…, k,
+    * period_e3, share_e6, is_peak)` for k = 1..n/2. */
+  def periodogramFixed(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                       valueCol: String, n: Int = 64): DataFrame = {
+    require(keyCols.nonEmpty, "periodogramFixed needs at least one key column")
+    require(n >= 4 && n <= 256 && n % 2 == 0,
+      s"n must be even in [4, 256], got $n")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = keyCols.map(col)
+    val coef = dftTableE15(n).toDF("__k", "__t", "__c", "__s")
+    val wDesc = Window.partitionBy(k: _*).orderBy(col(ordCol).desc)
+    val tail = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rnd", row_number().over(wDesc))
+      .filter(col("__rnd") <= n)
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(k: _*)))
+      .filter(col("__cnt") === n)
+      // t ascending in time over the kept tail: 0 .. n-1
+      .withColumn("__t", (lit(n) - col("__rnd")).cast("int"))
+      .select(k :+ col("__t") :+ col(valueCol).cast("long").as("__x"): _*)
+    val sums = tail.join(broadcast(coef), Seq("__t"))
+      .groupBy(k :+ col("__k"): _*)
+      .agg(sum(expr("cast(__x as decimal(38,0)) * __c")).as("__sc"),
+        sum(expr("cast(__x as decimal(38,0)) * __s")).as("__ss"))
+    val ik = """((cast(__sc as double) / 1e15) * (cast(__sc as double) / 1e15)
+               | + (cast(__ss as double) / 1e15) * (cast(__ss as double) / 1e15))"""
+      .stripMargin.replaceAll("\n", " ")
+    val wKey = Window.partitionBy(k: _*)
+    sums
+      .withColumn("__ik", expr(ik))
+      .withColumn("__mik", max(col("__ik")).over(wKey))
+      .withColumn("period_e3",
+        expr(s"cast(floor(cast($n as double) / cast(__k as double) * 1000 + 0.5) as bigint)"))
+      .withColumn("share_e6", expr(
+        """case when __mik > 0 then
+          |  cast(floor(__ik / __mik * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("is_peak",
+        when(col("__mik") > 0, col("__ik") === col("__mik")))
+      .select(k :+ col("__k").as("k") :+ col("period_e3") :+
+        col("share_e6") :+ col("is_peak"): _*)
+  }
+
+  /** Renders [[dftTableE15]] as a DuckDB VALUES list `(k, t, c, s)` for
+    * the oracle SQL — ONE table definition feeding both engines. */
+  def dftTableSql(n: Int): String =
+    dftTableE15(n).map { case (k, t, c, s) => s"($k, $t, $c, $s)" }
+      .mkString(", ")
+
   /** U8 end-to-end: grid fit + deterministic h-step forecast per key. The
     * future exog follows the drift CENTER path x_j = max(lastX + j·mu, 0)
     * — the p50 of the reference's simulated exog distribution. Output: one

@@ -404,4 +404,40 @@ class DiagnosticsSpec extends SparkSpec {
     assert(ar.getAs[Long]("mase_e6") < 100000L,
       s"AR(1) must dominate naive on an alternating series: ${ar.mkString(",")}")
   }
+
+  test("periodogramFixed: planted cosine peaks at its frequency bin") {
+    // x_t = 5000 + 1000*cos(2*pi*4*t/64): pure tone in bin k=4, period 16
+    val df = (0 until 64).map { t =>
+      ("a", t.toLong,
+        5000L + math.floor(1000.0 * math.cos(2 * math.Pi * 4 * t / 64) + 0.5).toLong)
+    }.toDF("g", "t", "v")
+    val out = Diagnostics.periodogramFixed(df, Seq("g"), "t", "v", n = 64)
+      .collect()
+    assert(out.length == 32)
+    val peak = out.filter(_.getAs[Boolean]("is_peak"))
+    assert(peak.map(_.getAs[Int]("k")).toSeq == Seq(4))
+    assert(peak.head.getAs[Long]("share_e6") == 1000000L)
+    assert(peak.head.getAs[Long]("period_e3") == 16000L)
+    // quantization of the planted tone leaks only tiny side-lobe power;
+    // the constant 5000 leaks NONE (orthogonal over exactly n points)
+    assert(out.filter(r => !r.getAs[Boolean]("is_peak"))
+      .forall(_.getAs[Long]("share_e6") < 1000L))
+  }
+
+  test("periodogramFixed: short keys drop; two-tone picks the stronger") {
+    val two = (0 until 64).map { t =>
+      val x = 4000.0 * math.cos(2 * math.Pi * 8 * t / 64) +
+        1000.0 * math.cos(2 * math.Pi * 2 * t / 64)
+      ("b", t.toLong, math.floor(x + 0.5).toLong)
+    }
+    val short = (0 until 10).map(t => ("s", t.toLong, 100L))
+    val out = Diagnostics.periodogramFixed((two ++ short).toDF("g", "t", "v"),
+      Seq("g"), "t", "v", n = 64).collect()
+    assert(out.forall(_.getAs[String]("g") == "b"), "short key must drop")
+    val peak = out.filter(_.getAs[Boolean]("is_peak"))
+    assert(peak.map(_.getAs[Int]("k")).toSeq == Seq(8))
+    // the weaker tone still shows: share ~ (1000/4000)^2 = 62500 e6-units
+    val weak = out.find(_.getAs[Int]("k") == 2).get
+    assert(math.abs(weak.getAs[Long]("share_e6") - 62500L) < 2000L)
+  }
 }
