@@ -3427,6 +3427,20 @@ object SparkEntry {
       graft.stats.Diagnostics.periodogramFixed(
           monthlyPriority(s, d), Seq("prio"), "month", "cents", n = 64)
         .orderBy("prio", "k"))
+  ) ++ Map[String, (SparkSession, String) => DataFrame](
+
+    // ---- extension: Fisher exact test — the rare-margin contingency
+    // member (is the top-value tail independent of the user-hash split,
+    // per event type); no UDF, no recursion: the hypergeometric support
+    // is a k-grid with log-likelihood steps e15-quantized to integers,
+    // exact DECIMAL cumsum, one exp per row, integer-ratio p
+    "q277_x_fisher_exact" -> tuned((s, d) =>
+      graft.operators.Metrics.fisherExact(
+          Tables.events(s, d)
+            .withColumn("even_user", pmod(col("user_id"), lit(2L)) === 0)
+            .withColumn("top_value", col("value") >= 99.0),
+          Seq("event_type"), "even_user", "top_value", maxRange = 1000000)
+        .orderBy("event_type"))
   )
 
   /** Monthly revenue cents per order priority — the 5-series grid shared
@@ -9333,7 +9347,69 @@ object SparkEntry {
         |    END AS share_e6,
         |  CASE WHEN mp > 0 THEN p = mp END AS is_peak
         |FROM mx ORDER BY prio, k""".stripMargin
-    }
+    },
+
+    // the IDENTICAL k-grid hypergeometric: e15-quantized log-ratio
+    // steps, HUGEINT cumsum, one exp per row, the 1e-7 tie tolerance as
+    // integer comparison, exact integer p
+    "q277_x_fisher_exact" ->
+      ("""WITH e AS (
+        |  SELECT event_type AS key,
+        |         (user_id % 2 = 0) AS a, (value >= 99.0) AS b
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |c AS (SELECT key, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |        CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |        CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01
+        |      FROM e GROUP BY 1),
+        |m AS (SELECT *, n11 + n10 AS r1, n11 + n01 AS c1,
+        |        greatest(CAST(0 AS BIGINT), (n11 + n01) - (n - (n11 + n10)))
+        |          AS kmin,
+        |        least(n11 + n10, n11 + n01) AS kmax
+        |      FROM c),
+        |g AS (SELECT key, n, n11, r1, c1, kmin,
+        |        unnest(generate_series(kmin, kmax)) AS k
+        |      FROM m),
+        |lr AS (SELECT *,
+        |        CASE WHEN k = kmin THEN CAST(0 AS BIGINT) ELSE
+        |          CAST(floor(
+        |            ln((CAST(r1 - k + 1 AS DOUBLE) * CAST(c1 - k + 1 AS DOUBLE))
+        |               / (CAST(k AS DOUBLE) * CAST(n - r1 - c1 + k AS DOUBLE)))
+        |            * 1000000000000000 + 0.5) AS BIGINT)
+        |        END AS lr15
+        |      FROM g),
+        |cu0 AS (SELECT *,
+        |        sum(CAST(lr15 AS HUGEINT)) OVER (PARTITION BY key ORDER BY k
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lnt
+        |      FROM lr),
+        |cu AS (SELECT *,
+        |        max(lnt) OVER (PARTITION BY key) AS lmax
+        |      FROM cu0),
+        |q AS (SELECT *,
+        |        CAST(floor(exp(CAST(lnt - lmax AS DOUBLE) / 1000000000000000.0)
+        |          * 1000000000000000 + 0.5) AS BIGINT) AS qv
+        |      FROM cu),
+        |qo AS (SELECT *,
+        |        max(CASE WHEN k = n11 THEN qv END) OVER (PARTITION BY key)
+        |          AS qobs
+        |      FROM q),
+        |agg AS (SELECT key, max(n) AS n, max(n11) AS n11, max(r1) AS r1,
+        |          max(c1) AS c1,
+        |          sum(CAST(qv AS HUGEINT)) AS den,
+        |          sum(CASE WHEN CAST(qv AS HUGEINT) * 10000000
+        |                     <= CAST(qobs AS HUGEINT) * 10000001
+        |                   THEN CAST(qv AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)
+        |            AS num
+        |        FROM qo GROUP BY 1)
+        |SELECT key AS event_type, n, n11, r1, c1,
+        |  CASE WHEN den > 0 THEN
+        |    CAST((num * 2000000000 + den) // (2 * den) AS BIGINT) END AS p_e9,
+        |  CASE WHEN den > 0 THEN
+        |    CAST((num * 2000000000 + den) // (2 * den) AS BIGINT) < 50000000
+        |  END AS significant
+        |FROM agg ORDER BY event_type""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

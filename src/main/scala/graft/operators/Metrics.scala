@@ -529,6 +529,100 @@ object Metrics {
         when(col("chi2_e4").isNotNull, col("chi2_e4") > 38415L))
   }
 
+  /** Per-key Fisher EXACT test on the 2×2 table of two boolean columns
+    * — the small-table / rare-margin member completing the contingency
+    * tier ([[mcnemar]] is paired, [[cochranArmitage]] is ordered-dose,
+    * `Profile.chiSquare` is the large-n approximation this test
+    * replaces when a margin is thin and the χ² expected-count
+    * assumption fails). Two-sided, R's `fisher.test` convention: sum
+    * the hypergeometric probabilities of every table as-or-less
+    * probable than the observed one, with the relative tie tolerance
+    * `P(k) ≤ P(obs)·(1 + 10⁻⁷)`.
+    *
+    * NO UDF AND NO RECURSION — the whole hypergeometric support is a
+    * grid: explode `k = kmin..kmax`, write each step's LOG likelihood
+    * ratio `ln((r1−k+1)(c1−k+1) / (k(n−r1−c1+k)))` as one fixed double
+    * tree e15-quantized to an INTEGER, cumulative-sum those integers
+    * (exact DECIMAL — order-free, unlike a float cumsum, which DuckDB's
+    * segment-tree windows would re-associate), shift by the window max
+    * and exponentiate ONCE per row, e15-quantize again so the
+    * normalizing sums are integer and order-independent, and read
+    * `p = Σ_selected / Σ_all` as exact integer division e9-quantized.
+    * The tie tolerance is the pure integer comparison
+    * `q·10⁷ ≤ q_obs·(10⁷+1)` on the quantized likelihoods. Working in
+    * logs off a unit start (t(kmin) = 1) sidesteps both the huge
+    * binomials (a BigInt Fisher caps at n ≈ 100 for a HUGEINT oracle)
+    * and double overflow at the mode.
+    *
+    * Scale shape: ONE map-side-combined count aggregate; everything
+    * after lives on the keys×range grid. `maxRange` caps the support
+    * rows (`min(r1,c1)` + 1) and FAILS LOUD past it — at dense margins
+    * the right tool is the χ² limit, not a bigger grid. Output:
+    * `(keys…, n, n11, r1, c1, p_e9, significant)`. */
+  def fisherExact(df: DataFrame, keyCols: Seq[String], aCol: String,
+                  bCol: String, maxRange: Int = 10000): DataFrame = {
+    require(keyCols.nonEmpty, "fisherExact needs at least one key column")
+    require(maxRange >= 1, s"maxRange must be positive, got $maxRange")
+    val k = keyCols.map(col)
+    val a = col(aCol)
+    val b = col(bCol)
+    val counts = dropNullKeys(df, keyCols)
+      .filter(a.isNotNull && b.isNotNull)
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(a && b, 1L).otherwise(0L)).as("n11"),
+        sum(when(a && !b, 1L).otherwise(0L)).as("n10"),
+        sum(when(!a && b, 1L).otherwise(0L)).as("n01"))
+      .withColumn("r1", col("n11") + col("n10"))
+      .withColumn("c1", col("n11") + col("n01"))
+      .withColumn("__kmin", greatest(lit(0L), col("c1") - (col("n") - col("r1"))))
+      // the fail-loud cap rides INSIDE the sequence bound so column
+      // pruning cannot drop it
+      .withColumn("__kmax", expr(
+        s"""if(least(r1, c1) - greatest(0L, c1 - (n - r1)) < $maxRange,
+           |   least(r1, c1),
+           |   cast(raise_error(
+           |     'fisherExact support exceeds maxRange — use chiSquare at dense margins')
+           |        as bigint))""".stripMargin))
+    val grid = counts
+      .select(k ++ Seq(col("n"), col("n11"), col("r1"), col("c1"),
+        col("__kmin"), explode(expr("sequence(__kmin, __kmax)")).as("__k")): _*)
+      .withColumn("__lr15", expr(
+        """case when __k = __kmin then cast(0 as bigint) else
+          |  cast(floor(
+          |    ln((cast(r1 - __k + 1 as double) * cast(c1 - __k + 1 as double))
+          |       / (cast(__k as double) * cast(n - r1 - c1 + __k as double)))
+          |    * 1000000000000000 + 0.5) as bigint)
+          |end""".stripMargin))
+    val wCum = Window.partitionBy(k: _*).orderBy(col("__k"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val lik = grid
+      .withColumn("__lnt", sum(expr("cast(__lr15 as decimal(38,0))")).over(wCum))
+      .withColumn("__lmax", max(col("__lnt")).over(wAll))
+      .withColumn("__q", expr(
+        """cast(floor(exp(cast(__lnt - __lmax as double) / 1000000000000000.0)
+          |  * 1000000000000000 + 0.5) as bigint)""".stripMargin))
+      .withColumn("__qobs", max(when(col("__k") === col("n11"), col("__q"))).over(wAll))
+    lik
+      .withColumn("__sel", expr(
+        "cast(__q as decimal(38,0)) * 10000000 <= cast(__qobs as decimal(38,0)) * 10000001"))
+      .groupBy(k: _*)
+      .agg(max(col("n")).as("n"), max(col("n11")).as("n11"),
+        max(col("r1")).as("r1"), max(col("c1")).as("c1"),
+        sum(expr("cast(__q as decimal(38,0))")).as("__den"),
+        sum(expr("case when __sel then cast(__q as decimal(38,0)) else cast(0 as decimal(38,0)) end"))
+          .as("__num"))
+      .withColumn("p_e9", expr(
+        """case when __den > 0 then
+          |  cast((__num * 2000000000 + __den) div (2 * __den) as bigint)
+          |end""".stripMargin))
+      .withColumn("significant",
+        when(col("p_e9").isNotNull, col("p_e9") < 50000000L))
+      .drop("__den", "__num")
+  }
+
   /** Per-key Cochran–Armitage trend test — "does the conversion RATE
     * rise monotonically with the dose" over an ordered integer score
     * column (exposure tier, price band, A/B/n arm index): the

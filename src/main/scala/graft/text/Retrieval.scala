@@ -132,18 +132,39 @@ object Retrieval {
     * Scale shape: the gram grid shuffles (doc, gram) once with map-side
     * combine; the overlap join keys on (pair, gram) so only grams the
     * candidate actually has ever meet the reference side; totals ride
-    * the un-exploded token count. Output: `(cand_id, ref_id, n_overlap,
+    * the un-exploded token count.
+    *
+    * `hashGrams` is the corpus-scale dial: the gram KEY crossing both
+    * the count shuffle and the overlap join becomes the 60-bit
+    * [[graft.text.TextHash.hash60Md5]] of the gram instead of its raw
+    * string — a fixed 8 bytes per key where an n-gram string averages
+    * tens (the round-8 sweep's 5.0× worst case was exactly this join's
+    * string volume). The hash is applied BEFORE the first shuffle, so
+    * no gram text ever leaves its scan task. Same-doc collisions merge
+    * two gram types (probability ~ grams²/2⁶¹ — ~4·10⁻⁷ at a million
+    * distinct grams, the [[graft.text.Dedup]] dupNgramCoverage bound);
+    * the default stays exact-string and the two paths are spec-pinned
+    * equal on collision-free corpora.
+    *
+    * Output: `(cand_id, ref_id, n_overlap,
     * n_cand, n_ref, p_e6, r_e6, f_e6)`. */
   def rougeN(docs: DataFrame, idCol: String, textCol: String,
-             pairs: DataFrame, n: Int = 2): DataFrame = {
+             pairs: DataFrame, n: Int = 2,
+             hashGrams: Boolean = false): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val base = docs
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol).cast("long").as("doc_id"),
         Cols.tokens(col(textCol)).as("__tk"))
       .filter(size(col("__tk")) >= n)
-    val grams = base
-      .select(col("doc_id"), explode(Cols.shingles(col("__tk"), n)).as("__g"))
+    val exploded = base
+      .select(col("doc_id"), explode(Cols.shingles(col("__tk"), n)).as("__gs"))
+    val keyed =
+      if (hashGrams)
+        exploded.select(col("doc_id"),
+          udf((s: String) => TextHash.hash60Md5(s)).apply(col("__gs")).as("__g"))
+      else exploded.select(col("doc_id"), col("__gs").as("__g"))
+    val grams = keyed
       .groupBy(col("doc_id"), col("__g")).agg(count(lit(1)).as("__c"))
     val tots = base.select(col("doc_id"),
       (size(col("__tk")) - lit(n - 1)).cast("long").as("__ng"))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway scale-dial probe for SURVEY §8 — run manually:
+  * `sbt "Test/runMain graft.DialProbe"` (expects the 10x corpus at
+  * /tmp/graft10x_b from [[Synth10x]]).
+  *
+  * Measures the TWO round-8 tier members whose documented dials had no
+  * numbers at the 10x (sf1-equivalent) decade:
+  *   - q246 trimmedMean: the value grid over ~200k distinct dollar
+  *     prices per flag is the cost driver — the documented dial is
+  *     binning the value axis upstream (the ksDrift convention). Probe:
+  *     exact dollars vs $8 bins (grid ~25k/flag).
+  *   - q257 rougeN: the (pair, gram) overlap join's STRING keys are the
+  *     cost driver — the dial is `hashGrams = true` (60-bit gram keys,
+  *     8 bytes fixed vs tens per string). Probe: string vs hashed on
+  *     the identical pair set.
+  */
+object DialProbe {
+  private def time(fn: => Unit): Double = {
+    val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/graft10x_b"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+
+    def probe(lbl: String)(fn: => org.apache.spark.sql.DataFrame): Unit = {
+      def run() = time(fn.write.format("noop").mode("overwrite").save())
+      val t = math.min(run(), run())
+      println(f"DIALPROBE $lbl%-34s $t%7.2f s")
+    }
+
+    val li = sources.Tables.lineitem(spark, dir)
+    probe("q246 trimmedMean exact dollars") {
+      operators.Sketch.trimmedMean(
+        li.withColumn("price_d", floor(col("l_extendedprice") + 0.5)),
+        Seq("l_returnflag"), "price_d", trimPermille = 50)
+    }
+    probe("q246 trimmedMean $8-binned") {
+      operators.Sketch.trimmedMean(
+        li.withColumn("price_d", floor(col("l_extendedprice") / 8 + 0.5) * 8),
+        Seq("l_returnflag"), "price_d", trimPermille = 50)
+    }
+
+    val docs = sources.Tables.documents(spark, dir)
+    val pairs = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
+      .select(col("doc_id").as("cand_id"), (col("doc_id") + 1).as("ref_id"))
+    probe("q257 rougeN string grams") {
+      text.Retrieval.rougeN(docs, "doc_id", "text", pairs, n = 2)
+    }
+    probe("q257 rougeN hashGrams=true") {
+      text.Retrieval.rougeN(docs, "doc_id", "text", pairs, n = 2,
+        hashGrams = true)
+    }
+    spark.stop()
+  }
+}

@@ -169,6 +169,62 @@ object SkewSweep {
       }
       spark.stop(); return
     }
+    // `streamtwins` mode: the round-8 hot100 probe measured the BATCH
+    // window family; this one drives the streaming twins over the same
+    // 91%-hot-key corpus (and a hot-label embeddings analog), recording
+    // drain time + the drained-state row count vs the uniform control.
+    // The claims under test: complete-mode aggregate twins (q236 KM,
+    // q251 centroid drift) absorb row skew MAP-SIDE (state = key grid,
+    // flat drain); the custom-state funnel twin (q215) pays the hot
+    // group's in-task sort once per drain (the q260-shaped hazard).
+    if (args.headOption.contains("streamtwins")) {
+      val hotDir = s"$base/hot100"; val uni11Dir = s"$base/uni11"
+      require(new java.io.File(s"$hotDir/events.parquet").isDirectory,
+        "run `SkewSweep hot100` first to build the event corpora")
+      val embHot = s"$base/emb_hot"; val embUni = s"$base/emb_uni"
+      if (!new java.io.File(s"$embHot/embeddings.parquet").isDirectory) {
+        println("[synth] building 1.1M-row hot-label + uniform embeddings")
+        def synthEmb(dir: String, hot: Boolean): Unit = {
+          val labelExpr =
+            if (hot) "case when id < 1000000L then 1 else cast(pmod(xxhash64(id, 7), 16) as int) end"
+            else "cast(pmod(xxhash64(id, 7), 16) as int)"
+          spark.range(1100000L)
+            .withColumn("vec_id", col("id") + 1)
+            .withColumn("embedding", expr(
+              "transform(sequence(1, 64), i -> cast((pmod(xxhash64(id, i), 2001) - 1000) / 1000.0 as float))"))
+            .withColumn("label", expr(labelExpr))
+            .select("vec_id", "embedding", "label")
+            .coalesce(16)
+            .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+        }
+        synthEmb(embHot, hot = true); synthEmb(embUni, hot = false)
+      }
+      def probe(lbl: String, corpus: String, stateTable: String)(fn: => Unit): Unit = {
+        val t = time(fn)
+        val stateRows =
+          try spark.table(stateTable).count()
+          catch { case _: Throwable => -1L }
+        println(f"TWIN  $lbl%-26s $corpus%-8s drain=$t%7.2f s  stateRows=$stateRows%9d")
+      }
+      for ((corpus, d) <- Seq("uniform" -> uni11Dir, "hot" -> hotDir)) {
+        probe("q215 streamingFunnel", corpus, "graft_stream_funnel") {
+          streaming.StreamingCollapse.streamingFunnel(spark, d,
+            Seq("view", "click", "purchase"))
+            .write.format("noop").mode("overwrite").save()
+        }
+        probe("q236 streamingKaplanMeier", corpus, "graft_stream_km") {
+          streaming.StreamingCollapse.streamingKaplanMeier(spark, d)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      for ((corpus, d) <- Seq("uniform" -> embUni, "hot" -> embHot)) {
+        probe("q251 streamingCentroidDrift", corpus, "graft_stream_cdrift") {
+          streaming.StreamingCollapse.streamingCentroidDrift(spark, d)
+            .write.format("noop").mode("overwrite").save()
+        }
+      }
+      spark.stop(); return
+    }
     if (!new java.io.File(s"$zipfDir/lineitem.parquet").isDirectory) {
       println("[synth] building 10x uniform + zipf corpora under " + base)
       synthEvents(spark, uniDir, 1000000L, 15000L, zipf = false)

@@ -320,6 +320,40 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("fisherExact: hand-computed hypergeometric p-values") {
+    // tea-tasting table [[3,1],[1,3]]: support k=0..4 with probs
+    // (1,16,36,16,1)/70; P(obs=3)=16/70, as-or-less-probable sum = 34/70
+    def rows(key: String, n11: Int, n10: Int, n01: Int, n00: Int) =
+      Seq.fill(n11)((key, true, true)) ++ Seq.fill(n10)((key, true, false)) ++
+        Seq.fill(n01)((key, false, true)) ++ Seq.fill(n00)((key, false, false))
+    val df = (rows("tea", 3, 1, 1, 3) ++ rows("skew", 8, 2, 1, 5))
+      .toDF("k", "a", "b")
+    val out = Metrics.fisherExact(df, Seq("k"), "a", "b")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val tea = out("tea")
+    assert(tea.getAs[Long]("n") == 8 && tea.getAs[Long]("r1") == 4 &&
+      tea.getAs[Long]("c1") == 4)
+    // 34/70 = 0.4857142857... -> e9 485714286
+    assert(math.abs(tea.getAs[Long]("p_e9") - 485714286L) <= 2,
+      s"tea p=${tea.getAs[Long]("p_e9")}")
+    assert(!tea.getAs[Boolean]("significant"))
+    // [[8,2],[1,5]]: support k=3..9, probs (120,1260,3780,4200,1800,270,10)
+    // /11440; P(obs=8)=270 -> selected 120+270+10=400 -> p=400/11440
+    val sk = out("skew")
+    assert(math.abs(sk.getAs[Long]("p_e9") - 34965035L) <= 2,
+      s"skew p=${sk.getAs[Long]("p_e9")}")
+    assert(sk.getAs[Boolean]("significant"))
+  }
+
+  test("fisherExact: degenerate margin gives p=1; independence-ish table is insignificant") {
+    // c1 = 0: only one table possible -> p = 1 exactly
+    val deg = (Seq.fill(5)(("d", true, false)) ++ Seq.fill(5)(("d", false, false)))
+      .toDF("k", "a", "b")
+    val d = Metrics.fisherExact(deg, Seq("k"), "a", "b").collect().head
+    assert(d.getAs[Long]("p_e9") == 1000000000L)
+    assert(!d.getAs[Boolean]("significant"))
+  }
+
   test("mcnemar: symmetric disagreement ~0; one-sided disagreement flags; concordant-only null") {
     // b = c = 3 -> chi2 = 0
     val sym = (1 to 3).flatMap(_ => Seq(("s", true, false), ("s", false, true))) :+

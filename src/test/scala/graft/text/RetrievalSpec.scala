@@ -99,6 +99,20 @@ class RetrievalSpec extends SparkSpec {
     assert(out(4L).getAs[Long]("f_e6") == 0L)
   }
 
+  test("rougeN: hashGrams path emits rows identical to the string path") {
+    val docs = (0L until 30L).map { i =>
+      (i, (0 until 12).map(j => s"w${(i + j) % 9}").mkString(" "))
+    }.toDF("doc_id", "text")
+    val pairs = (0L until 30L by 2).map(i => (i, i + 1)).toDF("cand_id", "ref_id")
+    def rows(hash: Boolean) =
+      Retrieval.rougeN(docs, "doc_id", "text", pairs, n = 2, hashGrams = hash)
+        .collect().map(r => (r.getAs[Long]("cand_id"), r.getAs[Long]("ref_id"),
+          r.getAs[Long]("n_overlap"), r.getAs[Long]("p_e6"),
+          r.getAs[Long]("r_e6"), r.getAs[Long]("f_e6"))).toSet
+    assert(rows(hash = false) == rows(hash = true))
+    assert(rows(hash = false).nonEmpty)
+  }
+
   test("bm25TopK: a rarer term outranks a common one at equal tf and length") {
     // 'rare' appears in 1 of 4 docs, 'common' in 3 of 4
     val docs = Seq((0L, "rare pad"), (1L, "common pad"), (2L, "common x"),
