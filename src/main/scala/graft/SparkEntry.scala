@@ -3440,8 +3440,80 @@ object SparkEntry {
             .withColumn("even_user", pmod(col("user_id"), lit(2L)) === 0)
             .withColumn("top_value", col("value") >= 99.0),
           Seq("event_type"), "even_user", "top_value", maxRange = 1000000)
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- extension: Jarque-Bera normality screen — are segment order
+    // values even roughly normal (the assumption q269/q222 quietly
+    // make); two-pass integer-mean shift kills the cancellation, exact
+    // DECIMAL central power sums, one fixed tree per readout
+    "q278_x_jarque_bera" -> tuned((s, d) =>
+      graft.operators.Metrics.jarqueBera(
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+            .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
+          Seq("c_mktsegment"), "cents")
+        .orderBy("c_mktsegment")),
+
+    // ---- extension: log-rank test — does the A/B user-hash split churn
+    // differently per cohort (the time-to-event A/B readout q240's
+    // conversion z can't give: censoring-aware); suffix-sum at-risk
+    // counts, e9-quantized E/V terms, one chi2 tree
+    "q279_x_log_rank" -> tuned((s, d) => {
+      val per = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          max(expr("ts_ns div 1000")).as("last_us"))
+      val gmax = per.agg(max(col("last_us")).as("gmax"))
+      val subj = per.crossJoin(broadcast(gmax)).select(
+        concat(lit("c"), pmod(col("user_id"), lit(3L)).cast("string")).as("cohort"),
+        when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B").as("variant"),
+        expr("(last_us - first_us) div 86400000000").as("dur_days"),
+        (col("last_us") < col("gmax") - lit(1209600000000L)).as("churned"))
+      graft.operators.Survival.logRank(subj, Seq("cohort"), "variant",
+          "dur_days", "churned", "A", "B")
+        .orderBy("cohort")
+    })
   )
+
+  /** q278's oracle: the identical shifted-moment trees in DuckDB. */
+  private def jarqueBeraSql: String = {
+    val mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val m2 = s"(CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) - $mu * $mu)"
+    val m3 = s"(CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) - 3.0 * $mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) + 2.0 * $mu * $mu * $mu)"
+    val m4 = s"(CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) - 4.0 * $mu * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)) + 6.0 * $mu * $mu * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)) - 3.0 * $mu * $mu * $mu * $mu)"
+    val sk = s"($m3 / power($m2, 1.5))"
+    val ku = s"($m4 / ($m2 * $m2))"
+    s"""WITH e AS (
+      |  SELECT c_mktsegment AS k,
+      |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_totalprice IS NOT NULL AND c_mktsegment IS NOT NULL),
+      |mn AS (SELECT k, CAST(sum(x) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+      |       FROM e GROUP BY 1),
+      |su AS (SELECT e.k, CAST(count(*) AS BIGINT) AS n,
+      |         sum(CAST(e.x - mn.c AS HUGEINT)) AS s1,
+      |         sum(CAST(e.x - mn.c AS HUGEINT) * (e.x - mn.c)) AS s2,
+      |         sum(CAST(e.x - mn.c AS HUGEINT) * (e.x - mn.c) * (e.x - mn.c))
+      |           AS s3,
+      |         sum(CAST(e.x - mn.c AS HUGEINT) * (e.x - mn.c) * (e.x - mn.c)
+      |             * (e.x - mn.c)) AS s4
+      |       FROM e JOIN mn ON e.k = mn.k GROUP BY 1)
+      |SELECT k AS c_mktsegment, n,
+      |  CASE WHEN n >= 4 AND $m2 > 0 THEN
+      |    CAST(floor($sk * 1000000 + 0.5) AS BIGINT) END AS skew_e6,
+      |  CASE WHEN n >= 4 AND $m2 > 0 THEN
+      |    CAST(floor($ku * 1000000 + 0.5) AS BIGINT) END AS kurt_e6,
+      |  CASE WHEN n >= 4 AND $m2 > 0 THEN
+      |    CAST(floor(CAST(n AS DOUBLE) / 6.0
+      |      * ($sk * $sk + ($ku - 3.0) * ($ku - 3.0) / 4.0)
+      |      * 10000 + 0.5) AS BIGINT) END AS jb_e4,
+      |  CASE WHEN n >= 4 AND $m2 > 0 THEN
+      |    CAST(floor(CAST(n AS DOUBLE) / 6.0
+      |      * ($sk * $sk + ($ku - 3.0) * ($ku - 3.0) / 4.0)
+      |      * 10000 + 0.5) AS BIGINT) > 59915 END AS significant
+      |FROM su ORDER BY c_mktsegment""".stripMargin
+  }
 
   /** Monthly revenue cents per order priority — the 5-series grid shared
     * by q177 (additive decomposition) and q276 (fixed periodogram). */
@@ -9409,7 +9481,76 @@ object SparkEntry {
         |  CASE WHEN den > 0 THEN
         |    CAST((num * 2000000000 + den) // (2 * den) AS BIGINT) < 50000000
         |  END AS significant
-        |FROM agg ORDER BY event_type""".stripMargin)
+        |FROM agg ORDER BY event_type""".stripMargin),
+
+    // two-pass integer-mean shift (c = sum // n, floor == trunc on the
+    // positive sums), HUGEINT central power sums, the IDENTICAL moment
+    // trees
+    "q278_x_jarque_bera" -> jarqueBeraSql,
+
+    // the q225 subject derivation + a variant split, per-group
+    // lifetable, suffix-sum at-risk windows, the IDENTICAL e9 term and
+    // chi2 trees
+    "q279_x_log_rank" ->
+      ("""WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events
+        |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+        |per AS (SELECT user_id, min(us) AS f, max(us) AS l FROM e GROUP BY 1),
+        |g AS (SELECT max(l) AS gm FROM per),
+        |s AS (SELECT 'c' || CAST(user_id % 3 AS VARCHAR) AS cohort,
+        |        CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |        (l - f) // 86400000000 AS dur,
+        |        l < gm - 1209600000000 AS ev
+        |      FROM per CROSS JOIN g),
+        |lt AS (SELECT cohort, dur,
+        |         CAST(sum(CASE WHEN v = 'A' AND ev THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS da,
+        |         CAST(sum(CASE WHEN v = 'B' AND ev THEN 1 ELSE 0 END) AS BIGINT)
+        |           AS db,
+        |         CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS ra,
+        |         CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT) AS rb
+        |       FROM s GROUP BY 1, 2),
+        |rk AS (SELECT *,
+        |         CAST(sum(ra) OVER (PARTITION BY cohort ORDER BY dur DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS na,
+        |         CAST(sum(rb) OVER (PARTITION BY cohort ORDER BY dur DESC
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |           AS nb
+        |       FROM lt),
+        |ev AS (SELECT *, na + nb AS nt, da + db AS dt FROM rk
+        |       WHERE da + db > 0),
+        |tm AS (SELECT *,
+        |         CAST(floor(CAST(dt AS DOUBLE) * CAST(na AS DOUBLE)
+        |           / CAST(nt AS DOUBLE) * 1000000000 + 0.5) AS BIGINT) AS e9,
+        |         CASE WHEN nt > 1 THEN
+        |           CAST(floor(CAST(dt AS DOUBLE)
+        |             * (CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))
+        |             * (1.0 - CAST(na AS DOUBLE) / CAST(nt AS DOUBLE))
+        |             * (CAST(nt - dt AS DOUBLE) / CAST(nt - 1 AS DOUBLE))
+        |             * 1000000000 + 0.5) AS BIGINT)
+        |         ELSE CAST(0 AS BIGINT) END AS v9
+        |       FROM ev),
+        |agg AS (SELECT cohort, max(na) AS n_a, max(nb) AS n_b,
+        |          CAST(sum(da) AS BIGINT) AS o_a,
+        |          CAST(sum(e9) AS BIGINT) AS e_a_e9,
+        |          CAST(sum(v9) AS BIGINT) AS v_e9
+        |        FROM tm GROUP BY 1)
+        |SELECT cohort, n_a, n_b, o_a, e_a_e9, v_e9,
+        |  CASE WHEN v_e9 > 0 THEN
+        |    CAST(floor(
+        |      (CAST(o_a AS DOUBLE) * 1000000000 - CAST(e_a_e9 AS DOUBLE))
+        |      * (CAST(o_a AS DOUBLE) * 1000000000 - CAST(e_a_e9 AS DOUBLE))
+        |      / (CAST(v_e9 AS DOUBLE) * 1000000000)
+        |      * 10000 + 0.5) AS BIGINT) END AS chi2_e4,
+        |  CASE WHEN v_e9 > 0 THEN
+        |    CAST(floor(
+        |      (CAST(o_a AS DOUBLE) * 1000000000 - CAST(e_a_e9 AS DOUBLE))
+        |      * (CAST(o_a AS DOUBLE) * 1000000000 - CAST(e_a_e9 AS DOUBLE))
+        |      / (CAST(v_e9 AS DOUBLE) * 1000000000)
+        |      * 10000 + 0.5) AS BIGINT) > 38415
+        |  END AS significant
+        |FROM agg ORDER BY cohort""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -529,6 +529,72 @@ object Metrics {
         when(col("chi2_e4").isNotNull, col("chi2_e4") > 38415L))
   }
 
+  /** Per-key Jarque–Bera normality test over an integer value column —
+    * the assumption screen UNDER the parametric tier ([[welchTTest]],
+    * [[anovaOneWay]], OLS t-stats all quietly assume roughly normal
+    * residuals; JB is the moment test that says when to reach for the
+    * rank tests instead): `JB = n/6·(S² + (K−3)²/4)` over sample
+    * skewness S and kurtosis K, χ²(2) 5% critical 5.9915.
+    *
+    * Exactness + CANCELLATION discipline: raw power sums of cents-scale
+    * values lose the central moments to catastrophic cancellation
+    * (μ⁴ ≫ m4), so this is TWO passes — the integer per-key mean
+    * `c = Σx div n` joins back (grid-sized broadcast) and the moment
+    * sums accumulate over the SHIFTED values `d = x − c` as exact
+    * DECIMAL(38,0) (central moments are exactly shift-invariant, and
+    * d ~ σ keeps d⁴ sums ~10³⁷ at a billion rows instead of 10⁴⁰+).
+    * Skewness, kurtosis, and JB are then ONE fixed double tree each
+    * over the five exact sums, e6/e4-quantized, verdict on the ROUNDED
+    * statistic. Keys with n < 4 or zero variance emit nulls.
+    *
+    * Scale shape: two map-side-combined aggregates over two scans (the
+    * mean cannot fold into its own shift); everything after is
+    * grid-sized. Output: `(keys…, n, skew_e6, kurt_e6, jb_e4,
+    * significant)`. */
+  def jarqueBera(df: DataFrame, keyCols: Seq[String],
+                 valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "jarqueBera needs at least one key column")
+    val k = keyCols.map(col)
+    val x = col(valueCol).cast("long")
+    val base = dropNullKeys(df, keyCols).filter(x.isNotNull)
+      .select(k :+ x.as("__x"): _*)
+    val means = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__sx"))
+      .withColumn("__c", expr("__sx div __n"))
+      .select(k :+ col("__c"): _*)
+    val sums = base.join(broadcast(means), keyCols)
+      .withColumn("__d", col("__x") - col("__c"))
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(expr("cast(__d as decimal(38,0))")).as("__s1"),
+        sum(expr("cast(__d as decimal(38,0)) * __d")).as("__s2"),
+        sum(expr("cast(__d as decimal(38,0)) * __d * __d")).as("__s3"),
+        sum(expr("cast(__d as decimal(38,0)) * __d * __d * __d")).as("__s4"))
+    // the fixed trees: μ = S1/n (small), central m2/m3/m4 via the shift
+    // expansion — spelled once, mirrored literally in the oracle
+    val mu = "(cast(__s1 as double) / cast(n as double))"
+    val m2 = s"(cast(__s2 as double) / cast(n as double) - $mu * $mu)"
+    val m3 = s"(cast(__s3 as double) / cast(n as double) - 3.0 * $mu * (cast(__s2 as double) / cast(n as double)) + 2.0 * $mu * $mu * $mu)"
+    val m4 = s"(cast(__s4 as double) / cast(n as double) - 4.0 * $mu * (cast(__s3 as double) / cast(n as double)) + 6.0 * $mu * $mu * (cast(__s2 as double) / cast(n as double)) - 3.0 * $mu * $mu * $mu * $mu)"
+    val sk = s"($m3 / power($m2, 1.5))"
+    val ku = s"($m4 / ($m2 * $m2))"
+    sums
+      .withColumn("skew_e6", expr(
+        s"""case when n >= 4 and $m2 > 0 then
+           |  cast(floor($sk * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("kurt_e6", expr(
+        s"""case when n >= 4 and $m2 > 0 then
+           |  cast(floor($ku * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("jb_e4", expr(
+        s"""case when n >= 4 and $m2 > 0 then
+           |  cast(floor(cast(n as double) / 6.0
+           |    * ($sk * $sk + ($ku - 3.0) * ($ku - 3.0) / 4.0)
+           |    * 10000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("significant",
+        when(col("jb_e4").isNotNull, col("jb_e4") > 59915L))
+      .drop("__s1", "__s2", "__s3", "__s4")
+  }
+
   /** Per-key Fisher EXACT test on the 2×2 table of two boolean columns
     * — the small-table / rare-margin member completing the contingency
     * tier ([[mcnemar]] is paired, [[cochranArmitage]] is ordered-dose,

@@ -320,6 +320,36 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("jarqueBera: symmetric three-point law hand-computed; skewed key flags; constant null") {
+    // {-1,0,1}*4: mean 0, m2=2/3, m3=0, m4=2/3 -> skew 0, kurt 1.5,
+    // JB = 12/6 * (0 + 2.25/4) = 1.125
+    val sym = (0 until 12).map(i => ("sym", (i % 3) - 1L))
+    val skw = Seq(("skw", 0L), ("skw", 0L), ("skw", 0L), ("skw", 9L))
+    val cst = (0 until 6).map(_ => ("cst", 5L))
+    val out = Metrics.jarqueBera((sym ++ skw ++ cst).toDF("k", "v"),
+      Seq("k"), "v").collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("sym").getAs[Long]("skew_e6") == 0L)
+    assert(out("sym").getAs[Long]("kurt_e6") == 1500000L)
+    assert(out("sym").getAs[Long]("jb_e4") == 11250L)
+    assert(!out("sym").getAs[Boolean]("significant"))
+    // skewed: mirror the exact shifted-sum formula (c = 9 div 4 = 2)
+    val (n, s1, s2, s3, s4) = (4.0, 1.0, 61.0, 319.0, 2449.0)
+    val mu = s1 / n
+    val m2 = s2 / n - mu * mu
+    val m3 = s3 / n - 3.0 * mu * (s2 / n) + 2.0 * mu * mu * mu
+    val m4 = s4 / n - 4.0 * mu * (s3 / n) + 6.0 * mu * mu * (s2 / n) -
+      3.0 * mu * mu * mu * mu
+    val sk = m3 / math.pow(m2, 1.5)
+    val ku = m4 / (m2 * m2)
+    assert(out("skw").getAs[Long]("skew_e6") ==
+      math.floor(sk * 1e6 + 0.5).toLong)
+    assert(out("skw").getAs[Long]("kurt_e6") ==
+      math.floor(ku * 1e6 + 0.5).toLong)
+    // constant key: zero variance -> nulls
+    val c = out("cst")
+    assert(c.get(c.fieldIndex("jb_e4")) == null)
+  }
+
   test("fisherExact: hand-computed hypergeometric p-values") {
     // tea-tasting table [[3,1],[1,3]]: support k=0..4 with probs
     // (1,16,36,16,1)/70; P(obs=3)=16/70, as-or-less-probable sum = 34/70

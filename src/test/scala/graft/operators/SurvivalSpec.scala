@@ -54,4 +54,36 @@ class SurvivalSpec extends SparkSpec {
       .agg(org.apache.spark.sql.functions.sum("n_risk")).collect().head.getLong(0)
     assert(n == 1L)
   }
+
+  test("logRank: hand-computed two-group table; identical groups ~0; empty group null") {
+    // A: deaths at 1, 2; B: deaths at 2, 3 (no censoring)
+    // t=1: n=(2,2), d_A=1 -> E+=.5, V+=.25
+    // t=2: n=(1,2), d=2 (one each) -> E+=2/3, V+=2/9
+    // t=3: n=(0,1), d=1 -> E+=0, V+=0 (n=1 guard)
+    // O_A=2, E_A=7/6, V=17/36 -> chi2 = 25/17 = 1.47058...
+    val df = Seq(
+      ("k", "A", 1L, true), ("k", "A", 2L, true),
+      ("k", "B", 2L, true), ("k", "B", 3L, true)).toDF("k", "g", "dur", "ev")
+    val r = Survival.logRank(df, Seq("k"), "g", "dur", "ev", "A", "B")
+      .collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Long]("o_a") == 2L)
+    assert(r.getAs[Long]("e_a_e9") == 1166666667L)
+    assert(r.getAs[Long]("v_e9") == 472222222L)
+    assert(r.getAs[Long]("chi2_e4") == 14706L)
+    assert(!r.getAs[Boolean]("significant"))
+    // identical curves: chi2 == 0
+    val same = Seq(
+      ("s", "A", 1L, true), ("s", "A", 2L, true),
+      ("s", "B", 1L, true), ("s", "B", 2L, true)).toDF("k", "g", "dur", "ev")
+    val rs = Survival.logRank(same, Seq("k"), "g", "dur", "ev", "A", "B")
+      .collect().head
+    assert(rs.getAs[Long]("chi2_e4") == 0L)
+    // one group empty -> zero variance -> null verdict
+    val one = Seq(("o", "A", 1L, true), ("o", "A", 2L, true))
+      .toDF("k", "g", "dur", "ev")
+    val ro = Survival.logRank(one, Seq("k"), "g", "dur", "ev", "A", "B")
+      .collect().head
+    assert(ro.get(ro.fieldIndex("chi2_e4")) == null)
+  }
 }
