@@ -3473,7 +3473,29 @@ object SparkEntry {
       graft.operators.Survival.logRank(subj, Seq("cohort"), "variant",
           "dur_days", "churned", "A", "B")
         .orderBy("cohort")
-    })
+    }),
+
+    // ---- extension: vocabulary richness — Chao1 + Good-Turing unseen
+    // mass per source ("is this slice's vocabulary saturated or still
+    // growing" — the collection-planning dial beside q191's Zipf shape);
+    // exact integer frequency-of-frequencies, one fixed Chao1 tree
+    "q280_x_vocab_richness" -> tuned((s, d) =>
+      graft.text.TextAnalysis.vocabRichness(
+          Tables.documents(s, d), "source", "text")
+        .orderBy("source")),
+
+    // ---- extension: Cramér-von Mises — q268's two-sample question by
+    // INTEGRATED squared ECDF gap (many small persistent differences,
+    // where KS reads only the single largest); exact cross-multiplied
+    // integer numerator, one double division
+    "q281_x_cramer_von_mises" -> tuned((s, d) =>
+      graft.operators.Metrics.cramerVonMises(
+          Tables.events(s, d)
+            .withColumn("variant",
+              when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+            .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+          Seq("event_type"), "variant", "cents", "A", "B")
+        .orderBy("event_type"))
   )
 
   /** q278's oracle: the identical shifted-moment trees in DuckDB. */
@@ -9550,7 +9572,80 @@ object SparkEntry {
         |      / (CAST(v_e9 AS DOUBLE) * 1000000000)
         |      * 10000 + 0.5) AS BIGINT) > 38415
         |  END AS significant
-        |FROM agg ORDER BY cohort""".stripMargin)
+        |FROM agg ORDER BY cohort""".stripMargin),
+
+    // exact integer D/N/f1/f2 off the (source, token) grid; the
+    // IDENTICAL Chao1 tree with the f2=0 bias correction
+    "q280_x_vocab_richness" ->
+      ("""WITH tk AS (
+        |  SELECT source, unnest(regexp_split_to_array(trim(text), '\s+')) AS t
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL
+        |    AND length(trim(text)) > 0),
+        |g AS (SELECT source, t, CAST(count(*) AS BIGINT) AS c
+        |      FROM tk WHERE t <> '' GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+        |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+        |      FROM g GROUP BY 1)
+        |SELECT source, n_tokens, n_distinct, f1, f2,
+        |  CAST(floor(CASE WHEN f2 > 0 THEN
+        |    CAST(n_distinct AS DOUBLE)
+        |      + CAST(f1 AS DOUBLE) * CAST(f1 AS DOUBLE)
+        |        / (2.0 * CAST(f2 AS DOUBLE))
+        |  ELSE
+        |    CAST(n_distinct AS DOUBLE)
+        |      + CAST(f1 AS DOUBLE) * CAST(f1 - 1 AS DOUBLE) / 2.0
+        |  END * 100 + 0.5) AS BIGINT) AS chao1_e2,
+        |  f1 * 1000000 // n_tokens AS gt_unseen_e6
+        |FROM a ORDER BY source""".stripMargin),
+
+    // the same pooled value-count grid and cumulative windows as q268,
+    // HUGEINT squared-gap terms, the IDENTICAL one-division T tree
+    "q281_x_cramer_von_mises" ->
+      ("""WITH e AS (
+        |  SELECT event_type AS k,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |           CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS ca,
+        |           CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS cb
+        |         FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(sum(ca) OVER (PARTITION BY k ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cuma,
+        |        CAST(sum(cb) OVER (PARTITION BY k ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cumb,
+        |        CAST(sum(ca) OVER (PARTITION BY k) AS BIGINT) AS na,
+        |        CAST(sum(cb) OVER (PARTITION BY k) AS BIGINT) AS nb
+        |      FROM grid),
+        |t AS (SELECT k, na, nb,
+        |        CAST(ca + cb AS HUGEINT)
+        |          * (CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+        |          * (CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+        |          AS term
+        |      FROM w),
+        |a AS (SELECT k, max(na) AS n_a, max(nb) AS n_b, sum(term) AS u
+        |      FROM t GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(floor(CAST(u AS DOUBLE)
+        |      / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |         * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) END AS t_e6,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(floor(CAST(u AS DOUBLE)
+        |      / (CAST(n_a + n_b AS DOUBLE) * CAST(n_a + n_b AS DOUBLE)
+        |         * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) > 461000
+        |  END AS significant
+        |FROM a ORDER BY event_type""".stripMargin)
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

@@ -420,6 +420,71 @@ object Metrics {
       .drop("__r2a", "__t3")
   }
 
+  /** Per-key two-sample Cramér–von Mises statistic between groups —
+    * the INTEGRATED-gap companion of [[ksDrift]]/[[mannWhitney]]'s
+    * family: KS reads the single largest ECDF gap (sensitive to one
+    * sharp local difference), CvM sums the SQUARED gap over every
+    * pooled observation (sensitive to many small persistent ones —
+    * the shape-drift case KS underweights):
+    * `T = Σ_v c_v·(F_A(v) − F_B(v))² · nm/N²` over the pooled
+    * value-count grid, asymptotic 5% critical 0.461.
+    *
+    * Integer-exact numerator (the ksDrift discipline, squared): the gap
+    * rides as the cross-multiplied integer `Δ_v = cumA_v·n_b −
+    * cumB_v·n_a`, each term `c_v·Δ_v²` accumulates as DECIMAL(38,0)
+    * (Δ ≤ n_a·n_b wraps BIGINT past ~3·10⁹ rows when squared), and T
+    * is ONE double division `Σ / (N²·n_a·n_b)` e6-quantized, verdict
+    * on the ROUNDED value. Keys with an empty side emit null.
+    *
+    * Scale shape: one map-side-combined value-count aggregate, one
+    * ordered window over the DISTINCT-VALUE grid (bin continuous
+    * values upstream — the ksDrift dial), one per-key fold. Output:
+    * `(keys…, n_a, n_b, t_e6, significant)`. */
+  def cramerVonMises(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                     valueCol: String, groupA: String,
+                     groupB: String): DataFrame = {
+    require(keyCols.nonEmpty, "cramerVonMises needs at least one key column")
+    val k = keyCols.map(col)
+    val g = col(groupCol)
+    val x = col(valueCol).cast("long")
+    val inA = g === groupA
+    val inB = g === groupB
+    val grid = dropNullKeys(df, keyCols)
+      .filter((inA || inB) && g.isNotNull && x.isNotNull)
+      .groupBy(k :+ x.as("__v"): _*)
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inB, 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.partitionBy(k: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__term", expr(
+        """cast(__ca + __cb as decimal(38,0))
+          |  * (cast(__cuma as decimal(38,0)) * __nb
+          |     - cast(__cumb as decimal(38,0)) * __na)
+          |  * (cast(__cuma as decimal(38,0)) * __nb
+          |     - cast(__cumb as decimal(38,0)) * __na)""".stripMargin
+          .replaceAll("\n", " ")))
+      .groupBy(k: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__term")).as("__u"))
+      .withColumn("t_e6", expr(
+        """case when n_a > 0 and n_b > 0 then
+          |  cast(floor(cast(__u as double)
+          |    / (cast(n_a + n_b as double) * cast(n_a + n_b as double)
+          |       * cast(n_a as double) * cast(n_b as double))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .withColumn("significant",
+        when(col("t_e6").isNotNull, col("t_e6") > 461000L))
+      .drop("__u")
+  }
+
   /** Per-key one-way ANOVA F over an integer value column — the
     * k-GROUP extension of [[welchTTest]] (equal-variance, classic
     * Fisher form): `F = (SSB/(k−1)) / (SSW/(n−k))` with

@@ -447,6 +447,50 @@ object TextAnalysis {
         sum(col("__term_e9")).as("kl_e9"))
   }
 
+  /** Per-domain vocabulary RICHNESS estimates — "how much vocabulary
+    * exists beyond this sample": the Chao1 lower-bound estimator
+    * `D + f₁²/(2f₂)` (bias-corrected `D + f₁(f₁−1)/2` when no
+    * doubletons) over the frequency-of-frequencies, and the Good–Turing
+    * unseen-probability mass `P₀ = f₁/N` — the two classic closed-form
+    * answers to "is this corpus slice saturated or still growing",
+    * which [[domainDivergence]]'s distance and `Corpus.zipfSlope`'s
+    * shape statistic cannot give. (Chao 1984; Good 1953.)
+    *
+    * Exactness: D, N, f₁, f₂ are exact integer re-aggregations of the
+    * (domain, token) count grid — no float crosses a row boundary;
+    * Chao1 is ONE fixed double tree e2-quantized and the Good–Turing
+    * mass is the exact integer `f₁·10⁶ div N`.
+    *
+    * Scale shape: one token explode → (domain, token) aggregate with
+    * map-side combine → (domain, count) frequency grid → one grid fold.
+    * Output: `(domainCol, n_tokens, n_distinct, f1, f2, chao1_e2,
+    * gt_unseen_e6)`. */
+  def vocabRichness(docs: DataFrame, domainCol: String,
+                    textCol: String): DataFrame = {
+    val cdt = docs
+      .filter(col(domainCol).isNotNull && col(textCol).isNotNull &&
+        length(trim(col(textCol))) > 0)
+      .select(col(domainCol), explode(Cols.tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col(domainCol), col("__t"))
+      .agg(count(lit(1)).as("__c"))
+    cdt.groupBy(col(domainCol))
+      .agg(sum(col("__c")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__c") === 1L, 1L).otherwise(0L)).as("f1"),
+        sum(when(col("__c") === 2L, 1L).otherwise(0L)).as("f2"))
+      .withColumn("chao1_e2", expr(
+        """cast(floor(case when f2 > 0 then
+          |  cast(n_distinct as double)
+          |    + cast(f1 as double) * cast(f1 as double)
+          |      / (2.0 * cast(f2 as double))
+          |else
+          |  cast(n_distinct as double)
+          |    + cast(f1 as double) * cast(f1 - 1 as double) / 2.0
+          |end * 100 + 0.5) as bigint)""".stripMargin))
+      .withColumn("gt_unseen_e6", expr("f1 * 1000000 div n_tokens"))
+  }
+
   /** Jensen–Shannon divergence between the token unigram distributions
     * of two corpus sides (0 = baseline, 1 = candidate) — the bounded,
     * symmetric vocabulary-drift monitor beside [[domainDivergence]]'s

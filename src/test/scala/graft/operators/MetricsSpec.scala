@@ -320,6 +320,33 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("cramerVonMises: hand-computed pooled-grid statistic; identical groups 0; empty side null") {
+    // A={1,2}, B={1,3}: only v=2 contributes (cumA*nb - cumB*na) =
+    // 2*2-1*2 = 2, c=1 -> U=4; T = 4/(16*4) = 0.0625
+    val df = Seq(("k", "A", 1L), ("k", "A", 2L), ("k", "B", 1L), ("k", "B", 3L))
+      .toDF("k", "g", "v")
+    val r = Metrics.cramerVonMises(df, Seq("k"), "g", "v", "A", "B")
+      .collect().head
+    assert(r.getAs[Long]("t_e6") == 62500L)
+    assert(!r.getAs[Boolean]("significant"))
+    // identical samples: every gap 0
+    val same = Seq(("s", "A", 1L), ("s", "A", 2L), ("s", "B", 1L), ("s", "B", 2L))
+      .toDF("k", "g", "v")
+    assert(Metrics.cramerVonMises(same, Seq("k"), "g", "v", "A", "B")
+      .collect().head.getAs[Long]("t_e6") == 0L)
+    // disjoint far-apart samples: maximal persistent gap flags
+    val far = ((0 until 50).map(i => ("f", "A", i.toLong)) ++
+      (0 until 50).map(i => ("f", "B", 1000L + i))).toDF("k", "g", "v")
+    val rf = Metrics.cramerVonMises(far, Seq("k"), "g", "v", "A", "B")
+      .collect().head
+    assert(rf.getAs[Boolean]("significant"), s"t=${rf.getAs[Long]("t_e6")}")
+    // one side empty -> null
+    val one = Seq(("o", "A", 1L)).toDF("k", "g", "v")
+    val ro = Metrics.cramerVonMises(one, Seq("k"), "g", "v", "A", "B")
+      .collect().head
+    assert(ro.get(ro.fieldIndex("t_e6")) == null)
+  }
+
   test("jarqueBera: symmetric three-point law hand-computed; skewed key flags; constant null") {
     // {-1,0,1}*4: mean 0, m2=2/3, m3=0, m4=2/3 -> skew 0, kurt 1.5,
     // JB = 12/6 * (0 + 2.25/4) = 1.125

@@ -126,6 +126,26 @@ class TextAnalysisSpec extends SparkSpec {
       "KL against a dominating corpus distribution is Gibbs-nonnegative"))
   }
 
+  test("vocabRichness: hand-computed Chao1 + Good-Turing; f2=0 correction") {
+    // domain a: tokens p*3 q*2 r s -> N=7, D=4, f1=2 (r,s), f2=1 (q)
+    // chao1 = 4 + 4/2 = 6.00; gt = 2*1e6 div 7 = 285714
+    // domain b: t u v (all singletons) -> f2=0 correction:
+    // chao1 = 3 + 3*2/2 = 6.00; gt = 1e6 (all mass unseen-ish)
+    val docs = Seq(("a", "p p p q q r s"), ("b", "t u v"),
+      ("a", null.asInstanceOf[String]), (null, "x")).toDF("source", "text")
+    val out = TextAnalysis.vocabRichness(docs, "source", "text")
+      .collect().map(r => r.getAs[String]("source") -> r).toMap
+    assert(out.size == 2)
+    val a = out("a")
+    assert(a.getAs[Long]("n_tokens") == 7L && a.getAs[Long]("n_distinct") == 4L)
+    assert(a.getAs[Long]("f1") == 2L && a.getAs[Long]("f2") == 1L)
+    assert(a.getAs[Long]("chao1_e2") == 600L)
+    assert(a.getAs[Long]("gt_unseen_e6") == 285714L)
+    val b = out("b")
+    assert(b.getAs[Long]("chao1_e2") == 600L)
+    assert(b.getAs[Long]("gt_unseen_e6") == 1000000L)
+  }
+
   test("readability: hand-computed Flesch over the vowel-group proxy") {
     // "the cat sat. it ran!" -> words 5, sentences 2, syllables 5
     // flesch = 206.835 - 1.015*2.5 - 84.6*1 = 119.6975
