@@ -3495,8 +3495,84 @@ object SparkEntry {
               when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
             .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
           Seq("event_type"), "variant", "cents", "A", "B")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- extension: decision stump — which document feature separates
+    // English from non-English per source, and where's the cut (feature
+    // screening / one boosting round); melted features, exact DECIMAL
+    // Gini-score argmax, one fixed gain tree
+    "q282_x_best_split" -> tuned((s, d) =>
+      graft.operators.Regression.bestSplit(
+          Tables.documents(s, d)
+            .filter(col("text").isNotNull)
+            .withColumn("is_en", col("lang") === "en")
+            .select(col("source"), col("is_en"),
+              expr("stack(2, 'chars_c', n_chars div 100, 'toks_d', " +
+                "size(split(trim(text), '\\\\s+')) div 10) as (feat, v)")),
+          Seq("source"), "feat", "v", "is_en")
+        .orderBy("source", "feat")),
+
+    // ---- extension: Newey-West HAC standard error — how overconfident
+    // is the iid CI on autocorrelated monthly revenue, per priority;
+    // two-pass integer-mean shift, L+1 lags on ONE window, exact
+    // DECIMAL cross-sums, Bartlett-weighted lrv as one fixed tree
+    "q283_x_newey_west" -> tuned((s, d) =>
+      graft.stats.Diagnostics.neweyWestSe(
+          monthlyPriority(s, d), Seq("prio"), "month", "cents", maxLag = 4)
+        .orderBy("prio"))
   )
+
+  /** q283's oracle: the identical shifted lag-cross-sum trees in DuckDB
+    * (maxLag fixed at 4 — the shipped query's setting). */
+  private def neweyWestSql: String = {
+    val maxLag = 4
+    val mu = "(CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))"
+    val g0 = s"((CAST(g0 AS DOUBLE) - $mu * CAST(s1 AS DOUBLE)) / CAST(n AS DOUBLE))"
+    val gl = (1 to maxLag).map { l =>
+      s"((CAST(sl$l AS DOUBLE) - $mu * (CAST(a$l AS DOUBLE) + CAST(b$l AS DOUBLE)) + CAST(n - $l AS DOUBLE) * $mu * $mu) / CAST(n AS DOUBLE))"
+    }
+    val lrv = (Seq(g0) ++ gl.zipWithIndex.map { case (g, i) =>
+      val l = i + 1
+      s"2.0 * (1.0 - ${l}.0 / ${maxLag + 1}.0) * $g"
+    }).mkString("(", " + ", ")")
+    val lagCols = (1 to maxLag).map(l =>
+      s"lag(d, $l) OVER (PARTITION BY prio ORDER BY month) AS d$l").mkString(", ")
+    val lagSums = (1 to maxLag).map(l =>
+      s"""sum(CAST(d AS HUGEINT) * d$l) AS sl$l,
+         |  sum(CASE WHEN d$l IS NOT NULL THEN CAST(d AS HUGEINT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS a$l,
+         |  sum(coalesce(CAST(d$l AS HUGEINT), CAST(0 AS HUGEINT))) AS b$l"""
+        .stripMargin.replaceAll("\n", " ")).mkString(",\n        |  ")
+    s"""WITH m AS (SELECT o_orderpriority AS prio,
+      |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |      AS cents
+      |  FROM orders GROUP BY 1, 2),
+      |mn AS (SELECT prio, CAST(count(*) AS BIGINT) AS nn,
+      |         CAST(sum(cents) AS BIGINT) AS sy,
+      |         CAST(sum(cents) AS BIGINT) // CAST(count(*) AS BIGINT) AS c
+      |       FROM m GROUP BY 1),
+      |d0 AS (SELECT m.prio, m.month, m.cents - mn.c AS d, mn.sy
+      |       FROM m JOIN mn ON m.prio = mn.prio),
+      |lg AS (SELECT *, $lagCols FROM d0),
+      |su AS (SELECT prio, CAST(count(*) AS BIGINT) AS n, max(sy) AS sy,
+      |  sum(CAST(d AS HUGEINT)) AS s1,
+      |  sum(CAST(d AS HUGEINT) * d) AS g0,
+      |  $lagSums
+      |  FROM lg GROUP BY 1)
+      |SELECT prio, n,
+      |  CAST(CAST(sy AS HUGEINT) * 1000000 // n AS BIGINT) AS mean_e6,
+      |  CASE WHEN n > $maxLag AND $g0 > 0 THEN
+      |    CAST(floor(sqrt($g0 / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  END AS se_iid_e6,
+      |  CASE WHEN n > $maxLag AND $g0 > 0 AND $lrv > 0 THEN
+      |    CAST(floor(sqrt($lrv / CAST(n AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)
+      |  END AS se_hac_e6,
+      |  CASE WHEN n > $maxLag AND $g0 > 0 AND $lrv > 0 THEN
+      |    CAST(floor(sqrt($lrv / $g0) * 10000 + 0.5) AS BIGINT)
+      |  END AS inflation_e4
+      |FROM su ORDER BY prio""".stripMargin
+  }
 
   /** q278's oracle: the identical shifted-moment trees in DuckDB. */
   private def jarqueBeraSql: String = {
@@ -9645,7 +9721,59 @@ object SparkEntry {
         |         * CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
         |      * 1000000 + 0.5) AS BIGINT) > 461000
         |  END AS significant
-        |FROM a ORDER BY event_type""".stripMargin)
+        |FROM a ORDER BY event_type""".stripMargin),
+
+    // the same melted feature grid (UNION ALL), cumulative windows,
+    // HUGEINT Gini score with // floor, (score desc, v) argmax, the
+    // IDENTICAL gain tree
+    "q282_x_best_split" ->
+      ("""WITH m AS (
+        |  SELECT source, (lang = 'en') AS y, 'chars_c' AS feat,
+        |         n_chars // 100 AS v
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang IS NOT NULL
+        |  UNION ALL
+        |  SELECT source, (lang = 'en') AS y, 'toks_d' AS feat,
+        |         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT)
+        |           // 10 AS v
+        |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL
+        |    AND lang IS NOT NULL),
+        |g AS (SELECT source, feat, v, CAST(count(*) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS p
+        |      FROM m GROUP BY 1, 2, 3),
+        |w AS (SELECT *,
+        |        CAST(sum(c) OVER (PARTITION BY source, feat ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS nl,
+        |        CAST(sum(p) OVER (PARTITION BY source, feat ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS pl,
+        |        CAST(sum(c) OVER (PARTITION BY source, feat) AS BIGINT) AS n,
+        |        CAST(sum(p) OVER (PARTITION BY source, feat) AS BIGINT) AS pos
+        |      FROM g),
+        |s AS (SELECT *,
+        |        (CAST(pl AS HUGEINT) * pl
+        |         + CAST(nl - pl AS HUGEINT) * (nl - pl)) * 2000000000 // nl
+        |        + (CAST(pos - pl AS HUGEINT) * (pos - pl)
+        |           + CAST((n - nl) - (pos - pl) AS HUGEINT)
+        |             * ((n - nl) - (pos - pl))) * 2000000000 // (n - nl)
+        |          AS score
+        |      FROM w WHERE nl < n),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source, feat
+        |        ORDER BY score DESC, v) AS rn
+        |      FROM s)
+        |SELECT source, feat, v AS threshold, n, pos AS n_pos, nl AS n_left,
+        |  pl AS pos_left,
+        |  CAST(floor(
+        |    (CAST(score AS DOUBLE) / 2000000000.0
+        |     - (CAST(pos AS DOUBLE) * pos + CAST(n - pos AS DOUBLE) * (n - pos))
+        |       / CAST(n AS DOUBLE))
+        |    / CAST(n AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS gain_e6
+        |FROM r WHERE rn = 1 ORDER BY source, feat""".stripMargin),
+
+    // two-pass integer-mean shift, the IDENTICAL Bartlett lrv tree over
+    // HUGEINT lag cross-sums
+    "q283_x_newey_west" -> neweyWestSql
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

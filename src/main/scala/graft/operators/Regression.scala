@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Grouped ordinary-least-squares trend fit — one `y = a + b·x` line per
@@ -109,5 +110,76 @@ object Regression {
       rnd(when(det =!= 0.0, detA / det)).as("intercept") :+
       rnd(when(det =!= 0.0, detB1 / det)).as("b1") :+
       rnd(when(det =!= 0.0, detB2 / det)).as("b2"): _*)
+  }
+
+  /** Best single-feature split per (key, feature) by EXACT Gini gain —
+    * the decision STUMP that backs feature screening for a quality
+    * classifier ("which signal separates good from bad documents at
+    * all, and where's the cut") and one boosting round; the supervised
+    * complement of [[graft.operators.Profile.mutualInfo]]'s symmetric
+    * association. Features arrive MELTED — `(featureCol, valueCol)`
+    * rows — so one call screens every feature in one plan.
+    *
+    * Exactness: candidate thresholds are the feature's distinct values
+    * (bin continuous features upstream — the ksDrift dial); per
+    * threshold the child class counts come from ONE cumulative window
+    * over the (key, feature, value) grid, and the selection score
+    * `Q = (pos_l² + neg_l²)·2·10⁹ div n_l + (pos_r² + neg_r²)·2·10⁹
+    * div n_r` is exact DECIMAL integer arithmetic (maximizing Q
+    * minimizes weighted child Gini — the algebra drops the constant
+    * parent terms), so the ARGMAX cannot drift cross-engine; ties
+    * break on the smaller threshold. The gain readout is one fixed
+    * double tree over the integers, e6-quantized.
+    *
+    * Scale shape: one map-side-combined (key, feature, value) count
+    * aggregate; windows and the rank run on the value grid. Output:
+    * one row per (keys…, feature): `(…, feature, threshold, n, n_pos,
+    * n_left, pos_left, gain_e6)`. */
+  def bestSplit(df: DataFrame, keyCols: Seq[String], featureCol: String,
+                valueCol: String, labelCol: String): DataFrame = {
+    val k = keyCols.map(col) :+ col(featureCol)
+    val x = col(valueCol).cast("long")
+    val y = col(labelCol)
+    val grid = df
+      .filter((keyCols.map(col(_).isNotNull) :+ col(featureCol).isNotNull :+
+        x.isNotNull :+ y.isNotNull).reduce(_ && _))
+      .groupBy(k :+ x.as("__v"): _*)
+      .agg(count(lit(1)).as("__c"),
+        sum(when(y, 1L).otherwise(0L)).as("__p"))
+    val wCum = Window.partitionBy(k: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = grid
+      .withColumn("__nl", sum(col("__c")).over(wCum))
+      .withColumn("__pl", sum(col("__p")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__pos", sum(col("__p")).over(wAll))
+      .filter(col("__nl") < col("__n")) // the max value splits nothing off
+      .withColumn("__score", expr(
+        """ (cast(__pl as decimal(38,0)) * __pl
+          |  + cast(__nl - __pl as decimal(38,0)) * (__nl - __pl))
+          |   * 2000000000 div __nl
+          |+ (cast(__pos - __pl as decimal(38,0)) * (__pos - __pl)
+          |   + cast((__n - __nl) - (__pos - __pl) as decimal(38,0))
+          |     * ((__n - __nl) - (__pos - __pl)))
+          |   * 2000000000 div (__n - __nl)""".stripMargin
+          .replaceAll("\n", " ")))
+    val wRank = Window.partitionBy(k: _*)
+      .orderBy(col("__score").desc, col("__v"))
+    scored
+      .withColumn("__rn", row_number().over(wRank))
+      .filter(col("__rn") === 1)
+      .withColumn("gain_e6", expr(
+        """cast(floor(
+          |  (cast(__score as double) / 2000000000.0
+          |   - (cast(__pos as double) * __pos
+          |      + cast(__n - __pos as double) * (__n - __pos))
+          |     / cast(__n as double))
+          |  / cast(__n as double) * 1000000 + 0.5) as bigint)""".stripMargin))
+      .select(keyCols.map(col) :+ col(featureCol) :+
+        col("__v").as("threshold") :+ col("__n").as("n") :+
+        col("__pos").as("n_pos") :+ col("__nl").as("n_left") :+
+        col("__pl").as("pos_left") :+ col("gain_e6"): _*)
   }
 }

@@ -1095,6 +1095,88 @@ object Diagnostics {
       .map(_._2._2)
   }
 
+  /** Per-key Newey–West (HAC) standard error of the MEAN at a fixed
+    * Bartlett lag — the honest uncertainty for a time-series average
+    * ([[adfFixedLag]] asks "is it stationary", this asks "given the
+    * autocorrelation, how wrong is the iid SE" — positively correlated
+    * monthly revenue makes the naive CI overconfident by exactly the
+    * inflation factor this emits):
+    * `lrv = γ₀ + 2·Σ_{l≤L} (1 − l/(L+1))·γ_l`, `se = √(lrv/n)`.
+    *
+    * Exactness (the jarqueBera shift discipline): the integer per-key
+    * mean `c = Σy div n` joins back and every lag cross-product
+    * accumulates over the SHIFTED values as exact DECIMAL(38,0) — the
+    * mean-correction algebra `γ_l = (S_l − μ(A_l + B_l) + (n−l)μ²)/n`
+    * runs over exact sums with the small residual mean μ = S₁/n, so no
+    * cancellation; the L+1 lags stack on ONE window sort (the
+    * adfFixedLag layout). lrv/se/inflation are one fixed double tree
+    * each, e6/e4-quantized. Keys with n ≤ maxLag or zero variance emit
+    * nulls.
+    *
+    * Scale shape: one (keys) shuffle shared by the window and the
+    * aggregate; per-key state is the 3·(L+1) sums. Output: `(keys…, n,
+    * mean_e6, se_iid_e6, se_hac_e6, inflation_e4)`. */
+  def neweyWestSe(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, maxLag: Int = 4): DataFrame = {
+    require(keyCols.nonEmpty, "neweyWestSe needs at least one key column")
+    require(maxLag >= 1 && maxLag <= 24, s"maxLag must be in [1, 24], got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val k = keyCols.map(col)
+    val y = col(valueCol).cast("long")
+    val base = df.filter(y.isNotNull && col(orderCol).isNotNull &&
+        keyCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(k :+ col(orderCol).as("__ord") :+ y.as("__y"): _*)
+    val means = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__sy"))
+      .withColumn("__c", expr("__sy div __n"))
+    val wOrd = Window.partitionBy(k: _*).orderBy(col("__ord"))
+    val lagged = base.join(broadcast(means.select(k :+ col("__c"): _*)), keyCols)
+      .withColumn("__d", col("__y") - col("__c"))
+    val withLags = (1 to maxLag).foldLeft(lagged) { (acc, l) =>
+      acc.withColumn(s"__d$l", lag(col("__d"), l).over(wOrd))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(expr("cast(__d as decimal(38,0))")).as("__s1"),
+      sum(expr("cast(__d as decimal(38,0)) * __d")).as("__g0")) ++
+      (1 to maxLag).flatMap { l =>
+        Seq(
+          sum(expr(s"cast(__d as decimal(38,0)) * __d$l")).as(s"__sl$l"),
+          sum(expr(s"case when __d$l is not null then cast(__d as decimal(38,0)) else cast(0 as decimal(38,0)) end")).as(s"__a$l"),
+          sum(expr(s"coalesce(cast(__d$l as decimal(38,0)), cast(0 as decimal(38,0)))")).as(s"__b$l"))
+      }
+    val sums = withLags.groupBy(k: _*).agg(aggs.head, aggs.tail: _*)
+      .join(means.select(k :+ col("__sy"): _*), keyCols)
+    val mu = "(cast(__s1 as double) / cast(n as double))"
+    val g0 = s"((cast(__g0 as double) - $mu * cast(__s1 as double)) / cast(n as double))"
+    val gl = (1 to maxLag).map { l =>
+      s"""((cast(__sl$l as double) - $mu * (cast(__a$l as double) + cast(__b$l as double))
+         |  + cast(n - $l as double) * $mu * $mu) / cast(n as double))"""
+        .stripMargin.replaceAll("\n", " ")
+    }
+    val lrv = (Seq(g0) ++ gl.zipWithIndex.map { case (g, i) =>
+      val l = i + 1
+      s"2.0 * (1.0 - ${l}.0 / ${maxLag + 1}.0) * $g"
+    }).mkString("(", " + ", ")")
+    sums
+      .withColumn("mean_e6",
+        expr("cast(cast(__sy as decimal(38,0)) * 1000000 div n as bigint)"))
+      .withColumn("se_iid_e6", expr(
+        s"""case when n > $maxLag and $g0 > 0 then
+           |  cast(floor(sqrt($g0 / cast(n as double)) * 1000000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("se_hac_e6", expr(
+        s"""case when n > $maxLag and $g0 > 0 and $lrv > 0 then
+           |  cast(floor(sqrt($lrv / cast(n as double)) * 1000000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("inflation_e4", expr(
+        s"""case when n > $maxLag and $g0 > 0 and $lrv > 0 then
+           |  cast(floor(sqrt($lrv / $g0) * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .select(k :+ col("n") :+ col("mean_e6") :+ col("se_iid_e6") :+
+        col("se_hac_e6") :+ col("inflation_e4"): _*)
+  }
+
   /** The e15-quantized cos/sin coefficient grid for [[periodogramFixed]]'s
     * n-point DFT: one row per (k, t) with `c = ⌊cos(2πkt/n)·10¹⁵ + 0.5⌋`
     * (reduced mod n first so the argument never leaves [0, 2π)). SHARED

@@ -77,4 +77,26 @@ class RegressionSpec extends SparkSpec {
     assert(!p.contains("Window"), s"no window expected:\n$p")
     assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
   }
+
+  test("bestSplit: perfect split recovered with exact gain; noisy feature scores lower") {
+    // x=(1,2,3,4), y=(F,F,T,T): threshold 2 separates perfectly ->
+    // gain = parent Gini 0.5; a constant-ish feature gains ~0
+    val df = Seq(
+      ("k", "x", 1L, false), ("k", "x", 2L, false),
+      ("k", "x", 3L, true), ("k", "x", 4L, true),
+      ("k", "z", 7L, false), ("k", "z", 7L, true),
+      ("k", "z", 8L, false), ("k", "z", 8L, true)
+    ).toDF("k", "feat", "v", "y")
+    val out = Regression.bestSplit(df, Seq("k"), "feat", "v", "y")
+      .collect().map(r => r.getAs[String]("feat") -> r).toMap
+    val x = out("x")
+    assert(x.getAs[Long]("threshold") == 2L)
+    assert(x.getAs[Long]("n_left") == 2L && x.getAs[Long]("pos_left") == 0L)
+    assert(x.getAs[Long]("gain_e6") == 500000L)
+    // z: both candidate splits leave 50/50 children -> zero gain; tie
+    // breaks to the smaller threshold
+    val z = out("z")
+    assert(z.getAs[Long]("gain_e6") == 0L)
+    assert(z.getAs[Long]("threshold") == 7L)
+  }
 }

@@ -405,6 +405,29 @@ class DiagnosticsSpec extends SparkSpec {
       s"AR(1) must dominate naive on an alternating series: ${ar.mkString(",")}")
   }
 
+  test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
+    // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
+    // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2
+    val tiny = Seq(("t", 1L, 0L), ("t", 2L, 2L)).toDF("g", "t", "v")
+    val r = Diagnostics.neweyWestSe(tiny, Seq("g"), "t", "v", maxLag = 1)
+      .collect().head
+    assert(r.getAs[Long]("mean_e6") == 1000000L)
+    assert(r.getAs[Long]("se_iid_e6") == 707107L)
+    assert(r.getAs[Long]("se_hac_e6") == 500000L)
+    assert(r.getAs[Long]("inflation_e4") == 7071L)
+    // positively autocorrelated blocks: HAC se must exceed iid se
+    val blocks = (0 until 48).map(t => ("b", t.toLong, if ((t / 8) % 2 == 0) 100L else 200L))
+      .toDF("g", "t", "v")
+    val rb = Diagnostics.neweyWestSe(blocks, Seq("g"), "t", "v", maxLag = 4)
+      .collect().head
+    assert(rb.getAs[Long]("inflation_e4") > 10000L,
+      s"blocks inflation=${rb.getAs[Long]("inflation_e4")}")
+    // constant: zero variance -> nulls
+    val cst = (0 until 10).map(t => ("c", t.toLong, 7L)).toDF("g", "t", "v")
+    val rc = Diagnostics.neweyWestSe(cst, Seq("g"), "t", "v").collect().head
+    assert(rc.get(rc.fieldIndex("se_hac_e6")) == null)
+  }
+
   test("periodogramFixed: planted cosine peaks at its frequency bin") {
     // x_t = 5000 + 1000*cos(2*pi*4*t/64): pure tone in bin k=4, period 16
     val df = (0 until 64).map { t =>
