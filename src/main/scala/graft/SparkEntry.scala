@@ -3519,7 +3519,26 @@ object SparkEntry {
     "q283_x_newey_west" -> tuned((s, d) =>
       graft.stats.Diagnostics.neweyWestSe(
           monthlyPriority(s, d), Seq("prio"), "month", "cents", maxLag = 4)
-        .orderBy("prio"))
+        .orderBy("prio")),
+
+    // ---- extension: effect size — Cohen's d + Hedges g beside q222's
+    // Welch significance (magnitude, not just p); the same six exact
+    // sufficient sums, one fixed tree per readout, labeled verdict on
+    // the rounded |d|
+    "q284_x_effect_size" -> tuned((s, d) =>
+      graft.operators.Metrics.effectSize(
+          Tables.orders(s, d)
+            .withColumn("dollars",
+              expr("cast(round(o_totalprice) as bigint)")),
+          Seq("o_orderstatus"), "o_orderpriority", "dollars",
+          "1-URGENT", "5-LOW")
+        .orderBy("o_orderstatus")),
+
+    // ---- extension: streaming Cramér-von Mises — q281's standing twin:
+    // complete-mode state IS the (key, value) side-count grid, readout
+    // via the SHARED cvmFromGrid, drained == batch, one oracle
+    "q285_x_stream_cvm" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingCvm(s, d))
   )
 
   /** q283's oracle: the identical shifted lag-cross-sum trees in DuckDB
@@ -4374,7 +4393,8 @@ object SparkEntry {
     // aggregate share the batch oracle VERBATIM — one definition, one gate
     m ++ Map(
       "q266_x_stream_nmi" -> m("q256_x_nmi"),
-      "q267_x_stream_vocab_jsd" -> m("q258_x_vocab_jsd"))
+      "q267_x_stream_vocab_jsd" -> m("q258_x_vocab_jsd"),
+      "q285_x_stream_cvm" -> m("q281_x_cramer_von_mises"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -9773,7 +9793,49 @@ object SparkEntry {
 
     // two-pass integer-mean shift, the IDENTICAL Bartlett lrv tree over
     // HUGEINT lag cross-sums
-    "q283_x_newey_west" -> neweyWestSql
+    "q283_x_newey_west" -> neweyWestSql,
+
+    // q222's six sufficient sums, the IDENTICAL pooled-d and Hedges
+    // trees, magnitude labels on the ROUNDED |d|
+    "q284_x_effect_size" -> {
+      val va = "((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1))"
+      val vb = "((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1))"
+      val sp2 = s"((CAST(n_a - 1 AS DOUBLE) * $va + CAST(n_b - 1 AS DOUBLE) * $vb) / CAST(n_a + n_b - 2 AS DOUBLE))"
+      val dT = s"((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b) / sqrt($sp2))"
+      s"""WITH o AS (
+        |  SELECT o_orderstatus AS st, o_orderpriority AS pr,
+        |         CAST(round(o_totalprice) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderpriority IN ('1-URGENT', '5-LOW')
+        |    AND o_orderstatus IS NOT NULL AND o_totalprice IS NOT NULL),
+        |a AS (SELECT st,
+        |    CAST(sum(CASE WHEN pr = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_a,
+        |    CAST(sum(CASE WHEN pr = '1-URGENT' THEN x ELSE 0 END) AS BIGINT)
+        |      AS sa,
+        |    sum(CASE WHEN pr = '1-URGENT' THEN CAST(x AS HUGEINT) * x
+        |        ELSE CAST(0 AS HUGEINT) END) AS qa,
+        |    CAST(sum(CASE WHEN pr = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_b,
+        |    CAST(sum(CASE WHEN pr = '5-LOW' THEN x ELSE 0 END) AS BIGINT) AS sb,
+        |    sum(CASE WHEN pr = '5-LOW' THEN CAST(x AS HUGEINT) * x
+        |        ELSE CAST(0 AS HUGEINT) END) AS qb
+        |  FROM o GROUP BY st),
+        |r AS (SELECT st, n_a, n_b,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND $sp2 > 0 THEN
+        |      CAST(floor($dT * 1000000 + 0.5) AS BIGINT) END AS d_e6,
+        |    CASE WHEN n_a >= 2 AND n_b >= 2 AND $sp2 > 0 THEN
+        |      CAST(floor($dT * (1.0 - 3.0 / (4.0 * CAST(n_a + n_b AS DOUBLE) - 9.0))
+        |        * 1000000 + 0.5) AS BIGINT) END AS g_e6
+        |  FROM a)
+        |SELECT st AS o_orderstatus, n_a, n_b, d_e6, g_e6,
+        |  CASE WHEN d_e6 IS NULL THEN NULL
+        |    WHEN abs(d_e6) < 200000 THEN 'negligible'
+        |    WHEN abs(d_e6) < 500000 THEN 'small'
+        |    WHEN abs(d_e6) < 800000 THEN 'medium'
+        |    ELSE 'large' END AS magnitude
+        |FROM r ORDER BY o_orderstatus""".stripMargin
+    }
   )
 
   /** Recursive transitive-closure CTE over the MinHash candidate pairs —

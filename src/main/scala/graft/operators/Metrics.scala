@@ -356,6 +356,61 @@ object Metrics {
       .drop("__sa", "__qa", "__sb", "__qb")
   }
 
+  /** Per-key standardized effect size between two groups — Cohen's d
+    * with the Hedges small-sample correction: the MAGNITUDE readout
+    * beside [[welchTTest]]'s significance (a billion-row A/B makes a
+    * 0.001σ difference "significant"; d says whether anyone should
+    * care): `d = (x̄_A − x̄_B)/s_p`, pooled
+    * `s_p² = ((n_A−1)s_A² + (n_B−1)s_B²)/(n_A+n_B−2)`,
+    * `g = d·(1 − 3/(4(n_A+n_B) − 9))`.
+    *
+    * Exactness: the same six exact integer sufficient sums as
+    * welchTTest (one map-side-combined conditional aggregate); d and g
+    * are ONE fixed double tree each, e6-quantized. Keys with fewer
+    * than 2 per side or zero pooled variance emit nulls. Output:
+    * `(keys…, n_a, n_b, d_e6, g_e6, magnitude)` with the conventional
+    * small/medium/large labels on |d| (0.2/0.5/0.8, decided on the
+    * ROUNDED value so both engines agree). */
+  def effectSize(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                 valueCol: String, groupA: String, groupB: String): DataFrame = {
+    require(keyCols.nonEmpty, "effectSize needs at least one key column")
+    val g = col(groupCol)
+    val x = col(valueCol).cast("long")
+    val inA = g === groupA
+    val inB = g === groupB
+    val agg = dropNullKeys(df, keyCols)
+      .filter((inA || inB) && g.isNotNull && x.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(inA, x).otherwise(0L)).as("__sa"),
+        sum(when(inA, expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
+          .otherwise(expr("cast(0 as decimal(38,0))"))).as("__qa"),
+        sum(when(inB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(inB, x).otherwise(0L)).as("__sb"),
+        sum(when(inB, expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
+          .otherwise(expr("cast(0 as decimal(38,0))"))).as("__qb"))
+    val va = "((cast(__qa as double) - cast(__sa as double) * __sa / n_a) / (n_a - 1))"
+    val vb = "((cast(__qb as double) - cast(__sb as double) * __sb / n_b) / (n_b - 1))"
+    val sp2 = s"((cast(n_a - 1 as double) * $va + cast(n_b - 1 as double) * $vb) / cast(n_a + n_b - 2 as double))"
+    val dTree = s"((cast(__sa as double) / n_a - cast(__sb as double) / n_b) / sqrt($sp2))"
+    agg
+      .withColumn("d_e6", expr(
+        s"""case when n_a >= 2 and n_b >= 2 and $sp2 > 0 then
+           |  cast(floor($dTree * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("g_e6", expr(
+        s"""case when n_a >= 2 and n_b >= 2 and $sp2 > 0 then
+           |  cast(floor($dTree * (1.0 - 3.0 / (4.0 * cast(n_a + n_b as double) - 9.0))
+           |    * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("magnitude", expr(
+        """case when d_e6 is null then null
+          |when abs(d_e6) < 200000 then 'negligible'
+          |when abs(d_e6) < 500000 then 'small'
+          |when abs(d_e6) < 800000 then 'medium'
+          |else 'large' end""".stripMargin))
+      .drop("__sa", "__qa", "__sb", "__qb")
+  }
+
   /** Per-key Mann–Whitney U z-test between two groups — the
     * NONPARAMETRIC location test completing the two-sample family
     * ([[welchTTest]] is the parametric side; [[ksDrift]] tests the whole
@@ -454,6 +509,15 @@ object Metrics {
       .groupBy(k :+ x.as("__v"): _*)
       .agg(sum(when(inA, 1L).otherwise(0L)).as("__ca"),
         sum(when(inB, 1L).otherwise(0L)).as("__cb"))
+    cvmFromGrid(grid, keyCols)
+  }
+
+  /** The CvM readout over a per-(key, __v) side-count grid (`__ca`,
+    * `__cb`) — ONE definition shared by the batch operator and the
+    * streaming twin (whose complete-mode state IS this grid), the
+    * nmiFromCells convention. */
+  def cvmFromGrid(grid: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
     val wCum = Window.partitionBy(k: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(k: _*)

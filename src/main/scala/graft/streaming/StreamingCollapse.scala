@@ -439,6 +439,40 @@ object StreamingCollapse {
       .orderBy("half")
   }
 
+  /** Streaming Cramér–von Mises drift maintenance — the standing twin
+    * of the batch two-sample test (q281): the complete-mode state IS
+    * the per-(key, value) side-count grid (value-grid-sized, NOT
+    * row-sized — bin continuous values upstream exactly as the batch
+    * contract says), maintained by ONE always-mergeable count
+    * aggregate; the readout is the SHARED
+    * [[graft.operators.Metrics.cvmFromGrid]], so drained == batch
+    * bit-for-bit and q281's oracle serves both. The standing form of
+    * "alert when the A/B value distributions drift apart". Eager
+    * checkpoint: the readout layers two windows over the memory-sink
+    * lineage. */
+  def streamingCvm(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_cvm"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val grid = eventsStream(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .withColumn("__v", floor(col("value") * 100 + 0.5).cast("long"))
+      // identical A/B derivation to the batch q281 (null user_id -> B,
+      // the CASE/otherwise convention both engines share)
+      .withColumn("__side",
+        when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+      .groupBy(col("event_type"), col("__v"))
+      .agg(sum(when(col("__side") === "A", 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === "B", 1L).otherwise(0L)).as("__cb"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.cvmFromGrid(
+        spark.table(name).localCheckpoint(true), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** Streaming Jensen-Shannon vocabulary-drift maintenance — the
     * standing twin of the batch readout (q258): the complete-mode state
     * IS the per-token side-count grid (vocabulary-sized, NOT

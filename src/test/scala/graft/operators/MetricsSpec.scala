@@ -320,6 +320,31 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("effectSize: hand-computed pooled d and Hedges g; equal means zero; tiny side null") {
+    // A={0,0,2,2} mean 1, B={1,1,3,3} mean 2, both sample var 4/3
+    // sp2 = 4/3, d = -1/sqrt(4/3), g = d*(1 - 3/23)
+    val df = (Seq(0L, 0L, 2L, 2L).map(v => ("k", "A", v)) ++
+      Seq(1L, 1L, 3L, 3L).map(v => ("k", "B", v))).toDF("k", "g", "v")
+    val r = Metrics.effectSize(df, Seq("k"), "g", "v", "A", "B").collect().head
+    val d = -1.0 / math.sqrt(4.0 / 3.0)
+    assert(r.getAs[Long]("d_e6") == math.floor(d * 1e6 + 0.5).toLong)
+    assert(r.getAs[Long]("g_e6") ==
+      math.floor(d * (1.0 - 3.0 / 23.0) * 1e6 + 0.5).toLong)
+    assert(r.getAs[String]("magnitude") == "large")
+    // identical groups: d = 0, negligible
+    val same = (Seq(1L, 2L).map(v => ("s", "A", v)) ++
+      Seq(1L, 2L).map(v => ("s", "B", v))).toDF("k", "g", "v")
+    val rs = Metrics.effectSize(same, Seq("k"), "g", "v", "A", "B").collect().head
+    assert(rs.getAs[Long]("d_e6") == 0L)
+    assert(rs.getAs[String]("magnitude") == "negligible")
+    // n_b = 1: undefined -> nulls
+    val tiny = (Seq(1L, 2L).map(v => ("t", "A", v)) :+ ("t", "B", 5L))
+      .toDF("k", "g", "v")
+    val rt = Metrics.effectSize(tiny, Seq("k"), "g", "v", "A", "B").collect().head
+    assert(rt.get(rt.fieldIndex("d_e6")) == null)
+    assert(rt.get(rt.fieldIndex("magnitude")) == null)
+  }
+
   test("cramerVonMises: hand-computed pooled-grid statistic; identical groups 0; empty side null") {
     // A={1,2}, B={1,3}: only v=2 contributes (cumA*nb - cumB*na) =
     // 2*2-1*2 = 2, c=1 -> U=4; T = 4/(16*4) = 0.0625

@@ -351,6 +351,16 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingCvm: drained value grid gives the batch statistic exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.getAs[Long]("t_e6"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingCvm(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q281_x_cramer_von_mises")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingKaplanMeier: drained (min, max) state gives the batch curve exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
