@@ -3538,8 +3538,87 @@ object SparkEntry {
     // complete-mode state IS the (key, value) side-count grid, readout
     // via the SHARED cvmFromGrid, drained == batch, one oracle
     "q285_x_stream_cvm" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingCvm(s, d))
+      graft.streaming.StreamingCollapse.streamingCvm(s, d)),
+
+    // ---- extension: RFM segmentation — the classic customer grid with
+    // exact quantile-fence scores (no global row window: fences come off
+    // value-count grids, the weightedPercentiles convention) and the
+    // conventional segment labels; monetary binned to dollars for the
+    // fence grid, sums stay exact cents
+    "q286_x_rfm_segments" -> tuned((s, d) =>
+      graft.operators.Funnel.rfmSegments(
+          Tables.events(s, d)
+            .withColumn("us", expr("ts_ns div 1000"))
+            .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+          "user_id", "us", "cents", buckets = 5, monetaryBin = 100L)
+        .orderBy("r_score", "f_score", "m_score")),
+
+    // ---- extension: Wilson score interval — honest conversion-rate CI
+    // per event type (Wald collapses at rare events; this is q240's
+    // per-cell uncertainty); exact integer (n, x), one fixed tree per
+    // bound
+    "q287_x_wilson_ci" -> tuned((s, d) =>
+      graft.operators.Metrics.wilsonCi(
+          Tables.events(s, d)
+            .withColumn("converted", col("value") >= 95.0),
+          Seq("event_type"), "converted")
+        .orderBy("event_type"))
   )
+
+  /** q286's oracle: the identical fence grids + score cases in DuckDB
+    * (buckets fixed at 5, monetary bin 100 — the shipped settings). */
+  private def rfmSql: String = {
+    val b = 5
+    def fenceCte(dim: String): String = {
+      val fences = (1 until b).map(i =>
+        s"min(CASE WHEN cum * $b >= $i * n THEN v END) AS ${dim}_t$i")
+        .mkString(", ")
+      s"""f_$dim AS (SELECT $fences FROM (
+         |  SELECT v, CAST(sum(c) OVER (ORDER BY v
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |      AS cum,
+         |    CAST(sum(c) OVER () AS BIGINT) AS n
+         |  FROM (SELECT $dim AS v, CAST(count(*) AS BIGINT) AS c
+         |        FROM dims GROUP BY 1)))""".stripMargin
+    }
+    def scoreAsc(dim: String): String =
+      (1 until b).map(i =>
+        s"(CASE WHEN $dim > ${dim}_t$i THEN 1 ELSE 0 END)").mkString(" + ") +
+        " + 1"
+    s"""WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value IS NOT NULL),
+      |pu AS (SELECT user_id, max(us) AS lastu, CAST(count(*) AS BIGINT) AS f,
+      |         CAST(sum(v) AS BIGINT) AS m
+      |       FROM e GROUP BY 1),
+      |g AS (SELECT max(lastu) AS gmax FROM pu),
+      |dims AS (SELECT user_id, (gmax - lastu) // 86400000000 AS r, f, m,
+      |           m // 100 AS mb
+      |         FROM pu CROSS JOIN g),
+      |${fenceCte("r")},
+      |${fenceCte("f")},
+      |${fenceCte("mb")},
+      |sc AS (SELECT $b + 1 - (${scoreAsc("r")}) AS rs,
+      |         ${scoreAsc("f")} AS fs,
+      |         ${scoreAsc("mb")} AS ms, m
+      |       FROM dims CROSS JOIN f_r CROSS JOIN f_f CROSS JOIN f_mb)
+      |SELECT CAST(rs AS INT) AS r_score, CAST(fs AS INT) AS f_score,
+      |  CAST(ms AS INT) AS m_score,
+      |  CAST(count(*) AS BIGINT) AS n_users,
+      |  CAST(sum(m) AS BIGINT) AS monetary_sum,
+      |  CASE
+      |    WHEN rs >= ${b - 1} AND fs >= ${b - 1}
+      |      AND ms >= ${b - 1} THEN 'champion'
+      |    WHEN fs >= ${b - 1} THEN 'loyal'
+      |    WHEN ms >= ${b - 1} THEN 'big_spender'
+      |    WHEN rs <= 2 AND fs >= 3 THEN 'at_risk'
+      |    WHEN rs <= 2 THEN 'churned'
+      |    ELSE 'other' END AS segment
+      |FROM sc GROUP BY rs, fs, ms
+      |ORDER BY r_score, f_score, m_score""".stripMargin
+  }
 
   /** q283's oracle: the identical shifted lag-cross-sum trees in DuckDB
     * (maxLag fixed at 4 — the shipped query's setting). */
@@ -9794,6 +9873,29 @@ object SparkEntry {
     // two-pass integer-mean shift, the IDENTICAL Bartlett lrv tree over
     // HUGEINT lag cross-sums
     "q283_x_newey_west" -> neweyWestSql,
+
+    // the IDENTICAL fence grids (cum*b >= i*n) and score cases
+    "q286_x_rfm_segments" -> rfmSql,
+
+    // exact (n, x), the IDENTICAL Wilson trees at z = 1.96
+    "q287_x_wilson_ci" -> {
+      val z = "1.96"
+      val p = "(CAST(x AS DOUBLE) / CAST(n AS DOUBLE))"
+      val den = s"(1.0 + $z * $z / CAST(n AS DOUBLE))"
+      val ctr = s"($p + $z * $z / (2.0 * CAST(n AS DOUBLE)))"
+      val rad = s"($z * sqrt($p * (1.0 - $p) / CAST(n AS DOUBLE) + $z * $z / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))"
+      s"""WITH a AS (
+        |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 95.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |  GROUP BY 1)
+        |SELECT event_type, n, x, x * 1000000 // n AS rate_e6,
+        |  CAST(floor(($ctr - $rad) / $den * 1000000 + 0.5) AS BIGINT) AS lo_e6,
+        |  CAST(floor(($ctr + $rad) / $den * 1000000 + 0.5) AS BIGINT) AS hi_e6
+        |FROM a ORDER BY event_type""".stripMargin
+    },
 
     // q222's six sufficient sums, the IDENTICAL pooled-d and Hedges
     // trees, magnitude labels on the ROUNDED |d|

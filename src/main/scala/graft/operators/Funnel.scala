@@ -502,4 +502,87 @@ object Funnel {
       .select(col("stage"), col("stage_name"), col("n_pairs"),
         col("min_lag"), col("median_lag"), col("max_lag"))
   }
+
+  /** RFM segmentation — the classic product-analytics customer grid:
+    * per-user Recency (days since last event), Frequency (event count),
+    * Monetary (integer value sum) scored into `buckets` quantile bands
+    * each, then rolled up to segment cells with the conventional
+    * labels (champion / loyal / big_spender / at_risk / churned /
+    * other). R inverts (most recent = top score); F and M ascend.
+    *
+    * Exactness: the three quantile fence sets come off per-dimension
+    * VALUE-COUNT GRIDS with the [[graft.operators.Sketch.weightedPercentiles]]
+    * cross-multiplication convention (`cum·buckets ≥ i·n` — no float
+    * rank), broadcast back as one fence row; a score is
+    * `1 + #{fences < v}` (strictly-greater test, so fence ties land
+    * deterministically in the lower band). Everything that crosses a
+    * row boundary is an exact integer.
+    *
+    * Scale shape: one per-user aggregate (map-side combined), three
+    * value-grid windows (grid-sized, NOT user-sized), one broadcast
+    * fence join, one cell rollup. No global row window anywhere —
+    * user-count-independent plan. Output: one row per populated
+    * (r_score, f_score, m_score) cell with `(…, segment, n_users,
+    * monetary_sum)`. */
+  def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
+                  valueCol: String, buckets: Int = 5,
+                  monetaryBin: Long = 1L): DataFrame = {
+    require(buckets >= 2 && buckets <= 10,
+      s"buckets must be in [2, 10], got $buckets")
+    require(monetaryBin >= 1, s"monetaryBin must be positive, got $monetaryBin")
+    val perUser = events
+      .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(col(userCol).as("__u"))
+      .agg(max(col(tsCol)).as("__last"), count(lit(1)).as("__f"),
+        sum(col(valueCol).cast("long")).as("__m"))
+    val gmax = perUser.agg(max(col("__last")).as("__gmax"))
+    val dims = perUser.crossJoin(broadcast(gmax))
+      .withColumn("__r", expr("(__gmax - __last) div 86400000000"))
+      // the monetary DIM grid bins (the ksDrift dial) so the fence
+      // window stays value-grid-sized, not user-sized; sums stay exact
+      .withColumn("__mb", expr(s"__m div $monetaryBin"))
+      .select(col("__u"), col("__r"), col("__f"), col("__m"), col("__mb"))
+      // lazy localCheckpoint: three fence grids + the score join all
+      // read this frame
+      .localCheckpoint(false)
+    def fences(dim: String): DataFrame = {
+      val grid = dims.groupBy(col(dim).as("__v")).agg(count(lit(1)).as("__c"))
+      val run = Window.orderBy(col("__v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val all = Window.partitionBy(lit(1))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val cum = grid
+        .withColumn("__cum", sum(col("__c")).over(run))
+        .withColumn("__n", sum(col("__c")).over(all))
+      val aggs = (1 until buckets).map(i =>
+        min(when(col("__cum") * buckets >= lit(i) * col("__n"), col("__v")))
+          .as(s"${dim}_t$i"))
+      cum.agg(aggs.head, aggs.tail: _*)
+    }
+    def scoreAsc(dim: String): org.apache.spark.sql.Column =
+      (1 until buckets).map(i =>
+        when(col(dim) > col(s"${dim}_t$i"), 1).otherwise(0))
+        .reduce(_ + _) + 1
+    val scored = dims
+      .crossJoin(broadcast(fences("__r")))
+      .crossJoin(broadcast(fences("__f")))
+      .crossJoin(broadcast(fences("__mb")))
+      .withColumn("r_score", lit(buckets) + 1 - scoreAsc("__r"))
+      .withColumn("f_score", scoreAsc("__f"))
+      .withColumn("m_score", scoreAsc("__mb"))
+    val hi = buckets - 1 // "top band or above" threshold
+    val lo = 2           // "bottom two bands" threshold
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"), sum(col("__m")).as("monetary_sum"))
+      .withColumn("segment", expr(
+        s"""case
+           |when r_score >= $hi and f_score >= $hi and m_score >= $hi
+           |  then 'champion'
+           |when f_score >= $hi then 'loyal'
+           |when m_score >= $hi then 'big_spender'
+           |when r_score <= $lo and f_score >= 3 then 'at_risk'
+           |when r_score <= $lo then 'churned'
+           |else 'other' end""".stripMargin))
+  }
 }

@@ -658,6 +658,39 @@ object Metrics {
         when(col("chi2_e4").isNotNull, col("chi2_e4") > 38415L))
   }
 
+  /** Per-key Wilson score interval for a conversion rate — the CI that
+    * should replace the naive Wald `p̂ ± z√(p̂(1−p̂)/n)` everywhere (Wald
+    * collapses to width 0 at p̂ ∈ {0, 1} and escapes [0, 1]; Wilson
+    * stays honest at extreme rates and small n — exactly the rare-event
+    * corners a funnel readout lives in):
+    * `(p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n)` at z = 1.96.
+    *
+    * Exactness: n and x are one map-side-combined exact aggregate; the
+    * bounds are ONE fixed double tree each over the two integers,
+    * e6-quantized; the point rate is the exact integer `x·10⁶ div n`.
+    * Output: `(keys…, n, x, rate_e6, lo_e6, hi_e6)`; n = 0 keys are
+    * absent by construction. */
+  def wilsonCi(df: DataFrame, keyCols: Seq[String],
+               successCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "wilsonCi needs at least one key column")
+    val s = col(successCol)
+    val z = "1.96"
+    val p = "(cast(x as double) / cast(n as double))"
+    val den = s"(1.0 + $z * $z / cast(n as double))"
+    val ctr = s"($p + $z * $z / (2.0 * cast(n as double)))"
+    val rad = s"($z * sqrt($p * (1.0 - $p) / cast(n as double) + $z * $z / (4.0 * cast(n as double) * cast(n as double))))"
+    dropNullKeys(df, keyCols)
+      .filter(s.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(s, 1L).otherwise(0L)).as("x"))
+      .withColumn("rate_e6", expr("x * 1000000 div n"))
+      .withColumn("lo_e6", expr(
+        s"cast(floor(($ctr - $rad) / $den * 1000000 + 0.5) as bigint)"))
+      .withColumn("hi_e6", expr(
+        s"cast(floor(($ctr + $rad) / $den * 1000000 + 0.5) as bigint)"))
+  }
+
   /** Per-key Jarque–Bera normality test over an integer value column —
     * the assumption screen UNDER the parametric tier ([[welchTTest]],
     * [[anovaOneWay]], OLS t-stats all quietly assume roughly normal

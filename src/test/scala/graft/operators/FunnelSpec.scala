@@ -310,4 +310,41 @@ class FunnelSpec extends SparkSpec {
     // p1 = .5, p2 = 0, pooled = .25 -> z = .5 / sqrt(.25*.75*1) = 1.1547
     assert(s1.getAs[Long]("z_e4") == 11547L)
   }
+
+  test("rfmSegments: exact quantile-fence scores and segment labels") {
+    // user i (1..5): i events, last at day i-1, each valued 10 cents ->
+    // recency 4..0 days, freq 1..5, monetary 10..50: every dimension is
+    // a clean 5-point grid, so buckets=5 gives scores 1..5 per dim
+    val day = 86400000000L
+    val rows = (1 to 5).flatMap { i =>
+      (1 to i).map(j => (i.toLong, (i - 1) * day - (i - j), 10L))
+    }
+    val df = rows.toDF("u", "ts", "v")
+    val out = Funnel.rfmSegments(df, "u", "ts", "v", buckets = 5)
+      .collect()
+      .map(r => (r.getAs[Int]("r_score"), r.getAs[Int]("f_score"),
+        r.getAs[Int]("m_score")) -> r).toMap
+    // u5: most recent, most frequent, biggest spender -> (5,5,5) champion
+    assert(out((5, 5, 5)).getAs[String]("segment") == "champion")
+    assert(out((5, 5, 5)).getAs[Long]("n_users") == 1L)
+    assert(out((5, 5, 5)).getAs[Long]("monetary_sum") == 50L)
+    // u4 -> (4,4,4) also champion (>= buckets-1 on all three)
+    assert(out((4, 4, 4)).getAs[String]("segment") == "champion")
+    // u1: stale, single event -> (1,1,1) churned
+    assert(out((1, 1, 1)).getAs[String]("segment") == "churned")
+    // u2 -> (2,2,2) churned; u3 -> (3,3,3) other
+    assert(out((2, 2, 2)).getAs[String]("segment") == "churned")
+    assert(out((3, 3, 3)).getAs[String]("segment") == "other")
+    assert(out.size == 5)
+  }
+
+  test("rfmSegments: monetaryBin coarsens scoring but not sums") {
+    val day = 86400000000L
+    val rows = (1 to 4).map(i => (i.toLong, i * day, 100L + i))
+    val out = Funnel.rfmSegments(rows.toDF("u", "ts", "v"), "u", "ts", "v",
+      buckets = 2, monetaryBin = 1000L).collect()
+    // all monetary values bin to 0 -> single m_score band; exact sums kept
+    assert(out.map(_.getAs[Int]("m_score")).distinct.length == 1)
+    assert(out.map(_.getAs[Long]("monetary_sum")).sum == 101L + 102L + 103L + 104L)
+  }
 }

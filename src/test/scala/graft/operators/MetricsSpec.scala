@@ -320,6 +320,30 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("wilsonCi: hand-computed interval; zero successes stay honest; bounds bracket the rate") {
+    // n=10, x=5: center = (.5 + z^2/20)/(1 + z^2/10), rad per formula
+    val df = ((1 to 5).map(_ => ("k", true)) ++ (1 to 5).map(_ => ("k", false)) ++
+      (1 to 8).map(_ => ("z", false))).toDF("k", "s")
+    val out = Metrics.wilsonCi(df, Seq("k"), "s")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val z = 1.96
+    val (n, p) = (10.0, 0.5)
+    val den = 1.0 + z * z / n
+    val ctr = p + z * z / (2 * n)
+    val rad = z * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+    val k = out("k")
+    assert(k.getAs[Long]("rate_e6") == 500000L)
+    assert(k.getAs[Long]("lo_e6") ==
+      math.floor((ctr - rad) / den * 1e6 + 0.5).toLong)
+    assert(k.getAs[Long]("hi_e6") ==
+      math.floor((ctr + rad) / den * 1e6 + 0.5).toLong)
+    assert(k.getAs[Long]("lo_e6") < 500000L && k.getAs[Long]("hi_e6") > 500000L)
+    // x = 0: Wald would give [0, 0]; Wilson's upper bound stays positive
+    val zk = out("z")
+    assert(zk.getAs[Long]("lo_e6") == 0L)
+    assert(zk.getAs[Long]("hi_e6") > 0L)
+  }
+
   test("effectSize: hand-computed pooled d and Hedges g; equal means zero; tiny side null") {
     // A={0,0,2,2} mean 1, B={1,1,3,3} mean 2, both sample var 4/3
     // sp2 = 4/3, d = -1/sqrt(4/3), g = d*(1 - 3/23)
