@@ -3562,7 +3562,27 @@ object SparkEntry {
           Tables.events(s, d)
             .withColumn("converted", col("value") >= 95.0),
           Seq("event_type"), "converted")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- extension: seasonal/trend strength — WHICH priorities'
+    // revenue series are strongly seasonal vs trending (the Hyndman
+    // feature screen over q177's decomposition); exact n*Sum(v^2) -
+    // Sum(v)^2 variance forms over the already-quantized components
+    "q288_x_seasonal_strength" -> tuned((s, d) =>
+      graft.operators.Features.seasonalStrength(
+          monthlyPriority(s, d), Seq("prio"), "month", "cents", period = 12)
+        .orderBy("prio")),
+
+    // ---- extension: median CI — distribution-free order-statistic
+    // bounds per return flag (the robust companion of q275's bootstrap
+    // mean CI at none of its replicate cost); exact cumulative-count
+    // fences on whole-dollar prices
+    "q289_x_median_ci" -> tuned((s, d) =>
+      graft.operators.Sketch.medianCi(
+          Tables.lineitem(s, d).withColumn("price_d",
+            floor(col("l_extendedprice") + 0.5)),
+          Seq("l_returnflag"), "price_d")
+        .orderBy("l_returnflag"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -9876,6 +9896,95 @@ object SparkEntry {
 
     // the IDENTICAL fence grids (cum*b >= i*n) and score cases
     "q286_x_rfm_segments" -> rfmSql,
+
+    // q177's window replay wrapped as a CTE, exact n*q - s*s variance
+    // forms, clamp AFTER rounding
+    "q288_x_seasonal_strength" -> {
+      def strength(q: String, s: String) =
+        s"""CASE WHEN n_used * $q - $s * $s > 0 THEN
+           |  greatest(CAST(0 AS BIGINT),
+           |    CAST(floor((1.0 - CAST(n_used * qr - sr * sr AS DOUBLE)
+           |      / CAST(n_used * $q - $s * $s AS DOUBLE))
+           |      * 1000000 + 0.5) AS BIGINT))
+           |END""".stripMargin
+      s"""WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    ((row_number() OVER o) - 1) % 12 AS ph,
+        |    CASE WHEN count(cents) OVER a = 12
+        |      THEN sum(cents) OVER a END AS sa,
+        |    CASE WHEN count(cents) OVER b = 12
+        |      THEN sum(cents) OVER b END AS sb
+        |  FROM m
+        |  WINDOW o AS (PARTITION BY prio ORDER BY month),
+        |    a AS (PARTITION BY prio ORDER BY month
+        |          ROWS BETWEEN 6 PRECEDING AND 5 FOLLOWING),
+        |    b AS (PARTITION BY prio ORDER BY month
+        |          ROWS BETWEEN 5 PRECEDING AND 6 FOLLOWING)),
+        |t AS (SELECT *, CAST(sa + sb AS BIGINT) AS t2p,
+        |        CAST(24 * cents - (sa + sb) AS BIGINT) AS det
+        |      FROM w),
+        |se AS (SELECT prio, ph, CAST(sum(det) AS BIGINT) AS sn,
+        |         count(*) AS sc
+        |       FROM t WHERE det IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT t.prio, t.cents,
+        |    CAST(floor(CAST(t.t2p AS DOUBLE) / 24 * 1000000 + 0.5) AS BIGINT)
+        |      AS trend_e6,
+        |    CAST(floor(CAST(se.sn AS DOUBLE) / (CAST(se.sc AS DOUBLE) * 24)
+        |      * 1000000 + 0.5) AS BIGINT) AS seasonal_e6,
+        |    CAST(floor((CAST(t.cents AS DOUBLE) - CAST(t.t2p AS DOUBLE) / 24
+        |      - CAST(se.sn AS DOUBLE) / (CAST(se.sc AS DOUBLE) * 24))
+        |      * 1000000 + 0.5) AS BIGINT) AS resid_e6
+        |  FROM t LEFT JOIN se ON t.prio = se.prio AND t.ph = se.ph
+        |  WHERE t.t2p IS NOT NULL),
+        |f AS (SELECT prio, cents * 1000000 - trend_e6 AS det6,
+        |        cents * 1000000 - seasonal_e6 AS des6, resid_e6
+        |      FROM c WHERE resid_e6 IS NOT NULL),
+        |su AS (SELECT prio, CAST(count(*) AS BIGINT) AS n_used,
+        |    sum(CAST(resid_e6 AS HUGEINT)) AS sr,
+        |    sum(CAST(resid_e6 AS HUGEINT) * resid_e6) AS qr,
+        |    sum(CAST(det6 AS HUGEINT)) AS sd,
+        |    sum(CAST(det6 AS HUGEINT) * det6) AS qd,
+        |    sum(CAST(des6 AS HUGEINT)) AS ss,
+        |    sum(CAST(des6 AS HUGEINT) * des6) AS qs
+        |  FROM f GROUP BY 1)
+        |SELECT prio, n_used,
+        |  ${strength("qd", "sd")} AS f_seasonal_e6,
+        |  ${strength("qs", "ss")} AS f_trend_e6
+        |FROM su ORDER BY prio""".stripMargin
+    },
+
+    // the trimmedMean value grid with cumulative fences, the IDENTICAL
+    // fixed rank trees of n alone
+    "q289_x_median_ci" ->
+      ("""WITH g AS (
+        |  SELECT l_returnflag, CAST(floor(l_extendedprice + 0.5) AS BIGINT)
+        |    AS v, CAST(count(*) AS BIGINT) AS c
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_extendedprice IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum,
+        |    CAST(sum(c) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        |  FROM g),
+        |r AS (SELECT *,
+        |    greatest(CAST(1 AS BIGINT),
+        |      CAST(floor((CAST(n AS DOUBLE) - 1.96 * sqrt(CAST(n AS DOUBLE)))
+        |        / 2.0) AS BIGINT)) AS lr,
+        |    least(n,
+        |      CAST(ceil(1.0 + (CAST(n AS DOUBLE) + 1.96 * sqrt(CAST(n AS DOUBLE)))
+        |        / 2.0) AS BIGINT)) AS ur
+        |  FROM w)
+        |SELECT l_returnflag, max(n) AS n,
+        |  min(CASE WHEN cum >= (n + 1) // 2 THEN v END) AS median,
+        |  min(CASE WHEN cum >= lr THEN v END) AS lo,
+        |  min(CASE WHEN cum >= ur THEN v END) AS hi
+        |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin),
 
     // exact (n, x), the IDENTICAL Wilson trees at z = 1.96
     "q287_x_wilson_ci" -> {

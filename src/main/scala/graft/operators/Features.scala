@@ -333,6 +333,55 @@ object Features {
       .drop("__sumA", "__sumB", "__t2p", "__det2p", "__sn", "__sc", "__phase")
   }
 
+  /** Seasonal and trend STRENGTH per key — Hyndman's feature-space
+    * readout over [[seasonalDecompose]]'s components ("WHICH of a
+    * million series are strongly seasonal / strongly trending" — the
+    * screen that decides who gets a seasonal model, where the
+    * decomposition itself is the per-series answer):
+    * `F_S = max(0, 1 − Var(R)/Var(x − T))`,
+    * `F_T = max(0, 1 − Var(R)/Var(x − S))`, both in [0, 1].
+    *
+    * Exactness: the components are ALREADY e6-quantized integers, so
+    * detrended/deseasonalized values are exact BIGINT differences and
+    * each variance rides the exact DECIMAL form `n·Σv² − (Σv)²` (no
+    * mean, no cancellation); each strength is one double division of
+    * two exact decimals, e6-quantized, clamped at 0 AFTER rounding so
+    * both engines agree at the boundary. Edge rows (null trend) carry
+    * no evidence and drop. Keys with zero denominator variance emit
+    * null.
+    *
+    * Scale shape: seasonalDecompose's plan plus one map-side-combined
+    * aggregate. Output: `(keys…, n_used, f_seasonal_e6,
+    * f_trend_e6)`. */
+  def seasonalStrength(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                       valueCol: String, period: Int = 12): DataFrame = {
+    val dec = seasonalDecompose(df, keyCols, ordCol, valueCol, period)
+      .filter(col("resid_e6").isNotNull)
+      .withColumn("__det",
+        col(valueCol).cast("long") * lit(1000000L) - col("trend_e6"))
+      .withColumn("__des",
+        col(valueCol).cast("long") * lit(1000000L) - col("seasonal_e6"))
+    val sums = dec.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_used"),
+        sum(expr("cast(resid_e6 as decimal(38,0))")).as("__sr"),
+        sum(expr("cast(resid_e6 as decimal(38,0)) * resid_e6")).as("__qr"),
+        sum(expr("cast(__det as decimal(38,0))")).as("__sd"),
+        sum(expr("cast(__det as decimal(38,0)) * __det")).as("__qd"),
+        sum(expr("cast(__des as decimal(38,0))")).as("__ss"),
+        sum(expr("cast(__des as decimal(38,0)) * __des")).as("__qs"))
+    def strength(qc: String, sc: String) =
+      s"""case when n_used * $qc - $sc * $sc > 0 then
+         |  greatest(cast(0 as bigint),
+         |    cast(floor((1.0 - cast(n_used * __qr - __sr * __sr as double)
+         |      / cast(n_used * $qc - $sc * $sc as double))
+         |      * 1000000 + 0.5) as bigint))
+         |end""".stripMargin
+    sums
+      .withColumn("f_seasonal_e6", expr(strength("__qd", "__sd")))
+      .withColumn("f_trend_e6", expr(strength("__qs", "__ss")))
+      .drop("__sr", "__qr", "__sd", "__qd", "__ss", "__qs")
+  }
+
   /** MULTIPLICATIVE classical seasonal decomposition — the
     * ratio-to-moving-average method (statsmodels
     * `seasonal_decompose(model='multiplicative')`), the other classical

@@ -261,6 +261,25 @@ class FeaturesSpec extends SparkSpec {
     assert(out.takeRight(2).forall(r => r.get(r.fieldIndex("resid_e6")) == null))
   }
 
+  test("seasonalStrength: pure season scores 1 seasonal / 0 trend; pure trend the reverse") {
+    // x = 1000*t (pure trend, resid 0): F_T = 1, F_S = 1 - 0/Var(x-T)
+    // where x-T = 0 exactly -> zero denominator -> null F_S
+    val trend = (0 until 16).map(t => ("tr", t.toLong, 1000L * t))
+    // x = season only (zero-sum pattern): T = 0... pattern rides on a
+    // constant level so Var(x-S) = 0 -> null F_T, F_S = 1
+    val season = Seq(400L, -100L, -200L, -100L)
+    val seas = (0 until 16).map(t => ("se", t.toLong, 5000L + season(t % 4)))
+    val out = Features.seasonalStrength(
+        (trend ++ seas).toDF("k", "t", "v"), Seq("k"), "t", "v", period = 4)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    val tr = out("tr")
+    assert(tr.getAs[Long]("f_trend_e6") == 1000000L)
+    assert(tr.get(tr.fieldIndex("f_seasonal_e6")) == null)
+    val se = out("se")
+    assert(se.getAs[Long]("f_seasonal_e6") == 1000000L)
+    assert(se.get(se.fieldIndex("f_trend_e6")) == null)
+  }
+
   test("seasonalDecomposeMul: constant level times mean-one season recovered") {
     // x = 1000 * S(phase), S = (0.8, 1.2, 1.0, 1.0): every full 4-window
     // sums to one cycle -> trend exactly 1000, ratios exactly S, indices

@@ -378,4 +378,21 @@ class SketchSpec extends SparkSpec {
       .collect().head
     assert(z.getAs[Long]("trimmed_mean_e6") == (107L * 1000000L) / 5L)
   }
+
+  test("medianCi: hand-computed order-statistic bounds; bounds bracket the median") {
+    // n=25, values 1..25: median = rank 13 -> 13
+    // l = max(1, floor((25 - 1.96*5)/2)) = floor(7.6) = 7
+    // u = min(25, ceil(1 + (25 + 9.8)/2)) = ceil(18.4) = 19
+    val df = (1 to 25).map(i => ("k", i.toLong)).toDF("g", "v")
+    val r = Sketch.medianCi(df, Seq("g"), "v").collect().head
+    assert(r.getAs[Long]("n") == 25L)
+    assert(r.getAs[Long]("median") == 13L)
+    assert(r.getAs[Long]("lo") == 7L)
+    assert(r.getAs[Long]("hi") == 19L)
+    // heavily tied data: fences land on the tied value
+    val tied = ((1 to 50).map(_ => ("t", 10L)) ++ Seq(("t", 99L))).toDF("g", "v")
+    val rt = Sketch.medianCi(tied, Seq("g"), "v").collect().head
+    assert(rt.getAs[Long]("median") == 10L)
+    assert(rt.getAs[Long]("lo") == 10L && rt.getAs[Long]("hi") == 10L)
+  }
 }
