@@ -3582,7 +3582,13 @@ object SparkEntry {
           Tables.lineitem(s, d).withColumn("price_d",
             floor(col("l_extendedprice") + 0.5)),
           Seq("l_returnflag"), "price_d")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // ---- extension: streaming decision stump — q282's standing twin:
+    // complete-mode state IS the (source, feature, value) class-count
+    // grid, readout via the SHARED bestSplitFromGrid, drained == batch
+    "q290_x_stream_best_split" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingBestSplit(s, d))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -4493,7 +4499,8 @@ object SparkEntry {
     m ++ Map(
       "q266_x_stream_nmi" -> m("q256_x_nmi"),
       "q267_x_stream_vocab_jsd" -> m("q258_x_vocab_jsd"),
-      "q285_x_stream_cvm" -> m("q281_x_cramer_von_mises"))
+      "q285_x_stream_cvm" -> m("q281_x_cramer_von_mises"),
+      "q290_x_stream_best_split" -> m("q282_x_best_split"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

@@ -137,15 +137,24 @@ object Regression {
     * n_left, pos_left, gain_e6)`. */
   def bestSplit(df: DataFrame, keyCols: Seq[String], featureCol: String,
                 valueCol: String, labelCol: String): DataFrame = {
-    val k = keyCols.map(col) :+ col(featureCol)
     val x = col(valueCol).cast("long")
     val y = col(labelCol)
     val grid = df
       .filter((keyCols.map(col(_).isNotNull) :+ col(featureCol).isNotNull :+
         x.isNotNull :+ y.isNotNull).reduce(_ && _))
-      .groupBy(k :+ x.as("__v"): _*)
+      .groupBy((keyCols.map(col) :+ col(featureCol)) :+ x.as("__v"): _*)
       .agg(count(lit(1)).as("__c"),
         sum(when(y, 1L).otherwise(0L)).as("__p"))
+    bestSplitFromGrid(grid, keyCols, featureCol)
+  }
+
+  /** The stump readout over a per-(key, feature, __v) grid carrying
+    * `(__c, __p)` counts — ONE definition shared by the batch operator
+    * and the streaming twin (whose complete-mode state IS this grid),
+    * the cvmFromGrid convention. */
+  def bestSplitFromGrid(grid: DataFrame, keyCols: Seq[String],
+                        featureCol: String): DataFrame = {
+    val k = keyCols.map(col) :+ col(featureCol)
     val wCum = Window.partitionBy(k: _*).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wAll = Window.partitionBy(k: _*)

@@ -439,6 +439,42 @@ object StreamingCollapse {
       .orderBy("half")
   }
 
+  /** Streaming decision-stump maintenance — the standing twin of the
+    * batch feature screen (q282): the complete-mode state IS the
+    * (source, feature, value) class-count grid (feature-grid-sized —
+    * the batch contract's binned features), maintained by ONE mergeable
+    * count aggregate over the melted feature rows; the readout is the
+    * SHARED [[graft.operators.Regression.bestSplitFromGrid]], so
+    * drained == batch and q282's oracle serves both. The standing form
+    * of "which signal separates English from the rest RIGHT NOW, and
+    * has the best cut moved". Eager checkpoint: the readout layers
+    * windows + a rank over the memory-sink lineage. */
+  def streamingBestSplit(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_stump"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val grid = spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir(dir, "documents"))
+      .filter(col("text").isNotNull && col("source").isNotNull &&
+        col("lang").isNotNull)
+      .withColumn("is_en", col("lang") === "en")
+      .select(col("source"), col("is_en"),
+        expr("stack(2, 'chars_c', n_chars div 100, 'toks_d', " +
+          "size(split(trim(text), '\\\\s+')) div 10) as (feat, __v)"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("source"), col("feat"), col("__v"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("is_en"), 1L).otherwise(0L)).as("__p"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Regression.bestSplitFromGrid(
+        spark.table(name).localCheckpoint(true), Seq("source"), "feat")
+      .orderBy("source", "feat")
+  }
+
   /** Streaming Cramér–von Mises drift maintenance — the standing twin
     * of the batch two-sample test (q281): the complete-mode state IS
     * the per-(key, value) side-count grid (value-grid-sized, NOT

@@ -351,6 +351,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingBestSplit: drained feature grid gives the batch stump exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[String]("feat"),
+        r.getAs[Long]("threshold"), r.getAs[Long]("n_left"),
+        r.getAs[Long]("gain_e6"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingBestSplit(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q282_x_best_split")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingCvm: drained value grid gives the batch statistic exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
