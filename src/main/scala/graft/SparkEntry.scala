@@ -8117,10 +8117,12 @@ object SparkEntry {
         |a AS (SELECT st,
         |    CAST(sum(CASE WHEN pr = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
         |    CAST(sum(CASE WHEN pr = '1-URGENT' THEN x ELSE 0 END) AS BIGINT) AS sa,
-        |    CAST(sum(CASE WHEN pr = '1-URGENT' THEN x * x ELSE 0 END) AS BIGINT) AS qa,
+        |    sum(CASE WHEN pr = '1-URGENT' THEN CAST(x AS HUGEINT) * x
+        |        ELSE CAST(0 AS HUGEINT) END) AS qa,
         |    CAST(sum(CASE WHEN pr = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
         |    CAST(sum(CASE WHEN pr = '5-LOW' THEN x ELSE 0 END) AS BIGINT) AS sb,
-        |    CAST(sum(CASE WHEN pr = '5-LOW' THEN x * x ELSE 0 END) AS BIGINT) AS qb
+        |    sum(CASE WHEN pr = '5-LOW' THEN CAST(x AS HUGEINT) * x
+        |        ELSE CAST(0 AS HUGEINT) END) AS qb
         |  FROM o GROUP BY st)
         |SELECT st AS o_orderstatus, n_a, n_b,
         |  sa * 100 // nullif(n_a, 0) AS mean_a_e2,

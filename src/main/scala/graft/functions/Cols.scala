@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Reusable Column builders — the engine's scalar-function layer.
@@ -13,6 +13,14 @@ import org.apache.spark.sql.functions._
   * (benji-carr/MCM_Problem_F_Data_Wrangling) per SURVEY.md §2.9/§2.3.
   */
 object Cols {
+
+  /** Shared null-key convention for every per-key operator: a null key
+    * is not a key — rows whose key is null drop BEFORE grouping,
+    * matching the `key IS NOT NULL` predicate the DuckDB oracles carry.
+    * ONE definition so the convention cannot drift between files. */
+  def dropNullKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
+    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+
 
   /** NA-safe predicate: pandas `na=False` semantics (SURVEY F-N2;
     * reference prep_CES_pandas.py:62-65). A null predicate becomes `false`

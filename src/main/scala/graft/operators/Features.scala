@@ -357,10 +357,12 @@ object Features {
                        valueCol: String, period: Int = 12): DataFrame = {
     val dec = seasonalDecompose(df, keyCols, ordCol, valueCol, period)
       .filter(col("resid_e6").isNotNull)
-      .withColumn("__det",
-        col(valueCol).cast("long") * lit(1000000L) - col("trend_e6"))
-      .withColumn("__des",
-        col(valueCol).cast("long") * lit(1000000L) - col("seasonal_e6"))
+      // DECIMAL scaling: a raw long x*1e6 would silently wrap past
+      // ~9.2e12 while the HUGEINT oracle kept computing
+      .withColumn("__det", expr(
+        s"cast(`$valueCol` as decimal(38,0)) * 1000000 - trend_e6"))
+      .withColumn("__des", expr(
+        s"cast(`$valueCol` as decimal(38,0)) * 1000000 - seasonal_e6"))
     val sums = dec.groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_used"),
         sum(expr("cast(resid_e6 as decimal(38,0))")).as("__sr"),

@@ -527,8 +527,11 @@ object Funnel {
   def rfmSegments(events: DataFrame, userCol: String, tsCol: String,
                   valueCol: String, buckets: Int = 5,
                   monetaryBin: Long = 1L): DataFrame = {
-    require(buckets >= 2 && buckets <= 10,
-      s"buckets must be in [2, 10], got $buckets")
+    // the segment-label CASE (hi = buckets-1, at_risk band f in [3, hi))
+    // is only well-formed from 5 bands up: below that 'at_risk' is
+    // unreachable and 'champion' degenerates to everyone
+    require(buckets >= 5 && buckets <= 10,
+      s"buckets must be in [5, 10], got $buckets")
     require(monetaryBin >= 1, s"monetaryBin must be positive, got $monetaryBin")
     val perUser = events
       .filter(col(userCol).isNotNull && col(tsCol).isNotNull &&

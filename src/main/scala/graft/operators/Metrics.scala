@@ -20,13 +20,11 @@ import org.apache.spark.sql.functions._
   * row boundary. */
 object Metrics {
 
-  /** Shared null-key convention for the per-key hypothesis tests: a
-    * null key is not a key — rows whose key is null are dropped BEFORE
-    * grouping, matching the `key IS NOT NULL` predicate every paired
-    * DuckDB oracle carries. One definition so the convention cannot
-    * drift operator-by-operator. */
+  /** [[graft.functions.Cols.dropNullKeys]] — the shared null-key
+    * convention (a null key is not a key), aliased for call-site
+    * brevity. */
   private def dropNullKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
-    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    graft.functions.Cols.dropNullKeys(df, keyCols)
 
   /** Per-group two-sample Kolmogorov–Smirnov drift statistic — each
     * group's `valueCol` distribution against the REST of the table:
@@ -309,31 +307,45 @@ object Metrics {
     * map-side combined, no float crossing a row boundary. The t
     * statistic and df are then ONE fixed-IEEE-order double expression
     * over those six integers, e4-quantized (`⌊x·10⁴ + 0.5⌋`) so a SQL
-    * replay of the same expression tree hash-matches. BIGINT bound:
-    * Σx² ≤ 2⁶³ ⇒ |x| ≤ ~3·10⁶ cents at 10⁹ rows/side — document-scale
-    * metrics fit; re-scale upstream for larger magnitudes.
+    * replay of the same expression tree hash-matches. Σx² accumulates
+    * as DECIMAL(38,0) (shared [[twoSampleSums]] — no silent BIGINT
+    * wrap; the oracle's HUGEINT matches through ~10³⁸).
     *
     * Keys where either side has n < 2 or both variances are 0 emit
     * null `t_e4`/`df_e4` (the test is undefined, and ±∞ would read as
     * an infinitely significant result). Output: `(keys…, n_a, n_b,
     * mean_a_e2, mean_b_e2, t_e4, df_e4)` — means as exact integer
     * `Σx·100 div n` (hundredths of a cent). */
-  def welchTTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
-                 valueCol: String, groupA: String, groupB: String): DataFrame = {
+  /** The six exact two-sample sufficient sums `(n, Σx, Σx²)` per side —
+    * ONE definition shared by [[welchTTest]] and [[effectSize]] (both
+    * document "the same six sums"; a hand-synced copy drifting in one
+    * would silently desynchronize them). Squares accumulate as
+    * DECIMAL(38,0) so Σx² cannot silently wrap where the HUGEINT
+    * oracle keeps computing. */
+  private def twoSampleSums(df: DataFrame, keyCols: Seq[String],
+                            groupCol: String, valueCol: String,
+                            groupA: String, groupB: String): DataFrame = {
     val g = col(groupCol)
     val x = col(valueCol).cast("long")
     val inA = g === groupA
     val inB = g === groupB
-    val agg = dropNullKeys(df, keyCols)
+    dropNullKeys(df, keyCols)
       .filter((inA || inB) && g.isNotNull && x.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(
         sum(when(inA, 1L).otherwise(0L)).as("n_a"),
         sum(when(inA, x).otherwise(0L)).as("__sa"),
-        sum(when(inA, x * x).otherwise(0L)).as("__qa"),
+        sum(when(inA, expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
+          .otherwise(expr("cast(0 as decimal(38,0))"))).as("__qa"),
         sum(when(inB, 1L).otherwise(0L)).as("n_b"),
         sum(when(inB, x).otherwise(0L)).as("__sb"),
-        sum(when(inB, x * x).otherwise(0L)).as("__qb"))
+        sum(when(inB, expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
+          .otherwise(expr("cast(0 as decimal(38,0))"))).as("__qb"))
+  }
+
+  def welchTTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                 valueCol: String, groupA: String, groupB: String): DataFrame = {
+    val agg = twoSampleSums(df, keyCols, groupCol, valueCol, groupA, groupB)
     // fixed double tree over the six exact integers; mirrored literally
     // in the SQL oracle so the IEEE evaluation order is identical
     val va = "((cast(__qa as double) - cast(__sa as double) * __sa / n_a) / (n_a - 1))"
@@ -374,22 +386,7 @@ object Metrics {
   def effectSize(df: DataFrame, keyCols: Seq[String], groupCol: String,
                  valueCol: String, groupA: String, groupB: String): DataFrame = {
     require(keyCols.nonEmpty, "effectSize needs at least one key column")
-    val g = col(groupCol)
-    val x = col(valueCol).cast("long")
-    val inA = g === groupA
-    val inB = g === groupB
-    val agg = dropNullKeys(df, keyCols)
-      .filter((inA || inB) && g.isNotNull && x.isNotNull)
-      .groupBy(keyCols.map(col): _*)
-      .agg(
-        sum(when(inA, 1L).otherwise(0L)).as("n_a"),
-        sum(when(inA, x).otherwise(0L)).as("__sa"),
-        sum(when(inA, expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
-          .otherwise(expr("cast(0 as decimal(38,0))"))).as("__qa"),
-        sum(when(inB, 1L).otherwise(0L)).as("n_b"),
-        sum(when(inB, x).otherwise(0L)).as("__sb"),
-        sum(when(inB, expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
-          .otherwise(expr("cast(0 as decimal(38,0))"))).as("__qb"))
+    val agg = twoSampleSums(df, keyCols, groupCol, valueCol, groupA, groupB)
     val va = "((cast(__qa as double) - cast(__sa as double) * __sa / n_a) / (n_a - 1))"
     val vb = "((cast(__qb as double) - cast(__sb as double) * __sb / n_b) / (n_b - 1))"
     val sp2 = s"((cast(n_a - 1 as double) * $va + cast(n_b - 1 as double) * $vb) / cast(n_a + n_b - 2 as double))"

@@ -139,9 +139,8 @@ object Regression {
                 valueCol: String, labelCol: String): DataFrame = {
     val x = col(valueCol).cast("long")
     val y = col(labelCol)
-    val grid = df
-      .filter((keyCols.map(col(_).isNotNull) :+ col(featureCol).isNotNull :+
-        x.isNotNull :+ y.isNotNull).reduce(_ && _))
+    val grid = graft.functions.Cols.dropNullKeys(df, keyCols :+ featureCol)
+      .filter(x.isNotNull && y.isNotNull)
       .groupBy((keyCols.map(col) :+ col(featureCol)) :+ x.as("__v"): _*)
       .agg(count(lit(1)).as("__c"),
         sum(when(y, 1L).otherwise(0L)).as("__p"))
@@ -165,14 +164,22 @@ object Regression {
       .withColumn("__n", sum(col("__c")).over(wAll))
       .withColumn("__pos", sum(col("__p")).over(wAll))
       .filter(col("__nl") < col("__n")) // the max value splits nothing off
+      // each quotient is bounded by child_n·2e9, so the score fits BIGINT
+      // iff n ≲ 4.6e9 per (key, feature) — FAIL LOUD past it (Spark's
+      // non-ANSI div would silently null and corrupt the argmax where
+      // the HUGEINT oracle keeps computing; the anovaOneWay convention)
       .withColumn("__score", expr(
-        """ (cast(__pl as decimal(38,0)) * __pl
+        """if(__n <= 4600000000,
+          | (cast(__pl as decimal(38,0)) * __pl
           |  + cast(__nl - __pl as decimal(38,0)) * (__nl - __pl))
           |   * 2000000000 div __nl
           |+ (cast(__pos - __pl as decimal(38,0)) * (__pos - __pl)
           |   + cast((__n - __nl) - (__pos - __pl) as decimal(38,0))
           |     * ((__n - __nl) - (__pos - __pl)))
-          |   * 2000000000 div (__n - __nl)""".stripMargin
+          |   * 2000000000 div (__n - __nl),
+          | cast(raise_error(
+          |   'bestSplit score exceeds 2^63 past ~4.6e9 rows per (key, feature) — sample or pre-aggregate upstream')
+          |      as bigint))""".stripMargin
           .replaceAll("\n", " ")))
     val wRank = Window.partitionBy(k: _*)
       .orderBy(col("__score").desc, col("__v"))

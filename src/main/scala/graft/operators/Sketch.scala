@@ -616,8 +616,8 @@ object Sketch {
     require(groupCols.nonEmpty, "medianCi needs at least one group column")
     val k = groupCols.map(col)
     val v = col(valueCol).cast("long")
-    val grid = df
-      .filter(groupCols.map(col(_).isNotNull).reduce(_ && _) && v.isNotNull)
+    val grid = graft.functions.Cols.dropNullKeys(df, groupCols)
+      .filter(v.isNotNull)
       .groupBy(k :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     val run = Window.partitionBy(k: _*).orderBy(col("__v"))

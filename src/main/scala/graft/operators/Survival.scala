@@ -108,8 +108,11 @@ object Survival {
     * e9-quantized to integers so the sums are order-independent
     * (the NMI discipline); the final χ² is one fixed tree over the
     * integer sums, e4-quantized, verdict on the ROUNDED value. Keys
-    * with zero variance (one group empty, or no uncensored event) emit
-    * null. Ties: deaths at equal durations share one pooled time — the
+    * with events but zero variance (e.g. one group empty) emit null
+    * χ²; keys with NO uncensored event at all emit NOTHING — every
+    * lifetable row is filtered before the fold, so there is no row to
+    * carry nulls (join back to the cohort list if presence matters).
+    * Ties: deaths at equal durations share one pooled time — the
     * standard convention.
     *
     * Scale shape: one map-side-combined lifetable aggregate, one window
@@ -125,9 +128,8 @@ object Survival {
     val g = col(groupCol)
     val inA = g === groupA
     val inB = g === groupB
-    val grid = df
-      .filter(keyCols.map(col(_).isNotNull).reduce(_ && _) &&
-        (inA || inB) && col(durationCol).isNotNull && col(eventCol).isNotNull)
+    val grid = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter((inA || inB) && col(durationCol).isNotNull && col(eventCol).isNotNull)
       .groupBy(k :+ col(durationCol).cast("long").as("__dur"): _*)
       .agg(
         sum(when(inA && col(eventCol), 1L).otherwise(0L)).as("__da"),

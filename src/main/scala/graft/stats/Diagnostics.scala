@@ -1123,8 +1123,8 @@ object Diagnostics {
     import org.apache.spark.sql.expressions.Window
     val k = keyCols.map(col)
     val y = col(valueCol).cast("long")
-    val base = df.filter(y.isNotNull && col(orderCol).isNotNull &&
-        keyCols.map(col(_).isNotNull).reduce(_ && _))
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(y.isNotNull && col(orderCol).isNotNull)
       .select(k :+ col(orderCol).as("__ord") :+ y.as("__y"): _*)
     val means = base.groupBy(k: _*)
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__sy"))

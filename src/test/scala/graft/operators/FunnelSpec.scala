@@ -342,7 +342,7 @@ class FunnelSpec extends SparkSpec {
     val day = 86400000000L
     val rows = (1 to 4).map(i => (i.toLong, i * day, 100L + i))
     val out = Funnel.rfmSegments(rows.toDF("u", "ts", "v"), "u", "ts", "v",
-      buckets = 2, monetaryBin = 1000L).collect()
+      buckets = 5, monetaryBin = 1000L).collect()
     // all monetary values bin to 0 -> single m_score band; exact sums kept
     assert(out.map(_.getAs[Int]("m_score")).distinct.length == 1)
     assert(out.map(_.getAs[Long]("monetary_sum")).sum == 101L + 102L + 103L + 104L)
