@@ -3588,7 +3588,31 @@ object SparkEntry {
     // complete-mode state IS the (source, feature, value) class-count
     // grid, readout via the SHARED bestSplitFromGrid, drained == batch
     "q290_x_stream_best_split" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingBestSplit(s, d))
+      graft.streaming.StreamingCollapse.streamingBestSplit(s, d)),
+
+    // ---- extension: differential vocabulary — Monroe log-odds z-scores
+    // of what distinguishes English from non-English text (per-TERM
+    // where q258's JSD is one scalar); deterministic quantized top-k via
+    // TakeOrdered, never a global sort
+    "q291_x_log_odds_terms" -> tuned((s, d) =>
+      graft.text.TextAnalysis.logOddsTerms(
+          Tables.documents(s, d)
+            .withColumn("side", when(col("lang") === "en", 0).otherwise(1)),
+          "side", "text", topK = 25)
+        .orderBy("direction", "rank")),
+
+    // ---- extension: Wald SPRT — the peeking-safe sequential A/B verdict
+    // per event type ("is the high-value rate 0.5 or 0.55, stop when the
+    // evidence says"); e12-inlined log constants (no query-time
+    // transcendentals), exact DECIMAL LLR walk, integer first-crossing
+    "q292_x_sprt" -> tuned((s, d) =>
+      graft.operators.Metrics.sprtBernoulli(
+          Tables.events(s, d)
+            .withColumn("hit", col("value") >= 50.0),
+          Seq("event_type"), "ts_ns", "hit",
+          p0 = 0.5, p1 = 0.55, alphaPermille = 50, betaPermille = 100,
+          tieCols = Seq("event_id"))
+        .orderBy("event_type"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -9964,6 +9988,91 @@ object SparkEntry {
         |  ${strength("qd", "sd")} AS f_seasonal_e6,
         |  ${strength("qs", "ss")} AS f_trend_e6
         |FROM su ORDER BY prio""".stripMargin
+    },
+
+    // the SAME four e12 constants (sprtConstantsE12 — one definition,
+    // two engines), HUGEINT linear LLR, integer crossing argmin
+    "q292_x_sprt" -> {
+      val (l1, l0, hi, lo) =
+        graft.operators.Metrics.sprtConstantsE12(0.5, 0.55, 50, 100)
+      s"""WITH e AS (
+        |  SELECT event_type AS k, epoch_ns(ts) AS t, event_id,
+        |         (value >= 50.0) AS s
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |w AS (SELECT k, s,
+        |        row_number() OVER (PARTITION BY k ORDER BY t, event_id)
+        |          AS rn,
+        |        CAST(sum(CASE WHEN s THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY k ORDER BY t, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS a
+        |      FROM e),
+        |l AS (SELECT *,
+        |        CAST(a AS HUGEINT) * ${l1} + CAST(rn - a AS HUGEINT) * ${l0}
+        |          AS llr,
+        |        CASE WHEN CAST(a AS HUGEINT) * ${l1}
+        |               + CAST(rn - a AS HUGEINT) * ${l0} >= ${hi} THEN 1
+        |             WHEN CAST(a AS HUGEINT) * ${l1}
+        |               + CAST(rn - a AS HUGEINT) * ${l0} <= ${lo} THEN -1
+        |             ELSE 0 END AS crs
+        |      FROM w),
+        |f AS (SELECT *, min(CASE WHEN crs <> 0 THEN rn END)
+        |        OVER (PARTITION BY k) AS first_rn,
+        |        max(rn) OVER (PARTITION BY k) AS n_all
+        |      FROM l)
+        |SELECT k AS event_type, CAST(max(rn) AS BIGINT) AS n_total,
+        |  CASE max(CASE WHEN rn = first_rn THEN crs END)
+        |    WHEN 1 THEN 'accept_h1' WHEN -1 THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision,
+        |  CAST(max(first_rn) AS BIGINT) AS n_decision,
+        |  CAST(max(CASE WHEN rn = n_all THEN llr END) AS BIGINT)
+        |    AS llr_final_e12
+        |FROM f GROUP BY 1 ORDER BY event_type""".stripMargin
+    },
+
+    // the q258 conditional-pivot token grid, the IDENTICAL delta/z
+    // trees, quantized (z, token) ordering on both LIMIT cuts
+    "q291_x_log_odds_terms" -> {
+      val d = """(ln((CAST(c_a AS DOUBLE) + 1.0)
+                |   / (CAST(na AS DOUBLE) + CAST(v AS DOUBLE)
+                |      - CAST(c_a AS DOUBLE) - 1.0))
+                | - ln((CAST(c_b AS DOUBLE) + 1.0)
+                |   / (CAST(nb AS DOUBLE) + CAST(v AS DOUBLE)
+                |      - CAST(c_b AS DOUBLE) - 1.0)))"""
+        .stripMargin.replaceAll("\n", " ")
+      val va = "(1.0 / (CAST(c_a AS DOUBLE) + 1.0) + 1.0 / (CAST(c_b AS DOUBLE) + 1.0))"
+      s"""WITH doc AS (
+        |  SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS side, text
+        |  FROM documents WHERE text IS NOT NULL AND length(trim(text)) > 0),
+        |tk AS (SELECT side, unnest(regexp_split_to_array(trim(text), '\\s+'))
+        |         AS t
+        |       FROM doc),
+        |g AS (SELECT t AS token,
+        |        CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS c_a,
+        |        CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS c_b
+        |      FROM tk WHERE t <> '' GROUP BY 1),
+        |tt AS (SELECT CAST(sum(c_a) AS BIGINT) AS na,
+        |         CAST(sum(c_b) AS BIGINT) AS nb,
+        |         CAST(count(*) AS BIGINT) AS v
+        |       FROM g),
+        |sc AS (SELECT token, c_a, c_b,
+        |         CAST(floor($d / sqrt($va) * 1000000 + 0.5) AS BIGINT) AS z_e6
+        |       FROM g CROSS JOIN tt),
+        |ta AS (SELECT 'a' AS direction, token, c_a, c_b, z_e6 FROM sc
+        |       ORDER BY z_e6 DESC, token LIMIT 25),
+        |tb AS (SELECT 'b' AS direction, token, c_a, c_b, z_e6 FROM sc
+        |       ORDER BY z_e6 ASC, token LIMIT 25),
+        |u AS (SELECT * FROM ta UNION ALL SELECT * FROM tb)
+        |SELECT direction,
+        |  CAST(row_number() OVER (PARTITION BY direction
+        |    ORDER BY CASE WHEN direction = 'a' THEN -z_e6 ELSE z_e6 END,
+        |      token) AS INT) AS rank,
+        |  token, c_a, c_b, z_e6
+        |FROM u ORDER BY direction, rank""".stripMargin
     },
 
     // the trimmedMean value grid with cumulative fences, the IDENTICAL

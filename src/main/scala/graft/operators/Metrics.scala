@@ -655,6 +655,86 @@ object Metrics {
         when(col("chi2_e4").isNotNull, col("chi2_e4") > 38415L))
   }
 
+  /** The four e12-quantized SPRT constants for [[sprtBernoulli]] —
+    * per-success / per-failure LLR increments and the two Wald decision
+    * thresholds. Computed ONCE driver-side and inlined into both
+    * engines (the dftTableE15 convention: no log evaluates at query
+    * time anywhere, so the crossing tests are pure integer
+    * comparisons). */
+  def sprtConstantsE12(p0: Double, p1: Double, alphaPermille: Int,
+                       betaPermille: Int): (Long, Long, Long, Long) = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"need distinct p0, p1 in (0, 1), got $p0, $p1")
+    require(alphaPermille >= 1 && alphaPermille <= 500, s"bad alpha $alphaPermille")
+    require(betaPermille >= 1 && betaPermille <= 500, s"bad beta $betaPermille")
+    val a = alphaPermille / 1000.0
+    val b = betaPermille / 1000.0
+    def q(x: Double) = math.floor(x * 1e12 + 0.5).toLong
+    (q(math.log(p1 / p0)), q(math.log((1 - p1) / (1 - p0))),
+      q(math.log((1 - b) / a)), q(math.log(b / (1 - a))))
+  }
+
+  /** Per-key Wald SPRT over an ordered Bernoulli stream — the
+    * SEQUENTIAL A/B readout ([[graft.operators.Funnel.funnelVariantZ]]
+    * is the fixed-horizon test; this is the peeking-safe one: stop the
+    * moment the evidence crosses a Wald boundary, with α/β guaranteed
+    * by construction): H₀: p = p0 vs H₁: p = p1, accept H₁ when
+    * `LLR ≥ ln((1−β)/α)`, accept H₀ when `LLR ≤ ln(β/(1−α))`.
+    *
+    * Exactness: the LLR after t observations is LINEAR in the success/
+    * failure counts — `LLR = a·ln(p1/p0) + b·ln((1−p1)/(1−p0))` — so
+    * with the four constants e12-quantized driver-side
+    * ([[sprtConstantsE12]], inlined into BOTH engines) every partial
+    * LLR is an EXACT DECIMAL integer and the first-crossing argmin is
+    * pure integer comparison; no transcendental ever evaluates at
+    * query time. Ties on `orderCol` break by `tieCols` (the bhCorrect
+    * totality convention).
+    *
+    * Scale shape: one (keys) window (cumulative counts + row rank),
+    * one aggregate. Output: `(keys…, n_total, decision
+    * 'accept_h1'|'accept_h0'|'continue', n_decision, llr_final_e12)` —
+    * `n_decision` is the observation index at the FIRST crossing (null
+    * while continuing). */
+  def sprtBernoulli(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                    successCol: String, p0: Double, p1: Double,
+                    alphaPermille: Int = 50, betaPermille: Int = 100,
+                    tieCols: Seq[String] = Nil): DataFrame = {
+    require(keyCols.nonEmpty, "sprtBernoulli needs at least one key column")
+    val (l1, l0, hi, lo) =
+      sprtConstantsE12(p0, p1, alphaPermille, betaPermille)
+    val k = keyCols.map(col)
+    val s = col(successCol)
+    val wOrd = Window.partitionBy(k: _*)
+      .orderBy(col(orderCol) +: tieCols.map(col): _*)
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val rows = dropNullKeys(df, keyCols)
+      .filter(s.isNotNull && col(orderCol).isNotNull)
+      .withColumn("__rn", row_number().over(wOrd))
+      .withColumn("__a", sum(when(s, 1L).otherwise(0L)).over(wCum))
+      .withColumn("__llr", expr(
+        s"cast(__a as decimal(38,0)) * ${l1}L + cast(__rn - __a as decimal(38,0)) * ${l0}L"))
+      .withColumn("__cross", expr(
+        s"case when __llr >= ${hi}L then 1 when __llr <= ${lo}L then -1 else 0 end"))
+      .withColumn("__firstRn",
+        min(when(col("__cross") =!= 0, col("__rn"))).over(wAll))
+      .withColumn("__nAll", count(lit(1)).over(wAll))
+    rows.groupBy(k: _*)
+      .agg(count(lit(1)).as("n_total"),
+        max(when(col("__rn") === col("__firstRn"), col("__cross"))).as("__dec"),
+        max(col("__firstRn")).cast("long").as("n_decision"),
+        max(when(col("__rn") === col("__nAll"), col("__llr"))).as("__llrLast"))
+      .withColumn("decision", expr(
+        """case when __dec = 1 then 'accept_h1'
+          |when __dec = -1 then 'accept_h0'
+          |else 'continue' end""".stripMargin))
+      .withColumn("llr_final_e12", expr("cast(__llrLast as bigint)"))
+      .drop("__dec", "__llrLast")
+      .select(k :+ col("n_total") :+ col("decision") :+ col("n_decision") :+
+        col("llr_final_e12"): _*)
+  }
+
   /** Per-key Wilson score interval for a conversion rate — the CI that
     * should replace the naive Wald `p̂ ± z√(p̂(1−p̂)/n)` everywhere (Wald
     * collapses to width 0 at p̂ ∈ {0, 1} and escapes [0, 1]; Wilson

@@ -447,6 +447,64 @@ object TextAnalysis {
         sum(col("__term_e9")).as("kl_e9"))
   }
 
+  /** Differential vocabulary analysis between two corpus sides — the
+    * smoothed log-odds-ratio z-scores of Monroe et al.'s "Fightin'
+    * Words": PER-TERM readouts of what distinguishes side A from side B
+    * where [[vocabJsd]]/[[domainDivergence]] compress the difference to
+    * one scalar. `δ_w = ln((c_aw+α)/(n_a+αV−c_aw−α)) −
+    * ln((c_bw+α)/(n_b+αV−c_bw−α))`, `σ²_w ≈ 1/(c_aw+α) + 1/(c_bw+α)`,
+    * `z_w = δ_w/σ_w`; emits the `topK` most A-leaning and most
+    * B-leaning terms (Laplace α = 1 — the uninformative-Dirichlet
+    * special case, documented).
+    *
+    * Exactness: counts/totals/V are exact integers off ONE
+    * conditional-pivot aggregate; δ, σ, z are one fixed double tree
+    * each per term, e6-quantized; ranking orders by the QUANTIZED
+    * (z_e6, token) so the cut is total and deterministic.
+    *
+    * Scale shape: one token-keyed aggregate with map-side combine,
+    * broadcast totals, then two TakeOrdered top-k passes (never a
+    * global sort); the rank column is a window over the 2·topK
+    * survivors. Output: `(direction 'a'|'b', rank, token, c_a, c_b,
+    * z_e6)`. */
+  def logOddsTerms(docs: DataFrame, sideCol: String, textCol: String,
+                   topK: Int = 25): DataFrame = {
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val grid = docs
+      .filter(col(sideCol).isNotNull && col(textCol).isNotNull &&
+        length(trim(col(textCol))) > 0)
+      .select(col(sideCol).as("__side"), explode(Cols.tokens(col(textCol))).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t"))
+      .agg(sum(when(col("__side") === 0, 1L).otherwise(0L)).as("c_a"),
+        sum(when(col("__side") =!= 0, 1L).otherwise(0L)).as("c_b"))
+      .localCheckpoint(false)
+    val tots = grid.agg(sum(col("c_a")).as("__na"), sum(col("c_b")).as("__nb"),
+      count(lit(1)).as("__v"))
+    val d = """(ln((cast(c_a as double) + 1.0)
+              |   / (cast(__na as double) + cast(__v as double)
+              |      - cast(c_a as double) - 1.0))
+              | - ln((cast(c_b as double) + 1.0)
+              |   / (cast(__nb as double) + cast(__v as double)
+              |      - cast(c_b as double) - 1.0)))"""
+      .stripMargin.replaceAll("\n", " ")
+    val v = "(1.0 / (cast(c_a as double) + 1.0) + 1.0 / (cast(c_b as double) + 1.0))"
+    val scored = grid.crossJoin(broadcast(tots))
+      .withColumn("z_e6", expr(
+        s"cast(floor($d / sqrt($v) * 1000000 + 0.5) as bigint)"))
+      .select(col("__t").as("token"), col("c_a"), col("c_b"), col("z_e6"))
+    val topA = scored.orderBy(col("z_e6").desc, col("token")).limit(topK)
+      .withColumn("direction", lit("a"))
+    val topB = scored.orderBy(col("z_e6").asc, col("token")).limit(topK)
+      .withColumn("direction", lit("b"))
+    val wRank = org.apache.spark.sql.expressions.Window.partitionBy(col("direction"))
+      .orderBy(when(col("direction") === "a", -col("z_e6")).otherwise(col("z_e6")),
+        col("token"))
+    topA.unionByName(topB)
+      .withColumn("rank", row_number().over(wRank))
+      .select("direction", "rank", "token", "c_a", "c_b", "z_e6")
+  }
+
   /** Per-domain vocabulary RICHNESS estimates — "how much vocabulary
     * exists beyond this sample": the Chao1 lower-bound estimator
     * `D + f₁²/(2f₂)` (bias-corrected `D + f₁(f₁−1)/2` when no

@@ -320,6 +320,30 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("sprtBernoulli: crossing indices match the hand-computed Wald walk") {
+    // p0=.5, p1=.8, alpha=beta=50 permille: U = ln 19 = 2.9444,
+    // L1 = ln 1.6 = .4700 -> all-success crossing at ceil(2.9444/.47)=7;
+    // L0 = ln .4 = -.9163 -> all-failure h0 crossing at t=4;
+    // alternating 3 pairs: LLR = 3(.47-.9163) = -1.34, no crossing
+    val rows =
+      (1 to 10).map(t => ("up", t.toLong, true)) ++
+      (1 to 10).map(t => ("dn", t.toLong, false)) ++
+      (1 to 6).map(t => ("mid", t.toLong, t % 2 == 1))
+    val out = Metrics.sprtBernoulli(rows.toDF("k", "t", "s"), Seq("k"), "t", "s",
+        p0 = 0.5, p1 = 0.8, alphaPermille = 50, betaPermille = 50)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("up").getAs[String]("decision") == "accept_h1")
+    assert(out("up").getAs[Long]("n_decision") == 7L)
+    assert(out("dn").getAs[String]("decision") == "accept_h0")
+    assert(out("dn").getAs[Long]("n_decision") == 4L)
+    val mid = out("mid")
+    assert(mid.getAs[String]("decision") == "continue")
+    assert(mid.get(mid.fieldIndex("n_decision")) == null)
+    // final LLR is the exact integer-linear form a*L1 + b*L0
+    val (l1, l0, _, _) = Metrics.sprtConstantsE12(0.5, 0.8, 50, 50)
+    assert(mid.getAs[Long]("llr_final_e12") == 3 * l1 + 3 * l0)
+  }
+
   test("wilsonCi: hand-computed interval; zero successes stay honest; bounds bracket the rate") {
     // n=10, x=5: center = (.5 + z^2/20)/(1 + z^2/10), rad per formula
     val df = ((1 to 5).map(_ => ("k", true)) ++ (1 to 5).map(_ => ("k", false)) ++

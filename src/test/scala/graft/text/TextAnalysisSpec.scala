@@ -126,6 +126,28 @@ class TextAnalysisSpec extends SparkSpec {
       "KL against a dominating corpus distribution is Gibbs-nonnegative"))
   }
 
+  test("logOddsTerms: hand-computed Fightin'-Words z-scores, deterministic top-k") {
+    // side 0: "apple apple banana"; side 1: "cherry banana"
+    // V=3, na=3, nb=2; apple (2,0), banana (1,1), cherry (0,1)
+    val docs = Seq((0, "apple apple banana"), (1, "cherry banana"))
+      .toDF("side", "text")
+    def z(ca: Long, cb: Long): Long = {
+      val (na, nb, v) = (3.0, 2.0, 3.0)
+      val d = math.log((ca + 1.0) / (na + v - ca - 1.0)) -
+        math.log((cb + 1.0) / (nb + v - cb - 1.0))
+      val va = 1.0 / (ca + 1.0) + 1.0 / (cb + 1.0)
+      math.floor(d / math.sqrt(va) * 1e6 + 0.5).toLong
+    }
+    val out = TextAnalysis.logOddsTerms(docs, "side", "text", topK = 2)
+      .collect().map(r => (r.getAs[String]("direction"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("token"), r.getAs[Long]("z_e6"))).toMap
+    assert(out(("a", 1)) == (("apple", z(2, 0))))
+    assert(out(("a", 2)) == (("banana", z(1, 1))))
+    assert(out(("b", 1)) == (("cherry", z(0, 1))))
+    assert(out(("b", 2)) == (("banana", z(1, 1))))
+    assert(z(2, 0) > 0 && z(0, 1) < 0)
+  }
+
   test("vocabRichness: hand-computed Chao1 + Good-Turing; f2=0 correction") {
     // domain a: tokens p*3 q*2 r s -> N=7, D=4, f1=2 (r,s), f2=1 (q)
     // chao1 = 4 + 4/2 = 6.00; gt = 2*1e6 div 7 = 285714
