@@ -3612,6 +3612,28 @@ object SparkEntry {
           Seq("event_type"), "ts_ns", "hit",
           p0 = 0.5, p1 = 0.55, alphaPermille = 50, betaPermille = 100,
           tieCols = Seq("event_id"))
+        .orderBy("event_type")),
+
+    // ---- extension: streaming Wald SPRT — q292's standing twin: O(1)
+    // per-key (successes, trials, decision, n_at_decision) state, the
+    // decision FREEZES at the first crossing (the sequential-test
+    // contract); same inlined e12 constants, drained == batch on the
+    // time-ordered landing convention, one oracle
+    "q293_x_stream_sprt" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingSprt(s, d,
+        p0 = 0.5, p1 = 0.55, alphaPermille = 50, betaPermille = 100)),
+
+    // ---- extension: index of dispersion — are per-user event counts
+    // Poisson or bursty, per event type (decides whether rate CIs can
+    // use the Poisson shortcut); exact integer n*Sq - S^2 numerator,
+    // chi2 verdict on the rounded value
+    "q294_x_dispersion" -> tuned((s, d) =>
+      graft.operators.Metrics.dispersionIndex(
+          Tables.events(s, d)
+            .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+            .groupBy(col("event_type"), col("user_id"))
+            .agg(count(lit(1)).as("n_ev")),
+          Seq("event_type"), "n_ev")
         .orderBy("event_type"))
   )
 
@@ -4524,7 +4546,8 @@ object SparkEntry {
       "q266_x_stream_nmi" -> m("q256_x_nmi"),
       "q267_x_stream_vocab_jsd" -> m("q258_x_vocab_jsd"),
       "q285_x_stream_cvm" -> m("q281_x_cramer_von_mises"),
-      "q290_x_stream_best_split" -> m("q282_x_best_split"))
+      "q290_x_stream_best_split" -> m("q282_x_best_split"),
+      "q293_x_stream_sprt" -> m("q292_x_sprt"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -9988,6 +10011,36 @@ object SparkEntry {
         |  ${strength("qd", "sd")} AS f_seasonal_e6,
         |  ${strength("qs", "ss")} AS f_trend_e6
         |FROM su ORDER BY prio""".stripMargin
+    },
+
+    // per-(type, user) counts, HUGEINT n*Sq - S^2, the IDENTICAL chi2
+    // and threshold trees
+    "q294_x_dispersion" -> {
+      val num = "(CAST(n_units AS HUGEINT) * q - CAST(s AS HUGEINT) * s)"
+      val chi2 = s"(CAST($num AS DOUBLE) / CAST(s AS DOUBLE))"
+      s"""WITH pu AS (
+        |  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_units,
+        |        CAST(sum(c) AS BIGINT) AS s,
+        |        sum(CAST(c AS HUGEINT) * c) AS q
+        |      FROM pu GROUP BY 1),
+        |r AS (SELECT event_type, n_units, s * 1000000 // n_units AS mean_e6,
+        |        CASE WHEN n_units >= 2 AND s > 0 THEN
+        |          CAST(floor($chi2 / CAST(n_units - 1 AS DOUBLE) * 10000 + 0.5)
+        |               AS BIGINT) END AS d_e4,
+        |        CASE WHEN n_units >= 2 AND s > 0 THEN
+        |          CAST(floor($chi2 * 10000 + 0.5) AS BIGINT) END AS chi2_e4
+        |      FROM a)
+        |SELECT event_type, n_units, mean_e6, d_e4, chi2_e4,
+        |  CASE WHEN chi2_e4 IS NOT NULL THEN
+        |    CAST(chi2_e4 AS DOUBLE) / 10000.0 >
+        |      CAST(n_units - 1 AS DOUBLE)
+        |        + 1.645 * sqrt(2.0 * CAST(n_units - 1 AS DOUBLE))
+        |  END AS overdispersed
+        |FROM r ORDER BY event_type""".stripMargin
     },
 
     // the SAME four e12 constants (sprtConstantsE12 — one definition,

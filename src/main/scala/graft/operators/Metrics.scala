@@ -655,6 +655,49 @@ object Metrics {
         when(col("chi2_e4").isNotNull, col("chi2_e4") > 38415L))
   }
 
+  /** Per-key index of dispersion over an integer count column — the
+    * Poisson burstiness screen for count data (`D = s²/x̄`; a Poisson
+    * process has D = 1, bursty/clumped arrivals D > 1): decides whether
+    * a rate CI can use the Poisson/normal shortcut or the data is
+    * overdispersed and needs [[graft.operators.MonteCarlo.poissonBootstrapCi]]
+    * instead. Test: `(n−1)·D ~ χ²(n−1)`, one-sided 5% flag via the
+    * Wilson–Hilferty-free normal tail `χ² > (n−1) + 1.645·√(2(n−1))`.
+    *
+    * Exactness: `(n−1)·s²·n = n·Σc² − (Σc)²` — the dispersion statistic
+    * is the exact integer ratio `(n·Σc² − (Σc)²)/((n−1)·Σc)` (DECIMAL
+    * numerator); D, χ², and the threshold are one fixed double tree
+    * each, e4-quantized, verdict on the ROUNDED χ². Keys with n < 2 or
+    * Σc = 0 emit nulls. Output: `(keys…, n_units, mean_e6, d_e4,
+    * chi2_e4, overdispersed)`. */
+  def dispersionIndex(df: DataFrame, keyCols: Seq[String],
+                      countCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "dispersionIndex needs at least one key column")
+    val c = col(countCol).cast("long")
+    val sums = dropNullKeys(df, keyCols)
+      .filter(c.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_units"), sum(c).as("__s"),
+        sum(expr(s"cast(`$countCol` as decimal(38,0)) * `$countCol`")).as("__q"))
+    val num = "(cast(n_units as decimal(38,0)) * __q - cast(__s as decimal(38,0)) * __s)"
+    val chi2 = s"(cast($num as double) / cast(__s as double))"
+    sums
+      .withColumn("mean_e6", expr("__s * 1000000 div n_units"))
+      .withColumn("d_e4", expr(
+        s"""case when n_units >= 2 and __s > 0 then
+           |  cast(floor($chi2 / cast(n_units - 1 as double) * 10000 + 0.5)
+           |       as bigint) end""".stripMargin))
+      .withColumn("chi2_e4", expr(
+        s"""case when n_units >= 2 and __s > 0 then
+           |  cast(floor($chi2 * 10000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("overdispersed", expr(
+        s"""case when chi2_e4 is not null then
+           |  cast(chi2_e4 as double) / 10000.0 >
+           |    cast(n_units - 1 as double)
+           |      + 1.645 * sqrt(2.0 * cast(n_units - 1 as double))
+           |end""".stripMargin))
+      .drop("__s", "__q")
+  }
+
   /** The four e12-quantized SPRT constants for [[sprtBernoulli]] —
     * per-success / per-failure LLR increments and the two Wald decision
     * thresholds. Computed ONCE driver-side and inlined into both

@@ -839,6 +839,81 @@ object StreamingCollapse {
   final case class FunnelEvent(userId: Long, tsu: Long, eventId: Long, stage: Int)
   final case class FunnelAdv(user_id: Long, stage: Int)
 
+  final case class SprtEvent(key: String, tsn: Long, eventId: Long, hit: Boolean)
+  /** (successes so far, trials so far, decision: 0 = continuing,
+    * 1/-1 = crossed, trials at crossing) — O(1) per key. */
+  final case class SprtState(a: Long, n: Long, dec: Int, nDec: Long)
+  final case class SprtRow(key: String, n_total: Long, a: Long, dec: Int,
+                           nDec: Long)
+
+  /** Streaming Wald SPRT — the standing form of the peeking-safe
+    * sequential A/B (q292's batch walk): per-key O(1) state
+    * `(successes, trials, decision, n_at_decision)` advanced by ONE
+    * `flatMapGroupsWithState` fold; once a Wald boundary is crossed the
+    * decision FREEZES (the sequential-test contract — evidence after
+    * the stopping time is not part of the test) while trials keep
+    * counting. The e12 constants are the SAME
+    * [[graft.operators.Metrics.sprtConstantsE12]] values as the batch
+    * and the oracle, so the crossing tests are identical integer
+    * comparisons. In-order contract: the [[streamingFunnel]]
+    * convention — per-batch (time, id) sort, time-ordered landing
+    * across batches. Update-mode emission: latest state per key;
+    * drained == batch on an in-order stream (spec-pinned, one
+    * oracle). */
+  def streamingSprt(spark: SparkSession, dir: String, p0: Double, p1: Double,
+                    alphaPermille: Int, betaPermille: Int): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_sprt"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val (l1, l0, hiT, loT) = graft.operators.Metrics.sprtConstantsE12(
+      p0, p1, alphaPermille, betaPermille)
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        (col("value") >= 50.0).as("hit"))
+      .as[(String, Long, Long, Boolean)]
+      .map { case (k, t, id, h) => SprtEvent(k, t, id, h) }
+    val states = events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[SprtEvent], state: GroupState[SprtState]) => {
+          var st = state.getOption.getOrElse(SprtState(0L, 0L, 0, -1L))
+          it.toSeq.sortBy(e => (e.tsn, e.eventId)).foreach { e =>
+            val a = st.a + (if (e.hit) 1L else 0L)
+            val n = st.n + 1L
+            if (st.dec == 0) {
+              // exact integer LLR: BigInt headroom (a·|l1| can pass 2^63
+              // only beyond ~9e6 trials per key; BigInt never wraps)
+              val llr = BigInt(a) * l1 + BigInt(n - a) * l0
+              val d = if (llr >= hiT) 1 else if (llr <= loT) -1 else 0
+              st = SprtState(a, n, d, if (d != 0) n else -1L)
+            } else st = st.copy(a = a, n = n)
+          }
+          state.update(st)
+          Iterator.single(SprtRow(key, st.n, st.a, st.dec, st.nDec))
+        })
+    drain(spark, states.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name))
+    // latest state per key (update mode re-emits; max n wins)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n_total").desc)
+    spark.table(name)
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("decision", expr(
+        """case when dec = 1 then 'accept_h1'
+          |when dec = -1 then 'accept_h0' else 'continue' end""".stripMargin))
+      .withColumn("n_decision",
+        when(col("nDec") >= 0, col("nDec")))
+      .withColumn("llr_final_e12", expr(
+        s"cast(cast(a as decimal(38,0)) * ${l1}L + cast(n_total - a as decimal(38,0)) * ${l0}L as bigint)"))
+      .select(col("key").as("event_type"), col("n_total"), col("decision"),
+        col("n_decision"), col("llr_final_e12"))
+      .orderBy("event_type")
+  }
+
   /** Streaming ordered-funnel maintenance — the standing twin of
     * [[graft.operators.Funnel.conversionCounts]]: per-user state is the
     * chained-min time vector `(t₀ < t₁ < … )` as a List[Long] whose

@@ -320,6 +320,23 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("dispersionIndex: constant counts D=0, bursty counts flag, Poisson-ish do not") {
+    // constant 5s: s^2 = 0 -> D = 0
+    val const = (1 to 10).map(_ => ("c", 5L))
+    // bursty: {0,0,0,0,20}: mean 4, n*Sq - S^2 = 5*400 - 400 = 1600,
+    // chi2 = 1600/20 = 80 >> (4 + 1.645*sqrt(8)) -> overdispersed
+    val burst = Seq(("b", 0L), ("b", 0L), ("b", 0L), ("b", 0L), ("b", 20L))
+    val out = Metrics.dispersionIndex((const ++ burst).toDF("k", "c"),
+      Seq("k"), "c").collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("c").getAs[Long]("d_e4") == 0L)
+    assert(!out("c").getAs[Boolean]("overdispersed"))
+    val b = out("b")
+    assert(b.getAs[Long]("chi2_e4") == 800000L)
+    assert(b.getAs[Long]("d_e4") == 200000L) // D = 80/4 = 20
+    assert(b.getAs[Boolean]("overdispersed"))
+    assert(b.getAs[Long]("mean_e6") == 4000000L)
+  }
+
   test("sprtBernoulli: crossing indices match the hand-computed Wald walk") {
     // p0=.5, p1=.8, alpha=beta=50 permille: U = ln 19 = 2.9444,
     // L1 = ln 1.6 = .4700 -> all-success crossing at ceil(2.9444/.47)=7;

@@ -351,6 +351,18 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingSprt: frozen sequential state equals the batch Wald walk") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_total"),
+        r.getAs[String]("decision"), r.get(r.fieldIndex("n_decision")),
+        r.getAs[Long]("llr_final_e12"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingSprt(spark, dir,
+      p0 = 0.5, p1 = 0.55, alphaPermille = 50, betaPermille = 100))
+    val batch = rows(graft.SparkEntry.queries("q292_x_sprt")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingBestSplit: drained feature grid gives the batch stump exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
