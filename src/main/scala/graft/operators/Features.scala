@@ -439,6 +439,11 @@ object Features {
            |  cast(floor(cast(`$valueCol` as double) * ${2 * period}
            |    / cast(__t2p as double) * 1000000000 + 0.5) as bigint)
            |end""".stripMargin))
+      // lazy localCheckpoint (the kruskalWallis convention): the windowed
+      // frame feeds the phase grid, the normalizer, AND the final join —
+      // without it each branch re-scans and re-windows the input (the
+      // round-9 plan audit read 6 scans)
+      .localCheckpoint(false)
     val seas = base.filter(col("__r9").isNotNull)
       .groupBy((keyCols.map(col) :+ col("__phase")): _*)
       .agg(sum(col("__r9")).as("__sn"), count(lit(1)).as("__sc"))

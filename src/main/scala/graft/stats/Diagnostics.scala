@@ -1126,6 +1126,9 @@ object Diagnostics {
     val base = graft.functions.Cols.dropNullKeys(df, keyCols)
       .filter(y.isNotNull && col(orderCol).isNotNull)
       .select(k :+ col(orderCol).as("__ord") :+ y.as("__y"): _*)
+      // lazy localCheckpoint: the mean pass, the lag window, and the
+      // final join all read this frame — bound the input re-scans to one
+      .localCheckpoint(false)
     val means = base.groupBy(k: _*)
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__sy"))
       .withColumn("__c", expr("__sy div __n"))
