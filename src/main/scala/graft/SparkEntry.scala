@@ -3634,6 +3634,32 @@ object SparkEntry {
             .groupBy(col("event_type"), col("user_id"))
             .agg(count(lit(1)).as("n_ev")),
           Seq("event_type"), "n_ev")
+        .orderBy("event_type")),
+
+    // ---- extension: Cochran's Q — do the three document filters
+    // (length, token-count, english) pass different fractions of the
+    // same items, per source (q273's McNemar generalized to k); one
+    // exact-integer aggregate, k*SumC^2 - T^2 identity
+    "q295_x_cochran_q" -> tuned((s, d) =>
+      graft.operators.Metrics.cochranQ(
+          Tables.documents(s, d)
+            .filter(col("text").isNotNull)
+            .withColumn("f_len", col("n_chars") > 500)
+            .withColumn("f_tok",
+              graft.text.TextAnalysis.tokenCount(col("text")) > 90)
+            .withColumn("f_en", col("lang") === "en"),
+          Seq("source"), Seq("f_len", "f_tok", "f_en"))
+        .orderBy("source")),
+
+    // ---- extension: runs test — is the above-median mark randomly
+    // ORDERED in time per event type (clumping/alternation, the
+    // sequence axis MK/Ljung-Box don't cover); exact integer run
+    // counts off one lag window, one z tree
+    "q296_x_runs_test" -> tuned((s, d) =>
+      graft.stats.Diagnostics.runsTest(
+          Tables.events(s, d)
+            .withColumn("hi", col("value") >= 50.0),
+          Seq("event_type"), "ts_ns", "hi", tieCols = Seq("event_id"))
         .orderBy("event_type"))
   )
 
@@ -10012,6 +10038,81 @@ object SparkEntry {
         |  ${strength("qs", "ss")} AS f_trend_e6
         |FROM su ORDER BY prio""".stripMargin
     },
+
+    // the same lag-window run counts, HUGEINT 2*n1*n0, the IDENTICAL
+    // mu/sigma/z trees
+    "q296_x_runs_test" -> {
+      val tn = "(CAST(2 AS HUGEINT) * n_true * (n - n_true))"
+      val mu = s"(CAST($tn AS DOUBLE) / CAST(n AS DOUBLE) + 1.0)"
+      val v = s"(CAST($tn AS DOUBLE) * (CAST($tn AS DOUBLE) - CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))"
+      s"""WITH e AS (
+        |  SELECT event_type AS k, epoch_ns(ts) AS t, event_id,
+        |         (value >= 50.0) AS f
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |w AS (SELECT k, f,
+        |        lag(f, 1) OVER (PARTITION BY k ORDER BY t, event_id) AS pf
+        |      FROM e),
+        |su AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+        |         CAST(sum(CASE WHEN pf IS NOT NULL AND pf <> f THEN 1
+        |               ELSE 0 END) + 1 AS BIGINT) AS n_runs
+        |       FROM w GROUP BY 1)
+        |SELECT k AS event_type, n, n_true, n_runs,
+        |  CASE WHEN n_true > 0 AND n_true < n AND n > 1 AND $v > 0 THEN
+        |    CAST(floor((CAST(n_runs AS DOUBLE) - $mu) / sqrt($v)
+        |      * 10000 + 0.5) AS BIGINT) END AS z_e4,
+        |  CASE WHEN n_true > 0 AND n_true < n AND n > 1 AND $v > 0 THEN
+        |    abs(CAST(floor((CAST(n_runs AS DOUBLE) - $mu) / sqrt($v)
+        |      * 10000 + 0.5) AS BIGINT)) > 19600
+        |  END AS significant
+        |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the q273 filter derivations + the english flag, HUGEINT
+    // sufficient sums, the IDENTICAL k*SumC^2 - T^2 tree
+    "q295_x_cochran_q" ->
+      ("""WITH d AS (
+        |  SELECT source,
+        |    n_chars > 500 AS a,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 90
+        |      AS b,
+        |    (lang = 'en') AS c
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL
+        |    AND n_chars IS NOT NULL AND lang IS NOT NULL),
+        |r AS (SELECT *,
+        |        CAST(CASE WHEN a THEN 1 ELSE 0 END
+        |          + CASE WHEN b THEN 1 ELSE 0 END
+        |          + CASE WHEN c THEN 1 ELSE 0 END AS BIGINT) AS rr
+        |      FROM d),
+        |su AS (SELECT source, CAST(count(*) AS BIGINT) AS n_items,
+        |         sum(CAST(rr AS HUGEINT)) AS t,
+        |         sum(CAST(rr AS HUGEINT) * rr) AS r2,
+        |         CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |         CAST(sum(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |         CAST(sum(CASE WHEN c THEN 1 ELSE 0 END) AS BIGINT) AS c2
+        |       FROM r GROUP BY 1)
+        |SELECT source, n_items,
+        |  CASE WHEN CAST(3 AS HUGEINT) * t - r2 > 0 THEN
+        |    CAST(floor(CAST(2 AS DOUBLE)
+        |      * CAST(CAST(3 AS HUGEINT)
+        |          * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+        |             + CAST(c2 AS HUGEINT) * c2) - t * t AS DOUBLE)
+        |      / CAST(CAST(3 AS HUGEINT) * t - r2 AS DOUBLE)
+        |      * 10000 + 0.5) AS BIGINT) END AS q_e4,
+        |  CAST(59915 AS BIGINT) AS crit5_e4,
+        |  CASE WHEN CAST(3 AS HUGEINT) * t - r2 > 0 THEN
+        |    CAST(floor(CAST(2 AS DOUBLE)
+        |      * CAST(CAST(3 AS HUGEINT)
+        |          * (CAST(c0 AS HUGEINT) * c0 + CAST(c1 AS HUGEINT) * c1
+        |             + CAST(c2 AS HUGEINT) * c2) - t * t AS DOUBLE)
+        |      / CAST(CAST(3 AS HUGEINT) * t - r2 AS DOUBLE)
+        |      * 10000 + 0.5) AS BIGINT) > 59915
+        |  END AS significant
+        |FROM su ORDER BY source""".stripMargin),
 
     // per-(type, user) counts, HUGEINT n*Sq - S^2, the IDENTICAL chi2
     // and threshold trees

@@ -971,6 +971,56 @@ object Metrics {
       .drop("__den", "__num")
   }
 
+  /** Per-key Cochran's Q test over k PAIRED boolean classifier columns
+    * — [[mcnemar]] generalized beyond two: "do these k filters/taggers
+    * pass different fractions of the same items" (the pre-check before
+    * trusting any one of an ensemble):
+    * `Q = k(k−1)·Σ_j(C_j − T/k)² / (k·T − Σ_i R_i²)` with `C_j` the
+    * per-classifier pass totals, `R_i` each item's pass count,
+    * `T = ΣR_i`; `Q ~ χ²(k−1)`, caller-supplied 5% critical.
+    *
+    * Exactness: ONE map-side-combined aggregate carries every
+    * sufficient statistic as exact integers (`Σ_j C_j²` and `ΣR_i²`
+    * widen through DECIMAL(38,0)); the numerator identity
+    * `k·ΣC_j² − T²` avoids the fractional mean entirely, so Q is one
+    * fixed double tree over exact integers, e4-quantized, verdict on
+    * the ROUNDED value. Items with any null column drop (paired test —
+    * every classifier must have voted). Keys where all items agree on
+    * everything (denominator 0) emit null. Output: `(keys…, n_items,
+    * q_e4, crit5_e4, significant)`. */
+  def cochranQ(df: DataFrame, keyCols: Seq[String], classifierCols: Seq[String],
+               crit5E4: Long = 59915L): DataFrame = {
+    require(keyCols.nonEmpty, "cochranQ needs at least one key column")
+    require(classifierCols.size >= 3,
+      "cochranQ needs k >= 3 classifiers (use mcnemar for k = 2)")
+    val kk = classifierCols.size
+    val r = classifierCols.map(c => when(col(c), 1L).otherwise(0L)).reduce(_ + _)
+    val sums = dropNullKeys(df, keyCols)
+      .filter(classifierCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__r", r)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_items"),
+        (sum(expr("cast(__r as decimal(38,0))")).as("__t") +:
+          sum(expr("cast(__r as decimal(38,0)) * __r")).as("__r2") +:
+          classifierCols.zipWithIndex.map { case (c, i) =>
+            sum(when(col(c), 1L).otherwise(0L)).as(s"__c$i")
+          }): _*)
+    val sc2 = classifierCols.indices
+      .map(i => s"cast(__c$i as decimal(38,0)) * __c$i").mkString(" + ")
+    val num = s"(cast($kk as decimal(38,0)) * ($sc2) - __t * __t)"
+    val den = s"(cast($kk as decimal(38,0)) * __t - __r2)"
+    sums
+      .withColumn("q_e4", expr(
+        s"""case when $den > 0 then
+           |  cast(floor(cast(${kk - 1} as double) * cast($num as double)
+           |    / cast($den as double) * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("crit5_e4", lit(crit5E4))
+      .withColumn("significant",
+        when(col("q_e4").isNotNull, col("q_e4") > crit5E4))
+      .drop(Seq("__t", "__r2") ++ classifierCols.indices.map(i => s"__c$i"): _*)
+  }
+
   /** Per-key Cochran–Armitage trend test — "does the conversion RATE
     * rise monotonically with the dose" over an ordered integer score
     * column (exposure tier, price band, A/B/n arm index): the

@@ -320,6 +320,29 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("f_e4")) == null)
   }
 
+  test("cochranQ: hand-computed three-classifier Q; all-agree null; null rows drop") {
+    // items (a,b,c): (T,T,F),(T,F,F),(T,T,T),(F,F,F)
+    // C=(3,2,1), T=6, sumR2=14 -> num = 3*14-36 = 6, den = 18-14 = 4,
+    // Q = 2*6/4 = 3.0
+    val df = Seq(
+      ("k", true, true, false), ("k", true, false, false),
+      ("k", true, true, true), ("k", false, false, false),
+      ("z", true, true, true), ("z", false, false, false))
+      .toDF("k", "a", "b", "c")
+    val out = Metrics.cochranQ(df, Seq("k"), Seq("a", "b", "c"))
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("k").getAs[Long]("q_e4") == 30000L)
+    assert(!out("k").getAs[Boolean]("significant"))
+    // z: every item unanimous -> denominator 0 -> null
+    val z = out("z")
+    assert(z.get(z.fieldIndex("q_e4")) == null)
+    // null votes drop the item (paired contract)
+    val withNull = Seq(("n", Some(true), Some(true), Some(false)),
+      ("n", Some(true), None, Some(false))).toDF("k", "a", "b", "c")
+    assert(Metrics.cochranQ(withNull, Seq("k"), Seq("a", "b", "c"))
+      .collect().head.getAs[Long]("n_items") == 1L)
+  }
+
   test("dispersionIndex: constant counts D=0, bursty counts flag, Poisson-ish do not") {
     // constant 5s: s^2 = 0 -> D = 0
     val const = (1 to 10).map(_ => ("c", 5L))

@@ -405,6 +405,29 @@ class DiagnosticsSpec extends SparkSpec {
       s"AR(1) must dominate naive on an alternating series: ${ar.mkString(",")}")
   }
 
+  test("runsTest: alternation and clumping flag in opposite directions; constant null") {
+    // perfect alternation TFTF... (n=20, n1=10): R = 20, mu = 11,
+    // var = 200*(200-20)/(400*19) = 4.7368, z = 9/2.1764 = 4.1352
+    val alt = (0 until 20).map(t => ("alt", t.toLong, t % 2 == 0))
+    // perfect clumping TTTTT FFFFF (n=20): R = 2 -> z = -4.1352
+    val clump = (0 until 20).map(t => ("cl", t.toLong, t < 10))
+    val const = (0 until 10).map(t => ("c", t.toLong, true))
+    val out = Diagnostics.runsTest((alt ++ clump ++ const).toDF("k", "t", "f"),
+      Seq("k"), "t", "f").collect().map(r => r.getAs[String]("k") -> r).toMap
+    val mu = 200.0 / 20 + 1
+    val v = 200.0 * (200.0 - 20) / (400.0 * 19)
+    def z(r: Long) = math.floor((r - mu) / math.sqrt(v) * 1e4 + 0.5).toLong
+    assert(out("alt").getAs[Long]("n_runs") == 20L)
+    assert(out("alt").getAs[Long]("z_e4") == z(20))
+    assert(out("alt").getAs[Boolean]("significant"))
+    assert(out("cl").getAs[Long]("n_runs") == 2L)
+    assert(out("cl").getAs[Long]("z_e4") == z(2))
+    assert(out("cl").getAs[Boolean]("significant"))
+    assert(out("alt").getAs[Long]("z_e4") > 0 && out("cl").getAs[Long]("z_e4") < 0)
+    val c = out("c")
+    assert(c.get(c.fieldIndex("z_e4")) == null)
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2
