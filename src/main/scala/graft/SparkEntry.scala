@@ -3660,7 +3660,43 @@ object SparkEntry {
           Tables.events(s, d)
             .withColumn("hi", col("value") >= 50.0),
           Seq("event_type"), "ts_ns", "hi", tieCols = Seq("event_id"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- extension: chi-square independence — is language independent
+    // of document length band, per source (the significance complement
+    // of q256's NMI); exact (N*O - R*C)^2/(N*R*C) cell terms over the
+    // FULL r x c grid (zero cells contribute), driver-inlined chi2
+    // critical table
+    "q297_x_chi_square" -> tuned((s, d) =>
+      graft.operators.Metrics.chiSquareIndependence(
+          Tables.documents(s, d)
+            .filter(col("n_chars").isNotNull)
+            .withColumn("len_band", least(expr("n_chars div 400"), lit(4L))),
+          Seq("source"), "lang", "len_band")
+        .orderBy("source")),
+
+    // ---- extension: streaming chi-square twin — q297's standing
+    // association monitor: complete-mode state IS the contingency-cell
+    // grid, readout via the SHARED chiSqFromCells; drained == batch,
+    // one oracle
+    "q298_x_stream_chi_square" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingChiSquare(s, d)),
+
+    // ---- extension: Durbin-Watson — after detrending monthly mean
+    // order prices, do consecutive residuals still lean on each other
+    // (lag-1 serial correlation of FITTED residuals — the axis q247
+    // Ljung-Box reads on the raw series); exact scaled-integer
+    // residuals, the n*D denominator cancels in the ratio
+    "q299_x_durbin_watson" -> tuned((s, d) =>
+      graft.stats.Diagnostics.durbinWatson(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(expr(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
+              .as("cents")),
+          Seq("o_orderpriority"), "month", "cents")
+        .orderBy("o_orderpriority"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -4573,7 +4609,8 @@ object SparkEntry {
       "q267_x_stream_vocab_jsd" -> m("q258_x_vocab_jsd"),
       "q285_x_stream_cvm" -> m("q281_x_cramer_von_mises"),
       "q290_x_stream_best_split" -> m("q282_x_best_split"),
-      "q293_x_stream_sprt" -> m("q292_x_sprt"))
+      "q293_x_stream_sprt" -> m("q292_x_sprt"),
+      "q298_x_stream_chi_square" -> m("q297_x_chi_square"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -10068,6 +10105,92 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the same monthly integer-mean series, the IDENTICAL scaled
+    // residual E = n*D*y - D*Sy - n*N*u over HUGEINT windows, the same
+    // one-division dw tree and rounded-band verdict
+    "q299_x_durbin_watson" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         date_trunc('month', o_orderdate) AS month,
+        |         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           // count(*) AS y
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+        |  GROUP BY 1, 2),
+        |w AS (SELECT k, month, CAST(y AS BIGINT) AS y,
+        |        CAST(row_number() OVER (PARTITION BY k ORDER BY month)
+        |             AS BIGINT) AS t,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |        CAST(sum(y) OVER (PARTITION BY k) AS BIGINT) AS sy
+        |      FROM m),
+        |u AS (SELECT *, 2 * t - n - 1 AS uu FROM w),
+        |s AS (SELECT k, month, y, uu, n, sy,
+        |        sum(CAST(uu AS HUGEINT) * y) OVER (PARTITION BY k) AS nn,
+        |        sum(CAST(uu AS HUGEINT) * uu) OVER (PARTITION BY k) AS dd
+        |      FROM u),
+        |e AS (SELECT k, month, n,
+        |        CAST(n AS HUGEINT) * dd * y - dd * CAST(sy AS HUGEINT)
+        |          - CAST(n AS HUGEINT) * nn * uu AS ee
+        |      FROM s),
+        |l AS (SELECT k, n, ee,
+        |        lag(ee) OVER (PARTITION BY k ORDER BY month) AS pe FROM e),
+        |a AS (SELECT k, CAST(max(n) AS BIGINT) AS n_obs,
+        |        sum(ee * ee) AS see,
+        |        sum(CASE WHEN pe IS NOT NULL THEN (ee - pe) * (ee - pe)
+        |              ELSE CAST(0 AS HUGEINT) END) AS sdd
+        |      FROM l GROUP BY 1 HAVING max(n) >= 3),
+        |r AS (SELECT k, n_obs,
+        |        CASE WHEN see > 0 THEN
+        |          CAST(floor(CAST(sdd AS DOUBLE) / CAST(see AS DOUBLE)
+        |            * 1000000 + 0.5) AS BIGINT) END AS dw_e6
+        |      FROM a)
+        |SELECT k AS o_orderpriority, n_obs, dw_e6,
+        |  CASE WHEN dw_e6 IS NOT NULL THEN
+        |    CASE WHEN dw_e6 < 1500000 THEN 'positive'
+        |         WHEN dw_e6 > 2500000 THEN 'negative'
+        |         ELSE 'none' END END AS autocorr
+        |FROM r ORDER BY o_orderpriority""".stripMargin),
+
+    // the same least-capped band, the IDENTICAL observed-cells-only
+    // identity sum(O^2*N/(R*C)) - N over HUGEINT integers (zero cells
+    // fold into the -N), the same inlined chi2Crit95 CASE — one
+    // definition, two engines
+    "q297_x_chi_square" -> {
+      val crit = graft.operators.Metrics.chi2Crit95Sql("dof")
+      s"""WITH base AS (
+        |  SELECT source AS k, lang AS a, least(n_chars // 400, 4) AS b
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL
+        |    AND n_chars IS NOT NULL),
+        |cells AS (SELECT k, a, b, CAST(count(*) AS BIGINT) AS c
+        |          FROM base GROUP BY 1, 2, 3),
+        |rm AS (SELECT k, a, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT k, b, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS r_levels,
+        |          CAST(sum(r) AS BIGINT) AS n FROM rm GROUP BY 1),
+        |tc AS (SELECT k, CAST(count(*) AS BIGINT) AS c_levels FROM cm GROUP BY 1),
+        |terms AS (
+        |  SELECT ce.k, CAST(floor(
+        |      CAST(CAST(ce.c AS HUGEINT) * ce.c * t.n AS DOUBLE)
+        |      / CAST(CAST(rm.r AS HUGEINT) * cm.cc AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS tt
+        |  FROM cells ce
+        |  JOIN rm ON rm.k = ce.k AND rm.a = ce.a
+        |  JOIN cm ON cm.k = ce.k AND cm.b = ce.b
+        |  JOIN tot t ON t.k = ce.k),
+        |chi AS (SELECT k, CAST(sum(tt) AS BIGINT) AS s FROM terms GROUP BY 1),
+        |r AS (SELECT tot.k, tot.r_levels, tot.n, tc.c_levels,
+        |        (tot.r_levels - 1) * (tc.c_levels - 1) AS dof,
+        |        greatest(0, chi.s - tot.n * 1000000) AS chi
+        |      FROM tot JOIN tc ON tc.k = tot.k JOIN chi ON chi.k = tot.k)
+        |SELECT k AS source, r_levels, n, c_levels, dof,
+        |  CASE WHEN dof > 0 THEN chi END AS chi2_e6,
+        |  CAST(($crit) AS BIGINT) AS crit5_e4,
+        |  CASE WHEN dof > 0 AND ($crit) IS NOT NULL
+        |    THEN chi > CAST(($crit) AS BIGINT) * 100 END AS significant
+        |FROM r ORDER BY source""".stripMargin
     },
 
     // the q273 filter derivations + the english flag, HUGEINT

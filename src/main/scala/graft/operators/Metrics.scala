@@ -1667,4 +1667,111 @@ object Metrics {
       .select(k :+ col("n") :+ col("mi_e9") :+ col("h_a_e9") :+
         col("h_b_e9") :+ col("nmi_e6"): _*)
   }
+
+  /** Per-key χ² test of independence over two categorical columns — the
+    * r×c contingency complement of [[normalizedMutualInfo]]: NMI scores
+    * HOW MUCH the columns share, χ² answers IS the association even
+    * SIGNIFICANT (the classical screen before trusting any slice-by
+    * breakdown — "does language actually depend on source, or is the
+    * NMI just small-sample noise"). `χ² = Σ_cells (O − E)²/E` with
+    * `E = R·C/N`, df = (r−1)(c−1), 5% critical from the driver-inlined
+    * [[chi2Crit95E4]] table (df ≤ 40 — past that the association
+    * readout should be [[normalizedMutualInfo]], not a χ² verdict).
+    * [[graft.operators.Profile.chiSquare]] is the GLOBAL profiling
+    * sibling (one row, Cramér's V effect size, no verdict); this is
+    * the per-slice significance screen, with a streaming twin whose
+    * complete-mode state is the cell grid.
+    *
+    * Exactness: the observed-cells-only identity
+    * `χ² = Σ_cells O²·N/(R·C) − N` (zero cells' `(0−E)²/E = E` terms
+    * fold into the `−N`, so the statistic is the FULL-grid textbook
+    * value without ever materializing empty cells); each term is ONE
+    * fixed double tree over exact DECIMAL(38,0) integers (`O²·N ≤ N³`
+    * — safe to N ≈ 4·10¹² per key, fail-loud above, the anovaOneWay
+    * convention), e6-quantized to BIGINT before the order-independent
+    * sum (the [[nmiFromCells]] discipline); the `−N·10⁶` subtraction
+    * is exact, clamped at 0 (quantization can push an exactly-zero
+    * association a few units negative — the anovaOneWay ssb clamp).
+    * Keys with r = 1 or c = 1 (df 0) emit null; df > 40 emits the
+    * statistic with null verdict.
+    *
+    * Scale shape: grid-shaped end-to-end after the map-side-combined
+    * cell aggregate — marginals and totals re-aggregate the CELLS,
+    * never the rows, and the term join keys on (key, class): no cross
+    * join anywhere. Output: `(keys…, n, r_levels, c_levels, dof,
+    * chi2_e6, crit5_e4, significant)`. */
+  def chiSquareIndependence(df: DataFrame, keyCols: Seq[String], aCol: String,
+                            bCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "chiSquareIndependence needs at least one key column")
+    val k = keyCols.map(col)
+    val cells = dropNullKeys(df, keyCols)
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(k :+ col(aCol).as("__a") :+ col(bCol).as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+      // lazy localCheckpoint (see brierDecomposition): the cell grid
+      // feeds two marginal re-aggregations and the term join
+      .localCheckpoint(false)
+    chiSqFromCells(cells, keyCols)
+  }
+
+  /** χ²₀.₉₅ critical values for df 1…40, e4-quantized — generated
+    * driver-side once and INLINED into both engines (the dftTableE15 /
+    * sprtConstantsE12 convention), so no inverse-χ² executes at query
+    * time anywhere. df 1 = 38415 and df 2 = 59915 deliberately equal
+    * [[mcnemar]]'s and [[cochranQ]]'s inline constants. */
+  val chi2Crit95E4: IndexedSeq[Long] = IndexedSeq(
+    38415L, 59915L, 78147L, 94877L, 110705L, 125916L, 140671L, 155073L,
+    169190L, 183070L, 196751L, 210261L, 223620L, 236848L, 249958L, 262962L,
+    275871L, 288693L, 301435L, 314104L, 326706L, 339244L, 351725L, 364150L,
+    376525L, 388851L, 401133L, 413371L, 425570L, 437730L, 449853L, 461943L,
+    473999L, 486024L, 498018L, 509985L, 521923L, 533835L, 545722L, 557585L)
+
+  /** The χ²-critical lookup as a SQL CASE over `dofExpr` — ONE generator
+    * shared by the Spark readout and the DuckDB oracle replay, so the
+    * table cannot drift between engines. */
+  def chi2Crit95Sql(dofExpr: String): String =
+    chi2Crit95E4.zipWithIndex
+      .map { case (v, i) => s"when $dofExpr = ${i + 1} then $v" }
+      .mkString("case ", " ", " end")
+
+  /** The χ² readout over a per-(key, __a, __b) cell-count grid (`__c`)
+    * — ONE definition shared by the batch operator and the streaming
+    * twin (whose complete-mode state IS this grid), the [[nmiFromCells]]
+    * convention: shared-oracle bit-parity cannot drift between
+    * hand-synced copies. */
+  def chiSqFromCells(cells: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
+    val rowsM = cells.groupBy(k :+ col("__a"): _*).agg(sum(col("__c")).as("__r"))
+    val colsM = cells.groupBy(k :+ col("__b"): _*).agg(sum(col("__c")).as("__cc"))
+    val tot = rowsM.groupBy(k: _*)
+      .agg(count(lit(1)).as("r_levels"), sum(col("__r")).as("n"))
+      .join(colsM.groupBy(k: _*).agg(count(lit(1)).as("c_levels")), keyCols)
+    val chi = cells
+      .join(rowsM, keyCols :+ "__a")
+      .join(colsM, keyCols :+ "__b")
+      .join(tot.select(k :+ col("n"): _*), keyCols)
+      // fail loud past the DECIMAL(38,0) bound: O²·N ≤ N³ needs
+      // N ≤ ~4·10¹² (the anovaOneWay convention — a bare overflow
+      // would silently null where DuckDB HUGEINT keeps computing)
+      .withColumn("__t", expr(
+        """cast(floor(
+          |  cast(if(n <= 4000000000000,
+          |          cast(__c as decimal(38,0)) * __c * n,
+          |          cast(raise_error('chiSquareIndependence: n exceeds 4e12 per key — pre-aggregate or sample upstream')
+          |               as decimal(38,0))) as double)
+          |  / cast(cast(__r as decimal(38,0)) * __cc as double)
+          |  * 1000000 + 0.5) as bigint)""".stripMargin))
+      .groupBy(k: _*).agg(sum(col("__t")).as("__s"))
+    tot.join(chi, keyCols)
+      .withColumn("dof", (col("r_levels") - 1) * (col("c_levels") - 1))
+      .withColumn("chi2_e6",
+        when(col("dof") > 0,
+          greatest(lit(0L), col("__s") - col("n") * 1000000L)))
+      .withColumn("crit5_e4",
+        expr(s"cast((${chi2Crit95Sql("dof")}) as bigint)"))
+      .withColumn("significant",
+        when(col("chi2_e6").isNotNull && col("crit5_e4").isNotNull,
+          col("chi2_e6") > col("crit5_e4") * 100L))
+      .drop("__s")
+  }
 }

@@ -126,6 +126,10 @@ object Profile {
     * [[mutualInfo]] (MI measures shared information; V normalizes
     * association to [0, 1] regardless of table size, the profiling
     * readout "are these columns related at all").
+    * [[graft.operators.Metrics.chiSquareIndependence]] is the PER-KEY
+    * sibling (df + inlined critical table + significance verdict, with
+    * a streaming twin); this one is the global single-row profiling
+    * form with the effect size.
     *
     * Exactness (the mutualInfo discipline): cell/marginal counts are
     * exact integers; χ² uses the observed-cells-only identity

@@ -410,6 +410,81 @@ object Diagnostics {
       (eta < lit(0.463)).as("stationary5"): _*)
   }
 
+  /** Per-key Durbin–Watson statistic over the residuals of the
+    * least-squares TREND line — "after removing the linear trend, do
+    * consecutive errors still lean on each other": the classical lag-1
+    * serial-correlation screen on a FITTED model's residuals, which
+    * [[ljungBox]] (raw-series autocorrelation, many lags) and
+    * [[runsTest]] (signs only) do not answer. `DW = Σ(e_t − e_{t−1})² /
+    * Σe_t²` ∈ [0, 4]; the conventional rule-of-thumb verdict bands
+    * (positive < 1.5, none, negative > 2.5) are applied to the ROUNDED
+    * value — exact tabulated d_L/d_U bounds vary with n and are the
+    * caller's refinement.
+    *
+    * Exactness (the [[kpssFixedLag]] scaled-integer discipline): with
+    * caller-quantized integer `valueCol` and the symmetric time index
+    * `u_t = 2t − n − 1` (whose Σu = 0 drops a cross term; the slope vs
+    * t is `2N/D` so the u-coefficient of the residual is exactly
+    * `N/D = Σu·y / Σu²`), the SCALED residual
+    * `E_t = n·D·y_t − D·Σy − n·N·u_t` is an exact DECIMAL(38,0)
+    * integer per row; the common denominator `n·D` CANCELS in the DW
+    * ratio, so both sums are exact and the single division is one fixed
+    * double tree, e6-quantized. No residual float ever crosses a row
+    * boundary. Bound: `ΣE²` needs roughly `n⁹·y² ≲ 10³⁸` — a century of
+    * monthly observations at cents ≤ 10⁹ clears it; pre-average (not
+    * pre-sum) values per period so `y` stays SF-invariant.
+    *
+    * Scale shape: ONE sort per key shared by the row_number and the
+    * unbounded-frame totals, a lag window on the same partitioning,
+    * then a two-term sufficient-sum aggregate; per-key state is O(1),
+    * a million keys = a million independent series. Output:
+    * `(keys…, n_obs, dw_e6, autocorr)`; keys with n < 3 emit nothing,
+    * zero residual variance (perfect line) emits null dw and verdict. */
+  def durbinWatson(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "durbinWatson needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val part = Window.partitionBy(keyCols.map(col): _*)
+    val wOrd = part.orderBy(col("__ord"))
+    val wAll = part.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    def d(c: Column) = c.cast("double")
+    val y = col(valueCol).cast("long")
+    val rows = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+ y.as("__y")): _*)
+      .withColumn("__t", row_number().over(wOrd).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__u", lit(2L) * col("__t") - col("__n") - 1L)
+      .withColumn("__sy", sum(col("__y")).over(wAll))
+      .withColumn("__nn", sum(dec(col("__u")) * col("__y")).over(wAll))
+      .withColumn("__dd", sum(dec(col("__u")) * col("__u")).over(wAll))
+      .withColumn("__e",
+        dec(col("__n")) * col("__dd") * col("__y")
+          - col("__dd") * dec(col("__sy"))
+          - dec(col("__n")) * col("__nn") * col("__u"))
+      .withColumn("__pe", lag(col("__e"), 1).over(wOrd))
+    val sums = rows
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("__n")).as("n_obs"),
+        sum(col("__e") * col("__e")).as("__see"),
+        sum(when(col("__pe").isNotNull,
+            (col("__e") - col("__pe")) * (col("__e") - col("__pe")))
+          .otherwise(dec(lit(0L)))).as("__sdd"))
+      .filter(col("n_obs") >= 3)
+    val dw = when(col("__see") > 0,
+      floor(d(col("__sdd")) / d(col("__see")) * 1e6 + 0.5).cast("long"))
+    sums
+      .withColumn("dw_e6", dw)
+      // decided on the ROUNDED statistic so both engines band identically
+      .withColumn("autocorr",
+        when(col("dw_e6").isNotNull,
+          when(col("dw_e6") < 1500000L, "positive")
+            .when(col("dw_e6") > 2500000L, "negative")
+            .otherwise("none")))
+      .drop("__see", "__sdd")
+  }
+
   /** Exact two-sided sign test per key — "did this series go up more
     * often than chance" with NO distributional assumption and an EXACT
     * binomial p-value (the nonparametric screen under [[mannKendall]]'s

@@ -1190,4 +1190,38 @@ object StreamingCollapse {
         (col("end_us") - col("start_us")).as("duration_us"))
       .orderBy("user_id", "session_idx")
   }
+
+  /** Streaming χ²-independence maintenance — the standing twin of the
+    * batch test (q297): the complete-mode state IS the per-(source,
+    * lang, length-band) contingency-cell grid (categorical-domain-sized,
+    * NOT row-sized), maintained by ONE always-mergeable count aggregate;
+    * the readout is the SHARED
+    * [[graft.operators.Metrics.chiSqFromCells]], so drained == batch
+    * bit-for-bit and q297's oracle serves both. The standing form of
+    * "alert when language stops being independent of document length in
+    * this ingest" — a live association monitor over the same two columns
+    * the batch screen reads. Eager checkpoint: the readout layers the
+    * marginal cross join over the memory-sink lineage. */
+  def streamingChiSquare(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_chisq"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val grid = spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir(dir, "documents"))
+      .filter(col("source").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      // identical band derivation to the batch q297 (least caps the
+      // categorical domain at 5 bands — the bounded-grid contract)
+      .withColumn("__b", least(expr("n_chars div 400"), lit(4L)))
+      .groupBy(col("source"), col("lang").as("__a"), col("__b"))
+      .agg(count(lit(1)).as("__c"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.chiSqFromCells(
+        spark.table(name).localCheckpoint(true), Seq("source"))
+      .orderBy("source")
+  }
 }

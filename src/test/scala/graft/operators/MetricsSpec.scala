@@ -725,6 +725,37 @@ class MetricsSpec extends SparkSpec {
     assert(v >= 0L && v <= 1000000L, s"nmi=$v")
   }
 
+  test("chiSquareIndependence: hand-computed 2x2; zero cells contribute; df-0 null") {
+    // k: O = [[10,20],[30,40]] -> N=100, R=(30,70), C=(40,60)
+    // terms (N*O - R*C)^2/(N*R*C): 1/3, 2/9, 1/7, 2/21 -> e6 quantized
+    // 333333 + 222222 + 142857 + 95238 = 793650; df 1, crit 38415
+    val k = Seq.fill(10)(("k", "x", "p")) ++ Seq.fill(20)(("k", "x", "q")) ++
+      Seq.fill(30)(("k", "y", "p")) ++ Seq.fill(40)(("k", "y", "q"))
+    // z: perfect association with EMPTY off-diagonal cells — every cell
+    // (observed and zero) contributes 2.5, chi2 = 10 = N. A cells-only
+    // sum would read 5.0: this pins the zero-cell contract.
+    val z = Seq.fill(5)(("z", "x", "p")) ++ Seq.fill(5)(("z", "y", "q"))
+    // o: single a level -> df 0 -> null statistic and verdict
+    val o = Seq.fill(4)(("o", "x", "p")) ++ Seq.fill(4)(("o", "x", "q"))
+    val out = Metrics.chiSquareIndependence((k ++ z ++ o).toDF("k", "a", "b"),
+      Seq("k"), "a", "b").collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("k").getAs[Long]("chi2_e6") == 793650L)
+    assert(out("k").getAs[Long]("dof") == 1L)
+    assert(out("k").getAs[Long]("crit5_e4") == 38415L)
+    assert(!out("k").getAs[Boolean]("significant"))
+    assert(out("z").getAs[Long]("chi2_e6") == 10000000L)
+    assert(out("z").getAs[Boolean]("significant"))
+    val ro = out("o")
+    assert(ro.getAs[Long]("r_levels") == 1L && ro.getAs[Long]("dof") == 0L)
+    assert(ro.get(ro.fieldIndex("chi2_e6")) == null)
+    assert(ro.get(ro.fieldIndex("significant")) == null)
+    // null category rows drop (and a null key is not a key)
+    val withNull = Seq(("n", Some("x"), Some("p")), ("n", None, Some("q")),
+      (null: String, Some("x"), Some("p"))).toDF("k", "a", "b")
+    val rn = Metrics.chiSquareIndependence(withNull, Seq("k"), "a", "b").collect()
+    assert(rn.length == 1 && rn.head.getAs[Long]("n") == 1L)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")

@@ -428,6 +428,32 @@ class DiagnosticsSpec extends SparkSpec {
     assert(c.get(c.fieldIndex("z_e4")) == null)
   }
 
+  test("durbinWatson: hand-computed bands; perfect line null; short series absent") {
+    // a = [1,3,2]: slope 1/2, residuals (-1/2, 1, -1/2); scaled
+    // E = 24y - 48 - 6u = (-12, 24, -12), DW = 2592/864 = 3.0 exactly
+    // -> 3000000, > 2.5 -> negative
+    val a = Seq(("a", 1L, 1L), ("a", 2L, 3L), ("a", 3L, 2L))
+    // hump [0,5,10,10,5,0]: slope 0, residuals y - 5; E = 420y - 2100,
+    // DW = 17640000/17640000 = 1.0 -> 1000000, < 1.5 -> positive
+    val ramp = Seq(0L, 5L, 10L, 10L, 5L, 0L).zipWithIndex
+      .map { case (v, i) => ("r", (i + 1).toLong, v) }
+    // perfect line -> all residuals exactly 0 -> null dw, null verdict
+    val line = (1 to 5).map(t => ("p", t.toLong, 7L * t))
+    // n = 2 -> no row (DW undefined)
+    val short = Seq(("s", 1L, 1L), ("s", 2L, 9L))
+    val out = Diagnostics.durbinWatson(
+        (a ++ ramp ++ line ++ short).toDF("k", "t", "v"), Seq("k"), "t", "v")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(!out.contains("s"))
+    assert(out("a").getAs[Long]("dw_e6") == 3000000L)
+    assert(out("a").getAs[String]("autocorr") == "negative")
+    assert(out("r").getAs[Long]("dw_e6") == 1000000L)
+    assert(out("r").getAs[String]("autocorr") == "positive")
+    val p = out("p")
+    assert(p.get(p.fieldIndex("dw_e6")) == null)
+    assert(p.get(p.fieldIndex("autocorr")) == null)
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2

@@ -384,6 +384,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingChiSquare: drained contingency grid gives the batch test exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n"),
+        r.getAs[Long]("dof"), r.get(r.fieldIndex("chi2_e6")),
+        r.get(r.fieldIndex("significant")))).toSeq
+    val streamed = rows(StreamingCollapse.streamingChiSquare(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q297_x_chi_square")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingKaplanMeier: drained (min, max) state gives the batch curve exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
