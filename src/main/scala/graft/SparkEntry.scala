@@ -3696,7 +3696,24 @@ object SparkEntry {
                 "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
               .as("cents")),
           Seq("o_orderpriority"), "month", "cents")
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // ---- extension: Kendall tau-b — do busier months carry pricier
+    // orders, per priority (concordance rank correlation with the
+    // exact tie-corrected variance; q230's Spearman reads rank-linear
+    // association, tau weighs every discordant PAIR); exact integer
+    // S and tie sums, fixed double tau/z trees
+    "q300_x_kendall_tau" -> tuned((s, d) =>
+      graft.stats.Diagnostics.kendallTau(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(count(lit(1)).as("n_orders"),
+              expr(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
+                .as("cents")),
+          Seq("o_orderpriority"), "n_orders", "cents")
+        .orderBy("key"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10106,6 +10123,64 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same monthly (count, integer-mean) grid, the pair self-join
+    // sign products, the IDENTICAL tie sums and tau/z double trees
+    "q300_x_kendall_tau" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+        |           // count(*) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |p AS (SELECT a.k,
+        |        (CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END)
+        |        * (CASE WHEN b.y > a.y THEN 1 WHEN b.y < a.y THEN -1 ELSE 0 END)
+        |          AS sg
+        |      FROM m a JOIN m b ON a.k = b.k AND b.month > a.month),
+        |s AS (SELECT k, CAST(coalesce(sum(sg), 0) AS BIGINT) AS s
+        |      FROM p GROUP BY k),
+        |n AS (SELECT k, CAST(count(*) AS BIGINT) AS n FROM m GROUP BY k),
+        |tx AS (SELECT k, CAST(sum(c*(c-1)) AS BIGINT) AS x2,
+        |         CAST(sum(c*(c-1)*(2*c+5)) AS BIGINT) AS x25,
+        |         CAST(sum(c*(c-1)*(c-2)) AS BIGINT) AS x3
+        |       FROM (SELECT k, x, CAST(count(*) AS BIGINT) AS c FROM m
+        |             GROUP BY k, x HAVING count(*) > 1) GROUP BY k),
+        |ty AS (SELECT k, CAST(sum(c*(c-1)) AS BIGINT) AS y2,
+        |         CAST(sum(c*(c-1)*(2*c+5)) AS BIGINT) AS y25,
+        |         CAST(sum(c*(c-1)*(c-2)) AS BIGINT) AS y3
+        |       FROM (SELECT k, y, CAST(count(*) AS BIGINT) AS c FROM m
+        |             GROUP BY k, y HAVING count(*) > 1) GROUP BY k),
+        |v AS (SELECT n.k, n.n, s.s,
+        |        coalesce(tx.x2, 0) AS x2, coalesce(tx.x25, 0) AS x25,
+        |        coalesce(tx.x3, 0) AS x3, coalesce(ty.y2, 0) AS y2,
+        |        coalesce(ty.y25, 0) AS y25, coalesce(ty.y3, 0) AS y3
+        |      FROM n JOIN s ON n.k = s.k
+        |      LEFT JOIN tx ON n.k = tx.k LEFT JOIN ty ON n.k = ty.k
+        |      WHERE n.n >= 3),
+        |d AS (SELECT *, n*(n-1)//2 - x2//2 AS dx, n*(n-1)//2 - y2//2 AS dy
+        |      FROM v),
+        |r AS (SELECT k, CAST(n AS INT) AS n_obs, s AS s_stat,
+        |        CASE WHEN dx > 0 AND dy > 0 THEN
+        |          CAST(floor(CAST(s AS DOUBLE)
+        |            / sqrt(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE))
+        |            * 1000000 + 0.5) AS BIGINT) END AS tau_b_e6,
+        |        CASE WHEN dx > 0 AND dy > 0 THEN
+        |          CAST(n*(n-1)*(2*n+5) - x25 - y25 AS DOUBLE) / 18.0
+        |          + CAST(x3 AS DOUBLE) * CAST(y3 AS DOUBLE)
+        |            / (9.0 * n * (n-1) * (n-2))
+        |          + CAST(x2 AS DOUBLE) * CAST(y2 AS DOUBLE)
+        |            / (2.0 * n * (n-1)) END AS var
+        |      FROM d),
+        |r2 AS (SELECT k, n_obs, s_stat, tau_b_e6,
+        |         CASE WHEN var > 0 THEN
+        |           CAST(floor(CAST(s_stat AS DOUBLE) / sqrt(var)
+        |             * 10000 + 0.5) AS BIGINT) END AS z_e4
+        |       FROM r)
+        |SELECT k AS key, n_obs, s_stat, tau_b_e6, z_e4,
+        |  CASE WHEN z_e4 IS NOT NULL THEN abs(z_e4) > 19600 END AS significant
+        |FROM r2 ORDER BY key""".stripMargin),
 
     // the same monthly integer-mean series, the IDENTICAL scaled
     // residual E = n*D*y - D*Sy - n*N*u over HUGEINT windows, the same

@@ -485,6 +485,96 @@ object Diagnostics {
       .drop("__see", "__sdd")
   }
 
+  private val ktSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("s_stat", LongType),
+    StructField("tau_b_e6", LongType),
+    StructField("z_e4", LongType),
+    StructField("significant", BooleanType)))
+
+  /** Per-key Kendall τ-b between two paired numeric columns — the
+    * concordance rank correlation: [[mannKendall]] IS Kendall's S of
+    * (time, value); this generalizes the pairing to ANY (x, y) and adds
+    * the tie-corrected τ-b normalization, reading association strength
+    * where [[graft.operators.Profile.spearman]] reads rank-linear
+    * correlation (τ weighs every discordant PAIR equally — more robust
+    * to a few extreme ranks, and its z has an exact small-sample tie
+    * correction Spearman's t-approximation lacks).
+    * `τ_b = S/√((n₀−t_x)(n₀−t_y))` with `S = Σ_{i<j} sgn(Δx)·sgn(Δy)`,
+    * `n₀ = n(n−1)/2`, tie sums per duplicated value; the z uses the
+    * standard tie-corrected variance (scipy's kendalltau form, no
+    * continuity correction — documented convention):
+    * `Var = (v₀−v_t−v_u)/18 + x₃y₃/(9n(n−1)(n−2)) + x₂y₂/(2n(n−1))`.
+    *
+    * Exactness: S and every tie sum (`Σt(t−1)`, `Σt(t−1)(2t+5)`,
+    * `Σt(t−1)(t−2)`) are EXACT integers; τ and z are fixed double trees
+    * over them (each product casts its factors to double FIRST — the
+    * 2⁶³ discipline), e6/e4-quantized, verdict on the ROUNDED |z|.
+    * Values must be integer-quantized upstream (doubles stay exact to
+    * 2⁵³). Constant x or y (a zero τ denominator) emits null τ/z.
+    *
+    * Scale shape: [[mannKendall]]'s — the O(n²) pair walk runs per key
+    * inside its executor (monthly grids are ~10²; a merge-sort
+    * inversion count drops it to O(n log n) if ever needed), a million
+    * keys = a million independent kernels. Output: `(key, n_obs,
+    * s_stat, tau_b_e6, z_e4, significant)`; keys with n < 3 emit
+    * nothing. */
+  def kendallTau(df: DataFrame, keyCols: Seq[String], xCol: String,
+                 yCol: String): DataFrame = {
+    slim(df, keyCols, xCol, yCol, exogCol = Some(xCol))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val (y, x) = Diagnostics.seriesX(it)
+        val n = y.length
+        if (n < 3) Iterator.empty
+        else {
+          var s = 0L
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val sx = java.lang.Double.compare(x(j), x(i)).sign
+              val sy = java.lang.Double.compare(y(j), y(i)).sign
+              s += (sx * sy).toLong
+              j += 1
+            }
+            i += 1
+          }
+          def tieSums(v: Array[Double]): (Long, Long, Long) =
+            v.groupBy(identity).valuesIterator
+              .map(_.length.toLong).filter(_ > 1)
+              .foldLeft((0L, 0L, 0L)) { case ((a2, a25, a3), t) =>
+                (a2 + t * (t - 1), a25 + t * (t - 1) * (2 * t + 5),
+                  a3 + t * (t - 1) * (t - 2))
+              }
+          val (x2, x25, x3) = tieSums(x)
+          val (y2, y25, y3) = tieSums(y)
+          val nL = n.toLong
+          val n0 = nL * (nL - 1) / 2
+          val dx = n0 - x2 / 2
+          val dy = n0 - y2 / 2
+          if (dx <= 0 || dy <= 0)
+            Iterator.single(Row(key, n, s, null, null, null))
+          else {
+            val tau = s.toDouble / math.sqrt(dx.toDouble * dy.toDouble)
+            val v0 = nL * (nL - 1) * (2 * nL + 5)
+            val varS = (v0 - x25 - y25).toDouble / 18.0 +
+              x3.toDouble * y3.toDouble /
+                (9.0 * nL * (nL - 1) * (nL - 2)) +
+              x2.toDouble * y2.toDouble / (2.0 * nL * (nL - 1))
+            val tauE6 = math.floor(tau * 1e6 + 0.5).toLong
+            if (varS <= 0) Iterator.single(Row(key, n, s, tauE6, null, null))
+            else {
+              val zE4 = math.floor(s.toDouble / math.sqrt(varS) * 1e4 + 0.5).toLong
+              Iterator.single(Row(key, n, s, tauE6, zE4, math.abs(zE4) > 19600L))
+            }
+          }
+        }
+      }(Encoders.row(ktSchema))
+      .toDF()
+  }
+
   /** Exact two-sided sign test per key — "did this series go up more
     * often than chance" with NO distributional assumption and an EXACT
     * binomial p-value (the nonparametric screen under [[mannKendall]]'s

@@ -454,6 +454,30 @@ class DiagnosticsSpec extends SparkSpec {
     assert(p.get(p.fieldIndex("autocorr")) == null)
   }
 
+  test("kendallTau: hand-computed tie-free and tied cases; constant null; short absent") {
+    // k: (1,1),(2,3),(3,2),(4,4): S = 4, n0 = 6, tau = 2/3 -> 666667;
+    // v0 = 156, var = 156/18, z = 4/2.9439203 = 1.3587 -> 13587
+    val k = Seq(("k", 1L, 1L), ("k", 2L, 3L), ("k", 3L, 2L), ("k", 4L, 4L))
+    // t: x=[1,1,2,3], y=[5,7,5,9]: S = 2, dx = dy = 5, tau = 0.4;
+    // var = 120/18 + 0 + 4/24 = 6.8333..., z = 0.76510 -> 7651
+    val t = Seq(("t", 1L, 5L), ("t", 1L, 7L), ("t", 2L, 5L), ("t", 3L, 9L))
+    val c = Seq(("c", 1L, 5L), ("c", 2L, 5L), ("c", 3L, 5L))
+    val s = Seq(("s", 1L, 1L), ("s", 2L, 2L))
+    val out = Diagnostics.kendallTau((k ++ t ++ c ++ s).toDF("g", "x", "y"),
+      Seq("g"), "x", "y").collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(!out.contains("s"))
+    assert(out("k").getAs[Long]("s_stat") == 4L)
+    assert(out("k").getAs[Long]("tau_b_e6") == 666667L)
+    assert(out("k").getAs[Long]("z_e4") == 13587L)
+    assert(!out("k").getAs[Boolean]("significant"))
+    assert(out("t").getAs[Long]("s_stat") == 2L)
+    assert(out("t").getAs[Long]("tau_b_e6") == 400000L)
+    assert(out("t").getAs[Long]("z_e4") == 7651L)
+    val rc = out("c")
+    assert(rc.get(rc.fieldIndex("tau_b_e6")) == null)
+    assert(rc.get(rc.fieldIndex("z_e4")) == null)
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2
