@@ -3713,7 +3713,28 @@ object SparkEntry {
                 "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
                 .as("cents")),
           Seq("o_orderpriority"), "n_orders", "cents")
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // ---- extension: EMD + Hellinger histogram drift — how FAR did the
+    // A/B value distributions move (transport cost, value units) and
+    // how much do they still overlap (bounded geometric), per event
+    // type: the two axes KS/CvM/PSI don't read; exact cross-multiplied
+    // CDF integral, per-cell e9 Bhattacharyya terms
+    "q301_x_hist_drift" -> tuned((s, d) =>
+      graft.operators.Metrics.histogramDrift(
+          Tables.events(s, d)
+            .withColumn("variant",
+              when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+            .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+          Seq("event_type"), "variant", "cents", "A", "B")
+        .orderBy("event_type")),
+
+    // ---- extension: streaming EMD/Hellinger twin — q301's standing
+    // distance monitor: complete-mode state IS the value-grid side
+    // counts, readout via the SHARED histDriftFromGrid; drained ==
+    // batch, one oracle
+    "q302_x_stream_hist_drift" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingHistDrift(s, d))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -4627,7 +4648,8 @@ object SparkEntry {
       "q285_x_stream_cvm" -> m("q281_x_cramer_von_mises"),
       "q290_x_stream_best_split" -> m("q282_x_best_split"),
       "q293_x_stream_sprt" -> m("q292_x_sprt"),
-      "q298_x_stream_chi_square" -> m("q297_x_chi_square"))
+      "q298_x_stream_chi_square" -> m("q297_x_chi_square"),
+      "q302_x_stream_hist_drift" -> m("q301_x_hist_drift"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -10123,6 +10145,57 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same value grid and A/B derivation as q281, the IDENTICAL
+    // cross-multiplied |cumA*nb - cumB*na|*dv EMD integral and per-cell
+    // e9 Bhattacharyya terms, clamp-before-sqrt Hellinger
+    "q301_x_hist_drift" ->
+      ("""WITH e AS (
+        |  SELECT event_type AS k,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |           CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS ca,
+        |           CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS cb
+        |         FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(sum(ca) OVER (PARTITION BY k ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cuma,
+        |        CAST(sum(cb) OVER (PARTITION BY k ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |          AS cumb,
+        |        CAST(sum(ca) OVER (PARTITION BY k) AS BIGINT) AS na,
+        |        CAST(sum(cb) OVER (PARTITION BY k) AS BIGINT) AS nb,
+        |        coalesce(lead(v) OVER (PARTITION BY k ORDER BY v) - v, 0)
+        |          AS dv
+        |      FROM grid),
+        |t AS (SELECT k, na, nb,
+        |        abs(CAST(cuma AS HUGEINT) * nb - CAST(cumb AS HUGEINT) * na)
+        |          * dv AS emdt,
+        |        CASE WHEN na > 0 AND nb > 0 THEN
+        |          CAST(floor(sqrt(CAST(ca AS DOUBLE) * cb
+        |              / (CAST(na AS DOUBLE) * nb))
+        |            * 1000000000 + 0.5) AS BIGINT)
+        |        ELSE CAST(0 AS BIGINT) END AS bct
+        |      FROM w),
+        |a AS (SELECT k, max(na) AS n_a, max(nb) AS n_b,
+        |        sum(emdt) AS emd, CAST(sum(bct) AS BIGINT) AS bc
+        |      FROM t GROUP BY 1)
+        |SELECT k AS event_type, n_a, n_b,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(floor(CAST(emd AS DOUBLE)
+        |      / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) END AS emd_e6,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN bc END AS bc_e9,
+        |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |    CAST(floor(sqrt(CAST(greatest(0, 1000000000 - bc) AS DOUBLE)
+        |        / 1000000000.0)
+        |      * 1000000 + 0.5) AS BIGINT) END AS hellinger_e6
+        |FROM a ORDER BY event_type""".stripMargin),
 
     // the same monthly (count, integer-mean) grid, the pair self-join
     // sign products, the IDENTICAL tie sums and tau/z double trees

@@ -546,6 +546,97 @@ object Metrics {
       .drop("__u")
   }
 
+  /** Per-key A/B histogram drift DISTANCES — 1-D earth-mover (Wasserstein-1)
+    * and Hellinger, the two axes the existing drift family doesn't read:
+    * [[ksDrift]] takes the MAX CDF gap (one bad bin dominates),
+    * [[cramerVonMises]] integrates SQUARED gaps (rank-weighted),
+    * [[psiFromCounts]] is log-ratio (explodes on near-empty bins) —
+    * EMD is the mass-transport cost in VALUE units ("how far did the
+    * distribution move", the metric regression alarms want) and
+    * Hellinger is the bounded [0, 1] geometric overlap (stable when
+    * bins empty out, unlike PSI). `W₁ = Σᵢ |F_A(vᵢ) − F_B(vᵢ)|·Δvᵢ`,
+    * `H = √(1 − Σᵢ √(pᵢqᵢ))`.
+    *
+    * Exactness: the EMD numerator is the EXACT DECIMAL integer
+    * `Σ |cumA·n_B − cumB·n_A|·Δv` (cross-multiplied CDFs — the ksDrift
+    * discipline), ONE division e6-quantized; the Bhattacharyya terms
+    * `√(c_A·c_B/(n_A·n_B))` are each ONE fixed double tree e9-quantized
+    * to BIGINT before the order-independent sum (the nmiFromCells
+    * discipline), and `H` is one tree over the ALREADY-QUANTIZED
+    * integer BC, clamped at 0 before the sqrt (quantization can push
+    * identical distributions a hair past 1). No proportion float ever
+    * crosses a row boundary.
+    *
+    * Scale shape: value-grid-shaped after the map-side-combined cell
+    * aggregate (bin continuous values upstream — the q281 contract);
+    * ONE sort per key shared by the cumulative and lead windows.
+    * Output: `(keys…, n_a, n_b, emd_e6, bc_e9, hellinger_e6)`; a key
+    * with an empty side emits nulls. */
+  def histogramDrift(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                     valueCol: String, groupA: String,
+                     groupB: String): DataFrame = {
+    require(keyCols.nonEmpty, "histogramDrift needs at least one key column")
+    val k = keyCols.map(col)
+    val g = col(groupCol)
+    val x = col(valueCol).cast("long")
+    val inA = g === groupA
+    val inB = g === groupB
+    val grid = dropNullKeys(df, keyCols)
+      .filter((inA || inB) && g.isNotNull && x.isNotNull)
+      .groupBy(k :+ x.as("__v"): _*)
+      .agg(sum(when(inA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(inB, 1L).otherwise(0L)).as("__cb"))
+    histDriftFromGrid(grid, keyCols)
+  }
+
+  /** The EMD + Hellinger readout over a per-(key, __v) side-count grid
+    * (`__ca`, `__cb`) — ONE definition shared by the batch operator and
+    * the streaming twin (whose complete-mode state IS this grid), the
+    * [[cvmFromGrid]] convention. */
+  def histDriftFromGrid(grid: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
+    val wOrd = Window.partitionBy(k: _*).orderBy(col("__v"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+      .withColumn("__dv",
+        coalesce(lead(col("__v"), 1).over(wOrd) - col("__v"), lit(0L)))
+      .withColumn("__emdt", expr(
+        """abs(cast(__cuma as decimal(38,0)) * __nb
+          |    - cast(__cumb as decimal(38,0)) * __na) * __dv""".stripMargin
+          .replaceAll("\n", " ")))
+      .withColumn("__bct", expr(
+        """case when __na > 0 and __nb > 0 then
+          |  cast(floor(sqrt(cast(__ca as double) * __cb
+          |      / (cast(__na as double) * __nb))
+          |    * 1000000000 + 0.5) as bigint)
+          |else cast(0 as bigint) end""".stripMargin))
+      .groupBy(k: _*)
+      .agg(max(col("__na")).as("n_a"), max(col("__nb")).as("n_b"),
+        sum(col("__emdt")).as("__emd"), sum(col("__bct")).as("bc_e9"))
+      .withColumn("emd_e6", expr(
+        """case when n_a > 0 and n_b > 0 then
+          |  cast(floor(cast(__emd as double)
+          |    / (cast(n_a as double) * cast(n_b as double))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .withColumn("bc_e9",
+        when(col("n_a") > 0 && col("n_b") > 0, col("bc_e9")))
+      .withColumn("hellinger_e6", expr(
+        """case when n_a > 0 and n_b > 0 then
+          |  cast(floor(sqrt(cast(greatest(0, 1000000000 - bc_e9) as double)
+          |      / 1000000000.0)
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .select(k :+ col("n_a") :+ col("n_b") :+ col("emd_e6") :+
+        col("bc_e9") :+ col("hellinger_e6"): _*)
+  }
+
   /** Per-key one-way ANOVA F over an integer value column — the
     * k-GROUP extension of [[welchTTest]] (equal-variance, classic
     * Fisher form): `F = (SSB/(k−1)) / (SSW/(n−k))` with

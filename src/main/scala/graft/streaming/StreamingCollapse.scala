@@ -1191,6 +1191,40 @@ object StreamingCollapse {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Streaming EMD + Hellinger drift maintenance — the standing twin of
+    * the batch distance readout (q301): the complete-mode state IS the
+    * per-(key, value) side-count grid (value-grid-sized — bin continuous
+    * values upstream, the batch contract), maintained by ONE
+    * always-mergeable count aggregate; the readout is the SHARED
+    * [[graft.operators.Metrics.histDriftFromGrid]], so drained == batch
+    * bit-for-bit and q301's oracle serves both. The standing form of
+    * "alert when the A/B value distributions MOVE (transport cost) or
+    * stop overlapping (Hellinger)" — the two axes the standing CvM/PSI
+    * monitors don't read. Eager checkpoint: the readout layers three
+    * windows over the memory-sink lineage. */
+  def streamingHistDrift(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_histdrift"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val grid = eventsStream(spark, dir)
+      .filter(col("value").isNotNull && col("event_type").isNotNull)
+      .withColumn("__v", floor(col("value") * 100 + 0.5).cast("long"))
+      // identical A/B derivation to the batch q301 (null user_id -> B,
+      // the q281 CASE/otherwise convention both engines share)
+      .withColumn("__side",
+        when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+      .groupBy(col("event_type"), col("__v"))
+      .agg(sum(when(col("__side") === "A", 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__side") === "B", 1L).otherwise(0L)).as("__cb"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.histDriftFromGrid(
+        spark.table(name).localCheckpoint(true), Seq("event_type"))
+      .orderBy("event_type")
+  }
+
   /** Streaming χ²-independence maintenance — the standing twin of the
     * batch test (q297): the complete-mode state IS the per-(source,
     * lang, length-band) contingency-cell grid (categorical-domain-sized,

@@ -756,6 +756,33 @@ class MetricsSpec extends SparkSpec {
     assert(rn.length == 1 && rn.head.getAs[Long]("n") == 1L)
   }
 
+  test("histogramDrift: hand-computed EMD shift and Hellinger overlap; empty side null") {
+    // k: A = {0,0,10,10}, B = {10,10,20,20} — B is A shifted by 10:
+    // EMD = .5*10 + .5*10 = 10 -> 10000000; BC = sqrt(4/16) = .5 ->
+    // 500000000; H = sqrt(.5) = 0.7071068 -> 707107
+    val k = Seq(("k", "A", 0L), ("k", "A", 0L), ("k", "A", 10L), ("k", "A", 10L),
+      ("k", "B", 10L), ("k", "B", 10L), ("k", "B", 20L), ("k", "B", 20L))
+    // i: identical sides -> EMD 0, BC exactly 1e9, H clamps to 0
+    val i = Seq(("i", "A", 1L), ("i", "A", 1L), ("i", "A", 1L),
+      ("i", "B", 1L), ("i", "B", 1L), ("i", "B", 1L))
+    // o: one empty side -> null distances
+    val o = Seq(("o", "A", 5L), ("o", "A", 6L))
+    val out = Metrics.histogramDrift((k ++ i ++ o).toDF("g", "side", "v"),
+      Seq("g"), "side", "v", "A", "B")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("k").getAs[Long]("n_a") == 4L && out("k").getAs[Long]("n_b") == 4L)
+    assert(out("k").getAs[Long]("emd_e6") == 10000000L)
+    assert(out("k").getAs[Long]("bc_e9") == 500000000L)
+    assert(out("k").getAs[Long]("hellinger_e6") == 707107L)
+    assert(out("i").getAs[Long]("emd_e6") == 0L)
+    assert(out("i").getAs[Long]("bc_e9") == 1000000000L)
+    assert(out("i").getAs[Long]("hellinger_e6") == 0L)
+    val ro = out("o")
+    assert(ro.get(ro.fieldIndex("emd_e6")) == null)
+    assert(ro.get(ro.fieldIndex("bc_e9")) == null)
+    assert(ro.get(ro.fieldIndex("hellinger_e6")) == null)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")

@@ -384,6 +384,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingHistDrift: drained value grid gives the batch distances exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_a"),
+        r.getAs[Long]("n_b"), r.get(r.fieldIndex("emd_e6")),
+        r.get(r.fieldIndex("hellinger_e6")))).toSeq
+    val streamed = rows(StreamingCollapse.streamingHistDrift(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q301_x_hist_drift")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingChiSquare: drained contingency grid gives the batch test exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
