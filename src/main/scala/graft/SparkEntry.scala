@@ -3734,7 +3734,24 @@ object SparkEntry {
     // counts, readout via the SHARED histDriftFromGrid; drained ==
     // batch, one oracle
     "q302_x_stream_hist_drift" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingHistDrift(s, d))
+      graft.streaming.StreamingCollapse.streamingHistDrift(s, d)),
+
+    // ---- extension: ranking eval — nDCG@10 + MRR@10 of a length-score
+    // ranking against graded language relevance, per source (closes the
+    // retrieval loop: q255 ranks, this scores the ranking); inlined
+    // e12 discount table, exact integer DCG/IDCG sums, thinned
+    // candidate lists (doc_id % 37) per the bounded-list contract
+    "q303_x_ndcg_mrr" -> tuned((s, d) =>
+      graft.text.Retrieval.rankingMetrics(
+          Tables.documents(s, d)
+            .filter(pmod(col("doc_id"), lit(37L)) === 0 &&
+              col("n_chars").isNotNull)
+            .withColumn("rel",
+              when(col("lang") === "en", 2L)
+                .when(col("lang").isin("de", "fr"), 1L)
+                .otherwise(0L)),
+          Seq("source"), "doc_id", "n_chars", "rel")
+        .orderBy("source"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10144,6 +10161,44 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the same thinned candidates and rel CASE, the IDENTICAL inlined
+    // e12 discount CASE in both engines (ndcgDiscountSql — one
+    // generator), exact integer DCG/IDCG sums, the same mrr tree
+    "q303_x_ndcg_mrr" -> {
+      val disc = graft.text.Retrieval.ndcgDiscountSql("r", 10)
+      val discI = graft.text.Retrieval.ndcgDiscountSql("ri", 10)
+      s"""WITH c AS (
+        |  SELECT source, doc_id, n_chars AS s,
+        |         CASE WHEN lang = 'en' THEN 2
+        |              WHEN lang IN ('de', 'fr') THEN 1 ELSE 0 END AS rel
+        |  FROM documents
+        |  WHERE doc_id % 37 = 0 AND n_chars IS NOT NULL
+        |    AND source IS NOT NULL AND doc_id IS NOT NULL),
+        |w AS (SELECT source, rel,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY s DESC, doc_id ASC) AS r,
+        |        row_number() OVER (PARTITION BY source
+        |          ORDER BY rel DESC, doc_id ASC) AS ri
+        |      FROM c),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(rel * ($disc)) AS BIGINT) AS dcg_num_e12,
+        |        CAST(sum(rel * ($discI)) AS BIGINT) AS idcg_num_e12,
+        |        min(CASE WHEN r <= 10 AND rel > 0 THEN CAST(r AS BIGINT) END)
+        |          AS first_rel_rank
+        |      FROM w GROUP BY 1)
+        |SELECT source, n_docs, dcg_num_e12, idcg_num_e12,
+        |  CASE WHEN idcg_num_e12 > 0 THEN
+        |    CAST(floor(CAST(dcg_num_e12 AS DOUBLE)
+        |      / CAST(idcg_num_e12 AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+        |  END AS ndcg_e6,
+        |  first_rel_rank,
+        |  CASE WHEN first_rel_rank IS NOT NULL THEN
+        |    CAST(floor(1000000.0 / CAST(first_rel_rank AS DOUBLE) + 0.5)
+        |         AS BIGINT)
+        |  ELSE CAST(0 AS BIGINT) END AS mrr_e6
+        |FROM a ORDER BY source""".stripMargin
     },
 
     // the same value grid and A/B derivation as q281, the IDENTICAL

@@ -193,4 +193,83 @@ object Retrieval {
       .select("cand_id", "ref_id", "n_overlap", "n_cand", "n_ref",
         "p_e6", "r_e6", "f_e6")
   }
+
+  /** nDCG@k discount factors `1/log₂(r+1)` for ranks 1…k, e12-quantized
+    * — generated driver-side once and INLINED into both engines (the
+    * dftTableE15 / chi2Crit95E4 convention), so no query-time log
+    * executes anywhere and every rel·discount product is an EXACT
+    * integer. */
+  def ndcgDiscountsE12(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r =>
+      math.floor(1e12 / (math.log(r + 1.0) / math.log(2.0)) + 0.5).toLong)
+
+  /** The discount lookup as a SQL CASE over `rankExpr` — ONE generator
+    * shared by the Spark readout and the DuckDB oracle replay. */
+  def ndcgDiscountSql(rankExpr: String, k: Int): String =
+    ndcgDiscountsE12(k).zipWithIndex
+      .map { case (v, i) => s"when $rankExpr = ${i + 1} then $v" }
+      .mkString("case ", " ", " else 0 end")
+
+  /** Per-query ranking-quality eval — nDCG@k and MRR@k of a scored
+    * candidate list against graded relevance labels: the readout that
+    * closes the retrieval loop ([[bm25TopK]] / the ANN stack produce
+    * rankings; this scores them). `DCG@k = Σ_{r≤k} rel_r/log₂(r+1)`,
+    * `nDCG = DCG/IDCG` (ideal = relevance-sorted), `MRR = 1/rank` of
+    * the first relevant hit in the top k (0 when none — the standard
+    * eval convention, distinct from "no candidates" which emits no
+    * row).
+    *
+    * Exactness: with the [[ndcgDiscountsE12]] table inlined, every
+    * DCG/IDCG term `rel·disc_e12` is an exact integer and both sums
+    * are order-independent exact BIGINTs; nDCG is ONE double division
+    * e6-quantized; MRR is `⌊10⁶/rank + ½⌋` (rank ≤ k keeps the double
+    * exact). Ranking ties break by ascending `docCol` — the
+    * deterministic-rank contract both engines share; the IDEAL ranking
+    * ties the same way (tie order cannot change IDCG: equal rel ⇒
+    * equal term).
+    *
+    * Scale shape: two per-query row_number windows sharing one
+    * partitioning (candidate-list-sized by the retrieval contract —
+    * ≤ a few hundred rows per query; for corpus-bounded lists pool
+    * through [[graft.operators.TopK.perKeyAgg]] FIRST, the q255 heap
+    * dial), then one map-side-combined aggregate. Output: `(keys…,
+    * n_docs, dcg_num_e12, idcg_num_e12, ndcg_e6, first_rel_rank,
+    * mrr_e6)`; keys with zero relevant docs anywhere emit null nDCG
+    * (IDCG 0) and mrr 0. */
+  def rankingMetrics(df: DataFrame, keyCols: Seq[String], docCol: String,
+                     scoreCol: String, relCol: String, k: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "rankingMetrics needs at least one key column")
+    require(k >= 1 && k <= 100, s"k must be in [1, 100], got $k")
+    val keys = keyCols.map(col)
+    val wScore = Window.partitionBy(keys: _*)
+      .orderBy(col(scoreCol).desc, col(docCol).asc)
+    val wIdeal = Window.partitionBy(keys: _*)
+      .orderBy(col(relCol).desc, col(docCol).asc)
+    val disc = ndcgDiscountSql("__r", k)
+    val discI = ndcgDiscountSql("__ri", k)
+    Cols.dropNullKeys(df, keyCols)
+      .filter(col(docCol).isNotNull && col(scoreCol).isNotNull &&
+        col(relCol).isNotNull)
+      .withColumn("__rel", col(relCol).cast("long"))
+      .withColumn("__r", row_number().over(wScore))
+      .withColumn("__ri", row_number().over(wIdeal))
+      .withColumn("__dt", expr(s"__rel * ($disc)"))
+      .withColumn("__it", expr(s"__rel * ($discI)"))
+      .groupBy(keys: _*)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__dt")).as("dcg_num_e12"),
+        sum(col("__it")).as("idcg_num_e12"),
+        min(when(col("__r") <= k && col("__rel") > 0, col("__r").cast("long")))
+          .as("first_rel_rank"))
+      .withColumn("ndcg_e6", expr(
+        """case when idcg_num_e12 > 0 then
+          |  cast(floor(cast(dcg_num_e12 as double)
+          |    / cast(idcg_num_e12 as double) * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .withColumn("mrr_e6", expr(
+        """case when first_rel_rank is not null then
+          |  cast(floor(1000000.0 / cast(first_rel_rank as double) + 0.5)
+          |       as bigint)
+          |else cast(0 as bigint) end""".stripMargin))
+  }
 }

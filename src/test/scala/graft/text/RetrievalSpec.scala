@@ -113,6 +113,35 @@ class RetrievalSpec extends SparkSpec {
     assert(rows(hash = false).nonEmpty)
   }
 
+  test("rankingMetrics: hand-computed DCG sums; no-relevant null; beyond-k zero") {
+    // q1 ranking by score: d1(rel0), d2(rel2), d3(rel1), d4(rel2)
+    // disc_e12 = (1e12, 630929753571, 5e11, 430676558073)
+    val q1 = Seq(("q1", 1L, 90L, 0L), ("q1", 2L, 80L, 2L),
+      ("q1", 3L, 70L, 1L), ("q1", 4L, 60L, 2L))
+    val q2 = Seq(("q2", 1L, 9L, 0L), ("q2", 2L, 8L, 0L))
+    val out = Retrieval.rankingMetrics((q1 ++ q2).toDF("q", "doc", "s", "rel"),
+      Seq("q"), "doc", "s", "rel")
+      .collect().map(r => r.getAs[String]("q") -> r).toMap
+    val dcg = 2L * 630929753571L + 500000000000L + 2L * 430676558073L
+    val idcg = 2L * 1000000000000L + 2L * 630929753571L + 500000000000L
+    assert(out("q1").getAs[Long]("dcg_num_e12") == dcg)
+    assert(out("q1").getAs[Long]("idcg_num_e12") == idcg)
+    assert(out("q1").getAs[Long]("ndcg_e6") ==
+      math.floor(dcg.toDouble / idcg.toDouble * 1e6 + 0.5).toLong)
+    assert(out("q1").getAs[Long]("first_rel_rank") == 2L)
+    assert(out("q1").getAs[Long]("mrr_e6") == 500000L)
+    val r2 = out("q2")
+    assert(r2.get(r2.fieldIndex("ndcg_e6")) == null)
+    assert(r2.getAs[Long]("mrr_e6") == 0L)
+    // k = 2 with the only relevant doc at rank 3: DCG 0 but IDCG > 0
+    // -> ndcg exactly 0, mrr 0 (the "retrieved nothing useful" readout)
+    val q3 = Seq(("q3", 1L, 90L, 0L), ("q3", 2L, 80L, 0L), ("q3", 3L, 70L, 1L))
+    val r3 = Retrieval.rankingMetrics(q3.toDF("q", "doc", "s", "rel"),
+      Seq("q"), "doc", "s", "rel", k = 2).collect().head
+    assert(r3.getAs[Long]("ndcg_e6") == 0L)
+    assert(r3.getAs[Long]("mrr_e6") == 0L)
+  }
+
   test("bm25TopK: a rarer term outranks a common one at equal tf and length") {
     // 'rare' appears in 1 of 4 docs, 'common' in 3 of 4
     val docs = Seq((0L, "rare pad"), (1L, "common pad"), (2L, "common x"),
