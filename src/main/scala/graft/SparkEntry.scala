@@ -3751,6 +3751,27 @@ object SparkEntry {
                 .when(col("lang").isin("de", "fr"), 1L)
                 .otherwise(0L)),
           Seq("source"), "doc_id", "n_chars", "rel")
+        .orderBy("source")),
+
+    // ---- extension: Krippendorff alpha — do three length/token
+    // annotators agree beyond chance when one of them only labels every
+    // third document (MISSING ratings — the case Cohen/Fleiss can't
+    // read honestly); per-item (m-1)-normalized coincidence pairs,
+    // finite-sample (n-1) chance correction
+    "q304_x_krippendorff" -> tuned((s, d) =>
+      graft.operators.Metrics.krippendorffAlpha(
+          Tables.documents(s, d)
+            .filter(col("n_chars").isNotNull)
+            .withColumn("v1",
+              when(col("n_chars") > 500, "long").otherwise("short"))
+            .withColumn("v2", when(col("text").isNotNull,
+              when(graft.text.TextAnalysis.tokenCount(col("text")) > 90,
+                "long").otherwise("short")))
+            .withColumn("v3", when(pmod(col("doc_id"), lit(3L)) === 0,
+              when(col("n_chars") > 480, "long").otherwise("short")))
+            .select(col("source"), col("doc_id"),
+              expr("stack(3, v1, v2, v3) as lab")),
+          Seq("source"), "doc_id", "lab")
         .orderBy("source"))
   )
 
@@ -10162,6 +10183,59 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same three-annotator melt (q295's tokenCount replay, the
+    // every-third-doc missing rater), per-item HUGEINT coincidence
+    // terms e9-quantized, the IDENTICAL (n-1)-corrected alpha tree
+    "q304_x_krippendorff" ->
+      ("""WITH d0 AS (
+        |  SELECT source, doc_id, n_chars, text FROM documents
+        |  WHERE n_chars IS NOT NULL AND source IS NOT NULL
+        |    AND doc_id IS NOT NULL),
+        |r AS (
+        |  SELECT source, doc_id,
+        |    CASE WHEN n_chars > 500 THEN 'long' ELSE 'short' END AS lab
+        |  FROM d0
+        |  UNION ALL
+        |  SELECT source, doc_id,
+        |    CASE WHEN (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 90
+        |      THEN 'long' ELSE 'short' END
+        |  FROM d0 WHERE text IS NOT NULL
+        |  UNION ALL
+        |  SELECT source, doc_id,
+        |    CASE WHEN n_chars > 480 THEN 'long' ELSE 'short' END
+        |  FROM d0 WHERE doc_id % 3 = 0),
+        |cells AS (SELECT source AS g, doc_id AS it, lab,
+        |            CAST(count(*) AS BIGINT) AS c
+        |          FROM r GROUP BY 1, 2, 3),
+        |items AS (SELECT g, it, CAST(sum(c) AS BIGINT) AS mi,
+        |            sum(CAST(c AS HUGEINT) * c) AS sq
+        |          FROM cells GROUP BY 1, 2 HAVING sum(c) >= 2),
+        |di AS (SELECT g, it, mi,
+        |         CAST(floor(CAST(CAST(mi AS HUGEINT) * mi - sq AS DOUBLE)
+        |           / CAST(mi - 1 AS DOUBLE) * 1000000000 + 0.5) AS BIGINT)
+        |           AS di
+        |       FROM items),
+        |tot AS (SELECT g, CAST(count(*) AS BIGINT) AS n_items,
+        |          CAST(sum(mi) AS BIGINT) AS n_ratings,
+        |          sum(CAST(di AS HUGEINT)) AS do_
+        |        FROM di GROUP BY 1),
+        |marg AS (SELECT g, sum(CAST(nc AS HUGEINT) * nc) AS sc FROM
+        |           (SELECT cells.g, cells.lab, CAST(sum(cells.c) AS BIGINT)
+        |              AS nc
+        |            FROM cells JOIN items
+        |              ON items.g = cells.g AND items.it = cells.it
+        |            GROUP BY 1, 2) c2 GROUP BY 1)
+        |SELECT tot.g AS source, n_items, n_ratings,
+        |  CAST(do_ AS BIGINT) AS d_o_e9,
+        |  CASE WHEN CAST(n_ratings AS HUGEINT) * n_ratings - sc > 0 THEN
+        |    CAST(floor((1.0 - CAST(n_ratings - 1 AS DOUBLE)
+        |        * CAST(do_ AS DOUBLE) / 1000000000.0
+        |        / CAST(CAST(n_ratings AS HUGEINT) * n_ratings - sc
+        |               AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) END AS alpha_e6
+        |FROM tot JOIN marg ON marg.g = tot.g ORDER BY source""".stripMargin),
 
     // the same thinned candidates and rel CASE, the IDENTICAL inlined
     // e12 discount CASE in both engines (ndcgDiscountSql — one

@@ -1759,6 +1759,70 @@ object Metrics {
         col("h_b_e9") :+ col("nmi_e6"): _*)
   }
 
+  /** Per-key Krippendorff's α (nominal) — chance-corrected agreement for
+    * MISSING-DATA annotation: [[cohenKappa]] needs exactly two named
+    * raters, [[fleissKappa]] pools variable per-item rating counts but
+    * corrects chance with the POPULATION category shares — α is the
+    * coefficient built for "any number of raters, each labeling only
+    * some items", normalizing each item's pairs by `m_i − 1`
+    * (coincidence form) and correcting chance by the FINITE-SAMPLE
+    * permutation (the `n − 1` in `D_e` — α of a tiny sample is honest
+    * where κ overstates). `α = 1 − (n−1)·Σ_i (m_i² − Σ_c n_ic²)/(m_i−1)
+    * / (n² − Σ_c n_c²)` over pairable items (m_i ≥ 2), `n = Σ m_i`.
+    *
+    * Exactness: ONE (key, item, category) cell aggregate; each item's
+    * disagreement term is one fixed double tree over exact integers
+    * e9-quantized PER ITEM and summed as DECIMAL(38,0)
+    * (order-independent — the fleissKappa discipline); `n² − Σn_c²` is
+    * exact DECIMAL; α is ONE fixed tree over the integer pieces,
+    * e6-quantized, signed. Items with one rating carry no pair evidence
+    * and drop (from n and the marginals both — the pairable-values
+    * contract); keys where one category takes everything emit null α.
+    *
+    * Scale shape: grid-shaped after the map-side-combined cell
+    * aggregate, like [[fleissKappa]]. Output: `(keys…, n_items,
+    * n_ratings, d_o_e9, alpha_e6)`. */
+  def krippendorffAlpha(df: DataFrame, keyCols: Seq[String], itemCol: String,
+                        categoryCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "krippendorffAlpha needs at least one key column")
+    val k = keyCols.map(col)
+    val cells = dropNullKeys(df, keyCols)
+      .filter(col(itemCol).isNotNull && col(categoryCol).isNotNull)
+      .groupBy(k :+ col(itemCol).as("__it") :+ col(categoryCol).as("__c"): _*)
+      .agg(count(lit(1)).as("__n"))
+      // lazy localCheckpoint (the fleissKappa pattern): the cell grid
+      // feeds the per-item and per-category re-aggregations
+      .localCheckpoint(false)
+    val items = cells.groupBy(k :+ col("__it"): _*)
+      .agg(sum(col("__n")).as("__mi"),
+        sum(expr("cast(__n as decimal(38,0)) * __n")).as("__sq"))
+      .filter(col("__mi") >= 2)
+      .withColumn("__di", expr(
+        """cast(floor(cast(cast(__mi as decimal(38,0)) * __mi - __sq as double)
+          |  / cast(__mi - 1 as double) * 1000000000 + 0.5) as bigint)"""
+          .stripMargin))
+    val tot = items.groupBy(k: _*)
+      .agg(count(lit(1)).as("n_items"), sum(col("__mi")).as("n_ratings"),
+        sum(expr("cast(__di as decimal(38,0))")).as("__do"))
+    val marg = cells
+      .join(items.select(k :+ col("__it"): _*), keyCols :+ "__it")
+      .groupBy(k :+ col("__c"): _*).agg(sum(col("__n")).as("__nc"))
+      .groupBy(k: _*)
+      .agg(sum(expr("cast(__nc as decimal(38,0)) * __nc")).as("__sc"))
+    tot.join(marg, keyCols)
+      .withColumn("__ne", expr(
+        "cast(n_ratings as decimal(38,0)) * n_ratings - __sc"))
+      .withColumn("d_o_e9", expr("cast(__do as bigint)"))
+      .withColumn("alpha_e6", expr(
+        """case when __ne > 0 then
+          |  cast(floor((1.0 - cast(n_ratings - 1 as double)
+          |      * cast(__do as double) / 1000000000.0
+          |      / cast(__ne as double))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .drop("__do", "__sc", "__ne")
+  }
+
   /** Per-key χ² test of independence over two categorical columns — the
     * r×c contingency complement of [[normalizedMutualInfo]]: NMI scores
     * HOW MUCH the columns share, χ² answers IS the association even

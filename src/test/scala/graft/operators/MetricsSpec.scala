@@ -783,6 +783,30 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("hellinger_e6")) == null)
   }
 
+  test("krippendorffAlpha: hand-computed pairs; single-rating drops; unanimous null") {
+    // k: items (A,A), (A,B), (B,B), (A,A) + one single-rating item (drops):
+    // n = 8, D_o = 0+2+0+0 = 2, n_c = (5,3), ne = 64-25-9 = 30,
+    // alpha = 1 - 7*2/30 = 8/15 = 0.5333... -> 533333
+    val k = Seq(("k", 1L, "A"), ("k", 1L, "A"), ("k", 2L, "A"), ("k", 2L, "B"),
+      ("k", 3L, "B"), ("k", 3L, "B"), ("k", 4L, "A"), ("k", 4L, "A"),
+      ("k", 5L, "A"))
+    // m: one item AAB (m=3): D = (9-5)/2 = 2, ne = 9-4-1 = 4,
+    // alpha = 1 - 2*2/4 = 0
+    val m = Seq(("m", 1L, "A"), ("m", 1L, "A"), ("m", 1L, "B"))
+    // u: unanimous -> ne = 0 -> null alpha
+    val u = Seq(("u", 1L, "X"), ("u", 1L, "X"), ("u", 2L, "X"), ("u", 2L, "X"))
+    val out = Metrics.krippendorffAlpha((k ++ m ++ u).toDF("g", "item", "lab"),
+      Seq("g"), "item", "lab").collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("k").getAs[Long]("n_items") == 4L)
+    assert(out("k").getAs[Long]("n_ratings") == 8L)
+    assert(out("k").getAs[Long]("d_o_e9") == 2000000000L)
+    assert(out("k").getAs[Long]("alpha_e6") == 533333L)
+    assert(out("m").getAs[Long]("d_o_e9") == 2000000000L)
+    assert(out("m").getAs[Long]("alpha_e6") == 0L)
+    val ru = out("u")
+    assert(ru.get(ru.fieldIndex("alpha_e6")) == null)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
