@@ -3772,7 +3772,23 @@ object SparkEntry {
             .select(col("source"), col("doc_id"),
               expr("stack(3, v1, v2, v3) as lab")),
           Seq("source"), "doc_id", "lab")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- extension: Pettitt test — WHERE did the daily value level
+    // shift, per event type, with a chance-calibrated verdict (the
+    // rank-based complement of q228's SSE-argmin changepoint, which
+    // locates but cannot calibrate); exact integer U walk, one
+    // clamped p tree
+    "q305_x_pettitt" -> tuned((s, d) =>
+      graft.stats.Diagnostics.pettitt(
+          Tables.events(s, d)
+            .filter(col("value").isNotNull)
+            .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+            .agg(expr(
+                "sum(cast(floor(value * 100 + 0.5) as bigint)) div count(1)")
+              .as("cents")),
+          Seq("event_type"), "day", "cents")
+        .orderBy("key"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10183,6 +10199,49 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same daily integer-mean grid, V_t = sum sgn(x_t - x_j) via
+    // self-join, running-sum U walk, the IDENTICAL clamped p tree and
+    // first-argmax tie-break
+    "q305_x_pettitt" ->
+      ("""WITH m AS (
+        |  SELECT event_type AS k, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         sum(CAST(floor(value * 100 + 0.5) AS BIGINT))
+        |           // count(*) AS y
+        |  FROM events
+        |  WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |    AND ts IS NOT NULL
+        |  GROUP BY 1, 2),
+        |o AS (SELECT k, y,
+        |        CAST(row_number() OVER (PARTITION BY k ORDER BY day)
+        |             AS BIGINT) AS t,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n
+        |      FROM m),
+        |v AS (SELECT a.k, a.t, a.n,
+        |        CAST(sum(CASE WHEN a.y > b.y THEN 1
+        |              WHEN a.y < b.y THEN -1 ELSE 0 END) AS BIGINT) AS vt
+        |      FROM o a JOIN o b ON a.k = b.k GROUP BY a.k, a.t, a.n),
+        |u AS (SELECT k, t, n,
+        |        CAST(sum(vt) OVER (PARTITION BY k ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS ut
+        |      FROM v),
+        |kk AS (SELECT k, CAST(max(n) AS INT) AS n_obs, max(n) AS n,
+        |         max(abs(ut)) AS kstat
+        |       FROM u WHERE t < n GROUP BY k HAVING max(n) >= 3),
+        |tc AS (SELECT u.k, CAST(min(u.t) AS INT) AS t_change
+        |       FROM u JOIN kk ON kk.k = u.k AND abs(u.ut) = kk.kstat
+        |         AND u.t < u.n
+        |       GROUP BY u.k),
+        |r AS (SELECT kk.k, n_obs, kstat AS k_stat, t_change,
+        |        CAST(floor(least(1.0, 2.0 * exp(-6.0
+        |            * (CAST(kstat AS DOUBLE) * CAST(kstat AS DOUBLE))
+        |            / CAST(n*n*n + n*n AS DOUBLE)))
+        |          * 1000000000 + 0.5) AS BIGINT) AS p_e9
+        |      FROM kk JOIN tc ON tc.k = kk.k)
+        |SELECT k AS key, n_obs, k_stat, t_change, p_e9,
+        |  p_e9 < 50000000 AS significant
+        |FROM r ORDER BY key""".stripMargin),
 
     // the same three-annotator melt (q295's tokenCount replay, the
     // every-third-doc missing rater), per-item HUGEINT coincidence

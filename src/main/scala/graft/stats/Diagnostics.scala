@@ -485,6 +485,71 @@ object Diagnostics {
       .drop("__see", "__sdd")
   }
 
+  private val ptSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("k_stat", LongType),
+    StructField("t_change", IntegerType),
+    StructField("p_e9", LongType),
+    StructField("significant", BooleanType)))
+
+  /** Per-key Pettitt change-point test — the RANK-based "did the level
+    * shift, and WHERE" with a significance verdict: the nonparametric
+    * complement of [[graft.operators.Features]]' SSE-argmin changepoint
+    * (q228 finds the best mean-shift split but offers no chance
+    * calibration; Pettitt's Mann-Whitney-flavored statistic carries the
+    * classical p ≈ 2·exp(−6K²/(n³+n²))). Convention (documented): with
+    * `V_t = Σ_j sgn(x_t − x_j)` (the signed rank centering),
+    * `U_t = Σ_{s≤t} V_s` — the NEGATIVE of the textbook
+    * Σ_{i≤t}Σ_{j>t} sgn(x_j−x_i), so `K = max_{t<n} |U_t|` and the
+    * argmax are identical; a negative `U` at the change means an
+    * upward shift. First argmax wins ties (smallest t); p clamps at 1
+    * (the approximation exceeds 1 at tiny K).
+    *
+    * Exactness: V and U are exact integers (sign comparisons only); p
+    * is ONE fixed double tree over `(K, n)` e9-quantized, verdict on
+    * the ROUNDED p. Values must be caller-quantized (doubles exact to
+    * 2⁵³); n³ needs n ≤ 2·10⁶ — any per-key series clears it.
+    *
+    * Scale shape: [[mannKendall]]'s — the O(n²) sign walk runs per key
+    * inside its executor, a million keys = a million independent
+    * kernels. Output: `(key, n_obs, k_stat, t_change, p_e9,
+    * significant)`; keys with n < 3 emit nothing. */
+  def pettitt(df: DataFrame, keyCols: Seq[String], orderCol: String,
+              valueCol: String): DataFrame = {
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val x = Diagnostics.series(it)
+        val n = x.length
+        if (n < 3) Iterator.empty
+        else {
+          var best = 0L
+          var bestT = 1
+          var u = 0L
+          var t = 0
+          while (t < n - 1) {
+            var v = 0L
+            var j = 0
+            while (j < n) {
+              v += java.lang.Double.compare(x(t), x(j)).sign
+              j += 1
+            }
+            u += v
+            if (math.abs(u) > best) { best = math.abs(u); bestT = t + 1 }
+            t += 1
+          }
+          val nL = n.toLong
+          val p = math.min(1.0, 2.0 * math.exp(
+            -6.0 * (best.toDouble * best.toDouble) /
+              (nL * nL * nL + nL * nL).toDouble))
+          val pE9 = math.floor(p * 1e9 + 0.5).toLong
+          Iterator.single(Row(key, n, best, bestT, pE9, pE9 < 50000000L))
+        }
+      }(Encoders.row(ptSchema))
+      .toDF()
+  }
+
   private val ktSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

@@ -478,6 +478,30 @@ class DiagnosticsSpec extends SparkSpec {
     assert(rc.get(rc.fieldIndex("z_e4")) == null)
   }
 
+  test("pettitt: hand-computed K and change index; long shift flags; constant p=1") {
+    // r = [0,0,0,10,10,10]: V = (-3,-3,-3,3,3,3), U = -3,-6,-9,-6,-3
+    // -> K = 9 at t = 3; p = 2*exp(-486/252) ~ 0.29 (not significant)
+    val r = Seq(0L, 0L, 0L, 10L, 10L, 10L).zipWithIndex
+      .map { case (v, i) => ("r", (i + 1).toLong, v) }
+    // b: 15 zeros then 15 tens -> K = 225 at t = 15, p ~ 3.7e-5
+    val b = (1 to 30).map(t => ("b", t.toLong, if (t <= 15) 0L else 10L))
+    // c: constant -> K = 0, p clamps to exactly 1
+    val c = (1 to 10).map(t => ("c", t.toLong, 5L))
+    val out = Diagnostics.pettitt((r ++ b ++ c).toDF("k", "t", "v"),
+      Seq("k"), "t", "v").collect().map(x => x.getAs[String]("key") -> x).toMap
+    assert(out("r").getAs[Long]("k_stat") == 9L)
+    assert(out("r").getAs[Int]("t_change") == 3)
+    assert(out("r").getAs[Long]("p_e9") ==
+      math.floor(2.0 * math.exp(-486.0 / 252.0) * 1e9 + 0.5).toLong)
+    assert(!out("r").getAs[Boolean]("significant"))
+    assert(out("b").getAs[Long]("k_stat") == 225L)
+    assert(out("b").getAs[Int]("t_change") == 15)
+    assert(out("b").getAs[Boolean]("significant"))
+    assert(out("c").getAs[Long]("k_stat") == 0L)
+    assert(out("c").getAs[Long]("p_e9") == 1000000000L)
+    assert(!out("c").getAs[Boolean]("significant"))
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2
