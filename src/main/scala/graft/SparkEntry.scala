@@ -3788,7 +3788,24 @@ object SparkEntry {
                 "sum(cast(floor(value * 100 + 0.5) as bigint)) div count(1)")
               .as("cents")),
           Seq("event_type"), "day", "cents")
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // ---- extension: Granger causality — does last month's order
+    // VOLUME improve the prediction of this month's price level beyond
+    // the level's own past, per priority (lead/lag direction q300's
+    // contemporaneous tau can't read); nested Cramer OLS over exact
+    // DECIMAL sums, F on the RSS drop, asymptotic chi2(1) verdict
+    "q306_x_granger" -> tuned((s, d) =>
+      graft.stats.Diagnostics.grangerCausality(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(count(lit(1)).as("n_orders"),
+              expr(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
+                .as("cents")),
+          Seq("o_orderpriority"), "month", "n_orders", "cents")
+        .orderBy("o_orderpriority"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10199,6 +10216,70 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same monthly (count, integer-mean) frame as q300, HUGEINT
+    // sufficient sums, the IDENTICAL Cramer cofactor expansions and
+    // RSS/F double trees spelled in the same written order
+    "q306_x_granger" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+        |           // count(*) AS yv
+        |  FROM orders GROUP BY 1, 2),
+        |l AS (SELECT k, yv AS y,
+        |        lag(yv) OVER (PARTITION BY k ORDER BY month) AS z,
+        |        lag(x) OVER (PARTITION BY k ORDER BY month) AS xl
+        |      FROM m),
+        |ff AS (SELECT * FROM l WHERE z IS NOT NULL AND xl IS NOT NULL),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(z AS HUGEINT)) AS sz_, sum(CAST(xl AS HUGEINT)) AS sx_,
+        |        sum(CAST(y AS HUGEINT)) AS sy_,
+        |        sum(CAST(z AS HUGEINT) * z) AS szz_,
+        |        sum(CAST(xl AS HUGEINT) * xl) AS sxx_,
+        |        sum(CAST(z AS HUGEINT) * xl) AS szx_,
+        |        sum(CAST(z AS HUGEINT) * y) AS szy_,
+        |        sum(CAST(xl AS HUGEINT) * y) AS sxy_,
+        |        sum(CAST(y AS HUGEINT) * y) AS syy_
+        |      FROM ff GROUP BY 1),
+        |dd AS (SELECT k, n, CAST(n AS DOUBLE) AS nn,
+        |         CAST(sz_ AS DOUBLE) AS sz, CAST(sx_ AS DOUBLE) AS sx,
+        |         CAST(sy_ AS DOUBLE) AS sy, CAST(szz_ AS DOUBLE) AS szz,
+        |         CAST(sxx_ AS DOUBLE) AS sxx, CAST(szx_ AS DOUBLE) AS szx,
+        |         CAST(szy_ AS DOUBLE) AS szy, CAST(sxy_ AS DOUBLE) AS sxy,
+        |         CAST(syy_ AS DOUBLE) AS syy
+        |       FROM s),
+        |e AS (SELECT k, n, nn, syy, szy, sxy, sy,
+        |        nn * szz - sz * sz AS det2,
+        |        syy - ((sy * szz - szy * sz) * sy
+        |               + (nn * szy - sz * sy) * szy)
+        |              / (nn * szz - sz * sz) AS rssr,
+        |        nn * (szz * sxx - szx * szx) - sz * (sz * sxx - szx * sx)
+        |          + sx * (sz * szx - szz * sx) AS det,
+        |        sy * (szz * sxx - szx * szx) - sz * (szy * sxx - szx * sxy)
+        |          + sx * (szy * szx - szz * sxy) AS b0,
+        |        nn * (szy * sxx - szx * sxy) - sy * (sz * sxx - szx * sx)
+        |          + sx * (sz * sxy - szy * sx) AS b1,
+        |        nn * (szz * sxy - szy * szx) - sz * (sz * sxy - szy * sx)
+        |          + sy * (sz * szx - szz * sx) AS b2
+        |      FROM dd),
+        |g AS (SELECT k, n, nn, det2, det, b2, rssr,
+        |        syy - (b0 * sy + b1 * szy + b2 * sxy) / det AS rssu
+        |      FROM e),
+        |r AS (SELECT k, n AS n_obs,
+        |        CASE WHEN n > 3 AND det2 <> 0 AND det <> 0 AND rssu > 0
+        |          THEN floor(b2 / det * 1000000 + 0.5) / 1000000
+        |        END AS xlag_coef,
+        |        CASE WHEN n > 3 AND det2 <> 0 AND det <> 0 AND rssu > 0
+        |          THEN greatest(0, CAST(floor((rssr - rssu)
+        |            / (rssu / (nn - 3.0)) * 10000 + 0.5) AS BIGINT))
+        |        END AS f_e4
+        |      FROM g)
+        |SELECT k AS o_orderpriority, n_obs, xlag_coef, f_e4,
+        |  CAST(38415 AS BIGINT) AS crit5_e4,
+        |  CASE WHEN f_e4 IS NOT NULL THEN f_e4 > 38415 END AS significant
+        |FROM r ORDER BY o_orderpriority""".stripMargin),
 
     // the same daily integer-mean grid, V_t = sum sgn(x_t - x_j) via
     // self-join, running-sum U walk, the IDENTICAL clamped p tree and

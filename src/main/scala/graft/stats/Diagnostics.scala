@@ -485,6 +485,84 @@ object Diagnostics {
       .drop("__see", "__sdd")
   }
 
+  /** Per-key Granger causality screen (lag 1) — "does x's PAST improve
+    * the prediction of y beyond y's own past": nested OLS
+    * `y_t = a + b·y_{t−1}` (restricted) vs
+    * `y_t = a + b·y_{t−1} + c·x_{t−1}` (unrestricted), F on the RSS
+    * drop. The lead/lag DIRECTIONAL complement of [[kendallTau]] /
+    * Spearman (contemporaneous association says nothing about which
+    * series moves first); run it both ways for the full Granger pair.
+    * Verdict on the asymptotic χ²(1) 5% critical (F = t² of the x-lag
+    * coefficient; 1.96² = 3.8415 — small-sample F(1, n−3) calibration
+    * is the caller's refinement, the [[adfFixedLag]] convention).
+    *
+    * Exactness (the adfFixedLag discipline): caller-quantized integer
+    * series; the ten sufficient sums accumulate as exact DECIMAL; both
+    * RSS values come from FIXED double Cramer trees (det3 cofactor
+    * expansion in one written order), F is one tree e4-quantized and
+    * clamped at 0 (float cancellation can push an exactly-zero RSS
+    * drop negative), verdict on the ROUNDED value. Singular designs
+    * (constant regressors, n ≤ 3, RSS_u ≤ 0) emit null F and verdict.
+    *
+    * Scale shape: one shuffle on the keys shared by the lag window and
+    * the sum aggregate; per-key state is the ten sums, O(1). Output:
+    * `(keys…, n_obs, xlag_coef, f_e4, crit5_e4, significant)`. */
+  def grangerCausality(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                       causeCol: String, effectCol: String,
+                       roundTo: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "grangerCausality needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ord"))
+    val lagged = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(causeCol).isNotNull && col(effectCol).isNotNull &&
+        col(orderCol).isNotNull)
+      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+
+        col(effectCol).cast("long").as("__y") :+
+        col(causeCol).cast("long").as("__x")): _*)
+      .withColumn("__z", lag(col("__y"), 1).over(w))
+      .withColumn("__xl", lag(col("__x"), 1).over(w))
+      .filter(col("__z").isNotNull && col("__xl").isNotNull)
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val (zr, xr, yr) = (dec(col("__z")), dec(col("__xl")), dec(col("__y")))
+    val sums = lagged
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(zr).as("sz"), sum(xr).as("sx"), sum(yr).as("sy"),
+        sum(zr * zr).as("szz"), sum(xr * xr).as("sxx"), sum(zr * xr).as("szx"),
+        sum(zr * yr).as("szy"), sum(xr * yr).as("sxy"), sum(yr * yr).as("syy"))
+    def d(c: Column) = c.cast("double")
+    val (nn, sz, sx, sy) = (d(col("n")), d(col("sz")), d(col("sx")), d(col("sy")))
+    val (szz, sxx, szx) = (d(col("szz")), d(col("sxx")), d(col("szx")))
+    val (szy, sxy, syy) = (d(col("szy")), d(col("sxy")), d(col("syy")))
+    def det3(a11: Column, a12: Column, a13: Column, a21: Column, a22: Column,
+             a23: Column, a31: Column, a32: Column, a33: Column) =
+      a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    // restricted design [[n, Sz], [Sz, Szz]], rhs [Sy, Szy]
+    val det2 = nn * szz - sz * sz
+    val rssR = syy - ((sy * szz - szy * sz) * sy + (nn * szy - sz * sy) * szy) / det2
+    // unrestricted [[n,Sz,Sx],[Sz,Szz,Szx],[Sx,Szx,Sxx]], rhs [Sy,Szy,Sxy]
+    val det = det3(nn, sz, sx, sz, szz, szx, sx, szx, sxx)
+    val detB0 = det3(sy, sz, sx, szy, szz, szx, sxy, szx, sxx)
+    val detB1 = det3(nn, sy, sx, sz, szy, szx, sx, sxy, sxx)
+    val detB2 = det3(nn, sz, sy, sz, szz, szy, sx, szx, sxy)
+    val rssU = syy - (detB0 * sy + detB1 * szy + detB2 * sxy) / det
+    val q = math.pow(10, roundTo)
+    val ok = col("n") > 3 && det2 =!= 0.0 && det =!= 0.0 && rssU > 0.0
+    val f = (rssR - rssU) / (rssU / (nn - lit(3.0)))
+    sums
+      .withColumn("n_obs", col("n").cast("long"))
+      .withColumn("xlag_coef",
+        when(ok, floor(detB2 / det * q + 0.5) / q))
+      .withColumn("f_e4",
+        when(ok, greatest(lit(0L), floor(f * 1e4 + 0.5).cast("long"))))
+      .withColumn("crit5_e4", lit(38415L))
+      .withColumn("significant",
+        when(col("f_e4").isNotNull, col("f_e4") > 38415L))
+      .select((keyCols.map(col) :+ col("n_obs") :+ col("xlag_coef") :+
+        col("f_e4") :+ col("crit5_e4") :+ col("significant")): _*)
+  }
+
   private val ptSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

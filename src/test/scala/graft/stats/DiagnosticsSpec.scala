@@ -502,6 +502,32 @@ class DiagnosticsSpec extends SparkSpec {
     assert(!out("c").getAs[Boolean]("significant"))
   }
 
+  test("grangerCausality: a driven series flags, an unrelated one does not, constant x null") {
+    // drive: y_t = x_{t-1} + (t mod 2) — x's past explains y almost
+    // perfectly where y's own past cannot (x oscillates)
+    val xs = Seq(1L, 5L, 2L, 7L, 3L, 8L, 4L, 9L, 5L, 10L, 6L, 11L)
+    val drive = (1 to 12).map { t =>
+      val y = if (t == 1) 0L else xs(t - 2) + (t % 2)
+      ("drive", t.toLong, xs(t - 1), y)
+    }
+    // indep: y has period 3, x is a ramp — neither lag explains y
+    val indep = (1 to 12).map(t =>
+      ("indep", t.toLong, t.toLong, if (t % 3 == 0) 2L else 1L))
+    // cx: constant cause -> collinear design -> null
+    val cx = (1 to 8).map(t => ("cx", t.toLong, 7L, (t * t % 5).toLong))
+    val out = Diagnostics.grangerCausality(
+        (drive ++ indep ++ cx).toDF("k", "t", "x", "y"),
+        Seq("k"), "t", "x", "y")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("drive").getAs[Boolean]("significant"))
+    assert(math.abs(out("drive").getAs[Double]("xlag_coef") - 1.0) < 0.2)
+    assert(!out("indep").getAs[Boolean]("significant"))
+    assert(out("drive").getAs[Long]("f_e4") > out("indep").getAs[Long]("f_e4"))
+    val rc = out("cx")
+    assert(rc.get(rc.fieldIndex("f_e4")) == null)
+    assert(rc.get(rc.fieldIndex("significant")) == null)
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2
