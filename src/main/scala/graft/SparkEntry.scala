@@ -3805,7 +3805,23 @@ object SparkEntry {
                 "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
                 .as("cents")),
           Seq("o_orderpriority"), "month", "n_orders", "cents")
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // ---- extension: cross-correlation function — WHERE does the
+    // volume/price lead-lag relationship peak, per priority (the lag
+    // profile q306's single-lag Granger F can't show); exact DECIMAL
+    // sums per (key, lag) off one range self-join, one r tree per lag
+    "q307_x_cross_correlation" -> tuned((s, d) =>
+      graft.stats.Diagnostics.crossCorrelation(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(count(lit(1)).as("n_orders"),
+              expr(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
+                .as("cents")),
+          Seq("o_orderpriority"), "month", "n_orders", "cents")
+        .orderBy("o_orderpriority", "lag"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10216,6 +10232,38 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same monthly frame, the range self-join at |lag| <= 6,
+    // HUGEINT sums per (key, lag), the IDENTICAL r tree
+    "q307_x_cross_correlation" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+        |           // count(*) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |o AS (SELECT k, x, y,
+        |        CAST(row_number() OVER (PARTITION BY k ORDER BY month)
+        |             AS BIGINT) AS t
+        |      FROM m),
+        |p AS (SELECT a.k, b.t - a.t AS lag, a.x, b.y
+        |      FROM o a JOIN o b
+        |        ON a.k = b.k AND b.t >= a.t - 6 AND b.t <= a.t + 6),
+        |s AS (SELECT k, lag, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |        sum(CAST(y AS HUGEINT) * y) AS syy,
+        |        sum(CAST(x AS HUGEINT) * y) AS sxy
+        |      FROM p GROUP BY 1, 2 HAVING count(*) >= 3)
+        |SELECT k AS o_orderpriority, lag, n_pairs,
+        |  CASE WHEN (n_pairs * sxx - sx * sx) > 0
+        |        AND (n_pairs * syy - sy * sy) > 0 THEN
+        |    CAST(floor(CAST(n_pairs * sxy - sx * sy AS DOUBLE)
+        |      / sqrt(CAST(n_pairs * sxx - sx * sx AS DOUBLE)
+        |             * CAST(n_pairs * syy - sy * sy AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) END AS r_e6
+        |FROM s ORDER BY o_orderpriority, lag""".stripMargin),
 
     // the same monthly (count, integer-mean) frame as q300, HUGEINT
     // sufficient sums, the IDENTICAL Cramer cofactor expansions and

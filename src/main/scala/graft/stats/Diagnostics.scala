@@ -563,6 +563,67 @@ object Diagnostics {
         col("f_e4") :+ col("crit5_e4") :+ col("significant")): _*)
   }
 
+  /** Per-key cross-correlation function — Pearson r of `(x_t, y_{t+l})`
+    * at every lag `l ∈ [−maxLag, maxLag]`: the LAG-PICKER beside
+    * [[grangerCausality]] (Granger tests ONE lag's predictive value;
+    * the CCF profile shows WHERE the lead/lag relationship peaks — and
+    * an asymmetric profile is the directional smoking gun a symmetric
+    * [[kendallTau]] cannot show). Negative lag = x LEADS y.
+    *
+    * Exactness: one range self-join pairs the integer series at every
+    * lag (caller-quantized values); the five sufficient sums per
+    * (key, lag) are exact DECIMAL(38,0); r is ONE fixed double tree —
+    * cross-multiplied covariance over the sqrt of exact variance
+    * products — e6-quantized. Zero-variance windows emit null r.
+    *
+    * Scale shape: the join fans each row out 2·maxLag+1 times
+    * (grid-bounded by contract — per-key SERIES rows, not raw rows),
+    * then ONE map-side-combined aggregate per (key, lag); a million
+    * keys ride one shuffle. Output: `(keys…, lag, n_pairs, r_e6)`;
+    * lags with fewer than 3 pairs emit nothing. */
+  def crossCorrelation(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                       xCol: String, yCol: String, maxLag: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "crossCorrelation needs at least one key column")
+    require(maxLag >= 1 && maxLag <= 60, s"maxLag must be in [1, 60], got $maxLag")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ord"))
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(orderCol).isNotNull)
+      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+
+        col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y")): _*)
+      .withColumn("__t", row_number().over(w).cast("long"))
+      .localCheckpoint(false)
+    val a = base.select((keyCols.map(col) :+ col("__t") :+ col("__x")): _*)
+    val b = base.select((keyCols.map(col) :+ col("__t").as("__t2") :+
+      col("__y")): _*)
+    val pairs = a.join(b,
+        keyCols.map(c => a(c) === b(c)).reduce(_ && _) &&
+          col("__t2") >= col("__t") - maxLag &&
+          col("__t2") <= col("__t") + maxLag)
+      .select((keyCols.map(a(_)) :+ (col("__t2") - col("__t")).as("lag") :+
+        col("__x") :+ col("__y")): _*)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    pairs
+      .groupBy((keyCols.map(col) :+ col("lag")): _*)
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(dec(col("__x"))).as("sx"), sum(dec(col("__y"))).as("sy"),
+        sum(dec(col("__x")) * col("__x")).as("sxx"),
+        sum(dec(col("__y")) * col("__y")).as("syy"),
+        sum(dec(col("__x")) * col("__y")).as("sxy"))
+      .filter(col("n_pairs") >= 3)
+      .withColumn("r_e6", expr(
+        """case when (n_pairs * sxx - sx * sx) > 0
+          |       and (n_pairs * syy - sy * sy) > 0 then
+          |  cast(floor(cast(n_pairs * sxy - sx * sy as double)
+          |    / sqrt(cast(n_pairs * sxx - sx * sx as double)
+          |           * cast(n_pairs * syy - sy * sy as double))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .drop("sx", "sy", "sxx", "syy", "sxy")
+  }
+
   private val ptSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

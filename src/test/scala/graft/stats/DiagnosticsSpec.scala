@@ -528,6 +528,23 @@ class DiagnosticsSpec extends SparkSpec {
     assert(rc.get(rc.fieldIndex("significant")) == null)
   }
 
+  test("crossCorrelation: a shifted copy peaks at its lag; constant x null") {
+    // y_{t+1} = x_t exactly -> r = 1 at lag +1; short lags drop (< 3 pairs)
+    val k = Seq((1L, 1L, 9L), (2L, 2L, 1L), (3L, 3L, 2L), (4L, 4L, 3L),
+      (5L, 5L, 4L)).map { case (t, x, y) => ("k", t, x, y) }
+    val c = (1 to 5).map(t => ("c", t.toLong, 7L, t.toLong))
+    val out = Diagnostics.crossCorrelation((k ++ c).toDF("g", "t", "x", "y"),
+      Seq("g"), "t", "x", "y").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("lag")) -> r).toMap
+    // kept lags for n=5: -2..2 (3,4,5,4,3 pairs)
+    assert(out.keys.count(_._1 == "k") == 5)
+    assert(out(("k", 1L)).getAs[Long]("n_pairs") == 4L)
+    assert(out(("k", 1L)).getAs[Long]("r_e6") == 1000000L)
+    assert(out(("k", 0L)).getAs[Long]("r_e6") < 1000000L)
+    val rc = out(("c", 0L))
+    assert(rc.get(rc.fieldIndex("r_e6")) == null)
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2
