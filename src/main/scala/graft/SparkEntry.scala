@@ -3821,7 +3821,20 @@ object SparkEntry {
                 "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
                 .as("cents")),
           Seq("o_orderpriority"), "month", "n_orders", "cents")
-        .orderBy("o_orderpriority", "lag"))
+        .orderBy("o_orderpriority", "lag")),
+
+    // ---- extension: Mood's median test — do line statuses share a
+    // price MEDIAN per return class (the outlier-proof k-group location
+    // screen beside q270's rank-mean Kruskal-Wallis); exact value-grid
+    // median fence, (status x side) contingency through the SHARED
+    // chiSqFromCells identity
+    "q308_x_mood_median" -> tuned((s, d) =>
+      graft.operators.Metrics.moodMedianTest(
+          Tables.lineitem(s, d)
+            .withColumn("cents",
+              expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")),
+          Seq("l_returnflag"), "l_linestatus", "cents")
+        .orderBy("l_returnflag"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10231,6 +10244,59 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the same integer median fence (cum >= (n+1)//2), the q297
+    // observed-cells identity over the (mode, side) contingency, the
+    // same inlined critical CASE
+    "q308_x_mood_median" -> {
+      val crit = graft.operators.Metrics.chi2Crit95Sql("dof")
+      s"""WITH vals AS (
+        |  SELECT l_returnflag AS k, l_linestatus AS g,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL),
+        |vg AS (SELECT k, v, CAST(count(*) AS BIGINT) AS c
+        |       FROM vals GROUP BY 1, 2),
+        |mw AS (SELECT k, v,
+        |         CAST(sum(c) OVER (PARTITION BY k ORDER BY v
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |           AS BIGINT) AS cum,
+        |         CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n
+        |       FROM vg),
+        |med AS (SELECT k, min(v) AS grand_median FROM mw
+        |        WHERE cum >= (n + 1) // 2 GROUP BY 1),
+        |cells AS (SELECT vals.k, vals.g AS a,
+        |            (vals.v > med.grand_median) AS b,
+        |            CAST(count(*) AS BIGINT) AS c
+        |          FROM vals JOIN med ON med.k = vals.k GROUP BY 1, 2, 3),
+        |rm AS (SELECT k, a, CAST(sum(c) AS BIGINT) AS r FROM cells GROUP BY 1, 2),
+        |cm AS (SELECT k, b, CAST(sum(c) AS BIGINT) AS cc FROM cells GROUP BY 1, 2),
+        |tot AS (SELECT k, CAST(count(*) AS BIGINT) AS r_levels,
+        |          CAST(sum(r) AS BIGINT) AS n FROM rm GROUP BY 1),
+        |tc AS (SELECT k, CAST(count(*) AS BIGINT) AS c_levels FROM cm GROUP BY 1),
+        |terms AS (
+        |  SELECT ce.k, CAST(floor(
+        |      CAST(CAST(ce.c AS HUGEINT) * ce.c * t.n AS DOUBLE)
+        |      / CAST(CAST(rm.r AS HUGEINT) * cm.cc AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) AS tt
+        |  FROM cells ce
+        |  JOIN rm ON rm.k = ce.k AND rm.a = ce.a
+        |  JOIN cm ON cm.k = ce.k AND cm.b = ce.b
+        |  JOIN tot t ON t.k = ce.k),
+        |chi AS (SELECT k, CAST(sum(tt) AS BIGINT) AS s FROM terms GROUP BY 1),
+        |r AS (SELECT tot.k, tot.r_levels, tot.n, tc.c_levels,
+        |        (tot.r_levels - 1) * (tc.c_levels - 1) AS dof,
+        |        greatest(0, chi.s - tot.n * 1000000) AS chi
+        |      FROM tot JOIN tc ON tc.k = tot.k JOIN chi ON chi.k = tot.k)
+        |SELECT r.k AS l_returnflag, r_levels, n, c_levels, dof,
+        |  CASE WHEN dof > 0 THEN chi END AS chi2_e6,
+        |  CAST(($crit) AS BIGINT) AS crit5_e4,
+        |  CASE WHEN dof > 0 AND ($crit) IS NOT NULL
+        |    THEN chi > CAST(($crit) AS BIGINT) * 100 END AS significant,
+        |  med.grand_median
+        |FROM r JOIN med ON med.k = r.k ORDER BY l_returnflag""".stripMargin
     },
 
     // the same monthly frame, the range self-join at |lag| <= 6,

@@ -1759,6 +1759,51 @@ object Metrics {
         col("h_b_e9") :+ col("nmi_e6"): _*)
   }
 
+  /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
+    * coarsest, most outlier-proof k-group location screen
+    * ([[kruskalWallis]] compares mean ranks and needs comparable
+    * shapes; Mood's only asks which side of the grand median each row
+    * falls — the right test when tails are wild or values are heavily
+    * censored). Rows flag `value > grand median` (per key, LOWER
+    * median: min v with `cum ≥ ⌈n/2⌉` — the exact value-grid fence, no
+    * interpolation), and the (group × flag) contingency runs through
+    * the SHARED [[chiSqFromCells]] readout — df = k−1, the same
+    * driver-inlined critical table.
+    *
+    * Exactness: the median fence is pure integer cumulative counts;
+    * the χ² chain inherits chiSqFromCells' exact-identity contract.
+    * Keys where every value falls on one side (all equal) have
+    * c_levels = 1 ⇒ df 0 ⇒ null verdict, by construction.
+    *
+    * Scale shape: value-grid median (never a row sort), one broadcast-
+    * sized median join back, then the grid-shaped χ² chain. Output:
+    * chiSqFromCells' columns + `grand_median`. */
+  def moodMedianTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                     valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "moodMedianTest needs at least one key column")
+    val k = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    val vals = dropNullKeys(df, keyCols)
+      .filter(col(groupCol).isNotNull && v.isNotNull)
+      .select((k :+ col(groupCol).as("__g") :+ v.as("__v")): _*)
+      .localCheckpoint(false)
+    val wCum = Window.partitionBy(k: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val med = vals.groupBy(k :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") >= expr("(__n + 1) div 2"))
+      .groupBy(k: _*).agg(min(col("__v")).as("grand_median"))
+    val cells = vals.join(med, keyCols)
+      .groupBy(k :+ col("__g").as("__a") :+
+        (col("__v") > col("grand_median")).as("__b"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    chiSqFromCells(cells, keyCols).join(med, keyCols)
+  }
+
   /** Per-key Krippendorff's α (nominal) — chance-corrected agreement for
     * MISSING-DATA annotation: [[cohenKappa]] needs exactly two named
     * raters, [[fleissKappa]] pools variable per-item rating counts but

@@ -807,6 +807,25 @@ class MetricsSpec extends SparkSpec {
     assert(ru.get(ru.fieldIndex("alpha_e6")) == null)
   }
 
+  test("moodMedianTest: perfect separation flags; identical groups zero; all-equal null") {
+    // k: A = 1..4, B = 5..8 -> lower median 4, perfect split: chi2 = N = 8
+    val k = (1L to 4L).map(("k", "A", _)) ++ (5L to 8L).map(("k", "B", _))
+    val s = Seq(("s", "A", 1L), ("s", "A", 2L), ("s", "B", 1L), ("s", "B", 2L))
+    val e = Seq(("e", "A", 5L), ("e", "A", 5L), ("e", "B", 5L), ("e", "B", 5L))
+    val out = Metrics.moodMedianTest((k ++ s ++ e).toDF("g", "grp", "v"),
+      Seq("g"), "grp", "v").collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("k").getAs[Long]("grand_median") == 4L)
+    assert(out("k").getAs[Long]("dof") == 1L)
+    assert(out("k").getAs[Long]("chi2_e6") == 8000000L)
+    assert(out("k").getAs[Boolean]("significant"))
+    assert(out("s").getAs[Long]("grand_median") == 1L)
+    assert(out("s").getAs[Long]("chi2_e6") == 0L)
+    assert(!out("s").getAs[Boolean]("significant"))
+    val re = out("e")
+    assert(re.getAs[Long]("c_levels") == 1L)
+    assert(re.get(re.fieldIndex("chi2_e6")) == null)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
