@@ -3834,6 +3834,22 @@ object SparkEntry {
             .withColumn("cents",
               expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")),
           Seq("l_returnflag"), "l_linestatus", "cents")
+        .orderBy("l_returnflag")),
+
+    // ---- extension: partial correlation — is the quantity-price
+    // correlation real or do both just ride the discount, per return
+    // class (the controlled readout q226's raw corr panel can't give);
+    // exact DECIMAL sums, fixed pairwise-r trees composed into one
+    // partial/t tree
+    "q309_x_partial_corr" -> tuned((s, d) =>
+      graft.operators.Profile.partialCorrelation(
+          Tables.lineitem(s, d)
+            .withColumn("qty", expr("cast(floor(l_quantity + 0.5) as bigint)"))
+            .withColumn("cents",
+              expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+            .withColumn("disc_pm",
+              expr("cast(floor(l_discount * 1000 + 0.5) as bigint)")),
+          Seq("l_returnflag"), "qty", "cents", "disc_pm")
         .orderBy("l_returnflag"))
   )
 
@@ -10245,6 +10261,63 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same quantized columns, HUGEINT sums, the IDENTICAL pairwise
+    // r trees composed into the partial/t trees, verdict on rounded |t|
+    "q309_x_partial_corr" ->
+      ("""WITH b AS (
+        |  SELECT l_returnflag AS k,
+        |         CAST(floor(l_quantity + 0.5) AS BIGINT) AS x,
+        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y,
+        |         CAST(floor(l_discount * 1000 + 0.5) AS BIGINT) AS z
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL AND l_discount IS NOT NULL),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |        sum(CAST(z AS HUGEINT)) AS sz,
+        |        sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |        sum(CAST(y AS HUGEINT) * y) AS syy,
+        |        sum(CAST(z AS HUGEINT) * z) AS szz,
+        |        sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |        sum(CAST(x AS HUGEINT) * z) AS sxz,
+        |        sum(CAST(y AS HUGEINT) * z) AS syz
+        |      FROM b GROUP BY 1),
+        |rr AS (SELECT k, n,
+        |        CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+        |              * CAST(n * syy - sy * sy AS DOUBLE) > 0 THEN
+        |          CAST(n * sxy - sx * sy AS DOUBLE)
+        |            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                   * CAST(n * syy - sy * sy AS DOUBLE)) END AS rxy,
+        |        CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE)
+        |              * CAST(n * szz - sz * sz AS DOUBLE) > 0 THEN
+        |          CAST(n * sxz - sx * sz AS DOUBLE)
+        |            / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+        |                   * CAST(n * szz - sz * sz AS DOUBLE)) END AS rxz,
+        |        CASE WHEN CAST(n * syy - sy * sy AS DOUBLE)
+        |              * CAST(n * szz - sz * sz AS DOUBLE) > 0 THEN
+        |          CAST(n * syz - sy * sz AS DOUBLE)
+        |            / sqrt(CAST(n * syy - sy * sy AS DOUBLE)
+        |                   * CAST(n * szz - sz * sz AS DOUBLE)) END AS ryz
+        |      FROM s),
+        |pp AS (SELECT *, (1.0 - rxz * rxz) * (1.0 - ryz * ryz) AS den
+        |       FROM rr),
+        |pq AS (SELECT *, CASE WHEN den > 0 THEN
+        |         (rxy - rxz * ryz) / sqrt(den) END AS pr FROM pp),
+        |pt AS (SELECT *, CASE WHEN n > 3 AND 1.0 - pr * pr > 0 THEN
+        |         pr * sqrt(CAST(n - 3 AS DOUBLE) / (1.0 - pr * pr)) END AS t
+        |       FROM pq),
+        |pe AS (SELECT k, n, rxy, rxz, ryz, pr,
+        |         CAST(floor(t * 10000 + 0.5) AS BIGINT) AS t_e4
+        |       FROM pt)
+        |SELECT k AS l_returnflag, n AS n_obs,
+        |  CAST(floor(rxy * 1000000 + 0.5) AS BIGINT) AS r_xy_e6,
+        |  CAST(floor(rxz * 1000000 + 0.5) AS BIGINT) AS r_xz_e6,
+        |  CAST(floor(ryz * 1000000 + 0.5) AS BIGINT) AS r_yz_e6,
+        |  CAST(floor(pr * 1000000 + 0.5) AS BIGINT) AS partial_e6,
+        |  t_e4,
+        |  CASE WHEN t_e4 IS NOT NULL THEN abs(t_e4) > 19600 END AS significant
+        |FROM pe ORDER BY l_returnflag""".stripMargin),
 
     // the same integer median fence (cum >= (n+1)//2), the q297
     // observed-cells identity over the (mode, side) contingency, the

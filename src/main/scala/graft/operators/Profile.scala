@@ -360,6 +360,77 @@ object Profile {
     *
     * Constant axes (all ties: variance 0) emit null `rho_e6`. Output:
     * `(groupCols…, n, rho_e6)`. */
+  /** Per-key partial correlation — the x↔y association AFTER removing
+    * the common driver z: `r_xy·z = (r_xy − r_xz·r_yz) /
+    * √((1−r_xz²)(1−r_yz²))`, the one-line answer to "is this
+    * correlation real or just both riding z" that a raw [[corrPairs]]
+    * panel cannot give (it shows all three r's; this nets them out).
+    * Verdict via `t = r·√((n−3)/(1−r²))` against the asymptotic 1.96
+    * (the [[graft.stats.Diagnostics.adfFixedLag]] fixed-critical
+    * convention).
+    *
+    * Exactness: the nine sufficient sums are exact DECIMAL(38,0) over
+    * caller-quantized integers; each pairwise r is ONE fixed double
+    * tree (cross-multiplied covariance over the sqrt of exact variance
+    * products), the partial and t are fixed trees OVER those doubles —
+    * deterministic end-to-end, e6/e4-quantized, verdict on the ROUNDED
+    * |t|. Degenerate keys (any constant column, or |r_xz| = 1 /
+    * |r_yz| = 1) emit null partial/verdict.
+    *
+    * Scale shape: ONE map-side-combined aggregate; per-key state is
+    * ten numbers. Output: `(keys…, n_obs, r_xy_e6, r_xz_e6, r_yz_e6,
+    * partial_e6, t_e4, significant)`. */
+  def partialCorrelation(df: DataFrame, keyCols: Seq[String], xCol: String,
+                         yCol: String, zCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "partialCorrelation needs at least one key column")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val (x, y, z) = (col(xCol).cast("long"), col(yCol).cast("long"),
+      col(zCol).cast("long"))
+    val sums = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(x.isNotNull && y.isNotNull && z.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(dec(x)).as("sx"), sum(dec(y)).as("sy"), sum(dec(z)).as("sz"),
+        sum(dec(x) * x).as("sxx"), sum(dec(y) * y).as("syy"),
+        sum(dec(z) * z).as("szz"), sum(dec(x) * y).as("sxy"),
+        sum(dec(x) * z).as("sxz"), sum(dec(y) * z).as("syz"))
+    def r(sab: String, sa: String, sb: String, qa: String, qb: String) =
+      s"""case when cast(n * $qa - $sa * $sa as double)
+         |      * cast(n * $qb - $sb * $sb as double) > 0 then
+         |  cast(n * $sab - $sa * $sb as double)
+         |    / sqrt(cast(n * $qa - $sa * $sa as double)
+         |           * cast(n * $qb - $sb * $sb as double)) end"""
+        .stripMargin.replaceAll("\n", " ")
+    sums
+      .withColumn("__rxy", expr(r("sxy", "sx", "sy", "sxx", "syy")))
+      .withColumn("__rxz", expr(r("sxz", "sx", "sz", "sxx", "szz")))
+      .withColumn("__ryz", expr(r("syz", "sy", "sz", "syy", "szz")))
+      .withColumn("__den", expr(
+        "(1.0 - __rxz * __rxz) * (1.0 - __ryz * __ryz)"))
+      .withColumn("__pr", expr(
+        """case when __den > 0 then
+          |  (__rxy - __rxz * __ryz) / sqrt(__den) end""".stripMargin))
+      .withColumn("__t", expr(
+        """case when n > 3 and 1.0 - __pr * __pr > 0 then
+          |  __pr * sqrt(cast(n - 3 as double) / (1.0 - __pr * __pr)) end"""
+          .stripMargin))
+      .withColumn("n_obs", col("n").cast("long"))
+      .withColumn("r_xy_e6", expr(
+        "cast(floor(__rxy * 1000000 + 0.5) as bigint)"))
+      .withColumn("r_xz_e6", expr(
+        "cast(floor(__rxz * 1000000 + 0.5) as bigint)"))
+      .withColumn("r_yz_e6", expr(
+        "cast(floor(__ryz * 1000000 + 0.5) as bigint)"))
+      .withColumn("partial_e6", expr(
+        "cast(floor(__pr * 1000000 + 0.5) as bigint)"))
+      .withColumn("t_e4", expr("cast(floor(__t * 10000 + 0.5) as bigint)"))
+      .withColumn("significant",
+        when(col("t_e4").isNotNull, abs(col("t_e4")) > 19600L))
+      .select((keyCols.map(col) :+ col("n_obs") :+ col("r_xy_e6") :+
+        col("r_xz_e6") :+ col("r_yz_e6") :+ col("partial_e6") :+
+        col("t_e4") :+ col("significant")): _*)
+  }
+
   def spearman(df: DataFrame, groupCols: Seq[String], xCol: String,
                yCol: String): DataFrame = {
     require(groupCols.nonEmpty, "spearman needs at least one group column")

@@ -826,6 +826,41 @@ class MetricsSpec extends SparkSpec {
     assert(re.get(re.fieldIndex("chi2_e6")) == null)
   }
 
+  test("partialCorrelation: confounder nets out; perfect collinearity degenerates") {
+    // o: x = z + w, y = z - w (orthogonal w): r_xy = 0 but both ride z
+    // at r = 1/sqrt(2); controlling z reveals the exact anti-correlation
+    // partial = (0 - 1/2)/(1/2) = -1 (in doubles -0.99999...8, so t is
+    // finite-huge and the verdict fires — deterministic in both engines)
+    val o = Seq((1L, 2L, 0L), (-1L, 0L, -2L), (1L, 0L, 2L), (-1L, -2L, 0L))
+      .map { case (z, x, y) => ("o", x, y, z) }
+    // g: general-position 5 points — expected values recomputed here
+    // from the hand-listed sufficient sums with independent spelling
+    val g = Seq((0L, 0L, 0L), (1L, 2L, 0L), (2L, 1L, 1L), (3L, 3L, 1L),
+      (5L, 5L, 2L)).map { case (x, y, z) => ("g", x, y, z) }
+    val out = graft.operators.Profile.partialCorrelation(
+        (o ++ g).toDF("k", "x", "y", "z"), Seq("k"), "x", "y", "z")
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("o").getAs[Long]("r_xy_e6") == 0L)
+    assert(out("o").getAs[Long]("r_xz_e6") == 707107L)
+    assert(out("o").getAs[Long]("partial_e6") == -1000000L)
+    assert(out("o").getAs[Boolean]("significant"))
+    // g sums: n=5 Sx=11 Sy=11 Sz=4 Sxx=39 Syy=39 Szz=6 Sxy=38 Sxz=15 Syz=14
+    val (n, sx, sy, sz, sxx, syy, szz, sxy, sxz, syz) =
+      (5.0, 11.0, 11.0, 4.0, 39.0, 39.0, 6.0, 38.0, 15.0, 14.0)
+    def r(sab: Double, sa: Double, sb: Double, qa: Double, qb: Double) =
+      (n * sab - sa * sb) / math.sqrt((n * qa - sa * sa) * (n * qb - sb * sb))
+    val (rxy, rxz, ryz) = (r(sxy, sx, sy, sxx, syy), r(sxz, sx, sz, sxx, szz),
+      r(syz, sy, sz, syy, szz))
+    val pr = (rxy - rxz * ryz) /
+      math.sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz))
+    assert(out("g").getAs[Long]("partial_e6") ==
+      math.floor(pr * 1e6 + 0.5).toLong)
+    assert(out("g").getAs[Long]("r_xy_e6") ==
+      math.floor(rxy * 1e6 + 0.5).toLong)
+    val t = pr * math.sqrt((n - 3.0) / (1.0 - pr * pr))
+    assert(out("g").getAs[Long]("t_e4") == math.floor(t * 1e4 + 0.5).toLong)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
