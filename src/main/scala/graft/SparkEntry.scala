@@ -3850,7 +3850,23 @@ object SparkEntry {
             .withColumn("disc_pm",
               expr("cast(floor(l_discount * 1000 + 0.5) as bigint)")),
           Seq("l_returnflag"), "qty", "cents", "disc_pm")
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // ---- extension: Engle-Granger cointegration — do monthly order
+    // volume and revenue share a long-run equilibrium per priority
+    // (each can wander; the SPREAD must not): OLS hedge ratio, then
+    // the q212 ADF machinery on the quantized residuals against the
+    // EG -3.34 critical
+    "q310_x_engle_granger" -> tuned((s, d) =>
+      graft.stats.Diagnostics.engleGranger(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(count(lit(1)).as("n_orders"),
+              expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))")
+                .as("cents")),
+          Seq("o_orderpriority"), "month", "n_orders", "cents")
+        .orderBy("o_orderpriority"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10261,6 +10277,84 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same OLS windows and per-row residual tree (centi-unit
+    // quantized), then q212's ADF det/varb1 chain PER KEY against the
+    // EG -3.34 critical; beta off the same b column
+    "q310_x_engle_granger" ->
+      ("""WITH m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(count(*) AS BIGINT) AS x,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |w AS (SELECT k, month, x, y,
+        |        CAST(count(*) OVER (PARTITION BY k) AS BIGINT) AS n,
+        |        sum(CAST(x AS HUGEINT)) OVER (PARTITION BY k) AS sx,
+        |        sum(CAST(y AS HUGEINT)) OVER (PARTITION BY k) AS sy,
+        |        sum(CAST(x AS HUGEINT) * x) OVER (PARTITION BY k) AS sxx,
+        |        sum(CAST(x AS HUGEINT) * y) OVER (PARTITION BY k) AS sxy
+        |      FROM m),
+        |bb AS (SELECT *, CAST(n AS HUGEINT) * sxx - sx * sx AS dd FROM w),
+        |r0 AS (SELECT k, month, x, y,
+        |         CASE WHEN dd <> 0 THEN
+        |           CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE)
+        |             / CAST(dd AS DOUBLE) END AS b,
+        |         CAST(sy AS DOUBLE) AS syd, CAST(sx AS DOUBLE) AS sxd,
+        |         CAST(n AS DOUBLE) AS nd
+        |       FROM bb),
+        |r1 AS (SELECT k, month, b, (syd - b * sxd) / nd AS a, x, y FROM r0),
+        |rq AS (SELECT k, month, b,
+        |         CAST(floor((CAST(y AS DOUBLE) - a - b * CAST(x AS DOUBLE))
+        |           * 100 + 0.5) AS BIGINT) AS rv
+        |       FROM r1 WHERE b IS NOT NULL),
+        |beta AS (SELECT k, floor(max(b) * 1000000 + 0.5) / 1000000 AS beta
+        |         FROM rq GROUP BY 1),
+        |o AS (SELECT k, month, rv,
+        |        lag(rv) OVER (PARTITION BY k ORDER BY month) AS ylag
+        |      FROM rq),
+        |g AS (SELECT k, CAST(ylag AS HUGEINT) AS xx,
+        |        CAST(lag(rv - ylag) OVER (PARTITION BY k ORDER BY month)
+        |             AS HUGEINT) AS zz,
+        |        CAST(rv - ylag AS HUGEINT) AS yv
+        |      FROM o),
+        |h AS (SELECT * FROM g WHERE zz IS NOT NULL),
+        |s AS (SELECT k, count(*) AS n, CAST(count(*) AS DOUBLE) AS nn,
+        |        CAST(sum(xx) AS DOUBLE) AS sx, CAST(sum(zz) AS DOUBLE) AS sz,
+        |        CAST(sum(yv) AS DOUBLE) AS sy,
+        |        CAST(sum(xx*xx) AS DOUBLE) AS sxx,
+        |        CAST(sum(zz*zz) AS DOUBLE) AS szz,
+        |        CAST(sum(xx*zz) AS DOUBLE) AS sxz,
+        |        CAST(sum(xx*yv) AS DOUBLE) AS sxy,
+        |        CAST(sum(zz*yv) AS DOUBLE) AS szy,
+        |        CAST(sum(yv*yv) AS DOUBLE) AS syy
+        |      FROM h GROUP BY 1),
+        |c AS (SELECT k, n, nn, sxy,
+        |        nn*(sxx*szz - sxz*sxz) - sx*(sx*szz - sxz*sz)
+        |          + sz*(sx*sxz - sxx*sz) AS det,
+        |        sy*(sxx*szz - sxz*sxz) - sx*(sxy*szz - sxz*szy)
+        |          + sz*(sxy*sxz - sxx*szy) AS detb0,
+        |        nn*(sxy*szz - sxz*szy) - sy*(sx*szz - sxz*sz)
+        |          + sz*(sx*szy - sxy*sz) AS detb1,
+        |        nn*(sxx*szy - sxy*sxz) - sx*(sx*szy - sxy*sz)
+        |          + sy*(sx*sxz - sxx*sz) AS detb2,
+        |        sy, szy, syy, sz, szz
+        |      FROM s),
+        |r AS (SELECT k, n, det, detb1,
+        |        (syy - (detb0*sy + detb1*sxy + detb2*szy) / det) / (nn - 3.0)
+        |          * (nn*szz - sz*sz) / det AS varb1
+        |      FROM c),
+        |t AS (SELECT k, n,
+        |        CASE WHEN det <> 0 THEN
+        |          floor((detb1/det) * 10000 + 0.5) / 10000 END AS coef,
+        |        CASE WHEN det <> 0 AND n > 3 THEN
+        |          floor(((detb1/det) / sqrt(varb1)) * 10000 + 0.5) / 10000
+        |        END AS adf_t
+        |      FROM r)
+        |SELECT t.k AS o_orderpriority, n AS n_obs, coef, adf_t,
+        |  -3.34 AS crit5, adf_t < -3.34 AS cointegrated, beta.beta
+        |FROM t JOIN beta ON beta.k = t.k
+        |ORDER BY o_orderpriority""".stripMargin),
 
     // the same quantized columns, HUGEINT sums, the IDENTICAL pairwise
     // r trees composed into the partial/t trees, verdict on rounded |t|

@@ -298,7 +298,8 @@ object Diagnostics {
     * Scale shape: one shuffle on the keys shared by the window and the
     * aggregate; state per key is the 10 sums, O(1). */
   def adfFixedLag(df: DataFrame, keyCols: Seq[String], orderCol: String,
-                  valueCol: String, roundTo: Int = 4): DataFrame = {
+                  valueCol: String, roundTo: Int = 4,
+                  crit5: Double = -2.86): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = (if (keyCols.isEmpty) Window.partitionBy(lit(1))
              else Window.partitionBy(keyCols.map(col): _*))
@@ -341,9 +342,9 @@ object Diagnostics {
     val keyOut: Seq[Column] = if (keyCols.isEmpty) Seq(col("key")) else keyCols.map(col)
     sums.select(keyOut :+ col("n").as("n_obs") :+
       rnd(when(det =!= 0.0, detB1 / det)).as("coef") :+
-      tstat.as("adf_t") :+ lit(-2.86).as("crit5") :+
+      tstat.as("adf_t") :+ lit(crit5).as("crit5") :+
       // decided on the ROUNDED stat so both engines flip identically
-      (tstat < lit(-2.86)).as("stationary5"): _*)
+      (tstat < lit(crit5)).as("stationary5"): _*)
   }
 
   /** Fixed-lag-0 KPSS level-stationarity statistic per key — the
@@ -561,6 +562,68 @@ object Diagnostics {
         when(col("f_e4").isNotNull, col("f_e4") > 38415L))
       .select((keyCols.map(col) :+ col("n_obs") :+ col("xlag_coef") :+
         col("f_e4") :+ col("crit5_e4") :+ col("significant")): _*)
+  }
+
+  /** Per-key Engle–Granger cointegration screen — "do these two trending
+    * series share a long-run equilibrium": OLS `y = a + b·x` (the hedge
+    * ratio), then [[adfFixedLag]] on the RESIDUAL series against the
+    * Engle–Granger 5% critical (−3.34 for two variables with constant —
+    * deliberately NOT the plain ADF −2.86: the residual is a FITTED
+    * combination, so the unit-root test must pay for the estimated b).
+    * Two series can each be nonstationary yet cointegrated — the
+    * spread-trading / ratio-monitoring readout neither [[adfFixedLag]]
+    * alone nor [[grangerCausality]] gives.
+    *
+    * Exactness: the OLS slope/intercept are fixed double trees over
+    * exact DECIMAL sums (the groupedOls discipline); each residual is
+    * ONE per-row fixed tree quantized to centi-units
+    * (`⌊e·100 + ½⌋` — deterministic in both engines, and the
+    * caller-quantization contract adfFixedLag already demands); the
+    * ADF chain then inherits its exact-sum/Cramer contract. Keys with
+    * constant x (singular OLS) emit nothing.
+    *
+    * Scale shape: one sort per key shared by the unbounded-frame OLS
+    * sums, then adfFixedLag's window + aggregate on the same
+    * partitioning. Output: `(keys…, n_obs, coef, adf_t, crit5,
+    * cointegrated, beta)` — n_obs counts the ADF regression rows
+    * (series minus the two lags). */
+  def engleGranger(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   xCol: String, yCol: String, roundTo: Int = 4): DataFrame = {
+    require(keyCols.nonEmpty, "engleGranger needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    def dec(c: Column) = c.cast("decimal(38,0)")
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(orderCol).isNotNull)
+      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+
+        col(xCol).cast("long").as("__x") :+
+        col(yCol).cast("long").as("__y")): _*)
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__sx", sum(dec(col("__x"))).over(wAll))
+      .withColumn("__sy", sum(dec(col("__y"))).over(wAll))
+      .withColumn("__sxx", sum(dec(col("__x")) * col("__x")).over(wAll))
+      .withColumn("__sxy", sum(dec(col("__x")) * col("__y")).over(wAll))
+      .withColumn("__d", expr(
+        "cast(__n as decimal(38,0)) * __sxx - __sx * __sx"))
+      .withColumn("__b", expr(
+        """case when __d <> 0 then
+          |  cast(cast(__n as decimal(38,0)) * __sxy - __sx * __sy as double)
+          |    / cast(__d as double) end""".stripMargin))
+      .withColumn("__a", expr(
+        """(cast(__sy as double) - __b * cast(__sx as double))
+          | / cast(__n as double)""".stripMargin.replaceAll("\n", " ")))
+      .withColumn("resid_q", expr(
+        """cast(floor((cast(__y as double) - __a - __b * cast(__x as double))
+          |  * 100 + 0.5) as bigint)""".stripMargin))
+      .filter(col("resid_q").isNotNull)
+      .localCheckpoint(false)
+    val betas = base.groupBy(keyCols.map(col): _*)
+      .agg((floor(max(col("__b")) * 1e6 + 0.5) / 1e6).as("beta"))
+    adfFixedLag(base, keyCols, "__ord", "resid_q", roundTo, crit5 = -3.34)
+      .withColumnRenamed("stationary5", "cointegrated")
+      .join(betas, keyCols)
   }
 
   /** Per-key cross-correlation function — Pearson r of `(x_t, y_{t+l})`

@@ -545,6 +545,30 @@ class DiagnosticsSpec extends SparkSpec {
     assert(rc.get(rc.fieldIndex("r_e6")) == null)
   }
 
+  test("engleGranger: a shared-equilibrium pair flags, a diverging one does not") {
+    // both series ride the same deterministic upward walk; y's residual
+    // against x is a bounded aperiodic wobble (t^2 mod 7) -> cointegrated,
+    // beta ~ 3 (a perfectly-alternating residual would make the two ADF
+    // regressors exactly collinear — degenerate by construction)
+    val steps = (1 to 40).map(t => (t * 7 % 5 + 1).toLong)
+    val xw = steps.scanLeft(0L)(_ + _).tail
+    val co = (1 to 40).map(t =>
+      ("co", t.toLong, xw(t - 1), 3L * xw(t - 1) + t * t % 7))
+    // diverging: the residual itself trends (t^2 term) -> not cointegrated
+    val div = (1 to 40).map(t =>
+      ("dv", t.toLong, xw(t - 1), 3L * xw(t - 1) + t.toLong * t))
+    val out = Diagnostics.engleGranger((co ++ div).toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y").collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("co").getAs[Boolean]("cointegrated"))
+    assert(math.abs(out("co").getAs[Double]("beta") - 3.0) < 0.05)
+    assert(!out("dv").getAs[Boolean]("cointegrated"))
+    assert(out("co").getAs[Double]("crit5") == -3.34)
+    // constant x -> singular OLS -> no row
+    val cx = (1 to 10).map(t => ("cx", t.toLong, 5L, t.toLong))
+    assert(Diagnostics.engleGranger(cx.toDF("k", "t", "x", "y"),
+      Seq("k"), "t", "x", "y").collect().isEmpty)
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2
