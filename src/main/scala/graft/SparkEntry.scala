@@ -3866,7 +3866,24 @@ object SparkEntry {
               expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint))")
                 .as("cents")),
           Seq("o_orderpriority"), "month", "n_orders", "cents")
-        .orderBy("o_orderpriority"))
+        .orderBy("o_orderpriority")),
+
+    // ---- extension: Cronbach's alpha — do the three document-length
+    // measurements (char-band, token-band, trimmed-length-band) form a
+    // reliable composite scale per source (the numeric-scale
+    // reliability complement of the kappa/alpha agreement family);
+    // exact DECIMAL item/total variances, one signed alpha tree
+    "q311_x_cronbach" -> tuned((s, d) =>
+      graft.operators.Metrics.cronbachAlpha(
+          Tables.documents(s, d)
+            .filter(col("n_chars").isNotNull && col("text").isNotNull)
+            .withColumn("i1", expr("n_chars div 100"))
+            .withColumn("__tok",
+              graft.text.TextAnalysis.tokenCount(col("text")).cast("long"))
+            .withColumn("i2", expr("__tok div 10"))
+            .withColumn("i3", expr("length(trim(text)) div 100")),
+          Seq("source"), Seq("i1", "i2", "i3"))
+        .orderBy("source"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10277,6 +10294,40 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same three band items (q295's tokenCount replay), HUGEINT
+    // item/total variance numerators, the IDENTICAL k/(k-1) alpha tree
+    "q311_x_cronbach" ->
+      ("""WITH b AS (
+        |  SELECT source,
+        |         n_chars // 100 AS i1,
+        |         (CASE WHEN length(trim(text)) = 0 THEN 0
+        |            ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |           // 10 AS i2,
+        |         length(trim(text)) // 100 AS i3
+        |  FROM documents
+        |  WHERE n_chars IS NOT NULL AND text IS NOT NULL
+        |    AND source IS NOT NULL),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        sum(CAST(i1 AS HUGEINT)) AS s0,
+        |        sum(CAST(i1 AS HUGEINT) * i1) AS q0,
+        |        sum(CAST(i2 AS HUGEINT)) AS s1,
+        |        sum(CAST(i2 AS HUGEINT) * i2) AS q1,
+        |        sum(CAST(i3 AS HUGEINT)) AS s2,
+        |        sum(CAST(i3 AS HUGEINT) * i3) AS q2,
+        |        sum(CAST(i1 + i2 + i3 AS HUGEINT)) AS st,
+        |        sum(CAST(i1 + i2 + i3 AS HUGEINT) * (i1 + i2 + i3)) AS qt
+        |      FROM b GROUP BY 1)
+        |SELECT source, n, CAST(3 AS BIGINT) AS k_items,
+        |  CASE WHEN n >= 2 AND CAST(n * qt - st * st AS DOUBLE) > 0 THEN
+        |    CAST(floor(CAST(3 AS DOUBLE) / CAST(2 AS DOUBLE)
+        |      * (1.0 - (CAST(n * q0 - s0 * s0 AS DOUBLE)
+        |                + CAST(n * q1 - s1 * s1 AS DOUBLE)
+        |                + CAST(n * q2 - s2 * s2 AS DOUBLE))
+        |               / CAST(n * qt - st * st AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT)
+        |  END AS alpha_e6
+        |FROM s ORDER BY source""".stripMargin),
 
     // the same OLS windows and per-row residual tree (centi-unit
     // quantized), then q212's ADF det/varb1 chain PER KEY against the

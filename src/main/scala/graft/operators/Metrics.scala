@@ -1759,6 +1759,57 @@ object Metrics {
         col("h_b_e9") :+ col("nmi_e6"): _*)
   }
 
+  /** Per-key Cronbach's α — internal-consistency RELIABILITY of k
+    * parallel item columns: "do these k measurements of the same
+    * construct hang together" (`α = k/(k−1)·(1 − Σᵢσᵢ²/σ_T²)` with σ_T²
+    * the variance of the per-row item SUM). The scale-reliability
+    * complement of the agreement family: [[cohenKappa]]/
+    * [[krippendorffAlpha]] score categorical RATERS on items; Cronbach
+    * scores numeric ITEMS as a composite scale (the ≥ 0.7 rule of
+    * thumb before anyone averages the k columns into one score).
+    *
+    * Exactness: per-item `(Sᵢ, Qᵢ)` and the row-sum `(S_T, Q_T)` are
+    * exact DECIMAL sums over caller-quantized integers; every variance
+    * numerator `n·Q − S²` is exact DECIMAL, α is ONE fixed double tree
+    * e6-quantized (signed — α can go negative when items anti-vary).
+    * Rows with ANY null item drop (the paired contract); keys with
+    * zero total variance emit null.
+    *
+    * Scale shape: ONE map-side-combined aggregate, 2k+3 numbers per
+    * key. Output: `(keys…, n, k_items, alpha_e6)`. */
+  def cronbachAlpha(df: DataFrame, keyCols: Seq[String],
+                    itemCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "cronbachAlpha needs at least one key column")
+    require(itemCols.size >= 2, "cronbachAlpha needs k >= 2 item columns")
+    val k = keyCols.map(col)
+    val kk = itemCols.size
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val items = itemCols.map(c => col(c).cast("long"))
+    val total = items.reduce(_ + _)
+    val sums = dropNullKeys(df, keyCols)
+      .filter(items.map(_.isNotNull).reduce(_ && _))
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("n"),
+        (items.zipWithIndex.flatMap { case (c, i) =>
+          Seq(sum(dec(c)).as(s"__s$i"), sum(dec(c) * c).as(s"__q$i"))
+        } :+ sum(dec(total)).as("__st") :+
+          sum(dec(total) * total).as("__qt")): _*)
+    val itemVarSum = itemCols.indices
+      .map(i => s"cast(n * __q$i - __s$i * __s$i as double)")
+      .mkString(" + ")
+    val totVar = "cast(n * __qt - __st * __st as double)"
+    sums
+      .withColumn("k_items", lit(kk.toLong))
+      .withColumn("alpha_e6", expr(
+        s"""case when n >= 2 and $totVar > 0 then
+           |  cast(floor(cast($kk as double) / cast(${kk - 1} as double)
+           |    * (1.0 - ($itemVarSum) / $totVar)
+           |    * 1000000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .drop(itemCols.indices.flatMap(i => Seq(s"__s$i", s"__q$i")) ++
+        Seq("__st", "__qt"): _*)
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable

@@ -861,6 +861,27 @@ class MetricsSpec extends SparkSpec {
     assert(out("g").getAs[Long]("t_e4") == math.floor(t * 1e4 + 0.5).toLong)
   }
 
+  test("cronbachAlpha: hand-computed two-item scales; constant total null; null rows drop") {
+    // p: b = 2a -> alpha = 2*(1 - 30/54) = 8/9 -> 888889
+    val p = Seq(("p", 1L, 2L), ("p", 2L, 4L), ("p", 3L, 6L))
+    // i: mixed -> alpha = 2*(1 - 40/64) = 0.75 -> 750000
+    val i = Seq(("i", 1L, 2L), ("i", 2L, 1L), ("i", 3L, 4L), ("i", 4L, 3L))
+    // o: exact anti-variation -> total variance 0 -> null
+    val o = Seq(("o", 1L, 3L), ("o", 2L, 2L), ("o", 3L, 1L))
+    val out = Metrics.cronbachAlpha((p ++ i ++ o).toDF("g", "a", "b"),
+      Seq("g"), Seq("a", "b")).collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("p").getAs[Long]("alpha_e6") == 888889L)
+    assert(out("i").getAs[Long]("alpha_e6") == 750000L)
+    assert(out("p").getAs[Long]("k_items") == 2L)
+    val ro = out("o")
+    assert(ro.get(ro.fieldIndex("alpha_e6")) == null)
+    // a null item drops the row (paired contract)
+    val wn = Seq(("n", Some(1L), Some(2L)), ("n", Some(2L), None),
+      ("n", Some(3L), Some(6L)), ("n", Some(4L), Some(8L))).toDF("g", "a", "b")
+    assert(Metrics.cronbachAlpha(wn, Seq("g"), Seq("a", "b"))
+      .collect().head.getAs[Long]("n") == 3L)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
