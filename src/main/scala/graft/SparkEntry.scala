@@ -3883,7 +3883,24 @@ object SparkEntry {
             .withColumn("i2", expr("__tok div 10"))
             .withColumn("i3", expr("length(trim(text)) div 100")),
           Seq("source"), Seq("i1", "i2", "i3"))
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- extension: empirical-Bayes shrinkage — per-user purchase
+    // rates pulled toward a beta prior fitted per cohort (a 1/1 user
+    // must not outrank a 97/100 one — the honest rate ranking q287's
+    // Wilson bound solves one-sided, solved point-wise); e9-quantized
+    // rates, exact DECIMAL moment sums, fixed alpha/beta/shrunk trees
+    "q312_x_eb_shrinkage" -> tuned((s, d) =>
+      graft.operators.Metrics.ebShrinkRates(
+          Tables.events(s, d)
+            .filter(col("user_id").isNotNull && col("event_type").isNotNull)
+            .groupBy(pmod(col("user_id"), lit(2L)).as("cohort"),
+              col("user_id"))
+            .agg(count(lit(1)).as("n_ev"),
+              sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+                .as("n_buy")),
+          Seq("cohort"), "user_id", "n_buy", "n_ev")
+        .orderBy("cohort", "entity"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10294,6 +10311,48 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same per-user (x, n) grid, e9 rate quantization BEFORE any
+    // cross-entity sum, HUGEINT moment sums, the IDENTICAL
+    // mu/var/c/alpha/beta/shrunk trees
+    "q312_x_eb_shrinkage" ->
+      ("""WITH pu AS (
+        |  SELECT user_id % 2 AS cohort, user_id AS entity,
+        |         CAST(count(*) AS BIGINT) AS n,
+        |         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |                  END) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |b AS (SELECT cohort, entity, x, n,
+        |        CAST(floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e9 + 0.5)
+        |             AS BIGINT) AS rate_e9
+        |      FROM pu WHERE n > 0),
+        |p AS (SELECT cohort, CAST(count(*) AS BIGINT) AS m,
+        |        sum(CAST(rate_e9 AS HUGEINT)) AS sr,
+        |        sum(CAST(rate_e9 AS HUGEINT) * rate_e9) AS qr
+        |      FROM b GROUP BY 1),
+        |p2 AS (SELECT cohort,
+        |         CAST(sr AS DOUBLE) / CAST(m AS DOUBLE) / 1e9 AS mu,
+        |         CASE WHEN m >= 2 THEN CAST(m * qr - sr * sr AS DOUBLE)
+        |           / (CAST(m AS DOUBLE) * CAST(m - 1 AS DOUBLE)) / 1e18
+        |         END AS varr
+        |       FROM p),
+        |p3 AS (SELECT cohort, mu,
+        |         CASE WHEN varr > 0 THEN mu * (1.0 - mu) / varr - 1.0 END AS c
+        |       FROM p2),
+        |p4 AS (SELECT cohort, CASE WHEN c > 0 THEN mu * c END AS alpha,
+        |         CASE WHEN c > 0 THEN (1.0 - mu) * c END AS beta
+        |       FROM p3)
+        |SELECT b.cohort, entity, x, n, rate_e9,
+        |  CAST(floor(alpha * 1000000 + 0.5) AS BIGINT) AS alpha_e6,
+        |  CAST(floor(beta * 1000000 + 0.5) AS BIGINT) AS beta_e6,
+        |  CASE WHEN alpha IS NOT NULL THEN
+        |    CAST(floor((CAST(x AS DOUBLE) + alpha)
+        |      / (CAST(n AS DOUBLE) + alpha + beta)
+        |      * 1000000 + 0.5) AS BIGINT) END AS shrunk_e6
+        |FROM b JOIN p4 ON p4.cohort = b.cohort
+        |ORDER BY b.cohort, entity""".stripMargin),
 
     // the same three band items (q295's tokenCount replay), HUGEINT
     // item/total variance numerators, the IDENTICAL k/(k-1) alpha tree

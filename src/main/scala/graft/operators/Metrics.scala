@@ -1810,6 +1810,72 @@ object Metrics {
         Seq("__st", "__qt"): _*)
   }
 
+  /** Per-key empirical-Bayes rate shrinkage — beta-prior moment fit over
+    * the key's entities, then per-entity posterior-mean rates
+    * `(x + α)/(n + α + β)`: the honest per-domain/per-user rate when
+    * trial counts vary wildly (a 1/1 entity must NOT outrank a 97/100
+    * one — the exact failure of raw-rate ranking that [[wilsonCi]]
+    * bounds one-sided and this fixes point-wise). Prior by method of
+    * moments on the entity rates: `c = μ(1−μ)/σ² − 1`, `α = μ·c`,
+    * `β = (1−μ)·c`.
+    *
+    * Exactness: each entity rate is ONE fixed double tree e9-quantized
+    * BEFORE crossing rows (the nmiFromCells discipline — a double mean
+    * over entities would be order-dependent); μ/σ² come from exact
+    * DECIMAL sums of those integers, α/β/shrunk are fixed trees over
+    * them, e6-quantized. Keys with < 2 entities, zero rate variance,
+    * or a non-positive moment estimate (`c ≤ 0` — rates MORE dispersed
+    * than any beta allows) emit null prior and null shrunk rates (raw
+    * rates remain).
+    *
+    * Scale shape: one aggregate for the prior (3 numbers per key), one
+    * broadcast-sized join back; per-entity output rides the input
+    * partitioning. Output: `(keys…, entity, x, n, rate_e9, alpha_e6,
+    * beta_e6, shrunk_e6)`. */
+  def ebShrinkRates(df: DataFrame, keyCols: Seq[String], entityCol: String,
+                    xCol: String, nCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "ebShrinkRates needs at least one key column")
+    val k = keyCols.map(col)
+    val base = dropNullKeys(df, keyCols)
+      .filter(col(entityCol).isNotNull && col(xCol).isNotNull &&
+        col(nCol).isNotNull && col(nCol) > 0)
+      .select((k :+ col(entityCol).as("entity") :+
+        col(xCol).cast("long").as("x") :+ col(nCol).cast("long").as("n")): _*)
+      .withColumn("rate_e9", expr(
+        "cast(floor(cast(x as double) / cast(n as double) * 1e9 + 0.5) as bigint)"))
+      .localCheckpoint(false)
+    val prior = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("__m"),
+        sum(expr("cast(rate_e9 as decimal(38,0))")).as("__sr"),
+        sum(expr("cast(rate_e9 as decimal(38,0)) * rate_e9")).as("__qr"))
+      .withColumn("__mu", expr(
+        "cast(__sr as double) / cast(__m as double) / 1e9"))
+      .withColumn("__var", expr(
+        """case when __m >= 2 then
+          |  cast(__m * __qr - __sr * __sr as double)
+          |  / (cast(__m as double) * cast(__m - 1 as double)) / 1e18
+          |end""".stripMargin))
+      .withColumn("__c", expr(
+        """case when __var > 0 then
+          |  __mu * (1.0 - __mu) / __var - 1.0 end""".stripMargin))
+      .withColumn("__alpha", expr("case when __c > 0 then __mu * __c end"))
+      .withColumn("__beta", expr(
+        "case when __c > 0 then (1.0 - __mu) * __c end"))
+      .select((k :+ col("__alpha") :+ col("__beta")): _*)
+    base.join(prior, keyCols)
+      .withColumn("alpha_e6", expr(
+        "cast(floor(__alpha * 1000000 + 0.5) as bigint)"))
+      .withColumn("beta_e6", expr(
+        "cast(floor(__beta * 1000000 + 0.5) as bigint)"))
+      .withColumn("shrunk_e6", expr(
+        """case when __alpha is not null then
+          |  cast(floor((cast(x as double) + __alpha)
+          |    / (cast(n as double) + __alpha + __beta)
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .drop("__alpha", "__beta")
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable

@@ -882,6 +882,30 @@ class MetricsSpec extends SparkSpec {
       .collect().head.getAs[Long]("n") == 3L)
   }
 
+  test("ebShrinkRates: the 1/1 entity no longer outranks 97/100; degenerate keys null") {
+    val k = Seq(("k", 1L, 1L, 1L), ("k", 2L, 97L, 100L), ("k", 3L, 50L, 100L),
+      ("k", 4L, 10L, 20L), ("k", 5L, 3L, 10L))
+    // u: all entities share one rate -> zero variance -> null prior
+    val u = Seq(("u", 1L, 1L, 2L), ("u", 2L, 2L, 4L), ("u", 3L, 3L, 6L))
+    val out = Metrics.ebShrinkRates((k ++ u).toDF("g", "e", "x", "n"),
+      Seq("g"), "e", "x", "n").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("entity")) -> r).toMap
+    val s1 = out(("k", 1L)).getAs[Long]("shrunk_e6")
+    val s2 = out(("k", 2L)).getAs[Long]("shrunk_e6")
+    assert(s2 > s1, s"97/100 ($s2) must outrank 1/1 ($s1) after shrinkage")
+    // replay the moment fit from the quantized rates
+    val rates = Seq(1.0, 0.97, 0.5, 0.5, 0.3)
+    val mu = rates.sum / 5
+    val varr = rates.map(r => (r - mu) * (r - mu)).sum / 4
+    val c = mu * (1 - mu) / varr - 1
+    val (a, b) = (mu * c, (1 - mu) * c)
+    assert(math.abs(out(("k", 1L)).getAs[Long]("alpha_e6") - a * 1e6) < 2)
+    assert(math.abs(s1 - (1 + a) / (1 + a + b) * 1e6) < 2)
+    val ru = out(("u", 1L))
+    assert(ru.get(ru.fieldIndex("shrunk_e6")) == null)
+    assert(ru.getAs[Long]("rate_e9") == 500000000L)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
