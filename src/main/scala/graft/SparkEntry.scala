@@ -3900,7 +3900,22 @@ object SparkEntry {
               sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
                 .as("n_buy")),
           Seq("cohort"), "user_id", "n_buy", "n_ev")
-        .orderBy("cohort", "entity"))
+        .orderBy("cohort", "entity")),
+
+    // ---- extension: post-hoc pairwise Welch + BH — WHICH priority
+    // pairs differ in mean order value per segment, with the 50
+    // comparisons controlled as ONE FDR family (the step after q269's
+    // ANOVA says "something differs"); welch trees verbatim, A&S
+    // normal-tail p, q264's BH machinery
+    "q313_x_pairwise_welch" -> tuned((s, d) =>
+      graft.operators.Metrics.pairwiseWelch(
+          Tables.orders(s, d)
+            .join(Tables.customer(s, d),
+              col("o_custkey") === col("c_custkey"))
+            .withColumn("cents",
+              expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")),
+          Seq("c_mktsegment"), "o_orderpriority", "cents")
+        .orderBy("rank"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10310,6 +10325,59 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the same group sums and pair self-join, welchTTest's va/vb/se2
+    // trees verbatim, the IDENTICAL A&S 26.2.17 Horner tail, q264's
+    // BH rank/kmax replay
+    "q313_x_pairwise_welch" -> {
+      val va = "((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1))"
+      val vb = "((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1))"
+      val se2 = s"($va / n_a + $vb / n_b)"
+      s"""WITH b0 AS (
+        |  SELECT c_mktsegment AS k, o_orderpriority AS g,
+        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  WHERE c_mktsegment IS NOT NULL AND o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |s AS (SELECT k, g, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(v) AS BIGINT) AS sv,
+        |        sum(CAST(v AS HUGEINT) * v) AS qv
+        |      FROM b0 GROUP BY 1, 2),
+        |p AS (SELECT a.k, a.g AS group_a, b.g AS group_b,
+        |        a.n AS n_a, b.n AS n_b, a.sv AS sa, a.qv AS qa,
+        |        b.sv AS sb, b.qv AS qb
+        |      FROM s a JOIN s b ON a.k = b.k AND a.g < b.g),
+        |t AS (SELECT *,
+        |        CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN
+        |          (CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+        |            / sqrt($se2) END AS tt
+        |      FROM p),
+        |z AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(tt)) AS zt FROM t),
+        |q AS (SELECT k, group_a, group_b, n_a, n_b,
+        |        sa * 100 // n_a AS mean_a_e2, sb * 100 // n_b AS mean_b_e2,
+        |        CAST(floor(tt * 10000 + 0.5) AS BIGINT) AS t_e4,
+        |        CASE WHEN tt IS NOT NULL THEN
+        |          CAST(floor(2.0 * exp(-abs(tt) * abs(tt) / 2.0)
+        |            * 0.3989422804014327
+        |            * (zt * (0.319381530 + zt * (-0.356563782
+        |               + zt * (1.781477937 + zt * (-1.821255978
+        |               + zt * 1.330274429)))))
+        |            * 1000000000 + 0.5) AS BIGINT)
+        |        END AS p_e9
+        |      FROM z),
+        |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_e9, k, group_a,
+        |               group_b) AS INT) AS rank,
+        |             CAST(count(*) OVER () AS BIGINT) AS m
+        |      FROM q WHERE p_e9 IS NOT NULL),
+        |f AS (SELECT *, max(CASE WHEN p_e9 * 1000 * m
+        |               <= rank * 50 * CAST(1000000000 AS BIGINT) THEN rank END)
+        |               OVER () AS kmax
+        |      FROM r)
+        |SELECT k AS c_mktsegment, group_a, group_b, n_a, n_b,
+        |       mean_a_e2, mean_b_e2, t_e4, p_e9, rank,
+        |       coalesce(rank <= kmax, false) AS rejected
+        |FROM f ORDER BY rank""".stripMargin
     },
 
     // the same per-user (x, n) grid, e9 rate quantization BEFORE any

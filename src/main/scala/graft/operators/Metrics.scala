@@ -1876,6 +1876,78 @@ object Metrics {
       .drop("__alpha", "__beta")
   }
 
+  /** Post-hoc pairwise Welch z with Benjamini–Hochberg control — the
+    * step AFTER [[anovaOneWay]] flags "the groups differ": WHICH pairs
+    * differ, with the multiplicity of all k(k−1)/2 comparisons
+    * controlled in one FDR family ([[bhCorrect]]) instead of the
+    * uncorrected per-pair t-tests that manufacture false positives.
+    * Per pair: the [[welchTTest]] statistic; its two-sided p via the
+    * Abramowitz–Stegun 26.2.17 normal-tail polynomial (elementary
+    * exp/sqrt only — both engines replay the identical tree; the
+    * normal approximation to Welch's t is the documented large-n
+    * convention, exact small-sample df calibration is the caller's
+    * refinement).
+    *
+    * Exactness: per-(key, group) sufficient sums are exact
+    * (n, S, DECIMAL Q); the pair grid is a within-key self-join of the
+    * GROUP-LEVEL sums (never rows); t reuses welchTTest's va/vb/se2
+    * spelling verbatim; p is one fixed tree e9-quantized; the BH pass
+    * inherits [[bhCorrect]]'s integer-threshold contract (ONE global
+    * family across all keys — the whole-experiment FDR convention,
+    * documented). Pairs with n < 2 a side or zero variance drop at the
+    * BH filter (null p).
+    *
+    * Scale shape: group-grid-sized end-to-end after the one row
+    * aggregate; the BH rank window is family-sized by definition.
+    * Output: `(keys…, group_a, group_b, n_a, n_b, mean_a_e2,
+    * mean_b_e2, t_e4, p_e9, rank, rejected)`. */
+  def pairwiseWelch(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                    valueCol: String, qPermille: Int = 50): DataFrame = {
+    require(keyCols.nonEmpty, "pairwiseWelch needs at least one key column")
+    val k = keyCols.map(col)
+    val x = col(valueCol).cast("long")
+    val sums = dropNullKeys(df, keyCols)
+      .filter(col(groupCol).isNotNull && x.isNotNull)
+      .groupBy(k :+ col(groupCol).as("__g"): _*)
+      .agg(count(lit(1)).as("__n"), sum(x).as("__s"),
+        sum(expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
+          .as("__q"))
+      .localCheckpoint(false)
+    val a = sums.select((k :+ col("__g").as("group_a") :+
+      col("__n").as("n_a") :+ col("__s").as("__sa") :+
+      col("__q").as("__qa")): _*)
+    val b = sums.select((k :+ col("__g").as("group_b") :+
+      col("__n").as("n_b") :+ col("__s").as("__sb") :+
+      col("__q").as("__qb")): _*)
+    val va = "((cast(__qa as double) - cast(__sa as double) * __sa / n_a) / (n_a - 1))"
+    val vb = "((cast(__qb as double) - cast(__sb as double) * __sb / n_b) / (n_b - 1))"
+    val se2 = s"($va / n_a + $vb / n_b)"
+    val pairs = a.join(b, keyCols).filter(col("group_a") < col("group_b"))
+      .withColumn("__t", expr(
+        s"""case when n_a >= 2 and n_b >= 2 and $se2 > 0 then
+           |  (cast(__sa as double) / n_a - cast(__sb as double) / n_b)
+           |    / sqrt($se2)
+           |end""".stripMargin))
+      // Abramowitz-Stegun 26.2.17 two-sided normal tail (Horner form)
+      .withColumn("__zt", expr("1.0 / (1.0 + 0.2316419 * abs(__t))"))
+      .withColumn("p_e9", expr(
+        """case when __t is not null then
+          |  cast(floor(2.0 * exp(-abs(__t) * abs(__t) / 2.0)
+          |    * 0.3989422804014327
+          |    * (__zt * (0.319381530 + __zt * (-0.356563782
+          |       + __zt * (1.781477937 + __zt * (-1.821255978
+          |       + __zt * 1.330274429)))))
+          |    * 1000000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .withColumn("mean_a_e2", expr("__sa * 100 div nullif(n_a, 0)"))
+      .withColumn("mean_b_e2", expr("__sb * 100 div nullif(n_b, 0)"))
+      .withColumn("t_e4", expr(
+        "cast(floor(__t * 10000 + 0.5) as bigint)"))
+      .drop("__sa", "__qa", "__sb", "__qb", "__t", "__zt")
+    bhCorrect(pairs, "p_e9", qPermille,
+      tieCols = keyCols ++ Seq("group_a", "group_b"))
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable

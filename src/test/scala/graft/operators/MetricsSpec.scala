@@ -906,6 +906,25 @@ class MetricsSpec extends SparkSpec {
     assert(ru.getAs[Long]("rate_e9") == 500000000L)
   }
 
+  test("pairwiseWelch: separated pairs reject, overlapping pair survives, n=1 drops") {
+    val rows =
+      Seq(0L, 0L, 1L, 1L).map(("k", "A", _)) ++
+      Seq(100L, 101L, 102L, 103L).map(("k", "B", _)) ++
+      Seq(0L, 1L, 2L, 1L).map(("k", "C", _)) ++
+      Seq(("k", "D", 5L)) // single row -> null variance -> pair drops
+    val out = Metrics.pairwiseWelch(rows.toDF("g", "grp", "v"),
+      Seq("g"), "grp", "v").collect()
+      .map(r => (r.getAs[String]("group_a"), r.getAs[String]("group_b")) -> r)
+      .toMap
+    assert(out.size == 3, s"D pairs must drop: ${out.keys}")
+    assert(out(("A", "B")).getAs[Boolean]("rejected"))
+    assert(out(("B", "C")).getAs[Boolean]("rejected"))
+    assert(!out(("A", "C")).getAs[Boolean]("rejected"))
+    assert(out(("A", "B")).getAs[Long]("p_e9") <
+      out(("A", "C")).getAs[Long]("p_e9"))
+    assert(out(("A", "B")).getAs[Long]("mean_b_e2") == 10150L)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
