@@ -3915,7 +3915,18 @@ object SparkEntry {
             .withColumn("cents",
               expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")),
           Seq("c_mktsegment"), "o_orderpriority", "cents")
-        .orderBy("rank"))
+        .orderBy("rank")),
+
+    // ---- extension: Friedman test — do the five priorities rank
+    // consistently across MONTHS within each segment (blocked ranks:
+    // every month is its own control, the repeated-measures axis q270's
+    // pooled Kruskal-Wallis can't read); exact 2x midranks, Conover
+    // tie-corrected T, the shared chi2 critical table
+    "q314_x_friedman" -> tuned((s, d) =>
+      graft.operators.Metrics.friedmanTest(
+          monthlySegPrio(s, d),
+          Seq("c_mktsegment"), "month", "o_orderpriority", "cents")
+        .orderBy("c_mktsegment"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10325,6 +10336,61 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the same monthly seg x prio grid, 2*rank + ties - 1 midranks,
+    // HUGEINT centered squares, the IDENTICAL Conover T tree and
+    // chi2Crit95 CASE
+    "q314_x_friedman" -> {
+      val crit = graft.operators.Metrics.chi2Crit95Sql("dof")
+      s"""WITH m AS (
+        |  SELECT c_mktsegment AS k, o_orderpriority AS j,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS b,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT) AS v
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  GROUP BY 1, 2, 3),
+        |kt AS (SELECT k, CAST(count(DISTINCT j) AS BIGINT) AS kk
+        |       FROM m GROUP BY 1),
+        |bs AS (SELECT k, b, CAST(count(*) AS BIGINT) AS bc,
+        |         CAST(count(DISTINCT j) AS BIGINT) AS bd
+        |       FROM m GROUP BY 1, 2),
+        |cm AS (SELECT m.k, m.b, m.j, m.v, kt.kk
+        |       FROM m JOIN bs ON bs.k = m.k AND bs.b = m.b
+        |       JOIN kt ON kt.k = m.k
+        |       WHERE bs.bc = kt.kk AND bs.bd = kt.kk),
+        |rk AS (SELECT k, b, j, kk,
+        |         2 * rank() OVER (PARTITION BY k, b ORDER BY v)
+        |           + count(*) OVER (PARTITION BY k, b, v) - 1 AS r2
+        |       FROM cm),
+        |pk AS (SELECT k, CAST(count(DISTINCT b) AS BIGINT) AS n_blocks,
+        |         CAST(max(kk) AS BIGINT) AS kk,
+        |         sum(CAST(r2 AS HUGEINT) * r2) AS a4
+        |       FROM rk GROUP BY 1),
+        |pt AS (SELECT rk.k,
+        |         sum((CAST(rj2 AS HUGEINT) - CAST(n_blocks AS HUGEINT)
+        |              * (pk.kk + 1))
+        |             * (CAST(rj2 AS HUGEINT) - CAST(n_blocks AS HUGEINT)
+        |                * (pk.kk + 1))) AS num4
+        |       FROM (SELECT k, j, CAST(sum(r2) AS BIGINT) AS rj2
+        |             FROM rk GROUP BY 1, 2) rk
+        |       JOIN pk ON pk.k = rk.k GROUP BY 1),
+        |fin AS (SELECT pk.k, n_blocks, kk AS k_treatments, kk - 1 AS dof,
+        |          a4 - CAST(n_blocks AS HUGEINT) * kk * (kk + 1) * (kk + 1)
+        |            AS den4,
+        |          num4
+        |        FROM pk JOIN pt ON pt.k = pk.k)
+        |SELECT k AS c_mktsegment, n_blocks, k_treatments, dof,
+        |  CASE WHEN dof > 0 AND den4 > 0 THEN
+        |    CAST(floor(CAST(k_treatments - 1 AS DOUBLE)
+        |      * CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) END AS chi2_e6,
+        |  CAST(($crit) AS BIGINT) AS crit5_e4,
+        |  CASE WHEN dof > 0 AND den4 > 0 AND ($crit) IS NOT NULL THEN
+        |    CAST(floor(CAST(k_treatments - 1 AS DOUBLE)
+        |      * CAST(num4 AS DOUBLE) / CAST(den4 AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) > CAST(($crit) AS BIGINT) * 100
+        |  END AS significant
+        |FROM fin ORDER BY c_mktsegment""".stripMargin
     },
 
     // the same group sums and pair self-join, welchTTest's va/vb/se2

@@ -1948,6 +1948,84 @@ object Metrics {
       tieCols = keyCols ++ Seq("group_a", "group_b"))
   }
 
+  /** Per-key Friedman test — the BLOCKED nonparametric k-treatment
+    * screen: "do the treatments rank consistently WITHIN each block"
+    * (months, users, matched units), which [[kruskalWallis]] cannot
+    * answer — pooling ranks across blocks lets between-block variation
+    * swamp the treatment signal; Friedman ranks INSIDE each block so
+    * every block is its own control. Tie-corrected (Conover) form:
+    * `T = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C)` with `A = Σ r²`,
+    * `C = nk(k+1)²/4`, `T ~ χ²(k−1)` against the shared
+    * [[chi2Crit95E4]] table. Blocks missing any treatment DROP (the
+    * complete-design contract — an incomplete block has no within-block
+    * comparison for the missing arm).
+    *
+    * Exactness: midranks carried as EXACT integers `2·r = 2·rank_min +
+    * ties − 1`; every sum (R2_j, A·4, the centered squares) is exact
+    * DECIMAL — the ×2/×4 scalings cancel in T, which is ONE double
+    * division e6-quantized, verdict on the ROUNDED value. Keys where
+    * every block ranks everything tied (A = C) emit null.
+    *
+    * Scale shape: one rank window per (key, block) sharing the block
+    * partitioning, then treatment-grid aggregates. Output: `(keys…,
+    * n_blocks, k_treatments, dof, chi2_e6, crit5_e4, significant)`. */
+  def friedmanTest(df: DataFrame, keyCols: Seq[String], blockCol: String,
+                   treatCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "friedmanTest needs at least one key column")
+    val k = keyCols.map(col)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rows = dropNullKeys(df, keyCols)
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select((k :+ col(blockCol).as("__b") :+ col(treatCol).as("__j") :+
+        col(valueCol).cast("long").as("__v")): _*)
+      .localCheckpoint(false)
+    val kT = rows.groupBy(k: _*)
+      .agg(countDistinct(col("__j")).as("__k"))
+    val bSize = rows.groupBy(k :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bc"), countDistinct(col("__j")).as("__bd"))
+    val wRank = Window.partitionBy(k :+ col("__b"): _*).orderBy(col("__v"))
+    val wTies = Window.partitionBy(k :+ col("__b") :+ col("__v"): _*)
+    val ranked = rows
+      .join(bSize, keyCols :+ "__b")
+      .join(kT, keyCols)
+      // complete design, one observation per cell: k distinct
+      // treatments AND exactly k rows
+      .filter(col("__bc") === col("__k") && col("__bd") === col("__k"))
+      .withColumn("__r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTies) - 1L)
+    val perKey = ranked.groupBy(k: _*)
+      .agg(countDistinct(col("__b")).as("n_blocks"), max(col("__k")).as("__kk"),
+        sum(dec(col("__r2")) * col("__r2")).as("__a4"))
+    val perTreat = ranked.groupBy(k :+ col("__j"): _*)
+      .agg(sum(col("__r2")).as("__rj2"))
+      .join(perKey, keyCols)
+      .withColumn("__ct", expr(
+        """(cast(__rj2 as decimal(38,0)) - cast(n_blocks as decimal(38,0))
+          |   * (__kk + 1))
+          |* (cast(__rj2 as decimal(38,0)) - cast(n_blocks as decimal(38,0))
+          |   * (__kk + 1))""".stripMargin.replaceAll("\n", " ")))
+      .groupBy(k: _*).agg(sum(col("__ct")).as("__num4"))
+    perKey.join(perTreat, keyCols)
+      .withColumn("k_treatments", col("__kk").cast("long"))
+      .withColumn("dof", col("k_treatments") - 1L)
+      .withColumn("__den4", expr(
+        """__a4 - cast(n_blocks as decimal(38,0)) * __kk
+          |  * (__kk + 1) * (__kk + 1)""".stripMargin.replaceAll("\n", " ")))
+      .withColumn("chi2_e6", expr(
+        """case when dof > 0 and __den4 > 0 then
+          |  cast(floor(cast(__kk - 1 as double) * cast(__num4 as double)
+          |    / cast(__den4 as double) * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .withColumn("crit5_e4",
+        expr(s"cast((${chi2Crit95Sql("dof")}) as bigint)"))
+      .withColumn("significant",
+        when(col("chi2_e6").isNotNull && col("crit5_e4").isNotNull,
+          col("chi2_e6") > col("crit5_e4") * 100L))
+      .select((k :+ col("n_blocks") :+ col("k_treatments") :+ col("dof") :+
+        col("chi2_e6") :+ col("crit5_e4") :+ col("significant")): _*)
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable

@@ -925,6 +925,32 @@ class MetricsSpec extends SparkSpec {
     assert(out(("A", "B")).getAs[Long]("mean_b_e2") == 10150L)
   }
 
+  test("friedmanTest: consistent blocks flag, one reversal lowers, ties midrank, incomplete drops") {
+    def blk(g: String, b: Long, a: Long, bb: Long, c: Long) =
+      Seq((g, b, "A", a), (g, b, "B", bb), (g, b, "C", c))
+    // k: 3 consistent blocks + 1 reversal -> T = 2*32/32 = 2.0 (ns);
+    // an incomplete 5th block (A only) must drop, n_blocks stays 4
+    val k = blk("k", 1, 1, 2, 3) ++ blk("k", 2, 1, 2, 3) ++
+      blk("k", 3, 1, 2, 3) ++ blk("k", 4, 3, 2, 1) ++ Seq(("k", 5L, "A", 9L))
+    // c: 4 fully consistent blocks -> T = 2*128/32 = 8.0 > 5.9915 -> sig
+    val c = (1L to 4L).flatMap(b => blk("c", b, 1, 2, 3))
+    // t: one all-tied block (midranks 2,2,2) + one ordered -> T = 2.0
+    val t = blk("t", 1, 5, 5, 5) ++ blk("t", 2, 1, 2, 3)
+    // z: every block tied -> A = C -> null
+    val z = blk("z", 1, 7, 7, 7) ++ blk("z", 2, 4, 4, 4)
+    val out = Metrics.friedmanTest((k ++ c ++ t ++ z).toDF("g", "b", "j", "v"),
+      Seq("g"), "b", "j", "v").collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("k").getAs[Long]("n_blocks") == 4L)
+    assert(out("k").getAs[Long]("chi2_e6") == 2000000L)
+    assert(!out("k").getAs[Boolean]("significant"))
+    assert(out("c").getAs[Long]("chi2_e6") == 8000000L)
+    assert(out("c").getAs[Long]("crit5_e4") == 59915L)
+    assert(out("c").getAs[Boolean]("significant"))
+    assert(out("t").getAs[Long]("chi2_e6") == 2000000L)
+    val rz = out("z")
+    assert(rz.get(rz.fieldIndex("chi2_e6")) == null)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
