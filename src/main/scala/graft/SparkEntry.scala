@@ -3344,8 +3344,11 @@ object SparkEntry {
       graft.operators.Metrics.anovaOneWay(
           Tables.orders(s, d)
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-            .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
-          Seq("c_mktsegment"), "o_orderpriority", "cents")
+            // DOLLAR quantization: the cents framing crossed the
+            // operator's 2^63 S^2/n guard at sf0.1 (caught by the bench,
+            // round 9); dollars keep every sufficient sum exact to ~sf500
+            .withColumn("dollars", floor(col("o_totalprice") + 0.5).cast("long")),
+          Seq("c_mktsegment"), "o_orderpriority", "dollars")
         .orderBy("c_mktsegment")),
 
     // ---- extension: Kruskal-Wallis H — q269's question answered by
@@ -3366,8 +3369,9 @@ object SparkEntry {
       graft.operators.Metrics.brownForsythe(
           Tables.orders(s, d)
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
-            .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long")),
-          Seq("c_mktsegment"), "o_orderpriority", "cents")
+            // dollar quantization — the q269 scale-ceiling fix
+            .withColumn("dollars", floor(col("o_totalprice") + 0.5).cast("long")),
+          Seq("c_mktsegment"), "o_orderpriority", "dollars")
         .orderBy("c_mktsegment")),
 
     // ---- extension: Flesch readability — the classic reading-ease
@@ -3926,7 +3930,36 @@ object SparkEntry {
       graft.operators.Metrics.friedmanTest(
           monthlySegPrio(s, d),
           Seq("c_mktsegment"), "month", "o_orderpriority", "cents")
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // ---- extension: Bland-Altman — do byte length and 6x token count
+    // AGREE as document-size measurements per source (bias + limits of
+    // agreement + share inside: the method-comparison readout a 0.99
+    // correlation can't give); exact difference sums, two-pass within
+    // count against the raw double limits
+    "q315_x_bland_altman" -> tuned((s, d) =>
+      graft.operators.Metrics.blandAltman(
+          Tables.documents(s, d)
+            .filter(col("n_chars").isNotNull && col("text").isNotNull)
+            .withColumn("tok6",
+              graft.text.TextAnalysis.tokenCount(col("text")).cast("long")
+                * 6L),
+          Seq("source"), "n_chars", "tok6")
+        .orderBy("source")),
+
+    // ---- extension: confusion point metrics — does the cheap byte
+    // cut (n_chars > 500) recover the token cut (> 90), per source:
+    // precision/recall/F1/accuracy and the imbalance-honest MCC at the
+    // deployed threshold (q188's AUC ranks scores; this scores the cut)
+    "q316_x_confusion_mcc" -> tuned((s, d) =>
+      graft.operators.Metrics.confusionMetrics(
+          Tables.documents(s, d)
+            .filter(col("n_chars").isNotNull && col("text").isNotNull)
+            .withColumn("pred", col("n_chars") > 500)
+            .withColumn("y",
+              graft.text.TextAnalysis.tokenCount(col("text")) > 90),
+          Seq("source"), "pred", "y")
+        .orderBy("source"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -9702,7 +9735,7 @@ object SparkEntry {
     "q269_x_anova" ->
       ("""WITH e AS (
         |  SELECT c_mktsegment AS k, o_orderpriority AS g,
-        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
         |    AND c_mktsegment IS NOT NULL),
@@ -9785,7 +9818,7 @@ object SparkEntry {
     "q271_x_brown_forsythe" ->
       ("""WITH e0 AS (
         |  SELECT c_mktsegment AS k, o_orderpriority AS g,
-        |         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS x
+        |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
         |  FROM orders JOIN customer ON o_custkey = c_custkey
         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
         |    AND c_mktsegment IS NOT NULL),
@@ -10337,6 +10370,81 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same d = n_chars - 6*tokens derivation (q295's tokenCount
+    // replay), HUGEINT difference sums, the IDENTICAL bias/sd/limit
+    // trees and raw-double within comparison
+    "q315_x_bland_altman" ->
+      ("""WITH b AS (
+        |  SELECT source,
+        |    CAST(n_chars AS BIGINT)
+        |      - (CASE WHEN length(trim(text)) = 0 THEN 0
+        |          ELSE len(regexp_split_to_array(trim(text), '\s+')) END)
+        |        * 6 AS d
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND text IS NOT NULL),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(d) AS BIGINT) AS sd,
+        |        sum(CAST(d AS HUGEINT) * d) AS qd
+        |      FROM b GROUP BY 1),
+        |s2 AS (SELECT source, n,
+        |         CAST(sd AS DOUBLE) / CAST(n AS DOUBLE) AS bias,
+        |         CASE WHEN n >= 2 THEN
+        |           sqrt(CAST(n * qd - CAST(sd AS HUGEINT) * sd AS DOUBLE)
+        |                / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+        |         END AS sdd
+        |       FROM s),
+        |s3 AS (SELECT source, n, bias, sdd,
+        |         bias - 1.96 * sdd AS lo, bias + 1.96 * sdd AS hi
+        |       FROM s2),
+        |w AS (SELECT b.source,
+        |        CAST(sum(CASE WHEN d >= lo AND d <= hi THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS wn
+        |      FROM b JOIN s3 ON s3.source = b.source GROUP BY 1)
+        |SELECT s3.source, n,
+        |  CAST(floor(bias * 1000000 + 0.5) AS BIGINT) AS bias_e6,
+        |  CAST(floor(sdd * 1000000 + 0.5) AS BIGINT) AS sd_e6,
+        |  CAST(floor(lo * 1000000 + 0.5) AS BIGINT) AS loa_lo_e6,
+        |  CAST(floor(hi * 1000000 + 0.5) AS BIGINT) AS loa_hi_e6,
+        |  CASE WHEN sdd IS NOT NULL THEN wn * 1000 // n END AS within_pm
+        |FROM s3 JOIN w ON w.source = s3.source ORDER BY s3.source""".stripMargin),
+
+    // the same pred/actual cuts, exact integer cells, integer permille
+    // ratios, the IDENTICAL HUGEINT MCC tree
+    "q316_x_confusion_mcc" ->
+      ("""WITH b AS (
+        |  SELECT source, n_chars > 500 AS pred,
+        |    (CASE WHEN length(trim(text)) = 0 THEN 0
+        |       ELSE len(regexp_split_to_array(trim(text), '\s+')) END) > 90
+        |      AS y
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND text IS NOT NULL),
+        |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN pred AND y THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS tp,
+        |        CAST(sum(CASE WHEN pred AND NOT y THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS fp,
+        |        CAST(sum(CASE WHEN NOT pred AND y THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS fn,
+        |        CAST(sum(CASE WHEN NOT pred AND NOT y THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS tn
+        |      FROM b GROUP BY 1)
+        |SELECT source, n, tp, fp, fn, tn,
+        |  tp * 1000 // nullif(tp + fp, 0) AS precision_pm,
+        |  tp * 1000 // nullif(tp + fn, 0) AS recall_pm,
+        |  2 * tp * 1000 // nullif(2 * tp + fp + fn, 0) AS f1_pm,
+        |  (tp + tn) * 1000 // n AS accuracy_pm,
+        |  CASE WHEN (tp + fp) > 0 AND (tp + fn) > 0 AND (tn + fp) > 0
+        |        AND (tn + fn) > 0 THEN
+        |    CAST(floor(
+        |      CAST(CAST(tp AS HUGEINT) * tn - CAST(fp AS HUGEINT) * fn
+        |           AS DOUBLE)
+        |      / sqrt(CAST(CAST(tp + fp AS HUGEINT) * (tp + fn)
+        |                  * (tn + fp) * (tn + fn) AS DOUBLE))
+        |      * 1000000 + 0.5) AS BIGINT) END AS mcc_e6
+        |FROM s ORDER BY source""".stripMargin),
 
     // the same monthly seg x prio grid, 2*rank + ties - 1 midranks,
     // HUGEINT centered squares, the IDENTICAL Conover T tree and

@@ -2026,6 +2026,113 @@ object Metrics {
         col("chi2_e6") :+ col("crit5_e4") :+ col("significant")): _*)
   }
 
+  /** Per-key Bland–Altman agreement — do two MEASUREMENT METHODS agree
+    * numerically: bias `d̄ = mean(a − b)`, limits of agreement
+    * `d̄ ± 1.96·s_d`, and the share of pairs inside them (the
+    * method-comparison readout correlation famously cannot give — two
+    * instruments can correlate at 0.99 and still disagree by a constant
+    * the downstream pipeline would swallow silently). The numeric
+    * sibling of [[cohenKappa]]'s categorical agreement.
+    *
+    * Exactness: the difference sums `(n, Σd, Σd²)` are exact
+    * (DECIMAL squares); bias/sd/limits are ONE fixed double tree each,
+    * e6-quantized; the within-limits flag compares each EXACT integer d
+    * against the raw double limits (identical comparison in both
+    * engines), counted in a second pass over the SAME frame — the q278
+    * two-pass trade, input re-scan bounded by a lazy checkpoint. Keys
+    * with n < 2 emit null limits and share.
+    *
+    * Scale shape: two map-side-combined aggregates over one
+    * checkpointed slim frame + a broadcast-sized stats join. Output:
+    * `(keys…, n, bias_e6, sd_e6, loa_lo_e6, loa_hi_e6,
+    * within_pm)`. */
+  def blandAltman(df: DataFrame, keyCols: Seq[String], aCol: String,
+                  bCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "blandAltman needs at least one key column")
+    val k = keyCols.map(col)
+    val base = dropNullKeys(df, keyCols)
+      .filter(col(aCol).isNotNull && col(bCol).isNotNull)
+      .select((k :+ (col(aCol).cast("long") - col(bCol).cast("long"))
+        .as("__d")): _*)
+      .localCheckpoint(false)
+    val stats = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("n"),
+        sum(col("__d")).as("__sd"),
+        sum(expr("cast(__d as decimal(38,0)) * __d")).as("__qd"))
+      .withColumn("__bias", expr("cast(__sd as double) / cast(n as double)"))
+      .withColumn("__s", expr(
+        """case when n >= 2 then
+          |  sqrt(cast(n * __qd - cast(__sd as decimal(38,0)) * __sd as double)
+          |       / (cast(n as double) * cast(n - 1 as double))) end"""
+          .stripMargin))
+      .withColumn("__lo", expr("__bias - 1.96 * __s"))
+      .withColumn("__hi", expr("__bias + 1.96 * __s"))
+    val within = base.join(stats.select((k :+ col("__lo") :+ col("__hi")): _*),
+        keyCols)
+      .groupBy(k: _*)
+      .agg(sum(when(col("__d") >= col("__lo") && col("__d") <= col("__hi"),
+        1L).otherwise(0L)).as("__w"))
+    stats.join(within, keyCols)
+      .withColumn("bias_e6", expr("cast(floor(__bias * 1000000 + 0.5) as bigint)"))
+      .withColumn("sd_e6", expr("cast(floor(__s * 1000000 + 0.5) as bigint)"))
+      .withColumn("loa_lo_e6", expr("cast(floor(__lo * 1000000 + 0.5) as bigint)"))
+      .withColumn("loa_hi_e6", expr("cast(floor(__hi * 1000000 + 0.5) as bigint)"))
+      .withColumn("within_pm", expr(
+        "case when __s is not null then __w * 1000 div n end"))
+      .select((k :+ col("n") :+ col("bias_e6") :+ col("sd_e6") :+
+        col("loa_lo_e6") :+ col("loa_hi_e6") :+ col("within_pm")): _*)
+  }
+
+  /** Per-key confusion-matrix point metrics — precision, recall, F1,
+    * accuracy, and Matthews correlation from a boolean
+    * (predicted, actual) pair: the THRESHOLDED complement of
+    * [[groupedAuc]]/[[averagePrecision]] (those rank scores; this
+    * scores the deployed cut), with MCC as the headline — the one
+    * single-number summary that stays honest under class imbalance
+    * (accuracy and F1 both inflate when one class dominates;
+    * `MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN))` does
+    * not).
+    *
+    * Exactness: the four cells are exact integers from ONE conditional
+    * aggregate; every ratio is an integer permille/`div`; MCC is ONE
+    * fixed double tree (DECIMAL cross-products — n⁴ wraps BIGINT past
+    * n ≈ 55k), e6-quantized, signed. Degenerate margins (any factor 0)
+    * emit null MCC; empty prediction or truth classes null their
+    * ratios.
+    *
+    * Scale shape: ONE map-side-combined aggregate, four numbers per
+    * key. Output: `(keys…, n, tp, fp, fn, tn, precision_pm, recall_pm,
+    * f1_pm, accuracy_pm, mcc_e6)`. */
+  def confusionMetrics(df: DataFrame, keyCols: Seq[String], predCol: String,
+                       actualCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "confusionMetrics needs at least one key column")
+    val p = col(predCol)
+    val y = col(actualCol)
+    dropNullKeys(df, keyCols)
+      .filter(p.isNotNull && y.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"),
+        sum(when(p && y, 1L).otherwise(0L)).as("tp"),
+        sum(when(p && !y, 1L).otherwise(0L)).as("fp"),
+        sum(when(!p && y, 1L).otherwise(0L)).as("fn"),
+        sum(when(!p && !y, 1L).otherwise(0L)).as("tn"))
+      .withColumn("precision_pm", expr("tp * 1000 div nullif(tp + fp, 0)"))
+      .withColumn("recall_pm", expr("tp * 1000 div nullif(tp + fn, 0)"))
+      .withColumn("f1_pm", expr(
+        "2 * tp * 1000 div nullif(2 * tp + fp + fn, 0)"))
+      .withColumn("accuracy_pm", expr("(tp + tn) * 1000 div n"))
+      .withColumn("mcc_e6", expr(
+        """case when (tp + fp) > 0 and (tp + fn) > 0 and (tn + fp) > 0
+          |       and (tn + fn) > 0 then
+          |  cast(floor(
+          |    cast(cast(tp as decimal(38,0)) * tn
+          |         - cast(fp as decimal(38,0)) * fn as double)
+          |    / sqrt(cast(cast(tp + fp as decimal(38,0)) * (tp + fn)
+          |                * (tn + fp) * (tn + fn) as double))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable
@@ -2124,7 +2231,14 @@ object Metrics {
     tot.join(marg, keyCols)
       .withColumn("__ne", expr(
         "cast(n_ratings as decimal(38,0)) * n_ratings - __sc"))
-      .withColumn("d_o_e9", expr("cast(__do as bigint)"))
+      // fail loud past 2^63 — a bare DECIMAL->BIGINT cast would silently
+      // null under non-ANSI Spark (the anovaOneWay convention); ~10^9
+      // pairable items at m ~ 10 raters gets within sight of the bound
+      .withColumn("d_o_e9", expr(
+        """cast(if(__do <= 9223372036854775807,
+          |       __do,
+          |       cast(raise_error('krippendorffAlpha: D_o exceeds 2^63 — sample items upstream')
+          |            as decimal(38,0))) as bigint)""".stripMargin))
       .withColumn("alpha_e6", expr(
         """case when __ne > 0 then
           |  cast(floor((1.0 - cast(n_ratings - 1 as double)

@@ -438,7 +438,10 @@ object Diagnostics {
     * Scale shape: ONE sort per key shared by the row_number and the
     * unbounded-frame totals, a lag window on the same partitioning,
     * then a two-term sufficient-sum aggregate; per-key state is O(1),
-    * a million keys = a million independent series. Output:
+    * a million keys = a million independent series. `orderCol` must be
+    * UNIQUE per key (the monthly-grid convention — a duplicate order
+    * value would make row_number, and so the residual index,
+    * nondeterministic). Output:
     * `(keys…, n_obs, dw_e6, autocorr)`; keys with n < 3 emit nothing,
     * zero residual variance (perfect line) emits null dw and verdict. */
   def durbinWatson(df: DataFrame, keyCols: Seq[String], orderCol: String,

@@ -951,6 +951,48 @@ class MetricsSpec extends SparkSpec {
     assert(rz.get(rz.fieldIndex("chi2_e6")) == null)
   }
 
+  test("blandAltman: hand-computed limits; outlier counts outside; n=1 null") {
+    // k: d = [2,4,6,8]: bias 5, sd = sqrt(80/12) = 2.5819889,
+    // limits [-0.0607, 10.0607], all inside
+    val k = Seq(2L, 4L, 6L, 8L).map(d => ("k", 10L + d, 10L))
+    // o: nine 0s and one 50: bias 5, sd = sqrt(250) = 15.811388,
+    // hi = 35.99 -> the 50 falls OUTSIDE -> 9/10 = 900 pm
+    val o = (Seq.fill(9)(0L) :+ 50L).map(d => ("o", 10L + d, 10L))
+    val s = Seq(("s", 12L, 10L))
+    val out = Metrics.blandAltman((k ++ o ++ s).toDF("g", "a", "b"),
+      Seq("g"), "a", "b").collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("k").getAs[Long]("bias_e6") == 5000000L)
+    assert(out("k").getAs[Long]("sd_e6") == 2581989L)
+    assert(out("k").getAs[Long]("loa_lo_e6") == -60698L)
+    assert(out("k").getAs[Long]("loa_hi_e6") == 10060698L)
+    assert(out("k").getAs[Long]("within_pm") == 1000L)
+    assert(out("o").getAs[Long]("within_pm") == 900L)
+    val rs = out("s")
+    assert(rs.get(rs.fieldIndex("sd_e6")) == null)
+    assert(rs.get(rs.fieldIndex("within_pm")) == null)
+  }
+
+  test("confusionMetrics: hand-computed cells; empty margin nulls MCC") {
+    // tp=3 fp=1 fn=2 tn=4: P=750, R=600, F1=666, acc=700,
+    // MCC = 10/sqrt(600) = 0.4082483 -> 408248
+    val k = Seq.fill(3)(("k", true, true)) ++ Seq.fill(1)(("k", true, false)) ++
+      Seq.fill(2)(("k", false, true)) ++ Seq.fill(4)(("k", false, false))
+    // p: everything predicted true -> (tn+fn) margin 0 -> null MCC
+    val p = Seq(("p", true, true), ("p", true, false))
+    val out = Metrics.confusionMetrics((k ++ p).toDF("g", "pred", "y"),
+      Seq("g"), "pred", "y").collect().map(r => r.getAs[String]("g") -> r).toMap
+    val rk = out("k")
+    assert(rk.getAs[Long]("tp") == 3L && rk.getAs[Long]("tn") == 4L)
+    assert(rk.getAs[Long]("precision_pm") == 750L)
+    assert(rk.getAs[Long]("recall_pm") == 600L)
+    assert(rk.getAs[Long]("f1_pm") == 666L)
+    assert(rk.getAs[Long]("accuracy_pm") == 700L)
+    assert(rk.getAs[Long]("mcc_e6") == 408248L)
+    val rp = out("p")
+    assert(rp.get(rp.fieldIndex("mcc_e6")) == null)
+    assert(rp.getAs[Long]("precision_pm") == 500L)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
