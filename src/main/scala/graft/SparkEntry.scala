@@ -3959,7 +3959,27 @@ object SparkEntry {
             .withColumn("y",
               graft.text.TextAnalysis.tokenCount(col("text")) > 90),
           Seq("source"), "pred", "y")
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- extension: Page-Hinkley drift test — has the event value
+    // level drifted UPWARD, and when did we first know (self-centering
+    // sequential detector: q305's Pettitt locates in hindsight, q167's
+    // CUSUM needs a baseline; PH needs neither and its state is O(1));
+    // per-row e9 terms over exact prefixes, integer first-crossing
+    "q317_x_page_hinkley" -> tuned((s, d) =>
+      graft.stats.Diagnostics.pageHinkley(
+          Tables.events(s, d)
+            .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
+            .withColumn("ord", struct(col("ts_ns"), col("event_id"))),
+          Seq("event_type"), "ord", "cents")
+        .orderBy("event_type")),
+
+    // ---- extension: streaming Page-Hinkley twin — q317's standing
+    // monitor: O(1) per-key (n, sum, m, min m, max PH, frozen alarm)
+    // state replaying the IDENTICAL per-row tree; drained == batch on
+    // the time-ordered landing convention, one oracle
+    "q318_x_stream_page_hinkley" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingPageHinkley(s, d))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -4874,7 +4894,8 @@ object SparkEntry {
       "q290_x_stream_best_split" -> m("q282_x_best_split"),
       "q293_x_stream_sprt" -> m("q292_x_sprt"),
       "q298_x_stream_chi_square" -> m("q297_x_chi_square"),
-      "q302_x_stream_hist_drift" -> m("q301_x_hist_drift"))
+      "q302_x_stream_hist_drift" -> m("q301_x_hist_drift"),
+      "q318_x_stream_page_hinkley" -> m("q317_x_page_hinkley"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
@@ -10370,6 +10391,45 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same (ts, event_id) ordering, per-row e9 term tree over the
+    // exact integer prefixes, cumulative-min PH walk, integer
+    // first-crossing against the inlined lambda_e9
+    "q317_x_page_hinkley" ->
+      ("""WITH e AS (
+        |  SELECT event_type AS k, epoch_ns(ts) AS t, event_id,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND value IS NOT NULL
+        |    AND ts IS NOT NULL),
+        |w AS (SELECT k, x,
+        |        CAST(row_number() OVER (PARTITION BY k ORDER BY t, event_id)
+        |             AS BIGINT) AS i,
+        |        CAST(sum(x) OVER (PARTITION BY k ORDER BY t, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS p
+        |      FROM e),
+        |t9 AS (SELECT k, i,
+        |         CAST(floor((CAST(x AS DOUBLE)
+        |           - CAST(p AS DOUBLE) / CAST(i AS DOUBLE) - 0.0)
+        |           * 1e9 + 0.5) AS BIGINT) AS tt
+        |       FROM w),
+        |m AS (SELECT k, i,
+        |        CAST(sum(tt) OVER (PARTITION BY k ORDER BY i
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS mv
+        |      FROM t9),
+        |ph AS (SELECT k, i, mv - min(mv) OVER (PARTITION BY k ORDER BY i
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS phv
+        |       FROM m),
+        |a AS (SELECT k, CAST(count(*) AS BIGINT) AS n_obs,
+        |        CAST(max(phv) AS BIGINT) AS max_ph_e9,
+        |        min(CASE WHEN phv > 50000000000000 THEN i END)
+        |          AS first_alarm_t
+        |      FROM ph GROUP BY 1)
+        |SELECT k AS event_type, n_obs, max_ph_e9, first_alarm_t,
+        |  first_alarm_t IS NOT NULL AS alarmed
+        |FROM a ORDER BY event_type""".stripMargin),
 
     // the same d = n_chars - 6*tokens derivation (q295's tokenCount
     // replay), HUGEINT difference sums, the IDENTICAL bias/sd/limit

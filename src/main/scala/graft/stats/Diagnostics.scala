@@ -690,6 +690,56 @@ object Diagnostics {
       .drop("sx", "sy", "sxx", "syy", "sxy")
   }
 
+  /** Per-key Page–Hinkley drift test — the SEQUENTIAL mean-increase
+    * detector: `m_t = Σ_{i≤t}(x_i − x̄_i − δ)` (running mean INCLUDING
+    * the current row — documented convention), `PH_t = m_t − min_{s≤t}
+    * m_s`, alarm at the FIRST `PH_t > λ`. The streaming-native change
+    * monitor beside the batch change family: [[pettitt]] locates a
+    * completed shift in hindsight, CUSUM tracks a known baseline —
+    * Page–Hinkley self-centers on the running mean, which is what a
+    * standing drift alarm over an unknown level needs (its state is
+    * O(1): the streaming twin carries exactly `(n, Σx, m, min m,
+    * frozen alarm)`).
+    *
+    * Exactness: each increment is ONE fixed double tree over the exact
+    * integer prefix `(x_i, P_i, i)` e9-quantized PER ROW (the
+    * nmiFromCells discipline), so `m`, the running min, and PH are
+    * exact integers; `λ` is e9-quantized driver-side and compared as
+    * pure integers. The first-crossing index is `min(i | PH_i > λ_e9)`
+    * — identical in both engines and FREEZABLE in the twin. `orderCol`
+    * must be unique per key (the [[durbinWatson]] convention).
+    *
+    * Scale shape: ONE sort per key shared by row_number, both cumsums,
+    * and the running min; one aggregate. Output: `(keys…, n_obs,
+    * max_ph_e9, first_alarm_t, alarmed)`. */
+  def pageHinkley(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, delta: Double = 0.0,
+                  lambda: Double = 50000.0): DataFrame = {
+    require(keyCols.nonEmpty, "pageHinkley needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val lambdaE9 = math.floor(lambda * 1e9 + 0.5).toLong
+    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ord"))
+    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+
+        col(valueCol).cast("long").as("__x")): _*)
+      .withColumn("__i", row_number().over(wOrd).cast("long"))
+      .withColumn("__p", sum(col("__x")).over(wCum))
+      .withColumn("__t9", expr(
+        s"""cast(floor((cast(__x as double)
+           |  - cast(__p as double) / cast(__i as double) - $delta)
+           |  * 1e9 + 0.5) as bigint)""".stripMargin))
+      .withColumn("__m", sum(col("__t9")).over(wCum))
+      .withColumn("__mm", min(col("__m")).over(wCum))
+      .withColumn("__ph", col("__m") - col("__mm"))
+      .groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n_obs"),
+        max(col("__ph")).as("max_ph_e9"),
+        min(when(col("__ph") > lambdaE9, col("__i"))).as("first_alarm_t"))
+      .withColumn("alarmed", col("first_alarm_t").isNotNull)
+  }
+
   private val ptSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

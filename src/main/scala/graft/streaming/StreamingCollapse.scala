@@ -1191,6 +1191,76 @@ object StreamingCollapse {
       .orderBy("user_id", "session_idx")
   }
 
+  final case class PhEvent(key: String, tsn: Long, eventId: Long, x: Long)
+  final case class PhState(n: Long, p: Long, m: Long, mm: Long,
+                           maxPh: Long, alarmT: Long)
+  final case class PhRow(key: String, n_obs: Long, max_ph_e9: Long,
+                         alarm_t: Long)
+
+  /** Streaming Page–Hinkley drift maintenance — the standing twin of
+    * the batch detector (q317): per-key state is EXACTLY the five
+    * numbers the PH recursion needs — `(n, Σx, m_e9, min m_e9, frozen
+    * first-alarm index)` — folded by flatMapGroupsWithState in
+    * (ts, event_id) order; each increment replays the batch's
+    * IDENTICAL fixed double tree (x − P/n − δ, e9-quantized per row),
+    * so drained == batch on the time-ordered landing convention and
+    * q317's oracle serves both. The alarm index FREEZES at the first
+    * crossing (the streamingSprt contract) — the live "has the level
+    * drifted upward yet, and when did we first know" monitor. */
+  def streamingPageHinkley(spark: SparkSession, dir: String,
+                           delta: Double = 0.0,
+                           lambda: Double = 50000.0): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_ph"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val lambdaE9 = math.floor(lambda * 1e9 + 0.5).toLong
+    import spark.implicits._
+    val events = eventsStream(spark, dir)
+      .filter(col("event_type").isNotNull && col("value").isNotNull &&
+        col("ts").isNotNull)
+      .select(col("event_type"), col("ts"), col("event_id"),
+        floor(col("value") * 100 + 0.5).cast("long").as("cents"))
+      .as[(String, Long, Long, Long)]
+      .map { case (k, t, id, x) => PhEvent(k, t, id, x) }
+    val states = events
+      .groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Update, GroupStateTimeout.NoTimeout)(
+        (key: String, it: Iterator[PhEvent], state: GroupState[PhState]) => {
+          var st = state.getOption.getOrElse(
+            PhState(0L, 0L, 0L, Long.MaxValue, 0L, -1L))
+          it.toSeq.sortBy(e => (e.tsn, e.eventId)).foreach { e =>
+            val n = st.n + 1L
+            val p = st.p + e.x
+            // the batch __t9 tree, spelled identically
+            val t9 = math.floor((e.x.toDouble - p.toDouble / n.toDouble - delta)
+              * 1e9 + 0.5).toLong
+            val m = st.m + t9
+            val mm = math.min(st.mm, m)
+            val maxPh = math.max(st.maxPh, m - mm)
+            val alarmT =
+              if (st.alarmT >= 0) st.alarmT
+              else if (m - mm > lambdaE9) n
+              else -1L
+            st = PhState(n, p, m, mm, maxPh, alarmT)
+          }
+          state.update(st)
+          Iterator.single(PhRow(key, st.n, st.maxPh, st.alarmT))
+        })
+    drain(spark, states.toDF().writeStream
+      .outputMode("update").format("memory").queryName(name))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("key")).orderBy(col("n_obs").desc)
+    spark.table(name)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("first_alarm_t",
+        when(col("alarm_t") >= 0, col("alarm_t")))
+      .withColumn("alarmed", col("first_alarm_t").isNotNull)
+      .select(col("key").as("event_type"), col("n_obs"),
+        col("max_ph_e9"), col("first_alarm_t"), col("alarmed"))
+      .orderBy("event_type")
+  }
+
   /** Streaming EMD + Hellinger drift maintenance — the standing twin of
     * the batch distance readout (q301): the complete-mode state IS the
     * per-(key, value) side-count grid (value-grid-sized — bin continuous

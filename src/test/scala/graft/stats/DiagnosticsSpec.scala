@@ -569,6 +569,25 @@ class DiagnosticsSpec extends SparkSpec {
       Seq("k"), "t", "x", "y").collect().isEmpty)
   }
 
+  test("pageHinkley: upward jump alarms at the first crossing; downward never") {
+    // a = [10,10,10,40]: terms (0,0,0,22.5) -> PH jumps to 22.5e9 at t=4
+    val a = Seq(10L, 10L, 10L, 40L).zipWithIndex
+      .map { case (v, i) => ("a", (i + 1).toLong, v) }
+    // d = [40,10,10,10]: m only falls, running min tracks it -> PH stays 0
+    val d = Seq(40L, 10L, 10L, 10L).zipWithIndex
+      .map { case (v, i) => ("d", (i + 1).toLong, v) }
+    val out = Diagnostics.pageHinkley((a ++ d).toDF("k", "t", "v"),
+        Seq("k"), "t", "v", delta = 0.0, lambda = 5.0)
+      .collect().map(r => r.getAs[String]("k") -> r).toMap
+    assert(out("a").getAs[Long]("max_ph_e9") == 22500000000L)
+    assert(out("a").getAs[Long]("first_alarm_t") == 4L)
+    assert(out("a").getAs[Boolean]("alarmed"))
+    assert(out("d").getAs[Long]("max_ph_e9") == 0L)
+    val rd = out("d")
+    assert(rd.get(rd.fieldIndex("first_alarm_t")) == null)
+    assert(!rd.getAs[Boolean]("alarmed"))
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2

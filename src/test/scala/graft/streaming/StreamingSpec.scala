@@ -395,6 +395,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingPageHinkley: frozen sequential state equals the batch walk") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_obs"),
+        r.getAs[Long]("max_ph_e9"), r.get(r.fieldIndex("first_alarm_t")),
+        r.getAs[Boolean]("alarmed"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingPageHinkley(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q317_x_page_hinkley")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingChiSquare: drained contingency grid gives the batch test exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
