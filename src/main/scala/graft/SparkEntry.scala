@@ -3979,7 +3979,21 @@ object SparkEntry {
     // state replaying the IDENTICAL per-row tree; drained == batch on
     // the time-ordered landing convention, one oracle
     "q318_x_stream_page_hinkley" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingPageHinkley(s, d))
+      graft.streaming.StreamingCollapse.streamingPageHinkley(s, d)),
+
+    // ---- extension: top-k stability — is the per-type user
+    // leaderboard churning between the month's halves (Jaccard of the
+    // top-10 sets + mean rank displacement: the WHO-is-on-top monitor
+    // PSI/KS distribution drift can't see); exact integer totals,
+    // deterministic tie-break, pure integer readouts
+    "q319_x_topk_stability" -> tuned((s, d) =>
+      graft.operators.Metrics.topkStability(
+          Tables.events(s, d)
+            .withColumn("half",
+              when(dayofmonth(col("ts")) < 16, "H1").otherwise("H2"))
+            .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+          Seq("event_type"), "half", "user_id", "cents", "H1", "H2")
+        .orderBy("event_type"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10391,6 +10405,45 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same half-month split and cents totals, the IDENTICAL
+    // (v DESC, item ASC) rank cut, full-outer top-set join, integer
+    // jaccard/displacement readouts
+    "q319_x_topk_stability" ->
+      ("""WITH e AS (
+        |  SELECT event_type AS kk,
+        |         CASE WHEN day(ts) < 16 THEN 'A' ELSE 'B' END AS s2,
+        |         user_id AS it,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL),
+        |t AS (SELECT kk, s2, it, CAST(sum(x) AS BIGINT) AS v
+        |      FROM e GROUP BY 1, 2, 3),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY kk, s2
+        |        ORDER BY v DESC, it ASC) AS rr FROM t),
+        |tk AS (SELECT * FROM r WHERE rr <= 10),
+        |a AS (SELECT kk, it, rr AS ra FROM tk WHERE s2 = 'A'),
+        |b AS (SELECT kk, it, rr AS rb FROM tk WHERE s2 = 'B'),
+        |j AS (SELECT coalesce(a.kk, b.kk) AS kk, ra, rb
+        |      FROM a FULL OUTER JOIN b ON a.kk = b.kk AND a.it = b.it),
+        |g AS (SELECT kk,
+        |        CAST(sum(CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_a,
+        |        CAST(sum(CASE WHEN rb IS NOT NULL THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_b,
+        |        CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+        |        CAST(sum(CASE WHEN ra IS NOT NULL AND rb IS NOT NULL
+        |                 THEN abs(ra - rb) ELSE 0 END) AS BIGINT) AS disp
+        |      FROM j GROUP BY 1)
+        |SELECT kk AS event_type, n_a, n_b, n_common,
+        |  CAST(10 AS BIGINT) AS k,
+        |  CASE WHEN n_a + n_b - n_common > 0 THEN
+        |    n_common * 1000 // (n_a + n_b - n_common) END AS jaccard_pm,
+        |  CASE WHEN n_common > 0 THEN disp * 100 // n_common END
+        |    AS mean_disp_e2
+        |FROM g ORDER BY event_type""".stripMargin),
 
     // the same (ts, event_id) ordering, per-row e9 term tree over the
     // exact integer prefixes, cumulative-min PH walk, integer

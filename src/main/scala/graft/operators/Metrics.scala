@@ -2133,6 +2133,67 @@ object Metrics {
           |end""".stripMargin))
   }
 
+  /** Per-key top-k set stability between two periods — "is the
+    * leaderboard churning": Jaccard overlap of the A/B top-k item sets
+    * plus the mean |rank displacement| over the common items. The
+    * rank-CHURN monitor the drift family doesn't cover (PSI/KS watch
+    * the value DISTRIBUTION; this watches WHO is on top — a dashboard's
+    * top-10 can fully rotate while the histogram never moves).
+    *
+    * Exactness: per-(key, side, item) totals are exact integer sums;
+    * ranks are deterministic (`value DESC, item ASC` — the
+    * rankingMetrics tie convention); Jaccard and displacement are pure
+    * integer `div` permille/centi readouts. An empty side yields
+    * jaccard 0 (no overlap with a nonempty union) and null
+    * displacement; both sides empty never emits (no rows).
+    *
+    * Scale shape: one aggregate, two bounded top-k windows (item lists
+    * per key are leaderboard-sized by the k cut — pool through
+    * TopK.perKeyAgg first if the item domain is corpus-bounded, the
+    * q255 dial), one k-sized self-join. Output: `(keys…, k, n_a, n_b,
+    * n_common, jaccard_pm, mean_disp_e2)`. */
+  def topkStability(df: DataFrame, keyCols: Seq[String], sideCol: String,
+                    itemCol: String, valueCol: String, sideA: String,
+                    sideB: String, k: Int = 10): DataFrame = {
+    require(keyCols.nonEmpty, "topkStability needs at least one key column")
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val keys = keyCols.map(col)
+    val g = col(sideCol)
+    val totals = dropNullKeys(df, keyCols)
+      .filter((g === sideA || g === sideB) && col(itemCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .groupBy(keys :+ when(g === sideA, "A").otherwise("B").as("__s") :+
+        col(itemCol).as("__it"): _*)
+      .agg(sum(col(valueCol).cast("long")).as("__v"))
+    val wRank = Window.partitionBy(keys :+ col("__s"): _*)
+      .orderBy(col("__v").desc, col("__it").asc)
+    val top = totals
+      .withColumn("__r", row_number().over(wRank))
+      .filter(col("__r") <= k)
+      .localCheckpoint(false)
+    val a = top.filter(col("__s") === "A")
+      .select(keys :+ col("__it") :+ col("__r").as("__ra"): _*)
+    val b = top.filter(col("__s") === "B")
+      .select(keys :+ col("__it") :+ col("__r").as("__rb"): _*)
+    val joined = a.join(b, keyCols :+ "__it", "full_outer")
+    joined
+      .groupBy(keys: _*)
+      .agg(
+        sum(when(col("__ra").isNotNull, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("__rb").isNotNull, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("__ra").isNotNull && col("__rb").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"),
+        sum(when(col("__ra").isNotNull && col("__rb").isNotNull,
+          abs(col("__ra") - col("__rb")).cast("long")).otherwise(0L))
+          .as("__disp"))
+      .withColumn("k", lit(k.toLong))
+      .withColumn("jaccard_pm", expr(
+        "case when n_a + n_b - n_common > 0 then n_common * 1000 div (n_a + n_b - n_common) end"))
+      .withColumn("mean_disp_e2", expr(
+        "case when n_common > 0 then __disp * 100 div n_common end"))
+      .drop("__disp")
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable

@@ -993,6 +993,28 @@ class MetricsSpec extends SparkSpec {
     assert(rp.getAs[Long]("precision_pm") == 500L)
   }
 
+  test("topkStability: hand-computed overlap and displacement; empty side jaccard 0") {
+    // A top-3: a1,a2,a3; B top-3: a1,a3,x9 (a2 falls to rank 4, cut)
+    // common = {a1 (1,1), a3 (3,2)} -> jaccard 2/4 = 500 pm, disp 1/2 = 50
+    val k = Seq(("k", "p1", "a1", 40L), ("k", "p1", "a2", 30L),
+      ("k", "p1", "a3", 20L), ("k", "p1", "a4", 10L),
+      ("k", "p2", "a1", 40L), ("k", "p2", "a3", 35L),
+      ("k", "p2", "x9", 30L), ("k", "p2", "a2", 5L))
+    val s = Seq(("s", "p1", "i", 9L), ("s", "p2", "i", 7L))
+    val o = Seq(("o", "p1", "i", 9L), ("o", "p1", "j", 7L))
+    val out = Metrics.topkStability((k ++ s ++ o).toDF("g", "per", "item", "v"),
+      Seq("g"), "per", "item", "v", "p1", "p2", k = 3)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("k").getAs[Long]("n_common") == 2L)
+    assert(out("k").getAs[Long]("jaccard_pm") == 500L)
+    assert(out("k").getAs[Long]("mean_disp_e2") == 50L)
+    assert(out("s").getAs[Long]("jaccard_pm") == 1000L)
+    assert(out("s").getAs[Long]("mean_disp_e2") == 0L)
+    assert(out("o").getAs[Long]("jaccard_pm") == 0L)
+    val ro = out("o")
+    assert(ro.get(ro.fieldIndex("mean_disp_e2")) == null)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
