@@ -3993,7 +3993,25 @@ object SparkEntry {
               when(dayofmonth(col("ts")) < 16, "H1").otherwise("H2"))
             .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
           Seq("event_type"), "half", "user_id", "cents", "H1", "H2")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- extension: ordinal association — gamma + both Somers' D over
+    // COARSE monthly volume/price bands per priority (gamma ignores the
+    // heavy banding ties, D_yx charges them to the dependent side —
+    // the directional questions q300's symmetric tau-b can't answer)
+    "q320_x_ordinal_assoc" -> tuned((s, d) =>
+      graft.stats.Diagnostics.ordinalAssociation(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(count(lit(1)).as("n_orders"),
+              expr(
+                "sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div count(1)")
+                .as("cents"))
+            .withColumn("vol_band", expr("n_orders div 10"))
+            .withColumn("price_band", expr("cents div 200000")),
+          Seq("o_orderpriority"), "vol_band", "price_band")
+        .orderBy("key"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10405,6 +10423,48 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same banded monthly frame, the pair self-join with per-pair
+    // sign CASE counts, the IDENTICAL e6 division trees
+    "q320_x_ordinal_assoc" ->
+      ("""WITH m0 AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(count(*) AS BIGINT) AS n_orders,
+        |         CAST(sum(round(o_totalprice * 100)) AS BIGINT)
+        |           // count(*) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |m AS (SELECT k, month, n_orders // 10 AS x,
+        |        cents // 200000 AS yb FROM m0),
+        |p AS (SELECT a.k,
+        |        CASE WHEN b.x > a.x THEN 1 WHEN b.x < a.x THEN -1 ELSE 0 END
+        |          AS sx,
+        |        CASE WHEN b.yb > a.yb THEN 1 WHEN b.yb < a.yb THEN -1
+        |          ELSE 0 END AS sy
+        |      FROM m a JOIN m b ON a.k = b.k AND b.month > a.month),
+        |g AS (SELECT k, CAST(count(*) AS BIGINT) AS np,
+        |        CAST(sum(CASE WHEN sx <> 0 AND sy <> 0 AND sx = sy
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+        |        CAST(sum(CASE WHEN sx <> 0 AND sy <> 0 AND sx <> sy
+        |                 THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |        CAST(sum(CASE WHEN sx = 0 AND sy <> 0 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS tx,
+        |        CAST(sum(CASE WHEN sx <> 0 AND sy = 0 THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS ty
+        |      FROM p GROUP BY 1),
+        |n AS (SELECT k, CAST(count(*) AS INT) AS n_obs FROM m GROUP BY 1)
+        |SELECT n.k AS key, n_obs, c AS c_pairs, d AS d_pairs,
+        |  CASE WHEN c + d > 0 THEN
+        |    CAST(floor(CAST(c - d AS DOUBLE) / CAST(c + d AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) END AS gamma_e6,
+        |  CASE WHEN c + d + ty > 0 THEN
+        |    CAST(floor(CAST(c - d AS DOUBLE) / CAST(c + d + ty AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) END AS somers_d_yx_e6,
+        |  CASE WHEN c + d + tx > 0 THEN
+        |    CAST(floor(CAST(c - d AS DOUBLE) / CAST(c + d + tx AS DOUBLE)
+        |      * 1000000 + 0.5) AS BIGINT) END AS somers_d_xy_e6
+        |FROM n JOIN g ON g.k = n.k
+        |WHERE n_obs >= 3 ORDER BY key""".stripMargin),
 
     // the same half-month split and cents totals, the IDENTICAL
     // (v DESC, item ASC) rank cut, full-outer top-set join, integer

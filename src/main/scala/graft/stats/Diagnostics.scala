@@ -895,6 +895,68 @@ object Diagnostics {
       .toDF()
   }
 
+  private val oaSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("c_pairs", LongType),
+    StructField("d_pairs", LongType),
+    StructField("gamma_e6", LongType),
+    StructField("somers_d_yx_e6", LongType),
+    StructField("somers_d_xy_e6", LongType)))
+
+  /** Per-key ordinal association panel — Goodman–Kruskal γ and BOTH
+    * Somers' D directions from the same concordant/discordant pair
+    * counts [[kendallTau]] walks: γ = (C−D)/(C+D) ignores ties
+    * entirely (the right readout for coarse ordinal scales where most
+    * pairs tie), `D_yx = (C−D)/(C+D+T_y)` charges ties on the
+    * DEPENDENT variable only — the asymmetric "does x predict y's
+    * order" measure (τ-b's symmetric √ denominator can answer neither
+    * question). `T_x`/`T_y` count pairs tied on exactly one side.
+    *
+    * Exactness: C, D, and the one-sided tie counts are EXACT integers
+    * from the kernel's pair walk; each readout is one double division
+    * e6-quantized. Degenerate keys (C + D = 0 — every pair tied on x
+    * or y) emit null γ; a zero denominator nulls its D.
+    *
+    * Scale shape: [[kendallTau]]'s — O(n²) per key inside its
+    * executor. Output: `(key, n_obs, c_pairs, d_pairs, gamma_e6,
+    * somers_d_yx_e6, somers_d_xy_e6)`; keys with n < 3 emit
+    * nothing. */
+  def ordinalAssociation(df: DataFrame, keyCols: Seq[String], xCol: String,
+                         yCol: String): DataFrame = {
+    slim(df, keyCols, xCol, yCol, exogCol = Some(xCol))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val (y, x) = Diagnostics.seriesX(it)
+        val n = y.length
+        if (n < 3) Iterator.empty
+        else {
+          var c = 0L; var d = 0L; var tx = 0L; var ty = 0L
+          var i = 0
+          while (i < n) {
+            var j = i + 1
+            while (j < n) {
+              val sx = java.lang.Double.compare(x(j), x(i)).sign
+              val sy = java.lang.Double.compare(y(j), y(i)).sign
+              if (sx != 0 && sy != 0) { if (sx == sy) c += 1 else d += 1 }
+              else if (sx == 0 && sy != 0) tx += 1
+              else if (sx != 0 && sy == 0) ty += 1
+              j += 1
+            }
+            i += 1
+          }
+          def e6(num: Long, den: Long): Any =
+            if (den <= 0) null
+            else math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong
+          Iterator.single(Row(key, n, c, d,
+            e6(c - d, c + d),
+            e6(c - d, c + d + ty),
+            e6(c - d, c + d + tx)))
+        }
+      }(Encoders.row(oaSchema))
+      .toDF()
+  }
+
   /** Exact two-sided sign test per key — "did this series go up more
     * often than chance" with NO distributional assumption and an EXACT
     * binomial p-value (the nonparametric screen under [[mannKendall]]'s

@@ -588,6 +588,28 @@ class DiagnosticsSpec extends SparkSpec {
     assert(!rd.getAs[Boolean]("alarmed"))
   }
 
+  test("ordinalAssociation: hand-computed gamma and both Somers' D; constant-y edges") {
+    // t: x=[1,1,2,3], y=[5,7,5,9]: C=3 D=1 Tx=1 Ty=1
+    // gamma = 2/4 = .5; D_yx = D_xy = 2/5 = .4
+    val t = Seq(("t", 1L, 5L), ("t", 1L, 7L), ("t", 2L, 5L), ("t", 3L, 9L))
+    val m = (1L to 4L).map(v => ("m", v, v))
+    // z: constant y -> every x-moving pair lands in Ty:
+    // gamma null (C+D=0), D_yx = 0 (den Ty > 0), D_xy null (den 0)
+    val z = Seq(("z", 1L, 5L), ("z", 2L, 5L), ("z", 3L, 5L))
+    val out = Diagnostics.ordinalAssociation((t ++ m ++ z).toDF("g", "x", "y"),
+      Seq("g"), "x", "y").collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out("t").getAs[Long]("c_pairs") == 3L)
+    assert(out("t").getAs[Long]("d_pairs") == 1L)
+    assert(out("t").getAs[Long]("gamma_e6") == 500000L)
+    assert(out("t").getAs[Long]("somers_d_yx_e6") == 400000L)
+    assert(out("t").getAs[Long]("somers_d_xy_e6") == 400000L)
+    assert(out("m").getAs[Long]("gamma_e6") == 1000000L)
+    val rz = out("z")
+    assert(rz.get(rz.fieldIndex("gamma_e6")) == null)
+    assert(rz.getAs[Long]("somers_d_yx_e6") == 0L)
+    assert(rz.get(rz.fieldIndex("somers_d_xy_e6")) == null)
+  }
+
   test("neweyWestSe: hand-computed two-point series; block series inflates; constant null") {
     // y=(0,2), L=1: c=1, d=(-1,1), mu=0, g0=1, gamma1=-1/2
     // lrv = 1 + 2*(1/2)*(-1/2) = 1/2; se_iid = sqrt(1/2), se_hac = 1/2
