@@ -3835,9 +3835,12 @@ object SparkEntry {
     "q308_x_mood_median" -> tuned((s, d) =>
       graft.operators.Metrics.moodMedianTest(
           Tables.lineitem(s, d)
-            .withColumn("cents",
-              expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)")),
-          Seq("l_returnflag"), "l_linestatus", "cents")
+            // DOLLAR quantization: cents make the median value grid
+            // row-sized (~500k distinct at sf0.1); dollars shrink the
+            // fence windows 100x at no cost to the median question
+            .withColumn("dollars",
+              expr("cast(floor(l_extendedprice + 0.5) as bigint)")),
+          Seq("l_returnflag"), "l_linestatus", "dollars")
         .orderBy("l_returnflag")),
 
     // ---- extension: partial correlation — is the quantity-price
@@ -4011,7 +4014,18 @@ object SparkEntry {
             .withColumn("vol_band", expr("n_orders div 10"))
             .withColumn("price_band", expr("cents div 200000")),
           Seq("o_orderpriority"), "vol_band", "price_band")
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // ---- extension: Heaps'-law vocabulary growth — the corpus-health
+    // curve V(N) ~ K*N^beta per source (beta toward 1 = importing junk
+    // novelty, toward 0 = re-crawling known text; q280's point
+    // richness can't see the TRAJECTORY); ordered doc buckets,
+    // min-bucket first appearances, quantized-ln OLS
+    "q321_x_vocab_growth" -> tuned((s, d) =>
+      graft.text.Corpus.vocabGrowth(
+          Tables.documents(s, d), Seq("source"), "doc_id", "text",
+          buckets = 16)
+        .orderBy("source", "bucket"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10424,6 +10438,60 @@ object SparkEntry {
         |FROM su ORDER BY event_type""".stripMargin
     },
 
+    // the same ordered buckets, min-bucket first appearances, IDENTICAL
+    // e9-quantized ln pairs and DECIMAL OLS slope tree
+    "q321_x_vocab_growth" ->
+      ("""WITH d0 AS (
+        |  SELECT source, doc_id, text FROM documents
+        |  WHERE source IS NOT NULL AND doc_id IS NOT NULL
+        |    AND text IS NOT NULL),
+        |r AS (SELECT source, text,
+        |        CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+        |             AS BIGINT) AS rn,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS nd
+        |      FROM d0),
+        |b AS (SELECT source, (rn - 1) * 16 // nd AS bucket, text FROM r),
+        |t AS (SELECT source, bucket,
+        |        unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |      FROM b),
+        |t2 AS (SELECT * FROM t WHERE tok <> ''),
+        |nb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS nt
+        |       FROM t2 GROUP BY 1, 2),
+        |vb AS (SELECT source, bucket, CAST(count(*) AS BIGINT) AS nv FROM
+        |         (SELECT source, tok, min(bucket) AS bucket FROM t2
+        |          GROUP BY 1, 2)
+        |       GROUP BY 1, 2),
+        |g AS (SELECT nb.source, nb.bucket, nb.nt, coalesce(vb.nv, 0) AS nv
+        |      FROM nb LEFT JOIN vb
+        |        ON vb.source = nb.source AND vb.bucket = nb.bucket),
+        |c AS (SELECT source, bucket,
+        |        CAST(sum(nt) OVER w AS BIGINT) AS tokens_cum,
+        |        CAST(sum(nv) OVER w AS BIGINT) AS vocab_cum
+        |      FROM g WINDOW w AS (PARTITION BY source ORDER BY bucket
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |l AS (SELECT *,
+        |        CASE WHEN tokens_cum > 0 AND vocab_cum > 0 THEN
+        |          CAST(floor(ln(CAST(tokens_cum AS DOUBLE)) * 1e9 + 0.5)
+        |               AS BIGINT) END AS lx,
+        |        CASE WHEN tokens_cum > 0 AND vocab_cum > 0 THEN
+        |          CAST(floor(ln(CAST(vocab_cum AS DOUBLE)) * 1e9 + 0.5)
+        |               AS BIGINT) END AS ly
+        |      FROM c),
+        |f AS (SELECT source, CAST(count(*) AS BIGINT) AS bq,
+        |        sum(CAST(lx AS HUGEINT)) AS sx, sum(CAST(ly AS HUGEINT)) AS sy,
+        |        sum(CAST(lx AS HUGEINT) * lx) AS sxx,
+        |        sum(CAST(lx AS HUGEINT) * ly) AS sxy
+        |      FROM l WHERE lx IS NOT NULL GROUP BY 1),
+        |bt AS (SELECT source,
+        |         CASE WHEN bq >= 2 AND bq * sxx - sx * sx <> 0 THEN
+        |           CAST(floor(CAST(bq * sxy - sx * sy AS DOUBLE)
+        |             / CAST(bq * sxx - sx * sx AS DOUBLE)
+        |             * 1000000 + 0.5) AS BIGINT) END AS beta_e6
+        |       FROM f)
+        |SELECT l.source, l.bucket, tokens_cum, vocab_cum, bt.beta_e6
+        |FROM l LEFT JOIN bt ON bt.source = l.source
+        |ORDER BY l.source, l.bucket""".stripMargin),
+
     // the same banded monthly frame, the pair self-join with per-pair
     // sign CASE counts, the IDENTICAL e6 division trees
     "q320_x_ordinal_assoc" ->
@@ -10945,7 +11013,7 @@ object SparkEntry {
       val crit = graft.operators.Metrics.chi2Crit95Sql("dof")
       s"""WITH vals AS (
         |  SELECT l_returnflag AS k, l_linestatus AS g,
-        |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v
+        |         CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS v
         |  FROM lineitem
         |  WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
         |    AND l_extendedprice IS NOT NULL),

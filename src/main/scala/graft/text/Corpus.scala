@@ -798,4 +798,89 @@ object Corpus {
       .filter(col("__rn") <= col("alloc"))
       .select(col(stratumCol), col(keyCol), col("alloc"), col("n_stratum"))
   }
+
+  /** Per-key Heaps'-law vocabulary growth — the corpus-health curve
+    * `V(N) ≈ K·N^β`: bucket the documents into `buckets` ordered
+    * chunks (by `docCol`), emit the cumulative (tokens, distinct
+    * tokens) grid, and fit β by log-log OLS over the grid points. The
+    * DIAGNOSTIC the scalar vocabulary stats can't give: a dedup'd
+    * natural corpus grows at β ≈ 0.5; β drifting toward 1 means the
+    * ingest is importing novel junk (IDs, hashes) and β collapsing
+    * toward 0 means it's re-crawling what it already has — both
+    * invisible to q280's point-estimate richness.
+    *
+    * Exactness: bucket = `(rank−1)·B div n_docs` (pure integer); V's
+    * increments come from each token's MIN bucket (first appearance —
+    * an exact grid aggregate, never a sequential scan); both cumsums
+    * are exact integers; each grid point's `ln` pair is ONE fixed tree
+    * e9-quantized to integers BEFORE the OLS sums (which accumulate as
+    * DECIMAL), and β is one double division e6-quantized. Buckets
+    * enter the OLS only once both cumulatives are positive. Keys with
+    * < 2 usable grid points emit null β.
+    *
+    * Scale shape: the doc-rank window is doc-grid-sized per key; the
+    * heavy (key, token) first-bucket aggregate is ONE map-side-combined
+    * min; everything after is B-sized. Output: one row per (key,
+    * bucket): `(keys…, bucket, tokens_cum, vocab_cum, beta_e6)` with β
+    * repeated per key. */
+  def vocabGrowth(df: DataFrame, keyCols: Seq[String], docCol: String,
+                  textCol: String, buckets: Int = 16): DataFrame = {
+    require(keyCols.nonEmpty, "vocabGrowth needs at least one key column")
+    require(buckets >= 2 && buckets <= 1024,
+      s"buckets must be in [2, 1024], got $buckets")
+    val k = keyCols.map(col)
+    val wKey = Window.partitionBy(k: _*)
+    val wCum = wKey.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val docs = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(docCol).isNotNull && col(textCol).isNotNull)
+      .select((k :+ col(docCol).as("__doc") :+ col(textCol).as("__text")): _*)
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(k: _*).orderBy(col("__doc"))).cast("long"))
+      .withColumn("__nd", count(lit(1)).over(wKey))
+      .withColumn("bucket", expr(s"(__rn - 1) * $buckets div __nd"))
+      .localCheckpoint(false)
+    val toks = docs
+      .select((k :+ col("bucket") :+
+        explode(graft.functions.Cols.tokens(col("__text"))).as("__tok")): _*)
+      .filter(col("__tok") =!= "")
+      .localCheckpoint(false)
+    val nb = toks.groupBy(k :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("__nt"))
+    val vb = toks.groupBy(k :+ col("__tok"): _*)
+      .agg(min(col("bucket")).as("bucket"))
+      .groupBy(k :+ col("bucket"): _*)
+      .agg(count(lit(1)).as("__nv"))
+    val grid = nb.join(vb, keyCols :+ "bucket", "left")
+      .na.fill(0L, Seq("__nv"))
+      .withColumn("tokens_cum", sum(col("__nt")).over(wCum))
+      .withColumn("vocab_cum", sum(col("__nv")).over(wCum))
+      .withColumn("__lx", expr(
+        """case when tokens_cum > 0 and vocab_cum > 0 then
+          |  cast(floor(ln(cast(tokens_cum as double)) * 1e9 + 0.5)
+          |       as bigint) end""".stripMargin))
+      .withColumn("__ly", expr(
+        """case when tokens_cum > 0 and vocab_cum > 0 then
+          |  cast(floor(ln(cast(vocab_cum as double)) * 1e9 + 0.5)
+          |       as bigint) end""".stripMargin))
+      .localCheckpoint(false)
+    val fit = grid.filter(col("__lx").isNotNull)
+      .groupBy(k: _*)
+      .agg(count(lit(1)).as("__b"),
+        sum(expr("cast(__lx as decimal(38,0))")).as("__sx"),
+        sum(expr("cast(__ly as decimal(38,0))")).as("__sy"),
+        sum(expr("cast(__lx as decimal(38,0)) * __lx")).as("__sxx"),
+        sum(expr("cast(__lx as decimal(38,0)) * __ly")).as("__sxy"))
+      .withColumn("beta_e6", expr(
+        """case when __b >= 2 and __b * __sxx - __sx * __sx <> 0 then
+          |  cast(floor(cast(__b * __sxy - __sx * __sy as double)
+          |    / cast(__b * __sxx - __sx * __sx as double)
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .select((k :+ col("beta_e6")): _*)
+    grid
+      .join(fit, keyCols, "left")
+      .select((k :+ col("bucket") :+ col("tokens_cum") :+
+        col("vocab_cum") :+ col("beta_e6")): _*)
+  }
 }

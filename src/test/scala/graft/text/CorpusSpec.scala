@@ -594,4 +594,29 @@ class CorpusSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again == out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
+
+  test("vocabGrowth: hand-computed two-bucket grid and log-log beta; single point null") {
+    // docs 1-2 -> bucket 0 (tokens a,b,a,c), docs 3-4 -> bucket 1 (a,b,d,e)
+    // N cum = (4, 8); first buckets: a,b,c -> 0; d,e -> 1 -> V cum = (3, 5)
+    val k = Seq(("k", 1L, "a b"), ("k", 2L, "a c"), ("k", 3L, "a b"),
+      ("k", 4L, "d e"))
+    val s = Seq(("s", 1L, "x y"))
+    val out = Corpus.vocabGrowth((k ++ s).toDF("g", "doc", "t"),
+      Seq("g"), "doc", "t", buckets = 2).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("bucket")) -> r).toMap
+    assert(out(("k", 0L)).getAs[Long]("tokens_cum") == 4L)
+    assert(out(("k", 0L)).getAs[Long]("vocab_cum") == 3L)
+    assert(out(("k", 1L)).getAs[Long]("tokens_cum") == 8L)
+    assert(out(("k", 1L)).getAs[Long]("vocab_cum") == 5L)
+    // replay the quantized-ln OLS with BigInt sums
+    def q(v: Double) = BigInt(math.floor(math.log(v) * 1e9 + 0.5).toLong)
+    val (x1, y1, x2, y2) = (q(4.0), q(3.0), q(8.0), q(5.0))
+    val num = 2 * (x1 * y1 + x2 * y2) - (x1 + x2) * (y1 + y2)
+    val den = 2 * (x1 * x1 + x2 * x2) - (x1 + x2) * (x1 + x2)
+    val beta = math.floor(num.toDouble / den.toDouble * 1e6 + 0.5).toLong
+    assert(out(("k", 0L)).getAs[Long]("beta_e6") == beta)
+    assert(math.abs(beta - 736966L) < 5, s"beta=$beta")
+    val rs = out(("s", 0L))
+    assert(rs.get(rs.fieldIndex("beta_e6")) == null)
+  }
 }
