@@ -4025,7 +4025,18 @@ object SparkEntry {
       graft.text.Corpus.vocabGrowth(
           Tables.documents(s, d), Seq("source"), "doc_id", "text",
           buckets = 16)
-        .orderBy("source", "bucket"))
+        .orderBy("source", "bucket")),
+
+    // ---- extension: split-leakage audit — how many MinHash near-dup
+    // pairs STRADDLE the train/val/test hash split (the eval-inflating
+    // contamination a random split of a duplicated corpus guarantees;
+    // q156 splits, q46 finds pairs — this closes the loop); exact
+    // match-count means, banded join only
+    "q322_x_split_leakage" -> tuned((s, d) =>
+      graft.text.Dedup.splitLeakage(
+          Tables.documents(s, d), "doc_id", "text",
+          k = MinhashK, bands = MinhashBands)
+        .orderBy("split_a", "split_b"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10436,6 +10447,40 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the q46 signature/band chain + the q156 split CASE, the IDENTICAL
+    // least/greatest pair class and integer match-count mean
+    "q322_x_split_leakage" -> {
+      val rows = MinhashK / MinhashBands
+      val bandConds = (0 until MinhashBands).map { b =>
+        (b * rows until (b + 1) * rows).map(i => s"a.mh$i = b.mh$i")
+          .mkString("(", " AND ", ")")
+      }.mkString(" OR ")
+      val eqSum = (0 until MinhashK)
+        .map(i => s"(CASE WHEN a.mh$i = b.mh$i THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""$MinhashCte,
+        |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST($eqSum AS BIGINT) AS m
+        |       FROM sig a JOIN sig b
+        |         ON a.doc_id < b.doc_id AND ($bandConds)),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN bb < 800 THEN 'train' WHEN bb < 900 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM (SELECT doc_id,
+        |               ${dkHash32("CAST(doc_id AS VARCHAR)")} % 1000 AS bb
+        |             FROM documents WHERE doc_id IS NOT NULL)),
+        |j AS (SELECT least(sa.split, sb.split) AS split_a,
+        |        greatest(sa.split, sb.split) AS split_b, m
+        |      FROM pr JOIN sp sa ON sa.doc_id = pr.id_a
+        |      JOIN sp sb ON sb.doc_id = pr.id_b),
+        |g AS (SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs,
+        |        CAST(sum(m) AS BIGINT) AS sm
+        |      FROM j GROUP BY 1, 2)
+        |SELECT split_a, split_b, split_a <> split_b AS crossing, n_pairs,
+        |  sm * 1000000 // ($MinhashK * n_pairs) AS mean_est_j_e6
+        |FROM g ORDER BY split_a, split_b""".stripMargin
     },
 
     // the same ordered buckets, min-bucket first appearances, IDENTICAL

@@ -125,6 +125,43 @@ object Dedup {
     out
   }
 
+  /** Train/test split LEAKAGE audit — MinHash near-dup candidate pairs
+    * bucketed by which split sides they straddle: the contamination
+    * check a hash split ([[Corpus.hashSplit]]) cannot make on its own
+    * (a perfectly random split of a corpus with duplicates puts ~2pq
+    * of every dup cluster ACROSS the train/test fence — the classic
+    * leakage that inflates eval scores). One row per unordered
+    * (split_a, split_b) class with the pair count and mean estimated
+    * Jaccard; `crossing = true` rows are the leak surface.
+    *
+    * Exactness: pairs come from [[minhashCandidates]]'s banded join
+    * (never all-pairs); `est_jaccard·k` recovers the exact integer
+    * match count, so the mean is a pure integer `div`. Scale shape:
+    * candidates-sized after the LSH join; the split map is a
+    * byte-per-doc projection joined twice on the pair ids. Output:
+    * `(split_a, split_b, crossing, n_pairs, mean_est_j_e6)`. */
+  def splitLeakage(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 12, bands: Int = 6,
+                   cuts: Seq[(String, Int)] = Seq(("train", 800),
+                     ("val", 900), ("test", 1000))): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, k, bands)
+    val splits = graft.text.Corpus.hashSplit(
+        docs.select(col(idCol)).filter(col(idCol).isNotNull), idCol, cuts)
+      .select(col(idCol), col("split"))
+    val a = splits.select(col(idCol).as("id_a"), col("split").as("__sa"))
+    val b = splits.select(col(idCol).as("id_b"), col("split").as("__sb"))
+    pairs
+      .withColumn("__m", expr(s"cast(floor(est_jaccard * $k + 0.5) as bigint)"))
+      .join(a, "id_a").join(b, "id_b")
+      .withColumn("split_a", least(col("__sa"), col("__sb")))
+      .withColumn("split_b", greatest(col("__sa"), col("__sb")))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum(col("__m")).as("__sm"))
+      .withColumn("crossing", col("split_a") =!= col("split_b"))
+      .withColumn("mean_est_j_e6", expr(s"__sm * 1000000 div ($k * n_pairs)"))
+      .drop("__sm")
+  }
+
   /** CROSS-corpus MinHash+LSH candidates — fuzzy decontamination: the
     * near-dup analog of [[Corpus.contamination]]'s exact n-gram check,
     * flagging training documents that are near-duplicates of held-out

@@ -374,4 +374,24 @@ class DedupSpec extends SparkSpec {
       .orderBy("doc_id").collect()
     assert(keep(0).getAs[String]("text_clean") == "ad\nad\nbody")
   }
+
+  test("splitLeakage: one identical pair lands in its split class with est 1.0") {
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq((1L, dup), (2L, dup),
+      (3L, "completely different words appear in this document body text"),
+      (4L, "yet another unrelated piece of writing about nothing at all"))
+      .toDF("doc_id", "text")
+    val out = Dedup.splitLeakage(docs, "doc_id", "text").collect()
+    assert(out.length == 1, out.mkString(";"))
+    val r = out.head
+    assert(r.getAs[Long]("n_pairs") == 1L)
+    assert(r.getAs[Long]("mean_est_j_e6") == 1000000L)
+    // expected split class derived from the SAME hashSplit the audit uses
+    val sp = Corpus.hashSplit(docs.select(col("doc_id")), "doc_id")
+      .collect().map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("split"))
+      .toMap
+    val (lo, hi) = (Seq(sp(1L), sp(2L)).min, Seq(sp(1L), sp(2L)).max)
+    assert(r.getAs[String]("split_a") == lo && r.getAs[String]("split_b") == hi)
+    assert(r.getAs[Boolean]("crossing") == (sp(1L) != sp(2L)))
+  }
 }
