@@ -4036,7 +4036,16 @@ object SparkEntry {
       graft.text.Dedup.splitLeakage(
           Tables.documents(s, d), "doc_id", "text",
           k = MinhashK, bands = MinhashBands)
-        .orderBy("split_a", "split_b"))
+        .orderBy("split_a", "split_b")),
+
+    // ---- extension: embedding health audit — wrong-dim vectors, dead
+    // near-zero rows, and the norm distribution per label (a bimodal
+    // norm profile = two models mixed, the failure no centroid readout
+    // shows); e3-quantized per-row norms, exact grid fences
+    "q323_x_embedding_health" -> tuned((s, d) =>
+      graft.sim.VectorOps.embeddingHealth(
+          Tables.embeddings(s, d), Seq("label"), "embedding", dim = 64)
+        .orderBy("label"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10448,6 +10457,44 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same per-row norm tree (list_transform sum, the CosSimSql
+    // float-fold convention) e3-quantized before any cross-row sum,
+    // integer counts/mean, the IDENTICAL ceil-fence percentiles
+    "q323_x_embedding_health" ->
+      ("""WITH b AS (
+        |  SELECT label AS k, len(embedding) AS d,
+        |         CAST(floor(sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |           * 1000 + 0.5) AS BIGINT) AS ne3
+        |  FROM embeddings
+        |  WHERE label IS NOT NULL AND embedding IS NOT NULL),
+        |s AS (SELECT k, CAST(count(*) AS BIGINT) AS n_vecs,
+        |        CAST(sum(CASE WHEN d <> 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_bad_dim,
+        |        CAST(sum(CASE WHEN ne3 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_zero,
+        |        CAST(sum(ne3) AS BIGINT) // count(*) AS mean_norm_e3
+        |      FROM b GROUP BY 1),
+        |g AS (SELECT k, ne3, CAST(count(*) AS BIGINT) AS c
+        |      FROM b GROUP BY 1, 2),
+        |w AS (SELECT k, ne3,
+        |        CAST(sum(c) OVER (PARTITION BY k ORDER BY ne3
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cum,
+        |        CAST(sum(c) OVER (PARTITION BY k) AS BIGINT) AS n
+        |      FROM g),
+        |p AS (SELECT k,
+        |        min(CASE WHEN cum >= (5 * n + 99) // 100 THEN ne3 END)
+        |          AS p05_e3,
+        |        min(CASE WHEN cum >= (50 * n + 99) // 100 THEN ne3 END)
+        |          AS p50_e3,
+        |        min(CASE WHEN cum >= (95 * n + 99) // 100 THEN ne3 END)
+        |          AS p95_e3
+        |      FROM w GROUP BY 1)
+        |SELECT s.k AS label, n_vecs, n_bad_dim, n_zero, mean_norm_e3,
+        |       p05_e3, p50_e3, p95_e3
+        |FROM s JOIN p ON p.k = s.k ORDER BY label""".stripMargin),
 
     // the q46 signature/band chain + the q156 split CASE, the IDENTICAL
     // least/greatest pair class and integer match-count mean

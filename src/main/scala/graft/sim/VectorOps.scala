@@ -195,4 +195,59 @@ object VectorOps {
           |end""".stripMargin))
       .drop("__ab", "__aa", "__bb")
   }
+
+  /** Per-key embedding HEALTH audit — the hygiene screen an ANN/semantic
+    * stack needs before it trusts a vector column: wrong-dimension
+    * vectors (a schema drift that silently zero-pads or truncates
+    * downstream), near-zero vectors (dead rows that cosine sends to
+    * NaN/arbitrary neighbors), and the norm DISTRIBUTION (p05/p50/p95 +
+    * mean — an unnormalized-mixture fingerprint; a bimodal norm profile
+    * means two embedding models got mixed, which no single centroid
+    * readout shows).
+    *
+    * Exactness: each row's norm is one fixed left-fold double tree over
+    * the floats, e3-quantized BEFORE crossing rows (the coarse quantum
+    * absorbs the engines' float-sum association differences — the q114 CosSimSql
+    * convention); counts and the mean are exact integers; percentiles
+    * are exact value-grid fences `min v: cum ≥ ⌈q·n/100⌉`. Output:
+    * `(keys…, n_vecs, n_bad_dim, n_zero, mean_norm_e3, p05_e3, p50_e3,
+    * p95_e3)`. */
+  def embeddingHealth(df: org.apache.spark.sql.DataFrame, keyCols: Seq[String],
+                      vecCol: String,
+                      dim: Int = 64): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    require(keyCols.nonEmpty, "embeddingHealth needs at least one key column")
+    val k = keyCols.map(col)
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(vecCol).isNotNull)
+      .withColumn("__d", size(col(vecCol)))
+      .withColumn("__ne3", expr(
+        s"""cast(floor(sqrt(aggregate($vecCol, cast(0.0 as double),
+           |  (a, x) -> a + cast(x as double) * cast(x as double)))
+           |  * 1000 + 0.5) as bigint)""".stripMargin))
+      .localCheckpoint(false)
+    val stats = base.groupBy(k: _*)
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("__d") =!= dim, 1L).otherwise(0L)).as("n_bad_dim"),
+        sum(when(col("__ne3") === 0L, 1L).otherwise(0L)).as("n_zero"),
+        expr("sum(__ne3) div count(1)").as("mean_norm_e3"))
+    val wCum = Window.partitionBy(k: _*).orderBy(col("__ne3"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val fences = base.groupBy(k :+ col("__ne3"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .groupBy(k: _*)
+      .agg(
+        min(when(expr("__cum >= (5 * __n + 99) div 100"), col("__ne3")))
+          .as("p05_e3"),
+        min(when(expr("__cum >= (50 * __n + 99) div 100"), col("__ne3")))
+          .as("p50_e3"),
+        min(when(expr("__cum >= (95 * __n + 99) div 100"), col("__ne3")))
+          .as("p95_e3"))
+    stats.join(fences, keyCols)
+  }
 }

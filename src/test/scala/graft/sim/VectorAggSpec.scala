@@ -73,4 +73,21 @@ class VectorAggSpec extends SparkSpec {
     assert(r.getAs[scala.collection.Seq[Long]](1).toSeq == Seq(0L, 0L, 0L))
     assert(r.getLong(2) == 0L)
   }
+
+  test("embeddingHealth: hand-computed norms, bad-dim and zero counts, grid fences") {
+    // norms e3: (5000, 0, 1000, 5000); the 3-elem vector is bad-dim
+    val rows = Seq(
+      ("k", Array(3.0f, 4.0f)), ("k", Array(0.0f, 0.0f)),
+      ("k", Array(1.0f, 0.0f)), ("k", Array(3.0f, 4.0f, 0.0f)))
+      .toDF("g", "vec")
+    val r = VectorOps.embeddingHealth(rows, Seq("g"), "vec", dim = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_vecs") == 4L)
+    assert(r.getAs[Long]("n_bad_dim") == 1L)
+    assert(r.getAs[Long]("n_zero") == 1L)
+    assert(r.getAs[Long]("mean_norm_e3") == 2750L)
+    assert(r.getAs[Long]("p05_e3") == 0L)
+    assert(r.getAs[Long]("p50_e3") == 1000L)
+    assert(r.getAs[Long]("p95_e3") == 5000L)
+  }
 }
