@@ -4045,7 +4045,19 @@ object SparkEntry {
     "q323_x_embedding_health" -> tuned((s, d) =>
       graft.sim.VectorOps.embeddingHealth(
           Tables.embeddings(s, d), Seq("label"), "embedding", dim = 64)
-        .orderBy("label"))
+        .orderBy("label")),
+
+    // ---- extension: ANN recall audit — q52's SRP-LSH index scored
+    // against q49's brute-force ground truth on a probe set (the recall
+    // number an ANN deployment must measure before trusting neighbors);
+    // both sides share the ONE rounded-before-rank contract, recall is
+    // a pure integer div
+    "q324_x_ann_recall" -> tuned((s, d) => {
+      val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
+      graft.sim.Similarity.annRecall(e, e.filter(col("vec_id") < 32),
+          "vec_id", "embedding", dim = 64, k = 3)
+        .orderBy("query_id")
+    })
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10456,6 +10468,55 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the q52 SRP chain + the q49 brute chain in one WITH, both ranked
+    // under the rounded-before-rank contract, LEFT-join hit count
+    "q324_x_ann_recall" -> {
+      val (nBits, nTables, dim, k, maxId, maxQ) = (8, 2, 64, 3, 200L, 32L)
+      val tables = (0 until nTables)
+        .map(t => s"SELECT id, embedding, $t AS t, ${srpKeySqlExpr(t, nBits, dim)} AS key FROM v")
+        .mkString("\n  UNION ALL\n  ")
+      def dot(l: String, r: String) =
+        s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
+      val cosAB = s"round(${dot("e_a", "e_b")} / nullif(sqrt(${dot("e_a", "e_a")}) * sqrt(${dot("e_b", "e_b")}), 0), 4)"
+      val cosQ = s"round(${dot("q.embedding", "c2.embedding")} / nullif(sqrt(${dot("q.embedding", "q.embedding")}) * sqrt(${dot("c2.embedding", "c2.embedding")}), 0), 4)"
+      s"""WITH v AS (SELECT vec_id AS id, embedding FROM embeddings
+        |           WHERE vec_id < $maxId),
+        |kt AS (
+        |  $tables),
+        |c AS (
+        |  SELECT DISTINCT a.id AS query_id, b.id AS neighbor_id
+        |  FROM kt a JOIN kt b ON a.t = b.t AND a.key = b.key AND a.id <> b.id),
+        |j AS (
+        |  SELECT c.query_id, c.neighbor_id, ea.embedding AS e_a,
+        |         eb.embedding AS e_b
+        |  FROM c JOIN v ea ON ea.id = c.query_id
+        |         JOIN v eb ON eb.id = c.neighbor_id),
+        |s AS (SELECT query_id, neighbor_id, $cosAB AS cos_sim FROM j),
+        |r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM s),
+        |lsh AS (SELECT query_id, neighbor_id FROM r
+        |        WHERE rank <= $k AND query_id < $maxQ),
+        |ts AS (SELECT q.id AS query_id, c2.id AS neighbor_id,
+        |         $cosQ AS cos_sim
+        |       FROM v q JOIN v c2 ON q.id < $maxQ AND c2.id <> q.id),
+        |tr AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rank
+        |  FROM ts),
+        |truth AS (SELECT query_id, neighbor_id FROM tr WHERE rank <= $k),
+        |h AS (SELECT t.query_id, CAST(count(*) AS BIGINT) AS n_truth,
+        |        CAST(sum(CASE WHEN l.neighbor_id IS NOT NULL THEN 1 ELSE 0
+        |                 END) AS BIGINT) AS n_hits
+        |      FROM truth t LEFT JOIN lsh l
+        |        ON l.query_id = t.query_id AND l.neighbor_id = t.neighbor_id
+        |      GROUP BY 1)
+        |SELECT query_id, n_truth, n_hits, n_hits * 1000 // n_truth
+        |  AS recall_pm
+        |FROM h ORDER BY query_id""".stripMargin
     },
 
     // the same per-row norm tree (list_transform sum, the CosSimSql

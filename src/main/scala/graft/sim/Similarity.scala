@@ -179,6 +179,38 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** ANN recall@k audit — the approximate index ([[lshTopK]]) scored
+    * against the brute-force ground truth ([[bruteForceTopK]]) on a
+    * bounded PROBE query set: the number an ANN deployment must
+    * measure before trusting its neighbors (nBits/nTables tune recall
+    * invisibly — q52's plan can silently drop to 0.4 recall on a
+    * harder corpus and nothing else would notice). Per query:
+    * `recall = |truth ∩ approx| / |truth|`.
+    *
+    * Exactness: both sides share the ONE exact-ranking contract
+    * (cosine rounded BEFORE ranking, ties to the smaller neighbor id —
+    * rankExact), so the sets are deterministic and the recall is a
+    * pure integer `div`. Scale shape: the probe set is
+    * benchmark-sized by contract (broadcast through bruteForceTopK);
+    * the LSH side is the production banded join — never all-pairs.
+    * Output: `(query_id, n_truth, n_hits, recall_pm)`. */
+  def annRecall(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, dim: Int, k: Int, nBits: Int = 8,
+                nTables: Int = 2): DataFrame = {
+    val truth = bruteForceTopK(queries, corpus, idCol, vecCol, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val qIds = queries.select(col(idCol).as("query_id")).distinct()
+    val approx = lshTopK(corpus, idCol, vecCol, dim, k, nBits, nTables)
+      .join(qIds, Seq("query_id"), "left_semi")
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("__hit"))
+    truth
+      .join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_truth"),
+        sum(coalesce(col("__hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall_pm", expr("n_hits * 1000 div n_truth"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, SCALE PATH (builder-brief
     * dedup mode): candidates share an SRP bucket in ≥1 of `nTables`
     * tables, exact cosine on candidates only, keep pairs ≥ `threshold`.

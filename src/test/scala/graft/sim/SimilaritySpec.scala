@@ -132,4 +132,20 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.suggestedNBits(1) == 4)                         // floor clamp
     assert(Similarity.suggestedNBits(Long.MaxValue) == 24)            // ceiling clamp
   }
+
+  test("annRecall: exact-duplicate neighbors are always found (k=1 recall 1000)") {
+    // duplicates hash identically in EVERY SRP table, so the LSH side is
+    // guaranteed to contain the true top-1 — a deterministic recall floor
+    val vecs = Seq(
+      (1L, Array(1f, 2f, 3f, 4f)), (2L, Array(1f, 2f, 3f, 4f)),
+      (3L, Array(-4f, 3f, -2f, 1f)), (4L, Array(-4f, 3f, -2f, 1f)),
+      (5L, Array(9f, -1f, 0f, 2f)), (6L, Array(0f, 5f, -5f, 1f)))
+      .toDF("vec_id", "embedding")
+    val out = Similarity.annRecall(vecs, vecs.filter(col("vec_id").isin(1L, 3L)),
+        "vec_id", "embedding", dim = 4, k = 1, nBits = 2, nTables = 2)
+      .collect().map(r => r.getAs[Long]("query_id") -> r).toMap
+    assert(out.keySet == Set(1L, 3L))
+    assert(out.values.forall(_.getAs[Long]("n_truth") == 1L))
+    assert(out.values.forall(_.getAs[Long]("recall_pm") == 1000L))
+  }
 }
