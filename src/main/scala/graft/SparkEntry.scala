@@ -4057,7 +4057,18 @@ object SparkEntry {
       graft.sim.Similarity.annRecall(e, e.filter(col("vec_id") < 32),
           "vec_id", "embedding", dim = 64, k = 3)
         .orderBy("query_id")
-    })
+    }),
+
+    // ---- extension: vocabulary coverage — what fraction of each
+    // source's token stream falls OUTSIDE the English top-500 reference
+    // vocab (the fixed-vocab tokenizer-readiness readout: 2% OOV
+    // tokenizes, 30% shreds to bytes); broadcast N-bounded vocab,
+    // vocabulary-sized join, integer permille rates
+    "q325_x_vocab_coverage" -> tuned((s, d) =>
+      graft.text.Corpus.vocabCoverage(
+          Tables.documents(s, d), Seq("source"), "text",
+          refFilter = col("lang") === "en", topN = 500)
+        .orderBy("source"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10469,6 +10480,36 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same english top-500 (count DESC, token ASC), LEFT-join OOV
+    // classification at the (source, token) grid, integer permilles
+    "q325_x_vocab_coverage" ->
+      ("""WITH tk AS (
+        |  SELECT source, (lang = 'en') AS ref,
+        |         unnest(regexp_split_to_array(trim(text), '\s+')) AS tok
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND text IS NOT NULL),
+        |t2 AS (SELECT * FROM tk WHERE tok <> ''),
+        |vc AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM t2
+        |       WHERE ref GROUP BY 1),
+        |vr AS (SELECT tok FROM
+        |         (SELECT *, row_number() OVER (ORDER BY c DESC, tok ASC)
+        |            AS r FROM vc)
+        |       WHERE r <= 500),
+        |g AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        |      FROM t2 GROUP BY 1, 2),
+        |a AS (SELECT g.source,
+        |        CAST(sum(n) AS BIGINT) AS n_tokens,
+        |        CAST(sum(CASE WHEN vr.tok IS NULL THEN n ELSE 0 END)
+        |             AS BIGINT) AS n_oov,
+        |        CAST(count(*) AS BIGINT) AS n_distinct,
+        |        CAST(sum(CASE WHEN vr.tok IS NULL THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS n_distinct_oov
+        |      FROM g LEFT JOIN vr ON vr.tok = g.tok GROUP BY 1)
+        |SELECT source, n_tokens, n_oov, n_oov * 1000 // n_tokens AS oov_pm,
+        |  n_distinct, n_distinct_oov,
+        |  n_distinct_oov * 1000 // n_distinct AS distinct_oov_pm
+        |FROM a ORDER BY source""".stripMargin),
 
     // the q52 SRP chain + the q49 brute chain in one WITH, both ranked
     // under the rounded-before-rank contract, LEFT-join hit count

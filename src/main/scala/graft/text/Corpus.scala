@@ -799,6 +799,55 @@ object Corpus {
       .select(col(stratumCol), col(keyCol), col("alloc"), col("n_stratum"))
   }
 
+  /** Vocabulary coverage / OOV audit — build the top-N reference
+    * vocabulary from the REFERENCE slice (rows matching `refFilter`,
+    * ranked by token count with deterministic ties), then score every
+    * key's token stream against it: the "what fraction of this source
+    * falls outside the tokenizer's vocabulary" readout that decides
+    * whether a fixed-vocab model can even read a new ingest (a 2% OOV
+    * source tokenizes fine; a 30% one shreds into bytes and its loss
+    * is garbage). Distinct-OOV counts separate "one weird token
+    * repeated" from "a genuinely foreign vocabulary".
+    *
+    * Exactness: the reference set is a deterministic top-N
+    * (`count DESC, token ASC` — the rankingMetrics tie convention);
+    * OOV counts come from one broadcast-able left anti-style join;
+    * rates are pure integer permille `div`. Scale shape: the reference
+    * vocab is N-bounded (broadcast), the token stream aggregates
+    * map-side per (key, token) BEFORE the vocab join — the heavy grid
+    * is vocabulary-sized, never row-sized. Output: `(keys…, n_tokens,
+    * n_oov, oov_pm, n_distinct, n_distinct_oov, distinct_oov_pm)`. */
+  def vocabCoverage(df: DataFrame, keyCols: Seq[String], textCol: String,
+                    refFilter: Column, topN: Int = 1000): DataFrame = {
+    require(keyCols.nonEmpty, "vocabCoverage needs at least one key column")
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val k = keyCols.map(col)
+    val toks = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(textCol).isNotNull)
+      .withColumn("__ref", refFilter)
+      .select((k :+ col("__ref") :+
+        explode(graft.functions.Cols.tokens(col(textCol))).as("__tok")): _*)
+      .filter(col("__tok") =!= "")
+      .localCheckpoint(false)
+    val wRank = Window.orderBy(col("__c").desc, col("__tok").asc)
+    val vocab = toks.filter(col("__ref"))
+      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+      .withColumn("__r", row_number().over(wRank))
+      .filter(col("__r") <= topN)
+      .select(col("__tok"), lit(true).as("__in"))
+    toks
+      .groupBy(k :+ col("__tok"): _*).agg(count(lit(1)).as("__n"))
+      .join(broadcast(vocab), Seq("__tok"), "left")
+      .groupBy(k: _*)
+      .agg(sum(col("__n")).as("n_tokens"),
+        sum(when(col("__in").isNull, col("__n")).otherwise(0L)).as("n_oov"),
+        count(lit(1)).as("n_distinct"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_distinct_oov"))
+      .withColumn("oov_pm", expr("n_oov * 1000 div n_tokens"))
+      .withColumn("distinct_oov_pm",
+        expr("n_distinct_oov * 1000 div n_distinct"))
+  }
+
   /** Per-key Heaps'-law vocabulary growth — the corpus-health curve
     * `V(N) ≈ K·N^β`: bucket the documents into `buckets` ordered
     * chunks (by `docCol`), emit the cumulative (tokens, distinct

@@ -595,6 +595,22 @@ class CorpusSpec extends SparkSpec {
     assert(again == out.select("id").collect().map(_.getLong(0)).sorted.toSeq)
   }
 
+  test("vocabCoverage: top-N reference vocab, OOV mass and distinct rates") {
+    // ref slice "r": counts a=3 b=2 c=1 -> top-2 vocab {a, b}
+    val rows = Seq(("r", "a a a b b c"), ("x", "a c d d")).toDF("g", "t")
+    val out = Corpus.vocabCoverage(rows, Seq("g"), "t",
+        refFilter = col("g") === "r", topN = 2)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("r").getAs[Long]("n_tokens") == 6L)
+    assert(out("r").getAs[Long]("n_oov") == 1L)       // the single c
+    assert(out("r").getAs[Long]("oov_pm") == 166L)
+    assert(out("r").getAs[Long]("distinct_oov_pm") == 333L)
+    assert(out("x").getAs[Long]("n_oov") == 3L)       // c + d + d
+    assert(out("x").getAs[Long]("oov_pm") == 750L)
+    assert(out("x").getAs[Long]("n_distinct_oov") == 2L)
+    assert(out("x").getAs[Long]("distinct_oov_pm") == 666L)
+  }
+
   test("vocabGrowth: hand-computed two-bucket grid and log-log beta; single point null") {
     // docs 1-2 -> bucket 0 (tokens a,b,a,c), docs 3-4 -> bucket 1 (a,b,d,e)
     // N cum = (4, 8); first buckets: a,b,c -> 0; d,e -> 1 -> V cum = (3, 5)
