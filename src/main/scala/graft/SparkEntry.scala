@@ -4068,6 +4068,17 @@ object SparkEntry {
       graft.text.Corpus.vocabCoverage(
           Tables.documents(s, d), Seq("source"), "text",
           refFilter = col("lang") === "en", topN = 500)
+        .orderBy("source")),
+
+    // ---- extension: Hill tail index — how heavy is the document-length
+    // upper tail per source (alpha <= 2 = infinite variance: mean-based
+    // length monitoring is meaningless — the tail fact Zipf's token
+    // slope and Gumbel's max-domain fit don't give); deterministic
+    // order statistics, per-row e9 log-ratios, one division
+    "q326_x_hill_tail" -> tuned((s, d) =>
+      graft.operators.Sketch.hillTailIndex(
+          Tables.documents(s, d), Seq("source"), "n_chars", "doc_id",
+          k = 50)
         .orderBy("source"))
   )
 
@@ -10480,6 +10491,37 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same deterministic order statistics, per-row e9 ln ratios
+    // against the k+1 fence, the IDENTICAL k*1e15/S alpha tree
+    "q326_x_hill_tail" ->
+      ("""WITH b AS (
+        |  SELECT source, doc_id, CAST(n_chars AS BIGINT) AS x
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND n_chars IS NOT NULL
+        |    AND n_chars > 0 AND doc_id IS NOT NULL),
+        |r AS (SELECT source, x,
+        |        CAST(row_number() OVER (PARTITION BY source
+        |          ORDER BY x DESC, doc_id ASC) AS BIGINT) AS rr,
+        |        CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+        |      FROM b),
+        |r2 AS (SELECT *, least(50, n - 1) AS k FROM r
+        |       WHERE rr <= least(50, n - 1) + 1),
+        |f AS (SELECT source, x AS xf FROM r2 WHERE rr = k + 1),
+        |t AS (SELECT r2.source, r2.n, r2.k, f.xf,
+        |        CAST(floor(ln(CAST(r2.x AS DOUBLE) / CAST(f.xf AS DOUBLE))
+        |          * 1e9 + 0.5) AS BIGINT) AS lr
+        |      FROM r2 JOIN f ON f.source = r2.source WHERE r2.rr <= r2.k),
+        |a AS (SELECT source, CAST(max(n) AS BIGINT) AS n_pos,
+        |        CAST(max(k) AS BIGINT) AS k_used,
+        |        CAST(max(xf) AS BIGINT) AS x_kplus1,
+        |        CAST(sum(lr) AS BIGINT) AS s
+        |      FROM t GROUP BY 1)
+        |SELECT source, n_pos, k_used, x_kplus1,
+        |  CASE WHEN s > 0 AND k_used >= 2 THEN
+        |    CAST(floor(CAST(k_used AS DOUBLE) * 1.0e15 / CAST(s AS DOUBLE)
+        |      + 0.5) AS BIGINT) END AS tail_alpha_e6
+        |FROM a ORDER BY source""".stripMargin),
 
     // the same english top-500 (count DESC, token ASC), LEFT-join OOV
     // classification at the (source, token) grid, integer permilles

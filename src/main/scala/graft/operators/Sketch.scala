@@ -763,4 +763,62 @@ object Sketch {
         "(__sum - __bot - __top) * 1000000 div nullif(n - 2 * n_trimmed_each, 0)"))
       .select(g :+ col("n") :+ col("n_trimmed_each") :+ col("trimmed_mean_e6"): _*)
   }
+
+  /** Per-key Hill tail-index estimator — "how heavy is the upper tail":
+    * `α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1))` over the k largest order
+    * statistics. The TAIL diagnostic the existing family can't give:
+    * Zipf's slope fits rank-frequency of TOKENS, Gumbel return levels
+    * assume the max-domain, winsorize/MAD just clip — Hill measures the
+    * power-law exponent of any positive metric's tail (α ≤ 2 means
+    * infinite variance: mean-based monitoring of that metric is
+    * statistically meaningless, the single most actionable fact about
+    * a latency/size column). Small α = heavy tail.
+    *
+    * Exactness: order statistics are deterministic
+    * (`value DESC, tieCol ASC` row_number); each log-ratio is ONE fixed
+    * tree e9-quantized PER ROW (the nmiFromCells discipline), the sum
+    * is an exact integer, and α is one double division e6-quantized.
+    * Keys with fewer than k+1 positive values use `k = n − 1` (the
+    * standard truncation); keys with exactly 2 positive values, or a
+    * zero ratio sum (top k+1 values all equal), emit null α; a
+    * single-value key emits nothing.
+    *
+    * Scale shape: one top-(k+1) window per key (leaderboard-sized cut
+    * — pool through TopK.perKeyAgg first if per-key rows are
+    * corpus-bounded, the q255 dial), then one aggregate. Output:
+    * `(keys…, n_pos, k_used, x_kplus1, tail_alpha_e6)`. */
+  def hillTailIndex(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                    tieCol: String, k: Int = 50): DataFrame = {
+    require(keyCols.nonEmpty, "hillTailIndex needs at least one key column")
+    require(k >= 2, s"k must be >= 2, got $k")
+    val g = keyCols.map(col)
+    val v = col(valueCol).cast("long")
+    val wRank = Window.partitionBy(g: _*)
+      .orderBy(col("__x").desc, col("__tb").asc)
+    val wAll = Window.partitionBy(g: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val ranked = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(v.isNotNull && v > 0 && col(tieCol).isNotNull)
+      .select((g :+ v.as("__x") :+ col(tieCol).as("__tb")): _*)
+      .withColumn("__r", row_number().over(wRank).cast("long"))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("__k", least(lit(k.toLong), col("__n") - 1L))
+      .filter(col("__r") <= col("__k") + 1L)
+    val fence = ranked.filter(col("__r") === col("__k") + 1L)
+      .select((g :+ col("__x").as("__xf")): _*)
+    ranked.filter(col("__r") <= col("__k"))
+      .join(fence, keyCols)
+      .withColumn("__lr", expr(
+        """cast(floor(ln(cast(__x as double) / cast(__xf as double))
+          |  * 1e9 + 0.5) as bigint)""".stripMargin))
+      .groupBy(g: _*)
+      .agg(max(col("__n")).as("n_pos"), max(col("__k")).as("k_used"),
+        max(col("__xf")).as("x_kplus1"), sum(col("__lr")).as("__s"))
+      .withColumn("tail_alpha_e6", expr(
+        """case when __s > 0 and k_used >= 2 then
+          |  cast(floor(cast(k_used as double) * 1.0e15
+          |    / cast(__s as double) + 0.5) as bigint)
+          |end""".stripMargin))
+      .drop("__s")
+  }
 }

@@ -395,4 +395,34 @@ class SketchSpec extends SparkSpec {
     assert(rt.getAs[Long]("median") == 10L)
     assert(rt.getAs[Long]("lo") == 10L && rt.getAs[Long]("hi") == 10L)
   }
+
+  test("hillTailIndex: geometric tail alpha; light tail larger; ties and short keys null") {
+    // p: x = (1000, 100, 10, 1), k=2: fence 10, ratios ln100 + ln10
+    // -> alpha = 2/(3 ln 10) = 0.28953
+    val p = Seq(("p", 1L, 1000L), ("p", 2L, 100L), ("p", 3L, 10L),
+      ("p", 4L, 1L))
+    val l = Seq(("l", 1L, 12L), ("l", 2L, 11L), ("l", 3L, 10L), ("l", 4L, 9L))
+    val c = (1L to 4L).map(("c", _, 5L))
+    val s = Seq(("s", 1L, 9L), ("s", 2L, 3L))
+    val out = Sketch.hillTailIndex((p ++ l ++ c ++ s).toDF("g", "id", "v"),
+        Seq("g"), "v", "id", k = 2)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    def e9(x: Double) = math.floor(math.log(x) * 1e9 + 0.5).toLong
+    def alpha(rs: Seq[Double], k: Long) =
+      math.floor(k.toDouble * 1.0e15 / rs.map(e9).sum.toDouble + 0.5).toLong
+    assert(out("p").getAs[Long]("k_used") == 2L)
+    assert(out("p").getAs[Long]("x_kplus1") == 10L)
+    assert(out("p").getAs[Long]("tail_alpha_e6") ==
+      alpha(Seq(100.0, 10.0), 2L))
+    assert(math.abs(out("p").getAs[Long]("tail_alpha_e6") - 289530L) < 2)
+    assert(out("l").getAs[Long]("tail_alpha_e6") ==
+      alpha(Seq(1.2, 1.1), 2L))
+    assert(out("l").getAs[Long]("tail_alpha_e6") >
+      out("p").getAs[Long]("tail_alpha_e6"))
+    val rc = out("c")
+    assert(rc.get(rc.fieldIndex("tail_alpha_e6")) == null)
+    val rs2 = out("s")
+    assert(rs2.getAs[Long]("k_used") == 1L)
+    assert(rs2.get(rs2.fieldIndex("tail_alpha_e6")) == null)
+  }
 }
