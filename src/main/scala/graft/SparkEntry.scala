@@ -4079,7 +4079,15 @@ object SparkEntry {
       graft.operators.Sketch.hillTailIndex(
           Tables.documents(s, d), Seq("source"), "n_chars", "doc_id",
           k = 50)
-        .orderBy("source"))
+        .orderBy("source")),
+
+    // ---- extension: streaming vocab-coverage twin — q325's standing
+    // tokenizer-readiness monitor: complete-mode state IS the
+    // (source, token) count grid, the reference top-N re-derives from
+    // the live grid each drain via the SHARED coverageFromGrid;
+    // drained == batch, one oracle
+    "q327_x_stream_vocab_coverage" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingVocabCoverage(s, d))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -4995,7 +5003,8 @@ object SparkEntry {
       "q293_x_stream_sprt" -> m("q292_x_sprt"),
       "q298_x_stream_chi_square" -> m("q297_x_chi_square"),
       "q302_x_stream_hist_drift" -> m("q301_x_hist_drift"),
-      "q318_x_stream_page_hinkley" -> m("q317_x_page_hinkley"))
+      "q318_x_stream_page_hinkley" -> m("q317_x_page_hinkley"),
+      "q327_x_stream_vocab_coverage" -> m("q325_x_vocab_coverage"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

@@ -1191,6 +1191,41 @@ object StreamingCollapse {
       .orderBy("user_id", "session_idx")
   }
 
+  /** Streaming vocabulary-coverage maintenance — the standing twin of
+    * the batch OOV audit (q325): the complete-mode state IS the
+    * per-(source, token) `(n, n_ref)` count grid (vocabulary-sized —
+    * token pivot counts are order-independent sums), and the readout
+    * is the SHARED [[graft.text.Corpus.coverageFromGrid]] — the
+    * reference top-N re-derives from the live grid on every drain, so
+    * drained == batch and q325's oracle serves both. The standing form
+    * of "alert when an ingest's token stream stops fitting the
+    * tokenizer's vocabulary". Eager checkpoint: the readout layers the
+    * vocab rank + broadcast join over the memory-sink lineage. */
+  def streamingVocabCoverage(spark: SparkSession, dir: String,
+                             topN: Int = 500): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_vocabcov"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val grid = spark.readStream
+      .schema(documentsSchema)
+      .parquet(streamDir(dir, "documents"))
+      .filter(col("source").isNotNull && col("text").isNotNull)
+      .withColumn("__ref", col("lang") === "en")
+      .select(col("source"), col("__ref"),
+        explode(graft.functions.Cols.tokens(col("text"))).as("__tok"))
+      .filter(col("__tok") =!= "")
+      .groupBy(col("source"), col("__tok"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__ref"), 1L).otherwise(0L)).as("__nref"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.text.Corpus.coverageFromGrid(
+        spark.table(name).localCheckpoint(true), Seq("source"), topN)
+      .orderBy("source")
+  }
+
   final case class PhEvent(key: String, tsn: Long, eventId: Long, x: Long)
   final case class PhState(n: Long, p: Long, m: Long, mm: Long,
                            maxPh: Long, alarmT: Long)

@@ -820,23 +820,38 @@ object Corpus {
   def vocabCoverage(df: DataFrame, keyCols: Seq[String], textCol: String,
                     refFilter: Column, topN: Int = 1000): DataFrame = {
     require(keyCols.nonEmpty, "vocabCoverage needs at least one key column")
-    require(topN >= 1, s"topN must be positive, got $topN")
     val k = keyCols.map(col)
-    val toks = graft.functions.Cols.dropNullKeys(df, keyCols)
+    val grid = graft.functions.Cols.dropNullKeys(df, keyCols)
       .filter(col(textCol).isNotNull)
       .withColumn("__ref", refFilter)
       .select((k :+ col("__ref") :+
         explode(graft.functions.Cols.tokens(col(textCol))).as("__tok")): _*)
       .filter(col("__tok") =!= "")
+      .groupBy(k :+ col("__tok"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__ref"), 1L).otherwise(0L)).as("__nref"))
       .localCheckpoint(false)
+    coverageFromGrid(grid, keyCols, topN)
+  }
+
+  /** The OOV readout over a per-(key, __tok) count grid (`__n` all
+    * occurrences, `__nref` reference-slice occurrences) — ONE
+    * definition shared by the batch operator and the streaming twin
+    * (whose complete-mode state IS this grid), the chiSqFromCells
+    * convention. The reference vocabulary re-derives from the grid
+    * (global Σ__nref per token, `count DESC, token ASC` top-N). */
+  def coverageFromGrid(grid: DataFrame, keyCols: Seq[String],
+                       topN: Int): DataFrame = {
+    require(topN >= 1, s"topN must be positive, got $topN")
+    val k = keyCols.map(col)
     val wRank = Window.orderBy(col("__c").desc, col("__tok").asc)
-    val vocab = toks.filter(col("__ref"))
-      .groupBy(col("__tok")).agg(count(lit(1)).as("__c"))
+    val vocab = grid.groupBy(col("__tok"))
+      .agg(sum(col("__nref")).as("__c"))
+      .filter(col("__c") > 0)
       .withColumn("__r", row_number().over(wRank))
       .filter(col("__r") <= topN)
       .select(col("__tok"), lit(true).as("__in"))
-    toks
-      .groupBy(k :+ col("__tok"): _*).agg(count(lit(1)).as("__n"))
+    grid
       .join(broadcast(vocab), Seq("__tok"), "left")
       .groupBy(k: _*)
       .agg(sum(col("__n")).as("n_tokens"),

@@ -395,6 +395,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingVocabCoverage: drained token grid gives the batch OOV audit exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_oov"), r.getAs[Long]("oov_pm"),
+        r.getAs[Long]("distinct_oov_pm"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingVocabCoverage(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q325_x_vocab_coverage")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingPageHinkley: frozen sequential state equals the batch walk") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
