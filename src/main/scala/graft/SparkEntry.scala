@@ -4087,7 +4087,21 @@ object SparkEntry {
     // the live grid each drain via the SHARED coverageFromGrid;
     // drained == batch, one oracle
     "q327_x_stream_vocab_coverage" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingVocabCoverage(s, d))
+      graft.streaming.StreamingCollapse.streamingVocabCoverage(s, d)),
+
+    // ---- extension: quantile treatment effect — WHERE in the value
+    // distribution does the A/B difference act, per event type (a mean
+    // shift hides tail-only effects; q222 scores the mean, q301 the
+    // whole curve — QTE reads the p10/p50/p90 fences); exact integer
+    // order statistics, integer differences
+    "q328_x_qte" -> tuned((s, d) =>
+      graft.operators.Metrics.quantileTreatmentEffect(
+          Tables.events(s, d)
+            .withColumn("variant",
+              when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+            .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
+          Seq("event_type"), "variant", "cents", "A", "B")
+        .orderBy("event_type", "q_pct"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10500,6 +10514,55 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // the same A/B value grid as q281/q301, the IDENTICAL ceil fences
+    // per side, stacked rows, integer differences
+    "q328_x_qte" ->
+      ("""WITH e AS (
+        |  SELECT event_type AS k,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS g,
+        |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |grid AS (SELECT k, v,
+        |           CAST(sum(CASE WHEN g = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS ca,
+        |           CAST(sum(CASE WHEN g = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |             AS cb
+        |         FROM e GROUP BY 1, 2),
+        |w AS (SELECT *,
+        |        CAST(sum(ca) OVER (PARTITION BY k ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cuma,
+        |        CAST(sum(cb) OVER (PARTITION BY k ORDER BY v
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS BIGINT) AS cumb,
+        |        CAST(sum(ca) OVER (PARTITION BY k) AS BIGINT) AS na,
+        |        CAST(sum(cb) OVER (PARTITION BY k) AS BIGINT) AS nb
+        |      FROM grid),
+        |f AS (SELECT k,
+        |        min(CASE WHEN cuma >= (10 * na + 99) // 100 AND na > 0
+        |              THEN v END) AS qa10,
+        |        min(CASE WHEN cumb >= (10 * nb + 99) // 100 AND nb > 0
+        |              THEN v END) AS qb10,
+        |        min(CASE WHEN cuma >= (50 * na + 99) // 100 AND na > 0
+        |              THEN v END) AS qa50,
+        |        min(CASE WHEN cumb >= (50 * nb + 99) // 100 AND nb > 0
+        |              THEN v END) AS qb50,
+        |        min(CASE WHEN cuma >= (90 * na + 99) // 100 AND na > 0
+        |              THEN v END) AS qa90,
+        |        min(CASE WHEN cumb >= (90 * nb + 99) // 100 AND nb > 0
+        |              THEN v END) AS qb90
+        |      FROM w GROUP BY 1)
+        |SELECT k AS event_type, q_pct, q_a, q_b, q_a - q_b AS qte
+        |FROM (
+        |  SELECT k, CAST(10 AS BIGINT) AS q_pct, qa10 AS q_a, qb10 AS q_b
+        |  FROM f
+        |  UNION ALL
+        |  SELECT k, CAST(50 AS BIGINT), qa50, qb50 FROM f
+        |  UNION ALL
+        |  SELECT k, CAST(90 AS BIGINT), qa90, qb90 FROM f)
+        |WHERE q_a IS NOT NULL AND q_b IS NOT NULL
+        |ORDER BY event_type, q_pct""".stripMargin),
 
     // the same deterministic order statistics, per-row e9 ln ratios
     // against the k+1 fence, the IDENTICAL k*1e15/S alpha tree

@@ -2194,6 +2194,59 @@ object Metrics {
       .drop("__disp")
   }
 
+  /** Per-key quantile treatment effect — the A/B difference AT EACH
+    * QUANTILE (p10/p50/p90 by default): a mean shift ([[welchTTest]])
+    * can hide a treatment that fattens one tail while thinning the
+    * other; QTE shows WHERE in the distribution the effect acts (the
+    * distributional readout between the scalar t-test and the full
+    * [[histogramDrift]] curve). Lower-fence convention:
+    * `Q_q = min v: cum ≥ ⌈q·n/100⌉` per side — exact value-grid order
+    * statistics, no interpolation.
+    *
+    * Exactness: pure integer cumulative counts and fences; the effect
+    * is an integer difference. Keys with an empty side emit nothing
+    * for it (fence undefined). Scale shape: one side-count grid (bin
+    * continuous values upstream — the q281 contract), ONE sort per key
+    * shared by both cumulative windows, grid-sized aggregate. Output:
+    * one row per (key, quantile): `(keys…, q_pct, q_a, q_b, qte)`. */
+  def quantileTreatmentEffect(df: DataFrame, keyCols: Seq[String],
+                              groupCol: String, valueCol: String,
+                              groupA: String, groupB: String,
+                              qs: Seq[Int] = Seq(10, 50, 90)): DataFrame = {
+    require(keyCols.nonEmpty, "quantileTreatmentEffect needs at least one key column")
+    require(qs.nonEmpty && qs.forall(q => q >= 1 && q <= 99),
+      s"quantiles must be in [1, 99], got $qs")
+    val k = keyCols.map(col)
+    val g = col(groupCol)
+    val x = col(valueCol).cast("long")
+    val grid = dropNullKeys(df, keyCols)
+      .filter((g === groupA || g === groupB) && x.isNotNull)
+      .groupBy(k :+ x.as("__v"): _*)
+      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("__cb"))
+    val wCum = Window.partitionBy(k: _*).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(k: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cums = grid
+      .withColumn("__cuma", sum(col("__ca")).over(wCum))
+      .withColumn("__cumb", sum(col("__cb")).over(wCum))
+      .withColumn("__na", sum(col("__ca")).over(wAll))
+      .withColumn("__nb", sum(col("__cb")).over(wAll))
+    val fenceCols = qs.flatMap(q => Seq(
+      min(when(expr(s"__cuma >= ($q * __na + 99) div 100 and __na > 0"),
+        col("__v"))).as(s"__qa$q"),
+      min(when(expr(s"__cumb >= ($q * __nb + 99) div 100 and __nb > 0"),
+        col("__v"))).as(s"__qb$q")))
+    val fences = cums.groupBy(k: _*).agg(fenceCols.head, fenceCols.tail: _*)
+    val stackExpr = qs.map(q => s"${q}L, __qa$q, __qb$q").mkString(", ")
+    fences
+      .select((k :+ expr(
+        s"stack(${qs.size}, $stackExpr) as (q_pct, q_a, q_b)")): _*)
+      .filter(col("q_a").isNotNull && col("q_b").isNotNull)
+      .withColumn("qte", col("q_a") - col("q_b"))
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable

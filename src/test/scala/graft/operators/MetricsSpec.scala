@@ -1015,6 +1015,22 @@ class MetricsSpec extends SparkSpec {
     assert(ro.get(ro.fieldIndex("mean_disp_e2")) == null)
   }
 
+  test("quantileTreatmentEffect: a pure shift shows at every fence; one-sided keys drop") {
+    // A = 1..10, B = 11..20: fences (1,5,9) vs (11,15,19) -> qte -10
+    val kk = (1L to 10L).map(("k", "A", _)) ++ (11L to 20L).map(("k", "B", _))
+    val o = (1L to 5L).map(("o", "A", _))
+    val out = Metrics.quantileTreatmentEffect((kk ++ o).toDF("g", "grp", "v"),
+      Seq("g"), "grp", "v", "A", "B").collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Long]("q_pct")) -> r).toMap
+    assert(out.keySet == Set(("k", 10L), ("k", 50L), ("k", 90L)))
+    assert(out(("k", 10L)).getAs[Long]("q_a") == 1L)
+    assert(out(("k", 10L)).getAs[Long]("q_b") == 11L)
+    assert(out(("k", 50L)).getAs[Long]("q_a") == 5L)
+    assert(out(("k", 90L)).getAs[Long]("q_a") == 9L)
+    assert(Seq(10L, 50L, 90L).forall(q =>
+      out(("k", q)).getAs[Long]("qte") == -10L))
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
