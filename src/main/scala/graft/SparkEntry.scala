@@ -4101,7 +4101,32 @@ object SparkEntry {
               when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
             .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long")),
           Seq("event_type"), "variant", "cents", "A", "B")
-        .orderBy("event_type", "q_pct"))
+        .orderBy("event_type", "q_pct")),
+
+    // ---- extension: dup-cluster size spectrum — the one-page dedup
+    // report: clusters per size + corpus mass share, singletons
+    // included (the shape says mirrored-hosts vs template-page vs
+    // healthy BEFORE the keep-one finisher runs); pure integer counts
+    // over q79's deterministic components
+    "q329_x_dup_spectrum" -> tuned((s, d) =>
+      graft.text.Dedup.dupClusterSpectrum(
+          Tables.documents(s, d), "doc_id", "text",
+          k = MinhashK, bands = MinhashBands, minEst = 0.5)
+        .orderBy("cluster_size")),
+
+    // ---- extension: Markov entropy rate — how predictable are user
+    // event sequences per cohort (rate -> 0 = users on rails, -> ln K
+    // = chaos; compresses q171's whole transition matrix into the one
+    // scalar a bot-vs-organic screen wants); e9 conditional-entropy
+    // terms, exact integer rate
+    "q330_x_entropy_rate" -> tuned((s, d) =>
+      graft.operators.Funnel.markovEntropyRate(
+          Tables.events(s, d)
+            .withColumn("cohort", pmod(col("user_id"), lit(2L)))
+            .withColumn("tsu", expr("ts_ns div 1000")),
+          Seq("cohort"), Seq("user_id"), "tsu", "event_type",
+          tieCols = Seq("event_id"))
+        .orderBy("cohort"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10514,6 +10539,62 @@ object SparkEntry {
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
     },
+
+    // q79's reach chain + singleton coalesce, pure integer spectrum
+    "q329_x_dup_spectrum" ->
+      (s"""$DupReachCte,
+        |cl AS (SELECT src AS doc_id, least(src, min(dst)) AS cluster_id
+        |       FROM reach GROUP BY src),
+        |al AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cl
+        |       FROM (SELECT doc_id FROM documents
+        |             WHERE doc_id IS NOT NULL) d
+        |       LEFT JOIN cl ON cl.doc_id = d.doc_id),
+        |sz AS (SELECT cl, CAST(count(*) AS BIGINT) AS cluster_size
+        |       FROM al GROUP BY 1),
+        |sp AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+        |       FROM sz GROUP BY 1),
+        |s2 AS (SELECT *, cluster_size * n_clusters AS n_docs FROM sp),
+        |tot2 AS (SELECT CAST(sum(n_docs) AS BIGINT) AS tt FROM s2)
+        |SELECT cluster_size, n_clusters, n_docs,
+        |  n_docs * 1000 // tt AS doc_share_pm
+        |FROM s2, tot2 ORDER BY cluster_size""".stripMargin),
+
+    // the same lead-window transition grid, e9 conditional-entropy
+    // terms, HUGEINT ns*h products, the IDENTICAL rate div and
+    // predictability tree
+    "q330_x_entropy_rate" ->
+      ("""WITH e AS (
+        |  SELECT user_id % 2 AS g, user_id AS u,
+        |         epoch_ns(ts) // 1000 AS t, event_id, event_type AS s
+        |  FROM events
+        |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        |    AND event_type IS NOT NULL),
+        |l AS (SELECT g, s,
+        |        lead(s) OVER (PARTITION BY g, u ORDER BY t, event_id) AS nxt
+        |      FROM e),
+        |cells AS (SELECT g, s AS f, nxt, CAST(count(*) AS BIGINT) AS c
+        |          FROM l WHERE nxt IS NOT NULL GROUP BY 1, 2, 3),
+        |ft AS (SELECT g, f, CAST(sum(c) AS BIGINT) AS ns
+        |       FROM cells GROUP BY 1, 2),
+        |hs AS (SELECT cells.g, cells.f, max(ns) AS ns,
+        |         CAST(sum(CAST(floor(
+        |             -(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+        |             * ln(CAST(c AS DOUBLE) / CAST(ns AS DOUBLE))
+        |             * 1000000000 + 0.5) AS BIGINT)) AS BIGINT) AS hsv
+        |       FROM cells JOIN ft ON ft.g = cells.g AND ft.f = cells.f
+        |       GROUP BY 1, 2),
+        |a AS (SELECT g, CAST(sum(ns) AS BIGINT) AS n_transitions,
+        |        CAST(count(*) AS BIGINT) AS n_states,
+        |        sum(CAST(ns AS HUGEINT) * hsv) AS num
+        |      FROM hs GROUP BY 1)
+        |SELECT g AS cohort, n_transitions, n_states,
+        |  CAST(num // n_transitions AS BIGINT) AS entropy_rate_e9,
+        |  CASE WHEN n_states >= 2 THEN
+        |    CAST(floor((1.0
+        |      - CAST(CAST(num // n_transitions AS BIGINT) AS DOUBLE) / 1e9
+        |      / ln(CAST(n_states AS DOUBLE)))
+        |      * 1000000 + 0.5) AS BIGINT) END AS predictability_e6
+        |FROM a ORDER BY cohort""".stripMargin),
 
     // the same A/B value grid as q281/q301, the IDENTICAL ceil fences
     // per side, stacked rows, integer differences

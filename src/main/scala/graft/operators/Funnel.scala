@@ -357,6 +357,68 @@ object Funnel {
         expr("n * 1000 div __out").as("p_permille"))
   }
 
+  /** Per-group Markov entropy rate — how PREDICTABLE are the event
+    * sequences: `H = Σ_s (n_s/N)·H(next|s)` over the first-order
+    * transition grid, plus `predictability = 1 − H/ln(K)`.
+    * [[transitionMatrix]] shows WHICH transitions happen; the entropy
+    * rate compresses the whole matrix into the one scalar a
+    * monitoring/segmentation readout wants (rate → 0: deterministic
+    * flows, users on rails; → ln K: uniform chaos — e.g. bot cohorts
+    * score near-deterministic while organic traffic doesn't).
+    *
+    * Exactness: transition counts are exact integers off one lead
+    * window; each conditional-entropy TERM is a fixed double tree
+    * e9-quantized to BIGINT before summing (the nmiFromCells
+    * discipline); the rate is the exact integer
+    * `Σ_s n_s·h_s_e9 div N` (DECIMAL product sum), and predictability
+    * is one tree over it, e6-quantized. Groups with a single observed
+    * from-state (K = 1) emit null predictability.
+    *
+    * Scale shape: one window per sequence key shared with the grid
+    * aggregate; everything after is transition-grid-sized. Output:
+    * `(groupCols…, n_transitions, n_states, entropy_rate_e9,
+    * predictability_e6)`. */
+  def markovEntropyRate(events: DataFrame, groupCols: Seq[String],
+                        seqCols: Seq[String], timeCol: String,
+                        stateCol: String,
+                        tieCols: Seq[String] = Nil): DataFrame = {
+    require(groupCols.nonEmpty, "markovEntropyRate needs group columns")
+    require(seqCols.nonEmpty, "markovEntropyRate needs sequence key columns")
+    val g = groupCols.map(col)
+    val w = Window.partitionBy((groupCols ++ seqCols).map(col): _*)
+      .orderBy((col(timeCol) +: tieCols.map(col)): _*)
+    val cells = graft.functions.Cols.dropNullKeys(events, groupCols)
+      .filter(col(timeCol).isNotNull && col(stateCol).isNotNull &&
+        seqCols.map(col(_).isNotNull).reduce(_ && _))
+      .withColumn("__to", lead(col(stateCol), 1).over(w))
+      .filter(col("__to").isNotNull)
+      .groupBy(g :+ col(stateCol).as("__from") :+ col("__to"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val fromTot = cells.groupBy(g :+ col("__from"): _*)
+      .agg(sum(col("__c")).as("__ns"))
+    val hs = cells.join(fromTot, groupCols :+ "__from")
+      .withColumn("__t", expr(
+        """cast(floor(-(cast(__c as double) / cast(__ns as double))
+          |  * ln(cast(__c as double) / cast(__ns as double))
+          |  * 1000000000 + 0.5) as bigint)""".stripMargin))
+      .groupBy(g :+ col("__from"): _*)
+      .agg(max(col("__ns")).as("__ns"), sum(col("__t")).as("__hs"))
+    hs.groupBy(g: _*)
+      .agg(sum(col("__ns")).as("n_transitions"),
+        count(lit(1)).as("n_states"),
+        sum(expr("cast(__ns as decimal(38,0)) * __hs")).as("__num"))
+      .withColumn("entropy_rate_e9",
+        expr("cast(__num div n_transitions as bigint)"))
+      .withColumn("predictability_e6", expr(
+        """case when n_states >= 2 then
+          |  cast(floor((1.0 - cast(entropy_rate_e9 as double) / 1e9
+          |      / ln(cast(n_states as double)))
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .drop("__num")
+  }
+
   /** Two-variant funnel A/B readout — for each consecutive stage
     * transition, the pooled two-proportion z between the variants'
     * conversion rates: THE experiment question ("did the new checkout

@@ -678,6 +678,40 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("component").as("cluster_id"))
   }
 
+  /** Duplicate-cluster SIZE SPECTRUM — the one-page dedup report: how
+    * many clusters of each size, and what share of the corpus sits in
+    * them (singletons included via `coalesce(cluster_id, id)`). The
+    * shape IS the diagnosis: a healthy crawl is ~all size-1 with a thin
+    * geometric tail; a fat size-2 band means mirrored hosts, one giant
+    * cluster means a template page — and the spectrum says how much the
+    * finisher ([[dedupBest]]-style keep-one) will actually delete,
+    * BEFORE anyone runs it.
+    *
+    * Exactness: pure integer counts and permille `div`s over
+    * [[duplicateClusters]]' deterministic min-label components. Scale
+    * shape: the label frame holds only paired docs (corpus joins back
+    * once); everything after the size aggregate is spectrum-sized.
+    * Output: `(cluster_size, n_clusters, n_docs, doc_share_pm)`. */
+  def dupClusterSpectrum(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 12, bands: Int = 6,
+                         minEst: Double = 0.5): DataFrame = {
+    val labels = duplicateClusters(docs, idCol, textCol, k, bands,
+      minEst = minEst)
+    val assigned = docs.filter(col(idCol).isNotNull)
+      .select(col(idCol).as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .withColumn("__cl", coalesce(col("cluster_id"), col("doc_id")))
+    val sizes = assigned.groupBy(col("__cl"))
+      .agg(count(lit(1)).as("cluster_size"))
+    val spectrum = sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+    val total = spectrum.agg(sum(col("n_docs")).as("__t"))
+    spectrum.crossJoin(broadcast(total))
+      .withColumn("doc_share_pm", expr("n_docs * 1000 div __t"))
+      .drop("__t")
+  }
+
   /** Dedup FINISHER: duplicate clusters resolved to one representative
     * each, chosen by QUALITY rather than [[duplicateClusters]]'s min-id
     * convention — the industry-standard "keep the best copy" rule (e.g.

@@ -347,4 +347,33 @@ class FunnelSpec extends SparkSpec {
     assert(out.map(_.getAs[Int]("m_score")).distinct.length == 1)
     assert(out.map(_.getAs[Long]("monetary_sum")).sum == 101L + 102L + 103L + 104L)
   }
+
+  test("markovEntropyRate: deterministic flows score 1.0; a half split scores 1/3") {
+    // g: A<->B strictly alternating across both sequences -> H = 0,
+    // predictability exactly 1
+    val g = Seq(("g", 1L, 1L, "A"), ("g", 1L, 2L, "B"), ("g", 1L, 3L, "A"),
+      ("g", 1L, 4L, "B"), ("g", 1L, 5L, "A"), ("g", 2L, 1L, "A"),
+      ("g", 2L, 2L, "B"))
+    // x: one sequence A B A C: from A the next splits 50/50, from B it
+    // is fixed -> rate = (2/3) ln 2, K = 2, pred = 1/3
+    val x = Seq(("x", 1L, 1L, "A"), ("x", 1L, 2L, "B"), ("x", 1L, 3L, "A"),
+      ("x", 1L, 4L, "C"))
+    // r: single from-state -> K = 1 -> null predictability
+    val r = Seq(("r", 1L, 1L, "A"), ("r", 1L, 2L, "B"),
+      ("r", 2L, 1L, "A"), ("r", 2L, 2L, "C"))
+    val out = Funnel.markovEntropyRate((g ++ x ++ r).toDF("grp", "u", "t", "s"),
+      Seq("grp"), Seq("u"), "t", "s").collect()
+      .map(rr => rr.getAs[String]("grp") -> rr).toMap
+    assert(out("g").getAs[Long]("entropy_rate_e9") == 0L)
+    assert(out("g").getAs[Long]("predictability_e6") == 1000000L)
+    val h2 = math.floor(-0.5 * math.log(0.5) * 1e9 + 0.5).toLong
+    val rate = (2L * 2L * h2) / 3L // num = ns_A * h_A = 2 * 2*h2; div N=3
+    assert(out("x").getAs[Long]("entropy_rate_e9") == rate)
+    val pred = math.floor(
+      (1.0 - rate.toDouble / 1e9 / math.log(2.0)) * 1e6 + 0.5).toLong
+    assert(out("x").getAs[Long]("predictability_e6") == pred)
+    val rrow = out("r")
+    assert(rrow.getAs[Long]("n_states") == 1L)
+    assert(rrow.get(rrow.fieldIndex("predictability_e6")) == null)
+  }
 }

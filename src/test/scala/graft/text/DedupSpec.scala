@@ -375,6 +375,21 @@ class DedupSpec extends SparkSpec {
     assert(keep(0).getAs[String]("text_clean") == "ad\nad\nbody")
   }
 
+  test("dupClusterSpectrum: two pairs and a singleton give the hand spectrum") {
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq((1L, a), (2L, a), (3L, b), (4L, b),
+      (5L, "totally unrelated text about something else entirely here"))
+      .toDF("doc_id", "text")
+    val out = Dedup.dupClusterSpectrum(docs, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("cluster_size") -> r).toMap
+    assert(out(1L).getAs[Long]("n_clusters") == 1L)
+    assert(out(1L).getAs[Long]("doc_share_pm") == 200L)
+    assert(out(2L).getAs[Long]("n_clusters") == 2L)
+    assert(out(2L).getAs[Long]("n_docs") == 4L)
+    assert(out(2L).getAs[Long]("doc_share_pm") == 800L)
+  }
+
   test("splitLeakage: one identical pair lands in its split class with est 1.0") {
     val dup = "the quick brown fox jumps over the lazy dog again and again"
     val docs = Seq((1L, dup), (2L, dup),
