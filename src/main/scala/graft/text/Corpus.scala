@@ -844,12 +844,15 @@ object Corpus {
                        topN: Int): DataFrame = {
     require(topN >= 1, s"topN must be positive, got $topN")
     val k = keyCols.map(col)
-    val wRank = Window.orderBy(col("__c").desc, col("__tok").asc)
+    // orderBy + limit plans as TakeOrderedAndProject — the distributed
+    // top-N, where a row_number window would sort the whole vocabulary
+    // in ONE partition; the (count DESC, token ASC) total order makes
+    // the selected set identical
     val vocab = grid.groupBy(col("__tok"))
       .agg(sum(col("__nref")).as("__c"))
       .filter(col("__c") > 0)
-      .withColumn("__r", row_number().over(wRank))
-      .filter(col("__r") <= topN)
+      .orderBy(col("__c").desc, col("__tok").asc)
+      .limit(topN)
       .select(col("__tok"), lit(true).as("__in"))
     grid
       .join(broadcast(vocab), Seq("__tok"), "left")
