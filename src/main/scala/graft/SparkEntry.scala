@@ -4126,7 +4126,22 @@ object SparkEntry {
             .withColumn("tsu", expr("ts_ns div 1000")),
           Seq("cohort"), Seq("user_id"), "tsu", "event_type",
           tieCols = Seq("event_id"))
-        .orderBy("cohort"))
+        .orderBy("cohort")),
+
+    // ---- extension: TOST equivalence — PROVE the A/B high-value rates
+    // are the same within ±50 permille, per event type (the "no worse
+    // than" launch criterion a non-significant q240 z can never give);
+    // exact counts, unpooled SE, verdict on both rounded one-sided z's
+    "q331_x_tost_equivalence" -> tuned((s, d) =>
+      graft.operators.Metrics.equivalenceTest(
+          Tables.events(s, d)
+            .filter(col("value").isNotNull)
+            .withColumn("variant",
+              when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B"))
+            .withColumn("hi", col("value") >= 50.0),
+          Seq("event_type"), "variant", "hi", "A", "B",
+          marginPermille = 50)
+        .orderBy("event_type"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10538,6 +10553,47 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the same counts and unpooled-SE trees, delta inlined as 0.05,
+    // verdict on both rounded one-sided z's
+    "q331_x_tost_equivalence" -> {
+      val pa = "(CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE))"
+      val pb = "(CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))"
+      val se = s"sqrt($pa * (1.0 - $pa) / CAST(n_a AS DOUBLE) + $pb * (1.0 - $pb) / CAST(n_b AS DOUBLE))"
+      s"""WITH e AS (
+        |  SELECT event_type AS k,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |         (value >= 50.0) AS hi
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        |c AS (SELECT k,
+        |        CAST(sum(CASE WHEN v = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_a,
+        |        CAST(sum(CASE WHEN v = 'A' AND hi THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS x_a,
+        |        CAST(sum(CASE WHEN v = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_b,
+        |        CAST(sum(CASE WHEN v = 'B' AND hi THEN 1 ELSE 0 END)
+        |             AS BIGINT) AS x_b
+        |      FROM e GROUP BY 1),
+        |r AS (SELECT k, n_a, x_a, n_b, x_b,
+        |        CASE WHEN n_a > 0 AND n_b > 0 THEN
+        |          CAST(floor(($pa - $pb) * 1000000 + 0.5) AS BIGINT) END
+        |          AS d_e6,
+        |        CASE WHEN n_a > 0 AND n_b > 0 AND $se > 0 THEN
+        |          CAST(floor($se * 1000000 + 0.5) AS BIGINT) END AS se_e6,
+        |        CASE WHEN n_a > 0 AND n_b > 0 AND $se > 0 THEN
+        |          CAST(floor(($pa - $pb + 0.05) / $se * 10000 + 0.5)
+        |               AS BIGINT) END AS z_lo_e4,
+        |        CASE WHEN n_a > 0 AND n_b > 0 AND $se > 0 THEN
+        |          CAST(floor(($pa - $pb - 0.05) / $se * 10000 + 0.5)
+        |               AS BIGINT) END AS z_hi_e4
+        |      FROM c)
+        |SELECT k AS event_type, n_a, x_a, n_b, x_b, d_e6, se_e6,
+        |  z_lo_e4, z_hi_e4,
+        |  CASE WHEN z_lo_e4 IS NOT NULL THEN
+        |    z_lo_e4 > 16450 AND z_hi_e4 < -16450 END AS equivalent
+        |FROM r ORDER BY event_type""".stripMargin
     },
 
     // q79's reach chain + singleton coalesce, pure integer spectrum

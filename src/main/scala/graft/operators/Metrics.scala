@@ -2247,6 +2247,60 @@ object Metrics {
       .withColumn("qte", col("q_a") - col("q_b"))
   }
 
+  /** Per-key TOST equivalence test on proportions — proves the OPPOSITE
+    * direction of the A/B family: a non-significant difference test
+    * ([[graft.operators.Funnel]]'s z, [[welchTTest]]) never shows the
+    * variants are the SAME (absence of evidence); TOST's two one-sided
+    * tests against a margin ±δ do — `z_lo = (d + δ)/SE > 1.645` AND
+    * `z_hi = (d − δ)/SE < −1.645` concludes |p_A − p_B| < δ at 5%
+    * (the "no worse than" launch criterion, unpooled SE as standard
+    * for equivalence).
+    *
+    * Exactness: the four counts are exact integers from ONE
+    * conditional aggregate; d, SE, and both z's are fixed double trees
+    * e6/e4-quantized; the verdict fires on the ROUNDED z's. Sides with
+    * n = 0 or degenerate SE (both rates 0 or 1) emit null verdict.
+    * Output: `(keys…, n_a, x_a, n_b, x_b, d_e6, se_e6, z_lo_e4,
+    * z_hi_e4, equivalent)`. */
+  def equivalenceTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
+                      successCol: String, groupA: String, groupB: String,
+                      marginPermille: Int = 20): DataFrame = {
+    require(keyCols.nonEmpty, "equivalenceTest needs at least one key column")
+    require(marginPermille >= 1 && marginPermille <= 500,
+      s"marginPermille must be in [1, 500], got $marginPermille")
+    val g = col(groupCol)
+    val s = col(successCol)
+    val delta = marginPermille / 1000.0
+    val pa = "(cast(x_a as double) / cast(n_a as double))"
+    val pb = "(cast(x_b as double) / cast(n_b as double))"
+    val se = s"sqrt($pa * (1.0 - $pa) / cast(n_a as double) + $pb * (1.0 - $pb) / cast(n_b as double))"
+    dropNullKeys(df, keyCols)
+      .filter((g === groupA || g === groupB) && s.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(when(g === groupA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(g === groupA && s, 1L).otherwise(0L)).as("x_a"),
+        sum(when(g === groupB, 1L).otherwise(0L)).as("n_b"),
+        sum(when(g === groupB && s, 1L).otherwise(0L)).as("x_b"))
+      .withColumn("d_e6", expr(
+        s"""case when n_a > 0 and n_b > 0 then
+           |  cast(floor(($pa - $pb) * 1000000 + 0.5) as bigint) end"""
+          .stripMargin))
+      .withColumn("se_e6", expr(
+        s"""case when n_a > 0 and n_b > 0 and $se > 0 then
+           |  cast(floor($se * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("z_lo_e4", expr(
+        s"""case when n_a > 0 and n_b > 0 and $se > 0 then
+           |  cast(floor(($pa - $pb + $delta) / $se * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("z_hi_e4", expr(
+        s"""case when n_a > 0 and n_b > 0 and $se > 0 then
+           |  cast(floor(($pa - $pb - $delta) / $se * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("equivalent",
+        when(col("z_lo_e4").isNotNull,
+          col("z_lo_e4") > 16450L && col("z_hi_e4") < -16450L))
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable

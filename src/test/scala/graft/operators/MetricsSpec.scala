@@ -1031,6 +1031,33 @@ class MetricsSpec extends SparkSpec {
       out(("k", q)).getAs[Long]("qte") == -10L))
   }
 
+  test("equivalenceTest: near-equal rates pass TOST, different or underpowered fail") {
+    def arm(g: String, v: String, x: Int, n: Int) =
+      Seq.fill(x)((g, v, true)) ++ Seq.fill(n - x)((g, v, false))
+    // e: 500/1000 vs 501/1000 at margin 50pm -> both one-sided z's clear
+    val e = arm("e", "A", 500, 1000) ++ arm("e", "B", 501, 1000)
+    // d: 600 vs 400 per mille -> |d| >> margin -> not equivalent
+    val d = arm("d", "A", 600, 1000) ++ arm("d", "B", 400, 1000)
+    // u: same rates but n = 10 -> underpowered, TOST must NOT conclude
+    val u = arm("u", "A", 5, 10) ++ arm("u", "B", 5, 10)
+    // z: all success both sides -> SE 0 -> null verdict
+    val z = arm("z", "A", 4, 4) ++ arm("z", "B", 3, 3)
+    val out = Metrics.equivalenceTest((e ++ d ++ u ++ z).toDF("g", "v", "s"),
+      Seq("g"), "v", "s", "A", "B", marginPermille = 50)
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("e").getAs[Boolean]("equivalent"))
+    assert(out("e").getAs[Long]("d_e6") == -1000L)
+    assert(!out("d").getAs[Boolean]("equivalent"))
+    assert(!out("u").getAs[Boolean]("equivalent"))
+    val rz = out("z")
+    assert(rz.get(rz.fieldIndex("equivalent")) == null)
+    // replay the z trees from the counts
+    val (pa, pb) = (0.5, 0.501)
+    val se = math.sqrt(pa * (1 - pa) / 1000.0 + pb * (1 - pb) / 1000.0)
+    assert(out("e").getAs[Long]("z_lo_e4") ==
+      math.floor((pa - pb + 0.05) / se * 1e4 + 0.5).toLong)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
