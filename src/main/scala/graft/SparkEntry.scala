@@ -4141,6 +4141,24 @@ object SparkEntry {
             .withColumn("hi", col("value") >= 50.0),
           Seq("event_type"), "variant", "hi", "A", "B",
           marginPermille = 50)
+        .orderBy("event_type")),
+
+    // ---- extension: ratio-metric A/B — high-value events PER EVENT
+    // with the delta-method USER-clustered SE, per event type (rows
+    // cluster within users, so q331/q240's per-row z is anticonservative
+    // for ratio metrics — this is the correct launch readout); exact
+    // DECIMAL entity sums, fixed R/Var/z trees
+    "q332_x_ratio_metric_ab" -> tuned((s, d) =>
+      graft.operators.Metrics.ratioMetricAb(
+          Tables.events(s, d)
+            .filter(col("value").isNotNull && col("user_id").isNotNull)
+            .groupBy(col("event_type"),
+              when(pmod(col("user_id"), lit(2L)) === 0, "A").otherwise("B")
+                .as("variant"),
+              col("user_id"))
+            .agg(sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("x_hi"),
+              count(lit(1)).as("n_ev")),
+          Seq("event_type"), "variant", "x_hi", "n_ev", "A", "B")
         .orderBy("event_type"))
   )
 
@@ -10553,6 +10571,60 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // the same per-user (x, y) grid, HUGEINT side sums, the IDENTICAL
+    // welch-spelled variance/covariance and delta-method z trees
+    "q332_x_ratio_metric_ab" -> {
+      def tree(t: String) = {
+        val n = s"n_$t"
+        val r = s"(CAST(sx$t AS DOUBLE) / CAST(sy$t AS DOUBLE))"
+        val vx = s"((CAST(qx$t AS DOUBLE) - CAST(sx$t AS DOUBLE) * sx$t / $n) / ($n - 1))"
+        val vy = s"((CAST(qy$t AS DOUBLE) - CAST(sy$t AS DOUBLE) * sy$t / $n) / ($n - 1))"
+        val cxy = s"((CAST(xy$t AS DOUBLE) - CAST(sx$t AS DOUBLE) * sy$t / $n) / ($n - 1))"
+        val ybar = s"(CAST(sy$t AS DOUBLE) / CAST($n AS DOUBLE))"
+        (r, s"(($vx + $r * $r * $vy - 2.0 * $r * $cxy) / ($ybar * $ybar * CAST($n AS DOUBLE)))")
+      }
+      val (ra, va) = tree("a")
+      val (rb, vb) = tree("b")
+      def sideSums(t: String, cond: String) =
+        s"""CAST(sum(CASE WHEN $cond THEN 1 ELSE 0 END) AS BIGINT) AS n_$t,
+           |        sum(CASE WHEN $cond THEN CAST(x AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sx$t,
+           |        sum(CASE WHEN $cond THEN CAST(y AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS sy$t,
+           |        sum(CASE WHEN $cond THEN CAST(x AS HUGEINT) * x ELSE CAST(0 AS HUGEINT) END) AS qx$t,
+           |        sum(CASE WHEN $cond THEN CAST(y AS HUGEINT) * y ELSE CAST(0 AS HUGEINT) END) AS qy$t,
+           |        sum(CASE WHEN $cond THEN CAST(x AS HUGEINT) * y ELSE CAST(0 AS HUGEINT) END) AS xy$t""".stripMargin
+      s"""WITH pu AS (
+        |  SELECT event_type AS k,
+        |         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS v,
+        |         user_id,
+        |         CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS x,
+        |         CAST(count(*) AS BIGINT) AS y
+        |  FROM events
+        |  WHERE event_type IS NOT NULL AND user_id IS NOT NULL
+        |    AND value IS NOT NULL
+        |  GROUP BY 1, 2, 3),
+        |c AS (SELECT k,
+        |        ${sideSums("a", "v = 'A'")},
+        |        ${sideSums("b", "v = 'B'")}
+        |      FROM pu GROUP BY 1),
+        |r AS (SELECT k, n_a, n_b,
+        |        CASE WHEN n_a > 0 AND sya > 0 THEN
+        |          CAST(floor($ra * 1000000 + 0.5) AS BIGINT) END
+        |          AS ratio_a_e6,
+        |        CASE WHEN n_b > 0 AND syb > 0 THEN
+        |          CAST(floor($rb * 1000000 + 0.5) AS BIGINT) END
+        |          AS ratio_b_e6,
+        |        CASE WHEN n_a >= 2 AND n_b >= 2 AND sya > 0 AND syb > 0
+        |              AND $va + $vb > 0 THEN
+        |          CAST(floor(($ra - $rb) / sqrt($va + $vb) * 10000 + 0.5)
+        |               AS BIGINT) END AS z_e4
+        |      FROM c)
+        |SELECT k AS event_type, n_a, n_b, ratio_a_e6, ratio_b_e6, z_e4,
+        |  CASE WHEN z_e4 IS NOT NULL THEN abs(z_e4) > 19600 END
+        |    AS significant
+        |FROM r ORDER BY event_type""".stripMargin
     },
 
     // the same counts and unpooled-SE trees, delta inlined as 0.05,

@@ -2301,6 +2301,75 @@ object Metrics {
           col("z_lo_e4") > 16450L && col("z_hi_e4") < -16450L))
   }
 
+  /** Per-key ratio-metric A/B with the delta-method, USER-CLUSTERED
+    * standard error — the correct test for "revenue per session /
+    * conversions per event" metrics, where the naive per-row z
+    * ([[graft.operators.Funnel]]'s) is wrong because rows cluster
+    * within users: the unit of randomization is the ENTITY, so
+    * `R = Σx/Σy` varies by entity-level covariation.
+    * `Var(R) ≈ (s_x² + R²s_y² − 2R·s_xy) / (ȳ²·n)` per variant
+    * (delta method over entity pairs), `z = (R_A − R_B)/√(V_A+V_B)`.
+    * Input is PRE-AGGREGATED per entity (keys, variant, x, y) — the
+    * ebShrinkRates convention.
+    *
+    * Exactness: the per-variant sufficient sums are exact DECIMAL
+    * (the welchTTest va-spelling for each variance/covariance); R,
+    * Var, and z are fixed double trees e6/e4-quantized, verdict on the
+    * ROUNDED |z|. Sides with n < 2 entities, Σy = 0, or a
+    * cancellation-negative variance sum emit null z.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregate, twelve
+    * numbers per key. Output: `(keys…, n_a, n_b, ratio_a_e6,
+    * ratio_b_e6, z_e4, significant)`. */
+  def ratioMetricAb(df: DataFrame, keyCols: Seq[String], variantCol: String,
+                    xCol: String, yCol: String, groupA: String,
+                    groupB: String): DataFrame = {
+    require(keyCols.nonEmpty, "ratioMetricAb needs at least one key column")
+    val g = col(variantCol)
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def side(tag: String, in: org.apache.spark.sql.Column) = Seq(
+      sum(when(in, 1L).otherwise(0L)).as(s"n_$tag"),
+      sum(when(in, dec(x)).otherwise(dec(lit(0L)))).as(s"__sx$tag"),
+      sum(when(in, dec(y)).otherwise(dec(lit(0L)))).as(s"__sy$tag"),
+      sum(when(in, dec(x) * x).otherwise(dec(lit(0L)))).as(s"__qx$tag"),
+      sum(when(in, dec(y) * y).otherwise(dec(lit(0L)))).as(s"__qy$tag"),
+      sum(when(in, dec(x) * y).otherwise(dec(lit(0L)))).as(s"__xy$tag"))
+    def trees(t: String): (String, String) = {
+      val n = s"n_$t"
+      val r = s"(cast(__sx$t as double) / cast(__sy$t as double))"
+      val vx = s"((cast(__qx$t as double) - cast(__sx$t as double) * __sx$t / $n) / ($n - 1))"
+      val vy = s"((cast(__qy$t as double) - cast(__sy$t as double) * __sy$t / $n) / ($n - 1))"
+      val cxy = s"((cast(__xy$t as double) - cast(__sx$t as double) * __sy$t / $n) / ($n - 1))"
+      val ybar = s"(cast(__sy$t as double) / cast($n as double))"
+      val v = s"(($vx + $r * $r * $vy - 2.0 * $r * $cxy) / ($ybar * $ybar * cast($n as double)))"
+      (r, v)
+    }
+    val (ra, va) = trees("a")
+    val (rb, vb) = trees("b")
+    val sideCols = side("a", g === groupA) ++ side("b", g === groupB)
+    val sums = dropNullKeys(df, keyCols)
+      .filter((g === groupA || g === groupB) && x.isNotNull && y.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(sideCols.head, sideCols.tail: _*)
+    val ok = s"n_a >= 2 and n_b >= 2 and __sya > 0 and __syb > 0"
+    sums
+      .withColumn("ratio_a_e6", expr(
+        s"case when n_a > 0 and __sya > 0 then cast(floor($ra * 1000000 + 0.5) as bigint) end"))
+      .withColumn("ratio_b_e6", expr(
+        s"case when n_b > 0 and __syb > 0 then cast(floor($rb * 1000000 + 0.5) as bigint) end"))
+      .withColumn("z_e4", expr(
+        s"""case when $ok and $va + $vb > 0 then
+           |  cast(floor(($ra - $rb) / sqrt($va + $vb) * 10000 + 0.5)
+           |       as bigint)
+           |end""".stripMargin))
+      .withColumn("significant",
+        when(col("z_e4").isNotNull, abs(col("z_e4")) > 19600L))
+      .drop(Seq("a", "b").flatMap(t =>
+        Seq(s"__sx$t", s"__sy$t", s"__qx$t", s"__qy$t", s"__xy$t")): _*)
+  }
+
   /** Per-key Mood's median test — "do the k groups share a MEDIAN": the
     * coarsest, most outlier-proof k-group location screen
     * ([[kruskalWallis]] compares mean ranks and needs comparable

@@ -1058,6 +1058,28 @@ class MetricsSpec extends SparkSpec {
       math.floor((pa - pb + 0.05) / se * 1e4 + 0.5).toLong)
   }
 
+  test("ratioMetricAb: hand-computed delta-method z; zero-variance and tiny sides null") {
+    // A: x=(1,2,3,2), y=10 each -> R=.2, Var = (2/3)/400; B: x=1 each ->
+    // R=.1, Var=0 -> z = .1/sqrt(1/600) = 2.4495
+    val k = Seq((1L, "A"), (2L, "A"), (3L, "A"), (2L, "A"),
+      (1L, "B"), (1L, "B"), (1L, "B"), (1L, "B"))
+      .map { case (x, v) => ("k", v, x, 10L) }
+    val c = Seq(("c", "A", 1L, 10L), ("c", "A", 1L, 10L),
+      ("c", "B", 1L, 10L), ("c", "B", 1L, 10L))
+    val s = Seq(("s", "A", 1L, 10L), ("s", "B", 1L, 10L), ("s", "B", 2L, 10L))
+    val out = Metrics.ratioMetricAb((k ++ c ++ s).toDF("g", "v", "x", "y"),
+      Seq("g"), "v", "x", "y", "A", "B")
+      .collect().map(r => r.getAs[String]("g") -> r).toMap
+    assert(out("k").getAs[Long]("ratio_a_e6") == 200000L)
+    assert(out("k").getAs[Long]("ratio_b_e6") == 100000L)
+    assert(out("k").getAs[Long]("z_e4") == 24495L)
+    assert(out("k").getAs[Boolean]("significant"))
+    val rc = out("c")
+    assert(rc.get(rc.fieldIndex("z_e4")) == null)
+    val rs = out("s")
+    assert(rs.get(rs.fieldIndex("z_e4")) == null)
+  }
+
   test("liftTable: ties share a tile (histogram deciles, no row split)") {
     // all four rows share one score -> single tile 0 holding everything
     val df = Seq((5L, true), (5L, false), (5L, true), (5L, false)).toDF("s", "y")
