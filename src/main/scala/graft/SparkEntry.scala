@@ -4159,7 +4159,14 @@ object SparkEntry {
             .agg(sum(when(col("value") >= 50.0, 1L).otherwise(0L)).as("x_hi"),
               count(lit(1)).as("n_ev")),
           Seq("event_type"), "variant", "x_hi", "n_ev", "A", "B")
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // ---- extension: streaming top-k stability twin — q319's standing
+    // leaderboard-churn alarm: complete-mode state IS the (type, half,
+    // user) total grid; rank cut + set join re-derive each drain via
+    // the SHARED stabilityFromTotals; drained == batch, one oracle
+    "q333_x_stream_topk_stability" -> tuned((s, d) =>
+      graft.streaming.StreamingCollapse.streamingTopkStability(s, d))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -5076,7 +5083,8 @@ object SparkEntry {
       "q298_x_stream_chi_square" -> m("q297_x_chi_square"),
       "q302_x_stream_hist_drift" -> m("q301_x_hist_drift"),
       "q318_x_stream_page_hinkley" -> m("q317_x_page_hinkley"),
-      "q327_x_stream_vocab_coverage" -> m("q325_x_vocab_coverage"))
+      "q327_x_stream_vocab_coverage" -> m("q325_x_vocab_coverage"),
+      "q333_x_stream_topk_stability" -> m("q319_x_topk_stability"))
   }
 
   private lazy val oracleSqlBase: Map[String, String] = Map(

@@ -2156,7 +2156,6 @@ object Metrics {
                     itemCol: String, valueCol: String, sideA: String,
                     sideB: String, k: Int = 10): DataFrame = {
     require(keyCols.nonEmpty, "topkStability needs at least one key column")
-    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
     val keys = keyCols.map(col)
     val g = col(sideCol)
     val totals = dropNullKeys(df, keyCols)
@@ -2165,6 +2164,17 @@ object Metrics {
       .groupBy(keys :+ when(g === sideA, "A").otherwise("B").as("__s") :+
         col(itemCol).as("__it"): _*)
       .agg(sum(col(valueCol).cast("long")).as("__v"))
+    stabilityFromTotals(totals, keyCols, k)
+  }
+
+  /** The top-k stability readout over a per-(key, __s ∈ {A,B}, __it)
+    * total grid (`__v`) — ONE definition shared by the batch operator
+    * and the streaming twin (whose complete-mode state IS this grid),
+    * the chiSqFromCells convention. */
+  def stabilityFromTotals(totals: DataFrame, keyCols: Seq[String],
+                          k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"k must be in [1, 1000], got $k")
+    val keys = keyCols.map(col)
     val wRank = Window.partitionBy(keys :+ col("__s"): _*)
       .orderBy(col("__v").desc, col("__it").asc)
     val top = totals

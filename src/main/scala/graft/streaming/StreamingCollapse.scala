@@ -1226,6 +1226,40 @@ object StreamingCollapse {
       .orderBy("source")
   }
 
+  /** Streaming top-k stability maintenance — the standing twin of the
+    * batch leaderboard-churn monitor (q319): the complete-mode state IS
+    * the per-(type, half, user) cents-total grid (entity-grid-sized),
+    * and the readout is the SHARED
+    * [[graft.operators.Metrics.stabilityFromTotals]] — the rank cut,
+    * set join, and displacement re-derive from the live grid each
+    * drain, so drained == batch and q319's oracle serves both. The
+    * standing form of "alert when the leaderboard starts rotating".
+    * Eager checkpoint: the readout layers rank windows + a full-outer
+    * set join over the memory-sink lineage. */
+  def streamingTopkStability(spark: SparkSession, dir: String,
+                             k: Int = 10): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_topk"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val grid = eventsStream(spark, dir)
+      .filter(col("event_type").isNotNull && col("user_id").isNotNull &&
+        col("value").isNotNull)
+      // identical half-month split to the batch q319
+      .withColumn("__s",
+        when(dayofmonth(expr("timestamp_micros(ts div 1000)")) < 16, "A")
+          .otherwise("B"))
+      .withColumn("__cents", floor(col("value") * 100 + 0.5).cast("long"))
+      .groupBy(col("event_type"), col("__s"), col("user_id").as("__it"))
+      .agg(sum(col("__cents")).as("__v"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.stabilityFromTotals(
+        spark.table(name).localCheckpoint(true), Seq("event_type"), k)
+      .orderBy("event_type")
+  }
+
   final case class PhEvent(key: String, tsn: Long, eventId: Long, x: Long)
   final case class PhState(n: Long, p: Long, m: Long, mm: Long,
                            maxPh: Long, alarmT: Long)

@@ -395,6 +395,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingTopkStability: drained total grid gives the batch churn exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("n_common"),
+        r.get(r.fieldIndex("jaccard_pm")), r.get(r.fieldIndex("mean_disp_e2"))))
+      .toSeq
+    val streamed = rows(StreamingCollapse.streamingTopkStability(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q319_x_topk_stability")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch)
+  }
+
   test("streamingVocabCoverage: drained token grid gives the batch OOV audit exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
