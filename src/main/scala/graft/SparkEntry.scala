@@ -4166,7 +4166,24 @@ object SparkEntry {
     // user) total grid; rank cut + set join re-derive each drain via
     // the SHARED stabilityFromTotals; drained == batch, one oracle
     "q333_x_stream_topk_stability" -> tuned((s, d) =>
-      graft.streaming.StreamingCollapse.streamingTopkStability(s, d))
+      graft.streaming.StreamingCollapse.streamingTopkStability(s, d)),
+
+    // ---- extension: survival summary — median retention + RMST(30d)
+    // per cohort off q225's KM curve (the censoring-honest "average
+    // days retained" the naive mean understates, and a median that
+    // admits non-existence); exact step-integral of width*S_e9
+    // products, exact median fence
+    "q334_x_survival_summary" -> tuned((s, d) => {
+      val per = Tables.events(s, d)
+        .filter(col("ts").isNotNull && col("user_id").isNotNull)
+        .groupBy(col("user_id"))
+        .agg(min(expr("ts_ns div 1000")).as("first_us"),
+          max(expr("ts_ns div 1000")).as("last_us"))
+      graft.operators.Survival.survivalSummary(
+          graft.operators.Survival.lifetimeSubjects(per),
+          Seq("cohort"), "dur_days", "churned", horizon = 30L)
+        .orderBy("key")
+    })
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -4895,7 +4912,7 @@ object SparkEntry {
     * at the observation edge, lifetable, and the recursive-CTE e9
     * survival walk — the streaming twin maintains the identical
     * per-user state, so both queries replay one SQL. */
-  private lazy val KaplanMeierSql: String =
+  private lazy val KaplanMeierCtes: String =
     """WITH RECURSIVE e AS (
         |  SELECT user_id, epoch_us(ts) AS us FROM events
         |  WHERE ts IS NOT NULL AND user_id IS NOT NULL),
@@ -4926,7 +4943,10 @@ object SparkEntry {
         |    CASE WHEN o.d > 0
         |         THEN rec.sv * (o.tot - o.cumprev - o.d) // (o.tot - o.cumprev)
         |         ELSE rec.sv END
-        |  FROM rec JOIN o ON o.key = rec.key AND o.rn = rec.rn + 1)
+        |  FROM rec JOIN o ON o.key = rec.key AND o.rn = rec.rn + 1)""".stripMargin
+
+  private lazy val KaplanMeierSql: String =
+    s"""$KaplanMeierCtes
         |SELECT o.key, o.dur AS duration, (o.tot - o.cumprev) AS n_risk,
         |  o.d AS d_events, o.c AS c_censored, rec.sv AS s_e9
         |FROM o JOIN rec ON o.key = rec.key AND o.rn = rec.rn
@@ -10579,6 +10599,40 @@ object SparkEntry {
         |      * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM su ORDER BY event_type""".stripMargin
+    },
+
+    // q225's recursive KM chain + the lag/segment step integral, tail
+    // closure at S_last, exact median fence, the IDENTICAL div 1e6
+    "q334_x_survival_summary" -> {
+      s"""$KaplanMeierCtes,
+        |km AS (SELECT o.key, o.dur, o.tot, o.d, o.c, rec.sv
+        |       FROM o JOIN rec ON o.key = rec.key AND o.rn = rec.rn),
+        |lagd AS (SELECT key, dur, sv, tot, d, c,
+        |           lag(dur, 1, 0) OVER (PARTITION BY key ORDER BY dur)
+        |             AS pdur,
+        |           lag(sv, 1, 1000000000) OVER (PARTITION BY key
+        |             ORDER BY dur) AS psv
+        |         FROM km),
+        |seg AS (SELECT key, tot, dur, sv,
+        |          CAST(greatest(0, least(dur, 30) - least(pdur, 30))
+        |               AS HUGEINT) * psv AS area
+        |        FROM lagd),
+        |ag AS (SELECT key, CAST(max(tot) AS BIGINT) AS n_subjects,
+        |         sum(area) AS a1, CAST(max(dur) AS BIGINT) AS maxdur
+        |       FROM seg GROUP BY 1),
+        |lastS AS (SELECT key, sv AS lsv FROM
+        |            (SELECT key, sv, row_number() OVER (PARTITION BY key
+        |               ORDER BY dur DESC) AS r FROM km)
+        |          WHERE r = 1),
+        |med AS (SELECT key, CAST(min(dur) AS BIGINT) AS median_duration
+        |        FROM km WHERE sv <= 500000000 GROUP BY 1)
+        |SELECT ag.key, n_subjects,
+        |  CAST((a1 + CAST(greatest(0, 30 - maxdur) AS HUGEINT) * lsv)
+        |       // 1000000 AS BIGINT) AS rmst_e3,
+        |  med.median_duration
+        |FROM ag JOIN lastS ON lastS.key = ag.key
+        |LEFT JOIN med ON med.key = ag.key
+        |ORDER BY ag.key""".stripMargin
     },
 
     // the same per-user (x, y) grid, HUGEINT side sums, the IDENTICAL

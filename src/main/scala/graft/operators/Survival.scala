@@ -172,4 +172,58 @@ object Survival {
       .withColumn("significant",
         when(col("chi2_e4").isNotNull, col("chi2_e4") > 38415L))
   }
+
+  /** Survival SUMMARY off the [[kaplanMeier]] curve — median survival
+    * time and the restricted mean survival time
+    * `RMST(τ) = ∫₀^τ S(t) dt`: the two scalars a churn/latency report
+    * needs when the full curve is too much and the plain mean is
+    * WRONG (censoring makes the naive mean an underestimate; RMST is
+    * the honest "average days retained within the first τ" — and
+    * unlike the median it exists even when S never crosses ½).
+    *
+    * Exactness: the step-function integral is a sum of exact integer
+    * `width · S_e9` products (lag carries the previous step's S, with
+    * S = 10⁹ before the first event time), the tail past the last step
+    * closes at `S_last`, and everything clips at the horizon; median is
+    * the exact fence `min t: S_e9 ≤ 5·10⁸` (null when the curve never
+    * crosses — the documented non-existence case). One `div 10⁶` emits
+    * RMST in milli-duration-units.
+    *
+    * Scale shape: kaplanMeier's lifetable kernel + one lag window and
+    * one aggregate over the duration grid. Output: `(key, n_subjects,
+    * rmst_e3, median_duration)`. */
+  def survivalSummary(df: DataFrame, keyCols: Seq[String],
+                      durationCol: String, eventCol: String,
+                      horizon: Long): DataFrame = {
+    require(horizon > 0, s"horizon must be positive, got $horizon")
+    import org.apache.spark.sql.expressions.Window
+    val km = kaplanMeier(df, keyCols, durationCol, eventCol)
+      .localCheckpoint(false)
+    val w = Window.partitionBy(col("key")).orderBy(col("duration"))
+    val wDesc = Window.partitionBy(col("key")).orderBy(col("duration").desc)
+    val lagd = km
+      .withColumn("__pdur", lag(col("duration"), 1, 0L).over(w))
+      .withColumn("__psv", lag(col("s_e9"), 1, 1000000000L).over(w))
+      .withColumn("__area", expr(
+        s"""cast(greatest(0, least(duration, $horizon)
+           |  - least(__pdur, $horizon)) as decimal(38,0)) * __psv"""
+          .stripMargin.replaceAll("\n", " ")))
+    val agg = lagd.groupBy(col("key"))
+      .agg(sum(expr("d_events + c_censored")).as("n_subjects"),
+        sum(col("__area")).as("__a1"))
+    val lastS = km.withColumn("__r", row_number().over(wDesc))
+      .filter(col("__r") === 1)
+      .select(col("key"), col("s_e9").as("__lsv"),
+        col("duration").as("__maxdur"))
+    val med = km.filter(col("s_e9") <= 500000000L)
+      .groupBy(col("key")).agg(min(col("duration")).as("median_duration"))
+    agg.join(lastS, "key")
+      .join(med, Seq("key"), "left")
+      .withColumn("rmst_e3", expr(
+        s"""cast((__a1 + cast(greatest(0, $horizon - __maxdur)
+           |  as decimal(38,0)) * __lsv) div 1000000 as bigint)"""
+          .stripMargin.replaceAll("\n", " ")))
+      .select(col("key"), col("n_subjects"), col("rmst_e3"),
+        col("median_duration"))
+  }
 }

@@ -86,4 +86,27 @@ class SurvivalSpec extends SparkSpec {
       .collect().head
     assert(ro.get(ro.fieldIndex("chi2_e4")) == null)
   }
+
+  test("survivalSummary: hand-computed RMST segments and median; no-crossing null") {
+    // m: event at t=1 (of 2 at risk), censor at t=3: S = (1, .5, .5)
+    // steps; RMST(4) = 1*1 + 2*0.5 + tail 1*0.5 = 2.5 -> 2500 e3;
+    // median = 1 (S hits exactly 0.5)
+    val m = Seq(("m", 1L, true), ("m", 3L, false))
+    // a: both die at t=2: S -> 0; RMST(4) = 2*1 + 0 = 2.0; median 2
+    val a = Seq(("a", 2L, true), ("a", 2L, true))
+    // c: all censored -> S stays 1 -> median null, RMST = horizon
+    val c = Seq(("c", 2L, false), ("c", 4L, false))
+    val out = Survival.survivalSummary(
+        (m ++ a ++ c).toDF("key0", "dur", "ev"),
+        Seq("key0"), "dur", "ev", horizon = 4L)
+      .collect().map(r => r.getAs[String]("key") -> r).toMap
+    assert(out("m").getAs[Long]("n_subjects") == 2L)
+    assert(out("m").getAs[Long]("rmst_e3") == 2500L)
+    assert(out("m").getAs[Long]("median_duration") == 1L)
+    assert(out("a").getAs[Long]("rmst_e3") == 2000L)
+    assert(out("a").getAs[Long]("median_duration") == 2L)
+    val rc = out("c")
+    assert(rc.getAs[Long]("rmst_e3") == 4000L)
+    assert(rc.get(rc.fieldIndex("median_duration")) == null)
+  }
 }
