@@ -10774,9 +10774,14 @@ object SparkEntry {
         |       FROM cells JOIN ft ON ft.g = cells.g AND ft.f = cells.f
         |       GROUP BY 1, 2),
         |a AS (SELECT g, CAST(sum(ns) AS BIGINT) AS n_transitions,
-        |        CAST(count(*) AS BIGINT) AS n_states,
         |        sum(CAST(ns AS HUGEINT) * hsv) AS num
-        |      FROM hs GROUP BY 1)
+        |      FROM hs GROUP BY 1),
+        |st AS (SELECT g, f AS s FROM cells
+        |       UNION SELECT g, nxt FROM cells),
+        |k AS (SELECT g, CAST(count(*) AS BIGINT) AS n_states
+        |      FROM st GROUP BY 1),
+        |a2 AS (SELECT a.g, n_transitions, num, n_states
+        |       FROM a JOIN k ON k.g = a.g)
         |SELECT g AS cohort, n_transitions, n_states,
         |  CAST(num // n_transitions AS BIGINT) AS entropy_rate_e9,
         |  CASE WHEN n_states >= 2 THEN
@@ -10784,7 +10789,7 @@ object SparkEntry {
         |      - CAST(CAST(num // n_transitions AS BIGINT) AS DOUBLE) / 1e9
         |      / ln(CAST(n_states AS DOUBLE)))
         |      * 1000000 + 0.5) AS BIGINT) END AS predictability_e6
-        |FROM a ORDER BY cohort""".stripMargin),
+        |FROM a2 ORDER BY cohort""".stripMargin),
 
     // the same A/B value grid as q281/q301, the IDENTICAL ceil fences
     // per side, stacked rows, integer differences

@@ -17,9 +17,12 @@ object Cols {
   /** Shared null-key convention for every per-key operator: a null key
     * is not a key — rows whose key is null drop BEFORE grouping,
     * matching the `key IS NOT NULL` predicate the DuckDB oracles carry.
-    * ONE definition so the convention cannot drift between files. */
+    * ONE definition so the convention cannot drift between files.
+    * Empty `keyCols` is a no-op (the UNGROUPED/global case — callers
+    * like welchTTest run one global test when no keys are given). */
   def dropNullKeys(df: DataFrame, keyCols: Seq[String]): DataFrame =
-    df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
+    if (keyCols.isEmpty) df
+    else df.filter(keyCols.map(col(_).isNotNull).reduce(_ && _))
 
 
   /** NA-safe predicate: pandas `na=False` semantics (SURVEY F-N2;

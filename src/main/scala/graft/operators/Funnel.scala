@@ -371,8 +371,12 @@ object Funnel {
     * e9-quantized to BIGINT before summing (the nmiFromCells
     * discipline); the rate is the exact integer
     * `Σ_s n_s·h_s_e9 div N` (DECIMAL product sum), and predictability
-    * is one tree over it, e6-quantized. Groups with a single observed
-    * from-state (K = 1) emit null predictability.
+    * is one tree over it, e6-quantized. `n_states` = K counts the
+    * distinct states over the UNION of from- and to-states (a terminal
+    * state that only ever appears as a to-state still enlarges the
+    * alphabet — normalizing by from-states alone could push
+    * H(next|s) past ln K and predictability negative). Groups with a
+    * single observed state (K = 1) emit null predictability.
     *
     * Scale shape: one window per sequence key shared with the grid
     * aggregate; everything after is transition-grid-sized. Output:
@@ -404,10 +408,15 @@ object Funnel {
           |  * 1000000000 + 0.5) as bigint)""".stripMargin))
       .groupBy(g :+ col("__from"): _*)
       .agg(max(col("__ns")).as("__ns"), sum(col("__t")).as("__hs"))
+    // K over the union alphabet: a terminal-only state still counts
+    val alphabet = cells.select(g :+ col("__from").as("__st"): _*)
+      .union(cells.select(g :+ col("__to").as("__st"): _*))
+      .distinct()
+      .groupBy(g: _*).agg(count(lit(1)).as("n_states"))
     hs.groupBy(g: _*)
       .agg(sum(col("__ns")).as("n_transitions"),
-        count(lit(1)).as("n_states"),
         sum(expr("cast(__ns as decimal(38,0)) * __hs")).as("__num"))
+      .join(alphabet, groupCols)
       .withColumn("entropy_rate_e9",
         expr("cast(__num div n_transitions as bigint)"))
       .withColumn("predictability_e6", expr(

@@ -335,11 +335,16 @@ object Metrics {
       .agg(
         sum(when(inA, 1L).otherwise(0L)).as("n_a"),
         sum(when(inA, x).otherwise(0L)).as("__sa"),
-        sum(when(inA, expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
+        // square the LONG-cast column inside the decimal widening so
+        // Σx² agrees with the truncated Σx for any input type (a raw
+        // decimal*double would promote to an order-dependent float sum)
+        sum(when(inA, expr(
+            s"cast(cast(`$valueCol` as bigint) as decimal(38,0)) * cast(`$valueCol` as bigint)"))
           .otherwise(expr("cast(0 as decimal(38,0))"))).as("__qa"),
         sum(when(inB, 1L).otherwise(0L)).as("n_b"),
         sum(when(inB, x).otherwise(0L)).as("__sb"),
-        sum(when(inB, expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
+        sum(when(inB, expr(
+            s"cast(cast(`$valueCol` as bigint) as decimal(38,0)) * cast(`$valueCol` as bigint)"))
           .otherwise(expr("cast(0 as decimal(38,0))"))).as("__qb"))
   }
 
@@ -768,7 +773,8 @@ object Metrics {
       .filter(c.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(count(lit(1)).as("n_units"), sum(c).as("__s"),
-        sum(expr(s"cast(`$countCol` as decimal(38,0)) * `$countCol`")).as("__q"))
+        sum(expr(s"cast(cast(`$countCol` as bigint) as decimal(38,0)) * cast(`$countCol` as bigint)"))
+          .as("__q"))
     val num = "(cast(n_units as decimal(38,0)) * __q - cast(__s as decimal(38,0)) * __s)"
     val chi2 = s"(cast($num as double) / cast(__s as double))"
     sums
@@ -1910,7 +1916,7 @@ object Metrics {
       .filter(col(groupCol).isNotNull && x.isNotNull)
       .groupBy(k :+ col(groupCol).as("__g"): _*)
       .agg(count(lit(1)).as("__n"), sum(x).as("__s"),
-        sum(expr(s"cast(`$valueCol` as decimal(38,0)) * `$valueCol`"))
+        sum(expr(s"cast(cast(`$valueCol` as bigint) as decimal(38,0)) * cast(`$valueCol` as bigint)"))
           .as("__q"))
       .localCheckpoint(false)
     val a = sums.select((k :+ col("__g").as("group_a") :+

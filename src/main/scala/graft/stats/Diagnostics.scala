@@ -441,7 +441,20 @@ object Diagnostics {
     * a million keys = a million independent series. `orderCol` must be
     * UNIQUE per key (the monthly-grid convention — a duplicate order
     * value would make row_number, and so the residual index,
-    * nondeterministic). Output:
+    * nondeterministic).
+    *
+    * Overflow guard (fail-loud, the anovaOneWay convention): the
+    * scaled residual grows like `E ≈ n·D·resid ≈ (n⁴/3)·resid`, so
+    * `ΣE² ≈ (n⁹/9)·resid²` — it crosses the 10³⁸ DECIMAL(38,0) bound
+    * LONG before the naïve "n³·y" intuition suggests (at n = 1200
+    * monthly points it tolerates only |resid| ≲ 1.3·10⁶, i.e. ~$13k of
+    * detrended residual in cents). Under non-ANSI Spark an overflowed
+    * product would become NULL and silently DROP from both sums,
+    * yielding a wrong DW with no error — so each row RAISES when
+    * `|E| > 5·10¹⁶` (the bound under which both `ΣE²` and the
+    * differenced `Σ(E−E')² ≤ 4ΣE²` stay inside 10³⁸ for n ≤ 10⁴ rows
+    * per key). Past it, pre-average to a coarser grid or rescale the
+    * value unit upstream. Output:
     * `(keys…, n_obs, dw_e6, autocorr)`; keys with n < 3 emit nothing,
     * zero residual variance (perfect line) emits null dw and verdict. */
   def durbinWatson(df: DataFrame, keyCols: Seq[String], orderCol: String,
@@ -467,6 +480,14 @@ object Diagnostics {
         dec(col("__n")) * col("__dd") * col("__y")
           - col("__dd") * dec(col("__sy"))
           - dec(col("__n")) * col("__nn") * col("__u"))
+      // fail loud before ΣE² can cross DECIMAL(38,0): |E| ≤ 5e16 keeps
+      // both ΣE² and Σ(E−E')² ≤ 4ΣE² under 1e38 for n ≤ 1e4 rows/key
+      .withColumn("__e",
+        when(abs(col("__e")) > expr("cast(50000000000000000 as decimal(38,0))"),
+          expr("raise_error('durbinWatson scaled residual exceeds the " +
+            "DECIMAL(38,0) safety bound — pre-average to a coarser grid " +
+            "or rescale the value unit upstream')").cast("decimal(38,0)"))
+          .otherwise(col("__e")))
       .withColumn("__pe", lag(col("__e"), 1).over(wOrd))
     val sums = rows
       .groupBy(keyCols.map(col): _*)

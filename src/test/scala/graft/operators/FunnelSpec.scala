@@ -355,25 +355,40 @@ class FunnelSpec extends SparkSpec {
       ("g", 1L, 4L, "B"), ("g", 1L, 5L, "A"), ("g", 2L, 1L, "A"),
       ("g", 2L, 2L, "B"))
     // x: one sequence A B A C: from A the next splits 50/50, from B it
-    // is fixed -> rate = (2/3) ln 2, K = 2, pred = 1/3
+    // is fixed -> rate = (2/3) ln 2; K = 3 over the from∪to alphabet
+    // (C only ever appears as a to-state but still enlarges it)
     val x = Seq(("x", 1L, 1L, "A"), ("x", 1L, 2L, "B"), ("x", 1L, 3L, "A"),
       ("x", 1L, 4L, "C"))
-    // r: single from-state -> K = 1 -> null predictability
+    // r: single FROM-state but three union states (B, C terminal-only):
+    // under the old from-only normalization H(next|A) = ln 2 > ln K = 0
+    // would go negative — the union alphabet keeps pred in [0, 1]
     val r = Seq(("r", 1L, 1L, "A"), ("r", 1L, 2L, "B"),
       ("r", 2L, 1L, "A"), ("r", 2L, 2L, "C"))
-    val out = Funnel.markovEntropyRate((g ++ x ++ r).toDF("grp", "u", "t", "s"),
+    // z: pure self-loop -> union K = 1 -> null predictability
+    val z = Seq(("z", 1L, 1L, "A"), ("z", 1L, 2L, "A"))
+    val out = Funnel.markovEntropyRate(
+      (g ++ x ++ r ++ z).toDF("grp", "u", "t", "s"),
       Seq("grp"), Seq("u"), "t", "s").collect()
       .map(rr => rr.getAs[String]("grp") -> rr).toMap
     assert(out("g").getAs[Long]("entropy_rate_e9") == 0L)
     assert(out("g").getAs[Long]("predictability_e6") == 1000000L)
     val h2 = math.floor(-0.5 * math.log(0.5) * 1e9 + 0.5).toLong
     val rate = (2L * 2L * h2) / 3L // num = ns_A * h_A = 2 * 2*h2; div N=3
+    assert(out("x").getAs[Long]("n_states") == 3L)
     assert(out("x").getAs[Long]("entropy_rate_e9") == rate)
     val pred = math.floor(
-      (1.0 - rate.toDouble / 1e9 / math.log(2.0)) * 1e6 + 0.5).toLong
+      (1.0 - rate.toDouble / 1e9 / math.log(3.0)) * 1e6 + 0.5).toLong
     assert(out("x").getAs[Long]("predictability_e6") == pred)
     val rrow = out("r")
-    assert(rrow.getAs[Long]("n_states") == 1L)
-    assert(rrow.get(rrow.fieldIndex("predictability_e6")) == null)
+    assert(rrow.getAs[Long]("n_states") == 3L)
+    val rRate = 2L * h2 // num = 2 * (2*h2) div N = 2
+    assert(rrow.getAs[Long]("entropy_rate_e9") == rRate)
+    val rPred = math.floor(
+      (1.0 - rRate.toDouble / 1e9 / math.log(3.0)) * 1e6 + 0.5).toLong
+    assert(rrow.getAs[Long]("predictability_e6") == rPred)
+    val zrow = out("z")
+    assert(zrow.getAs[Long]("n_states") == 1L)
+    assert(zrow.getAs[Long]("entropy_rate_e9") == 0L)
+    assert(zrow.get(zrow.fieldIndex("predictability_e6")) == null)
   }
 }

@@ -175,6 +175,26 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("df_e4") == 20000L)
   }
 
+  test("welchTTest: empty keyCols runs ONE global (ungrouped) test") {
+    val df = Seq(("A", 10L), ("A", 20L), ("B", 10L), ("B", 20L))
+      .toDF("grp", "v")
+    val rows = Metrics.welchTTest(df, Nil, "grp", "v", "A", "B").collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[Long]("t_e4") == 0L)
+    assert(rows.head.getAs[Long]("df_e4") == 20000L)
+  }
+
+  test("welchTTest: non-integer value column truncates BOTH moments consistently") {
+    // doubles 10.9/20.9: both Σx and Σx² must see the bigint-truncated
+    // 10/20 (a decimal*double Σx² would see 118.81/436.81 instead)
+    val df = Seq(("k", "A", 10.9), ("k", "A", 20.9),
+      ("k", "B", 10.9), ("k", "B", 20.9)).toDF("key", "grp", "v")
+    val r = Metrics.welchTTest(df, Seq("key"), "grp", "v", "A", "B").collect().head
+    assert(r.getAs[Long]("mean_a_e2") == 1500L)
+    assert(r.getAs[Long]("t_e4") == 0L)
+    assert(r.getAs[Long]("df_e4") == 20000L)
+  }
+
   test("welchTTest: degenerate sides emit null t") {
     val df = Seq(("k", "A", 5L), ("k", "B", 1L), ("k", "B", 2L))
       .toDF("key", "grp", "v") // n_a = 1

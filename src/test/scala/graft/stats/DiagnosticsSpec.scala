@@ -454,6 +454,18 @@ class DiagnosticsSpec extends SparkSpec {
     assert(p.get(p.fieldIndex("autocorr")) == null)
   }
 
+  test("durbinWatson: raises loud past the scaled-residual DECIMAL bound") {
+    // E ≈ (n⁴/3)·resid: n = 40 with |resid| ≈ 1e12 puts |E| ≈ 8.5e17
+    // over the 5e16 fence — must RAISE, never silently null the sums
+    val big = (1 to 40).map(t =>
+      ("b", t.toLong, if (t % 2 == 0) 1000000000000L else -1000000000000L))
+    val ex = intercept[Exception] {
+      Diagnostics.durbinWatson(big.toDF("k", "t", "v"), Seq("k"), "t", "v")
+        .collect()
+    }
+    assert(ex.getMessage.contains("durbinWatson scaled residual"))
+  }
+
   test("kendallTau: hand-computed tie-free and tied cases; constant null; short absent") {
     // k: (1,1),(2,3),(3,2),(4,4): S = 4, n0 = 6, tau = 2/3 -> 666667;
     // v0 = 156, var = 156/18, z = 4/2.9439203 = 1.3587 -> 13587
