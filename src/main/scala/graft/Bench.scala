@@ -101,8 +101,18 @@ object Bench {
     // harness tail-captures stdout and anything bulky after this line can
     // evict its head from the window.
     // stop() must not be able to eat the result: the numbers are already
-    // computed, so a teardown failure only costs the clean shutdown
-    try { spark.stop(); Thread.sleep(1000) } catch { case _: Throwable => () }
+    // computed, so a teardown failure only costs the clean shutdown.
+    // Log level OFF first: stop() races straggler task-end events, and a
+    // DAGScheduler "attempted to access non-existent accumulator" ERROR
+    // stack printed AFTER our JSON (seen in BENCH_r09's tail) is exactly
+    // the bounded-stdout eviction that produced r01-r07's "parsed": null.
+    // The numbers are computed; nothing log-worthy can happen past here.
+    try {
+      spark.sparkContext.setLogLevel("OFF")
+      spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
+      spark.stop()
+      Thread.sleep(2000)
+    } catch { case _: Throwable => () }
     // Per-pass maps go to the FILE alongside the min: with only the min on
     // record, a one-off GC stall is indistinguishable from a plan regression
     // (r07's q139/q186 read 1.9x slower on byte-identical code). The spread

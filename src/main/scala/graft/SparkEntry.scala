@@ -4183,7 +4183,15 @@ object SparkEntry {
           graft.operators.Survival.lifetimeSubjects(per),
           Seq("cohort"), "dur_days", "churned", horizon = 30L)
         .orderBy("key")
-    })
+    }),
+
+    // ---- extension: fixed-k BPE merge slice — the REAL incremental
+    // learner's first 3 merges, hash-checked (the q235/q276 graduation:
+    // bound the depth, the oracle unrolls count->argmax->apply rounds;
+    // run-capped ASCII words make the 2-pass replace replay exact)
+    "q335_x_bpe_merge_slice" -> tuned((s, d) =>
+      graft.text.Bpe.mergeSliceDf(
+        Tables.documents(s, d), "text", k = 3))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -10633,6 +10641,55 @@ object SparkEntry {
         |FROM ag JOIN lastS ON lastS.key = ag.key
         |LEFT JOIN med ON med.key = ag.key
         |ORDER BY ag.key""".stripMargin
+    },
+
+    // the learner's 3 merge rounds unrolled: pair-count -> argmax
+    // (count DESC, then lexicographically smallest (l, r)) -> 2-pass
+    // delimited replace (exact greedy under the run-capped contract —
+    // see Bpe.mergeSliceDf's scaladoc for the proof sketch)
+    "q335_x_bpe_merge_slice" -> {
+      val run5 = ('a' to 'z').map(c => c.toString * 5).mkString("|")
+      def pairCte(p: String, sIn: String): String =
+        s"""$p AS (
+           |  SELECT syms[i] AS l, syms[i + 1] AS r,
+           |         CAST(sum(c) AS BIGINT) AS cnt
+           |  FROM (SELECT c,
+           |          list_filter(string_split(s, '|'), x -> x <> '') AS syms,
+           |          unnest(generate_series(1,
+           |            len(list_filter(string_split(s, '|'), x -> x <> '')) - 1))
+           |            AS i
+           |        FROM $sIn)
+           |  GROUP BY 1, 2)""".stripMargin
+      def applyCte(sOut: String, sIn: String, m: String): String =
+        s"""$sOut AS (
+           |  SELECT replace(replace(s,
+           |      '|' || (SELECT l FROM $m) || '|' || (SELECT r FROM $m) || '|',
+           |      '|' || (SELECT l || r FROM $m) || '|'),
+           |      '|' || (SELECT l FROM $m) || '|' || (SELECT r FROM $m) || '|',
+           |      '|' || (SELECT l || r FROM $m) || '|') AS s, c FROM $sIn)""".stripMargin
+      s"""WITH wraw AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM wraw
+         |  WHERE length(w) BETWEEN 2 AND 9
+         |    AND NOT regexp_matches(w, '$run5')
+         |  GROUP BY 1),
+         |s0 AS (SELECT '|' || array_to_string(string_split(w, ''), '|') || '|'
+         |         AS s, c FROM w),
+         |${pairCte("p0", "s0")},
+         |m0 AS (SELECT l, r, cnt FROM p0 ORDER BY cnt DESC, l, r LIMIT 1),
+         |${applyCte("s1", "s0", "m0")},
+         |${pairCte("p1", "s1")},
+         |m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         |${applyCte("s2", "s1", "m1")},
+         |${pairCte("p2", "s2")},
+         |m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1)
+         |SELECT CAST(0 AS BIGINT) AS rank, l AS left_sym, r AS right_sym,
+         |       cnt AS pair_count FROM m0
+         |UNION ALL SELECT CAST(1 AS BIGINT), l, r, cnt FROM m1
+         |UNION ALL SELECT CAST(2 AS BIGINT), l, r, cnt FROM m2
+         |ORDER BY rank""".stripMargin
     },
 
     // the same per-user (x, y) grid, HUGEINT side sums, the IDENTICAL

@@ -1375,20 +1375,33 @@ object StreamingCollapse {
     * this ingest" — a live association monitor over the same two columns
     * the batch screen reads. Eager checkpoint: the readout layers the
     * marginal cross join over the memory-sink lineage. */
+  /** The complete-mode contingency-grid PLAN of [[streamingChiSquare]],
+    * split out so the checkpoint restart-recovery path (StreamingSpec's
+    * recovery test; any production restart) drives the IDENTICAL plan the
+    * single-drain twin runs: filter → band derivation (least caps the
+    * categorical domain at 5 bands, the bounded-grid contract) → ONE
+    * always-mergeable count aggregate. Complete-mode grid state is
+    * checkpointed per shuffle partition; on restart Spark recovers the
+    * grid from `checkpointLocation` and the file-source log skips
+    * already-ingested files, so drained-after-restart == batch over the
+    * full landing set, bit-for-bit — the recovery contract every
+    * grid-state twin in this file inherits (same state shape: the grid
+    * IS the state). */
+  def chiSquareGrid(docs: DataFrame): DataFrame = docs
+    .filter(col("source").isNotNull && col("lang").isNotNull &&
+      col("n_chars").isNotNull)
+    // identical band derivation to the batch q297
+    .withColumn("__b", least(expr("n_chars div 400"), lit(4L)))
+    .groupBy(col("source"), col("lang").as("__a"), col("__b"))
+    .agg(count(lit(1)).as("__c"))
+
   def streamingChiSquare(spark: SparkSession, dir: String): DataFrame = {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_chisq"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
-    val grid = spark.readStream
+    val grid = chiSquareGrid(spark.readStream
       .schema(documentsSchema)
-      .parquet(streamDir(dir, "documents"))
-      .filter(col("source").isNotNull && col("lang").isNotNull &&
-        col("n_chars").isNotNull)
-      // identical band derivation to the batch q297 (least caps the
-      // categorical domain at 5 bands — the bounded-grid contract)
-      .withColumn("__b", least(expr("n_chars div 400"), lit(4L)))
-      .groupBy(col("source"), col("lang").as("__a"), col("__b"))
-      .agg(count(lit(1)).as("__c"))
+      .parquet(streamDir(dir, "documents")))
     drain(spark, grid.writeStream
       .outputMode("complete")
       .format("memory")

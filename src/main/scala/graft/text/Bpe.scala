@@ -143,6 +143,55 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Fixed-k hash-checked SLICE of [[learnMerges]] (the q235/q276
+    * graduation pattern: bound the iteration depth and the oracle can
+    * replay it): runs the REAL incremental learner over a
+    * run-constrained `[a-z]+` word corpus and emits the first `k`
+    * merges as a DataFrame the DuckDB oracle reproduces by unrolling k
+    * pair-count→argmax→apply rounds.
+    *
+    * Why the slice contract makes the replay EXACT:
+    * - Corpus: words are `[a-z]+` runs of `lower(text)`, length 2–9,
+    *   excluding 5+ single-char runs (a 26-way `a{5}|b{5}|…`
+    *   alternation — RE2-safe, no backreferences). ASCII-only symbols
+    *   mean byte = code point = collation unit in both engines, so the
+    *   learner's (count DESC, lexicographically smallest (l, r))
+    *   argmax order is the SQL `ORDER BY cnt DESC, l, r LIMIT 1`.
+    * - Merge application: the oracle holds each word as a
+    *   `|`-delimited symbol string and applies a merge as TWO nested
+    *   literal `replace(s, '|l|r|', '|lr|')` calls. One replace scans
+    *   left-to-right over non-overlapping matches continuing AFTER each
+    *   replacement — exactly greedy BPE except that a match consumes
+    *   the trailing delimiter, hiding an IMMEDIATELY-adjacent next
+    *   occurrence; those hidden occurrences are never adjacent to each
+    *   other (in a chain `lrlrlr…` the first pass matches alternate
+    *   occurrences), so one second pass always finishes the round —
+    *   PROVIDED no run of ≥5 identical symbols exists (at 5+ the
+    *   even/odd split changes the segmentation: `aaaaaa` greedy is
+    *   `aa aa aa` but two passes give `aa a aa a`). The word contract
+    *   guarantees that: char runs ≥5 are filtered, and a run of ≥5
+    *   multi-char symbols needs ≥10 chars — past the length-9 cap.
+    * - Counting: the learner counts every adjacent index pair; with
+    *   runs capped under 5 a same-symbol pair run contributes the same
+    *   count to both engines' adjacent-pair explosions.
+    *
+    * k is bounded (the unrolled-SQL contract; tested at k = 3), so the
+    * driver-side learner cost is corpus-pass + O(vocab) — unchanged.
+    * Output: `(rank, left_sym, right_sym, pair_count)`, one row per
+    * merge. */
+  def mergeSliceDf(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val run5 = ('a' to 'z').map(c => c.toString * 5).mkString("|")
+    val words = docs
+      .filter(col(textCol).isNotNull)
+      .select(explode(expr(s"regexp_extract_all(lower(`$textCol`), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")).between(2, 9) && !col("w").rlike(run5))
+    val ms = learnMerges(words, "w", k, minPairCount = 1L)
+    ms.map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
+      .toDF("rank", "left_sym", "right_sym", "pair_count")
+  }
+
   /** Encode text with a learned merge table: per word, repeatedly apply
     * the lowest-rank applicable merge until none applies (the standard
     * BPE encoder). Returns the sub-word symbol array column. */

@@ -439,6 +439,59 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingChiSquare: grid state survives checkpoint stop + restart (recovery contract)") {
+    // The production claim behind every grid-state twin: complete-mode
+    // aggregation state checkpoints per shuffle partition and the file
+    // source logs ingested files, so a kill + restart resumes the SAME
+    // grid. Proof shape: ingest wave 1, STOP; land wave 2; restart a NEW
+    // query from the SAME checkpoint; the drained grid must equal the
+    // batch grid over BOTH waves — wave 1's counts can only have come
+    // from the recovered state store (the source log stops them from
+    // being re-read; re-reading them would double-count and fail the
+    // equality just as loudly).
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    import scala.jdk.CollectionConverters._
+    val src = Files.createTempDirectory("graft_recov_src")
+    val ckpt = Files.createTempDirectory("graft_recov_ckpt")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val phys = docs.schema
+    def land(wave: org.apache.spark.sql.DataFrame, tag: String): Unit = {
+      val tmp = Files.createTempDirectory(s"graft_recov_$tag")
+      wave.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = Files.list(tmp).iterator().asScala
+        .find(_.getFileName.toString.endsWith(".parquet")).get
+      Files.move(part, src.resolve(s"$tag.parquet"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try {
+      def run(name: String): Unit = {
+        val q = StreamingCollapse.chiSquareGrid(
+            spark.readStream.schema(phys).parquet(src.toString))
+          .writeStream.outputMode("complete").format("memory")
+          .queryName(name)
+          .option("checkpointLocation", ckpt.toString)
+          .start()
+        try q.processAllAvailable()
+        finally q.stop()
+      }
+      land(docs.filter(pmod(col("doc_id"), lit(2L)) === 0), "w1")
+      run("graft_recov_a")
+      val afterW1 = spark.table("graft_recov_a").collect().toSet
+      land(docs.filter(pmod(col("doc_id"), lit(2L)) === 1), "w2")
+      run("graft_recov_b") // NEW query instance, SAME checkpoint
+      val drained = spark.table("graft_recov_b").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val batch = StreamingCollapse.chiSquareGrid(docs).collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(afterW1.nonEmpty && drained.nonEmpty)
+      assert(drained == batch) // == wave1 state recovered, wave1 files not re-read
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("streamingKaplanMeier: drained (min, max) state gives the batch curve exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()

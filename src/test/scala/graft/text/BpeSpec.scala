@@ -79,6 +79,28 @@ class BpeSpec extends SparkSpec {
     assert(fast == bruteForce(words, 40, 2L))
   }
 
+  test("mergeSliceDf: real learner over the run-capped corpus, hand-checked merges") {
+    import spark.implicits._
+    // planted corpus (weights via repetition): "erer" exercises the
+    // adjacent-chain case the oracle's 2-pass replace must handle, and
+    // "reed" the l==r doubled-char case; excluded: length-1, length-10+,
+    // and a 5-run word
+    val docs = (Seq.fill(4)("the erer") ++ Seq.fill(3)("reed the") ++
+      Seq("a abcdefghij aaaaax erer")).toDF("text")
+    val out = graft.text.Bpe.mergeSliceDf(docs, "text", k = 3).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+    // corpus words: the x7, erer x5, reed x3 ("a", "abcdefghij", "aaaaax"
+    // filtered). pairs: (e,r) from erer = 2 each -> 10; (r,e) from
+    // erer 1 each -> 5, from reed 1 each -> 3 -> 8; (t,h)/(h,e) 7;
+    // (e,e) 3; (e,d) 3. argmax1 = (e,r) 10. after merge: erer -> [er,er]:
+    // (er,er) 5; (r,e): reed only -> 3; (t,h)/(h,e) 7 -> argmax2 = (h,e)
+    // (ties (t,h) 7, lexicographic h < t). after: the -> [t,he]: (t,he) 7
+    // -> argmax3 = (t,he) 7
+    assert(out.toSeq == Seq((0L, "e", "r", 10L), (1L, "h", "e", 7L),
+      (2L, "t", "he", 7L)))
+  }
+
   test("1k-merge round-trip: vocab-scale learning terminates fast, counts non-increasing") {
     val rng = new scala.util.Random(7)
     val alpha = "abcdefghijklmnop"
