@@ -1212,12 +1212,20 @@ object Metrics {
     *
     * Exactness: midranks ride the shared value-count-grid form
     * (`2·mr = 2·cum_before + c + 1` — [[mannWhitney]]'s machinery), so
-    * `2R_g` is exact; each `(2R_g)²/n_g` floor-quantizes via BigInt
-    * (the [[anovaOneWay]] convention, REQUIRE-guarded: past ~10⁵ rows
-    * per key the square exceeds 2⁶³ — bin values upstream, fail loud
-    * otherwise); tie cubes accumulate as DECIMAL(38,0). H and H_c are
+    * `2R_g` is exact as DECIMAL(38,0); each `(2R_g)²/n_g` floor-divides
+    * via BigInt (arbitrary-precision intermediate) into DECIMAL(38,0),
+    * and the per-key sum stays DECIMAL — the oracle mirrors with
+    * HUGEINT. Tie cubes accumulate as DECIMAL(38,0). H and H_c are
     * one fixed double tree each, e4-quantized, verdict on the ROUNDED
     * H_c. Keys that are a single tie group (T = n³−n) emit null.
+    *
+    * Bound (round-10 re-frame; the old BIGINT term tripped its 2⁶³
+    * fail-loud near sf10 — and unlike [[anovaOneWay]]'s S²/n this
+    * ceiling is RANK-driven, `(2R_g)²/n_g ≈ 0.8n³`, so value
+    * re-quantization cannot move it): the widened term holds to
+    * `0.8n³ < 10³⁸` → n ≲ 5·10¹² rows per key, past any per-key
+    * cardinality a 100 TB table produces. A fail-loud require remains
+    * at the 10³⁸ edge.
     *
     * Scale shape: cell grid → value grid (re-aggregation) → one ordered
     * window over the DISTINCT-VALUE grid → grid joins; raw rows shuffle
@@ -1242,18 +1250,23 @@ object Metrics {
       .withColumn("__mr2",
         lit(2L) * coalesce(sum(col("__cv")).over(wBefore), lit(0L)) +
           col("__cv") + 1L)
-    val sqDiv = udf((r2: Long, ng: Long) => {
-      val v = (BigInt(r2) * r2) / ng
-      require(v.isValidLong,
-        "kruskalWallis rank square exceeds 2^63 — bin values upstream")
-      v.toLong
+    // (2R_g)²/n_g floor-divides through an arbitrary-precision BigInt
+    // intermediate into a DECIMAL(38,0) result (string-routed — a bare
+    // BigDecimal UDF return would infer (38,18) and overflow): the
+    // rank-cube term holds to n ≲ 5e12 rows/key, fail-loud past 1e38
+    val sqDiv = udf((r2: java.math.BigDecimal, ng: Long) => {
+      val r = BigInt(r2.toBigInteger)
+      val v = r * r / ng
+      require(v.abs < BigInt(10).pow(38),
+        "kruskalWallis rank cube exceeds DECIMAL(38,0) — split keys upstream")
+      v.toString
     })
     val perGroup = cells
       .join(vals.select(k :+ col("__v") :+ col("__mr2"): _*), keyCols :+ "__v")
       .groupBy(k :+ col("__g"): _*)
       .agg(sum(col("__cgv")).as("__ng"),
-        sum(col("__cgv") * col("__mr2")).as("__r2g"))
-      .withColumn("__tg", sqDiv(col("__r2g"), col("__ng")))
+        sum(expr("cast(__cgv as decimal(38,0)) * __mr2")).as("__r2g"))
+      .withColumn("__tg", sqDiv(col("__r2g"), col("__ng")).cast("decimal(38,0)"))
       .groupBy(k: _*)
       .agg(count(lit(1)).as("k_groups"), sum(col("__tg")).as("__sr"))
     val ties = vals.groupBy(k: _*)

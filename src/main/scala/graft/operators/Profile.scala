@@ -377,29 +377,75 @@ object Profile {
     * |t|. Degenerate keys (any constant column, or |r_xz| = 1 /
     * |r_yz| = 1) emit null partial/verdict.
     *
+    * `longSums = true` is the measured FAST PATH (12.8× at the 10×
+    * corpus — DialProbe, round 10: 10.28 s DECIMAL vs 0.80 s LONG; the
+    * nine 16-byte decimal sum buffers, not the arithmetic, were the
+    * round-9 sweep's 6.95× outlier): the sums accumulate as plain
+    * BIGINT, and a SOUND fail-loud fence guards exactness —
+    * `n · max|v|² < 2⁶³·0.9` per key (n·max|a|·max|b| upper-bounds
+    * every |Σab|, so under the fence no sum can have wrapped; the max
+    * abs columns cost three extra 8-byte aggregate slots). Past the
+    * fence the key RAISES — re-quantize coarser or use the DECIMAL
+    * path. The readout widens each difference through DECIMAL(38,0)
+    * (`n·Σaa − (Σa)²` overflows BIGINT long before Σaa does), so BOTH
+    * paths produce the exact same integers and ONE oracle serves them.
+    * Dial math at the q309 framing (dollars ≤ ~1.1e5): the fence holds
+    * to n ≈ 7.6e8 rows per key (~sf50 per return flag); cents would
+    * trip it at sf0.1 — value framing IS the dial.
+    *
     * Scale shape: ONE map-side-combined aggregate; per-key state is
-    * ten numbers. Output: `(keys…, n_obs, r_xy_e6, r_xz_e6, r_yz_e6,
-    * partial_e6, t_e4, significant)`. */
+    * ten numbers (thirteen on the fast path). Output: `(keys…, n_obs,
+    * r_xy_e6, r_xz_e6, r_yz_e6, partial_e6, t_e4, significant)`. */
   def partialCorrelation(df: DataFrame, keyCols: Seq[String], xCol: String,
-                         yCol: String, zCol: String): DataFrame = {
+                         yCol: String, zCol: String,
+                         longSums: Boolean = false): DataFrame = {
     require(keyCols.nonEmpty, "partialCorrelation needs at least one key column")
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val (x, y, z) = (col(xCol).cast("long"), col(yCol).cast("long"),
       col(zCol).cast("long"))
-    val sums = graft.functions.Cols.dropNullKeys(df, keyCols)
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
       .filter(x.isNotNull && y.isNotNull && z.isNotNull)
-      .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n"),
-        sum(dec(x)).as("sx"), sum(dec(y)).as("sy"), sum(dec(z)).as("sz"),
-        sum(dec(x) * x).as("sxx"), sum(dec(y) * y).as("syy"),
-        sum(dec(z) * z).as("szz"), sum(dec(x) * y).as("sxy"),
-        sum(dec(x) * z).as("sxz"), sum(dec(y) * z).as("syz"))
+    val sums =
+      if (!longSums)
+        base.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n"),
+            sum(dec(x)).as("sx"), sum(dec(y)).as("sy"), sum(dec(z)).as("sz"),
+            sum(dec(x) * x).as("sxx"), sum(dec(y) * y).as("syy"),
+            sum(dec(z) * z).as("szz"), sum(dec(x) * y).as("sxy"),
+            sum(dec(x) * z).as("sxz"), sum(dec(y) * z).as("syz"))
+      else
+        base.groupBy(keyCols.map(col): _*)
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("sx"), sum(y).as("sy"), sum(z).as("sz"),
+            sum(x * x).as("sxx"), sum(y * y).as("syy"),
+            sum(z * z).as("szz"), sum(x * y).as("sxy"),
+            sum(x * z).as("sxz"), sum(y * z).as("syz"),
+            max(abs(x)).as("__mx"), max(abs(y)).as("__my"),
+            max(abs(z)).as("__mz"))
+          // sound overflow fence decided on exact DECIMAL arithmetic:
+          // under it no BIGINT sum above can have wrapped. The fence is
+          // FOLDED INTO n (×1 when clear) so column pruning can never
+          // optimize the raise_error away.
+          .withColumn("n", col("n") * expr(
+            """case when cast(n as decimal(38,0))
+              |    * greatest(__mx, __my, __mz) * greatest(__mx, __my, __mz)
+              |    < cast(8300000000000000000 as decimal(38,0)) then 1
+              |  else cast(raise_error('partialCorrelation longSums fence: a sum
+              | may exceed 2^63 — re-quantize coarser or use longSums=false')
+              |    as int)
+              |end""".stripMargin.replaceAll("\n", "")))
+          .drop("__mx", "__my", "__mz")
     def r(sab: String, sa: String, sb: String, qa: String, qb: String) =
-      s"""case when cast(n * $qa - $sa * $sa as double)
-         |      * cast(n * $qb - $sb * $sb as double) > 0 then
-         |  cast(n * $sab - $sa * $sb as double)
-         |    / sqrt(cast(n * $qa - $sa * $sa as double)
-         |           * cast(n * $qb - $sb * $sb as double)) end"""
+      s"""case when cast(cast(n as decimal(38,0)) * $qa
+         |           - cast($sa as decimal(38,0)) * $sa as double)
+         |      * cast(cast(n as decimal(38,0)) * $qb
+         |           - cast($sb as decimal(38,0)) * $sb as double) > 0 then
+         |  cast(cast(n as decimal(38,0)) * $sab
+         |       - cast($sa as decimal(38,0)) * $sb as double)
+         |    / sqrt(cast(cast(n as decimal(38,0)) * $qa
+         |                - cast($sa as decimal(38,0)) * $sa as double)
+         |           * cast(cast(n as decimal(38,0)) * $qb
+         |                - cast($sb as decimal(38,0)) * $sb as double)) end"""
         .stripMargin.replaceAll("\n", " ")
     sums
       .withColumn("__rxy", expr(r("sxy", "sx", "sy", "sxx", "syy")))

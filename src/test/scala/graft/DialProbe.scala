@@ -49,6 +49,27 @@ object DialProbe {
         Seq("l_returnflag"), "price_d", trimPermille = 50)
     }
 
+    // q309 partialCorrelation: the nine DECIMAL(38,0) sufficient sums are
+    // the cost driver (the round-9 sweep's 6.95x outlier). Probe the
+    // LONG-sum alternative (identical aggregate shape, 8-byte buffers):
+    // cents framing ALREADY overflows 2^63 at sf0.1 (n*1e14), so a LONG
+    // path must re-frame to dollars AND caps keys at ~9e8 rows — the
+    // probe measures what that generality trade would buy.
+    probe("q309 partialCorr DECIMAL cents") {
+      operators.Profile.partialCorrelation(
+        li.withColumn("qty", expr("cast(floor(l_quantity + 0.5) as bigint)"))
+          .withColumn("cents", expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
+          .withColumn("disc_pm", expr("cast(floor(l_discount * 1000 + 0.5) as bigint)")),
+        Seq("l_returnflag"), "qty", "cents", "disc_pm")
+    }
+    probe("q309 partialCorr LONG dollars") {
+      operators.Profile.partialCorrelation(
+        li.withColumn("qty", expr("cast(floor(l_quantity + 0.5) as bigint)"))
+          .withColumn("dollars", expr("cast(floor(l_extendedprice + 0.5) as bigint)"))
+          .withColumn("disc_pm", expr("cast(floor(l_discount * 1000 + 0.5) as bigint)")),
+        Seq("l_returnflag"), "qty", "dollars", "disc_pm", longSums = true)
+    }
+
     val docs = sources.Tables.documents(spark, dir)
     val pairs = docs.filter(pmod(col("doc_id"), lit(2L)) === 0)
       .select(col("doc_id").as("cand_id"), (col("doc_id") + 1).as("ref_id"))

@@ -881,6 +881,26 @@ class MetricsSpec extends SparkSpec {
     assert(out("g").getAs[Long]("t_e4") == math.floor(t * 1e4 + 0.5).toLong)
   }
 
+  test("partialCorrelation: longSums fast path is bit-equal; fence raises loud") {
+    val g = Seq((0L, 0L, 0L), (1L, 2L, 0L), (2L, 1L, 1L), (3L, 3L, 1L),
+      (5L, 5L, 2L)).map { case (x, y, z) => ("g", x, y, z) }
+    val df = g.toDF("k", "x", "y", "z")
+    val slow = graft.operators.Profile.partialCorrelation(
+      df, Seq("k"), "x", "y", "z").collect().toSeq
+    val fast = graft.operators.Profile.partialCorrelation(
+      df, Seq("k"), "x", "y", "z", longSums = true).collect().toSeq
+    assert(slow == fast) // exact sums -> identical readout either path
+    // n * max|v|^2 past the fence: 4e9^2 = 1.6e19 > 8.3e18 -> RAISE,
+    // never a silently wrapped sum
+    val big = Seq(("b", 4000000000L, 1L, 1L), ("b", 1L, 1L, 1L))
+      .toDF("k", "x", "y", "z")
+    val ex = intercept[Exception] {
+      graft.operators.Profile.partialCorrelation(
+        big, Seq("k"), "x", "y", "z", longSums = true).collect()
+    }
+    assert(ex.getMessage.contains("longSums fence"))
+  }
+
   test("cronbachAlpha: hand-computed two-item scales; constant total null; null rows drop") {
     // p: b = 2a -> alpha = 2*(1 - 30/54) = 8/9 -> 888889
     val p = Seq(("p", 1L, 2L), ("p", 2L, 4L), ("p", 3L, 6L))
