@@ -4193,7 +4193,26 @@ object SparkEntry {
     // run-capped ASCII words make the 2-pass replace replay exact)
     "q335_x_bpe_merge_slice" -> tuned((s, d) =>
       graft.text.Bpe.mergeSliceDf(
-        Tables.documents(s, d), "text", k = 3))
+        Tables.documents(s, d), "text", k = 3)),
+
+    // ---- extension: SARX(1) — AR(1) WITH one exog regressor (monthly
+    // order count), hash-checked: closed-form 3x3 Cramer CLS + the
+    // hold-last-exog forecast recursion, extending the q117/q211/q213/
+    // q218/q35 square one axis closer to q39/q69's full Kalman surface
+    "q336_u8_sarx1_forecast" -> tuned((s, d) =>
+      graft.stats.Diagnostics.sarxForecast(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6)
+              .as("tot"),
+              round(count(lit(1)) / 1e3, 6).as("xn")),
+          Nil, "month", "tot", "xn", horizon = 12)
+        .select(col("key"), col("n_obs"),
+          round(col("intercept"), 6).as("intercept"),
+          round(col("ar_coef"), 6).as("ar_coef"),
+          round(col("exog_coef"), 6).as("exog_coef"),
+          col("step"), round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step"))
   )
 
   /** q286's oracle: the identical fence grids + score cases in DuckDB
@@ -5978,6 +5997,47 @@ object SparkEntry {
         |SELECT 'all' AS key, 1 AS "order", CAST(step AS INT) AS step,
         |       round(fv, 4) AS forecast
         |FROM rec WHERE step >= 1 ORDER BY step""".stripMargin),
+
+    // SARX(1) CLS: the 3x3 normal equations solved by the IDENTICAL det3
+    // cofactor expansion the Spark kernel spells (term-for-term), then
+    // the hold-last-exog recursion f(h) = c + a·f(h-1) + b·x_T as a
+    // recursive CTE — same IEEE op order as Diagnostics.sarxForecast
+    "q336_u8_sarx1_forecast" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y,
+        |         round(count(*) / 1e3, 6) AS xv
+        |  FROM orders GROUP BY 1),
+        |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y, xv FROM m),
+        |p AS (SELECT a.y AS yt, b.y AS yl, a.xv AS xt
+        |      FROM o a JOIN o b ON b.t = a.t - 1),
+        |f AS (SELECT CAST(count(*) AS DOUBLE) AS cnt, sum(yl) AS sl,
+        |             sum(xt) AS sx, sum(yt) AS sy,
+        |             sum(yl*yl) AS sll, sum(yl*xt) AS slx, sum(xt*xt) AS sxx,
+        |             sum(yl*yt) AS sly, sum(xt*yt) AS sxy FROM p),
+        |c AS (SELECT
+        |    (cnt*(sll*sxx - slx*slx) - sl*(sl*sxx - slx*sx)
+        |       + sx*(sl*slx - sll*sx)) AS det,
+        |    (sy*(sll*sxx - slx*slx) - sl*(sly*sxx - slx*sxy)
+        |       + sx*(sly*slx - sll*sxy)) AS detc,
+        |    (cnt*(sly*sxx - slx*sxy) - sy*(sl*sxx - slx*sx)
+        |       + sx*(sl*sxy - sly*sx)) AS deta,
+        |    (cnt*(sll*sxy - sly*slx) - sl*(sl*sxy - sly*sx)
+        |       + sy*(sl*slx - sll*sx)) AS detb
+        |  FROM f),
+        |k AS (SELECT detc/det AS c0, deta/det AS a1, detb/det AS b1 FROM c),
+        |nn AS (SELECT CAST(count(*) AS INT) AS n_obs FROM o),
+        |l AS (SELECT y AS ylast, xv AS xlast FROM o ORDER BY t DESC LIMIT 1),
+        |rec AS (
+        |  SELECT 0 AS step, ylast AS fv FROM l
+        |  UNION ALL
+        |  SELECT rec.step + 1, k.c0 + k.a1 * rec.fv + k.b1 * l.xlast
+        |  FROM rec, k, l WHERE rec.step < 12)
+        |SELECT 'all' AS key, nn.n_obs,
+        |       round(k.c0, 6) AS intercept, round(k.a1, 6) AS ar_coef,
+        |       round(k.b1, 6) AS exog_coef,
+        |       CAST(step AS INT) AS step, round(fv, 4) AS forecast
+        |FROM rec, k, nn WHERE step >= 1 ORDER BY step""".stripMargin),
 
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),

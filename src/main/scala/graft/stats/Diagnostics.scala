@@ -149,6 +149,96 @@ object Diagnostics {
       .toDF()
   }
 
+  private val sarxSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("intercept", DoubleType),
+    StructField("ar_coef", DoubleType),
+    StructField("exog_coef", DoubleType),
+    StructField("step", IntegerType),
+    StructField("forecast", DoubleType)))
+
+  /** SARX(1) — AR(1) WITH one exogenous regressor, the hash-checked
+    * slice narrowing the gap between [[arForecast]]'s pure-AR square
+    * (q117/q35) and [[sarimaxForecast]]'s full Kalman-MLE surface
+    * (q39/q69, no oracle by nature): `y_t = c + φ·y_{t−1} + β·x_t + ε`,
+    * conditional least squares on t = 2..T, h-step forecast
+    * `f(h) = c + φ·f(h−1) + β·x_T` with the HOLD-LAST exog convention
+    * (the deterministic center of the reference's random-walk exog
+    * simulation — `monte_carlo_forecast`'s paths average to it).
+    *
+    * Determinism (the q117 property): the CLS fit is the CLOSED-FORM
+    * 3×3 normal-equation solve, spelled as ONE det3 cofactor expansion
+    * in a fixed written order the SQL oracle mirrors term-for-term;
+    * the recursion is a fixed IEEE sequence a recursive CTE replays.
+    * 4-decimal output rounding sits orders of magnitude above
+    * kernel-vs-SQL sum-order last-bit noise (pre-scale y and x to
+    * O(1–100) magnitudes upstream, the q117 convention).
+    *
+    * Scale shape: [[arForecast]]'s — each key's series fits inside its
+    * executor via `groupByKey.flatMapGroups`; a million series is a
+    * million independent O(n) kernels. Singular designs (constant
+    * regressors, n < 5) yield no rows. Output: one row per
+    * (key, step 1..horizon) with `n_obs` and the three fitted
+    * coefficients on every row. */
+  def sarxForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   valueCol: String, exogCol: String,
+                   horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    slim(df, keyCols, orderCol, valueCol, Some(exogCol))
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val (y, x) = seriesX(it)
+        val n = y.length
+        if (n < 5) Iterator.empty
+        else {
+          var cnt = 0.0; var sl = 0.0; var sx = 0.0; var sy = 0.0
+          var sll = 0.0; var slx = 0.0; var sxx = 0.0; var sly = 0.0
+          var sxy = 0.0
+          var t = 1
+          while (t < n) {
+            val l = y(t - 1); val xv = x(t); val yv = y(t)
+            cnt += 1; sl += l; sx += xv; sy += yv
+            sll += l * l; slx += l * xv; sxx += xv * xv
+            sly += l * yv; sxy += xv * yv
+            t += 1
+          }
+          // det3 cofactor expansion — ONE written order, mirrored
+          // term-for-term in the q336 oracle
+          def det3(a11: Double, a12: Double, a13: Double,
+                   a21: Double, a22: Double, a23: Double,
+                   a31: Double, a32: Double, a33: Double): Double =
+            a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+              a13 * (a21 * a32 - a22 * a31)
+          val det = det3(cnt, sl, sx, sl, sll, slx, sx, slx, sxx)
+          val detC = det3(sy, sl, sx, sly, sll, slx, sxy, slx, sxx)
+          val detA = det3(cnt, sy, sx, sl, sly, slx, sx, sxy, sxx)
+          val detB = det3(cnt, sl, sy, sl, sll, sly, sx, slx, sxy)
+          // scale-RELATIVE singularity fence: an exactly-collinear design
+          // (constant exog) lands at det ≈ diagonal-product·1e-16 float
+          // dust, not literal zero — treat anything under 1e-10 of the
+          // diagonal product as singular (well-conditioned designs sit
+          // many orders above)
+          val diag = math.abs(cnt * sll * sxx)
+          if (!java.lang.Double.isFinite(det) ||
+              math.abs(det) <= 1e-10 * (diag + 1.0)) Iterator.empty
+          else {
+            val c0 = detC / det; val a1 = detA / det; val b1 = detB / det
+            if (!java.lang.Double.isFinite(c0 + a1 + b1)) Iterator.empty
+            else {
+              val xl = x(n - 1)
+              var f = y(n - 1)
+              (1 to horizon).iterator.map { h =>
+                f = c0 + a1 * f + b1 * xl
+                Row(key, n, c0, a1, b1, h, f)
+              }
+            }
+          }
+        }
+      }(Encoders.row(sarxSchema))
+      .toDF()
+  }
+
   private val holtSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

@@ -44,6 +44,35 @@ class DiagnosticsSpec extends SparkSpec {
       out.map(_.getAs[Double]("forecast")).toSeq.toString)
   }
 
+  test("sarxForecast: noise-free planted SARX(1) recovers exactly; hold-last forecast recursion") {
+    // y_t = 2 + 0.5*y_{t-1} + 1.5*x_t EXACTLY -> CLS must return the
+    // planted coefficients to ~machine precision and the forecast must
+    // equal the hand recursion with x held at its last value
+    val n = 60
+    val x = Array.tabulate(n)(t => 1.0 + 0.25 * (t % 4))
+    val y = new Array[Double](n)
+    y(0) = 4.0
+    (1 until n).foreach(t => y(t) = 2.0 + 0.5 * y(t - 1) + 1.5 * x(t))
+    val df = (0 until n).map(t => ("k", t, y(t), x(t))).toDF("g", "t", "v", "ex")
+    val out = Diagnostics.sarxForecast(df, Seq("g"), "t", "v", "ex", horizon = 5)
+      .orderBy("step").collect()
+    assert(out.length === 5)
+    val r0 = out.head
+    assert(math.abs(r0.getAs[Double]("intercept") - 2.0) < 1e-8)
+    assert(math.abs(r0.getAs[Double]("ar_coef") - 0.5) < 1e-10)
+    assert(math.abs(r0.getAs[Double]("exog_coef") - 1.5) < 1e-8)
+    var f = y(n - 1)
+    val xl = x(n - 1)
+    out.foreach { r =>
+      f = 2.0 + 0.5 * f + 1.5 * xl
+      assert(math.abs(r.getAs[Double]("forecast") - f) < 1e-6)
+    }
+    // singular design (constant exog == intercept column) -> no rows
+    val sing = (0 until 30).map(t => ("s", t, y(t), 1.0)).toDF("g", "t", "v", "ex")
+    assert(Diagnostics.sarxForecast(sing, Seq("g"), "t", "v", "ex", 3).collect()
+      .isEmpty)
+  }
+
   test("arForecast: a too-short key yields no rows instead of failing the job") {
     val df = (Seq(("short", "t1", 1.0), ("short", "t2", 2.0)) ++
       (1 to 100).map(i => ("long", f"t$i%04d", math.sin(i / 5.0))))

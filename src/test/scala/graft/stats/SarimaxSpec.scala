@@ -175,6 +175,50 @@ class SarimaxSpec extends AnyFunSuite {
     approx(f.phi(0), 0.5, 0.15)
   }
 
+  test("sarx1 CLS kernel cross-check: Kalman MLE lands on the same planted coefficients") {
+    // the q336 slice's model: y_t = c + phi*y_{t-1} + beta*x_t + eps
+    // (lagged-dependent form). The Kalman ARMAX path fits REGRESSION-
+    // WITH-AR-ERRORS (y = mu + beta*x + u, u AR(1)) — the two forms
+    // coincide exactly when beta = 0 (pure AR(1), mu = c/(1-phi)), so
+    // the tie to the no-oracle q39/q69 estimator is asserted THERE:
+    // plant AR(1) with an uncorrelated exog column; both estimators
+    // must agree on phi and read beta ~ 0. (With a smooth exog the
+    // forms genuinely diverge — the slice filters x through the AR lag,
+    // the ARMAX form does not; asserting coefficient equality there
+    // would be comparing different models.)
+    val rng = new Random(41)
+    val n = 400
+    val x = Array.tabulate(n)(t => if (t % 2 == 0) 1.0 else -1.0)
+    val (c, phi) = (2.0, 0.6)
+    val beta = 0.0
+    val y = new Array[Double](n)
+    y(0) = c / (1 - phi)
+    (1 until n).foreach(t =>
+      y(t) = c + phi * y(t - 1) + rng.nextGaussian() * 0.3)
+    // CLS via the same det3 normal-equation solve the slice kernel spells
+    var (cnt, sl, sx, sy, sll, slx, sxx, sly, sxy) =
+      (0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0)
+    (1 until n).foreach { t =>
+      val l = y(t - 1); val xv = x(t); val yv = y(t)
+      cnt += 1; sl += l; sx += xv; sy += yv
+      sll += l * l; slx += l * xv; sxx += xv * xv; sly += l * yv; sxy += xv * yv
+    }
+    def det3(a11: Double, a12: Double, a13: Double, a21: Double, a22: Double,
+             a23: Double, a31: Double, a32: Double, a33: Double): Double =
+      a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    val det = det3(cnt, sl, sx, sl, sll, slx, sx, slx, sxx)
+    val clsC = det3(sy, sl, sx, sly, sll, slx, sxy, slx, sxx) / det
+    val clsP = det3(cnt, sy, sx, sl, sly, slx, sx, sxy, sxx) / det
+    val clsB = det3(cnt, sl, sy, sl, sll, sly, sx, slx, sxy) / det
+    approx(clsP, phi, 0.1); approx(clsB, beta, 0.05)
+    approx(clsC, c, 0.5)
+    // full Kalman MLE on the same series: same phi, beta reads ~ 0
+    val f = fit(y, Some(x), SarimaxSpec(1, 0, 0, 0, 0, 0, 12)).get
+    approx(f.phi(0), clsP, 0.05)
+    approx(f.beta, clsB, 0.05)
+  }
+
   test("fit: optimized loglik is at least the loglik at the true parameters (MLE property)") {
     val phi = 0.6
     val u = simArma(600, Array(phi), Array.empty, 1.0, seed = 55)
