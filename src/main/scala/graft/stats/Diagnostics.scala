@@ -437,6 +437,112 @@ object Diagnostics {
       (tstat < lit(crit5)).as("stationary5"): _*)
   }
 
+  /** AIC auto-lag ADF over the lag grid {0, 1} per key — the lag-SELECTION
+    * slice of [[TimeSeriesStats.adf]] made hash-checkable (the q212 /
+    * q35-AIC-grid precedent composed): both candidate regressions are fit
+    * on the COMMON estimation window (rows where `Δyₜ₋₁` exists — AIC
+    * across different sample sizes is not comparable; statsmodels'
+    * autolag trims to maxlag for exactly this reason, see
+    * `TimeSeriesStats.adf`'s `fit(k, startAt)`), the argmin lag is chosen
+    * on the ROUNDED AICs so both engines flip identically, and the winner
+    * is REFIT on its full available sample for the reported t-stat —
+    * bit-for-bit the `TimeSeriesStats.adf(y, maxLagOpt = Some(1))`
+    * protocol, which the spec cross-checks.
+    *
+    * AIC is the statsmodels Gaussian-likelihood form
+    * `n·(ln(2π·RSS/n) + 1) + 2·(2 + k)` — the shared `n` means the
+    * argmin reduces to `n·ln RSS + 2k`, but the full constant is emitted
+    * so the readout is comparable across series.
+    *
+    * Exactness (the [[adfFixedLag]] discipline): caller-quantized integer
+    * `valueCol`, all sufficient sums exact DECIMAL — the lag-0 candidate
+    * and lag-0 refit need only SUBSETS of the q212 ten (conditional sums
+    * split the one aggregate into the common window and the full lag-0
+    * window), so ONE window pass + ONE aggregate serves all three fits.
+    * The final double trees (3-var first-row-cofactor Cramer for lag 1,
+    * 2-var closed form for lag 0) are fixed and replayed character-
+    * identically by the SQL oracle.
+    *
+    * Scale shape: identical to [[adfFixedLag]] — one shuffle shared by
+    * the window and the aggregate, O(1) state per key (16 sums). */
+  def adfAutoLag1(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, roundTo: Int = 4,
+                  crit5: Double = -2.86): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = (if (keyCols.isEmpty) Window.partitionBy(lit(1))
+             else Window.partitionBy(keyCols.map(col): _*))
+      .orderBy(col("__ord"))
+    val y = col(valueCol).cast("long")
+    val lagged = df
+      .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
+      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+ y.as("__y")): _*)
+      .withColumn("__ylag", lag(col("__y"), 1).over(w))
+      .withColumn("__dy", col("__y") - col("__ylag"))
+      .withColumn("__dylag", lag(col("__dy"), 1).over(w))
+      .filter(col("__dy").isNotNull) // full lag-0 sample; common = __dylag not null
+    def dec(c: Column) = c.cast("decimal(19,0)")
+    val cm = col("__dylag").isNotNull
+    val (xr, zr, yr) = (dec(col("__ylag")), dec(col("__dylag")), dec(col("__dy")))
+    def cs(c: Column) = sum(when(cm, c)) // common-window conditional sum
+    val sums = lagged
+      .groupBy((if (keyCols.isEmpty) Seq(lit("all").as("key")) else keyCols.map(col)): _*)
+      .agg(
+        // common window (both candidates + the lag-1 refit): the q212 ten
+        sum(when(cm, 1L)).as("n"),
+        cs(xr).as("sx"), cs(zr).as("sz"), cs(yr).as("sy"),
+        cs(xr * xr).as("sxx"), cs(zr * zr).as("szz"), cs(xr * zr).as("sxz"),
+        cs(xr * yr).as("sxy"), cs(zr * yr).as("szy"), cs(yr * yr).as("syy"),
+        // full lag-0 window (the lag-0 refit): 6 unconditional sums
+        count(lit(1)).as("n0"), sum(xr).as("sx0"), sum(yr).as("sy0"),
+        sum(xr * xr).as("sxx0"), sum(xr * yr).as("sxy0"), sum(yr * yr).as("syy0"))
+    def d(c: Column) = c.cast("double")
+    val (nn, sx, sz, sy) = (d(col("n")), d(col("sx")), d(col("sz")), d(col("sy")))
+    val (sxx, szz, sxz) = (d(col("sxx")), d(col("szz")), d(col("sxz")))
+    val (sxy, szy, syy) = (d(col("sxy")), d(col("szy")), d(col("syy")))
+    val (n0, sx0, sy0) = (d(col("n0")), d(col("sx0")), d(col("sy0")))
+    val (sxx0, sxy0, syy0) = (d(col("sxx0")), d(col("sxy0")), d(col("syy0")))
+    def det3(a11: Column, a12: Column, a13: Column, a21: Column, a22: Column,
+             a23: Column, a31: Column, a32: Column, a33: Column) =
+      a11 * (a22 * a33 - a23 * a32) - a12 * (a21 * a33 - a23 * a31) +
+        a13 * (a21 * a32 - a22 * a31)
+    // lag-1 candidate (= lag-1 refit: its full sample IS the common window)
+    val det = det3(nn, sx, sz, sx, sxx, sxz, sz, sxz, szz)
+    val detB0 = det3(sy, sx, sz, sxy, sxx, sxz, szy, sxz, szz)
+    val detB1 = det3(nn, sy, sz, sx, sxy, sxz, sz, szy, szz)
+    val detB2 = det3(nn, sx, sy, sx, sxx, sxy, sz, sxz, szy)
+    val rss1 = syy - (detB0 * sy + detB1 * sxy + detB2 * szy) / det
+    val varB1 = rss1 / (nn - lit(3.0)) * (nn * szz - sz * sz) / det
+    val t1 = (detB1 / det) / sqrt(varB1)
+    // lag-0 candidate on the SAME common window (subset sums)
+    val det2c = nn * sxx - sx * sx
+    val b1c = (nn * sxy - sx * sy) / det2c
+    val rss0 = syy - (sy - b1c * sx) / nn * sy - b1c * sxy
+    // lag-0 refit on its full window (the extra leading row restored)
+    val det2f = n0 * sxx0 - sx0 * sx0
+    val b1f = (n0 * sxy0 - sx0 * sy0) / det2f
+    val rssf = syy0 - (sy0 - b1f * sx0) / n0 * sy0 - b1f * sxy0
+    val t0 = b1f / sqrt(rssf / (n0 - lit(2.0)) * n0 / det2f)
+    val pi2 = 2.0 * math.Pi
+    def aic(rss: Column, k: Int) =
+      nn * (log(lit(pi2) * rss / nn) + lit(1.0)) + lit(2.0 * (2 + k))
+    def rnd6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
+    val q = math.pow(10, roundTo)
+    def rnd(c: Column) = floor(c * q + 0.5) / q
+    val ok = det =!= 0.0 && det2c =!= 0.0 && det2f =!= 0.0 && col("n") > lit(3L)
+    val aic0 = rnd6(when(ok, aic(rss0, 0)))
+    val aic1 = rnd6(when(ok, aic(rss1, 1)))
+    // strict-improvement scan: k=0 first, k=1 replaces only on aic1 < aic0
+    val lagSel = when(ok, when(aic1 < aic0, 1).otherwise(0))
+    val tstat = rnd(when(ok, when(lagSel === 1, t1).otherwise(t0)))
+    val keyOut: Seq[Column] = if (keyCols.isEmpty) Seq(col("key")) else keyCols.map(col)
+    sums.select(keyOut :+ lagSel.as("lag") :+
+      when(ok, when(lagSel === 1, col("n")).otherwise(col("n0"))).as("n_obs") :+
+      aic0.as("aic0") :+ aic1.as("aic1") :+
+      tstat.as("adf_t") :+ lit(crit5).as("crit5") :+
+      // decided on the ROUNDED stat so both engines flip identically
+      (tstat < lit(crit5)).as("stationary5"): _*)
+  }
+
   /** Fixed-lag-0 KPSS level-stationarity statistic per key — the
     * closed-form-checkable slice of [[TimeSeriesStats.kpss]] (which adds
     * the Bartlett-window long-run variance on top of exactly this
@@ -1605,6 +1711,86 @@ object Diagnostics {
           }
         }
       }(Encoders.row(ma1Schema))
+      .toDF()
+  }
+
+  private val llSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("lambda", DoubleType),
+    StructField("r_hat", DoubleType),
+    StructField("step", IntegerType),
+    StructField("forecast", DoubleType),
+    StructField("lo", DoubleType),
+    StructField("hi", DoubleType)))
+
+  /** Local-level (random-walk-plus-noise) Kalman filter with
+    * concentrated-likelihood signal-to-noise selection over a fixed
+    * grid — the first hash-checkable slice where the KALMAN RECURSION
+    * ITSELF reaches the oracle (the q117/q211/q213/q218/q336 CLS slices
+    * cover the ARMA algebra; q39/q69's remaining `no_oracle` core is
+    * exactly this filter plus continuous optimization — this pins the
+    * filter and a grid argmin, leaving only the optimizer unchecked).
+    *
+    * Model `yₜ = μₜ + ε (Var r)`, `μₜ = μₜ₋₁ + η (Var q)`, λ = q/r.
+    * Scaled filter in units of r (convention: m₁ = y₁, P₁ = λ + 1, the
+    * first innovation at t = 2): `v = y − m`, `f = P + 1`, `k = P/f`,
+    * `m ← m + k·v`, `P ← P(1 − k) + λ`, accumulating `Σv²/f` and
+    * `Σ ln f`. Concentrating r out: `r̂ = Σ(v²/f)/cnt` and the argmin of
+    * `cnt·ln r̂ + Σ ln f` over λ ∈ {0.1, 0.5, 1, 2, 10} (ascending-grid
+    * first-minimum tie-break, the ma1Forecast discipline). Forecast is
+    * the flat last filtered level with widening 95% bands
+    * `±1.96·√(r̂·(P_T + (h−1)λ + 1))` — every float from ONE fixed
+    * left-associated IEEE recursion a recursive CTE replays per
+    * candidate.
+    *
+    * Scale shape: [[ma1Forecast]]'s — per-key series filtered inside its
+    * executor, 5·O(n) per series, O(1) state; a million keys is a
+    * million independent kernels. */
+  def localLevelForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                         valueCol: String, horizon: Int): DataFrame = {
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    val grid = Array(0.1, 0.5, 1.0, 2.0, 10.0)
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < 3) Iterator.empty
+        else {
+          var bestLam = 0.0; var bestNll = Double.MaxValue
+          var bestM = 0.0; var bestP = 0.0; var bestR = 0.0
+          var g = 0
+          while (g < grid.length) {
+            val lam = grid(g)
+            var m = y(0); var p = lam + 1.0
+            var sv = 0.0; var slf = 0.0
+            var t = 1
+            while (t < n) {
+              val v = y(t) - m
+              val f = p + 1.0
+              sv += v * v / f
+              slf += math.log(f)
+              val k = p / f
+              m += k * v
+              p = p * (1.0 - k) + lam
+              t += 1
+            }
+            val cnt = (n - 1).toDouble
+            val rHat = sv / cnt
+            val nll = cnt * math.log(rHat) + slf
+            if (nll < bestNll) {
+              bestNll = nll; bestLam = lam; bestM = m; bestP = p; bestR = rHat
+            }
+            g += 1
+          }
+          (1 to horizon).iterator.map { h =>
+            val sd = math.sqrt(bestR * (bestP + (h - 1).toDouble * bestLam + 1.0))
+            Row(key, n, bestLam, bestR, h,
+              bestM, bestM - 1.96 * sd, bestM + 1.96 * sd)
+          }
+        }
+      }(Encoders.row(llSchema))
       .toDF()
   }
 

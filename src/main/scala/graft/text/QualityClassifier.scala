@@ -170,4 +170,73 @@ object QualityClassifier {
         (col("__pw") + col("__s")).as("score_nn"),
         (col("__pw") + col("__s") > 0).as("pred"))
   }
+
+  /** Fixed-iteration BATCH perceptron over named-word presence features —
+    * the hash-checkable slice of [[train]]'s iterative-GD axis (the
+    * q335-BPE fixed-k precedent applied to the classifier): ALL-INTEGER
+    * arithmetic, so unlike the float logistic loss every engine agrees
+    * bit-for-bit and a SQL oracle can unroll the iterations.
+    *
+    * Features: `x₀ = 1` (bias) and `xⱼ = [wordⱼ ∈ tokens]` for the given
+    * word list; label `y = +1` if `targetWord ∈ tokens` else `−1`. One
+    * batch iteration: `Δw = Σ_{y·(w·x) ≤ 0} y·x` (the classic perceptron
+    * update summed over ALL currently-misclassified docs — order-free,
+    * unlike the sequential variant), `w ← w + Δw`. Zero-init makes
+    * iteration 1 the class-weighted feature sums. Integer sums are exact
+    * in any accumulation order — the determinism the float GD in [[train]]
+    * fundamentally cannot offer (its scores round before comparison).
+    *
+    * Scale shape: `iters` distributed aggregates over a persisted
+    * narrow projection (9 int columns); the driver holds ONLY the
+    * (1+words)-sized weight vector per round — the IVF-centroid /
+    * [[train]] sufficient-statistics discipline. Output: ONE row —
+    * final weights `w0..wk`, confusion counts, `acc_e6`
+    * (integer-div accuracy, exact). */
+  def perceptronSlice(docs: DataFrame, textCol: String,
+                      words: Seq[String], targetWord: String,
+                      iters: Int): DataFrame = {
+    require(words.nonEmpty && iters >= 1, "words nonempty, iters >= 1")
+    val toks = graft.functions.Cols.tokens(col(textCol))
+    val feats = docs.filter(col(textCol).isNotNull)
+      .select((lit(1L).as("x0") +:
+        words.zipWithIndex.map { case (w, j) =>
+          array_contains(toks, w).cast("long").as(s"x${j + 1}") } :+
+        when(array_contains(toks, targetWord), 1L).otherwise(-1L).as("yv")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = words.length + 1
+    try {
+      var w = new Array[Long](k)
+      var it = 0
+      while (it < iters) {
+        val margin = (0 until k).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+        val miscl = col("yv") * margin <= 0L
+        val upd = feats.agg(
+          coalesce(sum(when(miscl, col("yv") * col("x0"))), lit(0L)).as("d0"),
+          (1 until k).map(j =>
+            coalesce(sum(when(miscl, col("yv") * col(s"x$j"))), lit(0L))
+              .as(s"d$j")): _*).head()
+        w = Array.tabulate(k)(j => w(j) + upd.getLong(j))
+        it += 1
+      }
+      val margin = (0 until k).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+      val pos = margin > 0L
+      // materialize the confusion EAGERLY — the result frame below is
+      // built from literals, so the cache can be dropped on exit
+      val c = feats.agg(
+        count(when(col("yv") === 1L && pos, 1)).as("tp"),
+        count(when(col("yv") === -1L && pos, 1)).as("fp"),
+        count(when(col("yv") === -1L && !pos, 1)).as("tn"),
+        count(when(col("yv") === 1L && !pos, 1)).as("fn")).head()
+      val (tp, fp, tn, fn) = (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3))
+      val one = docs.sparkSession.range(1)
+      val withW = (0 until k).foldLeft(one.select()) { (df, j) =>
+        df.withColumn(s"w$j", lit(w(j))) }
+      withW.withColumn("tp", lit(tp)).withColumn("fp", lit(fp))
+        .withColumn("tn", lit(tn)).withColumn("fn", lit(fn))
+        .withColumn("acc_e6", lit {
+          val total = tp + fp + tn + fn
+          if (total == 0L) 0L else (tp + tn) * 1000000L / total
+        })
+    } finally feats.unpersist()
+  }
 }

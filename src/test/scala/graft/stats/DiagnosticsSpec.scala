@@ -246,6 +246,78 @@ class DiagnosticsSpec extends SparkSpec {
       s"expected stationary, t=${row.getAs[Double]("adf_t")}")
   }
 
+  test("adfAutoLag1: protocol matches TimeSeriesStats.adf(maxLag=1) — lag, nObs, stat") {
+    // the same deterministic hash-walk as the adfFixedLag cross-check:
+    // both the selection (common-window AICs) and the winning refit must
+    // agree with the in-JVM kernel running the identical maxLag=1 protocol
+    val y = Iterator.iterate(10000L)(v =>
+      v + (((v * 2654435761L) >>> 33) % 201L) - 100L).take(60).toArray
+    val df = y.toSeq.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("k", "t", "v")
+    val row = Diagnostics.adfAutoLag1(df, Seq("k"), "t", "v").collect().head
+    val ref = TimeSeriesStats.adf(y.map(_.toDouble), Some(1))
+    assert(row.getAs[Int]("lag") == ref.lag, s"lag=${row.getAs[Int]("lag")} want ${ref.lag}")
+    assert(row.getAs[Long]("n_obs") == ref.nObs)
+    assert(math.abs(row.getAs[Double]("adf_t") - ref.stat) < 1e-3,
+      s"adf_t=${row.getAs[Double]("adf_t")} expected ~${ref.stat}")
+    assert(row.getAs[Boolean]("stationary5") == ref.stationary5)
+  }
+
+  test("adfAutoLag1: strongly autocorrelated differences select lag 1") {
+    // dy_t = 0.9·dy_{t-1} + APERIODIC hash jitter — the lagged-diff
+    // regressor carries real signal, so AIC must prefer k=1; and the
+    // kernel must agree on the same series. (A periodic jitter makes the
+    // steady-state diffs predictable from the LEVEL's phase and lag 0
+    // wins — the known collinear-regressor trap for planted ADF series.)
+    val dy = new Array[Double](80)
+    dy(0) = 50.0
+    (1 until 80).foreach(i =>
+      dy(i) = 0.9 * dy(i - 1) + (((i.toLong * i * 2654435761L) >>> 33) % 11L) - 5.0)
+    val y = dy.scanLeft(10000.0)(_ + _).map(math.round).toArray
+    val df = y.toSeq.zipWithIndex.map { case (v, i) => ("s", i, v) }.toDF("k", "t", "v")
+    val row = Diagnostics.adfAutoLag1(df, Seq("k"), "t", "v").collect().head
+    assert(row.getAs[Int]("lag") == 1, s"lag=${row.getAs[Int]("lag")}")
+    val ref = TimeSeriesStats.adf(y.map(_.toDouble), Some(1))
+    assert(ref.lag == 1)
+    assert(math.abs(row.getAs[Double]("adf_t") - ref.stat) < 1e-3)
+    // and both candidate AICs are emitted, winner strictly smaller
+    assert(row.getAs[Double]("aic1") < row.getAs[Double]("aic0"))
+  }
+
+  test("localLevelForecast: hand-computed filter on a tiny series; flat forecast, widening bands") {
+    // y = [10,12,11,13], grid pick λ=1: filter recursion by hand gives
+    // m_T = 86/7, r̂ = 19/21, P_T = 34/21 — bands widen by (h−1)·λ
+    val df = Seq(("s", 0, 10.0), ("s", 1, 12.0), ("s", 2, 11.0), ("s", 3, 13.0))
+      .toDF("k", "t", "v")
+    val out = Diagnostics.localLevelForecast(df, Seq("k"), "t", "v", horizon = 2)
+      .orderBy("step").collect()
+    assert(out.length == 2)
+    val r = out.head
+    assert(r.getAs[Double]("lambda") == 1.0)
+    assert(math.abs(r.getAs[Double]("r_hat") - 19.0 / 21.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("forecast") - 86.0 / 7.0) < 1e-12)
+    assert(math.abs(r.getAs[Double]("lo") - 9.268578042335292) < 1e-9)
+    assert(math.abs(r.getAs[Double]("hi") - 15.30285052909328) < 1e-9)
+    // step 2: same flat level, strictly wider band
+    assert(out(1).getAs[Double]("forecast") == r.getAs[Double]("forecast"))
+    assert(out(1).getAs[Double]("lo") < r.getAs[Double]("lo"))
+  }
+
+  test("localLevelForecast: λ selection polarity — noise picks small, a walk picks large") {
+    // observation-noise-dominated series: tiny λ (trust the average);
+    // level-walk-dominated series: huge λ (track the last observation)
+    val noise = (0 until 40).map(i => ("n", i, 100.0 + ((i * i * 7) % 13) - 6))
+    var lvl = 0.0
+    val walk = (0 until 40).map { i =>
+      lvl += (((i.toLong * i * 2654435761L) >>> 33) % 21L) - 10L
+      ("w", i, lvl + 0.1 * (((i * 13) % 7) - 3))
+    }
+    val df = (noise ++ walk).toDF("k", "t", "v")
+    val byKey = Diagnostics.localLevelForecast(df, Seq("k"), "t", "v", horizon = 1)
+      .collect().map(r => r.getAs[String]("key") -> r.getAs[Double]("lambda")).toMap
+    assert(byKey("n") == 0.1, s"noise series picked λ=${byKey("n")}")
+    assert(byKey("w") == 10.0, s"walk series picked λ=${byKey("w")}")
+  }
+
   test("kpssFixedLag: eta matches the l=0 KPSS definition computed in-JVM") {
     val y = Iterator.iterate(10000L)(v =>
       v + (((v * 2654435761L) >>> 33) % 201L) - 100L).take(60).toArray

@@ -65,6 +65,35 @@ class QualityClassifierSpec extends SparkSpec {
     }
   }
 
+  test("perceptronSlice: hand-traced 3-iteration batch updates on a 4-doc corpus") {
+    // words (cat, dog), target fish; w traced by hand through the three
+    // batch updates: (0,0,0) → (0,0,−1) → (1,0,−1) → (−1,−1,−2); final
+    // margins are all negative → tn=2 (the no-fish docs), fn=2, acc 50%
+    val df = Seq("cat fish", "dog", "cat", "fish").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = QualityClassifier.perceptronSlice(df, "text",
+      words = Seq("cat", "dog"), targetWord = "fish", iters = 3).head()
+    assert(r.getAs[Long]("w0") == -1L)
+    assert(r.getAs[Long]("w1") == -1L)
+    assert(r.getAs[Long]("w2") == -2L)
+    assert(r.getAs[Long]("tp") == 0L && r.getAs[Long]("fp") == 0L)
+    assert(r.getAs[Long]("tn") == 2L && r.getAs[Long]("fn") == 2L)
+    assert(r.getAs[Long]("acc_e6") == 500000L)
+  }
+
+  test("perceptronSlice: a linearly separable corpus converges to zero training error") {
+    // target word co-occurs perfectly with 'good': after enough batch
+    // rounds the margin splits cleanly (tp+tn = all, fp = fn = 0)
+    val pos = (0 until 20).map(i => (i.toLong, s"good stuff fish item$i"))
+    val neg = (20 until 40).map(i => (i.toLong, s"bad stuff item$i"))
+    val df = (pos ++ neg).toDF("doc_id", "text")
+    val r = QualityClassifier.perceptronSlice(df, "text",
+      words = Seq("good", "bad", "stuff"), targetWord = "fish", iters = 6).head()
+    assert(r.getAs[Long]("fp") == 0L && r.getAs[Long]("fn") == 0L,
+      s"fp=${r.getAs[Long]("fp")} fn=${r.getAs[Long]("fn")}")
+    assert(r.getAs[Long]("acc_e6") == 1000000L)
+  }
+
   test("naiveBayes: a single-class corpus emits null scores, not overflow") {
     val df = (0 until 5).map(i => (i.toLong, s"only one class here $i", 1))
       .toDF("doc_id", "text", "label")
