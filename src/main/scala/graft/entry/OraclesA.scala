@@ -1067,6 +1067,68 @@ private[graft] object OraclesA {
          |FROM conf""".stripMargin
     },
 
+    // BPE encode slice: the q335 learn chain (3 pair-count→argmax→apply
+    // rounds over the word-frequency table) re-used verbatim, then the
+    // SAME 2-pass boundary-delimited replace applied rank-sequentially
+    // to every DOC word occurrence; fertility readout per doc
+    "q340_x_bpe_encode_slice" -> {
+      val run5 = ('a' to 'z').map(c => c.toString * 5).mkString("|")
+      def pairCte(p: String, sIn: String): String =
+        s"""$p AS (
+           |  SELECT syms[i] AS l, syms[i + 1] AS r,
+           |         CAST(sum(c) AS BIGINT) AS cnt
+           |  FROM (SELECT c,
+           |          list_filter(string_split(s, '|'), x -> x <> '') AS syms,
+           |          unnest(generate_series(1,
+           |            len(list_filter(string_split(s, '|'), x -> x <> '')) - 1))
+           |            AS i
+           |        FROM $sIn)
+           |  GROUP BY 1, 2)""".stripMargin
+      def rep2(expr: String, m: String): String = {
+        val pat = s"'|' || (SELECT l FROM $m) || '|' || (SELECT r FROM $m) || '|'"
+        val rp = s"'|' || (SELECT l || r FROM $m) || '|'"
+        s"replace(replace($expr, $pat, $rp), $pat, $rp)"
+      }
+      def applyCte(sOut: String, sIn: String, m: String): String =
+        s"""$sOut AS (
+           |  SELECT ${rep2("s", m)} AS s, c FROM $sIn)""".stripMargin
+      def applyDocCte(sOut: String, sIn: String, m: String): String =
+        s"""$sOut AS (
+           |  SELECT doc_id, ${rep2("s", m)} AS s FROM $sIn)""".stripMargin
+      s"""WITH wraw AS (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM wraw
+         |  WHERE length(w) BETWEEN 2 AND 9
+         |    AND NOT regexp_matches(w, '$run5')
+         |  GROUP BY 1),
+         |s0 AS (SELECT '|' || array_to_string(string_split(w, ''), '|') || '|'
+         |         AS s, c FROM w),
+         |${pairCte("p0", "s0")},
+         |m0 AS (SELECT l, r, cnt FROM p0 ORDER BY cnt DESC, l, r LIMIT 1),
+         |${applyCte("s1", "s0", "m0")},
+         |${pairCte("p1", "s1")},
+         |m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+         |${applyCte("s2", "s1", "m1")},
+         |${pairCte("p2", "s2")},
+         |m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+         |wd AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |    FROM documents WHERE text IS NOT NULL)
+         |  WHERE length(w) BETWEEN 2 AND 9 AND NOT regexp_matches(w, '$run5')),
+         |d0 AS (SELECT doc_id, '|' || array_to_string(string_split(w, ''), '|')
+         |         || '|' AS s FROM wd),
+         |${applyDocCte("d1", "d0", "m0")},
+         |${applyDocCte("d2", "d1", "m1")},
+         |${applyDocCte("d3", "d2", "m2")}
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+         |       CAST(sum(length(s) - length(replace(s, '|', '')) - 1) AS BIGINT)
+         |         AS n_subwords
+         |FROM d3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    },
+
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),

@@ -2112,6 +2112,14 @@ private[graft] object QueriesB {
         Tables.documents(s, d), "text",
         words = Seq("table", "query", "scan", "data",
           "fast", "window", "agg", "stream"),
-        targetWord = "vector", iters = 3))
+        targetWord = "vector", iters = 3)),
+
+    // ---- extension: BPE ENCODE under the fixed-3-merge table — q335's
+    // graduation extended from learning to encoding (tokenizer fertility
+    // per doc, hash-checked; narrows q94's no_oracle to the
+    // unbounded-rank encoder). Expression-only replace chains, no UDF
+    "q340_x_bpe_encode_slice" -> tuned((s, d) =>
+      graft.text.Bpe.encodeSliceDf(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id"))
   )
 }

@@ -192,6 +192,71 @@ object Bpe {
       .toDF("rank", "left_sym", "right_sym", "pair_count")
   }
 
+  /** Fixed-k hash-checked ENCODE slice — the q335 graduation extended
+    * from learning to ENCODING (narrows q94's `no_oracle` to the
+    * unbounded-rank greedy encoder): learns the first `k` merges over
+    * the contract word corpus (same machinery as [[mergeSliceDf]]),
+    * then encodes each doc's contract words by applying the merges
+    * RANK-SEQUENTIALLY, each rank exhausted by the 2-pass
+    * boundary-delimited `replace` whose exactness proof lives on
+    * [[mergeSliceDf]] (it is per-segmentation, so it applies at every
+    * rank: a ≥5-symbol run needs ≥10 chars — past the length-9 cap).
+    *
+    * Rank-sequential == the standard rank-priority encoder
+    * ([[encodeCol]]) iff no merge's OUTPUT symbol equals a LOWER-rank
+    * merge's left or right input (the only way an exhausted pair can
+    * re-emerge — a merge inserts its output BETWEEN the neighbors, so
+    * new adjacency requires symbol equality; self-recreation is
+    * impossible since `l`/`r` are nonempty). That precondition is
+    * asserted FAIL-LOUD driver-side on the k learned merges, so a
+    * pathological merge table raises instead of silently diverging
+    * from greedy BPE.
+    *
+    * The whole encode is EXPRESSION-ONLY (literal `replace` chains —
+    * codegen'd, no UDF): per word `s₀ = '|c₁|c₂|…|'`, per rank two
+    * nested replaces, `n_subwords = length(s) − length(replace(s,
+    * '|', '')) − 1`. Output per doc: `(doc_id, n_words, n_subwords)`
+    * over the contract words (docs with none emit nothing — both
+    * engines drop them in the same explode).
+    *
+    * Scale shape: one corpus pass to learn (Zipf-bounded vocab), then
+    * a shuffle-free explode→encode→re-group per doc; the merge table
+    * rides the plan as literals. */
+  def encodeSliceDf(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int): DataFrame = {
+    val run5 = ('a' to 'z').map(c => c.toString * 5).mkString("|")
+    val words = docs
+      .filter(col(textCol).isNotNull)
+      .select(col(idCol),
+        explode(expr(s"regexp_extract_all(lower(`$textCol`), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")).between(2, 9) && !col("w").rlike(run5))
+    val ms = learnMerges(words, "w", k, minPairCount = 1L).sortBy(_.rank)
+    // fail-loud precondition: rank-sequential == rank-priority encode
+    ms.zipWithIndex.foreach { case (m, i) =>
+      val out = m.left + m.right
+      val lower = ms.take(i).flatMap(p => Seq(p.left, p.right))
+      require(!lower.contains(out),
+        s"encodeSliceDf: merge $i output '$out' equals a lower-rank input " +
+          "symbol — rank-sequential replay would diverge from greedy BPE")
+    }
+    // the per-rank 2-pass replace chain, built textually (symbols are
+    // [a-z] only, no quoting hazards); literal replace has the same
+    // left-to-right continue-after-replacement semantics in Spark and
+    // DuckDB, so the mergeSliceDf exactness proof carries over
+    val sExpr = ms.foldLeft("concat('|', concat_ws('|', split(w, '')), '|')") {
+      (s, m) =>
+        val pat = s"|${m.left}|${m.right}|"
+        val rep = s"|${m.left}${m.right}|"
+        s"replace(replace($s, '$pat', '$rep'), '$pat', '$rep')"
+    }
+    words
+      .withColumn("__s", expr(sExpr))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(length(col("__s")) - length(regexp_replace(col("__s"), "\\|", "")) - 1)
+          .as("n_subwords"))
+  }
+
   /** Encode text with a learned merge table: per word, repeatedly apply
     * the lowest-rank applicable merge until none applies (the standard
     * BPE encoder). Returns the sub-word symbol array column. */

@@ -101,6 +101,51 @@ class BpeSpec extends SparkSpec {
       (2L, "t", "he", 7L)))
   }
 
+  test("encodeSliceDf: hand-checked fertility under the learned 3-merge table") {
+    import spark.implicits._
+    // same planted corpus as the mergeSliceDf check → merges (e,r),
+    // (h,e), (t,he). Encodes: the→[the] 1; erer→[er,er] 2 (the 2-pass
+    // adjacent-chain case); reed→[r,e,e,d] 4 (no merge applies);
+    // doc 7's only contract word is erer (others filtered)
+    val docs = ((0 until 4).map(i => (i.toLong, "the erer")) ++
+      (4 until 7).map(i => (i.toLong, "reed the")) ++
+      Seq((7L, "a abcdefghij aaaaax erer"))).toDF("doc_id", "text")
+    val out = graft.text.Bpe.encodeSliceDf(docs, "doc_id", "text", k = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_words"),
+        r.getAs[Long]("n_subwords")))
+    assert(out.take(4).forall { case (_, w, s) => w == 2L && s == 3L },
+      s"docs 0-3: ${out.take(4).toSeq}")
+    assert(out.slice(4, 7).forall { case (_, w, s) => w == 2L && s == 5L },
+      s"docs 4-6: ${out.slice(4, 7).toSeq}")
+    assert(out(7) == ((7L, 1L, 2L)), s"doc 7: ${out(7)}")
+  }
+
+  test("encodeSliceDf: matches the rank-priority encoder word-for-word on the contract corpus") {
+    import spark.implicits._
+    // richer corpus: merges interact ((e,r) then (er,er)); for every
+    // contract word the rank-sequential replace chain must give the
+    // same subword count as encodeCol's priority loop
+    val docs = Seq((0L, "erer erer erer rere the there these"),
+      (1L, "reed the erer deer"), (2L, "banana bandana cabana")).toDF("doc_id", "text")
+    val words = docs.select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).as("w"))
+      .filter(length(col("w")).between(2, 9))
+    val merges = Bpe.learnMerges(words, "w", numMerges = 3, minPairCount = 1L)
+    val prioCounts = docs.select(col("doc_id"),
+        Bpe.encodeCol(col("text"), merges).as("syms"))
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Seq[String]]("syms").length).toMap
+    val sliceCounts = graft.text.Bpe.encodeSliceDf(docs, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[Long]("n_subwords")).toMap
+    // every word in these docs is a contract word (2-9 chars, no 5-run),
+    // so whole-doc counts are comparable
+    sliceCounts.foreach { case (id, n) =>
+      assert(n == prioCounts(id).toLong, s"doc $id: slice=$n prio=${prioCounts(id)}")
+    }
+  }
+
   test("1k-merge round-trip: vocab-scale learning terminates fast, counts non-increasing") {
     val rng = new scala.util.Random(7)
     val alpha = "abcdefghijklmnop"
