@@ -482,11 +482,22 @@ private[graft] object EntryHelpers {
     * a fixed iteration count expands to chained CTEs — identical
     * arithmetic to [[graft.operators.Graph.pageRank]]: d = 17/20 and the
     * 1e12 grid through `//` floor division, long sums order-exact). */
-  private[graft] def pageRankSql(iters: Int): String = {
+  private[graft] def pageRankSql(iters: Int): String =
+    pageRankSqlOver(
+      """e AS (
+        |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
+        |                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem)""".stripMargin,
+      iters,
+      s"SELECT node, r AS rank_scaled, CAST(r AS DOUBLE) / 1000000000000.0 AS pagerank\nFROM r$iters ORDER BY node")
+
+  /** The PageRank iteration chain over ANY caller-supplied edge CTE
+    * block (must define `e(src, dst)`, already DISTINCT) — lets
+    * composed operators (q341 TextRank) reuse the q123 arithmetic
+    * verbatim. `tail` is the final SELECT (reads `r<iters>`). */
+  private[graft] def pageRankSqlOver(edgeCtes: String, iters: Int,
+                                     tail: String): String = {
     val S = "1000000000000"
-    val head = s"""WITH e AS (
-      |  SELECT DISTINCT 's' || CAST(l_suppkey AS VARCHAR) AS src,
-      |                  'p' || CAST(l_partkey AS VARCHAR) AS dst FROM lineitem),
+    val head = s"""WITH $edgeCtes,
       |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
       |nn AS (SELECT count(*) AS n FROM nodes),
       |deg AS (SELECT src, count(*) AS deg FROM e GROUP BY 1),
@@ -508,8 +519,7 @@ private[graft] object EntryHelpers {
     }.mkString(",\n")
     s"""$head,
       |$its
-      |SELECT node, r AS rank_scaled, CAST(r AS DOUBLE) / $S.0 AS pagerank
-      |FROM r$iters ORDER BY node""".stripMargin
+      |$tail""".stripMargin
   }
 
   /** q119: SRP-bucketed CROSS-corpus near-dup — the same hyperplane

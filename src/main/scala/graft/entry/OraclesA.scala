@@ -1129,6 +1129,96 @@ private[graft] object OraclesA {
          |FROM d3 GROUP BY doc_id ORDER BY doc_id""".stripMargin
     },
 
+    // TextRank = adjacent-token co-occurrence edges (symmetric, no
+    // self-loops) pushed through the q123 PageRank iteration chain
+    // verbatim; top-25 by (rank DESC, node)
+    "q341_x_textrank_keywords" -> pageRankSqlOver(
+      """t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks
+        |       FROM documents WHERE text IS NOT NULL),
+        |u AS (SELECT toks[i] AS tok, toks[i + 1] AS nxt
+        |      FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        |            FROM t)),
+        |e AS (
+        |  SELECT DISTINCT src, dst FROM (
+        |    SELECT tok AS src, nxt AS dst FROM u WHERE tok <> nxt
+        |    UNION ALL
+        |    SELECT nxt, tok FROM u WHERE tok <> nxt))""".stripMargin,
+      iters = 3,
+      tail = """SELECT node, r AS rank_scaled,
+        |       CAST(r AS DOUBLE) / 1000000000000.0 AS pagerank
+        |FROM r3 ORDER BY rank_scaled DESC, node LIMIT 25""".stripMargin),
+
+    // CEM: covariate-cell strata with HUGEINT value sums; each matched
+    // stratum's mean gap e6-quantized through the IDENTICAL double tree
+    // BEFORE the cross-strata integer sum; att = one final double
+    // division, floor(x+0.5) (round-half-up both signs, both engines)
+    "q342_x_cem_att" ->
+      ("""WITH j AS (
+        |  SELECT o.o_custkey % 3 = 0 AS treat,
+        |         CAST(round(o.o_totalprice * 100) AS BIGINT) AS cents,
+        |         o.o_orderpriority AS pr, c.c_mktsegment AS seg,
+        |         CAST(date_trunc('month', o.o_orderdate) AS DATE) AS month
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |s AS (SELECT pr, seg, month,
+        |        count(*) FILTER (WHERE treat) AS nt,
+        |        count(*) FILTER (WHERE NOT treat) AS nc,
+        |        sum(CASE WHEN treat THEN CAST(cents AS HUGEINT) END) AS st,
+        |        sum(CASE WHEN NOT treat THEN CAST(cents AS HUGEINT) END) AS sc
+        |      FROM j GROUP BY 1, 2, 3),
+        |g AS (SELECT nt, nc,
+        |        CAST(floor((CAST(st AS DOUBLE) / CAST(nt AS DOUBLE)
+        |            - CAST(sc AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6 + 0.5)
+        |          AS BIGINT) AS gap_e6,
+        |        (nt > 0 AND nc > 0) AS matched
+        |      FROM s),
+        |a AS (SELECT
+        |    count(*) FILTER (WHERE matched) AS n_strata_matched,
+        |    CAST(coalesce(sum(nt) FILTER (WHERE matched), 0) AS BIGINT)
+        |      AS n_treated_matched,
+        |    CAST(coalesce(sum(nc) FILTER (WHERE matched), 0) AS BIGINT)
+        |      AS n_control_matched,
+        |    CAST(coalesce(sum(nt) FILTER (WHERE NOT matched), 0) AS BIGINT)
+        |      AS n_treated_dropped,
+        |    coalesce(sum(CAST(nt AS HUGEINT) * gap_e6) FILTER (WHERE matched), 0)
+        |      AS num
+        |  FROM g)
+        |SELECT n_strata_matched, n_treated_matched, n_control_matched,
+        |       n_treated_dropped,
+        |       CASE WHEN n_treated_matched > 0
+        |            THEN CAST(floor(CAST(num AS DOUBLE)
+        |                   / CAST(n_treated_matched AS DOUBLE) + 0.5) AS BIGINT)
+        |       END AS att_e6
+        |FROM a""".stripMargin),
+
+    // Adamic-Adar: canonical string pairs, symmetric adjacency with the
+    // center's degree, hub centers dropped at the dial, per-neighbor
+    // 1/ln(deg) e9-quantized BEFORE the integer sum, existing edges
+    // anti-joined out, top-25 by (score DESC, pair)
+    "q343_x_adamic_adar" ->
+      ("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+        |pr AS (SELECT DISTINCT
+        |         least(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS a,
+        |         greatest(CAST(x.pk AS VARCHAR), CAST(y.pk AS VARCHAR)) AS b
+        |       FROM li x JOIN li y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d
+        |        FROM (SELECT a AS node FROM pr UNION ALL SELECT b FROM pr)
+        |        GROUP BY 1),
+        |adj AS (SELECT j.z, j.n,
+        |          CAST(floor(1e9 / ln(CAST(deg.d AS DOUBLE)) + 0.5) AS BIGINT)
+        |            AS term
+        |        FROM (SELECT a AS z, b AS n FROM pr
+        |              UNION ALL SELECT b, a FROM pr) j
+        |        JOIN deg ON j.z = deg.node WHERE deg.d <= 200),
+        |sc AS (SELECT w1.n AS node_a, w2.n AS node_b,
+        |         CAST(count(*) AS BIGINT) AS n_common,
+        |         CAST(sum(w1.term) AS BIGINT) AS aa_e9
+        |       FROM adj w1 JOIN adj w2 ON w1.z = w2.z AND w1.n < w2.n
+        |       GROUP BY 1, 2)
+        |SELECT sc.node_a, sc.node_b, sc.n_common, sc.aa_e9
+        |FROM sc LEFT JOIN pr ON sc.node_a = pr.a AND sc.node_b = pr.b
+        |WHERE pr.a IS NULL
+        |ORDER BY aa_e9 DESC, node_a, node_b LIMIT 25""".stripMargin),
+
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),

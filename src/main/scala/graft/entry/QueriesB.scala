@@ -2120,6 +2120,53 @@ private[graft] object QueriesB {
     // unbounded-rank encoder). Expression-only replace chains, no UDF
     "q340_x_bpe_encode_slice" -> tuned((s, d) =>
       graft.text.Bpe.encodeSliceDf(Tables.documents(s, d), "doc_id", "text", k = 3)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // ---- extension: TextRank keyword extraction — token co-occurrence
+    // graph (adjacent-token edges, symmetric, self-loops dropped) ∘ the
+    // q123 integer-exact PageRank; top-25 keywords by rank. Pure
+    // composition: the oracle reuses the q123 iteration chain verbatim
+    // over the new edge CTE
+    "q341_x_textrank_keywords" -> tuned((s, d) => {
+      val toks = Tables.documents(s, d).filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          posexplode(Cols.tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val pairs = toks.withColumn("nxt", lead(col("tok"), 1).over(w))
+        .filter(col("nxt").isNotNull && col("tok") =!= col("nxt"))
+      val edges = pairs.select(col("tok").as("src"), col("nxt").as("dst"))
+        .union(pairs.select(col("nxt").as("src"), col("tok").as("dst")))
+      graft.operators.Graph.pageRank(edges, "src", "dst", iterations = 3)
+        .orderBy(col("rank_scaled").desc, col("node")).limit(25)
+    }),
+
+    // ---- extension: coarsened-exact-matching ATT — the observational-
+    // causal member the randomized A/B tier (CUPED/QTE/ratio-metric)
+    // can't cover: strata = (priority, segment, month) cells, matched
+    // strata weighted by treated share, overlap diagnostic reported
+    "q342_x_cem_att" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("treat", col("o_custkey") % 3 === 0)
+        .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+        .withColumn("month", Cols.monthStart(col("o_orderdate")))
+      val c = Tables.customer(s, d).select(col("c_custkey"), col("c_mktsegment"))
+      graft.operators.Metrics.cemAtt(
+        o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+        "treat", "cents", Seq("o_orderpriority", "c_mktsegment", "month"))
+    }),
+
+    // ---- extension: Adamic-Adar link prediction over the co-purchase
+    // item graph — "which not-yet-co-ordered part pair is most likely
+    // next", rare shared neighbors weighted up; e9-quantized per-neighbor
+    // terms keep the score an exact integer sum
+    "q343_x_adamic_adar" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val edges = li.as("x").join(li.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      graft.operators.Graph.adamicAdar(edges, "src", "dst",
+        maxDegree = 200L, topK = 25)
+    })
   )
 }

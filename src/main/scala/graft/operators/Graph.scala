@@ -231,4 +231,66 @@ object Graph {
     oriented.unpersist()
     materialized
   }
+
+  /** Adamic–Adar link prediction over an UNDIRECTED graph: score every
+    * NON-adjacent pair at distance 2 by `Σ_z 1/ln(deg z)` over their
+    * common neighbors `z` (Adamic & Adar 2003) — rare shared neighbors
+    * count more than hubs. The classic "which edge appears next"
+    * feature for recommend-next-item / related-entity over a
+    * co-occurrence graph.
+    *
+    * Exactness: each neighbor's contribution is e9-quantized
+    * (`⌊10⁹/ln(deg)+0.5⌋`, one fixed double tree per NEIGHBOR — never a
+    * float sum across rows) and summed as exact integers, so the score
+    * hash-matches a SQL replay in any partition order. `deg(z) ≥ 2` for
+    * any common neighbor, so `ln` never hits zero.
+    *
+    * Scale shape: wedge self-join on the center node, cost `Σ_z deg²`.
+    * Unlike [[triangleCounts]], degree-orientation cannot cap this —
+    * the WEDGE ITSELF is the output — so hubs are excluded from the
+    * CENTER role by `maxDegree` (standard link-prediction practice: a
+    * hub shared by everyone carries ~no signal, 1/ln(deg) → 0, yet
+    * costs deg² wedges; the dial trades a vanishing score tail for the
+    * quadratic blowup). Candidates adjacent in the ORIGINAL graph are
+    * anti-joined out. Output: top `topK` rows
+    * `(node_a, node_b, n_common, aa_e9)` by (aa_e9 DESC, node_a,
+    * node_b) — a distributed TakeOrdered cut, never a global sort. */
+  def adamicAdar(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxDegree: Long = 200L, topK: Int = 25): DataFrame = {
+    require(maxDegree >= 2L, s"maxDegree must be >= 2, got $maxDegree")
+    require(topK >= 1, s"topK must be >= 1, got $topK")
+    val lvl = StorageLevel.MEMORY_AND_DISK
+    val und = edges.select(col(srcCol).cast("string").as("s"),
+        col(dstCol).cast("string").as("t"))
+      .filter(col("s").isNotNull && col("t").isNotNull && col("s") =!= col("t"))
+      .select(least(col("s"), col("t")).as("a"),
+        greatest(col("s"), col("t")).as("b"))
+      .distinct()
+      .persist(lvl)
+    val deg = und.select(col("a").as("node")).union(und.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    // symmetric adjacency, with the center's degree attached and hubs
+    // dropped from the CENTER role only
+    val adj = und.select(col("a").as("z"), col("b").as("n"))
+      .union(und.select(col("b").as("z"), col("a").as("n")))
+      .join(deg.withColumnRenamed("node", "z"), "z")
+      .filter(col("d") <= maxDegree)
+      .withColumn("term_e9",
+        floor(lit(1e9) / log(col("d").cast("double")) + 0.5).cast("long"))
+      .persist(lvl)
+    val w1 = adj.select(col("z"), col("n").as("na"), col("term_e9"))
+    val w2 = adj.select(col("z"), col("n").as("nb"))
+    val scored = w1.join(w2, "z")
+      .filter(col("na") < col("nb"))
+      .groupBy(col("na").as("node_a"), col("nb").as("node_b"))
+      .agg(count(lit(1)).as("n_common"), sum(col("term_e9")).as("aa_e9"))
+      .join(und.withColumnRenamed("a", "node_a").withColumnRenamed("b", "node_b"),
+        Seq("node_a", "node_b"), "left_anti")
+      .orderBy(col("aa_e9").desc, col("node_a"), col("node_b"))
+      .limit(topK)
+    val materialized = scored.persist(lvl)
+    materialized.count()
+    und.unpersist(); adj.unpersist()
+    materialized
+  }
 }

@@ -2621,4 +2621,60 @@ object Metrics {
           col("chi2_e6") > col("crit5_e4") * 100L))
       .drop("__s")
   }
+
+  /** Coarsened-exact-matching ATT (Iacus–King–Porro CEM): stratify on
+    * the (caller-coarsened) covariate cells, keep strata with BOTH
+    * treated and control units, weight each matched stratum's
+    * treated-vs-control mean gap by its treated share — the
+    * observational-causal answer the A/B tier (CUPED, QTE, ratio-metric)
+    * cannot give when assignment was NOT randomized. Also reports how
+    * many treated units matching DROPPED — the overlap diagnostic that
+    * decides whether the estimate is usable at all.
+    *
+    * Exactness: integer-quantized `valueCol` (caller's cents/dollars
+    * framing), per-stratum sums exact DECIMAL; each stratum's mean gap
+    * goes through ONE fixed double tree and is e6-quantized BEFORE the
+    * cross-strata sum, so the sum is an exact integer in any partition
+    * order (the float-sum-never-crosses-a-row-boundary discipline —
+    * cross-strata float addition would be order-dependent). The final
+    * `att_e6 = floor(Σ nₜₛ·gap_e6ₛ / Nₜ + 0.5)` is one double division
+    * (floor(x+0.5) is round-half-up for BOTH signs in both engines —
+    * gaps go negative, so no integer `div`, the Spark-truncates/DuckDB-
+    * floors divergence).
+    *
+    * Scale shape: ONE shuffle on the covariate cells (conditional sums,
+    * map-side combined), then a scalar aggregate — strata count is
+    * covariate-cardinality-bounded, rows are not. Output: one row
+    * `(n_strata_matched, n_treated_matched, n_control_matched,
+    * n_treated_dropped, att_e6)`. */
+  def cemAtt(df: DataFrame, treatCol: String, valueCol: String,
+             covCols: Seq[String]): DataFrame = {
+    require(covCols.nonEmpty, "cemAtt needs at least one covariate column")
+    val base = dropNullKeys(df, covCols)
+      .filter(col(treatCol).isNotNull && col(valueCol).isNotNull)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val t = col(treatCol).cast("boolean")
+    val v = col(valueCol).cast("long")
+    val strata = base
+      .groupBy(covCols.map(col): _*)
+      .agg(count(when(t, 1)).as("nt"), count(when(!t, 1)).as("nc"),
+        sum(when(t, dec(v))).as("st"), sum(when(!t, dec(v))).as("sc"))
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val matched = col("nt") > 0L && col("nc") > 0L
+    val gapE6 = floor((d(col("st")) / d(col("nt")) - d(col("sc")) / d(col("nc")))
+      * 1e6 + 0.5).cast("long")
+    strata
+      .withColumn("__g", when(matched, gapE6))
+      .agg(
+        count(when(matched, 1)).as("n_strata_matched"),
+        coalesce(sum(when(matched, col("nt"))), lit(0L)).as("n_treated_matched"),
+        coalesce(sum(when(matched, col("nc"))), lit(0L)).as("n_control_matched"),
+        coalesce(sum(when(!matched, col("nt"))), lit(0L)).as("n_treated_dropped"),
+        coalesce(sum(when(matched, dec(col("nt")) * col("__g"))), dec(lit(0)))
+          .as("__num"))
+      .withColumn("att_e6",
+        when(col("n_treated_matched") > 0L,
+          floor(d(col("__num")) / d(col("n_treated_matched")) + 0.5).cast("long")))
+      .drop("__num")
+  }
 }

@@ -121,4 +121,27 @@ class GraphSpec extends SparkSpec {
     assert(exp.values.sum > 0, "degenerate fixture: no triangles")
     assert(out == exp)
   }
+
+  test("adamicAdar: square graph — both diagonals scored, edges excluded, terms exact") {
+    // square a-b-c-d-a: candidates are the two diagonals, each with two
+    // common neighbors of degree 2 → aa = 2·⌊1e9/ln 2 + 0.5⌋
+    val g = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"))
+    val out = Graph.adamicAdar(g.toDF("s", "t"), "s", "t").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    val term = math.floor(1e9 / math.log(2.0) + 0.5).toLong // 1442695041
+    assert(out.toSet == Set(("a", "c", 2L, 2 * term), ("b", "d", 2L, 2 * term)),
+      s"got ${out.toSeq}")
+  }
+
+  test("adamicAdar: hub centers past maxDegree stop producing wedges") {
+    // star: s connected to x1..x5 (deg 5). With maxDegree=4 the center
+    // is excluded → no candidates at all; with the default it yields
+    // all C(5,2) leaf pairs with the 1/ln 5 weight
+    val star = (1 to 5).map(i => ("s", s"x$i"))
+    val none = Graph.adamicAdar(star.toDF("s", "t"), "s", "t", maxDegree = 4L)
+    assert(none.count() == 0L)
+    val all = Graph.adamicAdar(star.toDF("s", "t"), "s", "t").collect()
+    val term = math.floor(1e9 / math.log(5.0) + 0.5).toLong
+    assert(all.length == 10 && all.forall(r => r.getLong(3) == term))
+  }
 }

@@ -1128,4 +1128,30 @@ class MetricsSpec extends SparkSpec {
     assert(out.head.getAs[Long]("n") == 4L)
     assert(out.head.getAs[Long]("cum_lift_e6") == 1000000L)
   }
+
+  test("cemAtt: hand-computed strata — matched gap weighting, dropped treated, control-only ignored") {
+    // g=1 matched: treated {10,20} vs control {5} → gap 10 (e6 10M);
+    // g=2 treated-only → 1 treated DROPPED; g=3 control-only → ignored
+    val df = Seq(
+      (1, true, 10L), (1, true, 20L), (1, false, 5L),
+      (2, true, 7L),
+      (3, false, 100L)).toDF("g", "treat", "v")
+    val r = Metrics.cemAtt(df, "treat", "v", Seq("g")).head()
+    assert(r.getAs[Long]("n_strata_matched") == 1L)
+    assert(r.getAs[Long]("n_treated_matched") == 2L)
+    assert(r.getAs[Long]("n_control_matched") == 1L)
+    assert(r.getAs[Long]("n_treated_dropped") == 1L)
+    assert(r.getAs[Long]("att_e6") == 10000000L)
+  }
+
+  test("cemAtt: negative gaps round half-up identically and weight by treated share") {
+    // two matched strata: gap +2 with 1 treated, gap −5 with 3 treated
+    // → att = (1·2e6 + 3·(−5e6)) / 4 = −3.25e6; floor(−3.25e6 + 0.5)
+    val df = Seq(
+      (1, true, 12L), (1, false, 10L),
+      (2, true, 0L), (2, true, 0L), (2, true, 0L), (2, false, 5L)).toDF("g", "treat", "v")
+    val r = Metrics.cemAtt(df, "treat", "v", Seq("g")).head()
+    assert(r.getAs[Long]("n_treated_matched") == 4L)
+    assert(r.getAs[Long]("att_e6") == -3250000L)
+  }
 }
