@@ -31,7 +31,7 @@ object SparkEntry {
   /** The full query registry — per-tranche objects merged; one entry per
     * SURVEY §2 operator / extension (see the object doc above). */
   val queries: Map[String, (SparkSession, String) => DataFrame] =
-    QueriesA.m ++ QueriesB.m
+    QueriesA.m ++ QueriesB.m ++ QueriesB.m2
 
   def oracleSql: Map[String, String] = {
     val m = OraclesA.m ++ OraclesB.m ++ OraclesC.m
@@ -47,6 +47,7 @@ object SparkEntry {
       "q302_x_stream_hist_drift" -> m("q301_x_hist_drift"),
       "q318_x_stream_page_hinkley" -> m("q317_x_page_hinkley"),
       "q327_x_stream_vocab_coverage" -> m("q325_x_vocab_coverage"),
-      "q333_x_stream_topk_stability" -> m("q319_x_topk_stability"))
+      "q333_x_stream_topk_stability" -> m("q319_x_topk_stability"),
+      "q344_x_stream_cem_att" -> m("q342_x_cem_att"))
   }
 }

@@ -1219,6 +1219,119 @@ private[graft] object OraclesA {
         |WHERE pr.a IS NULL
         |ORDER BY aa_e9 DESC, node_a, node_b LIMIT 25""".stripMargin),
 
+    // Huber IRLS unrolled twice over the (group, dollar)-grid: q146's
+    // exact median/MAD chain, then per iteration the IDENTICAL e9
+    // weight CASE inside both HUGEINT sums and ONE double division;
+    // max() carries med/mad/c through each aggregate
+    "q345_x_huber_location" -> {
+      def wexpr(m: String, hc: String) =
+        s"""(CASE WHEN abs(CAST(c.x AS DOUBLE) - $m) <= $hc THEN 1000000000
+           |      ELSE CAST(floor($hc / abs(CAST(c.x AS DOUBLE) - $m) * 1e9 + 0.5)
+           |           AS BIGINT) END)""".stripMargin
+      def iter(out: String, prev: String) =
+        s"""${out}s AS (SELECT c.g, max($prev.med) AS med, max($prev.mad) AS mad,
+           |    max($prev.hc) AS hc,
+           |    sum(CAST(c.c * ${wexpr(s"$prev.m", s"$prev.hc")} AS HUGEINT) * c.x)
+           |      AS num,
+           |    sum(CAST(c.c * ${wexpr(s"$prev.m", s"$prev.hc")} AS HUGEINT)) AS den
+           |  FROM c JOIN $prev ON c.g = $prev.g GROUP BY c.g),
+           |$out AS (SELECT g, med, mad, hc,
+           |           CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS m FROM ${out}s)""".stripMargin
+      s"""WITH v AS (
+         |  SELECT l_returnflag AS g,
+         |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100 AS x
+         |  FROM lineitem),
+         |c AS (SELECT g, x, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1, 2),
+         |w AS (SELECT g, x, sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+         |             sum(c) OVER (PARTITION BY g) AS n FROM c),
+         |med AS (SELECT g, min(x) AS med FROM w
+         |        WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1),
+         |dc AS (SELECT c.g, abs(c.x - med.med) AS dev, sum(c.c) AS c
+         |       FROM c JOIN med ON c.g = med.g GROUP BY 1, 2),
+         |dw AS (SELECT g, dev, sum(c) OVER (PARTITION BY g ORDER BY dev) AS cum,
+         |              sum(c) OVER (PARTITION BY g) AS n FROM dc),
+         |mad AS (SELECT g, min(dev) AS mad FROM dw
+         |        WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1),
+         |nn AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM c GROUP BY 1),
+         |p0 AS (SELECT med.g, med.med, mad.mad,
+         |         1.345 * (1.4826 * CAST(mad.mad AS DOUBLE)) AS hc,
+         |         CAST(med.med AS DOUBLE) AS m
+         |       FROM med JOIN mad ON med.g = mad.g),
+         |${iter("p1", "p0")},
+         |${iter("p2", "p1")}
+         |SELECT p2.g AS l_returnflag, nn.n, p2.med, p2.mad,
+         |       CAST(floor(p2.m * 1e6 + 0.5) AS BIGINT) AS huber_e6
+         |FROM p2 JOIN nn ON p2.g = nn.g ORDER BY 1""".stripMargin
+    },
+
+    // HL shift: per-side value grids crossed with multiplicity ca·cb,
+    // exact lower weighted median on the difference grid (the house
+    // (500n+999)//1000 fence); whole-number quantities make the BIGINT
+    // cast engine-agnostic
+    "q346_x_hodges_lehmann" ->
+      ("""WITH b AS (
+        |  SELECT l_returnflag AS k, l_discount >= 0.05 AS side,
+        |         CAST(l_quantity AS BIGINT) AS v FROM lineitem),
+        |ga AS (SELECT k, v AS va, count(*) AS ca FROM b WHERE side GROUP BY 1, 2),
+        |gb AS (SELECT k, v AS vb, count(*) AS cb FROM b WHERE NOT side GROUP BY 1, 2),
+        |d AS (SELECT ga.k, va - vb AS d, CAST(sum(ca * cb) AS BIGINT) AS c
+        |      FROM ga JOIN gb ON ga.k = gb.k GROUP BY 1, 2),
+        |w AS (SELECT k, d, sum(c) OVER (PARTITION BY k ORDER BY d) AS cum,
+        |             sum(c) OVER (PARTITION BY k) AS n FROM d),
+        |hl AS (SELECT k, min(d) AS hl_shift, CAST(max(n) AS BIGINT) AS n_pairs
+        |       FROM w WHERE cum >= (500 * n + 999) // 1000 GROUP BY 1),
+        |s AS (SELECT k, count(*) FILTER (WHERE side) AS n_a,
+        |             count(*) FILTER (WHERE NOT side) AS n_b FROM b GROUP BY 1)
+        |SELECT s.k AS l_returnflag, s.n_a, s.n_b, hl.n_pairs, hl.hl_shift
+        |FROM s JOIN hl ON s.k = hl.k ORDER BY 1""".stripMargin),
+
+    // DTW: the DP table replayed CELL-BY-CELL in row-major order by one
+    // recursive CTE — state carries (j, i, previous DP row, partial
+    // current row) per pair; at i = n_a the rows rotate. dp(i', j) =
+    // |sa[i']−sb[j]| + least(least(prev[i'+1], cur[i']), prev[i']) with
+    // 1-indexed lists (prev[p] = dp(p−1, j−1)) — the kernel's tree
+    // term-for-term. Infinity seeds make the borders exact
+    "q347_x_dtw_pairwise" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT o_orderpriority AS k,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |ser AS (SELECT k, list(y ORDER BY month) AS s,
+        |               CAST(count(*) AS BIGINT) AS n FROM m GROUP BY 1),
+        |p AS (SELECT a.k AS ka, b.k AS kb, a.s AS sa, b.s AS sb,
+        |             a.n AS na, b.n AS nb
+        |      FROM ser a JOIN ser b ON a.k < b.k),
+        |rec(ka, kb, j, i, prev, cur) AS (
+        |  SELECT ka, kb, CAST(1 AS BIGINT) AS j, CAST(0 AS BIGINT) AS i,
+        |         list_concat([CAST(0 AS DOUBLE)],
+        |           list_transform(generate_series(1, CAST(na AS INT)),
+        |             x -> CAST('infinity' AS DOUBLE))) AS prev,
+        |         [CAST('infinity' AS DOUBLE)] AS cur
+        |  FROM p
+        |  UNION ALL
+        |  SELECT r.ka, r.kb,
+        |         CASE WHEN r.i = p.na THEN r.j + 1 ELSE r.j END,
+        |         CASE WHEN r.i = p.na THEN 0 ELSE r.i + 1 END,
+        |         CASE WHEN r.i = p.na THEN r.cur ELSE r.prev END,
+        |         CASE WHEN r.i = p.na THEN [CAST('infinity' AS DOUBLE)]
+        |              ELSE list_append(r.cur,
+        |                abs(p.sa[CAST(r.i + 1 AS INT)] - p.sb[CAST(r.j AS INT)])
+        |                  + least(least(r.prev[CAST(r.i + 2 AS INT)],
+        |                                r.cur[CAST(r.i + 1 AS INT)]),
+        |                          r.prev[CAST(r.i + 1 AS INT)])) END
+        |  FROM rec r JOIN p ON r.ka = p.ka AND r.kb = p.kb
+        |  WHERE NOT (r.i = p.na AND r.j = p.nb)),
+        |fin AS (SELECT r.ka, r.kb, p.na, p.nb,
+        |               r.cur[CAST(p.na + 1 AS INT)] AS dtw
+        |        FROM rec r JOIN p ON r.ka = p.ka AND r.kb = p.kb
+        |        WHERE r.i = p.na AND r.j = p.nb)
+        |SELECT ka AS key_a, kb AS key_b, CAST(na AS INT) AS n_a,
+        |       CAST(nb AS INT) AS n_b,
+        |       floor(dtw * 1e4 + 0.5) / 1e4 AS dtw,
+        |       floor(dtw / (na + nb) * 1e6 + 0.5) / 1e6 AS dtw_norm
+        |FROM fin ORDER BY key_a, key_b""".stripMargin),
+
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),

@@ -2167,6 +2167,50 @@ private[graft] object QueriesB {
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))
       graft.operators.Graph.adamicAdar(edges, "src", "dst",
         maxDegree = 200L, topK = 25)
-    })
+    }),
+
+    // ---- extension: streaming CEM ATT — q342's standing twin (state IS
+    // the covariate-cell strata grid, stream-static dim join, shared
+    // attFromStrata readout; drained == batch, one oracle)
+    "q344_x_stream_cem_att" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingCemAtt(s, d)),
+
+    // ---- extension: Huber M-estimate of location — fixed-2-IRLS from
+    // the exact median/MAD (the bounded-depth contract that makes IRLS
+    // oracle-replayable); e9 per-VALUE weights, grid-shaped throughout
+    "q345_x_huber_location" -> tuned((s, d) =>
+      graft.operators.Sketch.huberLocation(
+          Tables.lineitem(s, d).withColumn("dollars",
+            expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 100")),
+          Seq("l_returnflag"), "dollars", iters = 2)
+        .orderBy("l_returnflag")),
+
+    // ---- extension: Hodges-Lehmann shift — the location estimate the
+    // Mann-Whitney verdict implies (median of all pairwise differences),
+    // computed at grid×grid, never rows×rows; quantity is the bounded
+    // 50-value grid, sides = discounted vs not
+    "q346_x_hodges_lehmann" -> tuned((s, d) =>
+      graft.operators.Metrics.hodgesLehmann(
+        Tables.lineitem(s, d)
+          .withColumn("discounted", col("l_discount") >= 0.05),
+        Seq("l_returnflag"), "discounted", "l_quantity"))
+  )
+
+  /** Round-10 closers (kept in a second map to stay under the file-size
+    * discipline the registry split established). */
+  private[graft] val m2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- extension: pairwise DTW — alignment-tolerant series similarity
+    // (which priorities' monthly revenue curves share a SHAPE), the
+    // first DP-table recursion replayed by the oracle (row-carried
+    // recursive CTE)
+    "q347_x_dtw_pairwise" -> tuned((s, d) =>
+      graft.stats.Diagnostics.dtwPairwise(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6)
+              .as("tot")),
+          Seq("o_orderpriority"), "month", "tot")
+        .orderBy("key_a", "key_b"))
   )
 }

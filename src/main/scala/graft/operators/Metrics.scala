@@ -2622,6 +2622,61 @@ object Metrics {
       .drop("__s")
   }
 
+  /** Hodges–Lehmann shift estimator between two sides per key — the
+    * LOCATION ESTIMATE the Mann–Whitney test implies (HL is the shift
+    * Δ that centers the MW statistic; Hodges & Lehmann 1963): the
+    * median of ALL pairwise differences `x_a − x_b`. Robust like the
+    * median-of-each-side difference but ~95% Gaussian-efficient, and
+    * the natural companion readout to [[mannWhitney]]'s verdict —
+    * "the treatment shifts the distribution by ABOUT THIS MUCH".
+    *
+    * Exactness: pure integers end to end — the pairwise-difference
+    * DISTRIBUTION is the cross of the two per-side VALUE GRIDS with
+    * multiplicity `c_a·c_b`, and the estimate is the exact lower
+    * weighted median (the house `(500·n + 999) div 1000` fence). No
+    * float anywhere.
+    *
+    * Scale shape: the cross runs at grid×grid per key, NEVER rows×rows
+    * — cost is `|gridA|·|gridB|`, so `valueCol` must be bounded-
+    * cardinality (quantize upstream: dollars not cents, the q146
+    * framing). That contract is what makes an O(n²)-pair estimator
+    * feasible at 100 TB: a million rows over a 1k-value grid is a 1M
+    * cross, not 10¹². Output: `(keys…, n_a, n_b, n_pairs, hl_shift)`;
+    * keys missing either side emit nothing. */
+  def hodgesLehmann(df: DataFrame, keyCols: Seq[String], sideCol: String,
+                    valueCol: String): DataFrame = {
+    val k = keyCols.map(col)
+    val base = dropNullKeys(df, keyCols)
+      .filter(col(sideCol).isNotNull && col(valueCol).isNotNull)
+    val side = col(sideCol).cast("boolean")
+    def grid(cond: org.apache.spark.sql.Column, v: String, c: String) =
+      base.filter(cond)
+        .groupBy(k :+ col(valueCol).cast("long").as(v): _*)
+        .agg(count(lit(1)).as(c))
+    val ga = grid(side, "__va", "__ca")
+    val gb = grid(!side, "__vb", "__cb")
+    val diffs = (if (keyCols.isEmpty) ga.crossJoin(gb)
+                 else ga.join(gb, keyCols))
+      .groupBy(k :+ (col("__va") - col("__vb")).as("__d"): _*)
+      .agg(sum(col("__ca") * col("__cb")).as("__c"))
+    val wCum = (if (keyCols.isEmpty) Window.partitionBy(lit(1))
+                else Window.partitionBy(k: _*)).orderBy(col("__d"))
+    val wAll = if (keyCols.isEmpty) Window.partitionBy(lit(1))
+               else Window.partitionBy(k: _*)
+    val sides = base.groupBy(k: _*)
+      .agg(count(when(side, 1)).as("n_a"), count(when(!side, 1)).as("n_b"))
+    val hl = diffs
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .filter(col("__cum") >= expr("(500 * __n + 999) div 1000"))
+      .groupBy(k: _*).agg(min(col("__d")).as("hl_shift"), max(col("__n")).as("n_pairs"))
+    val joined = if (keyCols.isEmpty) sides.crossJoin(hl)
+                 else sides.join(hl, keyCols)
+    val out = joined.select(
+      k :+ col("n_a") :+ col("n_b") :+ col("n_pairs") :+ col("hl_shift"): _*)
+    if (keyCols.isEmpty) out else out.orderBy(k: _*)
+  }
+
   /** Coarsened-exact-matching ATT (Iacus–King–Porro CEM): stratify on
     * the (caller-coarsened) covariate cells, keep strata with BOTH
     * treated and control units, weight each matched stratum's
@@ -2650,16 +2705,30 @@ object Metrics {
   def cemAtt(df: DataFrame, treatCol: String, valueCol: String,
              covCols: Seq[String]): DataFrame = {
     require(covCols.nonEmpty, "cemAtt needs at least one covariate column")
+    attFromStrata(cemStrata(df, treatCol, valueCol, covCols))
+  }
+
+  /** The CEM stratum grid — `(covCols…, nt, nc, st, sc)` per covariate
+    * cell. Split out so the streaming twin's complete-mode state can BE
+    * this grid (the `chiSqFromCells` shared-readout convention). */
+  def cemStrata(df: DataFrame, treatCol: String, valueCol: String,
+                covCols: Seq[String]): DataFrame = {
     val base = dropNullKeys(df, covCols)
       .filter(col(treatCol).isNotNull && col(valueCol).isNotNull)
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val t = col(treatCol).cast("boolean")
     val v = col(valueCol).cast("long")
-    val strata = base
-      .groupBy(covCols.map(col): _*)
+    base.groupBy(covCols.map(col): _*)
       .agg(count(when(t, 1)).as("nt"), count(when(!t, 1)).as("nc"),
         sum(when(t, dec(v))).as("st"), sum(when(!t, dec(v))).as("sc"))
+  }
+
+  /** The ATT readout over a [[cemStrata]] grid — ONE definition shared
+    * by the batch operator and the streaming twin, so their oracle
+    * parity cannot drift between hand-synced copies. */
+  def attFromStrata(strata: DataFrame): DataFrame = {
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val matched = col("nt") > 0L && col("nc") > 0L
     val gapE6 = floor((d(col("st")) / d(col("nt")) - d(col("sc")) / d(col("nc")))
       * 1e6 + 0.5).cast("long")

@@ -426,6 +426,67 @@ object Sketch {
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
 
+  /** Per-group Huber M-estimate of location, fixed-`iters` IRLS — the
+    * robust-location COMPLETION of this tier: the median (50% breakdown,
+    * but throws away efficiency) and the trimmed/winsorized means (hard
+    * cutoffs) bracket it; Huber's ψ keeps full weight inside
+    * `c = 1.345·1.4826·MAD` (95% Gaussian efficiency at the classic
+    * tuning) and downweights beyond PROPORTIONALLY, the standard robust
+    * mean (Huber 1964). Fixed iteration count from the exact median —
+    * the q335/q339 bounded-depth contract that keeps IRLS (otherwise
+    * "iterative, no oracle") SQL-replayable as `iters` unrolled
+    * aggregates.
+    *
+    * Exactness: median and MAD are exact rank elements off the value
+    * GRID ([[madOutliers]]'s machinery); each IRLS step quantizes the
+    * per-VALUE weight `min(1, c/|v−m|)` to e9 BEFORE the sums, so
+    * `Σ c_v·w_v·v / Σ c_v·w_v` is a ratio of exact DECIMAL integers and
+    * one double division — no float sum ever crosses a row boundary.
+    * `MAD = 0` degenerates safely: only `v = m` keeps weight, the
+    * iterate stays put.
+    *
+    * Scale shape: everything runs at the (group, value)-grid, never
+    * rows; `iters` broadcast-joined grid aggregates after the two rank
+    * passes. Output: `groupCols…, n, med, mad, huber_e6`. */
+  def huberLocation(df: DataFrame, groupCols: Seq[String], valueCol: String,
+                    iters: Int = 2): DataFrame = {
+    require(groupCols.nonEmpty, "huberLocation needs at least one group column")
+    require(iters >= 1 && iters <= 4,
+      s"iters must be in [1,4] (the unrolled-oracle contract), got $iters")
+    val g = groupCols.map(col)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(g :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false) // shared by 2 rank passes + iters joins
+    val med = lowerRankElement(hist, groupCols, "__v", "__c", 500, "med")
+    val devHist = hist.join(broadcast(med), groupCols)
+      .groupBy(g :+ abs(col("__v") - col("med")).as("__dev"): _*)
+      .agg(sum(col("__c")).as("__c"))
+    val mad = lowerRankElement(devHist, groupCols, "__dev", "__c", 500, "mad")
+    val nPerG = hist.groupBy(g: _*).agg(sum(col("__c")).as("n"))
+    var cur = med.join(mad, groupCols)
+      .withColumn("__m", d(col("med")))
+      .withColumn("__hc", lit(1.345) * (lit(1.4826) * d(col("mad"))))
+    for (_ <- 1 to iters) {
+      val j = hist.join(broadcast(cur), groupCols)
+        .withColumn("__d", abs(d(col("__v")) - col("__m")))
+        .withColumn("__w", when(col("__d") <= col("__hc"), lit(1000000000L))
+          .otherwise(floor(col("__hc") / col("__d") * 1e9 + 0.5).cast("long")))
+      cur = j.groupBy(g: _*)
+        .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+          max(col("__hc")).as("__hc"),
+          sum(dec(col("__c") * col("__w")) * col("__v")).as("__num"),
+          sum(dec(col("__c") * col("__w"))).as("__den"))
+        .withColumn("__m", d(col("__num")) / d(col("__den")))
+        .drop("__num", "__den")
+    }
+    cur.join(nPerG, groupCols)
+      .select(g :+ col("n") :+ col("med") :+ col("mad") :+
+        floor(col("__m") * 1e6 + 0.5).cast("long").as("huber_e6"): _*)
+  }
+
   /** Per-group distinct-count estimate of `valueCol` (hashed via its
     * string form; nulls are ignored, matching `count(DISTINCT …)`).
     * Output: `groupCols…, n_est, kth_hash, n_kept`. */

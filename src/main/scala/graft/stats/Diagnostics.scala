@@ -1794,6 +1794,65 @@ object Diagnostics {
       .toDF()
   }
 
+  /** Pairwise Dynamic Time Warping distance between every two keys'
+    * series — alignment-tolerant similarity ("same shape, shifted or
+    * stretched phase") that Euclidean/rolling-corr distance cannot give:
+    * the classic series-clustering / nearest-history primitive (Sakoe &
+    * Chiba 1978). Full O(n·m) DP per pair, `cost = |aᵢ − bⱼ|`,
+    * `dp(i,j) = cost + min(min(dp(i,j−1), dp(i−1,j)), dp(i−1,j−1))`.
+    *
+    * Hash-checkable because the DP is ONE fixed left-associated IEEE
+    * recursion: the oracle replays it cell-by-cell in row-major order
+    * with a recursive CTE carrying the previous DP row as a list — the
+    * first DP-table recursion in the oracle suite (the q338 Kalman
+    * recursion is O(1)-state; this one carries O(n) state per step).
+    *
+    * Scale shape: per-PAIR kernel inside its executor; pairs =
+    * bounded-key contract (the pairwise-corr convention — key count is
+    * small, the nested-loop pair join is broadcast-sized). Series
+    * length is fail-loud-capped at `maxN` (O(n·m) per pair — past it,
+    * pre-aggregate to a coarser time grid upstream).
+    * Output: `(key_a, key_b, n_a, n_b, dtw, dtw_norm)` with
+    * `dtw_norm = dtw/(n_a+n_b)` (the path-length-normalized readout). */
+  def dtwPairwise(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                  valueCol: String, maxN: Int = 512): DataFrame = {
+    require(maxN >= 2 && maxN <= 4096, s"maxN must be in [2,4096], got $maxN")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val ser = slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .mapGroups { (k, it) => (k, Diagnostics.series(it)) }
+      .toDF("k", "s")
+    val pairs = ser.as("a").join(ser.as("b"), col("a.k") < col("b.k"))
+      .select(col("a.k").as("ka"), col("b.k").as("kb"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .as[(String, String, Array[Double], Array[Double])]
+    pairs.map { case (ka, kb, a, b) =>
+      require(a.length <= maxN && b.length <= maxN,
+        s"dtwPairwise: series longer than maxN=$maxN (O(n*m) per pair) — " +
+          "pre-aggregate to a coarser time grid upstream")
+      val n = a.length; val m = b.length
+      var prev = Array.fill(n + 1)(Double.PositiveInfinity)
+      prev(0) = 0.0
+      var cur = new Array[Double](n + 1)
+      var j = 1
+      while (j <= m) {
+        cur(0) = Double.PositiveInfinity
+        var i = 1
+        while (i <= n) {
+          val cost = math.abs(a(i - 1) - b(j - 1))
+          cur(i) = cost + math.min(math.min(prev(i), cur(i - 1)), prev(i - 1))
+          i += 1
+        }
+        val t = prev; prev = cur; cur = t
+        j += 1
+      }
+      val dtw = prev(n)
+      (ka, kb, n, m, math.floor(dtw * 1e4 + 0.5) / 1e4,
+        math.floor(dtw / (n + m).toDouble * 1e6 + 0.5) / 1e6)
+    }.toDF("key_a", "key_b", "n_a", "n_b", "dtw", "dtw_norm")
+  }
+
   private val sarSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("season", IntegerType),

@@ -1410,4 +1410,38 @@ object StreamingCollapse {
         spark.table(name).localCheckpoint(true), Seq("source"))
       .orderBy("source")
   }
+
+  // ------------------------------------------------- streaming CEM ATT
+
+  /** Streaming CEM ATT — q342's standing twin: the complete-mode state
+    * IS the [[graft.operators.Metrics.cemStrata]] covariate-cell grid
+    * `(pr, seg, month, nt, nc, st, sc)`, fed by a stream-STATIC join
+    * (orders stream ⋈ broadcast customer dimension — the q102 pattern:
+    * dimensions are batch-side, only facts stream). Readout re-derives
+    * matching, weighting, and the overlap diagnostic each drain via the
+    * SHARED `attFromStrata`, so drained == batch and q342's oracle
+    * serves both. The live use: "has the causal effect estimate (or its
+    * overlap) moved under today's ingest" without a batch recompute.
+    * State is covariate-cardinality-bounded — O(cells), not O(rows). */
+  def streamingCemAtt(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_cem"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/orders.parquet").schema
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = spark.readStream.schema(phys).parquet(streamDir(dir, "orders"))
+      .withColumn("treat", col("o_custkey") % 3 === 0)
+      .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+      .withColumn("month", graft.functions.Cols.monthStart(col("o_orderdate")))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val grid = graft.operators.Metrics.cemStrata(
+      o, "treat", "cents", Seq("o_orderpriority", "c_mktsegment", "month"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.attFromStrata(
+      spark.table(name).localCheckpoint(true))
+  }
 }

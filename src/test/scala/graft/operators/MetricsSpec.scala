@@ -1144,6 +1144,26 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("att_e6") == 10000000L)
   }
 
+  test("hodgesLehmann: exact pure-shift recovery and weighted lower median") {
+    // A = B + 5 exactly → HL must be exactly 5 (diff grid median);
+    // and the tiny [1,2] vs [0,1] case: diffs [0,1,1,2] → lower median 1
+    val df = (Seq(6L, 7L, 8L).map(("s", true, _)) ++
+      Seq(1L, 2L, 3L).map(("s", false, _)) ++
+      Seq(1L, 2L).map(("t", true, _)) ++
+      Seq(0L, 1L).map(("t", false, _))).toDF("k", "side", "v")
+    val out = Metrics.hodgesLehmann(df, Seq("k"), "side", "v")
+      .collect().map(r => r.getAs[String]("k") ->
+        ((r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+          r.getAs[Long]("n_pairs"), r.getAs[Long]("hl_shift")))).toMap
+    assert(out("s") == ((3L, 3L, 9L, 5L)), s"s: ${out("s")}")
+    assert(out("t") == ((2L, 2L, 4L, 1L)), s"t: ${out("t")}")
+  }
+
+  test("hodgesLehmann: a key missing one side emits nothing") {
+    val df = Seq(("k", true, 1L), ("k", true, 2L)).toDF("k", "side", "v")
+    assert(Metrics.hodgesLehmann(df, Seq("k"), "side", "v").count() == 0L)
+  }
+
   test("cemAtt: negative gaps round half-up identically and weight by treated share") {
     // two matched strata: gap +2 with 1 treated, gap −5 with 3 treated
     // → att = (1·2e6 + 3·(−5e6)) / 4 = −3.25e6; floor(−3.25e6 + 0.5)

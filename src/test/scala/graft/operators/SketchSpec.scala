@@ -425,4 +425,32 @@ class SketchSpec extends SparkSpec {
     assert(rs2.getAs[Long]("k_used") == 1L)
     assert(rs2.get(rs2.fieldIndex("tail_alpha_e6")) == null)
   }
+
+  test("huberLocation: hand-computed 2-step IRLS — outlier downweighted, not trimmed") {
+    // [1,2,3,100]: med 2, MAD 1, c = 1.345·1.4826 ≈ 1.994; the outlier
+    // keeps weight c/98 ≈ 0.02 → m₂ ≈ 2.6647 (reference-traced e6 value);
+    // [5,5,5]: MAD 0 degenerates safely (iterate stays at the median);
+    // [0,10,20,30,1000,1000]: heavier contamination, still bounded
+    val df = (Seq(1L, 2L, 3L, 100L).map(("a", _)) ++
+      Seq(5L, 5L, 5L).map(("b", _)) ++
+      Seq(0L, 10L, 20L, 30L, 1000L, 1000L).map(("c", _))).toDF("g", "v")
+    val out = Sketch.huberLocation(df, Seq("g"), "v", iters = 2)
+      .collect().map(r => r.getAs[String]("g") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("med"), r.getAs[Long]("mad"),
+          r.getAs[Long]("huber_e6")))).toMap
+    assert(out("a") == ((4L, 2L, 1L, 2664669L)), s"a: ${out("a")}")
+    assert(out("b") == ((3L, 5L, 0L, 5000000L)), s"b: ${out("b")}")
+    assert(out("c") == ((6L, 20L, 10L, 26273114L)), s"c: ${out("c")}")
+  }
+
+  test("huberLocation: sits between the median and the mean under asymmetric contamination") {
+    // spread base (MAD must be > 0 — a constant base degenerates to the
+    // median by the c = 0 contract) + a 500-valued contaminating block
+    val vals = (0 until 50).map(i => 95L + i % 10) ++ Seq.fill(10)(500L)
+    val r = Sketch.huberLocation(vals.map(("k", _)).toDF("g", "v"), Seq("g"), "v").head()
+    val h = r.getAs[Long]("huber_e6") / 1e6
+    val mean = vals.sum.toDouble / vals.length
+    assert(r.getAs[Long]("med") == 100L && r.getAs[Long]("mad") == 3L)
+    assert(h > 100.0 && h < mean, s"huber=$h mean=$mean")
+  }
 }

@@ -318,6 +318,31 @@ class DiagnosticsSpec extends SparkSpec {
     assert(byKey("w") == 10.0, s"walk series picked λ=${byKey("w")}")
   }
 
+  test("dtwPairwise: identical series at 0, shift tolerance, hand-computed DP") {
+    def mk(k: String, vs: Seq[Double]) = vs.zipWithIndex.map { case (v, i) => (k, i, v) }
+    // a≡b → 0; c/d differ only by a one-step time shift → DTW 0 where
+    // Euclidean would pay; e/f is the hand-traced 21.0 case
+    val df = (mk("a", Seq(0, 1, 2, 3)) ++ mk("b", Seq(0, 1, 2, 3)) ++
+      mk("c", Seq(0, 0, 1, 0)) ++ mk("d", Seq(0, 1, 0, 0)) ++
+      mk("e", Seq(1, 3, 4, 9)) ++
+      mk("f", Seq(1, 6, 2, 3, 0, 9, 4, 3, 6, 3))).toDF("k", "t", "v")
+    val out = Diagnostics.dtwPairwise(df, Seq("k"), "t", "v")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("dtw")).toMap
+    assert(out(("a", "b")) == 0.0)
+    assert(out(("c", "d")) == 0.0, s"shifted pair: ${out(("c", "d"))}")
+    assert(out(("e", "f")) == 21.0, s"hand case: ${out(("e", "f"))}")
+    assert(out.size == 15, s"expected C(6,2)=15 pairs, got ${out.size}")
+  }
+
+  test("dtwPairwise: series past maxN fail loud, not quadratic-quietly") {
+    val df = (0 until 40).flatMap(i => Seq(("a", i, i.toDouble), ("b", i, 1.0)))
+      .toDF("k", "t", "v")
+    val e = intercept[org.apache.spark.SparkException] {
+      Diagnostics.dtwPairwise(df, Seq("k"), "t", "v", maxN = 10).collect()
+    }
+    assert(e.getMessage.contains("maxN") || e.getCause != null)
+  }
+
   test("kpssFixedLag: eta matches the l=0 KPSS definition computed in-JVM") {
     val y = Iterator.iterate(10000L)(v =>
       v + (((v * 2654435761L) >>> 33) % 201L) - 100L).take(60).toArray

@@ -439,6 +439,19 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty && streamed == batch)
   }
 
+  test("streamingCemAtt: drained strata grid gives the batch ATT exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getAs[Long]("n_strata_matched"), r.getAs[Long]("n_treated_matched"),
+        r.getAs[Long]("n_control_matched"), r.getAs[Long]("n_treated_dropped"),
+        r.get(r.fieldIndex("att_e6")))
+    }
+    val streamed = row(StreamingCollapse.streamingCemAtt(spark, dir))
+    val batch = row(graft.SparkEntry.queries("q342_x_cem_att")(spark, dir))
+    assert(streamed._2 > 0L && streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("streamingChiSquare: grid state survives checkpoint stop + restart (recovery contract)") {
     // The production claim behind every grid-state twin: complete-mode
     // aggregation state checkpoints per shuffle partition and the file
