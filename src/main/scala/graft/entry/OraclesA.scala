@@ -1332,6 +1332,91 @@ private[graft] object OraclesA {
         |       floor(dtw / (na + nb) * 1e6 + 0.5) / 1e6 AS dtw_norm
         |FROM fin ORDER BY key_a, key_b""".stripMargin),
 
+    // SRM: the q322 split replay (dkHash32 permille buckets), designed
+    // weights as VALUES, per-arm (O·W − N·w)²/(N·w·W) e6-quantized
+    // before the integer sum; crit pulled from the SAME chi2Crit95E4
+    // table entry the Spark side inlines
+    "q348_x_srm_check" -> {
+      val crit = graft.operators.Metrics.chi2Crit95E4(1) // df = 2
+      s"""WITH sp AS (
+         |  SELECT CASE WHEN bb < 800 THEN 'train' WHEN bb < 900 THEN 'val'
+         |              ELSE 'test' END AS arm
+         |  FROM (SELECT ${dkHash32("CAST(doc_id AS VARCHAR)")} % 1000 AS bb
+         |        FROM documents WHERE doc_id IS NOT NULL)),
+         |o AS (SELECT arm, CAST(count(*) AS BIGINT) AS o FROM sp GROUP BY 1),
+         |e AS (SELECT * FROM (VALUES ('train', 800), ('val', 100),
+         |        ('test', 100)) t(arm, w)),
+         |j AS (SELECT e.arm, CAST(e.w AS BIGINT) AS w, coalesce(o.o, 0) AS o
+         |      FROM e LEFT JOIN o ON e.arm = o.arm),
+         |nn AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM j),
+         |t AS (SELECT CAST(floor(
+         |        CAST((CAST(o AS HUGEINT)*1000 - CAST(nn.n AS HUGEINT)*w)
+         |           * (CAST(o AS HUGEINT)*1000 - CAST(nn.n AS HUGEINT)*w) AS DOUBLE)
+         |        / CAST(CAST(nn.n AS HUGEINT)*w*1000 AS DOUBLE) * 1e6 + 0.5)
+         |      AS BIGINT) AS term
+         |      FROM j CROSS JOIN nn WHERE nn.n > 0)
+         |SELECT nn.n AS n_total, CAST(3 AS BIGINT) AS n_arms,
+         |       CAST(2 AS BIGINT) AS dof,
+         |       (SELECT CAST(sum(term) AS BIGINT) FROM t) AS chi2_e6,
+         |       CAST($crit AS BIGINT) AS crit5_e4,
+         |       (SELECT CAST(sum(term) AS BIGINT) FROM t) > ${crit * 100L}
+         |         AS srm_detected
+         |FROM nn""".stripMargin
+    },
+
+    // Bartlett: exact HUGEINT variance numerators, per-group ln/ratio
+    // terms quantized (e9/e6/e12) BEFORE the cross-group integer sums,
+    // the IDENTICAL correction/statistic tree, shared crit table CASE
+    "q349_x_bartlett" -> {
+      val crit = graft.operators.Metrics.chi2Crit95Sql("dof")
+      s"""WITH v AS (
+         |  SELECT l_returnflag AS g,
+         |         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) // 100 AS x
+         |  FROM lineitem),
+         |a AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+         |        sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(x AS HUGEINT)*x) AS sxx
+         |      FROM v GROUP BY 1),
+         |b AS (SELECT g, n, CAST(n AS HUGEINT)*sxx - sx*sx AS q FROM a),
+         |r AS (SELECT g, n, q, (n > 1 AND q > 0) AS ok,
+         |        CASE WHEN n > 1 AND q > 0 THEN CAST(floor(
+         |          ln(CAST(q AS DOUBLE)
+         |             / CAST(CAST(n AS HUGEINT)*(n-1) AS DOUBLE)) * 1e9 + 0.5)
+         |          AS BIGINT) END AS ln_e9,
+         |        CASE WHEN n > 1 AND q > 0 THEN CAST(floor(
+         |          CAST(q AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+         |          AS BIGINT) END AS sp_e6,
+         |        CASE WHEN n > 1 AND q > 0 THEN CAST(floor(
+         |          1e12 / CAST(n - 1 AS DOUBLE) + 0.5) AS BIGINT) END AS inv_e12
+         |      FROM b),
+         |ag AS (SELECT CAST(count(*) AS BIGINT) AS k_all,
+         |        CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS k,
+         |        CAST(coalesce(sum(n) FILTER (WHERE ok), 0) AS BIGINT) AS n_total,
+         |        sum(CAST(n - 1 AS HUGEINT) * ln_e9) FILTER (WHERE ok) AS swl,
+         |        sum(CAST(sp_e6 AS HUGEINT)) AS ssp,
+         |        CAST(sum(inv_e12) AS BIGINT) AS sinv
+         |      FROM r),
+         |f AS (SELECT ag.*, (k > 1 AND k = k_all AND n_total > k) AS allok,
+         |        CAST(n_total - k AS DOUBLE) AS nk FROM ag),
+         |f2 AS (SELECT f.*,
+         |        (nk * ln(CAST(ssp AS DOUBLE) / 1e6 / nk)
+         |           - CAST(swl AS DOUBLE) / 1e9)
+         |        / (1.0 + (CAST(sinv AS DOUBLE) / 1e12 - 1.0 / nk)
+         |           / (3.0 * CAST(k - 1 AS DOUBLE))) AS t
+         |      FROM f),
+         |f3 AS (SELECT f2.*,
+         |        CASE WHEN allok THEN k - 1 END AS dof,
+         |        CASE WHEN allok THEN CAST(floor(t * 1e6 + 0.5) AS BIGINT) END
+         |          AS bartlett_t_e6
+         |      FROM f2),
+         |f4 AS (SELECT f3.*,
+         |        CASE WHEN allok THEN CAST(($crit) AS BIGINT) END AS crit5_e4
+         |      FROM f3)
+         |SELECT n_total, k, dof, bartlett_t_e6, crit5_e4,
+         |       CASE WHEN allok THEN bartlett_t_e6 > crit5_e4 * 100 END
+         |         AS heteroscedastic
+         |FROM f4""".stripMargin
+    },
+
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),

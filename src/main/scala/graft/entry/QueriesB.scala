@@ -2211,6 +2211,24 @@ private[graft] object QueriesB {
             .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6)
               .as("tot")),
           Seq("o_orderpriority"), "month", "tot")
-        .orderBy("key_a", "key_b"))
+        .orderBy("key_a", "key_b")),
+
+    // ---- extension: sample-ratio-mismatch check — χ² goodness-of-fit
+    // of the hashSplit's observed shares against the DESIGNED 80/10/10
+    // (the first health gate of every A/B or split-based eval readout)
+    "q348_x_srm_check" -> tuned((s, d) =>
+      graft.operators.Metrics.srmCheck(
+        Corpus.hashSplit(
+          Tables.documents(s, d).filter(col("doc_id").isNotNull), "doc_id"),
+        "split", Seq(("train", 800L), ("val", 100L), ("test", 100L)))),
+
+    // ---- extension: Bartlett's equal-variance test — the parametric
+    // likelihood-ratio screen beside Brown-Forsythe's robust one
+    // (disagreement between the two itself flags heavy tails)
+    "q349_x_bartlett" -> tuned((s, d) =>
+      graft.operators.Metrics.bartlettTest(
+        Tables.lineitem(s, d).withColumn("dollars",
+          expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 100")),
+        "l_returnflag", "dollars"))
   )
 }

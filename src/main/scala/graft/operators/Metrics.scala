@@ -2622,6 +2622,125 @@ object Metrics {
       .drop("__s")
   }
 
+  /** Sample-ratio-mismatch check (SRM): χ² GOODNESS-OF-FIT of observed
+    * arm counts against the DESIGNED allocation ratio — the first
+    * health gate of every A/B readout (a biased assignment invalidates
+    * every downstream metric before any of this tier's tests run;
+    * `chiSquareIndependence` tests association between two OBSERVED
+    * columns, this tests observed-vs-DESIGN — a different null).
+    *
+    * Exactness: with integer design weights `w` (W = Σw), each arm's
+    * term `(O·W − N·w)²/(N·w·W)` is a ratio of exact DECIMALs —
+    * e6-quantized per ARM before the integer sum. An observed arm
+    * OUTSIDE the design RAISES (that arm is precisely the assignment
+    * bug SRM exists to catch — a silent drop would hide it); designed
+    * arms with zero observations participate with O = 0. Verdict
+    * against the shared [[chi2Crit95E4]] table at df = k−1.
+    *
+    * Scale shape: one count-by-arm aggregate (map-side combined), then
+    * arithmetic on k rows. Output: one row
+    * `(n_total, n_arms, dof, chi2_e6, crit5_e4, srm_detected)`. */
+  def srmCheck(df: DataFrame, armCol: String,
+               expected: Seq[(String, Long)]): DataFrame = {
+    require(expected.size >= 2, "srmCheck needs at least two designed arms")
+    require(expected.forall(_._2 > 0L), "design weights must be positive")
+    require(expected.map(_._1).distinct.size == expected.size,
+      "design arm names must be distinct")
+    require(expected.size <= 41, "df > 40 exceeds the chi2Crit95E4 table")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bigW = expected.map(_._2).sum
+    val exp = expected.toDF("__arm", "__w")
+    val obs = df.filter(col(armCol).isNotNull)
+      .groupBy(col(armCol).cast("string").as("__arm"))
+      .agg(count(lit(1)).as("__o"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val joined = obs.join(broadcast(exp), Seq("__arm"), "full_outer")
+      .select(col("__arm"), coalesce(col("__o"), lit(0L)).as("__o"),
+        when(col("__w").isNull,
+          expr("raise_error(concat('srmCheck: observed arm ''', __arm, " +
+            "''' is not in the designed allocation'))").cast("long"))
+          .otherwise(col("__w")).as("__w"))
+    val tot = joined.agg(sum(col("__o")).as("__n"))
+    val diff = dec(col("__o")) * lit(bigW) - dec(col("__n")) * col("__w")
+    val term = floor(d(diff * diff) / d(dec(col("__n")) * col("__w") * lit(bigW))
+      * 1e6 + 0.5).cast("long")
+    val dof = expected.size - 1
+    joined.crossJoin(broadcast(tot))
+      .withColumn("__t", when(col("__n") > 0L, term))
+      .agg(max(col("__n")).as("n_total"),
+        count(lit(1)).cast("long").as("n_arms"),
+        sum(col("__t")).as("chi2_e6"))
+      .withColumn("dof", lit(dof.toLong))
+      .withColumn("crit5_e4", lit(chi2Crit95E4(dof - 1)))
+      .withColumn("srm_detected",
+        when(col("chi2_e6").isNotNull, col("chi2_e6") > col("crit5_e4") * 100L))
+      .select("n_total", "n_arms", "dof", "chi2_e6", "crit5_e4", "srm_detected")
+  }
+
+  /** Bartlett's test of equal variances across k groups — the
+    * PARAMETRIC variance-homogeneity screen beside the robust
+    * Brown–Forsythe (Bartlett is the likelihood-ratio test, most
+    * powerful under normality but sensitive to heavy tails — report
+    * both and disagreement ITSELF flags non-normality; Bartlett 1937):
+    * `T = [(N−k)·ln s_p² − Σ(nᵢ−1)·ln sᵢ²] / C` with the finite-sample
+    * correction `C = 1 + (Σ 1/(nᵢ−1) − 1/(N−k)) / (3(k−1))`, χ²(k−1).
+    *
+    * Exactness: per-group variance numerators `Qᵢ = nᵢ·Σx² − (Σx)²`
+    * are exact DECIMALs; every per-group transcendental/rational term
+    * is quantized to a fixed grid BEFORE its cross-group sum
+    * (`ln sᵢ²` e9, `Qᵢ/nᵢ` e6, `1/(nᵢ−1)` e12), so all cross-group
+    * sums are exact integers and the final T is one double tree.
+    * Groups need nᵢ ≥ 2 and sᵢ² > 0 (a zero-variance group has a
+    * −∞ log-likelihood — those emit a null verdict, not garbage).
+    *
+    * Scale shape: one aggregate to k group rows, then arithmetic.
+    * Output: one row `(n_total, k, dof, bartlett_t_e6, crit5_e4,
+    * heteroscedastic)`. */
+  def bartlettTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    def d(c: org.apache.spark.sql.Column) = c.cast("double")
+    val v = col(valueCol).cast("long")
+    val g = df.filter(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(dec(v)).as("sx"),
+        sum(dec(v) * v).as("sxx"))
+      .withColumn("q", dec(col("n")) * col("sxx") - col("sx") * col("sx"))
+    // per-group quantized terms (each ONE fixed tree, summed as integers)
+    val s2 = d(col("q")) / d(dec(col("n")) * (col("n") - lit(1L)))
+    val rows = g
+      .withColumn("__ok", col("n") > 1L && col("q") > 0)
+      .withColumn("__ln_e9", when(col("__ok"),
+        floor(log(s2) * 1e9 + 0.5).cast("long")))
+      .withColumn("__sp_e6", when(col("__ok"),
+        floor(d(col("q")) / d(col("n")) * 1e6 + 0.5).cast("long")))
+      .withColumn("__inv_e12", when(col("__ok"),
+        floor(lit(1e12) / d(col("n") - lit(1L)) + 0.5).cast("long")))
+    val agg = rows.agg(
+      count(lit(1)).cast("long").as("k_all"),
+      count(when(col("__ok"), 1)).cast("long").as("k"),
+      coalesce(sum(when(col("__ok"), col("n"))), lit(0L)).as("n_total"),
+      // widen: (nᵢ−1)·ln_e9 can pass 2⁶³ at 10¹² rows/group
+      sum(when(col("__ok"), dec(col("n") - lit(1L)) * col("__ln_e9"))).as("swl"),
+      sum(dec(col("__sp_e6"))).as("ssp"), sum(col("__inv_e12")).as("sinv"))
+    val nk = d(col("n_total") - col("k"))
+    val lnSp = log(d(col("ssp")) / 1e6 / nk)
+    val c = lit(1.0) + (d(col("sinv")) / 1e12 - lit(1.0) / nk) /
+      (lit(3.0) * d(col("k") - lit(1L)))
+    val t = (nk * lnSp - d(col("swl")) / 1e9) / c
+    val ok = col("k") > 1L && col("k") === col("k_all") && col("n_total") > col("k")
+    agg
+      .withColumn("dof", when(ok, col("k") - 1L))
+      .withColumn("bartlett_t_e6", when(ok, floor(t * 1e6 + 0.5).cast("long")))
+      .withColumn("crit5_e4", when(ok,
+        expr(s"cast((${chi2Crit95Sql("dof")}) as bigint)")))
+      .withColumn("heteroscedastic", when(ok,
+        col("bartlett_t_e6") > col("crit5_e4") * 100L))
+      .select(col("n_total"), col("k"), col("dof"), col("bartlett_t_e6"),
+        col("crit5_e4"), col("heteroscedastic"))
+  }
+
   /** Hodges–Lehmann shift estimator between two sides per key — the
     * LOCATION ESTIMATE the Mann–Whitney test implies (HL is the shift
     * Δ that centers the MW statistic; Hodges & Lehmann 1963): the

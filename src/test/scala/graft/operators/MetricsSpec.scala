@@ -1144,6 +1144,59 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("att_e6") == 10000000L)
   }
 
+  test("srmCheck: hand-computed GOF terms; zero-observed design arm participates") {
+    // A:3 B:1 vs 1:1 → χ² = 1 exactly (each term (O·W−N·w)²/(N·w·W) = ½)
+    val mild = Seq.fill(3)("A").map(("x", _)) ++ Seq(("x", "B"))
+    val r1 = Metrics.srmCheck(mild.toDF("id", "arm"), "arm",
+      Seq(("A", 1L), ("B", 1L))).head()
+    assert(r1.getAs[Long]("chi2_e6") == 1000000L)
+    assert(r1.getAs[Long]("dof") == 1L && !r1.getAs[Boolean]("srm_detected"))
+    // A:100 B:10 vs 1:1 → χ² ≈ 73.6, detected
+    val bad = (Seq.fill(100)("A") ++ Seq.fill(10)("B")).map(("x", _))
+    val r2 = Metrics.srmCheck(bad.toDF("id", "arm"), "arm",
+      Seq(("A", 1L), ("B", 1L))).head()
+    assert(r2.getAs[Long]("chi2_e6") == 73636364L, s"chi2=${r2.getAs[Long]("chi2_e6")}")
+    assert(r2.getAs[Boolean]("srm_detected"))
+    // a designed arm with ZERO observations still contributes its term
+    val half = Seq.fill(5)("A").map(("x", _))
+    val r3 = Metrics.srmCheck(half.toDF("id", "arm"), "arm",
+      Seq(("A", 1L), ("B", 1L))).head()
+    assert(r3.getAs[Long]("chi2_e6") == 5000000L && r3.getAs[Boolean]("srm_detected"))
+  }
+
+  test("srmCheck: an observed arm outside the design raises, never silently drops") {
+    val df = Seq(("x", "A"), ("x", "C")).toDF("id", "arm")
+    val e = intercept[Exception] {
+      Metrics.srmCheck(df, "arm", Seq(("A", 1L), ("B", 1L))).collect()
+    }
+    assert(e.getMessage.contains("srmCheck") || e.getCause != null)
+  }
+
+  test("bartlettTest: identical group variances give T exactly 0; a wide group flags") {
+    // three groups with IDENTICAL variance → LR statistic is exactly 0
+    val eq = (Seq(10, 12, 14, 16, 18).map(("a", _)) ++
+      Seq(20, 22, 24, 26, 28).map(("b", _)) ++
+      Seq(5, 7, 9, 11, 13).map(("c", _))).map { case (g, v) => (g, v.toLong) }
+    val r1 = Metrics.bartlettTest(eq.toDF("g", "v"), "g", "v").head()
+    assert(r1.getAs[Long]("bartlett_t_e6") == 0L)
+    assert(!r1.getAs[Boolean]("heteroscedastic"))
+    // tight vs wide (reference-traced through the quantized protocol)
+    val uneq = (Seq(100, 101, 99, 100, 101, 99).map(("t", _)) ++
+      Seq(50, 150, 20, 180, 10, 190).map(("w", _))).map { case (g, v) => (g, v.toLong) }
+    val r2 = Metrics.bartlettTest(uneq.toDF("g", "v"), "g", "v").head()
+    assert(r2.getAs[Long]("bartlett_t_e6") == 34826193L,
+      s"t=${r2.getAs[Long]("bartlett_t_e6")}")
+    assert(r2.getAs[Boolean]("heteroscedastic"))
+  }
+
+  test("bartlettTest: a zero-variance group nulls the verdict instead of -inf") {
+    val df = (Seq(5, 5, 5).map(("z", _)) ++ Seq(1, 2, 3).map(("o", _)))
+      .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
+    val r = Metrics.bartlettTest(df, "g", "v").head()
+    assert(r.get(r.fieldIndex("bartlett_t_e6")) == null)
+    assert(r.get(r.fieldIndex("heteroscedastic")) == null)
+  }
+
   test("hodgesLehmann: exact pure-shift recovery and weighted lower median") {
     // A = B + 5 exactly → HL must be exactly 5 (diff grid median);
     // and the tiny [1,2] vs [0,1] case: diffs [0,1,1,2] → lower median 1
