@@ -967,10 +967,12 @@ private[graft] object OraclesA {
         |  syy - (sy - b1c*sx)/nn*sy - b1c*sxy AS rss0,
         |  syy0 - (sy0 - b1f*sx0)/n0*sy0 - b1f*sxy0 AS rssf
         |  FROM r),
-        |a AS (SELECT r2.*,
+        |r3 AS (SELECT r2.* REPLACE (
+        |  (ok AND rss0 > 0 AND rss1 > 0 AND rssf > 0) AS ok) FROM r2),
+        |a AS (SELECT r3.*,
         |  CASE WHEN ok THEN floor((nn*(ln(6.283185307179586*rss0/nn) + 1.0) + 4.0) * 1e6 + 0.5)/1e6 END AS aic0,
         |  CASE WHEN ok THEN floor((nn*(ln(6.283185307179586*rss1/nn) + 1.0) + 6.0) * 1e6 + 0.5)/1e6 END AS aic1
-        |  FROM r2),
+        |  FROM r3),
         |sel AS (SELECT a.*,
         |  CASE WHEN ok THEN (CASE WHEN aic1 < aic0 THEN 1 ELSE 0 END) END AS lagsel
         |  FROM a),
@@ -1384,7 +1386,7 @@ private[graft] object OraclesA {
          |          AS BIGINT) END AS ln_e9,
          |        CASE WHEN n > 1 AND q > 0 THEN CAST(floor(
          |          CAST(q AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
-         |          AS BIGINT) END AS sp_e6,
+         |          AS HUGEINT) END AS sp_e6,
          |        CASE WHEN n > 1 AND q > 0 THEN CAST(floor(
          |          1e12 / CAST(n - 1 AS DOUBLE) + 0.5) AS BIGINT) END AS inv_e12
          |      FROM b),
@@ -1392,7 +1394,7 @@ private[graft] object OraclesA {
          |        CAST(count(*) FILTER (WHERE ok) AS BIGINT) AS k,
          |        CAST(coalesce(sum(n) FILTER (WHERE ok), 0) AS BIGINT) AS n_total,
          |        sum(CAST(n - 1 AS HUGEINT) * ln_e9) FILTER (WHERE ok) AS swl,
-         |        sum(CAST(sp_e6 AS HUGEINT)) AS ssp,
+         |        sum(sp_e6) AS ssp,
          |        CAST(sum(inv_e12) AS BIGINT) AS sinv
          |      FROM r),
          |f AS (SELECT ag.*, (k > 1 AND k = k_all AND n_total > k) AS allok,

@@ -274,7 +274,10 @@ object Graph {
     val adj = und.select(col("a").as("z"), col("b").as("n"))
       .union(und.select(col("b").as("z"), col("a").as("n")))
       .join(deg.withColumnRenamed("node", "z"), "z")
-      .filter(col("d") <= maxDegree)
+      // d >= 2: a degree-1 node can never be a common neighbor, and
+      // 1e9/ln(1) = Infinity would cast-clamp to Long.MaxValue — latent
+      // garbage in the persisted frame one refactor away from a sum
+      .filter(col("d") >= 2L && col("d") <= maxDegree)
       .withColumn("term_e9",
         floor(lit(1e9) / log(col("d").cast("double")) + 0.5).cast("long"))
       .persist(lvl)

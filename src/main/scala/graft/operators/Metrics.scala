@@ -2692,6 +2692,14 @@ object Metrics {
     * is quantized to a fixed grid BEFORE its cross-group sum
     * (`ln sᵢ²` e9, `Qᵢ/nᵢ` e6, `1/(nᵢ−1)` e12), so all cross-group
     * sums are exact integers and the final T is one double tree.
+    * The `Qᵢ/nᵢ` e6 term is UNBOUNDED in the data (it is ~nᵢ·σᵢ², so
+    * lineitem dollars pass 2⁶³ already at ~2·10⁴ rows/group): it is
+    * routed through DECIMAL(38,0), never a BIGINT cast (a non-ANSI
+    * double→long cast would silently saturate at Long.MaxValue — the
+    * q269/q271/q309 failure class), and RAISES past `Qᵢ/nᵢ ≥ 10²⁴`
+    * (headroom: 41 groups × 10³⁰ e6-scaled < 10³⁸) — bin/rescale
+    * values upstream. k−1 > 40 also RAISES (past the inlined
+    * [[chi2Crit95E4]] table, the srmCheck convention).
     * Groups need nᵢ ≥ 2 and sᵢ² > 0 (a zero-variance group has a
     * −∞ log-likelihood — those emit a null verdict, not garbage).
     *
@@ -2713,8 +2721,22 @@ object Metrics {
       .withColumn("__ok", col("n") > 1L && col("q") > 0)
       .withColumn("__ln_e9", when(col("__ok"),
         floor(log(s2) * 1e9 + 0.5).cast("long")))
+      // Spark floor(double) returns LONG (saturating non-ANSI at 2⁶³) —
+      // take floor as the exact double identity f − (f mod 1) instead
+      // (exact for f ≥ 0: below 2⁵³ both terms are representable and the
+      // subtraction result floor(f) is representable; at/above 2⁵³ the
+      // fraction is 0), then the integer-valued double casts to
+      // DECIMAL(38,0) exactly — bit-equal to DuckDB's
+      // CAST(floor(...) AS HUGEINT) on the same tree
       .withColumn("__sp_e6", when(col("__ok"),
-        floor(d(col("q")) / d(col("n")) * 1e6 + 0.5).cast("long")))
+        when(d(col("q")) / d(col("n")) >= lit(1e24),
+          expr("raise_error('bartlettTest: per-group sum-of-squares " +
+            "q/n >= 1e24 exceeds the e6 quantization bound — " +
+            "bin/rescale values upstream')").cast("decimal(38,0)"))
+          .otherwise {
+            val f = d(col("q")) / d(col("n")) * lit(1e6) + lit(0.5)
+            (f - (f % lit(1.0))).cast("decimal(38,0)")
+          }))
       .withColumn("__inv_e12", when(col("__ok"),
         floor(lit(1e12) / d(col("n") - lit(1L)) + 0.5).cast("long")))
     val agg = rows.agg(
@@ -2723,7 +2745,7 @@ object Metrics {
       coalesce(sum(when(col("__ok"), col("n"))), lit(0L)).as("n_total"),
       // widen: (nᵢ−1)·ln_e9 can pass 2⁶³ at 10¹² rows/group
       sum(when(col("__ok"), dec(col("n") - lit(1L)) * col("__ln_e9"))).as("swl"),
-      sum(dec(col("__sp_e6"))).as("ssp"), sum(col("__inv_e12")).as("sinv"))
+      sum(col("__sp_e6")).as("ssp"), sum(col("__inv_e12")).as("sinv"))
     val nk = d(col("n_total") - col("k"))
     val lnSp = log(d(col("ssp")) / 1e6 / nk)
     val c = lit(1.0) + (d(col("sinv")) / 1e12 - lit(1.0) / nk) /
@@ -2732,9 +2754,20 @@ object Metrics {
     val ok = col("k") > 1L && col("k") === col("k_all") && col("n_total") > col("k")
     agg
       .withColumn("dof", when(ok, col("k") - 1L))
-      .withColumn("bartlett_t_e6", when(ok, floor(t * 1e6 + 0.5).cast("long")))
+      // |T|·1e6 past 2⁶³ would saturate the long floor — T ≈ (N−k)·Δln
+      // only reaches 9·10¹² near 10¹² strongly-heteroscedastic rows;
+      // fail loud there rather than clamp (the q349 lesson, applied to
+      // the READOUT too)
+      .withColumn("bartlett_t_e6", when(ok,
+        when(abs(t) >= lit(9.0e12),
+          expr("raise_error('bartlettTest: |T| >= 9e12 exceeds the e6 " +
+            "readout bound')").cast("long"))
+          .otherwise(floor(t * 1e6 + 0.5).cast("long"))))
       .withColumn("crit5_e4", when(ok,
-        expr(s"cast((${chi2Crit95Sql("dof")}) as bigint)")))
+        when(col("dof") > 40L,
+          expr("raise_error('bartlettTest: k-1 > 40 exceeds the inlined " +
+            "chi-square critical table')").cast("bigint"))
+          .otherwise(expr(s"cast((${chi2Crit95Sql("dof")}) as bigint)"))))
       .withColumn("heteroscedastic", when(ok,
         col("bartlett_t_e6") > col("crit5_e4") * 100L))
       .select(col("n_total"), col("k"), col("dof"), col("bartlett_t_e6"),
@@ -2849,8 +2882,15 @@ object Metrics {
     def d(c: org.apache.spark.sql.Column) = c.cast("double")
     def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
     val matched = col("nt") > 0L && col("nc") > 0L
-    val gapE6 = floor((d(col("st")) / d(col("nt")) - d(col("sc")) / d(col("nc")))
-      * 1e6 + 0.5).cast("long")
+    // the per-stratum mean gap is OUTCOME-scaled (unbounded in the
+    // data): past 9·10¹² the e6 long floor would silently saturate
+    // where the oracle's HUGEINT cast fail-louds — raise instead
+    val rawGap = d(col("st")) / d(col("nt")) - d(col("sc")) / d(col("nc"))
+    val gapE6 = when(abs(rawGap) >= lit(9.0e12),
+      expr("raise_error('attFromStrata: |stratum mean gap| >= 9e12 " +
+        "exceeds the e6 readout bound — rescale outcomes upstream')")
+        .cast("long"))
+      .otherwise(floor(rawGap * 1e6 + 0.5).cast("long"))
     strata
       .withColumn("__g", when(matched, gapE6))
       .agg(

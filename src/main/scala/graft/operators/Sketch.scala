@@ -483,8 +483,14 @@ object Sketch {
         .drop("__num", "__den")
     }
     cur.join(nPerG, groupCols)
+      // the M-location is VALUE-scaled (unbounded): fail loud past the
+      // e6 long-floor bound rather than silently saturate
       .select(g :+ col("n") :+ col("med") :+ col("mad") :+
-        floor(col("__m") * 1e6 + 0.5).cast("long").as("huber_e6"): _*)
+        when(abs(col("__m")) >= lit(9.0e12),
+          expr("raise_error('huberLocation: |m| >= 9e12 exceeds the e6 " +
+            "readout bound — rescale values upstream')").cast("long"))
+          .otherwise(floor(col("__m") * 1e6 + 0.5).cast("long"))
+          .as("huber_e6"): _*)
   }
 
   /** Per-group distinct-count estimate of `valueCol` (hashed via its
@@ -734,10 +740,13 @@ object Sketch {
   /** Gini concentration coefficient per group — "how unequal is this
     * distribution" (revenue over customers, tokens over domains): for
     * values sorted ascending, `G = (2·Σ i·xᵢ − (n+1)·Σx) / (n·Σx)`.
-    * Numerator and denominator are EXACT LONGS (Σ i·xᵢ is bounded by
-    * n²·max(x) — fine into hundreds of millions of cents-valued rows per
-    * group); the single IEEE division lands in `gini_e6`. Equal values
-    * commute in Σ i·xᵢ, so any stable sort gives the same sum —
+    * Numerator and denominator are EXACT DECIMAL(38,0) (round-11: the
+    * old LONG route WRAPPED silently — `i·xᵢ` is n·max(x) per row and
+    * Σ i·xᵢ ≈ n²·x̄/2 passes 2⁶³ near 10⁶ cents-valued rows per group,
+    * exactly the q349/q178 overflow class; the oracle's HUGEINT sums
+    * never had the hazard). The single IEEE division lands in
+    * `gini_e6` (|G| ≤ 1, so the e6 readout cannot saturate). Equal
+    * values commute in Σ i·xᵢ, so any stable sort gives the same sum —
     * deterministic without a tiebreak. Requires non-negative values
     * (fails loudly: a negative would make G meaningless silently).
     *
@@ -751,14 +760,16 @@ object Sketch {
     val ord = Window.partitionBy(groupCols.map(col): _*).orderBy(v0)
     df.filter(v0.isNotNull)
       .withColumn("__i", row_number().over(ord))
-      .withColumn("__ix", col("__i") * v)
+      .withColumn("__ix", col("__i").cast("decimal(38,0)") * v)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(v0).as("total"),
         sum(col("__ix")).as("__six"))
       .withColumn("gini_e6",
         when(col("total") > 0, floor(
-          (lit(2) * col("__six") - (col("n") + 1) * col("total")).cast("double") /
-            (col("n") * col("total")).cast("double") * 1e6 + 0.5).cast("long")))
+          (lit(2L).cast("decimal(38,0)") * col("__six") -
+            (col("n") + 1).cast("decimal(38,0)") * col("total")).cast("double") /
+            (col("n").cast("decimal(38,0)") * col("total")).cast("double")
+            * 1e6 + 0.5).cast("long")))
       .drop("__six")
   }
 

@@ -528,7 +528,11 @@ object Diagnostics {
     def rnd6(c: Column) = floor(c * 1e6 + 0.5) / 1e6
     val q = math.pow(10, roundTo)
     def rnd(c: Column) = floor(c * q + 0.5) / q
-    val ok = det =!= 0.0 && det2c =!= 0.0 && det2f =!= 0.0 && col("n") > lit(3L)
+    // rss > 0 guards: a perfect fit (or tiny-negative rss from float
+    // cancellation) would send log(rss/n) to NaN, which det/n checks
+    // alone cannot catch — degenerate fits emit the documented null
+    val ok = det =!= 0.0 && det2c =!= 0.0 && det2f =!= 0.0 && col("n") > lit(3L) &&
+      rss0 > lit(0.0) && rss1 > lit(0.0) && rssf > lit(0.0)
     val aic0 = rnd6(when(ok, aic(rss0, 0)))
     val aic1 = rnd6(when(ok, aic(rss1, 1)))
     // strict-improvement scan: k=0 first, k=1 replaces only on aic1 < aic0

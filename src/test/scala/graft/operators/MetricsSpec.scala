@@ -1189,6 +1189,32 @@ class MetricsSpec extends SparkSpec {
     assert(r2.getAs[Boolean]("heteroscedastic"))
   }
 
+  test("bartlettTest: per-group SS past 2^63 at e6 still computes exactly " +
+    "(the q349 sf0.01 regression — a long cast would silently saturate)") {
+    // q/n·1e6 = 1e19 and 9e19, both > 2^63: the DECIMAL(38,0) route must
+    // carry them exactly (hand-traced through the quantized protocol)
+    val df = (Seq(0L, 1000000L, 2000000L, 3000000L, 4000000L).map(("a", _)) ++
+      Seq(0L, 3000000L, 6000000L, 9000000L, 12000000L).map(("b", _)))
+      .toDF("g", "v")
+    val r = Metrics.bartlettTest(df, "g", "v").head()
+    assert(r.getAs[Long]("bartlett_t_e6") == 3632538L,
+      s"t=${r.getAs[Long]("bartlett_t_e6")}")
+    assert(!r.getAs[Boolean]("heteroscedastic"))
+  }
+
+  test("bartlettTest: fail-loud fences — q/n >= 1e24 and k-1 > 40 raise") {
+    val huge = Seq(("a", 0L), ("a", 2000000000000L), ("b", 1L), ("b", 2L))
+      .toDF("g", "v")
+    val e1 = intercept[Exception] { Metrics.bartlettTest(huge, "g", "v").collect() }
+    assert(e1.getMessage.contains("bartlettTest") ||
+      e1.getCause != null, e1.getMessage)
+    val wide = (0 until 42).flatMap(i => Seq((s"g$i", 1L), (s"g$i", 2L)))
+      .toDF("g", "v")
+    val e2 = intercept[Exception] { Metrics.bartlettTest(wide, "g", "v").collect() }
+    assert(e2.getMessage.contains("chi-square critical") ||
+      e2.getCause != null, e2.getMessage)
+  }
+
   test("bartlettTest: a zero-variance group nulls the verdict instead of -inf") {
     val df = (Seq(5, 5, 5).map(("z", _)) ++ Seq(1, 2, 3).map(("o", _)))
       .map { case (g, v) => (g, v.toLong) }.toDF("g", "v")
