@@ -25,6 +25,8 @@ object DialProbe {
 
   def main(args: Array[String]): Unit = {
     val dir = if (args.nonEmpty) args(0) else "/tmp/graft10x_b"
+    // optional 2nd arg: probe-set selector ("all" | "aa")
+    val sel = if (args.length > 1) args(1) else "all"
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -37,6 +39,7 @@ object DialProbe {
       println(f"DIALPROBE $lbl%-34s $t%7.2f s")
     }
 
+    if (sel == "all") {
     val li = sources.Tables.lineitem(spark, dir)
     probe("q246 trimmedMean exact dollars") {
       operators.Sketch.trimmedMean(
@@ -79,6 +82,25 @@ object DialProbe {
     probe("q257 rougeN hashGrams=true") {
       text.Retrieval.rougeN(docs, "doc_id", "text", pairs, n = 2,
         hashGrams = true)
+    }
+    }
+
+    // q343 adamicAdar: the `maxDegree` dial bounds the Σ deg² wedge
+    // blowup by excluding hubs from the CENTER role — the documented
+    // trade (a vanishing 1/ln tail of recall for the quadratic cost) had
+    // no measured numbers. Probe the dial ladder on the 10x co-purchase
+    // graph; also report the wedge count each setting admits.
+    val li343 = sources.Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+    val edges343 = li343.as("x").join(li343.as("y"),
+        col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+      .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      .localCheckpoint()
+    for (md <- Seq(50L, 200L, 800L, 3200L)) {
+      probe(s"q343 adamicAdar maxDegree=$md") {
+        operators.Graph.adamicAdar(edges343, "src", "dst",
+          maxDegree = md, topK = 25)
+      }
     }
     spark.stop()
   }
