@@ -1419,6 +1419,69 @@ private[graft] object OraclesA {
          |FROM f4""".stripMargin
     },
 
+    // logistic GD, 3 iterations UNROLLED (the q339 pattern) — the sigmoid
+    // and NLL are the SAME literal e6 tables the Spark plan uses
+    // (interpolated from QualityClassifier.sigmoidTableE6 at SQL-build
+    // time, the q276 discount-table precedent), z bucketed to the nearest
+    // tenth via the posmod floor-div identity (negative z buckets
+    // identically in both engines), weight step = floor-div by n
+    "q350_x_logistic_slice" -> {
+      val words = Seq("table", "query", "scan", "data",
+        "fast", "window", "agg", "stream")
+      val xs = "x0" +: words.indices.map(j => s"x${j + 1}")
+      val sig = graft.text.QualityClassifier.sigmoidTableE6
+        .mkString("[", ", ", "]")
+      val nllp = graft.text.QualityClassifier.nllPosTableE6
+        .mkString("[", ", ", "]")
+      val nlln = graft.text.QualityClassifier.nllNegTableE6
+        .mkString("[", ", ", "]")
+      def fdiv(a: String, m: String) =
+        s"((($a) - ((($a) % ($m) + ($m)) % ($m))) // ($m))"
+      def margin(p: String) = xs.zipWithIndex
+        .map { case (x, j) => s"$p$j*$x" }.mkString(" + ")
+      def bucket(z: String) =
+        s"greatest(least(${fdiv(s"($z) + 50000", "100000")}, 60), -60)"
+      def err(p: String) =
+        s"(list_extract($sig, CAST(${bucket(margin(p))} + 61 AS INT)) - y*1000000)"
+      def step(prev: String, out: Char) = xs.zipWithIndex.map { case (x, j) =>
+        s"CAST(max($prev$j) - ${fdiv(
+          s"CAST(coalesce(sum(${err(prev)}*$x), 0) AS BIGINT)", "max(nd)")} AS BIGINT) AS $out$j"
+      }.mkString(",\n  ")
+      s"""WITH f AS (
+         |  SELECT CAST(1 AS BIGINT) AS x0,
+         |         ${words.zipWithIndex.map { case (w, j) =>
+                      s"CAST(list_contains(toks, '$w') AS BIGINT) AS x${j + 1}"
+                    }.mkString(",\n         ")},
+         |         CAST(list_contains(toks, 'vector') AS BIGINT) AS y
+         |  FROM (SELECT regexp_split_to_array(trim(text), '\\s+') AS toks
+         |        FROM documents WHERE text IS NOT NULL) t),
+         |nn AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM f),
+         |i0 AS (SELECT ${xs.indices.map(j =>
+                  s"CAST(0 AS BIGINT) AS a$j").mkString(", ")}),
+         |i1 AS (SELECT ${step("a", 'b')}
+         |  FROM f CROSS JOIN i0 CROSS JOIN nn),
+         |i2 AS (SELECT ${step("b", 'c')}
+         |  FROM f CROSS JOIN i1 CROSS JOIN nn),
+         |i3 AS (SELECT ${step("c", 'd')}
+         |  FROM f CROSS JOIN i2 CROSS JOIN nn),
+         |conf AS (SELECT
+         |    ${xs.indices.map(j => s"max(d$j) AS w$j").mkString(", ")},
+         |    CAST(sum(CASE WHEN y = 1
+         |      THEN list_extract($nllp, CAST(${bucket(margin("d"))} + 61 AS INT))
+         |      ELSE list_extract($nlln, CAST(${bucket(margin("d"))} + 61 AS INT))
+         |      END) AS BIGINT) AS nll_e6,
+         |    count(*) FILTER (WHERE y = 1 AND (${margin("d")}) > 0) AS tp,
+         |    count(*) FILTER (WHERE y = 0 AND (${margin("d")}) > 0) AS fp,
+         |    count(*) FILTER (WHERE y = 0 AND NOT ((${margin("d")}) > 0)) AS tn,
+         |    count(*) FILTER (WHERE y = 1 AND NOT ((${margin("d")}) > 0)) AS fn
+         |  FROM f CROSS JOIN i3)
+         |SELECT ${xs.indices.map(j => s"w$j").mkString(", ")}, nll_e6,
+         |       tp, fp, tn, fn,
+         |       CASE WHEN tp+fp+tn+fn = 0 THEN 0
+         |            ELSE (tp+tn)*1000000 // (tp+fp+tn+fn) END AS acc_e6
+         |FROM conf""".stripMargin
+    },
+
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),

@@ -2229,6 +2229,18 @@ private[graft] object QueriesB {
       graft.operators.Metrics.bartlettTest(
         Tables.lineitem(s, d).withColumn("dollars",
           expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 100")),
-        "l_returnflag", "dollars"))
+        "l_returnflag", "dollars")),
+
+    // ---- extension: fixed-3-iteration LOGISTIC GD with the shared
+    // e6-quantized sigmoid table — graduates q93's float-logistic-loss
+    // residue (the one axis q339's perceptron couldn't reach: its update
+    // never evaluates σ). Same word-presence features as q339 for
+    // comparability; the NLL itself is a table readout, hash-checked
+    "q350_x_logistic_slice" -> tuned((s, d) =>
+      graft.text.QualityClassifier.logisticSlice(
+        Tables.documents(s, d), "text",
+        words = Seq("table", "query", "scan", "data",
+          "fast", "window", "agg", "stream"),
+        targetWord = "vector", iters = 3))
   )
 }

@@ -171,6 +171,118 @@ object QualityClassifier {
         (col("__pw") + col("__s") > 0).as("pred"))
   }
 
+  /** The shared sigmoid lookup table for [[logisticSlice]] — σ(b/10)
+    * e6-quantized for buckets b ∈ [−60, 60]. Computed ONCE here and
+    * interpolated as literals into BOTH the Spark plan and the DuckDB
+    * oracle SQL (the q276 discount-table precedent), so the two engines
+    * share the table by construction — no cross-library `exp` agreement
+    * is assumed anywhere. */
+  val sigmoidTableE6: IndexedSeq[Long] = (-60 to 60).map { b =>
+    math.floor(1e6 / (1.0 + math.exp(-b / 10.0)) + 0.5).toLong
+  }
+
+  /** −ln σ and −ln(1−σ) e6-quantized, derived FROM the already-quantized
+    * [[sigmoidTableE6]] values (not from a fresh `exp`), so the logistic
+    * LOSS itself is a pure integer readout of the shared table. */
+  val nllPosTableE6: IndexedSeq[Long] = sigmoidTableE6.map { s =>
+    math.floor(-math.log(s / 1e6) * 1e6 + 0.5).toLong
+  }
+  val nllNegTableE6: IndexedSeq[Long] = sigmoidTableE6.map { s =>
+    math.floor(-math.log(1.0 - s / 1e6) * 1e6 + 0.5).toLong
+  }
+
+  /** Fixed-iteration LOGISTIC-regression GD over named-word presence
+    * features with a table-quantized sigmoid — the hash-checkable slice
+    * of [[train]]'s float-logistic-loss axis, the one residue q339's
+    * all-integer perceptron could not reach (its update never evaluates
+    * σ). The sigmoid is [[sigmoidTableE6]]: z e6-quantized, bucketed to
+    * the nearest tenth (round-half-up via exact floor-div — both engines
+    * use the same `(a − posmod(a,m))/m` identity, so negative z buckets
+    * identically), clamped to [−6, 6], looked up. Every downstream number
+    * — error `σ_e6(z) − y·10⁶`, gradient sums, the floor-div weight step
+    * `wⱼ ← wⱼ − ⌊Σerr·xⱼ / n⌋`, and the per-doc NLL from
+    * [[nllPosTableE6]]/[[nllNegTableE6]] — is exact integer arithmetic,
+    * so a SQL oracle unrolls the iterations bit-for-bit (the q339/q335
+    * fixed-k precedent). This graduates q93's unchecked surface down to
+    * the continuous optimizer (float dot products / unquantized σ) only.
+    *
+    * Scale shape: `iters` distributed aggregates over a persisted narrow
+    * projection (1+k int columns + label); the driver holds ONLY the
+    * (1+k)-sized weight vector — the [[train]]/IVF sufficient-statistics
+    * discipline. Per-doc NLL ≤ ~6.01e6 (σ clamped to [2473e−6,
+    * 997527e−6]), so the cross-corpus long sum is safe to ~1.5e12 docs —
+    * fenced fail-loud past 9e18 anyway.
+    *
+    * Output: ONE row — final e6 weights `w0..wk`, total `nll_e6`,
+    * confusion counts at the z > 0 decision, integer-exact `acc_e6`. */
+  def logisticSlice(docs: DataFrame, textCol: String,
+                    words: Seq[String], targetWord: String,
+                    iters: Int): DataFrame = {
+    require(words.nonEmpty && iters >= 1, "words nonempty, iters >= 1")
+    val toks = graft.functions.Cols.tokens(col(textCol))
+    val feats = docs.filter(col(textCol).isNotNull)
+      .select((lit(1L).as("x0") +:
+        words.zipWithIndex.map { case (w, j) =>
+          array_contains(toks, w).cast("long").as(s"x${j + 1}") } :+
+        array_contains(toks, targetWord).cast("long").as("y")): _*)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val k = words.length + 1
+    try {
+      val n = feats.count()
+      require(n > 0, "no non-null training documents")
+      val sigArr = array(sigmoidTableE6.map(lit): _*)
+      // z is ≤ (1+k)·max|w| ≤ ~1e8 here — far below 2^53, so the double
+      // division after the exact posmod subtraction is exact
+      def zOf(w: Array[Long]): Column =
+        (0 until k).map(j => lit(w(j)) * col(s"x$j")).reduce(_ + _)
+      def bucketOf(z: Column): Column = {
+        val a = z + lit(50000L)
+        val fd = ((a - pmod(a, lit(100000L))) / lit(100000.0)).cast("long")
+        greatest(least(fd, lit(60L)), lit(-60L))
+      }
+      def sigOf(z: Column): Column =
+        element_at(sigArr, (bucketOf(z) + lit(61L)).cast("int"))
+      var w = new Array[Long](k)
+      var it = 0
+      while (it < iters) {
+        val err = sigOf(zOf(w)) - col("y") * lit(1000000L)
+        val g = feats.agg(
+          coalesce(sum(err * col("x0")), lit(0L)).as("g0"),
+          (1 until k).map(j =>
+            coalesce(sum(err * col(s"x$j")), lit(0L)).as(s"g$j")): _*).head()
+        w = Array.tabulate(k)(j => w(j) - Math.floorDiv(g.getLong(j), n))
+        it += 1
+      }
+      val z = zOf(w)
+      val pos = z > 0L
+      val nll = when(col("y") === 1L,
+        element_at(array(nllPosTableE6.map(lit): _*),
+          (bucketOf(z) + lit(61L)).cast("int")))
+        .otherwise(element_at(array(nllNegTableE6.map(lit): _*),
+          (bucketOf(z) + lit(61L)).cast("int")))
+      val c = feats.agg(
+        sum(nll).as("nll"),
+        count(when(col("y") === 1L && pos, 1)).as("tp"),
+        count(when(col("y") === 0L && pos, 1)).as("fp"),
+        count(when(col("y") === 0L && !pos, 1)).as("tn"),
+        count(when(col("y") === 1L && !pos, 1)).as("fn")).head()
+      val (nllE6, tp, fp, tn, fn) =
+        (c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3), c.getLong(4))
+      require(math.abs(nllE6) < 9000000000000000000L,
+        s"logisticSlice: nll_e6 $nllE6 within 2% of the long fence")
+      val one = docs.sparkSession.range(1)
+      val withW = (0 until k).foldLeft(one.select()) { (df, j) =>
+        df.withColumn(s"w$j", lit(w(j))) }
+      withW.withColumn("nll_e6", lit(nllE6))
+        .withColumn("tp", lit(tp)).withColumn("fp", lit(fp))
+        .withColumn("tn", lit(tn)).withColumn("fn", lit(fn))
+        .withColumn("acc_e6", lit {
+          val total = tp + fp + tn + fn
+          if (total == 0L) 0L else (tp + tn) * 1000000L / total
+        })
+    } finally feats.unpersist()
+  }
+
   /** Fixed-iteration BATCH perceptron over named-word presence features —
     * the hash-checkable slice of [[train]]'s iterative-GD axis (the
     * q335-BPE fixed-k precedent applied to the classifier): ALL-INTEGER

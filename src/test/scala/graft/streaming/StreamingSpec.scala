@@ -523,6 +523,7 @@ class StreamingSpec extends SparkSpec {
     import spark.implicits._
     val src = Files.createTempDirectory("graft_sess_recov_src")
     val ckpt = Files.createTempDirectory("graft_sess_recov_ckpt")
+    val out = Files.createTempDirectory("graft_sess_recov_out")
     val t0 = 1000000000000L // micros; gap = 30 min = 1.8e9 micros
     val m = 60L * 1000000L
     def land(evs: Seq[SessionEvent], tag: String): Unit = {
@@ -537,32 +538,39 @@ class StreamingSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     try {
-      def run(name: String): Unit = {
+      // the memory sink refuses checkpoint recovery by design, so the
+      // restart goes through the FILE sink — the production exactly-once
+      // recovery path (sink commit log + source file log in the same
+      // checkpoint)
+      def run(): Unit = {
         val q = sessionize(
             spark.readStream.schema(schema).parquet(src.toString)
               .as[SessionEvent],
             gapMinutes = 30, withTimeout = false)
-          .writeStream.outputMode("append").format("memory")
-          .queryName(name)
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", out.toString)
           .option("checkpointLocation", ckpt.toString)
           .start()
         try q.processAllAvailable()
         finally q.stop()
       }
+      def emitted() = spark.read
+        .schema(implicitly[org.apache.spark.sql.Encoder[UserSession]].schema)
+        .parquet(out.toString).as[UserSession].collect()
       // wave 1: both users mid-session, nothing closes
       land(Seq(SessionEvent(1L, t0, 1.0), SessionEvent(1L, t0 + 10 * m, 2.0),
         SessionEvent(2L, t0, 1.5)), "w1")
-      run("graft_sess_recov_a")
-      assert(spark.table("graft_sess_recov_a").count() == 0L)
+      run()
+      assert(emitted().isEmpty) // open sessions live only in state
       // wave 2: continuations within the gap, then far events that close
       land(Seq(SessionEvent(1L, t0 + 20 * m, 4.0),
         SessionEvent(1L, t0 + 120 * m, 8.0),
         SessionEvent(2L, t0 + 5 * m, 2.5),
         SessionEvent(2L, t0 + 180 * m, 8.5)), "w2")
-      run("graft_sess_recov_b") // NEW query instance, SAME checkpoint
-      val drained = spark.table("graft_sess_recov_b").collect()
-        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3),
-          r.getDouble(4))).toSet
+      run() // NEW query instance, SAME checkpoint
+      val drained = emitted()
+        .map(s => (s.user_id, s.session_start, s.session_end, s.n_events,
+          s.sum_value)).toSet
       // starts at t0 and n=3 / n=2 can only come from recovered state
       assert(drained == Set(
         (1L, t0, t0 + 20 * m, 3, 7.0),

@@ -94,6 +94,54 @@ class QualityClassifierSpec extends SparkSpec {
     assert(r.getAs[Long]("acc_e6") == 1000000L)
   }
 
+  test("logisticSlice: hand-traced 3-iteration table-sigmoid GD on a 4-doc corpus") {
+    // words (cat, dog), target fish; e6 weights traced by hand through
+    // the three floor-div updates (σ from the shared table, z bucketed to
+    // the nearest tenth): (0,0,0) → (0,0,−125000) → (6245,0,−243755) →
+    // (18704,0,−356296); final z>0 decisions give tp=2 fp=1 tn=1 fn=0
+    val df = Seq("cat fish", "dog", "cat", "fish").zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val r = QualityClassifier.logisticSlice(df, "text",
+      words = Seq("cat", "dog"), targetWord = "fish", iters = 3).head()
+    assert(r.getAs[Long]("w0") == 18704L)
+    assert(r.getAs[Long]("w1") == 0L)
+    assert(r.getAs[Long]("w2") == -356296L)
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fp") == 1L)
+    assert(r.getAs[Long]("tn") == 1L && r.getAs[Long]("fn") == 0L)
+    assert(r.getAs[Long]("acc_e6") == 750000L)
+    // NLL is a pure table readout at the final buckets: d0/d2/d3 land in
+    // bucket 0, d1 (z = −337592) in bucket −3
+    val expectNll = QualityClassifier.nllPosTableE6(60) + // d0: y=1, b=0
+      QualityClassifier.nllNegTableE6(57) +               // d1: y=0, b=−3
+      QualityClassifier.nllNegTableE6(60) +               // d2: y=0, b=0
+      QualityClassifier.nllPosTableE6(60)                 // d3: y=1, b=0
+    assert(r.getAs[Long]("nll_e6") == expectNll)
+  }
+
+  test("logisticSlice: all-positive corpus drives weights up and nll below zero-init") {
+    // every doc contains the target → err < 0 every round, weights grow,
+    // final decision is positive for all docs; nll must beat the
+    // zero-weight value n·(−ln σ(0))·1e6 = n·693147
+    val df = Seq((0L, "fish a"), (1L, "fish b")).toDF("doc_id", "text")
+    val r = QualityClassifier.logisticSlice(df, "text",
+      words = Seq("a"), targetWord = "fish", iters = 3).head()
+    assert(r.getAs[Long]("tp") == 2L && r.getAs[Long]("fn") == 0L)
+    assert(r.getAs[Long]("acc_e6") == 1000000L)
+    assert(r.getAs[Long]("nll_e6") < 2L * 693147L)
+    assert(r.getAs[Long]("w0") > 0L)
+  }
+
+  test("logisticSlice: sigmoid/nll tables are consistent and symmetric") {
+    val sig = QualityClassifier.sigmoidTableE6
+    assert(sig.length == 121 && sig(60) == 500000L)
+    // σ(−z) = 1 − σ(z) holds for the quantized table up to the half-ulp
+    assert((0 until 121).forall(i => math.abs(sig(i) + sig(120 - i) - 1000000L) <= 1L))
+    // monotone increasing, clamped range matches the documented bound
+    assert(sig.sliding(2).forall(p => p(0) < p(1)))
+    assert(sig.head == 2473L && sig.last == 997527L)
+    assert(QualityClassifier.nllPosTableE6(60) == 693147L)
+  }
+
   test("naiveBayes: a single-class corpus emits null scores, not overflow") {
     val df = (0 until 5).map(i => (i.toLong, s"only one class here $i", 1))
       .toDF("doc_id", "text", "label")
