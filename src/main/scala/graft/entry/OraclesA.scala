@@ -1482,6 +1482,70 @@ private[graft] object OraclesA {
          |FROM conf""".stripMargin
     },
 
+    // PCA power iteration, 3 rescaled matvecs + Rayleigh UNROLLED — the
+    // scatter matrix S = n·Σxx − (Σx)(Σx)ᵀ in exact HUGEINT from per-row
+    // e6 components, A = fdiv(S·1e6, max|S|), all rescales and readouts
+    // the same posmod floor-div identity the Spark driver uses
+    "q351_x_pca_power_slice" -> {
+      def fdiv(a: String, m: String) =
+        s"((($a) - ((($a) % ($m) + ($m)) % ($m))) // ($m))"
+      def mv(out: String, vin: String) =
+        s"""$out AS MATERIALIZED (SELECT am.i, sum(am.av * v.v) AS u
+           |  FROM am JOIN $vin v ON v.i = am.j GROUP BY 1)""".stripMargin
+      def rescale(out: String, uin: String) =
+        s"""$out AS MATERIALIZED (SELECT i, ${fdiv("u * 1000000",
+             s"(SELECT max(abs(u)) FROM $uin)")} AS v FROM $uin)""".stripMargin
+      s"""WITH e AS MATERIALIZED (
+         |  SELECT vec_id, i,
+         |         CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0 + 0.5)
+         |           AS BIGINT) AS x
+         |  FROM embeddings, (SELECT unnest(generate_series(1, 64)) AS i) g
+         |  WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         |nn AS MATERIALIZED (SELECT CAST(count(*) AS HUGEINT) AS n FROM embeddings
+         |       WHERE embedding IS NOT NULL AND len(embedding) = 64),
+         |sx AS MATERIALIZED (SELECT i, CAST(sum(x) AS HUGEINT) AS sx FROM e GROUP BY 1),
+         |sxx AS MATERIALIZED (SELECT a.i AS i, b.i AS j,
+         |          sum(CAST(a.x AS HUGEINT) * b.x) AS sxx
+         |        FROM e a JOIN e b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |s AS MATERIALIZED (SELECT sxx.i, sxx.j, nn.n * sxx.sxx - sa.sx * sb.sx AS sv
+         |      FROM sxx JOIN sx sa ON sa.i = sxx.i
+         |      JOIN sx sb ON sb.i = sxx.j CROSS JOIN nn),
+         |mx AS MATERIALIZED (SELECT max(abs(sv)) AS m FROM s),
+         |am AS MATERIALIZED (SELECT i, j,
+         |         ${fdiv("sv * 1000000", "(SELECT m FROM mx)")} AS av FROM s),
+         |v0 AS MATERIALIZED (SELECT unnest(generate_series(1, 64)) AS i,
+         |              CAST(1000000 AS HUGEINT) AS v),
+         |${mv("u1", "v0")},
+         |${rescale("v1", "u1")},
+         |${mv("u2", "v1")},
+         |${rescale("v2", "u2")},
+         |${mv("u3", "v2")},
+         |${rescale("v3", "u3")},
+         |${mv("u4", "v3")},
+         |ray AS MATERIALIZED (SELECT ${fdiv(
+             "(SELECT sum(u4.u * v3.v) FROM u4 JOIN v3 ON v3.i = u4.i) * 1000000",
+             "(SELECT sum(v * v) FROM v3)")} AS ray_e6),
+         |tr AS MATERIALIZED (SELECT sum(sv) AS t FROM s WHERE i = j),
+         |top AS MATERIALIZED (SELECT i, CASE WHEN v > 0 THEN 1 WHEN v < 0 THEN -1 ELSE 0 END
+         |          AS sg FROM v3 ORDER BY abs(v) DESC, i LIMIT 1),
+         |f1 AS MATERIALIZED (SELECT CAST(nn.n AS BIGINT) AS n,
+         |         CAST(${fdiv("ray.ray_e6 * mx.m",
+             "nn.n * nn.n * 1000000000000000000")} AS BIGINT) AS lam1_e6,
+         |         CAST(${fdiv("tr.t", "nn.n * nn.n * 1000000")} AS BIGINT)
+         |           AS trace_e6,
+         |         CAST(ray.ray_e6 AS BIGINT) AS ray_e6,
+         |         CAST(top.i AS INT) AS top_dim, CAST(top.sg AS INT) AS top_sign
+         |       FROM nn CROSS JOIN ray CROSS JOIN tr
+         |       CROSS JOIN mx CROSS JOIN top)
+         |SELECT n, lam1_e6, trace_e6,
+         |       CASE WHEN trace_e6 > 0
+         |            THEN CAST(${fdiv("CAST(lam1_e6 AS HUGEINT) * 1000000",
+             "trace_e6")} AS BIGINT)
+         |            ELSE CAST(0 AS BIGINT) END AS anis_e6,
+         |       ray_e6, top_dim, top_sign
+         |FROM f1""".stripMargin
+    },
+
     "q48_x_ngram_jaccard" ->
       ("""WITH toks AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tok FROM documents),
         |sizes AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY 1),

@@ -2241,6 +2241,14 @@ private[graft] object QueriesB {
         Tables.documents(s, d), "text",
         words = Seq("table", "query", "scan", "data",
           "fast", "window", "agg", "stream"),
-        targetWord = "vector", iters = 3))
+        targetWord = "vector", iters = 3)),
+
+    // ---- extension: dominant principal component by integer power
+    // iteration over the exact scatter matrix — the embedding-collapse
+    // (anisotropy λ1/trace) health monitor; one d²-grid pass over the
+    // data, 3 exact matvec+rescale rounds, every step oracle-replayed
+    "q351_x_pca_power_slice" -> tuned((s, d) =>
+      graft.sim.VectorOps.pcaPowerSlice(
+        Tables.embeddings(s, d), "embedding", dim = 64, iters = 3))
   )
 }

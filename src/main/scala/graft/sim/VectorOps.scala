@@ -250,4 +250,105 @@ object VectorOps {
           .as("p95_e3"))
     stats.join(fences, keyCols)
   }
+
+  /** Dominant principal component of an embedding column by fixed-`iters`
+    * POWER ITERATION over the exact integer covariance — the eigen-axis
+    * the embedding toolbox lacked (anisotropy is the standard "are my
+    * embeddings collapsing into one direction" health readout: a rising
+    * λ₁/trace means cosine scores are being dominated by a single common
+    * direction and ANN recall will decay; Mu & Viswanath 2018's
+    * all-but-the-top observation).
+    *
+    * Exactness contract (hash-checkable end-to-end, the q338/q350
+    * fixed-iteration precedent): components e6-quantize PER ROW, the
+    * d²-grid second moments and d-grid sums are exact DECIMAL(38,0)
+    * aggregates, and the scatter matrix `S = n·Σxx − (Σx)(Σx)ᵀ`
+    * (= n²·Cov, exact integers) is normalized to `A = ⌊S·10⁶/max|S|⌋`
+    * via the shared posmod floor-div identity. Power iteration then runs
+    * in pure integers: `u = A·v`, rescale `v ← ⌊u·10⁶/max|u|⌋`, `iters`
+    * times from the all-ones vector; Rayleigh quotient, λ₁ and trace
+    * readouts are single floor-divs of exact integers. A SQL oracle
+    * replays every step; sign is pinned by the deterministic start.
+    *
+    * Scale shape: ONE pass over the data builds the (d², d, 1) moment
+    * grids — per-row outer products explode rows·d² wide but hash-agg
+    * combines map-side, so only d²-sized partials shuffle. The driver
+    * iterates on the d×d integer matrix (d ≤ 128 by contract — 16 KB of
+    * state, the IVF-centroid discipline). Bound: n²·10¹²·max|x|² < 10³⁸
+    * → safe past 10¹² unit-scale rows; fenced fail-loud.
+    *
+    * Output: ONE row — `n`, `lam1_e6` (top covariance eigenvalue, raw
+    * units), `trace_e6` (total variance), `anis_e6` = λ₁/trace,
+    * `ray_e6` (Rayleigh quotient in A-units), `top_dim` (1-based argmax
+    * |loading|, ties → smallest), `top_sign`. */
+  def pcaPowerSlice(df: org.apache.spark.sql.DataFrame, vecCol: String,
+                    dim: Int, iters: Int = 3): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(dim >= 2 && dim <= 128, s"dim in [2,128] by contract, got $dim")
+    require(iters >= 1, "iters >= 1")
+    val spark = df.sparkSession
+    val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
+      .select(transform(col(vecCol),
+        x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("xq"))
+    // flattened outer product: entry i*dim+j = x_i·x_j (e12 longs; per-row
+    // |x| < 3e3 keeps the long multiply exact), DECIMAL for the big sum
+    val op = flatten(transform(col("xq"), xi =>
+      transform(col("xq"), xj => (xi * xj).cast("decimal(38,0)"))))
+    val sxxRows = base.select(posexplode(op).as(Seq("k", "p")))
+      .groupBy("k").agg(sum("p").as("s")).collect()
+    val sxRows = base.select(posexplode(col("xq")).as(Seq("i", "x")))
+      .groupBy("i").agg(sum(col("x").cast("decimal(38,0)")).as("s")).collect()
+    val n = base.count()
+    require(n >= 2, s"pcaPowerSlice: need >= 2 vectors, got $n")
+    val sxx = Array.ofDim[BigInt](dim * dim)
+    sxxRows.foreach(r => sxx(r.getInt(0)) =
+      BigInt(r.getAs[java.math.BigDecimal]("s").toBigIntegerExact))
+    val sx = new Array[BigInt](dim)
+    sxRows.foreach(r => sx(r.getInt(0)) =
+      BigInt(r.getAs[java.math.BigDecimal]("s").toBigIntegerExact))
+    require(sxx.forall(_ != null) && sx.forall(_ != null),
+      "pcaPowerSlice: moment grid incomplete (null components?)")
+    // floor-div by positive m — the same (a − posmod(a,m))/m identity the
+    // oracle uses; BigInt.mod is the non-negative posmod
+    def fdiv(a: BigInt, m: BigInt): BigInt = (a - a.mod(m)) / m
+    val e6 = BigInt(1000000)
+    val nB = BigInt(n)
+    val s = Array.tabulate(dim, dim)((i, j) =>
+      nB * sxx(i * dim + j) - sx(i) * sx(j))
+    val maxS = s.flatten.map(_.abs).max
+    require(maxS > 0, "pcaPowerSlice: zero scatter (constant embeddings)")
+    require(maxS < BigInt(10).pow(37), s"pcaPowerSlice: |S| $maxS within 10x of DECIMAL(38,0)")
+    val a = Array.tabulate(dim, dim)((i, j) => fdiv(s(i)(j) * e6, maxS))
+    var v = Array.fill(dim)(e6)
+    def matvec(x: Array[BigInt]): Array[BigInt] =
+      Array.tabulate(dim)(i => (0 until dim).map(j => a(i)(j) * x(j)).sum)
+    var it = 0
+    while (it < iters) {
+      val u = matvec(v)
+      val mu = u.map(_.abs).max
+      require(mu > 0, "pcaPowerSlice: power iterate vanished")
+      v = u.map(ui => fdiv(ui * e6, mu))
+      it += 1
+    }
+    val u = matvec(v)
+    val rayE6 = fdiv(u.zip(v).map { case (ui, vi) => ui * vi }.sum * e6,
+      v.map(vi => vi * vi).sum)
+    // λ(A) = λ(S)·10⁶/max|S|, λ(Cov) = λ(S)/n², components e6 ⇒ raw
+    // variance = /10¹²; e6 readout of raw λ₁ ⇒ ⌊ray·max|S| / (n²·10¹⁸)⌋
+    val lam1E6 = fdiv(rayE6 * maxS, nB * nB * BigInt(10).pow(18))
+    val traceE6 = fdiv((0 until dim).map(i => s(i)(i)).sum, nB * nB * e6)
+    require(lam1E6.abs < BigInt("9000000000000000000") &&
+      traceE6.abs < BigInt("9000000000000000000"),
+      "pcaPowerSlice: readout within 2% of the long fence")
+    val anisE6 = if (traceE6 > 0) fdiv(lam1E6 * e6, traceE6).toLong else 0L
+    val topDim = (0 until dim).minBy(i => (-v(i).abs, i))
+    spark.range(1).select(
+      lit(n).as("n"),
+      lit(lam1E6.toLong).as("lam1_e6"),
+      lit(traceE6.toLong).as("trace_e6"),
+      lit(anisE6).as("anis_e6"),
+      lit(rayE6.toLong).as("ray_e6"),
+      lit(topDim + 1).as("top_dim"),
+      lit(v(topDim).signum).as("top_sign"))
+  }
 }
