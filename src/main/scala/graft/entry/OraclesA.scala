@@ -1482,6 +1482,109 @@ private[graft] object OraclesA {
          |FROM conf""".stripMargin
     },
 
+    // split conformal: md5 split replayed, train group means as EXACT
+    // integral division of HUGEINT sums (non-negative ⇒ truncation =
+    // floor = Spark's decimal `div`), q̂ as the exact rank-k order
+    // statistic over the calibration residual grid, coverage on test
+    "q353_x_conformal_interval" -> {
+      val key = dkHash32(
+        "CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)")
+      s"""WITH b AS MATERIALIZED (
+         |  SELECT rf, ls,
+         |         CASE WHEN bb < 800 THEN 'train' WHEN bb < 900 THEN 'val'
+         |              ELSE 'test' END AS sp,
+         |         y2
+         |  FROM (SELECT l_returnflag AS rf, l_linestatus AS ls,
+         |          $key % 1000 AS bb,
+         |          CAST(floor(l_extendedprice + 0.5) AS BIGINT) * 100 AS y2
+         |        FROM lineitem
+         |        WHERE l_returnflag IS NOT NULL AND l_linestatus IS NOT NULL
+         |          AND l_extendedprice IS NOT NULL)),
+         |m AS MATERIALIZED (
+         |  SELECT rf, ls,
+         |         CAST(sum(CAST(y2 AS HUGEINT)) // count(*) AS BIGINT) AS yhat2
+         |  FROM b WHERE sp = 'train' GROUP BY 1, 2),
+         |ntr AS (SELECT CAST(count(*) AS BIGINT) AS n_train
+         |        FROM b WHERE sp = 'train'),
+         |cal AS (SELECT abs(b.y2 - m.yhat2) AS r2
+         |        FROM b JOIN m ON b.rf = m.rf AND b.ls = m.ls
+         |        WHERE b.sp = 'val'),
+         |g AS (SELECT r2, CAST(count(*) AS BIGINT) AS c FROM cal GROUP BY 1),
+         |gc AS (SELECT r2,
+         |         sum(c) OVER (ORDER BY r2
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(c) OVER () AS n FROM g),
+         |q AS (SELECT CAST(max(n) AS BIGINT) AS n_cal,
+         |        CAST(max(((n + 1) * 900 + 999) // 1000) AS BIGINT) AS k,
+         |        min(CASE WHEN cum >= ((n + 1) * 900 + 999) // 1000
+         |                 THEN r2 END) AS qhat_e2
+         |      FROM gc),
+         |t AS (SELECT b.y2, m.yhat2, abs(b.y2 - m.yhat2) AS r2
+         |      FROM b LEFT JOIN m ON b.rf = m.rf AND b.ls = m.ls
+         |      WHERE b.sp = 'test'),
+         |f AS (SELECT max(q.n_cal) AS n_cal, max(q.k) AS k,
+         |        max(q.qhat_e2) AS qhat_e2,
+         |        CAST(count(*) FILTER (WHERE t.yhat2 IS NOT NULL) AS BIGINT)
+         |          AS n_test_scored,
+         |        CAST(count(*) FILTER (WHERE t.yhat2 IS NULL) AS BIGINT)
+         |          AS n_test_unscored,
+         |        CAST(count(*) FILTER (WHERE t.r2 <= q.qhat_e2) AS BIGINT)
+         |          AS n_covered
+         |      FROM t CROSS JOIN q)
+         |SELECT ntr.n_train, f.*,
+         |       CASE WHEN f.qhat_e2 IS NOT NULL AND f.n_test_scored > 0
+         |            THEN f.n_covered * 1000000 // f.n_test_scored END AS cov_e6
+         |FROM ntr CROSS JOIN f""".stripMargin
+    },
+
+    // 2x2 DiD: twelve exact integer moments per key, then the SAME
+    // fixed double trees the Spark expr uses (did, robust SE over the
+    // four independent cell means), e6/e4 readouts; significant decided
+    // on the rounded t
+    "q352_x_diff_in_diff" -> {
+      val cells = Seq(("00", "NOT t AND NOT p"), ("01", "NOT t AND p"),
+        ("10", "t AND NOT p"), ("11", "t AND p"))
+      val moments = cells.map { case (c, w) =>
+        s"""CAST(sum(CASE WHEN $w THEN 1 ELSE 0 END) AS BIGINT) AS n_$c,
+           |    CAST(sum(CASE WHEN $w THEN x ELSE 0 END) AS BIGINT) AS s$c,
+           |    sum(CASE WHEN $w THEN CAST(x AS HUGEINT) * x
+           |        ELSE CAST(0 AS HUGEINT) END) AS q$c""".stripMargin
+      }.mkString(",\n    ")
+      def v(c: String) =
+        s"((CAST(q$c AS DOUBLE) - CAST(s$c AS DOUBLE) * s$c / n_$c) / (n_$c - 1))"
+      def m(c: String) = s"(CAST(s$c AS DOUBLE) / n_$c)"
+      val did = s"((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))"
+      val se2 = cells.map { case (c, _) => s"${v(c)} / n_$c" }.mkString(" + ")
+      val allN1 = cells.map { case (c, _) => s"n_$c >= 1" }.mkString(" AND ")
+      val allN2 = cells.map { case (c, _) => s"n_$c >= 2" }.mkString(" AND ")
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS k,
+         |         (c_mktsegment = 'BUILDING') AS t,
+         |         (o_orderdate >= DATE '1995-07-01') AS p,
+         |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+         |    AND c_mktsegment IS NOT NULL AND o_orderdate IS NOT NULL),
+         |a AS (SELECT k,
+         |    $moments
+         |  FROM o GROUP BY k),
+         |f AS (SELECT k AS o_orderpriority,
+         |    n_00, n_01, n_10, n_11,
+         |    s00 * 100 // nullif(n_00, 0) AS mean_00_e2,
+         |    s01 * 100 // nullif(n_01, 0) AS mean_01_e2,
+         |    s10 * 100 // nullif(n_10, 0) AS mean_10_e2,
+         |    s11 * 100 // nullif(n_11, 0) AS mean_11_e2,
+         |    CASE WHEN $allN1 THEN
+         |      CAST(floor($did * 1000000 + 0.5) AS BIGINT) END AS did_e6,
+         |    CASE WHEN $allN2 AND ($se2) > 0 THEN
+         |      CAST(floor($did / sqrt($se2) * 10000 + 0.5) AS BIGINT)
+         |    END AS t_e4
+         |  FROM a)
+         |SELECT f.*, CASE WHEN t_e4 IS NOT NULL THEN abs(t_e4) > 19600 END
+         |         AS significant
+         |FROM f ORDER BY o_orderpriority""".stripMargin
+    },
+
     // PCA power iteration, 3 rescaled matvecs + Rayleigh UNROLLED — the
     // scatter matrix S = n·Σxx − (Σx)(Σx)ᵀ in exact HUGEINT from per-row
     // e6 components, A = fdiv(S·1e6, max|S|), all rescales and readouts

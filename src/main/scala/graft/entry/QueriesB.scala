@@ -2249,6 +2249,36 @@ private[graft] object QueriesB {
     // data, 3 exact matvec+rescale rounds, every step oracle-replayed
     "q351_x_pca_power_slice" -> tuned((s, d) =>
       graft.sim.VectorOps.pcaPowerSlice(
-        Tables.embeddings(s, d), "embedding", dim = 64, iters = 3))
+        Tables.embeddings(s, d), "embedding", dim = 64, iters = 3)),
+
+    // ---- extension: 2x2 difference-in-differences per order priority —
+    // the panel causal estimator beside q342's cross-sectional CEM
+    // (treated = BUILDING-segment customers, post = H2'95+; parallel
+    // trends nets out baseline gap + common shock). Dim side broadcast
+    "q352_x_diff_in_diff" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
+        .withColumn("post", col("o_orderdate") >= lit("1995-07-01").cast("date"))
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("treated"))
+      graft.operators.Metrics.diffInDiff(
+          o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+          Seq("o_orderpriority"), "treated", "post", "dollars")
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- extension: split conformal prediction — distribution-free
+    // interval half-width q̂ from the calibration split's exact residual
+    // order statistic (group-mean model on train, coverage audited on
+    // test); the eval-tier guarantee beside q221 calibration / q287 CIs
+    "q353_x_conformal_interval" -> tuned((s, d) => {
+      val li = Tables.lineitem(s, d)
+        .withColumn("dollars", floor(col("l_extendedprice") + lit(0.5)))
+        .withColumn("__key",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      graft.operators.Metrics.conformalInterval(
+        Corpus.hashSplit(li, "__key"), "split",
+        Seq("l_returnflag", "l_linestatus"), "dollars")
+    })
   )
 }

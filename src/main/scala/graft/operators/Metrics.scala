@@ -2905,4 +2905,153 @@ object Metrics {
           floor(d(col("__num")) / d(col("n_treated_matched")) + 0.5).cast("long")))
       .drop("__num")
   }
+
+  /** Per-key 2×2 difference-in-differences — the panel causal estimator
+    * beside [[cemAtt]]'s cross-sectional matching: with a treated group,
+    * a pre/post period split, and the parallel-trends assumption,
+    * `DiD = (ȳ₁₁ − ȳ₁₀) − (ȳ₀₁ − ȳ₀₀)` nets out both the group's
+    * baseline gap and the common time shock (Card & Krueger 1994's
+    * design). The SE treats the four cell means as independent — the
+    * saturated-regression robust variance `Σ sᵢ²/nᵢ` over the cells.
+    *
+    * Exactness: twelve exact integer moments per key (count / LONG sum /
+    * DECIMAL(38,0) sum-of-squares per cell — the [[welchTTest]]
+    * discipline, one map-side-combined conditional aggregate), then
+    * `did_e6`, `t_e4` are ONE fixed double tree each, mirrored literally
+    * in the SQL oracle. Cells with n < 2 (or zero variance everywhere)
+    * emit null t; a MISSING cell nulls the estimate too — a 2×2 with an
+    * empty cell is not a DiD. `significant` decides on the ROUNDED t at
+    * |t| > 1.96 so both engines agree. Rows with null group/period/value
+    * drop.
+    *
+    * Output: `(keys…, n_00, n_01, n_10, n_11, mean_00_e2…mean_11_e2,
+    * did_e6, t_e4, significant)` — cell suffix = <treat><post>. */
+  def diffInDiff(df: DataFrame, keyCols: Seq[String], treatCol: String,
+                 postCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "diffInDiff needs at least one key column")
+    val t = col(treatCol)
+    val p = col(postCol)
+    val x = col(valueCol).cast("long")
+    val cells = Seq(("00", !t && !p), ("01", !t && p),
+      ("10", t && !p), ("11", t && p))
+    val aggs = cells.flatMap { case (c, cond) => Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$c"),
+      sum(when(cond, x).otherwise(0L)).as(s"__s$c"),
+      sum(when(cond, expr(
+          s"cast(cast(`$valueCol` as bigint) as decimal(38,0)) * cast(`$valueCol` as bigint)"))
+        .otherwise(expr("cast(0 as decimal(38,0))"))).as(s"__q$c"))
+    }
+    def v(c: String) =
+      s"((cast(__q$c as double) - cast(__s$c as double) * __s$c / n_$c) / (n_$c - 1))"
+    def m(c: String) = s"(cast(__s$c as double) / n_$c)"
+    val allN1 = cells.map { case (c, _) => s"n_$c >= 1" }.mkString(" and ")
+    val allN2 = cells.map { case (c, _) => s"n_$c >= 2" }.mkString(" and ")
+    val did = s"((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))"
+    val se2 = cells.map { case (c, _) => s"${v(c)} / n_$c" }.mkString(" + ")
+    dropNullKeys(df, keyCols)
+      .filter(t.isNotNull && p.isNotNull && x.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("mean_00_e2", expr("__s00 * 100 div nullif(n_00, 0)"))
+      .withColumn("mean_01_e2", expr("__s01 * 100 div nullif(n_01, 0)"))
+      .withColumn("mean_10_e2", expr("__s10 * 100 div nullif(n_10, 0)"))
+      .withColumn("mean_11_e2", expr("__s11 * 100 div nullif(n_11, 0)"))
+      .withColumn("did_e6", expr(
+        s"""case when $allN1 then
+           |  cast(floor($did * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("t_e4", expr(
+        s"""case when $allN2 and ($se2) > 0 then
+           |  cast(floor($did / sqrt($se2) * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("significant",
+        when(col("t_e4").isNotNull, abs(col("t_e4")) > 19600L))
+      .drop(cells.flatMap { case (c, _) => Seq(s"__s$c", s"__q$c") }: _*)
+  }
+
+  /** Split conformal prediction — the distribution-free interval
+    * guarantee (Vovk; Lei et al. 2018) every model-quality readout in
+    * the eval tier implicitly leans on: fit ANY point model on the train
+    * split (here the saturated group-mean model over `groupCols`), take
+    * the `⌈(n_cal+1)(1−α)⌉`-th smallest absolute residual on the
+    * CALIBRATION split as the interval half-width q̂, and coverage on
+    * the held-out test split is ≥ 1−α by exchangeability alone — no
+    * distributional assumption. The test-side readout checks that
+    * promise empirically.
+    *
+    * Exactness (hash-checkable): values enter as integers (caller
+    * quantizes — the bartlett/welch convention, non-negative domain),
+    * predictions are e2 floor-means of exact DECIMAL sums, residuals are
+    * integer e2 gaps, and q̂ is an EXACT order statistic — residual
+    * value-grid → cumulative counts → first value at rank
+    * `k = ⌈(n_cal+1)(1000−αpermille)/1000⌉` (pure integer ceiling) — the
+    * [[MonteCarlo]] exact-percentile shape, never a sort-limit on rows.
+    * Coverage is an integer-div permillion.
+    *
+    * Scale shape: the model is a groupCols-grid broadcast back onto the
+    * calibration/test sides; the order statistic aggregates the residual
+    * GRID (bounded by distinct residual values), map-side combined; the
+    * readout is one row. Test/cal rows whose group never appeared in
+    * train can't be scored — counted out loudly, never silently dropped.
+    * Calibration smaller than the rank (k > n_cal) yields the infinite
+    * interval: null q̂, null coverage (documented degenerate).
+    *
+    * Output: ONE row — `n_train, n_cal, k, qhat_e2, n_test_scored,
+    * n_test_unscored, n_covered, cov_e6`. */
+  def conformalInterval(df: DataFrame, splitCol: String,
+                        groupCols: Seq[String], valueCol: String,
+                        alphaPermille: Int = 100,
+                        trainTag: String = "train", calTag: String = "val",
+                        testTag: String = "test"): DataFrame = {
+    require(groupCols.nonEmpty, "conformalInterval needs grouping features")
+    require(alphaPermille >= 1 && alphaPermille <= 999,
+      s"alphaPermille in [1,999], got $alphaPermille")
+    val y = col(valueCol).cast("long")
+    val base = dropNullKeys(df, groupCols)
+      .filter(col(splitCol).isNotNull && y.isNotNull)
+      .select(groupCols.map(col) :+ col(splitCol).as("__sp") :+
+        (y * 100L).as("__y2"): _*)
+    val model = base.filter(col("__sp") === trainTag)
+      .groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as("__ng"),
+        sum(col("__y2").cast("decimal(38,0)")).as("__sg"))
+      // `div` is EXACT integral division on the DECIMAL sum (a decimal
+      // `/` would round to scale-6 before floor — wrong once the
+      // remainder/n fraction crosses 1−5e−7 at large n); non-negative
+      // domain makes truncation = floor in both engines
+      .withColumn("__yhat2", expr("__sg div __ng").cast("long"))
+      .select((groupCols.map(col) :+ col("__yhat2")): _*)
+    val nTrain = base.filter(col("__sp") === trainTag)
+      .agg(count(lit(1)).as("n_train"))
+    def scored(tag: String) = base.filter(col("__sp") === tag)
+      .join(broadcast(model), groupCols, "left")
+      .withColumn("__r2", abs(col("__y2") - col("__yhat2")))
+    // exact order statistic over the residual value grid
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__r2"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    val keep = 1000 - alphaPermille
+    val qhat = scored(calTag).filter(col("__r2").isNotNull)
+      .groupBy(col("__r2")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .withColumn("__k", expr(s"((__n + 1) * $keep + 999) div 1000"))
+      .agg(max(col("__n")).as("n_cal"), max(col("__k")).as("k"),
+        min(when(col("__cum") >= col("__k"), col("__r2"))).as("qhat_e2"))
+    val test = scored(testTag)
+      .crossJoin(broadcast(qhat))
+      .agg(
+        max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
+        max(col("qhat_e2")).as("qhat_e2"),
+        count(when(col("__yhat2").isNotNull, 1)).as("n_test_scored"),
+        count(when(col("__yhat2").isNull, 1)).as("n_test_unscored"),
+        count(when(col("__r2") <= col("qhat_e2"), 1)).as("n_covered"))
+    nTrain.crossJoin(test)
+      .withColumn("cov_e6", expr(
+        """case when qhat_e2 is not null and n_test_scored > 0
+          |then n_covered * 1000000 div n_test_scored end""".stripMargin))
+      .select("n_train", "n_cal", "k", "qhat_e2", "n_test_scored",
+        "n_test_unscored", "n_covered", "cov_e6")
+  }
 }

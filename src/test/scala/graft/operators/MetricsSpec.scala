@@ -1253,4 +1253,77 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_treated_matched") == 4L)
     assert(r.getAs[Long]("att_e6") == -3250000L)
   }
+
+  test("diffInDiff: hand-computed 2x2 — estimate, robust SE, significance") {
+    // cell means 12/23/31/53: time shock +11, baseline gap +19, planted
+    // effect 53 − (31+11) = 11; cell variances 8/18/2/18 with n=2 each
+    // → se² = 4+9+1+9 = 23, t = 11/√23 = 2.2937
+    val rows = Seq(
+      (false, false, 10L), (false, false, 14L),
+      (false, true, 20L), (false, true, 26L),
+      (true, false, 30L), (true, false, 32L),
+      (true, true, 50L), (true, true, 56L)).map { case (t, p, v) => ("k", t, p, v) }
+    val df = rows.toDF("key", "treat", "post", "v")
+    val r = Metrics.diffInDiff(df, Seq("key"), "treat", "post", "v").head()
+    assert(r.getAs[Long]("n_00") == 2L && r.getAs[Long]("n_11") == 2L)
+    assert(r.getAs[Long]("mean_00_e2") == 1200L)
+    assert(r.getAs[Long]("mean_11_e2") == 5300L)
+    assert(r.getAs[Long]("did_e6") == 11000000L)
+    assert(r.getAs[Long]("t_e4") == 22937L)
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("diffInDiff: a missing cell nulls the estimate; n=1 cells null only the t") {
+    import org.apache.spark.sql.functions.col
+    // no control-post cell at all — a 2x2 with an empty cell is not a DiD
+    val missing = Seq(("k", false, false, 10L), ("k", true, false, 30L),
+      ("k", true, true, 50L)).toDF("key", "treat", "post", "v")
+    val r1 = Metrics.diffInDiff(missing, Seq("key"), "treat", "post", "v").head()
+    assert(r1.isNullAt(r1.fieldIndex("did_e6")) && r1.isNullAt(r1.fieldIndex("t_e4")))
+    // all four cells present with n=1: estimate computes, t does not
+    val singles = Seq(("k", false, false, 10L), ("k", false, true, 21L),
+      ("k", true, false, 30L), ("k", true, true, 52L)).toDF("key", "treat", "post", "v")
+    val r2 = Metrics.diffInDiff(singles, Seq("key"), "treat", "post", "v").head()
+    assert(r2.getAs[Long]("did_e6") == 11000000L)
+    assert(r2.isNullAt(r2.fieldIndex("t_e4")))
+    assert(r2.isNullAt(r2.fieldIndex("significant")))
+    // null group/period/value rows drop rather than poison a cell
+    val noisy = singles.union(Seq(("k", true, true, 999L)).toDF("key", "treat", "post", "v")
+      .select(col("key"), lit(null).cast("boolean").as("treat"), col("post"), col("v")))
+    val r3 = Metrics.diffInDiff(noisy, Seq("key"), "treat", "post", "v").head()
+    assert(r3.getAs[Long]("did_e6") == 11000000L)
+  }
+
+  test("conformalInterval: hand-computed rank-k half-width and test coverage") {
+    // train mean 10 (yhat2 = 1000); cal residuals e2 sorted:
+    // 0,100,100,200,200,300,300,400,400 — n_cal 9, k = ⌈10·0.9⌉ = 9 →
+    // q̂ = 400; test: r = 0 ✓, 500 ✗, 400 ✓ (inclusive), 'b' unscored
+    val rows =
+      Seq.fill(4)(("a", "train", 10L)) ++
+        Seq(10L, 11L, 12L, 13L, 14L, 9L, 8L, 7L, 6L).map(v => ("a", "val", v)) ++
+        Seq(("a", "test", 10L), ("a", "test", 15L), ("a", "test", 14L),
+          ("b", "test", 10L))
+    val df = rows.toDF("g", "split", "v")
+    val r = Metrics.conformalInterval(df, "split", Seq("g"), "v").head()
+    assert(r.getAs[Long]("n_train") == 4L)
+    assert(r.getAs[Long]("n_cal") == 9L)
+    assert(r.getAs[Long]("k") == 9L)
+    assert(r.getAs[Long]("qhat_e2") == 400L)
+    assert(r.getAs[Long]("n_test_scored") == 3L)
+    assert(r.getAs[Long]("n_test_unscored") == 1L)
+    assert(r.getAs[Long]("n_covered") == 2L)
+    assert(r.getAs[Long]("cov_e6") == 666666L)
+  }
+
+  test("conformalInterval: calibration smaller than the rank gives the infinite interval") {
+    // n_cal = 2 → k = ⌈3·0.9⌉ = 3 > 2 → null q̂, null coverage
+    val df = (Seq.fill(3)(("a", "train", 10L)) ++
+      Seq(("a", "val", 11L), ("a", "val", 12L)) ++
+      Seq(("a", "test", 10L))).toDF("g", "split", "v")
+    val r = Metrics.conformalInterval(df, "split", Seq("g"), "v").head()
+    assert(r.getAs[Long]("n_cal") == 2L && r.getAs[Long]("k") == 3L)
+    assert(r.isNullAt(r.fieldIndex("qhat_e2")))
+    assert(r.getAs[Long]("n_covered") == 0L)
+    assert(r.isNullAt(r.fieldIndex("cov_e6")))
+  }
 }
