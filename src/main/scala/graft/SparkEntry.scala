@@ -48,6 +48,7 @@ object SparkEntry {
       "q318_x_stream_page_hinkley" -> m("q317_x_page_hinkley"),
       "q327_x_stream_vocab_coverage" -> m("q325_x_vocab_coverage"),
       "q333_x_stream_topk_stability" -> m("q319_x_topk_stability"),
-      "q344_x_stream_cem_att" -> m("q342_x_cem_att"))
+      "q344_x_stream_cem_att" -> m("q342_x_cem_att"),
+      "q355_x_stream_diff_in_diff" -> m("q352_x_diff_in_diff"))
   }
 }

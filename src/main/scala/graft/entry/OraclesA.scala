@@ -1482,6 +1482,66 @@ private[graft] object OraclesA {
          |FROM conf""".stripMargin
     },
 
+    // sharp RDD: six exact moments per side per key, then the SAME fixed
+    // double trees (slope, intercept, RSS, intercept variance) the Spark
+    // expr uses; u = days from the cutoff, sides u<0 / u>=0 within ±60
+    "q354_x_regression_discontinuity" -> {
+      val sides = Seq(("l", "u < 0"), ("r", "u >= 0"))
+      val moments = sides.map { case (s, w) =>
+        s"""CAST(sum(CASE WHEN $w THEN 1 ELSE 0 END) AS BIGINT) AS n_$s,
+           |    CAST(sum(CASE WHEN $w THEN u ELSE 0 END) AS BIGINT) AS su$s,
+           |    CAST(sum(CASE WHEN $w THEN y ELSE 0 END) AS BIGINT) AS sy$s,
+           |    sum(CASE WHEN $w THEN CAST(u AS HUGEINT) * y
+           |        ELSE CAST(0 AS HUGEINT) END) AS suy$s,
+           |    sum(CASE WHEN $w THEN CAST(u AS HUGEINT) * u
+           |        ELSE CAST(0 AS HUGEINT) END) AS suu$s,
+           |    sum(CASE WHEN $w THEN CAST(y AS HUGEINT) * y
+           |        ELSE CAST(0 AS HUGEINT) END) AS syy$s""".stripMargin
+      }.mkString(",\n    ")
+      def den(s: String) =
+        s"(CAST(n_$s AS DOUBLE) * CAST(suu$s AS DOUBLE) - CAST(su$s AS DOUBLE) * CAST(su$s AS DOUBLE))"
+      def b(s: String) =
+        s"((CAST(n_$s AS DOUBLE) * CAST(suy$s AS DOUBLE) - CAST(su$s AS DOUBLE) * CAST(sy$s AS DOUBLE)) / ${den(s)})"
+      def a(s: String) =
+        s"((CAST(sy$s AS DOUBLE) - ${b(s)} * CAST(su$s AS DOUBLE)) / CAST(n_$s AS DOUBLE))"
+      def rss(s: String) =
+        s"(CAST(syy$s AS DOUBLE) - ${a(s)} * CAST(sy$s AS DOUBLE) - ${b(s)} * CAST(suy$s AS DOUBLE))"
+      def va(s: String) =
+        s"((${rss(s)} / (CAST(n_$s AS DOUBLE) - 2.0)) * CAST(suu$s AS DOUBLE) / ${den(s)})"
+      val okEst = s"n_l >= 2 AND n_r >= 2 AND ${den("l")} != 0 AND ${den("r")} != 0"
+      val okT = s"$okEst AND n_l >= 3 AND n_r >= 3 AND (${va("l")} + ${va("r")}) > 0"
+      val tau = s"(${a("r")} - ${a("l")})"
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS k,
+         |         CAST(date_diff('day', DATE '1995-07-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS u,
+         |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS y
+         |  FROM orders
+         |  WHERE o_orderpriority IS NOT NULL AND o_orderdate IS NOT NULL
+         |    AND o_totalprice IS NOT NULL
+         |    AND date_diff('day', DATE '1995-07-01', CAST(o_orderdate AS DATE)) BETWEEN -60 AND 60),
+         |ag AS (SELECT k,
+         |    $moments
+         |  FROM o GROUP BY k),
+         |f AS (SELECT k AS o_orderpriority, n_l, n_r,
+         |    CASE WHEN $okEst THEN
+         |      CAST(floor(${a("l")} * 1000000 + 0.5) AS BIGINT) END AS a_l_e6,
+         |    CASE WHEN $okEst THEN
+         |      CAST(floor(${a("r")} * 1000000 + 0.5) AS BIGINT) END AS a_r_e6,
+         |    CASE WHEN $okEst THEN
+         |      CAST(floor(${b("l")} * 1000000 + 0.5) AS BIGINT) END AS b_l_e6,
+         |    CASE WHEN $okEst THEN
+         |      CAST(floor(${b("r")} * 1000000 + 0.5) AS BIGINT) END AS b_r_e6,
+         |    CASE WHEN $okEst THEN
+         |      CAST(floor($tau * 1000000 + 0.5) AS BIGINT) END AS tau_e6,
+         |    CASE WHEN $okT THEN
+         |      CAST(floor($tau / sqrt(${va("l")} + ${va("r")}) * 10000 + 0.5)
+         |        AS BIGINT) END AS t_e4
+         |  FROM ag)
+         |SELECT f.*, CASE WHEN t_e4 IS NOT NULL THEN abs(t_e4) > 19600 END
+         |         AS significant
+         |FROM f ORDER BY o_orderpriority""".stripMargin
+    },
+
     // split conformal: md5 split replayed, train group means as EXACT
     // integral division of HUGEINT sums (non-negative ⇒ truncation =
     // floor = Spark's decimal `div`), q̂ as the exact rank-k order

@@ -2279,6 +2279,27 @@ private[graft] object QueriesB {
       graft.operators.Metrics.conformalInterval(
         Corpus.hashSplit(li, "__key"), "split",
         Seq("l_returnflag", "l_linestatus"), "dollars")
-    })
+    }),
+
+    // ---- extension: sharp regression discontinuity per order priority —
+    // the third causal design beside q342 CEM (matching) and q352 DiD
+    // (panel): local linear fits ±60 days around the H2'95 cutoff, jump
+    // at the cutoff with intercept-variance t
+    "q354_x_regression_discontinuity" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
+        .withColumn("rdays",
+          datediff(col("o_orderdate"), lit("1995-07-01").cast("date")))
+      graft.operators.Regression.regressionDiscontinuity(
+          o, Seq("o_orderpriority"), "rdays", "dollars",
+          cutoff = 0L, bandwidth = 60L)
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- extension: STREAMING twin of q352 DiD (state = the per-key
+    // 2x2 moment grid, stream-static dim join, shared didFromMoments
+    // readout; drained == batch, one oracle)
+    "q355_x_stream_diff_in_diff" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingDiffInDiff(s, d))
   )
 }

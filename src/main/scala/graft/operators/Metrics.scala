@@ -2927,6 +2927,15 @@ object Metrics {
     * Output: `(keys…, n_00, n_01, n_10, n_11, mean_00_e2…mean_11_e2,
     * did_e6, t_e4, significant)` — cell suffix = <treat><post>. */
   def diffInDiff(df: DataFrame, keyCols: Seq[String], treatCol: String,
+                 postCol: String, valueCol: String): DataFrame =
+    didFromMoments(didMoments(df, keyCols, treatCol, postCol, valueCol))
+
+  /** The per-key 2×2 moment grid behind [[diffInDiff]] — count / LONG
+    * sum / DECIMAL(38,0) sum-of-squares per cell, one map-side-combined
+    * conditional aggregate. Split out (the cemStrata/attFromStrata
+    * factoring) so the STREAMING twin can hold exactly this grid as
+    * complete-mode state and share [[didFromMoments]]'s readout. */
+  def didMoments(df: DataFrame, keyCols: Seq[String], treatCol: String,
                  postCol: String, valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "diffInDiff needs at least one key column")
     val t = col(treatCol)
@@ -2941,17 +2950,25 @@ object Metrics {
           s"cast(cast(`$valueCol` as bigint) as decimal(38,0)) * cast(`$valueCol` as bigint)"))
         .otherwise(expr("cast(0 as decimal(38,0))"))).as(s"__q$c"))
     }
-    def v(c: String) =
-      s"((cast(__q$c as double) - cast(__s$c as double) * __s$c / n_$c) / (n_$c - 1))"
-    def m(c: String) = s"(cast(__s$c as double) / n_$c)"
-    val allN1 = cells.map { case (c, _) => s"n_$c >= 1" }.mkString(" and ")
-    val allN2 = cells.map { case (c, _) => s"n_$c >= 2" }.mkString(" and ")
-    val did = s"((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))"
-    val se2 = cells.map { case (c, _) => s"${v(c)} / n_$c" }.mkString(" + ")
     dropNullKeys(df, keyCols)
       .filter(t.isNotNull && p.isNotNull && x.isNotNull)
       .groupBy(keyCols.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** DiD readout over a [[didMoments]] grid — the single shared
+    * implementation both the batch operator and the streaming twin call,
+    * so estimate parity cannot drift between hand-synced copies. */
+  def didFromMoments(moments: DataFrame): DataFrame = {
+    val cells = Seq("00", "01", "10", "11")
+    def v(c: String) =
+      s"((cast(__q$c as double) - cast(__s$c as double) * __s$c / n_$c) / (n_$c - 1))"
+    def m(c: String) = s"(cast(__s$c as double) / n_$c)"
+    val allN1 = cells.map(c => s"n_$c >= 1").mkString(" and ")
+    val allN2 = cells.map(c => s"n_$c >= 2").mkString(" and ")
+    val did = s"((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))"
+    val se2 = cells.map(c => s"${v(c)} / n_$c").mkString(" + ")
+    moments
       .withColumn("mean_00_e2", expr("__s00 * 100 div nullif(n_00, 0)"))
       .withColumn("mean_01_e2", expr("__s01 * 100 div nullif(n_01, 0)"))
       .withColumn("mean_10_e2", expr("__s10 * 100 div nullif(n_10, 0)"))
@@ -2965,7 +2982,7 @@ object Metrics {
            |end""".stripMargin))
       .withColumn("significant",
         when(col("t_e4").isNotNull, abs(col("t_e4")) > 19600L))
-      .drop(cells.flatMap { case (c, _) => Seq(s"__s$c", s"__q$c") }: _*)
+      .drop(cells.flatMap(c => Seq(s"__s$c", s"__q$c")): _*)
   }
 
   /** Split conformal prediction — the distribution-free interval

@@ -198,4 +198,83 @@ object Regression {
         col("__pos").as("n_pos") :+ col("__nl").as("n_left") :+
         col("__pl").as("pos_left") :+ col("gain_e6"): _*)
   }
+
+  /** Sharp regression discontinuity per key — the third causal-design
+    * member beside q342's matching (CEM) and q352's panel (DiD): when
+    * treatment switches ON at a running-variable cutoff, the jump
+    * `τ = α_R − α_L` between two LOCAL LINEAR fits at the cutoff is the
+    * effect (Thistlethwaite & Campbell 1960; Imbens & Lemieux 2008).
+    * Sides fit within ±`bandwidth` of the cutoff: left `u ∈ [−h, 0)`,
+    * right `u ∈ [0, h]`, u = running − cutoff.
+    *
+    * Exactness ([[groupedOls]] extended to two sides + intercept SE):
+    * per side the six sufficient sums (n, Σu, Σy exact longs; Σuy, Σu²,
+    * Σy² DECIMAL(38,0) — the welch widening) in ONE map-side-combined
+    * conditional aggregate; slope/intercept/RSS/intercept-variance
+    * `Var(α̂) = s²·Σu²/(nΣu² − (Σu)²)` are FIXED double trees mirrored
+    * literally in the SQL oracle; τ at e6, t at e4, `significant` on the
+    * rounded t. Sides with n < 2 or a singular design null the estimate;
+    * the t additionally needs n ≥ 3 per side and positive variance.
+    *
+    * Output: `(keys…, n_l, n_r, a_l_e6, a_r_e6, b_l_e6, b_r_e6, tau_e6,
+    * t_e4, significant)`. */
+  def regressionDiscontinuity(df: DataFrame, keyCols: Seq[String],
+                              runCol: String, yCol: String,
+                              cutoff: Long, bandwidth: Long): DataFrame = {
+    require(keyCols.nonEmpty, "regressionDiscontinuity needs key columns")
+    require(bandwidth >= 2, s"bandwidth >= 2, got $bandwidth")
+    val u = col(runCol).cast("long") - lit(cutoff)
+    val y = col(yCol).cast("long")
+    val sides = Seq(("l", u < 0L), ("r", u >= 0L))
+    val decProd = (a: String, b: String) =>
+      expr(s"cast(cast($a as decimal(38,0)) * cast($b as decimal(38,0)) as decimal(38,0))")
+    val aggs = sides.flatMap { case (s, cond) => Seq(
+      sum(when(cond, 1L).otherwise(0L)).as(s"n_$s"),
+      sum(when(cond, u).otherwise(0L)).as(s"__su$s"),
+      sum(when(cond, y).otherwise(0L)).as(s"__sy$s"),
+      sum(when(cond, decProd("__u", "__yv"))
+        .otherwise(expr("cast(0 as decimal(38,0))"))).as(s"__suy$s"),
+      sum(when(cond, decProd("__u", "__u"))
+        .otherwise(expr("cast(0 as decimal(38,0))"))).as(s"__suu$s"),
+      sum(when(cond, decProd("__yv", "__yv"))
+        .otherwise(expr("cast(0 as decimal(38,0))"))).as(s"__syy$s"))
+    }
+    def den(s: String) =
+      s"(cast(n_$s as double) * cast(__suu$s as double) - cast(__su$s as double) * cast(__su$s as double))"
+    def b(s: String) =
+      s"((cast(n_$s as double) * cast(__suy$s as double) - cast(__su$s as double) * cast(__sy$s as double)) / ${den(s)})"
+    def a(s: String) =
+      s"((cast(__sy$s as double) - ${b(s)} * cast(__su$s as double)) / cast(n_$s as double))"
+    def rss(s: String) =
+      s"(cast(__syy$s as double) - ${a(s)} * cast(__sy$s as double) - ${b(s)} * cast(__suy$s as double))"
+    def va(s: String) =
+      s"((${rss(s)} / (cast(n_$s as double) - 2.0)) * cast(__suu$s as double) / ${den(s)})"
+    val okEst = s"n_l >= 2 and n_r >= 2 and ${den("l")} != 0 and ${den("r")} != 0"
+    val okT = s"$okEst and n_l >= 3 and n_r >= 3 and (${va("l")} + ${va("r")}) > 0"
+    val tau = s"(${a("r")} - ${a("l")})"
+    graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(runCol).isNotNull && y.isNotNull)
+      .withColumn("__u", u).withColumn("__yv", y)
+      .filter(col("__u") >= -bandwidth && col("__u") <= bandwidth)
+      .groupBy(keyCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .withColumn("a_l_e6", expr(
+        s"case when $okEst then cast(floor(${a("l")} * 1000000 + 0.5) as bigint) end"))
+      .withColumn("a_r_e6", expr(
+        s"case when $okEst then cast(floor(${a("r")} * 1000000 + 0.5) as bigint) end"))
+      .withColumn("b_l_e6", expr(
+        s"case when $okEst then cast(floor(${b("l")} * 1000000 + 0.5) as bigint) end"))
+      .withColumn("b_r_e6", expr(
+        s"case when $okEst then cast(floor(${b("r")} * 1000000 + 0.5) as bigint) end"))
+      .withColumn("tau_e6", expr(
+        s"case when $okEst then cast(floor($tau * 1000000 + 0.5) as bigint) end"))
+      .withColumn("t_e4", expr(
+        s"""case when $okT then
+           |  cast(floor($tau / sqrt(${va("l")} + ${va("r")}) * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("significant",
+        when(col("t_e4").isNotNull, abs(col("t_e4")) > 19600L))
+      .drop(sides.flatMap { case (s, _) =>
+        Seq(s"__su$s", s"__sy$s", s"__suy$s", s"__suu$s", s"__syy$s") }: _*)
+  }
 }

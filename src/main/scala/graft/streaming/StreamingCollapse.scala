@@ -1444,4 +1444,36 @@ object StreamingCollapse {
     graft.operators.Metrics.attFromStrata(
       spark.table(name).localCheckpoint(true))
   }
+
+  /** Streaming twin of q352's difference-in-differences: the standing
+    * "has today's ingest moved the panel causal estimate" monitor. State
+    * IS the [[graft.operators.Metrics.didMoments]] per-key 2×2 moment
+    * grid (complete-mode aggregation — O(keys·4 cells), not O(rows)),
+    * fed by the same stream-STATIC join as [[streamingCemAtt]] (orders
+    * stream, customer dimension broadcast); every drain re-derives the
+    * estimate via the SHARED [[graft.operators.Metrics.didFromMoments]]
+    * readout, so drained == batch bit-for-bit and q352's oracle serves
+    * both. */
+  def streamingDiffInDiff(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_did"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/orders.parquet").schema
+    val cust = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("treated"))
+    val o = spark.readStream.schema(phys).parquet(streamDir(dir, "orders"))
+      .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
+      .withColumn("post", col("o_orderdate") >= lit("1995-07-01").cast("date"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+    val grid = graft.operators.Metrics.didMoments(
+      o, Seq("o_orderpriority"), "treated", "post", "dollars")
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.didFromMoments(
+        spark.table(name).localCheckpoint(true))
+      .orderBy("o_orderpriority")
+  }
 }

@@ -99,4 +99,48 @@ class RegressionSpec extends SparkSpec {
     assert(z.getAs[Long]("gain_e6") == 0L)
     assert(z.getAs[Long]("threshold") == 7L)
   }
+
+  test("regressionDiscontinuity: hand-computed local linear jump at the cutoff") {
+    // left (−3,8),(−2,10),(−1,12): perfect line a=14, b=2, rss=0;
+    // right (0,20),(1,23),(2,27): a=59.5/3, b=3.5, rss=1/6, Var(a)=5/36;
+    // τ = 19.8333… − 14 = 5.8333…, t = τ/√(5/36) ≈ 15.6525
+    val df = (Seq((-3L, 8L), (-2L, 10L), (-1L, 12L),
+      (0L, 20L), (1L, 23L), (2L, 27L),
+      (100L, 0L), (-100L, 999L)) // outside ±60 — must not move anything
+      ).map { case (u, y) => ("k", u, y) }.toDF("key", "r", "y")
+    val r = Regression.regressionDiscontinuity(
+      df, Seq("key"), "r", "y", cutoff = 0L, bandwidth = 60L).head()
+    assert(r.getAs[Long]("n_l") == 3L && r.getAs[Long]("n_r") == 3L)
+    assert(r.getAs[Long]("a_l_e6") == 14000000L)
+    assert(r.getAs[Long]("b_l_e6") == 2000000L)
+    assert(r.getAs[Long]("a_r_e6") == 19833333L)
+    assert(r.getAs[Long]("b_r_e6") == 3500000L)
+    assert(r.getAs[Long]("tau_e6") == 5833333L)
+    val t = r.getAs[Long]("t_e4")
+    assert(t > 156000L && t < 157000L, s"t_e4=$t")
+    assert(r.getAs[Boolean]("significant"))
+  }
+
+  test("regressionDiscontinuity: thin or singular sides null the estimate / the t") {
+    // n_r = 1 → no line on the right → null estimate end-to-end
+    val thin = Seq(("k", -2L, 10L), ("k", -1L, 12L), ("k", 0L, 20L))
+      .toDF("key", "r", "y")
+    val r1 = Regression.regressionDiscontinuity(
+      thin, Seq("key"), "r", "y", 0L, 60L).head()
+    assert(r1.isNullAt(r1.fieldIndex("tau_e6")) && r1.isNullAt(r1.fieldIndex("t_e4")))
+    // 2 points per side: estimate computes, t needs 3 → null
+    val two = Seq(("k", -2L, 10L), ("k", -1L, 12L), ("k", 0L, 20L), ("k", 1L, 23L))
+      .toDF("key", "r", "y")
+    val r2 = Regression.regressionDiscontinuity(
+      two, Seq("key"), "r", "y", 0L, 60L).head()
+    assert(r2.getAs[Long]("tau_e6") == 6000000L) // a_r=20, a_l=14
+    assert(r2.isNullAt(r2.fieldIndex("t_e4")))
+    // a perfect fit on BOTH sides (zero residual variance) nulls the t
+    val perfect = Seq(("k", -3L, 8L), ("k", -2L, 10L), ("k", -1L, 12L),
+      ("k", 0L, 20L), ("k", 1L, 23L), ("k", 2L, 26L)).toDF("key", "r", "y")
+    val r3 = Regression.regressionDiscontinuity(
+      perfect, Seq("key"), "r", "y", 0L, 60L).head()
+    assert(r3.getAs[Long]("tau_e6") == 6000000L)
+    assert(r3.isNullAt(r3.fieldIndex("t_e4")))
+  }
 }

@@ -452,6 +452,17 @@ class StreamingSpec extends SparkSpec {
     assert(streamed._2 > 0L && streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("streamingDiffInDiff: drained moment grid gives the batch DiD exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_00"), r.getAs[Long]("n_11"),
+        r.get(r.fieldIndex("did_e6")), r.get(r.fieldIndex("t_e4")))).toSeq
+    val streamed = rows(StreamingCollapse.streamingDiffInDiff(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q352_x_diff_in_diff")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("streamingChiSquare: grid state survives checkpoint stop + restart (recovery contract)") {
     // The production claim behind every grid-state twin: complete-mode
     // aggregation state checkpoints per shuffle partition and the file
