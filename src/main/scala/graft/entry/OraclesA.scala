@@ -1482,6 +1482,88 @@ private[graft] object OraclesA {
          |FROM conf""".stripMargin
     },
 
+    // DiD permutation placebo: the q352 moment/readout trees replayed
+    // once on the real assignment and once per md5 pseudo-assignment
+    // (dkHash32(unit ⊕ b) % 2), p on the rounded e6 estimates
+    "q357_x_did_placebo" -> {
+      def cells(t: String) = Seq(("00", s"NOT $t AND NOT p"),
+        ("01", s"NOT $t AND p"), ("10", s"$t AND NOT p"), ("11", s"$t AND p"))
+      def moments(t: String) = cells(t).map { case (c, w) =>
+        s"""CAST(sum(CASE WHEN $w THEN 1 ELSE 0 END) AS BIGINT) AS n_$c,
+           |    CAST(sum(CASE WHEN $w THEN x ELSE 0 END) AS BIGINT) AS s$c""".stripMargin
+      }.mkString(",\n    ")
+      def m(c: String) = s"(CAST(s$c AS DOUBLE) / n_$c)"
+      val did = s"((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))"
+      val allN1 = cells("t").map { case (c, _) => s"n_$c >= 1" }.mkString(" AND ")
+      val didSel =
+        s"""CASE WHEN $allN1 THEN
+           |      CAST(floor($did * 1000000 + 0.5) AS BIGINT) END""".stripMargin
+      val tb = dkHash32("CAST(unit AS VARCHAR) || '-' || CAST(b AS VARCHAR)")
+      s"""WITH o AS MATERIALIZED (
+         |  SELECT o_orderpriority AS k, o_custkey AS unit,
+         |         (c_mktsegment = 'BUILDING') AS t,
+         |         (o_orderdate >= DATE '1995-07-01') AS p,
+         |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+         |    AND c_mktsegment IS NOT NULL AND o_orderdate IS NOT NULL),
+         |a0 AS (SELECT k,
+         |    ${moments("t")}
+         |  FROM o GROUP BY k),
+         |f0 AS (SELECT k, $didSel AS did_obs_e6 FROM a0),
+         |pe AS MATERIALIZED (
+         |  SELECT k, b, ($tb % 2 = 0) AS tb, p, x
+         |  FROM o CROSS JOIN (SELECT unnest(generate_series(1, 19)) AS b) bs
+         |  WHERE unit IS NOT NULL),
+         |a1 AS (SELECT k, b,
+         |    ${moments("tb")}
+         |  FROM pe GROUP BY k, b),
+         |f1 AS (SELECT k, $didSel AS did_b FROM a1),
+         |g AS (SELECT f1.k, max(f0.did_obs_e6) AS did_obs_e6,
+         |        CAST(count(*) FILTER (WHERE did_b IS NOT NULL) AS BIGINT)
+         |          AS n_reps,
+         |        CAST(count(*) FILTER (WHERE abs(did_b) >= abs(f0.did_obs_e6))
+         |          AS BIGINT) AS n_ge
+         |      FROM f1 JOIN f0 ON f1.k = f0.k GROUP BY f1.k)
+         |SELECT k AS o_orderpriority, did_obs_e6, n_reps, n_ge,
+         |       CASE WHEN did_obs_e6 IS NOT NULL AND n_reps > 0
+         |            THEN (1 + n_ge) * 1000000 // (n_reps + 1) END AS p_e6
+         |FROM g ORDER BY k""".stripMargin
+    },
+
+    // IV Wald: six exact moments per key, the SAME mean-gap double trees
+    // (first stage, ITT, ratio) the Spark expr uses
+    "q356_x_iv_wald" -> {
+      def mean(s: String, n: String) = s"(CAST($s AS DOUBLE) / $n)"
+      val fs = s"(${mean("d1", "n_z1")} - ${mean("d0", "n_z0")})"
+      val itt = s"(${mean("y1", "n_z1")} - ${mean("y0", "n_z0")})"
+      val okC = "n_z0 >= 1 AND n_z1 >= 1"
+      s"""WITH o AS (
+         |  SELECT o_orderpriority AS k,
+         |         (c_nationkey % 2 = 0) AS z,
+         |         CAST(c_nationkey % 3 = 0 AS BIGINT) AS dt,
+         |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS y
+         |  FROM orders JOIN customer ON o_custkey = c_custkey
+         |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL
+         |    AND c_nationkey IS NOT NULL),
+         |a AS (SELECT k,
+         |    CAST(sum(CASE WHEN NOT z THEN 1 ELSE 0 END) AS BIGINT) AS n_z0,
+         |    CAST(sum(CASE WHEN z THEN 1 ELSE 0 END) AS BIGINT) AS n_z1,
+         |    CAST(sum(CASE WHEN NOT z THEN dt ELSE 0 END) AS BIGINT) AS d0,
+         |    CAST(sum(CASE WHEN z THEN dt ELSE 0 END) AS BIGINT) AS d1,
+         |    CAST(sum(CASE WHEN NOT z THEN y ELSE 0 END) AS BIGINT) AS y0,
+         |    CAST(sum(CASE WHEN z THEN y ELSE 0 END) AS BIGINT) AS y1
+         |  FROM o GROUP BY k)
+         |SELECT k AS o_orderpriority, n_z0, n_z1,
+         |  CASE WHEN $okC THEN
+         |    CAST(floor($fs * 1000000 + 0.5) AS BIGINT) END AS fs_e6,
+         |  CASE WHEN $okC THEN
+         |    CAST(floor($itt * 1000000 + 0.5) AS BIGINT) END AS itt_e6,
+         |  CASE WHEN $okC AND $fs != 0 THEN
+         |    CAST(floor($itt / $fs * 1000000 + 0.5) AS BIGINT) END AS late_e6
+         |FROM a ORDER BY k""".stripMargin
+    },
+
     // sharp RDD: six exact moments per side per key, then the SAME fixed
     // double trees (slope, intercept, RSS, intercept variance) the Spark
     // expr uses; u = days from the cutoff, sides u<0 / u>=0 within ±60

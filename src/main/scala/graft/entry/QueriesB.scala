@@ -2300,6 +2300,40 @@ private[graft] object QueriesB {
     // 2x2 moment grid, stream-static dim join, shared didFromMoments
     // readout; drained == batch, one oracle)
     "q355_x_stream_diff_in_diff" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingCollapse.streamingDiffInDiff(s, d))
+      graft.streaming.StreamingCollapse.streamingDiffInDiff(s, d)),
+
+    // ---- extension: IV / Wald LATE per order priority — the fourth
+    // causal design (confounded treatment, hash-random encouragement):
+    // synthetic design z = even nation, d = nation ≡ 0 (mod 3), so the
+    // first stage is a known nonzero rate gap; reduced form and first
+    // stage reported beside the ratio
+    "q356_x_iv_wald" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        (col("c_nationkey") % 2 === 0).as("z"),
+        (col("c_nationkey") % 3 === 0).as("dtreat"))
+      graft.operators.Metrics.ivWald(
+          o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+          Seq("o_orderpriority"), "z", "dtreat", "dollars")
+        .orderBy("o_orderpriority")
+    }),
+
+    // ---- extension: permutation placebo for q352's DiD — 19
+    // hash-deterministic pseudo-assignments of the treatment unit
+    // (customer), permutation p on the rounded e6 estimates
+    // (Bertrand–Duflo–Mullainathan 2004's placebo recipe)
+    "q357_x_did_placebo" -> tuned((s, d) => {
+      val o = Tables.orders(s, d)
+        .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
+        .withColumn("post", col("o_orderdate") >= lit("1995-07-01").cast("date"))
+      val c = Tables.customer(s, d).select(col("c_custkey"),
+        (col("c_mktsegment") === "BUILDING").as("treated"))
+      graft.operators.Metrics.didPlacebo(
+          o.join(broadcast(c), o("o_custkey") === c("c_custkey")),
+          Seq("o_orderpriority"), "o_custkey", "treated", "post", "dollars",
+          reps = 19)
+        .orderBy("o_orderpriority")
+    })
   )
 }

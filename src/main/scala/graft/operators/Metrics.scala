@@ -2985,6 +2985,98 @@ object Metrics {
       .drop(cells.flatMap(c => Seq(s"__s$c", s"__q$c")): _*)
   }
 
+  /** Permutation placebo test for [[diffInDiff]] — the design-validity
+    * inference the causal tier was missing: re-estimate the DiD under
+    * `reps` DETERMINISTIC pseudo-assignments of treatment (md5 of
+    * unit-id ⊕ replicate index — reproducible under retries, the
+    * hashSplit discipline, never rand()), and report the permutation
+    * p-value `(1 + #{|DiD_b| ≥ |DiD_obs|}) / (reps + 1)` (Fisher's exact
+    * randomization logic; Bertrand–Duflo–Mullainathan 2004 recommend
+    * exactly this placebo for DiD). Comparisons run on the ROUNDED e6
+    * estimates so both engines agree bit-for-bit.
+    *
+    * Scale shape: the replicate axis explodes rows×reps BEFORE the
+    * moment aggregate (broadcast range join — data crosses the wire
+    * once; the aggregate map-side combines to keys×reps×4 cells), so
+    * cost is linear in reps — `reps` is the documented dial (default 19
+    * ⇒ p resolution 0.05). Placebo replicates whose 2×2 loses a cell
+    * emit null and are excluded from the denominator, counted loudly in
+    * `n_reps`.
+    *
+    * Output: `(keys…, did_obs_e6, n_reps, n_ge, p_e6)`. */
+  def didPlacebo(df: DataFrame, keyCols: Seq[String], unitCol: String,
+                 treatCol: String, postCol: String, valueCol: String,
+                 reps: Int = 19): DataFrame = {
+    require(reps >= 1 && reps <= 999, s"reps in [1,999], got $reps")
+    val obs = didFromMoments(didMoments(df, keyCols, treatCol, postCol, valueCol))
+      .select(keyCols.map(col) :+ col("did_e6").as("did_obs_e6"): _*)
+    val bs = df.sparkSession.range(1, reps + 1).select(col("id").as("__b"))
+    val expl = df.filter(col(unitCol).isNotNull)
+      .crossJoin(broadcast(bs))
+      .withColumn("__tb", graft.functions.Cols.hash32(
+        concat(col(unitCol).cast("string"), lit("-"),
+          col("__b").cast("string"))) % 2 === 0)
+    val plac = didFromMoments(
+        didMoments(expl, keyCols :+ "__b", "__tb", postCol, valueCol))
+      .select(keyCols.map(col) :+ col("did_e6").as("__did_b"): _*)
+    plac.join(obs, keyCols)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        max(col("did_obs_e6")).as("did_obs_e6"),
+        count(when(col("__did_b").isNotNull, 1)).as("n_reps"),
+        count(when(abs(col("__did_b")) >= abs(col("did_obs_e6")), 1)).as("n_ge"))
+      .withColumn("p_e6", expr(
+        """case when did_obs_e6 is not null and n_reps > 0
+          |then (1 + n_ge) * 1000000 div (n_reps + 1) end""".stripMargin))
+  }
+
+  /** Per-key instrumental-variables Wald estimator — the FOURTH causal
+    * design, for when treatment itself is confounded but an
+    * ENCOURAGEMENT (instrument z) is as-good-as-random: the local
+    * average treatment effect is the ratio of the reduced form to the
+    * first stage, `LATE = (ȳ_{z=1} − ȳ_{z=0}) / (d̄_{z=1} − d̄_{z=0})`
+    * (Wald 1940; Angrist–Imbens–Rubin 1996). Equals 2SLS with one binary
+    * instrument. Both components are reported — the first stage IS the
+    * weak-instrument diagnostic, and the reduced form is the
+    * intention-to-treat readout.
+    *
+    * Exactness: six exact integer moments per key (n / Σd / Σy per
+    * instrument side, d ∈ {0,1}, y integral — one map-side-combined
+    * conditional aggregate); first stage, ITT, and LATE are ONE fixed
+    * double tree each, e6-quantized, mirrored literally in the oracle.
+    * An instrument side with n = 0 or a zero first stage nulls the LATE
+    * (reported components stay). Output: `(keys…, n_z0, n_z1, fs_e6,
+    * itt_e6, late_e6)`. */
+  def ivWald(df: DataFrame, keyCols: Seq[String], instCol: String,
+             treatCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "ivWald needs at least one key column")
+    val z = col(instCol)
+    val dcol = col(treatCol).cast("long")
+    val y = col(valueCol).cast("long")
+    def mean(s: String, n: String) = s"(cast($s as double) / $n)"
+    val fs = s"(${mean("__d1", "n_z1")} - ${mean("__d0", "n_z0")})"
+    val itt = s"(${mean("__y1", "n_z1")} - ${mean("__y0", "n_z0")})"
+    val okC = "n_z0 >= 1 and n_z1 >= 1"
+    dropNullKeys(df, keyCols)
+      .filter(z.isNotNull && dcol.isNotNull && y.isNotNull)
+      .groupBy(keyCols.map(col): _*)
+      .agg(
+        sum(when(!z, 1L).otherwise(0L)).as("n_z0"),
+        sum(when(z, 1L).otherwise(0L)).as("n_z1"),
+        sum(when(!z, dcol).otherwise(0L)).as("__d0"),
+        sum(when(z, dcol).otherwise(0L)).as("__d1"),
+        sum(when(!z, y).otherwise(0L)).as("__y0"),
+        sum(when(z, y).otherwise(0L)).as("__y1"))
+      .withColumn("fs_e6", expr(
+        s"case when $okC then cast(floor($fs * 1000000 + 0.5) as bigint) end"))
+      .withColumn("itt_e6", expr(
+        s"case when $okC then cast(floor($itt * 1000000 + 0.5) as bigint) end"))
+      .withColumn("late_e6", expr(
+        s"""case when $okC and $fs != 0 then
+           |  cast(floor($itt / $fs * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .drop("__d0", "__d1", "__y0", "__y1")
+  }
+
   /** Split conformal prediction — the distribution-free interval
     * guarantee (Vovk; Lei et al. 2018) every model-quality readout in
     * the eval tier implicitly leans on: fit ANY point model on the train

@@ -1315,6 +1315,72 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("cov_e6") == 666666L)
   }
 
+  test("ivWald: hand-computed first stage, ITT, and LATE ratio") {
+    // z=0: d̄ = 1/4, ȳ = 15; z=1: d̄ = 3/4, ȳ = 30 → fs = 0.5,
+    // itt = 15, LATE = 30
+    val rows = Seq(
+      (false, 1L, 10L), (false, 0L, 10L), (false, 0L, 20L), (false, 0L, 20L),
+      (true, 1L, 20L), (true, 1L, 30L), (true, 1L, 30L), (true, 0L, 40L))
+      .map { case (z, d, y) => ("k", z, d, y) }
+    val r = Metrics.ivWald(rows.toDF("key", "z", "d", "y"),
+      Seq("key"), "z", "d", "y").head()
+    assert(r.getAs[Long]("n_z0") == 4L && r.getAs[Long]("n_z1") == 4L)
+    assert(r.getAs[Long]("fs_e6") == 500000L)
+    assert(r.getAs[Long]("itt_e6") == 15000000L)
+    assert(r.getAs[Long]("late_e6") == 30000000L)
+  }
+
+  test("ivWald: a zero first stage nulls the LATE but keeps the components") {
+    val rows = Seq((false, 1L, 10L), (false, 0L, 20L),
+      (true, 1L, 30L), (true, 0L, 50L)).map { case (z, d, y) => ("k", z, d, y) }
+    val r = Metrics.ivWald(rows.toDF("key", "z", "d", "y"),
+      Seq("key"), "z", "d", "y").head()
+    assert(r.getAs[Long]("fs_e6") == 0L)
+    assert(r.getAs[Long]("itt_e6") == 25000000L)
+    assert(r.isNullAt(r.fieldIndex("late_e6")))
+  }
+
+  test("didPlacebo: permutation p matches a driver-side replay of the hash assignments") {
+    // 12 units × (pre, post); planted effect +100 on the 4 true-treated
+    // units post. Expected placebo DiDs re-derived in plain Scala with
+    // the SAME md5 assignment (hash parity is pinned by
+    // TextHashParitySpec), so this checks the explode/groupBy plumbing
+    val units = (1L to 12L)
+    val treated = (u: Long) => u <= 4L
+    val base = (u: Long) => 10L + u // unit fixed effect
+    val rows = units.flatMap { u =>
+      Seq(("k", u, treated(u), false, base(u)),
+        ("k", u, treated(u), true, base(u) + 7L + (if (treated(u)) 100L else 0L)))
+    }
+    val df = rows.toDF("key", "unit", "treat", "post", "v")
+    val reps = 19
+    def didOf(assign: Long => Boolean): Option[Long] = {
+      val cells = rows.groupBy(r => (assign(r._2), r._4))
+        .map { case (k, rs) => k -> (rs.size.toLong, rs.map(_._5).sum) }
+      val need = Seq((false, false), (false, true), (true, false), (true, true))
+      if (!need.forall(cells.contains)) None
+      else {
+        def m(t: Boolean, p: Boolean) = { val (n, s) = cells((t, p)); s.toDouble / n }
+        Some(math.floor(((m(true, true) - m(true, false)) -
+          (m(false, true) - m(false, false))) * 1000000 + 0.5).toLong)
+      }
+    }
+    val obs = didOf(treated).get
+    val placebo = (1 to reps).flatMap { b =>
+      didOf(u => graft.text.TextHash.hash32(s"$u-$b") % 2 == 0)
+    }
+    val expGe = placebo.count(p => math.abs(p) >= math.abs(obs)).toLong
+    val expP = (1L + expGe) * 1000000L / (placebo.size + 1L)
+    val r = Metrics.didPlacebo(df, Seq("key"), "unit", "treat", "post", "v",
+      reps = reps).head()
+    assert(r.getAs[Long]("did_obs_e6") == obs)
+    assert(r.getAs[Long]("n_reps") == placebo.size.toLong)
+    assert(r.getAs[Long]("n_ge") == expGe)
+    assert(r.getAs[Long]("p_e6") == expP)
+    // a planted effect this large should be extreme among placebos
+    assert(r.getAs[Long]("p_e6") <= 150000L, s"p=${r.getAs[Long]("p_e6")}")
+  }
+
   test("conformalInterval: calibration smaller than the rank gives the infinite interval") {
     // n_cal = 2 → k = ⌈3·0.9⌉ = 3 > 2 → null q̂, null coverage
     val df = (Seq.fill(3)(("a", "train", 10L)) ++
