@@ -287,27 +287,72 @@ object VectorOps {
     require(dim >= 2 && dim <= 128, s"dim in [2,128] by contract, got $dim")
     require(iters >= 1, "iters >= 1")
     val spark = df.sparkSession
+    import spark.implicits._
     val base = df.filter(col(vecCol).isNotNull && size(col(vecCol)) === dim)
       .select(transform(col(vecCol),
         x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("xq"))
-    // flattened outer product: entry i*dim+j = x_i·x_j (e12 longs; per-row
-    // |x| < 3e3 keeps the long multiply exact), DECIMAL for the big sum
-    val op = flatten(transform(col("xq"), xi =>
-      transform(col("xq"), xj => (xi * xj).cast("decimal(38,0)"))))
-    val sxxRows = base.select(posexplode(op).as(Seq("k", "p")))
-      .groupBy("k").agg(sum("p").as("s")).collect()
-    val sxRows = base.select(posexplode(col("xq")).as(Seq("i", "x")))
-      .groupBy("i").agg(sum(col("x").cast("decimal(38,0)")).as("s")).collect()
-    val n = base.count()
+    // ONE mapPartitions pass accumulates the d² outer-product grid, the
+    // d sums, and the count as per-partition partials (the genuine
+    // per-partition-imperative case — the declarative posexplode form
+    // pushes rows·d² rows through the aggregate and measured ~10x slower
+    // at 10x data; EXACT integers make any accumulation order
+    // bit-identical, so the kernel cannot drift from the oracle). Long
+    // accumulators flush to BigInteger every 1024 rows; per-row products
+    // are fenced so 1024 of them cannot wrap (|x| < 94 raw units —
+    // orders of magnitude above unit-scale embeddings).
+    val d = dim
+    val partials = base.as[Array[Long]].mapPartitions { it =>
+      val accL = new Array[Long](d * d + d)
+      val accB = new Array[java.math.BigInteger](d * d + d)
+      var cnt = 0L
+      var sinceFlush = 0
+      def flush(): Unit = {
+        var i = 0
+        while (i < accL.length) {
+          if (accL(i) != 0L) {
+            val b = java.math.BigInteger.valueOf(accL(i))
+            accB(i) = if (accB(i) == null) b else accB(i).add(b)
+            accL(i) = 0L
+          }
+          i += 1
+        }
+        sinceFlush = 0
+      }
+      while (it.hasNext) {
+        val x = it.next()
+        var i = 0
+        while (i < d) {
+          val xi = x(i)
+          require(math.abs(xi) < 94000000L,
+            s"pcaPowerSlice: |component| $xi >= 9.4e7 e6 — 1024-row flush bound")
+          var j = 0
+          val row = i * d
+          while (j < d) {
+            accL(row + j) += xi * x(j)
+            j += 1
+          }
+          accL(d * d + i) += xi
+          i += 1
+        }
+        cnt += 1
+        sinceFlush += 1
+        if (sinceFlush >= 1024) flush()
+      }
+      flush()
+      Iterator.range(0, d * d + d).filter(accB(_) != null)
+        .map(k => (k, new java.math.BigDecimal(accB(k)))) ++
+        Iterator.single((d * d + d, new java.math.BigDecimal(cnt)))
+    }
+    val grid = partials.toDF("k", "p")
+      .groupBy("k").agg(sum(col("p").cast("decimal(38,0)")).as("s"))
+      .collect()
+    val momentOf = grid.map(r =>
+      r.getInt(0) -> BigInt(r.getAs[java.math.BigDecimal]("s").toBigIntegerExact))
+      .toMap
+    val n = momentOf.getOrElse(d * d + d, BigInt(0)).toLong
     require(n >= 2, s"pcaPowerSlice: need >= 2 vectors, got $n")
-    val sxx = Array.ofDim[BigInt](dim * dim)
-    sxxRows.foreach(r => sxx(r.getInt(0)) =
-      BigInt(r.getAs[java.math.BigDecimal]("s").toBigIntegerExact))
-    val sx = new Array[BigInt](dim)
-    sxRows.foreach(r => sx(r.getInt(0)) =
-      BigInt(r.getAs[java.math.BigDecimal]("s").toBigIntegerExact))
-    require(sxx.forall(_ != null) && sx.forall(_ != null),
-      "pcaPowerSlice: moment grid incomplete (null components?)")
+    val sxx = Array.tabulate(dim * dim)(k => momentOf.getOrElse(k, BigInt(0)))
+    val sx = Array.tabulate(dim)(i => momentOf.getOrElse(dim * dim + i, BigInt(0)))
     // floor-div by positive m — the same (a − posmod(a,m))/m identity the
     // oracle uses; BigInt.mod is the non-negative posmod
     def fdiv(a: BigInt, m: BigInt): BigInt = (a - a.mod(m)) / m
