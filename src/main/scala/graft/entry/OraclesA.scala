@@ -1498,7 +1498,7 @@ private[graft] object OraclesA {
       val didSel =
         s"""CASE WHEN $allN1 THEN
            |      CAST(floor($did * 1000000 + 0.5) AS BIGINT) END""".stripMargin
-      val tb = dkHash32("CAST(unit AS VARCHAR) || '-' || CAST(b AS VARCHAR)")
+      val tb = s"((${dkHash32("CAST(unit AS VARCHAR)")}) // CAST(power(2, b) AS BIGINT))"
       s"""WITH o AS MATERIALIZED (
          |  SELECT o_orderpriority AS k, o_custkey AS unit,
          |         (c_mktsegment = 'BUILDING') AS t,

@@ -2999,23 +2999,27 @@ object Metrics {
     * moment aggregate (broadcast range join — data crosses the wire
     * once; the aggregate map-side combines to keys×reps×4 cells), so
     * cost is linear in reps — `reps` is the documented dial (default 19
-    * ⇒ p resolution 0.05). Placebo replicates whose 2×2 loses a cell
-    * emit null and are excluded from the denominator, counted loudly in
-    * `n_reps`.
+    * ⇒ p resolution 0.05). The md5 runs ONCE per row (replicate b reads
+    * BIT b of the unit hash — a per-(unit,b) hash measured ~9x the whole
+    * query at 10×, and md5 bits are the same independent coin flips);
+    * reps ≤ 30 bounds the bit budget. Placebo replicates whose 2×2
+    * loses a cell emit null and are excluded from the denominator,
+    * counted loudly in `n_reps`.
     *
     * Output: `(keys…, did_obs_e6, n_reps, n_ge, p_e6)`. */
   def didPlacebo(df: DataFrame, keyCols: Seq[String], unitCol: String,
                  treatCol: String, postCol: String, valueCol: String,
                  reps: Int = 19): DataFrame = {
-    require(reps >= 1 && reps <= 999, s"reps in [1,999], got $reps")
+    require(reps >= 1 && reps <= 30, s"reps in [1,30] (hash bits), got $reps")
     val obs = didFromMoments(didMoments(df, keyCols, treatCol, postCol, valueCol))
       .select(keyCols.map(col) :+ col("did_e6").as("did_obs_e6"): _*)
-    val bs = df.sparkSession.range(1, reps + 1).select(col("id").as("__b"))
+    import df.sparkSession.implicits._
+    val bs = (1 to reps).map(b => (b.toLong, 1L << b)).toDF("__b", "__pw")
     val expl = df.filter(col(unitCol).isNotNull)
+      .withColumn("__uh",
+        graft.functions.Cols.hash32(col(unitCol).cast("string")))
       .crossJoin(broadcast(bs))
-      .withColumn("__tb", graft.functions.Cols.hash32(
-        concat(col(unitCol).cast("string"), lit("-"),
-          col("__b").cast("string"))) % 2 === 0)
+      .withColumn("__tb", expr("(__uh div __pw) % 2 = 0"))
     val plac = didFromMoments(
         didMoments(expl, keyCols :+ "__b", "__tb", postCol, valueCol))
       .select(keyCols.map(col) :+ col("did_e6").as("__did_b"): _*)
@@ -3115,10 +3119,15 @@ object Metrics {
     require(alphaPermille >= 1 && alphaPermille <= 999,
       s"alphaPermille in [1,999], got $alphaPermille")
     val y = col(valueCol).cast("long")
+    // localCheckpoint: three consumers (model, calibration, test) would
+    // otherwise each re-run the upstream scan INCLUDING the md5 split
+    // hash — the measured cost driver at 10x (the embeddingHealth
+    // precedent); the checkpointed projection is 3 narrow columns
     val base = dropNullKeys(df, groupCols)
       .filter(col(splitCol).isNotNull && y.isNotNull)
       .select(groupCols.map(col) :+ col(splitCol).as("__sp") :+
         (y * 100L).as("__y2"): _*)
+      .localCheckpoint(false)
     val model = base.filter(col("__sp") === trainTag)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__ng"),

@@ -1367,7 +1367,7 @@ class MetricsSpec extends SparkSpec {
     }
     val obs = didOf(treated).get
     val placebo = (1 to reps).flatMap { b =>
-      didOf(u => graft.text.TextHash.hash32(s"$u-$b") % 2 == 0)
+      didOf(u => (graft.text.TextHash.hash32(u.toString) >> b) % 2 == 0)
     }
     val expGe = placebo.count(p => math.abs(p) >= math.abs(obs)).toLong
     val expP = (1L + expGe) * 1000000L / (placebo.size + 1L)
