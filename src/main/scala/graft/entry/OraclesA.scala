@@ -1482,6 +1482,46 @@ private[graft] object OraclesA {
          |FROM conf""".stripMargin
     },
 
+    // auto-N periodogram: the length-selection CASE + the q276 integer
+    // DFT at the selected n; ONE combined coefficient table (all
+    // candidates) rendered from the same Scala definition both engines
+    // share
+    "q358_u6_periodogram_auto_n" -> {
+      val selCase = graft.stats.Diagnostics.AutoNCandidates.sorted.reverse
+        .map(n => s"WHEN cnt >= $n THEN $n").mkString("CASE ", " ", " END")
+      s"""WITH m AS (SELECT o_custkey AS ck,
+         |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+         |      AS cents
+         |  FROM orders GROUP BY 1, 2),
+         |r AS (SELECT ck, cents,
+         |    row_number() OVER (PARTITION BY ck ORDER BY month DESC) AS rnd,
+         |    count(*) OVER (PARTITION BY ck) AS cnt
+         |  FROM m),
+         |sel AS (SELECT *, $selCase AS nsel FROM r),
+         |tf AS MATERIALIZED (SELECT ck, cents, nsel, nsel - rnd AS t
+         |      FROM sel WHERE nsel IS NOT NULL AND rnd <= nsel),
+         |coef(n, k, t, c, s) AS (VALUES ${graft.stats.Diagnostics.dftTableAutoSql}),
+         |su AS (SELECT ck, nsel, k,
+         |         sum(CAST(cents AS HUGEINT) * c) AS sc,
+         |         sum(CAST(cents AS HUGEINT) * s) AS ss
+         |       FROM tf JOIN coef ON tf.nsel = coef.n AND tf.t = coef.t
+         |       GROUP BY 1, 2, 3),
+         |ik AS (SELECT *,
+         |         ((CAST(sc AS DOUBLE) / 1e15) * (CAST(sc AS DOUBLE) / 1e15)
+         |          + (CAST(ss AS DOUBLE) / 1e15) * (CAST(ss AS DOUBLE) / 1e15))
+         |           AS p
+         |       FROM su),
+         |mx AS (SELECT *, max(p) OVER (PARTITION BY ck) AS mp FROM ik)
+         |SELECT ck AS custkey, CAST(nsel AS INT) AS n_sel, k,
+         |  CAST(floor(CAST(nsel AS DOUBLE) / CAST(k AS DOUBLE) * 1000 + 0.5)
+         |    AS BIGINT) AS period_e3,
+         |  CASE WHEN mp > 0 THEN CAST(floor(p / mp * 1000000 + 0.5) AS BIGINT)
+         |    END AS share_e6,
+         |  CASE WHEN mp > 0 THEN p = mp END AS is_peak
+         |FROM mx ORDER BY custkey, k""".stripMargin
+    },
+
     // DiD permutation placebo: the q352 moment/readout trees replayed
     // once on the real assignment and once per md5 pseudo-assignment
     // (dkHash32(unit ⊕ b) % 2), p on the rounded e6 estimates

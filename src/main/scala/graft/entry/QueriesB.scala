@@ -2334,6 +2334,22 @@ private[graft] object QueriesB {
           Seq("o_orderpriority"), "o_custkey", "treated", "post", "dollars",
           reps = 19)
         .orderBy("o_orderpriority")
+    }),
+
+    // ---- extension: AUTO-LENGTH periodogram — hash-checks q34's
+    // length-selection protocol itself (largest 2^k that fits, the FFT
+    // prelude), then the q276 integer-table DFT at the SELECTED n;
+    // per-customer monthly series vary in span, so every candidate branch
+    // and the too-short drop all exercise in the gate
+    "q358_u6_periodogram_auto_n" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("custkey"),
+          Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("cents"))
+      graft.stats.Diagnostics.periodogramAutoN(
+          m, Seq("custkey"), "month", "cents")
+        .orderBy("custkey", "k")
     })
   )
 }

@@ -2225,6 +2225,74 @@ object Diagnostics {
     dftTableE15(n).map { case (k, t, c, s) => s"($k, $t, $c, $s)" }
       .mkString(", ")
 
+  /** The power-of-two candidate lengths [[periodogramAutoN]] selects
+    * from, and the combined `(n, k, t, c, s)` VALUES renderer for its
+    * oracle — 2,720 rows total, one definition feeding both engines. */
+  val AutoNCandidates: Seq[Int] = Seq(8, 16, 32, 64)
+  def dftTableAutoSql: String =
+    AutoNCandidates.flatMap(n => dftTableE15(n).map { case (k, t, c, s) =>
+      s"($n, $k, $t, $c, $s)" }).mkString(", ")
+
+  /** AUTO-LENGTH periodogram — the graduation of q34's length-selection
+    * PROTOCOL (the q337-adfAutoLag precedent: hash-check the data-driven
+    * choice itself, not just one fixed dial): per key, n is the largest
+    * power of two in [[AutoNCandidates]] that fits the series (the
+    * classic pad/truncate-to-2^k FFT prelude; seasonalPeriod's
+    * `TimeSeriesStats.scala` path picks its window the same way), then
+    * the SAME integer-table DFT as [[periodogramFixed]] runs at the
+    * SELECTED n. q34's `no_oracle` residue narrows to the
+    * radix-recursion float accumulation only — length selection and the
+    * transform at the selected length are both oracle-replayed.
+    *
+    * Scale shape: one window pass ranks each series' tail, the
+    * coefficient table (all candidates, 2,720 rows) broadcasts, sums
+    * map-side combine to keys×(n/2) — identical to periodogramFixed
+    * plus the per-key n column. Keys shorter than the smallest
+    * candidate drop (documented: no n to select). */
+  def periodogramAutoN(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                       valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "periodogramAutoN needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = keyCols.map(col)
+    val coef = AutoNCandidates.flatMap(n => dftTableE15(n)
+        .map { case (kk, t, c, s) => (n, kk, t, c, s) })
+      .toDF("__n", "__k", "__t", "__c", "__s")
+    val wDesc = Window.partitionBy(k: _*).orderBy(col(ordCol).desc)
+    val tail = df.filter(col(valueCol).isNotNull)
+      .withColumn("__rnd", row_number().over(wDesc))
+      .withColumn("__cnt", count(lit(1)).over(Window.partitionBy(k: _*)))
+      .withColumn("__nsel", expr(
+        AutoNCandidates.sorted.reverse.map(n => s"when __cnt >= $n then $n")
+          .mkString("case ", " ", " end")))
+      .filter(col("__nsel").isNotNull && col("__rnd") <= col("__nsel"))
+      .withColumn("__t", (col("__nsel") - col("__rnd")).cast("int"))
+      .select(k :+ col("__nsel") :+ col("__t") :+
+        col(valueCol).cast("long").as("__x"): _*)
+    val sums = tail.join(broadcast(coef),
+        tail("__nsel") === coef("__n") && tail("__t") === coef("__t"))
+      .groupBy(k :+ col("__nsel") :+ col("__k"): _*)
+      .agg(sum(expr("cast(__x as decimal(38,0)) * __c")).as("__sc"),
+        sum(expr("cast(__x as decimal(38,0)) * __s")).as("__ss"))
+    val ik = """((cast(__sc as double) / 1e15) * (cast(__sc as double) / 1e15)
+               | + (cast(__ss as double) / 1e15) * (cast(__ss as double) / 1e15))"""
+      .stripMargin.replaceAll("\n", " ")
+    val wKey = Window.partitionBy(k: _*)
+    sums
+      .withColumn("__ik", expr(ik))
+      .withColumn("__mik", max(col("__ik")).over(wKey))
+      .withColumn("period_e3", expr(
+        "cast(floor(cast(__nsel as double) / cast(__k as double) * 1000 + 0.5) as bigint)"))
+      .withColumn("share_e6", expr(
+        """case when __mik > 0 then
+          |  cast(floor(__ik / __mik * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("is_peak",
+        when(col("__mik") > 0, col("__ik") === col("__mik")))
+      .select(k :+ col("__nsel").as("n_sel") :+ col("__k").as("k") :+
+        col("period_e3") :+ col("share_e6") :+ col("is_peak"): _*)
+  }
+
   /** U8 end-to-end: grid fit + deterministic h-step forecast per key. The
     * future exog follows the drift CENTER path x_j = max(lastX + j·mu, 0)
     * — the p50 of the reference's simulated exog distribution. Output: one

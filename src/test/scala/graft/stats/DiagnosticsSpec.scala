@@ -806,4 +806,39 @@ class DiagnosticsSpec extends SparkSpec {
     val weak = out.find(_.getAs[Int]("k") == 2).get
     assert(math.abs(weak.getAs[Long]("share_e6") - 62500L) < 2000L)
   }
+
+  test("periodogramAutoN: per-key length selection picks the largest fitting 2^k") {
+    // key a: 20 points → n_sel 16, planted period 4 → peak k = 4;
+    // key c: 9 points → n_sel 8, same tone → peak k = 2;
+    // key s: 7 points → below the smallest candidate, drops
+    def tone(g: String, len: Int) = (0 until len).map { t =>
+      (g, t.toLong,
+        5000L + math.floor(1000.0 * math.cos(2 * math.Pi * t / 4) + 0.5).toLong)
+    }
+    val df = (tone("a", 20) ++ tone("c", 9) ++ tone("s", 7)).toDF("g", "t", "v")
+    val out = Diagnostics.periodogramAutoN(df, Seq("g"), "t", "v").collect()
+    assert(out.forall(r => r.getAs[String]("g") != "s"), "7-point key must drop")
+    val a = out.filter(_.getAs[String]("g") == "a")
+    assert(a.forall(_.getAs[Int]("n_sel") == 16) && a.length == 8)
+    assert(a.filter(_.getAs[Boolean]("is_peak"))
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("period_e3"))).toSeq ==
+      Seq((4, 4000L)))
+    val c = out.filter(_.getAs[String]("g") == "c")
+    assert(c.forall(_.getAs[Int]("n_sel") == 8) && c.length == 4)
+    assert(c.filter(_.getAs[Boolean]("is_peak"))
+      .map(r => (r.getAs[Int]("k"), r.getAs[Long]("period_e3"))).toSeq ==
+      Seq((2, 4000L)))
+  }
+
+  test("periodogramAutoN: matches periodogramFixed when the selected n coincides") {
+    val df = (0 until 64).map { t =>
+      ("a", t.toLong,
+        5000L + math.floor(1000.0 * math.cos(2 * math.Pi * 4 * t / 64) + 0.5).toLong)
+    }.toDF("g", "t", "v")
+    val auto = Diagnostics.periodogramAutoN(df, Seq("g"), "t", "v")
+      .select("g", "k", "period_e3", "share_e6", "is_peak").collect().toSet
+    val fixed = Diagnostics.periodogramFixed(df, Seq("g"), "t", "v", n = 64)
+      .collect().toSet
+    assert(auto == fixed)
+  }
 }
