@@ -49,6 +49,7 @@ object SparkEntry {
       "q327_x_stream_vocab_coverage" -> m("q325_x_vocab_coverage"),
       "q333_x_stream_topk_stability" -> m("q319_x_topk_stability"),
       "q344_x_stream_cem_att" -> m("q342_x_cem_att"),
-      "q355_x_stream_diff_in_diff" -> m("q352_x_diff_in_diff"))
+      "q355_x_stream_diff_in_diff" -> m("q352_x_diff_in_diff"),
+      "q359_x_stream_conformal" -> m("q353_x_conformal_interval"))
   }
 }

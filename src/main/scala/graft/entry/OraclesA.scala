@@ -1704,8 +1704,7 @@ private[graft] object OraclesA {
          |t AS (SELECT b.y2, m.yhat2, abs(b.y2 - m.yhat2) AS r2
          |      FROM b LEFT JOIN m ON b.rf = m.rf AND b.ls = m.ls
          |      WHERE b.sp = 'test'),
-         |f AS (SELECT max(q.n_cal) AS n_cal, max(q.k) AS k,
-         |        max(q.qhat_e2) AS qhat_e2,
+         |f AS (SELECT
          |        CAST(count(*) FILTER (WHERE t.yhat2 IS NOT NULL) AS BIGINT)
          |          AS n_test_scored,
          |        CAST(count(*) FILTER (WHERE t.yhat2 IS NULL) AS BIGINT)
@@ -1713,10 +1712,10 @@ private[graft] object OraclesA {
          |        CAST(count(*) FILTER (WHERE t.r2 <= q.qhat_e2) AS BIGINT)
          |          AS n_covered
          |      FROM t CROSS JOIN q)
-         |SELECT ntr.n_train, f.*,
-         |       CASE WHEN f.qhat_e2 IS NOT NULL AND f.n_test_scored > 0
+         |SELECT ntr.n_train, q.n_cal, q.k, q.qhat_e2, f.*,
+         |       CASE WHEN q.qhat_e2 IS NOT NULL AND f.n_test_scored > 0
          |            THEN f.n_covered * 1000000 // f.n_test_scored END AS cov_e6
-         |FROM ntr CROSS JOIN f""".stripMargin
+         |FROM ntr CROSS JOIN q CROSS JOIN f""".stripMargin
     },
 
     // 2x2 DiD: twelve exact integer moments per key, then the SAME

@@ -2350,6 +2350,12 @@ private[graft] object QueriesB {
       graft.stats.Diagnostics.periodogramAutoN(
           m, Seq("custkey"), "month", "cents")
         .orderBy("custkey", "k")
-    })
+    }),
+
+    // ---- extension: STREAMING twin of q353 conformal — model + q̂
+    // frozen batch-side, coverage monitored over the arriving test
+    // stream (state = the 3-count row); drained == batch, one oracle
+    "q359_x_stream_conformal" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingConformal(s, d))
   )
 }

@@ -3115,6 +3115,24 @@ object Metrics {
                         alphaPermille: Int = 100,
                         trainTag: String = "train", calTag: String = "val",
                         testTag: String = "test"): DataFrame = {
+    val (base, model, nTrain, qhat) =
+      conformalFit(df, splitCol, groupCols, valueCol, alphaPermille,
+        trainTag, calTag)
+    val counts = conformalTestCounts(
+      base.filter(col("__sp") === testTag), model, qhat, groupCols)
+    conformalAssemble(nTrain, qhat, counts)
+  }
+
+  /** The batch-side half of [[conformalInterval]], split out (the
+    * didMoments factoring) so the STREAMING coverage twin can freeze
+    * the model + q̂ and share every readout: returns the checkpointed
+    * 3-column base, the group-mean model, the train count, and the
+    * one-row q̂ frame from the exact calibration order statistic. */
+  private[graft] def conformalFit(df: DataFrame, splitCol: String,
+                                  groupCols: Seq[String], valueCol: String,
+                                  alphaPermille: Int, trainTag: String,
+                                  calTag: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
     require(groupCols.nonEmpty, "conformalInterval needs grouping features")
     require(alphaPermille >= 1 && alphaPermille <= 999,
       s"alphaPermille in [1,999], got $alphaPermille")
@@ -3140,9 +3158,6 @@ object Metrics {
       .select((groupCols.map(col) :+ col("__yhat2")): _*)
     val nTrain = base.filter(col("__sp") === trainTag)
       .agg(count(lit(1)).as("n_train"))
-    def scored(tag: String) = base.filter(col("__sp") === tag)
-      .join(broadcast(model), groupCols, "left")
-      .withColumn("__r2", abs(col("__y2") - col("__yhat2")))
     // exact order statistic over the residual value grid
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("__r2"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
@@ -3150,26 +3165,41 @@ object Metrics {
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
     val keep = 1000 - alphaPermille
-    val qhat = scored(calTag).filter(col("__r2").isNotNull)
+    val qhat = base.filter(col("__sp") === calTag)
+      .join(broadcast(model), groupCols, "left")
+      .withColumn("__r2", abs(col("__y2") - col("__yhat2")))
+      .filter(col("__r2").isNotNull)
       .groupBy(col("__r2")).agg(count(lit(1)).as("__c"))
       .withColumn("__cum", sum(col("__c")).over(wCum))
       .withColumn("__n", sum(col("__c")).over(wAll))
       .withColumn("__k", expr(s"((__n + 1) * $keep + 999) div 1000"))
       .agg(max(col("__n")).as("n_cal"), max(col("__k")).as("k"),
         min(when(col("__cum") >= col("__k"), col("__r2"))).as("qhat_e2"))
-    val test = scored(testTag)
+    (base, model, nTrain, qhat)
+  }
+
+  /** Coverage counts over a (possibly STREAMING) test frame against the
+    * frozen model + q̂ — the state a complete-mode twin holds is exactly
+    * this 3-long row. */
+  private[graft] def conformalTestCounts(test: DataFrame, model: DataFrame,
+                                         qhat: DataFrame,
+                                         groupCols: Seq[String]): DataFrame =
+    test
+      .join(broadcast(model), groupCols, "left")
+      .withColumn("__r2", abs(col("__y2") - col("__yhat2")))
       .crossJoin(broadcast(qhat))
       .agg(
-        max(col("n_cal")).as("n_cal"), max(col("k")).as("k"),
-        max(col("qhat_e2")).as("qhat_e2"),
         count(when(col("__yhat2").isNotNull, 1)).as("n_test_scored"),
         count(when(col("__yhat2").isNull, 1)).as("n_test_unscored"),
         count(when(col("__r2") <= col("qhat_e2"), 1)).as("n_covered"))
-    nTrain.crossJoin(test)
+
+  /** Final readout shared by batch and twin: one row. */
+  private[graft] def conformalAssemble(nTrain: DataFrame, qhat: DataFrame,
+                                       counts: DataFrame): DataFrame =
+    nTrain.crossJoin(qhat).crossJoin(counts)
       .withColumn("cov_e6", expr(
         """case when qhat_e2 is not null and n_test_scored > 0
           |then n_covered * 1000000 div n_test_scored end""".stripMargin))
       .select("n_train", "n_cal", "k", "qhat_e2", "n_test_scored",
         "n_test_unscored", "n_covered", "cov_e6")
-  }
 }

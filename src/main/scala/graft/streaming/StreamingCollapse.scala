@@ -1476,4 +1476,46 @@ object StreamingCollapse {
         spark.table(name).localCheckpoint(true))
       .orderBy("o_orderpriority")
   }
+
+  /** Streaming twin of q353's split conformal: the model and q̂ FREEZE
+    * batch-side (train/calibration are history), and the standing query
+    * monitors COVERAGE over the arriving test stream — the live "is the
+    * interval promise still holding on today's data" check, which is
+    * exactly how conformal is deployed (fit once, audit forever). State
+    * is the 3-count coverage row (complete mode); every drain re-derives
+    * the readout through the SHARED `conformalAssemble`, so drained ==
+    * batch and q353's oracle serves both. */
+  def streamingConformal(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_conf"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val groupCols = Seq("l_returnflag", "l_linestatus")
+    def prep(df: DataFrame): DataFrame = graft.text.Corpus.hashSplit(
+      df.withColumn("dollars", floor(col("l_extendedprice") + lit(0.5)))
+        .withColumn("__key",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
+      "__key")
+    val batch = prep(spark.read.parquet(s"$dir/lineitem.parquet"))
+    val (_, model, nTrain, qhat) = graft.operators.Metrics.conformalFit(
+      batch, "split", groupCols, "dollars", 100, "train", "val")
+    // freeze the fitted artifacts NOW (they are 9- and 1-row frames) so
+    // the standing query joins static literals, not a live batch plan
+    val modelF = model.localCheckpoint(true)
+    val qhatF = qhat.localCheckpoint(true)
+    val phys = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val testStream = prep(
+        spark.readStream.schema(phys).parquet(streamDir(dir, "lineitem")))
+      .filter(col("split") === "test" && col("dollars").isNotNull &&
+        groupCols.map(col(_).isNotNull).reduce(_ && _))
+      .select(groupCols.map(col) :+
+        (col("dollars").cast("long") * 100L).as("__y2"): _*)
+    val counts = graft.operators.Metrics.conformalTestCounts(
+      testStream, modelF, qhatF, groupCols)
+    drain(spark, counts.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.conformalAssemble(
+      nTrain, qhatF, spark.table(name).localCheckpoint(true))
+  }
 }

@@ -463,6 +463,21 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("streamingConformal: streamed test coverage equals the batch readout exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def row(df: org.apache.spark.sql.DataFrame) = {
+      val r = df.head()
+      (r.getAs[Long]("n_train"), r.getAs[Long]("n_cal"), r.getAs[Long]("k"),
+        r.get(r.fieldIndex("qhat_e2")), r.getAs[Long]("n_test_scored"),
+        r.getAs[Long]("n_covered"), r.get(r.fieldIndex("cov_e6")))
+    }
+    val streamed = row(StreamingCollapse.streamingConformal(spark, dir))
+    val batch = row(
+      graft.SparkEntry.queries("q353_x_conformal_interval")(spark, dir))
+    assert(streamed._5 > 0L && streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("streamingChiSquare: grid state survives checkpoint stop + restart (recovery contract)") {
     // The production claim behind every grid-state twin: complete-mode
     // aggregation state checkpoints per shuffle partition and the file
