@@ -1026,6 +1026,77 @@ private[graft] object OraclesA {
         |CROSS JOIN best b CROSS JOIN nn
         |ORDER BY step""".stripMargin),
 
+    // Kalman λ ternary refinement: the q338 recursion replayed for the
+    // grid, then per refinement-round probe pair (e6-rounded λ's —
+    // bit-identical in both engines), then the midpoint; bracket CASEs
+    // generated from the same Scala grid the kernel uses
+    "q360_u8_kalman_ternary_refine" -> {
+      val grid = Seq(0.1, 0.5, 1.0, 2.0, 10.0)
+      def rec(name: String, cand: String) =
+        s"""$name(lam, t, mm, p, sv, slf) AS (
+           |  SELECT c.lam, CAST(1 AS BIGINT) AS t, o.y, c.lam + 1.0,
+           |         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+           |  FROM $cand c JOIN o ON o.t = 1
+           |  UNION ALL
+           |  SELECT r.lam, r.t + 1,
+           |    r.mm + (r.p/(r.p + 1.0)) * (o.y - r.mm),
+           |    r.p * (1.0 - r.p/(r.p + 1.0)) + r.lam,
+           |    r.sv + (o.y - r.mm)*(o.y - r.mm)/(r.p + 1.0),
+           |    r.slf + ln(r.p + 1.0)
+           |  FROM $name r JOIN o ON o.t = r.t + 1)""".stripMargin
+      def fin(name: String, recName: String) =
+        s"""$name AS (SELECT r.lam, r.mm, r.p, r.sv/(nn.n - 1.0) AS rhat,
+           |               (nn.n - 1.0)*ln(r.sv/(nn.n - 1.0)) + r.slf AS nll
+           |        FROM $recName r CROSS JOIN nn WHERE r.t = nn.n)""".stripMargin
+      val loCase = grid.indices.map(i =>
+        if (i == 0) s"WHEN ${grid(0)} THEN ${grid(0) / 2}"
+        else s"WHEN ${grid(i)} THEN ${grid(i - 1)}").mkString(" ")
+      val hiCase = grid.indices.map(i =>
+        if (i == grid.length - 1) s"WHEN ${grid.last} THEN ${grid.last * 2}"
+        else s"WHEN ${grid(i)} THEN ${grid(i + 1)}").mkString(" ")
+      def roundStep(i: Int, bndPrev: String) =
+        s"""pr$i AS (SELECT lo, hi, lam0,
+           |  floor((lo + (hi - lo) / 3.0) * 1e6 + 0.5)/1e6 AS p1,
+           |  floor((hi - (hi - lo) / 3.0) * 1e6 + 0.5)/1e6 AS p2 FROM $bndPrev),
+           |cand$i AS (SELECT p1 AS lam FROM pr$i UNION SELECT p2 FROM pr$i),
+           |${rec(s"rec$i", s"cand$i")},
+           |${fin(s"fin$i", s"rec$i")},
+           |bnd$i AS (SELECT
+           |    CASE WHEN f1.nll < f2.nll THEN pr.lo ELSE pr.p1 END AS lo,
+           |    CASE WHEN f1.nll < f2.nll THEN pr.p2 ELSE pr.hi END AS hi,
+           |    pr.lam0
+           |  FROM pr$i pr JOIN fin$i f1 ON f1.lam = pr.p1
+           |  JOIN fin$i f2 ON f2.lam = pr.p2)""".stripMargin
+      s"""WITH RECURSIVE m AS (
+         |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |         round(sum(round(o_totalprice * 100)) / 1e8, 6) AS y
+         |  FROM orders GROUP BY 1),
+         |o AS (SELECT row_number() OVER (ORDER BY month) AS t, y FROM m),
+         |nn AS (SELECT CAST(count(*) AS INT) AS n FROM o),
+         |cand0 AS (SELECT CAST(unnest([${grid.mkString(", ")}]) AS DOUBLE)
+         |            AS lam),
+         |${rec("rec0", "cand0")},
+         |${fin("fin0", "rec0")},
+         |best0 AS (SELECT * FROM fin0 ORDER BY nll, lam LIMIT 1),
+         |bnd0 AS (SELECT b.lam AS lam0,
+         |    CASE b.lam $loCase END AS lo,
+         |    CASE b.lam $hiCase END AS hi
+         |  FROM best0 b),
+         |${roundStep(1, "bnd0")},
+         |${roundStep(2, "bnd1")},
+         |candf AS (SELECT floor((lo + hi) / 2.0 * 1e6 + 0.5)/1e6 AS lam
+         |          FROM bnd2),
+         |${rec("recf", "candf")},
+         |${fin("finf", "recf")}
+         |SELECT 'all' AS key, CAST(nn.n AS INT) AS n_obs,
+         |  CAST(floor(b.lam0 * 1e6 + 0.5) AS BIGINT) AS lambda0_e6,
+         |  CAST(floor(f.lam * 1e6 + 0.5) AS BIGINT) AS lam_hat_e6,
+         |  CAST(floor(f.rhat * 1e6 + 0.5) AS BIGINT) AS r_hat_e6,
+         |  CAST(floor(f.nll * 1e6 + 0.5) AS BIGINT) AS nll_e6,
+         |  CAST(floor(f.mm * 1e4 + 0.5) AS BIGINT) AS forecast_e4
+         |FROM finf f CROSS JOIN bnd2 b CROSS JOIN nn""".stripMargin
+    },
+
     // batch perceptron, 3 iterations UNROLLED (zero-init makes iteration
     // 1 the class-weighted feature sums); all-integer — margins, updates
     // and confusion replay exactly; max() carries each weight constant

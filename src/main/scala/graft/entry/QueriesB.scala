@@ -2356,6 +2356,19 @@ private[graft] object QueriesB {
     // frozen batch-side, coverage monitored over the arriving test
     // stream (state = the 3-count row); drained == batch, one oracle
     "q359_x_stream_conformal" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingCollapse.streamingConformal(s, d))
+      graft.streaming.StreamingCollapse.streamingConformal(s, d)),
+
+    // ---- extension: ternary-search refinement of the Kalman λ — the
+    // CONTINUOUS-OPTIMIZER slice (q338 checked filter + grid argmin;
+    // this checks the line-search STEP itself at e6-rounded probes),
+    // narrowing q39/q69's optimizer residue to unbounded iteration only
+    "q360_u8_kalman_ternary_refine" -> tuned((s, d) =>
+      graft.stats.Diagnostics.localLevelRefined(
+          Tables.orders(s, d)
+            .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6)
+              .as("tot")),
+          Nil, "month", "tot")
+        .orderBy("key"))
   )
 }

@@ -1798,6 +1798,88 @@ object Diagnostics {
       .toDF()
   }
 
+  private val llrSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("lambda0_e6", LongType),
+    StructField("lam_hat_e6", LongType),
+    StructField("r_hat_e6", LongType),
+    StructField("nll_e6", LongType),
+    StructField("forecast_e4", LongType)))
+
+  /** CONTINUOUS-OPTIMIZER slice for the Kalman-MLE family — the
+    * graduation the q39/q69 `no_oracle` residue has been waiting on:
+    * q338 checked the filter recursion + the discrete grid argmin; this
+    * checks a fixed-depth TERNARY-SEARCH REFINEMENT of λ between the
+    * winning grid point's neighbors (two rounds, probes e6-ROUNDED so
+    * both engines evaluate the NLL at bit-identical λ's, then the
+    * midpoint). After this, the only unchecked optimizer surface in the
+    * family is unbounded iteration count — the line-search STEP itself
+    * is oracle-replayed (each probe is one more parametrized replay of
+    * the q338 recursive CTE).
+    *
+    * Protocol (deterministic, both engines): grid {0.1,0.5,1,2,10} →
+    * first-minimum λ₀; bracket [below, above] (edges: λ₀/2, 2λ₀);
+    * 2 × { p₁ = r₆(lo+(hi−lo)/3), p₂ = r₆(hi−(hi−lo)/3); NLL(p₁) <
+    * NLL(p₂) ? hi = p₂ : lo = p₁ }; λ̂ = r₆((lo+hi)/2). Readouts e6/e4
+    * floor-quantized. Output one row per key. */
+  def localLevelRefined(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                        valueCol: String): DataFrame = {
+    val grid = Array(0.1, 0.5, 1.0, 2.0, 10.0)
+    def r6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    def e6(x: Double) = math.floor(x * 1e6 + 0.5).toLong
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < 3) Iterator.empty
+        else {
+          // (nll, m, p, rhat) at λ — the q338 scaled filter verbatim
+          def run(lam: Double): (Double, Double, Double, Double) = {
+            var m = y(0); var p = lam + 1.0
+            var sv = 0.0; var slf = 0.0
+            var t = 1
+            while (t < n) {
+              val v = y(t) - m
+              val f = p + 1.0
+              sv += v * v / f
+              slf += math.log(f)
+              val k = p / f
+              m += k * v
+              p = p * (1.0 - k) + lam
+              t += 1
+            }
+            val cnt = (n - 1).toDouble
+            val rHat = sv / cnt
+            (cnt * math.log(rHat) + slf, m, p, rHat)
+          }
+          var bi = 0; var bn = Double.MaxValue
+          var g = 0
+          while (g < grid.length) {
+            val nl = run(grid(g))._1
+            if (nl < bn) { bn = nl; bi = g }
+            g += 1
+          }
+          val lam0 = grid(bi)
+          var lo = if (bi == 0) r6(lam0 / 2.0) else grid(bi - 1)
+          var hi = if (bi == grid.length - 1) r6(lam0 * 2.0) else grid(bi + 1)
+          var r = 0
+          while (r < 2) {
+            val p1 = r6(lo + (hi - lo) / 3.0)
+            val p2 = r6(hi - (hi - lo) / 3.0)
+            if (run(p1)._1 < run(p2)._1) hi = p2 else lo = p1
+            r += 1
+          }
+          val lamHat = r6((lo + hi) / 2.0)
+          val (nll, m, _, rHat) = run(lamHat)
+          Iterator.single(Row(key, n, e6(lam0), e6(lamHat), e6(rHat),
+            e6(nll), math.floor(m * 1e4 + 0.5).toLong))
+        }
+      }(Encoders.row(llrSchema))
+      .toDF()
+  }
+
   /** Pairwise Dynamic Time Warping distance between every two keys'
     * series — alignment-tolerant similarity ("same shape, shifted or
     * stretched phase") that Euclidean/rolling-corr distance cannot give:
