@@ -1026,6 +1026,35 @@ private[graft] object OraclesA {
         |CROSS JOIN best b CROSS JOIN nn
         |ORDER BY step""".stripMargin),
 
+    // t-closeness: class×value count grid, |c_gv·N − c_v·n_g| in
+    // HUGEINT + the missing-value mass n_g·(N − Σ c_v present), one
+    // double division to e6
+    "q361_x_t_closeness" ->
+      ("""WITH b AS (
+        |  SELECT c_nationkey AS nk, c_mktsegment AS seg,
+        |         CAST(floor(c_acctbal / 2000) AS BIGINT) AS v
+        |  FROM customer
+        |  WHERE c_nationkey IS NOT NULL AND c_mktsegment IS NOT NULL
+        |    AND c_acctbal IS NOT NULL),
+        |cell AS (SELECT nk, seg, v, CAST(count(*) AS BIGINT) AS cgv
+        |         FROM b GROUP BY 1, 2, 3),
+        |gl AS (SELECT v, CAST(count(*) AS BIGINT) AS cv FROM b GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cv) AS BIGINT) AS nn FROM gl),
+        |j AS (SELECT cell.nk, cell.seg, cell.cgv, gl.cv, tot.nn,
+        |        sum(cgv) OVER (PARTITION BY nk, seg) AS ng
+        |      FROM cell JOIN gl USING (v) CROSS JOIN tot),
+        |a AS (SELECT nk, seg, CAST(max(ng) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS n_values,
+        |        sum(abs(CAST(cgv AS HUGEINT) * nn - CAST(cv AS HUGEINT) * ng))
+        |          AS t1,
+        |        CAST(sum(cv) AS HUGEINT) AS cvsum, max(nn) AS nn
+        |      FROM j GROUP BY 1, 2)
+        |SELECT nk AS c_nationkey, seg AS c_mktsegment, n, n_values,
+        |  CAST(floor(CAST(t1 + CAST(n AS HUGEINT) * (nn - cvsum) AS DOUBLE)
+        |    / (2.0 * CAST(n AS DOUBLE) * CAST(nn AS DOUBLE))
+        |    * 1000000 + 0.5) AS BIGINT) AS tvd_e6
+        |FROM a ORDER BY 1, 2""".stripMargin),
+
     // Kalman λ ternary refinement: the q338 recursion replayed for the
     // grid, then per refinement-round probe pair (e6-rounded λ's —
     // bit-identical in both engines), then the midpoint; bracket CASEs

@@ -2369,6 +2369,17 @@ private[graft] object QueriesB {
             .agg(round(sum(floor(col("o_totalprice") * 100 + 0.5)) / 1e8, 6)
               .as("tot")),
           Nil, "month", "tot")
-        .orderBy("key"))
+        .orderBy("key")),
+
+    // ---- extension: t-closeness — the third privacy rung above q232's
+    // k-anonymity/l-diversity (a class can pass both and still leak a
+    // 99/1 sensitive skew): per-class total-variation distance to the
+    // global sensitive distribution, pure counting
+    "q361_x_t_closeness" -> tuned((s, d) =>
+      graft.operators.Profile.tCloseness(
+          Tables.customer(s, d).withColumn("bal_band",
+            expr("cast(floor(c_acctbal / 2000) as bigint)")),
+          Seq("c_nationkey", "c_mktsegment"), "bal_band")
+        .orderBy("c_nationkey", "c_mktsegment"))
   )
 }

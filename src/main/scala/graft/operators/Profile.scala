@@ -336,6 +336,57 @@ object Profile {
         expr("rows_below_k * 1000000 div nullif(n_rows, 0)"))
   }
 
+  /** t-closeness per equivalence class — the third rung of the privacy
+    * ladder (Li, Li & Venkatasubramanian 2007) above [[kAnonymity]]'s
+    * k and l: a class can be k-anonymous AND l-diverse yet still leak
+    * (e.g. 99% of one sensitive value where the population is 50/50);
+    * t-closeness bounds the distance between each class's sensitive
+    * DISTRIBUTION and the global one. For categorical sensitives the
+    * distance is total variation: `TVD = ½ Σ_v |p_gv − p_v|`.
+    *
+    * Exactness: pure counting — `Σ_v |c_gv·N − c_v·n_g|` over the
+    * class×value grid in DECIMAL(38,0) (products of two counts pass 2⁶³
+    * near 10¹⁰ rows), PLUS `n_g·(N − Σ_{v∈class} c_v)` for the values
+    * the class never shows (a missing value still contributes its full
+    * global mass — dropping it understates the leak); ONE double
+    * division to e6 at readout. Global value counts broadcast (sensitive
+    * cardinality is bounded by contract); everything else map-side
+    * combines on the class×value grid.
+    *
+    * Output: one row per class — `(quasi…, n, n_values, tvd_e6)`. */
+  def tCloseness(df: DataFrame, quasiCols: Seq[String],
+                 sensitiveCol: String): DataFrame = {
+    require(quasiCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
+    val q = quasiCols.map(col)
+    val base = graft.functions.Cols.dropNullKeys(df, quasiCols)
+      .filter(col(sensitiveCol).isNotNull)
+      .select(q :+ col(sensitiveCol).as("__v"): _*)
+    val cell = base.groupBy(q :+ col("__v"): _*)
+      .agg(count(lit(1)).as("__cgv"))
+    val glob = base.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+    val tot = glob.agg(sum(col("__cv")).as("__nn"))
+    val wCls = org.apache.spark.sql.expressions.Window.partitionBy(q: _*)
+    cell
+      .join(broadcast(glob), Seq("__v"))
+      .crossJoin(broadcast(tot))
+      .withColumn("__ng", sum(col("__cgv")).over(wCls))
+      .withColumn("__term", expr(
+        "abs(cast(__cgv as decimal(38,0)) * __nn - cast(__cv as decimal(38,0)) * __ng)"))
+      .groupBy(q: _*)
+      .agg(
+        max(col("__ng")).as("n"),
+        count(lit(1)).as("n_values"),
+        sum(col("__term")).as("__t1"),
+        sum(col("__cv").cast("decimal(38,0)")).as("__cvsum"),
+        max(col("__nn")).as("__nn"))
+      .withColumn("tvd_e6", expr(
+        """cast(floor(
+          |  cast(__t1 + cast(n as decimal(38,0)) * (__nn - __cvsum) as double)
+          |  / (2.0 * cast(n as double) * cast(__nn as double))
+          |  * 1000000 + 0.5) as bigint)""".stripMargin))
+      .select(q :+ col("n") :+ col("n_values") :+ col("tvd_e6"): _*)
+  }
+
   /** Per-group Spearman rank correlation — Pearson over MIDRANKS, the
     * monotone-association complement of [[corrPairs]]'s linear r (a
     * perfect exponential relation scores ρ = 1 here, r < 1 there), and

@@ -191,4 +191,24 @@ class ProfileSpec extends SparkSpec {
     val cr = Profile.spearman(const, Seq("grp"), "x", "y").collect().head
     assert(cr.isNullAt(cr.fieldIndex("rho_e6")))
   }
+
+  test("tCloseness: hand-computed TVD including the missing-value mass") {
+    // global {A:2, B:2}; class g1 = {A,A,B}: dist (2/3,1/3) vs (1/2,1/2)
+    // → TVD = 1/6; class g2 = {B}: dist (0,1) → TVD = 1/2, where A's
+    // entire global mass comes from the MISSING-value term
+    val d = Seq(("g1", "A"), ("g1", "A"), ("g1", "B"), ("g2", "B"))
+      .toDF("grp", "v")
+    val out = Profile.tCloseness(d, Seq("grp"), "v").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getAs[Long]("n") == 3L)
+    assert(out("g1").getAs[Long]("n_values") == 2L)
+    assert(out("g1").getAs[Long]("tvd_e6") == 166667L)
+    assert(out("g2").getAs[Long]("n") == 1L)
+    assert(out("g2").getAs[Long]("n_values") == 1L)
+    assert(out("g2").getAs[Long]("tvd_e6") == 500000L)
+    // a class that IS the population has zero distance
+    val same = Seq(("g", "A"), ("g", "B")).toDF("grp", "v")
+    val s = Profile.tCloseness(same, Seq("grp"), "v").collect().head
+    assert(s.getAs[Long]("tvd_e6") == 0L)
+  }
 }
