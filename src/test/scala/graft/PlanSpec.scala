@@ -422,4 +422,44 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("FileScan"),
       s"the raw row scan must not reappear downstream of the grid:\n$p")
   }
+
+  test("DiD (q352): dimension broadcast, ONE moment aggregate, no row re-scan") {
+    val p = plan("q352_x_diff_in_diff")
+    assert(p.contains("BroadcastHashJoin"), s"customer dim must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fact-dim join fell back to SMJ:\n$p")
+    // 12 conditional moments ride ONE aggregate pair (partial + final)
+    assert(p.linesIterator.count(_.contains("HashAggregate")) <= 4,
+      s"DiD must be one moment aggregate, not per-cell passes:\n$p")
+  }
+
+  test("IV Wald (q356): dimension broadcast, one moment aggregate") {
+    val p = plan("q356_x_iv_wald")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("conformal (q353): model and q-hat broadcast back; base scans from the checkpoint") {
+    val p = plan("q353_x_conformal_interval")
+    // the 3-column base is checkpointed: every consumer reads the RDD,
+    // never the parquet again
+    assert(!p.contains("FileScan"),
+      s"conformal consumers must read the checkpointed base:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"model/q-hat must broadcast:\n$p")
+  }
+
+  test("placebo (q357): ONE md5 per row — the hash sits below the replicate explode") {
+    val p = plan("q357_x_did_placebo")
+    val hashLines = p.linesIterator.filter(_.contains("md5")).toSeq
+    // the unit hash appears in projections, but never keyed per replicate
+    // (no md5 of a concat that includes __b)
+    assert(!hashLines.exists(_.contains("__b")),
+      s"per-replicate md5 crept back in:\n${hashLines.mkString("\n")}")
+  }
+
+  test("PCA slice (q351): no posexplode — the moment pass is the fused kernel") {
+    val p = plan("q351_x_pca_power_slice")
+    assert(!p.toLowerCase.contains("generate"),
+      s"q351 must not explode rows x d^2 (the kernel replaced it):\n$p")
+  }
 }
