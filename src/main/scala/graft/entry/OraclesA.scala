@@ -1026,6 +1026,93 @@ private[graft] object OraclesA {
         |CROSS JOIN best b CROSS JOIN nn
         |ORDER BY step""".stripMargin),
 
+    // Qn scale: value-grid self-cross (strict upper triangle + C(c,2)
+    // zero-diff ties), exact cumulative walk to the k = C(h,2) order
+    // statistic, one double multiply by the consistency factor
+    "q363_x_qn_scale" ->
+      ("""WITH b AS (
+        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+        |grid AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+        |         FROM b GROUP BY 1, 2),
+        |cr AS (SELECT a.g, a.v - bb.v AS d, CAST(a.c AS HUGEINT) * bb.c AS cnt
+        |       FROM grid a JOIN grid bb ON a.g = bb.g AND a.v > bb.v),
+        |ties AS (SELECT g, CAST(0 AS BIGINT) AS d,
+        |           CAST(c AS HUGEINT) * (c - 1) // 2 AS cnt
+        |         FROM grid WHERE c >= 2),
+        |diffs AS (SELECT g, d, sum(cnt) AS cd
+        |          FROM (SELECT * FROM cr UNION ALL SELECT * FROM ties)
+        |          GROUP BY 1, 2),
+        |counts AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM b GROUP BY 1),
+        |ks AS (SELECT g, n,
+        |         ((n // 2 + 1) * (n // 2)) // 2 AS k,
+        |         (n * (n - 1)) // 2 AS n_pairs
+        |       FROM counts WHERE ((n // 2 + 1) * (n // 2)) // 2 >= 1),
+        |cum AS (SELECT g, d,
+        |          sum(cd) OVER (PARTITION BY g ORDER BY d
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cm
+        |        FROM diffs),
+        |sel AS (SELECT cum.g, ks.n, ks.n_pairs, ks.k, min(cum.d) AS dk
+        |        FROM cum JOIN ks ON ks.g = cum.g
+        |        WHERE cum.cm >= ks.k GROUP BY 1, 2, 3, 4)
+        |SELECT g AS l_returnflag, n, n_pairs, k, dk,
+        |  CAST(floor(2.2219 * CAST(dk AS DOUBLE) * 10000 + 0.5) AS BIGINT)
+        |    AS qn_e4
+        |FROM sel ORDER BY 1""".stripMargin),
+
+    // group-sequential: per-look Welch moments cumulated over the look
+    // grid, the SAME z tree, the SAME OBF e4 ladder interpolated from
+    // Metrics.obfBoundariesE4; reject on rounded values, stopped = at or
+    // after the first rejection
+    "q362_x_group_sequential" -> {
+      val bdVals = graft.operators.Metrics.obfBoundariesE4(5).zipWithIndex
+        .map { case (b, i) => s"(${i + 1}, $b)" }.mkString(", ")
+      val va = "((CAST(qa AS DOUBLE) - CAST(sa AS DOUBLE) * sa / n_a) / (n_a - 1))"
+      val vb = "((CAST(qb AS DOUBLE) - CAST(sb AS DOUBLE) * sb / n_b) / (n_b - 1))"
+      val se2 = s"($va / n_a + $vb / n_b)"
+      s"""WITH e AS (
+         |  SELECT least(5, 1 + (day(ts) - 1) // 6) AS look,
+         |         (user_id % 2 = 0) AS a,
+         |         CAST(floor(value * 100 + 0.5) AS BIGINT) AS x
+         |  FROM events
+         |  WHERE user_id IS NOT NULL AND value IS NOT NULL AND ts IS NOT NULL),
+         |pl AS (SELECT look,
+         |    CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS na0,
+         |    CAST(sum(CASE WHEN a THEN x ELSE 0 END) AS BIGINT) AS sa0,
+         |    sum(CASE WHEN a THEN CAST(x AS HUGEINT) * x
+         |        ELSE CAST(0 AS HUGEINT) END) AS qa0,
+         |    CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS nb0,
+         |    CAST(sum(CASE WHEN NOT a THEN x ELSE 0 END) AS BIGINT) AS sb0,
+         |    sum(CASE WHEN NOT a THEN CAST(x AS HUGEINT) * x
+         |        ELSE CAST(0 AS HUGEINT) END) AS qb0
+         |  FROM e GROUP BY 1),
+         |cm AS (SELECT look,
+         |    sum(na0) OVER w AS n_a, sum(sa0) OVER w AS sa,
+         |    sum(qa0) OVER w AS qa,
+         |    sum(nb0) OVER w AS n_b, sum(sb0) OVER w AS sb,
+         |    sum(qb0) OVER w AS qb
+         |  FROM pl
+         |  WINDOW w AS (ORDER BY look
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+         |bd(look, bound_e4) AS (VALUES $bdVals),
+         |z AS (SELECT cm.look, CAST(cm.n_a AS BIGINT) AS n_a,
+         |    CAST(cm.n_b AS BIGINT) AS n_b, CAST(bd.bound_e4 AS BIGINT)
+         |      AS bound_e4,
+         |    CASE WHEN n_a >= 2 AND n_b >= 2 AND $se2 > 0 THEN
+         |      CAST(floor((CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)
+         |                 / sqrt($se2) * 10000 + 0.5) AS BIGINT)
+         |    END AS z_e4
+         |  FROM cm JOIN bd ON bd.look = cm.look),
+         |f AS (SELECT z.*, CASE WHEN z_e4 IS NOT NULL
+         |        THEN abs(z_e4) > bound_e4 END AS reject FROM z),
+         |g AS (SELECT f.*, min(CASE WHEN reject THEN look END) OVER ()
+         |        AS fr FROM f)
+         |SELECT look, n_a, n_b, z_e4, bound_e4, reject,
+         |       (fr IS NOT NULL AND look >= fr) AS stopped
+         |FROM g ORDER BY look""".stripMargin
+    },
+
     // t-closeness: class×value count grid, |c_gv·N − c_v·n_g| in
     // HUGEINT + the missing-value mass n_g·(N − Σ c_v present), one
     // double division to e6

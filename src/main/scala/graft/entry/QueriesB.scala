@@ -2380,6 +2380,28 @@ private[graft] object QueriesB {
           Tables.customer(s, d).withColumn("bal_band",
             expr("cast(floor(c_acctbal / 2000) as bigint)")),
           Seq("c_nationkey", "c_mktsegment"), "bal_band")
-        .orderBy("c_nationkey", "c_mktsegment"))
+        .orderBy("c_nationkey", "c_mktsegment")),
+
+    // ---- extension: group-sequential A/B boundaries — the peeking-safe
+    // middle between q240's fixed-horizon test and q292's per-row SPRT:
+    // five chronological looks, cumulative Welch z against the shared
+    // O'Brien-Fleming e4 ladder
+    "q362_x_group_sequential" -> tuned((s, d) =>
+      graft.operators.Metrics.groupSequential(
+          Tables.events(s, d)
+            .withColumn("look", expr("least(5, 1 + (dayofmonth(ts) - 1) div 6)"))
+            .withColumn("arm", expr("user_id % 2 = 0"))
+            .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)")),
+          "look", "arm", "cents",
+          graft.operators.Metrics.obfBoundariesE4(5))
+        .orderBy("look")),
+
+    // ---- extension: Qn robust scale — 50% breakdown like the MAD but
+    // 82% efficiency and no symmetry assumption (Rousseeuw–Croux 1993);
+    // the k-th order statistic of the pairwise |difference| multiset
+    // walked exactly over the value-grid cross (the q346 framing)
+    "q363_x_qn_scale" -> tuned((s, d) =>
+      graft.operators.Sketch.qnScale(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity"))
   )
 }

@@ -2985,6 +2985,85 @@ object Metrics {
       .drop(cells.flatMap(c => Seq(s"__s$c", s"__q$c")): _*)
   }
 
+  /** O'Brien–Fleming-shaped boundary ladder for [[groupSequential]],
+    * e4-quantized: `bound_k = c·√(K/k)` — early looks pay a much higher
+    * bar, the final look sits near the fixed-horizon critical value
+    * (O'Brien & Fleming 1979). Computed ONCE here and interpolated into
+    * both engines (the discount-table precedent). */
+  def obfBoundariesE4(k: Int, c: Double = 2.04): Seq[Long] = {
+    require(k >= 1 && k <= 20, s"looks in [1,20], got $k")
+    (1 to k).map(i => math.floor(c * math.sqrt(k.toDouble / i) * 1e4 + 0.5).toLong)
+  }
+
+  /** Group-sequential A/B monitoring — the PEEKING-SAFE test the funnel
+    * A/B (q240) and SPRT (q292) bracket from either side: k interim
+    * LOOKS at cumulative data, each compared against a spending
+    * boundary so the family-wise α stays controlled (Pocock 1977;
+    * O'Brien & Fleming 1979). SPRT re-decides per observation;
+    * fixed-horizon waits for all data; this is the industry-standard
+    * middle (weekly experiment reviews).
+    *
+    * Exactness: per-look Welch moments (exact longs/DECIMAL — the
+    * [[welchTTest]] discipline) cumulate over the LOOK GRID (a window
+    * over k rows, not rows of data); z is the welch tree e4-quantized;
+    * the boundary ladder is a shared literal table; `reject` compares
+    * ROUNDED z to the rounded boundary so engines agree; `stopped`
+    * marks every look at or after the first rejection (the monitor's
+    * "this experiment already ended" flag).
+    *
+    * Output: one row per look — `(look, n_a, n_b, z_e4, bound_e4,
+    * reject, stopped)`. */
+  def groupSequential(df: DataFrame, lookCol: String, groupCol: String,
+                      valueCol: String, boundariesE4: Seq[Long]): DataFrame = {
+    require(boundariesE4.nonEmpty, "groupSequential needs a boundary ladder")
+    val k = boundariesE4.length
+    val a = col(groupCol)
+    val x = col(valueCol).cast("long")
+    val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
+    val perLook = df
+      .filter(a.isNotNull && x.isNotNull &&
+        col(lookCol).isNotNull && col(lookCol).between(1, k))
+      .groupBy(col(lookCol).cast("int").as("look"))
+      .agg(
+        sum(when(a, 1L).otherwise(0L)).as("__na"),
+        sum(when(a, x).otherwise(0L)).as("__sa"),
+        sum(when(a, dec(x) * x).otherwise(dec(lit(0)))).as("__qa"),
+        sum(when(!a, 1L).otherwise(0L)).as("__nb"),
+        sum(when(!a, x).otherwise(0L)).as("__sb"),
+        sum(when(!a, dec(x) * x).otherwise(dec(lit(0)))).as("__qb"))
+    val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("look"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    import df.sparkSession.implicits._
+    val bounds = boundariesE4.zipWithIndex
+      .map { case (b, i) => (i + 1, b) }.toDF("look", "bound_e4")
+    val va = "((cast(qa as double) - cast(sa as double) * sa / n_a) / (n_a - 1))"
+    val vb = "((cast(qb as double) - cast(sb as double) * sb / n_b) / (n_b - 1))"
+    val se2 = s"($va / n_a + $vb / n_b)"
+    perLook
+      .withColumn("n_a", sum(col("__na")).over(wCum))
+      .withColumn("sa", sum(col("__sa")).over(wCum))
+      .withColumn("qa", sum(col("__qa")).over(wCum))
+      .withColumn("n_b", sum(col("__nb")).over(wCum))
+      .withColumn("sb", sum(col("__sb")).over(wCum))
+      .withColumn("qb", sum(col("__qb")).over(wCum))
+      .join(broadcast(bounds), Seq("look"))
+      .withColumn("z_e4", expr(
+        s"""case when n_a >= 2 and n_b >= 2 and $se2 > 0 then
+           |  cast(floor((cast(sa as double) / n_a - cast(sb as double) / n_b)
+           |             / sqrt($se2) * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("reject",
+        when(col("z_e4").isNotNull, abs(col("z_e4")) > col("bound_e4")))
+      .withColumn("__first",
+        min(when(col("reject"), col("look"))).over(wAll))
+      .withColumn("stopped",
+        col("__first").isNotNull && col("look") >= col("__first"))
+      .select("look", "n_a", "n_b", "z_e4", "bound_e4", "reject", "stopped")
+  }
+
   /** Permutation placebo test for [[diffInDiff]] — the design-validity
     * inference the causal tier was missing: re-estimate the DiD under
     * `reps` DETERMINISTIC pseudo-assignments of treatment (md5 of

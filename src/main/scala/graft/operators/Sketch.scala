@@ -893,4 +893,63 @@ object Sketch {
           |end""".stripMargin))
       .drop("__s")
   }
+
+  /** Qn robust scale per key (Rousseeuw & Croux 1993) — the efficient
+    * robust-scale completion beside the MAD (q146) and the Huber
+    * location (q345): `Qn = d·{|xᵢ − xⱼ| : i < j}₍ₖ₎` with
+    * `k = C(h,2), h = ⌊n/2⌋+1` and the Gaussian consistency factor
+    * d = 2.2219. 50% breakdown like the MAD but 82% efficiency (vs the
+    * MAD's 37%) and no symmetry assumption — the right dispersion
+    * readout for skewed metrics.
+    *
+    * Exactness (the q346 grid×grid framing): the O(n²) pair multiset is
+    * the self-cross of the per-key VALUE GRID with multiplicity `ca·cb`
+    * (plus `C(c,2)` zero-diffs per tied value), so the k-th order
+    * statistic is an exact cumulative-count walk over the DIFFERENCE
+    * grid — integers end-to-end; the consistency factor is ONE double
+    * multiply of the exact integer d₍ₖ₎ at readout. Bounded-cardinality
+    * value domain by contract (quantize/bin upstream — the q146/q308
+    * convention). Keys with n < 2 have no pairs and drop.
+    *
+    * Output: `(keys…, n, n_pairs, k, dk, qn_e4)`. */
+  def qnScale(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "qnScale needs at least one key column")
+    val k = keyCols.map(col)
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(valueCol).isNotNull)
+    val grid = base.groupBy(k :+ col(valueCol).cast("long").as("__v"): _*)
+      .agg(count(lit(1)).as("__c"))
+    val cross = grid.as("a").join(grid.as("b"),
+        keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
+          .reduce(_ && _) && col("a.__v") > col("b.__v"))
+      .select(keyCols.map(c => col(s"a.$c").as(c)) :+
+        (col("a.__v") - col("b.__v")).as("__d") :+
+        // DECIMAL: ca·cb passes 2⁶³ once a single value holds ~3e9 rows
+        (col("a.__c").cast("decimal(38,0)") * col("b.__c")).as("__cnt"): _*)
+    val ties = grid.filter(col("__c") >= 2)
+      .select(k :+ lit(0L).as("__d") :+
+        // c(c−1) is even, so the decimal halving is exact at any scale
+        expr("cast(cast(__c as decimal(38,0)) * (__c - 1) / 2 as decimal(38,0))")
+          .as("__cnt"): _*)
+    val diffs = cross.unionByName(ties)
+      .groupBy(k :+ col("__d"): _*)
+      .agg(sum(col("__cnt")).as("__cd"))
+    val wCum = Window.partitionBy(k: _*).orderBy(col("__d"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val counts = base.groupBy(k: _*).agg(count(lit(1)).as("n"))
+      .withColumn("__h", expr("n div 2 + 1"))
+      .withColumn("k", expr("__h * (__h - 1) div 2"))
+      .withColumn("n_pairs", expr("n * (n - 1) div 2"))
+      .filter(col("k") >= 1L)
+    diffs
+      .withColumn("__cum", sum(col("__cd")).over(wCum))
+      .join(counts, keyCols)
+      .filter(col("__cum") >= col("k"))
+      .groupBy(k: _*)
+      .agg(max(col("n")).as("n"), max(col("n_pairs")).as("n_pairs"),
+        max(col("k")).as("k"), min(col("__d")).as("dk"))
+      .withColumn("qn_e4",
+        expr("cast(floor(2.2219 * cast(dk as double) * 10000 + 0.5) as bigint)"))
+      .orderBy(k: _*)
+  }
 }

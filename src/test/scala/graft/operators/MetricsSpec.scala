@@ -1315,6 +1315,39 @@ class MetricsSpec extends SparkSpec {
     assert(r.getAs[Long]("cov_e6") == 666666L)
   }
 
+  test("groupSequential: cumulative looks, boundary crossing, stopped flag") {
+    // look 1: A {10,12} vs B {10,10} → z = 1.0, under the 3.0 bar;
+    // look 2 cumulates A {10,12,20,22} (var 104/3) vs B {10×4} (var 0)
+    // → z = 6/√(104/12) = 2.0381, over the 2.0 bar → reject, stopped
+    val rows = Seq(
+      (1, true, 10L), (1, true, 12L), (1, false, 10L), (1, false, 10L),
+      (2, true, 20L), (2, true, 22L), (2, false, 10L), (2, false, 10L))
+    val df = rows.toDF("look", "arm", "v")
+    val out = Metrics.groupSequential(df, "look", "arm", "v",
+        boundariesE4 = Seq(30000L, 20000L))
+      .orderBy("look").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Long]("z_e4") == 10000L)
+    assert(!out(0).getAs[Boolean]("reject") && !out(0).getAs[Boolean]("stopped"))
+    assert(out(1).getAs[Long]("n_a") == 4L && out(1).getAs[Long]("n_b") == 4L)
+    assert(out(1).getAs[Long]("z_e4") == 20381L)
+    assert(out(1).getAs[Boolean]("reject") && out(1).getAs[Boolean]("stopped"))
+  }
+
+  test("groupSequential: a first-look rejection marks every later look stopped") {
+    val rows = Seq(
+      (1, true, 100L), (1, true, 102L), (1, false, 10L), (1, false, 12L),
+      (2, true, 10L), (2, true, 10L), (2, false, 10L), (2, false, 11L))
+    val out = Metrics.groupSequential(rows.toDF("look", "arm", "v"),
+        "look", "arm", "v", boundariesE4 = Seq(20000L, 20000L))
+      .orderBy("look").collect()
+    assert(out(0).getAs[Boolean]("reject") && out(0).getAs[Boolean]("stopped"))
+    assert(out(1).getAs[Boolean]("stopped")) // stays stopped regardless of z
+    // the OBF ladder helper is monotone decreasing and ends near c
+    val b = Metrics.obfBoundariesE4(5)
+    assert(b == b.sorted.reverse && b.last == 20400L)
+  }
+
   test("ivWald: hand-computed first stage, ITT, and LATE ratio") {
     // z=0: d̄ = 1/4, ȳ = 15; z=1: d̄ = 3/4, ȳ = 30 → fs = 0.5,
     // itt = 15, LATE = 30

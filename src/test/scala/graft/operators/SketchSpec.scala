@@ -453,4 +453,26 @@ class SketchSpec extends SparkSpec {
     assert(r.getAs[Long]("med") == 100L && r.getAs[Long]("mad") == 3L)
     assert(h > 100.0 && h < mean, s"huber=$h mean=$mean")
   }
+
+  test("qnScale: hand-computed k-th pairwise difference, ties, and tiny keys") {
+    // {1,3,6,10}: diffs sorted {2,3,4,5,7,9}, h=3 → k=3 → d₍₃₎ = 4
+    val a = Seq(1L, 3L, 6L, 10L).map(("a", _))
+    // {5,5,5,7}: three 0-diff ties then three 2s; k=3 → d₍₃₎ = 0
+    val t = Seq(5L, 5L, 5L, 7L).map(("t", _))
+    // n=2: the single pair IS the statistic (k=1)
+    val two = Seq(4L, 9L).map(("two", _))
+    // n=1: no pairs — key drops
+    val one = Seq(42L).map(("one", _))
+    val out = Sketch.qnScale((a ++ t ++ two ++ one).toDF("g", "v"),
+        Seq("g"), "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(!out.contains("one"))
+    assert(out("a").getAs[Long]("n_pairs") == 6L)
+    assert(out("a").getAs[Long]("k") == 3L)
+    assert(out("a").getAs[Long]("dk") == 4L)
+    assert(out("a").getAs[Long]("qn_e4") == 88876L) // ⌊2.2219·4·1e4+.5⌋
+    assert(out("t").getAs[Long]("dk") == 0L && out("t").getAs[Long]("qn_e4") == 0L)
+    assert(out("two").getAs[Long]("k") == 1L && out("two").getAs[Long]("dk") == 5L)
+    assert(out("two").getAs[Long]("qn_e4") == 111095L)
+  }
 }
