@@ -50,6 +50,8 @@ object SparkEntry {
       "q333_x_stream_topk_stability" -> m("q319_x_topk_stability"),
       "q344_x_stream_cem_att" -> m("q342_x_cem_att"),
       "q355_x_stream_diff_in_diff" -> m("q352_x_diff_in_diff"),
-      "q359_x_stream_conformal" -> m("q353_x_conformal_interval"))
+      "q359_x_stream_conformal" -> m("q353_x_conformal_interval"),
+      "q364_x_stream_group_sequential" -> m("q362_x_group_sequential"),
+      "q365_x_stream_qn_scale" -> m("q363_x_qn_scale"))
   }
 }

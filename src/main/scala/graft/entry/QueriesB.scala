@@ -2402,6 +2402,15 @@ private[graft] object QueriesB {
     // walked exactly over the value-grid cross (the q346 framing)
     "q363_x_qn_scale" -> tuned((s, d) =>
       graft.operators.Sketch.qnScale(
-        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity"))
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")),
+
+    // ---- extension: STREAMING twin of q362 GST (state = the k-row
+    // per-look Welch grid; looks literally arrive over time) and of
+    // q363 Qn (state = the per-key value grid) — shared readouts,
+    // drained == batch, one oracle each
+    "q364_x_stream_group_sequential" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingGroupSequential(s, d)),
+    "q365_x_stream_qn_scale" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingQnScale(s, d))
   )
 }

@@ -3016,11 +3016,21 @@ object Metrics {
   def groupSequential(df: DataFrame, lookCol: String, groupCol: String,
                       valueCol: String, boundariesE4: Seq[Long]): DataFrame = {
     require(boundariesE4.nonEmpty, "groupSequential needs a boundary ladder")
-    val k = boundariesE4.length
+    gsFromMoments(
+      gsMoments(df, lookCol, groupCol, valueCol, boundariesE4.length),
+      boundariesE4)
+  }
+
+  /** The per-look Welch moment grid behind [[groupSequential]] — split
+    * out (the didMoments factoring) so the STREAMING twin can hold
+    * exactly this k-row grid as complete-mode state and share
+    * [[gsFromMoments]]'s readout. */
+  def gsMoments(df: DataFrame, lookCol: String, groupCol: String,
+                valueCol: String, k: Int): DataFrame = {
     val a = col(groupCol)
     val x = col(valueCol).cast("long")
     val dec = (c: org.apache.spark.sql.Column) => c.cast("decimal(38,0)")
-    val perLook = df
+    df
       .filter(a.isNotNull && x.isNotNull &&
         col(lookCol).isNotNull && col(lookCol).between(1, k))
       .groupBy(col(lookCol).cast("int").as("look"))
@@ -3031,12 +3041,17 @@ object Metrics {
         sum(when(!a, 1L).otherwise(0L)).as("__nb"),
         sum(when(!a, x).otherwise(0L)).as("__sb"),
         sum(when(!a, dec(x) * x).otherwise(dec(lit(0)))).as("__qb"))
+  }
+
+  /** Sequential-boundary readout over a [[gsMoments]] grid — shared by
+    * the batch operator and the streaming twin so parity cannot drift. */
+  def gsFromMoments(perLook: DataFrame, boundariesE4: Seq[Long]): DataFrame = {
     val wCum = org.apache.spark.sql.expressions.Window.orderBy(col("look"))
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
     val wAll = org.apache.spark.sql.expressions.Window
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
         org.apache.spark.sql.expressions.Window.unboundedFollowing)
-    import df.sparkSession.implicits._
+    import perLook.sparkSession.implicits._
     val bounds = boundariesE4.zipWithIndex
       .map { case (b, i) => (i + 1, b) }.toDF("look", "bound_e4")
     val va = "((cast(qa as double) - cast(sa as double) * sa / n_a) / (n_a - 1))"

@@ -912,13 +912,25 @@ object Sketch {
     * convention). Keys with n < 2 have no pairs and drop.
     *
     * Output: `(keys…, n, n_pairs, k, dk, qn_e4)`. */
-  def qnScale(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
+  def qnScale(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame =
+    qnFromGrid(qnGrid(df, keyCols, valueCol), keyCols)
+
+  /** The per-key VALUE GRID behind [[qnScale]] — split out (the
+    * didMoments factoring) so the streaming twin can hold exactly this
+    * grid as complete-mode state and share [[qnFromGrid]]'s readout. */
+  def qnGrid(df: DataFrame, keyCols: Seq[String], valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "qnScale needs at least one key column")
-    val k = keyCols.map(col)
-    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
+    graft.functions.Cols.dropNullKeys(df, keyCols)
       .filter(col(valueCol).isNotNull)
-    val grid = base.groupBy(k :+ col(valueCol).cast("long").as("__v"): _*)
+      .groupBy(keyCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
+  }
+
+  /** Qn readout over a [[qnGrid]] — everything (n, pairs, the k-th
+    * difference walk) derives from the grid alone, so the batch operator
+    * and the streaming twin cannot drift. */
+  def qnFromGrid(grid: DataFrame, keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
     val cross = grid.as("a").join(grid.as("b"),
         keyCols.map(c => col(s"a.$c") === col(s"b.$c"))
           .reduce(_ && _) && col("a.__v") > col("b.__v"))
@@ -936,7 +948,7 @@ object Sketch {
       .agg(sum(col("__cnt")).as("__cd"))
     val wCum = Window.partitionBy(k: _*).orderBy(col("__d"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val counts = base.groupBy(k: _*).agg(count(lit(1)).as("n"))
+    val counts = grid.groupBy(k: _*).agg(sum(col("__c")).as("n"))
       .withColumn("__h", expr("n div 2 + 1"))
       .withColumn("k", expr("__h * (__h - 1) div 2"))
       .withColumn("n_pairs", expr("n * (n - 1) div 2"))

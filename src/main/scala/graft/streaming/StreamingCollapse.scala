@@ -1518,4 +1518,51 @@ object StreamingCollapse {
     graft.operators.Metrics.conformalAssemble(
       nTrain, qhatF, spark.table(name).localCheckpoint(true))
   }
+
+  /** Streaming twin of q362's group-sequential boundaries — the natural
+    * streaming member of the whole tier, because LOOKS are literally
+    * arrivals over time: state IS the [[graft.operators.Metrics
+    * .gsMoments]] k-row per-look Welch grid (complete mode); every drain
+    * re-derives the boundary ladder readout via the SHARED
+    * `gsFromMoments`, so the standing "has any look crossed yet" monitor
+    * equals the batch answer bit-for-bit and q362's oracle serves both. */
+  def streamingGroupSequential(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_gst"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val ev = eventsStream(spark, dir)
+      .withColumn("look", expr(
+        "least(5, 1 + (dayofmonth(timestamp_micros(ts div 1000)) - 1) div 6)"))
+      .withColumn("arm", expr("user_id % 2 = 0"))
+      .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
+    val grid = graft.operators.Metrics.gsMoments(ev, "look", "arm", "cents", 5)
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.gsFromMoments(
+        spark.table(name).localCheckpoint(true),
+        graft.operators.Metrics.obfBoundariesE4(5))
+      .orderBy("look")
+  }
+
+  /** Streaming twin of q363's Qn scale — the robust-dispersion monitor:
+    * state IS the [[graft.operators.Sketch.qnGrid]] per-key VALUE GRID
+    * (complete mode — O(keys·values), the bounded-cardinality contract),
+    * and every drain re-derives the pairwise-difference order statistic
+    * via the SHARED `qnFromGrid`; drained == batch, one oracle. */
+  def streamingQnScale(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_qn"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/lineitem.parquet").schema
+    val li = spark.readStream.schema(phys).parquet(streamDir(dir, "lineitem"))
+    val grid = graft.operators.Sketch.qnGrid(li, Seq("l_returnflag"), "l_quantity")
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Sketch.qnFromGrid(
+      spark.table(name).localCheckpoint(true), Seq("l_returnflag"))
+  }
 }

@@ -478,6 +478,30 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("streamingGroupSequential: drained look grid gives the batch boundaries exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getAs[Long]("n_a"), r.getAs[Long]("n_b"),
+        r.get(r.fieldIndex("z_e4")), r.getAs[Long]("bound_e4"),
+        r.get(r.fieldIndex("reject")), r.getAs[Boolean]("stopped"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingGroupSequential(spark, dir))
+    val batch = rows(
+      graft.SparkEntry.queries("q362_x_group_sequential")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
+
+  test("streamingQnScale: drained value grid gives the batch Qn exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n"), r.getAs[Long]("k"),
+        r.getAs[Long]("dk"), r.getAs[Long]("qn_e4"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingQnScale(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q363_x_qn_scale")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("streamingChiSquare: grid state survives checkpoint stop + restart (recovery contract)") {
     // The production claim behind every grid-state twin: complete-mode
     // aggregation state checkpoints per shuffle partition and the file
