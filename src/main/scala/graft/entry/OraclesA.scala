@@ -1213,6 +1213,50 @@ private[graft] object OraclesA {
          |FROM finf f CROSS JOIN bnd2 b CROSS JOIN nn""".stripMargin
     },
 
+    // per-KEY local-level Kalman: the q338 recursion with key carried
+    // through the recursive state (one replay per (key, λ)), per-key
+    // argmin via (nll, lam) row_number — q338's protocol at the keyed
+    // kernel path q69 actually runs
+    "q366_u8_local_level_multikey" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT o_orderpriority AS key,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         round(CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS DOUBLE) / 1e8, 6) AS y
+        |  FROM orders GROUP BY 1, 2),
+        |o AS (SELECT key,
+        |        row_number() OVER (PARTITION BY key ORDER BY month) AS t, y
+        |      FROM m),
+        |nn AS (SELECT key, CAST(count(*) AS INT) AS n FROM o GROUP BY 1
+        |       HAVING count(*) >= 3),
+        |cand AS (SELECT CAST(unnest([0.1, 0.5, 1.0, 2.0, 10.0]) AS DOUBLE)
+        |           AS lam),
+        |rec(key, lam, t, mm, p, sv, slf) AS (
+        |  SELECT o.key, c.lam, CAST(1 AS BIGINT) AS t, o.y, c.lam + 1.0,
+        |         CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)
+        |  FROM cand c JOIN o ON o.t = 1 JOIN nn ON nn.key = o.key
+        |  UNION ALL
+        |  SELECT r.key, r.lam, r.t + 1,
+        |    r.mm + (r.p/(r.p + 1.0)) * (o.y - r.mm),
+        |    r.p * (1.0 - r.p/(r.p + 1.0)) + r.lam,
+        |    r.sv + (o.y - r.mm)*(o.y - r.mm)/(r.p + 1.0),
+        |    r.slf + ln(r.p + 1.0)
+        |  FROM rec r JOIN o ON o.key = r.key AND o.t = r.t + 1),
+        |fin AS (SELECT r.key, r.lam, r.mm, r.p, r.sv/(nn.n - 1.0) AS rhat,
+        |               (nn.n - 1.0)*ln(r.sv/(nn.n - 1.0)) + r.slf AS nll
+        |        FROM rec r JOIN nn ON nn.key = r.key WHERE r.t = nn.n),
+        |best AS (SELECT * FROM (SELECT fin.*,
+        |           row_number() OVER (PARTITION BY key ORDER BY nll, lam)
+        |             AS rk FROM fin) WHERE rk = 1)
+        |SELECT b.key, nn.n AS n_obs, round(b.lam, 1) AS lambda,
+        |       round(b.rhat, 6) AS r_hat, CAST(h.h AS INT) AS step,
+        |       round(b.mm, 4) AS forecast,
+        |       round(b.mm - 1.96 * sqrt(b.rhat * (b.p + (h.h - 1.0) * b.lam + 1.0)), 4) AS lo,
+        |       round(b.mm + 1.96 * sqrt(b.rhat * (b.p + (h.h - 1.0) * b.lam + 1.0)), 4) AS hi
+        |FROM (SELECT unnest(generate_series(1, 3)) AS h) h
+        |CROSS JOIN best b JOIN nn ON nn.key = b.key
+        |ORDER BY b.key, step""".stripMargin),
+
     // batch perceptron, 3 iterations UNROLLED (zero-init makes iteration
     // 1 the class-weighted feature sums); all-integer — margins, updates
     // and confusion replay exactly; max() carries each weight constant

@@ -2411,6 +2411,21 @@ private[graft] object QueriesB {
     "q364_x_stream_group_sequential" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingGroupSequential(s, d)),
     "q365_x_stream_qn_scale" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingCollapse.streamingQnScale(s, d))
+      graft.streaming.StreamingCollapse.streamingQnScale(s, d)),
+
+    // ---- extension: PER-KEY local-level Kalman grid MLE — q338's
+    // single-series oracle replay extended to the keyed kernel path (one
+    // recursion per (key, λ)), narrowing q69's multikey ⊘ to the same
+    // optimizer-only residue as q39
+    "q366_u8_local_level_multikey" -> tuned((s, d) =>
+      graft.stats.Diagnostics.localLevelForecast(
+          monthlyPriority(s, d)
+            .withColumn("tot", round(col("cents") / 1e8, 6)),
+          Seq("prio"), "month", "tot", horizon = 3)
+        .select(col("key"), col("n_obs"), round(col("lambda"), 1).as("lambda"),
+          round(col("r_hat"), 6).as("r_hat"), col("step"),
+          round(col("forecast"), 4).as("forecast"),
+          round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+        .orderBy("key", "step"))
   )
 }
