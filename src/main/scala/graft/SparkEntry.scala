@@ -52,6 +52,7 @@ object SparkEntry {
       "q355_x_stream_diff_in_diff" -> m("q352_x_diff_in_diff"),
       "q359_x_stream_conformal" -> m("q353_x_conformal_interval"),
       "q364_x_stream_group_sequential" -> m("q362_x_group_sequential"),
-      "q365_x_stream_qn_scale" -> m("q363_x_qn_scale"))
+      "q365_x_stream_qn_scale" -> m("q363_x_qn_scale"),
+      "q367_x_stream_t_closeness" -> m("q361_x_t_closeness"))
   }
 }

@@ -2413,6 +2413,12 @@ private[graft] object QueriesB {
     "q365_x_stream_qn_scale" -> ((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingQnScale(s, d)),
 
+    // ---- extension: STREAMING twin of q361 t-closeness (state = the
+    // class x value grid; global dist re-derives from it at drain) —
+    // the standing privacy-release monitor; drained == batch, one oracle
+    "q367_x_stream_t_closeness" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingTCloseness(s, d)),
+
     // ---- extension: PER-KEY local-level Kalman grid MLE — q338's
     // single-series oracle replay extended to the keyed kernel path (one
     // recursion per (key, λ)), narrowing q69's multikey ⊘ to the same

@@ -355,15 +355,27 @@ object Profile {
     *
     * Output: one row per class — `(quasi…, n, n_values, tvd_e6)`. */
   def tCloseness(df: DataFrame, quasiCols: Seq[String],
-                 sensitiveCol: String): DataFrame = {
+                 sensitiveCol: String): DataFrame =
+    tClosenessFromCells(tClosenessCells(df, quasiCols, sensitiveCol), quasiCols)
+
+  /** The class×value count grid behind [[tCloseness]] — split out (the
+    * didMoments factoring) so the streaming twin can hold exactly this
+    * grid as complete-mode state; the global distribution and grand
+    * total re-derive FROM the grid, so the readout needs nothing else. */
+  def tClosenessCells(df: DataFrame, quasiCols: Seq[String],
+                      sensitiveCol: String): DataFrame = {
     require(quasiCols.nonEmpty, "tCloseness needs at least one quasi-identifier")
-    val q = quasiCols.map(col)
-    val base = graft.functions.Cols.dropNullKeys(df, quasiCols)
+    graft.functions.Cols.dropNullKeys(df, quasiCols)
       .filter(col(sensitiveCol).isNotNull)
-      .select(q :+ col(sensitiveCol).as("__v"): _*)
-    val cell = base.groupBy(q :+ col("__v"): _*)
+      .groupBy(quasiCols.map(col) :+ col(sensitiveCol).as("__v"): _*)
       .agg(count(lit(1)).as("__cgv"))
-    val glob = base.groupBy(col("__v")).agg(count(lit(1)).as("__cv"))
+  }
+
+  /** TVD readout over a [[tClosenessCells]] grid — shared by batch and
+    * the streaming twin so parity cannot drift. */
+  def tClosenessFromCells(cell: DataFrame, quasiCols: Seq[String]): DataFrame = {
+    val q = quasiCols.map(col)
+    val glob = cell.groupBy(col("__v")).agg(sum(col("__cgv")).as("__cv"))
     val tot = glob.agg(sum(col("__cv")).as("__nn"))
     val wCls = org.apache.spark.sql.expressions.Window.partitionBy(q: _*)
     cell

@@ -1565,4 +1565,31 @@ object StreamingCollapse {
     graft.operators.Sketch.qnFromGrid(
       spark.table(name).localCheckpoint(true), Seq("l_returnflag"))
   }
+
+  /** Streaming twin of q361's t-closeness — the standing privacy
+    * monitor a release pipeline wants (does TODAY'S ingest push any
+    * quasi-identifier class's sensitive distribution away from the
+    * population): state IS the [[graft.operators.Profile
+    * .tClosenessCells]] class×value grid (complete mode; the global
+    * distribution and grand total re-derive FROM the grid at drain), so
+    * drained == batch via the SHARED `tClosenessFromCells` and q361's
+    * oracle serves both. */
+  def streamingTCloseness(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_tclose"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/customer.parquet").schema
+    val cust = spark.readStream.schema(phys).parquet(streamDir(dir, "customer"))
+      .withColumn("bal_band", expr("cast(floor(c_acctbal / 2000) as bigint)"))
+    val grid = graft.operators.Profile.tClosenessCells(
+      cust, Seq("c_nationkey", "c_mktsegment"), "bal_band")
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Profile.tClosenessFromCells(
+        spark.table(name).localCheckpoint(true),
+        Seq("c_nationkey", "c_mktsegment"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
 }

@@ -502,6 +502,17 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("streamingTCloseness: drained class-value grid gives the batch TVD exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (String.valueOf(r.get(0)), r.getString(1), r.getAs[Long]("n"),
+        r.getAs[Long]("n_values"), r.getAs[Long]("tvd_e6"))).toSet
+    val streamed = rows(StreamingCollapse.streamingTCloseness(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q361_x_t_closeness")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=${streamed.size} batch=${batch.size}")
+  }
+
   test("streamingChiSquare: grid state survives checkpoint stop + restart (recovery contract)") {
     // The production claim behind every grid-state twin: complete-mode
     // aggregation state checkpoints per shuffle partition and the file
