@@ -29,6 +29,34 @@ object Bench {
       .config("spark.sql.streaming.stateStore.maintenanceInterval", "24h")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Tail-cleanliness assertion (the BENCH_r09/r12 regression class): any
+    // ERROR-level log event during the run — e.g. DAGScheduler's
+    // "non-existent accumulator" trace from a stop() racing a micro-batch
+    // — lands in the harness's bounded stdout tail and can evict the JSON
+    // head. Count them via a root-logger appender and carry the count in
+    // the bench record, so a recurrence is a red number in the artifact
+    // instead of an unexplained stack trace in the tail.
+    val logErrors = new java.util.concurrent.atomic.AtomicInteger
+    locally {
+      import org.apache.logging.log4j.{Level, LogManager}
+      import org.apache.logging.log4j.core.LoggerContext
+      import org.apache.logging.log4j.core.LogEvent
+      import org.apache.logging.log4j.core.appender.AbstractAppender
+      import org.apache.logging.log4j.core.config.Property
+      val counter = new AbstractAppender("graft-err-counter", null, null,
+          true, Property.EMPTY_ARRAY) {
+        override def append(e: LogEvent): Unit =
+          if (e.getLevel.isMoreSpecificThan(Level.ERROR))
+            logErrors.incrementAndGet()
+      }
+      counter.start()
+      LogManager.getContext(false) match {
+        case ctx: LoggerContext =>
+          ctx.getConfiguration.getRootLogger.addAppender(counter, Level.ERROR, null)
+          ctx.updateLoggers()
+        case _ => () // non-core binding: run without the counter
+      }
+    }
     // Untimed warm-up at the smallest SF: compiles the same generated
     // classes (Janino cache keys on source, which doesn't embed paths), so
     // the timed pass measures query execution, not JVM/codegen cold-start.
@@ -119,7 +147,7 @@ object Bench {
     // between passes IS the noise floor a reader needs to judge a delta.
     def jmap(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","log_errors":${logErrors.get},"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
     // The full per-query map goes to the FILE only: at 210 queries the map is
     // ~5 KB and the harness's bounded stdout tail truncated it from the FRONT
     // in r06 ("parsed": null). The file copy survives any amount of log noise.
@@ -129,7 +157,7 @@ object Bench {
     // stdout gets a COMPACT summary (~120 bytes) as the LAST line — total,
     // query count, sf, and a pointer to the per-query file — so the driver's
     // tail capture always holds the complete JSON object.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","per_query":"target/bench.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","log_errors":${logErrors.get},"per_query":"target/bench.json"}"""
     println(compact)
     System.out.flush()
   }

@@ -39,6 +39,14 @@ object Verify {
       sys.exit(2)
     }
     selected.foreach { case (name, fn) =>
+      // delete the query's out dir FIRST: a query that throws before its
+      // write must leave a MISSING dir (a loud per-query failure in the
+      // driver compare), not a previous run's parquet comparable as fresh
+      val dest = java.nio.file.Paths.get(outDir, name)
+      if (java.nio.file.Files.exists(dest))
+        java.nio.file.Files.walk(dest)
+          .sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

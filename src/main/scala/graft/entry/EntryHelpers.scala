@@ -40,6 +40,41 @@ private[graft] object EntryHelpers {
       }
     }
 
+  /** Session-scoped memo for checkpointed frames SHARED across registry
+    * queries (the q353/q359 conformal twin pair was paying the corpus
+    * md5 admission pass twice per bench pass). Keyed by (session UUID,
+    * caller key): a new SparkSession never sees a dead session's RDD
+    * blocks, and entries from stopped sessions are dropped on the next
+    * lookup so their checkpoint block references don't pin. The build
+    * must be DETERMINISTIC — both consumers read identical rows, which
+    * is what lets one oracle serve the pair. */
+  private val frameMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private[graft] def memoFrame(s: SparkSession, key: String)
+                              (build: => DataFrame): DataFrame = {
+    val prefix =
+      s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}|"
+    // cleanup OUTSIDE computeIfAbsent: removing other bins while holding
+    // a bin lock is legal for CHM but needlessly entangles the two
+    frameMemo.keySet.removeIf(k => !k.startsWith(prefix))
+    frameMemo.computeIfAbsent(prefix + key, _ => build)
+  }
+
+  /** The conformal admission base (lineitem → dollars grid → md5 hash
+    * split → 4 narrow columns, checkpointed) shared by q353 and the
+    * q359 streaming twin's batch-side fit. */
+  private[graft] def conformalLineitemBase(s: SparkSession,
+                                           dir: String): DataFrame =
+    memoFrame(s, s"conformal_base|$dir") {
+      val li = Tables.lineitem(s, dir)
+        .withColumn("dollars", floor(col("l_extendedprice") + lit(0.5)))
+        .withColumn("__key",
+          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      graft.operators.Metrics.conformalBase(
+        Corpus.hashSplit(li, "__key"), "split",
+        Seq("l_returnflag", "l_linestatus"), "dollars")
+    }
+
   /** Monthly orders series used by the window/time-series queries
     * (the engine's analog of the reference's per-career monthly table). */
   private[graft] def monthlyOrders(s: SparkSession, dir: String): DataFrame =

@@ -1031,7 +1031,7 @@ private[graft] object OraclesA {
     // statistic, one double multiply by the consistency factor
     "q363_x_qn_scale" ->
       ("""WITH b AS (
-        |  SELECT l_returnflag AS g, CAST(l_quantity AS BIGINT) AS v
+        |  SELECT l_returnflag AS g, CAST(floor(l_quantity) AS BIGINT) AS v
         |  FROM lineitem
         |  WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
         |grid AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c

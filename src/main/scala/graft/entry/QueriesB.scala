@@ -2271,15 +2271,10 @@ private[graft] object QueriesB {
     // interval half-width q̂ from the calibration split's exact residual
     // order statistic (group-mean model on train, coverage audited on
     // test); the eval-tier guarantee beside q221 calibration / q287 CIs
-    "q353_x_conformal_interval" -> tuned((s, d) => {
-      val li = Tables.lineitem(s, d)
-        .withColumn("dollars", floor(col("l_extendedprice") + lit(0.5)))
-        .withColumn("__key",
-          concat_ws("-", col("l_orderkey"), col("l_linenumber")))
-      graft.operators.Metrics.conformalInterval(
-        Corpus.hashSplit(li, "__key"), "split",
-        Seq("l_returnflag", "l_linestatus"), "dollars")
-    }),
+    "q353_x_conformal_interval" -> tuned((s, d) =>
+      graft.operators.Metrics.conformalIntervalFromBase(
+        EntryHelpers.conformalLineitemBase(s, d),
+        Seq("l_returnflag", "l_linestatus"))),
 
     // ---- extension: sharp regression discontinuity per order priority —
     // the third causal design beside q342 CEM (matching) and q352 DiD
@@ -2356,7 +2351,8 @@ private[graft] object QueriesB {
     // frozen batch-side, coverage monitored over the arriving test
     // stream (state = the 3-count row); drained == batch, one oracle
     "q359_x_stream_conformal" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingCollapse.streamingConformal(s, d)),
+      graft.streaming.StreamingCollapse.streamingConformal(s, d,
+        Some(EntryHelpers.conformalLineitemBase(GraftSession.tune(s), d)))),
 
     // ---- extension: ternary-search refinement of the Kalman λ — the
     // CONTINUOUS-OPTIMIZER slice (q338 checked filter + grid argmin;

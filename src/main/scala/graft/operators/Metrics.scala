@@ -2968,11 +2968,21 @@ object Metrics {
     val allN2 = cells.map(c => s"n_$c >= 2").mkString(" and ")
     val did = s"((${m("11")} - ${m("10")}) - (${m("01")} - ${m("00")}))"
     val se2 = cells.map(c => s"${v(c)} / n_$c").mkString(" + ")
+    // FLOOR division, not Spark's truncate-toward-zero `div`: the q352
+    // oracle quantizes with DuckDB `//` (floor), and the two diverge on a
+    // NEGATIVE cell sum — the identity keeps a generic (possibly negative)
+    // value domain bit-identical across engines; same integers on the
+    // non-negative TPC-H domain
+    def meanE2(c: String) = expr(
+      s"""case when n_$c > 0 then
+         |  (__s$c * 100 div n_$c)
+         |  - (case when __s$c * 100 % n_$c != 0 and __s$c < 0
+         |     then 1 else 0 end) end""".stripMargin)
     moments
-      .withColumn("mean_00_e2", expr("__s00 * 100 div nullif(n_00, 0)"))
-      .withColumn("mean_01_e2", expr("__s01 * 100 div nullif(n_01, 0)"))
-      .withColumn("mean_10_e2", expr("__s10 * 100 div nullif(n_10, 0)"))
-      .withColumn("mean_11_e2", expr("__s11 * 100 div nullif(n_11, 0)"))
+      .withColumn("mean_00_e2", meanE2("00"))
+      .withColumn("mean_01_e2", meanE2("01"))
+      .withColumn("mean_10_e2", meanE2("10"))
+      .withColumn("mean_11_e2", meanE2("11"))
       .withColumn("did_e6", expr(
         s"""case when $allN1 then
            |  cast(floor($did * 1000000 + 0.5) as bigint) end""".stripMargin))
@@ -3105,11 +3115,17 @@ object Metrics {
                  treatCol: String, postCol: String, valueCol: String,
                  reps: Int = 19): DataFrame = {
     require(reps >= 1 && reps <= 30, s"reps in [1,30] (hash bits), got $reps")
-    val obs = didFromMoments(didMoments(df, keyCols, treatCol, postCol, valueCol))
+    // ONE pool for observed AND placebo estimates: a permutation test
+    // compares the observed statistic against re-randomizations of the
+    // SAME population, so rows that cannot enter a replicate (null unit —
+    // nothing to pseudo-assign; null real treatment — excluded from the
+    // observed 2×2 by didMoments) are excluded from BOTH sides up front
+    val pool = df.filter(col(unitCol).isNotNull && col(treatCol).isNotNull)
+    val obs = didFromMoments(didMoments(pool, keyCols, treatCol, postCol, valueCol))
       .select(keyCols.map(col) :+ col("did_e6").as("did_obs_e6"): _*)
     import df.sparkSession.implicits._
     val bs = (1 to reps).map(b => (b.toLong, 1L << b)).toDF("__b", "__pw")
-    val expl = df.filter(col(unitCol).isNotNull)
+    val expl = pool
       .withColumn("__uh",
         graft.functions.Cols.hash32(col(unitCol).cast("string")))
       .crossJoin(broadcast(bs))
@@ -3217,6 +3233,23 @@ object Metrics {
     conformalAssemble(nTrain, qhat, counts)
   }
 
+  /** [[conformalInterval]] over a pre-built [[conformalBase]] frame —
+    * the entry point the q353 registry query uses so it can share one
+    * memoized base with the q359 streaming twin. */
+  private[graft] def conformalIntervalFromBase(base: DataFrame,
+                                               groupCols: Seq[String],
+                                               alphaPermille: Int = 100,
+                                               trainTag: String = "train",
+                                               calTag: String = "val",
+                                               testTag: String = "test")
+      : DataFrame = {
+    val (b, model, nTrain, qhat) =
+      conformalFitFromBase(base, groupCols, alphaPermille, trainTag, calTag)
+    val counts = conformalTestCounts(
+      b.filter(col("__sp") === testTag), model, qhat, groupCols)
+    conformalAssemble(nTrain, qhat, counts)
+  }
+
   /** The batch-side half of [[conformalInterval]], split out (the
     * didMoments factoring) so the STREAMING coverage twin can freeze
     * the model + q̂ and share every readout: returns the checkpointed
@@ -3226,20 +3259,40 @@ object Metrics {
                                   groupCols: Seq[String], valueCol: String,
                                   alphaPermille: Int, trainTag: String,
                                   calTag: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, DataFrame) =
+    conformalFitFromBase(conformalBase(df, splitCol, groupCols, valueCol),
+      groupCols, alphaPermille, trainTag, calTag)
+
+  /** The checkpointed 3-narrow-column admission frame every conformal
+    * consumer (model, calibration, test, the streaming twin's batch fit)
+    * reads from. Split out of [[conformalFit]] so the q353 batch query
+    * and the q359 streaming twin can SHARE one base per (session, data
+    * dir) — the md5 split hash over the corpus is the measured cost
+    * driver, and the twin pair was paying it twice. */
+  private[graft] def conformalBase(df: DataFrame, splitCol: String,
+                                   groupCols: Seq[String],
+                                   valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "conformalInterval needs grouping features")
-    require(alphaPermille >= 1 && alphaPermille <= 999,
-      s"alphaPermille in [1,999], got $alphaPermille")
     val y = col(valueCol).cast("long")
     // localCheckpoint: three consumers (model, calibration, test) would
     // otherwise each re-run the upstream scan INCLUDING the md5 split
     // hash — the measured cost driver at 10x (the embeddingHealth
     // precedent); the checkpointed projection is 3 narrow columns
-    val base = dropNullKeys(df, groupCols)
+    dropNullKeys(df, groupCols)
       .filter(col(splitCol).isNotNull && y.isNotNull)
       .select(groupCols.map(col) :+ col(splitCol).as("__sp") :+
         (y * 100L).as("__y2"): _*)
       .localCheckpoint(false)
+  }
+
+  /** [[conformalFit]] over a pre-built [[conformalBase]] frame. */
+  private[graft] def conformalFitFromBase(base: DataFrame,
+                                          groupCols: Seq[String],
+                                          alphaPermille: Int, trainTag: String,
+                                          calTag: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    require(alphaPermille >= 1 && alphaPermille <= 999,
+      s"alphaPermille in [1,999], got $alphaPermille")
     val model = base.filter(col("__sp") === trainTag)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("__ng"),

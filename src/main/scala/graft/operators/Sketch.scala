@@ -922,7 +922,12 @@ object Sketch {
     require(keyCols.nonEmpty, "qnScale needs at least one key column")
     graft.functions.Cols.dropNullKeys(df, keyCols)
       .filter(col(valueCol).isNotNull)
-      .groupBy(keyCols.map(col) :+ col(valueCol).cast("long").as("__v"): _*)
+      // floor, not a bare cast: Spark's cast-to-long truncates while
+      // DuckDB's CAST rounds, so a fractional input would silently
+      // diverge between engines; explicit floor() on BOTH sides makes
+      // the quantization engine-independent (identity on integral input)
+      .groupBy(keyCols.map(col) :+
+        floor(col(valueCol)).cast("long").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
   }
 

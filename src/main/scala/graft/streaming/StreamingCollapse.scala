@@ -33,8 +33,27 @@ object StreamingCollapse {
     spark.conf.set(key, sys.env.getOrElse("GRAFT_STREAM_PARTITIONS", "4"))
     try {
       val q = writer.start()
-      try q.processAllAvailable()
-      finally q.stop()
+      try {
+        q.processAllAvailable()
+        // stop() interrupts the stream thread; a watermarked append query
+        // fires one NO-DATA micro-batch right after the last data batch
+        // commits (to emit watermark-closed windows), and interrupting it
+        // mid-task leaves cancelled tasks whose completion events reach
+        // DAGScheduler AFTER the query's accumulators unregister — the
+        // "attempted to access non-existent accumulator" ERROR traces in
+        // the BENCH_r09/r12 tails. processAllAvailable guarantees no DATA
+        // is pending, not that no trigger is ACTIVE; wait for two
+        // consecutive idle observations so stop() interrupts a sleeping
+        // thread, not running tasks. Bounded: a pathological re-trigger
+        // loop must not wedge the drain.
+        def idle() = !q.status.isTriggerActive && !q.status.isDataAvailable
+        val deadline = System.nanoTime() + 5000000000L
+        var settled = false
+        while (!settled && System.nanoTime() < deadline) {
+          if (idle()) { Thread.sleep(10); settled = idle() }
+          else Thread.sleep(10)
+        }
+      } finally q.stop()
     } finally spark.conf.set(key, prev)
   }
 
@@ -1485,7 +1504,8 @@ object StreamingCollapse {
     * is the 3-count coverage row (complete mode); every drain re-derives
     * the readout through the SHARED `conformalAssemble`, so drained ==
     * batch and q353's oracle serves both. */
-  def streamingConformal(spark: SparkSession, dir: String): DataFrame = {
+  def streamingConformal(spark: SparkSession, dir: String,
+                         baseOpt: Option[DataFrame] = None): DataFrame = {
     graft.GraftSession.tune(spark)
     val name = "graft_stream_conf"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
@@ -1495,9 +1515,15 @@ object StreamingCollapse {
         .withColumn("__key",
           concat_ws("-", col("l_orderkey"), col("l_linenumber"))),
       "__key")
-    val batch = prep(spark.read.parquet(s"$dir/lineitem.parquet"))
-    val (_, model, nTrain, qhat) = graft.operators.Metrics.conformalFit(
-      batch, "split", groupCols, "dollars", 100, "train", "val")
+    // baseOpt: the registry passes the memoized q353-shared admission
+    // base so the twin pair pays the corpus md5 pass ONCE per session —
+    // exactly how conformal deploys (fit once, audit forever)
+    val base = baseOpt.getOrElse(graft.operators.Metrics.conformalBase(
+      prep(spark.read.parquet(s"$dir/lineitem.parquet")), "split",
+      groupCols, "dollars"))
+    val (_, model, nTrain, qhat) =
+      graft.operators.Metrics.conformalFitFromBase(
+        base, groupCols, 100, "train", "val")
     // freeze the fitted artifacts NOW (they are 9- and 1-row frames) so
     // the standing query joins static literals, not a live batch plan
     val modelF = model.localCheckpoint(true)
