@@ -53,6 +53,10 @@ object SparkEntry {
       "q359_x_stream_conformal" -> m("q353_x_conformal_interval"),
       "q364_x_stream_group_sequential" -> m("q362_x_group_sequential"),
       "q365_x_stream_qn_scale" -> m("q363_x_qn_scale"),
-      "q367_x_stream_t_closeness" -> m("q361_x_t_closeness"))
+      "q367_x_stream_t_closeness" -> m("q361_x_t_closeness"),
+      // auto-routed hot-key dials: both routes are contractually
+      // row-identical, so the plain-path oracles serve them
+      "q368_x_sessions_auto" -> m("q110_x_batch_sessions"),
+      "q369_x_funnel_auto" -> m("q147_x_funnel"))
   }
 }

@@ -2817,6 +2817,105 @@ private[graft] object OraclesC {
         |    WHEN abs(d_e6) < 800000 THEN 'medium'
         |    ELSE 'large' END AS magnitude
         |FROM r ORDER BY o_orderstatus""".stripMargin
+    },
+
+    // candidate-period seasonal scan: the SAME (p, r) e15 trig table
+    // inlined (seasonalTableSql — one definition, both engines), exact
+    // HUGEINT demeaned sums via n·Σxc − Σx·Σc, the identical double
+    // power tree, smallest-p argmax
+    "q370_u6_seasonal_grid" -> {
+      val ikD = "((CAST(sc AS DOUBLE) / 1e15) * (CAST(sc AS DOUBLE) / 1e15)" +
+        " + (CAST(ss AS DOUBLE) / 1e15) * (CAST(ss AS DOUBLE) / 1e15))"
+      s"""WITH m AS (SELECT o_orderpriority AS prio,
+        |    CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |b AS (SELECT prio, CAST(floor(cents) AS BIGINT) AS x,
+        |        row_number() OVER (PARTITION BY prio ORDER BY month) - 1 AS t,
+        |        CAST(count(*) OVER (PARTITION BY prio) AS BIGINT) AS n,
+        |        CAST(sum(cents) OVER (PARTITION BY prio) AS BIGINT) AS sy
+        |      FROM m),
+        |tab(p, r, c, s) AS (VALUES ${graft.stats.Diagnostics.seasonalTableSql(24)}),
+        |j AS (SELECT b.prio, CAST(max(b.n) AS HUGEINT) AS n,
+        |        CAST(max(b.sy) AS HUGEINT) AS sy, tab.p,
+        |        sum(CAST(b.x AS HUGEINT) * tab.c) AS xc,
+        |        sum(CAST(b.x AS HUGEINT) * tab.s) AS xs,
+        |        sum(CAST(tab.c AS HUGEINT)) AS cc,
+        |        sum(CAST(tab.s AS HUGEINT)) AS cs
+        |      FROM b JOIN tab ON tab.p <= b.n // 2 AND b.t % tab.p = tab.r
+        |      WHERE b.n >= 4
+        |      GROUP BY b.prio, tab.p),
+        |pw AS (SELECT prio, p, n * xc - sy * cc AS sc, n * xs - sy * cs AS ss
+        |       FROM j),
+        |ik AS (SELECT prio, p, $ikD AS ik FROM pw),
+        |mx AS (SELECT prio, p, ik, max(ik) OVER (PARTITION BY prio) AS mik
+        |       FROM ik),
+        |bst AS (SELECT *, min(CASE WHEN ik = mik THEN p END)
+        |          OVER (PARTITION BY prio) AS bestp
+        |        FROM mx)
+        |SELECT prio, CAST(p AS INT) AS p,
+        |  CASE WHEN mik > 0 THEN CAST(floor(ik / mik * 1000000 + 0.5) AS BIGINT)
+        |  END AS share_e6,
+        |  p = bestp AS is_best
+        |FROM bst ORDER BY prio, p""".stripMargin
+    },
+
+    // q335's unrolled count->argmax->apply rounds PLUS the learner's
+    // minPairCount stop: each round's argmax is guarded on the
+    // threshold (a sub-threshold round emits nothing and the apply
+    // no-ops, which — counts being non-increasing — carries the stop
+    // through every later round). AS MATERIALIZED throughout: the
+    // 8-round chain re-expands exponentially under DuckDB's default
+    // CTE inlining (the q351 lesson).
+    "q371_x_bpe_merge_stop" -> {
+      val k = 8
+      val minCnt = 1850L
+      val run5 = ('a' to 'z').map(c => c.toString * 5).mkString("|")
+      def pairCte(p: String, sIn: String): String =
+        s"""$p AS MATERIALIZED (
+           |  SELECT syms[i] AS l, syms[i + 1] AS r,
+           |         CAST(sum(c) AS BIGINT) AS cnt
+           |  FROM (SELECT c,
+           |          list_filter(string_split(s, '|'), x -> x <> '') AS syms,
+           |          unnest(generate_series(1,
+           |            len(list_filter(string_split(s, '|'), x -> x <> '')) - 1))
+           |            AS i
+           |        FROM $sIn)
+           |  GROUP BY 1, 2)""".stripMargin
+      def applyCte(sOut: String, sIn: String, m: String): String =
+        s"""$sOut AS MATERIALIZED (
+           |  SELECT CASE WHEN (SELECT count(*) FROM $m) = 0 THEN s
+           |    ELSE replace(replace(s,
+           |      '|' || (SELECT l FROM $m) || '|' || (SELECT r FROM $m) || '|',
+           |      '|' || (SELECT l || r FROM $m) || '|'),
+           |      '|' || (SELECT l FROM $m) || '|' || (SELECT r FROM $m) || '|',
+           |      '|' || (SELECT l || r FROM $m) || '|') END AS s, c
+           |  FROM $sIn)""".stripMargin
+      val rounds = (0 until k).map { i =>
+        val apply =
+          if (i == 0) ""
+          else applyCte(s"s$i", s"s${i - 1}", s"m${i - 1}") + ",\n"
+        s"""$apply${pairCte(s"p$i", s"s$i")},
+           |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i WHERE cnt >= $minCnt
+           |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+      }.mkString(",\n")
+      val union = (0 until k).map(i =>
+        s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
+        .mkString("\nUNION ALL ")
+      s"""WITH wraw AS MATERIALIZED (
+         |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+         |  FROM documents WHERE text IS NOT NULL),
+         |w AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM wraw
+         |  WHERE length(w) BETWEEN 2 AND 9
+         |    AND NOT regexp_matches(w, '$run5')
+         |  GROUP BY 1),
+         |s0 AS MATERIALIZED (
+         |  SELECT '|' || array_to_string(string_split(w, ''), '|') || '|'
+         |    AS s, c FROM w),
+         |$rounds
+         |SELECT * FROM ($union) ORDER BY rank""".stripMargin
     }
   )
 }

@@ -2428,6 +2428,47 @@ private[graft] object QueriesB {
           round(col("r_hat"), 6).as("r_hat"), col("step"),
           round(col("forecast"), 4).as("forecast"),
           round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
-        .orderBy("key", "step"))
+        .orderBy("key", "step")),
+
+    // ---- extension: AUTO-routed sessionization — the q260 hot-key dial
+    // with the Skew.hotKeyStats probe choosing the route (plain window
+    // below the per-slot crossover, time-sliced past it); shares q110's
+    // oracle because BOTH routes are contractually identical rows
+    "q368_x_sessions_auto" -> tuned((s, d) =>
+      graft.operators.Sessionize.sessionStatsAuto(
+          Tables.events(s, d).select("user_id", "event_id", "ts"),
+          "user_id", "ts", "event_id", gapMinutes = 720, sliceMinutes = 1440)
+        .orderBy("user_id", "session_idx")),
+
+    // ---- extension: AUTO-routed funnel — the q261 aggregate dial with
+    // the same probe-and-route; shares q147's oracle
+    "q369_x_funnel_auto" -> tuned((s, d) =>
+      graft.operators.Funnel.conversionCountsAuto(
+          Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
+          Seq("user_id"), "tsu", "event_type",
+          Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
+    // ---- extension: CANDIDATE-PERIOD seasonal power scan — graduates
+    // q34's U6 `seasonalPeriod` arithmetic itself at DATA-DEPENDENT
+    // series length (q276/q358 check Fourier-frequency DFTs at fixed/
+    // auto n; q34's estimate scans periods p=2..24 over the whole
+    // demeaned series — this hash-checks exactly that scan, and the
+    // kernel now runs the SAME e15-table exact-integer arithmetic)
+    "q370_u6_seasonal_grid" -> tuned((s, d) =>
+      graft.stats.Diagnostics.seasonalPeriodGrid(
+          monthlyPriority(s, d), Seq("prio"), "month", "cents")
+        .orderBy("prio", "p")),
+
+    // ---- extension: BPE merge schedule WITH the data-dependent stop —
+    // q335's fixed-k slice plus the learner's minPairCount termination,
+    // hash-checked (each unrolled oracle round guards its argmax on the
+    // threshold; sub-threshold rounds emit nothing and no-op the apply).
+    // Narrows q92/q94's residue to rank-beyond-k only. minPairCount
+    // sits between the sf0.01 rank-5 and rank-6 counts so the stop
+    // branch genuinely exercises in the gate (6 of 8 scheduled rounds)
+    "q371_x_bpe_merge_stop" -> tuned((s, d) =>
+      graft.text.Bpe.mergeSliceDf(
+        Tables.documents(s, d), "text", k = 8, minPairCount = 1850L))
   )
 }

@@ -207,6 +207,23 @@ object Funnel {
       funnelByKeyAgg(events, keyCols, timeCol, stageCol, stages, maxGap),
       stages)
 
+  /** AUTO-routed funnel readout: probes the hottest key's share of the
+    * STAGE-PRUNED events (what the window actually sorts) via
+    * [[graft.operators.Skew.hotKeyStats]] and engages the aggregate
+    * path past the measured per-slot crossover (SURVEY §8 hot100) —
+    * zero-config deployment of the q261 dial. Both routes emit
+    * contractually identical rows (the FunnelSpec equality law). */
+  def conversionCountsAuto(events: DataFrame, keyCols: Seq[String],
+                           timeCol: String, stageCol: String,
+                           stages: Seq[String],
+                           maxGap: Option[Long] = None): DataFrame = {
+    val pruned = events.filter(
+      col(stageCol).isin(stages: _*) && col(timeCol).isNotNull)
+    if (Skew.shouldEngageHotKeyDial(pruned, keyCols))
+      conversionCountsAgg(events, keyCols, timeCol, stageCol, stages, maxGap)
+    else conversionCounts(events, keyCols, timeCol, stageCol, stages, maxGap)
+  }
+
   /** Shared stage-reach readout over a per-key funnel frame (any variant
     * emitting `stages_completed`). */
   private def reachReadout(byKey: DataFrame, stages: Seq[String]): DataFrame = {

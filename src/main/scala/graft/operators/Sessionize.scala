@@ -121,6 +121,27 @@ object Sessionize {
     statsOf(byGapTimeSliced(df, keyCol, tsCol, tieCol, gapMinutes, sliceMinutes),
       keyCol, tsCol)
 
+  /** AUTO-routed [[byGap]]: runs the cheap
+    * [[graft.operators.Skew.hotKeyStats]] probe (one map-side-combined
+    * aggregate) and engages [[byGapTimeSliced]] when the hottest key's
+    * rows exceed the even per-slot share — the measured crossover where
+    * the plain per-key window's one-task sort loses (SURVEY §8 hot100).
+    * Both routes are row-identical (the SkewSpec equality law), so the
+    * probe decides only cost, never semantics — zero-config deployment
+    * of the q260 dial. */
+  def byGapAuto(df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                gapMinutes: Int, sliceMinutes: Int = 1440): DataFrame =
+    if (Skew.shouldEngageHotKeyDial(df, Seq(keyCol)))
+      byGapTimeSliced(df, keyCol, tsCol, tieCol, gapMinutes, sliceMinutes)
+    else byGap(df, keyCol, tsCol, tieCol, gapMinutes)
+
+  /** [[sessionStats]] over the auto-routed path. */
+  def sessionStatsAuto(df: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, gapMinutes: Int,
+                       sliceMinutes: Int = 1440): DataFrame =
+    statsOf(byGapAuto(df, keyCol, tsCol, tieCol, gapMinutes, sliceMinutes),
+      keyCol, tsCol)
+
   /** Top navigation paths — the "how do users actually move" readout
     * stacked on [[byGap]]: each session's first `maxLen` states joined
     * `"a>b>c"`, counted corpus-wide, top `k` by frequency. The truncation

@@ -36,6 +36,32 @@ object Skew {
       .orderBy(col("n").desc)
       .limit(k)
 
+  /** `(hottest key's row count, total rows)` — the two numbers the
+    * hot-key crossover arithmetic needs, off one map-side-combined
+    * aggregate (no key rows cross to the driver, just the two scalars). */
+  def hotKeyStats(df: DataFrame, keys: Seq[String]): (Long, Long) = {
+    val r = df.groupBy(keys.map(col): _*).agg(count(lit(1)).as("__n"))
+      .agg(max(col("__n")).as("__mx"), sum(col("__n")).as("__tot"))
+      .head()
+    if (r.isNullAt(0)) (0L, 0L) else (r.getLong(0), r.getLong(1))
+  }
+
+  /** The measured engage rule for the per-key-window hot-key dials
+    * (SURVEY §8 hot100 probe): a per-key window serializes the hottest
+    * key's whole row set into ONE task — no AQE recourse, skew-join
+    * splitting applies to joins only — so the sliced/aggregate rewrite
+    * wins once that task's rows exceed the even per-slot share. Engage
+    * when `maxKeyRows > totalRows / slots`. Both routes are contractually
+    * row-identical, so a borderline call costs only the smaller of the
+    * two plans' overheads, never correctness. */
+  def shouldEngageHotKeyDial(df: DataFrame, keys: Seq[String],
+                             slots: Int = 0): Boolean = {
+    val s = if (slots > 0) slots
+            else df.sparkSession.sparkContext.defaultParallelism
+    val (mx, tot) = hotKeyStats(df, keys)
+    tot > 0 && mx > tot / s
+  }
+
   /** PARTIAL salting — the production skew pattern: only the top
     * `hotKeys` heavy-hitter keys route through the salted path (hot rows
     * spread over `buckets` tasks, hot small-side rows replicated); the

@@ -2307,6 +2307,92 @@ object Diagnostics {
     dftTableE15(n).map { case (k, t, c, s) => s"($k, $t, $c, $s)" }
       .mkString(", ")
 
+  /** The e15-quantized cos/sin table for the CANDIDATE-PERIOD scan
+    * ([[seasonalPeriodGrid]] and `TimeSeriesStats.seasonalPeriod`): one
+    * row per (p, r) with `c = ⌊cos(2πr/p)·10¹⁵ + 0.5⌋` for r < p —
+    * cos(2πt/p) = cos(2π(t mod p)/p), so the table is Σp rows (299 at
+    * maxP = 24), not series-length-sized. ONE definition feeds the
+    * kernel, the Spark operator, and the oracle renderer (the
+    * [[dftTableE15]] convention). */
+  def seasonalTableE15(maxP: Int): Seq[(Int, Int, Long, Long)] =
+    for (p <- 2 to maxP; r <- 0 until p) yield {
+      val a = 2.0 * math.Pi * r / p
+      (p, r, math.floor(math.cos(a) * 1e15 + 0.5).toLong,
+        math.floor(math.sin(a) * 1e15 + 0.5).toLong)
+    }
+
+  /** Renders [[seasonalTableE15]] as a DuckDB VALUES list `(p, r, c, s)`. */
+  def seasonalTableSql(maxP: Int): String =
+    seasonalTableE15(maxP).map { case (p, r, c, s) => s"($p, $r, $c, $s)" }
+      .mkString(", ")
+
+  /** The CANDIDATE-PERIOD power scan of q34's U6 `seasonalPeriod` —
+    * hash-checkable at DATA-DEPENDENT series length (q276/q358 check the
+    * Fourier-frequency DFT at fixed/auto n; q34's period estimate scans
+    * candidate periods p = minP..min(maxP, n/2) over the WHOLE demeaned
+    * series, a different arithmetic — this graduates exactly that).
+    *
+    * Exactness: demeaning is cleared of division by scaling through n —
+    * `S_c(p) = n·Σ_t x_t·c(p, t mod p) − (Σ_t x_t)·Σ_t c(p, t mod p)`
+    * = n·Σ_t (x_t − x̄)·cos(2πt/p), all EXACT DECIMAL(38,0) integer
+    * sums over the [[seasonalTableE15]] grid (order-independent — the
+    * float-accumulation-order residue the q34 composite carried is
+    * exactly what this clears); the power is one fixed double tree off
+    * the two decimal casts, the peak an order-independent max, the best
+    * period the SMALLEST p attaining it (the kernel's strict-> argmax).
+    *
+    * Scale shape: one (keys) window indexes each series (series are
+    * per-key aggregates — grid-sized), the 299-row table broadcasts,
+    * per-(key, p) sums map-side combine. Output: `(keys…, p, share_e6,
+    * is_best)` for each candidate p ≤ n div 2. */
+  def seasonalPeriodGrid(df: DataFrame, keyCols: Seq[String], ordCol: String,
+                         valueCol: String, minP: Int = 2,
+                         maxP: Int = 24): DataFrame = {
+    require(keyCols.nonEmpty, "seasonalPeriodGrid needs at least one key column")
+    require(minP >= 2 && maxP >= minP && maxP <= 64,
+      s"need 2 <= minP <= maxP <= 64, got [$minP, $maxP]")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = keyCols.map(col)
+    val coef = seasonalTableE15(maxP).toDF("__p", "__r", "__c", "__s")
+    val wOrd = Window.partitionBy(k: _*).orderBy(col(ordCol))
+    val wKey = Window.partitionBy(k: _*)
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(valueCol).isNotNull)
+      .withColumn("__x", floor(col(valueCol)).cast("long"))
+      .withColumn("__t", row_number().over(wOrd) - 1)
+      .withColumn("__n", count(lit(1)).over(wKey))
+      .withColumn("__sy", sum(col("__x")).over(wKey))
+      .filter(col("__n") >= 2 * minP)
+    val sums = base.join(broadcast(coef),
+        col("__p") >= minP && col("__p") <= expr("__n div 2") &&
+          pmod(col("__t"), col("__p")) === col("__r"))
+      .groupBy(k :+ col("__p"): _*)
+      .agg(max(col("__n")).as("__nn"), max(col("__sy")).as("__syy"),
+        sum(expr("cast(__x as decimal(38,0)) * __c")).as("__xc"),
+        sum(expr("cast(__x as decimal(38,0)) * __s")).as("__xs"),
+        sum(col("__c").cast("decimal(38,0)")).as("__cc"),
+        sum(col("__s").cast("decimal(38,0)")).as("__cs"))
+      .withColumn("__sc", expr(
+        "cast(__nn as decimal(38,0)) * __xc - cast(__syy as decimal(38,0)) * __cc"))
+      .withColumn("__ss", expr(
+        "cast(__nn as decimal(38,0)) * __xs - cast(__syy as decimal(38,0)) * __cs"))
+    val ik = """((cast(__sc as double) / 1e15) * (cast(__sc as double) / 1e15)
+               | + (cast(__ss as double) / 1e15) * (cast(__ss as double) / 1e15))"""
+      .stripMargin.replaceAll("\n", " ")
+    sums
+      .withColumn("__ik", expr(ik))
+      .withColumn("__mik", max(col("__ik")).over(wKey))
+      .withColumn("__bestp",
+        min(when(col("__ik") === col("__mik"), col("__p"))).over(wKey))
+      .withColumn("share_e6", expr(
+        """case when __mik > 0 then
+          |  cast(floor(__ik / __mik * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("is_best", col("__p") === col("__bestp"))
+      .select(k :+ col("__p").as("p") :+ col("share_e6") :+ col("is_best"): _*)
+  }
+
   /** The power-of-two candidate lengths [[periodogramAutoN]] selects
     * from, and the combined `(n, k, t, c, s)` VALUES renderer for its
     * oracle — 2,720 rows total, one definition feeding both engines. */

@@ -227,23 +227,43 @@ object TimeSeriesStats {
 
   // ------------------------------------------------------------ seasonality
 
-  /** Dominant seasonal period by periodogram peak: naive DFT power over
+  /** Dominant seasonal period by periodogram peak: DFT power over
     * candidate periods `minP..maxP` months on the demeaned series
-    * (reference `estimate_seasonal_period_months`, nb cell 25). */
+    * (reference `estimate_seasonal_period_months`, nb cell 25).
+    *
+    * EXACT-INTEGER form (round-12 graduation): values quantize at e6,
+    * trig coefficients come from the SHARED
+    * [[graft.stats.Diagnostics.seasonalTableE15]] grid
+    * (cos(2πt/p) = cos(2π(t mod p)/p)), demeaning clears division by
+    * scaling through n (`n·Σeᵗc = n·Σxc − (Σx)·Σc`), and the power
+    * argmax runs on exact BigInt squares — NO order-dependent float
+    * accumulation remains, so the arithmetic is the one q370's
+    * DuckDB oracle replays (strict-> argmax = smallest p at the max). */
   def seasonalPeriod(y: Array[Double], minP: Int = 2, maxP: Int = 24): Int = {
     val n = y.length
     require(n >= 2 * minP, "series too short for period estimation")
-    val mean = y.sum / n
-    val e = y.map(_ - mean)
+    val x = y.map(v => BigInt(math.floor(v * 1e6 + 0.5).toLong))
+    val s = x.sum
+    val bigN = BigInt(n)
+    val table = Diagnostics.seasonalTableE15(maxP)
+      .groupBy(_._1).map { case (p, rows) =>
+        p -> rows.sortBy(_._2).map { case (_, _, c, ss) => (c, ss) }.toArray
+      }
     var bestP = minP
-    var bestPow = -1.0
+    var bestPow = BigInt(-1)
     var p = minP
     while (p <= math.min(maxP, n / 2)) {
-      val w = 2 * math.Pi / p
-      var re = 0.0; var im = 0.0
+      val coefs = table(p)
+      var xc = BigInt(0); var xs = BigInt(0); var cc = BigInt(0); var cs = BigInt(0)
       var t = 0
-      while (t < n) { re += e(t) * math.cos(w * t); im += e(t) * math.sin(w * t); t += 1 }
-      val pow = re * re + im * im
+      while (t < n) {
+        val (c, si) = coefs(t % p)
+        xc += x(t) * c; xs += x(t) * si; cc += c; cs += si
+        t += 1
+      }
+      val sc = bigN * xc - s * cc
+      val ss = bigN * xs - s * cs
+      val pow = sc * sc + ss * ss
       if (pow > bestPow) { bestPow = pow; bestP = p }
       p += 1
     }

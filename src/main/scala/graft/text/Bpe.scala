@@ -178,8 +178,20 @@ object Bpe {
     * k is bounded (the unrolled-SQL contract; tested at k = 3), so the
     * driver-side learner cost is corpus-pass + O(vocab) — unchanged.
     * Output: `(rank, left_sym, right_sym, pair_count)`, one row per
-    * merge. */
-  def mergeSliceDf(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    * merge.
+    *
+    * `minPairCount` > 1 additionally carries the learner's DATA-DEPENDENT
+    * STOP into the slice (the q371 graduation): a round whose best pair
+    * count falls below it emits nothing and the schedule ends there —
+    * the oracle replays the same guard per unrolled round (chosen counts
+    * are non-increasing, so once a round's argmax is sub-threshold every
+    * later round's is too, and the empty-round no-op apply preserves
+    * that on the SQL side without an explicit carry). This narrows the
+    * q92/q94 `no_oracle` residue to rank-beyond-k only: count→argmax→
+    * apply (q335), encode (q340), and now the stop protocol are all
+    * hash-checked. */
+  def mergeSliceDf(docs: DataFrame, textCol: String, k: Int,
+                   minPairCount: Long = 1L): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val run5 = ('a' to 'z').map(c => c.toString * 5).mkString("|")
@@ -187,7 +199,7 @@ object Bpe {
       .filter(col(textCol).isNotNull)
       .select(explode(expr(s"regexp_extract_all(lower(`$textCol`), '[a-z]+', 0)")).as("w"))
       .filter(length(col("w")).between(2, 9) && !col("w").rlike(run5))
-    val ms = learnMerges(words, "w", k, minPairCount = 1L)
+    val ms = learnMerges(words, "w", k, minPairCount)
     ms.map(m => (m.rank.toLong, m.left, m.right, m.pairCount))
       .toDF("rank", "left_sym", "right_sym", "pair_count")
   }

@@ -169,6 +169,26 @@ object SkewSweep {
       }
       spark.stop(); return
     }
+    // `auto` mode: the zero-config routing claim — the q368/q369
+    // AUTO-routed operators over the 91%-hot-key corpus must land at the
+    // engaged dial's time (q260/q261 + one probe aggregate), and over
+    // the uniform control at the plain path's (probe says stay).
+    if (args.headOption.contains("auto")) {
+      val hotDir = s"$base/hot100"; val uni11Dir = s"$base/uni11"
+      require(new java.io.File(s"$hotDir/events.parquet").isDirectory,
+        "run `SkewSweep hot100` first to build the event corpora")
+      val family = Seq(
+        "q110_x_batch_sessions", "q260_x_sessions_timesliced",
+        "q368_x_sessions_auto",
+        "q147_x_funnel", "q261_x_funnel_agg", "q369_x_funnel_auto")
+      for ((corpus, d) <- Seq("uniform" -> uni11Dir, "hot" -> hotDir)) {
+        val r = bench(spark, d, family)
+        family.foreach { n =>
+          println(f"AUTO  $n%-28s $corpus%-8s ${r(n)}%7.2f s")
+        }
+      }
+      spark.stop(); return
+    }
     // `streamtwins` mode: the round-8 hot100 probe measured the BATCH
     // window family; this one drives the streaming twins over the same
     // 91%-hot-key corpus (and a hot-label embeddings analog), recording

@@ -286,6 +286,25 @@ class FunnelSpec extends SparkSpec {
     }
   }
 
+  test("conversionCountsAuto equals the window path on skewed AND uniform keys") {
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(_.toSeq).toSet
+    var x = 11L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    // skewed: one user owns 90% of events; uniform: round-robin users
+    val hot = (1 to 300).map { i =>
+      val u = if (i <= 270) "u0" else "u" + (math.floorMod(next(), 9L) + 1)
+      (u, math.floorMod(next(), 50L), "s" + math.floorMod(next(), 3L))
+    }.toDF("u", "t", "s")
+    val uni = (1 to 300).map { i =>
+      ("u" + (i % 50), math.floorMod(next(), 50L), "s" + math.floorMod(next(), 3L))
+    }.toDF("u", "t", "s")
+    val st = Seq("s0", "s1", "s2")
+    for (ev <- Seq(hot, uni))
+      assert(rows(Funnel.conversionCountsAuto(ev, Seq("u"), "t", "s", st)) ==
+        rows(Funnel.conversionCounts(ev, Seq("u"), "t", "s", st)))
+  }
+
   test("funnelByKeyAgg plans map-side partial minima (no Window node)") {
     val p = Funnel.funnelByKeyAgg(events, Seq("u"), "t", "s", stages)
       .queryExecution.executedPlan.toString

@@ -91,6 +91,33 @@ class SessionizeSpec extends SparkSpec {
     }
   }
 
+  test("sessionStatsAuto equals the plain stats on skewed AND uniform keys") {
+    var x = 7L
+    def next(): Long = { x = x * 6364136223846793005L + 1442695040888963407L; x }
+    // skewed: one user owns ~90% of rows (the hot100 shape, scaled down)
+    val hot = (1 to 300).map { i =>
+      val uid = if (i <= 270) 1L else math.floorMod(next(), 9L) + 2L
+      (uid, i.toLong, ts(math.floorMod(next(), 3000L)))
+    }.toDF("uid", "eid", "t")
+    // uniform control: round-robin keys, exactly 6 rows each — the max
+    // stays below total/slots at any plausible test parallelism
+    val uni = (1 to 300).map { i =>
+      ((i % 50).toLong, i.toLong, ts(math.floorMod(next(), 3000L)))
+    }.toDF("uid", "eid", "t")
+    for (ev <- Seq(hot, uni)) {
+      val plain = Sessionize.sessionStats(ev, "uid", "t", "eid", 45)
+        .collect().map(_.toSeq).toSet
+      val auto = Sessionize.sessionStatsAuto(ev, "uid", "t", "eid", 45,
+        sliceMinutes = 300).collect().map(_.toSeq).toSet
+      assert(auto == plain)
+    }
+    // the probe itself routes the two frames differently
+    assert(Skew.shouldEngageHotKeyDial(hot, Seq("uid"),
+      slots = spark.sparkContext.defaultParallelism))
+    assert(!Skew.shouldEngageHotKeyDial(uni, Seq("uid"),
+      slots = spark.sparkContext.defaultParallelism))
+  }
+
   test("topPaths: sessions become ordered truncated paths, counted and ranked") {
     import java.sql.Timestamp
     def ts(m: Int) = Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")

@@ -26,6 +26,21 @@ class SkewSpec extends SparkSpec {
     assert(out.head.get(out.head.fieldIndex("name")) == null)
   }
 
+  test("hotKeyStats: hottest-key count and total off one aggregate") {
+    assert(Skew.hotKeyStats(skewed, Seq("k")) === (100L, 102L))
+    assert(Skew.hotKeyStats(skewed.filter(lit(false)), Seq("k")) === (0L, 0L))
+  }
+
+  test("shouldEngageHotKeyDial: engages past the per-slot crossover only") {
+    // hot key holds 100/102 rows: per-slot share at 4 slots = 25 -> engage
+    assert(Skew.shouldEngageHotKeyDial(skewed, Seq("k"), slots = 4))
+    // uniform frame: max per-key = 1 <= 102/4 -> stay on the plain path
+    val uniform = (1 to 102).map(i => (s"k$i", i)).toDF("k", "v")
+    assert(!Skew.shouldEngageHotKeyDial(uniform, Seq("k"), slots = 4))
+    // empty input: no rows, nothing to route
+    assert(!Skew.shouldEngageHotKeyDial(skewed.filter(lit(false)), Seq("k"), 4))
+  }
+
   test("saltedJoin: deterministic across reruns (hash salt, not rand)") {
     def run() = Skew.saltedJoin(skewed.repartition(7), dim, Seq("k"), 8)
       .orderBy("k", "v").collect().map(_.toSeq).toSeq

@@ -830,6 +830,23 @@ class DiagnosticsSpec extends SparkSpec {
       Seq((2, 4000L)))
   }
 
+  test("seasonalPeriodGrid: planted tone recovers its period; kernel argmax agrees") {
+    // x_t = 5000 + 1000*cos(2*pi*t/8): pure period-8 tone over 64 points
+    val ys = (0 until 64).map(t =>
+      5000.0 + math.floor(1000.0 * math.cos(2 * math.Pi * t / 8) + 0.5))
+    val df = ys.zipWithIndex.map { case (v, t) => ("a", t.toLong, v.toLong) }
+      .toDF("g", "t", "v")
+    val out = Diagnostics.seasonalPeriodGrid(df, Seq("g"), "t", "v")
+      .collect()
+    // candidates p = 2..24 all fit (n/2 = 32)
+    assert(out.length == 23)
+    val best = out.filter(_.getAs[Boolean]("is_best"))
+    assert(best.map(_.getAs[Int]("p")).toSeq == Seq(8))
+    assert(best.head.getAs[Long]("share_e6") == 1000000L)
+    // the q34 kernel now runs the SAME exact-integer arithmetic
+    assert(graft.stats.TimeSeriesStats.seasonalPeriod(ys.toArray) == 8)
+  }
+
   test("localLevelRefined: refinement stays in the bracket and tracks the regime") {
     // near-constant series → grid winner at the λ = 0.1 edge, bracket
     // [0.05, 0.5]; strong ramp → winner at the λ = 10 edge, bracket

@@ -101,6 +101,21 @@ class BpeSpec extends SparkSpec {
       (2L, "t", "he", 7L)))
   }
 
+  test("mergeSliceDf: minPairCount stop ends the schedule early (the q371 contract)") {
+    import spark.implicits._
+    // same fixture as above: counts run 10, 7, 7, then (er,er) 5 — a
+    // threshold of 7 admits exactly the first three merges of a k=5
+    // schedule and the data-dependent stop cuts the rest
+    val docs = (Seq.fill(4)("the erer") ++ Seq.fill(3)("reed the") ++
+      Seq("a abcdefghij aaaaax erer")).toDF("text")
+    val out = graft.text.Bpe.mergeSliceDf(docs, "text", k = 5,
+        minPairCount = 7L).collect()
+      .map(r => (r.getAs[Long]("rank"), r.getAs[String]("left_sym"),
+        r.getAs[String]("right_sym"), r.getAs[Long]("pair_count")))
+    assert(out.toSeq == Seq((0L, "e", "r", 10L), (1L, "h", "e", 7L),
+      (2L, "t", "he", 7L)))
+  }
+
   test("encodeSliceDf: hand-checked fertility under the learned 3-merge table") {
     import spark.implicits._
     // same planted corpus as the mergeSliceDf check → merges (e,r),
