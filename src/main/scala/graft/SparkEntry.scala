@@ -57,6 +57,7 @@ object SparkEntry {
       // auto-routed hot-key dials: both routes are contractually
       // row-identical, so the plain-path oracles serve them
       "q368_x_sessions_auto" -> m("q110_x_batch_sessions"),
-      "q369_x_funnel_auto" -> m("q147_x_funnel"))
+      "q369_x_funnel_auto" -> m("q147_x_funnel"),
+      "q372_x_stream_seasonal_grid" -> m("q370_u6_seasonal_grid"))
   }
 }

@@ -2916,6 +2916,90 @@ private[graft] object OraclesC {
          |    AS s, c FROM w),
          |$rounds
          |SELECT * FROM ($union) ORDER BY rank""".stripMargin
-    }
+    },
+
+    // Tukey HSD: the anovaOneWay integer discipline (HUGEINT // group
+    // squares, exact SSW), pairwise studentized range as the identical
+    // double tree, verdict on the ROUNDED q against the shared
+    // q(0.05; 5, inf) e4 literal
+    "q373_x_tukey_hsd" -> {
+      val critE4 = graft.operators.Metrics.tukeyQCritInfE4(5)
+      val msw = "(CAST(ssw AS DOUBLE) / CAST(n - k AS DOUBLE))"
+      val diff = "(CAST(sa AS DOUBLE) / n_a - CAST(sb AS DOUBLE) / n_b)"
+      val se = s"sqrt($msw / 2.0 * (1.0 / n_a + 1.0 / n_b))"
+      s"""WITH o AS (
+        |  SELECT o_orderpriority AS g,
+        |         CAST(floor(o_totalprice + 0.5) AS BIGINT) AS x
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_totalprice IS NOT NULL),
+        |pg AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+        |         CAST(sum(x) AS BIGINT) AS sg,
+        |         sum(CAST(x AS HUGEINT) * x) AS qg,
+        |         (CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS BIGINT))
+        |           // CAST(count(*) AS BIGINT) AS tg
+        |       FROM o GROUP BY 1),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |          CAST(sum(ng) AS BIGINT) AS n,
+        |          CAST(sum(qg) - sum(tg) AS BIGINT) AS ssw,
+        |          CAST(min(ng) AS BIGINT) AS minn
+        |        FROM pg),
+        |pr AS (SELECT a.g AS g_a, b.g AS g_b, a.ng AS n_a, b.ng AS n_b,
+        |         a.sg AS sa, b.sg AS sb
+        |       FROM pg a JOIN pg b ON a.g < b.g)
+        |SELECT g_a, g_b, n_a, n_b,
+        |  CAST(floor($diff * 1000000 + 0.5) AS BIGINT) AS diff_e6,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0 AND minn >= 2 THEN
+        |    CAST(floor(abs($diff) / $se * 10000 + 0.5) AS BIGINT)
+        |  END AS q_e4,
+        |  CAST($critE4 AS BIGINT) AS q_crit_e4,
+        |  CASE WHEN k >= 2 AND n > k AND ssw > 0 AND minn >= 2 THEN
+        |    CAST(floor(abs($diff) / $se * 10000 + 0.5) AS BIGINT) > $critE4
+        |  END AS significant
+        |FROM pr CROSS JOIN tot ORDER BY g_a, g_b""".stripMargin
+    },
+
+    // Theta method: exact-integer OLS sums (closed-form st/stt), the
+    // identical a/b double trees, the SES(1/2) recursion over the
+    // theta2 line replayed per key (the q366 key-carrying recursion)
+    "q374_x_theta_forecast" ->
+      ("""WITH RECURSIVE m AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) // 100 AS y
+        |  FROM orders GROUP BY 1, 2),
+        |o AS (SELECT prio,
+        |        CAST(row_number() OVER (PARTITION BY prio ORDER BY month)
+        |          AS BIGINT) AS t, y
+        |      FROM m),
+        |s AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(t) AS BIGINT) AS st, CAST(sum(t * t) AS BIGINT) AS stt,
+        |        CAST(sum(y) AS BIGINT) AS sy, CAST(sum(t * y) AS BIGINT) AS sty
+        |      FROM o GROUP BY 1),
+        |c AS (SELECT prio, n,
+        |        CAST(n * sty - st * sy AS DOUBLE)
+        |          / CAST(n * stt - st * st AS DOUBLE) AS b,
+        |        (CAST(sy AS DOUBLE)
+        |          - CAST(n * sty - st * sy AS DOUBLE)
+        |            / CAST(n * stt - st * st AS DOUBLE)
+        |            * CAST(st AS DOUBLE)) / n AS a
+        |      FROM s WHERE n >= 3 AND n * stt - st * st <> 0),
+        |rec AS (
+        |  SELECT o.prio, CAST(1 AS BIGINT) AS t,
+        |         2.0 * o.y - (c.a + c.b * 1) AS l, c.a AS a, c.b AS b, c.n AS n
+        |  FROM o JOIN c ON o.prio = c.prio WHERE o.t = 1
+        |  UNION ALL
+        |  SELECT rec.prio, rec.t + 1,
+        |         0.5 * (2.0 * o.y - (rec.a + rec.b * (rec.t + 1))) + 0.5 * rec.l,
+        |         rec.a, rec.b, rec.n
+        |  FROM rec JOIN o ON o.prio = rec.prio AND o.t = rec.t + 1),
+        |fin AS (SELECT prio, a, b, n, l FROM (
+        |          SELECT *, row_number() OVER (PARTITION BY prio ORDER BY t DESC)
+        |            AS rn FROM rec) WHERE rn = 1)
+        |SELECT prio AS key, CAST(n AS INT) AS n_obs, round(b, 4) AS slope,
+        |       round(l, 4) AS level, CAST(h AS INT) AS step,
+        |       round(0.5 * (a + b * (n + h)) + 0.5 * l, 4) AS forecast
+        |FROM fin CROSS JOIN generate_series(1, 6) AS g(h)
+        |ORDER BY key, step""".stripMargin)
   )
 }

@@ -2469,6 +2469,41 @@ private[graft] object QueriesB {
     // branch genuinely exercises in the gate (6 of 8 scheduled rounds)
     "q371_x_bpe_merge_stop" -> tuned((s, d) =>
       graft.text.Bpe.mergeSliceDf(
-        Tables.documents(s, d), "text", k = 8, minPairCount = 1850L))
+        Tables.documents(s, d), "text", k = 8, minPairCount = 1850L)),
+
+    // ---- extension: STREAMING twin of q370's seasonal scan (state =
+    // the calendar-bounded per-(key, month) cents grid; ranks and the
+    // period argmax re-derive at drain via the SHARED readout) — the
+    // standing seasonality monitor; drained == batch, one oracle
+    "q372_x_stream_seasonal_grid" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingSeasonalGrid(s, d)),
+
+    // ---- extension: Tukey HSD pairwise comparisons — WHICH priorities
+    // differ once q269's F says some do (Tukey 1949; Kramer unequal-n
+    // form), family-wise-safe vs the q222 per-pair Welch: studentized
+    // range q per pair against the shared q(0.05; k, inf) e4 ladder
+    "q373_x_tukey_hsd" -> tuned((s, d) =>
+      graft.operators.Metrics.tukeyHsd(
+          Tables.orders(s, d)
+            .withColumn("dollars", floor(col("o_totalprice") + lit(0.5))),
+          "o_orderpriority", "dollars")
+        .orderBy("g_a", "g_b")),
+
+    // ---- extension: Theta-method forecast (M3 winner) — theta0 trend
+    // line from exact integer OLS sums + SES(alpha=1/2) over the theta2
+    // line, equal-weight combination; the forecast tier between q141
+    // Holt and the q39 SARIMAX surface, recursion oracle-replayed
+    "q374_x_theta_forecast" -> tuned((s, d) =>
+      graft.stats.Diagnostics.thetaForecast(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority").as("prio"),
+              Cols.monthStart(col("o_orderdate")).as("month"))
+            .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div 100")
+              .as("dollars")),
+          Seq("prio"), "month", "dollars", alpha = 0.5, horizon = 6)
+        .select(col("key"), col("n_obs"), round(col("slope"), 4).as("slope"),
+          round(col("level"), 4).as("level"), col("step"),
+          round(col("forecast"), 4).as("forecast"))
+        .orderBy("key", "step"))
   )
 }

@@ -716,6 +716,86 @@ object Metrics {
       .drop("__s", "__q", "__st")
   }
 
+  /** Studentized-range 5% critical values q(0.05; k, ∞), e4-quantized,
+    * k = 2..10 (Harter 1960's table, the df→∞ row — the big-data
+    * regime where N−k dwarfs any table df) — ONE literal table feeding
+    * both engines (the obfBoundariesE4 precedent). */
+  def tukeyQCritInfE4(k: Int): Long = {
+    require(k >= 2 && k <= 10,
+      s"tukeyQCritInfE4 inlines k in [2,10], got $k — extend the table")
+    Seq(27718L, 33145L, 36332L, 38577L, 40301L,
+      41696L, 42869L, 43866L, 44745L)(k - 2)
+  }
+
+  /** Tukey HSD pairwise comparisons after [[anovaOneWay]] — WHICH
+    * groups differ once the F says "some do" (Tukey 1949): for every
+    * group pair, the studentized range statistic
+    * `q = |ȳ_a − ȳ_b| / √(MSW/2 · (1/n_a + 1/n_b))` (the
+    * Tukey–Kramer unequal-n form) against the shared q(0.05; k, ∞)
+    * critical value — the family-wise-safe follow-up the per-pair
+    * Welch tests (q222) are not.
+    *
+    * Exactness (the anovaOneWay discipline): per-group moments are
+    * exact integers; `Σ_g ⌊S_g²/n_g⌋` uses the same BigInt-guarded
+    * floor so SSW is an exact integer; MSW, each mean, and q are ONE
+    * fixed double tree each, q e4-quantized with the verdict on the
+    * ROUNDED value against the literal [[tukeyQCritInfE4]] ladder.
+    * Pairs come from the k-row group table (grid-sized self-join).
+    * Groups with n < 2, or a zero MSW, null every q. Output: one row
+    * per unordered pair — `(g_a, g_b, n_a, n_b, diff_e6, q_e4,
+    * q_crit_e4, significant)`. */
+  def tukeyHsd(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("long")
+    val floorDiv = udf((s: Long, n: Long) => {
+      val v = (BigInt(s) * s) / n
+      require(v.isValidLong,
+        "tukeyHsd group square exceeds 2^63 — bin/rescale values upstream")
+      v.toLong
+    })
+    val perGroup = df
+      .filter(col(groupCol).isNotNull && x.isNotNull)
+      .select(col(groupCol).as("__g"), x.as("__x"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__x")).as("__sg"),
+        sum(expr("cast(__x as decimal(38,0)) * __x")).as("__qg"))
+      .withColumn("__tg", floorDiv(col("__sg"), col("__ng")))
+      .localCheckpoint(false)
+    val tot = perGroup.agg(
+      count(lit(1)).as("__k"), sum(col("__ng")).as("__n"),
+      sum(col("__qg")).as("__q"), sum(col("__tg")).as("__st"),
+      min(col("__ng")).as("__minn"))
+      .withColumn("__ssw", expr(
+        """cast(if(cast(__q - __st as decimal(38,0)) <= 9223372036854775807,
+          |       cast(__q - __st as decimal(38,0)),
+          |       cast(raise_error(
+          |         'tukeyHsd SSW exceeds 2^63 — bin/rescale values upstream')
+          |            as decimal(38,0))) as bigint)""".stripMargin))
+    val kCount = tot.head().getLong(0).toInt
+    val critE4 = tukeyQCritInfE4(math.max(2, kCount))
+    val pairs = perGroup.as("a").join(perGroup.as("b"),
+        col("a.__g") < col("b.__g"))
+      .select(col("a.__g").as("g_a"), col("b.__g").as("g_b"),
+        col("a.__ng").as("n_a"), col("b.__ng").as("n_b"),
+        col("a.__sg").as("__sa"), col("b.__sg").as("__sb"))
+      .crossJoin(broadcast(tot.select(col("__k"), col("__n"), col("__ssw"),
+        col("__minn"))))
+    val msw = "(cast(__ssw as double) / cast(__n - __k as double))"
+    val diff = "(cast(__sa as double) / n_a - cast(__sb as double) / n_b)"
+    val se = s"sqrt($msw / 2.0 * (1.0 / n_a + 1.0 / n_b))"
+    pairs
+      .withColumn("diff_e6",
+        expr(s"cast(floor($diff * 1000000 + 0.5) as bigint)"))
+      .withColumn("q_e4", expr(
+        s"""case when __k >= 2 and __n > __k and __ssw > 0 and __minn >= 2
+           |then cast(floor(abs($diff) / $se * 10000 + 0.5) as bigint)
+           |end""".stripMargin))
+      .withColumn("q_crit_e4", lit(critE4))
+      .withColumn("significant",
+        when(col("q_e4").isNotNull, col("q_e4") > col("q_crit_e4")))
+      .select("g_a", "g_b", "n_a", "n_b", "diff_e6", "q_e4", "q_crit_e4",
+        "significant")
+  }
+
   /** Per-key McNemar test over two PAIRED boolean columns — "do the two
     * classifiers/filters disagree SYMMETRICALLY" (the paired complement
     * of [[cohenKappa]]'s agreement rate: kappa says how often they

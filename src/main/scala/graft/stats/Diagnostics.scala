@@ -295,6 +295,78 @@ object Diagnostics {
       .toDF()
   }
 
+  private val thetaSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n_obs", IntegerType),
+    StructField("slope", DoubleType),
+    StructField("level", DoubleType),
+    StructField("step", IntegerType),
+    StructField("forecast", DoubleType)))
+
+  /** Theta-method forecast per key (Assimakopoulos & Nikolopoulos 2000
+    * — the M3-competition winner): decompose into the θ = 0 line (the
+    * OLS linear trend a + b·t) and the θ = 2 line `z_t = 2y_t −
+    * (a + b·t)` (double the curvature), smooth the θ2 line with SES at
+    * a FIXED α, and combine the two extrapolations with equal weights:
+    * `f(h) = ½·(a + b·(n + h)) + ½·L` where L is the SES level — the
+    * forecast tier between [[holtForecast]]'s trend smoothing and
+    * [[sarimaxForecast]]'s fitted models.
+    *
+    * Determinism (the q141/q117 property): `valueCol` must be
+    * INTEGER-quantized, so the OLS sums are exact longs (Σt and Σt²
+    * are closed forms) and a/b are ONE fixed double tree each; z_t is
+    * a fixed per-row expression (no accumulation), and the SES
+    * recursion with an exact-binary-fraction α is a fixed IEEE
+    * sequence a recursive SQL CTE replays bit-for-bit. Forecasts are
+    * rounded by the caller as the usual hash-stability belt.
+    *
+    * Scale shape: [[holtForecast]]'s — per-key kernels via
+    * `groupByKey.flatMapGroups`. Series shorter than 3 (or with a
+    * degenerate time axis) yield no rows. Output: one row per
+    * (key, step 1..horizon) with the fitted `slope` and SES `level`. */
+  def thetaForecast(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                    valueCol: String, alpha: Double,
+                    horizon: Int): DataFrame = {
+    require(alpha > 0 && alpha <= 1, s"alpha must be in (0, 1], got $alpha")
+    require(horizon >= 1, s"horizon must be >= 1, got $horizon")
+    slim(df, keyCols, orderCol, valueCol)
+      .groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroups { (key, it) =>
+        val y = Diagnostics.series(it)
+        val n = y.length
+        if (n < 3) Iterator.empty
+        else {
+          // exact integer sufficient sums over t = 1..n (q142's recipe);
+          // the integer-quantized contract makes y(t).toLong exact
+          val nL = n.toLong
+          val st = nL * (nL + 1) / 2
+          val stt = nL * (nL + 1) * (2 * nL + 1) / 6
+          var sy = 0L; var sty = 0L
+          var i = 0
+          while (i < n) {
+            val v = y(i).toLong
+            sy += v; sty += (i + 1) * v
+            i += 1
+          }
+          val den = nL * stt - st * st
+          if (den == 0L) Iterator.empty
+          else {
+            val b = (nL * sty - st * sy).toDouble / den.toDouble
+            val a = (sy.toDouble - b * st.toDouble) / nL
+            var l = 2.0 * y(0) - (a + b * 1)
+            var t = 1
+            while (t < n) {
+              l = alpha * (2.0 * y(t) - (a + b * (t + 1))) + (1 - alpha) * l
+              t += 1
+            }
+            (1 to horizon).iterator.map(h =>
+              Row(key, n, b, l, h, 0.5 * (a + b * (n + h)) + 0.5 * l))
+          }
+        }
+      }(Encoders.row(thetaSchema))
+      .toDF()
+  }
+
   private val hwSchema = StructType(Seq(
     StructField("key", StringType),
     StructField("n_obs", IntegerType),

@@ -1592,6 +1592,36 @@ object StreamingCollapse {
       spark.table(name).localCheckpoint(true), Seq("l_returnflag"))
   }
 
+  /** Streaming twin of q370's candidate-period seasonal scan — the
+    * standing "has today's ingest moved the dominant seasonal period"
+    * monitor: state IS the per-(key, month) exact cents grid (complete
+    * mode — calendar-bounded, O(keys·months), NOT O(rows); the monthly
+    * aggregate is what the scan consumes anyway), and every drain
+    * re-derives ranks, demeaned sums, and the period argmax via the
+    * SHARED [[graft.stats.Diagnostics.seasonalPeriodGrid]] readout —
+    * drained == batch, q370's oracle serves both. Ranking by month at
+    * drain (not ingest) is what makes out-of-order month arrivals safe:
+    * the t index is a readout derivation, never stream state. */
+  def streamingSeasonalGrid(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_seasonal"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/orders.parquet").schema
+    val o = spark.readStream.schema(phys).parquet(streamDir(dir, "orders"))
+    val grid = o
+      .groupBy(col("o_orderpriority").as("prio"),
+        graft.functions.Cols.monthStart(col("o_orderdate")).as("month"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("cents"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.stats.Diagnostics.seasonalPeriodGrid(
+        spark.table(name).localCheckpoint(true), Seq("prio"), "month", "cents")
+      .orderBy("prio", "p")
+  }
+
   /** Streaming twin of q361's t-closeness — the standing privacy
     * monitor a release pipeline wants (does TODAY'S ingest push any
     * quasi-identifier class's sensitive distribution away from the

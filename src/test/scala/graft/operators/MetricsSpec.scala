@@ -1294,6 +1294,31 @@ class MetricsSpec extends SparkSpec {
     assert(r3.getAs[Long]("did_e6") == 11000000L)
   }
 
+  test("tukeyHsd: hand-computed pairwise q against the inf-df ladder") {
+    // groups a:(0,2) b:(4,6) c:(8,10): every SSW_g = 2 -> SSW = 6,
+    // MSW = 6/(6-3) = 2, se = sqrt(2/2 * (1/2 + 1/2)) = 1, so q = |diff|
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 4L), ("b", 6L),
+      ("c", 8L), ("c", 10L)).toDF("g", "v")
+    val out = Metrics.tukeyHsd(df, "g", "v").orderBy("g_a", "g_b").collect()
+    assert(out.length == 3)
+    val ab = out(0)
+    assert(ab.getString(0) == "a" && ab.getString(1) == "b")
+    assert(ab.getAs[Long]("diff_e6") == -4000000L)
+    assert(ab.getAs[Long]("q_e4") == 40000L)
+    assert(ab.getAs[Long]("q_crit_e4") == Metrics.tukeyQCritInfE4(3))
+    assert(ab.getAs[Boolean]("significant")) // 4.0 > 3.3145
+    assert(out(1).getAs[Long]("q_e4") == 80000L) // a vs c: |1-9| = 8
+    assert(out(2).getAs[Long]("q_e4") == 40000L) // b vs c
+  }
+
+  test("tukeyHsd: a singleton group nulls every q (minn >= 2 guard)") {
+    val df = Seq(("a", 0L), ("a", 2L), ("b", 4L), ("b", 6L), ("c", 9L))
+      .toDF("g", "v")
+    val out = Metrics.tukeyHsd(df, "g", "v").collect()
+    assert(out.length == 3)
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("q_e4"))))
+  }
+
   test("conformalInterval: hand-computed rank-k half-width and test coverage") {
     // train mean 10 (yhat2 = 1000); cal residuals e2 sorted:
     // 0,100,100,200,200,300,300,400,400 — n_cal 9, k = ⌈10·0.9⌉ = 9 →

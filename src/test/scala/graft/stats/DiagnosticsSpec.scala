@@ -830,6 +830,24 @@ class DiagnosticsSpec extends SparkSpec {
       Seq((2, 4000L)))
   }
 
+  test("thetaForecast: perfect line — SES of the theta2 line plus the trend half") {
+    // y = 10t: b = 10, a = 0, z_t = 10t, SES(1/2): 10, 15, 22.5;
+    // f(h) = 0.5*(10*(3+h)) + 0.5*22.5
+    val df = Seq(("k", 1L, 10L), ("k", 2L, 20L), ("k", 3L, 30L))
+      .toDF("g", "t", "v")
+    val out = Diagnostics.thetaForecast(df, Seq("g"), "t", "v",
+        alpha = 0.5, horizon = 2)
+      .orderBy("step").collect()
+    assert(out.length == 2)
+    assert(out(0).getAs[Double]("slope") == 10.0)
+    assert(out(0).getAs[Double]("level") == 22.5)
+    assert(out(0).getAs[Double]("forecast") == 31.25)
+    assert(out(1).getAs[Double]("forecast") == 36.25)
+    // series shorter than 3 yield nothing
+    assert(Diagnostics.thetaForecast(df.limit(2), Seq("g"), "t", "v",
+      0.5, 2).count() == 0L)
+  }
+
   test("seasonalPeriodGrid: planted tone recovers its period; kernel argmax agrees") {
     // x_t = 5000 + 1000*cos(2*pi*t/8): pure period-8 tone over 64 points
     val ys = (0 until 64).map(t =>

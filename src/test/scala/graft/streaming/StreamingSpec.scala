@@ -502,6 +502,17 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("streamingSeasonalGrid: drained month grid gives the batch period scan exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getAs[Int]("p"),
+        r.getAs[Long]("share_e6"), r.getAs[Boolean]("is_best"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingSeasonalGrid(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q370_u6_seasonal_grid")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("streamingTCloseness: drained class-value grid gives the batch TVD exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
