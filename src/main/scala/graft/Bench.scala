@@ -37,6 +37,11 @@ object Bench {
     // the bench record, so a recurrence is a red number in the artifact
     // instead of an unexplained stack trace in the tail.
     val logErrors = new java.util.concurrent.atomic.AtomicInteger
+    // distinct (query, logger, message-head) -> count: the forensic
+    // record that turns a bare nonzero counter into a root-causable
+    // artifact — the RUNNING QUERY tag is what pins a burst to its owner
+    @volatile var currentQuery = "<init>"
+    val errKinds = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
     locally {
       import org.apache.logging.log4j.{Level, LogManager}
       import org.apache.logging.log4j.core.LoggerContext
@@ -46,8 +51,19 @@ object Bench {
       val counter = new AbstractAppender("graft-err-counter", null, null,
           true, Property.EMPTY_ARRAY) {
         override def append(e: LogEvent): Unit =
-          if (e.getLevel.isMoreSpecificThan(Level.ERROR))
+          if (e.getLevel.isMoreSpecificThan(Level.ERROR)) {
             logErrors.incrementAndGet()
+            val msg = Option(e.getMessage).map(_.getFormattedMessage)
+              .getOrElse("").linesIterator.toSeq.headOption.getOrElse("")
+              // collapse per-instance ids so one burst folds to one kind
+              .replaceAll("[0-9]+", "#")
+            val key = (currentQuery + " | " + e.getLoggerName + ": " + msg)
+              .take(200)
+            if (errKinds.size < 32)
+              errKinds.computeIfAbsent(key,
+                _ => new java.util.concurrent.atomic.AtomicInteger)
+                .incrementAndGet()
+          }
       }
       counter.start()
       LogManager.getContext(false) match {
@@ -79,7 +95,8 @@ object Bench {
     }
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir)
-      queries.foreach { case (_, fn) =>
+      queries.foreach { case (name, fn) =>
+        currentQuery = s"warmup:$name"
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -89,6 +106,7 @@ object Bench {
     // expression work a real consumer pays for.
     def timedPass(): Map[String, Double] =
       queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        currentQuery = name
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -110,6 +128,7 @@ object Bench {
     val p3: Map[String, Double] =
       if (slow.isEmpty) Map.empty
       else queries.filter(q => slow(q._1)).toSeq.sortBy(_._1).map { case (name, fn) =>
+        currentQuery = s"pass3:$name"
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
@@ -136,6 +155,7 @@ object Bench {
     // the bounded-stdout eviction that produced r01-r07's "parsed": null.
     // The numbers are computed; nothing log-worthy can happen past here.
     try {
+      currentQuery = "<shutdown>"
       spark.sparkContext.setLogLevel("OFF")
       spark.streams.active.foreach(q => try q.stop() catch { case _: Throwable => () })
       spark.stop()
@@ -154,6 +174,15 @@ object Bench {
     try java.nio.file.Files.write(java.nio.file.Paths.get("target/bench.json"),
       (fullLine + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case _: Throwable => () }
+    // the forensic error-kind record (its own file: messages can contain
+    // anything, and the bench.json line must stay machine-clean)
+    try {
+      import scala.jdk.CollectionConverters._
+      val kinds = errKinds.asScala.toSeq.sortBy(-_._2.get)
+        .map { case (k, v) => s"${v.get}x $k" }.mkString("\n")
+      java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_errors.txt"),
+        (kinds + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case _: Throwable => () }
     // stdout gets a COMPACT summary (~120 bytes) as the LAST line — total,
     // query count, sf, and a pointer to the per-query file — so the driver's
     // tail capture always holds the complete JSON object.

@@ -58,6 +58,7 @@ object SparkEntry {
       // row-identical, so the plain-path oracles serve them
       "q368_x_sessions_auto" -> m("q110_x_batch_sessions"),
       "q369_x_funnel_auto" -> m("q147_x_funnel"),
-      "q372_x_stream_seasonal_grid" -> m("q370_u6_seasonal_grid"))
+      "q372_x_stream_seasonal_grid" -> m("q370_u6_seasonal_grid"),
+      "q378_x_stream_cmh" -> m("q377_x_cmh_test"))
   }
 }

@@ -3000,6 +3000,211 @@ private[graft] object OraclesC {
         |       round(l, 4) AS level, CAST(h AS INT) AS step,
         |       round(0.5 * (a + b * (n + h)) + 0.5 * l, 4) AS forecast
         |FROM fin CROSS JOIN generate_series(1, 6) AS g(h)
-        |ORDER BY key, step""".stripMargin)
+        |ORDER BY key, step""".stripMargin),
+
+    // MMR: the same brute-force pool (round-before-rank cosines, id
+    // ties), pool-pair sims e4-floored from the RAW cosine (the kernel's
+    // convention), and the k greedy rounds unrolled — each round's
+    // argmax on the exact integer rel − greatest(0, sims to selected).
+    // MATERIALIZED: the round chain re-references pool/pp (q351 lesson)
+    "q375_x_mmr_topk" -> {
+      val dim = 64; val k = 4; val poolSize = 12
+      def dot(l: String, r: String) =
+        s"list_sum(list_transform(generate_series(1, $dim), i -> CAST($l[i] AS DOUBLE) * CAST($r[i] AS DOUBLE)))"
+      def cosRaw(l: String, r: String) =
+        s"(${dot(l, r)} / nullif(sqrt(${dot(l, l)}) * sqrt(${dot(r, r)}), 0))"
+      val rounds = (2 to k).map { r =>
+        val prev = (1 until r).map(j => s"s$j")
+        val excl = prev.map(p => s"p.id <> $p.id").mkString(" AND ")
+        val joins = prev.map(p =>
+          s"JOIN $p ON $p.query_id = p.query_id").mkString("\n         |  ") +
+          "\n         |  " + prev.zipWithIndex.map { case (p, i) =>
+            s"JOIN pp x$i ON x$i.query_id = p.query_id AND x$i.ia = p.id AND x$i.ib = $p.id"
+          }.mkString("\n         |  ")
+        val sims = prev.indices.map(i => s"x$i.s").mkString(", ")
+        s"""r$r AS (SELECT p.query_id, p.id, p.rel,
+           |    p.rel - greatest(0, $sims) AS sc
+           |  FROM pool p
+           |  $joins
+           |  WHERE $excl),
+           |s$r AS MATERIALIZED (SELECT query_id, id, rel, sc FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY sc DESC, id) AS rn FROM r$r) WHERE rn = 1)"""
+          .stripMargin
+      }.mkString(",\n")
+      val union = (1 to k).map(r =>
+        s"SELECT CAST(query_id AS BIGINT) AS query_id, CAST($r AS INT) AS step, CAST(id AS BIGINT) AS neighbor_id, rel AS rel_e4, sc AS score2_e4 FROM s$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id < 6),
+         |c AS MATERIALIZED (
+         |  SELECT vec_id AS id, embedding FROM embeddings WHERE vec_id < 200),
+         |scq AS MATERIALIZED (
+         |  SELECT q.id AS query_id, c.id AS nid,
+         |         round(${cosRaw("q.embedding", "c.embedding")}, 4) AS cs
+         |  FROM q JOIN c ON q.id <> c.id),
+         |pool AS MATERIALIZED (
+         |  SELECT query_id, nid AS id,
+         |         CAST(floor(cs * 10000 + 0.5) AS BIGINT) AS rel
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY cs DESC, nid) AS rn FROM scq)
+         |  WHERE rn <= $poolSize),
+         |pe AS MATERIALIZED (
+         |  SELECT pool.query_id, pool.id, c.embedding
+         |  FROM pool JOIN c ON c.id = pool.id),
+         |pp AS MATERIALIZED (
+         |  SELECT a.query_id, a.id AS ia, b.id AS ib,
+         |    CAST(floor(${cosRaw("a.embedding", "b.embedding")} * 10000 + 0.5)
+         |      AS BIGINT) AS s
+         |  FROM pe a JOIN pe b ON a.query_id = b.query_id AND a.id <> b.id),
+         |s1 AS MATERIALIZED (SELECT query_id, id, rel, rel AS sc FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rel DESC, id) AS rn FROM pool) WHERE rn = 1),
+         |$rounds
+         |SELECT * FROM ($union) ORDER BY query_id, step""".stripMargin
+    },
+
+    // Breusch–Pagan: the q142 fit trees, per-row squared residual
+    // floor-quantized (HUGEINT — the q349 identity's oracle side),
+    // exact auxiliary sums, one R²/LM double tree
+    "q376_x_breusch_pagan" -> {
+      val b = "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
+      val a = s"((CAST(sy AS DOUBLE) - $b * CAST(sx AS DOUBLE)) / n)"
+      val res = "(CAST(u.y AS DOUBLE) - (f.a + f.b * CAST(u.x AS DOUBLE)))"
+      val num = "(CAST(n AS HUGEINT) * sxu - CAST(sx AS HUGEINT) * su)"
+      val denU = "(CAST(n AS HUGEINT) * suu - su * su)"
+      val r2 = s"(CAST($num AS DOUBLE) * CAST($num AS DOUBLE)" +
+        s" / (CAST(den AS DOUBLE) * CAST($denU AS DOUBLE)))"
+      s"""WITH m AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) // 100 AS y
+        |  FROM orders GROUP BY 1, 2),
+        |s AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |        CAST(sum(x * y) AS BIGINT) AS sxy,
+        |        CAST(sum(x * x) AS BIGINT) AS sxx
+        |      FROM m GROUP BY 1),
+        |f AS (SELECT prio, n, sx, n * sxx - sx * sx AS den,
+        |        $b AS b, $a AS a
+        |      FROM s WHERE n * sxx - sx * sx <> 0),
+        |uu AS (SELECT u.prio, u.x,
+        |         CAST(floor($res * $res + 0.5) AS HUGEINT) AS uq
+        |       FROM m u JOIN f ON u.prio = f.prio),
+        |ax AS (SELECT f.prio, max(f.n) AS n, max(f.sx) AS sx,
+        |         max(f.den) AS den, max(f.b) AS b,
+        |         sum(uu.uq) AS su, sum(uu.uq * uu.x) AS sxu,
+        |         sum(uu.uq * uu.uq) AS suu
+        |       FROM uu JOIN f ON uu.prio = f.prio GROUP BY f.prio)
+        |SELECT prio, n, floor(b * 1000000 + 0.5) / 1000000 AS slope,
+        |  CASE WHEN n >= 3 AND den != 0 AND $denU > 0 THEN
+        |    CAST(floor(n * $r2 * 10000 + 0.5) AS BIGINT) END AS lm_e4,
+        |  CASE WHEN n >= 3 AND den != 0 AND $denU > 0 THEN
+        |    CAST(floor(n * $r2 * 10000 + 0.5) AS BIGINT) > 38415
+        |  END AS heteroscedastic
+        |FROM ax ORDER BY prio""".stripMargin
+    },
+
+    // CMH: per-stratum exact 2x2 counts, E/V each one double tree
+    // e6-floored to HUGEINT (the bartlett per-group discipline), exact
+    // cross-strata sums, one readout tree on the rounded value
+    "q377_x_cmh_test" -> {
+      val eT = "(CAST(n1 AS DOUBLE) * CAST(m1 AS DOUBLE) / CAST(nn AS DOUBLE))"
+      val vT = "(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
+        " * CAST(m1 AS DOUBLE) * CAST(m2 AS DOUBLE)" +
+        " / (CAST(nn AS DOUBLE) * CAST(nn AS DOUBLE) * CAST(nn - 1 AS DOUBLE)))"
+      val num = "CAST(CAST(sum_a AS HUGEINT) * 1000000 - se AS DOUBLE)"
+      s"""WITH o AS (
+        |  SELECT o_orderpriority AS st, (o_custkey % 2 = 0) AS e,
+        |         (o_totalprice >= 150000.0) AS y
+        |  FROM orders
+        |  WHERE o_orderpriority IS NOT NULL AND o_custkey IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |g AS (SELECT st,
+        |        CAST(sum(CASE WHEN e AND y THEN 1 ELSE 0 END) AS BIGINT) AS a,
+        |        CAST(sum(CASE WHEN e THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |        CAST(sum(CASE WHEN NOT e THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        |        CAST(sum(CASE WHEN y THEN 1 ELSE 0 END) AS BIGINT) AS m1,
+        |        CAST(sum(CASE WHEN NOT y THEN 1 ELSE 0 END) AS BIGINT) AS m2,
+        |        CAST(count(*) AS BIGINT) AS nn
+        |      FROM o GROUP BY 1),
+        |t AS (SELECT *, nn >= 2 AS ok,
+        |        CASE WHEN nn >= 2 THEN
+        |          CAST(floor($eT * 1000000 + 0.5) AS HUGEINT) END AS e6,
+        |        CASE WHEN nn >= 2 THEN
+        |          CAST(floor($vT * 1000000 + 0.5) AS HUGEINT) END AS v6
+        |      FROM g),
+        |ag AS (SELECT CAST(sum(CASE WHEN ok THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS k_strata,
+        |        CAST(sum(CASE WHEN NOT ok THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_degenerate,
+        |        CAST(coalesce(sum(CASE WHEN ok THEN nn END), 0) AS BIGINT)
+        |          AS n_total,
+        |        CAST(coalesce(sum(CASE WHEN ok THEN a END), 0) AS BIGINT)
+        |          AS sum_a,
+        |        sum(e6) AS se, sum(v6) AS sv
+        |      FROM t)
+        |SELECT k_strata, n_degenerate, n_total, sum_a,
+        |  CASE WHEN k_strata >= 1 AND sv > 0 THEN
+        |    CAST(floor($num * $num / (CAST(sv AS DOUBLE) * 1000000.0)
+        |      * 10000 + 0.5) AS BIGINT) END AS cmh_e4,
+        |  CASE WHEN k_strata >= 1 AND sv > 0 THEN
+        |    CAST(floor($num * $num / (CAST(sv AS DOUBLE) * 1000000.0)
+        |      * 10000 + 0.5) AS BIGINT) > 38415
+        |  END AS significant
+        |FROM ag""".stripMargin
+    },
+
+    // Yeo-Johnson grid: the identical branch trees (ln/power spelled the
+    // same), per-(row, λ) e6 quantization BEFORE the exact HUGEINT sums,
+    // the identical σ²/llf double trees, smallest-λ argmax
+    "q379_u4_yeojohnson_grid" -> {
+      val lam = "(CAST(lambda_e1 AS DOUBLE) / 10.0)"
+      val z =
+        s"""(CASE
+           |  WHEN x >= 0 AND lambda_e1 = 0 THEN ln(1.0 + x)
+           |  WHEN x >= 0 THEN (power(x + 1.0, $lam) - 1.0) / $lam
+           |  WHEN lambda_e1 = 20 THEN -ln(1.0 - x)
+           |  ELSE -(power(1.0 - x, 2.0 - $lam) - 1.0) / (2.0 - $lam)
+           |END)""".stripMargin.replaceAll("\n", " ")
+      val sl = "(CASE WHEN x >= 0 THEN ln(1.0 + x) ELSE -ln(1.0 - x) END)"
+      val v = """((CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)
+                | - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))
+                | / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12)"""
+        .stripMargin.replaceAll("\n", " ")
+      val llf = s"(-0.5 * n * ln($v) + ($lam - 1.0) * (CAST(sl AS DOUBLE) / 1e6))"
+      s"""WITH m AS (
+        |  SELECT o_orderpriority AS prio,
+        |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |           AS BIGINT) AS cents
+        |  FROM orders GROUP BY 1, 2),
+        |av AS (SELECT prio, CAST(sum(cents) AS BIGINT)
+        |           // CAST(count(*) AS BIGINT) AS avgc
+        |       FROM m GROUP BY 1),
+        |b AS (SELECT m.prio, CAST(m.cents - av.avgc AS DOUBLE) / 1e8 AS x
+        |      FROM m JOIN av ON m.prio = av.prio),
+        |g AS (SELECT CAST(unnest(generate_series(-50, 50)) AS BIGINT)
+        |        AS lambda_e1),
+        |r AS (SELECT prio, lambda_e1,
+        |        CAST(floor($z * 1000000 + 0.5) AS HUGEINT) AS zq,
+        |        CAST(floor($sl * 1000000 + 0.5) AS BIGINT) AS slq
+        |      FROM b CROSS JOIN g),
+        |p AS (SELECT prio, lambda_e1, CAST(count(*) AS BIGINT) AS n,
+        |        sum(zq) AS sz, sum(zq * zq) AS szz,
+        |        CAST(sum(slq) AS BIGINT) AS sl
+        |      FROM r GROUP BY 1, 2),
+        |q AS (SELECT prio, lambda_e1, n,
+        |        CASE WHEN n >= 3 AND $v > 0 THEN
+        |          CAST(floor($llf * 1000000 + 0.5) AS BIGINT) END AS llf_e6
+        |      FROM p),
+        |w AS (SELECT *, max(llf_e6) OVER (PARTITION BY prio) AS mx FROM q),
+        |w2 AS (SELECT *, min(CASE WHEN llf_e6 = mx THEN lambda_e1 END)
+        |         OVER (PARTITION BY prio) AS bl FROM w)
+        |SELECT prio, lambda_e1, n, llf_e6,
+        |  CASE WHEN mx IS NOT NULL THEN lambda_e1 = bl END AS is_best
+        |FROM w2 ORDER BY prio, lambda_e1""".stripMargin
+    }
   )
 }

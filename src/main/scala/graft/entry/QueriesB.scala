@@ -2504,6 +2504,74 @@ private[graft] object QueriesB {
         .select(col("key"), col("n_obs"), round(col("slope"), 4).as("slope"),
           round(col("level"), 4).as("level"), col("step"),
           round(col("forecast"), 4).as("forecast"))
-        .orderBy("key", "step"))
+        .orderBy("key", "step")),
+
+    // ---- extension: MMR-diversified top-k — the RAG retrieval staple
+    // plain top-k misses (near-dup neighbors crowd out coverage): at
+    // lambda=1/2 twice the greedy score is the exact INTEGER
+    // rel_e4 − max(0, sim_e4), so selection is engine-replayable and
+    // the oracle unrolls the k rounds over the shared pool
+    "q375_x_mmr_topk" -> tuned((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.Similarity.mmrTopK(
+          e.filter(col("vec_id") < 6), e.filter(col("vec_id") < 200),
+          "vec_id", "embedding", k = 4, poolSize = 12)
+        .orderBy("query_id", "step")
+    }),
+
+    // ---- extension: Breusch–Pagan heteroscedasticity — the regression
+    // tier's variance diagnostic (Bartlett/BF need a grouping; this
+    // catches variance drifting along a continuous axis): LM = n·R² of
+    // the e0-quantized squared residuals on the month index
+    "q376_x_breusch_pagan" -> tuned((s, d) =>
+      graft.operators.Regression.breuschPagan(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderpriority").as("prio"),
+              expr("cast(year(o_orderdate) * 12 + month(o_orderdate) as bigint)")
+                .as("xm"))
+            .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div 100")
+              .as("dollars")),
+          Seq("prio"), "xm", "dollars")
+        .orderBy("prio")),
+
+    // ---- extension: Cochran–Mantel–Haenszel — the confounder-safe
+    // contingency member (q297's pooled chi-square is Simpson's-paradox-
+    // blind; CMH conditions on the priority strata): synthetic design
+    // exposure = even customer, outcome = high-value order
+    "q377_x_cmh_test" -> tuned((s, d) =>
+      graft.operators.Metrics.cmhTest(
+          Tables.orders(s, d)
+            .withColumn("expo", col("o_custkey") % 2 === 0)
+            .withColumn("hi", col("o_totalprice") >= 150000.0),
+          "o_orderpriority", "expo", "hi")),
+
+    // ---- extension: STREAMING twin of q377 CMH (state = the
+    // strata-bounded 2x2 count grid; shared cmhFromStrata readout) —
+    // the standing confounder-held-fixed association monitor;
+    // drained == batch, one oracle
+    "q378_x_stream_cmh" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingCmh(s, d)),
+
+    // ---- extension: Yeo-Johnson λ GRID MLE — the q338-Kalman pattern
+    // applied to q34's LAST unchecked kernel (the golden-section λ fit):
+    // the scipy objective over a fixed e1 λ grid, per-(row, λ) z
+    // e6-quantized so sums are order-free, argmax on exact integers.
+    // q34's U4 residue narrows to the continuous refinement only.
+    // Input demeaned by the exact integer per-key mean so BOTH sign
+    // branches exercise in the gate at any SF
+    "q379_u4_yeojohnson_grid" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("cents"))
+      val avg = m.groupBy(col("prio"))
+        .agg(expr("sum(cents) div count(*)").as("avgc"))
+      graft.stats.Diagnostics.yeoJohnsonGrid(
+          m.join(broadcast(avg), Seq("prio"))
+            .withColumn("x", expr("cast(cents - avgc as double) / 1e8")),
+          Seq("prio"), "x")
+        .orderBy("prio", "lambda_e1")
+    })
   )
 }

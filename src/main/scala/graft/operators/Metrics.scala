@@ -796,6 +796,85 @@ object Metrics {
         "significant")
   }
 
+  /** Cochran–Mantel–Haenszel test over STRATIFIED 2×2 tables (Mantel &
+    * Haenszel 1959) — "is exposure associated with outcome once the
+    * stratifying confounder is held fixed": per stratum the exposed-
+    * positive cell `a` is compared to its hypergeometric expectation,
+    * `CMH = (Σa − ΣE)² / ΣV` with `E = n₁m₁/N`,
+    * `V = n₁n₂m₁m₂/(N²(N−1))`, against χ²(1) (5% critical 3.8415).
+    * The contingency tier's confounder-safe member: q297's χ² pools
+    * strata (Simpson's-paradox-blind); this one conditions on them.
+    * Uncorrected form, documented — both engines replay it.
+    *
+    * Exactness (the bartlett per-group discipline): per-stratum counts
+    * are exact integers off one conditional aggregate; E and V are ONE
+    * fixed double tree each, e6-quantized to DECIMAL(38,0) via the
+    * q349 floor identity, so the cross-strata sums are order-free
+    * exact integers; the statistic is one double tree e4-quantized,
+    * verdict on the ROUNDED value. Degenerate strata (N < 2) drop
+    * loudly into `n_degenerate`; zero ΣV nulls the statistic.
+    * Output: ONE row — `(k_strata, n_degenerate, n_total, sum_a,
+    * cmh_e4, significant)`. */
+  def cmhTest(df: DataFrame, strataCol: String, exposureCol: String,
+              outcomeCol: String): DataFrame =
+    cmhFromStrata(cmhStrata(df, strataCol, exposureCol, outcomeCol))
+
+  /** The per-stratum 2×2 count grid behind [[cmhTest]] — split out (the
+    * didMoments factoring) so the STREAMING twin can hold exactly this
+    * strata-bounded grid as complete-mode state and share
+    * [[cmhFromStrata]]'s readout. */
+  def cmhStrata(df: DataFrame, strataCol: String, exposureCol: String,
+                outcomeCol: String): DataFrame = {
+    val e = col(exposureCol)
+    val o = col(outcomeCol)
+    df
+      .filter(col(strataCol).isNotNull && e.isNotNull && o.isNotNull)
+      .groupBy(col(strataCol))
+      .agg(
+        sum(when(e && o, 1L).otherwise(0L)).as("__a"),
+        sum(when(e, 1L).otherwise(0L)).as("__n1"),
+        sum(when(!e, 1L).otherwise(0L)).as("__n2"),
+        sum(when(o, 1L).otherwise(0L)).as("__m1"),
+        sum(when(!o, 1L).otherwise(0L)).as("__m2"),
+        count(lit(1)).as("__nn"))
+  }
+
+  /** CMH readout over a [[cmhStrata]] grid — the single shared
+    * implementation batch and twin both call, so parity cannot drift. */
+  def cmhFromStrata(strata: DataFrame): DataFrame = {
+    val eTree = "(cast(__n1 as double) * cast(__m1 as double) / cast(__nn as double))"
+    val vTree = "(cast(__n1 as double) * cast(__n2 as double)" +
+      " * cast(__m1 as double) * cast(__m2 as double)" +
+      " / (cast(__nn as double) * cast(__nn as double) * cast(__nn - 1 as double)))"
+    def floorDec(t: String) = // the q349 exact floor identity (t >= 0)
+      s"""if($t * 1000000 >= 1e24,
+         |   cast(raise_error('cmhTest per-stratum term >= 1e24 —
+         | split strata upstream') as decimal(38,0)),
+         |   cast(($t * 1000000 + 0.5) - (($t * 1000000 + 0.5) % 1.0D)
+         |     as decimal(38,0)))""".stripMargin.replaceAll("\n", " ")
+    strata
+      .withColumn("__ok", col("__nn") >= 2L)
+      .withColumn("__e6", when(col("__ok"), expr(floorDec(eTree))))
+      .withColumn("__v6", when(col("__ok"), expr(floorDec(vTree))))
+      .agg(
+        count(when(col("__ok"), 1)).as("k_strata"),
+        count(when(!col("__ok"), 1)).as("n_degenerate"),
+        coalesce(sum(when(col("__ok"), col("__nn"))), lit(0L)).as("n_total"),
+        coalesce(sum(when(col("__ok"), col("__a"))), lit(0L)).as("sum_a"),
+        sum(col("__e6")).as("__se"), sum(col("__v6")).as("__sv"))
+      .withColumn("cmh_e4", expr(
+        """case when k_strata >= 1 and __sv > 0 then
+          |  cast(floor(
+          |    cast(cast(sum_a as decimal(38,0)) * 1000000 - __se as double)
+          |    * cast(cast(sum_a as decimal(38,0)) * 1000000 - __se as double)
+          |    / (cast(__sv as double) * 1000000.0)
+          |    * 10000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("significant",
+        when(col("cmh_e4").isNotNull, col("cmh_e4") > 38415L))
+      .select("k_strata", "n_degenerate", "n_total", "sum_a", "cmh_e4",
+        "significant")
+  }
+
   /** Per-key McNemar test over two PAIRED boolean columns — "do the two
     * classifiers/filters disagree SYMMETRICALLY" (the paired complement
     * of [[cohenKappa]]'s agreement rate: kappa says how often they

@@ -57,6 +57,83 @@ object Regression {
         rnd(when(den =!= 0, icept)).as("intercept"): _*)
   }
 
+  /** Breusch–Pagan heteroscedasticity test over the per-key simple OLS
+    * (Breusch & Pagan 1979, Koenker's studentized LM form): fit
+    * `y = a + b·x` ([[groupedOls]]'s exact-sum trees), then ask whether
+    * the SQUARED RESIDUALS trend with x — `LM = n·R²(u ~ x)` against
+    * χ²(1) (5% critical 3.8415). The regression tier's variance
+    * diagnostic beside the group-variance tests (Bartlett q349,
+    * Brown–Forsythe q271): those need a grouping; this catches variance
+    * drifting along a CONTINUOUS axis (time, size) — the classic "is
+    * the OLS SE trustworthy" screen.
+    *
+    * Exactness: the fit's sums are exact longs; a/b are fixed double
+    * trees; each row's `u = (y − a − b·x)²` is ONE fixed tree
+    * floor-quantized to an exact integer via the q349 floor identity
+    * (u ≥ 0; DECIMAL(38,0) — u is value-scale-unbounded, with the same
+    * 1e24 fail-loud fence), so the auxiliary sums are order-free exact
+    * integers and R²/LM are one double tree each, LM e4-quantized with
+    * the verdict on the ROUNDED value. Keys with a singular design or
+    * constant u emit null.
+    *
+    * Scale shape: one aggregate for the fit, one broadcast-size join
+    * of the k-row coefficient table back onto the rows, one aggregate
+    * for the auxiliary sums — two map-side-combined passes, no window.
+    * Output: `(keys…, n, slope, lm_e4, heteroscedastic)`. */
+  def breuschPagan(df: DataFrame, keyCols: Seq[String], xCol: String,
+                   yCol: String, roundTo: Int = 6): DataFrame = {
+    require(keyCols.nonEmpty, "breuschPagan needs at least one key column")
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select(keyCols.map(col) :+ x.as("__x") :+ y.as("__y"): _*)
+    val sums = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("sx"),
+        sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"))
+      .withColumn("__den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("__b", when(col("__den") =!= 0L,
+        (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          col("__den").cast("double")))
+      .withColumn("__a",
+        (col("sy").cast("double") - col("__b") * col("sx").cast("double")) /
+          col("n").cast("double"))
+    val res = "(cast(__y as double) - (__a + __b * cast(__x as double)))"
+    val aux = base.join(broadcast(sums), keyCols)
+      .filter(col("__b").isNotNull)
+      // the q349 floor identity: u is value-scale-unbounded, so floor
+      // lands in DECIMAL(38,0) exactly (never a saturating long floor),
+      // behind the same 1e24 fail-loud fence
+      .withColumn("__u", expr(
+        s"""if($res * $res >= 1e24,
+           |   cast(raise_error('breuschPagan squared residual >= 1e24 —
+           | rescale values upstream') as decimal(38,0)),
+           |   cast(($res * $res + 0.5) - (($res * $res + 0.5) % 1.0D)
+           |     as decimal(38,0)))""".stripMargin.replaceAll("\n", " ")))
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(col("n")).as("n"), max(col("sx")).as("sx"),
+        max(col("__den")).as("__den"), max(col("__b")).as("__b"),
+        sum(col("__u")).as("su"),
+        sum(col("__u") * col("__x")).as("sxu"),
+        sum(col("__u") * col("__u")).as("suu"))
+    val num = "(cast(n as decimal(38,0)) * sxu - cast(sx as decimal(38,0)) * su)"
+    val denU = "(cast(n as decimal(38,0)) * suu - su * su)"
+    val r2 = s"(cast($num as double) * cast($num as double)" +
+      s" / (cast(__den as double) * cast($denU as double)))"
+    val q = math.pow(10, roundTo)
+    aux
+      .withColumn("lm_e4", expr(
+        s"""case when n >= 3 and __den != 0 and $denU > 0 then
+           |  cast(floor(n * $r2 * 10000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("heteroscedastic",
+        when(col("lm_e4").isNotNull, col("lm_e4") > 38415L))
+      .select(keyCols.map(col) :+ col("n") :+
+        (floor(col("__b") * q + 0.5) / q).as("slope") :+
+        col("lm_e4") :+ col("heteroscedastic"): _*)
+  }
+
   /** Two-feature grouped OLS — `y = a + b1·x1 + b2·x2` per key, solved by
     * Cramer's rule on the 3×3 normal equations whose entries are the nine
     * classical sufficient sums. Same scale shape as [[groupedOls]]: ONE

@@ -110,6 +110,79 @@ object Similarity {
     rankExact(cand.join(cv, Seq("neighbor_id")).join(broadcast(q), Seq("query_id")), k, roundTo)
   }
 
+  /** MMR-diversified top-k (Carbonell & Goldstein 1998) — the RAG
+    * retrieval staple plain top-k misses: near-duplicate neighbors
+    * crowd out coverage, so each step picks
+    * `argmax λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` over the remaining
+    * relevance pool. Fixed λ = ½, so TWICE the score is the INTEGER
+    * `rel_e4 − maxsim_e4` — the greedy argmax runs on exact integers
+    * (e4 = ⌊cos·10⁴ + ½⌋ of the round-before-rank cosines, ties to the
+    * smaller id; the similarity term is CLAMPED AT 0 — an anti-similar
+    * already-selected item never boosts a candidate, and the clamp also
+    * covers the empty first-step set), so the whole selection is
+    * engine-replayable and a DuckDB oracle unrolls the k rounds.
+    *
+    * Scale shape: the relevance pool is [[bruteForceTopK]] here
+    * (swap in an ANN pool at corpus scale — the greedy only sees
+    * `poolSize` rows per query); within-pool sims and the k-step
+    * greedy run INSIDE each query's executor group
+    * (`groupByKey.flatMapGroups` over ≤ poolSize candidates — the
+    * Diagnostics per-key-kernel shape). Output: one row per
+    * (query_id, step 1..k) with `neighbor_id, rel_e4, score2_e4`. */
+  def mmrTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, k: Int, poolSize: Int): DataFrame = {
+    require(k >= 1 && poolSize >= k,
+      s"need poolSize >= k >= 1, got k=$k poolSize=$poolSize")
+    val spark = queries.sparkSession
+    import spark.implicits._
+    val pool = bruteForceTopK(queries, corpus, idCol, vecCol, poolSize)
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"))
+    val cv = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("__cv"))
+    val rows = pool.join(cv, Seq("neighbor_id"))
+      .select(col("query_id").cast("long"), col("neighbor_id").cast("long"),
+        expr("cast(floor(cos_sim * 10000 + 0.5) as bigint)"), col("__cv"))
+      .as[(Long, Long, Long, Array[Float])]
+    def cosE4(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      val n = math.min(a.length, b.length)
+      var i = 0
+      while (i < n) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val den = math.sqrt(na) * math.sqrt(nb)
+      if (den == 0.0) 0L else math.floor(dot / den * 1e4 + 0.5).toLong
+    }
+    rows.groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        val cands = it.toArray.sortBy(_._2)
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Int]
+        val steps = math.min(k, cands.length)
+        (1 to steps).iterator.map { step =>
+          var bestIdx = -1
+          var bestScore = Long.MinValue
+          var i = 0
+          while (i < cands.length) {
+            if (!selected.contains(i)) {
+              var maxSim = 0L
+              selected.foreach { s =>
+                val sim = cosE4(cands(i)._4, cands(s)._4)
+                if (sim > maxSim) maxSim = sim
+              }
+              val score = cands(i)._3 - maxSim
+              // strict >: equal scores keep the earlier (smaller-id)
+              // candidate — cands is id-sorted
+              if (score > bestScore) { bestScore = score; bestIdx = i }
+            }
+            i += 1
+          }
+          selected += bestIdx
+          (qid, step, cands(bestIdx)._2, cands(bestIdx)._3, bestScore)
+        }
+      }
+      .toDF("query_id", "step", "neighbor_id", "rel_e4", "score2_e4")
+  }
+
   /** Deterministic ±1 hyperplane component for (table, bit, i) — the
     * portable-hash sign pattern, computed once per (table, nBits, dim) on
     * the driver and closed over by the bucket UDF. */

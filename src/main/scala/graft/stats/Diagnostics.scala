@@ -2379,6 +2379,77 @@ object Diagnostics {
     dftTableE15(n).map { case (k, t, c, s) => s"($k, $t, $c, $s)" }
       .mkString(", ")
 
+  /** Yeo-Johnson λ GRID MLE per key — the q338-Kalman pattern applied
+    * to q34's LAST unchecked kernel (the golden-section λ fit, U4):
+    * hash-check the data-driven SELECTION over a fixed e1 λ grid
+    * (−5.0..5.0 by 0.1), leaving only the continuous line-search
+    * refinement as the documented optimizer residue (the q360 class).
+    * The scipy objective: `llf(λ) = −n/2·ln(σ̂²(z)) + (λ−1)·Σ
+    * sign(x)·ln(1+|x|)` over the transformed `z = yj(x, λ)`.
+    *
+    * Exactness: per-(row, λ) z is ONE fixed branch tree (the q36
+    * closed-form transform, with `ln(1+·)` spelled identically in both
+    * engines) e6-floor-quantized — so Σz, Σz² are ORDER-FREE exact
+    * DECIMAL sums (the accepted pow-tree ulp risk sits under the e6
+    * grain, the q36 round-5 precedent); the sign-log moment quantizes
+    * the same way; σ̂² and llf are one double tree each, llf e6-rounded
+    * with the argmax on exact integers (ties → smaller λ). Rows explode
+    * ×101 BEFORE a map-side-combined aggregate (the didPlacebo shape) —
+    * cost linear in the grid. `valueCol` must be pre-scaled to O(1–100)
+    * (the q338 input convention) so z⁶ stays in integer range.
+    *
+    * Output: the full grid — `(keys…, lambda_e1, n, llf_e6, is_best)`,
+    * one row per λ with the winner flagged (smallest λ at the max). */
+  def yeoJohnsonGrid(df: DataFrame, keyCols: Seq[String],
+                     valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "yeoJohnsonGrid needs at least one key column")
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val k = keyCols.map(col)
+    val grid = (-50 to 50).map(_.toLong).toDF("lambda_e1")
+    val lam = "(cast(lambda_e1 as double) / 10.0)"
+    // the q36 closed-form transform, branched on sign(x) and the two
+    // singular λ's (exact grid members 0 and 2 — no epsilon tests)
+    val z =
+      s"""(case
+         |  when __x >= 0 and lambda_e1 = 0 then ln(1.0 + __x)
+         |  when __x >= 0 then (power(__x + 1.0, $lam) - 1.0) / $lam
+         |  when lambda_e1 = 20 then -ln(1.0 - __x)
+         |  else -(power(1.0 - __x, 2.0 - $lam) - 1.0) / (2.0 - $lam)
+         |end)""".stripMargin.replaceAll("\n", " ")
+    val sl = "(case when __x >= 0 then ln(1.0 + __x) else -ln(1.0 - __x) end)"
+    val rows = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(valueCol).isNotNull)
+      .select(k :+ col(valueCol).cast("double").as("__x"): _*)
+      .crossJoin(broadcast(grid))
+      .withColumn("__zq", expr(
+        s"cast(floor($z * 1000000 + 0.5) as decimal(38,0))"))
+      .withColumn("__slq", expr(
+        s"cast(floor($sl * 1000000 + 0.5) as bigint)"))
+    val perLam = rows.groupBy(k :+ col("lambda_e1"): _*)
+      .agg(count(lit(1)).as("n"), sum(col("__zq")).as("__sz"),
+        sum(col("__zq") * col("__zq")).as("__szz"),
+        sum(col("__slq")).as("__sl"))
+    val v = """((cast(n as double) * cast(__szz as double)
+              | - cast(__sz as double) * cast(__sz as double))
+              | / (cast(n as double) * cast(n as double)) / 1e12)"""
+      .stripMargin.replaceAll("\n", " ")
+    val llf = s"(-0.5 * n * ln($v) + ($lam - 1.0) * (cast(__sl as double) / 1e6))"
+    val wKey = Window.partitionBy(k: _*)
+    perLam
+      .withColumn("llf_e6", expr(
+        s"""case when n >= 3 and $v > 0 then
+           |  cast(floor($llf * 1000000 + 0.5) as bigint) end""".stripMargin))
+      .withColumn("__mx", max(col("llf_e6")).over(wKey))
+      .withColumn("__bl",
+        min(when(col("llf_e6") === col("__mx"), col("lambda_e1"))).over(wKey))
+      .withColumn("is_best",
+        when(col("__mx").isNotNull, col("lambda_e1") === col("__bl")))
+      .select(k :+ col("lambda_e1") :+ col("n") :+ col("llf_e6") :+
+        col("is_best"): _*)
+  }
+
   /** The e15-quantized cos/sin table for the CANDIDATE-PERIOD scan
     * ([[seasonalPeriodGrid]] and `TimeSeriesStats.seasonalPeriod`): one
     * row per (p, r) with `c = ⌊cos(2πr/p)·10¹⁵ + 0.5⌋` for r < p —

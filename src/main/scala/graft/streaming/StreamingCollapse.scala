@@ -1622,6 +1622,32 @@ object StreamingCollapse {
       .orderBy("prio", "p")
   }
 
+  /** Streaming twin of q377's Cochran–Mantel–Haenszel — the standing
+    * "is the exposure→outcome association holding up under today's
+    * ingest, confounder held fixed" monitor: state IS the
+    * [[graft.operators.Metrics.cmhStrata]] per-stratum 2×2 count grid
+    * (complete mode — O(strata·6 counts), never O(rows)); every drain
+    * re-derives E/V quantization and the statistic via the SHARED
+    * [[graft.operators.Metrics.cmhFromStrata]] readout, so drained ==
+    * batch and q377's oracle serves both. */
+  def streamingCmh(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_cmh"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/orders.parquet").schema
+    val o = spark.readStream.schema(phys).parquet(streamDir(dir, "orders"))
+      .withColumn("expo", col("o_custkey") % 2 === 0)
+      .withColumn("hi", col("o_totalprice") >= 150000.0)
+    val grid = graft.operators.Metrics.cmhStrata(
+      o, "o_orderpriority", "expo", "hi")
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.cmhFromStrata(
+      spark.table(name).localCheckpoint(true))
+  }
+
   /** Streaming twin of q361's t-closeness — the standing privacy
     * monitor a release pipeline wants (does TODAY'S ingest push any
     * quasi-identifier class's sensitive distribution away from the

@@ -1319,6 +1319,33 @@ class MetricsSpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("q_e4"))))
   }
 
+  test("cmhTest: a planted stratified association fires; a balanced one does not") {
+    // stratum s1: exposure perfectly predicts outcome (a=3, n1=3, m1=3,
+    // N=6): E = 1.5, V = 9*3*3/(36*5) = 0.45 per stratum
+    def stratum(st: String, flip: Boolean) = (1 to 6).map { i =>
+      val e = i <= 3
+      (st, e, if (flip) !e else e)
+    }
+    val assoc = (stratum("s1", false) ++ stratum("s2", false))
+      .toDF("st", "e", "y")
+    val r = Metrics.cmhTest(assoc, "st", "e", "y").head()
+    assert(r.getAs[Long]("k_strata") == 2L && r.getAs[Long]("sum_a") == 6L)
+    // sum E = 3, sum V = 0.9: CMH = (6-3)^2/0.9 = 10 -> e4 = 100000
+    assert(r.getAs[Long]("cmh_e4") == 100000L)
+    assert(r.getAs[Boolean]("significant"))
+    // opposite directions across strata cancel: sum a = 3+0 = 3 = sum E
+    val cancel = (stratum("s1", false) ++ stratum("s2", true))
+      .toDF("st", "e", "y")
+    val c = Metrics.cmhTest(cancel, "st", "e", "y").head()
+    assert(c.getAs[Long]("cmh_e4") == 0L)
+    assert(!c.getAs[Boolean]("significant"))
+    // a 1-row stratum drops loudly
+    val degen = (stratum("s1", false) :+ (("s3", true, true)))
+      .toDF("st", "e", "y")
+    val d = Metrics.cmhTest(degen, "st", "e", "y").head()
+    assert(d.getAs[Long]("k_strata") == 1L && d.getAs[Long]("n_degenerate") == 1L)
+  }
+
   test("conformalInterval: hand-computed rank-k half-width and test coverage") {
     // train mean 10 (yhat2 = 1000); cal residuals e2 sorted:
     // 0,100,100,200,200,300,300,400,400 — n_cal 9, k = ⌈10·0.9⌉ = 9 →

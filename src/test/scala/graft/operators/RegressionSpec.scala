@@ -40,6 +40,21 @@ class RegressionSpec extends SparkSpec {
     assert(r.getAs[Double]("intercept") == 1.0)
   }
 
+  test("breuschPagan: variance growing with x fires; an exact line nulls") {
+    // hetero: y = 100x +/- x -> residuals ~ +/-x, u ~ x^2 trends with x
+    val het = (1 to 40).map(x =>
+      ("h", x.toLong, 100L * x + (if (x % 2 == 0) x else -x)))
+    // homo: exact line -> zero residuals -> constant u -> null LM
+    val hom = (1 to 40).map(x => ("o", x.toLong, 100L * x))
+    val out = Regression.breuschPagan((het ++ hom).toDF("g", "x", "y"),
+      Seq("g"), "x", "y").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val h = out("h")
+    assert(h.getAs[Long]("lm_e4") > 38415L)
+    assert(h.getAs[Boolean]("heteroscedastic"))
+    assert(out("o").isNullAt(out("o").fieldIndex("lm_e4")))
+  }
+
   test("groupedOls2 recovers an exact plane per key") {
     // y = 5 + 2*x1 - 3*x2 exactly, over a non-degenerate grid
     val rows = for (x1 <- 0L to 4L; x2 <- 0L to 3L)

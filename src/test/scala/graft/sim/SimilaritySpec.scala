@@ -13,6 +13,31 @@ class SimilaritySpec extends SparkSpec {
     (3L, Array(-1.0f, 0.0f, 0.0f)) // opposite of 0
   ).toDF("vec_id", "embedding")
 
+  test("mmrTopK: near-dup neighbors defer to diverse ones; plain top-k would not") {
+    // query 0 = (1,0,0); 1 and 2 are the SAME direction (rel ties at
+    // 0.9939, sim(1,2) = 1), 3 is diverse-but-relevant, 4 orthogonal.
+    // Plain top-2 = {1, 2}; MMR: 1, then 3 (712 = 8000 - 7288), then 4
+    // (score 0 beats 2's 9939 - 10000 < 0), then 2.
+    val corpus = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.9f, 0.1f, 0.0f)),
+      (2L, Array(1.8f, 0.2f, 0.0f)),
+      (3L, Array(0.8f, -0.6f, 0.0f)),
+      (4L, Array(0.0f, 0.0f, 1.0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.mmrTopK(corpus.filter(col("vec_id") === 0L), corpus,
+        "vec_id", "embedding", k = 4, poolSize = 4)
+      .orderBy("step").collect()
+    assert(out.map(_.getAs[Long]("neighbor_id")).toSeq == Seq(1L, 3L, 4L, 2L))
+    // step 1's score is pure relevance; step 3 (id 4) scores exactly 0
+    assert(out(0).getAs[Long]("score2_e4") == out(0).getAs[Long]("rel_e4"))
+    assert(out(2).getAs[Long]("rel_e4") == 0L &&
+      out(2).getAs[Long]("score2_e4") == 0L)
+    // the clamp: 2's final score is rel - 10000 (full sim), never boosted
+    assert(out(3).getAs[Long]("score2_e4") ==
+      out(3).getAs[Long]("rel_e4") - 10000L)
+  }
+
   test("bruteForceTopK: exact cosine ranking with deterministic tiebreaks") {
     val out = Similarity.bruteForceTopK(
       vecs.filter(col("vec_id") === 0), vecs, "vec_id", "embedding", k = 3)

@@ -848,6 +848,27 @@ class DiagnosticsSpec extends SparkSpec {
       0.5, 2).count() == 0L)
   }
 
+  test("yeoJohnsonGrid: grid argmax lands within one step of the golden-section kernel") {
+    // a right-skewed series (exp-shaped) wants lambda < 1; mixed signs
+    // exercise both branch families
+    var s = 13L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    val ys = (1 to 60).map { _ =>
+      val u = (math.floorMod(next(), 1000000L) + 0.5) / 1000000.0
+      -math.log(u) * 10.0 - 8.0 // exp(10) shifted: skewed, signs mixed
+    }
+    val df = ys.map(("k", _)).toDF("g", "x")
+    val out = Diagnostics.yeoJohnsonGrid(df, Seq("g"), "x").collect()
+    assert(out.length == 101)
+    val best = out.filter(_.getAs[Boolean]("is_best"))
+    assert(best.length == 1)
+    val gridLam = best.head.getAs[Long]("lambda_e1") / 10.0
+    val kernelLam = graft.stats.TimeSeriesStats.yeoJohnsonLambda(ys.toArray)
+    assert(math.abs(gridLam - kernelLam) <= 0.11,
+      s"grid $gridLam vs kernel $kernelLam")
+    assert(gridLam < 1.0) // right-skew pulls lambda below identity
+  }
+
   test("seasonalPeriodGrid: planted tone recovers its period; kernel argmax agrees") {
     // x_t = 5000 + 1000*cos(2*pi*t/8): pure period-8 tone over 64 points
     val ys = (0 until 64).map(t =>

@@ -513,6 +513,17 @@ class StreamingSpec extends SparkSpec {
       s"streamed=$streamed batch=$batch")
   }
 
+  test("streamingCmh: drained strata grid gives the batch CMH exactly") {
+    val dir = "/root/testdata/sf0.001"
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("k_strata"), r.getAs[Long]("n_total"),
+        r.getAs[Long]("sum_a"), r.getAs[Long]("cmh_e4"))).toSeq
+    val streamed = rows(StreamingCollapse.streamingCmh(spark, dir))
+    val batch = rows(graft.SparkEntry.queries("q377_x_cmh_test")(spark, dir))
+    assert(streamed.nonEmpty && streamed == batch,
+      s"streamed=$streamed batch=$batch")
+  }
+
   test("streamingTCloseness: drained class-value grid gives the batch TVD exactly") {
     val dir = "/root/testdata/sf0.001"
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
