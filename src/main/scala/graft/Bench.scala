@@ -69,6 +69,27 @@ object Bench {
       LogManager.getContext(false) match {
         case ctx: LoggerContext =>
           ctx.getConfiguration.getRootLogger.addAppender(counter, Level.ERROR, null)
+          // CONSOLE-only suppression of the one documented-benign class:
+          // "Failed to update accumulator" is DAGScheduler processing a
+          // CANCELLED task's completion after its query's accumulators
+          // unregistered — harmless, but its multi-KB stack trace in the
+          // harness's bounded stdout tail is exactly the JSON-eviction
+          // failure mode of r01-r07. The counter appender above has NO
+          // filter, so every such event still lands in log_errors +
+          // target/bench_errors.txt (tagged with the running query) —
+          // suppressed from the tail, never from the record.
+          import org.apache.logging.log4j.core.filter.RegexFilter
+          import org.apache.logging.log4j.core.Filter.Result
+          import scala.jdk.CollectionConverters._
+          ctx.getConfiguration.getAppenders.asScala.values
+            .filter(_.getName != "graft-err-counter")
+            .foreach {
+              case f: org.apache.logging.log4j.core.filter.AbstractFilterable =>
+                f.addFilter(RegexFilter.createFilter(
+                  ".*Failed to update accumulator.*", null,
+                  java.lang.Boolean.FALSE, Result.DENY, Result.NEUTRAL))
+              case _ => ()
+            }
           ctx.updateLoggers()
         case _ => () // non-core binding: run without the counter
       }

@@ -219,7 +219,12 @@ object Funnel {
                            maxGap: Option[Long] = None): DataFrame = {
     val pruned = events.filter(
       col(stageCol).isin(stages: _*) && col(timeCol).isNotNull)
-    if (Skew.shouldEngageHotKeyDial(pruned, keyCols))
+    // costFactor = stages.size: the aggregate path scans the pruned
+    // events once per stage, so it only wins once the hot key's one-task
+    // sort exceeds that many per-slot shares (the round-13 auto sweep
+    // measured parity, not a win, at factor 1 on a 91%-hot corpus)
+    if (Skew.shouldEngageHotKeyDial(pruned, keyCols,
+        costFactor = stages.size))
       conversionCountsAgg(events, keyCols, timeCol, stageCol, stages, maxGap)
     else conversionCounts(events, keyCols, timeCol, stageCol, stages, maxGap)
   }

@@ -51,15 +51,22 @@ object Skew {
     * key's whole row set into ONE task — no AQE recourse, skew-join
     * splitting applies to joins only — so the sliced/aggregate rewrite
     * wins once that task's rows exceed the even per-slot share. Engage
-    * when `maxKeyRows > totalRows / slots`. Both routes are contractually
-    * row-identical, so a borderline call costs only the smaller of the
-    * two plans' overheads, never correctness. */
+    * when `maxKeyRows > costFactor · totalRows / slots`: `costFactor`
+    * is the alternate path's pass count over the plain path's one
+    * (1 for the time-sliced sessions rewrite — same single pass, finer
+    * partitioning; `stages` for the funnel aggregate path, which scans
+    * the pruned events once per stage — the round-13 auto sweep
+    * measured the funnel dial at parity, not a win, when engaged at
+    * factor 1 on a 91%-hot 11M-row corpus). Both routes are
+    * contractually row-identical, so a borderline call costs only the
+    * smaller of the two plans' overheads, never correctness. */
   def shouldEngageHotKeyDial(df: DataFrame, keys: Seq[String],
-                             slots: Int = 0): Boolean = {
+                             slots: Int = 0, costFactor: Int = 1): Boolean = {
+    require(costFactor >= 1, s"costFactor must be >= 1, got $costFactor")
     val s = if (slots > 0) slots
             else df.sparkSession.sparkContext.defaultParallelism
     val (mx, tot) = hotKeyStats(df, keys)
-    tot > 0 && mx > tot / s
+    tot > 0 && mx > costFactor * (tot / s)
   }
 
   /** PARTIAL salting — the production skew pattern: only the top

@@ -40,6 +40,37 @@ class PlanSpec extends SparkSpec {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("seasonal grid (q370) broadcasts the trig table — no SMJ, no extra sort") {
+    val p = plan("q370_u6_seasonal_grid")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 299-row (p, r) table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"trig-table join fell back to SMJ:\n$p")
+  }
+
+  test("CMH (q377) is two map-side-combined aggregates — no window, no SMJ") {
+    val p = plan("q377_x_cmh_test")
+    assert(!p.contains("Window"), s"CMH must not plan a window:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"CMH must not shuffle-join:\n$p")
+  }
+
+  test("Breusch-Pagan (q376) broadcasts the per-key fit back onto the rows") {
+    val p = plan("q376_x_breusch_pagan")
+    assert(p.contains("BroadcastHashJoin"),
+      s"the k-row coefficient table must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"fit join fell back to SMJ:\n$p")
+  }
+
+  test("Yeo-Johnson grid (q379) explodes via broadcast — rows never shuffle pre-aggregate") {
+    val p = plan("q379_u4_yeojohnson_grid")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"the 101-row lambda grid must broadcast:\n$p")
+    // partial aggregation must sit below the exchange: the explode is
+    // combined map-side, so only (key, lambda) cells cross the shuffle
+    assert(p.linesIterator.exists(l =>
+      l.contains("HashAggregate") && l.contains("partial")),
+      s"expected map-side partial aggregation over the exploded grid:\n$p")
+  }
+
   test("star join (q14) broadcasts every dimension — no sort-merge join") {
     val p = plan("q14_j123_star_join")
     assert(p.contains("BroadcastHashJoin"))

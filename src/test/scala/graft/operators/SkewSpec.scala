@@ -39,6 +39,12 @@ class SkewSpec extends SparkSpec {
     assert(!Skew.shouldEngageHotKeyDial(uniform, Seq("k"), slots = 4))
     // empty input: no rows, nothing to route
     assert(!Skew.shouldEngageHotKeyDial(skewed.filter(lit(false)), Seq("k"), 4))
+    // costFactor raises the bar: a multi-pass alternate path must beat
+    // that many per-slot shares (100 <= 30 * 25)
+    assert(!Skew.shouldEngageHotKeyDial(skewed, Seq("k"), slots = 4,
+      costFactor = 30))
+    assert(Skew.shouldEngageHotKeyDial(skewed, Seq("k"), slots = 4,
+      costFactor = 3))
   }
 
   test("saltedJoin: deterministic across reruns (hash salt, not rand)") {
