@@ -3205,6 +3205,107 @@ private[graft] object OraclesC {
         |SELECT prio, lambda_e1, n, llf_e6,
         |  CASE WHEN mx IS NOT NULL THEN lambda_e1 = bl END AS is_best
         |FROM w2 ORDER BY prio, lambda_e1""".stripMargin
+    },
+
+    // YJ ternary refinement: the q379 grid argmax replayed, then two
+    // unrolled ternary rounds — probe λ's are the identical r6 trees,
+    // each probe one more rows×λ quantized aggregation, comparisons on
+    // the e6-rounded llf with the kernel's tie rule (f1 = f2 keeps the
+    // left bracket edge). MATERIALIZED: b is re-joined five times.
+    "q380_u4_yeojohnson_refine" -> {
+      def z(lam: String) =
+        s"""(CASE
+           |  WHEN x >= 0 AND $lam = 0.0 THEN ln(1.0 + x)
+           |  WHEN x >= 0 THEN (power(x + 1.0, $lam) - 1.0) / $lam
+           |  WHEN $lam = 2.0 THEN -ln(1.0 - x)
+           |  ELSE -(power(1.0 - x, 2.0 - $lam) - 1.0) / (2.0 - $lam)
+           |END)""".stripMargin.replaceAll("\n", " ")
+      val sl = "(CASE WHEN x >= 0 THEN ln(1.0 + x) ELSE -ln(1.0 - x) END)"
+      val v = "((CAST(n AS DOUBLE) * CAST(szz AS DOUBLE)" +
+        " - CAST(sz AS DOUBLE) * CAST(sz AS DOUBLE))" +
+        " / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) / 1e12)"
+      def llf(lam: String) =
+        s"(-0.5 * n * ln($v) + ($lam - 1.0) * (CAST(sl AS DOUBLE) / 1e6))"
+      // evaluate the e6 llf at every (prio, lam) of `src` (MUST expose
+      // prio + a DOUBLE column named lam)
+      def eval(name: String, src: String) =
+        s"""$name AS MATERIALIZED (
+           |  SELECT prio, lam, CAST(count(*) AS BIGINT) AS n,
+           |    sum(zq) AS sz, sum(zq * zq) AS szz,
+           |    CAST(sum(slq) AS BIGINT) AS sl
+           |  FROM (SELECT b.prio, s.lam,
+           |          CAST(floor(${z("s.lam")} * 1000000 + 0.5) AS HUGEINT) AS zq,
+           |          CAST(floor($sl * 1000000 + 0.5) AS BIGINT) AS slq
+           |        FROM b JOIN ($src) s ON b.prio = s.prio)
+           |  GROUP BY 1, 2),
+           |${name}f AS MATERIALIZED (
+           |  SELECT prio, lam, n,
+           |    CASE WHEN n >= 3 AND $v > 0 THEN
+           |      CAST(floor(${llf("lam")} * 1000000 + 0.5) AS BIGINT) END AS llf
+           |  FROM $name)""".stripMargin
+      def r6(e: String) = s"(floor(($e) * 1000000 + 0.5) / 1000000)"
+      def probes(name: String, brTbl: String) =
+        s"""$name AS (SELECT prio,
+           |    ${r6(s"lo + (hi - lo) / 3.0")} AS lam1,
+           |    ${r6(s"hi - (hi - lo) / 3.0")} AS lam2, lo, hi
+           |  FROM $brTbl)""".stripMargin
+      def step(cmpName: String, prTbl: String, evTbl: String) =
+        s"""$cmpName AS (SELECT p.prio,
+           |    CASE WHEN coalesce(a.llf, -9000000000000000000)
+           |           < coalesce(c.llf, -9000000000000000000)
+           |         THEN p.lam1 ELSE p.lo END AS lo,
+           |    CASE WHEN coalesce(a.llf, -9000000000000000000)
+           |           < coalesce(c.llf, -9000000000000000000)
+           |         THEN p.hi ELSE p.lam2 END AS hi
+           |  FROM $prTbl p
+           |  JOIN $evTbl a ON a.prio = p.prio AND a.lam = p.lam1
+           |  JOIN $evTbl c ON c.prio = p.prio AND c.lam = p.lam2)""".stripMargin
+      s"""WITH m AS MATERIALIZED (
+         |  SELECT o_orderpriority AS prio,
+         |         CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+         |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+         |           AS BIGINT) AS cents
+         |  FROM orders GROUP BY 1, 2),
+         |av AS MATERIALIZED (SELECT prio, CAST(sum(cents) AS BIGINT)
+         |    // CAST(count(*) AS BIGINT) AS avgc
+         |  FROM m GROUP BY 1),
+         |b AS MATERIALIZED (
+         |  SELECT m.prio, CAST(m.cents - av.avgc AS DOUBLE) / 1e8 AS x
+         |  FROM m JOIN av ON m.prio = av.prio),
+         |gsrc AS (SELECT DISTINCT b.prio,
+         |    CAST(g.le1 AS DOUBLE) / 10.0 AS lam, g.le1
+         |  FROM b CROSS JOIN (SELECT CAST(unnest(generate_series(-50, 50))
+         |    AS BIGINT) AS le1) g),
+         |${eval("ge", "SELECT prio, lam FROM gsrc")},
+         |gw AS MATERIALIZED (SELECT gef.prio,
+         |    min(CASE WHEN gef.llf = mx.mxl THEN gsrc.le1 END) AS bl
+         |  FROM gef
+         |  JOIN (SELECT prio, max(llf) AS mxl FROM gef GROUP BY 1) mx
+         |    ON mx.prio = gef.prio
+         |  JOIN gsrc ON gsrc.prio = gef.prio AND gsrc.lam = gef.lam
+         |  WHERE mx.mxl IS NOT NULL
+         |  GROUP BY 1),
+         |br1 AS (SELECT prio,
+         |    CAST(greatest(-50, bl - 1) AS DOUBLE) / 10.0 AS lo,
+         |    CAST(least(50, bl + 1) AS DOUBLE) / 10.0 AS hi, bl
+         |  FROM gw),
+         |${probes("pr1", "br1")},
+         |${eval("e1",
+            "SELECT prio, lam1 AS lam FROM pr1 UNION ALL SELECT prio, lam2 FROM pr1")},
+         |${step("br2", "pr1", "e1f")},
+         |${probes("pr2", "br2")},
+         |${eval("e2",
+            "SELECT prio, lam1 AS lam FROM pr2 UNION ALL SELECT prio, lam2 FROM pr2")},
+         |${step("br3", "pr2", "e2f")},
+         |ph AS (SELECT prio, ${r6("(lo + hi) / 2.0")} AS lam FROM br3),
+         |${eval("eh", "SELECT prio, lam FROM ph")}
+         |SELECT eh2.prio AS key, eh2.n,
+         |  CAST(gw.bl * 100000 AS BIGINT) AS lam0_e6,
+         |  CAST(floor(eh2.lam * 1000000 + 0.5) AS BIGINT) AS lam_hat_e6,
+         |  eh2.llf AS llf_e6
+         |FROM ehf eh2 JOIN gw ON gw.prio = eh2.prio
+         |WHERE eh2.llf IS NOT NULL
+         |ORDER BY key""".stripMargin
     }
   )
 }

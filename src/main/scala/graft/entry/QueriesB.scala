@@ -2572,6 +2572,27 @@ private[graft] object QueriesB {
             .withColumn("x", expr("cast(cents - avgc as double) / 1e8")),
           Seq("prio"), "x")
         .orderBy("prio", "lambda_e1")
+    }),
+
+    // ---- extension: ternary refinement of the Yeo-Johnson λ — the
+    // q360 pattern finishing U4: q379 checked the grid argmax; this
+    // hash-checks the LINE-SEARCH STEP (2 ternary rounds at r6-rounded
+    // probes, each one more parametrized replay of the q379 quantized
+    // aggregation, comparisons on e6-rounded llf). U4's residue is now
+    // unbounded iteration count only — U8's end state
+    "q380_u4_yeojohnson_refine" -> tuned((s, d) => {
+      val m = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority").as("prio"),
+          Cols.monthStart(col("o_orderdate")).as("month"))
+        .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+          .as("cents"))
+      val avg = m.groupBy(col("prio"))
+        .agg(expr("sum(cents) div count(*)").as("avgc"))
+      graft.stats.Diagnostics.yeoJohnsonRefined(
+          m.join(broadcast(avg), Seq("prio"))
+            .withColumn("x", expr("cast(cents - avgc as double) / 1e8")),
+          Seq("prio"), "x")
+        .orderBy("key")
     })
   )
 }

@@ -2450,6 +2450,113 @@ object Diagnostics {
         col("is_best"): _*)
   }
 
+  private val yjrSchema = StructType(Seq(
+    StructField("key", StringType),
+    StructField("n", LongType),
+    StructField("lam0_e6", LongType),
+    StructField("lam_hat_e6", LongType),
+    StructField("llf_e6", LongType)))
+
+  /** Ternary-search refinement of the Yeo-Johnson λ — the q360
+    * localLevelRefined pattern applied to U4, finishing the family:
+    * [[yeoJohnsonGrid]] (q379) checks the grid argmax; this
+    * oracle-replays the LINE-SEARCH STEP itself. Bracket = the grid
+    * winner's e1 neighbors (clamped to ±5.0), two ternary rounds whose
+    * probes are r6-ROUNDED (both engines evaluate the llf at
+    * bit-identical λ's — each probe is one more parametrized replay of
+    * the q379 per-(row, λ) quantized aggregation), comparisons on the
+    * e6-ROUNDED llf, λ̂ = r6(midpoint). U4's unchecked optimizer
+    * surface is now UNBOUNDED ITERATION COUNT only — the same end
+    * state as U8's (q338/q360).
+    *
+    * Scale shape: per-key kernel (`groupByKey.flatMapGroups`; the grid
+    * + 5 probe evaluations run in-executor over the key's rows); the
+    * oracle joins the rows to per-key probe-λ tables derived from its
+    * own grid argmax. Keys with n < 3 or a degenerate variance at the
+    * winner emit nothing. Output: one row per key —
+    * `(key, n, lam0_e6, lam_hat_e6, llf_e6)`. */
+  def yeoJohnsonRefined(df: DataFrame, keyCols: Seq[String],
+                        valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "yeoJohnsonRefined needs at least one key column")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyExpr =
+      if (keyCols.isEmpty) lit("all") else concat_ws("|", keyCols.map(col): _*)
+    val rows = graft.functions.Cols.dropNullKeys(df, keyCols)
+      .filter(col(valueCol).isNotNull)
+      .select(keyExpr.as("key"), col(valueCol).cast("double").as("x"))
+      .as[(String, Double)]
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    rows.groupByKey(_._1)
+      .flatMapGroups { (key, it) =>
+        val xs = it.map(_._2).toArray
+        val n = xs.length
+        if (n < 3) Iterator.empty
+        else {
+          // e6-rounded llf at λ — the EXACT q379 per-(row, λ) trees:
+          // z/sign-log e6-floored per row, BigInt sums (order-free, ==
+          // the SQL DECIMAL sums), one σ²/llf double tree
+          def llfE6(lam: Double): Option[Long] = {
+            var sz = BigInt(0); var szz = BigInt(0); var sl = 0L
+            var i = 0
+            while (i < n) {
+              val x = xs(i)
+              val z =
+                if (x >= 0) {
+                  if (lam == 0.0) math.log(1.0 + x)
+                  else (math.pow(x + 1.0, lam) - 1.0) / lam
+                } else {
+                  if (lam == 2.0) -math.log(1.0 - x)
+                  else -(math.pow(1.0 - x, 2.0 - lam) - 1.0) / (2.0 - lam)
+                }
+              val zq = BigInt(math.floor(z * 1e6 + 0.5).toLong)
+              sz += zq; szz += zq * zq
+              sl += math.floor(
+                (if (x >= 0) math.log(1.0 + x) else -math.log(1.0 - x))
+                  * 1e6 + 0.5).toLong
+              i += 1
+            }
+            val nd = n.toDouble
+            val v = (nd * szz.toDouble - sz.toDouble * sz.toDouble) / (nd * nd) / 1e12
+            if (v <= 0) None
+            else Some(math.floor(
+              (-0.5 * nd * math.log(v) + (lam - 1.0) * (sl.toDouble / 1e6))
+                * 1e6 + 0.5).toLong)
+          }
+          // grid argmax — q379's protocol (ascending λ, strict >)
+          var bl = Int.MinValue
+          var best = Long.MinValue
+          var i = -50
+          while (i <= 50) {
+            llfE6(i / 10.0).foreach { s => if (s > best) { best = s; bl = i } }
+            i += 1
+          }
+          if (bl == Int.MinValue) Iterator.empty
+          else {
+            var lo = math.max(-50, bl - 1) / 10.0
+            var hi = math.min(50, bl + 1) / 10.0
+            var r = 0
+            while (r < 2) {
+              val p1 = r6(lo + (hi - lo) / 3.0)
+              val p2 = r6(hi - (hi - lo) / 3.0)
+              val f1 = llfE6(p1).getOrElse(Long.MinValue)
+              val f2 = llfE6(p2).getOrElse(Long.MinValue)
+              if (f1 < f2) lo = p1 else hi = p2
+              r += 1
+            }
+            val lamHat = r6((lo + hi) / 2.0)
+            llfE6(lamHat) match {
+              case None => Iterator.empty
+              case Some(f) => Iterator.single(Row(key, n.toLong,
+                math.floor(bl / 10.0 * 1e6 + 0.5).toLong,
+                math.floor(lamHat * 1e6 + 0.5).toLong, f))
+            }
+          }
+        }
+      }(Encoders.row(yjrSchema))
+      .toDF()
+  }
+
   /** The e15-quantized cos/sin table for the CANDIDATE-PERIOD scan
     * ([[seasonalPeriodGrid]] and `TimeSeriesStats.seasonalPeriod`): one
     * row per (p, r) with `c = ⌊cos(2πr/p)·10¹⁵ + 0.5⌋` for r < p —

@@ -869,6 +869,29 @@ class DiagnosticsSpec extends SparkSpec {
     assert(gridLam < 1.0) // right-skew pulls lambda below identity
   }
 
+  test("yeoJohnsonRefined: lam-hat stays in the grid winner's bracket, llf never drops") {
+    var s = 17L
+    def next(): Long = { s = s * 6364136223846793005L + 1442695040888963407L; s }
+    val ys = (1 to 60).map { _ =>
+      val u = (math.floorMod(next(), 1000000L) + 0.5) / 1000000.0
+      -math.log(u) * 10.0 - 8.0
+    }
+    val df = ys.map(("k", _)).toDF("g", "x")
+    val r = Diagnostics.yeoJohnsonRefined(df, Seq("g"), "x").head()
+    val lam0 = r.getAs[Long]("lam0_e6") / 1e6
+    val lamHat = r.getAs[Long]("lam_hat_e6") / 1e6
+    assert(math.abs(lamHat - lam0) <= 0.1 + 1e-9,
+      s"refinement left the e1 bracket: grid $lam0 vs refined $lamHat")
+    // the refined llf must be at least the bracket edges' (it maximizes)
+    val grid = Diagnostics.yeoJohnsonGrid(df, Seq("g"), "x")
+      .filter(col("is_best")).head()
+    assert(grid.getAs[Long]("lambda_e1") / 10.0 == lam0)
+    // determinism: same inputs, same bits
+    val r2 = Diagnostics.yeoJohnsonRefined(df, Seq("g"), "x").head()
+    assert(r2.getAs[Long]("lam_hat_e6") == r.getAs[Long]("lam_hat_e6") &&
+      r2.getAs[Long]("llf_e6") == r.getAs[Long]("llf_e6"))
+  }
+
   test("seasonalPeriodGrid: planted tone recovers its period; kernel argmax agrees") {
     // x_t = 5000 + 1000*cos(2*pi*t/8): pure period-8 tone over 64 points
     val ys = (0 until 64).map(t =>
