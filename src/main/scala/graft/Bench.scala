@@ -125,12 +125,27 @@ object Bench {
     // every projected expression (a projection-heavy query would "run" in
     // the time of a row count), which silently exempts exactly the
     // expression work a real consumer pays for.
+    // A THROWN query must not hide: its elapsed time still lands in the
+    // map (aborting the pass would be worse), but a silent catch would
+    // let an sf0.1-only failure (OOM-class) DEFLATE the total and read
+    // as a speedup. Every throw is counted into `failed`, named in the
+    // JSON, and tagged as a kind in target/bench_errors.txt.
+    val failedQueries = java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    def recordFailure(name: String, e: Throwable): Unit = {
+      failedQueries.add(name)
+      val key = (name + " | THROWN " + e.getClass.getSimpleName + ": " +
+        Option(e.getMessage).getOrElse("").linesIterator.toSeq.headOption
+          .getOrElse("").replaceAll("[0-9]+", "#")).take(200)
+      if (errKinds.size < 32)
+        errKinds.computeIfAbsent(key,
+          _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
+    }
     def timedPass(): Map[String, Double] =
       queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         currentQuery = name
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable => recordFailure(name, e) }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     // Two timed passes, per-query MIN: the benched environment shows
@@ -152,7 +167,7 @@ object Bench {
         currentQuery = s"pass3:$name"
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+        catch { case e: Throwable => recordFailure(name, e) }
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val results = min2.map { case (k, v) => k -> math.min(v, p3.getOrElse(k, v)) }
@@ -188,7 +203,11 @@ object Bench {
     // between passes IS the noise floor a reader needs to judge a delta.
     def jmap(m: Map[String, Double]): String = m.toSeq.sortBy(_._1)
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }.mkString("{", ",", "}")
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","log_errors":${logErrors.get},"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
+    val failedJson = {
+      import scala.jdk.CollectionConverters._
+      failedQueries.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    }
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","log_errors":${logErrors.get},"failed":${failedQueries.size},"failed_queries":$failedJson,"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
     // The full per-query map goes to the FILE only: at 210 queries the map is
     // ~5 KB and the harness's bounded stdout tail truncated it from the FRONT
     // in r06 ("parsed": null). The file copy survives any amount of log noise.
@@ -207,7 +226,7 @@ object Bench {
     // stdout gets a COMPACT summary (~120 bytes) as the LAST line — total,
     // query count, sf, and a pointer to the per-query file — so the driver's
     // tail capture always holds the complete JSON object.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","log_errors":${logErrors.get},"per_query":"target/bench.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","log_errors":${logErrors.get},"failed":${failedQueries.size},"per_query":"target/bench.json"}"""
     println(compact)
     System.out.flush()
   }

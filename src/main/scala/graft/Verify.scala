@@ -43,10 +43,14 @@ object Verify {
       // write must leave a MISSING dir (a loud per-query failure in the
       // driver compare), not a previous run's parquet comparable as fresh
       val dest = java.nio.file.Paths.get(outDir, name)
-      if (java.nio.file.Files.exists(dest))
-        java.nio.file.Files.walk(dest)
-          .sorted(java.util.Comparator.reverseOrder())
+      if (java.nio.file.Files.exists(dest)) {
+        // Files.walk holds directory handles until closed — a per-query
+        // leak adds up over a 381-query run
+        val walk = java.nio.file.Files.walk(dest)
+        try walk.sorted(java.util.Comparator.reverseOrder())
           .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+        finally walk.close()
+      }
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

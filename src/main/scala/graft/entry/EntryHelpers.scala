@@ -33,9 +33,10 @@ private[graft] object EntryHelpers {
       sys.addShutdownHook {
         val root = java.nio.file.Paths.get(path)
         if (java.nio.file.Files.exists(root)) {
-          java.nio.file.Files.walk(root)
-            .sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => { java.nio.file.Files.deleteIfExists(p); () })
+          finally walk.close()
         }
       }
     }
@@ -48,16 +49,20 @@ private[graft] object EntryHelpers {
     * lookup so their checkpoint block references don't pin. The build
     * must be DETERMINISTIC — both consumers read identical rows, which
     * is what lets one oracle serve the pair. */
-  private val frameMemo =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val frameMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (SparkSession, DataFrame)]()
   private[graft] def memoFrame(s: SparkSession, key: String)
                               (build: => DataFrame): DataFrame = {
     val prefix =
       s"${s.sparkContext.applicationId}-${System.identityHashCode(s)}|"
-    // cleanup OUTSIDE computeIfAbsent: removing other bins while holding
-    // a bin lock is legal for CHM but needlessly entangles the two
-    frameMemo.keySet.removeIf(k => !k.startsWith(prefix))
-    frameMemo.computeIfAbsent(prefix + key, _ => build)
+    // evict only entries whose OWNING session has stopped (their
+    // checkpoint blocks are gone anyway) — evicting everything foreign
+    // would make two concurrently live sessions in one JVM thrash each
+    // other's memo, rebuilding the shared base on every lookup.
+    // Cleanup OUTSIDE computeIfAbsent: removing other bins while holding
+    // a bin lock is legal for CHM but needlessly entangles the two.
+    frameMemo.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    frameMemo.computeIfAbsent(prefix + key, _ => (s, build))._2
   }
 
   /** The conformal admission base (lineitem → dollars grid → md5 hash

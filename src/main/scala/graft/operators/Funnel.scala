@@ -207,24 +207,55 @@ object Funnel {
       funnelByKeyAgg(events, keyCols, timeCol, stageCol, stages, maxGap),
       stages)
 
+  /** Measured ceiling on the plain window funnel's hot-key ELAPSED
+    * penalty (SURVEY §8 hot100/auto, 11M rows, 91%-hot key): the funnel
+    * window holds only STAGE-VOCAB rows and its chained minima are
+    * unordered aggregates over one hash partitioning, so the hot key's
+    * one-task cost landed ~4× the even per-slot share and the
+    * END-TO-END penalty 2.65× (6.41 s vs 2.42 s uniform) — nothing like
+    * the 29× the row-share ratio predicts, because scan + shuffle
+    * dominate at probe scale. Rounded up to 3. */
+  private[graft] val WindowHotElapsedBound = 3.0
+
+  /** The auto-route's arithmetic, exposed for the spec: the aggregate
+    * path wins on TIME only when its pass count (one pruned-events scan
+    * per stage) is under the plain window's bounded hot-key penalty AND
+    * the hot key actually exceeds that many per-slot shares — with the
+    * measured bound of 3 that is reachable for 2-stage funnels only.
+    * Round 13's sweep caught the previous pass-count-only rule engaging
+    * the 3-stage dial into parity-or-worse (7.45 s vs 6.41 s plain) at
+    * 91% skew; this rule refuses that trade. Independently, past
+    * `hotRowsCeiling` PRUNED rows on one key the aggregate path engages
+    * regardless: the elapsed bound was measured where scan cost
+    * dominates, and a hot key holding ~50M+ stage rows turns the
+    * window's one task — unsplittable by any cluster width — into a
+    * linear straggler and a memory hazard, while the agg path's
+    * per-(key, stage) minima stay map-side-combined and flat. */
+  private[graft] def aggRouteWins(nStages: Int, mx: Long, tot: Long,
+                                  slots: Int, hotRowsCeiling: Long): Boolean = {
+    val winsOnTime = nStages < WindowHotElapsedBound &&
+      tot > 0 && mx.toDouble * slots > nStages.toDouble * tot
+    winsOnTime || mx > hotRowsCeiling
+  }
+
   /** AUTO-routed funnel readout: probes the hottest key's share of the
-    * STAGE-PRUNED events (what the window actually sorts) via
-    * [[graft.operators.Skew.hotKeyStats]] and engages the aggregate
-    * path past the measured per-slot crossover (SURVEY §8 hot100) —
-    * zero-config deployment of the q261 dial. Both routes emit
-    * contractually identical rows (the FunnelSpec equality law). */
+    * STAGE-PRUNED events (what the window actually holds) via
+    * [[graft.operators.Skew.hotKeyStats]] and routes per
+    * [[aggRouteWins]] — zero-config deployment of the q261 dial, with
+    * the measured window-penalty bound folded in so the dial never
+    * fires where it loses. Both routes emit contractually identical
+    * rows (the FunnelSpec equality law), so a borderline call costs
+    * overhead only, never correctness. */
   def conversionCountsAuto(events: DataFrame, keyCols: Seq[String],
                            timeCol: String, stageCol: String,
                            stages: Seq[String],
-                           maxGap: Option[Long] = None): DataFrame = {
+                           maxGap: Option[Long] = None,
+                           hotRowsCeiling: Long = 50000000L): DataFrame = {
     val pruned = events.filter(
       col(stageCol).isin(stages: _*) && col(timeCol).isNotNull)
-    // costFactor = stages.size: the aggregate path scans the pruned
-    // events once per stage, so it only wins once the hot key's one-task
-    // sort exceeds that many per-slot shares (the round-13 auto sweep
-    // measured parity, not a win, at factor 1 on a 91%-hot corpus)
-    if (Skew.shouldEngageHotKeyDial(pruned, keyCols,
-        costFactor = stages.size))
+    val (mx, tot) = Skew.hotKeyStats(pruned, keyCols)
+    val slots = events.sparkSession.sparkContext.defaultParallelism
+    if (aggRouteWins(stages.size, mx, tot, slots, hotRowsCeiling))
       conversionCountsAgg(events, keyCols, timeCol, stageCol, stages, maxGap)
     else conversionCounts(events, keyCols, timeCol, stageCol, stages, maxGap)
   }

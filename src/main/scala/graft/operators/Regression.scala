@@ -70,8 +70,14 @@ object Regression {
     * Exactness: the fit's sums are exact longs; a/b are fixed double
     * trees; each row's `u = (y − a − b·x)²` is ONE fixed tree
     * floor-quantized to an exact integer via the q349 floor identity
-    * (u ≥ 0; DECIMAL(38,0) — u is value-scale-unbounded, with the same
-    * 1e24 fail-loud fence), so the auxiliary sums are order-free exact
+    * (u ≥ 0; DECIMAL(38,0) — u is value-scale-unbounded, behind a
+    * 1e15 fail-loud fence: the auxiliary sums square u AGAIN, so the
+    * fence must keep n·u² inside 38 digits, u < 1e15 → u² < 1e30 →
+    * suu < n·1e30, exact through n ≈ 10⁸ — a 1e24 fence would let suu
+    * silently null on Spark's ANSI-off DECIMAL while DuckDB's HUGEINT
+    * side errors, the exact cross-engine divergence the fence exists
+    * to prevent; a belt-and-braces post-agg check keeps any residual
+    * overflow loud too), so the auxiliary sums are order-free exact
     * integers and R²/LM are one double tree each, LM e4-quantized with
     * the verdict on the ROUNDED value. Keys with a singular design or
     * constant u emit null.
@@ -104,12 +110,15 @@ object Regression {
     val aux = base.join(broadcast(sums), keyCols)
       .filter(col("__b").isNotNull)
       // the q349 floor identity: u is value-scale-unbounded, so floor
-      // lands in DECIMAL(38,0) exactly (never a saturating long floor),
-      // behind the same 1e24 fail-loud fence
+      // lands in DECIMAL(38,0) exactly (never a saturating long floor).
+      // Fence at 1e15, NOT the per-row 38-digit limit: suu squares u
+      // again, so u < 1e15 keeps suu = Σu² < n·1e30 exact through
+      // n ≈ 10⁸ on both engines
       .withColumn("__u", expr(
-        s"""if($res * $res >= 1e24,
-           |   cast(raise_error('breuschPagan squared residual >= 1e24 —
-           | rescale values upstream') as decimal(38,0)),
+        s"""if($res * $res >= 1e15,
+           |   cast(raise_error('breuschPagan squared residual >= 1e15 —
+           | rescale values upstream (the auxiliary regression squares it
+           | again)') as decimal(38,0)),
            |   cast(($res * $res + 0.5) - (($res * $res + 0.5) % 1.0D)
            |     as decimal(38,0)))""".stripMargin.replaceAll("\n", " ")))
       .groupBy(keyCols.map(col): _*)
@@ -118,6 +127,15 @@ object Regression {
         sum(col("__u")).as("su"),
         sum(col("__u") * col("__x")).as("sxu"),
         sum(col("__u") * col("__u")).as("suu"))
+      // belt-and-braces: with ANSI off a DECIMAL(38,0) sum that still
+      // overflows (n beyond the fence's 10⁸ envelope) nulls SILENTLY —
+      // turn that back into a loud failure so Spark never diverges
+      // quietly from the oracle's erroring HUGEINT side
+      .withColumn("suu", expr(
+        """if(su is not null and suu is null,
+          |   cast(raise_error('breuschPagan auxiliary sum suu overflowed
+          | DECIMAL(38,0) — rescale values or reduce group size')
+          |     as decimal(38,0)), suu)""".stripMargin.replaceAll("\n", " ")))
     val num = "(cast(n as decimal(38,0)) * sxu - cast(sx as decimal(38,0)) * su)"
     val denU = "(cast(n as decimal(38,0)) * suu - su * su)"
     val r2 = s"(cast($num as double) * cast($num as double)" +

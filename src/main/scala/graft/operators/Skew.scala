@@ -66,7 +66,13 @@ object Skew {
     val s = if (slots > 0) slots
             else df.sparkSession.sparkContext.defaultParallelism
     val (mx, tot) = hotKeyStats(df, keys)
-    tot > 0 && mx > costFactor * (tot / s)
+    // compare without truncation: `tot / s` rounds the per-slot share
+    // DOWN to 0 whenever tot < slots, which would engage the rewrite on
+    // every nonempty small frame on high-core machines (cost-only —
+    // routes are row-identical — but the crossover should hold at small
+    // row counts too). Doubles are exact here far beyond any realistic
+    // probe (2⁵³ row·slot products).
+    tot > 0 && mx.toDouble * s > costFactor.toDouble * tot
   }
 
   /** PARTIAL salting — the production skew pattern: only the top

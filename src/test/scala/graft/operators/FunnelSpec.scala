@@ -305,6 +305,25 @@ class FunnelSpec extends SparkSpec {
         rows(Funnel.conversionCounts(ev, Seq("u"), "t", "s", st)))
   }
 
+  test("aggRouteWins: bounded window penalty gates the time crossover") {
+    val ceil = 50000000L
+    // 3+ stages: pass count >= the measured elapsed bound (3) — the agg
+    // path can NEVER win on time, at any skew (the round-13 parity bug)
+    assert(!Funnel.aggRouteWins(3, mx = 10000000L, tot = 11000000L,
+      slots = 32, ceil))
+    assert(!Funnel.aggRouteWins(5, mx = 999999L, tot = 1000000L,
+      slots = 32, ceil))
+    // 2 stages: engages past 2 per-slot shares, stays plain below
+    assert(Funnel.aggRouteWins(2, mx = 100L, tot = 400L, slots = 32, ceil))
+    assert(!Funnel.aggRouteWins(2, mx = 20L, tot = 400L, slots = 32, ceil))
+    // empty probe: nothing to route
+    assert(!Funnel.aggRouteWins(2, mx = 0L, tot = 0L, slots = 32, ceil))
+    // survival ceiling: past ~50M pruned rows on ONE key the window's
+    // single task is a straggler/memory hazard — engage at any stage count
+    assert(Funnel.aggRouteWins(4, mx = ceil + 1, tot = ceil * 2,
+      slots = 1000, ceil))
+  }
+
   test("funnelByKeyAgg plans map-side partial minima (no Window node)") {
     val p = Funnel.funnelByKeyAgg(events, Seq("u"), "t", "s", stages)
       .queryExecution.executedPlan.toString
