@@ -3306,6 +3306,69 @@ private[graft] object OraclesC {
          |FROM ehf eh2 JOIN gw ON gw.prio = eh2.prio
          |WHERE eh2.llf IS NOT NULL
          |ORDER BY key""".stripMargin
-    }
+    },
+
+    // BPE merge ladder rungs (verdict #6): the q371 round shape —
+    // MATERIALIZED count→argmax→2-pass-replace-apply per rank, the
+    // empty-argmax guard no-oping exhausted rounds — unrolled to k=16
+    // and k=32 with no threshold (minCnt=1), so the only q92 surface
+    // left unreplayed is rank > 32 of the same arithmetic
+    "q381_x_bpe_merge_k16" -> bpeMergeLadderSql(16),
+    "q382_x_bpe_merge_k32" -> bpeMergeLadderSql(32)
   )
+
+  /** q371's unrolled BPE merge oracle at depth `k`, minCnt=1 (the
+    * no-stop ladder): each round re-counts pairs over the materialized
+    * vocab strings, picks the (cnt DESC, l, r) argmax, and applies it
+    * via the 2-pass boundary-delimited replace whose exactness proof
+    * lives on `Bpe.mergeSliceDf` (run-capped length-2..9 words). The
+    * empty-argmax guard keeps deeper-than-vocabulary rounds no-ops on
+    * both engines. */
+  private def bpeMergeLadderSql(k: Int): String = {
+    val run5 = ('a' to 'z').map(c => c.toString * 5).mkString("|")
+    def pairCte(p: String, sIn: String): String =
+      s"""$p AS MATERIALIZED (
+         |  SELECT syms[i] AS l, syms[i + 1] AS r,
+         |         CAST(sum(c) AS BIGINT) AS cnt
+         |  FROM (SELECT c,
+         |          list_filter(string_split(s, '|'), x -> x <> '') AS syms,
+         |          unnest(generate_series(1,
+         |            len(list_filter(string_split(s, '|'), x -> x <> '')) - 1))
+         |            AS i
+         |        FROM $sIn)
+         |  GROUP BY 1, 2)""".stripMargin
+    def applyCte(sOut: String, sIn: String, m: String): String =
+      s"""$sOut AS MATERIALIZED (
+         |  SELECT CASE WHEN (SELECT count(*) FROM $m) = 0 THEN s
+         |    ELSE replace(replace(s,
+         |      '|' || (SELECT l FROM $m) || '|' || (SELECT r FROM $m) || '|',
+         |      '|' || (SELECT l || r FROM $m) || '|'),
+         |      '|' || (SELECT l FROM $m) || '|' || (SELECT r FROM $m) || '|',
+         |      '|' || (SELECT l || r FROM $m) || '|') END AS s, c
+         |  FROM $sIn)""".stripMargin
+    val rounds = (0 until k).map { i =>
+      val apply =
+        if (i == 0) ""
+        else applyCte(s"s$i", s"s${i - 1}", s"m${i - 1}") + ",\n"
+      s"""$apply${pairCte(s"p$i", s"s$i")},
+         |m$i AS MATERIALIZED (SELECT l, r, cnt FROM p$i WHERE cnt >= 1
+         |  ORDER BY cnt DESC, l, r LIMIT 1)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until k).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS rank, l AS left_sym, r AS right_sym, cnt AS pair_count FROM m$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH wraw AS MATERIALIZED (
+       |  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+       |  FROM documents WHERE text IS NOT NULL),
+       |w AS MATERIALIZED (
+       |  SELECT w, CAST(count(*) AS BIGINT) AS c FROM wraw
+       |  WHERE length(w) BETWEEN 2 AND 9
+       |    AND NOT regexp_matches(w, '$run5')
+       |  GROUP BY 1),
+       |s0 AS MATERIALIZED (
+       |  SELECT '|' || array_to_string(string_split(w, ''), '|') || '|'
+       |    AS s, c FROM w),
+       |$rounds
+       |SELECT * FROM ($union) ORDER BY rank""".stripMargin
+  }
 }

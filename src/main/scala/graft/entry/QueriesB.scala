@@ -2593,6 +2593,22 @@ private[graft] object QueriesB {
             .withColumn("x", expr("cast(cents - avgc as double) / 1e8")),
           Seq("prio"), "x")
         .orderBy("key")
-    })
+    }),
+
+    // ---- extension: BPE merge ladder, k=16 — the verdict-#6 doubling-k
+    // rung above q371's k=8: the REAL incremental learner's first 16
+    // merges hash-checked against 16 unrolled count→argmax→apply oracle
+    // rounds, bounding q92's unchecked residue to ranks beyond 32
+    // (q382). minPairCount=1 exercises the no-threshold schedule q371's
+    // stop variant deliberately cuts short
+    "q381_x_bpe_merge_k16" -> tuned((s, d) =>
+      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 16)),
+
+    // ---- extension: BPE merge ladder, k=32 — the top rung: past this,
+    // the only q92 surface a SQL oracle has not replayed is rank > 32
+    // of the SAME per-round arithmetic (each rung checks every lower
+    // rank again, so a divergence at any checked depth cannot hide)
+    "q382_x_bpe_merge_k32" -> tuned((s, d) =>
+      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 32))
   )
 }

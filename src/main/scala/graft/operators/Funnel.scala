@@ -253,9 +253,27 @@ object Funnel {
                            hotRowsCeiling: Long = 50000000L): DataFrame = {
     val pruned = events.filter(
       col(stageCol).isin(stages: _*) && col(timeCol).isNotNull)
-    val (mx, tot) = Skew.hotKeyStats(pruned, keyCols)
     val slots = events.sparkSession.sparkContext.defaultParallelism
-    if (aggRouteWins(stages.size, mx, tot, slots, hotRowsCeiling))
+    val engage =
+      if (stages.size >= WindowHotElapsedBound) {
+        // the time crossover is UNREACHABLE at this pass count, so only
+        // the survival ceiling can engage — and mx <= pruned rows <=
+        // total rows, so the gates cheapen left to right: a bare
+        // count() (column-pruned to ZERO columns — parquet answers it
+        // from footers), then the filter-pushed pruned count, then the
+        // per-key grid probe, each run only if the previous bound
+        // clears the ceiling. A 3+-stage funnel below ~50M raw rows —
+        // the common case by far — routes with no data scan at all.
+        events.count() > hotRowsCeiling &&
+        pruned.count() > hotRowsCeiling && {
+          val (mx, _) = Skew.hotKeyStats(pruned, keyCols)
+          mx > hotRowsCeiling
+        }
+      } else {
+        val (mx, tot) = Skew.hotKeyStats(pruned, keyCols)
+        aggRouteWins(stages.size, mx, tot, slots, hotRowsCeiling)
+      }
+    if (engage)
       conversionCountsAgg(events, keyCols, timeCol, stageCol, stages, maxGap)
     else conversionCounts(events, keyCols, timeCol, stageCol, stages, maxGap)
   }
