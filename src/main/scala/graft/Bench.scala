@@ -136,7 +136,12 @@ object Bench {
       val key = (name + " | THROWN " + e.getClass.getSimpleName + ": " +
         Option(e.getMessage).getOrElse("").linesIterator.toSeq.headOption
           .getOrElse("").replaceAll("[0-9]+", "#")).take(200)
-      if (errKinds.size < 32)
+      // cap gates INSERTION only: a kind already tracked keeps counting
+      // past 32 distinct kinds (otherwise repeat failures undercount
+      // exactly when the error surface is widest)
+      val existing = errKinds.get(key)
+      if (existing != null) existing.incrementAndGet()
+      else if (errKinds.size < 32)
         errKinds.computeIfAbsent(key,
           _ => new java.util.concurrent.atomic.AtomicInteger).incrementAndGet()
     }

@@ -51,6 +51,8 @@ private[graft] object EntryHelpers {
     * is what lets one oracle serve the pair. */
   private val frameMemo = new java.util.concurrent.ConcurrentHashMap[
     String, (SparkSession, DataFrame)]()
+  private val memoListenerRegistered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
   private[graft] def memoFrame(s: SparkSession, key: String)
                               (build: => DataFrame): DataFrame = {
     val prefix =
@@ -62,6 +64,20 @@ private[graft] object EntryHelpers {
     // Cleanup OUTSIDE computeIfAbsent: removing other bins while holding
     // a bin lock is legal for CHM but needlessly entangles the two.
     frameMemo.entrySet.removeIf(e => e.getValue._1.sparkContext.isStopped)
+    // lookup-time sweeping alone pins the LAST session's frames for the
+    // JVM's life (nothing calls memoFrame after it stops) — an
+    // application-end listener, registered once per session, drops its
+    // entries the moment the context shuts down
+    if (memoListenerRegistered.add(prefix))
+      s.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onApplicationEnd(
+              end: org.apache.spark.scheduler.SparkListenerApplicationEnd)
+              : Unit = {
+            frameMemo.keySet.removeIf(_.startsWith(prefix))
+            memoListenerRegistered.remove(prefix)
+          }
+        })
     frameMemo.computeIfAbsent(prefix + key, _ => (s, build))._2
   }
 

@@ -3066,7 +3066,8 @@ private[graft] object OraclesC {
 
     // Breusch–Pagan: the q142 fit trees, per-row squared residual
     // floor-quantized (HUGEINT — the q349 identity's oracle side),
-    // exact auxiliary sums, one R²/LM double tree
+    // exact auxiliary sums, one R²/LM double tree. Kilodollar grid
+    // (// 100000) mirroring the registration's fence-headroom rescale.
     "q376_x_breusch_pagan" -> {
       val b = "(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE))"
       val a = s"((CAST(sy AS DOUBLE) - $b * CAST(sx AS DOUBLE)) / n)"
@@ -3079,7 +3080,7 @@ private[graft] object OraclesC {
         |  SELECT o_orderpriority AS prio,
         |         CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT) AS x,
         |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
-        |           AS BIGINT) // 100 AS y
+        |           AS BIGINT) // 100000 AS y
         |  FROM orders GROUP BY 1, 2),
         |s AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
         |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,

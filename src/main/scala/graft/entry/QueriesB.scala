@@ -2522,16 +2522,21 @@ private[graft] object QueriesB {
     // ---- extension: Breusch–Pagan heteroscedasticity — the regression
     // tier's variance diagnostic (Bartlett/BF need a grouping; this
     // catches variance drifting along a continuous axis): LM = n·R² of
-    // the e0-quantized squared residuals on the month index
+    // the e0-quantized squared residuals on the month index.
+    // KILODOLLAR grid (cents div 100000), not dollars: BP squares the
+    // residual, so the per-row fence needs u < √1e15 ≈ 3.2e7 — monthly
+    // dollar sums already breach that at sf0.1 (~1e8–1e9) and grow
+    // linearly with volume; kilodollar sums (~1e5–1e6 at sf0.1) clear
+    // the fence with ~30x headroom at sf1 and suu stays exact far past.
     "q376_x_breusch_pagan" -> tuned((s, d) =>
       graft.operators.Regression.breuschPagan(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority").as("prio"),
               expr("cast(year(o_orderdate) * 12 + month(o_orderdate) as bigint)")
                 .as("xm"))
-            .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div 100")
-              .as("dollars")),
-          Seq("prio"), "xm", "dollars")
+            .agg(expr("sum(cast(floor(o_totalprice * 100 + 0.5) as bigint)) div 100000")
+              .as("kdollars")),
+          Seq("prio"), "xm", "kdollars")
         .orderBy("prio")),
 
     // ---- extension: Cochran–Mantel–Haenszel — the confounder-safe

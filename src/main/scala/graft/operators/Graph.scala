@@ -52,13 +52,35 @@ object Graph {
     * specced) at none of its per-round broadcast/stage floors. Beyond
     * the threshold the distributed loop below runs unchanged; the
     * driver path is an optimization of the small-graph case, not the
-    * scale path. */
+    * scale path. Admission is staged cheapest-first: when even the RAW
+    * row count (parquet-footer-served on a scan+project input) fits the
+    * threshold, the distinct shuffle is skipped too and dedup happens
+    * in the driver set. */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
                iterations: Int = 5, scale: Long = 1000000000000L,
                broadcastMaxNodes: Long = 5000000L,
                driverMaxEdges: Long = 2000000L): DataFrame = {
     require(iterations >= 1, s"iterations must be >= 1, got $iterations")
     val lvl = StorageLevel.MEMORY_AND_DISK
+    val threshold = sys.env.get("GRAFT_PR_DRIVER_MAX").map(_.toLong)
+      .getOrElse(driverMaxEdges)
+    // Cheap admission probe for the driver regime: RAW row count upper-
+    // bounds the distinct edge count, and on a scan+project frame
+    // Catalyst serves count() from parquet footers (no data read). When
+    // even the raw count fits, skip the distinct SHUFFLE + persist +
+    // second action entirely — one shuffle-free collect, dedupe in the
+    // driver HashSet (the funnel dial's footer-probe discipline).
+    val rawUpper = edges.count()
+    if (rawUpper <= threshold) {
+      val raw = edges.select(col(srcCol).cast("string").as("src"),
+          col(dstCol).cast("string").as("dst"))
+        .filter(col("src").isNotNull && col("dst").isNotNull)
+        .collect()
+      val seen = new java.util.LinkedHashSet[(String, String)]()
+      raw.foreach(r => seen.add((r.getString(0), r.getString(1))))
+      return pageRankDriver(edges.sparkSession,
+        seen.toArray(Array.empty[(String, String)]), iterations, scale)
+    }
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
@@ -68,8 +90,6 @@ object Graph {
       // not once per derivation
       .persist(lvl)
     val nEdges = e.count()
-    val threshold = sys.env.get("GRAFT_PR_DRIVER_MAX").map(_.toLong)
-      .getOrElse(driverMaxEdges)
     if (nEdges <= threshold) {
       val out = pageRankDriver(edges.sparkSession,
         e.collect().map(r => (r.getString(0), r.getString(1))),

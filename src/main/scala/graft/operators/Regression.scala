@@ -136,8 +136,30 @@ object Regression {
           |   cast(raise_error('breuschPagan auxiliary sum suu overflowed
           | DECIMAL(38,0) — rescale values or reduce group size')
           |     as decimal(38,0)), suu)""".stripMargin.replaceAll("\n", " ")))
-    val num = "(cast(n as decimal(38,0)) * sxu - cast(sx as decimal(38,0)) * su)"
-    val denU = "(cast(n as decimal(38,0)) * suu - su * su)"
+      // the POST-agg products bind TIGHTER than the sums: su·su inside
+      // denU breaches 38 digits once su > ~10¹⁹ — with per-row u near
+      // the 1e15 fence that is n ≈ 10⁴, far inside suu's n ≈ 10⁸
+      // envelope — and n·sxu inside num is value·x-scale-dependent.
+      // Null-checking the computed product against its (non-null)
+      // inputs catches EVERY decimal overflow in the tree, loudly,
+      // with no per-term envelope arithmetic to get wrong.
+      .withColumn("__num",
+        expr("(cast(n as decimal(38,0)) * sxu - cast(sx as decimal(38,0)) * su)"))
+      .withColumn("__denU", expr("(cast(n as decimal(38,0)) * suu - su * su)"))
+      .withColumn("__num", expr(
+        """if(su is not null and sxu is not null and __num is null,
+          |   cast(raise_error('breuschPagan auxiliary product
+          | n*sxu - sx*su overflowed DECIMAL(38,0) — rescale values
+          | upstream') as decimal(38,0)), __num)"""
+          .stripMargin.replaceAll("\n", " ")))
+      .withColumn("__denU", expr(
+        """if(su is not null and suu is not null and __denU is null,
+          |   cast(raise_error('breuschPagan auxiliary product
+          | n*suu - su*su overflowed DECIMAL(38,0) — rescale values
+          | upstream (su*su binds at su ~ 1e19)') as decimal(38,0)),
+          | __denU)""".stripMargin.replaceAll("\n", " ")))
+    val num = "__num"
+    val denU = "__denU"
     val r2 = s"(cast($num as double) * cast($num as double)" +
       s" / (cast(__den as double) * cast($denU as double)))"
     val q = math.pow(10, roundTo)

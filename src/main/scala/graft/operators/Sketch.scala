@@ -471,8 +471,21 @@ object Sketch {
       .groupBy(g :+ col(valueCol).cast("long").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
     val nIters = iters
-    val kernel = udf((grid: Seq[Seq[Long]]) => {
-      val cells = grid.map(a => (a(0), a(1))).sortBy(_._1).toArray
+    val kernel = udf((grid: Seq[Seq[Long]]) =>
+      huberKernel(grid.map(a => (a(0), a(1))).toArray, nIters))
+    hist.groupBy(g: _*)
+      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .withColumn("__r", kernel(col("__grid")))
+      .select(g :+ col("__r._1").as("n") :+ col("__r._2").as("med") :+
+        col("__r._3").as("mad") :+ col("__r._4").as("huber_e6"): _*)
+  }
+
+  /** The in-task Huber IRLS kernel over one group's (value, count)
+    * grid — package-private so the wrap-boundary arithmetic is
+    * spec-reachable without synthesizing 10⁹ rows. */
+  private[graft] def huberKernel(raw: Array[(Long, Long)],
+                                 nIters: Int): (Long, Long, Long, Long) = {
+      val cells = raw.sortBy(_._1)
       val n = cells.iterator.map(_._2).sum
       // lower rank element: min v with cum >= (500n + 999) div 1000 —
       // the identical integer fence as the SQL rank walk
@@ -503,7 +516,10 @@ object Sketch {
           val dd = math.abs(v.toDouble - m)
           val w = if (dd <= hc) 1000000000L
                   else math.floor(hc / dd * 1e9 + 0.5).toLong
-          val cw = BigInt(c * w)
+          // widen BEFORE multiplying: c·w as a Long wraps past ~9.2e9
+          // rows of one value at full weight (inside the 100 TB
+          // envelope for a degenerate hot key)
+          val cw = BigInt(c) * w
           num += cw * v
           den += cw
         }
@@ -516,12 +532,6 @@ object Sketch {
         throw new IllegalStateException("huberLocation: |m| >= 9e12 " +
           "exceeds the e6 readout bound — rescale values upstream")
       (n, med, mad, math.floor(m * 1e6 + 0.5).toLong)
-    })
-    hist.groupBy(g: _*)
-      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
-      .withColumn("__r", kernel(col("__grid")))
-      .select(g :+ col("__r._1").as("n") :+ col("__r._2").as("med") :+
-        col("__r._3").as("mad") :+ col("__r._4").as("huber_e6"): _*)
   }
 
   /** Per-group distinct-count estimate of `valueCol` (hashed via its

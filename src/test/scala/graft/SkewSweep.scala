@@ -189,6 +189,33 @@ object SkewSweep {
       }
       spark.stop(); return
     }
+    // `funnel2` mode: the aggRouteWins TIME crossover is reachable for
+    // 2-stage funnels only (pass count 2 < the measured window bound 3)
+    // — this probes that positive half EMPIRICALLY over the 91%-hot-key
+    // corpus: plain window vs agg route vs the auto dial, 2 stages, on
+    // hot and uniform. Claim: on hot, auto engages (lands at agg's
+    // time + one probe) and beats plain; on uniform, auto stays plain.
+    if (args.headOption.contains("funnel2")) {
+      val hotDir = s"$base/hot100"; val uni11Dir = s"$base/uni11"
+      require(new java.io.File(s"$hotDir/events.parquet").isDirectory,
+        "run `SkewSweep hot100` first to build the event corpora")
+      val stages = Seq("view", "purchase")
+      for ((corpus, d) <- Seq("uniform" -> uni11Dir, "hot" -> hotDir)) {
+        def run(lbl: String)(fn: => DataFrame): Unit = {
+          def once = time(fn.write.format("noop").mode("overwrite").save())
+          val t = math.min(once, once)
+          println(f"FUN2  $lbl%-14s $corpus%-8s $t%7.2f s")
+        }
+        def ev = sources.Tables.events(spark, d)
+        run("plain-window")(operators.Funnel.conversionCounts(
+          ev, Seq("user_id"), "ts", "event_type", stages))
+        run("agg-route")(operators.Funnel.conversionCountsAgg(
+          ev, Seq("user_id"), "ts", "event_type", stages))
+        run("auto")(operators.Funnel.conversionCountsAuto(
+          ev, Seq("user_id"), "ts", "event_type", stages))
+      }
+      spark.stop(); return
+    }
     // `streamtwins` mode: the round-8 hot100 probe measured the BATCH
     // window family; this one drives the streaming twins over the same
     // 91%-hot-key corpus (and a hot-label embeddings analog), recording

@@ -443,6 +443,22 @@ class SketchSpec extends SparkSpec {
     assert(out("c") == ((6L, 20L, 10L, 26273114L)), s"c: ${out("c")}")
   }
 
+  test("huberKernel: count near the Long-wrap boundary stays exact (BigInt widens first)") {
+    // c = 1e10 at full weight w = 1e9: c·w = 1e19 > Long.MaxValue
+    // (~9.22e18) — a Long product wraps NEGATIVE and corrupts the IRLS
+    // sums; BigInt(c)·w is exact. Equal thirds at 94/100/106 keep
+    // mad = 6 > 0 (no degenerate shortcut) and every cell crosses the
+    // wrap boundary.
+    val c1 = 10000000000L // 1e10
+    val grid = Array((100L, c1), (106L, c1), (94L, c1))
+    val (n, med, mad, h) = Sketch.huberKernel(grid, 2)
+    assert(n == c1 * 3 && med == 100L && mad == 6L)
+    // all three values sit inside the Huber width (hc ≈ 11.96 > 6), so
+    // every weight is the full 1e9 and the M-location is the exact
+    // weighted mean = (100 + 106 + 94) / 3 = 100
+    assert(h == 100000000L, s"huber_e6=$h")
+  }
+
   test("huberLocation: sits between the median and the mean under asymmetric contamination") {
     // spread base (MAD must be > 0 — a constant base degenerates to the
     // median by the c = 0 contract) + a 500-valued contaminating block
