@@ -37,6 +37,7 @@ object Bench {
     // the bench record, so a recurrence is a red number in the artifact
     // instead of an unexplained stack trace in the tail.
     val logErrors = new java.util.concurrent.atomic.AtomicInteger
+    val logErrorsWarmup = new java.util.concurrent.atomic.AtomicInteger
     // distinct (query, logger, message-head) -> count: the forensic
     // record that turns a bare nonzero counter into a root-causable
     // artifact — the RUNNING QUERY tag is what pins a burst to its owner
@@ -53,6 +54,11 @@ object Bench {
         override def append(e: LogEvent): Unit =
           if (e.getLevel.isMoreSpecificThan(Level.ERROR)) {
             logErrors.incrementAndGet()
+            // phase split: a burst during the UNTIMED warmup (where
+            // straggler tasks from earlier queries land after their
+            // accumulators unregister) must not read as timed-pass noise
+            if (currentQuery.startsWith("warmup:"))
+              logErrorsWarmup.incrementAndGet()
             val msg = Option(e.getMessage).map(_.getFormattedMessage)
               .getOrElse("").linesIterator.toSeq.headOption.getOrElse("")
               // collapse per-instance ids so one burst folds to one kind
@@ -212,7 +218,7 @@ object Bench {
       import scala.jdk.CollectionConverters._
       failedQueries.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","log_errors":${logErrors.get},"failed":${failedQueries.size},"failed_queries":$failedJson,"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"failed_queries":$failedJson,"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
     // The full per-query map goes to the FILE only: at 210 queries the map is
     // ~5 KB and the harness's bounded stdout tail truncated it from the FRONT
     // in r06 ("parsed": null). The file copy survives any amount of log noise.
@@ -231,7 +237,7 @@ object Bench {
     // stdout gets a COMPACT summary (~120 bytes) as the LAST line — total,
     // query count, sf, and a pointer to the per-query file — so the driver's
     // tail capture always holds the complete JSON object.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","log_errors":${logErrors.get},"failed":${failedQueries.size},"per_query":"target/bench.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"per_query":"target/bench.json"}"""
     println(compact)
     System.out.flush()
   }
