@@ -1498,6 +1498,20 @@ object Metrics {
       // accumulate cache entries. The non-fault-tolerant localCheckpoint
       // contract (executor loss fails the query) is moot on an
       // nBins-row grid.
+      // LAZY (false), deliberately, engine-wide — the measured trade
+      // (round 15 A/B, 15-query subset, back-to-back same host): eager
+      // materialization runs ONE EXTRA JOB per checkpoint per call,
+      // +10% on the affected queries (27.1 s lazy vs 29.8 s eager),
+      // while lazy piggybacks the cache write on the first consumer's
+      // job. Lazy's known cost is the flaky benign "Failed to update
+      // accumulator" DAGScheduler burst (a checkpoint-finalization /
+      // straggler task reporting after its execution's accumulators
+      // unregistered — weak refs in AccumulatorContext): 0 events in
+      // 6/6 eager runs vs bursts up to 301/run under lazy (q304, q308,
+      // q314). The bench counts and phase-splits every event
+      // (log_errors / log_errors_warmup + bench_errors.txt attribution)
+      // — counted noise beats a 10% tax on a hot path that a real
+      // cluster pays identically.
       .localCheckpoint(false)
     val tot = bins.agg(sum(col("__n_b")).as("n"), sum(col("__p_b")).as("n_pos"),
       sum(col("__q_b")).as("__qq"))
@@ -2574,9 +2588,11 @@ object Metrics {
     * Keys where every value falls on one side (all equal) have
     * c_levels = 1 ⇒ df 0 ⇒ null verdict, by construction.
     *
-    * Scale shape: value-grid median (never a row sort), one broadcast-
-    * sized median join back, then the grid-shaped χ² chain. Output:
-    * chiSqFromCells' columns + `grand_median`. */
+    * Scale shape: value-grid median (never a row sort; the rank walk
+    * runs IN-TASK over the collected per-key grid — the
+    * Sketch.medMadGrid discipline, identical `(n+1) div 2` fence), one
+    * broadcast-sized median join back, then the grid-shaped χ² chain.
+    * Output: chiSqFromCells' columns + `grand_median`. */
   def moodMedianTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
                      valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "moodMedianTest needs at least one key column")
@@ -2586,15 +2602,22 @@ object Metrics {
       .filter(col(groupCol).isNotNull && v.isNotNull)
       .select((k :+ col(groupCol).as("__g") :+ v.as("__v")): _*)
       .localCheckpoint(false)
-    val wCum = Window.partitionBy(k: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(k: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val medKern = udf((grid: Seq[Seq[Long]]) => {
+      val cells = grid.map(a => (a(0), a(1))).sortBy(_._1).toArray
+      val n = cells.iterator.map(_._2).sum
+      val target = (n + 1L) / 2L
+      var cum = 0L; var i = 0; var m = cells.last._1; var found = false
+      while (i < cells.length && !found) {
+        cum += cells(i)._2
+        if (cum >= target) { m = cells(i)._1; found = true }
+        i += 1
+      }
+      m
+    })
     val med = vals.groupBy(k :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      .filter(col("__cum") >= expr("(__n + 1) div 2"))
-      .groupBy(k: _*).agg(min(col("__v")).as("grand_median"))
+      .groupBy(k: _*)
+      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .select(k :+ medKern(col("__grid")).as("grand_median"): _*)
     val cells = vals.join(med, keyCols)
       .groupBy(k :+ col("__g").as("__a") :+
         (col("__v") > col("grand_median")).as("__b"): _*)

@@ -225,11 +225,14 @@ object Sketch {
     * cross-engine trap.
     *
     * Scale shape: one map-side-combining aggregate over (group, bin) —
-    * the shuffle carries bin COUNTS, not rows — then a window over the
-    * per-group bin list (bounded by the bin count, not the data) and a
-    * tiny cross join against the quantile list. `valueCol` must be
-    * integral (cast upstream; for money, quantize to cents first) and
-    * non-negative bins assume non-negative values (integer `div`
+    * the shuffle carries bin COUNTS, not rows — then the per-group bin
+    * grid collects into ONE task where all the rank walks run in-memory
+    * (the [[huberLocation]]/[[medMadGrid]] grid-kernel discipline: a
+    * window partitioned by group already serialized each group's whole
+    * grid into one task; the kernel keeps that contract and drops the
+    * two window exchanges + the quantile cross join). `valueCol` must
+    * be integral (cast upstream; for money, quantize to cents first)
+    * and non-negative bins assume non-negative values (integer `div`
     * truncates toward zero, SQL `//` floors — they agree on
     * non-negatives, the operator's documented domain). */
   def binnedQuantiles(df: DataFrame, groupCols: Seq[String], valueCol: String,
@@ -238,22 +241,34 @@ object Sketch {
     require(binWidth > 0, s"binWidth must be positive, got $binWidth")
     require(qPermille.nonEmpty && qPermille.forall(q => q >= 1 && q <= 1000),
       s"quantiles must be per-mille in [1, 1000], got $qPermille")
-    val spark = df.sparkSession
-    import spark.implicits._
     val g = groupCols.map(col)
     val counts = df.filter(col(valueCol).isNotNull)
       .withColumn("__bin", expr(s"`$valueCol` div $binWidth"))
       .groupBy(g :+ col("__bin"): _*).agg(count(lit(1)).as("__c"))
-    val wCum = Window.partitionBy(g: _*).orderBy(col("__bin"))
-    val wAll = Window.partitionBy(g: _*)
-    val cum = counts
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("n", sum(col("__c")).over(wAll))
-    val qs = qPermille.toDF("q_permille")
-    cum.crossJoin(broadcast(qs))
-      .filter(col("__cum") >= expr("(q_permille * n + 999) div 1000"))
-      .groupBy(g :+ col("q_permille"): _*)
-      .agg((min(col("__bin")) * binWidth).as("est"), max(col("n")).as("n"))
+    val qArr = qPermille.toArray
+    // per-group kernel: sort the bin grid once, walk every requested
+    // rank — `(q‰·n + 999) div 1000` is the identical integer fence as
+    // the window path this replaced (first bin whose cum reaches it)
+    val kern = udf((grid: Seq[Seq[Long]]) => {
+      val cells = grid.map(a => (a(0), a(1))).sortBy(_._1).toArray
+      val n = cells.iterator.map(_._2).sum
+      qArr.toSeq.map { q =>
+        val target = (q.toLong * n + 999L) / 1000L
+        var cum = 0L; var i = 0; var est = cells.last._1
+        var found = false
+        while (i < cells.length && !found) {
+          cum += cells(i)._2
+          if (cum >= target) { est = cells(i)._1; found = true }
+          i += 1
+        }
+        (q, est * binWidth, n)
+      }
+    })
+    counts.groupBy(g: _*)
+      .agg(collect_list(array(col("__bin").cast("long"), col("__c"))).as("__grid"))
+      .withColumn("__q", explode(kern(col("__grid"))))
+      .select(g :+ col("__q._1").as("q_permille") :+ col("__q._2").as("est") :+
+        col("__q._3").as("n"): _*)
   }
 
   /** Per-group winsorization at EXACT order statistics: clip `valueCol`
@@ -406,7 +421,19 @@ object Sketch {
     * group-sized bound frame broadcasts back onto the rows — the row
     * side is scanned once for the histogram and once for the flags,
     * never shuffled. Output: input columns + `med`, `mad`,
-    * `is_outlier`. */
+    * `is_outlier`.
+    *
+    * Integral fast path (the [[huberLocation]] grid-kernel precedent):
+    * for byte/short/int/long values both rank walks and the deviation
+    * re-bin run IN-TASK over the collected per-group grid
+    * ([[medMadGrid]] — bit-identical integer fences), replacing the two
+    * histogram window exchanges with one map-side-combined aggregate.
+    * A window partitioned by group already serialized each group's
+    * whole grid into one task, so the per-group state contract is
+    * unchanged. Non-integral values keep the window path (rank
+    * elements of doubles are exact as VALUES, but a Long grid isn't).
+    * Note: the fast path emits `med`/`mad` as LONG regardless of the
+    * input's integral width; the window path preserves the input type. */
   def madOutliers(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   k: Long = 3L): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
@@ -414,14 +441,38 @@ object Sketch {
     reserved.foreach(c => require(!df.columns.contains(c),
       s"madOutliers emits `$c` — rename the existing column"))
     val g = groupCols.map(col)
-    val hist = df.filter(col(valueCol).isNotNull)
-      .groupBy(g :+ col(valueCol).as("__v"): _*).agg(count(lit(1)).as("__c"))
-    val med = lowerRankElement(hist, groupCols, "__v", "__c", 500, "med")
-    val devHist = hist.join(broadcast(med), groupCols)
-      .groupBy(g :+ abs(col("__v") - col("med")).as("__dev"): _*)
-      .agg(sum(col("__c")).as("__c"))
-    val mad = lowerRankElement(devHist, groupCols, "__dev", "__c", 500, "mad")
-    df.join(broadcast(med.join(mad, groupCols)), groupCols)
+    val integral = df.schema(valueCol).dataType match {
+      case org.apache.spark.sql.types.ByteType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val bounds =
+      if (integral) {
+        val hist = df.filter(col(valueCol).isNotNull)
+          .groupBy(g :+ col(valueCol).cast("long").as("__v"): _*)
+          .agg(count(lit(1)).as("__c"))
+        val kern = udf((grid: Seq[Seq[Long]]) => {
+          val (_, med, mad, _) =
+            medMadGrid(grid.map(a => (a(0), a(1))).toArray)
+          (med, mad)
+        })
+        hist.groupBy(g: _*)
+          .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+          .withColumn("__mm", kern(col("__grid")))
+          .select(g :+ col("__mm._1").as("med") :+ col("__mm._2").as("mad"): _*)
+      } else {
+        val hist = df.filter(col(valueCol).isNotNull)
+          .groupBy(g :+ col(valueCol).as("__v"): _*).agg(count(lit(1)).as("__c"))
+        val med = lowerRankElement(hist, groupCols, "__v", "__c", 500, "med")
+        val devHist = hist.join(broadcast(med), groupCols)
+          .groupBy(g :+ abs(col("__v") - col("med")).as("__dev"): _*)
+          .agg(sum(col("__c")).as("__c"))
+        val mad = lowerRankElement(devHist, groupCols, "__dev", "__c", 500, "mad")
+        med.join(mad, groupCols)
+      }
+    df.join(broadcast(bounds), groupCols)
       .withColumn("is_outlier",
         abs(col(valueCol) - col("med")) > lit(k) * col("mad"))
   }
@@ -483,8 +534,14 @@ object Sketch {
   /** The in-task Huber IRLS kernel over one group's (value, count)
     * grid — package-private so the wrap-boundary arithmetic is
     * spec-reachable without synthesizing 10⁹ rows. */
-  private[graft] def huberKernel(raw: Array[(Long, Long)],
-                                 nIters: Int): (Long, Long, Long, Long) = {
+  /** Exact lower-median + MAD over one group's sorted-on-demand
+    * (value, count) grid — the shared first half of [[huberKernel]] and
+    * the integral-type fast path of [[madOutliers]]. Same integer
+    * fences as the SQL rank walk (`(500n + 999) div 1000`), so results
+    * are bit-identical to the window path it replaces.
+    * Returns `(n, med, mad, sortedCells)`. */
+  private[graft] def medMadGrid(raw: Array[(Long, Long)])
+      : (Long, Long, Long, Array[(Long, Long)]) = {
       val cells = raw.sortBy(_._1)
       val n = cells.iterator.map(_._2).sum
       // lower rank element: min v with cum >= (500n + 999) div 1000 —
@@ -507,6 +564,12 @@ object Sketch {
       }
       val devCells = devAgg.toArray
       val mad = rankElem(devCells, n)
+      (n, med, mad, cells)
+  }
+
+  private[graft] def huberKernel(raw: Array[(Long, Long)],
+                                 nIters: Int): (Long, Long, Long, Long) = {
+      val (n, med, mad, cells) = medMadGrid(raw)
       val hc = 1.345 * (1.4826 * mad.toDouble)
       var m = med.toDouble
       var it = 0
@@ -715,10 +778,12 @@ object Sketch {
     * comparisons). The median itself is the lower median
     * `k = (n+1) div 2`. Groups with n < 2 emit the value as all three.
     *
-    * Scale shape: ONE map-side-combined histogram aggregate + one
-    * cumulative window over the value grid (bin continuous values
-    * upstream — the ksDrift dial). Output: `(groupCols…, n, median,
-    * lo, hi)`. */
+    * Scale shape: ONE map-side-combined histogram aggregate; the rank
+    * walks run IN-TASK over the collected per-group value grid (the
+    * [[medMadGrid]] discipline — a window partitioned by group already
+    * serialized the grid into one task; the kernel drops the window
+    * exchange, bit-identical fences). Bin continuous values upstream —
+    * the ksDrift dial. Output: `(groupCols…, n, median, lo, hi)`. */
   def medianCi(df: DataFrame, groupCols: Seq[String],
                valueCol: String): DataFrame = {
     require(groupCols.nonEmpty, "medianCi needs at least one group column")
@@ -728,22 +793,30 @@ object Sketch {
       .filter(v.isNotNull)
       .groupBy(k :+ v.as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-    val run = Window.partitionBy(k: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy(k: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    grid
-      .withColumn("__cum", sum(col("__c")).over(run))
-      .withColumn("__n", sum(col("__c")).over(all))
-      .withColumn("__lr", expr(
-        "greatest(cast(1 as bigint), cast(floor((cast(__n as double) - 1.96 * sqrt(cast(__n as double))) / 2.0) as bigint))"))
-      .withColumn("__ur", expr(
-        "least(__n, cast(ceil(1.0 + (cast(__n as double) + 1.96 * sqrt(cast(__n as double))) / 2.0) as bigint))"))
-      .groupBy(k: _*)
-      .agg(max(col("__n")).as("n"),
-        min(when(col("__cum") >= expr("(__n + 1) div 2"), col("__v"))).as("median"),
-        min(when(col("__cum") >= col("__lr"), col("__v"))).as("lo"),
-        min(when(col("__cum") >= col("__ur"), col("__v"))).as("hi"))
+    val kern = udf((g: Seq[Seq[Long]]) => {
+      val cells = g.map(a => (a(0), a(1))).sortBy(_._1).toArray
+      val n = cells.iterator.map(_._2).sum
+      // the identical double trees as the SQL ranks: floor/ceil on the
+      // same IEEE expression, then the same greatest/least clamps
+      val rt = 1.96 * math.sqrt(n.toDouble)
+      val lr = math.max(1L, math.floor((n.toDouble - rt) / 2.0).toLong)
+      val ur = math.min(n, math.ceil(1.0 + (n.toDouble + rt) / 2.0).toLong)
+      def firstAtOrAbove(rank: Long): Long = {
+        var cum = 0L; var i = 0
+        while (i < cells.length) {
+          cum += cells(i)._2
+          if (cum >= rank) return cells(i)._1
+          i += 1
+        }
+        cells.last._1
+      }
+      (n, firstAtOrAbove((n + 1L) / 2L), firstAtOrAbove(lr), firstAtOrAbove(ur))
+    })
+    grid.groupBy(k: _*)
+      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .withColumn("__r", kern(col("__grid")))
+      .select(k :+ col("__r._1").as("n") :+ col("__r._2").as("median") :+
+        col("__r._3").as("lo") :+ col("__r._4").as("hi"): _*)
   }
 
   /** ABC / Pareto classification per group — the inventory-analysis
@@ -828,11 +901,15 @@ object Sketch {
     * `trimmed_mean_e6 = (Σ − bottom − top)·10⁶ div (n − 2k)`
     * hash-matches a SQL replay. BIGINT bounds: `Σ|v|·10⁶ < 2⁶³`.
     *
-    * Scale shape: ONE map-side-combined histogram aggregate; two
-    * cumulative windows (ascending + descending) and the boundary
-    * assembly run over the value grid (bin continuous values upstream —
-    * the ksDrift dial). Output: `(groupCols…, n, n_trimmed_each,
-    * trimmed_mean_e6)`; groups with `n − 2k ≤ 0` emit null. */
+    * Scale shape: ONE map-side-combined histogram aggregate; the
+    * cumulative walks and the boundary assembly run IN-TASK over the
+    * collected per-group value grid (the [[medMadGrid]] discipline —
+    * a window partitioned by group already serialized the grid into
+    * one task; the kernel drops both window exchanges, term-identical
+    * Long arithmetic incl. the documented wrap contract). Bin
+    * continuous values upstream — the ksDrift dial. Output:
+    * `(groupCols…, n, n_trimmed_each, trimmed_mean_e6)`; groups with
+    * `n − 2k ≤ 0` emit null. */
   def trimmedMean(df: DataFrame, groupCols: Seq[String], valueCol: String,
                   trimPermille: Int = 50): DataFrame = {
     require(groupCols.nonEmpty, "trimmedMean needs at least one group column")
@@ -842,39 +919,42 @@ object Sketch {
     val x = col(valueCol).cast("long")
     val hist = df.filter(x.isNotNull)
       .groupBy(g :+ x.as("__v"): _*).agg(count(lit(1)).as("__c"))
-    val wAsc = Window.partitionBy(g: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(g: _*)
-    hist
-      .withColumn("__cumA", sum(col("__c")).over(wAsc))
-      .withColumn("__n", sum(col("__c")).over(wAll))
-      // the descending cumulative is pure arithmetic on the ascending one
-      // (n − cumA + c) — deriving it drops the second per-group sort pass
-      .withColumn("__cumD", col("__n") - col("__cumA") + col("__c"))
-      .withColumn("__s", sum(col("__v") * col("__c")).over(wAll))
-      .withColumn("__k", expr(s"__n * $trimPermille div 1000"))
-      .groupBy(g: _*)
-      .agg(
-        max(col("__n")).as("n"),
-        max(col("__s")).as("__sum"),
-        max(col("__k")).as("n_trimmed_each"),
-        sum(when(col("__cumA") <= col("__k"), col("__v") * col("__c"))
-          .otherwise(0L)).as("__botFull"),
-        max(when(col("__cumA") <= col("__k"), col("__cumA"))).as("__botCnt"),
-        min(when(col("__cumA") > col("__k"), col("__v"))).as("__lo"),
-        sum(when(col("__cumD") <= col("__k"), col("__v") * col("__c"))
-          .otherwise(0L)).as("__topFull"),
-        max(when(col("__cumD") <= col("__k"), col("__cumD"))).as("__topCnt"),
-        max(when(col("__cumD") > col("__k"), col("__v"))).as("__hi"))
-      .withColumn("__bot",
-        col("__botFull") +
-          (col("n_trimmed_each") - coalesce(col("__botCnt"), lit(0L))) * col("__lo"))
-      .withColumn("__top",
-        col("__topFull") +
-          (col("n_trimmed_each") - coalesce(col("__topCnt"), lit(0L))) * col("__hi"))
-      .withColumn("trimmed_mean_e6", expr(
-        "(__sum - __bot - __top) * 1000000 div nullif(n - 2 * n_trimmed_each, 0)"))
-      .select(g :+ col("n") :+ col("n_trimmed_each") :+ col("trimmed_mean_e6"): _*)
+    val trim = trimPermille.toLong
+    val kern = udf((grid: Seq[Seq[Long]]) => {
+      val cells = grid.map(a => (a(0), a(1))).sortBy(_._1).toArray
+      val n = cells.iterator.map(_._2).sum
+      val s = cells.iterator.map { case (v, c) => v * c }.sum
+      val k = n * trim / 1000L
+      // ascending walk: fully-trimmed bottom cells (cum <= k), the
+      // boundary value lo = min v with cum > k; the descending
+      // cumulative is n - cumA + c (decreasing in ascending order), so
+      // the top side falls out of the SAME pass — identical terms to
+      // the window form this replaced
+      var cumA = 0L
+      var botFull = 0L; var botCnt = 0L; var lo = 0L; var loSet = false
+      var topFull = 0L; var topCnt = 0L; var hi = 0L; var hiSet = false
+      cells.foreach { case (v, c) =>
+        cumA += c
+        val cumD = n - cumA + c
+        if (cumA <= k) { botFull += v * c; botCnt = cumA }
+        else if (!loSet) { lo = v; loSet = true }
+        if (cumD <= k) { topFull += v * c; if (topCnt == 0L) topCnt = cumD }
+        else { hi = v; hiSet = true } // last cell with cumD > k = max v
+      }
+      val denom = n - 2L * k
+      if (denom <= 0L || !loSet || !hiSet) (n, k, None: Option[Long])
+      else {
+        val bot = botFull + (k - botCnt) * lo
+        val top = topFull + (k - topCnt) * hi
+        (n, k, Some((s - bot - top) * 1000000L / denom))
+      }
+    })
+    hist.groupBy(g: _*)
+      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .withColumn("__r", kern(col("__grid")))
+      .select(g :+ col("__r._1").as("n") :+
+        col("__r._2").as("n_trimmed_each") :+
+        col("__r._3").as("trimmed_mean_e6"): _*)
   }
 
   /** Per-key Hill tail-index estimator — "how heavy is the upper tail":

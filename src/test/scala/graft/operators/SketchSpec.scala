@@ -185,6 +185,18 @@ class SketchSpec extends SparkSpec {
     assert(out.filter(_._4).map(_._1).toSeq == Seq(100L))
   }
 
+  test("madOutliers: non-integral values take the window path with identical verdicts") {
+    // same data as the hand-computed case but DOUBLE-typed — exercises
+    // the window branch (the integral grid kernel can't hold doubles)
+    // and pins the two paths to the same med/mad/flags
+    val df = ((1L to 9L) :+ 100L).map(v => ("g", v.toDouble)).toDF("g", "v")
+    val out = Sketch.madOutliers(df, Seq("g"), "v", k = 2)
+      .collect().map(r => (r.getAs[Double]("v"), r.getAs[Double]("med"),
+        r.getAs[Double]("mad"), r.getAs[Boolean]("is_outlier")))
+    assert(out.forall(t => t._2 == 5.0 && t._3 == 2.0))
+    assert(out.filter(_._4).map(_._1).toSeq == Seq(100.0))
+  }
+
   test("madOutliers is per-group and refuses colliding columns") {
     val df = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("b", 10L), ("b", 30L), ("b", 50L))
       .toDF("g", "v")
