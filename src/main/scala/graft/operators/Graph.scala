@@ -70,7 +70,22 @@ object Graph {
     // even the raw count fits, skip the distinct SHUFFLE + persist +
     // second action entirely — one shuffle-free collect, dedupe in the
     // driver HashSet (the funnel dial's footer-probe discipline).
-    val rawUpper = edges.count()
+    // GATED on the plan being a filter-free project chain over a scan:
+    // on a derived frame (join/agg/filter upstream) the count is a full
+    // computation the distinct path would repeat — there the old
+    // persist-first staging is strictly better, so the probe stays off.
+    def footerCountable(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+      p match {
+        case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+          footerCountable(proj.child)
+        case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
+          footerCountable(a.child)
+        case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+        case _ => false
+      }
+    val rawUpper =
+      if (footerCountable(edges.queryExecution.analyzed)) edges.count()
+      else Long.MaxValue
     if (rawUpper <= threshold) {
       val raw = edges.select(col(srcCol).cast("string").as("src"),
           col(dstCol).cast("string").as("dst"))

@@ -1386,10 +1386,19 @@ object Metrics {
     * cardinality a 100 TB table produces. A fail-loud require remains
     * at the 10³⁸ edge.
     *
-    * Scale shape: cell grid → value grid (re-aggregation) → one ordered
-    * window over the DISTINCT-VALUE grid → grid joins; raw rows shuffle
-    * once. Output: `(keys…, k_groups, n, h_e4, hc_e4, crit5_e4,
-    * significant)`. */
+    * Scale shape: ONE map-side-combined cell-grid aggregate, then the
+    * whole midrank/tie/H chain runs IN-TASK over the collected per-key
+    * (group, value, count) grid (the Sketch.medMadGrid round-15
+    * discipline — the old window partitioned by key already serialized
+    * each key's full value grid into one task; the kernel keeps that
+    * contract and drops the checkpoint, the window exchange, and both
+    * grid joins). Every arithmetic term replicates the replaced SQL —
+    * exact BigInt sums stand in for the DECIMAL(38,0) columns
+    * (identical values inside the 10³⁸ envelope; past it the SQL sums
+    * nulled silently, the kernel nulls EXPLICITLY at the same fence),
+    * the rank-cube fail-loud `require` is unchanged, and each double
+    * tree keeps the same operand order. Output: `(keys…, k_groups, n,
+    * h_e4, hc_e4, crit5_e4, significant)`. */
   def kruskalWallis(df: DataFrame, keyCols: Seq[String], groupCol: String,
                     valueCol: String, crit5E4: Long = 94877L): DataFrame = {
     require(keyCols.nonEmpty, "kruskalWallis needs at least one key column")
@@ -1397,57 +1406,74 @@ object Metrics {
     val x = col(valueCol).cast("long")
     val cells = dropNullKeys(df, keyCols)
       .filter(col(groupCol).isNotNull && x.isNotNull)
-      .groupBy(k :+ col(groupCol).as("__g") :+ x.as("__v"): _*)
+      .groupBy(k :+ col(groupCol).cast("string").as("__g") :+ x.as("__v"): _*)
       .agg(count(lit(1)).as("__cgv"))
-      // lazy localCheckpoint: the cell grid feeds the value grid AND the
-      // rank join
-      .localCheckpoint(false)
-    val wBefore = Window.partitionBy(k: _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val vals = cells.groupBy(k :+ col("__v"): _*)
-      .agg(sum(col("__cgv")).as("__cv"))
-      .withColumn("__mr2",
-        lit(2L) * coalesce(sum(col("__cv")).over(wBefore), lit(0L)) +
-          col("__cv") + 1L)
-    // (2R_g)²/n_g floor-divides through an arbitrary-precision BigInt
-    // intermediate into a DECIMAL(38,0) result (string-routed — a bare
-    // BigDecimal UDF return would infer (38,18) and overflow): the
-    // rank-cube term holds to n ≲ 5e12 rows/key, fail-loud past 1e38
-    val sqDiv = udf((r2: java.math.BigDecimal, ng: Long) => {
-      val r = BigInt(r2.toBigInteger)
-      val v = r * r / ng
-      require(v.abs < BigInt(10).pow(38),
-        "kruskalWallis rank cube exceeds DECIMAL(38,0) — split keys upstream")
-      v.toString
+    val cap = BigInt(10).pow(38)
+    val kern = udf((gsIn: Seq[String], vsIn: Seq[Long], csIn: Seq[Long]) => {
+      // materialize to arrays FIRST: the Seqs Spark hands a UDF are not
+      // guaranteed O(1)-indexed, and the walks below index in a loop —
+      // without this the kernel degrades quadratically on big grids
+      val gs = gsIn.toArray; val vs = vsIn.toArray; val cs = csIn.toArray
+      val m = gs.length
+      // value grid: cv per distinct value, ascending — midrank
+      // 2·mr = 2·cum_before + cv + 1, the mannWhitney identity
+      val cvMap = scala.collection.mutable.TreeMap.empty[Long, Long]
+      var i = 0
+      while (i < m) { cvMap.update(vs(i), cvMap.getOrElse(vs(i), 0L) + cs(i)); i += 1 }
+      var n = 0L
+      val mr2 = scala.collection.mutable.HashMap.empty[Long, BigInt]
+      var t3 = BigInt(0)
+      cvMap.foreach { case (v, cv) =>
+        mr2.update(v, BigInt(2L) * n + cv + 1L)
+        n += cv
+        t3 += (BigInt(cv) * cv * cv - cv)
+      }
+      // per-group 2R_g and n_g; (2R_g)²/n_g floor-divides in BigInt
+      // with the unchanged fail-loud 10³⁸ fence
+      val ng = scala.collection.mutable.HashMap.empty[String, Long]
+      val r2g = scala.collection.mutable.HashMap.empty[String, BigInt]
+      i = 0
+      while (i < m) {
+        val g = gs(i)
+        ng.update(g, ng.getOrElse(g, 0L) + cs(i))
+        r2g.update(g, r2g.getOrElse(g, BigInt(0)) + BigInt(cs(i)) * mr2(vs(i)))
+        i += 1
+      }
+      var sr = BigInt(0)
+      ng.keys.foreach { g =>
+        val tg = r2g(g) * r2g(g) / ng(g)
+        require(tg.abs < cap,
+          "kruskalWallis rank cube exceeds DECIMAL(38,0) — split keys upstream")
+        sr += tg
+      }
+      val kGroups = ng.size.toLong
+      // past 10³⁸ the replaced DECIMAL sums nulled SILENTLY — null
+      // explicitly at the same fence so the two forms never diverge
+      val srOk = sr.abs < cap
+      val t3Ok = t3.abs < cap
+      val h = 12.0 / (n.toDouble * (n + 1L).toDouble) *
+        (sr.toDouble / 4.0) - 3.0 * (n + 1L).toDouble
+      val tie = 1.0 - t3.toDouble /
+        (n.toDouble * n.toDouble * n.toDouble - n.toDouble)
+      val hE4 =
+        if (kGroups >= 2L && n >= 2L && srOk)
+          Some(math.floor(h * 10000.0 + 0.5).toLong)
+        else None
+      val hcE4 =
+        if (kGroups >= 2L && n >= 2L && srOk && t3Ok && tie > 0.0)
+          Some(math.floor(h / tie * 10000.0 + 0.5).toLong)
+        else None
+      (kGroups, n, hE4, hcE4, hcE4.map(_ > crit5E4))
     })
-    val perGroup = cells
-      .join(vals.select(k :+ col("__v") :+ col("__mr2"): _*), keyCols :+ "__v")
-      .groupBy(k :+ col("__g"): _*)
-      .agg(sum(col("__cgv")).as("__ng"),
-        sum(expr("cast(__cgv as decimal(38,0)) * __mr2")).as("__r2g"))
-      .withColumn("__tg", sqDiv(col("__r2g"), col("__ng")).cast("decimal(38,0)"))
-      .groupBy(k: _*)
-      .agg(count(lit(1)).as("k_groups"), sum(col("__tg")).as("__sr"))
-    val ties = vals.groupBy(k: _*)
-      .agg(sum(col("__cv")).as("n"),
-        sum(expr("cast(__cv as decimal(38,0)) * __cv * __cv - __cv")).as("__t3"))
-    val h = """(12.0 / (cast(n as double) * cast(n + 1 as double))
-              | * (cast(__sr as double) / 4.0) - 3.0 * cast(n + 1 as double))"""
-      .stripMargin.replaceAll("\n", " ")
-    val tie = """(1.0 - cast(__t3 as double)
-                | / (cast(n as double) * cast(n as double) * cast(n as double)
-                |    - cast(n as double)))""".stripMargin.replaceAll("\n", " ")
-    perGroup.join(ties, keyCols)
-      .withColumn("h_e4", expr(
-        s"""case when k_groups >= 2 and n >= 2 then
-           |  cast(floor($h * 10000 + 0.5) as bigint) end""".stripMargin))
-      .withColumn("hc_e4", expr(
-        s"""case when k_groups >= 2 and n >= 2 and $tie > 0 then
-           |  cast(floor($h / $tie * 10000 + 0.5) as bigint) end""".stripMargin))
-      .withColumn("crit5_e4", lit(crit5E4))
-      .withColumn("significant",
-        when(col("hc_e4").isNotNull, col("hc_e4") > crit5E4))
-      .drop("__sr", "__t3")
+    cells.groupBy(k: _*)
+      .agg(collect_list(struct(col("__g"), col("__v"), col("__cgv"))).as("__cells"))
+      .withColumn("__r", kern(
+        expr("transform(__cells, x -> x.__g)"),
+        expr("transform(__cells, x -> x.__v)"),
+        expr("transform(__cells, x -> x.__cgv)")))
+      .select(k :+ col("__r._1").as("k_groups") :+ col("__r._2").as("n") :+
+        col("__r._3").as("h_e4") :+ col("__r._4").as("hc_e4") :+
+        lit(crit5E4).as("crit5_e4") :+ col("__r._5").as("significant"): _*)
   }
 
   /** Brier score with the Murphy (1973) three-way decomposition —
