@@ -3315,7 +3315,67 @@ private[graft] object OraclesC {
     // and k=32 with no threshold (minCnt=1), so the only q92 surface
     // left unreplayed is rank > 32 of the same arithmetic
     "q381_x_bpe_merge_k16" -> bpeMergeLadderSql(16),
-    "q382_x_bpe_merge_k32" -> bpeMergeLadderSql(32)
+    "q382_x_bpe_merge_k32" -> bpeMergeLadderSql(32),
+
+    // Jonckheere–Terpstra: cell-pair join over the (key, group, value)
+    // grid for the exact doubled statistic (ties counted once, strict
+    // pairs twice), HUGEINT moment sums, one z double tree mirroring
+    // the kernel's operand order term for term
+    "q383_x_jonckheere_trend" -> {
+      val varj = """(CAST(t1 AS DOUBLE) / 72.0
+                   | + CAST(t2 AS DOUBLE) / (36.0 * CAST(n AS DOUBLE)
+                   |     * CAST(n - 1 AS DOUBLE) * CAST(n - 2 AS DOUBLE))
+                   | + CAST(t3 AS DOUBLE) / (8.0 * CAST(n AS DOUBLE)
+                   |     * CAST(n - 1 AS DOUBLE)))"""
+        .stripMargin.replaceAll("\n", " ")
+      val z = s"(CAST(j2 - e2j AS DOUBLE) / sqrt(4.0 * $varj))"
+      s"""WITH base AS (
+        |  SELECT o_orderstatus AS k, CAST(o_orderpriority AS VARCHAR) AS g,
+        |         CAST(floor(o_totalprice + 0.5) AS BIGINT) // 100 AS v
+        |  FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |    AND o_totalprice IS NOT NULL),
+        |cells AS MATERIALIZED (
+        |  SELECT k, g, v, CAST(count(*) AS BIGINT) AS c
+        |  FROM base GROUP BY 1, 2, 3),
+        |jj AS (SELECT a.k,
+        |        CAST(sum(CASE WHEN a.v < b.v THEN 2 * CAST(a.c AS HUGEINT) * b.c
+        |                      WHEN a.v = b.v THEN CAST(a.c AS HUGEINT) * b.c
+        |                      ELSE 0 END) AS HUGEINT) AS j2
+        |      FROM cells a JOIN cells b ON a.k = b.k AND a.g < b.g
+        |      GROUP BY 1),
+        |sizes AS (SELECT k, g, CAST(sum(c) AS BIGINT) AS ng
+        |          FROM cells GROUP BY 1, 2),
+        |gstats AS (SELECT k, CAST(count(*) AS BIGINT) AS k_groups,
+        |             CAST(sum(ng) AS BIGINT) AS n,
+        |             sum(CAST(ng AS HUGEINT) * ng) AS sng2,
+        |             sum(CAST(ng AS HUGEINT) * (ng - 1) * (2 * ng + 5)) AS g1,
+        |             sum(CAST(ng AS HUGEINT) * (ng - 1) * (ng - 2)) AS g2,
+        |             sum(CAST(ng AS HUGEINT) * (ng - 1)) AS g3
+        |           FROM sizes GROUP BY 1),
+        |tstats AS (SELECT k,
+        |             sum(CAST(t AS HUGEINT) * (t - 1) * (2 * t + 5)) AS u1,
+        |             sum(CAST(t AS HUGEINT) * (t - 1) * (t - 2)) AS u2,
+        |             sum(CAST(t AS HUGEINT) * (t - 1)) AS u3
+        |           FROM (SELECT k, v, CAST(sum(c) AS BIGINT) AS t
+        |                 FROM cells GROUP BY 1, 2) GROUP BY 1),
+        |mo AS (SELECT g.k, g.k_groups, g.n,
+        |         COALESCE(jj.j2, 0) AS j2,
+        |         (CAST(g.n AS HUGEINT) * g.n - g.sng2) // 2 AS e2j,
+        |         CAST(g.n AS HUGEINT) * (g.n - 1) * (2 * g.n + 5)
+        |           - g.g1 - t.u1 AS t1,
+        |         g.g2 * t.u2 AS t2, g.g3 * t.u3 AS t3
+        |       FROM gstats g
+        |       LEFT JOIN jj ON g.k = jj.k
+        |       JOIN tstats t ON g.k = t.k)
+        |SELECT k AS o_orderstatus, k_groups, n, CAST(j2 AS BIGINT) AS j2,
+        |  CASE WHEN k_groups >= 2 AND n >= 3 AND $varj > 0 THEN
+        |    CAST(floor($z * 10000 + 0.5) AS BIGINT) END AS z_e4,
+        |  CASE WHEN k_groups >= 2 AND n >= 3 AND $varj > 0 THEN
+        |    abs(CAST(floor($z * 10000 + 0.5) AS BIGINT)) > 19600
+        |  END AS significant
+        |FROM mo ORDER BY o_orderstatus""".stripMargin
+    }
   )
 
   /** q371's unrolled BPE merge oracle at depth `k`, minCnt=1 (the

@@ -2614,6 +2614,21 @@ private[graft] object QueriesB {
     // of the SAME per-round arithmetic (each rung checks every lower
     // rank again, so a divergence at any checked depth cannot hide)
     "q382_x_bpe_merge_k32" -> tuned((s, d) =>
-      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 32))
+      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 32)),
+
+    // ---- extension: Jonckheere–Terpstra ordered trend — the k-group
+    // ORDERED-alternative test closing the trend triangle (Mann-Kendall
+    // q216 = one series over time, Cochran-Armitage q348 = binary
+    // outcome over scores; this = a metric over ORDERED groups): does
+    // order value trend across the priority tiers, whose label order
+    // 1-URGENT < … < 5-LOW IS the test's ordering. Values on the
+    // hundred-dollar grid keep the oracle's cell-pair join compact
+    "q383_x_jonckheere_trend" -> tuned((s, d) =>
+      graft.operators.Metrics.jonckheereTerpstra(
+          Tables.orders(s, d)
+            .withColumn("hdollars",
+              expr("cast(floor(o_totalprice + 0.5) as bigint) div 100")),
+          Seq("o_orderstatus"), "o_orderpriority", "hdollars")
+        .orderBy("o_orderstatus"))
   )
 }

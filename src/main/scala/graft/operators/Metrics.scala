@@ -1476,6 +1476,124 @@ object Metrics {
         lit(crit5E4).as("crit5_e4") :+ col("__r._5").as("significant"): _*)
   }
 
+  /** Per-key Jonckheere–Terpstra ordered-alternative trend test — the
+    * k-group test [[kruskalWallis]] cannot be: KW asks "do the groups
+    * differ AT ALL", JT asks "do they trend IN THE GIVEN ORDER"
+    * (dose-response, priority tiers, quality buckets), which buys large
+    * power when the ordering is real. Groups are ordered by the NATURAL
+    * ascending order of `groupCol` (encode the intended order into the
+    * labels — the TPC-H priority vocabulary `1-URGENT < … < 5-LOW`
+    * already is one). `J = Σ_{g<h} U_{gh}` over all ordered group
+    * pairs, ties counted ½ (Hollander & Wolfe); the null mean and the
+    * full TIE-CORRECTED variance are exact-integer functions of the
+    * group sizes and tie-group sizes.
+    *
+    * Exactness: everything rides the doubled statistic — `2J` is an
+    * exact integer (`Σ_{g<h} Σ_v c_h(v)·(2·cumlt_g(v) + c_g(v))`, the
+    * midrank discipline), `2·E[J] = (n² − Σn_g²)/2·2` is exact
+    * (`n² − Σn_g²` is even by the pair identity), and the three
+    * variance terms T1/T2/T3 are exact BigInt sums mirrored by the
+    * oracle's HUGEINT columns; z is ONE fixed double tree over those
+    * integers, e4-quantized, verdict on the rounded value
+    * (|z| > 1.96 two-sided).
+    *
+    * Scale shape: ONE map-side-combined (key, group, value)-grid
+    * aggregate, then the pair walk runs IN-TASK over the collected
+    * per-key grid (the [[kruskalWallis]] round-15 kernel discipline) —
+    * O(G²·V) per key with G = group vocabulary (bounded by contract,
+    * like funnel stages) and V the distinct-value grid. Keys with
+    * fewer than 2 groups, n < 3, or zero variance (one tie class)
+    * emit null z. Output: `(keys…, k_groups, n, j2, z_e4,
+    * significant)`. */
+  def jonckheereTerpstra(df: DataFrame, keyCols: Seq[String],
+                         groupCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "jonckheereTerpstra needs at least one key column")
+    val k = keyCols.map(col)
+    val x = col(valueCol).cast("long")
+    val cells = dropNullKeys(df, keyCols)
+      .filter(col(groupCol).isNotNull && x.isNotNull)
+      .groupBy(k :+ col(groupCol).cast("string").as("__g") :+ x.as("__v"): _*)
+      .agg(count(lit(1)).as("__cgv"))
+    val kern = udf((gsIn: Seq[String], vsIn: Seq[Long], csIn: Seq[Long]) => {
+      // arrays first — the UDF's Seqs are not O(1)-indexed (the
+      // kruskalWallis round-15 lesson)
+      val gs = gsIn.toArray; val vs = vsIn.toArray; val cs = csIn.toArray
+      val m = gs.length
+      // per-group sorted value grid + per-value tie totals
+      val byGroup = scala.collection.mutable.TreeMap
+        .empty[String, scala.collection.mutable.TreeMap[Long, Long]]
+      val tie = scala.collection.mutable.HashMap.empty[Long, Long]
+      var i = 0
+      while (i < m) {
+        val gm = byGroup.getOrElseUpdate(gs(i),
+          scala.collection.mutable.TreeMap.empty[Long, Long])
+        gm.update(vs(i), gm.getOrElse(vs(i), 0L) + cs(i))
+        tie.update(vs(i), tie.getOrElse(vs(i), 0L) + cs(i))
+        i += 1
+      }
+      val groups = byGroup.keys.toArray // ascending label order = the test's order
+      val kG = groups.length.toLong
+      val sizes = groups.map(g => byGroup(g).valuesIterator.sum)
+      val n = sizes.sum
+      // 2J: for each ordered pair (lo, hi), each hi-cell at value v adds
+      // 2·(lo mass strictly below v) + (lo mass tied at v), all exact
+      var j2 = BigInt(0)
+      var lo = 0
+      while (lo < groups.length - 1) {
+        val loGrid = byGroup(groups(lo)).toArray // ascending v
+        var hi = lo + 1
+        while (hi < groups.length) {
+          var li = 0; var cumLt = 0L
+          byGroup(groups(hi)).foreach { case (v, ch) =>
+            while (li < loGrid.length && loGrid(li)._1 < v) {
+              cumLt += loGrid(li)._2; li += 1
+            }
+            val tied =
+              if (li < loGrid.length && loGrid(li)._1 == v) loGrid(li)._2 else 0L
+            j2 += BigInt(ch) * (2L * cumLt + tied)
+          }
+          hi += 1
+        }
+        lo += 1
+      }
+      // exact null moments: 2E[J] = (n² − Σn_g²)/2 · 2 → e2j = that;
+      // tie-corrected Var(J) = T1/72 + T2/(36n(n−1)(n−2)) + T3/(8n(n−1))
+      val sng2 = sizes.map(s => BigInt(s) * s).sum
+      val e2j = (BigInt(n) * n - sng2) / 2
+      def f1(t: Long) = BigInt(t) * (t - 1) * (2 * t + 5)
+      def f2(t: Long) = BigInt(t) * (t - 1) * (t - 2)
+      def f3(t: Long) = BigInt(t) * (t - 1)
+      val t1 = f1(n) - sizes.map(f1).sum - tie.valuesIterator.map(f1).sum
+      val t2 = sizes.map(f2).sum * tie.valuesIterator.map(f2).sum
+      val t3 = sizes.map(f3).sum * tie.valuesIterator.map(f3).sum
+      val zE4 =
+        if (kG >= 2L && n >= 3L) {
+          val varJ = t1.toDouble / 72.0 +
+            t2.toDouble / (36.0 * n.toDouble * (n - 1L).toDouble * (n - 2L).toDouble) +
+            t3.toDouble / (8.0 * n.toDouble * (n - 1L).toDouble)
+          if (varJ > 0.0)
+            Some(math.floor((j2 - e2j).toDouble / math.sqrt(4.0 * varJ)
+              * 10000.0 + 0.5).toLong)
+          else None
+        } else None
+      // j2 ≤ n²/2-ish: fail loud past the BIGINT readout bound (n per
+      // key ≳ 4e9) rather than wrap silently — the kruskalWallis fence
+      // convention
+      require(j2 < BigInt(Long.MaxValue),
+        "jonckheereTerpstra 2J exceeds BIGINT — split keys upstream")
+      (kG, n, j2.toLong, zE4, zE4.map(z => math.abs(z) > 19600L))
+    })
+    cells.groupBy(k: _*)
+      .agg(collect_list(struct(col("__g"), col("__v"), col("__cgv"))).as("__cells"))
+      .withColumn("__r", kern(
+        expr("transform(__cells, x -> x.__g)"),
+        expr("transform(__cells, x -> x.__v)"),
+        expr("transform(__cells, x -> x.__cgv)")))
+      .select(k :+ col("__r._1").as("k_groups") :+ col("__r._2").as("n") :+
+        col("__r._3").as("j2") :+ col("__r._4").as("z_e4") :+
+        col("__r._5").as("significant"): _*)
+  }
+
   /** Brier score with the Murphy (1973) three-way decomposition —
     * `Brier = Reliability − Resolution + Uncertainty` over `nBins`
     * equal-width score bins: reliability is calibration error proper

@@ -633,6 +633,44 @@ class MetricsSpec extends SparkSpec {
       s"hc=${rs.getAs[Long]("hc_e4")}")
   }
 
+  test("jonckheereTerpstra: brute-force 2J law, monotone trend significant, flat not") {
+    // 2J must equal the double-looped pair count: 2·#{x<y} + #{x=y}
+    // over every ordered group pair — checked against a mixed tie-heavy
+    // fixture; then a clean monotone trend reads significant while an
+    // order-free shuffle of the same values does not
+    val data = Seq(("k", "a", 1L), ("k", "a", 2L), ("k", "a", 2L),
+      ("k", "b", 2L), ("k", "b", 3L), ("k", "c", 3L), ("k", "c", 5L),
+      ("k", "c", 1L))
+    val groups = data.map(_._2).distinct.sorted
+    var expected = 0L
+    for (gi <- groups.indices; hi <- gi + 1 until groups.length) {
+      val xs = data.filter(_._2 == groups(gi)).map(_._3)
+      val ys = data.filter(_._2 == groups(hi)).map(_._3)
+      for (x <- xs; y <- ys) {
+        if (x < y) expected += 2L else if (x == y) expected += 1L
+      }
+    }
+    val r = Metrics.jonckheereTerpstra(data.toDF("k", "g", "v"),
+      Seq("k"), "g", "v").collect().head
+    assert(r.getAs[Long]("j2") == expected, s"j2=${r.getAs[Long]("j2")} vs $expected")
+    assert(r.getAs[Long]("k_groups") == 3L && r.getAs[Long]("n") == 8L)
+    // monotone: values strictly rise with group order -> large positive z
+    val mono = ((1 to 10).map(i => ("m", "a", i.toLong)) ++
+      (11 to 20).map(i => ("m", "b", i.toLong)) ++
+      (21 to 30).map(i => ("m", "c", i.toLong))).toDF("k", "g", "v")
+    val rm = Metrics.jonckheereTerpstra(mono, Seq("k"), "g", "v").collect().head
+    assert(rm.getAs[Boolean]("significant") && rm.getAs[Long]("z_e4") > 19600L)
+    // same values dealt round-robin across groups: no order signal
+    val flat = (1 to 30).map(i =>
+      ("f", Seq("a", "b", "c")(i % 3), i.toLong)).toDF("k", "g", "v")
+    val rf = Metrics.jonckheereTerpstra(flat, Seq("k"), "g", "v").collect().head
+    assert(!rf.getAs[Boolean]("significant"), s"z=${rf.getAs[Long]("z_e4")}")
+    // degenerate: single tie class -> zero variance -> null z
+    val tied = Seq(("t", "a", 7L), ("t", "b", 7L), ("t", "c", 7L)).toDF("k", "g", "v")
+    val rt = Metrics.jonckheereTerpstra(tied, Seq("k"), "g", "v").collect().head
+    assert(rt.get(rt.fieldIndex("z_e4")) == null)
+  }
+
   test("mannWhitney: hand-computed midranks and tie-corrected z; degenerate nulls") {
     // A = {1, 3}, B = {2, 3}: midranks 1, 2, 3.5/3.5 -> 2U_a = 3,
     // T = 6, var = 1.5, z = -1/(2*sqrt(1.5)) ~ -0.4082
