@@ -59,6 +59,7 @@ object SparkEntry {
       "q368_x_sessions_auto" -> m("q110_x_batch_sessions"),
       "q369_x_funnel_auto" -> m("q147_x_funnel"),
       "q372_x_stream_seasonal_grid" -> m("q370_u6_seasonal_grid"),
-      "q378_x_stream_cmh" -> m("q377_x_cmh_test"))
+      "q378_x_stream_cmh" -> m("q377_x_cmh_test"),
+      "q384_x_stream_jonckheere" -> m("q383_x_jonckheere_trend"))
   }
 }

@@ -2629,6 +2629,13 @@ private[graft] object QueriesB {
             .withColumn("hdollars",
               expr("cast(floor(o_totalprice + 0.5) as bigint) div 100")),
           Seq("o_orderstatus"), "o_orderpriority", "hdollars")
-        .orderBy("o_orderstatus"))
+        .orderBy("o_orderstatus")),
+
+    // ---- extension: STREAMING twin of q383 Jonckheere-Terpstra
+    // (state = the bounded (key, group, value)-count grid in complete
+    // mode; shared jtFromCells kernel readout) — the standing
+    // ordered-trend monitor; drained == batch, one oracle
+    "q384_x_stream_jonckheere" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingJonckheere(s, d))
   )
 }

@@ -1506,14 +1506,29 @@ object Metrics {
     * emit null z. Output: `(keys…, k_groups, n, j2, z_e4,
     * significant)`. */
   def jonckheereTerpstra(df: DataFrame, keyCols: Seq[String],
-                         groupCol: String, valueCol: String): DataFrame = {
+                         groupCol: String, valueCol: String): DataFrame =
+    jtFromCells(jtCells(df, keyCols, groupCol, valueCol), keyCols)
+
+  /** The (key, group, value)-count grid feeding [[jonckheereTerpstra]] —
+    * exposed so a complete-mode streaming aggregate can BE the grid
+    * (the cmhStrata split): drained state == the batch cells, so the
+    * shared [[jtFromCells]] readout makes the twin oracle-identical. */
+  private[graft] def jtCells(df: DataFrame, keyCols: Seq[String],
+                             groupCol: String, valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "jonckheereTerpstra needs at least one key column")
     val k = keyCols.map(col)
     val x = col(valueCol).cast("long")
-    val cells = dropNullKeys(df, keyCols)
+    dropNullKeys(df, keyCols)
       .filter(col(groupCol).isNotNull && x.isNotNull)
       .groupBy(k :+ col(groupCol).cast("string").as("__g") :+ x.as("__v"): _*)
       .agg(count(lit(1)).as("__cgv"))
+  }
+
+  /** [[jonckheereTerpstra]]'s kernel readout over an already-built
+    * cell grid (`keys…, __g, __v, __cgv`). */
+  private[graft] def jtFromCells(cells: DataFrame,
+                                 keyCols: Seq[String]): DataFrame = {
+    val k = keyCols.map(col)
     val kern = udf((gsIn: Seq[String], vsIn: Seq[Long], csIn: Seq[Long]) => {
       // arrays first — the UDF's Seqs are not O(1)-indexed (the
       // kruskalWallis round-15 lesson)

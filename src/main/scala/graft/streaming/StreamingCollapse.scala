@@ -1648,6 +1648,34 @@ object StreamingCollapse {
       spark.table(name).localCheckpoint(true))
   }
 
+  /** Streaming twin of q383's Jonckheere–Terpstra ordered trend — the
+    * standing dose-response monitor (is today's ingest still trending
+    * across the ordered tiers): state IS the
+    * [[graft.operators.Metrics.jtCells]] (key, group, value)-count
+    * grid in complete mode, so the drained table equals the batch
+    * cells exactly and the SHARED `jtFromCells` kernel readout makes
+    * drained == batch — one oracle serves the pair. Grid state is
+    * bounded by key × group-vocabulary × the hundred-dollar value
+    * grid, the same contract as the batch kernel. */
+  def streamingJonckheere(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_jt"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/orders.parquet").schema
+    val o = spark.readStream.schema(phys).parquet(streamDir(dir, "orders"))
+      .withColumn("hdollars",
+        expr("cast(floor(o_totalprice + 0.5) as bigint) div 100"))
+    val grid = graft.operators.Metrics.jtCells(
+      o, Seq("o_orderstatus"), "o_orderpriority", "hdollars")
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.jtFromCells(
+        spark.table(name).localCheckpoint(true), Seq("o_orderstatus"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Streaming twin of q361's t-closeness — the standing privacy
     * monitor a release pipeline wants (does TODAY'S ingest push any
     * quasi-identifier class's sensitive distribution away from the
