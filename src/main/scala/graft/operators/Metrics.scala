@@ -2777,11 +2777,17 @@ object Metrics {
       .groupBy(k: _*)
       .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
       .select(k :+ medKern(col("__grid")).as("grand_median"): _*)
+    // EAGER on the GRID-sized cells (≈ keys × groups × 2 rows),
+    // deliberately: this frame was the engine's largest
+    // accumulator-burst magnet under a lazy checkpoint (bursts up to
+    // 400/run), and eager materialization of a tiny grid costs one
+    // job floor — the one spot where the round-15 lazy-by-default
+    // decision (see brierDecomposition) reverses profitably
     val cells = vals.join(med, keyCols)
       .groupBy(k :+ col("__g").as("__a") :+
         (col("__v") > col("grand_median")).as("__b"): _*)
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     chiSqFromCells(cells, keyCols).join(med, keyCols)
   }
 
