@@ -1345,18 +1345,27 @@ object Metrics {
     val base = dropNullKeys(df, keyCols)
       .filter(col(groupCol).isNotNull && x.isNotNull)
       .select(k :+ col(groupCol).as("__g") :+ x.as("__x"): _*)
-    val wCum = Window.partitionBy(k :+ col("__g"): _*).orderBy(col("__v"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(k :+ col("__g"): _*)
+    // lower median per (key, group): smallest value whose cumulative
+    // count reaches (nt+1) div 2 — the rank walk runs IN-TASK over the
+    // collected per-group grid (the round-15 grid-kernel discipline,
+    // identical fence; replaces two window exchanges)
+    val medKern = udf((grid: Seq[Seq[Long]]) => {
+      val cells = grid.map(a => (a(0), a(1))).sortBy(_._1).toArray
+      val nt = cells.iterator.map(_._2).sum
+      val target = (nt + 1L) / 2L
+      var cum = 0L; var i = 0; var m = cells.last._1; var found = false
+      while (i < cells.length && !found) {
+        cum += cells(i)._2
+        if (cum >= target) { m = cells(i)._1; found = true }
+        i += 1
+      }
+      m
+    })
     val med = base.groupBy(k :+ col("__g") :+ col("__x").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
-      .withColumn("__cum", sum(col("__c")).over(wCum))
-      .withColumn("__nt", sum(col("__c")).over(wAll))
-      // lower median: smallest value whose cumulative count reaches the
-      // (nt+1) div 2 position (integer div — `/` on longs is a double)
-      .filter(expr("__cum >= (__nt + 1) div 2"))
       .groupBy(k :+ col("__g"): _*)
-      .agg(min(col("__v")).as("__med"))
+      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .select(k :+ col("__g") :+ medKern(col("__grid")).as("__med"): _*)
     val dev = base.join(med, keyCols :+ "__g")
       .withColumn("__z", abs(col("__x") - col("__med")))
     anovaOneWay(dev, keyCols, "__g", "__z")
