@@ -74,13 +74,26 @@ object Graph {
     // on a derived frame (join/agg/filter upstream) the count is a full
     // computation the distinct path would repeat — there the old
     // persist-first staging is strictly better, so the probe stays off.
+    // Leaf gate: only COLUMNAR file relations (count served from
+    // parquet/orc footers) and in-memory LocalRelations qualify — a
+    // row-oriented leaf (CSV/JSON/JDBC) makes the probe a full scan the
+    // distinct path would then repeat, so it keeps the persist staging.
     def footerCountable(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
       p match {
         case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
           footerCountable(proj.child)
         case a: org.apache.spark.sql.catalyst.plans.logical.SubqueryAlias =>
           footerCountable(a.child)
-        case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => true
+        case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          lr.relation match {
+            case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat] ||
+              fs.fileFormat.isInstanceOf[
+                org.apache.spark.sql.execution.datasources.orc.OrcFileFormat]
+            case _ => false
+          }
+        case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
         case _ => false
       }
     val rawUpper =

@@ -1333,10 +1333,12 @@ object Metrics {
     * `|x − med_g|` are exact integers and the whole readout inherits
     * anovaOneWay's floor-quantized integer discipline verbatim.
     *
-    * Scale shape: one grid aggregate + one ordered window over the
-    * DISTINCT-VALUE grid for the medians, one broadcast-shaped join
-    * back onto the rows, then anovaOneWay's single aggregate. Output:
-    * anovaOneWay's with `f_e4` renamed `bf_e4`. */
+    * Scale shape: one grid aggregate, then the per-(key, group) median
+    * rank walk runs IN-TASK over the collected grid (the round-15
+    * grid-kernel discipline — [[GridFence.collectGrid]] bounds the
+    * cells per key loudly), one broadcast-shaped join back onto the
+    * rows, then anovaOneWay's single aggregate. Output: anovaOneWay's
+    * with `f_e4` renamed `bf_e4`. */
   def brownForsythe(df: DataFrame, keyCols: Seq[String], groupCol: String,
                     valueCol: String): DataFrame = {
     require(keyCols.nonEmpty, "brownForsythe needs at least one key column")
@@ -1364,7 +1366,8 @@ object Metrics {
     val med = base.groupBy(k :+ col("__g") :+ col("__x").as("__v"): _*)
       .agg(count(lit(1)).as("__c"))
       .groupBy(k :+ col("__g"): _*)
-      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .agg(GridFence.collectGrid(array(col("__v"), col("__c")),
+        "brownForsythe").as("__grid"))
       .select(k :+ col("__g") :+ medKern(col("__grid")).as("__med"): _*)
     val dev = base.join(med, keyCols :+ "__g")
       .withColumn("__z", abs(col("__x") - col("__med")))
@@ -1475,11 +1478,12 @@ object Metrics {
       (kGroups, n, hE4, hcE4, hcE4.map(_ > crit5E4))
     })
     cells.groupBy(k: _*)
-      .agg(collect_list(struct(col("__g"), col("__v"), col("__cgv"))).as("__cells"))
+      .agg(GridFence.collectCells(col("__g"), col("__v"), col("__cgv"),
+        "kruskalWallis").as("__cells"))
       .withColumn("__r", kern(
-        expr("transform(__cells, x -> x.__g)"),
-        expr("transform(__cells, x -> x.__v)"),
-        expr("transform(__cells, x -> x.__cgv)")))
+        expr("transform(__cells, x -> x._1)"),
+        expr("transform(__cells, x -> x._2)"),
+        expr("transform(__cells, x -> x._3)")))
       .select(k :+ col("__r._1").as("k_groups") :+ col("__r._2").as("n") :+
         col("__r._3").as("h_e4") :+ col("__r._4").as("hc_e4") :+
         lit(crit5E4).as("crit5_e4") :+ col("__r._5").as("significant"): _*)
@@ -1492,7 +1496,10 @@ object Metrics {
     * power when the ordering is real. Groups are ordered by the NATURAL
     * ascending order of `groupCol` (encode the intended order into the
     * labels — the TPC-H priority vocabulary `1-URGENT < … < 5-LOW`
-    * already is one). `J = Σ_{g<h} U_{gh}` over all ordered group
+    * already is one). Label-order contract: the kernel compares labels
+    * in Java String (UTF-16 code unit) order while the SQL oracle
+    * compares UTF-8 bytes — identical for ASCII labels, divergent only
+    * past the BMP, so ordered-group labels are ASCII by contract. `J = Σ_{g<h} U_{gh}` over all ordered group
     * pairs, ties counted ½ (Hollander & Wolfe); the null mean and the
     * full TIE-CORRECTED variance are exact-integer functions of the
     * group sizes and tie-group sizes.
@@ -1608,11 +1615,12 @@ object Metrics {
       (kG, n, j2.toLong, zE4, zE4.map(z => math.abs(z) > 19600L))
     })
     cells.groupBy(k: _*)
-      .agg(collect_list(struct(col("__g"), col("__v"), col("__cgv"))).as("__cells"))
+      .agg(GridFence.collectCells(col("__g"), col("__v"), col("__cgv"),
+        "jonckheereTerpstra").as("__cells"))
       .withColumn("__r", kern(
-        expr("transform(__cells, x -> x.__g)"),
-        expr("transform(__cells, x -> x.__v)"),
-        expr("transform(__cells, x -> x.__cgv)")))
+        expr("transform(__cells, x -> x._1)"),
+        expr("transform(__cells, x -> x._2)"),
+        expr("transform(__cells, x -> x._3)")))
       .select(k :+ col("__r._1").as("k_groups") :+ col("__r._2").as("n") :+
         col("__r._3").as("j2") :+ col("__r._4").as("z_e4") :+
         col("__r._5").as("significant"): _*)
@@ -2784,7 +2792,8 @@ object Metrics {
     })
     val med = vals.groupBy(k :+ col("__v"): _*).agg(count(lit(1)).as("__c"))
       .groupBy(k: _*)
-      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .agg(GridFence.collectGrid(array(col("__v"), col("__c")),
+        "moodMedianTest").as("__grid"))
       .select(k :+ medKern(col("__grid")).as("grand_median"): _*)
     // EAGER on the GRID-sized cells (≈ keys × groups × 2 rows),
     // deliberately: this frame was the engine's largest

@@ -265,7 +265,8 @@ object Sketch {
       }
     })
     counts.groupBy(g: _*)
-      .agg(collect_list(array(col("__bin").cast("long"), col("__c"))).as("__grid"))
+      .agg(GridFence.collectGrid(array(col("__bin").cast("long"), col("__c")),
+        "binnedQuantiles").as("__grid"))
       .withColumn("__q", explode(kern(col("__grid"))))
       .select(g :+ col("__q._1").as("q_permille") :+ col("__q._2").as("est") :+
         col("__q._3").as("n"): _*)
@@ -459,7 +460,8 @@ object Sketch {
           (med, mad)
         })
         hist.groupBy(g: _*)
-          .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+          .agg(GridFence.collectGrid(array(col("__v"), col("__c")),
+            "madOutliers").as("__grid"))
           .withColumn("__mm", kern(col("__grid")))
           .select(g :+ col("__mm._1").as("med") :+ col("__mm._2").as("mad"): _*)
       } else {
@@ -525,15 +527,13 @@ object Sketch {
     val kernel = udf((grid: Seq[Seq[Long]]) =>
       huberKernel(grid.map(a => (a(0), a(1))).toArray, nIters))
     hist.groupBy(g: _*)
-      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .agg(GridFence.collectGrid(array(col("__v"), col("__c")),
+        "huberLocation").as("__grid"))
       .withColumn("__r", kernel(col("__grid")))
       .select(g :+ col("__r._1").as("n") :+ col("__r._2").as("med") :+
         col("__r._3").as("mad") :+ col("__r._4").as("huber_e6"): _*)
   }
 
-  /** The in-task Huber IRLS kernel over one group's (value, count)
-    * grid — package-private so the wrap-boundary arithmetic is
-    * spec-reachable without synthesizing 10⁹ rows. */
   /** Exact lower-median + MAD over one group's sorted-on-demand
     * (value, count) grid — the shared first half of [[huberKernel]] and
     * the integral-type fast path of [[madOutliers]]. Same integer
@@ -567,6 +567,9 @@ object Sketch {
       (n, med, mad, cells)
   }
 
+  /** The in-task Huber IRLS kernel over one group's (value, count)
+    * grid — package-private so the wrap-boundary arithmetic is
+    * spec-reachable without synthesizing 10⁹ rows. */
   private[graft] def huberKernel(raw: Array[(Long, Long)],
                                  nIters: Int): (Long, Long, Long, Long) = {
       val (n, med, mad, cells) = medMadGrid(raw)
@@ -813,7 +816,8 @@ object Sketch {
       (n, firstAtOrAbove((n + 1L) / 2L), firstAtOrAbove(lr), firstAtOrAbove(ur))
     })
     grid.groupBy(k: _*)
-      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .agg(GridFence.collectGrid(array(col("__v"), col("__c")),
+        "medianCi").as("__grid"))
       .withColumn("__r", kern(col("__grid")))
       .select(k :+ col("__r._1").as("n") :+ col("__r._2").as("median") :+
         col("__r._3").as("lo") :+ col("__r._4").as("hi"): _*)
@@ -950,7 +954,8 @@ object Sketch {
       }
     })
     hist.groupBy(g: _*)
-      .agg(collect_list(array(col("__v"), col("__c"))).as("__grid"))
+      .agg(GridFence.collectGrid(array(col("__v"), col("__c")),
+        "trimmedMean").as("__grid"))
       .withColumn("__r", kern(col("__grid")))
       .select(g :+ col("__r._1").as("n") :+
         col("__r._2").as("n_trimmed_each") :+
