@@ -11,7 +11,14 @@ import org.apache.spark.sql.SparkSession
   * rule. Per-pass timings are all persisted in the JSON (`pass1`/
   * `pass2`/`pass3` maps beside the min-of-N `queries` map) so a future
   * reader can distinguish single-pass JVM noise from a real regression
-  * without re-running. */
+  * without re-running.
+  *
+  * Provenance + drift: every invocation stamps a `run_id` into the
+  * stdout line, target/bench.json, and target/bench_errors.txt (so the
+  * three round artifacts are provably from ONE run), and times a fixed
+  * CPU-bound calibration probe at start and end
+  * (`calibration_start_s`/`calibration_end_s`) so cross-round totals
+  * can be normalized for ambient host drift. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -127,6 +134,28 @@ object Bench {
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
+    // Host-drift calibration: a fixed CPU-bound probe (constant shape, no
+    // IO — 2·10⁹ rows of codegen'd integer arithmetic) timed at bench
+    // start and end, min-of-2 each. The benched host drifts 15-30%
+    // between sessions (r15's committed total overstated the engine's
+    // cost vs r14 purely on ambient throughput); with the probe pair in
+    // the artifact, cross-round totals normalize by calibration instead
+    // of narrative. The probe's own first run doubles as its codegen
+    // warmup — min-of-2 drops it.
+    def calibrationProbe(tag: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        spark.range(0L, 2000000000L, 1L, cpus.toInt)
+          .selectExpr("sum((id * 2654435761) % 1000003) as s")
+          .write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      currentQuery = s"calibration:$tag"
+      // min-of-3: the probe is ~0.3 s and scheduling noise on a busy
+      // host is ±25% per sample; the min is the host's actual ceiling
+      Seq(once(), once(), once()).min
+    }
+    val calStart = calibrationProbe("start")
     // Force FULL evaluation via the noop sink: count() lets Catalyst prune
     // every projected expression (a projection-heavy query would "run" in
     // the time of a row count), which silently exempts exactly the
@@ -182,6 +211,14 @@ object Bench {
         name -> (System.nanoTime() - t0) / 1e9
       }.toMap
     val results = min2.map { case (k, v) => k -> math.min(v, p3.getOrElse(k, v)) }
+    val calEnd = calibrationProbe("end")
+    // Single-run provenance: the same run_id lands in the compact stdout
+    // line (-> the driver's BENCH_rN.json), target/bench.json, and
+    // target/bench_errors.txt, so a per-query map or error file can be
+    // matched to its headline mechanically (r15's committed map was from
+    // a different, noisier invocation than its headline — undetectable
+    // without this field).
+    val runId = java.lang.Long.toHexString(System.currentTimeMillis())
     // 3-decimal values + short sf label keep the whole line ~2 KB: the
     // harness captures only a bounded tail of stdout, and an oversize line
     // is recorded as unparseable (BENCH_r01/r02 "parsed": null).
@@ -218,7 +255,7 @@ object Bench {
       import scala.jdk.CollectionConverters._
       failedQueries.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"failed_queries":$failedJson,"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","run_id":"$runId","calibration_start_s":$calStart%.3f,"calibration_end_s":$calEnd%.3f,"log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"failed_queries":$failedJson,"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
     // The full per-query map goes to the FILE only: at 210 queries the map is
     // ~5 KB and the harness's bounded stdout tail truncated it from the FRONT
     // in r06 ("parsed": null). The file copy survives any amount of log noise.
@@ -232,12 +269,13 @@ object Bench {
       val kinds = errKinds.asScala.toSeq.sortBy(-_._2.get)
         .map { case (k, v) => s"${v.get}x $k" }.mkString("\n")
       java.nio.file.Files.write(java.nio.file.Paths.get("target/bench_errors.txt"),
-        (kinds + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        (s"run_id $runId\n" + kinds + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     } catch { case _: Throwable => () }
     // stdout gets a COMPACT summary (~120 bytes) as the LAST line — total,
     // query count, sf, and a pointer to the per-query file — so the driver's
     // tail capture always holds the complete JSON object.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"per_query":"target/bench.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","run_id":"$runId","calibration_start_s":$calStart%.3f,"calibration_end_s":$calEnd%.3f,"log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"per_query":"target/bench.json"}"""
     println(compact)
     System.out.flush()
   }
