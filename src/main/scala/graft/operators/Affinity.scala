@@ -9,14 +9,15 @@ import org.apache.spark.sql.functions._
   * relational sibling of `text.Corpus.pmiCollocations` (adjacent token
   * pairs there, set co-occurrence within a basket here).
   *
-  * Shape at scale: items are deduped per basket first (one aggregate-
-  * style distinct), then the pair generation is a SELF-JOIN ON THE
-  * BASKET KEY — the join fans out per basket as |items|², so the cost is
-  * Σ|basket|², bounded by the max basket size (TPC-H order ≈ 7 lines;
-  * carts and sessions are similarly capped in practice), never |items|×
-  * |items| globally. The `itemA < itemB` predicate halves the fan-out
-  * and canonicalizes pair order. A degenerate mega-basket (thousands of
-  * items) is the operator's skew axis — cap or sample those upstream.
+  * Shape at scale: ONE basket-keyed aggregate builds each basket's
+  * sorted deduped item set (map-side-combined — the shuffle carries
+  * sets, not rows), and the pair fan-out runs IN-TASK over that array
+  * as |items|² per basket, so the cost is Σ|basket|², bounded by the
+  * max basket size (TPC-H order ≈ 7 lines; carts and sessions are
+  * similarly capped in practice), never |items|×|items| globally.
+  * Ascending array order canonicalizes pairs (item1 < item2), halving
+  * the fan-out. A degenerate mega-basket (thousands of items) is the
+  * operator's skew axis — cap or sample those upstream.
   *
   * Integer-exact readouts (q143 discipline — no float in the decision
   * path): with `n_b` total baskets, `c12` pair count, `c1`/`c2` item
@@ -29,20 +30,33 @@ object Affinity {
 
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
                    minSupport: Long = 1L): DataFrame = {
-    // persist the deduped basket-item table: FOUR consumers read it (both
-    // self-join sides, the item counts, the basket count) — unpersisted,
-    // the scan+distinct would run four times (the minhashCandidates
-    // lesson); the nBaskets count doubles as the cache materializer, and
-    // the ContextCleaner frees the blocks once the result is unreachable
-    val items = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
+    // ONE shuffle on the basket key builds the per-basket sorted item
+    // set (collect_set partial-aggregates map-side, so the shuffle
+    // carries per-partition deduped sets, not rows); dedup, the basket
+    // count, the item counts, and the |basket|² pair fan-out all read
+    // off that grouped frame IN-TASK — this replaces the former
+    // distinct + self-join form, whose basket-keyed join exchanges and
+    // separate distinct/count passes re-shuffled the row-scale table
+    // four times. Persisted because three consumers derive from it; the
+    // nBaskets count doubles as the cache materializer, and the
+    // ContextCleaner frees the blocks once the result is unreachable.
+    val baskets = df.select(col(basketCol).as("__b"), col(itemCol).as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull)
-      .distinct()
+      .groupBy(col("__b"))
+      .agg(array_sort(collect_set(col("__i"))).as("__is"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nBaskets = items.select("__b").distinct().count()
-    val itemCounts = items.groupBy(col("__i")).agg(count(lit(1)).as("__c"))
-    val pairs = items.select(col("__b"), col("__i").as("item1"))
-      .join(items.select(col("__b"), col("__i").as("item2")), Seq("__b"))
-      .filter(col("item1") < col("item2"))
+    val nBaskets = baskets.count()
+    val itemCounts = baskets.select(explode(col("__is")).as("__i"))
+      .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
+    // ascending-sorted array makes position order the canonical
+    // item1 < item2 order: pair element i with every later element
+    val pairs = baskets
+      .select(explode(expr(
+        """flatten(transform(__is, (x, i) ->
+          |  transform(slice(__is, i + 2, size(__is)),
+          |            y -> struct(x as item1, y as item2))))""".stripMargin))
+        .as("__p"))
+      .select(col("__p.item1"), col("__p.item2"))
       .groupBy(col("item1"), col("item2"))
       .agg(count(lit(1)).as("c12"))
       .filter(col("c12") >= minSupport)
