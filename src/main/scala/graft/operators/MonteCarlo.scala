@@ -166,9 +166,19 @@ object MonteCarlo {
       .map { case (t, i) => s"when __h <= ${t}L then $i" }
       .mkString("case ", " ", " else 7 end")
     val reps = base
+      // EXPLOSIVE-FAN-OUT REDISTRIBUTION (the FuzzyJoin candidate
+      // lesson): the explode multiplies rows ×replicates, but the stage
+      // inherits the SCAN's partitioning — a compact parquet input (one
+      // small file = one partition) would run the whole n·B resample
+      // near-serial. A row-count-bounded shuffle before the fan-out
+      // pins the replicate arithmetic across the cluster.
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+      // row-only hash half hoisted ABOVE the explode: it's constant
+      // across a row's `replicates` copies, and the generator's output
+      // projection would otherwise recompute it per (row, replicate)
+      .withColumn("__h0", expr("pmod(__id, 1000003) * 1103515245 + 54321"))
       .withColumn("__b", explode(sequence(lit(0), lit(replicates - 1))))
-      .withColumn("__h", expr(
-        "pmod(pmod(__id, 1000003) * 1103515245 + __b * 2654435761 + 54321, 2147483647)"))
+      .withColumn("__h", expr("pmod(__h0 + __b * 2654435761, 2147483647)"))
       .withColumn("__w", expr(wCase))
     val repMeans = reps.groupBy(k :+ col("__b"): _*)
       .agg(sum(col("__w") * col("__x")).as("__swx"), sum(col("__w")).as("__sw"))

@@ -184,7 +184,14 @@ object LanguageModel {
       .filter(col(textCol).isNotNull && length(trim(col(textCol))) > 0)
       .select(col(idCol).as("doc_id"),
         posexplode(Cols.tokens(col(textCol))).as(Seq("pos", "term")))
+      // lazy localCheckpoint (the brierDecomposition pattern): the
+      // token table feeds both the vocabulary counts and the mapped
+      // stream — uncheckpointed, the scan+tokenize+explode ran twice
+      .localCheckpoint(false)
     val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      // grid-sized, three consumers: the vocab broadcast and the two
+      // grid-derived readouts (c1, vSize) below
+      .localCheckpoint(false)
     val vocab = counts.filter(col("c") >= minCount).select("term")
     val mapped = toks
       .join(broadcast(vocab.withColumn("__inv", lit(true))), Seq("term"), "left")
@@ -197,8 +204,19 @@ object LanguageModel {
     val docBig = big.groupBy(col("doc_id"), col("m").as("w1"), col("m2").as("w2"))
       .agg(count(lit(1)).as("nb"))
     val c12 = docBig.groupBy(col("w1"), col("w2")).agg(sum(col("nb")).as("c12"))
-    val c1 = mapped.groupBy(col("m").as("w1")).agg(count(lit(1)).as("c1"))
-    val vSize = mapped.agg(count_distinct(col("m")).as("v"))
+    // unigram counts and vocabulary size read off the term-count GRID —
+    // the mapped token stream collapses onto it exactly (each in-vocab
+    // token keeps its term; every below-minCount token folds into the
+    // OOV class), so re-scanning the token table for them was pure waste
+    val c1 = counts.filter(col("c") >= minCount)
+      .select(col("term").as("w1"), col("c").as("c1"))
+      .unionByName(counts.filter(col("c") < minCount)
+        .agg(sum(col("c")).as("c1")).filter(col("c1").isNotNull)
+        .select(lit(oov).as("w1"), col("c1")))
+    val vSize = counts.agg(
+      (count_distinct(when(col("c") >= minCount, col("term"))) +
+        when(count(when(col("c") < minCount, 1)) > 0, 1L).otherwise(0L))
+        .as("v"))
     val p = (col("c12") + lit(k)) / (col("c1") + lit(k) * (col("v") + lit(1)))
     docBig
       .join(c12, Seq("w1", "w2"))
