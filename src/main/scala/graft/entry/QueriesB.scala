@@ -154,6 +154,10 @@ private[graft] object QueriesB {
           .withColumn("l_quantity",
             lit(-1).cast(li.schema("l_quantity").dataType))
           .withColumn("l_returnflag", lit(null).cast("string")))
+        // lazy localCheckpoint (the brierDecomposition pattern): all
+        // three suite tiers (expectations, profile, Benford) scan the
+        // planted union — uncheckpointed it re-reads + re-unions thrice
+        .localCheckpoint(false)
       val expect = Expectations.validate(planted,
           rowChecks = Seq(
             "quantity_range" -> (col("l_quantity") >= 1 &&
