@@ -1481,9 +1481,9 @@ object Metrics {
       .agg(GridFence.collectCells(col("__g"), col("__v"), col("__cgv"),
         "kruskalWallis").as("__cells"))
       .withColumn("__r", kern(
-        expr("transform(__cells, x -> x._1)"),
-        expr("transform(__cells, x -> x._2)"),
-        expr("transform(__cells, x -> x._3)")))
+        expr("transform(__cells, x -> x.__g)"),
+        expr("transform(__cells, x -> x.__v)"),
+        expr("transform(__cells, x -> x.__cgv)")))
       .select(k :+ col("__r._1").as("k_groups") :+ col("__r._2").as("n") :+
         col("__r._3").as("h_e4") :+ col("__r._4").as("hc_e4") :+
         lit(crit5E4).as("crit5_e4") :+ col("__r._5").as("significant"): _*)
@@ -1618,9 +1618,9 @@ object Metrics {
       .agg(GridFence.collectCells(col("__g"), col("__v"), col("__cgv"),
         "jonckheereTerpstra").as("__cells"))
       .withColumn("__r", kern(
-        expr("transform(__cells, x -> x._1)"),
-        expr("transform(__cells, x -> x._2)"),
-        expr("transform(__cells, x -> x._3)")))
+        expr("transform(__cells, x -> x.__g)"),
+        expr("transform(__cells, x -> x.__v)"),
+        expr("transform(__cells, x -> x.__cgv)")))
       .select(k :+ col("__r._1").as("k_groups") :+ col("__r._2").as("n") :+
         col("__r._3").as("j2") :+ col("__r._4").as("z_e4") :+
         col("__r._5").as("significant"): _*)

