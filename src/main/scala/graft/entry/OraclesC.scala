@@ -3375,8 +3375,80 @@ private[graft] object OraclesC {
         |    abs(CAST(floor($z * 10000 + 0.5) AS BIGINT)) > 19600
         |  END AS significant
         |FROM mo ORDER BY o_orderstatus""".stripMargin
-    }
+    },
+
+    // Dunn post-hoc: midranks off the pooled value grid (2·mr =
+    // 2·cum_before + cv + 1), HUGEINT 2R_g and tie cubes mirroring the
+    // kernel's BigInt sums, the q313 A&S-26.2.17 Horner p tree and BH
+    // replay verbatim; the streaming twin q386 drains the same grid
+    // through the same readout, so this oracle serves both.
+    "q385_x_dunn_posthoc" -> dunnSql,
+    "q386_x_stream_dunn" -> dunnSql
   )
+
+  private lazy val dunnSql: String =
+    """WITH base AS (
+      |  SELECT o_orderstatus AS k, CAST(o_orderpriority AS VARCHAR) AS g,
+      |         CAST(floor(o_totalprice + 0.5) AS BIGINT) // 100 AS v
+      |  FROM orders
+      |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+      |    AND o_totalprice IS NOT NULL),
+      |cells AS MATERIALIZED (
+      |  SELECT k, g, v, CAST(count(*) AS BIGINT) AS c
+      |  FROM base GROUP BY 1, 2, 3),
+      |vgrid AS MATERIALIZED (
+      |  SELECT k, v, CAST(sum(c) AS BIGINT) AS cv FROM cells GROUP BY 1, 2),
+      |mr AS MATERIALIZED (
+      |  SELECT k, v, cv,
+      |    2 * (CAST(sum(cv) OVER (PARTITION BY k ORDER BY v) AS BIGINT) - cv)
+      |      + cv + 1 AS mr2
+      |  FROM vgrid),
+      |tot AS (SELECT k, CAST(sum(cv) AS BIGINT) AS n,
+      |          sum(CAST(cv AS HUGEINT) * cv * cv - cv) AS t3
+      |        FROM vgrid GROUP BY 1),
+      |grp AS (SELECT c.k, c.g, CAST(sum(c.c) AS BIGINT) AS ng,
+      |          sum(CAST(c.c AS HUGEINT) * m.mr2) AS r2
+      |        FROM cells c JOIN mr m ON c.k = m.k AND c.v = m.v
+      |        GROUP BY 1, 2),
+      |pairs AS (
+      |  SELECT a.k, a.g AS group_a, b.g AS group_b, a.ng AS n_a, b.ng AS n_b,
+      |         a.r2 AS r2a, b.r2 AS r2b, t.n, t.t3
+      |  FROM grp a JOIN grp b ON a.k = b.k AND a.g < b.g
+      |  JOIN tot t ON a.k = t.k),
+      |zz AS (
+      |  SELECT k, group_a, group_b, n_a, n_b, n,
+      |    (CAST(r2a AS DOUBLE) / n_a - CAST(r2b AS DOUBLE) / n_b) / 2.0 AS d,
+      |    (CAST(n AS DOUBLE) * CAST(n + 1 AS DOUBLE) / 12.0
+      |       - CAST(t3 AS DOUBLE) / (12.0 * CAST(n - 1 AS DOUBLE)))
+      |      * (1.0 / n_a + 1.0 / n_b) AS s2
+      |  FROM pairs),
+      |zc AS (
+      |  SELECT k, group_a, group_b, n_a, n_b,
+      |    CASE WHEN n >= 2 AND s2 > 0 THEN d / sqrt(s2) END AS z
+      |  FROM zz),
+      |zt AS (SELECT *, 1.0 / (1.0 + 0.2316419 * abs(z)) AS w FROM zc),
+      |q AS (SELECT k, group_a, group_b, n_a, n_b,
+      |        CAST(floor(z * 10000 + 0.5) AS BIGINT) AS z_e4,
+      |        CASE WHEN z IS NOT NULL THEN
+      |          CAST(floor(2.0 * exp(-abs(z) * abs(z) / 2.0)
+      |            * 0.3989422804014327
+      |            * (w * (0.319381530 + w * (-0.356563782
+      |               + w * (1.781477937 + w * (-1.821255978
+      |               + w * 1.330274429)))))
+      |            * 1000000000 + 0.5) AS BIGINT)
+      |        END AS p_e9
+      |      FROM zt),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY p_e9, k, group_a,
+      |               group_b) AS INT) AS rank,
+      |             CAST(count(*) OVER () AS BIGINT) AS m
+      |      FROM q WHERE p_e9 IS NOT NULL),
+      |f AS (SELECT *, max(CASE WHEN p_e9 * 1000 * m
+      |               <= rank * 50 * CAST(1000000000 AS BIGINT) THEN rank END)
+      |               OVER () AS kmax
+      |      FROM r)
+      |SELECT k AS o_orderstatus, group_a, group_b, n_a, n_b, z_e4, p_e9,
+      |       rank, coalesce(rank <= kmax, false) AS rejected
+      |FROM f ORDER BY o_orderstatus, group_a, group_b""".stripMargin
 
   /** q371's unrolled BPE merge oracle at depth `k`, minCnt=1 (the
     * no-stop ladder): each round re-counts pairs over the materialized

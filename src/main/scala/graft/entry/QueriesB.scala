@@ -2640,6 +2640,25 @@ private[graft] object QueriesB {
     // mode; shared jtFromCells kernel readout) — the standing
     // ordered-trend monitor; drained == batch, one oracle
     "q384_x_stream_jonckheere" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingCollapse.streamingJonckheere(s, d))
+      graft.streaming.StreamingCollapse.streamingJonckheere(s, d)),
+
+    // ---- extension: Dunn post-hoc — WHICH priority pairs differ after
+    // the q383/q270 tier flags a key: pairwise mean-midrank z's off the
+    // same (status, priority, hdollars) cell grid, tie-corrected,
+    // A&S-26.2.17 p's, ONE BH family across keys (the q313 convention)
+    "q385_x_dunn_posthoc" -> tuned((s, d) =>
+      graft.operators.Metrics.dunnTest(
+          Tables.orders(s, d)
+            .withColumn("hdollars",
+              expr("cast(floor(o_totalprice + 0.5) as bigint) div 100")),
+          Seq("o_orderstatus"), "o_orderpriority", "hdollars")
+        .orderBy("o_orderstatus", "group_a", "group_b")),
+
+    // ---- extension: STREAMING twin of q385 (state = the same bounded
+    // cell grid in complete mode; shared dunnFromCells readout incl.
+    // the BH family) — the standing which-pairs-differ monitor;
+    // drained == batch, one oracle
+    "q386_x_stream_dunn" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingDunn(s, d))
   )
 }

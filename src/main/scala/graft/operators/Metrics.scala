@@ -1626,6 +1626,120 @@ object Metrics {
         col("__r._5").as("significant"): _*)
   }
 
+  /** Per-key Dunn's post-hoc test — WHICH group pairs differ after
+    * [[kruskalWallis]] flags a key, the nonparametric sibling of
+    * [[pairwiseWelch]] (that one compares means and needs the
+    * parametric tier's assumptions; this one compares MEAN MIDRANKS off
+    * the pooled rank grid, Dunn 1964): for each ordered pair (i, j),
+    * `z = (R̄_i − R̄_j) / sqrt((n(n+1)/12 − ΣT/(12(n−1)))·(1/n_i +
+    * 1/n_j))` with the Σ(t³−t) tie correction, two-sided normal p, and
+    * the whole k(k−1)/2-pair family Benjamini–Hochberg-corrected as ONE
+    * family across keys via [[bhCorrect]] (the pairwiseWelch
+    * convention).
+    *
+    * Exactness: midranks ride the (group, value, count) cell grid —
+    * `2·mr = 2·cum_before + c_v + 1` ([[mannWhitney]]'s identity), so
+    * `2R_g` is an exact BigInt mirrored by the oracle's HUGEINT; tie
+    * cubes likewise. Each pair's d/s²/z/p is ONE fixed double tree over
+    * those integers — the p tree is the Abramowitz–Stegun 26.2.17
+    * Horner form VERBATIM from [[pairwiseWelch]], so both engines
+    * replay it bit-for-bit; z is e4-floored, p e9-floored. Pairs where
+    * the variance term degenerates (n < 2, or an all-tied key) emit
+    * null z/p and drop from the BH family (the q313 convention).
+    *
+    * Scale shape: ONE map-side-combined cell-grid aggregate
+    * ([[jtCells]] — the same grid the KW/JT kernels read), the rank
+    * and pair arithmetic IN-TASK over the collected per-key grid
+    * ([[GridFence]]-bounded), one pair-count-sized explode, then
+    * bhCorrect's family-sized windows. Group labels order by the
+    * ASCII contract ([[jonckheereTerpstra]]'s note). Output: `(keys…,
+    * group_a, group_b, n_a, n_b, z_e4, p_e9, rank, rejected)`. */
+  def dunnTest(df: DataFrame, keyCols: Seq[String], groupCol: String,
+               valueCol: String, qPermille: Int = 50): DataFrame =
+    dunnFromCells(jtCells(df, keyCols, groupCol, valueCol), keyCols, qPermille)
+
+  /** [[dunnTest]]'s kernel readout over an already-built cell grid
+    * (`keys…, __g, __v, __cgv`) — exposed so a complete-mode streaming
+    * aggregate can BE the grid (the jtFromCells split). */
+  private[graft] def dunnFromCells(cells: DataFrame, keyCols: Seq[String],
+                                   qPermille: Int): DataFrame = {
+    val k = keyCols.map(col)
+    val kern = udf((gsIn: Seq[String], vsIn: Seq[Long], csIn: Seq[Long]) => {
+      // arrays first — the UDF's Seqs are not O(1)-indexed (the
+      // kruskalWallis round-15 lesson)
+      val gs = gsIn.toArray; val vs = vsIn.toArray; val cs = csIn.toArray
+      val m = gs.length
+      // pooled value grid: cv per distinct value ascending; midrank
+      // identity 2·mr = 2·cum_before + cv + 1; tie cubes Σ(t³ − t)
+      val cvMap = scala.collection.mutable.TreeMap.empty[Long, Long]
+      var i = 0
+      while (i < m) { cvMap.update(vs(i), cvMap.getOrElse(vs(i), 0L) + cs(i)); i += 1 }
+      var n = 0L
+      val mr2 = scala.collection.mutable.HashMap.empty[Long, Long]
+      var t3 = BigInt(0)
+      cvMap.foreach { case (v, cv) =>
+        mr2.update(v, 2L * n + cv + 1L)
+        n += cv
+        t3 += (BigInt(cv) * cv * cv - cv)
+      }
+      // per-group n_g and exact 2R_g
+      val ng = scala.collection.mutable.HashMap.empty[String, Long]
+      val r2g = scala.collection.mutable.HashMap.empty[String, BigInt]
+      i = 0
+      while (i < m) {
+        val g = gs(i)
+        ng.update(g, ng.getOrElse(g, 0L) + cs(i))
+        r2g.update(g, r2g.getOrElse(g, BigInt(0)) + BigInt(cs(i)) * mr2(vs(i)))
+        i += 1
+      }
+      val groups = ng.keys.toArray.sorted // ASCII label order, a total order
+      val out = scala.collection.mutable.ArrayBuffer
+        .empty[(String, String, Long, Long, Option[Long], Option[Long])]
+      var a = 0
+      while (a < groups.length - 1) {
+        var b = a + 1
+        while (b < groups.length) {
+          val (ga, gb) = (groups(a), groups(b))
+          val (na, nb) = (ng(ga), ng(gb))
+          // fixed double trees, operand order mirrored by the oracle
+          val d = (r2g(ga).toDouble / na - r2g(gb).toDouble / nb) / 2.0
+          val s2 = (n.toDouble * (n + 1L).toDouble / 12.0 -
+            t3.toDouble / (12.0 * (n - 1L).toDouble)) * (1.0 / na + 1.0 / nb)
+          val zp =
+            if (n >= 2L && s2 > 0.0) {
+              val z = d / math.sqrt(s2)
+              // Abramowitz–Stegun 26.2.17 two-sided tail — the
+              // pairwiseWelch Horner tree verbatim
+              val zt = 1.0 / (1.0 + 0.2316419 * math.abs(z))
+              val p = 2.0 * math.exp(-math.abs(z) * math.abs(z) / 2.0) *
+                0.3989422804014327 *
+                (zt * (0.319381530 + zt * (-0.356563782 +
+                  zt * (1.781477937 + zt * (-1.821255978 +
+                    zt * 1.330274429)))))
+              (Some(math.floor(z * 10000.0 + 0.5).toLong),
+                Some(math.floor(p * 1000000000.0 + 0.5).toLong))
+            } else (None, None)
+          out += ((ga, gb, na, nb, zp._1, zp._2))
+          b += 1
+        }
+        a += 1
+      }
+      out.toSeq
+    })
+    val pairs = cells.groupBy(k: _*)
+      .agg(GridFence.collectCells(col("__g"), col("__v"), col("__cgv"),
+        "dunnTest").as("__cells"))
+      .withColumn("__p", explode(kern(
+        expr("transform(__cells, x -> x.__g)"),
+        expr("transform(__cells, x -> x.__v)"),
+        expr("transform(__cells, x -> x.__cgv)"))))
+      .select(k :+ col("__p._1").as("group_a") :+ col("__p._2").as("group_b") :+
+        col("__p._3").as("n_a") :+ col("__p._4").as("n_b") :+
+        col("__p._5").as("z_e4") :+ col("__p._6").as("p_e9"): _*)
+    bhCorrect(pairs, "p_e9", qPermille,
+      tieCols = keyCols ++ Seq("group_a", "group_b"))
+  }
+
   /** Brier score with the Murphy (1973) three-way decomposition —
     * `Brier = Reliability − Resolution + Uncertainty` over `nBins`
     * equal-width score bins: reliability is calibration error proper

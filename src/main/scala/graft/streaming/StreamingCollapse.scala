@@ -1676,6 +1676,32 @@ object StreamingCollapse {
       .orderBy("o_orderstatus")
   }
 
+  /** Streaming twin of q385's Dunn post-hoc — the standing
+    * which-pairs-differ monitor after the ordered-trend/KW tier: state
+    * IS the bounded (key, group, value)-count grid in complete mode
+    * (the [[streamingJonckheere]] split, same grid), the pairwise
+    * midrank/BH readout re-derives at drain via the SHARED
+    * `dunnFromCells`; drained == batch, q385's oracle serves both. */
+  def streamingDunn(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_dunn"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/orders.parquet").schema
+    val o = spark.readStream.schema(phys).parquet(streamDir(dir, "orders"))
+      .withColumn("hdollars",
+        expr("cast(floor(o_totalprice + 0.5) as bigint) div 100"))
+    val grid = graft.operators.Metrics.jtCells(
+      o, Seq("o_orderstatus"), "o_orderpriority", "hdollars")
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.dunnFromCells(
+        spark.table(name).localCheckpoint(true), Seq("o_orderstatus"),
+        qPermille = 50)
+      .orderBy("o_orderstatus", "group_a", "group_b")
+  }
+
   /** Streaming twin of q361's t-closeness — the standing privacy
     * monitor a release pipeline wants (does TODAY'S ingest push any
     * quasi-identifier class's sensitive distribution away from the
