@@ -3383,8 +3383,72 @@ private[graft] object OraclesC {
     // replay verbatim; the streaming twin q386 drains the same grid
     // through the same readout, so this oracle serves both.
     "q385_x_dunn_posthoc" -> dunnSql,
-    "q386_x_stream_dunn" -> dunnSql
+    "q386_x_stream_dunn" -> dunnSql,
+
+    // Page's trend: within-month midranks (the friedmanTest 2·rank +
+    // ties − 1 identity), 1..k ascending-label scores via dense_rank,
+    // HUGEINT 2L and n·k(k+1)² mirroring the engine's DECIMAL sums, the
+    // identical one-division z tree; the streaming twin q388 drains the
+    // same monthly revenue-cell grid into the same readout, one oracle.
+    "q387_x_page_trend" -> pageSql,
+    "q388_x_stream_page_trend" -> pageSql
   )
+
+  private lazy val pageSql: String =
+    """WITH cellsrc AS MATERIALIZED (
+      |  SELECT o_orderstatus AS k,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS b,
+      |         CAST(o_orderpriority AS VARCHAR) AS j,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS v
+      |  FROM orders
+      |  WHERE o_orderstatus IS NOT NULL AND o_orderdate IS NOT NULL
+      |    AND o_orderpriority IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |kt AS (SELECT k, CAST(count(DISTINCT j) AS BIGINT) AS kk
+      |       FROM cellsrc GROUP BY 1),
+      |bs AS (SELECT k, b, CAST(count(*) AS BIGINT) AS bc,
+      |         CAST(count(DISTINCT j) AS BIGINT) AS bd
+      |       FROM cellsrc GROUP BY 1, 2),
+      |ranked AS MATERIALIZED (
+      |  SELECT c.k, c.b, c.j,
+      |    2 * rank() OVER (PARTITION BY c.k, c.b ORDER BY c.v)
+      |      + count(*) OVER (PARTITION BY c.k, c.b, c.v) - 1 AS r2
+      |  FROM cellsrc c
+      |  JOIN bs ON c.k = bs.k AND c.b = bs.b
+      |  JOIN kt ON c.k = kt.k
+      |  WHERE bs.bc = kt.kk AND bs.bd = kt.kk),
+      |pk AS (SELECT k, CAST(count(DISTINCT b) AS BIGINT) AS n_blocks
+      |       FROM ranked GROUP BY 1),
+      |pt AS (SELECT k, j, CAST(sum(r2) AS BIGINT) AS rj2
+      |       FROM ranked GROUP BY 1, 2),
+      |sc AS (SELECT k, j, rj2,
+      |         CAST(dense_rank() OVER (PARTITION BY k ORDER BY j) AS BIGINT) AS s
+      |       FROM pt),
+      |l2 AS (SELECT k, sum(CAST(s AS HUGEINT) * rj2) AS l2,
+      |         CAST(count(*) AS BIGINT) AS kk
+      |       FROM sc GROUP BY 1),
+      |mo AS (SELECT pk.k, pk.n_blocks, l2.kk AS k_treatments, l2.l2,
+      |         CAST(pk.n_blocks AS HUGEINT) * l2.kk * (l2.kk + 1)
+      |           * (l2.kk + 1) AS e4
+      |       FROM pk JOIN l2 ON pk.k = l2.k)
+      |SELECT k AS o_orderstatus, n_blocks, k_treatments,
+      |  CAST(l2 AS BIGINT) AS l2,
+      |  CASE WHEN n_blocks >= 1 AND k_treatments >= 2 THEN
+      |    CAST(floor(CAST(2 * l2 - e4 AS DOUBLE)
+      |      / (4.0 * sqrt(CAST(n_blocks AS DOUBLE) * k_treatments
+      |          * k_treatments * (k_treatments + 1)
+      |          * (k_treatments * k_treatments - 1) / 144.0))
+      |      * 10000 + 0.5) AS BIGINT)
+      |  END AS z_e4,
+      |  CASE WHEN n_blocks >= 1 AND k_treatments >= 2 THEN
+      |    abs(CAST(floor(CAST(2 * l2 - e4 AS DOUBLE)
+      |      / (4.0 * sqrt(CAST(n_blocks AS DOUBLE) * k_treatments
+      |          * k_treatments * (k_treatments + 1)
+      |          * (k_treatments * k_treatments - 1) / 144.0))
+      |      * 10000 + 0.5) AS BIGINT)) > 19600
+      |  END AS significant
+      |FROM mo ORDER BY o_orderstatus""".stripMargin
 
   private lazy val dunnSql: String =
     """WITH base AS (

@@ -2659,6 +2659,30 @@ private[graft] object QueriesB {
     // the BH family) — the standing which-pairs-differ monitor;
     // drained == batch, one oracle
     "q386_x_stream_dunn" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingCollapse.streamingDunn(s, d))
+      graft.streaming.StreamingCollapse.streamingDunn(s, d)),
+
+    // ---- extension: Page's trend test — do the priorities trend in
+    // label order CONSISTENTLY ACROSS months (the blocked ordered
+    // alternative: q314 Friedman asks "differ at all within blocks",
+    // q383 JT asks "trend, unblocked"; Page asks both at once), over
+    // monthly revenue cells per status; within-month midranks, 1..k
+    // ascending-label scores, classical no-tie variance
+    "q387_x_page_trend" -> tuned((s, d) =>
+      graft.operators.Metrics.pageTrend(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderstatus"),
+              Cols.monthStart(col("o_orderdate")).as("month"),
+              col("o_orderpriority"))
+            .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+              .as("cents")),
+          Seq("o_orderstatus"), "month", "o_orderpriority", "cents")
+        .orderBy("o_orderstatus")),
+
+    // ---- extension: STREAMING twin of q387 (state = the (status,
+    // month, priority) revenue-cell grid in complete mode — the
+    // drained cells ARE pageTrend's input rows, so the batch operator
+    // is the shared readout); drained == batch, one oracle
+    "q388_x_stream_page_trend" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingPageTrend(s, d))
   )
 }

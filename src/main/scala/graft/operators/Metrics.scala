@@ -2508,6 +2508,95 @@ object Metrics {
         col("chi2_e6") :+ col("crit5_e4") :+ col("significant")): _*)
   }
 
+  /** Per-key Page's trend test — the BLOCKED ordered-alternative screen
+    * completing the trend triangle's repeated-measures corner:
+    * [[friedmanTest]] asks "do the treatments differ AT ALL within
+    * blocks", [[jonckheereTerpstra]] asks "do unblocked groups trend in
+    * the given order", Page asks BOTH — do the treatments trend in
+    * their natural label order CONSISTENTLY ACROSS blocks (monthly
+    * dose-response, priority tiers over time). `L = Σ_j s_j·R_j` over
+    * within-block midranks with ascending-label scores `s_j = 1…k`;
+    * large-sample `z = (L − n·k(k+1)²/4) / sqrt(n·k²(k+1)(k²−1)/144)`,
+    * two-sided verdict at |z| > 1.96 (the [[jonckheereTerpstra]]
+    * convention). The variance is the CLASSICAL no-tie form — midrank
+    * ties only lose power (standard practice); both engines replay the
+    * identical formula, so the readout stays hash-exact.
+    *
+    * Exactness: midranks carried as exact integers `2·r = 2·rank_min +
+    * ties − 1` (the [[friedmanTest]] identity), scores from the dense
+    * ascending-label rank (ASCII label contract), so `2L = Σ s_j·2R_j`
+    * and `4E = n·k(k+1)²` are exact DECIMAL(38,0); z is ONE fixed
+    * double tree `(2·l2 − e4) / (4·sqrt(V))`, e4-quantized, verdict on
+    * the rounded value. Blocks missing any treatment DROP (the
+    * complete-design contract); keys with k < 2 emit null z.
+    *
+    * Scale shape: one rank window per (key, block) sharing the block
+    * partitioning, then treatment-grid aggregates — [[friedmanTest]]'s
+    * plan with one extra grid-sized score window. Output: `(keys…,
+    * n_blocks, k_treatments, l2, z_e4, significant)` (`l2` = the
+    * doubled statistic 2L, the [[jonckheereTerpstra]] `j2`
+    * convention). */
+  def pageTrend(df: DataFrame, keyCols: Seq[String], blockCol: String,
+                treatCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "pageTrend needs at least one key column")
+    val k = keyCols.map(col)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rows = dropNullKeys(df, keyCols)
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select((k :+ col(blockCol).as("__b") :+
+        col(treatCol).cast("string").as("__j") :+
+        col(valueCol).cast("long").as("__v")): _*)
+      .localCheckpoint(false)
+    val kT = rows.groupBy(k: _*)
+      .agg(countDistinct(col("__j")).as("__k"))
+    val bSize = rows.groupBy(k :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bc"), countDistinct(col("__j")).as("__bd"))
+    val wRank = Window.partitionBy(k :+ col("__b"): _*).orderBy(col("__v"))
+    val wTies = Window.partitionBy(k :+ col("__b") :+ col("__v"): _*)
+    val ranked = rows
+      .join(bSize, keyCols :+ "__b")
+      .join(kT, keyCols)
+      // complete design, one observation per cell: k distinct
+      // treatments AND exactly k rows (the friedmanTest contract)
+      .filter(col("__bc") === col("__k") && col("__bd") === col("__k"))
+      .withColumn("__r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTies) - 1L)
+    val perKey = ranked.groupBy(k: _*)
+      .agg(countDistinct(col("__b")).as("n_blocks"), max(col("__k")).as("__kk"))
+    val wScore = Window.partitionBy(k: _*).orderBy(col("__j"))
+    val perTreat = ranked.groupBy(k :+ col("__j"): _*)
+      .agg(sum(col("__r2")).as("__rj2"))
+      .withColumn("__s", dense_rank().over(wScore))
+    val l2 = perTreat.groupBy(k: _*)
+      .agg(sum(dec(col("__s")) * col("__rj2")).as("__l2"))
+    perKey.join(l2, keyCols)
+      .withColumn("k_treatments", col("__kk").cast("long"))
+      // fail loud past 2^63 — a bare DECIMAL->BIGINT cast nulls
+      // silently under non-ANSI Spark (the krippendorffAlpha convention)
+      .withColumn("l2", expr(
+        """cast(if(__l2 <= 9223372036854775807,
+          |       __l2,
+          |       cast(raise_error('pageTrend: 2L exceeds BIGINT — split keys upstream')
+          |            as decimal(38,0))) as bigint)""".stripMargin))
+      .withColumn("__e4", expr(
+        """cast(n_blocks as decimal(38,0)) * k_treatments
+          |  * (k_treatments + 1) * (k_treatments + 1)"""
+          .stripMargin.replaceAll("\n", " ")))
+      .withColumn("z_e4", expr(
+        """case when n_blocks >= 1 and k_treatments >= 2 then
+          |  cast(floor(cast(2 * __l2 - __e4 as double)
+          |    / (4.0 * sqrt(cast(n_blocks as double) * k_treatments
+          |        * k_treatments * (k_treatments + 1)
+          |        * (k_treatments * k_treatments - 1) / 144.0))
+          |    * 10000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .withColumn("significant",
+        when(col("z_e4").isNotNull, abs(col("z_e4")) > 19600L))
+      .select((k :+ col("n_blocks") :+ col("k_treatments") :+ col("l2") :+
+        col("z_e4") :+ col("significant")): _*)
+  }
+
   /** Per-key Bland–Altman agreement — do two MEASUREMENT METHODS agree
     * numerically: bias `d̄ = mean(a − b)`, limits of agreement
     * `d̄ ± 1.96·s_d`, and the share of pairs inside them (the
