@@ -3391,8 +3391,65 @@ private[graft] object OraclesC {
     // identical one-division z tree; the streaming twin q388 drains the
     // same monthly revenue-cell grid into the same readout, one oracle.
     "q387_x_page_trend" -> pageSql,
-    "q388_x_stream_page_trend" -> pageSql
+    "q388_x_stream_page_trend" -> pageSql,
+
+    // Quade: within-month midranks + block-range weights, both on the
+    // 2·rank + ties − 1 identity; 4S = 2Q·(2r − (k+1)) exact, HUGEINT
+    // A4/SB4 sums mirroring the engine's DECIMAL, one F division; the
+    // streaming twin q390 drains the same grid, one oracle.
+    "q389_x_quade_test" -> quadeSql,
+    "q390_x_stream_quade" -> quadeSql
   )
+
+  private lazy val quadeSql: String =
+    """WITH cellsrc AS MATERIALIZED (
+      |  SELECT o_orderstatus AS k,
+      |         CAST(date_trunc('month', o_orderdate) AS DATE) AS b,
+      |         CAST(o_orderpriority AS VARCHAR) AS j,
+      |         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS v
+      |  FROM orders
+      |  WHERE o_orderstatus IS NOT NULL AND o_orderdate IS NOT NULL
+      |    AND o_orderpriority IS NOT NULL
+      |  GROUP BY 1, 2, 3),
+      |kt AS (SELECT k, CAST(count(DISTINCT j) AS BIGINT) AS kk
+      |       FROM cellsrc GROUP BY 1),
+      |bs AS (SELECT k, b, CAST(count(*) AS BIGINT) AS bc,
+      |         CAST(count(DISTINCT j) AS BIGINT) AS bd,
+      |         max(v) - min(v) AS rng
+      |       FROM cellsrc GROUP BY 1, 2),
+      |blocks AS MATERIALIZED (
+      |  SELECT bs.k, bs.b, bs.rng, kt.kk
+      |  FROM bs JOIN kt ON bs.k = kt.k
+      |  WHERE bs.bc = kt.kk AND bs.bd = kt.kk),
+      |wq AS MATERIALIZED (
+      |  SELECT k, b, kk,
+      |    2 * rank() OVER (PARTITION BY k ORDER BY rng)
+      |      + count(*) OVER (PARTITION BY k, rng) - 1 AS q2
+      |  FROM blocks),
+      |ranked AS MATERIALIZED (
+      |  SELECT c.k, c.b, c.j,
+      |    CAST(w.q2 AS HUGEINT)
+      |      * (2 * rank() OVER (PARTITION BY c.k, c.b ORDER BY c.v)
+      |         + count(*) OVER (PARTITION BY c.k, c.b, c.v) - 1
+      |         - (w.kk + 1)) AS s4
+      |  FROM cellsrc c JOIN wq w ON c.k = w.k AND c.b = w.b),
+      |pt AS (SELECT k, j, sum(s4) AS sj4 FROM ranked GROUP BY 1, 2),
+      |sb AS (SELECT k, sum(sj4 * sj4) AS sb4,
+      |         CAST(count(*) AS BIGINT) AS kk
+      |       FROM pt GROUP BY 1),
+      |pk AS (SELECT k, CAST(count(DISTINCT b) AS BIGINT) AS n_blocks,
+      |         sum(s4 * s4) AS a4
+      |       FROM ranked GROUP BY 1)
+      |SELECT pk.k AS o_orderstatus, pk.n_blocks, sb.kk AS k_treatments,
+      |  sb.kk - 1 AS dof1, (pk.n_blocks - 1) * (sb.kk - 1) AS dof2,
+      |  CASE WHEN sb.kk >= 2 AND pk.n_blocks >= 2
+      |        AND CAST(pk.n_blocks AS HUGEINT) * pk.a4 - sb.sb4 > 0 THEN
+      |    CAST(floor(CAST((pk.n_blocks - 1) * sb.sb4 AS DOUBLE)
+      |      / CAST(CAST(pk.n_blocks AS HUGEINT) * pk.a4 - sb.sb4 AS DOUBLE)
+      |      * 1000000 + 0.5) AS BIGINT)
+      |  END AS f_e6
+      |FROM pk JOIN sb ON pk.k = sb.k ORDER BY o_orderstatus""".stripMargin
 
   private lazy val pageSql: String =
     """WITH cellsrc AS MATERIALIZED (

@@ -2683,6 +2683,29 @@ private[graft] object QueriesB {
     // drained cells ARE pageTrend's input rows, so the batch operator
     // is the shared readout); drained == batch, one oracle
     "q388_x_stream_page_trend" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingCollapse.streamingPageTrend(s, d))
+      graft.streaming.StreamingCollapse.streamingPageTrend(s, d)),
+
+    // ---- extension: Quade test — Friedman (q314) weighted by each
+    // month's within-block RANGE (a month where priorities barely
+    // differ carries almost no evidence; Quade ranks block ranges and
+    // weights the centered ranks — the standard power upgrade at small
+    // k), same monthly revenue cells; f_e6 + dofs, no verdict (the
+    // anovaOneWay no-F-table precedent)
+    "q389_x_quade_test" -> tuned((s, d) =>
+      graft.operators.Metrics.quadeTest(
+          Tables.orders(s, d)
+            .groupBy(col("o_orderstatus"),
+              Cols.monthStart(col("o_orderdate")).as("month"),
+              col("o_orderpriority"))
+            .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+              .as("cents")),
+          Seq("o_orderstatus"), "month", "o_orderpriority", "cents")
+        .orderBy("o_orderstatus")),
+
+    // ---- extension: STREAMING twin of q389 (the q388 pattern: state =
+    // the monthly revenue-cell grid in complete mode, drained cells ARE
+    // quadeTest's input rows); drained == batch, one oracle
+    "q390_x_stream_quade" -> ((s: SparkSession, d: String) =>
+      graft.streaming.StreamingCollapse.streamingQuade(s, d))
   )
 }

@@ -2597,6 +2597,89 @@ object Metrics {
         col("z_e4") :+ col("significant")): _*)
   }
 
+  /** Per-key Quade test — [[friedmanTest]] with blocks WEIGHTED by
+    * their within-block RANGE (Quade 1979): a month where the
+    * treatments barely differ carries almost no evidence, and Friedman
+    * counts it equally — Quade ranks the block ranges and weights each
+    * block's centered ranks by that rank, the standard power upgrade at
+    * small k (k ≲ 5, exactly the priority-tier shape). `S_ij =
+    * Q_i·(r_ij − (k+1)/2)`, `F = (n−1)·B/(A − B)` with `A = ΣS²`,
+    * `B = (1/n)·Σ_j S_j²`, `F ~ F(k−1, (n−1)(k−1))`. Emits `f_e6` +
+    * both dof WITHOUT a verdict column (the [[anovaOneWay]] precedent —
+    * no F-table is inlined; the χ² tests carry verdicts because their
+    * one-dof-family table is).
+    *
+    * Exactness: within-block midranks and block-range weights both ride
+    * the `2·rank + ties − 1` integer identity, so `4·S_ij =
+    * 2Q_i·(2r_ij − (k+1))` is an exact integer and A, B scale to exact
+    * DECIMAL(38,0) sums (`16A = Σ(4S)²`, `16nB = Σ_j(Σ_i 4S)²`); the
+    * 16s cancel and `F = (n−1)·SB4/(n·A4 − SB4)` is ONE double division
+    * of exact integers, e6-quantized. Blocks missing any treatment DROP
+    * (the complete-design contract); keys where A = B emit null F (no
+    * error term left: every block internally tied, or the rankings
+    * perfectly consistent — the F is formally infinite there).
+    *
+    * Scale shape: [[friedmanTest]]'s rank window per (key, block), one
+    * block-grid weight window, then grid aggregates. Output: `(keys…,
+    * n_blocks, k_treatments, dof1, dof2, f_e6)`. */
+  def quadeTest(df: DataFrame, keyCols: Seq[String], blockCol: String,
+                treatCol: String, valueCol: String): DataFrame = {
+    require(keyCols.nonEmpty, "quadeTest needs at least one key column")
+    val k = keyCols.map(col)
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val rows = dropNullKeys(df, keyCols)
+      .filter(col(blockCol).isNotNull && col(treatCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select((k :+ col(blockCol).as("__b") :+
+        col(treatCol).cast("string").as("__j") :+
+        col(valueCol).cast("long").as("__v")): _*)
+      .localCheckpoint(false)
+    val kT = rows.groupBy(k: _*)
+      .agg(countDistinct(col("__j")).as("__k"))
+    val bSize = rows.groupBy(k :+ col("__b"): _*)
+      .agg(count(lit(1)).as("__bc"), countDistinct(col("__j")).as("__bd"),
+        (max(col("__v")) - min(col("__v"))).as("__rng"))
+    val wRank = Window.partitionBy(k :+ col("__b"): _*).orderBy(col("__v"))
+    val wTies = Window.partitionBy(k :+ col("__b") :+ col("__v"): _*)
+    // complete blocks only, with their range (the friedmanTest contract)
+    val blocks = bSize.join(kT, keyCols)
+      .filter(col("__bc") === col("__k") && col("__bd") === col("__k"))
+    // block weights: midrank of the block's range across the key's blocks
+    val wQ = Window.partitionBy(k: _*).orderBy(col("__rng"))
+    val wQt = Window.partitionBy(k :+ col("__rng"): _*)
+    val weighted = blocks
+      .withColumn("__q2",
+        lit(2L) * rank().over(wQ) + count(lit(1)).over(wQt) - 1L)
+    val ranked = rows
+      .join(weighted.select((k :+ col("__b") :+ col("__k") :+
+        col("__q2")): _*), keyCols :+ "__b")
+      .withColumn("__r2",
+        lit(2L) * rank().over(wRank) + count(lit(1)).over(wTies) - 1L)
+      // 4·S_ij = 2Q_i · (2r_ij − (k+1)) — exact integers end to end
+      .withColumn("__s4", dec(col("__q2")) * (col("__r2") - (col("__k") + 1L)))
+    val perTreat = ranked.groupBy(k :+ col("__j"): _*)
+      .agg(sum(col("__s4")).as("__sj4"))
+      .groupBy(k: _*)
+      .agg(sum(col("__sj4") * col("__sj4")).as("__sb4"),
+        count(lit(1)).as("__kk"))
+    val perKey = ranked.groupBy(k: _*)
+      .agg(countDistinct(col("__b")).as("n_blocks"),
+        sum(col("__s4") * col("__s4")).as("__a4"))
+    perKey.join(perTreat, keyCols)
+      .withColumn("k_treatments", col("__kk").cast("long"))
+      .withColumn("dof1", col("k_treatments") - 1L)
+      .withColumn("dof2", (col("n_blocks") - 1L) * (col("k_treatments") - 1L))
+      .withColumn("f_e6", expr(
+        """case when k_treatments >= 2 and n_blocks >= 2
+          |       and cast(n_blocks as decimal(38,0)) * __a4 - __sb4 > 0 then
+          |  cast(floor(cast((n_blocks - 1) * __sb4 as double)
+          |    / cast(cast(n_blocks as decimal(38,0)) * __a4 - __sb4 as double)
+          |    * 1000000 + 0.5) as bigint)
+          |end""".stripMargin))
+      .select((k :+ col("n_blocks") :+ col("k_treatments") :+ col("dof1") :+
+        col("dof2") :+ col("f_e6")): _*)
+  }
+
   /** Per-key Bland–Altman agreement — do two MEASUREMENT METHODS agree
     * numerically: bias `d̄ = mean(a − b)`, limits of agreement
     * `d̄ ± 1.96·s_d`, and the share of pairs inside them (the

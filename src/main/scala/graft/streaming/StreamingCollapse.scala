@@ -1730,6 +1730,32 @@ object StreamingCollapse {
       .orderBy("o_orderstatus")
   }
 
+  /** Streaming twin of q389's Quade test — the [[streamingPageTrend]]
+    * pattern on the same monthly revenue-cell grid: drained cells ARE
+    * `quadeTest`'s input rows, so the batch operator is the shared
+    * readout; drained == batch, q389's oracle serves both. */
+  def streamingQuade(spark: SparkSession, dir: String): DataFrame = {
+    graft.GraftSession.tune(spark)
+    val name = "graft_stream_quade"
+    spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
+    val phys = spark.read.parquet(s"$dir/orders.parquet").schema
+    val o = spark.readStream.schema(phys).parquet(streamDir(dir, "orders"))
+    val grid = o
+      .groupBy(col("o_orderstatus"),
+        graft.functions.Cols.monthStart(col("o_orderdate")).as("month"),
+        col("o_orderpriority"))
+      .agg(sum(expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
+        .as("cents"))
+    drain(spark, grid.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name))
+    graft.operators.Metrics.quadeTest(
+        spark.table(name).localCheckpoint(true),
+        Seq("o_orderstatus"), "month", "o_orderpriority", "cents")
+      .orderBy("o_orderstatus")
+  }
+
   /** Streaming twin of q361's t-closeness — the standing privacy
     * monitor a release pipeline wants (does TODAY'S ingest push any
     * quasi-identifier class's sensitive distribution away from the
