@@ -2461,7 +2461,12 @@ object Metrics {
         col(valueCol).isNotNull)
       .select((k :+ col(blockCol).as("__b") :+ col(treatCol).as("__j") :+
         col(valueCol).cast("long").as("__v")): _*)
-      .localCheckpoint(false)
+      // EAGER (round 16, the Mood playbook): the blocked-design inputs
+      // are grid-sized (monthly cells), so eager materialization is a
+      // measured wash on time while the lazy form was the engine's new
+      // largest accumulator-burst magnet (252 events in one 5-query
+      // subset run -> 0 eager, family totals 9.03 -> 8.97 s)
+      .localCheckpoint(true)
     val kT = rows.groupBy(k: _*)
       .agg(countDistinct(col("__j")).as("__k"))
     val bSize = rows.groupBy(k :+ col("__b"): _*)
@@ -2547,7 +2552,9 @@ object Metrics {
       .select((k :+ col(blockCol).as("__b") :+
         col(treatCol).cast("string").as("__j") :+
         col(valueCol).cast("long").as("__v")): _*)
-      .localCheckpoint(false)
+      // EAGER — the friedmanTest round-16 measurement (wash on time,
+      // zeroes the accumulator-burst class on these grid-sized inputs)
+      .localCheckpoint(true)
     val kT = rows.groupBy(k: _*)
       .agg(countDistinct(col("__j")).as("__k"))
     val bSize = rows.groupBy(k :+ col("__b"): _*)
@@ -2633,7 +2640,9 @@ object Metrics {
       .select((k :+ col(blockCol).as("__b") :+
         col(treatCol).cast("string").as("__j") :+
         col(valueCol).cast("long").as("__v")): _*)
-      .localCheckpoint(false)
+      // EAGER — the friedmanTest round-16 measurement (wash on time,
+      // zeroes the accumulator-burst class on these grid-sized inputs)
+      .localCheckpoint(true)
     val kT = rows.groupBy(k: _*)
       .agg(countDistinct(col("__j")).as("__k"))
     val bSize = rows.groupBy(k :+ col("__b"): _*)
