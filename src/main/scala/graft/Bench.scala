@@ -16,9 +16,13 @@ import org.apache.spark.sql.SparkSession
   * Provenance + drift: every invocation stamps a `run_id` into the
   * stdout line, target/bench.json, and target/bench_errors.txt (so the
   * three round artifacts are provably from ONE run), and times a fixed
-  * CPU-bound calibration probe at start and end
+  * CPU-bound calibration probe (min-of-3) at start and end
   * (`calibration_start_s`/`calibration_end_s`) so cross-round totals
-  * can be normalized for ambient host drift. */
+  * can be normalized for ambient host drift. The normalization is
+  * emitted mechanically as `s_per_query_calibrated` = (total/n) ·
+  * (REFERENCE_PROBE_S / min(start, end)) — per-query seconds as they
+  * would read on the reference host (the r16 run, probe 0.174 s), so
+  * cross-round comparison needs no narrative drift paragraph. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -136,12 +140,12 @@ object Bench {
       }
     // Host-drift calibration: a fixed CPU-bound probe (constant shape, no
     // IO — 2·10⁹ rows of codegen'd integer arithmetic) timed at bench
-    // start and end, min-of-2 each. The benched host drifts 15-30%
+    // start and end, min-of-3 each. The benched host drifts 15-30%
     // between sessions (r15's committed total overstated the engine's
     // cost vs r14 purely on ambient throughput); with the probe pair in
     // the artifact, cross-round totals normalize by calibration instead
     // of narrative. The probe's own first run doubles as its codegen
-    // warmup — min-of-2 drops it.
+    // warmup — min-of-3 drops it.
     def calibrationProbe(tag: String): Double = {
       def once(): Double = {
         val t0 = System.nanoTime()
@@ -226,6 +230,15 @@ object Bench {
       .map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    // Mechanical drift normalization (VERDICT r16 #5): the r16 run's
+    // probe floor is the recorded reference; a run on a host measuring
+    // 2x slower on the probe reads its total scaled by 0.5. min(start,
+    // end) is the host's best observed ceiling during THIS run.
+    val ReferenceProbeS = 0.174 // BENCH_r16 calibration_end_s, run_id 1a00adf41ad
+    val cal = math.min(calStart, calEnd)
+    val sPerQueryCalibrated =
+      if (results.nonEmpty && cal > 0) (total / results.size) * (ReferenceProbeS / cal)
+      else 0.0
     val sfLabel = new java.io.File(sfDir).getName
     // Stop Spark FIRST and let shutdown noise flush, so the JSON line is the
     // last thing on stdout before sbt's one-line [success] banner — the
@@ -255,7 +268,7 @@ object Bench {
       import scala.jdk.CollectionConverters._
       failedQueries.asScala.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     }
-    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","run_id":"$runId","calibration_start_s":$calStart%.3f,"calibration_end_s":$calEnd%.3f,"log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"failed_queries":$failedJson,"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
+    val fullLine = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfLabel","run_id":"$runId","calibration_start_s":$calStart%.3f,"calibration_end_s":$calEnd%.3f,"calibration_ref_s":$ReferenceProbeS%.3f,"s_per_query_calibrated":$sPerQueryCalibrated%.3f,"log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"failed_queries":$failedJson,"pass1":${jmap(p1)},"pass2":${jmap(p2)},"pass3":${jmap(p3)}}"""
     // The full per-query map goes to the FILE only: at 210 queries the map is
     // ~5 KB and the harness's bounded stdout tail truncated it from the FRONT
     // in r06 ("parsed": null). The file copy survives any amount of log noise.
@@ -275,7 +288,7 @@ object Bench {
     // stdout gets a COMPACT summary (~120 bytes) as the LAST line — total,
     // query count, sf, and a pointer to the per-query file — so the driver's
     // tail capture always holds the complete JSON object.
-    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","run_id":"$runId","calibration_start_s":$calStart%.3f,"calibration_end_s":$calEnd%.3f,"log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"per_query":"target/bench.json"}"""
+    val compact = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n":${results.size},"sf":"$sfLabel","run_id":"$runId","calibration_start_s":$calStart%.3f,"calibration_end_s":$calEnd%.3f,"calibration_ref_s":$ReferenceProbeS%.3f,"s_per_query_calibrated":$sPerQueryCalibrated%.3f,"log_errors":${logErrors.get},"log_errors_warmup":${logErrorsWarmup.get},"failed":${failedQueries.size},"per_query":"target/bench.json"}"""
     println(compact)
     System.out.flush()
   }

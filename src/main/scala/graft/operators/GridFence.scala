@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   * cap and die with an opaque executor error at scale.
   *
   * These fenced collects make the contract loud at the bound: the
-  * kernel-facing grid column checks `size(grid) ≤ maxGridCells` in the
+  * kernel-facing grid column checks `size(grid) ≤ maxCells` in the
   * aggregate's output projection and raises the contract message past
   * it — the [[Metrics]] `jtFromCells` BIGINT fence convention (fail
   * loud post-hoc, zero cost on the in-contract path). At the default
@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * hundreds of times past the bound (≳10⁹ cells in one key) hits the
   * heap/2 GB wall before the check — fatal and task-attributable, just
   * without the message.
+  *
+  * The bound is a per-call parameter captured into the plan as a
+  * literal at construction time (round 17; it was a process-global
+  * `@volatile var` in round 16, which forced save/restore dances in
+  * specs and would race the moment two sessions tuned it differently).
+  * Operators inherit [[DefaultMaxGridCells]]; callers with a
+  * deliberately coarser or finer contract pass their own.
   *
   * A strictly-safer form was built and MEASURED OUT (round 16): a
   * bounded Aggregator that counts cells in its buffer and throws during
@@ -38,28 +45,31 @@ import org.apache.spark.sql.functions._
   */
 object GridFence {
 
-  /** Per-key cell bound, configurable (captured at plan-construction
-    * time on the driver). 2²² cells ≈ 64 MB of (value, count) pairs in
-    * one array — far above any quantized registration (the house grids
-    * run 10²–10⁵ cells) and far below the heap/2 GB cliff. */
-  @volatile var maxGridCells: Int = 1 << 22
+  /** Default per-key cell bound (captured into the plan as a literal at
+    * plan-construction time on the driver). 2²² cells ≈ 64 MB of
+    * (value, count) pairs in one array — far above any quantized
+    * registration (the house grids run 10²–10⁵ cells) and far below the
+    * heap/2 GB cliff. */
+  val DefaultMaxGridCells: Int = 1 << 22
 
-  private def fenced(g: Column, site: String): Column =
-    when(size(g) <= lit(maxGridCells), g)
+  private def fenced(g: Column, site: String, maxCells: Int): Column =
+    when(size(g) <= lit(maxCells), g)
       .otherwise(raise_error(lit(
-        s"$site: per-key value grid exceeds $maxGridCells cells " +
-          "(GridFence.maxGridCells) — quantize the value axis upstream")))
+        s"$site: per-key value grid exceeds $maxCells cells " +
+          "(GridFence maxCells) — quantize the value axis upstream")))
 
   /** `collect_list(array(v, c))` with the loud per-key cell bound —
     * the (value, count) pair-grid shape of the Sketch rank kernels and
     * the Metrics median kernels. `site` names the operator in the
     * failure message. */
-  def collectGrid(cell: Column, site: String): Column =
-    fenced(collect_list(cell), site)
+  def collectGrid(cell: Column, site: String,
+                  maxCells: Int = DefaultMaxGridCells): Column =
+    fenced(collect_list(cell), site, maxCells)
 
   /** `collect_list(struct(g, v, c))` with the same fence — the
     * (group, value, count) cell-grid shape of kruskalWallis /
     * jtFromCells. Struct fields keep the caller's names. */
-  def collectCells(g: Column, v: Column, c: Column, site: String): Column =
-    fenced(collect_list(struct(g, v, c)), site)
+  def collectCells(g: Column, v: Column, c: Column, site: String,
+                   maxCells: Int = DefaultMaxGridCells): Column =
+    fenced(collect_list(struct(g, v, c)), site, maxCells)
 }

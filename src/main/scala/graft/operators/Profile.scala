@@ -43,7 +43,8 @@ object Profile {
     // native grouping normalizes together. The cast is injective for
     // every other atomic value, and ranges were already string-typed.)
     val stackArgs = columns.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
-    df.selectExpr(s"stack(${columns.size}, $stackArgs) AS (col_name, __v)")
+    val grid = df
+      .selectExpr(s"stack(${columns.size}, $stackArgs) AS (col_name, __v)")
       .groupBy(col("col_name"), col("__v")).agg(count(lit(1)).as("__c"))
       .groupBy(col("col_name"))
       .agg(sum(col("__c")).as("n_rows"),
@@ -51,8 +52,21 @@ object Profile {
         count(col("__v")).as("n_distinct"),
         min(col("__v")).as("min_value"),
         max(col("__v")).as("max_value"))
-      .select(col("col_name"), col("n_rows"), col("n_null"),
-        col("n_distinct"), col("min_value"), col("max_value"))
+    // Seed with the requested column list (a columns.size-row literal
+    // frame) so an EMPTY input still emits one all-zero row per column:
+    // the grid aggregate alone would emit ZERO rows, and profileDiff's
+    // col_name join would then silently drop the drift report for
+    // exactly the "producer started emitting empties" scenario it
+    // exists to catch. Non-empty inputs are row-identical to the
+    // unseeded form (every requested column has a grid row).
+    import df.sparkSession.implicits._
+    val seed = columns.toDF("col_name")
+    seed.join(grid, Seq("col_name"), "left")
+      .select(col("col_name"),
+        coalesce(col("n_rows"), lit(0L)).as("n_rows"),
+        coalesce(col("n_null"), lit(0L)).as("n_null"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_value"), col("max_value"))
   }
 
   /** Snapshot drift report — [[profile]] run on two versions of the same

@@ -33,6 +33,31 @@ class ProfileSpec extends SparkSpec {
     intercept[IllegalArgumentException] { Profile.profile(df, Nil) }
   }
 
+  test("profile: an EMPTY input still emits one all-zero row per column") {
+    // the round-17 contract pin: the stack+groupBy grid alone emits zero
+    // rows on an empty frame; the column-list seed restores the one-row-
+    // per-column shape so profileDiff can report the empty side as drift
+    val out = Profile.profile(df.limit(0), Seq("id", "s", "x"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        Option(r.getString(4)), Option(r.getString(5))))
+    assert(out.toSeq == Seq(
+      ("id", 0L, 0L, 0L, None, None),
+      ("s", 0L, 0L, 0L, None, None),
+      ("x", 0L, 0L, 0L, None, None)))
+  }
+
+  test("profileDiff: an empty AFTER side reports per-column, not silence") {
+    val before = Seq((Option(1L), "a"), (Option(2L), "b")).toDF("k", "s")
+    val out = Profile.profileDiff(before, before.limit(0), Seq("k", "s"))
+      .orderBy("col_name").collect()
+      .map(r => (r.getString(0), r.getAs[Long]("n_before"),
+        r.getAs[Long]("n_after"), r.getAs[Boolean]("range_changed")))
+    // the "producer started emitting empties" scenario: 2 rows, n_after=0,
+    // range flagged as changed (non-null -> null extremes)
+    assert(out.toSeq == Seq(("k", 2L, 0L, true), ("s", 2L, 0L, true)))
+  }
+
   test("mutualInfo: independent columns score ~0; identical columns score H(X)") {
     import spark.implicits._
     // independent: every (x, y) cell equally likely
