@@ -3398,7 +3398,11 @@ private[graft] object OraclesC {
     // A4/SB4 sums mirroring the engine's DECIMAL, one F division; the
     // streaming twin q390 drains the same grid, one oracle.
     "q389_x_quade_test" -> quadeSql,
-    "q390_x_stream_quade" -> quadeSql
+    "q390_x_stream_quade" -> quadeSql,
+
+    // BPE merge ladder, k=64 (round 17): the q381/q382 rung doubled
+    // once more — same unrolled per-rank arithmetic, deeper
+    "q391_x_bpe_merge_k64" -> bpeMergeLadderSql(64)
   )
 
   private lazy val quadeSql: String =

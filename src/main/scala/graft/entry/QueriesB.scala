@@ -2706,6 +2706,13 @@ private[graft] object QueriesB {
     // the monthly revenue-cell grid in complete mode, drained cells ARE
     // quadeTest's input rows); drained == batch, one oracle
     "q390_x_stream_quade" -> ((s: SparkSession, d: String) =>
-      graft.streaming.StreamingCollapse.streamingQuade(s, d))
+      graft.streaming.StreamingCollapse.streamingQuade(s, d)),
+
+    // ---- extension: BPE merge ladder, k=64 (round 17, verdict #7) —
+    // one more doubling rung: every rank ≤ 64 of the real incremental
+    // learner is now replayed by the unrolled count→argmax→apply
+    // oracle, halving the q92/q94 unchecked residue again (rank > 64)
+    "q391_x_bpe_merge_k64" -> tuned((s, d) =>
+      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 64))
   )
 }

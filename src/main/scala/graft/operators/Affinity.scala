@@ -17,7 +17,15 @@ import org.apache.spark.sql.functions._
   * similarly capped in practice), never |items|×|items| globally.
   * Ascending array order canonicalizes pairs (item1 < item2), halving
   * the fan-out. A degenerate mega-basket (thousands of items) is the
-  * operator's skew axis — cap or sample those upstream.
+  * operator's skew axis — cap or sample those upstream. That contract
+  * fails LOUD at the bound (round 17, the [[GridFence]] convention):
+  * the pair fan-out builds all |b|·(|b|−1)/2 pair structs as ONE array
+  * value per basket, so an unbounded mega-basket would hit the 2 GB
+  * single-value / executor-heap wall with an opaque error; the fenced
+  * basket column raises the contract message past `maxBasketItems`
+  * instead (default 2¹² items ≈ 8.4M pair structs ≈ low hundreds of MB
+  * in one value — far above any real cart, comfortably below the
+  * cliff). Zero cost in-contract: one `size()` comparison per basket.
   *
   * Integer-exact readouts (q143 discipline — no float in the decision
   * path): with `n_b` total baskets, `c12` pair count, `c1`/`c2` item
@@ -29,7 +37,8 @@ import org.apache.spark.sql.functions._
 object Affinity {
 
   def coOccurrence(df: DataFrame, basketCol: String, itemCol: String,
-                   minSupport: Long = 1L): DataFrame = {
+                   minSupport: Long = 1L,
+                   maxBasketItems: Int = 1 << 12): DataFrame = {
     // ONE shuffle on the basket key builds the per-basket sorted item
     // set (collect_set partial-aggregates map-side, so the shuffle
     // carries per-partition deduped sets, not rows); dedup, the basket
@@ -49,8 +58,15 @@ object Affinity {
     val itemCounts = baskets.select(explode(col("__is")).as("__i"))
       .groupBy(col("__i")).agg(count(lit(1)).as("__c"))
     // ascending-sorted array makes position order the canonical
-    // item1 < item2 order: pair element i with every later element
+    // item1 < item2 order: pair element i with every later element.
+    // The fence guards ONLY the quadratic fan-out path — item counts
+    // explode linearly and stay unfenced.
+    val fencedIs = when(size(col("__is")) <= lit(maxBasketItems), col("__is"))
+      .otherwise(raise_error(lit(
+        s"coOccurrence: basket exceeds $maxBasketItems items " +
+          "(maxBasketItems) — cap or sample mega-baskets upstream")))
     val pairs = baskets
+      .select(fencedIs.as("__is"))
       .select(explode(expr(
         """flatten(transform(__is, (x, i) ->
           |  transform(slice(__is, i + 2, size(__is)),

@@ -40,4 +40,21 @@ class AffinitySpec extends SparkSpec {
     assert(out.collect().map(r => (r.getAs[String]("item1"), r.getAs[String]("item2")))
       .toSeq == Seq(("a", "b"), ("a", "c"))) // bc occurs once and drops
   }
+
+  test("coOccurrence fails loud on a mega-basket past maxBasketItems") {
+    // the quadratic fan-out's skew-axis contract (GridFence convention):
+    // one basket of 20 items under a bound of 8 raises the message
+    // instead of building the pair array
+    val mega = (1 to 20).map(i => (1, s"i$i")).toDF("basket", "item")
+    val ex = intercept[Exception] {
+      Affinity.coOccurrence(mega, "basket", "item", maxBasketItems = 8).collect()
+    }
+    var cur: Throwable = ex
+    while (cur.getCause != null) cur = cur.getCause
+    val msg = String.valueOf(cur.getMessage)
+    assert(msg.contains("coOccurrence") && msg.contains("mega-baskets"), msg)
+    // and within the bound the same data is untouched
+    val ok = Affinity.coOccurrence(mega, "basket", "item", maxBasketItems = 32)
+    assert(ok.count() == 20L * 19 / 2)
+  }
 }
