@@ -12,8 +12,33 @@ import org.apache.spark.sql.functions._
   * directories; nothing here assumes a single file.
   */
 object Tables {
-  private def p(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+  /** Resolved-relation cache, per session — the metastore model: a
+    * production catalog (Hive/Delta/Iceberg) resolves a table's file
+    * listing + schema once and reuses the relation across queries;
+    * re-running `spark.read.parquet` per query instead pays ~90 ms of
+    * driver-side listing + footer resolution PER TABLE REFERENCE
+    * (round-17 drain-floor profile — ~0.1-0.3 s of fixed plan-build
+    * cost on every query in the suite). The cached DataFrame is just
+    * the immutable analyzed relation; downstream transforms build on
+    * it without interference. Sound because the source dirs are
+    * immutable for a session's lifetime (testdata is read-only; a
+    * production swap of table contents goes through a NEW path or a
+    * real catalog's snapshot mechanism). WeakHashMap on the session so
+    * a stopped session's relations are collectable. */
+  private val relCache = new java.util.WeakHashMap[SparkSession,
+    java.util.concurrent.ConcurrentHashMap[String, DataFrame]]()
+  private def p(s: SparkSession, dir: String, name: String): DataFrame = {
+    val m = relCache.synchronized {
+      var inner = relCache.get(s)
+      if (inner == null) {
+        inner = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+        relCache.put(s, inner)
+      }
+      inner
+    }
+    m.computeIfAbsent(s"$dir/$name",
+      _ => s.read.parquet(s"$dir/$name.parquet"))
+  }
 
   def region(s: SparkSession, dir: String): DataFrame   = p(s, dir, "region")
   def nation(s: SparkSession, dir: String): DataFrame   = p(s, dir, "nation")
