@@ -3069,10 +3069,19 @@ object Metrics {
     require(keyCols.nonEmpty, "moodMedianTest needs at least one key column")
     val k = keyCols.map(col)
     val v = col(valueCol).cast("long")
+    // EAGER (round 17, reversing the round-16 keep-lazy): the row-scale
+    // vals frame was the engine's LAST timed accumulator-burst magnet
+    // (stop()-racing stragglers reporting into an unregistered
+    // checkpoint job). Re-measured at HEAD over three back-to-back
+    // A/B pairs, calibrated: eager {2.34, 1.91, 2.27} vs lazy
+    // {2.40, 2.43, 1.93} s — a wash (the r16 "+17% tax" was inside the
+    // host's noise band), and eager retires the burst class for free.
+    // Storage is identical either way — lazy materializes the same
+    // blocks on first use; eager only moves the job to call time.
     val vals = dropNullKeys(df, keyCols)
       .filter(col(groupCol).isNotNull && v.isNotNull)
       .select((k :+ col(groupCol).as("__g") :+ v.as("__v")): _*)
-      .localCheckpoint(false)
+      .localCheckpoint(true)
     val medKern = udf((grid: Seq[Seq[Long]]) => {
       val cells = grid.map(a => (a(0), a(1))).sortBy(_._1).toArray
       val n = cells.iterator.map(_._2).sum
