@@ -334,15 +334,41 @@ class SketchSpec extends SparkSpec {
       r.getAs[Long]("p750") == 75)
   }
 
-  test("weightedPercentiles fails loudly on non-positive weights; one shuffle") {
+  test("weightedPercentiles fails loudly on non-positive weights; no row-scale window") {
     val bad = Seq(("g", 1L, 0L)).toDF("g", "v", "w")
     val e = intercept[Exception] {
       Sketch.weightedPercentiles(bad, Seq("g"), "v", "w", Seq(500)).collect() }
     assert(e.getMessage.contains("non-positive weight"))
     val ok = Seq(("g", 1L, 1L), ("g", 2L, 1L)).toDF("g", "v", "w")
-    val p = Sketch.weightedPercentiles(ok, Seq("g"), "v", "w", Seq(500))
+    val plan = Sketch.weightedPercentiles(ok, Seq("g"), "v", "w", Seq(500))
       .queryExecution.executedPlan.toString
-    assert(p.linesIterator.count(_.contains("Exchange hashpartitioning")) == 1, p)
+    // the round-17 scale contract: the only Window is the ≤1025-row
+    // bucket-prefix sum — the row-scale per-key cumulative window (one
+    // serial sort task per key) is gone; the in-bucket walk is fenced
+    assert(plan.linesIterator.count(_.trim.startsWith("Window")) <= 1, plan)
+    val analyzed = Sketch.weightedPercentiles(ok, Seq("g"), "v", "w", Seq(500))
+      .queryExecution.analyzed.toString
+    assert(analyzed.contains("raise_error") &&
+      analyzed.contains("weightedPercentiles"), analyzed)
+  }
+
+  test("weightedPercentiles: crossing inside one value run and across buckets") {
+    // wide value range (forces multiple buckets: range 1..2_000_000 over
+    // 1024 buckets) with the crossing mass far from the bucket origin
+    val df = Seq(("g", 1L, 10L), ("g", 1000000L, 10L), ("g", 2000000L, 80L))
+      .toDF("g", "v", "w")
+    val r = Sketch.weightedPercentiles(df, Seq("g"), "v", "w", Seq(100, 200, 900))
+      .collect().head
+    assert(r.getAs[Long]("total_weight") == 100)
+    assert(r.getAs[Long]("p100") == 1L)        // cumw 10 >= 10
+    assert(r.getAs[Long]("p200") == 1000000L)  // cumw 20 >= 20
+    assert(r.getAs[Long]("p900") == 2000000L)
+    // two keys, interleaved, one with a single value
+    val df2 = Seq(("a", 5L, 1L), ("b", 7L, 3L), ("a", 9L, 1L)).toDF("g", "v", "w")
+    val out = Sketch.weightedPercentiles(df2, Seq("g"), "v", "w", Seq(500, 1000))
+      .orderBy("g").collect()
+    assert(out(0).getAs[Long]("p500") == 5L && out(0).getAs[Long]("p1000") == 9L)
+    assert(out(1).getAs[Long]("p500") == 7L && out(1).getAs[Long]("p1000") == 7L)
   }
 
   test("abcClassify: cumulative-share classes with integer boundaries") {
