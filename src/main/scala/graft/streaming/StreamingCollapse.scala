@@ -57,6 +57,37 @@ object StreamingCollapse {
     } finally spark.conf.set(key, prev)
   }
 
+  /** Drain an APPEND-mode streaming query through a FILE sink and read
+    * the landed files back (round 17). The memory sink holds EVERY
+    * output row on the driver — fine for complete-mode twins, whose
+    * drained state is grid-sized by contract, but append-mode twins
+    * emit ROW-SCALE output (sessions, joined pairs, transitions,
+    * deltas), and the whole-engine 100× sweep measured the wall:
+    * q187's drain died at `spark.driver.maxResultSize` (1.2 GiB of
+    * serialized memory-sink rows). The file sink is also the
+    * PRODUCTION shape — a standing append stream lands files that
+    * downstream consumers read incrementally; nothing row-scale ever
+    * transits the driver. Exactly-once comes from the sink's
+    * `_spark_metadata` log + the checkpoint, both staged FRESH per
+    * drain (stale logs would silently dedupe the new run's batches). */
+  private def drainFiles(spark: SparkSession,
+                         writer: DataStreamWriter[_], name: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_sink_$name")
+    def rmrf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val it = Files.walk(p).sorted(java.util.Comparator.reverseOrder()).iterator()
+      while (it.hasNext) Files.delete(it.next())
+    }
+    rmrf(base)
+    Files.createDirectories(base)
+    val out = base.resolve("out").toString
+    val ckpt = base.resolve("ckpt").toString
+    drain(spark, writer.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation", ckpt))
+    spark.read.parquet(out)
+  }
+
   /** Physical parquet schema per (dir, table), read from the footer ONCE
     * per process (round-17 drain-floor profile: one footer read is
     * ~90 ms of driver-side fixed cost, and every twin paid it on every
@@ -200,9 +231,9 @@ object StreamingCollapse {
       .select(col("user_id"), expr("ts div 1000").as("tsMicros"), col("value"))
       .as[(Long, Long, Double)]
       .map { case (u, t, v) => SessionEvent(u, t, v) }
-    drain(spark, sessionize(events, gapMinutes, withTimeout = false)
-      .writeStream.outputMode("append").format("memory").queryName(name))
-    spark.table(name)
+    val landed = drainFiles(spark, sessionize(events, gapMinutes, withTimeout = false)
+      .writeStream.outputMode("append").queryName(name), name)
+    landed
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
       .orderBy("user_id", "session_start")
@@ -627,11 +658,10 @@ object StreamingCollapse {
       col("click_user") === col("purchase_user") &&
         col("purchase_ts") >= col("click_ts") &&
         col("purchase_ts") <= col("click_ts") + expr(s"interval $windowMinutes minutes"))
-    drain(spark, joined.writeStream
+    val landed = drainFiles(spark, joined.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(name))
-    spark.table(name)
+      .queryName(name), name)
+    landed
       .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
         round(col("purchase_value"), 2).as("purchase_value"))
       .orderBy("click_id", "purchase_id")
@@ -769,11 +799,10 @@ object StreamingCollapse {
     val name = "graft_stream_neardup"
     spark.streams.active.filter(q => Option(q.name).contains(name)).foreach(_.stop())
     val pairs = nearDupPairsStream(spark, dir, k, bands, shingleK, stateTtlMinutes = None)
-    drain(spark, pairs.writeStream
+    val landed = drainFiles(spark, pairs.writeStream
       .outputMode("append")
-      .format("memory")
-      .queryName(name))
-    spark.table(name).dropDuplicates("id_a", "id_b")
+      .queryName(name), name)
+    landed.dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
   }
@@ -856,11 +885,12 @@ object StreamingCollapse {
           last.foreach(state.update)
           out.result().iterator
         })
-    drain(spark, pairs.writeStream
-      .outputMode("append").format("memory").queryName(name))
+    val landed = drainFiles(spark, pairs.writeStream
+      .outputMode("append").queryName(name), name)
     // totals via a window over the matrix-sized counts (a join back onto
-    // the same memory-sink lineage trips conflicting-reference resolution)
-    spark.table(name)
+    // the same sink lineage used to trip conflicting-reference resolution
+    // on the memory-sink view; the file-read relation is clean either way)
+    landed
       .groupBy(col("from_state"), col("to_state"))
       .agg(count(lit(1)).as("n"))
       .selectExpr("from_state", "to_state", "n",
@@ -1032,9 +1062,8 @@ object StreamingCollapse {
           state.update(chain)
           out.result().iterator
         })
-    drain(spark, advances.writeStream
-      .outputMode("append").format("memory").queryName(name))
-    spark.table(name)
+    drainFiles(spark, advances.writeStream
+      .outputMode("append").queryName(name), name)
   }
 
   // ------------------------------------------- streaming join delta
@@ -1110,9 +1139,9 @@ object StreamingCollapse {
           state.update((ls, rs))
           out.result().iterator
         })
-    drain(spark, pairs.writeStream
-      .outputMode("append").format("memory").queryName(name))
-    spark.table(name).orderBy("user_id", "left_id", "right_id")
+    drainFiles(spark, pairs.writeStream
+      .outputMode("append").queryName(name), name)
+      .orderBy("user_id", "left_id", "right_id")
   }
 
   // ------------------------------------------- streaming drift monitor
