@@ -989,11 +989,20 @@ object Metrics {
     * query time. Ties on `orderCol` break by `tieCols` (the bhCorrect
     * totality convention).
     *
-    * Scale shape: one (keys) window (cumulative counts + row rank),
-    * one aggregate. Output: `(keys…, n_total, decision
-    * 'accept_h1'|'accept_h0'|'continue', n_decision, llr_final_e12)` —
-    * `n_decision` is the observation index at the FIRST crossing (null
-    * while continuing). */
+    * Scale shape (round 17 — the [[graft.operators.SegmentedOrder]]
+    * rewrite): the LLR after t observations is linear in `(a, t)`, so
+    * each row's LLR is exactly reconstructible from its bucket's
+    * ENTERING prefix `(rows-before, successes-before)` plus the
+    * intra-bucket running counts. Rows bucket into ≤1024 order-range
+    * segments per key; per-bucket (trials, successes) aggregates feed a
+    * buckets-sized prefix window; the single row-scale window runs per
+    * (key, bucket) — parallelism keys × buckets instead of one serial
+    * sort task per key (the 100× sweep's q292 owner: 6 event types ×
+    * 10M rows = 25 s on 32 mostly-idle cores). The final LLR needs no
+    * row at all (linear in the per-key totals). Output: `(keys…,
+    * n_total, decision 'accept_h1'|'accept_h0'|'continue', n_decision,
+    * llr_final_e12)` — `n_decision` is the observation index at the
+    * FIRST crossing (null while continuing). */
   def sprtBernoulli(df: DataFrame, keyCols: Seq[String], orderCol: String,
                     successCol: String, p0: Double, p1: Double,
                     alphaPermille: Int = 50, betaPermille: Int = 100,
@@ -1003,33 +1012,55 @@ object Metrics {
       sprtConstantsE12(p0, p1, alphaPermille, betaPermille)
     val k = keyCols.map(col)
     val s = col(successCol)
-    val wOrd = Window.partitionBy(k: _*)
-      .orderBy(col(orderCol) +: tieCols.map(col): _*)
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wAll = Window.partitionBy(k: _*)
-      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    val rows = dropNullKeys(df, keyCols)
+    val ordCols = col(orderCol) +: tieCols.map(col)
+    val base = dropNullKeys(df, keyCols)
       .filter(s.isNotNull && col(orderCol).isNotNull)
-      .withColumn("__rn", row_number().over(wOrd))
-      .withColumn("__a", sum(when(s, 1L).otherwise(0L)).over(wCum))
+    // lazy localCheckpoint (the q170 cells pattern): the bucketed rows
+    // feed BOTH the per-bucket totals and the crossing pass — without
+    // the cut, the scan + stats broadcast join recomputes per consumer
+    val rows = graft.operators.SegmentedOrder.withBuckets(
+      base.select(k ++ ordCols :+ s.as("__s"): _*),
+      keyCols, graft.operators.SegmentedOrder.leadOf(base, orderCol))
+      .localCheckpoint(false)
+    // per-bucket totals -> buckets-sized entering prefixes (exclusive)
+    val bt = rows.groupBy(k :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__bn"),
+        sum(when(col("__s"), 1L).otherwise(0L)).as("__ba"))
+    val wKexc = Window.partitionBy(k: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = bt
+      .withColumn("__rnIn", coalesce(sum(col("__bn")).over(wKexc), lit(0L)))
+      .withColumn("__aIn", coalesce(sum(col("__ba")).over(wKexc), lit(0L)))
+      .select(k :+ col("__bkt") :+ col("__rnIn") :+ col("__aIn"): _*)
+    val wB = Window.partitionBy(k :+ col("__bkt"): _*).orderBy(ordCols: _*)
+    val wBC = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crossed = rows
+      .join(broadcast(pre), keyCols :+ "__bkt")
+      .withColumn("__rn", col("__rnIn") + row_number().over(wB))
+      .withColumn("__a",
+        col("__aIn") + sum(when(col("__s"), 1L).otherwise(0L)).over(wBC))
       .withColumn("__llr", expr(
         s"cast(__a as decimal(38,0)) * ${l1}L + cast(__rn - __a as decimal(38,0)) * ${l0}L"))
       .withColumn("__cross", expr(
         s"case when __llr >= ${hi}L then 1 when __llr <= ${lo}L then -1 else 0 end"))
-      .withColumn("__firstRn",
-        min(when(col("__cross") =!= 0, col("__rn"))).over(wAll))
-      .withColumn("__nAll", count(lit(1)).over(wAll))
-    rows.groupBy(k: _*)
+    val firsts = crossed.groupBy(k: _*)
       .agg(count(lit(1)).as("n_total"),
-        max(when(col("__rn") === col("__firstRn"), col("__cross"))).as("__dec"),
-        max(col("__firstRn")).cast("long").as("n_decision"),
-        max(when(col("__rn") === col("__nAll"), col("__llr"))).as("__llrLast"))
+        sum(when(col("__s"), 1L).otherwise(0L)).as("__aTot"),
+        // struct min = lexicographic on (__rn, __cross); __rn unique per
+        // key, so this IS the first crossing's (index, direction)
+        min(when(col("__cross") =!= 0,
+          struct(col("__rn").as("rn"), col("__cross").as("c")))).as("__fc"))
+    firsts
       .withColumn("decision", expr(
-        """case when __dec = 1 then 'accept_h1'
-          |when __dec = -1 then 'accept_h0'
+        """case when __fc.c = 1 then 'accept_h1'
+          |when __fc.c = -1 then 'accept_h0'
           |else 'continue' end""".stripMargin))
-      .withColumn("llr_final_e12", expr("cast(__llrLast as bigint)"))
-      .drop("__dec", "__llrLast")
+      .withColumn("n_decision", col("__fc.rn").cast("long"))
+      // LLR at the last observation is linear in the per-key totals —
+      // the same decimal tree, no row access needed
+      .withColumn("llr_final_e12", expr(
+        s"cast(cast(__aTot as decimal(38,0)) * ${l1}L" +
+          s" + cast(n_total - __aTot as decimal(38,0)) * ${l0}L as bigint)"))
       .select(k :+ col("n_total") :+ col("decision") :+ col("n_decision") :+
         col("llr_final_e12"): _*)
   }

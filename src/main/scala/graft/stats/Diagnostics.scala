@@ -1002,35 +1002,105 @@ object Diagnostics {
     * — identical in both engines and FREEZABLE in the twin. `orderCol`
     * must be unique per key (the [[durbinWatson]] convention).
     *
-    * Scale shape: ONE sort per key shared by row_number, both cumsums,
-    * and the running min; one aggregate. Output: `(keys…, n_obs,
-    * max_ph_e9, first_alarm_t, alarmed)`. */
+    * Scale shape (round 17 — the [[graft.operators.SegmentedOrder]]
+    * two-phase rewrite; the plain per-key window was the 100× sweep's
+    * q317 owner: 6 event types × 10M rows = one serial sort task per
+    * key, 28 s on 32 mostly-idle cores). Rows bucket into ≤1024
+    * order-range segments per key and EVERY per-row quantity is exact
+    * off the bucket's entering prefixes: `x̄_i` from (rows-before,
+    * sum-before), `m` from Σ-t9-before, and the running min from
+    * `min(prior-buckets' running min, m-entering + local running min)`.
+    * Phase 1 computes per-bucket summaries `(Σt9, min/max local cum,
+    * max local (cum − runmin))` in one (key, bucket)-parallel window
+    * pass; the per-bucket MAX PH is then EXACT on the buckets-sized
+    * table — `max(maxc + m_in − min_in, maxd)`, pointwise max
+    * distributing through the row max — which yields `max_ph_e9` and
+    * the first alarm BUCKET with no further row work. Phase 2 walks
+    * ONLY that crossing bucket's rows (≤ 1/1024 of the data) for the
+    * exact first-alarm index. Output: `(keys…, n_obs, max_ph_e9,
+    * first_alarm_t, alarmed)`. */
   def pageHinkley(df: DataFrame, keyCols: Seq[String], orderCol: String,
                   valueCol: String, delta: Double = 0.0,
                   lambda: Double = 50000.0): DataFrame = {
     require(keyCols.nonEmpty, "pageHinkley needs at least one key column")
     import org.apache.spark.sql.expressions.Window
+    import graft.operators.SegmentedOrder
     val lambdaE9 = math.floor(lambda * 1e9 + 0.5).toLong
-    val wOrd = Window.partitionBy(keyCols.map(col): _*).orderBy(col("__ord"))
-    val wCum = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    graft.functions.Cols.dropNullKeys(df, keyCols)
+    val k = keyCols.map(col)
+    val slim = graft.functions.Cols.dropNullKeys(df, keyCols)
       .filter(col(valueCol).isNotNull && col(orderCol).isNotNull)
-      .select((keyCols.map(col) :+ col(orderCol).as("__ord") :+
+      .select((k :+ col(orderCol).as("__ord") :+
         col(valueCol).cast("long").as("__x")): _*)
-      .withColumn("__i", row_number().over(wOrd).cast("long"))
-      .withColumn("__p", sum(col("__x")).over(wCum))
+    // lazy localCheckpoint (the q170 cells pattern): the bucketed rows
+    // feed the per-bucket totals, the summaries pass, AND the phase-2
+    // walk — without the cut, the scan + bucketing recomputes per use
+    val rows = SegmentedOrder.withBuckets(slim, keyCols,
+      SegmentedOrder.leadOf(slim, "__ord"))
+      .localCheckpoint(false)
+    // per-bucket (rows, Σx) -> entering (index, prefix-sum) per bucket
+    val bt = rows.groupBy(k :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__bn"), sum(col("__x")).as("__bs"))
+    val wKexc = Window.partitionBy(k: _*).orderBy(col("__bkt"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val pre = bt
+      .withColumn("__iIn", coalesce(sum(col("__bn")).over(wKexc), lit(0L)))
+      .withColumn("__pIn", coalesce(sum(col("__bs")).over(wKexc), lit(0L)))
+      .select(k :+ col("__bkt") :+ col("__iIn") :+ col("__pIn"): _*)
+    val wB = Window.partitionBy(k :+ col("__bkt"): _*).orderBy(col("__ord"))
+    val wBC = wB.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the shared row pass: global (i, p) off the entering prefixes, the
+    // identical __t9 double tree, local cum + running min of the cum
+    def t9Pass(src: DataFrame): DataFrame = src
+      .join(broadcast(pre), keyCols :+ "__bkt")
+      .withColumn("__i", col("__iIn") + row_number().over(wB).cast("long"))
+      .withColumn("__p", col("__pIn") + sum(col("__x")).over(wBC))
       .withColumn("__t9", expr(
         s"""cast(floor((cast(__x as double)
            |  - cast(__p as double) / cast(__i as double) - $delta)
            |  * 1e9 + 0.5) as bigint)""".stripMargin))
-      .withColumn("__m", sum(col("__t9")).over(wCum))
-      .withColumn("__mm", min(col("__m")).over(wCum))
-      .withColumn("__ph", col("__m") - col("__mm"))
-      .groupBy(keyCols.map(col): _*)
-      .agg(count(lit(1)).as("n_obs"),
-        max(col("__ph")).as("max_ph_e9"),
-        min(when(col("__ph") > lambdaE9, col("__i"))).as("first_alarm_t"))
+      .withColumn("__cl", sum(col("__t9")).over(wBC))
+      .withColumn("__rm", min(col("__cl")).over(wBC))
+    val summaries = t9Pass(rows).groupBy(k :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__bn2"),
+        sum(col("__t9")).as("__ts"), min(col("__cl")).as("__minc"),
+        max(col("__cl")).as("__maxc"),
+        max(col("__cl") - col("__rm")).as("__maxd"))
+    // buckets-sized prefixes: entering m, then entering running-min
+    // (two selects: a window expr can't nest inside another window)
+    val bs = summaries
+      .withColumn("__mIn", coalesce(sum(col("__ts")).over(wKexc), lit(0L)))
+    // buckets-sized localCheckpoint: perBkt feeds keyAgg AND the walk's
+    // candidate pick — without the cut, the ROW-SCALE summaries pass
+    // above it recomputes once per consumer
+    val perBkt = bs
+      .withColumn("__minIn", min(col("__mIn") + col("__minc")).over(wKexc))
+      .withColumn("__bMaxPh", when(col("__minIn").isNull, col("__maxd"))
+        .otherwise(greatest(col("__maxc") + col("__mIn") - col("__minIn"),
+          col("__maxd"))))
+      .localCheckpoint(false)
+    val keyAgg = perBkt.groupBy(k: _*)
+      .agg(sum(col("__bn2")).as("n_obs"),
+        max(col("__bMaxPh")).as("max_ph_e9"),
+        min(when(col("__bMaxPh") > lambdaE9, col("__bkt"))).as("__fb"))
+    // phase 2: the exact first-alarm index from the crossing bucket only
+    val cand = perBkt.join(
+        keyAgg.filter(col("__fb").isNotNull)
+          .select(k :+ col("__fb").as("__cbkt"): _*), keyCols)
+      .filter(col("__bkt") === col("__cbkt"))
+      .select(k :+ col("__bkt") :+ col("__mIn") :+ col("__minIn"): _*)
+    val walked = t9Pass(rows.join(
+        broadcast(cand.select(k :+ col("__bkt"): _*)), keyCols :+ "__bkt"))
+      .join(broadcast(cand), keyCols :+ "__bkt")
+      .withColumn("__ph",
+        (col("__mIn") + col("__cl")) -
+          when(col("__minIn").isNull, col("__mIn") + col("__rm"))
+            .otherwise(least(col("__minIn"), col("__mIn") + col("__rm"))))
+      .filter(col("__ph") > lambdaE9)
+      .groupBy(k: _*).agg(min(col("__i")).as("first_alarm_t"))
+    keyAgg.join(walked, keyCols.toSeq, "left")
       .withColumn("alarmed", col("first_alarm_t").isNotNull)
+      .select(k :+ col("n_obs") :+ col("max_ph_e9") :+
+        col("first_alarm_t") :+ col("alarmed"): _*)
   }
 
   private val ptSchema = StructType(Seq(
@@ -2172,23 +2242,52 @@ object Diagnostics {
     * Ties on `orderCol` break by `tieCols` (totality convention). Keys
     * with n₁ = 0 or n₀ = 0 emit null (a constant sequence has no
     * randomness question). Output: `(keys…, n, n_true, n_runs, z_e4,
-    * significant)`. */
+    * significant)`.
+    *
+    * Scale shape (round 17 — the [[graft.operators.SegmentedOrder]]
+    * rewrite): a plain per-key lag window is ONE SORT TASK PER KEY,
+    * and the whole-engine 100× sweep caught it (6 event types × 10M
+    * rows = 17 s on 32 mostly-idle cores). Transitions are a SEGMENTED
+    * sum: rows bucket into ≤1024 order-range segments per key, the lag
+    * window runs per (key, bucket) — parallelism keys × buckets — and
+    * the only cross-bucket fact, the boundary pair, stitches on the
+    * buckets-sized table (each bucket's first/last flag via min_by/
+    * max_by on the order) with one more tiny lag. Bit-identical R:
+    * every adjacent pair is counted exactly once, inside its bucket or
+    * on the stitch. */
   def runsTest(df: DataFrame, keyCols: Seq[String], orderCol: String,
                flagCol: String, tieCols: Seq[String] = Nil): DataFrame = {
     require(keyCols.nonEmpty, "runsTest needs at least one key column")
     import org.apache.spark.sql.expressions.Window
+    import graft.operators.SegmentedOrder
     val k = keyCols.map(col)
     val f = col(flagCol)
-    val wOrd = Window.partitionBy(k: _*)
-      .orderBy(col(orderCol) +: tieCols.map(col): _*)
-    val sums = graft.functions.Cols.dropNullKeys(df, keyCols)
+    val ordCols = col(orderCol) +: tieCols.map(col)
+    val ordStruct = struct(ordCols: _*)
+    val base = graft.functions.Cols.dropNullKeys(df, keyCols)
       .filter(f.isNotNull && col(orderCol).isNotNull)
-      .withColumn("__prev", lag(f, 1).over(wOrd))
+    val rows = SegmentedOrder.withBuckets(
+      base.select(k ++ ordCols :+ f.as("__f"): _*),
+      keyCols, SegmentedOrder.leadOf(base, orderCol))
+    val wB = Window.partitionBy(k :+ col("__bkt"): _*).orderBy(ordCols: _*)
+    val seg = rows
+      .withColumn("__prev", lag(col("__f"), 1).over(wB))
+      .groupBy(k :+ col("__bkt"): _*)
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__f"), 1L).otherwise(0L)).as("__nt"),
+        sum(when(col("__prev").isNotNull && col("__prev") =!= col("__f"), 1L)
+          .otherwise(0L)).as("__tr"),
+        min_by(col("__f"), ordStruct).as("__first"),
+        max_by(col("__f"), ordStruct).as("__last"))
+    val wK = Window.partitionBy(k: _*).orderBy(col("__bkt"))
+    val sums = seg
+      .withColumn("__pl", lag(col("__last"), 1).over(wK))
       .groupBy(k: _*)
-      .agg(count(lit(1)).as("n"),
-        sum(when(f, 1L).otherwise(0L)).as("n_true"),
-        (sum(when(col("__prev").isNotNull && col("__prev") =!= f, 1L)
-          .otherwise(0L)) + 1L).as("n_runs"))
+      .agg(sum(col("__n")).as("n"),
+        sum(col("__nt")).as("n_true"),
+        (sum(col("__tr")) +
+          sum(when(col("__pl").isNotNull && col("__pl") =!= col("__first"), 1L)
+            .otherwise(0L)) + 1L).as("n_runs"))
     val tn = "(cast(2 as decimal(38,0)) * n_true * (n - n_true))" // 2·n1·n0
     val mu = s"(cast($tn as double) / cast(n as double) + 1.0)"
     val v = s"""(cast($tn as double) * (cast($tn as double) - cast(n as double))
