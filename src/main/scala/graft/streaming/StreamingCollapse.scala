@@ -69,9 +69,14 @@ object StreamingCollapse {
     * downstream consumers read incrementally; nothing row-scale ever
     * transits the driver. Exactly-once comes from the sink's
     * `_spark_metadata` log + the checkpoint, both staged FRESH per
-    * drain (stale logs would silently dedupe the new run's batches). */
-  private def drainFiles(spark: SparkSession,
-                         writer: DataStreamWriter[_], name: String): DataFrame = {
+    * drain (stale logs would silently dedupe the new run's batches).
+    * The read-back takes the stream's KNOWN schema (round-17 s2): a
+    * drain that emitted zero rows leaves no part files, where schema
+    * inference would throw — and skipping inference also skips a
+    * footer read per drain. */
+  private def drainFiles(spark: SparkSession, writer: DataStreamWriter[_],
+                         name: String,
+                         schema: org.apache.spark.sql.types.StructType): DataFrame = {
     import java.nio.file.{Files, Paths}
     val base = Paths.get(sys.props("java.io.tmpdir"), s"graft_sink_$name")
     def rmrf(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
@@ -85,7 +90,7 @@ object StreamingCollapse {
     drain(spark, writer.format("parquet")
       .option("path", out)
       .option("checkpointLocation", ckpt))
-    spark.read.parquet(out)
+    spark.read.schema(schema).parquet(out)
   }
 
   /** Physical parquet schema per (dir, table), read from the footer ONCE
@@ -231,8 +236,9 @@ object StreamingCollapse {
       .select(col("user_id"), expr("ts div 1000").as("tsMicros"), col("value"))
       .as[(Long, Long, Double)]
       .map { case (u, t, v) => SessionEvent(u, t, v) }
-    val landed = drainFiles(spark, sessionize(events, gapMinutes, withTimeout = false)
-      .writeStream.outputMode("append").queryName(name), name)
+    val sessions = sessionize(events, gapMinutes, withTimeout = false)
+    val landed = drainFiles(spark, sessions
+      .writeStream.outputMode("append").queryName(name), name, sessions.schema)
     landed
       .select(col("user_id"), col("session_start"), col("session_end"),
         col("n_events"), round(col("sum_value"), 2).as("sum_value"))
@@ -660,7 +666,7 @@ object StreamingCollapse {
         col("purchase_ts") <= col("click_ts") + expr(s"interval $windowMinutes minutes"))
     val landed = drainFiles(spark, joined.writeStream
       .outputMode("append")
-      .queryName(name), name)
+      .queryName(name), name, joined.schema)
     landed
       .select(col("click_user").as("user_id"), col("click_id"), col("purchase_id"),
         round(col("purchase_value"), 2).as("purchase_value"))
@@ -801,7 +807,7 @@ object StreamingCollapse {
     val pairs = nearDupPairsStream(spark, dir, k, bands, shingleK, stateTtlMinutes = None)
     val landed = drainFiles(spark, pairs.writeStream
       .outputMode("append")
-      .queryName(name), name)
+      .queryName(name), name, pairs.schema)
     landed.dropDuplicates("id_a", "id_b")
       .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
       .orderBy("id_a", "id_b")
@@ -886,7 +892,7 @@ object StreamingCollapse {
           out.result().iterator
         })
     val landed = drainFiles(spark, pairs.writeStream
-      .outputMode("append").queryName(name), name)
+      .outputMode("append").queryName(name), name, pairs.schema)
     // totals via a window over the matrix-sized counts (a join back onto
     // the same sink lineage used to trip conflicting-reference resolution
     // on the memory-sink view; the file-read relation is clean either way)
@@ -1063,7 +1069,7 @@ object StreamingCollapse {
           out.result().iterator
         })
     drainFiles(spark, advances.writeStream
-      .outputMode("append").queryName(name), name)
+      .outputMode("append").queryName(name), name, advances.schema)
   }
 
   // ------------------------------------------- streaming join delta
@@ -1140,7 +1146,7 @@ object StreamingCollapse {
           out.result().iterator
         })
     drainFiles(spark, pairs.writeStream
-      .outputMode("append").queryName(name), name)
+      .outputMode("append").queryName(name), name, pairs.schema)
       .orderBy("user_id", "left_id", "right_id")
   }
 
