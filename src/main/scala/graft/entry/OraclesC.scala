@@ -3402,7 +3402,26 @@ private[graft] object OraclesC {
 
     // BPE merge ladder, k=64 (round 17): the q381/q382 rung doubled
     // once more — same unrolled per-rank arithmetic, deeper
-    "q391_x_bpe_merge_k64" -> bpeMergeLadderSql(64)
+    "q391_x_bpe_merge_k64" -> bpeMergeLadderSql(64),
+
+    // exact fuzzy join: the oracle is UNRESTRICTED brute force (length
+    // band is a levenshtein lower bound, not a recall cut) — matching
+    // hashes prove the q-gram prefix + deletion-neighborhood candidate
+    // set is complete, not merely precise
+    "q392_x_edit_join_exact" ->
+      ("""WITH c AS (
+        |  SELECT p_partkey AS c_key,
+        |         p_partkey % length(p_name) + 1 AS pos, p_name
+        |  FROM part WHERE p_partkey % 4 = 0),
+        |cc AS (SELECT c_key,
+        |         substring(p_name, 1, pos - 1) || substring(p_name, pos + 1) AS c_name
+        |       FROM c)
+        |SELECT cc.c_key, p.p_partkey,
+        |       CAST(levenshtein(cc.c_name, p.p_name) AS INT) AS edit_dist
+        |FROM cc JOIN part p
+        |  ON abs(length(cc.c_name) - length(p.p_name)) <= 2
+        |WHERE levenshtein(cc.c_name, p.p_name) <= 2
+        |ORDER BY c_key, p_partkey""".stripMargin)
   )
 
   private lazy val quadeSql: String =

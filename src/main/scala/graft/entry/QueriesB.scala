@@ -2713,6 +2713,28 @@ private[graft] object QueriesB {
     // learner is now replayed by the unrolled count→argmax→apply
     // oracle, halving the q92/q94 unchecked residue again (rank > 64)
     "q391_x_bpe_merge_k64" -> tuned((s, d) =>
-      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 64))
+      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 64)),
+
+    // ---- extension: EXACT fuzzy join (round 17) — q-gram prefix
+    // filtering + deletion-neighborhood low-gram channel, recall-
+    // COMPLETE (every pair with levenshtein ≤ 2), unlike q139's
+    // prefix blocking: the corruption here deletes a character at ANY
+    // position INCLUDING the first three, exactly the pairs q139's
+    // block contract documents as missed. Oracle = unrestricted brute
+    // force, so the hash check pins completeness, not just precision.
+    "q392_x_edit_join_exact" -> tuned((s, d) => {
+      val corrupted = Tables.part(s, d).filter(col("p_partkey") % 4 === 0)
+        .withColumn("pos",
+          (col("p_partkey") % length(col("p_name")) + 1).cast("int"))
+        .select(col("p_partkey").as("c_key"),
+          expr("concat(substring(p_name, 1, pos - 1), substring(p_name, pos + 1, 1000))")
+            .as("c_name"))
+      graft.operators.FuzzyJoin.byEditDistanceQGram(
+          corrupted, Tables.part(s, d), "c_name", "p_name",
+          payload = Seq("p_partkey"), maxDist = 2, q = 3)
+        .select(col("c_key"), col("p_partkey"),
+          col("edit_dist").cast("int").as("edit_dist"))
+        .orderBy("c_key", "p_partkey")
+    })
   )
 }

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Throwaway adjudication probe for the three perturbed-text 100x sweep
+  * outliers (q59 88x, q189 30x, q48 24x) — run manually:
+  * `sbt "Test/runMain graft.ProbeText100x [dir]"` (default
+  * /tmp/graft100xt, the [[SynthText100x]] corpus).
+  *
+  * Questions it answers with numbers:
+  *  1. q59 fixed-dial (bits=32, bands=4): is the cost the documented
+  *     pigeonhole band-bucket density? — candidate mass
+  *     Σ n·(n−1)/2 over (band, value) buckets at both scales.
+  *  2. q59 dial-scaled (bits=64, bands=4 — the operator scaladoc's
+  *     corpus-scale sizing): wall + candidate mass at 100x.
+  *  3. q48/q189 (gap-bucket token joins): candidate mass
+  *     Σ_(tok, bucket) df_a·df_b at both scales — linear work on fixed
+  *     cores, or super-linear blow-up? */
+object ProbeText100x {
+  def main(args: Array[String]): Unit = {
+    val dir100 = args.headOption.getOrElse("/tmp/graft100xt")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftSession.tune(spark)
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def noop(df: DataFrame) =
+      df.write.format("noop").mode("overwrite").save()
+
+    for (dir <- Seq("/root/testdata/sf0.1", dir100)) {
+      val docs = graft.sources.Tables.documents(spark, dir)
+
+      // -- q59 band-bucket candidate mass, fixed vs scaled dial
+      for (bits <- Seq(32, 64)) {
+        val bw = bits / 4
+        val mask = if (bw == 64) lit(-1L) else lit((1L << bw) - 1)
+        val sigs = docs.select(
+          graft.text.Dedup.simhash(col("text"), bits).as("sig"))
+        val mass = sigs.select(explode(array((0 until 4).map(b =>
+            struct(lit(b).as("band"),
+              shiftrightunsigned(col("sig"), b * bw).bitwiseAND(mask)
+                .as("value"))): _*)).as("bkey"))
+          .groupBy("bkey").agg(count(lit(1)).as("n"))
+          .agg(sum(col("n") * (col("n") - 1) / 2).as("pairs"),
+            max("n").as("max_bucket"), count(lit(1)).as("n_buckets"))
+          .collect()(0)
+        println(s"PROBE $dir q59 bits=$bits candMass=${mass.get(0)} " +
+          s"maxBucket=${mass.get(1)} nBuckets=${mass.get(2)}")
+      }
+      // -- q59 dial-scaled wall
+      val t64 = time(noop(graft.text.Dedup.simhashCandidates(
+        docs, "doc_id", "text", bits = 64, bands = 4, maxHamming = 1)))
+      println(f"PROBE $dir q59 bits=64 wall=$t64%.2f")
+
+      // -- q48/q189 gap-bucket token-join candidate mass (maxIdGap=50)
+      val toks = docs.select(col("doc_id"),
+        explode(array_distinct(graft.functions.Cols.tokens(col("text"))))
+          .as("tok"))
+      val a = toks.withColumn("bucket", explode(array(
+        floor(col("doc_id") / 50), floor(col("doc_id") / 50) + 1)))
+        .groupBy("tok", "bucket").agg(count(lit(1)).as("na"))
+      val b = toks.withColumn("bucket", floor(col("doc_id") / 50))
+        .groupBy("tok", "bucket").agg(count(lit(1)).as("nb"))
+      val mass = a.join(b, Seq("tok", "bucket"))
+        .agg(sum(col("na") * col("nb")).as("probes")).collect()(0)
+      println(s"PROBE $dir q48/q189 gapJoinMass=${mass.get(0)}")
+    }
+    spark.stop()
+  }
+}
