@@ -428,6 +428,11 @@ private[graft] object EntryHelpers {
   private[graft] def dkHash32(x: String): String =
     s"CAST('0x' || substring(md5($x), 1, 8) AS BIGINT)"
 
+  /** Portable 60-bit hash (mirrors [[graft.text.TextHash.hash60Md5]]:
+    * 15 hex chars stay BIGINT-positive — the q122 convention). */
+  private[graft] def dkHash60(x: String): String =
+    s"CAST('0x' || substring(md5($x), 1, 15) AS BIGINT)"
+
   // the single source of the (a, b) affine family — a private copy here
   // could silently desynchronize the oracle from the engine
   private[graft] def minhashAB(i: Int): (Long, Long) = graft.text.TextHash.minhashAB(i)
@@ -466,15 +471,18 @@ private[graft] object EntryHelpers {
     s"round(${dot("q", "c")} / nullif(sqrt(${dot("q", "q")}) * sqrt(${dot("c", "c")}), 0), 4)"
   }
 
-  /** Shared doc→simhash-signature CTE (`s(doc_id, sig)`), width-param. */
+  /** Shared doc→simhash-signature CTE (`s(doc_id, sig)`), width-param.
+    * Vote source mirrors [[graft.text.TextHash.simhash]]: 32-bit token
+    * hashes for nBits ≤ 32, the 60-bit hash for wide signatures. */
   private[graft] def simhashSigCte(nBits: Int): String = {
+    val hx = if (nBits <= 32) dkHash32("x") else dkHash60("x")
     val bits = (0 until nBits).map { i =>
       s"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END)) > 0 THEN ${1L << i} ELSE 0 END)"
     }.mkString(" + ")
     s"""WITH t AS (
        |  SELECT doc_id,
        |         list_transform(regexp_split_to_array(trim(text), '\\s+'),
-       |                        x -> ${dkHash32("x")}) AS hs
+       |                        x -> $hx) AS hs
        |  FROM documents),
        |s AS (SELECT doc_id, CAST($bits AS BIGINT) AS sig FROM t)""".stripMargin
   }
@@ -486,8 +494,14 @@ private[graft] object EntryHelpers {
     * (32-bit, 8-bit bands → sparse buckets). maxHamming (1) ≤ bands-1
     * (3), so the banded join has FULL recall and the all-pairs Hamming
     * filter is an exact oracle of the algorithm's output. */
-  private[graft] val SimhashPairsSql: String =
-    s"""${simhashSigCte(32)}
+  private[graft] val SimhashPairsSql: String = simhashPairsSql(32)
+
+  /** Width-parameterized banded-simhash-candidates oracle (q59 at 32,
+    * q393 at the 60-bit corpus-scale width): the all-pairs Hamming
+    * filter is exact because maxHamming (1) ≤ bands−1 gives the banded
+    * join full recall. */
+  private[graft] def simhashPairsSql(bits: Int): String =
+    s"""${simhashSigCte(bits)}
        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        |       CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
        |FROM s a JOIN s b ON a.doc_id < b.doc_id

@@ -3421,7 +3421,10 @@ private[graft] object OraclesC {
         |FROM cc JOIN part p
         |  ON abs(length(cc.c_name) - length(p.p_name)) <= 2
         |WHERE levenshtein(cc.c_name, p.p_name) <= 2
-        |ORDER BY c_key, p_partkey""".stripMargin)
+        |ORDER BY c_key, p_partkey""".stripMargin),
+
+    // wide simhash: the q59 oracle at 60 bits (hash60 votes)
+    "q393_x_simhash_pairs_wide" -> simhashPairsSql(60)
   )
 
   private lazy val quadeSql: String =

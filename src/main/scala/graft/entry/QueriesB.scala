@@ -2735,6 +2735,17 @@ private[graft] object QueriesB {
         .select(col("c_key"), col("p_partkey"),
           col("edit_dist").cast("int").as("edit_dist"))
         .orderBy("c_key", "p_partkey")
-    })
+    }),
+
+    // ---- extension: wide-signature simhash pairs (round 17) — the
+    // corpus-scale dial of q59, at the width the r17 probe found
+    // silently broken: bits > 32 used to vote over a 32-bit token
+    // hash, leaving every high band constant 0 (one all-docs bucket).
+    // 60-bit signatures / 15-bit bands with real high-bit votes; the
+    // oracle replays the 60-bit hash and signature bit-exactly
+    "q393_x_simhash_pairs_wide" -> tuned((s, d) =>
+      Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
+          bits = 60, bands = 4, maxHamming = 1)
+        .orderBy("id_a", "id_b"))
   )
 }

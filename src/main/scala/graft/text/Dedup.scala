@@ -219,7 +219,15 @@ object Dedup {
     * `maxHamming` ≤ bands-1 are captured at FULL recall without an
     * all-pairs stage. Exact Hamming (bit_count of xor) filters candidates.
     * Output: (id_a, id_b, hamming). At corpus scale, widen the signature
-    * (64-bit) and keep band width ≥ 8 bits so band buckets stay sparse. */
+    * (bits = 60 — the max the oracle-portable hash60 vote source
+    * supports, see [[TextHash.simhash]]; q393 is the measured wide
+    * member) and keep band width ≥ 8 bits so band buckets stay sparse.
+    * Caveat the r17 probe measured: bucket sparsity also needs the
+    * METRIC to have signal — a corpus of near-identical token
+    * DISTRIBUTIONS (tiny shared vocabulary) collapses most docs
+    * into genuinely hamming-close signatures, and then
+    * candidate mass is true-pair mass, which no banding can cut; dedup
+    * such data by minhash/n-gram content measures instead. */
   def simhashCandidates(docs: DataFrame, idCol: String, textCol: String,
                         bits: Int = 16, bands: Int = 4, maxHamming: Int = 3): DataFrame =
     hammingCandidates(

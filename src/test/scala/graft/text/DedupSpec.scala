@@ -132,6 +132,45 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 100L, 0)), "planted exact dup not found")
   }
 
+  test("simhash wide signatures (bits > 32) carry real high-bit votes") {
+    // the r17 regression: bits > 32 voted over a 32-bit hash, so every
+    // bit >= 32 was permanently 0 — one constant high band, one
+    // all-docs bucket. Pin: 60-bit sigs of diverse docs differ in the
+    // HIGH 28 bits, and bits <= 32 behavior is unchanged vs before.
+    val d = (1 to 30).map(i => (i.toLong,
+      (1 to 20).map(j => s"w${i * 31 + j * 7}").mkString(" "))).toDF("doc_id", "text")
+    val wide = d.select(Dedup.simhash(col("text"), 60).as("s"))
+      .as[Long].collect()
+    assert(wide.map(_ >>> 32).distinct.length > 1,
+      "high 28 bits constant across diverse docs — the 32-bit vote-source bug")
+    assert(wide.forall(_ >= 0L), "60-bit signatures must stay BIGINT-positive")
+    val e = intercept[Exception] {
+      d.select(Dedup.simhash(col("text"), 64).as("s")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("at most 60 bits")))
+  }
+
+  test("simhashCandidates at 60 bits: full recall vs all-pairs filter") {
+    val rng = new scala.util.Random(7)
+    val words = (1 to 500).map(i => s"tok$i")
+    val base = (1 to 40).map(i =>
+      (i.toLong, (1 to 15).map(_ => words(rng.nextInt(words.length))).mkString(" ")))
+    val corpus = (base :+ (100L, base.head._2)).toDF("doc_id", "text")
+    val got = Dedup.simhashCandidates(corpus, "doc_id", "text",
+        bits = 60, bands = 4, maxHamming = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val sigs = corpus.select(col("doc_id"), Dedup.simhash(col("text"), 60).as("s"))
+      .as[(Long, Long)].collect()
+    val expect = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs if ia < ib
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 1
+    } yield (ia, ib, h)).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.contains((1L, 100L, 0)), "planted exact dup not found")
+  }
+
   test("hammingCandidates: generic over precomputed signatures, null sigs dropped") {
     // 56-bit sigs: 1-2 differ by 2 bits, 3 is 1 flipped in 5 bits (> max),
     // 4 duplicates 1 exactly, 5 has a null signature
