@@ -3424,7 +3424,26 @@ private[graft] object OraclesC {
         |ORDER BY c_key, p_partkey""".stripMargin),
 
     // wide simhash: the q59 oracle at 60 bits (hash60 votes)
-    "q393_x_simhash_pairs_wide" -> simhashPairsSql(60)
+    "q393_x_simhash_pairs_wide" -> simhashPairsSql(60),
+
+    // exact Jaccard join: unrestricted brute force (list_intersect over
+    // distinct token sets), the same integer cross-multiplied accept —
+    // the hash match pins the prefix-filter candidate set's completeness
+    "q394_x_jaccard_join_complete" ->
+      ("""WITH t AS (
+        |  SELECT doc_id,
+        |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |p AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         len(list_intersect(a.toks, b.toks)) AS i,
+        |         len(a.toks) AS na, len(b.toks) AS nb
+        |  FROM t a JOIN t b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, CAST(i AS BIGINT) AS n_inter,
+        |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+        |       CAST(i * 1000000 // (na + nb - i) AS BIGINT) AS jaccard_e6
+        |FROM p WHERE i * 1950000 >= 950000 * (na + nb)
+        |ORDER BY id_a, id_b""".stripMargin)
   )
 
   private lazy val quadeSql: String =

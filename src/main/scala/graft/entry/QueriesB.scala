@@ -2746,6 +2746,18 @@ private[graft] object QueriesB {
     "q393_x_simhash_pairs_wide" -> tuned((s, d) =>
       Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
           bits = 60, bands = 4, maxHamming = 1)
+        .orderBy("id_a", "id_b")),
+
+    // ---- extension: exact all-pairs Jaccard join (round 17) — the
+    // COMPLETE third point beside q55's by-contract quadratic baseline
+    // and q46's probabilistic LSH: AllPairs prefix filtering under a
+    // global df token order, integer-exact accept test. 0.95: the
+    // synthetic corpus's ~31-token vocabulary makes low thresholds
+    // intrinsically quadratic in TRUE pairs (7.7% of ALL pairs exceed
+    // 0.9) — the threshold is the output dial
+    "q394_x_jaccard_join_complete" -> tuned((s, d) =>
+      Dedup.jaccardJoinComplete(Tables.documents(s, d), "doc_id", "text",
+          thresholdE6 = 950000L)
         .orderBy("id_a", "id_b"))
   )
 }

@@ -376,6 +376,81 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** EXACT all-pairs token-set Jaccard join, COMPLETE at the threshold —
+    * no id-gap restriction ([[ngramJaccard]]'s demo dial) and no LSH
+    * probability ([[minhashCandidates]]): the third point of the exact/
+    * approximate design space, sub-quadratic on realistic (Zipf-tailed)
+    * vocabularies. AllPairs/PPJoin PREFIX FILTERING (Bayardo et al.
+    * WWW'07; Vernica et al. SIGMOD'10 for the distributed shape): order
+    * every document's distinct-token set by GLOBAL ascending document
+    * frequency (ties by token); a pair with `J ≥ t` has overlap
+    * `≥ ⌈t·max(n_a,n_b)⌉` (via the size filter `t·max ≤ min`), so each
+    * side's first `n − ⌈t·n⌉ + 1` rarest tokens must intersect —
+    * candidates are rare-token collisions, Σ prefix-df², never a fixed
+    * block. Verification is one `array_intersect` per DISTINCT candidate
+    * pair over the sorted token arrays; the accept test is the integer
+    * cross-multiplication `inter·(10⁶ + tE6) ≥ tE6·(n_a + n_b)`
+    * (⟺ inter/(union) ≥ tE6/10⁶ exactly — no float in the decision),
+    * mirroring [[tokenContainment]]'s thresholdE6 convention.
+    *
+    * Output: (id_a, id_b, n_inter, n_a, n_b, jaccard_e6 =
+    * ⌊inter·10⁶/union⌋). Empty token sets never pair (0/0 excluded).
+    * Caveat shared with every content-similarity operator here: a
+    * corpus of near-identical vocabularies (the testdata generator's
+    * ~31 tokens) has intrinsically quadratic TRUE-pair mass at low
+    * thresholds — the threshold is the output dial, not the algorithm's.
+    *
+    * Scale shape: one token scan, one map-side-combined df aggregate,
+    * per-doc sort of ~dozens of tokens, rare-token equi-join, per-pair
+    * O(n_a + n_b) verify — all shuffle-bounded by candidate count, with
+    * the explosive-join repartition before the verify kernel. */
+  def jaccardJoinComplete(docs: DataFrame, idCol: String, textCol: String,
+                          thresholdE6: Long): DataFrame = {
+    require(thresholdE6 > 0 && thresholdE6 <= 1000000,
+      s"thresholdE6 must be in (0, 1000000], got $thresholdE6")
+    val spark = docs.sparkSession
+    val par = spark.sparkContext.defaultParallelism * 2
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(array_distinct(Cols.tokens(col(textCol)))).as("tok"))
+    val dfreq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    // per-doc tokens in ascending global (df, tok) order + the size;
+    // persisted: read once for prefixes and once per side of the verify
+    val sorted = toks.join(dfreq, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(array_sort(collect_list(struct(col("df"), col("tok")))).as("st"))
+      .select(col("doc_id"), expr("transform(st, s -> s.tok)").as("toks"),
+        size(col("st")).as("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    sorted.count()
+    // prefix = n − ⌈t·n⌉ + 1 rarest tokens (integer ceil)
+    val pre = sorted.select(col("doc_id"), col("n"),
+      expr(s"slice(toks, 1, n - cast(($thresholdE6 * n + 999999) div 1000000 as int) + 1)")
+        .as("pref"))
+    val keys = pre.select(col("doc_id"), col("n"), explode(col("pref")).as("tok"))
+    val cand = keys.as("a").join(keys.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          least(col("a.n"), col("b.n")) * 1000000L >=
+            lit(thresholdE6) * greatest(col("a.n"), col("b.n")))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+      .repartition(par) // byEditDistance's explosive-join rationale
+    val out = cand
+      .join(sorted.select(col("doc_id").as("id_a"), col("toks").as("ta"),
+        col("n").as("n_a")), Seq("id_a"))
+      .join(sorted.select(col("doc_id").as("id_b"), col("toks").as("tb"),
+        col("n").as("n_b")), Seq("id_b"))
+      .withColumn("n_inter", size(array_intersect(col("ta"), col("tb"))).cast("long"))
+      .filter(col("n_inter") * (1000000L + thresholdE6) >=
+        lit(thresholdE6) * (col("n_a") + col("n_b")))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("n_a").cast("long").as("n_a"), col("n_b").cast("long").as("n_b"),
+        expr("n_inter * 1000000 div (n_a + n_b - n_inter)").as("jaccard_e6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    out.count() // small (pairs only): lets the token-array cache go
+    sorted.unpersist()
+    out
+  }
+
   /** Cross-corpus duplicated n-gram coverage — the detection half of
     * exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
     * Makes Language Models Better": substrings repeated verbatim anywhere

@@ -171,6 +171,41 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 100L, 0)), "planted exact dup not found")
   }
 
+  test("jaccardJoinComplete equals brute force — no id-gap, exact at the threshold") {
+    val rng = new scala.util.Random(11)
+    val words = (1 to 40).map(i => s"w$i")
+    val base = (1 to 50).map(i => (i.toLong * 1000, // ids far apart: no gap dial
+      (1 to 12).map(_ => words(rng.nextInt(words.length))).distinct.mkString(" ")))
+    // plant an exact dup and a one-token variant at a huge id distance
+    val corpus = (base :+ (900000L, base.head._2) :+
+      (901000L, base.head._2 + " extraword")).toDF("doc_id", "text")
+    val tE6 = 500000L
+    val got = Dedup.jaccardJoinComplete(corpus, "doc_id", "text", tE6)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+        r.getAs[Long]("n_inter"), r.getAs[Long]("jaccard_e6"))).toSet
+    val sets = corpus.as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.split("\\s+").distinct.toSet) }
+    val expect = (for {
+      (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+      i = (sa & sb).size
+      if i * (1000000L + tE6) >= tE6 * (sa.size + sb.size)
+    } yield (ia, ib, i.toLong, i * 1000000L / (sa.size + sb.size - i))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(got.exists(p => p._1 == 1000L && p._2 == 900000L && p._4 == 1000000L),
+      "planted far-id exact dup not found (the no-gap-dial point)")
+    // ngramJaccard with a gap dial misses exactly that pair
+    val gapped = Dedup.ngramJaccard(corpus, "doc_id", "text",
+      maxIdGap = 50, threshold = 0.5).collect()
+    assert(!gapped.exists(r => r.getAs[Long]("id_b") == 900000L))
+  }
+
+  test("jaccardJoinComplete integer threshold boundary is exact") {
+    // J = 2/4 = 0.5 exactly: accepted at tE6=500000, rejected at 500001
+    val d = Seq((1L, "a b c"), (2L, "a b d")).toDF("doc_id", "text")
+    assert(Dedup.jaccardJoinComplete(d, "doc_id", "text", 500000L).count() == 1)
+    assert(Dedup.jaccardJoinComplete(d, "doc_id", "text", 500001L).count() == 0)
+  }
+
   test("hammingCandidates: generic over precomputed signatures, null sigs dropped") {
     // 56-bit sigs: 1-2 differ by 2 bits, 3 is 1 flipped in 5 bits (> max),
     // 4 duplicates 1 exactly, 5 has a null signature
