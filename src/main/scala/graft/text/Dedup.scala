@@ -422,15 +422,26 @@ object Dedup {
         size(col("st")).as("n"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     sorted.count()
-    // prefix = n − ⌈t·n⌉ + 1 rarest tokens (integer ceil)
+    // prefix = n − ⌈t·n⌉ + 1 rarest tokens (integer ceil), with the
+    // token's position for the PPJoin positional filter below
     val pre = sorted.select(col("doc_id"), col("n"),
       expr(s"slice(toks, 1, n - cast(($thresholdE6 * n + 999999) div 1000000 as int) + 1)")
         .as("pref"))
-    val keys = pre.select(col("doc_id"), col("n"), explode(col("pref")).as("tok"))
+    val keys = pre.select(col("doc_id"), col("n"),
+      posexplode(col("pref")).as(Seq("pos", "tok")))
     val cand = keys.as("a").join(keys.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
           least(col("a.n"), col("b.n")) * 1000000L >=
-            lit(thresholdE6) * greatest(col("a.n"), col("b.n")))
+            lit(thresholdE6) * greatest(col("a.n"), col("b.n")) &&
+          // PPJoin positional filter: at the pair's FIRST shared prefix
+          // position no common token precedes it on either side, so
+          // overlap ≤ 1 + min(remaining-after) — emissions failing the
+          // bound drop, and a valid pair always survives via its
+          // first-match emission (whose bound dominates true overlap);
+          // ubound·(10⁶+tE6) ≥ tE6·(n_a+n_b) ⟺ ubound ≥ ⌈t/(1+t)·Σn⌉
+          (lit(1L) + least(col("a.n") - col("a.pos") - 1,
+            col("b.n") - col("b.pos") - 1)) * (1000000L + thresholdE6) >=
+            lit(thresholdE6) * (col("a.n") + col("b.n")))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
       .repartition(par) // byEditDistance's explosive-join rationale
