@@ -3443,7 +3443,10 @@ private[graft] object OraclesC {
         |       CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
         |       CAST(i * 1000000 // (na + nb - i) AS BIGINT) AS jaccard_e6
         |FROM p WHERE i * 1950000 >= 950000 * (na + nb)
-        |ORDER BY id_a, id_b""".stripMargin)
+        |ORDER BY id_a, id_b""".stripMargin),
+
+    // BPE merge ladder, k=128: the rung doubled once more
+    "q395_x_bpe_merge_k128" -> bpeMergeLadderSql(128)
   )
 
   private lazy val quadeSql: String =

@@ -2758,6 +2758,12 @@ private[graft] object QueriesB {
     "q394_x_jaccard_join_complete" -> tuned((s, d) =>
       Dedup.jaccardJoinComplete(Tables.documents(s, d), "doc_id", "text",
           thresholdE6 = 950000L)
-        .orderBy("id_a", "id_b"))
+        .orderBy("id_a", "id_b")),
+
+    // ---- extension: BPE merge ladder, k=128 — one more doubling rung
+    // (q381/q382/q391 pattern); the q92/q94 terminal residue halves
+    // again to rank > 128 of the same hash-checked arithmetic
+    "q395_x_bpe_merge_k128" -> tuned((s, d) =>
+      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 128))
   )
 }

@@ -168,11 +168,14 @@ object FuzzyJoin {
     val ga = grams(la, "__a")
     val gb = grams(rb, "__b")
     // global gram document frequency over BOTH catalogs of distinct keys
-    // — the shared total order (df, gram) both prefixes sort by
+    // — the shared total order (df, gram) both prefixes sort by. The df
+    // table is bounded by the q-gram space (charset^q — ~50k for ASCII
+    // text, always map-side-combined small), so BROADCAST it: the
+    // alternative shuffles every (key, gram) row just to attach one int
     val dfreq = ga.select(col("__g")).unionAll(gb.select(col("__g")))
       .groupBy("__g").agg(count(lit(1)).as("__df"))
     def prefixKeys(g: DataFrame, c: String): DataFrame =
-      g.join(dfreq, Seq("__g"))
+      g.join(broadcast(dfreq), Seq("__g"))
         .groupBy(col(c))
         .agg(slice(array_sort(collect_list(struct(col("__df"), col("__g")))),
           1, pref).as("__p"))
