@@ -23,7 +23,14 @@ import org.apache.spark.sql.functions._
   * union several blocking keys (prefix + phonetic + length band) — the
   * candidate union stays linear while the cross product never is. A
   * length pre-filter (`|len(a) − len(b)| ≤ maxDist`, a levenshtein
-  * lower bound) prunes candidates before the DP kernel runs. */
+  * lower bound) prunes candidates before the DP kernel runs.
+  *
+  * SCALE CONTRACT: fixed-granularity blocks mean candidate mass
+  * Σ_blocks |L_b|·|R_b| grows QUADRATICALLY with catalog size (measured
+  * ×12,800 for ×100 catalogs, SURVEY r17) — right for a bounded
+  * catalog, wrong for a growing corpus. [[byEditDistanceQGram]] is the
+  * corpus-scale sibling: recall-COMPLETE and candidate-linear on
+  * realistic key distributions. */
 object FuzzyJoin {
 
   /** Output: left columns + right `payload` + `edit_dist` (int).

@@ -144,6 +144,37 @@ class PlanSpec extends SparkSpec {
       s"embeddings crossed a shuffle: $exchangeLines")
   }
 
+  test("ed-join (q392): no cartesian product; kernel parallelism pinned; df broadcast") {
+    val p = plan("q392_x_edit_join_exact")
+    assert(!p.contains("CartesianProduct"),
+      "exact fuzzy join must never plan a cross product")
+    // the banded-DP candidates redistribute round-robin before the
+    // kernel (the byEditDistance explosive-join countermeasure)
+    assert(p.contains("Exchange RoundRobinPartitioning"),
+      s"candidate redistribution missing:\n$p")
+    // the gram-frequency attach is a broadcast, not a 10M-row shuffle join
+    assert(p.contains("BroadcastHashJoin"), s"df attach not broadcast:\n$p")
+    assert(p.contains("levenshtein"), "banded DP kernel missing from plan")
+  }
+
+  test("jaccard join (q394): consumers read the cached pair table, not the corpus") {
+    val df = SparkEntry.queries("q394_x_jaccard_join_complete")(spark, dir)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"))
+    // the builder materializes the (small) pair result and unpersists the
+    // token-array cache — the returned frame must be a scan of the pair
+    // cache, never a recompute through the corpus-sized candidate join
+    assert(p.contains("InMemoryTableScan"),
+      s"q394 consumption recomputes the join:\n$p")
+    // the consumer plan above the cached relation must not re-run the
+    // verify kernel (the InMemoryRelation subtree printed BELOW is the
+    // cache's build recipe, not the consumption path)
+    val consumer = p.linesIterator
+      .takeWhile(!_.contains("InMemoryRelation")).mkString("\n")
+    assert(!consumer.contains("array_intersect"),
+      s"verify kernel re-runs on consumption:\n$consumer")
+  }
+
   test("outlier repair (q64): all three window stages share ONE sort and ONE shuffle") {
     // three Window nodes are inherent (lag-of-rolling-median nests, and
     // the is-last max is unordered) — what must NOT happen is a re-sort
