@@ -384,6 +384,62 @@ object PropertySpec extends Properties("graft.laws") {
     math.abs(lhs - rhs) < 10000L
   }
 
+  // seeded corpora, not forAll (the BPE rationale below): each sample is
+  // a full Spark join pipeline; three corpora × three thresholds cover
+  // the completeness law without dominating the suite
+  property("jaccardJoinComplete equals brute force on random corpora") = Prop {
+    val rng = new scala.util.Random(42)
+    (1 to 3).forall { trial =>
+      val vocab = (1 to 10 + trial * 5).map(i => s"t$i")
+      val docs = (1 to 30).map(i => (i.toLong * 7,
+        (1 to 3 + rng.nextInt(10)).map(_ => vocab(rng.nextInt(vocab.size)))
+          .mkString(" ")))
+      val tE6 = Seq(300000L, 500000L, 800000L)(trial - 1)
+      val got = graft.text.Dedup.jaccardJoinComplete(
+          docs.toDF("doc_id", "text"), "doc_id", "text", tE6)
+        .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"),
+          r.getAs[Long]("n_inter"))).toSet
+      val sets = docs.map { case (id, t) => (id, t.split("\\s+").distinct.toSet) }
+      val expect = (for {
+        (ia, sa) <- sets; (ib, sb) <- sets if ia < ib
+        i = (sa & sb).size
+        if i * (1000000L + tE6) >= tE6 * (sa.size + sb.size)
+      } yield (ia, ib, i.toLong)).toSet
+      got == expect
+    }
+  }
+
+  private def levRef(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  // tiny alphabet -> dense near-matches, short and repetitive keys ->
+  // the deletion channel carries most pairs; one trial per maxDist
+  property("byEditDistanceQGram equals brute force at maxDist 0/1/2") = Prop {
+    val rng = new scala.util.Random(7)
+    (0 to 2).forall { d =>
+      def w() = (1 to 1 + rng.nextInt(12))
+        .map(_ => "abcd" (rng.nextInt(4))).mkString
+      val left = (1 to 25).map(i => (i.toLong, w()))
+      val right = (1 to 25).map(i => (i.toLong + 1000, w()))
+      val got = graft.operators.FuzzyJoin.byEditDistanceQGram(
+          left.toDF("lid", "lk"), right.toDF("rid", "rk"), "lk", "rk",
+          payload = Seq("rid"), maxDist = d, q = 3)
+        .select("lid", "rid", "edit_dist").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val expect = (for {
+        (li, lk) <- left; (ri, rk) <- right
+        e = levRef(lk, rk) if e <= d
+      } yield (li, ri, e)).toSet
+      got == expect
+    }
+  }
+
   // fixed fixtures, not forAll: learnMerges is a multi-job Spark loop per
   // sample — 100 ScalaCheck samples would dominate the suite's runtime
   property("BPE encode preserves content: symbols rejoin to the original words") = Prop {
