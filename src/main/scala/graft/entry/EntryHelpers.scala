@@ -738,6 +738,79 @@ private[graft] object EntryHelpers {
     (s"$head,\n$its", s"c$iters", assign)
   }
 
+  /** q396: product-quantization ADC top-k replayed bit-for-bit — per
+    * subspace s: init from the k lowest-id sub-vectors, `iters` Lloyd
+    * rounds in L2 (assignment argmin ties to lowest cid; update =
+    * double sums of floats / n, cast FLOAT — the ivfTrainCtes
+    * conventions), then corpus codes via the final codebooks and the
+    * query×corpus ADC distance as the EXPLICIT s-ordered sum
+    * d0 + d1 + … (matching the JVM accumulation order; a GROUP BY sum
+    * would not pin addition order). */
+  private[graft] def pqAdcTopKSql(m: Int, kCent: Int, iters: Int, dim: Int,
+                                  topK: Int, maxQueryId: Long): String = {
+    val sub = dim / m
+    // L2² of vector expr `vx`'s subspace-s slice against centroid list `cv`,
+    // summed j ascending (list_sum is in list order — the ivfCos parity)
+    def l2(s: Int, vx: String, cv: String) =
+      s"list_sum(list_transform(generate_series(1, $sub), j -> " +
+        s"(CAST($vx[${s * sub} + j] AS DOUBLE) - CAST($cv[j] AS DOUBLE)) * " +
+        s"(CAST($vx[${s * sub} + j] AS DOUBLE) - CAST($cv[j] AS DOUBLE))))"
+    def assign(s: Int, prev: String, rnPred: String) =
+      s"""(SELECT id, embedding, cid FROM (
+         |  SELECT v.id, v.embedding, c.cid,
+         |    row_number() OVER (PARTITION BY v.id
+         |      ORDER BY ${l2(s, "v.embedding", "c.cv")} ASC, c.cid) AS rn
+         |  FROM v CROSS JOIN $prev c) t WHERE $rnPred)""".stripMargin
+    val head =
+      s"""WITH v AS MATERIALIZED (SELECT CAST(vec_id AS BIGINT) AS id, embedding
+         |  FROM embeddings WHERE embedding IS NOT NULL AND len(embedding) = $dim),
+         |init AS (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, embedding AS ev
+         |  FROM v)""".stripMargin
+    val perSub = (0 until m).map { s =>
+      val c0 =
+        s"""c0_$s AS (SELECT cid,
+           |  list_transform(generate_series(1, $sub), j -> ev[${s * sub} + j]) AS cv
+           |  FROM init WHERE cid < $kCent)""".stripMargin
+      val its = (1 to iters).map { i =>
+        val p = s"c${i - 1}_$s"
+        s"""a${i}_$s AS ${assign(s, p, "rn = 1")},
+           |s${i}_$s AS (SELECT cid, j,
+           |    sum(CAST(embedding[${s * sub} + j] AS DOUBLE)) AS sx, count(*) AS n
+           |  FROM a${i}_$s CROSS JOIN (SELECT unnest(generate_series(1, $sub)) AS j)
+           |  GROUP BY 1, 2),
+           |u${i}_$s AS (SELECT cid, list(CAST(sx / n AS FLOAT) ORDER BY j) AS cv
+           |        FROM s${i}_$s GROUP BY cid),
+           |c${i}_$s AS (SELECT p.cid, COALESCE(u.cv, p.cv) AS cv
+           |        FROM $p p LEFT JOIN u${i}_$s u ON p.cid = u.cid)""".stripMargin
+      }.mkString(",\n")
+      val codes =
+        s"""code_$s AS MATERIALIZED ${assign(s, s"c${iters}_$s", "rn = 1")},
+           |d_$s AS MATERIALIZED (
+           |  SELECT q.id AS query_id, cc.id AS neighbor_id,
+           |         ${l2(s, "q.embedding", "c.cv")} AS d
+           |  FROM qry q CROSS JOIN code_$s cc JOIN c${iters}_$s c ON c.cid = cc.cid
+           |  WHERE q.id <> cc.id)""".stripMargin
+      s"$c0,\n$its,\n$codes"
+    }.mkString(",\n")
+    val qry = s"qry AS MATERIALIZED (SELECT id, embedding FROM v WHERE id < $maxQueryId)"
+    val distExpr = (0 until m).map(s => s"d_$s.d").mkString(" + ")
+    val joins = (1 until m).map(s =>
+      s"JOIN d_$s ON d_$s.query_id = d_0.query_id AND d_$s.neighbor_id = d_0.neighbor_id")
+      .mkString("\n  ")
+    s"""$head,
+       |$qry,
+       |$perSub,
+       |dist AS (SELECT d_0.query_id, d_0.neighbor_id, $distExpr AS adc
+       |  FROM d_0
+       |  $joins),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY adc ASC, neighbor_id) AS rank
+       |  FROM dist)
+       |SELECT query_id, neighbor_id, round(adc, 6) AS adc_dist,
+       |       CAST(rank AS INT) AS rank
+       |FROM r WHERE rank <= $topK ORDER BY query_id, rank""".stripMargin
+  }
+
   private[graft] def ivfTopKSql(kClusters: Int, iters: Int, dim: Int, topK: Int,
                          nProbe: Int, maxId: Long): String = {
     def cos(l: String, r: String) = ivfCos(dim)(l, r)

@@ -3446,7 +3446,12 @@ private[graft] object OraclesC {
         |ORDER BY id_a, id_b""".stripMargin),
 
     // BPE merge ladder, k=128: the rung doubled once more
-    "q395_x_bpe_merge_k128" -> bpeMergeLadderSql(128)
+    "q395_x_bpe_merge_k128" -> bpeMergeLadderSql(128),
+
+    // PQ-ADC: training + encoding + scoring replayed bit-for-bit
+    "q396_x_pq_adc_topk" ->
+      pqAdcTopKSql(m = 8, kCent = 16, iters = 2, dim = 64, topK = 3,
+        maxQueryId = 32L)
   )
 
   private lazy val quadeSql: String =

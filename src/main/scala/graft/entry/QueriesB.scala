@@ -2764,6 +2764,20 @@ private[graft] object QueriesB {
     // (q381/q382/q391 pattern); the q92/q94 terminal residue halves
     // again to rank > 128 of the same hash-checked arithmetic
     "q395_x_bpe_merge_k128" -> tuned((s, d) =>
-      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 128))
+      graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 128)),
+
+    // ---- extension: product-quantization ADC ANN (round 17) — the
+    // memory-compression scale path beside IVF (q58, list pruning) and
+    // SRP-LSH (q52, bucket pruning): 8 sub-codebooks of 16 centroids
+    // make a 64-float vector 8 codes (32x RAM cut) and scoring m table
+    // lookups per corpus row. Training, encoding, and ADC are
+    // deterministic (q58's Lloyd conventions, L2); the oracle replays
+    // all three bit-for-bit
+    "q396_x_pq_adc_topk" -> tuned((s, d) => {
+      val e = Tables.embeddings(s, d)
+      graft.sim.Pq.adcTopK(e, e.filter(col("vec_id") < 32),
+          "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2, topK = 3)
+        .orderBy("query_id", "rank")
+    })
   )
 }
