@@ -15,10 +15,10 @@ import graft.EntryHelpers._
   * contract is unchanged; see SparkEntry's scaladoc for naming rules. */
 private[graft] object QueriesA {
   private[graft] val m: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "q00_m2_ces_collapse" -> tuned(cesCollapse),
+    "q00_m2_ces_collapse" -> gridTuned(cesCollapse),
 
     // ---- aggregations (SURVEY §2.5)
-    "q01_a1_groupsum" -> tuned((s, d) =>
+    "q01_a1_groupsum" -> gridTuned((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
@@ -26,19 +26,19 @@ private[graft] object QueriesA {
           count(lit(1)).as("n"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    "q02_a2_weighted_mean" -> tuned((s, d) =>
+    "q02_a2_weighted_mean" -> gridTuned((s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(round(Collapse.weightedMean(col("l_extendedprice"), col("l_quantity")), 4)
           .as("wavg_price"))
         .orderBy("l_returnflag")),
 
-    "q03_a3_distinct" -> tuned((s, d) =>
+    "q03_a3_distinct" -> gridTuned((s, d) =>
       Tables.customer(s, d)
         .select("c_mktsegment", "c_nationkey").distinct()
         .orderBy("c_mktsegment", "c_nationkey")),
 
-    "q04_a4_value_counts" -> tuned((s, d) =>
+    "q04_a4_value_counts" -> gridTuned((s, d) =>
       Tables.orders(s, d)
         .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("o_orderpriority")).limit(10)),
@@ -59,7 +59,7 @@ private[graft] object QueriesA {
           (floor(col("value") * 100 + 0.5) / 10000.0).as("avg_value"))
         .orderBy("user_id", "month")),
 
-    "q06_a6_summary" -> tuned((s, d) =>
+    "q06_a6_summary" -> gridTuned((s, d) =>
       Tables.orders(s, d).agg(
         min(col("o_orderdate")).cast("date").as("min_date"),
         max(col("o_orderdate")).cast("date").as("max_date"),
@@ -67,13 +67,13 @@ private[graft] object QueriesA {
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(max(col("o_totalprice")), 2).as("max_price"))),
 
-    "q07_a7_histogram" -> tuned((s, d) =>
+    "q07_a7_histogram" -> gridTuned((s, d) =>
       Tables.lineitem(s, d)
         .groupBy(floor(col("l_quantity") / 5.0).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")),
 
-    "q08_a8_quantiles" -> tuned((s, d) =>
+    "q08_a8_quantiles" -> gridTuned((s, d) =>
       Tables.events(s, d)
         .groupBy("event_type")
         .agg(round(percentile(col("value"), lit(0.05)), 4).as("p05"),
@@ -81,7 +81,7 @@ private[graft] object QueriesA {
           round(percentile(col("value"), lit(0.95)), 4).as("p95"))
         .orderBy("event_type")),
 
-    "q09_a9_drift_fit" -> tuned((s, d) => {
+    "q09_a9_drift_fit" -> gridTuned((s, d) => {
       val daily = Tables.orders(s, d)
         .groupBy(col("o_orderdate").cast("date").as("day"))
         .agg(sum(col("o_totalprice")).as("tot"))
@@ -115,7 +115,7 @@ private[graft] object QueriesA {
         .orderBy("p_partkey")),
 
     // ---- joins (SURVEY §2.4)
-    "q14_j123_star_join" -> tuned((s, d) => {
+    "q14_j123_star_join" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
       val c = Tables.customer(s, d)
       val n = Tables.nation(s, d)
@@ -130,7 +130,7 @@ private[graft] object QueriesA {
         .orderBy("r_name")
     }),
 
-    "q15_j4_composite_key_join" -> tuned((s, d) => {
+    "q15_j4_composite_key_join" -> gridTuned((s, d) => {
       val li = Tables.lineitem(s, d)
       val wts = li.groupBy("l_partkey", "l_suppkey")
         .agg(sum(col("l_quantity")).as("w"))
@@ -141,7 +141,7 @@ private[graft] object QueriesA {
         .orderBy("l_returnflag")
     }),
 
-    "q16_j6_month_align_join" -> tuned((s, d) => {
+    "q16_j6_month_align_join" -> gridTuned((s, d) => {
       val shipM = Tables.lineitem(s, d)
         .groupBy(Cols.monthStart(col("l_shipdate")).as("month"))
         .agg(count(lit(1)).as("n_ship"), round(sum(col("l_quantity")), 2).as("sum_qty"))
@@ -152,7 +152,7 @@ private[graft] object QueriesA {
     }),
 
     // ---- window / time-series (SURVEY §2.6)
-    "q17_w1_pct_change" -> tuned((s, d) =>
+    "q17_w1_pct_change" -> gridTuned((s, d) =>
       monthlyOrders(s, d)
         .select(col("month"), round(col("tot"), 2).as("tot"),
           round(Features.pctChange(col("tot"), 1, wMonth), 4).as("mom_pct"),
@@ -162,7 +162,7 @@ private[graft] object QueriesA {
     // monthly totals ride as exact integer cents (q05's rationale: the
     // float-summed rolling mean lands on a .xx5 rounding boundary at
     // sf0.1; integer sums are exact in any order)
-    "q18_w23_rolling_mean_std" -> tuned((s, d) =>
+    "q18_w23_rolling_mean_std" -> gridTuned((s, d) =>
       Tables.orders(s, d)
         .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
         .agg(sum(floor(col("o_totalprice") * 100 + 0.5)).as("tot_c"))
@@ -174,37 +174,37 @@ private[graft] object QueriesA {
           round(Features.rollingStd(col("tot_c"), 6, wMonth) / 100.0, 2).as("roll_std6"))
         .orderBy("month")),
 
-    "q19_w4_rolling_corr" -> tuned((s, d) =>
+    "q19_w4_rolling_corr" -> gridTuned((s, d) =>
       monthlyOrders(s, d)
         .select(col("month"),
           round(Features.rollingCorr(col("tot"), col("n"), 12, wMonth), 4).as("roll_corr12"))
         .orderBy("month")),
 
-    "q20_w5_rolling_median" -> tuned((s, d) =>
+    "q20_w5_rolling_median" -> gridTuned((s, d) =>
       monthlyOrders(s, d)
         .select(col("month"),
           round(Features.rollingMedian(col("tot"), 13, 6, wMonth), 2).as("roll_med13"))
         .orderBy("month")),
 
-    "q21_w6_base100_index" -> tuned((s, d) =>
+    "q21_w6_base100_index" -> gridTuned((s, d) =>
       monthlyOrders(s, d)
         .select(col("month"),
           round(Features.base100(col("tot"), wMonth), 4).as("tot_index"))
         .orderBy("month")),
 
-    "q22_w7_diffs" -> tuned((s, d) =>
+    "q22_w7_diffs" -> gridTuned((s, d) =>
       monthlyOrders(s, d)
         .select(col("month"),
           round(Features.diff(col("tot"), 1, wMonth), 2).as("d1"),
           round(Features.diff(col("tot"), 12, wMonth), 2).as("d12"))
         .orderBy("month")),
 
-    "q23_w8_month_grid" -> tuned((s, d) =>
+    "q23_w8_month_grid" -> gridTuned((s, d) =>
       CalendarOps.monthGrid(monthlyOrders(s, d), Nil, "month")
         .select(col("month"), col("n"), round(col("tot"), 2).as("tot"))
         .orderBy("month")),
 
-    "q24_w9_cumsum" -> tuned((s, d) =>
+    "q24_w9_cumsum" -> gridTuned((s, d) =>
       monthlyOrders(s, d)
         .select(col("month"),
           round(Features.cumSum(col("tot"), wMonth), 2).as("cum_tot"))
@@ -223,7 +223,7 @@ private[graft] object QueriesA {
         .orderBy("user_id")),
 
     // ---- sort / limit (SURVEY §2.7)
-    "q27_o12_topk" -> tuned((s, d) =>
+    "q27_o12_topk" -> gridTuned((s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("o_totalprice"),
           col("o_orderpriority"))
@@ -268,7 +268,7 @@ private[graft] object QueriesA {
         .orderBy("event_id")),
 
     // ---- calendar scaffolding (SURVEY §2.9 F-D4)
-    "q33_fd4_future_months" -> tuned((s, d) =>
+    "q33_fd4_future_months" -> gridTuned((s, d) =>
       graft.operators.CalendarOps.futureMonths(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
@@ -278,7 +278,7 @@ private[graft] object QueriesA {
 
     // ---- diagnostics layer (SURVEY §2.11 U4-U6; no SQL oracle —
     // statsmodels-shaped statistics, validated in ScalaTest instead)
-    "q34_u56_stationarity" -> tuned((s, d) =>
+    "q34_u56_stationarity" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.stationarity(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
@@ -298,7 +298,7 @@ private[graft] object QueriesA {
     // is bit-exact). Series rides as q117's scaled cents (round(/1e8, 6))
     // so the 4-decimal quantization grain sits ~10^4 above kernel-vs-
     // Cramer last-bit noise.
-    "q35_u8_ar_forecast" -> tuned((s, d) =>
+    "q35_u8_ar_forecast" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.arForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -315,7 +315,7 @@ private[graft] object QueriesA {
     // the whole fit→forecast pipeline hash-checks against DuckDB. The
     // series rides as exact integer cents (q18's discipline) before the
     // one scale division, keeping the aggregate order-independent.
-    "q117_u8_ar1_forecast" -> tuned((s, d) =>
+    "q117_u8_ar1_forecast" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.arForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -330,7 +330,7 @@ private[graft] object QueriesA {
     // oracle; the estimator is validated against closed-form likelihoods
     // and planted-process recovery in SarimaxSpec, and this query's
     // output is golden-pinned in ForecastPipelineSpec.
-    "q39_u8_sarimax_grid" -> tuned((s, d) =>
+    "q39_u8_sarimax_grid" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.sarimaxForecast(
           monthlyOrders(s, d).withColumn("tot", round(col("tot") / 1e6, 6)),
           Nil, "month", "tot", Some("n"), horizon = 12)
@@ -342,7 +342,7 @@ private[graft] object QueriesA {
     // multi-key variant: one grid fit per priority, all fitting INSIDE
     // their executors concurrently — the scale-out shape for a million
     // series. Rows-only like q39 (Kalman-MLE statistics).
-    "q69_u8_sarimax_multikey" -> tuned((s, d) =>
+    "q69_u8_sarimax_multikey" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.sarimaxForecast(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority").as("prio"),
@@ -359,7 +359,7 @@ private[graft] object QueriesA {
     // (cell 27) — fit, simulate exog RW paths, forecast every path, fan
     // quantiles over FORECASTS. The white-noise candidate makes the fit
     // closed-form OLS, so the whole pipeline is exactly SQL-expressible.
-    "q40_u9u8_mc_forecast_fan" -> tuned((s, d) =>
+    "q40_u9u8_mc_forecast_fan" -> gridTuned((s, d) =>
       graft.operators.ForecastPipeline.sarimaxMonteCarloFan(
           monthlyOrders(s, d).withColumn("tot", round(col("tot") / 1e6, 6)),
           Nil, "month", "tot", Some("n"), horizon = 24, sims = 500, seed = 42L,
@@ -373,7 +373,7 @@ private[graft] object QueriesA {
     // reference exog merge with gdelt_* renames and fillna(0) on the model
     // exog only). The exog side is restricted to 1995+ so both the filled
     // (x_rev -> 0.0) and unfilled (x_disc -> null) paths get exercised.
-    "q61_j6_align_prefix_fill" -> tuned((s, d) => {
+    "q61_j6_align_prefix_fill" -> gridTuned((s, d) => {
       val df = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           Cols.monthStart(col("o_orderdate")).as("month"))
@@ -390,7 +390,7 @@ private[graft] object QueriesA {
     }),
 
     // ---- S7 long export: stack measures into (date, measure, value)
-    "q62_s7_export_long" -> tuned((s, d) =>
+    "q62_s7_export_long" -> gridTuned((s, d) =>
       graft.operators.ExogJoin.exportLong(
           monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2))
             .withColumn("n", col("n").cast("double")),
@@ -398,7 +398,7 @@ private[graft] object QueriesA {
         .orderBy("month", "measure")),
 
     // ---- S7 wide export: pivot a measure into per-key columns
-    "q63_s7_export_wide" -> tuned((s, d) => {
+    "q63_s7_export_wide" -> gridTuned((s, d) => {
       val long = graft.operators.ExogJoin.exportLong(
         Tables.orders(s, d)
           .groupBy(col("o_orderpriority").as("prio"),
@@ -410,7 +410,7 @@ private[graft] object QueriesA {
     }),
 
     // ---- W5∘W10 composite: last-point outlier repair (reference cell 28)
-    "q64_w5w10_outlier_repair" -> tuned((s, d) =>
+    "q64_w5w10_outlier_repair" -> gridTuned((s, d) =>
       graft.operators.Features.repairLastOutlier(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority").as("prio"),
@@ -423,7 +423,7 @@ private[graft] object QueriesA {
 
     // ---- correlogram diagnostics (SURVEY §2.11 U7; ACF is plain SQL —
     // oracle-checked; PACF (Durbin-Levinson) is validated in ScalaTest)
-    "q37_u7_acf" -> tuned((s, d) =>
+    "q37_u7_acf" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.correlogram(
           monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
           Nil, "month", "tot", nlags = 6)
@@ -431,7 +431,7 @@ private[graft] object QueriesA {
         .orderBy("lag")),
 
     // ---- equality filter (SURVEY §2.3 F3 — the reference's seasonal=='S')
-    "q38_f3_equality_filter" -> tuned((s, d) =>
+    "q38_f3_equality_filter" -> gridTuned((s, d) =>
       Tables.orders(s, d)
         .filter(col("o_orderstatus") === "F")
         .groupBy("o_orderpriority")
@@ -448,7 +448,7 @@ private[graft] object QueriesA {
         .orderBy("event_id")),
 
     // ---- Monte-Carlo simulation + fan (SURVEY §2.11 U9 / §2.6 W9 / §2.5 A8)
-    "q32_u9_montecarlo_fan" -> tuned((s, d) =>
+    "q32_u9_montecarlo_fan" -> gridTuned((s, d) =>
       MonteCarlo.fan(
           MonteCarlo.simulatePaths(s, sims = 1000, horizon = 36,
             start = 100.0, mu = 0.5, sigma = 2.0, seed = 42L, clipMin = Some(0.0)))
@@ -519,7 +519,7 @@ private[graft] object QueriesA {
 
     // ---- extension: skew toolbox correctness (salting is semantically the
     // identity on the join result — the oracle is the PLAIN join)
-    "q65_x_salted_join" -> tuned((s, d) => {
+    "q65_x_salted_join" -> gridTuned((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"), col("l_quantity"))
       val ords = Tables.orders(s, d).select(col("o_orderkey").as("okey"), col("o_orderpriority"))
       graft.operators.Skew.saltedJoin(li, ords, Seq("okey"), buckets = 8)
@@ -530,7 +530,7 @@ private[graft] object QueriesA {
 
     // partial salting: only heavy-hitter keys pay replication; oracle is
     // again the plain join
-    "q67_x_hotkey_salted_join" -> tuned((s, d) => {
+    "q67_x_hotkey_salted_join" -> gridTuned((s, d) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey").as("okey"), col("l_quantity"))
       val ords = Tables.orders(s, d).select(col("o_orderkey").as("okey"), col("o_orderpriority"))
       graft.operators.Skew.hotKeySaltedJoin(li, ords, Seq("okey"), buckets = 8, hotKeys = 16)
@@ -553,7 +553,7 @@ private[graft] object QueriesA {
         .orderBy("id_a", "id_b")),
 
     // ---- extension: similarity search (builder brief)
-    "q49_x_cosine_topk" -> tuned((s, d) => {
+    "q49_x_cosine_topk" -> gridTuned((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.bruteForceTopK(e.filter(col("vec_id") < 32), e, "vec_id", "embedding", k = 3)
         .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -628,7 +628,7 @@ private[graft] object QueriesA {
     }),
 
     // ---- extension: structured streaming (SURVEY §2.10)
-    "q51_x_stream_weekly" -> tuned((s, d) =>
+    "q51_x_stream_weekly" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.weeklyEventStats(s, d)),
 
     // ---- extension: stateful streaming sessionization (gap 3 days);
@@ -658,7 +658,7 @@ private[graft] object QueriesA {
     // ---- extension: LSH-bucketed ANN. Approximate-but-DETERMINISTIC:
     // the srpSigns hyperplanes are inlined into the DuckDB oracle, which
     // replays bucketing + re-rank exactly (same trick as q60)
-    "q52_x_lsh_ann" -> tuned((s, d) =>
+    "q52_x_lsh_ann" -> gridTuned((s, d) =>
       Similarity.lshTopK(
           Tables.embeddings(s, d).filter(col("vec_id") < 200),
           "vec_id", "embedding", dim = 64, k = 3)
@@ -668,7 +668,7 @@ private[graft] object QueriesA {
     // ---- extension: IVF ANN — approximate but fully deterministic, so
     // the whole train/probe/re-rank pipeline is SQL-replayed in the
     // oracle (ivfTopKSql), same discipline as q52's hyperplane replay
-    "q58_x_ivf_ann" -> tuned((s, d) => {
+    "q58_x_ivf_ann" -> gridTuned((s, d) => {
       val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 3)
       graft.sim.Ivf.topK(vecs, "vec_id", "embedding", model, k = 3, nProbe = 2)
@@ -698,7 +698,7 @@ private[graft] object QueriesA {
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
 
-    "q73_x_topk_stratum" -> tuned((s, d) =>
+    "q73_x_topk_stratum" -> gridTuned((s, d) =>
       Corpus.topKPerStratum(
           Tables.documents(s, d).select("doc_id", "source", "n_chars"),
           strata = Seq("source"),
@@ -711,12 +711,12 @@ private[graft] object QueriesA {
         .orderBy("source", "doc_id")),
 
     // ordered internally (count desc, ngram) — deterministic at the k cut
-    "q75_x_top_ngrams" -> tuned((s, d) =>
+    "q75_x_top_ngrams" -> gridTuned((s, d) =>
       Corpus.topNgrams(Tables.documents(s, d), "text", n = 2, k = 25)),
 
     // ---- extension: bounded-state top-k aggregate (same output contract
     // as the q73 window form; shuffles ≤ k rows per stratum, not all rows)
-    "q76_x_topk_agg" -> tuned((s, d) =>
+    "q76_x_topk_agg" -> gridTuned((s, d) =>
       operators.TopK.perKeyAgg(
           Tables.documents(s, d).select("doc_id", "source", "n_chars"),
           strata = Seq("source"), scoreCol = "n_chars", idCol = "doc_id", k = 5)
@@ -787,7 +787,7 @@ private[graft] object QueriesA {
     // pairwise cosine); the oracle replays the full deterministic Lloyd
     // train → assign → within-cluster pair → round-then-threshold chain
     // (ivfSemanticDedupSql), graduating this from rows-only to hash-checked
-    "q83_x_semantic_dedup" -> tuned((s, d) => {
+    "q83_x_semantic_dedup" -> gridTuned((s, d) => {
       val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding", k = 8, iters = 3)
       graft.sim.Ivf.semanticDedupPairs(vecs, "vec_id", "embedding", model, threshold = 0.35)
@@ -808,7 +808,7 @@ private[graft] object QueriesA {
     // interchange format) — write per-partition part files, read back with
     // an explicit schema, aggregate; oracle is the same aggregate straight
     // off the parquet table, so the round-trip must be lossless
-    "q85_x_jsonl_roundtrip" -> tuned((s, d) => {
+    "q85_x_jsonl_roundtrip" -> gridTuned((s, d) => {
       val docs = Tables.documents(s, d)
       val key = graft.text.TextHash.hash32(d).toHexString
       val path = s"${sys.props("java.io.tmpdir")}/graft_jsonl_$key"
@@ -888,7 +888,7 @@ private[graft] object QueriesA {
     // scan must touch only that directory (PartitionedSinkSpec pins the
     // PartitionFilters plan contract); oracle = the same aggregate
     // straight off the unpartitioned table, so the layout must be lossless
-    "q91_x_partitioned_sink" -> tuned((s, d) => {
+    "q91_x_partitioned_sink" -> gridTuned((s, d) => {
       val docs = Tables.documents(s, d)
       val key = graft.text.TextHash.hash32(d).toHexString
       val path = s"${sys.props("java.io.tmpdir")}/graft_part_$key"
@@ -906,7 +906,7 @@ private[graft] object QueriesA {
     // co-located splits and plans NO Exchange (BucketingSpec asserts the
     // plan); the write-once shuffle amortizes over every later run.
     // Revenue rides as exact integer cents (q18's discipline).
-    "q118_x_bucketed_join" -> tuned((s, d) => {
+    "q118_x_bucketed_join" -> gridTuned((s, d) => {
       import graft.sources.Bucketing
       val key = graft.text.TextHash.hash32(d).toHexString
       val base = s"${sys.props("java.io.tmpdir")}/graft_bucket_$key"
@@ -933,7 +933,7 @@ private[graft] object QueriesA {
     // 1000 merges: the in-memory learner makes vocab-scale merge counts
     // free (one corpus pass + driver-side rounds); the old distributed
     // loop paid ~3 Spark jobs PER MERGE and capped out at ~10.
-    "q92_x_bpe_merges" -> tuned((s, d) => {
+    "q92_x_bpe_merges" -> gridTuned((s, d) => {
       import s.implicits._
       graft.text.Bpe.learnMerges(Tables.documents(s, d), "text", numMerges = 1000)
         .map(m => (m.rank, m.left, m.right, m.pairCount))
@@ -988,7 +988,7 @@ private[graft] object QueriesA {
     // format) — write documents as ORC, explicit-schema read back,
     // aggregate; oracle = the same aggregate off the parquet table, so
     // the ORC path must be lossless (same contract as q85's JSONL)
-    "q96_x_orc_roundtrip" -> tuned((s, d) => {
+    "q96_x_orc_roundtrip" -> gridTuned((s, d) => {
       val docs = Tables.documents(s, d)
       val key = graft.text.TextHash.hash32(d).toHexString
       val path = s"${sys.props("java.io.tmpdir")}/graft_orc_$key"
@@ -1041,7 +1041,7 @@ private[graft] object QueriesA {
     // ---- extension: per-domain token-budget sampling (the "~B tokens
     // per domain" pretraining recipe) — deterministic md5-rank prefix
     // until the running token total fits the budget
-    "q101_x_token_budget" -> tuned((s, d) =>
+    "q101_x_token_budget" -> gridTuned((s, d) =>
       Corpus.tokenBudgetSample(Tables.documents(s, d), "source", "doc_id",
           "text", budget = 2000L)
         .select("doc_id", "source", "n_tokens")
@@ -1050,7 +1050,7 @@ private[graft] object QueriesA {
     // ---- extension: stream-static enrichment join — arriving events pick
     // up a broadcast per-user profile (no streaming state); complete-mode
     // aggregate over the finite stream == the batch SQL
-    "q102_x_stream_static_join" -> tuned((s, d) =>
+    "q102_x_stream_static_join" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.enrichedEventStats(s, d)),
 
     // ---- extension: C4-style line-level cleaning (Raffel et al. 2020
@@ -1089,7 +1089,7 @@ private[graft] object QueriesA {
     // format of arXiv/PubMed/Wikipedia feeds) — write documents as XML,
     // explicit-schema read back, aggregate; oracle = the same aggregate
     // off the parquet table (lossless contract, same as q85/q96)
-    "q105_x_xml_roundtrip" -> tuned((s, d) => {
+    "q105_x_xml_roundtrip" -> gridTuned((s, d) => {
       val docs = Tables.documents(s, d)
       val key = graft.text.TextHash.hash32(d).toHexString
       val path = s"${sys.props("java.io.tmpdir")}/graft_xml_$key"
@@ -1117,7 +1117,7 @@ private[graft] object QueriesA {
     // ---- extension: group-wise embedding centroid via the typed
     // QuantCentroid Aggregator (map-side partial aggregation; quantized
     // integer sums make float aggregation order-proof across engines)
-    "q107_x_vector_centroid" -> tuned((s, d) =>
+    "q107_x_vector_centroid" -> gridTuned((s, d) =>
       Tables.embeddings(s, d)
         .groupBy(col("label").as("grp"))
         .agg(graft.sim.VectorAgg.centroid(col("embedding"), dim = 64).as("c"))
@@ -1135,7 +1135,7 @@ private[graft] object QueriesA {
     // Spirakis over deterministic md5 uniforms) — longer documents
     // (weight = n_chars) are proportionally likelier; selection is a pure
     // expression + top-n, reproducible under retries
-    "q108_x_weighted_sample" -> tuned((s, d) =>
+    "q108_x_weighted_sample" -> gridTuned((s, d) =>
       Corpus.weightedSample(
           Tables.documents(s, d).select("doc_id", "source", "n_chars"),
           "doc_id", "n_chars", n = 120)
@@ -1145,7 +1145,7 @@ private[graft] object QueriesA {
     // semantics (the bloom has no false negatives; the verify join kills
     // its false positives) behind a per-row broadcast-bloom filter, so
     // the clean majority never explodes into n-grams
-    "q109_x_bloom_decontaminate" -> tuned((s, d) => {
+    "q109_x_bloom_decontaminate" -> gridTuned((s, d) => {
       val docs = Tables.documents(s, d)
       Corpus.bloomDecontaminate(
           docs.filter(col("source") =!= "src0")
@@ -1169,7 +1169,7 @@ private[graft] object QueriesA {
     // smaller corpus representation) + exact cosine re-rank; every stage
     // deterministic, so unlike LSH/IVF this approximate path is
     // oracle-checked end-to-end
-    "q111_x_quantized_ann" -> tuned((s, d) => {
+    "q111_x_quantized_ann" -> gridTuned((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.quantizedTopK(e.filter(col("vec_id") < 32), e,
           "vec_id", "embedding", k = 3, refine = 4)
@@ -1319,7 +1319,7 @@ private[graft] object QueriesA {
     // at 100 TB shuffles every value, the sketch ships k longs). Unlike
     // HLL++ the k-minimum set is exactly SQL-replayable, so even the
     // approximate estimate hash-matches (q111's property, for cardinality)
-    "q122_x_kmv_distinct" -> tuned((s, d) => {
+    "q122_x_kmv_distinct" -> gridTuned((s, d) => {
       Sketch.kmvDistinct(Tables.orders(s, d),
           Seq("o_orderpriority"), "o_custkey", k = 128)
         .orderBy("o_orderpriority")
@@ -1377,7 +1377,7 @@ private[graft] object QueriesA {
     // neighbor self-join explodes at hub nodes). Edges are a
     // deterministic 1013-node graph derived from orders; counts exact
     // longs, so the oracle replays the identical orientation
-    "q126_x_triangle_count" -> tuned((s, d) => {
+    "q126_x_triangle_count" -> gridTuned((s, d) => {
       val edges = Tables.orders(s, d).select(
         (col("o_orderkey") % 1013).cast("string").as("src"),
         ((col("o_orderkey") * 7 + col("o_custkey")) % 1013).cast("string").as("dst"))
@@ -1406,7 +1406,7 @@ private[graft] object QueriesA {
     // approximate estimates SQL-replayable; probes cover the 7 planted
     // hot keys plus two cold ones (est >= true always, equal here —
     // the sketch is far wider than the distinct count)
-    "q128_x_cms_heavy_hitters" -> tuned((s, d) => {
+    "q128_x_cms_heavy_hitters" -> gridTuned((s, d) => {
       import s.implicits._
       val vals = Tables.lineitem(s, d).select(
         when(col("l_orderkey") % 3 === 0,
@@ -1427,7 +1427,7 @@ private[graft] object QueriesA {
     // sets before the shuffle, so partial aggregation still combines
     // map-side — no N-pass rescan). Quantities ride as exact longs;
     // grouping_id disambiguates real nulls from subtotal rows
-    "q129_x_cube_subtotals" -> tuned((s, d) => {
+    "q129_x_cube_subtotals" -> gridTuned((s, d) => {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
         .agg(grouping_id().cast("int").as("gid"),
@@ -1443,7 +1443,7 @@ private[graft] object QueriesA {
     // shuffle carries bins, not rows; unlike GK/t-digest the estimate
     // is arrival-order-independent, so it hash-matches. Prices ride as
     // exact cents; ranks are per-mille integer arithmetic end to end
-    "q130_x_binned_quantiles" -> tuned((s, d) => {
+    "q130_x_binned_quantiles" -> gridTuned((s, d) => {
       val cents = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
@@ -1478,7 +1478,7 @@ private[graft] object QueriesA {
     // per-shard totals prove the balance and hash-check the whole
     // assignment; the oracle's window replay is fine AT ORACLE SCALE —
     // that plan is exactly what the operator exists to avoid
-    "q132_x_balanced_shards" -> tuned((s, d) => {
+    "q132_x_balanced_shards" -> gridTuned((s, d) => {
       Corpus.assignShards(Tables.documents(s, d).select("doc_id", "n_chars"),
           "doc_id", "n_chars", nShards = 8)
         .groupBy("shard")
@@ -1493,7 +1493,7 @@ private[graft] object QueriesA {
     // batch sketch and the probe reads hash-match the same SQL replay.
     // Fixed 32 KB state regardless of key cardinality — the standing
     // frequency monitor a per-key streaming count can't afford at scale
-    "q133_x_stream_cms" -> tuned((s, d) =>
+    "q133_x_stream_cms" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingCmsHeavyHitters(s, d,
         probes = Seq("click:7", "view:23", "error:0", "purchase:39", "signup:999"))),
 
@@ -1503,7 +1503,7 @@ private[graft] object QueriesA {
     // oracle off the ORIGINAL table proves the rewrite lossless (q96's
     // round-trip contract, for the maintenance op). File-count targeting
     // itself is asserted in SinksSpec
-    "q134_x_compacted_sink" -> tuned((s, d) => {
+    "q134_x_compacted_sink" -> gridTuned((s, d) => {
       val key = graft.text.TextHash.hash32(d).toHexString
       val frag = s"${sys.props("java.io.tmpdir")}/graft_frag_$key"
       val comp = s"${sys.props("java.io.tmpdir")}/graft_comp_$key"
@@ -1547,7 +1547,7 @@ private[graft] object QueriesA {
     // prices into [p05, p95] of their group; bounds are exact rank
     // ELEMENTS (q130's histogram at binWidth=1 — no interpolation, no
     // floats), so the clipped sum and tail counts ride exact integers
-    "q136_x_winsorize" -> tuned((s, d) => {
+    "q136_x_winsorize" -> gridTuned((s, d) => {
       val cents = Tables.lineitem(s, d)
         .select(col("l_returnflag"),
           floor(col("l_extendedprice") * 100 + 0.5).cast("long").as("cents"))
@@ -1564,7 +1564,7 @@ private[graft] object QueriesA {
     // beyond q28's union: customers ordering on the even-key stream vs
     // the mod-3 stream; Spark plans both as left-semi/anti over the
     // deduped sides
-    "q137_x_set_ops" -> tuned((s, d) => {
+    "q137_x_set_ops" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
       val a = o.filter(col("o_orderkey") % 2 === 0).select("o_custkey").distinct()
       val b = o.filter(col("o_orderkey") % 3 === 0).select("o_custkey").distinct()
@@ -1580,7 +1580,7 @@ private[graft] object QueriesA {
     // reconnaissance as ONE column-pruned scan (all aggregates in a
     // single agg; stack pivots the wide row). Exact distincts by
     // design — a profile runs once; monitoring uses the sketches
-    "q138_x_profile" -> tuned((s, d) =>
+    "q138_x_profile" -> gridTuned((s, d) =>
       graft.operators.Profile.profile(Tables.orders(s, d),
           Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
             "o_orderpriority"))
@@ -1632,7 +1632,7 @@ private[graft] object QueriesA {
     // exact-binary-fraction constants (α=1/2, β=1/4) make the per-series
     // recursion bit-replayable by a recursive CTE (the q117 property for
     // smoothers), so even the floating-point state hash-checks
-    "q141_x_holt_forecast" -> tuned((s, d) =>
+    "q141_x_holt_forecast" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.holtForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -1649,7 +1649,7 @@ private[graft] object QueriesA {
     // division — the declarative scale-out form of "fit a trend to a
     // billion series". y rides whole dollars (cents div 100) to keep
     // n·Σxy far under 2⁶³ at any bench scale
-    "q142_x_grouped_ols" -> tuned((s, d) => {
+    "q142_x_grouped_ols" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
@@ -1665,7 +1665,7 @@ private[graft] object QueriesA {
     // cross-multiplication (c₁₂·N ≥ 20·c₁·c₂ and c₁₂ ≥ 5): no log ever
     // executes, so no libm ulp to drift on; the reported score is the
     // exact integer (c₁₂·N·10⁶) div (c₁·c₂)
-    "q143_x_pmi_collocations" -> tuned((s, d) =>
+    "q143_x_pmi_collocations" -> gridTuned((s, d) =>
       graft.text.Corpus.pmiCollocations(
           Tables.documents(s, d), "text", minCount = 5, minRatio = 20)
         // DECIMAL(38,0): c12·N·1e6 wraps BIGINT on a large corpus (q183's
@@ -1681,7 +1681,7 @@ private[graft] object QueriesA {
     // positioned by the numeric x (distance-weighted, not row-weighted);
     // the interpolant is per-row fixed-order IEEE arithmetic, so the
     // filled values hash-match without quantization
-    "q144_x_interpolate" -> tuned((s, d) => {
+    "q144_x_interpolate" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
@@ -1702,7 +1702,7 @@ private[graft] object QueriesA {
     // merge is a sorted set union (micro-batch-slicing-independent), so
     // the drained state equals the batch q122 sketch and the estimate
     // replays in SQL
-    "q145_x_stream_kmv" -> tuned((s, d) =>
+    "q145_x_stream_kmv" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingKmvDistinct(s, d)),
 
     // ---- extension: median/MAD robust outlier detection — the
@@ -1710,7 +1710,7 @@ private[graft] object QueriesA {
     // (q130's binWidth=1 discipline), so the verdicts ride exact
     // integers; k=1 keeps the flag count nontrivial on a thin-tailed
     // uniform metric (k is the caller's tail dial)
-    "q146_x_mad_outliers" -> tuned((s, d) => {
+    "q146_x_mad_outliers" -> gridTuned((s, d) => {
       val v = Tables.lineitem(s, d).select(col("l_returnflag"),
         expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 100")
           .as("dollars"))
@@ -1725,7 +1725,7 @@ private[graft] object QueriesA {
     // per-user stage chain as ONE shuffle of chained unordered windows;
     // micros on both sides (DuckDB truncates parquet NANOS to micros,
     // the q56 convention), so strict-after verdicts agree exactly
-    "q147_x_funnel" -> tuned((s, d) =>
+    "q147_x_funnel" -> gridTuned((s, d) =>
       graft.operators.Funnel.conversionCounts(
           Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
           Seq("user_id"), "tsu", "event_type",
@@ -1736,7 +1736,7 @@ private[graft] object QueriesA {
     // readout: argmax continuation per context with a lexicographic
     // tie-break INSIDE one min_by aggregate (no rank window), and the
     // continuation probability as the exact integer (c12·10⁶) div c1
-    "q148_x_next_token" -> tuned((s, d) =>
+    "q148_x_next_token" -> gridTuned((s, d) =>
       graft.text.Corpus.nextTokenTable(Tables.documents(s, d), "text",
           minCount = 5)
         .orderBy("w1")),
@@ -1747,7 +1747,7 @@ private[graft] object QueriesA {
     // so the merged estimates replay against the identical oracle:
     // the incremental-pipeline law (daily sketches → monthly
     // cardinality, no rescan) as a checked contract
-    "q149_x_kmv_merge" -> tuned((s, d) => {
+    "q149_x_kmv_merge" -> gridTuned((s, d) => {
       val sh = Sketch.kmvSketch(
         Tables.orders(s, d).withColumn("shard", col("o_custkey") % 4),
         Seq("o_orderpriority", "shard"), "o_custkey")
@@ -1768,7 +1768,7 @@ private[graft] object QueriesA {
     // ---- extension: HLL register table built per shard then MERGED —
     // max-over-rows is the HLL composition law, so the oracle is the
     // direct unsharded register build (same discipline as q149)
-    "q151_x_hll_registers" -> tuned((s, d) => {
+    "q151_x_hll_registers" -> gridTuned((s, d) => {
       val sh = Sketch.hllRegisters(
         Tables.orders(s, d).withColumn("shard", col("o_custkey") % 4),
         Seq("o_orderpriority", "shard"), "o_custkey", p = 6)
@@ -1797,14 +1797,14 @@ private[graft] object QueriesA {
     // ---- extension: per-source KL divergence from the corpus token
     // distribution — integer-count ratios per row, nanonat quantization,
     // exact integer sum (the q32 float-determinism discipline)
-    "q153_x_kl_domains" -> tuned((s, d) =>
+    "q153_x_kl_domains" -> gridTuned((s, d) =>
       graft.text.TextAnalysis.domainDivergence(
           Tables.documents(s, d), "source", "text")
         .orderBy("source")),
 
     // ---- extension: first/last-touch conversion attribution — both
     // conditional scans share one (user, time, id)-sorted window
-    "q154_x_attribution" -> tuned((s, d) =>
+    "q154_x_attribution" -> gridTuned((s, d) =>
       graft.operators.Funnel.touchAttribution(
           Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
           Seq("user_id"), "tsu", "event_id", "event_type",
@@ -1813,7 +1813,7 @@ private[graft] object QueriesA {
 
     // ---- extension: rolling 4-week active users — exact windowed
     // count(DISTINCT) via membership explosion AFTER per-user dedup
-    "q155_x_rolling_active" -> tuned((s, d) =>
+    "q155_x_rolling_active" -> gridTuned((s, d) =>
       graft.operators.Funnel.rollingActiveUsers(
           Tables.events(s, d)
             .withColumn("week", expr("ts_ns div 86400000000000 div 7")),
@@ -1823,7 +1823,7 @@ private[graft] object QueriesA {
     // ---- extension: deterministic stratified train/val/test split —
     // hash fences keep slices disjoint under retries; readout is the
     // per-(source, split) census with integer permille shares
-    "q156_x_hash_split" -> tuned((s, d) => {
+    "q156_x_hash_split" -> gridTuned((s, d) => {
       val split = Corpus.hashSplit(Tables.documents(s, d), "doc_id")
       val counts = split.groupBy(col("source"), col("split"))
         .agg(count(lit(1)).as("n"))
@@ -1838,13 +1838,13 @@ private[graft] object QueriesA {
     // ---- extension: streaming SLIDING-window stats — 28d window / 7d
     // slide as one stateful aggregate; drained complete-mode state
     // equals the batch 4-offset explosion the oracle replays
-    "q157_x_stream_sliding" -> tuned((s, d) =>
+    "q157_x_stream_sliding" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.slidingEventStats(s, d)),
 
     // ---- extension: KMV sketch set algebra — pairwise audience overlap
     // (union/Jaccard/intersection estimates) read from stored sketches;
     // raw events are scanned once, every pair answered from buffers
-    "q158_x_kmv_overlap" -> tuned((s, d) => {
+    "q158_x_kmv_overlap" -> gridTuned((s, d) => {
       val sk = Sketch.kmvSketch(Tables.events(s, d), Seq("event_type"), "user_id")
       Sketch.kmvPairOverlaps(sk, "event_type", "sketch")
         .orderBy("g1", "g2")
@@ -1869,7 +1869,7 @@ private[graft] object QueriesA {
     // ---- extension: data-quality expectation suite — every row-level
     // check + the unique-key check fold into ONE aggregate over ONE scan;
     // the FK check is a key-projected anti-join
-    "q160_x_expectations" -> tuned((s, d) => {
+    "q160_x_expectations" -> gridTuned((s, d) => {
       val li = Tables.lineitem(s, d)
       graft.operators.Expectations.validate(li,
         rowChecks = Seq(
@@ -1884,7 +1884,7 @@ private[graft] object QueriesA {
 
     // ---- extension: 2-D Pareto frontier — best (price, date) trade-offs
     // among urgent orders; local frontier prune then exact global pass
-    "q161_x_skyline" -> tuned((s, d) => {
+    "q161_x_skyline" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .withColumn("price_cents", expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)"))
@@ -1909,7 +1909,7 @@ private[graft] object QueriesA {
     // ---- extension: two-feature grouped OLS — price ~ quantity +
     // discount per return flag; nine exact sufficient sums, Cramer solve
     // as a fixed double expression tree the oracle replays bit-for-bit
-    "q163_x_ols2" -> tuned((s, d) => {
+    "q163_x_ols2" -> gridTuned((s, d) => {
       val li = Tables.lineitem(s, d)
         .withColumn("cents", expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
         .withColumn("qty", col("l_quantity").cast("long"))
@@ -1952,7 +1952,7 @@ private[graft] object QueriesA {
     // ---- extension: market-basket pair affinity — parts co-purchased
     // within an order, integer-exact lift/confidence; the self-join fans
     // out per basket (bounded), never globally
-    "q166_x_copurchase" -> tuned((s, d) =>
+    "q166_x_copurchase" -> gridTuned((s, d) =>
       graft.operators.Affinity.coOccurrence(
           Tables.lineitem(s, d), "l_orderkey", "l_partkey", minSupport = 2)
         .orderBy("item1", "item2")),
@@ -1960,7 +1960,7 @@ private[graft] object QueriesA {
     // ---- extension: CUSUM level-shift screen — drift of the cumulative
     // deviation above its running minimum, exact n-scaled longs, over
     // monthly order revenue per priority
-    "q167_x_cusum" -> tuned((s, d) => {
+    "q167_x_cusum" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           Cols.monthStart(col("o_orderdate")).as("month"))
@@ -1985,7 +1985,7 @@ private[graft] object QueriesA {
     // ---- extension: mutual information between categorical column
     // pairs — association profiling with nanonat-quantized exact sums
     // (the q153 discipline applied to I(X;Y))
-    "q169_x_mutual_info" -> tuned((s, d) => {
+    "q169_x_mutual_info" -> gridTuned((s, d) => {
       def mi(df: DataFrame, x: String, y: String, label: String) =
         graft.operators.Profile.mutualInfo(df, x, y)
           .select(lit(label).as("pair"), col("n_rows"), col("nx_distinct"),
@@ -2002,7 +2002,7 @@ private[graft] object QueriesA {
     // ---- extension: EXACT weighted percentiles — quantity-weighted
     // price quantiles per return flag; integer cross-multiplied rank
     // crossing, k percentiles from one window+aggregate pass
-    "q170_x_weighted_percentiles" -> tuned((s, d) => {
+    "q170_x_weighted_percentiles" -> gridTuned((s, d) => {
       val li = Tables.lineitem(s, d)
         .withColumn("cents", expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
         .withColumn("qty", col("l_quantity").cast("long"))
@@ -2014,7 +2014,7 @@ private[graft] object QueriesA {
     // ---- extension: first-order transition matrix — what users do next,
     // with integer-permille conditional probabilities; one lead window +
     // matrix-sized re-aggregate
-    "q171_x_event_transitions" -> tuned((s, d) =>
+    "q171_x_event_transitions" -> gridTuned((s, d) =>
       graft.operators.Funnel.transitionMatrix(
           Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
           Seq("user_id"), "tsu", "event_type", tieCols = Seq("event_id"))
@@ -2023,7 +2023,7 @@ private[graft] object QueriesA {
     // ---- extension: ROLLUP hierarchy subtotals — region > nation >
     // grand total in ONE Expand+Aggregate pair (q129's cube, restricted
     // to the hierarchy's prefixes); gid disambiguates subtotal rows
-    "q172_x_rollup" -> tuned((s, d) => {
+    "q172_x_rollup" -> gridTuned((s, d) => {
       val c = Tables.customer(s, d)
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
@@ -2054,7 +2054,7 @@ private[graft] object QueriesA {
     // ---- extension: top navigation paths — session-truncated state
     // sequences counted corpus-wide; the path rebuild rides q110's
     // sessionize partitioning, the count is path-matrix-sized
-    "q175_x_top_paths" -> tuned((s, d) =>
+    "q175_x_top_paths" -> gridTuned((s, d) =>
       graft.operators.Sessionize.topPaths(
           Tables.events(s, d), "user_id", "ts", "event_id", "event_type",
           gapMinutes = 30, maxLen = 3, k = 25)),

@@ -18,7 +18,7 @@ private[graft] object QueriesB {
     // ---- extension: ABC / Pareto classification — items ranked by
     // revenue, integer cumulative-share class boundaries; window over
     // item-aggregate-sized rows
-    "q176_x_abc_classes" -> tuned((s, d) => {
+    "q176_x_abc_classes" -> gridTuned((s, d) => {
       val items = Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"), col("l_partkey"))
         .agg(sum(expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)"))
@@ -30,7 +30,7 @@ private[graft] object QueriesB {
 
     // ---- extension: seasonal decomposition — centered 2x12 MA trend,
     // phase-mean seasonal, residual; exact-long cores, _e6 readouts
-    "q177_x_seasonal_decompose" -> tuned((s, d) => {
+    "q177_x_seasonal_decompose" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           Cols.monthStart(col("o_orderdate")).as("month"))
@@ -43,7 +43,7 @@ private[graft] object QueriesB {
 
     // ---- extension: Gini concentration — how unequal is revenue over
     // customers per segment; exact-long numerator, one window+aggregate
-    "q178_x_gini" -> tuned((s, d) => {
+    "q178_x_gini" -> gridTuned((s, d) => {
       val custRev = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment"), col("o_custkey"))
@@ -74,7 +74,7 @@ private[graft] object QueriesB {
 
     // ---- extension: streaming expectation counters — the q160 row-check
     // tier as standing complete-mode sums; drained state == batch verdict
-    "q181_x_stream_expectations" -> tuned((s, d) =>
+    "q181_x_stream_expectations" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingExpectations(s, d, Seq(
         "value_nonneg" -> "value >= 0",
         "type_known" -> "event_type in ('view','click','purchase','signup')",
@@ -83,13 +83,13 @@ private[graft] object QueriesB {
     // ---- extension: streaming transition matrix — constant-size
     // last-event state per user, boundary + in-batch pairs; emitted
     // multiset == q171's batch lead-window pairs
-    "q182_x_stream_transitions" -> tuned((s, d) =>
+    "q182_x_stream_transitions" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingTransitions(s, d)),
 
     // ---- extension: skip-gram PMI collocations — q143's association
     // mining widened to a ±2 context window (word2vec-style pairs), same
     // integer cross-multiplication threshold, no log in the decision path
-    "q183_x_skipgram_pmi" -> tuned((s, d) =>
+    "q183_x_skipgram_pmi" -> gridTuned((s, d) =>
       graft.text.Corpus.skipgramPmi(
           Tables.documents(s, d), "text", window = 2, minCount = 5,
           minRatio = 15)
@@ -106,7 +106,7 @@ private[graft] object QueriesB {
     // identity Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB on insert-only orders ⋈
     // customer; the readout aggregates J₀ ∪ delta and the oracle is the
     // FULL recompute, so the hash match IS the identity proof
-    "q184_x_join_delta" -> tuned((s, d) => {
+    "q184_x_join_delta" -> gridTuned((s, d) => {
       import graft.operators.Incremental
       val cut = "1996-01-01"
       val o = Tables.orders(s, d).select(col("o_custkey").as("custkey"),
@@ -131,7 +131,7 @@ private[graft] object QueriesB {
     // order totals (cents); digit from the LONG's decimal rendering,
     // shares exact integer permille-of-a-million, Benford expectation one
     // fixed log10 tree per digit
-    "q185_x_benford" -> tuned((s, d) =>
+    "q185_x_benford" -> gridTuned((s, d) =>
       graft.operators.Profile.benfordDigits(
           Tables.orders(s, d).withColumn("cents",
             expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")),
@@ -144,7 +144,7 @@ private[graft] object QueriesB {
     // (orphaned) order key, an out-of-range quantity, and a nulled
     // return flag; each tier must flag exactly the planted corruption.
     // Unified long-format readout (tier, name, metric_a, metric_b).
-    "q186_x_quality_suite" -> tuned((s, d) => {
+    "q186_x_quality_suite" -> gridTuned((s, d) => {
       import graft.operators.{Expectations, Profile}
       val li = Tables.lineitem(s, d).select("l_orderkey", "l_quantity",
         "l_returnflag", "l_linestatus", "l_extendedprice")
@@ -191,7 +191,7 @@ private[graft] object QueriesB {
     // ---- extension: sliced classifier evaluation — per-source ROC AUC
     // of the length signal against the is-English label, integer-exact
     // via the Mann-Whitney rank identity (midrank ties, one division)
-    "q188_x_grouped_auc" -> tuned((s, d) =>
+    "q188_x_grouped_auc" -> gridTuned((s, d) =>
       graft.operators.Metrics.groupedAuc(
           Tables.documents(s, d).withColumn("is_en", col("lang") === "en"),
           Seq("source"), "n_chars", "is_en")
@@ -216,7 +216,7 @@ private[graft] object QueriesB {
     // ---- extension: Zipf slope corpus profile — OLS of ln(freq) on
     // ln(rank) over each source's top-50 vocabulary, all-integer OLS
     // sums over e3-quantized logs, one closed-form division
-    "q191_x_zipf_slope" -> tuned((s, d) =>
+    "q191_x_zipf_slope" -> gridTuned((s, d) =>
       Corpus.zipfSlope(Tables.documents(s, d), "source", "text", topV = 50)
         .orderBy("domain")),
 
@@ -246,7 +246,7 @@ private[graft] object QueriesB {
     // q53/q54's imageio graduation); energy Σs² and zero crossings are
     // exact integers over the closed-form PCM, so the oracle replays the
     // decoded signal directly
-    "q194_x_audio_features" -> tuned((s, d) => {
+    "q194_x_audio_features" -> gridTuned((s, d) => {
       import graft.multimodal.Multimodal
       val wavs = Tables.documents(s, d).select(col("doc_id"))
         .filter(col("doc_id") < 300)
@@ -258,7 +258,7 @@ private[graft] object QueriesB {
     // ---- extension: per-domain KS drift screen — each source's length
     // distribution vs the rest of the corpus, argmax chosen by
     // cross-multiplied cumulative counts (no float), one exact division
-    "q195_x_ks_drift" -> tuned((s, d) =>
+    "q195_x_ks_drift" -> gridTuned((s, d) =>
       graft.operators.Metrics.ksDrift(
           Tables.documents(s, d), "source", "n_chars")
         .orderBy("source"))
@@ -268,7 +268,7 @@ private[graft] object QueriesB {
     // exact dedup), read out as per-source survival counts at each
     // stage; every stage is the same operator the standalone queries
     // contract-check (q41/q42/q44/q68)
-    "q196_x_corpus_funnel" -> tuned((s, d) => {
+    "q196_x_corpus_funnel" -> gridTuned((s, d) => {
       import graft.text.{Dedup, TextAnalysis}
       import org.apache.spark.sql.expressions.Window
       val docs = Tables.documents(s, d)
@@ -298,7 +298,7 @@ private[graft] object QueriesB {
     // ---- extension: snapshot drift report — profile two date-split
     // versions of orders and diff per column: integer-permille null
     // rates, distinct counts, string-range change flag
-    "q197_x_profile_diff" -> tuned((s, d) => {
+    "q197_x_profile_diff" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
       val cut = "1996-01-01"
       graft.operators.Profile.profileDiff(
@@ -311,7 +311,7 @@ private[graft] object QueriesB {
     // ---- extension: per-domain PSI drift — the binned companion of
     // q195's KS (mass movement integrated over the range, not the worst
     // point); Laplace-smoothed from exact counts, e9-quantized terms
-    "q198_x_psi_drift" -> tuned((s, d) =>
+    "q198_x_psi_drift" -> gridTuned((s, d) =>
       graft.operators.Metrics.psiDrift(
           Tables.documents(s, d), "source", "n_chars",
           binWidth = 60L, nBins = 10)
@@ -320,7 +320,7 @@ private[graft] object QueriesB {
     // ---- extension: STREAMING PSI drift monitor — state is only the
     // per-(type, bin) count grid (complete mode, O(groups·bins));
     // drained counts == batch counts, so psi_e9 matches bit-for-bit
-    "q199_x_stream_psi_drift" -> tuned((s, d) =>
+    "q199_x_stream_psi_drift" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingPsiDrift(s, d)),
 
     // ---- extension: point-in-time join — "which version was valid when
@@ -352,7 +352,7 @@ private[graft] object QueriesB {
     // smoothing with NO float anywhere (integer weight recurrence, exact
     // long products, one integer division); all k lags stack on one
     // window sort
-    "q201_x_ewma" -> tuned((s, d) => {
+    "q201_x_ewma" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
@@ -376,7 +376,7 @@ private[graft] object QueriesB {
     // ---- extension: seasonal-naive MASE — "does last year beat last
     // month": the scale-free forecastability screen before anything
     // SARIMAX-shaped runs; integer errors, exact sums, one division
-    "q203_x_mase" -> tuned((s, d) => {
+    "q203_x_mase" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
@@ -392,7 +392,7 @@ private[graft] object QueriesB {
     // (Li et al. 2016): per source, unique-gram permille at n = 1/2/3;
     // template or generated text collapses the ratio long before a
     // human reads it. Exact integer counts and one integer division.
-    "q204_x_ngram_diversity" -> tuned((s, d) => {
+    "q204_x_ngram_diversity" -> gridTuned((s, d) => {
       val docs = Tables.documents(s, d)
         .filter(col("source").isNotNull && col("text").isNotNull &&
           length(trim(col("text"))) > 0)
@@ -411,7 +411,7 @@ private[graft] object QueriesB {
     // ---- extension: chi-square independence + Cramér's V — lang ×
     // source association in one cell-aggregate pass; per-cell terms
     // e6-quantized over exact longs, V from the already-quantized χ²
-    "q205_x_chi_square" -> tuned((s, d) =>
+    "q205_x_chi_square" -> gridTuned((s, d) =>
       graft.operators.Profile.chiSquare(
         Tables.documents(s, d), "lang", "source")),
 
@@ -425,7 +425,7 @@ private[graft] object QueriesB {
     // over the real javax.imageio decode (partitioning boxes, div-floor
     // means: deterministic where library resamplers are not); the oracle
     // replays the planted pixel formula and the same box sums
-    "q207_x_image_resize" -> tuned((s, d) => {
+    "q207_x_image_resize" -> gridTuned((s, d) => {
       import graft.multimodal.Multimodal
       val imgs = Tables.documents(s, d).select(col("doc_id"))
         .filter(col("doc_id") < 200)
@@ -445,7 +445,7 @@ private[graft] object QueriesB {
     // exact sum of e6-quantized member-to-centroid cosines over the
     // q58-trained model; the coarse-quantizer fitness diagnostic, and
     // the oracle replays the training chain (ivfTrainCtes) end to end
-    "q209_x_cluster_quality" -> tuned((s, d) => {
+    "q209_x_cluster_quality" -> gridTuned((s, d) => {
       val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding",
         k = 8, iters = 3)
@@ -459,7 +459,7 @@ private[graft] object QueriesB {
     // decode matrix: image (q54/q131/q207), audio (q194), video here.
     // Planted frames are closed-form, so the oracle replays the decoded
     // per-frame luminance sums bit-for-bit.
-    "q210_x_video_frames" -> tuned((s, d) => {
+    "q210_x_video_frames" -> gridTuned((s, d) => {
       import graft.multimodal.Multimodal
       val vids = Tables.documents(s, d).select(col("doc_id"))
         .filter(col("doc_id") < 300)
@@ -473,7 +473,7 @@ private[graft] object QueriesB {
     // after q117's AR(1): steps 1..12 forecast off OBSERVED lag-12
     // values, steps 13..24 recurse on the earlier forecasts (the oracle
     // composes the two stages explicitly)
-    "q211_u8_sar1_forecast" -> tuned((s, d) =>
+    "q211_u8_sar1_forecast" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.seasonalArForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -488,7 +488,7 @@ private[graft] object QueriesB {
     // DECIMAL sufficient sums, one fixed Cramer+cofactor double tree for
     // coefficient AND standard error (the first hash-checked member of
     // the ADF/KPSS tier)
-    "q212_u56_adf_fixed" -> tuned((s, d) =>
+    "q212_u56_adf_fixed" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.adfFixedLag(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -499,7 +499,7 @@ private[graft] object QueriesB {
     // slice of the SARIMAX grid made hash-checkable: the innovations
     // recursion is replayed per θ candidate by a recursive CTE, argmin
     // over the fixed grid, one-step memory in the forecast
-    "q213_u8_ma1_forecast" -> tuned((s, d) =>
+    "q213_u8_ma1_forecast" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.ma1Forecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -545,14 +545,14 @@ private[graft] object QueriesB {
     // ---- extension: STREAMING ordered funnel — q147's standing twin;
     // per-user state is the chained-min time vector (O(#stages)), each
     // chain extension emits one advance row, drained counts == batch
-    "q215_x_stream_funnel" -> tuned((s, d) =>
+    "q215_x_stream_funnel" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingFunnel(s, d,
         Seq("view", "click", "purchase"))),
 
     // ---- extension: Mann-Kendall trend test per priority — exact
     // integer S and tie-corrected 18·Var, one fixed double z expression;
     // the nonparametric drift screen beside q09's parametric fit
-    "q216_x_mann_kendall" -> tuned((s, d) =>
+    "q216_x_mann_kendall" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.mannKendall(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -564,7 +564,7 @@ private[graft] object QueriesB {
     // ---- extension: order-independent table checksum per source — the
     // cross-region replication-drift digest (commutative modular sums of
     // 60-bit md5 row fingerprints; ONE map-side-combined aggregate)
-    "q217_x_table_checksum" -> tuned((s, d) =>
+    "q217_x_table_checksum" -> gridTuned((s, d) =>
       graft.operators.Integrity.tableChecksum(Tables.documents(s, d),
           Seq("source"), Seq("doc_id", "text", "lang", "n_chars"))
         .orderBy("source")),
@@ -573,7 +573,7 @@ private[graft] object QueriesB {
     // side, q213 the MA side; this fits both together with the
     // closed-form intercept (e linear in c), 361 candidates replayed by
     // ONE recursive CTE carrying (phi, theta, a, b)
-    "q218_u8_arma11_forecast" -> tuned((s, d) =>
+    "q218_u8_arma11_forecast" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.arma11Forecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -599,7 +599,7 @@ private[graft] object QueriesB {
     // readout beside q188's ROC AUC; score = n_chars (heavy ties, so
     // the doc_id tie-break contract is exercised), label = contains
     // 'data'. Exact integer precision@k terms end-to-end
-    "q220_x_avg_precision" -> tuned((s, d) =>
+    "q220_x_avg_precision" -> gridTuned((s, d) =>
       graft.operators.Metrics.averagePrecision(
           Tables.documents(s, d)
             .withColumn("label", instr(col("text"), "data") > 0),
@@ -610,7 +610,7 @@ private[graft] object QueriesB {
     // PERFECTLY-CALIBRATED score (label ⇔ an independent hash draw
     // below the score), so the gap columns read near-zero by
     // construction and any systematic bias would be visible
-    "q221_x_calibration" -> tuned((s, d) =>
+    "q221_x_calibration" -> gridTuned((s, d) =>
       graft.operators.Metrics.calibrationBins(
           Tables.documents(s, d)
             .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
@@ -622,7 +622,7 @@ private[graft] object QueriesB {
     // ---- extension: Welch two-sample t-test per order status — the
     // A/B location readout (URGENT vs LOW totals); whole-dollar values
     // keep Σx² < 2⁶³ to sf10 (cents overflow at sf0.1 — measured)
-    "q222_x_welch_ttest" -> tuned((s, d) =>
+    "q222_x_welch_ttest" -> gridTuned((s, d) =>
       graft.operators.Metrics.welchTTest(
           Tables.orders(s, d)
             .withColumn("dollars", floor(col("o_totalprice") + 0.5)),
@@ -633,7 +633,7 @@ private[graft] object QueriesB {
     // ---- extension: Cohen's kappa per lang — two 3-level length
     // raters, B a hash-noised version of A, so κ lands strictly inside
     // (0, 1) and the chance correction actually bites
-    "q223_x_cohen_kappa" -> tuned((s, d) => {
+    "q223_x_cohen_kappa" -> gridTuned((s, d) => {
       val noisy = col("n_chars") + pmod(col("doc_id") * 1103515245L, lit(211L)) - 105L
       def tier(c: org.apache.spark.sql.Column) =
         when(c >= 350, "hi").when(c >= 250, "mid").otherwise("lo")
@@ -649,7 +649,7 @@ private[graft] object QueriesB {
     // decides IF a priority drifts; this sizes BY HOW MUCH per month,
     // with 29% outlier breakdown (same monthly cents input, so the pair
     // reads side-by-side in one report)
-    "q224_x_theil_sen" -> tuned((s, d) =>
+    "q224_x_theil_sen" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.theilSen(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -663,7 +663,7 @@ private[graft] object QueriesB {
     // user is still active in the final 14 days of the window; the
     // observation edge derives FROM the per-user aggregate (no second
     // scan of the events table)
-    "q225_x_kaplan_meier" -> tuned((s, d) => {
+    "q225_x_kaplan_meier" -> gridTuned((s, d) => {
       val per = Tables.events(s, d)
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .groupBy(col("user_id"))
@@ -678,7 +678,7 @@ private[graft] object QueriesB {
     // ---- extension: numeric correlation panel — every lineitem metric
     // pair's Pearson r from ONE scan's exact integer moments (whole
     // dollars/percent quantization keeps Σx² < 2⁶³ through sf10)
-    "q226_x_corr_pairs" -> tuned((s, d) =>
+    "q226_x_corr_pairs" -> gridTuned((s, d) =>
       graft.operators.Profile.corrPairs(
           Tables.lineitem(s, d).select(
             floor(col("l_quantity") + 0.5).as("qty"),
@@ -692,7 +692,7 @@ private[graft] object QueriesB {
     // planted calibrated score read as one row: reliability ~0 by
     // construction, resolution ~ uncertainty (a calibrated informative
     // score), every term on the e6 integer grid
-    "q227_x_brier_decomp" -> tuned((s, d) =>
+    "q227_x_brier_decomp" -> gridTuned((s, d) =>
       graft.operators.Metrics.brierDecomposition(
           Tables.documents(s, d)
             .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
@@ -704,7 +704,7 @@ private[graft] object QueriesB {
     // flags THAT a shift exists, this names WHERE (two-segment SSE
     // argmin over monthly kilodollars; the kd rescale keeps the Σy²
     // prefix sums exact BIGINTs through sf100)
-    "q228_x_changepoint" -> tuned((s, d) =>
+    "q228_x_changepoint" -> gridTuned((s, d) =>
       graft.operators.Features.singleChangepoint(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -716,7 +716,7 @@ private[graft] object QueriesB {
 
     // ---- extension: supplier-concentration profile — HHI + top share
     // per return class, the domain-dominance screen a mean can't see
-    "q229_x_concentration" -> tuned((s, d) =>
+    "q229_x_concentration" -> gridTuned((s, d) =>
       graft.operators.Profile.concentration(
           Tables.lineitem(s, d), Seq("l_returnflag"), "l_suppkey")
         .orderBy("l_returnflag")),
@@ -727,7 +727,7 @@ private[graft] object QueriesB {
     // continuous price axis is BINNED to hundreds — the operator's
     // documented dial: the joint grid (50 × ~5k cells) is what keeps
     // the histogram-shaped plan grid-sized instead of row-sized
-    "q230_x_spearman" -> tuned((s, d) =>
+    "q230_x_spearman" -> gridTuned((s, d) =>
       graft.operators.Profile.spearman(
           Tables.lineitem(s, d)
             .withColumn("qty", floor(col("l_quantity") + 0.5))
@@ -741,7 +741,7 @@ private[graft] object QueriesB {
     // scores one-step-ahead, the protocol that separates in-sample fit
     // from forecast skill. Closed-form refits from prefix sums: one
     // window pass, no recursion
-    "q231_x_ar1_backtest" -> tuned((s, d) =>
+    "q231_x_ar1_backtest" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.ar1Backtest(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -755,7 +755,7 @@ private[graft] object QueriesB {
     // over (nation, segment) quasi-identifiers with the account-balance
     // band as the sensitive attribute (+1000 shift keeps the banding on
     // non-negative integers, where both engines' integer division agree)
-    "q232_x_k_anonymity" -> tuned((s, d) =>
+    "q232_x_k_anonymity" -> gridTuned((s, d) =>
       graft.operators.Profile.kAnonymity(
           Tables.customer(s, d).withColumn("balband",
             expr("(cast(round(c_acctbal) as bigint) + 1000) div 1000")),
@@ -764,7 +764,7 @@ private[graft] object QueriesB {
     // ---- extension: decile lift/gains table — the budget-decision
     // readout over q221's planted calibrated score: histogram deciles
     // (no global row sort; ties share a tile), two-step integer lift
-    "q233_x_lift_table" -> tuned((s, d) =>
+    "q233_x_lift_table" -> gridTuned((s, d) =>
       graft.operators.Metrics.liftTable(
           Tables.documents(s, d)
             .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
@@ -776,7 +776,7 @@ private[graft] object QueriesB {
     // ---- extension: funnel time-to-convert — q147 says how many reach
     // each stage, this says how FAST (per-transition lag min / lower
     // median / max in seconds, exact rank-element median)
-    "q234_x_conversion_lag" -> tuned((s, d) =>
+    "q234_x_conversion_lag" -> gridTuned((s, d) =>
       graft.operators.Funnel.conversionLag(
           Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
           Seq("user_id"), "sec", "event_type", Seq("view", "click", "purchase"))
@@ -785,7 +785,7 @@ private[graft] object QueriesB {
     // ---- extension: isotonic calibration via the PAV minimax closed
     // form — the pooling LOOP becomes a B³ grid expression, so the
     // "iterative" fit hash-checks; output monotone by construction
-    "q235_x_isotonic" -> tuned((s, d) =>
+    "q235_x_isotonic" -> gridTuned((s, d) =>
       graft.operators.Metrics.isotonicCalibration(
           Tables.documents(s, d)
             .withColumn("score_e6", pmod(col("doc_id") * 48271L, lit(1000001L)))
@@ -798,13 +798,13 @@ private[graft] object QueriesB {
     // state is ONE complete-mode per-user (min, max) pair; the curve is
     // a batch read of the drained snapshot, so drained == batch and the
     // oracle IS q225's
-    "q236_x_stream_kaplan_meier" -> tuned((s, d) =>
+    "q236_x_stream_kaplan_meier" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingKaplanMeier(s, d)),
 
     // ---- extension: IVF centroid separation — the BETWEEN-cluster
     // half of q209's quality readout (merge-candidate detection); the
     // oracle replays the pairs off the identical Lloyd chain
-    "q237_x_cluster_separation" -> tuned((s, d) => {
+    "q237_x_cluster_separation" -> gridTuned((s, d) => {
       val vecs = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       val model = graft.sim.Ivf.train(vecs, "vec_id", "embedding",
         k = 8, iters = 3)
@@ -816,7 +816,7 @@ private[graft] object QueriesB {
     // judged against the labeled lang by Cohen's kappa per source (the
     // eval tier composed over the text tier: "does the cheap classifier
     // agree with the ground truth beyond chance, and on which slices")
-    "q238_x_langid_agreement" -> tuned((s, d) =>
+    "q238_x_langid_agreement" -> gridTuned((s, d) =>
       graft.operators.Metrics.cohenKappa(
           Tables.documents(s, d).filter(col("source").isNotNull)
             .withColumn("pred", TextAnalysis.languageId(col("text")))
@@ -828,13 +828,13 @@ private[graft] object QueriesB {
     // ---- extension: STREAMING lift table — q233's standing twin:
     // state is the per-score-value (count, positives) histogram;
     // drained counts == batch counts, so the oracle IS q233's
-    "q239_x_stream_lift_table" -> tuned((s, d) =>
+    "q239_x_stream_lift_table" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingLiftTable(s, d)),
 
     // ---- extension: two-variant funnel A/B — pooled two-proportion z
     // per stage transition between hash-split variants; the experiment
     // readout asked on the funnel itself
-    "q240_x_funnel_ab" -> tuned((s, d) =>
+    "q240_x_funnel_ab" -> gridTuned((s, d) =>
       graft.operators.Funnel.funnelVariantZ(
           Tables.events(s, d)
             .withColumn("sec", expr("ts_ns div 1000000000"))
@@ -848,7 +848,7 @@ private[graft] object QueriesB {
     // rho-squared from one integer-moment aggregate over per-customer
     // (1996, 1997) dekadollar totals (div 10 keeps Sigma-x-squared
     // exact through sf100)
-    "q241_x_cuped" -> tuned((s, d) => {
+    "q241_x_cuped" -> gridTuned((s, d) => {
       val per = Tables.orders(s, d)
         .filter(col("o_orderdate").isNotNull &&
           year(col("o_orderdate")).isin(1996, 1997))
@@ -873,7 +873,7 @@ private[graft] object QueriesB {
     // CONSTRUCTION for exact dups — identical text means identical
     // signature, every band collides — so the readout isolates
     // precision, the near-dup-but-not-exact overshoot)
-    "q242_x_dedup_eval" -> tuned((s, d) => {
+    "q242_x_dedup_eval" -> gridTuned((s, d) => {
       val docs = Tables.documents(s, d)
       val pred = Dedup.minhashCandidates(docs, "doc_id", "text",
           k = MinhashK, bands = MinhashBands)
@@ -899,7 +899,7 @@ private[graft] object QueriesB {
     // ---- extension: Neyman-allocated stratified sample — the
     // variance-optimal labeling-budget split (n_h proportional to
     // N_h*S_h), integer largest-remainder seats, md5-rank prefix draw
-    "q243_x_neyman_sample" -> tuned((s, d) =>
+    "q243_x_neyman_sample" -> gridTuned((s, d) =>
       graft.text.Corpus.neymanSample(
           Tables.documents(s, d), "source", "doc_id", "n_chars", nTotal = 100)
         .orderBy("source", "doc_id")),
@@ -908,7 +908,7 @@ private[graft] object QueriesB {
     // peak exceeded once a year" per priority: method-of-moments over
     // per-day maxima (dollars), 365-block return level; the extreme-
     // value readout beside the mean-shaped profile tier
-    "q244_x_gumbel_return" -> tuned((s, d) =>
+    "q244_x_gumbel_return" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.gumbelReturnLevel(
           Tables.orders(s, d)
             .withColumn("day", col("o_orderdate").cast("date"))
@@ -922,7 +922,7 @@ private[graft] object QueriesB {
     // state; the shared variantZFromReach readout). Chains at the
     // stream's microsecond grain, so the oracle is q240's shape at
     // epoch_us, not the batch query's seconds
-    "q245_x_stream_funnel_ab" -> tuned((s, d) =>
+    "q245_x_stream_funnel_ab" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingFunnelAb(s, d,
         Seq("view", "click", "purchase"))),
 
@@ -930,7 +930,7 @@ private[graft] object QueriesB {
     // rank trim on the value grid (the Olympic-scoring location
     // estimate beside q136's winsorize); whole dollars keep Σv·1e6
     // exact through sf100
-    "q246_x_trimmed_mean" -> tuned((s, d) =>
+    "q246_x_trimmed_mean" -> gridTuned((s, d) =>
       graft.operators.Sketch.trimmedMean(
           Tables.lineitem(s, d).withColumn("price_d",
             floor(col("l_extendedprice") + 0.5)),
@@ -940,7 +940,7 @@ private[graft] object QueriesB {
     // ---- extension: Ljung-Box portmanteau white-noise test — q37's
     // rounded ACF fed into the Q statistic on the decided-on-rounded
     // convention; the residual diagnostic that closes the SARIMAX loop
-    "q247_x_ljung_box" -> tuned((s, d) =>
+    "q247_x_ljung_box" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.ljungBox(
           monthlyOrders(s, d).withColumn("tot", round(col("tot"), 2)),
           Nil, "month", "tot", nlags = 6, crit5E4 = 125916L)
@@ -949,7 +949,7 @@ private[graft] object QueriesB {
     // ---- extension: gap-capped funnel — q147's chain with each
     // transition bounded to 24h ("purchase within a day of the
     // click"); the conservative chained-min semantics, replayed exactly
-    "q248_x_windowed_funnel" -> tuned((s, d) =>
+    "q248_x_windowed_funnel" -> gridTuned((s, d) =>
       graft.operators.Funnel.conversionCounts(
           Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
           Seq("user_id"), "sec", "event_type",
@@ -959,7 +959,7 @@ private[graft] object QueriesB {
     // ---- extension: seasonal Mann-Kendall — q216 restricted to
     // within-phase pairs (Jan vs Jan), the trend test that does not
     // read the seasonal cycle itself as noise
-    "q249_x_seasonal_mk" -> tuned((s, d) =>
+    "q249_x_seasonal_mk" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.seasonalMannKendall(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -973,7 +973,7 @@ private[graft] object QueriesB {
     // the two parity cohorts' sum vectors (the "has the distribution
     // moved" monitor an index refresh watches); exact integer component
     // sums, DECIMAL cross-products, ONE final double tree
-    "q250_x_centroid_drift" -> tuned((s, d) =>
+    "q250_x_centroid_drift" -> gridTuned((s, d) =>
       graft.sim.VectorOps.centroidDrift(
           Tables.embeddings(s, d)
             .withColumn("side", pmod(col("vec_id"), lit(2L)).cast("int")),
@@ -983,7 +983,7 @@ private[graft] object QueriesB {
     // ---- extension: STREAMING centroid drift — q250's standing twin:
     // the complete-mode state IS the component-sum grid; drained ==
     // batch, one shared readout (driftFromComponentSums) and one oracle
-    "q251_x_stream_centroid_drift" -> tuned((s, d) =>
+    "q251_x_stream_centroid_drift" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingCentroidDrift(s, d)),
 
     // ---- extension: funnel experiment MDE — the PLANNING readout
@@ -991,7 +991,7 @@ private[graft] object QueriesB {
     // current sample sizes can detect at 80% power / two-sided 5%
     // ((z_{0.975} + z_{0.8})·SE with the pooled-rate SE, literals
     // spelled identically in the oracle)
-    "q252_x_funnel_mde" -> tuned((s, d) =>
+    "q252_x_funnel_mde" -> gridTuned((s, d) =>
       graft.operators.Funnel.funnelVariantZ(
           Tables.events(s, d)
             .withColumn("sec", expr("ts_ns div 1000000000"))
@@ -1016,7 +1016,7 @@ private[graft] object QueriesB {
     // mirror (q212 rejects a unit root; this ACCEPTS level-stationarity):
     // exact-integer scaled partial sums N_t = n·P_t − t·Σy over the same
     // monthly-cents series, one double division, e4-quantized
-    "q253_u56_kpss_fixed" -> tuned((s, d) =>
+    "q253_u56_kpss_fixed" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.kpssFixedLag(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -1028,7 +1028,7 @@ private[graft] object QueriesB {
     // ANY qualifying stage-(i-1) event (a RANGE-frame existence window),
     // not just the chained earliest; reach here >= q248's per stage
     // (the PropertySpec ordering law)
-    "q254_x_rescan_funnel" -> tuned((s, d) =>
+    "q254_x_rescan_funnel" -> gridTuned((s, d) =>
       graft.operators.Funnel.rescanConversionCounts(
           Tables.events(s, d).withColumn("sec", expr("ts_ns div 1000000000")),
           Seq("user_id"), "sec", "event_type",
@@ -1040,7 +1040,7 @@ private[graft] object QueriesB {
     // contamination candidates, hybrid retrieval): vocabulary-pruned tf
     // grid, Lucene IDF, per-term e9 quantization so the multi-term score
     // is an order-independent integer sum
-    "q255_x_bm25_topk" -> tuned((s, d) =>
+    "q255_x_bm25_topk" -> gridTuned((s, d) =>
       graft.text.Retrieval.bm25TopK(
           Tables.documents(s, d), "doc_id", "text",
           Seq(0L -> "hash join table",
@@ -1056,7 +1056,7 @@ private[graft] object QueriesB {
     // vocabulary-free agreement score beside q223's kappa (cluster ids
     // vs ground truth never share names); per-term e9 quantization
     // keeps the MI/entropy sums order-independent
-    "q256_x_nmi" -> tuned((s, d) =>
+    "q256_x_nmi" -> gridTuned((s, d) =>
       graft.operators.Metrics.normalizedMutualInfo(
           Tables.documents(s, d).withColumn("half", pmod(col("doc_id"), lit(2L))),
           Seq("half"), "lang", "source")
@@ -1081,7 +1081,7 @@ private[graft] object QueriesB {
     // bounded symmetric drift monitor beside q153's KL (English vs
     // non-English token distributions); mixture ratio rides as the
     // exact integer form 2*ca*nb/(ca*nb + cb*na), per-token e9 terms
-    "q258_x_vocab_jsd" -> tuned((s, d) =>
+    "q258_x_vocab_jsd" -> gridTuned((s, d) =>
       graft.text.TextAnalysis.vocabJsd(
           Tables.documents(s, d)
             .withColumn("side", when(col("lang") === "en", 0).otherwise(1)),
@@ -1092,7 +1092,7 @@ private[graft] object QueriesB {
     // twin; this one is right when seasonal amplitude scales with the
     // level): per-segment monthly revenue, mean-one seasonal indices,
     // x/(T·S) residual; e9-quantized ratios, exact integer phase means
-    "q259_x_seasonal_decompose_mul" -> tuned((s, d) => {
+    "q259_x_seasonal_decompose_mul" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
         .groupBy(col("c_mktsegment").as("seg"),
@@ -1119,7 +1119,7 @@ private[graft] object QueriesB {
     // computed as map-side-combinable conditional minima instead of a
     // per-key window (the funnel half of the round-8 hot-key dial);
     // shares q147's oracle, rows contractually identical
-    "q261_x_funnel_agg" -> tuned((s, d) =>
+    "q261_x_funnel_agg" -> gridTuned((s, d) =>
       graft.operators.Funnel.conversionCountsAgg(
           Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
           Seq("user_id"), "tsu", "event_type",
@@ -1130,7 +1130,7 @@ private[graft] object QueriesB {
     // generalized to many ratings per item (items = users, ratings =
     // their events, categories = event types: "are a user's events
     // type-consistent beyond chance"), variable-n form
-    "q262_x_fleiss_kappa" -> tuned((s, d) =>
+    "q262_x_fleiss_kappa" -> gridTuned((s, d) =>
       graft.operators.Metrics.fleissKappa(
           Tables.events(s, d)
             .withColumn("cohort", pmod(col("user_id"), lit(2L))),
@@ -1141,7 +1141,7 @@ private[graft] object QueriesB {
     // than chance" per (segment, priority) revenue series; the binomial
     // tails are exact BigInt sums, quantized with pure integer
     // arithmetic, so the recursive-CTE oracle is bit-identical
-    "q263_x_sign_test" -> tuned((s, d) =>
+    "q263_x_sign_test" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.signTest(
           monthlySegPrio(s, d),
           Seq("c_mktsegment", "o_orderpriority"), "month", "cents")
@@ -1151,7 +1151,7 @@ private[graft] object QueriesB {
     // family — 25 hypotheses, integer threshold test, deterministic
     // tie-break; the guard every per-key test needs before anyone acts
     // on the smallest of 25 p-values
-    "q264_x_bh_fdr" -> tuned((s, d) =>
+    "q264_x_bh_fdr" -> gridTuned((s, d) =>
       graft.operators.Metrics.bhCorrect(
           graft.stats.Diagnostics.signTest(
             monthlySegPrio(s, d),
@@ -1165,7 +1165,7 @@ private[graft] object QueriesB {
     // order-free, the recursion is a fixed IEEE sequence with exact
     // binary constants, and the oracle's recursive CTE carries the 12
     // seasonals as an ordered list — bit-for-bit replay
-    "q265_x_holt_winters" -> tuned((s, d) =>
+    "q265_x_holt_winters" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.holtWintersForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -1179,19 +1179,19 @@ private[graft] object QueriesB {
 
     // ---- extension: streaming NMI twin — the complete-mode state IS
     // q256's cell grid; drained == batch, one shared readout and oracle
-    "q266_x_stream_nmi" -> tuned((s, d) =>
+    "q266_x_stream_nmi" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingNmi(s, d)),
 
     // ---- extension: streaming vocabulary-JSD twin — state is the
     // per-token side-count grid (vocabulary-sized); shares q258's oracle
-    "q267_x_stream_vocab_jsd" -> tuned((s, d) =>
+    "q267_x_stream_vocab_jsd" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingVocabJsd(s, d)),
 
     // ---- extension: Mann-Whitney U z-test — the nonparametric
     // two-sample location verdict completing q222 (Welch, parametric)
     // and q195 (KS, distributional); exact integer midranks, DECIMAL
     // tie term, one fixed z tree
-    "q268_x_mann_whitney" -> tuned((s, d) =>
+    "q268_x_mann_whitney" -> gridTuned((s, d) =>
       graft.operators.Metrics.mannWhitney(
           Tables.events(s, d)
             .withColumn("variant",
@@ -1204,7 +1204,7 @@ private[graft] object QueriesB {
     // priority explain order value per market segment; exact integer
     // group sums, floor-quantized sum-of-squares convention, one fixed
     // F tree
-    "q269_x_anova" -> tuned((s, d) =>
+    "q269_x_anova" -> gridTuned((s, d) =>
       graft.operators.Metrics.anovaOneWay(
           Tables.orders(s, d)
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1218,7 +1218,7 @@ private[graft] object QueriesB {
     // ---- extension: Kruskal-Wallis H — q269's question answered by
     // ranks (no normality assumption); midranks on the value-count
     // grid, tie-corrected, chi2(4) 5% critical
-    "q270_x_kruskal_wallis" -> tuned((s, d) =>
+    "q270_x_kruskal_wallis" -> gridTuned((s, d) =>
       graft.operators.Metrics.kruskalWallis(
           Tables.orders(s, d)
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1229,7 +1229,7 @@ private[graft] object QueriesB {
     // ---- extension: Brown-Forsythe — do the priorities even share a
     // variance (the assumption q269 quietly makes); ANOVA on exact
     // absolute deviations from each group's lower median
-    "q271_x_brown_forsythe" -> tuned((s, d) =>
+    "q271_x_brown_forsythe" -> gridTuned((s, d) =>
       graft.operators.Metrics.brownForsythe(
           Tables.orders(s, d)
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1250,7 +1250,7 @@ private[graft] object QueriesB {
     // token-length quality filters disagree SYMMETRICALLY per source
     // (kappa says how often they agree; this says whether the
     // disagreements lean one way)
-    "q273_x_mcnemar" -> tuned((s, d) =>
+    "q273_x_mcnemar" -> gridTuned((s, d) =>
       graft.operators.Metrics.mcnemar(
           Tables.documents(s, d)
             .withColumn("a", col("n_chars") > 500)
@@ -1261,7 +1261,7 @@ private[graft] object QueriesB {
     // ---- extension: Cochran-Armitage trend — does per-user purchase
     // conversion rise monotonically across ordered user tiers; exact
     // sufficient sums, one z tree
-    "q274_x_cochran_armitage" -> tuned((s, d) =>
+    "q274_x_cochran_armitage" -> gridTuned((s, d) =>
       graft.operators.Metrics.cochranArmitage(
           Tables.events(s, d)
             .filter(col("user_id").isNotNull)
@@ -1277,7 +1277,7 @@ private[graft] object QueriesB {
     // for the mean order value per segment; counter-based integer
     // multiplicities, exact replicate means, exact-rank percentile
     // bounds — the whole resampling replays bit-for-bit
-    "q275_x_bootstrap_ci" -> tuned((s, d) =>
+    "q275_x_bootstrap_ci" -> gridTuned((s, d) =>
       graft.operators.MonteCarlo.poissonBootstrapCi(
           Tables.orders(s, d)
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1291,7 +1291,7 @@ private[graft] object QueriesB {
     // cos/sin table is generated ONCE driver-side and inlined into both
     // engines, so no trig executes at query time anywhere; exact DECIMAL
     // DFT sums, share-of-peak readout, dominant-period flag
-    "q276_u6_periodogram_fixed" -> tuned((s, d) =>
+    "q276_u6_periodogram_fixed" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.periodogramFixed(
           monthlyPriority(s, d), Seq("prio"), "month", "cents", n = 64)
         .orderBy("prio", "k"))
@@ -1302,7 +1302,7 @@ private[graft] object QueriesB {
     // per event type); no UDF, no recursion: the hypergeometric support
     // is a k-grid with log-likelihood steps e15-quantized to integers,
     // exact DECIMAL cumsum, one exp per row, integer-ratio p
-    "q277_x_fisher_exact" -> tuned((s, d) =>
+    "q277_x_fisher_exact" -> gridTuned((s, d) =>
       graft.operators.Metrics.fisherExact(
           Tables.events(s, d)
             .withColumn("even_user", pmod(col("user_id"), lit(2L)) === 0)
@@ -1314,7 +1314,7 @@ private[graft] object QueriesB {
     // values even roughly normal (the assumption q269/q222 quietly
     // make); two-pass integer-mean shift kills the cancellation, exact
     // DECIMAL central power sums, one fixed tree per readout
-    "q278_x_jarque_bera" -> tuned((s, d) =>
+    "q278_x_jarque_bera" -> gridTuned((s, d) =>
       graft.operators.Metrics.jarqueBera(
           Tables.orders(s, d)
             .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
@@ -1326,7 +1326,7 @@ private[graft] object QueriesB {
     // differently per cohort (the time-to-event A/B readout q240's
     // conversion z can't give: censoring-aware); suffix-sum at-risk
     // counts, e9-quantized E/V terms, one chi2 tree
-    "q279_x_log_rank" -> tuned((s, d) => {
+    "q279_x_log_rank" -> gridTuned((s, d) => {
       val per = Tables.events(s, d)
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .groupBy(col("user_id"))
@@ -1347,7 +1347,7 @@ private[graft] object QueriesB {
     // mass per source ("is this slice's vocabulary saturated or still
     // growing" — the collection-planning dial beside q191's Zipf shape);
     // exact integer frequency-of-frequencies, one fixed Chao1 tree
-    "q280_x_vocab_richness" -> tuned((s, d) =>
+    "q280_x_vocab_richness" -> gridTuned((s, d) =>
       graft.text.TextAnalysis.vocabRichness(
           Tables.documents(s, d), "source", "text")
         .orderBy("source")),
@@ -1356,7 +1356,7 @@ private[graft] object QueriesB {
     // INTEGRATED squared ECDF gap (many small persistent differences,
     // where KS reads only the single largest); exact cross-multiplied
     // integer numerator, one double division
-    "q281_x_cramer_von_mises" -> tuned((s, d) =>
+    "q281_x_cramer_von_mises" -> gridTuned((s, d) =>
       graft.operators.Metrics.cramerVonMises(
           Tables.events(s, d)
             .withColumn("variant",
@@ -1369,7 +1369,7 @@ private[graft] object QueriesB {
     // English from non-English per source, and where's the cut (feature
     // screening / one boosting round); melted features, exact DECIMAL
     // Gini-score argmax, one fixed gain tree
-    "q282_x_best_split" -> tuned((s, d) =>
+    "q282_x_best_split" -> gridTuned((s, d) =>
       graft.operators.Regression.bestSplit(
           Tables.documents(s, d)
             .filter(col("text").isNotNull)
@@ -1384,7 +1384,7 @@ private[graft] object QueriesB {
     // is the iid CI on autocorrelated monthly revenue, per priority;
     // two-pass integer-mean shift, L+1 lags on ONE window, exact
     // DECIMAL cross-sums, Bartlett-weighted lrv as one fixed tree
-    "q283_x_newey_west" -> tuned((s, d) =>
+    "q283_x_newey_west" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.neweyWestSe(
           monthlyPriority(s, d), Seq("prio"), "month", "cents", maxLag = 4)
         .orderBy("prio")),
@@ -1393,7 +1393,7 @@ private[graft] object QueriesB {
     // Welch significance (magnitude, not just p); the same six exact
     // sufficient sums, one fixed tree per readout, labeled verdict on
     // the rounded |d|
-    "q284_x_effect_size" -> tuned((s, d) =>
+    "q284_x_effect_size" -> gridTuned((s, d) =>
       graft.operators.Metrics.effectSize(
           Tables.orders(s, d)
             .withColumn("dollars",
@@ -1405,7 +1405,7 @@ private[graft] object QueriesB {
     // ---- extension: streaming Cramér-von Mises — q281's standing twin:
     // complete-mode state IS the (key, value) side-count grid, readout
     // via the SHARED cvmFromGrid, drained == batch, one oracle
-    "q285_x_stream_cvm" -> tuned((s, d) =>
+    "q285_x_stream_cvm" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingCvm(s, d)),
 
     // ---- extension: RFM segmentation — the classic customer grid with
@@ -1413,7 +1413,7 @@ private[graft] object QueriesB {
     // value-count grids, the weightedPercentiles convention) and the
     // conventional segment labels; monetary binned to dollars for the
     // fence grid, sums stay exact cents
-    "q286_x_rfm_segments" -> tuned((s, d) =>
+    "q286_x_rfm_segments" -> gridTuned((s, d) =>
       graft.operators.Funnel.rfmSegments(
           Tables.events(s, d)
             .withColumn("us", expr("ts_ns div 1000"))
@@ -1425,7 +1425,7 @@ private[graft] object QueriesB {
     // per event type (Wald collapses at rare events; this is q240's
     // per-cell uncertainty); exact integer (n, x), one fixed tree per
     // bound
-    "q287_x_wilson_ci" -> tuned((s, d) =>
+    "q287_x_wilson_ci" -> gridTuned((s, d) =>
       graft.operators.Metrics.wilsonCi(
           Tables.events(s, d)
             .withColumn("converted", col("value") >= 95.0),
@@ -1436,7 +1436,7 @@ private[graft] object QueriesB {
     // revenue series are strongly seasonal vs trending (the Hyndman
     // feature screen over q177's decomposition); exact n*Sum(v^2) -
     // Sum(v)^2 variance forms over the already-quantized components
-    "q288_x_seasonal_strength" -> tuned((s, d) =>
+    "q288_x_seasonal_strength" -> gridTuned((s, d) =>
       graft.operators.Features.seasonalStrength(
           monthlyPriority(s, d), Seq("prio"), "month", "cents", period = 12)
         .orderBy("prio")),
@@ -1445,7 +1445,7 @@ private[graft] object QueriesB {
     // bounds per return flag (the robust companion of q275's bootstrap
     // mean CI at none of its replicate cost); exact cumulative-count
     // fences on whole-dollar prices
-    "q289_x_median_ci" -> tuned((s, d) =>
+    "q289_x_median_ci" -> gridTuned((s, d) =>
       graft.operators.Sketch.medianCi(
           Tables.lineitem(s, d).withColumn("price_d",
             floor(col("l_extendedprice") + 0.5)),
@@ -1455,14 +1455,14 @@ private[graft] object QueriesB {
     // ---- extension: streaming decision stump — q282's standing twin:
     // complete-mode state IS the (source, feature, value) class-count
     // grid, readout via the SHARED bestSplitFromGrid, drained == batch
-    "q290_x_stream_best_split" -> tuned((s, d) =>
+    "q290_x_stream_best_split" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingBestSplit(s, d)),
 
     // ---- extension: differential vocabulary — Monroe log-odds z-scores
     // of what distinguishes English from non-English text (per-TERM
     // where q258's JSD is one scalar); deterministic quantized top-k via
     // TakeOrdered, never a global sort
-    "q291_x_log_odds_terms" -> tuned((s, d) =>
+    "q291_x_log_odds_terms" -> gridTuned((s, d) =>
       graft.text.TextAnalysis.logOddsTerms(
           Tables.documents(s, d)
             .withColumn("side", when(col("lang") === "en", 0).otherwise(1)),
@@ -1473,7 +1473,7 @@ private[graft] object QueriesB {
     // per event type ("is the high-value rate 0.5 or 0.55, stop when the
     // evidence says"); e12-inlined log constants (no query-time
     // transcendentals), exact DECIMAL LLR walk, integer first-crossing
-    "q292_x_sprt" -> tuned((s, d) =>
+    "q292_x_sprt" -> gridTuned((s, d) =>
       graft.operators.Metrics.sprtBernoulli(
           Tables.events(s, d)
             .withColumn("hit", col("value") >= 50.0),
@@ -1487,7 +1487,7 @@ private[graft] object QueriesB {
     // decision FREEZES at the first crossing (the sequential-test
     // contract); same inlined e12 constants, drained == batch on the
     // time-ordered landing convention, one oracle
-    "q293_x_stream_sprt" -> tuned((s, d) =>
+    "q293_x_stream_sprt" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingSprt(s, d,
         p0 = 0.5, p1 = 0.55, alphaPermille = 50, betaPermille = 100)),
 
@@ -1495,7 +1495,7 @@ private[graft] object QueriesB {
     // Poisson or bursty, per event type (decides whether rate CIs can
     // use the Poisson shortcut); exact integer n*Sq - S^2 numerator,
     // chi2 verdict on the rounded value
-    "q294_x_dispersion" -> tuned((s, d) =>
+    "q294_x_dispersion" -> gridTuned((s, d) =>
       graft.operators.Metrics.dispersionIndex(
           Tables.events(s, d)
             .filter(col("user_id").isNotNull && col("event_type").isNotNull)
@@ -1508,7 +1508,7 @@ private[graft] object QueriesB {
     // (length, token-count, english) pass different fractions of the
     // same items, per source (q273's McNemar generalized to k); one
     // exact-integer aggregate, k*SumC^2 - T^2 identity
-    "q295_x_cochran_q" -> tuned((s, d) =>
+    "q295_x_cochran_q" -> gridTuned((s, d) =>
       graft.operators.Metrics.cochranQ(
           Tables.documents(s, d)
             .filter(col("text").isNotNull)
@@ -1523,7 +1523,7 @@ private[graft] object QueriesB {
     // ORDERED in time per event type (clumping/alternation, the
     // sequence axis MK/Ljung-Box don't cover); exact integer run
     // counts off one lag window, one z tree
-    "q296_x_runs_test" -> tuned((s, d) =>
+    "q296_x_runs_test" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.runsTest(
           Tables.events(s, d)
             .withColumn("hi", col("value") >= 50.0),
@@ -1535,7 +1535,7 @@ private[graft] object QueriesB {
     // of q256's NMI); exact (N*O - R*C)^2/(N*R*C) cell terms over the
     // FULL r x c grid (zero cells contribute), driver-inlined chi2
     // critical table
-    "q297_x_chi_square" -> tuned((s, d) =>
+    "q297_x_chi_square" -> gridTuned((s, d) =>
       graft.operators.Metrics.chiSquareIndependence(
           Tables.documents(s, d)
             .filter(col("n_chars").isNotNull)
@@ -1547,7 +1547,7 @@ private[graft] object QueriesB {
     // association monitor: complete-mode state IS the contingency-cell
     // grid, readout via the SHARED chiSqFromCells; drained == batch,
     // one oracle
-    "q298_x_stream_chi_square" -> tuned((s, d) =>
+    "q298_x_stream_chi_square" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingChiSquare(s, d)),
 
     // ---- extension: Durbin-Watson — after detrending monthly mean
@@ -1555,7 +1555,7 @@ private[graft] object QueriesB {
     // (lag-1 serial correlation of FITTED residuals — the axis q247
     // Ljung-Box reads on the raw series); exact scaled-integer
     // residuals, the n*D denominator cancels in the ratio
-    "q299_x_durbin_watson" -> tuned((s, d) =>
+    "q299_x_durbin_watson" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.durbinWatson(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -1571,7 +1571,7 @@ private[graft] object QueriesB {
     // exact tie-corrected variance; q230's Spearman reads rank-linear
     // association, tau weighs every discordant PAIR); exact integer
     // S and tie sums, fixed double tau/z trees
-    "q300_x_kendall_tau" -> tuned((s, d) =>
+    "q300_x_kendall_tau" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.kendallTau(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -1588,7 +1588,7 @@ private[graft] object QueriesB {
     // how much do they still overlap (bounded geometric), per event
     // type: the two axes KS/CvM/PSI don't read; exact cross-multiplied
     // CDF integral, per-cell e9 Bhattacharyya terms
-    "q301_x_hist_drift" -> tuned((s, d) =>
+    "q301_x_hist_drift" -> gridTuned((s, d) =>
       graft.operators.Metrics.histogramDrift(
           Tables.events(s, d)
             .withColumn("variant",
@@ -1601,7 +1601,7 @@ private[graft] object QueriesB {
     // distance monitor: complete-mode state IS the value-grid side
     // counts, readout via the SHARED histDriftFromGrid; drained ==
     // batch, one oracle
-    "q302_x_stream_hist_drift" -> tuned((s, d) =>
+    "q302_x_stream_hist_drift" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingHistDrift(s, d)),
 
     // ---- extension: ranking eval — nDCG@10 + MRR@10 of a length-score
@@ -1609,7 +1609,7 @@ private[graft] object QueriesB {
     // retrieval loop: q255 ranks, this scores the ranking); inlined
     // e12 discount table, exact integer DCG/IDCG sums, thinned
     // candidate lists (doc_id % 37) per the bounded-list contract
-    "q303_x_ndcg_mrr" -> tuned((s, d) =>
+    "q303_x_ndcg_mrr" -> gridTuned((s, d) =>
       graft.text.Retrieval.rankingMetrics(
           Tables.documents(s, d)
             .filter(pmod(col("doc_id"), lit(37L)) === 0 &&
@@ -1626,7 +1626,7 @@ private[graft] object QueriesB {
     // third document (MISSING ratings — the case Cohen/Fleiss can't
     // read honestly); per-item (m-1)-normalized coincidence pairs,
     // finite-sample (n-1) chance correction
-    "q304_x_krippendorff" -> tuned((s, d) =>
+    "q304_x_krippendorff" -> gridTuned((s, d) =>
       graft.operators.Metrics.krippendorffAlpha(
           Tables.documents(s, d)
             .filter(col("n_chars").isNotNull)
@@ -1647,7 +1647,7 @@ private[graft] object QueriesB {
     // rank-based complement of q228's SSE-argmin changepoint, which
     // locates but cannot calibrate); exact integer U walk, one
     // clamped p tree
-    "q305_x_pettitt" -> tuned((s, d) =>
+    "q305_x_pettitt" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.pettitt(
           Tables.events(s, d)
             .filter(col("value").isNotNull)
@@ -1663,7 +1663,7 @@ private[graft] object QueriesB {
     // the level's own past, per priority (lead/lag direction q300's
     // contemporaneous tau can't read); nested Cramer OLS over exact
     // DECIMAL sums, F on the RSS drop, asymptotic chi2(1) verdict
-    "q306_x_granger" -> tuned((s, d) =>
+    "q306_x_granger" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.grangerCausality(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -1679,7 +1679,7 @@ private[graft] object QueriesB {
     // volume/price lead-lag relationship peak, per priority (the lag
     // profile q306's single-lag Granger F can't show); exact DECIMAL
     // sums per (key, lag) off one range self-join, one r tree per lag
-    "q307_x_cross_correlation" -> tuned((s, d) =>
+    "q307_x_cross_correlation" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.crossCorrelation(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -1696,7 +1696,7 @@ private[graft] object QueriesB {
     // screen beside q270's rank-mean Kruskal-Wallis); exact value-grid
     // median fence, (status x side) contingency through the SHARED
     // chiSqFromCells identity
-    "q308_x_mood_median" -> tuned((s, d) =>
+    "q308_x_mood_median" -> gridTuned((s, d) =>
       graft.operators.Metrics.moodMedianTest(
           Tables.lineitem(s, d)
             // DOLLAR quantization: cents make the median value grid
@@ -1713,7 +1713,7 @@ private[graft] object QueriesB {
     // DOLLAR framing + the guarded longSums fast path (round-10 probe:
     // 12.8x over DECIMAL cents at the 10x corpus; the n*max|v|^2 fence
     // holds to ~7.6e8 rows per key and RAISES past it)
-    "q309_x_partial_corr" -> tuned((s, d) =>
+    "q309_x_partial_corr" -> gridTuned((s, d) =>
       graft.operators.Profile.partialCorrelation(
           Tables.lineitem(s, d)
             .withColumn("qty", expr("cast(floor(l_quantity + 0.5) as bigint)"))
@@ -1730,7 +1730,7 @@ private[graft] object QueriesB {
     // (each can wander; the SPREAD must not): OLS hedge ratio, then
     // the q212 ADF machinery on the quantized residuals against the
     // EG -3.34 critical
-    "q310_x_engle_granger" -> tuned((s, d) =>
+    "q310_x_engle_granger" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.engleGranger(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -1746,7 +1746,7 @@ private[graft] object QueriesB {
     // reliable composite scale per source (the numeric-scale
     // reliability complement of the kappa/alpha agreement family);
     // exact DECIMAL item/total variances, one signed alpha tree
-    "q311_x_cronbach" -> tuned((s, d) =>
+    "q311_x_cronbach" -> gridTuned((s, d) =>
       graft.operators.Metrics.cronbachAlpha(
           Tables.documents(s, d)
             .filter(col("n_chars").isNotNull && col("text").isNotNull)
@@ -1780,7 +1780,7 @@ private[graft] object QueriesB {
     // comparisons controlled as ONE FDR family (the step after q269's
     // ANOVA says "something differs"); welch trees verbatim, A&S
     // normal-tail p, q264's BH machinery
-    "q313_x_pairwise_welch" -> tuned((s, d) =>
+    "q313_x_pairwise_welch" -> gridTuned((s, d) =>
       graft.operators.Metrics.pairwiseWelch(
           Tables.orders(s, d)
             .join(Tables.customer(s, d),
@@ -1795,7 +1795,7 @@ private[graft] object QueriesB {
     // every month is its own control, the repeated-measures axis q270's
     // pooled Kruskal-Wallis can't read); exact 2x midranks, Conover
     // tie-corrected T, the shared chi2 critical table
-    "q314_x_friedman" -> tuned((s, d) =>
+    "q314_x_friedman" -> gridTuned((s, d) =>
       graft.operators.Metrics.friedmanTest(
           monthlySegPrio(s, d),
           Seq("c_mktsegment"), "month", "o_orderpriority", "cents")
@@ -1806,7 +1806,7 @@ private[graft] object QueriesB {
     // agreement + share inside: the method-comparison readout a 0.99
     // correlation can't give); exact difference sums, two-pass within
     // count against the raw double limits
-    "q315_x_bland_altman" -> tuned((s, d) =>
+    "q315_x_bland_altman" -> gridTuned((s, d) =>
       graft.operators.Metrics.blandAltman(
           Tables.documents(s, d)
             .filter(col("n_chars").isNotNull && col("text").isNotNull)
@@ -1820,7 +1820,7 @@ private[graft] object QueriesB {
     // cut (n_chars > 500) recover the token cut (> 90), per source:
     // precision/recall/F1/accuracy and the imbalance-honest MCC at the
     // deployed threshold (q188's AUC ranks scores; this scores the cut)
-    "q316_x_confusion_mcc" -> tuned((s, d) =>
+    "q316_x_confusion_mcc" -> gridTuned((s, d) =>
       graft.operators.Metrics.confusionMetrics(
           Tables.documents(s, d)
             .filter(col("n_chars").isNotNull && col("text").isNotNull)
@@ -1835,7 +1835,7 @@ private[graft] object QueriesB {
     // sequential detector: q305's Pettitt locates in hindsight, q167's
     // CUSUM needs a baseline; PH needs neither and its state is O(1));
     // per-row e9 terms over exact prefixes, integer first-crossing
-    "q317_x_page_hinkley" -> tuned((s, d) =>
+    "q317_x_page_hinkley" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.pageHinkley(
           Tables.events(s, d)
             .withColumn("cents", floor(col("value") * 100 + 0.5).cast("long"))
@@ -1847,7 +1847,7 @@ private[graft] object QueriesB {
     // monitor: O(1) per-key (n, sum, m, min m, max PH, frozen alarm)
     // state replaying the IDENTICAL per-row tree; drained == batch on
     // the time-ordered landing convention, one oracle
-    "q318_x_stream_page_hinkley" -> tuned((s, d) =>
+    "q318_x_stream_page_hinkley" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingPageHinkley(s, d)),
 
     // ---- extension: top-k stability — is the per-type user
@@ -1855,7 +1855,7 @@ private[graft] object QueriesB {
     // top-10 sets + mean rank displacement: the WHO-is-on-top monitor
     // PSI/KS distribution drift can't see); exact integer totals,
     // deterministic tie-break, pure integer readouts
-    "q319_x_topk_stability" -> tuned((s, d) =>
+    "q319_x_topk_stability" -> gridTuned((s, d) =>
       graft.operators.Metrics.topkStability(
           Tables.events(s, d)
             .withColumn("half",
@@ -1868,7 +1868,7 @@ private[graft] object QueriesB {
     // COARSE monthly volume/price bands per priority (gamma ignores the
     // heavy banding ties, D_yx charges them to the dependent side —
     // the directional questions q300's symmetric tau-b can't answer)
-    "q320_x_ordinal_assoc" -> tuned((s, d) =>
+    "q320_x_ordinal_assoc" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.ordinalAssociation(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -1887,7 +1887,7 @@ private[graft] object QueriesB {
     // novelty, toward 0 = re-crawling known text; q280's point
     // richness can't see the TRAJECTORY); ordered doc buckets,
     // min-bucket first appearances, quantized-ln OLS
-    "q321_x_vocab_growth" -> tuned((s, d) =>
+    "q321_x_vocab_growth" -> gridTuned((s, d) =>
       graft.text.Corpus.vocabGrowth(
           Tables.documents(s, d), Seq("source"), "doc_id", "text",
           buckets = 16)
@@ -1908,7 +1908,7 @@ private[graft] object QueriesB {
     // near-zero rows, and the norm distribution per label (a bimodal
     // norm profile = two models mixed, the failure no centroid readout
     // shows); e3-quantized per-row norms, exact grid fences
-    "q323_x_embedding_health" -> tuned((s, d) =>
+    "q323_x_embedding_health" -> gridTuned((s, d) =>
       graft.sim.VectorOps.embeddingHealth(
           Tables.embeddings(s, d), Seq("label"), "embedding", dim = 64)
         .orderBy("label")),
@@ -1918,7 +1918,7 @@ private[graft] object QueriesB {
     // number an ANN deployment must measure before trusting neighbors);
     // both sides share the ONE rounded-before-rank contract, recall is
     // a pure integer div
-    "q324_x_ann_recall" -> tuned((s, d) => {
+    "q324_x_ann_recall" -> gridTuned((s, d) => {
       val e = Tables.embeddings(s, d).filter(col("vec_id") < 200)
       graft.sim.Similarity.annRecall(e, e.filter(col("vec_id") < 32),
           "vec_id", "embedding", dim = 64, k = 3)
@@ -1930,7 +1930,7 @@ private[graft] object QueriesB {
     // vocab (the fixed-vocab tokenizer-readiness readout: 2% OOV
     // tokenizes, 30% shreds to bytes); broadcast N-bounded vocab,
     // vocabulary-sized join, integer permille rates
-    "q325_x_vocab_coverage" -> tuned((s, d) =>
+    "q325_x_vocab_coverage" -> gridTuned((s, d) =>
       graft.text.Corpus.vocabCoverage(
           Tables.documents(s, d), Seq("source"), "text",
           refFilter = col("lang") === "en", topN = 500)
@@ -1941,7 +1941,7 @@ private[graft] object QueriesB {
     // length monitoring is meaningless — the tail fact Zipf's token
     // slope and Gumbel's max-domain fit don't give); deterministic
     // order statistics, per-row e9 log-ratios, one division
-    "q326_x_hill_tail" -> tuned((s, d) =>
+    "q326_x_hill_tail" -> gridTuned((s, d) =>
       graft.operators.Sketch.hillTailIndex(
           Tables.documents(s, d), Seq("source"), "n_chars", "doc_id",
           k = 50)
@@ -1952,7 +1952,7 @@ private[graft] object QueriesB {
     // (source, token) count grid, the reference top-N re-derives from
     // the live grid each drain via the SHARED coverageFromGrid;
     // drained == batch, one oracle
-    "q327_x_stream_vocab_coverage" -> tuned((s, d) =>
+    "q327_x_stream_vocab_coverage" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingVocabCoverage(s, d)),
 
     // ---- extension: quantile treatment effect — WHERE in the value
@@ -1960,7 +1960,7 @@ private[graft] object QueriesB {
     // shift hides tail-only effects; q222 scores the mean, q301 the
     // whole curve — QTE reads the p10/p50/p90 fences); exact integer
     // order statistics, integer differences
-    "q328_x_qte" -> tuned((s, d) =>
+    "q328_x_qte" -> gridTuned((s, d) =>
       graft.operators.Metrics.quantileTreatmentEffect(
           Tables.events(s, d)
             .withColumn("variant",
@@ -1985,7 +1985,7 @@ private[graft] object QueriesB {
     // = chaos; compresses q171's whole transition matrix into the one
     // scalar a bot-vs-organic screen wants); e9 conditional-entropy
     // terms, exact integer rate
-    "q330_x_entropy_rate" -> tuned((s, d) =>
+    "q330_x_entropy_rate" -> gridTuned((s, d) =>
       graft.operators.Funnel.markovEntropyRate(
           Tables.events(s, d)
             .withColumn("cohort", pmod(col("user_id"), lit(2L)))
@@ -1998,7 +1998,7 @@ private[graft] object QueriesB {
     // are the same within ±50 permille, per event type (the "no worse
     // than" launch criterion a non-significant q240 z can never give);
     // exact counts, unpooled SE, verdict on both rounded one-sided z's
-    "q331_x_tost_equivalence" -> tuned((s, d) =>
+    "q331_x_tost_equivalence" -> gridTuned((s, d) =>
       graft.operators.Metrics.equivalenceTest(
           Tables.events(s, d)
             .filter(col("value").isNotNull)
@@ -2014,7 +2014,7 @@ private[graft] object QueriesB {
     // cluster within users, so q331/q240's per-row z is anticonservative
     // for ratio metrics — this is the correct launch readout); exact
     // DECIMAL entity sums, fixed R/Var/z trees
-    "q332_x_ratio_metric_ab" -> tuned((s, d) =>
+    "q332_x_ratio_metric_ab" -> gridTuned((s, d) =>
       graft.operators.Metrics.ratioMetricAb(
           Tables.events(s, d)
             .filter(col("value").isNotNull && col("user_id").isNotNull)
@@ -2031,7 +2031,7 @@ private[graft] object QueriesB {
     // leaderboard-churn alarm: complete-mode state IS the (type, half,
     // user) total grid; rank cut + set join re-derive each drain via
     // the SHARED stabilityFromTotals; drained == batch, one oracle
-    "q333_x_stream_topk_stability" -> tuned((s, d) =>
+    "q333_x_stream_topk_stability" -> gridTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingTopkStability(s, d)),
 
     // ---- extension: survival summary — median retention + RMST(30d)
@@ -2039,7 +2039,7 @@ private[graft] object QueriesB {
     // days retained" the naive mean understates, and a median that
     // admits non-existence); exact step-integral of width*S_e9
     // products, exact median fence
-    "q334_x_survival_summary" -> tuned((s, d) => {
+    "q334_x_survival_summary" -> gridTuned((s, d) => {
       val per = Tables.events(s, d)
         .filter(col("ts").isNotNull && col("user_id").isNotNull)
         .groupBy(col("user_id"))
@@ -2055,7 +2055,7 @@ private[graft] object QueriesB {
     // learner's first 3 merges, hash-checked (the q235/q276 graduation:
     // bound the depth, the oracle unrolls count->argmax->apply rounds;
     // run-capped ASCII words make the 2-pass replace replay exact)
-    "q335_x_bpe_merge_slice" -> tuned((s, d) =>
+    "q335_x_bpe_merge_slice" -> gridTuned((s, d) =>
       graft.text.Bpe.mergeSliceDf(
         Tables.documents(s, d), "text", k = 3)),
 
@@ -2063,7 +2063,7 @@ private[graft] object QueriesB {
     // order count), hash-checked: closed-form 3x3 Cramer CLS + the
     // hold-last-exog forecast recursion, extending the q117/q211/q213/
     // q218/q35 square one axis closer to q39/q69's full Kalman surface
-    "q336_u8_sarx1_forecast" -> tuned((s, d) =>
+    "q336_u8_sarx1_forecast" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.sarxForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -2083,7 +2083,7 @@ private[graft] object QueriesB {
     // fixed-lag regression; this hash-checks statsmodels' autolag
     // protocol itself: common-window candidate fits, rounded-AIC argmin,
     // winner refit on its full sample)
-    "q337_u56_adf_autolag" -> tuned((s, d) =>
+    "q337_u56_adf_autolag" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.adfAutoLag1(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -2094,7 +2094,7 @@ private[graft] object QueriesB {
     // grid MLE — the first slice where the KALMAN RECURSION itself is
     // oracle-replayed (recursive CTE per λ candidate), narrowing the
     // q39/q69 no_oracle core to just the continuous optimizer
-    "q338_u8_local_level_kalman" -> tuned((s, d) =>
+    "q338_u8_local_level_kalman" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.localLevelForecast(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -2111,7 +2111,7 @@ private[graft] object QueriesB {
     // q335 fixed-k precedent): every update is an exact integer aggregate
     // a SQL oracle unrolls, narrowing the classifier no_oracle to the
     // float logistic loss only
-    "q339_x_perceptron_slice" -> tuned((s, d) =>
+    "q339_x_perceptron_slice" -> gridTuned((s, d) =>
       graft.text.QualityClassifier.perceptronSlice(
         Tables.documents(s, d), "text",
         words = Seq("table", "query", "scan", "data",
@@ -2131,7 +2131,7 @@ private[graft] object QueriesB {
     // q123 integer-exact PageRank; top-25 keywords by rank. Pure
     // composition: the oracle reuses the q123 iteration chain verbatim
     // over the new edge CTE
-    "q341_x_textrank_keywords" -> tuned((s, d) => {
+    "q341_x_textrank_keywords" -> gridTuned((s, d) => {
       val toks = Tables.documents(s, d).filter(col("text").isNotNull)
         .select(col("doc_id"),
           posexplode(Cols.tokens(col("text"))).as(Seq("pos", "tok")))
@@ -2148,7 +2148,7 @@ private[graft] object QueriesB {
     // causal member the randomized A/B tier (CUPED/QTE/ratio-metric)
     // can't cover: strata = (priority, segment, month) cells, matched
     // strata weighted by treated share, overlap diagnostic reported
-    "q342_x_cem_att" -> tuned((s, d) => {
+    "q342_x_cem_att" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
         .withColumn("treat", col("o_custkey") % 3 === 0)
         .withColumn("cents", floor(col("o_totalprice") * 100 + 0.5).cast("long"))
@@ -2163,7 +2163,7 @@ private[graft] object QueriesB {
     // item graph — "which not-yet-co-ordered part pair is most likely
     // next", rare shared neighbors weighted up; e9-quantized per-neighbor
     // terms keep the score an exact integer sum
-    "q343_x_adamic_adar" -> tuned((s, d) => {
+    "q343_x_adamic_adar" -> gridTuned((s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val edges = li.as("x").join(li.as("y"),
@@ -2176,13 +2176,13 @@ private[graft] object QueriesB {
     // ---- extension: streaming CEM ATT — q342's standing twin (state IS
     // the covariate-cell strata grid, stream-static dim join, shared
     // attFromStrata readout; drained == batch, one oracle)
-    "q344_x_stream_cem_att" -> ((s: SparkSession, d: String) =>
+    "q344_x_stream_cem_att" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingCemAtt(s, d)),
 
     // ---- extension: Huber M-estimate of location — fixed-2-IRLS from
     // the exact median/MAD (the bounded-depth contract that makes IRLS
     // oracle-replayable); e9 per-VALUE weights, grid-shaped throughout
-    "q345_x_huber_location" -> tuned((s, d) =>
+    "q345_x_huber_location" -> gridTuned((s, d) =>
       graft.operators.Sketch.huberLocation(
           Tables.lineitem(s, d).withColumn("dollars",
             expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 100")),
@@ -2193,7 +2193,7 @@ private[graft] object QueriesB {
     // Mann-Whitney verdict implies (median of all pairwise differences),
     // computed at grid×grid, never rows×rows; quantity is the bounded
     // 50-value grid, sides = discounted vs not
-    "q346_x_hodges_lehmann" -> tuned((s, d) =>
+    "q346_x_hodges_lehmann" -> gridTuned((s, d) =>
       graft.operators.Metrics.hodgesLehmann(
         Tables.lineitem(s, d)
           .withColumn("discounted", col("l_discount") >= 0.05),
@@ -2207,7 +2207,7 @@ private[graft] object QueriesB {
     // (which priorities' monthly revenue curves share a SHAPE), the
     // first DP-table recursion replayed by the oracle (row-carried
     // recursive CTE)
-    "q347_x_dtw_pairwise" -> tuned((s, d) =>
+    "q347_x_dtw_pairwise" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.dtwPairwise(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority"),
@@ -2220,7 +2220,7 @@ private[graft] object QueriesB {
     // ---- extension: sample-ratio-mismatch check — χ² goodness-of-fit
     // of the hashSplit's observed shares against the DESIGNED 80/10/10
     // (the first health gate of every A/B or split-based eval readout)
-    "q348_x_srm_check" -> tuned((s, d) =>
+    "q348_x_srm_check" -> gridTuned((s, d) =>
       graft.operators.Metrics.srmCheck(
         Corpus.hashSplit(
           Tables.documents(s, d).filter(col("doc_id").isNotNull), "doc_id"),
@@ -2229,7 +2229,7 @@ private[graft] object QueriesB {
     // ---- extension: Bartlett's equal-variance test — the parametric
     // likelihood-ratio screen beside Brown-Forsythe's robust one
     // (disagreement between the two itself flags heavy tails)
-    "q349_x_bartlett" -> tuned((s, d) =>
+    "q349_x_bartlett" -> gridTuned((s, d) =>
       graft.operators.Metrics.bartlettTest(
         Tables.lineitem(s, d).withColumn("dollars",
           expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint) div 100")),
@@ -2240,7 +2240,7 @@ private[graft] object QueriesB {
     // residue (the one axis q339's perceptron couldn't reach: its update
     // never evaluates σ). Same word-presence features as q339 for
     // comparability; the NLL itself is a table readout, hash-checked
-    "q350_x_logistic_slice" -> tuned((s, d) =>
+    "q350_x_logistic_slice" -> gridTuned((s, d) =>
       graft.text.QualityClassifier.logisticSlice(
         Tables.documents(s, d), "text",
         words = Seq("table", "query", "scan", "data",
@@ -2251,7 +2251,7 @@ private[graft] object QueriesB {
     // iteration over the exact scatter matrix — the embedding-collapse
     // (anisotropy λ1/trace) health monitor; one d²-grid pass over the
     // data, 3 exact matvec+rescale rounds, every step oracle-replayed
-    "q351_x_pca_power_slice" -> tuned((s, d) =>
+    "q351_x_pca_power_slice" -> gridTuned((s, d) =>
       graft.sim.VectorOps.pcaPowerSlice(
         Tables.embeddings(s, d), "embedding", dim = 64, iters = 3)),
 
@@ -2259,7 +2259,7 @@ private[graft] object QueriesB {
     // the panel causal estimator beside q342's cross-sectional CEM
     // (treated = BUILDING-segment customers, post = H2'95+; parallel
     // trends nets out baseline gap + common shock). Dim side broadcast
-    "q352_x_diff_in_diff" -> tuned((s, d) => {
+    "q352_x_diff_in_diff" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
         .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
         .withColumn("post", col("o_orderdate") >= lit("1995-07-01").cast("date"))
@@ -2275,7 +2275,7 @@ private[graft] object QueriesB {
     // interval half-width q̂ from the calibration split's exact residual
     // order statistic (group-mean model on train, coverage audited on
     // test); the eval-tier guarantee beside q221 calibration / q287 CIs
-    "q353_x_conformal_interval" -> tuned((s, d) =>
+    "q353_x_conformal_interval" -> gridTuned((s, d) =>
       graft.operators.Metrics.conformalIntervalFromBase(
         EntryHelpers.conformalLineitemBase(s, d),
         Seq("l_returnflag", "l_linestatus"))),
@@ -2284,7 +2284,7 @@ private[graft] object QueriesB {
     // the third causal design beside q342 CEM (matching) and q352 DiD
     // (panel): local linear fits ±60 days around the H2'95 cutoff, jump
     // at the cutoff with intercept-variance t
-    "q354_x_regression_discontinuity" -> tuned((s, d) => {
+    "q354_x_regression_discontinuity" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
         .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
         .withColumn("rdays",
@@ -2298,7 +2298,7 @@ private[graft] object QueriesB {
     // ---- extension: STREAMING twin of q352 DiD (state = the per-key
     // 2x2 moment grid, stream-static dim join, shared didFromMoments
     // readout; drained == batch, one oracle)
-    "q355_x_stream_diff_in_diff" -> ((s: SparkSession, d: String) =>
+    "q355_x_stream_diff_in_diff" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingDiffInDiff(s, d)),
 
     // ---- extension: IV / Wald LATE per order priority — the fourth
@@ -2306,7 +2306,7 @@ private[graft] object QueriesB {
     // synthetic design z = even nation, d = nation ≡ 0 (mod 3), so the
     // first stage is a known nonzero rate gap; reduced form and first
     // stage reported beside the ratio
-    "q356_x_iv_wald" -> tuned((s, d) => {
+    "q356_x_iv_wald" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
         .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
       val c = Tables.customer(s, d).select(col("c_custkey"),
@@ -2322,7 +2322,7 @@ private[graft] object QueriesB {
     // hash-deterministic pseudo-assignments of the treatment unit
     // (customer), permutation p on the rounded e6 estimates
     // (Bertrand–Duflo–Mullainathan 2004's placebo recipe)
-    "q357_x_did_placebo" -> tuned((s, d) => {
+    "q357_x_did_placebo" -> gridTuned((s, d) => {
       val o = Tables.orders(s, d)
         .withColumn("dollars", floor(col("o_totalprice") + lit(0.5)))
         .withColumn("post", col("o_orderdate") >= lit("1995-07-01").cast("date"))
@@ -2354,7 +2354,7 @@ private[graft] object QueriesB {
     // ---- extension: STREAMING twin of q353 conformal — model + q̂
     // frozen batch-side, coverage monitored over the arriving test
     // stream (state = the 3-count row); drained == batch, one oracle
-    "q359_x_stream_conformal" -> ((s: SparkSession, d: String) =>
+    "q359_x_stream_conformal" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingConformal(s, d,
         Some(EntryHelpers.conformalLineitemBase(GraftSession.tune(s), d)))),
 
@@ -2362,7 +2362,7 @@ private[graft] object QueriesB {
     // CONTINUOUS-OPTIMIZER slice (q338 checked filter + grid argmin;
     // this checks the line-search STEP itself at e6-rounded probes),
     // narrowing q39/q69's optimizer residue to unbounded iteration only
-    "q360_u8_kalman_ternary_refine" -> tuned((s, d) =>
+    "q360_u8_kalman_ternary_refine" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.localLevelRefined(
           Tables.orders(s, d)
             .groupBy(Cols.monthStart(col("o_orderdate")).as("month"))
@@ -2375,7 +2375,7 @@ private[graft] object QueriesB {
     // k-anonymity/l-diversity (a class can pass both and still leak a
     // 99/1 sensitive skew): per-class total-variation distance to the
     // global sensitive distribution, pure counting
-    "q361_x_t_closeness" -> tuned((s, d) =>
+    "q361_x_t_closeness" -> gridTuned((s, d) =>
       graft.operators.Profile.tCloseness(
           Tables.customer(s, d).withColumn("bal_band",
             expr("cast(floor(c_acctbal / 2000) as bigint)")),
@@ -2386,7 +2386,7 @@ private[graft] object QueriesB {
     // middle between q240's fixed-horizon test and q292's per-row SPRT:
     // five chronological looks, cumulative Welch z against the shared
     // O'Brien-Fleming e4 ladder
-    "q362_x_group_sequential" -> tuned((s, d) =>
+    "q362_x_group_sequential" -> gridTuned((s, d) =>
       graft.operators.Metrics.groupSequential(
           Tables.events(s, d)
             .withColumn("look", expr("least(5, 1 + (dayofmonth(ts) - 1) div 6)"))
@@ -2400,7 +2400,7 @@ private[graft] object QueriesB {
     // 82% efficiency and no symmetry assumption (Rousseeuw–Croux 1993);
     // the k-th order statistic of the pairwise |difference| multiset
     // walked exactly over the value-grid cross (the q346 framing)
-    "q363_x_qn_scale" -> tuned((s, d) =>
+    "q363_x_qn_scale" -> gridTuned((s, d) =>
       graft.operators.Sketch.qnScale(
         Tables.lineitem(s, d), Seq("l_returnflag"), "l_quantity")),
 
@@ -2408,22 +2408,22 @@ private[graft] object QueriesB {
     // per-look Welch grid; looks literally arrive over time) and of
     // q363 Qn (state = the per-key value grid) — shared readouts,
     // drained == batch, one oracle each
-    "q364_x_stream_group_sequential" -> ((s: SparkSession, d: String) =>
+    "q364_x_stream_group_sequential" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingGroupSequential(s, d)),
-    "q365_x_stream_qn_scale" -> ((s: SparkSession, d: String) =>
+    "q365_x_stream_qn_scale" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingQnScale(s, d)),
 
     // ---- extension: STREAMING twin of q361 t-closeness (state = the
     // class x value grid; global dist re-derives from it at drain) —
     // the standing privacy-release monitor; drained == batch, one oracle
-    "q367_x_stream_t_closeness" -> ((s: SparkSession, d: String) =>
+    "q367_x_stream_t_closeness" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingTCloseness(s, d)),
 
     // ---- extension: PER-KEY local-level Kalman grid MLE — q338's
     // single-series oracle replay extended to the keyed kernel path (one
     // recursion per (key, λ)), narrowing q69's multikey ⊘ to the same
     // optimizer-only residue as q39
-    "q366_u8_local_level_multikey" -> tuned((s, d) =>
+    "q366_u8_local_level_multikey" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.localLevelForecast(
           monthlyPriority(s, d)
             .withColumn("tot", round(col("cents") / 1e8, 6)),
@@ -2446,7 +2446,7 @@ private[graft] object QueriesB {
 
     // ---- extension: AUTO-routed funnel — the q261 aggregate dial with
     // the same probe-and-route; shares q147's oracle
-    "q369_x_funnel_auto" -> tuned((s, d) =>
+    "q369_x_funnel_auto" -> gridTuned((s, d) =>
       graft.operators.Funnel.conversionCountsAuto(
           Tables.events(s, d).withColumn("tsu", expr("ts_ns div 1000")),
           Seq("user_id"), "tsu", "event_type",
@@ -2459,7 +2459,7 @@ private[graft] object QueriesB {
     // auto n; q34's estimate scans periods p=2..24 over the whole
     // demeaned series — this hash-checks exactly that scan, and the
     // kernel now runs the SAME e15-table exact-integer arithmetic)
-    "q370_u6_seasonal_grid" -> tuned((s, d) =>
+    "q370_u6_seasonal_grid" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.seasonalPeriodGrid(
           monthlyPriority(s, d), Seq("prio"), "month", "cents")
         .orderBy("prio", "p")),
@@ -2471,7 +2471,7 @@ private[graft] object QueriesB {
     // Narrows q92/q94's residue to rank-beyond-k only. minPairCount
     // sits between the sf0.01 rank-5 and rank-6 counts so the stop
     // branch genuinely exercises in the gate (6 of 8 scheduled rounds)
-    "q371_x_bpe_merge_stop" -> tuned((s, d) =>
+    "q371_x_bpe_merge_stop" -> gridTuned((s, d) =>
       graft.text.Bpe.mergeSliceDf(
         Tables.documents(s, d), "text", k = 8, minPairCount = 1850L)),
 
@@ -2479,14 +2479,14 @@ private[graft] object QueriesB {
     // the calendar-bounded per-(key, month) cents grid; ranks and the
     // period argmax re-derive at drain via the SHARED readout) — the
     // standing seasonality monitor; drained == batch, one oracle
-    "q372_x_stream_seasonal_grid" -> ((s: SparkSession, d: String) =>
+    "q372_x_stream_seasonal_grid" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingSeasonalGrid(s, d)),
 
     // ---- extension: Tukey HSD pairwise comparisons — WHICH priorities
     // differ once q269's F says some do (Tukey 1949; Kramer unequal-n
     // form), family-wise-safe vs the q222 per-pair Welch: studentized
     // range q per pair against the shared q(0.05; k, inf) e4 ladder
-    "q373_x_tukey_hsd" -> tuned((s, d) =>
+    "q373_x_tukey_hsd" -> gridTuned((s, d) =>
       graft.operators.Metrics.tukeyHsd(
           Tables.orders(s, d)
             .withColumn("dollars", floor(col("o_totalprice") + lit(0.5))),
@@ -2497,7 +2497,7 @@ private[graft] object QueriesB {
     // line from exact integer OLS sums + SES(alpha=1/2) over the theta2
     // line, equal-weight combination; the forecast tier between q141
     // Holt and the q39 SARIMAX surface, recursion oracle-replayed
-    "q374_x_theta_forecast" -> tuned((s, d) =>
+    "q374_x_theta_forecast" -> gridTuned((s, d) =>
       graft.stats.Diagnostics.thetaForecast(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority").as("prio"),
@@ -2515,7 +2515,7 @@ private[graft] object QueriesB {
     // lambda=1/2 twice the greedy score is the exact INTEGER
     // rel_e4 − max(0, sim_e4), so selection is engine-replayable and
     // the oracle unrolls the k rounds over the shared pool
-    "q375_x_mmr_topk" -> tuned((s, d) => {
+    "q375_x_mmr_topk" -> gridTuned((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.sim.Similarity.mmrTopK(
           e.filter(col("vec_id") < 6), e.filter(col("vec_id") < 200),
@@ -2532,7 +2532,7 @@ private[graft] object QueriesB {
     // dollar sums already breach that at sf0.1 (~1e8–1e9) and grow
     // linearly with volume; kilodollar sums (~1e5–1e6 at sf0.1) clear
     // the fence with ~30x headroom at sf1 and suu stays exact far past.
-    "q376_x_breusch_pagan" -> tuned((s, d) =>
+    "q376_x_breusch_pagan" -> gridTuned((s, d) =>
       graft.operators.Regression.breuschPagan(
           Tables.orders(s, d)
             .groupBy(col("o_orderpriority").as("prio"),
@@ -2547,7 +2547,7 @@ private[graft] object QueriesB {
     // contingency member (q297's pooled chi-square is Simpson's-paradox-
     // blind; CMH conditions on the priority strata): synthetic design
     // exposure = even customer, outcome = high-value order
-    "q377_x_cmh_test" -> tuned((s, d) =>
+    "q377_x_cmh_test" -> gridTuned((s, d) =>
       graft.operators.Metrics.cmhTest(
           Tables.orders(s, d)
             .withColumn("expo", col("o_custkey") % 2 === 0)
@@ -2558,7 +2558,7 @@ private[graft] object QueriesB {
     // strata-bounded 2x2 count grid; shared cmhFromStrata readout) —
     // the standing confounder-held-fixed association monitor;
     // drained == batch, one oracle
-    "q378_x_stream_cmh" -> ((s: SparkSession, d: String) =>
+    "q378_x_stream_cmh" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingCmh(s, d)),
 
     // ---- extension: Yeo-Johnson λ GRID MLE — the q338-Kalman pattern
@@ -2568,7 +2568,7 @@ private[graft] object QueriesB {
     // q34's U4 residue narrows to the continuous refinement only.
     // Input demeaned by the exact integer per-key mean so BOTH sign
     // branches exercise in the gate at any SF
-    "q379_u4_yeojohnson_grid" -> tuned((s, d) => {
+    "q379_u4_yeojohnson_grid" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           Cols.monthStart(col("o_orderdate")).as("month"))
@@ -2589,7 +2589,7 @@ private[graft] object QueriesB {
     // probes, each one more parametrized replay of the q379 quantized
     // aggregation, comparisons on e6-rounded llf). U4's residue is now
     // unbounded iteration count only — U8's end state
-    "q380_u4_yeojohnson_refine" -> tuned((s, d) => {
+    "q380_u4_yeojohnson_refine" -> gridTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_orderpriority").as("prio"),
           Cols.monthStart(col("o_orderdate")).as("month"))
@@ -2610,14 +2610,14 @@ private[graft] object QueriesB {
     // rounds, bounding q92's unchecked residue to ranks beyond 32
     // (q382). minPairCount=1 exercises the no-threshold schedule q371's
     // stop variant deliberately cuts short
-    "q381_x_bpe_merge_k16" -> tuned((s, d) =>
+    "q381_x_bpe_merge_k16" -> gridTuned((s, d) =>
       graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 16)),
 
     // ---- extension: BPE merge ladder, k=32 — the top rung: past this,
     // the only q92 surface a SQL oracle has not replayed is rank > 32
     // of the SAME per-round arithmetic (each rung checks every lower
     // rank again, so a divergence at any checked depth cannot hide)
-    "q382_x_bpe_merge_k32" -> tuned((s, d) =>
+    "q382_x_bpe_merge_k32" -> gridTuned((s, d) =>
       graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 32)),
 
     // ---- extension: Jonckheere–Terpstra ordered trend — the k-group
@@ -2627,7 +2627,7 @@ private[graft] object QueriesB {
     // order value trend across the priority tiers, whose label order
     // 1-URGENT < … < 5-LOW IS the test's ordering. Values on the
     // hundred-dollar grid keep the oracle's cell-pair join compact
-    "q383_x_jonckheere_trend" -> tuned((s, d) =>
+    "q383_x_jonckheere_trend" -> gridTuned((s, d) =>
       graft.operators.Metrics.jonckheereTerpstra(
           Tables.orders(s, d)
             .withColumn("hdollars",
@@ -2639,14 +2639,14 @@ private[graft] object QueriesB {
     // (state = the bounded (key, group, value)-count grid in complete
     // mode; shared jtFromCells kernel readout) — the standing
     // ordered-trend monitor; drained == batch, one oracle
-    "q384_x_stream_jonckheere" -> ((s: SparkSession, d: String) =>
+    "q384_x_stream_jonckheere" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingJonckheere(s, d)),
 
     // ---- extension: Dunn post-hoc — WHICH priority pairs differ after
     // the q383/q270 tier flags a key: pairwise mean-midrank z's off the
     // same (status, priority, hdollars) cell grid, tie-corrected,
     // A&S-26.2.17 p's, ONE BH family across keys (the q313 convention)
-    "q385_x_dunn_posthoc" -> tuned((s, d) =>
+    "q385_x_dunn_posthoc" -> gridTuned((s, d) =>
       graft.operators.Metrics.dunnTest(
           Tables.orders(s, d)
             .withColumn("hdollars",
@@ -2658,7 +2658,7 @@ private[graft] object QueriesB {
     // cell grid in complete mode; shared dunnFromCells readout incl.
     // the BH family) — the standing which-pairs-differ monitor;
     // drained == batch, one oracle
-    "q386_x_stream_dunn" -> ((s: SparkSession, d: String) =>
+    "q386_x_stream_dunn" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingDunn(s, d)),
 
     // ---- extension: Page's trend test — do the priorities trend in
@@ -2667,7 +2667,7 @@ private[graft] object QueriesB {
     // q383 JT asks "trend, unblocked"; Page asks both at once), over
     // monthly revenue cells per status; within-month midranks, 1..k
     // ascending-label scores, classical no-tie variance
-    "q387_x_page_trend" -> tuned((s, d) =>
+    "q387_x_page_trend" -> gridTuned((s, d) =>
       graft.operators.Metrics.pageTrend(
           Tables.orders(s, d)
             .groupBy(col("o_orderstatus"),
@@ -2682,7 +2682,7 @@ private[graft] object QueriesB {
     // month, priority) revenue-cell grid in complete mode — the
     // drained cells ARE pageTrend's input rows, so the batch operator
     // is the shared readout); drained == batch, one oracle
-    "q388_x_stream_page_trend" -> ((s: SparkSession, d: String) =>
+    "q388_x_stream_page_trend" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingPageTrend(s, d)),
 
     // ---- extension: Quade test — Friedman (q314) weighted by each
@@ -2691,7 +2691,7 @@ private[graft] object QueriesB {
     // weights the centered ranks — the standard power upgrade at small
     // k), same monthly revenue cells; f_e6 + dofs, no verdict (the
     // anovaOneWay no-F-table precedent)
-    "q389_x_quade_test" -> tuned((s, d) =>
+    "q389_x_quade_test" -> gridTuned((s, d) =>
       graft.operators.Metrics.quadeTest(
           Tables.orders(s, d)
             .groupBy(col("o_orderstatus"),
@@ -2705,14 +2705,14 @@ private[graft] object QueriesB {
     // ---- extension: STREAMING twin of q389 (the q388 pattern: state =
     // the monthly revenue-cell grid in complete mode, drained cells ARE
     // quadeTest's input rows); drained == batch, one oracle
-    "q390_x_stream_quade" -> ((s: SparkSession, d: String) =>
+    "q390_x_stream_quade" -> gridTuned((s: SparkSession, d: String) =>
       graft.streaming.StreamingCollapse.streamingQuade(s, d)),
 
     // ---- extension: BPE merge ladder, k=64 (round 17, verdict #7) —
     // one more doubling rung: every rank ≤ 64 of the real incremental
     // learner is now replayed by the unrolled count→argmax→apply
     // oracle, halving the q92/q94 unchecked residue again (rank > 64)
-    "q391_x_bpe_merge_k64" -> tuned((s, d) =>
+    "q391_x_bpe_merge_k64" -> gridTuned((s, d) =>
       graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 64)),
 
     // ---- extension: EXACT fuzzy join (round 17) — q-gram prefix
@@ -2763,7 +2763,7 @@ private[graft] object QueriesB {
     // ---- extension: BPE merge ladder, k=128 — one more doubling rung
     // (q381/q382/q391 pattern); the q92/q94 terminal residue halves
     // again to rank > 128 of the same hash-checked arithmetic
-    "q395_x_bpe_merge_k128" -> tuned((s, d) =>
+    "q395_x_bpe_merge_k128" -> gridTuned((s, d) =>
       graft.text.Bpe.mergeSliceDf(Tables.documents(s, d), "text", k = 128)),
 
     // ---- extension: product-quantization ADC ANN (round 17) — the
@@ -2773,7 +2773,7 @@ private[graft] object QueriesB {
     // lookups per corpus row. Training, encoding, and ADC are
     // deterministic (q58's Lloyd conventions, L2); the oracle replays
     // all three bit-for-bit
-    "q396_x_pq_adc_topk" -> tuned((s, d) => {
+    "q396_x_pq_adc_topk" -> gridTuned((s, d) => {
       val e = Tables.embeddings(s, d)
       graft.sim.Pq.adcTopK(e, e.filter(col("vec_id") < 32),
           "vec_id", "embedding", dim = 64, m = 8, k = 16, iters = 2, topK = 3)
