@@ -34,6 +34,13 @@ private[graft] object EntryHelpers {
   private[graft] def gridTuned(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, d) => org.apache.spark.sql.graft.CompactOrder(f(GraftSession.tune(s), d))
 
+  /** [[tuned]] plus [[org.apache.spark.sql.graft.CompactOrder.staged]]:
+    * for ROW-SCALE outputs the distributed global sort stays, but a lazy
+    * localCheckpoint under it stops the range exchange's sampling pass
+    * from recomputing the whole upstream plan a second time. */
+  private[graft] def rowTuned(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, d) => org.apache.spark.sql.graft.CompactOrder.staged(f(GraftSession.tune(s), d))
+
   /** Register a temp directory for recursive deletion at JVM exit (once
     * per path): scratch sinks like q85's JSONL staging copy must not
     * accumulate across runs. Deletion happens at exit, not eagerly — the

@@ -49,7 +49,7 @@ private[graft] object QueriesA {
     // on knife-edge .xxxx5 rationals (56.20875 at sf0.1) where Spark's
     // BigDecimal HALF_UP and DuckDB's scaled-multiply round() legitimately
     // disagree — floor of the identical IEEE product cannot
-    "q05_a5_dedupe_mean" -> tuned((s, d) =>
+    "q05_a5_dedupe_mean" -> rowTuned((s, d) =>
       CalendarOps.dedupeByMonth(
           Tables.events(s, d)
             .withColumn("month", Cols.monthStart(col("ts")))
@@ -90,25 +90,25 @@ private[graft] object QueriesA {
     }),
 
     // ---- filters (SURVEY §2.3)
-    "q10_f1_regex_filter" -> tuned((s, d) =>
+    "q10_f1_regex_filter" -> rowTuned((s, d) =>
       Tables.events(s, d)
         .filter(col("event_type").rlike("^(purchase|refund)$"))
         .select("event_id", "event_type", "value")
         .orderBy("event_id")),
 
-    "q11_f2_isin_filter" -> tuned((s, d) =>
+    "q11_f2_isin_filter" -> rowTuned((s, d) =>
       Tables.lineitem(s, d)
         .filter(col("l_returnflag").isin("A", "R"))
         .select("l_orderkey", "l_linenumber", "l_returnflag")
         .orderBy("l_orderkey", "l_linenumber")),
 
-    "q12_f4_contains_ci" -> tuned((s, d) =>
+    "q12_f4_contains_ci" -> rowTuned((s, d) =>
       Tables.documents(s, d)
         .filter(Cols.containsCI(col("text"), "SPARK"))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
 
-    "q13_f5_code_predicate" -> tuned((s, d) =>
+    "q13_f5_code_predicate" -> rowTuned((s, d) =>
       Tables.part(s, d)
         .filter(Cols.codeMatches(col("p_type"), Seq("ECONOMY"), Seq("STA", "PRO")))
         .select("p_partkey", "p_brand", "p_type")
@@ -210,13 +210,13 @@ private[graft] object QueriesA {
           round(Features.cumSum(col("tot"), wMonth), 2).as("cum_tot"))
         .orderBy("month")),
 
-    "q25_w10_last_obs" -> tuned((s, d) =>
+    "q25_w10_last_obs" -> rowTuned((s, d) =>
       Features.tailRows(Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"), 1)
         .select(col("user_id"), col("event_id").as("last_event_id"),
           round(col("value"), 2).as("last_value"))
         .orderBy("user_id")),
 
-    "q26_w11_tail_rows" -> tuned((s, d) =>
+    "q26_w11_tail_rows" -> rowTuned((s, d) =>
       Features.tailRows(Tables.events(s, d), Seq("user_id"), Seq("ts", "event_id"), 5)
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_recent"), round(avg(col("value")), 4).as("avg_recent"))
@@ -231,14 +231,14 @@ private[graft] object QueriesA {
         .limit(20)),
 
     // ---- set ops (SURVEY §2.8)
-    "q28_set_union" -> tuned((s, d) => {
+    "q28_set_union" -> rowTuned((s, d) => {
       val sup = Tables.supplier(s, d).select(col("s_name").as("name"), lit("supplier").as("kind"))
       val cus = Tables.customer(s, d).select(col("c_name").as("name"), lit("customer").as("kind"))
       sup.unionByName(cus).orderBy("kind", "name")
     }),
 
     // ---- scalar functions (SURVEY §2.9)
-    "q29_fs_string_fns" -> tuned((s, d) =>
+    "q29_fs_string_fns" -> rowTuned((s, d) =>
       Tables.part(s, d).select(
           col("p_partkey"),
           lower(trim(col("p_name"))).as("name_lc"),
@@ -248,7 +248,7 @@ private[graft] object QueriesA {
           substring(col("p_type"), 1, 4).as("type4"))
         .orderBy("p_partkey")),
 
-    "q30_fd_date_fns" -> tuned((s, d) =>
+    "q30_fd_date_fns" -> rowTuned((s, d) =>
       Tables.orders(s, d).select(
           col("o_orderkey"),
           year(col("o_orderdate")).cast("long").as("y"),
@@ -258,7 +258,7 @@ private[graft] object QueriesA {
           make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)).as("md"))
         .orderBy("o_orderkey")),
 
-    "q31_fm_math_null_fns" -> tuned((s, d) =>
+    "q31_fm_math_null_fns" -> rowTuned((s, d) =>
       Tables.events(s, d).select(
           col("event_id"),
           round(Cols.safeLog(col("value")), 4).as("log_value"),
@@ -439,7 +439,7 @@ private[graft] object QueriesA {
         .orderBy("o_orderpriority")),
 
     // ---- Yeo-Johnson closed-form transform (SURVEY §2.11 U4)
-    "q36_u4_yeojohnson" -> tuned((s, d) =>
+    "q36_u4_yeojohnson" -> rowTuned((s, d) =>
       Tables.events(s, d).select(
           col("event_id"),
           round(Cols.yeoJohnson(col("value") - 50, 0.5), 5).as("yj_half"),
@@ -458,14 +458,14 @@ private[graft] object QueriesA {
         .orderBy("step")),
 
     // ---- extension: text analysis (builder brief)
-    "q41_x_tokens_fingerprint" -> tuned((s, d) =>
+    "q41_x_tokens_fingerprint" -> rowTuned((s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"),
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
           TextAnalysis.fingerprint(col("text")).as("fingerprint"))
         .orderBy("doc_id")),
 
-    "q42_x_quality_score" -> tuned((s, d) => {
+    "q42_x_quality_score" -> rowTuned((s, d) => {
       val feats = TextAnalysis.qualityFeatures(col("text")).toMap
       Tables.documents(s, d).select(
           col("doc_id"),
@@ -476,35 +476,35 @@ private[graft] object QueriesA {
         .orderBy("doc_id")
     }),
 
-    "q43_x_langid" -> tuned((s, d) =>
+    "q43_x_langid" -> rowTuned((s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"), col("lang"),
           TextAnalysis.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
-    "q57_x_subword_count" -> tuned((s, d) =>
+    "q57_x_subword_count" -> rowTuned((s, d) =>
       Tables.documents(s, d).select(
           col("doc_id"),
           TextAnalysis.subwordCount(col("text")).cast("long").as("n_subwords"))
         .orderBy("doc_id")),
 
     // ---- extension: dedup (builder brief)
-    "q44_x_dedup_exact" -> tuned((s, d) =>
+    "q44_x_dedup_exact" -> rowTuned((s, d) =>
       Dedup.exact(Tables.documents(s, d), "doc_id", "text")
         .orderBy("text_hash")),
 
-    "q45_x_minhash_sig" -> tuned((s, d) =>
+    "q45_x_minhash_sig" -> rowTuned((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id") +: Dedup.minhashSigCols(col("text"), MinhashK): _*)
         .orderBy("doc_id")),
 
-    "q46_x_minhash_lsh_pairs" -> tuned((s, d) =>
+    "q46_x_minhash_lsh_pairs" -> rowTuned((s, d) =>
       Dedup.minhashCandidates(Tables.documents(s, d), "doc_id", "text",
           k = MinhashK, bands = MinhashBands)
         .select(col("id_a"), col("id_b"), round(col("est_jaccard"), 4).as("est_jaccard"))
         .orderBy("id_a", "id_b")),
 
-    "q47_x_simhash" -> tuned((s, d) =>
+    "q47_x_simhash" -> rowTuned((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"), Dedup.simhash(col("text"), SimhashBits).as("simhash"))
         .orderBy("doc_id")),
@@ -512,7 +512,7 @@ private[graft] object QueriesA {
     // 32-bit signature (vs q47's 16): 8-bit bands keep buckets sparse —
     // the documented at-scale sizing; 16-bit bands of 4 bits collide ~16x
     // more and explode the candidate join
-    "q59_x_simhash_pairs" -> tuned((s, d) =>
+    "q59_x_simhash_pairs" -> rowTuned((s, d) =>
       Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
           bits = 32, bands = 4, maxHamming = 1)
         .orderBy("id_a", "id_b")),
@@ -546,7 +546,7 @@ private[graft] object QueriesA {
           lang = "en", minTokens = 5, maxPunctRatio = 0.2)
         .orderBy("doc_id")),
 
-    "q48_x_ngram_jaccard" -> tuned((s, d) =>
+    "q48_x_ngram_jaccard" -> rowTuned((s, d) =>
       Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
           maxIdGap = 50, threshold = 0.5)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
@@ -565,7 +565,7 @@ private[graft] object QueriesA {
     // threshold 0.4: the synthetic embeddings' cosine distribution tops out
     // ~0.51 (sf0.01) / ~0.60 (sf0.1), so 0.8 would pass vacuously on empty
     // output; 0.4 exercises the scoring kernel on real pairs (59 @ sf0.01)
-    "q55_x_embed_neardup" -> tuned((s, d) =>
+    "q55_x_embed_neardup" -> rowTuned((s, d) =>
       Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
           threshold = 0.4)
         .orderBy("id_a", "id_b")),
@@ -579,7 +579,7 @@ private[graft] object QueriesA {
         .orderBy("id_a", "id_b")),
 
     // ---- extension: JSON props (SURVEY §2.9 note)
-    "q50_x_json_extract" -> tuned((s, d) =>
+    "q50_x_json_extract" -> rowTuned((s, d) =>
       Tables.events(s, d).select(
           col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
@@ -589,7 +589,7 @@ private[graft] object QueriesA {
     // synthesized from document text (no media files in the testdata);
     // the plumbing — binary column, typed metadata struct, metadata math —
     // is the real, oracle-checked surface.
-    "q53_x_multimodal_meta" -> tuned((s, d) => {
+    "q53_x_multimodal_meta" -> rowTuned((s, d) => {
       import graft.multimodal.Multimodal
       val media = Tables.documents(s, d).select(
         col("doc_id"),
@@ -614,7 +614,7 @@ private[graft] object QueriesA {
     // mean luminance. BMP is lossless (PNG parity-specced), so the oracle
     // recomputes the decoded pixels in closed form — the decode stage is
     // hash-checked end-to-end, not just its plumbing.
-    "q54_x_media_features" -> tuned((s, d) => {
+    "q54_x_media_features" -> rowTuned((s, d) => {
       import graft.multimodal.Multimodal
       val media = Tables.documents(s, d).select(col("doc_id"))
         .withColumn("content", Multimodal.plantedImageCol(col("doc_id")))
@@ -633,12 +633,12 @@ private[graft] object QueriesA {
 
     // ---- extension: stateful streaming sessionization (gap 3 days);
     // single-batch file stream -> deterministic, islands-SQL oracle
-    "q56_x_stream_sessions" -> tuned((s, d) =>
+    "q56_x_stream_sessions" -> rowTuned((s, d) =>
       graft.streaming.StreamingCollapse.eventSessions(s, d, gapMinutes = 3 * 24 * 60)),
 
     // ---- extension: streaming exact dedup (order-independent aggregate ->
     // the finished stream state equals the batch result; shares q44's oracle)
-    "q66_x_stream_dedup" -> tuned((s, d) =>
+    "q66_x_stream_dedup" -> rowTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingExactDedup(s, d)),
 
     // ---- extension: streaming minhash-LSH near-dup (standing band-bucket
@@ -679,7 +679,7 @@ private[graft] object QueriesA {
     // ---- extension: corpus construction (builder brief) — relevance
     // scoring, decontamination, deterministic splits, per-stratum
     // selection, sequence packing, vocabulary stats (graft.text.Corpus)
-    "q70_x_bm25" -> tuned((s, d) =>
+    "q70_x_bm25" -> rowTuned((s, d) =>
       Corpus.bm25(Tables.documents(s, d), "doc_id", "text",
           query = Seq("join", "scan", "window"))
         .orderBy("doc_id")),
@@ -693,7 +693,7 @@ private[graft] object QueriesA {
         .orderBy("doc_id")
     }),
 
-    "q72_x_hash_sample" -> tuned((s, d) =>
+    "q72_x_hash_sample" -> rowTuned((s, d) =>
       Corpus.hashSample(Tables.documents(s, d), "doc_id", buckets = 10, keep = 3)
         .select("doc_id", "source", "n_chars")
         .orderBy("doc_id")),
@@ -743,7 +743,7 @@ private[graft] object QueriesA {
     // deterministic 2-token-chunk derivation (linedText) — 181/500 docs
     // then carry real within-doc duplicate lines; the n-gram axes run on
     // the raw token stream either way (newlines are \s to the tokenizer)
-    "q80_x_repetition" -> tuned((s, d) => {
+    "q80_x_repetition" -> rowTuned((s, d) => {
       val f = graft.text.Repetition.statsCol(linedText(col("text")))
       Tables.documents(s, d).select(col("doc_id"),
           // null text -> null struct; the oracle coalesces n_lines to 0
@@ -767,7 +767,7 @@ private[graft] object QueriesA {
     // ---- extension: PII redaction audit — planted deterministic PII
     // (email on doc_id%3, IPv4 on %2, phone on %5: counts vary 0/1) over
     // RE2-safe regexes the oracle runs verbatim; codegen'd, no UDF
-    "q82_x_pii_redact" -> tuned((s, d) => {
+    "q82_x_pii_redact" -> rowTuned((s, d) => {
       val pii = concat(col("text"),
         when(col("doc_id") % 3 === 0,
           concat(lit(" contact u"), col("doc_id"), lit("@example.com"))).otherwise(""),
@@ -796,7 +796,7 @@ private[graft] object QueriesA {
 
     // ---- extension: composed Gopher repetition filter (q80's kernel as a
     // cleaning DECISION; thresholds keep 348/500 at sf0.01 — non-vacuous)
-    "q84_x_gopher_filter" -> tuned((s, d) =>
+    "q84_x_gopher_filter" -> rowTuned((s, d) =>
       graft.text.TextAnalysis.repetitionFilter(
           Tables.documents(s, d).select(col("doc_id"), col("source"), col("n_chars"),
             linedText(col("text")).as("text")),
@@ -826,7 +826,7 @@ private[graft] object QueriesA {
     // signal) — add-k unigram LM with minCount vocab pruning; avg_nll is
     // the log-space score (ppl = exp of it), rounded for cross-engine
     // stability
-    "q86_x_perplexity" -> tuned((s, d) =>
+    "q86_x_perplexity" -> rowTuned((s, d) =>
       graft.text.LanguageModel.unigramNll(
           Tables.documents(s, d), "doc_id", "text", minCount = 2L, k = 0.5)
         .orderBy("doc_id")),
@@ -834,7 +834,7 @@ private[graft] object QueriesA {
     // ---- extension: domain-mix sampling (the pretraining data recipe) —
     // integer-weight targets 5:3:1:1 over four sources, deterministic
     // hash-bucket membership; the binding domain keeps everything
-    "q87_x_domain_mix" -> tuned((s, d) =>
+    "q87_x_domain_mix" -> rowTuned((s, d) =>
       Corpus.domainMixSample(
           Tables.documents(s, d).select("doc_id", "source", "n_chars"),
           "source", "doc_id",
@@ -845,7 +845,7 @@ private[graft] object QueriesA {
     // ---- extension: DSIR importance scoring — target domain = the
     // German documents; log-ratio of target-LM to corpus-LM likelihood
     // ranks how target-like each corpus document is
-    "q88_x_importance_score" -> tuned((s, d) => {
+    "q88_x_importance_score" -> rowTuned((s, d) => {
       val docs = Tables.documents(s, d)
       graft.text.LanguageModel.importanceScore(
           docs, docs.filter(col("lang") === "de"), "doc_id", "text")
@@ -868,7 +868,7 @@ private[graft] object QueriesA {
     // against per-priority month validity windows via the binned
     // equi-join rewrite (the naive non-equi predicate would plan a
     // BroadcastNestedLoopJoin; PlanSpec pins the rewrite's plan shape)
-    "q90_x_range_join" -> tuned((s, d) => {
+    "q90_x_range_join" -> rowTuned((s, d) => {
       val orders = Tables.orders(s, d)
       val windows = orders
         .groupBy(col("o_orderpriority"),
@@ -949,7 +949,7 @@ private[graft] object QueriesA {
     // (rows-only); separation pinned by QualityClassifierSpec. Scores
     // rounded: cross-partition float summation order can differ in the
     // last ulp.
-    "q93_x_quality_classifier" -> tuned((s, d) => {
+    "q93_x_quality_classifier" -> rowTuned((s, d) => {
       val docs = Tables.documents(s, d)
       val labeled = docs.withColumn("label",
         array_contains(Cols.tokens(col("text")), "vector").cast("int"))
@@ -965,7 +965,7 @@ private[graft] object QueriesA {
     // model fit (q92); encode is one codegen-boundary UDF pass per doc.
     // Greedy rank-ordered merging is not SQL-expressible (rows-only);
     // encode semantics pinned by BpeSpec.
-    "q94_x_bpe_encode" -> tuned((s, d) => {
+    "q94_x_bpe_encode" -> rowTuned((s, d) => {
       val docs = Tables.documents(s, d)
       val merges = graft.text.Bpe.learnMerges(docs, "text", numMerges = 6)
       // non-ANSI size(null) = -1: null texts must surface as null counts
@@ -979,7 +979,7 @@ private[graft] object QueriesA {
     // ---- extension: sliding-window chunking with overlap (context-window
     // split for RAG/long-doc training) — 32-token windows, stride 24
     // (8-token overlap); explode+slice, no shuffle
-    "q95_x_chunk_docs" -> tuned((s, d) =>
+    "q95_x_chunk_docs" -> rowTuned((s, d) =>
       Corpus.chunkDocs(Tables.documents(s, d), "doc_id", "text",
           chunkSize = 32, stride = 24)
         .orderBy("doc_id", "chunk_id")),
@@ -1006,7 +1006,7 @@ private[graft] object QueriesA {
     // the 4x-compression knob of a 100 TB vector store. Per-row kernel,
     // shuffle-free; the oracle replays the exact formula (explicit
     // floor(x/s + 0.5) rounding, double dequant) in DuckDB list ops
-    "q97_x_embed_quantize" -> tuned((s, d) => {
+    "q97_x_embed_quantize" -> rowTuned((s, d) => {
       val m = graft.sim.VectorOps.int8MetricsCol(col("embedding"))
       Tables.embeddings(s, d).select(col("vec_id"),
           round(m.getField("scale"), 6).as("scale"),
@@ -1019,7 +1019,7 @@ private[graft] object QueriesA {
     // detection half of Lee et al. exact-substring dedup) — 5-grams
     // occurring >= 2 times corpus-wide, per-doc covered-token fraction
     // via analytic interval union (no covered-position explode)
-    "q98_x_dup_ngram_coverage" -> tuned((s, d) =>
+    "q98_x_dup_ngram_coverage" -> rowTuned((s, d) =>
       Dedup.dupNgramCoverage(Tables.documents(s, d), "doc_id", "text",
           n = 5, minCount = 2L)
         .withColumn("dup_frac", round(col("dup_frac"), 4))
@@ -1028,12 +1028,12 @@ private[graft] object QueriesA {
     // ---- extension: watermarked stream-stream inner join (clicks x
     // same-user purchases within 60 min) — finite file stream + inner
     // join + append mode == the batch join, so the oracle is plain SQL
-    "q99_x_stream_join" -> tuned((s, d) =>
+    "q99_x_stream_join" -> rowTuned((s, d) =>
       graft.streaming.StreamingCollapse.clickPurchaseJoin(s, d, windowMinutes = 60)),
 
     // ---- extension: the removal half of exact-substring dedup — cut
     // q98's duplicated spans out of the text, keep the unique remainder
-    "q100_x_remove_dup_spans" -> tuned((s, d) =>
+    "q100_x_remove_dup_spans" -> rowTuned((s, d) =>
       Dedup.removeDupSpans(Tables.documents(s, d), "doc_id", "text",
           n = 5, minCount = 2L)
         .orderBy("doc_id")),
@@ -1059,7 +1059,7 @@ private[graft] object QueriesA {
     // non-vacuously on punctuation-free testdata: the punct rule drops
     // ~1/3 of lines, min-words drops the odd 1-token tail line, the
     // blocklist drops lines containing "spark", min-lines drops short docs
-    "q103_x_c4_line_clean" -> tuned((s, d) =>
+    "q103_x_c4_line_clean" -> rowTuned((s, d) =>
       graft.text.TextAnalysis.c4Clean(
           Tables.documents(s, d).select(col("doc_id"),
             linedPunctText(col("text"), col("doc_id")).as("text")),
@@ -1074,7 +1074,7 @@ private[graft] object QueriesA {
     // dedup hashing; planted accented tokens (doc_id % 4) exercise the
     // fold on the all-ASCII corpus, oracle = DuckDB's native
     // strip_accents/nfc_normalize composition
-    "q104_x_normalize_text" -> tuned((s, d) =>
+    "q104_x_normalize_text" -> rowTuned((s, d) =>
       Tables.documents(s, d)
         .select(col("doc_id"),
           graft.text.TextAnalysis.normalizeText(
@@ -1106,7 +1106,7 @@ private[graft] object QueriesA {
     // ---- extension: dedup finisher — duplicate clusters resolved to one
     // BEST-QUALITY representative each (longest doc wins, ties to min id);
     // singletons pass through as their own cluster
-    "q106_x_dedup_best" -> tuned((s, d) =>
+    "q106_x_dedup_best" -> rowTuned((s, d) =>
       graft.text.Dedup.dedupByQuality(
           Tables.documents(s, d).withColumn("n_tokens",
             graft.text.TextAnalysis.tokenCount(col("text")).cast("long")),
@@ -1159,7 +1159,7 @@ private[graft] object QueriesA {
     // ---- extension: batch gap sessionization (the offline twin of q56's
     // streaming sessions) — lag-mark + running-sum over ONE shared window
     // sort; 12h gap ≈ 22 sessions/user on the testdata
-    "q110_x_batch_sessions" -> tuned((s, d) =>
+    "q110_x_batch_sessions" -> rowTuned((s, d) =>
       graft.operators.Sessionize.sessionStats(
           Tables.events(s, d).select("user_id", "event_id", "ts"),
           "user_id", "ts", "event_id", gapMinutes = 720)
@@ -1181,7 +1181,7 @@ private[graft] object QueriesA {
     // Strategy + AsofJoinExec, q77's derivation in OUTER mode) — one
     // streaming merge per partition with O(1) state, vs q77's
     // union+window rewrite; oracle = DuckDB ASOF LEFT JOIN
-    "q112_x_native_asof_join" -> tuned((s, d) => {
+    "q112_x_native_asof_join" -> rowTuned((s, d) => {
       val right = Tables.orders(s, d)
         .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
         .agg(round(sum(col("o_totalprice")), 2).as("tot"), count(lit(1)).as("n"))
@@ -1204,7 +1204,7 @@ private[graft] object QueriesA {
     // same native exec — DuckDB can only express it by negating both
     // time axes into a backward ASOF, which is exactly what the oracle
     // does (right (key, month) is unique, so the tie caveat is moot)
-    "q113_x_forward_asof_join" -> tuned((s, d) => {
+    "q113_x_forward_asof_join" -> rowTuned((s, d) => {
       val right = Tables.orders(s, d)
         .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
         .agg(round(sum(col("o_totalprice")), 2).as("tot"), count(lit(1)).as("n"))
@@ -1223,7 +1223,7 @@ private[graft] object QueriesA {
     // ---- extension: the SQL surface itself — cosine_sim registered via
     // GraftExtensions runs from plain spark.sql with no Scala import;
     // adjacent-vector pairs keep the plan a broadcast-free self-join
-    "q114_x_sql_cosine" -> tuned((s, d) => {
+    "q114_x_sql_cosine" -> rowTuned((s, d) => {
       org.apache.spark.sql.graft.GraftExtensions.register(s)
       Tables.embeddings(s, d).createOrReplaceTempView("graft_embeddings")
       s.sql("""SELECT a.vec_id,
@@ -1237,7 +1237,7 @@ private[graft] object QueriesA {
     // candidates (held-out side = doc_id % 5 == 0, 15 straddling pairs
     // at sf0.01): the MinHash analog of q71's exact n-gram check,
     // catching paraphrased benchmark leakage exact grams miss
-    "q115_x_cross_neardup" -> tuned((s, d) => {
+    "q115_x_cross_neardup" -> rowTuned((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.minhashCandidatesCross(
           docs.filter(col("doc_id") % 5 =!= 0),
@@ -1251,7 +1251,7 @@ private[graft] object QueriesA {
     // decontamination trilogy (exact n-grams q71/q109, MinHash fuzzy
     // q115): corpus embeddings against a broadcast held-out side through
     // the codegen'd cosine, threshold 0.4 (25 pairs at sf0.01)
-    "q116_x_semantic_contamination" -> tuned((s, d) => {
+    "q116_x_semantic_contamination" -> rowTuned((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.crossNearDup(
           e.filter(col("vec_id") % 5 =!= 0),
@@ -1265,7 +1265,7 @@ private[graft] object QueriesA {
     // candidates instead of the exact cross product, |c_bucket|·|h_bucket|
     // per bucket; nBits scales by Similarity.suggestedNBits at real size.
     // Deterministic, so the oracle replays bucketing exactly (q60's trick)
-    "q119_x_semantic_decon_bucketed" -> tuned((s, d) => {
+    "q119_x_semantic_decon_bucketed" -> rowTuned((s, d) => {
       val e = Tables.embeddings(s, d)
       Similarity.crossNearDupBucketed(
           e.filter(col("vec_id") % 5 =!= 0),
@@ -1281,7 +1281,7 @@ private[graft] object QueriesA {
     // demoted to null payload. The merge is unchanged (tolerance is an
     // O(1) accept test on the unique candidate); the oracle applies the
     // identical test as a CASE over DuckDB's ASOF join epoch gap
-    "q120_x_tolerance_asof_join" -> tuned((s, d) => {
+    "q120_x_tolerance_asof_join" -> rowTuned((s, d) => {
       val right = Tables.orders(s, d)
         .groupBy(col("o_orderpriority"), Cols.monthStart(col("o_orderdate")).as("month"))
         .agg(round(sum(col("o_totalprice")), 2).as("tot"), count(lit(1)).as("n"))
@@ -1304,7 +1304,7 @@ private[graft] object QueriesA {
     // ONE max_by aggregation — map-side combine, no window sort; the
     // oracle replays the fold as a DuckDB window (same answer, the
     // contract is the RESULT not the plan)
-    "q121_x_cdc_snapshot" -> tuned((s, d) => {
+    "q121_x_cdc_snapshot" -> rowTuned((s, d) => {
       val changes = Tables.orders(s, d)
         .select(col("o_custkey").as("k"), col("o_orderkey").as("v"),
           when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
@@ -1332,7 +1332,7 @@ private[graft] object QueriesA {
     // hash-matches an unrolled DuckDB replay — no "approximately equal"
     // escape hatch. Parts have no out-edges, exercising the
     // dangling-mass redistribution every round
-    "q123_x_pagerank" -> tuned((s, d) => {
+    "q123_x_pagerank" -> rowTuned((s, d) => {
       val li = Tables.lineitem(s, d)
       val edges = li.select(
         concat(lit("s"), col("l_suppkey").cast("string")).as("src"),
@@ -1347,7 +1347,7 @@ private[graft] object QueriesA {
     // codegen; the write path range-partitions+sorts on the z value so
     // file min/max stats prune BOTH dimensions — layout asserted in
     // ZOrderSpec, the integer curve itself oracle-checked here)
-    "q124_x_zorder_morton" -> tuned((s, d) => {
+    "q124_x_zorder_morton" -> rowTuned((s, d) => {
       Tables.orders(s, d).filter(col("o_orderkey") % 7 === 0)
         .select(col("o_orderkey"),
           ZOrder.mortonCol(col("o_custkey") % 2048, col("o_orderkey") % 2048)
@@ -1360,7 +1360,7 @@ private[graft] object QueriesA {
     // this cuts only the contaminated span, q100's machinery pointed at
     // a held-out side): corpus = doc_id % 5 != 0, held-out = the rest,
     // 5-gram hits excised, rebuilt text hash-checked
-    "q125_x_cross_span_excision" -> tuned((s, d) => {
+    "q125_x_cross_span_excision" -> rowTuned((s, d) => {
       val docs = Tables.documents(s, d)
       Dedup.removeContaminatedSpans(
           docs.filter(col("doc_id") % 5 =!= 0),
@@ -1389,7 +1389,7 @@ private[graft] object QueriesA {
     // change becomes a dimension row with [valid_from, valid_to)
     // closed by the key's next event (deletes close but emit nothing).
     // One window shuffle — the minimum interval construction needs
-    "q127_x_scd2_history" -> tuned((s, d) => {
+    "q127_x_scd2_history" -> rowTuned((s, d) => {
       val changes = Tables.orders(s, d)
         .select(col("o_custkey").as("k"), col("o_orderkey").as("v"),
           when(col("o_orderkey") % 10 === 0, lit("D")).otherwise(lit("U")).as("op"),
@@ -1460,7 +1460,7 @@ private[graft] object QueriesA {
     // perceptual hashing buys. Banded join = full recall at hamming<=3,
     // so the oracle replays the decode in closed form and brute-forces
     // the same filter
-    "q131_x_image_phash_neardup" -> tuned((s, d) => {
+    "q131_x_image_phash_neardup" -> rowTuned((s, d) => {
       import graft.multimodal.Multimodal
       val sigs = Tables.documents(s, d).select(col("doc_id"))
         .withColumn("content", Multimodal.texturedImageCol(col("doc_id")))
@@ -1525,7 +1525,7 @@ private[graft] object QueriesA {
     // replacing a corpus-wide DISTINCT: two order-validity windows
     // under the same priority, 10-day bins; naive Spark plans a
     // nested-loop product here
-    "q135_x_interval_overlap_join" -> tuned((s, d) => {
+    "q135_x_interval_overlap_join" -> rowTuned((s, d) => {
       val o = Tables.orders(s, d)
       def win(modK: Int, spanMod: Int, pfx: String) = o
         .filter(col("o_orderkey") % modK === 0)
@@ -1591,7 +1591,7 @@ private[graft] object QueriesA {
     // corrupted part-name stream (one char deleted past position 3, so
     // the 3-char block key survives — the documented recall contract)
     // re-linked to the catalog at edit distance <= 2
-    "q139_x_fuzzy_join" -> tuned((s, d) => {
+    "q139_x_fuzzy_join" -> rowTuned((s, d) => {
       val corrupted = Tables.part(s, d).filter(col("p_partkey") % 4 === 0)
         .withColumn("pos",
           (lit(3) + col("p_partkey") % (length(col("p_name")) - 3)).cast("int"))
@@ -1610,7 +1610,7 @@ private[graft] object QueriesA {
     // one mutation batch (updates + deletes + inserts on negated keys)
     // applied as target-LEFT-ANTI-source ∪ surviving-source — the
     // broadcast anti join never shuffles the snapshot side
-    "q140_x_merge_upsert" -> tuned((s, d) => {
+    "q140_x_merge_upsert" -> rowTuned((s, d) => {
       val cents = floor(col("o_totalprice") * 100 + 0.5).cast("long")
       val target = Tables.orders(s, d).select(col("o_orderkey").as("k"),
         cents.as("price_cents"), col("o_orderstatus").as("status"))
@@ -1758,7 +1758,7 @@ private[graft] object QueriesA {
     // ---- extension: cohort retention matrix — first-active-week
     // cohorts over integral epoch-weeks; the whole matrix rides exact
     // integers (counts and a permille integer division)
-    "q150_x_cohort_retention" -> tuned((s, d) =>
+    "q150_x_cohort_retention" -> rowTuned((s, d) =>
       graft.operators.Funnel.cohortRetention(
           Tables.events(s, d)
             .withColumn("week", expr("ts_ns div 86400000000000 div 7")),
@@ -1780,7 +1780,7 @@ private[graft] object QueriesA {
     // snapshot of mergeable (n, Σ, Σ², min, max) partials absorbs the
     // post-cutoff delta without rescanning history; the oracle is the
     // single-pass recompute the monoid law guarantees it equals
-    "q152_x_incremental_agg" -> tuned((s, d) => {
+    "q152_x_incremental_agg" -> rowTuned((s, d) => {
       import graft.operators.Incremental
       val li = Tables.lineitem(s, d)
       val cut = "1995-01-01"
@@ -1852,7 +1852,7 @@ private[graft] object QueriesA {
 
     // ---- extension: snapshot reconciliation — symmetric diff of two
     // table states by key; unchanged keys die inside the join stage
-    "q159_x_table_diff" -> tuned((s, d) => {
+    "q159_x_table_diff" -> rowTuned((s, d) => {
       val o = Tables.orders(s, d).select("o_orderkey", "o_custkey",
         "o_orderstatus", "o_totalprice", "o_orderpriority")
       val before = o.filter(col("o_orderkey") % 97 =!= 0)
@@ -1897,7 +1897,7 @@ private[graft] object QueriesA {
     // ---- extension: time-weighted average — the step-function integral
     // per user (bursts don't over-weight); one window + one aggregate on
     // the same partitioning, exact micros x cents
-    "q162_x_twap" -> tuned((s, d) => {
+    "q162_x_twap" -> rowTuned((s, d) => {
       val e = Tables.events(s, d)
         .withColumn("tsu", expr("ts_ns div 1000"))
         .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
@@ -1922,7 +1922,7 @@ private[graft] object QueriesA {
     // ---- extension: boilerplate line strip — lines in >10% of a
     // source's docs (and >=2 docs) are template, removed from EVERY doc;
     // the df-threshold complement of q81's keep-first-occurrence
-    "q164_x_boilerplate" -> tuned((s, d) => {
+    "q164_x_boilerplate" -> rowTuned((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), linedText(col("text")).as("lt"))
       Dedup.stripBoilerplate(docs, "doc_id", "lt", "source", maxPermille = 100)
@@ -1932,7 +1932,7 @@ private[graft] object QueriesA {
     // ---- extension: last-writer-wins per-FIELD consolidation — partial
     // updates merge instead of wiping older fields (vs q121's whole-row
     // latest); one max_by-per-column aggregate
-    "q165_x_lww_consolidate" -> tuned((s, d) => {
+    "q165_x_lww_consolidate" -> rowTuned((s, d) => {
       val base = Tables.orders(s, d)
         .filter(col("o_orderkey") % 7 < 3)
         .select(col("o_orderkey"), lit(1).as("ver"),
@@ -1974,7 +1974,7 @@ private[graft] object QueriesA {
     // ---- extension: interval-union coverage — net covered time per user
     // from overlapping event intervals (derived deterministic durations);
     // islands merged on one window sort, exact micros
-    "q168_x_interval_union" -> tuned((s, d) => {
+    "q168_x_interval_union" -> rowTuned((s, d) => {
       val e = Tables.events(s, d).select(col("user_id"),
         expr("ts_ns div 1000").as("s"),
         expr("ts_ns div 1000 + (event_id % 997 + 1) * 1000000").as("e"))
@@ -2036,7 +2036,7 @@ private[graft] object QueriesA {
 
     // ---- extension: per-group feature scaling — z-score + min-max from
     // one broadcast stats pass; event rows never shuffle
-    "q173_x_standardize" -> tuned((s, d) => {
+    "q173_x_standardize" -> rowTuned((s, d) => {
       val e = Tables.events(s, d)
         .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
         .select("event_id", "event_type", "cents")
@@ -2047,7 +2047,7 @@ private[graft] object QueriesA {
     // ---- extension: TF-IDF top terms per document — each doc's
     // strongest keywords (q70's BM25 scores docs for a query; this emits
     // doc-side vectors); nanonat-quantized scores, integer-ranked top-k
-    "q174_x_tfidf" -> tuned((s, d) =>
+    "q174_x_tfidf" -> rowTuned((s, d) =>
       Corpus.tfidfTopTerms(Tables.documents(s, d), "doc_id", "text", k = 3)
         .orderBy("doc_id", "rank")),
 

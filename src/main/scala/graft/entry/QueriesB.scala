@@ -56,7 +56,7 @@ private[graft] object QueriesB {
     // ---- extension: exponential time-decay score — recency-weighted
     // engagement per user via whole-half-life bit shifts; the double
     // readout divides an exact long by 2^20, so it is itself exact
-    "q179_x_decay_score" -> tuned((s, d) => {
+    "q179_x_decay_score" -> rowTuned((s, d) => {
       val e = Tables.events(s, d)
         .withColumn("tsu", expr("ts_ns div 1000"))
         .withColumn("cents", expr("cast(floor(value * 100 + 0.5) as bigint)"))
@@ -68,7 +68,7 @@ private[graft] object QueriesB {
     // ---- extension: bigram LM scoring — order-2 upgrade of q86's
     // unigram perplexity: OOV-closed vocabulary, lead-window successors,
     // shuffle-joined bigram stats (NOT assumed broadcastable)
-    "q180_x_bigram_nll" -> tuned((s, d) =>
+    "q180_x_bigram_nll" -> rowTuned((s, d) =>
       graft.text.LanguageModel.bigramNll(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
@@ -185,7 +185,7 @@ private[graft] object QueriesB {
     // delta-join identity as a standing operator; every click×purchase
     // pair per user is emitted exactly once (when its later element
     // arrives), so the drained multiset IS the batch inner join
-    "q187_x_stream_join_delta" -> tuned((s, d) =>
+    "q187_x_stream_join_delta" -> rowTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingJoinDelta(s, d)),
 
     // ---- extension: sliced classifier evaluation — per-source ROC AUC
@@ -200,7 +200,7 @@ private[graft] object QueriesB {
     // ---- extension: subset-duplicate detection — directional token-set
     // containment at 1.0 (every token of the smaller doc appears in the
     // larger: the quote-swallowed-by-boilerplate shape Jaccard misses)
-    "q189_x_containment" -> tuned((s, d) =>
+    "q189_x_containment" -> rowTuned((s, d) =>
       Dedup.tokenContainment(Tables.documents(s, d), "doc_id", "text",
           maxIdGap = 50, thresholdE6 = 1000000)
         .orderBy("id_a", "id_b")),
@@ -208,7 +208,7 @@ private[graft] object QueriesB {
     // ---- extension: per-document token Shannon entropy — the
     // information-density quality feature (repetition ⇒ low entropy at
     // length); e9-quantized per-term, exact integer sum
-    "q190_x_token_entropy" -> tuned((s, d) =>
+    "q190_x_token_entropy" -> rowTuned((s, d) =>
       graft.text.TextAnalysis.tokenEntropy(
           Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -223,7 +223,7 @@ private[graft] object QueriesB {
     // ---- extension: reciprocal-rank fusion — BM25 relevance fused with
     // the entropy quality prior in rank space (no score calibration);
     // contributions are exact integers 1e9 div (60 + rank)
-    "q192_x_rrf_fuse" -> tuned((s, d) => {
+    "q192_x_rrf_fuse" -> rowTuned((s, d) => {
       val docs = Tables.documents(s, d)
       val bm = Corpus.bm25(docs, "doc_id", "text",
           query = Seq("join", "scan", "window"))
@@ -237,7 +237,7 @@ private[graft] object QueriesB {
     // ---- extension: deterministic hash-offset negative sampling — the
     // contrastive-pair builder; md5-hash draws onto the dense id index,
     // anchor-collision shifts one slot, O(N*k), no cross join
-    "q193_x_negative_sample" -> tuned((s, d) =>
+    "q193_x_negative_sample" -> rowTuned((s, d) =>
       Corpus.negativeSample(Tables.documents(s, d), "doc_id", k = 4)
         .orderBy("anchor_id", "j")),
 
@@ -329,7 +329,7 @@ private[graft] object QueriesB {
     // bound demoting probes that land in a DELETED interval to null —
     // the lakehouse time-travel read, composed from contract-checked
     // parts
-    "q200_x_point_in_time_join" -> tuned((s, d) => {
+    "q200_x_point_in_time_join" -> rowTuned((s, d) => {
       val o = Tables.orders(s, d)
       val changes = o.select(col("o_custkey").as("k"),
         col("o_orderkey").as("v"),
@@ -368,7 +368,7 @@ private[graft] object QueriesB {
     // (source, n_chars) mapped to the global order statistic at its
     // within-source permille; integer ranks, actual global samples,
     // no interpolation
-    "q202_x_quantile_normalize" -> tuned((s, d) =>
+    "q202_x_quantile_normalize" -> rowTuned((s, d) =>
       graft.operators.Features.quantileNormalize(
           Tables.documents(s, d), "source", "n_chars")
         .orderBy("source", "n_chars")),
@@ -418,7 +418,7 @@ private[graft] object QueriesB {
     // ---- extension: BUILT-IN session_window streaming sessionization —
     // the engine-managed twin of q110/q56's custom-state forms; drained
     // complete-mode windows reshape to the batch sessionStats verdict
-    "q206_x_stream_session_window" -> tuned((s, d) =>
+    "q206_x_stream_session_window" -> rowTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingSessionWindows(s, d)),
 
     // ---- extension: REAL image resize — integer box-average thumbnails
@@ -438,7 +438,7 @@ private[graft] object QueriesB {
     // q121's batch fold: one complete-mode max_by per key (O(keys)
     // state), tombstones dropped at readout; drained == batch, so the
     // oracle IS q121's
-    "q208_x_stream_cdc_snapshot" -> tuned((s, d) =>
+    "q208_x_stream_cdc_snapshot" -> rowTuned((s, d) =>
       graft.streaming.StreamingCollapse.streamingCdcSnapshot(s, d)),
 
     // ---- extension: IVF cluster quality — per-cluster member count +
@@ -515,7 +515,7 @@ private[graft] object QueriesB {
     // default and non-default ports, tracking params in every position,
     // fragments; ids 60 apart collapse to the SAME canonical, so the
     // n_dups readout proves the key actually merges)
-    "q214_x_url_canonical" -> tuned((s, d) => {
+    "q214_x_url_canonical" -> rowTuned((s, d) => {
       import graft.text.UrlOps
       val hosts = array(lit("Example.COM"), lit("news.example.co.uk"),
         lit("CDN.Media.org"), lit("shop.example.com.au"), lit("blog.sample.net"))
@@ -588,7 +588,7 @@ private[graft] object QueriesB {
     // hash-checkable sibling: same hashed-BoW features and label, but
     // counts + one ln per bucket instead of gradient descent, nanonat
     // integer sums end-to-end
-    "q219_x_naive_bayes" -> tuned((s, d) =>
+    "q219_x_naive_bayes" -> rowTuned((s, d) =>
       graft.text.QualityClassifier.naiveBayes(
           Tables.documents(s, d).withColumn("label",
             array_contains(Cols.tokens(col("text")), "vector").cast("int")),
@@ -1066,7 +1066,7 @@ private[graft] object QueriesB {
     // candidate/reference pairs (even doc vs its successor), the
     // summarization-eval readout; exact integer overlap/totals, three
     // e6-quantized divisions
-    "q257_x_rouge_n" -> tuned((s, d) => {
+    "q257_x_rouge_n" -> rowTuned((s, d) => {
       val docs = Tables.documents(s, d)
       graft.text.Retrieval.rougeN(
           docs, "doc_id", "text",
@@ -1109,7 +1109,7 @@ private[graft] object QueriesB {
     // per-(key, day-slice) local sessionization, micro-session re-merge,
     // global index joined back on the composite key; shares q110's oracle
     // because the rows are contractually identical
-    "q260_x_sessions_timesliced" -> tuned((s, d) =>
+    "q260_x_sessions_timesliced" -> rowTuned((s, d) =>
       graft.operators.Sessionize.sessionStatsTimeSliced(
           Tables.events(s, d).select("user_id", "event_id", "ts"),
           "user_id", "ts", "event_id", gapMinutes = 720, sliceMinutes = 1440)
@@ -1241,7 +1241,7 @@ private[graft] object QueriesB {
     // ---- extension: Flesch readability — the classic reading-ease
     // quality signal with a deterministic vowel-group syllable proxy;
     // pure codegen regexps, one fixed score tree
-    "q272_x_readability" -> tuned((s, d) =>
+    "q272_x_readability" -> rowTuned((s, d) =>
       graft.text.TextAnalysis.readability(
           Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
@@ -1763,7 +1763,7 @@ private[graft] object QueriesB {
     // must not outrank a 97/100 one — the honest rate ranking q287's
     // Wilson bound solves one-sided, solved point-wise); e9-quantized
     // rates, exact DECIMAL moment sums, fixed alpha/beta/shrunk trees
-    "q312_x_eb_shrinkage" -> tuned((s, d) =>
+    "q312_x_eb_shrinkage" -> rowTuned((s, d) =>
       graft.operators.Metrics.ebShrinkRates(
           Tables.events(s, d)
             .filter(col("user_id").isNotNull && col("event_type").isNotNull)
@@ -1898,7 +1898,7 @@ private[graft] object QueriesB {
     // contamination a random split of a duplicated corpus guarantees;
     // q156 splits, q46 finds pairs — this closes the loop); exact
     // match-count means, banded join only
-    "q322_x_split_leakage" -> tuned((s, d) =>
+    "q322_x_split_leakage" -> rowTuned((s, d) =>
       graft.text.Dedup.splitLeakage(
           Tables.documents(s, d), "doc_id", "text",
           k = MinhashK, bands = MinhashBands)
@@ -1974,7 +1974,7 @@ private[graft] object QueriesB {
     // included (the shape says mirrored-hosts vs template-page vs
     // healthy BEFORE the keep-one finisher runs); pure integer counts
     // over q79's deterministic components
-    "q329_x_dup_spectrum" -> tuned((s, d) =>
+    "q329_x_dup_spectrum" -> rowTuned((s, d) =>
       graft.text.Dedup.dupClusterSpectrum(
           Tables.documents(s, d), "doc_id", "text",
           k = MinhashK, bands = MinhashBands, minEst = 0.5)
@@ -2122,7 +2122,7 @@ private[graft] object QueriesB {
     // graduation extended from learning to encoding (tokenizer fertility
     // per doc, hash-checked; narrows q94's no_oracle to the
     // unbounded-rank encoder). Expression-only replace chains, no UDF
-    "q340_x_bpe_encode_slice" -> tuned((s, d) =>
+    "q340_x_bpe_encode_slice" -> rowTuned((s, d) =>
       graft.text.Bpe.encodeSliceDf(Tables.documents(s, d), "doc_id", "text", k = 3)
         .orderBy("doc_id")),
 
@@ -2340,7 +2340,7 @@ private[graft] object QueriesB {
     // prelude), then the q276 integer-table DFT at the SELECTED n;
     // per-customer monthly series vary in span, so every candidate branch
     // and the too-short drop all exercise in the gate
-    "q358_u6_periodogram_auto_n" -> tuned((s, d) => {
+    "q358_u6_periodogram_auto_n" -> rowTuned((s, d) => {
       val m = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("custkey"),
           Cols.monthStart(col("o_orderdate")).as("month"))
@@ -2438,7 +2438,7 @@ private[graft] object QueriesB {
     // with the Skew.hotKeyStats probe choosing the route (plain window
     // below the per-slot crossover, time-sliced past it); shares q110's
     // oracle because BOTH routes are contractually identical rows
-    "q368_x_sessions_auto" -> tuned((s, d) =>
+    "q368_x_sessions_auto" -> rowTuned((s, d) =>
       graft.operators.Sessionize.sessionStatsAuto(
           Tables.events(s, d).select("user_id", "event_id", "ts"),
           "user_id", "ts", "event_id", gapMinutes = 720, sliceMinutes = 1440)
@@ -2743,7 +2743,7 @@ private[graft] object QueriesB {
     // hash, leaving every high band constant 0 (one all-docs bucket).
     // 60-bit signatures / 15-bit bands with real high-bit votes; the
     // oracle replays the 60-bit hash and signature bit-exactly
-    "q393_x_simhash_pairs_wide" -> tuned((s, d) =>
+    "q393_x_simhash_pairs_wide" -> rowTuned((s, d) =>
       Dedup.simhashCandidates(Tables.documents(s, d), "doc_id", "text",
           bits = 60, bands = 4, maxHamming = 1)
         .orderBy("id_a", "id_b")),

@@ -185,34 +185,52 @@ object Graph {
                              e: Array[(String, String)], iterations: Int,
                              scale: Long): DataFrame = {
     import spark.implicits._
-    import scala.collection.mutable
-    val deg = mutable.HashMap.empty[String, Long]
-    val nodeSet = mutable.LinkedHashSet.empty[String]
-    e.foreach { case (s, d) =>
-      deg(s) = deg.getOrElse(s, 0L) + 1L
-      nodeSet += s; nodeSet += d
+    // Integer-index the node ids ONCE (insertion order — same node
+    // enumeration as the former LinkedHashSet), then iterate over
+    // primitive arrays: the r17 profile put ~1.1 s of q123's 2.0 s in
+    // this loop's String-keyed HashMap probes (600k edges × 3
+    // iterations × 2-3 probes each). The arithmetic is bit-identical —
+    // same integer divisions in the same per-edge order, and long
+    // addition into the per-node accumulator is order-independent.
+    val idx = new java.util.LinkedHashMap[String, Integer]()
+    def id(s: String): Int = {
+      var i = idx.get(s)
+      if (i == null) { i = Integer.valueOf(idx.size); idx.put(s, i) }
+      i.intValue()
     }
-    val nodes = nodeSet.toArray
-    val n = nodes.length.toLong
+    val m = e.length
+    val srcI = new Array[Int](m)
+    val dstI = new Array[Int](m)
+    var j = 0
+    while (j < m) { srcI(j) = id(e(j)._1); dstI(j) = id(e(j)._2); j += 1 }
+    val nI = idx.size
+    val n = nI.toLong
     if (n == 0)
       return Seq.empty[(String, Long, Double)].toDF("node", "rank_scaled", "pagerank")
-    val dangling = nodes.filterNot(deg.contains)
+    val deg = new Array[Long](nI)
+    j = 0; while (j < m) { deg(srcI(j)) += 1L; j += 1 }
     val teleport = (3L * scale) / (20L * n)
-    var ranks = mutable.HashMap(nodes.map(_ -> scale / n): _*)
+    var ranks = Array.fill(nI)(scale / n)
     for (_ <- 1 to iterations) {
-      val inMass = mutable.HashMap.empty[String, Long]
-      e.foreach { case (s, d) =>
-        inMass(d) = inMass.getOrElse(d, 0L) + (17L * ranks(s)) / (20L * deg(s))
+      val inMass = new Array[Long](nI)
+      var i = 0
+      while (i < m) {
+        inMass(dstI(i)) += (17L * ranks(srcI(i))) / (20L * deg(srcI(i)))
+        i += 1
       }
       var dm = 0L
-      dangling.foreach(dm += ranks(_))
+      var nd = 0
+      while (nd < nI) { if (deg(nd) == 0L) dm += ranks(nd); nd += 1 }
       val dangShare = (17L * dm) / (20L * n)
-      val next = mutable.HashMap.empty[String, Long]
-      nodes.foreach(nd => next(nd) = teleport + dangShare + inMass.getOrElse(nd, 0L))
+      val next = new Array[Long](nI)
+      nd = 0
+      while (nd < nI) { next(nd) = teleport + dangShare + inMass(nd); nd += 1 }
       ranks = next
     }
-    nodes.map(nd => (nd, ranks(nd), ranks(nd).toDouble / scale.toDouble)).toSeq
-      .toDF("node", "rank_scaled", "pagerank")
+    val nodes = idx.keySet.toArray(Array.empty[String])
+    nodes.zipWithIndex.map { case (nd, i) =>
+      (nd, ranks(i), ranks(i).toDouble / scale.toDouble)
+    }.toSeq.toDF("node", "rank_scaled", "pagerank")
   }
 
   /** Per-node triangle participation counts over an UNDIRECTED graph

@@ -365,6 +365,18 @@ object Similarity {
     val corpus = slim.collect().map { case (id, v) => (id, v, VectorOps.l2norm(v)) }
     val bc = spark.sparkContext.broadcast(corpus)
     val scale = math.pow(10, roundTo)
+    // Pre-filter floor (r17): HALF_UP rounding at `roundTo` decimals
+    // moves a value by at most 0.5·10^-roundTo, so a raw cosine below
+    // `threshold − 0.5·10^-roundTo` can never round up to ≥ threshold —
+    // reject it on the raw double and reserve the exact-decimal
+    // BigDecimal (allocation + context per call) for the boundary band
+    // and survivors only. Profiled: the all-pairs kernel was spending
+    // most of its time constructing 12.5M BigDecimals at sf0.1 to
+    // reject pairs far below threshold. The 1e-12 slack over-admits
+    // (never rejects) against double representation error; admitted
+    // pairs still pass through the EXACT BigDecimal test, so output is
+    // bit-identical.
+    val rawFloor = threshold - 0.5 / scale - 1e-12
     slim.mapPartitions { it =>
       val cs = bc.value
       it.flatMap { case (id, v) =>
@@ -375,10 +387,14 @@ object Similarity {
             val den = nv * cn
             if (den == 0.0) None
             else {
-              // same rounding as Spark's round(): exact-decimal HALF_UP
-              val cos = BigDecimal(VectorOps.dot(v, cv) / den)
-                .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
-              if (cos >= threshold) Some((id, cid, cos)) else None
+              val raw = VectorOps.dot(v, cv) / den
+              if (raw < rawFloor) None
+              else {
+                // same rounding as Spark's round(): exact-decimal HALF_UP
+                val cos = BigDecimal(raw)
+                  .setScale(roundTo, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cos >= threshold) Some((id, cid, cos)) else None
+              }
             }
           }
       }

@@ -39,4 +39,24 @@ object CompactOrder {
         Sort(order, global = false, Repartition(1, shuffle = false, child), hint))
     case _ => df
   }
+
+  /** For ROW-SCALE outputs, where the distributed global sort must
+    * stay: stage a lazy `localCheckpoint` under the final `Sort`. A
+    * range exchange builds its partition bounds by SAMPLING the child
+    * RDD in a separate pass — `RangePartitioner.sketch` reservoir-reads
+    * every row — so an un-staged final orderBy executes the ENTIRE
+    * upstream plan twice (measured on q358: the readout step cost ≈ the
+    * whole upstream again). With the checkpoint, the first pass
+    * materializes the result to local storage and the sampling + shuffle
+    * passes re-read blocks instead of recomputing joins/aggregations.
+    * Same rows, same order, same distributed sort; one compute instead
+    * of two. The trade — materializing the result once — is the
+    * standard production shape for a global sort at any scale. */
+  def staged(df: DataFrame): DataFrame = df.queryExecution.logical match {
+    case Sort(order, true, child, hint) =>
+      val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      val ck = Dataset.ofRows(spark, child).localCheckpoint(false)
+      Dataset.ofRows(spark, Sort(order, global = true, ck.queryExecution.analyzed, hint))
+    case _ => df
+  }
 }
