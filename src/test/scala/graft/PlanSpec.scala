@@ -11,10 +11,18 @@ class PlanSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
-  private def plan(q: String): String = {
-    val df = SparkEntry.queries(q)(spark, dir)
-    df.queryExecution.executedPlan.toString
-  }
+  /** Registry frame with rowTuned's checkpoint staging DISABLED
+    * (CompactOrder.introspected): the staged path replaces the visible
+    * plan with an opaque LogicalRDD, which made every positive plan
+    * assertion here unobservable in round 17. The contracts below pin
+    * the CHILD plan — the staging itself is pinned separately by the
+    * "rowTuned staging" test. */
+  private def frame(q: String): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.graft.CompactOrder.introspected(
+      SparkEntry.queries(q)(spark, dir))
+
+  private def plan(q: String): String =
+    frame(q).queryExecution.executedPlan.toString
 
   /** Number of Spark jobs launched while `f` runs (listener-bus drain:
     * polls until the count is stable for ~0.5 s). */
@@ -96,7 +104,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("multi-feature window query (q17) plans exactly one Window node") {
-    val df = SparkEntry.queries("q17_w1_pct_change")(spark, dir)
+    val df = frame("q17_w1_pct_change")
     val n = df.queryExecution.executedPlan.toString
       .linesIterator.count(_.contains("Window ["))
     assert(n === 1, s"mom+yoy share one (partition, order) spec -> one WindowExec, got $n")
@@ -108,7 +116,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("exact dedup (q44) shuffles digests, not document text") {
-    val df = SparkEntry.queries("q44_x_dedup_exact")(spark, dir)
+    val df = frame("q44_x_dedup_exact")
     val exchangeLines = df.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchangeLines.nonEmpty)
@@ -131,7 +139,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("bucketed near-dup (q60) shuffles only ids+buckets for pair discovery") {
-    val df = SparkEntry.queries("q60_x_embed_neardup_bucketed")(spark, dir)
+    val df = frame("q60_x_embed_neardup_bucketed")
     val exchangeLines = df.queryExecution.executedPlan.toString
       .linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchangeLines.nonEmpty)
@@ -158,7 +166,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("jaccard join (q394): consumers read the cached pair table, not the corpus") {
-    val df = SparkEntry.queries("q394_x_jaccard_join_complete")(spark, dir)
+    val df = frame("q394_x_jaccard_join_complete")
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"))
     // the builder materializes the (small) pair result and unpersists the
@@ -179,7 +187,7 @@ class PlanSpec extends SparkSpec {
     // three Window nodes are inherent (lag-of-rolling-median nests, and
     // the is-last max is unordered) — what must NOT happen is a re-sort
     // or re-shuffle between them
-    val p = SparkEntry.queries("q64_w5w10_outlier_repair")(spark, dir)
+    val p = frame("q64_w5w10_outlier_repair")
       .queryExecution.executedPlan.toString
     val windowSorts = p.linesIterator.count(l =>
       l.contains("Sort [prio") && l.contains("month"))
@@ -205,7 +213,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("PII redaction (q82) stays inside whole-stage codegen — no UDF, no shuffle") {
-    val df = SparkEntry.queries("q82_x_pii_redact")(spark, dir)
+    val df = frame("q82_x_pii_redact")
     df.collect() // finalize AQE so codegen spans render in the executed plan
     val p = df.queryExecution.executedPlan.toString
     assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
@@ -249,7 +257,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dup n-gram coverage (q98) shuffles gram hashes and positions, never text") {
-    val df = SparkEntry.queries("q98_x_dup_ngram_coverage")(spark, dir)
+    val df = frame("q98_x_dup_ngram_coverage")
     val p = df.queryExecution.executedPlan.toString
     val exchangeLines = p.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
@@ -404,7 +412,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("Brier decomposition (q227): the row scan runs ONCE (persisted bin grid)") {
-    val df = SparkEntry.queries("q227_x_brier_decomp")(spark, dir)
+    val df = frame("q227_x_brier_decomp")
     val p = df.queryExecution.executedPlan.toString
     // the bin grid checkpoints once (Scan ExistingRDD — the lazy
     // localCheckpoint severs lineage, so NO FileScan survives in the
@@ -474,7 +482,7 @@ class PlanSpec extends SparkSpec {
   }
 
   test("spearman (q230): the row scan runs ONCE (checkpointed joint grid feeds all three consumers)") {
-    val df = SparkEntry.queries("q230_x_spearman")(spark, dir)
+    val df = frame("q230_x_spearman")
     val p = df.queryExecution.executedPlan.toString
     // all three consumers (two rank grids + the moment aggregate) read
     // the lazily-checkpointed joint grid (Scan ExistingRDD); the lineage
@@ -523,5 +531,31 @@ class PlanSpec extends SparkSpec {
     val p = plan("q351_x_pca_power_slice")
     assert(!p.toLowerCase.contains("generate"),
       s"q351 must not explode rows x d^2 (the kernel replaced it):\n$p")
+  }
+
+  test("rowTuned staging (q214): checkpoint sits UNDER a retained global sort; " +
+    "introspection exposes the full child plan") {
+    import org.apache.spark.sql.catalyst.plans.logical.Sort
+    // production frame: root must still be the distributed global Sort
+    // (row-scale outputs keep their range exchange), its child the lazy
+    // checkpoint's LogicalRDD — the one-compute-instead-of-two staging
+    val prod = SparkEntry.queries("q214_x_url_canonical")(spark, dir)
+    prod.queryExecution.logical match {
+      case Sort(_, global, child, _) =>
+        assert(global, "rowTuned must RETAIN the global sort")
+        assert(child.isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+          s"rowTuned must stage a localCheckpoint under the sort, got:\n$child")
+      case other => fail(s"rowTuned root must be a global Sort, got:\n$other")
+    }
+    // the staged plan is opaque by design…
+    val stagedPlan = prod.queryExecution.executedPlan.toString
+    assert(stagedPlan.contains("Scan ExistingRDD") && !stagedPlan.contains("FileScan"))
+    // …which is exactly why plan contracts go through `frame`: the
+    // introspected build must expose the real scan again
+    val seen = frame("q214_x_url_canonical").queryExecution.executedPlan.toString
+    assert(seen.contains("FileScan"),
+      s"introspected build must expose the real child plan:\n$seen")
+    // free the (never-executed) checkpoint registration
+    org.apache.spark.sql.graft.CompactOrder.releaseStaged()
   }
 }
